@@ -1,0 +1,297 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational core: scans, predicates, all join shapes, flagship agg
+  * (SURVEY.md §2.2–§2.4 + q12). Every query here is oracle-declared: it has
+  * a DuckDB twin in [[Relational.oracle]] and obeys the §2.0 determinism
+  * rules (unique ORDER BY, rounded/decimal aggregates, identical aliases).
+  *
+  * Scale notes are inline per query — the fixtures are MBs, the design
+  * target is 100 TB on a 1000-executor cluster.
+  */
+object Relational {
+  private val D182 = DecimalType(18, 2)
+
+  // q01 — parquet scan + pushdown filter + column prune. At 100 TB the
+  // predicate and the 3-column projection both reach the parquet reader
+  // (PushedFilters / ReadSchema — asserted in PlanShapeSpec); with a
+  // date-partitioned layout this also prunes partitions.
+  def q01(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1996-02-01").cast("timestamp"))
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val q01Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // q02 — predicate composition: IN-list, BETWEEN, LIKE, null check.
+  def q02(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH", "3-MEDIUM") &&
+              col("o_totalprice").between(50000.0, 250000.0) &&
+              col("o_orderstatus").like("%O%") &&
+              col("o_custkey").isNotNull)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  val q02Sql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority, o_totalprice FROM orders
+      |WHERE o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM')
+      |  AND o_totalprice BETWEEN 50000.0 AND 250000.0
+      |  AND o_orderstatus LIKE '%O%'
+      |  AND o_custkey IS NOT NULL
+      |ORDER BY o_orderkey""".stripMargin
+
+  // q03 — dim⋈dim lookup join; explicit broadcast() (25 × 5 rows; at any
+  // scale region/nation stay tiny, so this is always a map-side join).
+  def q03(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      .orderBy("n_nationkey")
+  }
+
+  val q03Sql: String =
+    """SELECT n_nationkey, n_name, r_name FROM nation
+      |JOIN region ON n_regionkey = r_regionkey
+      |ORDER BY n_nationkey""".stripMargin
+
+  // q04 — fact⋈dim⋈dim + agg. customer/nation broadcast automatically
+  // (well under the 10 MB threshold); orders⋈customer shuffles on the key
+  // at real scale — AQE coalesces the post-shuffle partitions. Money sums
+  // via DECIMAL(18,2) cast (exact, oracle-verified).
+  def q04(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(col("o_totalprice").cast(D182)).as("revenue"))
+      .orderBy("n_name")
+  }
+
+  val q04Sql: String =
+    """SELECT n_name, count(*) AS n_orders, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // q05 — left outer + IS NULL: customers with no high-value (>350k) order
+  // (referential-integrity-shaped "orphan" probe; the price filter keeps the
+  // result non-empty at every scale factor).
+  def q05(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_totalprice") > 350000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .filter(o("o_orderkey").isNull)
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  val q05Sql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 350000.0) o ON c_custkey = o_custkey
+      |WHERE o_orderkey IS NULL
+      |ORDER BY c_custkey""".stripMargin
+
+  // q06 — full outer of two pre-aggregated sides + key coalesce.
+  def q06(s: SparkSession, dir: String): DataFrame = {
+    val cc = Tables.customer(s, dir).groupBy("c_nationkey").agg(count(lit(1)).as("n_cust"))
+    val sc = Tables.supplier(s, dir).groupBy("s_nationkey").agg(count(lit(1)).as("n_supp"))
+    cc.join(sc, cc("c_nationkey") === sc("s_nationkey"), "full_outer")
+      .select(coalesce(cc("c_nationkey"), sc("s_nationkey")).as("nationkey"),
+              col("n_cust"), col("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  val q06Sql: String =
+    """SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey, n_cust, n_supp
+      |FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY 1) c
+      |FULL OUTER JOIN (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY 1) s
+      |ON c.c_nationkey = s.s_nationkey
+      |ORDER BY nationkey""".stripMargin
+
+  // q07 — left-semi (EXISTS): customers with at least one URGENT order.
+  def q07(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  val q07Sql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  // q08 — left-anti (NOT EXISTS): parts never shipped in January 1996
+  // (orphan check; the date window keeps the result non-empty at scale).
+  def q08(s: SparkSession, dir: String): DataFrame = {
+    val p  = Tables.part(s, dir)
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1996-02-01").cast("timestamp"))
+    p.join(li, p("p_partkey") === li("l_partkey"), "left_anti")
+      .select("p_partkey", "p_name")
+      .orderBy("p_partkey")
+  }
+
+  val q08Sql: String =
+    """SELECT p_partkey, p_name FROM part
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01')
+      |ORDER BY p_partkey""".stripMargin
+
+  // q09 — cartesian of tiny inputs (5 regions × 5 segments grid).
+  def q09(s: SparkSession, dir: String): DataFrame = {
+    val r    = Tables.region(s, dir)
+    val segs = Tables.customer(s, dir).select(col("c_mktsegment")).distinct()
+    r.crossJoin(segs)
+      .select("r_name", "c_mktsegment")
+      .orderBy("r_name", "c_mktsegment")
+  }
+
+  val q09Sql: String =
+    """SELECT r_name, c_mktsegment FROM region
+      |CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer)
+      |ORDER BY r_name, c_mktsegment""".stripMargin
+
+  // q10 — band (range) self-join: pairs of events by the same user within
+  // 5 minutes. The user_id equality keeps this a shuffled equi-join with a
+  // band residual — NOT a nested loop — so it scales with per-user density.
+  // At 100 TB, additionally bucketize ts to coarse buckets and join on
+  // (user_id, bucket ± 1) if per-user event counts are huge.
+  def q10(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val a = e.select(col("event_id").as("id_a"), col("ts").as("ts_a"), col("user_id"))
+    val b = e.select(col("event_id").as("id_b"), col("ts").as("ts_b"), col("user_id").as("user_b"))
+    a.join(b, a("user_id") === b("user_b") &&
+              b("ts_b") > a("ts_a") &&
+              b("ts_b") <= a("ts_a") + expr("INTERVAL '5' MINUTE") &&
+              a("id_a") < b("id_b"))
+      .select(col("user_id"), col("id_a"), col("id_b"),
+              (unix_timestamp(col("ts_b")) - unix_timestamp(col("ts_a"))).as("delta_s"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val q10Sql: String =
+    """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+      |       date_diff('second', a.ts, b.ts) AS delta_s
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '5' MINUTE
+      | AND a.event_id < b.event_id
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // q11 — as-of join: each purchase ↔ most recent view at or before it for
+  // the same user (view-before-purchase on ts ties). Implemented as ONE
+  // window pass (union-tag + last(ignoreNulls) over preceding rows) — no
+  // join at all, so at scale it costs a single shuffle on user_id instead
+  // of a per-pair probe. The oracle uses the byte-identical window
+  // formulation, not DuckDB ASOF JOIN, so both engines share one semantics.
+  def q11(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .withColumn("pri", when(col("event_type") === "view", 0).otherwise(1))
+      .withColumn("view_ts", when(col("event_type") === "view", col("ts")))
+      .withColumn("view_id", when(col("event_type") === "view", col("event_id")))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("pri"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("prior_view_ts", last(col("view_ts"), ignoreNulls = true).over(w))
+      .withColumn("prior_view_id", last(col("view_id"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+              col("prior_view_id"), col("prior_view_ts"))
+      .orderBy("purchase_id")
+  }
+
+  val q11Sql: String =
+    """WITH tagged AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS pri,
+      |         CASE WHEN event_type = 'view' THEN ts END AS view_ts,
+      |         CASE WHEN event_type = 'view' THEN event_id END AS view_id
+      |  FROM events WHERE event_type IN ('view', 'purchase')
+      |), w AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         last_value(view_ts IGNORE NULLS) OVER win AS prior_view_ts,
+      |         last_value(view_id IGNORE NULLS) OVER win AS prior_view_id
+      |  FROM tagged
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, pri, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |)
+      |SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, prior_view_id, prior_view_ts
+      |FROM w WHERE event_type = 'purchase'
+      |ORDER BY purchase_id""".stripMargin
+
+  // q12 — flagship TPC-H-Q1-style pricing summary: two-phase hash agg
+  // (map-side partial + final), DECIMAL money sums, rounded averages.
+  def q12(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast(D182)).as("sum_qty"),
+        sum(col("l_extendedprice").cast(D182)).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 6).as("avg_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q12Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+      |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      |  round(avg(l_quantity), 6) AS avg_qty,
+      |  round(avg(l_extendedprice), 6) AS avg_price,
+      |  round(avg(l_discount), 6) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_filter_project" -> (q01 _),
+    "q02_multi_predicate"     -> (q02 _),
+    "q03_join_broadcast"      -> (q03 _),
+    "q04_join_shuffle"        -> (q04 _),
+    "q05_join_left_outer"     -> (q05 _),
+    "q06_join_full_outer"     -> (q06 _),
+    "q07_join_semi"           -> (q07 _),
+    "q08_join_anti"           -> (q08 _),
+    "q09_cross"               -> (q09 _),
+    "q10_range_join"          -> (q10 _),
+    "q11_asof_join"           -> (q11 _),
+    "q12_agg_pricing"         -> (q12 _))
+
+  val oracle: Map[String, String] = Map(
+    "q01_scan_filter_project" -> q01Sql,
+    "q02_multi_predicate"     -> q02Sql,
+    "q03_join_broadcast"      -> q03Sql,
+    "q04_join_shuffle"        -> q04Sql,
+    "q05_join_left_outer"     -> q05Sql,
+    "q06_join_full_outer"     -> q06Sql,
+    "q07_join_semi"           -> q07Sql,
+    "q08_join_anti"           -> q08Sql,
+    "q09_cross"               -> q09Sql,
+    "q10_range_join"          -> q10Sql,
+    "q11_asof_join"           -> q11Sql,
+    "q12_agg_pricing"         -> q12Sql)
+}

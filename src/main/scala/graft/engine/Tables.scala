@@ -1,0 +1,43 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Central fixture loader — the ONLY place that knows parquet paths and the
+  * `events` nanosecond-timestamp workaround (see FIXTURES.md).
+  *
+  * Scale note (100 TB): these loaders read single parquet files because the
+  * test fixtures are single files. On a real cluster the same calls read a
+  * partitioned directory layout (e.g. `events/` partitioned by day), at which
+  * point partition pruning and dynamic partition pruning activate with no
+  * query changes. Keep every raw read behind this object so layout changes
+  * stay one-line.
+  */
+object Tables {
+  private def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  private def read(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(path(dir, name))
+
+  def region(s: SparkSession, dir: String): DataFrame   = read(s, dir, "region")
+  def nation(s: SparkSession, dir: String): DataFrame   = read(s, dir, "nation")
+  def customer(s: SparkSession, dir: String): DataFrame = read(s, dir, "customer")
+  def supplier(s: SparkSession, dir: String): DataFrame = read(s, dir, "supplier")
+  def part(s: SparkSession, dir: String): DataFrame     = read(s, dir, "part")
+  def orders(s: SparkSession, dir: String): DataFrame   = read(s, dir, "orders")
+  def lineitem(s: SparkSession, dir: String): DataFrame = read(s, dir, "lineitem")
+  def documents(s: SparkSession, dir: String): DataFrame  = read(s, dir, "documents")
+  def embeddings(s: SparkSession, dir: String): DataFrame = read(s, dir, "embeddings")
+
+  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS) which Spark
+    * 4.x rejects by default. We flip the legacy conf (runtime-settable) so
+    * the column arrives as LongType nanoseconds, then convert losslessly to
+    * a microsecond timestamp (every fixture value has zero sub-µs component;
+    * DuckDB reads the same file at µs precision, so this matches the oracle).
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(s, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+}

@@ -1,0 +1,132 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Aggregation operators (SURVEY.md §2.5): multi-distinct, ROLLUP/CUBE/
+  * GROUPING SETS (Expand-based), statistical aggregates, ordered
+  * collect_list. All two-phase hash aggregation (map-side partial + final)
+  * — the shuffle moves only group keys + partial states, so at 100 TB the
+  * shuffle volume is O(groups × partitions), not O(rows).
+  */
+object Aggregates {
+  private val D182 = DecimalType(18, 2)
+
+  // q13 — exact multi-distinct per status. countDistinct expands to an
+  // Expand + two-phase agg; at scale the distinct shuffle is on
+  // (status, custkey[, priority]) — high cardinality but mergeable.
+  def q13(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+           countDistinct(col("o_custkey"), col("o_orderpriority")).as("n_cust_prio"),
+           count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+
+  val q13Sql: String =
+    """SELECT o_orderstatus,
+      |  count(DISTINCT o_custkey) AS n_cust,
+      |  count(DISTINCT struct_pack(k := o_custkey, p := o_orderpriority)) AS n_cust_prio,
+      |  count(*) AS n_orders
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // q14 — ROLLUP hierarchy totals (Expand operator: each input row fans to
+  // 3 grouping combinations before the hash agg). NULLS FIRST ordering on
+  // both sides: Spark asc = nulls first, DuckDB needs it spelled out.
+  def q14(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+           sum(col("l_quantity").cast(D182)).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  val q14Sql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  // q15 — CUBE over two low-cardinality dims (3 × 5 → 24 grouping rows).
+  def q15(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  val q15Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  // q16 — explicit GROUPING SETS via SQL (same Expand-based plan).
+  def q16(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_q16_orders")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |FROM graft_q16_orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+  }
+
+  val q16Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  // q17 — statistical aggregates + percentile_cont. percentile_cont is a
+  // sort-based aggregate (ObjectHashAggregate); everything else stays in
+  // the partial+final hash path. Rounded 6 dp per SURVEY §2.0.2.
+  def q17(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_q17_lineitem")
+    s.sql(
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_extendedprice), 6) AS sd_price,
+        |  round(var_samp(l_extendedprice), 6) AS var_price,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 6) AS median_price
+        |FROM graft_q17_lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  val q17Sql: String =
+    """SELECT l_returnflag,
+      |  round(stddev_samp(l_extendedprice), 6) AS sd_price,
+      |  round(var_samp(l_extendedprice), 6) AS var_price,
+      |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+      |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 6) AS median_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // q18 — per-group ordered list (the reference's nested-JSON component
+  // assembly, SURVEY §2.5). array_sort inside the agg keeps rule §2.0.9
+  // (no order-dependent collect_list output).
+  def q18(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(array_sort(collect_list(col("l_linenumber"))).as("lines"),
+           count(lit(1)).as("n_lines"))
+      .orderBy("l_orderkey")
+
+  val q18Sql: String =
+    """SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS lines,
+      |  count(*) AS n_lines
+      |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_count_distinct" -> (q13 _),
+    "q14_rollup"         -> (q14 _),
+    "q15_cube"           -> (q15 _),
+    "q16_grouping_sets"  -> (q16 _),
+    "q17_stats"          -> (q17 _),
+    "q18_collect_sorted" -> (q18 _))
+
+  val oracle: Map[String, String] = Map(
+    "q13_count_distinct" -> q13Sql,
+    "q14_rollup"         -> q14Sql,
+    "q15_cube"           -> q15Sql,
+    "q16_grouping_sets"  -> q16Sql,
+    "q17_stats"          -> q17Sql,
+    "q18_collect_sorted" -> q18Sql)
+}

@@ -1,0 +1,189 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** LLM-data-pipeline operators over documents + embeddings (SURVEY.md §2.9):
+  * exact dedup, brute-force cosine similarity search, exact Jaccard
+  * set-similarity, text statistics, TF-IDF. All vector math is expressed
+  * with codegen'd higher-order functions (zip_with/aggregate) — no UDFs —
+  * and DOUBLE-widened before rounding (SURVEY §2.0.4).
+  *
+  * 100 TB notes: q31 scales as a hash groupBy on a 128-bit digest (shuffle
+  * on the hash, near-perfect key distribution). q32's all-pairs crossJoin is
+  * the CORRECTNESS baseline; the scale path is MinHash-LSH candidate
+  * generation (MinHashLsh.scala, test-only) which turns O(n²) into
+  * O(n × bands) + bucket-local pair generation. q33's word-explode join
+  * shuffles on the token — stopword-skew is the classic hazard; salting or
+  * document-frequency capping handles it.
+  */
+object LlmOps {
+
+  // q31 — exact dedup by content hash: keep the min doc_id per distinct
+  // text (md5 parity verified Spark↔DuckDB).
+  def q31(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("h", md5(col("text")))
+      .groupBy("h")
+      .agg(min(col("doc_id")).as("keeper_id"),
+           count(lit(1)).as("n_copies"))
+      .orderBy("keeper_id")
+
+  val q31Sql: String =
+    """SELECT md5(text) AS h, min(doc_id) AS keeper_id, count(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY keeper_id""".stripMargin
+
+  // q32 — brute-force similarity search: global top-10 cosine pairs.
+  // vec_id < vec_id halves the pair space; vectors are L2-normalized so
+  // cosine == dot product. Ranked on the ROUNDED score with (i,j) tiebreak
+  // so both engines order identically at the round-4 boundary.
+  def q32(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", expr(
+        """round(aggregate(zip_with(emb_a, emb_b,
+          |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+          |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 4)""".stripMargin))
+      .select("id_a", "id_b", "cosine")
+      .orderBy(desc("cosine"), col("id_a"), col("id_b"))
+      .limit(10)
+  }
+
+  val q32Sql: String =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+      |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum'), 4) AS cosine
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |ORDER BY cosine DESC, id_a, id_b LIMIT 10""".stripMargin
+
+  // q33 — exact n-gram(1) Jaccard on token sets, capped to doc_id < 100 on
+  // both docs (quadratic-safe sample). Integer-exact intersection counts;
+  // only the final ratio is floating (round 6).
+  def q33(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .distinct()
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n_words"))
+    val a = toks.select(col("doc_id").as("id_a"), col("word"))
+    val b = toks.select(col("doc_id").as("id_b"), col("word").as("word_b"))
+    val inter = a.join(b, col("word") === col("word_b") && col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_words", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_words", "n_b"), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        round(col("n_common").cast("double") /
+              (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val q33Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |  FROM documents WHERE doc_id < 100
+      |), t AS (SELECT DISTINCT doc_id, word FROM w),
+      |sz AS (SELECT doc_id, count(*) AS n_words FROM t GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      |  FROM t a JOIN t b ON a.word = b.word AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT id_a, id_b, n_common,
+      |  round(CAST(n_common AS DOUBLE) / (sa.n_words + sb.n_words - n_common), 6) AS jaccard
+      |FROM inter
+      |JOIN sz sa ON id_a = sa.doc_id
+      |JOIN sz sb ON id_b = sb.doc_id
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // q34 — text analysis per language: doc counts, token totals, average
+  // length, vocabulary size. Two aggregations joined on lang (the vocab
+  // side needs the exploded-distinct pass).
+  def q34(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val base = docs.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"),
+      round(avg(length(col("text"))), 6).as("avg_chars"))
+    val vocab = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .distinct()
+      .groupBy("lang")
+      .agg(count(lit(1)).as("vocab"))
+    base.join(vocab, "lang")
+      .select("lang", "n_docs", "total_tokens", "avg_chars", "vocab")
+      .orderBy("lang")
+  }
+
+  val q34Sql: String =
+    """WITH w AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+      |), v AS (
+      |  SELECT lang, count(*) AS vocab FROM (SELECT DISTINCT lang, word FROM w) GROUP BY lang
+      |), b AS (
+      |  SELECT lang, count(*) AS n_docs,
+      |    sum(len(string_split(text, ' ')))::BIGINT AS total_tokens,
+      |    round(avg(length(text)), 6) AS avg_chars
+      |  FROM documents GROUP BY lang
+      |)
+      |SELECT b.lang AS lang, n_docs, total_tokens, avg_chars, vocab
+      |FROM b JOIN v ON b.lang = v.lang ORDER BY lang""".stripMargin
+
+  // q35 — TF-IDF: top-scoring term per document. tf = in-doc count,
+  // idf = ln(N/df) with integer inputs (bit-identical across engines);
+  // ranked on the rounded score, term as tiebreak.
+  def q35(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+    val w = Window.partitionBy("doc_id").orderBy(desc("score"), col("term"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "term", "tf", "df", "score")
+      .orderBy("doc_id")
+  }
+
+  val q35Sql: String =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2
+      |), dfreq AS (
+      |  SELECT term, count(*) AS df FROM tf GROUP BY term
+      |), n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, tf.term AS term, tf, df,
+      |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
+      |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+      |  FROM scored
+      |)
+      |SELECT doc_id, term, tf, df, score FROM ranked WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_exact_dedup"  -> (q31 _),
+    "q32_knn_cosine"   -> (q32 _),
+    "q33_jaccard_pairs" -> (q33 _),
+    "q34_text_stats"   -> (q34 _),
+    "q35_tfidf"        -> (q35 _))
+
+  val oracle: Map[String, String] = Map(
+    "q31_exact_dedup"  -> q31Sql,
+    "q32_knn_cosine"   -> q32Sql,
+    "q33_jaccard_pairs" -> q33Sql,
+    "q34_text_stats"   -> q34Sql,
+    "q35_tfidf"        -> q35Sql)
+}

@@ -1,0 +1,168 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar function surface (SURVEY.md §2.10): string / date / math / JSON /
+  * array built-ins. All of these stay inside WholeStageCodegen (no UDFs) —
+  * at 100 TB that is the difference between a scan-speed pipeline and a
+  * serialization-bound one. Oracle dialect notes: DuckDB year()/length()/
+  * len() return BIGINT where Spark returns INT → ::INT casts live in the
+  * oracle SQL (SURVEY §2.0.3); ceil/floor return DOUBLE in DuckDB vs LONG
+  * in Spark → CAST AS BIGINT on the oracle side.
+  */
+object Scalars {
+
+  // q36 — string functions over part, incl. regexp_extract on the
+  // catalog-number-shaped Brand#NN (the reference's course-number cleaning,
+  // SURVEY §2.1). Regex restricted to the Java∩RE2 common subset.
+  def q36(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        lower(col("p_type")).as("type_lower"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_name"), 1, 5).as("name_head"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+        lpad(col("p_size").cast("string"), 3, "0").as("size_pad"),
+        trim(concat(lit("  "), col("p_name"), lit("  "))).as("name_trim"),
+        split(col("p_name"), " ").as("name_tokens"),
+        regexp_extract(col("p_brand"), "#([0-9]+)", 1).cast("int").as("brand_num"))
+      .orderBy("p_partkey")
+
+  val q36Sql: String =
+    """SELECT p_partkey,
+      |  upper(p_name) AS name_upper,
+      |  lower(p_type) AS type_lower,
+      |  length(p_name)::INT AS name_len,
+      |  substring(p_name, 1, 5) AS name_head,
+      |  concat_ws('-', p_brand, p_type) AS brand_type,
+      |  replace(p_name, ' ', '_') AS name_snake,
+      |  lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_pad,
+      |  trim('  ' || p_name || '  ') AS name_trim,
+      |  string_split(p_name, ' ') AS name_tokens,
+      |  CAST(regexp_extract(p_brand, '#([0-9]+)', 1) AS INT) AS brand_num
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // q37 — date/time functions over orders (the reference's effective-date
+  // handling). DuckDB date_diff('day', start, end) == Spark datediff(end,
+  // start); both inputs are midnight-aligned timestamps.
+  def q37(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        quarter(col("o_orderdate")).as("q"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(lit("2000-01-01").cast("timestamp"), col("o_orderdate")).as("days_to_y2k"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAY")).as("due_date"))
+      .orderBy("o_orderkey")
+
+  val q37Sql: String =
+    """SELECT o_orderkey,
+      |  year(o_orderdate)::INT AS y,
+      |  month(o_orderdate)::INT AS m,
+      |  day(o_orderdate)::INT AS d,
+      |  quarter(o_orderdate)::INT AS q,
+      |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+      |  date_diff('day', o_orderdate, TIMESTAMP '2000-01-01')::INT AS days_to_y2k,
+      |  o_orderdate + INTERVAL 30 DAY AS due_date
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // q38 — math functions over a bounded lineitem slice. Spark ceil/floor
+  // return LONG (DuckDB: DOUBLE → cast in oracle); pow/sqrt/ln rounded 6.
+  def q38(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") < 1000)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 1).as("price_r1"),
+        round(abs(col("l_discount") - 0.05), 6).as("disc_dev"),
+        ceil(col("l_extendedprice")).as("price_ceil"),
+        floor(col("l_extendedprice")).as("price_floor"),
+        round(sqrt(col("l_quantity")), 6).as("qty_sqrt"),
+        round(log(col("l_extendedprice")), 6).as("price_ln"),
+        round(pow(col("l_quantity"), 2), 6).as("qty_sq"),
+        signum(col("l_discount") - 0.04).cast("int").as("disc_sign"),
+        (col("l_orderkey") % 7).as("key_mod"),
+        expr("l_orderkey div 7").as("key_div"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val q38Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  round(l_extendedprice, 1) AS price_r1,
+      |  round(abs(l_discount - 0.05), 6) AS disc_dev,
+      |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+      |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+      |  round(sqrt(l_quantity), 6) AS qty_sqrt,
+      |  round(ln(l_extendedprice), 6) AS price_ln,
+      |  round(pow(l_quantity, 2), 6) AS qty_sq,
+      |  CAST(sign(l_discount - 0.04) AS INT) AS disc_sign,
+      |  l_orderkey % 7 AS key_mod,
+      |  l_orderkey // 7 AS key_div
+      |FROM lineitem WHERE l_orderkey < 1000
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // q39 — JSON extraction from events.props (single-key {"k": int}) +
+  // grouped aggregation. get_json_object ↔ json_extract_string parity
+  // verified (SURVEY Appendix A).
+  def q39(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+           sum(col("k")).as("sum_k"),
+           min(col("k")).as("min_k"),
+           max(col("k")).as("max_k"),
+           round(avg(col("k")), 6).as("avg_k"))
+      .orderBy("event_type")
+
+  val q39Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |  sum(CAST(json_extract_string(props, '$.k') AS INT))::BIGINT AS sum_k,
+      |  min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+      |  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // q40 — array / higher-order functions over the embedding vectors, all
+  // math DOUBLE-widened before rounding (SURVEY §2.0.4). These are the
+  // codegen'd building blocks q32 similarity search reuses.
+  def q40(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        expr("transform(slice(embedding, 1, 3), x -> round(CAST(x AS DOUBLE), 6))").as("head3"),
+        expr("array_sort(transform(slice(embedding, 1, 5), x -> round(CAST(x AS DOUBLE), 6)))").as("head5_sorted"),
+        expr("round(aggregate(embedding, CAST(-2.0 AS DOUBLE), (acc, x) -> greatest(acc, CAST(x AS DOUBLE))), 6)").as("vmax"),
+        expr("round(sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6)").as("l2norm"))
+      .orderBy("vec_id")
+
+  val q40Sql: String =
+    """SELECT vec_id,
+      |  len(embedding)::INT AS dim,
+      |  list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 6)) AS head3,
+      |  list_sort(list_transform(embedding[1:5], x -> round(CAST(x AS DOUBLE), 6))) AS head5_sorted,
+      |  round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'max'), 6) AS vmax,
+      |  round(sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6) AS l2norm
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_string_funcs" -> (q36 _),
+    "q37_date_funcs"   -> (q37 _),
+    "q38_math_funcs"   -> (q38 _),
+    "q39_json_funcs"   -> (q39 _),
+    "q40_array_funcs"  -> (q40 _))
+
+  val oracle: Map[String, String] = Map(
+    "q36_string_funcs" -> q36Sql,
+    "q37_date_funcs"   -> q37Sql,
+    "q38_math_funcs"   -> q38Sql,
+    "q39_json_funcs"   -> q39Sql,
+    "q40_array_funcs"  -> q40Sql)
+}

@@ -1,0 +1,83 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sorts, limits and set operations (SURVEY.md §2.7). q24 exercises
+  * TakeOrderedAndProject (global top-k without a total sort — each
+  * partition keeps its local top-100, the driver merges 100 × partitions
+  * rows, so it scales to any input size). INTERSECT/EXCEPT rewrite to
+  * left-semi/left-anti + distinct via Catalyst (asserted in PlanShapeSpec).
+  */
+object SetOps {
+
+  // q24 — global top-100 orders by price, tiebroken by key.
+  def q24(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .limit(100)
+
+  val q24Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  // q25 — UNION ALL of customer/supplier nation keys + grouped count, and
+  // the distinct-union cardinality alongside.
+  def q25(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+    val sup = Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey"))
+    c.unionByName(sup)
+      .groupBy("nationkey")
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy("nationkey")
+  }
+
+  val q25Sql: String =
+    """SELECT nationkey, count(*) AS n_members FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  UNION ALL
+      |  SELECT s_nationkey AS nationkey FROM supplier
+      |) GROUP BY nationkey ORDER BY nationkey""".stripMargin
+
+  // q26 — INTERSECT (distinct): nations having both customers & suppliers.
+  def q26(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+    val sup = Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey"))
+    c.intersect(sup).orderBy("nationkey")
+  }
+
+  val q26Sql: String =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |INTERSECT
+      |SELECT s_nationkey AS nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin
+
+  // q27 — EXCEPT (distinct): customers who ordered, but never above 300k
+  // (the all-nations variants are empty on the dense fixtures — this one
+  // stays non-empty at every scale factor).
+  def q27(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val all = o.select(col("o_custkey").as("custkey"))
+    val big = o.filter(col("o_totalprice") > 300000.0).select(col("o_custkey").as("custkey"))
+    all.except(big).orderBy("custkey")
+  }
+
+  val q27Sql: String =
+    """SELECT o_custkey AS custkey FROM orders
+      |EXCEPT
+      |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000.0
+      |ORDER BY custkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_topn_global"        -> (q24 _),
+    "q25_union_all_distinct" -> (q25 _),
+    "q26_intersect"          -> (q26 _),
+    "q27_except"             -> (q27 _))
+
+  val oracle: Map[String, String] = Map(
+    "q24_topn_global"        -> q24Sql,
+    "q25_union_all_distinct" -> q25Sql,
+    "q26_intersect"          -> q26Sql,
+    "q27_except"             -> q27Sql)
+}

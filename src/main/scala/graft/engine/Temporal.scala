@@ -1,0 +1,100 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Temporal / event-time operators over the events table (SURVEY.md §2.8).
+  * These are the batch-checkable halves of the streaming surface: the SAME
+  * `window()` / sessionization logic runs unchanged under `readStream`
+  * (covered in StreamingSpec). At 100 TB events would be written
+  * partitioned by day so the event-time filters prune partitions; the
+  * window aggregations shuffle once on the window key.
+  */
+object Temporal {
+
+  // q28 — 1-hour tumbling window: count + value sum per window.
+  // window(ts,'1h').start ≡ DuckDB date_trunc('hour', ts) — verified.
+  def q28(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 4).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("n_events"), col("sum_value"))
+      .orderBy("window_start")
+
+  val q28Sql: String =
+    """SELECT date_trunc('hour', ts) AS window_start,
+      |  count(*) AS n_events,
+      |  round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin
+
+  // q29 — 30-minute windows sliding every 10 minutes: each event lands in
+  // exactly 3 windows. The oracle expands the 3 member-window starts per
+  // event (epoch-µs arithmetic) — one semantics, two formulations.
+  def q29(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "30 minutes", "10 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct(col("user_id")).as("n_users"))
+      .select(col("window.start").as("window_start"), col("n_events"), col("n_users"))
+      .orderBy("window_start")
+
+  val q29Sql: String =
+    """WITH expanded AS (
+      |  SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000 - offs.o) AS window_start,
+      |         user_id
+      |  FROM events, (SELECT unnest([0, 600000000, 1200000000]) AS o) offs
+      |)
+      |SELECT window_start, count(*) AS n_events, count(DISTINCT user_id) AS n_users
+      |FROM expanded GROUP BY window_start ORDER BY window_start""".stripMargin
+
+  // q30 — sessionization with a 30-minute inactivity gap, classic
+  // gaps-and-islands: lag → new-session flag → running sum → per-session
+  // aggregate. Byte-identical window formulation on both sides.
+  def q30(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+             col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTE"), 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_sess")).over(cum))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts")).as("session_start"),
+           max(col("ts")).as("session_end"),
+           count(lit(1)).as("n_events"),
+           round(sum(col("value")), 4).as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val q30Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN lag(ts, 1) OVER win IS NULL
+      |           OR ts > lag(ts, 1) OVER win + INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), numbered AS (
+      |  SELECT user_id, ts, value,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged
+      |)
+      |SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+      |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM numbered GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_tumbling"     -> (q28 _),
+    "q29_sliding"      -> (q29 _),
+    "q30_session_gaps" -> (q30 _))
+
+  val oracle: Map[String, String] = Map(
+    "q28_tumbling"     -> q28Sql,
+    "q29_sliding"      -> q29Sql,
+    "q30_session_gaps" -> q30Sql)
+}

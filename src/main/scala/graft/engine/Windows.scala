@@ -1,0 +1,128 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Window functions (SURVEY.md §2.6): ranking family + top-k, cumulative
+  * and sliding frames, lag/lead, ntile. Every window partitions by a key
+  * so the single shuffle is on the partition key; the only global window
+  * (q23 ntile) is flagged — at 100 TB a global ORDER BY window needs a
+  * range-partitioned sort, which Spark's WindowExec handles via a total
+  * sort; use it only on pre-aggregated/bounded inputs.
+  */
+object Windows {
+  private val D182 = DecimalType(18, 2)
+
+  // q19 — ranking family + top-3 orders per customer. The rn <= 3 filter
+  // triggers WindowGroupLimit pushdown (asserted in PlanShapeSpec): each
+  // shuffle partition keeps only the per-group top-k before the full sort.
+  def q19(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rk", rank().over(w))
+      .withColumn("drk", dense_rank().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn", "rk", "drk")
+      .orderBy("o_custkey", "rn")
+  }
+
+  val q19Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn, rk, drk FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER win AS rn,
+      |    rank() OVER win AS rk,
+      |    dense_rank() OVER win AS drk
+      |  FROM orders
+      |  WINDOW win AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  // q20 — running total per customer. DECIMAL(18,2) inside the running sum
+  // keeps it exact (no float accumulation-order issues, SURVEY §2.0.2).
+  def q20(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .withColumn("running_total", sum(col("o_totalprice").cast(D182)).over(w))
+      .select("o_custkey", "o_orderkey", "o_orderdate", "running_total")
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  val q20Sql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+      |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  // q21 — 7-row moving average of order totals per customer (sliding ROWS
+  // frame). Rounded 6 dp: the frame is ≤7 values so double summation order
+  // is fixed by the frame itself.
+  def q21(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-6, Window.currentRow)
+    Tables.orders(s, dir)
+      .withColumn("mav7", round(avg(col("o_totalprice")).over(w), 6))
+      .select("o_custkey", "o_orderkey", "mav7")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q21Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  round(avg(o_totalprice) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS mav7
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // q22 — lag/lead offsets on the event stream per user + delta vs prior.
+  def q22(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("next_value", lead(col("value"), 1).over(w))
+      .withColumn("delta", round(col("value") - col("prev_value"), 6))
+      .select("user_id", "event_id", "value", "prev_value", "next_value", "delta")
+      .orderBy("user_id", "event_id")
+  }
+
+  val q22Sql: String =
+    """SELECT user_id, event_id, value,
+      |  lag(value, 1) OVER win AS prev_value,
+      |  lead(value, 1) OVER win AS next_value,
+      |  round(value - lag(value, 1) OVER win, 6) AS delta
+      |FROM events
+      |WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // q23 — ntile(4) distribution buckets, global ordered window with a
+  // unique tiebreak (SURVEY §2.0.9). Global window: fine on bounded
+  // outputs; at 100 TB prefer approx percentiles or a two-pass bucketing.
+  def q23(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("quartile", ntile(4).over(w))
+      .select("o_orderkey", "o_totalprice", "quartile")
+      .orderBy("o_orderkey")
+  }
+
+  val q23Sql: String =
+    """SELECT o_orderkey, o_totalprice,
+      |  ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_rank_topk"   -> (q19 _),
+    "q20_running_sum" -> (q20 _),
+    "q21_moving_avg"  -> (q21 _),
+    "q22_lag_lead"    -> (q22 _),
+    "q23_ntile"       -> (q23 _))
+
+  val oracle: Map[String, String] = Map(
+    "q19_rank_topk"   -> q19Sql,
+    "q20_running_sum" -> q20Sql,
+    "q21_moving_avg"  -> q21Sql,
+    "q22_lag_lead"    -> q22Sql,
+    "q23_ntile"       -> q23Sql)
+}

@@ -38,15 +38,16 @@ object LlmOps {
   // vec_id < vec_id halves the pair space; vectors are L2-normalized so
   // cosine == dot product. Ranked on the ROUNDED score with (i,j) tiebreak
   // so both engines order identically at the round-4 boundary.
+  // The dot product is a native codegen'd expression (vec_dot) — same
+  // left-to-right double accumulation as the zip_with/aggregate
+  // formulation, ~40× faster (see graft.functions.VectorFunctions).
   def q32(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     val e = Tables.embeddings(s, dir)
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine", expr(
-        """round(aggregate(zip_with(emb_a, emb_b,
-          |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-          |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 4)""".stripMargin))
+      .withColumn("cosine", expr("round(vec_dot(emb_a, emb_b), 4)"))
       .select("id_a", "id_b", "cosine")
       .orderBy(desc("cosine"), col("id_a"), col("id_b"))
       .limit(10)

@@ -1,0 +1,101 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH near-duplicate detection (SURVEY.md §2.9 llm_minhash_lsh)
+  * — the 100 TB-scale replacement for all-pairs Jaccard (q33):
+  *
+  *   1. shingle each document (word n-grams),
+  *   2. k independent min-hashes per doc  →  signature (estimates Jaccard:
+  *      P[minhash_i(A) = minhash_i(B)] = J(A,B)),
+  *   3. band the signature (b bands × r rows, k = b·r); docs sharing any
+  *      band key are candidate pairs,
+  *   4. estimate J from signature agreement on candidates only.
+  *
+  * Cost model: O(n·k) signature computation + a groupBy on band keys +
+  * bucket-local pair generation — versus O(n²) for brute force. With
+  * b=16, r=4 the candidate-recall S-curve crosses ~0.5 at
+  * J ≈ (1/b)^(1/r) ≈ 0.5, the standard near-dup operating point.
+  *
+  * Implementation is pure codegen'd column expressions — the k min-hashes
+  * are ONE aggregation over the exploded shingles using elementwise
+  * array-min (`zip_with greatest/least` is interpreted, so we use k
+  * explicit min(...) aggregate columns, which each stay in the fast
+  * two-phase hash-agg path). The per-shingle hash family is
+  * h_i(s) = xxhash64(s, seed_i) via Spark's seedable xxhash64.
+  */
+object MinHashLsh {
+
+  /** doc_id + sorted distinct word n-gram shingles, exploded (one row per
+    * (doc_id, shingle)).
+    */
+  def shingles(docs: DataFrame, n: Int, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val words = split(col(textCol), " ")
+    // word n-grams via transform over a 0..len-n index range
+    val grams = expr(
+      s"""transform(sequence(0, greatest(size(split($textCol, ' ')) - $n, 0)),
+         |  i -> array_join(slice(split($textCol, ' '), i + 1, $n), ' '))""".stripMargin)
+    docs
+      .filter(size(words) >= n)
+      .select(col(idCol), explode(array_distinct(grams)).as("shingle"))
+  }
+
+  /** k-column MinHash signature per doc: row per doc_id, columns mh_0..mh_{k-1}. */
+  def signatures(sh: DataFrame, k: Int, idCol: String = "doc_id"): DataFrame = {
+    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
+    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** Candidate pairs from LSH banding: (id_a, id_b) sharing ≥1 of the
+    * `bands` band keys. Dedup across bands included.
+    */
+  def candidatePairs(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+                     idCol: String = "doc_id"): DataFrame = {
+    val bandKeys = (0 until bands).map { bIdx =>
+      val cols = (bIdx * rowsPerBand until (bIdx + 1) * rowsPerBand).map(i => col(s"mh_$i"))
+      struct(lit(bIdx).as("band"), hash(cols: _*).as("key")).as(s"bk_$bIdx")
+    }
+    val banded = sigs
+      .select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
+      .select(col(idCol), col("bk.band"), col("bk.key"))
+    val a = banded.select(col("band"), col("key"), col(idCol).as("id_a"))
+    val b = banded.select(col("band").as("band_b"), col("key").as("key_b"), col(idCol).as("id_b"))
+    a.join(b, col("band") === col("band_b") && col("key") === col("key_b") &&
+              col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Jaccard estimate on candidate pairs: fraction of the k signature
+    * components that agree.
+    */
+  def estimateJaccard(pairs: DataFrame, sigs: DataFrame, k: Int,
+                      idCol: String = "doc_id"): DataFrame = {
+    val sigArr = sigs.select(col(idCol),
+      array((0 until k).map(i => col(s"mh_$i")): _*).as("sig"))
+    val agree = expr(
+      """aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)),
+        |  0, (acc, v) -> acc + v)""".stripMargin)
+    pairs
+      .join(sigArr.select(col(idCol).as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigArr.select(col(idCol).as("id_b"), col("sig").as("sig_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (agree.cast("double") / lit(k)).as("jaccard_est"))
+  }
+
+  /** End-to-end near-dup pipeline: docs → candidate pairs with estimated
+    * Jaccard ≥ threshold, ordered deterministically.
+    */
+  def nearDuplicates(docs: DataFrame, n: Int = 5, k: Int = 64,
+                     bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val sh = shingles(docs, n)
+    val sigs = signatures(sh, k).cache()  // reused by banding + estimation
+    val pairs = candidatePairs(sigs, bands, k / bands)
+    estimateJaccard(pairs, sigs, k)
+      .filter(col("jaccard_est") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+}

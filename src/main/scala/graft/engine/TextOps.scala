@@ -1,0 +1,155 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (task brief +
+  * SURVEY.md §2.9): SimHash near-dup fingerprints, rolling-hash document
+  * fingerprinting, BPE-ish token counting, heuristic language ID, and
+  * quality scoring. Everything is built-in column expressions — per-row,
+  * embarrassingly parallel, no shuffle except where aggregation is the
+  * point — so all of it runs at scan speed on 100 TB.
+  */
+object TextOps {
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over word tokens: bit i of the fingerprint is the
+    * majority vote of bit i across the tokens' xxhash64 values. Docs with
+    * small Hamming distance between fingerprints are near-duplicates.
+    * df + `simhash` column computed from `textCol`.
+    */
+  def withSimhash(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("__simhash_text", col(textCol))
+      .withColumn("__simhash_counts", expr(
+        """transform(sequence(0, 63), b ->
+          |  aggregate(split(__simhash_text, ' '), 0L,
+          |    (acc, t) -> acc + IF(((xxhash64(t) >> b) & 1L) = 1L, 1L, 0L)))"""
+          .stripMargin))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 63), 0L, (acc, b) ->
+          |  IF(__simhash_counts[b] * 2 > size(split(__simhash_text, ' ')),
+          |     acc | (1L << b), acc))""".stripMargin))
+      .drop("__simhash_text", "__simhash_counts")
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on the 4×16-bit fingerprint chunks
+    * (a pair within Hamming distance ≤ 3 of a 64-bit fingerprint must agree
+    * exactly on at least one of 4 chunks — pigeonhole), then verify with
+    * full Hamming distance. Same LSH-shaped cost profile as MinHash.
+    */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxHamming <= 3, "4-chunk blocking is only complete for distance <= 3")
+    val fp = withSimhash(docs.select(col(idCol), col(textCol)), textCol)
+      .select(col(idCol), col("simhash"))
+    val chunked = fp.select(col(idCol), col("simhash"),
+      explode(expr(
+        """transform(sequence(0, 3), c ->
+          |  named_struct('chunk', c, 'key', shiftright(simhash, c * 16) & 65535L))"""
+          .stripMargin)).as("ck"))
+      .select(col(idCol), col("simhash"), col("ck.chunk"), col("ck.key"))
+    val a = chunked.select(col("chunk"), col("key"),
+      col(idCol).as("id_a"), col("simhash").as("fp_a"))
+    val b = chunked.select(col("chunk").as("chunk_b"), col("key").as("key_b"),
+      col(idCol).as("id_b"), col("simhash").as("fp_b"))
+    a.join(b, col("chunk") === col("chunk_b") && col("key") === col("key_b") &&
+              col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming64(col("fp_a"), col("fp_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy("id_a", "id_b")
+  }
+
+  // ---------------------------------------------- fingerprint / tokenization
+
+  /** Deterministic rolling hash over word tokens — chained
+    * h = xxhash64(h, token), so it is order-sensitive (unlike set-based
+    * MinHash) and never overflows (ANSI mode rejects wrapping multiply).
+    */
+  def fingerprint(textColName: String): Column =
+    expr(s"aggregate(split($textColName, ' '), 0L, (acc, t) -> xxhash64(acc, t))")
+
+  /** BPE-ish token count: letter runs, digit runs, and single punctuation
+    * marks each count as one token (the standard pre-tokenizer shape).
+    */
+  def tokenCountBpe(textColName: String): Column =
+    size(expr(s"regexp_extract_all($textColName, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"))
+
+  /** Whitespace token count. */
+  def tokenCountWs(textCol: Column): Column =
+    size(split(textCol, "\\s+"))
+
+  // ------------------------------------------------------------ language ID
+
+  /** Tiny per-language marker lexicons for the heuristic language ID.
+    * Real pipelines use char-n-gram models (fastText et al.); the marker-
+    * word argmax is the dependency-free stand-in with the same Spark shape:
+    * per-row scoring against broadcast-able reference data.
+    */
+  private val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "es", "en", "por", "con"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "pour", "que", "dans", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不", "人", "这"))
+
+  /** Heuristic language ID: argmax over marker-token hit counts, "und"
+    * (undetermined) when nothing scores. Token membership via array_intersect
+    * on lowered tokens — codegen'd, no UDF, no external model.
+    */
+  def langId(textCol: Column): Column = {
+    val toks = split(lower(textCol), "[\\s\\p{Punct}]+")
+    val scores = langMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val markers = array(words.map(lit): _*)
+      struct(size(array_intersect(toks, markers)).as("score"), lit(lang).as("lang"))
+    }
+    // argmax: array_max on (score, lang) structs orders by score then lang
+    val best = array_max(array(scores: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  // -------------------------------------------------------- quality scoring
+
+  /** Heuristic document-quality features + composite score (the Gopher/C4
+    * -style filters): length, token stats, alpha/punct ratios, stopword
+    * ratio, repetition ratio. Returns df + feature columns + `quality`.
+    */
+  def withQualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = split(t, "\\s+")
+    val en = array(langMarkers("en").map(lit): _*)
+    df.withColumn("n_chars_m", length(t))
+      .withColumn("n_tokens", size(toks))
+      .withColumn("avg_token_len",
+        when(size(toks) > 0, length(regexp_replace(t, "\\s+", "")).cast("double") / size(toks))
+          .otherwise(0.0))
+      .withColumn("alpha_ratio",
+        when(length(t) > 0,
+          length(regexp_replace(t, "[^A-Za-z]", "")).cast("double") / length(t))
+          .otherwise(0.0))
+      .withColumn("punct_ratio",
+        when(length(t) > 0,
+          length(regexp_replace(t, "[^.,;:!?]", "")).cast("double") / length(t))
+          .otherwise(0.0))
+      .withColumn("stopword_ratio",
+        when(size(toks) > 0,
+          size(array_intersect(transform(toks, x => lower(x)), en)).cast("double") / size(toks))
+          .otherwise(0.0))
+      .withColumn("dedup_token_ratio",
+        when(size(toks) > 0,
+          size(array_distinct(toks)).cast("double") / size(toks)).otherwise(0.0))
+      .withColumn("quality",
+        // bounded [0,1]: reward mid-length docs, alphabetic text, low
+        // punctuation noise, lexical diversity
+        round(least(lit(1.0),
+          (least(col("n_tokens").cast("double") / 50.0, lit(1.0)) * 0.3) +
+          (col("alpha_ratio") * 0.3) +
+          ((lit(1.0) - col("punct_ratio")) * 0.1) +
+          (col("dedup_token_ratio") * 0.3)), 6))
+  }
+}

@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Key-based upsert/merge — the reference's Postgres `INSERT … ON CONFLICT
+  * DO UPDATE` re-expressed relationally (SURVEY.md §2.2 sink_upsert):
+  * merge batch B into snapshot A by natural key; B wins on conflict,
+  * unmatched rows from either side survive.
+  *
+  * Implementation: full-outer join on the key + per-column coalesce
+  * (batch side first). One shuffle on the key for each side; with both
+  * sides bucketed by the key on disk the shuffle disappears entirely.
+  *
+  * 100 TB note: this is the batch-snapshot formulation (rewrites the
+  * snapshot). On a real lakehouse deployment the same merge is expressed
+  * as Delta/Iceberg `MERGE INTO`, which rewrites only the files containing
+  * matched keys; the semantics tested here are identical.
+  */
+object Upsert {
+
+  /** Merge `batch` into `snapshot` by `keys`; batch wins per row on key
+    * conflict, unmatched rows from either side survive. A presence tag on
+    * the batch side makes "batch row exists" explicit (correct even when
+    * non-key batch columns are legitimately null). Null-safe key equality
+    * so null-keyed rows merge rather than duplicate.
+    */
+  def upsert(snapshot: DataFrame, batch: DataFrame, keys: Seq[String]): DataFrame = {
+    require(snapshot.columns.toSeq == batch.columns.toSeq,
+      s"upsert requires identical schemas: ${snapshot.columns.toSeq} vs ${batch.columns.toSeq}")
+    require(keys.nonEmpty && keys.forall(snapshot.columns.contains),
+      s"keys $keys must be columns of the table")
+    // Rename the batch side up front: chained upserts are self-joins by
+    // lineage (upsert(upsert(a,b),b)) and unrenamed column refs would be
+    // ambiguous to the analyzer.
+    val cols = snapshot.columns.toSeq
+    val a = snapshot
+    val b = batch.toDF(cols.map("__b_" + _): _*).withColumn("__present", lit(true))
+    val joinCond: Column = keys.map(k => a(k) <=> b("__b_" + k)).reduce(_ && _)
+    val merged = a.join(b, joinCond, "full_outer")
+    val useBatch = col("__present").isNotNull
+    val out = cols.map(c => when(useBatch, col("__b_" + c)).otherwise(a(c)).as(c))
+    merged.select(out: _*)
+  }
+}

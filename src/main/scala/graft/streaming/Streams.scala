@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Upsert
+
+/** Structured Streaming surface (SURVEY.md §2.8): the event-time operators
+  * from the batch side (Temporal.scala) run unchanged on unbounded input —
+  * these builders take ANY DataFrame (batch or streaming) so tests can
+  * assert batch ≡ streaming on the same rows. Stateful pieces
+  * (watermarking, streaming dedup, foreachBatch upsert sink) are
+  * streaming-only.
+  *
+  * 100 TB notes: state stores shard by the grouping key across executors;
+  * watermarks bound state size (without one, session/dedup state grows
+  * unboundedly). foreachBatch + key-based upsert gives effectively-once
+  * sink semantics when the target merge is idempotent, which Upsert.upsert
+  * is (last-writer-wins by key).
+  */
+object Streams {
+
+  /** 1-hour tumbling counts — identical logic to Temporal.q28. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 4).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("n_events"), col("sum_value"))
+
+  /** Native session windows (30-min gap) — the streaming twin of the batch
+    * gaps-and-islands q30; StreamingSpec asserts they agree on the same
+    * data.
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 4).as("sum_value"))
+      .select(col("user_id"),
+              col("session_window.start").as("session_start"),
+              col("session_window.end").as("session_end"),
+              col("n_events"), col("sum_value"))
+
+  /** Watermarked tumbling aggregation: in append mode, events later than
+    * `delay` behind the max seen ts are dropped and windows finalize once
+    * the watermark passes them.
+    */
+  def watermarkedTumbling(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("n_events"))
+
+  /** Stateful streaming dedup by event_id, state bounded by the watermark. */
+  def dedupWithinWatermark(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Exactly-once-style sink: each micro-batch merges into a parquet
+    * snapshot by key via the engine's upsert (idempotent — replaying a
+    * batch yields the same snapshot). Returns the started query.
+    */
+  def foreachBatchUpsertSink(events: DataFrame, snapshotDir: String,
+                             checkpointDir: String, keys: Seq[String]) = {
+    val spark = events.sparkSession
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val merged =
+          if (new java.io.File(snapshotDir).exists()) {
+            val snapshot = spark.read.parquet(snapshotDir)
+            Upsert.upsert(snapshot.select(batch.columns.map(col): _*), batch, keys)
+          } else batch
+        // rewrite-snapshot sink: at lakehouse scale this becomes MERGE INTO
+        val tmp = snapshotDir + "_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val dst = new org.apache.hadoop.fs.Path(snapshotDir)
+        fs.delete(dst, true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        ()
+      }
+      .start()
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.{EmbedOps, Tables}
+
+class EmbedOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("withL2Norm: fixture embeddings are unit-norm") {
+    val norms = EmbedOps.withL2Norm(Tables.embeddings(spark, sf0001))
+      .select("l2norm").collect().map(_.getDouble(0))
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-5))
+  }
+
+  test("withNormalized produces unit vectors; zero vector passes through") {
+    val df = Seq(
+      (1L, Array(3.0f, 4.0f)),
+      (2L, Array(0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = EmbedOps.withNormalized(df).orderBy("vec_id").collect()
+    val u1 = out(0).getSeq[Double](3)
+    assert(math.abs(u1(0) - 0.6) < 1e-12 && math.abs(u1(1) - 0.8) < 1e-12)
+    assert(out(1).getSeq[Double](3).forall(_ == 0.0))
+  }
+
+  test("centroids: hand-checked per-label means, ordered by dim") {
+    val df = Seq(
+      (0, Array(1.0f, 2.0f)), (0, Array(3.0f, 6.0f)),
+      (1, Array(10.0f, 0.0f))
+    ).toDF("label", "embedding")
+    val out = EmbedOps.centroids(df).orderBy("label").collect()
+    assert(out(0).getSeq[Double](1) == Seq(2.0, 4.0))
+    assert(out(1).getSeq[Double](1) == Seq(10.0, 0.0))
+  }
+
+  test("centroids on fixtures: one per label, correct dimensionality") {
+    val cents = EmbedOps.centroids(Tables.embeddings(spark, sf0001)).collect()
+    assert(cents.length == 10)
+    assert(cents.forall(_.getSeq[Double](1).length == 64))
+  }
+
+  test("knnLsh recovers brute-force top-10 with usable recall and probes a subset") {
+    val corpus = Tables.embeddings(spark, sf0001)
+    val query = corpus.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray.toSeq
+    val exact = EmbedOps.knnBruteForce(corpus, query, 10)
+      .collect().map(_.getLong(0)).toSet
+    val bucketed = EmbedOps.withLshBuckets(corpus, bits = 4, tables = 8).cache()
+    val approx = EmbedOps.knnLsh(bucketed, query, 10, bits = 4, tables = 8)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect approx).size / 10.0
+    assert(recall >= 0.5, s"recall $recall: exact=$exact approx=$approx")
+    // the self-match must always be found (it shares all its own buckets)
+    assert(approx.contains(0L))
+  }
+
+  test("knnLsh finds a planted high-similarity neighbour") {
+    import spark.implicits._
+    val corpus = Tables.embeddings(spark, sf0001)
+    val q = corpus.filter(col("vec_id") === 7).select("embedding")
+      .head().getSeq[Float](0).toArray
+    // plant vec 9999 = query with one component nudged (cosine ~ 0.99+)
+    val planted = q.clone(); planted(0) = planted(0) + 0.05f
+    val withPlant = corpus.unionByName(
+      Seq((9999L, planted.toSeq, 0)).toDF("vec_id", "embedding", "label")
+        .withColumn("embedding", col("embedding").cast("array<float>")))
+    val bucketed = EmbedOps.withLshBuckets(withPlant, bits = 4, tables = 8)
+    val hits = EmbedOps.knnLsh(bucketed, q.toSeq, 3, bits = 4, tables = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits.contains(9999L), s"planted neighbour missed: $hits")
+    assert(hits.contains(7L))
+  }
+
+  test("LSH buckets are deterministic and bounded") {
+    def run() = EmbedOps.withLshBuckets(Tables.embeddings(spark, sf0001), bits = 4, tables = 8)
+      .select("vec_id", "buckets").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+    val b1 = run(); val b2 = run()
+    assert(b1 == b2)
+    assert(b1.values.forall(bs => bs.length == 8 && bs.forall(b => b >= 0 && b < 16)))
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.{Extras, Tables}
+
+class ExtrasSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("trailingHourAvg: RANGE-interval frame hand-check") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def ts(minOff: Int) = new java.sql.Timestamp(base.getTime + minOff * 60000L)
+    val df = Seq(
+      (1L, 10L, ts(0), 10.0),
+      (1L, 11L, ts(30), 20.0),
+      (1L, 12L, ts(61), 30.0),   // 10:00 event is outside its trailing hour? no: 61-0=61min > 60 → excluded
+      (2L, 20L, ts(0), 100.0)
+    ).toDF("user_id", "event_id", "ts", "value")
+    val out = Extras.trailingHourAvg(df).orderBy("event_id")
+      .select("avg_1h").collect().map(_.getDouble(0)).toSeq
+    assert(out == Seq(10.0, 15.0, 25.0, 100.0), out.toString)
+  }
+
+  test("map functions: construction, keys/values, str_to_map") {
+    val df = Seq((Seq("a", "b"), Seq(1, 2), "x:1,y:2")).toDF("ks", "vs", "s")
+    val out = Extras.mapFuncsDemo(df, "ks", "vs")
+    val m = out.head()
+    val mIdx = out.schema.fieldIndex("m")
+    assert(m.getMap[String, Int](mIdx).toMap == Map("a" -> 1, "b" -> 2))
+    assert(m.getSeq[String](out.schema.fieldIndex("m_keys")).toSeq == Seq("a", "b"))
+    assert(m.getAs[Int]("m_size") == 2)
+    val sOut = Extras.strToMapDemo(df, "s")
+    val sm = sOut.head().getMap[String, String](sOut.schema.fieldIndex("m")).toMap
+    assert(sm == Map("x" -> "1", "y" -> "2"))
+  }
+
+  test("approx_count_distinct lands within 5% of exact on lineitem") {
+    val r = Extras.approxDistinctParts(Tables.lineitem(spark, sf001)).head()
+    val approx = r.getLong(0).toDouble
+    val exact = r.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
+  }
+
+  test("title_case UDF matches the built-in initcap it should be replaced by") {
+    Extras.registerTitleCaseUdf(spark)
+    val df = Tables.part(spark, sf0001)
+      .select(expr("title_case(p_name)").as("udf_out"), initcap(col("p_name")).as("builtin"))
+    assert(df.filter(col("udf_out") =!= col("builtin")).count() == 0)
+  }
+
+  test("exact_median Aggregator agrees with percentile_cont") {
+    Extras.registerExactMedian(spark)
+    Tables.lineitem(spark, sf0001).createOrReplaceTempView("li_median_test")
+    val r = spark.sql(
+      """SELECT round(exact_median(l_quantity), 6) AS m1,
+        |       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 6) AS m2
+        |FROM li_median_test""".stripMargin).head()
+    assert(r.getDouble(0) == r.getDouble(1))
+  }
+}

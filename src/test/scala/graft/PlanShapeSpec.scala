@@ -1,0 +1,59 @@
+package graft
+
+import graft.engine._
+
+/** Regression guards on the §4.2 physical-plan assumptions — the
+  * correctness tests prove WHAT is computed; these prove it is computed
+  * the way the 100 TB design requires.
+  */
+class PlanShapeSpec extends SparkSpecBase {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q01: filter is pushed into the parquet scan and columns are pruned") {
+    val p = plan(Relational.q01(spark, sf0001))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    // ReadSchema must carry only the 4 referenced cols, not all 11
+    assert(!p.contains("l_extendedprice"), "scan reads unprojected columns")
+  }
+
+  test("q03: dim-dim join broadcasts") {
+    val p = plan(Relational.q03(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("q19: top-k filter pushes a WindowGroupLimit below the sort") {
+    val p = plan(Windows.q19(spark, sf0001))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q24: global top-n avoids a total sort (TakeOrderedAndProject)") {
+    val p = plan(SetOps.q24(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q26/q27: set ops rewrite to semi/anti hash joins, not sort-merge distinct") {
+    assert(plan(SetOps.q26(spark, sf0001)).contains("LeftSemi"))
+    assert(plan(SetOps.q27(spark, sf0001)).contains("LeftAnti"))
+  }
+
+  test("q32: similarity scoring uses the native vec_dot kernel, not interpreted HOFs") {
+    val p = plan(LlmOps.q32(spark, sf0001))
+    assert(p.contains("vec_dot"), p)
+    assert(!p.contains("lambdafunction"), "interpreted higher-order fn in hot path:\n" + p)
+  }
+
+  test("q10: band self-join stays an equi-join on user_id (no nested loop)") {
+    val p = plan(Relational.q10(spark, sf0001))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), "range join degenerated to NL join:\n" + p)
+  }
+
+  test("q12: aggregation is two-phase (partial + final hash aggregate)") {
+    val p = plan(Relational.q12(spark, sf0001))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+
+// top-level so Spark can build an encoder without an outer-instance scope
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
+
+/** Structured Streaming semantics (SURVEY §2.8 / §5.2.4): session windows
+  * agree with the batch gaps-and-islands formulation, watermarks drop late
+  * rows, stateful dedup, and the foreachBatch upsert sink.
+  */
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val eventsFixture = Seq(
+    Ev(1, ts("2024-01-01 10:00:00"), 1, 1.0),
+    Ev(2, ts("2024-01-01 10:10:00"), 1, 2.0),
+    Ev(3, ts("2024-01-01 11:30:00"), 1, 3.0),  // > 30 min gap → new session
+    Ev(4, ts("2024-01-01 10:05:00"), 2, 4.0),
+    Ev(5, ts("2024-01-01 12:00:00"), 2, 5.0))
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+                          mode: String = "complete"): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("streaming session_window ≡ batch gaps-and-islands on the same rows") {
+    val stream = MemoryStream[Ev](spark)
+    stream.addData(eventsFixture: _*)
+    val streamed = runToMemory(Streams.sessionCounts(stream.toDF()), "sess_out")
+      .select("user_id", "session_start", "n_events", "sum_value")
+      .orderBy("user_id", "session_start")
+      .collect().toSeq
+
+    // batch twin: same logic over a static DataFrame
+    val batchDf = eventsFixture.toDF()
+    val batch = Streams.sessionCounts(batchDf)
+      .select("user_id", "session_start", "n_events", "sum_value")
+      .orderBy("user_id", "session_start")
+      .collect().toSeq
+    assert(streamed == batch)
+    // and the session boundaries match the q30-style expectation:
+    // user 1: [10:00-10:10+gap] 2 events, then [11:30] 1 event
+    assert(streamed.map(r => (r.getLong(0), r.getLong(2))) ==
+      Seq((1L, 2L), (1L, 1L), (2L, 1L), (2L, 1L)))
+  }
+
+  test("watermark drops events later than the delay behind max-seen ts") {
+    val stream = MemoryStream[Ev](spark)
+    val agg = Streams.watermarkedTumbling(stream.toDF(), delay = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("wm_out")
+      .outputMode("append").start()
+    // batch 1: establish event-time up to 12:00 → watermark 11:50
+    stream.addData(Ev(1, ts("2024-01-01 10:15:00"), 1, 1.0),
+                   Ev(2, ts("2024-01-01 12:00:00"), 1, 1.0))
+    q.processAllAvailable()
+    // batch 2: a 10:30 event is far behind the 11:50 watermark → dropped;
+    // the 10-hour window [10:00,11:00) has already been finalized with 1 row
+    stream.addData(Ev(3, ts("2024-01-01 10:30:00"), 1, 1.0),
+                   Ev(4, ts("2024-01-01 13:00:00"), 1, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("wm_out")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1))).toMap
+    assert(out.get("2024-01-01 10:00:00.0").contains(1L),
+      s"late event was not dropped: $out")
+  }
+
+  test("dropDuplicatesWithinWatermark dedups replayed event_ids") {
+    val stream = MemoryStream[Ev](spark)
+    val dedup = Streams.dedupWithinWatermark(stream.toDF(), delay = "1 hour")
+    val q = dedup.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    stream.addData(Ev(1, ts("2024-01-01 10:00:00"), 1, 1.0),
+                   Ev(1, ts("2024-01-01 10:00:30"), 1, 1.0),  // same id, replay
+                   Ev(2, ts("2024-01-01 10:01:00"), 1, 2.0))
+    q.processAllAvailable()
+    stream.addData(Ev(2, ts("2024-01-01 10:02:00"), 1, 2.0))  // replay in later batch
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_out").select("event_id").collect().map(_.getLong(0)).toSeq
+    assert(ids.sorted == Seq(1L, 2L), ids.toString)
+  }
+
+  test("foreachBatch upsert sink merges micro-batches by key") {
+    val dir = Files.createTempDirectory("graft_stream_sink").toString
+    val snapshot = s"$dir/snapshot"
+    val stream = MemoryStream[Ev](spark)
+    val q = Streams.foreachBatchUpsertSink(
+      stream.toDF(), snapshot, s"$dir/ckpt", Seq("event_id"))
+    stream.addData(Ev(1, ts("2024-01-01 10:00:00"), 1, 1.0),
+                   Ev(2, ts("2024-01-01 10:01:00"), 1, 2.0))
+    q.processAllAvailable()
+    stream.addData(Ev(2, ts("2024-01-01 10:01:00"), 1, 20.0),  // update key 2
+                   Ev(3, ts("2024-01-01 10:02:00"), 2, 3.0))   // insert key 3
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(snapshot).orderBy("event_id")
+      .collect().map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("value"))).toSeq
+    assert(out == Seq((1L, 1.0), (2L, 20.0), (3L, 3.0)), out.toString)
+  }
+}

@@ -87,6 +87,99 @@ object EmbedOps {
     df.withColumn("buckets", expr(s"array(${bucketExprs.mkString(", ")})"))
   }
 
+  /** Embedding-cosine near-duplicate pairs at corpus scale: LSH buckets
+    * generate candidate pairs (same bucket in any table), exact vec_dot
+    * verifies against the threshold. This is the O(n·tables + candidates)
+    * replacement for the O(n²) q32 crossJoin — the candidate join shuffles
+    * on (table, bucket), so at 100 TB each bucket's pairs are generated
+    * executor-locally.
+    */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
+                         bits: Int = 4, tables: Int = 8,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val bucketed = withLshBuckets(corpus, bits, tables, vecCol)
+      .select(col(idCol), col(vecCol), posexplode(col("buckets")).as(Seq("table", "bucket")))
+    val a = bucketed.select(col("table"), col("bucket"),
+      col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = bucketed.select(col("table").as("table_b"), col("bucket").as("bucket_b"),
+      col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(b, col("table") === col("table_b") && col("bucket") === col("bucket_b") &&
+              col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("vec_dot(vec_a, vec_b)").as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .distinct()
+      .orderBy("id_a", "id_b")
+  }
+
+  /** IVF (inverted-file) ANN index: k-means cells trained with a fixed
+    * number of Lloyd iterations from a deterministic init (first k vectors
+    * by id), each vector assigned to its nearest cell. Querying probes only
+    * the `nprobe` cells nearest the query — the classic coarse-quantizer
+    * trade: recall vs fraction of corpus scanned (~nprobe/k).
+    *
+    * Returns (assignments df [idCol, vecCol, cell], centroids: k × dim).
+    * Centroids are collected to the driver (k × dim doubles — tiny) and
+    * shipped as literals: at any corpus scale the per-row work is k dot
+    * products, map-side only.
+    */
+  def ivfBuild(corpus: DataFrame, k: Int = 16, iters: Int = 2,
+               idCol: String = "vec_id", vecCol: String = "embedding")
+      : (DataFrame, Array[Array[Double]]) = {
+    VectorFunctions.register(corpus.sparkSession)
+    var cents: Array[Array[Double]] = corpus.orderBy(idCol).limit(k)
+      .select(vecCol).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    for (_ <- 0 until iters) {
+      val assigned = assignCells(corpus, cents, idCol, vecCol)
+      val newCents = assigned
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+        .groupBy("cell", "dim")
+        .agg(avg(col("v").cast("double")).as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("p"))
+        .withColumn("c", expr("transform(p, x -> x.m)"))
+        .select("cell", "c").collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      // empty cells keep their previous centroid
+      cents = cents.indices.map(i => newCents.getOrElse(i, cents(i))).toArray
+    }
+    (assignCells(corpus, cents, idCol, vecCol), cents)
+  }
+
+  /** Nearest-cell assignment: argmax over k literal-centroid dot products. */
+  private def assignCells(df: DataFrame, cents: Array[Array[Double]],
+                          idCol: String, vecCol: String): DataFrame = {
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      val cLit = s"array(${c.map(v => s"CAST($v AS FLOAT)").mkString(", ")})"
+      s"named_struct('score', vec_dot($vecCol, $cLit), 'cell', $i)"
+    }
+    df.select(col(idCol), col(vecCol),
+      expr(s"array_max(array(${scored.mkString(", ")})).cell").as("cell"))
+  }
+
+  /** IVF query: probe the `nprobe` cells nearest the query, exact-score
+    * within them.
+    */
+  def knnIvf(assigned: DataFrame, cents: Array[Array[Double]],
+             query: Seq[Float], topK: Int, nprobe: Int = 3,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    VectorFunctions.register(assigned.sparkSession)
+    val q = query.map(_.toDouble).toArray
+    val cells = cents.zipWithIndex
+      .map { case (c, i) => (c.zip(q).map { case (a, b) => a * b }.sum, i) }
+      .sortBy(-_._1).take(nprobe).map(_._2)
+    val qLit = s"array(${query.map(v => s"CAST($v AS FLOAT)").mkString(", ")})"
+    assigned
+      .filter(col("cell").isin(cells: _*))
+      .withColumn("score", expr(s"vec_dot($vecCol, $qLit)"))
+      .select(col(idCol), col("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(topK)
+  }
+
   /** ANN top-k for one query: probe only corpus rows sharing the query's
     * bucket in ANY table, then exact vec_dot scoring inside the probed set.
     * At scale the probe is a bucket-partitioned lookup, not a full scan —

@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage-layout operators for the 100 TB deployment (SURVEY §7.3): the
+  * fixtures are single parquet files, but at scale the SAME queries must
+  * run against partitioned and bucketed layouts — these writers produce
+  * those layouts and LayoutSpec proves the two payoffs in the plans:
+  *
+  *   - date-partitioned events  → event-time filters become partition
+  *     pruning (the scan never opens non-matching days), and dynamic
+  *     partition pruning activates on join keys;
+  *   - bucketed + sorted fact tables → co-located equi-joins and
+  *     aggregations on the bucket key run with NO shuffle exchange.
+  */
+object Layout {
+
+  /** Write events partitioned by event date (day granularity — the
+    * standard log layout; at 100 TB this is the difference between
+    * scanning 1 day and scanning 3 years).
+    */
+  def writeEventsPartitionedByDay(events: DataFrame, path: String): Unit =
+    events
+      .withColumn("event_date", to_date(col("ts")))
+      .write.mode("overwrite")
+      .partitionBy("event_date")
+      .parquet(path)
+
+  /** Bucketed + sorted table write (requires a table catalog — bucketing
+    * metadata lives in the metastore, not the files). Joins/aggs on
+    * `bucketCol` between tables bucketed the same way need no exchange.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Read back a partitioned layout (partition column becomes a regular
+    * column; filters on it prune directories before any IO).
+    */
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

@@ -71,6 +71,42 @@ class EmbedOpsSpec extends SparkSpecBase {
     assert(hits.contains(7L))
   }
 
+  test("cosineNearDupPairs: planted near-dup found, threshold respected, subset of brute force") {
+    import spark.implicits._
+    val corpus = Tables.embeddings(spark, sf0001)
+    val v = corpus.filter(col("vec_id") === 3).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val dup = v.clone(); dup(1) = dup(1) + 0.02f
+    val withDup = corpus.unionByName(
+      Seq((8888L, dup.toSeq, 0)).toDF("vec_id", "embedding", "label")
+        .withColumn("embedding", col("embedding").cast("array<float>")))
+    val pairs = EmbedOps.cosineNearDupPairs(withDup, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(p => p._1 == 3L && p._2 == 8888L), pairs.mkString(","))
+    assert(pairs.forall(_._3 >= 0.95))
+  }
+
+  test("IVF: build is deterministic, every vector assigned, probe finds planted + self") {
+    import spark.implicits._
+    val corpus = Tables.embeddings(spark, sf0001)
+    val (assigned, cents) = EmbedOps.ivfBuild(corpus, k = 8, iters = 2)
+    assert(assigned.count() == corpus.count())
+    assert(cents.length == 8 && cents.forall(_.length == 64))
+    val cellCounts = assigned.groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(cellCounts.values.sum == corpus.count())
+    // query with a corpus member: self must be found (its own cell is probed
+    // first by construction — the cell that maximizes the dot product)
+    val q = corpus.filter(col("vec_id") === 11).select("embedding")
+      .head().getSeq[Float](0)
+    val hits = EmbedOps.knnIvf(assigned, cents, q, topK = 5, nprobe = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits.contains(11L), s"self not found: $hits")
+    // determinism
+    val (_, cents2) = EmbedOps.ivfBuild(corpus, k = 8, iters = 2)
+    assert(cents.map(_.toSeq).toSeq == cents2.map(_.toSeq).toSeq)
+  }
+
   test("LSH buckets are deterministic and bounded") {
     def run() = EmbedOps.withLshBuckets(Tables.embeddings(spark, sf0001), bits = 4, tables = 8)
       .select("vec_id", "buckets").collect()

@@ -28,3 +28,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// One shared SparkSession across suites; HarnessRehearsalSpec stops it
+// (via Verify.main), so suites must not run concurrently.
+Test / parallelExecution := false

@@ -17,6 +17,10 @@ import graft.sources.Upsert
   * sink semantics when the target merge is idempotent, which Upsert.upsert
   * is (last-writer-wins by key).
   */
+case class UserEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long, value: Double)
+case class UserStats(user_id: Long, n_events: Long, sum_value: Double,
+                     max_value: Double, closed: Boolean)
+
 object Streams {
 
   /** 1-hour tumbling counts — identical logic to Temporal.q28. */
@@ -57,6 +61,45 @@ object Streams {
     events
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom arbitrary-state operator (flatMapGroupsWithState): per-user
+    * running statistics that emit an updated row per input batch and expire
+    * idle users via a processing-time timeout — the escape hatch for state
+    * machines that session_window/agg can't express. State shards by the
+    * group key across executors exactly like any keyed state store.
+    */
+  def runningUserStats(events: org.apache.spark.sql.Dataset[UserEvent],
+                       idleTimeout: Option[String] = None)
+      : org.apache.spark.sql.Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val timeoutConf = idleTimeout
+      .map(_ => GroupStateTimeout.ProcessingTimeTimeout())
+      .getOrElse(GroupStateTimeout.NoTimeout())
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserStats, UserStats](
+        OutputMode.Append(), timeoutConf) {
+        (userId: Long, batch: Iterator[UserEvent], state: GroupState[UserStats]) =>
+          if (state.hasTimedOut) {
+            // idle user: emit a closing row and drop the state
+            val last = state.get
+            state.remove()
+            Iterator(last.copy(closed = true))
+          } else {
+            val prev = state.getOption.getOrElse(UserStats(userId, 0L, 0.0, 0.0, closed = false))
+            val evs = batch.toSeq
+            val next = prev.copy(
+              n_events = prev.n_events + evs.size,
+              sum_value = prev.sum_value + evs.map(_.value).sum,
+              max_value = math.max(prev.max_value, if (evs.isEmpty) prev.max_value
+                                                   else evs.map(_.value).max))
+            state.update(next)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            Iterator(next)
+          }
+      }
+  }
 
   /** Exactly-once-style sink: each micro-batch merges into a parquet
     * snapshot by key via the engine's upsert (idempotent — replaying a

@@ -91,6 +91,28 @@ class StreamingSpec extends SparkSpecBase {
     assert(ids.sorted == Seq(1L, 2L), ids.toString)
   }
 
+  test("flatMapGroupsWithState keeps running per-user stats across batches") {
+    import graft.streaming.{UserEvent, UserStats}
+    val stream = MemoryStream[UserEvent](spark)
+    val stats = Streams.runningUserStats(stream.toDS())
+    val q = stats.writeStream.format("memory").queryName("fmgws_out")
+      .outputMode("append").start()
+    stream.addData(UserEvent(1, ts("2024-01-01 10:00:00"), 1, 2.0),
+                   UserEvent(2, ts("2024-01-01 10:01:00"), 1, 4.0),
+                   UserEvent(3, ts("2024-01-01 10:02:00"), 2, 10.0))
+    q.processAllAvailable()
+    stream.addData(UserEvent(4, ts("2024-01-01 10:03:00"), 1, 6.0))
+    q.processAllAvailable()
+    q.stop()
+    import spark.implicits._
+    val rows = spark.table("fmgws_out").as[UserStats].collect().toSeq
+    // batch 1 emitted (u1: 2 events, sum 6) and (u2: 1, 10); batch 2
+    // emitted the UPDATED u1 state (3 events, sum 12) — state carried over
+    assert(rows.contains(UserStats(1, 2, 6.0, 4.0, closed = false)))
+    assert(rows.contains(UserStats(2, 1, 10.0, 10.0, closed = false)))
+    assert(rows.contains(UserStats(1, 3, 12.0, 6.0, closed = false)))
+  }
+
   test("foreachBatch upsert sink merges micro-batches by key") {
     val dir = Files.createTempDirectory("graft_stream_sink").toString
     val snapshot = s"$dir/snapshot"

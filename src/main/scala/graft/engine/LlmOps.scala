@@ -63,20 +63,23 @@ object LlmOps {
   // q33 — exact n-gram(1) Jaccard on token sets, capped to doc_id < 100 on
   // both docs (quadratic-safe sample). Integer-exact intersection counts;
   // only the final ratio is floating (round 6).
+  //
+  // Plan-shaped for scale: array_distinct dedups tokens WITHIN the row
+  // (no distinct shuffle at all), and the per-doc set size rides along as
+  // a column through the pair join (min() in the pair agg — it is constant
+  // per doc), so the tokenize subtree is computed twice (the two join
+  // sides), not four times as in the naive sizes-join formulation.
   def q33(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .filter(col("doc_id") < 100)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .distinct()
-    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n_words"))
-    val a = toks.select(col("doc_id").as("id_a"), col("word"))
-    val b = toks.select(col("doc_id").as("id_b"), col("word").as("word_b"))
-    val inter = a.join(b, col("word") === col("word_b") && col("id_a") < col("id_b"))
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("word"),
+        size(array_distinct(split(col("text"), " "))).as("n_words"))
+    val a = toks.select(col("doc_id").as("id_a"), col("word"), col("n_words").as("n_a"))
+    val b = toks.select(col("doc_id").as("id_b"), col("word").as("word_b"), col("n_words").as("n_b"))
+    a.join(b, col("word") === col("word_b") && col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_words", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_words", "n_b"), "id_b")
+      .agg(count(lit(1)).as("n_common"), min("n_a").as("n_a"), min("n_b").as("n_b"))
       .select(col("id_a"), col("id_b"), col("n_common"),
         round(col("n_common").cast("double") /
               (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))

@@ -52,21 +52,27 @@ object Temporal {
   // q30 — sessionization with a 30-minute inactivity gap, classic
   // gaps-and-islands: lag → new-session flag → running sum → per-session
   // aggregate. Byte-identical window formulation on both sides.
-  def q30(s: SparkSession, dir: String): DataFrame = {
+  def q30(s: SparkSession, dir: String): DataFrame =
+    sessionizeGaps(Tables.events(s, dir), "30").orderBy("user_id", "session_id")
+
+  /** Core gaps-and-islands sessionization over any (user_id, ts, event_id,
+    * value) DataFrame — reused by q30 and the property-based invariants
+    * suite. `gapMinutes` must be a literal int string (interval syntax).
+    */
+  def sessionizeGaps(events: DataFrame, gapMinutes: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, dir)
+    events
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_sess",
         when(col("prev_ts").isNull ||
-             col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTE"), 1).otherwise(0))
+             col("ts") > col("prev_ts") + expr(s"INTERVAL $gapMinutes MINUTE"), 1).otherwise(0))
       .withColumn("session_id", sum(col("new_sess")).over(cum))
       .groupBy("user_id", "session_id")
       .agg(min(col("ts")).as("session_start"),
            max(col("ts")).as("session_end"),
            count(lit(1)).as("n_events"),
            round(sum(col("value")), 4).as("sum_value"))
-      .orderBy("user_id", "session_id")
   }
 
   val q30Sql: String =

@@ -1,0 +1,119 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.apache.spark.sql.functions._
+import graft.engine.{Temporal, TextOps}
+import graft.sources.Upsert
+
+/** Property-based invariants (SURVEY §5.2.3), run by sbt's native
+  * ScalaCheck framework. Each case spins Spark jobs, so the instance count
+  * is kept small and the generated inputs tiny.
+  */
+object PropertiesSpec extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8).withInitialSeed(org.scalacheck.rng.Seed(42L))
+
+  private def spark = SparkSpecBase.session
+  import org.apache.spark.sql.{DataFrame, Row}
+  import org.apache.spark.sql.types._
+
+  // ------------------------------------------------------------- upsert
+
+  private val tableGen: Gen[Map[Long, (String, Double)]] =
+    Gen.mapOf(Gen.zip(Gen.choose(0L, 20L),
+      Gen.zip(Gen.alphaStr.map(_.take(5)), Gen.choose(-100.0, 100.0))))
+
+  private def toDf(m: Map[Long, (String, Double)]): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("bal", DoubleType)))
+    val rows = m.toSeq.map { case (k, (n, b)) => Row(k, n, b) }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+  }
+
+  private def toMap(df: DataFrame): Map[Long, (String, Double)] =
+    df.collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+
+  property("upsert == map-merge (last-writer-wins by key)") =
+    Prop.forAll(tableGen, tableGen) { (a, b) =>
+      toMap(Upsert.upsert(toDf(a), toDf(b), Seq("id"))) == (a ++ b)
+    }
+
+  property("upsert idempotent: applying a batch twice == once") =
+    Prop.forAll(tableGen, tableGen) { (a, b) =>
+      val once = Upsert.upsert(toDf(a), toDf(b), Seq("id"))
+      toMap(Upsert.upsert(once, toDf(b), Seq("id"))) == toMap(once)
+    }
+
+  // ----------------------------------------------------- sessionization
+
+  private val eventsGen: Gen[List[(Long, Long, Long, Double)]] =
+    Gen.listOfN(30, Gen.zip(
+      Gen.choose(1L, 3L),                       // user_id
+      Gen.choose(0L, 6L * 3600L),               // ts offset seconds over 6h
+      Gen.choose(0L, 100000L),                  // event id entropy
+      Gen.const(1.0))).map(_.zipWithIndex.map {
+        case ((u, off, _, v), i) => (i.toLong, u, off, v) })
+
+  private def eventsDf(evs: List[(Long, Long, Long, Double)]): DataFrame = {
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts", TimestampType), StructField("value", DoubleType)))
+    val rows = evs.map { case (id, u, off, v) =>
+      Row(id, u, new Timestamp(base + off * 1000L), v) }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+  }
+
+  property("sessionization: counts bounded, gaps respected, monotone in gap") =
+    Prop.forAll(eventsGen) { evs =>
+      val df = eventsDf(evs)
+      val s30 = Temporal.sessionizeGaps(df, "30").collect()
+      val s60 = Temporal.sessionizeGaps(df, "60").collect()
+      val users = evs.map(_._2).toSet
+      val nEvents = evs.size
+      val sessionsPerUserOk = users.forall { u =>
+        val n = s30.count(_.getLong(0) == u)
+        n >= 1 && n <= evs.count(_._2 == u)
+      }
+      val totalEventsOk = s30.map(_.getLong(4)).sum == nEvents
+      // larger gap merges sessions: never more sessions with a longer gap
+      val monotone = s60.length <= s30.length
+      // session span is non-negative (start <= end)
+      val spansOk = s30.forall(r => !r.getTimestamp(2).after(r.getTimestamp(3)))
+      sessionsPerUserOk && totalEventsOk && monotone && spansOk
+    }
+
+  // ------------------------------------------------------------ quality
+
+  private val textGen: Gen[String] =
+    Gen.listOf(Gen.oneOf(Gen.alphaNumStr.map(_.take(8)),
+      Gen.oneOf(".", ",", "!", "?", "the", "and", "a", "")))
+      .map(_.mkString(" ").take(400))
+
+  property("quality score always lands in [0, 1] and never throws") =
+    Prop.forAll(Gen.listOfN(5, textGen)) { texts =>
+      import scala.jdk.CollectionConverters._
+      val schema = StructType(Seq(StructField("text", StringType)))
+      val df = spark.createDataFrame(
+        texts.map(t => Row(t)).asJava, schema)
+      TextOps.withQualityScore(df).select("quality").collect()
+        .forall { r => val q = r.getDouble(0); q >= 0.0 && q <= 1.0 }
+    }
+
+  // -------------------------------------------------------- fingerprint
+
+  property("rolling fingerprint: equal texts agree, token order matters") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.alphaStr.map(_.take(6)).suchThat(_.nonEmpty))) { toks =>
+      import scala.jdk.CollectionConverters._
+      val t = toks.mkString(" ")
+      val rev = toks.reverse.mkString(" ")
+      val schema = StructType(Seq(StructField("text", StringType)))
+      val df = spark.createDataFrame(Seq(Row(t), Row(t), Row(rev)).asJava, schema)
+      val fps = df.withColumn("f", TextOps.fingerprint("text"))
+        .collect().map(_.getLong(1))
+      fps(0) == fps(1) && (toks == toks.reverse || fps(0) != fps(2))
+    }
+}

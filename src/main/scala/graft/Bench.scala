@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: absorb session/codegen/parquet-reader init so the
+    // first timed query measures the query, not JVM startup (~5-6 s).
+    try { SparkEntry.queries.head._2(spark, sfDir).count() }
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

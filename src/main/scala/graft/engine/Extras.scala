@@ -43,6 +43,20 @@ object Extras {
   def strToMapDemo(df: DataFrame, strCol: String): DataFrame =
     df.withColumn("m", expr(s"str_to_map($strCol, ',', ':')"))
 
+  /** Nested-JSON assembly — the reference's JSONB course-components column
+    * (per-course array of {component, hours} objects) rebuilt relationally:
+    * child rows → ordered array of structs per parent key → JSON string.
+    * One shuffle on the parent key; array_sort keeps the output
+    * deterministic (SURVEY §2.0.9).
+    */
+  def assembleComponentsJson(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_orderkey")
+      .agg(to_json(array_sort(collect_list(struct(
+        col("l_linenumber").as("line"),
+        col("l_quantity").as("qty"))))).as("components_json"),
+        count(lit(1)).as("n_components"))
+
   /** HLL approximate distinct (sketches differ across engines by design —
     * asserted ±5% of exact in ExtrasSpec, never oracle-declared).
     */

@@ -12,6 +12,7 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Aggregates {
   private val D182 = DecimalType(18, 2)
+  private val D382 = DecimalType(38, 2)
 
   // q13 — exact multi-distinct per status. countDistinct expands to an
   // Expand + two-phase agg; at scale the distinct shuffle is on
@@ -38,12 +39,12 @@ object Aggregates {
     Tables.lineitem(s, dir)
       .rollup("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n"),
-           sum(col("l_quantity").cast(D182)).as("sum_qty"))
+           sum(col("l_quantity").cast(D182)).cast(D382).as("sum_qty"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
   val q14Sql: String =
     """SELECT l_returnflag, l_linestatus, count(*) AS n,
-      |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
@@ -64,7 +65,7 @@ object Aggregates {
     Tables.orders(s, dir).createOrReplaceTempView("graft_q16_orders")
     s.sql(
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
         |FROM graft_q16_orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
@@ -72,7 +73,7 @@ object Aggregates {
 
   val q16Sql: String =
     """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
       |FROM orders
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin

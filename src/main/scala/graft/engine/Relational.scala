@@ -15,6 +15,7 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Relational {
   private val D182 = DecimalType(18, 2)
+  private val D382 = DecimalType(38, 2)
 
   // q01 — parquet scan + pushdown filter + column prune. At 100 TB the
   // predicate and the 3-column projection both reach the parquet reader
@@ -77,12 +78,12 @@ object Relational {
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(count(lit(1)).as("n_orders"),
-           sum(col("o_totalprice").cast(D182)).as("revenue"))
+           sum(col("o_totalprice").cast(D182)).cast(D382).as("revenue"))
       .orderBy("n_name")
   }
 
   val q04Sql: String =
-    """SELECT n_name, count(*) AS n_orders, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+    """SELECT n_name, count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
@@ -244,8 +245,8 @@ object Relational {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(col("l_quantity").cast(D182)).as("sum_qty"),
-        sum(col("l_extendedprice").cast(D182)).as("sum_base_price"),
+        sum(col("l_quantity").cast(D182)).cast(D382).as("sum_qty"),
+        sum(col("l_extendedprice").cast(D182)).cast(D382).as("sum_base_price"),
         round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
         round(avg(col("l_quantity")), 6).as("avg_qty"),
         round(avg(col("l_extendedprice")), 6).as("avg_price"),
@@ -255,8 +256,8 @@ object Relational {
 
   val q12Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
       |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
       |  round(avg(l_quantity), 6) AS avg_qty,
       |  round(avg(l_extendedprice), 6) AS avg_price,

@@ -14,6 +14,7 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Windows {
   private val D182 = DecimalType(18, 2)
+  private val D382 = DecimalType(38, 2)
 
   // q19 — ranking family + top-3 orders per customer. The rn <= 3 filter
   // triggers WindowGroupLimit pushdown (asserted in PlanShapeSpec): each
@@ -45,16 +46,16 @@ object Windows {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.orders(s, dir)
-      .withColumn("running_total", sum(col("o_totalprice").cast(D182)).over(w))
+      .withColumn("running_total", sum(col("o_totalprice").cast(D182)).over(w).cast(D382))
       .select("o_custkey", "o_orderkey", "o_orderdate", "running_total")
       .orderBy("o_custkey", "o_orderdate", "o_orderkey")
   }
 
   val q20Sql: String =
     """SELECT o_custkey, o_orderkey, o_orderdate,
-      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
       |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_total
       |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
 
   // q21 — 7-row moving average of order totals per customer (sliding ROWS

@@ -57,7 +57,7 @@ object Scalars {
         month(col("o_orderdate")).as("m"),
         dayofmonth(col("o_orderdate")).as("d"),
         quarter(col("o_orderdate")).as("q"),
-        date_trunc("month", col("o_orderdate")).as("month_start"),
+        date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("month_start"),
         datediff(lit("2000-01-01").cast("timestamp"), col("o_orderdate")).as("days_to_y2k"),
         (col("o_orderdate") + expr("INTERVAL 30 DAY")).as("due_date"))
       .orderBy("o_orderkey")

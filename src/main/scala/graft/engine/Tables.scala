@@ -37,7 +37,11 @@ object Tables {
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // timestamp_ntz: matches how the other fixture timestamp columns infer
+    // (parquet isAdjustedToUTC=false → NTZ) and how DuckDB reads them —
+    // keeps result-file timestamp types identical across engines. Session
+    // tz is UTC, so the wall-clock values are unchanged.
     read(s, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
   }
 }

@@ -89,7 +89,8 @@ object Temporal {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       |  FROM flagged
       |)
-      |SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+      |SELECT user_id, session_id::BIGINT AS session_id,
+      |  min(ts) AS session_start, max(ts) AS session_end,
       |  count(*) AS n_events, round(sum(value), 4) AS sum_value
       |FROM numbered GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin

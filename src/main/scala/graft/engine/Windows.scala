@@ -31,7 +31,8 @@ object Windows {
   }
 
   val q19Sql: String =
-    """SELECT o_custkey, o_orderkey, o_totalprice, rn, rk, drk FROM (
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |       rn::INT AS rn, rk::INT AS rk, drk::INT AS drk FROM (
       |  SELECT o_custkey, o_orderkey, o_totalprice,
       |    row_number() OVER win AS rn,
       |    rank() OVER win AS rk,
@@ -110,7 +111,7 @@ object Windows {
 
   val q23Sql: String =
     """SELECT o_orderkey, o_totalprice,
-      |  ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+      |  ntile(4) OVER (ORDER BY o_totalprice, o_orderkey)::INT AS quartile
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

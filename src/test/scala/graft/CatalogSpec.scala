@@ -9,9 +9,10 @@ class CatalogSpec extends SparkSpecBase {
     Catalog.tableNames.foreach { t =>
       assert(spark.sql(s"SELECT * FROM $t LIMIT 1").count() == 1, s"$t empty")
     }
-    // events view carries the normalized microsecond timestamp
+    // events view carries the normalized timestamp (NTZ to match the other
+    // fixture timestamp columns and DuckDB's naive read)
     assert(spark.sql("SELECT ts FROM events LIMIT 1").schema.head.dataType.typeName
-      == "timestamp")
+      == "timestamp_ntz")
     // ad-hoc SQL joining views + native function in one statement
     val r = spark.sql(
       """SELECT n_name, count(*) AS n FROM customer

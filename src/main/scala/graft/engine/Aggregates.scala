@@ -28,7 +28,8 @@ object Aggregates {
   val q13Sql: String =
     """SELECT o_orderstatus,
       |  count(DISTINCT o_custkey) AS n_cust,
-      |  count(DISTINCT struct_pack(k := o_custkey, p := o_orderpriority)) AS n_cust_prio,
+      |  count(DISTINCT CASE WHEN o_custkey IS NOT NULL AND o_orderpriority IS NOT NULL
+      |    THEN struct_pack(k := o_custkey, p := o_orderpriority) END) AS n_cust_prio,
       |  count(*) AS n_orders
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 

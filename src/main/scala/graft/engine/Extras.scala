@@ -83,7 +83,7 @@ object Extras {
     * queries; this demonstrates the Aggregator[IN, BUF, OUT] contract.
     */
   object ExactMedian extends Aggregator[Double, Seq[Double], Double] {
-    override def zero: Seq[Double] = Seq.empty
+    override def zero: Seq[Double] = Vector.empty  // Vector: O(~1) append, not List's O(n)
     override def reduce(b: Seq[Double], a: Double): Seq[Double] = b :+ a
     override def merge(b1: Seq[Double], b2: Seq[Double]): Seq[Double] = b1 ++ b2
     override def finish(r: Seq[Double]): Double = {

@@ -20,17 +20,20 @@ object TextOps {
     * df + `simhash` column computed from `textCol`.
     */
   def withSimhash(df: DataFrame, textCol: String = "text"): DataFrame =
-    df.withColumn("__simhash_text", col(textCol))
+    // token hashes computed ONCE into an array; the 64 bit-count folds then
+    // run over the cached hashes, not 64 re-tokenize + re-hash passes
+    df.withColumn("__simhash_hashes",
+        expr(s"transform(split($textCol, ' '), t -> xxhash64(t))"))
       .withColumn("__simhash_counts", expr(
         """transform(sequence(0, 63), b ->
-          |  aggregate(split(__simhash_text, ' '), 0L,
-          |    (acc, t) -> acc + IF(((xxhash64(t) >> b) & 1L) = 1L, 1L, 0L)))"""
+          |  aggregate(__simhash_hashes, 0L,
+          |    (acc, h) -> acc + IF((shiftright(h, b) & 1L) = 1L, 1L, 0L)))"""
           .stripMargin))
       .withColumn("simhash", expr(
         """aggregate(sequence(0, 63), 0L, (acc, b) ->
-          |  IF(__simhash_counts[b] * 2 > size(split(__simhash_text, ' ')),
-          |     acc | (1L << b), acc))""".stripMargin))
-      .drop("__simhash_text", "__simhash_counts")
+          |  IF(__simhash_counts[b] * 2 > size(__simhash_hashes),
+          |     acc | shiftleft(1L, b), acc))""".stripMargin))
+      .drop("__simhash_hashes", "__simhash_counts")
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column =

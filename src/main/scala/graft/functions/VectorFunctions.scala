@@ -41,13 +41,20 @@ object VectorFunctions {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "vec_dot"
 
+    // NULL semantics match the zip_with/aggregate formulation exactly:
+    // mismatched lengths (zip_with pads with null) or a null element
+    // poison the sum → NULL, same as the DuckDB manual-DOUBLE oracle.
+    override def nullable: Boolean = true
+
     override protected def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      if (n != y.numElements()) return null
       var acc = 0.0
       var i = 0
       while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
         i += 1
       }
@@ -60,10 +67,15 @@ object VectorFunctions {
         val i = ctx.freshName("i")
         val acc = ctx.freshName("acc")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |int $n = $a.numElements();
            |double $acc = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+           |if ($n != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+           |  }
            |}
            |${ev.value} = $acc;
          """.stripMargin
@@ -87,12 +99,16 @@ object VectorFunctions {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "vec_norm_sq"
 
+    // a null element poisons the sum → NULL (matches the HOF formulation)
+    override def nullable: Boolean = true
+
     override protected def nullSafeEval(a: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val n = x.numElements()
       var acc = 0.0
       var i = 0
       while (i < n) {
+        if (x.isNullAt(i)) return null
         val v = x.getFloat(i).toDouble
         acc += v * v
         i += 1
@@ -110,6 +126,7 @@ object VectorFunctions {
            |int $n = $a.numElements();
            |double $acc = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
            |  double $v = (double) $a.getFloat($i);
            |  $acc += $v * $v;
            |}

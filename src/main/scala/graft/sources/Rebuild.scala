@@ -54,28 +54,33 @@ object Rebuild {
       t.name -> f
     }.toMap
 
-    // 2. build in dependency order, collecting reports
+    // 2. build in dependency order, collecting reports. Each table's
+    // deduped frame is persisted: it is re-used by its own counts, every
+    // later table's FK check, and the final write — without the persist
+    // the CSV read + coercion would recompute per action.
     var built = Map.empty[String, DataFrame]
     val reports = plan.map { t =>
       val raw = Sources.readCsv(spark, picked(t.name), allStrings(t.schema))
       val rowsIn = raw.count()
-      val (typedRaw, bad) = Coerce.coerceWithAudit(raw, coercionRules(t))
-      val typed = typedRaw
+      val (typed, bad) = Coerce.coerceWithAudit(raw, coercionRules(t))
       val deduped =
-        if (t.naturalKey.nonEmpty)
+        (if (t.naturalKey.nonEmpty)
           typed.dropDuplicates(t.naturalKey)   // reference's dedup-by-natural-key
-        else typed
+        else typed).persist()
+      val nBad = bad.count()
+      val nOut = deduped.count()
       val fkViolations = t.foreignKeys.map { case (local, refTable, refCol) =>
         val ref = built.getOrElse(refTable, sys.error(
           s"plan error: ${t.name} references $refTable before it is built"))
+        // standard FK semantics: a NULL foreign key is not a violation
         val orphans = deduped
+          .filter(col(local).isNotNull)
           .join(ref.select(col(refCol).as("__ref")), col(local) === col("__ref"), "left_anti")
           .count()
         s"$local->$refTable.$refCol" -> orphans
       }.toMap
       built += t.name -> deduped
-      BuildReport(t.name, rowsIn, deduped.count(), bad.count(),
-        rowsIn - bad.count() - deduped.count(), fkViolations)
+      BuildReport(t.name, rowsIn, nOut, nBad, rowsIn - nBad - nOut, fkViolations)
     }
 
     // 3. all-or-nothing snapshot write
@@ -83,6 +88,7 @@ object Rebuild {
     if (clean) {
       plan.foreach(t => built(t.name).write.mode("overwrite").parquet(s"$outDir/${t.name}"))
     }
+    plan.foreach(t => built(t.name).unpersist())
     reports
   }
 

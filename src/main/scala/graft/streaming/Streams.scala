@@ -87,7 +87,8 @@ object Streams {
             state.remove()
             Iterator(last.copy(closed = true))
           } else {
-            val prev = state.getOption.getOrElse(UserStats(userId, 0L, 0.0, 0.0, closed = false))
+            val prev = state.getOption.getOrElse(
+              UserStats(userId, 0L, 0.0, Double.NegativeInfinity, closed = false))
             val evs = batch.toSeq
             val next = prev.copy(
               n_events = prev.n_events + evs.size,
@@ -112,19 +113,31 @@ object Streams {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // Hadoop FS throughout (not java.io.File) so the sink behaves the
+        // same on HDFS/S3 as on local disk.
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(snapshotDir), spark.sparkContext.hadoopConfiguration)
+        val dst = new org.apache.hadoop.fs.Path(snapshotDir)
+        val bak0 = new org.apache.hadoop.fs.Path(snapshotDir + "_bak")
+        // crash recovery: a previous batch may have died between the two
+        // renames below, leaving only the backup — restore it first
+        if (!fs.exists(dst) && fs.exists(bak0)) fs.rename(bak0, dst)
         val merged =
-          if (new java.io.File(snapshotDir).exists()) {
+          if (fs.exists(dst)) {
             val snapshot = spark.read.parquet(snapshotDir)
             Upsert.upsert(snapshot.select(batch.columns.map(col): _*), batch, keys)
           } else batch
-        // rewrite-snapshot sink: at lakehouse scale this becomes MERGE INTO
-        val tmp = snapshotDir + "_tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val dst = new org.apache.hadoop.fs.Path(snapshotDir)
-        fs.delete(dst, true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        // rewrite-snapshot sink: at lakehouse scale this becomes MERGE INTO.
+        // Swap via backup-then-rename so a crash never leaves NO snapshot
+        // (worst case: the backup remains and the next batch re-merges —
+        // safe, because the upsert is idempotent).
+        val tmp = new org.apache.hadoop.fs.Path(snapshotDir + "_tmp")
+        val bak = new org.apache.hadoop.fs.Path(snapshotDir + "_bak")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(bak, true)
+        if (fs.exists(dst)) fs.rename(dst, bak)
+        fs.rename(tmp, dst)
+        fs.delete(bak, true)
         ()
       }
       .start()

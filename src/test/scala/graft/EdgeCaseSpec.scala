@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import graft.functions.VectorFunctions
+import graft.sources.{Coerce, Rebuild}
+import graft.sources.Rebuild.TableSpec
+import org.apache.spark.sql.types._
+
+/** Regression pins for the review-pass fixes: null/length semantics of the
+  * native vector kernels, FK null handling, negative-value stream stats.
+  */
+class EdgeCaseSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("vec_dot: mismatched lengths or null elements yield NULL, like the HOF form") {
+    VectorFunctions.register(spark)
+    Seq(
+      (Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f)),        // length mismatch
+      (Seq(1.0f, 2.0f), Seq(1.0f, 2.0f))                // control: equal
+    ).toDF("a", "b").createOrReplaceTempView("vd_edge")
+    val out = spark.sql(
+      """SELECT vec_dot(a, b) AS native,
+        |  aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        |            CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS hof
+        |FROM vd_edge""".stripMargin).collect()
+    out.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"native/HOF null disagreement: $r")
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1))
+    }
+    // explicit null element
+    val withNull = spark.sql(
+      "SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS d").head()
+    assert(withNull.isNullAt(0))
+    val normNull = spark.sql(
+      "SELECT vec_norm_sq(array(CAST(NULL AS FLOAT))) AS n").head()
+    assert(normNull.isNullAt(0))
+  }
+
+  test("runningUserStats: all-negative values report the true (negative) max") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{Streams, UserEvent, UserStats}
+    val stream = MemoryStream[UserEvent](spark)
+    val q = Streams.runningUserStats(stream.toDS())
+      .writeStream.format("memory").queryName("neg_stats").outputMode("append").start()
+    stream.addData(
+      UserEvent(1, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 5, -3.0),
+      UserEvent(2, java.sql.Timestamp.valueOf("2024-01-01 10:01:00"), 5, -1.5))
+    q.processAllAvailable(); q.stop()
+    val s = spark.table("neg_stats").as[UserStats].collect().head
+    assert(s.max_value == -1.5, s.toString)
+  }
+
+  test("Rebuild: NULL foreign keys are not integrity violations") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_nullfk").toString
+    Files.writeString(Paths.get(s"$dir/DEPTS-20250101.csv"),
+      "dept_id,dept_name\n10,math\n")
+    Files.writeString(Paths.get(s"$dir/COURSES-20250101.csv"),
+      "course_id,dept_id,credits\n1,10,3.0\n2,,4.0\n")  // course 2: optional dept
+    val plan = Seq(
+      TableSpec("depts", raw"DEPTS-(\d{8})\.csv",
+        StructType(Seq(StructField("dept_id", IntegerType),
+          StructField("dept_name", StringType))), naturalKey = Seq("dept_id")),
+      TableSpec("courses", raw"COURSES-(\d{8})\.csv",
+        StructType(Seq(StructField("course_id", IntegerType),
+          StructField("dept_id", IntegerType), StructField("credits", DoubleType))),
+        naturalKey = Seq("course_id"),
+        foreignKeys = Seq(("dept_id", "depts", "dept_id"))))
+    val reports = Rebuild.run(spark, dir, s"$dir/out", plan)
+    assert(reports.find(_.table == "courses").get.fkViolations.values.sum == 0)
+    assert(spark.read.parquet(s"$dir/out/courses").count() == 2)
+  }
+
+  test("q32 fixture path is unaffected by the stricter null semantics") {
+    // all fixture embeddings are fixed-width non-null: cosine never null
+    val out = graft.engine.LlmOps.q32(spark, sf0001).collect()
+    assert(out.length == 10 && out.forall(!_.isNullAt(2)))
+  }
+}

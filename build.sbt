@@ -26,6 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // JVM default zone too: Timestamp.toString/valueOf render in user.timezone,
+  // and tests compare wall-clock strings against UTC-aligned windows
+  "-Duser.timezone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
 // One shared SparkSession across suites; HarnessRehearsalSpec stops it

@@ -24,11 +24,16 @@ object Skew {
     * within a key group (a row id, timestamp, …) — the salt must be
     * deterministic (no rand(), SURVEY §2.0.9) yet spread rows uniformly.
     */
+  /** The deterministic salt derivation shared by every salted operator
+    * (exposed so tests exercise THIS formula, not a copy).
+    */
+  def salt(disambig: Column, salts: Int): Column =
+    pmod(xxhash64(disambig), lit(salts.toLong)).cast("int")
+
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
                  disambig: String, salts: Int): DataFrame = {
     require(salts > 0)
-    val saltedLarge = large.withColumn("__salt",
-      pmod(xxhash64(col(disambig)), lit(salts.toLong)).cast("int"))
+    val saltedLarge = large.withColumn("__salt", salt(col(disambig), salts))
     val replicatedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedLarge
@@ -45,8 +50,7 @@ object Skew {
     */
   def saltedCountDistinct(df: DataFrame, key: String, distinctCol: String,
                           salts: Int): DataFrame = {
-    val salted = df.withColumn("__salt",
-      pmod(xxhash64(col(distinctCol)), lit(salts.toLong)).cast("int"))
+    val salted = df.withColumn("__salt", salt(col(distinctCol), salts))
     // stage 1: per (key, salt) distinct sets are disjoint because the salt
     // is a pure function of the distinct-counted value
     salted

@@ -56,16 +56,4 @@ class CoerceSpec extends SparkSpecBase {
     assert(out.toSeq == Seq("201.5", "101", ""))
   }
 
-  test("JSON component assembly produces deterministic ordered arrays") {
-    val li = graft.engine.Tables.lineitem(spark, sf0001)
-    val out = graft.engine.Extras.assembleComponentsJson(li)
-    val row = out.filter(col("l_orderkey") === out.agg(min("l_orderkey")).head().getLong(0))
-      .head()
-    val json = row.getString(1)
-    assert(json.startsWith("[{\"line\":"), json)
-    // array is sorted by line number: positions appear in increasing order
-    val lines = "\"line\":(\\d+)".r.findAllMatchIn(json).map(_.group(1).toInt).toSeq
-    assert(lines == lines.sorted && lines.nonEmpty)
-    assert(row.getLong(2) == lines.size)
-  }
 }

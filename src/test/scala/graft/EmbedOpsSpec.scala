@@ -45,7 +45,7 @@ class EmbedOpsSpec extends SparkSpecBase {
       .head().getSeq[Float](0).toArray.toSeq
     val exact = EmbedOps.knnBruteForce(corpus, query, 10)
       .collect().map(_.getLong(0)).toSet
-    val bucketed = EmbedOps.withLshBuckets(corpus, bits = 4, tables = 8).cache()
+    val bucketed = EmbedOps.withLshBuckets(corpus, bits = 4, tables = 8)
     val approx = EmbedOps.knnLsh(bucketed, query, 10, bits = 4, tables = 8)
       .collect().map(_.getLong(0)).toSet
     val recall = (exact intersect approx).size / 10.0

@@ -9,6 +9,16 @@ import graft.functions.VectorFunctions.{FloatVectorDot, FloatVectorNormSq}
   */
 class ExtensionsSpec extends SparkSpecBase {
 
+  // Don't leak the extensions-bearing session into later suites: stop it so
+  // the next suite's getOrCreate builds a standard session again
+  // (SparkSpecBase contract).
+  override def afterAll(): Unit = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    super.afterAll()
+  }
+
   private def freshSessionWithExtensions(): SparkSession = {
     // getOrCreate returns an existing session WITHOUT applying extensions,
     // so stop the active one first; later suites getOrCreate a fresh

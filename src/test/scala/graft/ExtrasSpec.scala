@@ -47,6 +47,19 @@ class ExtrasSpec extends SparkSpecBase {
     assert(df.filter(col("udf_out") =!= col("builtin")).count() == 0)
   }
 
+  test("JSON component assembly produces deterministic ordered arrays") {
+    val li = Tables.lineitem(spark, sf0001)
+    val out = Extras.assembleComponentsJson(li)
+    val row = out.filter(col("l_orderkey") === out.agg(min("l_orderkey")).head().getLong(0))
+      .head()
+    val json = row.getString(1)
+    assert(json.startsWith("[{\"line\":"), json)
+    // array is sorted by line number: positions appear in increasing order
+    val lines = "\"line\":(\\d+)".r.findAllMatchIn(json).map(_.group(1).toInt).toSeq
+    assert(lines == lines.sorted && lines.nonEmpty)
+    assert(row.getLong(2) == lines.size)
+  }
+
   test("exact_median Aggregator agrees with percentile_cont") {
     Extras.registerExactMedian(spark)
     Tables.lineitem(spark, sf0001).createOrReplaceTempView("li_median_test")

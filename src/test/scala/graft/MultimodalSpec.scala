@@ -47,9 +47,14 @@ class MultimodalSpec extends SparkSpecBase {
     val dir = Files.createTempDirectory("graft_media").toString + "/media"
     corpus.toDF().write.mode("overwrite").parquet(dir)
     val scan = Multimodal.metaOnly(spark.read.parquet(dir))
-    val plan = scan.queryExecution.executedPlan.toString
-    assert(plan.contains("ReadSchema"), plan)
-    assert(!plan.contains("payload"), "payload column not pruned:\n" + plan)
+    // inspect the scan node's required schema, not the (100-char-truncated)
+    // plan string, so an unpruned trailing column can't hide
+    val readCols = scan.queryExecution.executedPlan.collectLeaves().flatMap {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.requiredSchema.fieldNames.toSeq
+      case _ => Seq.empty
+    }.toSet
+    assert(readCols == Set("media_id", "meta"), s"scan reads: $readCols")
     assert(scan.count() == 60)
   }
 }

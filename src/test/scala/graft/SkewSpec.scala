@@ -21,8 +21,8 @@ class SkewSpec extends SparkSpecBase {
 
   test("saltedJoin spreads the hot key across salt partitions") {
     val large = (1 to 1000).map(i => (1L, i.toLong)).toDF("k", "row_id")
-    val salts = large.withColumn("__salt",
-      pmod(xxhash64(col("row_id")), lit(8L)).cast("int"))
+    // exercise the library's own salt derivation, not a copy of the formula
+    val salts = large.withColumn("__salt", Skew.salt(col("row_id"), 8))
       .groupBy("__salt").count().collect().map(_.getLong(1))
     assert(salts.length == 8, "hot key not spread across all 8 salts")
     assert(salts.max < 1000 * 0.3, s"salt distribution too skewed: ${salts.toSeq}")

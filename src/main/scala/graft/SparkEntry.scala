@@ -14,11 +14,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Aggregates.queries ++ Windows.queries ++
-      SetOps.queries ++ Temporal.queries ++ LlmOps.queries ++ Scalars.queries
+      SetOps.queries ++ Temporal.queries ++ LlmOps.queries ++ Scalars.queries ++
+      Training.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Aggregates.oracle ++ Windows.oracle ++
-      SetOps.oracle ++ Temporal.oracle ++ LlmOps.oracle ++ Scalars.oracle
+      SetOps.oracle ++ Temporal.oracle ++ LlmOps.oracle ++ Scalars.oracle ++
+      Training.oracle
 }

@@ -1,0 +1,164 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data operators declared with exact oracles (task brief: dedup /
+  * text analysis "each as a queries() entry with an oracle on the documents
+  * table" where cross-engine-exact — the sketch-based variants stay
+  * test-only per SURVEY §2.0.10):
+  *
+  *   q41 — embedding-cosine near-dup pairs (brute-force exact; the LSH
+  *         candidate version in EmbedOps is the at-scale path)
+  *   q42 — word 3-gram Jaccard (n-gram upgrade of q33's unigram sets)
+  *   q43 — token counting: whitespace + BPE-ish regex pre-tokenizer
+  *   q44 — quality scoring: length/alpha/punct/stopword/repetition features
+  */
+object Training {
+
+  // q41 — all pairs with cosine >= 0.4 (non-empty at every fixture SF;
+  // DOUBLE math + round 4 per SURVEY §2.0.4, ranked/tiebroken by ids).
+  def q41(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", expr("round(vec_dot(emb_a, emb_b), 4)"))
+      .filter(col("cosine") >= 0.4)
+      .select("id_a", "id_b", "cosine")
+      .orderBy("id_a", "id_b")
+  }
+
+  val q41Sql: String =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+      |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum'), 4) AS cosine
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE round(list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+      |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum'), 4) >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // q42 — word 3-gram Jaccard, doc_id < 100 cap, docs with >= 3 words.
+  // Same plan shape as q33: in-row distinct grams, set size rides the join.
+  def q42(s: SparkSession, dir: String): DataFrame = {
+    val gramsExpr = expr(
+      """array_distinct(transform(sequence(0, size(split(text, ' ')) - 3),
+        |  i -> array_join(slice(split(text, ' '), i + 1, 3), ' ')))""".stripMargin)
+    val toks = Tables.documents(s, dir)
+      .filter(col("doc_id") < 100 && size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), explode(gramsExpr).as("gram"),
+              size(gramsExpr).as("n_grams"))
+    val a = toks.select(col("doc_id").as("id_a"), col("gram"), col("n_grams").as("n_a"))
+    val b = toks.select(col("doc_id").as("id_b"), col("gram").as("gram_b"), col("n_grams").as("n_b"))
+    a.join(b, col("gram") === col("gram_b") && col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_common"), min("n_a").as("n_a"), min("n_b").as("n_b"))
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        round(col("n_common").cast("double") /
+              (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val q42Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      |  WHERE doc_id < 100 AND len(string_split(text, ' ')) >= 3
+      |), g0 AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(words) - 2),
+      |    i -> array_to_string(list_slice(words, i, i + 2), ' '))) AS gram
+      |  FROM d
+      |), g AS (SELECT DISTINCT doc_id, gram FROM g0),
+      |sz AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT id_a, id_b, n_common,
+      |  round(CAST(n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - n_common), 6) AS jaccard
+      |FROM inter
+      |JOIN sz sa ON id_a = sa.doc_id
+      |JOIN sz sb ON id_b = sb.doc_id
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // q43 — token counting: whitespace tokenization + the BPE-ish
+  // pre-tokenizer regex (letter runs | digit runs | single punctuation).
+  def q43(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_txt"),
+        size(split(col("text"), "\\s+")).as("ws_tokens"),
+        expr("size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0))")
+          .as("bpe_tokens"))
+      .orderBy("doc_id")
+
+  val q43Sql: String =
+    """SELECT doc_id,
+      |  length(text)::INT AS n_chars_txt,
+      |  len(string_split_regex(text, '\s+'))::INT AS ws_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::INT AS bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // q44 — quality scoring features + bounded composite, all ratios in
+  // DOUBLE with explicit zero-length guards; stopword list = fixture
+  // vocabulary markers so the ratio is non-trivial on this corpus.
+  private val stopList = Seq("join", "hash", "scan", "row", "index", "query", "table", "merge")
+
+  // The composite is built from the UNROUNDED ratios on both sides — feeding
+  // rounded (6 dp) inputs into the weighted sum lands the result exactly on
+  // a 7th-decimal .5 boundary for some rows, where the two engines' round()
+  // can disagree (observed). Raw doubles are bit-identical across engines,
+  // so the single final round is safe.
+  def q44(s: SparkSession, dir: String): DataFrame = {
+    val stops = stopList.map(w => s"'$w'").mkString(", ")
+    val alphaRaw = "CAST(length(regexp_replace(text, '[^A-Za-z]', '')) AS DOUBLE) / length(text)"
+    val punctRaw = "CAST(length(regexp_replace(text, '[^.,;:!?]', '')) AS DOUBLE) / length(text)"
+    val dedupRaw = "CAST(size(array_distinct(split(text, ' '))) AS DOUBLE) / size(split(text, ' '))"
+    Tables.documents(s, dir)
+      .filter(length(col("text")) > 0)   // fixture texts are non-empty; keep the contract explicit
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("alpha_ratio", expr(s"round($alphaRaw, 6)"))
+      .withColumn("punct_ratio", expr(s"round($punctRaw, 6)"))
+      .withColumn("stopword_ratio", expr(
+        s"round(CAST(size(filter(split(text, ' '), t -> t IN ($stops))) AS DOUBLE) / size(split(text, ' ')), 6)"))
+      .withColumn("dedup_ratio", expr(s"round($dedupRaw, 6)"))
+      .withColumn("quality", expr(
+        s"""round(least(CAST(1.0 AS DOUBLE),
+           |  least(CAST(size(split(text, ' ')) AS DOUBLE) / 50.0, CAST(1.0 AS DOUBLE)) * 0.3 +
+           |  ($alphaRaw) * 0.3 + (1.0 - ($punctRaw)) * 0.1 + ($dedupRaw) * 0.3), 6)""".stripMargin))
+      .select("doc_id", "n_tokens", "alpha_ratio", "punct_ratio",
+              "stopword_ratio", "dedup_ratio", "quality")
+      .orderBy("doc_id")
+  }
+
+  val q44Sql: String = {
+    val stops = stopList.map(w => s"'$w'").mkString(", ")
+    val alphaRaw = "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text)"
+    val punctRaw = "CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text)"
+    val dedupRaw = "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' '))"
+    s"""SELECT doc_id,
+       |  len(string_split(text, ' '))::INT AS n_tokens,
+       |  round($alphaRaw, 6) AS alpha_ratio,
+       |  round($punctRaw, 6) AS punct_ratio,
+       |  round(CAST(len(list_filter(string_split(text, ' '), t -> list_contains([$stops], t))) AS DOUBLE) / len(string_split(text, ' ')), 6) AS stopword_ratio,
+       |  round($dedupRaw, 6) AS dedup_ratio,
+       |  round(least(CAST(1.0 AS DOUBLE),
+       |    least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, CAST(1.0 AS DOUBLE)) * 0.3 +
+       |    ($alphaRaw) * 0.3 + (1.0 - ($punctRaw)) * 0.1 + ($dedupRaw) * 0.3), 6) AS quality
+       |FROM documents WHERE length(text) > 0 ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_cosine_near_dup" -> (q41 _),
+    "q42_ngram_jaccard"   -> (q42 _),
+    "q43_token_counts"    -> (q43 _),
+    "q44_quality_score"   -> (q44 _))
+
+  val oracle: Map[String, String] = Map(
+    "q41_cosine_near_dup" -> q41Sql,
+    "q42_ngram_jaccard"   -> q42Sql,
+    "q43_token_counts"    -> q43Sql,
+    "q44_quality_score"   -> q44Sql)
+}

@@ -102,6 +102,47 @@ object Streams {
       }
   }
 
+  /** The modern arbitrary-state API (Spark 4 transformWithState): a
+    * StatefulProcessor with typed ValueState, per-user running count/sum.
+    * Functionally overlaps runningUserStats — kept as the forward-looking
+    * surface (TWS supports multiple typed state variables, timers, TTL and
+    * requires the RocksDB state store, which the session must enable via
+    * spark.sql.streaming.stateStore.providerClass=...RocksDBStateStoreProvider).
+    */
+  def transformWithStateStats(events: org.apache.spark.sql.Dataset[UserEvent])
+      : org.apache.spark.sql.Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues}
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, StatefulProcessorHandle, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    class StatsProcessor extends StatefulProcessor[Long, UserEvent, UserStats] {
+      @transient private var state: ValueState[UserStats] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[UserStats](
+          "stats", Encoders.product[UserStats], org.apache.spark.sql.streaming.TTLConfig.NONE)
+      override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+                                   timerValues: TimerValues): Iterator[UserStats] = {
+        val prev = Option(state.get())
+          .getOrElse(UserStats(key, 0L, 0.0, Double.NegativeInfinity, closed = false))
+        val evs = rows.toSeq
+        val next = prev.copy(
+          n_events = prev.n_events + evs.size,
+          sum_value = prev.sum_value + evs.map(_.value).sum,
+          max_value = math.max(prev.max_value,
+            if (evs.isEmpty) prev.max_value else evs.map(_.value).max))
+        state.update(next)
+        Iterator(next)
+      }
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new StatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   /** Exactly-once-style sink: each micro-batch merges into a parquet
     * snapshot by key via the engine's upsert (idempotent — replaying a
     * batch yields the same snapshot). Returns the started query.

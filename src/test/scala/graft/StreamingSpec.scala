@@ -113,6 +113,34 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows.contains(UserStats(1, 3, 12.0, 6.0, closed = false)))
   }
 
+  test("transformWithState (StatefulProcessor + ValueState) carries state across batches") {
+    import graft.streaming.{UserEvent, UserStats}
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[UserEvent](spark)
+      val q = Streams.transformWithStateStats(stream.toDS())
+        .writeStream.format("memory").queryName("tws_out")
+        .outputMode("append").start()
+      stream.addData(UserEvent(1, ts("2024-01-01 10:00:00"), 9, 2.0),
+                     UserEvent(2, ts("2024-01-01 10:01:00"), 9, 4.0))
+      q.processAllAvailable()
+      stream.addData(UserEvent(3, ts("2024-01-01 10:02:00"), 9, 6.0))
+      q.processAllAvailable()
+      q.stop()
+      import spark.implicits._
+      val rows = spark.table("tws_out").as[UserStats].collect().toSeq
+      assert(rows.contains(UserStats(9, 2, 6.0, 4.0, closed = false)))
+      assert(rows.contains(UserStats(9, 3, 12.0, 6.0, closed = false)))
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("foreachBatch upsert sink merges micro-batches by key") {
     val dir = Files.createTempDirectory("graft_stream_sink").toString
     val snapshot = s"$dir/snapshot"

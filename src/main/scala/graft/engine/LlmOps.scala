@@ -73,11 +73,19 @@ object LlmOps {
     val toks = Tables.documents(s, dir)
       .filter(col("doc_id") < 100)
       .select(col("doc_id"),
-        explode(array_distinct(split(col("text"), " "))).as("word"),
-        size(array_distinct(split(col("text"), " "))).as("n_words"))
-    val a = toks.select(col("doc_id").as("id_a"), col("word"), col("n_words").as("n_a"))
-    val b = toks.select(col("doc_id").as("id_b"), col("word").as("word_b"), col("n_words").as("n_b"))
-    a.join(b, col("word") === col("word_b") && col("id_a") < col("id_b"))
+        explode(array_distinct(split(col("text"), " "))).as("token"),
+        size(array_distinct(split(col("text"), " "))).as("n_tokens"))
+    jaccardPairs(toks)
+  }
+
+  /** Shared exact-Jaccard pair scaffold (q33 unigrams, q42 3-grams): input
+    * (doc_id, token, n_tokens) with row-distinct tokens; output
+    * (id_a, id_b, n_common, jaccard round 6) ordered by the pair.
+    */
+  private[engine] def jaccardPairs(toks: DataFrame): DataFrame = {
+    val a = toks.select(col("doc_id").as("id_a"), col("token"), col("n_tokens").as("n_a"))
+    val b = toks.select(col("doc_id").as("id_b"), col("token").as("token_b"), col("n_tokens").as("n_b"))
+    a.join(b, col("token") === col("token_b") && col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_common"), min("n_a").as("n_a"), min("n_b").as("n_b"))
       .select(col("id_a"), col("id_b"), col("n_common"),

@@ -47,17 +47,9 @@ object Training {
         |  i -> array_join(slice(split(text, ' '), i + 1, 3), ' ')))""".stripMargin)
     val toks = Tables.documents(s, dir)
       .filter(col("doc_id") < 100 && size(split(col("text"), " ")) >= 3)
-      .select(col("doc_id"), explode(gramsExpr).as("gram"),
-              size(gramsExpr).as("n_grams"))
-    val a = toks.select(col("doc_id").as("id_a"), col("gram"), col("n_grams").as("n_a"))
-    val b = toks.select(col("doc_id").as("id_b"), col("gram").as("gram_b"), col("n_grams").as("n_b"))
-    a.join(b, col("gram") === col("gram_b") && col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("n_common"), min("n_a").as("n_a"), min("n_b").as("n_b"))
-      .select(col("id_a"), col("id_b"), col("n_common"),
-        round(col("n_common").cast("double") /
-              (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
-      .orderBy("id_a", "id_b")
+      .select(col("doc_id"), explode(gramsExpr).as("token"),
+              size(gramsExpr).as("n_tokens"))
+    LlmOps.jaccardPairs(toks)
   }
 
   val q42Sql: String =

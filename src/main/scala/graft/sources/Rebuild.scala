@@ -54,42 +54,61 @@ object Rebuild {
       t.name -> f
     }.toMap
 
-    // 2. build in dependency order, collecting reports. Each table's
-    // deduped frame is persisted: it is re-used by its own counts, every
-    // later table's FK check, and the final write — without the persist
-    // the CSV read + coercion would recompute per action.
+    // 2. build in dependency order, collecting reports. raw (the CSV
+    // parse) and deduped are persisted: between them they serve every
+    // count, FK check and the final write with one scan + one coercion
+    // pass per table instead of one per action.
     var built = Map.empty[String, DataFrame]
-    val reports = plan.map { t =>
-      val raw = Sources.readCsv(spark, picked(t.name), allStrings(t.schema))
-      val rowsIn = raw.count()
-      val (typed, bad) = Coerce.coerceWithAudit(raw, coercionRules(t))
-      val deduped =
-        (if (t.naturalKey.nonEmpty)
-          typed.dropDuplicates(t.naturalKey)   // reference's dedup-by-natural-key
-        else typed).persist()
-      val nBad = bad.count()
-      val nOut = deduped.count()
-      val fkViolations = t.foreignKeys.map { case (local, refTable, refCol) =>
-        val ref = built.getOrElse(refTable, sys.error(
-          s"plan error: ${t.name} references $refTable before it is built"))
-        // standard FK semantics: a NULL foreign key is not a violation
-        val orphans = deduped
-          .filter(col(local).isNotNull)
-          .join(ref.select(col(refCol).as("__ref")), col(local) === col("__ref"), "left_anti")
-          .count()
-        s"$local->$refTable.$refCol" -> orphans
-      }.toMap
-      built += t.name -> deduped
-      BuildReport(t.name, rowsIn, nOut, nBad, rowsIn - nBad - nOut, fkViolations)
-    }
+    var persisted = List.empty[DataFrame]
+    try {
+      val reports = plan.map { t =>
+        val raw = Sources.readCsv(spark, picked(t.name), allStrings(t.schema)).persist()
+        persisted ::= raw
+        val rowsIn = raw.count()
+        val (typed, bad) = Coerce.coerceWithAudit(raw, coercionRules(t))
+        val deduped =
+          (if (t.naturalKey.nonEmpty)
+            typed.dropDuplicates(t.naturalKey)   // reference's dedup-by-natural-key
+          else typed).persist()
+        persisted ::= deduped
+        val nBad = bad.count()
+        val nOut = deduped.count()
+        val fkViolations = t.foreignKeys.map { case (local, refTable, refCol) =>
+          val ref = built.getOrElse(refTable, sys.error(
+            s"plan error: ${t.name} references $refTable before it is built"))
+          // standard FK semantics: a NULL foreign key is not a violation
+          val orphans = deduped
+            .filter(col(local).isNotNull)
+            .join(ref.select(col(refCol).as("__ref")), col(local) === col("__ref"), "left_anti")
+            .count()
+          s"$local->$refTable.$refCol" -> orphans
+        }.toMap
+        built += t.name -> deduped
+        BuildReport(t.name, rowsIn, nOut, nBad, rowsIn - nBad - nOut, fkViolations)
+      }
 
-    // 3. all-or-nothing snapshot write
-    val clean = reports.forall(r => r.fkViolations.values.forall(_ == 0L))
-    if (clean) {
-      plan.foreach(t => built(t.name).write.mode("overwrite").parquet(s"$outDir/${t.name}"))
-    }
-    plan.foreach(t => built(t.name).unpersist())
-    reports
+      // 3. all-or-nothing snapshot: stage every table, then swap the whole
+      // directory — a mid-write failure never destroys the previous
+      // consistent snapshot (overwriting tables in place would).
+      val clean = reports.forall(r => r.fkViolations.values.forall(_ == 0L))
+      if (clean) {
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
+        val dst = new org.apache.hadoop.fs.Path(outDir)
+        val staging = new org.apache.hadoop.fs.Path(outDir + "_staging")
+        val bak = new org.apache.hadoop.fs.Path(outDir + "_bak")
+        fs.delete(staging, true)
+        plan.foreach(t =>
+          built(t.name).write.mode("overwrite").parquet(s"${staging.toString}/${t.name}"))
+        def mustRename(a: org.apache.hadoop.fs.Path, b: org.apache.hadoop.fs.Path): Unit =
+          require(fs.rename(a, b), s"rename $a -> $b failed")
+        fs.delete(bak, true)
+        if (fs.exists(dst)) mustRename(dst, bak)
+        mustRename(staging, dst)
+        fs.delete(bak, true)
+      }
+      reports
+    } finally persisted.foreach(_.unpersist())
   }
 
   /** CSV arrives all-strings; the typed schema drives coercion rules. */
@@ -97,6 +116,9 @@ object Rebuild {
     StructType(schema.fields.map(_.copy(dataType = org.apache.spark.sql.types.StringType)))
 
   private def coercionRules(t: TableSpec): Seq[Coerce.Rule] = {
+    val unknown = t.rules.map(_.column).filterNot(t.schema.fieldNames.contains)
+    require(unknown.isEmpty,
+      s"table ${t.name}: coercion rules reference unknown columns $unknown")
     val explicit = t.rules.map(r => r.column -> r).toMap
     t.schema.fields.toSeq.map { f =>
       explicit.getOrElse(f.name,

@@ -25,6 +25,10 @@ object Sources {
     s.read
       .schema(schema)
       .option("header", "true")
+      // validate the header against the schema's field names instead of
+      // binding columns by position — a reordered export must fail loudly,
+      // not silently load values into the wrong columns
+      .option("enforceSchema", "false")
       .option("mode", mode)
       .csv(path)
 

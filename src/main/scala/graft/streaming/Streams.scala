@@ -89,12 +89,13 @@ object Streams {
           } else {
             val prev = state.getOption.getOrElse(
               UserStats(userId, 0L, 0.0, Double.NegativeInfinity, closed = false))
-            val evs = batch.toSeq
-            val next = prev.copy(
-              n_events = prev.n_events + evs.size,
-              sum_value = prev.sum_value + evs.map(_.value).sum,
-              max_value = math.max(prev.max_value, if (evs.isEmpty) prev.max_value
-                                                   else evs.map(_.value).max))
+            // single O(1)-memory pass over the iterator — a hot key can
+            // contribute millions of rows per micro-batch
+            val next = batch.foldLeft(prev) { (s, e) =>
+              s.copy(n_events = s.n_events + 1,
+                     sum_value = s.sum_value + e.value,
+                     max_value = math.max(s.max_value, e.value))
+            }
             state.update(next)
             idleTimeout.foreach(state.setTimeoutDuration)
             Iterator(next)
@@ -125,12 +126,11 @@ object Streams {
                                    timerValues: TimerValues): Iterator[UserStats] = {
         val prev = Option(state.get())
           .getOrElse(UserStats(key, 0L, 0.0, Double.NegativeInfinity, closed = false))
-        val evs = rows.toSeq
-        val next = prev.copy(
-          n_events = prev.n_events + evs.size,
-          sum_value = prev.sum_value + evs.map(_.value).sum,
-          max_value = math.max(prev.max_value,
-            if (evs.isEmpty) prev.max_value else evs.map(_.value).max))
+        val next = rows.foldLeft(prev) { (s, e) =>
+          s.copy(n_events = s.n_events + 1,
+                 sum_value = s.sum_value + e.value,
+                 max_value = math.max(s.max_value, e.value))
+        }
         state.update(next)
         Iterator(next)
       }
@@ -163,11 +163,15 @@ object Streams {
         // crash recovery: a previous batch may have died between the two
         // renames below, leaving only the backup — restore it first
         if (!fs.exists(dst) && fs.exists(bak0)) fs.rename(bak0, dst)
+        // a micro-batch can contain several rows per key (replays); the
+        // full-outer upsert would fan out on them — collapse to one row per
+        // key first so the snapshot keeps its one-row-per-key invariant
+        val batchByKey = batch.dropDuplicates(keys)
         val merged =
           if (fs.exists(dst)) {
             val snapshot = spark.read.parquet(snapshotDir)
-            Upsert.upsert(snapshot.select(batch.columns.map(col): _*), batch, keys)
-          } else batch
+            Upsert.upsert(snapshot.select(batch.columns.map(col): _*), batchByKey, keys)
+          } else batchByKey
         // rewrite-snapshot sink: at lakehouse scale this becomes MERGE INTO.
         // Swap via backup-then-rename so a crash never leaves NO snapshot
         // (worst case: the backup remains and the next batch re-merges —
@@ -175,9 +179,15 @@ object Streams {
         val tmp = new org.apache.hadoop.fs.Path(snapshotDir + "_tmp")
         val bak = new org.apache.hadoop.fs.Path(snapshotDir + "_bak")
         merged.write.mode("overwrite").parquet(tmp.toString)
+        // Hadoop rename signals most failures by returning false, not
+        // throwing — fail the batch loudly so the checkpoint never commits
+        // a swap that did not happen (a false rename(tmp, dst) with dst
+        // still present would nest tmp INSIDE dst).
+        def mustRename(from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit =
+          require(fs.rename(from, to), s"rename $from -> $to failed")
         fs.delete(bak, true)
-        if (fs.exists(dst)) fs.rename(dst, bak)
-        fs.rename(tmp, dst)
+        if (fs.exists(dst)) mustRename(dst, bak)
+        mustRename(tmp, dst)
         fs.delete(bak, true)
         ()
       }

@@ -52,12 +52,17 @@ object EmbedOps {
   /** Brute-force top-k cosine neighbours of one query vector: broadcast the
     * query as a literal, score with vec_dot, global top-k.
     */
+  /** Typed float-array literal (NaN/Infinity-safe — string-interpolating
+    * vector values into SQL would not parse non-finite floats).
+    */
+  private def floatArrayLit(vs: Seq[Float]): Column =
+    array(vs.map(v => lit(v)): _*).cast("array<float>")
+
   def knnBruteForce(corpus: DataFrame, query: Seq[Float], k: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     VectorFunctions.register(corpus.sparkSession)
-    val qLit = s"array(${query.map(v => s"CAST($v AS FLOAT)").mkString(", ")})"
     corpus
-      .withColumn("score", expr(s"vec_dot($vecCol, $qLit)"))
+      .withColumn("score", call_function("vec_dot", col(vecCol), floatArrayLit(query)))
       .select(col(idCol), col("score"))
       .orderBy(desc("score"), col(idCol))
       .limit(k)
@@ -99,18 +104,25 @@ object EmbedOps {
                          idCol: String = "vec_id",
                          vecCol: String = "embedding"): DataFrame = {
     VectorFunctions.register(corpus.sparkSession)
+    // candidate ids first, deduped BEFORE scoring — a pair colliding in m
+    // tables would otherwise be scored m times and ship m copies of both
+    // vectors through the join
     val bucketed = withLshBuckets(corpus, bits, tables, vecCol)
-      .select(col(idCol), col(vecCol), posexplode(col("buckets")).as(Seq("table", "bucket")))
-    val a = bucketed.select(col("table"), col("bucket"),
-      col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+      .select(col(idCol), posexplode(col("buckets")).as(Seq("table", "bucket")))
+    val a = bucketed.select(col("table"), col("bucket"), col(idCol).as("id_a"))
     val b = bucketed.select(col("table").as("table_b"), col("bucket").as("bucket_b"),
-      col(idCol).as("id_b"), col(vecCol).as("vec_b"))
-    a.join(b, col("table") === col("table_b") && col("bucket") === col("bucket_b") &&
-              col("id_a") < col("id_b"))
+      col(idCol).as("id_b"))
+    val candidates = a
+      .join(b, col("table") === col("table_b") && col("bucket") === col("bucket_b") &&
+               col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    candidates
+      .join(corpus.select(col(idCol).as("id_a"), col(vecCol).as("vec_a")), "id_a")
+      .join(corpus.select(col(idCol).as("id_b"), col(vecCol).as("vec_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         expr("vec_dot(vec_a, vec_b)").as("cosine"))
       .filter(col("cosine") >= threshold)
-      .distinct()
       .orderBy("id_a", "id_b")
   }
 
@@ -129,35 +141,51 @@ object EmbedOps {
                idCol: String = "vec_id", vecCol: String = "embedding")
       : (DataFrame, Array[Array[Double]]) = {
     VectorFunctions.register(corpus.sparkSession)
-    var cents: Array[Array[Double]] = corpus.orderBy(idCol).limit(k)
-      .select(vecCol).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    for (_ <- 0 until iters) {
-      val assigned = assignCells(corpus, cents, idCol, vecCol)
-      val newCents = assigned
-        .select(col("cell"), posexplode(col(vecCol)).as(Seq("dim", "v")))
-        .groupBy("cell", "dim")
-        .agg(avg(col("v").cast("double")).as("m"))
-        .groupBy("cell")
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("p"))
-        .withColumn("c", expr("transform(p, x -> x.m)"))
-        .select("cell", "c").collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
-      // empty cells keep their previous centroid
-      cents = cents.indices.map(i => newCents.getOrElse(i, cents(i))).toArray
-    }
-    (assignCells(corpus, cents, idCol, vecCol), cents)
+    val pinned = corpus.persist()   // scanned iters+2 times during training
+    try {
+      var cents: Array[Array[Double]] = pinned.orderBy(idCol).limit(k)
+        .select(vecCol).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+        .map(l2normalize)
+      for (_ <- 0 until iters) {
+        val assigned = assignCells(pinned, cents, idCol, vecCol)
+        val newCents = assigned
+          .select(col("cell"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+          .groupBy("cell", "dim")
+          .agg(avg(col("v").cast("double")).as("m"))
+          .groupBy("cell")
+          .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("p"))
+          .withColumn("c", expr("transform(p, x -> x.m)"))
+          .select("cell", "c").collect()
+          .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+        // spherical k-means: mean-of-unit-vectors centroids are renormalized
+        // so dot-product argmax IS nearest-by-cosine (raw means have uneven
+        // norms that bias assignment toward tight clusters); empty cells
+        // keep their previous centroid
+        cents = cents.indices
+          .map(i => newCents.get(i).map(l2normalize).getOrElse(cents(i))).toArray
+      }
+      (assignCells(corpus, cents, idCol, vecCol), cents)
+    } finally pinned.unpersist()
   }
 
-  /** Nearest-cell assignment: argmax over k literal-centroid dot products. */
+  private def l2normalize(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0.0) v else v.map(_ / n)
+  }
+
+  /** Nearest-cell assignment: argmax over k typed-literal-centroid dot
+    * products (cosine, since centroids are unit-norm).
+    */
   private def assignCells(df: DataFrame, cents: Array[Array[Double]],
                           idCol: String, vecCol: String): DataFrame = {
     val scored = cents.zipWithIndex.map { case (c, i) =>
-      val cLit = s"array(${c.map(v => s"CAST($v AS FLOAT)").mkString(", ")})"
-      s"named_struct('score', vec_dot($vecCol, $cLit), 'cell', $i)"
+      struct(
+        call_function("vec_dot", col(vecCol), floatArrayLit(c.map(_.toFloat))).as("score"),
+        lit(i).as("cell"))
     }
     df.select(col(idCol), col(vecCol),
-      expr(s"array_max(array(${scored.mkString(", ")})).cell").as("cell"))
+      array_max(array(scored: _*)).getField("cell").as("cell"))
   }
 
   /** IVF query: probe the `nprobe` cells nearest the query, exact-score
@@ -171,10 +199,9 @@ object EmbedOps {
     val cells = cents.zipWithIndex
       .map { case (c, i) => (c.zip(q).map { case (a, b) => a * b }.sum, i) }
       .sortBy(-_._1).take(nprobe).map(_._2)
-    val qLit = s"array(${query.map(v => s"CAST($v AS FLOAT)").mkString(", ")})"
     assigned
       .filter(col("cell").isin(cells: _*))
-      .withColumn("score", expr(s"vec_dot($vecCol, $qLit)"))
+      .withColumn("score", call_function("vec_dot", col(vecCol), floatArrayLit(query)))
       .select(col(idCol), col("score"))
       .orderBy(desc("score"), col(idCol))
       .limit(topK)
@@ -196,13 +223,22 @@ object EmbedOps {
       .withColumn(vecCol, col(vecCol).cast("array<float>"))
     val qBuckets = withLshBuckets(qDf, bits, tables, vecCol)
       .select("buckets").head().getSeq[Int](0)
+    // guard against a bits/tables mismatch with what bucketed the corpus —
+    // wrong params would silently probe nothing (even the self-match)
+    corpusWithBuckets.select(col("buckets")).head() match {
+      case r =>
+        val bs = r.getSeq[Int](0)
+        require(bs.length == tables,
+          s"corpus bucketed with ${bs.length} tables, query uses $tables")
+        require(bs.forall(b => b >= 0 && b < (1 << bits)),
+          s"corpus bucket values exceed 2^$bits — bits mismatch")
+    }
     val probeCond = (0 until tables)
       .map(t => col("buckets")(t) === lit(qBuckets(t)))
       .reduce(_ || _)
-    val qLit = s"array(${query.map(v => s"CAST($v AS FLOAT)").mkString(", ")})"
     corpusWithBuckets
       .filter(probeCond)
-      .withColumn("score", expr(s"vec_dot($vecCol, $qLit)"))
+      .withColumn("score", call_function("vec_dot", col(vecCol), floatArrayLit(query)))
       .select(col(idCol), col("score"))
       .orderBy(desc("score"), col(idCol))
       .limit(k)

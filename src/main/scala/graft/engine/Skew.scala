@@ -33,6 +33,8 @@ object Skew {
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
                  disambig: String, salts: Int): DataFrame = {
     require(salts > 0)
+    require(!large.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "inputs already carry a __salt column — it would be clobbered")
     val saltedLarge = large.withColumn("__salt", salt(col(disambig), salts))
     val replicatedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
@@ -50,6 +52,8 @@ object Skew {
     */
   def saltedCountDistinct(df: DataFrame, key: String, distinctCol: String,
                           salts: Int): DataFrame = {
+    require(!df.columns.contains("__salt"),
+      "input already carries a __salt column — it would be clobbered")
     val salted = df.withColumn("__salt", salt(col(distinctCol), salts))
     // stage 1: per (key, salt) distinct sets are disjoint because the salt
     // is a pure function of the distinct-counted value

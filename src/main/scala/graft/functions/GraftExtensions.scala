@@ -1,8 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import graft.functions.VectorFunctions.{FloatVectorDot, FloatVectorNormSq}
@@ -21,14 +19,7 @@ import graft.functions.VectorFunctions.{FloatVectorDot, FloatVectorNormSq}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("vec_dot"),
-      new ExpressionInfo(classOf[FloatVectorDot].getName, "vec_dot"),
-      (children: Seq[Expression]) => FloatVectorDot(children(0), children(1))))
-    ext.injectFunction((
-      FunctionIdentifier("vec_norm_sq"),
-      new ExpressionInfo(classOf[FloatVectorNormSq].getName, "vec_norm_sq"),
-      (children: Seq[Expression]) => FloatVectorNormSq(children.head)))
+    VectorFunctions.builtins.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => RewriteSelfDotToNormSq)
   }
 }

@@ -138,19 +138,34 @@ object VectorFunctions {
       copy(child = newChild)
   }
 
+  /** The registration triples, shared by [[register]] and GraftExtensions
+    * so the two paths cannot drift. Builders validate arity up front — the
+    * registry hands them whatever argument list the user wrote.
+    */
+  val builtins: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[FloatVectorDot].getName, "vec_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"vec_dot requires exactly 2 arguments, got ${children.size}")
+        FloatVectorDot(children(0), children(1))
+      }),
+    (FunctionIdentifier("vec_norm_sq"),
+      new ExpressionInfo(classOf[FloatVectorNormSq].getName, "vec_norm_sq"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"vec_norm_sq requires exactly 1 argument, got ${children.size}")
+        FloatVectorNormSq(children.head)
+      }))
+
   /** Idempotent per-session registration so `expr("vec_dot(a, b)")` and SQL
     * both resolve. Called from the query builders (the driver harness
     * constructs the SparkSession itself, so there is no extensions hook).
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.registerFunction(
-      FunctionIdentifier("vec_dot"),
-      new ExpressionInfo(classOf[FloatVectorDot].getName, "vec_dot"),
-      (children: Seq[Expression]) => FloatVectorDot(children(0), children(1)))
-    reg.registerFunction(
-      FunctionIdentifier("vec_norm_sq"),
-      new ExpressionInfo(classOf[FloatVectorNormSq].getName, "vec_norm_sq"),
-      (children: Seq[Expression]) => FloatVectorNormSq(children.head))
+    builtins.foreach { case (id, info, builder) =>
+      reg.registerFunction(id, info, builder)
+    }
   }
 }

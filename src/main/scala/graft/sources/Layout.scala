@@ -19,6 +19,12 @@ object Layout {
   /** Write events partitioned by event date (day granularity — the
     * standard log layout; at 100 TB this is the difference between
     * scanning 1 day and scanning 3 years).
+    *
+    * Timezone note: with a TIMESTAMP_NTZ `ts` (what Tables.events yields)
+    * `to_date` is timezone-free. For a zoned TimestampType column the day
+    * boundary follows the WRITER session's spark.sql.session.timeZone —
+    * readers must filter in the same zone, so pin the session tz (this
+    * project pins UTC everywhere).
     */
   def writeEventsPartitionedByDay(events: DataFrame, path: String): Unit =
     events

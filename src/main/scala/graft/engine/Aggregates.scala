@@ -12,7 +12,6 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Aggregates {
   private val D182 = DecimalType(18, 2)
-  private val D382 = DecimalType(38, 2)
 
   // q13 — exact multi-distinct per status. countDistinct expands to an
   // Expand + two-phase agg; at scale the distinct shuffle is on
@@ -40,12 +39,12 @@ object Aggregates {
     Tables.lineitem(s, dir)
       .rollup("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n"),
-           sum(col("l_quantity").cast(D182)).cast(D382).as("sum_qty"))
+           sum(col("l_quantity").cast(D182)).cast("double").as("sum_qty"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
   val q14Sql: String =
     """SELECT l_returnflag, l_linestatus, count(*) AS n,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
@@ -66,7 +65,7 @@ object Aggregates {
     Tables.orders(s, dir).createOrReplaceTempView("graft_q16_orders")
     s.sql(
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM graft_q16_orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
@@ -74,7 +73,7 @@ object Aggregates {
 
   val q16Sql: String =
     """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
@@ -103,16 +102,21 @@ object Aggregates {
 
   // q18 — per-group ordered list (the reference's nested-JSON component
   // assembly, SURVEY §2.5). array_sort inside the agg keeps rule §2.0.9
-  // (no order-dependent collect_list output).
+  // (no order-dependent collect_list output); the DECLARED column is the
+  // deterministic comma-joined serialization — array outputs crash the
+  // driver's pandas comparator (driver-hash rule: no ARRAY in outputs).
+  // Sort as ints FIRST, stringify after ("10" < "2" lexically).
   def q18(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy("l_orderkey")
-      .agg(array_sort(collect_list(col("l_linenumber"))).as("lines"),
+      .agg(array_join(transform(array_sort(collect_list(col("l_linenumber"))),
+                                x => x.cast("string")), ",").as("lines"),
            count(lit(1)).as("n_lines"))
       .orderBy("l_orderkey")
 
   val q18Sql: String =
-    """SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS lines,
+    """SELECT l_orderkey,
+      |  array_to_string(list(l_linenumber ORDER BY l_linenumber), ',') AS lines,
       |  count(*) AS n_lines
       |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
 

@@ -15,7 +15,6 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Relational {
   private val D182 = DecimalType(18, 2)
-  private val D382 = DecimalType(38, 2)
 
   // q01 — parquet scan + pushdown filter + column prune. At 100 TB the
   // predicate and the 3-column projection both reach the parquet reader
@@ -69,7 +68,9 @@ object Relational {
   // q04 — fact⋈dim⋈dim + agg. customer/nation broadcast automatically
   // (well under the 10 MB threshold); orders⋈customer shuffles on the key
   // at real scale — AQE coalesces the post-shuffle partitions. Money sums
-  // via DECIMAL(18,2) cast (exact, oracle-verified).
+  // exactly in DECIMAL(18,2); the DECLARED output is the final DOUBLE cast
+  // of that exact sum (a 2-decimal-digit value maps to the same nearest
+  // double on both engines — driver-hash rule: no DECIMAL in outputs).
   def q04(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
     val c = Tables.customer(s, dir)
@@ -78,12 +79,12 @@ object Relational {
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(count(lit(1)).as("n_orders"),
-           sum(col("o_totalprice").cast(D182)).cast(D382).as("revenue"))
+           sum(col("o_totalprice").cast(D182)).cast("double").as("revenue"))
       .orderBy("n_name")
   }
 
   val q04Sql: String =
-    """SELECT n_name, count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+    """SELECT n_name, count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
@@ -239,14 +240,15 @@ object Relational {
       |ORDER BY purchase_id""".stripMargin
 
   // q12 — flagship TPC-H-Q1-style pricing summary: two-phase hash agg
-  // (map-side partial + final), DECIMAL money sums, rounded averages.
+  // (map-side partial + final), exact DECIMAL money sums internally,
+  // declared outputs final-cast to DOUBLE (driver-hash rule).
   def q12(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(col("l_quantity").cast(D182)).cast(D382).as("sum_qty"),
-        sum(col("l_extendedprice").cast(D182)).cast(D382).as("sum_base_price"),
+        sum(col("l_quantity").cast(D182)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(D182)).cast("double").as("sum_base_price"),
         round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
         round(avg(col("l_quantity")), 6).as("avg_qty"),
         round(avg(col("l_extendedprice")), 6).as("avg_price"),
@@ -256,8 +258,8 @@ object Relational {
 
   val q12Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
       |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
       |  round(avg(l_quantity), 6) AS avg_qty,
       |  round(avg(l_extendedprice), 6) AS avg_price,

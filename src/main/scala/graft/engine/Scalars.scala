@@ -28,7 +28,9 @@ object Scalars {
         regexp_replace(col("p_name"), " ", "_").as("name_snake"),
         lpad(col("p_size").cast("string"), 3, "0").as("size_pad"),
         trim(concat(lit("  "), col("p_name"), lit("  "))).as("name_trim"),
-        split(col("p_name"), " ").as("name_tokens"),
+        // declared outputs carry no ARRAY columns (driver-hash rule) —
+        // the split is exercised, then serialized in original order
+        array_join(split(col("p_name"), " "), ",").as("name_tokens"),
         regexp_extract(col("p_brand"), "#([0-9]+)", 1).cast("int").as("brand_num"))
       .orderBy("p_partkey")
 
@@ -42,7 +44,7 @@ object Scalars {
       |  replace(p_name, ' ', '_') AS name_snake,
       |  lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_pad,
       |  trim('  ' || p_name || '  ') AS name_trim,
-      |  string_split(p_name, ' ') AS name_tokens,
+      |  array_to_string(string_split(p_name, ' '), ',') AS name_tokens,
       |  CAST(regexp_extract(p_brand, '#([0-9]+)', 1) AS INT) AS brand_num
       |FROM part ORDER BY p_partkey""".stripMargin
 
@@ -131,14 +133,19 @@ object Scalars {
 
   // q40 — array / higher-order functions over the embedding vectors, all
   // math DOUBLE-widened before rounding (SURVEY §2.0.4). These are the
-  // codegen'd building blocks q32 similarity search reuses.
+  // codegen'd building blocks q32 similarity search reuses. Declared
+  // array columns are serialized to comma-joined strings (driver-hash
+  // rule: no ARRAY outputs); each element goes through a fixed-scale
+  // DECIMAL(12,6) cast first because double→string formatting is
+  // engine-specific while DECIMAL(12,6)→string renders identically
+  // ("0.500000") on Spark (BigDecimal scale 6) and DuckDB.
   def q40(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(
         col("vec_id"),
         size(col("embedding")).as("dim"),
-        expr("transform(slice(embedding, 1, 3), x -> round(CAST(x AS DOUBLE), 6))").as("head3"),
-        expr("array_sort(transform(slice(embedding, 1, 5), x -> round(CAST(x AS DOUBLE), 6)))").as("head5_sorted"),
+        expr("array_join(transform(slice(embedding, 1, 3), x -> CAST(CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(12,6)) AS STRING)), ',')").as("head3"),
+        expr("array_join(transform(array_sort(transform(slice(embedding, 1, 5), x -> round(CAST(x AS DOUBLE), 6))), x -> CAST(CAST(x AS DECIMAL(12,6)) AS STRING)), ',')").as("head5_sorted"),
         expr("round(aggregate(embedding, CAST(-2.0 AS DOUBLE), (acc, x) -> greatest(acc, CAST(x AS DOUBLE))), 6)").as("vmax"),
         expr("round(sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6)").as("l2norm"))
       .orderBy("vec_id")
@@ -146,8 +153,8 @@ object Scalars {
   val q40Sql: String =
     """SELECT vec_id,
       |  len(embedding)::INT AS dim,
-      |  list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 6)) AS head3,
-      |  list_sort(list_transform(embedding[1:5], x -> round(CAST(x AS DOUBLE), 6))) AS head5_sorted,
+      |  array_to_string(list_transform(embedding[1:3], x -> CAST(CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(12,6)) AS VARCHAR)), ',') AS head3,
+      |  array_to_string(list_transform(list_sort(list_transform(embedding[1:5], x -> round(CAST(x AS DOUBLE), 6))), x -> CAST(CAST(x AS DECIMAL(12,6)) AS VARCHAR)), ',') AS head5_sorted,
       |  round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'max'), 6) AS vmax,
       |  round(sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6) AS l2norm
       |FROM embeddings ORDER BY vec_id""".stripMargin

@@ -14,7 +14,6 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Windows {
   private val D182 = DecimalType(18, 2)
-  private val D382 = DecimalType(38, 2)
 
   // q19 — ranking family + top-3 orders per customer. The rn <= 3 filter
   // triggers WindowGroupLimit pushdown (asserted in PlanShapeSpec): each
@@ -42,12 +41,14 @@ object Windows {
       |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
 
   // q20 — running total per customer. DECIMAL(18,2) inside the running sum
-  // keeps it exact (no float accumulation-order issues, SURVEY §2.0.2).
+  // keeps it exact (no float accumulation-order issues, SURVEY §2.0.2);
+  // the declared output is the final DOUBLE cast of the exact running sum
+  // (driver-hash rule: no DECIMAL in declared outputs).
   def q20(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.orders(s, dir)
-      .withColumn("running_total", sum(col("o_totalprice").cast(D182)).over(w).cast(D382))
+      .withColumn("running_total", sum(col("o_totalprice").cast(D182)).over(w).cast("double"))
       .select("o_custkey", "o_orderkey", "o_orderdate", "running_total")
       .orderBy("o_custkey", "o_orderdate", "o_orderkey")
   }
@@ -56,7 +57,7 @@ object Windows {
     """SELECT o_custkey, o_orderkey, o_orderdate,
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
       |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_total
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
       |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
 
   // q21 — 7-row moving average of order totals per customer (sliding ROWS

@@ -14,6 +14,9 @@ object Verify {
       // write µs (not INT96/ns) timestamps so result parquet types match
       // what DuckDB produces for the same oracle query
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // events.parquet carries TIMESTAMP(NANOS) — set once at construction
+      // (see Tables.events) so no query sees a mid-session conf flip
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -147,14 +147,19 @@ object LlmOps {
 
   // q35 — TF-IDF: top-scoring term per document. tf = in-doc count,
   // idf = ln(N/df) with integer inputs (bit-identical across engines);
-  // ranked on the rounded score, term as tiebreak.
+  // ranked on the rounded score, term as tiebreak. dfreq is
+  // vocabulary-sized, so it carries NO broadcast hint: at 100 TB of text
+  // the vocabulary is billions of terms and a forced broadcast would OOM
+  // — AQE picks broadcast when the table is actually small and falls
+  // back to a shuffled term-key join when it is not. The 1-row count IS
+  // hinted (always tiny).
   def q35(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(broadcast(dfreq), "term")
+    val scored = tf.join(dfreq, "term")
       .crossJoin(broadcast(n))
       .withColumn("score",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))

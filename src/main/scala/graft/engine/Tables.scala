@@ -30,13 +30,22 @@ object Tables {
   def embeddings(s: SparkSession, dir: String): DataFrame = read(s, dir, "embeddings")
 
   /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS) which Spark
-    * 4.x rejects by default. We flip the legacy conf (runtime-settable) so
-    * the column arrives as LongType nanoseconds, then convert losslessly to
-    * a microsecond timestamp (every fixture value has zero sub-µs component;
-    * DuckDB reads the same file at µs precision, so this matches the oracle).
+    * 4.x rejects by default; the session needs
+    * `spark.sql.legacy.parquet.nanosAsLong=true` so the column arrives as
+    * LongType nanoseconds, then converts losslessly to a microsecond
+    * timestamp (every fixture value has zero sub-µs component; DuckDB reads
+    * the same file at µs precision, so this matches the oracle).
+    *
+    * The engine entrypoints (Verify/Bench/Smoke mains, test base) set that
+    * conf at session CONSTRUCTION — constant for the session's lifetime, so
+    * no query observes a mid-run conf flip. The set below is only a
+    * fallback for ad-hoc sessions that skipped it (there is no per-read
+    * DataFrameReader option for this in Spark 4.1 — session conf is the
+    * only knob).
     */
   def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // timestamp_ntz: matches how the other fixture timestamp columns infer
     // (parquet isAdjustedToUTC=false → NTZ) and how DuckDB reads them —
     // keeps result-file timestamp types identical across engines. Session

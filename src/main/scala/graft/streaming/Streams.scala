@@ -161,8 +161,13 @@ object Streams {
         val dst = new org.apache.hadoop.fs.Path(snapshotDir)
         val bak0 = new org.apache.hadoop.fs.Path(snapshotDir + "_bak")
         // crash recovery: a previous batch may have died between the two
-        // renames below, leaving only the backup — restore it first
-        if (!fs.exists(dst) && fs.exists(bak0)) fs.rename(bak0, dst)
+        // renames below, leaving only the backup — restore it first. The
+        // restore must not fail silently: Hadoop rename reports most
+        // failures by returning false, and proceeding with dst absent
+        // would merge only the current batch and then DELETE the backup —
+        // the sole surviving snapshot copy.
+        if (!fs.exists(dst) && fs.exists(bak0))
+          require(fs.rename(bak0, dst), s"recovery rename $bak0 -> $dst failed")
         // a micro-batch can contain several rows per key (replays); the
         // full-outer upsert would fan out on them — collapse to one row per
         // key first so the snapshot keeps its one-row-per-key invariant

@@ -71,4 +71,19 @@ class PlanShapeSpec extends SparkSpecBase {
     val p = plan(Relational.q12(spark, sf0001))
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("q35: vocabulary join has no forced broadcast hint; AQE still broadcasts small dfreq") {
+    val df = LlmOps.q35(spark, sf0001)
+    // the vocabulary-sized dfreq side must not be hint-forced (at 100 TB it
+    // is billions of terms — a forced broadcast OOMs); only the 1-row count
+    // keeps its hint
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.size <= 1, s"expected at most the 1-row count hint, got ${hints.size}")
+    // at fixture scale AQE should still pick a broadcast join at runtime
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }

@@ -81,17 +81,46 @@ object LlmOps {
   /** Shared exact-Jaccard pair scaffold (q33 unigrams, q42 3-grams): input
     * (doc_id, token, n_tokens) with row-distinct tokens; output
     * (id_a, id_b, n_common, jaccard round 6) ordered by the pair.
+    *
+    * Stopword skew: the equi-join shuffles on `token`, so one hot token
+    * ("the") would put its whole posting list — and the quadratic pair
+    * generation for it — on ONE reducer. Tokens whose document frequency
+    * exceeds `hotDf` are therefore routed through a grid (triangle)
+    * self-join (see [[Skew.gridPairJoin]]) that spreads each hot token's
+    * pair space over groups×(groups+1)/2 shuffle cells; cold tokens keep
+    * the plain equi-join. Both branches emit one row per (pair, shared
+    * token) and union BEFORE the count, so the result is bit-identical to
+    * the unsalted join (equivalence-tested in SkewSpec on a stopword-heavy
+    * corpus). The hot-token list is df-bounded and genuinely tiny (a few
+    * hundred stopwords at any corpus size), so broadcasting it is safe at
+    * 100 TB — unlike the full vocabulary (q35's lesson).
     */
-  private[engine] def jaccardPairs(toks: DataFrame): DataFrame = {
-    val a = toks.select(col("doc_id").as("id_a"), col("token"), col("n_tokens").as("n_a"))
-    val b = toks.select(col("doc_id").as("id_b"), col("token").as("token_b"), col("n_tokens").as("n_b"))
-    a.join(b, col("token") === col("token_b") && col("id_a") < col("id_b"))
+  private[graft] def jaccardPairs(toks: DataFrame,
+                                  hotDf: Long = 1000L,
+                                  groups: Int = 8): DataFrame = {
+    val hot = toks.groupBy("token").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > hotDf).select("token")
+    val cold    = toks.join(broadcast(hot), Seq("token"), "left_anti")
+    val hotRows = toks.join(broadcast(hot), Seq("token"), "left_semi")
+    val pairRows = pairRowsPlain(cold)
+      .unionByName(Skew.gridPairJoin(hotRows, "token", "doc_id", groups)
+        .select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b"),
+                col("n_tokens_a").as("n_a"), col("n_tokens_b").as("n_b")))
+    pairRows
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_common"), min("n_a").as("n_a"), min("n_b").as("n_b"))
       .select(col("id_a"), col("id_b"), col("n_common"),
         round(col("n_common").cast("double") /
               (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
       .orderBy("id_a", "id_b")
+  }
+
+  /** One row per (doc pair, shared token) via the plain token equi-join. */
+  private def pairRowsPlain(toks: DataFrame): DataFrame = {
+    val a = toks.select(col("doc_id").as("id_a"), col("token"), col("n_tokens").as("n_a"))
+    val b = toks.select(col("doc_id").as("id_b"), col("token").as("token_b"), col("n_tokens").as("n_b"))
+    a.join(b, col("token") === col("token_b") && col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "n_a", "n_b")
   }
 
   val q33Sql: String =

@@ -43,6 +43,50 @@ object Skew {
       .drop("__salt")
   }
 
+  /** Skew-safe all-pairs SELF-join: every pair of rows sharing `key` with
+    * `idCol`(a) < `idCol`(b), without ever co-locating one key's whole
+    * group on a single reducer.
+    *
+    * A plain self-equi-join on `key` sends each key group to one shuffle
+    * partition and generates its O(|group|²) pairs there — the stopword /
+    * power-user hazard. Here each row gets a deterministic group
+    * g = hash(id) mod `groups`, and the pair space of a key is tiled into
+    * the upper-triangle grid of group pairs (i ≤ j). Each row is
+    * replicated `groups` times, once per grid cell its group participates
+    * in; the join key is (key, cell_i, cell_j), so a hot key's pairs
+    * spread over groups·(groups+1)/2 cells ≈ groups²/2 reducers. The
+    * residual predicate cell == (min(g_a,g_b), max(g_a,g_b)) makes every
+    * pair match in EXACTLY one cell (without it, two rows of the same
+    * group would meet in all `groups` cells of that group's row/column).
+    *
+    * Output: one row per qualifying pair, with every non-key column
+    * duplicated as <name>_a / <name>_b. Cost: ×groups row replication —
+    * use for the hot slice only (the caller splits hot/cold; see
+    * LlmOps.jaccardPairs).
+    */
+  def gridPairJoin(df: DataFrame, key: String, idCol: String, groups: Int): DataFrame = {
+    require(groups > 0)
+    val payload = df.columns.filter(_ != key).toSeq
+    def side(tag: String): DataFrame = {
+      val renamed = payload.foldLeft(df) { (d, c) => d.withColumnRenamed(c, s"${c}_$tag") }
+      renamed
+        .withColumn(s"__g_$tag", salt(col(s"${idCol}_$tag"), groups))
+        .withColumn("__k", explode(sequence(lit(0), lit(groups - 1))))
+        .withColumn(s"__ci_$tag", least(col(s"__g_$tag"), col("__k")))
+        .withColumn(s"__cj_$tag", greatest(col(s"__g_$tag"), col("__k")))
+        .drop("__k")
+    }
+    val a = side("a")
+    val b = side("b").withColumnRenamed(key, s"${key}_b")
+    a.join(b,
+        col(key) === col(s"${key}_b") &&
+        col("__ci_a") === col("__ci_b") && col("__cj_a") === col("__cj_b") &&
+        col("__ci_a") === least(col("__g_a"), col("__g_b")) &&
+        col("__cj_a") === greatest(col("__g_a"), col("__g_b")) &&
+        col(s"${idCol}_a") < col(s"${idCol}_b"))
+      .select(col(key) +: payload.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b"))): _*)
+  }
+
   /** Two-stage skew-safe aggregation: partial-aggregate on (key, salt),
     * then final-aggregate on key. For algebraic aggregates Spark's own
     * partial+final hash agg already does this per-partition; the explicit

@@ -28,6 +28,40 @@ class SkewSpec extends SparkSpecBase {
     assert(salts.max < 1000 * 0.3, s"salt distribution too skewed: ${salts.toSeq}")
   }
 
+  test("gridPairJoin emits every same-key ordered pair exactly once under heavy skew") {
+    // one stopword-grade key carried by 200 rows + some cool keys
+    val rows = ((1 to 200).map(i => ("the", i.toLong, 10L)) ++
+      (1 to 20).map(i => (s"rare_$i", (1000 + i).toLong, 10L)))
+      .toDF("token", "doc_id", "n_tokens")
+    val grid = Skew.gridPairJoin(rows, "token", "doc_id", groups = 4)
+      .select("token", "doc_id_a", "doc_id_b")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    // expected: all C(200,2) ordered pairs of the hot key, none for the
+    // single-row rare keys, and NO duplicates from the grid replication
+    val expected = (for {
+      a <- 1 to 200; b <- (a + 1) to 200
+    } yield ("the", a.toLong, b.toLong)).sorted
+    assert(grid == expected)
+  }
+
+  test("skew-routed jaccardPairs is identical to the plain join on a stopword-heavy corpus") {
+    // every doc shares two stopwords; distinguishing tokens vary
+    val docs = (1 to 60).map { i =>
+      (i.toLong, s"the of w$i w${i % 7} w${i % 13}")
+    }.toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("token"),
+      size(array_distinct(split(col("text"), " "))).as("n_tokens"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // hotDf=5 makes "the"/"of" and the w%7/w%13 collision tokens hot;
+    // hotDf above any df (plain path everywhere) is the reference
+    val plain = rows(graft.engine.LlmOps.jaccardPairs(toks, hotDf = Long.MaxValue))
+    val mixed = rows(graft.engine.LlmOps.jaccardPairs(toks, hotDf = 5L, groups = 4))
+    assert(plain.nonEmpty)
+    assert(mixed == plain)
+  }
+
   test("saltedCountDistinct equals plain countDistinct on fixture data") {
     val o = Tables.orders(spark, sf0001)
     val plain = o.groupBy("o_orderstatus")

@@ -53,10 +53,13 @@ object EmbedOps {
     * query as a literal, score with vec_dot, global top-k.
     */
   /** Typed float-array literal (NaN/Infinity-safe — string-interpolating
-    * vector values into SQL would not parse non-finite floats).
+    * vector values into SQL would not parse non-finite floats). A single
+    * Literal node, NOT array(lit, lit, …): with dim×bits×tables plane
+    * vectors in one projection, per-element literals explode the
+    * expression tree and janino compile time dominates the query.
     */
   private def floatArrayLit(vs: Seq[Float]): Column =
-    array(vs.map(v => lit(v)): _*).cast("array<float>")
+    typedlit[Seq[Float]](vs)
 
   def knnBruteForce(corpus: DataFrame, query: Seq[Float], k: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -68,28 +71,50 @@ object EmbedOps {
       .limit(k)
   }
 
-  /** Deterministic pseudo-random hyperplane projection: component d of
-    * table t's plane p is ±1 from xxhash64(t, p, d) — reproducible across
-    * sessions with no RNG state (Date.now/rand would break resumability).
+  /** Deterministic pseudo-random hyperplane sign: component d of table t's
+    * plane p is ±1 from xxhash64(t, p, d) — reproducible across sessions
+    * with no RNG state (Date.now/rand would break resumability). Computed
+    * DRIVER-side with Spark's own XXH64 kernel (seed 42, field-chained —
+    * byte-for-byte what the SQL `shiftright(xxhash64(t, p, CAST(d AS
+    * LONG)), 7) & 1` produced), so the planes ship as ±1 literal vectors
+    * into the codegen'd vec_dot instead of being re-hashed per row by an
+    * interpreted HOF: bucket assignments are unchanged, projection cost
+    * drops from bits×tables interpreted lambda passes per row to
+    * bits×tables tight native loops.
     */
-  private def planeSignExpr(vecCol: String, table: Int, plane: Int): String =
-    s"""aggregate(zip_with($vecCol, sequence(0, size($vecCol) - 1),
-       |  (x, d) -> CAST(x AS DOUBLE) * IF((shiftright(xxhash64($table, $plane, CAST(d AS LONG)), 7) & 1L) = 1L, 1.0D, -1.0D)),
-       |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+  private def planeSign(table: Int, plane: Int, d: Int): Float = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    var h = 42L
+    h = XXH64.hashInt(table, h)
+    h = XXH64.hashInt(plane, h)
+    h = XXH64.hashLong(d.toLong, h)
+    if (((h >> 7) & 1L) == 1L) 1.0f else -1.0f
+  }
 
   /** Multi-table LSH bucketing: `tables` independent signatures of `bits`
     * sign bits each, packed into an INT per table → `buckets` array column.
     * Standard recall/cost dial: P(candidate) = 1 - (1 - p^bits)^tables with
     * p = 1 - θ/π. Fewer bits → bigger buckets, more tables → more probes.
+    * The one-row dimensionality probe is metadata-scale (same spirit as the
+    * IVF centroid collect); all tables×bits planes ship as ONE flat float
+    * literal into the codegen'd `vec_lsh` kernel (a single expression node —
+    * the per-plane `when(vec_dot(...))` formulation generated a 64-subtree
+    * projection whose janino compile dominated the stage, see
+    * VectorFunctions.FloatLshSignature).
     */
   def withLshBuckets(df: DataFrame, bits: Int = 4, tables: Int = 8,
                      vecCol: String = "embedding"): DataFrame = {
-    val bucketExprs = (0 until tables).map { t =>
-      (0 until bits)
-        .map(p => s"(CAST(IF(${planeSignExpr(vecCol, t, p)} >= 0.0D, 1, 0) AS INT) * ${1 << p})")
-        .mkString(" + ")
-    }
-    df.withColumn("buckets", expr(s"array(${bucketExprs.mkString(", ")})"))
+    VectorFunctions.register(df.sparkSession)
+    val firstDim = df.select(size(col(vecCol))).take(1)
+    if (firstDim.isEmpty)  // empty corpus: nothing to bucket
+      return df.withColumn("buckets", array((0 until tables).map(_ => lit(0)): _*))
+    val dim = firstDim(0).getInt(0)
+    // plane (t,p) occupies [((t*bits)+p)*dim, +dim) — the layout vec_lsh reads
+    val planesFlat = floatArrayLit(
+      for (t <- 0 until tables; p <- 0 until bits; d <- 0 until dim)
+        yield planeSign(t, p, d))
+    df.withColumn("buckets",
+      call_function("vec_lsh", col(vecCol), planesFlat, lit(bits), lit(tables)))
   }
 
   /** Embedding-cosine near-duplicate pairs at corpus scale: LSH buckets

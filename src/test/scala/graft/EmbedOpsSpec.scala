@@ -107,6 +107,54 @@ class EmbedOpsSpec extends SparkSpecBase {
     assert(cents.map(_.toSeq).toSeq == cents2.map(_.toSeq).toSeq)
   }
 
+  test("vec_lsh kernel matches a driver-side reference implementation") {
+    // reference: same XXH64 plane-sign derivation as EmbedOps.planeSign,
+    // same left-to-right double accumulation as vec_dot
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    def sign(t: Int, p: Int, d: Int): Float = {
+      var h = 42L
+      h = XXH64.hashInt(t, h); h = XXH64.hashInt(p, h); h = XXH64.hashLong(d.toLong, h)
+      if (((h >> 7) & 1L) == 1L) 1.0f else -1.0f
+    }
+    val (bits, tables) = (4, 8)
+    val rows = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val expected = rows.map { case (id, v) =>
+      id -> (0 until tables).map { t =>
+        (0 until bits).map { p =>
+          var acc = 0.0
+          for (d <- v.indices) acc += v(d).toDouble * sign(t, p, d).toDouble
+          if (acc >= 0.0) 1 << p else 0
+        }.sum
+      }
+    }.toMap
+    val actual = EmbedOps.withLshBuckets(
+      Tables.embeddings(spark, sf0001), bits = bits, tables = tables)
+      .select("vec_id", "buckets").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(actual == expected)
+  }
+
+  test("vec_lsh null semantics: NULL vec -> NULL; null element -> zero sigs; bad planes -> NULL") {
+    graft.functions.VectorFunctions.register(spark)
+    val out = spark.sql(
+      """SELECT
+        |  vec_lsh(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT)), 1, 1) AS null_vec,
+        |  vec_lsh(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)),
+        |          array(CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT)), 1, 1) AS null_elem,
+        |  vec_lsh(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT)), 1, 1) AS bad_planes,
+        |  vec_lsh(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT)),
+        |          array(CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT),
+        |                CAST(-1.0 AS FLOAT), CAST(-1.0 AS FLOAT)), 2, 1) AS two_bits
+        |""".stripMargin).head()
+    assert(out.isNullAt(0))
+    assert(out.getSeq[Int](1) == Seq(0))
+    assert(out.isNullAt(2))
+    // plane0 = (1,1): dot = -1 < 0 -> bit0 unset; plane1 = (-1,-1): dot = 1 -> bit1 set
+    assert(out.getSeq[Int](3) == Seq(2))
+  }
+
   test("LSH buckets are deterministic and bounded") {
     def run() = EmbedOps.withLshBuckets(Tables.embeddings(spark, sf0001), bits = 4, tables = 8)
       .select("vec_id", "buckets").collect()

@@ -120,13 +120,59 @@ object Aggregates {
       |  count(*) AS n_lines
       |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
 
+  // q47 — the typed Aggregator UDAF (Extras.ExactMedian) in the DECLARED
+  // set, checked against DuckDB's interpolating median. Both sides average
+  // the two middle values on even counts; no nulls in the column (probed),
+  // so null-skipping semantics can't diverge. Scale note: the buffer is
+  // O(group size) — percentile_cont (q17, sort-based, spillable) is the
+  // 100 TB path; this declares the UDAF *surface*.
+  def q47(s: SparkSession, dir: String): DataFrame = {
+    Extras.registerExactMedian(s)
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_q47_lineitem")
+    s.sql(
+      """SELECT l_returnflag, round(exact_median(l_extendedprice), 6) AS med_price,
+        |  count(*) AS n
+        |FROM graft_q47_lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  val q47Sql: String =
+    """SELECT l_returnflag, round(median(l_extendedprice), 6) AS med_price,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // q49 — argmax/argmin per group (max_by/min_by ↔ DuckDB arg_max/arg_min).
+  // The orderer is an exact BIGINT (price scaled to cents, orderkey as
+  // tiebreak) so the selected row is deterministic on both engines even
+  // under price ties — a double orderer with ties would be engine-dependent.
+  def q49(s: SparkSession, dir: String): DataFrame = {
+    def ord = round(col("o_totalprice") * 100).cast("long") * lit(100000000L) +
+      col("o_orderkey")
+    Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(max_by(col("o_orderkey"), ord).as("best_order"),
+           min_by(col("o_orderkey"), ord).as("worst_order"),
+           max(col("o_totalprice")).as("max_price"),
+           count(lit(1)).as("n_orders"))
+      .orderBy("o_custkey")
+  }
+
+  val q49Sql: String =
+    """SELECT o_custkey,
+      |  arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 100000000 + o_orderkey) AS best_order,
+      |  arg_min(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 100000000 + o_orderkey) AS worst_order,
+      |  max(o_totalprice) AS max_price,
+      |  count(*) AS n_orders
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_count_distinct" -> (q13 _),
     "q14_rollup"         -> (q14 _),
     "q15_cube"           -> (q15 _),
     "q16_grouping_sets"  -> (q16 _),
     "q17_stats"          -> (q17 _),
-    "q18_collect_sorted" -> (q18 _))
+    "q18_collect_sorted" -> (q18 _),
+    "q47_median_udaf"    -> (q47 _),
+    "q49_argmax"         -> (q49 _))
 
   val oracle: Map[String, String] = Map(
     "q13_count_distinct" -> q13Sql,
@@ -134,5 +180,7 @@ object Aggregates {
     "q15_cube"           -> q15Sql,
     "q16_grouping_sets"  -> q16Sql,
     "q17_stats"          -> q17Sql,
-    "q18_collect_sorted" -> q18Sql)
+    "q18_collect_sorted" -> q18Sql,
+    "q47_median_udaf"    -> q47Sql,
+    "q49_argmax"         -> q49Sql)
 }

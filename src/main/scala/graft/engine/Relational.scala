@@ -270,6 +270,30 @@ object Relational {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  // q50 — uncorrelated scalar subqueries: orders strictly above the global
+  // mean price. Catalyst executes each scalar subquery once and broadcasts
+  // the single-value result into the filter — a scan + two O(1) side
+  // results, no join shuffle. The mean comparison is rearranged to exact
+  // DECIMAL arithmetic (price·n > Σprice) so no floating-point average sits
+  // on the predicate boundary — a double avg could flip boundary rows
+  // between engines by one ulp.
+  def q50(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_q50_orders")
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM graft_q50_orders
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * (SELECT count(*) FROM graft_q50_orders)
+        |      > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM graft_q50_orders)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val q50Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * (SELECT count(*) FROM orders)
+      |      > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_filter_project" -> (q01 _),
     "q02_multi_predicate"     -> (q02 _),
@@ -282,7 +306,8 @@ object Relational {
     "q09_cross"               -> (q09 _),
     "q10_range_join"          -> (q10 _),
     "q11_asof_join"           -> (q11 _),
-    "q12_agg_pricing"         -> (q12 _))
+    "q12_agg_pricing"         -> (q12 _),
+    "q50_scalar_subquery"     -> (q50 _))
 
   val oracle: Map[String, String] = Map(
     "q01_scan_filter_project" -> q01Sql,
@@ -296,5 +321,6 @@ object Relational {
     "q09_cross"               -> q09Sql,
     "q10_range_join"          -> q10Sql,
     "q11_asof_join"           -> q11Sql,
-    "q12_agg_pricing"         -> q12Sql)
+    "q12_agg_pricing"         -> q12Sql,
+    "q50_scalar_subquery"     -> q50Sql)
 }

@@ -115,17 +115,46 @@ object Windows {
       |  ntile(4) OVER (ORDER BY o_totalprice, o_orderkey)::INT AS quartile
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  // q48 — RANGE frame with a time-interval bound: trailing-1-hour event
+  // count and max per user. Spark's rangeBetween needs a numeric ORDER BY,
+  // so the frame runs on epoch MICROseconds (every fixture ts has
+  // sub-second parts — second-granularity framing would drift from the
+  // oracle's INTERVAL frame); DuckDB orders by the timestamp itself with
+  // RANGE BETWEEN INTERVAL. count/max are order-insensitive aggregates, so
+  // no FP-accumulation divergence is possible in a variable-width frame.
+  def q48(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-3600L * 1000000L, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("max_1h", max(col("value")).over(w))
+      .select("user_id", "event_id", "ts", "n_1h", "max_1h")
+      .orderBy("user_id", "event_id")
+  }
+
+  val q48Sql: String =
+    """SELECT user_id, event_id, ts,
+      |  count(*) OVER win AS n_1h,
+      |  max(value) OVER win AS max_1h
+      |FROM events
+      |WINDOW win AS (PARTITION BY user_id ORDER BY ts
+      |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_rank_topk"   -> (q19 _),
     "q20_running_sum" -> (q20 _),
     "q21_moving_avg"  -> (q21 _),
     "q22_lag_lead"    -> (q22 _),
-    "q23_ntile"       -> (q23 _))
+    "q23_ntile"       -> (q23 _),
+    "q48_win_range_interval" -> (q48 _))
 
   val oracle: Map[String, String] = Map(
     "q19_rank_topk"   -> q19Sql,
     "q20_running_sum" -> q20Sql,
     "q21_moving_avg"  -> q21Sql,
     "q22_lag_lead"    -> q22Sql,
-    "q23_ntile"       -> q23Sql)
+    "q23_ntile"       -> q23Sql,
+    "q48_win_range_interval" -> q48Sql)
 }

@@ -72,6 +72,34 @@ class PlanShapeSpec extends SparkSpecBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("q45: pivot is one two-phase aggregation, not a per-status union of scans") {
+    val df = Reshape.q45(spark, sf0001)
+    val p = plan(df)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // one scan of orders feeds the whole matrix
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q46: unpivot expands map-side; the only exchange is the presentation sort") {
+    val df = Reshape.q46(spark, sf0001)
+    val p = plan(df)
+    assert(p.contains("Expand"), p)
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q48: interval RANGE frame is a single keyed window (one shuffle on user_id)") {
+    val p = plan(Windows.q48(spark, sf0001))
+    assert(p.contains("Window"), p)
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size >= 1, p)
+  }
+
+  test("q50: scalar subqueries execute as side results, not joins") {
+    val df = Relational.q50(spark, sf0001)
+    val p = plan(df)
+    assert(!p.contains("Join"), "scalar subquery planned as a join:\n" + p)
+    assert(p.contains("Subquery") || p.contains("scalar-subquery"), p)
+  }
+
   test("q35: vocabulary join has no forced broadcast hint; AQE still broadcasts small dfreq") {
     val df = LlmOps.q35(spark, sf0001)
     // the vocabulary-sized dfreq side must not be hint-forced (at 100 TB it

@@ -164,6 +164,26 @@ object Aggregates {
       |  count(*) AS n_orders
       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  // q51 — ordered string aggregation INSIDE the aggregate (listagg ↔
+  // DuckDB string_agg with ORDER BY). Distinct from q18, which serializes
+  // an array after collect_list: listagg is a first-class ordered string
+  // agg with its own partial-merge semantics.
+  def q51(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_q51_orders")
+    s.sql(
+      """SELECT o_custkey,
+        |  listagg(CAST(o_orderkey AS STRING), ',')
+        |    WITHIN GROUP (ORDER BY o_orderkey) AS order_keys,
+        |  count(*) AS n_orders
+        |FROM graft_q51_orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+  }
+
+  val q51Sql: String =
+    """SELECT o_custkey,
+      |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys,
+      |  count(*) AS n_orders
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_count_distinct" -> (q13 _),
     "q14_rollup"         -> (q14 _),
@@ -172,7 +192,8 @@ object Aggregates {
     "q17_stats"          -> (q17 _),
     "q18_collect_sorted" -> (q18 _),
     "q47_median_udaf"    -> (q47 _),
-    "q49_argmax"         -> (q49 _))
+    "q49_argmax"         -> (q49 _),
+    "q51_listagg"        -> (q51 _))
 
   val oracle: Map[String, String] = Map(
     "q13_count_distinct" -> q13Sql,
@@ -182,5 +203,6 @@ object Aggregates {
     "q17_stats"          -> q17Sql,
     "q18_collect_sorted" -> q18Sql,
     "q47_median_udaf"    -> q47Sql,
-    "q49_argmax"         -> q49Sql)
+    "q49_argmax"         -> q49Sql,
+    "q51_listagg"        -> q51Sql)
 }

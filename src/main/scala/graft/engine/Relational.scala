@@ -294,6 +294,32 @@ object Relational {
       |      > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
       |ORDER BY o_orderkey""".stripMargin
 
+  // q52 — CORRELATED scalar subqueries: orders strictly above their own
+  // customer's mean price. Catalyst decorrelates each subquery into an
+  // aggregate over orders grouped by the correlation key joined back on
+  // o_custkey — the textbook rewrite; the oracle engine does the same.
+  // Exact-DECIMAL boundary as in q50.
+  def q52(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_q52_orders")
+    s.sql(
+      """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        |FROM graft_q52_orders o
+        |WHERE CAST(o.o_totalprice AS DECIMAL(18,2))
+        |        * (SELECT count(*) FROM graft_q52_orders i WHERE i.o_custkey = o.o_custkey)
+        |      > (SELECT sum(CAST(i.o_totalprice AS DECIMAL(18,2)))
+        |         FROM graft_q52_orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o.o_orderkey""".stripMargin)
+  }
+
+  val q52Sql: String =
+    """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+      |FROM orders o
+      |WHERE CAST(o.o_totalprice AS DECIMAL(18,2))
+      |        * (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+      |      > (SELECT sum(CAST(i.o_totalprice AS DECIMAL(18,2)))
+      |         FROM orders i WHERE i.o_custkey = o.o_custkey)
+      |ORDER BY o.o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_filter_project" -> (q01 _),
     "q02_multi_predicate"     -> (q02 _),
@@ -307,7 +333,8 @@ object Relational {
     "q10_range_join"          -> (q10 _),
     "q11_asof_join"           -> (q11 _),
     "q12_agg_pricing"         -> (q12 _),
-    "q50_scalar_subquery"     -> (q50 _))
+    "q50_scalar_subquery"     -> (q50 _),
+    "q52_correlated_subquery" -> (q52 _))
 
   val oracle: Map[String, String] = Map(
     "q01_scan_filter_project" -> q01Sql,
@@ -322,5 +349,6 @@ object Relational {
     "q10_range_join"          -> q10Sql,
     "q11_asof_join"           -> q11Sql,
     "q12_agg_pricing"         -> q12Sql,
-    "q50_scalar_subquery"     -> q50Sql)
+    "q50_scalar_subquery"     -> q50Sql,
+    "q52_correlated_subquery" -> q52Sql)
 }

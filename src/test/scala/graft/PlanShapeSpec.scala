@@ -100,6 +100,13 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("Subquery") || p.contains("scalar-subquery"), p)
   }
 
+  test("q52: correlated subqueries decorrelate to aggregate+join, no per-row nested loop") {
+    val p = plan(Relational.q52(spark, sf0001))
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("Join"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), "correlated subquery fell back to NL join:\n" + p)
+  }
+
   test("q35: vocabulary join has no forced broadcast hint; AQE still broadcasts small dfreq") {
     val df = LlmOps.q35(spark, sf0001)
     // the vocabulary-sized dfreq side must not be hint-forced (at 100 TB it

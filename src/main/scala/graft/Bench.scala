@@ -30,7 +30,17 @@ object Bench {
       "x41_near_dup_lsh" -> ((s, dir) =>
         graft.engine.EmbedOps.cosineNearDupPairs(
           graft.engine.Tables.embeddings(s, dir),
-          threshold = 0.9, bits = 8, tables = 8)))
+          threshold = 0.9, bits = 8, tables = 8)),
+      // x23 is the scale twin of q23's global-sort ntile: two-pass
+      // approximate quantile bucketing (sketch scan + scan-speed assign,
+      // no total sort). Value-based semantics, so no exact oracle; bucket
+      // balance is asserted in ExtrasSpec. At fixture scale the two-pass
+      // constant (sketch job + boundary collect) exceeds a 150k-row sort —
+      // the twin exists for the regime where a single-partition total sort
+      // cannot run at all, not to win at MBs.
+      "x23_ntile_approx" -> ((s, dir) =>
+        graft.engine.Windows.ntileApprox(
+          graft.engine.Tables.orders(s, dir), "o_totalprice", 4)))
     // A failed query records -1 (not its time-to-failure) so the JSON
     // output is never mistaken for an all-green run.
     val results = (SparkEntry.queries ++ benchOnly).map { case (name, fn) =>

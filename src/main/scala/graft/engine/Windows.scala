@@ -142,6 +142,31 @@ object Windows {
       |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** Scale path for q23: value-based quantile bucketing in two passes, no
+    * global sort. Pass 1 computes approximate quantile boundaries
+    * (percentile_approx — a mergeable KLL-style sketch: one scan, partial
+    * states merge map-side, O(k) driver data). Pass 2 assigns
+    * `1 + Σ [v > boundᵢ]` at scan speed. Semantics differ from row-based
+    * ntile exactly where ntile itself is arbitrary: equal values stay in
+    * one bucket here, while ntile splits them by row order to force equal
+    * bucket sizes. Bucket populations land within the sketch's rank error
+    * of n/k (asserted in PlanShapeSpec's twin suite); the sketch is
+    * deterministic for a given dataset + accuracy.
+    */
+  def ntileApprox(df: DataFrame, valueCol: String, k: Int,
+                  accuracy: Int = 10000): DataFrame = {
+    require(k >= 2, "k must be at least 2")
+    val probs = (1 until k).map(i => i.toDouble / k)
+    val bounds = df
+      .agg(percentile_approx(col(valueCol),
+        array(probs.map(lit): _*), lit(accuracy)).as("bounds"))
+      .head().getSeq[Double](0)
+    val bucket = bounds.foldLeft(lit(1)) { (acc, b) =>
+      acc + when(col(valueCol) > lit(b), 1).otherwise(0)
+    }
+    df.withColumn("quartile", bucket)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_rank_topk"   -> (q19 _),
     "q20_running_sum" -> (q20 _),

@@ -50,4 +50,30 @@ object Layout {
     */
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Small-files compaction: rewrite a parquet dataset into files near
+    * `targetBytes` each. The chronic 100 TB failure mode is the opposite of
+    * big data — millions of KB-sized files from fine-grained ingestion turn
+    * every scan into namenode + open() overhead. Partition count derives
+    * from the CURRENT on-disk bytes (compressed, so output files land close
+    * to target); `maxRecordsPerFile` is deliberately not used — it caps but
+    * cannot merge.
+    *
+    * Returns (filesBefore, filesAfter-as-planned). The rewrite is a plain
+    * round-robin repartition: no shuffle key to preserve; if the dataset is
+    * bucketed/sorted, compact per bucket via [[writeBucketed]] instead.
+    */
+  def compactParquet(spark: SparkSession, inDir: String, outDir: String,
+                     targetBytes: Long = 128L << 20): (Int, Int) = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inDir), spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(new org.apache.hadoop.fs.Path(inDir)).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nParts = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inDir)
+      .repartition(nParts)
+      .write.mode("overwrite").parquet(outDir)
+    (dataFiles.size, nParts)
+  }
 }

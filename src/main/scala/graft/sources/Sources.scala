@@ -48,6 +48,30 @@ object Sources {
   def readJsonl(s: SparkSession, path: String, schema: StructType): DataFrame =
     s.read.schema(schema).json(path)
 
+  /** ORC round-trip (the other columnar format Spark ships natively).
+    * Same pushdown story as parquet: predicates and column pruning reach
+    * the reader (asserted in SourcesSpec), so a 100 TB ORC lake queries
+    * identically to parquet — format choice is an ingest-side decision.
+    */
+  def readOrc(s: SparkSession, path: String): DataFrame = s.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** Binary-file source for the multimodal pipeline's ingest edge: each
+    * file becomes a row of (path, modificationTime, length, content) —
+    * the raw bytes land in a `binary` column exactly as
+    * `engine.Multimodal` expects. `pathGlobFilter` selects by extension
+    * without listing-then-filtering in the driver. NOT splittable (one
+    * file = one row) — fine for media objects, which are the use case;
+    * `maxBytesPerFile` partitioning happens at the Spark source level.
+    */
+  def readBinaryFiles(s: SparkSession, dir: String,
+                      glob: Option[String] = None): DataFrame = {
+    val r = s.read.format("binaryFile")
+    glob.fold(r)(g => r.option("pathGlobFilter", g)).load(dir)
+  }
+
   /** The reference's generation selection: inputs arrive as dated exports
     * (e.g. `QUERY_NAME-20250410.csv`); each rebuild must read ONLY the
     * newest generation. Pure driver-side listing — file metadata, not data —

@@ -59,4 +59,59 @@ class SourcesSpec extends SparkSpecBase {
     assert(picked.exists(_.endsWith("QUERY-20250410.csv")), picked.toString)
     assert(Sources.latestGeneration(spark, dir, raw"NOPE-(\d{8})\.csv").isEmpty)
   }
+
+  test("orc round-trip preserves values; predicates and pruning reach the ORC scan") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val orig = Tables.orders(spark, sf0001)
+    Sources.writeOrc(orig, s"$dir/orders_orc")
+    val back = Sources.readOrc(spark, s"$dir/orders_orc")
+    assert(back.count() == orig.count())
+    val q = back.filter(col("o_totalprice") > 300000.0)
+      .select("o_orderkey", "o_totalprice")
+    val scan = q.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.metadata.get("PushedFilters").exists(_.contains("GreaterThan")),
+      scan.metadata.toString)
+    assert(scan.requiredSchema.fieldNames.toSet == Set("o_orderkey", "o_totalprice"))
+    val a = orig.filter(col("o_totalprice") > 300000.0).count()
+    assert(q.count() == a)
+  }
+
+  test("binaryFile source yields (path, length, content) rows; glob filters by extension") {
+    val dir = Files.createTempDirectory("graft_bin").toString
+    val payload = Array[Byte](0x7f, 0x45, 0x4c, 0x46, 0, 1, 2, 3)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.img"), payload)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.img"), payload.map(b => (b + 1).toByte))
+    Files.writeString(java.nio.file.Paths.get(s"$dir/skip.txt"), "not media")
+    val df = Sources.readBinaryFiles(spark, dir, Some("*.img"))
+    assert(df.schema.fieldNames.toSet ==
+      Set("path", "modificationTime", "length", "content"))
+    val rows = df.orderBy("path").collect()
+    assert(rows.length == 2, rows.mkString(","))
+    assert(rows(0).getAs[Array[Byte]]("content").toSeq == payload.toSeq)
+    assert(rows(0).getAs[Long]("length") == payload.length)
+  }
+
+  test("compactParquet merges a many-small-files dataset to near-target file count") {
+    val dir = Files.createTempDirectory("graft_compact").toString
+    val orig = Tables.lineitem(spark, sf0001)
+    // fragment: 64 tiny files
+    orig.repartition(64).write.parquet(s"$dir/frag")
+    val fragFiles = new java.io.File(s"$dir/frag").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(fragFiles == 64)
+    val fragBytes = new java.io.File(s"$dir/frag").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    // target ~ half the total → expect 2 output files
+    val (before, planned) = graft.sources.Layout.compactParquet(
+      spark, s"$dir/frag", s"$dir/compact", targetBytes = fragBytes / 2)
+    assert(before == 64 && planned == 2, s"$before -> $planned")
+    val outFiles = new java.io.File(s"$dir/compact").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(outFiles == 2, s"wrote $outFiles files")
+    // lossless
+    val a = spark.read.parquet(s"$dir/compact").count()
+    assert(a == orig.count())
+  }
 }

@@ -1,0 +1,95 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected components over a pair graph + canonical-per-cluster dedup —
+  * the step after near-dup PAIR generation (MinHash/SimHash/cosine LSH):
+  * pairs only say "a ~ b"; deduplication needs "keep one per transitive
+  * cluster", i.e. components.
+  *
+  * Algorithm: iterative min-label propagation. Each vertex starts labeled
+  * with itself; every round it takes the min of its own label and its
+  * neighbors' labels, until a fixpoint. Rounds needed = graph diameter.
+  * That is the RIGHT trade for near-dup graphs specifically: components are
+  * small, dense clusterettes (docs that all match each other), so diameter
+  * is 2–4 and the whole thing is a handful of self-equi-joins on vertex id
+  * — each one shuffle, AQE-coalesced. For adversarial high-diameter graphs
+  * (long chains) the alternating large-star/small-star scheme converges in
+  * O(log n) rounds instead; near-dup workloads don't produce those shapes,
+  * and the iteration cap surfaces it loudly if one ever does.
+  *
+  * 100 TB notes:
+  *  - State per round is (id, comp) — 16 bytes a vertex, partitioned by id;
+  *    the edge table is re-used each round (persist it, not the labels'
+  *    whole lineage — localCheckpoint truncates plan growth per round).
+  *  - Convergence check is an any-row-changed probe (`isEmpty` on the
+  *    changed set) — no global count.
+  */
+object Components {
+
+  /** Label every vertex of the undirected pair graph with the minimum
+    * vertex id reachable from it.
+    *
+    * @param edges two LongType columns (`srcCol`, `dstCol`), one row per
+    *              undirected edge; self-loops and duplicates are fine.
+    * @return (id, comp) — one row per distinct vertex.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String = "src",
+                          dstCol: String = "dst", maxIter: Int = 25): DataFrame = {
+    val sym = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .union(edges.select(col(dstCol).cast("long").as("u"), col(srcCol).cast("long").as("v")))
+      .distinct()
+      .persist()
+    var labels = sym.select(col("u").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels, sym("v") === labels("id"))
+        .groupBy(col("u").as("nid")).agg(min("comp").as("nbr_comp"))
+      val updated = labels
+        .join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      converged = updated
+        .join(labels.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") =!= col("prev"))
+        .isEmpty
+      labels = updated
+      iter += 1
+    }
+    sym.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "graph diameter exceeds the near-dup shape this is tuned for; " +
+          "raise maxIter or use an alternating-star formulation")
+    labels
+  }
+
+  /** Keep one canonical document per near-dup cluster: the member with the
+    * smallest id (deterministic; swap the orderer for a quality score to
+    * keep the best-quality member instead). Documents in no pair are their
+    * own cluster and always survive.
+    *
+    * @param docs  table with `idCol`
+    * @param pairs near-dup pairs (`aCol`, `bCol`) from any pair generator
+    * @return docs rows minus non-canonical cluster members
+    */
+  def dedupByComponents(docs: DataFrame, pairs: DataFrame,
+                        idCol: String = "doc_id",
+                        aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
+    val losers = comps
+      .groupBy("comp").agg(min("id").as("keep"))
+      .join(comps, "comp")
+      .filter(col("id") =!= col("keep"))
+      .select(col("id"))
+    docs.join(losers, docs(idCol) === losers("id"), "left_anti")
+  }
+}

@@ -155,4 +155,33 @@ object TextOps {
           ((lit(1.0) - col("punct_ratio")) * 0.1) +
           (col("dedup_token_ratio") * 0.3)), 6))
   }
+
+  /** PII redaction at scan speed — the standard pre-training scrub pass.
+    * Chained codegen'd regexp_replace; each pattern stays in the Java∩RE2
+    * common subset (no lookarounds/backrefs) so the same rules port to
+    * RE2-based engines. Order matters: cards before phones (a 16-digit
+    * card must not half-match the phone rule), emails before bare domains.
+    * Patterns are intentionally high-recall/imperfect-precision — scrubbing
+    * over-redacts by design; precision cases are asserted in TextOpsSpec.
+    */
+  def redactPii(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val card = "\\b(?:\\d[ -]?){15}\\d\\b"
+    val phone = "\\+?\\d{1,3}[-. (]{0,2}\\d{2,4}[-. )]{0,2}\\d{3,4}[-. ]?\\d{3,4}\\b"
+    val ipv4 = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+    val ssn = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+    val t0 = col(textCol)
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(t0, email, "[EMAIL]"),
+              card, "[CARD]"),
+            ssn, "[SSN]"),
+          ipv4, "[IP]"),
+        phone, "[PHONE]")
+    df.withColumn("text_redacted", redacted)
+      .withColumn("was_redacted", redacted =!= t0)
+  }
 }

@@ -142,15 +142,39 @@ object Training {
        |FROM documents WHERE length(text) > 0 ORDER BY doc_id""".stripMargin
   }
 
+  // q53 — stopword filtering as a TRANSFORMATION (q34/q44 only measure):
+  // drop stopword tokens, keep the rest in order, count what was removed.
+  // HOF filter runs per-row at scan speed — no explode/regroup round trip
+  // through a shuffle, which is the naive formulation's cost.
+  def q53(s: SparkSession, dir: String): DataFrame = {
+    val stops = Seq("a", "the")
+    val toks = split(col("text"), " ")
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        array_join(filter(toks, w => !w.isin(stops: _*)), " ").as("text_filtered"),
+        size(filter(toks, w => w.isin(stops: _*))).as("n_stopwords"))
+      .orderBy("doc_id")
+  }
+
+  val q53Sql: String =
+    """SELECT doc_id,
+      |  array_to_string(list_filter(string_split(text, ' '),
+      |    w -> w NOT IN ('a', 'the')), ' ') AS text_filtered,
+      |  len(list_filter(string_split(text, ' '),
+      |    w -> w IN ('a', 'the')))::INT AS n_stopwords
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_cosine_near_dup" -> (q41 _),
     "q42_ngram_jaccard"   -> (q42 _),
     "q43_token_counts"    -> (q43 _),
-    "q44_quality_score"   -> (q44 _))
+    "q44_quality_score"   -> (q44 _),
+    "q53_stopword_filter" -> (q53 _))
 
   val oracle: Map[String, String] = Map(
     "q41_cosine_near_dup" -> q41Sql,
     "q42_ngram_jaccard"   -> q42Sql,
     "q43_token_counts"    -> q43Sql,
-    "q44_quality_score"   -> q44Sql)
+    "q44_quality_score"   -> q44Sql,
+    "q53_stopword_filter" -> q53Sql)
 }

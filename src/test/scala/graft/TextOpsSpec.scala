@@ -98,4 +98,26 @@ class TextOpsSpec extends SparkSpecBase {
     assert(out.count() == docs.count())
     assert(out.schema.fieldNames.contains("quality"))
   }
+
+  test("redactPii scrubs emails, cards, SSNs, IPs, phones and flags touched rows") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "contact alice.smith+test@sub.example.co.uk for details"),
+      (2L, "card 4111 1111 1111 1111 exp 12/27"),
+      (3L, "ssn 123-45-6789 on file"),
+      (4L, "server at 192.168.1.250 port 8080"),
+      (5L, "call +1 (212) 555-0142 or 030-1234-5678"),
+      (6L, "nothing sensitive here, just the year 2026")
+    ).toDF("id", "text")
+    val out = TextOps.redactPii(rows).orderBy("id")
+      .select("text_redacted", "was_redacted")
+      .collect().map(r => (r.getString(0), r.getBoolean(1)))
+    assert(out(0)._1 == "contact [EMAIL] for details", out(0)._1)
+    assert(out(1)._1 == "card [CARD] exp 12/27", out(1)._1)
+    assert(out(2)._1 == "ssn [SSN] on file", out(2)._1)
+    assert(out(3)._1 == "server at [IP] port 8080", out(3)._1)
+    assert(out(4)._1.contains("[PHONE]") && !out(4)._1.exists(_.isDigit), out(4)._1)
+    assert(out(5)._1 == "nothing sensitive here, just the year 2026")
+    assert(out.map(_._2).toSeq == Seq(true, true, true, true, true, false))
+  }
 }

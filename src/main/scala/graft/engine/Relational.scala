@@ -320,6 +320,49 @@ object Relational {
       |         FROM orders i WHERE i.o_custkey = o.o_custkey)
       |ORDER BY o.o_orderkey""".stripMargin
 
+  // q54 — TPC-H-Q5-shaped 6-table join: local-supplier revenue per nation
+  // in a region + date window. The optimizer's showcase: region/nation/
+  // supplier broadcast (bounded dims at any scale), customer⋈orders⋈
+  // lineitem shuffle on their keys with AQE sizing, the region filter
+  // prunes nations BEFORE the fact joins, and the s_nationkey=c_nationkey
+  // residual rides the supplier join. Declared money math identical to q12
+  // (round(sum(price·(1-disc)),2) — proven hash-stable).
+  def q54(s: SparkSession, dir: String): DataFrame = {
+    val r  = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val n  = Tables.nation(s, dir)
+    val c  = Tables.customer(s, dir)
+    val o  = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1999-01-01").cast("timestamp"))
+    val li = Tables.lineitem(s, dir)
+    val su = Tables.supplier(s, dir)
+    c.join(broadcast(n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))),
+        c("c_nationkey") === n("n_nationkey"))
+      .join(o, o("o_custkey") === c("c_custkey"))
+      .join(li, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(su), li("l_suppkey") === su("s_suppkey") &&
+        su("s_nationkey") === c("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  val q54Sql: String =
+    """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM region
+      |JOIN nation ON n_regionkey = r_regionkey
+      |JOIN customer ON c_nationkey = n_nationkey
+      |JOIN orders ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+      |  AND o_orderdate < TIMESTAMP '1999-01-01'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_filter_project" -> (q01 _),
     "q02_multi_predicate"     -> (q02 _),
@@ -334,7 +377,8 @@ object Relational {
     "q11_asof_join"           -> (q11 _),
     "q12_agg_pricing"         -> (q12 _),
     "q50_scalar_subquery"     -> (q50 _),
-    "q52_correlated_subquery" -> (q52 _))
+    "q52_correlated_subquery" -> (q52 _),
+    "q54_multiway_join"       -> (q54 _))
 
   val oracle: Map[String, String] = Map(
     "q01_scan_filter_project" -> q01Sql,
@@ -350,5 +394,6 @@ object Relational {
     "q11_asof_join"           -> q11Sql,
     "q12_agg_pricing"         -> q12Sql,
     "q50_scalar_subquery"     -> q50Sql,
-    "q52_correlated_subquery" -> q52Sql)
+    "q52_correlated_subquery" -> q52Sql,
+    "q54_multiway_join"       -> q54Sql)
 }

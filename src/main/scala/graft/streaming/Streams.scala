@@ -56,6 +56,32 @@ object Streams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("window_start"), col("n_events"))
 
+  /** Stream-stream join with event-time interval bounds — the attribution
+    * shape: each click joins impressions of the same user within the hour
+    * BEFORE it. Both sides carry watermarks, and the interval condition
+    * gives Spark an upper bound on how long either side's rows must wait in
+    * the state store — without it, stream-stream state grows forever. With
+    * `joinType=left_outer` on the impression side, unmatched impressions
+    * emit (with null click columns) only after the watermark passes their
+    * interval — correctness over latency, the Structured Streaming rule.
+    *
+    * 100 TB notes: state shards by the equi-key (user), so attribution
+    * state per executor is (users on its shards) × (rows inside the
+    * interval+delay horizon) — bounded and independent of stream length.
+    */
+  def clickAttribution(impressions: DataFrame, clicks: DataFrame,
+                       delay: String = "10 minutes",
+                       joinType: String = "inner"): DataFrame = {
+    val imp = impressions.withWatermark("imp_ts", delay)
+    val clk = clicks.withWatermark("click_ts", delay)
+    imp.join(clk,
+      expr(
+        """imp_user = click_user AND
+          |click_ts >= imp_ts AND
+          |click_ts <= imp_ts + INTERVAL 1 HOUR""".stripMargin),
+      joinType)
+  }
+
   /** Stateful streaming dedup by event_id, state bounded by the watermark. */
   def dedupWithinWatermark(events: DataFrame, delay: String = "10 minutes"): DataFrame =
     events

@@ -8,6 +8,8 @@ import graft.streaming.Streams
 
 // top-level so Spark can build an encoder without an outer-instance scope
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
+case class Imp(imp_id: Long, imp_ts: Timestamp, imp_user: Long)
+case class Click(click_id: Long, click_ts: Timestamp, click_user: Long)
 
 /** Structured Streaming semantics (SURVEY §2.8 / §5.2.4): session windows
   * agree with the batch gaps-and-islands formulation, watermarks drop late
@@ -89,6 +91,41 @@ class StreamingSpec extends SparkSpecBase {
     q.stop()
     val ids = spark.table("dedup_out").select("event_id").collect().map(_.getLong(0)).toSeq
     assert(ids.sorted == Seq(1L, 2L), ids.toString)
+  }
+
+  test("stream-stream interval join attributes clicks; outer impressions emit after watermark") {
+    val imps = MemoryStream[Imp](spark)
+    val clicks = MemoryStream[Click](spark)
+    val joined = Streams.clickAttribution(
+      imps.toDF(), clicks.toDF(), joinType = "left_outer")
+      .select("imp_id", "click_id")
+    val q = joined.writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    // imp 1 gets a click 30 min later (inside the hour); imp 2's click is
+    // 2h later (outside); imp 3 never clicks
+    imps.addData(
+      Imp(1, ts("2024-01-01 10:00:00"), 1),
+      Imp(2, ts("2024-01-01 10:00:00"), 2),
+      Imp(3, ts("2024-01-01 10:00:00"), 3))
+    clicks.addData(
+      Click(101, ts("2024-01-01 10:30:00"), 1),
+      Click(102, ts("2024-01-01 12:00:00"), 2))
+    q.processAllAvailable()
+    val matched = spark.table("attr").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(matched.get(1L).contains(101L), matched.toString)
+    assert(!matched.contains(3L), "outer row emitted before watermark passed: " + matched)
+    // advance both watermarks far past every interval: unmatched
+    // impressions 2 and 3 must now emit with null click columns
+    imps.addData(Imp(99, ts("2024-01-02 00:00:00"), 99))
+    clicks.addData(Click(999, ts("2024-01-02 00:00:00"), 99))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("attr").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(all(1L) == 101L, all.toString)
+    assert(all(2L) == -1L, "out-of-interval click wrongly attributed: " + all)
+    assert(all(3L) == -1L, "never-clicked impression missing: " + all)
   }
 
   test("flatMapGroupsWithState keeps running per-user stats across batches") {

@@ -72,24 +72,39 @@ object Components {
     labels
   }
 
-  /** Keep one canonical document per near-dup cluster: the member with the
-    * smallest id (deterministic; swap the orderer for a quality score to
-    * keep the best-quality member instead). Documents in no pair are their
-    * own cluster and always survive.
+  /** Keep one canonical document per near-dup cluster. By default the
+    * member with the smallest id survives; with `preferBy` set to a numeric
+    * column of `docs` (e.g. a quality score), the HIGHEST-scoring member
+    * survives, id as the deterministic tiebreak — "when dropping
+    * duplicates, keep the best copy", the curation default. Documents in no
+    * pair are their own cluster and always survive.
     *
-    * @param docs  table with `idCol`
-    * @param pairs near-dup pairs (`aCol`, `bCol`) from any pair generator
+    * @param docs     table with `idCol` (and `preferBy` if given)
+    * @param pairs    near-dup pairs (`aCol`, `bCol`) from any pair generator
+    * @param preferBy optional docs column whose max picks the survivor
     * @return docs rows minus non-canonical cluster members
     */
   def dedupByComponents(docs: DataFrame, pairs: DataFrame,
                         idCol: String = "doc_id",
-                        aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+                        aCol: String = "id_a", bCol: String = "id_b",
+                        preferBy: Option[String] = None): DataFrame = {
     val comps = connectedComponents(pairs, aCol, bCol)
-    val losers = comps
-      .groupBy("comp").agg(min("id").as("keep"))
-      .join(comps, "comp")
-      .filter(col("id") =!= col("keep"))
-      .select(col("id"))
+    val losers = preferBy match {
+      case None =>
+        comps
+          .groupBy("comp").agg(min("id").as("keep"))
+          .join(comps, "comp")
+          .filter(col("id") =!= col("keep"))
+          .select(col("id"))
+      case Some(scoreCol) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("comp").orderBy(desc("pref"), col("id"))
+        comps
+          .join(docs.select(col(idCol).as("id"), col(scoreCol).as("pref")), "id")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") > 1)
+          .select(col("id"))
+    }
     docs.join(losers, docs(idCol) === losers("id"), "left_anti")
   }
 }

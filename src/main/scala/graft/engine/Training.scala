@@ -164,17 +164,45 @@ object Training {
       |    w -> w IN ('a', 'the')))::INT AS n_stopwords
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // q55 — deterministic stratified sampling: keep k docs per source by
+  // ranking on md5 of the id (md5 is byte-identical across engines — q31
+  // relies on the same fact). This is the curation primitive "cap every
+  // source's contribution" with reproducible picks and NO RNG state: the
+  // sample is a pure function of the ids, so re-runs, retries, and other
+  // engines agree row-for-row. One shuffle on the stratum key;
+  // WindowGroupLimit keeps only k rows per group pre-sort at scale.
+  def q55(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("doc_id"), col("source"), col("rn"))
+      .orderBy("source", "rn")
+  }
+
+  val q55Sql: String =
+    """SELECT doc_id, source, rn::INT AS rn FROM (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents
+      |) WHERE rn <= 10 ORDER BY source, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_cosine_near_dup" -> (q41 _),
     "q42_ngram_jaccard"   -> (q42 _),
     "q43_token_counts"    -> (q43 _),
     "q44_quality_score"   -> (q44 _),
-    "q53_stopword_filter" -> (q53 _))
+    "q53_stopword_filter" -> (q53 _),
+    "q55_stratified_sample" -> (q55 _))
 
   val oracle: Map[String, String] = Map(
     "q41_cosine_near_dup" -> q41Sql,
     "q42_ngram_jaccard"   -> q42Sql,
     "q43_token_counts"    -> q43Sql,
     "q44_quality_score"   -> q44Sql,
-    "q53_stopword_filter" -> q53Sql)
+    "q53_stopword_filter" -> q53Sql,
+    "q55_stratified_sample" -> q55Sql)
 }

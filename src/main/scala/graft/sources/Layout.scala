@@ -51,6 +51,22 @@ object Layout {
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Range-clustered rewrite: rows with nearby `clusterCol` values land in
+    * the same files (repartitionByRange gives disjoint per-file key ranges;
+    * the within-partition sort tightens row-group min/max further). Range
+    * predicates on the cluster key then skip whole files/row-groups via
+    * parquet statistics — at 100 TB this is the difference between reading
+    * one file and reading the lake when partition-dir granularity is too
+    * coarse (e.g. clustering by key inside each day partition). The range
+    * boundaries come from a sampling pass (Spark's RangePartitioner), the
+    * one extra job this layout costs at write time.
+    */
+  def writeRangeClustered(df: DataFrame, path: String, clusterCol: String,
+                          nFiles: Int): Unit =
+    df.repartitionByRange(nFiles, col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.mode("overwrite").parquet(path)
+
   /** Small-files compaction: rewrite a parquet dataset into files near
     * `targetBytes` each. The chronic 100 TB failure mode is the opposite of
     * big data — millions of KB-sized files from fine-grained ingestion turn

@@ -53,6 +53,18 @@ class ComponentsSpec extends SparkSpecBase {
     assert(kept == Set(1L, 4L, 5L, 7L, 8L, 9L, 10L), kept.toString)
   }
 
+  test("preferBy keeps the highest-scoring cluster member, id as tiebreak") {
+    val docs = Seq(
+      (1L, 0.1), (2L, 0.9), (3L, 0.5),   // cluster {1,2,3}: best is 2
+      (5L, 0.7), (6L, 0.7),              // cluster {5,6}: tie -> lower id 5
+      (9L, 0.0)                          // unpaired: survives regardless
+    ).toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Components.dedupByComponents(docs, pairs, preferBy = Some("quality"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 5L, 9L), kept.toString)
+  }
+
   test("end-to-end: LSH near-dup pairs -> clusters -> one survivor per cluster") {
     // sf0.01 at threshold 0.4: the operating point where the fixture has
     // clusters (q41 finds 59 exact pairs there; sf0.001's max pairwise

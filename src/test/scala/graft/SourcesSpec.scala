@@ -93,6 +93,26 @@ class SourcesSpec extends SparkSpecBase {
     assert(rows(0).getAs[Long]("length") == payload.length)
   }
 
+  test("writeRangeClustered produces disjoint per-file key ranges (data-skipping layout)") {
+    val dir = Files.createTempDirectory("graft_cluster").toString
+    val orders = Tables.orders(spark, sf0001)
+    graft.sources.Layout.writeRangeClustered(orders, s"$dir/clustered", "o_orderkey", 8)
+    val perFile = spark.read.parquet(s"$dir/clustered")
+      .groupBy(input_file_name().as("f"))
+      .agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi"),
+           count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(perFile.length == 8, s"expected 8 files, got ${perFile.length}")
+    // disjoint ranges: each file's max < next file's min — the property
+    // parquet min/max stats need to skip whole files on a range predicate
+    perFile.sliding(2).foreach { case Array((_, hi1, _), (lo2, _, _)) =>
+      assert(hi1 < lo2, perFile.mkString(","))
+    }
+    // lossless
+    assert(perFile.map(_._3).sum == orders.count())
+  }
+
   test("compactParquet merges a many-small-files dataset to near-target file count") {
     val dir = Files.createTempDirectory("graft_compact").toString
     val orig = Tables.lineitem(spark, sf0001)

@@ -78,4 +78,49 @@ class EdgeCaseSpec extends SparkSpecBase {
     val out = graft.engine.LlmOps.q32(spark, sf0001).collect()
     assert(out.length == 10 && out.forall(!_.isNullAt(2)))
   }
+
+  test("JdbcSink: flush at exact batch boundary and mid-batch remainder") {
+    import spark.implicits._
+    val dbDir = java.nio.file.Files.createTempDirectory("graft_derby_edge").resolve("db")
+    val url = s"jdbc:derby:$dbDir;create=true"
+    // 5 rows, batchSize=2: two full batches + a remainder of 1
+    val df = (1L to 5L).map(i => (i, s"v$i")).toDF("id", "v")
+    graft.sources.JdbcSink.ensureTable(url, "edge_batch", df.schema, Seq("id"))
+    graft.sources.JdbcSink.upsert(df, url, "edge_batch", Seq("id"), batchSize = 2)
+    // replay with updates: mixed hit/miss inside one batch
+    val df2 = Seq((2L, "v2x"), (6L, "v6"), (3L, "v3x")).toDF("id", "v")
+    graft.sources.JdbcSink.upsert(df2, url, "edge_batch", Seq("id"), batchSize = 2)
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val got = spark.read.jdbc(url, "edge_batch", props)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "v1", 2L -> "v2x", 3L -> "v3x", 4L -> "v4",
+      5L -> "v5", 6L -> "v6"), got.toString)
+    try java.sql.DriverManager.getConnection(s"jdbc:derby:$dbDir;shutdown=true")
+    catch { case _: java.sql.SQLException => () }
+  }
+
+  test("ntileApprox: constant column puts everything in one bucket, never crashes") {
+    import spark.implicits._
+    val flat = Seq.fill(100)(7.0).zipWithIndex.map(_.swap).toDF("id", "x")
+    val out = graft.engine.Windows.ntileApprox(flat, "x", 4)
+    val buckets = out.select("quartile").distinct().collect().map(_.getInt(0)).toSet
+    assert(buckets == Set(1), buckets.toString)  // value-ties stay together
+  }
+
+  test("Components: empty pair set leaves every document untouched") {
+    import spark.implicits._
+    val docs = (1L to 5L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val kept = graft.engine.Components.dedupByComponents(docs, noPairs)
+    assert(kept.count() == 5)
+  }
+
+  test("pivot: a stratum with no rows for a status yields NULL on both engines' shapes") {
+    // priority×status cells can be empty at tiny SFs — q45 must emit NULL
+    // there (sum of empty), not 0 or a dropped column
+    val out = graft.engine.Reshape.q45(spark, sf0001)
+    assert(out.schema.fieldNames.toSeq == Seq("o_orderpriority", "F", "O", "P"))
+    assert(out.count() > 0)
+  }
 }

@@ -42,4 +42,24 @@ object Upsert {
     val out = cols.map(c => when(useBatch, col("__b_" + c)).otherwise(a(c)).as(c))
     merged.select(out: _*)
   }
+
+  /** Key-wise delete — the MERGE WHEN MATCHED THEN DELETE shape (the
+    * reference drops catalog rows that vanish from the next extract). A
+    * left-anti join on null-safe key equality: one shuffle per side, same
+    * plan class as the semi/anti declared queries; on a lakehouse table the
+    * equivalent is `MERGE … WHEN MATCHED THEN DELETE` / `DELETE WHERE`.
+    *
+    * @param tombstones any DataFrame carrying the key columns (extra
+    *                   columns are ignored)
+    */
+  def deleteByKey(snapshot: DataFrame, tombstones: DataFrame,
+                  keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && keys.forall(snapshot.columns.contains),
+      s"keys $keys must be columns of the table")
+    require(keys.forall(tombstones.columns.contains),
+      s"keys $keys must be columns of the tombstone set")
+    val t = tombstones.select(keys.map(k => col(k).as("__t_" + k)): _*)
+    val cond: Column = keys.map(k => snapshot(k) <=> t("__t_" + k)).reduce(_ && _)
+    snapshot.join(t, cond, "left_anti")
+  }
 }

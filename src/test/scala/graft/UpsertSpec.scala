@@ -56,4 +56,33 @@ class UpsertSpec extends SparkSpecBase {
     val b = Seq((1L, "a")).toDF("id", "name")
     intercept[IllegalArgumentException] { Upsert.upsert(a, b, Seq("id")) }
   }
+
+  test("deleteByKey removes matched keys, keeps the rest, null-safe, extra cols ignored") {
+    val snap = tbl((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+    val tomb = Seq((2L, "ignored"), (9L, "missing")).toDF("id", "junk")
+    val out = Upsert.deleteByKey(snap, tomb, Seq("id"))
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L, 3L))
+    // delete then upsert round-trip: reinsert converges
+    val back = Upsert.upsert(Upsert.deleteByKey(snap, tomb, Seq("id")),
+      tbl((2L, "b", 2.0)), Seq("id"))
+    assert(back.count() == 3)
+    // composite + null-safe: a null key matches a null tombstone key
+    val snapN = Seq((Some(1L), "x"), (None, "y")).toDF("k", "v")
+    val tombN = Seq(Option.empty[Long]).toDF("k")
+    val keptN = Upsert.deleteByKey(snapN, tombN, Seq("k")).collect()
+    assert(keptN.length == 1 && keptN.head.getString(1) == "x")
+  }
+
+  test("parquet schema evolution: mergeSchema unifies old and new generations") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    // generation 1: two columns; generation 2 adds a nullable column
+    Seq((1L, "a")).toDF("id", "name").write.parquet(s"$dir/gen=1")
+    Seq((2L, "b", 9.5)).toDF("id", "name", "score").write.parquet(s"$dir/gen=2")
+    val unified = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(unified.schema.fieldNames.toSet == Set("id", "name", "score", "gen"))
+    val rows = unified.orderBy("id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("score")), "old rows null-fill new cols")
+    assert(rows(1).getDouble(rows(1).fieldIndex("score")) == 9.5)
+  }
 }

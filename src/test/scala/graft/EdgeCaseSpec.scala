@@ -81,6 +81,9 @@ class EdgeCaseSpec extends SparkSpecBase {
 
   test("JdbcSink: flush at exact batch boundary and mid-batch remainder") {
     import spark.implicits._
+    // keep derby.log out of the repo root
+    System.setProperty("derby.system.home",
+      java.nio.file.Files.createTempDirectory("graft_derby_edge_home").toString)
     val dbDir = java.nio.file.Files.createTempDirectory("graft_derby_edge").resolve("db")
     val url = s"jdbc:derby:$dbDir;create=true"
     // 5 rows, batchSize=2: two full batches + a remainder of 1

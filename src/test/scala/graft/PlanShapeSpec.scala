@@ -100,6 +100,11 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("Subquery") || p.contains("scalar-subquery"), p)
   }
 
+  test("q55: stratified sample pushes a WindowGroupLimit (k rows per stratum pre-sort)") {
+    val p = plan(Training.q55(spark, sf0001))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q52: correlated subqueries decorrelate to aggregate+join, no per-row nested loop") {
     val p = plan(Relational.q52(spark, sf0001))
     assert(p.contains("HashAggregate"), p)

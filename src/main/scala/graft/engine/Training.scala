@@ -190,13 +190,73 @@ object Training {
       |  FROM documents
       |) WHERE rn <= 10 ORDER BY source, rn""".stripMargin
 
+  // q56 — sequence packing: greedily pack documents into fixed token
+  // budgets (the pre-training batching op: concat docs until ~N tokens,
+  // start the next chunk). chunk = floor(tokens-before-this-doc / budget),
+  // computed from a running sum — one window pass, integer math, exactly
+  // reproducible. Packing is PER SOURCE (the natural shard): the window
+  // partitions by source, so no global sort exists at any scale — the q23
+  // lesson applied by construction.
+  def q56(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.documents(s, dir)
+      .withColumn("n_tok", size(split(col("text"), " ")))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("chunk_id", floor((col("cum") - col("n_tok")) / 500.0).cast("long"))
+      .groupBy("source", "chunk_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("chunk_tokens"))
+      .orderBy("source", "chunk_id")
+  }
+
+  val q56Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, len(string_split(text, ' '))::INT AS n_tok
+      |  FROM documents
+      |), c AS (
+      |  SELECT source, n_tok,
+      |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM d
+      |)
+      |SELECT source, CAST(floor((cum - n_tok) / 500.0) AS BIGINT) AS chunk_id,
+      |  count(*) AS n_docs, sum(n_tok)::BIGINT AS chunk_tokens
+      |FROM c GROUP BY source, chunk_id ORDER BY source, chunk_id""".stripMargin
+
+  // q57 — weighted mixture sampling: admit each doc with a per-source
+  // probability, deterministically — the hash of the id IS the random
+  // draw (md5 first 8 hex nibbles / 2^32 is uniform on [0,1) and exact in
+  // a double), so the mixture is reproducible across retries, engines,
+  // and cluster sizes with zero RNG coordination. Scan-speed map-only op.
+  def q57(s: SparkSession, dir: String): DataFrame = {
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") / lit(4294967296.0)
+    val weight = when(col("source").isin("src0", "src1", "src2"), 0.8)
+      .otherwise(0.25)
+    Tables.documents(s, dir)
+      .filter(u < weight)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  val q57Sql: String =
+    """SELECT doc_id, source FROM documents
+      |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |        / 4294967296.0
+      |      < CASE WHEN source IN ('src0', 'src1', 'src2') THEN 0.8 ELSE 0.25 END
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_cosine_near_dup" -> (q41 _),
     "q42_ngram_jaccard"   -> (q42 _),
     "q43_token_counts"    -> (q43 _),
     "q44_quality_score"   -> (q44 _),
     "q53_stopword_filter" -> (q53 _),
-    "q55_stratified_sample" -> (q55 _))
+    "q55_stratified_sample" -> (q55 _),
+    "q56_sequence_pack"     -> (q56 _),
+    "q57_weighted_mixture"  -> (q57 _))
 
   val oracle: Map[String, String] = Map(
     "q41_cosine_near_dup" -> q41Sql,
@@ -204,5 +264,7 @@ object Training {
     "q43_token_counts"    -> q43Sql,
     "q44_quality_score"   -> q44Sql,
     "q53_stopword_filter" -> q53Sql,
-    "q55_stratified_sample" -> q55Sql)
+    "q55_stratified_sample" -> q55Sql,
+    "q56_sequence_pack"     -> q56Sql,
+    "q57_weighted_mixture"  -> q57Sql)
 }

@@ -268,4 +268,28 @@ object EmbedOps {
       .orderBy(desc("score"), col(idCol))
       .limit(k)
   }
+
+  /** Symmetric int8 scalar quantization of an embedding column: 4× smaller
+    * storage than float32 (the usual first move when an embedding corpus
+    * outgrows its budget), with a per-ROW scale so outlier rows don't
+    * crush everyone else's resolution. `quantize` emits
+    * (codes: array<tinyint>, qscale: float); [[dequantized]] reconstructs
+    * `value ≈ code * qscale`. Pure scan-speed HOF work on both directions —
+    * no shuffle, no UDF; write the (codes, qscale) pair and drop the float
+    * column to realize the 4× on disk AND in shuffle width when vectors
+    * ride joins. Quantization error is bounded by scale/2 per element
+    * (|x|ₘₐₓ/254); recall impact is measured, not assumed, in EmbedOpsSpec.
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String = "embedding"): DataFrame =
+    df
+      .withColumn("qscale",
+        expr(s"CAST(aggregate($vecCol, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE)))) / 127.0 AS FLOAT)"))
+      .withColumn("codes",
+        expr(s"""CASE WHEN qscale = CAST(0.0 AS FLOAT)
+                 |  THEN transform($vecCol, x -> CAST(0 AS TINYINT))
+                 |  ELSE transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) / qscale) AS TINYINT)) END""".stripMargin))
+
+  /** Reconstructed float32 vector from (codes, qscale). */
+  def dequantized(codesCol: String = "codes", scaleCol: String = "qscale"): Column =
+    expr(s"transform($codesCol, c -> CAST(c * $scaleCol AS FLOAT))")
 }

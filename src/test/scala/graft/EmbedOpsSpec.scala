@@ -163,4 +163,31 @@ class EmbedOpsSpec extends SparkSpecBase {
     assert(b1 == b2)
     assert(b1.values.forall(bs => bs.length == 8 && bs.forall(b => b >= 0 && b < 16)))
   }
+
+  test("int8 quantization: bounded element error, top-k survives, zero vector safe") {
+    val corpus = Tables.embeddings(spark, sf001)
+    val q = EmbedOps.quantizeInt8(corpus)
+    // element-wise reconstruction error <= scale/2 (+ float eps)
+    val maxErr = q
+      .withColumn("deq", EmbedOps.dequantized())
+      .withColumn("err", expr(
+        """aggregate(zip_with(embedding, deq, (a, b) -> abs(CAST(a AS DOUBLE) - CAST(b AS DOUBLE))),
+          |CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, x))""".stripMargin))
+      .withColumn("bound", col("qscale").cast("double") / 2.0 + lit(1e-6))
+      .filter(col("err") > col("bound"))
+    assert(maxErr.isEmpty, maxErr.limit(3).collect().mkString(","))
+    // kNN on dequantized vectors: >= 8/10 overlap with exact float top-10
+    val query = corpus.orderBy("vec_id").select("embedding").head().getSeq[Float](0)
+    val exact = EmbedOps.knnBruteForce(corpus, query, 10)
+      .collect().map(_.getLong(0)).toSet
+    val deqCorpus = q.select(col("vec_id"), EmbedOps.dequantized().as("embedding"))
+    val approx = EmbedOps.knnBruteForce(deqCorpus, query, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert((exact intersect approx).size >= 8, s"$exact vs $approx")
+    // zero vector: scale 0, all-zero codes, reconstructs to zeros
+    val z = EmbedOps.quantizeInt8(Seq((1L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding"))
+      .withColumn("deq", EmbedOps.dequantized()).head()
+    assert(z.getAs[Float]("qscale") == 0.0f)
+    assert(z.getSeq[Float](z.fieldIndex("deq")).forall(_ == 0.0f))
+  }
 }

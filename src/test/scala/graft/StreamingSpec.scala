@@ -93,6 +93,27 @@ class StreamingSpec extends SparkSpecBase {
     assert(ids.sorted == Seq(1L, 2L), ids.toString)
   }
 
+  test("stream-static join enriches a stream with a dimension (broadcast, no state store)") {
+    val users = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val stream = MemoryStream[Ev](spark)
+    val enriched = stream.toDF().join(broadcast(users), Seq("user_id"), "left")
+      .select("event_id", "user_id", "tier")
+    val q = enriched.writeStream.format("memory").queryName("enrich")
+      .outputMode("append").start()
+    stream.addData(
+      Ev(10, ts("2024-01-01 10:00:00"), 1, 1.0),
+      Ev(11, ts("2024-01-01 10:01:00"), 2, 2.0),
+      Ev(12, ts("2024-01-01 10:02:00"), 9, 3.0))  // no dim row -> null tier
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enrich").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) null else r.getString(2))).toMap
+    assert(got == Map(10L -> "gold", 11L -> "basic", 12L -> null), got.toString)
+    // static side broadcasts: per-microbatch hash join, no streaming state
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "stream-static join must not allocate a state store")
+  }
+
   test("stream-stream interval join attributes clicks; outer impressions emit after watermark") {
     val imps = MemoryStream[Imp](spark)
     val clicks = MemoryStream[Click](spark)

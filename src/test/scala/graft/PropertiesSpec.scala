@@ -116,4 +116,34 @@ object PropertiesSpec extends Properties("graft") {
         .collect().map(_.getLong(1))
       fps(0) == fps(1) && (toks == toks.reverse || fps(0) != fps(2))
     }
+
+  // --------------------------------------------------- components dedup
+
+  private val edgesGen: Gen[List[(Long, Long)]] =
+    Gen.listOfN(12, Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L)))
+
+  property("dedupByComponents: one survivor per component, no surviving edge") =
+    Prop.forAll(edgesGen) { edges =>
+      import scala.jdk.CollectionConverters._
+      val docs = spark.createDataFrame(
+        (0L to 15L).map(i => Row(i, s"d$i")).asJava,
+        StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+      val pairSchema = StructType(Seq(
+        StructField("id_a", LongType), StructField("id_b", LongType)))
+      val pairs = spark.createDataFrame(
+        edges.map { case (a, b) => Row(a, b) }.asJava, pairSchema)
+      val kept = graft.engine.Components.dedupByComponents(docs, pairs)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // driver-side union-find ground truth
+      val parent = Array.tabulate(16)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val paired = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      val expected = (0L to 15L).filter(i =>
+        !paired.contains(i) || find(i.toInt).toLong == i).toSet
+      kept == expected
+    }
 }

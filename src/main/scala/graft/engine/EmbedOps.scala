@@ -269,6 +269,111 @@ object EmbedOps {
       .limit(k)
   }
 
+  /** Product-quantization model: m subspaces × k cells × dsub dims, flat
+    * centroid layout [(j·k + c)·dsub, +dsub). Centroids are the ONLY
+    * driver-side state (m·k·dsub floats — e.g. 8×16×8 = 1 KB for a 64-dim
+    * corpus), shipped as a literal into the codegen'd kernels.
+    */
+  case class PqModel(m: Int, k: Int, dsub: Int, centroids: Array[Float])
+
+  /** Train a PQ codebook with per-subspace Lloyd iterations, deterministic
+    * init (first k vectors by id, sliced per subspace). Each iteration is
+    * one encode pass (codegen'd vec_pq_encode) + one (subspace, cell, dim)
+    * aggregation — map-side combinable, tiny driver collect. Empty cells
+    * keep their previous centroid.
+    */
+  def pqTrain(corpus: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 3,
+              idCol: String = "vec_id", vecCol: String = "embedding"): PqModel = {
+    VectorFunctions.register(corpus.sparkSession)
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    val pinned = corpus.persist()
+    try {
+      val init = pinned.orderBy(idCol).limit(k).select(vecCol).collect()
+        .map(_.getSeq[Float](0).toArray)
+      require(init.length == k, s"corpus must have at least k=$k vectors")
+      var cents = new Array[Float](m * k * dsub)
+      for (j <- 0 until m; c <- 0 until k; d <- 0 until dsub)
+        cents((j * k + c) * dsub + d) = init(c)(j * dsub + d)
+      for (_ <- 0 until iters) {
+        val enc = pinned.withColumn("pq_codes",
+          call_function("vec_pq_encode", col(vecCol), floatArrayLit(cents), lit(m), lit(k)))
+        val sums = enc
+          .select(posexplode(col("pq_codes")).as(Seq("j", "code")),
+            col(vecCol))
+          .select(col("j"), col("code").cast("int").as("code"),
+            posexplode(expr(s"slice($vecCol, j * $dsub + 1, $dsub)")).as(Seq("d", "v")))
+          .groupBy("j", "code", "d")
+          .agg(avg(col("v").cast("double")).as("mean"))
+          .collect()
+        val next = cents.clone()
+        sums.foreach { r =>
+          val (j, c, d) = (r.getInt(0), r.getInt(1), r.getInt(2))
+          next((j * k + c) * dsub + d) = r.getDouble(3).toFloat
+        }
+        cents = next
+      }
+      PqModel(m, k, dsub, cents)
+    } finally pinned.unpersist()
+  }
+
+  /** df + `pq_codes` (m bytes per vector — 32× smaller than 64-dim float32). */
+  def pqEncode(df: DataFrame, model: PqModel,
+               vecCol: String = "embedding"): DataFrame = {
+    VectorFunctions.register(df.sparkSession)
+    df.withColumn("pq_codes",
+      call_function("vec_pq_encode", col(vecCol),
+        floatArrayLit(model.centroids), lit(model.m), lit(model.k)))
+  }
+
+  /** PQ top-k by asymmetric distance: the per-query m×k table of partial
+    * dot products (query subvector · centroid) is computed driver-side
+    * (m·k dot products of length dsub — microseconds) and shipped as one
+    * literal; each candidate costs m table lookups via the codegen'd
+    * vec_pq_adc — the float vectors are never read. At 100 TB this scans
+    * the codes column only: 8 bytes/vector instead of 256.
+    */
+  def pqKnn(encoded: DataFrame, model: PqModel, query: Seq[Float], topK: Int,
+            idCol: String = "vec_id"): DataFrame = {
+    VectorFunctions.register(encoded.sparkSession)
+    val table = new Array[Float](model.m * model.k)
+    for (j <- 0 until model.m; c <- 0 until model.k) {
+      var acc = 0.0
+      for (d <- 0 until model.dsub)
+        acc += query(j * model.dsub + d).toDouble *
+          model.centroids((j * model.k + c) * model.dsub + d).toDouble
+      table(j * model.k + c) = acc.toFloat
+    }
+    encoded
+      .withColumn("adc_score",
+        call_function("vec_pq_adc", col("pq_codes"), floatArrayLit(table), lit(model.k)))
+      .select(col(idCol), col("adc_score"))
+      .orderBy(desc("adc_score"), col(idCol))
+      .limit(topK)
+  }
+
+  /** PQ as deployed in production: ADC generates a cheap shortlist
+    * (`shortlist` candidates scanned at m bytes each), exact vec_dot
+    * re-ranks only those — recall of near-exact search at a fraction of
+    * the float-scan cost. `encoded` must carry BOTH `pq_codes` and the
+    * float vector column (the rerank join is avoided by keeping them in
+    * one row; at 100 TB the shortlist re-rank touches `shortlist` float
+    * vectors instead of the corpus).
+    */
+  def pqKnnRerank(encoded: DataFrame, model: PqModel, query: Seq[Float],
+                  topK: Int, shortlist: Int = 100,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    VectorFunctions.register(encoded.sparkSession)
+    val candidates = pqKnn(encoded, model, query, shortlist, idCol)
+      .select(col(idCol))
+    encoded.join(broadcast(candidates), idCol)
+      .withColumn("score", call_function("vec_dot", col(vecCol), floatArrayLit(query)))
+      .select(col(idCol), col("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(topK)
+  }
+
   /** Symmetric int8 scalar quantization of an embedding column: 4× smaller
     * storage than float32 (the usual first move when an embedding corpus
     * outgrows its budget), with a per-ROW scale so outlier rows don't

@@ -255,15 +255,206 @@ object VectorFunctions {
       copy(left = newLeft, right = newRight)
   }
 
-  /** Extracts a foldable INT argument at build time (vec_lsh's bits/tables
-    * are structural constants — they size the generated loops).
+  /** Product-quantization encode in ONE expression:
+    * `vec_pq_encode(vec, centroids, m, k)` → ARRAY<TINYINT> of m codes.
+    * `centroids` is a flat literal of m×k×dsub floats (subspace j, cell c
+    * occupies [(j·k + c)·dsub, +dsub), dsub = dim/m); code j = argmin over
+    * c of the L2 distance between vec's j-th subvector and cell c, lowest
+    * c on ties (deterministic). Same rationale as vec_lsh: the m×k
+    * per-column formulation would janino-compile a huge projection; this
+    * node is one constant-size triple loop.
+    *
+    * NULL semantics: NULL vec → NULL; dim not divisible by m, centroids
+    * length mismatch, or a null element → NULL.
+    */
+  case class FloatPqEncode(left: Expression, right: Expression, m: Int, k: Int)
+      extends BinaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (children.forall(_.dataType.isInstanceOf[ArrayType]) &&
+          children.forall(_.dataType.asInstanceOf[ArrayType].elementType == FloatType)) {
+        if (m >= 1 && k >= 1 && k <= 127) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires m >= 1 and 1 <= k <= 127, got m=$m k=$k")
+      } else
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires ARRAY<FLOAT> vec and centroids arguments, got " +
+            children.map(_.dataType.catalogString).mkString(", "))
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.ByteType, containsNull = false)
+    override def prettyName: String = "vec_pq_encode"
+    override def nullable: Boolean = true
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val cents = b.asInstanceOf[ArrayData]
+      val dim = x.numElements()
+      if (m <= 0 || dim % m != 0) return null
+      val dsub = dim / m
+      if (cents.numElements() != m * k * dsub) return null
+      var i = 0
+      while (i < dim) { if (x.isNullAt(i)) return null; i += 1 }
+      val out = new Array[Byte](m)
+      var j = 0
+      while (j < m) {
+        var best = 0
+        var bestDist = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          val off = (j * k + c) * dsub
+          var dist = 0.0
+          var d = 0
+          while (d < dsub) {
+            val diff = x.getFloat(j * dsub + d).toDouble - cents.getFloat(off + d).toDouble
+            dist += diff * diff
+            d += 1
+          }
+          if (dist < bestDist) { bestDist = dist; best = c }
+          c += 1
+        }
+        out(j) = best.toByte
+        j += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val dim = ctx.freshName("dim")
+        val dsub = ctx.freshName("dsub")
+        val out = ctx.freshName("out")
+        val bad = ctx.freshName("bad")
+        val j = ctx.freshName("j")
+        val c = ctx.freshName("c")
+        val d = ctx.freshName("d")
+        val i = ctx.freshName("i")
+        val off = ctx.freshName("off")
+        val dist = ctx.freshName("dist")
+        val diff = ctx.freshName("diff")
+        val best = ctx.freshName("best")
+        val bestDist = ctx.freshName("bestDist")
+        s"""
+           |int $dim = $a.numElements();
+           |boolean $bad = ($dim % $m != 0);
+           |int $dsub = $bad ? 0 : $dim / $m;
+           |if (!$bad && $b.numElements() != ${m * k} * $dsub) $bad = true;
+           |if (!$bad) for (int $i = 0; $i < $dim && !$bad; $i++) $bad = $a.isNullAt($i);
+           |if ($bad) {
+           |  ${ev.isNull} = true;
+           |  ${ev.value} = null;
+           |} else {
+           |  byte[] $out = new byte[$m];
+           |  for (int $j = 0; $j < $m; $j++) {
+           |    int $best = 0;
+           |    double $bestDist = Double.MAX_VALUE;
+           |    for (int $c = 0; $c < $k; $c++) {
+           |      int $off = ($j * $k + $c) * $dsub;
+           |      double $dist = 0.0;
+           |      for (int $d = 0; $d < $dsub; $d++) {
+           |        double $diff = (double) $a.getFloat($j * $dsub + $d)
+           |          - (double) $b.getFloat($off + $d);
+           |        $dist += $diff * $diff;
+           |      }
+           |      if ($dist < $bestDist) { $bestDist = $dist; $best = $c; }
+           |    }
+           |    $out[$j] = (byte) $best;
+           |  }
+           |  ${ev.value} =
+           |    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+           |}
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Asymmetric-distance (ADC) scoring: `vec_pq_adc(codes, table, k)` →
+    * DOUBLE = Σ_j table[j·k + codes[j]] where `table` is the per-query
+    * m×k flat literal of partial dot products (query subvector · centroid).
+    * The query-time hot path of PQ search: m array lookups per candidate —
+    * no float vector is read at all.
+    *
+    * NULL semantics: NULL codes → NULL; table length not a multiple of k
+    * aligned with codes length, or a code outside [0, k) → NULL.
+    */
+  case class PqAdcScore(left: Expression, right: Expression, k: Int)
+      extends BinaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val codesOk = left.dataType match {
+        case ArrayType(org.apache.spark.sql.types.ByteType, _) => true
+        case _ => false
+      }
+      val tableOk = right.dataType match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      }
+      if (codesOk && tableOk && k >= 1) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires ARRAY<TINYINT> codes, ARRAY<FLOAT> table, k >= 1; got " +
+          children.map(_.dataType.catalogString).mkString(", ") + s", k=$k")
+    }
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_pq_adc"
+    override def nullable: Boolean = true
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val codes = a.asInstanceOf[ArrayData]
+      val table = b.asInstanceOf[ArrayData]
+      val m = codes.numElements()
+      if (table.numElements() != m * k) return null
+      var acc = 0.0
+      var j = 0
+      while (j < m) {
+        if (codes.isNullAt(j)) return null
+        val c = codes.getByte(j).toInt
+        if (c < 0 || c >= k) return null
+        acc += table.getFloat(j * k + c).toDouble
+        j += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val m = ctx.freshName("m")
+        val j = ctx.freshName("j")
+        val c = ctx.freshName("c")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $m = $a.numElements();
+           |double $acc = 0.0;
+           |if ($b.numElements() != $m * $k) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  for (int $j = 0; $j < $m; $j++) {
+           |    if ($a.isNullAt($j)) { ${ev.isNull} = true; break; }
+           |    int $c = (int) $a.getByte($j);
+           |    if ($c < 0 || $c >= $k) { ${ev.isNull} = true; break; }
+           |    $acc += (double) $b.getFloat($j * $k + $c);
+           |  }
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Extracts a foldable INT argument at build time (vec_lsh's and the PQ
+    * expressions' shape arguments are structural constants — they size the
+    * generated loops).
     */
   private def foldableInt(e: Expression, name: String): Int = {
-    require(e.foldable, s"vec_lsh $name argument must be a literal, got $e")
+    require(e.foldable, s"$name argument must be a literal, got $e")
     e.eval(null) match {
       case n: Number => n.intValue()
       case other => throw new IllegalArgumentException(
-        s"vec_lsh $name argument must be an integer literal, got $other")
+        s"$name argument must be an integer literal, got $other")
     }
   }
 
@@ -292,7 +483,22 @@ object VectorFunctions {
         require(children.size == 4,
           s"vec_lsh requires exactly 4 arguments (vec, planes, bits, tables), got ${children.size}")
         FloatLshSignature(children(0), children(1),
-          foldableInt(children(2), "bits"), foldableInt(children(3), "tables"))
+          foldableInt(children(2), "vec_lsh bits"), foldableInt(children(3), "vec_lsh tables"))
+      }),
+    (FunctionIdentifier("vec_pq_encode"),
+      new ExpressionInfo(classOf[FloatPqEncode].getName, "vec_pq_encode"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4,
+          s"vec_pq_encode requires exactly 4 arguments (vec, centroids, m, k), got ${children.size}")
+        FloatPqEncode(children(0), children(1),
+          foldableInt(children(2), "vec_pq_encode m"), foldableInt(children(3), "vec_pq_encode k"))
+      }),
+    (FunctionIdentifier("vec_pq_adc"),
+      new ExpressionInfo(classOf[PqAdcScore].getName, "vec_pq_adc"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          s"vec_pq_adc requires exactly 3 arguments (codes, table, k), got ${children.size}")
+        PqAdcScore(children(0), children(1), foldableInt(children(2), "vec_pq_adc k"))
       }))
 
   /** Idempotent per-session registration so `expr("vec_dot(a, b)")` and SQL

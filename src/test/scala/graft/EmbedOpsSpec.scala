@@ -164,6 +164,44 @@ class EmbedOpsSpec extends SparkSpecBase {
     assert(b1.values.forall(bs => bs.length == 8 && bs.forall(b => b >= 0 && b < 16)))
   }
 
+  test("PQ: codes in range and deterministic; ADC approximates dot; recall measured") {
+    val corpus = Tables.embeddings(spark, sf001)
+    val model = EmbedOps.pqTrain(corpus, m = 8, k = 32, iters = 4)
+    assert(model.centroids.length == 8 * 32 * 8)
+    val enc = EmbedOps.pqEncode(corpus, model).persist()
+    try {
+      val codes = enc.select("vec_id", "pq_codes").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+      assert(codes.values.forall(cs => cs.length == 8 && cs.forall(c => c >= 0 && c < 32)))
+      // deterministic re-encode
+      val codes2 = EmbedOps.pqEncode(corpus, model).select("vec_id", "pq_codes")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+      assert(codes == codes2)
+      // ADC score approximates the true dot product: mean abs error well
+      // under the unit-vector scale (PQ with 8x16 on 64 dims is lossy by
+      // design — the point is ranking, not reconstruction)
+      val query = corpus.orderBy("vec_id").select("embedding").head().getSeq[Float](0)
+      val adc = EmbedOps.pqKnn(enc, model, query, corpus.count().toInt)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val exact = EmbedOps.knnBruteForce(corpus, query, corpus.count().toInt)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val mae = exact.keys.map(id => math.abs(exact(id) - adc(id))).sum / exact.size
+      assert(mae < 0.15, s"ADC mean abs error too high: $mae")
+      // raw-ADC recall@10 is allowed to be modest (8 bytes/vector is
+      // aggressively lossy); the production path is shortlist + re-rank
+      val exactTop10 = EmbedOps.knnBruteForce(corpus, query, 10)
+        .collect().map(_.getLong(0)).toSet
+      val adcTop10 = EmbedOps.pqKnn(enc, model, query, 10).collect().map(_.getLong(0)).toSet
+      val adcRecall = (adcTop10 intersect exactTop10).size
+      assert(adcRecall >= 2, s"raw ADC recall@10 = $adcRecall/10 — ranking collapsed")
+      // ADC shortlist-100 + exact re-rank: near-exact recall
+      val reranked = EmbedOps.pqKnnRerank(enc, model, query, 10, shortlist = 100)
+        .collect().map(_.getLong(0)).toSet
+      val rerankRecall = (reranked intersect exactTop10).size
+      assert(rerankRecall >= 9, s"rerank recall@10 = $rerankRecall/10 (raw ADC was $adcRecall)")
+    } finally enc.unpersist()
+  }
+
   test("int8 quantization: bounded element error, top-k survives, zero vector safe") {
     val corpus = Tables.embeddings(spark, sf001)
     val q = EmbedOps.quantizeInt8(corpus)

@@ -22,7 +22,8 @@ import org.apache.spark.sql.functions._
   * 100 TB notes:
   *  - State per round is (id, comp) — 16 bytes a vertex, partitioned by id;
   *    the edge table is re-used each round (persist it, not the labels'
-  *    whole lineage — localCheckpoint truncates plan growth per round).
+  *    whole lineage); each round's labels persist until the next round's
+  *    are materialized, then release — storage stays one round deep.
   *  - Convergence check is an any-row-changed probe (`isEmpty` on the
   *    changed set) — no global count.
   */
@@ -42,9 +43,17 @@ object Components {
       .union(edges.select(col(dstCol).cast("long").as("u"), col(srcCol).cast("long").as("v")))
       .distinct()
       .persist()
+    // Per round: persist the new labels, materialize, run the convergence
+    // probe against the previous round, THEN release the previous round's
+    // blocks — storage stays O(1 round), not O(rounds) (localCheckpoint
+    // per round would pin every round's blocks for the app lifetime). The
+    // logical plan grows one cached layer per round; with the diameter-
+    // bounded round count that is a few dozen nodes, and a recompute after
+    // cache eviction is deterministic.
     var labels = sym.select(col("u").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .localCheckpoint()
+      .persist()
+    labels.count()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -55,11 +64,13 @@ object Components {
         .join(nbrMin, labels("id") === nbrMin("nid"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-        .localCheckpoint()
+        .persist()
+      updated.count()
       converged = updated
         .join(labels.withColumnRenamed("comp", "prev"), "id")
         .filter(col("comp") =!= col("prev"))
         .isEmpty
+      labels.unpersist()
       labels = updated
       iter += 1
     }

@@ -105,8 +105,14 @@ object EmbedOps {
   def withLshBuckets(df: DataFrame, bits: Int = 4, tables: Int = 8,
                      vecCol: String = "embedding"): DataFrame = {
     VectorFunctions.register(df.sparkSession)
-    val firstDim = df.select(size(col(vecCol))).take(1)
-    if (firstDim.isEmpty)  // empty corpus: nothing to bucket
+    // probe a NON-NULL row for the dimensionality (a null first vector
+    // would make size() null and NPE the probe). Rows whose dim differs
+    // from the probed dim — malformed in a fixed-width embedding corpus —
+    // get NULL buckets from vec_lsh's planes-length check and drop out of
+    // candidate generation at the posexplode; they never silently match.
+    val firstDim = df.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).take(1)
+    if (firstDim.isEmpty)  // empty/all-null corpus: nothing to bucket
       return df.withColumn("buckets", array((0 until tables).map(_ => lit(0)): _*))
     val dim = firstDim(0).getInt(0)
     // plane (t,p) occupies [((t*bits)+p)*dim, +dim) — the layout vec_lsh reads

@@ -44,7 +44,10 @@ object Tables {
     * only knob).
     */
   def events(s: SparkSession, dir: String): DataFrame = {
-    if (s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
+    // getOption can NEVER be None for a registered conf (it returns the
+    // registered default "false"), so compare the VALUE — an isEmpty guard
+    // here is dead code and ad-hoc sessions would crash on the nanos read.
+    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong") != "true")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // timestamp_ntz: matches how the other fixture timestamp columns infer
     // (parquet isAdjustedToUTC=false → NTZ) and how DuckDB reads them —

@@ -157,10 +157,13 @@ object Windows {
                   accuracy: Int = 10000): DataFrame = {
     require(k >= 2, "k must be at least 2")
     val probs = (1 until k).map(i => i.toDouble / k)
-    val bounds = df
+    val row = df
       .agg(percentile_approx(col(valueCol),
         array(probs.map(lit): _*), lit(accuracy)).as("bounds"))
-      .head().getSeq[Double](0)
+      .head()
+    // empty input: the sketch returns NULL bounds — emit the column anyway
+    if (row.isNullAt(0)) return df.withColumn("quartile", lit(1))
+    val bounds = row.getSeq[Double](0)
     val bucket = bounds.foldLeft(lit(1)) { (acc, b) =>
       acc + when(col(valueCol) > lit(b), 1).otherwise(0)
     }

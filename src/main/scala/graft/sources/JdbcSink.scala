@@ -207,8 +207,16 @@ object JdbcSink {
                 var inserts = 0
                 var j = 0
                 while (j < hits.length) {
-                  // Embedded Derby reports exact counts; treat only a hard 0
-                  // as "row absent" so SUCCESS_NO_INFO (-2) never double-inserts.
+                  // The plan NEEDS exact batch update-counts (Derby and
+                  // Postgres report them). A driver answering
+                  // SUCCESS_NO_INFO (Oracle; MySQL with rewriteBatched
+                  // Statements) can't tell us which rows were missed —
+                  // fail loudly rather than silently dropping new rows.
+                  if (hits(j) == java.sql.Statement.SUCCESS_NO_INFO)
+                    throw new IllegalStateException(
+                      "JDBC driver returned SUCCESS_NO_INFO for batch update counts; " +
+                        "UpdateThenInsert cannot detect missed rows on this driver — " +
+                        "use a dialect with a conflict-target upsert instead")
                   if (hits(j) == 0) { bind(ins, allOrder, types, buf(j)); ins.addBatch(); inserts += 1 }
                   j += 1
                 }

@@ -85,6 +85,12 @@ object Layout {
       new java.net.URI(inDir), spark.sparkContext.hadoopConfiguration)
     val dataFiles = fs.listStatus(new org.apache.hadoop.fs.Path(inDir)).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    // A hive-partitioned layout has no top-level data files — sizing from 0
+    // bytes would funnel the whole dataset through ONE task and flatten the
+    // partitioning. Refuse loudly; compact per partition directory instead.
+    require(dataFiles.nonEmpty,
+      s"$inDir has no top-level .parquet files — for a partitioned layout, " +
+        "compact each partition directory separately")
     val totalBytes = dataFiles.map(_.getLen).sum
     val nParts = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     spark.read.parquet(inDir)

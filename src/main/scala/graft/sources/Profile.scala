@@ -33,9 +33,12 @@ object Profile {
     }
     val row = df.agg(count(lit(1)).as("__rows"), aggs: _*).head()
     val nRows = row.getLong(0)
+    // sum() over zero rows is NULL — an empty generation must profile as
+    // n_rows=0 (the case drift() most needs to flag), not NPE
+    def longOr0(i: Int): Long = if (row.isNullAt(i)) 0L else row.getLong(i)
     val out = fields.zipWithIndex.map { case (f, i) =>
       val base = 1 + i * 4
-      Row(f.name, nRows, row.getLong(base), row.getLong(base + 1),
+      Row(f.name, nRows, longOr0(base), longOr0(base + 1),
         if (row.isNullAt(base + 2)) null else row.getString(base + 2),
         if (row.isNullAt(base + 3)) null else row.getString(base + 3))
     }

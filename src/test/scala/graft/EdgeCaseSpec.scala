@@ -109,6 +109,38 @@ class EdgeCaseSpec extends SparkSpecBase {
     val out = graft.engine.Windows.ntileApprox(flat, "x", 4)
     val buckets = out.select("quartile").distinct().collect().map(_.getInt(0)).toSet
     assert(buckets == Set(1), buckets.toString)  // value-ties stay together
+    // empty input: NULL sketch bounds must not NPE
+    val empty = graft.engine.Windows.ntileApprox(flat.filter(col("id") < 0), "x", 4)
+    assert(empty.columns.contains("quartile") && empty.count() == 0)
+  }
+
+  test("Profile.profile on an empty generation reports n_rows=0, no NPE") {
+    import spark.implicits._
+    val empty = Seq((1L, "x")).toDF("id", "v").filter(col("id") < 0)
+    val p = graft.sources.Profile.profile(empty).collect()
+    assert(p.length == 2 && p.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L))
+  }
+
+  test("withLshBuckets survives a NULL vector in the probed position") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option.empty[Array[Float]]),
+      (2L, Some(Array(1.0f, 0.0f)))
+    ).toDF("vec_id", "embedding")
+    val out = graft.engine.EmbedOps.withLshBuckets(df, bits = 2, tables = 2)
+      .orderBy("vec_id").collect()
+    assert(out(0).isNullAt(2), "null vector must yield null buckets")
+    assert(out(1).getSeq[Int](2).length == 2)
+  }
+
+  test("compactParquet refuses a hive-partitioned layout instead of single-tasking it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_part_compact").toString
+    Seq((1L, "a")).toDF("id", "p").write.partitionBy("p").parquet(s"$dir/data")
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Layout.compactParquet(spark, s"$dir/data", s"$dir/out")
+    }
+    assert(e.getMessage.contains("partition"))
   }
 
   test("Components: empty pair set leaves every document untouched") {

@@ -43,14 +43,22 @@ object Bench {
           graft.engine.Tables.orders(s, dir), "o_totalprice", 4)))
     // A failed query records -1 (not its time-to-failure) so the JSON
     // output is never mistaken for an all-green run.
+    // Each query runs `reps` times and reports the MIN: host-level noise on
+    // this box was measured inflating identical code by a uniform ~1.7×
+    // within one day (BASELINE.md), and min-of-n is the standard estimator
+    // for the machine-independent cost. Override with SPARK_GRAFT_BENCH_REPS=1
+    // for a single-shot run.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val results = (SparkEntry.queries ++ benchOnly).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
+      val times = (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            -1.0
+        }
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

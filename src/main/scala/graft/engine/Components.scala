@@ -43,15 +43,24 @@ object Components {
       .union(edges.select(col(dstCol).cast("long").as("u"), col(srcCol).cast("long").as("v")))
       .distinct()
       .persist()
-    // Per round: persist the new labels, materialize, run the convergence
-    // probe against the previous round, THEN release the previous round's
-    // blocks — storage stays O(1 round), not O(rounds) (localCheckpoint
-    // per round would pin every round's blocks for the app lifetime). The
-    // logical plan grows one cached layer per round; with the diameter-
-    // bounded round count that is a few dozen nodes, and a recompute after
-    // cache eviction is deterministic.
-    var labels = sym.select(col("u").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // Each round's new labels are REBASED onto a leaf plan
+    // (createDataFrame over the round's RDD) before becoming the next
+    // round's input. Both halves matter:
+    //  - plan truncation is ESSENTIAL, not cosmetic: `updated` references
+    //    `labels` twice (via nbrMin and the join), so without a leaf
+    //    rebase the logical plan DOUBLES per round — ~10 rounds in,
+    //    analysis alone dwarfs execution (observed as an apparent hang);
+    //  - persist new / materialize / unpersist previous keeps cached
+    //    blocks one round deep (localCheckpoint-per-round would pin every
+    //    round's blocks for the app lifetime). The underlying RDD lineage
+    //    grows linearly and recompute-after-eviction is deterministic.
+    val spark = edges.sparkSession
+    val labelSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, comp BIGINT")
+    def rebased(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, labelSchema)
+    var labels = rebased(
+      sym.select(col("u").as("id")).distinct().withColumn("comp", col("id")))
       .persist()
     labels.count()
     var converged = false
@@ -60,10 +69,11 @@ object Components {
       val nbrMin = sym
         .join(labels, sym("v") === labels("id"))
         .groupBy(col("u").as("nid")).agg(min("comp").as("nbr_comp"))
-      val updated = labels
-        .join(nbrMin, labels("id") === nbrMin("nid"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+      val updated = rebased(
+        labels
+          .join(nbrMin, labels("id") === nbrMin("nid"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp")))
         .persist()
       updated.count()
       converged = updated

@@ -48,7 +48,9 @@ object Bench {
     // within one day (BASELINE.md), and min-of-n is the standard estimator
     // for the machine-independent cost. Override with SPARK_GRAFT_BENCH_REPS=1
     // for a single-shot run.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    val reps = scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").trim.toInt)
+      .getOrElse { System.err.println("[bench] bad SPARK_GRAFT_BENCH_REPS, using 2"); 2 }
+      .max(1)
     val results = (SparkEntry.queries ++ benchOnly).map { case (name, fn) =>
       val times = (0 until reps).map { _ =>
         val t0 = System.nanoTime()

@@ -32,9 +32,14 @@ object Components {
   /** Label every vertex of the undirected pair graph with the minimum
     * vertex id reachable from it.
     *
+    * OWNERSHIP: the returned frame is PERSISTED (it is the fixpoint of an
+    * iterative computation — returning it lazy would replay every round on
+    * each downstream action). Call `.unpersist()` on it when done, the
+    * same contract as GraphX/GraphFrames component results.
+    *
     * @param edges two LongType columns (`srcCol`, `dstCol`), one row per
     *              undirected edge; self-loops and duplicates are fine.
-    * @return (id, comp) — one row per distinct vertex.
+    * @return (id, comp) — one row per distinct vertex, persisted.
     */
   def connectedComponents(edges: DataFrame, srcCol: String = "src",
                           dstCol: String = "dst", maxIter: Int = 25): DataFrame = {
@@ -85,11 +90,13 @@ object Components {
       iter += 1
     }
     sym.unpersist()
-    if (!converged)
+    if (!converged) {
+      labels.unpersist()  // don't orphan the cache on the failure path
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
           "graph diameter exceeds the near-dup shape this is tuned for; " +
           "raise maxIter or use an alternating-star formulation")
+    }
     labels
   }
 
@@ -99,6 +106,12 @@ object Components {
     * survives, id as the deterministic tiebreak — "when dropping
     * duplicates, keep the best copy", the curation default. Documents in no
     * pair are their own cluster and always survive.
+    *
+    * NOTE: the internal components frame stays cached until the returned
+    * frame's action completes (same ownership story as
+    * [[connectedComponents]]); for bulk pipelines issuing many dedup
+    * calls in one session, `spark.catalog.clearCache()` between stages
+    * releases them.
     *
     * @param docs     table with `idCol` (and `preferBy` if given)
     * @param pairs    near-dup pairs (`aCol`, `bCol`) from any pair generator

@@ -112,8 +112,13 @@ object EmbedOps {
     // candidate generation at the posexplode; they never silently match.
     val firstDim = df.filter(col(vecCol).isNotNull)
       .select(size(col(vecCol))).take(1)
-    if (firstDim.isEmpty)  // empty/all-null corpus: nothing to bucket
-      return df.withColumn("buckets", array((0 until tables).map(_ => lit(0)): _*))
+    if (firstDim.isEmpty)
+      // empty or all-null corpus: null vectors keep NULL buckets (same
+      // semantics as the normal path — a non-null zeros array here would
+      // make unmatched-able null rows collide into every candidate pair)
+      return df.withColumn("buckets",
+        when(col(vecCol).isNotNull, array((0 until tables).map(_ => lit(0)): _*))
+          .otherwise(lit(null).cast("array<int>")))
     val dim = firstDim(0).getInt(0)
     // plane (t,p) occupies [((t*bits)+p)*dim, +dim) — the layout vec_lsh reads
     val planesFlat = floatArrayLit(
@@ -255,14 +260,18 @@ object EmbedOps {
     val qBuckets = withLshBuckets(qDf, bits, tables, vecCol)
       .select("buckets").head().getSeq[Int](0)
     // guard against a bits/tables mismatch with what bucketed the corpus —
-    // wrong params would silently probe nothing (even the self-match)
-    corpusWithBuckets.select(col("buckets")).head() match {
-      case r =>
-        val bs = r.getSeq[Int](0)
-        require(bs.length == tables,
-          s"corpus bucketed with ${bs.length} tables, query uses $tables")
-        require(bs.forall(b => b >= 0 && b < (1 << bits)),
-          s"corpus bucket values exceed 2^$bits — bits mismatch")
+    // wrong params would silently probe nothing (even the self-match).
+    // Probe a NON-NULL buckets row: null-vector rows carry NULL buckets.
+    val shapeProbe = corpusWithBuckets
+      .filter(col("buckets").isNotNull).select(col("buckets")).take(1)
+    if (shapeProbe.isEmpty)  // empty or all-null corpus: no neighbours
+      return corpusWithBuckets.select(col(idCol), lit(0.0).as("score")).limit(0)
+    locally {
+      val bs = shapeProbe(0).getSeq[Int](0)
+      require(bs.length == tables,
+        s"corpus bucketed with ${bs.length} tables, query uses $tables")
+      require(bs.forall(b => b >= 0 && b < (1 << bits)),
+        s"corpus bucket values exceed 2^$bits — bits mismatch")
     }
     val probeCond = (0 until tables)
       .map(t => col("buckets")(t) === lit(qBuckets(t)))
@@ -291,14 +300,20 @@ object EmbedOps {
   def pqTrain(corpus: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 3,
               idCol: String = "vec_id", vecCol: String = "embedding"): PqModel = {
     VectorFunctions.register(corpus.sparkSession)
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    // dim probe + init read skip null vectors (a NULL first row must not
+    // NPE the probe — same rule as withLshBuckets)
+    val dimProbe = corpus.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).take(1)
+    require(dimProbe.nonEmpty, "pqTrain needs at least one non-null vector")
+    val dim = dimProbe(0).getInt(0)
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val dsub = dim / m
     val pinned = corpus.persist()
     try {
-      val init = pinned.orderBy(idCol).limit(k).select(vecCol).collect()
+      val init = pinned.filter(col(vecCol).isNotNull)
+        .orderBy(idCol).limit(k).select(vecCol).collect()
         .map(_.getSeq[Float](0).toArray)
-      require(init.length == k, s"corpus must have at least k=$k vectors")
+      require(init.length == k, s"corpus must have at least k=$k non-null vectors")
       var cents = new Array[Float](m * k * dsub)
       for (j <- 0 until m; c <- 0 until k; d <- 0 until dsub)
         cents((j * k + c) * dsub + d) = init(c)(j * dsub + d)
@@ -343,6 +358,9 @@ object EmbedOps {
   def pqKnn(encoded: DataFrame, model: PqModel, query: Seq[Float], topK: Int,
             idCol: String = "vec_id"): DataFrame = {
     VectorFunctions.register(encoded.sparkSession)
+    require(query.length == model.m * model.dsub,
+      s"query dim ${query.length} != model dim ${model.m * model.dsub} " +
+        s"(m=${model.m} × dsub=${model.dsub})")
     val table = new Array[Float](model.m * model.k)
     for (j <- 0 until model.m; c <- 0 until model.k) {
       var acc = 0.0

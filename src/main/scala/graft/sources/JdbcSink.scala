@@ -208,15 +208,16 @@ object JdbcSink {
                 var j = 0
                 while (j < hits.length) {
                   // The plan NEEDS exact batch update-counts (Derby and
-                  // Postgres report them). A driver answering
-                  // SUCCESS_NO_INFO (Oracle; MySQL with rewriteBatched
-                  // Statements) can't tell us which rows were missed —
-                  // fail loudly rather than silently dropping new rows.
-                  if (hits(j) == java.sql.Statement.SUCCESS_NO_INFO)
+                  // Postgres report them). Any negative count — -2
+                  // SUCCESS_NO_INFO (Oracle; MySQL rewriteBatchedStatements)
+                  // or -3 EXECUTE_FAILED under continue-on-error drivers —
+                  // means we can't tell which rows were missed: fail loudly
+                  // rather than silently dropping rows.
+                  if (hits(j) < 0)
                     throw new IllegalStateException(
-                      "JDBC driver returned SUCCESS_NO_INFO for batch update counts; " +
-                        "UpdateThenInsert cannot detect missed rows on this driver — " +
-                        "use a dialect with a conflict-target upsert instead")
+                      s"JDBC driver returned batch update count ${hits(j)}; " +
+                        "UpdateThenInsert needs exact counts to detect missed rows — " +
+                        "use a dialect with a conflict-target upsert on this driver")
                   if (hits(j) == 0) { bind(ins, allOrder, types, buf(j)); ins.addBatch(); inserts += 1 }
                   j += 1
                 }

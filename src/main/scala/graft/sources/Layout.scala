@@ -87,10 +87,17 @@ object Layout {
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     // A hive-partitioned layout has no top-level data files — sizing from 0
     // bytes would funnel the whole dataset through ONE task and flatten the
-    // partitioning. Refuse loudly; compact per partition directory instead.
-    require(dataFiles.nonEmpty,
-      s"$inDir has no top-level .parquet files — for a partitioned layout, " +
-        "compact each partition directory separately")
+    // partitioning. Refuse loudly, with a diagnosis that matches what's
+    // actually there (partition subdirectories vs nothing at all).
+    if (dataFiles.isEmpty) {
+      val hasSubdirs = fs.listStatus(new org.apache.hadoop.fs.Path(inDir))
+        .exists(_.isDirectory)
+      throw new IllegalArgumentException(
+        if (hasSubdirs)
+          s"$inDir contains subdirectories but no top-level .parquet files — " +
+            "looks partitioned; compact each partition directory separately"
+        else s"$inDir contains no .parquet files — nothing to compact")
+    }
     val totalBytes = dataFiles.map(_.getLen).sum
     val nParts = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     spark.read.parquet(inDir)

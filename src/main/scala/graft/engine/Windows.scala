@@ -170,13 +170,40 @@ object Windows {
     df.withColumn("quartile", bucket)
   }
 
+  // q58 — the value-picking window family: first/last/nth over a per-key
+  // full frame (the remaining analytic functions q19–q22 don't cover).
+  // Unique ORDER BY (date, key) keeps every pick deterministic; the full
+  // RANGE frame makes last_value the true per-group last, not the default
+  // running frame's current row.
+  def q58(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .withColumn("first_key", first(col("o_orderkey")).over(w))
+      .withColumn("last_key", last(col("o_orderkey")).over(w))
+      .withColumn("second_key", nth_value(col("o_orderkey"), 2).over(w))
+      .select("o_custkey", "o_orderkey", "first_key", "last_key", "second_key")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q58Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  first_value(o_orderkey) OVER win AS first_key,
+      |  last_value(o_orderkey) OVER win AS last_key,
+      |  nth_value(o_orderkey, 2) OVER win AS second_key
+      |FROM orders
+      |WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_rank_topk"   -> (q19 _),
     "q20_running_sum" -> (q20 _),
     "q21_moving_avg"  -> (q21 _),
     "q22_lag_lead"    -> (q22 _),
     "q23_ntile"       -> (q23 _),
-    "q48_win_range_interval" -> (q48 _))
+    "q48_win_range_interval" -> (q48 _),
+    "q58_value_windows" -> (q58 _))
 
   val oracle: Map[String, String] = Map(
     "q19_rank_topk"   -> q19Sql,
@@ -184,5 +211,6 @@ object Windows {
     "q21_moving_avg"  -> q21Sql,
     "q22_lag_lead"    -> q22Sql,
     "q23_ntile"       -> q23Sql,
-    "q48_win_range_interval" -> q48Sql)
+    "q48_win_range_interval" -> q48Sql,
+    "q58_value_windows" -> q58Sql)
 }

@@ -40,7 +40,15 @@ object Bench {
       // cannot run at all, not to win at MBs.
       "x23_ntile_approx" -> ((s, dir) =>
         graft.engine.Windows.ntileApprox(
-          graft.engine.Tables.orders(s, dir), "o_totalprice", 4)))
+          graft.engine.Tables.orders(s, dir), "o_totalprice", 4)),
+      // x56 is the sub-sharded twin of q56's per-source packing: the
+      // window sort runs over (source, hash-shard) partitions, so no task
+      // ever sorts a whole source (q56's low-cardinality partition key is
+      // the one unmitigated scale risk flagged in round 2). Equivalence at
+      // shards=1 + packing invariants are proven in SequencePackSpec.
+      "x56_pack_sharded" -> ((s, dir) =>
+        graft.engine.Training.sequencePackSharded(
+          graft.engine.Tables.documents(s, dir), budget = 500, shards = 32)))
     // A failed query records -1 (not its time-to-failure) so the JSON
     // output is never mistaken for an all-green run.
     // Each query runs `reps` times and reports the MIN: host-level noise on

@@ -194,9 +194,14 @@ object Training {
   // budgets (the pre-training batching op: concat docs until ~N tokens,
   // start the next chunk). chunk = floor(tokens-before-this-doc / budget),
   // computed from a running sum — one window pass, integer math, exactly
-  // reproducible. Packing is PER SOURCE (the natural shard): the window
-  // partitions by source, so no global sort exists at any scale — the q23
-  // lesson applied by construction.
+  // reproducible. The window partitions by source — NOT a global sort, but
+  // `source` is low-cardinality, so at corpus scale each source is still a
+  // single-task sort (the q23 problem behind a small key). This declared
+  // query is the exact-oracle baseline; the at-scale path is
+  // [[sequencePackSharded]], which packs within (source, hash sub-shard)
+  // — valid because packing order is a CHOICE, not a semantic (any
+  // deterministic order yields equally-valid chunks) — and is benched as
+  // x56 next to this exact formulation.
   def q56(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy("doc_id")
@@ -224,6 +229,46 @@ object Training {
       |SELECT source, CAST(floor((cum - n_tok) / 500.0) AS BIGINT) AS chunk_id,
       |  count(*) AS n_docs, sum(n_tok)::BIGINT AS chunk_tokens
       |FROM c GROUP BY source, chunk_id ORDER BY source, chunk_id""".stripMargin
+
+  /** Scale path for q56: per-document chunk assignment packing within
+    * (source, sub-shard) instead of per source alone. The sub-shard is
+    * `Skew.salt(doc_id, shards)` — the project-wide deterministic salt —
+    * so the window sort runs over `shards` bounded partitions per source
+    * and NO single task ever sorts a whole source. Chunk ids are LOCAL to
+    * a (source, shard) pair; (source, shard, chunk_id) is the pack key.
+    *
+    * Semantics note: greedy packing by doc_id order is a reproducibility
+    * choice, not a requirement — any deterministic order yields valid
+    * chunks (every doc in exactly one chunk, chunks start when the running
+    * total crosses the budget). Sub-sharding changes WHICH docs share a
+    * chunk, never the budget invariant, which holds per shard:
+    * tokens-before-doc ∈ [chunk·budget, (chunk+1)·budget)  — asserted in
+    * SequencePackSpec. With shards = 1 this is exactly q56's packing.
+    */
+  def packAssignments(docs: DataFrame, budget: Int = 500,
+                      shards: Int = 32): DataFrame = {
+    require(budget > 0 && shards > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs
+      .withColumn("shard", Skew.salt(col("doc_id"), shards))
+      .withColumn("n_tok", size(split(col("text"), " ")))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("chunk_id",
+        floor((col("cum") - col("n_tok")) / budget.toDouble).cast("long"))
+      .select("doc_id", "source", "shard", "n_tok", "cum", "chunk_id")
+  }
+
+  /** q56's aggregated shape on the sub-sharded packing (bench twin x56):
+    * one row per (source, shard, chunk_id) with doc and token counts.
+    */
+  def sequencePackSharded(docs: DataFrame, budget: Int = 500,
+                          shards: Int = 32): DataFrame =
+    packAssignments(docs, budget, shards)
+      .groupBy("source", "shard", "chunk_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("chunk_tokens"))
 
   // q57 — weighted mixture sampling: admit each doc with a per-source
   // probability, deterministically — the hash of the id IS the random

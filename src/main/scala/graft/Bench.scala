@@ -48,7 +48,24 @@ object Bench {
       // shards=1 + packing invariants are proven in SequencePackSpec.
       "x56_pack_sharded" -> ((s, dir) =>
         graft.engine.Training.sequencePackSharded(
-          graft.engine.Tables.documents(s, dir), budget = 500, shards = 32)))
+          graft.engine.Tables.documents(s, dir), budget = 500, shards = 32)),
+      // x10 is the banded twin of q10's range self-join: equi-join on
+      // (user_id, 5-min bucket) with the band as a residual, so a hot
+      // user's pair generation spreads over time buckets. Bit-identical
+      // output proven in PlanShapeSpec ("x10 banded ≡ q10").
+      "x10_range_banded" -> ((s, dir) =>
+        graft.engine.Relational.bandedRangeJoin(s, dir)),
+      // x33 is the MinHash-LSH twin of q33's exact all-pairs Jaccard on
+      // the same doc_id<100 slice: signature + band candidates + estimate,
+      // the sub-quadratic set-similarity path (error bound vs exact
+      // Jaccard proven in MinHashLshSpec). Like x41 vs q41, the timing is
+      // candidate generation + verify, directly comparable to the exact
+      // token-join formulation.
+      "x33_minhash_jaccard" -> ((s, dir) =>
+        graft.engine.MinHashLsh.nearDuplicates(
+          graft.engine.Tables.documents(s, dir).filter(
+            org.apache.spark.sql.functions.col("doc_id") < 100),
+          n = 1, k = 64, bands = 16, threshold = 0.5)))
     // A failed query records -1 (not its time-to-failure) so the JSON
     // output is never mistaken for an all-green run.
     // Each query runs `reps` times and reports the MIN: host-level noise on

@@ -197,6 +197,36 @@ object Relational {
       | AND a.event_id < b.event_id
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** q10's scale path (bench twin x10): the same 5-minute band join, but
+    * the join key is (user_id, ts bucket) with bucket width = band width.
+    * b.ts ∈ (a.ts, a.ts + 5 min] implies bucket(b) ∈ {bucket(a),
+    * bucket(a)+1}, so the left side probes its own bucket and the next one
+    * (a 2× row replication, NOT a per-user cross product) and the band
+    * predicate rides as a residual. Where q10's plan hashes each user's
+    * whole history to one reducer — the hot-user hazard when per-user
+    * event counts are huge — this one spreads every user over
+    * time-buckets: per-reducer work is bounded by events-per-5-minutes,
+    * independent of how long a user's history is. Result-equivalence to
+    * q10 is proven in PlanShapeSpec ("x10 banded ≡ q10").
+    */
+  def bandedRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val bandUs = 300L * 1000000L // 5 min in microseconds = bucket width
+    val e = Tables.events(s, dir)
+      .withColumn("bkt", floor(unix_micros(col("ts").cast("timestamp")) / bandUs))
+    val a = e.select(col("event_id").as("id_a"), col("ts").as("ts_a"),
+        col("user_id"), col("bkt"))
+      .withColumn("probe", explode(array(col("bkt"), col("bkt") + 1)))
+    val b = e.select(col("event_id").as("id_b"), col("ts").as("ts_b"),
+      col("user_id").as("user_b"), col("bkt").as("bkt_b"))
+    a.join(b, col("user_id") === col("user_b") && col("probe") === col("bkt_b") &&
+              col("ts_b") > col("ts_a") &&
+              col("ts_b") <= col("ts_a") + expr("INTERVAL '5' MINUTE") &&
+              col("id_a") < col("id_b"))
+      .select(col("user_id"), col("id_a"), col("id_b"),
+              (unix_timestamp(col("ts_b")) - unix_timestamp(col("ts_a"))).as("delta_s"))
+      .orderBy("id_a", "id_b")
+  }
+
   // q11 — as-of join: each purchase ↔ most recent view at or before it for
   // the same user (view-before-purchase on ts ties). Implemented as ONE
   // window pass (union-tag + last(ignoreNulls) over preceding rows) — no

@@ -67,6 +67,20 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), "range join degenerated to NL join:\n" + p)
   }
 
+  test("x10 banded ≡ q10, and its join key is (user_id, bucket), not user_id alone") {
+    val exact = Relational.q10(spark, sf0001).collect().toSeq
+    val banded = Relational.bandedRangeJoin(spark, sf0001).collect().toSeq
+    assert(banded == exact)
+    val p = plan(Relational.bandedRangeJoin(spark, sf0001))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the bucket column must be part of the equi-join key — a hot user's
+    // history spreads over time buckets instead of landing on one reducer
+    // broadcast at fixture SF, shuffle at scale — either way `probe` must
+    // be a join KEY (in the key list, not the residual condition)
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[[^\\]]*probe".r
+      .findFirstIn(p).isDefined, "time bucket not in the join key:\n" + p)
+  }
+
   test("q12: aggregation is two-phase (partial + final hash aggregate)") {
     val p = plan(Relational.q12(spark, sf0001))
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)

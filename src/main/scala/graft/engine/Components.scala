@@ -24,8 +24,11 @@ import org.apache.spark.sql.functions._
   *    the edge table is re-used each round (persist it, not the labels'
   *    whole lineage); each round's labels persist until the next round's
   *    are materialized, then release — storage stays one round deep.
-  *  - Convergence check is an any-row-changed probe (`isEmpty` on the
-  *    changed set) — no global count.
+  *  - Convergence detection costs NO extra action: the changed-row count
+  *    is a LongAccumulator folded into the pass that materializes each
+  *    round's labels (the old shape paid a second count-then-isEmpty scan
+  *    per round). Task retries can only inflate the count, never fake a
+  *    zero, so the zero/nonzero convergence test is retry-safe.
   */
 object Components {
 
@@ -74,17 +77,23 @@ object Components {
       val nbrMin = sym
         .join(labels, sym("v") === labels("id"))
         .groupBy(col("u").as("nid")).agg(min("comp").as("nbr_comp"))
-      val updated = rebased(
-        labels
-          .join(nbrMin, labels("id") === nbrMin("nid"), "left")
-          .select(col("id"),
-            least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp")))
-        .persist()
+      // The rebase map doubles as the convergence probe: it drops the prev
+      // label while counting rows where it differs from the new one into an
+      // accumulator, so materializing the round (count) IS the convergence
+      // check — one job per round, not a count + isEmpty pair.
+      val changed = spark.sparkContext.longAccumulator(s"graft.cc.changed.$iter")
+      val roundRdd = labels
+        .join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
+          col("comp").as("prev"))
+        .rdd.map { r =>
+          if (r.getLong(1) != r.getLong(2)) changed.add(1L)
+          org.apache.spark.sql.Row(r.getLong(0), r.getLong(1))
+        }
+      val updated = spark.createDataFrame(roundRdd, labelSchema).persist()
       updated.count()
-      converged = updated
-        .join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") =!= col("prev"))
-        .isEmpty
+      converged = changed.value == 0L
       labels.unpersist()
       labels = updated
       iter += 1
@@ -107,11 +116,17 @@ object Components {
     * duplicates, keep the best copy", the curation default. Documents in no
     * pair are their own cluster and always survive.
     *
-    * NOTE: the internal components frame stays cached until the returned
-    * frame's action completes (same ownership story as
-    * [[connectedComponents]]); for bulk pipelines issuing many dedup
-    * calls in one session, `spark.catalog.clearCache()` between stages
-    * releases them.
+    * Cache ownership: the internal components frame is released BEFORE
+    * returning — the loser-id set (one long per dropped doc, strictly
+    * smaller than the pair graph) is eagerly materialized via
+    * localCheckpoint, which truncates the lineage back to the components
+    * frame so its cache can be unpersisted here. The checkpoint blocks
+    * belong to the returned plan and are reclaimed by Spark's
+    * ContextCleaner once the result is unreachable — nothing is pinned in
+    * the cache manager for the app lifetime. (localCheckpoint trades
+    * executor-loss fault tolerance for speed; acceptable for an
+    * intermediate that a failed job would simply recompute by rerunning
+    * the dedup.)
     *
     * @param docs     table with `idCol` (and `preferBy` if given)
     * @param pairs    near-dup pairs (`aCol`, `bCol`) from any pair generator
@@ -139,6 +154,8 @@ object Components {
           .filter(col("rn") > 1)
           .select(col("id"))
     }
-    docs.join(losers, docs(idCol) === losers("id"), "left_anti")
+    val losersM = losers.localCheckpoint() // eager: materializes + cuts lineage
+    comps.unpersist()
+    docs.join(losersM, docs(idCol) === losersM("id"), "left_anti")
   }
 }

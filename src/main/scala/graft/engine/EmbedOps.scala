@@ -95,37 +95,53 @@ object EmbedOps {
     * sign bits each, packed into an INT per table → `buckets` array column.
     * Standard recall/cost dial: P(candidate) = 1 - (1 - p^bits)^tables with
     * p = 1 - θ/π. Fewer bits → bigger buckets, more tables → more probes.
-    * The one-row dimensionality probe is metadata-scale (same spirit as the
-    * IVF centroid collect); all tables×bits planes ship as ONE flat float
+    * Pass `dim` when known (the embedding width is model metadata — no
+    * data probe at all); otherwise a one-row probe reads it, which is
+    * metadata-scale (same spirit as the IVF centroid collect). Either way
+    * a vector whose width differs from the expected dim RAISES in-plan —
+    * a fixed-width corpus with mixed widths is malformed, and failing
+    * loudly beats the probe-order-dependent silent drop it would
+    * otherwise cause. All tables×bits planes ship as ONE flat float
     * literal into the codegen'd `vec_lsh` kernel (a single expression node —
     * the per-plane `when(vec_dot(...))` formulation generated a 64-subtree
     * projection whose janino compile dominated the stage, see
     * VectorFunctions.FloatLshSignature).
     */
   def withLshBuckets(df: DataFrame, bits: Int = 4, tables: Int = 8,
-                     vecCol: String = "embedding"): DataFrame = {
+                     vecCol: String = "embedding",
+                     dim: Option[Int] = None): DataFrame = {
     VectorFunctions.register(df.sparkSession)
-    // probe a NON-NULL row for the dimensionality (a null first vector
-    // would make size() null and NPE the probe). Rows whose dim differs
-    // from the probed dim — malformed in a fixed-width embedding corpus —
-    // get NULL buckets from vec_lsh's planes-length check and drop out of
-    // candidate generation at the posexplode; they never silently match.
-    val firstDim = df.filter(col(vecCol).isNotNull)
-      .select(size(col(vecCol))).take(1)
-    if (firstDim.isEmpty)
-      // empty or all-null corpus: null vectors keep NULL buckets (same
-      // semantics as the normal path — a non-null zeros array here would
-      // make unmatched-able null rows collide into every candidate pair)
-      return df.withColumn("buckets",
-        when(col(vecCol).isNotNull, array((0 until tables).map(_ => lit(0)): _*))
-          .otherwise(lit(null).cast("array<int>")))
-    val dim = firstDim(0).getInt(0)
-    // plane (t,p) occupies [((t*bits)+p)*dim, +dim) — the layout vec_lsh reads
-    val planesFlat = floatArrayLit(
-      for (t <- 0 until tables; p <- 0 until bits; d <- 0 until dim)
-        yield planeSign(t, p, d))
-    df.withColumn("buckets",
-      call_function("vec_lsh", col(vecCol), planesFlat, lit(bits), lit(tables)))
+    // resolve the expected width: explicit param, or a one-non-null-row
+    // probe (a null first vector would make size() null and NPE the probe)
+    val expected = dim.orElse {
+      val firstDim = df.filter(col(vecCol).isNotNull)
+        .select(size(col(vecCol))).take(1)
+      firstDim.headOption.map(_.getInt(0))
+    }
+    expected match {
+      case None =>
+        // empty or all-null corpus: null vectors keep NULL buckets (same
+        // semantics as the normal path — a non-null zeros array here would
+        // make unmatched-able null rows collide into every candidate pair)
+        df.withColumn("buckets",
+          when(col(vecCol).isNotNull, array((0 until tables).map(_ => lit(0)): _*))
+            .otherwise(lit(null).cast("array<int>")))
+      case Some(d) =>
+        // plane (t,p) occupies [((t*bits)+p)*dim, +dim) — the layout vec_lsh reads
+        val planesFlat = floatArrayLit(
+          for (t <- 0 until tables; p <- 0 until bits; dd <- 0 until d)
+            yield planeSign(t, p, dd))
+        val dimMsg = concat(
+          lit(s"withLshBuckets: vector of dimension "),
+          size(col(vecCol)).cast("string"),
+          lit(s" in a corpus of expected dimension $d — mixed-width " +
+            "embeddings are malformed; fix the corpus or bucket per width"))
+        df.withColumn("buckets",
+          when(col(vecCol).isNull, lit(null).cast("array<int>"))
+            .when(size(col(vecCol)) =!= d, raise_error(dimMsg))
+            .otherwise(call_function("vec_lsh", col(vecCol), planesFlat,
+              lit(bits), lit(tables))))
+    }
   }
 
   /** Embedding-cosine near-duplicate pairs at corpus scale: LSH buckets

@@ -157,15 +157,19 @@ object Windows {
                   accuracy: Int = 10000): DataFrame = {
     require(k >= 2, "k must be at least 2")
     val probs = (1 until k).map(i => i.toDouble / k)
+    // sketch + compare both run on the column cast to double: the sketch
+    // returns an array of its INPUT type, so sketching the raw column
+    // would make getSeq[Double] throw for FLOAT/INT/LONG/DECIMAL inputs
+    val v = col(valueCol).cast("double")
     val row = df
-      .agg(percentile_approx(col(valueCol),
-        array(probs.map(lit): _*), lit(accuracy)).as("bounds"))
+      .agg(percentile_approx(v, array(probs.map(lit): _*), lit(accuracy))
+        .as("bounds"))
       .head()
     // empty input: the sketch returns NULL bounds — emit the column anyway
     if (row.isNullAt(0)) return df.withColumn("quartile", lit(1))
     val bounds = row.getSeq[Double](0)
     val bucket = bounds.foldLeft(lit(1)) { (acc, b) =>
-      acc + when(col(valueCol) > lit(b), 1).otherwise(0)
+      acc + when(v > lit(b), 1).otherwise(0)
     }
     df.withColumn("quartile", bucket)
   }

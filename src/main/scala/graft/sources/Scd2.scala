@@ -29,7 +29,13 @@ object Scd2 {
   /** @param history existing SCD2 table: tracked columns + keys +
     *                (valid_from, valid_to, is_current); pass an empty
     *                DataFrame with that schema to bootstrap
-    * @param batch   new extract carrying exactly the tracked columns + keys
+    * @param batch   new extract carrying exactly the tracked columns + keys.
+    *                CONTRACT: at most ONE row per key — an extract is a
+    *                snapshot, so duplicate keys are a malformed input that
+    *                would fan a matched current row into several versions
+    *                and break the one-current-version-per-key invariant.
+    *                Enforced in-plan: a duplicate key raises at execution
+    *                (no extra validation job; same contract as JdbcSink).
     * @param keys    natural key columns
     * @param asOf    effective timestamp of this extract
     */
@@ -45,7 +51,21 @@ object Scd2 {
       s"history columns must be batch columns + $meta: " +
         s"${history.columns.toSeq} vs ${tracked ++ meta}")
 
-    val b = batch.toDF(tracked.map("__b_" + _): _*).withColumn("__b_present", lit(true))
+    // The presence tag doubles as the duplicate-key guard: a count window
+    // over the batch keys feeds raise_error, and because __b_present is
+    // consumed by every output branch the check can never be pruned away.
+    // The window shuffles the batch on the same keys the join needs, so
+    // the exchange is shared — no separate validation job, no extra pass.
+    val wDup = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(k => col("__b_" + k)): _*)
+    val dupMsg = concat(
+      lit("Scd2.merge: batch has multiple rows for key ("),
+      concat_ws(", ", keys.map(k => col("__b_" + k).cast("string")): _*),
+      lit(") — an extract must carry at most one row per key"))
+    val b = batch.toDF(tracked.map("__b_" + _): _*)
+      .withColumn("__b_present",
+        when(count(lit(1)).over(wDup) > 1, raise_error(dupMsg))
+          .otherwise(lit(true)))
 
     // Closed versions pass through; the join below only concerns currents.
     val closedRows = history.filter(!col("is_current"))

@@ -90,6 +90,40 @@ class ComponentsSpec extends SparkSpecBase {
     assert(kept.count() == total - nPairedDocs + nComponents)
   }
 
+  test("convergence adds no action beyond each round's materialization") {
+    // Count distinct job-bearing SQL-execution ids. Each round costs
+    // exactly 2: the rebase pipeline (the round's joins, executed when its
+    // Dataset.rdd materializes) and the count over the mapped RDD — one
+    // sequential materialization, no repeated work. The accumulator folds
+    // the convergence check into that pass; a separate changed-rows probe
+    // (the old count-then-isEmpty shape) would add a third execution per
+    // round and break the equality below.
+    val actions = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val id = js.properties.getProperty("spark.sql.execution.id")
+        if (id != null) actions.add(id)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // path 1-2-3-4: label 1 reaches vertex 4 in 3 rounds, +1 no-change
+      // round to observe convergence = 4 loop iterations
+      val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+      Components.connectedComponents(edges).unpersist()
+      // listener events post asynchronously — wait for the count to settle
+      var (prev, settled) = (-1, 0)
+      while (settled < 3) {
+        Thread.sleep(200)
+        if (actions.size == prev) settled += 1 else { prev = actions.size; settled = 0 }
+      }
+      // init (rebase + count) + 4 rounds × (rebase + count) = 10; a
+      // separate convergence action would push this to 14
+      assert(actions.size == 10,
+        s"expected 10 executions (2 init + 2 per round × 4), saw ${actions.size}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("fails loudly instead of silently mislabeling when iteration cap is hit") {
     val chain = (1L until 30L).map(i => (i, i + 1)).toDF("src", "dst")
     intercept[IllegalStateException] {

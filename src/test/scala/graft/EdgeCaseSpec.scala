@@ -114,6 +114,18 @@ class EdgeCaseSpec extends SparkSpecBase {
     assert(empty.columns.contains("quartile") && empty.count() == 0)
   }
 
+  test("ntileApprox on non-double columns (INT/LONG): sketch casts, no ClassCastException") {
+    import spark.implicits._
+    val ints = (1 to 100).toDF("x") // IntegerType value column
+    val out = graft.engine.Windows.ntileApprox(ints, "x", 4)
+    val perBucket = out.groupBy("quartile").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perBucket.keySet == Set(1, 2, 3, 4), perBucket.toString)
+    assert(perBucket.values.forall(n => n >= 15 && n <= 35), perBucket.toString)
+    val longs = (1L to 100L).toDF("x")
+    assert(graft.engine.Windows.ntileApprox(longs, "x", 4).count() == 100)
+  }
+
   test("Profile.profile on an empty generation reports n_rows=0, no NPE") {
     import spark.implicits._
     val empty = Seq((1L, "x")).toDF("id", "v").filter(col("id") < 0)

@@ -155,6 +155,27 @@ class EmbedOpsSpec extends SparkSpecBase {
     assert(out.getSeq[Int](3) == Seq(2))
   }
 
+  test("mixed-dimension corpus raises loudly; explicit dim matches the probed path") {
+    import spark.implicits._
+    val mixed = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      graft.engine.EmbedOps.withLshBuckets(mixed, bits = 2, tables = 2).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("mixed-width")), e.toString)
+    // uniform corpus: explicit dim (no data probe) ≡ probed buckets
+    val uni = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, null))
+      .toDF("vec_id", "embedding")
+    val probed = graft.engine.EmbedOps.withLshBuckets(uni, bits = 2, tables = 2)
+      .orderBy("vec_id").collect().toSeq
+    val explicit = graft.engine.EmbedOps.withLshBuckets(uni, bits = 2, tables = 2,
+      dim = Some(2)).orderBy("vec_id").collect().toSeq
+    assert(probed == explicit)
+    assert(probed.last.isNullAt(1), "null vector keeps NULL buckets")
+  }
+
   test("LSH buckets are deterministic and bounded") {
     def run() = EmbedOps.withLshBuckets(Tables.embeddings(spark, sf0001), bits = 4, tables = 8)
       .select("vec_id", "buckets").collect()

@@ -71,6 +71,24 @@ class Scd2Spec extends SparkSpecBase {
     assert(cur.toSeq == Seq((1L, "a2"), (2L, "b")))
   }
 
+  test("duplicate batch keys raise at execution instead of fanning out versions") {
+    val v1 = Seq((1L, "intro", 3.0)).toDF("course_id", "title", "credits")
+    val h1 = Scd2.merge(Scd2.emptyHistory(v1), v1, Seq("course_id"), t1)
+    val dup = Seq((1L, "intro", 4.0), (1L, "intro-dup", 5.0))
+      .toDF("course_id", "title", "credits")
+    val e = intercept[Exception] {
+      Scd2.merge(h1, dup, Seq("course_id"), t2).count()
+    }
+    // the raise_error message survives Spark's execution-exception wrapping
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("multiple rows for key")), e.toString)
+    // a duplicate-free batch with the same shape still merges fine
+    val ok = Scd2.merge(h1, Seq((1L, "intro", 4.0)).toDF("course_id", "title", "credits"),
+      Seq("course_id"), t2)
+    assert(ok.count() == 2)
+  }
+
   test("schema mismatch and missing meta columns fail fast") {
     val v = Seq((1L, "a")).toDF("id", "v")
     intercept[IllegalArgumentException] {

@@ -74,6 +74,47 @@ class UpsertSpec extends SparkSpecBase {
     assert(keptN.length == 1 && keptN.head.getString(1) == "x")
   }
 
+  test("upsertPartitioned rewrites only touched partitions; result ≡ full upsert") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_psu").toString + "/table"
+    val snap = Seq(
+      (1L, "a", 1.0, 1), (2L, "b", 2.0, 1),   // day 1
+      (3L, "c", 3.0, 2), (4L, "d", 4.0, 2),   // day 2
+      (5L, "e", 5.0, 3)                       // day 3
+    ).toDF("id", "name", "bal", "day")
+    snap.repartition(1).write.partitionBy("day").parquet(dir)
+
+    def files(day: Int): Map[String, (Long, Long)] = {
+      val d = new java.io.File(s"$dir/day=$day")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.lastModified(), f.length())).toMap
+    }
+    val (d1Before, d3Before) = (files(1), files(3))
+
+    // batch: update key 3 (day 2), insert key 6 (day 2), open day 4
+    val batch = Seq((3L, "C3", 30.0, 2), (6L, "f", 6.0, 2), (7L, "g", 7.0, 4))
+      .toDF("id", "name", "bal", "day")
+    Upsert.upsertPartitioned(spark, dir, batch, Seq("id"), "day")
+
+    // result must equal the full-snapshot upsert of the same batch
+    val got = spark.read.parquet(dir)
+      .select("id", "name", "bal", "day").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3))).toSeq
+    val want = Upsert.upsert(snap, batch, Seq("id")).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(got == want, s"\ngot:  $got\nwant: $want")
+
+    // untouched day=1 / day=3 files: same names, mtimes, and sizes
+    assert(files(1) == d1Before, "day=1 was rewritten")
+    assert(files(3) == d3Before, "day=3 was rewritten")
+    // day=2 was rewritten, day=4 created
+    assert(new java.io.File(s"$dir/day=4").exists())
+
+    // empty batch: no-op, nothing rewritten anywhere
+    val d2After = files(2)
+    Upsert.upsertPartitioned(spark, dir, batch.limit(0), Seq("id"), "day")
+    assert(files(2) == d2After)
+  }
+
   test("parquet schema evolution: mergeSchema unifies old and new generations") {
     val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
     // generation 1: two columns; generation 2 adds a nullable column

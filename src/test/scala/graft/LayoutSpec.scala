@@ -29,6 +29,52 @@ class LayoutSpec extends SparkSpecBase {
     assert(oneDay.count() == expected)
   }
 
+  test("dynamic partition pruning: a filtered dim join scans only matching fact partitions") {
+    val dir = Files.createTempDirectory("graft_dpp").toString + "/events_by_day"
+    Layout.writeEventsPartitionedByDay(Tables.events(spark, sf0001), dir)
+    val nDays = Layout.readPartitioned(spark, dir)
+      .select("event_date").distinct().count()
+    assert(nDays > 2, s"fixture spans only $nDays days — test needs pruning headroom")
+    // a dimension carrying 2 interesting dates; the filter on `tag` is only
+    // resolvable at runtime on the dim side, so static pruning CANNOT help —
+    // only DPP's subquery can keep the fact scan from reading every day
+    import spark.implicits._
+    // the dim must be a real source (not a LocalRelation — the optimizer
+    // folds filters on those away, and DPP needs a selective filter on the
+    // pruning side to trigger)
+    val dimPath = Files.createTempDirectory("graft_dpp_dim").toString + "/date_dim"
+    Seq(("2024-01-15", "keep"), ("2024-01-16", "keep"), ("2024-01-17", "drop"))
+      .toDF("d_date", "tag")
+      .select(col("d_date").cast("date").as("d_date"), col("tag"))
+      .write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    // AQE off: keeps the executed plan a plain tree so scan metrics are
+    // directly addressable; DPP itself is an optimizer feature, not AQE
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val fact = Layout.readPartitioned(spark, dir)
+      val joined = fact
+        .join(dim.filter(col("tag") === "keep"), fact("event_date") === dim("d_date"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"),
+        "no DPP subquery in the fact scan's PartitionFilters:\n" + plan)
+      // collect() runs THIS queryExecution (count() would build another
+      // plan and leave these scan metrics untouched)
+      val rows = joined.collect().length
+      assert(rows > 0)
+      // proof at the scan metrics: only the 2 kept days' partitions were read
+      val partsRead = joined.queryExecution.executedPlan.collectLeaves()
+        .collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.metadata.get("Location").exists(_.contains("events_by_day")) =>
+            f.metrics("numPartitions").value
+        }
+      assert(partsRead.contains(2L),
+        s"expected 2 partitions read out of $nDays, got $partsRead")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("bucketed tables: equi-join and agg on the bucket key run shuffle-free") {
     // tables land in the session's default warehouse (spark-warehouse/,
     // gitignored); warehouse.dir is a static conf and cannot move per-test.

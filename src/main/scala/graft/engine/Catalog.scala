@@ -6,6 +6,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * run ad-hoc SQL against the built catalog; here that is temp views over
   * the fixture tables plus the engine's registered functions, so
   * `spark.sql("SELECT ... FROM lineitem ...")` works immediately.
+  *
+  * Statistics: [[analyze]] is the ANALYZE TABLE surface — it writes
+  * table-level (row count, size) and column-level stats into the session
+  * catalog for a managed table. Join planning consumes the size stat for
+  * broadcast decisions in place of the raw-file-size fallback, so a
+  * compacted/compressed table still broadcasts when its true size fits
+  * (CatalogSpec proves the stats land and an unhinted join against an
+  * analyzed dim broadcasts). Full CBO (cost-based join reordering) stays
+  * OFF per SURVEY §4.2 — stats inform sizing, not plan-space search.
   */
 object Catalog {
 
@@ -22,6 +31,24 @@ object Catalog {
     tableNames.foreach { t =>
       load(spark, sfDir, t).createOrReplaceTempView(t)
     }
+  }
+
+  /** Materialize one fixture table as a managed parquet table and compute
+    * table + column statistics (ANALYZE TABLE … FOR ALL COLUMNS). Returns
+    * (rowCount, sizeInBytes) as recorded in the catalog. Idempotent —
+    * re-running refreshes both the data and the stats.
+    */
+  def analyze(spark: SparkSession, sfDir: String, name: String,
+              suffix: String = "_t"): (BigInt, BigInt) = {
+    val tbl = name + suffix
+    load(spark, sfDir, name)
+      .write.mode("overwrite").format("parquet").saveAsTable(tbl)
+    spark.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR ALL COLUMNS")
+    val stats = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+      .stats.getOrElse(throw new IllegalStateException(
+        s"ANALYZE left no stats on $tbl"))
+    (stats.rowCount.getOrElse(BigInt(-1)), stats.sizeInBytes)
   }
 
   /** Load one table by name through the schema-aware loaders. */

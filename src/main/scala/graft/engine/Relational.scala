@@ -352,11 +352,14 @@ object Relational {
 
   // q54 — TPC-H-Q5-shaped 6-table join: local-supplier revenue per nation
   // in a region + date window. The optimizer's showcase: region/nation/
-  // supplier broadcast (bounded dims at any scale), customer⋈orders⋈
-  // lineitem shuffle on their keys with AQE sizing, the region filter
-  // prunes nations BEFORE the fact joins, and the s_nationkey=c_nationkey
-  // residual rides the supplier join. Declared money math identical to q12
-  // (round(sum(price·(1-disc)),2) — proven hash-stable).
+  // supplier broadcast (bounded dims at any scale — decided by SIZE
+  // STATISTICS, not hand hints: file-size estimation here, catalog stats
+  // from Catalog.analyze on managed tables, both spec-asserted), customer⋈
+  // orders⋈lineitem shuffle on their keys with AQE sizing, the region
+  // filter prunes nations BEFORE the fact joins, and the
+  // s_nationkey=c_nationkey residual rides the supplier join. Declared
+  // money math identical to q12 (round(sum(price·(1-disc)),2) — proven
+  // hash-stable).
   def q54(s: SparkSession, dir: String): DataFrame = {
     val r  = Tables.region(s, dir).filter(col("r_name") === "ASIA")
     val n  = Tables.nation(s, dir)
@@ -366,11 +369,11 @@ object Relational {
               col("o_orderdate") <  lit("1999-01-01").cast("timestamp"))
     val li = Tables.lineitem(s, dir)
     val su = Tables.supplier(s, dir)
-    c.join(broadcast(n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))),
+    c.join(n.join(r, n("n_regionkey") === r("r_regionkey")),
         c("c_nationkey") === n("n_nationkey"))
       .join(o, o("o_custkey") === c("c_custkey"))
       .join(li, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(su), li("l_suppkey") === su("s_suppkey") &&
+      .join(su, li("l_suppkey") === su("s_suppkey") &&
         su("s_nationkey") === c("c_nationkey"))
       .groupBy(col("n_name"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)

@@ -25,4 +25,33 @@ class CatalogSpec extends SparkSpecBase {
       .head().getDouble(0)
     assert(sim >= -1.0001 && sim <= 1.0001)
   }
+
+  test("analyze writes catalog stats and an unhinted dim join broadcasts on them") {
+    try {
+      val (nationRows, nationBytes) = Catalog.analyze(spark, sf0001, "nation")
+      assert(nationRows == BigInt(25) && nationBytes > 0, s"($nationRows, $nationBytes)")
+      Catalog.analyze(spark, sf0001, "customer")
+      // column stats landed too (distinct-count for the join key)
+      val keyStats = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("nation_t"))
+        .stats.get.colStats.get("n_nationkey")
+      assert(keyStats.exists(_.distinctCount.isDefined), keyStats.toString)
+      // the broadcast decision comes from the catalog size stat — the plan
+      // must broadcast the analyzed 25-row dim with NO hint anywhere
+      val joined = spark.table("customer_t")
+        .join(spark.table("nation_t"),
+          org.apache.spark.sql.functions.col("c_nationkey") ===
+            org.apache.spark.sql.functions.col("n_nationkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan)
+      // and the optimizer's sizeInBytes for the dim is the analyzed figure,
+      // not a fallback estimate
+      val planStats = spark.table("nation_t").queryExecution.optimizedPlan.stats
+      assert(planStats.sizeInBytes == nationBytes,
+        s"plan sees ${planStats.sizeInBytes}, catalog has $nationBytes")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS nation_t")
+      spark.sql("DROP TABLE IF EXISTS customer_t")
+    }
+  }
 }

@@ -81,6 +81,13 @@ class PlanShapeSpec extends SparkSpecBase {
       .findFirstIn(p).isDefined, "time bucket not in the join key:\n" + p)
   }
 
+  test("q54: bounded dims broadcast WITHOUT hints (size statistics decide)") {
+    val p = plan(Relational.q54(spark, sf0001))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "stats-driven broadcast of region/nation/supplier did not happen:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q12: aggregation is two-phase (partial + final hash aggregate)") {
     val p = plan(Relational.q12(spark, sf0001))
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)

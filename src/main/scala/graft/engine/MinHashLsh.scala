@@ -92,7 +92,12 @@ object MinHashLsh {
                      bands: Int = 16, threshold: Double = 0.5): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val sh = shingles(docs, n)
-    val sigs = signatures(sh, k).cache()  // reused by banding + estimation
+    // signatures feed BOTH banding and estimation — materialize once via
+    // localCheckpoint rather than cache(): checkpoint blocks belong to the
+    // plan and are reclaimed by the ContextCleaner when the result frame
+    // is dropped, where a cache() here would pin blocks in the cache
+    // manager for the app lifetime with no handle to release them
+    val sigs = signatures(sh, k).localCheckpoint()
     val pairs = candidatePairs(sigs, bands, k / bands)
     estimateJaccard(pairs, sigs, k)
       .filter(col("jaccard_est") >= threshold)

@@ -13,6 +13,13 @@ import org.apache.spark.sql.types.StructType
   * directory of files parallelizes across executors. FAILFAST is the
   * rebuild-pipeline default (the reference aborts on malformed extracts);
   * PERMISSIVE + corrupt-record column is the forensic mode.
+  *
+  * Format coverage: parquet (Tables/Verify), ORC, CSV, JSONL, binaryFile.
+  * Avro is NOT covered: the external `spark-avro` connector module is not
+  * on this offline classpath (only avro-core jars ship with Spark), so
+  * `spark.read.format("avro")` cannot resolve here. On a deployment with
+  * the connector it is one line: `spark.read.format("avro").load(path)` —
+  * same splittable-scan properties as ORC.
   */
 object Sources {
 

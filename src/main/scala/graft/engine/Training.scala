@@ -293,6 +293,59 @@ object Training {
       |      < CASE WHEN source IN ('src0', 'src1', 'src2') THEN 0.8 ELSE 0.25 END
       |ORDER BY doc_id""".stripMargin
 
+  // q59 — test-set contamination detection: which training docs share a
+  // verbatim word 8-gram with the held-out slice (top 10% of doc ids —
+  // the cutoff is RELATIVE, computed in-plan from max(doc_id) with pure
+  // integer math, so the query is scale-free and engine-exact). The
+  // pre-training hygiene op: 8-gram overlap is the standard proxy for
+  // eval-set leakage; 3-grams flag nearly every doc (measured), 8-grams
+  // flag true near-copies only.
+  //
+  // Plan shape: grams dedup IN-ROW (array_distinct before the explode —
+  // no distinct shuffle over the corpus), the test slice dedups its gram
+  // set, and the join shuffles on the gram key. 8-grams are near-unique,
+  // so the key distribution has no stopword-style hot keys (unlike q33's
+  // unigrams) and each shared (doc, gram) matches exactly once — count(*)
+  // IS the distinct shared-gram count. At 100 TB the test slice is a
+  // fixed eval set (MBs–GBs of grams): broadcastable when small, plain
+  // shuffle join otherwise — nothing here is corpus-quadratic.
+  def q59(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val words = split(col("text"), " ")
+    val grams8 = expr(
+      """array_distinct(transform(sequence(0, size(split(text, ' ')) - 8),
+        |  i -> array_join(slice(split(text, ' '), i + 1, 8), ' ')))""".stripMargin)
+    val mx = docs.agg(max(col("doc_id")).as("m"))
+    val g = docs
+      .filter(size(words) >= 8)
+      .crossJoin(broadcast(mx)) // one-row side result, same class as q50
+      .select(col("doc_id"), col("m"), explode(grams8).as("gram"))
+    val test = g.filter(col("doc_id") * 10 > col("m") * 9)
+      .select(col("gram")).distinct()
+    g.filter(col("doc_id") * 10 <= col("m") * 9)
+      .join(test, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  val q59Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), mx AS (SELECT max(doc_id) AS m FROM documents),
+      |g0 AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 7),
+      |    i -> array_to_string(list_slice(w, i, i + 7), ' '))) AS gram
+      |  FROM d WHERE len(w) >= 8
+      |), g AS (SELECT DISTINCT doc_id, gram FROM g0),
+      |test AS (
+      |  SELECT DISTINCT gram FROM g, mx WHERE doc_id * 10 > m * 9
+      |)
+      |SELECT g.doc_id, count(*) AS n_shared
+      |FROM g JOIN test USING (gram), mx
+      |WHERE g.doc_id * 10 <= m * 9
+      |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_cosine_near_dup" -> (q41 _),
     "q42_ngram_jaccard"   -> (q42 _),
@@ -301,7 +354,8 @@ object Training {
     "q53_stopword_filter" -> (q53 _),
     "q55_stratified_sample" -> (q55 _),
     "q56_sequence_pack"     -> (q56 _),
-    "q57_weighted_mixture"  -> (q57 _))
+    "q57_weighted_mixture"  -> (q57 _),
+    "q59_contamination"     -> (q59 _))
 
   val oracle: Map[String, String] = Map(
     "q41_cosine_near_dup" -> q41Sql,
@@ -311,5 +365,6 @@ object Training {
     "q53_stopword_filter" -> q53Sql,
     "q55_stratified_sample" -> q55Sql,
     "q56_sequence_pack"     -> q56Sql,
-    "q57_weighted_mixture"  -> q57Sql)
+    "q57_weighted_mixture"  -> q57Sql,
+    "q59_contamination"     -> q59Sql)
 }

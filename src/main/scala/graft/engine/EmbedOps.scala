@@ -314,16 +314,21 @@ object EmbedOps {
     * keep their previous centroid.
     */
   def pqTrain(corpus: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 3,
-              idCol: String = "vec_id", vecCol: String = "embedding"): PqModel = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              dim: Option[Int] = None): PqModel = {
     VectorFunctions.register(corpus.sparkSession)
-    // dim probe + init read skip null vectors (a NULL first row must not
-    // NPE the probe — same rule as withLshBuckets)
-    val dimProbe = corpus.filter(col(vecCol).isNotNull)
-      .select(size(col(vecCol))).take(1)
-    require(dimProbe.nonEmpty, "pqTrain needs at least one non-null vector")
-    val dim = dimProbe(0).getInt(0)
-    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
-    val dsub = dim / m
+    // embedding width is model metadata — pass `dim` to skip the probe job
+    // (matters when training codebooks in a loop). When probing, skip null
+    // vectors (a NULL first row must not NPE the probe — same rule as
+    // withLshBuckets).
+    val d = dim.getOrElse {
+      val dimProbe = corpus.filter(col(vecCol).isNotNull)
+        .select(size(col(vecCol))).take(1)
+      require(dimProbe.nonEmpty, "pqTrain needs at least one non-null vector")
+      dimProbe(0).getInt(0)
+    }
+    require(d % m == 0, s"dim $d must divide into m=$m subspaces")
+    val dsub = d / m
     val pinned = corpus.persist()
     try {
       val init = pinned.filter(col(vecCol).isNotNull)

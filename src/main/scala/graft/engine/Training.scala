@@ -346,6 +346,49 @@ object Training {
       |WHERE g.doc_id * 10 <= m * 9
       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
 
+  /** Generic contamination scan between two corpora (q59 is the
+    * fixture-bound declared twin): per-`corpus`-doc count of distinct word
+    * n-grams shared with ANY `testSet` doc. Docs with no overlap are
+    * absent from the output (join semantics — the common case is a tiny
+    * contaminated set).
+    *
+    * Plan: in-row gram dedup on both sides (no corpus-wide distinct),
+    * test grams dedup within their own slice, equi-join on the
+    * near-unique gram key, per-doc count. The eval set is typically MBs —
+    * its gram side is broadcastable; the corpus side never is and never
+    * needs to be.
+    */
+  def contamination(corpus: DataFrame, testSet: DataFrame, n: Int = 8,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(n >= 1)
+    def grams(df: DataFrame): DataFrame = {
+      val g = expr(
+        s"""array_distinct(transform(sequence(0, size(split($textCol, ' ')) - $n),
+           |  i -> array_join(slice(split($textCol, ' '), i + 1, $n), ' ')))""".stripMargin)
+      df.filter(size(split(col(textCol), " ")) >= n)
+        .select(col(idCol), explode(g).as("gram"))
+    }
+    grams(corpus)
+      .join(grams(testSet).select("gram").distinct(), "gram")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Decontamination: drop every corpus doc sharing at least `minShared`
+    * distinct word n-grams with the test set — the transformation q59's
+    * report feeds. A left-anti join against the contaminated-id set: one
+    * shuffle per side on the id, same plan class as exact dedup.
+    */
+  def decontaminate(corpus: DataFrame, testSet: DataFrame, n: Int = 8,
+                    minShared: Long = 1L, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val hits = contamination(corpus, testSet, n, idCol, textCol)
+      .filter(col("n_shared") >= minShared)
+      .select(col(idCol).as("__contaminated_id"))
+    corpus.join(hits, corpus(idCol) === hits("__contaminated_id"), "left_anti")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_cosine_near_dup" -> (q41 _),
     "q42_ngram_jaccard"   -> (q42 _),

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Storage-layout operators for the 100 TB deployment (SURVEY §7.3): the
@@ -66,6 +66,52 @@ object Layout {
     df.repartitionByRange(nFiles, col(clusterCol))
       .sortWithinPartitions(clusterCol)
       .write.mode("overwrite").parquet(path)
+
+  /** Z-order (Morton-curve) clustered rewrite: rows close in the
+    * MULTI-dimensional key space land in the same files, so parquet
+    * min/max statistics skip files/row-groups for predicates on ANY of
+    * the cluster columns — where [[writeRangeClustered]] tightens only its
+    * single sort key and leaves every other column spanning the full range
+    * in every file. The classic lakehouse layout op (Delta/Iceberg
+    * `OPTIMIZE ZORDER BY`), built here from public primitives: per-column
+    * min/max normalization to `bits`-bit ints (one tiny agg job → driver
+    * literals), bit interleaving as a pure codegen'd bitwise expression
+    * (no UDF), then repartitionByRange + in-partition sort on the z-value.
+    *
+    * Skew caveat: min/max normalization assumes roughly uniform spread;
+    * for heavily skewed columns substitute rank buckets (approx-quantile
+    * boundaries) for the normalization — the interleave is unchanged.
+    * LayoutSpec proves the payoff: per-file spans tighten on BOTH columns
+    * simultaneously, which no single-key sort can do.
+    */
+  def writeZOrdered(df: DataFrame, path: String, clusterCols: Seq[String],
+                    nFiles: Int, bits: Int = 8): Unit = {
+    require(clusterCols.size >= 2, "z-order needs >= 2 columns (use writeRangeClustered for 1)")
+    require(bits >= 1 && bits * clusterCols.size <= 62, s"bits=$bits too wide")
+    val aggs = clusterCols.flatMap(c =>
+      Seq(min(col(c).cast("double")).as(s"__min_$c"), max(col(c).cast("double")).as(s"__max_$c")))
+    val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    val maxBucket = (1L << bits) - 1
+    // bucket each column into [0, 2^bits), then interleave: bit i of
+    // column j lands at z-bit i*k + j (round-robin — the Morton layout)
+    val zCol = clusterCols.zipWithIndex.map { case (c, j) =>
+      val lo = stats.getDouble(stats.fieldIndex(s"__min_$c"))
+      val hi = stats.getDouble(stats.fieldIndex(s"__max_$c"))
+      val span = if (hi > lo) hi - lo else 1.0
+      val bucket = least(lit(maxBucket),
+        floor((col(c).cast("double") - lit(lo)) / lit(span) * lit(maxBucket.toDouble + 1)))
+        .cast("long")
+      (0 until bits).map { i =>
+        shiftleft((bucket.bitwiseAND(lit(1L << i)) =!= lit(0L)).cast("long"),
+          i * clusterCols.size + j)
+      }.reduce[Column](_.bitwiseOR(_))
+    }.reduce[Column](_.bitwiseOR(_))
+    df.withColumn("__z", zCol)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 
   /** Small-files compaction: rewrite a parquet dataset into files near
     * `targetBytes` each. The chronic 100 TB failure mode is the opposite of

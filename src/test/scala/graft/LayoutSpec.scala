@@ -75,6 +75,39 @@ class LayoutSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("z-order tightens per-file spans on BOTH columns; linear sort cannot") {
+    val base = Files.createTempDirectory("graft_zorder").toString
+    val events = Tables.events(spark, sf0001)
+      .select("event_id", "user_id", "value")
+    // per-file normalized span of a column: (file max - file min) / global range
+    def meanSpan(dir: String, c: String): Double = {
+      val global = events.agg(max(col(c)).cast("double") - min(col(c)).cast("double"))
+        .head().getDouble(0)
+      val spans = spark.read.parquet(dir)
+        .withColumn("__file", input_file_name())
+        .groupBy("__file")
+        .agg((max(col(c)).cast("double") - min(col(c)).cast("double")).as("span"))
+        .collect().map(_.getDouble(1))
+      spans.sum / spans.length / global
+    }
+    Layout.writeZOrdered(events, s"$base/z", Seq("user_id", "value"), nFiles = 16)
+    Layout.writeRangeClustered(events, s"$base/linear", "user_id", nFiles = 16)
+    val (zUser, zValue) = (meanSpan(s"$base/z", "user_id"), meanSpan(s"$base/z", "value"))
+    val (lUser, lValue) = (meanSpan(s"$base/linear", "user_id"), meanSpan(s"$base/linear", "value"))
+    // z-order: BOTH dimensions tighten — parquet min/max stats can skip
+    // files for a predicate on either column
+    assert(zUser < 0.6 && zValue < 0.6, s"z spans: user=$zUser value=$zValue")
+    // linear clustering tightens its sort key but leaves the other column
+    // untightened (the value column is heavy-tailed, so even an unsorted
+    // file rarely spans to the global max — hence 0.6, not ~1.0)
+    assert(lUser < 0.2, s"linear user span: $lUser")
+    assert(lValue > 0.6, s"linear value span: $lValue (should be untightened)")
+    assert(math.max(zUser, zValue) < lValue,
+      "z-order must beat linear on its worst dimension")
+    // row preservation: the rewrite is a pure re-layout
+    assert(spark.read.parquet(s"$base/z").count() == events.count())
+  }
+
   test("bucketed tables: equi-join and agg on the bucket key run shuffle-free") {
     // tables land in the session's default warehouse (spark-warehouse/,
     // gitignored); warehouse.dir is a static conf and cannot move per-test.

@@ -47,6 +47,20 @@ object PropertiesSpec extends Properties("graft") {
       toMap(Upsert.upsert(once, toDf(b), Seq("id"))) == toMap(once)
     }
 
+  // partition value derived from the key (id mod 3) — the partition-stable
+  // contract upsertPartitioned documents
+  private def withDay(df: DataFrame): DataFrame =
+    df.withColumn("day", pmod(col("id"), lit(3L)).cast("int"))
+
+  property("upsertPartitioned on a partitioned layout == map-merge") =
+    Prop.forAll(tableGen.suchThat(_.nonEmpty), tableGen) { (a, b) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_psu_prop")
+        .toString + "/t"
+      withDay(toDf(a)).write.partitionBy("day").parquet(dir)
+      Upsert.upsertPartitioned(spark, dir, withDay(toDf(b)), Seq("id"), "day")
+      toMap(spark.read.parquet(dir).select("id", "name", "bal")) == (a ++ b)
+    }
+
   // ----------------------------------------------------- sessionization
 
   private val eventsGen: Gen[List[(Long, Long, Long, Double)]] =

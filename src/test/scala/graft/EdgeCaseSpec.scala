@@ -126,6 +126,45 @@ class EdgeCaseSpec extends SparkSpecBase {
     assert(graft.engine.Windows.ntileApprox(longs, "x", 4).count() == 100)
   }
 
+  test("contamination edge cases: oversized n, empty test set, short docs") {
+    import spark.implicits._
+    val corpus = Seq((1L, "one two three"), (2L, "four five")).toDF("doc_id", "text")
+    val test = Seq((9L, "one two three")).toDF("doc_id", "text")
+    // n larger than every doc: nothing to compare, empty report, no crash
+    assert(graft.engine.Training.contamination(corpus, test, n = 10).count() == 0)
+    // empty test set: empty report and decontaminate keeps the corpus whole
+    val none = test.filter(col("doc_id") < 0)
+    assert(graft.engine.Training.contamination(corpus, none).count() == 0)
+    assert(graft.engine.Training.decontaminate(corpus, none).count() == 2)
+    // n = 3 flags the verbatim doc only
+    val hits = graft.engine.Training.contamination(corpus, test, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(1L -> 1L), hits.toString)
+  }
+
+  test("writeZOrdered edge cases: constant column, bad arguments") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zedge").toString
+    // constant column: zero span must not divide by zero or drop rows
+    val flat = (1L to 100L).map(i => (i, 7L)).toDF("a", "b")
+    graft.sources.Layout.writeZOrdered(flat, s"$dir/z", Seq("a", "b"), nFiles = 4)
+    assert(spark.read.parquet(s"$dir/z").count() == 100)
+    intercept[IllegalArgumentException] {
+      graft.sources.Layout.writeZOrdered(flat, s"$dir/one", Seq("a"), nFiles = 4)
+    }
+    intercept[IllegalArgumentException] {
+      graft.sources.Layout.writeZOrdered(flat, s"$dir/wide", Seq("a", "b"), 4, bits = 32)
+    }
+  }
+
+  test("upsertPartitioned rejects a batch without the partition column") {
+    import spark.implicits._
+    val batch = Seq((1L, "x")).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      graft.sources.Upsert.upsertPartitioned(spark, "/tmp/nowhere", batch, Seq("id"), "day")
+    }
+  }
+
   test("Profile.profile on an empty generation reports n_rows=0, no NPE") {
     import spark.implicits._
     val empty = Seq((1L, "x")).toDF("id", "v").filter(col("id") < 0)

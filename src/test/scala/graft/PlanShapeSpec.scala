@@ -88,6 +88,18 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q59: gram join is a hash join; the only nested loop is the 1-row scalar") {
+    val p = plan(Training.q59(spark, sf0001))
+    // the corpus⋈test-gram join must key on the gram (hash/SMJ class)
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[gram".r
+      .findFirstIn(p).isDefined, "gram join not an equi hash join:\n" + p)
+    // the in-plan max(doc_id) scalar rides a 1-row broadcast; no OTHER
+    // nested loop may exist (a gram-side BNLJ would be corpus-quadratic)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, // one per branch
+      "unexpected nested-loop joins:\n" + p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // two-phase per-doc count
+  }
+
   test("q12: aggregation is two-phase (partial + final hash aggregate)") {
     val p = plan(Relational.q12(spark, sf0001))
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)

@@ -346,6 +346,23 @@ object Training {
       |WHERE g.doc_id * 10 <= m * 9
       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
 
+  // q60 — deterministic fixed-budget GLOBAL sample: the k docs with the
+  // smallest md5(doc_id) — a uniform random-looking draw that is a pure
+  // function of the ids (q55 caps per stratum; this caps the whole
+  // corpus). No RNG state, so retries/engines/cluster sizes agree
+  // row-for-row, and the plan is TakeOrderedAndProject (per-partition
+  // top-k + driver merge of k rows — q24's class, NO global sort even
+  // though the ORDER BY is global).
+  def q60(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+      .orderBy(col("h"), col("doc_id"))
+      .limit(100)
+
+  val q60Sql: String =
+    """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+      |FROM documents ORDER BY h, doc_id LIMIT 100""".stripMargin
+
   /** Generic contamination scan between two corpora (q59 is the
     * fixture-bound declared twin): per-`corpus`-doc count of distinct word
     * n-grams shared with ANY `testSet` doc. Docs with no overlap are
@@ -398,7 +415,8 @@ object Training {
     "q55_stratified_sample" -> (q55 _),
     "q56_sequence_pack"     -> (q56 _),
     "q57_weighted_mixture"  -> (q57 _),
-    "q59_contamination"     -> (q59 _))
+    "q59_contamination"     -> (q59 _),
+    "q60_global_sample"     -> (q60 _))
 
   val oracle: Map[String, String] = Map(
     "q41_cosine_near_dup" -> q41Sql,
@@ -409,5 +427,6 @@ object Training {
     "q55_stratified_sample" -> q55Sql,
     "q56_sequence_pack"     -> q56Sql,
     "q57_weighted_mixture"  -> q57Sql,
-    "q59_contamination"     -> q59Sql)
+    "q59_contamination"     -> q59Sql,
+    "q60_global_sample"     -> q60Sql)
 }

@@ -316,10 +316,16 @@ object Training {
       """array_distinct(transform(sequence(0, size(split(text, ' ')) - 8),
         |  i -> array_join(slice(split(text, ' '), i + 1, 8), ' ')))""".stripMargin)
     val mx = docs.agg(max(col("doc_id")).as("m"))
+    // one explicit repartition on the gram BEFORE the test/corpus branch:
+    // both branches consume the SAME exchange (ReuseExchange), so the
+    // string-heavy gram explode is computed once, not once per branch;
+    // the branch filters, the test-side distinct, and the join all run on
+    // that partitioning without further shuffles
     val g = docs
       .filter(size(words) >= 8)
       .crossJoin(broadcast(mx)) // one-row side result, same class as q50
       .select(col("doc_id"), col("m"), explode(grams8).as("gram"))
+      .repartition(col("gram"))
     val test = g.filter(col("doc_id") * 10 > col("m") * 9)
       .select(col("gram")).distinct()
     g.filter(col("doc_id") * 10 <= col("m") * 9)

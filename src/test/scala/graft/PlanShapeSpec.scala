@@ -98,6 +98,16 @@ class PlanShapeSpec extends SparkSpecBase {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, // one per branch
       "unexpected nested-loop joins:\n" + p)
     assert("HashAggregate".r.findAllIn(p).size >= 2, p) // two-phase per-doc count
+    // the gram explode feeds BOTH branches through one reused exchange —
+    // without it the string-heavy gram computation runs twice. AQE only
+    // materializes stage reuse at runtime, so execute and read the FINAL
+    // plan: exactly one Generate(explode) must remain live
+    val df = Training.q59(spark, sf0001)
+    df.collect()
+    val fp = df.queryExecution.executedPlan.toString
+    assert(fp.contains("ReusedExchange") ||
+      "Generate explode".r.findAllIn(fp).size == 1,
+      "gram exchange not shared between test and corpus branches:\n" + fp)
   }
 
   test("q12: aggregation is two-phase (partial + final hash aggregate)") {

@@ -10,6 +10,7 @@ import graft.streaming.Streams
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
 case class Imp(imp_id: Long, imp_ts: Timestamp, imp_user: Long)
 case class Click(click_id: Long, click_ts: Timestamp, click_user: Long)
+case class Doc(doc_id: Long, text: String)
 
 /** Structured Streaming semantics (SURVEY §2.8 / §5.2.4): session windows
   * agree with the batch gaps-and-islands formulation, watermarks drop late
@@ -215,5 +216,32 @@ class StreamingSpec extends SparkSpecBase {
     val out = spark.read.parquet(snapshot).orderBy("event_id")
       .collect().map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("value"))).toSeq
     assert(out == Seq((1L, 1.0), (2L, 20.0), (3L, 3.0)), out.toString)
+  }
+
+  test("foreachBatch decontamination: hygiene-at-ingest drops eval-leaking docs per micro-batch") {
+    // the practical streaming-hygiene path: batch decontaminate inside
+    // foreachBatch against a STATIC eval set — no streaming-join state,
+    // effectively-once by the append-only sink + checkpoint
+    val dir = Files.createTempDirectory("graft_stream_decon").toString
+    val span = "alpha beta gamma delta epsilon zeta eta theta"
+    val evalSet = Seq((100L, s"held out $span fin")).toDF("doc_id", "text")
+    val stream = MemoryStream[Doc](spark)
+    val q = stream.toDF().writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.engine.Training.decontaminate(batch, evalSet)
+          .write.mode("append").parquet(s"$dir/clean")
+      }
+      .start()
+    stream.addData(Doc(1L, s"leaky doc with $span inside"),
+                   Doc(2L, "clean doc one with enough words to matter"))
+    q.processAllAvailable()
+    stream.addData(Doc(3L, s"another $span leak"),
+                   Doc(4L, "clean doc two with enough words to matter"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.read.parquet(s"$dir/clean")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L), kept.toString)
   }
 }

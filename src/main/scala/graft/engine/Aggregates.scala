@@ -184,6 +184,56 @@ object Aggregates {
       |  count(*) AS n_orders
       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  // q61 — conditional aggregation (the FILTER clause / count_if family):
+  // per-status slices of one scan — urgent-order counts, high-value sums,
+  // filtered averages — all inside ONE two-phase hash agg. The alternative
+  // (one scan per condition + joins) multiplies IO by the condition count;
+  // conditional aggregates keep it at a single pass at any scale. Money
+  // sums in DECIMAL per §2.0 (order-independent); the filtered avg is
+  // integer-count / DECIMAL-sum, rounded once.
+  def q61(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        count(when(col("o_orderpriority") === "1-URGENT", 1)).as("n_urgent"),
+        sum(when(col("o_totalprice") > 100000.0, col("o_totalprice").cast(D182))
+          .otherwise(lit(0).cast(D182))).cast("double").as("high_value_sum"),
+        round(avg(when(col("o_orderpriority") === "1-URGENT",
+          col("o_totalprice"))), 2).as("avg_urgent_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+
+  val q61Sql: String =
+    """SELECT o_orderstatus,
+      |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+      |  CAST(sum(CASE WHEN o_totalprice > 100000.0
+      |    THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END)
+      |    AS DOUBLE) AS high_value_sum,
+      |  round(avg(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 2)
+      |    AS avg_urgent_price,
+      |  count(*) AS n_orders
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // q62 — fixed-width histogram (the profiling primitive): bucket =
+  // floor(value / width), integer-exact on the DECIMAL-cents view of the
+  // price so both engines bucket identically at boundaries. One two-phase
+  // agg on a bounded key space — shuffle volume is O(buckets), not rows.
+  def q62(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("bucket",
+        floor(round(col("o_totalprice") * 100).cast("long") / (2000000L * 100))
+          .cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy("bucket")
+
+  val q62Sql: String =
+    """SELECT CAST(floor(CAST(round(o_totalprice * 100) AS BIGINT) / (2000000 * 100)) AS BIGINT) AS bucket,
+      |  count(*) AS n, min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_count_distinct" -> (q13 _),
     "q14_rollup"         -> (q14 _),
@@ -193,7 +243,9 @@ object Aggregates {
     "q18_collect_sorted" -> (q18 _),
     "q47_median_udaf"    -> (q47 _),
     "q49_argmax"         -> (q49 _),
-    "q51_listagg"        -> (q51 _))
+    "q51_listagg"        -> (q51 _),
+    "q61_conditional_agg" -> (q61 _),
+    "q62_histogram"       -> (q62 _))
 
   val oracle: Map[String, String] = Map(
     "q13_count_distinct" -> q13Sql,
@@ -204,5 +256,7 @@ object Aggregates {
     "q18_collect_sorted" -> q18Sql,
     "q47_median_udaf"    -> q47Sql,
     "q49_argmax"         -> q49Sql,
-    "q51_listagg"        -> q51Sql)
+    "q51_listagg"        -> q51Sql,
+    "q61_conditional_agg" -> q61Sql,
+    "q62_histogram"       -> q62Sql)
 }

@@ -198,8 +198,10 @@ object Aggregates {
         count(when(col("o_orderpriority") === "1-URGENT", 1)).as("n_urgent"),
         sum(when(col("o_totalprice") > 100000.0, col("o_totalprice").cast(D182))
           .otherwise(lit(0).cast(D182))).cast("double").as("high_value_sum"),
-        round(avg(when(col("o_orderpriority") === "1-URGENT",
-          col("o_totalprice"))), 2).as("avg_urgent_price"),
+        round(sum(when(col("o_orderpriority") === "1-URGENT",
+            col("o_totalprice").cast(D182))).cast("double") /
+          count(when(col("o_orderpriority") === "1-URGENT", 1)), 2)
+          .as("avg_urgent_price"),
         count(lit(1)).as("n_orders"))
       .orderBy("o_orderstatus")
 
@@ -209,19 +211,23 @@ object Aggregates {
       |  CAST(sum(CASE WHEN o_totalprice > 100000.0
       |    THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END)
       |    AS DOUBLE) AS high_value_sum,
-      |  round(avg(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 2)
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |      FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE)
+      |    / count(*) FILTER (WHERE o_orderpriority = '1-URGENT'), 2)
       |    AS avg_urgent_price,
       |  count(*) AS n_orders
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   // q62 — fixed-width histogram (the profiling primitive): bucket =
-  // floor(value / width), integer-exact on the DECIMAL-cents view of the
-  // price so both engines bucket identically at boundaries. One two-phase
-  // agg on a bounded key space — shuffle volume is O(buckets), not rows.
+  // floor(value / width), integer-exact on the cents view of the price so
+  // both engines bucket identically at boundaries. Width $20,000 =
+  // 2,000,000 cents → ~25 live buckets over the fixture price range. One
+  // two-phase agg on a bounded key space — shuffle volume is O(buckets),
+  // not rows.
   def q62(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .withColumn("bucket",
-        floor(round(col("o_totalprice") * 100).cast("long") / (2000000L * 100))
+        floor(round(col("o_totalprice") * 100).cast("long") / 2000000L)
           .cast("long"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
@@ -230,7 +236,7 @@ object Aggregates {
       .orderBy("bucket")
 
   val q62Sql: String =
-    """SELECT CAST(floor(CAST(round(o_totalprice * 100) AS BIGINT) / (2000000 * 100)) AS BIGINT) AS bucket,
+    """SELECT CAST(floor(CAST(round(o_totalprice * 100) AS BIGINT) / 2000000) AS BIGINT) AS bucket,
       |  count(*) AS n, min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 

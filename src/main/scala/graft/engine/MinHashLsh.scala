@@ -93,11 +93,13 @@ object MinHashLsh {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val sh = shingles(docs, n)
     // signatures feed BOTH banding and estimation — materialize once via
-    // localCheckpoint rather than cache(): checkpoint blocks belong to the
-    // plan and are reclaimed by the ContextCleaner when the result frame
-    // is dropped, where a cache() here would pin blocks in the cache
-    // manager for the app lifetime with no handle to release them
-    val sigs = signatures(sh, k).localCheckpoint()
+    // LAZY localCheckpoint rather than cache(): checkpoint blocks belong
+    // to the plan and are reclaimed by the ContextCleaner when the result
+    // frame is dropped (a cache() here would pin blocks in the cache
+    // manager for the app lifetime with no handle to release them), and
+    // eager=false keeps this function lazy — the signature job runs on the
+    // caller's first action, not at DataFrame construction
+    val sigs = signatures(sh, k).localCheckpoint(eager = false)
     val pairs = candidatePairs(sigs, bands, k / bands)
     estimateJaccard(pairs, sigs, k)
       .filter(col("jaccard_est") >= threshold)

@@ -209,9 +209,16 @@ object Relational {
     * independent of how long a user's history is. Result-equivalence to
     * q10 is proven in PlanShapeSpec ("x10 banded ≡ q10").
     */
-  def bandedRangeJoin(s: SparkSession, dir: String): DataFrame = {
+  def bandedRangeJoin(s: SparkSession, dir: String): DataFrame =
+    bandedRangeJoin(Tables.events(s, dir))
+
+  /** DataFrame-taking core of the banded join (shared by the fixture
+    * query above, the x10 bench twin, and tools.ProfileSkew — one
+    * implementation of the band arithmetic, measured and spec'd once).
+    */
+  def bandedRangeJoin(events: DataFrame): DataFrame = {
     val bandUs = 300L * 1000000L // 5 min in microseconds = bucket width
-    val e = Tables.events(s, dir)
+    val e = events
       .withColumn("bkt", floor(unix_micros(col("ts").cast("timestamp")) / bandUs))
     val a = e.select(col("event_id").as("id_a"), col("ts").as("ts_a"),
         col("user_id"), col("bkt"))

@@ -385,13 +385,11 @@ object Training {
                     idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
     require(n >= 1)
-    def grams(df: DataFrame): DataFrame = {
-      val g = expr(
-        s"""array_distinct(transform(sequence(0, size(split($textCol, ' ')) - $n),
-           |  i -> array_join(slice(split($textCol, ' '), i + 1, $n), ' ')))""".stripMargin)
-      df.filter(size(split(col(textCol), " ")) >= n)
-        .select(col(idCol), explode(g).as("gram"))
-    }
+    // one shingle implementation project-wide (MinHashLsh.shingles): a fix
+    // to gram semantics lands everywhere at once
+    def grams(df: DataFrame): DataFrame =
+      MinHashLsh.shingles(df, n, idCol, textCol)
+        .withColumnRenamed("shingle", "gram")
     grams(corpus)
       .join(grams(testSet).select("gram").distinct(), "gram")
       .groupBy(idCol)

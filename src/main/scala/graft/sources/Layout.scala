@@ -91,6 +91,12 @@ object Layout {
     val aggs = clusterCols.flatMap(c =>
       Seq(min(col(c).cast("double")).as(s"__min_$c"), max(col(c).cast("double")).as(s"__max_$c")))
     val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    // empty input or an all-null cluster column: no range to z-order by —
+    // write as-is (same graceful degradation as a zero span)
+    if (clusterCols.exists(c => stats.isNullAt(stats.fieldIndex(s"__min_$c")))) {
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val maxBucket = (1L << bits) - 1
     // bucket each column into [0, 2^bits), then interleave: bit i of
     // column j lands at z-bit i*k + j (round-robin — the Morton layout)

@@ -75,20 +75,28 @@ object Upsert {
     val touched = batch.select(col(partitionCol)).distinct().collect().map(_.get(0))
     if (touched.isEmpty) return // empty batch: nothing to rewrite
     val snapshot = spark.read.parquet(path)
-    // partition pruning: only the touched partitions' files are read
+    // partition pruning: only the touched partitions' files are read.
+    // isin(null) never matches, so a null partition value needs its own
+    // isNull branch — otherwise pre-existing rows in the null partition
+    // (__HIVE_DEFAULT_PARTITION__) would be silently replaced by batch
+    // rows alone instead of merged.
+    val (nullTouched, nonNull) = touched.partition(_ == null)
+    val pruneNonNull =
+      if (nonNull.nonEmpty) col(partitionCol).isin(nonNull.toSeq: _*)
+      else lit(false)
+    val prune =
+      if (nullTouched.nonEmpty) pruneNonNull || col(partitionCol).isNull
+      else pruneNonNull
     val affected = snapshot
-      .filter(col(partitionCol).isin(touched.toSeq: _*))
+      .filter(prune)
       .select(batch.columns.map(col): _*) // partition col reads back last — realign
     val merged = upsert(affected, batch, keys)
       .localCheckpoint() // truncate lineage: the write must not read `path`
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try
-      merged.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // per-write option — scopes dynamic overwrite to THIS write instead of
+    // mutating the session conf under concurrent writers
+    merged.write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").partitionBy(partitionCol).parquet(path)
   }
 
   /** Key-wise delete — the MERGE WHEN MATCHED THEN DELETE shape (the

@@ -118,9 +118,14 @@ class ComponentsSpec extends SparkSpecBase {
         if (actions.size == prev) settled += 1 else { prev = actions.size; settled = 0 }
       }
       // init (rebase + count) + 4 rounds × (rebase + count) = 10; a
-      // separate convergence action would push this to 14
-      assert(actions.size == 10,
-        s"expected 10 executions (2 init + 2 per round × 4), saw ${actions.size}")
+      // separate convergence action would push this to ≥ 14. Upper bound
+      // rather than equality: the exact per-round wrapping of Dataset.rdd
+      // into execution ids is a Spark internal that may shift across
+      // versions — the property under test is only that NO extra
+      // convergence action exists
+      assert(actions.size <= 10,
+        s"expected ≤ 10 executions (2 init + 2 per round × 4), saw ${actions.size}" +
+          " — a separate convergence probe is back")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 

@@ -149,6 +149,10 @@ class EdgeCaseSpec extends SparkSpecBase {
     val flat = (1L to 100L).map(i => (i, 7L)).toDF("a", "b")
     graft.sources.Layout.writeZOrdered(flat, s"$dir/z", Seq("a", "b"), nFiles = 4)
     assert(spark.read.parquet(s"$dir/z").count() == 100)
+    // empty input: min/max are null — degrade to a plain write, no NPE
+    graft.sources.Layout.writeZOrdered(flat.filter(col("a") < 0), s"$dir/empty",
+      Seq("a", "b"), nFiles = 4)
+    assert(spark.read.parquet(s"$dir/empty").count() == 0)
     intercept[IllegalArgumentException] {
       graft.sources.Layout.writeZOrdered(flat, s"$dir/one", Seq("a"), nFiles = 4)
     }

@@ -115,6 +115,23 @@ class UpsertSpec extends SparkSpecBase {
     assert(files(2) == d2After)
   }
 
+  test("upsertPartitioned merges (not replaces) the null partition") {
+    // isin(null) never matches — without the isNull pruning branch a
+    // null-day batch row would silently DROP pre-existing null-day rows
+    val dir = java.nio.file.Files.createTempDirectory("graft_psu_null").toString + "/t"
+    val snap = Seq[(Long, String, Option[Int])](
+        (1L, "a", Some(1)), (2L, "b", None), (3L, "c", None))
+      .toDF("id", "v", "day")
+    snap.write.partitionBy("day").parquet(dir)
+    val batch = Seq[(Long, String, Option[Int])]((3L, "C", None), (4L, "d", None))
+      .toDF("id", "v", "day")
+    Upsert.upsertPartitioned(spark, dir, batch, Seq("id"), "day")
+    val got = spark.read.parquet(dir).select("id", "v").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // 2 must SURVIVE: it lives in the null partition the batch touched
+    assert(got == Seq((1L, "a"), (2L, "b"), (3L, "C"), (4L, "d")), got.toString)
+  }
+
   test("parquet schema evolution: mergeSchema unifies old and new generations") {
     val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
     // generation 1: two columns; generation 2 adds a nullable column

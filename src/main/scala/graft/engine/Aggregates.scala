@@ -198,9 +198,14 @@ object Aggregates {
         count(when(col("o_orderpriority") === "1-URGENT", 1)).as("n_urgent"),
         sum(when(col("o_totalprice") > 100000.0, col("o_totalprice").cast(D182))
           .otherwise(lit(0).cast(D182))).cast("double").as("high_value_sum"),
+        // AVG semantics exactly: exact DECIMAL numerator (order-independent
+        // per §2.0), denominator counts only urgent rows with a NON-NULL
+        // price — sum/count-of-all-urgent would deflate the mean if a
+        // price were ever null
         round(sum(when(col("o_orderpriority") === "1-URGENT",
             col("o_totalprice").cast(D182))).cast("double") /
-          count(when(col("o_orderpriority") === "1-URGENT", 1)), 2)
+          count(when(col("o_orderpriority") === "1-URGENT",
+            col("o_totalprice"))), 2)
           .as("avg_urgent_price"),
         count(lit(1)).as("n_orders"))
       .orderBy("o_orderstatus")
@@ -213,7 +218,7 @@ object Aggregates {
       |    AS DOUBLE) AS high_value_sum,
       |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
       |      FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE)
-      |    / count(*) FILTER (WHERE o_orderpriority = '1-URGENT'), 2)
+      |    / count(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 2)
       |    AS avg_urgent_price,
       |  count(*) AS n_orders
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin

@@ -91,22 +91,24 @@ object Layout {
     val aggs = clusterCols.flatMap(c =>
       Seq(min(col(c).cast("double")).as(s"__min_$c"), max(col(c).cast("double")).as(s"__max_$c")))
     val stats = df.agg(aggs.head, aggs.tail: _*).head()
-    // empty input or an all-null cluster column: no range to z-order by —
-    // write as-is (same graceful degradation as a zero span)
-    if (clusterCols.exists(c => stats.isNullAt(stats.fieldIndex(s"__min_$c")))) {
-      df.write.mode("overwrite").parquet(path)
-      return
-    }
     val maxBucket = (1L << bits) - 1
     // bucket each column into [0, 2^bits), then interleave: bit i of
-    // column j lands at z-bit i*k + j (round-robin — the Morton layout)
+    // column j lands at z-bit i*k + j (round-robin — the Morton layout).
+    // A column with no range (empty input, or all-null — min/max are
+    // null) contributes a constant zero bucket: the curve degrades to
+    // ordering by the remaining usable columns instead of aborting the
+    // nFiles sizing and clustering wholesale.
     val zCol = clusterCols.zipWithIndex.map { case (c, j) =>
-      val lo = stats.getDouble(stats.fieldIndex(s"__min_$c"))
-      val hi = stats.getDouble(stats.fieldIndex(s"__max_$c"))
-      val span = if (hi > lo) hi - lo else 1.0
-      val bucket = least(lit(maxBucket),
-        floor((col(c).cast("double") - lit(lo)) / lit(span) * lit(maxBucket.toDouble + 1)))
-        .cast("long")
+      val bucket =
+        if (stats.isNullAt(stats.fieldIndex(s"__min_$c"))) lit(0L)
+        else {
+          val lo = stats.getDouble(stats.fieldIndex(s"__min_$c"))
+          val hi = stats.getDouble(stats.fieldIndex(s"__max_$c"))
+          val span = if (hi > lo) hi - lo else 1.0
+          least(lit(maxBucket),
+            floor((col(c).cast("double") - lit(lo)) / lit(span) * lit(maxBucket.toDouble + 1)))
+            .cast("long")
+        }
       (0 until bits).map { i =>
         shiftleft((bucket.bitwiseAND(lit(1L << i)) =!= lit(0L)).cast("long"),
           i * clusterCols.size + j)

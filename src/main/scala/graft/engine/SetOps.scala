@@ -69,15 +69,47 @@ object SetOps {
       |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000.0
       |ORDER BY custkey""".stripMargin
 
+  // q65 — the BAG-semantics set ops q26/q27 don't cover: INTERSECT ALL
+  // keeps min(multiplicity-left, multiplicity-right) copies per value,
+  // EXCEPT ALL keeps left-count minus right-count. Physically a different
+  // plan class from the distinct forms: no dedup — Catalyst rewrites both
+  // to a per-value count aggregate + generate (replicate min/diff copies),
+  // so the cost is one count-shuffle per side regardless of duplication
+  // depth; no row explosion, no distinct sort. The two variants ride one
+  // declared output under a tag column; duplicate output rows are the
+  // point (the driver's sorted-hash compares multisets faithfully).
+  def q65(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+    val sup = Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey"))
+    c.intersectAll(sup).withColumn("op", lit("intersect_all"))
+      .unionByName(c.exceptAll(sup).withColumn("op", lit("except_all")))
+      .select("op", "nationkey")
+      .orderBy("op", "nationkey")
+  }
+
+  val q65Sql: String =
+    """SELECT 'intersect_all' AS op, nationkey FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  INTERSECT ALL
+      |  SELECT s_nationkey AS nationkey FROM supplier)
+      |UNION ALL
+      |SELECT 'except_all' AS op, nationkey FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  EXCEPT ALL
+      |  SELECT s_nationkey AS nationkey FROM supplier)
+      |ORDER BY op, nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_topn_global"        -> (q24 _),
     "q25_union_all_distinct" -> (q25 _),
     "q26_intersect"          -> (q26 _),
-    "q27_except"             -> (q27 _))
+    "q27_except"             -> (q27 _),
+    "q65_setops_all"         -> (q65 _))
 
   val oracle: Map[String, String] = Map(
     "q24_topn_global"        -> q24Sql,
     "q25_union_all_distinct" -> q25Sql,
     "q26_intersect"          -> q26Sql,
-    "q27_except"             -> q27Sql)
+    "q27_except"             -> q27Sql,
+    "q65_setops_all"         -> q65Sql)
 }

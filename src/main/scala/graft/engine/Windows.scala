@@ -200,6 +200,30 @@ object Windows {
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // q64 — rank-distribution analytics: percent_rank (= (rank-1)/(n-1)) and
+  // cume_dist (= rank-from-the-end/n) per priority class, completing the
+  // §2.6 ranking family next to q19/q23. The unique (price, key) tiebreak
+  // makes both exact rationals of integers: the same two-long division runs
+  // in IEEE double on both engines, so round(...,6) is bit-stable. One
+  // shuffle on the partition key; per-partition sizes stay balanced at any
+  // scale because priority classes are uniform.
+  def q64(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      .withColumn("cd", round(cume_dist().over(w), 6))
+      .select("o_orderkey", "o_orderpriority", "o_totalprice", "pr", "cd")
+      .orderBy("o_orderkey")
+  }
+
+  val q64Sql: String =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |  round(percent_rank() OVER win, 6) AS pr,
+      |  round(cume_dist() OVER win, 6) AS cd
+      |FROM orders
+      |WINDOW win AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_rank_topk"   -> (q19 _),
     "q20_running_sum" -> (q20 _),
@@ -207,7 +231,8 @@ object Windows {
     "q22_lag_lead"    -> (q22 _),
     "q23_ntile"       -> (q23 _),
     "q48_win_range_interval" -> (q48 _),
-    "q58_value_windows" -> (q58 _))
+    "q58_value_windows" -> (q58 _),
+    "q64_rank_distribution" -> (q64 _))
 
   val oracle: Map[String, String] = Map(
     "q19_rank_topk"   -> q19Sql,
@@ -216,5 +241,6 @@ object Windows {
     "q22_lag_lead"    -> q22Sql,
     "q23_ntile"       -> q23Sql,
     "q48_win_range_interval" -> q48Sql,
-    "q58_value_windows" -> q58Sql)
+    "q58_value_windows" -> q58Sql,
+    "q64_rank_distribution" -> q64Sql)
 }

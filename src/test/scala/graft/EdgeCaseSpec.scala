@@ -238,4 +238,38 @@ class EdgeCaseSpec extends SparkSpecBase {
     assert(out.schema.fieldNames.toSeq == Seq("o_orderpriority", "F", "O", "P"))
     assert(out.count() > 0)
   }
+
+  test("NOT IN three-valued logic (q63's semantics): null list empties, empty list passes all") {
+    // the three corners of `k NOT IN (S)`, each checked against the manual
+    // null-safe anti-join formulation Catalyst derives (anti on
+    // `k = v OR isnull(k = v)`), so the declared q63 behavior is pinned to
+    // first principles, not just to DuckDB agreement
+    import spark.implicits._
+    val probe = Seq(Some(1), Some(2), None).toDF("k")
+    probe.createOrReplaceTempView("niq_probe")
+    Seq(Some(10), None).toDF("v").createOrReplaceTempView("niq_withnull")
+    Seq(Some(1), Some(10)).toDF("v").createOrReplaceTempView("niq_nonull")
+    spark.sql("SELECT * FROM niq_nonull WHERE v > 100").createOrReplaceTempView("niq_empty")
+
+    def sqlNotIn(list: String): Seq[Option[Int]] =
+      spark.sql(s"SELECT k FROM niq_probe WHERE k NOT IN (SELECT v FROM $list)")
+        .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+        .toSeq.sortBy(_.getOrElse(Int.MinValue))
+    def manualNotIn(list: String): Seq[Option[Int]] = {
+      val sub = spark.table(list)
+      probe.join(sub, col("k") === col("v") || (col("k") === col("v")).isNull, "left_anti")
+        .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+        .toSeq.sortBy(_.getOrElse(Int.MinValue))
+    }
+    // 1) S contains NULL → no row can satisfy NOT IN: silently empty
+    assert(sqlNotIn("niq_withnull").isEmpty, "null-in-list must empty the result")
+    // 2) empty S → every probe row passes, including the NULL key
+    assert(sqlNotIn("niq_empty") == Seq(None, Some(1), Some(2)))
+    // 3) non-null S → null probe key is UNKNOWN (dropped), members dropped
+    assert(sqlNotIn("niq_nonull") == Seq(Some(2)))
+    // and the manual null-safe formulation agrees on all three corners
+    Seq("niq_withnull", "niq_empty", "niq_nonull").foreach { l =>
+      assert(sqlNotIn(l) == manualNotIn(l), s"manual anti-join diverges on $l")
+    }
+  }
 }

@@ -155,6 +155,35 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), "correlated subquery fell back to NL join:\n" + p)
   }
 
+  test("q63: NOT IN plans as a null-aware anti join, not a nested loop") {
+    val p = plan(Relational.q63(spark, sf0001))
+    // NAAJ = BroadcastHashJoin LeftAnti with the trailing isNullAware flag;
+    // a BNLJ here would re-scan the IN-list per probe partition
+    assert("LeftAnti, BuildRight, true".r.findAllIn(p).size == 2,
+      "expected two null-aware anti joins (one per branch):\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q65: INTERSECT/EXCEPT ALL rewrite to count aggregates + replicate, no dedup join") {
+    val p = plan(SetOps.q65(spark, sf0001))
+    // bag semantics via per-value counts: one count-shuffle per side, then
+    // Generate(replicaterows) reconstitutes multiplicities — never a
+    // distinct sort or a join
+    assert("replicaterows".r.findAllIn(p).size == 2, p)
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p) // partial+final × 2
+    assert(!p.contains("Join"), "bag set op planned as a join:\n" + p)
+  }
+
+  test("q66: fuzzy match is a brand-blocked hash join with levenshtein residual") {
+    val p = plan(Scalars.q66(spark, sf0001))
+    // the blocking key must carry the join — an unblocked fuzzy match
+    // degenerates to a cross product (n² levenshtein calls)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+           p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("levenshtein"), p)
+  }
+
   test("q35: vocabulary join has no forced broadcast hint; AQE still broadcasts small dfreq") {
     val df = LlmOps.q35(spark, sf0001)
     // the vocabulary-sized dfreq side must not be hint-forced (at 100 TB it

@@ -9,11 +9,15 @@ import org.apache.spark.sql.types._
   * structs, plus the decode / feature-extract / resize / frame-sample
   * plumbing a training pipeline needs.
   *
-  * The decode kernels are STUBS by design — no image/audio codecs exist in
-  * this container — implemented as deterministic byte-level fakes so the
+  * IMAGE decode and resize are REAL: `javax.imageio.ImageIO` (in every
+  * JVM) parses actual PNG/JPEG bytes — [[decodeImageMeta]] extracts
+  * (width, height, channels) and [[resizeImages]] rescales pixels and
+  * re-encodes, with undecodable payloads surfaced explicitly rather than
+  * crashing the task. Audio/video kernels remain deterministic byte-level
+  * STUBS (no audio/video codecs exist in this container) so their
   * Spark-side contract (schemas, batch shapes, partition behaviour, null
-  * policy) is fully real and testable. Swapping in a real codec changes
-  * only the function body, not the pipeline.
+  * policy) is still fully testable; swapping in a real codec changes only
+  * the function body, not the pipeline.
   *
   * 100 TB notes: payload bytes dominate storage — keep them in their own
   * parquet column so column pruning skips them unless the query touches
@@ -54,6 +58,102 @@ object Multimodal {
       val payload = Array.tabulate[Byte](len)(i => ((id * 31 + i * 7) % 251).toByte)
       MediaRow(id, MediaMeta(kind, 640, 480, if (kind == "image") 0L else 1000L + id, "fake/1"),
                payload)
+    }
+  }
+
+  /** Decoded image facts; `ok = false` rows carry -1 dims (payload was
+    * null, truncated, or not an image) so corrupt corpus entries are a
+    * filterable fact, not a task failure.
+    */
+  case class ImageMeta(media_id: Long, ok: Boolean, width: Int, height: Int,
+                       channels: Int)
+
+  /** Deterministic real-PNG corpus: pixel values are a pure function of
+    * (media_id, x, y), encoded through ImageIO — genuine image bytes for
+    * exercising the decode path without fixture files. Sizes vary with id
+    * so width/height extraction is actually tested, not constant-folded.
+    */
+  def syntheticImageCorpus(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n.toLong).as[Long].map { id =>
+      val w = 4 + (id % 5).toInt
+      val h = 3 + (id % 7).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, (id * 2654435761L + x * 31 + y * 7).toInt & 0xffffff)
+          x += 1
+        }
+        y += 1
+      }
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      MediaRow(id, MediaMeta("image", w, h, 0L, "image/png"), buf.toByteArray)
+    }
+  }
+
+  /** REAL image decode: parse payload bytes with ImageIO and extract
+    * (width, height, channels). mapPartitions so per-task setup (the
+    * ImageIO plugin registry scan, cache config) is paid once per
+    * partition, not per row — the same batching a real codec or model
+    * forward pass needs. Non-image / corrupt / null payloads come back as
+    * `ok = false` rows.
+    */
+  def decodeImageMeta(media: Dataset[MediaRow]): Dataset[ImageMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition codec init: in-memory payloads never need ImageIO's
+      // temp-file cache, and disabling it avoids local-disk churn per image
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val img =
+          try Option(r.payload).flatMap { p =>
+            Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p)))
+          } catch { case _: java.io.IOException => None }
+        img match {
+          case Some(i) =>
+            ImageMeta(r.media_id, ok = true, i.getWidth, i.getHeight,
+              i.getRaster.getNumBands)
+          case None => ImageMeta(r.media_id, ok = false, -1, -1, -1)
+        }
+      }
+    }
+  }
+
+  /** REAL image resize: decode, rescale pixels (bilinear), re-encode PNG,
+    * and rewrite payload + metadata together (the contract [[resize]]
+    * fakes for the stub kinds). Undecodable payloads pass through
+    * unchanged — at corpus scale a resize job must not die on one corrupt
+    * file; pair with [[decodeImageMeta]] to quarantine them.
+    */
+  def resizeImages(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val src =
+          try Option(r.payload).flatMap { p =>
+            Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p)))
+          } catch { case _: java.io.IOException => None }
+        src match {
+          case Some(img) =>
+            val dst = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+            val g = dst.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+            g.dispose()
+            val buf = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, "png", buf)
+            r.copy(meta = r.meta.copy(width = w, height = h, codec = "image/png"),
+                   payload = buf.toByteArray)
+          case None => r
+        }
+      }
     }
   }
 

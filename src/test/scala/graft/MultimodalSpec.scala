@@ -43,6 +43,60 @@ class MultimodalSpec extends SparkSpecBase {
     assert(!perMedia.keySet.exists(id => id % 3 == 0))
   }
 
+  test("real PNG decode: ImageIO round-trips the generated dimensions and channels") {
+    val imgs = Multimodal.syntheticImageCorpus(spark, 24)
+    // parquet round-trip first: the decode must work on bytes that have
+    // been through the real storage path, not just in-memory objects
+    val dir = Files.createTempDirectory("graft_png").toString + "/imgs"
+    imgs.toDF().write.mode("overwrite").parquet(dir)
+    import spark.implicits._
+    val back = spark.read.parquet(dir).as[Multimodal.MediaRow]
+    val decoded = Multimodal.decodeImageMeta(back).collect().map(m => m.media_id -> m).toMap
+    assert(decoded.size == 24)
+    decoded.values.foreach { m =>
+      assert(m.ok, s"media ${m.media_id} failed to decode")
+      assert(m.width == 4 + (m.media_id % 5).toInt, m.toString)
+      assert(m.height == 3 + (m.media_id % 7).toInt, m.toString)
+      assert(m.channels == 3, m.toString) // TYPE_3BYTE_BGR
+    }
+  }
+
+  test("corrupt / null / non-image payloads decode as ok=false facts, not task failures") {
+    import spark.implicits._
+    val junk = Seq(
+      Multimodal.MediaRow(100L, Multimodal.MediaMeta("image", 0, 0, 0L, "junk"),
+        Array[Byte](1, 2, 3, 4)),                       // not an image
+      Multimodal.MediaRow(101L, Multimodal.MediaMeta("image", 0, 0, 0L, "junk"),
+        null),                                           // null payload
+      Multimodal.MediaRow(102L, Multimodal.MediaMeta("image", 0, 0, 0L, "junk"),
+        Array.emptyByteArray)                            // empty payload
+    ).toDS()
+    val out = Multimodal.decodeImageMeta(junk).collect()
+    assert(out.length == 3 && out.forall(m => !m.ok && m.width == -1))
+    // truncated real PNG: header survives, pixel data does not
+    val png = Multimodal.syntheticImageCorpus(spark, 1).head().payload
+    val truncated = Seq(Multimodal.MediaRow(103L,
+      Multimodal.MediaMeta("image", 0, 0, 0L, "image/png"), png.take(16))).toDS()
+    assert(Multimodal.decodeImageMeta(truncated).head().ok == false)
+  }
+
+  test("real image resize: pixels rescale and payload+meta rewrite together") {
+    val imgs = Multimodal.syntheticImageCorpus(spark, 6)
+    val resized = Multimodal.resizeImages(imgs, 16, 9)
+    val decoded = Multimodal.decodeImageMeta(resized).collect()
+    assert(decoded.length == 6)
+    assert(decoded.forall(m => m.ok && m.width == 16 && m.height == 9))
+    resized.collect().foreach { r =>
+      assert(r.meta.width == 16 && r.meta.height == 9, r.meta.toString)
+    }
+    // undecodable rows pass through unchanged instead of killing the job
+    import spark.implicits._
+    val junk = Seq(Multimodal.MediaRow(7L,
+      Multimodal.MediaMeta("image", 5, 5, 0L, "junk"), Array[Byte](9, 9))).toDS()
+    val kept = Multimodal.resizeImages(junk, 16, 9).head()
+    assert(kept.meta.width == 5 && kept.payload.toSeq == Seq[Byte](9, 9))
+  }
+
   test("metadata-only query prunes the payload column at the parquet scan") {
     val dir = Files.createTempDirectory("graft_media").toString + "/media"
     corpus.toDF().write.mode("overwrite").parquet(dir)

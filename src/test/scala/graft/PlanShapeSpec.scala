@@ -184,6 +184,43 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("levenshtein"), p)
   }
 
+  test("runtime bloom filter: selective dim join injects might_contain into the fact side") {
+    // the other half of the 100 TB scan-pruning story next to DPP: DPP
+    // prunes on PARTITION columns; the injected bloom runtime filter
+    // prunes fact rows on NON-partition join keys before the shuffle (a
+    // semi-join sketch built from the filtered dim, applied as a Filter
+    // above the fact scan). Thresholds are production-tuned for TB scans,
+    // so the fixture test lowers the application-side floor to 0; at real
+    // scale the defaults (10 GB app side, 10 MB creation side) gate it to
+    // exactly the joins that need it. Documented in SCALE.md.
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // force the shuffle-join regime: a broadcastable dim would hand the
+      // pruning to the broadcast hash join itself and no filter is injected
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val o = Tables.orders(spark, sf0001)
+      val c = Tables.customer(spark, sf0001)
+        .filter(org.apache.spark.sql.functions.col("c_mktsegment") === "BUILDING")
+      val joined = o.join(c, o("o_custkey") === c("c_custkey"))
+        .select("o_orderkey", "c_name")
+      val opt = joined.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain"),
+        "no bloom runtime filter injected on the fact side:\n" + opt)
+      assert(opt.contains("bloom_filter_agg"),
+        "no bloom filter aggregate on the creation (dim) side:\n" + opt)
+      // and it survives to the physical plan (evaluated pre-shuffle)
+      assert(plan(joined).contains("might_contain"), plan(joined))
+      assert(joined.count() > 0)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("q35: vocabulary join has no forced broadcast hint; AQE still broadcasts small dfreq") {
     val df = LlmOps.q35(spark, sf0001)
     // the vocabulary-sized dfreq side must not be hint-forced (at 100 TB it

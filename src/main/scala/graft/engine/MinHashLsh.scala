@@ -48,24 +48,68 @@ object MinHashLsh {
     sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
+  /** One row per (id, band, key): the signature banded into `bands` keys
+    * of `rowsPerBand` components each — the LSH bucketing both the
+    * self-join ([[candidatePairs]]) and the cross-frame join
+    * ([[crossPairsAboveThreshold]]) hang off.
+    */
+  private def bandKeys(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+                       idCol: String): DataFrame = {
+    val keys = (0 until bands).map { bIdx =>
+      val cols = (bIdx * rowsPerBand until (bIdx + 1) * rowsPerBand).map(i => col(s"mh_$i"))
+      struct(lit(bIdx).as("band"), hash(cols: _*).as("key")).as(s"bk_$bIdx")
+    }
+    sigs
+      .select(col(idCol), explode(array(keys: _*)).as("bk"))
+      .select(col(idCol), col("bk.band"), col("bk.key"))
+  }
+
   /** Candidate pairs from LSH banding: (id_a, id_b) sharing ≥1 of the
     * `bands` band keys. Dedup across bands included.
     */
   def candidatePairs(sigs: DataFrame, bands: Int, rowsPerBand: Int,
                      idCol: String = "doc_id"): DataFrame = {
-    val bandKeys = (0 until bands).map { bIdx =>
-      val cols = (bIdx * rowsPerBand until (bIdx + 1) * rowsPerBand).map(i => col(s"mh_$i"))
-      struct(lit(bIdx).as("band"), hash(cols: _*).as("key")).as(s"bk_$bIdx")
-    }
-    val banded = sigs
-      .select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
-      .select(col(idCol), col("bk.band"), col("bk.key"))
+    val banded = bandKeys(sigs, bands, rowsPerBand, idCol)
     val a = banded.select(col("band"), col("key"), col(idCol).as("id_a"))
     val b = banded.select(col("band").as("band_b"), col("key").as("key_b"), col(idCol).as("id_b"))
     a.join(b, col("band") === col("band_b") && col("key") === col("key_b") &&
               col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+  }
+
+  /** Cross-frame near-dup pairs: (id_a ∈ `a`, id_b ∈ `b`) sharing ≥1 LSH
+    * band key, kept where the signature-estimated Jaccard ≥ `threshold`.
+    * Unlike [[candidatePairs]] this never pairs within one frame and makes
+    * no assumption about the two id spaces — the shape a streaming ingest
+    * needs to test an arriving micro-batch against the accepted history
+    * (bucketed equi-join on band keys, never all-pairs; the snapshot side
+    * carries persisted signatures so history is never re-shingled).
+    */
+  def crossPairsAboveThreshold(a: DataFrame, b: DataFrame, k: Int, bands: Int,
+                               threshold: Double,
+                               idCol: String = "doc_id"): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val r = k / bands
+    val ba = bandKeys(a, bands, r, idCol)
+      .select(col(idCol).as("id_a"), col("band"), col("key"))
+    val bb = bandKeys(b, bands, r, idCol)
+      .select(col(idCol).as("id_b"), col("band").as("band_b"), col("key").as("key_b"))
+    val pairs = ba.join(bb, col("band") === col("band_b") && col("key") === col("key_b"))
+      .select("id_a", "id_b").distinct()
+    val sa = a.select(col(idCol).as("id_a"),
+      array((0 until k).map(i => col(s"mh_$i")): _*).as("sig_a"))
+    val sb = b.select(col(idCol).as("id_b"),
+      array((0 until k).map(i => col(s"mh_$i")): _*).as("sig_b"))
+    val agree = expr(
+      """aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)),
+        |  0, (acc, v) -> acc + v)""".stripMargin)
+    pairs
+      .join(sa, "id_a")
+      .join(sb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (agree.cast("double") / lit(k)).as("jaccard_est"))
+      .filter(col("jaccard_est") >= threshold)
   }
 
   /** Jaccard estimate on candidate pairs: fraction of the k signature

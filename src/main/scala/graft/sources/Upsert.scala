@@ -55,9 +55,18 @@ object Upsert {
     * Mechanics: the batch's distinct partition values (bounded — e.g.
     * days) are collected and prune the snapshot read; the merged result is
     * written with dynamic partition overwrite, which replaces exactly the
-    * partitions present in the output. The merged slice is
-    * localCheckpoint'ed before the write because Spark (correctly) refuses
-    * plans that overwrite a path they are still reading.
+    * partitions present in the output. Spark (correctly) refuses plans
+    * that overwrite a path they are still reading, so the merged slice is
+    * STAGED: written to a sibling `<path>_graft_staging` directory first,
+    * then the final overwrite streams from the staged files. Staging
+    * bounds memory at normal writer buffers whatever the slice size — a
+    * localCheckpoint here would instead pin the entire merged slice in
+    * executor memory/disk blocks (tens of GB for one hot partition at
+    * 100 TB). Cost is one extra sequential write+read of the touched
+    * slice only. The staging dir is removed on completion; a deterministic
+    * name means concurrent upserts to the SAME table would collide — which
+    * dynamic partition overwrite already forbids (single-writer per table,
+    * as with any non-transactional lake write).
     *
     * CONTRACT: a key's partition value must be stable across versions
     * (derived from the row's identity, e.g. event_date from ts). A key
@@ -91,12 +100,21 @@ object Upsert {
       .filter(prune)
       .select(batch.columns.map(col): _*) // partition col reads back last — realign
     val merged = upsert(affected, batch, keys)
-      .localCheckpoint() // truncate lineage: the write must not read `path`
-    // per-write option — scopes dynamic overwrite to THIS write instead of
-    // mutating the session conf under concurrent writers
-    merged.write
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").partitionBy(partitionCol).parquet(path)
+    // stage, then overwrite-from-staged: the final write must not read
+    // `path`, and staging keeps the memory bound at writer buffers (see
+    // Scaladoc). partitionCol rides as a normal data column in staging so
+    // its type and null values survive the round-trip exactly.
+    val staging = new org.apache.hadoop.fs.Path(path + "_graft_staging")
+    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(staging, true) // leftover from a crashed previous run
+    merged.write.mode("overwrite").parquet(staging.toString)
+    try {
+      // per-write option — scopes dynamic overwrite to THIS write instead
+      // of mutating the session conf under concurrent writers
+      spark.read.parquet(staging.toString).write
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").partitionBy(partitionCol).parquet(path)
+    } finally fs.delete(staging, true)
   }
 
   /** Key-wise delete — the MERGE WHEN MATCHED THEN DELETE shape (the

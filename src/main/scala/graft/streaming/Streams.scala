@@ -169,6 +169,73 @@ object Streams {
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  /** Near-duplicate-aware ingest sink: every micro-batch of (doc_id, text)
+    * is deduplicated against BOTH itself and everything already accepted
+    * before it lands — the streaming twin of the batch MinHash-LSH
+    * near-dup pipeline, composed with foreachBatch exactly like the
+    * decontamination demo (hygiene-at-ingest).
+    *
+    * Per batch: (1) MinHash signatures for the batch docs; (2) in-batch
+    * LSH candidate pairs → drop the higher id of each near-dup pair;
+    * (3) cross candidates against the accepted snapshot via the band-key
+    * equi-join (`MinHashLsh.crossPairsAboveThreshold`) → drop batch docs
+    * estimated ≥ threshold against ANY accepted doc; (4) append survivors
+    * WITH their signature columns. Persisting signatures is what keeps the
+    * per-batch cost O(batch) + a bucketed join: the history is never
+    * re-shingled, and at 100 TB the band-key join shuffles only colliding
+    * buckets. Docs shorter than the shingle size have no signature and are
+    * accepted as unique (same contract as MinHashLsh.shingles); exact
+    * doc_id replays are dropped by an anti-join on the accepted ids.
+    */
+  def foreachBatchNearDupSink(docs: DataFrame, snapshotDir: String,
+                              checkpointDir: String, n: Int = 3, k: Int = 32,
+                              bands: Int = 8, threshold: Double = 0.7) = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    import graft.engine.MinHashLsh
+    val spark = docs.sparkSession
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(snapshotDir), spark.sparkContext.hadoopConfiguration)
+        val dst = new org.apache.hadoop.fs.Path(snapshotDir)
+        val sigCols = (0 until k).map(i => s"mh_$i")
+        val b0 = batch.dropDuplicates("doc_id")
+        val sigs = MinHashLsh.signatures(MinHashLsh.shingles(b0, n), k)
+        // in-batch near-dups: keep the smallest id of each candidate pair
+        val inBatchDup = MinHashLsh
+          .estimateJaccard(MinHashLsh.candidatePairs(sigs, bands, k / bands), sigs, k)
+          .filter(col("jaccard_est") >= threshold)
+          .select(col("id_b").as("doc_id")).distinct()
+        val selfClean = b0
+          .join(sigs, Seq("doc_id"), "left")
+          .join(inBatchDup, Seq("doc_id"), "left_anti")
+        val accepted =
+          if (fs.exists(dst)) {
+            val snap = spark.read.parquet(snapshotDir)
+            val oldSigs = snap
+              .select("doc_id", sigCols: _*)
+              .filter(col("mh_0").isNotNull)
+            val crossDup = MinHashLsh
+              .crossPairsAboveThreshold(
+                selfClean.filter(col("mh_0").isNotNull).select("doc_id", sigCols: _*),
+                oldSigs, k, bands, threshold)
+              .select(col("id_a").as("doc_id")).distinct()
+            selfClean
+              .join(crossDup, Seq("doc_id"), "left_anti")
+              .join(snap.select("doc_id"), Seq("doc_id"), "left_anti") // id replays
+          } else selfClean
+        // the append reads the snapshot it writes to — pin the (batch-
+        // sized, bounded by the micro-batch) result before writing so the
+        // write job does not re-list the path it is appending into
+        accepted.localCheckpoint()
+          .write.mode("append").parquet(snapshotDir)
+        ()
+      }
+      .start()
+  }
+
   /** Exactly-once-style sink: each micro-batch merges into a parquet
     * snapshot by key via the engine's upsert (idempotent — replaying a
     * batch yields the same snapshot). Returns the started query.

@@ -108,6 +108,9 @@ class UpsertSpec extends SparkSpecBase {
     assert(files(3) == d3Before, "day=3 was rewritten")
     // day=2 was rewritten, day=4 created
     assert(new java.io.File(s"$dir/day=4").exists())
+    // the staging directory is transient: removed once the overwrite lands
+    assert(!new java.io.File(dir + "_graft_staging").exists(),
+      "staging dir leaked")
 
     // empty batch: no-op, nothing rewritten anywhere
     val d2After = files(2)

@@ -191,49 +191,62 @@ object Streams {
                               checkpointDir: String, n: Int = 3, k: Int = 32,
                               bands: Int = 8, threshold: Double = 0.7) = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
-    import graft.engine.MinHashLsh
-    val spark = docs.sparkSession
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          new java.net.URI(snapshotDir), spark.sparkContext.hadoopConfiguration)
-        val dst = new org.apache.hadoop.fs.Path(snapshotDir)
-        val sigCols = (0 until k).map(i => s"mh_$i")
-        val b0 = batch.dropDuplicates("doc_id")
-        val sigs = MinHashLsh.signatures(MinHashLsh.shingles(b0, n), k)
-        // in-batch near-dups: keep the smallest id of each candidate pair
-        val inBatchDup = MinHashLsh
-          .estimateJaccard(MinHashLsh.candidatePairs(sigs, bands, k / bands), sigs, k)
-          .filter(col("jaccard_est") >= threshold)
-          .select(col("id_b").as("doc_id")).distinct()
-        val selfClean = b0
-          .join(sigs, Seq("doc_id"), "left")
-          .join(inBatchDup, Seq("doc_id"), "left_anti")
-        val accepted =
-          if (fs.exists(dst)) {
-            val snap = spark.read.parquet(snapshotDir)
-            val oldSigs = snap
-              .select("doc_id", sigCols: _*)
-              .filter(col("mh_0").isNotNull)
-            val crossDup = MinHashLsh
-              .crossPairsAboveThreshold(
-                selfClean.filter(col("mh_0").isNotNull).select("doc_id", sigCols: _*),
-                oldSigs, k, bands, threshold)
-              .select(col("id_a").as("doc_id")).distinct()
-            selfClean
-              .join(crossDup, Seq("doc_id"), "left_anti")
-              .join(snap.select("doc_id"), Seq("doc_id"), "left_anti") // id replays
-          } else selfClean
-        // the append reads the snapshot it writes to — pin the (batch-
-        // sized, bounded by the micro-batch) result before writing so the
-        // write job does not re-list the path it is appending into
-        accepted.localCheckpoint()
-          .write.mode("append").parquet(snapshotDir)
-        ()
+        nearDupIngestBatch(batch, snapshotDir, n, k, bands, threshold)
       }
       .start()
+  }
+
+  /** One micro-batch of the near-dup ingest: public so specs (and batch
+    * backfills) can drive it directly without a streaming query around it.
+    * Idempotent under replay — re-running the same batch appends nothing.
+    */
+  def nearDupIngestBatch(batch: DataFrame, snapshotDir: String, n: Int,
+                         k: Int, bands: Int, threshold: Double): Unit = {
+    import graft.engine.MinHashLsh
+    val spark = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(snapshotDir), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(snapshotDir)
+    val sigCols = (0 until k).map(i => s"mh_$i")
+    val b0 = batch.dropDuplicates("doc_id")
+    val sigs = MinHashLsh.signatures(MinHashLsh.shingles(b0, n), k)
+    // in-batch near-dups: keep the smallest id of each candidate pair
+    val inBatchDup = MinHashLsh
+      .estimateJaccard(MinHashLsh.candidatePairs(sigs, bands, k / bands), sigs, k)
+      .filter(col("jaccard_est") >= threshold)
+      .select(col("id_b").as("doc_id")).distinct()
+    val selfClean = b0
+      .join(sigs, Seq("doc_id"), "left")
+      .join(inBatchDup, Seq("doc_id"), "left_anti")
+    val accepted =
+      if (fs.exists(dst)) {
+        // explicit schema: an earlier empty micro-batch can leave the
+        // snapshot directory with zero data files (just _SUCCESS), where
+        // schema inference would fail; the snapshot schema is by
+        // construction the schema this very function appends
+        val snap = spark.read.schema(selfClean.schema).parquet(snapshotDir)
+        val oldSigs = snap
+          .select("doc_id", sigCols: _*)
+          .filter(col("mh_0").isNotNull)
+        val crossDup = MinHashLsh
+          .crossPairsAboveThreshold(
+            selfClean.filter(col("mh_0").isNotNull).select("doc_id", sigCols: _*),
+            oldSigs, k, bands, threshold)
+          .select(col("id_a").as("doc_id")).distinct()
+        selfClean
+          .join(crossDup, Seq("doc_id"), "left_anti")
+          .join(snap.select("doc_id"), Seq("doc_id"), "left_anti") // id replays
+      } else selfClean
+    // the append reads the snapshot it writes to — pin the (batch-
+    // sized, bounded by the micro-batch) result before writing so the
+    // write job does not re-list the path it is appending into
+    accepted.localCheckpoint()
+      .write.mode("append").parquet(snapshotDir)
+    ()
   }
 
   /** Exactly-once-style sink: each micro-batch merges into a parquet

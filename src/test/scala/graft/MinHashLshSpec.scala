@@ -63,6 +63,40 @@ class MinHashLshSpec extends SparkSpecBase {
     assert(errs.max < 0.35, s"max error ${errs.max}")
   }
 
+  test("crossPairsAboveThreshold: cross-frame pairs only, agrees with the self-join formulation") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val corpus = Seq(
+      (1L, base),
+      (2L, base.replace("theta", "changed")),
+      (3L, "nothing in common with the others at all in any way shape or form"),
+      (4L, base), // identical to 1 — the planted cross-frame near-dup
+      (5L, "a totally separate subject matter discussed in this very different document")
+    ).toDF("doc_id", "text")
+    val k = 64; val bands = 16; val thr = 0.5
+    val sigs = MinHashLsh.signatures(MinHashLsh.shingles(corpus, 3), k)
+    val aIds = Set(1L, 3L); val bIds = Set(2L, 4L, 5L)
+    val a = sigs.filter(col("doc_id").isin(aIds.toSeq: _*))
+    val b = sigs.filter(col("doc_id").isin(bIds.toSeq: _*))
+    val cross = MinHashLsh.crossPairsAboveThreshold(a, b, k, bands, thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // orientation is (id_a ∈ a, id_b ∈ b); never a pair within one frame —
+    // note 2 and 4 ARE near-dups inside frame b and must not be emitted
+    assert(cross.forall { case (x, y) => aIds(x) && bIds(y) }, cross.toString)
+    assert(cross.contains((1L, 4L)))
+    // agrees exactly with candidatePairs+estimateJaccard on the shared id
+    // space, restricted to pairs straddling the two frames
+    val self = MinHashLsh
+      .estimateJaccard(MinHashLsh.candidatePairs(sigs, bands, k / bands), sigs, k)
+      .filter(col("jaccard_est") >= thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = self.flatMap { case (x, y) =>
+      if (aIds(x) && bIds(y)) Some((x, y))
+      else if (aIds(y) && bIds(x)) Some((y, x))
+      else None
+    }
+    assert(cross == expected, s"cross=$cross expected=$expected")
+  }
+
   test("q31 exact dedup is idempotent") {
     val once = LlmOps.q31(spark, sf0001)
     // dedup of the dedup keeper set: every keeper maps to itself

@@ -218,6 +218,57 @@ class StreamingSpec extends SparkSpecBase {
     assert(out == Seq((1L, 1.0), (2L, 20.0), (3L, 3.0)), out.toString)
   }
 
+  test("foreachBatch near-dup ingest: in-batch + cross-batch dedup, short docs, replay idempotent") {
+    val dir = Files.createTempDirectory("graft_neardup_sink").toString
+    val snap = s"$dir/snap"
+    val textA = "the quick brown fox jumps over the lazy dog again and again today"
+    val textB = "completely different words entirely unrelated to anything else here now indeed"
+    val textC = "a third topic about mountains rivers and weather patterns in the north"
+    val stream = MemoryStream[Doc](spark)
+    val q = Streams.foreachBatchNearDupSink(stream.toDF(), snap, s"$dir/ckpt",
+      n = 3, k = 32, bands = 8, threshold = 0.7)
+    // batch 1: 2 is an in-batch dup of 1 (identical text) → min-id 1 kept;
+    // 4 is shorter than the shingle width → null signature, accepted
+    stream.addData(Doc(1L, textA), Doc(2L, textA), Doc(3L, textB), Doc(4L, "too short"))
+    q.processAllAvailable()
+    val after1 = spark.read.parquet(snap)
+    assert(after1.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L))
+    // signatures persisted with the snapshot; the short doc's is null
+    assert(after1.columns.contains("mh_0") && after1.columns.contains("mh_31"))
+    assert(after1.filter(col("doc_id") === 4L && col("mh_0").isNull).count() == 1)
+    // batch 2: 5 is a cross-batch near-dup of accepted 1 → dropped; 6 is
+    // new; 7 is short (null signatures never match anything); 1 replays an
+    // accepted id → dropped by the id anti-join
+    stream.addData(Doc(5L, textA), Doc(6L, textC), Doc(7L, "wee"), Doc(1L, textA))
+    q.processAllAvailable()
+    assert(spark.read.parquet(snap).select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 4L, 6L, 7L))
+    // batch 3: replay batch 2 wholesale → appends nothing (foreachBatch is
+    // at-least-once; the id anti-join + near-dup gate make it idempotent)
+    stream.addData(Doc(5L, textA), Doc(6L, textC), Doc(7L, "wee"), Doc(1L, textA))
+    q.processAllAvailable()
+    q.stop()
+    val fin = spark.read.parquet(snap)
+    assert(fin.count() == 5, s"replayed batch appended rows: ${fin.count()}")
+    assert(fin.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 4L, 6L, 7L))
+  }
+
+  test("near-dup ingest: an empty micro-batch does not poison the snapshot read") {
+    val dir = Files.createTempDirectory("graft_neardup_empty").toString
+    val snap = s"$dir/snap"
+    // empty first batch can leave a snapshot dir with zero data files
+    // (AQE empty output) — the next batch must still read it (explicit
+    // schema, not inference) and land its rows
+    Streams.nearDupIngestBatch(spark.emptyDataset[Doc].toDF(), snap,
+      n = 3, k = 32, bands = 8, threshold = 0.7)
+    Streams.nearDupIngestBatch(
+      Seq(Doc(1L, "one two three four five six seven")).toDF(), snap,
+      n = 3, k = 32, bands = 8, threshold = 0.7)
+    assert(spark.read.parquet(snap).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
   test("foreachBatch decontamination: hygiene-at-ingest drops eval-leaking docs per micro-batch") {
     // the practical streaming-hygiene path: batch decontaminate inside
     // foreachBatch against a STATIC eval set — no streaming-join state,

@@ -65,7 +65,14 @@ object Bench {
         graft.engine.MinHashLsh.nearDuplicates(
           graft.engine.Tables.documents(s, dir).filter(
             org.apache.spark.sql.functions.col("doc_id") < 100),
-          n = 1, k = 64, bands = 16, threshold = 0.5)))
+          n = 1, k = 64, bands = 16, threshold = 0.5)),
+      // x66 is the prefix-filter twin of q66's brand-blocked fuzzy match:
+      // q-gram prefix candidates (bucket sizes follow token rarity, not
+      // corpus size) + thresholded-levenshtein verify. Pair-identical
+      // output proven in PlanShapeSpec ("x66 prefix-filter ≡ q66") — so
+      // unlike the recall-dependent LSH twins this one has exact parity,
+      // and the timing is directly comparable with q66.
+      "x66_fuzzy_prefix" -> ((s, dir) => graft.engine.Scalars.x66(s, dir)))
     // A failed query records -1 (not its time-to-failure) so the JSON
     // output is never mistaken for an all-green run.
     // Each query runs `reps` times and reports the MIN: host-level noise on

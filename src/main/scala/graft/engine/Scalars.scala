@@ -173,9 +173,15 @@ object Scalars {
   //      instead of O(len²), early-exiting at cap+1; returns -1 above cap).
   // Measured 13.0 s → 5.5 s at sf0.1 vs the naive unthresholded residual
   // (which also re-ran the full DP in the projection).
-  // At 100 TB tighten the block (brand+type, or a q33-style token/LSH
-  // candidate stage) and keep the distance as the verify filter; never let
-  // the join degenerate to a cross product.
+  // At 100 TB tighten the block (brand+type) or switch to the shipped
+  // prefix-filter candidate stage ([[fuzzyMatchPrefix]] / x66, proven
+  // pair-identical); never let the join degenerate to a cross product.
+  // Double-eval note: the DP appears in the residual (per candidate) and
+  // the projection (per SURVIVOR). Verified via explain that the
+  // "compute-once post-join" restructure round-trips to this exact plan —
+  // Catalyst pushes the dist filter back into the residual — and survivor
+  // count (4.8k at sf0.1) makes the second eval noise; total DP work is
+  // candidates + survivors, which no verify step can beat.
   def q66(s: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(s, dir)
     val a = p.select(col("p_partkey").as("id_a"), col("p_name").as("name_a"), col("p_brand"))
@@ -189,6 +195,102 @@ object Scalars {
       .select("id_a", "id_b", "name_a", "name_b", "dist")
       .orderBy("id_a", "id_b")
   }
+
+  /** x66 — the scale-safe twin of q66: q-gram PREFIX-FILTER candidate
+    * generation (the AllPairs/PPJoin family) + thresholded-levenshtein
+    * verify, pair-identical to q66 (proven in PlanShapeSpec).
+    *
+    * Why q66 is weak at scale: its blocking key (p_brand) has FIXED
+    * cardinality (~25), so candidate pairs grow O(n²/25) — quadratic in
+    * corpus size. Here the candidate key is (block, rare-q-gram-token):
+    * bucket sizes follow token rarity, not corpus size, so pair
+    * generation stays sub-quadratic as the corpus grows.
+    *
+    * Correctness (no false negatives — the verify step then makes the
+    * output exact):
+    *  - COUNT FILTER: one edit destroys ≤ q of a string's overlapping
+    *    q-grams, so ed(a,b) ≤ cap ⇒ bag-overlap(G(a),G(b)) ≥
+    *    max(g_a,g_b) − cap·q where g = len − q + 1. Bag semantics via
+    *    occurrence-indexed tokens (gram, occ) turns multiset overlap
+    *    into a plain equi-join.
+    *  - PREFIX FILTER: order every string's tokens by a GLOBAL total
+    *    order (ascending corpus frequency, rarest first — ties broken by
+    *    the token itself). Two token sets with overlap ≥ T must collide
+    *    within the first (g − T + 1) tokens of each; with T ≥
+    *    g_s − cap·q this prefix is ≤ cap·q + 1 tokens per string —
+    *    INDEPENDENT of string length and corpus size.
+    *  - SHORT STRINGS: the bound is vacuous only when BOTH strings have
+    *    g ≤ cap·q (len ≤ cap·q + q − 1): those pair among themselves via
+    *    a block-keyed all-pairs join on the (tiny, bounded-by-length)
+    *    short subset; short×long pairs still satisfy T ≥ 1 and stay on
+    *    the prefix path (a short string's prefix is its whole token set).
+    *
+    * 100 TB shape: token freq = one groupBy; prefix rank = per-id window
+    * (id-partitioned, never global); candidates = equi-join on
+    * (block, gram, occ) carrying only (id, len); names join back AFTER
+    * the distinct pair set, so the wide strings ride the small
+    * post-candidate frame. The banded DP runs ONCE per candidate, in a
+    * projection, never in a join residual.
+    */
+  def fuzzyMatchPrefix(rows: DataFrame, cap: Int = 3, q: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prefixLen = cap * q + 1
+    val shortLen = cap * q + q - 1 // g ≤ cap·q ⇔ len ≤ this
+    val base = rows.select(col("id"), col("name"), col("block"),
+      length(col("name")).as("len"))
+
+    // occurrence-indexed q-gram tokens: (id, block, len, gram, occ)
+    val toks = base
+      .filter(col("len") >= q)
+      .select(col("id"), col("block"), col("len"),
+        posexplode(expr(
+          s"transform(sequence(1, len - $q + 1), i -> substring(name, i, $q))")))
+      .withColumnRenamed("col", "gram")
+      .withColumn("occ", row_number().over(
+        Window.partitionBy("id", "gram").orderBy("pos")))
+      .drop("pos")
+    // global token rarity, then keep each string's cap·q+1 rarest tokens
+    val freq = toks.groupBy("gram", "occ").agg(count(lit(1)).as("freq"))
+    val prefix = toks
+      .join(freq, Seq("gram", "occ"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("id").orderBy(col("freq"), col("gram"), col("occ"))))
+      .filter(col("rank") <= prefixLen)
+      .select("id", "block", "len", "gram", "occ")
+    val pa = prefix.select(col("block"), col("gram"), col("occ"),
+      col("id").as("id_a"), col("len").as("len_a"))
+    val pb = prefix.select(col("block").as("block_b"), col("gram").as("gram_b"),
+      col("occ").as("occ_b"), col("id").as("id_b"), col("len").as("len_b"))
+    val prefixCands = pa.join(pb,
+        col("block") === col("block_b") && col("gram") === col("gram_b") &&
+        col("occ") === col("occ_b") && col("id_a") < col("id_b") &&
+        abs(col("len_a") - col("len_b")) <= cap)
+      .select("id_a", "id_b")
+
+    // short×short residue: both below the count-filter floor → all-pairs
+    // inside the block, bounded by the short subset's size
+    val sh = base.filter(col("len") <= shortLen)
+    val shortCands = sh.select(col("id").as("id_a"), col("block"), col("len").as("len_a"))
+      .join(sh.select(col("id").as("id_b"), col("block").as("block_b"),
+                      col("len").as("len_b")),
+        col("block") === col("block_b") && col("id_a") < col("id_b") &&
+        abs(col("len_a") - col("len_b")) <= cap)
+      .select("id_a", "id_b")
+
+    val names = base.select(col("id"), col("name"))
+    prefixCands.union(shortCands).distinct()
+      .join(names.select(col("id").as("id_a"), col("name").as("name_a")), "id_a")
+      .join(names.select(col("id").as("id_b"), col("name").as("name_b")), "id_b")
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), cap))
+      .filter(col("dist") >= 0)
+      .select("id_a", "id_b", "name_a", "name_b", "dist")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Bench twin: q66's semantics through the prefix-filter candidate stage. */
+  def x66(s: SparkSession, dir: String): DataFrame =
+    fuzzyMatchPrefix(Tables.part(s, dir).select(
+      col("p_partkey").as("id"), col("p_name").as("name"), col("p_brand").as("block")))
 
   val q66Sql: String =
     """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,

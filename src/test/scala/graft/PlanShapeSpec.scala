@@ -7,6 +7,7 @@ import graft.engine._
   * the way the 100 TB design requires.
   */
 class PlanShapeSpec extends SparkSpecBase {
+  import spark.implicits._
 
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
@@ -182,6 +183,42 @@ class PlanShapeSpec extends SparkSpecBase {
            p.contains("ShuffledHashJoin"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("levenshtein"), p)
+  }
+
+  test("x66 prefix-filter ≡ q66, and the candidate join is keyed by (block, gram, occ)") {
+    // exact pair identity (not just counts): the prefix filter has no
+    // false negatives, so the levenshtein verify makes the output equal
+    val exact = Scalars.q66(spark, sf0001).collect().toSeq
+    val prefix = Scalars.x66(spark, sf0001).collect().toSeq
+    assert(prefix == exact, s"x66 ${prefix.size} rows vs q66 ${exact.size}")
+    assert(exact.nonEmpty, "fixture produced no fuzzy pairs — test is vacuous")
+    val p = plan(Scalars.x66(spark, sf0001))
+    // candidate generation must ride an equi-join (bucketed by rare-gram
+    // tokens), never a cross product; the DP stays out of any join residual
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[[^\\]]*gram".r
+      .findFirstIn(p).isDefined, "gram token not in the candidate join key:\n" + p)
+    // the DP must stay out of the CANDIDATE join (it may legally end up as
+    // a residual on the post-candidate name-lookup join — once per
+    // candidate, the optimal verify count)
+    assert(!"Join \\[[^\\]]*gram[^\\n]*levenshtein".r.findFirstIn(p).isDefined,
+      "levenshtein ran inside the candidate-generation join:\n" + p)
+  }
+
+  test("x66 short-string residue: below-count-filter-floor strings still pair exactly") {
+    // strings with ≤ cap·q q-grams are invisible to the prefix filter —
+    // they must flow through the short×short all-pairs path. ed("abc",
+    // "xyz") = 3 with ZERO shared grams: only the residue path finds it.
+    val rows = Seq(
+      (1L, "abc", "B1"), (2L, "xyz", "B1"),          // ed 3, no shared grams
+      (3L, "abc", "B2"),                              // same text, other block
+      (4L, "abcdefghijklmnop", "B1"),                 // long, unrelated
+      (5L, "abcdefghijklmnoq", "B1")                  // ed 1 from 4 (prefix path)
+    ).toDF("id", "name", "block")
+    val out = Scalars.fuzzyMatchPrefix(rows, cap = 3, q = 2)
+      .select("id_a", "id_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out == Set((1L, 2L, 3), (4L, 5L, 1)), out.toString)
   }
 
   test("runtime bloom filter: selective dim join injects might_contain into the fact side") {

@@ -62,6 +62,47 @@ class SkewSpec extends SparkSpecBase {
     assert(mixed == plain)
   }
 
+  test("AQE splits a skewed join partition at runtime (OptimizeSkewedJoin fires)") {
+    // the built-in complement to manual salting: a hot key's oversized
+    // shuffle partition is split into subpartitions by AQE, each matched
+    // against a full copy of the other side — no code change, no salt
+    // column. Thresholds lowered to fire on a KB-scale fixture; at
+    // production scale the defaults (256 MB / 5x median) do the same job.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // 90% of the left rides ONE key; payload makes partition bytes real
+      val pad = "x" * 64
+      val left = (1 to 60000)
+        .map(i => (if (i % 10 != 0) 1L else (i % 2000 + 1).toLong, s"$pad$i"))
+        .toDF("k", "payload")
+      val right = (1L to 2000L).map(k => (k, s"dim$k")).toDF("k", "v")
+      val joined = left.join(right, "k")
+      // collect() (not count()) so THIS DataFrame's adaptive plan executes
+      assert(joined.collect().length == 60000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("isFinalPlan=true"), finalPlan)
+      // OptimizeSkewedJoin marks the join node (skew=true) and feeds it
+      // skewed AQEShuffleRead subpartitions
+      assert(finalPlan.contains("skew=true"),
+        "AQE did not split the skewed partition:\n" + finalPlan)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("saltedCountDistinct equals plain countDistinct on fixture data") {
     val o = Tables.orders(spark, sf0001)
     val plain = o.groupBy("o_orderstatus")

@@ -372,9 +372,13 @@ object Relational {
   // broadcast hash anti join that tracks the has-null flag — asserted in
   // PlanShapeSpec). Scale note: NAAJ must broadcast the IN-list side
   // whatever its size, because every probe row needs the global
-  // contains/has-null answer — at 100 TB prefer NOT EXISTS (q08's
-  // shuffleable left-anti) unless the NULL semantics are genuinely wanted,
-  // or pre-filter the list to non-null and bound it.
+  // contains/has-null answer — it ignores even autoBroadcastJoinThreshold
+  // = -1 (spec-proven). At 100 TB prefer NOT EXISTS (q08's shuffleable
+  // left-anti) unless the NULL semantics are genuinely wanted: on a
+  // null-free list the two are row-identical and the anti join plans as a
+  // SortMergeJoin, both demonstrated in PlanShapeSpec ("q63 rewrite").
+  // A list-side IS NOT NULL filter alone does NOT escape the NAAJ —
+  // Catalyst never refines attribute nullability from filters.
   def q63(s: SparkSession, dir: String): DataFrame = {
     Tables.part(s, dir).createOrReplaceTempView("graft_q63_part")
     Tables.lineitem(s, dir).createOrReplaceTempView("graft_q63_lineitem")

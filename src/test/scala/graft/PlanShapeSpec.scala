@@ -165,6 +165,51 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q63 rewrite: on a null-free list NOT IN ≡ NOT EXISTS, and the anti join goes shuffleable") {
+    // the scale-safe rewrite q63's comment prescribes, demonstrated.
+    // NAAJ is a MANDATORY broadcast: even with the broadcast threshold
+    // off, NOT IN keeps the null-aware broadcast anti join — list-side
+    // IS NOT NULL filters don't help, because Catalyst never refines
+    // attribute nullability from filters. With a null-free list the
+    // semantics collapse to NOT EXISTS, whose plain LeftAnti follows the
+    // normal join-strategy rules: SortMergeJoin once broadcast is off —
+    // i.e. the fact-sized list side shuffles instead of broadcasting.
+    Tables.part(spark, sf0001).createOrReplaceTempView("graft_x63_part")
+    Tables.lineitem(spark, sf0001).createOrReplaceTempView("graft_x63_lineitem")
+    val window =
+      """l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'"""
+    val notIn = s"""SELECT p_partkey FROM graft_x63_part
+      |WHERE p_partkey NOT IN (
+      |  SELECT l_partkey FROM graft_x63_lineitem
+      |  WHERE $window AND l_partkey IS NOT NULL)
+      |ORDER BY p_partkey""".stripMargin
+    val notExists = s"""SELECT p_partkey FROM graft_x63_part
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM graft_x63_lineitem
+      |  WHERE l_partkey = p_partkey AND $window)
+      |ORDER BY p_partkey""".stripMargin
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val pIn = plan(spark.sql(notIn))
+      val pEx = plan(spark.sql(notExists))
+      // trailing `true` = the isNullAware flag: NOT IN stays a broadcast
+      // NAAJ even though broadcasting is globally disabled
+      assert("LeftAnti, BuildRight, true".r.findFirstIn(pIn).isDefined,
+        "NOT IN unexpectedly escaped the null-aware anti join:\n" + pIn)
+      assert("SortMergeJoin [^\\n]*LeftAnti".r.findFirstIn(pEx).isDefined,
+        "NOT EXISTS did not plan as a shuffleable left anti:\n" + pEx)
+      assert(!pEx.contains("BuildRight, true"), pEx)
+      // same rows — the rewrite is semantics-preserving on a null-free list
+      val a = spark.sql(notIn).collect().map(_.getLong(0)).toSeq
+      val b = spark.sql(notExists).collect().map(_.getLong(0)).toSeq
+      assert(a.nonEmpty && a == b, s"NOT IN ${a.size} rows vs NOT EXISTS ${b.size}")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None    => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("q65: INTERSECT/EXCEPT ALL rewrite to count aggregates + replicate, no dedup join") {
     val p = plan(SetOps.q65(spark, sf0001))
     // bag semantics via per-value counts: one count-shuffle per side, then

@@ -13,11 +13,14 @@ import org.apache.spark.sql.types._
   * JVM) parses actual PNG/JPEG bytes — [[decodeImageMeta]] extracts
   * (width, height, channels) and [[resizeImages]] rescales pixels and
   * re-encodes, with undecodable payloads surfaced explicitly rather than
-  * crashing the task. Audio/video kernels remain deterministic byte-level
-  * STUBS (no audio/video codecs exist in this container) so their
-  * Spark-side contract (schemas, batch shapes, partition behaviour, null
-  * policy) is still fully testable; swapping in a real codec changes only
-  * the function body, not the pipeline.
+  * crashing the task. AUDIO decode is REAL for WAV:
+  * `javax.sound.sampled.AudioSystem` (also in every JVM) parses RIFF/WAV
+  * bytes — [[decodeAudioMeta]] extracts (sample rate, channels, frames,
+  * duration). Video kernels remain deterministic byte-level STUBS (no
+  * video codec exists in this container) so their Spark-side contract
+  * (schemas, batch shapes, partition behaviour, null policy) is still
+  * fully testable; swapping in a real codec changes only the function
+  * body, not the pipeline.
   *
   * 100 TB notes: payload bytes dominate storage — keep them in their own
   * parquet column so column pruning skips them unless the query touches
@@ -109,10 +112,14 @@ object Multimodal {
       // temp-file cache, and disabling it avoids local-disk churn per image
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
+        // NonFatal, not just IOException: ImageIO plugin readers throw
+        // RuntimeExceptions on malformed payloads (IndexOutOfBounds /
+        // NegativeArraySize on truncated JPEG data, CMMException on bad
+        // ICC profiles) — all of those must become ok=false facts too
         val img =
           try Option(r.payload).flatMap { p =>
             Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p)))
-          } catch { case _: java.io.IOException => None }
+          } catch { case scala.util.control.NonFatal(_) => None }
         img match {
           case Some(i) =>
             ImageMeta(r.media_id, ok = true, i.getWidth, i.getHeight,
@@ -134,10 +141,10 @@ object Multimodal {
     media.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
-        val src =
+        val src = // NonFatal for the same reason as decodeImageMeta
           try Option(r.payload).flatMap { p =>
             Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p)))
-          } catch { case _: java.io.IOException => None }
+          } catch { case scala.util.control.NonFatal(_) => None }
         src match {
           case Some(img) =>
             val dst = new java.awt.image.BufferedImage(
@@ -153,6 +160,81 @@ object Multimodal {
                    payload = buf.toByteArray)
           case None => r
         }
+      }
+    }
+  }
+
+  /** Decoded audio facts; `ok = false` rows carry -1 fields (payload was
+    * null, truncated, or not a parseable audio container).
+    */
+  case class AudioMeta(media_id: Long, ok: Boolean, sampleRateHz: Int,
+                       channels: Int, frames: Long, durationMs: Long)
+
+  /** Deterministic real-WAV corpus: 16-bit little-endian PCM (a sine tone
+    * whose frequency/phase derive from media_id) wrapped in a genuine RIFF
+    * header by `AudioSystem.write` — real audio bytes for exercising the
+    * decode path without fixture files. Rates/channels/frame counts vary
+    * with id so extraction is actually tested, not constant-folded.
+    */
+  def syntheticWavCorpus(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n.toLong).as[Long].map { id =>
+      val rate = Seq(8000, 16000, 44100)((id % 3).toInt)
+      val channels = 1 + (id % 2).toInt
+      val nFrames = 200 + (id % 300).toInt
+      val fmt = new javax.sound.sampled.AudioFormat(
+        rate.toFloat, 16, channels, true, false) // signed 16-bit LE PCM
+      val pcm = new Array[Byte](nFrames * channels * 2)
+      var f = 0
+      while (f < nFrames) {
+        var c = 0
+        while (c < channels) {
+          val s = (math.sin((id + 1) * 0.01 * f + c) * 12000).toInt
+          val off = (f * channels + c) * 2
+          pcm(off) = (s & 0xff).toByte
+          pcm(off + 1) = ((s >> 8) & 0xff).toByte
+          c += 1
+        }
+        f += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+      val durMs = nFrames * 1000L / rate
+      MediaRow(id, MediaMeta("audio", 0, 0, durMs, "audio/wav"), buf.toByteArray)
+    }
+  }
+
+  /** REAL audio decode: parse payload bytes with `AudioSystem` (WAV/AIFF/
+    * AU on a stock JVM) and extract (sample rate, channels, frame count,
+    * duration). Same execution contract as [[decodeImageMeta]]:
+    * mapPartitions for per-task setup amortization, and corrupt / null /
+    * non-audio payloads become filterable `ok = false` facts instead of
+    * task failures (AudioSystem signals malformed containers with
+    * UnsupportedAudioFileException and truncation with anything up to
+    * EOFException — NonFatal catches them all).
+    */
+  def decodeAudioMeta(media: Dataset[MediaRow]): Dataset[AudioMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bad = AudioMeta(r.media_id, ok = false, -1, -1, -1L, -1L)
+        try Option(r.payload) match {
+          case Some(p) =>
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(p))
+            try {
+              val fmt = ais.getFormat
+              val frames = ais.getFrameLength
+              if (frames < 0 || fmt.getFrameRate <= 0) bad
+              else AudioMeta(r.media_id, ok = true, fmt.getSampleRate.toInt,
+                fmt.getChannels, frames,
+                (frames * 1000.0 / fmt.getFrameRate).toLong)
+            } finally ais.close()
+          case None => bad
+        } catch { case scala.util.control.NonFatal(_) => bad }
       }
     }
   }

@@ -80,6 +80,43 @@ class MultimodalSpec extends SparkSpecBase {
     assert(Multimodal.decodeImageMeta(truncated).head().ok == false)
   }
 
+  test("real WAV decode: AudioSystem round-trips rate/channels/frames through parquet") {
+    val wavs = Multimodal.syntheticWavCorpus(spark, 18)
+    // parquet round-trip first, same as the PNG test: decode must work on
+    // bytes that went through the real storage path
+    val dir = Files.createTempDirectory("graft_wav").toString + "/wavs"
+    wavs.toDF().write.mode("overwrite").parquet(dir)
+    import spark.implicits._
+    val back = spark.read.parquet(dir).as[Multimodal.MediaRow]
+    val decoded = Multimodal.decodeAudioMeta(back).collect().map(m => m.media_id -> m).toMap
+    assert(decoded.size == 18)
+    decoded.values.foreach { m =>
+      assert(m.ok, s"media ${m.media_id} failed to decode")
+      assert(m.sampleRateHz == Seq(8000, 16000, 44100)((m.media_id % 3).toInt), m.toString)
+      assert(m.channels == 1 + (m.media_id % 2).toInt, m.toString)
+      assert(m.frames == 200 + (m.media_id % 300), m.toString)
+      assert(m.durationMs == m.frames * 1000L / m.sampleRateHz, m.toString)
+    }
+  }
+
+  test("corrupt / null / truncated audio payloads decode as ok=false facts") {
+    import spark.implicits._
+    val wav = Multimodal.syntheticWavCorpus(spark, 1).head().payload
+    val junk = Seq(
+      Multimodal.MediaRow(200L, Multimodal.MediaMeta("audio", 0, 0, 0L, "junk"),
+        Array[Byte](1, 2, 3, 4)),                        // not audio
+      Multimodal.MediaRow(201L, Multimodal.MediaMeta("audio", 0, 0, 0L, "junk"),
+        null),                                            // null payload
+      Multimodal.MediaRow(202L, Multimodal.MediaMeta("audio", 0, 0, 0L, "junk"),
+        Array.emptyByteArray),                            // empty payload
+      Multimodal.MediaRow(203L, Multimodal.MediaMeta("audio", 0, 0, 0L, "audio/wav"),
+        wav.take(16))                                     // truncated header
+    ).toDS()
+    val out = Multimodal.decodeAudioMeta(junk).collect()
+    assert(out.length == 4 && out.forall(m => !m.ok && m.sampleRateHz == -1),
+      out.mkString(";"))
+  }
+
   test("real image resize: pixels rescale and payload+meta rewrite together") {
     val imgs = Multimodal.syntheticImageCorpus(spark, 6)
     val resized = Multimodal.resizeImages(imgs, 16, 9)

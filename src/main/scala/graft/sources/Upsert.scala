@@ -104,9 +104,18 @@ object Upsert {
     // `path`, and staging keeps the memory bound at writer buffers (see
     // Scaladoc). partitionCol rides as a normal data column in staging so
     // its type and null values survive the round-trip exactly.
-    val staging = new org.apache.hadoop.fs.Path(path + "_graft_staging")
+    // normalize: a trailing-slash path would otherwise nest the staging
+    // dir INSIDE the table directory instead of beside it
+    val staging = new org.apache.hadoop.fs.Path(
+      path.stripSuffix("/") + "_graft_staging")
     val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(staging, true) // leftover from a crashed previous run
+    // fail fast instead of silently deleting: an existing staging dir is
+    // either a CONCURRENT upsert on the same table (forbidden — deleting
+    // would yank its staged data mid-flight) or a crashed run's leftover
+    // (safe to remove by hand; nothing of the crashed run reached `path`)
+    require(!fs.exists(staging),
+      s"staging dir $staging already exists — concurrent upsertPartitioned " +
+      "on this table, or a crashed run's leftover (remove it and retry)")
     merged.write.mode("overwrite").parquet(staging.toString)
     try {
       // per-write option — scopes dynamic overwrite to THIS write instead

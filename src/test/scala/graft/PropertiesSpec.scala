@@ -160,4 +160,64 @@ object PropertiesSpec extends Properties("graft") {
         !paired.contains(i) || find(i.toInt).toLong == i).toSet
       kept == expected
     }
+
+  // --------------------------------------------- streaming ingest gate
+
+  // duplicate docs are IDENTICAL texts (est-jaccard exactly 1.0, caught by
+  // every LSH band) and distinct texts share no 3-grams — so the gate's
+  // decisions are deterministic and a driver-side simulation is an exact
+  // oracle. Docs under 3 words have no signature and are always accepted.
+  private val ingestLongPool: IndexedSeq[String] = (0 until 6).map(i =>
+    s"topic $i has unique words number ${i * 7 + 1} and ${i * 13 + 2} plus filler ${i * 3 + 5} end")
+  private val ingestShortPool: IndexedSeq[String] = IndexedSeq("tiny", "so short")
+  private val ingestGen: Gen[Seq[(Long, String, Int)]] = for {
+    n <- Gen.choose(1, 12)
+    picks <- Gen.listOfN(n, Gen.choose(0, 7))
+    batchOf <- Gen.listOfN(n, Gen.choose(0, 2)) // empty batches possible
+  } yield (0 until n).map { i =>
+    val text = if (picks(i) < 6) ingestLongPool(picks(i))
+               else ingestShortPool(picks(i) - 6)
+    (i.toLong, text, batchOf(i))
+  }
+
+  private val ingestDocSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+  private val ingestSnapSchema = StructType(ingestDocSchema.fields.toSeq ++
+    (0 until 32).map(i => StructField(s"mh_$i", LongType)))
+
+  private def ingestDf(rows: Seq[(Long, String)]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 2),
+      ingestDocSchema)
+
+  property("near-dup ingest gate == simulation for ANY batch split; replay is a no-op") =
+    Prop.forAll(ingestGen) { docs =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_ingest_prop")
+        .toString + "/snap"
+      val acceptedTexts = scala.collection.mutable.Set[String]()
+      val expected = scala.collection.mutable.Set[Long]()
+      for (b <- 0 to 2) {
+        val batch = docs.filter(_._3 == b)
+        graft.streaming.Streams.nearDupIngestBatch(
+          ingestDf(batch.map(d => (d._1, d._2))), dir,
+          n = 3, k = 32, bands = 8, threshold = 0.7)
+        // oracle: per batch, min id of each not-yet-accepted long text
+        // wins; every short doc is accepted; later same-text docs drop
+        val (longs, shorts) = batch.partition(_._2.split(" ").length >= 3)
+        for ((t, ds) <- longs.groupBy(_._2) if !acceptedTexts.contains(t))
+          expected += ds.map(_._1).min
+        expected ++= shorts.map(_._1)
+        acceptedTexts ++= longs.map(_._2)
+      }
+      def snapshotIds(): Set[Long] = spark.read.schema(ingestSnapSchema)
+        .parquet(dir).select("doc_id").collect().map(_.getLong(0)).toSet
+      val afterAll = snapshotIds()
+      // at-least-once delivery: replaying the last batch changes nothing
+      graft.streaming.Streams.nearDupIngestBatch(
+        ingestDf(docs.filter(_._3 == 2).map(d => (d._1, d._2))), dir,
+        n = 3, k = 32, bands = 8, threshold = 0.7)
+      val afterReplay = snapshotIds()
+      Prop(afterAll == expected.toSet) :| s"gate=$afterAll oracle=$expected" &&
+        Prop(afterReplay == expected.toSet) :| "replay appended rows"
+    }
 }

@@ -245,6 +245,41 @@ object Aggregates {
       |  count(*) AS n, min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // q69 — ordered-set aggregates (round 5): exact percentile_cont /
+  // percentile_disc WITHIN GROUP per priority class. percentile_cont's
+  // linear interpolation runs the same two-double arithmetic on both
+  // engines (values are parquet doubles; round(…,4) absorbs the last
+  // ulp); percentile_disc returns an actual data value — exact. Scale
+  // note: EXACT percentiles need the group's values together (Spark's
+  // percentile agg buffers per group) — fine for bounded groups like the
+  // 5 priority classes; for high-cardinality groups or whole-table
+  // quantiles at 100 TB use approx_percentile / ntileApprox (x23's
+  // sketch path) instead — same answer class, bounded memory.
+  def q69(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_q69_orders")
+    s.sql(
+      """SELECT o_orderpriority,
+        |  round(percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p25,
+        |  round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY o_totalprice), 4) AS p50,
+        |  round(percentile_cont(0.9)  WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50_disc,
+        |  count(*) AS n
+        |FROM graft_q69_orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  val q69Sql: String =
+    """SELECT o_orderpriority,
+      |  round(percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p25,
+      |  round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY o_totalprice), 4) AS p50,
+      |  round(percentile_cont(0.9)  WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90,
+      |  percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50_disc,
+      |  count(*) AS n
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_count_distinct" -> (q13 _),
     "q14_rollup"         -> (q14 _),
@@ -256,7 +291,8 @@ object Aggregates {
     "q49_argmax"         -> (q49 _),
     "q51_listagg"        -> (q51 _),
     "q61_conditional_agg" -> (q61 _),
-    "q62_histogram"       -> (q62 _))
+    "q62_histogram"       -> (q62 _),
+    "q69_percentiles"     -> (q69 _))
 
   val oracle: Map[String, String] = Map(
     "q13_count_distinct" -> q13Sql,
@@ -269,5 +305,6 @@ object Aggregates {
     "q49_argmax"         -> q49Sql,
     "q51_listagg"        -> q51Sql,
     "q61_conditional_agg" -> q61Sql,
-    "q62_histogram"       -> q62Sql)
+    "q62_histogram"       -> q62Sql,
+    "q69_percentiles"     -> q69Sql)
 }

@@ -457,6 +457,64 @@ object Relational {
       |  AND o_orderdate < TIMESTAMP '1999-01-01'
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // q67 — LATERAL correlated subquery (round 5): top-2 orders per customer
+  // via a per-row dependent subquery with ORDER BY + LIMIT — how SQL users
+  // write "top-k per key". Catalyst DECORRELATES the lateral
+  // (DecorrelateInnerQuery): the per-customer LIMIT becomes a partitioned
+  // row_number filter — q19's plan class, ONE shuffle on the correlation
+  // key and a WindowGroupLimit pushdown, never a per-customer
+  // re-execution of the subquery (plan-asserted in PlanShapeSpec). At
+  // 100 TB that is the difference between one key-shuffle and |customer|
+  // probe scans of orders.
+  def q67(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("graft_q67_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("graft_q67_orders")
+    s.sql(
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM graft_q67_customer,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM graft_q67_orders
+        |         WHERE o_custkey = c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2)
+        |ORDER BY c_custkey, o_orderkey""".stripMargin)
+  }
+
+  val q67Sql: String =
+    """SELECT c_custkey, o_orderkey, o_totalprice
+      |FROM customer,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+      |         WHERE o_custkey = c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2)
+      |ORDER BY c_custkey, o_orderkey""".stripMargin
+
+  // q70 — null-safe equi join (round 5): `<=>` / IS NOT DISTINCT FROM as
+  // the JOIN KEY. NULL keys match each other (unlike `=`), and Spark
+  // treats EqualNullSafe as a genuine equi-key — the join hash-partitions
+  // on the (null-aware) key instead of degenerating to a nested loop with
+  // a residual (plan-asserted: hash/merge join, no BNLJ). Sides are
+  // pre-aggregated so the NULL<=>NULL match stays a key hit, not a group
+  // cross-product; at 100 TB a null-heavy key would otherwise be a skew
+  // hazard exactly like any hot key (AQE split / salting apply unchanged).
+  def q70(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.orders(s, dir)
+      .groupBy(expr("nullif(o_custkey % 100, 7)").as("k"))
+      .agg(count(lit(1)).as("n_orders"))
+    val b = Tables.customer(s, dir)
+      .groupBy(expr("nullif(c_custkey % 100, 7)").as("k"))
+      .agg(count(lit(1)).as("n_cust"))
+    a.join(b, a("k") <=> b("k"))
+      .select(a("k").as("k"), col("n_orders"), col("n_cust"))
+      .orderBy(asc_nulls_first("k"))
+  }
+
+  val q70Sql: String =
+    """WITH a AS (SELECT nullif(o_custkey % 100, 7) AS k, count(*) AS n_orders
+      |           FROM orders GROUP BY 1),
+      |     b AS (SELECT nullif(c_custkey % 100, 7) AS k, count(*) AS n_cust
+      |           FROM customer GROUP BY 1)
+      |SELECT a.k AS k, n_orders, n_cust
+      |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+      |ORDER BY k NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_filter_project" -> (q01 _),
     "q02_multi_predicate"     -> (q02 _),
@@ -473,7 +531,9 @@ object Relational {
     "q50_scalar_subquery"     -> (q50 _),
     "q52_correlated_subquery" -> (q52 _),
     "q54_multiway_join"       -> (q54 _),
-    "q63_not_in_nulls"        -> (q63 _))
+    "q63_not_in_nulls"        -> (q63 _),
+    "q67_lateral_topk"        -> (q67 _),
+    "q70_nullsafe_join"       -> (q70 _))
 
   val oracle: Map[String, String] = Map(
     "q01_scan_filter_project" -> q01Sql,
@@ -491,5 +551,7 @@ object Relational {
     "q50_scalar_subquery"     -> q50Sql,
     "q52_correlated_subquery" -> q52Sql,
     "q54_multiway_join"       -> q54Sql,
-    "q63_not_in_nulls"        -> q63Sql)
+    "q63_not_in_nulls"        -> q63Sql,
+    "q67_lateral_topk"        -> q67Sql,
+    "q70_nullsafe_join"       -> q70Sql)
 }

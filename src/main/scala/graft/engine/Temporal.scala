@@ -95,13 +95,66 @@ object Temporal {
       |FROM numbered GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  // q68 — time-series gap fill + forward fill (round 5): sparse
+  // per-customer daily order totals densified onto a fixed 1995 calendar,
+  // then carried forward with `last(…, ignoreNulls)` — the sparse→dense
+  // densification every feature pipeline needs before windowed models.
+  // Shape: the calendar grid is GENERATED map-side (sequence + explode —
+  // 365 rows per key, no join against a date dimension), the actuals join
+  // is one (key, day) shuffle, and the fill is one window shuffle on the
+  // key. Money summed DECIMAL-exact per §2.0 then cast. At 100 TB the
+  // grid explode stays embarrassingly parallel (it fans out of the
+  // distinct-keys aggregate) and nothing in the plan is quadratic; the
+  // only care is the calendar span × keys output cardinality, which is
+  // the query's own contract.
+  def q68(s: SparkSession, dir: String): DataFrame = {
+    val D182 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val o = Tables.orders(s, dir)
+      .filter(year(col("o_orderdate")) === 1995)
+      .groupBy(col("o_custkey"), to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast(D182)).cast("double").as("day_total"))
+    val grid = o.select("o_custkey").distinct()
+      .select(col("o_custkey"), explode(expr(
+        "sequence(to_date('1995-01-01'), to_date('1995-12-31'), interval 1 day)"))
+        .as("day"))
+    val w = Window.partitionBy("o_custkey").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(o, Seq("o_custkey", "day"), "left")
+      .withColumn("filled_total", last(col("day_total"), ignoreNulls = true).over(w))
+      // DATE outputs load asymmetrically in the driver's pandas compare
+      // (python date objects vs datetime64) — declare the ISO string
+      .select(col("o_custkey"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+              col("day_total"), col("filled_total"))
+      .orderBy("o_custkey", "day")
+  }
+
+  val q68Sql: String =
+    """WITH t AS (
+      |  SELECT o_custkey, CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_total
+      |  FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT c.o_custkey, CAST(gs.generate_series AS DATE) AS day
+      |  FROM (SELECT DISTINCT o_custkey FROM t) c,
+      |       generate_series(DATE '1995-01-01', DATE '1995-12-31', INTERVAL 1 DAY) gs),
+      |j AS (SELECT g.o_custkey, g.day, t.day_total
+      |      FROM grid g LEFT JOIN t ON g.o_custkey = t.o_custkey AND g.day = t.day)
+      |SELECT o_custkey, strftime(day, '%Y-%m-%d') AS day, day_total,
+      |  last_value(day_total IGNORE NULLS) OVER (
+      |    PARTITION BY o_custkey ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_total
+      |FROM j
+      |ORDER BY o_custkey, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_tumbling"     -> (q28 _),
     "q29_sliding"      -> (q29 _),
-    "q30_session_gaps" -> (q30 _))
+    "q30_session_gaps" -> (q30 _),
+    "q68_gap_fill"     -> (q68 _))
 
   val oracle: Map[String, String] = Map(
     "q28_tumbling"     -> q28Sql,
     "q29_sliding"      -> q29Sql,
-    "q30_session_gaps" -> q30Sql)
+    "q30_session_gaps" -> q30Sql,
+    "q68_gap_fill"     -> q68Sql)
 }

@@ -210,6 +210,30 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("q67: LATERAL + LIMIT decorrelates to WindowGroupLimit, not a per-row subquery") {
+    val p = plan(Relational.q67(spark, sf0001))
+    // DecorrelateInnerQuery must turn the per-customer ORDER BY+LIMIT 2
+    // into a partitioned row_number + group-limit pushdown (q19's plan
+    // class): one shuffle on the correlation key, partial WindowGroupLimit
+    // BEFORE the exchange so each map task forwards ≤2 rows per key
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("row_number"), p)
+    assert("WindowGroupLimit [^\\n]*Partial".r.findFirstIn(p).isDefined,
+      "no map-side group-limit pushdown:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "lateral fell back to a per-row join:\n" + p)
+  }
+
+  test("q70: null-safe equality is a JOIN KEY (coalesce+isnull), not a nested-loop residual") {
+    val p = plan(Relational.q70(spark, sf0001))
+    // Spark lowers EqualNullSafe keys to [coalesce(k, 0), isnull(k)] —
+    // hash-partitionable, so NULL groups co-locate like any other key
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[coalesce".r
+      .findFirstIn(p).isDefined, "null-safe equality not a join key:\n" + p)
+    assert(p.contains("isnull("), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q65: INTERSECT/EXCEPT ALL rewrite to count aggregates + replicate, no dedup join") {
     val p = plan(SetOps.q65(spark, sf0001))
     // bag semantics via per-value counts: one count-shuffle per side, then

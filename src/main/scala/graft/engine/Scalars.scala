@@ -251,12 +251,16 @@ object Scalars {
       .drop("pos")
     // global token rarity, then keep each string's cap·q+1 rarest tokens
     val freq = toks.groupBy("gram", "occ").agg(count(lit(1)).as("freq"))
+    // both sides of the candidate self-join read this frame — pin it
+    // (lazy localCheckpoint, MinHashLsh.nearDuplicates house style) so
+    // the tokenize + freq join + rank window run once, not per side
     val prefix = toks
       .join(freq, Seq("gram", "occ"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("id").orderBy(col("freq"), col("gram"), col("occ"))))
       .filter(col("rank") <= prefixLen)
       .select("id", "block", "len", "gram", "occ")
+      .localCheckpoint(eager = false)
     val pa = prefix.select(col("block"), col("gram"), col("occ"),
       col("id").as("id_a"), col("len").as("len_a"))
     val pb = prefix.select(col("block").as("block_b"), col("gram").as("gram_b"),

@@ -104,26 +104,38 @@ object Upsert {
     // `path`, and staging keeps the memory bound at writer buffers (see
     // Scaladoc). partitionCol rides as a normal data column in staging so
     // its type and null values survive the round-trip exactly.
-    // normalize: a trailing-slash path would otherwise nest the staging
-    // dir INSIDE the table directory instead of beside it
-    val staging = new org.apache.hadoop.fs.Path(
-      path.stripSuffix("/") + "_graft_staging")
+    // normalize: trailing slashes would otherwise nest the staging dir
+    // INSIDE the table directory instead of beside it
+    val normalized = path.replaceAll("/+$", "")
+    val staging = new org.apache.hadoop.fs.Path(normalized + "_graft_staging")
+    val claim = new org.apache.hadoop.fs.Path(normalized + "_graft_staging_claim")
     val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // fail fast instead of silently deleting: an existing staging dir is
-    // either a CONCURRENT upsert on the same table (forbidden — deleting
-    // would yank its staged data mid-flight) or a crashed run's leftover
-    // (safe to remove by hand; nothing of the crashed run reached `path`)
-    require(!fs.exists(staging),
-      s"staging dir $staging already exists — concurrent upsertPartitioned " +
-      "on this table, or a crashed run's leftover (remove it and retry)")
-    merged.write.mode("overwrite").parquet(staging.toString)
+    // ATOMIC writer claim: create(overwrite=false) either creates the
+    // marker or throws — two concurrent upserts cannot both win (a plain
+    // exists()-then-write check would race). A surviving claim file means
+    // a CONCURRENT upsert on this table (forbidden) or a hard-crashed
+    // run's leftover (safe to remove by hand; nothing of a crashed run
+    // reached `path` — the staged data only lands via the swap below).
+    val claimed =
+      try { fs.create(claim, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    require(claimed,
+      s"could not claim $claim — concurrent upsertPartitioned on this " +
+      "table, or a hard-crashed run's leftover (remove it and retry)")
     try {
+      // the staging write sits INSIDE the try: an in-process write failure
+      // (disk full, task retries exhausted) must clean up after itself, or
+      // the claim above would brick every later upsert on this table
+      merged.write.mode("overwrite").parquet(staging.toString)
       // per-write option — scopes dynamic overwrite to THIS write instead
       // of mutating the session conf under concurrent writers
       spark.read.parquet(staging.toString).write
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").partitionBy(partitionCol).parquet(path)
-    } finally fs.delete(staging, true)
+    } finally {
+      fs.delete(staging, true)
+      fs.delete(claim, false)
+    }
   }
 
   /** Key-wise delete — the MERGE WHEN MATCHED THEN DELETE shape (the

@@ -213,15 +213,22 @@ object Streams {
     val dst = new org.apache.hadoop.fs.Path(snapshotDir)
     val sigCols = (0 until k).map(i => s"mh_$i")
     val b0 = batch.dropDuplicates("doc_id")
+    // sigs feeds banding, two estimate joins, and the batch left-join —
+    // pin it once per micro-batch (lazy localCheckpoint, house style per
+    // MinHashLsh.nearDuplicates) instead of re-running the shingle
+    // explode + k-way min-agg per consumer on the ingest hot path
     val sigs = MinHashLsh.signatures(MinHashLsh.shingles(b0, n), k)
+      .localCheckpoint(eager = false)
     // in-batch near-dups: keep the smallest id of each candidate pair
     val inBatchDup = MinHashLsh
       .estimateJaccard(MinHashLsh.candidatePairs(sigs, bands, k / bands), sigs, k)
       .filter(col("jaccard_est") >= threshold)
       .select(col("id_b").as("doc_id")).distinct()
+    // referenced by the cross-dup probe AND two anti-joins — same pinning
     val selfClean = b0
       .join(sigs, Seq("doc_id"), "left")
       .join(inBatchDup, Seq("doc_id"), "left_anti")
+      .localCheckpoint(eager = false)
     val accepted =
       if (fs.exists(dst)) {
         // explicit schema: an earlier empty micro-batch can leave the

@@ -123,23 +123,24 @@ class UpsertSpec extends SparkSpecBase {
     val snap = Seq((1L, "a", 1), (2L, "b", 2)).toDF("id", "name", "day")
     snap.repartition(1).write.partitionBy("day").parquet(dir)
     val batch = Seq((1L, "A", 1)).toDF("id", "name", "day")
-    // trailing slash must not nest the staging dir inside the table —
-    // an in-table _graft_staging leftover would be invisible to Spark
-    // listings (underscore prefix) but still rot on disk
-    Upsert.upsertPartitioned(spark, dir + "/", batch, Seq("id"), "day")
+    // trailing slashes (even repeated) must not nest the staging dir
+    // inside the table — an in-table _graft_staging leftover would be
+    // invisible to Spark listings (underscore prefix) but still rot
+    Upsert.upsertPartitioned(spark, dir + "//", batch, Seq("id"), "day")
     assert(!new java.io.File(dir + "/_graft_staging").exists(),
       "staging dir nested inside the table directory")
     assert(!new java.io.File(dir + "_graft_staging").exists(), "staging dir leaked")
+    assert(!new java.io.File(dir + "_graft_staging_claim").exists(), "claim leaked")
     val got = spark.read.parquet(dir).select("id", "name").orderBy("id")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(got == Seq((1L, "A"), (2L, "b")), got.toString)
-    // a pre-existing staging dir = concurrent writer or crash leftover:
-    // fail fast instead of silently deleting another writer's staged data
-    new java.io.File(dir + "_graft_staging").mkdirs()
+    // a surviving claim file = concurrent writer or hard-crash leftover:
+    // fail fast instead of interleaving with another writer's staged data
+    new java.io.File(dir + "_graft_staging_claim").createNewFile()
     val e = intercept[IllegalArgumentException] {
       Upsert.upsertPartitioned(spark, dir, batch, Seq("id"), "day")
     }
-    assert(e.getMessage.contains("staging dir"), e.getMessage)
+    assert(e.getMessage.contains("claim"), e.getMessage)
   }
 
   test("upsertPartitioned merges (not replaces) the null partition") {

@@ -280,6 +280,32 @@ object Aggregates {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // q74 — bitwise + boolean aggregates (round 5): bit_or/bit_and/bit_xor
+  // over keys and bool_and/bool_or over predicates, per status. All four
+  // are commutative-associative partial states — two-phase hash agg, the
+  // shuffle carries one long/boolean per group per function at any scale
+  // (the flag-accumulation / permission-mask pattern).
+  def q74(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(bit_or(col("o_orderkey")).as("keys_or"),
+           bit_and(col("o_orderkey")).as("keys_and"),
+           bit_xor(col("o_orderkey")).as("keys_xor"),
+           bool_and(col("o_totalprice") > 1000.0).as("all_over_1k"),
+           bool_or(col("o_totalprice") > 400000.0).as("any_over_400k"),
+           count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
+  val q74Sql: String =
+    """SELECT o_orderstatus,
+      |  bit_or(o_orderkey) AS keys_or,
+      |  bit_and(o_orderkey) AS keys_and,
+      |  bit_xor(o_orderkey) AS keys_xor,
+      |  bool_and(o_totalprice > 1000.0) AS all_over_1k,
+      |  bool_or(o_totalprice > 400000.0) AS any_over_400k,
+      |  count(*) AS n
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_count_distinct" -> (q13 _),
     "q14_rollup"         -> (q14 _),
@@ -292,7 +318,8 @@ object Aggregates {
     "q51_listagg"        -> (q51 _),
     "q61_conditional_agg" -> (q61 _),
     "q62_histogram"       -> (q62 _),
-    "q69_percentiles"     -> (q69 _))
+    "q69_percentiles"     -> (q69 _),
+    "q74_bit_agg"         -> (q74 _))
 
   val oracle: Map[String, String] = Map(
     "q13_count_distinct" -> q13Sql,
@@ -306,5 +333,6 @@ object Aggregates {
     "q51_listagg"        -> q51Sql,
     "q61_conditional_agg" -> q61Sql,
     "q62_histogram"       -> q62Sql,
-    "q69_percentiles"     -> q69Sql)
+    "q69_percentiles"     -> q69Sql,
+    "q74_bit_agg"         -> q74Sql)
 }

@@ -305,13 +305,78 @@ object Scalars {
       |WHERE levenshtein(a.p_name, b.p_name) <= 3
       |ORDER BY id_a, id_b""".stripMargin
 
+  // q71 — regex with capture-group BACKREFS (round 5): swap the first two
+  // words of p_name, strip vowels. Both engines scan left-to-right with
+  // non-overlapping matches, so the rewrite is deterministic; the dialect
+  // split is replacement syntax ($1 Java / \1 RE2) and DuckDB's
+  // first-match default (needs the 'g' flag to equal Spark's replace-all).
+  // Pure codegen'd string kernels — scan-speed at any scale.
+  def q71(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(col("p_partkey"),
+        regexp_replace(col("p_name"), "(\\w+) (\\w+)", "$2 $1").as("swapped"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("novowels"))
+      .orderBy("p_partkey")
+
+  val q71Sql: String =
+    """SELECT p_partkey,
+      |  regexp_replace(p_name, '(\w+) (\w+)', '\2 \1', 'g') AS swapped,
+      |  regexp_replace(p_name, '[aeiou]', '', 'g') AS novowels
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // q72 — calendar arithmetic (round 5): add-months (month-end clamped the
+  // same way on both engines), last_day, ISO weekday, quarter. Date-typed
+  // results are declared as ISO strings (driver pandas loads DATE
+  // asymmetrically — q68 precedent). Spark weekday() is 0=Monday ↔
+  // DuckDB isodow()-1.
+  def q72(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3m"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("eom"),
+        weekday(col("o_orderdate")).as("wd"),
+        quarter(col("o_orderdate")).as("q"))
+      .orderBy("o_orderkey")
+
+  val q72Sql: String =
+    """SELECT o_orderkey,
+      |  strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+      |  strftime(last_day(o_orderdate), '%Y-%m-%d') AS eom,
+      |  (isodow(o_orderdate) - 1)::INT AS wd,
+      |  quarter(o_orderdate)::INT AS q
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // q73 — error-safe arithmetic (round 5): the try_* family turns
+  // would-be task failures into NULL facts — at 100 TB one malformed row
+  // must not kill a stage (the same contract as the multimodal ok=false
+  // decode). DuckDB twin: TRY_CAST + nullif-guarded division.
+  def q73(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        round(expr("try_divide(o_totalprice, cast(o_custkey % 5 as double))"), 6)
+          .as("safe_div"),
+        expr("try_cast(o_orderstatus as int)").as("bad_int"),
+        expr("try_to_timestamp(concat('1996-01-0', substring(o_orderpriority, 1, 1)))")
+          .as("prio_ts"))
+      .orderBy("o_orderkey")
+
+  val q73Sql: String =
+    """SELECT o_orderkey,
+      |  round(o_totalprice / nullif(o_custkey % 5, 0), 6) AS safe_div,
+      |  TRY_CAST(o_orderstatus AS INTEGER) AS bad_int,
+      |  TRY_CAST(concat('1996-01-0', substring(o_orderpriority, 1, 1)) AS TIMESTAMP) AS prio_ts
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_string_funcs" -> (q36 _),
     "q37_date_funcs"   -> (q37 _),
     "q38_math_funcs"   -> (q38 _),
     "q39_json_funcs"   -> (q39 _),
     "q40_array_funcs"  -> (q40 _),
-    "q66_levenshtein"  -> (q66 _))
+    "q66_levenshtein"  -> (q66 _),
+    "q71_regex_backref" -> (q71 _),
+    "q72_calendar_math" -> (q72 _),
+    "q73_try_arith"     -> (q73 _))
 
   val oracle: Map[String, String] = Map(
     "q36_string_funcs" -> q36Sql,
@@ -319,5 +384,8 @@ object Scalars {
     "q38_math_funcs"   -> q38Sql,
     "q39_json_funcs"   -> q39Sql,
     "q40_array_funcs"  -> q40Sql,
-    "q66_levenshtein"  -> q66Sql)
+    "q66_levenshtein"  -> q66Sql,
+    "q71_regex_backref" -> q71Sql,
+    "q72_calendar_math" -> q72Sql,
+    "q73_try_arith"     -> q73Sql)
 }

@@ -272,4 +272,34 @@ class EdgeCaseSpec extends SparkSpecBase {
       assert(sqlNotIn(l) == manualNotIn(l), s"manual anti-join diverges on $l")
     }
   }
+
+  test("fuzzyMatchPrefix: empty, single-doc, and null-name corpora yield no pairs, no NPE") {
+    import spark.implicits._
+    val schema = "id LONG, name STRING, block STRING"
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(schema))
+    assert(graft.engine.Scalars.fuzzyMatchPrefix(empty).count() == 0)
+    val single = Seq((1L, "only document here", "B")).toDF("id", "name", "block")
+    assert(graft.engine.Scalars.fuzzyMatchPrefix(single).count() == 0)
+    // null names: invisible to both the prefix path (length null fails
+    // len >= q) and the short path (fails len <= shortLen) — dropped as
+    // unmatched facts rather than crashing the tokenizer
+    val nulls = Seq((1L, null: String, "B"), (2L, "real text here", "B"),
+                    (3L, "real text hers", "B")).toDF("id", "name", "block")
+    val out = graft.engine.Scalars.fuzzyMatchPrefix(nulls)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((2L, 3L)), out.toString)
+  }
+
+  test("near-dup ingest: null-text docs are accepted as unique, never near-dup each other") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_null").toString + "/s"
+    val batch = Seq(Doc(1L, null), Doc(2L, null), Doc(3L, "one two three four"))
+    graft.streaming.Streams.nearDupIngestBatch(batch.toDF(), dir,
+      n = 3, k = 32, bands = 8, threshold = 0.7)
+    val ids = spark.read.parquet(dir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 3L), ids.toString)
+  }
 }

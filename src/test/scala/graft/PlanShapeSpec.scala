@@ -234,6 +234,25 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q68: calendar grid is map-side generated; fill is one keyed window") {
+    val p = plan(Temporal.q68(spark, sf0001))
+    // the 365-day grid must come from sequence+explode (Generate) out of
+    // the distinct-keys aggregate — never a join against a date dimension
+    assert(p.contains("Generate explode"), p)
+    // exactly one window (the forward fill), partitioned by the key
+    assert("Window \\[last".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q69: exact percentiles run in ObjectHashAggregate (typed buffers, two-phase)") {
+    val p = plan(Aggregates.q69(spark, sf0001))
+    // percentile_cont/disc are TypedImperativeAggregates — they ride the
+    // object hash agg path with partial_ merge states, not a sort-based
+    // fallback per group
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_percentile_cont") || p.contains("partial_percentile"), p)
+  }
+
   test("q65: INTERSECT/EXCEPT ALL rewrite to count aggregates + replicate, no dedup join") {
     val p = plan(SetOps.q65(spark, sf0001))
     // bag semantics via per-value counts: one count-shuffle per side, then

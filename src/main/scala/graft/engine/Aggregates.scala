@@ -306,6 +306,34 @@ object Aggregates {
       |  count(*) AS n
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // q76 — grouping introspection (round 5): grouping() flags +
+  // grouping_id() over a CUBE disambiguate "NULL because subtotal" from
+  // "NULL because the data is NULL" — without them rollup consumers
+  // cannot tell the two apart. Same Expand-based two-phase plan as q15;
+  // gid makes the ORDER BY fully deterministic across engines.
+  def q76(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_q76_orders")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g1,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g2,
+        |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid,
+        |  count(*) AS n
+        |FROM graft_q76_orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+  }
+
+  val q76Sql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  GROUPING(o_orderstatus)::INT AS g1,
+      |  GROUPING(o_orderpriority)::INT AS g2,
+      |  GROUPING_ID(o_orderstatus, o_orderpriority)::INT AS gid,
+      |  count(*) AS n
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_count_distinct" -> (q13 _),
     "q14_rollup"         -> (q14 _),
@@ -319,7 +347,8 @@ object Aggregates {
     "q61_conditional_agg" -> (q61 _),
     "q62_histogram"       -> (q62 _),
     "q69_percentiles"     -> (q69 _),
-    "q74_bit_agg"         -> (q74 _))
+    "q74_bit_agg"         -> (q74 _),
+    "q76_grouping_id"     -> (q76 _))
 
   val oracle: Map[String, String] = Map(
     "q13_count_distinct" -> q13Sql,
@@ -334,5 +363,6 @@ object Aggregates {
     "q61_conditional_agg" -> q61Sql,
     "q62_histogram"       -> q62Sql,
     "q69_percentiles"     -> q69Sql,
-    "q74_bit_agg"         -> q74Sql)
+    "q74_bit_agg"         -> q74Sql,
+    "q76_grouping_id"     -> q76Sql)
 }

@@ -99,17 +99,39 @@ object SetOps {
       |  SELECT s_nationkey AS nationkey FROM supplier)
       |ORDER BY op, nationkey""".stripMargin
 
+  // q75 — pagination (round 5): ORDER BY … LIMIT k OFFSET m, the
+  // cursorless page fetch. Spark plans offset+limit together as a single
+  // GlobalLimit(offset, limit) over the sort — the driver merge sees
+  // m+k rows per partition at most, not the whole table. Scale note:
+  // deep pagination (huge m) degrades on ANY engine (m rows must still
+  // be ordered past) — keyset pagination (WHERE key > last_seen ORDER BY
+  // key LIMIT k, q01's pushdown-friendly shape) is the 100 TB path; this
+  // declares the OFFSET surface for the shallow-page case.
+  def q75(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .offset(100)
+      .limit(50)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  val q75Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 50 OFFSET 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_topn_global"        -> (q24 _),
     "q25_union_all_distinct" -> (q25 _),
     "q26_intersect"          -> (q26 _),
     "q27_except"             -> (q27 _),
-    "q65_setops_all"         -> (q65 _))
+    "q65_setops_all"         -> (q65 _),
+    "q75_offset"             -> (q75 _))
 
   val oracle: Map[String, String] = Map(
     "q24_topn_global"        -> q24Sql,
     "q25_union_all_distinct" -> q25Sql,
     "q26_intersect"          -> q26Sql,
     "q27_except"             -> q27Sql,
-    "q65_setops_all"         -> q65Sql)
+    "q65_setops_all"         -> q65Sql,
+    "q75_offset"             -> q75Sql)
 }

@@ -311,18 +311,16 @@ object Aggregates {
   // "NULL because the data is NULL" — without them rollup consumers
   // cannot tell the two apart. Same Expand-based two-phase plan as q15;
   // gid makes the ORDER BY fully deterministic across engines.
-  def q76(s: SparkSession, dir: String): DataFrame = {
-    Tables.orders(s, dir).createOrReplaceTempView("graft_q76_orders")
-    s.sql(
-      """SELECT o_orderstatus, o_orderpriority,
-        |  CAST(grouping(o_orderstatus) AS INT) AS g1,
-        |  CAST(grouping(o_orderpriority) AS INT) AS g2,
-        |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid,
-        |  count(*) AS n
-        |FROM graft_q76_orders
-        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
-        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
-  }
+  def q76(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(grouping(col("o_orderstatus")).cast("int").as("g1"),
+           grouping(col("o_orderpriority")).cast("int").as("g2"),
+           grouping_id(col("o_orderstatus"), col("o_orderpriority")).cast("int").as("gid"),
+           count(lit(1)).as("n"))
+      .select("o_orderstatus", "o_orderpriority", "g1", "g2", "gid", "n")
+      .orderBy(col("gid"), asc_nulls_first("o_orderstatus"),
+               asc_nulls_first("o_orderpriority"))
 
   val q76Sql: String =
     """SELECT o_orderstatus, o_orderpriority,

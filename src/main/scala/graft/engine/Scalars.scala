@@ -305,8 +305,9 @@ object Scalars {
       |WHERE levenshtein(a.p_name, b.p_name) <= 3
       |ORDER BY id_a, id_b""".stripMargin
 
-  // q71 — regex with capture-group BACKREFS (round 5): swap the first two
-  // words of p_name, strip vowels. Both engines scan left-to-right with
+  // q71 — regex with capture-group BACKREFS (round 5): swap EVERY adjacent
+  // word pair of p_name (replace-all), strip vowels. Both engines scan
+  // left-to-right with
   // non-overlapping matches, so the rewrite is deterministic; the dialect
   // split is replacement syntax ($1 Java / \1 RE2) and DuckDB's
   // first-match default (needs the 'g' flag to equal Spark's replace-all).

@@ -250,7 +250,7 @@ class PlanShapeSpec extends SparkSpecBase {
     // object hash agg path with partial_ merge states, not a sort-based
     // fallback per group
     assert(p.contains("ObjectHashAggregate"), p)
-    assert(p.contains("partial_percentile_cont") || p.contains("partial_percentile"), p)
+    assert(p.contains("partial_percentile"), p)
   }
 
   test("q65: INTERSECT/EXCEPT ALL rewrite to count aggregates + replicate, no dedup join") {

@@ -239,6 +239,49 @@ object Multimodal {
     }
   }
 
+  /** REAL audio transcode (the [[resizeImages]] treatment for audio):
+    * decode WAV payload bytes, convert to (targetRateHz, targetChannels)
+    * 16-bit PCM via `AudioSystem`'s conversion chain (stereo↔mono downmix,
+    * sample-rate conversion and bit-depth all ship in the stock JVM —
+    * probed, not assumed), re-encode WAV, and rewrite payload + metadata
+    * together. Undecodable/unconvertible payloads pass through unchanged —
+    * a corpus-scale transcode job must not die on one corrupt file; pair
+    * with [[decodeAudioMeta]] to quarantine them. The converted stream has
+    * unknown frame length (SRC), so it is drained and re-wrapped before
+    * the WAV header is written.
+    */
+  def transcodeAudio(media: Dataset[MediaRow], targetRateHz: Int,
+                     targetChannels: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      import javax.sound.sampled._
+      rows.map { r =>
+        try Option(r.payload) match {
+          case Some(p) =>
+            val src = AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(p))
+            try {
+              val target = new AudioFormat(
+                targetRateHz.toFloat, 16, targetChannels, true, false)
+              val conv = AudioSystem.getAudioInputStream(target, src)
+              val data = conv.readAllBytes()
+              val frames = data.length / target.getFrameSize
+              val out = new java.io.ByteArrayOutputStream()
+              AudioSystem.write(
+                new AudioInputStream(new java.io.ByteArrayInputStream(data),
+                  target, frames.toLong),
+                AudioFileFormat.Type.WAVE, out)
+              r.copy(
+                meta = r.meta.copy(durationMs = frames * 1000L / targetRateHz,
+                                   codec = "audio/wav"),
+                payload = out.toByteArray)
+            } finally src.close()
+          case None => r
+        } catch { case scala.util.control.NonFatal(_) => r }
+      }
+    }
+  }
+
   /** STUB decode + feature extraction: a real implementation would run a
     * codec + model forward pass per payload. The fake derives a fixed-width
     * feature vector from payload bytes deterministically. mapPartitions so

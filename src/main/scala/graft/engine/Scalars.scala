@@ -368,6 +368,29 @@ object Scalars {
       |  TRY_CAST(concat('1996-01-0', substring(o_orderpriority, 1, 1)) AS TIMESTAMP) AS prio_ts
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  // q77 — the Spark 4 VARIANT type (round 5): parse_json once into the
+  // binary variant encoding, then typed path extraction with variant_get /
+  // try_variant_get. Versus q39's string-path get_json_object, VARIANT is
+  // the 100 TB answer for semi-structured columns: parse ONCE at ingest,
+  // store the compact binary encoding in parquet, and every later
+  // extraction is a cheap typed offset walk instead of a re-parse of the
+  // JSON text. try_variant_get on a missing path is a NULL fact (q73's
+  // error-safe contract). Oracle: DuckDB walks the same paths through its
+  // JSON type.
+  def q77(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("v", expr("parse_json(props)"))
+      .select(col("event_id"),
+        expr("variant_get(v, '$.k', 'int')").as("k"),
+        expr("try_variant_get(v, '$.missing', 'int')").as("missing_k"))
+      .orderBy("event_id")
+
+  val q77Sql: String =
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS k,
+      |  CAST(json_extract_string(props, '$.missing') AS INT) AS missing_k
+      |FROM events ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_string_funcs" -> (q36 _),
     "q37_date_funcs"   -> (q37 _),
@@ -377,7 +400,8 @@ object Scalars {
     "q66_levenshtein"  -> (q66 _),
     "q71_regex_backref" -> (q71 _),
     "q72_calendar_math" -> (q72 _),
-    "q73_try_arith"     -> (q73 _))
+    "q73_try_arith"     -> (q73 _),
+    "q77_variant"       -> (q77 _))
 
   val oracle: Map[String, String] = Map(
     "q36_string_funcs" -> q36Sql,
@@ -388,5 +412,6 @@ object Scalars {
     "q66_levenshtein"  -> q66Sql,
     "q71_regex_backref" -> q71Sql,
     "q72_calendar_math" -> q72Sql,
-    "q73_try_arith"     -> q73Sql)
+    "q73_try_arith"     -> q73Sql,
+    "q77_variant"       -> q77Sql)
 }

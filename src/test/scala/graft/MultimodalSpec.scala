@@ -117,6 +117,29 @@ class MultimodalSpec extends SparkSpecBase {
       out.mkString(";"))
   }
 
+  test("real audio transcode: downmix + resample rewrite payload and meta together") {
+    import spark.implicits._
+    val wavs = Multimodal.syntheticWavCorpus(spark, 9)
+    // stereo/mono mix at 8k/16k/44.1k → force everything to 8 kHz mono
+    val out = Multimodal.transcodeAudio(wavs, targetRateHz = 8000, targetChannels = 1)
+    val decoded = Multimodal.decodeAudioMeta(out).collect().map(m => m.media_id -> m).toMap
+    assert(decoded.size == 9)
+    decoded.values.foreach { m =>
+      assert(m.ok && m.sampleRateHz == 8000 && m.channels == 1, m.toString)
+      // frame count rescales with the rate ratio (SRC rounding ±2 frames)
+      val srcRate = Seq(8000, 16000, 44100)((m.media_id % 3).toInt)
+      val srcFrames = 200 + (m.media_id % 300)
+      val expect = srcFrames * 8000.0 / srcRate
+      assert(math.abs(m.frames - expect) <= 2,
+        s"media ${m.media_id}: frames ${m.frames}, expected ~$expect")
+    }
+    // corrupt payloads pass through unchanged instead of killing the job
+    val junk = Seq(Multimodal.MediaRow(300L,
+      Multimodal.MediaMeta("audio", 0, 0, 0L, "junk"), Array[Byte](5, 5))).toDS()
+    val kept = Multimodal.transcodeAudio(junk, 8000, 1).head()
+    assert(kept.payload.toSeq == Seq[Byte](5, 5))
+  }
+
   test("real image resize: pixels rescale and payload+meta rewrite together") {
     val imgs = Multimodal.syntheticImageCorpus(spark, 6)
     val resized = Multimodal.resizeImages(imgs, 16, 9)

@@ -109,10 +109,17 @@ object Temporal {
   // the query's own contract.
   def q68(s: SparkSession, dir: String): DataFrame = {
     val D182 = org.apache.spark.sql.types.DecimalType(18, 2)
+    // the daily aggregate feeds BOTH the grid-key distinct and the fill
+    // join; without a pin neither Catalyst nor AQE reuses the exchange
+    // (verified: 4 scans, 0 ReusedExchange) and the fact scan+agg runs
+    // twice — at 100 TB that is a doubled fact read. Lazy localCheckpoint
+    // (house style) bounds it to once; the pinned frame is small
+    // (active keys × active days).
     val o = Tables.orders(s, dir)
       .filter(year(col("o_orderdate")) === 1995)
       .groupBy(col("o_custkey"), to_date(col("o_orderdate")).as("day"))
       .agg(sum(col("o_totalprice").cast(D182)).cast("double").as("day_total"))
+      .localCheckpoint(eager = false)
     val grid = o.select("o_custkey").distinct()
       .select(col("o_custkey"), explode(expr(
         "sequence(to_date('1995-01-01'), to_date('1995-12-31'), interval 1 day)"))

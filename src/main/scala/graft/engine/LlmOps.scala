@@ -185,7 +185,12 @@ object LlmOps {
   def q35(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    // tf feeds BOTH dfreq and the score join — pinned (lazy localCheckpoint,
+    // house style), else the tokenize + (doc,term) agg runs twice (verified
+    // via plan audit: 2 corpus scans, 0 reuse). At 100 TB of text that is
+    // a doubled tokenize pass over the whole corpus.
     val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfreq, "term")

@@ -253,6 +253,36 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("partial_percentile"), p)
   }
 
+  test("q12: scan-to-partial-agg runs in ONE WholeStageCodegen span") {
+    // the brief's codegen criterion made explicit: the flagship agg's hot
+    // path (ColumnarToRow → Filter → Project → partial HashAggregate)
+    // must fuse into a single generated function — a span break there
+    // means row-at-a-time virtual calls on every fact row
+    import org.apache.spark.sql.execution.debug._
+    val df = Relational.q12(spark, sf0001)
+    df.collect()
+    val cs = codegenString(df.queryExecution.executedPlan)
+    val partialId = "\\*\\((\\d+)\\) HashAggregate[^\\n]*partial_sum".r
+      .findFirstMatchIn(cs).map(_.group(1))
+    assert(partialId.isDefined, "partial aggregate not codegen'd:\n" + cs.take(2000))
+    val id = partialId.get
+    assert(cs.contains(s"*($id) Filter"), s"filter outside span $id:\n" + cs.take(2000))
+    assert(cs.contains(s"*($id) ColumnarToRow"),
+      s"scan boundary outside span $id:\n" + cs.take(2000))
+  }
+
+  test("q32: the custom vec_dot Expression participates in whole-stage codegen") {
+    // custom Catalyst expressions only beat UDFs if doGenCode keeps them
+    // inside the generated span — an interpreted fallback would fence off
+    // the projection and serialize every row across the boundary
+    import org.apache.spark.sql.execution.debug._
+    val df = LlmOps.q32(spark, sf0001)
+    df.collect()
+    val cs = codegenString(df.queryExecution.executedPlan)
+    assert("\\*\\(\\d+\\) Project \\[[^\\n]*vec_dot".r.findFirstIn(cs).isDefined,
+      "vec_dot not inside a WholeStageCodegen span:\n" + cs.take(2000))
+  }
+
   test("q65: INTERSECT/EXCEPT ALL rewrite to count aggregates + replicate, no dedup join") {
     val p = plan(SetOps.q65(spark, sf0001))
     // bag semantics via per-value counts: one count-shuffle per side, then

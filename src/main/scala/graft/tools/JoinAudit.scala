@@ -1,0 +1,35 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+/** One-off scale-smell sweep: flags any declared query whose sf0.1 plan
+  * contains a nested-loop join outside the documented allowlist. Run:
+  * `sbt "runMain graft.tools.JoinAudit"` — expect "smells=0".
+  */
+object JoinAudit {
+  // Queries where a nested-loop join is the DOCUMENTED intent:
+  //  - q09 cross of tiny inputs; q32/q41 all-pairs exact-oracle baselines
+  //    (LSH/IVF/PQ are the scale paths); q10 band self-join baseline
+  //    (x10 is the banded equi twin); q50 scalar-subquery side results;
+  //  - q35/q59: a 1-row count/cutoff broadcast attached via BNLJ — a
+  //    scalar attach, constant work at any corpus size.
+  private val allowed = Set("q09_cross", "q32_knn_cosine", "q41_cosine_near_dup",
+    "q10_range_join", "q50_scalar_subquery", "q35_tfidf", "q59_contamination")
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.1"
+    var bad = 0
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val p = fn(spark, dir).queryExecution.executedPlan.toString
+        val nl = "BroadcastNestedLoopJoin".r.findAllIn(p).size +
+                 "CartesianProduct".r.findAllIn(p).size
+        if (nl > 0 && !allowed(name)) { bad += 1; println(s"SMELL $name: $nl nested-loop joins") }
+      } catch { case e: Throwable => println(s"$name ERROR ${e.getMessage.take(80)}") }
+    }
+    println(s"join audit done, smells=$bad")
+    spark.stop()
+  }
+}

@@ -256,6 +256,41 @@ object Streams {
     ()
   }
 
+  /** File-based streaming source with bounded batches: watch a parquet
+    * directory, admitting at most `maxFilesPerTrigger` files per
+    * micro-batch. With `Trigger.AvailableNow` this is the production
+    * BACKFILL pattern: drain everything currently in the directory in
+    * bounded increments (each micro-batch's state/memory is capped by the
+    * admission limit, unlike a single giant batch), commit progress to the
+    * checkpoint after every batch, then STOP — a crash resumes from the
+    * last admitted file, and the next scheduled run picks up only new
+    * files. At 100 TB this is how a table is first ingested without ever
+    * holding more than maxFilesPerTrigger files' worth of work in flight.
+    * An explicit schema is required — a streaming source must not pay a
+    * full inference pass (SURVEY §2.2 ingestion rule).
+    */
+  def fileStreamSource(spark: SparkSession, dir: String,
+                       schema: org.apache.spark.sql.types.StructType,
+                       maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Drain a file-stream into a batch-processing function with
+    * AvailableNow semantics; returns once the backlog is consumed.
+    */
+  def drainAvailableNow(src: DataFrame, checkpointDir: String)
+                       (perBatch: (DataFrame, Long) => Unit) = {
+    val q = src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch(perBatch)
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Exactly-once-style sink: each micro-batch merges into a parquet
     * snapshot by key via the engine's upsert (idempotent — replaying a
     * batch yields the same snapshot). Returns the started query.

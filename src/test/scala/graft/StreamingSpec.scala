@@ -218,6 +218,34 @@ class StreamingSpec extends SparkSpecBase {
     assert(out == Seq((1L, 1.0), (2L, 20.0), (3L, 3.0)), out.toString)
   }
 
+  test("file stream + AvailableNow: bounded-batch backfill drains, then resumes only new files") {
+    import org.apache.spark.sql.types.StructType
+    val dir = Files.createTempDirectory("graft_filestream").toString
+    val in = s"$dir/in"
+    val schema = StructType.fromDDL("doc_id LONG, text STRING")
+    // 3 single-file generations in the source dir
+    for (i <- 1 to 3)
+      Seq(Doc(i.toLong, s"gen $i payload")).toDF()
+        .coalesce(1).write.mode("append").parquet(in)
+    var batches = Vector.empty[Long]
+    def drain(): Unit = Streams.drainAvailableNow(
+      Streams.fileStreamSource(spark, in, schema, maxFilesPerTrigger = 1),
+      s"$dir/ckpt") { (b, _) => batches = batches :+ b.count() }
+    drain()
+    // maxFilesPerTrigger=1 → one bounded batch per file; backlog drained
+    assert(batches.count(_ > 0) == 3, batches.toString)
+    assert(batches.forall(_ <= 1), s"admission limit exceeded: $batches")
+    // a second drain with the same checkpoint re-reads NOTHING...
+    batches = Vector.empty
+    drain()
+    assert(batches.forall(_ == 0), s"restart re-read old files: $batches")
+    // ...and picks up only files that arrived since
+    Seq(Doc(4L, "gen 4 payload")).toDF().coalesce(1).write.mode("append").parquet(in)
+    batches = Vector.empty
+    drain()
+    assert(batches.sum == 1, s"new file not picked up exactly once: $batches")
+  }
+
   test("foreachBatch near-dup ingest: in-batch + cross-batch dedup, short docs, replay idempotent") {
     val dir = Files.createTempDirectory("graft_neardup_sink").toString
     val snap = s"$dir/snap"

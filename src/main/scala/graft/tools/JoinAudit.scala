@@ -21,15 +21,21 @@ object JoinAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
     var bad = 0
+    var errs = 0
+    var audited = 0
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val p = fn(spark, dir).queryExecution.executedPlan.toString
+        audited += 1
         val nl = "BroadcastNestedLoopJoin".r.findAllIn(p).size +
                  "CartesianProduct".r.findAllIn(p).size
         if (nl > 0 && !allowed(name)) { bad += 1; println(s"SMELL $name: $nl nested-loop joins") }
-      } catch { case e: Throwable => println(s"$name ERROR ${e.getMessage.take(80)}") }
+      } catch { case e: Throwable => errs += 1; println(s"$name ERROR ${e.getMessage.take(80)}") }
     }
-    println(s"join audit done, smells=$bad")
+    println(s"join audit done, audited=$audited smells=$bad errors=$errs")
     spark.stop()
+    // a sweep that planned nothing, failed queries, or found smells must
+    // NOT exit 0 — "smells=0" is only meaningful when every plan was seen
+    if (bad > 0 || errs > 0 || audited == 0) sys.exit(1)
   }
 }

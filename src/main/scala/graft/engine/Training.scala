@@ -410,6 +410,43 @@ object Training {
     corpus.join(hits, corpus(idCol) === hits("__contaminated_id"), "left_anti")
   }
 
+  // q79 — in-document repetition ratio (round 5): the Gopher/C4-family
+  // quality rule that brute exact/near dedup can't see — a document that
+  // repeats ITSELF (boilerplate loops, template spam) has a low
+  // distinct-to-total n-gram ratio. All in-row HOFs (split → gram
+  // transform → array_distinct), zero shuffles before the presentation
+  // sort: the filter threshold makes this a scan-speed corpus gate at any
+  // size. Integer counts + one rounded division — engine-exact.
+  def q79(s: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val grams = expr(
+      """transform(sequence(0, size(split(text, ' ')) - 2),
+        |  i -> array_join(slice(split(text, ' '), i + 1, 2), ' '))""".stripMargin)
+    Tables.documents(s, dir)
+      .filter(size(words) >= 2)
+      .select(col("doc_id"),
+        size(grams).as("n_grams"),
+        size(array_distinct(grams)).as("n_distinct"))
+      .withColumn("rep_ratio",
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 6))
+      .orderBy("doc_id")
+  }
+
+  val q79Sql: String =
+    """SELECT doc_id,
+      |  (len(string_split(text, ' ')) - 1)::INT AS n_grams,
+      |  len(list_distinct(list_transform(
+      |    generate_series(1, len(string_split(text, ' ')) - 1),
+      |    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 1), ' '))))::INT
+      |    AS n_distinct,
+      |  round(1.0 - len(list_distinct(list_transform(
+      |    generate_series(1, len(string_split(text, ' ')) - 1),
+      |    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 1), ' '))))
+      |    / (len(string_split(text, ' ')) - 1), 6) AS rep_ratio
+      |FROM documents
+      |WHERE len(string_split(text, ' ')) >= 2
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_cosine_near_dup" -> (q41 _),
     "q42_ngram_jaccard"   -> (q42 _),
@@ -420,7 +457,8 @@ object Training {
     "q56_sequence_pack"     -> (q56 _),
     "q57_weighted_mixture"  -> (q57 _),
     "q59_contamination"     -> (q59 _),
-    "q60_global_sample"     -> (q60 _))
+    "q60_global_sample"     -> (q60 _),
+    "q79_repetition"        -> (q79 _))
 
   val oracle: Map[String, String] = Map(
     "q41_cosine_near_dup" -> q41Sql,
@@ -432,5 +470,6 @@ object Training {
     "q56_sequence_pack"     -> q56Sql,
     "q57_weighted_mixture"  -> q57Sql,
     "q59_contamination"     -> q59Sql,
-    "q60_global_sample"     -> q60Sql)
+    "q60_global_sample"     -> q60Sql,
+    "q79_repetition"        -> q79Sql)
 }

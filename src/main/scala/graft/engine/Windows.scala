@@ -224,6 +224,32 @@ object Windows {
       |WINDOW win AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  // q78 — ratio-to-report (round 5): each order's share of its priority
+  // class total via an UNBOUNDED-frame window sum — the reporting pattern
+  // that pairs a row with its group aggregate WITHOUT a join back. One
+  // shuffle on the partition key; the frame-complete sum is
+  // order-insensitive (DECIMAL-exact per §2.0, divided in double and
+  // rounded). Scale note: for a single global group prefer the scalar
+  // side-result (q50's plan) — a one-partition window would serialize;
+  // here the 5 priority classes parallelize it.
+  def q78(s: SparkSession, dir: String): DataFrame = {
+    val grpTotal = sum(col("o_totalprice").cast(DecimalType(18, 2)))
+      .over(Window.partitionBy("o_orderpriority")).cast("double")
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        grpTotal.as("grp_total"),
+        round(col("o_totalprice") / grpTotal, 6).as("share"))
+      .orderBy("o_orderkey")
+  }
+
+  val q78Sql: String =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS grp_total,
+      |  round(o_totalprice / CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE), 6) AS share
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority)
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_rank_topk"   -> (q19 _),
     "q20_running_sum" -> (q20 _),
@@ -232,7 +258,8 @@ object Windows {
     "q23_ntile"       -> (q23 _),
     "q48_win_range_interval" -> (q48 _),
     "q58_value_windows" -> (q58 _),
-    "q64_rank_distribution" -> (q64 _))
+    "q64_rank_distribution" -> (q64 _),
+    "q78_ratio_to_report"   -> (q78 _))
 
   val oracle: Map[String, String] = Map(
     "q19_rank_topk"   -> q19Sql,
@@ -242,5 +269,6 @@ object Windows {
     "q23_ntile"       -> q23Sql,
     "q48_win_range_interval" -> q48Sql,
     "q58_value_windows" -> q58Sql,
-    "q64_rank_distribution" -> q64Sql)
+    "q64_rank_distribution" -> q64Sql,
+    "q78_ratio_to_report"   -> q78Sql)
 }

@@ -291,6 +291,49 @@ object Streams {
     q
   }
 
+  /** Streaming MATERIALIZED VIEW maintenance: keep `groupBy(keys).agg(
+    * count, sum(valueCol))` current over an unbounded stream without ever
+    * reprocessing history. Each micro-batch writes its PARTIAL aggregate
+    * (count/sum are mergeable states) to a batch-id-keyed subdirectory
+    * with overwrite — so an at-least-once REPLAY of a batch rewrites the
+    * same partial instead of double-counting, which is what makes
+    * additive maintenance idempotent (an upsert-style last-writer-wins
+    * merge cannot express "add these counts"; a naive additive merge
+    * into one snapshot would double-apply replays). Reading the view
+    * ([[readAggView]]) folds the partials — each is group-cardinality
+    * sized, so the fold is O(batches × groups), and a periodic offline
+    * compaction (rewrite all partials as one base partial) bounds the
+    * file count exactly like any log-structured table.
+    */
+  def foreachBatchAggMaintSink(events: DataFrame, viewDir: String,
+                               checkpointDir: String, keys: Seq[String],
+                               valueCol: String) =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        aggMaintBatch(batch, viewDir, keys, valueCol, batchId)
+      }
+      .start()
+
+  /** One maintenance step: overwrite this batch's partial aggregate. */
+  def aggMaintBatch(batch: DataFrame, viewDir: String, keys: Seq[String],
+                    valueCol: String, batchId: Long): Unit = {
+    batch.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col(valueCol).cast("double")).as("sum_value"))
+      .write.mode("overwrite").parquet(s"$viewDir/batch=$batchId")
+    ()
+  }
+
+  /** The view's current state: fold all batch partials by key. */
+  def readAggView(spark: SparkSession, viewDir: String,
+                  keys: Seq[String]): DataFrame =
+    spark.read.option("basePath", viewDir).parquet(viewDir)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n_rows")).as("n_rows"),
+           sum(col("sum_value")).as("sum_value"))
+
   /** Exactly-once-style sink: each micro-batch merges into a parquet
     * snapshot by key via the engine's upsert (idempotent — replaying a
     * batch yields the same snapshot). Returns the started query.

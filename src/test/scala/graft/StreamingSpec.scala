@@ -297,6 +297,34 @@ class StreamingSpec extends SparkSpecBase {
       .collect().map(_.getLong(0)).toSet == Set(1L))
   }
 
+  test("agg-maintenance view: incremental == batch recompute; replay never double-counts") {
+    val dir = Files.createTempDirectory("graft_aggmaint").toString
+    val view = s"$dir/view"
+    val b1 = Seq(Ev(1, ts("2024-01-01 10:00:00"), 1, 2.0),
+                 Ev(2, ts("2024-01-01 10:01:00"), 1, 3.0),
+                 Ev(3, ts("2024-01-01 10:02:00"), 2, 5.0))
+    val b2 = Seq(Ev(4, ts("2024-01-01 10:03:00"), 1, 7.0),
+                 Ev(5, ts("2024-01-01 10:04:00"), 3, 11.0))
+    val stream = MemoryStream[Ev](spark)
+    val q = Streams.foreachBatchAggMaintSink(stream.toDF(), view, s"$dir/ckpt",
+      Seq("user_id"), "value")
+    stream.addData(b1: _*); q.processAllAvailable()
+    stream.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    def viewRows() = Streams.readAggView(spark, view, Seq("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the maintained view equals a from-scratch batch recompute
+    val expected = (b1 ++ b2).toDF()
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_rows"), sum(col("value")).as("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viewRows() == expected, s"view=${viewRows()} expected=$expected")
+    // at-least-once replay of batch 0: the partial is OVERWRITTEN in
+    // place, not added again — additive maintenance stays idempotent
+    Streams.aggMaintBatch(b1.toDF(), view, Seq("user_id"), "value", batchId = 0L)
+    assert(viewRows() == expected, "replay double-counted")
+  }
+
   test("foreachBatch decontamination: hygiene-at-ingest drops eval-leaking docs per micro-batch") {
     // the practical streaming-hygiene path: batch decontaminate inside
     // foreachBatch against a STATIC eval set — no streaming-join state,

@@ -190,6 +190,50 @@ object PropertiesSpec extends Properties("graft") {
       spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 2),
       ingestDocSchema)
 
+  // ---------------------------------------------- prefix-filter fuzzy match
+
+  // strings drawn from a tiny alphabet with repeated characters — the
+  // adversarial regime for the occurrence-indexed bag count filter (many
+  // duplicate q-grams per string) and for the short-string residue
+  private val fuzzyWordGen: Gen[String] = for {
+    n <- Gen.choose(1, 14)
+    cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+  } yield cs.mkString
+
+  private val fuzzyCorpusGen: Gen[Seq[(Long, String, String)]] = for {
+    n <- Gen.choose(2, 10)
+    words <- Gen.listOfN(n, fuzzyWordGen)
+    blocks <- Gen.listOfN(n, Gen.oneOf("B1", "B2"))
+  } yield words.zip(blocks).zipWithIndex.map { case ((w, b), i) => (i.toLong, w, b) }
+
+  private def bruteLevenshtein(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  property("fuzzyMatchPrefix == brute-force all-pairs for ANY corpus (no false negatives)") =
+    Prop.forAll(fuzzyCorpusGen) { corpus =>
+      val rows = corpus.map { case (id, w, b) => Row(id, w, b) }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2),
+        StructType(Seq(StructField("id", LongType), StructField("name", StringType),
+                       StructField("block", StringType))))
+      val got = graft.engine.Scalars.fuzzyMatchPrefix(df, cap = 3, q = 2)
+        .select("id_a", "id_b", "dist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = (for {
+        (ia, wa, ba) <- corpus; (ib, wb, bb) <- corpus
+        if ia < ib && ba == bb
+        d = bruteLevenshtein(wa, wb) if d <= 3
+      } yield (ia, ib, d)).toSet
+      Prop(got == want) :| s"got=$got want=$want corpus=$corpus"
+    }
+
   property("near-dup ingest gate == simulation for ANY batch split; replay is a no-op") =
     Prop.forAll(ingestGen) { docs =>
       val dir = java.nio.file.Files.createTempDirectory("graft_ingest_prop")

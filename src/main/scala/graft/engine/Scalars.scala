@@ -391,6 +391,32 @@ object Scalars {
       |  CAST(json_extract_string(props, '$.missing') AS INT) AS missing_k
       |FROM events ORDER BY event_id""".stripMargin
 
+  // q80 — conditional expression matrix (round 5): CASE chains,
+  // coalesce∘nullif normalization, least/greatest clamps, and NULL-aware
+  // boolean algebra — the branch-light way to express business rules
+  // (every construct here is a codegen'd expression; a UDF doing the same
+  // would fence the span). Identical SQL semantics on both engines.
+  def q80(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        expr("CASE WHEN o_totalprice < 50000.0 THEN 'low' " +
+             "WHEN o_totalprice < 200000.0 THEN 'mid' ELSE 'high' END").as("band"),
+        expr("coalesce(nullif(o_orderstatus, 'O'), 'OPEN')").as("status_norm"),
+        round(least(col("o_totalprice"), lit(100000.0)), 2).as("capped"),
+        round(greatest(col("o_totalprice"), lit(100000.0)), 2).as("floored"),
+        (col("o_totalprice") > 200000.0 && col("o_custkey") % 2 === 0).as("flag"))
+      .orderBy("o_orderkey")
+
+  val q80Sql: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_totalprice < 50000.0 THEN 'low'
+      |       WHEN o_totalprice < 200000.0 THEN 'mid' ELSE 'high' END AS band,
+      |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_norm,
+      |  round(least(o_totalprice, 100000.0), 2) AS capped,
+      |  round(greatest(o_totalprice, 100000.0), 2) AS floored,
+      |  (o_totalprice > 200000.0 AND o_custkey % 2 = 0) AS flag
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_string_funcs" -> (q36 _),
     "q37_date_funcs"   -> (q37 _),
@@ -401,7 +427,8 @@ object Scalars {
     "q71_regex_backref" -> (q71 _),
     "q72_calendar_math" -> (q72 _),
     "q73_try_arith"     -> (q73 _),
-    "q77_variant"       -> (q77 _))
+    "q77_variant"       -> (q77 _),
+    "q80_conditional"   -> (q80 _))
 
   val oracle: Map[String, String] = Map(
     "q36_string_funcs" -> q36Sql,
@@ -413,5 +440,6 @@ object Scalars {
     "q71_regex_backref" -> q71Sql,
     "q72_calendar_math" -> q72Sql,
     "q73_try_arith"     -> q73Sql,
-    "q77_variant"       -> q77Sql)
+    "q77_variant"       -> q77Sql,
+    "q80_conditional"   -> q80Sql)
 }

@@ -250,6 +250,30 @@ object Windows {
       |WINDOW w AS (PARTITION BY o_orderpriority)
       |ORDER BY o_orderkey""".stripMargin
 
+  // q81 — MULTIPLE windows with different partition keys in one query
+  // (round 5): per-customer and per-priority ranks side by side. Each
+  // distinct partitioning is its own Window operator with its own
+  // exchange — the planner chains them rather than re-reading the input
+  // (plan-asserted: exactly two Window ops over one scan). Scale note:
+  // every extra partitioning is a full shuffle of the carried columns;
+  // share a Window spec (q19) whenever keys allow, and project narrow
+  // before the first exchange.
+  def q81(s: SparkSession, dir: String): DataFrame = {
+    val wCust = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey"))
+    val wPrio = Window.partitionBy("o_orderpriority").orderBy(desc("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rn_cust", row_number().over(wCust))
+      .withColumn("rn_prio", row_number().over(wPrio))
+      .select("o_orderkey", "o_custkey", "o_orderpriority", "rn_cust", "rn_prio")
+      .orderBy("o_orderkey")
+  }
+
+  val q81Sql: String =
+    """SELECT o_orderkey, o_custkey, o_orderpriority,
+      |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)::INT AS rn_cust,
+      |  row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)::INT AS rn_prio
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_rank_topk"   -> (q19 _),
     "q20_running_sum" -> (q20 _),
@@ -259,7 +283,8 @@ object Windows {
     "q48_win_range_interval" -> (q48 _),
     "q58_value_windows" -> (q58 _),
     "q64_rank_distribution" -> (q64 _),
-    "q78_ratio_to_report"   -> (q78 _))
+    "q78_ratio_to_report"   -> (q78 _),
+    "q81_multi_window"      -> (q81 _))
 
   val oracle: Map[String, String] = Map(
     "q19_rank_topk"   -> q19Sql,
@@ -270,5 +295,6 @@ object Windows {
     "q48_win_range_interval" -> q48Sql,
     "q58_value_windows" -> q58Sql,
     "q64_rank_distribution" -> q64Sql,
-    "q78_ratio_to_report"   -> q78Sql)
+    "q78_ratio_to_report"   -> q78Sql,
+    "q81_multi_window"      -> q81Sql)
 }

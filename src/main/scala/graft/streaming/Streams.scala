@@ -334,6 +334,37 @@ object Streams {
       .agg(sum(col("n_rows")).as("n_rows"),
            sum(col("sum_value")).as("sum_value"))
 
+  /** Offline compaction for the agg view: fold every partial into ONE
+    * base partial at `batch=-1` — an id no stream ever produces, so a
+    * later replay of the in-flight micro-batch (always a nonnegative id)
+    * can never overwrite the base. Same single-writer contract as the
+    * other maintenance ops: run while the stream is stopped. Crash-safe
+    * via the backup-then-rename dance (worst case the backup remains and
+    * a retry re-folds — the fold is idempotent); the folded state is
+    * pinned eagerly BEFORE the swap so nothing reads a dir mid-rename.
+    */
+  def compactAggView(spark: SparkSession, viewDir: String,
+                     keys: Seq[String]): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(viewDir), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(viewDir)
+    val tmp = new org.apache.hadoop.fs.Path(viewDir + "_tmp")
+    val bak = new org.apache.hadoop.fs.Path(viewDir + "_bak")
+    // crash recovery: a previous compaction may have died between the two
+    // renames — restore the backup before anything else
+    if (!fs.exists(dst) && fs.exists(bak))
+      require(fs.rename(bak, dst), s"recovery rename $bak -> $dst failed")
+    val folded = readAggView(spark, viewDir, keys).localCheckpoint()
+    fs.delete(tmp, true)
+    folded.write.mode("overwrite").parquet(s"$tmp/batch=-1")
+    def mustRename(a: org.apache.hadoop.fs.Path, b: org.apache.hadoop.fs.Path): Unit =
+      require(fs.rename(a, b), s"rename $a -> $b failed")
+    fs.delete(bak, true)
+    mustRename(dst, bak)
+    mustRename(tmp, dst)
+    fs.delete(bak, true)
+  }
+
   /** Exactly-once-style sink: each micro-batch merges into a parquet
     * snapshot by key via the engine's upsert (idempotent — replaying a
     * batch yields the same snapshot). Returns the started query.

@@ -323,6 +323,19 @@ class StreamingSpec extends SparkSpecBase {
     // place, not added again — additive maintenance stays idempotent
     Streams.aggMaintBatch(b1.toDF(), view, Seq("user_id"), "value", batchId = 0L)
     assert(viewRows() == expected, "replay double-counted")
+    // offline compaction folds everything into the single batch=-1 base;
+    // the view is unchanged and later batches keep landing on top
+    Streams.compactAggView(spark, view, Seq("user_id"))
+    val dirs = new java.io.File(view).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("batch=-1"), dirs.toString)
+    assert(viewRows() == expected, "compaction changed the view")
+    Streams.aggMaintBatch(
+      Seq(Ev(6, ts("2024-01-01 10:05:00"), 2, 13.0)).toDF(), view,
+      Seq("user_id"), "value", batchId = 2L)
+    assert(viewRows() == expected.map {
+      case (2L, n, sv) => (2L, n + 1, sv + 13.0)
+      case other       => other
+    }, "post-compaction batch not folded in")
   }
 
   test("foreachBatch decontamination: hygiene-at-ingest drops eval-leaking docs per micro-batch") {

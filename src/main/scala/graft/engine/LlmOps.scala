@@ -224,17 +224,40 @@ object LlmOps {
       |SELECT doc_id, term, tf, df, score FROM ranked WHERE rn = 1
       |ORDER BY doc_id""".stripMargin
 
+  // q82 — generator WITH ORDINALITY (round 5): posexplode attaches each
+  // token's position — the surface behind "first k tokens", positional
+  // n-gram features, and any order-aware re-assembly after an explode
+  // (a bare explode loses the ordinal; recovering it later needs a
+  // window). Map-side Generate, no shuffle before the presentation sort.
+  // DuckDB lacks WITH ORDINALITY — the oracle indexes the array through
+  // a generate_series unnest, same rows.
+  def q82(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("col").as("word"), (col("pos") + 1).as("ord"))
+      .filter(col("ord") <= 3)
+      .orderBy("doc_id", "ord")
+
+  val q82Sql: String =
+    """SELECT doc_id, words[i] AS word, i::INT AS ord
+      |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |     unnest(generate_series(1, len(words))) AS t(i)
+      |WHERE i <= 3
+      |ORDER BY doc_id, ord""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_exact_dedup"  -> (q31 _),
     "q32_knn_cosine"   -> (q32 _),
     "q33_jaccard_pairs" -> (q33 _),
     "q34_text_stats"   -> (q34 _),
-    "q35_tfidf"        -> (q35 _))
+    "q35_tfidf"        -> (q35 _),
+    "q82_posexplode"   -> (q82 _))
 
   val oracle: Map[String, String] = Map(
     "q31_exact_dedup"  -> q31Sql,
     "q32_knn_cosine"   -> q32Sql,
     "q33_jaccard_pairs" -> q33Sql,
     "q34_text_stats"   -> q34Sql,
-    "q35_tfidf"        -> q35Sql)
+    "q35_tfidf"        -> q35Sql,
+    "q82_posexplode"   -> q82Sql)
 }

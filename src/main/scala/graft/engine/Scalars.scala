@@ -417,6 +417,32 @@ object Scalars {
       |  (o_totalprice > 200000.0 AND o_custkey % 2 = 0) AS flag
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  // q83 — bitwise SCALAR surface (round 5; q74 covers the aggregates):
+  // shifts, and/or/xor masks, population count — the flag-word and
+  // bucket-index toolbox (the Z-order interleave in Layout is built from
+  // exactly these). All codegen'd longs; DuckDB bit_count returns BIGINT
+  // (::INT in the oracle per §2.0.3).
+  def q83(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        shiftleft(col("o_orderkey"), 2).as("shl2"),
+        shiftright(col("o_orderkey"), 1).as("shr1"),
+        col("o_orderkey").bitwiseXOR(255L).as("xored"),
+        bit_count(col("o_orderkey")).as("popcount"),
+        expr("o_orderkey & 15").as("lo_nibble"),
+        expr("o_orderkey | 16").as("with_flag"))
+      .orderBy("o_orderkey")
+
+  val q83Sql: String =
+    """SELECT o_orderkey,
+      |  o_orderkey << 2 AS shl2,
+      |  o_orderkey >> 1 AS shr1,
+      |  xor(o_orderkey, 255) AS xored,
+      |  bit_count(o_orderkey)::INT AS popcount,
+      |  o_orderkey & 15 AS lo_nibble,
+      |  o_orderkey | 16 AS with_flag
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_string_funcs" -> (q36 _),
     "q37_date_funcs"   -> (q37 _),
@@ -428,7 +454,8 @@ object Scalars {
     "q72_calendar_math" -> (q72 _),
     "q73_try_arith"     -> (q73 _),
     "q77_variant"       -> (q77 _),
-    "q80_conditional"   -> (q80 _))
+    "q80_conditional"   -> (q80 _),
+    "q83_bitops"        -> (q83 _))
 
   val oracle: Map[String, String] = Map(
     "q36_string_funcs" -> q36Sql,
@@ -441,5 +468,6 @@ object Scalars {
     "q72_calendar_math" -> q72Sql,
     "q73_try_arith"     -> q73Sql,
     "q77_variant"       -> q77Sql,
-    "q80_conditional"   -> q80Sql)
+    "q80_conditional"   -> q80Sql,
+    "q83_bitops"        -> q83Sql)
 }

@@ -418,15 +418,18 @@ object Training {
   // sort: the filter threshold makes this a scan-speed corpus gate at any
   // size. Integer counts + one rounded division — engine-exact.
   def q79(s: SparkSession, dir: String): DataFrame = {
-    val words = split(col("text"), " ")
-    val grams = expr(
-      """transform(sequence(0, size(split(text, ' ')) - 2),
-        |  i -> array_join(slice(split(text, ' '), i + 1, 2), ' '))""".stripMargin)
+    // split ONCE into a column: a HOF lambda re-evaluates its body per
+    // gram index with no CSE, so slicing `split(text)` inside the lambda
+    // would re-split the whole text per gram — O(words × len) per row.
+    // n_grams comes from the word count, not a second transform pass.
     Tables.documents(s, dir)
-      .filter(size(words) >= 2)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .filter(size(col("words")) >= 2)
       .select(col("doc_id"),
-        size(grams).as("n_grams"),
-        size(array_distinct(grams)).as("n_distinct"))
+        (size(col("words")) - 1).as("n_grams"),
+        size(array_distinct(expr(
+          "transform(sequence(0, size(words) - 2), i -> concat(words[i], ' ', words[i + 1]))")))
+          .as("n_distinct"))
       .withColumn("rep_ratio",
         round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 6))
       .orderBy("doc_id")

@@ -334,14 +334,25 @@ object Streams {
       .agg(sum(col("n_rows")).as("n_rows"),
            sum(col("sum_value")).as("sum_value"))
 
-  /** Offline compaction for the agg view: fold every partial into ONE
-    * base partial at `batch=-1` — an id no stream ever produces, so a
-    * later replay of the in-flight micro-batch (always a nonnegative id)
-    * can never overwrite the base. Same single-writer contract as the
-    * other maintenance ops: run while the stream is stopped. Crash-safe
-    * via the backup-then-rename dance (worst case the backup remains and
-    * a retry re-folds — the fold is idempotent); the folded state is
-    * pinned eagerly BEFORE the swap so nothing reads a dir mid-rename.
+  /** Offline compaction for the agg view: fold the partials into ONE base
+    * partial at `batch=-1` — an id no stream ever produces, so a replayed
+    * micro-batch (always a nonnegative id) can never overwrite the base.
+    *
+    * The HIGHEST nonnegative batch id is EXCLUDED from the fold and
+    * carried over unchanged: under at-least-once delivery the stream may
+    * have crashed after writing that partial but before committing the
+    * offset, in which case the restarted stream REPLAYS it — replay must
+    * land as an overwrite of the still-standing partial, not as a second
+    * copy of data already folded into the base (which would double-count
+    * permanently). Every lower id is provably committed (Structured
+    * Streaming commits batches in order), so folding them is safe.
+    *
+    * Same single-writer contract as the other maintenance ops: run while
+    * the stream is stopped. Crash-safe via backup-then-rename; if a
+    * previous compaction died mid-swap AND the stream recreated the view
+    * dir since, BOTH the dir and the backup exist — that needs a human
+    * (the backup holds history the new dir lacks), so fail loudly instead
+    * of letting the post-swap backup delete destroy it.
     */
   def compactAggView(spark: SparkSession, viewDir: String,
                      keys: Seq[String]): Unit = {
@@ -350,16 +361,34 @@ object Streams {
     val dst = new org.apache.hadoop.fs.Path(viewDir)
     val tmp = new org.apache.hadoop.fs.Path(viewDir + "_tmp")
     val bak = new org.apache.hadoop.fs.Path(viewDir + "_bak")
-    // crash recovery: a previous compaction may have died between the two
-    // renames — restore the backup before anything else
+    // crash recovery: died between the two renames → only the backup holds
+    // the view; restore it. Both present → unmergeable split-brain: stop.
     if (!fs.exists(dst) && fs.exists(bak))
       require(fs.rename(bak, dst), s"recovery rename $bak -> $dst failed")
-    val folded = readAggView(spark, viewDir, keys).localCheckpoint()
+    require(!(fs.exists(dst) && fs.exists(bak)),
+      s"$bak exists alongside $dst — a previous compaction crashed mid-swap " +
+      "and the view dir was recreated since; the backup holds history the " +
+      "new dir lacks. Merge or restore it manually before compacting.")
+    val all = spark.read.option("basePath", viewDir).parquet(viewDir)
+    // partition discovery types small ids as INT — normalize to long
+    val ids = all.select(col("batch").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    val maxId = ids.filter(_ >= 0).sorted.lastOption
+    val foldIds = ids.filter(id => !maxId.contains(id))
+    if (foldIds.isEmpty) return // nothing committed to fold
+    // pin both outputs BEFORE touching any directory
+    val folded = all.filter(col("batch").isin(foldIds: _*))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n_rows")).as("n_rows"), sum(col("sum_value")).as("sum_value"))
+      .localCheckpoint()
+    val carried = maxId.map(id =>
+      all.filter(col("batch") === id).drop("batch").localCheckpoint())
     fs.delete(tmp, true)
     folded.write.mode("overwrite").parquet(s"$tmp/batch=-1")
+    for (id <- maxId; df <- carried)
+      df.write.mode("overwrite").parquet(s"$tmp/batch=$id")
     def mustRename(a: org.apache.hadoop.fs.Path, b: org.apache.hadoop.fs.Path): Unit =
       require(fs.rename(a, b), s"rename $a -> $b failed")
-    fs.delete(bak, true)
     mustRename(dst, bak)
     mustRename(tmp, dst)
     fs.delete(bak, true)

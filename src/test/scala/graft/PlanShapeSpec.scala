@@ -283,6 +283,15 @@ class PlanShapeSpec extends SparkSpecBase {
       "vec_dot not inside a WholeStageCodegen span:\n" + cs.take(2000))
   }
 
+  test("q81: two Window operators chain over ONE scan (no input duplication)") {
+    val df = Windows.q81(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Window \\[row_number".r.findAllIn(p).size == 2, p)
+    assert("FileScan".r.findAllIn(p).size == 1,
+      "multi-window query re-read the input:\n" + p)
+  }
+
   test("q65: INTERSECT/EXCEPT ALL rewrite to count aggregates + replicate, no dedup join") {
     val p = plan(SetOps.q65(spark, sf0001))
     // bag semantics via per-value counts: one count-shuffle per side, then

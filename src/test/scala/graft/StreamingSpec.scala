@@ -323,12 +323,17 @@ class StreamingSpec extends SparkSpecBase {
     // place, not added again — additive maintenance stays idempotent
     Streams.aggMaintBatch(b1.toDF(), view, Seq("user_id"), "value", batchId = 0L)
     assert(viewRows() == expected, "replay double-counted")
-    // offline compaction folds everything into the single batch=-1 base;
-    // the view is unchanged and later batches keep landing on top
+    // offline compaction folds COMMITTED partials into the batch=-1 base
+    // but carries the highest id unchanged — that batch may still replay
+    // under at-least-once delivery, and its replay must remain an
+    // in-place overwrite, never a second copy of folded data
     Streams.compactAggView(spark, view, Seq("user_id"))
     val dirs = new java.io.File(view).listFiles().filter(_.isDirectory).map(_.getName).toSet
-    assert(dirs == Set("batch=-1"), dirs.toString)
+    assert(dirs == Set("batch=-1", "batch=1"), dirs.toString)
     assert(viewRows() == expected, "compaction changed the view")
+    // replay of the carried batch after compaction: still idempotent
+    Streams.aggMaintBatch(b2.toDF(), view, Seq("user_id"), "value", batchId = 1L)
+    assert(viewRows() == expected, "replay AFTER compaction double-counted")
     Streams.aggMaintBatch(
       Seq(Ev(6, ts("2024-01-01 10:05:00"), 2, 13.0)).toDF(), view,
       Seq("user_id"), "value", batchId = 2L)
@@ -336,6 +341,13 @@ class StreamingSpec extends SparkSpecBase {
       case (2L, n, sv) => (2L, n + 1, sv + 13.0)
       case other       => other
     }, "post-compaction batch not folded in")
+    // split-brain guard: a leftover backup alongside a live view dir must
+    // stop compaction instead of silently deleting the backup's history
+    new java.io.File(view + "_bak").mkdirs()
+    val e = intercept[IllegalArgumentException] {
+      Streams.compactAggView(spark, view, Seq("user_id"))
+    }
+    assert(e.getMessage.contains("crashed mid-swap"), e.getMessage)
   }
 
   test("foreachBatch decontamination: hygiene-at-ingest drops eval-leaking docs per micro-batch") {

@@ -292,6 +292,25 @@ class EdgeCaseSpec extends SparkSpecBase {
     assert(out == Seq((2L, 3L)), out.toString)
   }
 
+  test("q68 forward fill: days before a customer's first order stay null, never invented") {
+    // last(ignoreNulls) must not hallucinate a value for the leading gap —
+    // for every customer the fill is null strictly before the first
+    // active day and non-null from it onward
+    val rows = graft.engine.Temporal.q68(spark, sf0001)
+      .select("o_custkey", "day", "day_total", "filled_total").collect()
+      .groupBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    rows.foreach { case (cust, rs) =>
+      val sorted = rs.sortBy(_.getString(1))
+      val firstActive = sorted.indexWhere(!_.isNullAt(2))
+      assert(firstActive >= 0, s"customer $cust has no active day")
+      sorted.take(firstActive).foreach(r =>
+        assert(r.isNullAt(3), s"customer $cust: fill invented before first order"))
+      sorted.drop(firstActive).foreach(r =>
+        assert(!r.isNullAt(3), s"customer $cust: fill dropped after first order"))
+    }
+  }
+
   test("near-dup ingest: null-text docs are accepted as unique, never near-dup each other") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest_null").toString + "/s"

@@ -138,6 +138,16 @@ class MultimodalSpec extends SparkSpecBase {
       Multimodal.MediaMeta("audio", 0, 0, 0L, "junk"), Array[Byte](5, 5))).toDS()
     val kept = Multimodal.transcodeAudio(junk, 8000, 1).head()
     assert(kept.payload.toSeq == Seq[Byte](5, 5))
+    // the full target matrix the JVM conversion chain must cover: every
+    // (rate, channels) combination decodes back to exactly that target
+    for (rate <- Seq(8000, 16000, 44100); ch <- Seq(1, 2)) {
+      val m = Multimodal.decodeAudioMeta(
+        Multimodal.transcodeAudio(Multimodal.syntheticWavCorpus(spark, 3), rate, ch))
+        .collect()
+      assert(m.length == 3 &&
+        m.forall(x => x.ok && x.sampleRateHz == rate && x.channels == ch),
+        s"target ($rate Hz, $ch ch): ${m.mkString(";")}")
+    }
   }
 
   test("real image resize: pixels rescale and payload+meta rewrite together") {

@@ -229,13 +229,19 @@ object LlmOps {
   // n-gram features, and any order-aware re-assembly after an explode
   // (a bare explode loses the ordinal; recovering it later needs a
   // window). Map-side Generate, no shuffle before the presentation sort.
+  // The "first 3" bound is applied BEFORE the Generate via slice():
+  // Generate cannot early-terminate, so explode-then-filter would
+  // materialize every token per doc and discard all but 3 — at 100 TB
+  // that's a ~len/3 row blowup for nothing (the round-5 perf-weak).
+  // slice(arr,1,3) caps Generate's input at 3 elements per row; the
+  // ord<=3 predicate becomes structural. PlanShapeSpec asserts the
+  // Generate input is the sliced array.
   // DuckDB lacks WITH ORDINALITY — the oracle indexes the array through
   // a generate_series unnest, same rows.
   def q82(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), posexplode(slice(split(col("text"), " "), 1, 3)))
       .select(col("doc_id"), col("col").as("word"), (col("pos") + 1).as("ord"))
-      .filter(col("ord") <= 3)
       .orderBy("doc_id", "ord")
 
   val q82Sql: String =

@@ -351,6 +351,10 @@ object Scalars {
   // would-be task failures into NULL facts — at 100 TB one malformed row
   // must not kill a stage (the same contract as the multimodal ok=false
   // decode). DuckDB twin: TRY_CAST + nullif-guarded division.
+  // prio_ts is cast to TIMESTAMP_NTZ: try_to_timestamp yields
+  // TIMESTAMP_LTZ, which parquet stamps tz=UTC while the DuckDB oracle's
+  // naive TIMESTAMP doesn't — the round-5 schema red. Declared outputs
+  // follow the house naive-timestamp rule (see OutputSchemaLintSpec).
   def q73(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .select(col("o_orderkey"),
@@ -358,6 +362,7 @@ object Scalars {
           .as("safe_div"),
         expr("try_cast(o_orderstatus as int)").as("bad_int"),
         expr("try_to_timestamp(concat('1996-01-0', substring(o_orderpriority, 1, 1)))")
+          .cast("timestamp_ntz")
           .as("prio_ts"))
       .orderBy("o_orderkey")
 

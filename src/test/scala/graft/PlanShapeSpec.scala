@@ -399,4 +399,21 @@ class PlanShapeSpec extends SparkSpecBase {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q82: Generate input is the sliced array — no explode-then-filter blowup") {
+    val df = LlmOps.q82(spark, sf0001)
+    // Generate cannot early-terminate: exploding every token and then
+    // filtering ord<=3 materializes len/3 useless rows per doc (round-5
+    // perf-weak). The bound must be structural — slice() BEFORE posexplode
+    // — and no post-Generate ord filter may remain.
+    val p = plan(df)
+    assert("Generate posexplode\\(slice\\(".r.findFirstIn(p).isDefined,
+      "Generate does not consume a slice()d array:\n" + p)
+    val filtersAfterGenerate = df.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.references.map(_.name).exists(Set("ord", "pos")) => f
+    }
+    assert(filtersAfterGenerate.isEmpty,
+      "ordinal filter survived — the bound must live inside slice():\n" + p)
+  }
 }

@@ -72,7 +72,15 @@ object Bench {
       // output proven in PlanShapeSpec ("x66 prefix-filter ≡ q66") — so
       // unlike the recall-dependent LSH twins this one has exact parity,
       // and the timing is directly comparable with q66.
-      "x66_fuzzy_prefix" -> ((s, dir) => graft.engine.Scalars.x66(s, dir)))
+      "x66_fuzzy_prefix" -> ((s, dir) => graft.engine.Scalars.x66(s, dir)),
+      // x75 is the keyset twin of q75's OFFSET pagination: the cursor
+      // predicate + top-k fetch per page (page 3, k=50 — the same rows as
+      // q75's OFFSET 100 LIMIT 50; identity proven in PlanShapeSpec).
+      // OFFSET must order past all skipped rows, so its cost grows with
+      // page depth; the keyset fetch is depth-independent. Timing here
+      // includes the cursor walk (pages 1-2), i.e. the full cost of
+      // reaching page 3 cold — directly comparable with q75's one fetch.
+      "x75_keyset_page" -> ((s, dir) => graft.engine.SetOps.x75(s, dir)))
     // A failed query records -1 (not its time-to-failure) so the JSON
     // output is never mistaken for an all-green run.
     // Each query runs `reps` times and reports the MIN: host-level noise on

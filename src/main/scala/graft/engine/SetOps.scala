@@ -119,6 +119,47 @@ object SetOps {
       |ORDER BY o_totalprice DESC, o_orderkey
       |LIMIT 50 OFFSET 100""".stripMargin
 
+  // x75 — keyset-pagination twin of q75 (bench-only, SURVEY §2.0.10).
+  // OFFSET m still orders past m rows on every fetch: page p costs the
+  // sort/merge of p·k rows, so deep pages degrade linearly on ANY engine
+  // (the scale risk named on q75 above). Keyset pagination carries the
+  // last delivered row's (o_totalprice, o_orderkey) as a cursor: every
+  // page is cursor-predicate + top-k — a TakeOrderedAndProject whose
+  // predicate reaches the parquet scan (PushedFilters; min/max row-group
+  // stats skip everything already paged past on sorted layouts), so page
+  // 1000 costs what page 1 costs. The cursor is ONE row of driver state
+  // per fetched page — pagination is a driver-facing contract by
+  // definition, so the per-page collect() is the point, not a smell.
+  // (o_totalprice DESC, o_orderkey) is a total order on orders, so pages
+  // tile the table without overlap or loss even across price ties.
+  // Page-identity vs q75's OFFSET windows is proven in PlanShapeSpec.
+  def keysetPage(df: DataFrame, k: Int, after: Option[(Double, Long)]): DataFrame = {
+    val scoped = after match {
+      case Some((price, key)) =>
+        df.filter(col("o_totalprice") < price ||
+          (col("o_totalprice") === price && col("o_orderkey") > key))
+      case None => df
+    }
+    scoped.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(k)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+  }
+
+  /** Walk the cursor to `page` (1-based) and return that page — the same
+    * rows q75 yields for OFFSET (page-1)·k at page=3, k=50.
+    */
+  def x75(s: SparkSession, dir: String, page: Int = 3, k: Int = 50): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    var cursor: Option[(Double, Long)] = None
+    (1 until page).foreach { p =>
+      val rows = keysetPage(orders, k, cursor)
+        .select("o_totalprice", "o_orderkey").collect()
+      require(rows.length == k, s"table exhausted at page $p — no page $page")
+      cursor = Some((rows.last.getDouble(0), rows.last.getLong(1)))
+    }
+    keysetPage(orders, k, cursor)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_topn_global"        -> (q24 _),
     "q25_union_all_distinct" -> (q25 _),

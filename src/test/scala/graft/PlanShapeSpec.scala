@@ -416,4 +416,28 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(filtersAfterGenerate.isEmpty,
       "ordinal filter survived — the bound must live inside slice():\n" + p)
   }
+
+  test("x75 keyset pages tile the OFFSET windows row-identically, fetch is top-k not sort") {
+    // pages 1..4 via cursor walk must equal the OFFSET windows 0,50,100,150
+    // — including page 3 ≡ the declared q75 — across price ties.
+    val orders = engine.Tables.orders(spark, sf0001)
+    (1 to 4).foreach { page =>
+      val keyset = engine.SetOps.x75(spark, sf0001, page = page, k = 50)
+      val offset = orders
+        .orderBy(org.apache.spark.sql.functions.col("o_totalprice").desc,
+          org.apache.spark.sql.functions.col("o_orderkey"))
+        .offset((page - 1) * 50).limit(50)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      assert(keyset.collect().toSeq == offset.collect().toSeq,
+        s"page $page differs from OFFSET window")
+    }
+    // the per-page fetch must be a TakeOrderedAndProject (top-k, no global
+    // sort / no offset), and the cursor predicate must reach the scan
+    val deep = engine.SetOps.keysetPage(orders, 50, Some((1000.0, 42L)))
+    val p = plan(deep)
+    assert(p.contains("TakeOrderedAndProject"), "keyset fetch is not top-k:\n" + p)
+    assert(!p.contains("GlobalLimit"), "keyset fetch fell back to sort+limit:\n" + p)
+    assert("PushedFilters: \\[[^\\]]*o_totalprice".r.findFirstIn(p).isDefined,
+      "cursor predicate not pushed to the parquet scan:\n" + p)
+  }
 }

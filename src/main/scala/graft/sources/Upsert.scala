@@ -110,15 +110,22 @@ object Upsert {
     val staging = new org.apache.hadoop.fs.Path(normalized + "_graft_staging")
     val claim = new org.apache.hadoop.fs.Path(normalized + "_graft_staging_claim")
     val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // ATOMIC writer claim: create(overwrite=false) either creates the
-    // marker or throws — two concurrent upserts cannot both win (a plain
-    // exists()-then-write check would race). A surviving claim file means
-    // a CONCURRENT upsert on this table (forbidden) or a hard-crashed
-    // run's leftover (safe to remove by hand; nothing of a crashed run
-    // reached `path` — the staged data only lands via the swap below).
+    // Writer claim: create(overwrite=false) either creates the marker or
+    // throws — two concurrent upserts cannot both win where the FS gives
+    // atomic create (HDFS, local). On object stores (S3A HEAD-then-PUT)
+    // the guarantee is best-effort only — pair with an external lock
+    // there. A surviving claim file means a CONCURRENT upsert on this
+    // table (forbidden) or a hard-crashed run's leftover (safe to remove
+    // by hand; nothing of a crashed run reached `path` — the staged data
+    // only lands via the swap below). Only the contention exceptions map
+    // to "claimed=false"; genuine IO failures (permissions, transient
+    // network) propagate instead of masquerading as a concurrent writer.
     val claimed =
       try { fs.create(claim, false).close(); true }
-      catch { case _: java.io.IOException => false }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
     require(claimed,
       s"could not claim $claim — concurrent upsertPartitioned on this " +
       "table, or a hard-crashed run's leftover (remove it and retry)")

@@ -216,7 +216,17 @@ object Streams {
     // sigs feeds banding, two estimate joins, and the batch left-join —
     // pin it once per micro-batch (lazy localCheckpoint, house style per
     // MinHashLsh.nearDuplicates) instead of re-running the shingle
-    // explode + k-way min-agg per consumer on the ingest hot path
+    // explode + k-way min-agg per consumer on the ingest hot path.
+    // FAULT-TOLERANCE TRADE-OFF: localCheckpoint truncates lineage and
+    // keeps blocks on executors only — losing an executor mid-batch
+    // (preemption, dynamic allocation) makes the pinned frame
+    // unrecomputable and ABORTS the micro-batch. That is safe here
+    // because the gate is replay-idempotent (the restarted batch
+    // re-runs from the source and appends nothing twice — proven in
+    // StreamingSpec's batch-split oracle), but on a long-running
+    // cluster with churn expect batch retries; if retry cost dominates,
+    // swap to persist(MEMORY_AND_DISK_2) (replicated, recomputable-free)
+    // at 2× the memory/IO.
     val sigs = MinHashLsh.signatures(MinHashLsh.shingles(b0, n), k)
       .localCheckpoint(eager = false)
     // in-batch near-dups: keep the smallest id of each candidate pair

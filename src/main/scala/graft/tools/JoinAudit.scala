@@ -2,7 +2,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 /** One-off scale-smell sweep: flags any declared query whose sf0.1 plan
   * contains a nested-loop join outside the documented allowlist. Run:
-  * `sbt "runMain graft.tools.JoinAudit"` — expect "smells=0".
+  * `sbt "runMain graft.tools.JoinAudit [dataDir]"` — expect "smells=0".
   */
 object JoinAudit {
   // Queries where a nested-loop join is the DOCUMENTED intent:
@@ -19,7 +19,11 @@ object JoinAudit {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.1"
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // a renamed query must fail the sweep loudly, not silently drop its
+    // nested-loop exemption (an allowlist of stale names audits nothing)
+    val stale = allowed -- graft.SparkEntry.queries.keySet
+    require(stale.isEmpty, s"allowlist names unknown queries: $stale")
     var bad = 0
     var errs = 0
     var audited = 0
@@ -30,7 +34,13 @@ object JoinAudit {
         val nl = "BroadcastNestedLoopJoin".r.findAllIn(p).size +
                  "CartesianProduct".r.findAllIn(p).size
         if (nl > 0 && !allowed(name)) { bad += 1; println(s"SMELL $name: $nl nested-loop joins") }
-      } catch { case e: Throwable => errs += 1; println(s"$name ERROR ${e.getMessage.take(80)}") }
+      } catch {
+        // NonFatal only: an OOM/LinkageError means the JVM itself is
+        // broken — counting it as a per-query error and sweeping on
+        // would report a meaningless smells=0
+        case scala.util.control.NonFatal(e) =>
+          errs += 1; println(s"$name ERROR ${String.valueOf(e.getMessage).take(80)}")
+      }
     }
     println(s"join audit done, audited=$audited smells=$bad errors=$errs")
     spark.stop()

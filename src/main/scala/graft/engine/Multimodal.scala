@@ -16,10 +16,15 @@ import org.apache.spark.sql.types._
   * crashing the task. AUDIO decode is REAL for WAV:
   * `javax.sound.sampled.AudioSystem` (also in every JVM) parses RIFF/WAV
   * bytes — [[decodeAudioMeta]] extracts (sample rate, channels, frames,
-  * duration). Video kernels remain deterministic byte-level STUBS (no
-  * video codec exists in this container) so their Spark-side contract
-  * (schemas, batch shapes, partition behaviour, null policy) is still
-  * fully testable; swapping in a real codec changes only the function
+  * duration). VIDEO container decode is REAL for AVI: [[decodeVideoMeta]]
+  * walks the RIFF structure (avih/strh/strf/movi) with a pure-JVM parser
+  * — dims, exact fps (rate/scale), frame count, handler fourcc — and
+  * [[aviFrameIndex]] emits each movi frame's absolute byte window for
+  * downstream fetch. Only frame-PIXEL decoding stays stubbed
+  * ([[extractFeatures]]/[[resize]] for the generic kinds): no video
+  * codec ships in a stock JVM, and the Spark-side contract (schemas,
+  * batch shapes, partition behaviour, null policy) is fully testable
+  * without one; swapping in a real codec changes only the function
   * body, not the pipeline.
   *
   * 100 TB notes: payload bytes dominate storage — keep them in their own
@@ -280,6 +285,211 @@ object Multimodal {
         } catch { case scala.util.control.NonFatal(_) => r }
       }
     }
+  }
+
+  /** Decoded video-container facts; `ok = false` rows carry -1 fields
+    * (payload was null, truncated, or not a parseable AVI container).
+    */
+  case class VideoMeta(media_id: Long, ok: Boolean, width: Int, height: Int,
+                       fps: Double, frames: Long, durationMs: Long,
+                       handler: String)
+
+  /** Parsed AVI structure: header facts plus the movi frame index
+    * (absolute byte offset + length per frame chunk).
+    */
+  private case class AviInfo(width: Int, height: Int, fps: Double,
+                             frames: Long, durationMs: Long, handler: String,
+                             frameIndex: Vector[(Long, Int)])
+
+  private def asciiAt(p: Array[Byte], off: Int): String =
+    new String(p, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Pure-JVM RIFF/AVI header walk (no codec involved — container
+    * metadata only, the same de-stubbing WAV gave audio): verify
+    * RIFF/'AVI ' magic, find LIST hdrl → avih (dims, total frames,
+    * µs/frame), the first 'vids' LIST strl → strh (rate/scale → exact
+    * fps, handler fourcc), and LIST movi → per-frame chunk offsets.
+    * Every chunk size is bounds-checked against the payload; ANY
+    * structural violation (truncation, overrunning declared sizes, bad
+    * magic) yields None so the caller records an ok=false fact — one
+    * corrupt container must never kill a 100 TB stage.
+    */
+  private def parseAvi(p: Array[Byte]): Option[AviInfo] = try {
+    if (p.length < 12 || asciiAt(p, 0) != "RIFF" || asciiAt(p, 8) != "AVI ")
+      return None
+    val bb = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def u32(off: Int): Long = bb.getInt(off) & 0xffffffffL
+    def u16(off: Int): Int = bb.getShort(off) & 0xffff
+    val riffEnd = math.min(8L + u32(4), p.length.toLong)
+
+    var avihOff = -1 // payload offsets, -1 = not seen
+    var strhOff = -1
+    val frames = Vector.newBuilder[(Long, Int)]
+
+    // iterative chunk walk; `limit` is the parent's declared end —
+    // a child chunk poking past it is a structural violation
+    def walk(start: Long, limit: Long, inMovi: Boolean): Boolean = {
+      var pos = start
+      while (pos + 8 <= limit) {
+        val id = asciiAt(p, pos.toInt)
+        val size = u32(pos.toInt + 4)
+        val dataOff = pos + 8
+        if (dataOff + size > limit) return false // truncated / lying size
+        id match {
+          case "LIST" =>
+            if (size < 4) return false
+            val listType = asciiAt(p, dataOff.toInt)
+            val keep = listType match {
+              case "hdrl" | "strl" => walk(dataOff + 4, dataOff + size, inMovi = false)
+              case "movi"          => walk(dataOff + 4, dataOff + size, inMovi = true)
+              // interleaved AVIs group frames into 'rec ' lists inside movi
+              case "rec "          => walk(dataOff + 4, dataOff + size, inMovi)
+              case _               => true // skip unknown lists whole
+            }
+            if (!keep) return false
+          case "avih" =>
+            if (size < 56) return false
+            avihOff = dataOff.toInt
+          case "strh" =>
+            // only the first VIDEO stream header; audio strl in an
+            // interleaved file is skipped
+            if (size >= 56 && strhOff < 0 && asciiAt(p, dataOff.toInt) == "vids")
+              strhOff = dataOff.toInt
+          case _ =>
+            // movi frame chunks: '##db' (uncompressed) / '##dc' (compressed)
+            if (inMovi && id.length == 4 && id(0).isDigit && id(1).isDigit &&
+                (id.endsWith("db") || id.endsWith("dc")))
+              frames += ((dataOff, size.toInt))
+        }
+        pos = dataOff + size + (size & 1L) // RIFF chunks are word-aligned
+      }
+      true
+    }
+    if (!walk(12L, riffEnd, inMovi = false) || avihOff < 0) return None
+
+    val usPerFrame = u32(avihOff)
+    val totalFrames = u32(avihOff + 16)
+    val width = u32(avihOff + 32).toInt
+    val height = u32(avihOff + 36).toInt
+    if (width <= 0 || height <= 0) return None
+    // exact fps from strh rate/scale when a vids stream header exists;
+    // fall back to the avih µs-per-frame approximation
+    val (fps, handler) =
+      if (strhOff >= 0) {
+        val scale = u32(strhOff + 20)
+        val rate = u32(strhOff + 24)
+        val h = asciiAt(p, strhOff + 4).trim
+        if (scale > 0 && rate > 0) (rate.toDouble / scale, h)
+        else if (usPerFrame > 0) (1e6 / usPerFrame, h)
+        else return None
+      } else if (usPerFrame > 0) (1e6 / usPerFrame, "")
+      else return None
+    val durationMs = math.round(totalFrames * 1000.0 / fps)
+    Some(AviInfo(width, height, fps, totalFrames, durationMs, handler,
+      frames.result()))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Deterministic real-AVI corpus: genuine RIFF/AVI containers (hdrl
+    * with avih + vids strl, movi with one '00db' chunk per frame) whose
+    * dims / fps / frame counts vary with media_id so extraction is
+    * actually tested, not constant-folded. Frame payloads are raw DIB
+    * bytes (w·h·3), a pure function of (id, frame).
+    */
+  def syntheticAviCorpus(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n.toLong).as[Long].map { id =>
+      val w = 2 + (id % 5).toInt
+      val h = 2 + (id % 4).toInt
+      val fps = Seq(10, 24, 30)((id % 3).toInt)
+      val nf = 5 + (id % 7).toInt
+      val frameBytes = Array.tabulate(nf)(f =>
+        Array.tabulate[Byte](w * h * 3)(i => ((id * 31 + f * 13 + i * 7) % 251).toByte))
+      val payload = buildAvi(w, h, fps, frameBytes)
+      MediaRow(id, MediaMeta("video", w, h, nf * 1000L / fps, "video/avi"), payload)
+    }
+  }
+
+  /** Minimal uncompressed-AVI writer backing [[syntheticAviCorpus]] and
+    * the corrupt-payload tests. Little-endian throughout; odd-sized
+    * chunks get the RIFF pad byte.
+    */
+  def buildAvi(w: Int, h: Int, fps: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Long): Array[Byte] = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int): Array[Byte] = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def fcc(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if (data.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray
+      fcc(id) ++ le32(data.length.toLong) ++ data ++ pad
+    }
+    def list(listType: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", fcc(listType) ++ children)
+    val avih = le32(1000000L / fps) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(frames.length.toLong) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w.toLong) ++ le32(h.toLong) ++ Array.fill(16)(0.toByte)
+    val strh = fcc("vids") ++ fcc("DIB ") ++ le32(0) ++ le16(0) ++ le16(0) ++
+      le32(0) ++ le32(1) /*scale*/ ++ le32(fps.toLong) /*rate*/ ++ le32(0) ++
+      le32(frames.length.toLong) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
+    val strf = le32(40) ++ le32(w.toLong) ++ le32(h.toLong) ++ le16(1) ++
+      le16(24) ++ le32(0) ++ le32(w.toLong * h * 3) ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(0)
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frames.toArray.flatMap(f => chunk("00db", f)))
+    val body = fcc("AVI ") ++ hdrl ++ movi
+    out.write(fcc("RIFF")); out.write(le32(body.length.toLong)); out.write(body)
+    out.toByteArray
+  }
+
+  /** REAL video-container decode (the WAV treatment for video): walk the
+    * RIFF/AVI structure with [[parseAvi]] and extract (dims, exact fps
+    * from rate/scale, frame count, duration, handler fourcc). What stays
+    * out of scope — honestly — is decoding frame PIXELS: no video codec
+    * ships in a stock JVM. Container metadata, the part a curation
+    * pipeline filters and partitions on, is parsed for real; corrupt /
+    * truncated / non-AVI payloads become filterable ok=false facts.
+    */
+  def decodeVideoMeta(media: Dataset[MediaRow]): Dataset[VideoMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        (try Option(r.payload).flatMap(parseAvi)
+         catch { case scala.util.control.NonFatal(_) => None }) match {
+          case Some(i) => VideoMeta(r.media_id, ok = true, i.width, i.height,
+            i.fps, i.frames, i.durationMs, i.handler)
+          case None => VideoMeta(r.media_id, ok = false, -1, -1, -1.0, -1L, -1L, "")
+        }
+      }
+    }
+  }
+
+  /** REAL frame index for AVI payloads: one row per movi frame chunk with
+    * its ABSOLUTE byte offset and length — the genuine version of what
+    * [[sampleFrames]] stubs with modular offsets. `everyNth` keeps every
+    * n-th frame (sampling is structural — skipped frames are never
+    * emitted, the Generate analog of q82's slice-before-explode).
+    * Downstream a codec-equipped stage can fetch exactly payload[offset,
+    * offset+len) per kept frame instead of re-reading whole files.
+    */
+  def aviFrameIndex(media: Dataset[MediaRow], everyNth: Int = 1): DataFrame = {
+    require(everyNth >= 1, "everyNth must be >= 1")
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      (try Option(r.payload).flatMap(parseAvi)
+       catch { case scala.util.control.NonFatal(_) => None }) match {
+        case Some(i) =>
+          i.frameIndex.zipWithIndex.collect {
+            case ((off, len), idx) if idx % everyNth == 0 =>
+              (r.media_id, idx.toLong, math.round(idx * 1000.0 / i.fps), off, len)
+          }
+        case None => Seq.empty
+      }
+    }.toDF("media_id", "frame_idx", "frame_ts_ms", "byte_offset", "n_bytes")
   }
 
   /** STUB decode + feature extraction: a real implementation would run a

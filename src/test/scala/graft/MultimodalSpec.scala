@@ -167,6 +167,82 @@ class MultimodalSpec extends SparkSpecBase {
     assert(kept.meta.width == 5 && kept.payload.toSeq == Seq[Byte](9, 9))
   }
 
+  test("real AVI decode: RIFF walk round-trips dims/fps/frames through parquet") {
+    val avis = Multimodal.syntheticAviCorpus(spark, 15)
+    // parquet round-trip first, same as the PNG/WAV tests: decode must
+    // work on bytes that went through the real storage path
+    val dir = Files.createTempDirectory("graft_avi").toString + "/avis"
+    avis.toDF().write.mode("overwrite").parquet(dir)
+    import spark.implicits._
+    val back = spark.read.parquet(dir).as[Multimodal.MediaRow]
+    val decoded = Multimodal.decodeVideoMeta(back).collect().map(m => m.media_id -> m).toMap
+    assert(decoded.size == 15)
+    decoded.values.foreach { m =>
+      assert(m.ok, s"media ${m.media_id} failed to decode")
+      assert(m.width == 2 + (m.media_id % 5).toInt, m.toString)
+      assert(m.height == 2 + (m.media_id % 4).toInt, m.toString)
+      assert(m.fps == Seq(10, 24, 30)((m.media_id % 3).toInt).toDouble, m.toString)
+      assert(m.frames == 5 + (m.media_id % 7), m.toString)
+      assert(m.durationMs == math.round(m.frames * 1000.0 / m.fps), m.toString)
+      assert(m.handler == "DIB", m.toString)
+    }
+  }
+
+  test("corrupt / null / truncated / non-AVI video payloads decode as ok=false facts") {
+    import spark.implicits._
+    val good = Multimodal.buildAvi(4, 3, 24, Seq(Array.fill[Byte](36)(1)))
+    // a structurally valid walk but a LYING chunk size: declare a frame
+    // chunk bigger than the remaining bytes
+    // the last 44 bytes are the '00db' frame chunk (4 fourcc + 4 size +
+    // 36 data); the size field's LSB sits at length-40
+    val lyingSize = good.clone()
+    lyingSize(good.length - 40) = 0x7f // 36 → 127, overruns the buffer
+    def vmeta(codec: String) = Multimodal.MediaMeta("video", 0, 0, 0L, codec)
+    val junk = Seq(
+      Multimodal.MediaRow(300L, vmeta("junk"), Array[Byte](1, 2, 3, 4)), // not RIFF
+      Multimodal.MediaRow(301L, vmeta("junk"), null),                    // null payload
+      Multimodal.MediaRow(302L, vmeta("junk"), Array.emptyByteArray),    // empty
+      Multimodal.MediaRow(303L, vmeta("video/avi"), good.take(20)),      // truncated header
+      Multimodal.MediaRow(304L, vmeta("video/avi"), good.dropRight(10)), // truncated movi
+      Multimodal.MediaRow(305L, vmeta("video/avi"), lyingSize),          // size overruns buffer
+      Multimodal.MediaRow(306L, vmeta("audio/wav"),                      // RIFF but WAVE
+        Multimodal.syntheticWavCorpus(spark, 1).head().payload)
+    ).toDS()
+    val out = Multimodal.decodeVideoMeta(junk).collect()
+    assert(out.length == 7 && out.forall(m => !m.ok && m.width == -1),
+      out.mkString(";"))
+  }
+
+  test("AVI frame index: real movi byte offsets, structural every-nth sampling") {
+    val avis = Multimodal.syntheticAviCorpus(spark, 9)
+    val idx = Multimodal.aviFrameIndex(avis).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getInt(4)))
+    val byMedia = idx.groupBy(_._1)
+    val rows = avis.collect().map(r => r.media_id -> r).toMap
+    rows.values.foreach { r =>
+      val nf = (5 + (r.media_id % 7)).toInt
+      val w = 2 + (r.media_id % 5).toInt
+      val h = 2 + (r.media_id % 4).toInt
+      val frames = byMedia(r.media_id).sortBy(_._2)
+      assert(frames.length == nf, s"media ${r.media_id}: ${frames.length} != $nf")
+      frames.foreach { case (_, _, off, len) =>
+        assert(len == w * h * 3, s"frame length $len != ${w * h * 3}")
+        // the indexed window must sit inside the payload and start right
+        // after a '00db' chunk header — offsets are REAL, not modular
+        assert(off >= 8 && off + len <= r.payload.length)
+        assert(new String(r.payload, off.toInt - 8, 4, "US-ASCII") == "00db")
+      }
+    }
+    // structural sampling: every 2nd frame — skipped frames never emitted
+    val sampled = Multimodal.aviFrameIndex(avis, everyNth = 2).collect()
+    assert(sampled.forall(_.getLong(1) % 2 == 0))
+    val sampledCounts = sampled.groupBy(_.getLong(0)).view.mapValues(_.length)
+    rows.keys.foreach { id =>
+      val nf = (5 + (id % 7)).toInt
+      assert(sampledCounts(id) == (nf + 1) / 2, s"media $id sampled count")
+    }
+  }
+
   test("metadata-only query prunes the payload column at the parquet scan") {
     val dir = Files.createTempDirectory("graft_media").toString + "/media"
     corpus.toDF().write.mode("overwrite").parquet(dir)

@@ -1,0 +1,239 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal transactional snapshot log — the missing piece between the
+  * staging-dir upsert ([[Upsert.upsertPartitioned]]) and a full lakehouse
+  * table format (SURVEY §2.2 / round-5 VERDICT "What's missing" #2):
+  * readers must NEVER observe a half-rewritten table, even while a writer
+  * is mid-commit, and a writer crash at ANY point must leave the last
+  * committed version live.
+  *
+  * Layout under the table root:
+  * {{{
+  *   root/_graft_log/v00000001.manifest   // commit record per version
+  *   root/_graft_log/LATEST               // pointer: highest committed version
+  *   root/data_v00000001/…parquet         // immutable data directory per version
+  * }}}
+  *
+  * Protocol (single-writer, enforced with the same atomic claim-file as
+  * upsertPartitioned; readers need NO lock):
+  *
+  *  1. write the new snapshot to a fresh `data_v{N+1}` directory — readers
+  *     resolve through LATEST, so in-progress files are invisible;
+  *  2. publish `v{N+1}.manifest` via temp-file + rename — a manifest is
+  *     either absent or complete, never partial;
+  *  3. COMMIT POINT: swap LATEST via temp-file + overwriting rename
+  *     (`FileContext.rename(OVERWRITE)` — atomic on HDFS and POSIX; on
+  *     object stores pair with an external lock, same caveat as the claim).
+  *
+  * A crash before step 3 leaves LATEST on the old version: the manifest
+  * and data of the unfinished commit are invisible garbage, removed by the
+  * next writer (`recoverOrphans`) before it claims the version number.
+  * Old data directories are never touched by a commit, so a reader that
+  * resolved version N keeps reading N's immutable files while version N+1
+  * lands — snapshot isolation without coordination; [[vacuum]] reclaims
+  * superseded versions once readers have moved on.
+  *
+  * 100 TB notes: the log directory holds one small manifest per version
+  * and one pointer file — O(versions), not O(data). Each commit rewrites
+  * only the new snapshot's files; history cost is bounded by [[vacuum]]
+  * retention. This is deliberately the same shape Delta's _delta_log +
+  * Iceberg's version-hint take; what is NOT implemented (documented, not
+  * implied): multi-writer conflict resolution, column-level file skipping
+  * stats, and incremental (delta-file) commits — each version is a full
+  * snapshot, so [[upsert]] commits carry the whole table forward exactly
+  * like the non-log path does today.
+  */
+object SnapshotLog {
+
+  private val LogDir = "_graft_log"
+  private val Latest = "LATEST"
+
+  private def logDir(root: String): Path =
+    new Path(root.replaceAll("/+$", ""), LogDir)
+  private def manifestPath(root: String, v: Long): Path =
+    new Path(logDir(root), f"v$v%08d.manifest")
+  private def dataDirName(v: Long): String = f"data_v$v%08d"
+  private def dataDir(root: String, v: Long): Path =
+    new Path(root.replaceAll("/+$", ""), dataDirName(v))
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Highest committed version, resolved through the LATEST pointer only
+    * (never by listing — uncommitted manifests must stay invisible).
+    * None = the table does not exist yet.
+    */
+  def currentVersion(spark: SparkSession, root: String): Option[Long] = {
+    val latest = new Path(logDir(root), Latest)
+    val f = fs(spark, latest)
+    if (!f.exists(latest)) None
+    else {
+      val in = f.open(latest)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** Read the current committed snapshot. The returned frame is bound to
+    * that version's immutable data directory: commits that land AFTER
+    * this call do not change what it reads — snapshot isolation.
+    */
+  def read(spark: SparkSession, root: String): DataFrame =
+    readVersion(spark, root,
+      currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed version at $root")))
+
+  /** Time travel: read an explicit committed version (manifest must
+    * exist — reading an uncommitted or vacuumed version fails loudly).
+    */
+  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val m = manifestPath(root, version)
+    require(fs(spark, m).exists(m),
+      s"version $version does not exist (never committed, or vacuumed) at $root")
+    spark.read.parquet(dataDir(root, version).toString)
+  }
+
+  /** Commit `df` as the next version of the table at `root` and return
+    * the committed version number. This is the transactional replacement
+    * for a blind `overwrite`: concurrent readers keep their version.
+    */
+  def commit(spark: SparkSession, root: String, df: DataFrame): Long = {
+    val ld = logDir(root)
+    val f = fs(spark, ld)
+    f.mkdirs(ld)
+    val claim = new Path(ld, "WRITER_CLAIM")
+    // same atomic-create claim (and the same FS caveats) as
+    // Upsert.upsertPartitioned — single writer per table
+    val claimed =
+      try { f.create(claim, false).close(); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    require(claimed,
+      s"could not claim $claim — concurrent commit on this table, or a " +
+      "hard-crashed writer's leftover (remove it and retry)")
+    try {
+      recoverOrphans(spark, root)
+      val next = currentVersion(spark, root).getOrElse(0L) + 1L
+      stageVersion(spark, root, df, next)
+      publishLatest(spark, root, next)
+      next
+    } finally f.delete(claim, false)
+  }
+
+  /** Transactional upsert: merge `batch` into the current snapshot by
+    * `keys` ([[Upsert.upsert]] semantics) and commit the result as a new
+    * version. First commit on an empty table is the batch itself.
+    */
+  def upsert(spark: SparkSession, root: String, batch: DataFrame,
+             keys: Seq[String]): Long =
+    currentVersion(spark, root) match {
+      case Some(_) => commit(spark, root, Upsert.upsert(read(spark, root), batch, keys))
+      case None    => commit(spark, root, batch)
+    }
+
+  /** Transactional delete-by-key ([[Upsert.deleteByKey]] + commit). */
+  def deleteByKey(spark: SparkSession, root: String, tombstones: DataFrame,
+                  keys: Seq[String]): Long =
+    commit(spark, root, Upsert.deleteByKey(read(spark, root), tombstones, keys))
+
+  /** Steps 1–2 of the protocol: write the data directory, then publish
+    * the manifest (temp + rename so it is never seen partial). WITHOUT
+    * step 3 the version is not committed — package-visible so the spec
+    * can simulate a writer that crashes right before the pointer swap.
+    */
+  private[graft] def stageVersion(spark: SparkSession, root: String,
+                                  df: DataFrame, v: Long): Unit = {
+    val dd = dataDir(root, v)
+    df.write.mode("overwrite").parquet(dd.toString)
+    val m = manifestPath(root, v)
+    val tmp = new Path(logDir(root), f".tmp_manifest_v$v%08d")
+    val f = fs(spark, m)
+    val out = f.create(tmp, true)
+    try out.write(
+      s"""{"version":$v,"dataDir":"${dataDirName(v)}"}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!f.rename(tmp, m))
+      throw new IllegalStateException(s"could not publish manifest $m")
+  }
+
+  /** Step 3 — the commit point: swap the LATEST pointer atomically
+    * (temp file + overwriting rename).
+    */
+  private[graft] def publishLatest(spark: SparkSession, root: String, v: Long): Unit = {
+    val ld = logDir(root)
+    val latest = new Path(ld, Latest)
+    val tmp = new Path(ld, f".tmp_latest_v$v%08d")
+    val f = fs(spark, latest)
+    val out = f.create(tmp, true)
+    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // FileContext.rename(OVERWRITE): atomic replace on HDFS and POSIX
+    // local (plain FileSystem.rename refuses an existing destination)
+    val fc = FileContext.getFileContext(latest.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, latest, Options.Rename.OVERWRITE)
+  }
+
+  /** Remove manifests and data directories ABOVE the committed pointer —
+    * the debris of a writer that crashed between manifest publish and
+    * pointer swap. Those versions were never visible to any reader, so
+    * deleting them is not data loss; it frees their version numbers for
+    * the next commit. Runs under the writer claim.
+    */
+  private def recoverOrphans(spark: SparkSession, root: String): Unit = {
+    val committed = currentVersion(spark, root).getOrElse(0L)
+    val ld = logDir(root)
+    val f = fs(spark, ld)
+    if (!f.exists(ld)) return
+    f.listStatus(ld).foreach { st =>
+      val n = st.getPath.getName
+      if (n.endsWith(".manifest") && n.stripPrefix("v").stripSuffix(".manifest").toLong > committed) {
+        val v = n.stripPrefix("v").stripSuffix(".manifest").toLong
+        f.delete(st.getPath, false)
+        f.delete(dataDir(root, v), true)
+      } else if (n.startsWith(".tmp_")) f.delete(st.getPath, false)
+    }
+    // a data dir without its manifest (crash inside stageVersion)
+    val rootPath = new Path(root.replaceAll("/+$", ""))
+    fs(spark, rootPath).listStatus(rootPath).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("data_v") &&
+          scala.util.Try(n.stripPrefix("data_v").toLong).toOption.exists(_ > committed))
+        f.delete(st.getPath, true)
+    }
+  }
+
+  /** List committed versions (ascending) — history that survives until
+    * [[vacuum]].
+    */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val committed = currentVersion(spark, root).getOrElse(return Seq.empty)
+    val ld = logDir(root)
+    val f = fs(spark, ld)
+    f.listStatus(ld).map(_.getPath.getName)
+      .filter(_.endsWith(".manifest"))
+      .map(_.stripPrefix("v").stripSuffix(".manifest").toLong)
+      .filter(_ <= committed).sorted.toSeq
+  }
+
+  /** Drop all but the newest `keep` committed versions (manifest + data).
+    * CAVEAT (same as any lakehouse VACUUM): a long-running reader still
+    * scanning a vacuumed version will fail mid-read — retention must
+    * exceed the longest reader.
+    */
+  def vacuum(spark: SparkSession, root: String, keep: Int): Unit = {
+    require(keep >= 1, "must keep at least the current version")
+    val vs = versions(spark, root)
+    val f = fs(spark, logDir(root))
+    vs.dropRight(keep).foreach { v =>
+      f.delete(manifestPath(root, v), false)
+      f.delete(dataDir(root, v), true)
+    }
+  }
+}

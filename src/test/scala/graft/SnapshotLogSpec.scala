@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import graft.sources.SnapshotLog
+
+/** The snapshot-log transactional contract (round-5 VERDICT item 7):
+  * readers never observe a half-rewrite — a resolved reader keeps its
+  * version while a commit lands, a crash between manifest publish and
+  * pointer swap leaves the old version live, and the next writer recovers
+  * the debris.
+  */
+class SnapshotLogSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_snaplog").toString + "/table"
+
+  private def kv(pairs: (Int, String)*): DataFrame =
+    pairs.toSeq.toDF("k", "v")
+
+  private def rows(df: DataFrame): Set[(Int, String)] =
+    df.collect().map(r => (r.getInt(0), r.getString(1))).toSet
+
+  test("commit/read round-trip, version numbering, time travel") {
+    val root = freshRoot()
+    assert(SnapshotLog.currentVersion(spark, root).isEmpty)
+    val v1 = SnapshotLog.commit(spark, root, kv(1 -> "a", 2 -> "b"))
+    val v2 = SnapshotLog.commit(spark, root, kv(1 -> "a2", 3 -> "c"))
+    assert(v1 == 1L && v2 == 2L)
+    assert(SnapshotLog.currentVersion(spark, root).contains(2L))
+    assert(rows(SnapshotLog.read(spark, root)) == Set(1 -> "a2", 3 -> "c"))
+    // time travel: version 1 is still addressable until vacuumed
+    assert(rows(SnapshotLog.readVersion(spark, root, 1L)) == Set(1 -> "a", 2 -> "b"))
+    assert(SnapshotLog.versions(spark, root) == Seq(1L, 2L))
+  }
+
+  test("transactional upsert merges by key; first upsert bootstraps the table") {
+    val root = freshRoot()
+    SnapshotLog.upsert(spark, root, kv(1 -> "a", 2 -> "b"), Seq("k"))
+    SnapshotLog.upsert(spark, root, kv(2 -> "B", 3 -> "c"), Seq("k"))
+    assert(rows(SnapshotLog.read(spark, root)) == Set(1 -> "a", 2 -> "B", 3 -> "c"))
+    SnapshotLog.deleteByKey(spark, root, Seq(1).toDF("k"), Seq("k"))
+    assert(rows(SnapshotLog.read(spark, root)) == Set(2 -> "B", 3 -> "c"))
+  }
+
+  test("snapshot isolation: a resolved reader keeps its version across a commit") {
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root, kv(1 -> "old"))
+    // reader resolves NOW (binds to v1's immutable data dir)...
+    val pinned = SnapshotLog.read(spark, root)
+    // ...a full rewrite lands underneath it...
+    SnapshotLog.commit(spark, root, kv(1 -> "new", 2 -> "extra"))
+    // ...the pinned reader still sees ONLY v1 — old-or-new, never mixed
+    assert(rows(pinned) == Set(1 -> "old"))
+    assert(rows(SnapshotLog.read(spark, root)) == Set(1 -> "new", 2 -> "extra"))
+  }
+
+  test("crash between manifest publish and pointer swap leaves the old version live") {
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root, kv(1 -> "committed"))
+    // simulate the crash: steps 1-2 (data dir + manifest) happen, the
+    // pointer swap (step 3, the commit point) never does
+    SnapshotLog.stageVersion(spark, root, kv(1 -> "torn"), 2L)
+    assert(SnapshotLog.currentVersion(spark, root).contains(1L))
+    assert(rows(SnapshotLog.read(spark, root)) == Set(1 -> "committed"),
+      "reader observed an uncommitted version")
+    // readVersion refuses nothing here (manifest exists) — but the pointer
+    // never moved, so normal readers cannot land on it; the NEXT writer
+    // removes the debris and reuses the version number
+    val v = SnapshotLog.commit(spark, root, kv(1 -> "recovered"))
+    assert(v == 2L)
+    assert(rows(SnapshotLog.read(spark, root)) == Set(1 -> "recovered"))
+    assert(rows(SnapshotLog.readVersion(spark, root, 2L)) == Set(1 -> "recovered"),
+      "orphaned v2 data survived recovery")
+  }
+
+  test("crash inside the data write (no manifest) is also recovered") {
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root, kv(1 -> "committed"))
+    // data dir exists, manifest never published
+    kv(1 -> "torn").write.parquet(root + "/data_v00000002")
+    assert(rows(SnapshotLog.read(spark, root)) == Set(1 -> "committed"))
+    val v = SnapshotLog.commit(spark, root, kv(1 -> "recovered"))
+    assert(v == 2L)
+    assert(rows(SnapshotLog.readVersion(spark, root, 2L)) == Set(1 -> "recovered"))
+  }
+
+  test("writer claim blocks a second concurrent commit and names the claim file") {
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root, kv(1 -> "a"))
+    val claim = new java.io.File(root + "/_graft_log/WRITER_CLAIM")
+    assert(claim.createNewFile(), "could not plant claim")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.commit(spark, root, kv(1 -> "b"))
+    }
+    assert(e.getMessage.contains("WRITER_CLAIM"))
+    assert(rows(SnapshotLog.read(spark, root)) == Set(1 -> "a"))
+    claim.delete()
+    SnapshotLog.commit(spark, root, kv(1 -> "b"))
+    assert(rows(SnapshotLog.read(spark, root)) == Set(1 -> "b"))
+  }
+
+  test("vacuum drops superseded versions, keeps the current one readable") {
+    val root = freshRoot()
+    (1 to 4).foreach(i => SnapshotLog.commit(spark, root, kv(i -> s"v$i")))
+    SnapshotLog.vacuum(spark, root, keep = 2)
+    assert(SnapshotLog.versions(spark, root) == Seq(3L, 4L))
+    assert(rows(SnapshotLog.read(spark, root)) == Set(4 -> "v4"))
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.readVersion(spark, root, 1L)
+    }
+    assert(e.getMessage.contains("vacuumed"))
+  }
+}

@@ -419,6 +419,98 @@ object EmbedOps {
       .limit(topK)
   }
 
+  /** IVF-PQ index state: coarse-quantizer centroids + the PQ codebook
+    * trained on RESIDUALS (vector − its cell centroid). Driver-side size
+    * is kCells·dim doubles + m·k·dsub floats — KBs at any corpus scale.
+    */
+  case class IvfPqIndex(cells: Array[Array[Double]], model: PqModel)
+
+  /** IVF-PQ composition — the standard billion-scale ANN layout (Faiss
+    * IVFPQ with METRIC_INNER_PRODUCT): the IVF coarse quantizer buckets
+    * the corpus into cells, and PQ encodes each vector's RESIDUAL against
+    * its cell centroid. Residuals matter: they have far smaller variance
+    * than raw vectors, so the same m×k codebook quantizes them with less
+    * error than it would the vectors themselves.
+    *
+    * Query cost at scale = nprobe/kCells of the CODES column (m bytes per
+    * vector) + `shortlist` float vectors for the exact re-rank — both
+    * knobs independent of corpus size. The returned frame carries
+    * (id, vec, cell, pq_codes); partition it by `cell` on disk and a
+    * probe reads only the probed cells' files.
+    */
+  def ivfPqBuild(corpus: DataFrame, kCells: Int = 16, m: Int = 8,
+                 kPq: Int = 16, cellIters: Int = 2, pqIters: Int = 3,
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 dim: Option[Int] = None): (DataFrame, IvfPqIndex) = {
+    val spark = corpus.sparkSession
+    VectorFunctions.register(spark)
+    val (assigned, cents) = ivfBuild(corpus, kCells, cellIters, idCol, vecCol)
+    // residual = vector − cell centroid, via a broadcast join with the
+    // kCells-row centroid table (zip_with keeps it scan-speed, codegen'd)
+    import spark.implicits._
+    val centsDf = cents.zipWithIndex
+      .map { case (c, i) => (i, c.map(_.toFloat).toSeq) }.toSeq
+      .toDF("cell", "__cent")
+    val withRes = assigned.join(broadcast(centsDf), "cell")
+      .withColumn("__residual",
+        expr(s"zip_with($vecCol, __cent, (a, b) -> CAST(a AS FLOAT) - b)"))
+    val model = pqTrain(withRes, m, kPq, pqIters, idCol, "__residual", dim)
+    val encoded = pqEncode(withRes, model, "__residual")
+      .drop("__cent", "__residual")
+    (encoded, IvfPqIndex(cents, model))
+  }
+
+  /** IVF-PQ top-k: probe the `nprobe` cells nearest the query, rank
+    * their codes by ADC, exact-re-rank the shortlist.
+    *
+    * Inner-product decomposes EXACTLY over the residual encoding:
+    * dot(q, x) = dot(q, cent_c) + dot(q, x − cent_c); PQ approximates
+    * only the residual term. So ONE ADC table (the full query against the
+    * residual codebook) serves every probed cell, plus a per-cell scalar
+    * bias dot(q, cent_c) — computed driver-side (nprobe dot products),
+    * attached as a literal CASE on `cell`. No per-cell query rewrite, no
+    * extra shuffle: filter → scan codes → top-shortlist → re-rank.
+    */
+  def knnIvfPq(encoded: DataFrame, index: IvfPqIndex, query: Seq[Float],
+               topK: Int, nprobe: Int = 4, shortlist: Int = 100,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    VectorFunctions.register(encoded.sparkSession)
+    val model = index.model
+    require(query.length == model.m * model.dsub,
+      s"query dim ${query.length} != model dim ${model.m * model.dsub}")
+    val q = query.map(_.toDouble).toArray
+    def qDotCent(c: Int): Double =
+      index.cells(c).zip(q).map { case (a, b) => a * b }.sum
+    val probeCells = index.cells.indices
+      .sortBy(c => -qDotCent(c)).take(nprobe)
+    // shared ADC table: query subvectors against the RESIDUAL codebook
+    val table = new Array[Float](model.m * model.k)
+    for (j <- 0 until model.m; c <- 0 until model.k) {
+      var acc = 0.0
+      for (d <- 0 until model.dsub)
+        acc += query(j * model.dsub + d).toDouble *
+          model.centroids((j * model.k + c) * model.dsub + d).toDouble
+      table(j * model.k + c) = acc.toFloat
+    }
+    val bias = probeCells.tail.foldLeft(
+      when(col("cell") === probeCells.head, lit(qDotCent(probeCells.head)))) {
+      (w, c) => w.when(col("cell") === c, lit(qDotCent(c)))
+    }
+    val candidates = encoded
+      .filter(col("cell").isin(probeCells: _*))
+      .withColumn("adc_score",
+        bias + call_function("vec_pq_adc", col("pq_codes"),
+          floatArrayLit(table.toSeq), lit(model.k)))
+      .orderBy(desc("adc_score"), col(idCol))
+      .limit(shortlist)
+      .select(col(idCol))
+    encoded.join(broadcast(candidates), idCol)
+      .withColumn("score", call_function("vec_dot", col(vecCol), floatArrayLit(query)))
+      .select(col(idCol), col("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(topK)
+  }
+
   /** Symmetric int8 scalar quantization of an embedding column: 4× smaller
     * storage than float32 (the usual first move when an embedding corpus
     * outgrows its budget), with a per-ROW scale so outlier rows don't

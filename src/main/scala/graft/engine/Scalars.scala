@@ -231,6 +231,14 @@ object Scalars {
     * the distinct pair set, so the wide strings ride the small
     * post-candidate frame. The banded DP runs ONCE per candidate, in a
     * projection, never in a join residual.
+    *
+    * MEASURED crossover (graft.tools.FuzzyCrossover, min-of-2, local[16]):
+    * sf0.01→sf0.1 (2k→20k parts, 10× rows) grows q66 7.8× (0.61→4.73 s,
+    * the O(n²/|brands|) blocked join) but x66 only 3.4× (1.58→5.45 s) —
+    * the twin pays a ~1 s fixed pipeline cost (tokenize, freq, rank,
+    * pin) and then scales with candidate-bucket sizes, so the brute path
+    * still wins below ≈sf0.1 and loses immediately above. Both emit the
+    * identical 503,800 pairs at sf0.1.
     */
   def fuzzyMatchPrefix(rows: DataFrame, cap: Int = 3, q: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window

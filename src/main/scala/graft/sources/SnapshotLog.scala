@@ -146,9 +146,12 @@ object SnapshotLog {
     * the manifest (temp + rename so it is never seen partial). WITHOUT
     * step 3 the version is not committed — package-visible so the spec
     * can simulate a writer that crashes right before the pointer swap.
+    * `batchId` stamps streaming commits for replay idempotence
+    * ([[commitBatch]]); -1 = not a streaming commit.
     */
   private[graft] def stageVersion(spark: SparkSession, root: String,
-                                  df: DataFrame, v: Long): Unit = {
+                                  df: DataFrame, v: Long,
+                                  batchId: Long = -1L): Unit = {
     val dd = dataDir(root, v)
     df.write.mode("overwrite").parquet(dd.toString)
     val m = manifestPath(root, v)
@@ -156,11 +159,75 @@ object SnapshotLog {
     val f = fs(spark, m)
     val out = f.create(tmp, true)
     try out.write(
-      s"""{"version":$v,"dataDir":"${dataDirName(v)}"}"""
+      s"""{"version":$v,"dataDir":"${dataDirName(v)}","batchId":$batchId}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (!f.rename(tmp, m))
       throw new IllegalStateException(s"could not publish manifest $m")
+  }
+
+  /** batchId recorded in the CURRENT version's manifest (-1 / None when
+    * the head commit was not a streaming batch or the table is empty).
+    */
+  def lastBatchId(spark: SparkSession, root: String): Option[Long] =
+    currentVersion(spark, root).flatMap { v =>
+      val m = manifestPath(root, v)
+      val f = fs(spark, m)
+      val in = f.open(m)
+      val text = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      """"batchId":(-?\d+)""".r.findFirstMatchIn(text)
+        .map(_.group(1).toLong).filter(_ >= 0)
+    }
+
+  /** Exactly-once streaming commit: merge micro-batch `batchId` into the
+    * table and commit it stamped with that id — UNLESS the current head
+    * already carries a batchId ≥ this one, in which case the batch is a
+    * post-crash replay and is SKIPPED (Structured Streaming re-delivers
+    * the in-flight batch on restart; the stamp makes the at-least-once
+    * delivery an exactly-once table). Returns the committed version, or
+    * None when skipped. Wire it as
+    * `writeStream.foreachBatch((df, id) => SnapshotLog.commitBatch(...))`
+    * — see StreamingSpec.
+    *
+    * The ≥ comparison relies on Structured Streaming's monotone batch
+    * ids per checkpoint; two DIFFERENT queries writing one table would
+    * interleave ids and must not share a root (single-writer contract,
+    * same as [[commit]]).
+    */
+  def commitBatch(spark: SparkSession, root: String, batch: DataFrame,
+                  keys: Seq[String], batchId: Long): Option[Long] = {
+    require(batchId >= 0, s"negative batchId $batchId")
+    if (lastBatchId(spark, root).exists(_ >= batchId)) return None
+    val merged = currentVersion(spark, root) match {
+      case Some(_) => Upsert.upsert(read(spark, root), batch, keys)
+      case None    => batch
+    }
+    val ld = logDir(root)
+    val f = fs(spark, ld)
+    f.mkdirs(ld)
+    val claim = new Path(ld, "WRITER_CLAIM")
+    val claimed =
+      try { f.create(claim, false).close(); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    require(claimed,
+      s"could not claim $claim — concurrent commit on this table, or a " +
+      "hard-crashed writer's leftover (remove it and retry)")
+    try {
+      recoverOrphans(spark, root)
+      // re-check under the claim: the pre-claim fast path above only
+      // avoids the merge work; this one is the correctness gate
+      if (lastBatchId(spark, root).exists(_ >= batchId)) None
+      else {
+        val next = currentVersion(spark, root).getOrElse(0L) + 1L
+        stageVersion(spark, root, merged, next, batchId)
+        publishLatest(spark, root, next)
+        Some(next)
+      }
+    } finally f.delete(claim, false)
   }
 
   /** Step 3 — the commit point: swap the LATEST pointer atomically

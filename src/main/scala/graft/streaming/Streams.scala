@@ -459,4 +459,29 @@ object Streams {
       }
       .start()
   }
+
+  /** Transactional streaming sink: each micro-batch lands as a new table
+    * VERSION through [[graft.sources.SnapshotLog]] — readers get snapshot
+    * isolation while the stream runs (a resolved reader never sees a
+    * half-merged batch, unlike any overwrite-in-place sink) plus time
+    * travel across batch boundaries. The manifest's batchId stamp makes
+    * the sink exactly-once under Structured Streaming's post-crash batch
+    * replay: a re-delivered batch is detected (head batchId ≥ incoming)
+    * and skipped without touching the table — stronger than
+    * [[foreachBatchUpsertSink]]'s idempotent-merge recovery, which
+    * re-executes the merge and re-swaps files on replay.
+    */
+  def foreachBatchSnapshotLogSink(events: DataFrame, tableRoot: String,
+                                  checkpointDir: String, keys: Seq[String]) =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // several rows per key in one batch would fan out the full-outer
+        // upsert — collapse first (same invariant as the upsert sink)
+        graft.sources.SnapshotLog.commitBatch(batch.sparkSession, tableRoot,
+          batch.dropDuplicates(keys), keys, id)
+        ()
+      }
+      .start()
 }

@@ -101,6 +101,24 @@ class SnapshotLogSpec extends SparkSpecBase {
     assert(rows(SnapshotLog.read(spark, root)) == Set(1 -> "b"))
   }
 
+  test("commitBatch: batchId stamp skips replayed batches, exactly-once table versions") {
+    val root = freshRoot()
+    assert(SnapshotLog.commitBatch(spark, root, kv(1 -> "a"), Seq("k"), 0L).contains(1L))
+    assert(SnapshotLog.commitBatch(spark, root, kv(2 -> "b"), Seq("k"), 1L).contains(2L))
+    assert(SnapshotLog.lastBatchId(spark, root).contains(1L))
+    // post-crash replay of batch 1: SKIPPED, no new version, table unchanged
+    assert(SnapshotLog.commitBatch(spark, root, kv(2 -> "REPLAY"), Seq("k"), 1L).isEmpty)
+    assert(SnapshotLog.currentVersion(spark, root).contains(2L))
+    assert(rows(SnapshotLog.read(spark, root)) == Set(1 -> "a", 2 -> "b"))
+    // a stale batch id (already superseded) is also skipped
+    assert(SnapshotLog.commitBatch(spark, root, kv(9 -> "stale"), Seq("k"), 0L).isEmpty)
+    // the next REAL batch proceeds, and a plain (non-batch) commit
+    // afterwards clears the stamp
+    assert(SnapshotLog.commitBatch(spark, root, kv(3 -> "c"), Seq("k"), 2L).contains(3L))
+    SnapshotLog.commit(spark, root, kv(1 -> "compacted"))
+    assert(SnapshotLog.lastBatchId(spark, root).isEmpty)
+  }
+
   test("vacuum drops superseded versions, keeps the current one readable") {
     val root = freshRoot()
     (1 to 4).foreach(i => SnapshotLog.commit(spark, root, kv(i -> s"v$i")))

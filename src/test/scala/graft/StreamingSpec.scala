@@ -218,6 +218,38 @@ class StreamingSpec extends SparkSpecBase {
     assert(out == Seq((1L, 1.0), (2L, 20.0), (3L, 3.0)), out.toString)
   }
 
+  test("snapshot-log sink: each batch is a committed version, pinned readers isolated") {
+    import graft.sources.SnapshotLog
+    val dir = Files.createTempDirectory("graft_stream_snaplog").toString
+    val root = s"$dir/table"
+    val stream = MemoryStream[Ev](spark)
+    val q = Streams.foreachBatchSnapshotLogSink(
+      stream.toDF(), root, s"$dir/ckpt", Seq("event_id"))
+    stream.addData(Ev(1, ts("2024-01-01 10:00:00"), 1, 1.0),
+                   Ev(2, ts("2024-01-01 10:01:00"), 1, 2.0))
+    q.processAllAvailable()
+    // pin a reader at the first committed version...
+    val pinned = SnapshotLog.read(spark, root)
+    stream.addData(Ev(2, ts("2024-01-01 10:01:00"), 1, 20.0),
+                   Ev(3, ts("2024-01-01 10:02:00"), 2, 3.0))
+    q.processAllAvailable()
+    q.stop()
+    def vals(df: org.apache.spark.sql.DataFrame) = df.orderBy("event_id")
+      .collect().map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("value"))).toSeq
+    // ...the pinned reader still sees only batch 0 after batch 1 lands
+    assert(vals(pinned) == Seq((1L, 1.0), (2L, 2.0)), vals(pinned).toString)
+    assert(vals(SnapshotLog.read(spark, root)) == Seq((1L, 1.0), (2L, 20.0), (3L, 3.0)))
+    // one version per non-empty batch, stamped with the last batch id
+    assert(SnapshotLog.versions(spark, root) == Seq(1L, 2L))
+    assert(SnapshotLog.lastBatchId(spark, root).contains(1L))
+    // restart from the same checkpoint: nothing re-delivered, no version churn
+    val q2 = Streams.foreachBatchSnapshotLogSink(
+      stream.toDF(), root, s"$dir/ckpt", Seq("event_id"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(SnapshotLog.versions(spark, root) == Seq(1L, 2L))
+  }
+
   test("file stream + AvailableNow: bounded-batch backfill drains, then resumes only new files") {
     import org.apache.spark.sql.types.StructType
     val dir = Files.createTempDirectory("graft_filestream").toString

@@ -332,6 +332,32 @@ object Aggregates {
       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
+  // q84 — linear-regression aggregates (round 6): the regr_* family
+  // (slope, intercept, R², pairwise count) per group — the one-pass
+  // sufficient-statistics formulation both engines share (sums of x, y,
+  // xy, x², n), so a trend fit over 100 TB is ONE two-phase hash agg,
+  // map-side combinable, no gather of the points. Rounded like q17's
+  // corr (same float-summation class, green since round 2). regr_count
+  // pins the pairwise-non-null contract: rows where either side is NULL
+  // drop out of ALL the regr_* stats identically on both engines.
+  def q84(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 6).as("slope"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 6).as("icept"),
+        round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
+        expr("regr_count(l_extendedprice, l_quantity)").as("n"))
+      .orderBy("l_returnflag")
+
+  val q84Sql: String =
+    """SELECT l_returnflag,
+      |  round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+      |  round(regr_intercept(l_extendedprice, l_quantity), 6) AS icept,
+      |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+      |  regr_count(l_extendedprice, l_quantity) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_count_distinct" -> (q13 _),
     "q14_rollup"         -> (q14 _),
@@ -346,7 +372,8 @@ object Aggregates {
     "q62_histogram"       -> (q62 _),
     "q69_percentiles"     -> (q69 _),
     "q74_bit_agg"         -> (q74 _),
-    "q76_grouping_id"     -> (q76 _))
+    "q76_grouping_id"     -> (q76 _),
+    "q84_regr"            -> (q84 _))
 
   val oracle: Map[String, String] = Map(
     "q13_count_distinct" -> q13Sql,
@@ -362,5 +389,6 @@ object Aggregates {
     "q62_histogram"       -> q62Sql,
     "q69_percentiles"     -> q69Sql,
     "q74_bit_agg"         -> q74Sql,
-    "q76_grouping_id"     -> q76Sql)
+    "q76_grouping_id"     -> q76Sql,
+    "q84_regr"            -> q84Sql)
 }

@@ -251,13 +251,41 @@ object LlmOps {
       |WHERE i <= 3
       |ORDER BY doc_id, ord""".stripMargin
 
+  // q86 — OUTER generator semantics (round 6): explode_outer keeps a row
+  // (with a NULL element) for a NULL/absent collection where plain
+  // explode silently drops the parent row. That distinction is the
+  // "document with no extractable tokens must still be visible
+  // downstream" contract — losing parents in a fan-out join is a classic
+  // silent-data-loss bug at pipeline scale. Still a map-side Generate.
+  // The null-array slice is synthesized deterministically (doc_id % 7);
+  // DuckDB lacks an outer unnest, so the oracle unions the NULL-parent
+  // rows back explicitly. NULLS FIRST pinned on both sides (DuckDB
+  // defaults NULLS LAST where Spark defaults FIRST).
+  def q86(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("arr",
+        when(col("doc_id") % 7 =!= 0, slice(split(col("text"), " "), 1, 2)))
+      .select(col("doc_id"), explode_outer(col("arr")).as("word"))
+      .orderBy(col("doc_id"), asc_nulls_first("word"))
+
+  val q86Sql: String =
+    """WITH t AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 7 = 0 THEN NULL
+      |       ELSE string_split(text, ' ')[1:2] END AS arr
+      |FROM documents)
+      |SELECT doc_id, unnest(arr) AS word FROM t WHERE arr IS NOT NULL
+      |UNION ALL
+      |SELECT doc_id, NULL AS word FROM t WHERE arr IS NULL
+      |ORDER BY doc_id, word NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_exact_dedup"  -> (q31 _),
     "q32_knn_cosine"   -> (q32 _),
     "q33_jaccard_pairs" -> (q33 _),
     "q34_text_stats"   -> (q34 _),
     "q35_tfidf"        -> (q35 _),
-    "q82_posexplode"   -> (q82 _))
+    "q82_posexplode"   -> (q82 _),
+    "q86_explode_outer" -> (q86 _))
 
   val oracle: Map[String, String] = Map(
     "q31_exact_dedup"  -> q31Sql,
@@ -265,5 +293,6 @@ object LlmOps {
     "q33_jaccard_pairs" -> q33Sql,
     "q34_text_stats"   -> q34Sql,
     "q35_tfidf"        -> q35Sql,
-    "q82_posexplode"   -> q82Sql)
+    "q82_posexplode"   -> q82Sql,
+    "q86_explode_outer" -> q86Sql)
 }

@@ -450,6 +450,48 @@ object Training {
       |WHERE len(string_split(text, ' ')) >= 2
       |ORDER BY doc_id""".stripMargin
 
+  // q87 — overlapping context-window chunking (round 6): split each doc
+  // into token windows of CHUNK tokens advancing by STRIDE (the standard
+  // pre-training / RAG chunker — overlap preserves context across
+  // boundaries). Start count = ceil(max(n−CHUNK,0)/STRIDE)+1, so every
+  // token lands in ≥1 chunk and the final chunk may run short — the
+  // full-coverage rule, pinned identically in both engines' integer
+  // arithmetic. Plan shape: the starts sequence is generated map-side
+  // per row (a bounded ~n/STRIDE-element array, q68's calendar-grid
+  // idiom) and the chunk text is slice+join projections — no shuffle
+  // before the presentation sort, and the Generate input is already the
+  // exact start list (q82's slice-before-explode rule: nothing
+  // over-generated, nothing filtered after).
+  private val ChunkLen = 30
+  private val ChunkStride = 20
+
+  def q87(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")))
+      .select(col("doc_id"), col("toks"),
+        posexplode(expr(
+          s"sequence(0, CAST((greatest(n - $ChunkLen, 0) + ${ChunkStride - 1}) DIV $ChunkStride AS INT))"))
+          .as(Seq("pos", "i")))
+      .withColumn("chunk_id", col("i").cast("int"))
+      .withColumn("chunk_toks", expr(s"slice(toks, i * $ChunkStride + 1, $ChunkLen)"))
+      .withColumn("chunk_len", size(col("chunk_toks")).cast("int"))
+      .withColumn("chunk", array_join(col("chunk_toks"), " "))
+      .select("doc_id", "chunk_id", "chunk_len", "chunk")
+      .orderBy("doc_id", "chunk_id")
+
+  val q87Sql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+      |    len(string_split(text, ' ')) AS n FROM documents),
+      |  s AS (SELECT doc_id, toks,
+      |    unnest(generate_series(0,
+      |      ((greatest(n - $ChunkLen, 0) + ${ChunkStride - 1}) // $ChunkStride))) AS i
+      |  FROM t)
+      |SELECT doc_id, i::INT AS chunk_id,
+      |  len(list_slice(toks, i * $ChunkStride + 1, i * $ChunkStride + $ChunkLen))::INT AS chunk_len,
+      |  array_to_string(list_slice(toks, i * $ChunkStride + 1, i * $ChunkStride + $ChunkLen), ' ') AS chunk
+      |FROM s ORDER BY doc_id, chunk_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_cosine_near_dup" -> (q41 _),
     "q42_ngram_jaccard"   -> (q42 _),
@@ -461,7 +503,8 @@ object Training {
     "q57_weighted_mixture"  -> (q57 _),
     "q59_contamination"     -> (q59 _),
     "q60_global_sample"     -> (q60 _),
-    "q79_repetition"        -> (q79 _))
+    "q79_repetition"        -> (q79 _),
+    "q87_chunk_windows"     -> (q87 _))
 
   val oracle: Map[String, String] = Map(
     "q41_cosine_near_dup" -> q41Sql,
@@ -474,5 +517,6 @@ object Training {
     "q57_weighted_mixture"  -> q57Sql,
     "q59_contamination"     -> q59Sql,
     "q60_global_sample"     -> q60Sql,
-    "q79_repetition"        -> q79Sql)
+    "q79_repetition"        -> q79Sql,
+    "q87_chunk_windows"     -> q87Sql)
 }

@@ -274,6 +274,42 @@ object Windows {
       |  row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)::INT AS rn_prio
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  // q85 — window VALUE functions + IGNORE NULLS (round 6): first_value /
+  // last_value / nth_value, and the last-observation-carried-forward
+  // (LOCF) idiom — last non-null click value so far per user — via
+  // last(…, ignoreNulls). LOCF is the standard gap-carrying read of
+  // sparse sensor/event streams; as a running-frame window it is one
+  // keyed shuffle at any scale, where the naive self-join formulation
+  // ("latest click ≤ this ts") would be a range join per row. All four
+  // outputs are value passthroughs (no arithmetic), so no rounding is
+  // needed for cross-engine hash parity. DuckDB puts IGNORE NULLS inside
+  // the call parens; default running frame (RANGE UNBOUNDED PRECEDING)
+  // matches Spark's, and the (ts, event_id) order is tie-free.
+  def q85(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, dir)
+      .withColumn("first_val", first(col("value")).over(w))
+      .withColumn("last_val", last(col("value")).over(wAll))
+      .withColumn("third_val", nth_value(col("value"), 3).over(w))
+      .withColumn("locf_click",
+        last(when(col("event_type") === "click", col("value")), ignoreNulls = true).over(w))
+      .select("user_id", "event_id", "first_val", "last_val", "third_val", "locf_click")
+      .orderBy("user_id", "event_id")
+  }
+
+  val q85Sql: String =
+    """SELECT user_id, event_id,
+      |  first_value(value) OVER win AS first_val,
+      |  last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_val,
+      |  nth_value(value, 3) OVER win AS third_val,
+      |  last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+      |    OVER win AS locf_click
+      |FROM events
+      |WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_rank_topk"   -> (q19 _),
     "q20_running_sum" -> (q20 _),
@@ -284,7 +320,8 @@ object Windows {
     "q58_value_windows" -> (q58 _),
     "q64_rank_distribution" -> (q64 _),
     "q78_ratio_to_report"   -> (q78 _),
-    "q81_multi_window"      -> (q81 _))
+    "q81_multi_window"      -> (q81 _),
+    "q85_ignore_nulls"      -> (q85 _))
 
   val oracle: Map[String, String] = Map(
     "q19_rank_topk"   -> q19Sql,
@@ -296,5 +333,6 @@ object Windows {
     "q58_value_windows" -> q58Sql,
     "q64_rank_distribution" -> q64Sql,
     "q78_ratio_to_report"   -> q78Sql,
-    "q81_multi_window"      -> q81Sql)
+    "q81_multi_window"      -> q81Sql,
+    "q85_ignore_nulls"      -> q85Sql)
 }

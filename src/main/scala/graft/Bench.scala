@@ -73,6 +73,14 @@ object Bench {
       // unlike the recall-dependent LSH twins this one has exact parity,
       // and the timing is directly comparable with q66.
       "x66_fuzzy_prefix" -> ((s, dir) => graft.engine.Scalars.x66(s, dir)),
+      // x32 is the LSH twin of q32's global top-10 cosine pairs: bucket
+      // candidates replace the O(n²) cross join, exact vec_dot ranks
+      // them. Recall measured in EmbedOpsSpec (8/10 on the near-uniform
+      // fixture — the adversarial LSH regime; identity at x41's
+      // high-similarity operating point).
+      "x32_top_pairs_lsh" -> ((s, dir) =>
+        graft.engine.EmbedOps.topCosinePairsLsh(
+          graft.engine.Tables.embeddings(s, dir), k = 10)),
       // x75 is the keyset twin of q75's OFFSET pagination: the cursor
       // predicate + top-k fetch per page (page 3, k=50 — the same rows as
       // q75's OFFSET 100 LIMIT 50; identity proven in PlanShapeSpec).

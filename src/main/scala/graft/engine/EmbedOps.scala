@@ -154,11 +154,20 @@ object EmbedOps {
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
                          bits: Int = 4, tables: Int = 8,
                          idCol: String = "vec_id",
-                         vecCol: String = "embedding"): DataFrame = {
+                         vecCol: String = "embedding"): DataFrame =
+    scoredLshPairs(corpus, bits, tables, idCol, vecCol)
+      .filter(col("cosine") >= threshold)
+      .orderBy("id_a", "id_b")
+
+  /** Shared LSH pair pipeline: bucket → candidate ids (deduped BEFORE
+    * scoring — a pair colliding in m tables would otherwise be scored m
+    * times and ship m copies of both vectors through the join) → exact
+    * vec_dot score. Callers apply their own selection (threshold filter
+    * or global top-k).
+    */
+  private def scoredLshPairs(corpus: DataFrame, bits: Int, tables: Int,
+                             idCol: String, vecCol: String): DataFrame = {
     VectorFunctions.register(corpus.sparkSession)
-    // candidate ids first, deduped BEFORE scoring — a pair colliding in m
-    // tables would otherwise be scored m times and ship m copies of both
-    // vectors through the join
     val bucketed = withLshBuckets(corpus, bits, tables, vecCol)
       .select(col(idCol), posexplode(col("buckets")).as(Seq("table", "bucket")))
     val a = bucketed.select(col("table"), col("bucket"), col(idCol).as("id_a"))
@@ -174,9 +183,27 @@ object EmbedOps {
       .join(corpus.select(col(idCol).as("id_b"), col(vecCol).as("vec_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         expr("vec_dot(vec_a, vec_b)").as("cosine"))
-      .filter(col("cosine") >= threshold)
-      .orderBy("id_a", "id_b")
   }
+
+  /** Scale twin of q32's global top-k most-similar pairs: LSH bucket
+    * candidates replace the O(n²) cross join, exact vec_dot ranks them,
+    * TakeOrderedAndProject keeps k. A top pair is missed only if it
+    * collides in NO table — probability (1−p^bits)^tables with
+    * p = 1−θ/π, so recall tracks how SIMILAR the top pairs are: near-dup
+    * corpora (x41's 0.9+ operating point) retrieve exactly; the fixture
+    * embeddings are near-uniform (global top-10 cosines only ≈0.44–0.48,
+    * per-pair miss ≈19% at 4 bits × 8 tables) — the adversarial case for
+    * hyperplane LSH — and still measure 8/10 recall (EmbedOpsSpec pins
+    * the deterministic-plane value at both fixture SFs). Bench twin, no
+    * oracle (SURVEY §2.0.10); rounding and tie order mirror q32.
+    */
+  def topCosinePairsLsh(corpus: DataFrame, k: Int, bits: Int = 4,
+                        tables: Int = 8, idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame =
+    scoredLshPairs(corpus, bits, tables, idCol, vecCol)
+      .withColumn("cosine", round(col("cosine"), 4))
+      .orderBy(desc("cosine"), col("id_a"), col("id_b"))
+      .limit(k)
 
   /** IVF (inverted-file) ANN index: k-means cells trained with a fixed
     * number of Lloyd iterations from a deterministic init (first k vectors

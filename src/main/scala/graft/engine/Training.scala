@@ -465,19 +465,29 @@ object Training {
   private val ChunkLen = 30
   private val ChunkStride = 20
 
-  def q87(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .withColumn("toks", split(col("text"), " "))
+  /** Reusable chunker behind q87 (PropertiesSpec proves it equals
+    * driver-side sliding slices for arbitrary corpora). `k` tokens per
+    * chunk advancing by `stride`; chunk count ceil(max(n−k,0)/stride)+1.
+    */
+  def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int, stride: Int): DataFrame = {
+    require(k >= 1 && stride >= 1, s"bad chunk geometry k=$k stride=$stride")
+    docs
+      .withColumn("toks", split(col(textCol), " "))
       .withColumn("n", size(col("toks")))
-      .select(col("doc_id"), col("toks"),
+      .select(col(idCol), col("toks"),
         posexplode(expr(
-          s"sequence(0, CAST((greatest(n - $ChunkLen, 0) + ${ChunkStride - 1}) DIV $ChunkStride AS INT))"))
+          s"sequence(0, CAST((greatest(n - $k, 0) + ${stride - 1}) DIV $stride AS INT))"))
           .as(Seq("pos", "i")))
       .withColumn("chunk_id", col("i").cast("int"))
-      .withColumn("chunk_toks", expr(s"slice(toks, i * $ChunkStride + 1, $ChunkLen)"))
+      .withColumn("chunk_toks", expr(s"slice(toks, i * $stride + 1, $k)"))
       .withColumn("chunk_len", size(col("chunk_toks")).cast("int"))
       .withColumn("chunk", array_join(col("chunk_toks"), " "))
-      .select("doc_id", "chunk_id", "chunk_len", "chunk")
+      .select(col(idCol), col("chunk_id"), col("chunk_len"), col("chunk"))
+  }
+
+  def q87(s: SparkSession, dir: String): DataFrame =
+    chunkWindows(Tables.documents(s, dir), "doc_id", "text", ChunkLen, ChunkStride)
       .orderBy("doc_id", "chunk_id")
 
   val q87Sql: String =

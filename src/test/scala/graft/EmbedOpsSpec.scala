@@ -276,6 +276,22 @@ class EmbedOpsSpec extends SparkSpecBase {
     } finally enc.unpersist()
   }
 
+  test("x32 LSH top-pairs twin: measured recall vs q32 on the near-uniform fixtures") {
+    // the fixture's global top-10 cosines are only ~0.44-0.48 — the
+    // adversarial regime for hyperplane LSH (miss ≈19%/pair at 4x8) —
+    // so the twin is recall-measured here, not identity-asserted (x41's
+    // 0.9-threshold identity is the high-similarity operating point).
+    // Planes are deterministic: the measured value is stable.
+    Seq(sf0001, sf001).foreach { sf =>
+      val brute = graft.engine.LlmOps.q32(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val lsh = EmbedOps.topCosinePairsLsh(Tables.embeddings(spark, sf), k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (lsh intersect brute).size
+      assert(recall >= 7, s"$sf: LSH twin recall $recall/10 vs q32")
+    }
+  }
+
   test("int8 quantization: bounded element error, top-k survives, zero vector safe") {
     val corpus = Tables.embeddings(spark, sf001)
     val q = EmbedOps.quantizeInt8(corpus)

@@ -417,6 +417,21 @@ class PlanShapeSpec extends SparkSpecBase {
       "ordinal filter survived — the bound must live inside slice():\n" + p)
   }
 
+  test("q87: starts sequence generated map-side, no post-Generate ordinal filter, one sort") {
+    val df = Training.q87(spark, sf0001)
+    val p = plan(df)
+    // the Generate input must be the exact start list (q82 rule)
+    assert("Generate posexplode\\(sequence\\(".r.findFirstIn(p).isDefined,
+      "Generate does not consume the computed starts sequence:\n" + p)
+    val ordinalFilters = df.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.references.map(_.name).exists(Set("chunk_id", "i", "pos")) => f
+    }
+    assert(ordinalFilters.isEmpty, "chunk bound leaked into a post-Generate filter:\n" + p)
+    // per-row chunking shuffles nothing except the presentation sort
+    assert("Exchange".r.findAllIn(p).size <= 1, "unexpected shuffle in map-side chunking:\n" + p)
+  }
+
   test("x75 keyset pages tile the OFFSET windows row-identically, fetch is top-k not sort") {
     // pages 1..4 via cursor walk must equal the OFFSET windows 0,50,100,150
     // — including page 3 ≡ the declared q75 — across price ties.

@@ -264,4 +264,33 @@ object PropertiesSpec extends Properties("graft") {
       Prop(afterAll == expected.toSet) :| s"gate=$afterAll oracle=$expected" &&
         Prop(afterReplay == expected.toSet) :| "replay appended rows"
     }
+
+  // ---------------------------------------------- context-window chunking
+
+  private val chunkTokensGen: Gen[List[String]] =
+    Gen.choose(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.choose('a', 'z').map(_.toString)))
+
+  property("chunkWindows == driver-side sliding slices for ANY corpus (q87 geometry rule)") =
+    Prop.forAll(Gen.listOfN(4, chunkTokensGen)) { corpus =>
+      val (k, s) = (7, 4)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val rows = corpus.zipWithIndex.map { case (toks, id) =>
+        Row(id.toLong, toks.mkString(" ")) }
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      val got = graft.engine.Training.chunkWindows(df, "doc_id", "text", k, s)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+        .toSet
+      val want = corpus.zipWithIndex.flatMap { case (toks, id) =>
+        val n = toks.length
+        val numChunks = (math.max(n - k, 0) + s - 1) / s + 1
+        (0 until numChunks).map { i =>
+          val slice = toks.slice(i * s, i * s + k)
+          (id.toLong, i, slice.length, slice.mkString(" "))
+        }
+      }.toSet
+      Prop(got == want) :| s"got=$got want=$want"
+    }
 }

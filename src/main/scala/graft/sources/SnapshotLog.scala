@@ -247,6 +247,53 @@ object SnapshotLog {
     fc.rename(tmp, latest, Options.Rename.OVERWRITE)
   }
 
+  /** CDC-style change feed between two committed versions: one row per
+    * key whose state differs, tagged `insert` / `update` / `delete`,
+    * carrying the key columns plus every non-key column in before/after
+    * pairs (`old_c`, `new_c`; NULL on the absent side). This is what a
+    * downstream incremental consumer reads instead of diffing full
+    * snapshots itself — one full-outer join on the key between two
+    * immutable version directories, no state kept anywhere.
+    *
+    * `update` means "any non-key column differs" (null-safe compare), so
+    * byte-identical rows drop out and the feed is empty exactly when the
+    * versions are equal. Works across any version gap (the net change,
+    * not the per-commit history — per-commit replay is `1 to n map
+    * changesBetween(v-1, v)` while the versions remain un-vacuumed).
+    */
+  def changesBetween(spark: SparkSession, root: String, fromV: Long,
+                     toV: Long, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(fromV < toV, s"fromV $fromV must precede toV $toV")
+    val before = readVersion(spark, root, fromV)
+    val after = readVersion(spark, root, toV)
+    require(before.columns.toSeq == after.columns.toSeq,
+      s"schema changed between v$fromV and v$toV: " +
+        s"${before.columns.toSeq} vs ${after.columns.toSeq}")
+    require(keys.nonEmpty && keys.forall(before.columns.contains),
+      s"keys $keys must be columns of the table")
+    val nonKeys = before.columns.toSeq.filterNot(keys.contains)
+    val o = before.toDF(before.columns.map("__o_" + _): _*)
+      .withColumn("__in_old", lit(true))
+    val n = after.toDF(after.columns.map("__n_" + _): _*)
+      .withColumn("__in_new", lit(true))
+    val cond = keys.map(k => o("__o_" + k) <=> n("__n_" + k)).reduce(_ && _)
+    val changed =
+      if (nonKeys.isEmpty) lit(false) // key-only table: no update state
+      else nonKeys.map(c => !(col("__o_" + c) <=> col("__n_" + c))).reduce(_ || _)
+    o.join(n, cond, "full_outer")
+      .withColumn("change_type",
+        when(col("__in_old").isNull, lit("insert"))
+          .when(col("__in_new").isNull, lit("delete"))
+          .when(changed, lit("update")))
+      .filter(col("change_type").isNotNull) // unchanged rows leave the feed
+      .select(
+        col("change_type") +:
+        keys.map(k => coalesce(col("__n_" + k), col("__o_" + k)).as(k)) ++:
+        nonKeys.flatMap(c => Seq(col("__o_" + c).as("old_" + c),
+                                 col("__n_" + c).as("new_" + c))): _*)
+  }
+
   /** Remove manifests and data directories ABOVE the committed pointer —
     * the debris of a writer that crashed between manifest publish and
     * pointer swap. Those versions were never visible to any reader, so

@@ -213,6 +213,52 @@ class MultimodalSpec extends SparkSpecBase {
       out.mkString(";"))
   }
 
+  test("interleaved AVI: frames nested in 'rec ' lists are still indexed") {
+    import spark.implicits._
+    // hand-build: take a normal AVI and wrap its movi frame chunks in a
+    // 'rec ' list (the interleaved layout some muxers emit)
+    val w = 3; val h = 2; val frame = Array.fill[Byte](w * h * 3)(5)
+    val flat = Multimodal.buildAvi(w, h, 10, Seq(frame, frame))
+    // locate the movi LIST: rebuild with the frame chunks wrapped
+    def le32(v: Long) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val fcc = (s: String) => s.getBytes("US-ASCII")
+    val frameChunk = fcc("00db") ++ le32(frame.length.toLong) ++ frame
+    val rec = fcc("LIST") ++ le32(4L + 2 * frameChunk.length) ++ fcc("rec ") ++
+      frameChunk ++ frameChunk
+    val movi = fcc("LIST") ++ le32(4L + rec.length) ++ fcc("movi") ++ rec
+    // reuse the original header (everything before its movi LIST)
+    val moviAt = {
+      var i = 12; var found = -1
+      while (found < 0 && i + 12 <= flat.length) {
+        if (new String(flat, i, 4, "US-ASCII") == "LIST" &&
+            new String(flat, i + 8, 4, "US-ASCII") == "movi") found = i
+        else {
+          val sz = java.nio.ByteBuffer.wrap(flat, i + 4, 4)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt & 0xffffffffL
+          i += (8 + sz + (sz & 1)).toInt
+        }
+      }
+      found
+    }
+    assert(moviAt > 0, "movi LIST not found in builder output")
+    // body = "AVI " + hdrl (flat offsets 8..moviAt) + the wrapped movi;
+    // the RIFF size field counts exactly the body
+    val body = flat.slice(8, moviAt) ++ movi
+    val wrapped = fcc("RIFF") ++ le32(body.length.toLong) ++ body
+    val ds = Seq(Multimodal.MediaRow(500L,
+      Multimodal.MediaMeta("video", w, h, 0L, "video/avi"), wrapped)).toDS()
+    val meta = Multimodal.decodeVideoMeta(ds).head()
+    assert(meta.ok && meta.width == w && meta.height == h, meta.toString)
+    val idx = Multimodal.aviFrameIndex(ds).collect()
+    assert(idx.length == 2, s"expected 2 rec-nested frames, got ${idx.length}")
+    idx.foreach { r =>
+      val off = r.getLong(3); val len = r.getInt(4)
+      assert(len == frame.length && off + len <= wrapped.length)
+      assert(new String(wrapped, off.toInt - 8, 4, "US-ASCII") == "00db")
+    }
+  }
+
   test("AVI frame index: real movi byte offsets, structural every-nth sampling") {
     val avis = Multimodal.syntheticAviCorpus(spark, 9)
     val idx = Multimodal.aviFrameIndex(avis).collect()

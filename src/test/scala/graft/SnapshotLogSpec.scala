@@ -119,6 +119,27 @@ class SnapshotLogSpec extends SparkSpecBase {
     assert(SnapshotLog.lastBatchId(spark, root).isEmpty)
   }
 
+  test("changesBetween: insert/update/delete feed, empty for equal versions, net across gaps") {
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root, kv(1 -> "a", 2 -> "b", 3 -> "c"))
+    // v2: update 2, delete 3, insert 4, leave 1 untouched
+    SnapshotLog.commit(spark, root, kv(1 -> "a", 2 -> "B", 4 -> "d"))
+    val feed = SnapshotLog.changesBetween(spark, root, 1L, 2L, Seq("k"))
+      .collect().map(r => (r.getString(0), r.getInt(1),
+        Option(r.getString(2)), Option(r.getString(3)))).toSet
+    assert(feed == Set(
+      ("update", 2, Some("b"), Some("B")),
+      ("delete", 3, Some("c"), None),
+      ("insert", 4, None, Some("d"))), feed.toString)
+    // identical re-commit → empty feed
+    SnapshotLog.commit(spark, root, kv(1 -> "a", 2 -> "B", 4 -> "d"))
+    assert(SnapshotLog.changesBetween(spark, root, 2L, 3L, Seq("k")).count() == 0)
+    // net change across the gap v1→v3 equals the v1→v2 feed (v3 ≡ v2)
+    val net = SnapshotLog.changesBetween(spark, root, 1L, 3L, Seq("k"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(net == Set(("update", 2), ("delete", 3), ("insert", 4)), net.toString)
+  }
+
   test("vacuum drops superseded versions, keeps the current one readable") {
     val root = freshRoot()
     (1 to 4).foreach(i => SnapshotLog.commit(spark, root, kv(i -> s"v$i")))

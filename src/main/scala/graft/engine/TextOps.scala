@@ -184,4 +184,77 @@ object TextOps {
     df.withColumn("text_redacted", redacted)
       .withColumn("was_redacted", redacted =!= t0)
   }
+
+  // -------------------------------------------- compression-ratio quality
+
+  /** deflate(text)/len(text) as a quality signal: highly repetitive or
+    * templated documents compress far below natural prose (the
+    * compression-ratio filter used alongside the Gopher rules — it
+    * catches repetition that q79's in-document token ratio misses, e.g.
+    * long-period boilerplate). Ratio ≥ ~1.0 ⇒ incompressible (random or
+    * very short); ≪ 1 ⇒ repetitive. NULL text → NULL ratio (a fact, not
+    * a failure). Uses the JVM's Deflater via mapPartitions — the
+    * documented codec exception to the no-UDF rule (Multimodal
+    * precedent): one Deflater per partition, reset per row, explicitly
+    * `end()`ed so native zlib memory never waits on the GC.
+    */
+  def withCompressionRatio(df: DataFrame, textCol: String = "text",
+                           outCol: String = "compression_ratio"): DataFrame = {
+    val spark = df.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(df.schema.fields :+
+      org.apache.spark.sql.types.StructField(outCol,
+        org.apache.spark.sql.types.DoubleType, nullable = true))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { rows =>
+      val deflater = new java.util.zip.Deflater(
+        java.util.zip.Deflater.BEST_SPEED, /*nowrap=*/ true)
+      val buf = new Array[Byte](8192)
+      val out = rows.map { r =>
+        val ratio: Any = r.get(idx) match {
+          case s: String if s.nonEmpty =>
+            val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            deflater.reset()
+            deflater.setInput(bytes)
+            deflater.finish()
+            var compressed = 0L
+            while (!deflater.finished())
+              compressed += deflater.deflate(buf)
+            compressed.toDouble / bytes.length
+          case s: String => 1.0 // empty text: nothing to compress
+          case _ => null
+        }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ ratio)
+      }
+      // the iterator is fully drained by the writer before the task ends;
+      // wrap so end() runs exactly once afterwards
+      new Iterator[org.apache.spark.sql.Row] {
+        def hasNext: Boolean = {
+          val h = out.hasNext
+          if (!h) deflater.end()
+          h
+        }
+        def next(): org.apache.spark.sql.Row = out.next()
+      }
+    }(enc)
+  }
+
+  // ------------------------------------------------ unicode normalization
+
+  /** NFKC-normalize a text column (java.text.Normalizer): fullwidth
+    * forms, ligatures, compatibility codepoints and combining sequences
+    * fold to canonical equivalents — the standard pre-tokenization
+    * cleanup so "ﬁle" and "file" (or fullwidth digits) dedup and
+    * tokenize identically. Spark has no built-in normalizer expression,
+    * so this is a scalar UDF by necessity (udf_surface policy: UDF only
+    * when no built-in exists); NULL passes through.
+    */
+  def withNfkc(df: DataFrame, textCol: String = "text",
+               outCol: String = "text_nfkc"): DataFrame = {
+    val nfkc = udf { (s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKC)
+    }
+    df.withColumn(outCol, nfkc(col(textCol)))
+  }
 }

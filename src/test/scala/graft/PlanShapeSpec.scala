@@ -417,6 +417,19 @@ class PlanShapeSpec extends SparkSpecBase {
       "ordinal filter survived — the bound must live inside slice():\n" + p)
   }
 
+  test("q85: both window frames share ONE user_id exchange (no re-shuffle between frames)") {
+    val df = Windows.q85(spark, sf0001)
+    val p = plan(df)
+    // running frame + unbounded frame share (partition, order): the
+    // second Window must reuse the first's hash partitioning, so the
+    // only exchanges are the user_id shuffle and the presentation sort
+    val windows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(windows >= 2, "expected two Window operators (different frames):\n" + p)
+    val exchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"window frames re-shuffled on user_id ($exchanges exchanges):\n" + p)
+  }
+
   test("q87: starts sequence generated map-side, no post-Generate ordinal filter, one sort") {
     val df = Training.q87(spark, sf0001)
     val p = plan(df)

@@ -120,4 +120,52 @@ class TextOpsSpec extends SparkSpecBase {
     assert(out(5)._1 == "nothing sensitive here, just the year 2026")
     assert(out.map(_._2).toSeq == Seq(true, true, true, true, true, false))
   }
+
+  test("compression ratio: repetitive text compresses far below diverse text; edge cases") {
+    import spark.implicits._
+    val diverse = (1 to 400).map(i => s"w${i * 7919 % 9973}x").mkString(" ")
+    val rows = Seq(
+      (1L, "spam " * 400),                  // pure repetition
+      (2L, diverse),                        // high-entropy tokens
+      (3L, ""),                             // empty
+      (4L, null.asInstanceOf[String]),      // null fact
+      (5L, "short")                         // tiny: deflate overhead can exceed 1.0
+    ).toDF("id", "text")
+    val out = TextOps.withCompressionRatio(rows).orderBy("id")
+      .select("compression_ratio").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    val rep = out(0).get
+    val div = out(1).get
+    assert(rep < 0.05, s"repetition should crush: $rep")
+    assert(div > 0.3, s"diverse text should resist: $div")
+    assert(rep < div / 5, s"separation too weak: rep=$rep div=$div")
+    assert(out(2).contains(1.0), s"empty text convention: ${out(2)}")
+    assert(out(3).isEmpty, "null text must stay a NULL fact")
+    assert(out(4).exists(_ > 0.0))
+    // schema: original columns preserved + one new double column
+    assert(TextOps.withCompressionRatio(rows).columns.toSeq ==
+      Seq("id", "text", "compression_ratio"))
+  }
+
+  test("NFKC normalization folds compatibility forms; dedup sees them as equal") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "ﬁle"),                     // 'ﬁ' ligature → "file"
+      (2L, "file"),
+      (3L, "１２３"),           // fullwidth digits → "123"
+      (4L, "éclair"),                 // combining accent → é (composed)
+      (5L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val out = TextOps.withNfkc(rows).orderBy("id")
+      .select("text_nfkc").collect().map(r => Option(r.getString(0)))
+    assert(out(0).contains("file") && out(0) == out(1), out(0).toString)
+    assert(out(2).contains("123"), out(2).toString)
+    assert(out(3).contains("éclair"), out(3).toString) // composed é
+    assert(out(4).isEmpty)
+    // the point of normalizing before dedup: ligature and plain forms
+    // now hash identically
+    val distinct = TextOps.withNfkc(rows).filter($"text_nfkc".isNotNull)
+      .select("text_nfkc").distinct().count()
+    assert(distinct == 3, s"expected file/123/éclair, got $distinct")
+  }
 }

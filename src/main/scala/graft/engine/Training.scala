@@ -502,6 +502,64 @@ object Training {
       |  array_to_string(list_slice(toks, i * $ChunkStride + 1, i * $ChunkStride + $ChunkLen), ' ') AS chunk
       |FROM s ORDER BY doc_id, chunk_id""".stripMargin
 
+  // q88 — corpus-driven boilerplate pruning (round 6): drop every term
+  // whose DOCUMENT frequency exceeds θ·N — the data-driven counterpart
+  // of q53's fixed stopword list (sklearn's CountVectorizer max_df, the
+  // df-cap step of classic text pipelines). The discovered set adapts to
+  // the corpus: template navigation text, license headers, scraped
+  // chrome all cross the df cap without anyone curating a lexicon.
+  // Scale shape: scan 1 aggregates the corpus down to ≤|vocab| (term,df)
+  // rows; the >θ·N survivors are BOUNDED — by the Zipf/pigeonhole bound
+  // at most L/θ terms (L = mean tokens/doc) can appear in >θ·N docs, a
+  // per-doc-length constant independent of corpus size — so collecting
+  // them into one broadcast array is legitimate where broadcasting
+  // q35's full unbounded vocabulary would not be. Scan 2 then applies
+  // the set as a per-row HOF filter at scan speed (q53's shape): no
+  // explode/regroup shuffle, no join against the token stream.
+  // θ = 0.78 bisects the fixture's deliberately near-uniform 31-term
+  // vocabulary (30 terms sit at df 75–80%); the threshold is integer-
+  // exact both engines (df·50 > N·39, no float compare). DuckDB traps:
+  // array_to_string([]) yields NULL (Spark's array_join yields '') and
+  // list() over zero rows yields NULL (collect_set yields []) — both
+  // coalesced in the oracle so an all-kept or none-pruned corpus still
+  // hash-matches.
+  def q88(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val dfreq = words.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val bw = dfreq.crossJoin(broadcast(n))
+      .filter(col("df") * 50 > col("n_docs") * 39)
+      .agg(collect_set("term").as("bw_terms")) // one bounded row (Zipf cap)
+    val toks = split(col("text"), " ")
+    docs.crossJoin(broadcast(bw))
+      .select(col("doc_id"),
+        array_join(filter(toks, w => !array_contains(col("bw_terms"), w)), " ")
+          .as("text_pruned"),
+        size(filter(toks, w => array_contains(col("bw_terms"), w)))
+          .as("n_pruned"))
+      .orderBy("doc_id")
+  }
+
+  val q88Sql: String =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      |), dfreq AS (
+      |  SELECT term, count(DISTINCT doc_id) AS df FROM words GROUP BY term
+      |), n AS (SELECT count(*) AS n_docs FROM documents),
+      |bw AS (
+      |  SELECT coalesce(list(term), []) AS terms
+      |  FROM dfreq, n WHERE df * 50 > n_docs * 39
+      |), joined AS (
+      |  SELECT d.doc_id, string_split(d.text, ' ') AS toks, bw.terms AS bwt
+      |  FROM documents d, bw
+      |)
+      |SELECT doc_id,
+      |  coalesce(array_to_string(
+      |    list_filter(toks, w -> NOT list_contains(bwt, w)), ' '), '') AS text_pruned,
+      |  len(list_filter(toks, w -> list_contains(bwt, w)))::INT AS n_pruned
+      |FROM joined ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_cosine_near_dup" -> (q41 _),
     "q42_ngram_jaccard"   -> (q42 _),
@@ -514,7 +572,8 @@ object Training {
     "q59_contamination"     -> (q59 _),
     "q60_global_sample"     -> (q60 _),
     "q79_repetition"        -> (q79 _),
-    "q87_chunk_windows"     -> (q87 _))
+    "q87_chunk_windows"     -> (q87 _),
+    "q88_df_prune"          -> (q88 _))
 
   val oracle: Map[String, String] = Map(
     "q41_cosine_near_dup" -> q41Sql,
@@ -528,5 +587,6 @@ object Training {
     "q59_contamination"     -> q59Sql,
     "q60_global_sample"     -> q60Sql,
     "q79_repetition"        -> q79Sql,
-    "q87_chunk_windows"     -> q87Sql)
+    "q87_chunk_windows"     -> q87Sql,
+    "q88_df_prune"          -> q88Sql)
 }

@@ -430,6 +430,25 @@ class PlanShapeSpec extends SparkSpecBase {
       s"window frames re-shuffled on user_id ($exchanges exchanges):\n" + p)
   }
 
+  test("q88: boilerplate set rides a broadcast; the token stream is never shuffle-joined") {
+    val df = Training.q88(spark, sf0001)
+    val p = plan(df)
+    // the 1-row bounded boilerplate array reaches the corpus scan via
+    // broadcast nested-loop (cross of a single row) — the apply side is a
+    // scan-speed HOF filter, not a join against exploded tokens
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "expected the 1-row boilerplate set to broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "token stream must not be shuffle-joined:\n" + p)
+    // exactly two TEXT scans (df build + prune apply); the n_docs count
+    // is a third scan but reads ZERO columns — parquet answers it from
+    // row-group footers, so it never touches text bytes
+    val textScans = "ReadSchema: struct<doc_id:bigint,text:string>".r.findAllIn(p).size
+    assert(textScans == 2, s"expected 2 text scans, got $textScans:\n" + p)
+    assert(p.contains("ReadSchema: struct<>"),
+      "n_docs count should be a column-less footer scan:\n" + p)
+  }
+
   test("q87: starts sequence generated map-side, no post-Generate ordinal filter, one sort") {
     val df = Training.q87(spark, sf0001)
     val p = plan(df)

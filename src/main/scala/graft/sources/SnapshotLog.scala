@@ -41,10 +41,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * only the new snapshot's files; history cost is bounded by [[vacuum]]
   * retention. This is deliberately the same shape Delta's _delta_log +
   * Iceberg's version-hint take; what is NOT implemented (documented, not
-  * implied): multi-writer conflict resolution, column-level file skipping
-  * stats, and incremental (delta-file) commits — each version is a full
-  * snapshot, so [[upsert]] commits carry the whole table forward exactly
-  * like the non-log path does today.
+  * implied): multi-writer conflict resolution and incremental
+  * (delta-file) commits — each version is a full snapshot, so [[upsert]]
+  * commits carry the whole table forward exactly like the non-log path
+  * does today.
+  *
+  * FILE SKIPPING (round 6): [[commit]] optionally collects per-file
+  * min/max for chosen columns — ONE extra column-pruned pass over the
+  * fresh data dir keyed by `input_file_name()` (distributed; the collect
+  * is O(files), the same bounded class as IVF centroids) — published as
+  * a `v{N}.stats` sidecar BEFORE the manifest, so a committed version's
+  * stats are always complete. [[readBetween]] then prunes whole files
+  * whose [min,max] span cannot intersect the predicate before Spark
+  * ever lists them — on a range-clustered 100 TB table a narrow range
+  * touches a handful of files instead of all of them, and the decision
+  * costs one sidecar read, zero footer/data IO on the pruned files.
+  * Min/max use SPARK's own ordering (not parquet footers' unsigned-byte
+  * order), so prune-time comparisons are exactly the write-time
+  * semantics. Files without stats are kept (never wrongly pruned);
+  * all-NULL files ARE pruned (BETWEEN never matches NULL).
   */
 object SnapshotLog {
 
@@ -58,6 +73,8 @@ object SnapshotLog {
   private def dataDirName(v: Long): String = f"data_v$v%08d"
   private def dataDir(root: String, v: Long): Path =
     new Path(root.replaceAll("/+$", ""), dataDirName(v))
+  private def statsPath(root: String, v: Long): Path =
+    new Path(logDir(root), f"v$v%08d.stats")
 
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -100,8 +117,11 @@ object SnapshotLog {
   /** Commit `df` as the next version of the table at `root` and return
     * the committed version number. This is the transactional replacement
     * for a blind `overwrite`: concurrent readers keep their version.
+    * `statsCols` (numeric or string columns) opts the version into
+    * per-file min/max collection for [[readBetween]] file skipping.
     */
-  def commit(spark: SparkSession, root: String, df: DataFrame): Long = {
+  def commit(spark: SparkSession, root: String, df: DataFrame,
+             statsCols: Seq[String] = Nil): Long = {
     val ld = logDir(root)
     val f = fs(spark, ld)
     f.mkdirs(ld)
@@ -120,7 +140,7 @@ object SnapshotLog {
     try {
       recoverOrphans(spark, root)
       val next = currentVersion(spark, root).getOrElse(0L) + 1L
-      stageVersion(spark, root, df, next)
+      stageVersion(spark, root, df, next, statsCols = statsCols)
       publishLatest(spark, root, next)
       next
     } finally f.delete(claim, false)
@@ -151,9 +171,11 @@ object SnapshotLog {
     */
   private[graft] def stageVersion(spark: SparkSession, root: String,
                                   df: DataFrame, v: Long,
-                                  batchId: Long = -1L): Unit = {
+                                  batchId: Long = -1L,
+                                  statsCols: Seq[String] = Nil): Unit = {
     val dd = dataDir(root, v)
     df.write.mode("overwrite").parquet(dd.toString)
+    if (statsCols.nonEmpty) writeStats(spark, root, v, statsCols)
     val m = manifestPath(root, v)
     val tmp = new Path(logDir(root), f".tmp_manifest_v$v%08d")
     val f = fs(spark, m)
@@ -294,6 +316,141 @@ object SnapshotLog {
                                  col("__n_" + c).as("new_" + c))): _*)
   }
 
+  // ------------------------------------------------- file-skipping stats
+
+  // sidecar line format: fileName \t column \t tag \t min \t max with
+  // backslash/tab/newline escaped and `\N` marking NULL (an all-null
+  // file) — TSV, not JSON, so string values never fight quote escaping.
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
+  private def unesc(s: String): String = {
+    val b = new StringBuilder; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 't' => b += '\t'; case 'n' => b += '\n'; case x => b += x
+        }; i += 2
+      } else { b += c; i += 1 }
+    }
+    b.toString
+  }
+  private val NullMark = "\\N"
+
+  /** One distributed column-pruned pass over the fresh data dir: per-file
+    * min/max of each stats column via a groupBy on `input_file_name()`.
+    * The collect is O(files × cols) driver rows — bounded like the other
+    * sanctioned collects. File identity is the NAME (unique within the
+    * version dir); min/max semantics are Spark's own orderings, so the
+    * prune-time compare reuses exactly the write-time comparator.
+    */
+  private def writeStats(spark: SparkSession, root: String, v: Long,
+                         cols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val df = spark.read.parquet(dataDir(root, v).toString)
+    val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val tags = cols.map { c =>
+      val dt = fields.getOrElse(c,
+        throw new IllegalArgumentException(s"stats column $c not in table schema"))
+      val tag = dt match {
+        case _: org.apache.spark.sql.types.NumericType => "n"
+        case org.apache.spark.sql.types.StringType     => "s"
+        case other => throw new IllegalArgumentException(
+          s"stats column $c: unsupported type ${other.simpleString} (numeric/string only)")
+      }
+      c -> tag
+    }
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
+    val rows = df.groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val lines = rows.flatMap { r =>
+      val name = new Path(r.getString(0)).getName
+      tags.map { case (c, tag) =>
+        val mn = r.get(r.fieldIndex(s"__min_$c"))
+        val mx = r.get(r.fieldIndex(s"__max_$c"))
+        def enc(x: Any) = if (x == null) NullMark else esc(x.toString)
+        s"${esc(name)}\t${esc(c)}\t$tag\t${enc(mn)}\t${enc(mx)}"
+      }
+    }
+    val sp = statsPath(root, v)
+    val tmp = new Path(logDir(root), f".tmp_stats_v$v%08d")
+    val f = fs(spark, sp)
+    val out = f.create(tmp, true)
+    try out.write(lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!f.rename(tmp, sp))
+      throw new IllegalStateException(s"could not publish stats $sp")
+  }
+
+  /** Files of `version` that can contain rows with `column` in [lo, hi],
+    * plus the total file count — the skipping decision, exposed for the
+    * spec. No sidecar (or no stats for a file/column) → file kept: stats
+    * only ever REMOVE certainly-empty work. An all-null file is pruned
+    * (BETWEEN never matches NULL).
+    */
+  private[graft] def candidateFiles(spark: SparkSession, root: String,
+                                    version: Long, column: String,
+                                    lo: Any, hi: Any): (Seq[Path], Int) = {
+    val dd = dataDir(root, version)
+    val f = fs(spark, dd)
+    val all = f.listStatus(dd).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).toSeq
+    val sp = statsPath(root, version)
+    if (!f.exists(sp)) return (all, all.size)
+    val in = f.open(sp)
+    val text = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    val span: Map[String, (String, String, String)] =
+      text.split("\n").filter(_.nonEmpty).flatMap { line =>
+        line.split("\t", -1) match {
+          case Array(file, c, tag, mn, mx) if unesc(c) == column =>
+            Some(unesc(file) -> (tag, mn, mx))
+          case _ => None
+        }
+      }.toMap
+    def overlaps(tag: String, mn: String, mx: String): Boolean = {
+      if (mn == NullMark || mx == NullMark) return false // all-null file
+      if (tag == "n") {
+        val (l, h) = (BigDecimal(lo.toString), BigDecimal(hi.toString))
+        !(BigDecimal(unesc(mx)) < l || BigDecimal(unesc(mn)) > h)
+      } else {
+        val (l, h) = (lo.toString, hi.toString)
+        !(unesc(mx) < l || unesc(mn) > h)
+      }
+    }
+    val kept = all.filter { p =>
+      span.get(p.getName) match {
+        case Some((tag, mn, mx)) => overlaps(tag, mn, mx)
+        case None                => true // no stats: never wrongly prune
+      }
+    }
+    (kept, all.size)
+  }
+
+  /** Range read with file skipping: scan only the files whose stats span
+    * intersects [lo, hi], then apply the exact predicate as the residual
+    * filter (stats prune FILES, the filter prunes ROWS — results are
+    * identical to `read(...).filter(between)` by construction). Reads the
+    * current version unless one is pinned.
+    */
+  def readBetween(spark: SparkSession, root: String, column: String,
+                  lo: Any, hi: Any, version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val v = version.getOrElse(currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root")))
+    val m = manifestPath(root, v)
+    require(fs(spark, m).exists(m),
+      s"version $v does not exist (never committed, or vacuumed) at $root")
+    val (kept, _) = candidateFiles(spark, root, v, column, lo, hi)
+    val schema = spark.read.parquet(dataDir(root, v).toString).schema
+    val base =
+      if (kept.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(kept.map(_.toString): _*)
+    base.filter(col(column).between(lit(lo), lit(hi)))
+  }
+
   /** Remove manifests and data directories ABOVE the committed pointer —
     * the debris of a writer that crashed between manifest publish and
     * pointer swap. Those versions were never visible to any reader, so
@@ -310,7 +467,11 @@ object SnapshotLog {
       if (n.endsWith(".manifest") && n.stripPrefix("v").stripSuffix(".manifest").toLong > committed) {
         val v = n.stripPrefix("v").stripSuffix(".manifest").toLong
         f.delete(st.getPath, false)
+        f.delete(statsPath(root, v), false)
         f.delete(dataDir(root, v), true)
+      } else if (n.endsWith(".stats") &&
+                 n.stripPrefix("v").stripSuffix(".stats").toLong > committed) {
+        f.delete(st.getPath, false) // stats published, crash before manifest
       } else if (n.startsWith(".tmp_")) f.delete(st.getPath, false)
     }
     // a data dir without its manifest (crash inside stageVersion)
@@ -347,6 +508,7 @@ object SnapshotLog {
     val f = fs(spark, logDir(root))
     vs.dropRight(keep).foreach { v =>
       f.delete(manifestPath(root, v), false)
+      f.delete(statsPath(root, v), false)
       f.delete(dataDir(root, v), true)
     }
   }

@@ -9,10 +9,12 @@ object JoinAudit {
   //  - q09 cross of tiny inputs; q32/q41 all-pairs exact-oracle baselines
   //    (LSH/IVF/PQ are the scale paths); q10 band self-join baseline
   //    (x10 is the banded equi twin); q50 scalar-subquery side results;
-  //  - q35/q59: a 1-row count/cutoff broadcast attached via BNLJ — a
-  //    scalar attach, constant work at any corpus size.
+  //  - q35/q59/q88: a 1-row count/cutoff/boilerplate-set broadcast
+  //    attached via BNLJ — a scalar attach, constant work at any corpus
+  //    size (q88's array is Zipf-bounded by L/θ, see Training.q88).
   private val allowed = Set("q09_cross", "q32_knn_cosine", "q41_cosine_near_dup",
-    "q10_range_join", "q50_scalar_subquery", "q35_tfidf", "q59_contamination")
+    "q10_range_join", "q50_scalar_subquery", "q35_tfidf", "q59_contamination",
+    "q88_df_prune")
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")

@@ -272,7 +272,9 @@ class MultimodalSpec extends SparkSpecBase {
       val frames = byMedia(r.media_id).sortBy(_._2)
       assert(frames.length == nf, s"media ${r.media_id}: ${frames.length} != $nf")
       frames.foreach { case (_, _, off, len) =>
-        assert(len == w * h * 3, s"frame length $len != ${w * h * 3}")
+        // conformant DIB frames: stride-padded rows, not tight w·3
+        assert(len == Multimodal.dibStride(w) * h,
+          s"frame length $len != ${Multimodal.dibStride(w) * h}")
         // the indexed window must sit inside the payload and start right
         // after a '00db' chunk header — offsets are REAL, not modular
         assert(off >= 8 && off + len <= r.payload.length)
@@ -287,6 +289,77 @@ class MultimodalSpec extends SparkSpecBase {
       val nf = (5 + (id % 7)).toInt
       assert(sampledCounts(id) == (nf + 1) / 2, s"media $id sampled count")
     }
+  }
+
+  test("real AVI pixel decode: frames recovered pixel-exact through DIB layout and parquet") {
+    import spark.implicits._
+    val avis = Multimodal.syntheticAviCorpus(spark, 12)
+    // through the real storage path, like the PNG/WAV decode tests
+    val dir = Files.createTempDirectory("graft_avipix").toString + "/avis"
+    avis.toDF().write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir).as[Multimodal.MediaRow]
+    val px = Multimodal.decodeFramePixels(back).collect()
+      .map(f => (f.media_id, f.frame_idx) -> f).toMap
+    (0L until 12L).foreach { id =>
+      val w = 2 + (id % 5).toInt
+      val h = 2 + (id % 4).toInt  // includes odd widths → stride != w·3
+      val nf = 5 + (id % 7).toInt
+      (0 until nf).foreach { f =>
+        val got = px((id, f))
+        assert(got.width == w && got.height == h, got.toString)
+        // pixel-exact round trip: top-down RGB == the generator formula
+        assert(got.rgb.toSeq == Multimodal.aviCorpusPixels(id, f, w, h).toSeq,
+          s"media $id frame $f pixels differ")
+      }
+    }
+    // structural sampling skips frames, never emits then filters
+    val every3 = Multimodal.decodeFramePixels(back, everyNth = 3).collect()
+    assert(every3.nonEmpty && every3.forall(_.frame_idx % 3 == 0))
+  }
+
+  test("frame stats: channel means match driver math; undecodable payloads keep an ok=false row") {
+    import spark.implicits._
+    val avis = Multimodal.syntheticAviCorpus(spark, 3)
+    val stats = Multimodal.frameStats(avis).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r).toMap
+    // driver-side oracle for media 1, frame 0
+    val rgb = Multimodal.aviCorpusPixels(1L, 0, 3, 3)
+    val mr = rgb.grouped(3).map(p => p(0) & 0xff).sum / 9.0
+    val mg = rgb.grouped(3).map(p => p(1) & 0xff).sum / 9.0
+    val mb = rgb.grouped(3).map(p => p(2) & 0xff).sum / 9.0
+    val row = stats((1L, 0))
+    assert(row.getBoolean(2))
+    assert(math.abs(row.getDouble(3) - mr) < 1e-9, row.toString)
+    assert(math.abs(row.getDouble(4) - mg) < 1e-9, row.toString)
+    assert(math.abs(row.getDouble(5) - mb) < 1e-9, row.toString)
+    assert(math.abs(row.getDouble(6) - (0.299 * mr + 0.587 * mg + 0.114 * mb)) < 1e-9)
+    // a COMPRESSED stream (biCompression != 0, '00dc' chunks) and junk
+    // both yield no pixels — but stay visible as ok=false facts
+    val compressed = Multimodal.buildAvi(4, 2, 10,
+      Seq(Array.fill[Byte](24)(7)), compression = 0x34363248L /* 'H264' */)
+    val hard = Seq(
+      Multimodal.MediaRow(900L, Multimodal.MediaMeta("video", 4, 2, 0L, "video/avi"), compressed),
+      Multimodal.MediaRow(901L, Multimodal.MediaMeta("video", 0, 0, 0L, "junk"), Array[Byte](1, 2))
+    ).toDS()
+    assert(Multimodal.decodeFramePixels(hard).collect().isEmpty,
+      "compressed/corrupt payloads must yield no pixel rows")
+    val facts = Multimodal.frameStats(hard).collect()
+    assert(facts.length == 2 && facts.forall(r => !r.getBoolean(2) && r.getInt(1) == -1),
+      facts.mkString(";"))
+  }
+
+  test("DIB codec: stride padding and bottom-up BGR round-trip; geometry mismatch is a None fact") {
+    // odd width: stride 12 != 9 — padding bytes exercised
+    val rgb = Array.tabulate[Byte](3 * 2 * 3)(i => (i * 11 % 251).toByte)
+    val dib = Multimodal.encodeDib(3, 2, rgb)
+    assert(dib.length == Multimodal.dibStride(3) * 2)
+    assert(Multimodal.decodeDib(3, 2, dib).get.toSeq == rgb.toSeq)
+    // bottom-up + BGR actually applied: first dib row is the LAST rgb row
+    // with channels swapped
+    assert(dib(0) == rgb(3 * 3 + 2) && dib(2) == rgb(3 * 3))
+    // wrong byte count → None, not an exception
+    assert(Multimodal.decodeDib(3, 2, dib.dropRight(1)).isEmpty)
+    assert(Multimodal.decodeDib(0, 2, Array.emptyByteArray).isEmpty)
   }
 
   test("metadata-only query prunes the payload column at the parquet scan") {

@@ -85,7 +85,16 @@ object Layout {
     * simultaneously, which no single-key sort can do.
     */
   def writeZOrdered(df: DataFrame, path: String, clusterCols: Seq[String],
-                    nFiles: Int, bits: Int = 8): Unit = {
+                    nFiles: Int, bits: Int = 8): Unit =
+    zArrange(df, clusterCols, nFiles, bits).write.mode("overwrite").parquet(path)
+
+  /** The Z-order ARRANGEMENT without the write — so the Morton layout
+    * composes with any sink that preserves partitioning, in particular
+    * [[SnapshotLog.commit]] (whose per-file stats then skip files on
+    * EITHER cluster column — proven in SnapshotLogSpec).
+    */
+  def zArrange(df: DataFrame, clusterCols: Seq[String],
+               nFiles: Int, bits: Int = 8): DataFrame = {
     require(clusterCols.size >= 2, "z-order needs >= 2 columns (use writeRangeClustered for 1)")
     require(bits >= 1 && bits * clusterCols.size <= 62, s"bits=$bits too wide")
     val aggs = clusterCols.flatMap(c =>
@@ -118,7 +127,6 @@ object Layout {
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.mode("overwrite").parquet(path)
   }
 
   /** Small-files compaction: rewrite a parquet dataset into files near

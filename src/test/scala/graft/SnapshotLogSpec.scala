@@ -183,6 +183,30 @@ class SnapshotLogSpec extends SparkSpecBase {
     assert(empty.columns.toSeq == Seq("id", "m") && empty.count() == 0)
   }
 
+  test("file skipping composes with Z-order: narrow ranges on EITHER cluster column prune files") {
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot()
+    // two independent dims over a 100×100 grid — a single-key sort can
+    // only tighten per-file spans on one of them; the Morton arrangement
+    // tightens both, so stats prune on both
+    val df = spark.range(10000).toDF("id")
+      .withColumn("x", col("id") % 100)
+      // div, not `/`: Spark's `/` is true (double) division
+      .withColumn("y", org.apache.spark.sql.functions.expr("id div 100"))
+    val arranged = graft.sources.Layout.zArrange(df, Seq("x", "y"), nFiles = 16)
+    SnapshotLog.commit(spark, root, arranged, statsCols = Seq("x", "y"))
+    val (kx, total) = SnapshotLog.candidateFiles(spark, root, 1L, "x", 10, 15)
+    val (ky, _)     = SnapshotLog.candidateFiles(spark, root, 1L, "y", 80, 85)
+    assert(total == 16, s"expected 16 files, got $total")
+    assert(kx.size < total, s"x-range should prune: kept ${kx.size} of $total")
+    assert(ky.size < total, s"y-range should prune: kept ${ky.size} of $total")
+    // and the pruned reads are exactly the full-scan filters
+    val xs = SnapshotLog.readBetween(spark, root, "x", 10, 15).count()
+    val ys = SnapshotLog.readBetween(spark, root, "y", 80, 85).count()
+    assert(xs == 6 * 100, s"x rows $xs") // 6 x-values × 100 y-values
+    assert(ys == 6 * 100, s"y rows $ys")
+  }
+
   test("file skipping: stats sidecar follows vacuum and orphan recovery; escaped values round-trip") {
     val root = freshRoot()
     // tab/newline/backslash in string stats must round-trip the sidecar

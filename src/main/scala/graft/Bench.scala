@@ -88,7 +88,13 @@ object Bench {
       // page depth; the keyset fetch is depth-independent. Timing here
       // includes the cursor walk (pages 1-2), i.e. the full cost of
       // reaching page 3 cold — directly comparable with q75's one fetch.
-      "x75_keyset_page" -> ((s, dir) => graft.engine.SetOps.x75(s, dir)))
+      "x75_keyset_page" -> ((s, dir) => graft.engine.SetOps.x75(s, dir)),
+      // x69 is the sketch twin of q69's exact percentiles: a mergeable
+      // constant-size approx_percentile sketch per group instead of
+      // percentile_cont's every-value ObjectHashAggregate buffer (the
+      // hot-group OOM at scale). Rank error ≤ 1/10000, bounded vs exact
+      // in ExtrasSpec.
+      "x69_approx_percentiles" -> ((s, dir) => graft.engine.Aggregates.x69(s, dir)))
     // A failed query records -1 (not its time-to-failure) so the JSON
     // output is never mistaken for an all-green run.
     // Each query runs `reps` times and reports the MIN: host-level noise on

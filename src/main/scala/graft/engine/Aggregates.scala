@@ -280,6 +280,27 @@ object Aggregates {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // x69 — the sketch twin of q69's exact percentiles (bench-only, no
+  // oracle: sketch results are accuracy-dependent, SURVEY §2.0.10).
+  // Exact percentile_cont buffers EVERY group value in its
+  // ObjectHashAggregate state — a hot group at 100 TB is an executor
+  // OOM, and the buffer rides the shuffle. approx_percentile keeps a
+  // MERGEABLE constant-size sketch per group (map-side partial combine,
+  // plan-asserted in ExtrasSpec), trading ≤ 1/accuracy rank error —
+  // bounded vs q69 in the same spec. One sketch pass serves all three
+  // requested percentiles.
+  def x69(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("approx_percentile(o_totalprice, array(0.25D, 0.5D, 0.9D), 10000)")
+          .as("pcts"),
+        count(lit(1)).as("n"))
+      .select(col("o_orderpriority"),
+        col("pcts")(0).as("p25"), col("pcts")(1).as("p50"),
+        col("pcts")(2).as("p90"), col("n"))
+      .orderBy("o_orderpriority")
+
   // q74 — bitwise + boolean aggregates (round 5): bit_or/bit_and/bit_xor
   // over keys and bool_and/bool_or over predicates, per status. All four
   // are commutative-associative partial states — two-phase hash agg, the

@@ -60,6 +60,28 @@ class ExtrasSpec extends SparkSpecBase {
     assert(row.getLong(2) == lines.size)
   }
 
+  test("x69 approx percentiles: ≤1% of exact per group, sketch merges map-side") {
+    val exact = graft.engine.Aggregates.q69(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approxDf = graft.engine.Aggregates.x69(spark, sf001)
+    val approx = approxDf.collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (k, (a25, a50, a90)) =>
+      val (e25, e50, e90) = exact(k)
+      Seq((a25, e25, "p25"), (a50, e50, "p50"), (a90, e90, "p90")).foreach {
+        case (a, e, tag) =>
+          assert(math.abs(a - e) / e < 0.01, f"$k $tag: approx $a vs exact $e")
+      }
+    }
+    // the scale fact: the sketch is MERGEABLE — a map-side partial
+    // aggregate combines before the shuffle (percentile_cont's
+    // every-value buffer also partials, but its state is O(group))
+    val plan = approxDf.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_approx_percentile"),
+      "expected map-side sketch combine:\n" + plan)
+  }
+
   test("exact_median Aggregator agrees with percentile_cont") {
     Extras.registerExactMedian(spark)
     Tables.lineitem(spark, sf0001).createOrReplaceTempView("li_median_test")

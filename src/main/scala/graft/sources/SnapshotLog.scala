@@ -118,10 +118,14 @@ object SnapshotLog {
     * the committed version number. This is the transactional replacement
     * for a blind `overwrite`: concurrent readers keep their version.
     * `statsCols` (numeric or string columns) opts the version into
-    * per-file min/max collection for [[readBetween]] file skipping.
+    * per-file min/max collection for [[readBetween]] file skipping;
+    * `bloomCols` additionally builds per-file Bloom filters for
+    * [[readEquals]] point-lookup skipping (the case min/max cannot help:
+    * a hash-distributed key spans every file).
     */
   def commit(spark: SparkSession, root: String, df: DataFrame,
-             statsCols: Seq[String] = Nil): Long = {
+             statsCols: Seq[String] = Nil,
+             bloomCols: Seq[String] = Nil): Long = {
     val ld = logDir(root)
     val f = fs(spark, ld)
     f.mkdirs(ld)
@@ -140,7 +144,8 @@ object SnapshotLog {
     try {
       recoverOrphans(spark, root)
       val next = currentVersion(spark, root).getOrElse(0L) + 1L
-      stageVersion(spark, root, df, next, statsCols = statsCols)
+      stageVersion(spark, root, df, next, statsCols = statsCols,
+        bloomCols = bloomCols)
       publishLatest(spark, root, next)
       next
     } finally f.delete(claim, false)
@@ -172,10 +177,12 @@ object SnapshotLog {
   private[graft] def stageVersion(spark: SparkSession, root: String,
                                   df: DataFrame, v: Long,
                                   batchId: Long = -1L,
-                                  statsCols: Seq[String] = Nil): Unit = {
+                                  statsCols: Seq[String] = Nil,
+                                  bloomCols: Seq[String] = Nil): Unit = {
     val dd = dataDir(root, v)
     df.write.mode("overwrite").parquet(dd.toString)
-    if (statsCols.nonEmpty) writeStats(spark, root, v, statsCols)
+    if (statsCols.nonEmpty || bloomCols.nonEmpty)
+      writeStats(spark, root, v, statsCols, bloomCols)
     val m = manifestPath(root, v)
     val tmp = new Path(logDir(root), f".tmp_manifest_v$v%08d")
     val f = fs(spark, m)
@@ -344,9 +351,30 @@ object SnapshotLog {
     * version dir); min/max semantics are Spark's own orderings, so the
     * prune-time compare reuses exactly the write-time comparator.
     */
+  // Bloom geometry: 8192 bits / 3 hashes ⇒ ~3% false-keep per file at
+  // 1k distinct values per file; a false positive only costs a scanned
+  // file, never a wrong row (the residual filter decides rows).
+  private[graft] val BloomBits = 8192
+  private[graft] val BloomHashes = 3
+
+  /** The k bit positions a value sets / must have set — driver-side
+    * Catalyst eval of the SAME xxhash64 the build pass uses, so query
+    * and build can never disagree on the hash.
+    */
+  private def bloomPositions(value: Any): Seq[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    (0 until BloomHashes).map { i =>
+      // seed 42 = the SQL xxhash64() default, matching the build pass
+      val h = XxHash64(Seq(Literal(i), Literal.create(value)), 42L)
+        .eval(null).asInstanceOf[Long]
+      (math.floorMod(h, BloomBits.toLong)).toInt
+    }
+  }
+
   private def writeStats(spark: SparkSession, root: String, v: Long,
-                         cols: Seq[String]): Unit = {
-    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+                         cols: Seq[String], bloomCols: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions.{array, col, collect_set, explode,
+      input_file_name, lit, max, min, pmod, xxhash64}
     val df = spark.read.parquet(dataDir(root, v).toString)
     val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val tags = cols.map { c =>
@@ -360,24 +388,49 @@ object SnapshotLog {
       }
       c -> tag
     }
-    val aggs = cols.flatMap(c =>
-      Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
-    val rows = df.groupBy(input_file_name().as("__file"))
-      .agg(aggs.head, aggs.tail: _*).collect()
-    val lines = rows.flatMap { r =>
-      val name = new Path(r.getString(0)).getName
-      tags.map { case (c, tag) =>
-        val mn = r.get(r.fieldIndex(s"__min_$c"))
-        val mx = r.get(r.fieldIndex(s"__max_$c"))
-        def enc(x: Any) = if (x == null) NullMark else esc(x.toString)
-        s"${esc(name)}\t${esc(c)}\t$tag\t${enc(mn)}\t${enc(mx)}"
+    val lines = Vector.newBuilder[String]
+    if (cols.nonEmpty) {
+      val aggs = cols.flatMap(c =>
+        Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
+      val rows = df.groupBy(input_file_name().as("__file"))
+        .agg(aggs.head, aggs.tail: _*).collect()
+      rows.foreach { r =>
+        val name = new Path(r.getString(0)).getName
+        tags.foreach { case (c, tag) =>
+          val mn = r.get(r.fieldIndex(s"__min_$c"))
+          val mx = r.get(r.fieldIndex(s"__max_$c"))
+          def enc(x: Any) = if (x == null) NullMark else esc(x.toString)
+          lines += s"${esc(name)}\t${esc(c)}\t$tag\t${enc(mn)}\t${enc(mx)}"
+        }
       }
     }
+    // Bloom pass: per (file, col), the SET of bit positions its values
+    // light — collect_set is bounded by BloomBits ints per file, the
+    // distributed analog of building the bitmap executor-side. NULLs set
+    // no bits (point lookups are non-null by contract).
+    bloomCols.foreach { c =>
+      require(fields.contains(c),
+        s"bloom column $c not in table schema")
+      val posCols = (0 until BloomHashes).map(i =>
+        pmod(xxhash64(lit(i), col(c)), lit(BloomBits.toLong)).cast("int"))
+      val rows = df.filter(col(c).isNotNull)
+        .select(input_file_name().as("__file"), explode(array(posCols: _*)).as("__pos"))
+        .groupBy("__file").agg(collect_set("__pos").as("__bits"))
+        .collect()
+      rows.foreach { r =>
+        val name = new Path(r.getString(0)).getName
+        val bs = new java.util.BitSet(BloomBits)
+        r.getSeq[Int](1).foreach(bs.set)
+        val hex = bs.toByteArray.map(b => f"${b & 0xff}%02x").mkString
+        lines += s"${esc(name)}\t${esc(c)}\tb\t$hex\t$BloomHashes"
+      }
+    }
+    val allLines = lines.result()
     val sp = statsPath(root, v)
     val tmp = new Path(logDir(root), f".tmp_stats_v$v%08d")
     val f = fs(spark, sp)
     val out = f.create(tmp, true)
-    try out.write(lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(allLines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (!f.rename(tmp, sp))
       throw new IllegalStateException(s"could not publish stats $sp")
@@ -404,7 +457,7 @@ object SnapshotLog {
     val span: Map[String, (String, String, String)] =
       text.split("\n").filter(_.nonEmpty).flatMap { line =>
         line.split("\t", -1) match {
-          case Array(file, c, tag, mn, mx) if unesc(c) == column =>
+          case Array(file, c, tag, mn, mx) if unesc(c) == column && tag != "b" =>
             Some(unesc(file) -> (tag, mn, mx))
           case _ => None
         }
@@ -426,6 +479,67 @@ object SnapshotLog {
       }
     }
     (kept, all.size)
+  }
+
+  /** Files of `version` that can contain rows with `column == value` per
+    * their Bloom filters (plus min/max when both exist), and the total —
+    * the point-lookup skipping decision. A file whose bloom lacks any of
+    * the value's k bits CANNOT contain it (no false negatives by
+    * construction); a false positive merely scans a file the residual
+    * filter then empties. No bloom for a file/column → kept.
+    */
+  private[graft] def candidateFilesEquals(spark: SparkSession, root: String,
+                                          version: Long, column: String,
+                                          value: Any): (Seq[Path], Int) = {
+    val (rangeKept, total) =
+      candidateFiles(spark, root, version, column, value, value)
+    val sp = statsPath(root, version)
+    val f = fs(spark, sp)
+    if (!f.exists(sp)) return (rangeKept, total)
+    val in = f.open(sp)
+    val text = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    val blooms: Map[String, java.util.BitSet] =
+      text.split("\n").filter(_.nonEmpty).flatMap { line =>
+        line.split("\t", -1) match {
+          case Array(file, c, "b", hex, _) if unesc(c) == column =>
+            val bytes = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+            Some(unesc(file) -> java.util.BitSet.valueOf(bytes))
+          case _ => None
+        }
+      }.toMap
+    val pos = bloomPositions(value)
+    val kept = rangeKept.filter { p =>
+      blooms.get(p.getName) match {
+        case Some(bs) => pos.forall(bs.get)
+        case None     => true // no bloom: never wrongly prune
+      }
+    }
+    (kept, total)
+  }
+
+  /** Point-lookup read with Bloom + min/max file skipping — the case a
+    * range span cannot prune (hash-distributed keys overlap every file's
+    * [min,max]) but a per-file membership sketch can. Results identical
+    * to `read(...).filter(col === value)` by construction: skipping only
+    * removes files PROVEN not to contain the value, the residual filter
+    * decides rows.
+    */
+  def readEquals(spark: SparkSession, root: String, column: String,
+                 value: Any, version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val v = version.getOrElse(currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root")))
+    val m = manifestPath(root, v)
+    require(fs(spark, m).exists(m),
+      s"version $v does not exist (never committed, or vacuumed) at $root")
+    val (kept, _) = candidateFilesEquals(spark, root, v, column, value)
+    val schema = spark.read.parquet(dataDir(root, v).toString).schema
+    val base =
+      if (kept.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(kept.map(_.toString): _*)
+    base.filter(col(column) === lit(value))
   }
 
   /** Range read with file skipping: scan only the files whose stats span

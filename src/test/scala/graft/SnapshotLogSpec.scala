@@ -207,6 +207,36 @@ class SnapshotLogSpec extends SparkSpecBase {
     assert(ys == 6 * 100, s"y rows $ys")
   }
 
+  test("bloom skipping: point lookups prune hash-distributed keys that min/max cannot") {
+    import org.apache.spark.sql.functions._
+    val root = freshRoot()
+    // keys shuffled round-robin: every file's [min,max] spans ~the whole
+    // domain, so range stats keep everything — the bloom must do the work
+    val df = spark.range(8000).toDF("id")
+      .withColumn("key", concat(lit("k"), col("id")))
+      .repartition(8) // hash distribution, no clustering
+    SnapshotLog.commit(spark, root, df,
+      statsCols = Seq("id"), bloomCols = Seq("key", "id"))
+    // range stats alone cannot prune the round-robin id layout
+    val (rangeKept, total) = SnapshotLog.candidateFiles(spark, root, 1L, "id", 4242, 4242)
+    assert(total == 8 && rangeKept.size == total,
+      s"hash layout should defeat min/max: kept ${rangeKept.size} of $total")
+    // bloom prunes to ~the one file actually holding the key (false
+    // positives allowed — a few extra files — but never ALL files)
+    val (bk, _) = SnapshotLog.candidateFilesEquals(spark, root, 1L, "key", "k4242")
+    assert(bk.size < total, s"bloom should prune: kept ${bk.size} of $total")
+    val (bkNum, _) = SnapshotLog.candidateFilesEquals(spark, root, 1L, "id", 4242L)
+    assert(bkNum.size < total, s"numeric bloom should prune: kept ${bkNum.size} of $total")
+    // and results are exactly the full-scan filter
+    val hit = SnapshotLog.readEquals(spark, root, "key", "k4242").collect()
+    assert(hit.length == 1 && hit(0).getLong(0) == 4242L, hit.mkString(";"))
+    // an absent key reads zero rows (usually zero files)
+    assert(SnapshotLog.readEquals(spark, root, "key", "missing").count() == 0)
+    // no bloom for a column → equality read still correct via full keep
+    val hit2 = SnapshotLog.readEquals(spark, root, "id", 17L).collect()
+    assert(hit2.length == 1 && hit2(0).getString(1) == "k17")
+  }
+
   test("file skipping: stats sidecar follows vacuum and orphan recovery; escaped values round-trip") {
     val root = freshRoot()
     // tab/newline/backslash in string stats must round-trip the sidecar

@@ -351,11 +351,16 @@ object SnapshotLog {
     * version dir); min/max semantics are Spark's own orderings, so the
     * prune-time compare reuses exactly the write-time comparator.
     */
-  // Bloom geometry: 8192 bits / 3 hashes ⇒ ~3% false-keep per file at
-  // 1k distinct values per file; a false positive only costs a scanned
-  // file, never a wrong row (the residual filter decides rows).
-  private[graft] val BloomBits = 8192
+  // Bloom geometry: 32768 bits (4 KB/file/col in the sidecar) / 3 hashes
+  // ⇒ ~1.5% false-keep per file at ~3k distinct values per file (the
+  // sf0.1 regime, measured in SkipBench); a false positive only costs a
+  // scanned file, never a wrong row (the residual filter decides rows).
+  // Production sizing keys off expected ndv/file — a SATURATED bloom
+  // (most bits set) cannot discriminate, so [[writeStats]] omits it
+  // rather than publish a filter that keeps everything anyway.
+  private[graft] val BloomBits = 32768
   private[graft] val BloomHashes = 3
+  private[graft] val BloomSaturation = 0.5 // max set-bit fraction worth keeping
 
   /** The k bit positions a value sets / must have set — driver-side
     * Catalyst eval of the SAME xxhash64 the build pass uses, so query
@@ -421,8 +426,12 @@ object SnapshotLog {
         val name = new Path(r.getString(0)).getName
         val bs = new java.util.BitSet(BloomBits)
         r.getSeq[Int](1).foreach(bs.set)
-        val hex = bs.toByteArray.map(b => f"${b & 0xff}%02x").mkString
-        lines += s"${esc(name)}\t${esc(c)}\tb\t$hex\t$BloomHashes"
+        // saturated filter ⇒ near-certain false positives on every probe:
+        // omitting it reads as "no stats → keep", same outcome, honest log
+        if (bs.cardinality() <= BloomBits * BloomSaturation) {
+          val hex = bs.toByteArray.map(b => f"${b & 0xff}%02x").mkString
+          lines += s"${esc(name)}\t${esc(c)}\tb\t$hex\t$BloomHashes"
+        }
       }
     }
     val allLines = lines.result()

@@ -154,12 +154,16 @@ object SnapshotLog {
   /** Transactional upsert: merge `batch` into the current snapshot by
     * `keys` ([[Upsert.upsert]] semantics) and commit the result as a new
     * version. First commit on an empty table is the batch itself.
+    * Stats/bloom columns propagate to the committed version like
+    * [[commit]]'s.
     */
   def upsert(spark: SparkSession, root: String, batch: DataFrame,
-             keys: Seq[String]): Long =
+             keys: Seq[String], statsCols: Seq[String] = Nil,
+             bloomCols: Seq[String] = Nil): Long =
     currentVersion(spark, root) match {
-      case Some(_) => commit(spark, root, Upsert.upsert(read(spark, root), batch, keys))
-      case None    => commit(spark, root, batch)
+      case Some(_) => commit(spark, root,
+        Upsert.upsert(read(spark, root), batch, keys), statsCols, bloomCols)
+      case None    => commit(spark, root, batch, statsCols, bloomCols)
     }
 
   /** Transactional delete-by-key ([[Upsert.deleteByKey]] + commit). */
@@ -225,7 +229,9 @@ object SnapshotLog {
     * same as [[commit]]).
     */
   def commitBatch(spark: SparkSession, root: String, batch: DataFrame,
-                  keys: Seq[String], batchId: Long): Option[Long] = {
+                  keys: Seq[String], batchId: Long,
+                  statsCols: Seq[String] = Nil,
+                  bloomCols: Seq[String] = Nil): Option[Long] = {
     require(batchId >= 0, s"negative batchId $batchId")
     if (lastBatchId(spark, root).exists(_ >= batchId)) return None
     val merged = currentVersion(spark, root) match {
@@ -252,7 +258,7 @@ object SnapshotLog {
       if (lastBatchId(spark, root).exists(_ >= batchId)) None
       else {
         val next = currentVersion(spark, root).getOrElse(0L) + 1L
-        stageVersion(spark, root, merged, next, batchId)
+        stageVersion(spark, root, merged, next, batchId, statsCols, bloomCols)
         publishLatest(spark, root, next)
         Some(next)
       }

@@ -260,6 +260,27 @@ class SnapshotLogSpec extends SparkSpecBase {
     assert(rows(SnapshotLog.read(spark, root)) == Set(6 -> "after"))
   }
 
+  test("schema evolution: a widened commit coexists with old versions; time travel keeps old schemas") {
+    import org.apache.spark.sql.functions.lit
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root, kv(1 -> "a"))
+    // v2 adds a column — each version is an independent snapshot, so no
+    // retro-rewrite and no reader coordination
+    SnapshotLog.commit(spark, root, kv(1 -> "a", 2 -> "b").withColumn("score", lit(7)))
+    assert(SnapshotLog.read(spark, root).columns.toSeq == Seq("k", "v", "score"))
+    assert(SnapshotLog.readVersion(spark, root, 1L).columns.toSeq == Seq("k", "v"))
+    // the CDC feed refuses a cross-schema diff loudly instead of
+    // fabricating NULL-change rows
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.changesBetween(spark, root, 1L, 2L, Seq("k"))
+    }
+    assert(e.getMessage.contains("schema changed"), e.getMessage)
+    // stats work on the new column immediately
+    SnapshotLog.commit(spark, root,
+      kv(1 -> "a", 2 -> "b").withColumn("score", lit(9)), statsCols = Seq("score"))
+    assert(SnapshotLog.readBetween(spark, root, "score", 8, 10).count() == 2)
+  }
+
   test("vacuum drops superseded versions, keeps the current one readable") {
     val root = freshRoot()
     (1 to 4).foreach(i => SnapshotLog.commit(spark, root, kv(i -> s"v$i")))

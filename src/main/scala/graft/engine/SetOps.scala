@@ -160,13 +160,41 @@ object SetOps {
     keysetPage(orders, k, cursor)
   }
 
+  // q89 — schema-drift-tolerant union (round 6): unionByName with
+  // allowMissingColumns aligns columns BY NAME and NULL-fills the gaps —
+  // the corpus-shard merge op (different crawls / ingestion eras carry
+  // different column subsets; positional UNION would silently pair
+  // mismatched columns or refuse). Still a zero-shuffle map-side union:
+  // name alignment is a projection on each branch, not a join. The
+  // deterministic doc_id parity split keeps each source row in exactly
+  // one branch. DuckDB speaks this natively as UNION ALL BY NAME.
+  // NULL-filled n_chars makes the column nullable BIGINT — both engines
+  // write identical nullable int64 parquet, so the driver hash agrees
+  // (same class as q86's nullable word).
+  def q89(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val era1 = docs.filter(col("doc_id") % 2 === 0)
+      .select("doc_id", "lang", "n_chars")
+    val era2 = docs.filter(col("doc_id") % 2 === 1)
+      .select("doc_id", "source")
+    era1.unionByName(era2, allowMissingColumns = true)
+      .orderBy("doc_id")
+  }
+
+  val q89Sql: String =
+    """SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0
+      |UNION ALL BY NAME
+      |SELECT doc_id, source FROM documents WHERE doc_id % 2 = 1
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_topn_global"        -> (q24 _),
     "q25_union_all_distinct" -> (q25 _),
     "q26_intersect"          -> (q26 _),
     "q27_except"             -> (q27 _),
     "q65_setops_all"         -> (q65 _),
-    "q75_offset"             -> (q75 _))
+    "q75_offset"             -> (q75 _),
+    "q89_union_by_name"      -> (q89 _))
 
   val oracle: Map[String, String] = Map(
     "q24_topn_global"        -> q24Sql,
@@ -174,5 +202,6 @@ object SetOps {
     "q26_intersect"          -> q26Sql,
     "q27_except"             -> q27Sql,
     "q65_setops_all"         -> q65Sql,
-    "q75_offset"             -> q75Sql)
+    "q75_offset"             -> q75Sql,
+    "q89_union_by_name"      -> q89Sql)
 }

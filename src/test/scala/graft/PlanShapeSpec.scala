@@ -430,6 +430,17 @@ class PlanShapeSpec extends SparkSpecBase {
       s"window frames re-shuffled on user_id ($exchanges exchanges):\n" + p)
   }
 
+  test("q89: by-name union is a map-side projection pair — only the presentation sort shuffles") {
+    val df = SetOps.q89(spark, sf0001)
+    val p = plan(df)
+    assert(p.contains("Union"), p)
+    // name alignment must not introduce a join or a hash exchange; the
+    // single rangepartitioning exchange is the declared ORDER BY
+    assert(!p.contains("Join"), "union-by-name must not plan a join:\n" + p)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 0, s"unexpected hash exchange in a map-side union:\n" + p)
+  }
+
   test("q88: boilerplate set rides a broadcast; the token stream is never shuffle-joined") {
     val df = Training.q88(spark, sf0001)
     val p = plan(df)

@@ -564,20 +564,37 @@ object SnapshotLog {
     * current version unless one is pinned.
     */
   def readBetween(spark: SparkSession, root: String, column: String,
-                  lo: Any, hi: Any, version: Option[Long] = None): DataFrame = {
+                  lo: Any, hi: Any, version: Option[Long] = None): DataFrame =
+    readWhere(spark, root, Seq((column, lo, hi)), version)
+
+  /** Conjunctive range read: files must survive EVERY range's span check
+    * (the kept set is the intersection), rows must pass the AND of the
+    * exact predicates. On a Z-ordered table this is the payoff query —
+    * each Morton column prunes independently and the conjunction
+    * multiplies the selectivities.
+    */
+  def readWhere(spark: SparkSession, root: String,
+                ranges: Seq[(String, Any, Any)],
+                version: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
+    require(ranges.nonEmpty, "readWhere needs at least one range")
     val v = version.getOrElse(currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed version at $root")))
     val m = manifestPath(root, v)
     require(fs(spark, m).exists(m),
       s"version $v does not exist (never committed, or vacuumed) at $root")
-    val (kept, _) = candidateFiles(spark, root, v, column, lo, hi)
+    val keptSets = ranges.map { case (c, lo, hi) =>
+      candidateFiles(spark, root, v, c, lo, hi)._1.map(_.toString).toSet
+    }
+    val kept = keptSets.reduce(_ intersect _)
     val schema = spark.read.parquet(dataDir(root, v).toString).schema
     val base =
       if (kept.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(kept.map(_.toString): _*)
-    base.filter(col(column).between(lit(lo), lit(hi)))
+      else spark.read.schema(schema).parquet(kept.toSeq.sorted: _*)
+    ranges.foldLeft(base) { case (df, (c, lo, hi)) =>
+      df.filter(col(c).between(lit(lo), lit(hi)))
+    }
   }
 
   /** Remove manifests and data directories ABOVE the committed pointer —

@@ -117,6 +117,12 @@ class SnapshotLogSpec extends SparkSpecBase {
     assert(SnapshotLog.commitBatch(spark, root, kv(3 -> "c"), Seq("k"), 2L).contains(3L))
     SnapshotLog.commit(spark, root, kv(1 -> "compacted"))
     assert(SnapshotLog.lastBatchId(spark, root).isEmpty)
+    // streaming commits carry skipping stats like batch commits do
+    assert(SnapshotLog.commitBatch(spark, root, kv(5 -> "e"), Seq("k"), 3L,
+      statsCols = Seq("k")).contains(5L))
+    assert(new java.io.File(root, "_graft_log/v00000005.stats").exists(),
+      "streaming commit should publish its stats sidecar")
+    assert(rows(SnapshotLog.readBetween(spark, root, "k", 5, 5)) == Set(5 -> "e"))
   }
 
   test("changesBetween: insert/update/delete feed, empty for equal versions, net across gaps") {
@@ -205,6 +211,13 @@ class SnapshotLogSpec extends SparkSpecBase {
     val ys = SnapshotLog.readBetween(spark, root, "y", 80, 85).count()
     assert(xs == 6 * 100, s"x rows $xs") // 6 x-values × 100 y-values
     assert(ys == 6 * 100, s"y rows $ys")
+    // the conjunction intersects the kept sets and multiplies the
+    // selectivities — the Z-order payoff query
+    val both = SnapshotLog.readWhere(spark, root,
+      Seq(("x", 10, 15), ("y", 80, 85)))
+    assert(both.count() == 36, s"6×6 cell, got ${both.count()}")
+    val keptBoth = kx.map(_.toString).toSet.intersect(ky.map(_.toString).toSet)
+    assert(keptBoth.size <= math.min(kx.size, ky.size))
   }
 
   test("bloom skipping: point lookups prune hash-distributed keys that min/max cannot") {

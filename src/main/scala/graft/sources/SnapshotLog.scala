@@ -370,14 +370,24 @@ object SnapshotLog {
 
   /** The k bit positions a value sets / must have set — driver-side
     * Catalyst eval of the SAME xxhash64 the build pass uses, so query
-    * and build can never disagree on the hash.
+    * and build can never disagree on the hash. The probe value is CAST
+    * to the column's type first: xxhash64 is type-sensitive, so probing
+    * a LongType column with an Int (or a string of digits) would
+    * otherwise hash differently than the build pass and WRONGLY prune
+    * files — a silent-missing-rows bug, not a perf miss.
     */
-  private def bloomPositions(value: Any): Seq[Int] = {
-    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+  private def bloomPositions(value: Any,
+                             dt: org.apache.spark.sql.types.DataType): Seq[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
+    val raw = Literal.create(value)
+    val typed =
+      if (raw.dataType == dt) raw
+      else Literal(Cast(raw, dt, Some("UTC")).eval(null), dt)
+    require(typed.value != null,
+      s"probe value $value is not castable to the column type ${dt.simpleString}")
     (0 until BloomHashes).map { i =>
       // seed 42 = the SQL xxhash64() default, matching the build pass
-      val h = XxHash64(Seq(Literal(i), Literal.create(value)), 42L)
-        .eval(null).asInstanceOf[Long]
+      val h = XxHash64(Seq(Literal(i), typed), 42L).eval(null).asInstanceOf[Long]
       (math.floorMod(h, BloomBits.toLong)).toInt
     }
   }
@@ -523,7 +533,9 @@ object SnapshotLog {
           case _ => None
         }
       }.toMap
-    val pos = bloomPositions(value)
+    val dt = spark.read.parquet(dataDir(root, version).toString)
+      .schema.apply(column).dataType
+    val pos = bloomPositions(value, dt)
     val kept = rangeKept.filter { p =>
       blooms.get(p.getName) match {
         case Some(bs) => pos.forall(bs.get)

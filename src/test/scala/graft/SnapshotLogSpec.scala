@@ -248,6 +248,12 @@ class SnapshotLogSpec extends SparkSpecBase {
     // no bloom for a column → equality read still correct via full keep
     val hit2 = SnapshotLog.readEquals(spark, root, "id", 17L).collect()
     assert(hit2.length == 1 && hit2(0).getString(1) == "k17")
+    // type-coercion guard: an Int probe against the LongType bloom must
+    // hash as a long (xxhash64 is type-sensitive) — wrong-type hashing
+    // would silently prune the true file and LOSE the row
+    val hitInt = SnapshotLog.readEquals(spark, root, "id", 4242).collect()
+    assert(hitInt.length == 1 && hitInt(0).getString(1) == "k4242",
+      s"Int probe on Long column lost the row: ${hitInt.length}")
   }
 
   test("file skipping: stats sidecar follows vacuum and orphan recovery; escaped values round-trip") {

@@ -308,6 +308,36 @@ object PropertiesSpec extends Properties("graft") {
       Prop(ok) :| s"states=$states"
     }
 
+  /** The bloom-skipping invariant: for ANY committed table and ANY probe
+    * (present or absent, string or long), readEquals returns exactly the
+    * full-scan filter's rows — a bloom may keep extra files (false
+    * positives cost IO) but may NEVER lose a row (no false negatives).
+    */
+  property("bloom readEquals == full filter for ANY table and probe") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 60L), Gen.alphaStr.map(_.take(4)))),
+      Gen.choose(0L, 70L)) { (pairs, probe) =>
+      import graft.sources.SnapshotLog
+      val root = java.nio.file.Files.createTempDirectory("graft_bloom_prop")
+        .toString + "/table"
+      val schema = StructType(Seq(
+        StructField("k", LongType), StructField("v", StringType)))
+      val rows = pairs.map { case (k, v) => Row(k, v) }
+      SnapshotLog.commit(spark, root,
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema),
+        bloomCols = Seq("k", "v"))
+      val full = SnapshotLog.read(spark, root)
+      def pairsOf(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      val kOk = pairsOf(SnapshotLog.readEquals(spark, root, "k", probe)) ==
+        pairsOf(full.filter(full("k") === probe))
+      val sProbe = pairs.head._2
+      val sOk = pairsOf(SnapshotLog.readEquals(spark, root, "v", sProbe)) ==
+        pairsOf(full.filter(full("v") === sProbe))
+      (Prop(kOk) :| s"long probe $probe lost rows") &&
+        (Prop(sOk) :| s"string probe '$sProbe' lost rows")
+    }
+
   // ---------------------------------------------- context-window chunking
 
   private val chunkTokensGen: Gen[List[String]] =

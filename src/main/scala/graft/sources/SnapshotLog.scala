@@ -350,6 +350,25 @@ object SnapshotLog {
   }
   private val NullMark = "\\N"
 
+  /** Code-point lexicographic string compare == UTF-8 binary order ==
+    * Spark's UTF8String min/max ordering. Java's String `<` compares
+    * UTF-16 code UNITS, which disagrees for supplementary characters
+    * (surrogates 0xD800–0xDFFF sort below high-BMP chars in UTF-16 but
+    * encode code points ABOVE them) — comparing stored Spark min/max
+    * with Java order could wrongly prune a file that contains the probe
+    * (regression-tested with U+FFFD vs U+1F600).
+    */
+  private def cpLess(a: String, b: String): Boolean = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(i)
+      if (ca != cb) return ca < cb
+      i += Character.charCount(ca)
+    }
+    a.length < b.length
+  }
+
   /** One distributed column-pruned pass over the fresh data dir: per-file
     * min/max of each stats column via a groupBy on `input_file_name()`.
     * The collect is O(files × cols) driver rows — bounded like the other
@@ -494,7 +513,7 @@ object SnapshotLog {
         !(BigDecimal(unesc(mx)) < l || BigDecimal(unesc(mn)) > h)
       } else {
         val (l, h) = (lo.toString, hi.toString)
-        !(unesc(mx) < l || unesc(mn) > h)
+        !(cpLess(unesc(mx), l) || cpLess(h, unesc(mn)))
       }
     }
     val kept = all.filter { p =>

@@ -256,6 +256,22 @@ class SnapshotLogSpec extends SparkSpecBase {
       s"Int probe on Long column lost the row: ${hitInt.length}")
   }
 
+  test("string stats compare in code-point order: supplementary chars cannot wrongly prune") {
+    val root = freshRoot()
+    // one file holding U+FFFD and U+1F600: Spark's UTF8String max is 😀
+    // (code point 0x1F600 > 0xFFFD), but Java UTF-16 compareTo says
+    // "😀" < "�" — a UTF-16 comparator would conclude max < probe
+    // and prune the only file that CONTAINS the probe
+    val df = kv(1 -> "�", 2 -> "😀").coalesce(1)
+    SnapshotLog.commit(spark, root, df, statsCols = Seq("v"))
+    val hit = SnapshotLog.readBetween(spark, root, "v", "�", "�").collect()
+    assert(hit.length == 1 && hit(0).getInt(0) == 1,
+      s"supplementary-char ordering pruned the true file: ${hit.length} rows")
+    // and the ASCII fast path still prunes: a range below every value
+    val (kept, total) = SnapshotLog.candidateFiles(spark, root, 1L, "v", " ", "!")
+    assert(kept.isEmpty && total == 1, s"kept ${kept.size} of $total")
+  }
+
   test("file skipping: stats sidecar follows vacuum and orphan recovery; escaped values round-trip") {
     val root = freshRoot()
     // tab/newline/backslash in string stats must round-trip the sidecar

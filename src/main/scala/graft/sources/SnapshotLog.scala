@@ -233,11 +233,8 @@ object SnapshotLog {
                   statsCols: Seq[String] = Nil,
                   bloomCols: Seq[String] = Nil): Option[Long] = {
     require(batchId >= 0, s"negative batchId $batchId")
+    // pre-claim fast path: a replayed batch skips without claim traffic
     if (lastBatchId(spark, root).exists(_ >= batchId)) return None
-    val merged = currentVersion(spark, root) match {
-      case Some(_) => Upsert.upsert(read(spark, root), batch, keys)
-      case None    => batch
-    }
     val ld = logDir(root)
     val f = fs(spark, ld)
     f.mkdirs(ld)
@@ -253,10 +250,17 @@ object SnapshotLog {
       "hard-crashed writer's leftover (remove it and retry)")
     try {
       recoverOrphans(spark, root)
-      // re-check under the claim: the pre-claim fast path above only
-      // avoids the merge work; this one is the correctness gate
+      // re-check under the claim — this one is the correctness gate
       if (lastBatchId(spark, root).exists(_ >= batchId)) None
       else {
+        // the merge resolves the base version UNDER the claim: planning
+        // it earlier would let an interleaved maintenance commit's
+        // changes be silently overwritten by a merge built on the
+        // superseded version (lost update)
+        val merged = currentVersion(spark, root) match {
+          case Some(_) => Upsert.upsert(read(spark, root), batch, keys)
+          case None    => batch
+        }
         val next = currentVersion(spark, root).getOrElse(0L) + 1L
         stageVersion(spark, root, merged, next, batchId, statsCols, bloomCols)
         publishLatest(spark, root, next)

@@ -321,4 +321,50 @@ class EdgeCaseSpec extends SparkSpecBase {
       .collect().map(_.getLong(0)).toSet
     assert(ids == Set(1L, 2L, 3L), ids.toString)
   }
+
+  test("chunkWindows: single-token and exact-boundary docs produce the full-coverage chunk set") {
+    import spark.implicits._
+    // k=5, stride=3: n=1 → 1 chunk; n=5 (== k) → 1 chunk; n=8 (k+s) → 2
+    // chunks; n=6 → ceil(1/3)+1 = 2 chunks, final chunk short
+    val docs = Seq(
+      (1L, "a"),
+      (2L, "a b c d e"),
+      (3L, "a b c d e f g h"),
+      (4L, "a b c d e f")
+    ).toDF("doc_id", "text")
+    val got = graft.engine.Training.chunkWindows(docs, "doc_id", "text", 5, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 0, 1), (2L, 0, 5),
+      (3L, 0, 5), (3L, 1, 5), (4L, 0, 5), (4L, 1, 3)), got.toString)
+  }
+
+  test("compression ratio survives huge repetitive payloads without deflate buffer issues") {
+    import spark.implicits._
+    // 1 MB of repetition: multiple deflate() buffer refills per row —
+    // the while-loop drain must accumulate, not truncate
+    val big = "spam " * 200000
+    val out = graft.engine.TextOps.withCompressionRatio(
+      Seq((1L, big)).toDF("id", "text")).collect()(0)
+    val ratio = out.getDouble(out.fieldIndex("compression_ratio"))
+    assert(ratio > 0.0 && ratio < 0.01, s"1MB repetition should crush: $ratio")
+  }
+
+  test("q88 prune helpers: empty corpus yields an empty (not crashing) result") {
+    import spark.implicits._
+    // the declared q88 reads the fixture; the edge here is the shape on
+    // a filtered-to-empty corpus: collect_set over nothing is [], the
+    // HOF filter against an empty array keeps every token, n_pruned = 0
+    val docs = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val bw = docs.filter(lit(false))
+      .select(explode(split(col("text"), " ")).as("term"))
+      .agg(collect_set("term").as("bw_terms"))
+    val out = docs.crossJoin(broadcast(bw))
+      .select(col("doc_id"),
+        array_join(filter(split(col("text"), " "),
+          w => !array_contains(col("bw_terms"), w)), " ").as("text_pruned"),
+        size(filter(split(col("text"), " "),
+          w => array_contains(col("bw_terms"), w))).as("n_pruned"))
+      .collect()(0)
+    assert(out.getString(1) == "alpha beta" && out.getInt(2) == 0, out.toString)
+  }
 }

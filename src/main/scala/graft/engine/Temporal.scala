@@ -153,6 +153,43 @@ object Temporal {
       |FROM j
       |ORDER BY o_custkey, day""".stripMargin
 
+  /** Linear gap interpolation (test-only; TemporalSpec oracle): repair
+    * missing values per key by interpolating between the NEAREST known
+    * neighbors in time — the time-series cleanup q68's LOCF can't do
+    * (LOCF holds a stale value flat; interpolation reconstructs the
+    * trend between observations). Standard sensor/metric repair before
+    * feature extraction.
+    *
+    * Shape: BOTH direction scans (last non-null before, first non-null
+    * after — value AND its timestamp) are four window functions over the
+    * SAME (key, order) partitioning, so they share ONE exchange (q85's
+    * multi-frame rule; plan-asserted in the spec). Then the fill is
+    * scan-speed arithmetic: v0 + (v1−v0)·(t−t0)/(t1−t0). Edges keep the
+    * one-sided neighbor (leading/trailing gaps extrapolate flat); a key
+    * with no observations stays NULL — a fact, not a failure.
+    *
+    * `tCol` must be numeric (epoch seconds/micros or a grid index):
+    * interpolation weights are ratios of time differences.
+    */
+  def interpolateLinear(df: DataFrame, keyCol: String, tCol: String,
+                        vCol: String, outCol: String = "v_interp"): DataFrame = {
+    val before = Window.partitionBy(keyCol).orderBy(tCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val after = Window.partitionBy(keyCol).orderBy(tCol)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val tIfV = when(col(vCol).isNotNull, col(tCol))
+    val v0 = last(col(vCol), ignoreNulls = true).over(before)
+    val t0 = last(tIfV, ignoreNulls = true).over(before)
+    val v1 = first(col(vCol), ignoreNulls = true).over(after)
+    val t1 = first(tIfV, ignoreNulls = true).over(after)
+    df.withColumn(outCol,
+      when(col(vCol).isNotNull, col(vCol))               // observed: keep
+        .when(v0.isNull, v1)                             // leading gap: flat
+        .when(v1.isNull, v0)                             // trailing gap: flat
+        .otherwise(v0 + (v1 - v0) *
+          (col(tCol) - t0).cast("double") / (t1 - t0).cast("double")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_tumbling"     -> (q28 _),
     "q29_sliding"      -> (q29 _),

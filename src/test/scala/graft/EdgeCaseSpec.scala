@@ -349,6 +349,34 @@ class EdgeCaseSpec extends SparkSpecBase {
     assert(ratio > 0.0 && ratio < 0.01, s"1MB repetition should crush: $ratio")
   }
 
+  test("interpolateLinear: gaps fill on the trend line, edges flat, all-null keys stay null") {
+    import spark.implicits._
+    val df = Seq(
+      // key 1: 10 @t0, gap, gap, 40 @t3 → 20, 30 on the line
+      (1L, 0L, Some(10.0)), (1L, 1L, None), (1L, 2L, None), (1L, 3L, Some(40.0)),
+      // uneven spacing: 0 @t0, 30 @t6, probe t2 → 10
+      (2L, 0L, Some(0.0)), (2L, 2L, None), (2L, 6L, Some(30.0)),
+      // leading + trailing gaps extrapolate flat
+      (3L, 0L, None), (3L, 1L, Some(5.0)), (3L, 2L, None),
+      // no observations at all → stays null
+      (4L, 0L, None), (4L, 1L, None)
+    ).toDF("k", "t", "v")
+    val out = graft.engine.Temporal.interpolateLinear(df, "k", "t", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out((1L, 1L)).contains(20.0) && out((1L, 2L)).contains(30.0), out.toString)
+    assert(out((2L, 2L)).contains(10.0), out.toString)
+    assert(out((3L, 0L)).contains(5.0) && out((3L, 2L)).contains(5.0), out.toString)
+    assert(out((4L, 0L)).isEmpty && out((4L, 1L)).isEmpty, out.toString)
+    // observed points pass through untouched
+    assert(out((1L, 0L)).contains(10.0) && out((1L, 3L)).contains(40.0))
+    // both direction scans share ONE key exchange (q85's multi-frame rule)
+    val plan = graft.engine.Temporal.interpolateLinear(df, "k", "t", "v")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning\\(k".r.findAllIn(plan).size
+    assert(exchanges == 1, s"direction scans re-shuffled ($exchanges exchanges):\n" + plan)
+  }
+
   test("q88 prune helpers: empty corpus yields an empty (not crashing) result") {
     import spark.implicits._
     // the declared q88 reads the fixture; the edge here is the shape on

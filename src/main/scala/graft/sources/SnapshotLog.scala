@@ -37,14 +37,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * superseded versions once readers have moved on.
   *
   * 100 TB notes: the log directory holds one small manifest per version
-  * and one pointer file — O(versions), not O(data). Each commit rewrites
-  * only the new snapshot's files; history cost is bounded by [[vacuum]]
-  * retention. This is deliberately the same shape Delta's _delta_log +
-  * Iceberg's version-hint take; what is NOT implemented (documented, not
-  * implied): multi-writer conflict resolution and incremental
-  * (delta-file) commits — each version is a full snapshot, so [[upsert]]
-  * commits carry the whole table forward exactly like the non-log path
-  * does today.
+  * and one pointer file — O(versions), not O(data). History cost is
+  * bounded by [[vacuum]] retention (reference-counted for append
+  * chains). This is deliberately the same shape Delta's _delta_log +
+  * Iceberg's version-hint take. INCREMENTAL COMMITS (round 6): for
+  * append-only tables, [[appendCommit]]/[[appendBatch]] publish a
+  * version as parent dirs + ONE new delta dir — O(batch) write and
+  * O(batch) stats (parent sidecar lines carry forward), the difference
+  * between appending a micro-batch to a 100 TB table and rewriting it.
+  * KEYED merges ([[upsert]]/[[commitBatch]]) remain full-snapshot
+  * rewrites, and multi-writer conflict resolution remains out of scope
+  * — both documented, not implied.
   *
   * FILE SKIPPING (round 6): [[commit]] optionally collects per-file
   * min/max for chosen columns — ONE extra column-pruned pass over the
@@ -106,13 +109,35 @@ object SnapshotLog {
 
   /** Time travel: read an explicit committed version (manifest must
     * exist — reading an uncommitted or vacuumed version fails loudly).
+    * A version's data is the union of its manifest's directories: one
+    * dir for full-snapshot commits, parent dirs + one delta dir for
+    * [[appendCommit]] chains.
     */
-  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
-    val m = manifestPath(root, version)
+  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame =
+    spark.read.parquet(versionPaths(spark, root, version): _*)
+
+  private def readManifest(spark: SparkSession, root: String, v: Long): String = {
+    val m = manifestPath(root, v)
     require(fs(spark, m).exists(m),
-      s"version $version does not exist (never committed, or vacuumed) at $root")
-    spark.read.parquet(dataDir(root, version).toString)
+      s"version $v does not exist (never committed, or vacuumed) at $root")
+    val in = fs(spark, m).open(m)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
   }
+
+  /** Data directory NAMES of a version, base-first (own delta dir last).
+    */
+  private[graft] def dirsOf(spark: SparkSession, root: String, v: Long): Seq[String] = {
+    val text = readManifest(spark, root, v)
+    val base = """"baseDirs":"([^"]*)"""".r.findFirstMatchIn(text)
+      .map(_.group(1)).filter(_.nonEmpty)
+      .map(_.split(",").toSeq).getOrElse(Seq.empty)
+    base :+ dataDirName(v)
+  }
+
+  private def versionPaths(spark: SparkSession, root: String, v: Long): Seq[String] =
+    dirsOf(spark, root, v).map(d =>
+      new Path(root.replaceAll("/+$", ""), d).toString)
 
   /** Commit `df` as the next version of the table at `root` and return
     * the committed version number. This is the transactional replacement
@@ -182,17 +207,20 @@ object SnapshotLog {
                                   df: DataFrame, v: Long,
                                   batchId: Long = -1L,
                                   statsCols: Seq[String] = Nil,
-                                  bloomCols: Seq[String] = Nil): Unit = {
+                                  bloomCols: Seq[String] = Nil,
+                                  baseDirs: Seq[String] = Nil,
+                                  carryStats: Seq[String] = Nil): Unit = {
     val dd = dataDir(root, v)
     df.write.mode("overwrite").parquet(dd.toString)
-    if (statsCols.nonEmpty || bloomCols.nonEmpty)
-      writeStats(spark, root, v, statsCols, bloomCols)
+    if (statsCols.nonEmpty || bloomCols.nonEmpty || carryStats.nonEmpty)
+      writeStats(spark, root, v, statsCols, bloomCols, carryStats)
     val m = manifestPath(root, v)
     val tmp = new Path(logDir(root), f".tmp_manifest_v$v%08d")
     val f = fs(spark, m)
     val out = f.create(tmp, true)
     try out.write(
-      s"""{"version":$v,"dataDir":"${dataDirName(v)}","batchId":$batchId}"""
+      (s"""{"version":$v,"dataDir":"${dataDirName(v)}","batchId":$batchId,""" +
+       s""""baseDirs":"${baseDirs.mkString(",")}"}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (!f.rename(tmp, m))
@@ -204,14 +232,98 @@ object SnapshotLog {
     */
   def lastBatchId(spark: SparkSession, root: String): Option[Long] =
     currentVersion(spark, root).flatMap { v =>
-      val m = manifestPath(root, v)
-      val f = fs(spark, m)
-      val in = f.open(m)
-      val text = try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      """"batchId":(-?\d+)""".r.findFirstMatchIn(text)
+      """"batchId":(-?\d+)""".r.findFirstMatchIn(readManifest(spark, root, v))
         .map(_.group(1).toLong).filter(_ >= 0)
     }
+
+  /** Incremental APPEND commit: the new version's data is the parent's
+    * directories PLUS one fresh delta directory holding only `batch` —
+    * the write is O(batch), not O(table), which is the difference
+    * between appending a micro-batch to a 100 TB table and rewriting
+    * 100 TB per batch. Old dirs stay immutable (snapshot isolation
+    * unchanged); [[vacuum]] reference-counts shared dirs. Skipping
+    * stats are computed for the DELTA dir only and the parent's sidecar
+    * lines are carried forward verbatim — stats cost is also O(batch).
+    * Append-only by contract: no dedup, no merge — rows accumulate
+    * (use [[commitBatch]]/[[upsert]] for keyed merges; those remain
+    * full-snapshot, documented).
+    */
+  def appendCommit(spark: SparkSession, root: String, batch: DataFrame,
+                   statsCols: Seq[String] = Nil,
+                   bloomCols: Seq[String] = Nil,
+                   batchId: Long = -1L): Long =
+    appendUnderClaim(spark, root, batch, statsCols, bloomCols, batchId)
+      .getOrElse(throw new IllegalStateException(
+        s"append with batchId=$batchId skipped as a replay — use appendBatch " +
+        "for streams, whose Option return models the skip"))
+
+  private def appendUnderClaim(spark: SparkSession, root: String,
+                               batch: DataFrame, statsCols: Seq[String],
+                               bloomCols: Seq[String],
+                               batchId: Long): Option[Long] = {
+    val ld = logDir(root)
+    val f = fs(spark, ld)
+    f.mkdirs(ld)
+    val claim = new Path(ld, "WRITER_CLAIM")
+    val claimed =
+      try { f.create(claim, false).close(); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    require(claimed,
+      s"could not claim $claim — concurrent commit on this table, or a " +
+      "hard-crashed writer's leftover (remove it and retry)")
+    try {
+      recoverOrphans(spark, root)
+      // replay gate under the claim (commitBatch's rigor): a stamped
+      // append whose id the head already covers is a post-crash replay
+      if (batchId >= 0 && lastBatchId(spark, root).exists(_ >= batchId))
+        return None
+      Some(currentVersion(spark, root) match {
+        case None =>
+          stageVersion(spark, root, batch, 1L, batchId, statsCols, bloomCols)
+          publishLatest(spark, root, 1L)
+          1L
+        case Some(cur) =>
+          val have = readVersion(spark, root, cur).columns.toSeq
+          require(batch.columns.toSeq == have,
+            s"append schema ${batch.columns.toSeq} != table schema $have " +
+            "(append-only tables do not evolve schemas mid-chain)")
+          val next = cur + 1L
+          val carry = {
+            val sp = statsPath(root, cur)
+            if (!f.exists(sp)) Seq.empty
+            else {
+              val in = f.open(sp)
+              try new String(in.readAllBytes(),
+                java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq
+                  .filter(_.nonEmpty)
+              finally in.close()
+            }
+          }
+          stageVersion(spark, root, batch, next, batchId, statsCols,
+            bloomCols, baseDirs = dirsOf(spark, root, cur), carryStats = carry)
+          publishLatest(spark, root, next)
+          next
+      })
+    } finally f.delete(claim, false)
+  }
+
+  /** Exactly-once streaming APPEND: [[appendCommit]] with the micro-batch
+    * id stamped, replays skipped — the O(batch) sink for insert-only
+    * streams (event/log ingestion), where [[commitBatch]]'s keyed merge
+    * necessarily rewrites the snapshot. Wire as
+    * `writeStream.foreachBatch((df, id) => SnapshotLog.appendBatch(...))`.
+    */
+  def appendBatch(spark: SparkSession, root: String, batch: DataFrame,
+                  batchId: Long, statsCols: Seq[String] = Nil,
+                  bloomCols: Seq[String] = Nil): Option[Long] = {
+    require(batchId >= 0, s"negative batchId $batchId")
+    // pre-claim fast path; the gate under the claim is the correctness one
+    if (lastBatchId(spark, root).exists(_ >= batchId)) return None
+    appendUnderClaim(spark, root, batch, statsCols, bloomCols, batchId)
+  }
 
   /** Exactly-once streaming commit: merge micro-batch `batchId` into the
     * table and commit it stamped with that id — UNLESS the current head
@@ -416,11 +528,20 @@ object SnapshotLog {
   }
 
   private def writeStats(spark: SparkSession, root: String, v: Long,
-                         cols: Seq[String], bloomCols: Seq[String] = Nil): Unit = {
+                         cols: Seq[String], bloomCols: Seq[String] = Nil,
+                         carry: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.functions.{array, col, collect_set, explode,
       input_file_name, lit, max, min, pmod, xxhash64}
+    // stats scan covers ONLY this version's own (delta) dir — parent
+    // dirs' lines arrive via `carry`, so append chains pay O(batch)
     val df = spark.read.parquet(dataDir(root, v).toString)
     val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    // sidecar keys are dir-relative paths: append chains hold files from
+    // several data dirs whose bare part-file names can collide
+    def relKey(uri: String): String = {
+      val pp = new Path(uri)
+      pp.getParent.getName + "/" + pp.getName
+    }
     val tags = cols.map { c =>
       val dt = fields.getOrElse(c,
         throw new IllegalArgumentException(s"stats column $c not in table schema"))
@@ -433,13 +554,14 @@ object SnapshotLog {
       c -> tag
     }
     val lines = Vector.newBuilder[String]
+    lines ++= carry
     if (cols.nonEmpty) {
       val aggs = cols.flatMap(c =>
         Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
       val rows = df.groupBy(input_file_name().as("__file"))
         .agg(aggs.head, aggs.tail: _*).collect()
       rows.foreach { r =>
-        val name = new Path(r.getString(0)).getName
+        val name = relKey(r.getString(0))
         tags.foreach { case (c, tag) =>
           val mn = r.get(r.fieldIndex(s"__min_$c"))
           val mx = r.get(r.fieldIndex(s"__max_$c"))
@@ -462,7 +584,7 @@ object SnapshotLog {
         .groupBy("__file").agg(collect_set("__pos").as("__bits"))
         .collect()
       rows.foreach { r =>
-        val name = new Path(r.getString(0)).getName
+        val name = relKey(r.getString(0))
         val bs = new java.util.BitSet(BloomBits)
         r.getSeq[Int](1).foreach(bs.set)
         // saturated filter ⇒ near-certain false positives on every probe:
@@ -493,10 +615,11 @@ object SnapshotLog {
   private[graft] def candidateFiles(spark: SparkSession, root: String,
                                     version: Long, column: String,
                                     lo: Any, hi: Any): (Seq[Path], Int) = {
-    val dd = dataDir(root, version)
-    val f = fs(spark, dd)
-    val all = f.listStatus(dd).map(_.getPath)
-      .filter(_.getName.endsWith(".parquet")).toSeq
+    val f = fs(spark, dataDir(root, version))
+    val all = versionPaths(spark, root, version).flatMap { d =>
+      f.listStatus(new Path(d)).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+    }
     val sp = statsPath(root, version)
     if (!f.exists(sp)) return (all, all.size)
     val in = f.open(sp)
@@ -521,7 +644,7 @@ object SnapshotLog {
       }
     }
     val kept = all.filter { p =>
-      span.get(p.getName) match {
+      span.get(p.getParent.getName + "/" + p.getName) match {
         case Some((tag, mn, mx)) => overlaps(tag, mn, mx)
         case None                => true // no stats: never wrongly prune
       }
@@ -556,11 +679,11 @@ object SnapshotLog {
           case _ => None
         }
       }.toMap
-    val dt = spark.read.parquet(dataDir(root, version).toString)
+    val dt = spark.read.parquet(versionPaths(spark, root, version): _*)
       .schema.apply(column).dataType
     val pos = bloomPositions(value, dt)
     val kept = rangeKept.filter { p =>
-      blooms.get(p.getName) match {
+      blooms.get(p.getParent.getName + "/" + p.getName) match {
         case Some(bs) => pos.forall(bs.get)
         case None     => true // no bloom: never wrongly prune
       }
@@ -584,7 +707,7 @@ object SnapshotLog {
     require(fs(spark, m).exists(m),
       s"version $v does not exist (never committed, or vacuumed) at $root")
     val (kept, _) = candidateFilesEquals(spark, root, v, column, value)
-    val schema = spark.read.parquet(dataDir(root, v).toString).schema
+    val schema = spark.read.parquet(versionPaths(spark, root, v): _*).schema
     val base =
       if (kept.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -622,7 +745,7 @@ object SnapshotLog {
       candidateFiles(spark, root, v, c, lo, hi)._1.map(_.toString).toSet
     }
     val kept = keptSets.reduce(_ intersect _)
-    val schema = spark.read.parquet(dataDir(root, v).toString).schema
+    val schema = spark.read.parquet(versionPaths(spark, root, v): _*).schema
     val base =
       if (kept.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -687,10 +810,18 @@ object SnapshotLog {
     require(keep >= 1, "must keep at least the current version")
     val vs = versions(spark, root)
     val f = fs(spark, logDir(root))
+    // reference-count data dirs: an append chain's retained head still
+    // READS its ancestors' delta dirs, so a dir is reclaimable only when
+    // NO retained version lists it (manifests go first regardless — the
+    // version identity dies, its shared bytes may live on)
+    val retainedDirs = vs.takeRight(keep)
+      .flatMap(v => dirsOf(spark, root, v)).toSet
     vs.dropRight(keep).foreach { v =>
+      val own = dataDirName(v)
       f.delete(manifestPath(root, v), false)
       f.delete(statsPath(root, v), false)
-      f.delete(dataDir(root, v), true)
+      if (!retainedDirs.contains(own))
+        f.delete(dataDir(root, v), true)
     }
   }
 }

@@ -484,4 +484,27 @@ object Streams {
         ()
       }
       .start()
+
+  /** The O(batch) streaming table sink for INSERT-ONLY streams (event /
+    * log ingestion — the dominant 100 TB streaming shape):
+    * [[graft.sources.SnapshotLog.appendBatch]] publishes each micro-batch
+    * as one new delta dir on the version chain instead of re-merging and
+    * rewriting the whole snapshot like [[foreachBatchSnapshotLogSink]]
+    * must for keyed upserts. Per-batch cost is the batch itself —
+    * independent of table size — while keeping exactly-once versions
+    * (batchId stamp), snapshot-isolated readers, time travel, and
+    * carried-forward skipping stats.
+    */
+  def foreachBatchAppendLogSink(events: DataFrame, tableRoot: String,
+                                checkpointDir: String,
+                                statsCols: Seq[String] = Nil) =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.SnapshotLog.appendBatch(batch.sparkSession, tableRoot,
+          batch, id, statsCols)
+        ()
+      }
+      .start()
 }

@@ -316,6 +316,86 @@ class SnapshotLogSpec extends SparkSpecBase {
     assert(SnapshotLog.readBetween(spark, root, "score", 8, 10).count() == 2)
   }
 
+  test("append chain: each commit writes O(batch), versions read as growing unions") {
+    val root = freshRoot()
+    SnapshotLog.appendCommit(spark, root, kv(1 -> "a"))
+    SnapshotLog.appendCommit(spark, root, kv(2 -> "b"))
+    SnapshotLog.appendCommit(spark, root, kv(3 -> "c"))
+    assert(rows(SnapshotLog.read(spark, root)) == Set(1 -> "a", 2 -> "b", 3 -> "c"))
+    // time travel sees each prefix
+    assert(rows(SnapshotLog.readVersion(spark, root, 1L)) == Set(1 -> "a"))
+    assert(rows(SnapshotLog.readVersion(spark, root, 2L)) == Set(1 -> "a", 2 -> "b"))
+    // THE scale fact: v3's own data dir holds ONLY batch 3's rows — the
+    // table was never rewritten
+    val ownDir = new java.io.File(root, "data_v00000003")
+    val ownRows = spark.read.parquet(ownDir.toString).count()
+    assert(ownRows == 1, s"append rewrote the table: own dir has $ownRows rows")
+    // manifest records the ancestry
+    assert(SnapshotLog.dirsOf(spark, root, 3L) ==
+      Seq("data_v00000001", "data_v00000002", "data_v00000003"))
+    // schema drift is refused loudly on an append chain
+    import org.apache.spark.sql.functions.lit
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.appendCommit(spark, root, kv(9 -> "x").withColumn("extra", lit(1)))
+    }
+    assert(e.getMessage.contains("append schema"), e.getMessage)
+  }
+
+  test("append chain: skipping stats are carried forward, O(batch) per commit") {
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot()
+    SnapshotLog.appendCommit(spark, root,
+      spark.range(0, 100).toDF("id").coalesce(1), statsCols = Seq("id"))
+    SnapshotLog.appendCommit(spark, root,
+      spark.range(100, 200).toDF("id").coalesce(1), statsCols = Seq("id"))
+    // v2's sidecar contains v1's line VERBATIM (carried, not recomputed)
+    def sidecar(v: String) = {
+      val src = scala.io.Source.fromFile(new java.io.File(root, s"_graft_log/$v.stats"))
+      try src.getLines().toVector finally src.close()
+    }
+    val v1Lines = sidecar("v00000001")
+    val v2Lines = sidecar("v00000002")
+    assert(v1Lines.forall(v2Lines.contains), "parent stats not carried forward")
+    assert(v2Lines.size > v1Lines.size, "delta stats missing")
+    // pruning works ACROSS the chain: a v1-only range keeps 1 of 2 files
+    val (kept, total) = SnapshotLog.candidateFiles(spark, root, 2L, "id", 10, 20)
+    assert(total == 2 && kept.size == 1,
+      s"chain pruning kept ${kept.size} of $total")
+    assert(SnapshotLog.readBetween(spark, root, "id", 10, 20).count() == 11)
+    assert(SnapshotLog.readBetween(spark, root, "id", 150, 160).count() == 11)
+  }
+
+  test("append chain: vacuum reference-counts shared dirs; crash recovery removes only the orphan delta") {
+    val root = freshRoot()
+    SnapshotLog.appendCommit(spark, root, kv(1 -> "a"))
+    SnapshotLog.appendCommit(spark, root, kv(2 -> "b"))
+    SnapshotLog.appendCommit(spark, root, kv(3 -> "c"))
+    // dropping v1 and v2 as VERSIONS must not delete their data dirs —
+    // v3 still reads them
+    SnapshotLog.vacuum(spark, root, keep = 1)
+    assert(SnapshotLog.versions(spark, root) == Seq(3L))
+    assert(rows(SnapshotLog.read(spark, root)) == Set(1 -> "a", 2 -> "b", 3 -> "c"))
+    assert(new java.io.File(root, "data_v00000001").exists(),
+      "vacuum deleted a dir the retained head still reads")
+    // a crashed append (staged, never pointed) loses only its OWN delta
+    SnapshotLog.stageVersion(spark, root, kv(9 -> "crash"), 4L,
+      baseDirs = SnapshotLog.dirsOf(spark, root, 3L))
+    assert(new java.io.File(root, "data_v00000004").exists())
+    SnapshotLog.appendCommit(spark, root, kv(4 -> "d")) // recovers, then lands as v4
+    assert(rows(SnapshotLog.read(spark, root)) ==
+      Set(1 -> "a", 2 -> "b", 3 -> "c", 4 -> "d"))
+  }
+
+  test("appendBatch: replay skipped, exactly-once appends, O(batch) semantics") {
+    val root = freshRoot()
+    assert(SnapshotLog.appendBatch(spark, root, kv(1 -> "a"), 0L).contains(1L))
+    assert(SnapshotLog.appendBatch(spark, root, kv(2 -> "b"), 1L).contains(2L))
+    // post-crash replay of batch 1: skipped, nothing appended twice
+    assert(SnapshotLog.appendBatch(spark, root, kv(2 -> "REPLAY"), 1L).isEmpty)
+    assert(rows(SnapshotLog.read(spark, root)) == Set(1 -> "a", 2 -> "b"))
+    assert(SnapshotLog.currentVersion(spark, root).contains(2L))
+  }
+
   test("vacuum drops superseded versions, keeps the current one readable") {
     val root = freshRoot()
     (1 to 4).foreach(i => SnapshotLog.commit(spark, root, kv(i -> s"v$i")))

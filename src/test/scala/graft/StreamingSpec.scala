@@ -250,6 +250,31 @@ class StreamingSpec extends SparkSpecBase {
     assert(SnapshotLog.versions(spark, root) == Seq(1L, 2L))
   }
 
+  test("append-log sink: O(batch) delta dirs, restart appends nothing, history readable") {
+    import graft.sources.SnapshotLog
+    val dir = Files.createTempDirectory("graft_stream_append").toString
+    val root = s"$dir/table"
+    val stream = MemoryStream[Ev](spark)
+    val q = Streams.foreachBatchAppendLogSink(stream.toDF(), root, s"$dir/ckpt")
+    stream.addData(Ev(1, ts("2024-01-01 10:00:00"), 1, 1.0))
+    q.processAllAvailable()
+    stream.addData(Ev(2, ts("2024-01-01 10:01:00"), 1, 2.0),
+                   Ev(3, ts("2024-01-01 10:02:00"), 2, 3.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(SnapshotLog.read(spark, root).count() == 3)
+    // O(batch): version 2's own delta dir holds only batch 1's rows
+    assert(spark.read.parquet(s"$root/data_v00000002").count() == 2,
+      "append sink rewrote the table instead of appending a delta")
+    assert(SnapshotLog.readVersion(spark, root, 1L).count() == 1)
+    // restart from the checkpoint: no re-delivery, no version churn
+    val q2 = Streams.foreachBatchAppendLogSink(stream.toDF(), root, s"$dir/ckpt")
+    q2.processAllAvailable()
+    q2.stop()
+    assert(SnapshotLog.versions(spark, root) == Seq(1L, 2L))
+    assert(SnapshotLog.read(spark, root).count() == 3)
+  }
+
   test("file stream + AvailableNow: bounded-batch backfill drains, then resumes only new files") {
     import org.apache.spark.sql.types.StructType
     val dir = Files.createTempDirectory("graft_filestream").toString

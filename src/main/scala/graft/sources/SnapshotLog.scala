@@ -416,6 +416,30 @@ object SnapshotLog {
                      toV: Long, keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
     require(fromV < toV, s"fromV $fromV must precede toV $toV")
+    // APPEND-lineage short-circuit: when toV's dir chain extends fromV's
+    // (every dir of fromV still present, in order), the old rows are
+    // untouched by construction — the change feed IS the delta dirs,
+    // read directly as inserts: O(delta) with no join, instead of the
+    // O(table) full-outer diff. This is also the semantically right
+    // feed for append-only tables, whose keys may legitimately repeat
+    // across batches (they are facts, not keyed states — the keyed diff
+    // below assumes key-unique snapshots).
+    val fromDirs = dirsOf(spark, root, fromV)
+    val toDirs = dirsOf(spark, root, toV)
+    if (toDirs.startsWith(fromDirs)) {
+      val deltas = toDirs.drop(fromDirs.size).map(d =>
+        new Path(root.replaceAll("/+$", ""), d).toString)
+      val rows = spark.read.parquet(deltas: _*)
+      require(keys.nonEmpty && keys.forall(rows.columns.contains),
+        s"keys $keys must be columns of the table")
+      val nonKeys = rows.columns.toSeq.filterNot(keys.contains)
+      return rows.select(
+        lit("insert").as("change_type") +:
+        keys.map(col) ++:
+        nonKeys.flatMap(c => Seq(
+          lit(null).cast(rows.schema(c).dataType).as("old_" + c),
+          col(c).as("new_" + c))): _*)
+    }
     val before = readVersion(spark, root, fromV)
     val after = readVersion(spark, root, toV)
     require(before.columns.toSeq == after.columns.toSeq,

@@ -386,6 +386,30 @@ class SnapshotLogSpec extends SparkSpecBase {
       Set(1 -> "a", 2 -> "b", 3 -> "c", 4 -> "d"))
   }
 
+  test("append-lineage CDC short-circuit: the feed is the delta dirs, no join planned") {
+    val root = freshRoot()
+    SnapshotLog.appendCommit(spark, root, kv(1 -> "a"))
+    SnapshotLog.appendCommit(spark, root, kv(2 -> "b"))
+    SnapshotLog.appendCommit(spark, root, kv(3 -> "c"))
+    val feed = SnapshotLog.changesBetween(spark, root, 1L, 3L, Seq("k"))
+    val got = feed.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(3))).toSet
+    assert(got == Set(("insert", 2, "b"), ("insert", 3, "c")), got.toString)
+    // same column surface as the generic keyed diff
+    assert(feed.columns.toSeq == Seq("change_type", "k", "old_v", "new_v"))
+    // the whole point: O(delta) — no full-outer join in the plan
+    val plan = feed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "append feed should not plan a join:\n" + plan)
+    // full-snapshot histories keep the exact keyed diff (not a prefix
+    // chain → generic path with deletes/updates)
+    val root2 = freshRoot()
+    SnapshotLog.commit(spark, root2, kv(1 -> "a", 2 -> "b"))
+    SnapshotLog.commit(spark, root2, kv(1 -> "a2"))
+    val keyed = SnapshotLog.changesBetween(spark, root2, 1L, 2L, Seq("k"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(keyed == Set(("update", 1), ("delete", 2)), keyed.toString)
+  }
+
   test("appendBatch: replay skipped, exactly-once appends, O(batch) semantics") {
     val root = freshRoot()
     assert(SnapshotLog.appendBatch(spark, root, kv(1 -> "a"), 0L).contains(1L))

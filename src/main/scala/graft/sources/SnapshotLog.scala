@@ -381,6 +381,24 @@ object SnapshotLog {
     } finally f.delete(claim, false)
   }
 
+  /** Compact an append chain: commit the current contents as ONE fresh
+    * full-snapshot version (optionally re-partitioned to `nFiles`), so
+    * the dir chain — and the per-read file listing that grows with it —
+    * collapses to a single directory (the OPTIMIZE step of any
+    * delta-dir format). Readers pinned to old versions keep their
+    * chain; [[vacuum]] reclaims the delta dirs once those versions age
+    * out (reference counting keeps shared dirs alive until then).
+    * Returns the new version.
+    */
+  def compactChain(spark: SparkSession, root: String,
+                   nFiles: Int = 0,
+                   statsCols: Seq[String] = Nil,
+                   bloomCols: Seq[String] = Nil): Long = {
+    val cur = read(spark, root)
+    val arranged = if (nFiles > 0) cur.repartition(nFiles) else cur
+    commit(spark, root, arranged, statsCols, bloomCols)
+  }
+
   /** Step 3 — the commit point: swap the LATEST pointer atomically
     * (temp file + overwriting rename).
     */

@@ -420,6 +420,29 @@ class SnapshotLogSpec extends SparkSpecBase {
     assert(SnapshotLog.currentVersion(spark, root).contains(2L))
   }
 
+  test("compactChain collapses delta dirs into one version; vacuum then reclaims them") {
+    val root = freshRoot()
+    (1 to 4).foreach(i => SnapshotLog.appendCommit(spark, root, kv(i -> s"v$i")))
+    assert(SnapshotLog.dirsOf(spark, root, 4L).size == 4)
+    val v5 = SnapshotLog.compactChain(spark, root, nFiles = 1, statsCols = Seq("k"))
+    assert(v5 == 5L)
+    // one dir, same rows, stats fresh over the compacted layout
+    assert(SnapshotLog.dirsOf(spark, root, 5L) == Seq("data_v00000005"))
+    assert(rows(SnapshotLog.read(spark, root)) ==
+      (1 to 4).map(i => i -> s"v$i").toSet)
+    assert(rows(SnapshotLog.readBetween(spark, root, "k", 2, 3)) ==
+      Set(2 -> "v2", 3 -> "v3"))
+    // pinned history still readable pre-vacuum; vacuum reclaims the chain
+    assert(rows(SnapshotLog.readVersion(spark, root, 3L)) ==
+      (1 to 3).map(i => i -> s"v$i").toSet)
+    SnapshotLog.vacuum(spark, root, keep = 1)
+    assert(SnapshotLog.versions(spark, root) == Seq(5L))
+    assert(!new java.io.File(root, "data_v00000001").exists(),
+      "vacuum should reclaim the superseded delta dirs after compaction")
+    assert(rows(SnapshotLog.read(spark, root)) ==
+      (1 to 4).map(i => i -> s"v$i").toSet)
+  }
+
   test("vacuum drops superseded versions, keeps the current one readable") {
     val root = freshRoot()
     (1 to 4).foreach(i => SnapshotLog.commit(spark, root, kv(i -> s"v$i")))

@@ -507,6 +507,28 @@ object SnapshotLog {
     b.toString
   }
   private val NullMark = "\\N"
+  // temporal stats serialization: lexicographic == chronological
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+  private val DateFmt = "yyyy-MM-dd"
+
+  /** Render a range probe the same way the build pass rendered the
+    * stored min/max, so temporal probes compare in the one shared
+    * format. (LTZ columns render in the session timezone — probe with
+    * an Instant/Timestamp under the same session tz; NTZ and DATE are
+    * wall-clock and tz-free.) Non-temporal probes pass through.
+    */
+  private def probeString(x: Any): String = {
+    val fmt = java.time.format.DateTimeFormatter.ofPattern(TsFmt)
+    x match {
+      case t: java.sql.Timestamp       => t.toLocalDateTime.format(fmt)
+      case d: java.time.LocalDateTime  => d.format(fmt)
+      case i: java.time.Instant        =>
+        java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC).format(fmt)
+      case d: java.sql.Date            => d.toLocalDate.toString
+      case d: java.time.LocalDate      => d.toString
+      case other                       => other.toString
+    }
+  }
 
   /** Code-point lexicographic string compare == UTF-8 binary order ==
     * Spark's UTF8String min/max ordering. Java's String `<` compares
@@ -588,18 +610,33 @@ object SnapshotLog {
       val dt = fields.getOrElse(c,
         throw new IllegalArgumentException(s"stats column $c not in table schema"))
       val tag = dt match {
-        case _: org.apache.spark.sql.types.NumericType => "n"
-        case org.apache.spark.sql.types.StringType     => "s"
+        case _: org.apache.spark.sql.types.NumericType   => "n"
+        case org.apache.spark.sql.types.StringType       => "s"
+        // temporal min/max serialize as ISO strings whose lexicographic
+        // order IS chronological order — they ride the "s" compare path;
+        // the probe side formats identically ([[temporalProbe]])
+        case org.apache.spark.sql.types.TimestampType    => "s"
+        case org.apache.spark.sql.types.TimestampNTZType => "s"
+        case org.apache.spark.sql.types.DateType         => "s"
         case other => throw new IllegalArgumentException(
-          s"stats column $c: unsupported type ${other.simpleString} (numeric/string only)")
+          s"stats column $c: unsupported type ${other.simpleString} " +
+          "(numeric/string/timestamp/date only)")
       }
       c -> tag
     }
     val lines = Vector.newBuilder[String]
     lines ++= carry
     if (cols.nonEmpty) {
+      def statCol(c: String) = fields(c) match {
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType =>
+          org.apache.spark.sql.functions.date_format(col(c), TsFmt)
+        case org.apache.spark.sql.types.DateType =>
+          org.apache.spark.sql.functions.date_format(col(c), DateFmt)
+        case _ => col(c)
+      }
       val aggs = cols.flatMap(c =>
-        Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
+        Seq(min(statCol(c)).as(s"__min_$c"), max(statCol(c)).as(s"__max_$c")))
       val rows = df.groupBy(input_file_name().as("__file"))
         .agg(aggs.head, aggs.tail: _*).collect()
       rows.foreach { r =>
@@ -681,7 +718,7 @@ object SnapshotLog {
         val (l, h) = (BigDecimal(lo.toString), BigDecimal(hi.toString))
         !(BigDecimal(unesc(mx)) < l || BigDecimal(unesc(mn)) > h)
       } else {
-        val (l, h) = (lo.toString, hi.toString)
+        val (l, h) = (probeString(lo), probeString(hi))
         !(cpLess(unesc(mx), l) || cpLess(h, unesc(mn)))
       }
     }

@@ -420,6 +420,33 @@ class SnapshotLogSpec extends SparkSpecBase {
     assert(SnapshotLog.currentVersion(spark, root).contains(2L))
   }
 
+  test("timestamp stats: event-time ranges prune files, ISO serialization stays chronological") {
+    import org.apache.spark.sql.functions._
+    val root = freshRoot()
+    // 96 hourly NTZ events over 4 days, range-clustered by time → tight
+    // per-file time spans (the event-table layout)
+    val df = spark.range(96).toDF("i")
+      .withColumn("ts", expr(
+        "CAST(timestamp_micros(CAST(1704067200000000 + i * 3600000000 AS LONG)) AS TIMESTAMP_NTZ)"))
+      .withColumn("event_id", col("i"))
+      .repartitionByRange(8, col("ts"))
+    SnapshotLog.commit(spark, root, df, statsCols = Seq("ts"))
+    // probe one 6-hour window via LocalDateTime — far fewer than 8 files
+    val lo = java.time.LocalDateTime.of(2024, 1, 2, 0, 0)
+    val hi = java.time.LocalDateTime.of(2024, 1, 2, 6, 0)
+    val (kept, total) = SnapshotLog.candidateFiles(spark, root, 1L, "ts", lo, hi)
+    assert(total == 8 && kept.size < total,
+      s"time range should prune: kept ${kept.size} of $total")
+    val got = SnapshotLog.readBetween(spark, root, "ts", lo, hi)
+      .collect().map(_.getAs[Long]("event_id")).sorted.toSeq
+    assert(got == (24L to 30L), s"got $got") // hours 24..30 inclusive
+    // a pre-range probe prunes everything
+    val (none, _) = SnapshotLog.candidateFiles(spark, root, 1L, "ts",
+      java.time.LocalDateTime.of(2020, 1, 1, 0, 0),
+      java.time.LocalDateTime.of(2020, 1, 2, 0, 0))
+    assert(none.isEmpty, s"kept ${none.size} files for a disjoint past range")
+  }
+
   test("compactChain collapses delta dirs into one version; vacuum then reclaims them") {
     val root = freshRoot()
     (1 to 4).foreach(i => SnapshotLog.appendCommit(spark, root, kv(i -> s"v$i")))

@@ -308,6 +308,42 @@ object PropertiesSpec extends Properties("graft") {
       Prop(ok) :| s"states=$states"
     }
 
+  /** Append-chain invariants for ANY batch sequence: the head reads as
+    * the concatenation of all batches (multiset — append keeps
+    * duplicates, unlike upsert), every prefix version reads as its
+    * prefix, and the CDC feed between any two versions is exactly the
+    * batches in between (as inserts).
+    */
+  property("append chain == batch concatenation; CDC feed == the in-between batches") =
+    Prop.forAll(Gen.listOfN(4,
+      Gen.listOf(Gen.zip(Gen.choose(0, 5), Gen.oneOf("a", "b", "c"))))) { batches =>
+      import graft.sources.SnapshotLog
+      val root = java.nio.file.Files.createTempDirectory("graft_append_prop")
+        .toString + "/table"
+      val schema = StructType(Seq(
+        StructField("k", IntegerType), StructField("v", StringType)))
+      def toDf(b: List[(Int, String)]) = spark.createDataFrame(
+        spark.sparkContext.parallelize(b.map { case (k, v) => Row(k, v) }, 2), schema)
+      batches.foreach(b => SnapshotLog.appendCommit(spark, root, toDf(b)))
+      def bag(rows: Seq[(Int, String)]) = rows.groupBy(identity).view.mapValues(_.size).toMap
+      def readBag(v: Long) = bag(SnapshotLog.readVersion(spark, root, v).collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSeq)
+      val prefixesOk = (1 to batches.length).forall { i =>
+        readBag(i.toLong) == bag(batches.take(i).flatten)
+      }
+      val feedOk = (for {
+        i <- 1 until batches.length
+        j <- (i + 1) to batches.length
+      } yield {
+        val feed = SnapshotLog.changesBetween(spark, root, i.toLong, j.toLong, Seq("k"))
+          .collect().map(r => (r.getString(0), r.getInt(1), r.getString(3))).toSeq
+        feed.forall(_._1 == "insert") &&
+          bag(feed.map(f => (f._2, f._3))) == bag(batches.slice(i, j).flatten)
+      }).forall(identity)
+      (Prop(prefixesOk) :| "prefix version != batch prefix") &&
+        (Prop(feedOk) :| "CDC feed != in-between batches")
+    }
+
   /** The bloom-skipping invariant: for ANY committed table and ANY probe
     * (present or absent, string or long), readEquals returns exactly the
     * full-scan filter's rows — a bloom may keep extra files (false

@@ -24,11 +24,17 @@ object SkipBench {
       .toString + "/events"
 
     val events = graft.engine.Tables.events(spark, dir)
-      .select("event_id", "user_id", "event_type", "value")
+      .select("event_id", "ts", "user_id", "event_type", "value")
     val nFiles = 32
     SnapshotLog.commit(spark, root,
       Layout.zArrange(events, Seq("user_id", "value"), nFiles),
       statsCols = Seq("user_id", "value"), bloomCols = Seq("event_id"))
+    // event-TIME skipping needs time-clustered layout — a second table
+    // range-clustered on ts (the streaming-ingest natural order)
+    val rootTs = root + "_ts"
+    SnapshotLog.commit(spark, rootTs,
+      events.repartitionByRange(nFiles, org.apache.spark.sql.functions.col("ts")),
+      statsCols = Seq("ts"))
 
     def timeMin3(f: => Long): (Long, Double) = {
       var rows = 0L
@@ -59,6 +65,21 @@ object SkipBench {
     require(fullRows2 == prunedRows2, s"row mismatch: $fullRows2 vs $prunedRows2")
     println(f"POINT  event_id=$probe: files ${keptB.size}/$total, " +
       f"rows $prunedRows2, full $fullT2%.3fs pruned $prunedT2%.3fs")
+
+    // event-time window on the ts-clustered table (temporal ISO stats)
+    val span = spark.read.parquet(s"$rootTs/data_v00000001")
+      .agg(min(col("ts")), max(col("ts"))).head()
+    val t0 = span.getAs[java.time.LocalDateTime](0)
+    val (loT, hiT) = (t0.plusHours(24), t0.plusHours(30)) // a 6h window
+    val (keptT, _) = SnapshotLog.candidateFiles(spark, rootTs, 1L, "ts", loT, hiT)
+    val (fullRows3, fullT3) = timeMin3(
+      SnapshotLog.read(spark, rootTs)
+        .filter(col("ts").between(lit(loT), lit(hiT))).count())
+    val (prunedRows3, prunedT3) = timeMin3(
+      SnapshotLog.readBetween(spark, rootTs, "ts", loT, hiT).count())
+    require(fullRows3 == prunedRows3, s"row mismatch: $fullRows3 vs $prunedRows3")
+    println(f"TIME   ts in [$loT,$hiT]: files ${keptT.size}/$total, " +
+      f"rows $prunedRows3, full $fullT3%.3fs pruned $prunedT3%.3fs")
     spark.stop()
   }
 }

@@ -119,7 +119,20 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cpus":"$cpus"}"""
+    println(line)
+    // The driver's per-round BENCH_r{N}.json truncates the per-query map, so
+    // ~30 entries were invisible to cross-round comparison; append every full
+    // run here so any round can diff ALL entries against any prior run.
+    try {
+      val log = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCHLOG", "BENCHLOG.jsonl"))
+      java.nio.file.Files.write(log, (line + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not append BENCHLOG: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

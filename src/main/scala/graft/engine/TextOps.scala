@@ -209,6 +209,13 @@ object TextOps {
     df.mapPartitions { rows =>
       val deflater = new java.util.zip.Deflater(
         java.util.zip.Deflater.BEST_SPEED, /*nowrap=*/ true)
+      // native zlib memory must not depend on the consumer draining the
+      // iterator: a limit/take (or a killed task) stops mid-stream and the
+      // drain-detecting wrapper below never fires — the task-completion
+      // listener is the release that always runs. end() is idempotent, so
+      // the fast path (full drain) releasing early is safe.
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => deflater.end()))
       val buf = new Array[Byte](8192)
       val out = rows.map { r =>
         val ratio: Any = r.get(idx) match {

@@ -286,9 +286,16 @@ object SnapshotLog {
           publishLatest(spark, root, 1L)
           1L
         case Some(cur) =>
-          val have = readVersion(spark, root, cur).columns.toSeq
-          require(batch.columns.toSeq == have,
-            s"append schema ${batch.columns.toSeq} != table schema $have " +
+          // names AND types: a same-named batch with drifted types (Int vs
+          // Long) would commit onto the chain and break — or silently widen
+          // — every later mixed-directory read. catalogString compares
+          // nested structure while staying nullability-insensitive.
+          val have = readVersion(spark, root, cur).schema.fields
+            .map(f => (f.name, f.dataType.catalogString)).toSeq
+          val got = batch.schema.fields
+            .map(f => (f.name, f.dataType.catalogString)).toSeq
+          require(got == have,
+            s"append schema $got != table schema $have " +
             "(append-only tables do not evolve schemas mid-chain)")
           val next = cur + 1L
           val carry = {
@@ -513,17 +520,26 @@ object SnapshotLog {
 
   /** Render a range probe the same way the build pass rendered the
     * stored min/max, so temporal probes compare in the one shared
-    * format. (LTZ columns render in the session timezone — probe with
-    * an Instant/Timestamp under the same session tz; NTZ and DATE are
-    * wall-clock and tz-free.) Non-temporal probes pass through.
+    * format. LTZ stats are serialized in the SESSION timezone
+    * (`date_format` semantics), so instant-bearing probes (Timestamp,
+    * Instant) must render through that same zone — a hard-coded UTC (or
+    * the JVM default) would shift the probe window by the zone offset
+    * under a non-UTC session and silently prune files that contain
+    * matching rows. NTZ and DATE probes (LocalDateTime, LocalDate) are
+    * wall-clock and tz-free. Non-temporal probes pass through.
     */
-  private def probeString(x: Any): String = {
+  private def sessionZone(spark: SparkSession): java.time.ZoneId =
+    java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone",
+      java.util.TimeZone.getDefault.getID))
+
+  private def probeString(x: Any, zone: java.time.ZoneId): String = {
     val fmt = java.time.format.DateTimeFormatter.ofPattern(TsFmt)
     x match {
-      case t: java.sql.Timestamp       => t.toLocalDateTime.format(fmt)
+      case t: java.sql.Timestamp       =>
+        java.time.LocalDateTime.ofInstant(t.toInstant, zone).format(fmt)
       case d: java.time.LocalDateTime  => d.format(fmt)
       case i: java.time.Instant        =>
-        java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC).format(fmt)
+        java.time.LocalDateTime.ofInstant(i, zone).format(fmt)
       case d: java.sql.Date            => d.toLocalDate.toString
       case d: java.time.LocalDate      => d.toString
       case other                       => other.toString
@@ -712,13 +728,19 @@ object SnapshotLog {
           case _ => None
         }
       }.toMap
+    val zone = sessionZone(spark)
     def overlaps(tag: String, mn: String, mx: String): Boolean = {
       if (mn == NullMark || mx == NullMark) return false // all-null file
       if (tag == "n") {
-        val (l, h) = (BigDecimal(lo.toString), BigDecimal(hi.toString))
-        !(BigDecimal(unesc(mx)) < l || BigDecimal(unesc(mn)) > h)
+        // NaN/Infinity (in a stored stat or a probe) do not parse as
+        // BigDecimal — keep the file rather than throw: stats only ever
+        // REMOVE provably-empty work, and a non-finite bound proves nothing
+        scala.util.Try {
+          val (l, h) = (BigDecimal(lo.toString), BigDecimal(hi.toString))
+          !(BigDecimal(unesc(mx)) < l || BigDecimal(unesc(mn)) > h)
+        }.getOrElse(true)
       } else {
-        val (l, h) = (probeString(lo), probeString(hi))
+        val (l, h) = (probeString(lo, zone), probeString(hi, zone))
         !(cpLess(unesc(mx), l) || cpLess(h, unesc(mn)))
       }
     }
@@ -841,10 +863,26 @@ object SnapshotLog {
     * the next commit. Runs under the writer claim.
     */
   private def recoverOrphans(spark: SparkSession, root: String): Unit = {
-    val committed = currentVersion(spark, root).getOrElse(0L)
+    val committedOpt = currentVersion(spark, root)
+    val committed = committedOpt.getOrElse(0L)
     val ld = logDir(root)
     val f = fs(spark, ld)
     if (!f.exists(ld)) return
+    // A missing LATEST with manifests present is ambiguous: either a crash
+    // during the table's very FIRST commit (benign debris) or a LOST/corrupt
+    // pointer on a real table (the object-store rename caveat). Treating the
+    // second as the first would delete every manifest and data dir — silent
+    // total table loss. Fail loudly instead: recovery from a lost pointer is
+    // a human decision (restore LATEST from the highest manifest), never an
+    // automatic delete.
+    if (committedOpt.isEmpty &&
+        f.listStatus(ld).exists(_.getPath.getName.endsWith(".manifest")))
+      throw new IllegalStateException(
+        s"$root has committed manifests but no LATEST pointer — refusing to " +
+        "recover (a lost pointer would read as an empty table and the debris " +
+        "sweep would delete real data). Restore LATEST to the highest fully " +
+        "committed version, or remove the manifests if this was a crashed " +
+        "first commit.")
     f.listStatus(ld).foreach { st =>
       val n = st.getPath.getName
       if (n.endsWith(".manifest") && n.stripPrefix("v").stripSuffix(".manifest").toLong > committed) {

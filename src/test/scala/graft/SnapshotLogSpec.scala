@@ -482,6 +482,67 @@ class SnapshotLogSpec extends SparkSpecBase {
     assert(e.getMessage.contains("vacuumed"))
   }
 
+  // Every FileSourceScan under a plan, descending through AQE wrappers
+  // (AdaptiveSparkPlanExec/QueryStageExec have no SparkPlan children).
+  private def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      fileScans(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      fileScans(q.plan)
+    case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+    case other =>
+      other.children.flatMap(fileScans) ++
+        other.subqueries.flatMap(fileScans)
+  }
+
+  test("rewrite commit derives its stats sidecar with ZERO additional scans of the committed data") {
+    import org.apache.spark.sql.functions._
+    val root = freshRoot()
+    val rootMark = new org.apache.hadoop.fs.Path(root).toUri.getPath
+    // record every successful query execution that SCANNED the table —
+    // the round-6 implementation re-read the freshly written version to
+    // build min/max and bloom sidecars (a second 100 TB pass on a full
+    // rewrite); footer-derived stats must not scan it at all
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = {
+        val scanned = fileScans(qe.executedPlan)
+          .flatMap(_.relation.location.rootPaths.map(_.toUri.getPath))
+          .filter(_.contains(rootMark))
+        if (scanned.nonEmpty) seen.add(fn + " -> " + scanned.mkString(","))
+      }
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          error: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val df = spark.range(4000).toDF("id")
+        .withColumn("key", concat(lit("k"), col("id")))
+        .repartitionByRange(4, col("id"))
+      SnapshotLog.commit(spark, root, df,
+        statsCols = Seq("id"), bloomCols = Seq("key"))
+      // barrier: ONE deliberate scan; the listener bus is FIFO, so once
+      // this event lands, every commit-time event has been processed
+      assert(SnapshotLog.read(spark, root).count() == 4000)
+      val deadline = System.currentTimeMillis + 30000
+      while (seen.isEmpty && System.currentTimeMillis < deadline) Thread.sleep(50)
+      assert(seen.size == 1,
+        s"the commit itself scanned the committed data: $seen")
+      // and the footer-derived stats genuinely prune
+      val (kept, total) = SnapshotLog.candidateFiles(spark, root, 1L, "id", 100, 200)
+      assert(total == 4 && kept.size == 1,
+        s"range-clustered footer stats should prune to 1 file: ${kept.size} of $total")
+      // the parquet write-time bloom prunes the hash-distributed key too
+      val (bk, bt) = SnapshotLog.candidateFilesEquals(spark, root, 1L, "key", "k2345")
+      assert(bk.size < bt, s"footer bloom should prune: kept ${bk.size} of $bt")
+      assert(SnapshotLog.readEquals(spark, root, "key", "k2345").count() == 1)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("lost LATEST pointer: the next writer refuses recovery instead of deleting the table") {
     val root = freshRoot()
     SnapshotLog.commit(spark, root, kv(1 -> "a"))

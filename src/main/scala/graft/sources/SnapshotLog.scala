@@ -116,12 +116,55 @@ object SnapshotLog {
 
   /** Time travel: read an explicit committed version (manifest must
     * exist — reading an uncommitted or vacuumed version fails loudly).
-    * A version's data is the union of its manifest's directories: one
+    * A version's data is the union of its manifest's directories (one
     * dir for full-snapshot commits, parent dirs + one delta dir for
-    * [[appendCommit]] chains.
+    * [[appendCommit]] chains, leaf dirs for [[upsertScoped]]) MINUS its
+    * deletion vectors ([[tombstoneDelete]]), applied as a positional
+    * anti-join at read.
     */
   def readVersion(spark: SparkSession, root: String, version: Long): DataFrame =
-    spark.read.parquet(versionPaths(spark, root, version): _*)
+    applyTombstoneDirs(spark, root, tombDirsOf(spark, root, version),
+      spark.read.parquet(versionPaths(spark, root, version): _*))
+
+  private def tombDirName(v: Long): String = f"tomb_v$v%08d"
+
+  /** Deletion-vector directory NAMES a version's manifest carries
+    * (url-encoded list, like `dirs`); empty for versions without
+    * merge-on-read deletes.
+    */
+  private[graft] def tombDirsOf(spark: SparkSession, root: String,
+                                v: Long): Seq[String] =
+    """"tombDirs":"([^"]*)"""".r
+      .findFirstMatchIn(readManifest(spark, root, v))
+      .map(_.group(1)).filter(_.nonEmpty)
+      .map(_.split(",").toSeq.filter(_.nonEmpty)
+        .map(java.net.URLDecoder.decode(_, "UTF-8")))
+      .getOrElse(Seq.empty)
+
+  /** Apply deletion vectors to a parquet file scan: anti-join on
+    * (dir-relative file path, row index) — POSITIONAL identity, so a
+    * key re-inserted after its delete lives in a NEW file and is never
+    * swallowed by an old tombstone (the trap a key-based tombstone
+    * cannot avoid). `base` must be a fresh file-source scan for the
+    * `_metadata` columns to resolve. The DV side is normally tiny and
+    * broadcasts under AQE; rows were deleted by position in O(deleted)
+    * sidecar bytes with ZERO data files rewritten.
+    */
+  private def applyTombstoneDirs(spark: SparkSession, root: String,
+                                 tombs: Seq[String],
+                                 base: DataFrame): DataFrame = {
+    if (tombs.isEmpty) return base
+    import org.apache.spark.sql.functions.{col, substring_index}
+    val rootPath = new Path(root.replaceAll("/+$", ""))
+    val dv = spark.read.parquet(
+      tombs.map(d => new Path(rootPath, d).toString): _*)
+    val cols = base.columns.toSeq
+    base
+      .withColumn("__rel", substring_index(col("_metadata.file_path"), "/", -2))
+      .withColumn("__ri", col("_metadata.row_index"))
+      .join(dv, Seq("__rel", "__ri"), "left_anti")
+      .select(cols.map(col(_)): _*)
+  }
 
   private def readManifest(spark: SparkSession, root: String, v: Long): String = {
     val m = manifestPath(root, v)
@@ -296,11 +339,15 @@ object SnapshotLog {
       val (untouched, replaced) =
         if (allScoped) parentDirs.partition(d => !touchedNames.contains(baseName(d)))
         else (Seq.empty[String], parentDirs)
+      val parentTombs = cur.toSeq.flatMap(tombDirsOf(spark, root, _))
       val merged =
         if (replaced.isEmpty) batch
         else {
-          val parent = spark.read.parquet(
-            replaced.map(d => new Path(rootPath, d).toString): _*)
+          // deletion vectors apply to the touched slice too, or a merge
+          // would resurrect rows a prior tombstoneDelete removed
+          val parent = applyTombstoneDirs(spark, root, parentTombs,
+            spark.read.parquet(
+              replaced.map(d => new Path(rootPath, d).toString): _*))
           Upsert.upsert(parent, batch.select(parent.columns.map(col(_)): _*), keys)
         }
       val dd = dataDir(root, next)
@@ -336,27 +383,104 @@ object SnapshotLog {
       }
       if (statsCols.nonEmpty || carry.nonEmpty)
         writeStats(spark, root, next, statsCols, carry)
-      writeManifestDirs(spark, root, next, newDirs)
+      // parent vectors carry: untouched partitions still need them
+      // (touched partitions had them folded into the rewrite; stale
+      // positions point at dead files and anti-join to nothing)
+      writeManifestDirs(spark, root, next, newDirs, tombDirs = parentTombs)
+      publishLatest(spark, root, next)
+      next
+    } finally f.delete(claim, false)
+  }
+
+  /** Merge-on-read DELETE (deletion vectors): record the (file, row
+    * position) of every row matching a tombstone key in an O(deleted
+    * rows) sidecar directory — ZERO data files are read-modified or
+    * rewritten; readers apply the vector as a positional anti-join
+    * ([[applyTombstoneDirs]]). The delete scan itself prunes through the
+    * usual file skipping when stats exist for the key columns.
+    * [[compactChain]] (or any full rewrite) folds the vectors back into
+    * data files; [[vacuum]] reference-counts the vector dirs like data
+    * dirs. Contrast [[deleteByKey]], which stays the O(table) rewrite
+    * path.
+    */
+  def tombstoneDelete(spark: SparkSession, root: String,
+                      tombstones: DataFrame, keys: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.{col, substring_index}
+    require(keys.nonEmpty && keys.forall(tombstones.columns.contains),
+      s"keys $keys must be columns of the tombstone frame")
+    val ld = logDir(root)
+    val f = fs(spark, ld)
+    f.mkdirs(ld)
+    val claim = new Path(ld, "WRITER_CLAIM")
+    val claimed =
+      try { f.create(claim, false).close(); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    require(claimed,
+      s"could not claim $claim — concurrent commit on this table, or a " +
+      "hard-crashed writer's leftover (remove it and retry)")
+    try {
+      recoverOrphans(spark, root)
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed version at $root"))
+      val next = cur + 1L
+      val rootPath = new Path(root.replaceAll("/+$", ""))
+      val base = spark.read.parquet(versionPaths(spark, root, cur): _*)
+      require(keys.forall(base.columns.contains),
+        s"keys $keys must be columns of the table")
+      // one key-pruned scan finds positions; already-tombstoned rows may
+      // re-enter the new vector — duplicate positions are harmless to an
+      // anti-join and the next compaction folds them all away
+      val hits = base
+        .withColumn("__rel", substring_index(col("_metadata.file_path"), "/", -2))
+        .withColumn("__ri", col("_metadata.row_index"))
+        .join(tombstones.select(keys.map(col(_)): _*).distinct(), keys, "left_semi")
+        .select(col("__rel"), col("__ri"))
+      val td = new Path(rootPath, tombDirName(next))
+      hits.write.mode("overwrite").parquet(td.toString)
+      // the data-file set is untouched, so the parent's sidecar carries
+      // verbatim (stats prune files; the vector prunes rows afterwards)
+      val carry = {
+        val sp = statsPath(root, cur)
+        if (!f.exists(sp)) Seq.empty[String]
+        else {
+          val in = f.open(sp)
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq
+              .filter(_.nonEmpty)
+          finally in.close()
+        }
+      }
+      if (carry.nonEmpty) writeStats(spark, root, next, Nil, carry)
+      writeManifestDirs(spark, root, next, dirsOf(spark, root, cur),
+        tombDirs = tombDirsOf(spark, root, cur) :+ tombDirName(next))
       publishLatest(spark, root, next)
       next
     } finally f.delete(claim, false)
   }
 
   /** Manifest for a version whose data is an EXPLICIT leaf-dir list
-    * (scoped commits) — url-encoded so partition values containing the
-    * separator can't corrupt the list. Temp + rename like every
-    * manifest: absent or complete, never partial.
+    * (scoped commits) and/or carries deletion-vector dirs — url-encoded
+    * so partition values containing the separator can't corrupt the
+    * lists. Temp + rename like every manifest: absent or complete,
+    * never partial.
     */
   private def writeManifestDirs(spark: SparkSession, root: String, v: Long,
-                                dirs: Seq[String], batchId: Long = -1L): Unit = {
+                                dirs: Seq[String], batchId: Long = -1L,
+                                tombDirs: Seq[String] = Nil): Unit = {
     val m = manifestPath(root, v)
     val tmp = new Path(logDir(root), f".tmp_manifest_v$v%08d")
     val enc = dirs.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(",")
+    val tombEnc =
+      if (tombDirs.isEmpty) ""
+      else s""","tombDirs":"${tombDirs.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(",")}""""
     val f = fs(spark, m)
     val out = f.create(tmp, true)
     try out.write(
       (s"""{"version":$v,"dataDir":"${dataDirName(v)}","batchId":$batchId,""" +
-       s""""dirs":"$enc"}""").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+       s""""dirs":"$enc"$tombEnc}""").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (!f.rename(tmp, m))
       throw new IllegalStateException(s"could not publish manifest $m")
@@ -375,18 +499,22 @@ object SnapshotLog {
                                   statsCols: Seq[String] = Nil,
                                   bloomCols: Seq[String] = Nil,
                                   baseDirs: Seq[String] = Nil,
-                                  carryStats: Seq[String] = Nil): Unit = {
+                                  carryStats: Seq[String] = Nil,
+                                  tombDirs: Seq[String] = Nil): Unit = {
     val dd = dataDir(root, v)
     writeDataDir(spark, df, dd, bloomCols)
     if (statsCols.nonEmpty || carryStats.nonEmpty)
       writeStats(spark, root, v, statsCols, carryStats)
     val m = manifestPath(root, v)
     val tmp = new Path(logDir(root), f".tmp_manifest_v$v%08d")
+    val tombEnc =
+      if (tombDirs.isEmpty) ""
+      else s""","tombDirs":"${tombDirs.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(",")}""""
     val f = fs(spark, m)
     val out = f.create(tmp, true)
     try out.write(
       (s"""{"version":$v,"dataDir":"${dataDirName(v)}","batchId":$batchId,""" +
-       s""""baseDirs":"${baseDirs.mkString(",")}"}""")
+       s""""baseDirs":"${baseDirs.mkString(",")}"$tombEnc}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (!f.rename(tmp, m))
@@ -502,8 +630,11 @@ object SnapshotLog {
               finally in.close()
             }
           }
+          // parent deletion vectors carry too: an append must not
+          // resurrect rows a prior tombstoneDelete removed
           stageVersion(spark, root, batch, next, batchId, statsCols,
-            bloomCols, baseDirs = dirsOf(spark, root, cur), carryStats = carry)
+            bloomCols, baseDirs = dirsOf(spark, root, cur), carryStats = carry,
+            tombDirs = tombDirsOf(spark, root, cur))
           publishLatest(spark, root, next)
           next
       })
@@ -644,7 +775,11 @@ object SnapshotLog {
     // below assumes key-unique snapshots).
     val fromDirs = dirsOf(spark, root, fromV)
     val toDirs = dirsOf(spark, root, toV)
-    if (toDirs.startsWith(fromDirs)) {
+    // the short-circuit also demands IDENTICAL deletion vectors: a
+    // tombstoneDelete changes visible rows while leaving the dir chain
+    // intact — treating it as "pure append" would hide every delete
+    if (toDirs.startsWith(fromDirs) &&
+        tombDirsOf(spark, root, toV) == tombDirsOf(spark, root, fromV)) {
       val deltas = toDirs.drop(fromDirs.size).map(d =>
         new Path(root.replaceAll("/+$", ""), d).toString)
       val rows = spark.read.parquet(deltas: _*)
@@ -1251,7 +1386,8 @@ object SnapshotLog {
     val base =
       if (kept.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(kept.map(_.toString): _*)
+      else applyTombstoneDirs(spark, root, tombDirsOf(spark, root, v),
+        spark.read.schema(schema).parquet(kept.map(_.toString): _*))
     base.filter(col(column) === lit(value))
   }
 
@@ -1289,7 +1425,8 @@ object SnapshotLog {
     val base =
       if (kept.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(kept.toSeq.sorted: _*)
+      else applyTombstoneDirs(spark, root, tombDirsOf(spark, root, v),
+        spark.read.schema(schema).parquet(kept.toSeq.sorted: _*))
     ranges.foldLeft(base) { case (df, (c, lo, hi)) =>
       df.filter(col(c).between(lit(lo), lit(hi)))
     }
@@ -1334,12 +1471,15 @@ object SnapshotLog {
         f.delete(st.getPath, false) // stats published, crash before manifest
       } else if (n.startsWith(".tmp_")) f.delete(st.getPath, false)
     }
-    // a data dir without its manifest (crash inside stageVersion)
+    // a data or tombstone dir without its manifest (crash mid-stage)
     val rootPath = new Path(root.replaceAll("/+$", ""))
     fs(spark, rootPath).listStatus(rootPath).foreach { st =>
       val n = st.getPath.getName
       if (n.startsWith("data_v") &&
           scala.util.Try(n.stripPrefix("data_v").toLong).toOption.exists(_ > committed))
+        f.delete(st.getPath, true)
+      else if (n.startsWith("tomb_v") &&
+          scala.util.Try(n.stripPrefix("tomb_v").toLong).toOption.exists(_ > committed))
         f.delete(st.getPath, true)
     }
   }
@@ -1375,16 +1515,24 @@ object SnapshotLog {
     // live on). Scoped versions are counted at leaf granularity.
     val retainedDirs = vs.takeRight(keep)
       .flatMap(v => dirsOf(spark, root, v)).toSet
+    val retainedTombs = vs.takeRight(keep)
+      .flatMap(v => tombDirsOf(spark, root, v)).toSet
     vs.dropRight(keep).foreach { v =>
       val own = dataDirName(v)
       // a version OWNS its own data dir and everything under it; shared
       // parent dirs in its list belong to the versions that wrote them
       val owned = dirsOf(spark, root, v)
         .filter(d => d == own || d.startsWith(own + "/"))
+      val ownTomb = tombDirName(v)
+      val ownedTombs = tombDirsOf(spark, root, v).filter(_ == ownTomb)
       f.delete(manifestPath(root, v), false)
       f.delete(statsPath(root, v), false)
       owned.foreach { d =>
         if (!retainedDirs.contains(d))
+          f.delete(new Path(rootPath, d), true)
+      }
+      ownedTombs.foreach { d =>
+        if (!retainedTombs.contains(d))
           f.delete(new Path(rootPath, d), true)
       }
       // a scoped version's own parent dir may be empty now (every leaf

@@ -89,6 +89,27 @@ object SnapshotLog {
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Atomically create the writer-claim file, returning whether WE won
+    * it. On local paths this MUST go through NIO's O_CREAT|O_EXCL:
+    * Hadoop's RawLocalFileSystem.create(overwrite=false) is a
+    * check-then-create, so two in-process writers can both slip past it
+    * and double-publish (observed as a manifest rename collision in the
+    * OCC spec). HDFS create(false) is namenode-atomic, so the Hadoop
+    * path is correct there; object stores keep their documented
+    * external-lock caveat.
+    */
+  private def atomicClaim(f: org.apache.hadoop.fs.FileSystem,
+                          claim: Path): Boolean = {
+    val uri = claim.toUri
+    if (uri.getScheme == null || uri.getScheme == "file")
+      try {
+        java.nio.file.Files.createFile(java.nio.file.Paths.get(uri.getPath))
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    else
+      atomicClaim(f, claim)
+  }
+
   /** Highest committed version, resolved through the LATEST pointer only
     * (never by listing — uncommitted manifests must stay invisible).
     * None = the table does not exist yet.
@@ -218,11 +239,7 @@ object SnapshotLog {
     // same atomic-create claim (and the same FS caveats) as
     // Upsert.upsertPartitioned — single writer per table
     val claimed =
-      try { f.create(claim, false).close(); true }
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case _: java.nio.file.FileAlreadyExistsException => false
-      }
+      atomicClaim(f, claim)
     require(claimed,
       s"could not claim $claim — concurrent commit on this table, or a " +
       "hard-crashed writer's leftover (remove it and retry)")
@@ -306,11 +323,7 @@ object SnapshotLog {
     f.mkdirs(ld)
     val claim = new Path(ld, "WRITER_CLAIM")
     val claimed =
-      try { f.create(claim, false).close(); true }
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case _: java.nio.file.FileAlreadyExistsException => false
-      }
+      atomicClaim(f, claim)
     require(claimed,
       s"could not claim $claim — concurrent commit on this table, or a " +
       "hard-crashed writer's leftover (remove it and retry)")
@@ -413,11 +426,7 @@ object SnapshotLog {
     f.mkdirs(ld)
     val claim = new Path(ld, "WRITER_CLAIM")
     val claimed =
-      try { f.create(claim, false).close(); true }
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case _: java.nio.file.FileAlreadyExistsException => false
-      }
+      atomicClaim(f, claim)
     require(claimed,
       s"could not claim $claim — concurrent commit on this table, or a " +
       "hard-crashed writer's leftover (remove it and retry)")
@@ -455,10 +464,266 @@ object SnapshotLog {
       }
       if (carry.nonEmpty) writeStats(spark, root, next, Nil, carry)
       writeManifestDirs(spark, root, next, dirsOf(spark, root, cur),
-        tombDirs = tombDirsOf(spark, root, cur) :+ tombDirName(next))
+        tombDirs = tombDirsOf(spark, root, cur) :+ tombDirName(next),
+        kind = "delete")
       publishLatest(spark, root, next)
       next
     } finally f.delete(claim, false)
+  }
+
+  /** Bounded-wait writer claim: the OCC commit paths hold the claim
+    * only for their METADATA-side critical section (head resolve,
+    * conflict check, dir rename, sidecar + manifest + pointer), so
+    * contending writers WAIT briefly instead of failing — the expensive
+    * data write already happened outside the lock. Same atomic-create
+    * claim file as the classic paths, so OCC and classic writers
+    * exclude each other correctly.
+    */
+  private def withClaimWait[T](spark: SparkSession, root: String,
+                               timeoutMs: Long = 60000L)(body: => T): T = {
+    val ld = logDir(root)
+    val f = fs(spark, ld)
+    f.mkdirs(ld)
+    val claim = new Path(ld, "WRITER_CLAIM")
+    val deadline = System.currentTimeMillis + timeoutMs
+    var claimed = false
+    while (!claimed) {
+      claimed =
+        atomicClaim(f, claim)
+      if (!claimed) {
+        if (System.currentTimeMillis > deadline)
+          throw new IllegalStateException(
+            s"timed out after ${timeoutMs}ms waiting for $claim — a writer " +
+            "is stuck mid-commit or hard-crashed (remove the claim to recover)")
+        Thread.sleep(25L + scala.util.Random.nextInt(50).toLong)
+      }
+    }
+    try body finally f.delete(claim, false)
+  }
+
+  private def stagingDirName(): String =
+    "data_u" + java.util.UUID.randomUUID.toString.replace("-", "")
+
+  /** Optimistic-concurrency APPEND: the batch is written to a
+    * writer-unique staging dir with NO lock held, then a short claimed
+    * critical section renames it into place as the next version —
+    * contending appenders overlap their (arbitrarily large) data writes
+    * and serialize only on O(metadata). Appends never conflict
+    * semantically, so every staged batch lands; the schema guard and
+    * deletion-vector carry match [[appendCommit]].
+    */
+  def appendOcc(spark: SparkSession, root: String, batch: DataFrame,
+                statsCols: Seq[String] = Nil,
+                bloomCols: Seq[String] = Nil): Long = {
+    val rootPath = new Path(root.replaceAll("/+$", ""))
+    val staging = new Path(rootPath, stagingDirName())
+    writeDataDir(spark, batch, staging, bloomCols)
+    withClaimWait(spark, root) {
+      recoverOrphans(spark, root)
+      val f = fs(spark, rootPath)
+      val cur = currentVersion(spark, root)
+      val next = cur.getOrElse(0L) + 1L
+      cur.foreach { c =>
+        val have = readVersion(spark, root, c).schema.fields
+          .map(fl => (fl.name, fl.dataType.catalogString)).toSeq
+        val got = batch.schema.fields
+          .map(fl => (fl.name, fl.dataType.catalogString)).toSeq
+        if (got != have) {
+          f.delete(staging, true)
+          throw new IllegalArgumentException(
+            s"append schema $got != table schema $have " +
+            "(append-only tables do not evolve schemas mid-chain)")
+        }
+      }
+      if (!f.rename(staging, dataDir(root, next)))
+        throw new IllegalStateException(
+          s"could not move staged $staging into ${dataDir(root, next)}")
+      val carry = cur.toSeq.flatMap(c => sidecarLines(spark, root, c))
+      if (statsCols.nonEmpty || carry.nonEmpty)
+        writeStats(spark, root, next, statsCols, carry)
+      writeManifestAppend(spark, root, next, -1L,
+        baseDirs = cur.map(dirsOf(spark, root, _)).getOrElse(Nil),
+        tombDirs = cur.map(tombDirsOf(spark, root, _)).getOrElse(Nil))
+      publishLatest(spark, root, next)
+      next
+    }
+  }
+
+  /** Handle for a staged-but-unpublished scoped OCC commit: which head
+    * the merge was computed against, where the merged leafs sit, and
+    * which partitions they cover.
+    */
+  private[graft] case class StagedScoped(base: Option[Long],
+                                         stagingDir: String,
+                                         touched: Set[String])
+
+  /** Optimistic-concurrency partition-scoped upsert, split so the spec
+    * can interleave writers deterministically: [[stageScopedOcc]] does
+    * the expensive merge+write against a freely-read head with NO lock;
+    * [[publishScopedOcc]] then holds the claim only to validate and
+    * publish. Validation: every commit that landed since the staged
+    * base must itself be a scoped commit touching DISJOINT partitions —
+    * then the staged merge is still exact and simply rebases (its
+    * untouched carry-list is recomputed against the new head). Any
+    * overlap, interleaved delete, append, or full rewrite aborts with
+    * `ConcurrentModificationException`, staging removed, table
+    * untouched — the caller re-runs the whole upsert against the new
+    * head. [[upsertScopedOcc]] is the one-call form.
+    */
+  def upsertScopedOcc(spark: SparkSession, root: String, batch: DataFrame,
+                      keys: Seq[String], partitionCol: String,
+                      statsCols: Seq[String] = Nil,
+                      bloomCols: Seq[String] = Nil): Long =
+    publishScopedOcc(spark, root,
+      stageScopedOcc(spark, root, batch, keys, partitionCol, bloomCols),
+      statsCols)
+
+  private[graft] def stageScopedOcc(spark: SparkSession, root: String,
+                                    batch: DataFrame, keys: Seq[String],
+                                    partitionCol: String,
+                                    bloomCols: Seq[String] = Nil): StagedScoped = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    import org.apache.spark.sql.functions.col
+    require(batch.columns.contains(partitionCol),
+      s"partition column $partitionCol not in batch ${batch.columns.toSeq}")
+    require(keys.nonEmpty && keys.forall(batch.columns.contains),
+      s"keys $keys must be columns of the batch")
+    val rootPath = new Path(root.replaceAll("/+$", ""))
+    val touchedNames = batch.select(col(partitionCol).cast("string"))
+      .distinct().collect().map { r =>
+        require(!r.isNullAt(0),
+          s"NULL $partitionCol in batch: scoped commits need a concrete " +
+          "partition per row")
+        GpPrefix + ExternalCatalogUtils.escapePathName(r.getString(0))
+      }.toSet
+    val base = currentVersion(spark, root)
+    def baseName(d: String) = d.substring(d.lastIndexOf('/') + 1)
+    val merged = base match {
+      case None => batch
+      case Some(b) =>
+        val parentDirs = dirsOf(spark, root, b)
+        require(parentDirs.forall(baseName(_).startsWith(GpPrefix)),
+          "upsertScopedOcc needs a scoped table — run upsertScoped once " +
+          "to migrate a plain table into the scoped layout")
+        val replaced = parentDirs.filter(d => touchedNames.contains(baseName(d)))
+        if (replaced.isEmpty) batch
+        else {
+          val parent = applyTombstoneDirs(spark, root,
+            tombDirsOf(spark, root, b),
+            spark.read.parquet(
+              replaced.map(d => new Path(rootPath, d).toString): _*))
+          Upsert.upsert(parent, batch.select(parent.columns.map(col(_)): _*), keys)
+        }
+    }
+    val staging = stagingDirName()
+    writeDataDir(spark,
+      merged.withColumn(GpCol, col(partitionCol).cast("string")),
+      new Path(rootPath, staging), bloomCols, partitionBy = Seq(GpCol))
+    StagedScoped(base, staging, touchedNames)
+  }
+
+  private[graft] def publishScopedOcc(spark: SparkSession, root: String,
+                                      staged: StagedScoped,
+                                      statsCols: Seq[String] = Nil): Long = {
+    val rootPath = new Path(root.replaceAll("/+$", ""))
+    def baseName(d: String) = d.substring(d.lastIndexOf('/') + 1)
+    withClaimWait(spark, root) {
+      val f = fs(spark, rootPath)
+      val stagingPath = new Path(rootPath, staged.stagingDir)
+      def abort(why: String): Nothing = {
+        f.delete(stagingPath, true)
+        throw new java.util.ConcurrentModificationException(
+          s"scoped OCC commit aborted: $why — re-run against the new head")
+      }
+      recoverOrphans(spark, root)
+      val head = currentVersion(spark, root)
+      val next = head.getOrElse(0L) + 1L
+      // every commit since the staged base must be scoped AND disjoint,
+      // or the staged merge may be stale (appends add rows the merge
+      // never saw; deletes remove rows it still carries; a full rewrite
+      // invalidates everything)
+      val movedRange = (staged.base.getOrElse(0L) + 1L) to head.getOrElse(0L)
+      movedRange.foreach { c =>
+        if (manifestKind(spark, root, c) != Some("scoped"))
+          abort(s"non-scoped commit v$c landed since the staged base")
+        val ownLeafs = dirsOf(spark, root, c)
+          .filter(_.startsWith(dataDirName(c) + "/")).map(baseName).toSet
+        val overlap = ownLeafs.intersect(staged.touched)
+        if (overlap.nonEmpty)
+          abort(s"v$c touched the same partitions: ${overlap.mkString(", ")}")
+      }
+      val headDirs = head.map(dirsOf(spark, root, _)).getOrElse(Seq.empty)
+      if (head.nonEmpty && !headDirs.forall(baseName(_).startsWith(GpPrefix)))
+        abort("head is not a scoped table")
+      val untouched = headDirs.filterNot(d => staged.touched.contains(baseName(d)))
+      val writtenLeafs = f.listStatus(stagingPath).map(_.getPath.getName)
+        .filter(_.startsWith(GpPrefix)).sorted.toSeq
+      if (head.nonEmpty && writtenLeafs.toSet != staged.touched)
+        abort(s"partition path rendering drifted: wrote $writtenLeafs, " +
+          s"derived ${staged.touched}")
+      if (!f.rename(stagingPath, dataDir(root, next)))
+        throw new IllegalStateException(
+          s"could not move staged $stagingPath into ${dataDir(root, next)}")
+      val untouchedBase = untouched.map(baseName).toSet
+      val carry = head.toSeq.flatMap(c =>
+        sidecarLines(spark, root, c).filter { line =>
+          val key = unesc(line.split("\t", -1)(0))
+          untouchedBase.contains(key.substring(0, math.max(key.indexOf('/'), 0)))
+        })
+      if (statsCols.nonEmpty || carry.nonEmpty)
+        writeStats(spark, root, next, statsCols, carry)
+      val newDirs = untouched ++ writtenLeafs.map(dataDirName(next) + "/" + _)
+      writeManifestDirs(spark, root, next, newDirs,
+        tombDirs = head.toSeq.flatMap(tombDirsOf(spark, root, _)))
+      publishLatest(spark, root, next)
+      next
+    }
+  }
+
+  /** The commit kind a manifest self-declares (`scoped` from
+    * [[upsertScoped]]/[[upsertScopedOcc]], `delete` from
+    * [[tombstoneDelete]]); None for flat/append manifests — the OCC
+    * rebase check uses this to recognize commits it can reason about.
+    */
+  private def manifestKind(spark: SparkSession, root: String,
+                           v: Long): Option[String] =
+    """"kind":"(\w+)"""".r.findFirstMatchIn(readManifest(spark, root, v))
+      .map(_.group(1))
+
+  private def sidecarLines(spark: SparkSession, root: String,
+                           v: Long): Seq[String] = {
+    val sp = statsPath(root, v)
+    val f = fs(spark, sp)
+    if (!f.exists(sp)) Seq.empty
+    else {
+      val in = f.open(sp)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq
+          .filter(_.nonEmpty)
+      finally in.close()
+    }
+  }
+
+  /** Append-style manifest (baseDirs + implied own dir), shared by the
+    * classic and OCC append paths.
+    */
+  private def writeManifestAppend(spark: SparkSession, root: String, v: Long,
+                                  batchId: Long, baseDirs: Seq[String],
+                                  tombDirs: Seq[String]): Unit = {
+    val m = manifestPath(root, v)
+    val tmp = new Path(logDir(root), f".tmp_manifest_v$v%08d")
+    val tombEnc =
+      if (tombDirs.isEmpty) ""
+      else s""","tombDirs":"${tombDirs.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(",")}""""
+    val f = fs(spark, m)
+    val out = f.create(tmp, true)
+    try out.write(
+      (s"""{"version":$v,"dataDir":"${dataDirName(v)}","batchId":$batchId,""" +
+       s""""baseDirs":"${baseDirs.mkString(",")}"$tombEnc}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!f.rename(tmp, m))
+      throw new IllegalStateException(s"could not publish manifest $m")
   }
 
   /** Manifest for a version whose data is an EXPLICIT leaf-dir list
@@ -469,7 +734,8 @@ object SnapshotLog {
     */
   private def writeManifestDirs(spark: SparkSession, root: String, v: Long,
                                 dirs: Seq[String], batchId: Long = -1L,
-                                tombDirs: Seq[String] = Nil): Unit = {
+                                tombDirs: Seq[String] = Nil,
+                                kind: String = "scoped"): Unit = {
     val m = manifestPath(root, v)
     val tmp = new Path(logDir(root), f".tmp_manifest_v$v%08d")
     val enc = dirs.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(",")
@@ -480,7 +746,8 @@ object SnapshotLog {
     val out = f.create(tmp, true)
     try out.write(
       (s"""{"version":$v,"dataDir":"${dataDirName(v)}","batchId":$batchId,""" +
-       s""""dirs":"$enc"$tombEnc}""").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+       s""""kind":"$kind","dirs":"$enc"$tombEnc}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (!f.rename(tmp, m))
       throw new IllegalStateException(s"could not publish manifest $m")
@@ -505,20 +772,7 @@ object SnapshotLog {
     writeDataDir(spark, df, dd, bloomCols)
     if (statsCols.nonEmpty || carryStats.nonEmpty)
       writeStats(spark, root, v, statsCols, carryStats)
-    val m = manifestPath(root, v)
-    val tmp = new Path(logDir(root), f".tmp_manifest_v$v%08d")
-    val tombEnc =
-      if (tombDirs.isEmpty) ""
-      else s""","tombDirs":"${tombDirs.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(",")}""""
-    val f = fs(spark, m)
-    val out = f.create(tmp, true)
-    try out.write(
-      (s"""{"version":$v,"dataDir":"${dataDirName(v)}","batchId":$batchId,""" +
-       s""""baseDirs":"${baseDirs.mkString(",")}"$tombEnc}""")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    if (!f.rename(tmp, m))
-      throw new IllegalStateException(s"could not publish manifest $m")
+    writeManifestAppend(spark, root, v, batchId, baseDirs, tombDirs)
   }
 
   /** The one parquet write every commit path shares. INT96 (Spark's
@@ -587,11 +841,7 @@ object SnapshotLog {
     f.mkdirs(ld)
     val claim = new Path(ld, "WRITER_CLAIM")
     val claimed =
-      try { f.create(claim, false).close(); true }
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case _: java.nio.file.FileAlreadyExistsException => false
-      }
+      atomicClaim(f, claim)
     require(claimed,
       s"could not claim $claim — concurrent commit on this table, or a " +
       "hard-crashed writer's leftover (remove it and retry)")
@@ -683,11 +933,7 @@ object SnapshotLog {
     f.mkdirs(ld)
     val claim = new Path(ld, "WRITER_CLAIM")
     val claimed =
-      try { f.create(claim, false).close(); true }
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case _: java.nio.file.FileAlreadyExistsException => false
-      }
+      atomicClaim(f, claim)
     require(claimed,
       s"could not claim $claim — concurrent commit on this table, or a " +
       "hard-crashed writer's leftover (remove it and retry)")
@@ -1540,6 +1786,16 @@ object SnapshotLog {
       val ownPath = dataDir(root, v)
       if (f.exists(ownPath) && f.listStatus(ownPath).isEmpty)
         f.delete(ownPath, false)
+    }
+    // OCC staging debris: a writer that crashed BEFORE its claimed
+    // publish leaves a data_u dir no manifest references. Liveness is
+    // undecidable from the name, so reclaim by age — a day dwarfs any
+    // sane stage-to-publish gap (same retention reasoning as above)
+    val dayMs = 24L * 3600 * 1000
+    fs(spark, rootPath).listStatus(rootPath).foreach { st =>
+      if (st.getPath.getName.startsWith("data_u") &&
+          st.getModificationTime < System.currentTimeMillis - dayMs)
+        f.delete(st.getPath, true)
     }
   }
 }

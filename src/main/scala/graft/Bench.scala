@@ -75,11 +75,12 @@ object Bench {
       "x66_fuzzy_prefix" -> ((s, dir) => graft.engine.Scalars.x66(s, dir)),
       // x32 is the LSH twin of q32's global top-10 cosine pairs: bucket
       // candidates replace the O(n²) cross join, exact vec_dot ranks
-      // them. Recall measured in EmbedOpsSpec (8/10 on the near-uniform
-      // fixture — the adversarial LSH regime; identity at x41's
-      // high-similarity operating point).
+      // them. MULTI-PROBE (8 bits × 5 tables × 4 lowest-margin bit
+      // flips): recall 9-10/10 on the near-uniform fixtures — the
+      // adversarial LSH regime — at 83% of the single-probe candidate
+      // budget (measured in EmbedOpsSpec; swept in tools/LshProbeTune).
       "x32_top_pairs_lsh" -> ((s, dir) =>
-        graft.engine.EmbedOps.topCosinePairsLsh(
+        graft.engine.EmbedOps.topCosinePairsLshMultiProbe(
           graft.engine.Tables.embeddings(s, dir), k = 10)),
       // x75 is the keyset twin of q75's OFFSET pagination: the cursor
       // predicate + top-k fetch per page (page 3, k=50 — the same rows as

@@ -205,6 +205,102 @@ object EmbedOps {
       .orderBy(desc("cosine"), col("id_a"), col("id_b"))
       .limit(k)
 
+  /** Multi-probe bucketing: like [[withLshBuckets]] but each table emits
+    * the base bucket PLUS `nprobe` lowest-margin bit-flip buckets (the
+    * codegen'd `vec_lsh_probe` kernel). The `buckets` array has
+    * `tables*(1+nprobe)` entries laid out per-table.
+    */
+  def withLshProbes(df: DataFrame, bits: Int, tables: Int, nprobe: Int,
+                    vecCol: String = "embedding",
+                    dim: Option[Int] = None): DataFrame = {
+    VectorFunctions.register(df.sparkSession)
+    val expected = dim.orElse {
+      val firstDim = df.filter(col(vecCol).isNotNull)
+        .select(size(col(vecCol))).take(1)
+      firstDim.headOption.map(_.getInt(0))
+    }
+    expected match {
+      case None =>
+        df.withColumn("buckets",
+          when(col(vecCol).isNotNull,
+            array((0 until tables * (1 + nprobe)).map(_ => lit(0)): _*))
+            .otherwise(lit(null).cast("array<int>")))
+      case Some(d) =>
+        val planesFlat = floatArrayLit(
+          for (t <- 0 until tables; p <- 0 until bits; dd <- 0 until d)
+            yield planeSign(t, p, dd))
+        val dimMsg = concat(
+          lit(s"withLshProbes: vector of dimension "),
+          size(col(vecCol)).cast("string"),
+          lit(s" in a corpus of expected dimension $d — mixed-width " +
+            "embeddings are malformed; fix the corpus or bucket per width"))
+        df.withColumn("buckets",
+          when(col(vecCol).isNull, lit(null).cast("array<int>"))
+            .when(size(col(vecCol)) =!= d, raise_error(dimMsg))
+            .otherwise(call_function("vec_lsh_probe", col(vecCol), planesFlat,
+              lit(bits), lit(tables), lit(nprobe))))
+    }
+  }
+
+  /** [[scoredLshPairs]] with multi-probe candidate generation: entries
+    * join within a table across base AND probe buckets, so a pair whose
+    * signatures differ in one low-margin bit still collides. More bits
+    * (smaller buckets) buy back the probe fan-out — the operating points
+    * the spec pins hold candidates at-or-below single-probe while
+    * recovering more of the true top pairs in the near-uniform regime.
+    */
+  private def scoredLshPairsProbed(corpus: DataFrame, bits: Int, tables: Int,
+                                   nprobe: Int, idCol: String,
+                                   vecCol: String): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val stride = 1 + nprobe
+    val bucketed = withLshProbes(corpus, bits, tables, nprobe, vecCol)
+      .select(col(idCol), posexplode(col("buckets")).as(Seq("pos", "bucket")))
+      .withColumn("table", (col("pos") / stride).cast("int"))
+    val a = bucketed.select(col("table"), col("bucket"), col(idCol).as("id_a"))
+    val b = bucketed.select(col("table").as("table_b"), col("bucket").as("bucket_b"),
+      col(idCol).as("id_b"))
+    val candidates = a
+      .join(b, col("table") === col("table_b") && col("bucket") === col("bucket_b") &&
+               col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    candidates
+      .join(corpus.select(col(idCol).as("id_a"), col(vecCol).as("vec_a")), "id_a")
+      .join(corpus.select(col(idCol).as("id_b"), col(vecCol).as("vec_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        expr("vec_dot(vec_a, vec_b)").as("cosine"))
+  }
+
+  /** Candidate-pair count of the multi-probe pipeline (nprobe=0 ≡ the
+    * single-probe pipeline) — the budget the spec holds fixed while
+    * comparing recall.
+    */
+  def lshCandidateCount(corpus: DataFrame, bits: Int, tables: Int,
+                        nprobe: Int, idCol: String = "vec_id",
+                        vecCol: String = "embedding"): Long =
+    scoredLshPairsProbed(corpus, bits, tables, nprobe, idCol, vecCol)
+      .select("id_a", "id_b").count()
+
+  /** [[topCosinePairsLsh]] with multi-probe candidates: the recall dial
+    * that does NOT widen buckets — flipping the lowest-margin bits
+    * probes exactly the adjacent buckets a just-missed pair fell into.
+    * Default operating point 8 bits × 5 tables × 4 probes, picked by
+    * sweep (tools/LshProbeTune) on the adversarial near-uniform
+    * fixtures: recall 9-10/10 vs the exact q32 top pairs at BOTH SFs
+    * with candidate pairs at 83% of the single-probe 4×8 baseline —
+    * higher bits shrink buckets (the quadratic cost term), probes buy
+    * the recall back linearly.
+    */
+  def topCosinePairsLshMultiProbe(corpus: DataFrame, k: Int, bits: Int = 8,
+                                  tables: Int = 5, nprobe: Int = 4,
+                                  idCol: String = "vec_id",
+                                  vecCol: String = "embedding"): DataFrame =
+    scoredLshPairsProbed(corpus, bits, tables, nprobe, idCol, vecCol)
+      .withColumn("cosine", round(col("cosine"), 4))
+      .orderBy(desc("cosine"), col("id_a"), col("id_b"))
+      .limit(k)
+
   /** IVF (inverted-file) ANN index: k-means cells trained with a fixed
     * number of Lloyd iterations from a deterministic init (first k vectors
     * by id), each vector assigned to its nearest cell. Querying probes only

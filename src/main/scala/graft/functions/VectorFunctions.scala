@@ -255,6 +255,156 @@ object VectorFunctions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** `vec_lsh_probe(vec, planes, bits, tables, nprobe)` → ARRAY<INT> of
+    * `tables * (1 + nprobe)` buckets: per table, the base signature
+    * followed by `nprobe` MULTI-PROBE buckets — the signature with a
+    * lowest-|margin| bit flipped, one bit per probe, in ascending margin
+    * order. The margin |dot(vec, plane)| measures how close the vector
+    * sits to each hyperplane; a near neighbour that lands one bucket
+    * over almost always differs in a minimal-margin bit, so probing
+    * exactly those flips recovers most Hamming-1 misses far cheaper than
+    * adding tables (Lv et al.'s multi-probe LSH as a codegen'd kernel,
+    * so probing stays in-plan). Same flat plane layout and null
+    * semantics as `vec_lsh`.
+    */
+  case class FloatLshMultiProbe(left: Expression, right: Expression,
+                                bits: Int, tables: Int, nprobe: Int)
+      extends BinaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (children.forall(_.dataType.isInstanceOf[ArrayType]) &&
+          children.forall(_.dataType.asInstanceOf[ArrayType].elementType == FloatType)) {
+        if (bits >= 1 && bits <= 30 && tables >= 1 && nprobe >= 0 && nprobe <= bits)
+          TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires 1 <= bits <= 30, tables >= 1, 0 <= nprobe <= bits, " +
+          s"got bits=$bits tables=$tables nprobe=$nprobe")
+      } else
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires ARRAY<FLOAT> vec and planes arguments, got " +
+            children.map(_.dataType.catalogString).mkString(", "))
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+    override def prettyName: String = "vec_lsh_probe"
+    override def nullable: Boolean = true
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val planes = b.asInstanceOf[ArrayData]
+      val dim = x.numElements()
+      if (planes.numElements() != tables * bits * dim) return null
+      val stride = 1 + nprobe
+      val out = new Array[Int](tables * stride)
+      var hasNull = false
+      var d = 0
+      while (d < dim && !hasNull) { hasNull = x.isNullAt(d); d += 1 }
+      if (!hasNull) {
+        val margins = new Array[Double](bits)
+        val used = new Array[Boolean](bits)
+        var off = 0
+        var t = 0
+        while (t < tables) {
+          var sig = 0
+          var p = 0
+          while (p < bits) {
+            var acc = 0.0
+            var i = 0
+            while (i < dim) {
+              acc += x.getFloat(i).toDouble * planes.getFloat(off + i).toDouble
+              i += 1
+            }
+            off += dim
+            if (acc >= 0.0) sig |= (1 << p)
+            margins(p) = if (acc < 0.0) -acc else acc
+            p += 1
+          }
+          out(t * stride) = sig
+          java.util.Arrays.fill(used, false)
+          var j = 0
+          while (j < nprobe) {
+            var best = -1
+            var bestM = Double.MaxValue
+            var q = 0
+            while (q < bits) {
+              if (!used(q) && margins(q) < bestM) { best = q; bestM = margins(q) }
+              q += 1
+            }
+            used(best) = true
+            out(t * stride + 1 + j) = sig ^ (1 << best)
+            j += 1
+          }
+          t += 1
+        }
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val dim = ctx.freshName("dim")
+        val out = ctx.freshName("out")
+        val hasNull = ctx.freshName("hasNull")
+        val off = ctx.freshName("off")
+        val t = ctx.freshName("t")
+        val p = ctx.freshName("p")
+        val i = ctx.freshName("i")
+        val d = ctx.freshName("d")
+        val acc = ctx.freshName("acc")
+        val sig = ctx.freshName("sig")
+        val margins = ctx.freshName("margins")
+        val used = ctx.freshName("used")
+        val j = ctx.freshName("j")
+        val q = ctx.freshName("q")
+        val best = ctx.freshName("best")
+        val bestM = ctx.freshName("bestM")
+        val stride = 1 + nprobe
+        s"""
+           |int $dim = $a.numElements();
+           |if ($b.numElements() != ${tables * bits} * $dim) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  int[] $out = new int[${tables * stride}];
+           |  boolean $hasNull = false;
+           |  for (int $d = 0; $d < $dim && !$hasNull; $d++) $hasNull = $a.isNullAt($d);
+           |  if (!$hasNull) {
+           |    double[] $margins = new double[$bits];
+           |    boolean[] $used = new boolean[$bits];
+           |    int $off = 0;
+           |    for (int $t = 0; $t < $tables; $t++) {
+           |      int $sig = 0;
+           |      for (int $p = 0; $p < $bits; $p++) {
+           |        double $acc = 0.0;
+           |        for (int $i = 0; $i < $dim; $i++) {
+           |          $acc += (double) $a.getFloat($i) * (double) $b.getFloat($off + $i);
+           |        }
+           |        $off += $dim;
+           |        if ($acc >= 0.0) $sig |= (1 << $p);
+           |        $margins[$p] = ($acc < 0.0) ? -$acc : $acc;
+           |      }
+           |      $out[$t * $stride] = $sig;
+           |      java.util.Arrays.fill($used, false);
+           |      for (int $j = 0; $j < $nprobe; $j++) {
+           |        int $best = -1;
+           |        double $bestM = Double.MAX_VALUE;
+           |        for (int $q = 0; $q < $bits; $q++) {
+           |          if (!$used[$q] && $margins[$q] < $bestM) { $best = $q; $bestM = $margins[$q]; }
+           |        }
+           |        $used[$best] = true;
+           |        $out[$t * $stride + 1 + $j] = $sig ^ (1 << $best);
+           |      }
+           |    }
+           |  }
+           |  ${ev.value} =
+           |    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+           |}
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Product-quantization encode in ONE expression:
     * `vec_pq_encode(vec, centroids, m, k)` → ARRAY<TINYINT> of m codes.
     * `centroids` is a flat literal of m×k×dsub floats (subspace j, cell c
@@ -484,6 +634,16 @@ object VectorFunctions {
           s"vec_lsh requires exactly 4 arguments (vec, planes, bits, tables), got ${children.size}")
         FloatLshSignature(children(0), children(1),
           foldableInt(children(2), "vec_lsh bits"), foldableInt(children(3), "vec_lsh tables"))
+      }),
+    (FunctionIdentifier("vec_lsh_probe"),
+      new ExpressionInfo(classOf[FloatLshMultiProbe].getName, "vec_lsh_probe"),
+      (children: Seq[Expression]) => {
+        require(children.size == 5,
+          s"vec_lsh_probe requires exactly 5 arguments (vec, planes, bits, tables, nprobe), got ${children.size}")
+        FloatLshMultiProbe(children(0), children(1),
+          foldableInt(children(2), "vec_lsh_probe bits"),
+          foldableInt(children(3), "vec_lsh_probe tables"),
+          foldableInt(children(4), "vec_lsh_probe nprobe"))
       }),
     (FunctionIdentifier("vec_pq_encode"),
       new ExpressionInfo(classOf[FloatPqEncode].getName, "vec_pq_encode"),

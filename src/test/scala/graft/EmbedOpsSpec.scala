@@ -292,6 +292,56 @@ class EmbedOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("multi-probe LSH lifts adversarial-regime recall to >=9/10 at BELOW the single-probe budget") {
+    // round-6 VERDICT item 6: flipping the lowest-margin bits probes the
+    // adjacent buckets a just-missed pair fell into. The 8x5x4 operating
+    // point (bench default) must beat single-probe 4x8 on BOTH axes:
+    // recall >= 9/10 where single-probe measured 8/10, with candidate
+    // pairs at-or-below the single-probe count. Planes deterministic,
+    // values stable (sweep in tools/LshProbeTune).
+    Seq(sf0001, sf001).foreach { sf =>
+      val corpus = Tables.embeddings(spark, sf)
+      val brute = graft.engine.LlmOps.q32(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val multi = EmbedOps.topCosinePairsLshMultiProbe(corpus, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (multi intersect brute).size
+      assert(recall >= 9, s"$sf: multi-probe recall $recall/10 vs q32")
+      val budgetSingle = EmbedOps.lshCandidateCount(corpus, bits = 4, tables = 8, nprobe = 0)
+      val budgetMulti = EmbedOps.lshCandidateCount(corpus, bits = 8, tables = 5, nprobe = 4)
+      assert(budgetMulti <= budgetSingle,
+        s"$sf: multi-probe candidates $budgetMulti exceed single-probe $budgetSingle")
+    }
+  }
+
+  test("vec_lsh_probe: base bucket matches vec_lsh; probes flip exactly one bit each, all distinct") {
+    graft.functions.VectorFunctions.register(spark)
+    val bucketsBase = EmbedOps.withLshBuckets(
+      Tables.embeddings(spark, sf0001), bits = 8, tables = 5)
+      .select("vec_id", "buckets").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val probed = EmbedOps.withLshProbes(
+      Tables.embeddings(spark, sf0001), bits = 8, tables = 5, nprobe = 4)
+      .select("vec_id", "buckets").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(probed.keySet == bucketsBase.keySet)
+    probed.foreach { case (id, arr) =>
+      assert(arr.length == 5 * 5, s"vec $id: ${arr.length} entries")
+      (0 until 5).foreach { t =>
+        val slice = arr.slice(t * 5, t * 5 + 5)
+        assert(slice.head == bucketsBase(id)(t),
+          s"vec $id table $t: base bucket drifted")
+        // each probe differs from base in exactly one bit, none repeat
+        slice.tail.foreach { p =>
+          assert(Integer.bitCount(p ^ slice.head) == 1,
+            s"vec $id table $t: probe $p is not a 1-bit flip of ${slice.head}")
+        }
+        assert(slice.distinct.length == slice.length,
+          s"vec $id table $t: duplicate probes $slice")
+      }
+    }
+  }
+
   test("int8 quantization: bounded element error, top-k survives, zero vector safe") {
     val corpus = Tables.embeddings(spark, sf001)
     val q = EmbedOps.quantizeInt8(corpus)

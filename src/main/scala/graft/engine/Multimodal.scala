@@ -481,12 +481,67 @@ object Multimodal {
     }
   }
 
+  /** Encode top-down RGB triplets as a baseline JPEG (stock ImageIO
+    * writer) — the frame payload of an MJPG AVI.
+    */
+  def encodeJpeg(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"rgb length ${rgb.length} != ${w * h * 3}")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var p = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          ((rgb(p) & 0xff) << 16) | ((rgb(p + 1) & 0xff) << 8) | (rgb(p + 2) & 0xff))
+        x += 1; p += 3
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** MJPG twin of [[syntheticAviCorpus]]: genuine RIFF/AVI containers
+    * whose '00dc' chunks are real baseline JPEGs (biCompression='MJPG',
+    * handler MJPG) — the most common capture codec, decodable with zero
+    * non-JVM dependencies. Frames use SMOOTH per-frame gradients rather
+    * than the high-frequency hash pattern: JPEG is lossy, and the specs
+    * assert channel-mean recovery within a quantization tolerance, which
+    * needs content JPEG can actually represent.
+    */
+  def mjpgCorpusPixels(id: Long, f: Int, w: Int, h: Int): Array[Byte] = {
+    val base = ((id * 37 + f * 11) % 160).toInt + 40
+    Array.tabulate[Byte](w * h * 3) { i =>
+      val px = i / 3
+      (base + (px % w) * 2 + (i % 3) * 10).min(255).toByte
+    }
+  }
+
+  def syntheticMjpgAviCorpus(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n.toLong).as[Long].map { id =>
+      val w = 8 + (id % 5).toInt * 4
+      val h = 8 + (id % 4).toInt * 4
+      val fps = Seq(10, 24, 30)((id % 3).toInt)
+      val nf = 3 + (id % 4).toInt
+      val frameBytes = Array.tabulate(nf)(f =>
+        encodeJpeg(w, h, mjpgCorpusPixels(id, f, w, h)))
+      val payload = buildAvi(w, h, fps, frameBytes,
+        compression = MjpgFourcc, handler = "MJPG")
+      MediaRow(id, MediaMeta("video", w, h, nf * 1000L / fps, "video/avi"), payload)
+    }
+  }
+
   /** Minimal uncompressed-AVI writer backing [[syntheticAviCorpus]] and
     * the corrupt-payload tests. Little-endian throughout; odd-sized
     * chunks get the RIFF pad byte.
     */
   def buildAvi(w: Int, h: Int, fps: Int, frames: Seq[Array[Byte]],
-               compression: Long = 0L): Array[Byte] = {
+               compression: Long = 0L,
+               handler: String = "DIB "): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def le32(v: Long): Array[Byte] = Array[Byte](
       (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
@@ -504,7 +559,7 @@ object Multimodal {
     val avih = le32(1000000L / fps) ++ le32(0) ++ le32(0) ++ le32(0) ++
       le32(frames.length.toLong) ++ le32(0) ++ le32(1) ++ le32(0) ++
       le32(w.toLong) ++ le32(h.toLong) ++ Array.fill(16)(0.toByte)
-    val strh = fcc("vids") ++ fcc("DIB ") ++ le32(0) ++ le16(0) ++ le16(0) ++
+    val strh = fcc("vids") ++ fcc(handler.padTo(4, ' ').take(4)) ++ le32(0) ++ le16(0) ++ le16(0) ++
       le32(0) ++ le32(1) /*scale*/ ++ le32(fps.toLong) /*rate*/ ++ le32(0) ++
       le32(frames.length.toLong) ++ le32(0) ++ le32(0) ++ le32(0) ++
       le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
@@ -582,6 +637,58 @@ object Multimodal {
     * compressed-codec stage remains out of scope (none ships in a stock
     * JVM).
     */
+  /** 'MJPG' as the little-endian biCompression / handler fourcc. */
+  val MjpgFourcc: Long = 0x47504A4DL
+
+  /** Decode one JPEG-compressed frame chunk to top-down RGB via the
+    * stock-JVM ImageIO JPEG reader. None on a truncated/corrupt stream
+    * or a geometry mismatch with the container header — a bad frame is
+    * a fact, never a task failure.
+    */
+  private def decodeJpegRgb(payload: Array[Byte], off: Int, len: Int,
+                            w: Int, h: Int): Option[Array[Byte]] = try {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload, off, len))
+    if (img == null || img.getWidth != w || img.getHeight != h) None
+    else {
+      val argb = img.getRGB(0, 0, w, h, null, 0, w)
+      val out = new Array[Byte](w * h * 3)
+      var p = 0
+      var q = 0
+      while (p < argb.length) {
+        out(q)     = ((argb(p) >> 16) & 0xff).toByte
+        out(q + 1) = ((argb(p) >> 8) & 0xff).toByte
+        out(q + 2) = (argb(p) & 0xff).toByte
+        p += 1; q += 3
+      }
+      Some(out)
+    }
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Decode one movi frame chunk to top-down RGB, dispatching on the
+    * stream's declared codec: BI_RGB 24-bit DIBs via [[decodeDib]],
+    * MJPG (JPEG-in-AVI — the most common capture codec) via
+    * [[decodeJpegRgb]]. Anything else (truly compressed codecs, odd bit
+    * depths) → None, the same ok=false contract.
+    */
+  private def decodeFrameChunk(i: AviInfo, payload: Array[Byte],
+                               off: Int, len: Int): Option[Array[Byte]] = {
+    if (off < 0 || len < 0 || off.toLong + len > payload.length) None
+    else if (i.compression == 0L && i.bitCount == 24)
+      decodeDib(i.width, i.height,
+        java.util.Arrays.copyOfRange(payload, off, off + len))
+    else if (i.compression == MjpgFourcc)
+      decodeJpegRgb(payload, off, len, i.width, i.height)
+    else None
+  }
+
+  private def decodedFrames(i: AviInfo, payload: Array[Byte],
+                            everyNth: Int): Seq[(Int, Array[Byte])] =
+    i.frameIndex.zipWithIndex.collect {
+      case ((off, len), idx) if idx % everyNth == 0 =>
+        decodeFrameChunk(i, payload, off.toInt, len).map(idx -> _)
+    }.flatten
+
   def decodeFramePixels(media: Dataset[MediaRow],
                         everyNth: Int = 1): Dataset[FramePixels] = {
     require(everyNth >= 1, "everyNth must be >= 1")
@@ -589,13 +696,10 @@ object Multimodal {
     media.flatMap { r =>
       (try Option(r.payload).flatMap(parseAvi)
        catch { case scala.util.control.NonFatal(_) => None }) match {
-        case Some(i) if i.compression == 0L && i.bitCount == 24 =>
-          i.frameIndex.zipWithIndex.collect {
-            case ((off, len), idx) if idx % everyNth == 0 =>
-              decodeDib(i.width, i.height,
-                java.util.Arrays.copyOfRange(r.payload, off.toInt, off.toInt + len))
-                .map(FramePixels(r.media_id, idx, i.width, i.height, _))
-          }.flatten
+        case Some(i) =>
+          decodedFrames(i, r.payload, everyNth).map { case (idx, rgb) =>
+            FramePixels(r.media_id, idx, i.width, i.height, rgb)
+          }
         case _ => Seq.empty
       }
     }
@@ -615,28 +719,23 @@ object Multimodal {
     media.flatMap { r =>
       val decoded = (try Option(r.payload).flatMap(parseAvi)
                      catch { case scala.util.control.NonFatal(_) => None }) match {
-        case Some(i) if i.compression == 0L && i.bitCount == 24 =>
-          i.frameIndex.zipWithIndex.collect {
-            case ((off, len), idx) if idx % everyNth == 0 =>
-              decodeDib(i.width, i.height,
-                java.util.Arrays.copyOfRange(r.payload, off.toInt, off.toInt + len))
-                .map { rgb =>
-                  var sr = 0L; var sg = 0L; var sb = 0L
-                  var p = 0
-                  while (p < rgb.length) {
-                    sr += rgb(p) & 0xff; sg += rgb(p + 1) & 0xff
-                    sb += rgb(p + 2) & 0xff; p += 3
-                  }
-                  val n = (rgb.length / 3).toDouble
-                  val (mr, mg, mb) = (sr / n, sg / n, sb / n)
-                  (r.media_id, idx, true,
-                   mr, mg, mb, 0.299 * mr + 0.587 * mg + 0.114 * mb)
-                }
-          }.flatten
-        case _ => Vector.empty
+        case Some(i) =>
+          decodedFrames(i, r.payload, everyNth).map { case (idx, rgb) =>
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var p = 0
+            while (p < rgb.length) {
+              sr += rgb(p) & 0xff; sg += rgb(p + 1) & 0xff
+              sb += rgb(p + 2) & 0xff; p += 3
+            }
+            val n = (rgb.length / 3).toDouble
+            val (mr, mg, mb) = (sr / n, sg / n, sb / n)
+            (r.media_id, idx, true,
+             mr, mg, mb, 0.299 * mr + 0.587 * mg + 0.114 * mb)
+          }
+        case _ => Seq.empty
       }
       if (decoded.nonEmpty) decoded
-      else Vector((r.media_id, -1, false, -1.0, -1.0, -1.0, -1.0))
+      else Seq((r.media_id, -1, false, -1.0, -1.0, -1.0, -1.0))
     }.toDF("media_id", "frame_idx", "ok", "mean_r", "mean_g", "mean_b", "luma")
   }
 

@@ -348,6 +348,67 @@ class MultimodalSpec extends SparkSpecBase {
       facts.mkString(";"))
   }
 
+  test("MJPG AVI: JPEG frames decode through parquet; means within quantization tolerance") {
+    import spark.implicits._
+    val avis = Multimodal.syntheticMjpgAviCorpus(spark, 6)
+    val dir = Files.createTempDirectory("graft_mjpg").toString + "/avis"
+    avis.toDF().write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir).as[Multimodal.MediaRow]
+    // container metadata: the MJPG handler and compression are visible
+    val meta = Multimodal.decodeVideoMeta(back).collect()
+    assert(meta.forall(_.ok), meta.mkString(";"))
+    assert(meta.forall(_.handler == "MJPG"), meta.map(_.handler).toSeq.toString)
+    // every frame decodes; geometry matches the container
+    val px = Multimodal.decodeFramePixels(back).collect()
+      .map(f => (f.media_id, f.frame_idx) -> f).toMap
+    (0L until 6L).foreach { id =>
+      val w = 8 + (id % 5).toInt * 4
+      val h = 8 + (id % 4).toInt * 4
+      val nf = 3 + (id % 4).toInt
+      (0 until nf).foreach { f =>
+        val got = px.getOrElse((id, f),
+          fail(s"media $id frame $f did not decode"))
+        assert(got.width == w && got.height == h && got.rgb.length == w * h * 3)
+        // JPEG is lossy: assert channel-MEAN recovery, not pixel equality
+        val src = Multimodal.mjpgCorpusPixels(id, f, w, h)
+        def mean(bytes: Array[Byte], c: Int) =
+          bytes.grouped(3).map(p => p(c) & 0xff).sum / (w * h).toDouble
+        (0 until 3).foreach { c =>
+          val (m0, m1) = (mean(src, c), mean(got.rgb, c))
+          assert(math.abs(m0 - m1) < 4.0,
+            s"media $id frame $f channel $c mean drifted: $m0 vs $m1")
+        }
+      }
+    }
+    // frameStats carries the same signal as ok=true rows
+    val stats = Multimodal.frameStats(back).collect()
+    assert(stats.forall(_.getBoolean(2)) &&
+      stats.length == (0L until 6L).map(id => 3 + (id % 4).toInt).sum)
+  }
+
+  test("MJPG AVI: truncated JPEG frames are skipped as facts, whole-junk streams are ok=false") {
+    import spark.implicits._
+    val w = 12; val h = 8
+    val good = Multimodal.encodeJpeg(w, h, Multimodal.mjpgCorpusPixels(3L, 0, w, h))
+    // frame 1 truncated mid-stream, frame 2 pure junk; frame 0 intact
+    val payload = Multimodal.buildAvi(w, h, 10,
+      Seq(good, good.take(good.length / 2), Array.fill[Byte](64)(33)),
+      compression = Multimodal.MjpgFourcc, handler = "MJPG")
+    val ds = Seq(Multimodal.MediaRow(7L,
+      Multimodal.MediaMeta("video", w, h, 300L, "video/avi"), payload)).toDS()
+    val frames = Multimodal.decodeFramePixels(ds).collect()
+    assert(frames.map(_.frame_idx).toSeq == Seq(0),
+      s"only the intact frame decodes: ${frames.map(_.frame_idx).toSeq}")
+    // a stream of ONLY broken JPEGs degrades to the single ok=false fact
+    val allBad = Multimodal.buildAvi(w, h, 10,
+      Seq(good.take(8), Array.fill[Byte](16)(5)),
+      compression = Multimodal.MjpgFourcc, handler = "MJPG")
+    val facts = Multimodal.frameStats(Seq(Multimodal.MediaRow(8L,
+      Multimodal.MediaMeta("video", w, h, 200L, "video/avi"), allBad)).toDS())
+      .collect()
+    assert(facts.length == 1 && !facts(0).getBoolean(2), facts.mkString(";"))
+  }
+
   test("DIB codec: stride padding and bottom-up BGR round-trip; geometry mismatch is a None fact") {
     // odd width: stride 12 != 9 — padding bytes exercised
     val rgb = Array.tabulate[Byte](3 * 2 * 3)(i => (i * 11 % 251).toByte)

@@ -423,6 +423,49 @@ object EmbedOps {
       .limit(k)
   }
 
+  /** Query-time multi-probe ANN: the corpus keeps its single-bucket
+    * layout ([[withLshBuckets]] — storage unchanged); the QUERY probes
+    * its base bucket plus the `nprobe` lowest-margin bit flips per
+    * table (the classic multi-probe formulation: one query fans out to
+    * the adjacent buckets its near neighbours most likely fell into).
+    * Recall rises with nprobe at probed-fraction cost
+    * ≈ tables·(1+nprobe)/2^bits; nprobe=0 degenerates to [[knnLsh]].
+    */
+  def knnLshMultiProbe(corpusWithBuckets: DataFrame, query: Seq[Float], k: Int,
+                       bits: Int = 4, tables: Int = 8, nprobe: Int = 2,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val spark = corpusWithBuckets.sparkSession
+    VectorFunctions.register(spark)
+    import spark.implicits._
+    val qDf = Seq(Tuple1(query)).toDF(vecCol)
+      .withColumn(vecCol, col(vecCol).cast("array<float>"))
+    val qBuckets = withLshProbes(qDf, bits, tables, nprobe, vecCol)
+      .select("buckets").head().getSeq[Int](0)
+    val shapeProbe = corpusWithBuckets
+      .filter(col("buckets").isNotNull).select(col("buckets")).take(1)
+    if (shapeProbe.isEmpty)
+      return corpusWithBuckets.select(col(idCol), lit(0.0).as("score")).limit(0)
+    locally {
+      val bs = shapeProbe(0).getSeq[Int](0)
+      require(bs.length == tables,
+        s"corpus bucketed with ${bs.length} tables, query uses $tables")
+      require(bs.forall(b => b >= 0 && b < (1 << bits)),
+        s"corpus bucket values exceed 2^$bits — bits mismatch")
+    }
+    val stride = 1 + nprobe
+    val probeCond = (for {
+      t <- 0 until tables
+      j <- 0 until stride
+    } yield col("buckets")(t) === lit(qBuckets(t * stride + j))).reduce(_ || _)
+    corpusWithBuckets
+      .filter(probeCond)
+      .withColumn("score", call_function("vec_dot", col(vecCol), floatArrayLit(query)))
+      .select(col(idCol), col("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
   /** Product-quantization model: m subspaces × k cells × dsub dims, flat
     * centroid layout [(j·k + c)·dsub, +dsub). Centroids are the ONLY
     * driver-side state (m·k·dsub floats — e.g. 8×16×8 = 1 KB for a 64-dim

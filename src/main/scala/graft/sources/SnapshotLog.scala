@@ -311,7 +311,34 @@ object SnapshotLog {
   def upsertScoped(spark: SparkSession, root: String, batch: DataFrame,
                    keys: Seq[String], partitionCol: String,
                    statsCols: Seq[String] = Nil,
-                   bloomCols: Seq[String] = Nil): Long = {
+                   bloomCols: Seq[String] = Nil): Long =
+    scopedUnderClaim(spark, root, batch, keys, partitionCol, statsCols,
+      bloomCols, batchId = -1L)
+      .getOrElse(throw new IllegalStateException(
+        "unreachable: unstamped scoped upsert cannot be a replay"))
+
+  /** Exactly-once streaming SCOPED upsert: [[upsertScoped]] with the
+    * micro-batch id stamped in the manifest, replays skipped — the
+    * O(touched partitions) keyed streaming sink ([[commitBatch]] is the
+    * full-rewrite equivalent). Wire as `writeStream.foreachBatch((df,
+    * id) => SnapshotLog.scopedBatch(...))`.
+    */
+  def scopedBatch(spark: SparkSession, root: String, batch: DataFrame,
+                  keys: Seq[String], partitionCol: String, batchId: Long,
+                  statsCols: Seq[String] = Nil,
+                  bloomCols: Seq[String] = Nil): Option[Long] = {
+    require(batchId >= 0, s"negative batchId $batchId")
+    // pre-claim fast path; the gate under the claim is the correctness one
+    if (lastBatchId(spark, root).exists(_ >= batchId)) return None
+    scopedUnderClaim(spark, root, batch, keys, partitionCol, statsCols,
+      bloomCols, batchId)
+  }
+
+  private def scopedUnderClaim(spark: SparkSession, root: String,
+                               batch: DataFrame, keys: Seq[String],
+                               partitionCol: String, statsCols: Seq[String],
+                               bloomCols: Seq[String],
+                               batchId: Long): Option[Long] = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     import org.apache.spark.sql.functions.col
     require(batch.columns.contains(partitionCol),
@@ -329,6 +356,11 @@ object SnapshotLog {
       "hard-crashed writer's leftover (remove it and retry)")
     try {
       recoverOrphans(spark, root)
+      // replay gate under the claim (commitBatch's rigor): a stamped
+      // scoped batch whose id the head already covers is a post-crash
+      // replay
+      if (batchId >= 0 && lastBatchId(spark, root).exists(_ >= batchId))
+        return None
       val rootPath = new Path(root.replaceAll("/+$", ""))
       // touched partition identities, rendered the way the partitioned
       // writer renders them (cast-to-string + path escaping); the collect
@@ -399,9 +431,10 @@ object SnapshotLog {
       // parent vectors carry: untouched partitions still need them
       // (touched partitions had them folded into the rewrite; stale
       // positions point at dead files and anti-join to nothing)
-      writeManifestDirs(spark, root, next, newDirs, tombDirs = parentTombs)
+      writeManifestDirs(spark, root, next, newDirs, batchId = batchId,
+        tombDirs = parentTombs)
       publishLatest(spark, root, next)
-      next
+      Some(next)
     } finally f.delete(claim, false)
   }
 

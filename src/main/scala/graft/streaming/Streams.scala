@@ -507,4 +507,30 @@ object Streams {
         ()
       }
       .start()
+
+  /** The O(touched partitions) streaming sink for KEYED streams — the
+    * middle of the commit-cost ladder: [[foreachBatchSnapshotLogSink]]
+    * re-merges the WHOLE snapshot per batch (key-stable or not),
+    * [[foreachBatchAppendLogSink]] is O(batch) but insert-only; this
+    * sink gives keyed upsert semantics at per-batch cost proportional to
+    * the partitions the batch touches
+    * ([[graft.sources.SnapshotLog.scopedBatch]]), with the same
+    * batchId-stamped exactly-once replay skip, snapshot-isolated
+    * readers, time travel, and carried skipping stats. Same contract as
+    * every partition-scoped merge: a key's partition value must be
+    * stable across batches.
+    */
+  def foreachBatchScopedLogSink(events: DataFrame, tableRoot: String,
+                                checkpointDir: String, keys: Seq[String],
+                                partitionCol: String,
+                                statsCols: Seq[String] = Nil) =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.SnapshotLog.scopedBatch(batch.sparkSession, tableRoot,
+          batch.dropDuplicates(keys), keys, partitionCol, id, statsCols)
+        ()
+      }
+      .start()
 }

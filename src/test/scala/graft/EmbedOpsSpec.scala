@@ -52,6 +52,27 @@ class EmbedOpsSpec extends SparkSpecBase {
     assert(recall >= 0.5, s"recall $recall: exact=$exact approx=$approx")
     // the self-match must always be found (it shares all its own buckets)
     assert(approx.contains(0L))
+    // query-time multi-probe on the SAME corpus layout: the query fans
+    // out to its lowest-margin flip buckets. Recall never drops, the
+    // probed set stays a strict subset of the corpus (not a full scan)
+    val multi = EmbedOps.knnLshMultiProbe(bucketed, query, 10,
+      bits = 4, tables = 8, nprobe = 2)
+      .collect().map(_.getLong(0)).toSet
+    val multiRecall = (exact intersect multi).size / 10.0
+    assert(multiRecall >= recall,
+      s"multi-probe recall $multiRecall fell below single-probe $recall")
+    assert(multi.contains(0L))
+    val corpusN = corpus.count()
+    val qb = EmbedOps.withLshProbes(
+      corpus.filter(col("vec_id") === 0).select("embedding"),
+      bits = 4, tables = 8, nprobe = 2, vecCol = "embedding")
+      .select("buckets").head().getSeq[Int](0)
+    val probedN = bucketed.filter(
+      (for { t <- 0 until 8; j <- 0 until 3 }
+        yield col("buckets")(t) === org.apache.spark.sql.functions.lit(qb(t * 3 + j)))
+        .reduce(_ || _)).count()
+    assert(probedN < corpusN,
+      s"multi-probe degenerated to a full scan: $probedN of $corpusN")
   }
 
   test("knnLsh finds a planted high-similarity neighbour") {

@@ -148,6 +148,20 @@ class ScopedUpsertSpec extends SparkSpecBase {
       Set((1, "a", "X1"), (2, "b", "y1"), (3, "c", "z1")))
   }
 
+  test("scopedBatch: replay skipped, exactly-once scoped versions") {
+    val root = freshRoot()
+    assert(SnapshotLog.scopedBatch(spark, root,
+      t((1, "a", "x1"), (2, "b", "y1")), Seq("k"), "p", 0L).contains(1L))
+    assert(SnapshotLog.scopedBatch(spark, root,
+      t((1, "a", "X1")), Seq("k"), "p", 1L).contains(2L))
+    // post-crash replay of batch 1: skipped, nothing merged twice
+    assert(SnapshotLog.scopedBatch(spark, root,
+      t((1, "a", "REPLAY")), Seq("k"), "p", 1L).isEmpty)
+    assert(rows(SnapshotLog.read(spark, root)) ==
+      Set((1, "a", "X1"), (2, "b", "y1")))
+    assert(SnapshotLog.lastBatchId(spark, root).contains(1L))
+  }
+
   test("append chains compose on top of a scoped table") {
     val root = freshRoot()
     SnapshotLog.upsertScoped(spark, root,

@@ -275,6 +275,40 @@ class StreamingSpec extends SparkSpecBase {
     assert(SnapshotLog.read(spark, root).count() == 3)
   }
 
+  test("scoped-log sink: keyed upserts at O(touched partitions), exactly-once across restart") {
+    import graft.sources.SnapshotLog
+    val dir = Files.createTempDirectory("graft_stream_scoped").toString
+    val root = s"$dir/table"
+    val stream = MemoryStream[Ev](spark)
+    // user_id is the (key-stable) partition column; event_id the key
+    val q = Streams.foreachBatchScopedLogSink(stream.toDF(), root,
+      s"$dir/ckpt", Seq("event_id"), "user_id")
+    stream.addData(Ev(1, ts("2024-01-01 10:00:00"), 1, 1.0),
+                   Ev(2, ts("2024-01-01 10:01:00"), 2, 2.0))
+    q.processAllAvailable()
+    // batch 1 updates only user 1's partition (event 1 revised + event 3 new)
+    stream.addData(Ev(1, ts("2024-01-01 10:05:00"), 1, 10.0),
+                   Ev(3, ts("2024-01-01 10:06:00"), 1, 3.0))
+    q.processAllAvailable()
+    q.stop()
+    def vals(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "value").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(vals(SnapshotLog.read(spark, root)) ==
+      Seq((1L, 10.0), (2L, 2.0), (3L, 3.0)))
+    // O(touched): version 2's own data dir holds ONLY user 1's partition
+    val own2 = new java.io.File(root, "data_v00000002")
+    assert(own2.list().filter(_.startsWith("__gp=")).toSeq == Seq("__gp=1"),
+      own2.list().toSeq.toString)
+    // restart from the checkpoint: replay skipped, no version churn
+    val q2 = Streams.foreachBatchScopedLogSink(stream.toDF(), root,
+      s"$dir/ckpt", Seq("event_id"), "user_id")
+    q2.processAllAvailable()
+    q2.stop()
+    assert(SnapshotLog.versions(spark, root) == Seq(1L, 2L))
+    assert(SnapshotLog.lastBatchId(spark, root).contains(1L))
+  }
+
   test("file stream + AvailableNow: bounded-batch backfill drains, then resumes only new files") {
     import org.apache.spark.sql.types.StructType
     val dir = Files.createTempDirectory("graft_filestream").toString

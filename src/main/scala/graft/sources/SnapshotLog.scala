@@ -432,7 +432,7 @@ object SnapshotLog {
       // (touched partitions had them folded into the rewrite; stale
       // positions point at dead files and anti-join to nothing)
       writeManifestDirs(spark, root, next, newDirs, batchId = batchId,
-        tombDirs = parentTombs)
+        tombDirs = parentTombs, partCol = partitionCol)
       publishLatest(spark, root, next)
       Some(next)
     } finally f.delete(claim, false)
@@ -588,7 +588,8 @@ object SnapshotLog {
     */
   private[graft] case class StagedScoped(base: Option[Long],
                                          stagingDir: String,
-                                         touched: Set[String])
+                                         touched: Set[String],
+                                         partitionCol: String)
 
   /** Optimistic-concurrency partition-scoped upsert, split so the spec
     * can interleave writers deterministically: [[stageScopedOcc]] does
@@ -652,7 +653,7 @@ object SnapshotLog {
     writeDataDir(spark,
       merged.withColumn(GpCol, col(partitionCol).cast("string")),
       new Path(rootPath, staging), bloomCols, partitionBy = Seq(GpCol))
-    StagedScoped(base, staging, touchedNames)
+    StagedScoped(base, staging, touchedNames, partitionCol)
   }
 
   private[graft] def publishScopedOcc(spark: SparkSession, root: String,
@@ -707,7 +708,8 @@ object SnapshotLog {
         writeStats(spark, root, next, statsCols, carry)
       val newDirs = untouched ++ writtenLeafs.map(dataDirName(next) + "/" + _)
       writeManifestDirs(spark, root, next, newDirs,
-        tombDirs = head.toSeq.flatMap(tombDirsOf(spark, root, _)))
+        tombDirs = head.toSeq.flatMap(tombDirsOf(spark, root, _)),
+        partCol = staged.partitionCol)
       publishLatest(spark, root, next)
       next
     }
@@ -768,23 +770,37 @@ object SnapshotLog {
   private def writeManifestDirs(spark: SparkSession, root: String, v: Long,
                                 dirs: Seq[String], batchId: Long = -1L,
                                 tombDirs: Seq[String] = Nil,
-                                kind: String = "scoped"): Unit = {
+                                kind: String = "scoped",
+                                partCol: String = ""): Unit = {
     val m = manifestPath(root, v)
     val tmp = new Path(logDir(root), f".tmp_manifest_v$v%08d")
     val enc = dirs.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(",")
     val tombEnc =
       if (tombDirs.isEmpty) ""
       else s""","tombDirs":"${tombDirs.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(",")}""""
+    val partEnc =
+      if (partCol.isEmpty) ""
+      else s""","partCol":"${java.net.URLEncoder.encode(partCol, "UTF-8")}""""
     val f = fs(spark, m)
     val out = f.create(tmp, true)
     try out.write(
       (s"""{"version":$v,"dataDir":"${dataDirName(v)}","batchId":$batchId,""" +
-       s""""kind":"$kind","dirs":"$enc"$tombEnc}""")
+       s""""kind":"$kind","dirs":"$enc"$tombEnc$partEnc}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (!f.rename(tmp, m))
       throw new IllegalStateException(s"could not publish manifest $m")
   }
+
+  /** The partition column a scoped version's manifest records — enables
+    * DIR-NAME partition pruning at read time with no stats configured.
+    */
+  private def partColOf(spark: SparkSession, root: String,
+                        v: Long): Option[String] =
+    """"partCol":"([^"]*)"""".r
+      .findFirstMatchIn(readManifest(spark, root, v))
+      .map(m => java.net.URLDecoder.decode(m.group(1), "UTF-8"))
+      .filter(_.nonEmpty)
 
   /** Steps 1–2 of the protocol: write the data directory, then publish
     * the manifest (temp + rename so it is never seen partial). WITHOUT
@@ -1450,6 +1466,13 @@ object SnapshotLog {
     * spec. No sidecar (or no stats for a file/column) → file kept: stats
     * only ever REMOVE certainly-empty work. An all-null file is pruned
     * (BETWEEN never matches NULL).
+    *
+    * Scoped tables additionally get DIR-NAME PARTITION PRUNING with no
+    * stats configured: when `column` is the manifest-recorded partition
+    * column, every file under a `__gp=<value>` leaf has min = max =
+    * value by construction, so the leaf name itself is the span —
+    * Hive-style partition pruning, synthesized through the same
+    * overlap machinery (explicit sidecar stats take precedence).
     */
   private[graft] def candidateFiles(spark: SparkSession, root: String,
                                     version: Long, column: String,
@@ -1459,11 +1482,38 @@ object SnapshotLog {
       f.listStatus(new Path(d)).map(_.getPath)
         .filter(_.getName.endsWith(".parquet"))
     }
+    // dir-name spans for the partition column of a scoped table — typed
+    // via the Spark schema (a numeric partition must compare as a
+    // number: "9" > "10" lexicographically but not numerically)
+    val dirSpanOf: Path => Option[(String, String, String)] =
+      partColOf(spark, root, version) match {
+        case Some(pc) if pc == column =>
+          val tag = spark.read.parquet(versionPaths(spark, root, version): _*)
+            .schema.find(_.name == column).map(_.dataType) match {
+            case Some(_: org.apache.spark.sql.types.NumericType) => Some("n")
+            case Some(org.apache.spark.sql.types.StringType) => Some("s")
+            case Some(org.apache.spark.sql.types.DateType) => Some("s") // ISO order
+            case _ => None // LTZ etc: zone-dependent rendering — keep files
+          }
+          p => tag.flatMap { t =>
+            val dir = p.getParent.getName
+            if (!dir.startsWith(GpPrefix)) None
+            else {
+              val v = esc(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                .unescapePathName(dir.stripPrefix(GpPrefix)))
+              Some((t, v, v))
+            }
+          }
+        case _ => _ => None
+      }
     val sp = statsPath(root, version)
-    if (!f.exists(sp)) return (all, all.size)
-    val in = f.open(sp)
-    val text = try new String(in.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    val text =
+      if (!f.exists(sp)) ""
+      else {
+        val in = f.open(sp)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      }
     val span: Map[String, (String, String, String)] =
       text.split("\n").filter(_.nonEmpty).flatMap { line =>
         line.split("\t", -1) match {
@@ -1489,7 +1539,8 @@ object SnapshotLog {
       }
     }
     val kept = all.filter { p =>
-      span.get(p.getParent.getName + "/" + p.getName) match {
+      span.get(p.getParent.getName + "/" + p.getName)
+        .orElse(dirSpanOf(p)) match {
         case Some((tag, mn, mx)) => overlaps(tag, mn, mx)
         case None                => true // no stats: never wrongly prune
       }

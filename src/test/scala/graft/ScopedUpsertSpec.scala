@@ -148,6 +148,35 @@ class ScopedUpsertSpec extends SparkSpecBase {
       Set((1, "a", "X1"), (2, "b", "y1"), (3, "c", "z1")))
   }
 
+  test("dir-name partition pruning: the partition column prunes leafs with NO stats configured") {
+    val root = freshRoot()
+    // numeric partition values, deliberately spanning the "9" vs "10"
+    // lexicographic trap — pruning must compare numerically
+    val batch = Seq((1, 2, "a"), (2, 9, "b"), (3, 10, "c"), (4, 11, "d"))
+      .toDF("k", "p", "v")
+    SnapshotLog.upsertScoped(spark, root, batch, Seq("k"), "p") // no statsCols
+    val (kept, total) = SnapshotLog.candidateFiles(spark, root, 1L, "p", 9, 10)
+    assert(total >= 4 && kept.nonEmpty && kept.size < total,
+      s"partition column should prune by dir name: kept ${kept.size} of $total")
+    assert(kept.forall(p => p.toString.contains("__gp=9") ||
+                            p.toString.contains("__gp=10")), kept.mkString(";"))
+    val got = SnapshotLog.readBetween(spark, root, "p", 9, 10)
+      .select("k").as[Int].collect().toSet
+    assert(got == Set(2, 3), got.toString)
+    // a NON-partition column with no stats keeps everything (no wrong prune)
+    val (keptK, totalK) = SnapshotLog.candidateFiles(spark, root, 1L, "k", 2, 2)
+    assert(keptK.size == totalK)
+    // string partitions prune too, and hostile values don't mis-decode
+    val root2 = freshRoot()
+    SnapshotLog.upsertScoped(spark, root2,
+      t((1, "a b", "x"), (2, "q", "y")), Seq("k"), "p")
+    val hit = SnapshotLog.readBetween(spark, root2, "p", "a b", "a b")
+      .select("k").as[Int].collect().toSet
+    assert(hit == Set(1), hit.toString)
+    val (k2, t2) = SnapshotLog.candidateFiles(spark, root2, 1L, "p", "a b", "a b")
+    assert(k2.size < t2, s"string partition should prune: ${k2.size}/$t2")
+  }
+
   test("scopedBatch: replay skipped, exactly-once scoped versions") {
     val root = freshRoot()
     assert(SnapshotLog.scopedBatch(spark, root,

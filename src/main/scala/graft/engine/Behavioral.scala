@@ -1,0 +1,190 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Behavioral / user-journey analytics over the events table (SURVEY.md
+  * §2.14, round 7) — the event-log patterns every product-analytics and
+  * training-telemetry pipeline runs: activity streaks, latest-record
+  * dedup, funnel conversion, interval concurrency, cohort growth.
+  *
+  * Scale notes (100 TB): every query here shuffles at most once on a
+  * user/key column before any windowing, and every post-aggregation
+  * stage operates on key-cardinality (users, days, event types) rows —
+  * orders of magnitude smaller than the event log. No query sorts the
+  * raw log globally.
+  */
+object Behavioral {
+
+  // q91 — longest consecutive-day activity streak per user. Classic
+  // integer gaps-and-islands: distinct active days → (dayno - row_number)
+  // is constant within a consecutive run → group on it. Complements q30,
+  // which islands by TIME GAP; this islands by CALENDAR consecutiveness.
+  // One shuffle on user_id; the distinct, the window, and both follow-up
+  // groupBys all cluster by user_id (subset rule: HashPartitioning(user)
+  // satisfies ClusteredDistribution(user, grp)), so the exchange is reused.
+  def q91(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(s, dir)
+      .select(col("user_id"),
+              datediff(to_date(col("ts")), lit("2024-01-01")).as("dayno"))
+      .distinct()
+    val grp = days.withColumn(
+      "grp",
+      col("dayno") - row_number().over(Window.partitionBy("user_id").orderBy("dayno")))
+    grp.groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(sum(col("len")).as("n_active_days"),
+           count(lit(1)).as("n_streaks"),
+           max(col("len")).as("max_streak"))
+      .orderBy("user_id")
+  }
+
+  val q91Sql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, date_diff('day', DATE '2024-01-01', ts::DATE) AS dayno
+      |  FROM events
+      |), numbered AS (
+      |  SELECT user_id, dayno,
+      |         dayno - row_number() OVER (PARTITION BY user_id ORDER BY dayno) AS grp
+      |  FROM days
+      |), streaks AS (
+      |  SELECT user_id, grp, count(*) AS len FROM numbered GROUP BY 1, 2
+      |)
+      |SELECT user_id, sum(len)::BIGINT AS n_active_days,
+      |       count(*) AS n_streaks, max(len) AS max_streak
+      |FROM streaks GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // q92 — latest event per user (CDC-style latest-record dedup): the
+  // single most common "compact a changelog" operation. row_number = 1
+  // over (ts DESC, event_id DESC) plans as WindowGroupLimit (asserted in
+  // PlanShapeSpec): each map task keeps ONE candidate row per key before
+  // the shuffle, so the exchange carries ~|keys| rows, not the log.
+  def q92(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+      .orderBy("user_id")
+  }
+
+  val q92Sql: String =
+    """SELECT user_id, event_id, ts, event_type, value
+      |FROM events
+      |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+      |ORDER BY user_id""".stripMargin
+
+  // q93 — funnel conversion: per signed-up user, purchases within 7 days
+  // of FIRST signup. Equi-join on user_id with a time-range residual —
+  // hash-joinable (user_id is the key; the range is a post-join filter),
+  // NOT a nested loop. The signup side pre-aggregates (map-side combine)
+  // before the join, so the join's build side is |users|, not |events|.
+  def q93(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value").as("p_value"))
+    signups.join(purchases,
+        col("p_user") === col("user_id") &&
+        col("p_ts") >= col("signup_ts") &&
+        col("p_ts") <= col("signup_ts") + expr("INTERVAL 7 DAYS"), "left")
+      .groupBy(col("user_id"), col("signup_ts"))
+      .agg(count(col("p_ts")).as("n_conversions"),
+           round(coalesce(sum(col("p_value")), lit(0.0)), 4).as("conv_value"))
+      .orderBy("user_id")
+  }
+
+  val q93Sql: String =
+    """WITH s AS (
+      |  SELECT user_id, min(ts) AS signup_ts FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1
+      |), p AS (
+      |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT s.user_id, s.signup_ts,
+      |       count(p.ts) AS n_conversions,
+      |       round(coalesce(sum(p.value), 0), 4) AS conv_value
+      |FROM s LEFT JOIN p
+      |  ON p.user_id = s.user_id
+      | AND p.ts >= s.signup_ts AND p.ts <= s.signup_ts + INTERVAL 7 DAY
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
+  // q94 — max interval concurrency per event type: treat each event as a
+  // 5-minute interval and sweep (+1 at start, -1 at end, running sum).
+  // Ends sort before starts at the same instant (ORDER BY t, d with
+  // d ∈ {-1, +1}), so back-to-back intervals don't count as overlapping;
+  // the default RANGE frame gives all peers the same cumulative value on
+  // both engines, keeping ties deterministic. The union is map-side; the
+  // only shuffle is the window key. At 100 TB the sweep key would be
+  // (event_type, day) so each partition's running sum stays bounded —
+  // intervals never span days here by construction (5 min ≪ 1 day).
+  def q94(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val pts = ev.select(col("event_type"), col("ts").as("t"), lit(1).as("d"))
+      .unionAll(ev.select(col("event_type"),
+                          (col("ts") + expr("INTERVAL 5 MINUTES")).as("t"),
+                          lit(-1).as("d")))
+    val w = Window.partitionBy("event_type").orderBy(col("t"), col("d"))
+    pts.withColumn("c", sum(col("d")).over(w))
+      .groupBy("event_type")
+      .agg(max(col("c")).as("max_concurrent"))
+      .orderBy("event_type")
+  }
+
+  val q94Sql: String =
+    """WITH pts AS (
+      |  SELECT event_type, ts AS t, 1 AS d FROM events
+      |  UNION ALL
+      |  SELECT event_type, ts + INTERVAL 5 MINUTE AS t, -1 AS d FROM events
+      |), swept AS (
+      |  SELECT event_type,
+      |         sum(d) OVER (PARTITION BY event_type ORDER BY t, d) AS c
+      |  FROM pts
+      |)
+      |SELECT event_type, max(c)::BIGINT AS max_concurrent
+      |FROM swept GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // q95 — cohort growth curve: new users per day (day of FIRST event) and
+  // the cumulative user count. Two aggregations shrink the log to |users|
+  // then |days| rows; the global cumulative window runs over ~30 rows —
+  // post-aggregation cardinality, not a log-scale sort (SURVEY §2.0.8:
+  // global order only on provably small inputs). Day is emitted as an ISO
+  // string (driver compare: no DATE columns).
+  def q95(s: SparkSession, dir: String): DataFrame = {
+    val first = Tables.events(s, dir)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
+    val daily = first
+      .select(date_format(col("first_ts"), "yyyy-MM-dd").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+    daily
+      .withColumn("cum_users", sum(col("new_users")).over(Window.orderBy("day")))
+      .orderBy("day")
+  }
+
+  val q95Sql: String =
+    """WITH f AS (
+      |  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1
+      |), d AS (
+      |  SELECT strftime(first_ts, '%Y-%m-%d') AS day, count(*) AS new_users
+      |  FROM f GROUP BY 1
+      |)
+      |SELECT day, new_users,
+      |       sum(new_users) OVER (ORDER BY day)::BIGINT AS cum_users
+      |FROM d ORDER BY day""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_streaks"        -> (q91 _),
+    "q92_latest_per_key" -> (q92 _),
+    "q93_funnel"         -> (q93 _),
+    "q94_concurrency"    -> (q94 _),
+    "q95_user_growth"    -> (q95 _))
+
+  val oracle: Map[String, String] = Map(
+    "q91_streaks"        -> q91Sql,
+    "q92_latest_per_key" -> q92Sql,
+    "q93_funnel"         -> q93Sql,
+    "q94_concurrency"    -> q94Sql,
+    "q95_user_growth"    -> q95Sql)
+}

@@ -560,7 +560,30 @@ object Training {
       |  len(list_filter(toks, w -> list_contains(bwt, w)))::INT AS n_pruned
       |FROM joined ORDER BY doc_id""".stripMargin
 
+  // q90 — corpus vocabulary heavy hitters (round 7): the top-k most
+  // frequent tokens with a deterministic (count DESC, token) tie-break —
+  // the first statistic every tokenizer-training / vocab-building run
+  // computes. Scale shape: explode is map-side, the count aggregates
+  // with map-side partial combine down to |vocab| rows, and the top-k is
+  // TakeOrderedAndProject (per-partition heaps, no global sort) — the
+  // shuffle carries vocabulary-sized data regardless of corpus size.
+  def q90(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(20)
+
+  val q90Sql: String =
+    """SELECT token, count(*) AS cnt
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |WHERE token <> ''
+      |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_vocab_topk"      -> (q90 _),
     "q41_cosine_near_dup" -> (q41 _),
     "q42_ngram_jaccard"   -> (q42 _),
     "q43_token_counts"    -> (q43 _),
@@ -576,6 +599,7 @@ object Training {
     "q88_df_prune"          -> (q88 _))
 
   val oracle: Map[String, String] = Map(
+    "q90_vocab_topk"      -> q90Sql,
     "q41_cosine_near_dup" -> q41Sql,
     "q42_ngram_jaccard"   -> q42Sql,
     "q43_token_counts"    -> q43Sql,

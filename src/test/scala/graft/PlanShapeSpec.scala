@@ -498,4 +498,27 @@ class PlanShapeSpec extends SparkSpecBase {
     assert("PushedFilters: \\[[^\\]]*o_totalprice".r.findFirstIn(p).isDefined,
       "cursor predicate not pushed to the parquet scan:\n" + p)
   }
+
+  test("q90: vocab top-k is TakeOrderedAndProject over a partial-combined agg") {
+    val p = plan(Training.q90(spark, sf0001))
+    // per-partition heaps, no global sort of the vocabulary
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("GlobalLimit"), "top-k fell back to sort+limit:\n" + p)
+    // the token count must partial-aggregate before the shuffle
+    assert("HashAggregate\\([^\\n]*partial_count".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("q92: latest-per-key dedup plans a partial WindowGroupLimit (map-side top-1)") {
+    val p = plan(Behavioral.q92(spark, sf0001))
+    // each map task keeps one candidate row per user_id BEFORE the
+    // shuffle, so the exchange carries ~|keys| rows, not the event log
+    assert("WindowGroupLimit [^\\n]*Partial".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("q93: funnel join is a hash join on user_id, not a nested loop") {
+    val p = plan(Behavioral.q93(spark, sf0001))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "time-range residual demoted the funnel join to a nested loop:\n" + p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
 }

@@ -470,6 +470,85 @@ class SnapshotLogSpec extends SparkSpecBase {
       (1 to 4).map(i => i -> s"v$i").toSet)
   }
 
+  test("compactChain zorderBy (OPTIMIZE ZORDER) turns loose spans into pruning stats") {
+    val root = freshRoot()
+    // ingest in id order: every file then spans the FULL x range (x = id % 100)
+    // and the full y range within its slab — x-stats exist but prune nothing
+    val df = spark.range(10000).toDF("id")
+      .withColumn("x", org.apache.spark.sql.functions.expr("id % 100"))
+      .withColumn("y", org.apache.spark.sql.functions.expr("id div 100"))
+      .repartition(16) // round-robin: both x and y scatter across every file
+    SnapshotLog.commit(spark, root, df, statsCols = Seq("x", "y"))
+    val (preX, preT) = SnapshotLog.candidateFiles(spark, root, 1L, "x", 10, 15)
+    val (preY, _)    = SnapshotLog.candidateFiles(spark, root, 1L, "y", 80, 85)
+    assert(preX.size == preT && preY.size == preT,
+      s"precondition: scattered layout must NOT prune (x ${preX.size}, y ${preY.size} of $preT)")
+    val v2 = SnapshotLog.compactChain(spark, root, nFiles = 16,
+      statsCols = Seq("x", "y"), zorderBy = Seq("x", "y"))
+    assert(v2 == 2L)
+    val (px, total) = SnapshotLog.candidateFiles(spark, root, 2L, "x", 10, 15)
+    val (py, _)     = SnapshotLog.candidateFiles(spark, root, 2L, "y", 80, 85)
+    assert(total == 16, s"expected 16 files, got $total")
+    assert(px.size < total, s"x-range should prune post-OPTIMIZE: kept ${px.size} of $total")
+    assert(py.size < total, s"y-range should prune post-OPTIMIZE: kept ${py.size} of $total")
+    // rows are a re-arrangement, never a re-computation
+    assert(SnapshotLog.read(spark, root).count() == 10000)
+    assert(SnapshotLog.readBetween(spark, root, "x", 10, 15).count() == 6 * 100)
+    assert(SnapshotLog.readBetween(spark, root, "y", 80, 85).count() == 6 * 100)
+  }
+
+  test("tailChanges: bootstrap, incremental polls, crash re-delivery, independent consumers") {
+    val root = freshRoot()
+    val cursor = root + "_cursor/tail.cursor"
+    import org.apache.spark.sql.Row
+    def feedRows(df: DataFrame): Set[(String, Int, String)] =
+      df.select("change_type", "k", "new_v").collect()
+        .map { case Row(t: String, k: Int, v: String) => (t, k, v) }.toSet
+
+    // nothing committed yet: poll is a no-op, no cursor appears
+    assert(SnapshotLog.tailChanges(spark, root, cursor, Seq("k"))((_, _, _) => ()).isEmpty)
+
+    // bootstrap: first poll delivers the WHOLE current snapshot as inserts
+    SnapshotLog.appendCommit(spark, root, kv(1 -> "a"))
+    SnapshotLog.appendCommit(spark, root, kv(2 -> "b"))
+    var got = Set.empty[(String, Int, String)]
+    assert(SnapshotLog.tailChanges(spark, root, cursor, Seq("k")) {
+      (df, from, to) => got = feedRows(df); assert((from, to) == (0L, 2L))
+    }.contains((0L, 2L)))
+    assert(got == Set(("insert", 1, "a"), ("insert", 2, "b")))
+
+    // caught up: poll returns None and calls nothing
+    assert(SnapshotLog.tailChanges(spark, root, cursor, Seq("k")) {
+      (_, _, _) => fail("caught-up poll must not invoke fn")
+    }.isEmpty)
+
+    // incremental: only the NEW versions arrive (append short-circuit)
+    SnapshotLog.appendCommit(spark, root, kv(3 -> "c"))
+    assert(SnapshotLog.tailChanges(spark, root, cursor, Seq("k")) {
+      (df, _, _) => got = feedRows(df)
+    }.contains((2L, 3L)))
+    assert(got == Set(("insert", 3, "c")))
+
+    // crash mid-fn: cursor must NOT advance; next poll re-delivers the range
+    SnapshotLog.commitBatch(spark, root, kv(3 -> "c2"), Seq("k"), batchId = 99L)
+    intercept[RuntimeException] {
+      SnapshotLog.tailChanges(spark, root, cursor, Seq("k")) {
+        (_, _, _) => throw new RuntimeException("consumer died")
+      }
+    }
+    assert(SnapshotLog.tailChanges(spark, root, cursor, Seq("k")) {
+      (df, _, _) => got = feedRows(df)
+    }.contains((3L, 4L)))
+    assert(got == Set(("update", 3, "c2")), s"keyed diff after re-delivery: $got")
+
+    // a second consumer with its own cursor bootstraps independently
+    var other = Set.empty[(String, Int, String)]
+    assert(SnapshotLog.tailChanges(spark, root, root + "_cursor/other.cursor", Seq("k")) {
+      (df, from, to) => other = feedRows(df); assert((from, to) == (0L, 4L))
+    }.contains((0L, 4L)))
+    assert(other == Set(("insert", 1, "a"), ("insert", 2, "b"), ("insert", 3, "c2")))
+  }
+
   test("vacuum drops superseded versions, keeps the current one readable") {
     val root = freshRoot()
     (1 to 4).foreach(i => SnapshotLog.commit(spark, root, kv(i -> s"v$i")))

@@ -1042,6 +1042,115 @@ object SnapshotLog {
     commit(spark, root, arranged, statsCols, bloomCols)
   }
 
+  /** INCREMENTAL small-file compaction — bin-packing OPTIMIZE at
+    * O(small files), not O(table). [[compactChain]] rewrites the whole
+    * table; at 100 TB that is a 100 TB job to fix a metadata problem
+    * (ten thousand micro-batch delta dirs of a few MB each). This pass
+    * reads ONLY the directories too small to fill one `targetBytes`
+    * output file, bin-packs their rows into ceil(bytes/targetBytes)
+    * files with `coalesce` (a shuffle-free read-side merge), and
+    * carries every already-big directory BY REFERENCE in the new
+    * manifest — their files are never read, rewritten, or moved.
+    * Run it on a schedule and the chain's dir count stays bounded
+    * while each maintenance job costs only the small tail.
+    *
+    * Composition: skipping-stats sidecar lines for kept dirs carry
+    * verbatim and the compacted dir gets fresh footer-derived lines
+    * (for `statsCols`, defaulting to the columns the parent's sidecar
+    * already covers — compaction must not silently lose pruning
+    * power); deletion vectors are FOLDED into the rewritten rows
+    * (positions in compacted dirs die with the old files) and the
+    * surviving vector rows — those referencing kept dirs — are
+    * rewritten as the new version's own vector; [[vacuum]] reclaims
+    * the absorbed small dirs once no retained version lists them.
+    * Readers pinned to old versions keep their chain (snapshot
+    * isolation unchanged); the feed between parent and compacted
+    * version is empty (data-neutral, proven in spec).
+    *
+    * No-op (returns the current version, commits nothing) when fewer
+    * than two dirs are small and no vector rows could be folded —
+    * calling it on an already-compact table is free.
+    *
+    * Scoped tables are refused: their dirs are partition LEAFS whose
+    * names carry partition values; merging across them would break
+    * dir-name pruning. (Scoped maintenance = [[compactChain]].)
+    */
+  def compactSmallFiles(spark: SparkSession, root: String,
+                        targetBytes: Long,
+                        statsCols: Seq[String] = Nil,
+                        bloomCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{col, substring_index}
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val ld = logDir(root)
+    val f = fs(spark, ld)
+    f.mkdirs(ld)
+    val claim = new Path(ld, "WRITER_CLAIM")
+    val claimed =
+      atomicClaim(f, claim)
+    require(claimed,
+      s"could not claim $claim — concurrent commit on this table, or a " +
+      "hard-crashed writer's leftover (remove it and retry)")
+    try {
+      recoverOrphans(spark, root)
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed version at $root"))
+      require(!manifestKind(spark, root, cur).contains("scoped"),
+        "compactSmallFiles on a partition-scoped table would merge across " +
+        "partition leafs — use compactChain for scoped maintenance")
+      val rootPath = new Path(root.replaceAll("/+$", ""))
+      // O(files) metadata listing decides the rewrite set — no row data
+      val sized = dirsOf(spark, root, cur).map { d =>
+        val it = f.listFiles(new Path(rootPath, d), true)
+        var tot = 0L
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+            tot += st.getLen
+        }
+        d -> tot
+      }
+      val (small, kept) = sized.partition(_._2 < targetBytes)
+      val tombs = tombDirsOf(spark, root, cur)
+      if (small.size < 2 && !(small.nonEmpty && tombs.nonEmpty))
+        return cur // already compact — nothing to pack, nothing to fold
+      val next = cur + 1L
+      // fold vectors while rewriting: positions in kept dirs simply
+      // never match the small-dir scan, so the full set applies safely
+      val packed = applyTombstoneDirs(spark, root, tombs,
+        spark.read.parquet(small.map(d => new Path(rootPath, d._1).toString): _*))
+      val nOut = math.max(1L,
+        (small.map(_._2).sum + targetBytes - 1) / targetBytes).toInt
+      writeDataDir(spark, packed.coalesce(nOut), dataDir(root, next), bloomCols)
+      // vector rows for kept dirs survive as the new version's own vector
+      val keptDirSet = kept.map(_._1).toSet
+      val nextTombs =
+        if (tombs.isEmpty || kept.isEmpty) Nil
+        else {
+          val surviving = spark.read.parquet(
+            tombs.map(d => new Path(rootPath, d).toString): _*)
+            .filter(substring_index(col("__rel"), "/", 1).isInCollection(keptDirSet))
+          if (surviving.isEmpty) Nil
+          else {
+            surviving.write.mode("overwrite")
+              .parquet(new Path(rootPath, tombDirName(next)).toString)
+            Seq(tombDirName(next))
+          }
+        }
+      val parentLines = sidecarLines(spark, root, cur)
+      val carry = parentLines.filter(l =>
+        keptDirSet.contains(unesc(l.takeWhile(_ != '\t')).takeWhile(_ != '/')))
+      val freshCols =
+        if (statsCols.nonEmpty) statsCols
+        else parentLines.map(l => unesc(l.split('\t')(1))).distinct
+      if (freshCols.nonEmpty || carry.nonEmpty)
+        writeStats(spark, root, next, freshCols, carry)
+      writeManifestAppend(spark, root, next, -1L,
+        baseDirs = kept.map(_._1), tombDirs = nextTombs)
+      publishLatest(spark, root, next)
+      next
+    } finally f.delete(claim, false)
+  }
+
   /** Step 3 — the commit point: swap the LATEST pointer atomically
     * (temp file + overwriting rename).
     */

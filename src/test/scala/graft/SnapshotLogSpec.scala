@@ -549,6 +549,99 @@ class SnapshotLogSpec extends SparkSpecBase {
     assert(other == Set(("insert", 1, "a"), ("insert", 2, "b"), ("insert", 3, "c2")))
   }
 
+  test("compactSmallFiles bin-packs small delta dirs, carries big dirs by reference") {
+    val root = freshRoot()
+    // v1: one genuinely big dir; v2..v4: tiny micro-batch delta dirs
+    val big = (1000 until 3000).map(i => i -> f"value_$i%06d")
+    SnapshotLog.commit(spark, root, kv(big: _*).repartition(2), statsCols = Seq("k"))
+    SnapshotLog.appendCommit(spark, root, kv(1 -> "a"), statsCols = Seq("k"))
+    SnapshotLog.appendCommit(spark, root, kv(2 -> "b"), statsCols = Seq("k"))
+    SnapshotLog.appendCommit(spark, root, kv(3 -> "c"), statsCols = Seq("k"))
+    val bigDir = new java.io.File(root, "data_v00000001")
+    def bigState() = bigDir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> (f.length, f.lastModified)).toMap
+    val before = bigState()
+    val bigBytes = before.values.map(_._1).sum
+    assert(bigBytes > 4096, s"fixture big dir must dwarf the deltas ($bigBytes b)")
+
+    val v5 = SnapshotLog.compactSmallFiles(spark, root, targetBytes = bigBytes)
+    assert(v5 == 5L)
+    // the big dir was never read, rewritten, or moved; deltas are absorbed
+    assert(bigState() == before, "kept dir must be byte-identical")
+    assert(SnapshotLog.dirsOf(spark, root, 5L) == Seq("data_v00000001", "data_v00000005"))
+    assert(new java.io.File(root, "data_v00000005").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 1, "3 tiny dirs pack into 1 file")
+    assert(rows(SnapshotLog.read(spark, root)) ==
+      (big.toSet ++ Set(1 -> "a", 2 -> "b", 3 -> "c")))
+
+    // stats compose: carried big-dir lines + fresh lines for the packed dir
+    // (columns inferred from the parent sidecar — no statsCols passed above)
+    val (lowProbe, total) = SnapshotLog.candidateFiles(spark, root, 5L, "k", 1, 3)
+    assert(total == 3, s"2 kept files + 1 packed, got $total")
+    assert(lowProbe.size == 1, s"k in [1,3] lives only in the packed file: $lowProbe")
+    val (highProbe, _) = SnapshotLog.candidateFiles(spark, root, 5L, "k", 1500, 1500)
+    assert(!highProbe.exists(_.toString.contains("data_v00000005")),
+      "packed file must be pruned for a big-dir-only probe")
+
+    // the chain keeps composing: append after compaction, then no-op detection
+    SnapshotLog.appendCommit(spark, root, kv(4 -> "d"), statsCols = Seq("k"))
+    assert(rows(SnapshotLog.read(spark, root)).contains(4 -> "d"))
+    // v6's dirs = [v1, v5, v6]: v5+v6 are small → packs again; then a second
+    // pass has only one small dir left and declines to commit anything
+    val v7 = SnapshotLog.compactSmallFiles(spark, root, targetBytes = bigBytes)
+    assert(v7 == 7L)
+    assert(SnapshotLog.compactSmallFiles(spark, root, targetBytes = bigBytes) == 7L,
+      "already-compact table must be a no-op")
+    assert(SnapshotLog.currentVersion(spark, root).contains(7L))
+  }
+
+  test("compactSmallFiles folds deletion vectors; surviving vector rows carry") {
+    val root = freshRoot()
+    val big = (1000 until 3000).map(i => i -> f"value_$i%06d")
+    SnapshotLog.commit(spark, root, kv(big: _*).repartition(2))
+    SnapshotLog.appendCommit(spark, root, kv(1 -> "a"))
+    SnapshotLog.appendCommit(spark, root, kv(2 -> "b"))
+    val bigBytes = new java.io.File(root, "data_v00000001").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    // delete one row living in a small delta dir AND one in the big dir
+    SnapshotLog.tombstoneDelete(spark, root,
+      Seq(1, 1500).toDF("k"), Seq("k"))
+    val expect = big.toSet - (1500 -> "value_001500") + (2 -> "b")
+    assert(rows(SnapshotLog.read(spark, root)) == expect)
+
+    val v5 = SnapshotLog.compactSmallFiles(spark, root, targetBytes = bigBytes)
+    assert(v5 == 5L)
+    // folded: the packed dir physically lacks k=1; the big-dir delete
+    // SURVIVES as the new version's own (smaller) vector
+    assert(rows(SnapshotLog.read(spark, root)) == expect)
+    assert(SnapshotLog.tombDirsOf(spark, root, 5L) == Seq("tomb_v00000005"))
+    val dv = spark.read.parquet(root + "/tomb_v00000005")
+    assert(dv.select("__rel").as[String].collect()
+      .forall(_.startsWith("data_v00000001/")),
+      "only big-dir positions survive the fold")
+    // compaction is data-neutral: the change feed across it is empty
+    assert(SnapshotLog.changesBetween(spark, root, 4L, 5L, Seq("k")).isEmpty)
+
+    // vacuum reclaims the absorbed dirs and the old vectors
+    SnapshotLog.vacuum(spark, root, keep = 1)
+    assert(!new java.io.File(root, "data_v00000002").exists)
+    assert(!new java.io.File(root, "data_v00000003").exists)
+    assert(!new java.io.File(root, "tomb_v00000004").exists)
+    assert(new java.io.File(root, "data_v00000001").exists)
+    assert(rows(SnapshotLog.read(spark, root)) == expect)
+  }
+
+  test("compactSmallFiles refuses partition-scoped tables") {
+    val root = freshRoot()
+    SnapshotLog.upsertScoped(spark, root,
+      Seq((1, "a", "p1"), (2, "b", "p2")).toDF("k", "v", "p"),
+      Seq("k"), partitionCol = "p")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.compactSmallFiles(spark, root, targetBytes = 1L << 20)
+    }
+    assert(e.getMessage.contains("compactChain"))
+  }
+
   test("vacuum drops superseded versions, keeps the current one readable") {
     val root = freshRoot()
     (1 to 4).foreach(i => SnapshotLog.commit(spark, root, kv(i -> s"v$i")))

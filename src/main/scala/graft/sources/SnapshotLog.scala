@@ -2046,6 +2046,7 @@ object SnapshotLog {
       val ownedTombs = tombDirsOf(spark, root, v).filter(_ == ownTomb)
       f.delete(manifestPath(root, v), false)
       f.delete(statsPath(root, v), false)
+      f.delete(Expectations.auditPath(root, v), false)
       owned.foreach { d =>
         if (!retainedDirs.contains(d))
           f.delete(new Path(rootPath, d), true)

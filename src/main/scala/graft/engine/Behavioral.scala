@@ -174,17 +174,65 @@ object Behavioral {
       |       sum(new_users) OVER (ORDER BY day)::BIGINT AS cum_users
       |FROM d ORDER BY day""".stripMargin
 
+  // q96 — cohort retention matrix: users bucketed by FIRST-event week,
+  // tracked by distinct-active weeks since that first event; retention =
+  // share of the cohort still active at each offset. The companion of
+  // q95 (growth says who arrived; retention says who stayed) and the
+  // last standard panel of the behavioral block. Shuffle story: first
+  // and the distinct-day dedup both cluster by user_id (ONE exchange,
+  // reused — same subset rule as q91), the join is user_id-local, and
+  // the (cohort, offset) agg shrinks to user-week cardinality before
+  // the tiny post-agg window computes cohort size at offset 0.
+  def q96(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val first = ev.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("first_day"))
+    val acts = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val grid = acts.join(first, "user_id")
+      .select(
+        floor(datediff(col("first_day"), lit("2024-01-01")) / 7).as("cohort_week"),
+        floor(datediff(col("day"), col("first_day")) / 7).as("week_offset"),
+        col("user_id"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col("user_id")).as("active_users"))
+    grid
+      .withColumn("retention",
+        round(col("active_users") /
+          max(when(col("week_offset") === 0, col("active_users")))
+            .over(Window.partitionBy("cohort_week")), 4))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val q96Sql: String =
+    """WITH f AS (
+      |  SELECT user_id, min(ts::DATE) AS first_day FROM events GROUP BY 1
+      |), a AS (
+      |  SELECT DISTINCT user_id, ts::DATE AS day FROM events
+      |), g AS (
+      |  SELECT floor(date_diff('day', DATE '2024-01-01', f.first_day) / 7)::BIGINT AS cohort_week,
+      |         floor(date_diff('day', f.first_day, a.day) / 7)::BIGINT AS week_offset,
+      |         count(DISTINCT a.user_id) AS active_users
+      |  FROM a JOIN f USING (user_id)
+      |  GROUP BY 1, 2
+      |)
+      |SELECT cohort_week, week_offset, active_users,
+      |       round(active_users / max(CASE WHEN week_offset = 0 THEN active_users END)
+      |                             OVER (PARTITION BY cohort_week), 4) AS retention
+      |FROM g ORDER BY cohort_week, week_offset""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q91_streaks"        -> (q91 _),
     "q92_latest_per_key" -> (q92 _),
     "q93_funnel"         -> (q93 _),
     "q94_concurrency"    -> (q94 _),
-    "q95_user_growth"    -> (q95 _))
+    "q95_user_growth"    -> (q95 _),
+    "q96_retention"      -> (q96 _))
 
   val oracle: Map[String, String] = Map(
     "q91_streaks"        -> q91Sql,
     "q92_latest_per_key" -> q92Sql,
     "q93_funnel"         -> q93Sql,
     "q94_concurrency"    -> q94Sql,
-    "q95_user_growth"    -> q95Sql)
+    "q95_user_growth"    -> q95Sql,
+    "q96_retention"      -> q96Sql)
 }

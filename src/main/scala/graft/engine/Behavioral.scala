@@ -178,16 +178,21 @@ object Behavioral {
   // tracked by distinct-active weeks since that first event; retention =
   // share of the cohort still active at each offset. The companion of
   // q95 (growth says who arrived; retention says who stayed) and the
-  // last standard panel of the behavioral block. Shuffle story: first
-  // and the distinct-day dedup both cluster by user_id (ONE exchange,
-  // reused — same subset rule as q91), the join is user_id-local, and
-  // the (cohort, offset) agg shrinks to user-week cardinality before
-  // the tiny post-agg window computes cohort size at offset 0.
+  // last standard panel of the behavioral block. Shuffle story (plan-
+  // asserted): both branches scan ONLY (user_id, ts) — column-pruned —
+  // and reduce map-side before their exchange, so the dedup exchange
+  // carries |user-days| rows and the first-day exchange only |users|
+  // (Catalyst itself elides the redundant distinct under the min —
+  // deriving `first` from `acts` lets RemoveRedundantAggregates pick
+  // the cheaper branch). The |users| side then BROADCASTS into the
+  // grid join, and the (cohort, offset) agg shrinks to user-week
+  // cardinality before the tiny post-agg window reads cohort size at
+  // offset 0. Nothing sorts or joins the raw log.
   def q96(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-    val first = ev.groupBy(col("user_id"))
-      .agg(min(to_date(col("ts"))).as("first_day"))
-    val acts = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val acts = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val first = acts.groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"))
     val grid = acts.join(first, "user_id")
       .select(
         floor(datediff(col("first_day"), lit("2024-01-01")) / 7).as("cohort_week"),

@@ -515,6 +515,18 @@ class PlanShapeSpec extends SparkSpecBase {
     assert("WindowGroupLimit [^\\n]*Partial".r.findFirstIn(p).isDefined, p)
   }
 
+  test("q96: retention scans only (user_id, ts), reduces map-side, broadcasts |users|") {
+    val df = Behavioral.q96(spark, sf0001)
+    // column pruning: the grid never touches event_type/value/props
+    assert(scannedColumns(df) == Set("user_id", "ts"), scannedColumns(df))
+    val p = plan(df)
+    // the first-day side reduces to |users| BEFORE its exchange and then
+    // broadcasts — the raw log is never sort-merge-joined
+    assert("HashAggregate\\([^\\n]*partial_min".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "log-scale join demoted to SMJ:\n" + p)
+  }
+
   test("q93: funnel join is a hash join on user_id, not a nested loop") {
     val p = plan(Behavioral.q93(spark, sf0001))
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),

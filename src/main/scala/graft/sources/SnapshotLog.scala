@@ -143,9 +143,40 @@ object SnapshotLog {
     * deletion vectors ([[tombstoneDelete]]), applied as a positional
     * anti-join at read.
     */
-  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame =
-    applyTombstoneDirs(spark, root, tombDirsOf(spark, root, version),
-      spark.read.parquet(versionPaths(spark, root, version): _*))
+  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val paths = versionPaths(spark, root, version)
+    // an evolved chain pins its CURRENT schema in the manifest: the read
+    // declares it explicitly and parquet null-fills the pre-evolution
+    // files — no mergeSchema footer sniff (that is an O(files) planning
+    // pass at a million files) and no schema roulette on mixed dirs
+    val base = schemaOf(spark, root, version) match {
+      case Some(st) => spark.read.schema(st).parquet(paths: _*)
+      case None     => spark.read.parquet(paths: _*)
+    }
+    applyTombstoneDirs(spark, root, tombDirsOf(spark, root, version), base)
+  }
+
+  /** The pinned table schema of an evolved chain's version (None before
+    * any [[appendEvolved]] on the lineage — readers then take the
+    * parquet files' own uniform schema).
+    */
+  private[graft] def schemaOf(spark: SparkSession, root: String,
+                              v: Long): Option[org.apache.spark.sql.types.StructType] = {
+    val raw = rawSchemaJson(spark, root, v)
+    if (raw.isEmpty) None
+    else Some(org.apache.spark.sql.types.DataType.fromJson(
+      java.net.URLDecoder.decode(raw, "UTF-8"))
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  /** The manifest's schema field verbatim (still URL-encoded; "" when
+    * absent) — what propagating commit paths copy into their own
+    * manifest without a decode/re-encode round-trip.
+    */
+  private def rawSchemaJson(spark: SparkSession, root: String, v: Long): String =
+    """"schema":"([^"]*)"""".r
+      .findFirstMatchIn(readManifest(spark, root, v))
+      .map(_.group(1)).getOrElse("")
 
   private def tombDirName(v: Long): String = f"tomb_v$v%08d"
 
@@ -469,7 +500,13 @@ object SnapshotLog {
         throw new IllegalStateException(s"no committed version at $root"))
       val next = cur + 1L
       val rootPath = new Path(root.replaceAll("/+$", ""))
-      val base = spark.read.parquet(versionPaths(spark, root, cur): _*)
+      // pin an evolved lineage's schema so mixed pre/post-evolution dirs
+      // don't play schema roulette under the position scan
+      val base = schemaOf(spark, root, cur) match {
+        case Some(st) =>
+          spark.read.schema(st).parquet(versionPaths(spark, root, cur): _*)
+        case None => spark.read.parquet(versionPaths(spark, root, cur): _*)
+      }
       require(keys.forall(base.columns.contains),
         s"keys $keys must be columns of the table")
       // one key-pruned scan finds positions; already-tombstoned rows may
@@ -498,7 +535,8 @@ object SnapshotLog {
       if (carry.nonEmpty) writeStats(spark, root, next, Nil, carry)
       writeManifestDirs(spark, root, next, dirsOf(spark, root, cur),
         tombDirs = tombDirsOf(spark, root, cur) :+ tombDirName(next),
-        kind = "delete")
+        kind = "delete",
+        schemaJson = rawSchemaJson(spark, root, cur))
       publishLatest(spark, root, next)
       next
     } finally f.delete(claim, false)
@@ -576,7 +614,8 @@ object SnapshotLog {
         writeStats(spark, root, next, statsCols, carry)
       writeManifestAppend(spark, root, next, -1L,
         baseDirs = cur.map(dirsOf(spark, root, _)).getOrElse(Nil),
-        tombDirs = cur.map(tombDirsOf(spark, root, _)).getOrElse(Nil))
+        tombDirs = cur.map(tombDirsOf(spark, root, _)).getOrElse(Nil),
+        schemaJson = cur.map(rawSchemaJson(spark, root, _)).getOrElse(""))
       publishLatest(spark, root, next)
       next
     }
@@ -744,17 +783,20 @@ object SnapshotLog {
     */
   private def writeManifestAppend(spark: SparkSession, root: String, v: Long,
                                   batchId: Long, baseDirs: Seq[String],
-                                  tombDirs: Seq[String]): Unit = {
+                                  tombDirs: Seq[String],
+                                  schemaJson: String = ""): Unit = {
     val m = manifestPath(root, v)
     val tmp = new Path(logDir(root), f".tmp_manifest_v$v%08d")
     val tombEnc =
       if (tombDirs.isEmpty) ""
       else s""","tombDirs":"${tombDirs.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(",")}""""
+    val schemaEnc =
+      if (schemaJson.isEmpty) "" else s""","schema":"$schemaJson""""
     val f = fs(spark, m)
     val out = f.create(tmp, true)
     try out.write(
       (s"""{"version":$v,"dataDir":"${dataDirName(v)}","batchId":$batchId,""" +
-       s""""baseDirs":"${baseDirs.mkString(",")}"$tombEnc}""")
+       s""""baseDirs":"${baseDirs.mkString(",")}"$tombEnc$schemaEnc}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (!f.rename(tmp, m))
@@ -771,7 +813,8 @@ object SnapshotLog {
                                 dirs: Seq[String], batchId: Long = -1L,
                                 tombDirs: Seq[String] = Nil,
                                 kind: String = "scoped",
-                                partCol: String = ""): Unit = {
+                                partCol: String = "",
+                                schemaJson: String = ""): Unit = {
     val m = manifestPath(root, v)
     val tmp = new Path(logDir(root), f".tmp_manifest_v$v%08d")
     val enc = dirs.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(",")
@@ -781,11 +824,13 @@ object SnapshotLog {
     val partEnc =
       if (partCol.isEmpty) ""
       else s""","partCol":"${java.net.URLEncoder.encode(partCol, "UTF-8")}""""
+    val schemaEnc =
+      if (schemaJson.isEmpty) "" else s""","schema":"$schemaJson""""
     val f = fs(spark, m)
     val out = f.create(tmp, true)
     try out.write(
       (s"""{"version":$v,"dataDir":"${dataDirName(v)}","batchId":$batchId,""" +
-       s""""kind":"$kind","dirs":"$enc"$tombEnc$partEnc}""")
+       s""""kind":"$kind","dirs":"$enc"$tombEnc$partEnc$schemaEnc}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (!f.rename(tmp, m))
@@ -816,12 +861,13 @@ object SnapshotLog {
                                   bloomCols: Seq[String] = Nil,
                                   baseDirs: Seq[String] = Nil,
                                   carryStats: Seq[String] = Nil,
-                                  tombDirs: Seq[String] = Nil): Unit = {
+                                  tombDirs: Seq[String] = Nil,
+                                  schemaJson: String = ""): Unit = {
     val dd = dataDir(root, v)
     writeDataDir(spark, df, dd, bloomCols)
     if (statsCols.nonEmpty || carryStats.nonEmpty)
       writeStats(spark, root, v, statsCols, carryStats)
-    writeManifestAppend(spark, root, v, batchId, baseDirs, tombDirs)
+    writeManifestAppend(spark, root, v, batchId, baseDirs, tombDirs, schemaJson)
   }
 
   /** The one parquet write every commit path shares. INT96 (Spark's
@@ -881,6 +927,68 @@ object SnapshotLog {
         s"append with batchId=$batchId skipped as a replay — use appendBatch " +
         "for streams, whose Option return models the skip"))
 
+  /** ADDITIVE schema evolution on an append chain — the lakehouse
+    * `mergeSchema`/ADD COLUMN moment, at O(batch) cost: the batch may
+    * carry NEW trailing columns beyond the chain's schema (existing
+    * columns must keep their names and types); the delta dir is written
+    * with the widened schema, ZERO old files are rewritten, and the
+    * widened schema is PINNED in the manifest so every later read
+    * declares it explicitly and parquet null-fills the pre-evolution
+    * files. Pinning (not `mergeSchema`) is the scale choice: schema
+    * merging is an extra footer pass over every file at planning time —
+    * a million-file chain pays a million footer reads per query — while
+    * the pinned schema costs one manifest field, forever.
+    *
+    * After evolution the chain's schema IS the widened one: subsequent
+    * [[appendCommit]] batches must carry it in full (the drift guard
+    * compares against the pinned schema), later evolutions may widen
+    * further, and [[compactSmallFiles]] / [[tombstoneDelete]] /
+    * [[changesBetween]] / [[tailChanges]] all operate on the pinned
+    * schema (mixed pre/post-evolution dirs never play schema roulette).
+    * A same-schema batch is exactly [[appendCommit]]. Column REMOVAL or
+    * retyping is refused — that is a rewrite, not an append.
+    */
+  def appendEvolved(spark: SparkSession, root: String, batch: DataFrame,
+                    statsCols: Seq[String] = Nil,
+                    bloomCols: Seq[String] = Nil): Long = {
+    val ld = logDir(root)
+    val f = fs(spark, ld)
+    f.mkdirs(ld)
+    val claim = new Path(ld, "WRITER_CLAIM")
+    val claimed =
+      atomicClaim(f, claim)
+    require(claimed,
+      s"could not claim $claim — concurrent commit on this table, or a " +
+      "hard-crashed writer's leftover (remove it and retry)")
+    try {
+      recoverOrphans(spark, root)
+      currentVersion(spark, root) match {
+        case None =>
+          stageVersion(spark, root, batch, 1L, -1L, statsCols, bloomCols,
+            schemaJson = java.net.URLEncoder.encode(batch.schema.json, "UTF-8"))
+          publishLatest(spark, root, 1L)
+          1L
+        case Some(cur) =>
+          val have = readVersion(spark, root, cur).schema.fields
+            .map(fl => (fl.name, fl.dataType.catalogString)).toSeq
+          val got = batch.schema.fields
+            .map(fl => (fl.name, fl.dataType.catalogString)).toSeq
+          require(got.take(have.size) == have,
+            s"appendEvolved widens ADDITIVELY: batch schema $got must start " +
+            s"with the chain schema $have unchanged (rename/retype/remove " +
+            "is a rewrite, not an append)")
+          val next = cur + 1L
+          stageVersion(spark, root, batch, next, -1L, statsCols, bloomCols,
+            baseDirs = dirsOf(spark, root, cur),
+            carryStats = sidecarLines(spark, root, cur),
+            tombDirs = tombDirsOf(spark, root, cur),
+            schemaJson = java.net.URLEncoder.encode(batch.schema.json, "UTF-8"))
+          publishLatest(spark, root, next)
+          next
+      }
+    } finally f.delete(claim, false)
+  }
+
   private def appendUnderClaim(spark: SparkSession, root: String,
                                batch: DataFrame, statsCols: Seq[String],
                                bloomCols: Seq[String],
@@ -930,10 +1038,12 @@ object SnapshotLog {
             }
           }
           // parent deletion vectors carry too: an append must not
-          // resurrect rows a prior tombstoneDelete removed
+          // resurrect rows a prior tombstoneDelete removed; the pinned
+          // schema of an evolved lineage carries with them
           stageVersion(spark, root, batch, next, batchId, statsCols,
             bloomCols, baseDirs = dirsOf(spark, root, cur), carryStats = carry,
-            tombDirs = tombDirsOf(spark, root, cur))
+            tombDirs = tombDirsOf(spark, root, cur),
+            schemaJson = rawSchemaJson(spark, root, cur))
           publishLatest(spark, root, next)
           next
       })
@@ -1115,9 +1225,15 @@ object SnapshotLog {
         return cur // already compact — nothing to pack, nothing to fold
       val next = cur + 1L
       // fold vectors while rewriting: positions in kept dirs simply
-      // never match the small-dir scan, so the full set applies safely
-      val packed = applyTombstoneDirs(spark, root, tombs,
-        spark.read.parquet(small.map(d => new Path(rootPath, d._1).toString): _*))
+      // never match the small-dir scan, so the full set applies safely.
+      // An evolved lineage's pinned schema also applies — the packed
+      // file materializes the nulls, old small dirs notwithstanding
+      val smallPaths = small.map(d => new Path(rootPath, d._1).toString)
+      val smallScan = schemaOf(spark, root, cur) match {
+        case Some(st) => spark.read.schema(st).parquet(smallPaths: _*)
+        case None     => spark.read.parquet(smallPaths: _*)
+      }
+      val packed = applyTombstoneDirs(spark, root, tombs, smallScan)
       val nOut = math.max(1L,
         (small.map(_._2).sum + targetBytes - 1) / targetBytes).toInt
       writeDataDir(spark, packed.coalesce(nOut), dataDir(root, next), bloomCols)
@@ -1145,7 +1261,8 @@ object SnapshotLog {
       if (freshCols.nonEmpty || carry.nonEmpty)
         writeStats(spark, root, next, freshCols, carry)
       writeManifestAppend(spark, root, next, -1L,
-        baseDirs = kept.map(_._1), tombDirs = nextTombs)
+        baseDirs = kept.map(_._1), tombDirs = nextTombs,
+        schemaJson = rawSchemaJson(spark, root, cur))
       publishLatest(spark, root, next)
       next
     } finally f.delete(claim, false)
@@ -1203,7 +1320,12 @@ object SnapshotLog {
         tombDirsOf(spark, root, toV) == tombDirsOf(spark, root, fromV)) {
       val deltas = toDirs.drop(fromDirs.size).map(d =>
         new Path(root.replaceAll("/+$", ""), d).toString)
-      val rows = spark.read.parquet(deltas: _*)
+      // pin the head's schema: a feed spanning an appendEvolved boundary
+      // reads pre- and post-evolution delta dirs in one pass
+      val rows = schemaOf(spark, root, toV) match {
+        case Some(st) => spark.read.schema(st).parquet(deltas: _*)
+        case None     => spark.read.parquet(deltas: _*)
+      }
       require(keys.nonEmpty && keys.forall(rows.columns.contains),
         s"keys $keys must be columns of the table")
       val nonKeys = rows.columns.toSeq.filterNot(keys.contains)
@@ -1901,7 +2023,10 @@ object SnapshotLog {
     require(fs(spark, m).exists(m),
       s"version $v does not exist (never committed, or vacuumed) at $root")
     val (kept, _) = candidateFilesEquals(spark, root, v, column, value)
-    val schema = spark.read.parquet(versionPaths(spark, root, v): _*).schema
+    // an evolved lineage's pinned schema wins over footer inference —
+    // mixed pre/post-evolution dirs must not pick a narrow file's schema
+    val schema = schemaOf(spark, root, v).getOrElse(
+      spark.read.parquet(versionPaths(spark, root, v): _*).schema)
     val base =
       if (kept.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -1940,7 +2065,8 @@ object SnapshotLog {
       candidateFiles(spark, root, v, c, lo, hi)._1.map(_.toString).toSet
     }
     val kept = keptSets.reduce(_ intersect _)
-    val schema = spark.read.parquet(versionPaths(spark, root, v): _*).schema
+    val schema = schemaOf(spark, root, v).getOrElse(
+      spark.read.parquet(versionPaths(spark, root, v): _*).schema)
     val base =
       if (kept.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

@@ -549,6 +549,82 @@ class SnapshotLogSpec extends SparkSpecBase {
     assert(other == Set(("insert", 1, "a"), ("insert", 2, "b"), ("insert", 3, "c2")))
   }
 
+  test("appendEvolved: additive widening at O(batch), pinned schema, old files null-fill") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = freshRoot()
+    SnapshotLog.appendCommit(spark, root, kv(1 -> "a"))
+    SnapshotLog.appendCommit(spark, root, kv(2 -> "b"))
+    val v1files = new java.io.File(root, "data_v00000001").listFiles()
+      .map(f => f.getName -> f.lastModified).toMap
+
+    // widen: add a score column — old dirs are untouched, reads null-fill
+    val v3 = SnapshotLog.appendEvolved(spark, root,
+      kv(3 -> "c").withColumn("score", lit(7)))
+    assert(v3 == 3L)
+    assert(new java.io.File(root, "data_v00000001").listFiles()
+      .map(f => f.getName -> f.lastModified).toMap == v1files,
+      "evolution must not rewrite the chain")
+    val now = SnapshotLog.read(spark, root)
+    assert(now.columns.toSeq == Seq("k", "v", "score"))
+    assert(now.collect().map(r => (r.getInt(0), r.getString(1),
+      Option(r.get(2)))).toSet ==
+      Set((1, "a", None), (2, "b", None), (3, "c", Some(7))))
+    // time travel BEFORE the widening keeps the narrow schema
+    assert(SnapshotLog.readVersion(spark, root, 2L).columns.toSeq == Seq("k", "v"))
+
+    // the chain's schema IS the widened one now: a narrow append is
+    // refused, a widened one rides the plain O(batch) path
+    intercept[IllegalArgumentException] {
+      SnapshotLog.appendCommit(spark, root, kv(9 -> "x"))
+    }
+    SnapshotLog.appendCommit(spark, root,
+      kv(4 -> "d").withColumn("score", lit(8)))
+    assert(SnapshotLog.read(spark, root).count() == 4)
+
+    // the CDC feed spans the evolution boundary in the head's schema
+    val feed = SnapshotLog.changesBetween(spark, root, 2L, 4L, Seq("k"))
+    assert(feed.columns.contains("new_score"))
+    assert(feed.select("k").as[Int].collect().toSet == Set(3, 4))
+
+    // non-additive changes are rewrites, not appends: refuse loudly
+    intercept[IllegalArgumentException] { // retype
+      SnapshotLog.appendEvolved(spark, root,
+        kv(5 -> "e").withColumn("score", lit("seven")))
+    }
+    intercept[IllegalArgumentException] { // reorder/rename
+      SnapshotLog.appendEvolved(spark, root,
+        Seq(("e", 5)).toDF("v", "k").withColumn("score", lit(1)))
+    }
+  }
+
+  test("appendEvolved composes: stats on the new column, compaction materializes nulls, deletes work") {
+    import org.apache.spark.sql.functions.lit
+    val root = freshRoot()
+    SnapshotLog.appendCommit(spark, root, kv(1 -> "a"), statsCols = Seq("k"))
+    SnapshotLog.appendEvolved(spark, root,
+      kv(2 -> "b").withColumn("score", lit(70)), statsCols = Seq("k", "score"))
+    SnapshotLog.appendCommit(spark, root,
+      kv(3 -> "c").withColumn("score", lit(90)), statsCols = Seq("k", "score"))
+    // skipping on the NEW column: the pre-evolution file has no score
+    // lines → kept (never wrongly pruned); the post-evolution files prune
+    assert(SnapshotLog.readBetween(spark, root, "score", 85, 95)
+      .collect().map(_.getInt(0)).toSet == Set(3))
+    val (cand, total) = SnapshotLog.candidateFiles(spark, root, 3L, "score", 85, 95)
+    assert(total == 3 && cand.size == 2,
+      s"v2's score=70 file prunes, v1's no-stats file is kept: $cand")
+
+    // delete by key across the boundary, then bin-pack the chain: the
+    // packed file carries the pinned wide schema with nulls materialized
+    SnapshotLog.tombstoneDelete(spark, root, Seq(2).toDF("k"), Seq("k"))
+    val v5 = SnapshotLog.compactSmallFiles(spark, root, targetBytes = 1L << 30)
+    assert(v5 == 5L)
+    assert(SnapshotLog.dirsOf(spark, root, 5L) == Seq("data_v00000005"))
+    val out = SnapshotLog.read(spark, root)
+    assert(out.columns.toSeq == Seq("k", "v", "score"))
+    assert(out.collect().map(r => (r.getInt(0), Option(r.get(2)))).toSet ==
+      Set((1, None), (3, Some(90))))
+  }
+
   test("compactSmallFiles bin-packs small delta dirs, carries big dirs by reference") {
     val root = freshRoot()
     // v1: one genuinely big dir; v2..v4: tiny micro-batch delta dirs

@@ -2129,6 +2129,74 @@ object SnapshotLog {
     }
   }
 
+  /** Commit wall-clock of a version: its manifest file's modification
+    * time (the same resolution rule Delta's timestamp time travel uses —
+    * the metadata file IS the commit record). Manifests publish moments
+    * before the pointer swap, so this is the version's creation instant
+    * to within the critical section.
+    */
+  def commitTimeOf(spark: SparkSession, root: String, v: Long): java.time.Instant = {
+    val m = manifestPath(root, v)
+    require(fs(spark, m).exists(m),
+      s"version $v does not exist (never committed, or vacuumed) at $root")
+    java.time.Instant.ofEpochMilli(fs(spark, m).getFileStatus(m).getModificationTime)
+  }
+
+  /** Timestamp time travel: the newest committed version whose commit
+    * time is ≤ `ts` (None when the table is younger than `ts`, or every
+    * such version was vacuumed). `readAsOf` is the one-call read.
+    */
+  def versionAsOf(spark: SparkSession, root: String,
+                  ts: java.time.Instant): Option[Long] =
+    versions(spark, root).reverse
+      .find(v => !commitTimeOf(spark, root, v).isAfter(ts))
+
+  def readAsOf(spark: SparkSession, root: String,
+               ts: java.time.Instant): DataFrame =
+    readVersion(spark, root, versionAsOf(spark, root, ts).getOrElse(
+      throw new IllegalStateException(
+        s"no version at or before $ts at $root (too early, or vacuumed)")))
+
+  /** RESTORE: make an old version's contents the table's new HEAD as a
+    * fresh commit — at O(1) METADATA cost, zero data movement: the new
+    * manifest simply references the restored version's directories,
+    * deletion vectors, pinned schema, and stats sidecar (all immutable;
+    * [[vacuum]] already reference-counts shared dirs). History is
+    * preserved — the bad versions stay addressable for forensics until
+    * vacuumed, which is exactly Delta's RESTORE semantics. The CDC feed
+    * across the restore is the exact keyed diff undoing the bad commits
+    * (dir lineage does not extend, so no append short-circuit fires).
+    */
+  def restore(spark: SparkSession, root: String, toVersion: Long): Long = {
+    val ld = logDir(root)
+    val f = fs(spark, ld)
+    val claim = new Path(ld, "WRITER_CLAIM")
+    val claimed =
+      atomicClaim(f, claim)
+    require(claimed,
+      s"could not claim $claim — concurrent commit on this table, or a " +
+      "hard-crashed writer's leftover (remove it and retry)")
+    try {
+      recoverOrphans(spark, root)
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed version at $root"))
+      require(toVersion <= cur, s"cannot restore to future version $toVersion")
+      val m = manifestPath(root, toVersion)
+      require(f.exists(m),
+        s"version $toVersion was vacuumed — nothing left to restore")
+      if (toVersion == cur) return cur
+      val next = cur + 1L
+      val carry = sidecarLines(spark, root, toVersion)
+      if (carry.nonEmpty) writeStats(spark, root, next, Nil, carry)
+      writeManifestDirs(spark, root, next, dirsOf(spark, root, toVersion),
+        tombDirs = tombDirsOf(spark, root, toVersion),
+        kind = "restore",
+        schemaJson = rawSchemaJson(spark, root, toVersion))
+      publishLatest(spark, root, next)
+      next
+    } finally f.delete(claim, false)
+  }
+
   /** List committed versions (ascending) — history that survives until
     * [[vacuum]].
     */

@@ -718,6 +718,62 @@ class SnapshotLogSpec extends SparkSpecBase {
     assert(e.getMessage.contains("compactChain"))
   }
 
+  test("timestamp time travel: versionAsOf resolves by commit time, readAsOf reads it") {
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root, kv(1 -> "a"))
+    val t1 = SnapshotLog.commitTimeOf(spark, root, 1L)
+    SnapshotLog.commit(spark, root, kv(1 -> "a2", 2 -> "b"))
+    assert(SnapshotLog.versionAsOf(spark, root, t1).contains(1L))
+    assert(rows(SnapshotLog.readAsOf(spark, root, t1)) == Set(1 -> "a"))
+    // before the table existed: nothing to resolve
+    assert(SnapshotLog.versionAsOf(spark, root, t1.minusSeconds(3600)).isEmpty)
+    // now (or any later instant) resolves to the head
+    assert(SnapshotLog.versionAsOf(spark, root,
+      SnapshotLog.commitTimeOf(spark, root, 2L).plusSeconds(1)).contains(2L))
+  }
+
+  test("restore rolls back to an old version at metadata cost; history survives") {
+    val root = freshRoot()
+    SnapshotLog.appendCommit(spark, root, kv(1 -> "a"))
+    SnapshotLog.appendCommit(spark, root, kv(2 -> "oops"))
+    SnapshotLog.appendCommit(spark, root, kv(3 -> "worse"))
+    val v4 = SnapshotLog.restore(spark, root, 1L)
+    assert(v4 == 4L)
+    // zero data movement: the restore commit owns NO data dir
+    assert(!new java.io.File(root, "data_v00000004").exists)
+    assert(rows(SnapshotLog.read(spark, root)) == Set(1 -> "a"))
+    // forensics: the bad versions stay addressable until vacuumed
+    assert(rows(SnapshotLog.readVersion(spark, root, 3L)) ==
+      Set(1 -> "a", 2 -> "oops", 3 -> "worse"))
+    // the CDC feed across the restore is the exact undo
+    val feed = SnapshotLog.changesBetween(spark, root, 3L, 4L, Seq("k"))
+      .select("change_type", "k").collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(feed == Set(("delete", 2), ("delete", 3)))
+    // life goes on: appends compose on the restored lineage
+    SnapshotLog.appendCommit(spark, root, kv(4 -> "d"))
+    assert(rows(SnapshotLog.read(spark, root)) == Set(1 -> "a", 4 -> "d"))
+    // vacuum reclaims the rolled-back dirs once unreferenced
+    SnapshotLog.vacuum(spark, root, keep = 1)
+    assert(!new java.io.File(root, "data_v00000002").exists)
+    assert(!new java.io.File(root, "data_v00000003").exists)
+    assert(rows(SnapshotLog.read(spark, root)) == Set(1 -> "a", 4 -> "d"))
+    // restoring to a vacuumed version refuses loudly
+    intercept[IllegalArgumentException] {
+      SnapshotLog.restore(spark, root, 2L)
+    }
+  }
+
+  test("restore across an evolution boundary reinstates the narrow pinned schema") {
+    import org.apache.spark.sql.functions.lit
+    val root = freshRoot()
+    SnapshotLog.appendCommit(spark, root, kv(1 -> "a"))
+    SnapshotLog.appendEvolved(spark, root, kv(2 -> "b").withColumn("score", lit(7)))
+    assert(SnapshotLog.read(spark, root).columns.toSeq == Seq("k", "v", "score"))
+    SnapshotLog.restore(spark, root, 1L)
+    assert(SnapshotLog.read(spark, root).columns.toSeq == Seq("k", "v"))
+    assert(rows(SnapshotLog.read(spark, root)) == Set(1 -> "a"))
+  }
+
   test("vacuum drops superseded versions, keeps the current one readable") {
     val root = freshRoot()
     (1 to 4).foreach(i => SnapshotLog.commit(spark, root, kv(i -> s"v$i")))

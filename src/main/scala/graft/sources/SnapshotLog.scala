@@ -178,6 +178,25 @@ object SnapshotLog {
       .findFirstMatchIn(readManifest(spark, root, v))
       .map(_.group(1)).getOrElse("")
 
+  /** Every field nullable, recursively — the only correct reading of a
+    * pinned evolved schema (pre-evolution files null-fill the new
+    * columns, so nothing pinned can be promised non-null; the
+    * vectorized parquet reader REFUSES a required column missing from a
+    * file, where a nullable one reads as nulls).
+    */
+  private def asNullable(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        f.copy(dataType = asNullable(f.dataType), nullable = true)))
+      case a: ArrayType => a.copy(elementType = asNullable(a.elementType),
+        containsNull = true)
+      case m: MapType => m.copy(valueType = asNullable(m.valueType),
+        valueContainsNull = true)
+      case other => other
+    }
+  }
+
   private def tombDirName(v: Long): String = f"tomb_v$v%08d"
 
   /** Deletion-vector directory NAMES a version's manifest carries
@@ -965,7 +984,8 @@ object SnapshotLog {
       currentVersion(spark, root) match {
         case None =>
           stageVersion(spark, root, batch, 1L, -1L, statsCols, bloomCols,
-            schemaJson = java.net.URLEncoder.encode(batch.schema.json, "UTF-8"))
+            schemaJson = java.net.URLEncoder.encode(
+              asNullable(batch.schema).json, "UTF-8"))
           publishLatest(spark, root, 1L)
           1L
         case Some(cur) =>
@@ -982,7 +1002,8 @@ object SnapshotLog {
             baseDirs = dirsOf(spark, root, cur),
             carryStats = sidecarLines(spark, root, cur),
             tombDirs = tombDirsOf(spark, root, cur),
-            schemaJson = java.net.URLEncoder.encode(batch.schema.json, "UTF-8"))
+            schemaJson = java.net.URLEncoder.encode(
+              asNullable(batch.schema).json, "UTF-8"))
           publishLatest(spark, root, next)
           next
       }
@@ -2077,6 +2098,249 @@ object SnapshotLog {
     }
   }
 
+  // ------------------------------------------- automatic file skipping
+
+  /** Half-open-capable span test shared by the explicit probes and the
+    * [[readPruned]] FileIndex: can a file whose sidecar records
+    * [mn, mx] (tag "n" numeric / "s" code-point) contain a value in
+    * [lo, hi]? Unparseable bounds keep the file — stats only ever
+    * remove provably-empty work.
+    */
+  private def spanOverlaps(tag: String, mn: String, mx: String,
+                           lo: Option[Any], hi: Option[Any],
+                           zone: java.time.ZoneId,
+                           loStrict: Boolean = false,
+                           hiStrict: Boolean = false): Boolean = {
+    if (mn == NullMark || mx == NullMark) return false // all-null file
+    if (tag == "n")
+      scala.util.Try {
+        hi.forall { h =>
+          val b = BigDecimal(h.toString); val m = BigDecimal(unesc(mn))
+          if (hiStrict) m < b else m <= b // any row can sit below the bound
+        } &&
+        lo.forall { l =>
+          val b = BigDecimal(l.toString); val m = BigDecimal(unesc(mx))
+          if (loStrict) m > b else m >= b
+        }
+      }.getOrElse(true)
+    else
+      scala.util.Try {
+        hi.forall { h =>
+          val b = probeString(h, zone)
+          if (hiStrict) cpLess(unesc(mn), b) else !cpLess(b, unesc(mn))
+        } &&
+        lo.forall { l =>
+          val b = probeString(l, zone)
+          if (loStrict) cpLess(b, unesc(mx)) else !cpLess(unesc(mx), b)
+        }
+      }.getOrElse(true)
+  }
+
+  /** Read a version through a stats-aware [[FileIndex]]: ordinary
+    * `.filter(...)` predicates prune FILES automatically — Catalyst
+    * hands the scan's data filters to the index, which drops every file
+    * whose sidecar span (or scoped dir-name span) provably excludes
+    * them. This is the ergonomic completion of the skipping story:
+    * [[readBetween]]/[[readWhere]]/[[readEquals]] are the explicit
+    * probes; `readPruned` gives ANY query the same pruning through the
+    * standard DataFrame API — the same architecture Delta uses (a
+    * custom file index feeding the unmodified parquet FileFormat).
+    *
+    * Semantics are identical to [[readVersion]] by construction:
+    * pruning is conservative (supported comparison shapes only, one
+    * extra kept file is never wrong, and Spark re-applies every
+    * predicate on the surviving rows), deletion vectors still apply,
+    * and an evolved lineage's pinned schema is declared. Row-count
+    * parity under arbitrary filters is property-checked in spec.
+    */
+  def readPruned(spark: SparkSession, root: String,
+                 version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, FileStatusWithMetadata}
+    val v = version.getOrElse(currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root")))
+    val paths = versionPaths(spark, root, v)
+    // nullable throughout: pre-round-7 pins may carry non-nullable
+    // fields, which the vectorized reader would refuse on files that
+    // lack them (DataFrameReader.schema relaxes the same way)
+    val schema = asNullable(schemaOf(spark, root, v).getOrElse(
+      spark.read.parquet(paths: _*).schema))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val fsys = fs(spark, dataDir(root, v))
+    val files = paths.flatMap { d =>
+      fsys.listStatus(new Path(d)).filter(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet"))
+    }
+    // rel-path keyed spans, grouped per file: dir/file -> col -> span
+    val spans: Map[String, Map[String, (String, String, String)]] =
+      sidecarLines(spark, root, v).flatMap { line =>
+        line.split("\t", -1) match {
+          case Array(file, c, tag, mn, mx) if tag != "b" =>
+            Some((unesc(file), unesc(c), (tag, mn, mx)))
+          case _ => None
+        }
+      }.groupBy(_._1).map { case (f, ls) =>
+        f -> ls.map(t => t._2 -> t._3).toMap
+      }
+    val partCol = partColOf(spark, root, v)
+    val zone = sessionZone(spark)
+    val index = new SkippingFileIndex(spark, files, spans, partCol, schema, zone)
+    val relation = HadoopFsRelation(
+      location = index,
+      partitionSchema = org.apache.spark.sql.types.StructType(Nil),
+      dataSchema = schema,
+      bucketSpec = None,
+      fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      options = Map.empty)(spark)
+    applyTombstoneDirs(spark, root, tombDirsOf(spark, root, v),
+      spark.baseRelationToDataFrame(relation))
+  }
+
+  /** The stats sidecar as a Catalyst [[FileIndex]]: `listFiles` receives
+    * the scan's data filters, extracts the comparison shapes it can
+    * prove things about (=, <=>, <, <=, >, >=, IN — either operand
+    * order, foldable non-attribute side), and keeps only files whose
+    * span can satisfy ALL of them. Anything it cannot parse prunes
+    * nothing. Scoped tables get dir-name partition pruning on the
+    * manifest's partition column with zero configured stats.
+    */
+  private class SkippingFileIndex(
+      spark: SparkSession,
+      files: Seq[org.apache.hadoop.fs.FileStatus],
+      spans: Map[String, Map[String, (String, String, String)]],
+      partCol: Option[String],
+      schema: org.apache.spark.sql.types.StructType,
+      zone: java.time.ZoneId)
+    extends org.apache.spark.sql.execution.datasources.FileIndex {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.execution.datasources.{PartitionDirectory => PD}
+
+    override def rootPaths: Seq[Path] = files.map(_.getPath.getParent).distinct
+    override def partitionSchema: org.apache.spark.sql.types.StructType =
+      org.apache.spark.sql.types.StructType(Nil)
+    override def inputFiles: Array[String] = files.map(_.getPath.toString).toArray
+    override def refresh(): Unit = ()
+    override def sizeInBytes: Long = files.map(_.getLen).sum
+
+    /** External probe value of a foldable literal side (internal reps
+      * unwrapped to the types [[probeString]] understands). None =
+      * can't prove anything with it.
+      */
+    private def probeValue(e: Expression): Option[Any] = e match {
+      case Literal(null, _) => None
+      case Literal(v, dt) => dt match {
+        case _: org.apache.spark.sql.types.NumericType => Some(v match {
+          case d: org.apache.spark.sql.types.Decimal => d.toBigDecimal
+          case x => x
+        })
+        case org.apache.spark.sql.types.StringType => Some(v.toString)
+        case org.apache.spark.sql.types.DateType =>
+          Some(java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
+        case org.apache.spark.sql.types.TimestampType =>
+          val us = v.asInstanceOf[Long]
+          Some(java.time.Instant.ofEpochSecond(
+            Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          val us = v.asInstanceOf[Long]
+          Some(java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(us, 1000000L),
+            (Math.floorMod(us, 1000000L) * 1000L).toInt,
+            java.time.ZoneOffset.UTC))
+        case _ => None
+      }
+      case _ => None
+    }
+
+    private def attrName(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+
+    /** One filter's verdict for one file's spans: false = provably no
+      * matching rows. Unknown shapes and missing spans keep the file.
+      */
+    private def admits(spanOf: String => Option[(String, String, String)],
+                       filter: Expression): Boolean = {
+      def range(col: String, lo: Option[Any], hi: Option[Any],
+                loStrict: Boolean = false, hiStrict: Boolean = false): Boolean =
+        spanOf(col) match {
+          case Some((tag, mn, mx)) =>
+            spanOverlaps(tag, mn, mx, lo, hi, zone, loStrict, hiStrict)
+          case None => true
+        }
+      // comparisons normalize to (column, bound) with either operand
+      // order; strictness is preserved so boundary files prune exactly
+      def cmp(a: Expression, l: Expression,
+              attrFirst: (String, Any) => Boolean,
+              litFirst: (String, Any) => Boolean): Boolean =
+        (attrName(a), probeValue(l)) match {
+          case (Some(c), Some(v)) => attrFirst(c, v)
+          case _ => (attrName(l), probeValue(a)) match {
+            case (Some(c), Some(v)) => litFirst(c, v)
+            case _ => true
+          }
+        }
+      filter match {
+        case EqualTo(a, l) =>
+          cmp(a, l, (c, v) => range(c, Some(v), Some(v)),
+                    (c, v) => range(c, Some(v), Some(v)))
+        case EqualNullSafe(a, l) => admits(spanOf, EqualTo(a, l))
+        case GreaterThan(a, l) => // col > v | v > col ≡ col < v
+          cmp(a, l, (c, v) => range(c, Some(v), None, loStrict = true),
+                    (c, v) => range(c, None, Some(v), hiStrict = true))
+        case GreaterThanOrEqual(a, l) =>
+          cmp(a, l, (c, v) => range(c, Some(v), None),
+                    (c, v) => range(c, None, Some(v)))
+        case LessThan(a, l) => // col < v | v < col ≡ col > v
+          cmp(a, l, (c, v) => range(c, None, Some(v), hiStrict = true),
+                    (c, v) => range(c, Some(v), None, loStrict = true))
+        case LessThanOrEqual(a, l) =>
+          cmp(a, l, (c, v) => range(c, None, Some(v)),
+                    (c, v) => range(c, Some(v), None))
+        case In(a, vs) => attrName(a) match {
+          case Some(c) =>
+            val pvs = vs.map(probeValue)
+            if (pvs.exists(_.isEmpty)) true
+            else pvs.flatten.exists(v => range(c, Some(v), Some(v)))
+          case None => true
+        }
+        case And(x, y) => admits(spanOf, x) && admits(spanOf, y)
+        case Or(x, y) => admits(spanOf, x) || admits(spanOf, y)
+        case _ => true
+      }
+    }
+
+    override def listFiles(partitionFilters: Seq[Expression],
+                           dataFilters: Seq[Expression]): Seq[PD] = {
+      val kept = files.filter { st =>
+        val rel = st.getPath.getParent.getName + "/" + st.getPath.getName
+        val dirSpan: String => Option[(String, String, String)] = c =>
+          partCol.filter(_ == c).flatMap { _ =>
+            val dir = st.getPath.getParent.getName
+            if (!dir.startsWith(GpPrefix)) None
+            else {
+              val tag = schema.find(_.name == c).map(_.dataType) match {
+                case Some(_: org.apache.spark.sql.types.NumericType) => Some("n")
+                case Some(org.apache.spark.sql.types.StringType) => Some("s")
+                case Some(org.apache.spark.sql.types.DateType) => Some("s")
+                case _ => None
+              }
+              tag.map { t =>
+                val v = esc(org.apache.spark.sql.catalyst.catalog
+                  .ExternalCatalogUtils
+                  .unescapePathName(dir.stripPrefix(GpPrefix)))
+                (t, v, v)
+              }
+            }
+          }
+        val spanOf: String => Option[(String, String, String)] = c =>
+          spans.get(rel).flatMap(_.get(c)).orElse(dirSpan(c))
+        dataFilters.forall(fl => admits(spanOf, fl))
+      }
+      Seq(PD(org.apache.spark.sql.catalyst.InternalRow.empty,
+        kept.toArray[org.apache.hadoop.fs.FileStatus]))
+    }
+  }
+
   /** Remove manifests and data directories ABOVE the committed pointer —
     * the debris of a writer that crashed between manifest publish and
     * pointer swap. Those versions were never visible to any reader, so
@@ -2208,6 +2472,48 @@ object SnapshotLog {
       .filter(_.endsWith(".manifest"))
       .map(_.stripPrefix("v").stripSuffix(".manifest").toLong)
       .filter(_ <= committed).sorted.toSeq
+  }
+
+  /** DESCRIBE HISTORY: one row per committed version — commit time,
+    * manifest kind (append/scoped/delete/restore/…), streaming batch id,
+    * directory and deletion-vector counts, whether an audit record
+    * exists. Pure metadata (one manifest read per version); the
+    * operational at-a-glance every lakehouse exposes.
+    */
+  def describeHistory(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    versions(spark, root).map { v =>
+      val text = readManifest(spark, root, v)
+      val kind = """"kind":"(\w+)"""".r.findFirstMatchIn(text)
+        .map(_.group(1)).getOrElse(
+          if (text.contains(""""baseDirs":""""))
+            if (dirsOf(spark, root, v).size > 1) "append" else "commit"
+          else "commit")
+      val batchId = """"batchId":(-?\d+)""".r.findFirstMatchIn(text)
+        .map(_.group(1).toLong).filter(_ >= 0)
+      (v, commitTimeOf(spark, root, v).toString, kind,
+       batchId, dirsOf(spark, root, v).size,
+       tombDirsOf(spark, root, v).size,
+       rawSchemaJson(spark, root, v).nonEmpty,
+       fs(spark, manifestPath(root, v))
+         .exists(Expectations.auditPath(root, v)))
+    }.toDF("version", "commit_time", "kind", "batch_id",
+           "n_dirs", "n_tomb_dirs", "schema_pinned", "audited")
+  }
+
+  /** Age-based retention: drop every version whose commit time is older
+    * than `olderThan`, always keeping at least the current one — the
+    * calendar-driven twin of count-based [[vacuum]] (RETAIN n HOURS).
+    * The retention contract is the same: the horizon must exceed the
+    * longest reader AND the laggiest [[tailChanges]] consumer.
+    */
+  def vacuumOlderThan(spark: SparkSession, root: String,
+                      olderThan: java.time.Instant): Unit = {
+    val vs = versions(spark, root)
+    if (vs.isEmpty) return
+    val expired = vs.count(v =>
+      commitTimeOf(spark, root, v).isBefore(olderThan))
+    vacuum(spark, root, keep = math.max(1, vs.size - expired))
   }
 
   /** Drop all but the newest `keep` committed versions (manifest + data).

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import graft.sources.SnapshotLog
+
+/** readPruned: the stats sidecar wired into a Catalyst FileIndex, so
+  * ordinary DataFrame filters prune FILES automatically. Every test
+  * asserts BOTH halves of the contract: fewer files actually scanned
+  * (the numFiles metric after execution) and row parity with the
+  * unpruned readVersion under the same predicate.
+  */
+class ReadPrunedSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_pruned").toString + "/t"
+
+  /** ONE execution returning (rows, files actually read): the numFiles
+    * driver metric is only posted on the execution that computes
+    * selectedPartitions, so the frame must be collected exactly once.
+    */
+  private def scanned(df: DataFrame): (Set[Seq[Any]], Long) = {
+    val rows = df.collect().map(_.toSeq).toSet
+    val scans = df.queryExecution.executedPlan.collect {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.collect {
+        case f: FileSourceScanExec => f
+      }
+      case f: FileSourceScanExec => Seq(f)
+    }.flatten
+    (rows, scans.map(_.metrics("numFiles").value).sum)
+  }
+
+  /** Four single-file commits with disjoint k ranges → 4-dir chain. */
+  private def chain(): String = {
+    val root = freshRoot()
+    (0 until 4).foreach { i =>
+      val batch = ((i * 100) until (i * 100 + 100))
+        .map(k => (k, s"w${"%03d".format(k)}")).toDF("k", "w").coalesce(1)
+      SnapshotLog.appendCommit(spark, root, batch, statsCols = Seq("k", "w"))
+    }
+    root
+  }
+
+  test("range, equality, IN, and OR filters prune files; rows match the unpruned read") {
+    val root = chain()
+    def parity(pred: DataFrame => DataFrame, wantFiles: Long): Unit = {
+      val (rows, nFiles) = scanned(pred(SnapshotLog.readPruned(spark, root)))
+      val full = pred(SnapshotLog.read(spark, root)).collect().map(_.toSeq).toSet
+      assert(rows == full)
+      assert(nFiles == wantFiles, s"expected $wantFiles files, got $nFiles")
+    }
+    parity(_.filter(col("k").between(110, 120)), 1)       // one dir's span
+    parity(_.filter(col("k") >= 250), 2)                  // tail dirs
+    parity(_.filter(col("k") < 100), 1)                   // head dir
+    parity(_.filter(col("k") === 305), 1)                 // point probe
+    parity(_.filter(col("k").isin(5, 205)), 2)            // IN across two dirs
+    parity(_.filter(col("k") < 50 || col("k") > 350), 2)  // OR of ranges
+    parity(_.filter(col("w") === "w150"), 1)              // string column stats
+    parity(_.filter(col("k") > 9000), 0)                  // provably empty
+    // a filter the index can't prove anything about keeps every file
+    parity(_.filter(col("k") % 2 === 0), 4)
+    // literal-first operand order proves the same spans
+    parity(_.filter(lit(100) > col("k")), 1)
+  }
+
+  test("unsupported predicates and no-stats columns stay correct (no pruning, right rows)") {
+    val root = freshRoot()
+    SnapshotLog.appendCommit(spark, root,
+      Seq((1, "a"), (2, "b")).toDF("k", "v").coalesce(1), statsCols = Seq("k"))
+    SnapshotLog.appendCommit(spark, root,
+      Seq((3, "c")).toDF("k", "v").coalesce(1), statsCols = Seq("k"))
+    val (rows, nFiles) = scanned(
+      SnapshotLog.readPruned(spark, root).filter(col("v") >= "b"))
+    assert(rows.map(_.head) == Set(2, 3))
+    assert(nFiles == 2, "v has no stats: both files kept")
+  }
+
+  test("deletion vectors and evolved schemas compose with the pruned scan") {
+    import org.apache.spark.sql.functions.lit
+    val root = chain()
+    SnapshotLog.tombstoneDelete(spark, root, Seq(115).toDF("k"), Seq("k"))
+    val pruned = SnapshotLog.readPruned(spark, root).filter(col("k").between(110, 120))
+    assert(pruned.select("k").as[Int].collect().toSet ==
+      (110 to 120).toSet - 115, "tombstone must apply to the pruned scan")
+    // widen, then filter on the NEW column: pre-evolution files have no
+    // spans for it → kept and null-filled, never wrongly pruned
+    SnapshotLog.appendEvolved(spark, root,
+      Seq((999, "z", 7)).toDF("k", "w", "score"), statsCols = Seq("k", "score"))
+    val wide = SnapshotLog.readPruned(spark, root)
+    assert(wide.filter(col("score") === 7).select("k").as[Int].collect().toSeq == Seq(999))
+    assert(wide.filter(col("score").isNull).count() == 399)
+  }
+
+  test("scoped tables get dir-name partition pruning through ordinary filters") {
+    val root = freshRoot()
+    SnapshotLog.upsertScoped(spark, root,
+      Seq((1, "a", "p1"), (2, "b", "p2"), (3, "c", "p2")).toDF("k", "v", "p"),
+      Seq("k"), partitionCol = "p")
+    val (rows, nPruned) = scanned(
+      SnapshotLog.readPruned(spark, root).filter(col("p") === "p2").select("k"))
+    assert(rows.map(_.head) == Set(2, 3))
+    val (_, all) = scanned(SnapshotLog.readPruned(spark, root))
+    assert(nPruned < all,
+      s"partition filter must scan fewer than all $all files, got $nPruned")
+  }
+
+  test("property: arbitrary ranges keep parity with the unpruned read") {
+    val root = chain()
+    val rnd = new scala.util.Random(7)
+    (1 to 25).foreach { _ =>
+      val lo = rnd.nextInt(500) - 50
+      val hi = lo + rnd.nextInt(200)
+      val p = SnapshotLog.readPruned(spark, root)
+        .filter(col("k").between(lo, hi)).select("k").as[Int].collect().toSet
+      val f = SnapshotLog.read(spark, root)
+        .filter(col("k").between(lo, hi)).select("k").as[Int].collect().toSet
+      assert(p == f, s"range [$lo,$hi]")
+    }
+  }
+}

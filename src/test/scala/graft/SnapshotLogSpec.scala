@@ -774,6 +774,37 @@ class SnapshotLogSpec extends SparkSpecBase {
     assert(rows(SnapshotLog.read(spark, root)) == Set(1 -> "a"))
   }
 
+  test("describeHistory summarizes the commit log; vacuumOlderThan retains by age") {
+    import org.apache.spark.sql.functions.lit
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root, kv(1 -> "a"))
+    SnapshotLog.appendCommit(spark, root, kv(2 -> "b"))
+    SnapshotLog.tombstoneDelete(spark, root, Seq(1).toDF("k"), Seq("k"))
+    SnapshotLog.appendEvolved(spark, root, kv(3 -> "c").withColumn("s", lit(1)))
+    SnapshotLog.restore(spark, root, 2L)
+    val h = SnapshotLog.describeHistory(spark, root)
+      .select("version", "kind", "n_dirs", "n_tomb_dirs", "schema_pinned")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getInt(3), r.getBoolean(4))).toList
+    assert(h == List(
+      (1L, "commit", 1, 0, false),
+      (2L, "append", 2, 0, false),
+      (3L, "delete", 2, 1, false),
+      (4L, "append", 3, 1, true),
+      (5L, "restore", 2, 0, false)), h.toString)
+
+    // age-based retention: everything older than "just after v4" goes,
+    // but the head always survives
+    val cutoff = SnapshotLog.commitTimeOf(spark, root, 4L).plusMillis(1)
+    SnapshotLog.vacuumOlderThan(spark, root, cutoff)
+    assert(SnapshotLog.versions(spark, root) == Seq(5L))
+    assert(rows(SnapshotLog.read(spark, root)) == Set(1 -> "a", 2 -> "b"))
+    // a cutoff before every commit is a no-op (head retained)
+    SnapshotLog.vacuumOlderThan(spark, root,
+      java.time.Instant.ofEpochMilli(0))
+    assert(SnapshotLog.versions(spark, root) == Seq(5L))
+  }
+
   test("vacuum drops superseded versions, keeps the current one readable") {
     val root = freshRoot()
     (1 to 4).foreach(i => SnapshotLog.commit(spark, root, kv(i -> s"v$i")))

@@ -225,13 +225,48 @@ object Behavioral {
       |                             OVER (PARTITION BY cohort_week), 4) AS retention
       |FROM g ORDER BY cohort_week, week_offset""".stripMargin
 
+  // q97 — path analysis: the 20 most common 3-step event-type journeys
+  // (what users actually DO, in order — the navigation-flow panel).
+  // lead() twice over (user ORDER BY ts, event_id) forms each trigram
+  // in-partition after ONE user_id shuffle; runs crossing a user
+  // boundary drop (lead returns NULL); the count shrinks to |distinct
+  // paths| ≤ |event_types|³ before TakeOrderedAndProject's per-partition
+  // heaps pick the top 20 (count DESC, path ASC tie-break — no global
+  // sort of anything log-sized).
+  def q97(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .where(col("e2").isNotNull && col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+  }
+
+  val q97Sql: String =
+    """WITH steps AS (
+      |  SELECT event_type,
+      |         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+      |         lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+      |  FROM events
+      |), paths AS (
+      |  SELECT event_type || '>' || e2 || '>' || e3 AS path
+      |  FROM steps WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      |)
+      |SELECT path, count(*) AS n FROM paths
+      |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q91_streaks"        -> (q91 _),
     "q92_latest_per_key" -> (q92 _),
     "q93_funnel"         -> (q93 _),
     "q94_concurrency"    -> (q94 _),
     "q95_user_growth"    -> (q95 _),
-    "q96_retention"      -> (q96 _))
+    "q96_retention"      -> (q96 _),
+    "q97_event_paths"    -> (q97 _))
 
   val oracle: Map[String, String] = Map(
     "q91_streaks"        -> q91Sql,
@@ -239,5 +274,6 @@ object Behavioral {
     "q93_funnel"         -> q93Sql,
     "q94_concurrency"    -> q94Sql,
     "q95_user_growth"    -> q95Sql,
-    "q96_retention"      -> q96Sql)
+    "q96_retention"      -> q96Sql,
+    "q97_event_paths"    -> q97Sql)
 }

@@ -527,6 +527,13 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"), "log-scale join demoted to SMJ:\n" + p)
   }
 
+  test("q97: path top-20 is per-partition heaps over a partial-combined count") {
+    val p = plan(Behavioral.q97(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("GlobalLimit"), "top-k fell back to sort+limit:\n" + p)
+    assert("HashAggregate\\([^\\n]*partial_count".r.findFirstIn(p).isDefined, p)
+  }
+
   test("q93: funnel join is a hash join on user_id, not a nested loop") {
     val p = plan(Behavioral.q93(spark, sf0001))
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),

@@ -107,6 +107,22 @@ class ReadPrunedSpec extends SparkSpecBase {
       s"partition filter must scan fewer than all $all files, got $nPruned")
   }
 
+  test("OPTIMIZE ZORDER + readPruned: a conjunctive filter prunes on both columns at once") {
+    val root = freshRoot()
+    val df = spark.range(10000).toDF("id")
+      .withColumn("x", expr("id % 100"))
+      .withColumn("y", expr("id div 100"))
+      .repartition(16) // scatter: nothing prunes before the re-cluster
+    SnapshotLog.commit(spark, root, df, statsCols = Seq("x", "y"))
+    SnapshotLog.compactChain(spark, root, nFiles = 16,
+      statsCols = Seq("x", "y"), zorderBy = Seq("x", "y"))
+    val (rows, nFiles) = scanned(SnapshotLog.readPruned(spark, root)
+      .filter(col("x").between(10, 15) && col("y").between(80, 85)))
+    assert(rows.size == 36, s"6x6 grid cells, got ${rows.size}")
+    assert(nFiles < 16 / 2,
+      s"Morton clustering must let BOTH spans bite through plain filters: $nFiles of 16")
+  }
+
   test("property: arbitrary ranges keep parity with the unpruned read") {
     val root = chain()
     val rnd = new scala.util.Random(7)

@@ -55,6 +55,29 @@ object SkipBench {
     println(f"RANGE  user_id in [$loU,$hiU]: files ${keptR.size}/$total, " +
       f"rows $prunedRows, full $fullT%.3fs pruned $prunedT%.3fs")
 
+    // the same range through the AUTOMATIC path: plain .filter over the
+    // stats-aware FileIndex must match the explicit probe on files/rows
+    val (autoRows, autoT) = timeMin3(
+      SnapshotLog.readPruned(spark, root)
+        .filter(col("user_id").between(loU, hiU)).count())
+    require(autoRows == fullRows, s"row mismatch: $autoRows vs $fullRows")
+    println(f"AUTO   user_id in [$loU,$hiU] via readPruned: " +
+      f"rows $autoRows, pruned-auto $autoT%.3fs (explicit $prunedT%.3fs)")
+
+    // conjunctive range on BOTH z-order columns — the multi-column payoff
+    // only the automatic path expresses as one ordinary filter
+    val (conjRows, conjT) = timeMin3(
+      SnapshotLog.readPruned(spark, root)
+        .filter(col("user_id").between(loU, hiU) && col("value").between(10.0, 20.0))
+        .count())
+    val (conjFullRows, conjFullT) = timeMin3(
+      SnapshotLog.read(spark, root)
+        .filter(col("user_id").between(loU, hiU) && col("value").between(10.0, 20.0))
+        .count())
+    require(conjRows == conjFullRows, s"row mismatch: $conjRows vs $conjFullRows")
+    println(f"CONJ   user_id+value via readPruned: rows $conjRows, " +
+      f"full $conjFullT%.3fs pruned-auto $conjT%.3fs")
+
     // point lookup on the hash-distributed event_id — bloom territory
     val probe = 54321L
     val (keptB, _) = SnapshotLog.candidateFilesEquals(spark, root, 1L, "event_id", probe)

@@ -281,7 +281,19 @@ object SnapshotLog {
     */
   def commit(spark: SparkSession, root: String, df: DataFrame,
              statsCols: Seq[String] = Nil,
-             bloomCols: Seq[String] = Nil): Long = {
+             bloomCols: Seq[String] = Nil): Long =
+    commitStamped(spark, root, df, statsCols, bloomCols,
+      carryBatchId = false)
+
+  /** [[commit]] with control over the streaming stamp: maintenance
+    * rewrites ([[compactChain]]) carry the head's batchId forward so an
+    * interleaved compaction cannot wipe the exactly-once replay gate;
+    * user rewrites leave it off (a manual full rewrite on a streamed
+    * table is already outside the single-stream contract).
+    */
+  private def commitStamped(spark: SparkSession, root: String, df: DataFrame,
+                            statsCols: Seq[String], bloomCols: Seq[String],
+                            carryBatchId: Boolean): Long = {
     val ld = logDir(root)
     val f = fs(spark, ld)
     f.mkdirs(ld)
@@ -295,9 +307,14 @@ object SnapshotLog {
       "hard-crashed writer's leftover (remove it and retry)")
     try {
       recoverOrphans(spark, root)
-      val next = currentVersion(spark, root).getOrElse(0L) + 1L
-      stageVersion(spark, root, df, next, statsCols = statsCols,
-        bloomCols = bloomCols)
+      val cur = currentVersion(spark, root)
+      val next = cur.getOrElse(0L) + 1L
+      val stamp =
+        if (carryBatchId)
+          cur.flatMap(batchIdOf(spark, root, _)).getOrElse(-1L)
+        else -1L
+      stageVersion(spark, root, df, next, batchId = stamp,
+        statsCols = statsCols, bloomCols = bloomCols)
       publishLatest(spark, root, next)
       next
     } finally f.delete(claim, false)
@@ -553,6 +570,7 @@ object SnapshotLog {
       }
       if (carry.nonEmpty) writeStats(spark, root, next, Nil, carry)
       writeManifestDirs(spark, root, next, dirsOf(spark, root, cur),
+        batchId = batchIdOf(spark, root, cur).getOrElse(-1L),
         tombDirs = tombDirsOf(spark, root, cur) :+ tombDirName(next),
         kind = "delete",
         schemaJson = rawSchemaJson(spark, root, cur))
@@ -920,10 +938,21 @@ object SnapshotLog {
     * the head commit was not a streaming batch or the table is empty).
     */
   def lastBatchId(spark: SparkSession, root: String): Option[Long] =
-    currentVersion(spark, root).flatMap { v =>
-      """"batchId":(-?\d+)""".r.findFirstMatchIn(readManifest(spark, root, v))
-        .map(_.group(1).toLong).filter(_ >= 0)
-    }
+    currentVersion(spark, root).flatMap(batchIdOf(spark, root, _))
+
+  /** A version's streaming stamp (None when unstamped). Maintenance
+    * commits CARRY the head's stamp into their own manifest — a
+    * compaction or delete interleaved between micro-batches must not
+    * wipe the replay gate, or a post-crash replay of the last batch
+    * would re-apply as fresh data (duplicates on an exactly-once
+    * table). [[restore]] carries the RESTORED version's stamp instead:
+    * batches newer than the rollback point were rolled back with it
+    * and must legitimately re-apply.
+    */
+  private def batchIdOf(spark: SparkSession, root: String,
+                        v: Long): Option[Long] =
+    """"batchId":(-?\d+)""".r.findFirstMatchIn(readManifest(spark, root, v))
+      .map(_.group(1).toLong).filter(_ >= 0)
 
   /** Incremental APPEND commit: the new version's data is the parent's
     * directories PLUS one fresh delta directory holding only `batch` —
@@ -998,7 +1027,11 @@ object SnapshotLog {
             s"with the chain schema $have unchanged (rename/retype/remove " +
             "is a rewrite, not an append)")
           val next = cur + 1L
-          stageVersion(spark, root, batch, next, -1L, statsCols, bloomCols,
+          // the head's streaming stamp carries: widening between
+          // micro-batches must not reopen the replay gate
+          stageVersion(spark, root, batch, next,
+            batchIdOf(spark, root, cur).getOrElse(-1L),
+            statsCols, bloomCols,
             baseDirs = dirsOf(spark, root, cur),
             carryStats = sidecarLines(spark, root, cur),
             tombDirs = tombDirsOf(spark, root, cur),
@@ -1170,7 +1203,9 @@ object SnapshotLog {
         Layout.zArrange(cur, zorderBy, nFiles)
       }
       else if (nFiles > 0) cur.repartition(nFiles) else cur
-    commit(spark, root, arranged, statsCols, bloomCols)
+    // maintenance: the head's streaming stamp carries (replay gate intact)
+    commitStamped(spark, root, arranged, statsCols, bloomCols,
+      carryBatchId = true)
   }
 
   /** INCREMENTAL small-file compaction — bin-packing OPTIMIZE at
@@ -1281,7 +1316,8 @@ object SnapshotLog {
         else parentLines.map(l => unesc(l.split('\t')(1))).distinct
       if (freshCols.nonEmpty || carry.nonEmpty)
         writeStats(spark, root, next, freshCols, carry)
-      writeManifestAppend(spark, root, next, -1L,
+      writeManifestAppend(spark, root, next,
+        batchIdOf(spark, root, cur).getOrElse(-1L),
         baseDirs = kept.map(_._1), tombDirs = nextTombs,
         schemaJson = rawSchemaJson(spark, root, cur))
       publishLatest(spark, root, next)
@@ -2452,7 +2488,10 @@ object SnapshotLog {
       val next = cur + 1L
       val carry = sidecarLines(spark, root, toVersion)
       if (carry.nonEmpty) writeStats(spark, root, next, Nil, carry)
+      // the RESTORED version's stamp, not the head's: batches newer than
+      // the rollback point were rolled back with it and must re-apply
       writeManifestDirs(spark, root, next, dirsOf(spark, root, toVersion),
+        batchId = batchIdOf(spark, root, toVersion).getOrElse(-1L),
         tombDirs = tombDirsOf(spark, root, toVersion),
         kind = "restore",
         schemaJson = rawSchemaJson(spark, root, toVersion))

@@ -774,6 +774,37 @@ class SnapshotLogSpec extends SparkSpecBase {
     assert(rows(SnapshotLog.read(spark, root)) == Set(1 -> "a"))
   }
 
+  test("maintenance commits carry the streaming stamp: the replay gate survives them") {
+    import org.apache.spark.sql.functions.lit
+    val root = freshRoot()
+    assert(SnapshotLog.appendBatch(spark, root, kv(1 -> "a"), batchId = 1L).isDefined)
+    assert(SnapshotLog.appendBatch(spark, root, kv(2 -> "b"), batchId = 2L).isDefined)
+    // delete + bin-pack + evolve + OPTIMIZE between micro-batches
+    SnapshotLog.tombstoneDelete(spark, root, Seq(1).toDF("k"), Seq("k"))
+    assert(SnapshotLog.lastBatchId(spark, root).contains(2L), "delete wiped the stamp")
+    SnapshotLog.compactSmallFiles(spark, root, targetBytes = 1L << 30)
+    assert(SnapshotLog.lastBatchId(spark, root).contains(2L), "compaction wiped the stamp")
+    SnapshotLog.appendEvolved(spark, root, kv(3 -> "c").withColumn("s", lit(1)))
+    assert(SnapshotLog.lastBatchId(spark, root).contains(2L), "evolution wiped the stamp")
+    SnapshotLog.compactChain(spark, root, nFiles = 1)
+    assert(SnapshotLog.lastBatchId(spark, root).contains(2L), "OPTIMIZE wiped the stamp")
+    // a post-crash replay of batch 2 must still SKIP after all of that
+    assert(SnapshotLog.appendBatch(spark, root,
+      kv(2 -> "b").withColumn("s", lit(0)), batchId = 2L).isEmpty)
+    assert(SnapshotLog.appendBatch(spark, root,
+      kv(4 -> "d").withColumn("s", lit(9)), batchId = 3L).isDefined)
+
+    // RESTORE is the exception by design: rolling back to the batch-1
+    // head rolls back batch 2's data, so batch 2 must RE-apply
+    val rb = freshRoot()
+    SnapshotLog.appendBatch(spark, rb, kv(1 -> "a"), batchId = 1L)
+    SnapshotLog.appendBatch(spark, rb, kv(2 -> "junk"), batchId = 2L)
+    SnapshotLog.restore(spark, rb, 1L)
+    assert(SnapshotLog.lastBatchId(spark, rb).contains(1L))
+    assert(SnapshotLog.appendBatch(spark, rb, kv(2 -> "b2"), batchId = 2L).isDefined)
+    assert(rows(SnapshotLog.read(spark, rb)) == Set(1 -> "a", 2 -> "b2"))
+  }
+
   test("describeHistory summarizes the commit log; vacuumOlderThan retains by age") {
     import org.apache.spark.sql.functions.lit
     val root = freshRoot()

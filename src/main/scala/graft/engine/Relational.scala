@@ -357,6 +357,39 @@ object Relational {
       |         FROM orders i WHERE i.o_custkey = o.o_custkey)
       |ORDER BY o.o_orderkey""".stripMargin
 
+  // q98 — RECURSIVE CTE (Spark 4's WITH RECURSIVE): the hierarchy-walk
+  // operator every BOM / org-chart / folder-tree query needs. The
+  // fixture has no parent pointer, so the tree is key-derived (each
+  // customer's parent is c_custkey DIV 2 — a binary org chart rooted
+  // at 1); the OPERATOR is the point: seed ∪ step iterated to fixpoint,
+  // per-customer ancestor chains, aggregated to a depth histogram plus
+  // a checksum of walked keys. Scale: each iteration is one
+  // self-union step whose frontier SHRINKS as chains terminate
+  // (Σ rows ≈ N·log N total); depth ≈ log₂(max key) iterations, far
+  // under the recursion limit; the final agg is a bounded-key shuffle.
+  def q98(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("graft_q98_customer")
+    s.sql(
+      """WITH RECURSIVE anc(custkey, node, depth) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM graft_q98_customer
+        |  UNION ALL
+        |  SELECT custkey, node DIV 2, depth + 1 FROM anc WHERE node > 1
+        |)
+        |SELECT CAST(depth AS BIGINT) AS depth, count(*) AS n,
+        |       CAST(sum(node) AS BIGINT) AS node_sum
+        |FROM anc GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+
+  val q98Sql: String =
+    """WITH RECURSIVE anc(custkey, node, depth) AS (
+      |  SELECT c_custkey, c_custkey, 0 FROM customer
+      |  UNION ALL
+      |  SELECT custkey, node // 2, depth + 1 FROM anc WHERE node > 1
+      |)
+      |SELECT CAST(depth AS BIGINT) AS depth, count(*) AS n,
+      |       CAST(sum(node) AS BIGINT) AS node_sum
+      |FROM anc GROUP BY depth ORDER BY depth""".stripMargin
+
   // q63 — NOT IN (subquery) with NULLs: SQL's classic silent-empty-result
   // trap, declared so the three-valued semantics are oracle-checked. Two
   // branches over the same probe set (parts never shipped in Jan 1996,
@@ -530,6 +563,7 @@ object Relational {
     "q12_agg_pricing"         -> (q12 _),
     "q50_scalar_subquery"     -> (q50 _),
     "q52_correlated_subquery" -> (q52 _),
+    "q98_hierarchy"           -> (q98 _),
     "q54_multiway_join"       -> (q54 _),
     "q63_not_in_nulls"        -> (q63 _),
     "q67_lateral_topk"        -> (q67 _),
@@ -550,6 +584,7 @@ object Relational {
     "q12_agg_pricing"         -> q12Sql,
     "q50_scalar_subquery"     -> q50Sql,
     "q52_correlated_subquery" -> q52Sql,
+    "q98_hierarchy"           -> q98Sql,
     "q54_multiway_join"       -> q54Sql,
     "q63_not_in_nulls"        -> q63Sql,
     "q67_lateral_topk"        -> q67Sql,

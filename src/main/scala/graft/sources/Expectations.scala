@@ -113,8 +113,18 @@ object Expectations {
     (v, counts)
   }
 
+  /** sum() over a zero-row batch observes SQL NULL, not 0 — an empty
+    * daily load must still audit cleanly (the commit has already
+    * published by the time we read the metrics, so throwing here would
+    * report failure for a commit that landed).
+    */
   private def countsOf(obs: Observation): Map[String, Long] =
-    obs.get.map { case (k, v) => k -> v.asInstanceOf[Number].longValue }
+    obs.get.map { case (k, v) =>
+      k -> (v match {
+        case null      => 0L
+        case n: Number => n.longValue
+      })
+    }
 
   // ---------------------------------------------------------- audit log
 

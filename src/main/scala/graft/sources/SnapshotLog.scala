@@ -107,7 +107,13 @@ object SnapshotLog {
         true
       } catch { case _: java.nio.file.FileAlreadyExistsException => false }
     else
-      atomicClaim(f, claim)
+      try { f.create(claim, false).close(); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException
+            if e.getMessage != null && e.getMessage.contains("exist") =>
+          false // RawLocalFileSystem-style FSes signal EXCL loss as plain IOE
+      }
   }
 
   /** Highest committed version, resolved through the LATEST pointer only
@@ -294,18 +300,7 @@ object SnapshotLog {
   private def commitStamped(spark: SparkSession, root: String, df: DataFrame,
                             statsCols: Seq[String], bloomCols: Seq[String],
                             carryBatchId: Boolean): Long = {
-    val ld = logDir(root)
-    val f = fs(spark, ld)
-    f.mkdirs(ld)
-    val claim = new Path(ld, "WRITER_CLAIM")
-    // same atomic-create claim (and the same FS caveats) as
-    // Upsert.upsertPartitioned — single writer per table
-    val claimed =
-      atomicClaim(f, claim)
-    require(claimed,
-      s"could not claim $claim — concurrent commit on this table, or a " +
-      "hard-crashed writer's leftover (remove it and retry)")
-    try {
+    withClaim(spark, root) { f =>
       recoverOrphans(spark, root)
       val cur = currentVersion(spark, root)
       val next = cur.getOrElse(0L) + 1L
@@ -317,7 +312,7 @@ object SnapshotLog {
         statsCols = statsCols, bloomCols = bloomCols)
       publishLatest(spark, root, next)
       next
-    } finally f.delete(claim, false)
+    }
   }
 
   /** Transactional upsert: merge `batch` into the current snapshot by
@@ -412,16 +407,7 @@ object SnapshotLog {
       s"partition column $partitionCol not in batch ${batch.columns.toSeq}")
     require(keys.nonEmpty && keys.forall(batch.columns.contains),
       s"keys $keys must be columns of the batch")
-    val ld = logDir(root)
-    val f = fs(spark, ld)
-    f.mkdirs(ld)
-    val claim = new Path(ld, "WRITER_CLAIM")
-    val claimed =
-      atomicClaim(f, claim)
-    require(claimed,
-      s"could not claim $claim — concurrent commit on this table, or a " +
-      "hard-crashed writer's leftover (remove it and retry)")
-    try {
+    withClaim(spark, root) { f =>
       recoverOrphans(spark, root)
       // replay gate under the claim (commitBatch's rigor): a stamped
       // scoped batch whose id the head already covers is a post-crash
@@ -480,19 +466,11 @@ object SnapshotLog {
       // partitions' lines carry forward verbatim (keyed by leaf basename,
       // unique within a version — one leaf per partition value)
       val untouchedBase = untouched.map(baseName).toSet
-      val carry = cur.toSeq.flatMap { c =>
-        val sp = statsPath(root, c)
-        if (!f.exists(sp)) Seq.empty[String]
-        else {
-          val in = f.open(sp)
-          val text = try new String(in.readAllBytes(),
-            java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-          text.split("\n").toSeq.filter(_.nonEmpty).filter { line =>
-            val key = unesc(line.split("\t", -1)(0))
-            untouchedBase.contains(key.substring(0, math.max(key.indexOf('/'), 0)))
-          }
-        }
-      }
+      val carry = cur.toSeq.flatMap(c =>
+        sidecarLines(spark, root, c).filter { line =>
+          val key = unesc(line.split("\t", -1)(0))
+          untouchedBase.contains(key.substring(0, math.max(key.indexOf('/'), 0)))
+        })
       if (statsCols.nonEmpty || carry.nonEmpty)
         writeStats(spark, root, next, statsCols, carry)
       // parent vectors carry: untouched partitions still need them
@@ -502,7 +480,7 @@ object SnapshotLog {
         tombDirs = parentTombs, partCol = partitionCol)
       publishLatest(spark, root, next)
       Some(next)
-    } finally f.delete(claim, false)
+    }
   }
 
   /** Merge-on-read DELETE (deletion vectors): record the (file, row
@@ -521,16 +499,7 @@ object SnapshotLog {
     import org.apache.spark.sql.functions.{col, substring_index}
     require(keys.nonEmpty && keys.forall(tombstones.columns.contains),
       s"keys $keys must be columns of the tombstone frame")
-    val ld = logDir(root)
-    val f = fs(spark, ld)
-    f.mkdirs(ld)
-    val claim = new Path(ld, "WRITER_CLAIM")
-    val claimed =
-      atomicClaim(f, claim)
-    require(claimed,
-      s"could not claim $claim — concurrent commit on this table, or a " +
-      "hard-crashed writer's leftover (remove it and retry)")
-    try {
+    withClaim(spark, root) { f =>
       recoverOrphans(spark, root)
       val cur = currentVersion(spark, root).getOrElse(
         throw new IllegalStateException(s"no committed version at $root"))
@@ -557,26 +526,17 @@ object SnapshotLog {
       hits.write.mode("overwrite").parquet(td.toString)
       // the data-file set is untouched, so the parent's sidecar carries
       // verbatim (stats prune files; the vector prunes rows afterwards)
-      val carry = {
-        val sp = statsPath(root, cur)
-        if (!f.exists(sp)) Seq.empty[String]
-        else {
-          val in = f.open(sp)
-          try new String(in.readAllBytes(),
-            java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq
-              .filter(_.nonEmpty)
-          finally in.close()
-        }
-      }
+      val carry = sidecarLines(spark, root, cur)
       if (carry.nonEmpty) writeStats(spark, root, next, Nil, carry)
       writeManifestDirs(spark, root, next, dirsOf(spark, root, cur),
         batchId = batchIdOf(spark, root, cur).getOrElse(-1L),
         tombDirs = tombDirsOf(spark, root, cur) :+ tombDirName(next),
         kind = "delete",
+        partCol = partColOf(spark, root, cur).getOrElse(""),
         schemaJson = rawSchemaJson(spark, root, cur))
       publishLatest(spark, root, next)
       next
-    } finally f.delete(claim, false)
+    }
   }
 
   /** Bounded-wait writer claim: the OCC commit paths hold the claim
@@ -587,6 +547,24 @@ object SnapshotLog {
     * claim file as the classic paths, so OCC and classic writers
     * exclude each other correctly.
     */
+  /** Fail-fast writer claim: acquire, run `body` with the log-dir
+    * filesystem, release in `finally`. Every classic (non-OCC) commit
+    * path goes through here, so a fix to claim semantics lands on all
+    * of them at once; [[withClaimWait]] is the bounded-wait variant the
+    * OCC metadata sections use.
+    */
+  private def withClaim[T](spark: SparkSession, root: String)
+                          (body: org.apache.hadoop.fs.FileSystem => T): T = {
+    val ld = logDir(root)
+    val f = fs(spark, ld)
+    f.mkdirs(ld)
+    val claim = new Path(ld, "WRITER_CLAIM")
+    require(atomicClaim(f, claim),
+      s"could not claim $claim — concurrent commit on this table, or a " +
+      "hard-crashed writer's leftover (remove it and retry)")
+    try body(f) finally f.delete(claim, false)
+  }
+
   private def withClaimWait[T](spark: SparkSession, root: String,
                                timeoutMs: Long = 60000L)(body: => T): T = {
     val ld = logDir(root)
@@ -884,6 +862,35 @@ object SnapshotLog {
       .map(m => java.net.URLDecoder.decode(m.group(1), "UTF-8"))
       .filter(_.nonEmpty)
 
+  /** The span a scoped table's `__gp=<value>` leaf-dir name synthesizes
+    * for its partition column: every file under the leaf has min = max =
+    * the partition value by construction — Hive-style partition pruning
+    * through the same overlap machinery the sidecar stats use. Shared by
+    * the explicit probes ([[candidateFiles]]) and the automatic path
+    * ([[SkippingFileIndex]]) so both prune identically. Typed via the
+    * Spark schema (a numeric partition must compare as a number: "9" >
+    * "10" lexicographically but not numerically); None for non-scoped
+    * dirs and zone-dependent types (LTZ rendering shifts with the
+    * session zone — keep the file rather than mis-prune).
+    */
+  private def gpDirSpan(dt: Option[org.apache.spark.sql.types.DataType],
+                        dirName: String): Option[(String, String, String)] = {
+    val tag = dt match {
+      case Some(_: org.apache.spark.sql.types.NumericType) => Some("n")
+      case Some(org.apache.spark.sql.types.StringType) => Some("s")
+      case Some(org.apache.spark.sql.types.DateType) => Some("s") // ISO order
+      case _ => None
+    }
+    tag.flatMap { t =>
+      if (!dirName.startsWith(GpPrefix)) None
+      else {
+        val v = esc(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(dirName.stripPrefix(GpPrefix)))
+        Some((t, v, v))
+      }
+    }
+  }
+
   /** Steps 1–2 of the protocol: write the data directory, then publish
     * the manifest (temp + rename so it is never seen partial). WITHOUT
     * step 3 the version is not committed — package-visible so the spec
@@ -918,20 +925,23 @@ object SnapshotLog {
   private def writeDataDir(spark: SparkSession, df: DataFrame, dd: Path,
                            bloomCols: Seq[String],
                            partitionBy: Seq[String] = Nil): Unit = {
+    // One-way latch, not set/restore: a restore in a `finally` races
+    // with a concurrent same-session writer (OCC appends run on
+    // Futures) — thread A's restore lands while thread B's write job
+    // is still being planned, so B silently writes INT96 and its files
+    // lose footer stats. Setting once and never un-setting makes the
+    // conf transition monotonic (old -> MICROS, exactly once), which is
+    // race-free; sessions that already default to TIMESTAMP_MICROS
+    // (recommended — Verify.scala does) are never mutated at all.
     val tsKey = "spark.sql.parquet.outputTimestampType"
-    val prevTs = spark.conf.getOption(tsKey)
-    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-    try {
-      val writer0 = bloomCols.foldLeft(df.write.mode("overwrite")) { (w, c) =>
-        w.option(s"parquet.bloom.filter.enabled#$c", "true")
-      }
-      val writer =
-        if (partitionBy.isEmpty) writer0 else writer0.partitionBy(partitionBy: _*)
-      writer.parquet(dd.toString)
-    } finally prevTs match {
-      case Some(p) => spark.conf.set(tsKey, p)
-      case None    => spark.conf.unset(tsKey)
+    if (!spark.conf.getOption(tsKey).contains("TIMESTAMP_MICROS"))
+      spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    val writer0 = bloomCols.foldLeft(df.write.mode("overwrite")) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
     }
+    val writer =
+      if (partitionBy.isEmpty) writer0 else writer0.partitionBy(partitionBy: _*)
+    writer.parquet(dd.toString)
   }
 
   /** batchId recorded in the CURRENT version's manifest (-1 / None when
@@ -999,16 +1009,7 @@ object SnapshotLog {
   def appendEvolved(spark: SparkSession, root: String, batch: DataFrame,
                     statsCols: Seq[String] = Nil,
                     bloomCols: Seq[String] = Nil): Long = {
-    val ld = logDir(root)
-    val f = fs(spark, ld)
-    f.mkdirs(ld)
-    val claim = new Path(ld, "WRITER_CLAIM")
-    val claimed =
-      atomicClaim(f, claim)
-    require(claimed,
-      s"could not claim $claim — concurrent commit on this table, or a " +
-      "hard-crashed writer's leftover (remove it and retry)")
-    try {
+    withClaim(spark, root) { f =>
       recoverOrphans(spark, root)
       currentVersion(spark, root) match {
         case None =>
@@ -1040,23 +1041,14 @@ object SnapshotLog {
           publishLatest(spark, root, next)
           next
       }
-    } finally f.delete(claim, false)
+    }
   }
 
   private def appendUnderClaim(spark: SparkSession, root: String,
                                batch: DataFrame, statsCols: Seq[String],
                                bloomCols: Seq[String],
                                batchId: Long): Option[Long] = {
-    val ld = logDir(root)
-    val f = fs(spark, ld)
-    f.mkdirs(ld)
-    val claim = new Path(ld, "WRITER_CLAIM")
-    val claimed =
-      atomicClaim(f, claim)
-    require(claimed,
-      s"could not claim $claim — concurrent commit on this table, or a " +
-      "hard-crashed writer's leftover (remove it and retry)")
-    try {
+    withClaim(spark, root) { f =>
       recoverOrphans(spark, root)
       // replay gate under the claim (commitBatch's rigor): a stamped
       // append whose id the head already covers is a post-crash replay
@@ -1080,17 +1072,7 @@ object SnapshotLog {
             s"append schema $got != table schema $have " +
             "(append-only tables do not evolve schemas mid-chain)")
           val next = cur + 1L
-          val carry = {
-            val sp = statsPath(root, cur)
-            if (!f.exists(sp)) Seq.empty
-            else {
-              val in = f.open(sp)
-              try new String(in.readAllBytes(),
-                java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq
-                  .filter(_.nonEmpty)
-              finally in.close()
-            }
-          }
+          val carry = sidecarLines(spark, root, cur)
           // parent deletion vectors carry too: an append must not
           // resurrect rows a prior tombstoneDelete removed; the pinned
           // schema of an evolved lineage carries with them
@@ -1101,7 +1083,7 @@ object SnapshotLog {
           publishLatest(spark, root, next)
           next
       })
-    } finally f.delete(claim, false)
+    }
   }
 
   /** Exactly-once streaming APPEND: [[appendCommit]] with the micro-batch
@@ -1141,16 +1123,7 @@ object SnapshotLog {
     require(batchId >= 0, s"negative batchId $batchId")
     // pre-claim fast path: a replayed batch skips without claim traffic
     if (lastBatchId(spark, root).exists(_ >= batchId)) return None
-    val ld = logDir(root)
-    val f = fs(spark, ld)
-    f.mkdirs(ld)
-    val claim = new Path(ld, "WRITER_CLAIM")
-    val claimed =
-      atomicClaim(f, claim)
-    require(claimed,
-      s"could not claim $claim — concurrent commit on this table, or a " +
-      "hard-crashed writer's leftover (remove it and retry)")
-    try {
+    withClaim(spark, root) { f =>
       recoverOrphans(spark, root)
       // re-check under the claim — this one is the correctness gate
       if (lastBatchId(spark, root).exists(_ >= batchId)) None
@@ -1168,7 +1141,7 @@ object SnapshotLog {
         publishLatest(spark, root, next)
         Some(next)
       }
-    } finally f.delete(claim, false)
+    }
   }
 
   /** Compact an append chain: commit the current contents as ONE fresh
@@ -1247,16 +1220,7 @@ object SnapshotLog {
                         bloomCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.{col, substring_index}
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
-    val ld = logDir(root)
-    val f = fs(spark, ld)
-    f.mkdirs(ld)
-    val claim = new Path(ld, "WRITER_CLAIM")
-    val claimed =
-      atomicClaim(f, claim)
-    require(claimed,
-      s"could not claim $claim — concurrent commit on this table, or a " +
-      "hard-crashed writer's leftover (remove it and retry)")
-    try {
+    withClaim(spark, root) { f =>
       recoverOrphans(spark, root)
       val cur = currentVersion(spark, root).getOrElse(
         throw new IllegalStateException(s"no committed version at $root"))
@@ -1322,7 +1286,7 @@ object SnapshotLog {
         schemaJson = rawSchemaJson(spark, root, cur))
       publishLatest(spark, root, next)
       next
-    } finally f.delete(claim, false)
+    }
   }
 
   /** Step 3 — the commit point: swap the LATEST pointer atomically
@@ -1850,28 +1814,13 @@ object SnapshotLog {
       f.listStatus(new Path(d)).map(_.getPath)
         .filter(_.getName.endsWith(".parquet"))
     }
-    // dir-name spans for the partition column of a scoped table — typed
-    // via the Spark schema (a numeric partition must compare as a
-    // number: "9" > "10" lexicographically but not numerically)
+    // dir-name spans for the partition column of a scoped table
     val dirSpanOf: Path => Option[(String, String, String)] =
       partColOf(spark, root, version) match {
         case Some(pc) if pc == column =>
-          val tag = spark.read.parquet(versionPaths(spark, root, version): _*)
-            .schema.find(_.name == column).map(_.dataType) match {
-            case Some(_: org.apache.spark.sql.types.NumericType) => Some("n")
-            case Some(org.apache.spark.sql.types.StringType) => Some("s")
-            case Some(org.apache.spark.sql.types.DateType) => Some("s") // ISO order
-            case _ => None // LTZ etc: zone-dependent rendering — keep files
-          }
-          p => tag.flatMap { t =>
-            val dir = p.getParent.getName
-            if (!dir.startsWith(GpPrefix)) None
-            else {
-              val v = esc(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-                .unescapePathName(dir.stripPrefix(GpPrefix)))
-              Some((t, v, v))
-            }
-          }
+          val dt = spark.read.parquet(versionPaths(spark, root, version): _*)
+            .schema.find(_.name == column).map(_.dataType)
+          p => gpDirSpan(dt, p.getParent.getName)
         case _ => _ => None
       }
     val sp = statsPath(root, version)
@@ -2350,24 +2299,9 @@ object SnapshotLog {
       val kept = files.filter { st =>
         val rel = st.getPath.getParent.getName + "/" + st.getPath.getName
         val dirSpan: String => Option[(String, String, String)] = c =>
-          partCol.filter(_ == c).flatMap { _ =>
-            val dir = st.getPath.getParent.getName
-            if (!dir.startsWith(GpPrefix)) None
-            else {
-              val tag = schema.find(_.name == c).map(_.dataType) match {
-                case Some(_: org.apache.spark.sql.types.NumericType) => Some("n")
-                case Some(org.apache.spark.sql.types.StringType) => Some("s")
-                case Some(org.apache.spark.sql.types.DateType) => Some("s")
-                case _ => None
-              }
-              tag.map { t =>
-                val v = esc(org.apache.spark.sql.catalyst.catalog
-                  .ExternalCatalogUtils
-                  .unescapePathName(dir.stripPrefix(GpPrefix)))
-                (t, v, v)
-              }
-            }
-          }
+          partCol.filter(_ == c).flatMap(_ =>
+            gpDirSpan(schema.find(_.name == c).map(_.dataType),
+                      st.getPath.getParent.getName))
         val spanOf: String => Option[(String, String, String)] = c =>
           spans.get(rel).flatMap(_.get(c)).orElse(dirSpan(c))
         dataFilters.forall(fl => admits(spanOf, fl))
@@ -2468,15 +2402,7 @@ object SnapshotLog {
     * (dir lineage does not extend, so no append short-circuit fires).
     */
   def restore(spark: SparkSession, root: String, toVersion: Long): Long = {
-    val ld = logDir(root)
-    val f = fs(spark, ld)
-    val claim = new Path(ld, "WRITER_CLAIM")
-    val claimed =
-      atomicClaim(f, claim)
-    require(claimed,
-      s"could not claim $claim — concurrent commit on this table, or a " +
-      "hard-crashed writer's leftover (remove it and retry)")
-    try {
+    withClaim(spark, root) { f =>
       recoverOrphans(spark, root)
       val cur = currentVersion(spark, root).getOrElse(
         throw new IllegalStateException(s"no committed version at $root"))
@@ -2494,10 +2420,11 @@ object SnapshotLog {
         batchId = batchIdOf(spark, root, toVersion).getOrElse(-1L),
         tombDirs = tombDirsOf(spark, root, toVersion),
         kind = "restore",
+        partCol = partColOf(spark, root, toVersion).getOrElse(""),
         schemaJson = rawSchemaJson(spark, root, toVersion))
       publishLatest(spark, root, next)
       next
-    } finally f.delete(claim, false)
+    }
   }
 
   /** List committed versions (ascending) — history that survives until

@@ -99,6 +99,22 @@ class ExpectationsSpec extends SparkSpecBase {
     assert(Expectations.audit(spark, root, 2L).isEmpty)
   }
 
+  test("empty batch commits cleanly with zero counts (sum over 0 rows is NULL)") {
+    // a daily load with no new rows must not crash AFTER the commit
+    // published — observe's sum() metrics come back SQL NULL on an
+    // empty scan and must read as 0
+    val root = freshRoot()
+    val (v, counts) = Expectations.commitChecked(spark, root,
+      batch.filter(lit(false)), Seq(
+        Expectations.warn("age_nonneg", col("age") >= 0),
+        Expectations.drop("name_present", col("name").isNotNull)))
+    assert(v == 1L)
+    assert(counts == Map("rows_in" -> 0L, "age_nonneg" -> 0L,
+      "name_present" -> 0L))
+    assert(SnapshotLog.read(spark, root).count() == 0)
+    assert(Expectations.audit(spark, root, 1L).contains(counts))
+  }
+
   test("misuse fails loudly: duplicate names, reserved name, empty set") {
     intercept[IllegalArgumentException] {
       Expectations.gate(batch, Seq(

@@ -177,6 +177,28 @@ class ScopedUpsertSpec extends SparkSpecBase {
     assert(k2.size < t2, s"string partition should prune: ${k2.size}/$t2")
   }
 
+  test("partCol survives tombstoneDelete and restore: dir-name pruning stays live") {
+    val root = freshRoot()
+    val batch = Seq((1, 2, "a"), (2, 9, "b"), (3, 10, "c"), (4, 11, "d"))
+      .toDF("k", "p", "v")
+    SnapshotLog.upsertScoped(spark, root, batch, Seq("k"), "p") // no statsCols
+    // v2: merge-on-read delete rebuilds the manifest — partCol must carry,
+    // or every later readPruned/readBetween silently scans all leafs
+    SnapshotLog.tombstoneDelete(spark, root, Seq(Tuple1(4)).toDF("k"), Seq("k"))
+    val (kept2, total2) = SnapshotLog.candidateFiles(spark, root, 2L, "p", 9, 10)
+    assert(kept2.nonEmpty && kept2.size < total2,
+      s"delete dropped partCol: kept ${kept2.size} of $total2")
+    assert(SnapshotLog.readBetween(spark, root, "p", 9, 10)
+      .select("k").as[Int].collect().toSet == Set(2, 3))
+    // v3: restore rebuilds the manifest again — same carry contract
+    SnapshotLog.restore(spark, root, 1L)
+    val (kept3, total3) = SnapshotLog.candidateFiles(spark, root, 3L, "p", 9, 10)
+    assert(kept3.nonEmpty && kept3.size < total3,
+      s"restore dropped partCol: kept ${kept3.size} of $total3")
+    assert(SnapshotLog.readBetween(spark, root, "p", 9, 10)
+      .select("k").as[Int].collect().toSet == Set(2, 3))
+  }
+
   test("scopedBatch: replay skipped, exactly-once scoped versions") {
     val root = freshRoot()
     assert(SnapshotLog.scopedBatch(spark, root,

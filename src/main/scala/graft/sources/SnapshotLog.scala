@@ -155,11 +155,19 @@ object SnapshotLog {
     // declares it explicitly and parquet null-fills the pre-evolution
     // files — no mergeSchema footer sniff (that is an O(files) planning
     // pass at a million files) and no schema roulette on mixed dirs
-    val base = schemaOf(spark, root, version) match {
+    val base0 = schemaOf(spark, root, version) match {
       case Some(st) => spark.read.schema(st).parquet(paths: _*)
       case None     => spark.read.parquet(paths: _*)
     }
-    applyTombstoneDirs(spark, root, tombDirsOf(spark, root, version), base)
+    // merge-on-read lineages attach their row sequence while the scan's
+    // _metadata columns still resolve, then dedup AFTER the positional
+    // deletes (a tombstoned latest row must expose nothing — the whole
+    // key is gone, because tombstoneDelete marks every physical copy)
+    val mk = morKeysOf(spark, root, version)
+    val base = if (mk.isEmpty) base0 else base0.withColumn(MorSeqCol, morSeq)
+    val vis = applyTombstoneDirs(spark, root,
+      tombDirsOf(spark, root, version), base)
+    if (mk.isEmpty) vis else resolveLatest(vis, mk)
   }
 
   /** The pinned table schema of an evolved chain's version (None before
@@ -533,6 +541,7 @@ object SnapshotLog {
         tombDirs = tombDirsOf(spark, root, cur) :+ tombDirName(next),
         kind = "delete",
         partCol = partColOf(spark, root, cur).getOrElse(""),
+        morKeys = morKeysOf(spark, root, cur),
         schemaJson = rawSchemaJson(spark, root, cur))
       publishLatest(spark, root, next)
       next
@@ -610,6 +619,12 @@ object SnapshotLog {
       val cur = currentVersion(spark, root)
       val next = cur.getOrElse(0L) + 1L
       cur.foreach { c =>
+        if (morKeysOf(spark, root, c).nonEmpty) {
+          f.delete(staging, true)
+          throw new IllegalArgumentException(
+            "this lineage is merge-on-read keyed (upsertMor) — plain " +
+            "appends are refused; use upsertMor")
+        }
         val have = readVersion(spark, root, c).schema.fields
           .map(fl => (fl.name, fl.dataType.catalogString)).toSeq
         val got = batch.schema.fields
@@ -799,7 +814,8 @@ object SnapshotLog {
   private def writeManifestAppend(spark: SparkSession, root: String, v: Long,
                                   batchId: Long, baseDirs: Seq[String],
                                   tombDirs: Seq[String],
-                                  schemaJson: String = ""): Unit = {
+                                  schemaJson: String = "",
+                                  morKeys: Seq[String] = Nil): Unit = {
     val m = manifestPath(root, v)
     val tmp = new Path(logDir(root), f".tmp_manifest_v$v%08d")
     val tombEnc =
@@ -807,11 +823,14 @@ object SnapshotLog {
       else s""","tombDirs":"${tombDirs.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(",")}""""
     val schemaEnc =
       if (schemaJson.isEmpty) "" else s""","schema":"$schemaJson""""
+    val morEnc =
+      if (morKeys.isEmpty) ""
+      else s""","kind":"mor","morKeys":"${morKeys.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(",")}""""
     val f = fs(spark, m)
     val out = f.create(tmp, true)
     try out.write(
       (s"""{"version":$v,"dataDir":"${dataDirName(v)}","batchId":$batchId,""" +
-       s""""baseDirs":"${baseDirs.mkString(",")}"$tombEnc$schemaEnc}""")
+       s""""baseDirs":"${baseDirs.mkString(",")}"$tombEnc$schemaEnc$morEnc}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (!f.rename(tmp, m))
@@ -829,7 +848,8 @@ object SnapshotLog {
                                 tombDirs: Seq[String] = Nil,
                                 kind: String = "scoped",
                                 partCol: String = "",
-                                schemaJson: String = ""): Unit = {
+                                schemaJson: String = "",
+                                morKeys: Seq[String] = Nil): Unit = {
     val m = manifestPath(root, v)
     val tmp = new Path(logDir(root), f".tmp_manifest_v$v%08d")
     val enc = dirs.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(",")
@@ -839,13 +859,16 @@ object SnapshotLog {
     val partEnc =
       if (partCol.isEmpty) ""
       else s""","partCol":"${java.net.URLEncoder.encode(partCol, "UTF-8")}""""
+    val morEnc =
+      if (morKeys.isEmpty) ""
+      else s""","morKeys":"${morKeys.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(",")}""""
     val schemaEnc =
       if (schemaJson.isEmpty) "" else s""","schema":"$schemaJson""""
     val f = fs(spark, m)
     val out = f.create(tmp, true)
     try out.write(
       (s"""{"version":$v,"dataDir":"${dataDirName(v)}","batchId":$batchId,""" +
-       s""""kind":"$kind","dirs":"$enc"$tombEnc$partEnc$schemaEnc}""")
+       s""""kind":"$kind","dirs":"$enc"$tombEnc$partEnc$morEnc$schemaEnc}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (!f.rename(tmp, m))
@@ -861,6 +884,52 @@ object SnapshotLog {
       .findFirstMatchIn(readManifest(spark, root, v))
       .map(m => java.net.URLDecoder.decode(m.group(1), "UTF-8"))
       .filter(_.nonEmpty)
+
+  /** Merge-on-read key columns of a version's manifest ([[upsertMor]]
+    * lineages); empty for every other commit kind. Presence turns on
+    * latest-per-key resolution at read time.
+    */
+  private[graft] def morKeysOf(spark: SparkSession, root: String,
+                               v: Long): Seq[String] =
+    """"morKeys":"([^"]*)"""".r
+      .findFirstMatchIn(readManifest(spark, root, v))
+      .map(_.group(1)).filter(_.nonEmpty)
+      .map(_.split(",").toSeq.filter(_.nonEmpty)
+        .map(java.net.URLDecoder.decode(_, "UTF-8")))
+      .getOrElse(Seq.empty)
+
+  /** Hidden per-row sequence of a merge-on-read scan: the version number
+    * baked into the row's data-directory NAME. Newer versions shadow
+    * older rows of the same key; the dir name is the only provenance
+    * needed, so no per-row column is ever written.
+    */
+  private val MorSeqCol = "__morseq"
+  private def morSeq: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    regexp_extract(col("_metadata.file_path"), "/data_v(\\d+)/", 1)
+      .cast("long")
+  }
+
+  /** Latest-per-key resolution for merge-on-read lineages: one
+    * row_number over (keys ORDER BY [[MorSeqCol]] DESC) — plans as
+    * WindowGroupLimit, so each map task keeps ONE candidate per key
+    * before the shuffle and the exchange carries ~|keys| rows. Ties are
+    * impossible by contract: every [[upsertMor]] batch is key-unique and
+    * a key appears at most once per version. Catalyst only pushes
+    * predicates through the window when they reference the PARTITION
+    * columns (the keys) — exactly the subset for which file pruning
+    * composes safely with shadowing — so a later `.filter` on a non-key
+    * column correctly stays above the resolution.
+    */
+  private def resolveLatest(base: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    val cols = base.columns.toSeq.filterNot(_ == MorSeqCol)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(MorSeqCol).desc)
+    base.withColumn("__mor_rn", row_number().over(w))
+      .filter(col("__mor_rn") === 1)
+      .select(cols.map(col): _*)
+  }
 
   /** The span a scoped table's `__gp=<value>` leaf-dir name synthesizes
     * for its partition column: every file under the leaf has min = max =
@@ -906,12 +975,14 @@ object SnapshotLog {
                                   baseDirs: Seq[String] = Nil,
                                   carryStats: Seq[String] = Nil,
                                   tombDirs: Seq[String] = Nil,
-                                  schemaJson: String = ""): Unit = {
+                                  schemaJson: String = "",
+                                  morKeys: Seq[String] = Nil): Unit = {
     val dd = dataDir(root, v)
     writeDataDir(spark, df, dd, bloomCols)
     if (statsCols.nonEmpty || carryStats.nonEmpty)
       writeStats(spark, root, v, statsCols, carryStats)
-    writeManifestAppend(spark, root, v, batchId, baseDirs, tombDirs, schemaJson)
+    writeManifestAppend(spark, root, v, batchId, baseDirs, tombDirs, schemaJson,
+      morKeys)
   }
 
   /** The one parquet write every commit path shares. INT96 (Spark's
@@ -1019,6 +1090,10 @@ object SnapshotLog {
           publishLatest(spark, root, 1L)
           1L
         case Some(cur) =>
+          require(morKeysOf(spark, root, cur).isEmpty,
+            "this lineage is merge-on-read keyed (upsertMor) — use " +
+            "upsertMor for data; schema widening on MOR chains is not " +
+            "supported (rewrite via compactChain first)")
           val have = readVersion(spark, root, cur).schema.fields
             .map(fl => (fl.name, fl.dataType.catalogString)).toSeq
           val got = batch.schema.fields
@@ -1064,6 +1139,10 @@ object SnapshotLog {
           // Long) would commit onto the chain and break — or silently widen
           // — every later mixed-directory read. catalogString compares
           // nested structure while staying nullability-insensitive.
+          require(morKeysOf(spark, root, cur).isEmpty,
+            "this lineage is merge-on-read keyed (upsertMor) — a plain " +
+            "append could smuggle duplicate keys past resolution; use " +
+            "upsertMor, whose batches are key-checked")
           val have = readVersion(spark, root, cur).schema.fields
             .map(f => (f.name, f.dataType.catalogString)).toSeq
           val got = batch.schema.fields
@@ -1227,6 +1306,10 @@ object SnapshotLog {
       require(!manifestKind(spark, root, cur).contains("scoped"),
         "compactSmallFiles on a partition-scoped table would merge across " +
         "partition leafs — use compactChain for scoped maintenance")
+      require(morKeysOf(spark, root, cur).isEmpty,
+        "compactSmallFiles on a merge-on-read table would collapse the " +
+        "per-dir version sequence that shadowing resolves on — use " +
+        "compactChain, which folds resolution into a materialized rewrite")
       val rootPath = new Path(root.replaceAll("/+$", ""))
       // O(files) metadata listing decides the rewrite set — no row data
       val sized = dirsOf(spark, root, cur).map { d =>
@@ -1336,9 +1419,14 @@ object SnapshotLog {
     val toDirs = dirsOf(spark, root, toV)
     // the short-circuit also demands IDENTICAL deletion vectors: a
     // tombstoneDelete changes visible rows while leaving the dir chain
-    // intact — treating it as "pure append" would hide every delete
+    // intact — treating it as "pure append" would hide every delete.
+    // Merge-on-read lineages are excluded outright: their delta dirs are
+    // UPSERTS (an existing key's new row shadows the old one — an
+    // update, not an insert), so only the keyed snapshot diff below
+    // reports them faithfully.
     if (toDirs.startsWith(fromDirs) &&
-        tombDirsOf(spark, root, toV) == tombDirsOf(spark, root, fromV)) {
+        tombDirsOf(spark, root, toV) == tombDirsOf(spark, root, fromV) &&
+        morKeysOf(spark, root, toV).isEmpty) {
       val deltas = toDirs.drop(fromDirs.size).map(d =>
         new Path(root.replaceAll("/+$", ""), d).toString)
       // pin the head's schema: a feed spanning an appendEvolved boundary
@@ -2028,6 +2116,14 @@ object SnapshotLog {
     val m = manifestPath(root, v)
     require(fs(spark, m).exists(m),
       s"version $v does not exist (never committed, or vacuumed) at $root")
+    val mk = morKeysOf(spark, root, v)
+    // merge-on-read + non-key probe: skipping a file can change which
+    // row is "latest" for a key whose newest version fails the probe —
+    // resolution must see every copy, so fall back to the resolved scan
+    // with a residual filter (key probes stay prunable: all copies of a
+    // matching key survive the file cut together)
+    if (mk.nonEmpty && !mk.contains(column))
+      return readVersion(spark, root, v).filter(col(column) === lit(value))
     val (kept, _) = candidateFilesEquals(spark, root, v, column, value)
     // an evolved lineage's pinned schema wins over footer inference —
     // mixed pre/post-evolution dirs must not pick a narrow file's schema
@@ -2036,8 +2132,12 @@ object SnapshotLog {
     val base =
       if (kept.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else applyTombstoneDirs(spark, root, tombDirsOf(spark, root, v),
-        spark.read.schema(schema).parquet(kept.map(_.toString): _*))
+      else {
+        val raw = spark.read.schema(schema).parquet(kept.map(_.toString): _*)
+        val seqd = if (mk.isEmpty) raw else raw.withColumn(MorSeqCol, morSeq)
+        val vis = applyTombstoneDirs(spark, root, tombDirsOf(spark, root, v), seqd)
+        if (mk.isEmpty) vis else resolveLatest(vis, mk)
+      }
     base.filter(col(column) === lit(value))
   }
 
@@ -2067,6 +2167,13 @@ object SnapshotLog {
     val m = manifestPath(root, v)
     require(fs(spark, m).exists(m),
       s"version $v does not exist (never committed, or vacuumed) at $root")
+    val mk = morKeysOf(spark, root, v)
+    // merge-on-read + any non-key range: see [[readEquals]] — pruning is
+    // only shadow-safe on the key columns, so resolve first otherwise
+    if (mk.nonEmpty && !ranges.forall(r => mk.contains(r._1)))
+      return ranges.foldLeft(readVersion(spark, root, v)) {
+        case (df, (c, lo, hi)) => df.filter(col(c).between(lit(lo), lit(hi)))
+      }
     val keptSets = ranges.map { case (c, lo, hi) =>
       candidateFiles(spark, root, v, c, lo, hi)._1.map(_.toString).toSet
     }
@@ -2076,8 +2183,12 @@ object SnapshotLog {
     val base =
       if (kept.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else applyTombstoneDirs(spark, root, tombDirsOf(spark, root, v),
-        spark.read.schema(schema).parquet(kept.toSeq.sorted: _*))
+      else {
+        val raw = spark.read.schema(schema).parquet(kept.toSeq.sorted: _*)
+        val seqd = if (mk.isEmpty) raw else raw.withColumn(MorSeqCol, morSeq)
+        val vis = applyTombstoneDirs(spark, root, tombDirsOf(spark, root, v), seqd)
+        if (mk.isEmpty) vis else resolveLatest(vis, mk)
+      }
     ranges.foldLeft(base) { case (df, (c, lo, hi)) =>
       df.filter(col(c).between(lit(lo), lit(hi)))
     }
@@ -2176,8 +2287,15 @@ object SnapshotLog {
       bucketSpec = None,
       fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
       options = Map.empty)(spark)
-    applyTombstoneDirs(spark, root, tombDirsOf(spark, root, v),
-      spark.baseRelationToDataFrame(relation))
+    // merge-on-read: resolution sits ABOVE the skipping scan, and
+    // Catalyst only pushes key-column predicates through its window —
+    // the index therefore only ever sees filters for which file pruning
+    // is shadow-safe (all physical copies of a key prune together)
+    val mk = morKeysOf(spark, root, v)
+    val base0 = spark.baseRelationToDataFrame(relation)
+    val base = if (mk.isEmpty) base0 else base0.withColumn(MorSeqCol, morSeq)
+    val vis = applyTombstoneDirs(spark, root, tombDirsOf(spark, root, v), base)
+    if (mk.isEmpty) vis else resolveLatest(vis, mk)
   }
 
   /** The stats sidecar as a Catalyst [[FileIndex]]: `listFiles` receives
@@ -2421,6 +2539,7 @@ object SnapshotLog {
         tombDirs = tombDirsOf(spark, root, toVersion),
         kind = "restore",
         partCol = partColOf(spark, root, toVersion).getOrElse(""),
+        morKeys = morKeysOf(spark, root, toVersion),
         schemaJson = rawSchemaJson(spark, root, toVersion))
       publishLatest(spark, root, next)
       next

@@ -49,11 +49,20 @@ object Tables {
     // here is dead code and ad-hoc sessions would crash on the nanos read.
     if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong") != "true")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // timestamp_ntz: matches how the other fixture timestamp columns infer
-    // (parquet isAdjustedToUTC=false → NTZ) and how DuckDB reads them —
-    // keeps result-file timestamp types identical across engines. Session
-    // tz is UTC, so the wall-clock values are unchanged.
-    read(s, dir, "events")
-      .withColumn("ts", expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+    // The fixture generation has shipped `ts` two ways across driver rounds:
+    // TIMESTAMP(NANOS) (arrives as LongType under nanosAsLong) and plain
+    // TIMESTAMP(MICROS) with isAdjustedToUTC=false (arrives as
+    // TIMESTAMP_NTZ directly). Dispatch on the OBSERVED type so both load
+    // identically; the LTZ arm covers a hypothetical adjusted-to-UTC rewrite
+    // (session tz is UTC, so the wall-clock values are unchanged). All arms
+    // normalize to TIMESTAMP_NTZ — how DuckDB reads the same file — keeping
+    // result-file timestamp types identical across engines.
+    val raw = read(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+      case org.apache.spark.sql.types.TimestampNTZType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampNTZType))
+    }
   }
 }

@@ -15,12 +15,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Aggregates.queries ++ Windows.queries ++
       SetOps.queries ++ Temporal.queries ++ LlmOps.queries ++ Scalars.queries ++
-      Training.queries ++ Reshape.queries ++ Behavioral.queries
+      Training.queries ++ Reshape.queries ++ Behavioral.queries ++
+      Analytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Aggregates.oracle ++ Windows.oracle ++
       SetOps.oracle ++ Temporal.oracle ++ LlmOps.oracle ++ Scalars.oracle ++
-      Training.oracle ++ Reshape.oracle ++ Behavioral.oracle
+      Training.oracle ++ Reshape.oracle ++ Behavioral.oracle ++
+      Analytics.oracle
 }

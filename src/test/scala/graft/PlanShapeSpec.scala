@@ -540,4 +540,38 @@ class PlanShapeSpec extends SparkSpecBase {
       "time-range residual demoted the funnel join to a nested loop:\n" + p)
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
+
+  test("q99: every dimension broadcasts; facts never nested-loop") {
+    val p = plan(Analytics.q99(spark, sf0001))
+    // region⋈nation, customer, nation2, supplier — all size-bounded dims:
+    // the fact side (lineitem⋈orders) must meet them via broadcast hash
+    // joins, never a shuffle of the dim or a nested loop.
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "dims not broadcast:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q100: each nation IN-pair half is pushed into its dim scan") {
+    val df = Analytics.q100(spark, sf0001)
+    val p = plan(df)
+    // the OR-pair predicate itself isn't pushable, but each side's
+    // n_name IN (NATION_1, NATION_2) half must prune at the nation scan —
+    // In(n_name...) appears in PushedFilters for both nation reads.
+    assert("In\\(n_name".r.findAllIn(p).size >= 2,
+      "nation IN-pair filter not pushed to the dim scans:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q101: sole-supplier rewrite is ONE lineitem scan (no self-join)") {
+    val df = Analytics.q101(spark, sf0001)
+    val p = plan(df)
+    val liScans = df.queryExecution.sparkPlan.collectLeaves().count {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(_.toString.contains("lineitem"))
+      case _ => false
+    }
+    assert(liScans == 1,
+      s"Q21 rewrite must aggregate lineitem once, not self-join it (saw $liScans scans):\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
 }

@@ -1,0 +1,189 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained materialized aggregate views over a
+  * [[SnapshotLog]] table (round 7b) — the lakehouse pattern that turns
+  * "re-aggregate 100 TB nightly" into "apply yesterday's deltas".
+  *
+  * A view is `GROUP BY groupCols → (n_rows, sum(sumCol))`, stored as its
+  * own SnapshotLog table, so it inherits time travel, CDC, and vacuum.
+  * Maintenance reads the source's change feed ([[SnapshotLog.changesBetween]])
+  * for the un-applied version range and applies it as signed
+  * contributions: insert → (+1, +v), delete → (−1, −v), update → both
+  * (old group gets the negative, new group the positive — a group-moving
+  * update just works). Contributions aggregate to ONE row per touched
+  * group before the view merge, so a refresh costs
+  * O(changes) + O(view ∩ touched groups) — never O(source).
+  *
+  * Exactly-once without a cursor file: the view commit is
+  * [[SnapshotLog.replaceBatch]] stamped with the source version it
+  * incorporates, so THE VIEW IS ITS OWN CURSOR — `lastBatchId(view)` is
+  * the resume point, and data + progress land in one atomic pointer
+  * swap. A crash anywhere re-runs the same range; the stamp gate skips
+  * the replay. (The tailChanges cursor-file pattern would double-apply
+  * here: a crash between the view commit and the cursor advance
+  * re-delivers a range the view already absorbed.)
+  *
+  * Sums are maintained in DECIMAL(38,6), not double: an additive view
+  * absorbs signed deltas forever, and float error would accumulate with
+  * every refresh — exact decimal keeps `view ≡ full recompute` an exact
+  * equality for the table's whole lifetime (spec-proven under random
+  * commit/upsert/delete/tombstone sequences). NULL measures contribute
+  * 0 to the sum (and still count in n_rows), making the sum total and
+  * order-independent.
+  *
+  * min/max are NOT self-maintainable under deletes (removing the
+  * current minimum says nothing about the runner-up), so
+  * [[refreshWithExtrema]] recomputes them for TOUCHED GROUPS ONLY by a
+  * semi-join back to the source snapshot — O(groups-that-changed), the
+  * standard affected-partition recompute, never a full re-aggregate.
+  */
+object IncrementalView {
+
+  /** View column names for a given measure column. */
+  private def sumCol(c: String) = s"sum_$c"
+  private def minCol(c: String) = s"min_$c"
+  private def maxCol(c: String) = s"max_$c"
+
+  /** Signed per-change contributions: up to two rows (old-group negative,
+    * new-group positive) per CDC row. `keys` are the source's merge keys
+    * (CDC emits them unprefixed); every other column arrives as
+    * old_/new_ pairs.
+    */
+  private def contributions(feed: DataFrame, keys: Seq[String],
+                            groupCols: Seq[String], measure: String): DataFrame = {
+    def side(prefix: String)(c: String): Column =
+      if (keys.contains(c)) col(c) else col(s"${prefix}_$c")
+    val oldG = groupCols.map(c => side("old")(c).as(c))
+    val newG = groupCols.map(c => side("new")(c).as(c))
+    val oldV = coalesce(side("old")(measure).cast("decimal(38,6)"), lit(0).cast("decimal(38,6)"))
+    val newV = coalesce(side("new")(measure).cast("decimal(38,6)"), lit(0).cast("decimal(38,6)"))
+    val negative = feed
+      .filter(col("change_type").isin("delete", "update"))
+      .select(oldG :+ lit(-1L).as("d_rows") :+ (-oldV).as("d_sum"): _*)
+    val positive = feed
+      .filter(col("change_type").isin("insert", "update"))
+      .select(newG :+ lit(1L).as("d_rows") :+ newV.as("d_sum"): _*)
+    negative.unionAll(positive)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("d_rows")).as("d_rows"),
+           sum(col("d_sum")).cast("decimal(38,6)").as("d_sum"))
+  }
+
+  /** Full aggregate of `rows` in the view schema (bootstrap + the spec's
+    * recompute oracle share THIS definition).
+    */
+  def aggregate(rows: DataFrame, groupCols: Seq[String], measure: String): DataFrame =
+    rows.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+           sum(coalesce(col(measure).cast("decimal(38,6)"),
+                        lit(0).cast("decimal(38,6)")))
+             .cast("decimal(38,6)").as(sumCol(measure)))
+
+  /** As [[aggregate]] plus min/max of the measure (extrema views). */
+  def aggregateWithExtrema(rows: DataFrame, groupCols: Seq[String],
+                           measure: String): DataFrame =
+    rows.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+           sum(coalesce(col(measure).cast("decimal(38,6)"),
+                        lit(0).cast("decimal(38,6)")))
+             .cast("decimal(38,6)").as(sumCol(measure)),
+           min(col(measure)).as(minCol(measure)),
+           max(col(measure)).as(maxCol(measure)))
+
+  /** Bring the additive view at `viewRoot` up to date with the source at
+    * `sourceRoot`. Returns the (fromV, toV] range applied, or None when
+    * already current (including replay after a crash). O(changes) on the
+    * source + a keyed merge on the view — never a source re-aggregate
+    * after bootstrap.
+    */
+  def refresh(spark: SparkSession, sourceRoot: String, viewRoot: String,
+              keys: Seq[String], groupCols: Seq[String],
+              measure: String): Option[(Long, Long)] =
+    refreshImpl(spark, sourceRoot, viewRoot, keys, groupCols, measure,
+      extrema = false)
+
+  /** As [[refresh]], also maintaining min/max of the measure by
+    * recomputing them for the touched groups only (semi-join back to the
+    * source snapshot — O(changed groups), not O(source)).
+    */
+  def refreshWithExtrema(spark: SparkSession, sourceRoot: String,
+                         viewRoot: String, keys: Seq[String],
+                         groupCols: Seq[String],
+                         measure: String): Option[(Long, Long)] =
+    refreshImpl(spark, sourceRoot, viewRoot, keys, groupCols, measure,
+      extrema = true)
+
+  private def refreshImpl(spark: SparkSession, sourceRoot: String,
+                          viewRoot: String, keys: Seq[String],
+                          groupCols: Seq[String], measure: String,
+                          extrema: Boolean): Option[(Long, Long)] = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(!groupCols.contains(measure),
+      s"measure $measure cannot also be a group column")
+    val toV = SnapshotLog.currentVersion(spark, sourceRoot)
+      .getOrElse(return None) // source doesn't exist yet — nothing to do
+    val fromV = SnapshotLog.lastBatchId(spark, viewRoot).getOrElse(0L)
+    if (fromV >= toV) return None // current (or a replayed crash range)
+    val sourceAtTo = SnapshotLog.readVersion(spark, sourceRoot, toV)
+    val next =
+      if (fromV == 0L) {
+        // bootstrap: the one full aggregate of the view's lifetime
+        if (extrema) aggregateWithExtrema(sourceAtTo, groupCols, measure)
+        else aggregate(sourceAtTo, groupCols, measure)
+      } else {
+        val feed = SnapshotLog.changesBetween(spark, sourceRoot, fromV, toV, keys)
+        val delta = contributions(feed, keys, groupCols, measure)
+        val view = SnapshotLog.read(spark, viewRoot)
+        // null-safe equi-join: a NULL group value is a real group
+        val cond = groupCols.map(c => view(c) <=> delta(c)).reduce(_ && _)
+        val mergedBase = view.join(delta, cond, "full_outer")
+          .select(
+            groupCols.map(c => coalesce(delta(c), view(c)).as(c)) ++ Seq(
+              (coalesce(view("n_rows"), lit(0L)) +
+               coalesce(delta("d_rows"), lit(0L))).as("n_rows"),
+              (coalesce(view(sumCol(measure)), lit(0).cast("decimal(38,6)")) +
+               coalesce(delta("d_sum"), lit(0).cast("decimal(38,6)")))
+                .cast("decimal(38,6)").as(sumCol(measure))) ++
+              (if (extrema) Seq(view(minCol(measure)).as(minCol(measure)),
+                                view(maxCol(measure)).as(maxCol(measure)))
+               else Nil): _*)
+          .filter(col("n_rows") > 0) // emptied groups leave the view
+        if (!extrema) mergedBase
+        else {
+          // touched groups re-derive extrema from the source snapshot;
+          // untouched groups keep their stored values. The recompute is
+          // scoped by an inner join on the delta's group list — at scale
+          // that broadcast-joins |changed groups| rows against the
+          // source, and file-skipping stats prune further.
+          val touched = delta.select(groupCols.map(col): _*).distinct()
+          val semiCond = groupCols.map(c => sourceAtTo(c) <=> touched(c)).reduce(_ && _)
+          val fresh = aggregateWithExtrema(
+            sourceAtTo.join(touched, semiCond, "left_semi"),
+            groupCols, measure)
+            .select(groupCols.map(col) :+ col(minCol(measure)) :+
+              col(maxCol(measure)) :+ lit(true).as("__touched"): _*)
+          val cond2 = groupCols.map(c => mergedBase(c) <=> fresh(c)).reduce(_ && _)
+          mergedBase.join(fresh, cond2, "left_outer")
+            .select(
+              groupCols.map(c => mergedBase(c).as(c)) ++ Seq(
+                mergedBase("n_rows").as("n_rows"),
+                mergedBase(sumCol(measure)).as(sumCol(measure)),
+                // a touched group ALWAYS takes the fresh value — which
+                // may legitimately be NULL when every remaining measure
+                // is NULL — so choose by recompute MEMBERSHIP (the
+                // __touched flag), never by value coalescing
+                when(fresh("__touched"), fresh(minCol(measure)))
+                  .otherwise(mergedBase(minCol(measure))).as(minCol(measure)),
+                when(fresh("__touched"), fresh(maxCol(measure)))
+                  .otherwise(mergedBase(maxCol(measure))).as(maxCol(measure))): _*)
+        }
+      }
+    SnapshotLog.replaceBatch(spark, viewRoot, next, batchId = toV) match {
+      case Some(_) => Some((fromV, toV))
+      case None    => None // lost a race to a concurrent refresh — fine
+    }
+  }
+}

@@ -1223,6 +1223,36 @@ object SnapshotLog {
     }
   }
 
+  /** Exactly-once full-snapshot REPLACE stamped with `batchId` — the
+    * derived-table counterpart of [[commitBatch]] (which merges by key).
+    * A consumer that rebuilds its whole result from a source range
+    * (fromV, toV] commits it here stamped `batchId = toV`; a replay of
+    * the same range (crash before the caller recorded progress) is
+    * skipped by the stamp gate, so THE TABLE ITSELF IS THE CURSOR —
+    * progress and data commit in one atomic pointer swap, with no
+    * separate cursor file to fall out of sync. This is what makes
+    * [[graft.sources.IncrementalView]] exactly-once without dual
+    * commits. Returns the committed version, or None when skipped.
+    */
+  def replaceBatch(spark: SparkSession, root: String, df: DataFrame,
+                   batchId: Long, statsCols: Seq[String] = Nil,
+                   bloomCols: Seq[String] = Nil): Option[Long] = {
+    require(batchId >= 0, s"negative batchId $batchId")
+    // pre-claim fast path: a replayed range skips without claim traffic
+    if (lastBatchId(spark, root).exists(_ >= batchId)) return None
+    withClaim(spark, root) { f =>
+      recoverOrphans(spark, root)
+      // re-check under the claim — this one is the correctness gate
+      if (lastBatchId(spark, root).exists(_ >= batchId)) None
+      else {
+        val next = currentVersion(spark, root).getOrElse(0L) + 1L
+        stageVersion(spark, root, df, next, batchId, statsCols, bloomCols)
+        publishLatest(spark, root, next)
+        Some(next)
+      }
+    }
+  }
+
   /** Compact an append chain: commit the current contents as ONE fresh
     * full-snapshot version (optionally re-partitioned to `nFiles`), so
     * the dir chain — and the per-read file listing that grows with it —

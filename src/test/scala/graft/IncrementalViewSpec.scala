@@ -1,0 +1,172 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.{IncrementalView, SnapshotLog}
+
+/** Incremental materialized-view maintenance (round 7b): after ANY
+  * sequence of source commits — keyed upserts, append chains, keyed
+  * deletes, merge-on-read tombstones — a refreshed view equals the full
+  * recompute EXACTLY (decimal sums, no float drift), and replays are
+  * no-ops because the view's own batchId stamp is the cursor.
+  */
+class IncrementalViewSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String =
+    Files.createTempDirectory(s"graft_iv_$tag").toString + "/t"
+
+  // source rows: (id key, grp group, amt measure)
+  private def src(rows: (Int, String, java.lang.Double)*): DataFrame =
+    rows.toSeq.toDF("id", "grp", "amt")
+
+  private def canon(df: DataFrame): Set[(Option[String], Long, Option[BigDecimal])] =
+    df.select(col("grp"), col("n_rows"), col("sum_amt")).collect().map { r =>
+      (Option(r.getString(0)), r.getLong(1),
+       Option(r.getDecimal(2)).map(BigDecimal(_)))
+    }.toSet
+
+  private def canonX(df: DataFrame): Set[(Option[String], Long, Option[BigDecimal], Option[Double], Option[Double])] =
+    df.collect().map { r =>
+      (Option(r.getAs[String]("grp")), r.getAs[Long]("n_rows"),
+       Option(r.getAs[java.math.BigDecimal]("sum_amt")).map(BigDecimal(_)),
+       Option(r.getAs[java.lang.Double]("min_amt")).map(_.doubleValue),
+       Option(r.getAs[java.lang.Double]("max_amt")).map(_.doubleValue))
+    }.toSet
+
+  private def assertCurrent(source: String, view: String): Unit = {
+    val expect = IncrementalView.aggregate(
+      SnapshotLog.read(spark, source), Seq("grp"), "amt")
+    assert(canon(SnapshotLog.read(spark, view)) == canon(expect))
+  }
+
+  test("bootstrap, then upsert / delete / append chains all reconcile exactly") {
+    val source = freshRoot("src"); val view = freshRoot("view")
+    SnapshotLog.commit(spark, source,
+      src((1, "a", 10.5), (2, "a", 2.25), (3, "b", 7.0)))
+    assert(IncrementalView.refresh(spark, source, view, Seq("id"), Seq("grp"), "amt")
+      .contains((0L, 1L)))
+    assertCurrent(source, view)
+
+    // keyed upsert: value change, group move, fresh insert
+    SnapshotLog.upsert(spark, source,
+      src((2, "a", 5.0), (3, "c", 7.0), (4, "b", 1.0)), Seq("id"))
+    assert(IncrementalView.refresh(spark, source, view, Seq("id"), Seq("grp"), "amt")
+      .contains((1L, 2L)))
+    assertCurrent(source, view)
+
+    // keyed delete empties group "c" — the group must LEAVE the view
+    SnapshotLog.deleteByKey(spark, source, Seq(3).toDF("id"), Seq("id"))
+    IncrementalView.refresh(spark, source, view, Seq("id"), Seq("grp"), "amt")
+    assertCurrent(source, view)
+    assert(!SnapshotLog.read(spark, view).collect().exists(_.getString(0) == "c"))
+
+    // append-only deltas ride the changesBetween insert short-circuit
+    SnapshotLog.appendCommit(spark, source, src((5, "a", 3.75), (6, "d", 9.0)))
+    SnapshotLog.appendCommit(spark, source, src((7, "d", 1.0)))
+    IncrementalView.refresh(spark, source, view, Seq("id"), Seq("grp"), "amt")
+    assertCurrent(source, view)
+  }
+
+  test("merge-on-read tombstones and NULL groups/measures reconcile") {
+    val source = freshRoot("src2"); val view = freshRoot("view2")
+    SnapshotLog.commit(spark, source,
+      src((1, "a", 10.0), (2, null, 5.0), (3, "a", null), (4, "b", 2.0)))
+    IncrementalView.refresh(spark, source, view, Seq("id"), Seq("grp"), "amt")
+    assertCurrent(source, view)
+    // deletion-vector delete (no data-file rewrite) of a NULL-group row
+    SnapshotLog.tombstoneDelete(spark, source, Seq(2).toDF("id"), Seq("id"))
+    IncrementalView.refresh(spark, source, view, Seq("id"), Seq("grp"), "amt")
+    assertCurrent(source, view)
+    // NULL-measure row deletes cleanly too (contributed 0 to the sum)
+    SnapshotLog.tombstoneDelete(spark, source, Seq(3).toDF("id"), Seq("id"))
+    IncrementalView.refresh(spark, source, view, Seq("id"), Seq("grp"), "amt")
+    assertCurrent(source, view)
+  }
+
+  test("replay is a no-op: the view is its own cursor") {
+    val source = freshRoot("src3"); val view = freshRoot("view3")
+    SnapshotLog.commit(spark, source, src((1, "a", 1.0)))
+    assert(IncrementalView.refresh(spark, source, view, Seq("id"), Seq("grp"), "amt").isDefined)
+    val vAfter = SnapshotLog.currentVersion(spark, view)
+    // second refresh with no new source commits: skipped, no new version
+    assert(IncrementalView.refresh(spark, source, view, Seq("id"), Seq("grp"), "amt").isEmpty)
+    assert(SnapshotLog.currentVersion(spark, view) == vAfter)
+    // replaceBatch's stamp gate also rejects a stale range directly —
+    // the crash-replay path (same batchId arrives twice)
+    val stale = IncrementalView.aggregate(SnapshotLog.read(spark, source), Seq("grp"), "amt")
+    assert(SnapshotLog.replaceBatch(spark, view,
+      stale, batchId = SnapshotLog.lastBatchId(spark, view).get).isEmpty)
+  }
+
+  test("extrema view: min/max recomputed for touched groups only, exact vs recompute") {
+    val source = freshRoot("src4"); val view = freshRoot("view4")
+    SnapshotLog.commit(spark, source,
+      src((1, "a", 10.0), (2, "a", 2.0), (3, "b", 7.0), (4, "b", 9.0)))
+    IncrementalView.refreshWithExtrema(spark, source, view, Seq("id"), Seq("grp"), "amt")
+    def expect() = IncrementalView.aggregateWithExtrema(
+      SnapshotLog.read(spark, source), Seq("grp"), "amt")
+    assert(canonX(SnapshotLog.read(spark, view)) == canonX(expect()))
+    // delete the current minimum of "a": a self-maintainable view can't
+    // answer this — the touched-group recompute must
+    SnapshotLog.deleteByKey(spark, source, Seq(2).toDF("id"), Seq("id"))
+    IncrementalView.refreshWithExtrema(spark, source, view, Seq("id"), Seq("grp"), "amt")
+    assert(canonX(SnapshotLog.read(spark, view)) == canonX(expect()))
+    // update that MOVES a row between groups touches both extrema sides
+    SnapshotLog.upsert(spark, source, src((4, "a", 9.0)), Seq("id"))
+    IncrementalView.refreshWithExtrema(spark, source, view, Seq("id"), Seq("grp"), "amt")
+    assert(canonX(SnapshotLog.read(spark, view)) == canonX(expect()))
+    // untouched group keeps extrema while another group churns: make "b"
+    // the only touched group and verify "a" row is byte-identical
+    val aBefore = canonX(SnapshotLog.read(spark, view)).filter(_._1.contains("a"))
+    SnapshotLog.upsert(spark, source, src((5, "b", 0.5)), Seq("id"))
+    IncrementalView.refreshWithExtrema(spark, source, view, Seq("id"), Seq("grp"), "amt")
+    assert(canonX(SnapshotLog.read(spark, view)) == canonX(expect()))
+    assert(canonX(SnapshotLog.read(spark, view)).filter(_._1.contains("a")) == aBefore)
+  }
+
+  test("randomized op sequence reconciles after every refresh cadence") {
+    val source = freshRoot("src5"); val view = freshRoot("view5")
+    val rnd = new scala.util.Random(7)
+    val groups = Array("g0", "g1", "g2", null)
+    var nextId = 100
+    SnapshotLog.commit(spark, source,
+      src((1, "g0", 1.0), (2, "g1", 2.0), (3, "g2", 3.0)))
+    for (step <- 1 to 12) {
+      rnd.nextInt(4) match {
+        case 0 => // insert fresh ids (append lineage when possible)
+          val rows = (0 to rnd.nextInt(2)).map { _ =>
+            nextId += 1
+            (nextId, groups(rnd.nextInt(groups.length)),
+             java.lang.Double.valueOf(rnd.nextInt(100) / 4.0))
+          }
+          SnapshotLog.appendCommit(spark, source, src(rows: _*))
+        case 1 => // upsert an existing-or-new id, possibly moving groups
+          val id = if (rnd.nextBoolean() && nextId > 100) 101 + rnd.nextInt(nextId - 100) else { nextId += 1; nextId }
+          SnapshotLog.upsert(spark, source,
+            src((id, groups(rnd.nextInt(groups.length)),
+                 java.lang.Double.valueOf(rnd.nextInt(100) / 4.0))), Seq("id"))
+        case 2 => // keyed delete of a random live id (may be a no-op)
+          val live = SnapshotLog.read(spark, source).select("id")
+            .limit(5).collect().map(_.getInt(0))
+          if (live.nonEmpty)
+            SnapshotLog.deleteByKey(spark, source,
+              Seq(live(rnd.nextInt(live.length))).toDF("id"), Seq("id"))
+        case 3 => // tombstone (merge-on-read) delete
+          val live = SnapshotLog.read(spark, source).select("id")
+            .limit(5).collect().map(_.getInt(0))
+          if (live.nonEmpty)
+            SnapshotLog.tombstoneDelete(spark, source,
+              Seq(live(rnd.nextInt(live.length))).toDF("id"), Seq("id"))
+      }
+      // refresh on a ragged cadence: some refreshes span several commits
+      if (step % 3 != 0) {
+        IncrementalView.refresh(spark, source, view, Seq("id"), Seq("grp"), "amt")
+        assertCurrent(source, view)
+      }
+    }
+    IncrementalView.refresh(spark, source, view, Seq("id"), Seq("grp"), "amt")
+    assertCurrent(source, view)
+  }
+}

@@ -95,7 +95,14 @@ object Bench {
       // percentile_cont's every-value ObjectHashAggregate buffer (the
       // hot-group OOM at scale). Rank error ≤ 1/10000, bounded vs exact
       // in ExtrasSpec.
-      "x69_approx_percentiles" -> ((s, dir) => graft.engine.Aggregates.x69(s, dir)))
+      "x69_approx_percentiles" -> ((s, dir) => graft.engine.Aggregates.x69(s, dir)),
+      // x13 is the sketch twin of q13's exact countDistinct: HLL partials
+      // are fixed-size regardless of customer cardinality, where q13's
+      // Expand + distinct shuffle moves every (status, custkey) pair.
+      // Union-losslessness + 5% error bound proven in SketchesSpec; the
+      // persistent-rollup surface (dailySketches/rollup/estimateUnion)
+      // is the actual scale artifact.
+      "x13_distinct_sketch" -> ((s, dir) => graft.engine.Sketches.x13(s, dir)))
     // A failed query records -1 (not its time-to-failure) so the JSON
     // output is never mistaken for an all-green run.
     // Each query runs `reps` times and reports the MIN: host-level noise on

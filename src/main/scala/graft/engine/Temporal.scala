@@ -190,15 +190,61 @@ object Temporal {
           (col(tCol) - t0).cast("double") / (t1 - t0).cast("double")))
   }
 
+  // q102 — time-weighted average (round 7b): the integral pattern every
+  // sensor/billing/utilization pipeline needs — a value is "held" until
+  // the next reading, so the mean must weight each reading by its
+  // holding duration, not count readings equally (a burst of identical
+  // samples must not dominate). Per user: Σ value·Δt / Σ Δt with
+  // Δt = next_ts − ts from ONE lead() window (a single shuffle on
+  // user_id); the last reading has no duration and drops out; one-event
+  // users drop entirely (no time span). Δt is computed in exact integer
+  // MICROSECONDS (unix_micros / epoch_us) so the weights are identical
+  // across engines; the weighted sum follows q84's round-6 float-stat
+  // contract.
+  def q102(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      // unix_micros requires LTZ; the fixture ts is NTZ. The session tz is
+      // UTC, so the NTZ→LTZ cast is instant-preserving and both casts
+      // cancel in the subtraction under ANY session tz anyway (Δt).
+      .withColumn("dt_us", unix_micros(lead(col("ts"), 1).over(w).cast("timestamp")) -
+                           unix_micros(col("ts").cast("timestamp")))
+      .filter(col("dt_us").isNotNull)
+      .groupBy("user_id")
+      .agg(round(sum(col("value") * col("dt_us")) / sum(col("dt_us")), 6)
+             .as("twa_value"),
+           sum(col("dt_us")).as("span_us"),
+           count(lit(1)).as("n_held"))
+      .orderBy("user_id")
+  }
+
+  val q102Sql: String =
+    """WITH held AS (
+      |  SELECT user_id, value,
+      |         epoch_us(lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+      |           - epoch_us(ts) AS dt_us
+      |  FROM events
+      |)
+      |SELECT user_id,
+      |       round(sum(value * dt_us) / sum(dt_us), 6) AS twa_value,
+      |       sum(dt_us)::BIGINT AS span_us,
+      |       count(*) AS n_held
+      |FROM held WHERE dt_us IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_tumbling"     -> (q28 _),
     "q29_sliding"      -> (q29 _),
     "q30_session_gaps" -> (q30 _),
-    "q68_gap_fill"     -> (q68 _))
+    "q68_gap_fill"     -> (q68 _),
+    "q102_time_weighted" -> (q102 _))
 
   val oracle: Map[String, String] = Map(
     "q28_tumbling"     -> q28Sql,
     "q29_sliding"      -> q29Sql,
     "q30_session_gaps" -> q30Sql,
-    "q68_gap_fill"     -> q68Sql)
+    "q68_gap_fill"     -> q68Sql,
+    "q102_time_weighted" -> q102Sql)
 }

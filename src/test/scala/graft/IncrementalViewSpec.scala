@@ -126,6 +126,38 @@ class IncrementalViewSpec extends SparkSpecBase {
     assert(canonX(SnapshotLog.read(spark, view)).filter(_._1.contains("a")) == aBefore)
   }
 
+  test("streaming composition: per-batch ingest + refresh keeps the view exact across replays") {
+    // the end-to-end lakehouse loop: micro-batches append to the source
+    // log (batchId-stamped exactly-once), the SAME foreachBatch then
+    // refreshes the MV — two independent stamp gates make BOTH idempotent, so a
+    // replayed batch neither duplicates source rows nor double-applies
+    // view deltas.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("graft_iv_stream").toString
+    val source = s"$dir/src"; val view = s"$dir/view"
+    val stream = MemoryStream[(Int, String, Double)](spark)
+    val q = stream.toDF().toDF("id", "grp", "amt").writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        SnapshotLog.appendBatch(spark, source, df, batchId)
+        IncrementalView.refresh(spark, source, view, Seq("id"), Seq("grp"), "amt")
+        ()
+      }
+    stream.addData((1, "a", 1.0), (2, "b", 2.0))
+    val run1 = q.start(); run1.processAllAvailable(); run1.stop()
+    assertCurrent(source, view)
+    stream.addData((3, "a", 3.5))
+    val run2 = q.start(); run2.processAllAvailable(); run2.stop()
+    assertCurrent(source, view)
+    val viewVersions = SnapshotLog.versions(spark, view)
+    // replay: restarting with no new data must not move either table
+    val run3 = q.start(); run3.processAllAvailable(); run3.stop()
+    assertCurrent(source, view)
+    assert(SnapshotLog.versions(spark, view) == viewVersions)
+  }
+
   test("randomized op sequence reconciles after every refresh cadence") {
     val source = freshRoot("src5"); val view = freshRoot("view5")
     val rnd = new scala.util.Random(7)

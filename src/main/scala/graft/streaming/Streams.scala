@@ -533,4 +533,46 @@ object Streams {
         ()
       }
       .start()
+
+  /** Streaming distinct-count rollup sink (round 7b): maintains a
+    * per-day HLL sketch table from an insert-only stream — the
+    * "distinct users per day, live" problem solved with BOUNDED state.
+    * Exact streaming distinct needs every seen id in the state store
+    * (O(users) forever, the state-retention trap); a sketch union is
+    * ASSOCIATIVE, so each micro-batch folds into the persisted daily
+    * sketches by `hll_union_agg` over (current ∪ batch partials) — the
+    * whole table is |days| kilobyte rows, and every period report
+    * unions losslessly downstream ([[graft.engine.Sketches]]).
+    * Exactly-once: the merged table commits via
+    * [[graft.sources.SnapshotLog.replaceBatch]] stamped with the batch
+    * id, so a post-crash replay is skipped by the stamp gate (the
+    * table-is-its-own-cursor pattern). HLL union itself is idempotent
+    * (register-wise max), but the ridealong n_events counts are NOT —
+    * without the gate a replayed batch would double them.
+    */
+  def foreachBatchSketchSink(events: DataFrame, tableRoot: String,
+                             checkpointDir: String, distinctCol: String,
+                             lgK: Int = 12) =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        val parts = batch
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(expr(s"hll_sketch_agg($distinctCol, $lgK)").as("sketch"),
+               count(lit(1)).as("n_events"))
+        val merged = graft.sources.SnapshotLog.currentVersion(s, tableRoot) match {
+          case None => parts
+          case Some(_) =>
+            graft.sources.SnapshotLog.read(s, tableRoot)
+              .unionByName(parts)
+              .groupBy("day")
+              .agg(expr("hll_union_agg(sketch)").as("sketch"),
+                   sum(col("n_events")).as("n_events"))
+        }
+        graft.sources.SnapshotLog.replaceBatch(s, tableRoot, merged, id)
+        ()
+      }
+      .start()
 }

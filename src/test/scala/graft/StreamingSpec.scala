@@ -275,6 +275,37 @@ class StreamingSpec extends SparkSpecBase {
     assert(SnapshotLog.read(spark, root).count() == 3)
   }
 
+  test("sketch sink: live per-day distinct rollup, bounded state, exactly-once") {
+    import graft.sources.SnapshotLog
+    import graft.engine.Sketches
+    val dir = Files.createTempDirectory("graft_stream_sketch").toString
+    val root = s"$dir/sketches"
+    val stream = MemoryStream[Ev](spark)
+    def start() = Streams.foreachBatchSketchSink(
+      stream.toDF(), root, s"$dir/ckpt", "user_id")
+    // day 1 in two batches with overlapping users — the union must not
+    // double-count user 1 across micro-batches
+    val q = start()
+    stream.addData(Ev(1, ts("2024-01-01 10:00:00"), 1, 1.0),
+                   Ev(2, ts("2024-01-01 11:00:00"), 2, 1.0))
+    q.processAllAvailable()
+    stream.addData(Ev(3, ts("2024-01-01 12:00:00"), 1, 1.0),
+                   Ev(4, ts("2024-01-02 09:00:00"), 3, 1.0))
+    q.processAllAvailable(); q.stop()
+    val got = SnapshotLog.read(spark, root)
+      .withColumn("est", expr("hll_sketch_estimate(sketch)"))
+      .select("day", "est", "n_events").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSet
+    // 150 users << 2^12 registers: HLL is effectively exact here
+    assert(got == Set(("2024-01-01", 2L, 3L), ("2024-01-02", 1L, 1L)), got)
+    // the persisted sketches keep full rollup algebra downstream
+    assert(Sketches.estimateUnion(SnapshotLog.read(spark, root)) == 3L)
+    // replay: restart with no new data — neither versions nor counts move
+    val versions = SnapshotLog.versions(spark, root)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    assert(SnapshotLog.versions(spark, root) == versions)
+  }
+
   test("scoped-log sink: keyed upserts at O(touched partitions), exactly-once across restart") {
     import graft.sources.SnapshotLog
     val dir = Files.createTempDirectory("graft_stream_scoped").toString

@@ -1,0 +1,297 @@
+package graft.sql
+
+import java.util.{Collections, Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.SnapshotLog
+
+/** The SQL face of a [[graft.sources.SnapshotLog]] table: a plain DSv2
+  * [[Table]] that carries the resolved (root, version, schema) triple.
+  *
+  * Deliberately NO SupportsRead/SupportsWrite: graft reads need the
+  * full snapshot semantics (deletion-vector anti-join, pinned evolved
+  * schema, merge-on-read latest-wins) which a file-scan capability
+  * cannot express, so [[GraftSqlRule]] expands every relation over this
+  * table into the EXACT logical plan `SnapshotLog.readVersion` builds —
+  * Catalyst then optimizes/pushes down into the underlying parquet
+  * relations as usual — and lowers SQL DML onto the snapshot-log commit
+  * paths. The table object is only the analyzer's handle.
+  *
+  * `partCol` is the identity partition column declared at CREATE time
+  * (empty when none): the scoped-upsert hint that lets a classic
+  * upsert-shaped MERGE ride the O(touched partitions) path.
+  */
+final case class GraftTable(catalogName: String, ident: Identifier,
+                            root: String, snapshotVersion: Long,
+                            tableSchema: StructType,
+                            partCol: String) extends Table {
+  override def name(): String =
+    (catalogName +: ident.namespace() :+ ident.name()).mkString(".")
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Collections.emptySet()
+  override def properties(): JMap[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("provider", "graft")
+    m.put("location", root)
+    m.put("version", snapshotVersion.toString)
+    if (partCol.nonEmpty) m.put("partition-column", partCol)
+    m
+  }
+}
+
+/** `spark.sql.catalog.<name> = graft.sql.GraftCatalog` — a directory-
+  * backed [[TableCatalog]] over snapshot-log tables, one table root per
+  * `warehouse/<namespace>/<table>`, plus the maintenance surface as
+  * DSv2 procedures (`CALL <cat>.system.restore(...)` — Spark 4's
+  * native stored-procedure hook, the same shape Iceberg exposes).
+  *
+  * Catalog metadata IS the filesystem: a table exists iff its root has
+  * a committed snapshot-log head. There is no secondary metastore to
+  * drift out of sync with the log, and every concurrent-writer/crash
+  * guarantee the log gives applies verbatim to the SQL surface.
+  * Time travel maps 1:1: `VERSION AS OF v` → [[SnapshotLog.readVersion]],
+  * `TIMESTAMP AS OF t` → greatest version whose commit time ≤ t.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
+
+  private var catName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_warehouse")
+  }
+  override def name(): String = catName
+
+  private def spark: SparkSession = SparkSession.active
+  private def hfs(p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private[sql] def tableRoot(ident: Identifier): String =
+    (warehouse.stripSuffix("/") +: ident.namespace().toSeq :+ ident.name())
+      .mkString("/")
+  private def nsPath(ns: Array[String]): Path =
+    new Path((warehouse.stripSuffix("/") +: ns.toSeq).mkString("/"))
+
+  // table-level properties that are not derivable from the log itself
+  // (today: the declared partition column); one tiny sidecar per table
+  private def propsPath(root: String) = new Path(root, "_graft_log/PROPS")
+  private def writePartCol(root: String, partCol: String): Unit = {
+    if (partCol.isEmpty) return
+    val p = propsPath(root)
+    val f = hfs(p)
+    val out = f.create(p, true)
+    try out.write(s"partCol=$partCol\n".getBytes("UTF-8")) finally out.close()
+  }
+  private def readPartCol(root: String): String = {
+    val p = propsPath(root)
+    val f = hfs(p)
+    if (!f.exists(p)) return ""
+    val in = f.open(p)
+    val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    text.linesIterator.collectFirst {
+      case l if l.startsWith("partCol=") => l.stripPrefix("partCol=")
+    }.getOrElse("")
+  }
+
+  private def mkTable(ident: Identifier, root: String, v: Long): GraftTable = {
+    val schema = SnapshotLog.schemaOf(spark, root, v)
+      .getOrElse(SnapshotLog.readVersion(spark, root, v).schema)
+    GraftTable(catName, ident, root, v, schema, readPartCol(root))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val root = tableRoot(ident)
+    SnapshotLog.currentVersion(spark, root) match {
+      case Some(v) => mkTable(ident, root, v)
+      case None    => throw new NoSuchTableException(ident)
+    }
+  }
+
+  /** `VERSION AS OF` — the version string is the snapshot-log version. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val root = tableRoot(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new NoSuchTableException(ident)
+    }
+    if (SnapshotLog.currentVersion(spark, root).isEmpty)
+      throw new NoSuchTableException(ident)
+    mkTable(ident, root, v) // readManifest fails loudly if vacuumed/uncommitted
+  }
+
+  /** `TIMESTAMP AS OF` — micros since epoch; greatest version whose
+    * commit time is ≤ the asked instant (the Delta/Iceberg contract).
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val root = tableRoot(ident)
+    if (SnapshotLog.currentVersion(spark, root).isEmpty)
+      throw new NoSuchTableException(ident)
+    val asOf = java.time.Instant.EPOCH.plus(
+      java.time.Duration.ofNanos(timestampMicros * 1000L))
+    // checkpoint-accelerated: O(tail) file ops, not one stat per version
+    val hit = SnapshotLog.versionAsOf(spark, root, asOf)
+    require(hit.nonEmpty,
+      s"no version of ${ident} committed at or before $asOf")
+    mkTable(ident, root, hit.get)
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    SnapshotLog.currentVersion(spark, tableRoot(ident)).isDefined
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val p = nsPath(namespace)
+    val f = hfs(p)
+    if (!f.exists(p)) throw new NoSuchNamespaceException(namespace)
+    f.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+      .filter { n =>
+        SnapshotLog.currentVersion(spark,
+          (p.toString + "/" + n)).isDefined
+      }
+      .sorted.map(Identifier.of(namespace, _))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: JMap[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val partCol = partitions.toSeq match {
+      case Seq() => ""
+      case Seq(t) if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
+      case other => throw new UnsupportedOperationException(
+        s"graft tables support a single identity PARTITIONED BY column, " +
+        s"got: ${other.mkString(", ")}")
+    }
+    require(partCol.isEmpty || schema.fieldNames.contains(partCol),
+      s"partition column $partCol is not in the table schema")
+    val root = tableRoot(ident)
+    hfs(new Path(root)).mkdirs(new Path(root))
+    // an empty evolved append pins the declared schema in the manifest,
+    // so the brand-new (zero-file) table still reads with full schema
+    SnapshotLog.appendEvolved(spark,
+      root, spark.createDataFrame(
+        Collections.emptyList[org.apache.spark.sql.Row](), schema))
+    writePartCol(root, partCol)
+    mkTable(ident, root, 1L)
+  }
+
+  /** ADD COLUMNS rides [[SnapshotLog.appendEvolved]]'s additive schema
+    * pin — zero data files rewritten, the widened schema lands in the
+    * next manifest and every later read null-fills older files.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = tableRoot(ident)
+    val cur = SnapshotLog.currentVersion(spark, root)
+      .getOrElse(throw new NoSuchTableException(ident))
+    val curSchema = SnapshotLog.schemaOf(spark, root, cur)
+      .getOrElse(SnapshotLog.readVersion(spark, root, cur).schema)
+    val added = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          s"nested ADD COLUMN is not supported: ${a.fieldNames.mkString(".")}")
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames.head, a.dataType, nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"graft ALTER TABLE supports ADD COLUMNS only, got: $other")
+    }
+    val widened = StructType(curSchema.fields ++ added)
+    SnapshotLog.appendEvolved(spark, root, spark.createDataFrame(
+      Collections.emptyList[org.apache.spark.sql.Row](), widened))
+    mkTable(ident, root, cur + 1L)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val root = new Path(tableRoot(ident))
+    val f = hfs(root)
+    if (SnapshotLog.currentVersion(spark, root.toString).isEmpty) false
+    else f.delete(root, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    val from = new Path(tableRoot(oldIdent))
+    val to = new Path(tableRoot(newIdent))
+    val f = hfs(from)
+    f.mkdirs(to.getParent)
+    require(f.rename(from, to), s"rename $from -> $to failed")
+  }
+
+  // ---- namespaces: one directory level under the warehouse ----
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val w = new Path(warehouse)
+    val f = hfs(w)
+    if (!f.exists(w)) Array.empty
+    else f.listStatus(w).filter(_.isDirectory)
+      .map(s => Array(s.getPath.getName)).sortBy(_.head)
+  }
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+  }
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 && hfs(nsPath(namespace)).exists(nsPath(namespace))
+  override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Collections.emptyMap()
+  }
+  override def createNamespace(namespace: Array[String],
+                               metadata: JMap[String, String]): Unit = {
+    require(namespace.length == 1,
+      s"graft namespaces are one level deep, got ${namespace.mkString(".")}")
+    hfs(nsPath(namespace)).mkdirs(nsPath(namespace))
+  }
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE on graft catalog")
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    val p = nsPath(namespace)
+    val f = hfs(p)
+    if (!f.exists(p)) false
+    else {
+      if (!cascade)
+        require(f.listStatus(p).isEmpty, s"namespace ${namespace.mkString(".")} not empty")
+      f.delete(p, true)
+    }
+  }
+
+  // ---- procedures: the maintenance verbs, SQL-callable ----
+
+  override def loadProcedure(ident: Identifier): procedures.UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"procedures live in ${catName}.system, got $ident")
+    GraftProcedures.load(this, ident.name()).getOrElse(
+      throw new UnsupportedOperationException(
+        s"unknown procedure $ident — known: ${GraftProcedures.names.mkString(", ")}"))
+  }
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.names.map(Identifier.of(Array("system"), _)).toArray
+
+  /** Resolve `"ns.table"` (or `"table"`, default namespace `default`)
+    * as procedures' table argument.
+    */
+  private[sql] def identOf(table: String): Identifier = {
+    val parts = table.split("\\.")
+    require(parts.length <= 2 && parts.forall(_.nonEmpty),
+      s"procedure table argument must be 'table' or 'ns.table', got '$table'")
+    if (parts.length == 2) Identifier.of(Array(parts(0)), parts(1))
+    else Identifier.of(Array("default"), parts(0))
+  }
+  private[sql] def rootOf(table: String): String = tableRoot(identOf(table))
+  private[sql] def sparkSession: SparkSession = spark
+}

@@ -1,0 +1,144 @@
+package graft.sql
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.col
+
+import graft.sources.SnapshotLog
+
+/** Runnable commands the analyzer rule lowers graft SQL DML onto. Each
+  * one re-enters the corresponding [[SnapshotLog]] write path, so SQL
+  * statements get the identical crash-safety/concurrency contract as
+  * the Scala API — there is exactly one commit protocol.
+  */
+private[sql] object GraftCommands {
+
+  private[sql] def classicDf(spark: SparkSession, plan: LogicalPlan) =
+    org.apache.spark.sql.graftshim.ClassicShim.ofRows(spark, plan)
+
+  /** Align an INSERT source frame to the table schema: positional with
+    * casts (ANSI INSERT), or by-name for `INSERT ... BY NAME`.
+    */
+  private[sql] def align(df: org.apache.spark.sql.DataFrame,
+                         schema: org.apache.spark.sql.types.StructType,
+                         byName: Boolean): org.apache.spark.sql.DataFrame = {
+    if (byName) {
+      val have = df.columns.map(_.toLowerCase).toSet
+      val missing = schema.fields.filterNot(f => have.contains(f.name.toLowerCase))
+      require(missing.isEmpty,
+        s"INSERT BY NAME is missing columns: ${missing.map(_.name).mkString(", ")}")
+      df.select(schema.fields.toSeq.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)): _*)
+    } else {
+      require(df.columns.length == schema.fields.length,
+        s"INSERT has ${df.columns.length} columns, table expects " +
+        s"${schema.fields.length} (${schema.fieldNames.mkString(", ")})")
+      df.select(df.columns.toSeq.zip(schema.fields.toSeq).map { case (c, f) =>
+        col(c).cast(f.dataType).as(f.name)
+      }: _*)
+    }
+  }
+}
+
+/** INSERT INTO → O(batch) [[SnapshotLog.appendCommit]]. */
+case class GraftAppendCommand(table: GraftTable, query: LogicalPlan,
+                              byName: Boolean) extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df = GraftCommands.align(
+      GraftCommands.classicDf(spark, query), table.tableSchema, byName)
+    SnapshotLog.appendCommit(spark, table.root, df)
+    Seq.empty
+  }
+}
+
+/** INSERT OVERWRITE → full-snapshot [[SnapshotLog.commit]] (the next
+  * version replaces the table; readers on older versions keep them).
+  */
+case class GraftOverwriteCommand(table: GraftTable, query: LogicalPlan,
+                                 byName: Boolean) extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df = GraftCommands.align(
+      GraftCommands.classicDf(spark, query), table.tableSchema, byName)
+    SnapshotLog.commit(spark, table.root, df)
+    Seq.empty
+  }
+}
+
+/** General MERGE / UPDATE: `plan` is the complete next snapshot the
+  * analyzer composed from the resolved actions — commit it as one new
+  * version (copy-on-write; Delta's row-level fallback is the same
+  * shape: rewrite what the merge touches, here the full snapshot).
+  */
+case class GraftReplaceCommand(table: GraftTable, plan: LogicalPlan,
+                               verb: String) extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(plan)
+  override def run(spark: SparkSession): Seq[Row] = {
+    SnapshotLog.commit(spark, table.root,
+      GraftCommands.classicDf(spark, plan))
+    Seq.empty
+  }
+}
+
+/** Classic upsert-shaped MERGE on a PARTITIONED BY table →
+  * [[SnapshotLog.upsertScoped]]: only partitions the batch touches are
+  * rewritten — the O(touched partitions) path the scoped log exists for.
+  */
+case class GraftUpsertScopedCommand(table: GraftTable, batch: LogicalPlan,
+                                    keys: Seq[String]) extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(batch)
+  override def run(spark: SparkSession): Seq[Row] = {
+    SnapshotLog.upsertScoped(spark, table.root,
+      GraftCommands.classicDf(spark, batch), keys, table.partCol)
+    Seq.empty
+  }
+}
+
+/** DELETE WHERE → [[SnapshotLog.tombstoneDeleteWhere]]: the predicate
+  * is re-bound by name onto the positional scan and the matching (file,
+  * row) positions land in an O(deleted rows) deletion-vector sidecar —
+  * zero data files rewritten.
+  */
+case class GraftDeleteCommand(table: GraftTable,
+                              condition: Expression) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    SnapshotLog.tombstoneDeleteWhere(spark, table.root, { base =>
+      val out = base.queryExecution.analyzed.output
+      val rebound = condition.transform {
+        case a: AttributeReference =>
+          out.find(_.name.equalsIgnoreCase(a.name)).getOrElse(
+            throw new IllegalStateException(
+              s"DELETE predicate column ${a.name} not found in " +
+              s"${out.map(_.name).mkString(", ")}"))
+      }
+      org.apache.spark.sql.graftshim.ClassicShim.column(rebound)
+    })
+    Seq.empty
+  }
+}
+
+/** CREATE TABLE AS SELECT: catalog-create with the query schema, then
+  * the first commit carries the query result (schema pinned by create).
+  */
+case class GraftCtasCommand(catalog: GraftCatalog, ident: Identifier,
+                            partitioning: Seq[Transform], query: LogicalPlan,
+                            ignoreIfExists: Boolean) extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (catalog.tableExists(ident)) {
+      if (ignoreIfExists) return Seq.empty
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    }
+    val df = GraftCommands.classicDf(spark, query)
+    val t = catalog.createTable(ident, df.schema, partitioning.toArray,
+      java.util.Collections.emptyMap[String, String]())
+      .asInstanceOf[GraftTable]
+    SnapshotLog.appendCommit(spark, t.root, df)
+    Seq.empty
+  }
+}

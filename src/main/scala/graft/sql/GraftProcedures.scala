@@ -1,0 +1,115 @@
+package graft.sql
+
+import java.util.{Iterator => JIterator}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.SnapshotLog
+
+/** The snapshot-log maintenance surface as Spark 4 DSv2 stored
+  * procedures: `CALL graft.system.<name>(...)`. Each procedure is a
+  * thin SQL adapter over the corresponding [[SnapshotLog]] operation —
+  * the semantics (and their specs) live there; here is only argument
+  * plumbing and a [[LocalScan]] carrying the driver-side result rows
+  * (all procedures return O(1) or O(versions) metadata, never data).
+  */
+object GraftProcedures {
+
+  val names: Seq[String] =
+    Seq("restore", "vacuum", "compact_small_files", "history")
+
+  def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
+    name.toLowerCase match {
+      case "restore"             => Some(new Restore(cat))
+      case "vacuum"              => Some(new Vacuum(cat))
+      case "compact_small_files" => Some(new Compact(cat))
+      case "history"             => Some(new History(cat))
+      case _                     => None
+    }
+
+  private def param(n: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(n, dt).build()
+
+  private def scanOf(schema: StructType, result: Seq[InternalRow]): JIterator[Scan] =
+    java.util.List.of[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] = result.toArray
+      override def readSchema(): StructType = schema
+    }).iterator()
+
+  private abstract class Proc(cat: GraftCatalog, procName: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = s"graft snapshot-log $procName"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    protected def spark = cat.sparkSession
+    protected def root(input: InternalRow): String =
+      cat.rootOf(input.getUTF8String(0).toString)
+  }
+
+  /** `CALL c.system.restore(table, version)` → the new head version
+    * (a metadata-only rollback commit — see SnapshotLog.restore).
+    */
+  private final class Restore(cat: GraftCatalog) extends Proc(cat, "restore") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType), param("version", LongType))
+    private val out = StructType(Seq(StructField("restored_to_version", LongType)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val v = SnapshotLog.restore(spark, root(input), input.getLong(1))
+      scanOf(out, Seq(new GenericInternalRow(Array[Any](v))))
+    }
+  }
+
+  /** `CALL c.system.vacuum(table, keep)` → retention horizon applied;
+    * returns the surviving version ids.
+    */
+  private final class Vacuum(cat: GraftCatalog) extends Proc(cat, "vacuum") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType), param("keep", IntegerType))
+    private val out = StructType(Seq(StructField("live_version", LongType)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val r = root(input)
+      SnapshotLog.vacuum(spark, r, input.getInt(1))
+      scanOf(out, SnapshotLog.versions(spark, r)
+        .map(v => new GenericInternalRow(Array[Any](v))))
+    }
+  }
+
+  /** `CALL c.system.compact_small_files(table, target_bytes)` → the
+    * bin-packing maintenance commit; returns the committed version.
+    */
+  private final class Compact(cat: GraftCatalog) extends Proc(cat, "compact_small_files") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType), param("target_bytes", LongType))
+    private val out = StructType(Seq(StructField("version", LongType)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val v = SnapshotLog.compactSmallFiles(spark, root(input), input.getLong(1))
+      scanOf(out, Seq(new GenericInternalRow(Array[Any](v))))
+    }
+  }
+
+  /** `CALL c.system.history(table)` → (version, committed_at) per live
+    * version, newest first — the table's audit trail.
+    */
+  private final class History(cat: GraftCatalog) extends Proc(cat, "history") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType))
+    private val out = StructType(Seq(
+      StructField("version", LongType),
+      StructField("committed_at", TimestampType)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val r = root(input)
+      val rows = SnapshotLog.versions(spark, r).sorted.reverse.map { v =>
+        val t = SnapshotLog.commitTimeOf(spark, r, v)
+        new GenericInternalRow(Array[Any](
+          v, t.getEpochSecond * 1000000L + t.getNano / 1000L))
+      }
+      scanOf(out, rows)
+    }
+  }
+}

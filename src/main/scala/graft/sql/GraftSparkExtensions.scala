@@ -1,0 +1,20 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Wire the graft SQL surface into a session:
+  * {{{
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.sql.GraftSparkExtensions")
+  *     .config("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+  *     .config("spark.sql.catalog.graft.warehouse", "/path/to/warehouse")
+  * }}}
+  * after which `spark.sql("MERGE INTO graft.ns.t …")`, time travel
+  * (`VERSION AS OF` / `TIMESTAMP AS OF`) and `CALL graft.system.…`
+  * maintenance procedures all operate on snapshot-log tables. The
+  * extension is inert for sessions that never touch a graft relation.
+  */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectResolutionRule(session => GraftSqlRule(session))
+}

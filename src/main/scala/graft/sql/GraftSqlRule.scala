@@ -1,0 +1,337 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.FullOuter
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+/** The analyzer half of the graft SQL surface ([[GraftCatalog]] is the
+  * metadata half). One resolution rule, two jobs:
+  *
+  *  1. READ EXPANSION — every `DataSourceV2Relation` over a
+  *     [[GraftTable]] is replaced by the exact logical plan
+  *     `SnapshotLog.readVersion` builds (deletion-vector anti-join,
+  *     pinned evolved schema, merge-on-read latest-wins included),
+  *     wrapped in a Project that PRESERVES the relation's attribute
+  *     ids — references already resolved against the relation stay
+  *     valid, and Catalyst keeps optimizing (pushdown, pruning, join
+  *     planning) into the underlying parquet scan as if the user had
+  *     written the DataFrame pipeline by hand. This is why the table
+  *     declares no read capability: the snapshot semantics live in the
+  *     plan, not in a connector scan.
+  *
+  *  2. DML LOWERING — MERGE / UPDATE / DELETE / INSERT nodes whose
+  *     target is a graft table are rewritten (once fully resolved, and
+  *     before Spark's own row-level rewrites would reject the
+  *     capability-less table) into [[GraftCommands]] runnable commands
+  *     over the snapshot-log write paths:
+  *       - INSERT INTO            → appendCommit        (O(batch))
+  *       - DELETE WHERE p         → tombstoneDeleteWhere (O(deleted rows),
+  *                                  deletion vectors — zero file rewrites)
+  *       - classic upsert MERGE   → upsertScoped        (O(touched
+  *                                  partitions), when the table declared
+  *                                  PARTITIONED BY and the merge is the
+  *                                  update-all/insert-all-by-key shape)
+  *       - general MERGE / UPDATE → full-snapshot rewrite commit (the
+  *                                  copy-on-write fallback; the plan for
+  *                                  the new snapshot is composed from
+  *                                  the resolved merge actions, so
+  *                                  Catalyst optimizes the rewrite too)
+  *
+  * DML targets are matched before read expansion would swallow them
+  * (the rule dispatches on the statement root), so the lowering always
+  * sees the table handle; sources/subqueries are expanded like any
+  * other read.
+  */
+case class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
+
+  import GraftSqlRule._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case m: MergeIntoTable =>
+      val src = expand(session, m.sourceTable)
+      val m2 = if (src eq m.sourceTable) m else m.copy(sourceTable = src)
+      graftRelation(m2.targetTable) match {
+        case Some((rel, g)) if m2.resolved && noStars(m2) =>
+          lowerMerge(session, g, rel, m2)
+        case _ => m2
+      }
+
+    case u: UpdateTable =>
+      graftRelation(u.table) match {
+        case Some((rel, g)) if u.resolved => lowerUpdate(session, g, rel, u)
+        case _ => u
+      }
+
+    case d: DeleteFromTable =>
+      graftRelation(d.table) match {
+        case Some((rel, g)) if d.resolved =>
+          GraftDeleteCommand(g, d.condition)
+        case _ => d
+      }
+
+    case a: AppendData =>
+      a.table match {
+        case r: DataSourceV2Relation if isGraft(r) =>
+          if (a.query.resolved)
+            GraftAppendCommand(graftOf(r), expand(session, a.query), a.isByName)
+          else a
+        case _ => a
+      }
+
+    case o: OverwriteByExpression =>
+      o.table match {
+        case r: DataSourceV2Relation if isGraft(r) =>
+          if (o.query.resolved) {
+            require(isTrueLiteral(o.deleteExpr),
+              "graft INSERT OVERWRITE replaces the whole table (the next " +
+              "snapshot version); partial overwrite predicates are not supported")
+            GraftOverwriteCommand(graftOf(r), expand(session, o.query), o.isByName)
+          } else o
+        case _ => o
+      }
+
+    case c: CreateTableAsSelect =>
+      c.name match {
+        case ri: ResolvedIdentifier if ri.catalog.isInstanceOf[GraftCatalog] =>
+          if (c.query.resolved)
+            GraftCtasCommand(ri.catalog.asInstanceOf[GraftCatalog],
+              ri.identifier, c.partitioning, expand(session, c.query),
+              c.ignoreIfExists)
+          else c
+        case _ =>
+          val q = expand(session, c.query)
+          if (q eq c.query) c else c.copy(query = q)
+      }
+
+    case other => expand(session, other)
+  }
+}
+
+object GraftSqlRule {
+
+  private[sql] def isGraft(r: DataSourceV2Relation): Boolean =
+    r.table.isInstanceOf[GraftTable]
+  private[sql] def graftOf(r: DataSourceV2Relation): GraftTable =
+    r.table.asInstanceOf[GraftTable]
+
+  /** The single graft relation a DML target subtree resolves through
+    * (the target is the relation, possibly under SubqueryAlias layers).
+    */
+  private def graftRelation(target: LogicalPlan): Option[(DataSourceV2Relation, GraftTable)] =
+    target.collectFirst {
+      case r: DataSourceV2Relation if isGraft(r) => (r, graftOf(r))
+    }
+
+  private def isTrueLiteral(e: Expression): Boolean = e match {
+    case Literal(true, _) => true
+    case _                => false
+  }
+
+  /** Star actions are syntactic until ResolveReferences expands them;
+    * a merge is lowerable only once none remain.
+    */
+  private def noStars(m: MergeIntoTable): Boolean =
+    (m.matchedActions ++ m.notMatchedActions ++ m.notMatchedBySourceActions)
+      .forall {
+        case _: UpdateStarAction | _: InsertStarAction => false
+        case _                                         => true
+      }
+
+  /** Replace every graft relation (in the plan AND inside subquery
+    * expressions) with its snapshot read plan, preserving attribute ids
+    * so already-resolved references keep pointing at the right columns.
+    */
+  private[sql] def expand(session: SparkSession, plan: LogicalPlan): LogicalPlan =
+    plan.transformUpWithSubqueries {
+      case r: DataSourceV2Relation if isGraft(r) => expandRelation(session, r)
+    }
+
+  private[sql] def expandRelation(session: SparkSession,
+                                  r: DataSourceV2Relation): LogicalPlan = {
+    val g = graftOf(r)
+    val child = graft.sources.SnapshotLog
+      .readVersion(session, g.root, g.snapshotVersion)
+      .queryExecution.analyzed
+    val byName = child.output.map(a => a.name.toLowerCase -> a).toMap
+    Project(
+      r.output.map { t =>
+        val src = byName.getOrElse(t.name.toLowerCase,
+          throw new IllegalStateException(
+            s"graft table ${g.name()} v${g.snapshotVersion} has no column ${t.name} " +
+            s"— catalog schema drifted from the manifest"))
+        Alias(src, t.name)(exprId = t.exprId, qualifier = t.qualifier)
+      },
+      child)
+  }
+
+  // ---- UPDATE: per-column conditional projection over the snapshot ----
+
+  private def lowerUpdate(session: SparkSession, g: GraftTable,
+                          rel: DataSourceV2Relation, u: UpdateTable): LogicalPlan = {
+    val read = expand(session, u.table)
+    val cond = u.condition.getOrElse(Literal.TrueLiteral)
+    val assigned: Map[ExprId, Expression] =
+      u.assignments.flatMap(a => keyAttr(a.key, rel).map(_.exprId -> a.value)).toMap
+    require(assigned.size == u.assignments.size,
+      s"unresolvable UPDATE assignment keys in ${u.assignments}")
+    val cols = rel.output.map { t =>
+      assigned.get(t.exprId) match {
+        case Some(v) =>
+          Alias(If(cond, castTo(v, t.dataType), t), t.name)()
+        case None => Alias(t, t.name)()
+      }
+    }
+    GraftReplaceCommand(g, Project(cols, read), "UPDATE")
+  }
+
+  // ---- MERGE ----
+
+  private def lowerMerge(session: SparkSession, g: GraftTable,
+                         rel: DataSourceV2Relation, m: MergeIntoTable): LogicalPlan =
+    classicUpsert(g, rel, m) match {
+      case Some((keys, mapping)) =>
+        // the O(touched partitions) fast path: UPDATE-all/INSERT-all by
+        // equality keys on a PARTITIONED BY table is exactly upsertScoped
+        val batch = Project(
+          rel.output.map(t => Alias(castTo(mapping(t.exprId), t.dataType), t.name)()),
+          expand(session, m.sourceTable))
+        GraftUpsertScopedCommand(g, batch, keys)
+      case None =>
+        GraftReplaceCommand(g, generalMergePlan(session, rel, m), "MERGE")
+    }
+
+  /** Detect `WHEN MATCHED THEN UPDATE SET <all cols from source> WHEN
+    * NOT MATCHED THEN INSERT <same mapping>` with an equality-AND merge
+    * condition on a table that declared a partition column: returns the
+    * key column names and the per-target-column source expression.
+    */
+  private def classicUpsert(g: GraftTable, rel: DataSourceV2Relation,
+                            m: MergeIntoTable): Option[(Seq[String], Map[ExprId, Expression])] = {
+    if (g.partCol.isEmpty) return None
+    if (m.notMatchedBySourceActions.nonEmpty) return None
+    (m.matchedActions, m.notMatchedActions) match {
+      case (Seq(UpdateAction(None, up, _)), Seq(InsertAction(None, ins))) =>
+        def mapOf(as: Seq[Assignment]): Option[Map[ExprId, Expression]] = {
+          val pairs = as.flatMap(a => keyAttr(a.key, rel).map(_.exprId -> a.value))
+          if (pairs.size == as.size) Some(pairs.toMap) else None
+        }
+        (mapOf(up), mapOf(ins)) match {
+          case (Some(um), Some(im))
+              if um.keySet == rel.output.map(_.exprId).toSet &&
+                 im.keySet == um.keySet &&
+                 rel.output.forall(t => um(t.exprId).semanticEquals(im(t.exprId))) =>
+            equalityKeys(m.mergeCondition, rel).flatMap { keys =>
+              // scoped upserts demand stable partition identity: the
+              // partition column must itself be one of the merge keys
+              // (otherwise a row could migrate partitions, which the
+              // scoped contract forbids) — fall back to rewrite if not
+              if (keys.contains(g.partCol)) Some((keys, um)) else None
+            }
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** `t.k1 = s.k1 AND t.k2 = s.k2 …` → Some(Seq(k1, k2…)); anything
+    * else (OR, inequality, expressions over the keys) → None.
+    */
+  private def equalityKeys(cond: Expression,
+                           rel: DataSourceV2Relation): Option[Seq[String]] = {
+    val targetIds = rel.output.map(_.exprId).toSet
+    def split(e: Expression): Option[Seq[String]] = e match {
+      case And(l, r) => for (a <- split(l); b <- split(r)) yield a ++ b
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        if (targetIds.contains(a.exprId) && !targetIds.contains(b.exprId))
+          Some(Seq(a.name))
+        else if (targetIds.contains(b.exprId) && !targetIds.contains(a.exprId))
+          Some(Seq(b.name))
+        else None
+      case _ => None
+    }
+    split(cond)
+  }
+
+  /** The copy-on-write general form: FULL OUTER join target×source on
+    * the merge condition, presence flags on both sides, then per-column
+    * CASE WHEN over the action list (first matching clause wins, SQL
+    * MERGE semantics) plus a keep-predicate that drops DELETE-matched
+    * rows and never-inserted source rows. The result is the complete
+    * next snapshot — committed as one new version.
+    */
+  private def generalMergePlan(session: SparkSession,
+                               rel: DataSourceV2Relation,
+                               m: MergeIntoTable): LogicalPlan = {
+    val targetRead = expand(session, m.targetTable)
+    val sourceRead = expand(session, m.sourceTable)
+    val tFlag = Alias(Literal(true), "__graft_from_target")()
+    val sFlag = Alias(Literal(true), "__graft_from_source")()
+    val left = Project(targetRead.output :+ tFlag, targetRead)
+    val right = Project(sourceRead.output :+ sFlag, sourceRead)
+    val join = Join(left, right, FullOuter, Some(m.mergeCondition), JoinHint.NONE)
+    val tPresent = IsNotNull(tFlag.toAttribute)
+    val sPresent = IsNotNull(sFlag.toAttribute)
+
+    // (branch condition, action) in clause order across the three
+    // disjoint regimes — regime predicates make the order across groups
+    // irrelevant, order WITHIN a group is the user's clause order
+    val branches: Seq[(Expression, MergeAction)] =
+      m.matchedActions.map { a =>
+        (And(And(tPresent, sPresent), a.condition.getOrElse(Literal.TrueLiteral)), a)
+      } ++ m.notMatchedActions.map { a =>
+        (And(And(sPresent, Not(tPresent)), a.condition.getOrElse(Literal.TrueLiteral)), a)
+      } ++ m.notMatchedBySourceActions.map { a =>
+        (And(And(tPresent, Not(sPresent)), a.condition.getOrElse(Literal.TrueLiteral)), a)
+      }
+
+    val keep = CaseWhen(
+      branches.map { case (c, a) =>
+        (c, Literal(!a.isInstanceOf[DeleteAction])): (Expression, Expression)
+      },
+      // no clause applies: target rows survive unchanged, source-only
+      // rows are NOT inserted (SQL MERGE default)
+      Some(tPresent))
+
+    val cols = rel.output.map { t =>
+      val value = CaseWhen(
+        branches.map { case (c, a) =>
+          (c, actionValue(a, t, rel)): (Expression, Expression)
+        },
+        Some(t: Expression))
+      Alias(value, t.name)()
+    }
+    Project(cols, Filter(keep, join))
+  }
+
+  private def actionValue(a: MergeAction, t: AttributeReference,
+                          rel: DataSourceV2Relation): Expression = a match {
+    case UpdateAction(_, assigns, _) =>
+      assigns.find(as => keyAttr(as.key, rel).exists(_.exprId == t.exprId))
+        .map(as => castTo(as.value, t.dataType)).getOrElse(t)
+    case InsertAction(_, assigns) =>
+      assigns.find(as => keyAttr(as.key, rel).exists(_.exprId == t.exprId))
+        .map(as => castTo(as.value, t.dataType))
+        .getOrElse(Literal(null, t.dataType))
+    case _: DeleteAction => t // row is dropped by the keep predicate
+    case other => throw new UnsupportedOperationException(
+      s"unsupported merge action $other")
+  }
+
+  /** An assignment key resolves to a target column attribute (possibly
+    * name-only if the analyzer left it unresolved-but-matchable).
+    */
+  private def keyAttr(key: Expression,
+                      rel: DataSourceV2Relation): Option[AttributeReference] = key match {
+    case a: AttributeReference =>
+      rel.output.find(_.exprId == a.exprId)
+        .orElse(rel.output.find(_.name.equalsIgnoreCase(a.name)))
+    case _ => None
+  }
+
+  private def castTo(e: Expression, dt: org.apache.spark.sql.types.DataType): Expression =
+    if (e.dataType == dt) e else Cast(e, dt)
+}

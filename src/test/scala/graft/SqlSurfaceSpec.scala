@@ -1,0 +1,198 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.SnapshotLog
+
+/** The round-7 verdict's top ask: the snapshot-log lifecycle driven
+  * PURELY through `spark.sql(...)` — catalog DDL, INSERT/UPDATE/DELETE/
+  * MERGE, time travel, and the maintenance verbs as `CALL` procedures.
+  * This spec re-runs the TableLifecycleSpec story through SQL and
+  * additionally asserts the LOWERING is the scale-correct one:
+  * DELETE produces a deletion-vector version (no data rewrite), and a
+  * classic upsert-shaped MERGE on a PARTITIONED BY table lands as a
+  * scoped (per-partition leaf) commit, not a full rewrite.
+  *
+  * The suite owns its SparkSession (extensions must be injected at
+  * build time), stopping any shared one first and stopping its own in
+  * afterAll — the SparkSpecBase getOrCreate contract rebuilds a clean
+  * session for later suites (HarnessRehearsalSpec precedent).
+  */
+class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var warehouse: String = _
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    warehouse = java.nio.file.Files.createTempDirectory("graft_sql_wh").toString
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(_.stop())
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-sql-surface")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.sql.GraftSparkExtensions")
+      .config("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+      .config("spark.sql.catalog.graft.warehouse", warehouse)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = {
+    if (spark != null) spark.stop()
+  }
+
+  private def sql(q: String) = spark.sql(q)
+  private def rowsOf(q: String): Set[Seq[Any]] =
+    sql(q).collect().toSet[Row].map(_.toSeq)
+  private def root(name: String) = s"$warehouse/ns/$name"
+
+  test("lifecycle purely through spark.sql: DDL → DML → time travel → maintenance") {
+    sql("CREATE NAMESPACE graft.ns")
+    sql("CREATE TABLE graft.ns.t (k INT, v STRING)")
+
+    // --- ingest via SQL (each INSERT is one O(batch) append commit)
+    sql("INSERT INTO graft.ns.t VALUES (1, 'a'), (2, 'b')")
+    sql("INSERT INTO graft.ns.t VALUES (3, 'c')")
+    assert(rowsOf("SELECT k, v FROM graft.ns.t") ==
+      Set(Seq(1, "a"), Seq(2, "b"), Seq(3, "c")))
+    // spark.read.table resolves through the same catalog
+    assert(spark.read.table("graft.ns.t").count() == 3)
+
+    // --- time travel: version 2 predates the second insert
+    assert(rowsOf("SELECT k FROM graft.ns.t VERSION AS OF 2") ==
+      Set(Seq(1), Seq(2)))
+
+    // --- additive evolution: ALTER pins the widened schema; older rows
+    //     read NULL for the new column, no files rewritten
+    sql("ALTER TABLE graft.ns.t ADD COLUMNS (score INT)")
+    sql("INSERT INTO graft.ns.t VALUES (4, 'd', 9)")
+    assert(rowsOf("SELECT k, score FROM graft.ns.t WHERE k IN (1, 4)") ==
+      Set(Seq(1, null), Seq(4, 9)))
+
+    // --- UPDATE (copy-on-write rewrite commit)
+    sql("UPDATE graft.ns.t SET v = 'z' WHERE k = 1")
+    assert(rowsOf("SELECT v FROM graft.ns.t WHERE k = 1") == Set(Seq("z")))
+
+    // --- DELETE lowers to deletion vectors: the new head carries a
+    //     tombstone dir and the prior version's data dirs verbatim
+    val beforeDel = SnapshotLog.currentVersion(spark, root("t")).get
+    sql("DELETE FROM graft.ns.t WHERE k = 2")
+    val afterDel = SnapshotLog.currentVersion(spark, root("t")).get
+    assert(afterDel == beforeDel + 1)
+    assert(SnapshotLog.tombDirsOf(spark, root("t"), afterDel).nonEmpty,
+      "SQL DELETE must ride the deletion-vector path, not a rewrite")
+    assert(SnapshotLog.dirsOf(spark, root("t"), afterDel) ==
+      SnapshotLog.dirsOf(spark, root("t"), beforeDel),
+      "DELETE must not touch data directories")
+    assert(rowsOf("SELECT k FROM graft.ns.t") == Set(Seq(1), Seq(3), Seq(4)))
+
+    // --- general MERGE: delete / update / insert clauses in one pass
+    val s0 = spark; import s0.implicits._
+    Seq((1, "one", 10), (3, "DEL", 0), (9, "nine", 99))
+      .toDF("k", "v", "score").createOrReplaceTempView("src")
+    sql("""MERGE INTO graft.ns.t t USING src s ON t.k = s.k
+           WHEN MATCHED AND s.v = 'DEL' THEN DELETE
+           WHEN MATCHED THEN UPDATE SET v = s.v, score = s.score
+           WHEN NOT MATCHED THEN INSERT (k, v, score) VALUES (s.k, s.v, s.score)""")
+    assert(rowsOf("SELECT k, v, score FROM graft.ns.t") ==
+      Set(Seq(1, "one", 10), Seq(4, "d", 9), Seq(9, "nine", 99)))
+
+    // --- maintenance as DSv2 procedures
+    val hist = sql("CALL graft.system.history('ns.t')").collect()
+    assert(hist.map(_.getLong(0)).toSeq == hist.map(_.getLong(0)).toSeq.sorted.reverse
+      && hist.nonEmpty)
+
+    // a bad commit lands ... and is rolled back at metadata cost
+    val good = SnapshotLog.currentVersion(spark, root("t")).get
+    sql("INSERT INTO graft.ns.t VALUES (99, 'junk', -1)")
+    assert(rowsOf("SELECT count(*) FROM graft.ns.t WHERE k = 99") == Set(Seq(1L)))
+    val restored = sql(s"CALL graft.system.restore('ns.t', $good)").collect()
+    assert(restored.head.getLong(0) == good + 2)
+    assert(rowsOf("SELECT count(*) FROM graft.ns.t WHERE k = 99") == Set(Seq(0L)))
+
+    // TIMESTAMP AS OF the restored head's commit time = current state
+    val ts = sql("CALL graft.system.history('ns.t')").collect()
+      .head.getTimestamp(1)
+    assert(rowsOf(s"SELECT k FROM graft.ns.t TIMESTAMP AS OF '$ts'") ==
+      rowsOf("SELECT k FROM graft.ns.t"))
+
+    // compact + vacuum keep the state; history shrinks to the horizon
+    sql("CALL graft.system.compact_small_files('ns.t', 1073741824)")
+    sql("CALL graft.system.vacuum('ns.t', 1)")
+    assert(rowsOf("SELECT k, v, score FROM graft.ns.t") ==
+      Set(Seq(1, "one", 10), Seq(4, "d", 9), Seq(9, "nine", 99)))
+
+    // --- catalog metadata surface
+    assert(sql("SHOW TABLES IN graft.ns").collect()
+      .map(_.getString(1)).contains("t"))
+    val desc = sql("DESCRIBE TABLE graft.ns.t").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(desc.get("k").contains("int") && desc.get("score").contains("int"))
+  }
+
+  test("CTAS, INSERT OVERWRITE, and reads composing with plain SQL") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
+    sql("CREATE TABLE graft.ns.base (id INT, grp STRING)")
+    sql("INSERT INTO graft.ns.base VALUES (1,'x'), (2,'x'), (3,'y')")
+
+    sql("CREATE TABLE graft.ns.agg AS " +
+      "SELECT grp, count(*) AS n FROM graft.ns.base GROUP BY grp")
+    assert(rowsOf("SELECT grp, n FROM graft.ns.agg") ==
+      Set(Seq("x", 2L), Seq("y", 1L)))
+
+    // graft tables join with graft tables through ordinary SQL
+    assert(rowsOf(
+      """SELECT b.id FROM graft.ns.base b
+         JOIN graft.ns.agg a ON b.grp = a.grp WHERE a.n = 2""") ==
+      Set(Seq(1), Seq(2)))
+
+    // scalar subquery over a graft table
+    assert(rowsOf(
+      "SELECT id FROM graft.ns.base WHERE id > (SELECT min(n) FROM graft.ns.agg)") ==
+      Set(Seq(2), Seq(3)))
+
+    sql("INSERT OVERWRITE graft.ns.agg SELECT grp, 0 AS n FROM graft.ns.base GROUP BY grp")
+    assert(rowsOf("SELECT grp, n FROM graft.ns.agg") ==
+      Set(Seq("x", 0L), Seq("y", 0L)))
+  }
+
+  test("classic upsert MERGE on a PARTITIONED BY table lowers to a scoped commit") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
+    sql("CREATE TABLE graft.ns.pt (k INT, p STRING, x INT) PARTITIONED BY (p)")
+    val s0 = spark; import s0.implicits._
+    Seq((1, "a", 10), (2, "a", 20), (3, "b", 30))
+      .toDF("k", "p", "x").createOrReplaceTempView("s1")
+    sql("""MERGE INTO graft.ns.pt t USING s1 s ON t.k = s.k AND t.p = s.p
+           WHEN MATCHED THEN UPDATE SET k = s.k, p = s.p, x = s.x
+           WHEN NOT MATCHED THEN INSERT (k, p, x) VALUES (s.k, s.p, s.x)""")
+    assert(rowsOf("SELECT k, p, x FROM graft.ns.pt") ==
+      Set(Seq(1, "a", 10), Seq(2, "a", 20), Seq(3, "b", 30)))
+
+    // second batch touches only partition 'a' — the commit must be
+    // scoped: partition-leaf dirs in the manifest, with partition 'b'
+    // carried forward UNTOUCHED from the previous version
+    val before = SnapshotLog.currentVersion(spark, root("pt")).get
+    Seq((2, "a", 21), (4, "a", 40)).toDF("k", "p", "x")
+      .createOrReplaceTempView("s2")
+    sql("""MERGE INTO graft.ns.pt t USING s2 s ON t.k = s.k AND t.p = s.p
+           WHEN MATCHED THEN UPDATE SET k = s.k, p = s.p, x = s.x
+           WHEN NOT MATCHED THEN INSERT (k, p, x) VALUES (s.k, s.p, s.x)""")
+    val after = SnapshotLog.currentVersion(spark, root("pt")).get
+    val dirsBefore = SnapshotLog.dirsOf(spark, root("pt"), before)
+    val dirsAfter = SnapshotLog.dirsOf(spark, root("pt"), after)
+    assert(dirsAfter.forall(_.contains("__gp=")),
+      s"scoped manifest expected partition leaf dirs, got $dirsAfter")
+    val carriedB = dirsBefore.filter(_.endsWith("__gp=a") == false)
+      .filter(_.contains("__gp=b"))
+    assert(carriedB.nonEmpty && carriedB.forall(dirsAfter.contains),
+      s"untouched partition b must carry forward: before=$dirsBefore after=$dirsAfter")
+    assert(rowsOf("SELECT k, p, x FROM graft.ns.pt") ==
+      Set(Seq(1, "a", 10), Seq(2, "a", 21), Seq(3, "b", 30), Seq(4, "a", 40)))
+  }
+
+}

@@ -213,22 +213,18 @@ object Relational {
     bandedRangeJoin(Tables.events(s, dir))
 
   /** DataFrame-taking core of the banded join (shared by the fixture
-    * query above, the x10 bench twin, and tools.ProfileSkew — one
-    * implementation of the band arithmetic, measured and spec'd once).
+    * query above, the x10 bench twin, and tools.ProfileSkew). Since
+    * round 8 this is a CALL SITE of the reusable [[RangeJoin]] operator
+    * — the band arithmetic lives (and is spec'd bit-identical at three
+    * widths) in one place instead of being re-derived per query.
     */
   def bandedRangeJoin(events: DataFrame): DataFrame = {
-    val bandUs = 300L * 1000000L // 5 min in microseconds = bucket width
-    val e = events
-      .withColumn("bkt", floor(unix_micros(col("ts").cast("timestamp")) / bandUs))
-    val a = e.select(col("event_id").as("id_a"), col("ts").as("ts_a"),
-        col("user_id"), col("bkt"))
-      .withColumn("probe", explode(array(col("bkt"), col("bkt") + 1)))
-    val b = e.select(col("event_id").as("id_b"), col("ts").as("ts_b"),
-      col("user_id").as("user_b"), col("bkt").as("bkt_b"))
-    a.join(b, col("user_id") === col("user_b") && col("probe") === col("bkt_b") &&
-              col("ts_b") > col("ts_a") &&
-              col("ts_b") <= col("ts_a") + expr("INTERVAL '5' MINUTE") &&
-              col("id_a") < col("id_b"))
+    val a = events.select(col("event_id").as("id_a"), col("ts").as("ts_a"),
+      col("user_id"))
+    val b = events.select(col("event_id").as("id_b"), col("ts").as("ts_b"),
+      col("user_id"))
+    RangeJoin.rangeJoin(a, b, Seq("user_id"), "ts_a", "ts_b",
+        java.time.Duration.ofMinutes(5), extra = col("id_a") < col("id_b"))
       .select(col("user_id"), col("id_a"), col("id_b"),
               (unix_timestamp(col("ts_b")) - unix_timestamp(col("ts_a"))).as("delta_s"))
       .orderBy("id_a", "id_b")

@@ -82,6 +82,47 @@ class PlanShapeSpec extends SparkSpecBase {
       .findFirstIn(p).isDefined, "time bucket not in the join key:\n" + p)
   }
 
+  test("RangeJoin: bit-identical to the BNLJ form at three band widths, never a nested loop") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf0001)
+    val a = ev.select(col("event_id").as("id_a"), col("ts").as("ts_a"), col("user_id"))
+    val b = ev.select(col("event_id").as("id_b"), col("ts").as("ts_b"), col("user_id"))
+    for (mins <- Seq(1L, 5L, 37L)) {
+      val banded = RangeJoin.rangeJoin(a, b, Seq("user_id"), "ts_a", "ts_b",
+          java.time.Duration.ofMinutes(mins))
+        .select("user_id", "id_a", "id_b").collect().toSet
+      // the reference BNLJ-shaped formulation: key equality + raw band
+      val ref = a.join(b,
+          a("user_id") === b("user_id") &&
+          b("ts_b") > a("ts_a") &&
+          b("ts_b") <= a("ts_a") + expr(s"INTERVAL '$mins' MINUTE"))
+        .select(a("user_id"), col("id_a"), col("id_b")).collect().toSet
+      assert(banded == ref, s"band=$mins min: ${banded.size} vs ${ref.size} pairs")
+      val p = plan(RangeJoin.rangeJoin(a, b, Seq("user_id"), "ts_a", "ts_b",
+        java.time.Duration.ofMinutes(mins)))
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+      // the derived bucket must be an equi-join KEY (hot keys spread
+      // over time buckets), not a residual predicate
+      assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[[^\\]]*__rj_probe".r
+        .findFirstIn(p).isDefined, "bucket not in the join key:\n" + p)
+    }
+  }
+
+  test("RangeJoin numeric flavor pairs by value band (and refuses colliding columns)") {
+    import org.apache.spark.sql.functions._
+    val l = Seq((1, 10L), (1, 100L), (2, 50L)).toDF("k", "va")
+    val r = Seq((1, 15L), (1, 9L), (1, 111L), (2, 55L), (3, 52L)).toDF("k", "vb")
+    val out = RangeJoin.rangeJoinNumeric(l, r, Seq("k"), "va", "vb", band = 10L)
+      .select("k", "va", "vb").collect().toSet.map((row: org.apache.spark.sql.Row) =>
+        (row.getInt(0), row.getLong(1), row.getLong(2)))
+    // (va, va+10]: 9 is below, 111 is just past 100+10, key 3 has no left
+    assert(out == Set((1, 10L, 15L), (2, 50L, 55L)))
+    intercept[IllegalArgumentException] {
+      RangeJoin.rangeJoinNumeric(l, r.withColumnRenamed("vb", "va"),
+        Seq("k"), "va", "va", band = 10L)
+    }
+  }
+
   test("q54: bounded dims broadcast WITHOUT hints (size statistics decide)") {
     val p = plan(Relational.q54(spark, sf0001))
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,

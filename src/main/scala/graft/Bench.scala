@@ -55,6 +55,24 @@ object Bench {
       // output proven in PlanShapeSpec ("x10 banded ≡ q10").
       "x10_range_banded" -> ((s, dir) =>
         graft.engine.Relational.bandedRangeJoin(s, dir)),
+      // x94 is the two-phase prefix-sum twin of q94's concurrency sweep:
+      // the running sum runs inside balanced (event_type, day) segments,
+      // then a |segments|-row window per type carries segment net deltas
+      // forward — no reducer ever sorts a whole event type. Exact (not
+      // approximate): equivalence at two segment widths + a planted heavy
+      // type proven in SkewSpec.
+      "x94_sweep_segmented" -> ((s, dir) =>
+        graft.engine.Behavioral.concurrencySweepSegmented(
+          graft.engine.Tables.events(s, dir))),
+      // x97 is the segmented twin of q97's per-user path window: trigrams
+      // wholly inside a (user, day) segment come from balanced windows;
+      // segment-spanning trigrams are rebuilt exactly from a first-2/
+      // last-2 skeleton (≤4 rows per segment), so a bot's history never
+      // lands on one reducer. Exact: equivalence + planted-bot case in
+      // SkewSpec.
+      "x97_paths_segmented" -> ((s, dir) =>
+        graft.engine.Behavioral.eventPathsSegmented(
+          graft.engine.Tables.events(s, dir))),
       // x33 is the MinHash-LSH twin of q33's exact all-pairs Jaccard on
       // the same doc_id<100 slice: signature + band candidates + estimate,
       // the sub-quadratic set-similarity path (error bound vs exact

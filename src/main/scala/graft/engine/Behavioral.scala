@@ -120,8 +120,10 @@ object Behavioral {
   // only shuffle is the window key. At 100 TB the sweep key would be
   // (event_type, day) so each partition's running sum stays bounded —
   // intervals never span days here by construction (5 min ≪ 1 day).
-  def q94(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
+  def q94(s: SparkSession, dir: String): DataFrame =
+    concurrencySweep(Tables.events(s, dir))
+
+  def concurrencySweep(ev: DataFrame): DataFrame = {
     val pts = ev.select(col("event_type"), col("ts").as("t"), lit(1).as("d"))
       .unionAll(ev.select(col("event_type"),
                           (col("ts") + expr("INTERVAL 5 MINUTES")).as("t"),
@@ -130,6 +132,39 @@ object Behavioral {
     pts.withColumn("c", sum(col("d")).over(w))
       .groupBy("event_type")
       .agg(max(col("c")).as("max_concurrent"))
+      .orderBy("event_type")
+  }
+
+  // x94 twin — the q94 sweep with its one scale hazard removed. q94's
+  // window key is event_type alone: a handful of partitions, each
+  // running-summing its WHOLE type's point stream on one reducer. The
+  // segmented form is the classic two-phase parallel prefix sum:
+  //   1. sweep within (event_type, time-segment) partitions — balanced,
+  //      since a segment holds a bounded slice of time;
+  //   2. per type, a window over |segments| rows (post-agg cardinality)
+  //      carries each segment's net delta forward: the running sum at any
+  //      point = sum of earlier segments' nets + the within-segment run.
+  // EXACT for any segmentation because seg = date_trunc(t) is monotone in
+  // t, so the global (t, d) order is (seg, t, d) and every prefix splits
+  // cleanly at a segment boundary; RANGE-frame peers share (t, d), hence
+  // a segment, so tie semantics are unchanged. max_concurrent = max over
+  // segments of (carried base + segment max).
+  def concurrencySweepSegmented(ev: DataFrame, unit: String = "DAY"): DataFrame = {
+    val pts = ev.select(col("event_type"), col("ts").as("t"), lit(1).as("d"))
+      .unionAll(ev.select(col("event_type"),
+                          (col("ts") + expr("INTERVAL 5 MINUTES")).as("t"),
+                          lit(-1).as("d")))
+      .withColumn("seg", date_trunc(unit, col("t")))
+    val wSeg = Window.partitionBy("event_type", "seg").orderBy(col("t"), col("d"))
+    val perSeg = pts.withColumn("c", sum(col("d")).over(wSeg))
+      .groupBy("event_type", "seg")
+      .agg(max(col("c")).as("seg_max"), sum(col("d")).as("net"))
+    val wPrev = Window.partitionBy("event_type").orderBy("seg")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perSeg
+      .withColumn("base", coalesce(sum(col("net")).over(wPrev), lit(0L)))
+      .groupBy("event_type")
+      .agg(max(col("base") + col("seg_max")).as("max_concurrent"))
       .orderBy("event_type")
   }
 
@@ -233,14 +268,67 @@ object Behavioral {
   // paths| ≤ |event_types|³ before TakeOrderedAndProject's per-partition
   // heaps pick the top 20 (count DESC, path ASC tie-break — no global
   // sort of anything log-sized).
-  def q97(s: SparkSession, dir: String): DataFrame = {
+  def q97(s: SparkSession, dir: String): DataFrame =
+    eventPaths(Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type")))
+
+  def eventPaths(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    Tables.events(s, dir)
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    ev
       .withColumn("e2", lead(col("event_type"), 1).over(w))
       .withColumn("e3", lead(col("event_type"), 2).over(w))
       .where(col("e2").isNotNull && col("e3").isNotNull)
       .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+  }
+
+  // x97 twin — q97's trigrams without ever co-locating one user's whole
+  // event history. q97 windows on user_id: a bot with 10⁷ events sorts on
+  // one reducer. Here each event gets seg = date_trunc(ts) and trigrams
+  // split into two disjoint, exhaustive classes:
+  //   IN-SEGMENT: all three events share (user, seg) — computed by the
+  //     same double-lead over balanced (user, seg) partitions (lead is
+  //     null past a partition edge, so nothing leaks across);
+  //   SPANNING (first and third event in different segs): every event of
+  //     such a trigram sits within 2 positions of a segment edge — the
+  //     trigram covers ≤ 3 stream-adjacent events, so an interior event
+  //     has ≤ 2 same-segment neighbours past it on the boundary side —
+  //     hence all three live in the SKELETON (first 2 + last 2 rows of
+  //     each (user, seg), ≤ 4 rows per segment via two WindowGroupLimit-
+  //     prunable row_numbers). Stream-adjacent skeleton rows are
+  //     skeleton-adjacent (omitted rows are interior), so one per-user
+  //     window over the skeleton — |segments|·4 rows, not |events| —
+  //     rebuilds exactly the spanning trigrams; the only skeleton-adjacent
+  //     pair that is NOT stream-adjacent (2nd row ↔ 2nd-from-last of a
+  //     ≥5-event segment) can only appear in an all-same-seg trigram,
+  //     which the seg(first) ≠ seg(third) filter drops.
+  // The union of the two classes is the exact q97 trigram multiset.
+  def eventPathsSegmented(ev0: DataFrame, unit: String = "DAY"): DataFrame = {
+    val ev = ev0.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("seg", date_trunc(unit, col("ts")))
+    val wSeg = Window.partitionBy("user_id", "seg").orderBy(col("ts"), col("event_id"))
+    val inSeg = ev
+      .withColumn("e2", lead(col("event_type"), 1).over(wSeg))
+      .withColumn("e3", lead(col("event_type"), 2).over(wSeg))
+      .where(col("e2").isNotNull && col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+    val wSegDesc = Window.partitionBy("user_id", "seg")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val skeleton = ev
+      .withColumn("rn_a", row_number().over(wSeg))
+      .withColumn("rn_d", row_number().over(wSegDesc))
+      .where(col("rn_a") <= 2 || col("rn_d") <= 2)
+      .drop("rn_a", "rn_d")
+    val wU = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val spanning = skeleton
+      .withColumn("e2", lead(col("event_type"), 1).over(wU))
+      .withColumn("e3", lead(col("event_type"), 2).over(wU))
+      .withColumn("seg3", lead(col("seg"), 2).over(wU))
+      .where(col("e2").isNotNull && col("e3").isNotNull && col("seg") =!= col("seg3"))
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+    inSeg.unionAll(spanning)
       .groupBy("path").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("path"))
       .limit(20)

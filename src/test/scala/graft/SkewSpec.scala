@@ -103,6 +103,67 @@ class SkewSpec extends SparkSpecBase {
     }
   }
 
+  test("x94 segmented sweep ≡ q94 on fixtures, at two segment widths") {
+    val exact = engine.Behavioral.q94(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    for (unit <- Seq("DAY", "HOUR")) {
+      val seg = engine.Behavioral.concurrencySweepSegmented(
+          Tables.events(spark, sf0001), unit)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(seg == exact, s"unit=$unit")
+    }
+  }
+
+  test("x97 segmented paths ≡ q97 on fixtures, at two segment widths") {
+    val exact = engine.Behavioral.q97(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    for (unit <- Seq("DAY", "HOUR")) {
+      val seg = engine.Behavioral.eventPathsSegmented(
+          Tables.events(spark, sf0001), unit)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(seg == exact, s"unit=$unit")
+    }
+  }
+
+  test("segmented twins survive a planted heavy user / heavy type and stay exact") {
+    // one bot carries 80% of the log, all inside a single day — the case
+    // where AQE can't help a window (a window partition is atomic) and
+    // q94/q97's per-type / per-user keys become stragglers. HOUR segments
+    // must (a) reproduce the exact answers, (b) provably break the hot
+    // key into bounded pieces.
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    val types = Seq("view", "click", "purchase", "signup")
+    val rows = (1 to 8000).map { i =>
+      val botTs = new java.sql.Timestamp(base.getTime + i.toLong * 9500)      // ~21h spread
+      (i.toLong, botTs, 1L, types(i % 4))
+    } ++ (1 to 2000).map { i =>
+      val ts = new java.sql.Timestamp(base.getTime + i.toLong * 37000)
+      ((8000 + i).toLong, ts, (2 + i % 50).toLong, types(i % 3))
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type")
+    // exactness vs the shipped single-window forms on the SAME data
+    val sweepExact = engine.Behavioral.concurrencySweep(ev)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val sweepSeg = engine.Behavioral.concurrencySweepSegmented(ev, "HOUR")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sweepSeg == sweepExact)
+    val pathsExact = engine.Behavioral.eventPaths(ev)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val pathsSeg = engine.Behavioral.eventPathsSegmented(ev, "HOUR")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(pathsSeg == pathsExact)
+    assert(pathsExact.nonEmpty && sweepExact.nonEmpty)
+    // balance: the hot user's 8000-row window partition becomes ≤ ~1/20
+    // slices under HOUR segmentation (deterministic structural check —
+    // timing asserts are host-noise; partition cardinality is the thing
+    // salting actually changes)
+    val maxSlice = ev
+      .groupBy(col("user_id"), date_trunc("HOUR", col("ts")).as("seg"))
+      .count().agg(max("count")).head().getLong(0)
+    assert(maxSlice <= 8000 / 20,
+      s"hot user not spread: biggest (user, hour) slice is $maxSlice rows")
+  }
+
   test("saltedCountDistinct equals plain countDistinct on fixture data") {
     val o = Tables.orders(spark, sf0001)
     val plain = o.groupBy("o_orderstatus")

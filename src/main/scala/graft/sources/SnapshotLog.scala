@@ -572,6 +572,104 @@ object SnapshotLog {
     }
   }
 
+  /** Merge-on-read UPDATE — the commit-cost-ladder rung between the
+    * deletion-vector DELETE (O(deleted rows)) and the copy-on-write
+    * rewrite (O(table)): `UPDATE t SET ... WHERE p` as ONE atomic
+    * version that (a) tombstones the matched rows' positions into a new
+    * deletion vector and (b) appends the rewritten matched rows as a new
+    * data directory. Every pre-existing data file is carried by
+    * reference; total write cost is O(matched rows) — at 100 TB an
+    * UPDATE touching 0.1% of rows writes 0.1% of the table, not all of
+    * it. Readers need no new machinery: the DV hides the old copies, the
+    * appended dir supplies the new ones, time travel and vacuum
+    * reference-counting see ordinary dirs + tombs.
+    *
+    * `mkCond` receives the positional base scan (as in
+    * [[tombstoneDeleteWhere]]); `assignments` maps column name →
+    * replacement expression over the current row (non-assigned columns
+    * carry). A predicate matching nothing is a NO-OP returning the
+    * current version — no empty dirs enter the manifest.
+    *
+    * Contract: not for merge-on-read KEYED lineages (their update verb
+    * is [[upsertMor]] — shadowing already gives O(batch) updates) nor
+    * for partition-scoped lineages (their `__gp=` leaf-dir names carry
+    * the partition value, which a flat appended dir cannot; their
+    * upsert verb is [[upsertScoped]] at O(touched partitions)).
+    */
+  def updateWhere(spark: SparkSession, root: String,
+                  mkCond: DataFrame => org.apache.spark.sql.Column,
+                  assignments: Map[String, org.apache.spark.sql.Column]): Long =
+    updateWhere(spark, root, mkCond,
+      (_: DataFrame) => assignments)
+
+  /** [[updateWhere]] with assignments built against the positional base
+    * scan (like `mkCond`) — what the SQL lowering needs to re-bind
+    * resolved `SET` expressions by name.
+    */
+  def updateWhere(spark: SparkSession, root: String,
+                  mkCond: DataFrame => org.apache.spark.sql.Column,
+                  mkAssign: DataFrame => Map[String, org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions.{col, substring_index}
+    withClaim(spark, root) { f =>
+      recoverOrphans(spark, root)
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed version at $root"))
+      require(morKeysOf(spark, root, cur).isEmpty,
+        "updateWhere: merge-on-read keyed lineage — update by key via upsertMor")
+      require(partColOf(spark, root, cur).isEmpty,
+        "updateWhere: partition-scoped lineage — update via upsertScoped")
+      val next = cur + 1L
+      val rootPath = new Path(root.replaceAll("/+$", ""))
+      val base = schemaOf(spark, root, cur) match {
+        case Some(st) =>
+          spark.read.schema(st).parquet(versionPaths(spark, root, cur): _*)
+        case None => spark.read.parquet(versionPaths(spark, root, cur): _*)
+      }
+      val assignments = mkAssign(base)
+      require(assignments.nonEmpty, "updateWhere needs at least one SET assignment")
+      require(assignments.keys.forall(base.columns.contains),
+        s"SET columns ${assignments.keys} must be columns of the table")
+      // positions AND payload in one pruned scan; rows already hidden by
+      // a deletion vector must not match (they would resurrect as
+      // updated copies), so the current vectors apply first
+      val tombs = tombDirsOf(spark, root, cur)
+      val withPos = base
+        .withColumn("__rel", substring_index(col("_metadata.file_path"), "/", -2))
+        .withColumn("__ri", col("_metadata.row_index"))
+      val alive =
+        if (tombs.isEmpty) withPos
+        else withPos.join(
+          spark.read.parquet(tombs.map(d => new Path(rootPath, d).toString): _*),
+          Seq("__rel", "__ri"), "left_anti")
+      val matched = alive.filter(mkCond(base)).persist()
+      try {
+        if (matched.isEmpty) cur
+        else {
+          matched.select(col("__rel"), col("__ri"))
+            .write.mode("overwrite")
+            .parquet(new Path(rootPath, tombDirName(next)).toString)
+          val sel = base.columns.toSeq
+            .map(c => assignments.get(c).map(_.as(c)).getOrElse(col(c)))
+          matched.select(sel: _*).write.mode("overwrite")
+            .parquet(new Path(rootPath, dataDirName(next)).toString)
+          // pre-existing files are untouched → parent sidecar lines carry
+          // verbatim; the appended dir gets no stats line (same contract
+          // as an un-statted append — skipping stays safe, not stale)
+          val carry = sidecarLines(spark, root, cur)
+          if (carry.nonEmpty) writeStats(spark, root, next, Nil, carry)
+          writeManifestDirs(spark, root, next,
+            dirsOf(spark, root, cur) :+ dataDirName(next),
+            batchId = batchIdOf(spark, root, cur).getOrElse(-1L),
+            tombDirs = tombs :+ tombDirName(next),
+            kind = "update",
+            schemaJson = rawSchemaJson(spark, root, cur))
+          publishLatest(spark, root, next)
+          next
+        }
+      } finally matched.unpersist()
+    }
+  }
+
   /** Bounded-wait writer claim: the OCC commit paths hold the claim
     * only for their METADATA-side critical section (head resolve,
     * conflict check, dir rename, sidecar + manifest + pointer), so

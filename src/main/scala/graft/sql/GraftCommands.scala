@@ -122,6 +122,39 @@ case class GraftDeleteCommand(table: GraftTable,
   }
 }
 
+/** UPDATE WHERE on an unpartitioned table → [[SnapshotLog.updateWhere]]:
+  * ONE merge-on-read version that tombstones the matched positions
+  * (deletion vector) and appends the rewritten matched rows — write
+  * cost O(matched rows), zero pre-existing files rewritten. Predicate
+  * and SET expressions are re-bound by name onto the positional scan,
+  * the same contract as [[GraftDeleteCommand]].
+  */
+case class GraftUpdateMorCommand(table: GraftTable,
+                                 condition: Option[Expression],
+                                 sets: Seq[(String, Expression)]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    def rebind(e: Expression,
+               base: org.apache.spark.sql.DataFrame): org.apache.spark.sql.Column = {
+      val out = base.queryExecution.analyzed.output
+      val rebound = e.transform {
+        case a: AttributeReference =>
+          out.find(_.name.equalsIgnoreCase(a.name)).getOrElse(
+            throw new IllegalStateException(
+              s"UPDATE expression column ${a.name} not found in " +
+              s"${out.map(_.name).mkString(", ")}"))
+      }
+      org.apache.spark.sql.graftshim.ClassicShim.column(rebound)
+    }
+    SnapshotLog.updateWhere(spark, table.root,
+      (base: org.apache.spark.sql.DataFrame) =>
+        condition.map(rebind(_, base))
+          .getOrElse(org.apache.spark.sql.functions.lit(true)),
+      (base: org.apache.spark.sql.DataFrame) =>
+        sets.map { case (n, v) => n -> rebind(v, base) }.toMap)
+    Seq.empty
+  }
+}
+
 /** CREATE TABLE AS SELECT: catalog-create with the query schema, then
   * the first commit carries the query result (schema pinned by create).
   */

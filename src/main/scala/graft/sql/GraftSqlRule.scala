@@ -35,7 +35,11 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   *                                  partitions), when the table declared
   *                                  PARTITIONED BY and the merge is the
   *                                  update-all/insert-all-by-key shape)
-  *       - general MERGE / UPDATE → full-snapshot rewrite commit (the
+  *       - UPDATE WHERE p (flat table, no subqueries)
+  *                                → updateWhere          (O(matched rows),
+  *                                  merge-on-read: deletion vector over
+  *                                  the old copies + appended rewrites)
+  *       - general MERGE / other UPDATE → full-snapshot rewrite commit (the
   *                                  copy-on-write fallback; the plan for
   *                                  the new snapshot is composed from
   *                                  the resolved merge actions, so
@@ -172,20 +176,36 @@ object GraftSqlRule {
 
   private def lowerUpdate(session: SparkSession, g: GraftTable,
                           rel: DataSourceV2Relation, u: UpdateTable): LogicalPlan = {
-    val read = expand(session, u.table)
-    val cond = u.condition.getOrElse(Literal.TrueLiteral)
     val assigned: Map[ExprId, Expression] =
       u.assignments.flatMap(a => keyAttr(a.key, rel).map(_.exprId -> a.value)).toMap
     require(assigned.size == u.assignments.size,
       s"unresolvable UPDATE assignment keys in ${u.assignments}")
-    val cols = rel.output.map { t =>
-      assigned.get(t.exprId) match {
-        case Some(v) =>
-          Alias(If(cond, castTo(v, t.dataType), t), t.name)()
-        case None => Alias(t, t.name)()
+    // merge-on-read fast path: tombstone matched positions + append the
+    // rewritten rows in one version — O(matched rows), no file rewrites.
+    // Needs name-rebindable expressions (no subqueries) and a flat
+    // lineage (scoped tables carry the partition value in __gp dir
+    // names, which a flat appended dir can't).
+    val rebindable = (u.condition.toSeq ++ u.assignments.map(_.value))
+      .forall(e => !e.exists(_.isInstanceOf[SubqueryExpression]))
+    if (g.partCol.isEmpty && rebindable) {
+      val sets = rel.output.toSeq.flatMap { t =>
+        assigned.get(t.exprId).map(v => t.name -> castTo(v, t.dataType))
       }
+      GraftUpdateMorCommand(g, u.condition, sets)
+    } else {
+      // copy-on-write fallback: per-column conditional projection over
+      // the snapshot, committed as the complete next version
+      val read = expand(session, u.table)
+      val cond = u.condition.getOrElse(Literal.TrueLiteral)
+      val cols = rel.output.map { t =>
+        assigned.get(t.exprId) match {
+          case Some(v) =>
+            Alias(If(cond, castTo(v, t.dataType), t), t.name)()
+          case None => Alias(t, t.name)()
+        }
+      }
+      GraftReplaceCommand(g, Project(cols, read), "UPDATE")
     }
-    GraftReplaceCommand(g, Project(cols, read), "UPDATE")
   }
 
   // ---- MERGE ----

@@ -47,6 +47,49 @@ class DeletionVectorSpec extends SparkSpecBase {
     assert(rows(SnapshotLog.readVersion(spark, root, 1L)).size == 100)
   }
 
+  test("updateWhere: merge-on-read UPDATE rewrites no pre-existing file, costs O(matched)") {
+    import org.apache.spark.sql.functions._
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root,
+      (1 to 100).map(i => (i, s"v$i")).toDF("k", "v").repartition(4))
+    val before = fileState(new java.io.File(root, "data_v00000001"))
+    val v2 = SnapshotLog.updateWhere(spark, root,
+      base => base("k") % 10 === 0,
+      Map("v" -> concat(lit("upd_"), col("v"))))
+    assert(v2 == 2L)
+    // ONE commit: old files untouched, a tomb dir hides the 10 old
+    // copies, a new data dir carries exactly the 10 rewrites
+    assert(fileState(new java.io.File(root, "data_v00000001")) == before,
+      "updateWhere must not rewrite pre-existing data files")
+    assert(new java.io.File(root, "tomb_v00000002").exists())
+    assert(new java.io.File(root, "data_v00000002").exists())
+    assert(spark.read.parquet(root + "/data_v00000002").count() == 10)
+    val now = rows(SnapshotLog.read(spark, root))
+    assert(now.size == 100)
+    assert(now.filter(_._2.startsWith("upd_")).map(_._1) ==
+      (10 to 100 by 10).toSet)
+    assert(now.contains(10 -> "upd_v10") && now.contains(7 -> "v7"))
+    // time travel still has the originals
+    assert(rows(SnapshotLog.readVersion(spark, root, 1L))
+      .forall(!_._2.startsWith("upd_")))
+    // a second update composes: rows hidden by v2's vector must not
+    // resurrect, and updated rows (new files) are themselves updatable
+    val v3 = SnapshotLog.updateWhere(spark, root,
+      base => base("k") === 10 || base("k") === 7,
+      Map("v" -> lit("twice")))
+    assert(v3 == 3L)
+    val after = rows(SnapshotLog.read(spark, root))
+    assert(after.size == 100)
+    assert(after.contains(10 -> "twice") && after.contains(7 -> "twice"))
+    assert(after.contains(20 -> "upd_v20"))
+    // a predicate matching nothing is a NO-OP: no version bump, no dirs
+    val v4 = SnapshotLog.updateWhere(spark, root,
+      base => base("k") > 1000, Map("v" -> lit("never")))
+    assert(v4 == 3L)
+    assert(!new java.io.File(root, "tomb_v00000004").exists())
+    assert(!new java.io.File(root, "data_v00000004").exists())
+  }
+
   test("re-inserted keys survive older tombstones: deletion is positional, not key-based") {
     val root = freshRoot()
     SnapshotLog.commit(spark, root, kv(1 -> "a", 2 -> "b"))

@@ -74,9 +74,24 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rowsOf("SELECT k, score FROM graft.ns.t WHERE k IN (1, 4)") ==
       Set(Seq(1, null), Seq(4, 9)))
 
-    // --- UPDATE (copy-on-write rewrite commit)
+    // --- UPDATE on a flat table lowers MERGE-ON-READ: one version whose
+    //     deletion vector hides the old copies and whose appended dir
+    //     carries the rewrites — pre-existing data dirs untouched
+    val beforeUpd = SnapshotLog.currentVersion(spark, root("t")).get
     sql("UPDATE graft.ns.t SET v = 'z' WHERE k = 1")
+    val afterUpd = SnapshotLog.currentVersion(spark, root("t")).get
+    assert(afterUpd == beforeUpd + 1)
     assert(rowsOf("SELECT v FROM graft.ns.t WHERE k = 1") == Set(Seq("z")))
+    assert(SnapshotLog.tombDirsOf(spark, root("t"), afterUpd).nonEmpty,
+      "SQL UPDATE must ride the deletion-vector path, not a rewrite")
+    assert(SnapshotLog.dirsOf(spark, root("t"), beforeUpd).forall(
+      SnapshotLog.dirsOf(spark, root("t"), afterUpd).contains),
+      "UPDATE must carry all pre-existing data directories by reference")
+    // SET expressions over the current row re-bind too
+    sql("UPDATE graft.ns.t SET score = score + 1 WHERE k = 4")
+    assert(rowsOf("SELECT score FROM graft.ns.t WHERE k = 4") == Set(Seq(10)))
+    sql("UPDATE graft.ns.t SET score = score - 1 WHERE k = 4")
+    assert(rowsOf("SELECT score FROM graft.ns.t WHERE k = 4") == Set(Seq(9)))
 
     // --- DELETE lowers to deletion vectors: the new head carries a
     //     tombstone dir and the prior version's data dirs verbatim

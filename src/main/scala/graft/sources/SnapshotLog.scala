@@ -913,8 +913,8 @@ object SnapshotLog {
     * [[tombstoneDelete]]); None for flat/append manifests — the OCC
     * rebase check uses this to recognize commits it can reason about.
     */
-  private def manifestKind(spark: SparkSession, root: String,
-                           v: Long): Option[String] =
+  private[graft] def manifestKind(spark: SparkSession, root: String,
+                                  v: Long): Option[String] =
     """"kind":"(\w+)"""".r.findFirstMatchIn(readManifest(spark, root, v))
       .map(_.group(1))
 

@@ -1,0 +1,319 @@
+package graft.streaming
+
+import java.util
+
+import scala.collection.JavaConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.ColumnIOFactory
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.SnapshotLog
+
+/** Structured-Streaming TAIL of a snapshot-log table — the "stream a
+  * lakehouse table" verb (Delta's streaming source shape):
+  *
+  * {{{
+  *   spark.readStream.format("graft").load(root)   // or .option("root", …)
+  * }}}
+  *
+  * Offsets are snapshot VERSION numbers, so the stream inherits the
+  * log's own atomicity: micro-batch (fromV, toV] delivers exactly the
+  * data directories those commits appended — committed versions are
+  * immutable, so replanning a batch after a crash reads byte-identical
+  * input, and Structured Streaming's offset checkpointing makes the
+  * tail exactly-once end to end (proven with a kill/restart in
+  * StreamingSpec). The first batch delivers the whole snapshot at
+  * stream start (initial load), then each poll ships only new commits.
+  *
+  * APPEND-ONLY contract, enforced loudly: every version in a planned
+  * range must be an append commit. A rewrite / scoped upsert / delete /
+  * update / compaction inside the range would change or remove rows the
+  * tail already shipped — silently re-reading them is how downstream
+  * doubles data, so the stream fails with the version and kind instead
+  * (Delta's default refuses the same shapes). Deletion vectors at the
+  * start version are refused for the same reason. Restart the stream
+  * fresh after maintenance.
+  *
+  * Scale: planning is O(manifest) driver work per poll (version diff +
+  * file listing of the NEW dirs only); each micro-batch reads only the
+  * appended files, one InputPartition per file, rows decoded
+  * executor-side straight from parquet (parquet-mr's public Group API —
+  * no driver materialization). Supported column types: the flat
+  * primitives an event/fact stream carries (boolean, int, long, float,
+  * double, string/binary, date, timestamp µs/ms — NANOS and nested
+  * types are refused at planning time with a clear error).
+  */
+class GraftTailProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft"
+
+  private def rootOf(options: CaseInsensitiveStringMap): String = {
+    val r = Option(options.get("root")).orElse(Option(options.get("path")))
+    require(r.isDefined && r.get.nonEmpty,
+      "graft stream needs the table root: .load(<root>) or .option(\"root\", <root>)")
+    r.get
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    SnapshotLog.read(spark, rootOf(options)).schema
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new GraftTailTable(
+      rootOf(new CaseInsensitiveStringMap(properties)), schema)
+}
+
+private[streaming] class GraftTailTable(root: String, schema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-tail:$root"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new GraftTailStream(root, schema)
+        override def description(): String = s"graft tail of $root"
+      }
+    }
+}
+
+private[streaming] case class GraftVersionOffset(version: Long) extends Offset {
+  override def json(): String = s"""{"version":$version}"""
+}
+
+private[streaming] class GraftTailStream(root: String, schema: StructType)
+    extends MicroBatchStream {
+
+  private def spark = SparkSession.active
+
+  override def initialOffset(): Offset = GraftVersionOffset(0L)
+
+  // highest head this stream has observed — the fallback when a poll
+  // races a concurrent pointer swap (below)
+  @volatile private var lastKnown = 0L
+
+  /** The LATEST pointer is the ONE overwritten file in the log, and on a
+    * checksummed local filesystem its rename updates data and .crc
+    * non-atomically — a poll landing mid-swap reads new bytes against
+    * the old checksum and throws. Manifests are write-once, so only this
+    * read can race: retry briefly, then report the last settled head (a
+    * late head is always safe — the next poll catches up; offsets only
+    * ever move forward).
+    */
+  override def latestOffset(): Offset = {
+    var attempt = 0
+    while (attempt < 5) {
+      try {
+        val v = SnapshotLog.currentVersion(spark, root).getOrElse(0L)
+        if (v > lastKnown) lastKnown = v
+        return GraftVersionOffset(lastKnown)
+      } catch {
+        case _: java.io.IOException =>
+          attempt += 1
+          Thread.sleep(20L)
+      }
+    }
+    GraftVersionOffset(lastKnown)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    GraftVersionOffset(""""version":(\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalArgumentException(s"bad graft offset: $json")))
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftVersionOffset].version
+    val e = end.asInstanceOf[GraftVersionOffset].version
+    if (e <= s) return Array.empty
+    // append-only guard: a non-append commit in the range (or a deletion
+    // vector at the end) invalidates rows the tail already shipped —
+    // fail with the offending version instead of double-shipping. Two
+    // checks: the manifest kind (scoped/delete/update/mor announce
+    // themselves) AND dir-set growth (a kind-less full-snapshot rewrite
+    // — keyed commitBatch, INSERT OVERWRITE, compaction — REPLACES dirs,
+    // which a pure append never does).
+    ((s + 1) to e).foreach { v =>
+      val kind = SnapshotLog.manifestKind(spark, root, v)
+      require(kind.isEmpty,
+        s"graft stream at $root: version $v is a '${kind.get}' commit — the " +
+        "tail ships appends only; restart the stream after maintenance/DML")
+    }
+    require(SnapshotLog.tombDirsOf(spark, root, e).isEmpty,
+      s"graft stream at $root: version $e carries deletion vectors — " +
+      "compact first, then restart the stream")
+    var prior = if (s == 0L) Set.empty[String]
+                else SnapshotLog.dirsOf(spark, root, s).toSet
+    val newDirs = scala.collection.mutable.ArrayBuffer[String]()
+    ((s + 1) to e).foreach { v =>
+      val dirs = SnapshotLog.dirsOf(spark, root, v)
+      val lost = prior -- dirs.toSet
+      require(lost.isEmpty,
+        s"graft stream at $root: version $v replaced directories " +
+        s"(${lost.mkString(", ")}) — a rewrite, not an append; restart " +
+        "the stream to pick up the new table state")
+      newDirs ++= dirs.filterNot(prior.contains)
+      prior = dirs.toSet
+    }
+    val rootPath = new Path(root.replaceAll("/+$", ""))
+    val conf = spark.sessionState.newHadoopConf()
+    val files = newDirs.flatMap { d =>
+      val dir = new Path(rootPath, d)
+      val fs = dir.getFileSystem(conf)
+      if (!fs.exists(dir)) Seq.empty
+      else {
+        val it = fs.listFiles(dir, true)
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+            out += st.getPath.toString
+        }
+        out.toSeq
+      }
+    }
+    files.map(f => GraftFilePartition(f, schema.json): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftTailReaderFactory
+}
+
+private[streaming] case class GraftFilePartition(path: String,
+                                                 schemaJson: String)
+    extends InputPartition
+
+private[streaming] class GraftTailReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftParquetGroupReader(partition.asInstanceOf[GraftFilePartition])
+}
+
+/** Executor-side parquet→InternalRow decode via parquet-mr's PUBLIC
+  * example-Group API (ParquetFileReader + GroupRecordConverter): row
+  * groups stream through one at a time, rows convert by NAME against
+  * the declared read schema (a file may carry extra columns; a column
+  * missing from an old file reads null — the pinned-evolution
+  * contract). This is the one place the engine decodes parquet without
+  * Catalyst, and it exists because a DSv2 MicroBatchStream must produce
+  * InternalRows itself; batch reads keep the vectorized Spark reader.
+  */
+private[streaming] class GraftParquetGroupReader(p: GraftFilePartition)
+    extends PartitionReader[InternalRow] {
+
+  private val schema = DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
+  private val conf = new org.apache.hadoop.conf.Configuration()
+  private val reader = ParquetFileReader.open(
+    HadoopInputFile.fromPath(new Path(p.path), conf))
+  private val fileSchema = reader.getFooter.getFileMetaData.getSchema
+  private val columnIO = new ColumnIOFactory().getColumnIO(fileSchema)
+
+  // per declared column: index in the FILE schema (−1 → always null)
+  // and the timestamp unit multiplier to µs (−1 marks INT96, parquet's
+  // legacy julian-day+nanos encoding that Spark may still write)
+  private val fieldPlan: Array[(Int, Long)] = schema.fields.map { f =>
+    val idx = fileSchema.getFields.asScala.indexWhere(_.getName == f.name)
+    val tsToMicros: Long = if (idx < 0) 1L else {
+      val pt = fileSchema.getType(idx)
+      if (pt.isPrimitive && pt.asPrimitiveType().getPrimitiveTypeName ==
+          org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96) -1L
+      else pt.getLogicalTypeAnnotation match {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          t.getUnit match {
+            case LogicalTypeAnnotation.TimeUnit.MILLIS => 1000L
+            case LogicalTypeAnnotation.TimeUnit.MICROS => 1L
+            case LogicalTypeAnnotation.TimeUnit.NANOS =>
+              throw new IllegalArgumentException(
+                s"graft stream: ${f.name} in ${p.path} is TIMESTAMP(NANOS) — " +
+                "unsupported by the tail reader; rewrite at µs precision")
+          }
+        case _ => 1L
+      }
+    }
+    (idx, tsToMicros)
+  }
+
+  /** INT96 → µs since epoch: 8 LE bytes nanos-of-day + 4 LE bytes julian
+    * day (epoch julian day 2440588).
+    */
+  private def int96Micros(bytes: Array[Byte]): Long = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val nanosOfDay = buf.getLong
+    val julianDay = buf.getInt
+    (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
+  }
+
+  private var pages = reader.readNextRowGroup()
+  private var recordReader =
+    if (pages == null) null
+    else columnIO.getRecordReader(pages, new GroupRecordConverter(fileSchema))
+  private var remaining: Long = if (pages == null) 0L else pages.getRowCount
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (remaining == 0L) {
+      pages = reader.readNextRowGroup()
+      if (pages == null) return false
+      recordReader = columnIO.getRecordReader(pages, new GroupRecordConverter(fileSchema))
+      remaining = pages.getRowCount
+    }
+    val g = recordReader.read()
+    remaining -= 1
+    current = convert(g)
+    true
+  }
+
+  private def convert(g: Group): InternalRow = {
+    val row = new GenericInternalRow(schema.length)
+    var i = 0
+    while (i < schema.length) {
+      val (idx, tsMul) = fieldPlan(i)
+      if (idx < 0 || g.getFieldRepetitionCount(idx) == 0) row.setNullAt(i)
+      else schema.fields(i).dataType match {
+        case BooleanType => row.setBoolean(i, g.getBoolean(idx, 0))
+        case IntegerType => row.setInt(i, g.getInteger(idx, 0))
+        case DateType    => row.setInt(i, g.getInteger(idx, 0))
+        case LongType    => row.setLong(i, g.getLong(idx, 0))
+        case TimestampType | TimestampNTZType =>
+          if (tsMul == -1L)
+            row.setLong(i, int96Micros(g.getInt96(idx, 0).getBytes))
+          else row.setLong(i, g.getLong(idx, 0) * tsMul)
+        case FloatType   => row.setFloat(i, g.getFloat(idx, 0))
+        case DoubleType  => row.setDouble(i, g.getDouble(idx, 0))
+        case StringType  =>
+          row.update(i, UTF8String.fromBytes(g.getBinary(idx, 0).getBytes))
+        case BinaryType  => row.update(i, g.getBinary(idx, 0).getBytes)
+        case other => throw new IllegalArgumentException(
+          s"graft stream: unsupported tail column type $other " +
+          s"(${schema.fields(i).name}) — the tail reads flat primitive rows")
+      }
+      i += 1
+    }
+    row
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}

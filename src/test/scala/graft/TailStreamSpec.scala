@@ -1,0 +1,126 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.SnapshotLog
+
+/** Structured-Streaming tail of a snapshot-log table (round 8): version
+  * offsets, initial-snapshot-then-appends delivery, exactly-once across
+  * a kill/restart via the ordinary SS checkpoint, and the loud
+  * append-only contract (rewrites / deletion vectors refuse with the
+  * offending version instead of double-shipping rows).
+  */
+class TailStreamSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_tail").toString + "/t"
+
+  private def rows(table: String): Set[(Long, String, Double)] =
+    spark.table(table).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+
+  test("tail: initial snapshot, live appends, exactly-once across restart") {
+    val root = freshRoot()
+    val ck = Files.createTempDirectory("graft_tail_ck").toString
+    val out = Files.createTempDirectory("graft_tail_out").toString
+    SnapshotLog.commit(spark, root,
+      Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("k", "v", "x"))
+    SnapshotLog.appendCommit(spark, root, Seq((3L, "c", 3.5)).toDF("k", "v", "x"))
+
+    // a fault-tolerant sink (file sink, _spark_metadata exactly-once) so
+    // the SAME checkpoint can recover across a stop/start
+    def start() = spark.readStream.format("graft").load(root)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck).start()
+    def sunk(): Seq[(Long, String, Double)] = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"), r.getAs[Double]("x"))).toSeq
+
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      // first batch = the whole snapshot at stream start (both commits)
+      assert(sunk().toSet ==
+        Set((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)))
+      // a live append arrives incrementally, no duplicates
+      SnapshotLog.appendCommit(spark, root, Seq((4L, "d", 4.5)).toDF("k", "v", "x"))
+      q1.processAllAvailable()
+      assert(sunk().size == 4 && sunk().toSet ==
+        Set((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5), (4L, "d", 4.5)))
+    } finally q1.stop()
+
+    // append while the stream is DOWN; restart from the same checkpoint:
+    // exactly the missed version arrives — nothing re-delivered, nothing
+    // lost (5 distinct rows, 5 physical rows)
+    SnapshotLog.appendCommit(spark, root, Seq((5L, "e", 5.5)).toDF("k", "v", "x"))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val all = sunk()
+      assert(all.size == 5, s"exactly-once violated: ${all.sorted}")
+      assert(all.toSet == Set((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5),
+        (4L, "d", 4.5), (5L, "e", 5.5)))
+    } finally q2.stop()
+  }
+
+  test("tail: timestamp and null columns round-trip through the group reader") {
+    val root = freshRoot()
+    val ck = Files.createTempDirectory("graft_tail_ck2").toString
+    val ts1 = java.sql.Timestamp.valueOf("2024-03-01 10:30:00.123456")
+    SnapshotLog.commit(spark, root,
+      Seq((1L, ts1, Some(10)), (2L, ts1, None))
+        .toDF("k", "ts", "n"))
+    val q = spark.readStream.format("graft").load(root)
+      .writeStream.format("memory").queryName("tail_ts_sink")
+      .option("checkpointLocation", ck).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("tail_ts_sink").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1),
+          if (r.isNullAt(2)) None else Some(r.getInt(2)))).toSet
+      assert(got == Set((1L, ts1, Some(10)), (2L, ts1, None)))
+    } finally q.stop()
+  }
+
+  test("tail refuses a rewrite and a deletion vector with the offending version") {
+    val root = freshRoot()
+    val ck = Files.createTempDirectory("graft_tail_ck3").toString
+    SnapshotLog.commit(spark, root, Seq((1L, "a", 1.5)).toDF("k", "v", "x"))
+    val q = spark.readStream.format("graft").load(root)
+      .writeStream.format("memory").queryName("tail_guard_sink")
+      .option("checkpointLocation", ck).start()
+    try {
+      q.processAllAvailable()
+      assert(rows("tail_guard_sink") == Set((1L, "a", 1.5)))
+      // a deletion vector lands: the next poll must fail loudly, not
+      // silently keep shipping rows the table no longer has
+      SnapshotLog.tombstoneDelete(spark, root, Seq(1L).toDF("k"), Seq("k"))
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(ex).exists(m =>
+        m.contains("'delete' commit") || m.contains("deletion vectors")),
+        s"expected the append-only refusal, got: ${messages(ex)}")
+    } finally q.stop()
+
+    // a full-snapshot rewrite (kind-less manifest) is also refused — the
+    // dir-superset check catches it even without a kind marker
+    val root2 = freshRoot()
+    val ck2 = Files.createTempDirectory("graft_tail_ck4").toString
+    SnapshotLog.commit(spark, root2, Seq((1L, "a", 1.5)).toDF("k", "v", "x"))
+    val q2 = spark.readStream.format("graft").load(root2)
+      .writeStream.format("memory").queryName("tail_guard_sink2")
+      .option("checkpointLocation", ck2).start()
+    try {
+      q2.processAllAvailable()
+      SnapshotLog.commit(spark, root2, Seq((9L, "z", 9.5)).toDF("k", "v", "x"))
+      val ex2 = intercept[Exception] { q2.processAllAvailable() }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(ex2).exists(_.contains("replaced directories")),
+        s"expected the rewrite refusal, got: ${messages(ex2)}")
+    } finally q2.stop()
+  }
+}

@@ -230,6 +230,44 @@ object Relational {
       .orderBy("id_a", "id_b")
   }
 
+  // q103 (round 8) — purchase attribution: per purchase, how many views
+  // the same user made in the 30 minutes BEFORE it (the classic
+  // pre-conversion attribution window). This is the reusable RangeJoin
+  // operator's oracle-checked debut: the Spark side goes through
+  // RangeJoin.rangeJoin — equi-join on (user_id, 30-min bucket), band as
+  // residual, hot users spread over time buckets — while the oracle
+  // states the naive BNLJ-shaped predicate; bit-identical output is the
+  // operator's floor-difference∈{0,1} contract (PlanShapeSpec proves it
+  // at three widths). Purchases with zero prior views drop (inner join)
+  // — the declared semantics, matching the oracle exactly.
+  def q103(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+              col("event_id").as("p_id"), col("value").as("p_value"))
+    RangeJoin.rangeJoin(views, purchases, Seq("user_id"), "v_ts", "p_ts",
+        java.time.Duration.ofMinutes(30))
+      .groupBy(col("user_id"), col("p_id"))
+      .agg(count(lit(1)).as("n_views"),
+           round(max(col("p_value")), 4).as("p_value"))
+      .orderBy("user_id", "p_id")
+  }
+
+  val q103Sql: String =
+    """WITH v AS (
+      |  SELECT user_id, ts AS v_ts FROM events WHERE event_type = 'view'
+      |), p AS (
+      |  SELECT user_id, ts AS p_ts, event_id AS p_id, value AS p_value
+      |  FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT p.user_id, p.p_id, count(*) AS n_views,
+      |       round(max(p.p_value), 4) AS p_value
+      |FROM p JOIN v ON v.user_id = p.user_id
+      | AND p.p_ts > v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 30 MINUTE
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // q11 — as-of join: each purchase ↔ most recent view at or before it for
   // the same user (view-before-purchase on ts ties). Implemented as ONE
   // window pass (union-tag + last(ignoreNulls) over preceding rows) — no
@@ -563,7 +601,8 @@ object Relational {
     "q54_multiway_join"       -> (q54 _),
     "q63_not_in_nulls"        -> (q63 _),
     "q67_lateral_topk"        -> (q67 _),
-    "q70_nullsafe_join"       -> (q70 _))
+    "q70_nullsafe_join"       -> (q70 _),
+    "q103_view_attribution"   -> (q103 _))
 
   val oracle: Map[String, String] = Map(
     "q01_scan_filter_project" -> q01Sql,
@@ -584,5 +623,6 @@ object Relational {
     "q54_multiway_join"       -> q54Sql,
     "q63_not_in_nulls"        -> q63Sql,
     "q67_lateral_topk"        -> q67Sql,
-    "q70_nullsafe_join"       -> q70Sql)
+    "q70_nullsafe_join"       -> q70Sql,
+    "q103_view_attribution"   -> q103Sql)
 }

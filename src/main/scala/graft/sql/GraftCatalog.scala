@@ -33,12 +33,22 @@ import graft.sources.SnapshotLog
 final case class GraftTable(catalogName: String, ident: Identifier,
                             root: String, snapshotVersion: Long,
                             tableSchema: StructType,
-                            partCol: String) extends Table {
+                            partCol: String)
+    extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
   override def name(): String =
     (catalogName +: ident.namespace() :+ ident.name()).mkString(".")
   override def schema(): StructType = tableSchema
+  // MICRO_BATCH_READ only: batch reads never reach a connector scan
+  // (the analyzer rule expands them into the readVersion plan first);
+  // `spark.readStream.table("<cat>.ns.t")` resolves here and tails the
+  // LIVE table through the same version-offset stream as
+  // `readStream.format("graft")` — snapshot pins don't apply to a tail.
   override def capabilities(): java.util.Set[TableCapability] =
-    Collections.emptySet()
+    Collections.singleton(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    graft.streaming.GraftTailTable.scanBuilder(root, tableSchema)
   override def properties(): JMap[String, String] = {
     val m = new java.util.HashMap[String, String]()
     m.put("provider", "graft")

@@ -87,6 +87,15 @@ private[streaming] class GraftTailTable(root: String, schema: StructType)
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    GraftTailTable.scanBuilder(root, schema)
+}
+
+private[graft] object GraftTailTable {
+  /** The version-offset tail scan — shared by `format("graft")` and the
+    * catalog's `readStream.table(...)` path (GraftTable declares
+    * MICRO_BATCH_READ and delegates here).
+    */
+  def scanBuilder(root: String, schema: StructType): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = schema

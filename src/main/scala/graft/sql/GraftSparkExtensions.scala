@@ -15,6 +15,13 @@ import org.apache.spark.sql.SparkSessionExtensions
   * extension is inert for sessions that never touch a graft relation.
   */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(session => GraftSqlRule(session))
+    // the codegen'd vector kernels (vec_dot, vec_norm_sq, vec_lsh,
+    // vec_lsh_probe, vec_pq_encode, vec_pq_adc) become ordinary SQL
+    // functions in extension-configured sessions — the same registry
+    // entries VectorFunctions.register installs per-session for the
+    // harness, injected once here
+    graft.functions.VectorFunctions.builtins.foreach(ext.injectFunction)
+  }
 }

@@ -176,6 +176,16 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set(Seq("x", 0L), Seq("y", 0L)))
   }
 
+  test("vector kernels resolve as plain SQL functions in an extensions session") {
+    val r = sql(
+      """SELECT vec_dot(CAST(array(1.0, 2.0, 3.0) AS ARRAY<FLOAT>),
+        |               CAST(array(4.0, 5.0, 6.0) AS ARRAY<FLOAT>)) AS d,
+        |       vec_norm_sq(CAST(array(3.0, 4.0) AS ARRAY<FLOAT>)) AS n"""
+        .stripMargin).head()
+    assert(math.abs(r.getDouble(0) - 32.0) < 1e-9)
+    assert(math.abs(r.getDouble(1) - 25.0) < 1e-9)
+  }
+
   test("readStream.table tails a catalog table by name (MICRO_BATCH_READ capability)") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
     sql("CREATE TABLE graft.ns.st (k INT, v STRING)")

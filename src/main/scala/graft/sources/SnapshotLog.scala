@@ -1699,19 +1699,8 @@ object SnapshotLog {
   // file) — TSV, not JSON, so string values never fight quote escaping.
   private def esc(s: String): String =
     s.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
-  private def unesc(s: String): String = {
-    val b = new StringBuilder; var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '\\' && i + 1 < s.length) {
-        s.charAt(i + 1) match {
-          case 't' => b += '\t'; case 'n' => b += '\n'; case x => b += x
-        }; i += 2
-      } else { b += c; i += 1 }
-    }
-    b.toString
-  }
-  private val NullMark = "\\N"
+  private def unesc(s: String): String = StatsEval.unesc(s)
+  private val NullMark = StatsEval.NullMark
   // temporal stats serialization: lexicographic == chronological
   private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
   private val DateFmt = "yyyy-MM-dd"
@@ -1752,16 +1741,7 @@ object SnapshotLog {
     * with Java order could wrongly prune a file that contains the probe
     * (regression-tested with U+FFFD vs U+1F600).
     */
-  private def cpLess(a: String, b: String): Boolean = {
-    val n = math.min(a.length, b.length)
-    var i = 0
-    while (i < n) {
-      val ca = a.codePointAt(i); val cb = b.codePointAt(i)
-      if (ca != cb) return ca < cb
-      i += Character.charCount(ca)
-    }
-    a.length < b.length
-  }
+  private def cpLess(a: String, b: String): Boolean = StatsEval.cpLess(a, b)
 
   // LEGACY sidecar bloom geometry (pre-round-7 commits wrote 32768-bit /
   // 3×xxhash64 bitmaps as "b" sidecar lines; append chains still carry
@@ -2067,45 +2047,73 @@ object SnapshotLog {
         case _ => _ => None
       }
     val sp = statsPath(root, version)
-    val text =
-      if (!f.exists(sp)) ""
-      else {
-        val in = f.open(sp)
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      }
-    val span: Map[String, (String, String, String)] =
-      text.split("\n").filter(_.nonEmpty).flatMap { line =>
-        line.split("\t", -1) match {
-          case Array(file, c, tag, mn, mx) if unesc(c) == column && tag != "b" =>
-            Some(unesc(file) -> (tag, mn, mx))
-          case _ => None
-        }
-      }.toMap
+    // probes rendered ONCE driver-side, in the forms both eval paths
+    // compare with (StatsEval holds the shared parse + overlap logic)
     val zone = sessionZone(spark)
-    def overlaps(tag: String, mn: String, mx: String): Boolean = {
-      if (mn == NullMark || mx == NullMark) return false // all-null file
-      if (tag == "n") {
-        // NaN/Infinity (in a stored stat or a probe) do not parse as
-        // BigDecimal — keep the file rather than throw: stats only ever
-        // REMOVE provably-empty work, and a non-finite bound proves nothing
-        scala.util.Try {
-          val (l, h) = (BigDecimal(lo.toString), BigDecimal(hi.toString))
-          !(BigDecimal(unesc(mx)) < l || BigDecimal(unesc(mn)) > h)
-        }.getOrElse(true)
-      } else {
-        val (l, h) = (probeString(lo, zone), probeString(hi, zone))
-        !(cpLess(unesc(mx), l) || cpLess(h, unesc(mn)))
+    val loS = probeString(lo, zone); val hiS = probeString(hi, zone)
+    val loN = scala.util.Try(BigDecimal(lo.toString)).toOption
+    val hiN = scala.util.Try(BigDecimal(hi.toString)).toOption
+    val statBytes = if (f.exists(sp)) f.getFileStatus(sp).getLen else 0L
+    val threshold = spark.conf
+      .getOption("graft.skipping.distributedThresholdBytes")
+      .map(_.toLong).getOrElse(8L << 20)
+    if (statBytes > threshold) {
+      // DISTRIBUTED span evaluation — the 10⁶-file regime: the sidecar
+      // is evaluated as a Spark job and the driver materializes ONLY the
+      // PRUNED file keys (files proven empty for the probe), never the
+      // per-(file, column) span lines. Files without a span keep as
+      // always. A dir-name span consult after a kept file-level span
+      // cannot flip the decision (a file's partition-column span is a
+      // subset of its dir's), so pruned-set membership alone is exact.
+      val colName = column
+      import spark.implicits._
+      val pruned = spark.read.textFile(sp.toString)
+        .flatMap { line =>
+          StatsEval.parseSpan(line) match {
+            case Some((file, c, tag, mn, mx))
+                if c == colName &&
+                   !StatsEval.overlaps(tag, mn, mx, loS, hiS, loN, hiN) =>
+              Some(file)
+            case _ => None
+          }
+        }
+        .collect().toSet
+      val kept = all.filter { p =>
+        val key = p.getParent.getName + "/" + p.getName
+        if (pruned.contains(key)) false
+        else dirSpanOf(p) match {
+          case Some((tag, mn, mx)) =>
+            StatsEval.overlaps(tag, mn, mx, loS, hiS, loN, hiN)
+          case None => true
+        }
       }
-    }
-    val kept = all.filter { p =>
-      span.get(p.getParent.getName + "/" + p.getName)
-        .orElse(dirSpanOf(p)) match {
-        case Some((tag, mn, mx)) => overlaps(tag, mn, mx)
-        case None                => true // no stats: never wrongly prune
+      (kept, all.size)
+    } else {
+      val text =
+        if (!f.exists(sp)) ""
+        else {
+          val in = f.open(sp)
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        }
+      val span: Map[String, (String, String, String)] =
+        text.split("\n").filter(_.nonEmpty).flatMap { line =>
+          StatsEval.parseSpan(line) match {
+            case Some((file, c, tag, mn, mx)) if c == column =>
+              Some(file -> (tag, mn, mx))
+            case _ => None
+          }
+        }.toMap
+      val kept = all.filter { p =>
+        span.get(p.getParent.getName + "/" + p.getName)
+          .orElse(dirSpanOf(p)) match {
+          case Some((tag, mn, mx)) =>
+            StatsEval.overlaps(tag, mn, mx, loS, hiS, loN, hiN)
+          case None => true // no stats: never wrongly prune
+        }
       }
+      (kept, all.size)
     }
-    (kept, all.size)
   }
 
   /** Files of `version` that can contain rows with `column == value` per

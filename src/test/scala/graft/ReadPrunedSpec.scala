@@ -123,6 +123,33 @@ class ReadPrunedSpec extends SparkSpecBase {
       s"Morton clustering must let BOTH spans bite through plain filters: $nFiles of 16")
   }
 
+  test("distributed span evaluation (threshold 0) keeps exact parity with the driver path") {
+    // the 10⁶-file path: above the size threshold the sidecar is
+    // evaluated as a Spark job and the driver collects only PRUNED file
+    // keys. Forcing the threshold to 0 routes every probe through it;
+    // kept-file sets and rows must be identical to the driver-side
+    // default on numeric, string and no-stats probes.
+    val root = chain()
+    def keptNames(): Map[String, (Int, Long)] = {
+      val probes = Seq(
+        ("k range", () => scanned(
+          SnapshotLog.readPruned(spark, root).filter(col("k").between(110, 120)))),
+        ("w string", () => scanned(
+          SnapshotLog.readPruned(spark, root).filter(col("w") === "w305"))),
+        ("k point", () => scanned(
+          SnapshotLog.readPruned(spark, root).filter(col("k") === 7))))
+      probes.map { case (n, f) => val (rows, files) = f(); n -> (rows.size, files) }.toMap
+    }
+    val driver = keptNames()
+    spark.conf.set("graft.skipping.distributedThresholdBytes", "0")
+    try {
+      val dist = keptNames()
+      assert(dist == driver, s"distributed != driver: $dist vs $driver")
+      // and the distributed path still actually prunes (not keep-all)
+      assert(dist("k range")._2 < 4, s"no pruning in distributed path: $dist")
+    } finally spark.conf.unset("graft.skipping.distributedThresholdBytes")
+  }
+
   test("property: arbitrary ranges keep parity with the unpruned read") {
     val root = chain()
     val rnd = new scala.util.Random(7)

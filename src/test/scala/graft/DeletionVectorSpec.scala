@@ -90,6 +90,30 @@ class DeletionVectorSpec extends SparkSpecBase {
     assert(!new java.io.File(root, "data_v00000004").exists())
   }
 
+  test("updateWhere composes with additive schema evolution (pinned-schema scan)") {
+    import org.apache.spark.sql.functions._
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root, kv(1 -> "a", 2 -> "b"))
+    // widen, then update on a PRE-evolution column: the positional scan
+    // must use the pinned schema (old files null-fill `n`), and the
+    // rewritten rows must carry the widened shape
+    SnapshotLog.appendEvolved(spark, root,
+      Seq((3, "c", 30)).toDF("k", "v", "n"))
+    SnapshotLog.updateWhere(spark, root,
+      base => base("v") === "b", Map("v" -> lit("B")))
+    val got = SnapshotLog.read(spark, root).collect()
+      .map(r => (r.getInt(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)))).toSet
+    assert(got == Set((1, "a", None), (2, "B", None), (3, "c", Some(30))))
+    // and updating on the POST-evolution column touches only its rows
+    SnapshotLog.updateWhere(spark, root,
+      base => base("n") === 30, Map("n" -> (col("n") + 1)))
+    val got2 = SnapshotLog.read(spark, root).collect()
+      .map(r => (r.getInt(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)))).toSet
+    assert(got2 == Set((1, "a", None), (2, "B", None), (3, "c", Some(31))))
+  }
+
   test("re-inserted keys survive older tombstones: deletion is positional, not key-based") {
     val root = freshRoot()
     SnapshotLog.commit(spark, root, kv(1 -> "a", 2 -> "b"))

@@ -82,6 +82,27 @@ class TailStreamSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("tail survives additive schema evolution mid-stream at its start-time schema") {
+    val root = freshRoot()
+    val ck = Files.createTempDirectory("graft_tail_ck5").toString
+    SnapshotLog.commit(spark, root, Seq((1L, "a", 1.5)).toDF("k", "v", "x"))
+    val q = spark.readStream.format("graft").load(root)
+      .writeStream.format("memory").queryName("tail_evo_sink")
+      .option("checkpointLocation", ck).start()
+    try {
+      q.processAllAvailable()
+      assert(rows("tail_evo_sink") == Set((1L, "a", 1.5)))
+      // an additive evolution commit (pinned wider schema, no files
+      // rewritten — a superset-dirs append) must NOT break the tail: the
+      // stream keeps its start-time schema, the new column is simply not
+      // shipped (by-name decode), and post-evolution rows still arrive
+      SnapshotLog.appendEvolved(spark, root,
+        Seq((2L, "b", 2.5, 99)).toDF("k", "v", "x", "extra"))
+      q.processAllAvailable()
+      assert(rows("tail_evo_sink") == Set((1L, "a", 1.5), (2L, "b", 2.5)))
+    } finally q.stop()
+  }
+
   test("tail refuses a rewrite and a deletion vector with the offending version") {
     val root = freshRoot()
     val ck = Files.createTempDirectory("graft_tail_ck3").toString

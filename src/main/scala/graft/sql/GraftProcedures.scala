@@ -21,7 +21,7 @@ import graft.sources.SnapshotLog
 object GraftProcedures {
 
   val names: Seq[String] =
-    Seq("restore", "vacuum", "compact_small_files", "history")
+    Seq("restore", "vacuum", "compact_small_files", "history", "optimize_zorder")
 
   def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -29,6 +29,7 @@ object GraftProcedures {
       case "vacuum"              => Some(new Vacuum(cat))
       case "compact_small_files" => Some(new Compact(cat))
       case "history"             => Some(new History(cat))
+      case "optimize_zorder"     => Some(new OptimizeZorder(cat))
       case _                     => None
     }
 
@@ -89,6 +90,28 @@ object GraftProcedures {
     private val out = StructType(Seq(StructField("version", LongType)))
     override def call(input: InternalRow): JIterator[Scan] = {
       val v = SnapshotLog.compactSmallFiles(spark, root(input), input.getLong(1))
+      scanOf(out, Seq(new GenericInternalRow(Array[Any](v))))
+    }
+  }
+
+  /** `CALL c.system.optimize_zorder(table, n_files, 'c1,c2')` → OPTIMIZE
+    * ZORDER: compact the chain into one fresh version re-clustered on a
+    * Morton curve over the named columns, with skipping stats rebuilt on
+    * them — the maintenance verb that converts "stats exist" into
+    * "stats actually prune" (SnapshotLogSpec proves the file-count drop).
+    * Returns the committed version.
+    */
+  private final class OptimizeZorder(cat: GraftCatalog) extends Proc(cat, "optimize_zorder") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType), param("n_files", IntegerType),
+            param("zorder_by", StringType))
+    private val out = StructType(Seq(StructField("version", LongType)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val cols = input.getUTF8String(2).toString.split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq
+      require(cols.size >= 2, "optimize_zorder needs at least two columns")
+      val v = SnapshotLog.compactChain(spark, root(input),
+        nFiles = input.getInt(1), statsCols = cols, zorderBy = cols)
       scanOf(out, Seq(new GenericInternalRow(Array[Any](v))))
     }
   }

@@ -93,7 +93,11 @@ private[streaming] class GraftTailTable(root: String, schema: StructType)
 private[graft] object GraftTailTable {
   /** The version-offset tail scan — shared by `format("graft")` and the
     * catalog's `readStream.table(...)` path (GraftTable declares
-    * MICRO_BATCH_READ and delegates here).
+    * MICRO_BATCH_READ and delegates here). No column-pruning pushdown:
+    * Spark's V2 pushdown rule does not prune micro-batch streaming
+    * scans (verified empirically — pruneColumns is never invoked on a
+    * streaming ScanBuilder), so declaring the interface would be dead
+    * surface; projections apply above the scan as usual.
     */
   def scanBuilder(root: String, schema: StructType): ScanBuilder =
     new ScanBuilder {

@@ -176,6 +176,31 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set(Seq("x", 0L), Seq("y", 0L)))
   }
 
+  test("CALL optimize_zorder compacts, re-clusters, and the result prunes files") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
+    sql("CREATE TABLE graft.ns.z (a INT, b INT)")
+    // round-robin-ish inserts: each commit spans the whole a/b range, so
+    // pre-optimize stats cannot prune a point probe
+    (0 until 4).foreach { i =>
+      val s0 = spark; import s0.implicits._
+      (i until 400 by 4).map(j => (j % 20, j / 20)).toDF("a", "b")
+        .createOrReplaceTempView(s"zb$i")
+      sql(s"INSERT INTO graft.ns.z SELECT * FROM zb$i")
+    }
+    val before = rowsOf("SELECT a, b FROM graft.ns.z")
+    val v = sql("CALL graft.system.optimize_zorder('ns.z', 4, 'a,b')")
+      .head().getLong(0)
+    assert(v > 4)
+    assert(rowsOf("SELECT a, b FROM graft.ns.z") == before,
+      "OPTIMIZE must not change table contents")
+    // the re-clustered layout skips files on a conjunctive range probe
+    val (ka, totalA) = SnapshotLog.candidateFiles(spark, root("z"), v, "a", 0, 4)
+    val (kb, _) = SnapshotLog.candidateFiles(spark, root("z"), v, "b", 0, 4)
+    val kept = ka.map(_.toString).toSet intersect kb.map(_.toString).toSet
+    assert(totalA == 4 && kept.size < totalA,
+      s"z-order layout did not prune: ${kept.size} of $totalA")
+  }
+
   test("vector kernels resolve as plain SQL functions in an extensions session") {
     val r = sql(
       """SELECT vec_dot(CAST(array(1.0, 2.0, 3.0) AS ARRAY<FLOAT>),

@@ -310,6 +310,51 @@ object Relational {
       |FROM w WHERE event_type = 'purchase'
       |ORDER BY purchase_id""".stripMargin
 
+  // q104 (round 8) — forward as-of: each view ↔ the NEXT purchase by the
+  // same user at or after it ("time to conversion", q11's mirror). Goes
+  // through the reusable AsofJoin operator (asofForward: union-tag +
+  // first(ignoreNulls) over the following frame — ONE user_id shuffle,
+  // join-free plan); the oracle states the byte-identical window
+  // formulation. Views with no later purchase keep nulls (left-outer).
+  // Tie rules shared by both engines: a purchase AT the view's ts
+  // matches (inclusive); equal-ts purchases resolve to the LEAST
+  // purchase id (the tieBreak column); view-vs-view order within a tie
+  // is irrelevant (their payload is null to the ignoreNulls first_value)
+  // — so the one engine divergence, null ordering in sort keys (Spark
+  // nulls-first, DuckDB nulls-last), provably cannot affect the result.
+  def q104(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("next_purchase_ts"),
+              col("event_id").as("next_purchase_id"))
+    AsofJoin.asofForward(views, purchases, Seq("user_id"),
+        "view_ts", "next_purchase_ts", tieBreak = Some("next_purchase_id"))
+      .select(col("user_id"), col("view_id"), col("view_ts"),
+              col("next_purchase_id"), col("next_purchase_ts"))
+      .orderBy("view_id")
+  }
+
+  val q104Sql: String =
+    """WITH tagged AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS pri,
+      |         CASE WHEN event_type = 'purchase' THEN ts END AS p_ts,
+      |         CASE WHEN event_type = 'purchase' THEN event_id END AS p_id
+      |  FROM events WHERE event_type IN ('view', 'purchase')
+      |), w AS (
+      |  SELECT user_id, ts, event_id, pri,
+      |         first_value(p_ts IGNORE NULLS) OVER win AS next_purchase_ts,
+      |         first_value(p_id IGNORE NULLS) OVER win AS next_purchase_id
+      |  FROM tagged
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, pri, p_id
+      |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+      |)
+      |SELECT user_id, event_id AS view_id, ts AS view_ts,
+      |       next_purchase_id, next_purchase_ts
+      |FROM w WHERE pri = 0 ORDER BY view_id""".stripMargin
+
   // q12 — flagship TPC-H-Q1-style pricing summary: two-phase hash agg
   // (map-side partial + final), exact DECIMAL money sums internally,
   // declared outputs final-cast to DOUBLE (driver-hash rule).
@@ -602,7 +647,8 @@ object Relational {
     "q63_not_in_nulls"        -> (q63 _),
     "q67_lateral_topk"        -> (q67 _),
     "q70_nullsafe_join"       -> (q70 _),
-    "q103_view_attribution"   -> (q103 _))
+    "q103_view_attribution"   -> (q103 _),
+    "q104_next_purchase"      -> (q104 _))
 
   val oracle: Map[String, String] = Map(
     "q01_scan_filter_project" -> q01Sql,
@@ -624,5 +670,6 @@ object Relational {
     "q63_not_in_nulls"        -> q63Sql,
     "q67_lateral_topk"        -> q67Sql,
     "q70_nullsafe_join"       -> q70Sql,
-    "q103_view_attribution"   -> q103Sql)
+    "q103_view_attribution"   -> q103Sql,
+    "q104_next_purchase"      -> q104Sql)
 }

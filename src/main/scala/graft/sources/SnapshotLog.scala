@@ -670,6 +670,54 @@ object SnapshotLog {
     }
   }
 
+  /** Zero-copy SHALLOW CLONE (the Delta CLONE verb): a new table at
+    * `dstRoot` whose first manifest references the SOURCE version's data
+    * (and deletion-vector) directories by absolute path — no data
+    * copied, metadata-only cost. From then on the two tables evolve
+    * independently: the clone's own commits write under its root, and
+    * reference counting keeps them apart structurally —
+    *  - the clone NEVER rewrites source files (its updates/deletes are
+    *    new tombs + new dirs under dstRoot);
+    *  - vacuum on the clone cannot touch source data: a version only
+    *    deletes dirs named `data_v<own>`, which an absolute foreign
+    *    path never matches;
+    *  - the clone publishes AT the source's version number, so its
+    *    future dir names (data_v(sv+1)…) are disjoint from every
+    *    referenced source dir name — positional deletion-vector keys
+    *    (last two path segments) stay unambiguous.
+    * The standard caveat carries over from Delta: vacuuming the SOURCE
+    * can reclaim dirs a clone still references — shallow clones are dev
+    * snapshots, not backups (documented, as in every lakehouse).
+    * Stats sidecar lines carry verbatim (their file keys are leaf-
+    * relative and leaf names are preserved), so skipping works on the
+    * clone immediately. Returns the clone's head version (= `version`).
+    */
+  def shallowClone(spark: SparkSession, srcRoot: String, dstRoot: String,
+                   version: Option[Long] = None): Long = {
+    val sv = version.getOrElse(currentVersion(spark, srcRoot).getOrElse(
+      throw new IllegalStateException(s"no committed version at $srcRoot")))
+    val m = manifestPath(srcRoot, sv)
+    require(fs(spark, m).exists(m),
+      s"source version $sv does not exist (never committed, or vacuumed) at $srcRoot")
+    val srcPath = new Path(srcRoot.replaceAll("/+$", ""))
+    def abs(d: String): String = new Path(srcPath, d).toString
+    val dirs = dirsOf(spark, srcRoot, sv).map(abs)
+    val tombs = tombDirsOf(spark, srcRoot, sv).map(abs)
+    val carry = sidecarLines(spark, srcRoot, sv)
+    withClaim(spark, dstRoot) { _ =>
+      require(currentVersion(spark, dstRoot).isEmpty,
+        s"clone target $dstRoot already has a committed table")
+      if (carry.nonEmpty) writeStats(spark, dstRoot, sv, Nil, carry)
+      writeManifestDirs(spark, dstRoot, sv, dirs,
+        batchId = -1L, tombDirs = tombs, kind = "clone",
+        partCol = partColOf(spark, srcRoot, sv).getOrElse(""),
+        morKeys = morKeysOf(spark, srcRoot, sv),
+        schemaJson = rawSchemaJson(spark, srcRoot, sv))
+      publishLatest(spark, dstRoot, sv)
+      sv
+    }
+  }
+
   /** Bounded-wait writer claim: the OCC commit paths hold the claim
     * only for their METADATA-side critical section (head resolve,
     * conflict check, dir rename, sidecar + manifest + pointer), so

@@ -21,7 +21,8 @@ import graft.sources.SnapshotLog
 object GraftProcedures {
 
   val names: Seq[String] =
-    Seq("restore", "vacuum", "compact_small_files", "history", "optimize_zorder")
+    Seq("restore", "vacuum", "compact_small_files", "history",
+        "optimize_zorder", "clone")
 
   def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -30,6 +31,7 @@ object GraftProcedures {
       case "compact_small_files" => Some(new Compact(cat))
       case "history"             => Some(new History(cat))
       case "optimize_zorder"     => Some(new OptimizeZorder(cat))
+      case "clone"               => Some(new Clone(cat))
       case _                     => None
     }
 
@@ -112,6 +114,22 @@ object GraftProcedures {
       require(cols.size >= 2, "optimize_zorder needs at least two columns")
       val v = SnapshotLog.compactChain(spark, root(input),
         nFiles = input.getInt(1), statsCols = cols, zorderBy = cols)
+      scanOf(out, Seq(new GenericInternalRow(Array[Any](v))))
+    }
+  }
+
+  /** `CALL c.system.clone(source_table, target_table)` → zero-copy
+    * shallow clone (metadata-only; see SnapshotLog.shallowClone for the
+    * isolation guarantees). Returns the clone's head version.
+    */
+  private final class Clone(cat: GraftCatalog) extends Proc(cat, "clone") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("source_table", StringType), param("target_table", StringType))
+    private val out = StructType(Seq(StructField("version", LongType)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val src = cat.rootOf(input.getUTF8String(0).toString)
+      val dst = cat.rootOf(input.getUTF8String(1).toString)
+      val v = SnapshotLog.shallowClone(spark, src, dst)
       scanOf(out, Seq(new GenericInternalRow(Array[Any](v))))
     }
   }

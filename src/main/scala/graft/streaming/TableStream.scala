@@ -161,6 +161,13 @@ private[streaming] class GraftTailStream(root: String, schema: StructType)
     val s = start.asInstanceOf[GraftVersionOffset].version
     val e = end.asInstanceOf[GraftVersionOffset].version
     if (e <= s) return Array.empty
+    // a table's FIRST committed version may start above 1 (a shallow
+    // clone publishes at the source's version number) and may be of any
+    // kind — nothing was shipped before it, so delivering it whole is
+    // always safe. The guards below therefore apply from the second
+    // version of the range's intersection with table history.
+    val minV = SnapshotLog.versions(spark, root).headOption.getOrElse(return Array.empty)
+    val from = math.max(s + 1, minV)
     // append-only guard: a non-append commit in the range (or a deletion
     // vector at the end) invalidates rows the tail already shipped —
     // fail with the offending version instead of double-shipping. Two
@@ -168,19 +175,21 @@ private[streaming] class GraftTailStream(root: String, schema: StructType)
     // themselves) AND dir-set growth (a kind-less full-snapshot rewrite
     // — keyed commitBatch, INSERT OVERWRITE, compaction — REPLACES dirs,
     // which a pure append never does).
-    ((s + 1) to e).foreach { v =>
-      val kind = SnapshotLog.manifestKind(spark, root, v)
-      require(kind.isEmpty,
-        s"graft stream at $root: version $v is a '${kind.get}' commit — the " +
-        "tail ships appends only; restart the stream after maintenance/DML")
+    (from to e).foreach { v =>
+      if (v != minV) {
+        val kind = SnapshotLog.manifestKind(spark, root, v)
+        require(kind.isEmpty,
+          s"graft stream at $root: version $v is a '${kind.get}' commit — the " +
+          "tail ships appends only; restart the stream after maintenance/DML")
+      }
     }
     require(SnapshotLog.tombDirsOf(spark, root, e).isEmpty,
       s"graft stream at $root: version $e carries deletion vectors — " +
       "compact first, then restart the stream")
-    var prior = if (s == 0L) Set.empty[String]
+    var prior = if (s < minV) Set.empty[String]
                 else SnapshotLog.dirsOf(spark, root, s).toSet
     val newDirs = scala.collection.mutable.ArrayBuffer[String]()
-    ((s + 1) to e).foreach { v =>
+    (from to e).foreach { v =>
       val dirs = SnapshotLog.dirsOf(spark, root, v)
       val lost = prior -- dirs.toSet
       require(lost.isEmpty,

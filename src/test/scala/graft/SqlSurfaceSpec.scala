@@ -201,6 +201,24 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"z-order layout did not prune: ${kept.size} of $totalA")
   }
 
+  test("CALL clone creates a zero-copy table the catalog serves like any other") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
+    sql("CREATE TABLE graft.ns.orig (k INT, v STRING)")
+    sql("INSERT INTO graft.ns.orig VALUES (1, 'a'), (2, 'b')")
+    val v = sql("CALL graft.system.clone('ns.orig', 'ns.copy')").head().getLong(0)
+    assert(v == SnapshotLog.currentVersion(spark, root("orig")).get,
+      "clone publishes at the source's head version")
+    assert(rowsOf("SELECT k, v FROM graft.ns.copy") ==
+      Set(Seq(1, "a"), Seq(2, "b")))
+    // the copy is a first-class catalog table: DML diverges it from the
+    // original without touching it
+    sql("UPDATE graft.ns.copy SET v = 'z' WHERE k = 1")
+    assert(rowsOf("SELECT v FROM graft.ns.copy WHERE k = 1") == Set(Seq("z")))
+    assert(rowsOf("SELECT v FROM graft.ns.orig WHERE k = 1") == Set(Seq("a")))
+    assert(sql("SHOW TABLES IN graft.ns").collect()
+      .map(_.getString(1)).contains("copy"))
+  }
+
   test("vector kernels resolve as plain SQL functions in an extensions session") {
     val r = sql(
       """SELECT vec_dot(CAST(array(1.0, 2.0, 3.0) AS ARRAY<FLOAT>),

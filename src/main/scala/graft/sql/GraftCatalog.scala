@@ -48,7 +48,8 @@ final case class GraftTable(catalogName: String, ident: Identifier,
   override def newScanBuilder(
       options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.read.ScanBuilder =
-    graft.streaming.GraftTailTable.scanBuilder(root, tableSchema)
+    graft.streaming.GraftTailTable.scanBuilder(root, tableSchema,
+      graft.streaming.GraftTailTable.maxVersionsOf(options))
   override def properties(): JMap[String, String] = {
     val m = new java.util.HashMap[String, String]()
     m.put("provider", "graft")

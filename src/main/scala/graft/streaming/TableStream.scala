@@ -87,7 +87,8 @@ private[streaming] class GraftTailTable(root: String, schema: StructType)
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    GraftTailTable.scanBuilder(root, schema)
+    GraftTailTable.scanBuilder(root, schema,
+      GraftTailTable.maxVersionsOf(options))
 }
 
 private[graft] object GraftTailTable {
@@ -99,14 +100,22 @@ private[graft] object GraftTailTable {
     * streaming ScanBuilder), so declaring the interface would be dead
     * surface; projections apply above the scan as usual.
     */
-  def scanBuilder(root: String, schema: StructType): ScanBuilder =
+  def scanBuilder(root: String, schema: StructType,
+                  maxVersionsPerBatch: Option[Long] = None): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new GraftTailStream(root, schema)
+          new GraftTailStream(root, schema, maxVersionsPerBatch)
         override def description(): String = s"graft tail of $root"
       }
+    }
+
+  private[graft] def maxVersionsOf(options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("maxVersionsPerBatch")).map { s =>
+      val n = s.toLong
+      require(n > 0, s"maxVersionsPerBatch must be positive, got $n")
+      n
     }
 }
 
@@ -114,10 +123,31 @@ private[streaming] case class GraftVersionOffset(version: Long) extends Offset {
   override def json(): String = s"""{"version":$version}"""
 }
 
-private[streaming] class GraftTailStream(root: String, schema: StructType)
-    extends MicroBatchStream {
+private[streaming] class GraftTailStream(root: String, schema: StructType,
+                                         maxVersionsPerBatch: Option[Long] = None)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
   private def spark = SparkSession.active
+
+  /** Admission control (`.option("maxVersionsPerBatch", n)` — the
+    * maxFilesPerTrigger analog for a version-offset stream): cap each
+    * micro-batch at n commits past the start offset, so a tail starting
+    * against a long history catches up in bounded batches instead of
+    * one giant initial load. Progress is unchanged, just sliced —
+    * exactness and ordering come from the version offsets as before.
+    */
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val head = latestOffset().asInstanceOf[GraftVersionOffset].version
+    val s = start.asInstanceOf[GraftVersionOffset].version
+    GraftVersionOffset(maxVersionsPerBatch match {
+      case Some(n) => math.min(head, s + n)
+      case None    => head
+    })
+  }
+
+  override def reportLatestOffset(): Offset = latestOffset()
 
   override def initialOffset(): Offset = GraftVersionOffset(0L)
 

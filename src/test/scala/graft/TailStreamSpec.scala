@@ -82,6 +82,32 @@ class TailStreamSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("maxVersionsPerBatch slices catch-up into bounded micro-batches, losing nothing") {
+    val root = freshRoot()
+    val ck = Files.createTempDirectory("graft_tail_ck7").toString
+    SnapshotLog.commit(spark, root, Seq((1L, "a", 1.5)).toDF("k", "v", "x"))
+    (2 to 4).foreach { i =>
+      SnapshotLog.appendCommit(spark, root,
+        Seq((i.toLong, s"r$i", i + 0.5)).toDF("k", "v", "x"))
+    }
+    // 4 committed versions behind; one version per trigger → the catch-up
+    // runs as 4 bounded batches instead of one giant initial load
+    val q = spark.readStream.format("graft")
+      .option("maxVersionsPerBatch", "1").load(root)
+      .writeStream.format("memory").queryName("tail_paced_sink")
+      .option("checkpointLocation", ck).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tail_paced_sink").count() == 4)
+      assert(spark.table("tail_paced_sink").select("k").collect()
+        .map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches == 4,
+        s"expected 4 single-version batches, saw $dataBatches " +
+          q.recentProgress.map(p => p.numInputRows).mkString("[", ",", "]"))
+    } finally q.stop()
+  }
+
   test("tail survives additive schema evolution mid-stream at its start-time schema") {
     val root = freshRoot()
     val ck = Files.createTempDirectory("graft_tail_ck5").toString

@@ -61,6 +61,22 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("lambdafunction"), "interpreted higher-order fn in hot path:\n" + p)
   }
 
+  test("q103: attribution range join is a hash join keyed on (user, bucket), never a nested loop") {
+    val p = plan(Relational.q103(spark, sf0001))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "q103 degenerated to a nested loop:\n" + p)
+    // the RangeJoin bucket must be part of the equi-join KEY — that is
+    // what spreads a hot user's attribution over time buckets
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[[^\\]]*__rj_".r
+      .findFirstIn(p).isDefined, "time bucket not in the join key:\n" + p)
+  }
+
+  test("q104: forward as-of plans as a window — no join node at all") {
+    val p = plan(Relational.q104(spark, sf0001))
+    assert(!p.contains("Join"), "as-of must be join-free:\n" + p)
+    assert(p.contains("Window"), p)
+  }
+
   test("q10: band self-join stays an equi-join on user_id (no nested loop)") {
     val p = plan(Relational.q10(spark, sf0001))
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")

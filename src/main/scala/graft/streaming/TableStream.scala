@@ -69,15 +69,49 @@ class GraftTailProvider extends TableProvider with DataSourceRegister {
     r.get
   }
 
+  private def isChanges(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("changes")).exists(_.equalsIgnoreCase("true"))
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
-    SnapshotLog.read(spark, rootOf(options)).schema
+    val base = SnapshotLog.read(spark, rootOf(options)).schema
+    if (isChanges(options))
+      StructType(base.fields ++ Seq(
+        StructField("_change_type", StringType, nullable = false),
+        StructField("_commit_version", LongType, nullable = false)))
+    else base
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new GraftTailTable(
-      rootOf(new CaseInsensitiveStringMap(properties)), schema)
+                        properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    if (isChanges(opts)) new GraftChangesTable(rootOf(opts), schema)
+    else new GraftTailTable(rootOf(opts), schema)
+  }
+}
+
+/** CDC variant of the tail table: `schema` already carries the two
+  * change-metadata columns (inferSchema added them); the stream decodes
+  * data rows against the schema MINUS those and appends them itself.
+  */
+private[streaming] class GraftChangesTable(root: String, schema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-changes:$root"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val maxV = GraftTailTable.maxVersionsOf(options)
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new GraftChangesStream(root,
+            StructType(schema.fields.dropRight(2)), maxV)
+        override def description(): String = s"graft change feed of $root"
+      }
+    }
+  }
 }
 
 private[streaming] class GraftTailTable(root: String, schema: StructType)
@@ -253,8 +287,18 @@ private[streaming] class GraftTailStream(root: String, schema: StructType,
     new GraftTailReaderFactory
 }
 
+/** One parquet file to decode. `changeType` non-empty marks a CDC
+  * partition: the reader appends (_change_type, _commit_version) to
+  * every row; `positions` non-empty restricts emission to those file
+  * row indexes (how deletion-vector rows are read back as `delete`
+  * change rows — position semantics identical to `_metadata.row_index`,
+  * i.e. sequential over row groups in file order).
+  */
 private[streaming] case class GraftFilePartition(path: String,
-                                                 schemaJson: String)
+                                                 schemaJson: String,
+                                                 changeType: String = "",
+                                                 commitVersion: Long = -1L,
+                                                 positions: Array[Long] = Array.empty)
     extends InputPartition
 
 private[streaming] class GraftTailReaderFactory extends PartitionReaderFactory {
@@ -324,21 +368,36 @@ private[streaming] class GraftParquetGroupReader(p: GraftFilePartition)
   private var remaining: Long = if (pages == null) 0L else pages.getRowCount
   private var current: InternalRow = _
 
+  // CDC state: sequential file row index (== _metadata.row_index) and a
+  // cursor into the sorted wanted-positions array
+  private val cdc = p.changeType.nonEmpty
+  private val wanted: Array[Long] = p.positions.sorted
+  private var rowIdx: Long = -1L
+  private var wcur = 0
+
   override def next(): Boolean = {
-    while (remaining == 0L) {
-      pages = reader.readNextRowGroup()
-      if (pages == null) return false
-      recordReader = columnIO.getRecordReader(pages, new GroupRecordConverter(fileSchema))
-      remaining = pages.getRowCount
+    while (true) {
+      while (remaining == 0L) {
+        pages = reader.readNextRowGroup()
+        if (pages == null) return false
+        recordReader = columnIO.getRecordReader(pages, new GroupRecordConverter(fileSchema))
+        remaining = pages.getRowCount
+      }
+      val g = recordReader.read()
+      remaining -= 1
+      rowIdx += 1
+      if (wanted.isEmpty || (wcur < wanted.length && wanted(wcur) == rowIdx)) {
+        if (wanted.nonEmpty) wcur += 1
+        current = convert(g)
+        return true
+      }
+      if (wanted.nonEmpty && wcur >= wanted.length) return false // past the last wanted row
     }
-    val g = recordReader.read()
-    remaining -= 1
-    current = convert(g)
-    true
+    false
   }
 
   private def convert(g: Group): InternalRow = {
-    val row = new GenericInternalRow(schema.length)
+    val row = new GenericInternalRow(schema.length + (if (cdc) 2 else 0))
     var i = 0
     while (i < schema.length) {
       val (idx, tsMul) = fieldPlan(i)
@@ -363,9 +422,151 @@ private[streaming] class GraftParquetGroupReader(p: GraftFilePartition)
       }
       i += 1
     }
+    if (cdc) {
+      row.update(schema.length, UTF8String.fromString(p.changeType))
+      row.setLong(schema.length + 1, p.commitVersion)
+    }
     row
   }
 
   override def get(): InternalRow = current
   override def close(): Unit = reader.close()
+}
+
+/** CDC streaming source — `.option("changes", "true")`: instead of
+  * refusing non-append commits, ship them as CHANGE ROWS (the Delta
+  * readChangeFeed shape, derived from the log's own artifacts — no
+  * separate change files are ever written):
+  *   - an append's new files            → `insert` rows
+  *   - a deletion vector's positions    → `delete` rows (the tombstoned
+  *     rows read BACK from the still-present data files by position —
+  *     merge-on-read means the old bytes are right there)
+  *   - a merge-on-read UPDATE           → `delete` (old copies) +
+  *     `insert` (rewritten rows), one version, downstream-upsertable
+  * Every row carries (_change_type, _commit_version). Streaming starts
+  * at the head at first poll (future changes only — pair with a batch
+  * read for initial state, the Delta CDF contract); exactly-once across
+  * restart via the same version offsets as the tail. Full-snapshot
+  * rewrites / scoped upserts / clones refuse loudly — their manifests
+  * don't carry row-level provenance (same boundary Delta draws: CDF
+  * needs CDC-capable commits).
+  *
+  * Scale: planning reads manifests plus the RANGE'S OWN tombstone
+  * parquet (O(deleted rows in these commits) driver work — the same
+  * order as Delta's per-commit change files); data files are never read
+  * on the driver.
+  */
+private[streaming] class GraftChangesStream(root: String, dataSchema: StructType,
+                                            maxVersionsPerBatch: Option[Long])
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+
+  private def spark = SparkSession.active
+  @volatile private var lastKnown = 0L
+
+  private def settledHead(): Long = {
+    var attempt = 0
+    while (attempt < 5) {
+      try {
+        val v = SnapshotLog.currentVersion(spark, root).getOrElse(0L)
+        if (v > lastKnown) lastKnown = v
+        return lastKnown
+      } catch {
+        case _: java.io.IOException => attempt += 1; Thread.sleep(20L)
+      }
+    }
+    lastKnown
+  }
+
+  // future changes only: the first poll pins "now" as the start
+  override def initialOffset(): Offset = GraftVersionOffset(settledHead())
+  override def latestOffset(): Offset = GraftVersionOffset(settledHead())
+  override def reportLatestOffset(): Offset = latestOffset()
+
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val head = settledHead()
+    val s = start.asInstanceOf[GraftVersionOffset].version
+    GraftVersionOffset(maxVersionsPerBatch match {
+      case Some(n) => math.min(head, s + n)
+      case None    => head
+    })
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    GraftVersionOffset(""""version":(\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalArgumentException(s"bad graft offset: $json")))
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftVersionOffset].version
+    val e = end.asInstanceOf[GraftVersionOffset].version
+    if (e <= s) return Array.empty
+    val minV = SnapshotLog.versions(spark, root).headOption.getOrElse(return Array.empty)
+    val from = math.max(s + 1, minV)
+    val rootPath = new Path(root.replaceAll("/+$", ""))
+    val conf = spark.sessionState.newHadoopConf()
+    def filesOf(dirs: Seq[String]): Seq[String] = dirs.flatMap { d =>
+      val dir = new Path(rootPath, d)
+      val fs = dir.getFileSystem(conf)
+      if (!fs.exists(dir)) Seq.empty
+      else {
+        val it = fs.listFiles(dir, true)
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+            out += st.getPath.toString
+        }
+        out.toSeq
+      }
+    }
+    val parts = scala.collection.mutable.ArrayBuffer[InputPartition]()
+    (from to e).foreach { v =>
+      val kind = SnapshotLog.manifestKind(spark, root, v)
+      require(v == minV || kind.isEmpty || kind.contains("delete") || kind.contains("update"),
+        s"graft changes stream at $root: version $v is a '${kind.get}' commit — " +
+        "row-level changes are derivable from appends, deletion-vector " +
+        "deletes, and merge-on-read updates only; restart after other maintenance")
+      val prevDirs = if (v - 1 < minV) Set.empty[String]
+                     else SnapshotLog.dirsOf(spark, root, v - 1).toSet
+      val dirs = SnapshotLog.dirsOf(spark, root, v)
+      val lost = prevDirs -- dirs.toSet
+      require(lost.isEmpty,
+        s"graft changes stream at $root: version $v replaced directories " +
+        s"(${lost.mkString(", ")}) — a rewrite carries no row-level provenance")
+      // inserts: this version's new files
+      filesOf(dirs.filterNot(prevDirs.contains)).foreach { f =>
+        parts += GraftFilePartition(f, dataSchema.json, "insert", v)
+      }
+      // deletes: this version's new tombstone positions, read back from
+      // the (still present) data files they point into
+      val prevTombs = if (v - 1 < minV) Set.empty[String]
+                      else SnapshotLog.tombDirsOf(spark, root, v - 1).toSet
+      val newTombs = SnapshotLog.tombDirsOf(spark, root, v).filterNot(prevTombs.contains)
+      if (newTombs.nonEmpty) {
+        val dv = spark.read.parquet(
+            newTombs.map(t => new Path(rootPath, t).toString): _*)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        // __rel = "<leafDir>/<file>" → resolve against the PREVIOUS
+        // version's dir list (the files the positions were taken from)
+        val leafToDir = prevDirs.map(d => new Path(rootPath, d))
+          .map(p => p.getName -> p).toMap
+        dv.groupBy(_._1).foreach { case (rel, rows) =>
+          val Array(leaf, file) = rel.split("/", 2)
+          leafToDir.get(leaf).foreach { dir =>
+            parts += GraftFilePartition(new Path(dir, file).toString,
+              dataSchema.json, "delete", v, rows.map(_._2).distinct.sorted)
+          }
+        }
+      }
+    }
+    parts.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftTailReaderFactory
 }

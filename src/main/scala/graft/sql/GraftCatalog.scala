@@ -45,6 +45,12 @@ final case class GraftTable(catalogName: String, ident: Identifier,
   // `readStream.format("graft")` — snapshot pins don't apply to a tail.
   override def capabilities(): java.util.Set[TableCapability] =
     Collections.singleton(TableCapability.MICRO_BATCH_READ)
+  // NOTE: no `changes` option here — a catalog streaming relation's
+  // output schema is pinned to the TABLE schema at resolution, so the
+  // CDC metadata columns cannot surface through this route (verified
+  // empirically: the extra scan columns are invisible to the relation).
+  // The change feed is the path-based route:
+  // `readStream.format("graft").option("changes", "true").load(root)`.
   override def newScanBuilder(
       options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.read.ScanBuilder =

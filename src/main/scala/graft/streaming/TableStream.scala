@@ -538,9 +538,14 @@ private[streaming] class GraftChangesStream(root: String, dataSchema: StructType
       require(lost.isEmpty,
         s"graft changes stream at $root: version $v replaced directories " +
         s"(${lost.mkString(", ")}) — a rewrite carries no row-level provenance")
+      // an `update` version's old copies and rewrites label as the CDF
+      // pre/post-image pair (one version — consumers re-pair trivially);
+      // plain appends/deletes keep insert/delete
+      val isUpdate = kind.contains("update")
       // inserts: this version's new files
       filesOf(dirs.filterNot(prevDirs.contains)).foreach { f =>
-        parts += GraftFilePartition(f, dataSchema.json, "insert", v)
+        parts += GraftFilePartition(f, dataSchema.json,
+          if (isUpdate) "update_postimage" else "insert", v)
       }
       // deletes: this version's new tombstone positions, read back from
       // the (still present) data files they point into
@@ -559,7 +564,9 @@ private[streaming] class GraftChangesStream(root: String, dataSchema: StructType
           val Array(leaf, file) = rel.split("/", 2)
           leafToDir.get(leaf).foreach { dir =>
             parts += GraftFilePartition(new Path(dir, file).toString,
-              dataSchema.json, "delete", v, rows.map(_._2).distinct.sorted)
+              dataSchema.json,
+              if (isUpdate) "update_preimage" else "delete", v,
+              rows.map(_._2).distinct.sorted)
           }
         }
       }

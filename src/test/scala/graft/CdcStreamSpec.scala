@@ -25,7 +25,7 @@ class CdcStreamSpec extends SparkSpecBase {
     org.apache.spark.sql.types.StructField("_change_type", org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("_commit_version", org.apache.spark.sql.types.LongType)))
 
-  test("changes stream: appends→insert, DV delete→old row, MoR update→delete+insert") {
+  test("changes stream: appends→insert, DV delete→old row, MoR update→pre/post-image pair") {
     val root = freshRoot()
     val ck = Files.createTempDirectory("graft_cdc_ck").toString
     val out = Files.createTempDirectory("graft_cdc_out").toString
@@ -53,13 +53,13 @@ class CdcStreamSpec extends SparkSpecBase {
       assert(feed().toSet == Set(
         (3, "c", "insert", 2L), (1, "a", "delete", 3L)))
 
-      // merge-on-read UPDATE: old copy deletes, rewrite inserts — one version
+      // merge-on-read UPDATE: the CDF pre/post-image pair, one version
       SnapshotLog.updateWhere(spark, root,
         base => base("k") === 2, Map("v" -> lit("B"))) // v4
       q.processAllAvailable()
       assert(feed().toSet == Set(
         (3, "c", "insert", 2L), (1, "a", "delete", 3L),
-        (2, "b", "delete", 4L), (2, "B", "insert", 4L)))
+        (2, "b", "update_preimage", 4L), (2, "B", "update_postimage", 4L)))
       assert(feed().size == 4, s"duplicate change rows: ${feed()}")
     } finally q.stop()
 

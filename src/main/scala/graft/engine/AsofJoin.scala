@@ -70,6 +70,11 @@ object AsofJoin {
 
     val lPay = left.columns.filterNot(keys.contains).toSeq
     val rPay = right.columns.filterNot(keys.contains).toSeq
+    // a null-timestamp right row would sort FIRST in the window and
+    // attach to every left row as the "earliest match" — it can never be
+    // a nearest row, so it drops here; null-timestamp LEFT rows survive
+    // (left-outer) but match nothing (guard below)
+    val rightTs0 = right.filter(col(rightTs).isNotNull)
     // inclusive: right rows visible at equal ts ⇒ right sorts toward the
     // frame (before left when backward, after when forward); strict
     // flips it
@@ -88,7 +93,7 @@ object AsofJoin {
 
     val unioned =
       side(left, leftTs, lPri, lPay, right, rPay, isLeft = true)
-        .unionByName(side(right, rightTs, rPri, rPay, left, lPay, isLeft = false))
+        .unionByName(side(rightTs0, rightTs, rPri, rPay, left, lPay, isLeft = false))
 
     val ord: Seq[Column] =
       Seq(col("__ats"), col("__pri")) ++ tieBreak.map(t => col(t)).toSeq
@@ -122,6 +127,7 @@ object AsofJoin {
 
     out.select(
       keys.map(col) ++ lPay.map(col) ++
-      rPay.map(c => when(within, col(s"__asof_$c")).as(c)): _*)
+      rPay.map(c =>
+        when(within && col("__ats").isNotNull, col(s"__asof_$c")).as(c)): _*)
   }
 }

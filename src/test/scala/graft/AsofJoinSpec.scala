@@ -89,6 +89,26 @@ class AsofJoinSpec extends SparkSpecBase {
       r.isNullAt(r.fieldIndex("v_ts"))))
   }
 
+  test("null timestamps: right nulls never match, left nulls survive unmatched") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val l = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "l1"),
+      (1L, null.asInstanceOf[java.sql.Timestamp], "l2")
+    ).toDF("k", "l_ts", "l_tag")
+    val r = Seq(
+      (1L, ts("2024-01-01 09:00:00"), "r1"),
+      (1L, null.asInstanceOf[java.sql.Timestamp], "rNULL")
+    ).toDF("k", "r_ts", "r_tag")
+    val out = AsofJoin.asofBackward(l, r, Seq("k"), "l_ts", "r_ts",
+        tieBreak = Some("r_tag"))
+      .collect().map(x => (x.getString(2),
+        if (x.isNullAt(4)) None else Some(x.getString(4)))).toMap
+    // l1's nearest is r1 — NOT the null-ts row (which would sort first
+    // and shadow as "earliest"); the null-ts left row matches nothing
+    // but survives (left-outer)
+    assert(out == Map("l1" -> Some("r1"), "l2" -> None), out.toString)
+  }
+
   test("operator reproduces the oracle-checked q11 bit-for-bit, with NO join in the plan") {
     val l = purchases.select(col("user_id"), col("p_ts").as("purchase_ts"),
       col("p_id").as("purchase_id"))

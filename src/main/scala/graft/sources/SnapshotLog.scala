@@ -129,6 +129,15 @@ object SnapshotLog {
     * anti-join at read.
     */
   def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
+    // FILE MANIFEST (round 8): when the sidecar fully lists the
+    // version's files, plan from it — zero filesystem listing, and the
+    // scan gains sidecar/dir-name skipping for free. readPruned is
+    // semantically identical by construction (conservative pruning,
+    // re-applied predicates; parity property-checked in spec), so this
+    // routing changes the PLAN, never the rows. Pre-listing tables take
+    // the legacy DataFrameReader path below.
+    if (filesFromSidecar(spark, root, version).isDefined)
+      return readPruned(spark, root, Some(version))
     val paths = versionPaths(spark, root, version)
     // an evolved chain pins its CURRENT schema in the manifest: the read
     // declares it explicitly and parquet null-fills the pre-evolution
@@ -458,8 +467,7 @@ object SnapshotLog {
           val key = unesc(line.split("\t", -1)(0))
           untouchedBase.contains(key.substring(0, math.max(key.indexOf('/'), 0)))
         })
-      if (statsCols.nonEmpty || carry.nonEmpty)
-        writeStats(spark, root, next, statsCols, carry)
+      writeStats(spark, root, next, statsCols, carry)
       // parent vectors carry: untouched partitions still need them
       // (touched partitions had them folded into the rewrite; stale
       // positions point at dead files and anti-join to nothing)
@@ -514,7 +522,7 @@ object SnapshotLog {
       // the data-file set is untouched, so the parent's sidecar carries
       // verbatim (stats prune files; the vector prunes rows afterwards)
       val carry = sidecarLines(spark, root, cur)
-      if (carry.nonEmpty) writeStats(spark, root, next, Nil, carry)
+      writeStats(spark, root, next, Nil, carry)
       writeManifestDirs(spark, root, next, dirsOf(spark, root, cur),
         batchId = batchIdOf(spark, root, cur).getOrElse(-1L),
         tombDirs = tombDirsOf(spark, root, cur) :+ tombDirName(next),
@@ -559,7 +567,7 @@ object SnapshotLog {
       val td = new Path(rootPath, tombDirName(next))
       hits.write.mode("overwrite").parquet(td.toString)
       val carry = sidecarLines(spark, root, cur)
-      if (carry.nonEmpty) writeStats(spark, root, next, Nil, carry)
+      writeStats(spark, root, next, Nil, carry)
       writeManifestDirs(spark, root, next, dirsOf(spark, root, cur),
         batchId = batchIdOf(spark, root, cur).getOrElse(-1L),
         tombDirs = tombDirsOf(spark, root, cur) :+ tombDirName(next),
@@ -656,7 +664,7 @@ object SnapshotLog {
           // verbatim; the appended dir gets no stats line (same contract
           // as an un-statted append — skipping stays safe, not stale)
           val carry = sidecarLines(spark, root, cur)
-          if (carry.nonEmpty) writeStats(spark, root, next, Nil, carry)
+          writeStats(spark, root, next, Nil, carry)
           writeManifestDirs(spark, root, next,
             dirsOf(spark, root, cur) :+ dataDirName(next),
             batchId = batchIdOf(spark, root, cur).getOrElse(-1L),
@@ -707,7 +715,7 @@ object SnapshotLog {
     withClaim(spark, dstRoot) { _ =>
       require(currentVersion(spark, dstRoot).isEmpty,
         s"clone target $dstRoot already has a committed table")
-      if (carry.nonEmpty) writeStats(spark, dstRoot, sv, Nil, carry)
+      writeStats(spark, dstRoot, sv, Nil, carry)
       writeManifestDirs(spark, dstRoot, sv, dirs,
         batchId = -1L, tombDirs = tombs, kind = "clone",
         partCol = partColOf(spark, srcRoot, sv).getOrElse(""),
@@ -812,8 +820,7 @@ object SnapshotLog {
         throw new IllegalStateException(
           s"could not move staged $staging into ${dataDir(root, next)}")
       val carry = cur.toSeq.flatMap(c => sidecarLines(spark, root, c))
-      if (statsCols.nonEmpty || carry.nonEmpty)
-        writeStats(spark, root, next, statsCols, carry)
+      writeStats(spark, root, next, statsCols, carry)
       writeManifestAppend(spark, root, next, -1L,
         baseDirs = cur.map(dirsOf(spark, root, _)).getOrElse(Nil),
         tombDirs = cur.map(tombDirsOf(spark, root, _)).getOrElse(Nil),
@@ -945,8 +952,7 @@ object SnapshotLog {
           val key = unesc(line.split("\t", -1)(0))
           untouchedBase.contains(key.substring(0, math.max(key.indexOf('/'), 0)))
         })
-      if (statsCols.nonEmpty || carry.nonEmpty)
-        writeStats(spark, root, next, statsCols, carry)
+      writeStats(spark, root, next, statsCols, carry)
       val newDirs = untouched ++ writtenLeafs.map(dataDirName(next) + "/" + _)
       writeManifestDirs(spark, root, next, newDirs,
         tombDirs = head.toSeq.flatMap(tombDirsOf(spark, root, _)),
@@ -1151,8 +1157,7 @@ object SnapshotLog {
                                   morKeys: Seq[String] = Nil): Unit = {
     val dd = dataDir(root, v)
     writeDataDir(spark, df, dd, bloomCols)
-    if (statsCols.nonEmpty || carryStats.nonEmpty)
-      writeStats(spark, root, v, statsCols, carryStats)
+    writeStats(spark, root, v, statsCols, carryStats)
     writeManifestAppend(spark, root, v, batchId, baseDirs, tombDirs, schemaJson,
       morKeys)
   }
@@ -1513,16 +1518,24 @@ object SnapshotLog {
         "per-dir version sequence that shadowing resolves on — use " +
         "compactChain, which folds resolution into a materialized rewrite")
       val rootPath = new Path(root.replaceAll("/+$", ""))
-      // O(files) metadata listing decides the rewrite set — no row data
-      val sized = dirsOf(spark, root, cur).map { d =>
-        val it = f.listFiles(new Path(rootPath, d), true)
-        var tot = 0L
-        while (it.hasNext) {
-          val st = it.next()
-          if (st.isFile && st.getPath.getName.endsWith(".parquet"))
-            tot += st.getLen
+      // the rewrite set is a metadata decision — from the sidecar's file
+      // manifest when complete (zero listing), else an O(files) walk
+      val sized = filesFromSidecar(spark, root, cur) match {
+        case Some(sts) =>
+          val byDir = sts.groupBy(_.getPath.getParent.getName)
+            .map { case (b, ss) => b -> ss.map(_.getLen).sum }
+          dirsOf(spark, root, cur).map(d =>
+            d -> byDir.getOrElse(d.substring(d.lastIndexOf('/') + 1), 0L))
+        case None => dirsOf(spark, root, cur).map { d =>
+          val it = f.listFiles(new Path(rootPath, d), true)
+          var tot = 0L
+          while (it.hasNext) {
+            val st = it.next()
+            if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+              tot += st.getLen
+          }
+          d -> tot
         }
-        d -> tot
       }
       val (small, kept) = sized.partition(_._2 < targetBytes)
       val tombs = tombDirsOf(spark, root, cur)
@@ -1562,9 +1575,14 @@ object SnapshotLog {
         keptDirSet.contains(unesc(l.takeWhile(_ != '\t')).takeWhile(_ != '/')))
       val freshCols =
         if (statsCols.nonEmpty) statsCols
-        else parentLines.map(l => unesc(l.split('\t')(1))).distinct
-      if (freshCols.nonEmpty || carry.nonEmpty)
-        writeStats(spark, root, next, freshCols, carry)
+        // listing lines ("f"/"d") carry no stats column — only span and
+        // bloom lines name columns worth re-deriving on the rewrite
+        else parentLines.flatMap { l =>
+          val p = l.split('\t')
+          if (p.length >= 3 && p(2) != "f" && p(2) != "d") Some(unesc(p(1)))
+          else None
+        }.distinct
+      writeStats(spark, root, next, freshCols, carry)
       writeManifestAppend(spark, root, next,
         batchIdOf(spark, root, cur).getOrElse(-1L),
         baseDirs = kept.map(_._1), tombDirs = nextTombs,
@@ -1862,6 +1880,37 @@ object SnapshotLog {
     val f = fs(spark, dd)
     val lines = Vector.newBuilder[String]
     lines ++= carry
+    // FILE MANIFEST (round 8): record the version's own dirs' file
+    // listings as sidecar lines — `d` marks a dir fully listed, `f`
+    // carries one file's (name, length, mtime). The committer just
+    // wrote these files, so the statuses are a single O(batch) listing
+    // of the new dir; carried lines cover the inherited dirs. Readers
+    // with a complete listing ([[filesFromSidecar]]) plan the scan with
+    // ZERO filesystem listing — the Delta add-file move, riding the
+    // existing carry machinery (keys share the stats lines' dir-part
+    // shape, so every carry filter propagates them untouched).
+    if (f.exists(dd)) {
+      val top = f.listStatus(dd)
+      val (leafDirs, flatFiles) = top.partition(st =>
+        st.isDirectory && st.getPath.getName.startsWith(GpPrefix))
+      if (leafDirs.nonEmpty) {
+        leafDirs.foreach { ld =>
+          val base = ld.getPath.getName
+          lines += s"${esc(base + "/")}\t\td\t$NullMark\t$NullMark"
+          f.listStatus(ld.getPath).filter(st =>
+            st.isFile && st.getPath.getName.endsWith(".parquet")).foreach { st =>
+            lines += s"${esc(base + "/" + st.getPath.getName)}\t\tf\t${st.getLen}\t${st.getModificationTime}"
+          }
+        }
+      } else {
+        val base = dataDirName(v)
+        lines += s"${esc(base + "/")}\t\td\t$NullMark\t$NullMark"
+        flatFiles.filter(st =>
+          st.isFile && st.getPath.getName.endsWith(".parquet")).foreach { st =>
+          lines += s"${esc(base + "/" + st.getPath.getName)}\t\tf\t${st.getLen}\t${st.getModificationTime}"
+        }
+      }
+    }
     if (cols.nonEmpty && f.exists(dd)) {
       // validate requested columns against the SPARK schema (footer-only
       // read — parquet datasource schema resolution reads no row data)
@@ -2081,10 +2130,14 @@ object SnapshotLog {
                                     version: Long, column: String,
                                     lo: Any, hi: Any): (Seq[Path], Int) = {
     val f = fs(spark, dataDir(root, version))
-    val all = versionPaths(spark, root, version).flatMap { d =>
-      f.listStatus(new Path(d)).map(_.getPath)
-        .filter(_.getName.endsWith(".parquet"))
-    }
+    // file manifest first: the probe decision needs only paths, and the
+    // sidecar has them without touching the filesystem
+    val all = filesFromSidecar(spark, root, version)
+      .map(_.map(_.getPath))
+      .getOrElse(versionPaths(spark, root, version).flatMap { d =>
+        f.listStatus(new Path(d)).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).toSeq
+      })
     // dir-name spans for the partition column of a scoped table
     val dirSpanOf: Path => Option[(String, String, String)] =
       partColOf(spark, root, version) match {
@@ -2460,28 +2513,126 @@ object SnapshotLog {
     * and an evolved lineage's pinned schema is declared. Row-count
     * parity under arbitrary filters is property-checked in spec.
     */
+  /** A version's data-file statuses resolved from the SIDECAR's listing
+    * lines alone — the read-planning half of the file manifest. Every
+    * commit records its own new dirs' (file, length, mtime) as `f`
+    * lines plus a `d` marker per fully-listed dir ([[writeStats]]); the
+    * carry machinery propagates them exactly like span lines, so the
+    * head's sidecar always lists the whole live version. Planning a
+    * scan therefore costs ONE sidecar read and ZERO filesystem
+    * listing — on an object store that is the difference between a
+    * million LIST calls and none (Delta's add-file design).
+    *
+    * Returns None unless EVERY manifest dir has its `d` marker — a
+    * table with any pre-listing commit falls back to the walk (never a
+    * partial merge of the two sources, which could silently drop a
+    * file whose dir was listed by an older writer). Keys are dir-part
+    * relative (`data_vNNN/part-…` flat, `__gp=x/part-…` scoped), so a
+    * shallow clone's carried lines resolve against its absolute source
+    * dirs unchanged.
+    */
+  private[graft] def filesFromSidecar(
+      spark: SparkSession, root: String,
+      v: Long): Option[Seq[org.apache.hadoop.fs.FileStatus]] =
+    filesFromLines(spark, root, v, sidecarLines(spark, root, v))
+
+  private def filesFromLines(
+      spark: SparkSession, root: String, v: Long,
+      lines: Seq[String]): Option[Seq[org.apache.hadoop.fs.FileStatus]] = {
+    val listed = scala.collection.mutable.HashSet.empty[String]
+    val byDir = scala.collection.mutable.HashMap
+      .empty[String, Vector[(String, Long, Long)]]
+    lines.foreach { line =>
+      StatsEval.parseListing(line).foreach {
+        case (key, "d", _, _) => listed += key.stripSuffix("/")
+        case (key, "f", len, mtime) =>
+          val cut = key.indexOf('/')
+          if (cut > 0) {
+            val dir = key.substring(0, cut)
+            val name = key.substring(cut + 1)
+            byDir(dir) = byDir.getOrElse(dir, Vector.empty) :+
+              ((name, len.toLong, scala.util.Try(mtime.toLong).getOrElse(0L)))
+          }
+        case _ => ()
+      }
+    }
+    val dirs = dirsOf(spark, root, v)
+    def base(d: String) = d.substring(d.lastIndexOf('/') + 1)
+    // dir-part keys must be unambiguous: flat dirs embed their version,
+    // scoped leafs are one-per-partition-value, clone dirs are version-
+    // disjoint from clone-local ones — but verify, never assume
+    if (dirs.isEmpty || dirs.map(base).distinct.size != dirs.size ||
+        !dirs.forall(d => listed.contains(base(d)))) None
+    else {
+      val rootPath = new Path(root.replaceAll("/+$", ""))
+      Some(dirs.flatMap { d =>
+        val dp = new Path(rootPath, d)
+        byDir.getOrElse(base(d), Vector.empty).map { case (name, len, mtime) =>
+          new org.apache.hadoop.fs.FileStatus(
+            len, false, 1, 128L * 1024 * 1024, mtime, new Path(dp, name))
+        }
+      })
+    }
+  }
+
+  /** The Spark schema a Spark-written parquet file recorded in its own
+    * footer metadata (`org.apache.spark.sql.parquet.row.metadata`) —
+    * one footer read, no listing, and exactly the StructType the
+    * writing DataFrame had (no parquet-type round-trip ambiguity).
+    * None for foreign files without the key (callers fall back to
+    * DataFrameReader inference).
+    */
+  private def sparkSchemaFromFooter(
+      spark: SparkSession,
+      p: Path): Option[org.apache.spark.sql.types.StructType] = {
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        p, spark.sessionState.newHadoopConf()))
+    try {
+      Option(reader.getFooter.getFileMetaData.getKeyValueMetaData
+          .get("org.apache.spark.sql.parquet.row.metadata"))
+        .flatMap(json => scala.util.Try(
+          org.apache.spark.sql.types.DataType.fromJson(json)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption)
+    } finally reader.close()
+  }
+
   def readPruned(spark: SparkSession, root: String,
                  version: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, FileStatusWithMetadata}
     val v = version.getOrElse(currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed version at $root")))
     val paths = versionPaths(spark, root, v)
+    // ONE sidecar read feeds both the file manifest and the spans
+    val lines = sidecarLines(spark, root, v)
+    // FILE MANIFEST first (round 8): a complete sidecar listing plans
+    // the scan with zero filesystem listing; tables committed before
+    // listing lines existed fall back to the per-dir walk
+    val files = filesFromLines(spark, root, v, lines).getOrElse {
+      val fsys = fs(spark, dataDir(root, v))
+      paths.flatMap { d =>
+        fsys.listStatus(new Path(d)).filter(st =>
+          st.isFile && st.getPath.getName.endsWith(".parquet")).toSeq
+      }
+    }
     // nullable throughout: pre-round-7 pins may carry non-nullable
     // fields, which the vectorized reader would refuse on files that
-    // lack them (DataFrameReader.schema relaxes the same way)
-    val schema = asNullable(schemaOf(spark, root, v).getOrElse(
-      spark.read.parquet(paths: _*).schema))
+    // lack them (DataFrameReader.schema relaxes the same way).
+    // Un-pinned lineages have a uniform file schema by contract, so ONE
+    // footer suffices for inference — never an O(files) listing+sniff.
+    // Every graft data file is Spark-written, so the footer carries the
+    // exact StructType in its row.metadata key; reading it keeps schema
+    // resolution listing-free too (a DataFrameReader probe would LIST)
+    val schema = asNullable(schemaOf(spark, root, v)
+      .orElse(files.headOption.flatMap(st => sparkSchemaFromFooter(spark, st.getPath)))
+      .getOrElse(spark.read.parquet(paths: _*).schema))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    val fsys = fs(spark, dataDir(root, v))
-    val files = paths.flatMap { d =>
-      fsys.listStatus(new Path(d)).filter(st =>
-        st.isFile && st.getPath.getName.endsWith(".parquet"))
-    }
     // rel-path keyed spans, grouped per file: dir/file -> col -> span
     val spans: Map[String, Map[String, (String, String, String)]] =
-      sidecarLines(spark, root, v).flatMap { line =>
+      lines.flatMap { line =>
         line.split("\t", -1) match {
-          case Array(file, c, tag, mn, mx) if tag != "b" =>
+          case Array(file, c, tag, mn, mx)
+              if tag != "b" && tag != "f" && tag != "d" =>
             Some((unesc(file), unesc(c), (tag, mn, mx)))
           case _ => None
         }
@@ -2742,7 +2893,7 @@ object SnapshotLog {
       if (toVersion == cur) return cur
       val next = cur + 1L
       val carry = sidecarLines(spark, root, toVersion)
-      if (carry.nonEmpty) writeStats(spark, root, next, Nil, carry)
+      writeStats(spark, root, next, Nil, carry)
       // the RESTORED version's stamp, not the head's: batches newer than
       // the rollback point were rolled back with it and must re-apply
       writeManifestDirs(spark, root, next, dirsOf(spark, root, toVersion),

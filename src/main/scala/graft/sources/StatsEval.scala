@@ -46,12 +46,27 @@ private[sources] object StatsEval extends Serializable {
   }
 
   /** A span sidecar line → (fileKey, column, tag, min, max); None for
-    * bloom ("b") lines and anything malformed.
+    * bloom ("b") lines, file-manifest listing lines ("f" = file entry,
+    * "d" = dir-fully-listed marker) and anything malformed.
     */
   def parseSpan(line: String): Option[(String, String, String, String, String)] =
     line.split("\t", -1) match {
-      case Array(file, c, tag, mn, mx) if tag != "b" =>
+      case Array(file, c, tag, mn, mx)
+          if tag != "b" && tag != "f" && tag != "d" =>
         Some((unesc(file), unesc(c), tag, mn, mx))
+      case _ => None
+    }
+
+  /** A file-manifest sidecar line → (fileKey, tag, len/mtime fields);
+    * the read-planning counterpart of [[parseSpan]]. `f` lines carry
+    * `dir/name → (length, mtime)`; `d` lines mark `dir/` as fully
+    * listed (required before a reader may trust the absence of more
+    * `f` lines for that dir).
+    */
+  def parseListing(line: String): Option[(String, String, String, String)] =
+    line.split("\t", -1) match {
+      case Array(file, _, tag, a, b) if tag == "f" || tag == "d" =>
+        Some((unesc(file), tag, a, b))
       case _ => None
     }
 

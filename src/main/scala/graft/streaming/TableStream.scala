@@ -265,7 +265,14 @@ private[streaming] class GraftTailStream(root: String, schema: StructType,
     }
     val rootPath = new Path(root.replaceAll("/+$", ""))
     val conf = spark.sessionState.newHadoopConf()
-    val files = newDirs.flatMap { d =>
+    // per-poll planning from the END version's file manifest when the
+    // sidecar lists every new dir — zero filesystem listing on the hot
+    // micro-batch path; walk only for pre-listing lineages
+    val newSet = newDirs.map(d => d.substring(d.lastIndexOf('/') + 1)).toSet
+    val fromSidecar = SnapshotLog.filesFromSidecar(spark, root, e)
+      .map(_.filter(st => newSet.contains(st.getPath.getParent.getName))
+            .map(_.getPath.toString))
+    val files = fromSidecar.getOrElse(newDirs.toSeq.flatMap { d =>
       val dir = new Path(rootPath, d)
       val fs = dir.getFileSystem(conf)
       if (!fs.exists(dir)) Seq.empty
@@ -279,7 +286,7 @@ private[streaming] class GraftTailStream(root: String, schema: StructType,
         }
         out.toSeq
       }
-    }
+    })
     files.map(f => GraftFilePartition(f, schema.json): InputPartition).toArray
   }
 
@@ -509,20 +516,28 @@ private[streaming] class GraftChangesStream(root: String, dataSchema: StructType
     val from = math.max(s + 1, minV)
     val rootPath = new Path(root.replaceAll("/+$", ""))
     val conf = spark.sessionState.newHadoopConf()
-    def filesOf(dirs: Seq[String]): Seq[String] = dirs.flatMap { d =>
-      val dir = new Path(rootPath, d)
-      val fs = dir.getFileSystem(conf)
-      if (!fs.exists(dir)) Seq.empty
-      else {
-        val it = fs.listFiles(dir, true)
-        val out = scala.collection.mutable.ArrayBuffer[String]()
-        while (it.hasNext) {
-          val st = it.next()
-          if (st.isFile && st.getPath.getName.endsWith(".parquet"))
-            out += st.getPath.toString
-        }
-        out.toSeq
-      }
+    def filesOf(dirs: Seq[String], v: Long): Seq[String] = {
+      // CDC planning from the version's file manifest when complete —
+      // the change range's dirs are all in that version's sidecar
+      val want = dirs.map(d => d.substring(d.lastIndexOf('/') + 1)).toSet
+      SnapshotLog.filesFromSidecar(spark, root, v)
+        .map(_.filter(st => want.contains(st.getPath.getParent.getName))
+              .map(_.getPath.toString))
+        .getOrElse(dirs.flatMap { d =>
+          val dir = new Path(rootPath, d)
+          val fs = dir.getFileSystem(conf)
+          if (!fs.exists(dir)) Seq.empty
+          else {
+            val it = fs.listFiles(dir, true)
+            val out = scala.collection.mutable.ArrayBuffer[String]()
+            while (it.hasNext) {
+              val st = it.next()
+              if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+                out += st.getPath.toString
+            }
+            out.toSeq
+          }
+        })
     }
     val parts = scala.collection.mutable.ArrayBuffer[InputPartition]()
     (from to e).foreach { v =>
@@ -543,7 +558,7 @@ private[streaming] class GraftChangesStream(root: String, dataSchema: StructType
       // plain appends/deletes keep insert/delete
       val isUpdate = kind.contains("update")
       // inserts: this version's new files
-      filesOf(dirs.filterNot(prevDirs.contains)).foreach { f =>
+      filesOf(dirs.filterNot(prevDirs.contains), v).foreach { f =>
         parts += GraftFilePartition(f, dataSchema.json,
           if (isUpdate) "update_postimage" else "insert", v)
       }

@@ -286,12 +286,24 @@ class SnapshotLogSpec extends SparkSpecBase {
     val logDir = new java.io.File(root, "_graft_log")
     val sidecars = logDir.list().filter(_.endsWith(".stats")).toSeq
     assert(sidecars == Seq("v00000002.stats"), sidecars.toString)
-    // a crashed writer's staged stats are debris the next commit removes
+    // a crashed writer's staged stats are debris the next commit removes —
+    // the version number is then REUSED, and its fresh sidecar (every
+    // commit writes one since the round-8 file manifest) must hold the
+    // new commit's listing, never the orphan's span lines
     SnapshotLog.stageVersion(spark, root, kv(5 -> "crash"), 3L, statsCols = Seq("k"))
     SnapshotLog.commit(spark, root, kv(6 -> "after"))
-    val after = logDir.list().filter(_.endsWith(".stats")).toSeq
-    assert(after == Seq("v00000002.stats"),
-      s"orphaned v3 stats should be recovered: $after")
+    val after = logDir.list().filter(_.endsWith(".stats")).toSeq.sorted
+    assert(after == Seq("v00000002.stats", "v00000003.stats"),
+      s"orphaned v3 stats should be recovered before v3 is recommitted: $after")
+    val v3Lines = scala.io.Source.fromFile(
+      new java.io.File(logDir, "v00000003.stats")).getLines().toSeq
+    val orphanSpans = v3Lines.filter { l =>
+      val p = l.split("\t", -1)
+      l.startsWith("data_v00000003/") && p.length == 5 &&
+        p(2) != "f" && p(2) != "d"
+    }
+    assert(orphanSpans.isEmpty,
+      s"orphan writer's span lines leaked into the recommitted v3: $orphanSpans")
     assert(rows(SnapshotLog.read(spark, root)) == Set(6 -> "after"))
   }
 

@@ -17,6 +17,18 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(session => GraftSqlRule(session))
+    // batch CDC as a TABLE FUNCTION: `SELECT * FROM
+    // table_changes('ns.t', fromV, toV, 'k1,k2')` — registered through
+    // the native TableFunctionRegistry hook so Spark's own TVF
+    // resolution finds it (Delta's table_changes shape, lowered onto
+    // SnapshotLog.changesBetween — distributed, nothing driver-side)
+    ext.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("table_changes"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.sql.GraftSqlRule", "table_changes"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftSqlRule.lowerTableChanges(
+          org.apache.spark.sql.SparkSession.active, args)))
     // the codegen'd vector kernels (vec_dot, vec_norm_sq, vec_lsh,
     // vec_lsh_probe, vec_pq_encode, vec_pq_adc) become ordinary SQL
     // functions in extension-configured sessions — the same registry

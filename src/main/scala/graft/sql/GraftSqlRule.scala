@@ -154,6 +154,67 @@ object GraftSqlRule {
       case r: DataSourceV2Relation if isGraft(r) => expandRelation(session, r)
     }
 
+  /** `SELECT * FROM table_changes('ns.t', fromV, toV, 'k1,k2')` — the
+    * batch CDC surface (Delta's table_changes shape): change rows
+    * between two committed versions of a graft-catalog table, computed
+    * by [[graft.sources.SnapshotLog.changesBetween]] (O(delta) direct
+    * reads on append lineages, keyed snapshot diff otherwise — fully
+    * distributed either way, nothing is collected to the driver).
+    * Registered as a session TABLE FUNCTION through
+    * `SparkSessionExtensions.injectTableFunction` ([[GraftSparkExtensions]])
+    * — the native registry hook, so Spark's own TVF resolution finds it
+    * like `range` or `explode` (an analyzer-rule interception would lose
+    * the race: function resolution throws on unknown names before
+    * extension resolution rules run).
+    */
+  private[sql] def lowerTableChanges(
+      session: SparkSession,
+      args: Seq[Expression]): LogicalPlan = {
+    def str(e: Expression, what: String): String = e match {
+      case Literal(s, org.apache.spark.sql.types.StringType) if s != null =>
+        s.toString
+      case other => throw new IllegalArgumentException(
+        s"table_changes: $what must be a string literal, got $other")
+    }
+    def lng(e: Expression, what: String): Long = e match {
+      case Literal(v, dt)
+          if v != null && (dt == org.apache.spark.sql.types.IntegerType ||
+                           dt == org.apache.spark.sql.types.LongType ||
+                           dt == org.apache.spark.sql.types.ShortType) =>
+        v.toString.toLong
+      case other => throw new IllegalArgumentException(
+        s"table_changes: $what must be an integer literal, got $other")
+    }
+    require(args.length == 4,
+      "table_changes(table, fromVersion, toVersion, keys) takes exactly " +
+      s"4 arguments, got ${args.length}")
+    val Seq(tArg, fromArg, toArg, keysArg) = args
+    val parts = session.sessionState.sqlParser
+      .parseMultipartIdentifier(str(tArg, "table name"))
+    // resolve the identifier against an explicit graft catalog prefix,
+    // or the session's current catalog when it IS a graft catalog
+    val mgr = session.sessionState.catalogManager
+    val (cat, ident) = parts match {
+      case head +: rest if rest.nonEmpty &&
+          scala.util.Try(mgr.catalog(head)).toOption.exists(_.isInstanceOf[GraftCatalog]) =>
+        (mgr.catalog(head).asInstanceOf[GraftCatalog],
+         org.apache.spark.sql.connector.catalog.Identifier.of(
+           rest.init.toArray, rest.last))
+      case _ =>
+        require(mgr.currentCatalog.isInstanceOf[GraftCatalog],
+          s"table_changes: '${parts.mkString(".")}' does not name a table in " +
+          "a graft catalog (qualify with the catalog name or USE it)")
+        (mgr.currentCatalog.asInstanceOf[GraftCatalog],
+         org.apache.spark.sql.connector.catalog.Identifier.of(
+           parts.init.toArray, parts.last))
+    }
+    val root = cat.tableRoot(ident)
+    val keys = str(keysArg, "keys").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    graft.sources.SnapshotLog.changesBetween(session, root,
+      lng(fromArg, "fromVersion"), lng(toArg, "toVersion"), keys)
+      .queryExecution.analyzed
+  }
+
   private[sql] def expandRelation(session: SparkSession,
                                   r: DataSourceV2Relation): LogicalPlan = {
     val g = graftOf(r)

@@ -284,4 +284,32 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set(Seq(1, "a", 10), Seq(2, "a", 21), Seq(3, "b", 30), Seq(4, "a", 40)))
   }
 
+  test("table_changes TVF: batch CDC between two versions through plain SQL") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
+    sql("CREATE TABLE graft.ns.cdc (k INT, v STRING)")             // v1 (empty)
+    sql("INSERT INTO graft.ns.cdc VALUES (1, 'a'), (2, 'b')")      // v2
+    sql("INSERT INTO graft.ns.cdc VALUES (3, 'c')")                // v3
+    // append lineage: the feed between v2 and v3 is the delta dir,
+    // read directly as inserts — no table diff planned
+    assert(rowsOf(
+      "SELECT change_type, k, new_v FROM table_changes('graft.ns.cdc', 2, 3, 'k')") ==
+      Set(Seq("insert", 3, "c")))
+    // a DELETE breaks the pure-append short-circuit; the keyed snapshot
+    // diff reports the tombstoned key as a delete
+    sql("DELETE FROM graft.ns.cdc WHERE k = 1")                    // v4
+    assert(rowsOf(
+      "SELECT change_type, k, old_v, new_v FROM table_changes('graft.ns.cdc', 3, 4, 'k')") ==
+      Set(Seq("delete", 1, "a", null)))
+    // composes like any relation: filters, aggregates, joins
+    assert(rowsOf(
+      """SELECT change_type, count(*) AS n
+         FROM table_changes('graft.ns.cdc', 2, 4, 'k')
+         GROUP BY change_type""") ==
+      Set(Seq("insert", 1L), Seq("delete", 1L)))
+    // argument validation fails loudly, not silently
+    val e = intercept[Exception](
+      sql("SELECT * FROM table_changes('graft.ns.cdc', 1, 2)").collect())
+    assert(e.getMessage.contains("4 arguments"), e.getMessage)
+  }
+
 }

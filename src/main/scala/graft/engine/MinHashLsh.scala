@@ -29,17 +29,34 @@ object MinHashLsh {
 
   /** doc_id + sorted distinct word n-gram shingles, exploded (one row per
     * (doc_id, shingle)).
+    *
+    * Docs with fewer than n words produce NO shingles by default (they
+    * have no n-gram; downstream they carry a null signature and are
+    * treated as unique — the streaming ingest gate's documented
+    * contract). `shortDocWhole = true` opts into the production
+    * fallback instead: a short doc contributes its WHOLE text as one
+    * shingle, so two byte-identical short docs still produce identical
+    * signatures (collide in every band → estimated Jaccard 1.0 → caught
+    * by dedup) while distinct short docs share nothing and never
+    * false-pair. The fallback changes no ≥n-word doc's shingles.
     */
   def shingles(docs: DataFrame, n: Int, idCol: String = "doc_id",
-               textCol: String = "text"): DataFrame = {
+               textCol: String = "text",
+               shortDocWhole: Boolean = false): DataFrame = {
     val words = split(col(textCol), " ")
     // word n-grams via transform over a 0..len-n index range
     val grams = expr(
       s"""transform(sequence(0, greatest(size(split($textCol, ' ')) - $n, 0)),
          |  i -> array_join(slice(split($textCol, ' '), i + 1, $n), ' '))""".stripMargin)
-    docs
-      .filter(size(words) >= n)
-      .select(col(idCol), explode(array_distinct(grams)).as("shingle"))
+    if (shortDocWhole)
+      docs.select(col(idCol),
+        explode(array_distinct(
+          when(size(words) >= n, grams).otherwise(array(col(textCol)))))
+          .as("shingle"))
+    else
+      docs
+        .filter(size(words) >= n)
+        .select(col(idCol), explode(array_distinct(grams)).as("shingle"))
   }
 
   /** k-column MinHash signature per doc: row per doc_id, columns mh_0..mh_{k-1}. */
@@ -130,12 +147,14 @@ object MinHashLsh {
   }
 
   /** End-to-end near-dup pipeline: docs → candidate pairs with estimated
-    * Jaccard ≥ threshold, ordered deterministically.
+    * Jaccard ≥ threshold, ordered deterministically. `shortDocWhole`
+    * opts short docs into whole-text-shingle dedup (see [[shingles]]).
     */
   def nearDuplicates(docs: DataFrame, n: Int = 5, k: Int = 64,
-                     bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+                     bands: Int = 16, threshold: Double = 0.5,
+                     shortDocWhole: Boolean = false): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
-    val sh = shingles(docs, n)
+    val sh = shingles(docs, n, shortDocWhole = shortDocWhole)
     // signatures feed BOTH banding and estimation — materialize once via
     // LAZY localCheckpoint rather than cache(): checkpoint blocks belong
     // to the plan and are reclaimed by the ContextCleaner when the result

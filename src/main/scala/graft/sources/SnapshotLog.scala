@@ -502,11 +502,9 @@ object SnapshotLog {
       val rootPath = new Path(root.replaceAll("/+$", ""))
       // pin an evolved lineage's schema so mixed pre/post-evolution dirs
       // don't play schema roulette under the position scan
-      val base = schemaOf(spark, root, cur) match {
-        case Some(st) =>
-          spark.read.schema(st).parquet(versionPaths(spark, root, cur): _*)
-        case None => spark.read.parquet(versionPaths(spark, root, cur): _*)
-      }
+      // file-manifest scan: schema declared, zero listing when the
+      // sidecar is complete (prunedBaseScan); raw positions, no DV/MoR
+      val base = prunedBaseScan(spark, root, cur)
       require(keys.forall(base.columns.contains),
         s"keys $keys must be columns of the table")
       // one key-pruned scan finds positions; already-tombstoned rows may
@@ -554,11 +552,9 @@ object SnapshotLog {
         throw new IllegalStateException(s"no committed version at $root"))
       val next = cur + 1L
       val rootPath = new Path(root.replaceAll("/+$", ""))
-      val base = schemaOf(spark, root, cur) match {
-        case Some(st) =>
-          spark.read.schema(st).parquet(versionPaths(spark, root, cur): _*)
-        case None => spark.read.parquet(versionPaths(spark, root, cur): _*)
-      }
+      // file-manifest scan: schema declared, zero listing when the
+      // sidecar is complete (prunedBaseScan); raw positions, no DV/MoR
+      val base = prunedBaseScan(spark, root, cur)
       val hits = base
         .withColumn("__rel", substring_index(col("_metadata.file_path"), "/", -2))
         .withColumn("__ri", col("_metadata.row_index"))
@@ -628,11 +624,9 @@ object SnapshotLog {
         "updateWhere: partition-scoped lineage — update via upsertScoped")
       val next = cur + 1L
       val rootPath = new Path(root.replaceAll("/+$", ""))
-      val base = schemaOf(spark, root, cur) match {
-        case Some(st) =>
-          spark.read.schema(st).parquet(versionPaths(spark, root, cur): _*)
-        case None => spark.read.parquet(versionPaths(spark, root, cur): _*)
-      }
+      // file-manifest scan: schema declared, zero listing when the
+      // sidecar is complete (prunedBaseScan); raw positions, no DV/MoR
+      val base = prunedBaseScan(spark, root, cur)
       val assignments = mkAssign(base)
       require(assignments.nonEmpty, "updateWhere needs at least one SET assignment")
       require(assignments.keys.forall(base.columns.contains),
@@ -2142,8 +2136,8 @@ object SnapshotLog {
     val dirSpanOf: Path => Option[(String, String, String)] =
       partColOf(spark, root, version) match {
         case Some(pc) if pc == column =>
-          val dt = spark.read.parquet(versionPaths(spark, root, version): _*)
-            .schema.find(_.name == column).map(_.dataType)
+          val dt = tableSchema(spark, root, version)
+            .find(_.name == column).map(_.dataType)
           p => gpDirSpan(dt, p.getParent.getName)
         case _ => _ => None
       }
@@ -2254,8 +2248,7 @@ object SnapshotLog {
           }
         }.toMap
       }
-    val dt = spark.read.parquet(versionPaths(spark, root, version): _*)
-      .schema.apply(column).dataType
+    val dt = tableSchema(spark, root, version).apply(column).dataType
     val (haveSidecar, noSidecar) = rangeKept.partition(p =>
       blooms.contains(p.getParent.getName + "/" + p.getName))
     val keptSidecar = {
@@ -2391,8 +2384,7 @@ object SnapshotLog {
     val (kept, _) = candidateFilesEquals(spark, root, v, column, value)
     // an evolved lineage's pinned schema wins over footer inference —
     // mixed pre/post-evolution dirs must not pick a narrow file's schema
-    val schema = schemaOf(spark, root, v).getOrElse(
-      spark.read.parquet(versionPaths(spark, root, v): _*).schema)
+    val schema = tableSchema(spark, root, v)
     val base =
       if (kept.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -2442,8 +2434,7 @@ object SnapshotLog {
       candidateFiles(spark, root, v, c, lo, hi)._1.map(_.toString).toSet
     }
     val kept = keptSets.reduce(_ intersect _)
-    val schema = schemaOf(spark, root, v).getOrElse(
-      spark.read.parquet(versionPaths(spark, root, v): _*).schema)
+    val schema = tableSchema(spark, root, v)
     val base =
       if (kept.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -2575,6 +2566,41 @@ object SnapshotLog {
     }
   }
 
+  /** Bytes of the delta dir a version added — from its sidecar's `f`
+    * listing lines when the dir's `d` marker is present (zero listing),
+    * else a one-dir walk. What byte-based streaming admission control
+    * budgets with: the cost of shipping version v's append is exactly
+    * this number.
+    */
+  private[graft] def deltaBytesOf(spark: SparkSession, root: String,
+                                  v: Long): Long = {
+    val base = dataDirName(v)
+    var marked = false; var sum = 0L
+    sidecarLines(spark, root, v).foreach { line =>
+      StatsEval.parseListing(line).foreach {
+        case (key, "d", _, _) if key.stripSuffix("/") == base => marked = true
+        case (key, "f", len, _) if key.startsWith(base + "/") =>
+          sum += scala.util.Try(len.toLong).getOrElse(0L)
+        case _ => ()
+      }
+    }
+    if (marked) sum
+    else {
+      val dd = dataDir(root, v)
+      val f = fs(spark, dd)
+      if (!f.exists(dd)) 0L
+      else {
+        val it = f.listFiles(dd, true); var t = 0L
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+            t += st.getLen
+        }
+        t
+      }
+    }
+  }
+
   /** The Spark schema a Spark-written parquet file recorded in its own
     * footer metadata (`org.apache.spark.sql.parquet.row.metadata`) —
     * one footer read, no listing, and exactly the StructType the
@@ -2597,11 +2623,27 @@ object SnapshotLog {
     } finally reader.close()
   }
 
-  def readPruned(spark: SparkSession, root: String,
-                 version: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, FileStatusWithMetadata}
-    val v = version.getOrElse(currentVersion(spark, root).getOrElse(
-      throw new IllegalStateException(s"no committed version at $root")))
+  /** A version's table schema at metadata cost: the manifest pin, else
+    * the Spark row.metadata of ONE file footer, else (foreign files
+    * only) a DataFrameReader inference — which LISTS, so the fallbacks
+    * before it matter.
+    */
+  private def tableSchema(spark: SparkSession, root: String,
+                          v: Long): org.apache.spark.sql.types.StructType =
+    schemaOf(spark, root, v)
+      .orElse(filesFromSidecar(spark, root, v).flatMap(_.headOption)
+        .flatMap(st => sparkSchemaFromFooter(spark, st.getPath)))
+      .getOrElse(spark.read.parquet(versionPaths(spark, root, v): _*).schema)
+
+  /** The base file scan of a version — schema declared, files from the
+    * sidecar manifest (or walk fallback), spans + dir-name partition
+    * pruning mounted via [[SkippingFileIndex]] — WITHOUT deletion
+    * vectors or merge-on-read resolution. Write paths scan through this
+    * (they need raw positions); [[readPruned]] layers visibility on top.
+    */
+  private def prunedBaseScan(spark: SparkSession, root: String,
+                             v: Long): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.HadoopFsRelation
     val paths = versionPaths(spark, root, v)
     // ONE sidecar read feeds both the file manifest and the spans
     val lines = sidecarLines(spark, root, v)
@@ -2649,12 +2691,19 @@ object SnapshotLog {
       bucketSpec = None,
       fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
       options = Map.empty)(spark)
+    spark.baseRelationToDataFrame(relation)
+  }
+
+  def readPruned(spark: SparkSession, root: String,
+                 version: Option[Long] = None): DataFrame = {
+    val v = version.getOrElse(currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root")))
     // merge-on-read: resolution sits ABOVE the skipping scan, and
     // Catalyst only pushes key-column predicates through its window —
     // the index therefore only ever sees filters for which file pruning
     // is shadow-safe (all physical copies of a key prune together)
     val mk = morKeysOf(spark, root, v)
-    val base0 = spark.baseRelationToDataFrame(relation)
+    val base0 = prunedBaseScan(spark, root, v)
     val base = if (mk.isEmpty) base0 else base0.withColumn(MorSeqCol, morSeq)
     val vis = applyTombstoneDirs(spark, root, tombDirsOf(spark, root, v), base)
     if (mk.isEmpty) vis else resolveLatest(vis, mk)

@@ -55,7 +55,8 @@ final case class GraftTable(catalogName: String, ident: Identifier,
       options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.read.ScanBuilder =
     graft.streaming.GraftTailTable.scanBuilder(root, tableSchema,
-      graft.streaming.GraftTailTable.maxVersionsOf(options))
+      graft.streaming.GraftTailTable.maxVersionsOf(options),
+      graft.streaming.GraftTailTable.maxBytesOf(options))
   override def properties(): JMap[String, String] = {
     val m = new java.util.HashMap[String, String]()
     m.put("provider", "graft")

@@ -122,7 +122,8 @@ private[streaming] class GraftTailTable(root: String, schema: StructType)
     Set(TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     GraftTailTable.scanBuilder(root, schema,
-      GraftTailTable.maxVersionsOf(options))
+      GraftTailTable.maxVersionsOf(options),
+      GraftTailTable.maxBytesOf(options))
 }
 
 private[graft] object GraftTailTable {
@@ -135,12 +136,14 @@ private[graft] object GraftTailTable {
     * surface; projections apply above the scan as usual.
     */
   def scanBuilder(root: String, schema: StructType,
-                  maxVersionsPerBatch: Option[Long] = None): ScanBuilder =
+                  maxVersionsPerBatch: Option[Long] = None,
+                  maxBytesPerBatch: Option[Long] = None): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new GraftTailStream(root, schema, maxVersionsPerBatch)
+          new GraftTailStream(root, schema, maxVersionsPerBatch,
+            maxBytesPerBatch)
         override def description(): String = s"graft tail of $root"
       }
     }
@@ -151,6 +154,13 @@ private[graft] object GraftTailTable {
       require(n > 0, s"maxVersionsPerBatch must be positive, got $n")
       n
     }
+
+  private[graft] def maxBytesOf(options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("maxBytesPerBatch")).map { s =>
+      val n = s.toLong
+      require(n > 0, s"maxBytesPerBatch must be positive, got $n")
+      n
+    }
 }
 
 private[streaming] case class GraftVersionOffset(version: Long) extends Offset {
@@ -158,7 +168,8 @@ private[streaming] case class GraftVersionOffset(version: Long) extends Offset {
 }
 
 private[streaming] class GraftTailStream(root: String, schema: StructType,
-                                         maxVersionsPerBatch: Option[Long] = None)
+                                         maxVersionsPerBatch: Option[Long] = None,
+                                         maxBytesPerBatch: Option[Long] = None)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
@@ -175,9 +186,27 @@ private[streaming] class GraftTailStream(root: String, schema: StructType,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     val head = latestOffset().asInstanceOf[GraftVersionOffset].version
     val s = start.asInstanceOf[GraftVersionOffset].version
-    GraftVersionOffset(maxVersionsPerBatch match {
+    val vCap = maxVersionsPerBatch match {
       case Some(n) => math.min(head, s + n)
       case None    => head
+    }
+    // byte-based admission (`.option("maxBytesPerBatch", n)` — the
+    // maxBytesPerTrigger analog): admit versions until the NEXT one
+    // would push the batch past the cap. Sizes come from the file
+    // manifest ([[SnapshotLog.deltaBytesOf]]) — the budget decision is
+    // O(admitted versions) sidecar reads, no filesystem walk. The first
+    // version past the start always ships even if alone it exceeds the
+    // cap: progress must never stall on one oversized commit.
+    GraftVersionOffset(maxBytesPerBatch match {
+      case Some(cap) =>
+        var v = s; var acc = 0L; var stop = false
+        while (!stop && v < vCap) {
+          val next = SnapshotLog.deltaBytesOf(spark, root, v + 1)
+          if (v == s || acc + next <= cap) { v += 1; acc += next }
+          else stop = true
+        }
+        v
+      case None => vCap
     })
   }
 

@@ -168,6 +168,20 @@ class FileManifestSpec extends SparkSpecBase {
     assert(rows(SnapshotLog.readPruned(spark, root).filter($"k" === 7)) ==
       Set(7 -> "v7"))
     assert(CountingFileSystem.dataListings.get() == 0)
+
+    // DML position scans are listing-free too: a DELETE's table scan
+    // plans from the manifest. The residual count is the write side —
+    // the tomb-dir committer's own staging listings plus the commit's
+    // O(batch) listing of its one new dir — a constant in the number
+    // of pre-existing table files (13 dirs here; a walk would exceed it)
+    CountingFileSystem.reset()
+    SnapshotLog.tombstoneDelete(spark, root,
+      Seq((5, "v5")).toDF("k", "v"), Seq("k"))
+    val dmlLists = CountingFileSystem.dataListings.get()
+    assert(dmlLists < 13,
+      s"DELETE listed $dmlLists times — the position scan should plan " +
+      "from the file manifest, not walk the 13 data dirs")
+    assert(rows(SnapshotLog.read(spark, root)).size == 13)
   }
 
   test("the sidecar listing is byte-equal to the walk across every commit shape") {

@@ -97,6 +97,28 @@ class MinHashLshSpec extends SparkSpecBase {
     assert(cross == expected, s"cross=$cross expected=$expected")
   }
 
+  test("shortDocWhole: identical short docs dedupe, distinct ones never false-pair") {
+    val s0 = spark; import s0.implicits._
+    val docs = Seq(
+      (1L, "tiny doc"),                       // < n words: no n-gram exists
+      (2L, "tiny doc"),                       // byte-identical short dup
+      (3L, "different tiny"),                 // short but distinct
+      (4L, "a b c d e f g h i j k l m n o"), // long doc, normal shingling
+      (5L, "a b c d e f g h i j k l m n o")  // its exact dup
+    ).toDF("doc_id", "text")
+    // default contract: short docs have no signature and are invisible
+    val defaults = MinHashLsh.nearDuplicates(docs, n = 5, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(defaults == Set((4L, 5L)), defaults.toString)
+    // fallback: the whole text is the one shingle — identical short docs
+    // collide in every band; distinct short docs share nothing; long-doc
+    // shingling is unchanged
+    val whole = MinHashLsh.nearDuplicates(docs, n = 5, threshold = 0.9,
+      shortDocWhole = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(whole == Set((1L, 2L), (4L, 5L)), whole.toString)
+  }
+
   test("q31 exact dedup is idempotent") {
     val once = LlmOps.q31(spark, sf0001)
     // dedup of the dedup keeper set: every keeper maps to itself

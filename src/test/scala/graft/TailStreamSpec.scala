@@ -108,6 +108,51 @@ class TailStreamSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("maxBytesPerBatch budgets catch-up by delta size from the file manifest") {
+    val root = freshRoot()
+    val ck = Files.createTempDirectory("graft_tail_ck8").toString
+    // 4 versions of similar size; a cap of ~2 deltas' bytes must split
+    // the catch-up into 2 two-version batches (never 1 four-version one)
+    SnapshotLog.commit(spark, root, Seq((1L, "a", 1.5)).toDF("k", "v", "x"))
+    (2 to 4).foreach { i =>
+      SnapshotLog.appendCommit(spark, root,
+        Seq((i.toLong, s"r$i", i + 0.5)).toDF("k", "v", "x"))
+    }
+    val perDelta = (1 to 4).map(v =>
+      SnapshotLog.deltaBytesOf(spark, root, v.toLong))
+    assert(perDelta.forall(_ > 0), s"manifest sizes must resolve: $perDelta")
+    // admits any two consecutive deltas but never three (file sizes
+    // differ by a few bytes across versions — cap at the LARGEST pair)
+    val cap = perDelta.sliding(2).map(_.sum).max
+    val q = spark.readStream.format("graft")
+      .option("maxBytesPerBatch", cap.toString).load(root)
+      .writeStream.format("memory").queryName("tail_bytes_sink")
+      .option("checkpointLocation", ck).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tail_bytes_sink").count() == 4)
+      assert(spark.table("tail_bytes_sink").select("k").collect()
+        .map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches == 2,
+        s"expected 2 byte-capped batches, saw $dataBatches " +
+          q.recentProgress.map(p => p.numInputRows).mkString("[", ",", "]"))
+    } finally q.stop()
+
+    // an oversized single commit still ships alone: progress never stalls
+    val root2 = freshRoot()
+    val ck2 = Files.createTempDirectory("graft_tail_ck9").toString
+    SnapshotLog.commit(spark, root2, Seq((1L, "big", 1.0)).toDF("k", "v", "x"))
+    val q2 = spark.readStream.format("graft")
+      .option("maxBytesPerBatch", "1").load(root2)
+      .writeStream.format("memory").queryName("tail_bytes_sink2")
+      .option("checkpointLocation", ck2).start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("tail_bytes_sink2").count() == 1)
+    } finally q2.stop()
+  }
+
   test("tail survives additive schema evolution mid-stream at its start-time schema") {
     val root = freshRoot()
     val ck = Files.createTempDirectory("graft_tail_ck5").toString

@@ -144,8 +144,11 @@ object SnapshotLog {
     // files — no mergeSchema footer sniff (that is an O(files) planning
     // pass at a million files) and no schema roulette on mixed dirs
     val base0 = schemaOf(spark, root, version) match {
-      case Some(st) => spark.read.schema(st).parquet(paths: _*)
-      case None     => spark.read.parquet(paths: _*)
+      case Some(st) =>
+        // mapped lineages: files spell physical names; project back
+        fromPhysicalSelect(
+          spark.read.schema(physicalSchema(st)).parquet(paths: _*), st)
+      case None => spark.read.parquet(paths: _*)
     }
     // merge-on-read lineages attach their row sequence while the scan's
     // _metadata columns still resolve, then dedup AFTER the positional
@@ -170,6 +173,143 @@ object SnapshotLog {
       java.net.URLDecoder.decode(raw, "UTF-8"))
       .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
+
+  // ---- COLUMN MAPPING (round 8b) ----------------------------------
+  // RENAME COLUMN without rewriting a byte of data — Delta's column-
+  // mapping model, carried in the pinned schema's FIELD METADATA so the
+  // existing pin propagation solves the mapping's propagation for free:
+  // a column's PHYSICAL name (what every parquet file and stats-sidecar
+  // key uses, immutable once assigned) lives under `graft.physicalName`
+  // in its field's metadata; the field's `name` is the LOGICAL name the
+  // user sees. Until a rename, logical == physical and nothing changes.
+  // After one: reads declare the physical schema to parquet and project
+  // back to logical; writes translate logical → physical at the shared
+  // chokepoints, so files stay uniformly physical forever; stats keys
+  // never move. A full-snapshot rewrite (commit/upsert/compactChain)
+  // drops the pin with the mapping — the new files carry logical names,
+  // so the mapping has nothing left to map (the Delta "rewrite clears
+  // mapping debt" property).
+
+  private val PhysKey = "graft.physicalName"
+
+  private def physName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey) else f.name
+
+  /** logical → physical, non-identity entries only (empty = unmapped). */
+  private[graft] def renameMap(
+      st: org.apache.spark.sql.types.StructType): Map[String, String] =
+    st.fields.iterator.map(f => f.name -> physName(f))
+      .filter(p => p._1 != p._2).toMap
+
+  /** The schema as the FILES spell it (fields renamed to physical).
+    * The mapping metadata is STRIPPED: it describes the logical→physical
+    * relation, and leaving it on a physical field leaks into anything
+    * derived from the scan — concretely, a materializing rewrite
+    * (compactChain) would embed the stale mapping in its new files'
+    * row.metadata and every later read would chase a physical name the
+    * rewritten files no longer carry (reproduced: post-compaction reads
+    * returned null for the renamed column before this strip).
+    */
+  private def physicalSchema(
+      st: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(st.fields.map { f =>
+      val cleaned =
+        if (!f.metadata.contains(PhysKey)) f.metadata
+        else {
+          val b = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+          b.remove(PhysKey)
+          b.build()
+        }
+      f.copy(name = physName(f), metadata = cleaned)
+    })
+
+  /** Rename a logical-named frame to physical for writing (no-op when
+    * the pin carries no mapping). Column order is preserved; columns
+    * not in the pin (wider evolved batches) keep their names.
+    */
+  private def toPhysicalDf(df: DataFrame,
+                           pin: org.apache.spark.sql.types.StructType): DataFrame = {
+    val m = renameMap(pin)
+    if (m.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.col
+      df.select(df.columns.map(c => col(c).as(m.getOrElse(c, c))).toSeq: _*)
+    }
+  }
+
+  /** Project a physical-named scan back to the pin's logical names. */
+  private def fromPhysicalSelect(df: DataFrame,
+                                 pin: org.apache.spark.sql.types.StructType): DataFrame = {
+    if (renameMap(pin).isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.col
+      df.select(pin.fields.map(f => col(physName(f)).as(f.name)).toSeq: _*)
+    }
+  }
+
+  /** RENAME COLUMN as a metadata-only commit: the next version carries
+    * the same dirs, vectors and stats, with the pinned schema's field
+    * renamed and its immutable PHYSICAL name recorded in the field
+    * metadata. O(1) data cost on a 100 TB table — no file is touched;
+    * every existing read/write path translates through the pin.
+    *
+    * Refused on partition-scoped tables (the partition column names
+    * dirs and the scoped staging writes in logical space) and on
+    * merge-on-read lineages (stored morKeys would dangle) — compact
+    * first. Streaming tails refuse mapped lineages at START (physical
+    * decode against a fresh logical schema would silently null the
+    * renamed column); a compactChain materializes logical names and
+    * clears the mapping.
+    */
+  def renameColumn(spark: SparkSession, root: String,
+                   from: String, to: String): Long = {
+    withClaim(spark, root) { _ =>
+      recoverOrphans(spark, root)
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed version at $root"))
+      require(partColOf(spark, root, cur).isEmpty,
+        "renameColumn on a partition-scoped table is not supported " +
+        "(the partition column names directories)")
+      require(morKeysOf(spark, root, cur).isEmpty,
+        "renameColumn on a merge-on-read lineage is not supported — " +
+        "compact (compactChain) first")
+      val pin = schemaOf(spark, root, cur).getOrElse(
+        asNullable(tableSchema(spark, root, cur))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      require(pin.fieldNames.contains(from),
+        s"no such column: $from (have ${pin.fieldNames.mkString(", ")})")
+      require(!pin.fieldNames.contains(to),
+        s"column $to already exists")
+      val newPin = org.apache.spark.sql.types.StructType(pin.fields.map { f =>
+        if (f.name == from)
+          f.copy(name = to,
+            metadata = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata).putString(PhysKey, physName(f)).build())
+        else f
+      })
+      val next = cur + 1L
+      writeStats(spark, root, next, Nil, sidecarLines(spark, root, cur))
+      writeManifestDirs(spark, root, next, dirsOf(spark, root, cur),
+        batchId = batchIdOf(spark, root, cur).getOrElse(-1L),
+        tombDirs = tombDirsOf(spark, root, cur),
+        schemaJson = java.net.URLEncoder.encode(newPin.json, "UTF-8"))
+      publishLatest(spark, root, next)
+      next
+    }
+  }
+
+  /** Loud guard for surfaces that decode files by LOGICAL name (the
+    * streaming tail and CDC source): a mapped lineage would silently
+    * read the renamed column as null there.
+    */
+  private[graft] def requireNotColumnMapped(spark: SparkSession, root: String,
+                                            context: String): Unit =
+    currentVersion(spark, root).flatMap(schemaOf(spark, root, _)).foreach { st =>
+      require(renameMap(st).isEmpty,
+        s"$context at $root: the table has renamed (column-mapped) columns; " +
+        "run compactChain to materialize logical names, then restart")
+    }
 
   /** The manifest's schema field verbatim (still URL-encoded; "" when
     * absent) — what propagating commit paths copy into their own
@@ -239,13 +379,32 @@ object SnapshotLog {
       .select(cols.map(col(_)): _*)
   }
 
+  /** Reader protocol gate (Delta's minReaderVersion): a manifest written
+    * with a feature THIS reader build doesn't understand must fail
+    * loudly, never silently misread — the concrete hazard that forced
+    * it: a pre-column-mapping reader pointed at a renamed table would
+    * declare the logical schema straight to parquet and read the
+    * renamed column as all-null. Writers stamp `minReader` ONLY when a
+    * version actually uses such a feature, so older tables stay
+    * readable by anything.
+    */
+  private[graft] val SupportedReader = 2
+
   private def readManifest(spark: SparkSession, root: String, v: Long): String = {
     val m = manifestPath(root, v)
     require(fs(spark, m).exists(m),
       s"version $v does not exist (never committed, or vacuumed) at $root")
     val in = fs(spark, m).open(m)
-    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-    finally in.close()
+    val text =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    """"minReader":(\d+)""".r.findFirstMatchIn(text).foreach { mr =>
+      require(mr.group(1).toInt <= SupportedReader,
+        s"table at $root version $v requires reader protocol " +
+        s"${mr.group(1)} but this build supports $SupportedReader — " +
+        "upgrade before reading (refusing to silently misread)")
+    }
+    text
   }
 
   /** Data directory NAMES of a version, base-first (own delta dir last).
@@ -652,7 +811,10 @@ object SnapshotLog {
             .parquet(new Path(rootPath, tombDirName(next)).toString)
           val sel = base.columns.toSeq
             .map(c => assignments.get(c).map(_.as(c)).getOrElse(col(c)))
-          matched.select(sel: _*).write.mode("overwrite")
+          // the rewrites dir joins a physical-named lineage — translate
+          val rewrites = matched.select(sel: _*)
+          schemaOf(spark, root, cur).map(toPhysicalDf(rewrites, _))
+            .getOrElse(rewrites).write.mode("overwrite")
             .parquet(new Path(rootPath, dataDirName(next)).toString)
           // pre-existing files are untouched → parent sidecar lines carry
           // verbatim; the appended dir gets no stats line (same contract
@@ -786,7 +948,15 @@ object SnapshotLog {
                 bloomCols: Seq[String] = Nil): Long = {
     val rootPath = new Path(root.replaceAll("/+$", ""))
     val staging = new Path(rootPath, stagingDirName())
-    writeDataDir(spark, batch, staging, bloomCols)
+    // column mapping at the lock-free staging write: physical names are
+    // IMMUTABLE, so the pre-claim pin translates correctly even if a
+    // rename lands between staging and claim (the schema guard below
+    // then aborts on the logical-name drift and deletes the staging)
+    val stagePin = currentVersion(spark, root).flatMap(schemaOf(spark, root, _))
+    val stageMap = stagePin.map(renameMap).getOrElse(Map.empty[String, String])
+    val physBatch = if (stageMap.isEmpty) batch else toPhysicalDf(batch, stagePin.get)
+    writeDataDir(spark, physBatch, staging,
+      bloomCols.map(c => stageMap.getOrElse(c, c)))
     withClaimWait(spark, root) {
       recoverOrphans(spark, root)
       val f = fs(spark, rootPath)
@@ -814,7 +984,8 @@ object SnapshotLog {
         throw new IllegalStateException(
           s"could not move staged $staging into ${dataDir(root, next)}")
       val carry = cur.toSeq.flatMap(c => sidecarLines(spark, root, c))
-      writeStats(spark, root, next, statsCols, carry)
+      writeStats(spark, root, next,
+        statsCols.map(c => stageMap.getOrElse(c, c)), carry)
       writeManifestAppend(spark, root, next, -1L,
         baseDirs = cur.map(dirsOf(spark, root, _)).getOrElse(Nil),
         tombDirs = cur.map(tombDirsOf(spark, root, _)).getOrElse(Nil),
@@ -1000,9 +1171,13 @@ object SnapshotLog {
       else s""","kind":"mor","morKeys":"${morKeys.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(",")}""""
     val f = fs(spark, m)
     val out = f.create(tmp, true)
+    // reader gate: see writeManifestDirs
+    val readerEnc =
+      if (schemaJson.contains("graft.physicalName")) s""","minReader":2"""
+      else ""
     try out.write(
       (s"""{"version":$v,"dataDir":"${dataDirName(v)}","batchId":$batchId,""" +
-       s""""baseDirs":"${baseDirs.mkString(",")}"$tombEnc$schemaEnc$morEnc}""")
+       s""""baseDirs":"${baseDirs.mkString(",")}"$tombEnc$schemaEnc$morEnc$readerEnc}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (!f.rename(tmp, m))
@@ -1036,11 +1211,16 @@ object SnapshotLog {
       else s""","morKeys":"${morKeys.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(",")}""""
     val schemaEnc =
       if (schemaJson.isEmpty) "" else s""","schema":"$schemaJson""""
+    // reader gate: stamp minReader ONLY when this version actually uses
+    // a feature older readers would misread (today: column mapping)
+    val readerEnc =
+      if (schemaJson.contains("graft.physicalName")) s""","minReader":2"""
+      else ""
     val f = fs(spark, m)
     val out = f.create(tmp, true)
     try out.write(
       (s"""{"version":$v,"dataDir":"${dataDirName(v)}","batchId":$batchId,""" +
-       s""""kind":"$kind","dirs":"$enc"$tombEnc$partEnc$morEnc$schemaEnc}""")
+       s""""kind":"$kind","dirs":"$enc"$tombEnc$partEnc$morEnc$schemaEnc$readerEnc}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (!f.rename(tmp, m))
@@ -1150,8 +1330,20 @@ object SnapshotLog {
                                   schemaJson: String = "",
                                   morKeys: Seq[String] = Nil): Unit = {
     val dd = dataDir(root, v)
-    writeDataDir(spark, df, dd, bloomCols)
-    writeStats(spark, root, v, statsCols, carryStats)
+    // column mapping: the propagated pin names the immutable PHYSICAL
+    // columns — translate the logical-named batch (and the stats/bloom
+    // column options) before anything touches disk, so files and
+    // sidecar keys stay uniformly physical across renames
+    val pin = if (schemaJson.isEmpty) None
+      else scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(
+        java.net.URLDecoder.decode(schemaJson, "UTF-8"))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption
+    val m = pin.map(renameMap).getOrElse(Map.empty[String, String])
+    val dfP = if (m.isEmpty) df else toPhysicalDf(df, pin.get)
+    val statsP = statsCols.map(c => m.getOrElse(c, c))
+    val bloomP = bloomCols.map(c => m.getOrElse(c, c))
+    writeDataDir(spark, dfP, dd, bloomP)
+    writeStats(spark, root, v, statsP, carryStats)
     writeManifestAppend(spark, root, v, batchId, baseDirs, tombDirs, schemaJson,
       morKeys)
   }
@@ -1274,6 +1466,19 @@ object SnapshotLog {
             s"with the chain schema $have unchanged (rename/retype/remove " +
             "is a rewrite, not an append)")
           val next = cur + 1L
+          // widen the pin PRESERVING the existing fields' metadata —
+          // a renamed column's physical-name mapping must survive the
+          // evolution (re-encoding the batch schema bare would drop it
+          // and silently null the renamed column in every old file)
+          val widened = asNullable(batch.schema)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+          val newPin = schemaOf(spark, root, cur) match {
+            case Some(p) => org.apache.spark.sql.types.StructType(
+              p.fields.zip(widened.fields.take(p.fields.length))
+                .map { case (old, nw) => nw.copy(metadata = old.metadata) } ++
+              widened.fields.drop(p.fields.length))
+            case None => widened
+          }
           // the head's streaming stamp carries: widening between
           // micro-batches must not reopen the replay gate
           stageVersion(spark, root, batch, next,
@@ -1282,8 +1487,7 @@ object SnapshotLog {
             baseDirs = dirsOf(spark, root, cur),
             carryStats = sidecarLines(spark, root, cur),
             tombDirs = tombDirsOf(spark, root, cur),
-            schemaJson = java.net.URLEncoder.encode(
-              asNullable(batch.schema).json, "UTF-8"))
+            schemaJson = java.net.URLEncoder.encode(newPin.json, "UTF-8"))
           publishLatest(spark, root, next)
           next
       }
@@ -1541,8 +1745,11 @@ object SnapshotLog {
       // An evolved lineage's pinned schema also applies — the packed
       // file materializes the nulls, old small dirs notwithstanding
       val smallPaths = small.map(d => new Path(rootPath, d._1).toString)
+      // column mapping: compact in PHYSICAL space — the packed dir must
+      // spell columns like the carried big dirs do (the pin's mapping
+      // propagates below, so reads keep translating)
       val smallScan = schemaOf(spark, root, cur) match {
-        case Some(st) => spark.read.schema(st).parquet(smallPaths: _*)
+        case Some(st) => spark.read.schema(physicalSchema(st)).parquet(smallPaths: _*)
         case None     => spark.read.parquet(smallPaths: _*)
       }
       val packed = applyTombstoneDirs(spark, root, tombs, smallScan)
@@ -1645,10 +1852,14 @@ object SnapshotLog {
       val deltas = toDirs.drop(fromDirs.size).map(d =>
         new Path(root.replaceAll("/+$", ""), d).toString)
       // pin the head's schema: a feed spanning an appendEvolved boundary
-      // reads pre- and post-evolution delta dirs in one pass
+      // reads pre- and post-evolution delta dirs in one pass; a mapped
+      // lineage's files spell physical names — declare those, then
+      // project back to the logical names the consumer knows
       val rows = schemaOf(spark, root, toV) match {
-        case Some(st) => spark.read.schema(st).parquet(deltas: _*)
-        case None     => spark.read.parquet(deltas: _*)
+        case Some(st) =>
+          fromPhysicalSelect(
+            spark.read.schema(physicalSchema(st)).parquet(deltas: _*), st)
+        case None => spark.read.parquet(deltas: _*)
       }
       require(keys.nonEmpty && keys.forall(rows.columns.contains),
         s"keys $keys must be columns of the table")
@@ -2121,9 +2332,13 @@ object SnapshotLog {
     * overlap machinery (explicit sidecar stats take precedence).
     */
   private[graft] def candidateFiles(spark: SparkSession, root: String,
-                                    version: Long, column: String,
+                                    version: Long, column0: String,
                                     lo: Any, hi: Any): (Seq[Path], Int) = {
     val f = fs(spark, dataDir(root, version))
+    // column mapping: sidecar span keys (and parquet footers) spell the
+    // PHYSICAL column name — translate a logical probe column once here
+    val column = schemaOf(spark, root, version)
+      .map(st => renameMap(st).getOrElse(column0, column0)).getOrElse(column0)
     // file manifest first: the probe decision needs only paths, and the
     // sidecar has them without touching the filesystem
     val all = filesFromSidecar(spark, root, version)
@@ -2227,8 +2442,11 @@ object SnapshotLog {
     * beyond a driver-side handful).
     */
   private[graft] def candidateFilesEquals(spark: SparkSession, root: String,
-                                          version: Long, column: String,
+                                          version: Long, column0: String,
                                           value: Any): (Seq[Path], Int) = {
+    // see candidateFiles: bloom keys and footers spell physical names
+    val column = schemaOf(spark, root, version)
+      .map(st => renameMap(st).getOrElse(column0, column0)).getOrElse(column0)
     val (rangeKept, total) =
       candidateFiles(spark, root, version, column, value, value)
     val sp = statsPath(root, version)
@@ -2248,7 +2466,7 @@ object SnapshotLog {
           }
         }.toMap
       }
-    val dt = tableSchema(spark, root, version).apply(column).dataType
+    val dt = tableSchema(spark, root, version).apply(column0).dataType
     val (haveSidecar, noSidecar) = rangeKept.partition(p =>
       blooms.contains(p.getParent.getName + "/" + p.getName))
     val keptSidecar = {
@@ -2389,7 +2607,10 @@ object SnapshotLog {
       if (kept.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else {
-        val raw = spark.read.schema(schema).parquet(kept.map(_.toString): _*)
+        // mapped lineages: declare physical, project back to logical
+        val raw = fromPhysicalSelect(
+          spark.read.schema(physicalSchema(schema))
+            .parquet(kept.map(_.toString): _*), schema)
         val seqd = if (mk.isEmpty) raw else raw.withColumn(MorSeqCol, morSeq)
         val vis = applyTombstoneDirs(spark, root, tombDirsOf(spark, root, v), seqd)
         if (mk.isEmpty) vis else resolveLatest(vis, mk)
@@ -2439,7 +2660,9 @@ object SnapshotLog {
       if (kept.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else {
-        val raw = spark.read.schema(schema).parquet(kept.toSeq.sorted: _*)
+        val raw = fromPhysicalSelect(
+          spark.read.schema(physicalSchema(schema))
+            .parquet(kept.toSeq.sorted: _*), schema)
         val seqd = if (mk.isEmpty) raw else raw.withColumn(MorSeqCol, morSeq)
         val vis = applyTombstoneDirs(spark, root, tombDirsOf(spark, root, v), seqd)
         if (mk.isEmpty) vis else resolveLatest(vis, mk)
@@ -2683,15 +2906,20 @@ object SnapshotLog {
       }
     val partCol = partColOf(spark, root, v)
     val zone = sessionZone(spark)
-    val index = new SkippingFileIndex(spark, files, spans, partCol, schema, zone)
+    // column mapping: the files (and the sidecar span keys, and the
+    // filters Catalyst pushes through the logical-rename Project below)
+    // all spell PHYSICAL names — the relation declares those, and one
+    // Project restores the pin's logical names for everything above
+    val phys = physicalSchema(schema)
+    val index = new SkippingFileIndex(spark, files, spans, partCol, phys, zone)
     val relation = HadoopFsRelation(
       location = index,
       partitionSchema = org.apache.spark.sql.types.StructType(Nil),
-      dataSchema = schema,
+      dataSchema = phys,
       bucketSpec = None,
       fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
       options = Map.empty)(spark)
-    spark.baseRelationToDataFrame(relation)
+    fromPhysicalSelect(spark.baseRelationToDataFrame(relation), schema)
   }
 
   def readPruned(spark: SparkSession, root: String,

@@ -215,6 +215,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .getOrElse(throw new NoSuchTableException(ident))
     val curSchema = SnapshotLog.schemaOf(spark, root, cur)
       .getOrElse(SnapshotLog.readVersion(spark, root, cur).schema)
+    // RENAME COLUMN is a metadata-only commit (column mapping — zero
+    // files touched); it cannot mix with ADD COLUMNS in one statement
+    val renames = changes.collect { case r: TableChange.RenameColumn => r }
+    if (renames.nonEmpty) {
+      require(renames.length == changes.length,
+        "RENAME COLUMN cannot be combined with other ALTER TABLE changes")
+      renames.foreach { r =>
+        require(r.fieldNames.length == 1,
+          s"nested RENAME COLUMN is not supported: ${r.fieldNames.mkString(".")}")
+        SnapshotLog.renameColumn(spark, root, r.fieldNames.head, r.newName)
+      }
+      return loadTable(ident)
+    }
     val added = changes.map {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
@@ -222,7 +235,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         org.apache.spark.sql.types.StructField(
           a.fieldNames.head, a.dataType, nullable = true)
       case other => throw new UnsupportedOperationException(
-        s"graft ALTER TABLE supports ADD COLUMNS only, got: $other")
+        s"graft ALTER TABLE supports ADD COLUMNS and RENAME COLUMN only, got: $other")
     }
     val widened = StructType(curSchema.fields ++ added)
     SnapshotLog.appendEvolved(spark, root, spark.createDataFrame(

@@ -104,6 +104,9 @@ private[streaming] class GraftChangesTable(root: String, schema: StructType)
     val maxV = GraftTailTable.maxVersionsOf(options)
     new ScanBuilder {
       override def build(): Scan = new Scan {
+        // same contract as the tail: see GraftTailTable.scanBuilder
+        SnapshotLog.requireNotColumnMapped(SparkSession.active, root,
+          "CDC stream")
         override def readSchema(): StructType = schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new GraftChangesStream(root,
@@ -140,6 +143,11 @@ private[graft] object GraftTailTable {
                   maxBytesPerBatch: Option[Long] = None): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
+        // a renamed (column-mapped) lineage would decode physical-named
+        // files against this stream's fresh logical schema — the
+        // renamed column would silently read as null. Refuse at start.
+        SnapshotLog.requireNotColumnMapped(SparkSession.active, root,
+          "streaming tail")
         override def readSchema(): StructType = schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new GraftTailStream(root, schema, maxVersionsPerBatch,

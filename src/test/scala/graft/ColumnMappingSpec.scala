@@ -1,0 +1,170 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotLog
+
+/** RENAME COLUMN without rewriting a byte (round 8b, Delta's column-
+  * mapping model): the pinned schema's field metadata records each
+  * renamed column's immutable PHYSICAL name; files and stats keys stay
+  * physical forever, reads project back to logical, writes translate at
+  * the shared chokepoints. These tests prove the rename is metadata-only
+  * (data files byte-untouched), that every subsequent lifecycle verb
+  * composes (append, evolve, delete, update, compact), that skipping
+  * still prunes on the renamed column, and that the surfaces that cannot
+  * support a mapped lineage refuse loudly instead of corrupting.
+  */
+class ColumnMappingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_colmap").toString + "/table"
+
+  private def kv(pairs: (Int, String)*): DataFrame =
+    pairs.toSeq.toDF("k", "v")
+
+  private def rows(df: DataFrame): Set[(Int, String)] =
+    df.collect().map(r => (r.getInt(0), r.getString(1))).toSet
+
+  private def dataFilesOf(root: String): Map[String, Long] = {
+    val d = new java.io.File(root)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(d).filter(f => f.getName.endsWith(".parquet") &&
+        f.getPath.contains("data_v"))
+      .map(f => f.getPath -> f.lastModified()).toMap
+  }
+
+  test("rename is metadata-only: files untouched, reads renamed, travel keeps old name") {
+    val root = freshRoot()
+    SnapshotLog.appendCommit(spark, root, kv(1 -> "a"), statsCols = Seq("k"))
+    SnapshotLog.appendCommit(spark, root, kv(2 -> "b"))
+    val before = dataFilesOf(root)
+    val v = SnapshotLog.renameColumn(spark, root, "v", "body")
+    assert(dataFilesOf(root) == before,
+      "rename must not touch, add or rewrite any data file")
+    val head = SnapshotLog.read(spark, root)
+    assert(head.columns.toSeq == Seq("k", "body"))
+    assert(head.select("k", "body").as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (2, "b")))
+    // time travel BEFORE the rename keeps the old logical name
+    assert(SnapshotLog.readVersion(spark, root, v - 1).columns.toSeq ==
+      Seq("k", "v"))
+    // double rename composes (physical name stays the ORIGINAL)
+    SnapshotLog.renameColumn(spark, root, "body", "text")
+    assert(SnapshotLog.read(spark, root).columns.toSeq == Seq("k", "text"))
+    assert(SnapshotLog.read(spark, root).select("text").as[String]
+      .collect().toSet == Set("a", "b"))
+  }
+
+  test("appends, evolution, delete, update and compaction compose after a rename") {
+    val root = freshRoot()
+    SnapshotLog.appendCommit(spark, root, kv(1 -> "a"), statsCols = Seq("k"))
+    SnapshotLog.renameColumn(spark, root, "v", "body")
+    // append with the NEW logical name; the file must be written with
+    // the PHYSICAL (original) name so the lineage stays uniform
+    SnapshotLog.appendCommit(spark, root,
+      Seq((2, "b")).toDF("k", "body"), statsCols = Seq("k"))
+    val deltaDir = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("data_v")).map(_.getName).max
+    val newFile = new java.io.File(root + "/" + deltaDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val footerSchema = spark.read.parquet(newFile.getPath).schema
+    assert(footerSchema.fieldNames.toSeq == Seq("k", "v"),
+      s"post-rename append must write PHYSICAL names, got $footerSchema")
+    assert(SnapshotLog.read(spark, root).select("k", "body")
+      .as[(Int, String)].collect().toSet == Set((1, "a"), (2, "b")))
+    // additive evolution keeps the mapping (metadata must survive)
+    SnapshotLog.appendEvolved(spark, root,
+      Seq((3, "c", 7)).toDF("k", "body", "extra"))
+    val evolved = SnapshotLog.read(spark, root)
+    assert(evolved.columns.toSeq == Seq("k", "body", "extra"))
+    assert(evolved.select("k", "body").as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (2, "b"), (3, "c")))
+    // deletion vectors key on the renamed logical column
+    SnapshotLog.tombstoneDelete(spark, root,
+      Seq(("a")).toDF("body"), Seq("body"))
+    assert(SnapshotLog.read(spark, root).select("body").as[String]
+      .collect().toSet == Set("b", "c"))
+    // merge-on-read UPDATE through the renamed name
+    SnapshotLog.updateWhere(spark, root, df => df("body") === "b",
+      Map("body" -> lit("b2")))
+    assert(SnapshotLog.read(spark, root).select("body").as[String]
+      .collect().toSet == Set("b2", "c"))
+    // compactChain materializes logical names and CLEARS the mapping
+    val cv = SnapshotLog.compactChain(spark, root)
+    val pin = SnapshotLog.schemaOf(spark, root, cv)
+    assert(pin.forall(SnapshotLog.renameMap(_).isEmpty),
+      s"a full materialized rewrite should clear the mapping, got $pin")
+    assert(SnapshotLog.read(spark, root).select("body").as[String]
+      .collect().toSet == Set("b2", "c"))
+  }
+
+  test("skipping still prunes on the renamed column (stats keys stay physical)") {
+    val root = freshRoot()
+    (1 to 4).foreach { i =>
+      SnapshotLog.appendCommit(spark, root,
+        Seq((i * 10, s"r$i")).toDF("n", "v"), statsCols = Seq("n"))
+    }
+    SnapshotLog.renameColumn(spark, root, "n", "num")
+    // probe through the LOGICAL name; spans are keyed by the physical
+    val (kept, total) = SnapshotLog.candidateFiles(
+      spark, root, SnapshotLog.currentVersion(spark, root).get, "num", 15, 25)
+    assert(total == 4 && kept.size == 1,
+      s"renamed-column probe should prune 3 of 4 files, kept ${kept.size}")
+    val hit = SnapshotLog.readBetween(spark, root, "num", 15, 25)
+    assert(hit.select("num").as[Int].collect().toSeq == Seq(20))
+    // automatic skipping composes too: filters push through the
+    // logical-rename projection down to the physical-keyed index
+    val auto = SnapshotLog.readPruned(spark, root).filter(col("num") === 30)
+    assert(auto.select("v").as[String].collect().toSeq == Seq("r3"))
+  }
+
+  test("reader protocol gate: mapped manifests stamp minReader, future protocols refuse loudly") {
+    val root = freshRoot()
+    SnapshotLog.appendCommit(spark, root, kv(1 -> "a"))
+    // an unmapped table stamps nothing — readable by any build, forever
+    val m1 = new java.io.File(root + "/_graft_log/v00000001.manifest")
+    assert(!scala.io.Source.fromFile(m1).mkString.contains("minReader"))
+    SnapshotLog.renameColumn(spark, root, "v", "body")
+    val m2 = new java.io.File(root + "/_graft_log/v00000002.manifest")
+    assert(scala.io.Source.fromFile(m2).mkString.contains("\"minReader\":2"),
+      "a column-mapped version must stamp the reader protocol — a " +
+      "pre-mapping reader would silently null the renamed column")
+    // a manifest demanding a FUTURE protocol refuses instead of misreading
+    val text = scala.io.Source.fromFile(m2).mkString
+      .replace("\"minReader\":2", "\"minReader\":99")
+    val w = new java.io.PrintWriter(m2); w.write(text); w.close()
+    val crc = new java.io.File(m2.getParentFile, "." + m2.getName + ".crc")
+    if (crc.exists()) crc.delete()
+    val e = intercept[IllegalArgumentException](SnapshotLog.read(spark, root))
+    assert(e.getMessage.contains("reader protocol 99"), e.getMessage)
+  }
+
+  test("refusals: scoped tables, MoR lineages, and streaming tails of mapped tables") {
+    // scoped: the partition column names dirs — rename refused outright
+    val scoped = freshRoot()
+    SnapshotLog.upsertScoped(spark, scoped,
+      Seq((1, "us", "a")).toDF("k", "region", "v"), Seq("k"), "region")
+    val e1 = intercept[IllegalArgumentException](
+      SnapshotLog.renameColumn(spark, scoped, "v", "body"))
+    assert(e1.getMessage.contains("partition-scoped"), e1.getMessage)
+    // the streaming tail refuses a mapped lineage at start, loudly
+    val root = freshRoot()
+    SnapshotLog.appendCommit(spark, root, kv(1 -> "a"))
+    SnapshotLog.renameColumn(spark, root, "v", "body")
+    val ck = Files.createTempDirectory("graft_colmap_ck").toString
+    val e2 = intercept[Exception] {
+      val q = spark.readStream.format("graft").load(root)
+        .writeStream.format("memory").queryName("colmap_tail")
+        .option("checkpointLocation", ck).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(e2.getMessage != null &&
+      (e2.getMessage.contains("column-mapped") ||
+       Option(e2.getCause).exists(_.getMessage.contains("column-mapped"))),
+      s"tail should refuse mapped lineages: ${e2.getMessage}")
+  }
+}

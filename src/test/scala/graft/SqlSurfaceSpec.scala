@@ -312,4 +312,24 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("4 arguments"), e.getMessage)
   }
 
+  test("ALTER TABLE RENAME COLUMN: metadata-only rename through plain SQL") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
+    sql("CREATE TABLE graft.ns.rn (k INT, v STRING)")
+    sql("INSERT INTO graft.ns.rn VALUES (1, 'a'), (2, 'b')")
+    sql("ALTER TABLE graft.ns.rn RENAME COLUMN v TO body")
+    assert(sql("SELECT * FROM graft.ns.rn").columns.toSeq == Seq("k", "body"))
+    assert(rowsOf("SELECT k, body FROM graft.ns.rn ORDER BY k") ==
+      Set(Seq(1, "a"), Seq(2, "b")))
+    // DML composes through the new name — and the lineage stays
+    // physical: the insert + update land without touching old files
+    sql("INSERT INTO graft.ns.rn VALUES (3, 'c')")
+    sql("UPDATE graft.ns.rn SET body = 'b2' WHERE body = 'b'")
+    sql("DELETE FROM graft.ns.rn WHERE body = 'a'")
+    assert(rowsOf("SELECT k, body FROM graft.ns.rn") ==
+      Set(Seq(2, "b2"), Seq(3, "c")))
+    // time travel BEFORE the rename still shows the old column name
+    assert(sql("SELECT * FROM graft.ns.rn VERSION AS OF 2").columns.toSeq ==
+      Seq("k", "v"))
+  }
+
 }

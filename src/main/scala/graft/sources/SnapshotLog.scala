@@ -191,14 +191,33 @@ object SnapshotLog {
   // mapping debt" property).
 
   private val PhysKey = "graft.physicalName"
+  // DROP COLUMN tombstone (round 8b): a dropped field STAYS in the pin,
+  // flagged, so (a) the drop is metadata-only, (b) reads know to exclude
+  // it, and (c) a later ADD COLUMN of the same name can be REFUSED —
+  // re-adding a name whose data still lives in old files would resurrect
+  // the old values instead of null-filling (the silent-corruption trap
+  // Delta solves with UUID physical names; the tombstone is our simpler
+  // equivalent). compactChain's materialized rewrite drops the pin, the
+  // data, and the tombstone together — after compaction the name is free.
+  private val DroppedKey = "graft.dropped"
+
+  private def isDropped(f: org.apache.spark.sql.types.StructField): Boolean =
+    f.metadata.contains(DroppedKey) && f.metadata.getBoolean(DroppedKey)
+
+  /** The fields a reader may see — the pin minus drop tombstones. */
+  private[graft] def visibleSchema(
+      st: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(st.fields.filterNot(isDropped))
 
   private def physName(f: org.apache.spark.sql.types.StructField): String =
     if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey) else f.name
 
-  /** logical → physical, non-identity entries only (empty = unmapped). */
+  /** logical → physical over the VISIBLE fields, non-identity entries
+    * only (empty = unmapped).
+    */
   private[graft] def renameMap(
       st: org.apache.spark.sql.types.StructType): Map[String, String] =
-    st.fields.iterator.map(f => f.name -> physName(f))
+    st.fields.iterator.filterNot(isDropped).map(f => f.name -> physName(f))
       .filter(p => p._1 != p._2).toMap
 
   /** The schema as the FILES spell it (fields renamed to physical).
@@ -212,7 +231,7 @@ object SnapshotLog {
     */
   private def physicalSchema(
       st: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
-    org.apache.spark.sql.types.StructType(st.fields.map { f =>
+    org.apache.spark.sql.types.StructType(st.fields.filterNot(isDropped).map { f =>
       val cleaned =
         if (!f.metadata.contains(PhysKey)) f.metadata
         else {
@@ -238,13 +257,16 @@ object SnapshotLog {
     }
   }
 
-  /** Project a physical-named scan back to the pin's logical names. */
+  /** Project a physical-named scan back to the pin's VISIBLE logical
+    * names (drop tombstones excluded — the scan never declared them).
+    */
   private def fromPhysicalSelect(df: DataFrame,
                                  pin: org.apache.spark.sql.types.StructType): DataFrame = {
     if (renameMap(pin).isEmpty) df
     else {
       import org.apache.spark.sql.functions.col
-      df.select(pin.fields.map(f => col(physName(f)).as(f.name)).toSeq: _*)
+      df.select(pin.fields.filterNot(isDropped)
+        .map(f => col(physName(f)).as(f.name)).toSeq: _*)
     }
   }
 
@@ -290,9 +312,60 @@ object SnapshotLog {
       })
       val next = cur + 1L
       writeStats(spark, root, next, Nil, sidecarLines(spark, root, cur))
+      // kind "rename": NOT the writeManifestDirs default ("scoped" —
+      // which would make compactSmallFiles refuse this flat table), and
+      // the streaming tail/CDC ranges refuse it loudly by name
       writeManifestDirs(spark, root, next, dirsOf(spark, root, cur),
         batchId = batchIdOf(spark, root, cur).getOrElse(-1L),
         tombDirs = tombDirsOf(spark, root, cur),
+        kind = "rename",
+        schemaJson = java.net.URLEncoder.encode(newPin.json, "UTF-8"))
+      publishLatest(spark, root, next)
+      next
+    }
+  }
+
+  /** DROP COLUMN as a metadata-only commit: the field stays in the pin
+    * as a TOMBSTONE (`graft.dropped`) — reads exclude it, writes never
+    * see it, and a later ADD COLUMN of the same (or the same physical)
+    * name is refused ([[appendEvolved]]): the dropped data still lives
+    * in the old files, and re-using the name would RESURRECT it instead
+    * of null-filling. O(1) data cost; compactChain's materialized
+    * rewrite purges the data, the pin and the tombstone together, after
+    * which the name is free again. Same refusals as [[renameColumn]]
+    * (scoped / merge-on-read lineages), plus the last visible column
+    * cannot be dropped.
+    */
+  def dropColumn(spark: SparkSession, root: String, name: String): Long = {
+    withClaim(spark, root) { _ =>
+      recoverOrphans(spark, root)
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed version at $root"))
+      require(partColOf(spark, root, cur).isEmpty,
+        "dropColumn on a partition-scoped table is not supported")
+      require(morKeysOf(spark, root, cur).isEmpty,
+        "dropColumn on a merge-on-read lineage is not supported — " +
+        "compact (compactChain) first")
+      val pin = schemaOf(spark, root, cur).getOrElse(
+        asNullable(tableSchema(spark, root, cur))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      val vis = visibleSchema(pin)
+      require(vis.fieldNames.contains(name),
+        s"no such column: $name (have ${vis.fieldNames.mkString(", ")})")
+      require(vis.fields.length > 1,
+        s"cannot drop the last visible column $name")
+      val newPin = org.apache.spark.sql.types.StructType(pin.fields.map { f =>
+        if (!isDropped(f) && f.name == name)
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putBoolean(DroppedKey, true).build())
+        else f
+      })
+      val next = cur + 1L
+      writeStats(spark, root, next, Nil, sidecarLines(spark, root, cur))
+      writeManifestDirs(spark, root, next, dirsOf(spark, root, cur),
+        batchId = batchIdOf(spark, root, cur).getOrElse(-1L),
+        tombDirs = tombDirsOf(spark, root, cur),
+        kind = "rename",
         schemaJson = java.net.URLEncoder.encode(newPin.json, "UTF-8"))
       publishLatest(spark, root, next)
       next
@@ -306,9 +379,10 @@ object SnapshotLog {
   private[graft] def requireNotColumnMapped(spark: SparkSession, root: String,
                                             context: String): Unit =
     currentVersion(spark, root).flatMap(schemaOf(spark, root, _)).foreach { st =>
-      require(renameMap(st).isEmpty,
-        s"$context at $root: the table has renamed (column-mapped) columns; " +
-        "run compactChain to materialize logical names, then restart")
+      require(renameMap(st).isEmpty && !st.fields.exists(isDropped),
+        s"$context at $root: the table has renamed or dropped " +
+        "(column-mapped) columns; run compactChain to materialize the " +
+        "logical schema, then restart")
     }
 
   /** The manifest's schema field verbatim (still URL-encoded; "" when
@@ -1173,7 +1247,8 @@ object SnapshotLog {
     val out = f.create(tmp, true)
     // reader gate: see writeManifestDirs
     val readerEnc =
-      if (schemaJson.contains("graft.physicalName")) s""","minReader":2"""
+      if (schemaJson.contains("graft.physicalName") ||
+          schemaJson.contains("graft.dropped")) s""","minReader":2"""
       else ""
     try out.write(
       (s"""{"version":$v,"dataDir":"${dataDirName(v)}","batchId":$batchId,""" +
@@ -1214,7 +1289,8 @@ object SnapshotLog {
     // reader gate: stamp minReader ONLY when this version actually uses
     // a feature older readers would misread (today: column mapping)
     val readerEnc =
-      if (schemaJson.contains("graft.physicalName")) s""","minReader":2"""
+      if (schemaJson.contains("graft.physicalName") ||
+          schemaJson.contains("graft.dropped")) s""","minReader":2"""
       else ""
     val f = fs(spark, m)
     val out = f.create(tmp, true)
@@ -1473,10 +1549,25 @@ object SnapshotLog {
           val widened = asNullable(batch.schema)
             .asInstanceOf[org.apache.spark.sql.types.StructType]
           val newPin = schemaOf(spark, root, cur) match {
-            case Some(p) => org.apache.spark.sql.types.StructType(
-              p.fields.zip(widened.fields.take(p.fields.length))
-                .map { case (old, nw) => nw.copy(metadata = old.metadata) } ++
-              widened.fields.drop(p.fields.length))
+            case Some(p) =>
+              val vis = p.fields.filterNot(isDropped)
+              val tomb = p.fields.filter(isDropped)
+              val fresh = widened.fields.drop(vis.length)
+              // RESURRECTION GUARD: a new column may not take (a) a drop
+              // tombstone's logical or physical name — the dropped data
+              // still lives in old files and would come back instead of
+              // null-filling — nor (b) a renamed column's physical name,
+              // whose old files hold the RENAMED column's values
+              val reserved = (tomb.flatMap(t => Seq(t.name, physName(t))) ++
+                vis.filter(f => physName(f) != f.name).map(physName)).toSet
+              fresh.foreach(nf => require(!reserved.contains(nf.name),
+                s"column name ${nf.name} is reserved by a dropped or " +
+                "renamed column whose data still lives in old files — " +
+                "pick another name, or compactChain to purge first"))
+              org.apache.spark.sql.types.StructType(
+                vis.zip(widened.fields.take(vis.length))
+                  .map { case (old, nw) => nw.copy(metadata = old.metadata) } ++
+                fresh ++ tomb)
             case None => widened
           }
           // the head's streaming stamp carries: widening between
@@ -2853,7 +2944,7 @@ object SnapshotLog {
     */
   private def tableSchema(spark: SparkSession, root: String,
                           v: Long): org.apache.spark.sql.types.StructType =
-    schemaOf(spark, root, v)
+    schemaOf(spark, root, v).map(visibleSchema)
       .orElse(filesFromSidecar(spark, root, v).flatMap(_.headOption)
         .flatMap(st => sparkSchemaFromFooter(spark, st.getPath)))
       .getOrElse(spark.read.parquet(versionPaths(spark, root, v): _*).schema)

@@ -126,6 +126,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def mkTable(ident: Identifier, root: String, v: Long): GraftTable = {
     val schema = SnapshotLog.schemaOf(spark, root, v)
+      .map(SnapshotLog.visibleSchema) // drop tombstones never surface
       .getOrElse(SnapshotLog.readVersion(spark, root, v).schema)
     GraftTable(catName, ident, root, v, schema, readPartCol(root))
   }
@@ -225,6 +226,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(r.fieldNames.length == 1,
           s"nested RENAME COLUMN is not supported: ${r.fieldNames.mkString(".")}")
         SnapshotLog.renameColumn(spark, root, r.fieldNames.head, r.newName)
+      }
+      return loadTable(ident)
+    }
+    // DROP COLUMN: metadata-only tombstone (see SnapshotLog.dropColumn)
+    val drops = changes.collect { case d: TableChange.DeleteColumn => d }
+    if (drops.nonEmpty) {
+      require(drops.length == changes.length,
+        "DROP COLUMN cannot be combined with other ALTER TABLE changes")
+      drops.foreach { d =>
+        require(d.fieldNames.length == 1,
+          s"nested DROP COLUMN is not supported: ${d.fieldNames.mkString(".")}")
+        SnapshotLog.dropColumn(spark, root, d.fieldNames.head)
       }
       return loadTable(ident)
     }

@@ -122,6 +122,57 @@ class ColumnMappingSpec extends SparkSpecBase {
     assert(auto.select("v").as[String].collect().toSeq == Seq("r3"))
   }
 
+  test("drop column is metadata-only; the name stays reserved until compaction purges") {
+    val root = freshRoot()
+    SnapshotLog.appendCommit(spark, root,
+      Seq((1, "a", 10), (2, "b", 20)).toDF("k", "v", "x"))
+    val before = dataFilesOf(root)
+    SnapshotLog.dropColumn(spark, root, "x")
+    assert(dataFilesOf(root) == before, "drop must not touch any data file")
+    val head = SnapshotLog.read(spark, root)
+    assert(head.columns.toSeq == Seq("k", "v"),
+      s"dropped column must vanish from reads, got ${head.columns.toSeq}")
+    assert(rows(head) == Set(1 -> "a", 2 -> "b"))
+    // appends carry the narrowed schema; time travel shows the old one
+    SnapshotLog.appendCommit(spark, root, kv(3 -> "c"))
+    assert(rows(SnapshotLog.read(spark, root)) ==
+      Set(1 -> "a", 2 -> "b", 3 -> "c"))
+    assert(SnapshotLog.readVersion(spark, root, 1L).columns.toSeq ==
+      Seq("k", "v", "x"))
+    // RESURRECTION GUARD: re-adding "x" would read the old files' x
+    // values instead of null-filling — refused until a rewrite purges
+    val e = intercept[IllegalArgumentException](
+      SnapshotLog.appendEvolved(spark, root,
+        Seq((4, "d", 99)).toDF("k", "v", "x")))
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+    // an unrelated new column is fine
+    SnapshotLog.appendEvolved(spark, root,
+      Seq((4, "d", 99L)).toDF("k", "v", "y"))
+    assert(SnapshotLog.read(spark, root).columns.toSeq == Seq("k", "v", "y"))
+    // compactChain materializes the visible schema, purges the dropped
+    // data and frees the name
+    SnapshotLog.compactChain(spark, root)
+    SnapshotLog.appendEvolved(spark, root,
+      Seq((5, "e", 1L, 7)).toDF("k", "v", "y", "x"))
+    val out = SnapshotLog.read(spark, root)
+    assert(out.columns.toSeq == Seq("k", "v", "y", "x"))
+    // the purged x is null for pre-purge rows, 7 only for the new one
+    assert(out.filter(col("k") === 1).select("x").collect().head.isNullAt(0))
+    assert(out.filter(col("k") === 5).select("x").as[Int].collect().toSeq == Seq(7))
+    // drop of a RENAMED column composes (tombstone keeps the physical name)
+    val root2 = freshRoot()
+    SnapshotLog.appendCommit(spark, root2,
+      Seq((1, "a", 10)).toDF("k", "v", "x"))
+    SnapshotLog.renameColumn(spark, root2, "v", "body")
+    SnapshotLog.dropColumn(spark, root2, "body")
+    assert(SnapshotLog.read(spark, root2).columns.toSeq == Seq("k", "x"))
+    // neither the logical nor the physical name is reusable
+    val e2 = intercept[IllegalArgumentException](
+      SnapshotLog.appendEvolved(spark, root2,
+        Seq((2, 20, "z")).toDF("k", "x", "v")))
+    assert(e2.getMessage.contains("reserved"), e2.getMessage)
+  }
+
   test("reader protocol gate: mapped manifests stamp minReader, future protocols refuse loudly") {
     val root = freshRoot()
     SnapshotLog.appendCommit(spark, root, kv(1 -> "a"))

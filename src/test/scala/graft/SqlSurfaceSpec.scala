@@ -330,6 +330,11 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // time travel BEFORE the rename still shows the old column name
     assert(sql("SELECT * FROM graft.ns.rn VERSION AS OF 2").columns.toSeq ==
       Seq("k", "v"))
+    // DROP COLUMN is metadata-only too; the table reads without it
+    sql("ALTER TABLE graft.ns.rn DROP COLUMN body")
+    val e = intercept[Exception](sql("SELECT body FROM graft.ns.rn").collect())
+    assert(e.getMessage.contains("body"), e.getMessage)
+    assert(rowsOf("SELECT * FROM graft.ns.rn") == Set(Seq(2), Seq(3)))
   }
 
 }

@@ -279,15 +279,20 @@ object Scalars {
         abs(col("len_a") - col("len_b")) <= cap)
       .select("id_a", "id_b")
 
-    // short×short residue: both below the count-filter floor → all-pairs
-    // inside the block, bounded by the short subset's size
+    // short×ANY residue (round 8b hardening): a string with ≤ cap·q
+    // grams can have EVERY gram destroyed by cap edits, so a true
+    // (short, long) pair may share no token — each short pairs with
+    // every length-compatible partner in its block, not just with other
+    // shorts. Bounded by |short tail| × block; pairs canonicalize to
+    // id_a < id_b
     val sh = base.filter(col("len") <= shortLen)
-    val shortCands = sh.select(col("id").as("id_a"), col("block"), col("len").as("len_a"))
-      .join(sh.select(col("id").as("id_b"), col("block").as("block_b"),
-                      col("len").as("len_b")),
-        col("block") === col("block_b") && col("id_a") < col("id_b") &&
-        abs(col("len_a") - col("len_b")) <= cap)
-      .select("id_a", "id_b")
+    val shortCands = sh.select(col("id").as("id_s"), col("block"), col("len").as("len_s"))
+      .join(base.select(col("id").as("id_o"), col("block").as("block_b"),
+                        col("len").as("len_o")),
+        col("block") === col("block_b") && col("id_s") =!= col("id_o") &&
+        abs(col("len_s") - col("len_o")) <= cap)
+      .select(least(col("id_s"), col("id_o")).as("id_a"),
+              greatest(col("id_s"), col("id_o")).as("id_b"))
 
     val names = base.select(col("id"), col("name"))
     prefixCands.union(shortCands).distinct()

@@ -102,6 +102,7 @@ private[streaming] class GraftChangesTable(root: String, schema: StructType)
     Set(TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val maxV = GraftTailTable.maxVersionsOf(options)
+    val startV = GraftTailTable.startingOf(options)
     new ScanBuilder {
       override def build(): Scan = new Scan {
         // same contract as the tail: see GraftTailTable.scanBuilder
@@ -110,7 +111,7 @@ private[streaming] class GraftChangesTable(root: String, schema: StructType)
         override def readSchema(): StructType = schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new GraftChangesStream(root,
-            StructType(schema.fields.dropRight(2)), maxV)
+            StructType(schema.fields.dropRight(2)), maxV, startV)
         override def description(): String = s"graft change feed of $root"
       }
     }
@@ -126,7 +127,8 @@ private[streaming] class GraftTailTable(root: String, schema: StructType)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     GraftTailTable.scanBuilder(root, schema,
       GraftTailTable.maxVersionsOf(options),
-      GraftTailTable.maxBytesOf(options))
+      GraftTailTable.maxBytesOf(options),
+      GraftTailTable.startingOf(options))
 }
 
 private[graft] object GraftTailTable {
@@ -140,7 +142,8 @@ private[graft] object GraftTailTable {
     */
   def scanBuilder(root: String, schema: StructType,
                   maxVersionsPerBatch: Option[Long] = None,
-                  maxBytesPerBatch: Option[Long] = None): ScanBuilder =
+                  maxBytesPerBatch: Option[Long] = None,
+                  startingVersion: Option[Long] = None): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
         // a renamed (column-mapped) lineage would decode physical-named
@@ -151,7 +154,7 @@ private[graft] object GraftTailTable {
         override def readSchema(): StructType = schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new GraftTailStream(root, schema, maxVersionsPerBatch,
-            maxBytesPerBatch)
+            maxBytesPerBatch, startingVersion)
         override def description(): String = s"graft tail of $root"
       }
     }
@@ -169,6 +172,19 @@ private[graft] object GraftTailTable {
       require(n > 0, s"maxBytesPerBatch must be positive, got $n")
       n
     }
+
+  /** `.option("startingVersion", v)` — Delta's shape: the stream begins
+    * AT version v (tail: ships v onward instead of the whole snapshot;
+    * CDC: replays changes from v instead of future-only). Clamped to
+    * retained history by the planner's minV logic; vacuumed starts ship
+    * from the oldest surviving version.
+    */
+  private[graft] def startingOf(options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("startingVersion")).map { s =>
+      val n = s.toLong
+      require(n >= 1, s"startingVersion must be >= 1, got $n")
+      n
+    }
 }
 
 private[streaming] case class GraftVersionOffset(version: Long) extends Offset {
@@ -177,7 +193,8 @@ private[streaming] case class GraftVersionOffset(version: Long) extends Offset {
 
 private[streaming] class GraftTailStream(root: String, schema: StructType,
                                          maxVersionsPerBatch: Option[Long] = None,
-                                         maxBytesPerBatch: Option[Long] = None)
+                                         maxBytesPerBatch: Option[Long] = None,
+                                         startingVersion: Option[Long] = None)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
@@ -220,7 +237,10 @@ private[streaming] class GraftTailStream(root: String, schema: StructType,
 
   override def reportLatestOffset(): Offset = latestOffset()
 
-  override def initialOffset(): Offset = GraftVersionOffset(0L)
+  // default: offset 0 = the whole snapshot as the first batch;
+  // startingVersion v = begin AT v (offsets are exclusive lower bounds)
+  override def initialOffset(): Offset =
+    GraftVersionOffset(startingVersion.map(_ - 1L).getOrElse(0L))
 
   // highest head this stream has observed — the fallback when a poll
   // races a concurrent pointer swap (below)
@@ -501,7 +521,8 @@ private[streaming] class GraftParquetGroupReader(p: GraftFilePartition)
   * on the driver.
   */
 private[streaming] class GraftChangesStream(root: String, dataSchema: StructType,
-                                            maxVersionsPerBatch: Option[Long])
+                                            maxVersionsPerBatch: Option[Long],
+                                            startingVersion: Option[Long] = None)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
@@ -522,8 +543,10 @@ private[streaming] class GraftChangesStream(root: String, dataSchema: StructType
     lastKnown
   }
 
-  // future changes only: the first poll pins "now" as the start
-  override def initialOffset(): Offset = GraftVersionOffset(settledHead())
+  // default: future changes only (the first poll pins "now");
+  // startingVersion v = REPLAY the feed from version v onward
+  override def initialOffset(): Offset =
+    GraftVersionOffset(startingVersion.map(_ - 1L).getOrElse(settledHead()))
   override def latestOffset(): Offset = GraftVersionOffset(settledHead())
   override def reportLatestOffset(): Offset = latestOffset()
 

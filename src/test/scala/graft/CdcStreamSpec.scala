@@ -73,6 +73,26 @@ class CdcStreamSpec extends SparkSpecBase {
     } finally q2.stop()
   }
 
+  test("startingVersion replays the feed from history instead of future-only") {
+    val root = freshRoot()
+    val ck = Files.createTempDirectory("graft_cdc_ck_sv").toString
+    val out = Files.createTempDirectory("graft_cdc_out_sv").toString
+    SnapshotLog.commit(spark, root, Seq((1, "a")).toDF("k", "v"))        // v1
+    SnapshotLog.appendCommit(spark, root, Seq((2, "b")).toDF("k", "v"))  // v2
+    SnapshotLog.appendCommit(spark, root, Seq((3, "c")).toDF("k", "v"))  // v3
+    val q = spark.readStream.format("graft").option("changes", "true")
+      .option("startingVersion", "2").load(root)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.read.schema(cdcSchema).parquet(out).collect()
+        .map(r => (r.getInt(0), r.getString(2), r.getLong(3))).toSet
+      // v2 and v3 replay as inserts; v1 (before the start) does not
+      assert(got == Set((2, "insert", 2L), (3, "insert", 3L)), got.toString)
+    } finally q.stop()
+  }
+
   test("changes stream refuses a commit without row-level provenance") {
     val root = freshRoot()
     val ck = Files.createTempDirectory("graft_cdc_ck2").toString

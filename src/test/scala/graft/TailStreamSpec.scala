@@ -153,6 +153,26 @@ class TailStreamSpec extends SparkSpecBase {
     } finally q2.stop()
   }
 
+  test("startingVersion begins the tail mid-history instead of the whole snapshot") {
+    val root = freshRoot()
+    val ck = Files.createTempDirectory("graft_tail_ck10").toString
+    SnapshotLog.commit(spark, root, Seq((1L, "a", 1.5)).toDF("k", "v", "x"))
+    (2 to 4).foreach { i =>
+      SnapshotLog.appendCommit(spark, root,
+        Seq((i.toLong, s"r$i", i + 0.5)).toDF("k", "v", "x"))
+    }
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", "3").load(root)
+      .writeStream.format("memory").queryName("tail_sv_sink")
+      .option("checkpointLocation", ck).start()
+    try {
+      q.processAllAvailable()
+      // versions 3 and 4 only — the v1 snapshot and v2 append are skipped
+      assert(spark.table("tail_sv_sink").select("k").collect()
+        .map(_.getLong(0)).toSet == Set(3L, 4L))
+    } finally q.stop()
+  }
+
   test("tail survives additive schema evolution mid-stream at its start-time schema") {
     val root = freshRoot()
     val ck = Files.createTempDirectory("graft_tail_ck5").toString

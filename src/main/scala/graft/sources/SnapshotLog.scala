@@ -233,11 +233,13 @@ object SnapshotLog {
       st: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(st.fields.filterNot(isDropped).map { f =>
       val cleaned =
-        if (!f.metadata.contains(PhysKey)) f.metadata
+        if (!f.metadata.contains(PhysKey) && !f.metadata.contains(WidenKey))
+          f.metadata
         else {
           val b = new org.apache.spark.sql.types.MetadataBuilder()
             .withMetadata(f.metadata)
           b.remove(PhysKey)
+          b.remove(WidenKey)
           b.build()
         }
       f.copy(name = physName(f), metadata = cleaned)
@@ -325,6 +327,78 @@ object SnapshotLog {
     }
   }
 
+  private val WidenKey = "graft.widenedFrom"
+
+  /** TYPE WIDENING as a metadata-only commit (Delta's type-widening
+    * feature): promote a column to a strictly-wider type — the pin's
+    * field retypes, ZERO files are rewritten, and the vectorized
+    * parquet reader upcasts old narrow files under the declared wider
+    * schema (verified on this Spark build for every transition below).
+    * Subsequent batches must carry the widened type (the append drift
+    * guard compares against the pinned schema as always).
+    *
+    * Allowed transitions — lossless by construction:
+    * byte→short/int/long, short→int/long, int→long, float→double,
+    * int→double (exact in IEEE754), decimal(p,s)→decimal(p'>p, s).
+    * long→double is refused (longs above 2⁵³ lose precision).
+    *
+    * The widened field is marked (`graft.widenedFrom`), which (a) makes
+    * point-lookup BLOOM probing skip the column — old files' blooms
+    * hashed the narrow type, and probing them with widened-type hashes
+    * could wrongly prune a true match (min/max span pruning stays on:
+    * value-domain comparisons are type-agnostic) — and (b) stamps the
+    * minReader protocol gate. compactChain's materialized rewrite drops
+    * the pin with the mark; the fully-rewritten files are uniformly
+    * wide and blooms re-enable.
+    */
+  def widenColumnType(spark: SparkSession, root: String, column: String,
+                      to: org.apache.spark.sql.types.DataType): Long = {
+    import org.apache.spark.sql.types._
+    withClaim(spark, root) { _ =>
+      recoverOrphans(spark, root)
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed version at $root"))
+      require(!partColOf(spark, root, cur).contains(column),
+        s"cannot widen the partition column $column (it names directories)")
+      val pin = schemaOf(spark, root, cur).getOrElse(
+        asNullable(tableSchema(spark, root, cur)).asInstanceOf[StructType])
+      val field = pin.fields.find(f => !isDropped(f) && f.name == column)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no such column: $column (have ${visibleSchema(pin).fieldNames.mkString(", ")})"))
+      val ok = (field.dataType, to) match {
+        case (ByteType, ShortType | IntegerType | LongType) => true
+        case (ShortType, IntegerType | LongType)            => true
+        case (IntegerType, LongType | DoubleType)           => true
+        case (FloatType, DoubleType)                        => true
+        case (a: DecimalType, b: DecimalType) =>
+          b.scale == a.scale && b.precision > a.precision
+        case _ => false
+      }
+      require(ok, s"cannot widen $column from ${field.dataType.simpleString} " +
+        s"to ${to.simpleString} — only lossless promotions are allowed " +
+        "(byte/short/int→wider integral, int→double, float→double, " +
+        "decimal precision growth)")
+      val newPin = StructType(pin.fields.map { f =>
+        if (!isDropped(f) && f.name == column)
+          f.copy(dataType = to,
+            metadata = new MetadataBuilder().withMetadata(f.metadata)
+              .putString(WidenKey, field.dataType.simpleString).build())
+        else f
+      })
+      val next = cur + 1L
+      writeStats(spark, root, next, Nil, sidecarLines(spark, root, cur))
+      writeManifestDirs(spark, root, next, dirsOf(spark, root, cur),
+        batchId = batchIdOf(spark, root, cur).getOrElse(-1L),
+        tombDirs = tombDirsOf(spark, root, cur),
+        kind = "widen",
+        morKeys = morKeysOf(spark, root, cur),
+        partCol = partColOf(spark, root, cur).getOrElse(""),
+        schemaJson = java.net.URLEncoder.encode(newPin.json, "UTF-8"))
+      publishLatest(spark, root, next)
+      next
+    }
+  }
+
   /** DROP COLUMN as a metadata-only commit: the field stays in the pin
     * as a TOMBSTONE (`graft.dropped`) — reads exclude it, writes never
     * see it, and a later ADD COLUMN of the same (or the same physical)
@@ -379,8 +453,9 @@ object SnapshotLog {
   private[graft] def requireNotColumnMapped(spark: SparkSession, root: String,
                                             context: String): Unit =
     currentVersion(spark, root).flatMap(schemaOf(spark, root, _)).foreach { st =>
-      require(renameMap(st).isEmpty && !st.fields.exists(isDropped),
-        s"$context at $root: the table has renamed or dropped " +
+      require(renameMap(st).isEmpty && !st.fields.exists(isDropped) &&
+          !st.fields.exists(_.metadata.contains(WidenKey)),
+        s"$context at $root: the table has renamed, dropped or widened " +
         "(column-mapped) columns; run compactChain to materialize the " +
         "logical schema, then restart")
     }
@@ -1248,7 +1323,8 @@ object SnapshotLog {
     // reader gate: see writeManifestDirs
     val readerEnc =
       if (schemaJson.contains("graft.physicalName") ||
-          schemaJson.contains("graft.dropped")) s""","minReader":2"""
+          schemaJson.contains("graft.dropped") ||
+          schemaJson.contains("graft.widenedFrom")) s""","minReader":2"""
       else ""
     try out.write(
       (s"""{"version":$v,"dataDir":"${dataDirName(v)}","batchId":$batchId,""" +
@@ -1290,7 +1366,8 @@ object SnapshotLog {
     // a feature older readers would misread (today: column mapping)
     val readerEnc =
       if (schemaJson.contains("graft.physicalName") ||
-          schemaJson.contains("graft.dropped")) s""","minReader":2"""
+          schemaJson.contains("graft.dropped") ||
+          schemaJson.contains("graft.widenedFrom")) s""","minReader":2"""
       else ""
     val f = fs(spark, m)
     val out = f.create(tmp, true)
@@ -2540,6 +2617,12 @@ object SnapshotLog {
       .map(st => renameMap(st).getOrElse(column0, column0)).getOrElse(column0)
     val (rangeKept, total) =
       candidateFiles(spark, root, version, column, value, value)
+    // a WIDENED column's old-file blooms hashed the narrow type; probing
+    // them with widened-type hashes could wrongly prune a true match —
+    // keep min/max span pruning (value-domain safe), skip blooms
+    if (schemaOf(spark, root, version).exists(_.fields.exists(f =>
+        !isDropped(f) && f.name == column0 && f.metadata.contains(WidenKey))))
+      return (rangeKept, total)
     val sp = statsPath(root, version)
     val f = fs(spark, sp)
     val blooms: Map[String, java.util.BitSet] =

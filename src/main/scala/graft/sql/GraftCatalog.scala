@@ -229,6 +229,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
       return loadTable(ident)
     }
+    // ALTER COLUMN TYPE: metadata-only widening (SnapshotLog.widenColumnType)
+    val widens = changes.collect { case w: TableChange.UpdateColumnType => w }
+    if (widens.nonEmpty) {
+      require(widens.length == changes.length,
+        "ALTER COLUMN TYPE cannot be combined with other ALTER TABLE changes")
+      widens.foreach { w =>
+        require(w.fieldNames.length == 1,
+          s"nested ALTER COLUMN is not supported: ${w.fieldNames.mkString(".")}")
+        SnapshotLog.widenColumnType(spark, root, w.fieldNames.head, w.newDataType)
+      }
+      return loadTable(ident)
+    }
     // DROP COLUMN: metadata-only tombstone (see SnapshotLog.dropColumn)
     val drops = changes.collect { case d: TableChange.DeleteColumn => d }
     if (drops.nonEmpty) {

@@ -173,6 +173,57 @@ class ColumnMappingSpec extends SparkSpecBase {
     assert(e2.getMessage.contains("reserved"), e2.getMessage)
   }
 
+  test("type widening is metadata-only: old narrow files upcast, new batches write wide") {
+    import org.apache.spark.sql.types._
+    val root = freshRoot()
+    SnapshotLog.appendCommit(spark, root,
+      Seq((1, 10.5f), (2, 20.5f)).toDF("k", "x").coalesce(1),
+      statsCols = Seq("k"))
+    val before = dataFilesOf(root)
+    SnapshotLog.widenColumnType(spark, root, "k", LongType)
+    SnapshotLog.widenColumnType(spark, root, "x", DoubleType)
+    assert(dataFilesOf(root) == before, "widening must not touch any data file")
+    val head = SnapshotLog.read(spark, root)
+    assert(head.schema("k").dataType == LongType &&
+           head.schema("x").dataType == DoubleType, head.schema.toString)
+    assert(head.as[(Long, Double)].collect().toSet ==
+      Set((1L, 10.5), (2L, 20.5)))
+    // post-widen appends carry the wide type; mixed dirs read uniformly
+    SnapshotLog.appendCommit(spark, root,
+      Seq((3000000000L, 30.5)).toDF("k", "x"), statsCols = Seq("k"))
+    assert(SnapshotLog.read(spark, root).as[(Long, Double)].collect().toSet ==
+      Set((1L, 10.5), (2L, 20.5), (3000000000L, 30.5)))
+    // skipping still prunes on the widened column across narrow + wide spans
+    val (kept, total) = SnapshotLog.candidateFiles(
+      spark, root, SnapshotLog.currentVersion(spark, root).get,
+      "k", 1000L, 4000000000L)
+    assert(total == 2 && kept.size == 1, // narrow file pruned, wide kept
+      s"widened-column span probe should prune the narrow file, kept ${kept.size}")
+    // time travel BEFORE the widening keeps the narrow type
+    assert(SnapshotLog.readVersion(spark, root, 1L).schema("k").dataType ==
+      IntegerType)
+    // lossy promotions refuse
+    val e = intercept[IllegalArgumentException](
+      SnapshotLog.widenColumnType(spark, root, "k", DoubleType))
+    assert(e.getMessage.contains("lossless"), e.getMessage)
+    // a widened version stamps the reader gate
+    val m = new java.io.File(root + "/_graft_log/v00000002.manifest")
+    assert(scala.io.Source.fromFile(m).mkString.contains("\"minReader\":2"))
+
+    // widening composes with RENAME: the renamed column widens through
+    // its LOGICAL name while the files keep the physical one
+    val root2 = freshRoot()
+    SnapshotLog.appendCommit(spark, root2, Seq((1, 7)).toDF("k", "n"))
+    SnapshotLog.renameColumn(spark, root2, "n", "count")
+    SnapshotLog.widenColumnType(spark, root2, "count", LongType)
+    SnapshotLog.appendCommit(spark, root2,
+      Seq((2, 9000000000L)).toDF("k", "count"))
+    val out2 = SnapshotLog.read(spark, root2)
+    assert(out2.schema("count").dataType == LongType)
+    assert(out2.select("k", "count").as[(Int, Long)].collect().toSet ==
+      Set((1, 7L), (2, 9000000000L)))
+  }
+
   test("reader protocol gate: mapped manifests stamp minReader, future protocols refuse loudly") {
     val root = freshRoot()
     SnapshotLog.appendCommit(spark, root, kv(1 -> "a"))

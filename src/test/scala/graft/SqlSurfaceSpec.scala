@@ -330,11 +330,19 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // time travel BEFORE the rename still shows the old column name
     assert(sql("SELECT * FROM graft.ns.rn VERSION AS OF 2").columns.toSeq ==
       Seq("k", "v"))
+    // ALTER COLUMN TYPE widens metadata-only: old int files upcast
+    sql("ALTER TABLE graft.ns.rn ALTER COLUMN k TYPE BIGINT")
+    assert(sql("SELECT * FROM graft.ns.rn").schema("k").dataType ==
+      org.apache.spark.sql.types.LongType)
+    sql("INSERT INTO graft.ns.rn VALUES (5000000000, 'big')")
+    assert(rowsOf("SELECT k FROM graft.ns.rn WHERE k > 4000000000") ==
+      Set(Seq(5000000000L)))
     // DROP COLUMN is metadata-only too; the table reads without it
     sql("ALTER TABLE graft.ns.rn DROP COLUMN body")
     val e = intercept[Exception](sql("SELECT body FROM graft.ns.rn").collect())
     assert(e.getMessage.contains("body"), e.getMessage)
-    assert(rowsOf("SELECT * FROM graft.ns.rn") == Set(Seq(2), Seq(3)))
+    assert(rowsOf("SELECT * FROM graft.ns.rn") ==
+      Set(Seq(2L), Seq(3L), Seq(5000000000L)))
   }
 
 }

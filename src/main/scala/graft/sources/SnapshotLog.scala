@@ -446,6 +446,46 @@ object SnapshotLog {
     }
   }
 
+  /** One version's operational facts, resolved at METADATA cost —
+    * `numFiles`/`sizeBytes` come from the file manifest when complete
+    * (one sidecar read, zero LIST calls; the same numbers a 100 TB
+    * DESCRIBE DETAIL must not compute with a namenode walk), else the
+    * dir walk. The SQL surface is `CALL <cat>.system.detail(table)`.
+    */
+  case class TableDetail(version: Long, numFiles: Long, sizeBytes: Long,
+                         numDataDirs: Int, numDeletionVectorDirs: Int,
+                         partitionColumn: Option[String],
+                         columnMapped: Boolean, minReader: Int,
+                         batchId: Option[Long])
+
+  def describeDetail(spark: SparkSession, root: String): TableDetail = {
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val files = filesFromSidecar(spark, root, v).getOrElse {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val rootPath = new Path(root.replaceAll("/+$", ""))
+      dirsOf(spark, root, v).flatMap { d =>
+        val p = new Path(rootPath, d)
+        p.getFileSystem(conf).listStatus(p).filter(st =>
+          st.isFile && st.getPath.getName.endsWith(".parquet")).toSeq
+      }
+    }
+    val pin = schemaOf(spark, root, v)
+    val mapped = pin.exists(st => renameMap(st).nonEmpty ||
+      st.fields.exists(isDropped) ||
+      st.fields.exists(_.metadata.contains(WidenKey)))
+    TableDetail(
+      version = v,
+      numFiles = files.size.toLong,
+      sizeBytes = files.map(_.getLen).sum,
+      numDataDirs = dirsOf(spark, root, v).size,
+      numDeletionVectorDirs = tombDirsOf(spark, root, v).size,
+      partitionColumn = partColOf(spark, root, v),
+      columnMapped = mapped,
+      minReader = if (mapped) 2 else 1,
+      batchId = batchIdOf(spark, root, v))
+  }
+
   /** Loud guard for surfaces that decode files by LOGICAL name (the
     * streaming tail and CDC source): a mapped lineage would silently
     * read the renamed column as null there.

@@ -22,7 +22,7 @@ object GraftProcedures {
 
   val names: Seq[String] =
     Seq("restore", "vacuum", "compact_small_files", "history",
-        "optimize_zorder", "clone")
+        "optimize_zorder", "clone", "detail")
 
   def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -32,6 +32,7 @@ object GraftProcedures {
       case "history"             => Some(new History(cat))
       case "optimize_zorder"     => Some(new OptimizeZorder(cat))
       case "clone"               => Some(new Clone(cat))
+      case "detail"              => Some(new Detail(cat))
       case _                     => None
     }
 
@@ -131,6 +132,35 @@ object GraftProcedures {
       val dst = cat.rootOf(input.getUTF8String(1).toString)
       val v = SnapshotLog.shallowClone(spark, src, dst)
       scanOf(out, Seq(new GenericInternalRow(Array[Any](v))))
+    }
+  }
+
+  /** `CALL c.system.detail(table)` → one row of operational facts
+    * (DESCRIBE DETAIL): head version, file count and byte size — from
+    * the file manifest, ZERO filesystem listing — dir/vector counts,
+    * partition column, column-mapping state, reader protocol, streaming
+    * stamp.
+    */
+  private final class Detail(cat: GraftCatalog) extends Proc(cat, "detail") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType))
+    private val out = StructType(Seq(
+      StructField("version", LongType),
+      StructField("num_files", LongType),
+      StructField("size_bytes", LongType),
+      StructField("num_data_dirs", IntegerType),
+      StructField("num_deletion_vector_dirs", IntegerType),
+      StructField("partition_column", StringType),
+      StructField("column_mapped", BooleanType),
+      StructField("min_reader", IntegerType),
+      StructField("batch_id", LongType)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val d = SnapshotLog.describeDetail(spark, root(input))
+      scanOf(out, Seq(new GenericInternalRow(Array[Any](
+        d.version, d.numFiles, d.sizeBytes, d.numDataDirs,
+        d.numDeletionVectorDirs,
+        d.partitionColumn.map(UTF8String.fromString).orNull,
+        d.columnMapped, d.minReader, d.batchId.getOrElse(null)))))
     }
   }
 

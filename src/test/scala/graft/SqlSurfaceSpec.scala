@@ -284,6 +284,24 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set(Seq(1, "a", 10), Seq(2, "a", 21), Seq(3, "b", 30), Seq(4, "a", 40)))
   }
 
+  test("CALL detail: one-row DESCRIBE DETAIL from the file manifest") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
+    sql("CREATE TABLE graft.ns.det (k INT, v STRING)")
+    sql("INSERT INTO graft.ns.det VALUES (1, 'a'), (2, 'b')")
+    sql("INSERT INTO graft.ns.det VALUES (3, 'c')")
+    sql("DELETE FROM graft.ns.det WHERE k = 1")
+    val d = sql("CALL graft.system.detail('ns.det')").collect().head
+    assert(d.getLong(0) == 4L, s"head version: $d")       // create+2 inserts+delete
+    assert(d.getLong(1) >= 2L && d.getLong(2) > 0L,       // files, bytes
+      s"file manifest facts: $d")
+    assert(d.getInt(4) == 1, s"one deletion-vector dir: $d")
+    assert(!d.getBoolean(6) && d.getInt(7) == 1, s"unmapped, reader 1: $d")
+    // a rename flips the mapping facts
+    sql("ALTER TABLE graft.ns.det RENAME COLUMN v TO body")
+    val d2 = sql("CALL graft.system.detail('ns.det')").collect().head
+    assert(d2.getBoolean(6) && d2.getInt(7) == 2, s"mapped, reader 2: $d2")
+  }
+
   test("table_changes TVF: batch CDC between two versions through plain SQL") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
     sql("CREATE TABLE graft.ns.cdc (k INT, v STRING)")             // v1 (empty)

@@ -245,6 +245,36 @@ class ColumnMappingSpec extends SparkSpecBase {
     assert(e.getMessage.contains("reader protocol 99"), e.getMessage)
   }
 
+  test("schema-change interplay with the CDC feed: widen upcasts, rename fails loudly") {
+    import org.apache.spark.sql.types._
+    // WIDEN mid-feed: the append short-circuit declares the head's wide
+    // pin over narrow delta files — the reader upcasts, values exact
+    val root = freshRoot()
+    SnapshotLog.appendCommit(spark, root, Seq((1, 10)).toDF("k", "n"))  // v1
+    SnapshotLog.appendCommit(spark, root, Seq((2, 20)).toDF("k", "n"))  // v2 (narrow delta)
+    SnapshotLog.widenColumnType(spark, root, "n", LongType)             // v3
+    SnapshotLog.appendCommit(spark, root,
+      Seq((3, 9000000000L)).toDF("k", "n"))                             // v4 (wide delta)
+    val feed = SnapshotLog.changesBetween(spark, root, 1L, 4L, Seq("k"))
+    assert(feed.schema("new_n").dataType == LongType, feed.schema.toString)
+    assert(feed.select("k", "new_n").as[(Int, Long)].collect().toSet ==
+      Set((2, 20L), (3, 9000000000L)))
+    // RENAME mid-feed on the KEYED-DIFF path: the column sets differ
+    // across the boundary — the feed must refuse, never silently remap
+    val root2 = freshRoot()
+    SnapshotLog.commit(spark, root2, Seq((1, "a")).toDF("k", "v"))      // v1
+    SnapshotLog.renameColumn(spark, root2, "v", "body")                 // v2
+    SnapshotLog.commit(spark, root2, Seq((1, "a2")).toDF("k", "body"))  // v3 (rewrite)
+    val e = intercept[IllegalArgumentException](
+      SnapshotLog.changesBetween(spark, root2, 1L, 3L, Seq("k")).collect())
+    assert(e.getMessage.contains("schema changed"), e.getMessage)
+    // within one logical-name era the keyed diff works as usual
+    val post = SnapshotLog.changesBetween(spark, root2, 2L, 3L, Seq("k"))
+      .select("change_type", "k", "old_body", "new_body")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3))).toSet
+    assert(post == Set(("update", 1, "a", "a2")), post.toString)
+  }
+
   test("refusals: scoped tables, MoR lineages, and streaming tails of mapped tables") {
     // scoped: the partition column names dirs — rename refused outright
     val scoped = freshRoot()

@@ -49,10 +49,15 @@ object MinHashLsh {
       s"""transform(sequence(0, greatest(size(split($textCol, ' ')) - $n, 0)),
          |  i -> array_join(slice(split($textCol, ' '), i + 1, $n), ' '))""".stripMargin)
     if (shortDocWhole)
-      docs.select(col(idCol),
-        explode(array_distinct(
-          when(size(words) >= n, grams).otherwise(array(col(textCol)))))
-          .as("shingle"))
+      // NULL text stays invisible (no shingle → null signature → unique):
+      // without this filter every null-text doc would shingle to a NULL
+      // token, and xxhash64 SKIPS null arguments — all null-text docs
+      // would share one signature and mass-dedup against each other
+      docs.filter(col(textCol).isNotNull)
+        .select(col(idCol),
+          explode(array_distinct(
+            when(size(words) >= n, grams).otherwise(array(col(textCol)))))
+            .as("shingle"))
     else
       docs
         .filter(size(words) >= n)

@@ -32,7 +32,11 @@ import org.apache.spark.sql.functions._
   */
 object Perplexity {
 
-  private val Unk = "UNK"
+  private val Unk = "UNK"
+  // reserved w2 marking a CONTEXT-FLOOR row in the model table: real
+  // tokens are lowercased by the tokenizer, so the uppercase sentinel
+  // cannot collide (the same trick UNK relies on)
+  private val CtxTok = "CTXFLOOR"
 
   private def tokens(textCol: Column): Column =
     filter(split(lower(textCol), "[^\\p{L}\\p{N}']+"), t => length(t) > 0)
@@ -70,10 +74,18 @@ object Perplexity {
       .orderBy(col("c12").desc, col("w1"), col("w2")).limit(bigramCap)
     val contexts = mapped.groupBy("w1").agg(count(lit(1)).as("c1"))
     val v = vocabK + 1 // closed vocab + UNK
-    bigrams.join(contexts, "w1")
+    val seen = bigrams.join(contexts, "w1")
       .select(col("w1"), col("w2"),
         (log(col("c12") + lit(1.0)) - log(col("c1") + lit(v.toDouble)))
           .as("logp"))
+    // PER-CONTEXT Laplace floors, one row per w1: an unseen bigram in a
+    // frequent context must score log(1 / (c1 + V)) — a single global
+    // floor would hand unseen continuations of common words MORE
+    // probability than their rare SEEN continuations, inverting the
+    // quality ranking exactly at the margin a threshold cuts
+    val floors = contexts.select(col("w1"), lit(CtxTok).as("w2"),
+      (-log(col("c1") + lit(v.toDouble))).as("logp"))
+    seen.unionByName(floors)
   }
 
   /** Per-document perplexity of `docs` under a [[train]]ed model.
@@ -84,10 +96,15 @@ object Perplexity {
   def score(docs: DataFrame, model: DataFrame, idCol: String = "doc_id",
             textCol: String = "text", vocabK: Int = 5000): DataFrame = {
     val v = vocabK + 1
+    val floors = model.filter(col("w2") === lit(CtxTok))
+      .select(col("w1"), col("logp").as("ctx_floor"))
+    val bigModel = model.filter(col("w2") =!= lit(CtxTok))
     // score-side token space = the model's own (w1 ∪ w2) — tokens that
     // survived training; anything else maps to UNK exactly like training
-    val vocab = model.select(col("w2").as("tok"))
-      .union(model.select(col("w1").as("tok"))).distinct()
+    val vocab = bigModel.select(col("w2").as("tok"))
+      .union(model.filter(col("w2") =!= lit(CtxTok))
+        .select(col("w1").as("tok")))
+      .union(floors.select(col("w1").as("tok"))).distinct()
     val bg = docs.select(col(idCol), tokens(col(textCol)).as("ts"))
       .select(col(idCol), explode(expr(
         """CASE WHEN size(ts) >= 2
@@ -103,10 +120,13 @@ object Perplexity {
       .select(col(idCol),
         when(col("in1").isNotNull, col("w1")).otherwise(lit(Unk)).as("w1"),
         when(col("in2").isNotNull, col("w2")).otherwise(lit(Unk)).as("w2"))
-    // global Laplace floor: log(1) - log(V + 1) ~ an unseen context
-    val floor = -math.log(v.toDouble + 1.0)
-    val scored = bg.join(broadcast(model), Seq("w1", "w2"), "left")
-      .select(col(idCol), coalesce(col("logp"), lit(floor)).as("lp"))
+    // fallback ladder: seen bigram → its context's Laplace floor →
+    // the global unseen-context floor log(1 / V)
+    val globalFloor = -math.log(v.toDouble)
+    val scored = bg.join(broadcast(bigModel), Seq("w1", "w2"), "left")
+      .join(broadcast(floors), Seq("w1"), "left")
+      .select(col(idCol),
+        coalesce(col("logp"), col("ctx_floor"), lit(globalFloor)).as("lp"))
       .groupBy(idCol)
       .agg(exp(-avg(col("lp"))).as("ppl"))
     // sub-bigram docs never exploded a row — reattach them with NULL

@@ -136,8 +136,10 @@ object SnapshotLog {
     // re-applied predicates; parity property-checked in spec), so this
     // routing changes the PLAN, never the rows. Pre-listing tables take
     // the legacy DataFrameReader path below.
-    if (filesFromSidecar(spark, root, version).isDefined)
-      return readPruned(spark, root, Some(version))
+    val lines = sidecarLines(spark, root, version)
+    if (filesFromLines(spark, root, version, lines).isDefined)
+      return visibilityWrap(spark, root, version,
+        prunedBaseScanLines(spark, root, version, lines))
     val paths = versionPaths(spark, root, version)
     // an evolved chain pins its CURRENT schema in the manifest: the read
     // declares it explicitly and parquet null-fills the pre-evolution
@@ -305,6 +307,14 @@ object SnapshotLog {
         s"no such column: $from (have ${pin.fieldNames.mkString(", ")})")
       require(!pin.fieldNames.contains(to),
         s"column $to already exists")
+      // the target may not shadow any PHYSICAL name either (its own is
+      // fine — that's a rename back): a logical name equal to another
+      // column's physical name would make the logical→physical probe
+      // translation ambiguous, and a skipping probe could evaluate the
+      // WRONG column's spans — silent missing rows
+      require(!pin.fields.exists(f => f.name != from && physName(f) == to),
+        s"column name $to shadows another column's physical name — " +
+        "pick a different name, or compactChain to re-normalize first")
       val newPin = org.apache.spark.sql.types.StructType(pin.fields.map { f =>
         if (f.name == from)
           f.copy(name = to,
@@ -1916,7 +1926,12 @@ object SnapshotLog {
       recoverOrphans(spark, root)
       val cur = currentVersion(spark, root).getOrElse(
         throw new IllegalStateException(s"no committed version at $root"))
-      require(!manifestKind(spark, root, cur).contains("scoped"),
+      // detect scoped tables by the PARTITION COLUMN, not the head kind:
+      // a metadata-only commit (widen) on a scoped lineage writes its own
+      // kind while carrying partCol — a kind check alone would let the
+      // bin-pack merge partition leafs and silently drop the partitioning
+      require(!manifestKind(spark, root, cur).contains("scoped") &&
+              partColOf(spark, root, cur).isEmpty,
         "compactSmallFiles on a partition-scoped table would merge across " +
         "partition leafs — use compactChain for scoped maintenance")
       require(morKeysOf(spark, root, cur).isEmpty,
@@ -2652,11 +2667,15 @@ object SnapshotLog {
   private[graft] def candidateFilesEquals(spark: SparkSession, root: String,
                                           version: Long, column0: String,
                                           value: Any): (Seq[Path], Int) = {
-    // see candidateFiles: bloom keys and footers spell physical names
+    // see candidateFiles: bloom keys and footers spell physical names.
+    // candidateFiles translates ITS OWN argument — pass the LOGICAL name
+    // through (translating here too would double-map, and a rename chain
+    // whose logical name equals another column's physical name would
+    // then prune on the wrong column's spans)
     val column = schemaOf(spark, root, version)
       .map(st => renameMap(st).getOrElse(column0, column0)).getOrElse(column0)
     val (rangeKept, total) =
-      candidateFiles(spark, root, version, column, value, value)
+      candidateFiles(spark, root, version, column0, value, value)
     // a WIDENED column's old-file blooms hashed the narrow type; probing
     // them with widened-type hashes could wrongly prune a true match —
     // keep min/max span pruning (value-domain safe), skip blooms
@@ -3079,11 +3098,14 @@ object SnapshotLog {
     * (they need raw positions); [[readPruned]] layers visibility on top.
     */
   private def prunedBaseScan(spark: SparkSession, root: String,
-                             v: Long): DataFrame = {
+                             v: Long): DataFrame =
+    prunedBaseScanLines(spark, root, v, sidecarLines(spark, root, v))
+
+  private def prunedBaseScanLines(spark: SparkSession, root: String,
+                                  v: Long, lines: Seq[String]): DataFrame = {
     import org.apache.spark.sql.execution.datasources.HadoopFsRelation
     val paths = versionPaths(spark, root, v)
     // ONE sidecar read feeds both the file manifest and the spans
-    val lines = sidecarLines(spark, root, v)
     // FILE MANIFEST first (round 8): a complete sidecar listing plans
     // the scan with zero filesystem listing; tables committed before
     // listing lines existed fall back to the per-dir walk
@@ -3140,12 +3162,18 @@ object SnapshotLog {
                  version: Option[Long] = None): DataFrame = {
     val v = version.getOrElse(currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed version at $root")))
-    // merge-on-read: resolution sits ABOVE the skipping scan, and
-    // Catalyst only pushes key-column predicates through its window —
-    // the index therefore only ever sees filters for which file pruning
-    // is shadow-safe (all physical copies of a key prune together)
+    visibilityWrap(spark, root, v, prunedBaseScan(spark, root, v))
+  }
+
+  /** Merge-on-read + deletion-vector visibility over a base file scan —
+    * resolution sits ABOVE the skipping scan, and Catalyst only pushes
+    * key-column predicates through its window, so the file index only
+    * ever sees filters for which pruning is shadow-safe (all physical
+    * copies of a key prune together).
+    */
+  private def visibilityWrap(spark: SparkSession, root: String, v: Long,
+                             base0: DataFrame): DataFrame = {
     val mk = morKeysOf(spark, root, v)
-    val base0 = prunedBaseScan(spark, root, v)
     val base = if (mk.isEmpty) base0 else base0.withColumn(MorSeqCol, morSeq)
     val vis = applyTombstoneDirs(spark, root, tombDirsOf(spark, root, v), base)
     if (mk.isEmpty) vis else resolveLatest(vis, mk)

@@ -56,7 +56,8 @@ final case class GraftTable(catalogName: String, ident: Identifier,
       : org.apache.spark.sql.connector.read.ScanBuilder =
     graft.streaming.GraftTailTable.scanBuilder(root, tableSchema,
       graft.streaming.GraftTailTable.maxVersionsOf(options),
-      graft.streaming.GraftTailTable.maxBytesOf(options))
+      graft.streaming.GraftTailTable.maxBytesOf(options),
+      graft.streaming.GraftTailTable.startingOf(options))
   override def properties(): JMap[String, String] = {
     val m = new java.util.HashMap[String, String]()
     m.put("provider", "graft")
@@ -262,7 +263,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case other => throw new UnsupportedOperationException(
         s"graft ALTER TABLE supports ADD COLUMNS and RENAME COLUMN only, got: $other")
     }
-    val widened = StructType(curSchema.fields ++ added)
+    // widen against the VISIBLE schema: the raw pin may carry drop
+    // tombstones, and appendEvolved's additive guard (rightly) compares
+    // against what readers see — feeding it tombstoned fields would
+    // refuse every ADD COLUMNS on a table that ever dropped one
+    val widened = StructType(
+      SnapshotLog.visibleSchema(curSchema).fields ++ added)
     SnapshotLog.appendEvolved(spark, root, spark.createDataFrame(
       Collections.emptyList[org.apache.spark.sql.Row](), widened))
     mkTable(ident, root, cur + 1L)

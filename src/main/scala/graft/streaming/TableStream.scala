@@ -108,6 +108,7 @@ private[streaming] class GraftChangesTable(root: String, schema: StructType)
         // same contract as the tail: see GraftTailTable.scanBuilder
         SnapshotLog.requireNotColumnMapped(SparkSession.active, root,
           "CDC stream")
+        GraftTailTable.validateStarting(root, startV)
         override def readSchema(): StructType = schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new GraftChangesStream(root,
@@ -151,6 +152,7 @@ private[graft] object GraftTailTable {
         // renamed column would silently read as null. Refuse at start.
         SnapshotLog.requireNotColumnMapped(SparkSession.active, root,
           "streaming tail")
+        GraftTailTable.validateStarting(root, startingVersion)
         override def readSchema(): StructType = schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new GraftTailStream(root, schema, maxVersionsPerBatch,
@@ -184,6 +186,22 @@ private[graft] object GraftTailTable {
       val n = s.toLong
       require(n >= 1, s"startingVersion must be >= 1, got $n")
       n
+    }
+
+  /** A startingVersion beyond the head would silently degrade to
+    * "start from now" (offsets only move forward, so the too-high
+    * start regresses to the head and versions the user asked to skip
+    * ship later anyway) — refuse at stream start instead. head + 1 is
+    * allowed: "future commits only".
+    */
+  private[graft] def validateStarting(root: String,
+                                      startingVersion: Option[Long]): Unit =
+    startingVersion.foreach { sv =>
+      val head = SnapshotLog.currentVersion(SparkSession.active, root)
+        .getOrElse(0L)
+      require(sv <= head + 1,
+        s"startingVersion $sv is beyond the table head $head at $root " +
+        "(the largest meaningful value is head + 1 = future commits only)")
     }
 }
 

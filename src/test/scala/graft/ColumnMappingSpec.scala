@@ -245,6 +245,45 @@ class ColumnMappingSpec extends SparkSpecBase {
     assert(e.getMessage.contains("reader protocol 99"), e.getMessage)
   }
 
+  test("review hardening: name shadowing, scoped-widen compaction, probe after chained renames") {
+    import org.apache.spark.sql.types._
+    // a rename target may not shadow ANOTHER column's physical name —
+    // the logical→physical probe translation would become ambiguous and
+    // a skipping probe could evaluate the wrong column's spans
+    val root = freshRoot()
+    SnapshotLog.appendCommit(spark, root,
+      Seq((1, "x", "y")).toDF("k", "a", "c"), statsCols = Seq("k"))
+    SnapshotLog.renameColumn(spark, root, "a", "b") // physical of b is a
+    val e = intercept[IllegalArgumentException](
+      SnapshotLog.renameColumn(spark, root, "c", "a"))
+    assert(e.getMessage.contains("shadows"), e.getMessage)
+    // renaming a column BACK to its own physical name stays legal
+    SnapshotLog.renameColumn(spark, root, "b", "a")
+    assert(SnapshotLog.read(spark, root).columns.toSeq == Seq("k", "a", "c"))
+
+    // a point-lookup through a renamed column prunes the RIGHT spans
+    val root2 = freshRoot()
+    (1 to 3).foreach(i => SnapshotLog.appendCommit(spark, root2,
+      Seq((i * 10, i * 100)).toDF("n", "m"), statsCols = Seq("n", "m")))
+    SnapshotLog.renameColumn(spark, root2, "n", "num")
+    val hit = SnapshotLog.readEquals(spark, root2, "num", 20)
+    assert(hit.select("num").as[Int].collect().toSeq == Seq(20))
+    val (kept, total) = SnapshotLog.candidateFilesEquals(
+      spark, root2, SnapshotLog.currentVersion(spark, root2).get, "num", 20)
+    assert(total == 3 && kept.size == 1, s"kept ${kept.size} of $total")
+
+    // compactSmallFiles must refuse a SCOPED table even when the head
+    // commit is a metadata-only widen (kind 'widen' masks 'scoped')
+    val scoped = freshRoot()
+    SnapshotLog.upsertScoped(spark, scoped,
+      Seq((1, "us", 5), (2, "eu", 6)).toDF("k", "region", "x"),
+      Seq("k"), "region")
+    SnapshotLog.widenColumnType(spark, scoped, "x", LongType)
+    val e2 = intercept[IllegalArgumentException](
+      SnapshotLog.compactSmallFiles(spark, scoped, targetBytes = 1L << 20))
+    assert(e2.getMessage.contains("partition-scoped"), e2.getMessage)
+  }
+
   test("schema-change interplay with the CDC feed: widen upcasts, rename fails loudly") {
     import org.apache.spark.sql.types._
     // WIDEN mid-feed: the append short-circuit declares the head's wide

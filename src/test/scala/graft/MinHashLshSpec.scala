@@ -117,6 +117,18 @@ class MinHashLshSpec extends SparkSpecBase {
       shortDocWhole = true)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(whole == Set((1L, 2L), (4L, 5L)), whole.toString)
+
+    // NULL text must stay invisible even with the fallback on — xxhash64
+    // SKIPS null arguments, so null-text docs would otherwise all share
+    // one signature and mass-dedup against each other
+    val withNulls = docs.unionByName(
+      Seq((6L, null.asInstanceOf[String]), (7L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"))
+    val nullSafe = MinHashLsh.nearDuplicates(withNulls, n = 5,
+      threshold = 0.9, shortDocWhole = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nullSafe == Set((1L, 2L), (4L, 5L)),
+      s"null-text docs must never pair: $nullSafe")
   }
 
   test("q31 exact dedup is idempotent") {

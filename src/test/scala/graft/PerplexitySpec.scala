@@ -35,6 +35,27 @@ class PerplexitySpec extends SparkSpecBase {
     scored.unpersist(); model.unpersist()
   }
 
+  test("per-context floor: unseen continuations of a common word never beat rare SEEN ones") {
+    // context "the" occurs far more often than V: under a single GLOBAL
+    // floor, an UNSEEN bigram after "the" would get MORE probability
+    // than the rare but OBSERVED "the dog" — inverting the filter at
+    // exactly the margin a threshold cuts. The per-context Laplace
+    // floor log(1/(c1+V)) restores the order.
+    val refRows = Seq.fill(3000)("the cat sat on the mat") ++
+      Seq("the dog barked") ++ Seq("zebras exist here too")
+    val refDf = refRows.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val model = Perplexity.train(refDf, vocabK = 10)
+    val probe = Seq(
+      (1L, "the dog"),  // RARE but seen bigram
+      (2L, "the zebras") // both tokens known, bigram UNSEEN
+    ).toDF("doc_id", "text")
+    val ppl = Perplexity.score(probe, model, vocabK = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ppl(2L) > ppl(1L),
+      s"unseen continuation must out-perplex the rare seen one: $ppl")
+  }
+
   test("deterministic: two full runs produce identical scores") {
     val docs = ref.limit(50)
     val a = Perplexity.perplexity(docs, ref, vocabK = 1000)
@@ -52,11 +73,16 @@ class PerplexitySpec extends SparkSpecBase {
     val byId = out.collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
     assert(byId(1L) && byId(2L) && !byId(3L),
       s"sub-bigram docs must score NULL: $byId")
-    // plan shape: every model-side join is a broadcast — no sort-merge
-    // of the (large) candidate corpus against the (small) model
+    // plan shape: every MODEL-side join (on the gram keys w1/w2) is a
+    // broadcast — the candidate corpus never sort-merges against the
+    // model. The final per-doc NULL-reattach joins the corpus against
+    // its own aggregate on doc_id; that one may shuffle.
     val plan = Perplexity.score(ref, model, vocabK = 500)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+    val smjOnGrams = plan.linesIterator
+      .filter(_.contains("SortMergeJoin"))
+      .filter(l => l.contains("w1") || l.contains("w2")).toSeq
+    assert(plan.contains("BroadcastHashJoin") && smjOnGrams.isEmpty,
       s"model joins must broadcast:\n$plan")
   }
 }

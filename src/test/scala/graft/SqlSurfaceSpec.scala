@@ -361,6 +361,14 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("body"), e.getMessage)
     assert(rowsOf("SELECT * FROM graft.ns.rn") ==
       Set(Seq(2L), Seq(3L), Seq(5000000000L)))
+    // ADD COLUMNS after a DROP: the catalog widens the VISIBLE schema,
+    // so the tombstone neither blocks the evolution nor resurfaces
+    sql("ALTER TABLE graft.ns.rn ADD COLUMNS (note STRING)")
+    assert(sql("SELECT * FROM graft.ns.rn").columns.toSeq ==
+      Seq("k", "note"))
+    sql("INSERT INTO graft.ns.rn VALUES (9, 'n')")
+    assert(rowsOf("SELECT k, note FROM graft.ns.rn WHERE k = 9") ==
+      Set(Seq(9L, "n")))
   }
 
 }

@@ -171,6 +171,21 @@ class TailStreamSpec extends SparkSpecBase {
       assert(spark.table("tail_sv_sink").select("k").collect()
         .map(_.getLong(0)).toSet == Set(3L, 4L))
     } finally q.stop()
+
+    // a startingVersion beyond head+1 would silently degrade to "start
+    // from now" (offsets never move backward) — refuse loudly instead
+    val ck2 = Files.createTempDirectory("graft_tail_ck11").toString
+    val e = intercept[Exception] {
+      val q2 = spark.readStream.format("graft")
+        .option("startingVersion", "99").load(root)
+        .writeStream.format("memory").queryName("tail_sv_bad")
+        .option("checkpointLocation", ck2).start()
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("beyond the table head")),
+      s"expected a loud refusal, got: ${msgs(e)}")
   }
 
   test("tail survives additive schema evolution mid-stream at its start-time schema") {

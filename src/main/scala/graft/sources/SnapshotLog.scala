@@ -136,10 +136,10 @@ object SnapshotLog {
     // re-applied predicates; parity property-checked in spec), so this
     // routing changes the PLAN, never the rows. Pre-listing tables take
     // the legacy DataFrameReader path below.
-    val lines = sidecarLines(spark, root, version)
+    val lines = listingLines(spark, root, version)
     if (filesFromLines(spark, root, version, lines).isDefined)
       return visibilityWrap(spark, root, version,
-        prunedBaseScanLines(spark, root, version, lines))
+        prunedBaseScanListing(spark, root, version, lines))
     val paths = versionPaths(spark, root, version)
     // an evolved chain pins its CURRENT schema in the manifest: the read
     // declares it explicitly and parquet null-fills the pre-evolution
@@ -323,7 +323,7 @@ object SnapshotLog {
         else f
       })
       val next = cur + 1L
-      writeStats(spark, root, next, Nil, sidecarLines(spark, root, cur))
+      writeStats(spark, root, next, Nil, sidecarCarry(spark, root, cur))
       // kind "rename": NOT the writeManifestDirs default ("scoped" —
       // which would make compactSmallFiles refuse this flat table), and
       // the streaming tail/CDC ranges refuse it loudly by name
@@ -396,7 +396,7 @@ object SnapshotLog {
         else f
       })
       val next = cur + 1L
-      writeStats(spark, root, next, Nil, sidecarLines(spark, root, cur))
+      writeStats(spark, root, next, Nil, sidecarCarry(spark, root, cur))
       writeManifestDirs(spark, root, next, dirsOf(spark, root, cur),
         batchId = batchIdOf(spark, root, cur).getOrElse(-1L),
         tombDirs = tombDirsOf(spark, root, cur),
@@ -445,7 +445,7 @@ object SnapshotLog {
         else f
       })
       val next = cur + 1L
-      writeStats(spark, root, next, Nil, sidecarLines(spark, root, cur))
+      writeStats(spark, root, next, Nil, sidecarCarry(spark, root, cur))
       writeManifestDirs(spark, root, next, dirsOf(spark, root, cur),
         batchId = batchIdOf(spark, root, cur).getOrElse(-1L),
         tombDirs = tombDirsOf(spark, root, cur),
@@ -820,11 +820,11 @@ object SnapshotLog {
       // partitions' lines carry forward verbatim (keyed by leaf basename,
       // unique within a version — one leaf per partition value)
       val untouchedBase = untouched.map(baseName).toSet
-      val carry = cur.toSeq.flatMap(c =>
-        sidecarLines(spark, root, c).filter { line =>
-          val key = unesc(line.split("\t", -1)(0))
+      val carry = cur.map(c =>
+        sidecarCarry(spark, root, c).filter { line =>
+          val key = StatsEval.unesc(line.split("\t", -1)(0))
           untouchedBase.contains(key.substring(0, math.max(key.indexOf('/'), 0)))
-        })
+        }).getOrElse(EagerCarry(Nil))
       writeStats(spark, root, next, statsCols, carry)
       // parent vectors carry: untouched partitions still need them
       // (touched partitions had them folded into the rewrite; stale
@@ -877,7 +877,7 @@ object SnapshotLog {
       hits.write.mode("overwrite").parquet(td.toString)
       // the data-file set is untouched, so the parent's sidecar carries
       // verbatim (stats prune files; the vector prunes rows afterwards)
-      val carry = sidecarLines(spark, root, cur)
+      val carry = sidecarCarry(spark, root, cur)
       writeStats(spark, root, next, Nil, carry)
       writeManifestDirs(spark, root, next, dirsOf(spark, root, cur),
         batchId = batchIdOf(spark, root, cur).getOrElse(-1L),
@@ -920,7 +920,7 @@ object SnapshotLog {
         .select(col("__rel"), col("__ri"))
       val td = new Path(rootPath, tombDirName(next))
       hits.write.mode("overwrite").parquet(td.toString)
-      val carry = sidecarLines(spark, root, cur)
+      val carry = sidecarCarry(spark, root, cur)
       writeStats(spark, root, next, Nil, carry)
       writeManifestDirs(spark, root, next, dirsOf(spark, root, cur),
         batchId = batchIdOf(spark, root, cur).getOrElse(-1L),
@@ -1018,7 +1018,7 @@ object SnapshotLog {
           // pre-existing files are untouched → parent sidecar lines carry
           // verbatim; the appended dir gets no stats line (same contract
           // as an un-statted append — skipping stays safe, not stale)
-          val carry = sidecarLines(spark, root, cur)
+          val carry = sidecarCarry(spark, root, cur)
           writeStats(spark, root, next, Nil, carry)
           writeManifestDirs(spark, root, next,
             dirsOf(spark, root, cur) :+ dataDirName(next),
@@ -1066,7 +1066,7 @@ object SnapshotLog {
     def abs(d: String): String = new Path(srcPath, d).toString
     val dirs = dirsOf(spark, srcRoot, sv).map(abs)
     val tombs = tombDirsOf(spark, srcRoot, sv).map(abs)
-    val carry = sidecarLines(spark, srcRoot, sv)
+    val carry = sidecarCarry(spark, srcRoot, sv)
     withClaim(spark, dstRoot) { _ =>
       require(currentVersion(spark, dstRoot).isEmpty,
         s"clone target $dstRoot already has a committed table")
@@ -1182,7 +1182,8 @@ object SnapshotLog {
       if (!f.rename(staging, dataDir(root, next)))
         throw new IllegalStateException(
           s"could not move staged $staging into ${dataDir(root, next)}")
-      val carry = cur.toSeq.flatMap(c => sidecarLines(spark, root, c))
+      val carry = cur.map(c => sidecarCarry(spark, root, c))
+        .getOrElse(EagerCarry(Nil))
       writeStats(spark, root, next,
         statsCols.map(c => stageMap.getOrElse(c, c)), carry)
       writeManifestAppend(spark, root, next, -1L,
@@ -1311,11 +1312,11 @@ object SnapshotLog {
         throw new IllegalStateException(
           s"could not move staged $stagingPath into ${dataDir(root, next)}")
       val untouchedBase = untouched.map(baseName).toSet
-      val carry = head.toSeq.flatMap(c =>
-        sidecarLines(spark, root, c).filter { line =>
-          val key = unesc(line.split("\t", -1)(0))
+      val carry = head.map(c =>
+        sidecarCarry(spark, root, c).filter { line =>
+          val key = StatsEval.unesc(line.split("\t", -1)(0))
           untouchedBase.contains(key.substring(0, math.max(key.indexOf('/'), 0)))
-        })
+        }).getOrElse(EagerCarry(Nil))
       writeStats(spark, root, next, statsCols, carry)
       val newDirs = untouched ++ writtenLeafs.map(dataDirName(next) + "/" + _)
       writeManifestDirs(spark, root, next, newDirs,
@@ -1340,13 +1341,53 @@ object SnapshotLog {
                            v: Long): Seq[String] = {
     val sp = statsPath(root, v)
     val f = fs(spark, sp)
-    if (!f.exists(sp)) Seq.empty
-    else {
+    if (!f.exists(sp)) {
+      // parquet-checkpoint fallback for callers that need raw lines —
+      // driver-materializing by nature, so hot paths route through
+      // [[listingLines]] / the distributed pruners instead
+      val pq = statsPqPath(root, v)
+      if (fs(spark, pq).exists(pq))
+        renderStatsLines(spark.read.parquet(pq.toString)).collect().toSeq
+      else Seq.empty
+    } else {
       val in = f.open(sp)
       try new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq
           .filter(_.nonEmpty)
       finally in.close()
+    }
+  }
+
+  /** Whether version `v`'s sidecar is a parquet checkpoint (vs text or
+    * absent) — the dispatch bit for the distributed read paths.
+    */
+  private def hasPqSidecar(spark: SparkSession, root: String, v: Long): Boolean = {
+    val sp = statsPath(root, v)
+    !fs(spark, sp).exists(sp) && {
+      val pq = statsPqPath(root, v)
+      fs(spark, pq).exists(pq)
+    }
+  }
+
+  /** JUST the file-manifest (`d`/`f`) lines of a version's sidecar. For
+    * a text sidecar this is the whole file (the caller's parser skips
+    * span lines — one read, reused); for a parquet checkpoint the tag
+    * predicate pushes down to the parquet scan, so planning collects
+    * O(files) listing rows and ZERO span rows — the span side stays
+    * distributed.
+    */
+  private def listingLines(spark: SparkSession, root: String,
+                           v: Long): Seq[String] = {
+    val sp = statsPath(root, v)
+    if (fs(spark, sp).exists(sp)) sidecarLines(spark, root, v)
+    else {
+      val pq = statsPqPath(root, v)
+      if (!fs(spark, pq).exists(pq)) Seq.empty
+      else {
+        import org.apache.spark.sql.functions.col
+        renderStatsLines(spark.read.parquet(pq.toString)
+          .filter(col("t").isin("f", "d"))).collect().toSeq
+      }
     }
   }
 
@@ -1528,7 +1569,7 @@ object SnapshotLog {
                                   statsCols: Seq[String] = Nil,
                                   bloomCols: Seq[String] = Nil,
                                   baseDirs: Seq[String] = Nil,
-                                  carryStats: Seq[String] = Nil,
+                                  carryStats: SidecarCarry = EagerCarry(Nil),
                                   tombDirs: Seq[String] = Nil,
                                   schemaJson: String = "",
                                   morKeys: Seq[String] = Nil): Unit = {
@@ -1703,7 +1744,7 @@ object SnapshotLog {
             batchIdOf(spark, root, cur).getOrElse(-1L),
             statsCols, bloomCols,
             baseDirs = dirsOf(spark, root, cur),
-            carryStats = sidecarLines(spark, root, cur),
+            carryStats = sidecarCarry(spark, root, cur),
             tombDirs = tombDirsOf(spark, root, cur),
             schemaJson = java.net.URLEncoder.encode(newPin.json, "UTF-8"))
           publishLatest(spark, root, next)
@@ -1744,7 +1785,7 @@ object SnapshotLog {
             s"append schema $got != table schema $have " +
             "(append-only tables do not evolve schemas mid-chain)")
           val next = cur + 1L
-          val carry = sidecarLines(spark, root, cur)
+          val carry = sidecarCarry(spark, root, cur)
           // parent deletion vectors carry too: an append must not
           // resurrect rows a prior tombstoneDelete removed; the pinned
           // schema of an evolved lineage carries with them
@@ -1994,18 +2035,25 @@ object SnapshotLog {
             Seq(tombDirName(next))
           }
         }
-      val parentLines = sidecarLines(spark, root, cur)
-      val carry = parentLines.filter(l =>
-        keptDirSet.contains(unesc(l.takeWhile(_ != '\t')).takeWhile(_ != '/')))
+      val parentCarry = sidecarCarry(spark, root, cur)
+      val carry = parentCarry.filter(l =>
+        keptDirSet.contains(StatsEval.unesc(l.takeWhile(_ != '\t')).takeWhile(_ != '/')))
+      // listing lines ("f"/"d") carry no stats column — only span and
+      // bloom lines name columns worth re-deriving on the rewrite. The
+      // distinct-collect is bounded by |columns|, never |files|.
+      val statColOf: String => Option[String] = { l =>
+        val p = l.split('\t')
+        if (p.length >= 3 && p(2) != "f" && p(2) != "d") Some(StatsEval.unesc(p(1)))
+        else None
+      }
       val freshCols =
         if (statsCols.nonEmpty) statsCols
-        // listing lines ("f"/"d") carry no stats column — only span and
-        // bloom lines name columns worth re-deriving on the rewrite
-        else parentLines.flatMap { l =>
-          val p = l.split('\t')
-          if (p.length >= 3 && p(2) != "f" && p(2) != "d") Some(unesc(p(1)))
-          else None
-        }.distinct
+        else parentCarry match {
+          case EagerCarry(ls) => ls.flatMap(statColOf(_)).distinct
+          case DistCarry(ds)  =>
+            ds.flatMap(statColOf(_))(org.apache.spark.sql.Encoders.STRING)
+              .distinct().collect().toSeq
+        }
       writeStats(spark, root, next, freshCols, carry)
       writeManifestAppend(spark, root, next,
         batchIdOf(spark, root, cur).getOrElse(-1L),
@@ -2213,19 +2261,8 @@ object SnapshotLog {
     java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone",
       java.util.TimeZone.getDefault.getID))
 
-  private def probeString(x: Any, zone: java.time.ZoneId): String = {
-    val fmt = java.time.format.DateTimeFormatter.ofPattern(TsFmt)
-    x match {
-      case t: java.sql.Timestamp       =>
-        java.time.LocalDateTime.ofInstant(t.toInstant, zone).format(fmt)
-      case d: java.time.LocalDateTime  => d.format(fmt)
-      case i: java.time.Instant        =>
-        java.time.LocalDateTime.ofInstant(i, zone).format(fmt)
-      case d: java.sql.Date            => d.toLocalDate.toString
-      case d: java.time.LocalDate      => d.toString
-      case other                       => other.toString
-    }
-  }
+  private def probeString(x: Any, zone: java.time.ZoneId): String =
+    StatsEval.probeString(x, zone)
 
   /** Code-point lexicographic string compare == UTF-8 binary order ==
     * Spark's UTF8String min/max ordering. Java's String `<` compares
@@ -2302,12 +2339,105 @@ object SnapshotLog {
     * stats entirely, which degrades to "keep the file" — the same
     * contract as the NaN guard in [[candidateFiles]].
     */
+  // ------------------------- sidecar storage: text vs parquet checkpoint
+
+  /** Parquet STATS CHECKPOINT of a version (round 9): the same records
+    * as the `v{N}.stats` text sidecar, but written as a distributed
+    * Spark job into a parquet directory — columns (k, c, t, a, b) hold
+    * the five (escaped) TSV fields of each line. Above the byte
+    * threshold the text form's driver-side build (`.collect().sorted` +
+    * one `mkString` string) is O(files × columns) driver heap and a
+    * single multi-GB write — the round-8 verdict's last O(files)
+    * driver-memory wall. The checkpoint is Delta's answer re-expressed:
+    * carry flows as a Dataset, fresh footer stats stay an RDD, and the
+    * union writes via executors; the driver never materializes a
+    * per-file line. Readers get parquet column pushdown for free (span
+    * probes filter on `c`, read planning on `t`).
+    */
+  private[graft] def statsPqPath(root: String, v: Long): Path =
+    new Path(logDir(root), f"v$v%08d.statspq")
+
+  /** Byte budget above which a commit's sidecar switches from the
+    * driver-built text file to the distributed parquet checkpoint. Small
+    * tables keep the one-file text form (cheaper than a Spark job per
+    * commit); a chain that outgrows the budget migrates automatically on
+    * its next commit and stays parquet from then on.
+    */
+  private def statsCheckpointThreshold(spark: SparkSession): Long =
+    spark.conf.getOption("graft.stats.checkpointThresholdBytes")
+      .map(_.toLong).getOrElse(4L << 20)
+
+  /** A parent sidecar bound for a child commit. Below the checkpoint
+    * threshold the lines ride the driver as before ([[EagerCarry]]);
+    * above it — or when the parent is already a parquet checkpoint —
+    * they stay a lazy [[Dataset]] ([[DistCarry]]) that only executors
+    * ever materialize. `filter` composes on either representation, so
+    * the scoped/compaction call sites keep their line predicates
+    * unchanged (the closures capture only Sets and [[StatsEval]]).
+    */
+  private[graft] sealed trait SidecarCarry {
+    def filter(p: String => Boolean): SidecarCarry
+  }
+  private[graft] final case class EagerCarry(lines: Seq[String]) extends SidecarCarry {
+    def filter(p: String => Boolean): SidecarCarry = EagerCarry(lines.filter(p))
+  }
+  private[graft] final case class DistCarry(ds: org.apache.spark.sql.Dataset[String]) extends SidecarCarry {
+    def filter(p: String => Boolean): SidecarCarry = DistCarry(ds.filter(p))
+  }
+
+  private def sidecarCarry(spark: SparkSession, root: String,
+                           v: Long): SidecarCarry = {
+    val sp = statsPath(root, v)
+    val f = fs(spark, sp)
+    if (f.exists(sp)) {
+      if (f.getFileStatus(sp).getLen <= statsCheckpointThreshold(spark))
+        EagerCarry(sidecarLines(spark, root, v))
+      else DistCarry(spark.read.textFile(sp.toString)
+        .filter((l: String) => l.nonEmpty))
+    } else {
+      val pq = statsPqPath(root, v)
+      if (fs(spark, pq).exists(pq))
+        DistCarry(renderStatsLines(spark.read.parquet(pq.toString)))
+      else EagerCarry(Seq.empty)
+    }
+  }
+
+  /** Checkpoint rows → sidecar lines (the five escaped fields joined by
+    * tabs — a lossless round trip of [[parseStatsLines]]; fields are
+    * non-null by construction, so concat_ws cannot drop one).
+    */
+  private def renderStatsLines(
+      df: DataFrame): org.apache.spark.sql.Dataset[String] = {
+    import org.apache.spark.sql.functions.concat_ws
+    df.select(concat_ws("\t", df("k"), df("c"), df("t"), df("a"), df("b")))
+      .as[String](org.apache.spark.sql.Encoders.STRING)
+  }
+
+  private def parseStatsLines(
+      ds: org.apache.spark.sql.Dataset[String]): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.STRING)
+    ds.map { line =>
+      val p = line.split("\t", -1)
+      require(p.length == 5, s"malformed sidecar line: $line")
+      (p(0), p(1), p(2), p(3), p(4))
+    }(enc).toDF("k", "c", "t", "a", "b")
+  }
+
+  // test-visible write-path markers: which storage the last writeStats
+  // chose and whether its carry stayed distributed (the round-9 spec
+  // asserts a large chain's commits never eagerly materialize carry)
+  @volatile private[graft] var lastStatsMode: String = ""
+  @volatile private[graft] var lastCarryDistributed: Boolean = false
+
   private def writeStats(spark: SparkSession, root: String, v: Long,
-                         cols: Seq[String], carry: Seq[String] = Nil): Unit = {
+                         cols: Seq[String],
+                         carry: SidecarCarry = EagerCarry(Nil)): Unit = {
     val dd = dataDir(root, v)
     val f = fs(spark, dd)
     val lines = Vector.newBuilder[String]
-    lines ++= carry
     // FILE MANIFEST (round 8): record the version's own dirs' file
     // listings as sidecar lines — `d` marks a dir fully listed, `f`
     // carries one file's (name, length, mtime). The committer just
@@ -2339,59 +2469,109 @@ object SnapshotLog {
         }
       }
     }
-    if (cols.nonEmpty && f.exists(dd)) {
-      // validate requested columns against the SPARK schema (footer-only
-      // read — parquet datasource schema resolution reads no row data)
-      val fields = spark.read.parquet(dd.toString).schema.fields
-        .map(fl => fl.name -> fl.dataType).toMap
-      val zone = sessionZone(spark).getId
-      val specs = cols.map { c =>
-        val dt = fields.getOrElse(c,
-          throw new IllegalArgumentException(s"stats column $c not in table schema"))
-        val tag = dt match {
-          case _: org.apache.spark.sql.types.NumericType   => "n"
-          case org.apache.spark.sql.types.StringType       => "s"
-          // temporal min/max serialize as ISO strings whose lexicographic
-          // order IS chronological order — they ride the "s" compare path;
-          // the probe side formats identically ([[probeString]])
-          case org.apache.spark.sql.types.TimestampType    => "s"
-          case org.apache.spark.sql.types.TimestampNTZType => "s"
-          case org.apache.spark.sql.types.DateType         => "s"
-          case other => throw new IllegalArgumentException(
-            s"stats column $c: unsupported type ${other.simpleString} " +
-            "(numeric/string/timestamp/date only)")
+    // fresh footer-derived span stats for this commit's own files, as an
+    // UNMATERIALIZED RDD: the text path collects it (bounded by the
+    // threshold), the checkpoint path unions it into the distributed
+    // write — per-file stat lines never transit the driver at scale
+    val footerRdd: Option[org.apache.spark.rdd.RDD[String]] =
+      if (cols.isEmpty || !f.exists(dd)) None
+      else {
+        // validate requested columns against the SPARK schema (footer-only
+        // read — parquet datasource schema resolution reads no row data)
+        val fields = spark.read.parquet(dd.toString).schema.fields
+          .map(fl => fl.name -> fl.dataType).toMap
+        val zone = sessionZone(spark).getId
+        val specs = cols.map { c =>
+          val dt = fields.getOrElse(c,
+            throw new IllegalArgumentException(s"stats column $c not in table schema"))
+          val tag = dt match {
+            case _: org.apache.spark.sql.types.NumericType   => "n"
+            case org.apache.spark.sql.types.StringType       => "s"
+            // temporal min/max serialize as ISO strings whose lexicographic
+            // order IS chronological order — they ride the "s" compare path;
+            // the probe side formats identically ([[probeString]])
+            case org.apache.spark.sql.types.TimestampType    => "s"
+            case org.apache.spark.sql.types.TimestampNTZType => "s"
+            case org.apache.spark.sql.types.DateType         => "s"
+            case other => throw new IllegalArgumentException(
+              s"stats column $c: unsupported type ${other.simpleString} " +
+              "(numeric/string/timestamp/date only)")
+          }
+          StatSpec(c, tag, zone)
         }
-        StatSpec(c, tag, zone)
-      }
-      val paths = {
-        val it = f.listFiles(dd, /*recursive=*/ true)
-        val b = Vector.newBuilder[String]
-        while (it.hasNext) {
-          val st = it.next()
-          if (st.isFile && st.getPath.getName.endsWith(".parquet"))
-            b += st.getPath.toString
+        val paths = {
+          val it = f.listFiles(dd, /*recursive=*/ true)
+          val b = Vector.newBuilder[String]
+          while (it.hasNext) {
+            val st = it.next()
+            if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+              b += st.getPath.toString
+          }
+          b.result()
         }
-        b.result()
+        if (paths.isEmpty) None
+        else {
+          val conf = new org.apache.spark.util.SerializableConfiguration(
+            spark.sparkContext.hadoopConfiguration)
+          val slices = math.max(1, math.min(paths.size,
+            spark.sparkContext.defaultParallelism))
+          Some(spark.sparkContext.parallelize(paths, slices)
+            .flatMap(p => footerStatLines(p, conf.value, specs)))
+        }
       }
-      if (paths.nonEmpty) {
-        val conf = new org.apache.spark.util.SerializableConfiguration(
-          spark.sparkContext.hadoopConfiguration)
-        val slices = math.max(1, math.min(paths.size,
-          spark.sparkContext.defaultParallelism))
-        lines ++= spark.sparkContext.parallelize(paths, slices)
-          .flatMap(p => footerStatLines(p, conf.value, specs))
-          .collect().sorted
-      }
+    val freshLines = lines.result()
+    // storage decision: the EXACT carry + listing bytes plus a bound on
+    // the fresh span lines (≤ files × cols, ~64 B rendered each — the
+    // file count is the listing `f`-line count just built)
+    val thr = statsCheckpointThreshold(spark)
+    val eagerBytes = carry match {
+      case EagerCarry(ls) =>
+        val fileCount = freshLines.count(_.contains("\tf\t"))
+        Some(ls.iterator.map(_.length + 1L).sum +
+          freshLines.iterator.map(_.length + 1L).sum +
+          (if (footerRdd.isDefined) fileCount.toLong * cols.size * 64L else 0L))
+      case _ => None
     }
-    val allLines = lines.result()
-    val sp = statsPath(root, v)
-    val tmp = new Path(logDir(root), f".tmp_stats_v$v%08d")
-    val lf = fs(spark, sp)
-    val out = lf.create(tmp, true)
-    try out.write(allLines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    if (!lf.rename(tmp, sp))
-      throw new IllegalStateException(s"could not publish stats $sp")
+    if (eagerBytes.exists(_ <= thr)) {
+      val allLines = carry.asInstanceOf[EagerCarry].lines ++ freshLines ++
+        footerRdd.map(_.collect().sorted.toSeq).getOrElse(Seq.empty)
+      val sp = statsPath(root, v)
+      val tmp = new Path(logDir(root), f".tmp_stats_v$v%08d")
+      val lf = fs(spark, sp)
+      val out = lf.create(tmp, true)
+      try out.write(allLines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (!lf.rename(tmp, sp))
+        throw new IllegalStateException(s"could not publish stats $sp")
+      lastStatsMode = "text"
+      lastCarryDistributed = false
+    } else {
+      // parquet checkpoint, written by the EXECUTORS: carry (text or
+      // parquet parent, possibly filtered) ∪ this commit's O(batch)
+      // listing ∪ fresh footer spans — parsed to (k,c,t,a,b) and
+      // published with the same temp + rename visibility as every
+      // sidecar (absent or complete, never partial)
+      val S = org.apache.spark.sql.Encoders.STRING
+      val carryDs = carry match {
+        case EagerCarry(ls) => spark.createDataset(ls)(S)
+        case DistCarry(ds)  => ds
+      }
+      val freshDs = spark.createDataset(freshLines)(S)
+      val allDs = footerRdd match {
+        case Some(r) => carryDs.union(freshDs).union(spark.createDataset(r)(S))
+        case None    => carryDs.union(freshDs)
+      }
+      val tmp = new Path(logDir(root), f".tmp_statspq_v$v%08d")
+      val lf = fs(spark, tmp)
+      if (lf.exists(tmp)) lf.delete(tmp, true)
+      parseStatsLines(allDs).write.mode("overwrite").parquet(tmp.toString)
+      val dst = statsPqPath(root, v)
+      if (lf.exists(dst)) lf.delete(dst, true)
+      if (!lf.rename(tmp, dst))
+        throw new IllegalStateException(s"could not publish stats checkpoint $dst")
+      lastStatsMode = "parquet"
+      lastCarryDistributed = carry.isInstanceOf[DistCarry]
+    }
   }
 
   /** Sidecar lines for one data file, decoded from its footer on the
@@ -2590,7 +2770,36 @@ object SnapshotLog {
     val threshold = spark.conf
       .getOption("graft.skipping.distributedThresholdBytes")
       .map(_.toLong).getOrElse(8L << 20)
-    if (statBytes > threshold) {
+    if (hasPqSidecar(spark, root, version)) {
+      // PARQUET-checkpoint span evaluation: the probe column pushes down
+      // to the checkpoint scan (`c = col`), the overlap test runs on the
+      // executors, and the driver materializes only PRUNED file keys —
+      // same contract as the distributed text path below, plus column
+      // pruning the text form cannot offer
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col => sqlcol}
+      val colEsc = esc(column)
+      val pruned = spark.read.parquet(statsPqPath(root, version).toString)
+        .filter(!sqlcol("t").isin("b", "f", "d") && sqlcol("c") === colEsc)
+        .select("k", "t", "a", "b")
+        .as[(String, String, String, String)]
+        .flatMap { case (k, t, a, b) =>
+          if (!StatsEval.overlaps(t, a, b, loS, hiS, loN, hiN))
+            Some(StatsEval.unesc(k))
+          else None
+        }
+        .collect().toSet
+      val kept = all.filter { p =>
+        val key = p.getParent.getName + "/" + p.getName
+        if (pruned.contains(key)) false
+        else dirSpanOf(p) match {
+          case Some((tag, mn, mx)) =>
+            StatsEval.overlaps(tag, mn, mx, loS, hiS, loN, hiN)
+          case None => true
+        }
+      }
+      (kept, all.size)
+    } else if (statBytes > threshold) {
       // DISTRIBUTED span evaluation — the 10⁶-file regime: the sidecar
       // is evaluated as a Spark job and the driver materializes ONLY the
       // PRUNED file keys (files proven empty for the probe), never the
@@ -2685,8 +2894,7 @@ object SnapshotLog {
     val sp = statsPath(root, version)
     val f = fs(spark, sp)
     val blooms: Map[String, java.util.BitSet] =
-      if (!f.exists(sp)) Map.empty
-      else {
+      if (f.exists(sp)) {
         val in = f.open(sp)
         val text = try new String(in.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8) finally in.close()
@@ -2698,7 +2906,18 @@ object SnapshotLog {
             case _ => None
           }
         }.toMap
-      }
+      } else if (hasPqSidecar(spark, root, version)) {
+        // legacy "b" rows carried into a parquet checkpoint: tag + column
+        // push down, so the collect is bounded by surviving legacy lines
+        import org.apache.spark.sql.functions.{col => sqlcol}
+        spark.read.parquet(statsPqPath(root, version).toString)
+          .filter(sqlcol("t") === "b" && sqlcol("c") === esc(column))
+          .select("k", "a").collect().map { r =>
+            val bytes = r.getString(1).grouped(2)
+              .map(Integer.parseInt(_, 16).toByte).toArray
+            unesc(r.getString(0)) -> java.util.BitSet.valueOf(bytes)
+          }.toMap
+      } else Map.empty
     val dt = tableSchema(spark, root, version).apply(column0).dataType
     val (haveSidecar, noSidecar) = rangeKept.partition(p =>
       blooms.contains(p.getParent.getName + "/" + p.getName))
@@ -2917,31 +3136,8 @@ object SnapshotLog {
                            lo: Option[Any], hi: Option[Any],
                            zone: java.time.ZoneId,
                            loStrict: Boolean = false,
-                           hiStrict: Boolean = false): Boolean = {
-    if (mn == NullMark || mx == NullMark) return false // all-null file
-    if (tag == "n")
-      scala.util.Try {
-        hi.forall { h =>
-          val b = BigDecimal(h.toString); val m = BigDecimal(unesc(mn))
-          if (hiStrict) m < b else m <= b // any row can sit below the bound
-        } &&
-        lo.forall { l =>
-          val b = BigDecimal(l.toString); val m = BigDecimal(unesc(mx))
-          if (loStrict) m > b else m >= b
-        }
-      }.getOrElse(true)
-    else
-      scala.util.Try {
-        hi.forall { h =>
-          val b = probeString(h, zone)
-          if (hiStrict) cpLess(unesc(mn), b) else !cpLess(b, unesc(mn))
-        } &&
-        lo.forall { l =>
-          val b = probeString(l, zone)
-          if (loStrict) cpLess(b, unesc(mx)) else !cpLess(unesc(mx), b)
-        }
-      }.getOrElse(true)
-  }
+                           hiStrict: Boolean = false): Boolean =
+    StatsEval.spanOverlaps(tag, mn, mx, lo, hi, zone, loStrict, hiStrict)
 
   /** Read a version through a stats-aware [[FileIndex]]: ordinary
     * `.filter(...)` predicates prune FILES automatically — Catalyst
@@ -2981,7 +3177,7 @@ object SnapshotLog {
   private[graft] def filesFromSidecar(
       spark: SparkSession, root: String,
       v: Long): Option[Seq[org.apache.hadoop.fs.FileStatus]] =
-    filesFromLines(spark, root, v, sidecarLines(spark, root, v))
+    filesFromLines(spark, root, v, listingLines(spark, root, v))
 
   private def filesFromLines(
       spark: SparkSession, root: String, v: Long,
@@ -3032,7 +3228,7 @@ object SnapshotLog {
                                   v: Long): Long = {
     val base = dataDirName(v)
     var marked = false; var sum = 0L
-    sidecarLines(spark, root, v).foreach { line =>
+    listingLines(spark, root, v).foreach { line =>
       StatsEval.parseListing(line).foreach {
         case (key, "d", _, _) if key.stripSuffix("/") == base => marked = true
         case (key, "f", len, _) if key.startsWith(base + "/") =>
@@ -3099,10 +3295,43 @@ object SnapshotLog {
     */
   private def prunedBaseScan(spark: SparkSession, root: String,
                              v: Long): DataFrame =
-    prunedBaseScanLines(spark, root, v, sidecarLines(spark, root, v))
+    prunedBaseScanListing(spark, root, v, listingLines(spark, root, v))
+
+  /** [[prunedBaseScanLines]] with the span source chosen by sidecar
+    * storage: a text sidecar's lines parse into the in-memory span map
+    * (they arrived in `lines` already — one read feeds manifest and
+    * spans); a parquet checkpoint's spans stay ON DISK and the file
+    * index prunes through a distributed job per scan ([[PqSpans]]) —
+    * the sub-threshold read path never materializes per-(file, column)
+    * spans on the driver.
+    */
+  private def prunedBaseScanListing(spark: SparkSession, root: String,
+                                    v: Long, lines: Seq[String]): DataFrame =
+    if (hasPqSidecar(spark, root, v))
+      prunedBaseScanCore(spark, root, v, lines,
+        PqSpans(statsPqPath(root, v).toString))
+    else prunedBaseScanLines(spark, root, v, lines)
 
   private def prunedBaseScanLines(spark: SparkSession, root: String,
                                   v: Long, lines: Seq[String]): DataFrame = {
+    // rel-path keyed spans, grouped per file: dir/file -> col -> span
+    val spans: Map[String, Map[String, (String, String, String)]] =
+      lines.flatMap { line =>
+        line.split("\t", -1) match {
+          case Array(file, c, tag, mn, mx)
+              if tag != "b" && tag != "f" && tag != "d" =>
+            Some((unesc(file), unesc(c), (tag, mn, mx)))
+          case _ => None
+        }
+      }.groupBy(_._1).map { case (f, ls) =>
+        f -> ls.map(t => t._2 -> t._3).toMap
+      }
+    prunedBaseScanCore(spark, root, v, lines, InMemSpans(spans))
+  }
+
+  private def prunedBaseScanCore(spark: SparkSession, root: String,
+                                 v: Long, lines: Seq[String],
+                                 spanSrc: SpanSource): DataFrame = {
     import org.apache.spark.sql.execution.datasources.HadoopFsRelation
     val paths = versionPaths(spark, root, v)
     // ONE sidecar read feeds both the file manifest and the spans
@@ -3128,18 +3357,6 @@ object SnapshotLog {
       .orElse(files.headOption.flatMap(st => sparkSchemaFromFooter(spark, st.getPath)))
       .getOrElse(spark.read.parquet(paths: _*).schema))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    // rel-path keyed spans, grouped per file: dir/file -> col -> span
-    val spans: Map[String, Map[String, (String, String, String)]] =
-      lines.flatMap { line =>
-        line.split("\t", -1) match {
-          case Array(file, c, tag, mn, mx)
-              if tag != "b" && tag != "f" && tag != "d" =>
-            Some((unesc(file), unesc(c), (tag, mn, mx)))
-          case _ => None
-        }
-      }.groupBy(_._1).map { case (f, ls) =>
-        f -> ls.map(t => t._2 -> t._3).toMap
-      }
     val partCol = partColOf(spark, root, v)
     val zone = sessionZone(spark)
     // column mapping: the files (and the sidecar span keys, and the
@@ -3147,7 +3364,7 @@ object SnapshotLog {
     // all spell PHYSICAL names — the relation declares those, and one
     // Project restores the pin's logical names for everything above
     val phys = physicalSchema(schema)
-    val index = new SkippingFileIndex(spark, files, spans, partCol, phys, zone)
+    val index = new SkippingFileIndex(spark, files, spanSrc, partCol, phys, zone)
     val relation = HadoopFsRelation(
       location = index,
       partitionSchema = org.apache.spark.sql.types.StructType(Nil),
@@ -3179,24 +3396,73 @@ object SnapshotLog {
     if (mk.isEmpty) vis else resolveLatest(vis, mk)
   }
 
+  /** Where a scan's span-pruning decisions come from: the parsed TEXT
+    * sidecar (a driver-side map — the small-table regime) or the
+    * PARQUET checkpoint (spans stay on disk; each scan prunes through a
+    * distributed job that ships back only pruned file keys — the
+    * 10⁶-file regime, where materializing per-(file, column) spans on
+    * the driver is the bottleneck the checkpoint exists to remove).
+    */
+  private sealed trait SpanSource
+  private final case class InMemSpans(
+      spans: Map[String, Map[String, (String, String, String)]]) extends SpanSource
+  private final case class PqSpans(path: String) extends SpanSource
+
+  /** Distributed span evaluation over a parquet stats checkpoint: group
+    * the span rows per file on the executors, run the SAME
+    * [[StatsEval.admits]] the driver path runs (one evaluator — the two
+    * paths cannot drift), return only the PRUNED keys. The dir-name
+    * partition span joins the executor-side fallback chain exactly as
+    * it does driver-side (a file key's dir part is pure data).
+    */
+  private def pqPrunedKeys(spark: SparkSession, pqPath: String,
+                           preds: Seq[StatsEval.SpanPred],
+                           pc: Option[String],
+                           pcType: Option[org.apache.spark.sql.types.DataType],
+                           zone: java.time.ZoneId): Set[String] = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.functions.col
+    val S5 = Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.STRING,
+      Encoders.STRING, Encoders.STRING)
+    spark.read.parquet(pqPath)
+      .filter(!col("t").isin("b", "f", "d"))
+      .select("k", "c", "t", "a", "b")
+      .as[(String, String, String, String, String)](S5)
+      .groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroups { (file: String, it: Iterator[(String, String, String, String, String)]) =>
+        val m = it.map(r => StatsEval.unesc(r._2) -> ((r._3, r._4, r._5))).toMap
+        val key = StatsEval.unesc(file)
+        val dirName = key.takeWhile(_ != '/')
+        val spanOf: String => Option[(String, String, String)] = c =>
+          m.get(c).orElse(pc.filter(_ == c).flatMap(_ => gpDirSpan(pcType, dirName)))
+        if (preds.forall(pr => StatsEval.admits(spanOf, pr, zone))) Iterator.empty
+        else Iterator.single(key)
+      }(Encoders.STRING)
+      .collect().toSet
+  }
+
   /** The stats sidecar as a Catalyst [[FileIndex]]: `listFiles` receives
-    * the scan's data filters, extracts the comparison shapes it can
+    * the scan's data filters, COMPILES the comparison shapes it can
     * prove things about (=, <=>, <, <=, >, >=, IN — either operand
-    * order, foldable non-attribute side), and keeps only files whose
-    * span can satisfy ALL of them. Anything it cannot parse prunes
-    * nothing. Scoped tables get dir-name partition pruning on the
-    * manifest's partition column with zero configured stats.
+    * order, foldable non-attribute side) into the serializable
+    * [[StatsEval.SpanPred]] ADT, and keeps only files whose span can
+    * satisfy ALL of them — evaluated driver-side against the in-memory
+    * span map, or executor-side against the parquet checkpoint.
+    * Anything it cannot compile prunes nothing. Scoped tables get
+    * dir-name partition pruning on the manifest's partition column with
+    * zero configured stats.
     */
   private class SkippingFileIndex(
       spark: SparkSession,
       files: Seq[org.apache.hadoop.fs.FileStatus],
-      spans: Map[String, Map[String, (String, String, String)]],
+      spanSrc: SpanSource,
       partCol: Option[String],
       schema: org.apache.spark.sql.types.StructType,
       zone: java.time.ZoneId)
     extends org.apache.spark.sql.execution.datasources.FileIndex {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.execution.datasources.{PartitionDirectory => PD}
+    import StatsEval.{SpanPred, TruePred, RangePred, InPred, AndPred, OrPred}
 
     override def rootPaths: Seq[Path] = files.map(_.getPath.getParent).distinct
     override def partitionSchema: org.apache.spark.sql.types.StructType =
@@ -3239,72 +3505,83 @@ object SnapshotLog {
       case _ => None
     }
 
-    /** One filter's verdict for one file's spans: false = provably no
-      * matching rows. Unknown shapes and missing spans keep the file.
+    /** One pushed filter, compiled: comparisons normalize to (column,
+      * bound) with either operand order; strictness is preserved so
+      * boundary files prune exactly. Unknown shapes → [[TruePred]].
       */
-    private def admits(spanOf: String => Option[(String, String, String)],
-                       filter: Expression): Boolean = {
-      def range(col: String, lo: Option[Any], hi: Option[Any],
-                loStrict: Boolean = false, hiStrict: Boolean = false): Boolean =
-        spanOf(col) match {
-          case Some((tag, mn, mx)) =>
-            spanOverlaps(tag, mn, mx, lo, hi, zone, loStrict, hiStrict)
-          case None => true
-        }
-      // comparisons normalize to (column, bound) with either operand
-      // order; strictness is preserved so boundary files prune exactly
+    private def compile(filter: Expression): SpanPred = {
       def cmp(a: Expression, l: Expression,
-              attrFirst: (String, Any) => Boolean,
-              litFirst: (String, Any) => Boolean): Boolean =
+              attrFirst: (String, Any) => SpanPred,
+              litFirst: (String, Any) => SpanPred): SpanPred =
         (attrName(a), probeValue(l)) match {
           case (Some(c), Some(v)) => attrFirst(c, v)
           case _ => (attrName(l), probeValue(a)) match {
             case (Some(c), Some(v)) => litFirst(c, v)
-            case _ => true
+            case _ => TruePred
           }
         }
       filter match {
         case EqualTo(a, l) =>
-          cmp(a, l, (c, v) => range(c, Some(v), Some(v)),
-                    (c, v) => range(c, Some(v), Some(v)))
-        case EqualNullSafe(a, l) => admits(spanOf, EqualTo(a, l))
+          cmp(a, l, (c, v) => RangePred(c, Some(v), Some(v), false, false),
+                    (c, v) => RangePred(c, Some(v), Some(v), false, false))
+        case EqualNullSafe(a, l) => compile(EqualTo(a, l))
         case GreaterThan(a, l) => // col > v | v > col ≡ col < v
-          cmp(a, l, (c, v) => range(c, Some(v), None, loStrict = true),
-                    (c, v) => range(c, None, Some(v), hiStrict = true))
+          cmp(a, l, (c, v) => RangePred(c, Some(v), None, true, false),
+                    (c, v) => RangePred(c, None, Some(v), false, true))
         case GreaterThanOrEqual(a, l) =>
-          cmp(a, l, (c, v) => range(c, Some(v), None),
-                    (c, v) => range(c, None, Some(v)))
+          cmp(a, l, (c, v) => RangePred(c, Some(v), None, false, false),
+                    (c, v) => RangePred(c, None, Some(v), false, false))
         case LessThan(a, l) => // col < v | v < col ≡ col > v
-          cmp(a, l, (c, v) => range(c, None, Some(v), hiStrict = true),
-                    (c, v) => range(c, Some(v), None, loStrict = true))
+          cmp(a, l, (c, v) => RangePred(c, None, Some(v), false, true),
+                    (c, v) => RangePred(c, Some(v), None, true, false))
         case LessThanOrEqual(a, l) =>
-          cmp(a, l, (c, v) => range(c, None, Some(v)),
-                    (c, v) => range(c, Some(v), None))
+          cmp(a, l, (c, v) => RangePred(c, None, Some(v), false, false),
+                    (c, v) => RangePred(c, Some(v), None, false, false))
         case In(a, vs) => attrName(a) match {
           case Some(c) =>
             val pvs = vs.map(probeValue)
-            if (pvs.exists(_.isEmpty)) true
-            else pvs.flatten.exists(v => range(c, Some(v), Some(v)))
-          case None => true
+            if (pvs.exists(_.isEmpty)) TruePred else InPred(c, pvs.flatten)
+          case None => TruePred
         }
-        case And(x, y) => admits(spanOf, x) && admits(spanOf, y)
-        case Or(x, y) => admits(spanOf, x) || admits(spanOf, y)
-        case _ => true
+        case And(x, y) => AndPred(compile(x), compile(y))
+        case Or(x, y) => OrPred(compile(x), compile(y))
+        case _ => TruePred
       }
     }
 
+    private def dirSpanOf(st: org.apache.hadoop.fs.FileStatus)
+        : String => Option[(String, String, String)] = c =>
+      partCol.filter(_ == c).flatMap(_ =>
+        gpDirSpan(schema.find(_.name == c).map(_.dataType),
+                  st.getPath.getParent.getName))
+
     override def listFiles(partitionFilters: Seq[Expression],
                            dataFilters: Seq[Expression]): Seq[PD] = {
-      val kept = files.filter { st =>
-        val rel = st.getPath.getParent.getName + "/" + st.getPath.getName
-        val dirSpan: String => Option[(String, String, String)] = c =>
-          partCol.filter(_ == c).flatMap(_ =>
-            gpDirSpan(schema.find(_.name == c).map(_.dataType),
-                      st.getPath.getParent.getName))
-        val spanOf: String => Option[(String, String, String)] = c =>
-          spans.get(rel).flatMap(_.get(c)).orElse(dirSpan(c))
-        dataFilters.forall(fl => admits(spanOf, fl))
-      }
+      val preds = dataFilters.map(compile).filterNot(_ == TruePred)
+      val kept =
+        if (preds.isEmpty) files
+        else spanSrc match {
+          case InMemSpans(spans) =>
+            files.filter { st =>
+              val rel = st.getPath.getParent.getName + "/" + st.getPath.getName
+              val spanOf: String => Option[(String, String, String)] = c =>
+                spans.get(rel).flatMap(_.get(c)).orElse(dirSpanOf(st)(c))
+              preds.forall(p => StatsEval.admits(spanOf, p, zone))
+            }
+          case PqSpans(pqPath) =>
+            // pruned = files whose checkpoint spans refute a predicate;
+            // every survivor re-checks against the dir-name span only —
+            // exact, because a file's partition-column span is a subset
+            // of its dir's (dir-only admits ⊇ full admits per file)
+            val pcType = partCol.flatMap(c =>
+              schema.find(_.name == c).map(_.dataType))
+            val pruned = pqPrunedKeys(spark, pqPath, preds, partCol, pcType, zone)
+            files.filter { st =>
+              val rel = st.getPath.getParent.getName + "/" + st.getPath.getName
+              !pruned.contains(rel) &&
+              preds.forall(p => StatsEval.admits(dirSpanOf(st), p, zone))
+            }
+        }
       Seq(PD(org.apache.spark.sql.catalyst.InternalRow.empty,
         kept.toArray[org.apache.hadoop.fs.FileStatus]))
     }
@@ -3343,11 +3620,15 @@ object SnapshotLog {
         val v = n.stripPrefix("v").stripSuffix(".manifest").toLong
         f.delete(st.getPath, false)
         f.delete(statsPath(root, v), false)
+        f.delete(statsPqPath(root, v), true)
         f.delete(dataDir(root, v), true)
       } else if (n.endsWith(".stats") &&
                  n.stripPrefix("v").stripSuffix(".stats").toLong > committed) {
         f.delete(st.getPath, false) // stats published, crash before manifest
-      } else if (n.startsWith(".tmp_")) f.delete(st.getPath, false)
+      } else if (n.endsWith(".statspq") &&
+                 n.stripPrefix("v").stripSuffix(".statspq").toLong > committed) {
+        f.delete(st.getPath, true) // checkpoint published, crash before manifest
+      } else if (n.startsWith(".tmp_")) f.delete(st.getPath, true)
     }
     // a data or tombstone dir without its manifest (crash mid-stage)
     val rootPath = new Path(root.replaceAll("/+$", ""))
@@ -3411,7 +3692,7 @@ object SnapshotLog {
         s"version $toVersion was vacuumed — nothing left to restore")
       if (toVersion == cur) return cur
       val next = cur + 1L
-      val carry = sidecarLines(spark, root, toVersion)
+      val carry = sidecarCarry(spark, root, toVersion)
       writeStats(spark, root, next, Nil, carry)
       // the RESTORED version's stamp, not the head's: batches newer than
       // the rollback point were rolled back with it and must re-apply
@@ -3658,6 +3939,7 @@ object SnapshotLog {
       val ownedTombs = tombDirsOf(spark, root, v).filter(_ == ownTomb)
       f.delete(manifestPath(root, v), false)
       f.delete(statsPath(root, v), false)
+      f.delete(statsPqPath(root, v), true)
       f.delete(Expectations.auditPath(root, v), false)
       owned.foreach { d =>
         if (!retainedDirs.contains(d))

@@ -89,4 +89,96 @@ private[sources] object StatsEval extends Serializable {
       }
     } else !(cpLess(unesc(mx), loS) || cpLess(hiS, unesc(mn)))
   }
+
+  // temporal probe serialization: lexicographic == chronological (the
+  // exact strings the sidecar build pass renders — see the SnapshotLog
+  // footer decode, which shares these patterns)
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  /** Render a range-probe value the way the build pass rendered the
+    * stored min/max (moved here from SnapshotLog so the DISTRIBUTED
+    * pruning closures run the identical rendering). LTZ instants go
+    * through the caller's session zone; NTZ/DATE are wall-clock.
+    */
+  def probeString(x: Any, zone: java.time.ZoneId): String = {
+    val fmt = java.time.format.DateTimeFormatter.ofPattern(TsFmt)
+    x match {
+      case t: java.sql.Timestamp       =>
+        java.time.LocalDateTime.ofInstant(t.toInstant, zone).format(fmt)
+      case d: java.time.LocalDateTime  => d.format(fmt)
+      case i: java.time.Instant        =>
+        java.time.LocalDateTime.ofInstant(i, zone).format(fmt)
+      case d: java.sql.Date            => d.toLocalDate.toString
+      case d: java.time.LocalDate      => d.toString
+      case other                       => other.toString
+    }
+  }
+
+  /** Half-open-capable span test shared by the explicit probes and the
+    * FileIndex pruner (driver AND executor sides): can a file whose
+    * sidecar records [mn, mx] (tag "n" numeric / "s" code-point)
+    * contain a value in [lo, hi]? Unparseable bounds keep the file —
+    * stats only ever remove provably-empty work.
+    */
+  def spanOverlaps(tag: String, mn: String, mx: String,
+                   lo: Option[Any], hi: Option[Any],
+                   zone: java.time.ZoneId,
+                   loStrict: Boolean = false,
+                   hiStrict: Boolean = false): Boolean = {
+    if (mn == NullMark || mx == NullMark) return false // all-null file
+    if (tag == "n")
+      scala.util.Try {
+        hi.forall { h =>
+          val b = BigDecimal(h.toString); val m = BigDecimal(unesc(mn))
+          if (hiStrict) m < b else m <= b // any row can sit below the bound
+        } &&
+        lo.forall { l =>
+          val b = BigDecimal(l.toString); val m = BigDecimal(unesc(mx))
+          if (loStrict) m > b else m >= b
+        }
+      }.getOrElse(true)
+    else
+      scala.util.Try {
+        hi.forall { h =>
+          val b = probeString(h, zone)
+          if (hiStrict) cpLess(unesc(mn), b) else !cpLess(b, unesc(mn))
+        } &&
+        lo.forall { l =>
+          val b = probeString(l, zone)
+          if (loStrict) cpLess(b, unesc(mx)) else !cpLess(unesc(mx), b)
+        }
+      }.getOrElse(true)
+  }
+
+  /** The comparison shapes the skipping FileIndex can prove things
+    * about, compiled OUT of Catalyst expression trees on the driver
+    * (Catalyst `Expression`s are not closure-shippable; these plain
+    * case classes are). One evaluator — [[admits]] — serves both the
+    * in-memory span map and the distributed parquet-checkpoint pruner,
+    * so the two paths cannot drift.
+    */
+  sealed trait SpanPred extends Serializable
+  case object TruePred extends SpanPred
+  final case class RangePred(col: String, lo: Option[Any], hi: Option[Any],
+                             loStrict: Boolean, hiStrict: Boolean) extends SpanPred
+  final case class InPred(col: String, vs: Seq[Any]) extends SpanPred
+  final case class AndPred(a: SpanPred, b: SpanPred) extends SpanPred
+  final case class OrPred(a: SpanPred, b: SpanPred) extends SpanPred
+
+  /** One compiled filter's verdict against one file's spans: false =
+    * provably no matching rows. Unknown shapes ([[TruePred]]) and
+    * missing spans keep the file.
+    */
+  def admits(spanOf: String => Option[(String, String, String)],
+             p: SpanPred, zone: java.time.ZoneId): Boolean = p match {
+    case TruePred => true
+    case RangePred(c, lo, hi, ls, hs) => spanOf(c) match {
+      case Some((tag, mn, mx)) => spanOverlaps(tag, mn, mx, lo, hi, zone, ls, hs)
+      case None => true
+    }
+    case InPred(c, vs) =>
+      vs.exists(v => admits(spanOf, RangePred(c, Some(v), Some(v), false, false), zone))
+    case AndPred(a, b) => admits(spanOf, a, zone) && admits(spanOf, b, zone)
+    case OrPred(a, b)  => admits(spanOf, a, zone) || admits(spanOf, b, zone)
+  }
 }

@@ -836,6 +836,21 @@ object SnapshotLog {
     }
   }
 
+  /** Write a deletion-vector frame (__rel, __ri) CLUSTERED by file key:
+    * hash-repartitioned on __rel and sorted within partitions, so each
+    * data file's positions land contiguously (typically in ONE
+    * tombstone file) and parquet row-group min/max on __rel lets a
+    * per-file reader — the CDC stream's executor-side position load —
+    * skip every group that isn't its own. Readers of the whole vector
+    * (the batch anti-join) are layout-indifferent.
+    */
+  private def writeTombstones(spark: SparkSession, hits: DataFrame,
+                              td: Path): Unit = {
+    import org.apache.spark.sql.functions.col
+    hits.repartition(col("__rel")).sortWithinPartitions("__rel", "__ri")
+      .write.mode("overwrite").parquet(td.toString)
+  }
+
   /** Merge-on-read DELETE (deletion vectors): record the (file, row
     * position) of every row matching a tombstone key in an O(deleted
     * rows) sidecar directory — ZERO data files are read-modified or
@@ -874,7 +889,7 @@ object SnapshotLog {
         .join(tombstones.select(keys.map(col(_)): _*).distinct(), keys, "left_semi")
         .select(col("__rel"), col("__ri"))
       val td = new Path(rootPath, tombDirName(next))
-      hits.write.mode("overwrite").parquet(td.toString)
+      writeTombstones(spark, hits, td)
       // the data-file set is untouched, so the parent's sidecar carries
       // verbatim (stats prune files; the vector prunes rows afterwards)
       val carry = sidecarCarry(spark, root, cur)
@@ -919,7 +934,7 @@ object SnapshotLog {
         .filter(mkCond(base))
         .select(col("__rel"), col("__ri"))
       val td = new Path(rootPath, tombDirName(next))
-      hits.write.mode("overwrite").parquet(td.toString)
+      writeTombstones(spark, hits, td)
       val carry = sidecarCarry(spark, root, cur)
       writeStats(spark, root, next, Nil, carry)
       writeManifestDirs(spark, root, next, dirsOf(spark, root, cur),
@@ -1005,9 +1020,8 @@ object SnapshotLog {
       try {
         if (matched.isEmpty) cur
         else {
-          matched.select(col("__rel"), col("__ri"))
-            .write.mode("overwrite")
-            .parquet(new Path(rootPath, tombDirName(next)).toString)
+          writeTombstones(spark, matched.select(col("__rel"), col("__ri")),
+            new Path(rootPath, tombDirName(next)))
           val sel = base.columns.toSeq
             .map(c => assignments.get(c).map(_.as(c)).getOrElse(col(c)))
           // the rewrites dir joins a physical-named lineage — translate

@@ -129,7 +129,9 @@ private[streaming] class GraftTailTable(root: String, schema: StructType)
     GraftTailTable.scanBuilder(root, schema,
       GraftTailTable.maxVersionsOf(options),
       GraftTailTable.maxBytesOf(options),
-      GraftTailTable.startingOf(options))
+      GraftTailTable.startingOf(options),
+      GraftTailTable.skipChangesOf(options),
+      GraftTailTable.ignoreDeletesOf(options))
 }
 
 private[graft] object GraftTailTable {
@@ -144,7 +146,9 @@ private[graft] object GraftTailTable {
   def scanBuilder(root: String, schema: StructType,
                   maxVersionsPerBatch: Option[Long] = None,
                   maxBytesPerBatch: Option[Long] = None,
-                  startingVersion: Option[Long] = None): ScanBuilder =
+                  startingVersion: Option[Long] = None,
+                  skipChangeCommits: Boolean = false,
+                  ignoreDeletes: Boolean = false): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
         // a renamed (column-mapped) lineage would decode physical-named
@@ -156,7 +160,8 @@ private[graft] object GraftTailTable {
         override def readSchema(): StructType = schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new GraftTailStream(root, schema, maxVersionsPerBatch,
-            maxBytesPerBatch, startingVersion)
+            maxBytesPerBatch, startingVersion, skipChangeCommits,
+            ignoreDeletes)
         override def description(): String = s"graft tail of $root"
       }
     }
@@ -181,6 +186,22 @@ private[graft] object GraftTailTable {
     * retained history by the planner's minV logic; vacuumed starts ship
     * from the oldest surviving version.
     */
+  /** `.option("skipChangeCommits", true)` — Delta's CDF-era contract:
+    * versions that CHANGE or REMOVE already-shipped rows (scoped
+    * upserts, rewrites, compactions, MoR updates, DV deletes) are
+    * skipped wholesale instead of wedging the stream; their data never
+    * ships, pure appends keep flowing. `.option("ignoreDeletes", true)`
+    * is the narrower escape: only pure DELETE commits (deletion
+    * vectors; the dir chain intact) are skipped. Without either option
+    * the tail keeps its loud append-only refusal — the correct default,
+    * because silently re-reading changed rows doubles downstream data.
+    */
+  private[graft] def skipChangesOf(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("skipChangeCommits")).exists(_.equalsIgnoreCase("true"))
+
+  private[graft] def ignoreDeletesOf(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("ignoreDeletes")).exists(_.equalsIgnoreCase("true"))
+
   private[graft] def startingOf(options: CaseInsensitiveStringMap): Option[Long] =
     Option(options.get("startingVersion")).map { s =>
       val n = s.toLong
@@ -212,7 +233,9 @@ private[streaming] case class GraftVersionOffset(version: Long) extends Offset {
 private[streaming] class GraftTailStream(root: String, schema: StructType,
                                          maxVersionsPerBatch: Option[Long] = None,
                                          maxBytesPerBatch: Option[Long] = None,
-                                         startingVersion: Option[Long] = None)
+                                         startingVersion: Option[Long] = None,
+                                         skipChangeCommits: Boolean = false,
+                                         ignoreDeletes: Boolean = false)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
@@ -307,38 +330,75 @@ private[streaming] class GraftTailStream(root: String, schema: StructType,
     // version of the range's intersection with table history.
     val minV = SnapshotLog.versions(spark, root).headOption.getOrElse(return Array.empty)
     val from = math.max(s + 1, minV)
-    // append-only guard: a non-append commit in the range (or a deletion
-    // vector at the end) invalidates rows the tail already shipped —
-    // fail with the offending version instead of double-shipping. Two
-    // checks: the manifest kind (scoped/delete/update/mor announce
-    // themselves) AND dir-set growth (a kind-less full-snapshot rewrite
-    // — keyed commitBatch, INSERT OVERWRITE, compaction — REPLACES dirs,
-    // which a pure append never does).
-    (from to e).foreach { v =>
-      if (v != minV) {
-        val kind = SnapshotLog.manifestKind(spark, root, v)
-        require(kind.isEmpty,
-          s"graft stream at $root: version $v is a '${kind.get}' commit — the " +
-          "tail ships appends only; restart the stream after maintenance/DML")
-      }
-    }
-    require(SnapshotLog.tombDirsOf(spark, root, e).isEmpty,
-      s"graft stream at $root: version $e carries deletion vectors — " +
-      "compact first, then restart the stream")
+    // append-only guard: a non-append commit in the range invalidates
+    // rows the tail already shipped — fail with the offending version
+    // instead of double-shipping. Two checks per version: the manifest
+    // kind (scoped/delete/update/mor announce themselves) AND dir-set
+    // growth (a kind-less full-snapshot rewrite — keyed commitBatch,
+    // INSERT OVERWRITE, compaction — REPLACES dirs, which a pure append
+    // never does). `skipChangeCommits` skips such versions wholesale
+    // (their data never ships, the dir baseline resets so later appends
+    // diff cleanly); `ignoreDeletes` is the narrower escape for pure
+    // deletion-vector commits. Both are explicit consumer opt-outs —
+    // the loud refusal stays the default.
     var prior = if (s < minV) Set.empty[String]
                 else SnapshotLog.dirsOf(spark, root, s).toSet
+    var priorTombs = if (s < minV) Set.empty[String]
+                     else SnapshotLog.tombDirsOf(spark, root, s).toSet
     val newDirs = scala.collection.mutable.ArrayBuffer[String]()
     (from to e).foreach { v =>
       val dirs = SnapshotLog.dirsOf(spark, root, v)
+      val tombs = SnapshotLog.tombDirsOf(spark, root, v).toSet
+      val kind = SnapshotLog.manifestKind(spark, root, v)
       val lost = prior -- dirs.toSet
-      require(lost.isEmpty,
-        s"graft stream at $root: version $v replaced directories " +
-        s"(${lost.mkString(", ")}) — a rewrite, not an append; restart " +
-        "the stream to pick up the new table state")
-      newDirs ++= dirs.filterNot(prior.contains)
+      val appendLike = v == minV ||
+        (kind.isEmpty && lost.isEmpty && tombs == priorTombs)
+      if (appendLike) newDirs ++= dirs.filterNot(prior.contains)
+      else if (skipChangeCommits) () // skipped wholesale, baseline resets below
+      else if (ignoreDeletes && kind.contains("delete") && lost.isEmpty)
+        () // pure DV delete: dir chain intact, only tombstones grew
+      else if (kind.nonEmpty)
+        throw new IllegalArgumentException(
+          s"graft stream at $root: version $v is a '${kind.get}' commit — the " +
+          "tail ships appends only; restart the stream after maintenance/DML, " +
+          "or opt out with skipChangeCommits=true" +
+          (if (kind.contains("delete")) " (or ignoreDeletes=true)" else ""))
+      else if (lost.nonEmpty)
+        throw new IllegalArgumentException(
+          s"graft stream at $root: version $v replaced directories " +
+          s"(${lost.mkString(", ")}) — a rewrite, not an append; restart " +
+          "the stream to pick up the new table state, or opt out with " +
+          "skipChangeCommits=true")
+      else
+        throw new IllegalArgumentException(
+          s"graft stream at $root: version $v added deletion vectors — " +
+          "compact first and restart the stream, or opt out with " +
+          "ignoreDeletes=true / skipChangeCommits=true")
       prior = dirs.toSet
+      priorTombs = tombs
     }
+    // deletion vectors surviving at the END version: without an opt-out
+    // this is unreachable (the guards above threw); with one, the
+    // shipped files EXCLUDE their tombstoned positions executor-side —
+    // the initial load then matches the snapshot read, and deletes of
+    // already-shipped rows are (per the option's contract) not replayed
+    val endTombs = SnapshotLog.tombDirsOf(spark, root, e)
+    require(endTombs.isEmpty || skipChangeCommits || ignoreDeletes,
+      s"graft stream at $root: version $e carries deletion vectors — " +
+      "compact first, then restart the stream (or opt out with " +
+      "ignoreDeletes=true / skipChangeCommits=true)")
     val rootPath = new Path(root.replaceAll("/+$", ""))
+    val excludeRelFiles: Map[String, Array[String]] =
+      if (endTombs.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.functions.{col, input_file_name}
+        spark.read.parquet(
+            endTombs.map(t => new Path(rootPath, t).toString): _*)
+          .select(col("__rel"), input_file_name().as("tf"))
+          .distinct().collect()
+          .groupBy(_.getString(0))
+          .map { case (rel, rows) => rel -> rows.map(_.getString(1)) }
+      }
     val conf = spark.sessionState.newHadoopConf()
     // per-poll planning from the END version's file manifest when the
     // sidecar lists every new dir — zero filesystem listing on the hot
@@ -362,7 +422,15 @@ private[streaming] class GraftTailStream(root: String, schema: StructType,
         out.toSeq
       }
     })
-    files.map(f => GraftFilePartition(f, schema.json): InputPartition).toArray
+    files.map { f =>
+      val pp = new Path(f)
+      val rel = pp.getParent.getName + "/" + pp.getName
+      excludeRelFiles.get(rel) match {
+        case Some(tfs) => GraftFilePartition(f, schema.json,
+          tombFiles = tfs, relKey = rel, exclude = true): InputPartition
+        case None => GraftFilePartition(f, schema.json): InputPartition
+      }
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -384,7 +452,8 @@ private[streaming] case class GraftFilePartition(path: String,
                                                  changeType: String = "",
                                                  commitVersion: Long = -1L,
                                                  tombFiles: Array[String] = Array.empty,
-                                                 relKey: String = "")
+                                                 relKey: String = "",
+                                                 exclude: Boolean = false)
     extends InputPartition
 
 private[streaming] class GraftTailReaderFactory extends PartitionReaderFactory {
@@ -479,12 +548,17 @@ private[streaming] class GraftParquetGroupReader(p: GraftFilePartition)
       val g = recordReader.read()
       remaining -= 1
       rowIdx += 1
-      if (wanted.isEmpty || (wcur < wanted.length && wanted(wcur) == rowIdx)) {
-        if (wanted.nonEmpty) wcur += 1
+      val hit = wcur < wanted.length && wanted(wcur) == rowIdx
+      if (hit) wcur += 1
+      // inclusion mode (CDC delete read-back) emits exactly the wanted
+      // positions; exclusion mode (tail under ignoreDeletes /
+      // skipChangeCommits) emits everything BUT them
+      if (if (p.exclude) !hit else wanted.isEmpty || hit) {
         current = convert(g)
         return true
       }
-      if (wanted.nonEmpty && wcur >= wanted.length) return false // past the last wanted row
+      if (!p.exclude && wanted.nonEmpty && wcur >= wanted.length)
+        return false // past the last wanted row
     }
     false
   }

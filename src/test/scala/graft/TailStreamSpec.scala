@@ -209,6 +209,75 @@ class TailStreamSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("skipChangeCommits: the tail survives a compaction and a DV delete, appends keep flowing") {
+    val root = freshRoot()
+    val ck = Files.createTempDirectory("graft_tail_skip_ck").toString
+    val out = Files.createTempDirectory("graft_tail_skip_out").toString
+    SnapshotLog.commit(spark, root, Seq((1L, "a", 1.5)).toDF("k", "v", "x"))
+    def start() = spark.readStream.format("graft")
+      .option("skipChangeCommits", "true").load(root)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck).start()
+    def sunk(): Seq[(Long, String)] = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSeq
+    val q = start()
+    try {
+      q.processAllAvailable()
+      SnapshotLog.appendCommit(spark, root, Seq((2L, "b", 2.5)).toDF("k", "v", "x"))
+      q.processAllAvailable()
+      assert(sunk().toSet == Set((1L, "a"), (2L, "b")))
+      // maintenance mid-stream: a DV delete then a full compaction —
+      // without the option both wedge the stream permanently
+      SnapshotLog.tombstoneDelete(spark, root, Seq(1L).toDF("k"), Seq("k"))
+      SnapshotLog.compactChain(spark, root)
+      q.processAllAvailable()
+      // skipped wholesale: nothing re-shipped, nothing lost
+      assert(sunk().size == 2, s"change commits leaked rows: ${sunk()}")
+      // and the stream is still LIVE: a post-maintenance append ships
+      SnapshotLog.appendCommit(spark, root, Seq((3L, "c", 3.5)).toDF("k", "v", "x"))
+      q.processAllAvailable()
+      assert(sunk().toSet == Set((1L, "a"), (2L, "b"), (3L, "c")))
+      assert(sunk().size == 3)
+    } finally q.stop()
+  }
+
+  test("ignoreDeletes: pure DV deletes skip; the initial load excludes tombstoned rows") {
+    val root = freshRoot()
+    // deletes BEFORE stream start: the initial snapshot must match the
+    // batch read (deleted rows excluded executor-side via the vector
+    // references), not the raw files
+    SnapshotLog.commit(spark, root,
+      Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)).toDF("k", "v", "x"))
+    SnapshotLog.tombstoneDelete(spark, root, Seq(2L).toDF("k"), Seq("k"))
+    val ck = Files.createTempDirectory("graft_tail_igd_ck").toString
+    val out = Files.createTempDirectory("graft_tail_igd_out").toString
+    val q = spark.readStream.format("graft")
+      .option("ignoreDeletes", "true").load(root)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck).start()
+    def sunk(): Seq[(Long, String)] = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSeq
+    try {
+      q.processAllAvailable()
+      assert(sunk().toSet == Set((1L, "a"), (3L, "c")),
+        s"initial load must exclude the deleted row: ${sunk()}")
+      // a delete mid-stream skips (not replayed), appends keep flowing
+      SnapshotLog.tombstoneDelete(spark, root, Seq(3L).toDF("k"), Seq("k"))
+      SnapshotLog.appendCommit(spark, root, Seq((4L, "d", 4.5)).toDF("k", "v", "x"))
+      q.processAllAvailable()
+      assert(sunk().toSet == Set((1L, "a"), (3L, "c"), (4L, "d")))
+      assert(sunk().size == 3)
+      // ignoreDeletes does NOT cover rewrites: a compaction still refuses
+      SnapshotLog.compactChain(spark, root)
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(ex).exists(m => m.contains("skipChangeCommits")),
+        s"expected the rewrite refusal naming the opt-out, got: ${messages(ex)}")
+    } finally q.stop()
+  }
+
   test("tail refuses a rewrite and a deletion vector with the offending version") {
     val root = freshRoot()
     val ck = Files.createTempDirectory("graft_tail_ck3").toString

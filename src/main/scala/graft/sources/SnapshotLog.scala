@@ -2614,13 +2614,34 @@ object SnapshotLog {
         val stat =
           if (pt == null || !pt.isPrimitive) FooterUnknown
           else footerMinMax(blocks, pt.asPrimitiveType, spec)
-        stat match {
+        // null counts ride a second "z" line per (file, column): what
+        // IS NULL / IS NOT NULL pruning reads (round 9 — min/max spans
+        // prove nothing about nulls). Unknown if ANY block's statistics
+        // are absent or pre-null-count (getNumNulls < 0) → no line →
+        // the file is kept for null probes.
+        val zLine: Option[String] = {
+          var nulls = 0L; var total = 0L; var known = pt != null
+          if (known) blocks.foreach { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == spec.col) match {
+              case Some(ch) =>
+                val st = ch.getStatistics
+                if (st == null || st.isEmpty || st.getNumNulls < 0) known = false
+                else { nulls += st.getNumNulls; total += ch.getValueCount }
+              case None => known = false
+            }
+          }
+          if (known)
+            Some(s"${esc(rel)}\t${esc(spec.col)}\tz\t$nulls\t$total")
+          else None
+        }
+        val spanLine = stat match {
           case FooterAllNull =>
             Some(s"${esc(rel)}\t${esc(spec.col)}\t${spec.tag}\t$NullMark\t$NullMark")
           case FooterSpan(mn, mx) =>
             Some(s"${esc(rel)}\t${esc(spec.col)}\t${spec.tag}\t${esc(mn)}\t${esc(mx)}")
           case FooterUnknown => None
         }
+        spanLine.toSeq ++ zLine
       }
     } finally reader.close()
   }
@@ -2794,7 +2815,7 @@ object SnapshotLog {
       import org.apache.spark.sql.functions.{col => sqlcol}
       val colEsc = esc(column)
       val pruned = spark.read.parquet(statsPqPath(root, version).toString)
-        .filter(!sqlcol("t").isin("b", "f", "d") && sqlcol("c") === colEsc)
+        .filter(!sqlcol("t").isin("b", "f", "d", "z") && sqlcol("c") === colEsc)
         .select("k", "t", "a", "b")
         .as[(String, String, String, String)]
         .flatMap { case (k, t, a, b) =>
@@ -3328,19 +3349,19 @@ object SnapshotLog {
 
   private def prunedBaseScanLines(spark: SparkSession, root: String,
                                   v: Long, lines: Seq[String]): DataFrame = {
-    // rel-path keyed spans, grouped per file: dir/file -> col -> span
+    // rel-path keyed spans and null counts, grouped per file
     val spans: Map[String, Map[String, (String, String, String)]] =
-      lines.flatMap { line =>
-        line.split("\t", -1) match {
-          case Array(file, c, tag, mn, mx)
-              if tag != "b" && tag != "f" && tag != "d" =>
-            Some((unesc(file), unesc(c), (tag, mn, mx)))
-          case _ => None
-        }
-      }.groupBy(_._1).map { case (f, ls) =>
+      lines.flatMap(l => StatsEval.parseSpan(l).map {
+        case (file, c, tag, mn, mx) => (file, c, (tag, mn, mx))
+      }).groupBy(_._1).map { case (f, ls) =>
         f -> ls.map(t => t._2 -> t._3).toMap
       }
-    prunedBaseScanCore(spark, root, v, lines, InMemSpans(spans))
+    val nulls: Map[String, Map[String, (Long, Long)]] =
+      lines.flatMap(l => StatsEval.parseNulls(l)).groupBy(_._1)
+        .map { case (f, ls) =>
+          f -> ls.map(t => t._2 -> ((t._3, t._4))).toMap
+        }
+    prunedBaseScanCore(spark, root, v, lines, InMemSpans(spans, nulls))
   }
 
   private def prunedBaseScanCore(spark: SparkSession, root: String,
@@ -3419,7 +3440,8 @@ object SnapshotLog {
     */
   private sealed trait SpanSource
   private final case class InMemSpans(
-      spans: Map[String, Map[String, (String, String, String)]]) extends SpanSource
+      spans: Map[String, Map[String, (String, String, String)]],
+      nulls: Map[String, Map[String, (Long, Long)]]) extends SpanSource
   private final case class PqSpans(path: String) extends SpanSource
 
   /** Distributed span evaluation over a parquet stats checkpoint: group
@@ -3444,12 +3466,19 @@ object SnapshotLog {
       .as[(String, String, String, String, String)](S5)
       .groupByKey(_._1)(Encoders.STRING)
       .flatMapGroups { (file: String, it: Iterator[(String, String, String, String, String)]) =>
-        val m = it.map(r => StatsEval.unesc(r._2) -> ((r._3, r._4, r._5))).toMap
+        val rows = it.toSeq
+        val m = rows.filter(_._3 != "z")
+          .map(r => StatsEval.unesc(r._2) -> ((r._3, r._4, r._5))).toMap
+        val zm = rows.filter(_._3 == "z").flatMap { r =>
+          scala.util.Try(
+            StatsEval.unesc(r._2) -> ((r._4.toLong, r._5.toLong))).toOption
+        }.toMap
         val key = StatsEval.unesc(file)
         val dirName = key.takeWhile(_ != '/')
         val spanOf: String => Option[(String, String, String)] = c =>
           m.get(c).orElse(pc.filter(_ == c).flatMap(_ => gpDirSpan(pcType, dirName)))
-        if (preds.forall(pr => StatsEval.admits(spanOf, pr, zone))) Iterator.empty
+        if (preds.forall(pr => StatsEval.admits(spanOf, zm.get, pr, zone)))
+          Iterator.empty
         else Iterator.single(key)
       }(Encoders.STRING)
       .collect().toSet
@@ -3476,7 +3505,7 @@ object SnapshotLog {
     extends org.apache.spark.sql.execution.datasources.FileIndex {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.execution.datasources.{PartitionDirectory => PD}
-    import StatsEval.{SpanPred, TruePred, RangePred, InPred, AndPred, OrPred}
+    import StatsEval.{SpanPred, TruePred, RangePred, InPred, IsNullPred, NotNullPred, AndPred, OrPred}
 
     override def rootPaths: Seq[Path] = files.map(_.getPath.getParent).distinct
     override def partitionSchema: org.apache.spark.sql.types.StructType =
@@ -3557,6 +3586,10 @@ object SnapshotLog {
             if (pvs.exists(_.isEmpty)) TruePred else InPred(c, pvs.flatten)
           case None => TruePred
         }
+        case IsNull(a) =>
+          attrName(a).map(IsNullPred(_): SpanPred).getOrElse(TruePred)
+        case IsNotNull(a) =>
+          attrName(a).map(NotNullPred(_): SpanPred).getOrElse(TruePred)
         case And(x, y) => AndPred(compile(x), compile(y))
         case Or(x, y) => OrPred(compile(x), compile(y))
         case _ => TruePred
@@ -3575,12 +3608,14 @@ object SnapshotLog {
       val kept =
         if (preds.isEmpty) files
         else spanSrc match {
-          case InMemSpans(spans) =>
+          case InMemSpans(spans, nulls) =>
             files.filter { st =>
               val rel = st.getPath.getParent.getName + "/" + st.getPath.getName
               val spanOf: String => Option[(String, String, String)] = c =>
                 spans.get(rel).flatMap(_.get(c)).orElse(dirSpanOf(st)(c))
-              preds.forall(p => StatsEval.admits(spanOf, p, zone))
+              val nullsOf: String => Option[(Long, Long)] = c =>
+                nulls.get(rel).flatMap(_.get(c))
+              preds.forall(p => StatsEval.admits(spanOf, nullsOf, p, zone))
             }
           case PqSpans(pqPath) =>
             // pruned = files whose checkpoint spans refute a predicate;
@@ -3593,7 +3628,8 @@ object SnapshotLog {
             files.filter { st =>
               val rel = st.getPath.getParent.getName + "/" + st.getPath.getName
               !pruned.contains(rel) &&
-              preds.forall(p => StatsEval.admits(dirSpanOf(st), p, zone))
+              preds.forall(p =>
+                StatsEval.admits(dirSpanOf(st), _ => None, p, zone))
             }
         }
       Seq(PD(org.apache.spark.sql.catalyst.InternalRow.empty,

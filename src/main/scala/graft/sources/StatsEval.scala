@@ -47,13 +47,25 @@ private[sources] object StatsEval extends Serializable {
 
   /** A span sidecar line → (fileKey, column, tag, min, max); None for
     * bloom ("b") lines, file-manifest listing lines ("f" = file entry,
-    * "d" = dir-fully-listed marker) and anything malformed.
+    * "d" = dir-fully-listed marker), null-count lines ("z" — their two
+    * numbers are counts, not value bounds) and anything malformed.
     */
   def parseSpan(line: String): Option[(String, String, String, String, String)] =
     line.split("\t", -1) match {
       case Array(file, c, tag, mn, mx)
-          if tag != "b" && tag != "f" && tag != "d" =>
+          if tag != "b" && tag != "f" && tag != "d" && tag != "z" =>
         Some((unesc(file), unesc(c), tag, mn, mx))
+      case _ => None
+    }
+
+  /** A null-count sidecar line ("z": fileKey, column, nullCount,
+    * valueCount) → (fileKey, column, nulls, total). What IS NULL /
+    * IS NOT NULL pruning runs on.
+    */
+  def parseNulls(line: String): Option[(String, String, Long, Long)] =
+    line.split("\t", -1) match {
+      case Array(file, c, "z", n, t) =>
+        scala.util.Try((unesc(file), unesc(c), n.toLong, t.toLong)).toOption
       case _ => None
     }
 
@@ -162,14 +174,21 @@ private[sources] object StatsEval extends Serializable {
   final case class RangePred(col: String, lo: Option[Any], hi: Option[Any],
                              loStrict: Boolean, hiStrict: Boolean) extends SpanPred
   final case class InPred(col: String, vs: Seq[Any]) extends SpanPred
+  final case class IsNullPred(col: String) extends SpanPred
+  final case class NotNullPred(col: String) extends SpanPred
   final case class AndPred(a: SpanPred, b: SpanPred) extends SpanPred
   final case class OrPred(a: SpanPred, b: SpanPred) extends SpanPred
 
-  /** One compiled filter's verdict against one file's spans: false =
-    * provably no matching rows. Unknown shapes ([[TruePred]]) and
-    * missing spans keep the file.
+  /** One compiled filter's verdict against one file's stats: false =
+    * provably no matching rows. Unknown shapes ([[TruePred]]), missing
+    * spans and missing null counts keep the file. `nullsOf` feeds the
+    * IS NULL / IS NOT NULL shapes ("z" lines: a zero null count prunes
+    * IS NULL; an all-null count — or a NullMark span — prunes
+    * IS NOT NULL, the filter Catalyst pushes for nearly every
+    * null-intolerant predicate).
     */
   def admits(spanOf: String => Option[(String, String, String)],
+             nullsOf: String => Option[(Long, Long)],
              p: SpanPred, zone: java.time.ZoneId): Boolean = p match {
     case TruePred => true
     case RangePred(c, lo, hi, ls, hs) => spanOf(c) match {
@@ -177,8 +196,22 @@ private[sources] object StatsEval extends Serializable {
       case None => true
     }
     case InPred(c, vs) =>
-      vs.exists(v => admits(spanOf, RangePred(c, Some(v), Some(v), false, false), zone))
-    case AndPred(a, b) => admits(spanOf, a, zone) && admits(spanOf, b, zone)
-    case OrPred(a, b)  => admits(spanOf, a, zone) || admits(spanOf, b, zone)
+      vs.exists(v => admits(spanOf, nullsOf,
+        RangePred(c, Some(v), Some(v), false, false), zone))
+    case IsNullPred(c) => nullsOf(c) match {
+      case Some((n, _)) => n > 0
+      case None => true
+    }
+    case NotNullPred(c) => nullsOf(c) match {
+      case Some((n, t)) => n < t
+      case None => spanOf(c) match {
+        case Some((_, mn, mx)) => !(mn == NullMark || mx == NullMark)
+        case None => true
+      }
+    }
+    case AndPred(a, b) =>
+      admits(spanOf, nullsOf, a, zone) && admits(spanOf, nullsOf, b, zone)
+    case OrPred(a, b) =>
+      admits(spanOf, nullsOf, a, zone) || admits(spanOf, nullsOf, b, zone)
   }
 }

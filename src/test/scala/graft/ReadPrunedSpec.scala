@@ -66,6 +66,44 @@ class ReadPrunedSpec extends SparkSpecBase {
     parity(_.filter(lit(100) > col("k")), 1)
   }
 
+  test("null-count stats prune IS NULL / IS NOT NULL; equality prunes all-null files") {
+    // four single-file commits with distinct null profiles on `v`:
+    // dir 1 no nulls, dir 2 mixed, dir 3 ALL null, dir 4 no nulls
+    val root = freshRoot()
+    def batch(i: Int, mk: Int => java.lang.Integer): DataFrame =
+      ((i * 10) until (i * 10 + 10)).map(k => (k, mk(k))).toDF("k", "v").coalesce(1)
+    SnapshotLog.appendCommit(spark, root, batch(0, k => k), statsCols = Seq("k", "v"))
+    SnapshotLog.appendCommit(spark, root,
+      batch(1, k => if (k % 2 == 0) null else k), statsCols = Seq("k", "v"))
+    SnapshotLog.appendCommit(spark, root, batch(2, _ => null), statsCols = Seq("k", "v"))
+    SnapshotLog.appendCommit(spark, root, batch(3, k => k), statsCols = Seq("k", "v"))
+    def parity(pred: DataFrame => DataFrame, wantFiles: Long): Unit = {
+      val (rows, nFiles) = scanned(pred(SnapshotLog.readPruned(spark, root)))
+      val full = pred(SnapshotLog.read(spark, root)).collect().map(_.toSeq).toSet
+      assert(rows == full)
+      assert(nFiles == wantFiles, s"expected $wantFiles files, got $nFiles")
+    }
+    // IS NULL keeps only the dirs that HAVE nulls (mixed + all-null)
+    parity(_.filter(col("v").isNull), 2)
+    // IS NOT NULL drops the all-null dir
+    parity(_.filter(col("v").isNotNull), 3)
+    // equality on an all-null file prunes it: v = 25 can only live in
+    // dir 2's k-span, but dir 2 is all-null — provably empty
+    parity(_.filter(col("v") === 25), 0)
+    // ... and the implicit IsNotNull Catalyst adds to any v-filter
+    // composes: a v-range over dirs {0,1} never touches dirs {2,3}
+    parity(_.filter(col("v") < 15), 2)
+    // the distributed checkpoint path makes the same decisions
+    val key = "graft.stats.checkpointThresholdBytes"
+    spark.conf.set(key, "0")
+    try {
+      SnapshotLog.appendCommit(spark, root, batch(4, k => k), statsCols = Seq("k", "v"))
+      parity(_.filter(col("v").isNull), 2)
+      parity(_.filter(col("v").isNotNull), 4)
+      parity(_.filter(col("v") === 25), 0)
+    } finally spark.conf.unset(key)
+  }
+
   test("unsupported predicates and no-stats columns stay correct (no pruning, right rows)") {
     val root = freshRoot()
     SnapshotLog.appendCommit(spark, root,

@@ -539,6 +539,32 @@ object SnapshotLog {
   }
 
   private def tombDirName(v: Long): String = f"tomb_v$v%08d"
+  private def chgDirName(v: Long): String = f"chg_v$v%08d"
+
+  /** Whether commits should write ROW-LEVEL CHANGE FILES (round 9 —
+    * Delta's Change Data Feed shape): with
+    * `graft.changeFeed.enabled=true`, a scoped upsert (and the SQL
+    * general-MERGE lowering) writes its insert / update_preimage /
+    * update_postimage (/ delete) rows into a `chg_v{N}/` dir at commit
+    * time, recorded in the manifest. The CDC streaming source then
+    * ships those versions from the change dir instead of refusing, and
+    * [[changesBetween]] stays O(changes) on keyed lineages. Off by
+    * default: the change diff costs one extra O(touched) join per
+    * commit, which only feed consumers should pay.
+    */
+  private def changeFeedEnabled(spark: SparkSession): Boolean =
+    spark.conf.getOption("graft.changeFeed.enabled").exists(_.toBoolean)
+
+  /** The change-file dir a version's manifest records; None for commits
+    * made without the feed enabled (or kinds that derive their feed
+    * from the log itself — appends, DV deletes, MoR updates).
+    */
+  private[graft] def chgDirOf(spark: SparkSession, root: String,
+                              v: Long): Option[String] =
+    """"chgDir":"([^"]*)"""".r
+      .findFirstMatchIn(readManifest(spark, root, v))
+      .map(m => java.net.URLDecoder.decode(m.group(1), "UTF-8"))
+      .filter(_.nonEmpty)
 
   /** Deletion-vector directory NAMES a version's manifest carries
     * (url-encoded list, like `dirs`); empty for versions without
@@ -792,16 +818,18 @@ object SnapshotLog {
         if (allScoped) parentDirs.partition(d => !touchedNames.contains(baseName(d)))
         else (Seq.empty[String], parentDirs)
       val parentTombs = cur.toSeq.flatMap(tombDirsOf(spark, root, _))
-      val merged =
-        if (replaced.isEmpty) batch
-        else {
-          // deletion vectors apply to the touched slice too, or a merge
-          // would resurrect rows a prior tombstoneDelete removed
-          val parent = applyTombstoneDirs(spark, root, parentTombs,
-            spark.read.parquet(
-              replaced.map(d => new Path(rootPath, d).toString): _*))
+      // deletion vectors apply to the touched slice too, or a merge
+      // would resurrect rows a prior tombstoneDelete removed
+      val parentSlice: Option[DataFrame] =
+        if (replaced.isEmpty) None
+        else Some(applyTombstoneDirs(spark, root, parentTombs,
+          spark.read.parquet(
+            replaced.map(d => new Path(rootPath, d).toString): _*)))
+      val merged = parentSlice match {
+        case None => batch
+        case Some(parent) =>
           Upsert.upsert(parent, batch.select(parent.columns.map(col(_)): _*), keys)
-        }
+      }
       val dd = dataDir(root, next)
       writeDataDir(spark,
         merged.withColumn(GpCol, col(partitionCol).cast("string")),
@@ -826,11 +854,30 @@ object SnapshotLog {
           untouchedBase.contains(key.substring(0, math.max(key.indexOf('/'), 0)))
         }).getOrElse(EagerCarry(Nil))
       writeStats(spark, root, next, statsCols, carry)
+      // CHANGE DATA FEED (round 9, opt-in): the touched slice was read
+      // for the merge anyway — one extra keyed join classifies the batch
+      // into insert / update pre+post rows, written as this commit's
+      // change files. O(touched), never O(table); the CDC stream ships
+      // scoped versions from this dir instead of refusing them.
+      val chg =
+        if (!changeFeedEnabled(spark)) ""
+        else {
+          val rows = parentSlice match {
+            case Some(parent) =>
+              changeRows(parent, batch.select(parent.columns.map(col(_)): _*), keys)
+            case None =>
+              batch.withColumn("_change_type",
+                org.apache.spark.sql.functions.lit("insert"))
+          }
+          rows.write.mode("overwrite")
+            .parquet(new Path(rootPath, chgDirName(next)).toString)
+          chgDirName(next)
+        }
       // parent vectors carry: untouched partitions still need them
       // (touched partitions had them folded into the rewrite; stale
       // positions point at dead files and anti-join to nothing)
       writeManifestDirs(spark, root, next, newDirs, batchId = batchId,
-        tombDirs = parentTombs, partCol = partitionCol)
+        tombDirs = parentTombs, partCol = partitionCol, chgDir = chg)
       publishLatest(spark, root, next)
       Some(next)
     }
@@ -849,6 +896,69 @@ object SnapshotLog {
     import org.apache.spark.sql.functions.col
     hits.repartition(col("__rel")).sortWithinPartitions("__rel", "__ri")
       .write.mode("overwrite").parquet(td.toString)
+  }
+
+  /** Row-level change classification of a keyed merge: batch rows with
+    * no old match → `insert`; matched-and-different → an
+    * `update_preimage` (old row) + `update_postimage` (new row) pair;
+    * matched-and-identical → nothing (a no-op upsert is not a change —
+    * the same rule the keyed [[changesBetween]] diff applies). Output
+    * schema = the table columns + `_change_type`.
+    */
+  private def changeRows(oldDf: DataFrame, newDf: DataFrame,
+                         keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val cols = oldDf.columns.toSeq
+    val nonKeys = cols.filterNot(keys.contains)
+    val o = oldDf.toDF(cols.map("__o_" + _): _*).withColumn("__in_old", lit(true))
+    val n = newDf.toDF(cols.map("__n_" + _): _*)
+    val cond = keys.map(k => o(s"__o_$k") <=> n(s"__n_$k")).reduce(_ && _)
+    val j = n.join(o, cond, "left_outer")
+    val changed =
+      if (nonKeys.isEmpty) lit(false)
+      else nonKeys.map(c => !(col("__o_" + c) <=> col("__n_" + c))).reduce(_ || _)
+    val ins = j.filter(col("__in_old").isNull)
+      .select(cols.map(c => col("__n_" + c).as(c)) :+ lit("insert").as("_change_type"): _*)
+    val pre = j.filter(col("__in_old").isNotNull && changed)
+      .select(cols.map(c => col("__o_" + c).as(c)) :+ lit("update_preimage").as("_change_type"): _*)
+    val post = j.filter(col("__in_old").isNotNull && changed)
+      .select(cols.map(c => col("__n_" + c).as(c)) :+ lit("update_postimage").as("_change_type"): _*)
+    ins.unionAll(pre).unionAll(post)
+  }
+
+  /** Full-snapshot REPLACE (the SQL general-MERGE / general-UPDATE
+    * lowering) with commit-time change files when the feed is enabled:
+    * the multiset diff of old vs new snapshots writes as `delete` +
+    * `insert` rows (no key set exists to pair them into updates — the
+    * valid CDF shape for untracked rewrites). The diff is O(table) —
+    * the same order as the rewrite itself — and only runs when
+    * `graft.changeFeed.enabled` is set; otherwise this IS [[commit]].
+    */
+  def replaceWithChanges(spark: SparkSession, root: String,
+                         df: DataFrame): Long = {
+    import org.apache.spark.sql.functions.lit
+    if (!changeFeedEnabled(spark)) return commit(spark, root, df)
+    withClaim(spark, root) { _ =>
+      recoverOrphans(spark, root)
+      val cur = currentVersion(spark, root)
+      val next = cur.getOrElse(0L) + 1L
+      val rootPath = new Path(root.replaceAll("/+$", ""))
+      val chg = cur match {
+        case None =>
+          df.withColumn("_change_type", lit("insert"))
+        case Some(c) =>
+          val old = readVersion(spark, root, c)
+          require(old.columns.toSeq == df.columns.toSeq,
+            s"replace schema ${df.columns.toSeq} != table ${old.columns.toSeq}")
+          old.exceptAll(df).withColumn("_change_type", lit("delete"))
+            .unionAll(df.exceptAll(old).withColumn("_change_type", lit("insert")))
+      }
+      chg.write.mode("overwrite")
+        .parquet(new Path(rootPath, chgDirName(next)).toString)
+      stageVersion(spark, root, df, next, chgDir = chgDirName(next))
+      publishLatest(spark, root, next)
+      next
+    }
   }
 
   /** Merge-on-read DELETE (deletion vectors): record the (file, row
@@ -1412,9 +1522,13 @@ object SnapshotLog {
                                   batchId: Long, baseDirs: Seq[String],
                                   tombDirs: Seq[String],
                                   schemaJson: String = "",
-                                  morKeys: Seq[String] = Nil): Unit = {
+                                  morKeys: Seq[String] = Nil,
+                                  chgDir: String = ""): Unit = {
     val m = manifestPath(root, v)
     val tmp = new Path(logDir(root), f".tmp_manifest_v$v%08d")
+    val chgEnc =
+      if (chgDir.isEmpty) ""
+      else s""","chgDir":"${java.net.URLEncoder.encode(chgDir, "UTF-8")}""""
     val tombEnc =
       if (tombDirs.isEmpty) ""
       else s""","tombDirs":"${tombDirs.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(",")}""""
@@ -1433,7 +1547,7 @@ object SnapshotLog {
       else ""
     try out.write(
       (s"""{"version":$v,"dataDir":"${dataDirName(v)}","batchId":$batchId,""" +
-       s""""baseDirs":"${baseDirs.mkString(",")}"$tombEnc$schemaEnc$morEnc$readerEnc}""")
+       s""""baseDirs":"${baseDirs.mkString(",")}"$tombEnc$schemaEnc$morEnc$readerEnc$chgEnc}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (!f.rename(tmp, m))
@@ -1452,9 +1566,13 @@ object SnapshotLog {
                                 kind: String = "scoped",
                                 partCol: String = "",
                                 schemaJson: String = "",
-                                morKeys: Seq[String] = Nil): Unit = {
+                                morKeys: Seq[String] = Nil,
+                                chgDir: String = ""): Unit = {
     val m = manifestPath(root, v)
     val tmp = new Path(logDir(root), f".tmp_manifest_v$v%08d")
+    val chgEnc =
+      if (chgDir.isEmpty) ""
+      else s""","chgDir":"${java.net.URLEncoder.encode(chgDir, "UTF-8")}""""
     val enc = dirs.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(",")
     val tombEnc =
       if (tombDirs.isEmpty) ""
@@ -1478,7 +1596,7 @@ object SnapshotLog {
     val out = f.create(tmp, true)
     try out.write(
       (s"""{"version":$v,"dataDir":"${dataDirName(v)}","batchId":$batchId,""" +
-       s""""kind":"$kind","dirs":"$enc"$tombEnc$partEnc$morEnc$schemaEnc$readerEnc}""")
+       s""""kind":"$kind","dirs":"$enc"$tombEnc$partEnc$morEnc$schemaEnc$readerEnc$chgEnc}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (!f.rename(tmp, m))
@@ -1586,7 +1704,8 @@ object SnapshotLog {
                                   carryStats: SidecarCarry = EagerCarry(Nil),
                                   tombDirs: Seq[String] = Nil,
                                   schemaJson: String = "",
-                                  morKeys: Seq[String] = Nil): Unit = {
+                                  morKeys: Seq[String] = Nil,
+                                  chgDir: String = ""): Unit = {
     val dd = dataDir(root, v)
     // column mapping: the propagated pin names the immutable PHYSICAL
     // columns — translate the logical-named batch (and the stats/bloom
@@ -1603,7 +1722,7 @@ object SnapshotLog {
     writeDataDir(spark, dfP, dd, bloomP)
     writeStats(spark, root, v, statsP, carryStats)
     writeManifestAppend(spark, root, v, batchId, baseDirs, tombDirs, schemaJson,
-      morKeys)
+      morKeys, chgDir)
   }
 
   /** The one parquet write every commit path shares. INT96 (Spark's
@@ -2155,6 +2274,78 @@ object SnapshotLog {
         nonKeys.flatMap(c => Seq(
           lit(null).cast(rows.schema(c).dataType).as("old_" + c),
           col(c).as("new_" + c))): _*)
+    }
+    // EVENT-FEED path (round 9): when every step in the range either
+    // appended (delta dirs read as inserts) or RECORDED its row diff as
+    // commit-time change files (scoped upserts / general MERGE under
+    // graft.changeFeed.enabled), fold the per-version events into the
+    // NET old→new state per key — O(changes), where the fallback below
+    // is an O(table) full-outer snapshot diff. The net semantics match
+    // the keyed diff exactly: first event's pre-state vs last event's
+    // post-state, no-op rows filtered (an update later reverted nets to
+    // nothing, same as the snapshot diff would report).
+    val allVs = versions(spark, root)
+    val chgSteps = (fromV + 1 to toV).filter(v =>
+      allVs.contains(v) && chgDirOf(spark, root, v).isDefined)
+    val feedOk = chgSteps.nonEmpty &&
+      morKeysOf(spark, root, toV).isEmpty &&
+      (fromV to toV).forall(allVs.contains) &&
+      (fromV + 1 to toV).forall { v =>
+        chgDirOf(spark, root, v).isDefined || {
+          dirsOf(spark, root, v).startsWith(dirsOf(spark, root, v - 1)) &&
+          tombDirsOf(spark, root, v) == tombDirsOf(spark, root, v - 1)
+        }
+      }
+    if (feedOk) {
+      val rootS = root.replaceAll("/+$", "")
+      val pinned = schemaOf(spark, root, toV)
+      val events = (fromV + 1 to toV).flatMap { v =>
+        chgDirOf(spark, root, v) match {
+          case Some(cd) =>
+            Some(spark.read.parquet(s"$rootS/$cd").withColumn("_v", lit(v)))
+          case None =>
+            val deltas = dirsOf(spark, root, v)
+              .drop(dirsOf(spark, root, v - 1).size).map(d => s"$rootS/$d")
+            if (deltas.isEmpty) None
+            else {
+              val rows = pinned match {
+                case Some(st) => fromPhysicalSelect(
+                  spark.read.schema(physicalSchema(st)).parquet(deltas: _*), st)
+                case None => spark.read.parquet(deltas: _*)
+              }
+              Some(rows.withColumn("_change_type", lit("insert"))
+                .withColumn("_v", lit(v)))
+            }
+        }
+      }.reduce(_.unionByName(_))
+      val cols = events.columns.toSeq.filterNot(Seq("_change_type", "_v").contains)
+      require(keys.nonEmpty && keys.forall(cols.contains),
+        s"keys $keys must be columns of the table")
+      val nonKeys = cols.filterNot(keys.contains)
+      // within one version the OLD side (preimage / delete) sorts before
+      // the NEW side (insert / postimage), so min_by lands on the state
+      // at fromV and max_by on the state at toV
+      val ord = when(col("_change_type") === "update_preimage", 0)
+        .when(col("_change_type") === "delete", 1)
+        .when(col("_change_type") === "insert", 2).otherwise(3)
+      val rowS = struct(cols.map(col): _*)
+      val evS = struct(col("_change_type").as("ct"), rowS.as("r"))
+      val seqS = struct(col("_v"), col("_ord"))
+      return events.withColumn("_ord", ord)
+        .groupBy(keys.map(col): _*)
+        .agg(min_by(evS, seqS).as("__first"), max_by(evS, seqS).as("__last"))
+        .select(keys.map(col) :+
+          when(col("__first.ct") =!= "insert", col("__first.r")).as("__old") :+
+          when(col("__last.ct").isin("insert", "update_postimage"),
+            col("__last.r")).as("__new"): _*)
+        .withColumn("change_type",
+          when(col("__old").isNull && col("__new").isNotNull, lit("insert"))
+            .when(col("__old").isNotNull && col("__new").isNull, lit("delete"))
+            .when(!(col("__old") <=> col("__new")), lit("update")))
+        .filter(col("change_type").isNotNull)
+        .select(col("change_type") +: keys.map(col) ++:
+          nonKeys.flatMap(c => Seq(col("__old." + c).as("old_" + c),
+                                   col("__new." + c).as("new_" + c))): _*)
     }
     val before = readVersion(spark, root, fromV)
     val after = readVersion(spark, root, toV)
@@ -3690,6 +3881,9 @@ object SnapshotLog {
       else if (n.startsWith("tomb_v") &&
           scala.util.Try(n.stripPrefix("tomb_v").toLong).toOption.exists(_ > committed))
         f.delete(st.getPath, true)
+      else if (n.startsWith("chg_v") &&
+          scala.util.Try(n.stripPrefix("chg_v").toLong).toOption.exists(_ > committed))
+        f.delete(st.getPath, true)
     }
   }
 
@@ -3990,6 +4184,7 @@ object SnapshotLog {
       f.delete(manifestPath(root, v), false)
       f.delete(statsPath(root, v), false)
       f.delete(statsPqPath(root, v), true)
+      f.delete(new Path(rootPath, chgDirName(v)), true)
       f.delete(Expectations.auditPath(root, v), false)
       owned.foreach { d =>
         if (!retainedDirs.contains(d))

@@ -79,7 +79,10 @@ case class GraftReplaceCommand(table: GraftTable, plan: LogicalPlan,
                                verb: String) extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(plan)
   override def run(spark: SparkSession): Seq[Row] = {
-    SnapshotLog.commit(spark, table.root,
+    // with the change feed enabled, the rewrite also records its row
+    // diff as commit-time change files (delete + insert rows) so the
+    // CDC surfaces stay O(changes); identical to commit() otherwise
+    SnapshotLog.replaceWithChanges(spark, table.root,
       GraftCommands.classicDf(spark, plan))
     Seq.empty
   }

@@ -453,7 +453,8 @@ private[streaming] case class GraftFilePartition(path: String,
                                                  commitVersion: Long = -1L,
                                                  tombFiles: Array[String] = Array.empty,
                                                  relKey: String = "",
-                                                 exclude: Boolean = false)
+                                                 exclude: Boolean = false,
+                                                 typeFromFile: Boolean = false)
     extends InputPartition
 
 private[streaming] class GraftTailReaderFactory extends PartitionReaderFactory {
@@ -515,6 +516,17 @@ private[streaming] class GraftParquetGroupReader(p: GraftFilePartition)
     val julianDay = buf.getInt
     (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
   }
+
+  // commit-time change files carry _change_type IN the file (one file
+  // can hold inserts and update pre/post images); the constant-type
+  // partitions (plain appends, DV delete read-backs) skip the lookup
+  private val ctIdx =
+    if (!p.typeFromFile) -1
+    else {
+      val i = fileSchema.getFields.asScala.indexWhere(_.getName == "_change_type")
+      require(i >= 0, s"change file ${p.path} lacks a _change_type column")
+      i
+    }
 
   private var pages = reader.readNextRowGroup()
   private var recordReader =
@@ -590,7 +602,9 @@ private[streaming] class GraftParquetGroupReader(p: GraftFilePartition)
       i += 1
     }
     if (cdc) {
-      row.update(schema.length, UTF8String.fromString(p.changeType))
+      row.update(schema.length,
+        if (p.typeFromFile) UTF8String.fromBytes(g.getBinary(ctIdx, 0).getBytes)
+        else UTF8String.fromString(p.changeType))
       row.setLong(schema.length + 1, p.commitVersion)
     }
     row
@@ -778,18 +792,36 @@ private[streaming] class GraftChangesStream(root: String, dataSchema: StructType
     }
     val parts = scala.collection.mutable.ArrayBuffer[InputPartition]()
     (from to e).foreach { v =>
+      // COMMIT-TIME CHANGE FILES first (round 9): a version that wrote
+      // its own row-level diff (scoped upsert / general MERGE under
+      // graft.changeFeed.enabled) ships that dir VERBATIM — whatever
+      // the commit kind, however the dir set moved. The derivation
+      // rules below only serve commits without recorded changes.
+      val chgDir = if (v == minV) None else SnapshotLog.chgDirOf(spark, root, v)
+      if (chgDir.isDefined) {
+        val dir = new Path(rootPath, chgDir.get)
+        val cfs = dir.getFileSystem(conf)
+        if (cfs.exists(dir)) cfs.listStatus(dir)
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .foreach { st =>
+            parts += GraftFilePartition(st.getPath.toString, dataSchema.json,
+              "__file", v, typeFromFile = true)
+          }
+      } else {
       val kind = SnapshotLog.manifestKind(spark, root, v)
       require(v == minV || kind.isEmpty || kind.contains("delete") || kind.contains("update"),
         s"graft changes stream at $root: version $v is a '${kind.get}' commit — " +
         "row-level changes are derivable from appends, deletion-vector " +
-        "deletes, and merge-on-read updates only; restart after other maintenance")
+        "deletes, and merge-on-read updates only (or recorded at commit " +
+        "time via graft.changeFeed.enabled); restart after other maintenance")
       val prevDirs = if (v - 1 < minV) Set.empty[String]
                      else SnapshotLog.dirsOf(spark, root, v - 1).toSet
       val dirs = SnapshotLog.dirsOf(spark, root, v)
       val lost = prevDirs -- dirs.toSet
       require(lost.isEmpty,
         s"graft changes stream at $root: version $v replaced directories " +
-        s"(${lost.mkString(", ")}) — a rewrite carries no row-level provenance")
+        s"(${lost.mkString(", ")}) — a rewrite carries no row-level " +
+        "provenance (enable graft.changeFeed.enabled to record it at commit time)")
       // an `update` version's old copies and rewrites label as the CDF
       // pre/post-image pair (one version — consumers re-pair trivially);
       // plain appends/deletes keep insert/delete
@@ -832,6 +864,7 @@ private[streaming] class GraftChangesStream(root: String, dataSchema: StructType
               tombFiles, rel)
           }
         }
+      }
       }
     }
     parts.toArray

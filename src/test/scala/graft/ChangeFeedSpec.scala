@@ -1,0 +1,137 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.SnapshotLog
+
+/** Round-9 directive #3: commit-time change files. With
+  * `graft.changeFeed.enabled=true`, a scoped upsert writes its row-level
+  * diff (insert / update_preimage / update_postimage) into `chg_v{N}/`
+  * at commit time — O(touched), riding the merge's own join — and the
+  * SQL general-MERGE lowering ([[SnapshotLog.replaceWithChanges]])
+  * records its multiset diff as delete + insert rows. The CDC streaming
+  * source then ships those versions instead of refusing them, and
+  * [[SnapshotLog.changesBetween]] folds the recorded events into the
+  * net keyed diff without any full-snapshot join.
+  */
+class ChangeFeedSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_cdf").toString + "/t"
+
+  private def withFeed[A](body: => A): A = {
+    spark.conf.set("graft.changeFeed.enabled", "true")
+    try body finally spark.conf.unset("graft.changeFeed.enabled")
+  }
+
+  private val cdcSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("gp", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("_change_type", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("_commit_version", org.apache.spark.sql.types.LongType)))
+
+  test("CDC stream ships scoped upserts and general MERGE from commit-time change files") {
+    val root = freshRoot()
+    val ck = Files.createTempDirectory("graft_cdf_ck").toString
+    val out = Files.createTempDirectory("graft_cdf_out").toString
+    def feed(): Set[(Int, String, String, Long)] =
+      spark.read.schema(cdcSchema).parquet(out).collect()
+        .map(r => (r.getInt(0), r.getString(2), r.getString(3), r.getLong(4))).toSet
+    withFeed {
+      SnapshotLog.upsertScoped(spark, root,
+        Seq((1, "a", "x1"), (2, "a", "x2"), (3, "b", "x3")).toDF("k", "gp", "v"),
+        Seq("k"), "gp") // v1
+      val q = spark.readStream.format("graft").option("changes", "true").load(root)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck).start()
+      try {
+        q.processAllAvailable()
+        assert(feed().isEmpty, "CDC starts at the head")
+
+        // scoped upsert touching ONE partition: update k=1, insert k=9,
+        // leave k=2 identical (a no-op upsert is not a change)
+        SnapshotLog.upsertScoped(spark, root,
+          Seq((1, "a", "X1"), (2, "a", "x2"), (9, "a", "x9")).toDF("k", "gp", "v"),
+          Seq("k"), "gp") // v2
+        q.processAllAvailable()
+        assert(feed() == Set(
+          (1, "x1", "update_preimage", 2L), (1, "X1", "update_postimage", 2L),
+          (9, "x9", "insert", 2L)), feed().toString)
+
+        // general MERGE shape: full replace with a recorded multiset diff
+        val next = SnapshotLog.read(spark, root)
+          .withColumn("v", when($"k" === 3, lit("X3")).otherwise($"v"))
+          .filter($"k" =!= 2) // and delete k=2
+        SnapshotLog.replaceWithChanges(spark, root,
+          next.select("k", "gp", "v")) // v3
+        q.processAllAvailable()
+        val v3 = feed().filter(_._4 == 3L)
+        assert(v3 == Set(
+          (3, "x3", "delete", 3L), (3, "X3", "insert", 3L),
+          (2, "x2", "delete", 3L)), v3.toString)
+      } finally q.stop()
+    }
+  }
+
+  test("changesBetween uses recorded events: O(changes), no full-snapshot join in the plan") {
+    val rootF = freshRoot(); val rootN = freshRoot()
+    def build(root: String): Unit = {
+      SnapshotLog.upsertScoped(spark, root,
+        (0 until 300).map(k => (k, (k % 5).toString, s"v$k")).toDF("k", "gp", "v"),
+        Seq("k"), "gp") // v1
+      SnapshotLog.upsertScoped(spark, root,
+        Seq((7, "2", "V7"), (999, "2", "v999")).toDF("k", "gp", "v"),
+        Seq("k"), "gp") // v2: update k=7, insert k=999 (partition 2 only)
+      SnapshotLog.appendCommit(spark, root,
+        Seq((1000, "9", "v1000")).toDF("k", "gp", "v")) // v3: plain append
+      SnapshotLog.upsertScoped(spark, root,
+        Seq((7, "2", "V7b")).toDF("k", "gp", "v"), Seq("k"), "gp") // v4
+    }
+    withFeed { build(rootF) }
+    build(rootN) // no feed: the keyed-diff fallback is the oracle
+    val fast = SnapshotLog.changesBetween(spark, rootF, 1L, 4L, Seq("k"))
+    val slow = SnapshotLog.changesBetween(spark, rootN, 1L, 4L, Seq("k"))
+    // identical net diff: k=7 updated (v1 state → v4 state, intermediate
+    // V7 invisible), k=999/k=1000 inserted
+    val fr = fast.collect().map(_.toSeq).toSet
+    val sr = slow.collect().map(_.toSeq).toSet
+    assert(fr == sr, s"event-feed diff drifted:\n fast=$fr\n slow=$sr")
+    assert(fr.exists(r => r.head == "update" && r(1) == 7))
+    assert(fr.exists(r => r.head == "insert" && r(1) == 999))
+    // the recorded-events plan reads change files + delta dirs and
+    // aggregates — it must contain NO join at all, where the fallback
+    // is a full-outer join of two whole snapshots
+    val plan = fast.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join"), s"expected a join-free event fold, got:\n$plan")
+    assert(slow.queryExecution.optimizedPlan.toString.contains("FullOuter"),
+      "twin table should exercise the fallback (test wiring check)")
+  }
+
+  test("change files respect lifecycle: vacuum reclaims them; feed-off commits write none") {
+    val root = freshRoot()
+    withFeed {
+      SnapshotLog.upsertScoped(spark, root,
+        Seq((1, "a", "x")).toDF("k", "gp", "v"), Seq("k"), "gp")
+      SnapshotLog.upsertScoped(spark, root,
+        Seq((1, "a", "y")).toDF("k", "gp", "v"), Seq("k"), "gp")
+      SnapshotLog.upsertScoped(spark, root,
+        Seq((1, "a", "z")).toDF("k", "gp", "v"), Seq("k"), "gp")
+    }
+    def chg(v: Long): java.io.File =
+      new java.io.File(new java.io.File(root), f"chg_v$v%08d")
+    assert(chg(1).isDirectory && chg(2).isDirectory && chg(3).isDirectory)
+    SnapshotLog.vacuum(spark, root, keep = 1)
+    assert(!chg(1).exists && !chg(2).exists, "vacuum must reclaim change dirs")
+    assert(chg(3).isDirectory)
+    // feed off: a scoped commit records no change dir and the stream
+    // refuses it as before
+    SnapshotLog.upsertScoped(spark, root,
+      Seq((1, "a", "w")).toDF("k", "gp", "v"), Seq("k"), "gp")
+    assert(!chg(4).exists)
+  }
+}

@@ -368,7 +368,8 @@ object SnapshotLog {
       recoverOrphans(spark, root)
       val cur = currentVersion(spark, root).getOrElse(
         throw new IllegalStateException(s"no committed version at $root"))
-      require(!partColOf(spark, root, cur).contains(column),
+      require(!partColOf(spark, root, cur)
+          .exists(pc => parseGpSpec(pc).refCols.contains(column)),
         s"cannot widen the partition column $column (it names directories)")
       val pin = schemaOf(spark, root, cur).getOrElse(
         asNullable(tableSchema(spark, root, cur)).asInstanceOf[StructType])
@@ -722,6 +723,106 @@ object SnapshotLog {
   private val GpCol = "__gp"
   private val GpPrefix = GpCol + "="
 
+  /** Partition SPEC of a scoped table (round 9 — multi-column and
+    * date-derived transforms): a comma list of components, each either
+    * an identity column (`region`) or a day transform (`days(ts)`).
+    * One component renders exactly as before (`col.cast("string")`, or
+    * the ISO day for a transform) — full backward compatibility with
+    * single-column lineages; multiple components join with `|`, each
+    * value escaping `\` and `|` so a hostile value cannot collide two
+    * partitions. The rendered composite is the ONE `__gp` dir value, so
+    * all the scoped machinery (touched-set derivation, carry filters,
+    * OCC disjointness, vacuum refcounts) is spec-agnostic; only the
+    * dir-name pruning re-derives per-COLUMN spans from the components.
+    */
+  private[graft] final case class GpComp(kind: String, col: String)
+  private[graft] final case class GpSpec(comps: Seq[GpComp]) {
+    def refCols: Seq[String] = comps.map(_.col)
+    def render: String = comps.map(c =>
+      if (c.kind == "id") c.col else s"${c.kind}(${c.col})").mkString(",")
+  }
+  private[graft] def parseGpSpec(spec: String): GpSpec = {
+    val days = """days\((.+)\)""".r
+    GpSpec(spec.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map {
+      case days(c) => GpComp("days", c)
+      case c       => GpComp("id", c)
+    })
+  }
+
+  /** The `__gp` rendering of a batch row under `spec` — the expression
+    * both the touched-set probe and the partitioned writer evaluate
+    * (they MUST agree; the drift abort below double-checks). NULL in
+    * any component propagates to a NULL composite (concat, not
+    * concat_ws), which the probe then refuses.
+    */
+  private def gpRenderExpr(spec: GpSpec): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, concat, date_format, lit, replace}
+    def base(cp: GpComp): org.apache.spark.sql.Column = cp.kind match {
+      case "id"   => col(cp.col).cast("string")
+      case "days" => date_format(col(cp.col), "yyyy-MM-dd")
+      case other  => throw new IllegalArgumentException(
+        s"unknown partition transform $other")
+    }
+    if (spec.comps.size == 1) base(spec.comps.head)
+    else spec.comps.map(cp =>
+        replace(replace(base(cp), lit("\\"), lit("\\\\")), lit("|"), lit("\\|")))
+      .reduce((a, b) => concat(a, lit("|"), b))
+  }
+
+  /** Escape-aware split of a multi-component `__gp` value (inverse of
+    * [[gpRenderExpr]]'s join).
+    */
+  private[graft] def splitGpValue(v: String): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    val b = new StringBuilder
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c == '\\' && i + 1 < v.length) { b += v.charAt(i + 1); i += 2 }
+      else if (c == '|') { out += b.result(); b.clear(); i += 1 }
+      else { b += c; i += 1 }
+    }
+    out += b.result()
+    out.result()
+  }
+
+  /** Per-COLUMN span derivable from a scoped dir NAME under `spec` —
+    * the generalization of the old single-column rule: identity
+    * components span their own value (numeric compare for numeric
+    * columns); `days` components span the whole day (DATE: the day
+    * itself; NTZ timestamp: its closed wall-clock span; LTZ: None —
+    * rendering shifts with the session zone, keep the file rather than
+    * mis-prune, the same caveat the identity rule always had).
+    */
+  private[graft] def gpSpecDirSpan(
+      spec: GpSpec,
+      types: Map[String, org.apache.spark.sql.types.DataType],
+      dirName: String, probe: String): Option[(String, String, String)] = {
+    import org.apache.spark.sql.types._
+    if (!dirName.startsWith(GpPrefix)) return None
+    val idx = spec.comps.indexWhere(_.col == probe)
+    if (idx < 0) return None
+    val raw = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .unescapePathName(dirName.stripPrefix(GpPrefix))
+    val parts = if (spec.comps.size == 1) Seq(raw) else splitGpValue(raw)
+    if (parts.size != spec.comps.size) return None
+    val v = parts(idx)
+    spec.comps(idx).kind match {
+      case "id" => types.get(probe) match {
+        case Some(_: NumericType)              => Some(("n", esc(v), esc(v)))
+        case Some(StringType) | Some(DateType) => Some(("s", esc(v), esc(v)))
+        case _                                 => None
+      }
+      case "days" => types.get(probe) match {
+        case Some(DateType) => Some(("s", esc(v), esc(v)))
+        case Some(TimestampNTZType) =>
+          Some(("s", esc(v + " 00:00:00.000000"), esc(v + " 23:59:59.999999")))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
   /** Partition-scoped KEYED upsert: [[upsert]]'s merge semantics at
     * O(touched partitions) commit cost instead of O(table) — the round-6
     * VERDICT's top remaining scale gap (a daily keyed batch on a 100 TB
@@ -783,8 +884,10 @@ object SnapshotLog {
                                batchId: Long): Option[Long] = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     import org.apache.spark.sql.functions.col
-    require(batch.columns.contains(partitionCol),
-      s"partition column $partitionCol not in batch ${batch.columns.toSeq}")
+    val spec = parseGpSpec(partitionCol)
+    require(spec.comps.nonEmpty && spec.refCols.forall(batch.columns.contains),
+      s"partition spec $partitionCol references columns outside the batch " +
+      s"${batch.columns.toSeq}")
     require(keys.nonEmpty && keys.forall(batch.columns.contains),
       s"keys $keys must be columns of the batch")
     withClaim(spark, root) { f =>
@@ -799,11 +902,11 @@ object SnapshotLog {
       // writer renders them (cast-to-string + path escaping); the collect
       // is bounded by the number of touched partitions — the same driver
       // contract as Upsert.upsertPartitioned
-      val touchedNames = batch.select(col(partitionCol).cast("string"))
+      val touchedNames = batch.select(gpRenderExpr(spec).cast("string"))
         .distinct().collect().map { r =>
           require(!r.isNullAt(0),
-            s"NULL $partitionCol in batch: scoped commits need a concrete " +
-            "partition per row")
+            s"NULL partition component ($partitionCol) in batch: scoped " +
+            "commits need a concrete partition per row")
           GpPrefix + ExternalCatalogUtils.escapePathName(r.getString(0))
         }.toSet
       val cur = currentVersion(spark, root)
@@ -832,7 +935,7 @@ object SnapshotLog {
       }
       val dd = dataDir(root, next)
       writeDataDir(spark,
-        merged.withColumn(GpCol, col(partitionCol).cast("string")),
+        merged.withColumn(GpCol, gpRenderExpr(spec)),
         dd, bloomCols, partitionBy = Seq(GpCol))
       val writtenLeafs = fs(spark, dd).listStatus(dd).map(_.getPath.getName)
         .filter(_.startsWith(GpPrefix)).sorted.toSeq
@@ -1355,16 +1458,18 @@ object SnapshotLog {
                                     bloomCols: Seq[String] = Nil): StagedScoped = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     import org.apache.spark.sql.functions.col
-    require(batch.columns.contains(partitionCol),
-      s"partition column $partitionCol not in batch ${batch.columns.toSeq}")
+    val spec = parseGpSpec(partitionCol)
+    require(spec.comps.nonEmpty && spec.refCols.forall(batch.columns.contains),
+      s"partition spec $partitionCol references columns outside the batch " +
+      s"${batch.columns.toSeq}")
     require(keys.nonEmpty && keys.forall(batch.columns.contains),
       s"keys $keys must be columns of the batch")
     val rootPath = new Path(root.replaceAll("/+$", ""))
-    val touchedNames = batch.select(col(partitionCol).cast("string"))
+    val touchedNames = batch.select(gpRenderExpr(spec).cast("string"))
       .distinct().collect().map { r =>
         require(!r.isNullAt(0),
-          s"NULL $partitionCol in batch: scoped commits need a concrete " +
-          "partition per row")
+          s"NULL partition component ($partitionCol) in batch: scoped " +
+          "commits need a concrete partition per row")
         GpPrefix + ExternalCatalogUtils.escapePathName(r.getString(0))
       }.toSet
     val base = currentVersion(spark, root)
@@ -1388,7 +1493,7 @@ object SnapshotLog {
     }
     val staging = stagingDirName()
     writeDataDir(spark,
-      merged.withColumn(GpCol, col(partitionCol).cast("string")),
+      merged.withColumn(GpCol, gpRenderExpr(spec)),
       new Path(rootPath, staging), bloomCols, partitionBy = Seq(GpCol))
     StagedScoped(base, staging, touchedNames, partitionCol)
   }
@@ -1659,34 +1764,6 @@ object SnapshotLog {
       .select(cols.map(col): _*)
   }
 
-  /** The span a scoped table's `__gp=<value>` leaf-dir name synthesizes
-    * for its partition column: every file under the leaf has min = max =
-    * the partition value by construction — Hive-style partition pruning
-    * through the same overlap machinery the sidecar stats use. Shared by
-    * the explicit probes ([[candidateFiles]]) and the automatic path
-    * ([[SkippingFileIndex]]) so both prune identically. Typed via the
-    * Spark schema (a numeric partition must compare as a number: "9" >
-    * "10" lexicographically but not numerically); None for non-scoped
-    * dirs and zone-dependent types (LTZ rendering shifts with the
-    * session zone — keep the file rather than mis-prune).
-    */
-  private def gpDirSpan(dt: Option[org.apache.spark.sql.types.DataType],
-                        dirName: String): Option[(String, String, String)] = {
-    val tag = dt match {
-      case Some(_: org.apache.spark.sql.types.NumericType) => Some("n")
-      case Some(org.apache.spark.sql.types.StringType) => Some("s")
-      case Some(org.apache.spark.sql.types.DateType) => Some("s") // ISO order
-      case _ => None
-    }
-    tag.flatMap { t =>
-      if (!dirName.startsWith(GpPrefix)) None
-      else {
-        val v = esc(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .unescapePathName(dirName.stripPrefix(GpPrefix)))
-        Some((t, v, v))
-      }
-    }
-  }
 
   /** Steps 1–2 of the protocol: write the data directory, then publish
     * the manifest (temp + rename so it is never seen partial). WITHOUT
@@ -2978,12 +3055,13 @@ object SnapshotLog {
       })
     // dir-name spans for the partition column of a scoped table
     val dirSpanOf: Path => Option[(String, String, String)] =
-      partColOf(spark, root, version) match {
-        case Some(pc) if pc == column =>
-          val dt = tableSchema(spark, root, version)
-            .find(_.name == column).map(_.dataType)
-          p => gpDirSpan(dt, p.getParent.getName)
-        case _ => _ => None
+      partColOf(spark, root, version).map(parseGpSpec)
+        .filter(_.refCols.contains(column)) match {
+        case Some(spec) =>
+          val types = tableSchema(spark, root, version)
+            .map(f => f.name -> f.dataType).toMap
+          p => gpSpecDirSpan(spec, types, p.getParent.getName, column)
+        case None => _ => None
       }
     val sp = statsPath(root, version)
     // probes rendered ONCE driver-side, in the forms both eval paths
@@ -3644,8 +3722,8 @@ object SnapshotLog {
     */
   private def pqPrunedKeys(spark: SparkSession, pqPath: String,
                            preds: Seq[StatsEval.SpanPred],
-                           pc: Option[String],
-                           pcType: Option[org.apache.spark.sql.types.DataType],
+                           spec: Option[GpSpec],
+                           types: Map[String, org.apache.spark.sql.types.DataType],
                            zone: java.time.ZoneId): Set[String] = {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.functions.col
@@ -3667,7 +3745,7 @@ object SnapshotLog {
         val key = StatsEval.unesc(file)
         val dirName = key.takeWhile(_ != '/')
         val spanOf: String => Option[(String, String, String)] = c =>
-          m.get(c).orElse(pc.filter(_ == c).flatMap(_ => gpDirSpan(pcType, dirName)))
+          m.get(c).orElse(spec.flatMap(sp => gpSpecDirSpan(sp, types, dirName, c)))
         if (preds.forall(pr => StatsEval.admits(spanOf, zm.get, pr, zone)))
           Iterator.empty
         else Iterator.single(key)
@@ -3787,11 +3865,14 @@ object SnapshotLog {
       }
     }
 
+    private val gpSpec = partCol.map(parseGpSpec)
+    private val gpTypes: Map[String, org.apache.spark.sql.types.DataType] =
+      schema.fields.map(f => f.name -> f.dataType).toMap
+
     private def dirSpanOf(st: org.apache.hadoop.fs.FileStatus)
         : String => Option[(String, String, String)] = c =>
-      partCol.filter(_ == c).flatMap(_ =>
-        gpDirSpan(schema.find(_.name == c).map(_.dataType),
-                  st.getPath.getParent.getName))
+      gpSpec.flatMap(sp =>
+        gpSpecDirSpan(sp, gpTypes, st.getPath.getParent.getName, c))
 
     override def listFiles(partitionFilters: Seq[Expression],
                            dataFilters: Seq[Expression]): Seq[PD] = {
@@ -3813,9 +3894,7 @@ object SnapshotLog {
             // every survivor re-checks against the dir-name span only —
             // exact, because a file's partition-column span is a subset
             // of its dir's (dir-only admits ⊇ full admits per file)
-            val pcType = partCol.flatMap(c =>
-              schema.find(_.name == c).map(_.dataType))
-            val pruned = pqPrunedKeys(spark, pqPath, preds, partCol, pcType, zone)
+            val pruned = pqPrunedKeys(spark, pqPath, preds, gpSpec, gpTypes, zone)
             files.filter { st =>
               val rel = st.getPath.getParent.getName + "/" + st.getPath.getName
               !pruned.contains(rel) &&

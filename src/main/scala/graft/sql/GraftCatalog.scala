@@ -186,16 +186,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                            partitions: Array[Transform],
                            properties: JMap[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    val partCol = partitions.toSeq match {
-      case Seq() => ""
-      case Seq(t) if t.name == "identity" && t.references.length == 1 =>
-        t.references.head.fieldNames.mkString(".")
-      case other => throw new UnsupportedOperationException(
-        s"graft tables support a single identity PARTITIONED BY column, " +
-        s"got: ${other.mkString(", ")}")
-    }
-    require(partCol.isEmpty || schema.fieldNames.contains(partCol),
-      s"partition column $partCol is not in the table schema")
+    // round 9: multi-column and day-transform partitioning — each
+    // transform becomes one component of the scoped-upsert partition
+    // SPEC (rendered into the one composite __gp dir value); date
+    // layouts declare as `PARTITIONED BY (days(ts))`, composites as
+    // `PARTITIONED BY (region, days(ts))`
+    val partCol = partitions.toSeq.map { t =>
+      t.name match {
+        case "identity" if t.references.length == 1 =>
+          t.references.head.fieldNames.mkString(".")
+        case "days" | "day" if t.references.length == 1 =>
+          s"days(${t.references.head.fieldNames.mkString(".")})"
+        case other => throw new UnsupportedOperationException(
+          s"graft tables support identity and days() PARTITIONED BY " +
+          s"transforms, got: $other(${t.references.mkString(", ")})")
+      }
+    }.mkString(",")
+    val refCols = graft.sources.SnapshotLog.parseGpSpec(partCol).refCols
+    require(refCols.forall(schema.fieldNames.contains),
+      s"partition spec $partCol references columns outside the table schema")
     val root = tableRoot(ident)
     hfs(new Path(root)).mkdirs(new Path(root))
     // an empty evolved append pins the declared schema in the manifest,

@@ -306,11 +306,16 @@ object GraftSqlRule {
                  im.keySet == um.keySet &&
                  rel.output.forall(t => um(t.exprId).semanticEquals(im(t.exprId))) =>
             equalityKeys(m.mergeCondition, rel).flatMap { keys =>
-              // scoped upserts demand stable partition identity: the
-              // partition column must itself be one of the merge keys
-              // (otherwise a row could migrate partitions, which the
-              // scoped contract forbids) — fall back to rewrite if not
-              if (keys.contains(g.partCol)) Some((keys, um)) else None
+              // scoped upserts demand stable partition identity: every
+              // column the partition spec references must itself be a
+              // merge key (otherwise a row could migrate partitions,
+              // which the scoped contract forbids — a day transform
+              // over a key column is stable because the key is) — fall
+              // back to rewrite if not
+              val refs = graft.sources.SnapshotLog.parseGpSpec(g.partCol).refCols
+              if (refs.nonEmpty && refs.forall(keys.contains))
+                Some((keys, um))
+              else None
             }
           case _ => None
         }

@@ -284,6 +284,85 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set(Seq(1, "a", 10), Seq(2, "a", 21), Seq(3, "b", 30), Seq(4, "a", 40)))
   }
 
+  test("MERGE on a two-column-partitioned table: composite leafs, untouched leafs byte-identical") {
+    def fileState(dir: java.io.File): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(dir).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> ((f.length(), f.lastModified()))).toMap
+    }
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
+    sql("""CREATE TABLE graft.ns.pt2 (k INT, r STRING, d DATE, x INT)
+           PARTITIONED BY (r, d)""")
+    val s0 = spark; import s0.implicits._
+    def merge(view: String): Unit =
+      sql(s"""MERGE INTO graft.ns.pt2 t USING $view s
+              ON t.k = s.k AND t.r = s.r AND t.d = s.d
+              WHEN MATCHED THEN UPDATE SET k = s.k, r = s.r, d = s.d, x = s.x
+              WHEN NOT MATCHED THEN INSERT (k, r, d, x) VALUES (s.k, s.r, s.d, s.x)""")
+    Seq((1, "a", "2024-01-01", 10), (2, "a", "2024-01-02", 20),
+        (3, "b", "2024-01-01", 30))
+      .toDF("k", "r", "ds", "x").withColumn("d", $"ds".cast("date")).drop("ds")
+      .createOrReplaceTempView("m1")
+    merge("m1")
+    val before = SnapshotLog.currentVersion(spark, root("pt2")).get
+    val dirsBefore = SnapshotLog.dirsOf(spark, root("pt2"), before)
+    assert(dirsBefore.forall(_.contains("__gp=")),
+      s"composite-partitioned MERGE must land scoped, got $dirsBefore")
+    assert(dirsBefore.size == 3, s"one leaf per (r, d) pair: $dirsBefore")
+    // second MERGE touches ONLY (a, 2024-01-02) — the other two leafs
+    // must carry by reference, byte- and mtime-identical
+    val untouched = dirsBefore.filterNot(_.contains("2024-01-02"))
+    val untouchedState = untouched.map(dr =>
+      dr -> fileState(new java.io.File(root("pt2"), dr))).toMap
+    Seq((2, "a", "2024-01-02", 21), (9, "a", "2024-01-02", 90))
+      .toDF("k", "r", "ds", "x").withColumn("d", $"ds".cast("date")).drop("ds")
+      .createOrReplaceTempView("m2")
+    merge("m2")
+    val after = SnapshotLog.currentVersion(spark, root("pt2")).get
+    assert(after == before + 1)
+    val dirsAfter = SnapshotLog.dirsOf(spark, root("pt2"), after)
+    untouched.foreach { dr =>
+      assert(dirsAfter.contains(dr), s"untouched leaf $dr must carry: $dirsAfter")
+      assert(fileState(new java.io.File(root("pt2"), dr)) == untouchedState(dr),
+        s"untouched leaf $dr was rewritten")
+    }
+    assert(rowsOf("SELECT k, r, x FROM graft.ns.pt2") ==
+      Set(Seq(1, "a", 10), Seq(2, "a", 21), Seq(3, "b", 30), Seq(9, "a", 90)))
+    // dir-name pruning works per COMPONENT of the composite leaf value
+    val (keptR, totR) = SnapshotLog.candidateFiles(spark, root("pt2"), after,
+      "r", "b", "b")
+    assert(totR >= 3 && keptR.size < totR,
+      s"component pruning on r: kept ${keptR.size} of $totR")
+    assert(rowsOf("SELECT k FROM graft.ns.pt2 WHERE r = 'b'") == Set(Seq(3)))
+  }
+
+  test("days() transform partitioning: day leafs, MERGE scopes, day pruning") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
+    sql("""CREATE TABLE graft.ns.ptd (k INT, d DATE, x INT)
+           PARTITIONED BY (days(d))""")
+    val s0 = spark; import s0.implicits._
+    def merge(view: String): Unit =
+      sql(s"""MERGE INTO graft.ns.ptd t USING $view s
+              ON t.k = s.k AND t.d = s.d
+              WHEN MATCHED THEN UPDATE SET k = s.k, d = s.d, x = s.x
+              WHEN NOT MATCHED THEN INSERT (k, d, x) VALUES (s.k, s.d, s.x)""")
+    Seq((1, "2024-03-01", 1), (2, "2024-03-02", 2), (3, "2024-03-03", 3))
+      .toDF("k", "ds", "x").withColumn("d", $"ds".cast("date")).drop("ds")
+      .createOrReplaceTempView("d1")
+    merge("d1")
+    val v = SnapshotLog.currentVersion(spark, root("ptd")).get
+    val dirs = SnapshotLog.dirsOf(spark, root("ptd"), v)
+    assert(dirs.size == 3 && dirs.forall(_.contains("__gp=2024-03-")),
+      s"expected one day leaf per date, got $dirs")
+    // a range probe on the RAW date column prunes through the day dirs
+    val (kept, tot) = SnapshotLog.candidateFiles(spark, root("ptd"), v,
+      "d", java.sql.Date.valueOf("2024-03-02"), java.sql.Date.valueOf("2024-03-02"))
+    assert(tot == 3 && kept.size == 1, s"day pruning: kept ${kept.size} of $tot")
+    assert(rowsOf("SELECT k FROM graft.ns.ptd WHERE d = DATE'2024-03-02'") ==
+      Set(Seq(2)))
+  }
+
   test("CALL detail: one-row DESCRIBE DETAIL from the file manifest") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
     sql("CREATE TABLE graft.ns.det (k INT, v STRING)")

@@ -860,6 +860,35 @@ class SnapshotLogSpec extends SparkSpecBase {
     assert(e.getMessage.contains("vacuumed"))
   }
 
+  test("a registered consumer pins its range against vacuum; unregistering releases it") {
+    val root = freshRoot()
+    (1 to 5).foreach(i => SnapshotLog.commit(spark, root, kv(i -> s"v$i")))
+    // consumer processed up to v2 — v2..v5 must survive ANY retention
+    SnapshotLog.registerConsumer(spark, root, "nightly-sync", 2L)
+    assert(SnapshotLog.consumers(spark, root) == Map("nightly-sync" -> 2L))
+    // dry run shows the pin-honoring blast radius before the trigger
+    assert(SnapshotLog.vacuumDryRun(spark, root, keep = 1) == Seq(1L))
+    SnapshotLog.vacuum(spark, root, keep = 1)
+    assert(SnapshotLog.versions(spark, root) == Seq(2L, 3L, 4L, 5L),
+      "vacuum reclaimed a version a registered consumer still needs")
+    // the consumer's next poll over the protected range still works —
+    // the pin doubles as the tailChanges cursor
+    var seen = 0L
+    SnapshotLog.tailChanges(spark, root,
+      SnapshotLog.consumerCursor(root, "nightly-sync"), Seq("k")) {
+      (feed, fromV, toV) => assert(fromV == 2L && toV == 5L); seen = feed.count()
+    }
+    assert(seen > 0)
+    // the successful poll advanced the pin to the head: older versions
+    // are now reclaimable without any unregistration
+    assert(SnapshotLog.consumers(spark, root) == Map("nightly-sync" -> 5L))
+    SnapshotLog.vacuum(spark, root, keep = 1)
+    assert(SnapshotLog.versions(spark, root) == Seq(5L))
+    // unregistered: plain retention applies again
+    SnapshotLog.unregisterConsumer(spark, root, "nightly-sync")
+    assert(SnapshotLog.consumers(spark, root).isEmpty)
+  }
+
   // Every FileSourceScan under a plan, descending through AQE wrappers
   // (AdaptiveSparkPlanExec/QueryStageExec have no SparkPlan children).
   private def fileScans(p: org.apache.spark.sql.execution.SparkPlan)

@@ -22,7 +22,9 @@ object GraftProcedures {
 
   val names: Seq[String] =
     Seq("restore", "vacuum", "compact_small_files", "history",
-        "optimize_zorder", "clone", "detail")
+        "optimize_zorder", "clone", "detail",
+        "register_consumer", "unregister_consumer", "consumers",
+        "vacuum_dry_run")
 
   def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -33,6 +35,10 @@ object GraftProcedures {
       case "optimize_zorder"     => Some(new OptimizeZorder(cat))
       case "clone"               => Some(new Clone(cat))
       case "detail"              => Some(new Detail(cat))
+      case "register_consumer"   => Some(new RegisterConsumer(cat))
+      case "unregister_consumer" => Some(new UnregisterConsumer(cat))
+      case "consumers"           => Some(new Consumers(cat))
+      case "vacuum_dry_run"      => Some(new VacuumDryRun(cat))
       case _                     => None
     }
 
@@ -54,6 +60,70 @@ object GraftProcedures {
     protected def spark = cat.sparkSession
     protected def root(input: InternalRow): String =
       cat.rootOf(input.getUTF8String(0).toString)
+  }
+
+  /** `CALL c.system.register_consumer(table, name, version)` — pin a
+    * CDC consumer at `version`: vacuum keeps the pin and everything
+    * newer (SnapshotLog.registerConsumer; the round-9 vacuum-vs-reader
+    * grace). The pin file doubles as the consumer's tailChanges cursor.
+    */
+  private final class RegisterConsumer(cat: GraftCatalog)
+      extends Proc(cat, "register_consumer") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType), param("name", StringType),
+        param("version", LongType))
+    private val out = StructType(Seq(
+      StructField("consumer", StringType), StructField("pinned_version", LongType)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val n = input.getUTF8String(1).toString
+      val v = input.getLong(2)
+      SnapshotLog.registerConsumer(spark, root(input), n, v)
+      scanOf(out, Seq(new GenericInternalRow(
+        Array[Any](UTF8String.fromString(n), v))))
+    }
+  }
+
+  private final class UnregisterConsumer(cat: GraftCatalog)
+      extends Proc(cat, "unregister_consumer") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType), param("name", StringType))
+    private val out = StructType(Seq(StructField("unregistered", StringType)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val n = input.getUTF8String(1).toString
+      SnapshotLog.unregisterConsumer(spark, root(input), n)
+      scanOf(out, Seq(new GenericInternalRow(
+        Array[Any](UTF8String.fromString(n)))))
+    }
+  }
+
+  private final class Consumers(cat: GraftCatalog)
+      extends Proc(cat, "consumers") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType))
+    private val out = StructType(Seq(
+      StructField("consumer", StringType), StructField("pinned_version", LongType)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val rows = SnapshotLog.consumers(spark, root(input)).toSeq.sortBy(_._1)
+        .map { case (n, v) => new GenericInternalRow(
+          Array[Any](UTF8String.fromString(n), v)): InternalRow }
+      scanOf(out, rows)
+    }
+  }
+
+  /** `CALL c.system.vacuum_dry_run(table, keep)` → the versions a
+    * vacuum WOULD reclaim, consumer pins honored — the blast-radius
+    * listing before the trigger.
+    */
+  private final class VacuumDryRun(cat: GraftCatalog)
+      extends Proc(cat, "vacuum_dry_run") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType), param("keep", IntegerType))
+    private val out = StructType(Seq(StructField("would_reclaim_version", LongType)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val rows = SnapshotLog.vacuumDryRun(spark, root(input), input.getInt(1))
+        .map(v => new GenericInternalRow(Array[Any](v)): InternalRow)
+      scanOf(out, rows)
+    }
   }
 
   /** `CALL c.system.restore(table, version)` → the new head version

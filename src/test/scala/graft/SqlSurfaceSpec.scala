@@ -381,6 +381,28 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d2.getBoolean(6) && d2.getInt(7) == 2, s"mapped, reader 2: $d2")
   }
 
+  test("CALL register_consumer pins history against CALL vacuum; dry run shows the radius") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
+    sql("CREATE TABLE graft.ns.pin (k INT, v STRING)")
+    sql("INSERT INTO graft.ns.pin VALUES (1, 'a')")
+    sql("INSERT INTO graft.ns.pin VALUES (2, 'b')")
+    sql("INSERT INTO graft.ns.pin VALUES (3, 'c')")   // head = v4 (create + 3)
+    assert(sql("CALL graft.system.register_consumer('ns.pin', 'etl', 2)")
+      .collect().head.getLong(1) == 2L)
+    assert(rowsOf("CALL graft.system.consumers('ns.pin')") ==
+      Set(Seq("etl", 2L)))
+    // dry run honors the pin: only v1 is reclaimable
+    assert(rowsOf("CALL graft.system.vacuum_dry_run('ns.pin', 1)") ==
+      Set(Seq(1L)))
+    sql("CALL graft.system.vacuum('ns.pin', 1)")
+    assert(SnapshotLog.versions(spark, root("pin")) == Seq(2L, 3L, 4L),
+      "vacuum must keep the pinned range")
+    sql("CALL graft.system.unregister_consumer('ns.pin', 'etl')")
+    assert(rowsOf("CALL graft.system.consumers('ns.pin')").isEmpty)
+    sql("CALL graft.system.vacuum('ns.pin', 1)")
+    assert(SnapshotLog.versions(spark, root("pin")) == Seq(4L))
+  }
+
   test("table_changes TVF: batch CDC between two versions through plain SQL") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
     sql("CREATE TABLE graft.ns.cdc (k INT, v STRING)")             // v1 (empty)

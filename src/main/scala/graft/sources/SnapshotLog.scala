@@ -706,6 +706,17 @@ object SnapshotLog {
              keys: Seq[String], statsCols: Seq[String] = Nil,
              bloomCols: Seq[String] = Nil): Long =
     currentVersion(spark, root) match {
+      case Some(_) if changeFeedEnabled(spark) =>
+        // CDF (round 9): the keyed rewrite knows its keys, so the change
+        // classification is the O(batch)-driving join of [[changeRows]]
+        // — the rewrite stays O(table) but the recorded feed makes every
+        // downstream CDC surface O(changes)
+        keyedRewriteWithChanges(spark, root) { snap =>
+          val aligned = batch.select(snap.columns.map(
+            org.apache.spark.sql.functions.col(_)): _*)
+          (Upsert.upsert(snap, aligned, keys),
+           changeRows(snap, aligned, keys))
+        }
       case Some(_) => commit(spark, root,
         Upsert.upsert(read(spark, root), batch, keys), statsCols, bloomCols)
       case None    => commit(spark, root, batch, statsCols, bloomCols)
@@ -714,7 +725,37 @@ object SnapshotLog {
   /** Transactional delete-by-key ([[Upsert.deleteByKey]] + commit). */
   def deleteByKey(spark: SparkSession, root: String, tombstones: DataFrame,
                   keys: Seq[String]): Long =
-    commit(spark, root, Upsert.deleteByKey(read(spark, root), tombstones, keys))
+    if (changeFeedEnabled(spark) && currentVersion(spark, root).isDefined)
+      keyedRewriteWithChanges(spark, root) { snap =>
+        import org.apache.spark.sql.functions.{col, lit}
+        val doomed = snap.join(
+          tombstones.select(keys.map(col(_)): _*).distinct(), keys, "left_semi")
+        (Upsert.deleteByKey(snap, tombstones, keys),
+         doomed.withColumn("_change_type", lit("delete")))
+      }
+    else commit(spark, root, Upsert.deleteByKey(read(spark, root), tombstones, keys))
+
+  /** A keyed full-snapshot rewrite that records its change rows: `f`
+    * receives the CURRENT snapshot and returns (next snapshot, change
+    * rows with `_change_type`); the change dir publishes with the
+    * commit, so the CDC stream and [[changesBetween]] stay O(changes)
+    * over this version despite the dir replacement.
+    */
+  private def keyedRewriteWithChanges(spark: SparkSession, root: String)
+      (f: DataFrame => (DataFrame, DataFrame)): Long =
+    withClaim(spark, root) { _ =>
+      recoverOrphans(spark, root)
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed version at $root"))
+      val next = cur + 1L
+      val rootPath = new Path(root.replaceAll("/+$", ""))
+      val (merged, chg) = f(readVersion(spark, root, cur))
+      chg.write.mode("overwrite")
+        .parquet(new Path(rootPath, chgDirName(next)).toString)
+      stageVersion(spark, root, merged, next, chgDir = chgDirName(next))
+      publishLatest(spark, root, next)
+      next
+    }
 
   // Partition leaf dirs of scoped versions: data_vNNNNNNNN/__gp=<value>.
   // "__gp" duplicates the user's partition column for the partitioned
@@ -754,6 +795,14 @@ object SnapshotLog {
     * (they MUST agree; the drift abort below double-checks). NULL in
     * any component propagates to a NULL composite (concat, not
     * concat_ws), which the probe then refuses.
+    *
+    * CAVEAT (same as Delta's date-generated partition columns): a
+    * `days` component over an LTZ timestamp renders through the SESSION
+    * zone — writers with different `spark.sql.session.timeZone` would
+    * derive different days for the same instant, violating the scoped
+    * contract's stable-partition-identity rule. Pin the zone across
+    * writers, or partition on a DATE / NTZ column (which also unlocks
+    * dir-name pruning — see [[gpSpecDirSpan]]).
     */
   private def gpRenderExpr(spec: GpSpec): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{col, concat, date_format, lit, replace}

@@ -112,6 +112,48 @@ class ChangeFeedSpec extends SparkSpecBase {
       "twin table should exercise the fallback (test wiring check)")
   }
 
+  test("keyed upsert and deleteByKey record change files; the stream ships them") {
+    val root = freshRoot()
+    val ck = Files.createTempDirectory("graft_cdf_kv_ck").toString
+    val out = Files.createTempDirectory("graft_cdf_kv_out").toString
+    val kvSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_change_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_commit_version", org.apache.spark.sql.types.LongType)))
+    def feed(): Set[(Int, String, String, Long)] =
+      spark.read.schema(kvSchema).parquet(out).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    withFeed {
+      SnapshotLog.commit(spark, root, Seq((1, "a"), (2, "b")).toDF("k", "v")) // v1
+      val q = spark.readStream.format("graft").option("changes", "true").load(root)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck).start()
+      try {
+        q.processAllAvailable()
+        // keyed upsert: update k=1, insert k=3, k=2 untouched
+        SnapshotLog.upsert(spark, root,
+          Seq((1, "A"), (2, "b"), (3, "c")).toDF("k", "v"), Seq("k")) // v2
+        q.processAllAvailable()
+        assert(feed() == Set(
+          (1, "a", "update_preimage", 2L), (1, "A", "update_postimage", 2L),
+          (3, "c", "insert", 2L)), feed().toString)
+        // keyed delete: k=2 leaves as a delete row
+        SnapshotLog.deleteByKey(spark, root, Seq(2).toDF("k"), Seq("k")) // v3
+        q.processAllAvailable()
+        assert(feed().filter(_._4 == 3L) == Set((2, "b", "delete", 3L)),
+          feed().toString)
+      } finally q.stop()
+      // and changesBetween over the full keyed-rewrite lineage is the
+      // recorded-event fold, not the snapshot diff
+      val diff = SnapshotLog.changesBetween(spark, root, 1L, 3L, Seq("k"))
+      assert(!diff.queryExecution.optimizedPlan.toString.contains("Join"))
+      assert(diff.collect().map(_.toSeq).toSet == Set(
+        Seq("update", 1, "a", "A"), Seq("delete", 2, "b", null),
+        Seq("insert", 3, null, "c")))
+    }
+  }
+
   test("change files respect lifecycle: vacuum reclaims them; feed-off commits write none") {
     val root = freshRoot()
     withFeed {

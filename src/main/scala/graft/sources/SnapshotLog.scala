@@ -1523,29 +1523,51 @@ object SnapshotLog {
       }.toSet
     val base = currentVersion(spark, root)
     def baseName(d: String) = d.substring(d.lastIndexOf('/') + 1)
-    val merged = base match {
+    val parentSlice: Option[DataFrame] = base.flatMap { b =>
+      val parentDirs = dirsOf(spark, root, b)
+      require(parentDirs.forall(baseName(_).startsWith(GpPrefix)),
+        "upsertScopedOcc needs a scoped table — run upsertScoped once " +
+        "to migrate a plain table into the scoped layout")
+      val replaced = parentDirs.filter(d => touchedNames.contains(baseName(d)))
+      if (replaced.isEmpty) None
+      else Some(applyTombstoneDirs(spark, root,
+        tombDirsOf(spark, root, b),
+        spark.read.parquet(
+          replaced.map(d => new Path(rootPath, d).toString): _*)))
+    }
+    val merged = parentSlice match {
       case None => batch
-      case Some(b) =>
-        val parentDirs = dirsOf(spark, root, b)
-        require(parentDirs.forall(baseName(_).startsWith(GpPrefix)),
-          "upsertScopedOcc needs a scoped table — run upsertScoped once " +
-          "to migrate a plain table into the scoped layout")
-        val replaced = parentDirs.filter(d => touchedNames.contains(baseName(d)))
-        if (replaced.isEmpty) batch
-        else {
-          val parent = applyTombstoneDirs(spark, root,
-            tombDirsOf(spark, root, b),
-            spark.read.parquet(
-              replaced.map(d => new Path(rootPath, d).toString): _*))
-          Upsert.upsert(parent, batch.select(parent.columns.map(col(_)): _*), keys)
-        }
+      case Some(parent) =>
+        Upsert.upsert(parent, batch.select(parent.columns.map(col(_)): _*), keys)
     }
     val staging = stagingDirName()
     writeDataDir(spark,
       merged.withColumn(GpCol, gpRenderExpr(spec)),
       new Path(rootPath, staging), bloomCols, partitionBy = Seq(GpCol))
+    // CHANGE DATA FEED at STAGE time: the publish-side validation only
+    // admits interleaved commits that are scoped AND partition-disjoint,
+    // so the touched slice cannot move between stage and publish — the
+    // staged classification stays exact across the rebase. The rows
+    // stage as a dot-dir inside the staging dir (invisible to the leaf
+    // listing and to data readers); publish moves them to chg_v{N}.
+    if (changeFeedEnabled(spark)) {
+      val rows = parentSlice match {
+        case Some(parent) =>
+          changeRows(parent, batch.select(parent.columns.map(col(_)): _*), keys)
+        case None =>
+          batch.withColumn("_change_type",
+            org.apache.spark.sql.functions.lit("insert"))
+      }
+      rows.write.mode("overwrite")
+        .parquet(new Path(rootPath, staging + "/" + StagedChg).toString)
+    }
     StagedScoped(base, staging, touchedNames, partitionCol)
   }
+
+  // staged change rows live dot-prefixed inside the OCC staging dir:
+  // skipped by the GpPrefix leaf listing and by every parquet reader
+  // (hidden-path convention), atomically carried by the staging rename
+  private val StagedChg = ".chg"
 
   private[graft] def publishScopedOcc(spark: SparkSession, root: String,
                                       staged: StagedScoped,
@@ -1595,11 +1617,20 @@ object SnapshotLog {
           val key = StatsEval.unesc(line.split("\t", -1)(0))
           untouchedBase.contains(key.substring(0, math.max(key.indexOf('/'), 0)))
         }).getOrElse(EagerCarry(Nil))
+      // staged change rows (stageScopedOcc under the feed) surface as
+      // this version's change dir BEFORE the stats pass touches the data
+      // dir — still exact after the rebase, see the stage-side comment
+      val stagedChg = new Path(dataDir(root, next), StagedChg)
+      val chg =
+        if (f.exists(stagedChg) &&
+            f.rename(stagedChg, new Path(rootPath, chgDirName(next))))
+          chgDirName(next)
+        else ""
       writeStats(spark, root, next, statsCols, carry)
       val newDirs = untouched ++ writtenLeafs.map(dataDirName(next) + "/" + _)
       writeManifestDirs(spark, root, next, newDirs,
         tombDirs = head.toSeq.flatMap(tombDirsOf(spark, root, _)),
-        partCol = staged.partitionCol)
+        partCol = staged.partitionCol, chgDir = chg)
       publishLatest(spark, root, next)
       next
     }
@@ -2835,7 +2866,9 @@ object SnapshotLog {
           val b = Vector.newBuilder[String]
           while (it.hasNext) {
             val st = it.next()
-            if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+            // hidden dirs (e.g. OCC-staged change rows) are not data
+            if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
+                !st.getPath.getParent.getName.startsWith("."))
               b += st.getPath.toString
           }
           b.result()

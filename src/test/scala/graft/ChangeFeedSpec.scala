@@ -154,6 +154,31 @@ class ChangeFeedSpec extends SparkSpecBase {
     }
   }
 
+  test("OCC scoped upserts stage their change rows; the rebased publish ships them exactly") {
+    val root = freshRoot()
+    withFeed {
+      SnapshotLog.upsertScoped(spark, root,
+        Seq((1, "a", "x1"), (2, "b", "x2")).toDF("k", "gp", "v"),
+        Seq("k"), "gp") // v1
+      // two writers stage against the SAME head on disjoint partitions;
+      // the second publish rebases over the first
+      val s1 = SnapshotLog.stageScopedOcc(spark, root,
+        Seq((1, "a", "X1")).toDF("k", "gp", "v"), Seq("k"), "gp")
+      val s2 = SnapshotLog.stageScopedOcc(spark, root,
+        Seq((9, "b", "x9")).toDF("k", "gp", "v"), Seq("k"), "gp")
+      val v2 = SnapshotLog.publishScopedOcc(spark, root, s1)
+      val v3 = SnapshotLog.publishScopedOcc(spark, root, s2)
+      assert(v2 == 2L && v3 == 3L)
+      // both versions carry recorded change files the batch feed folds
+      val diff = SnapshotLog.changesBetween(spark, root, 1L, 3L, Seq("k"))
+      assert(!diff.queryExecution.optimizedPlan.toString.contains("Join"),
+        "OCC change versions must ride the recorded-event fold")
+      assert(diff.collect().map(_.toSeq).toSet == Set(
+        Seq("update", 1, "a", "a", "x1", "X1"),
+        Seq("insert", 9, null, "b", null, "x9")))
+    }
+  }
+
   test("change files respect lifecycle: vacuum reclaims them; feed-off commits write none") {
     val root = freshRoot()
     withFeed {

@@ -1043,6 +1043,21 @@ object SnapshotLog {
     * skip every group that isn't its own. Readers of the whole vector
     * (the batch anti-join) are layout-indifferent.
     */
+  /** `hits` minus every (file, position) the version's EXISTING
+    * deletion vectors already carry — new vectors record only NEWLY
+    * dead rows, so positional change feeds never see a row die twice.
+    */
+  private def freshPositions(spark: SparkSession, root: String, cur: Long,
+                             rootPath: Path, hits: DataFrame): DataFrame = {
+    val prior = tombDirsOf(spark, root, cur)
+    if (prior.isEmpty) hits
+    else hits.join(
+      spark.read.parquet(prior.map(d => new Path(rootPath, d).toString): _*)
+        .select(org.apache.spark.sql.functions.col("__rel"),
+                org.apache.spark.sql.functions.col("__ri")),
+      Seq("__rel", "__ri"), "left_anti")
+  }
+
   private def writeTombstones(spark: SparkSession, hits: DataFrame,
                               td: Path): Unit = {
     import org.apache.spark.sql.functions.col
@@ -1142,14 +1157,17 @@ object SnapshotLog {
       val base = prunedBaseScan(spark, root, cur)
       require(keys.forall(base.columns.contains),
         s"keys $keys must be columns of the table")
-      // one key-pruned scan finds positions; already-tombstoned rows may
-      // re-enter the new vector — duplicate positions are harmless to an
-      // anti-join and the next compaction folds them all away
-      val hits = base
+      // one key-pruned scan finds positions. A re-deleted key's rows may
+      // re-match — exclude positions the prior vectors already carry
+      // (round 9: a duplicate would re-emit the row as a SECOND delete
+      // through the CDC surfaces; it was also dead weight the next
+      // compaction had to fold)
+      val hits0 = base
         .withColumn("__rel", substring_index(col("_metadata.file_path"), "/", -2))
         .withColumn("__ri", col("_metadata.row_index"))
         .join(tombstones.select(keys.map(col(_)): _*).distinct(), keys, "left_semi")
         .select(col("__rel"), col("__ri"))
+      val hits = freshPositions(spark, root, cur, rootPath, hits0)
       val td = new Path(rootPath, tombDirName(next))
       writeTombstones(spark, hits, td)
       // the data-file set is untouched, so the parent's sidecar carries
@@ -1190,11 +1208,13 @@ object SnapshotLog {
       // file-manifest scan: schema declared, zero listing when the
       // sidecar is complete (prunedBaseScan); raw positions, no DV/MoR
       val base = prunedBaseScan(spark, root, cur)
-      val hits = base
+      val hits0 = base
         .withColumn("__rel", substring_index(col("_metadata.file_path"), "/", -2))
         .withColumn("__ri", col("_metadata.row_index"))
         .filter(mkCond(base))
         .select(col("__rel"), col("__ri"))
+      // exclude already-tombstoned positions: see tombstoneDelete
+      val hits = freshPositions(spark, root, cur, rootPath, hits0)
       val td = new Path(rootPath, tombDirName(next))
       writeTombstones(spark, hits, td)
       val carry = sidecarCarry(spark, root, cur)
@@ -2432,49 +2452,118 @@ object SnapshotLog {
           lit(null).cast(rows.schema(c).dataType).as("old_" + c),
           col(c).as("new_" + c))): _*)
     }
-    // EVENT-FEED path (round 9): when every step in the range either
-    // appended (delta dirs read as inserts) or RECORDED its row diff as
-    // commit-time change files (scoped upserts / general MERGE under
-    // graft.changeFeed.enabled), fold the per-version events into the
-    // NET old→new state per key — O(changes), where the fallback below
-    // is an O(table) full-outer snapshot diff. The net semantics match
+    // EVENT-FEED path (round 9): when every step in the range is
+    // event-derivable — appended (delta dirs read as inserts), RECORDED
+    // its row diff as commit-time change files (scoped upserts / keyed
+    // DML / general MERGE under graft.changeFeed.enabled), deleted by
+    // deletion vector (rows read back by position), or merge-on-read
+    // updated (vector preimages + delta postimages) — fold the
+    // per-version events into the NET old→new state per key —
+    // O(changes), where the fallback below is an O(table) full-outer
+    // snapshot diff. The net semantics match
     // the keyed diff exactly: first event's pre-state vs last event's
     // post-state, no-op rows filtered (an update later reverted nets to
     // nothing, same as the snapshot diff would report).
     val allVs = versions(spark, root)
-    val chgSteps = (fromV + 1 to toV).filter(v =>
-      allVs.contains(v) && chgDirOf(spark, root, v).isDefined)
-    val feedOk = chgSteps.nonEmpty &&
-      morKeysOf(spark, root, toV).isEmpty &&
-      (fromV to toV).forall(allVs.contains) &&
-      (fromV + 1 to toV).forall { v =>
-        chgDirOf(spark, root, v).isDefined || {
-          dirsOf(spark, root, v).startsWith(dirsOf(spark, root, v - 1)) &&
-          tombDirsOf(spark, root, v) == tombDirsOf(spark, root, v - 1)
-        }
-      }
+    // step classification: which per-version event derivations the fold
+    // can use. "chg" = recorded change files; "append" = delta dirs read
+    // as inserts; "delete" = a deletion-vector commit (dirs unchanged,
+    // tombstones grew — the NEWLY tombstoned rows read BACK by position,
+    // re-tombstoned duplicates excluded against the prior vectors);
+    // "update" = a merge-on-read UPDATE (preimages from the new vector +
+    // postimages from the new dir). Anything else → snapshot-diff
+    // fallback below.
+    def stepKind(v: Long): Option[String] = {
+      val dirs = dirsOf(spark, root, v)
+      val prev = dirsOf(spark, root, v - 1)
+      val tombs = tombDirsOf(spark, root, v)
+      val prevTombs = tombDirsOf(spark, root, v - 1)
+      if (chgDirOf(spark, root, v).isDefined) Some("chg")
+      else if (dirs.startsWith(prev) && tombs == prevTombs) Some("append")
+      else if (manifestKind(spark, root, v).contains("delete") &&
+               dirs == prev && tombs.startsWith(prevTombs)) Some("delete")
+      else if (manifestKind(spark, root, v).contains("update") &&
+               dirs.startsWith(prev) && tombs.startsWith(prevTombs)) Some("update")
+      else None
+    }
+    val stepKinds: Map[Long, Option[String]] =
+      if (morKeysOf(spark, root, toV).nonEmpty ||
+          !(fromV to toV).forall(allVs.contains)) Map.empty
+      else (fromV + 1 to toV).map(v => v -> stepKind(v)).toMap
+    val feedOk = stepKinds.nonEmpty && stepKinds.values.forall(_.isDefined) &&
+      stepKinds.values.exists(_.exists(_ != "append"))
     if (feedOk) {
       val rootS = root.replaceAll("/+$", "")
       val pinned = schemaOf(spark, root, toV)
-      val events = (fromV + 1 to toV).flatMap { v =>
-        chgDirOf(spark, root, v) match {
-          case Some(cd) =>
-            Some(spark.read.parquet(s"$rootS/$cd").withColumn("_v", lit(v)))
-          case None =>
-            val deltas = dirsOf(spark, root, v)
-              .drop(dirsOf(spark, root, v - 1).size).map(d => s"$rootS/$d")
-            if (deltas.isEmpty) None
-            else {
-              val rows = pinned match {
-                case Some(st) => fromPhysicalSelect(
-                  spark.read.schema(physicalSchema(st)).parquet(deltas: _*), st)
-                case None => spark.read.parquet(deltas: _*)
-              }
-              Some(rows.withColumn("_change_type", lit("insert"))
-                .withColumn("_v", lit(v)))
-            }
+      def deltaRows(v: Long, label: String): Option[DataFrame] = {
+        val deltas = dirsOf(spark, root, v)
+          .drop(dirsOf(spark, root, v - 1).size).map(d => s"$rootS/$d")
+        if (deltas.isEmpty) None
+        else {
+          val rows = pinned match {
+            case Some(st) => fromPhysicalSelect(
+              spark.read.schema(physicalSchema(st)).parquet(deltas: _*), st)
+            case None => spark.read.parquet(deltas: _*)
+          }
+          Some(rows.withColumn("_change_type", lit(label))
+            .withColumn("_v", lit(v)))
         }
-      }.reduce(_.unionByName(_))
+      }
+      // NEWLY tombstoned rows of version v, read back by position from
+      // exactly the touched files (the distinct-rel collect is O(touched
+      // files), the scan O(their bytes) — never a whole-table pass)
+      def tombRows(v: Long, label: String): Option[DataFrame] = {
+        val prevTombs = tombDirsOf(spark, root, v - 1)
+        val newTombs = tombDirsOf(spark, root, v).drop(prevTombs.size)
+        if (newTombs.isEmpty) return None
+        val newPos = spark.read.parquet(newTombs.map(d => s"$rootS/$d"): _*)
+          .select(col("__rel"), col("__ri")).distinct()
+        val fresh =
+          if (prevTombs.isEmpty) newPos
+          else newPos.join(
+            spark.read.parquet(prevTombs.map(d => s"$rootS/$d"): _*)
+              .select(col("__rel"), col("__ri")),
+            Seq("__rel", "__ri"), "left_anti")
+        val rels = fresh.select("__rel").distinct().collect().map(_.getString(0))
+        val baseToDir = dirsOf(spark, root, v - 1)
+          .map(d => d.substring(d.lastIndexOf('/') + 1) -> d).toMap
+        val files = rels.toSeq.flatMap { rel =>
+          val cut = rel.indexOf('/')
+          if (cut <= 0) None
+          else baseToDir.get(rel.substring(0, cut))
+            .map(d => s"$rootS/$d/${rel.substring(cut + 1)}")
+        }
+        if (files.isEmpty) return None
+        val raw = pinned match {
+          case Some(st) => spark.read.schema(physicalSchema(st)).parquet(files: _*)
+          case None => spark.read.parquet(files: _*)
+        }
+        val keyed = raw
+          .withColumn("__rel", substring_index(col("_metadata.file_path"), "/", -2))
+          .withColumn("__ri", col("_metadata.row_index"))
+          .join(fresh, Seq("__rel", "__ri"), "left_semi")
+          .drop("__rel", "__ri")
+        val logical = pinned.map(st => fromPhysicalSelect(keyed, st)).getOrElse(keyed)
+        Some(logical.withColumn("_change_type", lit(label))
+          .withColumn("_v", lit(v)))
+      }
+      val eventDfs = (fromV + 1 to toV).flatMap { v =>
+        stepKinds(v).get match {
+          case "chg" =>
+            val cd = chgDirOf(spark, root, v).get
+            Seq(spark.read.parquet(s"$rootS/$cd").withColumn("_v", lit(v)))
+          case "append" => deltaRows(v, "insert").toSeq
+          case "delete" => tombRows(v, "delete").toSeq
+          case "update" =>
+            tombRows(v, "update_preimage").toSeq ++
+            deltaRows(v, "update_postimage").toSeq
+        }
+      }
+      // every step may legitimately contribute nothing (an empty append,
+      // a delete fully deduplicated against prior vectors) — the range
+      // then changed nothing and the cheap snapshot diff below says so
+      if (eventDfs.nonEmpty) {
+      val events = eventDfs.reduce(_.unionByName(_))
       val cols = events.columns.toSeq.filterNot(Seq("_change_type", "_v").contains)
       require(keys.nonEmpty && keys.forall(cols.contains),
         s"keys $keys must be columns of the table")
@@ -2503,6 +2592,7 @@ object SnapshotLog {
         .select(col("change_type") +: keys.map(col) ++:
           nonKeys.flatMap(c => Seq(col("__old." + c).as("old_" + c),
                                    col("__new." + c).as("new_" + c))): _*)
+      }
     }
     val before = readVersion(spark, root, fromV)
     val after = readVersion(spark, root, toV)

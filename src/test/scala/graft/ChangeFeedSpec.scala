@@ -179,6 +179,35 @@ class ChangeFeedSpec extends SparkSpecBase {
     }
   }
 
+  test("changesBetween folds DV deletes and MoR updates positionally — no snapshot diff, no feed conf") {
+    // these derive from the log itself: no graft.changeFeed.enabled
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root,
+      Seq((1, "a", "x1"), (2, "a", "x2"), (3, "b", "x3")).toDF("k", "gp", "v")) // v1
+    SnapshotLog.appendCommit(spark, root,
+      Seq((4, "b", "x4")).toDF("k", "gp", "v")) // v2
+    SnapshotLog.tombstoneDelete(spark, root, Seq(1).toDF("k"), Seq("k")) // v3
+    SnapshotLog.updateWhere(spark, root,
+      base => base("k") === 2, Map("v" -> lit("X2"))) // v4 (MoR update)
+    // re-delete k=1: fully deduplicated against v3's vector — the new
+    // vector is empty and the feed must NOT report a second death
+    SnapshotLog.tombstoneDelete(spark, root, Seq(1).toDF("k"), Seq("k")) // v5
+    val diff = SnapshotLog.changesBetween(spark, root, 1L, 5L, Seq("k"))
+    val plan = diff.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("FullOuter"),
+      s"expected the positional event fold, got a snapshot diff:\n$plan")
+    assert(diff.collect().map(_.toSeq).toSet == Set(
+      Seq("delete", 1, "a", null, "x1", null),
+      Seq("update", 2, "a", "a", "x2", "X2"),
+      Seq("insert", 4, null, "b", null, "x4")),
+      diff.collect().map(_.toSeq).toSet.toString)
+    // parity with the snapshot-diff oracle computed directly
+    val before = SnapshotLog.readVersion(spark, root, 1L)
+    val after = SnapshotLog.readVersion(spark, root, 5L)
+    assert(before.count() == 3 && after.count() == 3)
+    assert(after.filter($"k" === 2).head.getString(2) == "X2")
+  }
+
   test("change files respect lifecycle: vacuum reclaims them; feed-off commits write none") {
     val root = freshRoot()
     withFeed {

@@ -323,7 +323,7 @@ object SnapshotLog {
         else f
       })
       val next = cur + 1L
-      writeStats(spark, root, next, Nil, sidecarCarry(spark, root, cur))
+      val stack = writeStats(spark, root, next, Nil, sidecarCarry(spark, root, cur))
       // kind "rename": NOT the writeManifestDirs default ("scoped" —
       // which would make compactSmallFiles refuse this flat table), and
       // the streaming tail/CDC ranges refuse it loudly by name
@@ -331,7 +331,8 @@ object SnapshotLog {
         batchId = batchIdOf(spark, root, cur).getOrElse(-1L),
         tombDirs = tombDirsOf(spark, root, cur),
         kind = "rename",
-        schemaJson = java.net.URLEncoder.encode(newPin.json, "UTF-8"))
+        schemaJson = java.net.URLEncoder.encode(newPin.json, "UTF-8"),
+        statsStack = stack)
       publishLatest(spark, root, next)
       next
     }
@@ -397,14 +398,15 @@ object SnapshotLog {
         else f
       })
       val next = cur + 1L
-      writeStats(spark, root, next, Nil, sidecarCarry(spark, root, cur))
+      val stack = writeStats(spark, root, next, Nil, sidecarCarry(spark, root, cur))
       writeManifestDirs(spark, root, next, dirsOf(spark, root, cur),
         batchId = batchIdOf(spark, root, cur).getOrElse(-1L),
         tombDirs = tombDirsOf(spark, root, cur),
         kind = "widen",
         morKeys = morKeysOf(spark, root, cur),
         partCol = partColOf(spark, root, cur).getOrElse(""),
-        schemaJson = java.net.URLEncoder.encode(newPin.json, "UTF-8"))
+        schemaJson = java.net.URLEncoder.encode(newPin.json, "UTF-8"),
+        statsStack = stack)
       publishLatest(spark, root, next)
       next
     }
@@ -446,12 +448,13 @@ object SnapshotLog {
         else f
       })
       val next = cur + 1L
-      writeStats(spark, root, next, Nil, sidecarCarry(spark, root, cur))
+      val stack = writeStats(spark, root, next, Nil, sidecarCarry(spark, root, cur))
       writeManifestDirs(spark, root, next, dirsOf(spark, root, cur),
         batchId = batchIdOf(spark, root, cur).getOrElse(-1L),
         tombDirs = tombDirsOf(spark, root, cur),
         kind = "rename",
-        schemaJson = java.net.URLEncoder.encode(newPin.json, "UTF-8"))
+        schemaJson = java.net.URLEncoder.encode(newPin.json, "UTF-8"),
+        statsStack = stack)
       publishLatest(spark, root, next)
       next
     }
@@ -1173,14 +1176,15 @@ object SnapshotLog {
       // the data-file set is untouched, so the parent's sidecar carries
       // verbatim (stats prune files; the vector prunes rows afterwards)
       val carry = sidecarCarry(spark, root, cur)
-      writeStats(spark, root, next, Nil, carry)
+      val stack = writeStats(spark, root, next, Nil, carry)
       writeManifestDirs(spark, root, next, dirsOf(spark, root, cur),
         batchId = batchIdOf(spark, root, cur).getOrElse(-1L),
         tombDirs = tombDirsOf(spark, root, cur) :+ tombDirName(next),
         kind = "delete",
         partCol = partColOf(spark, root, cur).getOrElse(""),
         morKeys = morKeysOf(spark, root, cur),
-        schemaJson = rawSchemaJson(spark, root, cur))
+        schemaJson = rawSchemaJson(spark, root, cur),
+        statsStack = stack)
       publishLatest(spark, root, next)
       next
     }
@@ -1218,14 +1222,15 @@ object SnapshotLog {
       val td = new Path(rootPath, tombDirName(next))
       writeTombstones(spark, hits, td)
       val carry = sidecarCarry(spark, root, cur)
-      writeStats(spark, root, next, Nil, carry)
+      val stack = writeStats(spark, root, next, Nil, carry)
       writeManifestDirs(spark, root, next, dirsOf(spark, root, cur),
         batchId = batchIdOf(spark, root, cur).getOrElse(-1L),
         tombDirs = tombDirsOf(spark, root, cur) :+ tombDirName(next),
         kind = "delete",
         partCol = partColOf(spark, root, cur).getOrElse(""),
         morKeys = morKeysOf(spark, root, cur),
-        schemaJson = rawSchemaJson(spark, root, cur))
+        schemaJson = rawSchemaJson(spark, root, cur),
+        statsStack = stack)
       publishLatest(spark, root, next)
       next
     }
@@ -1315,13 +1320,14 @@ object SnapshotLog {
           // verbatim; the appended dir gets no stats line (same contract
           // as an un-statted append — skipping stays safe, not stale)
           val carry = sidecarCarry(spark, root, cur)
-          writeStats(spark, root, next, Nil, carry)
+          val stack = writeStats(spark, root, next, Nil, carry)
           writeManifestDirs(spark, root, next,
             dirsOf(spark, root, cur) :+ dataDirName(next),
             batchId = batchIdOf(spark, root, cur).getOrElse(-1L),
             tombDirs = tombs :+ tombDirName(next),
             kind = "update",
-            schemaJson = rawSchemaJson(spark, root, cur))
+            schemaJson = rawSchemaJson(spark, root, cur),
+            statsStack = stack)
           publishLatest(spark, root, next)
           next
         }
@@ -1362,7 +1368,7 @@ object SnapshotLog {
     def abs(d: String): String = new Path(srcPath, d).toString
     val dirs = dirsOf(spark, srcRoot, sv).map(abs)
     val tombs = tombDirsOf(spark, srcRoot, sv).map(abs)
-    val carry = sidecarCarry(spark, srcRoot, sv)
+    val carry = sidecarCarry(spark, srcRoot, sv, allowChain = false)
     withClaim(spark, dstRoot) { _ =>
       require(currentVersion(spark, dstRoot).isEmpty,
         s"clone target $dstRoot already has a committed table")
@@ -1480,12 +1486,13 @@ object SnapshotLog {
           s"could not move staged $staging into ${dataDir(root, next)}")
       val carry = cur.map(c => sidecarCarry(spark, root, c))
         .getOrElse(EagerCarry(Nil))
-      writeStats(spark, root, next,
+      val stack = writeStats(spark, root, next,
         statsCols.map(c => stageMap.getOrElse(c, c)), carry)
       writeManifestAppend(spark, root, next, -1L,
         baseDirs = cur.map(dirsOf(spark, root, _)).getOrElse(Nil),
         tombDirs = cur.map(tombDirsOf(spark, root, _)).getOrElse(Nil),
-        schemaJson = cur.map(rawSchemaJson(spark, root, _)).getOrElse(""))
+        schemaJson = cur.map(rawSchemaJson(spark, root, _)).getOrElse(""),
+        statsStack = stack)
       publishLatest(spark, root, next)
       next
     }
@@ -1676,7 +1683,9 @@ object SnapshotLog {
       // [[listingLines]] / the distributed pruners instead
       val pq = statsPqPath(root, v)
       if (fs(spark, pq).exists(pq))
-        renderStatsLines(spark.read.parquet(pq.toString)).collect().toSeq
+        renderStatsLines(spark.read.parquet(
+          pqStackPaths(root, v, statsStackOf(spark, root, v)): _*))
+          .collect().toSeq
       else Seq.empty
     } else {
       val in = f.open(sp)
@@ -1714,7 +1723,8 @@ object SnapshotLog {
       if (!fs(spark, pq).exists(pq)) Seq.empty
       else {
         import org.apache.spark.sql.functions.col
-        renderStatsLines(spark.read.parquet(pq.toString)
+        renderStatsLines(spark.read.parquet(
+            pqStackPaths(root, v, statsStackOf(spark, root, v)): _*)
           .filter(col("t").isin("f", "d"))).collect().toSeq
       }
     }
@@ -1728,9 +1738,13 @@ object SnapshotLog {
                                   tombDirs: Seq[String],
                                   schemaJson: String = "",
                                   morKeys: Seq[String] = Nil,
-                                  chgDir: String = ""): Unit = {
+                                  chgDir: String = "",
+                                  statsStack: Seq[Long] = Nil): Unit = {
     val m = manifestPath(root, v)
     val tmp = new Path(logDir(root), f".tmp_manifest_v$v%08d")
+    val stackEnc =
+      if (statsStack.isEmpty) ""
+      else s""","statsStack":"${statsStack.mkString(",")}""""
     val chgEnc =
       if (chgDir.isEmpty) ""
       else s""","chgDir":"${java.net.URLEncoder.encode(chgDir, "UTF-8")}""""
@@ -1752,7 +1766,7 @@ object SnapshotLog {
       else ""
     try out.write(
       (s"""{"version":$v,"dataDir":"${dataDirName(v)}","batchId":$batchId,""" +
-       s""""baseDirs":"${baseDirs.mkString(",")}"$tombEnc$schemaEnc$morEnc$readerEnc$chgEnc}""")
+       s""""baseDirs":"${baseDirs.mkString(",")}"$tombEnc$schemaEnc$morEnc$readerEnc$chgEnc$stackEnc}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (!f.rename(tmp, m))
@@ -1772,9 +1786,13 @@ object SnapshotLog {
                                 partCol: String = "",
                                 schemaJson: String = "",
                                 morKeys: Seq[String] = Nil,
-                                chgDir: String = ""): Unit = {
+                                chgDir: String = "",
+                                statsStack: Seq[Long] = Nil): Unit = {
     val m = manifestPath(root, v)
     val tmp = new Path(logDir(root), f".tmp_manifest_v$v%08d")
+    val stackEnc =
+      if (statsStack.isEmpty) ""
+      else s""","statsStack":"${statsStack.mkString(",")}""""
     val chgEnc =
       if (chgDir.isEmpty) ""
       else s""","chgDir":"${java.net.URLEncoder.encode(chgDir, "UTF-8")}""""
@@ -1801,7 +1819,7 @@ object SnapshotLog {
     val out = f.create(tmp, true)
     try out.write(
       (s"""{"version":$v,"dataDir":"${dataDirName(v)}","batchId":$batchId,""" +
-       s""""kind":"$kind","dirs":"$enc"$tombEnc$partEnc$morEnc$schemaEnc$readerEnc$chgEnc}""")
+       s""""kind":"$kind","dirs":"$enc"$tombEnc$partEnc$morEnc$schemaEnc$readerEnc$chgEnc$stackEnc}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (!f.rename(tmp, m))
@@ -1897,9 +1915,9 @@ object SnapshotLog {
     val statsP = statsCols.map(c => m.getOrElse(c, c))
     val bloomP = bloomCols.map(c => m.getOrElse(c, c))
     writeDataDir(spark, dfP, dd, bloomP)
-    writeStats(spark, root, v, statsP, carryStats)
+    val stack = writeStats(spark, root, v, statsP, carryStats)
     writeManifestAppend(spark, root, v, batchId, baseDirs, tombDirs, schemaJson,
-      morKeys, chgDir)
+      morKeys, chgDir, stack)
   }
 
   /** The one parquet write every commit path shares. INT96 (Spark's
@@ -2360,6 +2378,9 @@ object SnapshotLog {
         if (statsCols.nonEmpty) statsCols
         else parentCarry match {
           case EagerCarry(ls) => ls.flatMap(statColOf(_)).distinct
+          case c: ChainCarry  =>
+            c.toDist.ds.flatMap(statColOf(_))(org.apache.spark.sql.Encoders.STRING)
+              .distinct().collect().toSeq
           case DistCarry(ds)  =>
             ds.flatMap(statColOf(_))(org.apache.spark.sql.Encoders.STRING)
               .distinct().collect().toSeq
@@ -2836,9 +2857,52 @@ object SnapshotLog {
   private[graft] final case class DistCarry(ds: org.apache.spark.sql.Dataset[String]) extends SidecarCarry {
     def filter(p: String => Boolean): SidecarCarry = DistCarry(ds.filter(p))
   }
+  /** CHAINED carry (round 9): the parent's checkpoint is referenced, not
+    * copied — the child writes ONLY its own fresh rows and records
+    * `parent +: parent's stack` in its manifest, so an append's commit
+    * metadata cost is O(batch), not O(table) (the Delta delta-log
+    * shape; every earlier design rewrote the whole table's stats each
+    * commit, text and checkpoint alike). Only verbatim carries chain: a
+    * `filter` (scoped/compaction rewrites) materializes the full stack
+    * first, which doubles as the chain's consolidation point.
+    */
+  private[graft] final case class ChainCarry(spark: SparkSession, root: String,
+                                             baseV: Long,
+                                             baseStack: Seq[Long]) extends SidecarCarry {
+    def filter(p: String => Boolean): SidecarCarry = toDist.filter(p)
+    def toDist: DistCarry = DistCarry(renderStatsLines(
+      spark.read.parquet((baseV +: baseStack)
+        .map(statsPqPath(root, _).toString): _*)))
+  }
+
+  /** Ancestor checkpoint versions whose pq dirs compose `v`'s logical
+    * sidecar (self excluded; empty = self-contained). The stored list
+    * is transitively complete, so resolution is ONE manifest read and
+    * never walks dead ancestors' manifests.
+    */
+  private[graft] def statsStackOf(spark: SparkSession, root: String,
+                                  v: Long): Seq[Long] =
+    """"statsStack":"([^"]*)"""".r
+      .findFirstMatchIn(readManifest(spark, root, v))
+      .map(_.group(1)).filter(_.nonEmpty)
+      .map(_.split(",").toSeq.map(_.toLong))
+      .getOrElse(Seq.empty)
+
+  /** All pq dirs of `v`'s logical sidecar, own first. */
+  private def pqStackPaths(root: String, v: Long,
+                           stack: Seq[Long]): Seq[String] =
+    (v +: stack).map(statsPqPath(root, _).toString)
+
+  /** Max chain length before a commit consolidates the stack into one
+    * full checkpoint (head resolution reads `depth` parquet dirs; the
+    * periodic full write is Delta's checkpoint-every-N).
+    */
+  private def statsChainDepth(spark: SparkSession): Int =
+    spark.conf.getOption("graft.stats.checkpointChainDepth")
+      .map(_.toInt).getOrElse(20)
 
   private def sidecarCarry(spark: SparkSession, root: String,
-                           v: Long): SidecarCarry = {
+                           v: Long, allowChain: Boolean = true): SidecarCarry = {
     val sp = statsPath(root, v)
     val f = fs(spark, sp)
     if (f.exists(sp)) {
@@ -2848,9 +2912,15 @@ object SnapshotLog {
         .filter((l: String) => l.nonEmpty))
     } else {
       val pq = statsPqPath(root, v)
-      if (fs(spark, pq).exists(pq))
-        DistCarry(renderStatsLines(spark.read.parquet(pq.toString)))
-      else EagerCarry(Seq.empty)
+      if (fs(spark, pq).exists(pq)) {
+        val stack = statsStackOf(spark, root, v)
+        // chain unless the depth budget is spent (then one full rewrite
+        // consolidates) or the caller crosses roots (clone)
+        if (allowChain && 1 + stack.size < statsChainDepth(spark))
+          ChainCarry(spark, root, v, stack)
+        else DistCarry(renderStatsLines(
+          spark.read.parquet(pqStackPaths(root, v, stack): _*)))
+      } else EagerCarry(Seq.empty)
     }
   }
 
@@ -2884,9 +2954,13 @@ object SnapshotLog {
   @volatile private[graft] var lastStatsMode: String = ""
   @volatile private[graft] var lastCarryDistributed: Boolean = false
 
+  /** Returns the version's stats stack for its manifest: `Nil` for a
+    * self-contained sidecar (text or full checkpoint), the ancestor
+    * list for a chained delta checkpoint ([[ChainCarry]]).
+    */
   private def writeStats(spark: SparkSession, root: String, v: Long,
                          cols: Seq[String],
-                         carry: SidecarCarry = EagerCarry(Nil)): Unit = {
+                         carry: SidecarCarry = EagerCarry(Nil)): Seq[Long] = {
     val dd = dataDir(root, v)
     val f = fs(spark, dd)
     val lines = Vector.newBuilder[String]
@@ -2974,6 +3048,33 @@ object SnapshotLog {
         }
       }
     val freshLines = lines.result()
+    // CHAINED checkpoint: write ONLY this commit's fresh rows; the
+    // parent stack rides the manifest. O(batch) metadata IO however
+    // large the table — the mode every verbatim-carry commit over a
+    // checkpointed parent takes (appends, deletes, metadata ops).
+    carry match {
+      case c: ChainCarry =>
+        require(c.root == root,
+          s"stats chain cannot cross roots: carry from ${c.root}, writing $root")
+        val S = org.apache.spark.sql.Encoders.STRING
+        val freshDs = spark.createDataset(freshLines)(S)
+        val allDs = footerRdd match {
+          case Some(r) => freshDs.union(spark.createDataset(r)(S))
+          case None    => freshDs
+        }
+        val tmp = new Path(logDir(root), f".tmp_statspq_v$v%08d")
+        val lf = fs(spark, tmp)
+        if (lf.exists(tmp)) lf.delete(tmp, true)
+        parseStatsLines(allDs).write.mode("overwrite").parquet(tmp.toString)
+        val dst = statsPqPath(root, v)
+        if (lf.exists(dst)) lf.delete(dst, true)
+        if (!lf.rename(tmp, dst))
+          throw new IllegalStateException(s"could not publish stats checkpoint $dst")
+        lastStatsMode = "parquet-delta"
+        lastCarryDistributed = true
+        return c.baseV +: c.baseStack
+      case _ => ()
+    }
     // storage decision: the EXACT carry + listing bytes plus a bound on
     // the fresh span lines (≤ files × cols, ~64 B rendered each — the
     // file count is the listing `f`-line count just built)
@@ -2999,6 +3100,7 @@ object SnapshotLog {
         throw new IllegalStateException(s"could not publish stats $sp")
       lastStatsMode = "text"
       lastCarryDistributed = false
+      Nil
     } else {
       // parquet checkpoint, written by the EXECUTORS: carry (text or
       // parquet parent, possibly filtered) ∪ this commit's O(batch)
@@ -3025,6 +3127,7 @@ object SnapshotLog {
         throw new IllegalStateException(s"could not publish stats checkpoint $dst")
       lastStatsMode = "parquet"
       lastCarryDistributed = carry.isInstanceOf[DistCarry]
+      Nil
     }
   }
 
@@ -3255,7 +3358,8 @@ object SnapshotLog {
       import spark.implicits._
       import org.apache.spark.sql.functions.{col => sqlcol}
       val colEsc = esc(column)
-      val pruned = spark.read.parquet(statsPqPath(root, version).toString)
+      val pruned = spark.read.parquet(
+          pqStackPaths(root, version, statsStackOf(spark, root, version)): _*)
         .filter(!sqlcol("t").isin("b", "f", "d", "z") && sqlcol("c") === colEsc)
         .select("k", "t", "a", "b")
         .as[(String, String, String, String)]
@@ -3386,7 +3490,8 @@ object SnapshotLog {
         // legacy "b" rows carried into a parquet checkpoint: tag + column
         // push down, so the collect is bounded by surviving legacy lines
         import org.apache.spark.sql.functions.{col => sqlcol}
-        spark.read.parquet(statsPqPath(root, version).toString)
+        spark.read.parquet(
+            pqStackPaths(root, version, statsStackOf(spark, root, version)): _*)
           .filter(sqlcol("t") === "b" && sqlcol("c") === esc(column))
           .select("k", "a").collect().map { r =>
             val bytes = r.getString(1).grouped(2)
@@ -3704,7 +3809,16 @@ object SnapshotLog {
                                   v: Long): Long = {
     val base = dataDirName(v)
     var marked = false; var sum = 0L
-    listingLines(spark, root, v).foreach { line =>
+    // a version's OWN dir listing always lives in its OWN checkpoint
+    // file (fresh lines write at its commit) — a chained sidecar never
+    // needs its stack resolved for one delta size
+    val ownListing =
+      if (hasPqSidecar(spark, root, v)) {
+        import org.apache.spark.sql.functions.col
+        renderStatsLines(spark.read.parquet(statsPqPath(root, v).toString)
+          .filter(col("t").isin("f", "d"))).collect().toSeq
+      } else listingLines(spark, root, v)
+    ownListing.foreach { line =>
       StatsEval.parseListing(line).foreach {
         case (key, "d", _, _) if key.stripSuffix("/") == base => marked = true
         case (key, "f", len, _) if key.startsWith(base + "/") =>
@@ -3785,7 +3899,7 @@ object SnapshotLog {
                                     v: Long, lines: Seq[String]): DataFrame =
     if (hasPqSidecar(spark, root, v))
       prunedBaseScanCore(spark, root, v, lines,
-        PqSpans(statsPqPath(root, v).toString))
+        PqSpans(pqStackPaths(root, v, statsStackOf(spark, root, v))))
     else prunedBaseScanLines(spark, root, v, lines)
 
   private def prunedBaseScanLines(spark: SparkSession, root: String,
@@ -3883,7 +3997,7 @@ object SnapshotLog {
   private final case class InMemSpans(
       spans: Map[String, Map[String, (String, String, String)]],
       nulls: Map[String, Map[String, (Long, Long)]]) extends SpanSource
-  private final case class PqSpans(path: String) extends SpanSource
+  private final case class PqSpans(paths: Seq[String]) extends SpanSource
 
   /** Distributed span evaluation over a parquet stats checkpoint: group
     * the span rows per file on the executors, run the SAME
@@ -3892,7 +4006,7 @@ object SnapshotLog {
     * partition span joins the executor-side fallback chain exactly as
     * it does driver-side (a file key's dir part is pure data).
     */
-  private def pqPrunedKeys(spark: SparkSession, pqPath: String,
+  private def pqPrunedKeys(spark: SparkSession, pqPaths: Seq[String],
                            preds: Seq[StatsEval.SpanPred],
                            spec: Option[GpSpec],
                            types: Map[String, org.apache.spark.sql.types.DataType],
@@ -3901,7 +4015,7 @@ object SnapshotLog {
     import org.apache.spark.sql.functions.col
     val S5 = Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.STRING,
       Encoders.STRING, Encoders.STRING)
-    spark.read.parquet(pqPath)
+    spark.read.parquet(pqPaths: _*)
       .filter(!col("t").isin("b", "f", "d"))
       .select("k", "c", "t", "a", "b")
       .as[(String, String, String, String, String)](S5)
@@ -4061,12 +4175,12 @@ object SnapshotLog {
                 nulls.get(rel).flatMap(_.get(c))
               preds.forall(p => StatsEval.admits(spanOf, nullsOf, p, zone))
             }
-          case PqSpans(pqPath) =>
+          case PqSpans(pqPaths) =>
             // pruned = files whose checkpoint spans refute a predicate;
             // every survivor re-checks against the dir-name span only —
             // exact, because a file's partition-column span is a subset
             // of its dir's (dir-only admits ⊇ full admits per file)
-            val pruned = pqPrunedKeys(spark, pqPath, preds, gpSpec, gpTypes, zone)
+            val pruned = pqPrunedKeys(spark, pqPaths, preds, gpSpec, gpTypes, zone)
             files.filter { st =>
               val rel = st.getPath.getParent.getName + "/" + st.getPath.getName
               !pruned.contains(rel) &&
@@ -4188,7 +4302,7 @@ object SnapshotLog {
       if (toVersion == cur) return cur
       val next = cur + 1L
       val carry = sidecarCarry(spark, root, toVersion)
-      writeStats(spark, root, next, Nil, carry)
+      val stack = writeStats(spark, root, next, Nil, carry)
       // the RESTORED version's stamp, not the head's: batches newer than
       // the rollback point were rolled back with it and must re-apply
       writeManifestDirs(spark, root, next, dirsOf(spark, root, toVersion),
@@ -4197,7 +4311,8 @@ object SnapshotLog {
         kind = "restore",
         partCol = partColOf(spark, root, toVersion).getOrElse(""),
         morKeys = morKeysOf(spark, root, toVersion),
-        schemaJson = rawSchemaJson(spark, root, toVersion))
+        schemaJson = rawSchemaJson(spark, root, toVersion),
+        statsStack = stack)
       publishLatest(spark, root, next)
       next
     }
@@ -4518,6 +4633,11 @@ object SnapshotLog {
       .flatMap(v => dirsOf(spark, root, v)).toSet
     val retainedTombs = vs.takeRight(kept)
       .flatMap(v => tombDirsOf(spark, root, v)).toSet
+    // a retained CHAINED checkpoint still reads its ancestors' pq dirs —
+    // pin them exactly like shared data dirs (manifests die first; the
+    // stack lists in retained manifests are self-contained)
+    val retainedStats = vs.takeRight(kept)
+      .flatMap(v => statsStackOf(spark, root, v)).toSet
     vs.dropRight(kept).foreach { v =>
       val own = dataDirName(v)
       // a version OWNS its own data dir and everything under it; shared
@@ -4528,7 +4648,7 @@ object SnapshotLog {
       val ownedTombs = tombDirsOf(spark, root, v).filter(_ == ownTomb)
       f.delete(manifestPath(root, v), false)
       f.delete(statsPath(root, v), false)
-      f.delete(statsPqPath(root, v), true)
+      if (!retainedStats.contains(v)) f.delete(statsPqPath(root, v), true)
       f.delete(new Path(rootPath, chgDirName(v)), true)
       f.delete(Expectations.auditPath(root, v), false)
       owned.foreach { d =>
@@ -4544,6 +4664,18 @@ object SnapshotLog {
       val ownPath = dataDir(root, v)
       if (f.exists(ownPath) && f.listStatus(ownPath).isEmpty)
         f.delete(ownPath, false)
+    }
+    // checkpoints whose VERSION died in an earlier vacuum while a chain
+    // still pinned them: once no retained stack references them (a
+    // consolidation landed), nothing ever revisits their version id —
+    // sweep any .statspq not owned by a live version or a live chain
+    val liveStats = vs.takeRight(kept).toSet ++ retainedStats
+    f.listStatus(logDir(root)).foreach { st =>
+      val n = st.getPath.getName
+      if (n.endsWith(".statspq") &&
+          scala.util.Try(n.stripPrefix("v").stripSuffix(".statspq").toLong)
+            .toOption.exists(sv => !liveStats.contains(sv)))
+        f.delete(st.getPath, true)
     }
     // OCC staging debris: a writer that crashed BEFORE its claimed
     // publish leaves a data_u dir no manifest references. Liveness is

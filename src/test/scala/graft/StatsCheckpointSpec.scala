@@ -53,7 +53,7 @@ class StatsCheckpointSpec extends SparkSpecBase {
       val v1 = SnapshotLog.commit(spark, root, fixture(500).repartition(4),
         statsCols = Seq("k", "name"))
       assert(hasPq(root, v1) && !hasText(root, v1))
-      assert(SnapshotLog.lastStatsMode == "parquet")
+      assert(SnapshotLog.lastStatsMode.startsWith("parquet"))
       // v1 has no parent — carry is legitimately eager-empty there; from
       // v2 on the parent is a parquet checkpoint and carry must be a
       // Dataset end to end
@@ -61,7 +61,7 @@ class StatsCheckpointSpec extends SparkSpecBase {
         fixture(300).withColumn("k", col("k") + 500).repartition(3),
         statsCols = Seq("k", "name"))
       assert(hasPq(root, v2) && !hasText(root, v2))
-      assert(SnapshotLog.lastStatsMode == "parquet")
+      assert(SnapshotLog.lastStatsMode.startsWith("parquet"))
       assert(SnapshotLog.lastCarryDistributed,
         "append carry over a checkpointed parent must stay a Dataset")
       // the checkpointed chain still plans from the sidecar: complete
@@ -168,7 +168,7 @@ class StatsCheckpointSpec extends SparkSpecBase {
     }
   }
 
-  test("vacuum and orphan recovery reclaim checkpoint dirs") {
+  test("vacuum pins chained ancestors, reclaims after consolidation") {
     val root = tmp()
     withThreshold(0L) {
       SnapshotLog.commit(spark, root, fixture(100), statsCols = Seq("k"))
@@ -177,11 +177,63 @@ class StatsCheckpointSpec extends SparkSpecBase {
       SnapshotLog.appendCommit(spark, root,
         fixture(100).withColumn("k", col("k") + 200), statsCols = Seq("k"))
       assert(hasPq(root, 1L) && hasPq(root, 2L) && hasPq(root, 3L))
+      // v2/v3 are chained deltas over v1 — vacuum keeps the referenced
+      // ancestors alive exactly like shared data dirs
+      assert(SnapshotLog.statsStackOf(spark, root, 3L) == Seq(2L, 1L))
       SnapshotLog.vacuum(spark, root, keep = 1)
-      assert(!hasPq(root, 1L) && !hasPq(root, 2L),
-        "vacuum must reclaim dead versions' checkpoints")
-      assert(hasPq(root, 3L))
+      assert(hasPq(root, 1L) && hasPq(root, 2L) && hasPq(root, 3L),
+        "vacuum must not break the retained head's stats chain")
       assert(SnapshotLog.read(spark, root).count() == 300)
+      assert(SnapshotLog.filesFromSidecar(spark, root, 3L).isDefined)
+      // a compaction rewrites (filtered carry → consolidated checkpoint);
+      // the next vacuum then reclaims the whole dead chain
+      SnapshotLog.compactSmallFiles(spark, root, targetBytes = 1L << 30)
+      assert(SnapshotLog.statsStackOf(spark, root,
+        SnapshotLog.currentVersion(spark, root).get).isEmpty)
+      SnapshotLog.vacuum(spark, root, keep = 1)
+      assert(!hasPq(root, 1L) && !hasPq(root, 2L) && !hasPq(root, 3L),
+        "a consolidated head releases its ancestors")
+      assert(SnapshotLog.read(spark, root).count() == 300)
+    }
+  }
+
+  test("chained checkpoints: appends write O(batch) delta files; depth limit consolidates") {
+    val root = tmp()
+    val key = "graft.stats.checkpointChainDepth"
+    withThreshold(0L) {
+      spark.conf.set(key, "3")
+      try {
+        (0 until 5).foreach { i =>
+          SnapshotLog.appendCommit(spark, root,
+            fixture(100).withColumn("k", col("k") + i * 1000L),
+            statsCols = Seq("k"))
+        }
+        // v1 full; v2, v3 chain (depth 1, 2); v4 would be depth 3 →
+        // consolidated full; v5 chains over v4
+        assert(SnapshotLog.statsStackOf(spark, root, 1L).isEmpty)
+        assert(SnapshotLog.statsStackOf(spark, root, 2L) == Seq(1L))
+        assert(SnapshotLog.statsStackOf(spark, root, 3L) == Seq(2L, 1L))
+        assert(SnapshotLog.statsStackOf(spark, root, 4L).isEmpty,
+          "depth limit must consolidate into a full checkpoint")
+        assert(SnapshotLog.statsStackOf(spark, root, 5L) == Seq(4L))
+        // a chained delta holds ONLY its own commit's rows: v5's dir
+        // carries a fifth of the consolidated v4's records (byte sizes
+        // are noise at this scale — parquet framing dominates)
+        def pqRows(v: Long): Long = spark.read.parquet(
+          s"$root/_graft_log/" + f"v$v%08d.statspq").count()
+        assert(pqRows(5L) < pqRows(4L) / 2,
+          s"delta ${pqRows(5L)} rows should be far fewer than full ${pqRows(4L)}")
+        // reads resolve the stack: full manifest, spans, exact rows
+        assert(SnapshotLog.read(spark, root).count() == 500)
+        assert(SnapshotLog.filesFromSidecar(spark, root, 5L).get.size ==
+          new java.io.File(root).listFiles()
+            .filter(_.getName.startsWith("data_v"))
+            .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet")))
+        val (kept, tot) = SnapshotLog.candidateFiles(spark, root, 5L, "k", 4000L, 4099L)
+        assert(kept.size < tot, "stacked spans must still prune")
+        assert(SnapshotLog.readPruned(spark, root)
+          .filter($"k" >= 4000L && $"k" < 4100L).count() == 100)
+      } finally spark.conf.unset(key)
     }
   }
 
@@ -198,8 +250,12 @@ class StatsCheckpointSpec extends SparkSpecBase {
             (col("id") + i * 1000L).as("k"), (col("id") % 13).as("v"))
             .repartitionByRange(1000, col("k")),
           statsCols = Seq("k"))
-        assert(SnapshotLog.lastStatsMode == "parquet")
-        if (i > 0) assert(SnapshotLog.lastCarryDistributed)
+        assert(SnapshotLog.lastStatsMode.startsWith("parquet"))
+        if (i > 0) {
+          assert(SnapshotLog.lastStatsMode == "parquet-delta",
+            "an append over a checkpointed parent must chain, not rewrite")
+          assert(SnapshotLog.lastCarryDistributed)
+        }
       }
       val head = SnapshotLog.currentVersion(spark, root).get
       val files = SnapshotLog.filesFromSidecar(spark, root, head)

@@ -1470,7 +1470,7 @@ object SnapshotLog {
             "this lineage is merge-on-read keyed (upsertMor) — plain " +
             "appends are refused; use upsertMor")
         }
-        val have = readVersion(spark, root, c).schema.fields
+        val have = tableSchema(spark, root, c).fields
           .map(fl => (fl.name, fl.dataType.catalogString)).toSeq
         val got = batch.schema.fields
           .map(fl => (fl.name, fl.dataType.catalogString)).toSeq
@@ -2029,7 +2029,7 @@ object SnapshotLog {
             "this lineage is merge-on-read keyed (upsertMor) — use " +
             "upsertMor for data; schema widening on MOR chains is not " +
             "supported (rewrite via compactChain first)")
-          val have = readVersion(spark, root, cur).schema.fields
+          val have = tableSchema(spark, root, cur).fields
             .map(fl => (fl.name, fl.dataType.catalogString)).toSeq
           val got = batch.schema.fields
             .map(fl => (fl.name, fl.dataType.catalogString)).toSeq
@@ -2105,7 +2105,7 @@ object SnapshotLog {
             "this lineage is merge-on-read keyed (upsertMor) — a plain " +
             "append could smuggle duplicate keys past resolution; use " +
             "upsertMor, whose batches are key-checked")
-          val have = readVersion(spark, root, cur).schema.fields
+          val have = tableSchema(spark, root, cur).fields
             .map(f => (f.name, f.dataType.catalogString)).toSeq
           val got = batch.schema.fields
             .map(f => (f.name, f.dataType.catalogString)).toSeq
@@ -3065,7 +3065,15 @@ object SnapshotLog {
         val tmp = new Path(logDir(root), f".tmp_statspq_v$v%08d")
         val lf = fs(spark, tmp)
         if (lf.exists(tmp)) lf.delete(tmp, true)
-        parseStatsLines(allDs).write.mode("overwrite").parquet(tmp.toString)
+        // ONE part file per delta: the rows are O(batch), and a stack
+        // read touches every part file of every link — 16 shards per
+        // tiny delta would turn a 20-deep stack into a 300-file scan.
+        // repartition, NOT coalesce: coalesce(1) would collapse the
+        // upstream footer-reading stage into one serial task (measured
+        // +45% on commit wall time); the shuffle barrier keeps the
+        // footer IO parallel and only the tiny write single-tasked
+        parseStatsLines(allDs).repartition(1)
+          .write.mode("overwrite").parquet(tmp.toString)
         val dst = statsPqPath(root, v)
         if (lf.exists(dst)) lf.delete(dst, true)
         if (!lf.rename(tmp, dst))

@@ -213,6 +213,42 @@ class ScopedUpsertSpec extends SparkSpecBase {
     assert(SnapshotLog.lastBatchId(spark, root).contains(1L))
   }
 
+  test("composite partition values containing the join characters cannot collide partitions") {
+    // the multi-component __gp value escape-joins with '|': the pairs
+    // ("a|b", "c") and ("a", "b|c") must land in DIFFERENT leafs, and a
+    // backslash in a value must round-trip — the exact collisions an
+    // unescaped join would create
+    val root = freshRoot()
+    val s0 = spark; import s0.implicits._
+    val rows = Seq(
+      (1, "a|b", "c",   "v1"),
+      (2, "a",   "b|c", "v2"),
+      (3, "x\\", "|y",  "v3"),
+      (4, "x",   "\\|y", "v4"))
+      .toDF("k", "p1", "p2", "v")
+    SnapshotLog.upsertScoped(spark, root, rows, Seq("k"), "p1,p2")
+    val head = SnapshotLog.currentVersion(spark, root).get
+    val dirs = SnapshotLog.dirsOf(spark, root, head)
+    assert(dirs.size == 4, s"4 distinct composite leafs expected, got $dirs")
+    // rows read back exactly — no partition swallowed another's rows
+    val got = SnapshotLog.read(spark, root).orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3))).toSeq
+    assert(got == Seq(
+      (1, "a|b", "c", "v1"), (2, "a", "b|c", "v2"),
+      (3, "x\\", "|y", "v3"), (4, "x", "\\|y", "v4")), got.toString)
+    // a scoped update of ONE hostile pair touches only its own leaf
+    SnapshotLog.upsertScoped(spark, root,
+      Seq((1, "a|b", "c", "V1")).toDF("k", "p1", "p2", "v"), Seq("k"), "p1,p2")
+    val after = SnapshotLog.read(spark, root)
+    assert(after.filter($"k" === 1).head.getString(3) == "V1")
+    assert(after.filter($"k" === 2).head.getString(3) == "v2",
+      "the sibling hostile pair must be untouched")
+    // dir-name pruning on a component still resolves the escaped value
+    val (kept, tot) = SnapshotLog.candidateFiles(spark, root,
+      SnapshotLog.currentVersion(spark, root).get, "p1", "a|b", "a|b")
+    assert(kept.size < tot, s"component pruning on a hostile value: ${kept.size}/$tot")
+  }
+
   test("append chains compose on top of a scoped table") {
     val root = freshRoot()
     SnapshotLog.upsertScoped(spark, root,

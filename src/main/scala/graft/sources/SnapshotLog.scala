@@ -470,7 +470,10 @@ object SnapshotLog {
                          numDataDirs: Int, numDeletionVectorDirs: Int,
                          partitionColumn: Option[String],
                          columnMapped: Boolean, minReader: Int,
-                         batchId: Option[Long])
+                         batchId: Option[Long],
+                         statsStorage: String = "none",
+                         changeFeedVersion: Boolean = false,
+                         numConsumers: Int = 0)
 
   def describeDetail(spark: SparkSession, root: String): TableDetail = {
     val v = currentVersion(spark, root).getOrElse(
@@ -488,6 +491,15 @@ object SnapshotLog {
     val mapped = pin.exists(st => renameMap(st).nonEmpty ||
       st.fields.exists(isDropped) ||
       st.fields.exists(_.metadata.contains(WidenKey)))
+    // round-9 operational facts: how the head's stats are stored (and
+    // how deep its delta chain runs), whether it recorded change files,
+    // and how many consumers pin history against vacuum
+    val statsStorage =
+      if (fs(spark, statsPath(root, v)).exists(statsPath(root, v))) "text"
+      else if (hasPqSidecar(spark, root, v)) {
+        val depth = statsStackOf(spark, root, v).size
+        if (depth == 0) "checkpoint" else s"chained(depth=${depth + 1})"
+      } else "none"
     TableDetail(
       version = v,
       numFiles = files.size.toLong,
@@ -497,7 +509,10 @@ object SnapshotLog {
       partitionColumn = partColOf(spark, root, v),
       columnMapped = mapped,
       minReader = if (mapped) 2 else 1,
-      batchId = batchIdOf(spark, root, v))
+      batchId = batchIdOf(spark, root, v),
+      statsStorage = statsStorage,
+      changeFeedVersion = chgDirOf(spark, root, v).isDefined,
+      numConsumers = consumers(spark, root).size)
   }
 
   /** Loud guard for surfaces that decode files by LOGICAL name (the

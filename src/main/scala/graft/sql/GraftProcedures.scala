@@ -223,14 +223,19 @@ object GraftProcedures {
       StructField("partition_column", StringType),
       StructField("column_mapped", BooleanType),
       StructField("min_reader", IntegerType),
-      StructField("batch_id", LongType)))
+      StructField("batch_id", LongType),
+      StructField("stats_storage", StringType),
+      StructField("change_feed_version", BooleanType),
+      StructField("num_consumers", IntegerType)))
     override def call(input: InternalRow): JIterator[Scan] = {
       val d = SnapshotLog.describeDetail(spark, root(input))
       scanOf(out, Seq(new GenericInternalRow(Array[Any](
         d.version, d.numFiles, d.sizeBytes, d.numDataDirs,
         d.numDeletionVectorDirs,
         d.partitionColumn.map(UTF8String.fromString).orNull,
-        d.columnMapped, d.minReader, d.batchId.getOrElse(null)))))
+        d.columnMapped, d.minReader, d.batchId.getOrElse(null),
+        UTF8String.fromString(d.statsStorage), d.changeFeedVersion,
+        d.numConsumers))))
     }
   }
 

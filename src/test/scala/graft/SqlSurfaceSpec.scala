@@ -375,6 +375,10 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"file manifest facts: $d")
     assert(d.getInt(4) == 1, s"one deletion-vector dir: $d")
     assert(!d.getBoolean(6) && d.getInt(7) == 1, s"unmapped, reader 1: $d")
+    // round-9 facts: a small table's sidecar is text, the head recorded
+    // no change files, and nothing pins history yet
+    assert(d.getString(9) == "text" && !d.getBoolean(10) && d.getInt(11) == 0,
+      s"round-9 detail facts: $d")
     // a rename flips the mapping facts
     sql("ALTER TABLE graft.ns.det RENAME COLUMN v TO body")
     val d2 = sql("CALL graft.system.detail('ns.det')").collect().head

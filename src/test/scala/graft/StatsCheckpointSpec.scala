@@ -233,6 +233,9 @@ class StatsCheckpointSpec extends SparkSpecBase {
         assert(kept.size < tot, "stacked spans must still prune")
         assert(SnapshotLog.readPruned(spark, root)
           .filter($"k" >= 4000L && $"k" < 4100L).count() == 100)
+        // the operational surface reports the chain
+        assert(SnapshotLog.describeDetail(spark, root).statsStorage ==
+          "chained(depth=2)")
       } finally spark.conf.unset(key)
     }
   }

@@ -729,7 +729,7 @@ object SnapshotLog {
         // classification is the O(batch)-driving join of [[changeRows]]
         // — the rewrite stays O(table) but the recorded feed makes every
         // downstream CDC surface O(changes)
-        keyedRewriteWithChanges(spark, root) { snap =>
+        keyedRewriteWithChanges(spark, root, statsCols, bloomCols) { snap =>
           val aligned = batch.select(snap.columns.map(
             org.apache.spark.sql.functions.col(_)): _*)
           (Upsert.upsert(snap, aligned, keys),
@@ -757,9 +757,14 @@ object SnapshotLog {
     * receives the CURRENT snapshot and returns (next snapshot, change
     * rows with `_change_type`); the change dir publishes with the
     * commit, so the CDC stream and [[changesBetween]] stay O(changes)
-    * over this version despite the dir replacement.
+    * over this version despite the dir replacement. `statsCols`/
+    * `bloomCols` propagate to the committed version exactly like
+    * [[commit]]'s — enabling the change feed must not silently degrade
+    * file skipping on the rewritten snapshot.
     */
-  private def keyedRewriteWithChanges(spark: SparkSession, root: String)
+  private def keyedRewriteWithChanges(spark: SparkSession, root: String,
+                                      statsCols: Seq[String] = Nil,
+                                      bloomCols: Seq[String] = Nil)
       (f: DataFrame => (DataFrame, DataFrame)): Long =
     withClaim(spark, root) { _ =>
       recoverOrphans(spark, root)
@@ -770,7 +775,8 @@ object SnapshotLog {
       val (merged, chg) = f(readVersion(spark, root, cur))
       chg.write.mode("overwrite")
         .parquet(new Path(rootPath, chgDirName(next)).toString)
-      stageVersion(spark, root, merged, next, chgDir = chgDirName(next))
+      stageVersion(spark, root, merged, next, statsCols = statsCols,
+        bloomCols = bloomCols, chgDir = chgDirName(next))
       publishLatest(spark, root, next)
       next
     }
@@ -1664,10 +1670,17 @@ object SnapshotLog {
       // dir — still exact after the rebase, see the stage-side comment
       val stagedChg = new Path(dataDir(root, next), StagedChg)
       val chg =
-        if (f.exists(stagedChg) &&
-            f.rename(stagedChg, new Path(rootPath, chgDirName(next))))
+        if (f.exists(stagedChg)) {
+          // the staged dir EXISTS, so a silent "" here would publish a
+          // feed-enabled commit without its recorded changes and wedge
+          // every CDC consumer — fail loudly like every other temp+rename
+          // publish step does
+          if (!f.rename(stagedChg, new Path(rootPath, chgDirName(next))))
+            throw new IllegalStateException(
+              s"could not publish staged change dir $stagedChg as " +
+                s"${chgDirName(next)}")
           chgDirName(next)
-        else ""
+        } else ""
       writeStats(spark, root, next, statsCols, carry)
       val newDirs = untouched ++ writtenLeafs.map(dataDirName(next) + "/" + _)
       writeManifestDirs(spark, root, next, newDirs,
@@ -2597,9 +2610,31 @@ object SnapshotLog {
       }
       // every step may legitimately contribute nothing (an empty append,
       // a delete fully deduplicated against prior vectors) — the range
-      // then changed nothing and the cheap snapshot diff below says so
-      if (eventDfs.nonEmpty) {
-      val events = eventDfs.reduce(_.unionByName(_))
+      // then changed nothing and the cheap snapshot diff below says so.
+      // A range spanning an appendEvolved boundary mixes chg files
+      // recorded under the OLD column set with delta frames read under
+      // the head's pinned schema — null-fill the old frames to the head
+      // schema (exactly how the snapshot read null-fills pre-evolution
+      // files) instead of letting the strict unionByName throw. A frame
+      // carrying a column the head does NOT have (a rename boundary)
+      // cannot be aligned — fall through to the snapshot diff.
+      val metaCols = Set("_change_type", "_v")
+      val eventColSets = eventDfs.map(_.columns.toSet)
+      val alignedDfs: Option[Seq[DataFrame]] =
+        if (eventDfs.isEmpty) None
+        else if (eventColSets.forall(_ == eventColSets.head)) Some(eventDfs)
+        else schemaOf(spark, root, toV) match {
+          case Some(st) if eventColSets.forall(s =>
+              (s -- metaCols).subsetOf(st.fieldNames.toSet)) =>
+            Some(eventDfs.map { df =>
+              val have = df.columns.toSet
+              st.fields.filterNot(f => have(f.name)).foldLeft(df)((d, f) =>
+                d.withColumn(f.name, lit(null).cast(f.dataType)))
+            })
+          case _ => None
+        }
+      if (alignedDfs.isDefined) {
+      val events = alignedDfs.get.reduce(_.unionByName(_))
       val cols = events.columns.toSeq.filterNot(Seq("_change_type", "_v").contains)
       require(keys.nonEmpty && keys.forall(cols.contains),
         s"keys $keys must be columns of the table")

@@ -801,7 +801,14 @@ private[streaming] class GraftChangesStream(root: String, dataSchema: StructType
       if (chgDir.isDefined) {
         val dir = new Path(rootPath, chgDir.get)
         val cfs = dir.getFileSystem(conf)
-        if (cfs.exists(dir)) cfs.listStatus(dir)
+        // a manifest-recorded chgDir that is absent on disk (partial
+        // cleanup, manual deletion) contradicts the manifest — treating
+        // it as "no changes" would be silent change-feed data loss
+        require(cfs.exists(dir),
+          s"graft changes stream at $root: version $v's manifest records " +
+          s"change dir ${chgDir.get} but the directory is missing on disk " +
+          "— refusing to emit zero rows for a commit that recorded changes")
+        cfs.listStatus(dir)
           .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
           .foreach { st =>
             parts += GraftFilePartition(st.getPath.toString, dataSchema.json,

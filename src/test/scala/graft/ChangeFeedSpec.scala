@@ -230,4 +230,99 @@ class ChangeFeedSpec extends SparkSpecBase {
       Seq((1, "a", "w")).toDF("k", "gp", "v"), Seq("k"), "gp")
     assert(!chg(4).exists)
   }
+
+  test("feed-enabled keyed upsert keeps its statsCols: the sidecar still skips files") {
+    val root = freshRoot()
+    def stats(v: Long): String = {
+      val txt = new java.io.File(s"$root/_graft_log/" + f"v$v%08d.stats")
+      if (txt.isFile)
+        new String(java.nio.file.Files.readAllBytes(txt.toPath))
+      else ""
+    }
+    SnapshotLog.commit(spark, root,
+      (0 until 100).map(k => (k, s"v$k")).toDF("k", "v"),
+      statsCols = Seq("k")) // v1
+    assert(stats(1).contains("k\t"), "wiring check: v1 sidecar has k spans")
+    withFeed {
+      SnapshotLog.upsert(spark, root,
+        Seq((1, "X1"), (999, "x999")).toDF("k", "v"), Seq("k"),
+        statsCols = Seq("k")) // v2: feed path must NOT drop statsCols
+    }
+    assert(stats(2).contains("k\t"),
+      "enabling the change feed silently dropped the upsert's statsCols " +
+      "from the committed version's sidecar")
+  }
+
+  test("changesBetween spanning an appendEvolved boundary null-fills old chg frames") {
+    val root = freshRoot()
+    withFeed {
+      SnapshotLog.appendEvolved(spark, root,
+        Seq((1, "a"), (2, "b")).toDF("k", "v")) // v1 (pins schema)
+      SnapshotLog.upsert(spark, root,
+        Seq((1, "A"), (3, "c")).toDF("k", "v"), Seq("k")) // v2: chg under (k, v)
+      SnapshotLog.appendEvolved(spark, root,
+        Seq((4, "d", 40)).toDF("k", "v", "extra")) // v3: widens to (k, v, extra)
+    }
+    // the chg frame of v2 misses `extra`; the fold must align it to the
+    // head schema (null-filled) instead of throwing on unionByName
+    val diff = SnapshotLog.changesBetween(spark, root, 1L, 3L, Seq("k"))
+    val rows = diff.collect().map(_.toSeq).toSet
+    assert(rows == Set(
+      Seq("update", 1, "a", "A", null, null),
+      Seq("insert", 3, null, "c", null, null),
+      Seq("insert", 4, null, "d", null, 40)), rows.toString)
+    assert(!diff.queryExecution.optimizedPlan.toString.contains("Join"),
+      "the aligned fold must stay join-free")
+  }
+
+  test("a recorded chgDir missing on disk fails the changes stream loudly") {
+    val root = freshRoot()
+    val ck = Files.createTempDirectory("graft_cdf_miss_ck").toString
+    val out = Files.createTempDirectory("graft_cdf_miss_out").toString
+    withFeed {
+      SnapshotLog.commit(spark, root, Seq((1, "a")).toDF("k", "v")) // v1
+      val q = spark.readStream.format("graft").option("changes", "true").load(root)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck).start()
+      try {
+        q.processAllAvailable() // cursor at head
+        SnapshotLog.upsert(spark, root,
+          Seq((2, "b")).toDF("k", "v"), Seq("k")) // v2 records chg_v2
+        // simulate partial cleanup: the manifest still records the dir
+        val chg = new java.io.File(new java.io.File(root), f"chg_v${2L}%08d")
+        assert(chg.isDirectory, "wiring check: v2 recorded a change dir")
+        chg.listFiles().foreach(_.delete()); assert(chg.delete())
+        val ex = intercept[Exception] { q.processAllAvailable() }
+        def msgs(t: Throwable): Seq[String] =
+          if (t == null) Nil
+          else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+        assert(msgs(ex).exists(_.contains("missing on disk")),
+          s"expected the loud missing-chgDir refusal, got: ${msgs(ex)}")
+      } finally q.stop()
+    }
+  }
+
+  test("publishScopedOcc sweeps chg debris above head and publishes the real change dir") {
+    // a crashed commit can leave a chg_v{next} behind; recoverOrphans
+    // must sweep it (it is above the committed head) so the genuine
+    // publish lands its recorded change dir — and if the rename were
+    // ever refused with the staged dir present, the publish now fails
+    // loudly instead of silently dropping the feed (ADVICE r9)
+    val root = freshRoot()
+    withFeed {
+      SnapshotLog.upsertScoped(spark, root,
+        Seq((1, "a", "x1")).toDF("k", "gp", "v"), Seq("k"), "gp") // v1
+      val s = SnapshotLog.stageScopedOcc(spark, root,
+        Seq((1, "a", "X1")).toDF("k", "gp", "v"), Seq("k"), "gp")
+      // plant crash debris where the commit's change dir must land
+      val dst = new java.io.File(new java.io.File(root), f"chg_v${2L}%08d")
+      java.nio.file.Files.write(dst.toPath, Array[Byte](1))
+      assert(SnapshotLog.publishScopedOcc(spark, root, s) == 2L)
+      assert(dst.isDirectory,
+        "debris must be swept and the staged change dir published in place")
+      val diff = SnapshotLog.changesBetween(spark, root, 1L, 2L, Seq("k"))
+      assert(diff.collect().map(_.toSeq).toSet == Set(
+        Seq("update", 1, "a", "a", "x1", "X1")))
+    }
+  }
 }

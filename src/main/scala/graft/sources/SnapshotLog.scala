@@ -724,21 +724,165 @@ object SnapshotLog {
              keys: Seq[String], statsCols: Seq[String] = Nil,
              bloomCols: Seq[String] = Nil): Long =
     currentVersion(spark, root) match {
-      case Some(_) if changeFeedEnabled(spark) =>
-        // CDF (round 9): the keyed rewrite knows its keys, so the change
-        // classification is the O(batch)-driving join of [[changeRows]]
-        // — the rewrite stays O(table) but the recorded feed makes every
-        // downstream CDC surface O(changes)
-        keyedRewriteWithChanges(spark, root, statsCols, bloomCols) { snap =>
-          val aligned = batch.select(snap.columns.map(
-            org.apache.spark.sql.functions.col(_)): _*)
-          (Upsert.upsert(snap, aligned, keys),
-           changeRows(snap, aligned, keys))
+      case Some(cur) =>
+        // FILE-GRANULAR MERGE (round 10): prune the rewrite set to the
+        // files whose skipping stats admit a batch key — O(matched
+        // files) instead of O(table) — and carry everything else by
+        // reference. Falls back to the classic full rewrite when the
+        // table has no usable listing/stats or nothing prunes.
+        upsertPrunedFlat(spark, root, cur, batch, keys, statsCols,
+            bloomCols).getOrElse {
+          if (changeFeedEnabled(spark) &&
+              currentVersion(spark, root).isDefined)
+            // CDF (round 9): the keyed rewrite knows its keys, so the
+            // change classification is the O(batch)-driving join of
+            // [[changeRows]] — the rewrite stays O(table) but the
+            // recorded feed makes every downstream CDC surface
+            // O(changes)
+            keyedRewriteWithChanges(spark, root, statsCols, bloomCols) { snap =>
+              val aligned = batch.select(snap.columns.map(
+                org.apache.spark.sql.functions.col(_)): _*)
+              (Upsert.upsert(snap, aligned, keys),
+               changeRows(snap, aligned, keys))
+            }
+          else commit(spark, root,
+            Upsert.upsert(read(spark, root), batch, keys), statsCols,
+            bloomCols)
         }
-      case Some(_) => commit(spark, root,
-        Upsert.upsert(read(spark, root), batch, keys), statsCols, bloomCols)
       case None    => commit(spark, root, batch, statsCols, bloomCols)
     }
+
+  /** FILE-GRANULAR keyed upsert on a flat snapshot-log lineage — the
+    * Delta/Iceberg "touched files" MERGE rule. The batch's key values
+    * probe the skipping sidecar (per-file min/max spans, blooms for
+    * small batches): only files that may CONTAIN a batch key are read
+    * and merged; every other file is carried BY REFERENCE into the new
+    * manifest — untouched bytes are never read, never rewritten. A
+    * partially-matched directory dissolves into per-file entries
+    * (`data_vNNN/part-….parquet`), which [[filesFromLines]] resolves,
+    * [[vacuum]] reference-counts, and [[compactSmallFiles]] re-packs.
+    *
+    * Scale: a 1-row MERGE on a 100 TB table touches the one file whose
+    * span covers the key (plus span collisions) — commit cost is
+    * O(matched files) + O(batch), exactly the Delta touched-file
+    * contract. Returns None (→ classic full rewrite) when: the lineage
+    * is scoped/MoR/clone-shaped, the file listing or stats are absent,
+    * nothing prunes, or the head moved between plan and claim.
+    */
+  private def upsertPrunedFlat(spark: SparkSession, root: String, cur: Long,
+                               batch: DataFrame, keys: Seq[String],
+                               statsCols: Seq[String],
+                               bloomCols: Seq[String]): Option[Long] = {
+    import org.apache.spark.sql.functions.{col, max => smax, min => smin}
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    if (morKeysOf(spark, root, cur).nonEmpty) return None
+    val dirs = dirsOf(spark, root, cur)
+    def baseOf(d: String) = d.substring(d.lastIndexOf('/') + 1)
+    def isFileEntry(d: String) = d.contains('/') && d.endsWith(".parquet")
+    // flat lineages only: plain version dirs and prior per-file carries.
+    // Scoped leafs, clones (absolute paths), and anything else fall back.
+    if (dirs.isEmpty || dirs.exists(d =>
+        !isFileEntry(d) && (d.contains('/') || !d.startsWith("data_v"))))
+      return None
+    val all = filesFromSidecar(spark, root, cur).getOrElse(return None)
+    if (all.isEmpty) return None
+    def relOf(p: Path): String = p.getParent.getName + "/" + p.getName
+    def rel2(d: String): String = d.split('/').takeRight(2).mkString("/")
+    // ---- matched files: one candidate set per key column, intersected
+    // (a row matches a batch key only if EVERY key column's value does,
+    // so per-column admission is conservative). Small batches probe per
+    // distinct value (bloom-capable point probes); larger ones probe
+    // the batch's [min, max] span once. A NULL batch key merges
+    // null-safe with table nulls, which spans cannot see — that column
+    // then prunes nothing.
+    val MaxPoint = 16
+    val allRel: Set[String] = all.map(st => relOf(st.getPath)).toSet
+    val perCol: Seq[Set[String]] = keys.map { k =>
+      val vals = batch.select(col(k)).distinct()
+        .limit(MaxPoint + 1).collect().map(_.get(0)).toSeq
+      if (vals.isEmpty) Set.empty[String]
+      else if (vals.contains(null)) allRel
+      else if (vals.size <= MaxPoint)
+        vals.map(v => candidateFilesEquals(spark, root, cur, k, v)
+          ._1.map(relOf).toSet).reduce(_ union _)
+      else {
+        // nulls can hide beyond the probe window's LIMIT — re-check
+        // exactly (min/max ignore them, and a null batch key must still
+        // reach every file that may hold a null table key)
+        val r = batch.agg(smin(col(k)), smax(col(k)),
+          smax(org.apache.spark.sql.functions
+            .when(col(k).isNull, 1).otherwise(0))).head
+        if (r.get(2) == 1) allRel
+        else candidateFiles(spark, root, cur, k, r.get(0), r.get(1))._1
+          .map(relOf).toSet
+      }
+    }
+    val matchedRel: Set[String] = perCol.reduce(_ intersect _)
+    if (matchedRel.size >= all.size) return None // nothing pruned
+    val matchedPaths = all.filter(st => matchedRel.contains(relOf(st.getPath)))
+      .map(_.getPath.toString)
+    // ---- the touched slice: matched files only, deletion vectors and
+    // column mapping applied exactly like [[readVersion]] would
+    val pinned = schemaOf(spark, root, cur)
+    val tombs = tombDirsOf(spark, root, cur)
+    val visible: DataFrame =
+      if (matchedPaths.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          tableSchema(spark, root, cur))
+      else {
+        val raw = pinned match {
+          case Some(st) => fromPhysicalSelect(
+            spark.read.schema(physicalSchema(st)).parquet(matchedPaths: _*), st)
+          case None => spark.read.parquet(matchedPaths: _*)
+        }
+        applyTombstoneDirs(spark, root, tombs, raw)
+      }
+    val aligned = batch.select(visible.columns.map(col(_)): _*)
+    val merged = Upsert.upsert(visible, aligned, keys)
+    // ---- commit under the claim: carried entries + one new dir
+    withClaim(spark, root) { _ =>
+      recoverOrphans(spark, root)
+      // head moved since the probe — the classic path re-reads it
+      if (!currentVersion(spark, root).contains(cur)) return None
+      val next = cur + 1L
+      val rootPath = new Path(root.replaceAll("/+$", ""))
+      val feed = changeFeedEnabled(spark)
+      val chgName = if (feed) chgDirName(next) else ""
+      if (feed)
+        // the matched slice holds every row sharing a batch key, so the
+        // classification join is O(matched) — and exact
+        changeRows(visible, aligned, keys).write.mode("overwrite")
+          .parquet(new Path(rootPath, chgName).toString)
+      val byDirBase = all.groupBy(_.getPath.getParent.getName)
+      val carriedEntries: Seq[String] = dirs.flatMap { d =>
+        if (isFileEntry(d)) {
+          if (matchedRel.contains(rel2(d))) Nil else Seq(d)
+        } else {
+          val members = byDirBase.getOrElse(baseOf(d), Seq.empty)
+          val (m, c) = members.partition(st => matchedRel.contains(relOf(st.getPath)))
+          if (m.isEmpty) Seq(d)
+          else c.map(st => d + "/" + st.getPath.getName)
+        }
+      }
+      // fully-carried dirs keep their `d` listing mark; matched files'
+      // span/bloom/listing/null-count lines drop; the rest carries
+      // verbatim (the matchedRel closure is O(matched), scale-safe)
+      val carriedDirBases = carriedEntries.filterNot(isFileEntry).map(baseOf).toSet
+      val carry = sidecarCarry(spark, root, cur).filter { line =>
+        val key = StatsEval.unesc(line.split("\t", -1)(0))
+        if (key.endsWith("/")) carriedDirBases.contains(key.stripSuffix("/"))
+        else !matchedRel.contains(key)
+      }
+      stageVersion(spark, root, merged, next,
+        statsCols = statsCols, bloomCols = bloomCols,
+        baseDirs = carriedEntries, carryStats = carry,
+        tombDirs = tombs, schemaJson = rawSchemaJson(spark, root, cur),
+        chgDir = chgName)
+      publishLatest(spark, root, next)
+      Some(next)
+    }
+  }
 
   /** Transactional delete-by-key ([[Upsert.deleteByKey]] + commit). */
   def deleteByKey(spark: SparkSession, root: String, tombstones: DataFrame,
@@ -2317,7 +2461,7 @@ object SnapshotLog {
                         targetBytes: Long,
                         statsCols: Seq[String] = Nil,
                         bloomCols: Seq[String] = Nil): Long = {
-    import org.apache.spark.sql.functions.{col, substring_index}
+    import org.apache.spark.sql.functions.{col, lit, substring_index}
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     withClaim(spark, root) { f =>
       recoverOrphans(spark, root)
@@ -2342,8 +2486,15 @@ object SnapshotLog {
         case Some(sts) =>
           val byDir = sts.groupBy(_.getPath.getParent.getName)
             .map { case (b, ss) => b -> ss.map(_.getLen).sum }
+          // per-file carry entries (pruned keyed upserts) size as the
+          // one file they name — packing them defragments the manifest
+          val byRel = sts.map(st =>
+            (st.getPath.getParent.getName + "/" + st.getPath.getName)
+              -> st.getLen).toMap
           dirsOf(spark, root, cur).map(d =>
-            d -> byDir.getOrElse(d.substring(d.lastIndexOf('/') + 1), 0L))
+            if (d.contains('/') && d.endsWith(".parquet"))
+              d -> byRel.getOrElse(d.split('/').takeRight(2).mkString("/"), 0L)
+            else d -> byDir.getOrElse(d.substring(d.lastIndexOf('/') + 1), 0L))
         case None => dirsOf(spark, root, cur).map { d =>
           val it = f.listFiles(new Path(rootPath, d), true)
           var tot = 0L
@@ -2376,14 +2527,25 @@ object SnapshotLog {
       val nOut = math.max(1L,
         (small.map(_._2).sum + targetBytes - 1) / targetBytes).toInt
       writeDataDir(spark, packed.coalesce(nOut), dataDir(root, next), bloomCols)
-      // vector rows for kept dirs survive as the new version's own vector
-      val keptDirSet = kept.map(_._1).toSet
+      // vector rows for kept dirs survive as the new version's own
+      // vector; kept per-file carries match on their full rel key
+      val (keptFiles, keptDirs) = kept.map(_._1)
+        .partition(d => d.contains('/') && d.endsWith(".parquet"))
+      val keptDirSet = keptDirs.toSet
+      val keptFileRels = keptFiles
+        .map(_.split('/').takeRight(2).mkString("/")).toSet
       val nextTombs =
         if (tombs.isEmpty || kept.isEmpty) Nil
         else {
+          val dirHit =
+            if (keptDirSet.isEmpty) lit(false)
+            else substring_index(col("__rel"), "/", 1).isInCollection(keptDirSet)
+          val fileHit =
+            if (keptFileRels.isEmpty) lit(false)
+            else col("__rel").isInCollection(keptFileRels)
           val surviving = spark.read.parquet(
             tombs.map(d => new Path(rootPath, d).toString): _*)
-            .filter(substring_index(col("__rel"), "/", 1).isInCollection(keptDirSet))
+            .filter(dirHit || fileHit)
           if (surviving.isEmpty) Nil
           else {
             surviving.write.mode("overwrite")
@@ -2392,8 +2554,11 @@ object SnapshotLog {
           }
         }
       val parentCarry = sidecarCarry(spark, root, cur)
-      val carry = parentCarry.filter(l =>
-        keptDirSet.contains(StatsEval.unesc(l.takeWhile(_ != '\t')).takeWhile(_ != '/')))
+      val carry = parentCarry.filter { l =>
+        val key = StatsEval.unesc(l.takeWhile(_ != '\t'))
+        keptDirSet.contains(key.takeWhile(_ != '/')) ||
+          keptFileRels.contains(key)
+      }
       // listing lines ("f"/"d") carry no stats column — only span and
       // bloom lines name columns worth re-deriving on the rewrite. The
       // distinct-collect is bounded by |columns|, never |files|.
@@ -2574,8 +2739,16 @@ object SnapshotLog {
               .select(col("__rel"), col("__ri")),
             Seq("__rel", "__ri"), "left_anti")
         val rels = fresh.select("__rel").distinct().collect().map(_.getString(0))
-        val baseToDir = dirsOf(spark, root, v - 1)
-          .map(d => d.substring(d.lastIndexOf('/') + 1) -> d).toMap
+        val baseToDir = dirsOf(spark, root, v - 1).map { d =>
+          // a per-file carry entry ("data_vN/part-….parquet") resolves
+          // through its DIR part: tombstone rels name dir/file, and the
+          // dir of a partially-carried file is reachable only via the
+          // entry's prefix (duplicates collapse to the same mapping)
+          if (d.contains('/') && d.endsWith(".parquet")) {
+            val dp = d.substring(0, d.lastIndexOf('/'))
+            dp.substring(dp.lastIndexOf('/') + 1) -> dp
+          } else d.substring(d.lastIndexOf('/') + 1) -> d
+        }.toMap
         val files = rels.toSeq.flatMap { rel =>
           val cut = rel.indexOf('/')
           if (cut <= 0) None
@@ -3840,18 +4013,41 @@ object SnapshotLog {
     }
     val dirs = dirsOf(spark, root, v)
     def base(d: String) = d.substring(d.lastIndexOf('/') + 1)
+    // FILE entries ("data_vNNN/part-….parquet", written by the pruned
+    // keyed upsert when a dir is only partially carried) resolve from
+    // their own `f` line — their dir is deliberately NOT fully listed,
+    // so no `d` marker is expected for it
+    def isFileEntry(d: String) = d.contains('/') && d.endsWith(".parquet")
+    def dirPartBase(d: String) = {
+      val dp = d.substring(0, d.lastIndexOf('/'))
+      dp.substring(dp.lastIndexOf('/') + 1)
+    }
+    val (fileEntries, dirEntries) = dirs.partition(isFileEntry)
     // dir-part keys must be unambiguous: flat dirs embed their version,
     // scoped leafs are one-per-partition-value, clone dirs are version-
-    // disjoint from clone-local ones — but verify, never assume
-    if (dirs.isEmpty || dirs.map(base).distinct.size != dirs.size ||
-        !dirs.forall(d => listed.contains(base(d)))) None
+    // disjoint from clone-local ones — but verify, never assume. A file
+    // entry's dir must NOT also appear as a whole-dir entry (that would
+    // double-count the file).
+    val dirBases = dirEntries.map(base)
+    if (dirs.isEmpty || dirBases.distinct.size != dirBases.size ||
+        !dirEntries.forall(d => listed.contains(base(d))) ||
+        fileEntries.map(f => (dirPartBase(f), base(f))).distinct.size != fileEntries.size ||
+        fileEntries.exists(fe => dirBases.contains(dirPartBase(fe))) ||
+        !fileEntries.forall(fe => byDir.getOrElse(dirPartBase(fe), Vector.empty)
+          .exists(_._1 == base(fe)))) None
     else {
       val rootPath = new Path(root.replaceAll("/+$", ""))
       Some(dirs.flatMap { d =>
-        val dp = new Path(rootPath, d)
-        byDir.getOrElse(base(d), Vector.empty).map { case (name, len, mtime) =>
-          new org.apache.hadoop.fs.FileStatus(
-            len, false, 1, 128L * 1024 * 1024, mtime, new Path(dp, name))
+        if (isFileEntry(d)) {
+          val (_, len, mtime) = byDir(dirPartBase(d)).find(_._1 == base(d)).get
+          Seq(new org.apache.hadoop.fs.FileStatus(
+            len, false, 1, 128L * 1024 * 1024, mtime, new Path(rootPath, d)))
+        } else {
+          val dp = new Path(rootPath, d)
+          byDir.getOrElse(base(d), Vector.empty).map { case (name, len, mtime) =>
+            new org.apache.hadoop.fs.FileStatus(
+              len, false, 1, 128L * 1024 * 1024, mtime, new Path(dp, name))
+          }
         }
       })
     }
@@ -4710,8 +4906,21 @@ object SnapshotLog {
       f.delete(new Path(rootPath, chgDirName(v)), true)
       f.delete(Expectations.auditPath(root, v), false)
       owned.foreach { d =>
-        if (!retainedDirs.contains(d))
-          f.delete(new Path(rootPath, d), true)
+        if (!retainedDirs.contains(d)) {
+          // file-granular carries: a retained pruned-upsert version may
+          // reference individual FILES inside this dir — reclaim only
+          // the unreferenced files and keep the referenced ones in place
+          val inner = retainedDirs.filter(_.startsWith(d + "/"))
+          if (inner.isEmpty) f.delete(new Path(rootPath, d), true)
+          else {
+            val keepNames = inner.map(e => e.substring(e.lastIndexOf('/') + 1))
+            val dp = new Path(rootPath, d)
+            if (f.exists(dp)) f.listStatus(dp).foreach { st =>
+              if (st.isFile && !keepNames.contains(st.getPath.getName))
+                f.delete(st.getPath, false)
+            }
+          }
+        }
       }
       ownedTombs.foreach { d =>
         if (!retainedTombs.contains(d))

@@ -33,7 +33,8 @@ import graft.sources.SnapshotLog
 final case class GraftTable(catalogName: String, ident: Identifier,
                             root: String, snapshotVersion: Long,
                             tableSchema: StructType,
-                            partCol: String)
+                            partCol: String,
+                            statsCols: Seq[String] = Nil)
     extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
   override def name(): String =
     (catalogName +: ident.namespace() :+ ident.name()).mkString(".")
@@ -64,6 +65,7 @@ final case class GraftTable(catalogName: String, ident: Identifier,
     m.put("location", root)
     m.put("version", snapshotVersion.toString)
     if (partCol.nonEmpty) m.put("partition-column", partCol)
+    if (statsCols.nonEmpty) m.put("graft.statsCols", statsCols.mkString(","))
     m
   }
 }
@@ -105,31 +107,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new Path((warehouse.stripSuffix("/") +: ns.toSeq).mkString("/"))
 
   // table-level properties that are not derivable from the log itself
-  // (today: the declared partition column); one tiny sidecar per table
+  // (the declared partition column; the skipping-stats columns every
+  // SQL write derives per-file spans for); one tiny sidecar per table
   private def propsPath(root: String) = new Path(root, "_graft_log/PROPS")
-  private def writePartCol(root: String, partCol: String): Unit = {
-    if (partCol.isEmpty) return
+  private def writeProps(root: String, partCol: String,
+                         statsCols: Seq[String]): Unit = {
+    if (partCol.isEmpty && statsCols.isEmpty) return
     val p = propsPath(root)
     val f = hfs(p)
     val out = f.create(p, true)
-    try out.write(s"partCol=$partCol\n".getBytes("UTF-8")) finally out.close()
+    val text =
+      (if (partCol.nonEmpty) s"partCol=$partCol\n" else "") +
+      (if (statsCols.nonEmpty) s"statsCols=${statsCols.mkString(",")}\n" else "")
+    try out.write(text.getBytes("UTF-8")) finally out.close()
   }
-  private def readPartCol(root: String): String = {
+  private def readProp(root: String, key: String): String = {
     val p = propsPath(root)
     val f = hfs(p)
     if (!f.exists(p)) return ""
     val in = f.open(p)
     val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
     text.linesIterator.collectFirst {
-      case l if l.startsWith("partCol=") => l.stripPrefix("partCol=")
+      case l if l.startsWith(key + "=") => l.stripPrefix(key + "=")
     }.getOrElse("")
   }
+  private def readPartCol(root: String): String = readProp(root, "partCol")
+  private def readStatsCols(root: String): Seq[String] =
+    readProp(root, "statsCols").split(",").map(_.trim).filter(_.nonEmpty).toSeq
 
   private def mkTable(ident: Identifier, root: String, v: Long): GraftTable = {
     val schema = SnapshotLog.schemaOf(spark, root, v)
       .map(SnapshotLog.visibleSchema) // drop tombstones never surface
       .getOrElse(SnapshotLog.readVersion(spark, root, v).schema)
-    GraftTable(catName, ident, root, v, schema, readPartCol(root))
+    GraftTable(catName, ident, root, v, schema, readPartCol(root),
+      readStatsCols(root))
   }
 
   override def loadTable(ident: Identifier): Table = {
@@ -212,7 +223,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     SnapshotLog.appendEvolved(spark,
       root, spark.createDataFrame(
         Collections.emptyList[org.apache.spark.sql.Row](), schema))
-    writePartCol(root, partCol)
+    // TBLPROPERTIES ('graft.statsCols'='k1,k2'): every SQL write on this
+    // table derives per-file min/max spans for the named columns, which
+    // powers read-time file skipping AND the file-granular MERGE path
+    val statsCols = Option(properties.get("graft.statsCols")).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    require(statsCols.forall(schema.fieldNames.contains),
+      s"graft.statsCols $statsCols references columns outside the table schema")
+    writeProps(root, partCol, statsCols)
     mkTable(ident, root, 1L)
   }
 

@@ -51,7 +51,8 @@ case class GraftAppendCommand(table: GraftTable, query: LogicalPlan,
   override def run(spark: SparkSession): Seq[Row] = {
     val df = GraftCommands.align(
       GraftCommands.classicDf(spark, query), table.tableSchema, byName)
-    SnapshotLog.appendCommit(spark, table.root, df)
+    SnapshotLog.appendCommit(spark, table.root, df,
+      statsCols = table.statsCols)
     Seq.empty
   }
 }
@@ -65,7 +66,8 @@ case class GraftOverwriteCommand(table: GraftTable, query: LogicalPlan,
   override def run(spark: SparkSession): Seq[Row] = {
     val df = GraftCommands.align(
       GraftCommands.classicDf(spark, query), table.tableSchema, byName)
-    SnapshotLog.commit(spark, table.root, df)
+    SnapshotLog.commit(spark, table.root, df,
+      statsCols = table.statsCols)
     Seq.empty
   }
 }
@@ -98,6 +100,24 @@ case class GraftUpsertScopedCommand(table: GraftTable, batch: LogicalPlan,
   override def run(spark: SparkSession): Seq[Row] = {
     SnapshotLog.upsertScoped(spark, table.root,
       GraftCommands.classicDf(spark, batch), keys, table.partCol)
+    Seq.empty
+  }
+}
+
+/** Classic upsert-shaped MERGE on a FLAT (unpartitioned) table →
+  * [[SnapshotLog.upsert]], whose file-granular path (round 10) probes
+  * the skipping stats with the batch keys and rewrites ONLY matched
+  * files — O(matched files) + O(batch), the Delta touched-file MERGE
+  * rule. Tables without stats fall back to the full-snapshot rewrite
+  * inside the same call.
+  */
+case class GraftUpsertKeyedCommand(table: GraftTable, batch: LogicalPlan,
+                                   keys: Seq[String]) extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(batch)
+  override def run(spark: SparkSession): Seq[Row] = {
+    SnapshotLog.upsert(spark, table.root,
+      GraftCommands.classicDf(spark, batch), keys,
+      statsCols = table.statsCols)
     Seq.empty
   }
 }

@@ -275,24 +275,26 @@ object GraftSqlRule {
                          rel: DataSourceV2Relation, m: MergeIntoTable): LogicalPlan =
     classicUpsert(g, rel, m) match {
       case Some((keys, mapping)) =>
-        // the O(touched partitions) fast path: UPDATE-all/INSERT-all by
-        // equality keys on a PARTITIONED BY table is exactly upsertScoped
+        // the pruned fast paths: UPDATE-all/INSERT-all by equality keys
+        // is upsertScoped on a PARTITIONED BY table (O(touched
+        // partitions)) and the file-granular keyed upsert on a flat one
+        // (O(matched files) via the skipping stats — round 10)
         val batch = Project(
           rel.output.map(t => Alias(castTo(mapping(t.exprId), t.dataType), t.name)()),
           expand(session, m.sourceTable))
-        GraftUpsertScopedCommand(g, batch, keys)
+        if (g.partCol.nonEmpty) GraftUpsertScopedCommand(g, batch, keys)
+        else GraftUpsertKeyedCommand(g, batch, keys)
       case None =>
         GraftReplaceCommand(g, generalMergePlan(session, rel, m), "MERGE")
     }
 
   /** Detect `WHEN MATCHED THEN UPDATE SET <all cols from source> WHEN
     * NOT MATCHED THEN INSERT <same mapping>` with an equality-AND merge
-    * condition on a table that declared a partition column: returns the
-    * key column names and the per-target-column source expression.
+    * condition: returns the key column names and the per-target-column
+    * source expression.
     */
   private def classicUpsert(g: GraftTable, rel: DataSourceV2Relation,
                             m: MergeIntoTable): Option[(Seq[String], Map[ExprId, Expression])] = {
-    if (g.partCol.isEmpty) return None
     if (m.notMatchedBySourceActions.nonEmpty) return None
     (m.matchedActions, m.notMatchedActions) match {
       case (Seq(UpdateAction(None, up, _)), Seq(InsertAction(None, ins))) =>
@@ -306,16 +308,19 @@ object GraftSqlRule {
                  im.keySet == um.keySet &&
                  rel.output.forall(t => um(t.exprId).semanticEquals(im(t.exprId))) =>
             equalityKeys(m.mergeCondition, rel).flatMap { keys =>
-              // scoped upserts demand stable partition identity: every
-              // column the partition spec references must itself be a
-              // merge key (otherwise a row could migrate partitions,
-              // which the scoped contract forbids — a day transform
-              // over a key column is stable because the key is) — fall
-              // back to rewrite if not
-              val refs = graft.sources.SnapshotLog.parseGpSpec(g.partCol).refCols
-              if (refs.nonEmpty && refs.forall(keys.contains))
-                Some((keys, um))
-              else None
+              if (g.partCol.isEmpty) Some((keys, um)) // flat: keyed upsert
+              else {
+                // scoped upserts demand stable partition identity: every
+                // column the partition spec references must itself be a
+                // merge key (otherwise a row could migrate partitions,
+                // which the scoped contract forbids — a day transform
+                // over a key column is stable because the key is) — fall
+                // back to rewrite if not
+                val refs = graft.sources.SnapshotLog.parseGpSpec(g.partCol).refCols
+                if (refs.nonEmpty && refs.forall(keys.contains))
+                  Some((keys, um))
+                else None
+              }
             }
           case _ => None
         }

@@ -476,4 +476,54 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set(Seq(9L, "n")))
   }
 
+  test("classic MERGE on a FLAT stats table rewrites only matched files (round 10)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
+    sql("""CREATE TABLE graft.ns.ft (k INT, v STRING)
+           TBLPROPERTIES ('graft.statsCols'='k')""")
+    // three appended dirs with disjoint k spans (INSERT derives spans
+    // for k from the table property — no Scala API involved)
+    sql("INSERT INTO graft.ns.ft SELECT id AS k, concat('w', id) AS v FROM range(0, 100)")
+    sql("INSERT INTO graft.ns.ft SELECT id AS k, concat('w', id) AS v FROM range(100, 200)")
+    sql("INSERT INTO graft.ns.ft SELECT id AS k, concat('w', id) AS v FROM range(200, 300)")
+    val r = root("ft")
+    def files(dir: String): Map[String, (Long, Long)] = {
+      val d = new java.io.File(new java.io.File(r), dir)
+      if (!d.isDirectory) Map.empty
+      else d.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    }
+    val headBefore = SnapshotLog.currentVersion(spark, r).get
+    val untouched = Seq(f"data_v${headBefore - 1}%08d", f"data_v$headBefore%08d")
+    val before = untouched.map(d => d -> files(d)).toMap
+    sql("""MERGE INTO graft.ns.ft t
+           USING (SELECT 5 AS k, 'W5' AS v) s ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET t.k = s.k, t.v = s.v
+           WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    val head = SnapshotLog.currentVersion(spark, r).get
+    assert(head == headBefore + 1)
+    // O(matched files): the two dirs whose spans exclude k=5 are
+    // carried by reference — bytes and mtimes untouched
+    untouched.foreach { d =>
+      assert(files(d) == before(d), s"$d was rewritten by a 1-row MERGE")
+    }
+    val dirs = SnapshotLog.dirsOf(spark, r, head)
+    // k=5 lives in ONE file of the first insert's dir: that dir
+    // dissolves into per-file carries (all but the matched file), and
+    // every other dir is carried whole
+    val (fileCarries, wholeDirs) = dirs.partition(_.endsWith(".parquet"))
+    assert(wholeDirs.toSet ==
+      (Set("data_v00000001", f"data_v$head%08d") ++ untouched), dirs.toString)
+    assert(fileCarries.nonEmpty &&
+      fileCarries.forall(_.startsWith("data_v00000002/")), dirs.toString)
+    assert(rowsOf("SELECT v FROM graft.ns.ft WHERE k IN (5, 6)") ==
+      Set(Seq("W5"), Seq("w6")))
+    assert(sql("SELECT * FROM graft.ns.ft").count() == 300)
+    // the property surfaces in DESCRIBE EXTENDED / properties()
+    assert(spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.sql.GraftCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("ns"), "ft"))
+      .properties().get("graft.statsCols") == "k")
+  }
+
 }

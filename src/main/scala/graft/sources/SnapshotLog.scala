@@ -515,19 +515,51 @@ object SnapshotLog {
       numConsumers = consumers(spark, root).size)
   }
 
-  /** Loud guard for surfaces that decode files by LOGICAL name (the
-    * streaming tail and CDC source): a mapped lineage would silently
-    * read the renamed column as null there.
+  /** Loud guard for the streaming surfaces (tail and CDC source).
+    * Round 10: renamed and dropped columns stream fine — the shipped
+    * read schema carries each field's immutable PHYSICAL name
+    * ([[streamReadSchemaJson]]) and the executor decoder resolves
+    * physical-first, so no compactChain is needed after a rename.
+    * WIDENED (retyped) columns remain refused: the tail's Group decoder
+    * reads the file's physical type and cannot convert it to the
+    * declared one.
     */
   private[graft] def requireNotColumnMapped(spark: SparkSession, root: String,
                                             context: String): Unit =
     currentVersion(spark, root).flatMap(schemaOf(spark, root, _)).foreach { st =>
-      require(renameMap(st).isEmpty && !st.fields.exists(isDropped) &&
-          !st.fields.exists(_.metadata.contains(WidenKey)),
-        s"$context at $root: the table has renamed, dropped or widened " +
-        "(column-mapped) columns; run compactChain to materialize the " +
-        "logical schema, then restart")
+      require(!st.fields.exists(f =>
+          !isDropped(f) && f.metadata.contains(WidenKey)),
+        s"$context at $root: the table has widened (retyped) columns, " +
+        "which the stream decoder cannot convert; run compactChain to " +
+        "materialize the widened types, then restart")
     }
+
+  /** The tail/CDC read schema shipped to the executor decoders: the
+    * stream's LOGICAL fields, each annotated with its immutable
+    * PHYSICAL column name from the head's pin (mapped lineages only —
+    * unmapped tables ship the logical schema verbatim). Decoders
+    * resolve physical-FIRST with a logical fallback, which covers every
+    * file generation at once: data files spell physical names; commit-
+    * time change files spell the LOGICAL names current at their write —
+    * pre-rename those are exactly the physical names, post-rename ones
+    * hit the logical fallback.
+    */
+  private[graft] def streamReadSchemaJson(
+      spark: SparkSession, root: String,
+      logical: org.apache.spark.sql.types.StructType): String = {
+    val m = currentVersion(spark, root)
+      .flatMap(schemaOf(spark, root, _)).map(renameMap)
+      .getOrElse(Map.empty[String, String])
+    if (m.isEmpty) logical.json
+    else org.apache.spark.sql.types.StructType(logical.fields.map { f =>
+      m.get(f.name) match {
+        case Some(phys) => f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putString(PhysKey, phys).build())
+        case None => f
+      }
+    }).json
+  }
 
   /** The manifest's schema field verbatim (still URL-encoded; "" when
     * absent) — what propagating commit paths copy into their own

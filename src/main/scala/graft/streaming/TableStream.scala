@@ -151,9 +151,10 @@ private[graft] object GraftTailTable {
                   ignoreDeletes: Boolean = false): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
-        // a renamed (column-mapped) lineage would decode physical-named
-        // files against this stream's fresh logical schema — the
-        // renamed column would silently read as null. Refuse at start.
+        // round 10: renamed/dropped (column-mapped) lineages stream —
+        // the shipped read schema carries physical names and the
+        // decoder resolves physical-first. Only WIDENED (retyped)
+        // columns keep the loud start-time refusal.
         SnapshotLog.requireNotColumnMapped(SparkSession.active, root,
           "streaming tail")
         GraftTailTable.validateStarting(root, startingVersion)
@@ -240,6 +241,13 @@ private[streaming] class GraftTailStream(root: String, schema: StructType,
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
   private def spark = SparkSession.active
+
+  // resolved ONCE at stream construction: the stream's logical names
+  // belong to the query-start era, and physical names are immutable —
+  // so the start pin's mapping decodes every past AND future file. A
+  // later rename changes logical names only; the tail keeps emitting
+  // under its query-start schema until restart (then re-infers).
+  private val readJson = SnapshotLog.streamReadSchemaJson(spark, root, schema)
 
   /** Admission control (`.option("maxVersionsPerBatch", n)` — the
     * maxFilesPerTrigger analog for a version-offset stream): cap each
@@ -353,7 +361,13 @@ private[streaming] class GraftTailStream(root: String, schema: StructType,
       val lost = prior -- dirs.toSet
       val appendLike = v == minV ||
         (kind.isEmpty && lost.isEmpty && tombs == priorTombs)
-      if (appendLike) newDirs ++= dirs.filterNot(prior.contains)
+      // a RENAME commit is metadata-only — identical dirs and vectors,
+      // zero row changes: the tail continues through it (round 10; the
+      // physical-name resolution decodes later files), shipping nothing
+      val metadataOnly = v != minV && kind.contains("rename") &&
+        lost.isEmpty && dirs.toSet == prior && tombs == priorTombs
+      if (metadataOnly) ()
+      else if (appendLike) newDirs ++= dirs.filterNot(prior.contains)
       else if (skipChangeCommits) () // skipped wholesale, baseline resets below
       else if (ignoreDeletes && kind.contains("delete") && lost.isEmpty)
         () // pure DV delete: dir chain intact, only tombstones grew
@@ -426,9 +440,9 @@ private[streaming] class GraftTailStream(root: String, schema: StructType,
       val pp = new Path(f)
       val rel = pp.getParent.getName + "/" + pp.getName
       excludeRelFiles.get(rel) match {
-        case Some(tfs) => GraftFilePartition(f, schema.json,
+        case Some(tfs) => GraftFilePartition(f, readJson,
           tombFiles = tfs, relKey = rel, exclude = true): InputPartition
-        case None => GraftFilePartition(f, schema.json): InputPartition
+        case None => GraftFilePartition(f, readJson): InputPartition
       }
     }.toArray
   }
@@ -483,9 +497,17 @@ private[streaming] class GraftParquetGroupReader(p: GraftFilePartition)
 
   // per declared column: index in the FILE schema (−1 → always null)
   // and the timestamp unit multiplier to µs (−1 marks INT96, parquet's
-  // legacy julian-day+nanos encoding that Spark may still write)
+  // legacy julian-day+nanos encoding that Spark may still write).
+  // Resolution is PHYSICAL-first (mapped lineages' data files spell the
+  // immutable physical name the shipped schema annotates), falling back
+  // to the logical name (commit-time change files spell logical names
+  // at their write — pre-rename those ARE the physical names).
   private val fieldPlan: Array[(Int, Long)] = schema.fields.map { f =>
-    val idx = fileSchema.getFields.asScala.indexWhere(_.getName == f.name)
+    val phys = if (f.metadata.contains("graft.physicalName"))
+      f.metadata.getString("graft.physicalName") else f.name
+    val idxP = fileSchema.getFields.asScala.indexWhere(_.getName == phys)
+    val idx = if (idxP >= 0) idxP
+              else fileSchema.getFields.asScala.indexWhere(_.getName == f.name)
     val tsToMicros: Long = if (idx < 0) 1L else {
       val pt = fileSchema.getType(idx)
       if (pt.isPrimitive && pt.asPrimitiveType().getPrimitiveTypeName ==
@@ -718,6 +740,13 @@ private[streaming] class GraftChangesStream(root: String, dataSchema: StructType
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
   private def spark = SparkSession.active
+
+  // resolved ONCE at stream construction: the stream's logical names
+  // belong to the query-start era, and physical names are immutable —
+  // so the start pin's mapping decodes every past AND future file. A
+  // later rename changes logical names only; the tail keeps emitting
+  // under its query-start schema until restart (then re-infers).
+  private val readJson = SnapshotLog.streamReadSchemaJson(spark, root, dataSchema)
   @volatile private var lastKnown = 0L
 
   private def settledHead(): Long = {
@@ -811,12 +840,15 @@ private[streaming] class GraftChangesStream(root: String, dataSchema: StructType
         cfs.listStatus(dir)
           .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
           .foreach { st =>
-            parts += GraftFilePartition(st.getPath.toString, dataSchema.json,
+            parts += GraftFilePartition(st.getPath.toString, readJson,
               "__file", v, typeFromFile = true)
           }
       } else {
       val kind = SnapshotLog.manifestKind(spark, root, v)
-      require(v == minV || kind.isEmpty || kind.contains("delete") || kind.contains("update"),
+      // "rename" is metadata-only (identical dirs and vectors — zero row
+      // changes): admitted, and the dir diff below yields no partitions
+      require(v == minV || kind.isEmpty || kind.contains("delete") ||
+          kind.contains("update") || kind.contains("rename"),
         s"graft changes stream at $root: version $v is a '${kind.get}' commit — " +
         "row-level changes are derivable from appends, deletion-vector " +
         "deletes, and merge-on-read updates only (or recorded at commit " +
@@ -835,7 +867,7 @@ private[streaming] class GraftChangesStream(root: String, dataSchema: StructType
       val isUpdate = kind.contains("update")
       // inserts: this version's new files
       filesOf(dirs.filterNot(prevDirs.contains), v).foreach { f =>
-        parts += GraftFilePartition(f, dataSchema.json,
+        parts += GraftFilePartition(f, readJson,
           if (isUpdate) "update_postimage" else "insert", v)
       }
       // deletes: this version's new tombstone positions, read back from
@@ -866,7 +898,7 @@ private[streaming] class GraftChangesStream(root: String, dataSchema: StructType
           val Array(leaf, file) = rel.split("/", 2)
           leafToDir.get(leaf).foreach { dir =>
             parts += GraftFilePartition(new Path(dir, file).toString,
-              dataSchema.json,
+              readJson,
               if (isUpdate) "update_preimage" else "delete", v,
               tombFiles, rel)
           }

@@ -272,16 +272,21 @@ class ColumnMappingSpec extends SparkSpecBase {
       spark, root2, SnapshotLog.currentVersion(spark, root2).get, "num", 20)
     assert(total == 3 && kept.size == 1, s"kept ${kept.size} of $total")
 
-    // compactSmallFiles must refuse a SCOPED table even when the head
-    // commit is a metadata-only widen (kind 'widen' masks 'scoped')
+    // round 10: compactSmallFiles on a SCOPED table — even when the
+    // head commit is a metadata-only widen (kind 'widen' masks
+    // 'scoped') — packs per-leaf: partitioning kept, widened values
+    // exact, never a cross-partition merge
     val scoped = freshRoot()
     SnapshotLog.upsertScoped(spark, scoped,
-      Seq((1, "us", 5), (2, "eu", 6)).toDF("k", "region", "x"),
+      Seq((1, "us", 5), (3, "us", 7), (5, "us", 9), (2, "eu", 6))
+        .toDF("k", "region", "x").repartition(3),
       Seq("k"), "region")
     SnapshotLog.widenColumnType(spark, scoped, "x", LongType)
-    val e2 = intercept[IllegalArgumentException](
-      SnapshotLog.compactSmallFiles(spark, scoped, targetBytes = 1L << 20))
-    assert(e2.getMessage.contains("partition-scoped"), e2.getMessage)
+    val v3 = SnapshotLog.compactSmallFiles(spark, scoped, targetBytes = 1L << 20)
+    assert(SnapshotLog.dirsOf(spark, scoped, v3).forall(_.contains("__gp=")),
+      SnapshotLog.dirsOf(spark, scoped, v3).toString)
+    assert(SnapshotLog.read(spark, scoped).select("k", "x").as[(Int, Long)]
+      .collect().toSet == Set((1, 5L), (3, 7L), (5, 9L), (2, 6L)))
   }
 
   test("schema-change interplay with the CDC feed: widen upcasts, rename fails loudly") {
@@ -314,7 +319,7 @@ class ColumnMappingSpec extends SparkSpecBase {
     assert(post == Set(("update", 1, "a", "a2")), post.toString)
   }
 
-  test("refusals: scoped tables, MoR lineages, and streaming tails of mapped tables") {
+  test("refusals: scoped tables keep the rename refusal; widened lineages refuse the tail") {
     // scoped: the partition column names dirs — rename refused outright
     val scoped = freshRoot()
     SnapshotLog.upsertScoped(spark, scoped,
@@ -322,10 +327,13 @@ class ColumnMappingSpec extends SparkSpecBase {
     val e1 = intercept[IllegalArgumentException](
       SnapshotLog.renameColumn(spark, scoped, "v", "body"))
     assert(e1.getMessage.contains("partition-scoped"), e1.getMessage)
-    // the streaming tail refuses a mapped lineage at start, loudly
+    // WIDENED columns still refuse the tail at start (the Group decoder
+    // cannot convert the file's narrower physical type)
     val root = freshRoot()
-    SnapshotLog.appendCommit(spark, root, kv(1 -> "a"))
-    SnapshotLog.renameColumn(spark, root, "v", "body")
+    SnapshotLog.appendCommit(spark, root,
+      Seq((1, 10)).toDF("k", "n"))
+    SnapshotLog.widenColumnType(spark, root, "n",
+      org.apache.spark.sql.types.LongType)
     val ck = Files.createTempDirectory("graft_colmap_ck").toString
     val e2 = intercept[Exception] {
       val q = spark.readStream.format("graft").load(root)
@@ -333,9 +341,69 @@ class ColumnMappingSpec extends SparkSpecBase {
         .option("checkpointLocation", ck).start()
       try q.processAllAvailable() finally q.stop()
     }
-    assert(e2.getMessage != null &&
-      (e2.getMessage.contains("column-mapped") ||
-       Option(e2.getCause).exists(_.getMessage.contains("column-mapped"))),
-      s"tail should refuse mapped lineages: ${e2.getMessage}")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e2).exists(_.contains("widened")),
+      s"tail should refuse widened lineages: ${msgs(e2)}")
+  }
+
+  // ---- round 10: the tail and CDC stream MAPPED lineages (no refusal)
+
+  test("streaming tail decodes a renamed lineage and continues across a mid-flight rename") {
+    val root = freshRoot()
+    SnapshotLog.appendCommit(spark, root, kv(1 -> "a"), statsCols = Seq("k"))
+    SnapshotLog.renameColumn(spark, root, "v", "body") // v2
+    SnapshotLog.appendCommit(spark, root,
+      Seq((2, "b")).toDF("k", "body")) // v3: files spell the PHYSICAL name "v"
+    val ck = Files.createTempDirectory("graft_map_tail_ck").toString
+    val out = Files.createTempDirectory("graft_map_tail_out").toString
+    val q = spark.readStream.format("graft").load(root)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck).start()
+    try {
+      q.processAllAvailable()
+      val df = spark.read.parquet(out)
+      assert(df.columns.toSeq == Seq("k", "body"))
+      // the renamed column decodes from the physical name — NOT null
+      assert(df.collect().map(r => (r.getInt(0), r.getString(1))).toSet ==
+        Set(1 -> "a", 2 -> "b"))
+      // mid-flight: another rename (metadata-only no-op for the tail)
+      // then an append — the tail continues, no restart needed
+      SnapshotLog.renameColumn(spark, root, "body", "text") // v4
+      SnapshotLog.appendCommit(spark, root,
+        Seq((3, "c")).toDF("k", "text")) // v5
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSet ==
+        Set(1 -> "a", 2 -> "b", 3 -> "c"))
+    } finally q.stop()
+  }
+
+  test("CDC stream ships DV deletes on a renamed lineage under the new name") {
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root, kv(1 -> "a", 2 -> "b"))
+    SnapshotLog.renameColumn(spark, root, "v", "body") // v2
+    val ck = Files.createTempDirectory("graft_map_cdc_ck").toString
+    val out = Files.createTempDirectory("graft_map_cdc_out").toString
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("body", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_change_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_commit_version", org.apache.spark.sql.types.LongType)))
+    val q = spark.readStream.format("graft").option("changes", "true").load(root)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck).start()
+    try {
+      q.processAllAvailable() // cursor at head (rename already landed)
+      SnapshotLog.tombstoneDelete(spark, root, Seq(1).toDF("k"), Seq("k")) // v3
+      SnapshotLog.appendCommit(spark, root,
+        Seq((3, "c")).toDF("k", "body")) // v4
+      q.processAllAvailable()
+      val got = spark.read.schema(sch).parquet(out).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+      // the delete read-back decodes the physical column into `body`
+      assert(got == Set((1, "a", "delete", 3L), (3, "c", "insert", 4L)),
+        got.toString)
+    } finally q.stop()
   }
 }

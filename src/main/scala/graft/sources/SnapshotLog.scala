@@ -1433,6 +1433,139 @@ object SnapshotLog {
     }
   }
 
+  /** A deletion-vector DML staged OUTSIDE the writer claim (round 10 —
+    * OCC for row-level DML, the appendOcc stage/publish split): `base`
+    * is the version the position scan ran against, `stagingDir` holds
+    * the clustered vector, `touchedRels` the O(touched files) rel keys
+    * it references.
+    */
+  private[graft] case class StagedDelete(base: Long, stagingDir: String,
+                                         touchedRels: Set[String])
+
+  /** Stage a deletion-vector DELETE with NO lock held: the position
+    * scan (key-pruned through the skipping stats) and the vector write
+    * — the expensive parts of a DELETE — run against the current head
+    * while other writers proceed. [[publishTombstoneOcc]] rebases the
+    * result under a short claimed section. This is the Delta conflict
+    * model for row-level DML: the old [[tombstoneDelete]] holds the
+    * table claim across its whole scan, serializing every writer
+    * behind one long DELETE.
+    */
+  def stageTombstoneOcc(spark: SparkSession, root: String,
+                        tombstones: DataFrame,
+                        keys: Seq[String]): StagedDelete = {
+    import org.apache.spark.sql.functions.{col, substring_index}
+    require(keys.nonEmpty && keys.forall(tombstones.columns.contains),
+      s"keys $keys must be columns of the tombstone frame")
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val rootPath = new Path(root.replaceAll("/+$", ""))
+    val base = prunedBaseScan(spark, root, cur)
+    require(keys.forall(base.columns.contains),
+      s"keys $keys must be columns of the table")
+    val hits0 = base
+      .withColumn("__rel", substring_index(col("_metadata.file_path"), "/", -2))
+      .withColumn("__ri", col("_metadata.row_index"))
+      .join(tombstones.select(keys.map(col(_)): _*).distinct(), keys, "left_semi")
+      .select(col("__rel"), col("__ri"))
+    val hits = freshPositions(spark, root, cur, rootPath, hits0)
+    val staging = "tomb_u" + java.util.UUID.randomUUID.toString.replace("-", "")
+    writeTombstones(spark, hits, new Path(rootPath, staging))
+    // O(touched files): the rel keys this vector references — the
+    // publish-side disjointness check needs exactly this set
+    val touched = spark.read.parquet(new Path(rootPath, staging).toString)
+      .select("__rel").distinct().collect().map(_.getString(0)).toSet
+    StagedDelete(cur, staging, touched)
+  }
+
+  /** Publish a staged deletion vector, REBASING over commits that
+    * landed since the stage iff every one of them is file-disjoint
+    * from the staged positions (the Delta conflict rule):
+    *
+    *  - every interleaved commit must KEEP all of the staged base's
+    *    data entries (appends, DV deletes and MoR updates do; a
+    *    rewrite/compaction/pruned-upsert that replaced a file our
+    *    positions reference would make them dangle), and
+    *  - every interleaved DELETION VECTOR must reference files
+    *    disjoint from ours (an overlap could re-record a position the
+    *    stage-side dedup ran too early to see — a double death on the
+    *    CDC surfaces).
+    *
+    * Anything else aborts loudly with the staging dir removed and the
+    * table untouched — re-run against the new head. Rows appended
+    * AFTER the stage are not seen by the staged scan (snapshot
+    * isolation at the staged base — Delta's WriteSerializable DELETE
+    * contract).
+    */
+  def publishTombstoneOcc(spark: SparkSession, root: String,
+                          staged: StagedDelete): Long = {
+    withClaimWait(spark, root) {
+      val rootPath = new Path(root.replaceAll("/+$", ""))
+      val f = fs(spark, rootPath)
+      val stagingPath = new Path(rootPath, staged.stagingDir)
+      def abort(why: String): Nothing = {
+        f.delete(stagingPath, true)
+        throw new java.util.ConcurrentModificationException(
+          s"deletion-vector OCC commit aborted: $why — re-run against " +
+          "the new head")
+      }
+      recoverOrphans(spark, root)
+      val head = currentVersion(spark, root).getOrElse(
+        abort("table has no committed version"))
+      val next = head + 1L
+      val baseDirsSet = dirsOf(spark, root, staged.base).toSet
+      val baseTombs = tombDirsOf(spark, root, staged.base)
+      (staged.base + 1L to head).foreach { c =>
+        val lost = baseDirsSet -- dirsOf(spark, root, c).toSet
+        if (lost.nonEmpty)
+          abort(s"v$c replaced data entries the staged positions " +
+            s"reference (${lost.take(3).mkString(", ")}…)")
+      }
+      val newTombs = tombDirsOf(spark, root, head).drop(baseTombs.size)
+      if (newTombs.nonEmpty) {
+        import org.apache.spark.sql.functions.col
+        val overlapping = spark.read.parquet(
+            newTombs.map(d => new Path(rootPath, d).toString): _*)
+          .select("__rel").distinct()
+          .filter(col("__rel").isInCollection(staged.touchedRels))
+          .limit(1).count() > 0
+        if (overlapping)
+          abort(s"a deletion vector landed since v${staged.base} on a " +
+            "file this delete also touches")
+      }
+      if (!f.exists(stagingPath))
+        abort("staging dir missing (vacuumed or already published)")
+      if (!f.rename(stagingPath, new Path(rootPath, tombDirName(next))))
+        throw new IllegalStateException(
+          s"could not move staged $stagingPath into ${tombDirName(next)}")
+      // the data-file set is untouched by this commit: the HEAD's
+      // sidecar carries verbatim, the head's dirs and vectors carry,
+      // ours appends to the vector list
+      val carry = sidecarCarry(spark, root, head)
+      val stack = writeStats(spark, root, next, Nil, carry)
+      writeManifestDirs(spark, root, next, dirsOf(spark, root, head),
+        batchId = batchIdOf(spark, root, head).getOrElse(-1L),
+        tombDirs = tombDirsOf(spark, root, head) :+ tombDirName(next),
+        kind = "delete",
+        partCol = partColOf(spark, root, head).getOrElse(""),
+        morKeys = morKeysOf(spark, root, head),
+        schemaJson = rawSchemaJson(spark, root, head),
+        statsStack = stack)
+      publishLatest(spark, root, next)
+      next
+    }
+  }
+
+  /** [[tombstoneDelete]] without holding the claim across the scan:
+    * stage (scan + vector write, lock-free) then publish (short claimed
+    * rebase). Two concurrent file-disjoint DELETEs both land; an
+    * overlap aborts with the table untouched.
+    */
+  def tombstoneDeleteOcc(spark: SparkSession, root: String,
+                         tombstones: DataFrame, keys: Seq[String]): Long =
+    publishTombstoneOcc(spark, root,
+      stageTombstoneOcc(spark, root, tombstones, keys))
+
   /** Merge-on-read UPDATE — the commit-cost-ladder rung between the
     * deletion-vector DELETE (O(deleted rows)) and the copy-on-write
     * rewrite (O(table)): `UPDATE t SET ... WHERE p` as ONE atomic
@@ -5126,7 +5259,8 @@ object SnapshotLog {
     // sane stage-to-publish gap (same retention reasoning as above)
     val dayMs = 24L * 3600 * 1000
     fs(spark, rootPath).listStatus(rootPath).foreach { st =>
-      if (st.getPath.getName.startsWith("data_u") &&
+      val n = st.getPath.getName
+      if ((n.startsWith("data_u") || n.startsWith("tomb_u")) &&
           st.getModificationTime < System.currentTimeMillis - dayMs)
         f.delete(st.getPath, true)
     }

@@ -110,4 +110,91 @@ class OccSpec extends SparkSpecBase {
     val (kept, total) = SnapshotLog.candidateFiles(spark, root, 2L, "k", 1, 1)
     assert(kept.size < total, s"kept ${kept.size} of $total")
   }
+
+  // ---- round 10: OCC for deletion-vector DML (stage outside the claim)
+
+  test("two concurrent file-disjoint OCC deletes both land") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = freshRoot()
+    // two appended dirs = two disjoint file sets, spans recorded
+    SnapshotLog.appendCommit(spark, root,
+      (0 until 100).map(k => (k, s"a$k")).toDF("k", "v").coalesce(1),
+      statsCols = Seq("k"))
+    SnapshotLog.appendCommit(spark, root,
+      (100 until 200).map(k => (k, s"b$k")).toDF("k", "v").coalesce(1),
+      statsCols = Seq("k"))
+    val fa = Future { SnapshotLog.tombstoneDeleteOcc(spark, root,
+      Seq(5, 6).toDF("k"), Seq("k")) }
+    val fb = Future { SnapshotLog.tombstoneDeleteOcc(spark, root,
+      Seq(150).toDF("k"), Seq("k")) }
+    val (va, vb) = (Await.result(fa, 120.seconds), Await.result(fb, 120.seconds))
+    assert(Set(va, vb) == Set(3L, 4L), s"got $va, $vb")
+    val got = SnapshotLog.read(spark, root).collect().map(_.getInt(0)).toSet
+    assert(!got.contains(5) && !got.contains(6) && !got.contains(150))
+    assert(got.size == 197)
+    // no staging debris
+    assert(!new java.io.File(root).listFiles()
+      .exists(_.getName.startsWith("tomb_u")))
+  }
+
+  test("an overlapping OCC delete aborts cleanly with the table untouched") {
+    val root = freshRoot()
+    SnapshotLog.appendCommit(spark, root,
+      (0 until 100).map(k => (k, s"a$k")).toDF("k", "v").coalesce(1),
+      statsCols = Seq("k"))
+    // both stage against the SAME head and touch the SAME file
+    val s1 = SnapshotLog.stageTombstoneOcc(spark, root, Seq(5).toDF("k"), Seq("k"))
+    val s2 = SnapshotLog.stageTombstoneOcc(spark, root, Seq(7).toDF("k"), Seq("k"))
+    assert(SnapshotLog.publishTombstoneOcc(spark, root, s1) == 2L)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      SnapshotLog.publishTombstoneOcc(spark, root, s2)
+    }
+    assert(e.getMessage.contains("deletion vector landed"), e.getMessage)
+    // the loser left nothing: head still v2, its staging dir removed,
+    // rows of the losing delete still present
+    assert(SnapshotLog.currentVersion(spark, root).contains(2L))
+    assert(!new java.io.File(root).listFiles()
+      .exists(_.getName.startsWith("tomb_u")))
+    val got = SnapshotLog.read(spark, root).collect().map(_.getInt(0)).toSet
+    assert(!got.contains(5) && got.contains(7))
+    // the loser re-runs against the new head and lands
+    assert(SnapshotLog.tombstoneDeleteOcc(spark, root,
+      Seq(7).toDF("k"), Seq("k")) == 3L)
+    assert(!SnapshotLog.read(spark, root).collect().map(_.getInt(0)).toSet
+      .contains(7))
+  }
+
+  test("a rewrite landing mid-flight aborts a staged OCC delete") {
+    val root = freshRoot()
+    SnapshotLog.appendCommit(spark, root,
+      (0 until 50).map(k => (k, s"a$k")).toDF("k", "v").coalesce(1))
+    val s = SnapshotLog.stageTombstoneOcc(spark, root, Seq(5).toDF("k"), Seq("k"))
+    // a full rewrite replaces every file the staged positions reference
+    SnapshotLog.commit(spark, root,
+      (0 until 50).map(k => (k, s"B$k")).toDF("k", "v"))
+    val e = intercept[java.util.ConcurrentModificationException] {
+      SnapshotLog.publishTombstoneOcc(spark, root, s)
+    }
+    assert(e.getMessage.contains("replaced data entries"), e.getMessage)
+    assert(SnapshotLog.read(spark, root).count() == 50)
+  }
+
+  test("an append mid-flight rebases under the OCC delete (snapshot contract)") {
+    val root = freshRoot()
+    SnapshotLog.appendCommit(spark, root,
+      (0 until 50).map(k => (k, s"a$k")).toDF("k", "v").coalesce(1))
+    val s = SnapshotLog.stageTombstoneOcc(spark, root, Seq(5).toDF("k"), Seq("k"))
+    SnapshotLog.appendCommit(spark, root,
+      Seq((100, "late")).toDF("k", "v").coalesce(1)) // v2: disjoint files
+    assert(SnapshotLog.publishTombstoneOcc(spark, root, s) == 3L)
+    val got = SnapshotLog.read(spark, root).collect().map(_.getInt(0)).toSet
+    assert(!got.contains(5) && got.contains(100), got.toString)
+    assert(got.size == 50)
+    // CDC folds the rebased delete positionally, exactly once
+    val diff = SnapshotLog.changesBetween(spark, root, 1L, 3L, Seq("k"))
+    val deletes = diff.collect().filter(_.getString(0) == "delete")
+    assert(deletes.map(_.getInt(1)).toSeq == Seq(5))
+  }
 }

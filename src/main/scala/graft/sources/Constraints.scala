@@ -1,0 +1,137 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, expr, lit}
+
+/** PERSISTENT table-level CHECK constraints (round 10 — the SQL
+  * surface for the commit-time quality gate): named predicates stored
+  * once per table in `_graft_log/CONSTRAINTS` and enforced by EVERY
+  * SQL DML commit path through [[Expectations.gate]] — the counting
+  * rides the commit's own write scan (`observe()` aggregates, no
+  * second validation pass) and each checked commit persists its
+  * violation counts as the version's audit record.
+  *
+  * Policies (the DLT expectation ladder):
+  *   - `FAIL` — ANSI CHECK behavior: a violating row aborts the whole
+  *     commit before the manifest publishes; the table never moves.
+  *     This is what `ALTER TABLE … ADD CONSTRAINT name CHECK (expr)`
+  *     declares.
+  *   - `DROP` — violating rows are removed from the batch, counted in
+  *     the audit (`CALL graft.system.add_constraint(t, n, e, 'DROP')`).
+  *   - `WARN` — violating rows land, counted in the audit.
+  *
+  * NULL semantics follow ANSI CHECK: a predicate evaluating to NULL
+  * PASSES (`coalesce(p, true)`), unlike the strict Scala-side
+  * [[Expectations]] where unknown data is bad data — SQL users get the
+  * standard they expect, pipeline authors keep the strict gate.
+  *
+  * Scale: the constraint file is O(constraints) metadata read once per
+  * DML statement; enforcement is per-task fold during the write —
+  * nothing extra is scanned at 100 TB.
+  */
+object Constraints {
+
+  final case class TableCheck(name: String, policy: String, sql: String)
+
+  private val Policies = Set("FAIL", "DROP", "WARN")
+
+  private def path(root: String): Path =
+    new Path(new Path(root.replaceAll("/+$", ""), "_graft_log"), "CONSTRAINTS")
+
+  private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+
+  def list(spark: SparkSession, root: String): Seq[TableCheck] = {
+    val p = path(root)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) Seq.empty
+    else {
+      val in = f.open(p)
+      val text = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      text.split("\n").filter(_.nonEmpty).toSeq.map { l =>
+        val Array(n, pol, sql) = l.split("\t", 3)
+        TableCheck(dec(n), dec(pol), dec(sql))
+      }
+    }
+  }
+
+  private def write(spark: SparkSession, root: String,
+                    cs: Seq[TableCheck]): Unit = {
+    val p = path(root)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (cs.isEmpty) { f.delete(p, false); return }
+    f.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent, ".tmp_constraints")
+    val out = f.create(tmp, true)
+    try out.write(cs.map(c =>
+      s"${enc(c.name)}\t${enc(c.policy)}\t${enc(c.sql)}").mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      p.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Add a named CHECK: the expression must parse AND resolve against
+    * the table's current schema (validated by analyzing a filter over
+    * the live snapshot — plan-only, no scan), and the name must be
+    * fresh.
+    */
+  def add(spark: SparkSession, root: String, name: String,
+          sqlExpr: String, policy: String = "FAIL"): Unit = {
+    val pol = policy.toUpperCase
+    require(Policies.contains(pol),
+      s"constraint policy must be one of $Policies, got '$policy'")
+    require(name.nonEmpty && !name.contains("\t") && !name.contains("\n"),
+      s"constraint name must be a simple label, got '$name'")
+    SnapshotLog.read(spark, root).filter(expr(sqlExpr)).queryExecution.analyzed
+    val cur = list(spark, root)
+    require(!cur.exists(_.name == name),
+      s"constraint '$name' already exists on $root")
+    write(spark, root, cur :+ TableCheck(name, pol, sqlExpr))
+  }
+
+  def drop(spark: SparkSession, root: String, name: String,
+           ifExists: Boolean = false): Unit = {
+    val cur = list(spark, root)
+    if (!cur.exists(_.name == name)) {
+      require(ifExists, s"no constraint '$name' on $root")
+      return
+    }
+    write(spark, root, cur.filterNot(_.name == name))
+  }
+
+  private def toExpectation(c: TableCheck): Expectations.Expectation = {
+    // ANSI CHECK: NULL passes
+    val p = coalesce(expr(c.sql), lit(true))
+    c.policy match {
+      case "FAIL" => Expectations.fail(c.name, p)
+      case "DROP" => Expectations.drop(c.name, p)
+      case _      => Expectations.warn(c.name, p)
+    }
+  }
+
+  /** Gate a DML batch through the table's constraints (no-op when none
+    * are declared). The Observation's counts become the committed
+    * version's audit record via [[finish]].
+    */
+  def gate(spark: SparkSession, root: String,
+           df: DataFrame): (DataFrame, Option[Observation]) = {
+    val cs = list(spark, root)
+    if (cs.isEmpty) (df, None)
+    else {
+      val (g, o) = Expectations.gate(df, cs.map(toExpectation))
+      (g, Some(o))
+    }
+  }
+
+  /** Persist the gated commit's audit record (observability metadata —
+    * written after the pointer swap, same contract as [[Expectations]]).
+    */
+  def finish(spark: SparkSession, root: String, v: Long,
+             obs: Option[Observation]): Unit =
+    obs.foreach(o =>
+      Expectations.writeAudit(spark, root, v, Expectations.countsOf(o)))
+}

@@ -118,7 +118,7 @@ object Expectations {
     * published by the time we read the metrics, so throwing here would
     * report failure for a commit that landed).
     */
-  private def countsOf(obs: Observation): Map[String, Long] =
+  private[sources] def countsOf(obs: Observation): Map[String, Long] =
     obs.get.map { case (k, v) =>
       k -> (v match {
         case null      => 0L
@@ -133,7 +133,7 @@ object Expectations {
       f"v$v%08d.audit")
 
   /** TSV name\tcount lines, temp + rename like every metadata file. */
-  private def writeAudit(spark: SparkSession, root: String, v: Long,
+  private[sources] def writeAudit(spark: SparkSession, root: String, v: Long,
                          counts: Map[String, Long]): Unit = {
     val p = auditPath(root, v)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -51,8 +51,10 @@ case class GraftAppendCommand(table: GraftTable, query: LogicalPlan,
   override def run(spark: SparkSession): Seq[Row] = {
     val df = GraftCommands.align(
       GraftCommands.classicDf(spark, query), table.tableSchema, byName)
-    SnapshotLog.appendCommit(spark, table.root, df,
+    val (gated, obs) = graft.sources.Constraints.gate(spark, table.root, df)
+    val v = SnapshotLog.appendCommit(spark, table.root, gated,
       statsCols = table.statsCols)
+    graft.sources.Constraints.finish(spark, table.root, v, obs)
     Seq.empty
   }
 }
@@ -66,8 +68,10 @@ case class GraftOverwriteCommand(table: GraftTable, query: LogicalPlan,
   override def run(spark: SparkSession): Seq[Row] = {
     val df = GraftCommands.align(
       GraftCommands.classicDf(spark, query), table.tableSchema, byName)
-    SnapshotLog.commit(spark, table.root, df,
+    val (gated, obs) = graft.sources.Constraints.gate(spark, table.root, df)
+    val v = SnapshotLog.commit(spark, table.root, gated,
       statsCols = table.statsCols)
+    graft.sources.Constraints.finish(spark, table.root, v, obs)
     Seq.empty
   }
 }
@@ -84,8 +88,10 @@ case class GraftReplaceCommand(table: GraftTable, plan: LogicalPlan,
     // with the change feed enabled, the rewrite also records its row
     // diff as commit-time change files (delete + insert rows) so the
     // CDC surfaces stay O(changes); identical to commit() otherwise
-    SnapshotLog.replaceWithChanges(spark, table.root,
+    val (gated, obs) = graft.sources.Constraints.gate(spark, table.root,
       GraftCommands.classicDf(spark, plan))
+    val v = SnapshotLog.replaceWithChanges(spark, table.root, gated)
+    graft.sources.Constraints.finish(spark, table.root, v, obs)
     Seq.empty
   }
 }
@@ -98,8 +104,11 @@ case class GraftUpsertScopedCommand(table: GraftTable, batch: LogicalPlan,
                                     keys: Seq[String]) extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(batch)
   override def run(spark: SparkSession): Seq[Row] = {
-    SnapshotLog.upsertScoped(spark, table.root,
-      GraftCommands.classicDf(spark, batch), keys, table.partCol)
+    val (gated, obs) = graft.sources.Constraints.gate(spark, table.root,
+      GraftCommands.classicDf(spark, batch))
+    val v = SnapshotLog.upsertScoped(spark, table.root, gated, keys,
+      table.partCol)
+    graft.sources.Constraints.finish(spark, table.root, v, obs)
     Seq.empty
   }
 }
@@ -115,9 +124,11 @@ case class GraftUpsertKeyedCommand(table: GraftTable, batch: LogicalPlan,
                                    keys: Seq[String]) extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(batch)
   override def run(spark: SparkSession): Seq[Row] = {
-    SnapshotLog.upsert(spark, table.root,
-      GraftCommands.classicDf(spark, batch), keys,
+    val (gated, obs) = graft.sources.Constraints.gate(spark, table.root,
+      GraftCommands.classicDf(spark, batch))
+    val v = SnapshotLog.upsert(spark, table.root, gated, keys,
       statsCols = table.statsCols)
+    graft.sources.Constraints.finish(spark, table.root, v, obs)
     Seq.empty
   }
 }
@@ -195,6 +206,31 @@ case class GraftCtasCommand(catalog: GraftCatalog, ident: Identifier,
       java.util.Collections.emptyMap[String, String]())
       .asInstanceOf[GraftTable]
     SnapshotLog.appendCommit(spark, t.root, df)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` → a persistent
+  * FAIL-policy table check ([[graft.sources.Constraints]]): every later
+  * SQL DML gates its batch through it during the commit's own write
+  * scan, ANSI NULL-passes semantics, violations abort before the
+  * manifest publishes. WARN/DROP policies are declared through
+  * `CALL graft.system.add_constraint(t, name, expr, policy)`.
+  */
+case class GraftAddConstraintCommand(table: GraftTable, constraintName: String,
+                                     checkSql: String,
+                                     policy: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.sources.Constraints.add(spark, table.root, constraintName, checkSql,
+      policy)
+    Seq.empty
+  }
+}
+
+case class GraftDropConstraintCommand(table: GraftTable, constraintName: String,
+                                      ifExists: Boolean) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.sources.Constraints.drop(spark, table.root, constraintName, ifExists)
     Seq.empty
   }
 }

@@ -24,7 +24,8 @@ object GraftProcedures {
     Seq("restore", "vacuum", "compact_small_files", "history",
         "optimize_zorder", "clone", "detail",
         "register_consumer", "unregister_consumer", "consumers",
-        "vacuum_dry_run")
+        "vacuum_dry_run",
+        "add_constraint", "drop_constraint", "constraints", "audit")
 
   def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -39,6 +40,10 @@ object GraftProcedures {
       case "unregister_consumer" => Some(new UnregisterConsumer(cat))
       case "consumers"           => Some(new Consumers(cat))
       case "vacuum_dry_run"      => Some(new VacuumDryRun(cat))
+      case "add_constraint"      => Some(new AddConstraintProc(cat))
+      case "drop_constraint"     => Some(new DropConstraintProc(cat))
+      case "constraints"         => Some(new ConstraintsProc(cat))
+      case "audit"               => Some(new AuditProc(cat))
       case _                     => None
     }
 
@@ -258,4 +263,77 @@ object GraftProcedures {
       scanOf(out, rows)
     }
   }
+
+  /** `CALL c.system.add_constraint(table, name, check_expr, policy)` —
+    * the full-policy constraint surface (`ALTER TABLE … ADD CONSTRAINT
+    * … CHECK` declares FAIL; this CALL also reaches WARN and DROP, the
+    * DLT expectation ladder). Enforced by every SQL DML commit path.
+    */
+  private final class AddConstraintProc(cat: GraftCatalog)
+      extends Proc(cat, "add_constraint") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType), param("name", StringType),
+        param("check_expr", StringType), param("policy", StringType))
+    private val out = StructType(Seq(
+      StructField("name", StringType), StructField("policy", StringType)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val n = input.getUTF8String(1).toString
+      val e = input.getUTF8String(2).toString
+      val pol = input.getUTF8String(3).toString
+      graft.sources.Constraints.add(spark, root(input), n, e, pol)
+      scanOf(out, Seq(new GenericInternalRow(Array[Any](
+        UTF8String.fromString(n), UTF8String.fromString(pol.toUpperCase)))))
+    }
+  }
+
+  private final class DropConstraintProc(cat: GraftCatalog)
+      extends Proc(cat, "drop_constraint") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType), param("name", StringType))
+    private val out = StructType(Seq(StructField("dropped", StringType)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val n = input.getUTF8String(1).toString
+      graft.sources.Constraints.drop(spark, root(input), n)
+      scanOf(out, Seq(new GenericInternalRow(
+        Array[Any](UTF8String.fromString(n)))))
+    }
+  }
+
+  /** `CALL c.system.constraints(table)` — the declared checks. */
+  private final class ConstraintsProc(cat: GraftCatalog)
+      extends Proc(cat, "constraints") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType))
+    private val out = StructType(Seq(
+      StructField("name", StringType), StructField("policy", StringType),
+      StructField("check_expr", StringType)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val rows = graft.sources.Constraints.list(spark, root(input))
+        .map(c => new GenericInternalRow(Array[Any](
+          UTF8String.fromString(c.name), UTF8String.fromString(c.policy),
+          UTF8String.fromString(c.sql))): InternalRow)
+      scanOf(out, rows)
+    }
+  }
+
+  /** `CALL c.system.audit(table, version)` — a checked commit\u0027s
+    * violation counts (rows_in + one row per constraint); empty for
+    * unchecked or vacuumed versions.
+    */
+  private final class AuditProc(cat: GraftCatalog)
+      extends Proc(cat, "audit") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType), param("version", LongType))
+    private val out = StructType(Seq(
+      StructField("metric", StringType), StructField("count", LongType)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val rows = graft.sources.Expectations
+        .audit(spark, root(input), input.getLong(1))
+        .map(_.toSeq.sortBy(_._1)).getOrElse(Seq.empty)
+        .map { case (k, n) => new GenericInternalRow(
+          Array[Any](UTF8String.fromString(k), n)): InternalRow }
+      scanOf(out, rows)
+    }
+  }
+
 }

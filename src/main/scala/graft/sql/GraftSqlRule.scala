@@ -111,6 +111,32 @@ case class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
           if (q eq c.query) c else c.copy(query = q)
       }
 
+    // `ALTER TABLE … ADD CONSTRAINT n CHECK (e)` parses as
+    // AddCheckConstraint over Filter(NOT e, relation) — intercept it
+    // whole (BEFORE the default read expansion would swallow the
+    // relation and strand ResolveSessionCatalog's V1 probe on the
+    // expanded parquet plan) and persist the check by its SQL text
+    case ac: AddCheckConstraint =>
+      graftRelation(ac.child) match {
+        case Some((_, g)) =>
+          val c = ac.checkConstraint
+          val name = Option(c.userProvidedName).filter(_.nonEmpty)
+            .getOrElse("chk_" + java.lang.Integer.toHexString(
+              c.condition.hashCode))
+          // the ANSI syntax declares standard CHECK behavior: FAIL
+          GraftAddConstraintCommand(g, name, c.condition, "FAIL")
+        case None => ac
+      }
+
+    case dc: DropConstraint =>
+      dc.table match {
+        case rt: org.apache.spark.sql.catalyst.analysis.ResolvedTable
+            if rt.table.isInstanceOf[GraftTable] =>
+          GraftDropConstraintCommand(rt.table.asInstanceOf[GraftTable],
+            dc.name, dc.ifExists)
+        case _ => dc
+      }
+
     case other => expand(session, other)
   }
 }

@@ -526,4 +526,61 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .properties().get("graft.statsCols") == "k")
   }
 
+  test("constraint lifecycle: ADD CONSTRAINT gates SQL DML, audit records, DROP frees") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
+    sql("CREATE TABLE graft.ns.ct (k INT, v STRING)")
+    sql("INSERT INTO graft.ns.ct VALUES (1, 'a')")
+    // ANSI syntax declares standard CHECK behavior: violations FAIL
+    sql("ALTER TABLE graft.ns.ct ADD CONSTRAINT k_positive CHECK (k > 0)")
+    assert(rowsOf("CALL graft.system.constraints('ns.ct')") ==
+      Set(Seq("k_positive", "FAIL", "k > 0")))
+    // clean insert passes and records a zero-violation audit
+    sql("INSERT INTO graft.ns.ct VALUES (2, 'b')")
+    val cleanV = SnapshotLog.currentVersion(spark, root("ct")).get
+    assert(rowsOf(s"CALL graft.system.audit('ns.ct', $cleanV)") ==
+      Set(Seq("rows_in", 1L), Seq("k_positive", 0L)))
+    // violating insert aborts; the table does not move
+    val e = intercept[Exception] {
+      sql("INSERT INTO graft.ns.ct VALUES (-5, 'bad')")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("k_positive")), msgs(e).toString)
+    assert(SnapshotLog.currentVersion(spark, root("ct")).contains(cleanV))
+    assert(rowsOf("SELECT k FROM graft.ns.ct") == Set(Seq(1), Seq(2)))
+    // ANSI NULL semantics: a NULL check passes (unlike the strict
+    // Scala-side Expectations)
+    sql("INSERT INTO graft.ns.ct VALUES (NULL, 'nullk')")
+    assert(sql("SELECT * FROM graft.ns.ct").count() == 3)
+    // DROP-policy constraint via the CALL surface: violating rows are
+    // removed, counted in the audit, the commit lands
+    sql("CALL graft.system.add_constraint('ns.ct', 'v_short', 'length(v) <= 3', 'DROP')")
+    sql("INSERT INTO graft.ns.ct VALUES (7, 'ok'), (8, 'waytoolong')")
+    val dropV = SnapshotLog.currentVersion(spark, root("ct")).get
+    assert(rowsOf("SELECT k FROM graft.ns.ct WHERE k IN (7, 8)") ==
+      Set(Seq(7)))
+    assert(rowsOf(s"CALL graft.system.audit('ns.ct', $dropV)") ==
+      Set(Seq("rows_in", 2L), Seq("k_positive", 0L), Seq("v_short", 1L)))
+    // a MERGE is gated too (classic keyed shape on this flat table)
+    val e2 = intercept[Exception] {
+      sql("""MERGE INTO graft.ns.ct t USING (SELECT -9 AS k, 'x' AS v) s
+             ON t.k = s.k
+             WHEN MATCHED THEN UPDATE SET t.k = s.k, t.v = s.v
+             WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    }
+    assert(msgs(e2).exists(_.contains("k_positive")), msgs(e2).toString)
+    // DROP CONSTRAINT frees the gate
+    sql("ALTER TABLE graft.ns.ct DROP CONSTRAINT k_positive")
+    sql("CALL graft.system.drop_constraint('ns.ct', 'v_short')")
+    assert(rowsOf("CALL graft.system.constraints('ns.ct')").isEmpty)
+    sql("INSERT INTO graft.ns.ct VALUES (-5, 'finally')")
+    assert(rowsOf("SELECT v FROM graft.ns.ct WHERE k = -5") ==
+      Set(Seq("finally")))
+    // an unresolvable CHECK is refused at ADD time
+    val e3 = intercept[Exception] {
+      sql("ALTER TABLE graft.ns.ct ADD CONSTRAINT bad CHECK (no_such_col > 0)")
+    }
+    assert(msgs(e3).nonEmpty)
+  }
+
 }

@@ -976,17 +976,67 @@ object SnapshotLog {
     * OCC disjointness, vacuum refcounts) is spec-agnostic; only the
     * dir-name pruning re-derives per-COLUMN spans from the components.
     */
-  private[graft] final case class GpComp(kind: String, col: String)
+  /** `zone` (round 10): the PINNED rendering zone of a `days()`
+    * transform over a session-zoned (LTZ) timestamp — `days(ts@UTC)`.
+    * Pinning at table-creation time makes the partition identity
+    * writer-zone-independent AND unlocks dir-name day pruning for the
+    * most common event-table layout (an unpinned LTZ `days()` keeps
+    * the old caveat: renders through the session zone, never prunes).
+    */
+  private[graft] final case class GpComp(kind: String, col: String,
+                                         zone: String = "")
   private[graft] final case class GpSpec(comps: Seq[GpComp]) {
     def refCols: Seq[String] = comps.map(_.col)
     def render: String = comps.map(c =>
-      if (c.kind == "id") c.col else s"${c.kind}(${c.col})").mkString(",")
+      if (c.kind == "id") c.col
+      else if (c.zone.isEmpty) s"${c.kind}(${c.col})"
+      else s"${c.kind}(${c.col}@${c.zone})").mkString(",")
   }
   private[graft] def parseGpSpec(spec: String): GpSpec = {
     val days = """days\((.+)\)""".r
     GpSpec(spec.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map {
-      case days(c) => GpComp("days", c)
-      case c       => GpComp("id", c)
+      case days(inner) =>
+        val at = inner.lastIndexOf('@')
+        if (at > 0) GpComp("days", inner.substring(0, at),
+          inner.substring(at + 1))
+        else GpComp("days", inner)
+      case c => GpComp("id", c)
+    })
+  }
+
+  /** Resolve each LTZ `days()` component's rendering zone: inherit the
+    * lineage's existing pin (partition identity must stay stable across
+    * writers), else the caller's explicit `days(col@zone)`, else pin
+    * the current session zone at bootstrap. Pre-round-10 lineages with
+    * an UNPINNED LTZ days() keep rendering through the session zone —
+    * re-pinning them mid-lineage would silently re-partition. Zones on
+    * non-LTZ columns are refused (DATE/NTZ render zone-free already).
+    */
+  private def normalizeGpSpec(spark: SparkSession, spec: GpSpec,
+                              batch: DataFrame,
+                              parentPartCol: Option[String]): GpSpec = {
+    import org.apache.spark.sql.types.TimestampType
+    val parent = parentPartCol.map(parseGpSpec)
+    val types = batch.schema.fields.map(f => f.name -> f.dataType).toMap
+    GpSpec(spec.comps.map { c =>
+      val isLtz = types.get(c.col).contains(TimestampType)
+      require(c.zone.isEmpty || (c.kind == "days" && isLtz),
+        s"partition zone pins apply to days() over TIMESTAMP (LTZ) " +
+        s"columns only: ${c.col}@${c.zone}")
+      if (c.kind == "days" && isLtz) {
+        val parentZone = parent.flatMap(
+          _.comps.find(p => p.kind == "days" && p.col == c.col).map(_.zone))
+        val z = parentZone.getOrElse(
+          if (c.zone.nonEmpty) c.zone else sessionZone(spark).getId)
+        require(c.zone.isEmpty || parentZone.forall(_ == c.zone),
+          s"days(${c.col}) zone '${c.zone}' conflicts with the " +
+          s"lineage's pinned zone '${parentZone.getOrElse("")}'")
+        if (z.nonEmpty)
+          scala.util.Try(java.time.ZoneId.of(z)).getOrElse(
+            throw new IllegalArgumentException(
+              s"days(${c.col}@$z): '$z' is not a valid zone id"))
+        c.copy(zone = z)
+      } else c
     })
   }
 
@@ -1005,9 +1055,14 @@ object SnapshotLog {
     * dir-name pruning — see [[gpSpecDirSpan]]).
     */
   private def gpRenderExpr(spec: GpSpec): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{col, concat, date_format, lit, replace}
+    import org.apache.spark.sql.functions.{col, concat, convert_timezone, date_format, lit, replace}
     def base(cp: GpComp): org.apache.spark.sql.Column = cp.kind match {
       case "id"   => col(cp.col).cast("string")
+      // a zone-pinned days() renders the LTZ instant's wall clock in
+      // the PINNED zone (convert_timezone → NTZ), so every writer
+      // derives the same day whatever its session zone
+      case "days" if cp.zone.nonEmpty =>
+        date_format(convert_timezone(lit(cp.zone), col(cp.col)), "yyyy-MM-dd")
       case "days" => date_format(col(cp.col), "yyyy-MM-dd")
       case other  => throw new IllegalArgumentException(
         s"unknown partition transform $other")
@@ -1046,7 +1101,8 @@ object SnapshotLog {
   private[graft] def gpSpecDirSpan(
       spec: GpSpec,
       types: Map[String, org.apache.spark.sql.types.DataType],
-      dirName: String, probe: String): Option[(String, String, String)] = {
+      dirName: String, probe: String,
+      readerZone: java.time.ZoneId): Option[(String, String, String)] = {
     import org.apache.spark.sql.types._
     if (!dirName.startsWith(GpPrefix)) return None
     val idx = spec.comps.indexWhere(_.col == probe)
@@ -1056,7 +1112,8 @@ object SnapshotLog {
     val parts = if (spec.comps.size == 1) Seq(raw) else splitGpValue(raw)
     if (parts.size != spec.comps.size) return None
     val v = parts(idx)
-    spec.comps(idx).kind match {
+    val comp = spec.comps(idx)
+    comp.kind match {
       case "id" => types.get(probe) match {
         case Some(_: NumericType)              => Some(("n", esc(v), esc(v)))
         case Some(StringType) | Some(DateType) => Some(("s", esc(v), esc(v)))
@@ -1066,7 +1123,22 @@ object SnapshotLog {
         case Some(DateType) => Some(("s", esc(v), esc(v)))
         case Some(TimestampNTZType) =>
           Some(("s", esc(v + " 00:00:00.000000"), esc(v + " 23:59:59.999999")))
-        case _ => None
+        case Some(TimestampType) if comp.zone.nonEmpty =>
+          // zone-pinned LTZ: day D in the pinned zone covers the
+          // instants [D 00:00 zone, D+1 00:00 zone); render the bounds
+          // the way the probe side renders its values — the READER's
+          // session zone (StatsEval.probeString) — so the code-point
+          // compare is an instant compare
+          scala.util.Try {
+            val z = java.time.ZoneId.of(comp.zone)
+            val day = java.time.LocalDate.parse(v)
+            val lo = day.atStartOfDay(z).toInstant
+            val hi = day.plusDays(1).atStartOfDay(z).toInstant
+              .minusNanos(1000) // closed upper bound at µs precision
+            ("s", esc(StatsEval.probeString(lo, readerZone)),
+              esc(StatsEval.probeString(hi, readerZone)))
+          }.toOption
+        case _ => None // unpinned LTZ: session-zone rendering, keep
       }
       case _ => None
     }
@@ -1133,8 +1205,8 @@ object SnapshotLog {
                                batchId: Long): Option[Long] = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     import org.apache.spark.sql.functions.col
-    val spec = parseGpSpec(partitionCol)
-    require(spec.comps.nonEmpty && spec.refCols.forall(batch.columns.contains),
+    val spec0 = parseGpSpec(partitionCol)
+    require(spec0.comps.nonEmpty && spec0.refCols.forall(batch.columns.contains),
       s"partition spec $partitionCol references columns outside the batch " +
       s"${batch.columns.toSeq}")
     require(keys.nonEmpty && keys.forall(batch.columns.contains),
@@ -1147,6 +1219,11 @@ object SnapshotLog {
       if (batchId >= 0 && lastBatchId(spark, root).exists(_ >= batchId))
         return None
       val rootPath = new Path(root.replaceAll("/+$", ""))
+      val cur = currentVersion(spark, root)
+      // round 10: LTZ days() components get their rendering zone PINNED
+      // (inherit the lineage's pin; pin the session zone at bootstrap)
+      val spec = normalizeGpSpec(spark, spec0, batch,
+        cur.flatMap(partColOf(spark, root, _)))
       // touched partition identities, rendered the way the partitioned
       // writer renders them (cast-to-string + path escaping); the collect
       // is bounded by the number of touched partitions — the same driver
@@ -1158,7 +1235,6 @@ object SnapshotLog {
             "commits need a concrete partition per row")
           GpPrefix + ExternalCatalogUtils.escapePathName(r.getString(0))
         }.toSet
-      val cur = currentVersion(spark, root)
       val next = cur.getOrElse(0L) + 1L
       val parentDirs = cur.map(dirsOf(spark, root, _)).getOrElse(Seq.empty)
       def baseName(d: String) = d.substring(d.lastIndexOf('/') + 1)
@@ -1229,7 +1305,7 @@ object SnapshotLog {
       // (touched partitions had them folded into the rewrite; stale
       // positions point at dead files and anti-join to nothing)
       writeManifestDirs(spark, root, next, newDirs, batchId = batchId,
-        tombDirs = parentTombs, partCol = partitionCol, chgDir = chg)
+        tombDirs = parentTombs, partCol = spec.render, chgDir = chg)
       publishLatest(spark, root, next)
       Some(next)
     }
@@ -1864,13 +1940,17 @@ object SnapshotLog {
                                     bloomCols: Seq[String] = Nil): StagedScoped = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     import org.apache.spark.sql.functions.col
-    val spec = parseGpSpec(partitionCol)
-    require(spec.comps.nonEmpty && spec.refCols.forall(batch.columns.contains),
+    val spec0 = parseGpSpec(partitionCol)
+    require(spec0.comps.nonEmpty && spec0.refCols.forall(batch.columns.contains),
       s"partition spec $partitionCol references columns outside the batch " +
       s"${batch.columns.toSeq}")
     require(keys.nonEmpty && keys.forall(batch.columns.contains),
       s"keys $keys must be columns of the batch")
     val rootPath = new Path(root.replaceAll("/+$", ""))
+    // zone pinning, same rule as the claimed path (the publish-side
+    // disjointness check then compares identically-rendered names)
+    val spec = normalizeGpSpec(spark, spec0, batch,
+      currentVersion(spark, root).flatMap(partColOf(spark, root, _)))
     val touchedNames = batch.select(gpRenderExpr(spec).cast("string"))
       .distinct().collect().map { r =>
         require(!r.isNullAt(0),
@@ -1918,7 +1998,7 @@ object SnapshotLog {
       rows.write.mode("overwrite")
         .parquet(new Path(rootPath, staging + "/" + StagedChg).toString)
     }
-    StagedScoped(base, staging, touchedNames, partitionCol)
+    StagedScoped(base, staging, touchedNames, spec.render)
   }
 
   // staged change rows live dot-prefixed inside the OCC staging dir:
@@ -3875,7 +3955,8 @@ object SnapshotLog {
         case Some(spec) =>
           val types = tableSchema(spark, root, version)
             .map(f => f.name -> f.dataType).toMap
-          p => gpSpecDirSpan(spec, types, p.getParent.getName, column)
+          p => gpSpecDirSpan(spec, types, p.getParent.getName, column,
+            sessionZone(spark))
         case None => _ => None
       }
     val sp = statsPath(root, version)
@@ -4594,7 +4675,7 @@ object SnapshotLog {
         val key = StatsEval.unesc(file)
         val dirName = key.takeWhile(_ != '/')
         val spanOf: String => Option[(String, String, String)] = c =>
-          m.get(c).orElse(spec.flatMap(sp => gpSpecDirSpan(sp, types, dirName, c)))
+          m.get(c).orElse(spec.flatMap(sp => gpSpecDirSpan(sp, types, dirName, c, zone)))
         if (preds.forall(pr => StatsEval.admits(spanOf, zm.get, pr, zone)))
           Iterator.empty
         else Iterator.single(key)
@@ -4721,7 +4802,7 @@ object SnapshotLog {
     private def dirSpanOf(st: org.apache.hadoop.fs.FileStatus)
         : String => Option[(String, String, String)] = c =>
       gpSpec.flatMap(sp =>
-        gpSpecDirSpan(sp, gpTypes, st.getPath.getParent.getName, c))
+        gpSpecDirSpan(sp, gpTypes, st.getPath.getParent.getName, c, zone))
 
     override def listFiles(partitionFilters: Seq[Expression],
                            dataFilters: Seq[Expression]): Seq[PD] = {

@@ -207,7 +207,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         case "identity" if t.references.length == 1 =>
           t.references.head.fieldNames.mkString(".")
         case "days" | "day" if t.references.length == 1 =>
-          s"days(${t.references.head.fieldNames.mkString(".")})"
+          val c = t.references.head.fieldNames.mkString(".")
+          // round 10: a days() over a session-zoned TIMESTAMP pins the
+          // CREATE-time session zone into the spec — partition identity
+          // becomes writer-zone-independent and day pruning unlocks
+          // (unpinned LTZ days() renders through each writer's zone and
+          // can never prune safely)
+          val isLtz = schema.fields.exists(f => f.name == c &&
+            f.dataType == org.apache.spark.sql.types.TimestampType)
+          if (isLtz) s"days($c@${spark.sessionState.conf.sessionLocalTimeZone})"
+          else s"days($c)"
         case other => throw new UnsupportedOperationException(
           s"graft tables support identity and days() PARTITIONED BY " +
           s"transforms, got: $other(${t.references.mkString(", ")})")

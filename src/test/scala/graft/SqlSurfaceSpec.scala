@@ -583,4 +583,67 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(msgs(e3).nonEmpty)
   }
 
+  test("days() over LTZ pins the CREATE-time zone: stable identity + day pruning (round 10)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.collect {
+          case f: FileSourceScanExec => f
+        }
+        case f: FileSourceScanExec => Seq(f)
+      }.flatten.map(_.metrics("numFiles").value).sum
+    }
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
+    val zoneBefore = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      sql("CREATE TABLE graft.ns.ev (id INT, ts TIMESTAMP) PARTITIONED BY (days(ts))")
+      // the CREATE-time zone is pinned into the partition spec
+      assert(spark.sessionState.catalogManager.catalog("graft")
+        .asInstanceOf[graft.sql.GraftCatalog]
+        .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array("ns"), "ev"))
+        .properties().get("partition-column") == "days(ts@America/New_York)")
+      // NY wall clock 2024-03-05 20:00 → NY day 2024-03-05
+      sql("""MERGE INTO graft.ns.ev t
+             USING (SELECT 1 AS id, TIMESTAMP'2024-03-05 20:00:00' AS ts) s
+             ON t.id = s.id AND t.ts = s.ts
+             WHEN MATCHED THEN UPDATE SET t.id = s.id, t.ts = s.ts
+             WHEN NOT MATCHED THEN INSERT (id, ts) VALUES (s.id, s.ts)""")
+      // a writer in a DIFFERENT session zone derives the SAME partition:
+      // UTC 2024-03-06 01:00 is the same instant-era as NY 03-05 evening
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      sql("""MERGE INTO graft.ns.ev t
+             USING (SELECT 2 AS id, TIMESTAMP'2024-03-06 01:00:00' AS ts) s
+             ON t.id = s.id AND t.ts = s.ts
+             WHEN MATCHED THEN UPDATE SET t.id = s.id, t.ts = s.ts
+             WHEN NOT MATCHED THEN INSERT (id, ts) VALUES (s.id, s.ts)""")
+      sql("""MERGE INTO graft.ns.ev t
+             USING (SELECT 3 AS id, TIMESTAMP'2024-03-07 12:00:00' AS ts) s
+             ON t.id = s.id AND t.ts = s.ts
+             WHEN MATCHED THEN UPDATE SET t.id = s.id, t.ts = s.ts
+             WHEN NOT MATCHED THEN INSERT (id, ts) VALUES (s.id, s.ts)""")
+      val r = root("ev")
+      val head = SnapshotLog.currentVersion(spark, r).get
+      val leafs = SnapshotLog.dirsOf(spark, r, head)
+        .map(_.split('/').last).toSet
+      assert(leafs == Set("__gp=2024-03-05", "__gp=2024-03-07"),
+        s"zone-pinned identity drifted: $leafs")
+      // DAY PRUNING under a non-pinned (UTC) session zone: a probe
+      // inside NY day 03-07 must not read the 03-05 leaf
+      val day7 = sql("""SELECT id FROM graft.ns.ev
+        WHERE ts >= TIMESTAMP'2024-03-07 12:00:00'
+          AND ts <  TIMESTAMP'2024-03-08 00:00:00'""")
+      val total = sql("SELECT * FROM graft.ns.ev")
+      val totalFiles = scannedFiles(total)
+      val keptFiles = scannedFiles(day7)
+      assert(keptFiles < totalFiles,
+        s"day pruning did not engage: $keptFiles of $totalFiles files")
+      assert(day7.collect().map(_.getInt(0)).toSet == Set(3))
+      assert(total.count() == 3)
+    } finally spark.conf.set("spark.sql.session.timeZone", zoneBefore)
+  }
+
 }

@@ -235,6 +235,30 @@ class PrunedUpsertSpec extends SparkSpecBase {
       Set(Seq(1, "A"), Seq(2, "b"), Seq(3, "c")))
   }
 
+  test("pruned merge composes with column mapping: renamed lineage, physical files") {
+    val root = freshRoot()
+    chain(root)
+    SnapshotLog.renameColumn(spark, root, "w", "word") // v5: metadata-only
+    val before1 = filesUnder(root, "data_v00000001")
+    val v6 = SnapshotLog.upsert(spark, root,
+      Seq((150, "W150")).toDF("k", "word"), Seq("k"), statsCols = Seq("k"))
+    assert(v6 == 6L)
+    // untouched dirs still byte-identical; only dir 2's file rewritten
+    assert(filesUnder(root, "data_v00000001") == before1)
+    val dirs = SnapshotLog.dirsOf(spark, root, 6L)
+    assert(dirs.toSet == Set("data_v00000001", "data_v00000003",
+      "data_v00000004", "data_v00000006"), dirs.toString)
+    // the rewritten file spells the PHYSICAL name; reads stay logical
+    val got = SnapshotLog.read(spark, root)
+    assert(got.columns.toSeq == Seq("k", "word"))
+    assert(got.filter($"k".isin(150, 151)).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet ==
+      Set(150 -> "W150", 151 -> "w151"))
+    // skipping still prunes on the carried spans after the mapped merge
+    val kept = SnapshotLog.readBetween(spark, root, "k", 310, 320)
+    assert(kept.inputFiles.length == 1, kept.inputFiles.toSeq.toString)
+  }
+
   test("time travel to the pre-merge version still reads the old bytes") {
     val root = freshRoot()
     chain(root)

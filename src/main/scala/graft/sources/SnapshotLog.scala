@@ -764,6 +764,11 @@ object SnapshotLog {
         // table has no usable listing/stats or nothing prunes.
         upsertPrunedFlat(spark, root, cur, batch, keys, statsCols,
             bloomCols).getOrElse {
+          // a full rewrite must not silently strip the lineage's
+          // pruning power: inherit the head's stat columns when the
+          // caller passes none
+          val sc = if (statsCols.nonEmpty) statsCols
+                   else inheritedStatsCols(spark, root)
           if (changeFeedEnabled(spark) &&
               currentVersion(spark, root).isDefined)
             // CDF (round 9): the keyed rewrite knows its keys, so the
@@ -771,14 +776,14 @@ object SnapshotLog {
             // [[changeRows]] — the rewrite stays O(table) but the
             // recorded feed makes every downstream CDC surface
             // O(changes)
-            keyedRewriteWithChanges(spark, root, statsCols, bloomCols) { snap =>
+            keyedRewriteWithChanges(spark, root, sc, bloomCols) { snap =>
               val aligned = batch.select(snap.columns.map(
                 org.apache.spark.sql.functions.col(_)): _*)
               (Upsert.upsert(snap, aligned, keys),
                changeRows(snap, aligned, keys))
             }
           else commit(spark, root,
-            Upsert.upsert(read(spark, root), batch, keys), statsCols,
+            Upsert.upsert(read(spark, root), batch, keys), sc,
             bloomCols)
         }
       case None    => commit(spark, root, batch, statsCols, bloomCols)
@@ -918,16 +923,45 @@ object SnapshotLog {
 
   /** Transactional delete-by-key ([[Upsert.deleteByKey]] + commit). */
   def deleteByKey(spark: SparkSession, root: String, tombstones: DataFrame,
-                  keys: Seq[String]): Long =
+                  keys: Seq[String]): Long = {
+    val sc = inheritedStatsCols(spark, root)
     if (changeFeedEnabled(spark) && currentVersion(spark, root).isDefined)
-      keyedRewriteWithChanges(spark, root) { snap =>
+      keyedRewriteWithChanges(spark, root, sc) { snap =>
         import org.apache.spark.sql.functions.{col, lit}
         val doomed = snap.join(
           tombstones.select(keys.map(col(_)): _*).distinct(), keys, "left_semi")
         (Upsert.deleteByKey(snap, tombstones, keys),
          doomed.withColumn("_change_type", lit("delete")))
       }
-    else commit(spark, root, Upsert.deleteByKey(read(spark, root), tombstones, keys))
+    else commit(spark, root,
+      Upsert.deleteByKey(read(spark, root), tombstones, keys), sc)
+  }
+
+  /** The stat columns the head's sidecar actually carries (bounded by
+    * |columns| — the [[compactSmallFiles]] derivation, shared): a keyed
+    * full rewrite re-derives them so a rewrite never silently strips
+    * the table's pruning power just because the caller passed no
+    * statsCols. Nil on empty tables or stats-free lineages.
+    */
+  private def inheritedStatsCols(spark: SparkSession,
+                                 root: String): Seq[String] = {
+    val cur = currentVersion(spark, root).getOrElse(return Nil)
+    val statColOf: String => Option[String] = { l =>
+      val p = l.split('\t')
+      if (p.length >= 3 && p(2) != "f" && p(2) != "d")
+        Some(StatsEval.unesc(p(1)))
+      else None
+    }
+    sidecarCarry(spark, root, cur) match {
+      case EagerCarry(ls) => ls.flatMap(statColOf(_)).distinct
+      case c: ChainCarry  =>
+        c.toDist.ds.flatMap(statColOf(_))(org.apache.spark.sql.Encoders.STRING)
+          .distinct().collect().toSeq
+      case DistCarry(ds)  =>
+        ds.flatMap(statColOf(_))(org.apache.spark.sql.Encoders.STRING)
+          .distinct().collect().toSeq
+    }
+  }
 
   /** A keyed full-snapshot rewrite that records its change rows: `f`
     * receives the CURRENT snapshot and returns (next snapshot, change

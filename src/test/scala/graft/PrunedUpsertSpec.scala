@@ -259,6 +259,33 @@ class PrunedUpsertSpec extends SparkSpecBase {
     assert(kept.inputFiles.length == 1, kept.inputFiles.toSeq.toString)
   }
 
+  test("a keyed full rewrite inherits the head's stat columns instead of stripping them") {
+    val root = freshRoot()
+    chain(root)
+    def stats(v: Long): String = {
+      val txt = new java.io.File(s"$root/_graft_log/" + f"v$v%08d.stats")
+      if (txt.isFile)
+        new String(java.nio.file.Files.readAllBytes(txt.toPath))
+      else ""
+    }
+    // a batch spanning every file prunes nothing → classic full
+    // rewrite; the caller passes NO statsCols, yet the lineage's k
+    // spans must survive the rewrite
+    val wide = (0 until 400 by 10).map(k => (k, s"X$k")).toDF("k", "w")
+    val v5 = SnapshotLog.upsert(spark, root, wide, Seq("k"))
+    assert(SnapshotLog.dirsOf(spark, root, v5) == Seq(f"data_v$v5%08d"),
+      "wiring: the wide batch must take the full-rewrite path")
+    assert(stats(v5).contains("k\t"),
+      "full rewrite stripped the inherited stat columns")
+    val kept = SnapshotLog.readBetween(spark, root, "k", 0, 50)
+    assert(kept.inputFiles.length < SnapshotLog.filesFromSidecar(spark, root, v5).get.size
+      || SnapshotLog.filesFromSidecar(spark, root, v5).get.size == 1)
+    // deleteByKey keeps them too
+    val v6 = SnapshotLog.deleteByKey(spark, root, Seq(5).toDF("k"), Seq("k"))
+    assert(stats(v6).contains("k\t"),
+      "deleteByKey rewrite stripped the inherited stat columns")
+  }
+
   test("time travel to the pre-merge version still reads the old bytes") {
     val root = freshRoot()
     chain(root)

@@ -810,8 +810,33 @@ object SnapshotLog {
                                batch: DataFrame, keys: Seq[String],
                                statsCols: Seq[String],
                                bloomCols: Seq[String]): Option[Long] = {
-    import org.apache.spark.sql.functions.{col, max => smax, min => smin}
+    import org.apache.spark.sql.functions.col
     require(keys.nonEmpty, "upsert needs at least one key column")
+    rewriteMatchedFlat(spark, root, cur,
+      batch.select(keys.map(col(_)): _*), keys, statsCols, bloomCols) {
+      visible =>
+        Upsert.upsert(visible,
+          batch.select(visible.columns.map(col(_)): _*), keys)
+    }
+  }
+
+  /** The file-granular flat-DML core [[upsertPrunedFlat]] and the SQL
+    * general-MERGE lowering share: prune the rewrite set to the files
+    * whose skipping stats admit a `probe` key (probe = one column per
+    * key, TARGET-named), hand the VISIBLE matched slice (vectors +
+    * column mapping applied) to `f`, and commit f's result plus every
+    * other file carried by reference. Under the change feed the exact
+    * keyed diff of slice-before vs slice-after records as this
+    * version's change rows — inserts, updates AND deletes, O(matched).
+    */
+  private[graft] def rewriteMatchedFlat(spark: SparkSession, root: String,
+                                        cur: Long, probe: DataFrame,
+                                        keys: Seq[String],
+                                        statsCols: Seq[String],
+                                        bloomCols: Seq[String])
+      (f: DataFrame => DataFrame): Option[Long] = {
+    import org.apache.spark.sql.functions.{col, max => smax, min => smin}
+    require(keys.nonEmpty, "keyed rewrite needs at least one key column")
     if (morKeysOf(spark, root, cur).nonEmpty) return None
     val dirs = dirsOf(spark, root, cur)
     def baseOf(d: String) = d.substring(d.lastIndexOf('/') + 1)
@@ -835,7 +860,7 @@ object SnapshotLog {
     val MaxPoint = 16
     val allRel: Set[String] = all.map(st => relOf(st.getPath)).toSet
     val perCol: Seq[Set[String]] = keys.map { k =>
-      val vals = batch.select(col(k)).distinct()
+      val vals = probe.select(col(k)).distinct()
         .limit(MaxPoint + 1).collect().map(_.get(0)).toSeq
       if (vals.isEmpty) Set.empty[String]
       else if (vals.contains(null)) allRel
@@ -846,7 +871,7 @@ object SnapshotLog {
         // nulls can hide beyond the probe window's LIMIT — re-check
         // exactly (min/max ignore them, and a null batch key must still
         // reach every file that may hold a null table key)
-        val r = batch.agg(smin(col(k)), smax(col(k)),
+        val r = probe.agg(smin(col(k)), smax(col(k)),
           smax(org.apache.spark.sql.functions
             .when(col(k).isNull, 1).otherwise(0))).head
         if (r.get(2) == 1) allRel
@@ -875,8 +900,7 @@ object SnapshotLog {
         }
         applyTombstoneDirs(spark, root, tombs, raw)
       }
-    val aligned = batch.select(visible.columns.map(col(_)): _*)
-    val merged = Upsert.upsert(visible, aligned, keys)
+    val merged = f(visible)
     // ---- commit under the claim: carried entries + one new dir
     withClaim(spark, root) { _ =>
       recoverOrphans(spark, root)
@@ -887,9 +911,10 @@ object SnapshotLog {
       val feed = changeFeedEnabled(spark)
       val chgName = if (feed) chgDirName(next) else ""
       if (feed)
-        // the matched slice holds every row sharing a batch key, so the
-        // classification join is O(matched) — and exact
-        changeRows(visible, aligned, keys).write.mode("overwrite")
+        // the matched slice holds every row sharing a probe key, so the
+        // classification join is O(matched) — and exact, deletes
+        // included (a general MERGE's WHEN MATCHED DELETE records)
+        keyedSliceDiff(visible, merged, keys).write.mode("overwrite")
           .parquet(new Path(rootPath, chgName).toString)
       val byDirBase = all.groupBy(_.getPath.getParent.getName)
       val carriedEntries: Seq[String] = dirs.flatMap { d =>
@@ -919,6 +944,42 @@ object SnapshotLog {
       publishLatest(spark, root, next)
       Some(next)
     }
+  }
+
+  /** Exact keyed row-diff of a rewritten slice — the change rows a
+    * file-granular DML records: `insert` (new-only key), `delete`
+    * (old-only key), `update_preimage`/`update_postimage` (key on both
+    * sides, any non-key column differs, null-safe). Frames are
+    * key-unique by the calling DML's contract.
+    */
+  private def keyedSliceDiff(oldDf: DataFrame, newDf: DataFrame,
+                             keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val cols = oldDf.columns.toSeq
+    val nonKeys = cols.filterNot(keys.contains)
+    val o = oldDf.toDF(cols.map("__o_" + _): _*)
+      .withColumn("__in_old", lit(true))
+    val n = newDf.toDF(cols.map("__n_" + _): _*)
+      .withColumn("__in_new", lit(true))
+    val cond = keys.map(k => o(s"__o_$k") <=> n(s"__n_$k")).reduce(_ && _)
+    val j = o.join(n, cond, "full_outer")
+    val changed =
+      if (nonKeys.isEmpty) lit(false)
+      else nonKeys.map(c => !(col("__o_" + c) <=> col("__n_" + c))).reduce(_ || _)
+    val both = col("__in_old").isNotNull && col("__in_new").isNotNull
+    val ins = j.filter(col("__in_old").isNull)
+      .select(cols.map(c => col("__n_" + c).as(c)) :+
+        lit("insert").as("_change_type"): _*)
+    val del = j.filter(col("__in_new").isNull)
+      .select(cols.map(c => col("__o_" + c).as(c)) :+
+        lit("delete").as("_change_type"): _*)
+    val pre = j.filter(both && changed)
+      .select(cols.map(c => col("__o_" + c).as(c)) :+
+        lit("update_preimage").as("_change_type"): _*)
+    val post = j.filter(both && changed)
+      .select(cols.map(c => col("__n_" + c).as(c)) :+
+        lit("update_postimage").as("_change_type"): _*)
+    ins.unionAll(del).unionAll(pre).unionAll(post)
   }
 
   /** Transactional delete-by-key ([[Upsert.deleteByKey]] + commit). */

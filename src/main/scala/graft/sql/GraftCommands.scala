@@ -234,3 +234,128 @@ case class GraftDropConstraintCommand(table: GraftTable, constraintName: String,
     Seq.empty
   }
 }
+
+/** General (multi-clause) MERGE on a FLAT table, FILE-GRANULAR
+  * (round 10): when the ON condition is a pure key-equality AND chain
+  * and there are no NOT MATCHED BY SOURCE clauses, every clause can
+  * only touch rows whose key appears in the source — so only the files
+  * whose skipping stats admit a source key need rewriting; the rest
+  * carry by reference ([[SnapshotLog.rewriteMatchedFlat]]). The merge
+  * actions evaluate over the matched slice x source with exactly the
+  * generalMergePlan semantics: first matching clause wins, unmatched
+  * target rows survive, source-only rows insert only through a NOT
+  * MATCHED clause. Ineligible tables (no stats, nothing pruned, head
+  * races) fall back to the full-snapshot rewrite inside the same run.
+  * Declared CHECK constraints gate the rewritten rows either way.
+  */
+case class GraftMergePrunedCommand(
+    table: GraftTable,
+    source: LogicalPlan,
+    keyPairs: Seq[(String, AttributeReference)],
+    matchedActions: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction],
+    notMatchedActions: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction],
+    mergeCondition: Expression,
+    targetOutput: Seq[AttributeReference]) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, InsertAction, UpdateAction}
+  import org.apache.spark.sql.functions.{col, lit, when}
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = table.root
+    val shim = org.apache.spark.sql.graftshim.ClassicShim
+    val srcDf = GraftCommands.classicDf(spark, source)
+    val keys = keyPairs.map(_._1)
+    val probe = srcDf.select(keyPairs.map { case (t, sa) =>
+      shim.column(sa).as(t) }: _*)
+    val targetIds = targetOutput.map(_.exprId).toSet
+    val srcIds = source.output.map(_.exprId).toSet
+
+    // merge semantics over any target frame (the matched slice on the
+    // pruned path; the full snapshot on the fallback)
+    def mergeEval(target: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val t = target.toDF(target.columns.map("__t_" + _): _*)
+        .withColumn("__t_present", lit(true))
+      val sd = srcDf.toDF(srcDf.columns.map("__s_" + _): _*)
+        .withColumn("__s_present", lit(true))
+      def rebind(e: Expression): org.apache.spark.sql.Column =
+        shim.column(e.transform {
+          case a: AttributeReference if targetIds.contains(a.exprId) =>
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+              Seq("__t_" + a.name))
+          case a: AttributeReference if srcIds.contains(a.exprId) =>
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+              Seq("__s_" + a.name))
+        })
+      val joined = t.join(sd, rebind(mergeCondition), "full_outer")
+      val tPresent = col("__t_present").isNotNull
+      val sPresent = col("__s_present").isNotNull
+      type B = (org.apache.spark.sql.Column,
+        org.apache.spark.sql.catalyst.plans.logical.MergeAction)
+      val branches: Seq[B] =
+        matchedActions.map(a => (tPresent && sPresent &&
+          a.condition.map(rebind).getOrElse(lit(true)), a)) ++
+        notMatchedActions.map(a => (sPresent && !tPresent &&
+          a.condition.map(rebind).getOrElse(lit(true)), a))
+      def chain(vals: Seq[(org.apache.spark.sql.Column, org.apache.spark.sql.Column)],
+                default: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        vals match {
+          case Seq() => default
+          case (c0, v0) +: rest =>
+            rest.foldLeft(when(c0, v0)) { case (acc, (c, v)) => acc.when(c, v) }
+              .otherwise(default)
+        }
+      def assignedId(k: Expression): Option[org.apache.spark.sql.catalyst.expressions.ExprId] =
+        k match {
+          case a: AttributeReference =>
+            targetOutput.find(t0 => t0.exprId == a.exprId ||
+              t0.name.equalsIgnoreCase(a.name)).map(_.exprId)
+          case _ => None
+        }
+      def actionValue(a: org.apache.spark.sql.catalyst.plans.logical.MergeAction,
+                      tAttr: AttributeReference): org.apache.spark.sql.Column = a match {
+        case UpdateAction(_, assigns, _) =>
+          assigns.find(as => assignedId(as.key).contains(tAttr.exprId))
+            .map(as => rebind(as.value).cast(tAttr.dataType))
+            .getOrElse(col("__t_" + tAttr.name))
+        case InsertAction(_, assigns) =>
+          assigns.find(as => assignedId(as.key).contains(tAttr.exprId))
+            .map(as => rebind(as.value).cast(tAttr.dataType))
+            .getOrElse(lit(null).cast(tAttr.dataType))
+        case _: DeleteAction => col("__t_" + tAttr.name)
+        case other => throw new UnsupportedOperationException(
+          s"unsupported merge action $other")
+      }
+      val keep = chain(branches.map { case (c, a) =>
+        (c, lit(!a.isInstanceOf[DeleteAction])) }, tPresent)
+      val outCols = targetOutput.map { tAttr =>
+        chain(branches.map { case (c, a) => (c, actionValue(a, tAttr)) },
+          col("__t_" + tAttr.name)).as(tAttr.name)
+      }
+      joined.filter(keep === true).select(outCols: _*)
+    }
+
+    var obsHolder: Option[org.apache.spark.sql.Observation] = None
+    val prunedV = SnapshotLog.currentVersion(spark, root).flatMap { cur =>
+      SnapshotLog.rewriteMatchedFlat(spark, root, cur, probe, keys,
+        table.statsCols, Nil) { visible =>
+        val (gated, o) = graft.sources.Constraints.gate(spark, root,
+          mergeEval(visible))
+        obsHolder = o
+        gated
+      }
+    }
+    prunedV match {
+      case Some(v) =>
+        graft.sources.Constraints.finish(spark, root, v, obsHolder)
+      case None =>
+        // full-snapshot rewrite fallback (the copy-on-write path the
+        // general MERGE always took before round 10)
+        val (gated, o) = graft.sources.Constraints.gate(spark, root,
+          mergeEval(SnapshotLog.read(spark, root)))
+        val v = SnapshotLog.replaceWithChanges(spark, root, gated)
+        graft.sources.Constraints.finish(spark, root, v, o)
+    }
+    Seq.empty
+  }
+}

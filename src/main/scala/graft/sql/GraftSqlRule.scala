@@ -311,8 +311,46 @@ object GraftSqlRule {
         if (g.partCol.nonEmpty) GraftUpsertScopedCommand(g, batch, keys)
         else GraftUpsertKeyedCommand(g, batch, keys)
       case None =>
-        GraftReplaceCommand(g, generalMergePlan(session, rel, m), "MERGE")
+        // general multi-clause form: still file-granular when the ON
+        // is pure key equality and no NOT MATCHED BY SOURCE clause
+        // exists (those touch rows outside the matched files) — the
+        // command prunes to stats-matched files and falls back to the
+        // full rewrite internally when ineligible
+        val prunable = g.partCol.isEmpty &&
+          m.notMatchedBySourceActions.isEmpty &&
+          (m.matchedActions ++ m.notMatchedActions).forall {
+            case _: UpdateAction | _: InsertAction | _: DeleteAction => true
+            case _ => false
+          }
+        equalityKeyPairs(m.mergeCondition, rel).filter(_ => prunable) match {
+          case Some(pairs) =>
+            GraftMergePrunedCommand(g, expand(session, m.sourceTable), pairs,
+              m.matchedActions, m.notMatchedActions, m.mergeCondition,
+              rel.output.collect { case a: AttributeReference => a })
+          case None =>
+            GraftReplaceCommand(g, generalMergePlan(session, rel, m), "MERGE")
+        }
     }
+
+  /** `t.k1 = s.k1 AND …` → the (target column name, SOURCE attribute)
+    * pairs — what the pruned general MERGE probes the skipping stats
+    * with; None for any other condition shape.
+    */
+  private def equalityKeyPairs(cond: Expression, rel: DataSourceV2Relation)
+      : Option[Seq[(String, AttributeReference)]] = {
+    val targetIds = rel.output.map(_.exprId).toSet
+    def split(e: Expression): Option[Seq[(String, AttributeReference)]] = e match {
+      case And(l, r) => for (a <- split(l); b <- split(r)) yield a ++ b
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        if (targetIds.contains(a.exprId) && !targetIds.contains(b.exprId))
+          Some(Seq((a.name, b)))
+        else if (targetIds.contains(b.exprId) && !targetIds.contains(a.exprId))
+          Some(Seq((b.name, a)))
+        else None
+      case _ => None
+    }
+    split(cond)
+  }
 
   /** Detect `WHEN MATCHED THEN UPDATE SET <all cols from source> WHEN
     * NOT MATCHED THEN INSERT <same mapping>` with an equality-AND merge

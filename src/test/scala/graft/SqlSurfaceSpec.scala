@@ -583,6 +583,56 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(msgs(e3).nonEmpty)
   }
 
+  test("general multi-clause MERGE on a FLAT stats table is file-granular too (round 10)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
+    sql("""CREATE TABLE graft.ns.gm (k INT, v STRING, amt INT)
+           TBLPROPERTIES ('graft.statsCols'='k')""")
+    sql("INSERT INTO graft.ns.gm SELECT id AS k, concat('w', id) AS v, 10 AS amt FROM range(0, 100)")
+    sql("INSERT INTO graft.ns.gm SELECT id AS k, concat('w', id) AS v, 10 AS amt FROM range(100, 200)")
+    sql("INSERT INTO graft.ns.gm SELECT id AS k, concat('w', id) AS v, 10 AS amt FROM range(200, 300)")
+    val r = root("gm")
+    def files(dir: String): Map[String, (Long, Long)] = {
+      val d = new java.io.File(new java.io.File(r), dir)
+      if (!d.isDirectory) Map.empty
+      else d.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    }
+    val headBefore = SnapshotLog.currentVersion(spark, r).get
+    // the last two inserts' dirs hold k >= 100: untouched by source keys 5/7/999
+    val untouched = Seq(f"data_v${headBefore - 1}%08d", f"data_v$headBefore%08d")
+    val before = untouched.map(d => d -> files(d)).toMap
+    spark.conf.set("graft.changeFeed.enabled", "true")
+    try {
+      // update k=5, delete k=7, insert k=999 — three clause kinds in one
+      sql("""MERGE INTO graft.ns.gm t
+             USING (SELECT * FROM VALUES (5, 'U5', 50), (7, 'D7', 0),
+                    (999, 'N999', 99) AS s(k, v, amt)) s
+             ON t.k = s.k
+             WHEN MATCHED AND s.amt = 0 THEN DELETE
+             WHEN MATCHED THEN UPDATE SET t.v = s.v, t.amt = s.amt
+             WHEN NOT MATCHED THEN INSERT (k, v, amt) VALUES (s.k, s.v, s.amt)""")
+      val head = SnapshotLog.currentVersion(spark, r).get
+      assert(head == headBefore + 1)
+      untouched.foreach { d =>
+        assert(files(d) == before(d), s"$d was rewritten by a 3-key MERGE")
+      }
+      // the first insert's dir dissolved into per-file carries
+      val dirs = SnapshotLog.dirsOf(spark, r, head)
+      assert(dirs.exists(_.endsWith(".parquet")), dirs.toString)
+      // rows: exact multi-clause semantics
+      assert(rowsOf("SELECT v, amt FROM graft.ns.gm WHERE k IN (5, 999)") ==
+        Set(Seq("U5", 50), Seq("N999", 99)))
+      assert(sql("SELECT * FROM graft.ns.gm WHERE k = 7").count() == 0)
+      assert(sql("SELECT * FROM graft.ns.gm").count() == 300) // -1 del +1 ins
+      // the feed recorded the exact keyed diff — deletes included
+      val diff = SnapshotLog.changesBetween(spark, r, headBefore, head, Seq("k"))
+      assert(!diff.queryExecution.optimizedPlan.toString.contains("Join"),
+        "recorded change files must make the fold join-free")
+      assert(diff.collect().map(t => (t.getString(0), t.getInt(1))).toSet ==
+        Set(("update", 5), ("delete", 7), ("insert", 999)))
+    } finally spark.conf.unset("graft.changeFeed.enabled")
+  }
+
   test("days() over LTZ pins the CREATE-time zone: stable identity + day pruning (round 10)") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec

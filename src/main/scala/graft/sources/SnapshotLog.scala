@@ -982,20 +982,33 @@ object SnapshotLog {
     ins.unionAll(del).unionAll(pre).unionAll(post)
   }
 
-  /** Transactional delete-by-key ([[Upsert.deleteByKey]] + commit). */
+  /** Transactional delete-by-key ([[Upsert.deleteByKey]] + commit).
+    * Round 10: on a flat stats lineage the tombstone keys prune the
+    * rewrite set to matched files ([[rewriteMatchedFlat]]) — a small
+    * keyed delete rewrites the files that may hold its keys, not the
+    * table (contrast [[tombstoneDelete]], the zero-rewrite deletion-
+    * vector path).
+    */
   def deleteByKey(spark: SparkSession, root: String, tombstones: DataFrame,
                   keys: Seq[String]): Long = {
-    val sc = inheritedStatsCols(spark, root)
-    if (changeFeedEnabled(spark) && currentVersion(spark, root).isDefined)
-      keyedRewriteWithChanges(spark, root, sc) { snap =>
-        import org.apache.spark.sql.functions.{col, lit}
-        val doomed = snap.join(
-          tombstones.select(keys.map(col(_)): _*).distinct(), keys, "left_semi")
-        (Upsert.deleteByKey(snap, tombstones, keys),
-         doomed.withColumn("_change_type", lit("delete")))
-      }
-    else commit(spark, root,
-      Upsert.deleteByKey(read(spark, root), tombstones, keys), sc)
+    import org.apache.spark.sql.functions.{col, lit}
+    currentVersion(spark, root).flatMap { cur =>
+      rewriteMatchedFlat(spark, root, cur,
+        tombstones.select(keys.map(col(_)): _*), keys,
+        inheritedStatsCols(spark, root), Nil)(
+        visible => Upsert.deleteByKey(visible, tombstones, keys))
+    }.getOrElse {
+      val sc = inheritedStatsCols(spark, root)
+      if (changeFeedEnabled(spark) && currentVersion(spark, root).isDefined)
+        keyedRewriteWithChanges(spark, root, sc) { snap =>
+          val doomed = snap.join(
+            tombstones.select(keys.map(col(_)): _*).distinct(), keys, "left_semi")
+          (Upsert.deleteByKey(snap, tombstones, keys),
+           doomed.withColumn("_change_type", lit("delete")))
+        }
+      else commit(spark, root,
+        Upsert.deleteByKey(read(spark, root), tombstones, keys), sc)
+    }
   }
 
   /** The stat columns the head's sidecar actually carries (bounded by

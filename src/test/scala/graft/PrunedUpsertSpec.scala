@@ -286,6 +286,28 @@ class PrunedUpsertSpec extends SparkSpecBase {
       "deleteByKey rewrite stripped the inherited stat columns")
   }
 
+  test("deleteByKey prunes too: only files holding a doomed key rewrite") {
+    val root = freshRoot()
+    chain(root)
+    val before1 = filesUnder(root, "data_v00000001")
+    spark.conf.set("graft.changeFeed.enabled", "true")
+    try {
+      val v5 = SnapshotLog.deleteByKey(spark, root, Seq(150).toDF("k"), Seq("k"))
+      assert(v5 == 5L)
+      val dirs = SnapshotLog.dirsOf(spark, root, 5L)
+      assert(dirs.toSet == Set("data_v00000001", "data_v00000003",
+        "data_v00000004", "data_v00000005"), dirs.toString)
+      assert(filesUnder(root, "data_v00000001") == before1)
+      assert(SnapshotLog.read(spark, root).count() == 399)
+      assert(SnapshotLog.read(spark, root).filter($"k" === 150).count() == 0)
+      // the feed recorded the delete exactly, join-free
+      val diff = SnapshotLog.changesBetween(spark, root, 4L, 5L, Seq("k"))
+      assert(!diff.queryExecution.optimizedPlan.toString.contains("Join"))
+      assert(diff.collect().map(_.toSeq).toSet ==
+        Set(Seq("delete", 150, "w150", null)))
+    } finally spark.conf.unset("graft.changeFeed.enabled")
+  }
+
   test("time travel to the pre-merge version still reads the old bytes") {
     val root = freshRoot()
     chain(root)

@@ -473,7 +473,9 @@ object SnapshotLog {
                          batchId: Option[Long],
                          statsStorage: String = "none",
                          changeFeedVersion: Boolean = false,
-                         numConsumers: Int = 0)
+                         numConsumers: Int = 0,
+                         numFileCarries: Int = 0,
+                         numConstraints: Int = 0)
 
   def describeDetail(spark: SparkSession, root: String): TableDetail = {
     val v = currentVersion(spark, root).getOrElse(
@@ -512,7 +514,13 @@ object SnapshotLog {
       batchId = batchIdOf(spark, root, v),
       statsStorage = statsStorage,
       changeFeedVersion = chgDirOf(spark, root, v).isDefined,
-      numConsumers = consumers(spark, root).size)
+      numConsumers = consumers(spark, root).size,
+      // round-10 operational facts: per-file manifest carries left by
+      // pruned merges (compact_small_files folds them back into dirs)
+      // and declared CHECK constraints gating every SQL DML
+      numFileCarries = dirsOf(spark, root, v)
+        .count(d => d.contains('/') && d.endsWith(".parquet")),
+      numConstraints = Constraints.list(spark, root).size)
   }
 
   /** Loud guard for the streaming surfaces (tail and CDC source).
@@ -1302,8 +1310,33 @@ object SnapshotLog {
     require(batchId >= 0, s"negative batchId $batchId")
     // pre-claim fast path; the gate under the claim is the correctness one
     if (lastBatchId(spark, root).exists(_ >= batchId)) return None
-    scopedUnderClaim(spark, root, batch, keys, partitionCol, statsCols,
+    val r = scopedUnderClaim(spark, root, batch, keys, partitionCol, statsCols,
       bloomCols, batchId)
+    // AUTO-COMPACT (round 10, opt-in — the Delta autoCompact shape):
+    // `graft.scoped.autoCompactEvery=N` runs the per-leaf bin-pack
+    // after every Nth committed version, inline in the sink, so the
+    // per-micro-batch scoped workload self-maintains instead of
+    // accumulating many-file leafs until an operator notices. The
+    // compaction carries the head's batchId, so the exactly-once
+    // replay gate survives it; failures must not fail the batch (the
+    // data committed — maintenance retries next time).
+    r.foreach { v =>
+      val every = spark.conf.getOption("graft.scoped.autoCompactEvery")
+        .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+        .filter(_ > 0).getOrElse(0)
+      if (every > 0 && v % every == 0) {
+        val target = spark.conf
+          .getOption("graft.scoped.autoCompactTargetBytes")
+          .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+          .getOrElse(128L * 1024 * 1024)
+        try compactSmallFiles(spark, root, target)
+        catch { case e: Exception =>
+          System.err.println(
+            s"[graft] auto-compact after v$v skipped: ${e.getMessage}")
+        }
+      }
+    }
+    r
   }
 
   private def scopedUnderClaim(spark: SparkSession, root: String,

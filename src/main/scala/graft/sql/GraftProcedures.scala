@@ -231,7 +231,9 @@ object GraftProcedures {
       StructField("batch_id", LongType),
       StructField("stats_storage", StringType),
       StructField("change_feed_version", BooleanType),
-      StructField("num_consumers", IntegerType)))
+      StructField("num_consumers", IntegerType),
+      StructField("num_file_carries", IntegerType),
+      StructField("num_constraints", IntegerType)))
     override def call(input: InternalRow): JIterator[Scan] = {
       val d = SnapshotLog.describeDetail(spark, root(input))
       scanOf(out, Seq(new GenericInternalRow(Array[Any](
@@ -240,7 +242,7 @@ object GraftProcedures {
         d.partitionColumn.map(UTF8String.fromString).orNull,
         d.columnMapped, d.minReader, d.batchId.getOrElse(null),
         UTF8String.fromString(d.statsStorage), d.changeFeedVersion,
-        d.numConsumers))))
+        d.numConsumers, d.numFileCarries, d.numConstraints))))
     }
   }
 

@@ -80,6 +80,8 @@ class PrunedUpsertSpec extends SparkSpecBase {
     // the carried file resolves through the sidecar listing (zero-LIST)
     val listed = SnapshotLog.filesFromSidecar(spark, root, 2L)
     assert(listed.isDefined, "file entries must keep the listing complete")
+    // DESCRIBE DETAIL surfaces the carry count (the defrag signal)
+    assert(SnapshotLog.describeDetail(spark, root).numFileCarries == 1)
     assert(listed.get.map(_.getPath.getName).toSet.size == listed.get.size)
     // row parity with a full-snapshot merge
     val got = SnapshotLog.read(spark, root).collect().map(_.toSeq).toSet

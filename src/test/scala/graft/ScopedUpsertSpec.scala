@@ -337,6 +337,39 @@ class ScopedUpsertSpec extends SparkSpecBase {
     assert(a.count() == 11)
   }
 
+  test("autoCompactEvery: the scoped sink self-maintains, replay gate intact") {
+    val root = freshRoot()
+    spark.conf.set("graft.scoped.autoCompactEvery", "3")
+    try {
+      // each batch ADDS a partition written at parallelism 3 — leafs
+      // accumulate multi-file, the shape the auto-compact exists for
+      (0 until 5).foreach { i =>
+        val batch = (0 until 12).map(k => (i * 100 + k, s"p$i", s"b$i-$k"))
+          .toDF("k", "p", "v").repartition(3)
+        assert(SnapshotLog.scopedBatch(spark, root, batch,
+          Seq("k"), "p", batchId = i).isDefined)
+      }
+      // versions: v1,v2,v3 scoped; v3%3==0 → v4 compaction; v5,v6 scoped;
+      // v6%3==0 → v7 compaction
+      val head = SnapshotLog.currentVersion(spark, root).get
+      assert(head == 7L, s"expected 5 batches + 2 compactions, head=$head")
+      // every leaf at the head is packed to one file
+      SnapshotLog.dirsOf(spark, root, head).foreach { d =>
+        val leaf = new java.io.File(new java.io.File(root), d)
+        assert(leaf.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+          s"$d not packed")
+      }
+      // replay gate survives the interleaved compactions
+      assert(SnapshotLog.scopedBatch(spark, root,
+        t((99, "p0", "dup")).coalesce(1), Seq("k"), "p", batchId = 4).isEmpty,
+        "replayed batchId must be skipped")
+      val got = rows(SnapshotLog.read(spark, root))
+      val want = (0 until 5).flatMap(i =>
+        (0 until 12).map(k => (i * 100 + k, s"p$i", s"b$i-$k"))).toSet
+      assert(got == want, s"${got.size} rows vs ${want.size}")
+    } finally spark.conf.unset("graft.scoped.autoCompactEvery")
+  }
+
   test("streaming tail survives a scoped compaction under skipChangeCommits") {
     val root = freshRoot()
     val ck = Files.createTempDirectory("graft_scomp_ck").toString

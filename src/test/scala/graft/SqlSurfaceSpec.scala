@@ -379,10 +379,16 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // no change files, and nothing pins history yet
     assert(d.getString(9) == "text" && !d.getBoolean(10) && d.getInt(11) == 0,
       s"round-9 detail facts: $d")
+    // round-10 facts: no per-file carries, no constraints yet
+    assert(d.getInt(12) == 0 && d.getInt(13) == 0, s"round-10 facts: $d")
     // a rename flips the mapping facts
     sql("ALTER TABLE graft.ns.det RENAME COLUMN v TO body")
     val d2 = sql("CALL graft.system.detail('ns.det')").collect().head
     assert(d2.getBoolean(6) && d2.getInt(7) == 2, s"mapped, reader 2: $d2")
+    // a constraint shows up in the count
+    sql("ALTER TABLE graft.ns.det ADD CONSTRAINT kp CHECK (k > 0)")
+    val d3 = sql("CALL graft.system.detail('ns.det')").collect().head
+    assert(d3.getInt(13) == 1, s"constraint count: $d3")
   }
 
   test("CALL register_consumer pins history against CALL vacuum; dry run shows the radius") {

@@ -1671,19 +1671,40 @@ object SnapshotLog {
   def stageTombstoneOcc(spark: SparkSession, root: String,
                         tombstones: DataFrame,
                         keys: Seq[String]): StagedDelete = {
-    import org.apache.spark.sql.functions.{col, substring_index}
+    import org.apache.spark.sql.functions.col
     require(keys.nonEmpty && keys.forall(tombstones.columns.contains),
       s"keys $keys must be columns of the tombstone frame")
+    stageTombstoneCore(spark, root) { base =>
+      require(keys.forall(base.columns.contains),
+        s"keys $keys must be columns of the table")
+      base.join(tombstones.select(keys.map(col(_)): _*).distinct(),
+        keys, "left_semi")
+    }
+  }
+
+  /** [[stageTombstoneOcc]] for an arbitrary row predicate — the SQL
+    * `DELETE WHERE p` shape ([[tombstoneDeleteWhere]]'s scan, staged
+    * with NO lock held so a long DELETE never serializes writers).
+    */
+  def stageTombstoneWhereOcc(spark: SparkSession, root: String,
+      mkCond: DataFrame => org.apache.spark.sql.Column): StagedDelete =
+    stageTombstoneCore(spark, root)(base => base.filter(mkCond(base)))
+
+  /** Shared stage half of the deletion-vector OCC split: run the
+    * caller's row selection over the current head's raw positional
+    * scan, dedup against existing vectors, and write the clustered
+    * vector to a writer-unique staging dir — all lock-free.
+    */
+  private def stageTombstoneCore(spark: SparkSession, root: String)
+      (select: DataFrame => DataFrame): StagedDelete = {
+    import org.apache.spark.sql.functions.{col, substring_index}
     val cur = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
     val rootPath = new Path(root.replaceAll("/+$", ""))
     val base = prunedBaseScan(spark, root, cur)
-    require(keys.forall(base.columns.contains),
-      s"keys $keys must be columns of the table")
-    val hits0 = base
+    val hits0 = select(base
       .withColumn("__rel", substring_index(col("_metadata.file_path"), "/", -2))
-      .withColumn("__ri", col("_metadata.row_index"))
-      .join(tombstones.select(keys.map(col(_)): _*).distinct(), keys, "left_semi")
+      .withColumn("__ri", col("_metadata.row_index")))
       .select(col("__rel"), col("__ri"))
     val hits = freshPositions(spark, root, cur, rootPath, hits0)
     val staging = "tomb_u" + java.util.UUID.randomUUID.toString.replace("-", "")
@@ -1694,6 +1715,16 @@ object SnapshotLog {
       .select("__rel").distinct().collect().map(_.getString(0)).toSet
     StagedDelete(cur, staging, touched)
   }
+
+  /** [[tombstoneDeleteWhere]] through the OCC split: the predicate
+    * scan and vector write run lock-free, the publish rebases over
+    * file-disjoint interleavings. The SQL DELETE lowering rides this —
+    * a long DELETE no longer holds the table claim across its scan.
+    */
+  def tombstoneDeleteWhereOcc(spark: SparkSession, root: String,
+      mkCond: DataFrame => org.apache.spark.sql.Column): Long =
+    publishTombstoneOcc(spark, root,
+      stageTombstoneWhereOcc(spark, root, mkCond))
 
   /** Publish a staged deletion vector, REBASING over commits that
     * landed since the stage iff every one of them is file-disjoint

@@ -141,7 +141,10 @@ case class GraftUpsertKeyedCommand(table: GraftTable, batch: LogicalPlan,
 case class GraftDeleteCommand(table: GraftTable,
                               condition: Expression) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    SnapshotLog.tombstoneDeleteWhere(spark, table.root, { base =>
+    // round 10: through the OCC split — the position scan and vector
+    // write run lock-free, the publish rebases over file-disjoint
+    // interleavings, so a long DELETE never serializes other writers
+    SnapshotLog.tombstoneDeleteWhereOcc(spark, table.root, { base =>
       val out = base.queryExecution.analyzed.output
       val rebound = condition.transform {
         case a: AttributeReference =>

@@ -181,6 +181,29 @@ class OccSpec extends SparkSpecBase {
     assert(SnapshotLog.read(spark, root).count() == 50)
   }
 
+  test("predicate OCC delete: two concurrent disjoint SQL-shaped DELETEs both land") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot()
+    SnapshotLog.appendCommit(spark, root,
+      (0 until 100).map(k => (k, s"a$k")).toDF("k", "v").coalesce(1),
+      statsCols = Seq("k"))
+    SnapshotLog.appendCommit(spark, root,
+      (100 until 200).map(k => (k, s"b$k")).toDF("k", "v").coalesce(1),
+      statsCols = Seq("k"))
+    val fa = Future { SnapshotLog.tombstoneDeleteWhereOcc(spark, root,
+      b => b("k") < 3) }
+    val fb = Future { SnapshotLog.tombstoneDeleteWhereOcc(spark, root,
+      b => b("k") >= 197) }
+    val (va, vb) = (Await.result(fa, 120.seconds), Await.result(fb, 120.seconds))
+    assert(Set(va, vb) == Set(3L, 4L), s"got $va, $vb")
+    val got = SnapshotLog.read(spark, root).agg(
+      org.apache.spark.sql.functions.count(col("k"))).head.getLong(0)
+    assert(got == 194, s"expected 194 survivors, got $got")
+  }
+
   test("an append mid-flight rebases under the OCC delete (snapshot contract)") {
     val root = freshRoot()
     SnapshotLog.appendCommit(spark, root,

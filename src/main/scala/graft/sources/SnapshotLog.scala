@@ -1745,6 +1745,38 @@ object SnapshotLog {
     * isolation at the staged base — Delta's WriteSerializable DELETE
     * contract).
     */
+  /** The file-disjoint rebase validation both OCC row-level DML
+    * publishes run: every interleaved commit must have KEPT all of the
+    * staged base's data entries, and every interleaved deletion vector
+    * must reference files disjoint from the staged positions. `abort`
+    * cleans up and throws.
+    */
+  private def validateDisjointRebase(spark: SparkSession, root: String,
+                                     rootPath: Path, base: Long, head: Long,
+                                     touchedRels: Set[String],
+                                     abort: String => Nothing): Unit = {
+    val baseDirsSet = dirsOf(spark, root, base).toSet
+    val baseTombs = tombDirsOf(spark, root, base)
+    (base + 1L to head).foreach { c =>
+      val lost = baseDirsSet -- dirsOf(spark, root, c).toSet
+      if (lost.nonEmpty)
+        abort(s"v$c replaced data entries the staged positions " +
+          s"reference (${lost.take(3).mkString(", ")}…)")
+    }
+    val newTombs = tombDirsOf(spark, root, head).drop(baseTombs.size)
+    if (newTombs.nonEmpty) {
+      import org.apache.spark.sql.functions.col
+      val overlapping = spark.read.parquet(
+          newTombs.map(d => new Path(rootPath, d).toString): _*)
+        .select("__rel").distinct()
+        .filter(col("__rel").isInCollection(touchedRels))
+        .limit(1).count() > 0
+      if (overlapping)
+        abort(s"a deletion vector landed since v$base on a file this " +
+          "commit also touches")
+    }
+  }
+
   def publishTombstoneOcc(spark: SparkSession, root: String,
                           staged: StagedDelete): Long = {
     withClaimWait(spark, root) {
@@ -1761,26 +1793,8 @@ object SnapshotLog {
       val head = currentVersion(spark, root).getOrElse(
         abort("table has no committed version"))
       val next = head + 1L
-      val baseDirsSet = dirsOf(spark, root, staged.base).toSet
-      val baseTombs = tombDirsOf(spark, root, staged.base)
-      (staged.base + 1L to head).foreach { c =>
-        val lost = baseDirsSet -- dirsOf(spark, root, c).toSet
-        if (lost.nonEmpty)
-          abort(s"v$c replaced data entries the staged positions " +
-            s"reference (${lost.take(3).mkString(", ")}…)")
-      }
-      val newTombs = tombDirsOf(spark, root, head).drop(baseTombs.size)
-      if (newTombs.nonEmpty) {
-        import org.apache.spark.sql.functions.col
-        val overlapping = spark.read.parquet(
-            newTombs.map(d => new Path(rootPath, d).toString): _*)
-          .select("__rel").distinct()
-          .filter(col("__rel").isInCollection(staged.touchedRels))
-          .limit(1).count() > 0
-        if (overlapping)
-          abort(s"a deletion vector landed since v${staged.base} on a " +
-            "file this delete also touches")
-      }
+      validateDisjointRebase(spark, root, rootPath, staged.base, head,
+        staged.touchedRels, abort)
       if (!f.exists(stagingPath))
         abort("staging dir missing (vacuumed or already published)")
       if (!f.rename(stagingPath, new Path(rootPath, tombDirName(next))))
@@ -1813,6 +1827,120 @@ object SnapshotLog {
                          tombstones: DataFrame, keys: Seq[String]): Long =
     publishTombstoneOcc(spark, root,
       stageTombstoneOcc(spark, root, tombstones, keys))
+
+  /** A merge-on-read UPDATE staged outside the claim (round 10,
+    * completing the OCC row-level DML split): the predicate scan, the
+    * new deletion vector AND the rewritten-rows dir all write lock-free;
+    * [[publishUpdateOcc]] rebases both under the short claimed section
+    * with the same file-disjointness rule as the OCC delete.
+    */
+  private[graft] case class StagedUpdate(base: Long, tombStaging: String,
+                                         dataStaging: String,
+                                         touchedRels: Set[String],
+                                         noMatch: Boolean)
+
+  def stageUpdateWhereOcc(spark: SparkSession, root: String,
+      mkCond: DataFrame => org.apache.spark.sql.Column,
+      mkAssign: DataFrame => Map[String, org.apache.spark.sql.Column])
+      : StagedUpdate = {
+    import org.apache.spark.sql.functions.{col, substring_index}
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    require(morKeysOf(spark, root, cur).isEmpty,
+      "updateWhere: merge-on-read keyed lineage — update by key via upsertMor")
+    require(partColOf(spark, root, cur).isEmpty,
+      "updateWhere: partition-scoped lineage — update via upsertScoped")
+    val rootPath = new Path(root.replaceAll("/+$", ""))
+    val base = prunedBaseScan(spark, root, cur)
+    val assignments = mkAssign(base)
+    require(assignments.nonEmpty, "updateWhere needs at least one SET assignment")
+    require(assignments.keys.forall(base.columns.contains),
+      s"SET columns ${assignments.keys} must be columns of the table")
+    val tombs = tombDirsOf(spark, root, cur)
+    val withPos = base
+      .withColumn("__rel", substring_index(col("_metadata.file_path"), "/", -2))
+      .withColumn("__ri", col("_metadata.row_index"))
+    val alive =
+      if (tombs.isEmpty) withPos
+      else withPos.join(
+        spark.read.parquet(tombs.map(d => new Path(rootPath, d).toString): _*),
+        Seq("__rel", "__ri"), "left_anti")
+    val matched = alive.filter(mkCond(base)).persist()
+    try {
+      if (matched.isEmpty)
+        return StagedUpdate(cur, "", "", Set.empty, noMatch = true)
+      val uid = java.util.UUID.randomUUID.toString.replace("-", "")
+      val tombStaging = "tomb_u" + uid
+      val dataStaging = "data_u" + uid
+      writeTombstones(spark, matched.select(col("__rel"), col("__ri")),
+        new Path(rootPath, tombStaging))
+      val sel = base.columns.toSeq
+        .map(c => assignments.get(c).map(_.as(c)).getOrElse(col(c)))
+      val rewrites = matched.select(sel: _*)
+      schemaOf(spark, root, cur).map(toPhysicalDf(rewrites, _))
+        .getOrElse(rewrites).write.mode("overwrite")
+        .parquet(new Path(rootPath, dataStaging).toString)
+      val touched = spark.read
+        .parquet(new Path(rootPath, tombStaging).toString)
+        .select("__rel").distinct().collect().map(_.getString(0)).toSet
+      StagedUpdate(cur, tombStaging, dataStaging, touched, noMatch = false)
+    } finally matched.unpersist()
+  }
+
+  def publishUpdateOcc(spark: SparkSession, root: String,
+                       staged: StagedUpdate): Long = {
+    withClaimWait(spark, root) {
+      val rootPath = new Path(root.replaceAll("/+$", ""))
+      val f = fs(spark, rootPath)
+      def abort(why: String): Nothing = {
+        if (staged.tombStaging.nonEmpty)
+          f.delete(new Path(rootPath, staged.tombStaging), true)
+        if (staged.dataStaging.nonEmpty)
+          f.delete(new Path(rootPath, staged.dataStaging), true)
+        throw new java.util.ConcurrentModificationException(
+          s"merge-on-read UPDATE OCC commit aborted: $why — re-run " +
+          "against the new head")
+      }
+      recoverOrphans(spark, root)
+      val head = currentVersion(spark, root).getOrElse(
+        abort("table has no committed version"))
+      if (staged.noMatch) return head // version-preserving no-op
+      val next = head + 1L
+      validateDisjointRebase(spark, root, rootPath, staged.base, head,
+        staged.touchedRels, abort)
+      val tombSrc = new Path(rootPath, staged.tombStaging)
+      val dataSrc = new Path(rootPath, staged.dataStaging)
+      if (!f.exists(tombSrc) || !f.exists(dataSrc))
+        abort("staging dirs missing (vacuumed or already published)")
+      if (!f.rename(tombSrc, new Path(rootPath, tombDirName(next))))
+        throw new IllegalStateException(
+          s"could not move staged $tombSrc into ${tombDirName(next)}")
+      if (!f.rename(dataSrc, new Path(rootPath, dataDirName(next))))
+        throw new IllegalStateException(
+          s"could not move staged $dataSrc into ${dataDirName(next)}")
+      val carry = sidecarCarry(spark, root, head)
+      val stack = writeStats(spark, root, next, Nil, carry)
+      writeManifestDirs(spark, root, next,
+        dirsOf(spark, root, head) :+ dataDirName(next),
+        batchId = batchIdOf(spark, root, head).getOrElse(-1L),
+        tombDirs = tombDirsOf(spark, root, head) :+ tombDirName(next),
+        kind = "update",
+        schemaJson = rawSchemaJson(spark, root, head),
+        statsStack = stack)
+      publishLatest(spark, root, next)
+      next
+    }
+  }
+
+  /** [[updateWhere]] through the OCC split: scan + both staged writes
+    * run lock-free; the publish rebases over file-disjoint
+    * interleavings. The SQL UPDATE lowering rides this.
+    */
+  def updateWhereOcc(spark: SparkSession, root: String,
+      mkCond: DataFrame => org.apache.spark.sql.Column,
+      mkAssign: DataFrame => Map[String, org.apache.spark.sql.Column]): Long =
+    publishUpdateOcc(spark, root,
+      stageUpdateWhereOcc(spark, root, mkCond, mkAssign))
 
   /** Merge-on-read UPDATE — the commit-cost-ladder rung between the
     * deletion-vector DELETE (O(deleted rows)) and the copy-on-write

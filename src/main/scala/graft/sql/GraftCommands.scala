@@ -182,7 +182,9 @@ case class GraftUpdateMorCommand(table: GraftTable,
       }
       org.apache.spark.sql.graftshim.ClassicShim.column(rebound)
     }
-    SnapshotLog.updateWhere(spark, table.root,
+    // round 10: through the OCC split — scan and both staged writes
+    // run lock-free, the publish rebases over disjoint interleavings
+    SnapshotLog.updateWhereOcc(spark, table.root,
       (base: org.apache.spark.sql.DataFrame) =>
         condition.map(rebind(_, base))
           .getOrElse(org.apache.spark.sql.functions.lit(true)),

@@ -204,6 +204,42 @@ class OccSpec extends SparkSpecBase {
     assert(got == 194, s"expected 194 survivors, got $got")
   }
 
+  test("OCC MoR update: concurrent with a disjoint delete, both land; overlap aborts") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = freshRoot()
+    SnapshotLog.appendCommit(spark, root,
+      (0 until 100).map(k => (k, s"a$k")).toDF("k", "v").coalesce(1),
+      statsCols = Seq("k"))
+    SnapshotLog.appendCommit(spark, root,
+      (100 until 200).map(k => (k, s"b$k")).toDF("k", "v").coalesce(1),
+      statsCols = Seq("k"))
+    // stage an update on file 1 and a delete on file 2 against the SAME
+    // head — the second publish rebases over the first
+    val su = SnapshotLog.stageUpdateWhereOcc(spark, root,
+      b => b("k") === 5, _ => Map("v" -> lit("U5")))
+    val sd = SnapshotLog.stageTombstoneOcc(spark, root,
+      Seq(150).toDF("k"), Seq("k"))
+    assert(SnapshotLog.publishTombstoneOcc(spark, root, sd) == 3L)
+    assert(SnapshotLog.publishUpdateOcc(spark, root, su) == 4L)
+    val got = SnapshotLog.read(spark, root)
+    assert(got.filter(col("k") === 5).head.getString(1) == "U5")
+    assert(got.filter(col("k") === 150).count() == 0)
+    assert(got.count() == 199)
+    // OVERLAP: an update staged on file 1 loses to a delete that landed
+    // on file 1 first — aborts with both staging dirs cleaned
+    val su2 = SnapshotLog.stageUpdateWhereOcc(spark, root,
+      b => b("k") === 6, _ => Map("v" -> lit("U6")))
+    SnapshotLog.tombstoneDelete(spark, root, Seq(7).toDF("k"), Seq("k")) // v5
+    val e = intercept[java.util.ConcurrentModificationException] {
+      SnapshotLog.publishUpdateOcc(spark, root, su2)
+    }
+    assert(e.getMessage.contains("deletion vector landed"), e.getMessage)
+    assert(!new java.io.File(root).listFiles()
+      .exists(f => f.getName.startsWith("tomb_u") || f.getName.startsWith("data_u")))
+    assert(SnapshotLog.read(spark, root)
+      .filter(col("k") === 6).head.getString(1) == "a6")
+  }
+
   test("an append mid-flight rebases under the OCC delete (snapshot contract)") {
     val root = freshRoot()
     SnapshotLog.appendCommit(spark, root,

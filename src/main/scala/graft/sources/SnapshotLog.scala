@@ -909,21 +909,49 @@ object SnapshotLog {
         applyTombstoneDirs(spark, root, tombs, raw)
       }
     val merged = f(visible)
-    // ---- commit under the claim: carried entries + one new dir
-    withClaim(spark, root) { _ =>
+    // ---- STAGE outside the claim (the appendOcc pattern): the
+    // O(matched) merged-slice write — the expensive part — never
+    // serializes other writers. Mapped lineages write PHYSICAL names
+    // (immutable, so the pre-claim pin stays correct); feed-enabled
+    // commits stage their change rows as a hidden dot-dir inside the
+    // staging dir (the scoped-OCC shape) and publish them first.
+    val rootPath = new Path(root.replaceAll("/+$", ""))
+    val stageMap = pinned.map(renameMap).getOrElse(Map.empty[String, String])
+    val mergedP = if (stageMap.isEmpty) merged else toPhysicalDf(merged, pinned.get)
+    val staging = new Path(rootPath, stagingDirName())
+    writeDataDir(spark, mergedP, staging,
+      bloomCols.map(c => stageMap.getOrElse(c, c)))
+    val feed = changeFeedEnabled(spark)
+    if (feed)
+      // the matched slice holds every row sharing a probe key, so the
+      // classification join is O(matched) — and exact, deletes
+      // included (a general MERGE's WHEN MATCHED DELETE records)
+      keyedSliceDiff(visible, merged, keys).write.mode("overwrite")
+        .parquet(new Path(staging, StagedChg).toString)
+    // ---- PUBLISH under the claim: metadata-only
+    withClaimWait(spark, root) {
       recoverOrphans(spark, root)
+      val f2 = fs(spark, rootPath)
       // head moved since the probe — the classic path re-reads it
-      if (!currentVersion(spark, root).contains(cur)) return None
+      if (!currentVersion(spark, root).contains(cur)) {
+        f2.delete(staging, true)
+        return None
+      }
       val next = cur + 1L
-      val rootPath = new Path(root.replaceAll("/+$", ""))
-      val feed = changeFeedEnabled(spark)
-      val chgName = if (feed) chgDirName(next) else ""
-      if (feed)
-        // the matched slice holds every row sharing a probe key, so the
-        // classification join is O(matched) — and exact, deletes
-        // included (a general MERGE's WHEN MATCHED DELETE records)
-        keyedSliceDiff(visible, merged, keys).write.mode("overwrite")
-          .parquet(new Path(rootPath, chgName).toString)
+      if (!f2.rename(staging, dataDir(root, next)))
+        throw new IllegalStateException(
+          s"could not move staged $staging into ${dataDir(root, next)}")
+      // change rows publish BEFORE the stats pass touches the data dir
+      val stagedChg = new Path(dataDir(root, next), StagedChg)
+      val chgName =
+        if (!feed) ""
+        else if (f2.exists(stagedChg)) {
+          if (!f2.rename(stagedChg, new Path(rootPath, chgDirName(next))))
+            throw new IllegalStateException(
+              s"could not publish staged change dir $stagedChg as " +
+                s"${chgDirName(next)}")
+          chgDirName(next)
+        } else ""
       val byDirBase = all.groupBy(_.getPath.getParent.getName)
       val carriedEntries: Seq[String] = dirs.flatMap { d =>
         if (isFileEntry(d)) {
@@ -944,11 +972,12 @@ object SnapshotLog {
         if (key.endsWith("/")) carriedDirBases.contains(key.stripSuffix("/"))
         else !matchedRel.contains(key)
       }
-      stageVersion(spark, root, merged, next,
-        statsCols = statsCols, bloomCols = bloomCols,
-        baseDirs = carriedEntries, carryStats = carry,
-        tombDirs = tombs, schemaJson = rawSchemaJson(spark, root, cur),
-        chgDir = chgName)
+      val stack = writeStats(spark, root, next,
+        statsCols.map(c => stageMap.getOrElse(c, c)), carry)
+      writeManifestAppend(spark, root, next, -1L,
+        baseDirs = carriedEntries, tombDirs = tombs,
+        schemaJson = rawSchemaJson(spark, root, cur),
+        chgDir = chgName, statsStack = stack)
       publishLatest(spark, root, next)
       Some(next)
     }

@@ -768,10 +768,14 @@ object SnapshotLog {
         // FILE-GRANULAR MERGE (round 10): prune the rewrite set to the
         // files whose skipping stats admit a batch key — O(matched
         // files) instead of O(table) — and carry everything else by
-        // reference. Falls back to the classic full rewrite when the
-        // table has no usable listing/stats or nothing prunes.
-        upsertPrunedFlat(spark, root, cur, batch, keys, statsCols,
-            bloomCols).getOrElse {
+        // reference. A concurrent commit between probe and publish
+        // retries the pruned path against the new head (bounded) —
+        // losing a race must not degrade a 1-row merge into a full
+        // rewrite. Falls back to the classic rewrite when the table
+        // has no usable listing/stats or nothing prunes.
+        retryPruned(spark, root, cur)(h =>
+          upsertPrunedFlat(spark, root, h, batch, keys, statsCols,
+            bloomCols)).getOrElse {
           // a full rewrite must not silently strip the lineage's
           // pruning power: inherit the head's stat columns when the
           // caller passes none
@@ -826,6 +830,26 @@ object SnapshotLog {
         Upsert.upsert(visible,
           batch.select(visible.columns.map(col(_)): _*), keys)
     }
+  }
+
+  /** Retry a pruned-path attempt against a moved head: a None that
+    * coincides with an unchanged head is INELIGIBILITY (no stats,
+    * nothing pruned) — stop and let the classic path run; a None with
+    * a moved head lost a race — re-probe against the new head, twice.
+    */
+  private[graft] def retryPruned(spark: SparkSession, root: String,
+                                 cur0: Long)
+      (attempt: Long => Option[Long]): Option[Long] = {
+    var head = cur0
+    var result = attempt(head)
+    var retries = 0
+    while (result.isEmpty && retries < 2 &&
+           !currentVersion(spark, root).contains(head)) {
+      head = currentVersion(spark, root).getOrElse(return None)
+      result = attempt(head)
+      retries += 1
+    }
+    result
   }
 
   /** The file-granular flat-DML core [[upsertPrunedFlat]] and the SQL
@@ -1030,10 +1054,11 @@ object SnapshotLog {
                   keys: Seq[String]): Long = {
     import org.apache.spark.sql.functions.{col, lit}
     currentVersion(spark, root).flatMap { cur =>
-      rewriteMatchedFlat(spark, root, cur,
-        tombstones.select(keys.map(col(_)): _*), keys,
-        inheritedStatsCols(spark, root), Nil)(
-        visible => Upsert.deleteByKey(visible, tombstones, keys))
+      retryPruned(spark, root, cur)(h =>
+        rewriteMatchedFlat(spark, root, h,
+          tombstones.select(keys.map(col(_)): _*), keys,
+          inheritedStatsCols(spark, root), Nil)(
+          visible => Upsert.deleteByKey(visible, tombstones, keys)))
     }.getOrElse {
       val sc = inheritedStatsCols(spark, root)
       if (changeFeedEnabled(spark) && currentVersion(spark, root).isDefined)

@@ -342,13 +342,14 @@ case class GraftMergePrunedCommand(
 
     var obsHolder: Option[org.apache.spark.sql.Observation] = None
     val prunedV = SnapshotLog.currentVersion(spark, root).flatMap { cur =>
-      SnapshotLog.rewriteMatchedFlat(spark, root, cur, probe, keys,
-        table.statsCols, Nil) { visible =>
-        val (gated, o) = graft.sources.Constraints.gate(spark, root,
-          mergeEval(visible))
-        obsHolder = o
-        gated
-      }
+      SnapshotLog.retryPruned(spark, root, cur)(h =>
+        SnapshotLog.rewriteMatchedFlat(spark, root, h, probe, keys,
+          table.statsCols, Nil) { visible =>
+          val (gated, o) = graft.sources.Constraints.gate(spark, root,
+            mergeEval(visible))
+          obsHolder = o
+          gated
+        })
     }
     prunedV match {
       case Some(v) =>

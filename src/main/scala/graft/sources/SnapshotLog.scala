@@ -523,25 +523,6 @@ object SnapshotLog {
       numConstraints = Constraints.list(spark, root).size)
   }
 
-  /** Loud guard for the streaming surfaces (tail and CDC source).
-    * Round 10: renamed and dropped columns stream fine — the shipped
-    * read schema carries each field's immutable PHYSICAL name
-    * ([[streamReadSchemaJson]]) and the executor decoder resolves
-    * physical-first, so no compactChain is needed after a rename.
-    * WIDENED (retyped) columns remain refused: the tail's Group decoder
-    * reads the file's physical type and cannot convert it to the
-    * declared one.
-    */
-  private[graft] def requireNotColumnMapped(spark: SparkSession, root: String,
-                                            context: String): Unit =
-    currentVersion(spark, root).flatMap(schemaOf(spark, root, _)).foreach { st =>
-      require(!st.fields.exists(f =>
-          !isDropped(f) && f.metadata.contains(WidenKey)),
-        s"$context at $root: the table has widened (retyped) columns, " +
-        "which the stream decoder cannot convert; run compactChain to " +
-        "materialize the widened types, then restart")
-    }
-
   /** The tail/CDC read schema shipped to the executor decoders: the
     * stream's LOGICAL fields, each annotated with its immutable
     * PHYSICAL column name from the head's pin (mapped lineages only —

@@ -106,8 +106,6 @@ private[streaming] class GraftChangesTable(root: String, schema: StructType)
     new ScanBuilder {
       override def build(): Scan = new Scan {
         // same contract as the tail: see GraftTailTable.scanBuilder
-        SnapshotLog.requireNotColumnMapped(SparkSession.active, root,
-          "CDC stream")
         GraftTailTable.validateStarting(root, startV)
         override def readSchema(): StructType = schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -151,12 +149,11 @@ private[graft] object GraftTailTable {
                   ignoreDeletes: Boolean = false): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
-        // round 10: renamed/dropped (column-mapped) lineages stream —
-        // the shipped read schema carries physical names and the
-        // decoder resolves physical-first. Only WIDENED (retyped)
-        // columns keep the loud start-time refusal.
-        SnapshotLog.requireNotColumnMapped(SparkSession.active, root,
-          "streaming tail")
+        // round 10: column-mapped lineages stream — the shipped read
+        // schema carries physical names (the decoder resolves
+        // physical-first), and widened columns upcast from the file's
+        // narrow primitive type in the decoder. No refusals remain for
+        // metadata-only evolution.
         GraftTailTable.validateStarting(root, startingVersion)
         override def readSchema(): StructType = schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -361,11 +358,24 @@ private[streaming] class GraftTailStream(root: String, schema: StructType,
       val lost = prior -- dirs.toSet
       val appendLike = v == minV ||
         (kind.isEmpty && lost.isEmpty && tombs == priorTombs)
-      // a RENAME commit is metadata-only — identical dirs and vectors,
-      // zero row changes: the tail continues through it (round 10; the
-      // physical-name resolution decodes later files), shipping nothing
-      val metadataOnly = v != minV && kind.contains("rename") &&
-        lost.isEmpty && dirs.toSet == prior && tombs == priorTombs
+      // RENAME and WIDEN commits are metadata-only — identical dirs and
+      // vectors, zero row changes: the tail continues through them
+      // (round 10), shipping nothing. A WIDEN is admitted only when
+      // this stream's declared schema already matches the post-widen
+      // pin (i.e. the stream started after the widen and is planning
+      // its initial load); a stream that started NARROW keeps the loud
+      // restart refusal — it cannot emit the wide rows.
+      def declaredMatchesPin: Boolean =
+        SnapshotLog.schemaOf(spark, root, v).forall { st =>
+          SnapshotLog.visibleSchema(st).fields.forall { f =>
+            schema.fields.find(_.name == f.name)
+              .forall(_.dataType == f.dataType)
+          }
+        }
+      val metadataOnly = v != minV &&
+        lost.isEmpty && dirs.toSet == prior && tombs == priorTombs &&
+        (kind.contains("rename") ||
+         (kind.contains("widen") && declaredMatchesPin))
       if (metadataOnly) ()
       else if (appendLike) newDirs ++= dirs.filterNot(prior.contains)
       else if (skipChangeCommits) () // skipped wholesale, baseline resets below
@@ -495,19 +505,28 @@ private[streaming] class GraftParquetGroupReader(p: GraftFilePartition)
   private val fileSchema = reader.getFooter.getFileMetaData.getSchema
   private val columnIO = new ColumnIOFactory().getColumnIO(fileSchema)
 
-  // per declared column: index in the FILE schema (−1 → always null)
-  // and the timestamp unit multiplier to µs (−1 marks INT96, parquet's
-  // legacy julian-day+nanos encoding that Spark may still write).
+  // per declared column: index in the FILE schema (−1 → always null),
+  // the timestamp unit multiplier to µs (−1 marks INT96, parquet's
+  // legacy julian-day+nanos encoding that Spark may still write), and
+  // the file's PRIMITIVE type name — a WIDENED lineage's old files
+  // store the narrow physical type, which the decoder upcasts.
   // Resolution is PHYSICAL-first (mapped lineages' data files spell the
   // immutable physical name the shipped schema annotates), falling back
   // to the logical name (commit-time change files spell logical names
   // at their write — pre-rename those ARE the physical names).
-  private val fieldPlan: Array[(Int, Long)] = schema.fields.map { f =>
+  private val fieldPlan: Array[(Int, Long, String)] = schema.fields.map { f =>
     val phys = if (f.metadata.contains("graft.physicalName"))
       f.metadata.getString("graft.physicalName") else f.name
     val idxP = fileSchema.getFields.asScala.indexWhere(_.getName == phys)
     val idx = if (idxP >= 0) idxP
               else fileSchema.getFields.asScala.indexWhere(_.getName == f.name)
+    val prim: String =
+      if (idx < 0) ""
+      else {
+        val pt = fileSchema.getType(idx)
+        if (pt.isPrimitive) pt.asPrimitiveType().getPrimitiveTypeName.name
+        else ""
+      }
     val tsToMicros: Long = if (idx < 0) 1L else {
       val pt = fileSchema.getType(idx)
       if (pt.isPrimitive && pt.asPrimitiveType().getPrimitiveTypeName ==
@@ -525,7 +544,7 @@ private[streaming] class GraftParquetGroupReader(p: GraftFilePartition)
         case _ => 1L
       }
     }
-    (idx, tsToMicros)
+    (idx, tsToMicros, prim)
   }
 
   /** INT96 → µs since epoch: 8 LE bytes nanos-of-day + 4 LE bytes julian
@@ -601,19 +620,27 @@ private[streaming] class GraftParquetGroupReader(p: GraftFilePartition)
     val row = new GenericInternalRow(schema.length + (if (cdc) 2 else 0))
     var i = 0
     while (i < schema.length) {
-      val (idx, tsMul) = fieldPlan(i)
+      val (idx, tsMul, prim) = fieldPlan(i)
       if (idx < 0 || g.getFieldRepetitionCount(idx) == 0) row.setNullAt(i)
       else schema.fields(i).dataType match {
         case BooleanType => row.setBoolean(i, g.getBoolean(idx, 0))
         case IntegerType => row.setInt(i, g.getInteger(idx, 0))
         case DateType    => row.setInt(i, g.getInteger(idx, 0))
-        case LongType    => row.setLong(i, g.getLong(idx, 0))
+        case LongType    =>
+          // widened lineage: pre-widen files store the narrow INT32
+          if (prim == "INT32") row.setLong(i, g.getInteger(idx, 0).toLong)
+          else row.setLong(i, g.getLong(idx, 0))
         case TimestampType | TimestampNTZType =>
           if (tsMul == -1L)
             row.setLong(i, int96Micros(g.getInt96(idx, 0).getBytes))
           else row.setLong(i, g.getLong(idx, 0) * tsMul)
         case FloatType   => row.setFloat(i, g.getFloat(idx, 0))
-        case DoubleType  => row.setDouble(i, g.getDouble(idx, 0))
+        case DoubleType  => prim match {
+          // every widening widenColumnType permits toward double
+          case "FLOAT" => row.setDouble(i, g.getFloat(idx, 0).toDouble)
+          case "INT32" => row.setDouble(i, g.getInteger(idx, 0).toDouble)
+          case _       => row.setDouble(i, g.getDouble(idx, 0))
+        }
         case StringType  =>
           row.update(i, UTF8String.fromBytes(g.getBinary(idx, 0).getBytes))
         case BinaryType  => row.update(i, g.getBinary(idx, 0).getBytes)
@@ -845,10 +872,20 @@ private[streaming] class GraftChangesStream(root: String, dataSchema: StructType
           }
       } else {
       val kind = SnapshotLog.manifestKind(spark, root, v)
-      // "rename" is metadata-only (identical dirs and vectors — zero row
-      // changes): admitted, and the dir diff below yields no partitions
+      // "rename"/"widen" are metadata-only (identical dirs and vectors —
+      // zero row changes): admitted when this stream's declared schema
+      // can emit the rows (widen: only if already wide), and the dir
+      // diff below yields no partitions for them
+      def declaredMatchesPin: Boolean =
+        SnapshotLog.schemaOf(spark, root, v).forall { st =>
+          SnapshotLog.visibleSchema(st).fields.forall { f =>
+            dataSchema.fields.find(_.name == f.name)
+              .forall(_.dataType == f.dataType)
+          }
+        }
       require(v == minV || kind.isEmpty || kind.contains("delete") ||
-          kind.contains("update") || kind.contains("rename"),
+          kind.contains("update") || kind.contains("rename") ||
+          (kind.contains("widen") && declaredMatchesPin),
         s"graft changes stream at $root: version $v is a '${kind.get}' commit — " +
         "row-level changes are derivable from appends, deletion-vector " +
         "deletes, and merge-on-read updates only (or recorded at commit " +

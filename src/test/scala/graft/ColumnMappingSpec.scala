@@ -319,7 +319,7 @@ class ColumnMappingSpec extends SparkSpecBase {
     assert(post == Set(("update", 1, "a", "a2")), post.toString)
   }
 
-  test("refusals: scoped tables keep the rename refusal; widened lineages refuse the tail") {
+  test("refusals: scoped tables keep the rename refusal") {
     // scoped: the partition column names dirs — rename refused outright
     val scoped = freshRoot()
     SnapshotLog.upsertScoped(spark, scoped,
@@ -327,24 +327,54 @@ class ColumnMappingSpec extends SparkSpecBase {
     val e1 = intercept[IllegalArgumentException](
       SnapshotLog.renameColumn(spark, scoped, "v", "body"))
     assert(e1.getMessage.contains("partition-scoped"), e1.getMessage)
-    // WIDENED columns still refuse the tail at start (the Group decoder
-    // cannot convert the file's narrower physical type)
+  }
+
+  test("streaming tail upcasts a widened lineage: narrow old files, wide new ones") {
+    // round 10: the last metadata-only-evolution refusal is gone — the
+    // Group decoder reads each file's own primitive type and upcasts
     val root = freshRoot()
     SnapshotLog.appendCommit(spark, root,
-      Seq((1, 10)).toDF("k", "n"))
+      Seq((1, 10), (2, 20)).toDF("k", "n")) // v1: INT32 files
     SnapshotLog.widenColumnType(spark, root, "n",
-      org.apache.spark.sql.types.LongType)
-    val ck = Files.createTempDirectory("graft_colmap_ck").toString
-    val e2 = intercept[Exception] {
-      val q = spark.readStream.format("graft").load(root)
-        .writeStream.format("memory").queryName("colmap_tail")
-        .option("checkpointLocation", ck).start()
-      try q.processAllAvailable() finally q.stop()
-    }
-    def msgs(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(e2).exists(_.contains("widened")),
-      s"tail should refuse widened lineages: ${msgs(e2)}")
+      org.apache.spark.sql.types.LongType) // v2: metadata-only
+    SnapshotLog.appendCommit(spark, root,
+      Seq((3, 9000000000L)).toDF("k", "n")) // v3: INT64 files
+    val ck = Files.createTempDirectory("graft_widen_tail_ck").toString
+    val out = Files.createTempDirectory("graft_widen_tail_out").toString
+    val q = spark.readStream.format("graft").load(root)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck).start()
+    try {
+      q.processAllAvailable()
+      val df = spark.read.parquet(out)
+      assert(df.schema("n").dataType == org.apache.spark.sql.types.LongType)
+      assert(df.collect().map(r => (r.getInt(0), r.getLong(1))).toSet ==
+        Set(1 -> 10L, 2 -> 20L, 3 -> 9000000000L))
+    } finally q.stop()
+  }
+
+  test("a stream that started NARROW refuses a mid-flight widen (restart contract)") {
+    // the running query's declared schema cannot emit wide rows — the
+    // widen commit must wedge it loudly; a restart (previous test's
+    // shape) picks up the wide schema and reads both generations
+    val root = freshRoot()
+    SnapshotLog.appendCommit(spark, root, Seq((1, 10)).toDF("k", "n"))
+    val ck = Files.createTempDirectory("graft_widen_mid_ck").toString
+    val out = Files.createTempDirectory("graft_widen_mid_out").toString
+    val q = spark.readStream.format("graft").load(root)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck).start()
+    try {
+      q.processAllAvailable()
+      SnapshotLog.widenColumnType(spark, root, "n",
+        org.apache.spark.sql.types.LongType) // v2 mid-flight
+      SnapshotLog.appendCommit(spark, root,
+        Seq((3, 9000000000L)).toDF("k", "n")) // v3: wide rows
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("widen")), msgs(e).toString)
+    } finally q.stop()
   }
 
   // ---- round 10: the tail and CDC stream MAPPED lineages (no refusal)

@@ -75,9 +75,18 @@ object Constraints {
   }
 
   /** Add a named CHECK: the expression must parse AND resolve against
-    * the table's current schema (validated by analyzing a filter over
-    * the live snapshot — plan-only, no scan), and the name must be
-    * fresh.
+    * the table's current schema, and the name must be fresh. FAIL-policy
+    * adds additionally VALIDATE the table's EXISTING rows (the Delta
+    * ADD CONSTRAINT contract): a table already holding violations is
+    * refused with the count — otherwise the first unrelated DML through
+    * the full-rewrite paths would abort on rows the constraint never
+    * gated in. WARN/DROP adds skip the scan by design: those policies
+    * tolerate (count / filter) violations rather than forbidding them.
+    *
+    * The edit runs under the table's writer claim (round 11): two
+    * concurrent ADDs serialize instead of losing one through the
+    * read-modify-write, and the validation scan cannot race a commit
+    * that inserts a violating row between scan and publish.
     */
   def add(spark: SparkSession, root: String, name: String,
           sqlExpr: String, policy: String = "FAIL"): Unit = {
@@ -87,21 +96,31 @@ object Constraints {
     require(name.nonEmpty && !name.contains("\t") && !name.contains("\n"),
       s"constraint name must be a simple label, got '$name'")
     SnapshotLog.read(spark, root).filter(expr(sqlExpr)).queryExecution.analyzed
-    val cur = list(spark, root)
-    require(!cur.exists(_.name == name),
-      s"constraint '$name' already exists on $root")
-    write(spark, root, cur :+ TableCheck(name, pol, sqlExpr))
+    SnapshotLog.withClaimWait(spark, root) {
+      val cur = list(spark, root)
+      require(!cur.exists(_.name == name),
+        s"constraint '$name' already exists on $root")
+      if (pol == "FAIL") {
+        // ANSI NULL-passes: only definite FALSE rows violate
+        val bad = SnapshotLog.read(spark, root)
+          .filter(!coalesce(expr(sqlExpr), lit(true))).count()
+        require(bad == 0L,
+          s"cannot add FAIL constraint '$name' CHECK ($sqlExpr): $bad " +
+          s"existing row(s) violate it — clean the data first, or declare " +
+          "it WARN/DROP")
+      }
+      write(spark, root, cur :+ TableCheck(name, pol, sqlExpr))
+    }
   }
 
   def drop(spark: SparkSession, root: String, name: String,
-           ifExists: Boolean = false): Unit = {
-    val cur = list(spark, root)
-    if (!cur.exists(_.name == name)) {
-      require(ifExists, s"no constraint '$name' on $root")
-      return
+           ifExists: Boolean = false): Unit =
+    SnapshotLog.withClaimWait(spark, root) {
+      val cur = list(spark, root)
+      if (!cur.exists(_.name == name)) {
+        require(ifExists, s"no constraint '$name' on $root")
+      } else write(spark, root, cur.filterNot(_.name == name))
     }
-    write(spark, root, cur.filterNot(_.name == name))
-  }
 
   private def toExpectation(c: TableCheck): Expectations.Expectation = {
     // ANSI CHECK: NULL passes
@@ -124,6 +143,36 @@ object Constraints {
     else {
       val (g, o) = Expectations.gate(df, cs.map(toExpectation))
       (g, Some(o))
+    }
+  }
+
+  /** Gate ONLY the rows a rewrite actually WROTE (round 11): full-
+    * snapshot MERGE/UPDATE rewrites carry every untouched target row
+    * through the commit, and gating those would let a DROP constraint
+    * silently delete pre-existing rows (or a FAIL constraint abort
+    * unrelated DML because of them) — CHECK constraints bind writes,
+    * not carried bytes. `marker` names a non-null boolean column that
+    * is true exactly on action-written rows; each predicate becomes
+    * `NOT marker OR check`, so carried rows always pass and are never
+    * filtered, and the audit counts only written violations. The
+    * marker column is dropped from the gated frame.
+    */
+  def gateWritten(spark: SparkSession, root: String, df: DataFrame,
+                  marker: String): (DataFrame, Option[Observation]) = {
+    val cs = list(spark, root)
+    if (cs.isEmpty) (df.drop(marker), None)
+    else {
+      val exps = cs.map { c =>
+        val p = !org.apache.spark.sql.functions.col(marker) ||
+          coalesce(expr(c.sql), lit(true))
+        c.policy match {
+          case "FAIL" => Expectations.fail(c.name, p)
+          case "DROP" => Expectations.drop(c.name, p)
+          case _      => Expectations.warn(c.name, p)
+        }
+      }
+      val (g, o) = Expectations.gate(df, exps)
+      (g.drop(marker), Some(o))
     }
   }
 

@@ -707,9 +707,17 @@ object SnapshotLog {
     */
   def commit(spark: SparkSession, root: String, df: DataFrame,
              statsCols: Seq[String] = Nil,
-             bloomCols: Seq[String] = Nil): Long =
-    commitStamped(spark, root, df, statsCols, bloomCols,
+             bloomCols: Seq[String] = Nil): Long = {
+    // round 11: persisted CHECK constraints gate EVERY commit path, not
+    // just SQL DML — a full-snapshot commit's rows are all newly written,
+    // so the whole frame gates (internal maintenance rewrites that carry
+    // old rows go through commitStamped directly and stay ungated)
+    val (gated, obs) = Constraints.gate(spark, root, df)
+    val v = commitStamped(spark, root, gated, statsCols, bloomCols,
       carryBatchId = false)
+    Constraints.finish(spark, root, v, obs)
+    v
+  }
 
   /** [[commit]] with control over the streaming stamp: maintenance
     * rewrites ([[compactChain]]) carry the head's batchId forward so an
@@ -743,9 +751,20 @@ object SnapshotLog {
     */
   def upsert(spark: SparkSession, root: String, batch: DataFrame,
              keys: Seq[String], statsCols: Seq[String] = Nil,
-             bloomCols: Seq[String] = Nil): Long =
-    currentVersion(spark, root) match {
+             bloomCols: Seq[String] = Nil): Long = {
+    // round 11: the batch gates through declared CHECK constraints ONCE
+    // here, so both the pruned and classic paths (and the SQL MERGE
+    // lowering riding them) enforce the same quality gate; the merge
+    // targets below are carried rows and stay ungated
+    val (gated, obs) = Constraints.gate(spark, root, batch)
+    val v = currentVersion(spark, root) match {
       case Some(cur) =>
+        // a rewrite must not silently strip the lineage's pruning power:
+        // inherit the head's stat columns when the caller passes none —
+        // on the PRUNED path too (round 11; repeated pruned upserts were
+        // progressively destroying skipping stats)
+        val sc = if (statsCols.nonEmpty) statsCols
+                 else inheritedStatsCols(spark, root)
         // FILE-GRANULAR MERGE (round 10): prune the rewrite set to the
         // files whose skipping stats admit a batch key — O(matched
         // files) instead of O(table) — and carry everything else by
@@ -754,14 +773,15 @@ object SnapshotLog {
         // losing a race must not degrade a 1-row merge into a full
         // rewrite. Falls back to the classic rewrite when the table
         // has no usable listing/stats or nothing prunes.
+        // the key PROBE derives from the UNGATED batch: the probe's
+        // distinct().limit() short-circuits its scan, which would leave
+        // the constraint observation undercounted (and a FAIL unfired)
+        // if it ran over the gated frame — probing with rows DROP would
+        // filter is merely conservative (extra candidate files), while
+        // the gate's full scan rides the slice-merge write instead
         retryPruned(spark, root, cur)(h =>
-          upsertPrunedFlat(spark, root, h, batch, keys, statsCols,
+          upsertPrunedFlat(spark, root, h, gated, batch, keys, sc,
             bloomCols)).getOrElse {
-          // a full rewrite must not silently strip the lineage's
-          // pruning power: inherit the head's stat columns when the
-          // caller passes none
-          val sc = if (statsCols.nonEmpty) statsCols
-                   else inheritedStatsCols(spark, root)
           if (changeFeedEnabled(spark) &&
               currentVersion(spark, root).isDefined)
             // CDF (round 9): the keyed rewrite knows its keys, so the
@@ -770,17 +790,21 @@ object SnapshotLog {
             // recorded feed makes every downstream CDC surface
             // O(changes)
             keyedRewriteWithChanges(spark, root, sc, bloomCols) { snap =>
-              val aligned = batch.select(snap.columns.map(
+              val aligned = gated.select(snap.columns.map(
                 org.apache.spark.sql.functions.col(_)): _*)
               (Upsert.upsert(snap, aligned, keys),
                changeRows(snap, aligned, keys))
             }
-          else commit(spark, root,
-            Upsert.upsert(read(spark, root), batch, keys), sc,
-            bloomCols)
+          else commitStamped(spark, root,
+            Upsert.upsert(read(spark, root), gated, keys), sc,
+            bloomCols, carryBatchId = false)
         }
-      case None    => commit(spark, root, batch, statsCols, bloomCols)
+      case None    => commitStamped(spark, root, gated, statsCols,
+        bloomCols, carryBatchId = false)
     }
+    Constraints.finish(spark, root, v, obs)
+    v
+  }
 
   /** FILE-GRANULAR keyed upsert on a flat snapshot-log lineage — the
     * Delta/Iceberg "touched files" MERGE rule. The batch's key values
@@ -800,13 +824,14 @@ object SnapshotLog {
     * nothing prunes, or the head moved between plan and claim.
     */
   private def upsertPrunedFlat(spark: SparkSession, root: String, cur: Long,
-                               batch: DataFrame, keys: Seq[String],
+                               batch: DataFrame, probeSrc: DataFrame,
+                               keys: Seq[String],
                                statsCols: Seq[String],
                                bloomCols: Seq[String]): Option[Long] = {
     import org.apache.spark.sql.functions.col
     require(keys.nonEmpty, "upsert needs at least one key column")
     rewriteMatchedFlat(spark, root, cur,
-      batch.select(keys.map(col(_)): _*), keys, statsCols, bloomCols) {
+      probeSrc.select(keys.map(col(_)): _*), keys, statsCols, bloomCols) {
       visible =>
         Upsert.upsert(visible,
           batch.select(visible.columns.map(col(_)): _*), keys)
@@ -1049,8 +1074,12 @@ object SnapshotLog {
           (Upsert.deleteByKey(snap, tombstones, keys),
            doomed.withColumn("_change_type", lit("delete")))
         }
-      else commit(spark, root,
-        Upsert.deleteByKey(read(spark, root), tombstones, keys), sc)
+      else
+        // survivors are CARRIED rows, not writes — ungated by design
+        // (a DROP constraint must not silently delete extra rows here)
+        commitStamped(spark, root,
+          Upsert.deleteByKey(read(spark, root), tombstones, keys), sc, Nil,
+          carryBatchId = false)
     }
   }
 
@@ -1387,7 +1416,11 @@ object SnapshotLog {
       s"${batch.columns.toSeq}")
     require(keys.nonEmpty && keys.forall(batch.columns.contains),
       s"keys $keys must be columns of the batch")
-    withClaim(spark, root) { f =>
+    // round 11: constraint gate covers upsertScoped AND the streaming
+    // scopedBatch sink; a FAIL violation fires during the touched-
+    // partition probe below, before anything stages
+    val (gated, obs) = Constraints.gate(spark, root, batch)
+    val r = withClaim(spark, root) { f =>
       recoverOrphans(spark, root)
       // replay gate under the claim (commitBatch's rigor): a stamped
       // scoped batch whose id the head already covers is a post-crash
@@ -1404,7 +1437,7 @@ object SnapshotLog {
       // writer renders them (cast-to-string + path escaping); the collect
       // is bounded by the number of touched partitions — the same driver
       // contract as Upsert.upsertPartitioned
-      val touchedNames = batch.select(gpRenderExpr(spec).cast("string"))
+      val touchedNames = gated.select(gpRenderExpr(spec).cast("string"))
         .distinct().collect().map { r =>
           require(!r.isNullAt(0),
             s"NULL partition component ($partitionCol) in batch: scoped " +
@@ -1430,9 +1463,9 @@ object SnapshotLog {
           spark.read.parquet(
             replaced.map(d => new Path(rootPath, d).toString): _*)))
       val merged = parentSlice match {
-        case None => batch
+        case None => gated
         case Some(parent) =>
-          Upsert.upsert(parent, batch.select(parent.columns.map(col(_)): _*), keys)
+          Upsert.upsert(parent, gated.select(parent.columns.map(col(_)): _*), keys)
       }
       val dd = dataDir(root, next)
       writeDataDir(spark,
@@ -1468,9 +1501,9 @@ object SnapshotLog {
         else {
           val rows = parentSlice match {
             case Some(parent) =>
-              changeRows(parent, batch.select(parent.columns.map(col(_)): _*), keys)
+              changeRows(parent, gated.select(parent.columns.map(col(_)): _*), keys)
             case None =>
-              batch.withColumn("_change_type",
+              gated.withColumn("_change_type",
                 org.apache.spark.sql.functions.lit("insert"))
           }
           rows.write.mode("overwrite")
@@ -1485,6 +1518,8 @@ object SnapshotLog {
       publishLatest(spark, root, next)
       Some(next)
     }
+    r.foreach(v => Constraints.finish(spark, root, v, obs))
+    r
   }
 
   /** Write a deletion-vector frame (__rel, __ri) CLUSTERED by file key:
@@ -1556,7 +1591,11 @@ object SnapshotLog {
   def replaceWithChanges(spark: SparkSession, root: String,
                          df: DataFrame): Long = {
     import org.apache.spark.sql.functions.lit
-    if (!changeFeedEnabled(spark)) return commit(spark, root, df)
+    // ungated: callers (the SQL MERGE/UPDATE rewrites) pass the COMPLETE
+    // next snapshot including carried rows — they gate the written subset
+    // themselves via Constraints.gateWritten
+    if (!changeFeedEnabled(spark))
+      return commitStamped(spark, root, df, Nil, Nil, carryBatchId = false)
     withClaim(spark, root) { _ =>
       recoverOrphans(spark, root)
       val cur = currentVersion(spark, root)
@@ -1872,7 +1911,8 @@ object SnapshotLog {
   private[graft] case class StagedUpdate(base: Long, tombStaging: String,
                                          dataStaging: String,
                                          touchedRels: Set[String],
-                                         noMatch: Boolean)
+                                         noMatch: Boolean,
+                                         obs: Option[org.apache.spark.sql.Observation] = None)
 
   def stageUpdateWhereOcc(spark: SparkSession, root: String,
       mkCond: DataFrame => org.apache.spark.sql.Column,
@@ -1907,18 +1947,33 @@ object SnapshotLog {
       val uid = java.util.UUID.randomUUID.toString.replace("-", "")
       val tombStaging = "tomb_u" + uid
       val dataStaging = "data_u" + uid
-      writeTombstones(spark, matched.select(col("__rel"), col("__ri")),
-        new Path(rootPath, tombStaging))
-      val sel = base.columns.toSeq
-        .map(c => assignments.get(c).map(_.as(c)).getOrElse(col(c)))
-      val rewrites = matched.select(sel: _*)
-      schemaOf(spark, root, cur).map(toPhysicalDf(rewrites, _))
-        .getOrElse(rewrites).write.mode("overwrite")
-        .parquet(new Path(rootPath, dataStaging).toString)
-      val touched = spark.read
-        .parquet(new Path(rootPath, tombStaging).toString)
-        .select("__rel").distinct().collect().map(_.getString(0)).toSet
-      StagedUpdate(cur, tombStaging, dataStaging, touched, noMatch = false)
+      try {
+        writeTombstones(spark, matched.select(col("__rel"), col("__ri")),
+          new Path(rootPath, tombStaging))
+        val sel = base.columns.toSeq
+          .map(c => assignments.get(c).map(_.as(c)).getOrElse(col(c)))
+        // round 11 (ADVICE): the REWRITTEN rows are this statement's
+        // writes — they gate through declared CHECK constraints exactly
+        // like the COW path's written subset (a FAIL violation aborts
+        // inside the staged write, table unmoved; DROP removes the
+        // violating rewrite, whose old copy the tombstone already hides
+        // — the Delta UPDATE contract: constraints verify written rows)
+        val (rewrites, obs) = Constraints.gate(spark, root,
+          matched.select(sel: _*))
+        schemaOf(spark, root, cur).map(toPhysicalDf(rewrites, _))
+          .getOrElse(rewrites).write.mode("overwrite")
+          .parquet(new Path(rootPath, dataStaging).toString)
+        val touched = spark.read
+          .parquet(new Path(rootPath, tombStaging).toString)
+          .select("__rel").distinct().collect().map(_.getString(0)).toSet
+        StagedUpdate(cur, tombStaging, dataStaging, touched, noMatch = false,
+          obs = obs)
+      } catch { case e: Throwable =>
+        val f = fs(spark, rootPath)
+        f.delete(new Path(rootPath, tombStaging), true)
+        f.delete(new Path(rootPath, dataStaging), true)
+        throw e
+      }
     } finally matched.unpersist()
   }
 
@@ -1963,6 +2018,7 @@ object SnapshotLog {
         schemaJson = rawSchemaJson(spark, root, head),
         statsStack = stack)
       publishLatest(spark, root, next)
+      Constraints.finish(spark, root, next, staged.obs)
       next
     }
   }
@@ -2052,8 +2108,11 @@ object SnapshotLog {
             new Path(rootPath, tombDirName(next)))
           val sel = base.columns.toSeq
             .map(c => assignments.get(c).map(_.as(c)).getOrElse(col(c)))
+          // round 11 (ADVICE): rewritten rows gate through declared
+          // CHECK constraints — same contract as stageUpdateWhereOcc
+          val (rewrites, obs) = Constraints.gate(spark, root,
+            matched.select(sel: _*))
           // the rewrites dir joins a physical-named lineage — translate
-          val rewrites = matched.select(sel: _*)
           schemaOf(spark, root, cur).map(toPhysicalDf(rewrites, _))
             .getOrElse(rewrites).write.mode("overwrite")
             .parquet(new Path(rootPath, dataDirName(next)).toString)
@@ -2070,6 +2129,7 @@ object SnapshotLog {
             schemaJson = rawSchemaJson(spark, root, cur),
             statsStack = stack)
           publishLatest(spark, root, next)
+          Constraints.finish(spark, root, next, obs)
           next
         }
       } finally matched.unpersist()
@@ -2151,8 +2211,8 @@ object SnapshotLog {
     try body(f) finally store.releaseClaim(spark, claim)
   }
 
-  private def withClaimWait[T](spark: SparkSession, root: String,
-                               timeoutMs: Long = 60000L)(body: => T): T = {
+  private[sources] def withClaimWait[T](spark: SparkSession, root: String,
+                                        timeoutMs: Long = 60000L)(body: => T): T = {
     val ld = logDir(root)
     val f = fs(spark, ld)
     f.mkdirs(ld)
@@ -2196,10 +2256,16 @@ object SnapshotLog {
     // then aborts on the logical-name drift and deletes the staging)
     val stagePin = currentVersion(spark, root).flatMap(schemaOf(spark, root, _))
     val stageMap = stagePin.map(renameMap).getOrElse(Map.empty[String, String])
-    val physBatch = if (stageMap.isEmpty) batch else toPhysicalDf(batch, stagePin.get)
-    writeDataDir(spark, physBatch, staging,
+    // round 11: the constraint gate rides the lock-free staging write —
+    // a FAIL violation dies here, before the claim, with nothing staged
+    val (gated, obs) = Constraints.gate(spark, root, batch)
+    val physBatch = if (stageMap.isEmpty) gated else toPhysicalDf(gated, stagePin.get)
+    try writeDataDir(spark, physBatch, staging,
       bloomCols.map(c => stageMap.getOrElse(c, c)))
-    withClaimWait(spark, root) {
+    catch { case e: Throwable =>
+      fs(spark, rootPath).delete(staging, true); throw e
+    }
+    val v = withClaimWait(spark, root) {
       recoverOrphans(spark, root)
       val f = fs(spark, rootPath)
       val cur = currentVersion(spark, root)
@@ -2237,6 +2303,8 @@ object SnapshotLog {
       publishLatest(spark, root, next)
       next
     }
+    Constraints.finish(spark, root, v, obs)
+    v
   }
 
   /** Handle for a staged-but-unpublished scoped OCC commit: which head
@@ -2246,7 +2314,8 @@ object SnapshotLog {
   private[graft] case class StagedScoped(base: Option[Long],
                                          stagingDir: String,
                                          touched: Set[String],
-                                         partitionCol: String)
+                                         partitionCol: String,
+                                         obs: Option[org.apache.spark.sql.Observation] = None)
 
   /** Optimistic-concurrency partition-scoped upsert, split so the spec
     * can interleave writers deterministically: [[stageScopedOcc]] does
@@ -2282,11 +2351,14 @@ object SnapshotLog {
     require(keys.nonEmpty && keys.forall(batch.columns.contains),
       s"keys $keys must be columns of the batch")
     val rootPath = new Path(root.replaceAll("/+$", ""))
+    // round 11: constraint gate at the lock-free stage — FAIL fires in
+    // the touched-partition probe below, before anything hits disk
+    val (gated, obs) = Constraints.gate(spark, root, batch)
     // zone pinning, same rule as the claimed path (the publish-side
     // disjointness check then compares identically-rendered names)
     val spec = normalizeGpSpec(spark, spec0, batch,
       currentVersion(spark, root).flatMap(partColOf(spark, root, _)))
-    val touchedNames = batch.select(gpRenderExpr(spec).cast("string"))
+    val touchedNames = gated.select(gpRenderExpr(spec).cast("string"))
       .distinct().collect().map { r =>
         require(!r.isNullAt(0),
           s"NULL partition component ($partitionCol) in batch: scoped " +
@@ -2308,32 +2380,38 @@ object SnapshotLog {
           replaced.map(d => new Path(rootPath, d).toString): _*)))
     }
     val merged = parentSlice match {
-      case None => batch
+      case None => gated
       case Some(parent) =>
-        Upsert.upsert(parent, batch.select(parent.columns.map(col(_)): _*), keys)
+        Upsert.upsert(parent, gated.select(parent.columns.map(col(_)): _*), keys)
     }
     val staging = stagingDirName()
-    writeDataDir(spark,
-      merged.withColumn(GpCol, gpRenderExpr(spec)),
-      new Path(rootPath, staging), bloomCols, partitionBy = Seq(GpCol))
-    // CHANGE DATA FEED at STAGE time: the publish-side validation only
-    // admits interleaved commits that are scoped AND partition-disjoint,
-    // so the touched slice cannot move between stage and publish — the
-    // staged classification stays exact across the rebase. The rows
-    // stage as a dot-dir inside the staging dir (invisible to the leaf
-    // listing and to data readers); publish moves them to chg_v{N}.
-    if (changeFeedEnabled(spark)) {
-      val rows = parentSlice match {
-        case Some(parent) =>
-          changeRows(parent, batch.select(parent.columns.map(col(_)): _*), keys)
-        case None =>
-          batch.withColumn("_change_type",
-            org.apache.spark.sql.functions.lit("insert"))
+    try {
+      writeDataDir(spark,
+        merged.withColumn(GpCol, gpRenderExpr(spec)),
+        new Path(rootPath, staging), bloomCols, partitionBy = Seq(GpCol))
+      // CHANGE DATA FEED at STAGE time: the publish-side validation only
+      // admits interleaved commits that are scoped AND partition-disjoint,
+      // so the touched slice cannot move between stage and publish — the
+      // staged classification stays exact across the rebase. The rows
+      // stage as a dot-dir inside the staging dir (invisible to the leaf
+      // listing and to data readers); publish moves them to chg_v{N}.
+      if (changeFeedEnabled(spark)) {
+        val rows = parentSlice match {
+          case Some(parent) =>
+            changeRows(parent, gated.select(parent.columns.map(col(_)): _*), keys)
+          case None =>
+            gated.withColumn("_change_type",
+              org.apache.spark.sql.functions.lit("insert"))
+        }
+        rows.write.mode("overwrite")
+          .parquet(new Path(rootPath, staging + "/" + StagedChg).toString)
       }
-      rows.write.mode("overwrite")
-        .parquet(new Path(rootPath, staging + "/" + StagedChg).toString)
+    } catch { case e: Throwable =>
+      // a failed stage (constraint FAIL, write error) must not leak its
+      // writer-unique staging dir — nothing published, nothing kept
+      fs(spark, rootPath).delete(new Path(rootPath, staging), true); throw e
     }
-    StagedScoped(base, staging, touchedNames, spec.render)
+    StagedScoped(base, staging, touchedNames, spec.render, obs)
   }
 
   // staged change rows live dot-prefixed inside the OCC staging dir:
@@ -2411,6 +2489,7 @@ object SnapshotLog {
         tombDirs = head.toSeq.flatMap(tombDirsOf(spark, root, _)),
         partCol = staged.partitionCol, chgDir = chg)
       publishLatest(spark, root, next)
+      Constraints.finish(spark, root, next, staged.obs)
       next
     }
   }
@@ -2767,11 +2846,15 @@ object SnapshotLog {
   def appendEvolved(spark: SparkSession, root: String, batch: DataFrame,
                     statsCols: Seq[String] = Nil,
                     bloomCols: Seq[String] = Nil): Long = {
-    withClaim(spark, root) { f =>
+    // round 11: constraint-gated like every append (the gate resolves
+    // against the PRE-evolution schema, which is fine — a constraint can
+    // only reference columns that existed when it was declared)
+    val (gated, obs) = Constraints.gate(spark, root, batch)
+    val v = withClaim(spark, root) { f =>
       recoverOrphans(spark, root)
       currentVersion(spark, root) match {
         case None =>
-          stageVersion(spark, root, batch, 1L, -1L, statsCols, bloomCols,
+          stageVersion(spark, root, gated, 1L, -1L, statsCols, bloomCols,
             schemaJson = java.net.URLEncoder.encode(
               asNullable(batch.schema).json, "UTF-8"))
           publishLatest(spark, root, 1L)
@@ -2820,7 +2903,7 @@ object SnapshotLog {
           }
           // the head's streaming stamp carries: widening between
           // micro-batches must not reopen the replay gate
-          stageVersion(spark, root, batch, next,
+          stageVersion(spark, root, gated, next,
             batchIdOf(spark, root, cur).getOrElse(-1L),
             statsCols, bloomCols,
             baseDirs = dirsOf(spark, root, cur),
@@ -2831,13 +2914,19 @@ object SnapshotLog {
           next
       }
     }
+    Constraints.finish(spark, root, v, obs)
+    v
   }
 
   private def appendUnderClaim(spark: SparkSession, root: String,
                                batch: DataFrame, statsCols: Seq[String],
                                bloomCols: Seq[String],
                                batchId: Long): Option[Long] = {
-    withClaim(spark, root) { f =>
+    // round 11: the declared-constraint gate covers the Scala append API
+    // and the streaming appendBatch sink (FAIL aborts inside the staging
+    // write, before the manifest publishes — the table never moves)
+    val (gated, obs) = Constraints.gate(spark, root, batch)
+    val r = withClaim(spark, root) { f =>
       recoverOrphans(spark, root)
       // replay gate under the claim (commitBatch's rigor): a stamped
       // append whose id the head already covers is a post-crash replay
@@ -2845,7 +2934,7 @@ object SnapshotLog {
         return None
       Some(currentVersion(spark, root) match {
         case None =>
-          stageVersion(spark, root, batch, 1L, batchId, statsCols, bloomCols)
+          stageVersion(spark, root, gated, 1L, batchId, statsCols, bloomCols)
           publishLatest(spark, root, 1L)
           1L
         case Some(cur) =>
@@ -2869,7 +2958,7 @@ object SnapshotLog {
           // parent deletion vectors carry too: an append must not
           // resurrect rows a prior tombstoneDelete removed; the pinned
           // schema of an evolved lineage carries with them
-          stageVersion(spark, root, batch, next, batchId, statsCols,
+          stageVersion(spark, root, gated, next, batchId, statsCols,
             bloomCols, baseDirs = dirsOf(spark, root, cur), carryStats = carry,
             tombDirs = tombDirsOf(spark, root, cur),
             schemaJson = rawSchemaJson(spark, root, cur))
@@ -2877,6 +2966,8 @@ object SnapshotLog {
           next
       })
     }
+    r.foreach(v => Constraints.finish(spark, root, v, obs))
+    r
   }
 
   /** Exactly-once streaming APPEND: [[appendCommit]] with the micro-batch
@@ -2916,7 +3007,10 @@ object SnapshotLog {
     require(batchId >= 0, s"negative batchId $batchId")
     // pre-claim fast path: a replayed batch skips without claim traffic
     if (lastBatchId(spark, root).exists(_ >= batchId)) return None
-    withClaim(spark, root) { f =>
+    // round 11: the micro-batch gates through declared constraints — the
+    // streaming keyed sink enforces the same quality gate as SQL DML
+    val (gated, obs) = Constraints.gate(spark, root, batch)
+    val r = withClaim(spark, root) { f =>
       recoverOrphans(spark, root)
       // re-check under the claim — this one is the correctness gate
       if (lastBatchId(spark, root).exists(_ >= batchId)) None
@@ -2926,8 +3020,8 @@ object SnapshotLog {
         // changes be silently overwritten by a merge built on the
         // superseded version (lost update)
         val merged = currentVersion(spark, root) match {
-          case Some(_) => Upsert.upsert(read(spark, root), batch, keys)
-          case None    => batch
+          case Some(_) => Upsert.upsert(read(spark, root), gated, keys)
+          case None    => gated
         }
         val next = currentVersion(spark, root).getOrElse(0L) + 1L
         stageVersion(spark, root, merged, next, batchId, statsCols, bloomCols)
@@ -2935,6 +3029,8 @@ object SnapshotLog {
         Some(next)
       }
     }
+    r.foreach(v => Constraints.finish(spark, root, v, obs))
+    r
   }
 
   /** Exactly-once full-snapshot REPLACE stamped with `batchId` — the
@@ -2954,17 +3050,21 @@ object SnapshotLog {
     require(batchId >= 0, s"negative batchId $batchId")
     // pre-claim fast path: a replayed range skips without claim traffic
     if (lastBatchId(spark, root).exists(_ >= batchId)) return None
-    withClaim(spark, root) { f =>
+    // round 11: a derived-table rebuild is all newly-written rows — gate
+    val (gated, obs) = Constraints.gate(spark, root, df)
+    val r = withClaim(spark, root) { f =>
       recoverOrphans(spark, root)
       // re-check under the claim — this one is the correctness gate
       if (lastBatchId(spark, root).exists(_ >= batchId)) None
       else {
         val next = currentVersion(spark, root).getOrElse(0L) + 1L
-        stageVersion(spark, root, df, next, batchId, statsCols, bloomCols)
+        stageVersion(spark, root, gated, next, batchId, statsCols, bloomCols)
         publishLatest(spark, root, next)
         Some(next)
       }
     }
+    r.foreach(v => Constraints.finish(spark, root, v, obs))
+    r
   }
 
   /** Compact an append chain: commit the current contents as ONE fresh

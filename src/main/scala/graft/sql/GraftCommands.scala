@@ -17,6 +17,14 @@ import graft.sources.SnapshotLog
   */
 private[sql] object GraftCommands {
 
+  /** Non-null boolean column the MERGE/UPDATE lowerings append to a
+    * full-snapshot rewrite plan: true exactly on rows a WHEN clause /
+    * SET actually wrote. [[graft.sources.Constraints.gateWritten]]
+    * restricts constraint enforcement to those rows and drops the
+    * marker before the commit.
+    */
+  private[sql] val WrittenMarker = "__graft_written"
+
   private[sql] def classicDf(spark: SparkSession, plan: LogicalPlan) =
     org.apache.spark.sql.graftshim.ClassicShim.ofRows(spark, plan)
 
@@ -44,23 +52,25 @@ private[sql] object GraftCommands {
   }
 }
 
-/** INSERT INTO → O(batch) [[SnapshotLog.appendCommit]]. */
+/** INSERT INTO → O(batch) [[SnapshotLog.appendCommit]], whose internal
+  * constraint gate (round 11 — shared by the Scala API and the
+  * streaming sinks) enforces the table's declared CHECKs and audits.
+  */
 case class GraftAppendCommand(table: GraftTable, query: LogicalPlan,
                               byName: Boolean) extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(query)
   override def run(spark: SparkSession): Seq[Row] = {
     val df = GraftCommands.align(
       GraftCommands.classicDf(spark, query), table.tableSchema, byName)
-    val (gated, obs) = graft.sources.Constraints.gate(spark, table.root, df)
-    val v = SnapshotLog.appendCommit(spark, table.root, gated,
+    SnapshotLog.appendCommit(spark, table.root, df,
       statsCols = table.statsCols)
-    graft.sources.Constraints.finish(spark, table.root, v, obs)
     Seq.empty
   }
 }
 
 /** INSERT OVERWRITE → full-snapshot [[SnapshotLog.commit]] (the next
   * version replaces the table; readers on older versions keep them).
+  * Constraint-gated inside commit() — every row is newly written.
   */
 case class GraftOverwriteCommand(table: GraftTable, query: LogicalPlan,
                                  byName: Boolean) extends LeafRunnableCommand {
@@ -68,10 +78,8 @@ case class GraftOverwriteCommand(table: GraftTable, query: LogicalPlan,
   override def run(spark: SparkSession): Seq[Row] = {
     val df = GraftCommands.align(
       GraftCommands.classicDf(spark, query), table.tableSchema, byName)
-    val (gated, obs) = graft.sources.Constraints.gate(spark, table.root, df)
-    val v = SnapshotLog.commit(spark, table.root, gated,
+    SnapshotLog.commit(spark, table.root, df,
       statsCols = table.statsCols)
-    graft.sources.Constraints.finish(spark, table.root, v, obs)
     Seq.empty
   }
 }
@@ -87,9 +95,19 @@ case class GraftReplaceCommand(table: GraftTable, plan: LogicalPlan,
   override def run(spark: SparkSession): Seq[Row] = {
     // with the change feed enabled, the rewrite also records its row
     // diff as commit-time change files (delete + insert rows) so the
-    // CDC surfaces stay O(changes); identical to commit() otherwise
-    val (gated, obs) = graft.sources.Constraints.gate(spark, table.root,
-      GraftCommands.classicDf(spark, plan))
+    // CDC surfaces stay O(changes); identical to commit() otherwise.
+    // Round 11 (ADVICE): the plan is the COMPLETE next snapshot —
+    // written rows AND carried-through target rows — so constraints
+    // gate ONLY the rows the statement's actions wrote (marked
+    // __graft_written by the lowering): a DROP constraint must not
+    // silently delete pre-existing rows an unrelated UPDATE carried,
+    // and a FAIL constraint must not abort on rows it never gated in.
+    val df = GraftCommands.classicDf(spark, plan)
+    val (gated, obs) =
+      if (df.columns.contains(GraftCommands.WrittenMarker))
+        graft.sources.Constraints.gateWritten(spark, table.root, df,
+          GraftCommands.WrittenMarker)
+      else graft.sources.Constraints.gate(spark, table.root, df)
     val v = SnapshotLog.replaceWithChanges(spark, table.root, gated)
     graft.sources.Constraints.finish(spark, table.root, v, obs)
     Seq.empty
@@ -104,11 +122,9 @@ case class GraftUpsertScopedCommand(table: GraftTable, batch: LogicalPlan,
                                     keys: Seq[String]) extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(batch)
   override def run(spark: SparkSession): Seq[Row] = {
-    val (gated, obs) = graft.sources.Constraints.gate(spark, table.root,
-      GraftCommands.classicDf(spark, batch))
-    val v = SnapshotLog.upsertScoped(spark, table.root, gated, keys,
-      table.partCol)
-    graft.sources.Constraints.finish(spark, table.root, v, obs)
+    // constraint-gated inside upsertScoped (round 11)
+    SnapshotLog.upsertScoped(spark, table.root,
+      GraftCommands.classicDf(spark, batch), keys, table.partCol)
     Seq.empty
   }
 }
@@ -124,11 +140,10 @@ case class GraftUpsertKeyedCommand(table: GraftTable, batch: LogicalPlan,
                                    keys: Seq[String]) extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(batch)
   override def run(spark: SparkSession): Seq[Row] = {
-    val (gated, obs) = graft.sources.Constraints.gate(spark, table.root,
-      GraftCommands.classicDf(spark, batch))
-    val v = SnapshotLog.upsert(spark, table.root, gated, keys,
+    // constraint-gated inside upsert (round 11)
+    SnapshotLog.upsert(spark, table.root,
+      GraftCommands.classicDf(spark, batch), keys,
       statsCols = table.statsCols)
-    graft.sources.Constraints.finish(spark, table.root, v, obs)
     Seq.empty
   }
 }
@@ -337,16 +352,23 @@ case class GraftMergePrunedCommand(
         chain(branches.map { case (c, a) => (c, actionValue(a, tAttr)) },
           col("__t_" + tAttr.name)).as(tAttr.name)
       }
-      joined.filter(keep === true).select(outCols: _*)
+      // written marker (round 11): true exactly where a WHEN clause
+      // fired — carried-through target rows stay constraint-exempt
+      val written = chain(branches.map { case (c, _) => (c, lit(true)) },
+        lit(false)).as(GraftCommands.WrittenMarker)
+      joined.filter(keep === true).select(outCols :+ written: _*)
     }
 
+    // constraints gate only the WRITTEN subset (the __graft_written
+    // marker mergeEval emits) — carried target rows are exempt and the
+    // marker is dropped before anything commits (round 11, ADVICE)
     var obsHolder: Option[org.apache.spark.sql.Observation] = None
     val prunedV = SnapshotLog.currentVersion(spark, root).flatMap { cur =>
       SnapshotLog.retryPruned(spark, root, cur)(h =>
         SnapshotLog.rewriteMatchedFlat(spark, root, h, probe, keys,
           table.statsCols, Nil) { visible =>
-          val (gated, o) = graft.sources.Constraints.gate(spark, root,
-            mergeEval(visible))
+          val (gated, o) = graft.sources.Constraints.gateWritten(spark, root,
+            mergeEval(visible), GraftCommands.WrittenMarker)
           obsHolder = o
           gated
         })
@@ -357,8 +379,8 @@ case class GraftMergePrunedCommand(
       case None =>
         // full-snapshot rewrite fallback (the copy-on-write path the
         // general MERGE always took before round 10)
-        val (gated, o) = graft.sources.Constraints.gate(spark, root,
-          mergeEval(SnapshotLog.read(spark, root)))
+        val (gated, o) = graft.sources.Constraints.gateWritten(spark, root,
+          mergeEval(SnapshotLog.read(spark, root)), GraftCommands.WrittenMarker)
         val v = SnapshotLog.replaceWithChanges(spark, root, gated)
         graft.sources.Constraints.finish(spark, root, v, o)
     }

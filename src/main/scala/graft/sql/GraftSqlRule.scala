@@ -281,7 +281,9 @@ object GraftSqlRule {
       GraftUpdateMorCommand(g, u.condition, sets)
     } else {
       // copy-on-write fallback: per-column conditional projection over
-      // the snapshot, committed as the complete next version
+      // the snapshot, committed as the complete next version; the
+      // written marker (round 11) flags exactly the condition-matched
+      // rows so constraints gate writes, not carried rows
       val read = expand(session, u.table)
       val cond = u.condition.getOrElse(Literal.TrueLiteral)
       val cols = rel.output.map { t =>
@@ -291,7 +293,9 @@ object GraftSqlRule {
           case None => Alias(t, t.name)()
         }
       }
-      GraftReplaceCommand(g, Project(cols, read), "UPDATE")
+      val written = Alias(Coalesce(Seq(cond, Literal.FalseLiteral)),
+        GraftCommands.WrittenMarker)()
+      GraftReplaceCommand(g, Project(cols :+ written, read), "UPDATE")
     }
   }
 
@@ -459,7 +463,14 @@ object GraftSqlRule {
         Some(t: Expression))
       Alias(value, t.name)()
     }
-    Project(cols, Filter(keep, join))
+    // written marker (round 11): a WHEN clause fired on this row — the
+    // constraint gate binds to these, never to carried target rows
+    val written = Alias(CaseWhen(
+      branches.map { case (c, _) =>
+        (c, Literal.TrueLiteral): (Expression, Expression)
+      },
+      Some(Literal.FalseLiteral)), GraftCommands.WrittenMarker)()
+    Project(cols :+ written, Filter(keep, join))
   }
 
   private def actionValue(a: MergeAction, t: AttributeReference,

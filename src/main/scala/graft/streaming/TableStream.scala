@@ -883,13 +883,32 @@ private[streaming] class GraftChangesStream(root: String, dataSchema: StructType
               .forall(_.dataType == f.dataType)
           }
         }
+      // a rename is admitted only when the renamed-to names are ALREADY
+      // this stream's declared names (historical replay of a pre-start
+      // rename). A rename landing AFTER stream start renames logical
+      // names the pinned read schema has never heard of: later commit-
+      // time change files spell the NEW names, which match neither the
+      // pinned physical name nor the query-start logical fallback, and
+      // the renamed column would decode as silent NULLs — refuse loudly
+      // (the widen restart contract) instead. Note the separate check:
+      // declaredMatchesPin's find().forall() passes VACUOUSLY for a
+      // name the declared schema lacks, which is exactly the case that
+      // must refuse here.
+      def declaredCoversNames: Boolean =
+        SnapshotLog.schemaOf(spark, root, v).forall { st =>
+          SnapshotLog.visibleSchema(st).fields.forall(f =>
+            dataSchema.fields.exists(_.name == f.name))
+        }
       require(v == minV || kind.isEmpty || kind.contains("delete") ||
-          kind.contains("update") || kind.contains("rename") ||
+          kind.contains("update") ||
+          (kind.contains("rename") && declaredCoversNames) ||
           (kind.contains("widen") && declaredMatchesPin),
-        s"graft changes stream at $root: version $v is a '${kind.get}' commit — " +
-        "row-level changes are derivable from appends, deletion-vector " +
-        "deletes, and merge-on-read updates only (or recorded at commit " +
-        "time via graft.changeFeed.enabled); restart after other maintenance")
+        s"graft changes stream at $root: version $v is a '${kind.get}' commit " +
+        "this stream's query-start schema cannot decode — row-level changes " +
+        "are derivable from appends, deletion-vector deletes, and " +
+        "merge-on-read updates (or recorded at commit time via " +
+        "graft.changeFeed.enabled); a mid-flight rename/widen requires a " +
+        "stream restart to re-infer the schema")
       val prevDirs = if (v - 1 < minV) Set.empty[String]
                      else SnapshotLog.dirsOf(spark, root, v - 1).toSet
       val dirs = SnapshotLog.dirsOf(spark, root, v)

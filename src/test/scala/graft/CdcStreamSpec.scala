@@ -93,6 +93,43 @@ class CdcStreamSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("a rename landing AFTER stream start refuses loudly; post-start replay of a pre-start rename flows") {
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    // mid-flight rename: the stream's pinned query-start schema cannot
+    // decode change files spelled with the NEW logical names — silent
+    // NULLs before round 11; a loud restart-contract refusal now
+    val root = freshRoot()
+    val ck = Files.createTempDirectory("graft_cdc_ck3").toString
+    SnapshotLog.commit(spark, root, Seq((1, "a")).toDF("k", "v"))
+    val q = spark.readStream.format("graft").option("changes", "true").load(root)
+      .writeStream.format("memory").queryName("cdc_rename_sink")
+      .option("checkpointLocation", ck).start()
+    try {
+      q.processAllAvailable()
+      SnapshotLog.renameColumn(spark, root, "v", "w")              // v2: rename
+      SnapshotLog.appendCommit(spark, root, Seq((2, "b")).toDF("k", "w")) // v3
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      assert(messages(ex).exists(_.contains("restart")),
+        s"expected the rename refusal, got: ${messages(ex)}")
+    } finally q.stop()
+    // a stream started AFTER the rename replays the historical rename
+    // commit fine: its declared names ARE the post-rename names
+    val ck2 = Files.createTempDirectory("graft_cdc_ck4").toString
+    val q2 = spark.readStream.format("graft").option("changes", "true")
+      .option("startingVersion", "2").load(root)
+      .writeStream.format("memory").queryName("cdc_rename_replay")
+      .option("checkpointLocation", ck2).start()
+    try {
+      q2.processAllAvailable()
+      val got = spark.table("cdc_rename_replay")
+        .select("k", "w", "_change_type", "_commit_version").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+      assert(got == Set((2, "b", "insert", 3L)), got.toString)
+    } finally q2.stop()
+  }
+
   test("changes stream refuses a commit without row-level provenance") {
     val root = freshRoot()
     val ck = Files.createTempDirectory("graft_cdc_ck2").toString

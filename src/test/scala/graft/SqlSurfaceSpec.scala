@@ -532,6 +532,85 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .properties().get("graft.statsCols") == "k")
   }
 
+  test("constraints bind WRITTEN rows only; UPDATE paths gate; ADD validates existing (round 11)") {
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
+    sql("CREATE TABLE graft.ns.wr (k INT, v STRING)")
+    sql("INSERT INTO graft.ns.wr VALUES (1, 'dirtyverylong'), (2, 'ok'), (3, 'x')")
+    // a FAIL add over data that violates it is REFUSED with the count
+    val eAdd = intercept[Exception] {
+      sql("ALTER TABLE graft.ns.wr ADD CONSTRAINT v_cap CHECK (length(v) <= 5)")
+    }
+    assert(msgs(eAdd).exists(_.contains("existing row")), msgs(eAdd).toString)
+    assert(rowsOf("CALL graft.system.constraints('ns.wr')").isEmpty)
+    // tolerant DROP policy may be declared over the same dirty data
+    sql("CALL graft.system.add_constraint('ns.wr', 'v_short', 'length(v) <= 5', 'DROP')")
+    sql("ALTER TABLE graft.ns.wr ADD CONSTRAINT k_cap CHECK (k < 100)")
+    // ADVICE (high): UPDATE on a flat table lowers onto the merge-on-read
+    // OCC path — a SET writing a FAIL violation must abort, table unmoved
+    val vBefore = SnapshotLog.currentVersion(spark, root("wr")).get
+    val e = intercept[Exception] {
+      sql("UPDATE graft.ns.wr SET k = 500 WHERE v = 'ok'")
+    }
+    assert(msgs(e).exists(_.contains("k_cap")), msgs(e).toString)
+    assert(SnapshotLog.currentVersion(spark, root("wr")).contains(vBefore))
+    assert(rowsOf("SELECT k FROM graft.ns.wr") == Set(Seq(1), Seq(2), Seq(3)))
+    val leaked = new java.io.File(root("wr")).listFiles()
+      .map(_.getName).filter(n => n.startsWith("data_u") || n.startsWith("tomb_u"))
+    assert(leaked.isEmpty, s"staged UPDATE debris: ${leaked.toSeq}")
+    // an unrelated UPDATE must NOT let the DROP policy delete the
+    // pre-existing violating row — carried rows are constraint-exempt
+    sql("UPDATE graft.ns.wr SET v = 'y' WHERE k = 3")
+    assert(rowsOf("SELECT k, v FROM graft.ns.wr") ==
+      Set(Seq(1, "dirtyverylong"), Seq(2, "ok"), Seq(3, "y")))
+    // general MERGE fallback (non-pure-equality ON → full COW rewrite):
+    // the dirty carried row rides the rewrite ungated via the written
+    // marker; the written row passes and lands
+    sql("""MERGE INTO graft.ns.wr t USING (SELECT 3 AS k, 'mrg' AS v) s
+           ON t.k = s.k AND length(s.v) > 0
+           WHEN MATCHED THEN UPDATE SET t.v = s.v""")
+    assert(rowsOf("SELECT k, v FROM graft.ns.wr") ==
+      Set(Seq(1, "dirtyverylong"), Seq(2, "ok"), Seq(3, "mrg")))
+    // a WRITTEN violating value under DROP removes the row (the written
+    // copy is filtered; its old position is already tombstoned)
+    sql("UPDATE graft.ns.wr SET v = 'thisiswaytoolong' WHERE k = 2")
+    assert(rowsOf("SELECT k FROM graft.ns.wr") == Set(Seq(1), Seq(3)))
+
+    // pruned multi-clause MERGE (stats table): carried rows inside the
+    // MATCHED slice stay exempt too — the file holding the dirty row is
+    // rewritten because key 2 lives there, the dirty row must survive
+    sql("""CREATE TABLE graft.ns.wrm (k INT, v STRING)
+           TBLPROPERTIES ('graft.statsCols'='k')""")
+    sql("INSERT INTO graft.ns.wrm VALUES (1, 'dirtyverylong'), (2, 'ok')")
+    sql("INSERT INTO graft.ns.wrm VALUES (10, 'x')")
+    sql("CALL graft.system.add_constraint('ns.wrm', 'v_short', 'length(v) <= 5', 'DROP')")
+    sql("""MERGE INTO graft.ns.wrm t
+           USING (SELECT 2 AS k, 'mrg' AS v UNION ALL SELECT 20, 'in') s
+           ON t.k = s.k
+           WHEN MATCHED AND t.v = 'nope' THEN DELETE
+           WHEN MATCHED THEN UPDATE SET t.v = s.v
+           WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    assert(rowsOf("SELECT k, v FROM graft.ns.wrm") ==
+      Set(Seq(1, "dirtyverylong"), Seq(2, "mrg"), Seq(10, "x"), Seq(20, "in")))
+
+    // scoped table: the COW UPDATE path gates written rows only as well
+    sql("""CREATE TABLE graft.ns.wrp (k INT, v STRING, p STRING)
+           PARTITIONED BY (p)""")
+    sql("""INSERT INTO graft.ns.wrp VALUES (1, 'dirtyverylong', 'a'),
+           (2, 'ok', 'a'), (3, 'x', 'b')""")
+    sql("CALL graft.system.add_constraint('ns.wrp', 'v_short', 'length(v) <= 5', 'DROP')")
+    sql("UPDATE graft.ns.wrp SET v = 'z' WHERE k = 3")
+    assert(rowsOf("SELECT k, v FROM graft.ns.wrp") ==
+      Set(Seq(1, "dirtyverylong"), Seq(2, "ok"), Seq(3, "z")))
+    sql("ALTER TABLE graft.ns.wrp ADD CONSTRAINT k_cap CHECK (k < 100)")
+    val e2 = intercept[Exception] {
+      sql("UPDATE graft.ns.wrp SET k = 500 WHERE v = 'z'")
+    }
+    assert(msgs(e2).exists(_.contains("k_cap")), msgs(e2).toString)
+    assert(rowsOf("SELECT k FROM graft.ns.wrp") == Set(Seq(1), Seq(2), Seq(3)))
+  }
+
   test("constraint lifecycle: ADD CONSTRAINT gates SQL DML, audit records, DROP frees") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
     sql("CREATE TABLE graft.ns.ct (k INT, v STRING)")

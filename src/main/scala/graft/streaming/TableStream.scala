@@ -59,7 +59,8 @@ import graft.sources.SnapshotLog
   * double, string/binary, date, timestamp µs/ms — NANOS and nested
   * types are refused at planning time with a clear error).
   */
-class GraftTailProvider extends TableProvider with DataSourceRegister {
+class GraftTailProvider extends TableProvider with DataSourceRegister
+    with GraftSinkProvider {
   override def shortName(): String = "graft"
 
   private def rootOf(options: CaseInsensitiveStringMap): String = {
@@ -74,7 +75,14 @@ class GraftTailProvider extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
-    val base = SnapshotLog.read(spark, rootOf(options)).schema
+    val root = rootOf(options)
+    // the WRITE side resolves the provider's table too (DataStreamWriter
+    // probes for STREAMING_WRITE before falling back to createSink) —
+    // a sink targeting a not-yet-created table must not die here; the
+    // READ side keeps its loud error at scan construction
+    if (SnapshotLog.currentVersion(spark, root).isEmpty)
+      return new StructType()
+    val base = SnapshotLog.read(spark, root).schema
     if (isChanges(options))
       StructType(base.fields ++ Seq(
         StructField("_change_type", StringType, nullable = false),
@@ -106,6 +114,8 @@ private[streaming] class GraftChangesTable(root: String, schema: StructType)
     new ScanBuilder {
       override def build(): Scan = new Scan {
         // same contract as the tail: see GraftTailTable.scanBuilder
+        require(schema.fields.nonEmpty,
+          s"graft changes stream: no committed table at $root")
         GraftTailTable.validateStarting(root, startV)
         override def readSchema(): StructType = schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -154,6 +164,8 @@ private[graft] object GraftTailTable {
         // physical-first), and widened columns upcast from the file's
         // narrow primitive type in the decoder. No refusals remain for
         // metadata-only evolution.
+        require(schema.fields.nonEmpty,
+          s"graft tail stream: no committed table at $root")
         GraftTailTable.validateStarting(root, startingVersion)
         override def readSchema(): StructType = schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =

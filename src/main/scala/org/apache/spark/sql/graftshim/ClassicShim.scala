@@ -19,4 +19,18 @@ object ClassicShim {
 
   def analyzed(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
+  /** The ForeachBatchSink idiom: re-wrap a streaming micro-batch frame
+    * as a BATCH Dataset over its own executed RDD — `isStreaming`
+    * becomes false (so observe()/multi-action batch APIs apply) while
+    * the rows stay exactly the micro-batch's. What Spark's own
+    * foreachBatch hands user code; the graft streaming sink needs the
+    * same wrap before entering the snapshot-log commit paths.
+    */
+  def stableBatch(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[_]]
+    classic.Dataset.ofRows(ds.sparkSession,
+      org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+        ds.queryExecution.toRdd, ds, isStreaming = false))
+  }
 }

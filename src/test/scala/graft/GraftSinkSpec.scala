@@ -1,0 +1,204 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Constraints, SnapshotLog}
+
+/** Round 11 (the r10 verdict's #2): the NATIVE streaming sink —
+  * `df.writeStream.format("graft")` — write-side twin of the tail
+  * source. Lowers onto the stamped commit paths, so every property the
+  * foreachBatch idiom proved (exactly-once across restart AND across a
+  * forced replay, O(batch)/O(touched-partition) commit cost, the
+  * constraint gate) holds verbatim; plus the full round-trip:
+  * writeStream → graft table → readStream tail.
+  */
+class GraftSinkSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def dirFor(tag: String) =
+    Files.createTempDirectory(s"graft_sink_$tag").toString
+
+  test("append sink: delta versions, restart quiet, FORCED replay skipped by the stamp") {
+    val dir = dirFor("append")
+    val root = s"$dir/table"
+    val stream = MemoryStream[Ev](spark)
+    def start() = stream.toDF().writeStream.format("graft")
+      .option("checkpointLocation", s"$dir/ckpt").start(root)
+    val q = start()
+    stream.addData(Ev(1, ts("2024-01-01 10:00:00"), 1, 1.0))
+    q.processAllAvailable()
+    stream.addData(Ev(2, ts("2024-01-01 10:01:00"), 1, 2.0),
+                   Ev(3, ts("2024-01-01 10:02:00"), 2, 3.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(SnapshotLog.read(spark, root).count() == 3)
+    // O(batch): version 2's own delta dir holds only batch 1's rows
+    assert(spark.read.parquet(s"$root/data_v00000002").count() == 2,
+      "append sink rewrote the table instead of appending a delta")
+    // plain restart: no re-delivery, no version churn
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    assert(SnapshotLog.versions(spark, root) == Seq(1L, 2L))
+    // FORCED replay (kill between table commit and checkpoint commit):
+    // removing the checkpoint's commit record makes Structured Streaming
+    // re-deliver batch 1 on restart — the manifest's batchId stamp must
+    // swallow it (ships nothing twice)
+    val commit1 = new java.io.File(s"$dir/ckpt/commits/1")
+    assert(commit1.isFile, "checkpoint layout drifted — test needs commits/1")
+    assert(commit1.delete())
+    // the local-FS checksum sidecar must go with it, or the re-written
+    // commit record trips Hadoop's stale-CRC check
+    new java.io.File(s"$dir/ckpt/commits/.1.crc").delete()
+    val q3 = start(); q3.processAllAvailable(); q3.stop()
+    assert(SnapshotLog.versions(spark, root) == Seq(1L, 2L),
+      "replayed batch landed twice")
+    assert(SnapshotLog.read(spark, root).count() == 3)
+  }
+
+  test("append sink round-trip: writeStream → graft table → readStream tail") {
+    val dir = dirFor("rt")
+    val root = s"$dir/table"
+    val stream = MemoryStream[Ev](spark)
+    val w = stream.toDF().writeStream.format("graft")
+      .option("checkpointLocation", s"$dir/wck").start(root)
+    stream.addData(Ev(1, ts("2024-01-01 10:00:00"), 1, 1.0))
+    w.processAllAvailable()
+    // tail the sink's table with the read side of the same format
+    val r = spark.readStream.format("graft").load(root)
+      .writeStream.format("memory").queryName("sink_rt")
+      .option("checkpointLocation", s"$dir/rck").start()
+    try {
+      r.processAllAvailable()
+      assert(spark.table("sink_rt").count() == 1)
+      stream.addData(Ev(2, ts("2024-01-01 10:01:00"), 2, 2.0))
+      w.processAllAvailable()
+      r.processAllAvailable()
+      assert(spark.table("sink_rt").select("event_id").as[Long]
+        .collect().sorted.toSeq == Seq(1L, 2L))
+    } finally { r.stop(); w.stop() }
+  }
+
+  test("upsert sink ≡ the foreachBatch commitBatch idiom, row for row") {
+    val dirA = dirFor("upsA"); val dirB = dirFor("upsB")
+    val batches = Seq(
+      Seq(Ev(1, ts("2024-01-01 10:00:00"), 1, 1.0),
+          Ev(2, ts("2024-01-01 10:01:00"), 1, 2.0)),
+      Seq(Ev(2, ts("2024-01-01 10:01:00"), 1, 20.0),
+          Ev(3, ts("2024-01-01 10:02:00"), 2, 3.0)))
+    // native sink
+    val sA = MemoryStream[Ev](spark)
+    val qA = sA.toDF().writeStream.format("graft")
+      .option("mode", "upsert").option("keys", "event_id")
+      .option("checkpointLocation", s"$dirA/ck").start(s"$dirA/t")
+    // foreachBatch twin
+    val sB = MemoryStream[Ev](spark)
+    val qB = sB.toDF().writeStream
+      .option("checkpointLocation", s"$dirB/ck")
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+        { SnapshotLog.commitBatch(spark, s"$dirB/t", df, Seq("event_id"), id); () })
+      .start()
+    batches.foreach { b =>
+      sA.addData(b: _*); sB.addData(b: _*)
+      qA.processAllAvailable(); qB.processAllAvailable()
+    }
+    qA.stop(); qB.stop()
+    def snap(root: String) = SnapshotLog.read(spark, root)
+      .select("event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(snap(s"$dirA/t") == snap(s"$dirB/t"))
+    assert(snap(s"$dirA/t") == Set((1L, 1.0), (2L, 20.0), (3L, 3.0)))
+    assert(SnapshotLog.versions(spark, s"$dirA/t") ==
+      SnapshotLog.versions(spark, s"$dirB/t"))
+  }
+
+  test("scoped upsert sink: partitionBy option → O(touched partitions) scoped commits") {
+    val dir = dirFor("scoped")
+    val root = s"$dir/t"
+    val stream = MemoryStream[Ev](spark)
+    val q = stream.toDF().writeStream.format("graft")
+      .option("mode", "upsert").option("keys", "event_id")
+      .option("partitionBy", "user_id")
+      .option("checkpointLocation", s"$dir/ck").start(root)
+    stream.addData(Ev(1, ts("2024-01-01 10:00:00"), 1, 1.0),
+                   Ev(2, ts("2024-01-01 10:01:00"), 2, 2.0))
+    q.processAllAvailable()
+    stream.addData(Ev(1, ts("2024-01-01 10:05:00"), 1, 10.0),
+                   Ev(3, ts("2024-01-01 10:06:00"), 1, 3.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(SnapshotLog.read(spark, root).select("event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq ==
+      Seq((1L, 10.0), (2L, 2.0), (3L, 3.0)))
+    // version 2's own data dir holds ONLY user 1's partition
+    val own2 = new java.io.File(root, "data_v00000002")
+    assert(own2.list().filter(_.startsWith("__gp=")).toSeq == Seq("__gp=1"),
+      own2.list().toSeq.toString)
+    assert(SnapshotLog.manifestKind(spark, root, 2L).contains("scoped"))
+  }
+
+  test("replace sink: outputMode complete rebuilds the snapshot per batch, stamped") {
+    val dir = dirFor("replace")
+    val root = s"$dir/t"
+    val stream = MemoryStream[Ev](spark)
+    val counts = stream.toDF().groupBy("user_id")
+      .agg(count(lit(1)).as("n"))
+    val q = counts.writeStream.format("graft")
+      .option("mode", "replace").outputMode("complete")
+      .option("checkpointLocation", s"$dir/ck").start(root)
+    stream.addData(Ev(1, ts("2024-01-01 10:00:00"), 1, 1.0))
+    q.processAllAvailable()
+    stream.addData(Ev(2, ts("2024-01-01 10:01:00"), 1, 2.0),
+                   Ev(3, ts("2024-01-01 10:02:00"), 2, 3.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(SnapshotLog.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L), (2L, 1L)))
+    // each batch is one full replace version; pinned history intact
+    assert(SnapshotLog.readVersion(spark, root, 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 1L)))
+  }
+
+  test("the sink rides the constraint gate: a violating micro-batch fails the query, table unmoved") {
+    val dir = dirFor("gate")
+    val root = s"$dir/t"
+    SnapshotLog.commit(spark, root,
+      Seq((1L, ts("2024-01-01 10:00:00"), 1L, 1.0))
+        .toDF("event_id", "ts", "user_id", "value"))
+    Constraints.add(spark, root, "v_pos", "value > 0")
+    val stream = MemoryStream[Ev](spark)
+    val q = stream.toDF().writeStream.format("graft")
+      .option("checkpointLocation", s"$dir/ck").start(root)
+    stream.addData(Ev(2, ts("2024-01-01 10:01:00"), 1, -5.0))
+    val ex = intercept[Exception] { q.processAllAvailable() }
+    q.stop()
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("v_pos")), messages(ex).toString)
+    assert(SnapshotLog.currentVersion(spark, root).contains(1L))
+    assert(SnapshotLog.read(spark, root).count() == 1)
+  }
+
+  test("option validation fails at start(), not first batch") {
+    val dir = dirFor("opts")
+    val stream = MemoryStream[Ev](spark)
+    intercept[Exception] {   // upsert without keys
+      stream.toDF().writeStream.format("graft").option("mode", "upsert")
+        .option("checkpointLocation", s"$dir/ck1").start(s"$dir/t1")
+    }
+    intercept[Exception] {   // unknown mode
+      stream.toDF().writeStream.format("graft").option("mode", "merge")
+        .option("checkpointLocation", s"$dir/ck2").start(s"$dir/t2")
+    }
+    intercept[Exception] {   // append + partitionBy: scoped needs upsert
+      stream.toDF().writeStream.format("graft")
+        .option("partitionBy", "user_id")
+        .option("checkpointLocation", s"$dir/ck3").start(s"$dir/t3")
+    }
+  }
+}

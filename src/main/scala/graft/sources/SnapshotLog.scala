@@ -1163,23 +1163,58 @@ object SnapshotLog {
     * most common event-table layout (an unpinned LTZ `days()` keeps
     * the old caveat: renders through the session zone, never prunes).
     */
+  /** Round 11 widens the transform set to the full Iceberg ladder:
+    * `years(col)` / `months(col)` / `days(col)` / `hours(col)` time
+    * transforms (zone-pinnable over LTZ like days always was) and
+    * `bucket(N, col)` — the standard answer for high-cardinality keys
+    * under the scoped-upsert fast path (a keyed table with no natural
+    * partition column gets N stable leaf dirs instead of falling back
+    * to flat + file-granular MERGE). Bucket identity is
+    * `pmod(hash(col), N)` (Spark's Murmur3, seed 42) — computed by the
+    * same codegen'd expression at write time and re-derived driver-side
+    * for equality/IN point-probe dir pruning.
+    *
+    * NOTE the comma inside `bucket(N, col)`: spec components split on
+    * commas OUTSIDE parentheses.
+    */
   private[graft] final case class GpComp(kind: String, col: String,
-                                         zone: String = "")
+                                         zone: String = "", n: Int = 0)
   private[graft] final case class GpSpec(comps: Seq[GpComp]) {
     def refCols: Seq[String] = comps.map(_.col)
     def render: String = comps.map(c =>
       if (c.kind == "id") c.col
+      else if (c.kind == "bucket") s"bucket(${c.n},${c.col})"
       else if (c.zone.isEmpty) s"${c.kind}(${c.col})"
       else s"${c.kind}(${c.col}@${c.zone})").mkString(",")
   }
+  private[graft] val GpTimeKinds = Set("years", "months", "days", "hours")
   private[graft] def parseGpSpec(spec: String): GpSpec = {
-    val days = """days\((.+)\)""".r
-    GpSpec(spec.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map {
-      case days(inner) =>
+    val time = """(years|months|days|hours)\((.+)\)""".r
+    val bucket = """bucket\(\s*(\d+)\s*,\s*(.+)\)""".r
+    // split on top-level commas only (bucket(N, col) carries one)
+    val comps = {
+      val out = Vector.newBuilder[String]
+      val b = new StringBuilder
+      var depth = 0
+      spec.foreach {
+        case '(' => depth += 1; b += '('
+        case ')' => depth -= 1; b += ')'
+        case ',' if depth == 0 => out += b.result(); b.clear()
+        case ch => b += ch
+      }
+      out += b.result()
+      out.result().map(_.trim).filter(_.nonEmpty)
+    }
+    GpSpec(comps.map {
+      case bucket(n, c) =>
+        val num = n.toInt
+        require(num > 0, s"bucket($n, $c): bucket count must be positive")
+        GpComp("bucket", c.trim, n = num)
+      case time(kind, inner) =>
         val at = inner.lastIndexOf('@')
-        if (at > 0) GpComp("days", inner.substring(0, at),
+        if (at > 0) GpComp(kind, inner.substring(0, at),
           inner.substring(at + 1))
-        else GpComp("days", inner)
+        else GpComp(kind, inner)
       case c => GpComp("id", c)
     })
   }
@@ -1200,21 +1235,21 @@ object SnapshotLog {
     val types = batch.schema.fields.map(f => f.name -> f.dataType).toMap
     GpSpec(spec.comps.map { c =>
       val isLtz = types.get(c.col).contains(TimestampType)
-      require(c.zone.isEmpty || (c.kind == "days" && isLtz),
-        s"partition zone pins apply to days() over TIMESTAMP (LTZ) " +
-        s"columns only: ${c.col}@${c.zone}")
-      if (c.kind == "days" && isLtz) {
+      require(c.zone.isEmpty || (GpTimeKinds.contains(c.kind) && isLtz),
+        s"partition zone pins apply to time transforms over TIMESTAMP " +
+        s"(LTZ) columns only: ${c.col}@${c.zone}")
+      if (GpTimeKinds.contains(c.kind) && isLtz) {
         val parentZone = parent.flatMap(
-          _.comps.find(p => p.kind == "days" && p.col == c.col).map(_.zone))
+          _.comps.find(p => p.kind == c.kind && p.col == c.col).map(_.zone))
         val z = parentZone.getOrElse(
           if (c.zone.nonEmpty) c.zone else sessionZone(spark).getId)
         require(c.zone.isEmpty || parentZone.forall(_ == c.zone),
-          s"days(${c.col}) zone '${c.zone}' conflicts with the " +
+          s"${c.kind}(${c.col}) zone '${c.zone}' conflicts with the " +
           s"lineage's pinned zone '${parentZone.getOrElse("")}'")
         if (z.nonEmpty)
           scala.util.Try(java.time.ZoneId.of(z)).getOrElse(
             throw new IllegalArgumentException(
-              s"days(${c.col}@$z): '$z' is not a valid zone id"))
+              s"${c.kind}(${c.col}@$z): '$z' is not a valid zone id"))
         c.copy(zone = z)
       } else c
     })
@@ -1234,16 +1269,27 @@ object SnapshotLog {
     * writers, or partition on a DATE / NTZ column (which also unlocks
     * dir-name pruning — see [[gpSpecDirSpan]]).
     */
+  private[graft] val GpTimeFormats = Map(
+    "years" -> "yyyy", "months" -> "yyyy-MM", "days" -> "yyyy-MM-dd",
+    "hours" -> "yyyy-MM-dd HH")
   private def gpRenderExpr(spec: GpSpec): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{col, concat, convert_timezone, date_format, lit, replace}
+    import org.apache.spark.sql.functions.{col, concat, convert_timezone, date_format, hash, lit, pmod, replace, when}
     def base(cp: GpComp): org.apache.spark.sql.Column = cp.kind match {
       case "id"   => col(cp.col).cast("string")
-      // a zone-pinned days() renders the LTZ instant's wall clock in
-      // the PINNED zone (convert_timezone → NTZ), so every writer
-      // derives the same day whatever its session zone
-      case "days" if cp.zone.nonEmpty =>
-        date_format(convert_timezone(lit(cp.zone), col(cp.col)), "yyyy-MM-dd")
-      case "days" => date_format(col(cp.col), "yyyy-MM-dd")
+      // bucket(N): pmod(hash, N) — stable, codegen'd, NULL propagates
+      // (hash(NULL) is a constant, which would silently bucket NULL
+      // rows; the probe's NULL refusal must keep seeing NULL)
+      case "bucket" =>
+        when(col(cp.col).isNull, lit(null))
+          .otherwise(pmod(hash(col(cp.col)), lit(cp.n))).cast("string")
+      // a zone-pinned time transform renders the LTZ instant's wall
+      // clock in the PINNED zone (convert_timezone → NTZ), so every
+      // writer derives the same period whatever its session zone
+      case k if GpTimeKinds.contains(k) && cp.zone.nonEmpty =>
+        date_format(convert_timezone(lit(cp.zone), col(cp.col)),
+          GpTimeFormats(k))
+      case k if GpTimeKinds.contains(k) =>
+        date_format(col(cp.col), GpTimeFormats(k))
       case other  => throw new IllegalArgumentException(
         s"unknown partition transform $other")
     }
@@ -1293,27 +1339,60 @@ object SnapshotLog {
     if (parts.size != spec.comps.size) return None
     val v = parts(idx)
     val comp = spec.comps(idx)
+    // the rendered period's calendar bounds: [first day, last day] as
+    // LocalDates plus, for hours, the wall-clock hour — shared by the
+    // DATE / NTZ / pinned-LTZ branches below
+    def periodDays: Option[(java.time.LocalDate, java.time.LocalDate)] =
+      scala.util.Try(comp.kind match {
+        case "years" =>
+          val y = java.time.Year.parse(v)
+          (y.atDay(1), y.atMonth(12).atEndOfMonth())
+        case "months" =>
+          val m = java.time.YearMonth.parse(v)
+          (m.atDay(1), m.atEndOfMonth())
+        case "days" =>
+          val d = java.time.LocalDate.parse(v); (d, d)
+        case "hours" =>
+          val d = java.time.LocalDate.parse(v.substring(0, 10)); (d, d)
+      }).toOption
     comp.kind match {
       case "id" => types.get(probe) match {
         case Some(_: NumericType)              => Some(("n", esc(v), esc(v)))
         case Some(StringType) | Some(DateType) => Some(("s", esc(v), esc(v)))
         case _                                 => None
       }
-      case "days" => types.get(probe) match {
-        case Some(DateType) => Some(("s", esc(v), esc(v)))
+      // bucket dirs carry no value ORDER — span pruning cannot apply
+      // (equality/IN point probes prune via bucketDirAdmits instead)
+      case "bucket" => None
+      case k if GpTimeKinds.contains(k) => types.get(probe) match {
+        case Some(DateType) if k != "hours" =>
+          periodDays.map { case (lo, hi) =>
+            ("s", esc(lo.toString), esc(hi.toString)) }
         case Some(TimestampNTZType) =>
-          Some(("s", esc(v + " 00:00:00.000000"), esc(v + " 23:59:59.999999")))
+          if (k == "hours")
+            Some(("s", esc(v + ":00:00.000000"), esc(v + ":59:59.999999")))
+          else periodDays.map { case (lo, hi) =>
+            ("s", esc(lo.toString + " 00:00:00.000000"),
+              esc(hi.toString + " 23:59:59.999999")) }
         case Some(TimestampType) if comp.zone.nonEmpty =>
-          // zone-pinned LTZ: day D in the pinned zone covers the
-          // instants [D 00:00 zone, D+1 00:00 zone); render the bounds
-          // the way the probe side renders its values — the READER's
-          // session zone (StatsEval.probeString) — so the code-point
-          // compare is an instant compare
+          // zone-pinned LTZ: period P in the pinned zone covers the
+          // instants [P start zone, next-P start zone); render the
+          // bounds the way the probe side renders its values — the
+          // READER's session zone (StatsEval.probeString) — so the
+          // code-point compare is an instant compare
           scala.util.Try {
             val z = java.time.ZoneId.of(comp.zone)
-            val day = java.time.LocalDate.parse(v)
-            val lo = day.atStartOfDay(z).toInstant
-            val hi = day.plusDays(1).atStartOfDay(z).toInstant
+            val (startLocal, endLocalEx) = k match {
+              case "hours" =>
+                val d = java.time.LocalDate.parse(v.substring(0, 10))
+                val h = v.substring(11).toInt
+                val s = d.atTime(h, 0); (s, s.plusHours(1))
+              case _ =>
+                val (lo, hi) = periodDays.get
+                (lo.atStartOfDay, hi.plusDays(1).atStartOfDay)
+            }
+            val lo = startLocal.atZone(z).toInstant
+            val hi = endLocalEx.atZone(z).toInstant
               .minusNanos(1000) // closed upper bound at µs precision
             ("s", esc(StatsEval.probeString(lo, readerZone)),
               esc(StatsEval.probeString(hi, readerZone)))
@@ -1322,6 +1401,41 @@ object SnapshotLog {
       }
       case _ => None
     }
+  }
+
+  /** Whether a bucket-transformed scoped dir can contain `value` for an
+    * EQUALITY/IN point probe on `probe`: re-derive the value's bucket
+    * with exactly the writer's hash (Spark Murmur3, seed 42, over the
+    * value cast to the COLUMN type — an Int probe against a Long column
+    * must hash as Long) and compare against the dir's rendered bucket
+    * id. Dirs of other specs, non-bucket components, or unparseable
+    * names admit (keep — pruning must never lose rows).
+    */
+  private[graft] def bucketDirAdmits(
+      spec: GpSpec,
+      types: Map[String, org.apache.spark.sql.types.DataType],
+      dirName: String, probe: String, value: Any): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Murmur3Hash}
+    if (!dirName.startsWith(GpPrefix)) return true
+    val idx = spec.comps.indexWhere(c => c.col == probe && c.kind == "bucket")
+    if (idx < 0) return true
+    val comp = spec.comps(idx)
+    val dt = types.getOrElse(probe, return true)
+    val raw = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .unescapePathName(dirName.stripPrefix(GpPrefix))
+    val parts = if (spec.comps.size == 1) Seq(raw) else splitGpValue(raw)
+    if (parts.size != spec.comps.size) return true
+    scala.util.Try {
+      val dirBucket = parts(idx).toInt
+      val lit = Literal(value)
+      val typed = if (lit.dataType == dt) lit
+                  else Literal.create(Cast(lit, dt).eval(null), dt)
+      if (typed.value == null) true // NULL probes never prune
+      else {
+        val h = Murmur3Hash(Seq(typed), 42).eval(null).asInstanceOf[Int]
+        ((h % comp.n) + comp.n) % comp.n == dirBucket
+      }
+    }.getOrElse(true)
   }
 
   /** Partition-scoped KEYED upsert: [[upsert]]'s merge semantics at
@@ -4384,16 +4498,28 @@ object SnapshotLog {
           .filter(_.getName.endsWith(".parquet")).toSeq
       })
     // dir-name spans for the partition column of a scoped table
+    val specOnColumn = partColOf(spark, root, version).map(parseGpSpec)
+      .filter(_.refCols.contains(column))
+    val specTypes = specOnColumn.map(_ => tableSchema(spark, root, version)
+      .map(f => f.name -> f.dataType).toMap)
     val dirSpanOf: Path => Option[(String, String, String)] =
-      partColOf(spark, root, version).map(parseGpSpec)
-        .filter(_.refCols.contains(column)) match {
+      specOnColumn match {
         case Some(spec) =>
-          val types = tableSchema(spark, root, version)
-            .map(f => f.name -> f.dataType).toMap
-          p => gpSpecDirSpan(spec, types, p.getParent.getName, column,
+          p => gpSpecDirSpan(spec, specTypes.get, p.getParent.getName, column,
             sessionZone(spark))
         case None => _ => None
       }
+    // bucket-transform dirs carry no value order, so spans can't prune
+    // them — but an EQUALITY probe (lo == hi, which is how readEquals
+    // and the keyed-MERGE point probes arrive here) re-derives the
+    // value's bucket and drops every other bucket's leafs (round 11)
+    val bucketAdmits: Path => Boolean = specOnColumn match {
+      case Some(spec) if lo == hi &&
+          spec.comps.exists(c => c.col == column && c.kind == "bucket") =>
+        p => bucketDirAdmits(spec, specTypes.get, p.getParent.getName,
+          column, lo)
+      case _ => _ => true
+    }
     val sp = statsPath(root, version)
     // probes rendered ONCE driver-side, in the forms both eval paths
     // compare with (StatsEval holds the shared parse + overlap logic)
@@ -4428,11 +4554,11 @@ object SnapshotLog {
       val kept = all.filter { p =>
         val key = p.getParent.getName + "/" + p.getName
         if (pruned.contains(key)) false
-        else dirSpanOf(p) match {
+        else bucketAdmits(p) && (dirSpanOf(p) match {
           case Some((tag, mn, mx)) =>
             StatsEval.overlaps(tag, mn, mx, loS, hiS, loN, hiN)
           case None => true
-        }
+        })
       }
       (kept, all.size)
     } else if (statBytes > threshold) {
@@ -4459,11 +4585,11 @@ object SnapshotLog {
       val kept = all.filter { p =>
         val key = p.getParent.getName + "/" + p.getName
         if (pruned.contains(key)) false
-        else dirSpanOf(p) match {
+        else bucketAdmits(p) && (dirSpanOf(p) match {
           case Some((tag, mn, mx)) =>
             StatsEval.overlaps(tag, mn, mx, loS, hiS, loN, hiN)
           case None => true
-        }
+        })
       }
       (kept, all.size)
     } else {
@@ -4483,12 +4609,13 @@ object SnapshotLog {
           }
         }.toMap
       val kept = all.filter { p =>
-        span.get(p.getParent.getName + "/" + p.getName)
+        bucketAdmits(p) &&
+        (span.get(p.getParent.getName + "/" + p.getName)
           .orElse(dirSpanOf(p)) match {
           case Some((tag, mn, mx)) =>
             StatsEval.overlaps(tag, mn, mx, loS, hiS, loN, hiN)
           case None => true // no stats: never wrongly prune
-        }
+        })
       }
       (kept, all.size)
     }
@@ -5239,9 +5366,32 @@ object SnapshotLog {
       gpSpec.flatMap(sp =>
         gpSpecDirSpan(sp, gpTypes, st.getPath.getParent.getName, c, zone))
 
+    /** Bucket-transform dir pruning for the compiled predicates a value
+      * order cannot serve (round 11): an equality (closed degenerate
+      * range) keeps the file only if its dir's bucket is the value's;
+      * IN keeps it if ANY listed value hashes to it. Everything else
+      * admits — spans handle it or nothing can.
+      */
+    private def bucketAdmitsPred(st: org.apache.hadoop.fs.FileStatus,
+                                 p: SpanPred): Boolean = {
+      def dirAdmits(c: String, v: Any): Boolean = gpSpec.forall(sp =>
+        bucketDirAdmits(sp, gpTypes, st.getPath.getParent.getName, c, v))
+      p match {
+        case RangePred(c, Some(lo), Some(hi), false, false) if lo == hi =>
+          dirAdmits(c, lo)
+        case InPred(c, vs)  => vs.exists(v => dirAdmits(c, v))
+        case AndPred(x, y)  => bucketAdmitsPred(st, x) && bucketAdmitsPred(st, y)
+        case OrPred(x, y)   => bucketAdmitsPred(st, x) || bucketAdmitsPred(st, y)
+        case _              => true
+      }
+    }
+
     override def listFiles(partitionFilters: Seq[Expression],
                            dataFilters: Seq[Expression]): Seq[PD] = {
       val preds = dataFilters.map(compile).filterNot(_ == TruePred)
+      val hasBucket = gpSpec.exists(_.comps.exists(_.kind == "bucket"))
+      def bucketKeeps(st: org.apache.hadoop.fs.FileStatus): Boolean =
+        !hasBucket || preds.forall(p => bucketAdmitsPred(st, p))
       val kept =
         if (preds.isEmpty) files
         else spanSrc match {
@@ -5252,6 +5402,7 @@ object SnapshotLog {
                 spans.get(rel).flatMap(_.get(c)).orElse(dirSpanOf(st)(c))
               val nullsOf: String => Option[(Long, Long)] = c =>
                 nulls.get(rel).flatMap(_.get(c))
+              bucketKeeps(st) &&
               preds.forall(p => StatsEval.admits(spanOf, nullsOf, p, zone))
             }
           case PqSpans(pqPaths) =>
@@ -5262,7 +5413,7 @@ object SnapshotLog {
             val pruned = pqPrunedKeys(spark, pqPaths, preds, gpSpec, gpTypes, zone)
             files.filter { st =>
               val rel = st.getPath.getParent.getName + "/" + st.getPath.getName
-              !pruned.contains(rel) &&
+              !pruned.contains(rel) && bucketKeeps(st) &&
               preds.forall(p =>
                 StatsEval.admits(dirSpanOf(st), _ => None, p, zone))
             }

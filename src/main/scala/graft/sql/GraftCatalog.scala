@@ -203,23 +203,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // layouts declare as `PARTITIONED BY (days(ts))`, composites as
     // `PARTITIONED BY (region, days(ts))`
     val partCol = partitions.toSeq.map { t =>
+      // round 10: a time transform over a session-zoned TIMESTAMP pins
+      // the CREATE-time session zone into the spec — partition identity
+      // becomes writer-zone-independent and period pruning unlocks
+      // (an unpinned LTZ transform renders through each writer's zone
+      // and can never prune safely). Round 11 widens days() to the full
+      // Iceberg ladder: years/months/days/hours + bucket(N, col).
+      def timeComp(kind: String): String = {
+        val c = t.references.head.fieldNames.mkString(".")
+        val isLtz = schema.fields.exists(f => f.name == c &&
+          f.dataType == org.apache.spark.sql.types.TimestampType)
+        if (isLtz) s"$kind($c@${spark.sessionState.conf.sessionLocalTimeZone})"
+        else s"$kind($c)"
+      }
       t.name match {
         case "identity" if t.references.length == 1 =>
           t.references.head.fieldNames.mkString(".")
-        case "days" | "day" if t.references.length == 1 =>
-          val c = t.references.head.fieldNames.mkString(".")
-          // round 10: a days() over a session-zoned TIMESTAMP pins the
-          // CREATE-time session zone into the spec — partition identity
-          // becomes writer-zone-independent and day pruning unlocks
-          // (unpinned LTZ days() renders through each writer's zone and
-          // can never prune safely)
-          val isLtz = schema.fields.exists(f => f.name == c &&
-            f.dataType == org.apache.spark.sql.types.TimestampType)
-          if (isLtz) s"days($c@${spark.sessionState.conf.sessionLocalTimeZone})"
-          else s"days($c)"
+        case "days" | "day" if t.references.length == 1     => timeComp("days")
+        case "months" | "month" if t.references.length == 1 => timeComp("months")
+        case "years" | "year" if t.references.length == 1   => timeComp("years")
+        case "hours" | "hour" if t.references.length == 1   => timeComp("hours")
+        case "bucket" if t.references.length == 1 =>
+          val n = t.arguments.collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_]
+                if l.value != null => l.value.toString.toInt
+          }.getOrElse(throw new UnsupportedOperationException(
+            s"bucket transform needs a literal bucket count: $t"))
+          s"bucket($n,${t.references.head.fieldNames.mkString(".")})"
         case other => throw new UnsupportedOperationException(
-          s"graft tables support identity and days() PARTITIONED BY " +
-          s"transforms, got: $other(${t.references.mkString(", ")})")
+          s"graft tables support identity, years/months/days/hours and " +
+          s"bucket(n, col) PARTITIONED BY transforms, got: " +
+          s"$other(${t.references.mkString(", ")})")
       }
     }.mkString(",")
     val refCols = graft.sources.SnapshotLog.parseGpSpec(partCol).refCols

@@ -1,0 +1,193 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.SnapshotLog
+
+/** Round 11 (the r10 verdict's #3): the partition transform set widens
+  * from identity + days() to the full Iceberg ladder — years / months /
+  * days / hours time transforms (zone-pinnable over LTZ) plus
+  * bucket(N, col) for high-cardinality keys. Everything composes with
+  * the spec-agnostic scoped machinery (touched-set, OCC disjointness,
+  * vacuum refcounts, untouched-leaf byte identity); what's new per
+  * transform is the PRUNING rule: period spans for the time transforms,
+  * hash re-derivation for bucket equality/IN point probes.
+  */
+class GpTransformSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_gpx").toString + "/t"
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def leafsOf(root: String, v: Long): Seq[String] =
+    SnapshotLog.dirsOf(spark, root, v)
+      .map(d => d.substring(d.lastIndexOf('/') + 1)).sorted
+
+  test("bucket(4, k): stable leaf per bucket, equality point probe prunes to ONE leaf") {
+    val root = freshRoot()
+    val batch = (0 until 40).map(k => (k.toLong, s"v$k")).toDF("k", "v")
+    SnapshotLog.upsertScoped(spark, root, batch, Seq("k"), "bucket(4, k)")
+    val leafs = leafsOf(root, 1L)
+    assert(leafs.size == 4 && leafs.forall(_.startsWith("__gp=")), leafs)
+    // spec round-trips through the manifest
+    assert(SnapshotLog.parseGpSpec("bucket(4,k)").comps.head.n == 4)
+    // equality probe: exactly one bucket's leaf survives, rows exact
+    val (kept, total) = SnapshotLog.candidateFiles(spark, root, 1L, "k", 7L, 7L)
+    assert(total >= 4, s"expected >= 4 files, got $total")
+    val keptLeafs = kept.map(_.getParent.getName).toSet
+    assert(keptLeafs.size == 1, s"bucket probe kept leafs $keptLeafs")
+    assert(SnapshotLog.readEquals(spark, root, "k", 7L)
+      .select("v").as[String].collect().toSeq == Seq("v7"))
+    // an Int probe against the Long column must hash AS LONG (cast first)
+    val (keptInt, _) = SnapshotLog.candidateFiles(spark, root, 1L, "k", 7, 7)
+    assert(keptInt.map(_.getParent.getName).toSet == keptLeafs,
+      "int probe hashed differently than the long column")
+    // a RANGE probe cannot use bucket dirs — everything keeps (no wrong prune)
+    val (keptRange, totalR) = SnapshotLog.candidateFiles(spark, root, 1L, "k", 5L, 9L)
+    assert(keptRange.size == totalR)
+    assert(SnapshotLog.readBetween(spark, root, "k", 5L, 9L).count() == 5)
+    // pushed-down equality through the pruned scan prunes files too
+    // (numFiles posts on the execution that computes selectedPartitions)
+    val scan = SnapshotLog.readPruned(spark, root).filter($"k" === 7L)
+    assert(scan.select("v").as[String].collect().toSeq == Seq("v7"))
+    val scans = scan.queryExecution.executedPlan.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+    }.flatten
+    val numFiles = scans.map(_.metrics("numFiles").value).sum
+    assert(numFiles < total, s"scan read $numFiles of $total files")
+  }
+
+  test("bucket upsert rewrites only the touched bucket; untouched leafs byte-identical; OCC disjoint buckets both land") {
+    val root = freshRoot()
+    SnapshotLog.upsertScoped(spark, root,
+      (0 until 40).map(k => (k.toLong, s"v$k")).toDF("k", "v"),
+      Seq("k"), "bucket(4, k)")
+    def filesOf(leaf: String): Map[String, Long] = {
+      val d = new java.io.File(s"$root/data_v00000001/$leaf")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val touchedLeaf = {
+      val (kept, _) = SnapshotLog.candidateFiles(spark, root, 1L, "k", 7L, 7L)
+      kept.head.getParent.getName
+    }
+    val before = leafsOf(root, 1L).filterNot(_ == touchedLeaf)
+      .map(l => l -> filesOf(l)).toMap
+    SnapshotLog.upsertScoped(spark, root,
+      Seq((7L, "V7")).toDF("k", "v"), Seq("k"), "bucket(4, k)")
+    // untouched buckets carried by reference, byte/mtime identical
+    before.foreach { case (l, files) => assert(filesOf(l) == files, s"$l moved") }
+    val v2own = leafsOf(root, 2L).filter(_ == touchedLeaf)
+    assert(v2own.nonEmpty)
+    assert(SnapshotLog.readEquals(spark, root, "k", 7L)
+      .select("v").as[String].head() == "V7")
+    assert(SnapshotLog.read(spark, root).count() == 40)
+    // OCC: two writers staging DISJOINT buckets both publish
+    val k1 = 0L; val k2 = 1L // hash to different buckets with N=4? verify:
+    val b1 = SnapshotLog.stageScopedOcc(spark, root,
+      Seq((k1, "occ1")).toDF("k", "v"), Seq("k"), "bucket(4, k)")
+    val b2 = SnapshotLog.stageScopedOcc(spark, root,
+      Seq((k2, "occ2")).toDF("k", "v"), Seq("k"), "bucket(4, k)")
+    if (b1.touched == b2.touched) {
+      // same bucket: the second must abort (overlap), first lands
+      SnapshotLog.publishScopedOcc(spark, root, b1)
+      intercept[java.util.ConcurrentModificationException] {
+        SnapshotLog.publishScopedOcc(spark, root, b2)
+      }
+    } else {
+      SnapshotLog.publishScopedOcc(spark, root, b1)
+      SnapshotLog.publishScopedOcc(spark, root, b2)
+      assert(SnapshotLog.readEquals(spark, root, "k", k2)
+        .select("v").as[String].head() == "occ2")
+    }
+    assert(SnapshotLog.readEquals(spark, root, "k", k1)
+      .select("v").as[String].head() == "occ1")
+  }
+
+  test("months()/years()/hours() over NTZ: period leafs, range probes prune to the period") {
+    val root = freshRoot()
+    val batch = Seq(
+      (1L, "2024-01-05 10:30:00"), (2L, "2024-01-20 23:10:00"),
+      (3L, "2024-02-01 00:00:00"), (4L, "2024-03-31 12:00:00"))
+      .toDF("k", "s")
+      .withColumn("ts", col("s").cast("timestamp_ntz")).drop("s")
+    SnapshotLog.upsertScoped(spark, root, batch, Seq("k"), "months(ts)")
+    assert(leafsOf(root, 1L) ==
+      Seq("__gp=2024-01", "__gp=2024-02", "__gp=2024-03"))
+    // a probe inside January keeps only the January leaf
+    val (kept, total) = SnapshotLog.candidateFiles(spark, root, 1L, "ts",
+      java.time.LocalDateTime.parse("2024-01-10T00:00"),
+      java.time.LocalDateTime.parse("2024-01-25T00:00"))
+    assert(kept.map(_.getParent.getName).toSet == Set("__gp=2024-01"),
+      s"kept ${kept.map(_.getParent.getName)} of $total")
+    // years()
+    val rootY = freshRoot()
+    SnapshotLog.upsertScoped(spark, rootY,
+      batch.withColumn("ts", expr("ts + interval 0 days")), Seq("k"), "years(ts)")
+    assert(leafsOf(rootY, 1L) == Seq("__gp=2024"))
+    // hours()
+    val rootH = freshRoot()
+    SnapshotLog.upsertScoped(spark, rootH, batch, Seq("k"), "hours(ts)")
+    assert(leafsOf(rootH, 1L) == Seq("__gp=2024-01-05 10",
+      "__gp=2024-01-20 23", "__gp=2024-02-01 00", "__gp=2024-03-31 12"))
+    val (keptH, totalH) = SnapshotLog.candidateFiles(spark, rootH, 1L, "ts",
+      java.time.LocalDateTime.parse("2024-01-20T23:00"),
+      java.time.LocalDateTime.parse("2024-01-20T23:59:59"))
+    assert(keptH.map(_.getParent.getName).toSet == Set("__gp=2024-01-20 23"),
+      s"kept ${keptH.map(_.getParent.getName)} of $totalH")
+  }
+
+  test("months() over pinned LTZ: writer-zone-independent identity, instant-exact pruning") {
+    val root = freshRoot()
+    val batch = Seq((1L, ts("2024-01-15 12:00:00")), (2L, ts("2024-02-15 12:00:00")))
+      .toDF("k", "ts")
+    SnapshotLog.upsertScoped(spark, root, batch, Seq("k"), "months(ts@UTC)")
+    assert(leafsOf(root, 1L) == Seq("__gp=2024-01", "__gp=2024-02"))
+    // the pin survives in the manifest and later writers inherit it
+    val batch2 = Seq((3L, ts("2024-01-20 08:00:00"))).toDF("k", "ts")
+    SnapshotLog.upsertScoped(spark, root, batch2, Seq("k"), "months(ts)")
+    assert(leafsOf(root, 2L).contains("__gp=2024-01"))
+    // instant probe prunes to the month (session zone is UTC in tests)
+    val (kept, total) = SnapshotLog.candidateFiles(spark, root, 2L, "ts",
+      java.time.Instant.parse("2024-02-01T00:00:00Z"),
+      java.time.Instant.parse("2024-02-28T00:00:00Z"))
+    assert(kept.map(_.getParent.getName).toSet == Set("__gp=2024-02"),
+      s"kept ${kept.map(_.getParent.getName)} of $total")
+  }
+
+  test("bucket NULL keys refuse; composite bucket+months spec renders and prunes per component") {
+    val root = freshRoot()
+    intercept[Exception] {
+      SnapshotLog.upsertScoped(spark, root,
+        Seq[(Option[Long], String)]((None, "x")).toDF("k", "v"),
+        Seq("v"), "bucket(4, k)")
+    }
+    val rootC = freshRoot()
+    val batch = Seq(
+      (1L, "2024-01-05 10:00:00"), (2L, "2024-02-05 10:00:00"),
+      (17L, "2024-01-09 10:00:00"))
+      .toDF("k", "s").withColumn("ts", col("s").cast("timestamp_ntz")).drop("s")
+    SnapshotLog.upsertScoped(spark, rootC, batch, Seq("k"),
+      "bucket(8, k),months(ts)")
+    val leafs = leafsOf(rootC, 1L)
+    assert(leafs.forall(l => l.matches("__gp=\\d+\\|2024-\\d{2}")), leafs)
+    // the months component prunes on ts even with the bucket in front
+    val (kept, total) = SnapshotLog.candidateFiles(spark, rootC, 1L, "ts",
+      java.time.LocalDateTime.parse("2024-02-01T00:00"),
+      java.time.LocalDateTime.parse("2024-02-28T00:00"))
+    assert(kept.map(_.getParent.getName).forall(_.endsWith("2024-02")),
+      s"kept ${kept.map(_.getParent.getName)} of $total")
+    // and the bucket component prunes on k equality
+    val (keptK, totalK) = SnapshotLog.candidateFiles(spark, rootC, 1L, "k", 17L, 17L)
+    assert(keptK.size < totalK, s"kept ${keptK.size} of $totalK")
+    assert(SnapshotLog.readEquals(spark, rootC, "k", 17L).count() == 1)
+  }
+}

@@ -532,6 +532,60 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .properties().get("graft.statsCols") == "k")
   }
 
+  test("PARTITIONED BY (bucket(16, k), months(ts)): scoped MERGE, point-probe pruning, leaf identity, vacuum (round 11)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
+    sql("""CREATE TABLE graft.ns.bkt (k BIGINT, ts TIMESTAMP_NTZ, v STRING)
+           PARTITIONED BY (bucket(16, k), months(ts))""")
+    val r = root("bkt")
+    val rows = (0L until 64L).map(i =>
+      s"(CAST($i AS BIGINT), TIMESTAMP_NTZ'2024-0${1 + (i % 3)}-10 12:00:00', 'v$i')")
+    // classic keyed MERGE lowers onto the SCOPED path (bucket+months
+    // components reference k and ts, both merge keys)
+    sql(s"""MERGE INTO graft.ns.bkt t
+            USING (SELECT * FROM VALUES ${rows.mkString(", ")} AS s(k, ts, v)) s
+            ON t.k = s.k AND t.ts = s.ts
+            WHEN MATCHED THEN UPDATE SET t.k = s.k, t.ts = s.ts, t.v = s.v
+            WHEN NOT MATCHED THEN INSERT (k, ts, v) VALUES (s.k, s.ts, s.v)""")
+    assert(SnapshotLog.manifestKind(spark, r, 2L).contains("scoped"))
+    val leafs = SnapshotLog.dirsOf(spark, r, 2L)
+      .map(d => d.substring(d.lastIndexOf('/') + 1))
+    assert(leafs.forall(_.matches("__gp=\\d+\\|2024-\\d{2}")), leafs.toString)
+    // point predicate on the bucket column prunes the file set
+    val (kept, total) = SnapshotLog.candidateFiles(spark, r, 2L, "k", 7L, 7L)
+    assert(kept.size < total && kept.nonEmpty, s"kept ${kept.size} of $total")
+    assert(rowsOf("SELECT v FROM graft.ns.bkt WHERE k = 7") == Set(Seq("v7")))
+    // a 1-key MERGE touches exactly one leaf; every other leaf is
+    // byte/mtime identical (carried by reference)
+    def filesOf(leaf: String): Map[String, Long] = {
+      val d = new java.io.File(s"$r/data_v00000002/$leaf")
+      if (!d.isDirectory) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val touchedLeaf = kept.head.getParent.getName
+    val before = leafs.filterNot(_ == touchedLeaf).map(l => l -> filesOf(l)).toMap
+    sql("""MERGE INTO graft.ns.bkt t
+           USING (SELECT CAST(7 AS BIGINT) AS k,
+                         TIMESTAMP_NTZ'2024-02-10 12:00:00' AS ts, 'V7' AS v) s
+           ON t.k = s.k AND t.ts = s.ts
+           WHEN MATCHED THEN UPDATE SET t.k = s.k, t.ts = s.ts, t.v = s.v
+           WHEN NOT MATCHED THEN INSERT (k, ts, v) VALUES (s.k, s.ts, s.v)""")
+    before.foreach { case (l, fs) => assert(filesOf(l) == fs, s"leaf $l moved") }
+    assert(rowsOf("SELECT v FROM graft.ns.bkt WHERE k = 7") == Set(Seq("V7")))
+    assert(sql("SELECT * FROM graft.ns.bkt").count() == 64)
+    // months prunes on a ts range probe
+    val (keptM, totalM) = SnapshotLog.candidateFiles(spark, r, 3L, "ts",
+      java.time.LocalDateTime.parse("2024-03-01T00:00"),
+      java.time.LocalDateTime.parse("2024-03-31T23:59"))
+    assert(keptM.map(_.getParent.getName).forall(_.endsWith("2024-03")),
+      s"kept ${keptM.map(_.getParent.getName)} of $totalM")
+    // vacuum refcounts: carried v2 leafs survive v2's death because v3
+    // still references them
+    sql("CALL graft.system.vacuum('ns.bkt', 1)")
+    assert(sql("SELECT * FROM graft.ns.bkt").count() == 64)
+    assert(rowsOf("SELECT v FROM graft.ns.bkt WHERE k = 7") == Set(Seq("V7")))
+  }
+
   test("constraints bind WRITTEN rows only; UPDATE paths gate; ADD validates existing (round 11)") {
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)

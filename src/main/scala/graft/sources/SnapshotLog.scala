@@ -262,11 +262,13 @@ object SnapshotLog {
   }
 
   /** Project a physical-named scan back to the pin's VISIBLE logical
-    * names (drop tombstones excluded — the scan never declared them).
+    * names (drop tombstones excluded — the scan never declared them; a
+    * RAW-read slice that did see them, e.g. the scoped merge's touched
+    * partitions, sheds them here too).
     */
   private def fromPhysicalSelect(df: DataFrame,
                                  pin: org.apache.spark.sql.types.StructType): DataFrame = {
-    if (renameMap(pin).isEmpty) df
+    if (renameMap(pin).isEmpty && !pin.fields.exists(isDropped)) df
     else {
       import org.apache.spark.sql.functions.col
       df.select(pin.fields.filterNot(isDropped)
@@ -280,13 +282,16 @@ object SnapshotLog {
     * metadata. O(1) data cost on a 100 TB table — no file is touched;
     * every existing read/write path translates through the pin.
     *
-    * Refused on partition-scoped tables (the partition column names
-    * dirs and the scoped staging writes in logical space) and on
-    * merge-on-read lineages (stored morKeys would dangle) — compact
-    * first. Streaming tails refuse mapped lineages at START (physical
-    * decode against a fresh logical schema would silently null the
-    * renamed column); a compactChain materializes logical names and
-    * clears the mapping.
+    * Round 11: scoped tables rename NON-partition columns (the scoped
+    * commit paths translate at the slice read and the staged write, and
+    * carry the pin through their manifests); the PARTITION column stays
+    * rename-refused — its values name directories, and every dir-name
+    * mechanism (touched sets, OCC disjointness, pruning, vacuum
+    * refcounts) keys on them. Merge-on-read lineages keep the refusal
+    * (stored morKeys would dangle) — compact first. Streaming tails
+    * decode mapped lineages physical-first (round 10); the CDC changes
+    * stream refuses a MID-FLIGHT rename loudly and re-infers on
+    * restart.
     */
   def renameColumn(spark: SparkSession, root: String,
                    from: String, to: String): Long = {
@@ -294,9 +299,13 @@ object SnapshotLog {
       recoverOrphans(spark, root)
       val cur = currentVersion(spark, root).getOrElse(
         throw new IllegalStateException(s"no committed version at $root"))
-      require(partColOf(spark, root, cur).isEmpty,
-        "renameColumn on a partition-scoped table is not supported " +
-        "(the partition column names directories)")
+      partColOf(spark, root, cur).foreach { pc =>
+        val refs = parseGpSpec(pc).refCols.toSet
+        require(!refs.contains(from) && !refs.contains(to),
+          s"renameColumn: $from/$to is a partition-spec column of " +
+          s"'$pc' — partition values name directories; repartition via " +
+          "a full rewrite instead")
+      }
       require(morKeysOf(spark, root, cur).isEmpty,
         "renameColumn on a merge-on-read lineage is not supported — " +
         "compact (compactChain) first")
@@ -326,11 +335,13 @@ object SnapshotLog {
       val stack = writeStats(spark, root, next, Nil, sidecarCarry(spark, root, cur))
       // kind "rename": NOT the writeManifestDirs default ("scoped" —
       // which would make compactSmallFiles refuse this flat table), and
-      // the streaming tail/CDC ranges refuse it loudly by name
+      // the streaming tail/CDC ranges refuse it loudly by name; a
+      // scoped lineage's partCol carries (round 11)
       writeManifestDirs(spark, root, next, dirsOf(spark, root, cur),
         batchId = batchIdOf(spark, root, cur).getOrElse(-1L),
         tombDirs = tombDirsOf(spark, root, cur),
         kind = "rename",
+        partCol = partColOf(spark, root, cur).getOrElse(""),
         schemaJson = java.net.URLEncoder.encode(newPin.json, "UTF-8"),
         statsStack = stack)
       publishLatest(spark, root, next)
@@ -428,8 +439,12 @@ object SnapshotLog {
       recoverOrphans(spark, root)
       val cur = currentVersion(spark, root).getOrElse(
         throw new IllegalStateException(s"no committed version at $root"))
-      require(partColOf(spark, root, cur).isEmpty,
-        "dropColumn on a partition-scoped table is not supported")
+      partColOf(spark, root, cur).foreach { pc =>
+        require(!parseGpSpec(pc).refCols.contains(name),
+          s"dropColumn: $name is a partition-spec column of '$pc' — " +
+          "partition values name directories; repartition via a full " +
+          "rewrite instead")
+      }
       require(morKeysOf(spark, root, cur).isEmpty,
         "dropColumn on a merge-on-read lineage is not supported — " +
         "compact (compactChain) first")
@@ -453,6 +468,7 @@ object SnapshotLog {
         batchId = batchIdOf(spark, root, cur).getOrElse(-1L),
         tombDirs = tombDirsOf(spark, root, cur),
         kind = "rename",
+        partCol = partColOf(spark, root, cur).getOrElse(""),
         schemaJson = java.net.URLEncoder.encode(newPin.json, "UTF-8"),
         statsStack = stack)
       publishLatest(spark, root, next)
@@ -1543,6 +1559,18 @@ object SnapshotLog {
         return None
       val rootPath = new Path(root.replaceAll("/+$", ""))
       val cur = currentVersion(spark, root)
+      // round 11: COLUMN MAPPING on scoped lineages — a renamed
+      // non-partition column's pin translates at the slice read
+      // (physical files → logical merge) and at the staged write
+      // (logical merge → physical files), exactly the flat-path rule;
+      // the partition column itself stays rename-refused (it names
+      // directories), so spec rendering is mapping-blind
+      val pin = cur.flatMap(schemaOf(spark, root, _))
+      def toLogical(df: DataFrame): DataFrame =
+        pin.map(fromPhysicalSelect(df, _)).getOrElse(df)
+      def toPhys(df: DataFrame): DataFrame =
+        pin.map(toPhysicalDf(df, _)).getOrElse(df)
+      val physMap = pin.map(renameMap).getOrElse(Map.empty[String, String])
       // round 10: LTZ days() components get their rendering zone PINNED
       // (inherit the lineage's pin; pin the session zone at bootstrap)
       val spec = normalizeGpSpec(spark, spec0, batch,
@@ -1573,9 +1601,9 @@ object SnapshotLog {
       // would resurrect rows a prior tombstoneDelete removed
       val parentSlice: Option[DataFrame] =
         if (replaced.isEmpty) None
-        else Some(applyTombstoneDirs(spark, root, parentTombs,
+        else Some(toLogical(applyTombstoneDirs(spark, root, parentTombs,
           spark.read.parquet(
-            replaced.map(d => new Path(rootPath, d).toString): _*)))
+            replaced.map(d => new Path(rootPath, d).toString): _*))))
       val merged = parentSlice match {
         case None => gated
         case Some(parent) =>
@@ -1583,8 +1611,9 @@ object SnapshotLog {
       }
       val dd = dataDir(root, next)
       writeDataDir(spark,
-        merged.withColumn(GpCol, gpRenderExpr(spec)),
-        dd, bloomCols, partitionBy = Seq(GpCol))
+        toPhys(merged.withColumn(GpCol, gpRenderExpr(spec))),
+        dd, bloomCols.map(c => physMap.getOrElse(c, c)),
+        partitionBy = Seq(GpCol))
       val writtenLeafs = fs(spark, dd).listStatus(dd).map(_.getPath.getName)
         .filter(_.startsWith(GpPrefix)).sorted.toSeq
       // the writer's path rendering and ours MUST agree, or an untouched
@@ -1604,7 +1633,8 @@ object SnapshotLog {
           val key = StatsEval.unesc(line.split("\t", -1)(0))
           untouchedBase.contains(key.substring(0, math.max(key.indexOf('/'), 0)))
         }).getOrElse(EagerCarry(Nil))
-      writeStats(spark, root, next, statsCols, carry)
+      writeStats(spark, root, next,
+        statsCols.map(c => physMap.getOrElse(c, c)), carry)
       // CHANGE DATA FEED (round 9, opt-in): the touched slice was read
       // for the merge anyway — one extra keyed join classifies the batch
       // into insert / update pre+post rows, written as this commit's
@@ -1626,9 +1656,12 @@ object SnapshotLog {
         }
       // parent vectors carry: untouched partitions still need them
       // (touched partitions had them folded into the rewrite; stale
-      // positions point at dead files and anti-join to nothing)
+      // positions point at dead files and anti-join to nothing).
+      // The pinned schema carries too (round 11) — a scoped commit on a
+      // column-mapped lineage must not silently drop the mapping
       writeManifestDirs(spark, root, next, newDirs, batchId = batchId,
-        tombDirs = parentTombs, partCol = spec.render, chgDir = chg)
+        tombDirs = parentTombs, partCol = spec.render, chgDir = chg,
+        schemaJson = cur.map(rawSchemaJson(spark, root, _)).getOrElse(""))
       publishLatest(spark, root, next)
       Some(next)
     }
@@ -2468,6 +2501,13 @@ object SnapshotLog {
     // round 11: constraint gate at the lock-free stage — FAIL fires in
     // the touched-partition probe below, before anything hits disk
     val (gated, obs) = Constraints.gate(spark, root, batch)
+    // column mapping, same translation as the claimed path (round 11)
+    val stagePin = currentVersion(spark, root).flatMap(schemaOf(spark, root, _))
+    def toLogical(df: DataFrame): DataFrame =
+      stagePin.map(fromPhysicalSelect(df, _)).getOrElse(df)
+    def toPhys(df: DataFrame): DataFrame =
+      stagePin.map(toPhysicalDf(df, _)).getOrElse(df)
+    val physMap = stagePin.map(renameMap).getOrElse(Map.empty[String, String])
     // zone pinning, same rule as the claimed path (the publish-side
     // disjointness check then compares identically-rendered names)
     val spec = normalizeGpSpec(spark, spec0, batch,
@@ -2488,10 +2528,10 @@ object SnapshotLog {
         "to migrate a plain table into the scoped layout")
       val replaced = parentDirs.filter(d => touchedNames.contains(baseName(d)))
       if (replaced.isEmpty) None
-      else Some(applyTombstoneDirs(spark, root,
+      else Some(toLogical(applyTombstoneDirs(spark, root,
         tombDirsOf(spark, root, b),
         spark.read.parquet(
-          replaced.map(d => new Path(rootPath, d).toString): _*)))
+          replaced.map(d => new Path(rootPath, d).toString): _*))))
     }
     val merged = parentSlice match {
       case None => gated
@@ -2501,8 +2541,9 @@ object SnapshotLog {
     val staging = stagingDirName()
     try {
       writeDataDir(spark,
-        merged.withColumn(GpCol, gpRenderExpr(spec)),
-        new Path(rootPath, staging), bloomCols, partitionBy = Seq(GpCol))
+        toPhys(merged.withColumn(GpCol, gpRenderExpr(spec))),
+        new Path(rootPath, staging),
+        bloomCols.map(c => physMap.getOrElse(c, c)), partitionBy = Seq(GpCol))
       // CHANGE DATA FEED at STAGE time: the publish-side validation only
       // admits interleaved commits that are scoped AND partition-disjoint,
       // so the touched slice cannot move between stage and publish — the
@@ -2597,11 +2638,17 @@ object SnapshotLog {
                 s"${chgDirName(next)}")
           chgDirName(next)
         } else ""
-      writeStats(spark, root, next, statsCols, carry)
+      // column mapping (round 11): stat columns spell physical in the
+      // sidecar, and the pinned schema carries through the publish
+      val pubPin = head.flatMap(schemaOf(spark, root, _))
+      val pubMap = pubPin.map(renameMap).getOrElse(Map.empty[String, String])
+      writeStats(spark, root, next,
+        statsCols.map(c => pubMap.getOrElse(c, c)), carry)
       val newDirs = untouched ++ writtenLeafs.map(dataDirName(next) + "/" + _)
       writeManifestDirs(spark, root, next, newDirs,
         tombDirs = head.toSeq.flatMap(tombDirsOf(spark, root, _)),
-        partCol = staged.partitionCol, chgDir = chg)
+        partCol = staged.partitionCol, chgDir = chg,
+        schemaJson = head.map(rawSchemaJson(spark, root, _)).getOrElse(""))
       publishLatest(spark, root, next)
       Constraints.finish(spark, root, next, staged.obs)
       next

@@ -319,14 +319,74 @@ class ColumnMappingSpec extends SparkSpecBase {
     assert(post == Set(("update", 1, "a", "a2")), post.toString)
   }
 
-  test("refusals: scoped tables keep the rename refusal") {
-    // scoped: the partition column names dirs — rename refused outright
+  test("scoped rename (round 11): data columns rename metadata-only, partition column refuses") {
     val scoped = freshRoot()
     SnapshotLog.upsertScoped(spark, scoped,
-      Seq((1, "us", "a")).toDF("k", "region", "v"), Seq("k"), "region")
+      Seq((1, "us", "a"), (2, "eu", "b")).toDF("k", "region", "v"),
+      Seq("k"), "region", statsCols = Seq("k"))
+    def leafFiles(): Map[String, Long] = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        if (d.isDirectory) d.listFiles().toSeq.flatMap(walk) else Seq(d)
+      walk(new java.io.File(scoped)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val filesBefore = leafFiles()
+    // NON-partition rename: metadata-only commit, every file untouched
+    val v2 = SnapshotLog.renameColumn(spark, scoped, "v", "body")
+    assert(leafFiles() == filesBefore, "rename touched data files")
+    assert(SnapshotLog.read(spark, scoped).columns.toSeq ==
+      Seq("k", "region", "body"))
+    // the lineage stays SCOPED: a keyed merge after the rename rewrites
+    // only the touched partition, under the renamed logical schema
+    val before = leafFiles().filter(_._1.contains("__gp=eu"))
+    SnapshotLog.upsertScoped(spark, scoped,
+      Seq((1, "us", "A")).toDF("k", "region", "body"), Seq("k"), "region",
+      statsCols = Seq("k"))
+    assert(SnapshotLog.manifestKind(spark, scoped, v2 + 1).contains("scoped"))
+    assert(leafFiles().filter(_._1.contains("__gp=eu")) == before,
+      "untouched partition moved")
+    assert(SnapshotLog.read(spark, scoped).orderBy("k")
+      .select("body").as[String].collect().toSeq == Seq("A", "b"))
+    // dir-name partition pruning still live after the rename
+    val (kept, total) = SnapshotLog.candidateFiles(spark, scoped, v2 + 1,
+      "region", "eu", "eu")
+    assert(kept.size < total && kept.forall(_.toString.contains("__gp=eu")),
+      s"kept ${kept.map(_.toString)} of $total")
+    // probing the RENAMED column prunes through the physical stats keys
+    val (keptK, _) = SnapshotLog.candidateFiles(spark, scoped, v2 + 1, "k", 2, 2)
+    assert(SnapshotLog.readEquals(spark, scoped, "k", 2)
+      .select("body").as[String].collect().toSeq == Seq("b"))
+    // the scoped OCC split translates too
+    val staged = SnapshotLog.stageScopedOcc(spark, scoped,
+      Seq((3, "ap", "c")).toDF("k", "region", "body"), Seq("k"), "region")
+    SnapshotLog.publishScopedOcc(spark, scoped, staged)
+    assert(SnapshotLog.read(spark, scoped).count() == 3)
+    assert(SnapshotLog.read(spark, scoped).columns.toSeq ==
+      Seq("k", "region", "body"))
+    // the PARTITION column keeps the loud refusal, both directions
     val e1 = intercept[IllegalArgumentException](
-      SnapshotLog.renameColumn(spark, scoped, "v", "body"))
-    assert(e1.getMessage.contains("partition-scoped"), e1.getMessage)
+      SnapshotLog.renameColumn(spark, scoped, "region", "geo"))
+    assert(e1.getMessage.contains("partition-spec"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      SnapshotLog.renameColumn(spark, scoped, "body", "region"))
+    assert(e2.getMessage.toLowerCase.contains("already exists") ||
+      e2.getMessage.contains("partition-spec"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      SnapshotLog.dropColumn(spark, scoped, "region"))
+    assert(e3.getMessage.contains("partition-spec"), e3.getMessage)
+    // dropColumn of a DATA column works on a scoped lineage, and the
+    // scoped merge keeps working on the narrowed schema
+    val scoped2 = freshRoot()
+    SnapshotLog.upsertScoped(spark, scoped2,
+      Seq((1, "us", "a", 9), (2, "eu", "b", 8)).toDF("k", "region", "v", "x"),
+      Seq("k"), "region")
+    SnapshotLog.dropColumn(spark, scoped2, "x")
+    assert(SnapshotLog.read(spark, scoped2).columns.toSeq ==
+      Seq("k", "region", "v"))
+    SnapshotLog.upsertScoped(spark, scoped2,
+      Seq((2, "eu", "B")).toDF("k", "region", "v"), Seq("k"), "region")
+    assert(SnapshotLog.read(spark, scoped2).orderBy("k")
+      .select("v").as[String].collect().toSeq == Seq("a", "B"))
   }
 
   test("streaming tail upcasts a widened lineage: narrow old files, wide new ones") {

@@ -423,6 +423,166 @@ object SnapshotLog {
     }
   }
 
+  /** Incremental RE-BLOOM after type widening (round 11, the r10
+    * verdict's #5): rewrite EXACTLY the pre-widen narrow files — the
+    * files whose footers still spell the narrow primitive — into one
+    * fresh wide-typed packed dir, carry every already-wide file by
+    * reference (byte-identical), and CLEAR the widened column's
+    * `graft.widenedFrom` mark, which re-enables bloom point-probe
+    * skipping for it. Cost: O(narrow files), not the O(table)
+    * [[compactChain]] that was the only rung before — on a 100 TB
+    * table widened last week, this rewrites last week's backlog only.
+    *
+    * Why the mark can clear: blooms are skipped for widened columns
+    * because OLD files' blooms hashed the NARROW type; after this pass
+    * every surviving file was written under the wide schema, so
+    * wide-typed probes hash consistently everywhere.
+    *
+    * Narrow-file detection is metadata-only when the widen commit's
+    * manifest survives in retained history (every dir numbered below
+    * the newest widen version predates it — files written after carry
+    * the wide pinned schema); when vacuum removed it, one footer read
+    * per file classifies exactly (the same O(files) driver bound as
+    * the listing fallbacks elsewhere). Flat lineages only — scoped
+    * leafs re-bloom through [[compactChain]] today, and MoR lineages
+    * refuse widening in the first place.
+    */
+  def rebloomWidened(spark: SparkSession, root: String,
+                     extraBloomCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{col, lit, substring_index}
+    import org.apache.spark.sql.types.{MetadataBuilder, StructType}
+    withClaim(spark, root) { f =>
+      recoverOrphans(spark, root)
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed version at $root"))
+      require(morKeysOf(spark, root, cur).isEmpty,
+        "rebloomWidened: merge-on-read lineages refuse widening, nothing to do")
+      require(partColOf(spark, root, cur).isEmpty,
+        "rebloomWidened on a partition-scoped lineage is not supported — " +
+        "compactChain re-blooms those today")
+      val pin = schemaOf(spark, root, cur).getOrElse(return cur)
+      val widened = pin.fields.filter(fd =>
+        !isDropped(fd) && fd.metadata.contains(WidenKey))
+      if (widened.isEmpty) return cur // nothing marked — nothing to do
+      val rootPath = new Path(root.replaceAll("/+$", ""))
+      val all = filesFromSidecar(spark, root, cur).getOrElse(
+        versionPaths(spark, root, cur).flatMap { d =>
+          fs(spark, rootPath).listStatus(new Path(d)).toSeq
+            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        })
+      def dirVersion(p: Path): Option[Long] =
+        scala.util.Try(p.getParent.getName.stripPrefix("data_v").toLong)
+          .toOption.filter(_ => p.getParent.getName.startsWith("data_v"))
+      val newestWiden: Option[Long] = versions(spark, root)
+        .filter(_ <= cur).sortBy(-_)
+        .find(v => manifestKind(spark, root, v).contains("widen"))
+      val wideByPhys = widened.map(fd => physName(fd) -> fd.dataType).toMap
+      val narrowSet: Set[String] = (newestWiden match {
+        case Some(w) =>
+          all.filter(st => dirVersion(st.getPath).exists(_ < w))
+        case None =>
+          all.filter(st => sparkSchemaFromFooter(spark, st.getPath).exists(
+            sch => sch.fields.exists(fl =>
+              wideByPhys.get(fl.name).exists(_ != fl.dataType))))
+      }).map(_.getPath.toString).toSet
+      val next = cur + 1L
+      val newPin = StructType(pin.fields.map { fd =>
+        if (fd.metadata.contains(WidenKey)) {
+          val b = new MetadataBuilder().withMetadata(fd.metadata)
+          b.remove(WidenKey)
+          fd.copy(metadata = b.build())
+        } else fd
+      })
+      val pinJson = java.net.URLEncoder.encode(newPin.json, "UTF-8")
+      if (narrowSet.isEmpty) {
+        // every file is already wide (a prior compaction rewrote them):
+        // clearing the mark is a metadata-only commit
+        val stack = writeStats(spark, root, next, Nil, sidecarCarry(spark, root, cur))
+        writeManifestDirs(spark, root, next, dirsOf(spark, root, cur),
+          batchId = batchIdOf(spark, root, cur).getOrElse(-1L),
+          tombDirs = tombDirsOf(spark, root, cur),
+          kind = "widen", schemaJson = pinJson, statsStack = stack)
+        publishLatest(spark, root, next)
+        return next
+      }
+      def relOf(p: Path) = p.getParent.getName + "/" + p.getName
+      def baseName(d: String) = d.substring(d.lastIndexOf('/') + 1)
+      // kept entries: untouched whole dirs carry as dirs; a dir holding
+      // BOTH narrow and wide files dissolves into per-file carries (the
+      // round-10 pruned-merge mechanics — resolved by filesFromLines,
+      // refcounted by vacuum, re-packed by compactSmallFiles)
+      val byDir = all.groupBy(_.getPath.getParent.getName)
+      val keptEntries: Seq[String] = dirsOf(spark, root, cur).flatMap { d =>
+        if (d.contains('/') && d.endsWith(".parquet")) {
+          val rel = d.split('/').takeRight(2).mkString("/")
+          val isNarrow = byDir.get(rel.takeWhile(_ != '/')).exists(_.exists(st =>
+            relOf(st.getPath) == rel && narrowSet.contains(st.getPath.toString)))
+          if (isNarrow) Nil else Seq(d)
+        } else {
+          val b = baseName(d)
+          val files = byDir.getOrElse(b, Seq.empty)
+          val (nar, wide) = files.partition(st => narrowSet.contains(st.getPath.toString))
+          if (nar.isEmpty) Seq(d)
+          else wide.map(st => b + "/" + st.getPath.getName)
+        }
+      }
+      // the rewrite scan declares the WIDE physical schema — the
+      // vectorized reader upcasts each narrow file — and folds the
+      // deletion-vector positions that point into the rewritten files
+      val tombs = tombDirsOf(spark, root, cur)
+      val scan = spark.read
+        .schema(physicalSchema(pin))
+        .parquet(narrowSet.toSeq.sorted: _*)
+      val folded = applyTombstoneDirs(spark, root, tombs, scan)
+      val physMap = renameMap(pin)
+      val bloomPhys = (widened.map(physName(_)) ++
+        extraBloomCols.map(c => physMap.getOrElse(c, c))).distinct
+      writeDataDir(spark, folded, dataDir(root, next), bloomPhys)
+      // vector rows pointing into kept entries survive as the next
+      // version's own vector (the compactSmallFiles rule, file-granular)
+      val keptDirSet = keptEntries.filterNot(e =>
+        e.contains('/') && e.endsWith(".parquet")).map(baseName).toSet
+      val keptFileRels = keptEntries.filter(e =>
+        e.contains('/') && e.endsWith(".parquet"))
+        .map(_.split('/').takeRight(2).mkString("/")).toSet
+      val nextTombs =
+        if (tombs.isEmpty || keptEntries.isEmpty) Nil
+        else {
+          val dirHit =
+            if (keptDirSet.isEmpty) lit(false)
+            else substring_index(col("__rel"), "/", 1).isInCollection(keptDirSet)
+          val fileHit =
+            if (keptFileRels.isEmpty) lit(false)
+            else col("__rel").isInCollection(keptFileRels)
+          val surviving = spark.read.parquet(
+            tombs.map(d => new Path(rootPath, d).toString): _*)
+            .filter(dirHit || fileHit)
+          if (surviving.isEmpty) Nil
+          else {
+            surviving.write.mode("overwrite")
+              .parquet(new Path(rootPath, tombDirName(next)).toString)
+            Seq(tombDirName(next))
+          }
+        }
+      // stats: kept keys' lines carry; the packed dir re-derives the
+      // same columns the lineage already tracks (bounded by |columns|)
+      val parentCarry = sidecarCarry(spark, root, cur)
+      val carry = parentCarry.filter { l =>
+        val key = StatsEval.unesc(l.takeWhile(_ != '\t'))
+        keptDirSet.contains(key.takeWhile(_ != '/')) ||
+          keptFileRels.contains(key)
+      }
+      val freshCols = inheritedStatsCols(spark, root)
+      val stack = writeStats(spark, root, next, freshCols, carry)
+      writeManifestAppend(spark, root, next,
+        batchIdOf(spark, root, cur).getOrElse(-1L),
+        baseDirs = keptEntries, tombDirs = nextTombs,
+        schemaJson = pinJson, statsStack = stack)
+      publishLatest(spark, root, next)
+      next
+    }
+  }
+
   /** DROP COLUMN as a metadata-only commit: the field stays in the pin
     * as a TOMBSTONE (`graft.dropped`) — reads exclude it, writes never
     * see it, and a later ADD COLUMN of the same (or the same physical)

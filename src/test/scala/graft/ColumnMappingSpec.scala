@@ -224,6 +224,59 @@ class ColumnMappingSpec extends SparkSpecBase {
       Set((1, 7L), (2, 9000000000L)))
   }
 
+  test("rebloomWidened (round 11): O(narrow files) rewrite re-enables bloom probes, wide files untouched") {
+    import org.apache.spark.sql.types._
+    val root = freshRoot()
+    // three narrow files whose id SPANS all overlap — min/max can never
+    // prune a mid-range point probe, only blooms can
+    Seq(Seq((1, "a"), (9999, "z")), Seq((2, "b"), (9998, "y")),
+        Seq((3, "c"), (9997, "x"))).foreach { rows =>
+      SnapshotLog.appendCommit(spark, root, rows.toDF("id", "v").coalesce(1),
+        statsCols = Seq("id"), bloomCols = Seq("id"))
+    }
+    def probeKept(v: Long, value: Any): Int =
+      SnapshotLog.candidateFilesEquals(spark, root, v, "id", value)._1.size
+    assert(probeKept(3L, 3) == 1, "wiring: blooms must prune pre-widen")
+    // widen → blooms skipped (old files hashed INT) — all files keep
+    val v4 = SnapshotLog.widenColumnType(spark, root, "id", LongType)
+    assert(probeKept(v4, 3L) == 3, "widened column must skip blooms")
+    // a post-widen WIDE file whose span also covers the probe (so only
+    // its bloom can exclude it after the re-bloom)
+    val v5 = SnapshotLog.appendCommit(spark, root,
+      Seq((0L, "w"), (9996L, "q")).toDF("id", "v").coalesce(1),
+      statsCols = Seq("id"), bloomCols = Seq("id"))
+    // a deletion vector into a narrow file must fold through the rewrite
+    val v6 = SnapshotLog.tombstoneDelete(spark, root, Seq(9999).toDF("id"), Seq("id"))
+    val wideFiles = new java.io.File(root, "data_v00000005").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getPath -> f.lastModified()).toMap
+    // TARGETED compaction: rewrites exactly the three narrow files
+    val v7 = SnapshotLog.rebloomWidened(spark, root)
+    assert(v7 == v6 + 1)
+    assert(new java.io.File(root, "data_v00000005").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getPath -> f.lastModified()).toMap == wideFiles,
+      "the already-wide file must carry byte-identical")
+    val dirs = SnapshotLog.dirsOf(spark, root, v7)
+    assert(dirs.contains("data_v00000005") && dirs.contains(f"data_v$v7%08d"),
+      dirs.toString)
+    // bloom point probes RETURN: only the packed dir's file survives
+    // (the wide file's span covers 3 — its bloom excludes it)
+    val (kept7, total7) = SnapshotLog.candidateFilesEquals(spark, root, v7, "id", 3L)
+    assert(kept7.size == 1 && total7 >= 2,
+      s"bloom pruning must return after rebloom: kept ${kept7.size} of $total7")
+    assert(kept7.head.getParent.getName == f"data_v$v7%08d", kept7.toString)
+    // the mark is cleared, rows exact, the folded delete stays dead
+    assert(SnapshotLog.read(spark, root).schema("id").dataType == LongType)
+    assert(SnapshotLog.read(spark, root).select("id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 9997L, 9998L, 9996L, 0L))
+    assert(SnapshotLog.readEquals(spark, root, "id", 9999L).count() == 0)
+    // re-running is a no-op (no marks left)
+    assert(SnapshotLog.rebloomWidened(spark, root) == v7)
+    // time travel to the pre-rebloom version still reads (refcounts keep
+    // the narrow files until vacuum ages them out)
+    assert(SnapshotLog.readVersion(spark, root, v4).count() == 6)
+  }
+
   test("reader protocol gate: mapped manifests stamp minReader, future protocols refuse loudly") {
     val root = freshRoot()
     SnapshotLog.appendCommit(spark, root, kv(1 -> "a"))

@@ -2477,6 +2477,18 @@ object SnapshotLog {
     val dirs = dirsOf(spark, srcRoot, sv).map(abs)
     val tombs = tombDirsOf(spark, srcRoot, sv).map(abs)
     val carry = sidecarCarry(spark, srcRoot, sv, allowChain = false)
+    // CLONE PIN (round 11, the r10 verdict's #6): the clone registers a
+    // consumer-style pin on the SOURCE at the referenced version, so a
+    // source vacuum WIDENS its keep over the clone's data instead of
+    // reclaiming dirs the clone still reads — the Delta data-loss
+    // footgun becomes a pin. Registered BEFORE the clone publishes: a
+    // crash between the two leaves a removable stale pin, never a
+    // clone whose bytes a vacuum may already be deleting. The pin
+    // releases when the clone materializes ([[compactChain]]) or is
+    // dropped ([[releaseClonePin]]).
+    val pinName = clonePinName(dstRoot)
+    registerConsumer(spark, srcRoot, pinName, sv)
+    writeCloneSrc(spark, dstRoot, srcRoot, pinName)
     withClaim(spark, dstRoot) { _ =>
       require(currentVersion(spark, dstRoot).isEmpty,
         s"clone target $dstRoot already has a committed table")
@@ -2490,6 +2502,72 @@ object SnapshotLog {
       sv
     }
   }
+
+  /** The clone's pin name on its source — a stable token derived from
+    * the clone root (consumer names must be plain tokens).
+    */
+  private[graft] def clonePinName(dstRoot: String): String =
+    "clone_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(dstRoot.replaceAll("/+$", "")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(16)
+
+  private def cloneSrcPath(root: String): Path =
+    new Path(logDir(root), "CLONE_SRC")
+
+  private def writeCloneSrc(spark: SparkSession, dstRoot: String,
+                            srcRoot: String, pinName: String): Unit = {
+    val p = cloneSrcPath(dstRoot)
+    val f = fs(spark, p)
+    f.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent, ".tmp_clone_src")
+    val out = f.create(tmp, true)
+    try out.write((java.net.URLEncoder.encode(srcRoot, "UTF-8") + "\t" + pinName)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = FileContext.getFileContext(p.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, p, Options.Rename.OVERWRITE)
+  }
+
+  /** The (source root, pin name) a shallow clone records, if any. */
+  private[graft] def cloneSrcOf(spark: SparkSession,
+                                root: String): Option[(String, String)] = {
+    val p = cloneSrcPath(root)
+    val f = fs(spark, p)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      txt.split("\t", 2) match {
+        case Array(src, pin) =>
+          Some((java.net.URLDecoder.decode(src, "UTF-8"), pin))
+        case _ => None
+      }
+    }
+  }
+
+  /** Release the pin a shallow clone holds on its source (idempotent;
+    * best-effort if the source is gone). Called by [[compactChain]]
+    * once the clone materializes under its own root, and by table DROP —
+    * call directly when removing a clone out-of-band. After release,
+    * the clone's PRE-materialization versions regain the classic
+    * source-vacuum caveat (they still reference source dirs).
+    */
+  def releaseClonePin(spark: SparkSession, cloneRoot: String): Unit =
+    cloneSrcOf(spark, cloneRoot).foreach { case (src, pin) =>
+      try unregisterConsumer(spark, src, pin)
+      catch { case _: Exception => () } // source vanished: nothing pinned
+      fs(spark, cloneSrcPath(cloneRoot)).delete(cloneSrcPath(cloneRoot), false)
+    }
+
+  /** Every clone-held pin on `srcRoot`: pin name → referenced version
+    * (the `CALL graft.system.clones(t)` surface; a subset of
+    * [[consumers]]).
+    */
+  def clonePins(spark: SparkSession, srcRoot: String): Map[String, Long] =
+    consumers(spark, srcRoot).filter(_._1.startsWith("clone_"))
 
   /** Bounded-wait writer claim: the OCC commit paths hold the claim
     * only for their METADATA-side critical section (head resolve,
@@ -3421,8 +3499,13 @@ object SnapshotLog {
       }
       else if (nFiles > 0) cur.repartition(nFiles) else cur
     // maintenance: the head's streaming stamp carries (replay gate intact)
-    commitStamped(spark, root, arranged, statsCols, bloomCols,
+    val v = commitStamped(spark, root, arranged, statsCols, bloomCols,
       carryBatchId = true)
+    // a shallow clone that just materialized under its own root no
+    // longer needs its source pinned (round 11) — release it; pre-
+    // materialization versions regain the classic vacuum caveat
+    releaseClonePin(spark, root)
+    v
   }
 
   /** INCREMENTAL small-file compaction — bin-packing OPTIMIZE at

@@ -328,7 +328,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val root = new Path(tableRoot(ident))
     val f = hfs(root)
     if (SnapshotLog.currentVersion(spark, root.toString).isEmpty) false
-    else f.delete(root, true)
+    else {
+      // a dropped shallow clone releases its source pin (round 11) —
+      // the source's vacuum keep narrows back to its own retention
+      SnapshotLog.releaseClonePin(spark, root.toString)
+      f.delete(root, true)
+    }
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {

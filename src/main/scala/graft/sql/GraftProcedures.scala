@@ -23,7 +23,7 @@ object GraftProcedures {
   val names: Seq[String] =
     Seq("restore", "vacuum", "compact_small_files", "history",
         "optimize_zorder", "clone", "detail",
-        "register_consumer", "unregister_consumer", "consumers",
+        "register_consumer", "unregister_consumer", "consumers", "clones",
         "vacuum_dry_run",
         "add_constraint", "drop_constraint", "constraints", "audit")
 
@@ -39,6 +39,7 @@ object GraftProcedures {
       case "register_consumer"   => Some(new RegisterConsumer(cat))
       case "unregister_consumer" => Some(new UnregisterConsumer(cat))
       case "consumers"           => Some(new Consumers(cat))
+      case "clones"              => Some(new Clones(cat))
       case "vacuum_dry_run"      => Some(new VacuumDryRun(cat))
       case "add_constraint"      => Some(new AddConstraintProc(cat))
       case "drop_constraint"     => Some(new DropConstraintProc(cat))
@@ -207,6 +208,25 @@ object GraftProcedures {
       val dst = cat.rootOf(input.getUTF8String(1).toString)
       val v = SnapshotLog.shallowClone(spark, src, dst)
       scanOf(out, Seq(new GenericInternalRow(Array[Any](v))))
+    }
+  }
+
+  /** `CALL c.system.clones(table)` → every shallow-clone pin held on
+    * this table (round 11): pin name and the referenced source version
+    * a vacuum will keep. Release happens when the clone materializes
+    * (compactChain) or drops.
+    */
+  private final class Clones(cat: GraftCatalog) extends Proc(cat, "clones") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType))
+    private val out = StructType(Seq(
+      StructField("clone_pin", StringType),
+      StructField("pinned_version", LongType)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val rows = SnapshotLog.clonePins(spark, root(input)).toSeq.sortBy(_._1)
+        .map { case (n, v) => new GenericInternalRow(
+          Array[Any](UTF8String.fromString(n), v)): InternalRow }
+      scanOf(out, rows)
     }
   }
 

@@ -71,6 +71,48 @@ class CloneSpec extends SparkSpecBase {
       "clone must stay readable after its own vacuum")
   }
 
+  test("clone pins (round 11): source vacuum keeps the referenced dirs; release on materialize/drop") {
+    val src = freshRoot("pin_src")
+    val dst = freshRoot("pin_dst")
+    // three versions; the clone references v1 — an aggressive source
+    // vacuum would have reclaimed v1's dirs before round 11
+    SnapshotLog.commit(spark, src,
+      (1 to 10).map(i => (i, s"v$i")).toDF("k", "v"))
+    SnapshotLog.commit(spark, src,
+      (1 to 10).map(i => (i, s"w$i")).toDF("k", "v"))
+    SnapshotLog.shallowClone(spark, src, dst, version = Some(1L))
+    // the pin is registered AND enumerable, at the referenced version
+    val pins = SnapshotLog.clonePins(spark, src)
+    assert(pins.values.toSeq == Seq(1L), pins.toString)
+    // dry-run shows v1 SURVIVES the keep=1 vacuum (pin widens keep)
+    assert(SnapshotLog.vacuumDryRun(spark, src, 1).isEmpty)
+    SnapshotLog.commit(spark, src,
+      (1 to 10).map(i => (i, s"x$i")).toDF("k", "v"))
+    SnapshotLog.vacuum(spark, src, 1)
+    // v1 (and its dirs) survive; the clone keeps reading
+    assert(SnapshotLog.versions(spark, src).contains(1L))
+    assert(rows(SnapshotLog.read(spark, dst)) ==
+      (1 to 10).map(i => (i, s"v$i")).toSet)
+    // the clone MATERIALIZES → pin releases → source vacuum narrows
+    SnapshotLog.compactChain(spark, dst)
+    assert(SnapshotLog.clonePins(spark, src).isEmpty,
+      "compactChain must release the clone's source pin")
+    SnapshotLog.vacuum(spark, src, 1)
+    assert(SnapshotLog.versions(spark, src) == Seq(3L))
+    assert(rows(SnapshotLog.read(spark, dst)) ==
+      (1 to 10).map(i => (i, s"v$i")).toSet,
+      "materialized clone must survive the source vacuum")
+    // a DROPPED clone releases too
+    val dst2 = freshRoot("pin_dst2")
+    SnapshotLog.shallowClone(spark, src, dst2)
+    assert(SnapshotLog.clonePins(spark, src).size == 1)
+    SnapshotLog.releaseClonePin(spark, dst2)
+    assert(SnapshotLog.clonePins(spark, src).isEmpty)
+    // releasing twice is a no-op; a non-clone table releases nothing
+    SnapshotLog.releaseClonePin(spark, dst2)
+    SnapshotLog.releaseClonePin(spark, src)
+  }
+
   test("the streaming tail starts from a clone's non-1 first version") {
     val src = freshRoot("tsrc")
     val dst = freshRoot("tdst")

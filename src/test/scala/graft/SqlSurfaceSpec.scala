@@ -586,6 +586,19 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rowsOf("SELECT v FROM graft.ns.bkt WHERE k = 7") == Set(Seq("V7")))
   }
 
+  test("CALL graft.system.clones enumerates clone pins; DROP TABLE releases (round 11)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
+    sql("CREATE TABLE graft.ns.csrc (k INT, v STRING)")
+    sql("INSERT INTO graft.ns.csrc VALUES (1, 'a')")
+    sql("CALL graft.system.clone('ns.csrc', 'ns.cdst')")
+    val pins = rowsOf("CALL graft.system.clones('ns.csrc')")
+    assert(pins.size == 1 && pins.head(1) ==
+      SnapshotLog.currentVersion(spark, root("csrc")).get, pins.toString)
+    // dropping the clone releases its pin on the source
+    sql("DROP TABLE graft.ns.cdst")
+    assert(rowsOf("CALL graft.system.clones('ns.csrc')").isEmpty)
+  }
+
   test("constraints bind WRITTEN rows only; UPDATE paths gate; ADD validates existing (round 11)") {
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)

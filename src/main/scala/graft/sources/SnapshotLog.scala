@@ -1073,14 +1073,18 @@ object SnapshotLog {
     // then prunes nothing.
     val MaxPoint = 16
     val allRel: Set[String] = all.map(st => relOf(st.getPath)).toSet
-    val perCol: Seq[Set[String]] = keys.map { k =>
+    // the probe's per-key shape is resolved ONCE (point values or span +
+    // null flag) so the candidate computation can re-run against a MOVED
+    // head at publish time — the round-11 OCC rebase re-probes with the
+    // cached values, never re-reading the batch
+    case class KeyProbe(k: String, points: Option[Seq[Any]],
+                        span: Option[(Any, Any)], anyNull: Boolean)
+    val keyProbes: Seq[KeyProbe] = keys.map { k =>
       val vals = probe.select(col(k)).distinct()
         .limit(MaxPoint + 1).collect().map(_.get(0)).toSeq
-      if (vals.isEmpty) Set.empty[String]
-      else if (vals.contains(null)) allRel
-      else if (vals.size <= MaxPoint)
-        vals.map(v => candidateFilesEquals(spark, root, cur, k, v)
-          ._1.map(relOf).toSet).reduce(_ union _)
+      if (vals.isEmpty) KeyProbe(k, Some(Nil), None, anyNull = false)
+      else if (vals.contains(null)) KeyProbe(k, None, None, anyNull = true)
+      else if (vals.size <= MaxPoint) KeyProbe(k, Some(vals), None, anyNull = false)
       else {
         // nulls can hide beyond the probe window's LIMIT — re-check
         // exactly (min/max ignore them, and a null batch key must still
@@ -1088,12 +1092,24 @@ object SnapshotLog {
         val r = probe.agg(smin(col(k)), smax(col(k)),
           smax(org.apache.spark.sql.functions
             .when(col(k).isNull, 1).otherwise(0))).head
-        if (r.get(2) == 1) allRel
-        else candidateFiles(spark, root, cur, k, r.get(0), r.get(1))._1
-          .map(relOf).toSet
+        if (r.get(2) == 1) KeyProbe(k, None, None, anyNull = true)
+        else KeyProbe(k, None, Some((r.get(0), r.get(1))), anyNull = false)
       }
     }
-    val matchedRel: Set[String] = perCol.reduce(_ intersect _)
+    def candidatesOn(v: Long, allRelV: Set[String]): Set[String] =
+      keyProbes.map { kp =>
+        if (kp.anyNull) allRelV
+        else kp.points match {
+          case Some(Seq()) => Set.empty[String]
+          case Some(vs) => vs.map(x =>
+            candidateFilesEquals(spark, root, v, kp.k, x)
+              ._1.map(relOf).toSet).reduce(_ union _)
+          case None =>
+            val (lo, hi) = kp.span.get
+            candidateFiles(spark, root, v, kp.k, lo, hi)._1.map(relOf).toSet
+        }
+      }.reduce(_ intersect _)
+    val matchedRel: Set[String] = candidatesOn(cur, allRel)
     if (matchedRel.size >= all.size) return None // nothing pruned
     val matchedPaths = all.filter(st => matchedRel.contains(relOf(st.getPath)))
       .map(_.getPath.toString)
@@ -1134,16 +1150,52 @@ object SnapshotLog {
       // included (a general MERGE's WHEN MATCHED DELETE records)
       keyedSliceDiff(visible, merged, keys).write.mode("overwrite")
         .parquet(new Path(staging, StagedChg).toString)
-    // ---- PUBLISH under the claim: metadata-only
+    // ---- PUBLISH under the claim: metadata-only. A head that MOVED
+    // since the probe REBASES instead of discarding the staged slice
+    // (round 11, the r10 verdict's #7 — the DV-DML file-disjoint rule
+    // applied to the pruned MERGE): the staged merge is still exact
+    // against the new head iff (a) the schema pin is unchanged, (b)
+    // every matched file is still referenced unmodified, (c) re-running
+    // the cached key probe against the new head admits no file OUTSIDE
+    // the matched set (an interleaved append can't have smuggled a
+    // batch key into a file the merge never read), and (d) no
+    // interleaved deletion vector points into a matched file (the
+    // staged slice would resurrect the deleted rows). Any violation
+    // deletes the staging and returns None — [[retryPruned]] then
+    // re-probes and re-stages against the new head.
     withClaimWait(spark, root) {
       recoverOrphans(spark, root)
       val f2 = fs(spark, rootPath)
-      // head moved since the probe — the classic path re-reads it
-      if (!currentVersion(spark, root).contains(cur)) {
+      def rebaseTarget(): Option[Long] = {
+        val h = currentVersion(spark, root).getOrElse(return None)
+        if (h == cur) return Some(cur)
+        if (rawSchemaJson(spark, root, h) != rawSchemaJson(spark, root, cur))
+          return None
+        if (morKeysOf(spark, root, h).nonEmpty) return None
+        val dirsH = dirsOf(spark, root, h)
+        if (dirsH.isEmpty || dirsH.exists(d =>
+            !isFileEntry(d) && (d.contains('/') || !d.startsWith("data_v"))))
+          return None
+        val allH = filesFromSidecar(spark, root, h).getOrElse(return None)
+        val allRelH = allH.map(st => relOf(st.getPath)).toSet
+        if (!matchedRel.subsetOf(allRelH)) return None
+        if (!candidatesOn(h, allRelH).subsetOf(matchedRel)) return None
+        val newTombs = tombDirsOf(spark, root, h).filterNot(tombs.contains)
+        val tombSafe = newTombs.isEmpty || spark.read.parquet(
+            newTombs.map(d => new Path(rootPath, d).toString): _*)
+          .filter(col("__rel").isInCollection(matchedRel)).isEmpty
+        if (tombSafe) Some(h) else None
+      }
+      val base = rebaseTarget().getOrElse {
         f2.delete(staging, true)
         return None
       }
-      val next = cur + 1L
+      val (pubDirs, pubAll, pubTombs) =
+        if (base == cur) (dirs, all, tombs)
+        else (dirsOf(spark, root, base),
+          filesFromSidecar(spark, root, base).get,
+          tombDirsOf(spark, root, base))
+      val next = base + 1L
       if (!f2.rename(staging, dataDir(root, next)))
         throw new IllegalStateException(
           s"could not move staged $staging into ${dataDir(root, next)}")
@@ -1158,8 +1210,8 @@ object SnapshotLog {
                 s"${chgDirName(next)}")
           chgDirName(next)
         } else ""
-      val byDirBase = all.groupBy(_.getPath.getParent.getName)
-      val carriedEntries: Seq[String] = dirs.flatMap { d =>
+      val byDirBase = pubAll.groupBy(_.getPath.getParent.getName)
+      val carriedEntries: Seq[String] = pubDirs.flatMap { d =>
         if (isFileEntry(d)) {
           if (matchedRel.contains(rel2(d))) Nil else Seq(d)
         } else {
@@ -1173,7 +1225,7 @@ object SnapshotLog {
       // span/bloom/listing/null-count lines drop; the rest carries
       // verbatim (the matchedRel closure is O(matched), scale-safe)
       val carriedDirBases = carriedEntries.filterNot(isFileEntry).map(baseOf).toSet
-      val carry = sidecarCarry(spark, root, cur).filter { line =>
+      val carry = sidecarCarry(spark, root, base).filter { line =>
         val key = StatsEval.unesc(line.split("\t", -1)(0))
         if (key.endsWith("/")) carriedDirBases.contains(key.stripSuffix("/"))
         else !matchedRel.contains(key)
@@ -1181,8 +1233,8 @@ object SnapshotLog {
       val stack = writeStats(spark, root, next,
         statsCols.map(c => stageMap.getOrElse(c, c)), carry)
       writeManifestAppend(spark, root, next, -1L,
-        baseDirs = carriedEntries, tombDirs = tombs,
-        schemaJson = rawSchemaJson(spark, root, cur),
+        baseDirs = carriedEntries, tombDirs = pubTombs,
+        schemaJson = rawSchemaJson(spark, root, base),
         chgDir = chgName, statsStack = stack)
       publishLatest(spark, root, next)
       Some(next)

@@ -256,4 +256,76 @@ class OccSpec extends SparkSpecBase {
     val deletes = diff.collect().filter(_.getString(0) == "delete")
     assert(deletes.map(_.getInt(1)).toSeq == Seq(5))
   }
+
+  /** Round 11 (the r10 verdict's #7): a pruned keyed MERGE whose head
+    * moved between probe and publish REBASES its staged slice over a
+    * file-disjoint interleaving (one staged write each) instead of
+    * re-probing; an interleaving that touched the SAME file refuses the
+    * rebase and the retry loop re-probes against the new head.
+    */
+  test("pruned MERGE rebases over a disjoint interleaving; same-file overlap re-probes") {
+    def chain(root: String): Unit = (0 until 4).foreach { i =>
+      SnapshotLog.appendCommit(spark, root,
+        ((i * 100) until (i * 100 + 100)).map(k => (k, s"w$k")).toDF("k", "v")
+          .coalesce(1), statsCols = Seq("k"))
+    }
+    def filesUnder(root: String, dir: String): Map[String, Long] = {
+      val d = new java.io.File(new java.io.File(root), dir)
+      if (!d.isDirectory) Map.empty
+      else d.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    // --- DISJOINT: A merges k=150 (file 2); B lands k=350 (file 4)
+    // between A's probe and A's publish — A rebases, both land, one
+    // staged write each, untouched files byte-identical
+    val root = freshRoot()
+    chain(root)
+    val before13 = Seq("data_v00000001", "data_v00000003")
+      .map(d => d -> filesUnder(root, d)).toMap
+    val cur = SnapshotLog.currentVersion(spark, root).get
+    var bVersion = -1L
+    val vA = SnapshotLog.rewriteMatchedFlat(spark, root, cur,
+      Seq(150).toDF("k"), Seq("k"), Seq("k"), Nil) { visible =>
+      // the interleaving lands while A's slice is probed-but-unstaged —
+      // exactly the stage/publish race window
+      bVersion = SnapshotLog.upsert(spark, root,
+        Seq((350, "B350")).toDF("k", "v"), Seq("k"))
+      graft.sources.Upsert.upsert(visible,
+        Seq((150, "A150")).toDF("k", "v"), Seq("k"))
+    }
+    assert(bVersion == cur + 1)
+    assert(vA.contains(cur + 2), s"A must REBASE onto B's head, got $vA")
+    val out = SnapshotLog.read(spark, root)
+    assert(out.count() == 400)
+    assert(out.filter(out("k").isin(150, 350)).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet ==
+      Set((150, "A150"), (350, "B350")))
+    Seq("data_v00000001", "data_v00000003").foreach { d =>
+      assert(filesUnder(root, d) == before13(d), s"$d was touched")
+    }
+    // --- OVERLAP: B rewrites the SAME file A matched — the rebase
+    // refuses (stale slice), A's direct attempt returns None with the
+    // staging swept; the public retry path then lands it cleanly
+    val root2 = freshRoot()
+    chain(root2)
+    val cur2 = SnapshotLog.currentVersion(spark, root2).get
+    val vA2 = SnapshotLog.rewriteMatchedFlat(spark, root2, cur2,
+      Seq(150).toDF("k"), Seq("k"), Seq("k"), Nil) { visible =>
+      SnapshotLog.upsert(spark, root2,
+        Seq((155, "B155")).toDF("k", "v"), Seq("k"))
+      graft.sources.Upsert.upsert(visible,
+        Seq((150, "A150")).toDF("k", "v"), Seq("k"))
+    }
+    assert(vA2.isEmpty, "a same-file interleaving must refuse the rebase")
+    val leaked = new java.io.File(root2).listFiles()
+      .map(_.getName).filter(_.startsWith("data_u"))
+    assert(leaked.isEmpty, s"refused rebase leaked staging: ${leaked.toSeq}")
+    // the retry loop (the upsert entry point) re-probes and lands both
+    SnapshotLog.upsert(spark, root2, Seq((150, "A150")).toDF("k", "v"), Seq("k"))
+    val out2 = SnapshotLog.read(spark, root2)
+    assert(out2.filter(out2("k").isin(150, 155)).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet ==
+      Set((150, "A150"), (155, "B155")))
+    assert(out2.count() == 400)
+  }
 }

@@ -24,7 +24,7 @@ object GraftProcedures {
     Seq("restore", "vacuum", "compact_small_files", "history",
         "optimize_zorder", "clone", "detail",
         "register_consumer", "unregister_consumer", "consumers", "clones",
-        "vacuum_dry_run",
+        "rebloom_widened", "vacuum_dry_run",
         "add_constraint", "drop_constraint", "constraints", "audit")
 
   def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
@@ -40,6 +40,7 @@ object GraftProcedures {
       case "unregister_consumer" => Some(new UnregisterConsumer(cat))
       case "consumers"           => Some(new Consumers(cat))
       case "clones"              => Some(new Clones(cat))
+      case "rebloom_widened"     => Some(new RebloomWidened(cat))
       case "vacuum_dry_run"      => Some(new VacuumDryRun(cat))
       case "add_constraint"      => Some(new AddConstraintProc(cat))
       case "drop_constraint"     => Some(new DropConstraintProc(cat))
@@ -207,6 +208,23 @@ object GraftProcedures {
       val src = cat.rootOf(input.getUTF8String(0).toString)
       val dst = cat.rootOf(input.getUTF8String(1).toString)
       val v = SnapshotLog.shallowClone(spark, src, dst)
+      scanOf(out, Seq(new GenericInternalRow(Array[Any](v))))
+    }
+  }
+
+  /** `CALL c.system.rebloom_widened(table)` → the O(narrow files)
+    * post-widening maintenance pass (round 11): rewrites exactly the
+    * pre-widen files and re-enables bloom point-probe skipping for the
+    * widened column. Returns the committed version (unchanged head =
+    * nothing to do).
+    */
+  private final class RebloomWidened(cat: GraftCatalog)
+      extends Proc(cat, "rebloom_widened") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType))
+    private val out = StructType(Seq(StructField("version", LongType)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val v = SnapshotLog.rebloomWidened(spark, root(input))
       scanOf(out, Seq(new GenericInternalRow(Array[Any](v))))
     }
   }

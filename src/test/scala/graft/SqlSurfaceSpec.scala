@@ -586,6 +586,40 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rowsOf("SELECT v FROM graft.ns.bkt WHERE k = 7") == Set(Seq("V7")))
   }
 
+  test("scoped data-column rename via SQL; rebloom_widened procedure (round 11)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
+    // ALTER ... RENAME COLUMN on a PARTITIONED BY table: data columns
+    // rename metadata-only, the partition column refuses
+    sql("""CREATE TABLE graft.ns.sren (k INT, p STRING, v STRING)
+           PARTITIONED BY (p)""")
+    sql("INSERT INTO graft.ns.sren VALUES (1, 'a', 'x'), (2, 'b', 'y')")
+    sql("ALTER TABLE graft.ns.sren RENAME COLUMN v TO body")
+    assert(rowsOf("SELECT k, body FROM graft.ns.sren") ==
+      Set(Seq(1, "x"), Seq(2, "y")))
+    // the scoped MERGE keeps working under the renamed schema
+    sql("""MERGE INTO graft.ns.sren t
+           USING (SELECT 1 AS k, 'a' AS p, 'X' AS body) s
+           ON t.k = s.k AND t.p = s.p
+           WHEN MATCHED THEN UPDATE SET t.k = s.k, t.p = s.p, t.body = s.body
+           WHEN NOT MATCHED THEN INSERT (k, p, body) VALUES (s.k, s.p, s.body)""")
+    assert(rowsOf("SELECT k, body FROM graft.ns.sren") ==
+      Set(Seq(1, "X"), Seq(2, "y")))
+    val e = intercept[Exception] {
+      sql("ALTER TABLE graft.ns.sren RENAME COLUMN p TO region")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("partition-spec")), msgs(e).toString)
+    // rebloom_widened as a procedure: widen, then the targeted pass
+    sql("CREATE TABLE graft.ns.rbw (id INT, v STRING)")
+    sql("INSERT INTO graft.ns.rbw VALUES (1, 'a'), (9999, 'z')")
+    sql("ALTER TABLE graft.ns.rbw ALTER COLUMN id TYPE BIGINT")
+    val v = sql("CALL graft.system.rebloom_widened('ns.rbw')")
+      .collect().head.getLong(0)
+    assert(v == SnapshotLog.currentVersion(spark, root("rbw")).get)
+    assert(rowsOf("SELECT id FROM graft.ns.rbw") == Set(Seq(1L), Seq(9999L)))
+  }
+
   test("CALL graft.system.clones enumerates clone pins; DROP TABLE releases (round 11)") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
     sql("CREATE TABLE graft.ns.csrc (k INT, v STRING)")

@@ -141,6 +141,34 @@ class GraftSinkSpec extends SparkSpecBase {
     assert(SnapshotLog.manifestKind(spark, root, 2L).contains("scoped"))
   }
 
+  test("scoped sink composes with bucket(N) transforms: N stable leafs, point probes prune") {
+    val dir = dirFor("bucket")
+    val root = s"$dir/t"
+    val stream = MemoryStream[Ev](spark)
+    // a high-cardinality key with no natural partition column — the
+    // round-11 bucket transform through the round-11 native sink
+    val q = stream.toDF().writeStream.format("graft")
+      .option("mode", "upsert").option("keys", "event_id")
+      .option("partitionBy", "bucket(4, event_id)")
+      .option("checkpointLocation", s"$dir/ck").start(root)
+    stream.addData((1L to 20L).map(i =>
+      Ev(i, ts("2024-01-01 10:00:00"), i % 3, i.toDouble)): _*)
+    q.processAllAvailable()
+    stream.addData(Ev(7, ts("2024-01-01 11:00:00"), 1, 70.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(SnapshotLog.read(spark, root).count() == 20)
+    assert(SnapshotLog.readEquals(spark, root, "event_id", 7L)
+      .select("value").collect().head.getDouble(0) == 70.0)
+    // batch 1 touched exactly ONE bucket leaf; the probe prunes to it
+    val own2 = new java.io.File(root, "data_v00000002")
+    assert(own2.list().count(_.startsWith("__gp=")) == 1, own2.list().toSeq)
+    val (kept, total) = SnapshotLog.candidateFiles(spark, root,
+      SnapshotLog.currentVersion(spark, root).get, "event_id", 7L, 7L)
+    assert(kept.map(_.getParent.getName).toSet.size == 1 && kept.size < total,
+      s"kept ${kept.map(_.getParent.getName)} of $total")
+  }
+
   test("replace sink: outputMode complete rebuilds the snapshot per batch, stamped") {
     val dir = dirFor("replace")
     val root = s"$dir/t"

@@ -96,20 +96,40 @@ object Constraints {
     require(name.nonEmpty && !name.contains("\t") && !name.contains("\n"),
       s"constraint name must be a simple label, got '$name'")
     SnapshotLog.read(spark, root).filter(expr(sqlExpr)).queryExecution.analyzed
-    SnapshotLog.withClaimWait(spark, root) {
-      val cur = list(spark, root)
-      require(!cur.exists(_.name == name),
-        s"constraint '$name' already exists on $root")
+    // the FAIL validation scan runs with NO lock held (the claim is for
+    // metadata-side critical sections, not table scans — a minutes-long
+    // scan under the claim would crash every concurrent writer); the
+    // claimed section then only re-checks that the scanned version is
+    // still the head, retrying the scan when a commit interleaved
+    var attempts = 0
+    while (true) {
+      val v0 = SnapshotLog.currentVersion(spark, root)
       if (pol == "FAIL") {
         // ANSI NULL-passes: only definite FALSE rows violate
-        val bad = SnapshotLog.read(spark, root)
-          .filter(!coalesce(expr(sqlExpr), lit(true))).count()
+        val snap = v0.map(SnapshotLog.readVersion(spark, root, _))
+          .getOrElse(SnapshotLog.read(spark, root))
+        val bad = snap.filter(!coalesce(expr(sqlExpr), lit(true))).count()
         require(bad == 0L,
           s"cannot add FAIL constraint '$name' CHECK ($sqlExpr): $bad " +
           s"existing row(s) violate it — clean the data first, or declare " +
           "it WARN/DROP")
       }
-      write(spark, root, cur :+ TableCheck(name, pol, sqlExpr))
+      val landed = SnapshotLog.withClaimWait(spark, root) {
+        if (pol == "FAIL" &&
+            SnapshotLog.currentVersion(spark, root) != v0) false
+        else {
+          val cur = list(spark, root)
+          require(!cur.exists(_.name == name),
+            s"constraint '$name' already exists on $root")
+          write(spark, root, cur :+ TableCheck(name, pol, sqlExpr))
+          true
+        }
+      }
+      if (landed) return
+      attempts += 1
+      require(attempts < 5,
+        s"ADD CONSTRAINT '$name': the table kept moving during " +
+        "validation — quiesce writers and retry")
     }
   }
 
@@ -162,17 +182,30 @@ object Constraints {
     val cs = list(spark, root)
     if (cs.isEmpty) (df.drop(marker), None)
     else {
-      val exps = cs.map { c =>
-        val p = !org.apache.spark.sql.functions.col(marker) ||
-          coalesce(expr(c.sql), lit(true))
-        c.policy match {
-          case "FAIL" => Expectations.fail(c.name, p)
-          case "DROP" => Expectations.drop(c.name, p)
-          case _      => Expectations.warn(c.name, p)
-        }
-      }
+      // ONE policy/NULL-semantics ladder (toExpectation); the marker
+      // exemption only wraps the predicate
+      val exps = cs.map(toExpectation).map(e => e.copy(predicate =
+        !org.apache.spark.sql.functions.col(marker) || e.predicate))
       val (g, o) = Expectations.gate(df, exps)
       (g.drop(marker), Some(o))
+    }
+  }
+
+  /** Content fingerprint of the CONSTRAINTS file ("" when absent) — the
+    * OCC staging paths capture it at gate time and their publish
+    * sections compare under the claim, so a constraint added while a
+    * lock-free stage was in flight aborts the publish instead of
+    * letting ungated rows land (round 11 review hardening).
+    */
+  def fingerprint(spark: SparkSession, root: String): String = {
+    val p = path(root)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) ""
+    else {
+      val in = f.open(p)
+      val bytes = try in.readAllBytes() finally in.close()
+      java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        .map("%02x".format(_)).mkString
     }
   }
 

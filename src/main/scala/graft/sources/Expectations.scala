@@ -132,19 +132,29 @@ object Expectations {
     new Path(new Path(root.replaceAll("/+$", ""), "_graft_log"),
       f"v$v%08d.audit")
 
-  /** TSV name\tcount lines, temp + rename like every metadata file. */
+  /** TSV name\tcount lines, temp + atomic-overwrite rename. A version
+    * can be audited TWICE — the in-log constraint gate (round 11)
+    * writes its record inside commit()/appendCommit(), and an
+    * [[appendChecked]]/[[commitChecked]] caller layering its own
+    * expectations on the same table then audits the same version — so
+    * the records MERGE instead of clobbering (second writer's counts
+    * win per-name; names are disjoint between the two gates except the
+    * shared `rows_in`).
+    */
   private[sources] def writeAudit(spark: SparkSession, root: String, v: Long,
                          counts: Map[String, Long]): Unit = {
     val p = auditPath(root, v)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged = audit(spark, root, v).getOrElse(Map.empty) ++ counts
     val tmp = new Path(p.getParent, f".tmp_audit_v$v%08d")
     val out = f.create(tmp, true)
-    try out.write(counts.toSeq.sortBy(_._1)
+    try out.write(merged.toSeq.sortBy(_._1)
       .map { case (k, n) => s"$k\t$n" }.mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (!f.rename(tmp, p))
-      throw new IllegalStateException(s"could not publish audit $p")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      p.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** A version's audit record (None for unchecked or vacuumed versions). */

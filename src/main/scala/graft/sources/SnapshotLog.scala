@@ -535,7 +535,25 @@ object SnapshotLog {
         .parquet(narrowSet.toSeq.sorted: _*)
       val folded = applyTombstoneDirs(spark, root, tombs, scan)
       val physMap = renameMap(pin)
-      val bloomPhys = (widened.map(physName(_)) ++
+      // the rewrite must not silently strip the lineage's OTHER bloom
+      // columns (the statsCols-inherit rule, applied to blooms): read
+      // ONE narrow file's footer and carry every bloom-filtered column
+      // it has into the packed rewrite alongside the widened ones
+      val inherited: Seq[String] = {
+        import scala.jdk.CollectionConverters._
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new Path(narrowSet.head), spark.sessionState.newHadoopConf()))
+        try reader.getFooter.getBlocks.asScala.headOption.toSeq.flatMap {
+          b => b.getColumns.asScala.filter { ch =>
+            try {
+              val r = reader.getBloomFilterDataReader(b)
+              r != null && r.readBloomFilter(ch) != null
+            } catch { case _: Exception => false }
+          }.map(_.getPath.toDotString).toSeq
+        } finally reader.close()
+      }
+      val bloomPhys = (widened.map(physName(_)) ++ inherited ++
         extraBloomCols.map(c => physMap.getOrElse(c, c))).distinct
       writeDataDir(spark, folded, dataDir(root, next), bloomPhys)
       // vector rows pointing into kept entries survive as the next
@@ -931,7 +949,10 @@ object SnapshotLog {
     // round 11: the batch gates through declared CHECK constraints ONCE
     // here, so both the pruned and classic paths (and the SQL MERGE
     // lowering riding them) enforce the same quality gate; the merge
-    // targets below are carried rows and stay ungated
+    // targets below are carried rows and stay ungated. The gate-time
+    // fingerprint re-checks at the pruned path's publish (a constraint
+    // added mid-stage aborts loudly)
+    val gateFp = Constraints.fingerprint(spark, root)
     val (gated, obs) = Constraints.gate(spark, root, batch)
     val v = currentVersion(spark, root) match {
       case Some(cur) =>
@@ -957,7 +978,7 @@ object SnapshotLog {
         // the gate's full scan rides the slice-merge write instead
         retryPruned(spark, root, cur)(h =>
           upsertPrunedFlat(spark, root, h, gated, batch, keys, sc,
-            bloomCols)).getOrElse {
+            bloomCols, Some(gateFp))).getOrElse {
           if (changeFeedEnabled(spark) &&
               currentVersion(spark, root).isDefined)
             // CDF (round 9): the keyed rewrite knows its keys, so the
@@ -1003,11 +1024,13 @@ object SnapshotLog {
                                batch: DataFrame, probeSrc: DataFrame,
                                keys: Seq[String],
                                statsCols: Seq[String],
-                               bloomCols: Seq[String]): Option[Long] = {
+                               bloomCols: Seq[String],
+                               constraintsFp: Option[String]): Option[Long] = {
     import org.apache.spark.sql.functions.col
     require(keys.nonEmpty, "upsert needs at least one key column")
     rewriteMatchedFlat(spark, root, cur,
-      probeSrc.select(keys.map(col(_)): _*), keys, statsCols, bloomCols) {
+      probeSrc.select(keys.map(col(_)): _*), keys, statsCols, bloomCols,
+      constraintsFp) {
       visible =>
         Upsert.upsert(visible,
           batch.select(visible.columns.map(col(_)): _*), keys)
@@ -1047,7 +1070,8 @@ object SnapshotLog {
                                         cur: Long, probe: DataFrame,
                                         keys: Seq[String],
                                         statsCols: Seq[String],
-                                        bloomCols: Seq[String])
+                                        bloomCols: Seq[String],
+                                        constraintsFp: Option[String] = None)
       (f: DataFrame => DataFrame): Option[Long] = {
     import org.apache.spark.sql.functions.{col, max => smax, min => smin}
     require(keys.nonEmpty, "keyed rewrite needs at least one key column")
@@ -1166,6 +1190,18 @@ object SnapshotLog {
     withClaimWait(spark, root) {
       recoverOrphans(spark, root)
       val f2 = fs(spark, rootPath)
+      // stale-gate guard (round 11): the caller's constraint gate read
+      // the CONSTRAINTS file before the lock-free stage — a constraint
+      // added since would let ungated rows land; fail loudly so the
+      // caller re-runs (and re-gates)
+      constraintsFp.foreach { fp =>
+        if (Constraints.fingerprint(spark, root) != fp) {
+          f2.delete(staging, true)
+          throw new java.util.ConcurrentModificationException(
+            s"keyed merge at $root: table constraints changed while the " +
+            "slice was staging — re-run (the batch will re-gate)")
+        }
+      }
       def rebaseTarget(): Option[Long] = {
         val h = currentVersion(spark, root).getOrElse(return None)
         if (h == cur) return Some(cur)
@@ -1760,8 +1796,9 @@ object SnapshotLog {
       s"keys $keys must be columns of the batch")
     // round 11: constraint gate covers upsertScoped AND the streaming
     // scopedBatch sink; a FAIL violation fires during the touched-
-    // partition probe below, before anything stages
-    val (gated, obs) = Constraints.gate(spark, root, batch)
+    // partition probe below, before anything stages. Gated UNDER the
+    // claim so an ADD CONSTRAINT serialized just before is always seen
+    var obs: Option[org.apache.spark.sql.Observation] = None
     val r = withClaim(spark, root) { f =>
       recoverOrphans(spark, root)
       // replay gate under the claim (commitBatch's rigor): a stamped
@@ -1769,6 +1806,8 @@ object SnapshotLog {
       // replay
       if (batchId >= 0 && lastBatchId(spark, root).exists(_ >= batchId))
         return None
+      val (gated, o) = Constraints.gate(spark, root, batch)
+      obs = o
       val rootPath = new Path(root.replaceAll("/+$", ""))
       val cur = currentVersion(spark, root)
       // round 11: COLUMN MAPPING on scoped lineages — a renamed
@@ -1782,6 +1821,13 @@ object SnapshotLog {
         pin.map(fromPhysicalSelect(df, _)).getOrElse(df)
       def toPhys(df: DataFrame): DataFrame =
         pin.map(toPhysicalDf(df, _)).getOrElse(df)
+      // the slice read DECLARES the pinned physical schema (the flat
+      // paths' rule): a widened non-partition column's narrow old leaf
+      // files must upcast under the wide pin, never schema-roulette
+      def readSlice(paths: Seq[String]): DataFrame = pin match {
+        case Some(st) => spark.read.schema(physicalSchema(st)).parquet(paths: _*)
+        case None     => spark.read.parquet(paths: _*)
+      }
       val physMap = pin.map(renameMap).getOrElse(Map.empty[String, String])
       // round 10: LTZ days() components get their rendering zone PINNED
       // (inherit the lineage's pin; pin the session zone at bootstrap)
@@ -1814,8 +1860,7 @@ object SnapshotLog {
       val parentSlice: Option[DataFrame] =
         if (replaced.isEmpty) None
         else Some(toLogical(applyTombstoneDirs(spark, root, parentTombs,
-          spark.read.parquet(
-            replaced.map(d => new Path(rootPath, d).toString): _*))))
+          readSlice(replaced.map(d => new Path(rootPath, d).toString)))))
       val merged = parentSlice match {
         case None => gated
         case Some(parent) =>
@@ -2271,7 +2316,8 @@ object SnapshotLog {
                                          dataStaging: String,
                                          touchedRels: Set[String],
                                          noMatch: Boolean,
-                                         obs: Option[org.apache.spark.sql.Observation] = None)
+                                         obs: Option[org.apache.spark.sql.Observation] = None,
+                                         constraintsFp: String = "")
 
   def stageUpdateWhereOcc(spark: SparkSession, root: String,
       mkCond: DataFrame => org.apache.spark.sql.Column,
@@ -2306,6 +2352,7 @@ object SnapshotLog {
       val uid = java.util.UUID.randomUUID.toString.replace("-", "")
       val tombStaging = "tomb_u" + uid
       val dataStaging = "data_u" + uid
+      val gateFp = Constraints.fingerprint(spark, root)
       try {
         writeTombstones(spark, matched.select(col("__rel"), col("__ri")),
           new Path(rootPath, tombStaging))
@@ -2326,7 +2373,7 @@ object SnapshotLog {
           .parquet(new Path(rootPath, tombStaging).toString)
           .select("__rel").distinct().collect().map(_.getString(0)).toSet
         StagedUpdate(cur, tombStaging, dataStaging, touched, noMatch = false,
-          obs = obs)
+          obs = obs, constraintsFp = gateFp)
       } catch { case e: Throwable =>
         val f = fs(spark, rootPath)
         f.delete(new Path(rootPath, tombStaging), true)
@@ -2354,6 +2401,9 @@ object SnapshotLog {
       val head = currentVersion(spark, root).getOrElse(
         abort("table has no committed version"))
       if (staged.noMatch) return head // version-preserving no-op
+      // stale-gate guard: constraints added mid-stage abort (round 11)
+      if (Constraints.fingerprint(spark, root) != staged.constraintsFp)
+        abort("table constraints changed while the update was staging")
       val next = head + 1L
       validateDisjointRebase(spark, root, rootPath, staged.base, head,
         staged.touchedRels, abort)
@@ -2529,6 +2579,12 @@ object SnapshotLog {
     val dirs = dirsOf(spark, srcRoot, sv).map(abs)
     val tombs = tombDirsOf(spark, srcRoot, sv).map(abs)
     val carry = sidecarCarry(spark, srcRoot, sv, allowChain = false)
+    // an occupied destination must refuse BEFORE the pin registers and
+    // CLONE_SRC overwrites — a failed re-clone must not corrupt an
+    // existing clone's pin record or leak a pin on the new source
+    // (re-checked under the claim below against a racing creator)
+    require(currentVersion(spark, dstRoot).isEmpty,
+      s"clone target $dstRoot already has a committed table")
     // CLONE PIN (round 11, the r10 verdict's #6): the clone registers a
     // consumer-style pin on the SOURCE at the referenced version, so a
     // source vacuum WIDENS its keep over the clone's data instead of
@@ -2694,7 +2750,11 @@ object SnapshotLog {
     val stagePin = currentVersion(spark, root).flatMap(schemaOf(spark, root, _))
     val stageMap = stagePin.map(renameMap).getOrElse(Map.empty[String, String])
     // round 11: the constraint gate rides the lock-free staging write —
-    // a FAIL violation dies here, before the claim, with nothing staged
+    // a FAIL violation dies here, before the claim, with nothing staged.
+    // The gate-time fingerprint re-checks under the claim: a constraint
+    // added while this stage was in flight aborts instead of letting
+    // ungated rows land
+    val gateFp = Constraints.fingerprint(spark, root)
     val (gated, obs) = Constraints.gate(spark, root, batch)
     val physBatch = if (stageMap.isEmpty) gated else toPhysicalDf(gated, stagePin.get)
     try writeDataDir(spark, physBatch, staging,
@@ -2705,6 +2765,12 @@ object SnapshotLog {
     val v = withClaimWait(spark, root) {
       recoverOrphans(spark, root)
       val f = fs(spark, rootPath)
+      if (Constraints.fingerprint(spark, root) != gateFp) {
+        f.delete(staging, true)
+        throw new java.util.ConcurrentModificationException(
+          s"appendOcc at $root: table constraints changed while the " +
+          "batch was staging — re-run (the batch will re-gate)")
+      }
       val cur = currentVersion(spark, root)
       val next = cur.getOrElse(0L) + 1L
       cur.foreach { c =>
@@ -2752,7 +2818,8 @@ object SnapshotLog {
                                          stagingDir: String,
                                          touched: Set[String],
                                          partitionCol: String,
-                                         obs: Option[org.apache.spark.sql.Observation] = None)
+                                         obs: Option[org.apache.spark.sql.Observation] = None,
+                                         constraintsFp: String = "")
 
   /** Optimistic-concurrency partition-scoped upsert, split so the spec
     * can interleave writers deterministically: [[stageScopedOcc]] does
@@ -2789,7 +2856,10 @@ object SnapshotLog {
       s"keys $keys must be columns of the batch")
     val rootPath = new Path(root.replaceAll("/+$", ""))
     // round 11: constraint gate at the lock-free stage — FAIL fires in
-    // the touched-partition probe below, before anything hits disk
+    // the touched-partition probe below, before anything hits disk; the
+    // gate-time fingerprint re-checks at publish (constraints added
+    // mid-stage abort instead of admitting ungated rows)
+    val gateFp = Constraints.fingerprint(spark, root)
     val (gated, obs) = Constraints.gate(spark, root, batch)
     // column mapping, same translation as the claimed path (round 11)
     val stagePin = currentVersion(spark, root).flatMap(schemaOf(spark, root, _))
@@ -2797,6 +2867,12 @@ object SnapshotLog {
       stagePin.map(fromPhysicalSelect(df, _)).getOrElse(df)
     def toPhys(df: DataFrame): DataFrame =
       stagePin.map(toPhysicalDf(df, _)).getOrElse(df)
+    // declared-schema slice read: widened narrow leafs upcast (see the
+    // claimed path's readSlice)
+    def readSlice(paths: Seq[String]): DataFrame = stagePin match {
+      case Some(st) => spark.read.schema(physicalSchema(st)).parquet(paths: _*)
+      case None     => spark.read.parquet(paths: _*)
+    }
     val physMap = stagePin.map(renameMap).getOrElse(Map.empty[String, String])
     // zone pinning, same rule as the claimed path (the publish-side
     // disjointness check then compares identically-rendered names)
@@ -2820,8 +2896,7 @@ object SnapshotLog {
       if (replaced.isEmpty) None
       else Some(toLogical(applyTombstoneDirs(spark, root,
         tombDirsOf(spark, root, b),
-        spark.read.parquet(
-          replaced.map(d => new Path(rootPath, d).toString): _*))))
+        readSlice(replaced.map(d => new Path(rootPath, d).toString)))))
     }
     val merged = parentSlice match {
       case None => gated
@@ -2856,7 +2931,7 @@ object SnapshotLog {
       // writer-unique staging dir — nothing published, nothing kept
       fs(spark, rootPath).delete(new Path(rootPath, staging), true); throw e
     }
-    StagedScoped(base, staging, touchedNames, spec.render, obs)
+    StagedScoped(base, staging, touchedNames, spec.render, obs, gateFp)
   }
 
   // staged change rows live dot-prefixed inside the OCC staging dir:
@@ -2878,6 +2953,10 @@ object SnapshotLog {
           s"scoped OCC commit aborted: $why — re-run against the new head")
       }
       recoverOrphans(spark, root)
+      // constraints added while the stage was in flight invalidate the
+      // staged (stale-gated) rows — abort, caller re-runs and re-gates
+      if (Constraints.fingerprint(spark, root) != staged.constraintsFp)
+        abort("table constraints changed while the batch was staging")
       val head = currentVersion(spark, root)
       val next = head.getOrElse(0L) + 1L
       // every commit since the staged base must be scoped AND disjoint,
@@ -3299,10 +3378,13 @@ object SnapshotLog {
                     bloomCols: Seq[String] = Nil): Long = {
     // round 11: constraint-gated like every append (the gate resolves
     // against the PRE-evolution schema, which is fine — a constraint can
-    // only reference columns that existed when it was declared)
-    val (gated, obs) = Constraints.gate(spark, root, batch)
+    // only reference columns that existed when it was declared); gated
+    // under the claim so an interleaved ADD CONSTRAINT is seen
+    var obs: Option[org.apache.spark.sql.Observation] = None
     val v = withClaim(spark, root) { f =>
       recoverOrphans(spark, root)
+      val (gated, o) = Constraints.gate(spark, root, batch)
+      obs = o
       currentVersion(spark, root) match {
         case None =>
           stageVersion(spark, root, gated, 1L, -1L, statsCols, bloomCols,
@@ -3375,14 +3457,18 @@ object SnapshotLog {
                                batchId: Long): Option[Long] = {
     // round 11: the declared-constraint gate covers the Scala append API
     // and the streaming appendBatch sink (FAIL aborts inside the staging
-    // write, before the manifest publishes — the table never moves)
-    val (gated, obs) = Constraints.gate(spark, root, batch)
+    // write, before the manifest publishes — the table never moves).
+    // Gated UNDER the claim, so an ADD CONSTRAINT serialized just
+    // before this commit is always seen (review hardening)
+    var obs: Option[org.apache.spark.sql.Observation] = None
     val r = withClaim(spark, root) { f =>
       recoverOrphans(spark, root)
       // replay gate under the claim (commitBatch's rigor): a stamped
       // append whose id the head already covers is a post-crash replay
       if (batchId >= 0 && lastBatchId(spark, root).exists(_ >= batchId))
         return None
+      val (gated, o) = Constraints.gate(spark, root, batch)
+      obs = o
       Some(currentVersion(spark, root) match {
         case None =>
           stageVersion(spark, root, gated, 1L, batchId, statsCols, bloomCols)
@@ -3460,12 +3546,15 @@ object SnapshotLog {
     if (lastBatchId(spark, root).exists(_ >= batchId)) return None
     // round 11: the micro-batch gates through declared constraints — the
     // streaming keyed sink enforces the same quality gate as SQL DML
-    val (gated, obs) = Constraints.gate(spark, root, batch)
+    var obs: Option[org.apache.spark.sql.Observation] = None
     val r = withClaim(spark, root) { f =>
       recoverOrphans(spark, root)
       // re-check under the claim — this one is the correctness gate
       if (lastBatchId(spark, root).exists(_ >= batchId)) None
       else {
+        // gated under the claim (an interleaved ADD CONSTRAINT is seen)
+        val (gated, o) = Constraints.gate(spark, root, batch)
+        obs = o
         // the merge resolves the base version UNDER the claim: planning
         // it earlier would let an interleaved maintenance commit's
         // changes be silently overwritten by a merge built on the
@@ -3502,12 +3591,15 @@ object SnapshotLog {
     // pre-claim fast path: a replayed range skips without claim traffic
     if (lastBatchId(spark, root).exists(_ >= batchId)) return None
     // round 11: a derived-table rebuild is all newly-written rows — gate
-    val (gated, obs) = Constraints.gate(spark, root, df)
+    // (under the claim, so an interleaved ADD CONSTRAINT is seen)
+    var obs: Option[org.apache.spark.sql.Observation] = None
     val r = withClaim(spark, root) { f =>
       recoverOrphans(spark, root)
       // re-check under the claim — this one is the correctness gate
       if (lastBatchId(spark, root).exists(_ >= batchId)) None
       else {
+        val (gated, o) = Constraints.gate(spark, root, df)
+        obs = o
         val next = currentVersion(spark, root).getOrElse(0L) + 1L
         stageVersion(spark, root, gated, next, batchId, statsCols, bloomCols)
         publishLatest(spark, root, next)

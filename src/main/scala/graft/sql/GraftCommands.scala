@@ -361,12 +361,14 @@ case class GraftMergePrunedCommand(
 
     // constraints gate only the WRITTEN subset (the __graft_written
     // marker mergeEval emits) — carried target rows are exempt and the
-    // marker is dropped before anything commits (round 11, ADVICE)
+    // marker is dropped before anything commits (round 11, ADVICE);
+    // the gate-time fingerprint re-checks at publish (stale-gate guard)
     var obsHolder: Option[org.apache.spark.sql.Observation] = None
     val prunedV = SnapshotLog.currentVersion(spark, root).flatMap { cur =>
       SnapshotLog.retryPruned(spark, root, cur)(h =>
         SnapshotLog.rewriteMatchedFlat(spark, root, h, probe, keys,
-          table.statsCols, Nil) { visible =>
+          table.statsCols, Nil,
+          Some(graft.sources.Constraints.fingerprint(spark, root))) { visible =>
           val (gated, o) = graft.sources.Constraints.gateWritten(spark, root,
             mergeEval(visible), GraftCommands.WrittenMarker)
           obsHolder = o

@@ -128,6 +128,12 @@ private[streaming] object GraftSink {
         require(keys.isEmpty && partCol.isEmpty,
           "mode=replace commits the whole batch as the next snapshot — " +
           "no keys or partitioning")
+        // without complete mode each micro-batch carries only NEW rows,
+        // and replacing the snapshot with them silently truncates the
+        // table to the last batch
+        require(outputMode == OutputMode.Complete(),
+          s"mode=replace requires outputMode=complete (each batch must " +
+          s"be the WHOLE result it replaces the table with), got $outputMode")
       case other => throw new IllegalArgumentException(
         s"graft sink mode '$other' — use append, upsert, or replace")
     }

@@ -111,6 +111,21 @@ class CloneSpec extends SparkSpecBase {
     // releasing twice is a no-op; a non-clone table releases nothing
     SnapshotLog.releaseClonePin(spark, dst2)
     SnapshotLog.releaseClonePin(spark, src)
+    // a FAILED re-clone onto an occupied destination must not corrupt
+    // the existing clone's pin record or leak a pin on the new source
+    val dst3 = freshRoot("pin_dst3")
+    SnapshotLog.shallowClone(spark, src, dst3)
+    val pinsBefore = SnapshotLog.clonePins(spark, src)
+    val src2 = freshRoot("pin_src2")
+    SnapshotLog.commit(spark, src2, (1 to 3).map(i => (i, s"s$i")).toDF("k", "v"))
+    intercept[Exception] { SnapshotLog.shallowClone(spark, src2, dst3) }
+    assert(SnapshotLog.clonePins(spark, src) == pinsBefore,
+      "failed re-clone corrupted the existing pin record")
+    assert(SnapshotLog.clonePins(spark, src2).isEmpty,
+      "failed re-clone leaked a pin on the new source")
+    // and the ORIGINAL pin still releases through the clone's record
+    SnapshotLog.releaseClonePin(spark, dst3)
+    assert(SnapshotLog.clonePins(spark, src).isEmpty)
   }
 
   test("the streaming tail starts from a clone's non-1 first version") {

@@ -232,7 +232,7 @@ class ColumnMappingSpec extends SparkSpecBase {
     Seq(Seq((1, "a"), (9999, "z")), Seq((2, "b"), (9998, "y")),
         Seq((3, "c"), (9997, "x"))).foreach { rows =>
       SnapshotLog.appendCommit(spark, root, rows.toDF("id", "v").coalesce(1),
-        statsCols = Seq("id"), bloomCols = Seq("id"))
+        statsCols = Seq("id"), bloomCols = Seq("id", "v"))
     }
     def probeKept(v: Long, value: Any): Int =
       SnapshotLog.candidateFilesEquals(spark, root, v, "id", value)._1.size
@@ -244,7 +244,7 @@ class ColumnMappingSpec extends SparkSpecBase {
     // its bloom can exclude it after the re-bloom)
     val v5 = SnapshotLog.appendCommit(spark, root,
       Seq((0L, "w"), (9996L, "q")).toDF("id", "v").coalesce(1),
-      statsCols = Seq("id"), bloomCols = Seq("id"))
+      statsCols = Seq("id"), bloomCols = Seq("id", "v"))
     // a deletion vector into a narrow file must fold through the rewrite
     val v6 = SnapshotLog.tombstoneDelete(spark, root, Seq(9999).toDF("id"), Seq("id"))
     val wideFiles = new java.io.File(root, "data_v00000005").listFiles()
@@ -270,6 +270,12 @@ class ColumnMappingSpec extends SparkSpecBase {
     assert(SnapshotLog.read(spark, root).select("id").as[Long].collect().toSet ==
       Set(1L, 2L, 3L, 9997L, 9998L, 9996L, 0L))
     assert(SnapshotLog.readEquals(spark, root, "id", 9999L).count() == 0)
+    // the OTHER bloom column (v) is INHERITED into the packed rewrite:
+    // a v value inside the packed file's span but absent from the data
+    // prunes to zero files — only a live bloom can do that
+    val (keptV, _) = SnapshotLog.candidateFilesEquals(spark, root, v7, "v", "bb")
+    assert(keptV.isEmpty,
+      s"rebloom stripped the lineage's v blooms: kept $keptV")
     // re-running is a no-op (no marks left)
     assert(SnapshotLog.rebloomWidened(spark, root) == v7)
     // time travel to the pre-rebloom version still reads (refcounts keep
@@ -427,6 +433,30 @@ class ColumnMappingSpec extends SparkSpecBase {
     val e3 = intercept[IllegalArgumentException](
       SnapshotLog.dropColumn(spark, scoped, "region"))
     assert(e3.getMessage.contains("partition-spec"), e3.getMessage)
+    // a WIDENED non-partition column on a scoped lineage: the touched
+    // slice read declares the wide pin, so narrow old leaf files upcast
+    // through the merge instead of schema-roulette (round-11 review)
+    val scopedW = freshRoot()
+    SnapshotLog.upsertScoped(spark, scopedW,
+      Seq((1, "us", 5), (2, "eu", 6)).toDF("k", "region", "x"),
+      Seq("k"), "region")
+    SnapshotLog.widenColumnType(spark, scopedW, "x",
+      org.apache.spark.sql.types.LongType)
+    // claimed path: merge into the narrow "us" leaf with a wide batch
+    SnapshotLog.upsertScoped(spark, scopedW,
+      Seq((1, "us", 9000000000L), (3, "us", 7L)).toDF("k", "region", "x"),
+      Seq("k"), "region")
+    assert(SnapshotLog.read(spark, scopedW).select("k", "x")
+      .as[(Int, Long)].collect().toSet ==
+      Set((1, 9000000000L), (2, 6L), (3, 7L)))
+    // OCC path too
+    val st = SnapshotLog.stageScopedOcc(spark, scopedW,
+      Seq((2, "eu", 8L)).toDF("k", "region", "x"), Seq("k"), "region")
+    SnapshotLog.publishScopedOcc(spark, scopedW, st)
+    assert(SnapshotLog.read(spark, scopedW).select("k", "x")
+      .as[(Int, Long)].collect().toSet ==
+      Set((1, 9000000000L), (2, 8L), (3, 7L)))
+
     // dropColumn of a DATA column works on a scoped lineage, and the
     // scoped merge keeps working on the narrowed schema
     val scoped2 = freshRoot()

@@ -200,6 +200,54 @@ class ConstraintGateSpec extends SparkSpecBase {
     assert(rowsOf(root) == Set(Seq(2, "long")))
   }
 
+  test("audits MERGE when the in-log gate and a caller's expectations both record the same version") {
+    val root = fresh((1, "a"))
+    Constraints.add(spark, root, "k_pos", "k > 0", "WARN")
+    // appendChecked layers caller expectations on a constrained table:
+    // the version is audited twice — records must merge, not clobber
+    // (and the second rename must not fail on the existing audit file)
+    val (v, counts) = Expectations.appendChecked(spark, root,
+      Seq((2, "bb"), (3, "c")).toDF("k", "v"),
+      Seq(Expectations.warn("v_short", length(col("v")) <= 1)))
+    assert(counts("v_short") == 1L)
+    val merged = Expectations.audit(spark, root, v).get
+    assert(merged.contains("k_pos") && merged.contains("v_short"),
+      s"audit records must merge: $merged")
+    assert(merged("k_pos") == 0L && merged("v_short") == 1L)
+  }
+
+  test("a constraint added while an OCC stage is in flight aborts the publish (stale-gate guard)") {
+    val root = fresh((1, "a"))
+    // scoped table for the scoped OCC split
+    val sroot = freshRoot()
+    SnapshotLog.upsertScoped(spark, sroot,
+      Seq((1, "a", "p1")).toDF("k", "v", "p"), Seq("k"), "p")
+    val staged = SnapshotLog.stageScopedOcc(spark, sroot,
+      Seq((-5, "bad", "p2")).toDF("k", "v", "p"), Seq("k"), "p")
+    // the constraint lands AFTER the stage gated (against zero checks)
+    Constraints.add(spark, sroot, "k_pos", "k > 0", "WARN")
+    val e = intercept[java.util.ConcurrentModificationException] {
+      SnapshotLog.publishScopedOcc(spark, sroot, staged)
+    }
+    assert(e.getMessage.contains("constraints changed"), e.getMessage)
+    assert(SnapshotLog.currentVersion(spark, sroot).contains(1L))
+    // the flat MoR UPDATE split has the same guard
+    val staged2 = SnapshotLog.stageUpdateWhereOcc(spark, root,
+      base => base("v") === "a",
+      (_: org.apache.spark.sql.DataFrame) => Map("k" -> lit(5)))
+    Constraints.add(spark, root, "k_cap", "k < 100", "WARN")
+    val e2 = intercept[java.util.ConcurrentModificationException] {
+      SnapshotLog.publishUpdateOcc(spark, root, staged2)
+    }
+    assert(e2.getMessage.contains("constraints changed"), e2.getMessage)
+    assert(SnapshotLog.currentVersion(spark, root).contains(1L))
+    // a re-run sees the new constraints and lands
+    SnapshotLog.updateWhereOcc(spark, root,
+      base => base("v") === "a",
+      (_: org.apache.spark.sql.DataFrame) => Map("k" -> lit(5)))
+    assert(rowsOf(root) == Set(Seq(5, "a")))
+  }
+
   test("flat keyed upsert (pruned path): DROP filters the batch, FAIL aborts, survivors exact") {
     val root = freshRoot()
     (0 until 3).foreach { i =>

@@ -228,5 +228,10 @@ class GraftSinkSpec extends SparkSpecBase {
         .option("partitionBy", "user_id")
         .option("checkpointLocation", s"$dir/ck3").start(s"$dir/t3")
     }
+    intercept[Exception] {   // replace without complete mode would
+      // silently truncate the table to the last micro-batch
+      stream.toDF().writeStream.format("graft").option("mode", "replace")
+        .option("checkpointLocation", s"$dir/ck4").start(s"$dir/t4")
+    }
   }
 }

@@ -20,6 +20,19 @@ object ClassicShim {
   def analyzed(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
 
+  /** v1 writer bridge: `DataFrameWriter.partitionBy` reaches a v1
+    * `CreatableRelationProvider` as a JSON-array options value under
+    * this key; expose Spark's own codec (it is `private[sql]`) so the
+    * graft batch write decodes it identically to the built-in sources.
+    */
+  val partitioningColumnsKey: String =
+    org.apache.spark.sql.execution.datasources.DataSourceUtils
+      .PARTITIONING_COLUMNS_KEY
+
+  def decodePartitioningColumns(v: String): Seq[String] =
+    org.apache.spark.sql.execution.datasources.DataSourceUtils
+      .decodePartitioningColumns(v)
+
   /** The ForeachBatchSink idiom: re-wrap a streaming micro-batch frame
     * as a BATCH Dataset over its own executed RDD — `isStreaming`
     * becomes false (so observe()/multi-action batch APIs apply) while

@@ -2545,6 +2545,123 @@ object SnapshotLog {
     }
   }
 
+  /** Selective OVERWRITE — Delta's `replaceWhere` as ONE atomic
+    * merge-on-read version: (a) tombstone every current row matching
+    * the predicate into a new deletion vector and (b) append `batch`
+    * as a new data directory; every pre-existing file carried by
+    * reference. Where Delta's copy-on-write replaceWhere REWRITES each
+    * file containing a matched row, this commit writes POSITIONS —
+    * replacing one day in a 100 TB table costs that day's positions
+    * plus the new day's bytes, never the files around them.
+    *
+    * Contract (Delta's): every batch row must satisfy the predicate —
+    * a row outside it would silently survive the next replace of its
+    * own slice; refused loudly, before anything stages. Batch rows
+    * gate through declared CHECK constraints; the batch must carry the
+    * table's exact schema (the append drift rule). CDC derives the
+    * commit as exact delete(matched) + insert(batch) events — both
+    * [[changesBetween]]'s event fold and the CDC stream admit the
+    * `replace_where` manifest kind (same structural shape as a
+    * merge-on-read update, labeled insert/delete instead of pre/post
+    * image). Degenerate shapes stay honest: predicate matching
+    * nothing → a plain append commit (kind clear, the tail ships it);
+    * empty batch with matches → a pure DV delete; both empty → no-op
+    * at the current version.
+    *
+    * Same lineage refusals as [[updateWhere]]: MoR-keyed lineages
+    * replace by key via [[upsertMor]]; partition-scoped lineages
+    * replace partitions via [[upsertScoped]] (their `__gp=` leaf names
+    * carry values a flat appended dir cannot). The appended dir
+    * inherits the lineage's stat columns (sidecar-derived), so span
+    * skipping keeps its pruning power across replaces.
+    *
+    * Writer surface: `df.write.format("graft").mode("overwrite")
+    * .option("replaceWhere", "event_date = '2024-01-01'").save(root)`.
+    */
+  def replaceWhere(spark: SparkSession, root: String, batch: DataFrame,
+                   mkCond: DataFrame => org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{col, not, substring_index}
+    withClaim(spark, root) { f =>
+      recoverOrphans(spark, root)
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed version at $root"))
+      require(morKeysOf(spark, root, cur).isEmpty,
+        "replaceWhere: merge-on-read keyed lineage — replace by key via upsertMor")
+      require(partColOf(spark, root, cur).isEmpty,
+        "replaceWhere: partition-scoped lineage — replace partitions via upsertScoped")
+      val have = tableSchema(spark, root, cur).fields
+        .map(fl => (fl.name, fl.dataType.catalogString)).toSeq
+      val got = batch.schema.fields
+        .map(fl => (fl.name, fl.dataType.catalogString)).toSeq
+      require(got == have,
+        s"replaceWhere batch schema $got != table schema $have")
+      // the Delta contract, checked on the raw batch BEFORE the
+      // constraint gate (the gate's observation must see exactly one
+      // action): one limit-1 probe, no full pass
+      require(batch.filter(not(mkCond(batch))).limit(1).count() == 0,
+        "replaceWhere: batch rows outside the predicate — every " +
+        "replacement row must satisfy the REPLACE WHERE condition")
+      val batchEmpty = batch.isEmpty
+      val next = cur + 1L
+      val rootPath = new Path(root.replaceAll("/+$", ""))
+      // positions matching the predicate, rows already hidden by a
+      // deletion vector excluded (they must not re-tombstone) — the
+      // updateWhere probe, minus the payload
+      val base = prunedBaseScan(spark, root, cur)
+      val tombs = tombDirsOf(spark, root, cur)
+      val withPos = base
+        .withColumn("__rel", substring_index(col("_metadata.file_path"), "/", -2))
+        .withColumn("__ri", col("_metadata.row_index"))
+      val alive =
+        if (tombs.isEmpty) withPos
+        else withPos.join(
+          spark.read.parquet(tombs.map(d => new Path(rootPath, d).toString): _*),
+          Seq("__rel", "__ri"), "left_anti")
+      val hits = alive.filter(mkCond(base))
+        .select(col("__rel"), col("__ri")).persist()
+      try {
+        val anyHits = !hits.isEmpty
+        if (!anyHits && batchEmpty) cur
+        else {
+          if (anyHits)
+            writeTombstones(spark, hits, new Path(rootPath, tombDirName(next)))
+          var obs: Option[org.apache.spark.sql.Observation] = None
+          val newDirs =
+            if (batchEmpty) Nil
+            else {
+              val (gated, o) = Constraints.gate(spark, root, batch)
+              obs = o
+              // the appended dir joins a physical-named lineage —
+              // translate (the updateWhere rule)
+              schemaOf(spark, root, cur).map(toPhysicalDf(gated, _))
+                .getOrElse(gated).write.mode("overwrite")
+                .parquet(new Path(rootPath, dataDirName(next)).toString)
+              Seq(dataDirName(next))
+            }
+          // pre-existing files untouched → sidecar lines carry
+          // verbatim; the NEW dir gets footer-derived spans for the
+          // lineage's stat columns (a replace must not strip the
+          // lineage's pruning power — the upsert/deleteByKey rule)
+          val carry = sidecarCarry(spark, root, cur)
+          val sc = if (batchEmpty) Nil else inheritedStatsCols(spark, root)
+          val stack = writeStats(spark, root, next, sc, carry)
+          writeManifestDirs(spark, root, next,
+            dirsOf(spark, root, cur) ++ newDirs,
+            batchId = batchIdOf(spark, root, cur).getOrElse(-1L),
+            tombDirs = if (anyHits) tombs :+ tombDirName(next) else tombs,
+            kind = if (!anyHits) ""
+                   else if (batchEmpty) "delete"
+                   else "replace_where",
+            schemaJson = rawSchemaJson(spark, root, cur),
+            statsStack = stack)
+          publishLatest(spark, root, next)
+          Constraints.finish(spark, root, next, obs)
+          next
+        }
+      } finally hits.unpersist()
+    }
+  }
+
   /** Zero-copy SHALLOW CLONE (the Delta CLONE verb): a new table at
     * `dstRoot` whose first manifest references the SOURCE version's data
     * (and deletion-vector) directories by absolute path — no data
@@ -3352,6 +3469,93 @@ object SnapshotLog {
         s"append with batchId=$batchId skipped as a replay — use appendBatch " +
         "for streams, whose Option return models the skip"))
 
+  /** MERGE-ON-READ keyed upsert (round 11 — the verb every MoR refusal
+    * message and [[morKeysOf]]/[[resolveLatest]] have pointed at since
+    * round 7, now actually reachable): commit the batch as ONE O(batch)
+    * delta directory on a lineage whose manifest declares its key
+    * columns; newer versions SHADOW older rows of the same key at read
+    * time ([[resolveLatest]] — a row_number over (keys ORDER BY
+    * version desc) that plans as WindowGroupLimit, so each map task
+    * keeps one candidate per key before any shuffle). This is the
+    * write-cheap rung of the keyed-upsert ladder: [[upsert]] rewrites
+    * matched FILES (read-cheap, write O(matched files)),
+    * [[upsertScoped]] rewrites touched partitions, `upsertMor` writes
+    * O(batch) bytes ALWAYS — the right trade for update-heavy streams
+    * whose readers tolerate the resolution window, with
+    * [[compactChain]] as the materialization rung that folds the
+    * shadowing down and returns the lineage to flat.
+    *
+    * Contract: batches are KEY-UNIQUE (a key at most once per batch —
+    * ties inside one version would make shadowing ambiguous; refused)
+    * and NULL-free on the keys (a NULL key never matches anything in
+    * merge semantics — here it would silently shadow other NULLs;
+    * refused). The first commit declares the keys; every later batch
+    * must carry the same keys and the exact table schema. Flat
+    * lineages refuse (their duplicate history would suddenly resolve)
+    * — start MoR from the first commit. Declared CHECK constraints
+    * gate every batch; deletion vectors carry (a DV'd position stays
+    * dead under shadowing); reads, time travel, [[changesBetween]]
+    * (the keyed snapshot diff — delta dirs are upserts, not inserts,
+    * so the event fold correctly stands aside), DESCRIBE and vacuum
+    * all already understand the `mor` manifest kind.
+    */
+  def upsertMor(spark: SparkSession, root: String, batch: DataFrame,
+                keys: Seq[String], statsCols: Seq[String] = Nil,
+                bloomCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    require(keys.nonEmpty && keys.forall(batch.columns.contains),
+      s"upsertMor keys $keys must be columns of the batch")
+    require(batch.filter(keys.map(col(_).isNull).reduce(_ || _))
+        .limit(1).count() == 0,
+      "upsertMor: NULL key values — a NULL key has no merge identity " +
+      "(it would silently shadow other NULL-keyed rows)")
+    require(batch.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1).limit(1).count() == 0,
+      "upsertMor batches are key-unique — a key appearing twice in one " +
+      "version has no shadowing order")
+    var obs: Option[org.apache.spark.sql.Observation] = None
+    val r = withClaim(spark, root) { f =>
+      recoverOrphans(spark, root)
+      val (gated, o) = Constraints.gate(spark, root, batch)
+      obs = o
+      currentVersion(spark, root) match {
+        case None =>
+          stageVersion(spark, root, gated, 1L, -1L, statsCols, bloomCols,
+            morKeys = keys)
+          publishLatest(spark, root, 1L)
+          1L
+        case Some(cur) =>
+          val mk = morKeysOf(spark, root, cur)
+          require(mk.nonEmpty,
+            "upsertMor on a flat lineage — its duplicate history would " +
+            "suddenly resolve by key; use upsert/upsertScoped, or start " +
+            "the merge-on-read lineage from its first commit")
+          require(mk == keys,
+            s"upsertMor keys $keys != the lineage's declared keys $mk")
+          require(partColOf(spark, root, cur).isEmpty,
+            "unreachable by construction: scoped lineages never carry morKeys")
+          val have = tableSchema(spark, root, cur).fields
+            .map(fl => (fl.name, fl.dataType.catalogString)).toSeq
+          val got = batch.schema.fields
+            .map(fl => (fl.name, fl.dataType.catalogString)).toSeq
+          require(got == have,
+            s"upsertMor batch schema $got != table schema $have")
+          val next = cur + 1L
+          val carry = sidecarCarry(spark, root, cur)
+          stageVersion(spark, root, gated, next, -1L,
+            if (statsCols.nonEmpty) statsCols
+            else inheritedStatsCols(spark, root),
+            bloomCols, baseDirs = dirsOf(spark, root, cur),
+            carryStats = carry, tombDirs = tombDirsOf(spark, root, cur),
+            schemaJson = rawSchemaJson(spark, root, cur), morKeys = keys)
+          publishLatest(spark, root, next)
+          next
+      }
+    }
+    Constraints.finish(spark, root, r, obs)
+    r
+  }
+
   /** ADDITIVE schema evolution on an append chain — the lakehouse
     * `mergeSchema`/ADD COLUMN moment, at O(batch) cost: the batch may
     * carry NEW trailing columns beyond the chain's schema (existing
@@ -4070,6 +4274,9 @@ object SnapshotLog {
                dirs == prev && tombs.startsWith(prevTombs)) Some("delete")
       else if (manifestKind(spark, root, v).contains("update") &&
                dirs.startsWith(prev) && tombs.startsWith(prevTombs)) Some("update")
+      else if (manifestKind(spark, root, v).contains("replace_where") &&
+               dirs.startsWith(prev) && tombs.startsWith(prevTombs))
+        Some("replace_where")
       else None
     }
     val stepKinds: Map[Long, Option[String]] =
@@ -4151,6 +4358,11 @@ object SnapshotLog {
           case "update" =>
             tombRows(v, "update_preimage").toSeq ++
             deltaRows(v, "update_postimage").toSeq
+          // replaceWhere: the tombstoned slice leaves, the batch
+          // arrives — NOT an update pair (the new rows are not
+          // rewrites of the old ones)
+          case "replace_where" =>
+            tombRows(v, "delete").toSeq ++ deltaRows(v, "insert").toSeq
         }
       }
       // every step may legitimately contribute nothing (an empty append,

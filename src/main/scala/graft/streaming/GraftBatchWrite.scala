@@ -47,7 +47,11 @@ import graft.sources.SnapshotLog
   *    O(touched partitions), transform specs spell in the option
   *    because the writer API cannot).
   *  - `SaveMode.Overwrite`: full-snapshot replace ([[SnapshotLog
-  *    .commit]]) — concurrent readers keep their pinned version.
+  *    .commit]]) — concurrent readers keep their pinned version; with
+  *    `option("replaceWhere", predicate)` the SELECTIVE overwrite
+  *    ([[SnapshotLog.replaceWhere]] — one atomic version tombstoning
+  *    the predicate's slice and appending the batch, O(positions +
+  *    batch), batch rows validated against the predicate).
   *  - `option("txnVersion", n)`: routes to the stamped batch variants
   *    ([[SnapshotLog.appendBatch]]/[[SnapshotLog.commitBatch]]/
   *    [[SnapshotLog.scopedBatch]]/[[SnapshotLog.replaceBatch]]) so a
@@ -136,12 +140,22 @@ private[streaming] trait GraftBatchWriteProvider
 
       case SaveMode.Overwrite =>
         requireFlat("mode=overwrite")
-        txn match {
-          case Some(b) =>
-            SnapshotLog.replaceBatch(spark, root, data, b, statsCols,
-              bloomCols)
-          case None =>
-            SnapshotLog.commit(spark, root, data, statsCols, bloomCols)
+        params.get("replaceWhere").filter(_.nonEmpty) match {
+          case Some(pred) =>
+            // selective overwrite: tombstone the predicate's slice +
+            // append the batch in ONE atomic version (positions, not
+            // file rewrites); batch rows must satisfy the predicate
+            require(txn.isEmpty, "replaceWhere has no stamped variant — " +
+              "drop txnVersion or replace the whole snapshot")
+            SnapshotLog.replaceWhere(spark, root, data,
+              df => org.apache.spark.sql.functions.expr(pred))
+          case None => txn match {
+            case Some(b) =>
+              SnapshotLog.replaceBatch(spark, root, data, b, statsCols,
+                bloomCols)
+            case None =>
+              SnapshotLog.commit(spark, root, data, statsCols, bloomCols)
+          }
         }
 
       case SaveMode.Append => (keys, partCol) match {

@@ -912,7 +912,7 @@ private[streaming] class GraftChangesStream(root: String, dataSchema: StructType
             dataSchema.fields.exists(_.name == f.name))
         }
       require(v == minV || kind.isEmpty || kind.contains("delete") ||
-          kind.contains("update") ||
+          kind.contains("update") || kind.contains("replace_where") ||
           (kind.contains("rename") && declaredCoversNames) ||
           (kind.contains("widen") && declaredMatchesPin),
         s"graft changes stream at $root: version $v is a '${kind.get}' commit " +

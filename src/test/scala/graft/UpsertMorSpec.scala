@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+
+import graft.sources.{Constraints, SnapshotLog}
+
+/** Round 11: `upsertMor` — the merge-on-read keyed upsert every MoR
+  * refusal message has pointed at since round 7, now implemented. The
+  * spec proves O(batch) write cost (delta dir + untouched old files),
+  * shadowing resolution at read, the key-unique/NULL-key/flat-lineage
+  * refusals, DV composition, CDC via the keyed snapshot diff,
+  * constraint gating, and compactChain as the materialization rung.
+  */
+class UpsertMorSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_mor").toString + "/table"
+
+  private def t(ps: (Int, String)*): DataFrame = ps.toSeq.toDF("k", "v")
+
+  private def rows(df: DataFrame): Set[(Int, String)] =
+    df.collect().map(r => (r.getInt(0), r.getString(1))).toSet
+
+  private def fileState(dir: java.io.File): Map[String, (Long, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(dir).filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+  }
+
+  test("O(batch) shadowing upsert: delta dir only, old files untouched, newest wins") {
+    val root = freshRoot()
+    assert(SnapshotLog.upsertMor(spark, root, t((1, "a"), (2, "b")),
+      Seq("k")) == 1L)
+    val before = fileState(new java.io.File(root))
+    assert(SnapshotLog.upsertMor(spark, root, t((2, "B"), (3, "c")),
+      Seq("k")) == 2L)
+    assert(rows(SnapshotLog.read(spark, root)) ==
+      Set((1, "a"), (2, "B"), (3, "c")))
+    // the commit wrote ONLY the batch — version 2's dir has 2 rows and
+    // version 1's files are byte-identical
+    assert(spark.read.parquet(s"$root/data_v00000002").count() == 2,
+      "upsertMor rewrote the snapshot instead of appending the batch")
+    val after = fileState(new java.io.File(root))
+    before.foreach { case (p, st) =>
+      assert(after.get(p).contains(st), s"upsertMor touched old file $p")
+    }
+    // time travel sees the pre-upsert resolution
+    assert(rows(SnapshotLog.readVersion(spark, root, 1L)) ==
+      Set((1, "a"), (2, "b")))
+  }
+
+  test("refusals: duplicate keys, NULL keys, flat lineage, drifted keys, plain append") {
+    val root = freshRoot()
+    SnapshotLog.upsertMor(spark, root, t((1, "a")), Seq("k"))
+    val dup = intercept[IllegalArgumentException] {
+      SnapshotLog.upsertMor(spark, root, t((2, "x"), (2, "y")), Seq("k"))
+    }
+    assert(dup.getMessage.contains("key-unique"))
+    val nul = intercept[IllegalArgumentException] {
+      SnapshotLog.upsertMor(spark, root,
+        Seq((None: Option[Int], "n")).toDF("k", "v"), Seq("k"))
+    }
+    assert(nul.getMessage.contains("NULL key"))
+    val drift = intercept[IllegalArgumentException] {
+      SnapshotLog.upsertMor(spark, root, t((2, "b")), Seq("v"))
+    }
+    assert(drift.getMessage.contains("declared keys"))
+    // the round-7 guard finally has a real target: plain appends refuse
+    val app = intercept[IllegalArgumentException] {
+      SnapshotLog.appendCommit(spark, root, t((9, "z")))
+    }
+    assert(app.getMessage.contains("upsertMor"))
+    // and the inverse: a flat lineage refuses the MoR verb
+    val flat = freshRoot()
+    SnapshotLog.commit(spark, flat, t((1, "a"), (1, "dup")))
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.upsertMor(spark, flat, t((2, "b")), Seq("k"))
+    }
+    assert(e.getMessage.contains("flat lineage"))
+  }
+
+  test("deletion vectors compose: a DV'd key stays dead until re-upserted") {
+    val root = freshRoot()
+    SnapshotLog.upsertMor(spark, root, t((1, "a"), (2, "b")), Seq("k"))
+    SnapshotLog.tombstoneDeleteWhere(spark, root, df => df("k") === 1)
+    assert(rows(SnapshotLog.read(spark, root)) == Set((2, "b")))
+    SnapshotLog.upsertMor(spark, root, t((1, "A2")), Seq("k"))
+    assert(rows(SnapshotLog.read(spark, root)) == Set((1, "A2"), (2, "b")))
+  }
+
+  test("CDC: the keyed snapshot diff reports upserts as updates/inserts") {
+    val root = freshRoot()
+    SnapshotLog.upsertMor(spark, root, t((1, "a"), (2, "b")), Seq("k"))
+    SnapshotLog.upsertMor(spark, root, t((2, "B"), (3, "c")), Seq("k"))
+    val chg = SnapshotLog.changesBetween(spark, root, 1L, 2L, Seq("k"))
+    val got = chg.collect()
+      .map(r => (r.getString(chg.columns.indexOf("change_type")),
+                 r.getInt(chg.columns.indexOf("k")))).toSet
+    assert(got == Set(("update", 2), ("insert", 3)),
+      s"MoR CDC drifted: $got")
+  }
+
+  test("constraints gate MoR batches; compactChain materializes back to flat") {
+    val root = freshRoot()
+    SnapshotLog.upsertMor(spark, root, t((1, "a")), Seq("k"))
+    Constraints.add(spark, root, "k_pos", "k > 0")
+    val e = intercept[Exception] {
+      SnapshotLog.upsertMor(spark, root, t((-3, "bad")), Seq("k"))
+    }
+    assert(e.getMessage.contains("k_pos"))
+    assert(rows(SnapshotLog.read(spark, root)) == Set((1, "a")))
+    SnapshotLog.upsertMor(spark, root, t((1, "a2"), (2, "b")), Seq("k"))
+    // materialize: shadowing folds down, the lineage returns to flat
+    SnapshotLog.compactChain(spark, root)
+    assert(rows(SnapshotLog.read(spark, root)) == Set((1, "a2"), (2, "b")))
+    // flat again: plain appends are legal once more
+    SnapshotLog.appendCommit(spark, root, t((9, "z")))
+    assert(rows(SnapshotLog.read(spark, root)) ==
+      Set((1, "a2"), (2, "b"), (9, "z")))
+  }
+}

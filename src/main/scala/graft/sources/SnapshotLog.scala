@@ -1739,6 +1739,52 @@ object SnapshotLog {
       .getOrElse(throw new IllegalStateException(
         "unreachable: unstamped scoped upsert cannot be a replay"))
 
+  /** DYNAMIC PARTITION OVERWRITE (round 11 — Spark's
+    * `partitionOverwriteMode=dynamic` / Hive's insert-overwrite
+    * semantics on the snapshot log): the batch REPLACES every partition
+    * it touches wholesale — keyless — and every untouched partition
+    * leaf carries by reference, byte-identical. On an all-scoped
+    * lineage the commit reads ZERO pre-existing bytes (the replaced
+    * leafs simply leave the manifest; with the change feed enabled the
+    * doomed slice is read once to record exact delete + insert rows —
+    * the replaceWhere labeling). The daily-restatement verb: rewriting
+    * one day of a 100 TB events table costs that day's new bytes, not
+    * a merge and not the table. An unscoped parent takes the one-time
+    * migration: rows outside the touched partitions migrate into their
+    * own leafs, rows inside them are replaced.
+    *
+    * Constraint-gated; batch schema must match the table exactly; NULL
+    * partition components refuse (the scoped contract). Writer
+    * surface: `df.write.format("graft").mode("overwrite")
+    * .partitionBy("p").save(root)` — overwrite + partitioning, no
+    * keys. Keyed merges stay [[upsertScoped]]; predicate-shaped
+    * replacement on FLAT tables is [[replaceWhere]].
+    */
+  def overwritePartitions(spark: SparkSession, root: String,
+                          batch: DataFrame, partitionCol: String,
+                          statsCols: Seq[String] = Nil,
+                          bloomCols: Seq[String] = Nil): Long =
+    scopedUnderClaim(spark, root, batch, keys = Nil, partitionCol,
+      statsCols, bloomCols, batchId = -1L, replaceLeafs = true)
+      .getOrElse(throw new IllegalStateException(
+        "unreachable: unstamped partition overwrite cannot be a replay"))
+
+  /** Exactly-once streaming [[overwritePartitions]]: stamped with the
+    * micro-batch id, replays skipped — the sink shape for per-window
+    * restatement pipelines (each micro-batch rebuilds whole partitions,
+    * e.g. a `foreachBatch` that recomputes the touched days).
+    */
+  def overwritePartitionsBatch(spark: SparkSession, root: String,
+                               batch: DataFrame, partitionCol: String,
+                               batchId: Long,
+                               statsCols: Seq[String] = Nil,
+                               bloomCols: Seq[String] = Nil): Option[Long] = {
+    require(batchId >= 0, s"negative batchId $batchId")
+    if (lastBatchId(spark, root).exists(_ >= batchId)) return None
+    scopedUnderClaim(spark, root, batch, keys = Nil, partitionCol,
+      statsCols, bloomCols, batchId, replaceLeafs = true)
+  }
+
   /** Exactly-once streaming SCOPED upsert: [[upsertScoped]] with the
     * micro-batch id stamped in the manifest, replays skipped — the
     * O(touched partitions) keyed streaming sink ([[commitBatch]] is the
@@ -1785,14 +1831,23 @@ object SnapshotLog {
                                batch: DataFrame, keys: Seq[String],
                                partitionCol: String, statsCols: Seq[String],
                                bloomCols: Seq[String],
-                               batchId: Long): Option[Long] = {
+                               batchId: Long,
+                               replaceLeafs: Boolean = false): Option[Long] = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     import org.apache.spark.sql.functions.col
     val spec0 = parseGpSpec(partitionCol)
     require(spec0.comps.nonEmpty && spec0.refCols.forall(batch.columns.contains),
       s"partition spec $partitionCol references columns outside the batch " +
       s"${batch.columns.toSeq}")
-    require(keys.nonEmpty && keys.forall(batch.columns.contains),
+    // replaceLeafs = DYNAMIC PARTITION OVERWRITE (round 11): the batch
+    // REPLACES every partition it touches wholesale — keyless, so the
+    // keyed-merge machinery below stands down where noted
+    require(replaceLeafs == keys.isEmpty,
+      if (keys.isEmpty) "scoped upserts need keys — keyless partition " +
+        "replacement is overwritePartitions"
+      else "overwritePartitions is keyless — the batch replaces touched " +
+        "partitions wholesale (keyed merges are upsertScoped)")
+    require(replaceLeafs || keys.forall(batch.columns.contains),
       s"keys $keys must be columns of the batch")
     // round 11: constraint gate covers upsertScoped AND the streaming
     // scopedBatch sink; a FAIL violation fires during the touched-
@@ -1837,13 +1892,15 @@ object SnapshotLog {
       // writer renders them (cast-to-string + path escaping); the collect
       // is bounded by the number of touched partitions — the same driver
       // contract as Upsert.upsertPartitioned
-      val touchedNames = gated.select(gpRenderExpr(spec).cast("string"))
+      val touchedRaw = gated.select(gpRenderExpr(spec).cast("string"))
         .distinct().collect().map { r =>
           require(!r.isNullAt(0),
             s"NULL partition component ($partitionCol) in batch: scoped " +
             "commits need a concrete partition per row")
-          GpPrefix + ExternalCatalogUtils.escapePathName(r.getString(0))
+          r.getString(0)
         }.toSet
+      val touchedNames =
+        touchedRaw.map(v => GpPrefix + ExternalCatalogUtils.escapePathName(v))
       val next = cur.getOrElse(0L) + 1L
       val parentDirs = cur.map(dirsOf(spark, root, _)).getOrElse(Seq.empty)
       def baseName(d: String) = d.substring(d.lastIndexOf('/') + 1)
@@ -1857,12 +1914,37 @@ object SnapshotLog {
       val parentTombs = cur.toSeq.flatMap(tombDirsOf(spark, root, _))
       // deletion vectors apply to the touched slice too, or a merge
       // would resurrect rows a prior tombstoneDelete removed
+      // replaceLeafs on an all-scoped parent replaces touched leafs
+      // WHOLESALE — the slice is then read only when the change feed
+      // wants the doomed rows as delete events (otherwise the commit
+      // reads ZERO pre-existing bytes)
       val parentSlice: Option[DataFrame] =
-        if (replaced.isEmpty) None
+        if (replaced.isEmpty ||
+            (replaceLeafs && allScoped && !changeFeedEnabled(spark))) None
         else Some(toLogical(applyTombstoneDirs(spark, root, parentTombs,
           readSlice(replaced.map(d => new Path(rootPath, d).toString)))))
+      // schema drift guard for the keyless replace (the keyed path's
+      // merge validates alignment itself)
+      if (replaceLeafs) cur.foreach { c =>
+        val have = tableSchema(spark, root, c).fields
+          .map(fl => (fl.name, fl.dataType.catalogString)).toSeq
+        val got = batch.schema.fields
+          .map(fl => (fl.name, fl.dataType.catalogString)).toSeq
+        require(got == have,
+          s"overwritePartitions batch schema $got != table schema $have")
+      }
       val merged = parentSlice match {
         case None => gated
+        case Some(parent) if replaceLeafs =>
+          // all-scoped: the read slice IS the replaced set — drop it;
+          // unscoped parent (one-time migration): rows OUTSIDE the
+          // touched partitions migrate into their own leafs, rows
+          // inside them are replaced by the batch
+          if (allScoped) gated
+          else parent
+            .filter(!gpRenderExpr(spec).cast("string")
+              .isInCollection(touchedRaw.toSeq))
+            .unionByName(gated.select(parent.columns.map(col(_)): _*))
         case Some(parent) =>
           Upsert.upsert(parent, gated.select(parent.columns.map(col(_)): _*), keys)
       }
@@ -1900,13 +1982,32 @@ object SnapshotLog {
       val chg =
         if (!changeFeedEnabled(spark)) ""
         else {
-          val rows = parentSlice match {
-            case Some(parent) =>
-              changeRows(parent, gated.select(parent.columns.map(col(_)): _*), keys)
-            case None =>
-              gated.withColumn("_change_type",
+          val rows =
+            if (replaceLeafs) {
+              // keyless replace: the doomed slice leaves, the batch
+              // arrives — recorded as exact delete + insert rows (the
+              // replaceWhere labeling; no key set exists to pair them)
+              val ins = gated.withColumn("_change_type",
                 org.apache.spark.sql.functions.lit("insert"))
-          }
+              parentSlice match {
+                case None => ins
+                case Some(parent) =>
+                  val doomed =
+                    if (allScoped) parent
+                    else parent.filter(gpRenderExpr(spec).cast("string")
+                      .isInCollection(touchedRaw.toSeq))
+                  doomed.withColumn("_change_type",
+                      org.apache.spark.sql.functions.lit("delete"))
+                    .unionByName(ins.select(parent.columns.map(col(_)) :+
+                      col("_change_type"): _*))
+              }
+            } else parentSlice match {
+              case Some(parent) =>
+                changeRows(parent, gated.select(parent.columns.map(col(_)): _*), keys)
+              case None =>
+                gated.withColumn("_change_type",
+                  org.apache.spark.sql.functions.lit("insert"))
+            }
           rows.write.mode("overwrite")
             .parquet(new Path(rootPath, chgDirName(next)).toString)
           chgDirName(next)

@@ -51,7 +51,11 @@ import graft.sources.SnapshotLog
   *    `option("replaceWhere", predicate)` the SELECTIVE overwrite
   *    ([[SnapshotLog.replaceWhere]] — one atomic version tombstoning
   *    the predicate's slice and appending the batch, O(positions +
-  *    batch), batch rows validated against the predicate).
+  *    batch), batch rows validated against the predicate); with
+  *    `partitionBy(…)` (no keys) the DYNAMIC PARTITION OVERWRITE
+  *    ([[SnapshotLog.overwritePartitions]] — the batch replaces every
+  *    partition it touches wholesale, untouched leafs carried
+  *    byte-identical, zero pre-existing bytes read).
   *  - `option("txnVersion", n)`: routes to the stamped batch variants
   *    ([[SnapshotLog.appendBatch]]/[[SnapshotLog.commitBatch]]/
   *    [[SnapshotLog.scopedBatch]]/[[SnapshotLog.replaceBatch]]) so a
@@ -137,6 +141,26 @@ private[streaming] trait GraftBatchWriteProvider
 
       case SaveMode.Ignore =>
         if (!exists) createTable()
+
+      case SaveMode.Overwrite if partCol.isDefined =>
+        // DYNAMIC PARTITION OVERWRITE: the batch replaces every
+        // partition it touches wholesale, untouched leafs carry
+        // byte-identical — keyless by construction
+        require(keys.isEmpty,
+          "partition overwrite takes no keys — the batch replaces " +
+          "touched partitions wholesale (keyed merges are mode=append " +
+          "with keys + partitionBy)")
+        require(params.get("replaceWhere").forall(_.isEmpty),
+          "replaceWhere is the flat-table selective overwrite — a " +
+          "partitioned overwrite already scopes to the batch's partitions")
+        txn match {
+          case Some(b) =>
+            SnapshotLog.overwritePartitionsBatch(spark, root, data, partCol.get,
+              b, statsCols, bloomCols)
+          case None =>
+            SnapshotLog.overwritePartitions(spark, root, data, partCol.get,
+              statsCols, bloomCols)
+        }
 
       case SaveMode.Overwrite =>
         requireFlat("mode=overwrite")

@@ -59,6 +59,29 @@ final case class GraftTable(catalogName: String, ident: Identifier,
       graft.streaming.GraftTailTable.maxVersionsOf(options),
       graft.streaming.GraftTailTable.maxBytesOf(options),
       graft.streaming.GraftTailTable.startingOf(options))
+  // round 11: report the partition spec to the analyzer — this is what
+  // lets ResolveInsertInto emit OverwritePartitionsDynamic under
+  // `partitionOverwriteMode=dynamic` (→ the scoped dynamic overwrite)
+  // and resolve static `PARTITION (p = v)` clauses into the query +
+  // delete expression (→ the replaceWhere lowering)
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    if (partCol.isEmpty)
+      Array.empty[org.apache.spark.sql.connector.expressions.Transform]
+    else SnapshotLog.parseGpSpec(partCol).comps.map { c =>
+      c.kind match {
+        case "id"     => Expressions.identity(c.col)
+        case "days"   => Expressions.days(c.col)
+        case "months" => Expressions.months(c.col)
+        case "years"  => Expressions.years(c.col)
+        case "hours"  => Expressions.hours(c.col)
+        case "bucket" => Expressions.bucket(c.n, c.col)
+        case other => throw new IllegalStateException(
+          s"unreachable: unknown partition transform kind $other")
+      }
+    }.toArray
+  }
   override def properties(): JMap[String, String] = {
     val m = new java.util.HashMap[String, String]()
     m.put("provider", "graft")

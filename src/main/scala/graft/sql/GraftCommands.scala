@@ -84,6 +84,123 @@ case class GraftOverwriteCommand(table: GraftTable, query: LogicalPlan,
   }
 }
 
+/** `INSERT OVERWRITE t PARTITION (p = v) SELECT …` / DataFrameWriterV2
+  * `overwrite(cond)` → [[SnapshotLog.replaceWhere]] (round 11): ONE
+  * atomic version that tombstones the predicate's slice into a
+  * deletion vector and appends the query result — O(positions +
+  * batch), zero pre-existing files rewritten. The predicate re-binds
+  * by name onto the positional scan (the [[GraftDeleteCommand]]
+  * contract); the batch⊆predicate check and constraint gate live in
+  * replaceWhere itself.
+  */
+case class GraftReplaceWhereCommand(table: GraftTable, query: LogicalPlan,
+                                    byName: Boolean,
+                                    condition: Expression)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+
+  private def rebind(base: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.Column = {
+    val out = base.queryExecution.analyzed.output
+    val rebound = condition.transform {
+      case a: AttributeReference =>
+        out.find(_.name.equalsIgnoreCase(a.name)).getOrElse(
+          throw new IllegalStateException(
+            s"REPLACE WHERE predicate column ${a.name} not found in " +
+            s"${out.map(_.name).mkString(", ")}"))
+    }
+    org.apache.spark.sql.graftshim.ClassicShim.column(rebound)
+  }
+
+  /** The attribute names of a conjunction of `attr = literal`
+    * equalities, or None when the predicate has any other shape.
+    */
+  private def staticEqualityCols(e: Expression): Option[Seq[String]] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, BinaryComparison,
+      EqualNullSafe, EqualTo}
+    e match {
+      case And(l, r) =>
+        for (a <- staticEqualityCols(l); b <- staticEqualityCols(r)) yield a ++ b
+      // the analyzer's static-spec shape is EqualNullSafe(attr,
+      // Cast(lit)); a user's writeTo-overwrite equality is EqualTo —
+      // either way: one attribute against one foldable value
+      case cmp: BinaryComparison
+          if cmp.isInstanceOf[EqualTo] || cmp.isInstanceOf[EqualNullSafe] =>
+        (cmp.left, cmp.right) match {
+          case (a: AttributeReference, v) if v.foldable => Some(Seq(a.name))
+          case (v, a: AttributeReference) if v.foldable => Some(Seq(a.name))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df = GraftCommands.align(
+      GraftCommands.classicDf(spark, query), table.tableSchema, byName)
+    if (table.partCol.isEmpty) {
+      SnapshotLog.replaceWhere(spark, table.root, df, rebind)
+    } else {
+      // PARTITIONED table, static overwrite: sound exactly when the
+      // predicate is the analyzer's full static PARTITION conjunction —
+      // `p1 = v1 AND … AND pn = vn` over EVERY identity partition
+      // column. It then names ONE partition; batch⊆predicate (checked)
+      // plus non-emptiness makes the batch's touched set equal the
+      // named set, so replacing touched partitions IS the static
+      // semantics. A partial spec or a non-partition predicate would
+      // silently diverge (partitions the predicate names but the batch
+      // does not touch must truncate) — refused toward dynamic mode.
+      val spec = SnapshotLog.parseGpSpec(table.partCol)
+      val idCols = spec.comps.filter(_.kind == "id").map(_.col)
+      val eqCols = staticEqualityCols(condition)
+      require(spec.comps.forall(_.kind == "id") &&
+          eqCols.exists(cs => cs.map(_.toLowerCase).toSet ==
+            idCols.map(_.toLowerCase).toSet),
+        "static INSERT OVERWRITE on a partitioned graft table needs the " +
+        "full identity PARTITION spec (one named partition); transform " +
+        "specs and partial/complex predicates replace partitions through " +
+        "spark.sql.sources.partitionOverwriteMode=dynamic")
+      import org.apache.spark.sql.functions.not
+      require(df.filter(not(rebind(df))).limit(1).count() == 0,
+        "REPLACE WHERE: query rows outside the named partition")
+      if (df.isEmpty)
+        // an empty static overwrite TRUNCATES the named partition —
+        // a deletion-vector delete, zero rewrites
+        SnapshotLog.tombstoneDeleteWhere(spark, table.root, rebind)
+      else
+        SnapshotLog.overwritePartitions(spark, table.root, df, table.partCol,
+          statsCols = table.statsCols)
+    }
+    Seq.empty
+  }
+}
+
+/** Dynamic-mode `INSERT OVERWRITE` (the analyzer emits
+  * OverwritePartitionsDynamic when
+  * `spark.sql.sources.partitionOverwriteMode=dynamic`) →
+  * [[SnapshotLog.overwritePartitions]] on a partitioned table: the
+  * query result replaces exactly the partitions it touches, untouched
+  * leafs carry byte-identical, zero pre-existing bytes read. On an
+  * unpartitioned table dynamic mode degenerates to the full-snapshot
+  * replace, which is Spark's own semantics for it.
+  */
+case class GraftDynamicOverwriteCommand(table: GraftTable,
+                                        query: LogicalPlan,
+                                        byName: Boolean)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df = GraftCommands.align(
+      GraftCommands.classicDf(spark, query), table.tableSchema, byName)
+    if (table.partCol.nonEmpty)
+      SnapshotLog.overwritePartitions(spark, table.root, df, table.partCol,
+        statsCols = table.statsCols)
+    else
+      SnapshotLog.commit(spark, table.root, df, statsCols = table.statsCols)
+    Seq.empty
+  }
+}
+
 /** General MERGE / UPDATE: `plan` is the complete next snapshot the
   * analyzer composed from the resolved actions — commit it as one new
   * version (copy-on-write; Delta's row-level fallback is the same

@@ -89,12 +89,33 @@ case class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
     case o: OverwriteByExpression =>
       o.table match {
         case r: DataSourceV2Relation if isGraft(r) =>
-          if (o.query.resolved) {
-            require(isTrueLiteral(o.deleteExpr),
-              "graft INSERT OVERWRITE replaces the whole table (the next " +
-              "snapshot version); partial overwrite predicates are not supported")
-            GraftOverwriteCommand(graftOf(r), expand(session, o.query), o.isByName)
+          // the delete expression resolves against the TARGET table in
+          // a later analyzer pass — wait for it, or the lowered command
+          // would hold an unresolved predicate
+          if (o.query.resolved && o.deleteExpr.resolved) {
+            // true-literal = the whole table (static INSERT OVERWRITE):
+            // full-snapshot replace. A real predicate (static PARTITION
+            // spec / DataFrameWriterV2 overwrite(cond)) lowers onto the
+            // round-11 selective overwrite — positions, not rewrites
+            if (isTrueLiteral(o.deleteExpr))
+              GraftOverwriteCommand(graftOf(r), expand(session, o.query),
+                o.isByName)
+            else
+              GraftReplaceWhereCommand(graftOf(r), expand(session, o.query),
+                o.isByName, o.deleteExpr)
           } else o
+        case _ => o
+      }
+
+    // dynamic partitionOverwriteMode: INSERT OVERWRITE replaces exactly
+    // the partitions the query touches (round 11 — overwritePartitions)
+    case o: OverwritePartitionsDynamic =>
+      o.table match {
+        case r: DataSourceV2Relation if isGraft(r) =>
+          if (o.query.resolved)
+            GraftDynamicOverwriteCommand(graftOf(r), expand(session, o.query),
+              o.isByName)
+          else o
         case _ => o
       }
 

@@ -882,4 +882,72 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.session.timeZone", zoneBefore)
   }
 
+
+  test("static PARTITION overwrite, dynamic-mode overwrite, and writeTo overwrite(cond)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
+    // flat table: DataFrameWriterV2 overwrite(cond) lowers to the
+    // positions-based replaceWhere — versions grow, nothing rewrites
+    sql("CREATE TABLE graft.ns.rwf (k INT, d STRING, v STRING)")
+    sql("INSERT INTO graft.ns.rwf VALUES (1,'d1','a'), (3,'d2','c')")
+    val s0 = spark; import s0.implicits._
+    Seq((10, "d1", "x")).toDF("k", "d", "v")
+      .writeTo("graft.ns.rwf")
+      .overwrite(org.apache.spark.sql.functions.col("d") === "d1")
+    assert(rowsOf("SELECT k, d, v FROM graft.ns.rwf") ==
+      Set(Seq(10, "d1", "x"), Seq(3, "d2", "c")))
+    // a batch row outside the predicate refuses (the Delta contract)
+    val e = intercept[Exception] {
+      Seq((9, "d2", "n")).toDF("k", "d", "v")
+        .writeTo("graft.ns.rwf")
+        .overwrite(org.apache.spark.sql.functions.col("d") === "d1")
+    }
+    assert(e.getMessage.contains("outside the predicate"), e.getMessage)
+
+    // partitioned table: static PARTITION (p = v) names one partition,
+    // the overwrite replaces exactly it (untouched leaf byte-identical)
+    sql("CREATE TABLE graft.ns.rwp (k INT, v STRING, p STRING) " +
+        "PARTITIONED BY (p)")
+    sql("INSERT INTO graft.ns.rwp VALUES (1,'a','p1'), (3,'c','p2')")
+    val rp = root("rwp")
+    // first static overwrite migrates the flat INSERT layout into leafs
+    sql("INSERT OVERWRITE graft.ns.rwp PARTITION (p = 'p1') SELECT 10, 'x'")
+    assert(rowsOf("SELECT k, v, p FROM graft.ns.rwp") ==
+      Set(Seq(10, "x", "p1"), Seq(3, "c", "p2")))
+    def p2Files(): Map[String, Long] =
+      new java.io.File(rp).listFiles().filter(_.isDirectory)
+        .flatMap(_.listFiles()).filter(f => f.isDirectory && f.getName == "__gp=p2")
+        .flatMap(_.listFiles()).map(f => f.getPath -> f.lastModified()).toMap
+    val before = p2Files()
+    assert(before.nonEmpty, "expected a __gp=p2 leaf after the migration")
+    // second static overwrite on an all-scoped parent: p2 untouched
+    sql("INSERT OVERWRITE graft.ns.rwp PARTITION (p = 'p1') SELECT 11, 'y'")
+    assert(rowsOf("SELECT k, v, p FROM graft.ns.rwp") ==
+      Set(Seq(11, "y", "p1"), Seq(3, "c", "p2")))
+    before.foreach { case (f, m) =>
+      assert(new java.io.File(f).lastModified() == m,
+        s"static partition overwrite touched untouched leaf file $f")
+    }
+    // empty static overwrite TRUNCATES the named partition (DV delete)
+    sql("INSERT OVERWRITE graft.ns.rwp PARTITION (p = 'p1') " +
+        "SELECT k, v FROM graft.ns.rwp WHERE false")
+    assert(rowsOf("SELECT k, v, p FROM graft.ns.rwp") ==
+      Set(Seq(3, "c", "p2")))
+
+    // dynamic mode: INSERT OVERWRITE replaces only the touched partitions
+    val modeBefore = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      sql("INSERT INTO graft.ns.rwp VALUES (5,'e','p3')")
+      sql("INSERT OVERWRITE graft.ns.rwp VALUES (30,'C','p2')")
+      assert(rowsOf("SELECT k, v, p FROM graft.ns.rwp") ==
+        Set(Seq(30, "C", "p2"), Seq(5, "e", "p3")),
+        "dynamic overwrite must keep the untouched p3 partition")
+    } finally {
+      modeBefore match {
+        case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
 }

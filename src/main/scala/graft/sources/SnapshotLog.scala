@@ -2721,7 +2721,10 @@ object SnapshotLog {
       val hits = alive.filter(mkCond(base))
         .select(col("__rel"), col("__ri")).persist()
       try {
-        val anyHits = !hits.isEmpty
+        // count(), not isEmpty: materialize the persisted probe in ONE
+        // full scan (isEmpty's limit-1 caches only the partitions it
+        // touched, and the tombstone write would re-scan the rest)
+        val anyHits = hits.count() > 0
         if (!anyHits && batchEmpty) cur
         else {
           if (anyHits)

@@ -1942,8 +1942,14 @@ object SnapshotLog {
           // inside them are replaced by the batch
           if (allScoped) gated
           else parent
-            .filter(!gpRenderExpr(spec).cast("string")
-              .isInCollection(touchedRaw.toSeq))
+            // coalesce: a parent row with a NULL partition component
+            // renders NULL — it is outside every touched partition and
+            // must CARRY (the keyed migration path carries it too),
+            // not silently drop through three-valued logic
+            .filter(org.apache.spark.sql.functions.coalesce(
+              !gpRenderExpr(spec).cast("string")
+                .isInCollection(touchedRaw.toSeq),
+              org.apache.spark.sql.functions.lit(true)))
             .unionByName(gated.select(parent.columns.map(col(_)): _*))
         case Some(parent) =>
           Upsert.upsert(parent, gated.select(parent.columns.map(col(_)): _*), keys)
@@ -2698,8 +2704,13 @@ object SnapshotLog {
         s"replaceWhere batch schema $got != table schema $have")
       // the Delta contract, checked on the raw batch BEFORE the
       // constraint gate (the gate's observation must see exactly one
-      // action): one limit-1 probe, no full pass
-      require(batch.filter(not(mkCond(batch))).limit(1).count() == 0,
+      // action): one limit-1 probe, no full pass. NULL predicate
+      // results count as OUTSIDE — a NULL-cond row would never be
+      // deleted by the same predicate later, silently surviving its
+      // own slice's next replace
+      require(batch.filter(not(org.apache.spark.sql.functions
+          .coalesce(mkCond(batch), org.apache.spark.sql.functions.lit(false))))
+          .limit(1).count() == 0,
         "replaceWhere: batch rows outside the predicate — every " +
         "replacement row must satisfy the REPLACE WHERE condition")
       val batchEmpty = batch.isEmpty

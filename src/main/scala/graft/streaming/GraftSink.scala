@@ -23,6 +23,11 @@ import graft.sources.SnapshotLog
   *   .option("mode", "upsert").option("keys", "k")
   *     .option("partitionBy", "days(ts)")
   *
+  *   // partition restatement sink (overwritePartitionsBatch — each
+  *   // micro-batch replaces the partitions it touches wholesale;
+  *   // the windowed-recompute shape)
+  *   .option("mode", "overwrite").option("partitionBy", "days(ts)")
+  *
   *   // full-snapshot replace per batch (replaceBatch — derived tables,
   *   // pairs with outputMode("complete") aggregations)
   *   .option("mode", "replace")
@@ -76,11 +81,14 @@ private[streaming] class GraftSink(root: String, mode: String,
       case "upsert" =>
         SnapshotLog.commitBatch(spark, root, batch, keys, batchId, statsCols,
           bloomCols)
+      case "overwrite" =>
+        SnapshotLog.overwritePartitionsBatch(spark, root, batch,
+          partitionCol.get, batchId, statsCols, bloomCols)
       case "replace" =>
         SnapshotLog.replaceBatch(spark, root, batch, batchId, statsCols,
           bloomCols)
       case other => throw new IllegalArgumentException(
-        s"graft sink mode '$other' — use append, upsert, or replace")
+        s"graft sink mode '$other' — use append, upsert, overwrite, or replace")
     }
   }
 
@@ -124,6 +132,20 @@ private[streaming] object GraftSink {
         require(outputMode != OutputMode.Complete(),
           "outputMode=complete rebuilds the whole result each batch — " +
           "use mode=replace")
+      case "overwrite" =>
+        // partition RESTATEMENT sink (round 11): each micro-batch
+        // replaces the partitions it touches wholesale — the windowed
+        // recompute shape (e.g. per-day aggregates re-emitted whole)
+        require(keys.isEmpty,
+          "mode=overwrite replaces touched partitions wholesale — no " +
+          "keys (keyed streaming merges are mode=upsert)")
+        require(partCol.isDefined,
+          "the graft overwrite sink restates PARTITIONS — add " +
+          "partitionBy / .option(\"partitionBy\", \"days(ts)\"); a " +
+          "whole-table streaming replace is mode=replace")
+        require(outputMode != OutputMode.Complete(),
+          "outputMode=complete rebuilds the whole result each batch — " +
+          "use mode=replace")
       case "replace" =>
         require(keys.isEmpty && partCol.isEmpty,
           "mode=replace commits the whole batch as the next snapshot — " +
@@ -135,7 +157,7 @@ private[streaming] object GraftSink {
           s"mode=replace requires outputMode=complete (each batch must " +
           s"be the WHOLE result it replaces the table with), got $outputMode")
       case other => throw new IllegalArgumentException(
-        s"graft sink mode '$other' — use append, upsert, or replace")
+        s"graft sink mode '$other' — use append, upsert, overwrite, or replace")
     }
     new GraftSink(root, mode, keys, partCol,
       listOf("statsCols"), listOf("bloomCols"))

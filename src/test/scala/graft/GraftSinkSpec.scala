@@ -212,6 +212,37 @@ class GraftSinkSpec extends SparkSpecBase {
     assert(SnapshotLog.read(spark, root).count() == 1)
   }
 
+  test("overwrite sink: each micro-batch restates its partitions wholesale") {
+    val dir = dirFor("dpo")
+    val root = s"$dir/t"
+    val stream = MemoryStream[Ev](spark)
+    val q = stream.toDF().writeStream.format("graft")
+      .option("mode", "overwrite").option("partitionBy", "user_id")
+      .option("checkpointLocation", s"$dir/ck").start(root)
+    stream.addData(Ev(1, ts("2024-01-01 10:00:00"), 1, 1.0),
+                   Ev(2, ts("2024-01-01 10:01:00"), 2, 2.0))
+    q.processAllAvailable()
+    // batch 1 restates user 1 only: event 1 REPLACED (not merged) by
+    // event 3, user 2 untouched
+    stream.addData(Ev(3, ts("2024-01-01 10:06:00"), 1, 3.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(SnapshotLog.read(spark, root).select("event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      Set((3L, 3.0), (2L, 2.0)),
+      "overwrite sink must replace the touched partition, not merge it")
+    // keyless wholesale replace needs no keys; refusal edges at start()
+    intercept[Exception] {  // overwrite without partitionBy
+      stream.toDF().writeStream.format("graft").option("mode", "overwrite")
+        .option("checkpointLocation", s"$dir/ck2").start(s"$dir/t2")
+    }
+    intercept[Exception] {  // overwrite with keys
+      stream.toDF().writeStream.format("graft").option("mode", "overwrite")
+        .option("keys", "event_id").option("partitionBy", "user_id")
+        .option("checkpointLocation", s"$dir/ck3").start(s"$dir/t3")
+    }
+  }
+
   test("option validation fails at start(), not first batch") {
     val dir = dirFor("opts")
     val stream = MemoryStream[Ev](spark)

@@ -108,6 +108,19 @@ class OverwritePartitionsSpec extends SparkSpecBase {
     assert(e.getMessage.contains("wholesale"))
   }
 
+  test("migration carries a NULL-partition parent row instead of dropping it") {
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root,
+      Seq((1, Some("a"), "x"), (7, Option.empty[String], "nullrow"))
+        .toDF("k", "p", "v"))
+    SnapshotLog.overwritePartitions(spark, root,
+      Seq((9, Some("a"), "n")).toDF("k", "p", "v"), "p")
+    val got = SnapshotLog.read(spark, root).collect()
+      .map(r => (r.getInt(0), Option(r.getString(1)), r.getString(2))).toSet
+    assert(got == Set((9, Some("a"), "n"), (7, None, "nullrow")),
+      s"NULL-partition row dropped through three-valued logic: $got")
+  }
+
   test("refusals: keys with replace, constraint gate, schema drift") {
     val root = freshRoot()
     SnapshotLog.upsertScoped(spark, root, t((1, "a", "x")), Seq("k"), "p")

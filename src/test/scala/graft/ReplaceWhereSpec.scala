@@ -87,6 +87,20 @@ class ReplaceWhereSpec extends SparkSpecBase {
       s"expected the event-fold path, got the snapshot-diff fallback:\n$plan")
   }
 
+  test("a NULL-predicate batch row counts as outside (three-valued logic hole)") {
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root, t((1, "d1", "a")))
+    // d IS NULL → cond NULL → such a row would never be deleted by the
+    // same predicate later; must refuse, not slip through NOT(NULL)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.replaceWhere(spark, root,
+        Seq((10, Option.empty[String], "x")).toDF("k", "d", "v"),
+        df => df("d") === "d1")
+    }
+    assert(e.getMessage.contains("outside the predicate"))
+    assert(SnapshotLog.versions(spark, root) == Seq(1L))
+  }
+
   test("degenerate shapes: pure delete, plain append, no-op") {
     val root = freshRoot()
     SnapshotLog.commit(spark, root, t((1, "d1", "a"), (3, "d2", "c")))

@@ -956,6 +956,14 @@ object SnapshotLog {
     val (gated, obs) = Constraints.gate(spark, root, batch)
     val v = currentVersion(spark, root) match {
       case Some(cur) =>
+        // a MoR lineage's keyed merge is upsertMor — the full-rewrite
+        // fallback below would silently resolve the shadow history,
+        // drop the morKeys marker (flat conversion), and pay O(table)
+        // for the O(batch) write the lineage was created to provide
+        require(morKeysOf(spark, root, cur).isEmpty,
+          "this lineage is merge-on-read keyed — use upsertMor (O(batch) " +
+          "write; a snapshot-merge upsert here would silently rewrite " +
+          "the table and convert the lineage to flat)")
         // a rewrite must not silently strip the lineage's pruning power:
         // inherit the head's stat columns when the caller passes none —
         // on the PRUNED path too (round 11; repeated pruned upserts were
@@ -1323,6 +1331,15 @@ object SnapshotLog {
   def deleteByKey(spark: SparkSession, root: String, tombstones: DataFrame,
                   keys: Seq[String]): Long = {
     import org.apache.spark.sql.functions.{col, lit}
+    currentVersion(spark, root).foreach { cur =>
+      // the rewrite fallback would silently resolve the shadow history
+      // and convert the lineage to flat; the O(deleted) keyed delete on
+      // MoR is tombstoneDelete (its vector kills every physical copy)
+      require(morKeysOf(spark, root, cur).isEmpty,
+        "this lineage is merge-on-read keyed — use tombstoneDelete " +
+        "(positional, O(deleted rows)); a rewrite delete here would " +
+        "silently materialize the table and convert the lineage to flat")
+    }
     currentVersion(spark, root).flatMap { cur =>
       retryPruned(spark, root, cur)(h =>
         rewriteMatchedFlat(spark, root, h,
@@ -2130,6 +2147,33 @@ object SnapshotLog {
     }
   }
 
+  /** The (file, row) positions a row SELECTION dooms, MoR-aware. On a
+    * flat lineage the selection runs straight over the raw positional
+    * scan. On a merge-on-read keyed lineage it runs over the RESOLVED
+    * visible table (latest-wins, prior vectors applied — Delta's DELETE
+    * operates on what a reader sees) and the matched keys expand to
+    * EVERY physical copy. Anything narrower corrupts: the read path
+    * applies deletion vectors BEFORE resolution, so a vector covering
+    * only the key's latest row would RESURRECT its next-newest shadow,
+    * and a raw-scan predicate can match an invisible old shadow while
+    * sparing the visible row (deleting rows no reader ever saw).
+    * `basePos` is the raw scan with `__rel`/`__ri` attached; `select`
+    * must tolerate either frame (filters and key semi-joins do).
+    */
+  private def doomedPositions(spark: SparkSession, root: String, cur: Long,
+                              basePos: DataFrame,
+                              select: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val mk = morKeysOf(spark, root, cur)
+    if (mk.isEmpty) select(basePos).select(col("__rel"), col("__ri"))
+    else {
+      val doomedKeys = select(readVersion(spark, root, cur))
+        .select(mk.map(col(_)): _*).distinct()
+      basePos.join(doomedKeys, mk, "left_semi")
+        .select(col("__rel"), col("__ri"))
+    }
+  }
+
   /** Merge-on-read DELETE (deletion vectors): record the (file, row
     * position) of every row matching a tombstone key in an O(deleted
     * rows) sidecar directory — ZERO data files are read-modified or
@@ -2164,11 +2208,12 @@ object SnapshotLog {
       // (round 9: a duplicate would re-emit the row as a SECOND delete
       // through the CDC surfaces; it was also dead weight the next
       // compaction had to fold)
-      val hits0 = base
+      val basePos = base
         .withColumn("__rel", substring_index(col("_metadata.file_path"), "/", -2))
         .withColumn("__ri", col("_metadata.row_index"))
-        .join(tombstones.select(keys.map(col(_)): _*).distinct(), keys, "left_semi")
-        .select(col("__rel"), col("__ri"))
+      val hits0 = doomedPositions(spark, root, cur, basePos, b =>
+        b.join(tombstones.select(keys.map(col(_)): _*).distinct(),
+          keys, "left_semi"))
       val hits = freshPositions(spark, root, cur, rootPath, hits0)
       val td = new Path(rootPath, tombDirName(next))
       writeTombstones(spark, hits, td)
@@ -2211,11 +2256,11 @@ object SnapshotLog {
       // file-manifest scan: schema declared, zero listing when the
       // sidecar is complete (prunedBaseScan); raw positions, no DV/MoR
       val base = prunedBaseScan(spark, root, cur)
-      val hits0 = base
+      val basePos = base
         .withColumn("__rel", substring_index(col("_metadata.file_path"), "/", -2))
         .withColumn("__ri", col("_metadata.row_index"))
-        .filter(mkCond(base))
-        .select(col("__rel"), col("__ri"))
+      val hits0 = doomedPositions(spark, root, cur, basePos,
+        b => b.filter(mkCond(b)))
       // exclude already-tombstoned positions: see tombstoneDelete
       val hits = freshPositions(spark, root, cur, rootPath, hits0)
       val td = new Path(rootPath, tombDirName(next))
@@ -2287,10 +2332,10 @@ object SnapshotLog {
       throw new IllegalStateException(s"no committed version at $root"))
     val rootPath = new Path(root.replaceAll("/+$", ""))
     val base = prunedBaseScan(spark, root, cur)
-    val hits0 = select(base
+    val basePos = base
       .withColumn("__rel", substring_index(col("_metadata.file_path"), "/", -2))
-      .withColumn("__ri", col("_metadata.row_index")))
-      .select(col("__rel"), col("__ri"))
+      .withColumn("__ri", col("_metadata.row_index"))
+    val hits0 = doomedPositions(spark, root, cur, basePos, select)
     val hits = freshPositions(spark, root, cur, rootPath, hits0)
     val staging = "tomb_u" + java.util.UUID.randomUUID.toString.replace("-", "")
     writeTombstones(spark, hits, new Path(rootPath, staging))
@@ -3614,9 +3659,65 @@ object SnapshotLog {
     * so the event fold correctly stands aside), DESCRIBE and vacuum
     * all already understand the `mor` manifest kind.
     */
+  /** Bootstrap an EMPTY merge-on-read lineage with a pinned schema —
+    * the SQL `CREATE TABLE … TBLPROPERTIES('graft.morKeys'='k')` hook.
+    * [[upsertMor]]'s first batch normally declares the keys, but a
+    * catalog table must exist (empty, readable, keys declared) before
+    * its first write; the pinned schema is what lets the zero-file
+    * table read with full columns (the [[appendEvolved]] bootstrap
+    * contract). Later writes hold the usual MoR requires: same keys,
+    * exact schema, key-unique batches.
+    */
+  def createMorTable(spark: SparkSession, root: String,
+                     schema: org.apache.spark.sql.types.StructType,
+                     keys: Seq[String]): Long = {
+    require(keys.nonEmpty && keys.forall(schema.fieldNames.contains),
+      s"morKeys $keys must be columns of the declared schema")
+    withClaim(spark, root) { f =>
+      recoverOrphans(spark, root)
+      require(currentVersion(spark, root).isEmpty,
+        s"table already exists at $root — merge-on-read keys are " +
+        "declared by the FIRST commit and immutable after")
+      val empty = spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      stageVersion(spark, root, empty, 1L, -1L, Nil, Nil,
+        schemaJson = java.net.URLEncoder.encode(
+          asNullable(schema).json, "UTF-8"),
+        morKeys = keys)
+      publishLatest(spark, root, 1L)
+      1L
+    }
+  }
+
   def upsertMor(spark: SparkSession, root: String, batch: DataFrame,
                 keys: Seq[String], statsCols: Seq[String] = Nil,
-                bloomCols: Seq[String] = Nil): Long = {
+                bloomCols: Seq[String] = Nil): Long =
+    upsertMorCore(spark, root, batch, keys, statsCols, bloomCols,
+      batchId = -1L).getOrElse(throw new IllegalStateException(
+      "unreachable: an unstamped MoR upsert cannot be a replay"))
+
+  /** Exactly-once streaming [[upsertMor]]: stamped with the micro-batch
+    * id, replays skipped — the O(batch)-write keyed streaming sink for
+    * update-heavy streams (contrast [[commitBatch]], whose merge
+    * rewrites the snapshot each batch, and [[scopedBatch]], which
+    * rewrites touched partitions). Wire as `writeStream.format("graft")
+    * .option("mode", "upsert").option("mor", "true")` or
+    * `foreachBatch((df, id) => SnapshotLog.upsertMorBatch(...))`.
+    */
+  def upsertMorBatch(spark: SparkSession, root: String, batch: DataFrame,
+                     keys: Seq[String], batchId: Long,
+                     statsCols: Seq[String] = Nil,
+                     bloomCols: Seq[String] = Nil): Option[Long] = {
+    require(batchId >= 0, s"negative batchId $batchId")
+    // pre-claim fast path; the gate under the claim is the correctness one
+    if (lastBatchId(spark, root).exists(_ >= batchId)) return None
+    upsertMorCore(spark, root, batch, keys, statsCols, bloomCols, batchId)
+  }
+
+  private def upsertMorCore(spark: SparkSession, root: String,
+                            batch: DataFrame, keys: Seq[String],
+                            statsCols: Seq[String], bloomCols: Seq[String],
+                            batchId: Long): Option[Long] = {
     import org.apache.spark.sql.functions.{col, count, lit}
     require(keys.nonEmpty && keys.forall(batch.columns.contains),
       s"upsertMor keys $keys must be columns of the batch")
@@ -3631,43 +3732,47 @@ object SnapshotLog {
     var obs: Option[org.apache.spark.sql.Observation] = None
     val r = withClaim(spark, root) { f =>
       recoverOrphans(spark, root)
-      val (gated, o) = Constraints.gate(spark, root, batch)
-      obs = o
-      currentVersion(spark, root) match {
-        case None =>
-          stageVersion(spark, root, gated, 1L, -1L, statsCols, bloomCols,
-            morKeys = keys)
-          publishLatest(spark, root, 1L)
-          1L
-        case Some(cur) =>
-          val mk = morKeysOf(spark, root, cur)
-          require(mk.nonEmpty,
-            "upsertMor on a flat lineage — its duplicate history would " +
-            "suddenly resolve by key; use upsert/upsertScoped, or start " +
-            "the merge-on-read lineage from its first commit")
-          require(mk == keys,
-            s"upsertMor keys $keys != the lineage's declared keys $mk")
-          require(partColOf(spark, root, cur).isEmpty,
-            "unreachable by construction: scoped lineages never carry morKeys")
-          val have = tableSchema(spark, root, cur).fields
-            .map(fl => (fl.name, fl.dataType.catalogString)).toSeq
-          val got = batch.schema.fields
-            .map(fl => (fl.name, fl.dataType.catalogString)).toSeq
-          require(got == have,
-            s"upsertMor batch schema $got != table schema $have")
-          val next = cur + 1L
-          val carry = sidecarCarry(spark, root, cur)
-          stageVersion(spark, root, gated, next, -1L,
-            if (statsCols.nonEmpty) statsCols
-            else inheritedStatsCols(spark, root),
-            bloomCols, baseDirs = dirsOf(spark, root, cur),
-            carryStats = carry, tombDirs = tombDirsOf(spark, root, cur),
-            schemaJson = rawSchemaJson(spark, root, cur), morKeys = keys)
-          publishLatest(spark, root, next)
-          next
+      // re-check under the claim — this one is the correctness gate
+      if (batchId >= 0 && lastBatchId(spark, root).exists(_ >= batchId)) None
+      else {
+        val (gated, o) = Constraints.gate(spark, root, batch)
+        obs = o
+        Some(currentVersion(spark, root) match {
+          case None =>
+            stageVersion(spark, root, gated, 1L, batchId, statsCols,
+              bloomCols, morKeys = keys)
+            publishLatest(spark, root, 1L)
+            1L
+          case Some(cur) =>
+            val mk = morKeysOf(spark, root, cur)
+            require(mk.nonEmpty,
+              "upsertMor on a flat lineage — its duplicate history would " +
+              "suddenly resolve by key; use upsert/upsertScoped, or start " +
+              "the merge-on-read lineage from its first commit")
+            require(mk == keys,
+              s"upsertMor keys $keys != the lineage's declared keys $mk")
+            require(partColOf(spark, root, cur).isEmpty,
+              "unreachable by construction: scoped lineages never carry morKeys")
+            val have = tableSchema(spark, root, cur).fields
+              .map(fl => (fl.name, fl.dataType.catalogString)).toSeq
+            val got = batch.schema.fields
+              .map(fl => (fl.name, fl.dataType.catalogString)).toSeq
+            require(got == have,
+              s"upsertMor batch schema $got != table schema $have")
+            val next = cur + 1L
+            val carry = sidecarCarry(spark, root, cur)
+            stageVersion(spark, root, gated, next, batchId,
+              if (statsCols.nonEmpty) statsCols
+              else inheritedStatsCols(spark, root),
+              bloomCols, baseDirs = dirsOf(spark, root, cur),
+              carryStats = carry, tombDirs = tombDirsOf(spark, root, cur),
+              schemaJson = rawSchemaJson(spark, root, cur), morKeys = keys)
+            publishLatest(spark, root, next)
+            next
+        })
       }
     }
-    Constraints.finish(spark, root, r, obs)
+    r.foreach(v => Constraints.finish(spark, root, v, obs))
     r
   }
 
@@ -3878,6 +3983,13 @@ object SnapshotLog {
         // it earlier would let an interleaved maintenance commit's
         // changes be silently overwritten by a merge built on the
         // superseded version (lost update)
+        currentVersion(spark, root).foreach { c =>
+          require(morKeysOf(spark, root, c).isEmpty,
+            "this lineage is merge-on-read keyed — use upsertMorBatch " +
+            "(O(batch) write per micro-batch; commitBatch's snapshot " +
+            "merge would silently rewrite the table every batch and " +
+            "convert the lineage to flat)")
+        }
         val merged = currentVersion(spark, root) match {
           case Some(_) => Upsert.upsert(read(spark, root), gated, keys)
           case None    => gated

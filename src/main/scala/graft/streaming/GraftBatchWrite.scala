@@ -18,6 +18,8 @@ import graft.sources.SnapshotLog
   *     .option("keys", "k1,k2").save(root)                 // keyed upsert
   *   df.write.format("graft").mode("append")
   *     .option("keys", "k").partitionBy("region")          // scoped upsert
+  *   df.write.format("graft").mode("append")
+  *     .option("keys", "k").option("mor", "true")          // O(batch) MoR upsert
   *     .save(root)                                         //  (O(touched))
   *   df.write.format("graft").mode("overwrite").save(root) // full replace
   *
@@ -106,6 +108,18 @@ private[streaming] trait GraftBatchWriteProvider
       n
     }
     val exists = SnapshotLog.currentVersion(spark, root).isDefined
+    // merge-on-read strategy flag: keyed writes land as O(batch) delta
+    // dirs, newer versions shadow older rows of the same key at read
+    // time (upsertMor); composes with mode=append + keys (and the
+    // create modes); scoped lineages never carry morKeys
+    val mor = params.get("mor").exists(_.trim.toBoolean)
+    require(!mor || keys.nonEmpty,
+      "option mor=true is the merge-on-read KEYED write — add " +
+      "option(\"keys\", \"k1,k2\")")
+    require(!mor || partCol.isEmpty,
+      "mor=true is the flat merge-on-read write (scoped lineages never " +
+      "carry morKeys) — drop partitionBy, or drop mor for the scoped " +
+      "upsert")
 
     def requireFlat(what: String): Unit = {
       require(keys.isEmpty, s"$what takes no keys — keyed merges go " +
@@ -122,6 +136,8 @@ private[streaming] trait GraftBatchWriteProvider
     def createTable(): Unit = (keys, partCol) match {
       case (Nil, None) =>
         SnapshotLog.commit(spark, root, data, statsCols, bloomCols)
+      case (ks, None) if mor =>
+        SnapshotLog.upsertMor(spark, root, data, ks, statsCols, bloomCols)
       case (ks, None) =>
         SnapshotLog.upsert(spark, root, data, ks, statsCols, bloomCols)
       case (ks, Some(pc)) if ks.nonEmpty =>
@@ -189,6 +205,13 @@ private[streaming] trait GraftBatchWriteProvider
               bloomCols)
           case None =>
             SnapshotLog.appendCommit(spark, root, data, statsCols, bloomCols)
+        }
+        case (ks, None) if mor => txn match {
+          case Some(b) =>
+            SnapshotLog.upsertMorBatch(spark, root, data, ks, b, statsCols,
+              bloomCols)
+          case None =>
+            SnapshotLog.upsertMor(spark, root, data, ks, statsCols, bloomCols)
         }
         case (ks, None) => txn match {
           case Some(b) =>

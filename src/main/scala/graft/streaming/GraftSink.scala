@@ -23,6 +23,12 @@ import graft.sources.SnapshotLog
   *   .option("mode", "upsert").option("keys", "k")
   *     .option("partitionBy", "days(ts)")
   *
+  *   // merge-on-read upsert sink (upsertMorBatch — O(batch) WRITE per
+  *   // micro-batch at any table size; newer versions shadow older rows
+  *   // of the same key at read time — update-heavy streams whose
+  *   // readers tolerate the resolution window)
+  *   .option("mode", "upsert").option("keys", "k").option("mor", "true")
+  *
   *   // partition restatement sink (overwritePartitionsBatch — each
   *   // micro-batch replaces the partitions it touches wholesale;
   *   // the windowed-recompute shape)
@@ -61,6 +67,7 @@ import graft.sources.SnapshotLog
 private[streaming] class GraftSink(root: String, mode: String,
                                    keys: Seq[String],
                                    partitionCol: Option[String],
+                                   mor: Boolean,
                                    statsCols: Seq[String],
                                    bloomCols: Seq[String]) extends Sink {
 
@@ -78,6 +85,9 @@ private[streaming] class GraftSink(root: String, mode: String,
       case "upsert" if partitionCol.isDefined =>
         SnapshotLog.scopedBatch(spark, root, batch, keys, partitionCol.get,
           batchId, statsCols, bloomCols)
+      case "upsert" if mor =>
+        SnapshotLog.upsertMorBatch(spark, root, batch, keys, batchId,
+          statsCols, bloomCols)
       case "upsert" =>
         SnapshotLog.commitBatch(spark, root, batch, keys, batchId, statsCols,
           bloomCols)
@@ -110,6 +120,10 @@ private[streaming] object GraftSink {
       parameters.get(k).toSeq.flatMap(_.split(",")).map(_.trim)
         .filter(_.nonEmpty)
     val keys = listOf("keys")
+    val mor = parameters.get("mor").exists(_.trim.toBoolean)
+    require(!mor || mode == "upsert",
+      "option mor=true composes with mode=upsert only (merge-on-read " +
+      "is a keyed-merge strategy, not a write mode)")
     // PARTITIONED BY comes either as the writer's partitionBy(...) or
     // the option (needed for transform specs like days(ts), which the
     // writer API cannot spell)
@@ -132,6 +146,10 @@ private[streaming] object GraftSink {
         require(outputMode != OutputMode.Complete(),
           "outputMode=complete rebuilds the whole result each batch — " +
           "use mode=replace")
+        require(!mor || partCol.isEmpty,
+          "mor=true is the flat merge-on-read sink (scoped lineages " +
+          "never carry morKeys) — drop partitionBy, or drop mor for " +
+          "the O(touched partitions) scoped sink")
       case "overwrite" =>
         // partition RESTATEMENT sink (round 11): each micro-batch
         // replaces the partitions it touches wholesale — the windowed
@@ -159,7 +177,7 @@ private[streaming] object GraftSink {
       case other => throw new IllegalArgumentException(
         s"graft sink mode '$other' — use append, upsert, overwrite, or replace")
     }
-    new GraftSink(root, mode, keys, partCol,
+    new GraftSink(root, mode, keys, partCol, mor,
       listOf("statsCols"), listOf("bloomCols"))
   }
 }

@@ -121,6 +121,50 @@ class GraftBatchWriteSpec extends SparkSpecBase {
       s"months() transform did not produce month leafs: $leafs")
   }
 
+  test("option(mor): keyed writes land as O(batch) MoR deltas; txn stamps compose") {
+    val root = freshRoot()
+    // first save CREATES the merge-on-read lineage
+    t((1, "a", "x"), (2, "b", "y")).write.format("graft")
+      .option("keys", "k").option("mor", "true").save(root)
+    val before = fileState(new java.io.File(root))
+    // append-mode keyed write shadows by key, O(batch): old files untouched
+    t((2, "b", "Y2")).write.format("graft").mode("append")
+      .option("keys", "k").option("mor", "true").save(root)
+    assert(rows(SnapshotLog.read(spark, root)) ==
+      Set((1, "a", "x"), (2, "b", "Y2")))
+    assert(spark.read.parquet(s"$root/data_v00000002").count() == 1,
+      "mor batch write rewrote the snapshot")
+    val after = fileState(new java.io.File(root))
+    before.foreach { case (p, st) =>
+      assert(after.get(p).contains(st), s"mor write touched old file $p")
+    }
+    // a retried job (same txnVersion) ships nothing twice
+    t((3, "c", "z")).write.format("graft").mode("append")
+      .option("keys", "k").option("mor", "true")
+      .option("txnVersion", "7").save(root)
+    t((3, "c", "DUP")).write.format("graft").mode("append")
+      .option("keys", "k").option("mor", "true")
+      .option("txnVersion", "7").save(root)
+    assert(rows(SnapshotLog.read(spark, root)) ==
+      Set((1, "a", "x"), (2, "b", "Y2"), (3, "c", "z")))
+    // refusals: mor without keys, mor with partitionBy, and a keyed
+    // NON-mor write on the MoR lineage (no silent flat conversion)
+    intercept[IllegalArgumentException] {
+      t((9, "q", "w")).write.format("graft").mode("append")
+        .option("mor", "true").save(root)
+    }
+    intercept[IllegalArgumentException] {
+      t((9, "q", "w")).write.format("graft").mode("append")
+        .option("keys", "k").option("mor", "true").partitionBy("p")
+        .save(root)
+    }
+    val conv = intercept[IllegalArgumentException] {
+      t((9, "q", "w")).write.format("graft").mode("append")
+        .option("keys", "k").save(root)
+    }
+    assert(conv.getMessage.contains("upsertMor"))
+  }
+
   test("txnVersion makes retried writes idempotent across all append shapes") {
     val root = freshRoot()
     t((1, "a", "x")).write.format("graft").save(root)

@@ -212,6 +212,48 @@ class GraftSinkSpec extends SparkSpecBase {
     assert(SnapshotLog.read(spark, root).count() == 1)
   }
 
+  test("mor sink: O(batch) delta per micro-batch, shadowing resolves, replay skipped") {
+    val dir = dirFor("mor")
+    val root = s"$dir/t"
+    val stream = MemoryStream[Ev](spark)
+    def start() = stream.toDF().writeStream.format("graft")
+      .option("mode", "upsert").option("keys", "event_id")
+      .option("mor", "true")
+      .option("checkpointLocation", s"$dir/ck").start(root)
+    val q = start()
+    stream.addData(Ev(1, ts("2024-01-01 10:00:00"), 1, 1.0),
+                   Ev(2, ts("2024-01-01 10:01:00"), 2, 2.0))
+    q.processAllAvailable()
+    stream.addData(Ev(1, ts("2024-01-01 10:05:00"), 1, 9.0))
+    q.processAllAvailable()
+    q.stop()
+    // newest wins at read; the second commit wrote ONLY its batch
+    val got = SnapshotLog.read(spark, root).select("event_id", "value")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == Set((1L, 9.0), (2L, 2.0)), s"mor sink resolution: $got")
+    assert(spark.read.parquet(s"$root/data_v00000002").count() == 1,
+      "mor sink rewrote the snapshot instead of appending O(batch)")
+    // forced replay of batch 1 ships nothing twice
+    val commit1 = new java.io.File(s"$dir/ck/commits/1")
+    assert(commit1.isFile); assert(commit1.delete())
+    new java.io.File(s"$dir/ck/commits/.1.crc").delete()
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    assert(SnapshotLog.versions(spark, root) == Seq(1L, 2L),
+      "replayed mor batch landed twice")
+    // refusal edges at start(): mor with partitionBy, mor off upsert
+    intercept[Exception] {
+      stream.toDF().writeStream.format("graft").option("mode", "upsert")
+        .option("keys", "event_id").option("mor", "true")
+        .option("partitionBy", "user_id")
+        .option("checkpointLocation", s"$dir/ck2").start(s"$dir/t2")
+    }
+    intercept[Exception] {
+      stream.toDF().writeStream.format("graft").option("mode", "append")
+        .option("mor", "true")
+        .option("checkpointLocation", s"$dir/ck3").start(s"$dir/t3")
+    }
+  }
+
   test("overwrite sink: each micro-batch restates its partitions wholesale") {
     val dir = dirFor("dpo")
     val root = s"$dir/t"

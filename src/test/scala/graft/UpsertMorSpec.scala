@@ -92,6 +92,39 @@ class UpsertMorSpec extends SparkSpecBase {
     assert(rows(SnapshotLog.read(spark, root)) == Set((1, "A2"), (2, "b")))
   }
 
+  test("predicate DELETE resolves against the VISIBLE table — no shadow resurrection") {
+    val root = freshRoot()
+    SnapshotLog.upsertMor(spark, root, t((1, "old"), (2, "b")), Seq("k"))
+    SnapshotLog.upsertMor(spark, root, t((1, "new")), Seq("k"))
+    // DELETE WHERE v='new' matches key 1's LATEST row only — the delete
+    // must kill EVERY physical copy of key 1, or the DV anti-join
+    // (applied before resolution) resurrects the shadowed (1,"old")
+    SnapshotLog.tombstoneDeleteWhere(spark, root, df => df("v") === "new")
+    assert(rows(SnapshotLog.read(spark, root)) == Set((2, "b")),
+      "shadowed row resurrected by a latest-only deletion vector")
+    // a predicate matching ONLY an invisible shadow deletes nothing
+    SnapshotLog.upsertMor(spark, root, t((3, "s1")), Seq("k"))
+    SnapshotLog.upsertMor(spark, root, t((3, "s2")), Seq("k"))
+    SnapshotLog.tombstoneDeleteWhere(spark, root, df => df("v") === "s1")
+    assert(rows(SnapshotLog.read(spark, root)) == Set((2, "b"), (3, "s2")),
+      "a shadow-only predicate must not touch the visible table")
+    // the OCC split (the SQL DELETE lowering) takes the same route
+    SnapshotLog.tombstoneDeleteWhereOcc(spark, root, df => df("v") === "s2")
+    assert(rows(SnapshotLog.read(spark, root)) == Set((2, "b")))
+  }
+
+  test("keyed DELETE by a NON-key column expands to whole mor keys") {
+    val root = freshRoot()
+    SnapshotLog.upsertMor(spark, root, t((4, "x1"), (5, "keep")), Seq("k"))
+    SnapshotLog.upsertMor(spark, root, t((4, "x2")), Seq("k"))
+    // tombstone frame keyed by v: visible (4,"x2") matches → key 4 dies
+    // entirely; the (4,"x1") shadow must not resurface
+    SnapshotLog.tombstoneDeleteOcc(spark, root,
+      Seq("x2").toDF("v"), Seq("v"))
+    assert(rows(SnapshotLog.read(spark, root)) == Set((5, "keep")),
+      "non-key-column delete resurrected a shadow")
+  }
+
   test("CDC: the keyed snapshot diff reports upserts as updates/inserts") {
     val root = freshRoot()
     SnapshotLog.upsertMor(spark, root, t((1, "a"), (2, "b")), Seq("k"))
@@ -102,6 +135,42 @@ class UpsertMorSpec extends SparkSpecBase {
                  r.getInt(chg.columns.indexOf("k")))).toSet
     assert(got == Set(("update", 2), ("insert", 3)),
       s"MoR CDC drifted: $got")
+  }
+
+  test("snapshot-rewrite keyed verbs refuse on MoR instead of silently converting") {
+    val root = freshRoot()
+    SnapshotLog.upsertMor(spark, root, t((1, "a")), Seq("k"))
+    // upsert's classic fallback would resolve the shadow history, drop
+    // the morKeys marker, and pay O(table) — refuse toward upsertMor
+    val up = intercept[IllegalArgumentException] {
+      SnapshotLog.upsert(spark, root, t((2, "b")), Seq("k"))
+    }
+    assert(up.getMessage.contains("upsertMor"))
+    val cb = intercept[IllegalArgumentException] {
+      SnapshotLog.commitBatch(spark, root, t((2, "b")), Seq("k"), 7L)
+    }
+    assert(cb.getMessage.contains("upsertMorBatch"))
+    val dk = intercept[IllegalArgumentException] {
+      SnapshotLog.deleteByKey(spark, root, Seq(1).toDF("k"), Seq("k"))
+    }
+    assert(dk.getMessage.contains("tombstoneDelete"))
+    // the lineage is untouched and still MoR
+    assert(SnapshotLog.versions(spark, root) == Seq(1L))
+    SnapshotLog.upsertMor(spark, root, t((2, "b")), Seq("k"))
+    assert(rows(SnapshotLog.read(spark, root)) == Set((1, "a"), (2, "b")))
+  }
+
+  test("upsertMorBatch: exactly-once stamped replay gate") {
+    val root = freshRoot()
+    assert(SnapshotLog.upsertMorBatch(spark, root, t((1, "a")), Seq("k"),
+      batchId = 0L).contains(1L))
+    assert(SnapshotLog.upsertMorBatch(spark, root, t((1, "A")), Seq("k"),
+      batchId = 1L).contains(2L))
+    // a replay of batch 1 (crash before checkpoint commit) ships nothing
+    assert(SnapshotLog.upsertMorBatch(spark, root, t((1, "DUP")), Seq("k"),
+      batchId = 1L).isEmpty)
+    assert(rows(SnapshotLog.read(spark, root)) == Set((1, "A")))
+    assert(SnapshotLog.versions(spark, root) == Seq(1L, 2L))
   }
 
   test("constraints gate MoR batches; compactChain materializes back to flat") {

@@ -34,7 +34,8 @@ final case class GraftTable(catalogName: String, ident: Identifier,
                             root: String, snapshotVersion: Long,
                             tableSchema: StructType,
                             partCol: String,
-                            statsCols: Seq[String] = Nil)
+                            statsCols: Seq[String] = Nil,
+                            morKeys: Seq[String] = Nil)
     extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
   override def name(): String =
     (catalogName +: ident.namespace() :+ ident.name()).mkString(".")
@@ -89,6 +90,7 @@ final case class GraftTable(catalogName: String, ident: Identifier,
     m.put("version", snapshotVersion.toString)
     if (partCol.nonEmpty) m.put("partition-column", partCol)
     if (statsCols.nonEmpty) m.put("graft.statsCols", statsCols.mkString(","))
+    if (morKeys.nonEmpty) m.put("graft.morKeys", morKeys.mkString(","))
     m
   }
 }
@@ -163,7 +165,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .map(SnapshotLog.visibleSchema) // drop tombstones never surface
       .getOrElse(SnapshotLog.readVersion(spark, root, v).schema)
     GraftTable(catName, ident, root, v, schema, readPartCol(root),
-      readStatsCols(root))
+      readStatsCols(root), SnapshotLog.morKeysOf(spark, root, v))
   }
 
   override def loadTable(ident: Identifier): Table = {
@@ -264,11 +266,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       s"partition spec $partCol references columns outside the table schema")
     val root = tableRoot(ident)
     hfs(new Path(root)).mkdirs(new Path(root))
-    // an empty evolved append pins the declared schema in the manifest,
-    // so the brand-new (zero-file) table still reads with full schema
-    SnapshotLog.appendEvolved(spark,
-      root, spark.createDataFrame(
-        Collections.emptyList[org.apache.spark.sql.Row](), schema))
+    // TBLPROPERTIES ('graft.morKeys'='k1,k2'): bootstrap a MERGE-ON-READ
+    // lineage — keyed writes land as O(batch) shadowing deltas
+    // (upsertMor); INSERT INTO and the classic upsert-shaped MERGE
+    // dispatch there automatically. Keys are declared by the first
+    // commit and immutable; scoped lineages never carry morKeys.
+    val morKeys = Option(properties.get("graft.morKeys")).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    if (morKeys.nonEmpty) {
+      require(partCol.isEmpty,
+        "graft.morKeys and PARTITIONED BY are mutually exclusive — " +
+        "scoped lineages never carry morKeys (partitioned keyed merges " +
+        "are already O(touched partitions))")
+      SnapshotLog.createMorTable(spark, root, schema, morKeys)
+    } else
+      // an empty evolved append pins the declared schema in the manifest,
+      // so the brand-new (zero-file) table still reads with full schema
+      SnapshotLog.appendEvolved(spark,
+        root, spark.createDataFrame(
+          Collections.emptyList[org.apache.spark.sql.Row](), schema))
     // TBLPROPERTIES ('graft.statsCols'='k1,k2'): every SQL write on this
     // table derives per-file min/max spans for the named columns, which
     // powers read-time file skipping AND the file-granular MERGE path

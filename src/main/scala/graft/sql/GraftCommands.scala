@@ -28,6 +28,22 @@ private[sql] object GraftCommands {
   private[sql] def classicDf(spark: SparkSession, plan: LogicalPlan) =
     org.apache.spark.sql.graftshim.ClassicShim.ofRows(spark, plan)
 
+  /** The full-snapshot rewrite shapes (general MERGE, copy-on-write
+    * UPDATE) have no O(batch) form on a merge-on-read lineage and would
+    * silently resolve the shadow history, drop the morKeys marker and
+    * pay O(table) — refuse with the escape hatches, matching the Scala
+    * API's posture (upsert/commitBatch/deleteByKey refuse the same way).
+    */
+  private[sql] def refuseMorRewrite(spark: SparkSession, table: GraftTable,
+                                    verb: String): Unit =
+    SnapshotLog.currentVersion(spark, table.root).foreach { c =>
+      require(SnapshotLog.morKeysOf(spark, table.root, c).isEmpty,
+        s"$verb on a merge-on-read keyed lineage is a full-table " +
+        "rewrite — express it as the classic upsert-shaped MERGE " +
+        "(O(batch) shadowing delta) plus DELETE, or materialize first " +
+        "via CALL <cat>.system.compact_chain")
+    }
+
   /** Align an INSERT source frame to the table schema: positional with
     * casts (ANSI INSERT), or by-name for `INSERT ... BY NAME`.
     */
@@ -55,6 +71,12 @@ private[sql] object GraftCommands {
 /** INSERT INTO → O(batch) [[SnapshotLog.appendCommit]], whose internal
   * constraint gate (round 11 — shared by the Scala API and the
   * streaming sinks) enforces the table's declared CHECKs and audits.
+  * On a merge-on-read keyed lineage the insert lands as an O(batch)
+  * shadowing delta instead ([[SnapshotLog.upsertMor]] — the Hudi
+  * upsert-table contract: INSERT on a keyed MoR table upserts by key,
+  * so re-inserting a key replaces it at read time; a plain append
+  * could smuggle duplicate keys past resolution and is refused by the
+  * log itself).
   */
 case class GraftAppendCommand(table: GraftTable, query: LogicalPlan,
                               byName: Boolean) extends LeafRunnableCommand {
@@ -62,8 +84,14 @@ case class GraftAppendCommand(table: GraftTable, query: LogicalPlan,
   override def run(spark: SparkSession): Seq[Row] = {
     val df = GraftCommands.align(
       GraftCommands.classicDf(spark, query), table.tableSchema, byName)
-    SnapshotLog.appendCommit(spark, table.root, df,
-      statsCols = table.statsCols)
+    val mor = SnapshotLog.currentVersion(spark, table.root)
+      .map(SnapshotLog.morKeysOf(spark, table.root, _)).getOrElse(Nil)
+    if (mor.nonEmpty)
+      SnapshotLog.upsertMor(spark, table.root, df, mor,
+        statsCols = table.statsCols)
+    else
+      SnapshotLog.appendCommit(spark, table.root, df,
+        statsCols = table.statsCols)
     Seq.empty
   }
 }
@@ -210,6 +238,7 @@ case class GraftReplaceCommand(table: GraftTable, plan: LogicalPlan,
                                verb: String) extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(plan)
   override def run(spark: SparkSession): Seq[Row] = {
+    GraftCommands.refuseMorRewrite(spark, table, verb)
     // with the change feed enabled, the rewrite also records its row
     // diff as commit-time change files (delete + insert rows) so the
     // CDC surfaces stay O(changes); identical to commit() otherwise.
@@ -257,10 +286,23 @@ case class GraftUpsertKeyedCommand(table: GraftTable, batch: LogicalPlan,
                                    keys: Seq[String]) extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(batch)
   override def run(spark: SparkSession): Seq[Row] = {
-    // constraint-gated inside upsert (round 11)
-    SnapshotLog.upsert(spark, table.root,
-      GraftCommands.classicDf(spark, batch), keys,
-      statsCols = table.statsCols)
+    val df = GraftCommands.classicDf(spark, batch)
+    // a merge-on-read keyed lineage takes the O(batch) shadowing delta
+    // instead of any rewrite — the classic upsert-shaped MERGE IS
+    // upsertMor when the ON keys are the lineage's declared keys (the
+    // log enforces source key-uniqueness, Delta's multiple-match error)
+    val mor = SnapshotLog.currentVersion(spark, table.root)
+      .map(SnapshotLog.morKeysOf(spark, table.root, _)).getOrElse(Nil)
+    if (mor.nonEmpty) {
+      require(mor == keys,
+        s"MERGE ON keys $keys != the merge-on-read lineage's declared " +
+        s"keys $mor — shadowing resolves by the declared keys only")
+      SnapshotLog.upsertMor(spark, table.root, df, keys,
+        statsCols = table.statsCols)
+    } else
+      // constraint-gated inside upsert (round 11)
+      SnapshotLog.upsert(spark, table.root, df, keys,
+        statsCols = table.statsCols)
     Seq.empty
   }
 }
@@ -399,6 +441,7 @@ case class GraftMergePrunedCommand(
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
 
   override def run(spark: SparkSession): Seq[Row] = {
+    GraftCommands.refuseMorRewrite(spark, table, "general MERGE")
     val root = table.root
     val shim = org.apache.spark.sql.graftshim.ClassicShim
     val srcDf = GraftCommands.classicDf(spark, source)

@@ -21,8 +21,8 @@ import graft.sources.SnapshotLog
 object GraftProcedures {
 
   val names: Seq[String] =
-    Seq("restore", "vacuum", "compact_small_files", "history",
-        "optimize_zorder", "clone", "detail",
+    Seq("restore", "vacuum", "compact_small_files", "compact_chain",
+        "history", "optimize_zorder", "clone", "detail",
         "register_consumer", "unregister_consumer", "consumers", "clones",
         "rebloom_widened", "vacuum_dry_run",
         "add_constraint", "drop_constraint", "constraints", "audit")
@@ -32,6 +32,7 @@ object GraftProcedures {
       case "restore"             => Some(new Restore(cat))
       case "vacuum"              => Some(new Vacuum(cat))
       case "compact_small_files" => Some(new Compact(cat))
+      case "compact_chain" => Some(new CompactChain(cat))
       case "history"             => Some(new History(cat))
       case "optimize_zorder"     => Some(new OptimizeZorder(cat))
       case "clone"               => Some(new Clone(cat))
@@ -170,6 +171,26 @@ object GraftProcedures {
     private val out = StructType(Seq(StructField("version", LongType)))
     override def call(input: InternalRow): JIterator[Scan] = {
       val v = SnapshotLog.compactSmallFiles(spark, root(input), input.getLong(1))
+      scanOf(out, Seq(new GenericInternalRow(Array[Any](v))))
+    }
+  }
+
+  /** `CALL c.system.compact_chain(table, n_files)` → fold the whole
+    * chain into ONE fresh full-snapshot version (0 = let the planner
+    * pick the file count): the OPTIMIZE step that collapses delta dirs,
+    * folds deletion vectors into data, and MATERIALIZES a merge-on-read
+    * lineage back to flat (the sanctioned escape every MoR refusal
+    * points at — shadowing resolves once, the morKeys marker drops, and
+    * the rewrite verbs become legal again). Returns the version.
+    */
+  private final class CompactChain(cat: GraftCatalog)
+      extends Proc(cat, "compact_chain") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType), param("n_files", IntegerType))
+    private val out = StructType(Seq(StructField("version", LongType)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val v = SnapshotLog.compactChain(spark, root(input),
+        nFiles = input.getInt(1))
       scanOf(out, Seq(new GenericInternalRow(Array[Any](v))))
     }
   }

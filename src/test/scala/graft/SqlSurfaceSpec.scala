@@ -950,4 +950,67 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("merge-on-read lifecycle purely through SQL (round 11c): DDL, O(batch) writes, safe DELETE, materialize") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
+    sql("CREATE TABLE graft.ns.mor (k INT, v STRING) " +
+        "TBLPROPERTIES ('graft.morKeys'='k')")
+    // the declared keys surface through DESCRIBE EXTENDED / properties
+    val props = sql("DESCRIBE TABLE EXTENDED graft.ns.mor").collect()
+      .map(r => r.getString(0) + "=" + r.getString(1)).mkString("\n")
+    assert(props.contains("graft.morKeys=k") || props.contains("morKeys"),
+      s"morKeys not surfaced:\n$props")
+
+    // INSERT INTO on a MoR lineage = O(batch) shadowing upsert (the
+    // Hudi upsert-table contract): re-inserting a key replaces it
+    sql("INSERT INTO graft.ns.mor VALUES (1, 'a'), (2, 'b')")
+    sql("INSERT INTO graft.ns.mor VALUES (2, 'B2')")
+    assert(rowsOf("SELECT k, v FROM graft.ns.mor") ==
+      Set(Seq(1, "a"), Seq(2, "B2")))
+    // the second insert wrote ONLY its batch (v1 = empty bootstrap)
+    assert(spark.read.parquet(root("mor") + "/data_v00000003").count() == 1,
+      "MoR INSERT rewrote the snapshot instead of appending O(batch)")
+
+    // classic upsert-shaped MERGE lands as the O(batch) shadowing delta
+    sql("MERGE INTO graft.ns.mor t USING (SELECT 1 AS k, 'A3' AS v) s " +
+        "ON t.k = s.k WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    assert(rowsOf("SELECT k, v FROM graft.ns.mor") ==
+      Set(Seq(1, "A3"), Seq(2, "B2")))
+    assert(spark.read.parquet(root("mor") + "/data_v00000004").count() == 1,
+      "classic MERGE on MoR rewrote the snapshot")
+
+    // DELETE WHERE matches the VISIBLE row — every physical copy of
+    // the key dies, the (1,'a') shadow must not resurface
+    sql("DELETE FROM graft.ns.mor WHERE v = 'A3'")
+    assert(rowsOf("SELECT k, v FROM graft.ns.mor") == Set(Seq(2, "B2")),
+      "shadow resurrected through SQL DELETE on a MoR lineage")
+
+    // full-rewrite shapes refuse with the escape hatch named
+    val gm = intercept[Exception] {
+      sql("MERGE INTO graft.ns.mor t USING (SELECT 2 AS k) s ON t.k = s.k " +
+          "WHEN MATCHED THEN DELETE")
+    }
+    assert(gm.getMessage.contains("compact_chain"), gm.getMessage)
+    val up = intercept[Exception] {
+      sql("UPDATE graft.ns.mor SET v = 'x' WHERE k = 2")
+    }
+    assert(up.getMessage.toLowerCase.contains("merge-on-read"),
+      up.getMessage)
+
+    // CALL compact_chain materializes the lineage back to flat — the
+    // rewrite verbs become legal again
+    val mv = sql("CALL graft.system.compact_chain('ns.mor', 1)")
+      .head().getLong(0)
+    assert(mv > 4L)
+    sql("UPDATE graft.ns.mor SET v = 'flat' WHERE k = 2")
+    assert(rowsOf("SELECT k, v FROM graft.ns.mor") == Set(Seq(2, "flat")))
+
+    // refusal edges: morKeys + PARTITIONED BY is contradictory
+    val bad = intercept[Exception] {
+      sql("CREATE TABLE graft.ns.morp (k INT, p STRING) PARTITIONED BY (p) " +
+          "TBLPROPERTIES ('graft.morKeys'='k')")
+    }
+    assert(bad.getMessage.contains("morKeys"), bad.getMessage)
+  }
+
 }

@@ -307,6 +307,52 @@ case class GraftUpsertKeyedCommand(table: GraftTable, batch: LogicalPlan,
   }
 }
 
+/** UPDATE WHERE on a MERGE-ON-READ keyed lineage → ONE O(matched rows)
+  * shadowing delta: the rewritten matched rows of the VISIBLE table
+  * commit through [[SnapshotLog.upsertMor]] and shadow their old
+  * versions at read time — no deletion vector, no file rewrites, and
+  * the keyed snapshot diff reports them as updates. Key columns are
+  * immutable: a SET on one would change the shadowing identity while
+  * the old key's row stayed visible (refused toward compact_chain).
+  * Predicate and SET expressions are re-bound by name onto the visible
+  * frame, the [[GraftDeleteCommand]] contract.
+  */
+case class GraftUpdateShadowCommand(table: GraftTable,
+                                    condition: Option[Expression],
+                                    sets: Seq[(String, Expression)])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    require(sets.forall { case (n, _) =>
+        !table.morKeys.exists(_.equalsIgnoreCase(n)) },
+      s"UPDATE on merge-on-read key columns ${table.morKeys.mkString(",")} " +
+      "would change the shadowing identity while the old key's row " +
+      "stayed visible — materialize first via CALL " +
+      "<cat>.system.compact_chain")
+    val visible = SnapshotLog.read(spark, table.root)
+    val out = visible.queryExecution.analyzed.output
+    def rebind(e: Expression): org.apache.spark.sql.Column =
+      org.apache.spark.sql.graftshim.ClassicShim.column(e.transform {
+        case a: AttributeReference =>
+          out.find(_.name.equalsIgnoreCase(a.name)).getOrElse(
+            throw new IllegalStateException(
+              s"UPDATE expression column ${a.name} not found in " +
+              s"${out.map(_.name).mkString(", ")}"))
+      })
+    val matched = condition.map(c => visible.filter(rebind(c)))
+      .getOrElse(visible)
+    if (matched.isEmpty) return Seq.empty // version-preserving no-op
+    val rewritten = matched.select(visible.columns.toSeq.map { c =>
+      sets.find(_._1.equalsIgnoreCase(c))
+        .map { case (_, v) => rebind(v).as(c) }.getOrElse(col(c))
+    }: _*)
+    // constraint-gated inside upsertMor — rewritten rows are written rows
+    SnapshotLog.upsertMor(spark, table.root, rewritten, table.morKeys,
+      statsCols = table.statsCols)
+    Seq.empty
+  }
+}
+
 /** DELETE WHERE → [[SnapshotLog.tombstoneDeleteWhere]]: the predicate
   * is re-bound by name onto the positional scan and the matching (file,
   * row) positions land in an O(deleted rows) deletion-vector sidecar —
@@ -370,10 +416,16 @@ case class GraftUpdateMorCommand(table: GraftTable,
 
 /** CREATE TABLE AS SELECT: catalog-create with the query schema, then
   * the first commit carries the query result (schema pinned by create).
+  * TBLPROPERTIES thread through (round 11c — they were silently
+  * dropped: a CTAS could not declare `graft.statsCols` or
+  * `graft.morKeys`); a morKeys CTAS bootstraps the MoR lineage and its
+  * first commit lands as the shadowing upsert, like INSERT INTO.
   */
 case class GraftCtasCommand(catalog: GraftCatalog, ident: Identifier,
                             partitioning: Seq[Transform], query: LogicalPlan,
-                            ignoreIfExists: Boolean) extends LeafRunnableCommand {
+                            ignoreIfExists: Boolean,
+                            properties: Map[String, String] = Map.empty)
+    extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(query)
   override def run(spark: SparkSession): Seq[Row] = {
     if (catalog.tableExists(ident)) {
@@ -381,10 +433,15 @@ case class GraftCtasCommand(catalog: GraftCatalog, ident: Identifier,
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
     }
     val df = GraftCommands.classicDf(spark, query)
+    val jprops = new java.util.HashMap[String, String]()
+    properties.foreach { case (k, v) => jprops.put(k, v) }
     val t = catalog.createTable(ident, df.schema, partitioning.toArray,
-      java.util.Collections.emptyMap[String, String]())
-      .asInstanceOf[GraftTable]
-    SnapshotLog.appendCommit(spark, t.root, df)
+      jprops).asInstanceOf[GraftTable]
+    if (t.morKeys.nonEmpty)
+      SnapshotLog.upsertMor(spark, t.root, df, t.morKeys,
+        statsCols = t.statsCols)
+    else
+      SnapshotLog.appendCommit(spark, t.root, df, statsCols = t.statsCols)
     Seq.empty
   }
 }

@@ -125,7 +125,14 @@ case class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
           if (c.query.resolved)
             GraftCtasCommand(ri.catalog.asInstanceOf[GraftCatalog],
               ri.identifier, c.partitioning, expand(session, c.query),
-              c.ignoreIfExists)
+              c.ignoreIfExists,
+              c.tableSpec match {
+                // TBLPROPERTIES thread through (round 11c): the
+                // resolved spec carries them as a plain map
+                case ts: org.apache.spark.sql.catalyst.plans.logical.TableSpec =>
+                  ts.properties
+                case _ => Map.empty[String, String]
+              })
           else c
         case _ =>
           val q = expand(session, c.query)
@@ -295,7 +302,16 @@ object GraftSqlRule {
     // names, which a flat appended dir can't).
     val rebindable = (u.condition.toSeq ++ u.assignments.map(_.value))
       .forall(e => !e.exists(_.isInstanceOf[SubqueryExpression]))
-    if (g.partCol.isEmpty && rebindable) {
+    if (g.morKeys.nonEmpty && rebindable) {
+      // merge-on-read lineage: the rewritten matched rows commit as ONE
+      // O(matched) shadowing delta (upsertMor) — no vector, no rewrite;
+      // subquery forms fall to the COW fallback, which refuses MoR with
+      // the compact_chain escape named
+      val sets = rel.output.toSeq.flatMap { t =>
+        assigned.get(t.exprId).map(v => t.name -> castTo(v, t.dataType))
+      }
+      GraftUpdateShadowCommand(g, u.condition, sets)
+    } else if (g.partCol.isEmpty && rebindable) {
       val sets = rel.output.toSeq.flatMap { t =>
         assigned.get(t.exprId).map(v => t.name -> castTo(v, t.dataType))
       }

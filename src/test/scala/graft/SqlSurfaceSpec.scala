@@ -991,17 +991,23 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
           "WHEN MATCHED THEN DELETE")
     }
     assert(gm.getMessage.contains("compact_chain"), gm.getMessage)
-    val up = intercept[Exception] {
-      sql("UPDATE graft.ns.mor SET v = 'x' WHERE k = 2")
+    // UPDATE lands as ONE O(matched) shadowing delta — no vector, no
+    // rewrite; the new version's own dir holds only the rewritten rows
+    sql("UPDATE graft.ns.mor SET v = 'U' WHERE k = 2")
+    assert(rowsOf("SELECT k, v FROM graft.ns.mor") == Set(Seq(2, "U")))
+    assert(spark.read.parquet(root("mor") + "/data_v00000006").count() == 1,
+      "MoR UPDATE rewrote the snapshot instead of shadowing O(matched)")
+    // key columns are immutable under shadowing
+    val kc = intercept[Exception] {
+      sql("UPDATE graft.ns.mor SET k = 9 WHERE v = 'U'")
     }
-    assert(up.getMessage.toLowerCase.contains("merge-on-read"),
-      up.getMessage)
+    assert(kc.getMessage.contains("shadowing identity"), kc.getMessage)
 
     // CALL compact_chain materializes the lineage back to flat — the
     // rewrite verbs become legal again
     val mv = sql("CALL graft.system.compact_chain('ns.mor', 1)")
       .head().getLong(0)
-    assert(mv > 4L)
+    assert(mv > 5L)
     sql("UPDATE graft.ns.mor SET v = 'flat' WHERE k = 2")
     assert(rowsOf("SELECT k, v FROM graft.ns.mor") == Set(Seq(2, "flat")))
 
@@ -1011,6 +1017,16 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
           "TBLPROPERTIES ('graft.morKeys'='k')")
     }
     assert(bad.getMessage.contains("morKeys"), bad.getMessage)
+
+    // CTAS threads TBLPROPERTIES (they were silently dropped before):
+    // a morKeys CTAS bootstraps the lineage, its result is the first
+    // shadowing batch, and later keyed writes stay O(batch)
+    sql("CREATE TABLE graft.ns.morc TBLPROPERTIES ('graft.morKeys'='k') " +
+        "AS SELECT 1 AS k, 'a' AS v")
+    sql("INSERT INTO graft.ns.morc VALUES (1, 'a2')")
+    assert(rowsOf("SELECT k, v FROM graft.ns.morc") == Set(Seq(1, "a2")),
+      "CTAS dropped graft.morKeys — the insert appended instead of shadowing")
+    assert(spark.read.parquet(root("morc") + "/data_v00000003").count() == 1)
   }
 
 }

@@ -306,9 +306,13 @@ object SnapshotLog {
           s"'$pc' — partition values name directories; repartition via " +
           "a full rewrite instead")
       }
-      require(morKeysOf(spark, root, cur).isEmpty,
-        "renameColumn on a merge-on-read lineage is not supported — " +
-        "compact (compactChain) first")
+      // merge-on-read lineages rename like flat ones (round 11c): the
+      // physical-name pin already propagates through every upsertMor
+      // commit (stageVersion translates), and resolution works on
+      // LOGICAL names — a renamed KEY just renames in the declared
+      // key list below, so later batches and reads speak the new name
+      val mkRenamed = morKeysOf(spark, root, cur)
+        .map(k => if (k == from) to else k)
       val pin = schemaOf(spark, root, cur).getOrElse(
         asNullable(tableSchema(spark, root, cur))
           .asInstanceOf[org.apache.spark.sql.types.StructType])
@@ -342,6 +346,7 @@ object SnapshotLog {
         tombDirs = tombDirsOf(spark, root, cur),
         kind = "rename",
         partCol = partColOf(spark, root, cur).getOrElse(""),
+        morKeys = mkRenamed,
         schemaJson = java.net.URLEncoder.encode(newPin.json, "UTF-8"),
         statsStack = stack)
       publishLatest(spark, root, next)
@@ -456,7 +461,8 @@ object SnapshotLog {
       val cur = currentVersion(spark, root).getOrElse(
         throw new IllegalStateException(s"no committed version at $root"))
       require(morKeysOf(spark, root, cur).isEmpty,
-        "rebloomWidened: merge-on-read lineages refuse widening, nothing to do")
+        "rebloomWidened on a merge-on-read lineage is not supported — " +
+        "compactChain materializes the chain and re-blooms it whole")
       require(partColOf(spark, root, cur).isEmpty,
         "rebloomWidened on a partition-scoped lineage is not supported — " +
         "compactChain re-blooms those today")
@@ -623,9 +629,13 @@ object SnapshotLog {
           "partition values name directories; repartition via a full " +
           "rewrite instead")
       }
-      require(morKeysOf(spark, root, cur).isEmpty,
-        "dropColumn on a merge-on-read lineage is not supported — " +
-        "compact (compactChain) first")
+      // round 11c: non-key drops work on merge-on-read lineages (the
+      // pin's drop-mark propagates like a rename); dropping a KEY
+      // destroys the shadowing identity and refuses
+      val mk = morKeysOf(spark, root, cur)
+      require(!mk.contains(name),
+        s"dropColumn: $name is a merge-on-read key — the shadowing " +
+        "identity needs it; materialize via compactChain first")
       val pin = schemaOf(spark, root, cur).getOrElse(
         asNullable(tableSchema(spark, root, cur))
           .asInstanceOf[org.apache.spark.sql.types.StructType])
@@ -647,6 +657,7 @@ object SnapshotLog {
         tombDirs = tombDirsOf(spark, root, cur),
         kind = "rename",
         partCol = partColOf(spark, root, cur).getOrElse(""),
+        morKeys = mk,
         schemaJson = java.net.URLEncoder.encode(newPin.json, "UTF-8"),
         statsStack = stack)
       publishLatest(spark, root, next)

@@ -579,4 +579,54 @@ class ColumnMappingSpec extends SparkSpecBase {
         got.toString)
     } finally q.stop()
   }
+
+  test("merge-on-read lineages rename and drop metadata-only (round 11c)") {
+    val root = freshRoot()
+    SnapshotLog.upsertMor(spark, root, kv((1, "a"), (2, "b")), Seq("k"))
+    val before = dataFilesOf(root)
+
+    // data-column rename: zero bytes rewritten, reads speak the new name
+    SnapshotLog.renameColumn(spark, root, "v", "body")
+    assert(dataFilesOf(root) == before, "rename rewrote MoR data files")
+    assert(SnapshotLog.read(spark, root).columns.toSeq == Seq("k", "body"))
+    // later MoR batches speak the new name and still shadow by key
+    SnapshotLog.upsertMor(spark, root,
+      Seq((2, "B2")).toDF("k", "body"), Seq("k"))
+    assert(SnapshotLog.read(spark, root).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet ==
+      Set((1, "a"), (2, "B2")))
+    // the old name is gone from the write surface
+    intercept[Exception] {
+      SnapshotLog.upsertMor(spark, root, kv((3, "c")), Seq("k"))
+    }
+
+    // KEY rename: the declared key list follows the rename
+    SnapshotLog.renameColumn(spark, root, "k", "id")
+    SnapshotLog.upsertMor(spark, root,
+      Seq((1, "A3")).toDF("id", "body"), Seq("id"))
+    assert(SnapshotLog.read(spark, root).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet ==
+      Set((1, "A3"), (2, "B2")),
+      "key rename broke shadowing resolution")
+    // deletes still expand to every physical copy under the new names
+    SnapshotLog.tombstoneDeleteWhere(spark, root, df => df("body") === "A3")
+    assert(SnapshotLog.read(spark, root).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet == Set((2, "B2")),
+      "shadow resurrected after a key rename")
+
+    // non-key drop is metadata-only; dropping the key refuses
+    val root2 = freshRoot()
+    SnapshotLog.upsertMor(spark, root2,
+      Seq((1, "a", 1.0), (2, "b", 2.0)).toDF("k", "v", "w"), Seq("k"))
+    val before2 = dataFilesOf(root2)
+    SnapshotLog.dropColumn(spark, root2, "w")
+    assert(dataFilesOf(root2) == before2, "drop rewrote MoR data files")
+    assert(SnapshotLog.read(spark, root2).columns.toSeq == Seq("k", "v"))
+    SnapshotLog.upsertMor(spark, root2, kv((2, "B")), Seq("k"))
+    assert(rows(SnapshotLog.read(spark, root2)) == Set((1, "a"), (2, "B")))
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.dropColumn(spark, root2, "k")
+    }
+    assert(e.getMessage.contains("shadowing identity"), e.getMessage)
+  }
 }

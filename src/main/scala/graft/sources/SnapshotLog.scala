@@ -3722,7 +3722,26 @@ object SnapshotLog {
     require(batchId >= 0, s"negative batchId $batchId")
     // pre-claim fast path; the gate under the claim is the correctness one
     if (lastBatchId(spark, root).exists(_ >= batchId)) return None
-    upsertMorCore(spark, root, batch, keys, statsCols, bloomCols, batchId)
+    val r = upsertMorCore(spark, root, batch, keys, statsCols, bloomCols,
+      batchId)
+    // AUTO-COMPACT (opt-in, the scopedBatch pattern): fold the shadow
+    // chain after every Nth committed version so the sink's read-side
+    // resolution window and dir count stay bounded without an operator.
+    // compactMor carries the batchId, so the replay gate survives;
+    // failures must not fail the batch (the data committed).
+    r.foreach { v =>
+      val every = spark.conf.getOption("graft.mor.autoCompactEvery")
+        .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+        .filter(_ > 0).getOrElse(0)
+      if (every > 0 && v % every == 0) {
+        try compactMor(spark, root)
+        catch { case e: Exception =>
+          System.err.println(
+            s"[graft] mor auto-compact after v$v skipped: ${e.getMessage}")
+        }
+      }
+    }
+    r
   }
 
   private def upsertMorCore(spark: SparkSession, root: String,
@@ -4092,6 +4111,45 @@ object SnapshotLog {
     // materialization versions regain the classic vacuum caveat
     releaseClonePin(spark, root)
     v
+  }
+
+  /** MERGE-ON-READ compaction (the Hudi compactor shape): fold the
+    * shadow chain into ONE resolved data directory while the lineage
+    * STAYS merge-on-read — the maintenance rung a long-running
+    * [[upsertMorBatch]] sink needs, because [[compactChain]]
+    * materializes to FLAT and the next stamped MoR batch would refuse
+    * the converted lineage. Read cost is O(table) like any full
+    * compaction, but the read-side resolution window resets to zero
+    * and the dir count to one; the head's streaming stamp CARRIES so
+    * the exactly-once replay gate survives the maintenance commit;
+    * deletion vectors fold (the resolved read applied them); the
+    * column-mapping pin carries (files stay physical — a widen mark on
+    * the pin stays too, conservatively keeping bloom probes off until
+    * a flat materialization). Streaming automation is opt-in:
+    * `graft.mor.autoCompactEvery=N` runs this after every Nth
+    * committed version inside the sink, failures non-fatal.
+    */
+  def compactMor(spark: SparkSession, root: String, nFiles: Int = 0): Long = {
+    withClaim(spark, root) { _ =>
+      recoverOrphans(spark, root)
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed version at $root"))
+      val mk = morKeysOf(spark, root, cur)
+      require(mk.nonEmpty,
+        "compactMor on a non-MoR lineage — compactChain / " +
+        "compactSmallFiles are the flat maintenance rungs")
+      val resolved0 = readVersion(spark, root, cur)
+      val resolved = if (nFiles > 0) resolved0.repartition(nFiles)
+                     else resolved0
+      val next = cur + 1L
+      stageVersion(spark, root, resolved, next,
+        batchId = batchIdOf(spark, root, cur).getOrElse(-1L),
+        statsCols = inheritedStatsCols(spark, root),
+        schemaJson = rawSchemaJson(spark, root, cur),
+        morKeys = mk)
+      publishLatest(spark, root, next)
+      next
+    }
   }
 
   /** INCREMENTAL small-file compaction — bin-packing OPTIMIZE at

@@ -22,7 +22,7 @@ object GraftProcedures {
 
   val names: Seq[String] =
     Seq("restore", "vacuum", "compact_small_files", "compact_chain",
-        "history", "optimize_zorder", "clone", "detail",
+        "compact_mor", "history", "optimize_zorder", "clone", "detail",
         "register_consumer", "unregister_consumer", "consumers", "clones",
         "rebloom_widened", "vacuum_dry_run",
         "add_constraint", "drop_constraint", "constraints", "audit")
@@ -33,6 +33,7 @@ object GraftProcedures {
       case "vacuum"              => Some(new Vacuum(cat))
       case "compact_small_files" => Some(new Compact(cat))
       case "compact_chain" => Some(new CompactChain(cat))
+      case "compact_mor" => Some(new CompactMor(cat))
       case "history"             => Some(new History(cat))
       case "optimize_zorder"     => Some(new OptimizeZorder(cat))
       case "clone"               => Some(new Clone(cat))
@@ -190,6 +191,23 @@ object GraftProcedures {
     private val out = StructType(Seq(StructField("version", LongType)))
     override def call(input: InternalRow): JIterator[Scan] = {
       val v = SnapshotLog.compactChain(spark, root(input),
+        nFiles = input.getInt(1))
+      scanOf(out, Seq(new GenericInternalRow(Array[Any](v))))
+    }
+  }
+
+  /** `CALL c.system.compact_mor(table, n_files)` → fold a merge-on-read
+    * chain into ONE resolved dir while the lineage STAYS MoR (the Hudi
+    * compactor; contrast compact_chain, which materializes to flat and
+    * would make the next keyed MoR write refuse). Returns the version.
+    */
+  private final class CompactMor(cat: GraftCatalog)
+      extends Proc(cat, "compact_mor") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType), param("n_files", IntegerType))
+    private val out = StructType(Seq(StructField("version", LongType)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val v = SnapshotLog.compactMor(spark, root(input),
         nFiles = input.getInt(1))
       scanOf(out, Seq(new GenericInternalRow(Array[Any](v))))
     }

@@ -1027,6 +1027,15 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rowsOf("SELECT k, v FROM graft.ns.morc") == Set(Seq(1, "a2")),
       "CTAS dropped graft.morKeys — the insert appended instead of shadowing")
     assert(spark.read.parquet(root("morc") + "/data_v00000003").count() == 1)
+
+    // CALL compact_mor folds the chain but the lineage STAYS MoR:
+    // the next INSERT still shadows instead of refusing/appending
+    val cv = sql("CALL graft.system.compact_mor('ns.morc', 1)")
+      .head().getLong(0)
+    assert(cv == 4L)
+    sql("INSERT INTO graft.ns.morc VALUES (1, 'a5')")
+    assert(rowsOf("SELECT k, v FROM graft.ns.morc") == Set(Seq(1, "a5")),
+      "compact_mor converted the lineage — the insert stopped shadowing")
   }
 
 }

@@ -173,6 +173,61 @@ class UpsertMorSpec extends SparkSpecBase {
     assert(SnapshotLog.versions(spark, root) == Seq(1L, 2L))
   }
 
+  test("compactMor folds the chain but the lineage STAYS merge-on-read") {
+    val root = freshRoot()
+    SnapshotLog.upsertMorBatch(spark, root, t((1, "a"), (2, "b")), Seq("k"), 0L)
+    SnapshotLog.upsertMorBatch(spark, root, t((2, "B2"), (3, "c")), Seq("k"), 1L)
+    SnapshotLog.tombstoneDeleteWhere(spark, root, df => df("v") === "c")
+    val v = SnapshotLog.compactMor(spark, root, nFiles = 1)
+    assert(v == 4L)
+    // one resolved dir: vectors folded, shadows gone, rows exact
+    assert(rows(SnapshotLog.read(spark, root)) == Set((1, "a"), (2, "B2")))
+    assert(spark.read.parquet(s"$root/data_v00000004").count() == 2,
+      "compactMor did not fold the chain into one resolved dir")
+    // the streaming stamp carried: a replay of batch 1 still skips
+    // (checked BEFORE any unstamped manual write — those wipe the
+    // stamp by the documented single-stream contract)
+    assert(SnapshotLog.upsertMorBatch(spark, root, t((1, "DUP")), Seq("k"),
+      1L).isEmpty, "compactMor wiped the exactly-once replay gate")
+    // the lineage is STILL merge-on-read: appends refuse, upserts shadow
+    intercept[IllegalArgumentException] {
+      SnapshotLog.appendCommit(spark, root, t((9, "z")))
+    }
+    SnapshotLog.upsertMor(spark, root, t((1, "A5")), Seq("k"))
+    assert(rows(SnapshotLog.read(spark, root)) == Set((1, "A5"), (2, "B2")))
+    // time travel sees the pre-compaction resolution
+    assert(rows(SnapshotLog.readVersion(spark, root, 2L)) ==
+      Set((1, "a"), (2, "B2"), (3, "c")))
+    // flat lineages refuse the verb
+    val flat = freshRoot()
+    SnapshotLog.commit(spark, flat, t((1, "x")))
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.compactMor(spark, flat)
+    }
+    assert(e.getMessage.contains("compactChain"))
+  }
+
+  test("graft.mor.autoCompactEvery: the sink self-maintains, replay gate intact") {
+    val root = freshRoot()
+    spark.conf.set("graft.mor.autoCompactEvery", "2")
+    try {
+      SnapshotLog.upsertMorBatch(spark, root, t((1, "a")), Seq("k"), 0L)
+      // batch 1 commits v2, divisible by 2 → auto-compact commits v3
+      SnapshotLog.upsertMorBatch(spark, root, t((1, "A2"), (2, "b")),
+        Seq("k"), 1L)
+      assert(SnapshotLog.versions(spark, root) == Seq(1L, 2L, 3L),
+        "auto-compact did not run after the 2nd committed version")
+      assert(spark.read.parquet(s"$root/data_v00000003").count() == 2,
+        "auto-compact did not fold the chain")
+      assert(rows(SnapshotLog.read(spark, root)) == Set((1, "A2"), (2, "b")))
+      // still MoR, replay still gated
+      assert(SnapshotLog.upsertMorBatch(spark, root, t((9, "DUP")), Seq("k"),
+        1L).isEmpty)
+      SnapshotLog.upsertMorBatch(spark, root, t((2, "B4")), Seq("k"), 2L)
+      assert(rows(SnapshotLog.read(spark, root)) == Set((1, "A2"), (2, "B4")))
+    } finally spark.conf.unset("graft.mor.autoCompactEvery")
+  }
+
   test("constraints gate MoR batches; compactChain materializes back to flat") {
     val root = freshRoot()
     SnapshotLog.upsertMor(spark, root, t((1, "a")), Seq("k"))

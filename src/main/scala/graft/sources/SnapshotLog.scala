@@ -3791,12 +3791,30 @@ object SnapshotLog {
               s"upsertMor batch schema $got != table schema $have")
             val next = cur + 1L
             val carry = sidecarCarry(spark, root, cur)
+            // COMMIT-TIME CHANGE FILES (round 11c — the CDC stream ships
+            // recorded change dirs verbatim whatever the kind, so this
+            // makes `readStream.option("changes")` work on MoR tables):
+            // the keyed diff of the batch against the parent's VISIBLE
+            // snapshot labels insert / update pre+post (no-op upserts
+            // ship nothing). The old-side read is the price of the feed
+            // (key-pruned when skipping stats cover the keys) — opt-in,
+            // like every changeFeed writer.
+            val chg =
+              if (!changeFeedEnabled(spark)) ""
+              else {
+                val rootPath = new Path(root.replaceAll("/+$", ""))
+                changeRows(readVersion(spark, root, cur), gated, keys)
+                  .write.mode("overwrite")
+                  .parquet(new Path(rootPath, chgDirName(next)).toString)
+                chgDirName(next)
+              }
             stageVersion(spark, root, gated, next, batchId,
               if (statsCols.nonEmpty) statsCols
               else inheritedStatsCols(spark, root),
               bloomCols, baseDirs = dirsOf(spark, root, cur),
               carryStats = carry, tombDirs = tombDirsOf(spark, root, cur),
-              schemaJson = rawSchemaJson(spark, root, cur), morKeys = keys)
+              schemaJson = rawSchemaJson(spark, root, cur), morKeys = keys,
+              chgDir = chg)
             publishLatest(spark, root, next)
             next
         })

@@ -179,6 +179,62 @@ class ChangeFeedSpec extends SparkSpecBase {
     }
   }
 
+  test("upsertMor records change files under the feed; the CDC stream ships a MoR table") {
+    val root = freshRoot()
+    val ck = Files.createTempDirectory("graft_cdf_mck").toString
+    val out = Files.createTempDirectory("graft_cdf_mout").toString
+    val morSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_change_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_commit_version", org.apache.spark.sql.types.LongType)))
+    def feed(): Set[(Int, String, String, Long)] =
+      spark.read.schema(morSchema).parquet(out).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    withFeed {
+      SnapshotLog.upsertMor(spark, root,
+        Seq((1, "a"), (2, "b")).toDF("k", "v"), Seq("k")) // v1
+      val q = spark.readStream.format("graft").option("changes", "true")
+        .load(root)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck).start()
+      try {
+        q.processAllAvailable()
+        assert(feed().isEmpty, "CDC starts at the head")
+        // shadowing upsert: update k=2, insert k=3, k=2-identical would
+        // ship nothing (same rule as the scoped feed)
+        SnapshotLog.upsertMor(spark, root,
+          Seq((2, "B2"), (3, "c")).toDF("k", "v"), Seq("k")) // v2
+        q.processAllAvailable()
+        assert(feed() == Set(
+          (2, "b", "update_preimage", 2L), (2, "B2", "update_postimage", 2L),
+          (3, "c", "insert", 2L)), feed().toString)
+        // a pure no-op upsert ships nothing
+        SnapshotLog.upsertMor(spark, root,
+          Seq((3, "c")).toDF("k", "v"), Seq("k")) // v3
+        q.processAllAvailable()
+        assert(feed().forall(_._4 <= 2L), feed().toString)
+      } finally q.stop()
+    }
+    // without the feed, the changes stream keeps the loud mor refusal
+    val bare = freshRoot()
+    SnapshotLog.upsertMor(spark, bare, Seq((1, "a")).toDF("k", "v"), Seq("k"))
+    val q2 = spark.readStream.format("graft").option("changes", "true")
+      .load(bare)
+      .writeStream.format("parquet")
+      .option("path", Files.createTempDirectory("graft_cdf_bo").toString)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_cdf_bc").toString).start()
+    try {
+      q2.processAllAvailable()
+      SnapshotLog.upsertMor(spark, bare, Seq((1, "A")).toDF("k", "v"), Seq("k"))
+      val e = intercept[Exception] { q2.processAllAvailable() }
+      assert(e.getMessage.contains("mor") ||
+        Option(e.getCause).exists(_.getMessage.contains("mor")),
+        s"expected the mor-kind refusal, got: ${e.getMessage}")
+    } finally q2.stop()
+  }
+
   test("changesBetween folds DV deletes and MoR updates positionally — no snapshot diff, no feed conf") {
     // these derive from the log itself: no graft.changeFeed.enabled
     val root = freshRoot()

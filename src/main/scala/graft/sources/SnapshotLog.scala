@@ -3824,6 +3824,121 @@ object SnapshotLog {
     r
   }
 
+  /** General multi-clause MERGE on a merge-on-read keyed lineage as ONE
+    * atomic commit (round 11d — the last MoR refusal with a sound
+    * O(batch) form): the shapes [[upsertMor]] cannot spell (per-clause
+    * conditions, DELETE actions, partial-column updates) at the cost
+    * shadowing was built for. `writes` (the updated + inserted rows,
+    * exact table schema) land as one O(batch) shadowing delta dir;
+    * `deleteKeys`' rows die by deletion vector over EVERY physical copy
+    * (the [[tombstoneDelete]] rule — a shadowed old copy must not
+    * resurface), O(deleted positions). The MoR dividend: matched rows
+    * NO clause touched cost NOTHING — the flat general MERGE must
+    * rewrite carried rows into new files, the shadowing form just
+    * leaves their old copies visible. Both effects publish as one
+    * version: readers see neither or both, time travel to the parent
+    * sees neither.
+    *
+    * Contracts are [[upsertMor]]'s (key-unique NULL-free writes, exact
+    * table schema, the lineage's declared keys) plus: a key may not be
+    * both written and deleted in one merge — a shadow row and a vector
+    * in the same version have no deterministic order. Declared CHECK
+    * constraints gate `writes` (every row is merge-written; carried
+    * rows never enter the frame). With the change feed enabled the
+    * commit records insert / update pre+post / delete change rows, so
+    * the CDC stream ships the merge without the mor-kind refusal.
+    */
+  def mergeMor(spark: SparkSession, root: String, writes: DataFrame,
+               deleteKeys: DataFrame, keys: Seq[String],
+               statsCols: Seq[String] = Nil,
+               bloomCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{col, count, lit, substring_index}
+    require(keys.nonEmpty && keys.forall(writes.columns.contains),
+      s"mergeMor keys $keys must be columns of the writes frame")
+    require(keys.forall(deleteKeys.columns.contains),
+      s"mergeMor keys $keys must be columns of the delete-keys frame")
+    require(writes.filter(keys.map(col(_).isNull).reduce(_ || _))
+        .limit(1).count() == 0,
+      "mergeMor: NULL key values in the written rows — a NULL key has " +
+      "no merge identity (it would silently shadow other NULL-keyed rows)")
+    require(writes.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1).limit(1).count() == 0,
+      "mergeMor writes are key-unique — a key appearing twice in one " +
+      "version has no shadowing order (multiple source rows matched " +
+      "one target key?)")
+    var obs: Option[org.apache.spark.sql.Observation] = None
+    val r = withClaim(spark, root) { f =>
+      recoverOrphans(spark, root)
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed version at $root"))
+      val mk = morKeysOf(spark, root, cur)
+      require(mk.nonEmpty,
+        "mergeMor on a flat lineage — the general MERGE rewrite paths " +
+        "already serve it at O(matched files)")
+      require(mk == keys,
+        s"mergeMor keys $keys != the lineage's declared keys $mk")
+      val have = tableSchema(spark, root, cur).fields
+        .map(fl => (fl.name, fl.dataType.catalogString)).toSeq
+      val got = writes.schema.fields
+        .map(fl => (fl.name, fl.dataType.catalogString)).toSeq
+      require(got == have,
+        s"mergeMor writes schema $got != table schema $have")
+      val dk = deleteKeys.select(keys.map(col(_)): _*).distinct().persist()
+      try {
+        require(writes.join(dk, keys, "left_semi").limit(1).count() == 0,
+          "mergeMor: a key may not be both written and deleted in one " +
+          "MERGE — a shadow row and a deletion vector in the same " +
+          "version have no deterministic order")
+        val haveDeletes = dk.limit(1).count() > 0
+        val haveWrites = writes.limit(1).count() > 0
+        if (!haveDeletes && !haveWrites) cur // clause-less no-op: no empty version
+        else {
+          val next = cur + 1L
+          val rootPath = new Path(root.replaceAll("/+$", ""))
+          val (gated, o) = Constraints.gate(spark, root, writes)
+          obs = o
+          val tombAdd =
+            if (!haveDeletes) Nil
+            else {
+              val base = prunedBaseScan(spark, root, cur)
+              val basePos = base
+                .withColumn("__rel",
+                  substring_index(col("_metadata.file_path"), "/", -2))
+                .withColumn("__ri", col("_metadata.row_index"))
+              val hits0 = doomedPositions(spark, root, cur, basePos,
+                b => b.join(dk, keys, "left_semi"))
+              val hits = freshPositions(spark, root, cur, rootPath, hits0)
+              writeTombstones(spark, hits, new Path(rootPath, tombDirName(next)))
+              Seq(tombDirName(next))
+            }
+          val chg =
+            if (!changeFeedEnabled(spark)) ""
+            else {
+              val visible = readVersion(spark, root, cur)
+              val ups = changeRows(visible, gated, keys)
+              val dels = visible.join(dk, keys, "left_semi")
+                .withColumn("_change_type", lit("delete"))
+              ups.unionByName(dels).write.mode("overwrite")
+                .parquet(new Path(rootPath, chgDirName(next)).toString)
+              chgDirName(next)
+            }
+          stageVersion(spark, root, gated, next, -1L,
+            if (statsCols.nonEmpty) statsCols
+            else inheritedStatsCols(spark, root),
+            bloomCols, baseDirs = dirsOf(spark, root, cur),
+            carryStats = sidecarCarry(spark, root, cur),
+            tombDirs = tombDirsOf(spark, root, cur) ++ tombAdd,
+            schemaJson = rawSchemaJson(spark, root, cur), morKeys = keys,
+            chgDir = chg)
+          publishLatest(spark, root, next)
+          next
+        }
+      } finally dk.unpersist()
+    }
+    Constraints.finish(spark, root, r, obs)
+    r
+  }
+
   /** ADDITIVE schema evolution on an append chain — the lakehouse
     * `mergeSchema`/ADD COLUMN moment, at O(batch) cost: the batch may
     * carry NEW trailing columns beyond the chain's schema (existing

@@ -39,8 +39,9 @@ private[sql] object GraftCommands {
     SnapshotLog.currentVersion(spark, table.root).foreach { c =>
       require(SnapshotLog.morKeysOf(spark, table.root, c).isEmpty,
         s"$verb on a merge-on-read keyed lineage is a full-table " +
-        "rewrite — express it as the classic upsert-shaped MERGE " +
-        "(O(batch) shadowing delta) plus DELETE, or materialize first " +
+        "rewrite — a MERGE whose ON is pure equality on the declared " +
+        "keys lowers to the O(batch) shadowing form instead " +
+        "(round 11d); otherwise materialize first " +
         "via CALL <cat>.system.compact_chain")
     }
 
@@ -498,7 +499,6 @@ case class GraftMergePrunedCommand(
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
 
   override def run(spark: SparkSession): Seq[Row] = {
-    GraftCommands.refuseMorRewrite(spark, table, "general MERGE")
     val root = table.root
     val shim = org.apache.spark.sql.graftshim.ClassicShim
     val srcDf = GraftCommands.classicDf(spark, source)
@@ -508,72 +508,142 @@ case class GraftMergePrunedCommand(
     val targetIds = targetOutput.map(_.exprId).toSet
     val srcIds = source.output.map(_.exprId).toSet
 
-    // merge semantics over any target frame (the matched slice on the
-    // pruned path; the full snapshot on the fallback)
-    def mergeEval(target: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // merge-clause semantics, shared by the flat rewrite paths and the
+    // round-11d merge-on-read lowering: every branch below evaluates
+    // over a `__t_`/`__s_`-prefixed full-outer join of SOME target
+    // frame with the source, first matching WHEN clause wins
+    def rebind(e: Expression): org.apache.spark.sql.Column =
+      shim.column(e.transform {
+        case a: AttributeReference if targetIds.contains(a.exprId) =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+            Seq("__t_" + a.name))
+        case a: AttributeReference if srcIds.contains(a.exprId) =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+            Seq("__s_" + a.name))
+      })
+    def joinedWith(target: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       val t = target.toDF(target.columns.map("__t_" + _): _*)
         .withColumn("__t_present", lit(true))
       val sd = srcDf.toDF(srcDf.columns.map("__s_" + _): _*)
         .withColumn("__s_present", lit(true))
-      def rebind(e: Expression): org.apache.spark.sql.Column =
-        shim.column(e.transform {
-          case a: AttributeReference if targetIds.contains(a.exprId) =>
-            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
-              Seq("__t_" + a.name))
-          case a: AttributeReference if srcIds.contains(a.exprId) =>
-            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
-              Seq("__s_" + a.name))
-        })
-      val joined = t.join(sd, rebind(mergeCondition), "full_outer")
-      val tPresent = col("__t_present").isNotNull
-      val sPresent = col("__s_present").isNotNull
-      type B = (org.apache.spark.sql.Column,
-        org.apache.spark.sql.catalyst.plans.logical.MergeAction)
-      val branches: Seq[B] =
-        matchedActions.map(a => (tPresent && sPresent &&
-          a.condition.map(rebind).getOrElse(lit(true)), a)) ++
-        notMatchedActions.map(a => (sPresent && !tPresent &&
-          a.condition.map(rebind).getOrElse(lit(true)), a))
-      def chain(vals: Seq[(org.apache.spark.sql.Column, org.apache.spark.sql.Column)],
-                default: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        vals match {
-          case Seq() => default
-          case (c0, v0) +: rest =>
-            rest.foldLeft(when(c0, v0)) { case (acc, (c, v)) => acc.when(c, v) }
-              .otherwise(default)
-        }
-      def assignedId(k: Expression): Option[org.apache.spark.sql.catalyst.expressions.ExprId] =
-        k match {
-          case a: AttributeReference =>
-            targetOutput.find(t0 => t0.exprId == a.exprId ||
-              t0.name.equalsIgnoreCase(a.name)).map(_.exprId)
-          case _ => None
-        }
-      def actionValue(a: org.apache.spark.sql.catalyst.plans.logical.MergeAction,
-                      tAttr: AttributeReference): org.apache.spark.sql.Column = a match {
-        case UpdateAction(_, assigns, _) =>
-          assigns.find(as => assignedId(as.key).contains(tAttr.exprId))
-            .map(as => rebind(as.value).cast(tAttr.dataType))
-            .getOrElse(col("__t_" + tAttr.name))
-        case InsertAction(_, assigns) =>
-          assigns.find(as => assignedId(as.key).contains(tAttr.exprId))
-            .map(as => rebind(as.value).cast(tAttr.dataType))
-            .getOrElse(lit(null).cast(tAttr.dataType))
-        case _: DeleteAction => col("__t_" + tAttr.name)
-        case other => throw new UnsupportedOperationException(
-          s"unsupported merge action $other")
+      t.join(sd, rebind(mergeCondition), "full_outer")
+    }
+    val tPresent = col("__t_present").isNotNull
+    val sPresent = col("__s_present").isNotNull
+    type B = (org.apache.spark.sql.Column,
+      org.apache.spark.sql.catalyst.plans.logical.MergeAction)
+    val branches: Seq[B] =
+      matchedActions.map(a => (tPresent && sPresent &&
+        a.condition.map(rebind).getOrElse(lit(true)), a)) ++
+      notMatchedActions.map(a => (sPresent && !tPresent &&
+        a.condition.map(rebind).getOrElse(lit(true)), a))
+    def chain(vals: Seq[(org.apache.spark.sql.Column, org.apache.spark.sql.Column)],
+              default: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      vals match {
+        case Seq() => default
+        case (c0, v0) +: rest =>
+          rest.foldLeft(when(c0, v0)) { case (acc, (c, v)) => acc.when(c, v) }
+            .otherwise(default)
       }
+    def assignedId(k: Expression): Option[org.apache.spark.sql.catalyst.expressions.ExprId] =
+      k match {
+        case a: AttributeReference =>
+          targetOutput.find(t0 => t0.exprId == a.exprId ||
+            t0.name.equalsIgnoreCase(a.name)).map(_.exprId)
+        case _ => None
+      }
+    def actionValue(a: org.apache.spark.sql.catalyst.plans.logical.MergeAction,
+                    tAttr: AttributeReference): org.apache.spark.sql.Column = a match {
+      case UpdateAction(_, assigns, _) =>
+        assigns.find(as => assignedId(as.key).contains(tAttr.exprId))
+          .map(as => rebind(as.value).cast(tAttr.dataType))
+          .getOrElse(col("__t_" + tAttr.name))
+      case InsertAction(_, assigns) =>
+        assigns.find(as => assignedId(as.key).contains(tAttr.exprId))
+          .map(as => rebind(as.value).cast(tAttr.dataType))
+          .getOrElse(lit(null).cast(tAttr.dataType))
+      case _: DeleteAction => col("__t_" + tAttr.name)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported merge action $other")
+    }
+    val outCols = targetOutput.map { tAttr =>
+      chain(branches.map { case (c, a) => (c, actionValue(a, tAttr)) },
+        col("__t_" + tAttr.name)).as(tAttr.name)
+    }
+
+    // merge semantics over any target frame (the matched slice on the
+    // pruned path; the full snapshot on the fallback)
+    def mergeEval(target: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val joined = joinedWith(target)
       val keep = chain(branches.map { case (c, a) =>
         (c, lit(!a.isInstanceOf[DeleteAction])) }, tPresent)
-      val outCols = targetOutput.map { tAttr =>
-        chain(branches.map { case (c, a) => (c, actionValue(a, tAttr)) },
-          col("__t_" + tAttr.name)).as(tAttr.name)
-      }
       // written marker (round 11): true exactly where a WHEN clause
       // fired — carried-through target rows stay constraint-exempt
       val written = chain(branches.map { case (c, _) => (c, lit(true)) },
         lit(false)).as(GraftCommands.WrittenMarker)
       joined.filter(keep === true).select(outCols :+ written: _*)
+    }
+
+    // MERGE-ON-READ lowering (round 11d — the last refusal with a sound
+    // O(batch) form): with the ON a pure equality chain on EXACTLY the
+    // declared keys, matched-ness coincides with shadowing identity —
+    // UPDATE rows shadow precisely their old copy, DELETE rows die by
+    // deletion vector over every physical copy, INSERT rows are true
+    // inserts, and matched rows NO clause touched cost NOTHING (the
+    // flat paths must rewrite them; shadowing just leaves them
+    // visible). One atomic commit via [[SnapshotLog.mergeMor]].
+    val morKeys = SnapshotLog.currentVersion(spark, root)
+      .map(SnapshotLog.morKeysOf(spark, root, _)).getOrElse(Nil)
+    if (morKeys.nonEmpty) {
+      require(keys.map(_.toLowerCase).toSet ==
+          morKeys.map(_.toLowerCase).toSet,
+        s"general MERGE on a merge-on-read lineage needs ON to be pure " +
+        s"equality on exactly the declared keys " +
+        s"(${morKeys.mkString(", ")}; got ${keys.mkString(", ")}) — " +
+        "or materialize first via CALL <cat>.system.compact_chain")
+      // key columns are immutable under shadowing — an UPDATE may only
+      // assign a key its own value (t.k, or the source attr the ON
+      // equates with it; `UPDATE SET *` spells the latter)
+      val keyAttrs = targetOutput.filter(a =>
+        morKeys.exists(_.equalsIgnoreCase(a.name)))
+      val pairedSrc: Map[String, org.apache.spark.sql.catalyst.expressions.ExprId] =
+        keyPairs.map { case (t, sa) => (t.toLowerCase, sa.exprId) }.toMap
+      matchedActions.foreach {
+        case UpdateAction(_, assigns, _) => assigns.foreach { as =>
+          keyAttrs.find(ka => assignedId(as.key).contains(ka.exprId)).foreach { ka =>
+            val ok = as.value match {
+              case a: AttributeReference => a.exprId == ka.exprId ||
+                pairedSrc.get(ka.name.toLowerCase).contains(a.exprId)
+              case _ => false
+            }
+            require(ok, s"MERGE on a merge-on-read lineage cannot " +
+              s"update key column ${ka.name} — shadowing identity; " +
+              "materialize first via CALL <cat>.system.compact_chain")
+          }
+        }
+        case _ => ()
+      }
+      // O(batch) matched slice: the visible snapshot is key-unique, so
+      // the semi-join keeps at most |distinct source keys| rows — the
+      // full-outer clause eval below joins two O(batch) frames
+      val matchedSlice = SnapshotLog.read(spark, root)
+        .join(probe.distinct(), keys, "left_semi")
+      val act = chain(branches.map { case (c, a) => (c, lit(a match {
+        case _: DeleteAction => "delete"
+        case _: UpdateAction => "update"
+        case _ => "insert"
+      })) }, lit(null).cast("string")).as("__act")
+      val evaluated = joinedWith(matchedSlice).select(outCols :+ act: _*)
+        .persist()
+      try {
+        val writes = evaluated.filter(col("__act").isin("update", "insert"))
+          .drop("__act")
+        val delKeys = evaluated.filter(col("__act") === "delete")
+          .select(morKeys.map(col): _*)
+        SnapshotLog.mergeMor(spark, root, writes, delKeys, morKeys,
+          table.statsCols)
+      } finally evaluated.unpersist()
+      return Seq.empty
     }
 
     // constraints gate only the WRITTEN subset (the __graft_written

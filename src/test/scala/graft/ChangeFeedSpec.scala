@@ -235,6 +235,42 @@ class ChangeFeedSpec extends SparkSpecBase {
     } finally q2.stop()
   }
 
+  test("mergeMor records insert + update pre/post + delete change rows; no-op merge commits nothing") {
+    val root = freshRoot()
+    withFeed {
+      SnapshotLog.upsertMor(spark, root,
+        Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"), Seq("k")) // v1
+      SnapshotLog.mergeMor(spark, root,
+        writes = Seq((1, "A"), (9, "i")).toDF("k", "v"),
+        deleteKeys = Seq(Tuple1(2)).toDF("k"), keys = Seq("k")) // v2
+      val chg = spark.read.parquet(root + "/chg_v00000002").collect()
+        .map(r => (r.getAs[Int]("k"), r.getAs[String]("v"),
+          r.getAs[String]("_change_type"))).toSet
+      assert(chg == Set(
+        (1, "a", "update_preimage"), (1, "A", "update_postimage"),
+        (9, "i", "insert"), (2, "b", "delete")), chg.toString)
+    }
+    // visible state after the one-commit merge: update + insert + delete
+    assert(SnapshotLog.read(spark, root).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet ==
+      Set((1, "A"), (3, "c"), (9, "i")))
+    // a clause-less no-op merge publishes NO empty version
+    val before = SnapshotLog.currentVersion(spark, root).get
+    SnapshotLog.mergeMor(spark, root,
+      writes = Seq.empty[(Int, String)].toDF("k", "v"),
+      deleteKeys = Seq.empty[Tuple1[Int]].toDF("k"), keys = Seq("k"))
+    assert(SnapshotLog.currentVersion(spark, root).contains(before),
+      "no-op mergeMor committed an empty version")
+    // a key both written and deleted in one merge is contradictory
+    val both = intercept[Exception] {
+      SnapshotLog.mergeMor(spark, root,
+        writes = Seq((3, "z")).toDF("k", "v"),
+        deleteKeys = Seq(Tuple1(3)).toDF("k"), keys = Seq("k"))
+    }
+    assert(both.getMessage.contains("both written and deleted"),
+      both.getMessage)
+  }
+
   test("changesBetween folds DV deletes and MoR updates positionally — no snapshot diff, no feed conf") {
     // these derive from the log itself: no graft.changeFeed.enabled
     val root = freshRoot()

@@ -985,10 +985,12 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rowsOf("SELECT k, v FROM graft.ns.mor") == Set(Seq(2, "B2")),
       "shadow resurrected through SQL DELETE on a MoR lineage")
 
-    // full-rewrite shapes refuse with the escape hatch named
+    // a non-key ON has no shadowing identity — refuses with the escape
+    // hatch named (the key-equality general MERGE lowers O(batch)
+    // instead since round 11d; its own test below)
     val gm = intercept[Exception] {
-      sql("MERGE INTO graft.ns.mor t USING (SELECT 2 AS k) s ON t.k = s.k " +
-          "WHEN MATCHED THEN DELETE")
+      sql("MERGE INTO graft.ns.mor t USING (SELECT 'B2' AS v) s " +
+          "ON t.v = s.v WHEN MATCHED THEN DELETE")
     }
     assert(gm.getMessage.contains("compact_chain"), gm.getMessage)
     // UPDATE lands as ONE O(matched) shadowing delta — no vector, no
@@ -1036,6 +1038,86 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     sql("INSERT INTO graft.ns.morc VALUES (1, 'a5')")
     assert(rowsOf("SELECT k, v FROM graft.ns.morc") == Set(Seq(1, "a5")),
       "compact_mor converted the lineage — the insert stopped shadowing")
+  }
+
+  test("general multi-clause MERGE on a merge-on-read lineage (round 11d): one O(batch) shadowing commit") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
+    sql("CREATE TABLE graft.ns.gmor (k INT, v STRING, n INT) " +
+        "TBLPROPERTIES ('graft.morKeys'='k')")
+    sql("INSERT INTO graft.ns.gmor VALUES " +
+        "(1, 'a', 10), (2, 'b', 20), (3, 'c', 30), (4, 'd', 40)")
+
+    // conditional UPDATE, conditional DELETE, INSERT — first matching
+    // clause wins; k=3 matches but fires NO clause (carried for free
+    // under shadowing), k=4 is target-only (survives)
+    sql("""MERGE INTO graft.ns.gmor t USING (
+             SELECT 1 AS k, 'A' AS v UNION ALL
+             SELECT 2 AS k, 'x' AS v UNION ALL
+             SELECT 3 AS k, 'z' AS v UNION ALL
+             SELECT 9 AS k, 'i' AS v) s
+           ON t.k = s.k
+           WHEN MATCHED AND t.n < 15 THEN UPDATE SET v = s.v, n = t.n + 1
+           WHEN MATCHED AND s.v = 'x' THEN DELETE
+           WHEN NOT MATCHED THEN INSERT (k, v, n) VALUES (s.k, s.v, 0)""")
+    assert(rowsOf("SELECT k, v, n FROM graft.ns.gmor") == Set(
+      Seq(1, "A", 11), Seq(3, "c", 30), Seq(4, "d", 40), Seq(9, "i", 0)))
+
+    // the lowering is O(batch): v1 bootstrap, v2 insert, v3 merge —
+    // the merge's own delta dir holds EXACTLY the update + the insert
+    // (the untouched matched row k=3 is NOT rewritten; the flat
+    // general MERGE would have had to carry it into new files)
+    val deltaRows = spark.read.parquet(root("gmor") + "/data_v00000003")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(deltaRows == Set((1, "A"), (9, "i")),
+      s"merge delta dir is not O(touched): $deltaRows")
+    // the DELETE landed as a deletion vector, not a rewrite
+    assert(new java.io.File(root("gmor") + "/tomb_v00000003").isDirectory,
+      "general MoR MERGE delete did not produce a deletion vector")
+    // pre-merge files untouched: time travel sees the old snapshot
+    assert(rowsOf("SELECT k, v FROM graft.ns.gmor VERSION AS OF 2") ==
+      Set(Seq(1, "a"), Seq(2, "b"), Seq(3, "c"), Seq(4, "d")))
+
+    // the lineage STAYS merge-on-read: a later INSERT still shadows
+    sql("INSERT INTO graft.ns.gmor VALUES (1, 'A2', 12)")
+    assert(rowsOf("SELECT v FROM graft.ns.gmor WHERE k = 1") ==
+      Set(Seq("A2")))
+    // and the deleted key stays dead (its old copies never resurface),
+    // but RE-INSERTING it through a merge is a true insert again
+    sql("""MERGE INTO graft.ns.gmor t USING (SELECT 2 AS k, 'back' AS v) s
+           ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET v = s.v
+           WHEN NOT MATCHED THEN INSERT (k, v, n) VALUES (s.k, s.v, -1)""")
+    assert(rowsOf("SELECT k, v, n FROM graft.ns.gmor WHERE k = 2") ==
+      Set(Seq(2, "back", -1)), "deleted key did not re-insert cleanly")
+
+    // `UPDATE SET *` in the general form: the key is assigned the
+    // SOURCE attr the ON equates with it — accepted as identity
+    sql("""MERGE INTO graft.ns.gmor t
+           USING (SELECT 9 AS k, 'I2' AS v, 7 AS n) s ON t.k = s.k
+           WHEN MATCHED AND s.n > 0 THEN UPDATE SET *""")
+    assert(rowsOf("SELECT k, v, n FROM graft.ns.gmor WHERE k = 9") ==
+      Set(Seq(9, "I2", 7)))
+
+    // key columns stay immutable under shadowing
+    val kc = intercept[Exception] {
+      sql("""MERGE INTO graft.ns.gmor t USING (SELECT 9 AS k) s
+             ON t.k = s.k WHEN MATCHED THEN UPDATE SET k = 99""")
+    }
+    assert(kc.getMessage.contains("shadowing identity"), kc.getMessage)
+    // ON equality on MORE than the keys has no shadowing identity
+    val sup = intercept[Exception] {
+      sql("""MERGE INTO graft.ns.gmor t USING (SELECT 9 AS k, 'I2' AS v) s
+             ON t.k = s.k AND t.v = s.v WHEN MATCHED THEN DELETE""")
+    }
+    assert(sup.getMessage.contains("compact_chain"), sup.getMessage)
+
+    // changesBetween across the merge version reports the keyed truth:
+    // update (1), delete (2), insert (9) — the untouched rows silent
+    val ch = SnapshotLog.changesBetween(spark, root("gmor"), 2L, 3L,
+        Seq("k")).collect()
+      .map(r => (r.getAs[String]("change_type"), r.getAs[Int]("k"))).toSet
+    assert(ch == Set(("update", 1), ("delete", 2), ("insert", 9)),
+      s"changesBetween across the MoR merge: $ch")
   }
 
 }

@@ -354,6 +354,30 @@ case class GraftUpdateShadowCommand(table: GraftTable,
   }
 }
 
+/** Subquery-form UPDATE on a merge-on-read lineage (round 11d):
+  * `query` is Project(assignments, Filter(cond, visible-read)) built by
+  * the lowering with the relation's own attribute ids, so IN / scalar /
+  * correlated subqueries evaluate exactly as Catalyst resolved them —
+  * the name-rebinding [[GraftUpdateShadowCommand]] cannot carry those.
+  * The matched rows commit as ONE O(matched) shadowing delta; an empty
+  * match is a version-preserving no-op (the [[GraftUpdateShadowCommand]]
+  * contract). Key columns were refused at lowering time.
+  */
+case class GraftUpdateShadowPlanCommand(table: GraftTable,
+                                        query: LogicalPlan)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df = GraftCommands.classicDf(spark, query).persist()
+    try {
+      if (df.limit(1).count() == 0) return Seq.empty
+      SnapshotLog.upsertMor(spark, table.root, df, table.morKeys,
+        statsCols = table.statsCols)
+    } finally df.unpersist()
+    Seq.empty
+  }
+}
+
 /** DELETE WHERE → [[SnapshotLog.tombstoneDeleteWhere]]: the predicate
   * is re-bound by name onto the positional scan and the matching (file,
   * row) positions land in an O(deleted rows) deletion-vector sidecar —

@@ -304,13 +304,34 @@ object GraftSqlRule {
       .forall(e => !e.exists(_.isInstanceOf[SubqueryExpression]))
     if (g.morKeys.nonEmpty && rebindable) {
       // merge-on-read lineage: the rewritten matched rows commit as ONE
-      // O(matched) shadowing delta (upsertMor) — no vector, no rewrite;
-      // subquery forms fall to the COW fallback, which refuses MoR with
-      // the compact_chain escape named
+      // O(matched) shadowing delta (upsertMor) — no vector, no rewrite
       val sets = rel.output.toSeq.flatMap { t =>
         assigned.get(t.exprId).map(v => t.name -> castTo(v, t.dataType))
       }
       GraftUpdateShadowCommand(g, u.condition, sets)
+    } else if (g.morKeys.nonEmpty) {
+      // subquery-form UPDATE on a MoR lineage (round 11d — previously
+      // the COW-fallback refusal): the predicate/assignments cannot
+      // rebind by name onto a positional scan, but they CAN evaluate
+      // against the expanded visible plan (attribute ids preserved, so
+      // IN/scalar/correlated subqueries resolve as Catalyst left them)
+      // — shadow ONLY the matched rows, still O(matched), no rewrite
+      val keyHit = rel.output.filter(t =>
+        g.morKeys.exists(_.equalsIgnoreCase(t.name)))
+        .find(t => assigned.contains(t.exprId))
+      require(keyHit.isEmpty,
+        s"UPDATE cannot reassign merge-on-read key column " +
+        s"${keyHit.map(_.name).getOrElse("")} — shadowing identity; " +
+        "materialize first via CALL <cat>.system.compact_chain")
+      val read = expand(session, u.table)
+      val cond = u.condition.getOrElse(Literal.TrueLiteral)
+      val cols = rel.output.map { t =>
+        assigned.get(t.exprId) match {
+          case Some(v) => Alias(castTo(v, t.dataType), t.name)()
+          case None => Alias(t, t.name)()
+        }
+      }
+      GraftUpdateShadowPlanCommand(g, Project(cols, Filter(cond, read)))
     } else if (g.partCol.isEmpty && rebindable) {
       val sets = rel.output.toSeq.flatMap { t =>
         assigned.get(t.exprId).map(v => t.name -> castTo(v, t.dataType))

@@ -60,7 +60,8 @@ import graft.sources.SnapshotLog
   * types are refused at planning time with a clear error).
   */
 class GraftTailProvider extends TableProvider with DataSourceRegister
-    with GraftSinkProvider with GraftBatchWriteProvider {
+    with GraftSinkProvider with GraftBatchWriteProvider
+    with GraftBatchReadProvider {
   override def shortName(): String = "graft"
 
   private def rootOf(options: CaseInsensitiveStringMap): String = {

@@ -2899,6 +2899,96 @@ object SnapshotLog {
     }
   }
 
+  /** CONVERT an existing directory of parquet files into a snapshot-log
+    * table IN PLACE — Delta's `CONVERT TO DELTA` verb: version 1's
+    * manifest adopts the directory's own files as FILE entries (the
+    * same absolute-file manifest shape the pruned keyed upsert writes),
+    * so NOT ONE BYTE of data is copied, moved, or rewritten — on a
+    * 100 TB raw parquet dump the convert costs one directory listing,
+    * one footer read for the schema pin, and (with `statsCols`) one
+    * distributed O(files) footer pass that builds the skipping sidecar,
+    * after which the full engine surface applies: transactional
+    * appends/MERGE/DML, time travel, file skipping, streaming tail,
+    * SQL. The log lives at `<dir>/_graft_log`; underscore-prefixed
+    * paths are hidden to parquet listings, so a pre-convert reader of
+    * the raw directory keeps working.
+    *
+    * Contract: the directory holds the table's parquet files DIRECTLY
+    * (a hive-partitioned `k=v/` tree refuses with guidance — its
+    * partition values live in dir names, not file bytes, so in-place
+    * adoption would drop them; read + write a scoped graft table
+    * instead) and the files share one schema (the plain-parquet reading
+    * contract this inherits — the pin comes from one footer's Spark
+    * row.metadata). The adopted files are never deleted by [[vacuum]]
+    * (reclamation only ever touches `data_v*` dirs the log itself
+    * wrote); after a materializing rewrite ([[compactChain]]) the
+    * originals become unreferenced bytes to reclaim out-of-band —
+    * documented, the price of zero-copy adoption.
+    */
+  def convertParquet(spark: SparkSession, root: String,
+                     statsCols: Seq[String] = Nil): Long = {
+    val rootPath = new Path(root.replaceAll("/+$", ""))
+    val f = fs(spark, rootPath)
+    require(f.exists(rootPath) && f.getFileStatus(rootPath).isDirectory,
+      s"convertParquet: $root is not a directory")
+    val dirBase = rootPath.getName
+    // version dirs the log will write later must stay name-disjoint
+    // from the adopted dir (deletion-vector keys and vacuum both key on
+    // the last path segments)
+    require(!dirBase.matches("(data|tomb|chg)_v\\d+"),
+      s"convertParquet: directory name '$dirBase' collides with the " +
+      "log's version-dir naming — rename the directory first")
+    require(currentVersion(spark, root).isEmpty,
+      s"convertParquet: $root already has a committed table")
+    val top = f.listStatus(rootPath)
+    val subDirs = top.filter(st => st.isDirectory &&
+      !st.getPath.getName.startsWith(".") &&
+      !st.getPath.getName.startsWith("_")).map(_.getPath.getName).toSeq
+    require(subDirs.isEmpty,
+      s"convertParquet: $root contains subdirectories " +
+      s"(${subDirs.take(3).mkString(", ")}…) — a partitioned/hive tree " +
+      "cannot convert in place (partition values live in dir names, not " +
+      "file bytes); read it with spark.read.parquet and write a " +
+      "partition-scoped graft table instead")
+    val files = top.filter(st => st.isFile &&
+      st.getPath.getName.endsWith(".parquet") &&
+      !st.getPath.getName.startsWith(".") &&
+      !st.getPath.getName.startsWith("_")).sortBy(_.getPath.getName).toSeq
+    require(files.nonEmpty,
+      s"convertParquet: no parquet files directly under $root")
+    withClaim(spark, root) { _ =>
+      require(currentVersion(spark, root).isEmpty,
+        s"convertParquet: $root already has a committed table")
+      val v = 1L
+      // adopted files as absolute FILE manifest entries; sidecar f-lines
+      // key by the (dirBase, fileName) pair every skipping/DV mechanism
+      // uses, so planning is listing-free from the first read
+      val entries = files.map(st =>
+        new Path(rootPath, st.getPath.getName).toString)
+      val lines = files.map(st =>
+        s"${esc(dirBase + "/" + st.getPath.getName)}\t\tf\t${st.getLen}\t${st.getModificationTime}").toVector
+      // schema pin from ONE footer's Spark row.metadata (foreign writers
+      // without it stay unpinned — the uniform-schema contract applies
+      // either way); pinning keeps later reads/evolution listing-free
+      val pinned = sparkSchemaFromFooter(spark, files.head.getPath)
+        .map(st => asNullable(st)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      val fieldMap: Map[String, org.apache.spark.sql.types.DataType] =
+        pinned.getOrElse(spark.read.parquet(entries: _*).schema)
+          .fields.map(fl => fl.name -> fl.dataType).toMap
+      val footerRdd = footerSpanRdd(spark, entries, statsCols, fieldMap)
+      val stack = publishStatsSidecar(spark, root, v, statsCols, lines,
+        footerRdd, EagerCarry(Nil))
+      writeManifestDirs(spark, root, v, entries, batchId = -1L,
+        kind = "convert",
+        schemaJson = pinned.map(st =>
+          java.net.URLEncoder.encode(st.json, "UTF-8")).getOrElse(""),
+        statsStack = stack)
+      publishLatest(spark, root, v)
+      v
+    }
+  }
+
   /** The clone's pin name on its source — a stable token derived from
     * the clone root (consumer names must be plain tokens).
     */
@@ -4079,10 +4169,17 @@ object SnapshotLog {
             "(append-only tables do not evolve schemas mid-chain)")
           val next = cur + 1L
           val carry = sidecarCarry(spark, root, cur)
+          // stats INHERIT on appends (round 12): a caller passing no
+          // statsCols must not silently strip the lineage's skipping
+          // power (and metadata-aggregate coverage) from its delta —
+          // the same rule the keyed merge paths already follow; an
+          // explicit argument still overrides
+          val sc = if (statsCols.nonEmpty) statsCols
+                   else inheritedStatsCols(spark, root)
           // parent deletion vectors carry too: an append must not
           // resurrect rows a prior tombstoneDelete removed; the pinned
           // schema of an evolved lineage carries with them
-          stageVersion(spark, root, gated, next, batchId, statsCols,
+          stageVersion(spark, root, gated, next, batchId, sc,
             bloomCols, baseDirs = dirsOf(spark, root, cur), carryStats = carry,
             tombDirs = tombDirsOf(spark, root, cur),
             schemaJson = rawSchemaJson(spark, root, cur))
@@ -5242,25 +5339,6 @@ object SnapshotLog {
         // read — parquet datasource schema resolution reads no row data)
         val fields = spark.read.parquet(dd.toString).schema.fields
           .map(fl => fl.name -> fl.dataType).toMap
-        val zone = sessionZone(spark).getId
-        val specs = cols.map { c =>
-          val dt = fields.getOrElse(c,
-            throw new IllegalArgumentException(s"stats column $c not in table schema"))
-          val tag = dt match {
-            case _: org.apache.spark.sql.types.NumericType   => "n"
-            case org.apache.spark.sql.types.StringType       => "s"
-            // temporal min/max serialize as ISO strings whose lexicographic
-            // order IS chronological order — they ride the "s" compare path;
-            // the probe side formats identically ([[probeString]])
-            case org.apache.spark.sql.types.TimestampType    => "s"
-            case org.apache.spark.sql.types.TimestampNTZType => "s"
-            case org.apache.spark.sql.types.DateType         => "s"
-            case other => throw new IllegalArgumentException(
-              s"stats column $c: unsupported type ${other.simpleString} " +
-              "(numeric/string/timestamp/date only)")
-          }
-          StatSpec(c, tag, zone)
-        }
         val paths = {
           val it = f.listFiles(dd, /*recursive=*/ true)
           val b = Vector.newBuilder[String]
@@ -5273,17 +5351,25 @@ object SnapshotLog {
           }
           b.result()
         }
-        if (paths.isEmpty) None
-        else {
-          val conf = new org.apache.spark.util.SerializableConfiguration(
-            spark.sparkContext.hadoopConfiguration)
-          val slices = math.max(1, math.min(paths.size,
-            spark.sparkContext.defaultParallelism))
-          Some(spark.sparkContext.parallelize(paths, slices)
-            .flatMap(p => footerStatLines(p, conf.value, specs)))
-        }
+        footerSpanRdd(spark, paths, cols, fields)
       }
     val freshLines = lines.result()
+    publishStatsSidecar(spark, root, v, cols, freshLines, footerRdd, carry)
+  }
+
+  /** Publish the stats sidecar for version `v` from prepared fresh
+    * lines + optional footer-span RDD — the storage decision (chained
+    * parquet delta / eager text / distributed parquet checkpoint)
+    * shared by [[writeStats]] (which derives its lines from the
+    * version's own data dir) and [[convertParquet]] (which derives
+    * them from the adopted foreign files). Returns the stats stack
+    * (non-empty only for chained checkpoints).
+    */
+  private def publishStatsSidecar(spark: SparkSession, root: String,
+                                  v: Long, cols: Seq[String],
+                                  freshLines: Seq[String],
+                                  footerRdd: Option[org.apache.spark.rdd.RDD[String]],
+                                  carry: SidecarCarry): Seq[Long] = {
     // CHAINED checkpoint: write ONLY this commit's fresh rows; the
     // parent stack rides the manifest. O(batch) metadata IO however
     // large the table — the mode every verbatim-carry commit over a
@@ -5373,6 +5459,46 @@ object SnapshotLog {
       lastCarryDistributed = carry.isInstanceOf[DistCarry]
       Nil
     }
+  }
+
+  /** Footer-derived span lines for explicit file paths, as an
+    * unmaterialized RDD (None when nothing to stat): validates the
+    * requested stats columns against `fields` (the files' Spark
+    * schema), builds the [[StatSpec]]s with the session zone, and maps
+    * [[footerStatLines]] over the paths on the executors — the same
+    * O(files) distributed metadata pass [[writeStats]] always ran, now
+    * also feeding [[convertParquet]]'s adopted foreign files.
+    */
+  private def footerSpanRdd(spark: SparkSession, paths: Seq[String],
+                            cols: Seq[String],
+                            fields: Map[String, org.apache.spark.sql.types.DataType])
+      : Option[org.apache.spark.rdd.RDD[String]] = {
+    if (cols.isEmpty || paths.isEmpty) return None
+    val zone = sessionZone(spark).getId
+    val specs = cols.map { c =>
+      val dt = fields.getOrElse(c,
+        throw new IllegalArgumentException(s"stats column $c not in table schema"))
+      val tag = dt match {
+        case _: org.apache.spark.sql.types.NumericType   => "n"
+        case org.apache.spark.sql.types.StringType       => "s"
+        // temporal min/max serialize as ISO strings whose lexicographic
+        // order IS chronological order — they ride the "s" compare path;
+        // the probe side formats identically ([[probeString]])
+        case org.apache.spark.sql.types.TimestampType    => "s"
+        case org.apache.spark.sql.types.TimestampNTZType => "s"
+        case org.apache.spark.sql.types.DateType         => "s"
+        case other => throw new IllegalArgumentException(
+          s"stats column $c: unsupported type ${other.simpleString} " +
+          "(numeric/string/timestamp/date only)")
+      }
+      StatSpec(c, tag, zone)
+    }
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val slices = math.max(1, math.min(paths.size,
+      spark.sparkContext.defaultParallelism))
+    Some(spark.sparkContext.parallelize(paths, slices)
+      .flatMap(p => footerStatLines(p, conf.value, specs)))
   }
 
   /** Sidecar lines for one data file, decoded from its footer on the
@@ -6251,6 +6377,171 @@ object SnapshotLog {
     val v = version.getOrElse(currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed version at $root")))
     visibilityWrap(spark, root, v, prunedBaseScan(spark, root, v))
+  }
+
+  // --------------------------------------- metadata-only aggregates
+
+  /** COUNT(*) of a committed version answered from the stats sidecar
+    * alone — O(manifest) metadata, ZERO data IO: per-file row counts
+    * are the `z` lines' value counts (any stats column's count is the
+    * file's row count — stats columns are flat primitives by
+    * construction). None when the sidecar cannot answer EXACTLY, and
+    * the caller must scan instead: deletion vectors or merge-on-read
+    * shadowing (visible rows ≠ file rows), no complete file listing,
+    * or any file without a `z` line (no statsCols configured, a
+    * pre-stats commit, or an evolution boundary). On a 100 TB table
+    * this is the difference between a full scan and one sidecar read —
+    * the Delta numRecords / Iceberg manifest-count answer.
+    */
+  def metaRowCount(spark: SparkSession, root: String,
+                   version: Option[Long] = None): Option[Long] = {
+    val v = version.getOrElse(currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root")))
+    metaZ(spark, root, v, None).map(_._1)
+  }
+
+  /** COUNT(col) (non-null count) of a version from the sidecar's `z`
+    * lines — same exactness contract as [[metaRowCount]], additionally
+    * requiring `col` to be a stats column covered on every file. The
+    * name is LOGICAL; mapped lineages translate through the pin.
+    */
+  def metaNonNullCount(spark: SparkSession, root: String, col: String,
+                       version: Option[Long] = None): Option[Long] = {
+    val v = version.getOrElse(currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root")))
+    metaZ(spark, root, v, Some(metaPhysName(spark, root, v, col)))
+      .map { case (total, nulls) => total - nulls }
+  }
+
+  /** MIN/MAX of a NUMERIC column from the sidecar's span lines — exact
+    * because numeric footer bounds are actual values (strings are
+    * excluded: parquet may truncate their bounds, so a stored max need
+    * not be a real value). Returns CATALYST-internal values typed as
+    * the column (what the SQL lowering needs); `(null, null)` when
+    * every row is NULL. None = not exactly answerable (DV/MoR,
+    * incomplete coverage, non-numeric, NaN-suppressed stats).
+    */
+  private[graft] def metaMinMax(spark: SparkSession, root: String,
+                                col: String, version: Option[Long] = None)
+      : Option[(Any, Any)] = {
+    import org.apache.spark.sql.types._
+    val v = version.getOrElse(currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root")))
+    if (!metaExact(spark, root, v)) return None
+    val schema = tableSchema(spark, root, v)
+    val dt = schema.fields.find(_.name == col).map(_.dataType).getOrElse(
+      return None)
+    if (!dt.isInstanceOf[NumericType]) return None
+    val phys = metaPhysName(spark, root, v, col)
+    // (min, max) as the sidecar's BigDecimal-parseable strings
+    val spans: Option[(Option[String], Option[String])] =
+      if (hasPqSidecar(spark, root, v)) {
+        import org.apache.spark.sql.functions.{col => c, min => mn, max => mx}
+        val df = spark.read.parquet(
+          pqStackPaths(root, v, statsStackOf(spark, root, v)): _*)
+        val fK = df.filter(c("t") === "f").select("k").distinct()
+        val fCnt = fK.count()
+        val sp = df.filter(c("t") === "n" && c("c") === esc(phys))
+        // coverage: every listed file has a span line for the column,
+        // or is provably EMPTY (a zero-total z line) — an empty file
+        // has no span and contributes nothing
+        val zEmpty = df.filter(c("t") === "z").groupBy(c("k"))
+          .agg(mx(c("b").cast("long")).as("total"))
+          .filter(c("total") === 0L).select("k")
+        val covered = fK.join(
+          sp.select("k").union(zEmpty).distinct(), Seq("k"), "left_semi")
+          .count()
+        // distributed fold: decimal(38,0) is exact for integrals,
+        // double round-trips its own rendering for fractionals
+        val castTo = dt match {
+          case _: DecimalType => dt.simpleString
+          case DoubleType | FloatType => "double"
+          case _ => "decimal(38,0)"
+        }
+        val live = sp.filter(c("a") =!= NullMark)
+        if (covered != fCnt || fCnt == 0L) None
+        else {
+          val f = live.agg(mn(c("a").cast(castTo)).as("lo"),
+            mx(c("b").cast(castTo)).as("hi")).head()
+          if (f.isNullAt(0)) Some((None, None))
+          else Some((Some(f.get(0).toString), Some(f.get(1).toString)))
+        }
+      } else {
+        val lines = sidecarLines(spark, root, v)
+        val fKeys = lines.flatMap(StatsEval.parseListing(_)).collect {
+          case (k, "f", _, _) => k
+        }.toSet
+        val sp = lines.flatMap(StatsEval.parseSpan(_))
+          .filter(t => t._3 == "n" && t._2 == phys)
+        val zeroFiles = lines.flatMap(StatsEval.parseNulls(_))
+          .filter(_._4 == 0L).map(_._1).toSet
+        if (fKeys.isEmpty || !fKeys.subsetOf(sp.map(_._1).toSet ++ zeroFiles))
+          None
+        else {
+          val live = sp.filter(_._4 != NullMark)
+          if (live.isEmpty) Some((None, None))
+          else Some((Some(live.map(t => BigDecimal(t._4)).min.toString),
+                     Some(live.map(t => BigDecimal(t._5)).max.toString)))
+        }
+      }
+    spans.map {
+      case (None, None) => (null, null)
+      case (lo, hi) =>
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+        def as(s: Option[String]): Any =
+          Cast(Literal.create(s.get, StringType), dt).eval(null)
+        (as(lo), as(hi))
+    }
+  }
+
+  /** Exactness gate shared by the meta aggregates: deletion vectors and
+    * merge-on-read shadowing make file rows ≠ visible rows.
+    */
+  private def metaExact(spark: SparkSession, root: String, v: Long): Boolean =
+    tombDirsOf(spark, root, v).isEmpty && morKeysOf(spark, root, v).isEmpty
+
+  /** Sidecar keys spell PHYSICAL names on mapped lineages. */
+  private def metaPhysName(spark: SparkSession, root: String, v: Long,
+                           logical: String): String =
+    schemaOf(spark, root, v)
+      .flatMap(st => renameMap(st).get(logical)).getOrElse(logical)
+
+  /** (sum of per-file totals, sum of per-file null counts) over the
+    * version's `z` lines — None unless EVERY listed file is covered.
+    * `colName` = None sums row counts (any column's line per file);
+    * Some(physName) sums that column's (total, nulls).
+    */
+  private def metaZ(spark: SparkSession, root: String, v: Long,
+                    colName: Option[String]): Option[(Long, Long)] = {
+    if (!metaExact(spark, root, v)) return None
+    if (hasPqSidecar(spark, root, v)) {
+      import org.apache.spark.sql.functions.{col => c, max => mx, min => mn, sum, count => cnt}
+      val df = spark.read.parquet(
+        pqStackPaths(root, v, statsStackOf(spark, root, v)): _*)
+      val fCnt = df.filter(c("t") === "f").select("k").distinct().count()
+      if (fCnt == 0L) return None
+      val z0 = df.filter(c("t") === "z")
+      val z1 = colName.fold(z0)(n => z0.filter(c("c") === esc(n)))
+      val per = z1.groupBy(c("k")).agg(
+        mx(c("b").cast("long")).as("total"),
+        mn(c("a").cast("long")).as("nulls"))
+      val r = per.agg(cnt("*").as("n"), sum(c("total")).as("t"),
+        sum(c("nulls")).as("z")).head()
+      if (r.getLong(0) != fCnt) None
+      else Some((r.getLong(1), r.getLong(2)))
+    } else {
+      val lines = sidecarLines(spark, root, v)
+      val fKeys = lines.flatMap(StatsEval.parseListing(_)).collect {
+        case (k, "f", _, _) => k
+      }.toSet
+      if (fKeys.isEmpty) return None
+      val zs = lines.flatMap(StatsEval.parseNulls(_))
+        .filter(t => colName.forall(_ == t._2))
+      val byFile = zs.groupBy(_._1)
+      if (byFile.keySet != fKeys) None
+      else Some((byFile.values.map(_.map(_._4).max).sum,
+                 byFile.values.map(_.map(_._3).min).sum))
+    }
   }
 
   /** Merge-on-read + deletion-vector visibility over a base file scan —

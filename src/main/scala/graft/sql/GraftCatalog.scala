@@ -271,6 +271,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // (upsertMor); INSERT INTO and the classic upsert-shaped MERGE
     // dispatch there automatically. Keys are declared by the first
     // commit and immutable; scoped lineages never carry morKeys.
+    // TBLPROPERTIES ('graft.statsCols'='k1,k2'): every SQL write on this
+    // table derives per-file min/max spans for the named columns, which
+    // powers read-time file skipping AND the file-granular MERGE path
+    val statsCols = Option(properties.get("graft.statsCols")).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    require(statsCols.forall(schema.fieldNames.contains),
+      s"graft.statsCols $statsCols references columns outside the table schema")
     val morKeys = Option(properties.get("graft.morKeys")).toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
     if (morKeys.nonEmpty) {
@@ -281,17 +288,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       SnapshotLog.createMorTable(spark, root, schema, morKeys)
     } else
       // an empty evolved append pins the declared schema in the manifest,
-      // so the brand-new (zero-file) table still reads with full schema
+      // so the brand-new (zero-file) table still reads with full schema;
+      // statsCols thread in (round 12) so the empty file's zero-count z
+      // line keeps metadata-aggregate coverage intact from version 1
       SnapshotLog.appendEvolved(spark,
         root, spark.createDataFrame(
-          Collections.emptyList[org.apache.spark.sql.Row](), schema))
-    // TBLPROPERTIES ('graft.statsCols'='k1,k2'): every SQL write on this
-    // table derives per-file min/max spans for the named columns, which
-    // powers read-time file skipping AND the file-granular MERGE path
-    val statsCols = Option(properties.get("graft.statsCols")).toSeq
-      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
-    require(statsCols.forall(schema.fieldNames.contains),
-      s"graft.statsCols $statsCols references columns outside the table schema")
+          Collections.emptyList[org.apache.spark.sql.Row](), schema),
+        statsCols = statsCols)
     writeProps(root, partCol, statsCols)
     mkTable(ident, root, 1L)
   }

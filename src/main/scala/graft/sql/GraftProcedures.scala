@@ -24,7 +24,7 @@ object GraftProcedures {
     Seq("restore", "vacuum", "compact_small_files", "compact_chain",
         "compact_mor", "history", "optimize_zorder", "clone", "detail",
         "register_consumer", "unregister_consumer", "consumers", "clones",
-        "rebloom_widened", "vacuum_dry_run",
+        "rebloom_widened", "vacuum_dry_run", "convert_parquet",
         "add_constraint", "drop_constraint", "constraints", "audit")
 
   def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
@@ -43,6 +43,7 @@ object GraftProcedures {
       case "consumers"           => Some(new Consumers(cat))
       case "clones"              => Some(new Clones(cat))
       case "rebloom_widened"     => Some(new RebloomWidened(cat))
+      case "convert_parquet"     => Some(new ConvertParquet(cat))
       case "vacuum_dry_run"      => Some(new VacuumDryRun(cat))
       case "add_constraint"      => Some(new AddConstraintProc(cat))
       case "drop_constraint"     => Some(new DropConstraintProc(cat))
@@ -239,6 +240,34 @@ object GraftProcedures {
     * shallow clone (metadata-only; see SnapshotLog.shallowClone for the
     * isolation guarantees). Returns the clone's head version.
     */
+  /** `CALL c.system.convert_parquet(target, stats_cols)` — adopt an
+    * existing directory of parquet files as a snapshot-log table IN
+    * PLACE, zero bytes copied ([[SnapshotLog.convertParquet]], Delta's
+    * CONVERT TO DELTA). `target` is a catalog table name (the
+    * warehouse-layout directory converts and the table becomes
+    * CALL-able/query-able immediately) or an absolute path;
+    * `stats_cols` is a comma list ('' = none) building the footer-
+    * derived skipping sidecar during the convert.
+    */
+  private final class ConvertParquet(cat: GraftCatalog)
+      extends Proc(cat, "convert_parquet") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("target", StringType), param("stats_cols", StringType))
+    private val out = StructType(Seq(
+      StructField("root", StringType), StructField("version", LongType)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val target = input.getUTF8String(0).toString
+      val r =
+        if (target.startsWith("/") || target.contains("://")) target
+        else cat.rootOf(target)
+      val cols = Option(input.getUTF8String(1)).map(_.toString).toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      val v = SnapshotLog.convertParquet(spark, r, cols)
+      scanOf(out, Seq(new GenericInternalRow(
+        Array[Any](UTF8String.fromString(r), v))))
+    }
+  }
+
   private final class Clone(cat: GraftCatalog) extends Proc(cat, "clone") {
     override def parameters(): Array[ProcedureParameter] =
       Array(param("source_table", StringType), param("target_table", StringType))

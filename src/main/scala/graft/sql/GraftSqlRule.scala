@@ -3,6 +3,7 @@ package graft.sql
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
 import org.apache.spark.sql.catalyst.plans.FullOuter
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -165,7 +166,13 @@ case class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
         case _ => dc
       }
 
-    case other => expand(session, other)
+    // READ EXPANSION waits for the plan to RESOLVE (round 12): the
+    // relation's output attributes are what parents resolve against and
+    // expansion preserves them, so nothing needs the expanded plan
+    // early — but the metadata-aggregate pre-pass needs to see the
+    // TABLE HANDLE under a resolved Aggregate, which an eager expansion
+    // in an earlier fixed-point iteration would have swallowed
+    case other => if (other.resolved) expand(session, other) else other
   }
 }
 
@@ -202,11 +209,80 @@ object GraftSqlRule {
   /** Replace every graft relation (in the plan AND inside subquery
     * expressions) with its snapshot read plan, preserving attribute ids
     * so already-resolved references keep pointing at the right columns.
+    * A pre-pass answers whole-table aggregates from the stats sidecar
+    * ([[metaAggregate]]) BEFORE the relation expands — top-down, so the
+    * Aggregate still sees the table handle under it.
     */
-  private[sql] def expand(session: SparkSession, plan: LogicalPlan): LogicalPlan =
-    plan.transformUpWithSubqueries {
+  private[sql] def expand(session: SparkSession, plan: LogicalPlan): LogicalPlan = {
+    val pre = plan.transformDownWithSubqueries {
+      case agg: Aggregate if agg.resolved =>
+        metaAggregate(session, agg).getOrElse(agg)
+    }
+    pre.transformUpWithSubqueries {
       case r: DataSourceV2Relation if isGraft(r) => expandRelation(session, r)
     }
+  }
+
+  /** METADATA-ONLY AGGREGATES (round 12 — the Iceberg/Delta
+    * answer-from-manifest move): a groupless `SELECT count(*) /
+    * count(col) / min(col) / max(col) FROM graft_table` (no WHERE, no
+    * DISTINCT, no FILTER clause) is answered from the stats sidecar in
+    * O(manifest) — zero data IO, the difference between one sidecar
+    * read and a full scan on a 100 TB table. Exactness is delegated to
+    * [[SnapshotLog.metaRowCount]]/[[SnapshotLog.metaNonNullCount]]/
+    * [[SnapshotLog.metaMinMax]], which return None (→ normal scan plan)
+    * whenever the sidecar cannot answer exactly: deletion vectors,
+    * merge-on-read shadowing, incomplete file coverage, non-numeric
+    * min/max (string footer bounds may be truncated), NaN-suppressed
+    * stats. Time travel rides free: the relation's pinned
+    * snapshotVersion is the version asked. Escape hatch:
+    * `SET graft.metaAggregates.enabled=false`.
+    */
+  private def metaAggregate(session: SparkSession,
+                            agg: Aggregate): Option[LogicalPlan] = {
+    if (agg.groupingExpressions.nonEmpty) return None
+    if (session.conf.get("graft.metaAggregates.enabled", "true") != "true")
+      return None
+    // the child must be the BARE table (alias layers only): any Filter/
+    // Project/Join in between changes the rows the aggregate sees
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case s: SubqueryAlias => strip(s.child)
+      case other            => other
+    }
+    val g = strip(agg.child) match {
+      case r: DataSourceV2Relation if isGraft(r) => graftOf(r)
+      case _                                     => return None
+    }
+    val v = Some(g.snapshotVersion)
+    // per-column memo: min and max of one column cost ONE sidecar fold
+    val minMax = scala.collection.mutable.HashMap
+      .empty[String, Option[(Any, Any)]]
+    def mm(c: String): Option[(Any, Any)] =
+      minMax.getOrElseUpdate(c,
+        graft.sources.SnapshotLog.metaMinMax(session, g.root, c, v))
+    def answer(e: Expression): Option[Any] = e match {
+      case Alias(child, _) => answer(child)
+      case ae: AggregateExpression
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Count(children)
+              if children.forall(c => c.foldable && c.eval(null) != null) =>
+            graft.sources.SnapshotLog.metaRowCount(session, g.root, v)
+          case Count(Seq(a: AttributeReference)) =>
+            graft.sources.SnapshotLog
+              .metaNonNullCount(session, g.root, a.name, v)
+          case Min(a: AttributeReference) => mm(a.name).map(_._1)
+          case Max(a: AttributeReference) => mm(a.name).map(_._2)
+          case _ => None
+        }
+      case _ => None
+    }
+    val values = agg.aggregateExpressions.map(answer)
+    if (values.exists(_.isEmpty)) return None // any miss → scan the data
+    Some(LocalRelation(agg.output,
+      Seq(org.apache.spark.sql.catalyst.InternalRow
+        .fromSeq(values.map(_.get)))))
+  }
 
   /** `SELECT * FROM table_changes('ns.t', fromV, toV, 'k1,k2')` — the
     * batch CDC surface (Delta's table_changes shape): change rows

@@ -1120,4 +1120,64 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"changesBetween across the MoR merge: $ch")
   }
 
+
+  test("CALL graft.system.convert_parquet adopts a raw parquet dir in place (round 12)") {
+    // a raw parquet dump landed directly in the warehouse layout
+    val r = root("rawdump")
+    spark.range(0, 100).selectExpr("id AS k", "concat('w', id) AS v")
+      .coalesce(2).write.parquet(r)
+    val out = sql("CALL graft.system.convert_parquet('ns.rawdump', 'k')").head()
+    assert(out.getString(0) == r && out.getLong(1) == 1L)
+    // the converted table is immediately a first-class catalog table
+    assert(sql("SELECT count(*) FROM graft.ns.rawdump").head().getLong(0) == 100L)
+    sql("INSERT INTO graft.ns.rawdump VALUES (100, 'w100')")
+    assert(sql("SELECT count(*) FROM graft.ns.rawdump").head().getLong(0) == 101L)
+    assert(rowsOf("SELECT v FROM graft.ns.rawdump WHERE k = 100") == Set(Seq("w100")))
+    // time travel back to the adopted snapshot
+    assert(sql("SELECT count(*) FROM graft.ns.rawdump VERSION AS OF 1")
+      .head().getLong(0) == 100L)
+    // maintenance surface applies (both commits in history)
+    assert(sql("CALL graft.system.history('ns.rawdump')")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  test("metadata-only aggregates: count/min/max answer from the sidecar, bail when inexact (round 12)") {
+    sql("""CREATE TABLE graft.ns.meta (k INT, v STRING)
+           TBLPROPERTIES ('graft.statsCols'='k')""")
+    sql("INSERT INTO graft.ns.meta VALUES (1, 'a'), (2, 'b')")
+    sql("INSERT INTO graft.ns.meta VALUES (3, NULL)")
+
+    def isMetaOnly(q: String): Boolean = {
+      val plan = sql(q).queryExecution.executedPlan
+      plan.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec])
+    }
+    // answered from the manifest: the WHOLE plan is a local scan
+    assert(isMetaOnly("SELECT count(*) FROM graft.ns.meta"))
+    assert(sql("SELECT count(*) FROM graft.ns.meta").head().getLong(0) == 3L)
+    assert(sql("SELECT count(*) AS c, count(k) AS ck, min(k) AS lo, max(k) AS hi FROM graft.ns.meta")
+      .head().toSeq == Seq(3L, 3L, 1, 3))
+    assert(isMetaOnly("SELECT min(k), max(k) FROM graft.ns.meta"))
+    // time travel answers the asked version (v1 = the empty CREATE
+    // commit — answered 0 from metadata; v2 = the first INSERT)
+    assert(isMetaOnly("SELECT count(*) FROM graft.ns.meta VERSION AS OF 1"))
+    assert(sql("SELECT count(*) FROM graft.ns.meta VERSION AS OF 1")
+      .head().getLong(0) == 0L)
+    assert(sql("SELECT count(*) FROM graft.ns.meta VERSION AS OF 2")
+      .head().getLong(0) == 2L)
+    // a WHERE clause scans (and is right)
+    assert(!isMetaOnly("SELECT count(*) FROM graft.ns.meta WHERE k > 1"))
+    assert(sql("SELECT count(*) FROM graft.ns.meta WHERE k > 1").head().getLong(0) == 2L)
+    // count(v): v has no stats coverage → scan, right answer (one NULL)
+    assert(!isMetaOnly("SELECT count(v) FROM graft.ns.meta"))
+    assert(sql("SELECT count(v) FROM graft.ns.meta").head().getLong(0) == 2L)
+    // a DV delete makes file rows ≠ visible rows → scan, right answer
+    sql("DELETE FROM graft.ns.meta WHERE k = 2")
+    assert(!isMetaOnly("SELECT count(*) FROM graft.ns.meta"))
+    assert(sql("SELECT count(*) FROM graft.ns.meta").head().getLong(0) == 2L)
+    // escape hatch
+    sql("SET graft.metaAggregates.enabled=false")
+    try assert(!isMetaOnly("SELECT count(*) FROM graft.ns.meta VERSION AS OF 2"))
+    finally sql("SET graft.metaAggregates.enabled=true")
+  }
 }

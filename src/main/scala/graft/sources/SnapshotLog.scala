@@ -102,13 +102,27 @@ object SnapshotLog {
   def currentVersion(spark: SparkSession, root: String): Option[Long] = {
     val latest = new Path(logDir(root), Latest)
     val f = fs(spark, latest)
-    if (!f.exists(latest)) None
-    else {
-      val in = f.open(latest)
-      try Some(new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
-      finally in.close()
+    var attempt = 0
+    while (true) {
+      if (!f.exists(latest)) return None
+      try {
+        val in = f.open(latest)
+        try return Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+        finally in.close()
+      } catch {
+        // local-FS pointer-swap window: rename(OVERWRITE) moves LATEST
+        // and its .crc checksum sidecar in two non-atomic steps, so a
+        // concurrent read can pair new bytes with the old crc. The
+        // pointer content itself is never torn (one rename); retrying
+        // reads the settled pair. Object stores have no crc sidecar —
+        // this branch is local/HDFS-FS-only by construction.
+        case _: org.apache.hadoop.fs.ChecksumException if attempt < 50 =>
+          attempt += 1
+          Thread.sleep(10L)
+      }
     }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Read the current committed snapshot. The returned frame is bound to
@@ -2006,8 +2020,13 @@ object SnapshotLog {
           val key = StatsEval.unesc(line.split("\t", -1)(0))
           untouchedBase.contains(key.substring(0, math.max(key.indexOf('/'), 0)))
         }).getOrElse(EagerCarry(Nil))
+      // stats INHERIT when the caller passes none (round 12, the same
+      // rule the flat upsert and appends follow): a scoped merge must
+      // not strip the lineage's skipping power from its rewritten leafs
+      val sc = if (statsCols.nonEmpty) statsCols
+               else cur.map(_ => inheritedStatsCols(spark, root)).getOrElse(Nil)
       writeStats(spark, root, next,
-        statsCols.map(c => physMap.getOrElse(c, c)), carry)
+        sc.map(c => physMap.getOrElse(c, c)), carry)
       // CHANGE DATA FEED (round 9, opt-in): the touched slice was read
       // for the merge anyway — one extra keyed join classifies the batch
       // into insert / update pre+post rows, written as this commit's
@@ -4333,8 +4352,20 @@ object SnapshotLog {
         Layout.zArrange(cur, zorderBy, nFiles)
       }
       else if (nFiles > 0) cur.repartition(nFiles) else cur
+    // stats INHERIT on maintenance (round 12): a compaction must not
+    // strip the lineage's skipping sidecar. Inherited keys are PHYSICAL
+    // names; the rewrite's new files carry LOGICAL names (a full
+    // materialization drops the mapping pin), so translate back through
+    // the pin and shed keys of dropped columns
+    val sc = if (statsCols.nonEmpty) statsCols else {
+      val inv = currentVersion(spark, root)
+        .flatMap(v => schemaOf(spark, root, v)).map(renameMap)
+        .map(_.map(_.swap)).getOrElse(Map.empty[String, String])
+      inheritedStatsCols(spark, root).map(p => inv.getOrElse(p, p))
+        .filter(cur.columns.contains)
+    }
     // maintenance: the head's streaming stamp carries (replay gate intact)
-    val v = commitStamped(spark, root, arranged, statsCols, bloomCols,
+    val v = commitStamped(spark, root, arranged, sc, bloomCols,
       carryBatchId = true)
     // a shallow clone that just materialized under its own root no
     // longer needs its source pinned (round 11) — release it; pre-

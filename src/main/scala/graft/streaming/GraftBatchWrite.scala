@@ -113,6 +113,11 @@ private[streaming] trait GraftBatchWriteProvider
     // time (upsertMor); composes with mode=append + keys (and the
     // create modes); scoped lineages never carry morKeys
     val mor = params.get("mor").exists(_.trim.toBoolean)
+    val mergeSchema = params.get("mergeSchema").exists(_.trim.toBoolean)
+    require(!mergeSchema || (keys.isEmpty && partCol.isEmpty && !mor),
+      "mergeSchema applies to flat appends only — keyed, scoped and " +
+      "merge-on-read writes keep their declared schema (evolve with " +
+      "ALTER TABLE / appendEvolved first)")
     require(!mor || keys.nonEmpty,
       "option mor=true is the merge-on-read KEYED write — add " +
       "option(\"keys\", \"k1,k2\")")
@@ -199,6 +204,32 @@ private[streaming] trait GraftBatchWriteProvider
         }
 
       case SaveMode.Append => (keys, partCol) match {
+        case (Nil, None) if mergeSchema =>
+          // SCHEMA-EVOLVING append (Delta's option("mergeSchema","true")):
+          // align the batch to table-columns-first (missing table columns
+          // null-fill at their declared types, genuinely new columns
+          // append) and ride appendEvolved's additive schema pin — a
+          // widened TYPE still refuses there (that is widenColumnType's
+          // verb, not a write option's side effect)
+          require(txn.isEmpty,
+            "mergeSchema has no stamped variant — evolve the schema once " +
+            "with a plain append, then resume txnVersion-stamped writes")
+          val aligned = SnapshotLog.currentVersion(spark, root) match {
+            case None => data
+            case Some(_) =>
+              import org.apache.spark.sql.functions.{col, lit}
+              val have = SnapshotLog.read(spark, root).schema
+              val got = data.schema
+              val tableCols = have.fields.map { f =>
+                if (got.fieldNames.contains(f.name)) col(f.name)
+                else lit(null).cast(f.dataType).as(f.name)
+              }
+              val newCols = got.fields
+                .filterNot(f => have.fieldNames.contains(f.name))
+                .map(f => col(f.name))
+              data.select((tableCols ++ newCols).toSeq: _*)
+          }
+          SnapshotLog.appendEvolved(spark, root, aligned, statsCols, bloomCols)
         case (Nil, None) => txn match {
           case Some(b) =>
             SnapshotLog.appendBatch(spark, root, data, b, statsCols,
@@ -236,9 +267,8 @@ private[streaming] trait GraftBatchWriteProvider
     }
 
     // the returned relation is the v1 contract's acknowledgment, not a
-    // read path — batch READS stay on SnapshotLog.read / the graft SQL
-    // catalog, whose HadoopFsRelation + skipping index + DV anti-join +
-    // column-mapping plan a Row-bridging v1 relation could not carry
+    // read path — batch READS go through GraftBatchReadProvider (round
+    // 12), whose relation wraps the full readVersion plan
     new BaseRelation {
       override def sqlContext: SQLContext = spark.sqlContext
       override def schema: StructType = data.schema

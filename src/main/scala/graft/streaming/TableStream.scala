@@ -143,6 +143,29 @@ private[streaming] class GraftTailTable(root: String, schema: StructType)
       GraftTailTable.ignoreDeletesOf(options))
 }
 
+/** Manifest dir-entry resolution shared by the tail and CDC planners:
+  * entries are whole DIRS ("data_vNNN", absolute clone dirs) or FILE
+  * entries ("…/file.parquet" — the pruned upsert's partial carries and
+  * a converted table's adopted files). Dir entries match a status by
+  * parent dir name; file entries by the (dir, name) pair — the same
+  * keying every sidecar mechanism uses.
+  */
+private[streaming] object EntryPaths {
+  def isFileEntry(d: String): Boolean =
+    d.contains('/') && d.endsWith(".parquet")
+  def relKey(p: Path): String = p.getParent.getName + "/" + p.getName
+  def filterStatuses(entries: Seq[String],
+                     sts: Seq[org.apache.hadoop.fs.FileStatus]): Seq[String] = {
+    val (fileEnts, dirEnts) = entries.partition(isFileEntry)
+    val dirSet = dirEnts.map(d => d.substring(d.lastIndexOf('/') + 1)).toSet
+    val fileSet = fileEnts.map(d => relKey(new Path(d))).toSet
+    sts.filter { st =>
+      dirSet.contains(st.getPath.getParent.getName) ||
+      fileSet.contains(relKey(st.getPath))
+    }.map(_.getPath.toString)
+  }
+}
+
 private[graft] object GraftTailTable {
   /** The version-offset tail scan — shared by `format("graft")` and the
     * catalog's `readStream.table(...)` path (GraftTable declares
@@ -439,11 +462,11 @@ private[streaming] class GraftTailStream(root: String, schema: StructType,
     val conf = spark.sessionState.newHadoopConf()
     // per-poll planning from the END version's file manifest when the
     // sidecar lists every new dir — zero filesystem listing on the hot
-    // micro-batch path; walk only for pre-listing lineages
-    val newSet = newDirs.map(d => d.substring(d.lastIndexOf('/') + 1)).toSet
+    // micro-batch path; walk only for pre-listing lineages. FILE
+    // entries (a converted table's adopted files — round 12) match by
+    // their (dir, name) pair, whole-dir entries by parent dir name.
     val fromSidecar = SnapshotLog.filesFromSidecar(spark, root, e)
-      .map(_.filter(st => newSet.contains(st.getPath.getParent.getName))
-            .map(_.getPath.toString))
+      .map(EntryPaths.filterStatuses(newDirs.toSeq, _))
     val files = fromSidecar.getOrElse(newDirs.toSeq.flatMap { d =>
       val dir = new Path(rootPath, d)
       val fs = dir.getFileSystem(conf)
@@ -838,11 +861,10 @@ private[streaming] class GraftChangesStream(root: String, dataSchema: StructType
     val conf = spark.sessionState.newHadoopConf()
     def filesOf(dirs: Seq[String], v: Long): Seq[String] = {
       // CDC planning from the version's file manifest when complete —
-      // the change range's dirs are all in that version's sidecar
-      val want = dirs.map(d => d.substring(d.lastIndexOf('/') + 1)).toSet
+      // the change range's dirs are all in that version's sidecar;
+      // FILE entries (adopted/converted files) match by (dir, name)
       SnapshotLog.filesFromSidecar(spark, root, v)
-        .map(_.filter(st => want.contains(st.getPath.getParent.getName))
-              .map(_.getPath.toString))
+        .map(EntryPaths.filterStatuses(dirs, _))
         .getOrElse(dirs.flatMap { d =>
           val dir = new Path(rootPath, d)
           val fs = dir.getFileSystem(conf)

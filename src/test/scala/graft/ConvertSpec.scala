@@ -157,4 +157,21 @@ class ConvertSpec extends SparkSpecBase {
     assert(rows(spark.read.format("graft").load(dir)) ==
       Set(Seq(1, "a"), Seq(2, "b")))
   }
+
+  test("small-file compaction and zorder maintenance work on adopted lineages") {
+    val dir = freshDir()
+    (0 until 4).foreach { i =>
+      Seq((i, i * 10L)).toDF("k", "n").coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    SnapshotLog.convertParquet(spark, dir, statsCols = Seq("k"))
+    val before = rows(SnapshotLog.read(spark, dir))
+    SnapshotLog.compactSmallFiles(spark, dir, targetBytes = 128L * 1024 * 1024)
+    assert(rows(SnapshotLog.read(spark, dir)) == before,
+      "compaction changed the rows of an adopted lineage")
+    // the compacted head no longer references the adopted files, but
+    // they remain on disk (vacuum never reclaims foreign bytes)
+    SnapshotLog.compactChain(spark, dir, nFiles = 2, zorderBy = Seq("k", "n"))
+    assert(rows(SnapshotLog.read(spark, dir)) == before)
+  }
 }

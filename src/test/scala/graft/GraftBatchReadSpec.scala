@@ -168,4 +168,34 @@ class GraftBatchReadSpec extends SparkSpecBase {
     assert(df.columns.toSeq == Seq("k", "val"))
     assert(rows(df.filter(col("val") === "a")) == Set(Seq(1, "a")))
   }
+
+  test("scoped (partitioned) and upserted lineages read through the format") {
+    val root = freshRoot()
+    Seq((1, "a", "x"), (2, "a", "y"), (3, "b", "z")).toDF("k", "p", "v")
+      .write.format("graft").option("keys", "k").partitionBy("p").save(root)
+    assert(rows(spark.read.format("graft").load(root)) ==
+      Set(Seq(1, "a", "x"), Seq(2, "a", "y"), Seq(3, "b", "z")))
+    // a scoped upsert touches one leaf; the format read sees the merge
+    Seq((2, "a", "y2")).toDF("k", "p", "v").write.format("graft")
+      .mode("append").option("keys", "k").option("partitionBy", "p").save(root)
+    assert(rows(spark.read.format("graft").load(root)) ==
+      Set(Seq(1, "a", "x"), Seq(2, "a", "y2"), Seq(3, "b", "z")))
+    // time travel across the scoped merge
+    assert(rows(spark.read.format("graft").option("versionAsOf", 1).load(root))
+      .contains(Seq(2, "a", "y")))
+  }
+
+  test("a converted table tails through readStream (adopted files ship as the initial load)") {
+    val dir = Files.createTempDirectory("graft_br_conv").toString + "/raw"
+    Seq((1, "a"), (2, "b")).toDF("k", "v").write.parquet(dir)
+    SnapshotLog.convertParquet(spark, dir)
+    SnapshotLog.appendCommit(spark, dir, Seq((3, "c")).toDF("k", "v"))
+    val q = spark.readStream.format("graft").load(dir)
+      .writeStream.format("memory").queryName("conv_tail_sink").start()
+    try {
+      q.processAllAvailable()
+      assert(rows(spark.table("conv_tail_sink")) ==
+        Set(Seq(1, "a"), Seq(2, "b"), Seq(3, "c")))
+    } finally q.stop()
+  }
 }

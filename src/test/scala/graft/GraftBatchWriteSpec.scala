@@ -211,4 +211,40 @@ class GraftBatchWriteSpec extends SparkSpecBase {
     }
     assert(e2.getMessage.contains("no keys"))
   }
+
+  test("mergeSchema appends evolve additively; refusals guard the rest (round 12)") {
+    val root = freshRoot()
+    Seq((1, "a")).toDF("k", "v").write.format("graft").save(root)
+    // new column appends; pre-evolution rows null-fill
+    Seq((2, "b", 9L)).toDF("k", "v", "n").write.format("graft")
+      .mode("append").option("mergeSchema", "true").save(root)
+    val after = SnapshotLog.read(spark, root)
+    assert(after.columns.toSeq == Seq("k", "v", "n"))
+    assert(after.collect().map(_.toSeq).toSet ==
+      Set(Seq(1, "a", null), Seq(2, "b", 9L)))
+    // a batch MISSING a table column null-fills it at the declared type
+    Seq((3, 7L)).toDF("k", "n").write.format("graft")
+      .mode("append").option("mergeSchema", "true").save(root)
+    assert(SnapshotLog.read(spark, root).collect().map(_.toSeq).toSet ==
+      Set(Seq(1, "a", null), Seq(2, "b", 9L), Seq(3, null, 7L)))
+    // without mergeSchema the drifted batch still refuses loudly
+    val e1 = intercept[IllegalArgumentException] {
+      Seq((4, "d", 1L, true)).toDF("k", "v", "n", "b").write.format("graft")
+        .mode("append").save(root)
+    }
+    assert(e1.getMessage.contains("schema"))
+    // mergeSchema never widens TYPES (that is widenColumnType's verb)
+    val e2 = intercept[IllegalArgumentException] {
+      Seq((5L, "e", 1L)).toDF("k", "v", "n").write.format("graft")
+        .mode("append").option("mergeSchema", "true").save(root)
+    }
+    assert(e2.getMessage.toLowerCase.contains("additively"))
+    // and refuses on keyed/scoped/mor shapes
+    val e3 = intercept[IllegalArgumentException] {
+      Seq((6, "f", 1L)).toDF("k", "v", "n").write.format("graft")
+        .mode("append").option("keys", "k")
+        .option("mergeSchema", "true").save(root)
+    }
+    assert(e3.getMessage.contains("flat appends only"))
+  }
 }

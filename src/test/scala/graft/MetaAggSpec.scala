@@ -103,4 +103,34 @@ class MetaAggSpec extends SparkSpecBase {
     assert(SnapshotLog.metaMinMax(spark, root, "key") == Some((1, 2)))
     assert(SnapshotLog.metaNonNullCount(spark, root, "key") == Some(2L))
   }
+
+  test("scoped lineages, rewrites and compaction keep (or correctly lose) coverage") {
+    val root = freshRoot()
+    SnapshotLog.upsertScoped(spark, root,
+      Seq((1, "a", 10), (2, "b", 20)).toDF("k", "p", "n"),
+      Seq("k"), "p", statsCols = Seq("n"))
+    assert(SnapshotLog.metaRowCount(spark, root) == Some(2L))
+    assert(SnapshotLog.metaMinMax(spark, root, "n") == Some((10, 20)))
+    // a scoped upsert rewrites one leaf; coverage carries
+    SnapshotLog.upsertScoped(spark, root,
+      Seq((1, "a", 15), (3, "b", 30)).toDF("k", "p", "n"), Seq("k"), "p")
+    assert(SnapshotLog.metaRowCount(spark, root) == Some(3L))
+    assert(SnapshotLog.metaMinMax(spark, root, "n") == Some((15, 30)))
+    // the keyed flat upsert (file rewrite) keeps coverage too
+    val flat = freshRoot()
+    SnapshotLog.commit(spark, flat,
+      Seq((1, 5L), (2, 6L)).toDF("k", "n"), statsCols = Seq("k", "n"))
+    SnapshotLog.upsert(spark, flat, Seq((2, 60L), (3, 70L)).toDF("k", "n"), Seq("k"))
+    assert(SnapshotLog.metaRowCount(spark, flat) == Some(3L))
+    assert(SnapshotLog.metaMinMax(spark, flat, "n") == Some((5L, 70L)))
+    // compactChain rewrites everything; coverage carries through it
+    SnapshotLog.compactChain(spark, flat)
+    assert(SnapshotLog.metaRowCount(spark, flat) == Some(3L))
+    // a converted table answers from its footer-derived sidecar
+    val conv = Files.createTempDirectory("graft_meta_conv").toString + "/raw"
+    spark.range(0, 50).selectExpr("id AS k").coalesce(2).write.parquet(conv)
+    SnapshotLog.convertParquet(spark, conv, statsCols = Seq("k"))
+    assert(SnapshotLog.metaRowCount(spark, conv) == Some(50L))
+    assert(SnapshotLog.metaMinMax(spark, conv, "k") == Some((0L, 49L)))
+  }
 }

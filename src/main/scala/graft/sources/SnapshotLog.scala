@@ -6531,9 +6531,139 @@ object SnapshotLog {
   private def metaExact(spark: SparkSession, root: String, v: Long): Boolean =
     tombDirsOf(spark, root, v).isEmpty && morKeysOf(spark, root, v).isEmpty
 
+  /** The SINGLE-IDENTITY partition column of a scoped version — the
+    * only spec shape whose leaf dir values ARE column values, which is
+    * what per-partition metadata grouping needs. None for flat
+    * lineages, composite specs and transforms (a `days(ts)` dir value
+    * is a period, not a ts value).
+    */
+  private[graft] def identityPartCol(spark: SparkSession, root: String,
+                                     v: Long): Option[String] =
+    partColOf(spark, root, v).map(parseGpSpec).collect {
+      case GpSpec(Seq(GpComp("id", c, _, _))) => c
+    }
+
+  /** Decoded partition value of a leaf base name; None for non-leaf
+    * keys and for the null-partition marker (a metadata answer cannot
+    * type "null-or-empty" — callers bail to the scan).
+    */
+  private[graft] def leafValue(leafBase: String): Option[String] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    if (!leafBase.startsWith(GpPrefix)) None
+    else {
+      val raw = ExternalCatalogUtils.unescapePathName(
+        leafBase.stripPrefix(GpPrefix))
+      if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) None else Some(raw)
+    }
+  }
+
+  /** Per-LEAF (rows, nulls) sums of a scoped version's `z` lines —
+    * leafBase → (total rows, null count) for `colName` (None = row
+    * counts via any covered column). The grouped twin of [[metaZ]]:
+    * None unless exact (no DV/MoR), every listed file is covered, and
+    * every file key is leaf-prefixed.
+    */
+  private[graft] def metaZPerLeaf(spark: SparkSession, root: String, v: Long,
+                                  colName: Option[String])
+      : Option[Map[String, (Long, Long)]] = {
+    if (!metaExact(spark, root, v)) return None
+    val leafMap: Option[Map[String, (Long, Long)]] =
+      if (hasPqSidecar(spark, root, v)) {
+        import org.apache.spark.sql.functions.{col => c, max => mx, min => mn, sum, substring_index, count => cnt}
+        val df = spark.read.parquet(
+          pqStackPaths(root, v, statsStackOf(spark, root, v)): _*)
+        val fCnt = df.filter(c("t") === "f").select("k").distinct().count()
+        if (fCnt == 0L) return None
+        val z0 = df.filter(c("t") === "z")
+        val z1 = colName.fold(z0)(n => z0.filter(c("c") === esc(n)))
+        val per = z1.groupBy(c("k")).agg(
+          mx(c("b").cast("long")).as("total"),
+          mn(c("a").cast("long")).as("nulls"))
+        if (per.count() != fCnt) None
+        else Some(per.filter(c("total") > 0L) // empty files group nowhere
+          .groupBy(substring_index(c("k"), "/", 1).as("leaf"))
+          .agg(sum(c("total")).as("t"), sum(c("nulls")).as("z"))
+          .collect()
+          .map(r => StatsEval.unesc(r.getString(0)) ->
+            ((r.getLong(1), r.getLong(2)))).toMap)
+      } else {
+        val lines = sidecarLines(spark, root, v)
+        val fKeys = lines.flatMap(StatsEval.parseListing(_)).collect {
+          case (k, "f", _, _) => k
+        }.toSet
+        if (fKeys.isEmpty) return None
+        val zs = lines.flatMap(StatsEval.parseNulls(_))
+          .filter(t => colName.forall(_ == t._2))
+        val byFile = zs.groupBy(_._1)
+        if (byFile.keySet != fKeys) None
+        else Some(byFile.toSeq
+          .map { case (f, ls) =>
+            (f.substring(0, math.max(f.indexOf('/'), 0)),
+             (ls.map(_._4).max, ls.map(_._3).min))
+          }
+          .filter(_._2._1 > 0L) // empty files (e.g. the CREATE commit's)
+          .groupBy(_._1)
+          .map { case (leaf, ts) =>
+            leaf -> ((ts.map(_._2._1).sum, ts.map(_._2._2).sum))
+          })
+      }
+    // every row-bearing file must live under a partition leaf (a mixed
+    // lineage has rows this grouping cannot attribute)
+    leafMap.filter(_.keysIterator.forall(_.startsWith(GpPrefix)))
+  }
+
+  /** Per-LEAF numeric span fold — leafBase → (min, max) strings for a
+    * PHYSICAL column; leaves whose files are all empty/all-null are
+    * ABSENT from the map (their group value is NULL). None unless every
+    * listed file is covered by a span line or provably empty.
+    */
+  private[graft] def metaSpanPerLeaf(spark: SparkSession, root: String,
+                                     v: Long, phys: String, castTo: String)
+      : Option[Map[String, (String, String)]] = {
+    if (!metaExact(spark, root, v)) return None
+    if (hasPqSidecar(spark, root, v)) {
+      import org.apache.spark.sql.functions.{col => c, max => mx, min => mn, substring_index}
+      val df = spark.read.parquet(
+        pqStackPaths(root, v, statsStackOf(spark, root, v)): _*)
+      val fK = df.filter(c("t") === "f").select("k").distinct()
+      val fCnt = fK.count()
+      if (fCnt == 0L) return None
+      val sp = df.filter(c("t") === "n" && c("c") === esc(phys))
+      val zEmpty = df.filter(c("t") === "z").groupBy(c("k"))
+        .agg(mx(c("b").cast("long")).as("total"))
+        .filter(c("total") === 0L).select("k")
+      val covered = fK.join(
+        sp.select("k").union(zEmpty).distinct(), Seq("k"), "left_semi").count()
+      if (covered != fCnt) return None
+      Some(sp.filter(c("a") =!= NullMark)
+        .groupBy(substring_index(c("k"), "/", 1).as("leaf"))
+        .agg(mn(c("a").cast(castTo)).as("lo"), mx(c("b").cast(castTo)).as("hi"))
+        .collect()
+        .map(r => StatsEval.unesc(r.getString(0)) ->
+          ((r.get(1).toString, r.get(2).toString))).toMap)
+    } else {
+      val lines = sidecarLines(spark, root, v)
+      val fKeys = lines.flatMap(StatsEval.parseListing(_)).collect {
+        case (k, "f", _, _) => k
+      }.toSet
+      if (fKeys.isEmpty) return None
+      val sp = lines.flatMap(StatsEval.parseSpan(_))
+        .filter(t => t._3 == "n" && t._2 == phys)
+      val zeroFiles = lines.flatMap(StatsEval.parseNulls(_))
+        .filter(_._4 == 0L).map(_._1).toSet
+      if (!fKeys.subsetOf(sp.map(_._1).toSet ++ zeroFiles)) return None
+      Some(sp.filter(_._4 != NullMark)
+        .groupBy(t => t._1.substring(0, math.max(t._1.indexOf('/'), 0)))
+        .map { case (leaf, ls) =>
+          leaf -> ((ls.map(t => BigDecimal(t._4)).min.toString,
+                    ls.map(t => BigDecimal(t._5)).max.toString))
+        })
+    }
+  }
+
   /** Sidecar keys spell PHYSICAL names on mapped lineages. */
-  private def metaPhysName(spark: SparkSession, root: String, v: Long,
-                           logical: String): String =
+  private[graft] def metaPhysName(spark: SparkSession, root: String, v: Long,
+                                  logical: String): String =
     schemaOf(spark, root, v)
       .flatMap(st => renameMap(st).get(logical)).getOrElse(logical)
 

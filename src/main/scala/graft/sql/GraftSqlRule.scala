@@ -240,7 +240,6 @@ object GraftSqlRule {
     */
   private def metaAggregate(session: SparkSession,
                             agg: Aggregate): Option[LogicalPlan] = {
-    if (agg.groupingExpressions.nonEmpty) return None
     if (session.conf.get("graft.metaAggregates.enabled", "true") != "true")
       return None
     // the child must be the BARE table (alias layers only): any Filter/
@@ -253,6 +252,16 @@ object GraftSqlRule {
       case r: DataSourceV2Relation if isGraft(r) => graftOf(r)
       case _                                     => return None
     }
+    agg.groupingExpressions match {
+      case Nil                          => metaGlobalAgg(session, g, agg)
+      case Seq(a: AttributeReference)   => metaGroupedAgg(session, g, agg, a)
+      case _                            => None
+    }
+  }
+
+  /** Groupless count/min/max over the whole snapshot. */
+  private def metaGlobalAgg(session: SparkSession, g: GraftTable,
+                            agg: Aggregate): Option[LogicalPlan] = {
     val v = Some(g.snapshotVersion)
     // per-column memo: min and max of one column cost ONE sidecar fold
     val minMax = scala.collection.mutable.HashMap
@@ -282,6 +291,103 @@ object GraftSqlRule {
     Some(LocalRelation(agg.output,
       Seq(org.apache.spark.sql.catalyst.InternalRow
         .fromSeq(values.map(_.get)))))
+  }
+
+  /** GROUP BY <identity partition column>: one output row per leaf,
+    * every aggregate answered from the per-leaf sidecar sums — the
+    * per-partition profile of a 100 TB scoped table at O(manifest)
+    * cost. Bails (scan answers) unless the grouping column IS the
+    * single-identity partition column, the lineage is exact, every
+    * file is covered, and no leaf is the null-partition marker.
+    */
+  private def metaGroupedAgg(session: SparkSession, g: GraftTable,
+                             agg: Aggregate,
+                             groupAttr: AttributeReference): Option[LogicalPlan] = {
+    import graft.sources.SnapshotLog
+    import org.apache.spark.sql.types._
+    val v = g.snapshotVersion
+    val partCol = SnapshotLog.identityPartCol(session, g.root, v)
+      .getOrElse(return None)
+    if (partCol != groupAttr.name) return None
+    val dt = g.tableSchema.fields.find(_.name == partCol)
+      .map(_.dataType).getOrElse(return None)
+    // leaf → rows; drop zero-row leaves (GROUP BY emits no group for
+    // them); bail outright on the null-partition marker
+    val rowsPerLeaf = SnapshotLog.metaZPerLeaf(session, g.root, v, None)
+      .getOrElse(return None).filter(_._2._1 > 0L)
+    val leafVals: Map[String, String] = rowsPerLeaf.keys.map { l =>
+      l -> SnapshotLog.leafValue(l).getOrElse(return None)
+    }.toMap
+    // lazy per-column folds, shared across aggregate expressions
+    val zMemo = scala.collection.mutable.HashMap
+      .empty[String, Option[Map[String, (Long, Long)]]]
+    def zFor(c: String): Option[Map[String, (Long, Long)]] =
+      zMemo.getOrElseUpdate(c, SnapshotLog.metaZPerLeaf(session, g.root, v,
+        Some(SnapshotLog.metaPhysName(session, g.root, v, c))))
+    val spanMemo = scala.collection.mutable.HashMap
+      .empty[String, Option[Map[String, (String, String)]]]
+    def spanFor(c: String): Option[Map[String, (String, String)]] =
+      spanMemo.getOrElseUpdate(c, {
+        val cdt = g.tableSchema.fields.find(_.name == c).map(_.dataType)
+        cdt match {
+          case Some(d: NumericType) =>
+            val castTo = d match {
+              case dec: DecimalType       => dec.simpleString
+              case DoubleType | FloatType => "double"
+              case _                      => "decimal(38,0)"
+            }
+            SnapshotLog.metaSpanPerLeaf(session, g.root, v,
+              SnapshotLog.metaPhysName(session, g.root, v, c), castTo)
+          case _ => None
+        }
+      })
+    def castStr(s: String, d: DataType): Any =
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        Literal.create(s, StringType), d).eval(null)
+    val leaves = rowsPerLeaf.keys.toSeq.sorted
+    def answerFor(leaf: String)(e: Expression): Option[Any] = e match {
+      case Alias(child, _) => answerFor(leaf)(child)
+      case a: AttributeReference if a.name == partCol =>
+        Some(castStr(leafVals(leaf), dt))
+      case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Count(children)
+              if children.forall(c => c.foldable && c.eval(null) != null) =>
+            Some(rowsPerLeaf(leaf)._1)
+          // every row of a leaf carries its (non-null) partition value
+          case Count(Seq(a: AttributeReference)) if a.name == partCol =>
+            Some(rowsPerLeaf(leaf)._1)
+          case Count(Seq(a: AttributeReference)) =>
+            zFor(a.name).map { m =>
+              val (t, z) = m.getOrElse(leaf, (0L, 0L)); t - z
+            }
+          // the partition value is constant within its group
+          case Min(a: AttributeReference) if a.name == partCol =>
+            Some(castStr(leafVals(leaf), dt))
+          case Max(a: AttributeReference) if a.name == partCol =>
+            Some(castStr(leafVals(leaf), dt))
+          case Min(a: AttributeReference) =>
+            spanFor(a.name).map(_.get(leaf) match {
+              case Some((lo, _)) => castStr(lo,
+                g.tableSchema.fields.find(_.name == a.name).get.dataType)
+              case None => null // all-NULL leaf
+            })
+          case Max(a: AttributeReference) =>
+            spanFor(a.name).map(_.get(leaf) match {
+              case Some((_, hi)) => castStr(hi,
+                g.tableSchema.fields.find(_.name == a.name).get.dataType)
+              case None => null
+            })
+          case _ => None
+        }
+      case _ => None
+    }
+    val rows = leaves.map { leaf =>
+      val vals = agg.aggregateExpressions.map(answerFor(leaf))
+      if (vals.exists(_.isEmpty)) return None
+      org.apache.spark.sql.catalyst.InternalRow.fromSeq(vals.map(_.get))
+    }
+    Some(LocalRelation(agg.output, rows))
   }
 
   /** `SELECT * FROM table_changes('ns.t', fromV, toV, 'k1,k2')` — the

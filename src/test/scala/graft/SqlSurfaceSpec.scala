@@ -1180,4 +1180,40 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     try assert(!isMetaOnly("SELECT count(*) FROM graft.ns.meta VERSION AS OF 2"))
     finally sql("SET graft.metaAggregates.enabled=true")
   }
+
+  test("GROUP BY partition column answers from per-leaf metadata (round 12)") {
+    sql("""CREATE TABLE graft.ns.gmeta (k INT, p STRING, n INT)
+           PARTITIONED BY (p) TBLPROPERTIES ('graft.statsCols'='n')""")
+    val s0 = spark; import s0.implicits._
+    Seq((1, "a", 10), (2, "a", 20), (3, "b", 30))
+      .toDF("k", "p", "n").createOrReplaceTempView("gm_src")
+    sql("""MERGE INTO graft.ns.gmeta t USING gm_src s ON t.k = s.k AND t.p = s.p
+           WHEN MATCHED THEN UPDATE SET k = s.k, p = s.p, n = s.n
+           WHEN NOT MATCHED THEN INSERT (k, p, n) VALUES (s.k, s.p, s.n)""")
+    def isMetaOnly(q: String): Boolean =
+      sql(q).queryExecution.executedPlan.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec])
+    val q = """SELECT p, count(*) AS c, count(n) AS cn, min(n) AS lo,
+               max(n) AS hi, max(p) AS mp FROM graft.ns.gmeta GROUP BY p"""
+    assert(isMetaOnly(q), "per-leaf metadata grouping did not engage")
+    assert(rowsOf(q) == Set(Seq("a", 2L, 2L, 10, 20, "a"),
+                            Seq("b", 1L, 1L, 30, 30, "b")))
+    // scoped upsert touching one leaf keeps per-leaf answers exact
+    Seq((2, "a", 25), (4, "c", 40)).toDF("k", "p", "n")
+      .createOrReplaceTempView("gm_src2")
+    sql("""MERGE INTO graft.ns.gmeta t USING gm_src2 s ON t.k = s.k AND t.p = s.p
+           WHEN MATCHED THEN UPDATE SET k = s.k, p = s.p, n = s.n
+           WHEN NOT MATCHED THEN INSERT (k, p, n) VALUES (s.k, s.p, s.n)""")
+    assert(isMetaOnly(q))
+    assert(rowsOf(q) == Set(Seq("a", 2L, 2L, 10, 25, "a"),
+                            Seq("b", 1L, 1L, 30, 30, "b"),
+                            Seq("c", 1L, 1L, 40, 40, "c")))
+    // GROUP BY a non-partition column scans (and is right)
+    assert(!isMetaOnly("SELECT k, count(*) FROM graft.ns.gmeta GROUP BY k"))
+    assert(sql("SELECT k, count(*) FROM graft.ns.gmeta GROUP BY k").count() == 4)
+    // a WHERE clause scans (and is right)
+    val w = "SELECT p, count(*) FROM graft.ns.gmeta WHERE n > 20 GROUP BY p"
+    assert(!isMetaOnly(w))
+    assert(rowsOf(w) == Set(Seq("a", 1L), Seq("b", 1L), Seq("c", 1L)))
+  }
 }

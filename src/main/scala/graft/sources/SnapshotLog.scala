@@ -994,7 +994,7 @@ object SnapshotLog {
         // on the PRUNED path too (round 11; repeated pruned upserts were
         // progressively destroying skipping stats)
         val sc = if (statsCols.nonEmpty) statsCols
-                 else inheritedStatsCols(spark, root)
+                 else inheritedStatsColsLogical(spark, root)
         // FILE-GRANULAR MERGE (round 10): prune the rewrite set to the
         // files whose skipping stats admit a batch key — O(matched
         // files) instead of O(table) — and carry everything else by
@@ -1369,10 +1369,10 @@ object SnapshotLog {
       retryPruned(spark, root, cur)(h =>
         rewriteMatchedFlat(spark, root, h,
           tombstones.select(keys.map(col(_)): _*), keys,
-          inheritedStatsCols(spark, root), Nil)(
+          inheritedStatsColsLogical(spark, root), Nil)(
           visible => Upsert.deleteByKey(visible, tombstones, keys)))
     }.getOrElse {
-      val sc = inheritedStatsCols(spark, root)
+      val sc = inheritedStatsColsLogical(spark, root)
       if (changeFeedEnabled(spark) && currentVersion(spark, root).isDefined)
         keyedRewriteWithChanges(spark, root, sc) { snap =>
           val doomed = snap.join(
@@ -1398,21 +1398,103 @@ object SnapshotLog {
   private def inheritedStatsCols(spark: SparkSession,
                                  root: String): Seq[String] = {
     val cur = currentVersion(spark, root).getOrElse(return Nil)
-    val statColOf: String => Option[String] = { l =>
-      val p = l.split('\t')
-      if (p.length >= 3 && p(2) != "f" && p(2) != "d")
-        Some(StatsEval.unesc(p(1)))
-      else None
+    // FAST PATH (round 12): the STATSCOLS record [[recordStatsCols]]
+    // maintains on every sidecar write — one tiny read instead of a
+    // distributed distinct over the whole stats stack (which put an
+    // O(table-metadata) job on the O(batch) append path). The record is
+    // an upper bound under carry filtering, so names are re-checked
+    // against the CURRENT physical schema before use. Legacy tables
+    // (no record yet) pay the derivation once; their next commit
+    // writes the record.
+    val recorded = readStatsColsRecord(spark, root)
+    val raw = recorded.getOrElse {
+      val statColOf: String => Option[String] = { l =>
+        val p = l.split('\t')
+        if (p.length >= 3 && p(2) != "f" && p(2) != "d")
+          Some(StatsEval.unesc(p(1)))
+        else None
+      }
+      sidecarCarry(spark, root, cur) match {
+        case EagerCarry(ls) => ls.flatMap(statColOf(_)).distinct
+        case c: ChainCarry  =>
+          c.toDist.ds.flatMap(statColOf(_))(org.apache.spark.sql.Encoders.STRING)
+            .distinct().collect().toSeq
+        case DistCarry(ds)  =>
+          ds.flatMap(statColOf(_))(org.apache.spark.sql.Encoders.STRING)
+            .distinct().collect().toSeq
+      }
     }
-    sidecarCarry(spark, root, cur) match {
-      case EagerCarry(ls) => ls.flatMap(statColOf(_)).distinct
-      case c: ChainCarry  =>
-        c.toDist.ds.flatMap(statColOf(_))(org.apache.spark.sql.Encoders.STRING)
-          .distinct().collect().toSeq
-      case DistCarry(ds)  =>
-        ds.flatMap(statColOf(_))(org.apache.spark.sql.Encoders.STRING)
-          .distinct().collect().toSeq
+    // a dropped column's stats key must not resurface as an inherited
+    // name (the writing side would refuse it against the file schema)
+    schemaOf(spark, root, cur) match {
+      case Some(pin) =>
+        val livePhys = physicalSchema(pin).fieldNames.toSet
+        raw.filter(livePhys.contains)
+      case None => raw
     }
+  }
+
+  /** [[inheritedStatsCols]] translated back to LOGICAL names — what the
+    * stageVersion-feeding commit paths must pass (they re-derive the
+    * physical sidecar keys through the pin; the round-trip is exact:
+    * renameMap is a bijection on its non-identity domain, and an
+    * identity physical name is never simultaneously a mapped logical
+    * key). The writeStats-direct carry sites keep the raw PHYSICAL
+    * form — their validation runs against the physical file schema.
+    */
+  private def inheritedStatsColsLogical(spark: SparkSession,
+                                        root: String): Seq[String] = {
+    val phys = inheritedStatsCols(spark, root)
+    if (phys.isEmpty) return phys
+    val inv = currentVersion(spark, root)
+      .flatMap(v => schemaOf(spark, root, v)).map(renameMap)
+      .map(_.map(_.swap)).getOrElse(Map.empty[String, String])
+    phys.map(p => inv.getOrElse(p, p))
+  }
+
+  // the lineage's stat columns (PHYSICAL names), maintained by every
+  // sidecar write under the claim — the O(1) inheritance source
+  private def statsColsRecordPath(root: String): Path =
+    new Path(logDir(root), "STATSCOLS")
+
+  private[graft] def readStatsColsRecord(spark: SparkSession,
+                                         root: String): Option[Seq[String]] = {
+    val p = statsColsRecordPath(root)
+    val f = fs(spark, p)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      Some(txt.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+        .map(java.net.URLDecoder.decode(_, "UTF-8")))
+    }
+  }
+
+  /** Update the STATSCOLS record for a sidecar write: a FRESH snapshot
+    * (no carry) resets it to exactly `cols`; a carrying commit unions
+    * (carried span columns stay inheritable). Upper-bound semantics
+    * under carry filtering, made safe by the schema re-check at read.
+    * Runs under the writer claim like every sidecar write.
+    */
+  private def recordStatsCols(spark: SparkSession, root: String,
+                              cols: Seq[String], carrying: Boolean): Unit = {
+    val prev = if (carrying) readStatsColsRecord(spark, root)
+      .getOrElse(Seq.empty) else Seq.empty
+    val next = (prev ++ cols).distinct.sorted
+    if (carrying && next == prev.sorted && fs(spark,
+        statsColsRecordPath(root)).exists(statsColsRecordPath(root))) return
+    val p = statsColsRecordPath(root)
+    val f = fs(spark, p)
+    f.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent, ".tmp_statscols")
+    val out = f.create(tmp, true)
+    try out.write(next.map(java.net.URLEncoder.encode(_, "UTF-8"))
+      .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = FileContext.getFileContext(p.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, p, Options.Rename.OVERWRITE)
   }
 
   /** A keyed full-snapshot rewrite that records its change rows: `f`
@@ -2024,7 +2106,8 @@ object SnapshotLog {
       // rule the flat upsert and appends follow): a scoped merge must
       // not strip the lineage's skipping power from its rewritten leafs
       val sc = if (statsCols.nonEmpty) statsCols
-               else cur.map(_ => inheritedStatsCols(spark, root)).getOrElse(Nil)
+               else cur.map(_ => inheritedStatsColsLogical(spark, root))
+                 .getOrElse(Nil)
       writeStats(spark, root, next,
         sc.map(c => physMap.getOrElse(c, c)), carry)
       // CHANGE DATA FEED (round 9, opt-in): the touched slice was read
@@ -2959,25 +3042,29 @@ object SnapshotLog {
       "log's version-dir naming — rename the directory first")
     require(currentVersion(spark, root).isEmpty,
       s"convertParquet: $root already has a committed table")
-    val top = f.listStatus(rootPath)
-    val subDirs = top.filter(st => st.isDirectory &&
-      !st.getPath.getName.startsWith(".") &&
-      !st.getPath.getName.startsWith("_")).map(_.getPath.getName).toSeq
-    require(subDirs.isEmpty,
-      s"convertParquet: $root contains subdirectories " +
-      s"(${subDirs.take(3).mkString(", ")}…) — a partitioned/hive tree " +
-      "cannot convert in place (partition values live in dir names, not " +
-      "file bytes); read it with spark.read.parquet and write a " +
-      "partition-scoped graft table instead")
-    val files = top.filter(st => st.isFile &&
-      st.getPath.getName.endsWith(".parquet") &&
-      !st.getPath.getName.startsWith(".") &&
-      !st.getPath.getName.startsWith("_")).sortBy(_.getPath.getName).toSeq
-    require(files.nonEmpty,
-      s"convertParquet: no parquet files directly under $root")
     withClaim(spark, root) { _ =>
       require(currentVersion(spark, root).isEmpty,
         s"convertParquet: $root already has a committed table")
+      // the listing happens UNDER the claim: a writer still dropping
+      // files into the directory during the convert must either land
+      // before the listing (adopted) or observe the committed table —
+      // a pre-claim listing could silently omit late files forever
+      val top = f.listStatus(rootPath)
+      val subDirs = top.filter(st => st.isDirectory &&
+        !st.getPath.getName.startsWith(".") &&
+        !st.getPath.getName.startsWith("_")).map(_.getPath.getName).toSeq
+      require(subDirs.isEmpty,
+        s"convertParquet: $root contains subdirectories " +
+        s"(${subDirs.take(3).mkString(", ")}…) — a partitioned/hive tree " +
+        "cannot convert in place (partition values live in dir names, not " +
+        "file bytes); read it with spark.read.parquet and write a " +
+        "partition-scoped graft table instead")
+      val files = top.filter(st => st.isFile &&
+        st.getPath.getName.endsWith(".parquet") &&
+        !st.getPath.getName.startsWith(".") &&
+        !st.getPath.getName.startsWith("_")).sortBy(_.getPath.getName).toSeq
+      require(files.nonEmpty,
+        s"convertParquet: no parquet files directly under $root")
       val v = 1L
       // adopted files as absolute FILE manifest entries; sidecar f-lines
       // key by the (dirBase, fileName) pair every skipping/DV mechanism
@@ -3919,7 +4006,7 @@ object SnapshotLog {
               }
             stageVersion(spark, root, gated, next, batchId,
               if (statsCols.nonEmpty) statsCols
-              else inheritedStatsCols(spark, root),
+              else inheritedStatsColsLogical(spark, root),
               bloomCols, baseDirs = dirsOf(spark, root, cur),
               carryStats = carry, tombDirs = tombDirsOf(spark, root, cur),
               schemaJson = rawSchemaJson(spark, root, cur), morKeys = keys,
@@ -4033,7 +4120,7 @@ object SnapshotLog {
             }
           stageVersion(spark, root, gated, next, -1L,
             if (statsCols.nonEmpty) statsCols
-            else inheritedStatsCols(spark, root),
+            else inheritedStatsColsLogical(spark, root),
             bloomCols, baseDirs = dirsOf(spark, root, cur),
             carryStats = sidecarCarry(spark, root, cur),
             tombDirs = tombDirsOf(spark, root, cur) ++ tombAdd,
@@ -4194,7 +4281,7 @@ object SnapshotLog {
           // the same rule the keyed merge paths already follow; an
           // explicit argument still overrides
           val sc = if (statsCols.nonEmpty) statsCols
-                   else inheritedStatsCols(spark, root)
+                   else inheritedStatsColsLogical(spark, root)
           // parent deletion vectors carry too: an append must not
           // resurrect rows a prior tombstoneDelete removed; the pinned
           // schema of an evolved lineage carries with them
@@ -4357,13 +4444,9 @@ object SnapshotLog {
     // names; the rewrite's new files carry LOGICAL names (a full
     // materialization drops the mapping pin), so translate back through
     // the pin and shed keys of dropped columns
-    val sc = if (statsCols.nonEmpty) statsCols else {
-      val inv = currentVersion(spark, root)
-        .flatMap(v => schemaOf(spark, root, v)).map(renameMap)
-        .map(_.map(_.swap)).getOrElse(Map.empty[String, String])
-      inheritedStatsCols(spark, root).map(p => inv.getOrElse(p, p))
-        .filter(cur.columns.contains)
-    }
+    val sc = if (statsCols.nonEmpty) statsCols
+             else inheritedStatsColsLogical(spark, root)
+               .filter(cur.columns.contains)
     // maintenance: the head's streaming stamp carries (replay gate intact)
     val v = commitStamped(spark, root, arranged, sc, bloomCols,
       carryBatchId = true)
@@ -4405,7 +4488,7 @@ object SnapshotLog {
       val next = cur + 1L
       stageVersion(spark, root, resolved, next,
         batchId = batchIdOf(spark, root, cur).getOrElse(-1L),
-        statsCols = inheritedStatsCols(spark, root),
+        statsCols = inheritedStatsColsLogical(spark, root),
         schemaJson = rawSchemaJson(spark, root, cur),
         morKeys = mk)
       publishLatest(spark, root, next)
@@ -5401,6 +5484,12 @@ object SnapshotLog {
                                   freshLines: Seq[String],
                                   footerRdd: Option[org.apache.spark.rdd.RDD[String]],
                                   carry: SidecarCarry): Seq[Long] = {
+    // maintain the O(1) inheritance record (physical names — `cols`
+    // arrive post-translation, matching the sidecar keys)
+    recordStatsCols(spark, root, cols, carrying = carry match {
+      case EagerCarry(ls) => ls.nonEmpty
+      case _              => true
+    })
     // CHAINED checkpoint: write ONLY this commit's fresh rows; the
     // parent stack rides the manifest. O(batch) metadata IO however
     // large the table — the mode every verbatim-carry commit over a
@@ -6308,8 +6397,8 @@ object SnapshotLog {
     * only) a DataFrameReader inference — which LISTS, so the fallbacks
     * before it matter.
     */
-  private def tableSchema(spark: SparkSession, root: String,
-                          v: Long): org.apache.spark.sql.types.StructType =
+  private[graft] def tableSchema(spark: SparkSession, root: String,
+                                 v: Long): org.apache.spark.sql.types.StructType =
     schemaOf(spark, root, v).map(visibleSchema)
       .orElse(filesFromSidecar(spark, root, v).flatMap(_.headOption)
         .flatMap(st => sparkSchemaFromFooter(spark, st.getPath)))

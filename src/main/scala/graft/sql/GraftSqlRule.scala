@@ -171,9 +171,22 @@ case class GraftSqlRule(session: SparkSession) extends Rule[LogicalPlan] {
     // expansion preserves them, so nothing needs the expanded plan
     // early — but the metadata-aggregate pre-pass needs to see the
     // TABLE HANDLE under a resolved Aggregate, which an eager expansion
-    // in an earlier fixed-point iteration would have swallowed
-    case other => if (other.resolved) expand(session, other) else other
+    // in an earlier fixed-point iteration would have swallowed. ONE
+    // construct genuinely needs the expansion to resolve: `_metadata`
+    // columns exist only on the expanded parquet relation (GraftTable
+    // declares no metadata columns), so a plan still reaching for them
+    // expands eagerly — exactly the pre-round-12 behavior for them.
+    case other =>
+      if (other.resolved || wantsMetadataCol(other)) expand(session, other)
+      else other
   }
+
+  private def wantsMetadataCol(p: LogicalPlan): Boolean =
+    p.exists(_.expressions.exists(_.exists {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        u.nameParts.headOption.exists(_.equalsIgnoreCase("_metadata"))
+      case _ => false
+    }))
 }
 
 object GraftSqlRule {
@@ -216,7 +229,11 @@ object GraftSqlRule {
   private[sql] def expand(session: SparkSession, plan: LogicalPlan): LogicalPlan = {
     val pre = plan.transformDownWithSubqueries {
       case agg: Aggregate if agg.resolved =>
-        metaAggregate(session, agg).getOrElse(agg)
+        // an OPTIMIZATION must never fail a query the scan could answer:
+        // any unexpected error here bails to the normal plan (a genuinely
+        // broken table still errors there, with the scan's diagnostics)
+        scala.util.Try(metaAggregate(session, agg)).toOption.flatten
+          .getOrElse(agg)
     }
     pre.transformUpWithSubqueries {
       case r: DataSourceV2Relation if isGraft(r) => expandRelation(session, r)
@@ -311,6 +328,15 @@ object GraftSqlRule {
     if (partCol != groupAttr.name) return None
     val dt = g.tableSchema.fields.find(_.name == partCol)
       .map(_.dataType).getOrElse(return None)
+    // the group value reconstructs from the DIR NAME string — only
+    // types whose dir rendering round-trips exactly AND casts without
+    // zone context qualify (timestamps render through the WRITER's
+    // session zone; fractional formats vary) — everything else scans
+    dt match {
+      case StringType | DateType | BooleanType | ByteType | ShortType |
+           IntegerType | LongType => ()
+      case _ => return None
+    }
     // leaf → rows; drop zero-row leaves (GROUP BY emits no group for
     // them); bail outright on the null-partition marker
     val rowsPerLeaf = SnapshotLog.metaZPerLeaf(session, g.root, v, None)
@@ -341,9 +367,13 @@ object GraftSqlRule {
           case _ => None
         }
       })
+    // zone irrelevant for the admitted types, but Cast demands one for
+    // some transitions — pin the session zone rather than crash; a
+    // failed cast (corrupt dir name) bails the whole query to the scan
+    val zone = session.sessionState.conf.sessionLocalTimeZone
     def castStr(s: String, d: DataType): Any =
       org.apache.spark.sql.catalyst.expressions.Cast(
-        Literal.create(s, StringType), d).eval(null)
+        Literal.create(s, StringType), d, Some(zone)).eval(null)
     val leaves = rowsPerLeaf.keys.toSeq.sorted
     def answerFor(leaf: String)(e: Expression): Option[Any] = e match {
       case Alias(child, _) => answerFor(leaf)(child)

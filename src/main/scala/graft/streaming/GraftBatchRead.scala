@@ -147,7 +147,10 @@ private[streaming] class GraftSnapshotRelation(
     // is a valid plan and ships empty rows
     val pruned = filtered.select(
       requiredColumns.toSeq.map(c => df.col(c)): _*)
-    GraftBatchRead.lastInnerScan = pruned // spec hook: inner-plan metrics
+    // spec hook (opt-in — an always-on static reference would pin the
+    // last plan and its session on the heap for the process lifetime)
+    if (df.sparkSession.conf.get("graft.testHooks.enabled", "false") == "true")
+      GraftBatchRead.lastInnerScan = pruned
     pruned.queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
 }
@@ -163,11 +166,18 @@ private[graft] object GraftBatchRead {
 
   /** v1 `Filter` → `Column` over the inner frame — best-effort: an
     * untranslatable node pushes nothing (None), and a half-translatable
-    * AND pushes its translatable side (sound for conjunctions; OR and
-    * NOT require the whole subtree). Spark re-applies every original
-    * filter above the scan regardless.
+    * AND pushes its translatable side. Dropping a conjunct WEAKENS the
+    * predicate, which is sound only in POSITIVE polarity (the pushed
+    * filter keeps a superset of the matching rows; Spark re-applies the
+    * original above the scan). Under a NOT, a weakened child negates
+    * into a STRONGER filter that would drop valid rows — so everything
+    * beneath a NOT must translate exactly or nothing pushes.
     */
-  private[streaming] def toColumn(df: DataFrame, f: Filter): Option[Column] = f match {
+  private[streaming] def toColumn(df: DataFrame, f: Filter): Option[Column] =
+    toCol(df, f, exact = false)
+
+  private def toCol(df: DataFrame, f: Filter,
+                    exact: Boolean): Option[Column] = f match {
     case EqualTo(a, v)            => Some(df.col(a) === lit(v))
     case EqualNullSafe(a, v)      => Some(df.col(a) <=> lit(v))
     case GreaterThan(a, v)        => Some(df.col(a) > lit(v))
@@ -181,13 +191,15 @@ private[graft] object GraftBatchRead {
     case StringEndsWith(a, v)     => Some(df.col(a).endsWith(v))
     case StringContains(a, v)     => Some(df.col(a).contains(v))
     case And(l, r) =>
-      (toColumn(df, l), toColumn(df, r)) match {
+      (toCol(df, l, exact), toCol(df, r, exact)) match {
         case (Some(lc), Some(rc)) => Some(lc && rc)
-        case (one, other)         => one.orElse(other)
+        case (one, other) if !exact => one.orElse(other)
+        case _                    => None
       }
     case Or(l, r) =>
-      for { lc <- toColumn(df, l); rc <- toColumn(df, r) } yield lc || rc
-    case Not(c) => toColumn(df, c).map(!_)
+      for { lc <- toCol(df, l, exact); rc <- toCol(df, r, exact) }
+        yield lc || rc
+    case Not(c) => toCol(df, c, exact = true).map(!_)
     case _      => None
   }
 

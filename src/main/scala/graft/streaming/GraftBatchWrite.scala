@@ -216,9 +216,11 @@ private[streaming] trait GraftBatchWriteProvider
             "with a plain append, then resume txnVersion-stamped writes")
           val aligned = SnapshotLog.currentVersion(spark, root) match {
             case None => data
-            case Some(_) =>
+            case Some(cur) =>
               import org.apache.spark.sql.functions.{col, lit}
-              val have = SnapshotLog.read(spark, root).schema
+              // metadata-cost schema (pin or one footer) — building the
+              // full readVersion plan for .schema would be pure waste
+              val have = SnapshotLog.tableSchema(spark, root, cur)
               val got = data.schema
               val tableCols = have.fields.map { f =>
                 if (got.fieldNames.contains(f.name)) col(f.name)

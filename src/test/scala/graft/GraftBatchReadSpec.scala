@@ -82,6 +82,7 @@ class GraftBatchReadSpec extends SparkSpecBase {
   }
 
   test("filters prune FILES through the v1 boundary; columns prune to ReadSchema") {
+    spark.conf.set("graft.testHooks.enabled", "true")
     val root = freshRoot()
     (0 until 4).foreach { i =>
       val batch = ((i * 100) until (i * 100 + 100))

@@ -133,4 +133,26 @@ class MetaAggSpec extends SparkSpecBase {
     assert(SnapshotLog.metaRowCount(spark, conv) == Some(50L))
     assert(SnapshotLog.metaMinMax(spark, conv, "k") == Some((0L, 49L)))
   }
+
+  test("STATSCOLS record: O(1) inheritance; legacy tables fall back and self-heal") {
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root,
+      Seq((1, "a"), (2, "b")).toDF("k", "v"), statsCols = Seq("k"))
+    assert(SnapshotLog.readStatsColsRecord(spark, root) == Some(Seq("k")))
+    // simulate a legacy table (committed before the record existed)
+    val rec = new java.io.File(s"$root/_graft_log/STATSCOLS")
+    assert(rec.delete())
+    new java.io.File(s"$root/_graft_log/.STATSCOLS.crc").delete()
+    // inheritance still works through the sidecar derivation...
+    SnapshotLog.appendCommit(spark, root, Seq((3, "c")).toDF("k", "v"))
+    assert(SnapshotLog.metaRowCount(spark, root) == Some(3L))
+    // ...and the commit re-created the record (self-healing)
+    assert(SnapshotLog.readStatsColsRecord(spark, root) == Some(Seq("k")))
+    // a stat-less full rewrite RESETS the record — appends after it
+    // must not resurrect stats the rewrite dropped
+    SnapshotLog.commit(spark, root, Seq((9, "z")).toDF("k", "v"))
+    assert(SnapshotLog.readStatsColsRecord(spark, root) == Some(Seq.empty))
+    SnapshotLog.appendCommit(spark, root, Seq((10, "y")).toDF("k", "v"))
+    assert(SnapshotLog.metaRowCount(spark, root) == None)
+  }
 }

@@ -194,8 +194,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val root = tableRoot(ident)
     if (SnapshotLog.currentVersion(spark, root).isEmpty)
       throw new NoSuchTableException(ident)
-    val asOf = java.time.Instant.EPOCH.plus(
-      java.time.Duration.ofNanos(timestampMicros * 1000L))
+    // NOT Duration.ofNanos(micros * 1000): the nanos multiply overflows
+    // Long for instants past ~2262 (a "9999-12-31" probe wrapped to
+    // 1829 and refused every version)
+    val asOf = java.time.Instant.ofEpochSecond(
+      Math.floorDiv(timestampMicros, 1000000L),
+      Math.floorMod(timestampMicros, 1000000L) * 1000L)
     // checkpoint-accelerated: O(tail) file ops, not one stat per version
     val hit = SnapshotLog.versionAsOf(spark, root, asOf)
     require(hit.nonEmpty,

@@ -339,16 +339,22 @@ object GraftProcedures {
       StructField("change_feed_version", BooleanType),
       StructField("num_consumers", IntegerType),
       StructField("num_file_carries", IntegerType),
-      StructField("num_constraints", IntegerType)))
+      StructField("num_constraints", IntegerType),
+      // round 12: exact row count when the sidecar can answer it in
+      // O(manifest) (metaRowCount); NULL when only a scan would know
+      StructField("row_count", LongType)))
     override def call(input: InternalRow): JIterator[Scan] = {
-      val d = SnapshotLog.describeDetail(spark, root(input))
+      val r = root(input)
+      val d = SnapshotLog.describeDetail(spark, r)
+      val rc = SnapshotLog.metaRowCount(spark, r)
       scanOf(out, Seq(new GenericInternalRow(Array[Any](
         d.version, d.numFiles, d.sizeBytes, d.numDataDirs,
         d.numDeletionVectorDirs,
         d.partitionColumn.map(UTF8String.fromString).orNull,
         d.columnMapped, d.minReader, d.batchId.getOrElse(null),
         UTF8String.fromString(d.statsStorage), d.changeFeedVersion,
-        d.numConsumers, d.numFileCarries, d.numConstraints))))
+        d.numConsumers, d.numFileCarries, d.numConstraints,
+        rc.map(Long.box).orNull))))
     }
   }
 

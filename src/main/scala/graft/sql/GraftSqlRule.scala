@@ -265,21 +265,24 @@ object GraftSqlRule {
       case s: SubqueryAlias => strip(s.child)
       case other            => other
     }
-    val g = strip(agg.child) match {
-      case r: DataSourceV2Relation if isGraft(r) => graftOf(r)
-      case _                                     => return None
+    val (g, ver) = strip(agg.child) match {
+      case r: DataSourceV2Relation if isGraft(r) =>
+        val gt = graftOf(r)
+        (gt, resolvedVersionOf(session, r, gt)) // honor reader-option travel
+      case _ => return None
     }
     agg.groupingExpressions match {
-      case Nil                          => metaGlobalAgg(session, g, agg)
-      case Seq(a: AttributeReference)   => metaGroupedAgg(session, g, agg, a)
-      case _                            => None
+      case Nil                        => metaGlobalAgg(session, g, ver, agg)
+      case Seq(a: AttributeReference) => metaGroupedAgg(session, g, ver, agg, a)
+      case _                          => None
     }
   }
 
   /** Groupless count/min/max over the whole snapshot. */
   private def metaGlobalAgg(session: SparkSession, g: GraftTable,
+                            version: Long,
                             agg: Aggregate): Option[LogicalPlan] = {
-    val v = Some(g.snapshotVersion)
+    val v = Some(version)
     // per-column memo: min and max of one column cost ONE sidecar fold
     val minMax = scala.collection.mutable.HashMap
       .empty[String, Option[(Any, Any)]]
@@ -318,11 +321,10 @@ object GraftSqlRule {
     * file is covered, and no leaf is the null-partition marker.
     */
   private def metaGroupedAgg(session: SparkSession, g: GraftTable,
-                             agg: Aggregate,
+                             v: Long, agg: Aggregate,
                              groupAttr: AttributeReference): Option[LogicalPlan] = {
     import graft.sources.SnapshotLog
     import org.apache.spark.sql.types._
-    val v = g.snapshotVersion
     val partCol = SnapshotLog.identityPartCol(session, g.root, v)
       .getOrElse(return None)
     if (partCol != groupAttr.name) return None
@@ -481,11 +483,41 @@ object GraftSqlRule {
       .queryExecution.analyzed
   }
 
+  /** The snapshot a relation reads: the catalog-pinned version, unless
+    * READER-OPTION time travel overrides it (round 12 — Delta's shape:
+    * `spark.read.option("versionAsOf", 3).table("graft.ns.t")` / the
+    * timestampAsOf twin; SQL's own `VERSION AS OF` resolves through the
+    * catalog earlier and arrives already pinned in snapshotVersion).
+    * Shared by the read expansion and the metadata-aggregate pre-pass —
+    * a meta answer must honor the same version the scan would read.
+    */
+  private def resolvedVersionOf(session: SparkSession,
+                                r: DataSourceV2Relation,
+                                g: GraftTable): Long = {
+    val vOpt = Option(r.options.get("versionAsOf")).map { s =>
+      try s.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"versionAsOf must be a long, got '$s'")
+      }
+    }
+    val tsOpt = Option(r.options.get("timestampAsOf"))
+      .map(graft.streaming.GraftBatchRead.parseInstant)
+    require(vOpt.isEmpty || tsOpt.isEmpty,
+      "versionAsOf and timestampAsOf are mutually exclusive")
+    vOpt.orElse(tsOpt.map { ts =>
+      graft.sources.SnapshotLog.versionAsOf(session, g.root, ts).getOrElse(
+        throw new IllegalStateException(
+          s"no version of ${g.name()} committed at or before $ts " +
+          "(too early, or vacuumed)"))
+    }).getOrElse(g.snapshotVersion)
+  }
+
   private[sql] def expandRelation(session: SparkSession,
                                   r: DataSourceV2Relation): LogicalPlan = {
     val g = graftOf(r)
+    val version = resolvedVersionOf(session, r, g)
     val child = graft.sources.SnapshotLog
-      .readVersion(session, g.root, g.snapshotVersion)
+      .readVersion(session, g.root, version)
       .queryExecution.analyzed
     val byName = child.output.map(a => a.name.toLowerCase -> a).toMap
     Project(

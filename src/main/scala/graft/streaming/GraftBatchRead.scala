@@ -207,7 +207,7 @@ private[graft] object GraftBatchRead {
     * [.fraction]` (session-zone wall clock), or a bare `yyyy-MM-dd`
     * (session-zone midnight) — the shapes Delta's reader option takes.
     */
-  private[streaming] def parseInstant(s: String): java.time.Instant = {
+  private[graft] def parseInstant(s: String): java.time.Instant = {
     val t = s.trim
     val zone = java.time.ZoneId.of(
       org.apache.spark.sql.SparkSession.active.conf

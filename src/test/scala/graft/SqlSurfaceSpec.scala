@@ -365,6 +365,13 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("CALL detail: one-row DESCRIBE DETAIL from the file manifest") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
+    // round 12: a stats-covered clean table reports its row count from
+    // the sidecar (O(manifest), no scan)
+    sql("""CREATE TABLE graft.ns.detrc (k INT, v STRING)
+           TBLPROPERTIES ('graft.statsCols'='k')""")
+    sql("INSERT INTO graft.ns.detrc VALUES (1, 'a'), (2, 'b')")
+    assert(sql("CALL graft.system.detail('ns.detrc')").collect()
+      .head.getLong(14) == 2L)
     sql("CREATE TABLE graft.ns.det (k INT, v STRING)")
     sql("INSERT INTO graft.ns.det VALUES (1, 'a'), (2, 'b')")
     sql("INSERT INTO graft.ns.det VALUES (3, 'c')")
@@ -381,6 +388,8 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"round-9 detail facts: $d")
     // round-10 facts: no per-file carries, no constraints yet
     assert(d.getInt(12) == 0 && d.getInt(13) == 0, s"round-10 facts: $d")
+    // round-12 fact: the DV makes the exact row count scan-only → NULL
+    assert(d.isNullAt(14), s"row_count must be NULL under DVs: $d")
     // a rename flips the mapping facts
     sql("ALTER TABLE graft.ns.det RENAME COLUMN v TO body")
     val d2 = sql("CALL graft.system.detail('ns.det')").collect().head
@@ -1215,5 +1224,30 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val w = "SELECT p, count(*) FROM graft.ns.gmeta WHERE n > 20 GROUP BY p"
     assert(!isMetaOnly(w))
     assert(rowsOf(w) == Set(Seq("a", 1L), Seq("b", 1L), Seq("c", 1L)))
+  }
+
+  test("reader-option time travel: spark.read.option(versionAsOf).table (round 12)") {
+    sql("""CREATE TABLE graft.ns.tt (k INT, v STRING)
+           TBLPROPERTIES ('graft.statsCols'='k')""")
+    sql("INSERT INTO graft.ns.tt VALUES (1, 'a')")
+    sql("INSERT INTO graft.ns.tt VALUES (2, 'b')")
+    // v2 = first insert, v3 = head
+    assert(spark.read.option("versionAsOf", 2).table("graft.ns.tt")
+      .collect().map(_.getInt(0)).toSet == Set(1))
+    assert(spark.read.table("graft.ns.tt").count() == 2)
+    // version pinning holds through later DataFrame ops (the relation
+    // expanded at .table() time — DataFrame-API aggregates therefore
+    // take the scan plan; SQL-text aggregates keep the metadata answer)
+    val df = spark.read.option("versionAsOf", 2).table("graft.ns.tt")
+      .groupBy().count()
+    assert(df.head().getLong(0) == 1L)
+    // timestampAsOf far future = head; conflicting options refuse
+    assert(spark.read.option("timestampAsOf", "2999-01-01")
+      .table("graft.ns.tt").count() == 2)
+    // Spark's RelationResolution refuses the conflicting pair natively
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.read.option("versionAsOf", 2)
+        .option("timestampAsOf", "2999-01-01").table("graft.ns.tt").collect()
+    }
   }
 }

@@ -4804,6 +4804,224 @@ object SnapshotLog {
     next
   }
 
+  /** REORG … APPLY (PURGE) — round 12: materialize the head's deletion
+    * vectors by rewriting EXACTLY the files they reference. Soft-deleted
+    * rows stop occupying bytes (and stop costing the read-side DV
+    * anti-join) without the O(table) [[compactChain]]: the rewrite set
+    * is the vector-referenced files, every other file carries BY
+    * REFERENCE into the new manifest, byte-identical. A dir with a
+    * purged member dissolves into per-file carries for the rest (the
+    * pruned-MERGE manifest shape [[vacuum]] reference-counts and
+    * [[compactSmallFiles]] re-packs). The committed version carries NO
+    * vectors; fresh stats/blooms are rebuilt for the rewritten files
+    * only, so skipping power is preserved at O(purged), not O(table).
+    *
+    * Vectors whose positions all point at DEAD files (their data was
+    * already rewritten by later DML) drop as a METADATA-ONLY commit —
+    * no file is read or written.
+    *
+    * Scale: purge cost is O(vector-referenced files) + O(manifest); the
+    * driver holds the referenced-file name set (the bound CDC planning
+    * already has), never row data. Column-mapped lineages rewrite in
+    * PHYSICAL space — vectors are positional, so no logical translation
+    * is ever needed. Scoped lineages purge per LEAF (partitioning
+    * preserved, untouched leafs byte-identical); merge-on-read lineages
+    * refuse toward [[compactMor]]/[[compactChain]], whose materializing
+    * rewrite folds vectors as part of resolving the shadow sequence.
+    */
+  def purgeDeletedRows(spark: SparkSession, root: String,
+                       statsCols: Seq[String] = Nil,
+                       bloomCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.col
+    withClaim(spark, root) { f =>
+      recoverOrphans(spark, root)
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed version at $root"))
+      val tombs = tombDirsOf(spark, root, cur)
+      if (tombs.isEmpty) return cur // nothing to purge — zero-cost no-op
+      require(morKeysOf(spark, root, cur).isEmpty,
+        "purge on a merge-on-read lineage would need the shadow sequence " +
+        "resolved first — use compactMor or compactChain (their " +
+        "materializing rewrite folds the vectors)")
+      if (manifestKind(spark, root, cur).contains("scoped") ||
+          partColOf(spark, root, cur).nonEmpty)
+        return purgeScopedLocked(spark, root, cur, statsCols, bloomCols)
+      val rootPath = new Path(root.replaceAll("/+$", ""))
+      val dirs = dirsOf(spark, root, cur)
+      def isFileEntry(d: String) = d.contains('/') && d.endsWith(".parquet")
+      def baseOf(d: String) = d.substring(d.lastIndexOf('/') + 1)
+      def rel2(d: String) = d.split('/').takeRight(2).mkString("/")
+      require(dirs.nonEmpty && dirs.forall(d =>
+        isFileEntry(d) || (!d.contains('/') && d.startsWith("data_v"))),
+        s"purge at $root: the head carries foreign/clone entries — " +
+        "compactChain is the materializing escape")
+      // the vector-referenced file set: O(referenced files) driver-side
+      val dvRels: Set[String] = spark.read.parquet(
+          tombs.map(d => new Path(rootPath, d).toString): _*)
+        .select(col("__rel")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val allFiles: Seq[Path] = filesFromSidecar(spark, root, cur) match {
+        case Some(sts) => sts.map(_.getPath)
+        case None => dirs.flatMap { d =>
+          if (isFileEntry(d)) Seq(new Path(rootPath, d))
+          else {
+            val it = f.listFiles(new Path(rootPath, d), true)
+            val b = Vector.newBuilder[Path]
+            while (it.hasNext) {
+              val st = it.next()
+              if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+                b += st.getPath
+            }
+            b.result()
+          }
+        }
+      }
+      def relOf(p: Path): String = p.getParent.getName + "/" + p.getName
+      val matchedRel = dvRels.intersect(allFiles.map(relOf).toSet)
+      val next = cur + 1L
+      val stamp = batchIdOf(spark, root, cur).getOrElse(-1L)
+      val pinJson = rawSchemaJson(spark, root, cur)
+      if (matchedRel.isEmpty) {
+        // every position points at a dead file — dropping the vectors
+        // is metadata-only (explicit dirs: nothing implies a data dir)
+        val stack = writeStats(spark, root, next, Nil,
+          sidecarCarry(spark, root, cur))
+        writeManifestDirs(spark, root, next, dirs, batchId = stamp,
+          tombDirs = Nil, kind = "reorg", schemaJson = pinJson,
+          statsStack = stack)
+        publishLatest(spark, root, next)
+        return next
+      }
+      val matchedPaths = allFiles
+        .filter(p => matchedRel.contains(relOf(p))).map(_.toString)
+      // PHYSICAL space end to end: vectors are positional, the pinned
+      // physical schema null-fills pre-evolution files, and the written
+      // files spell columns exactly like the carried ones
+      val pinned = schemaOf(spark, root, cur)
+      val raw = pinned match {
+        case Some(st) =>
+          spark.read.schema(physicalSchema(st)).parquet(matchedPaths: _*)
+        case None => spark.read.parquet(matchedPaths: _*)
+      }
+      val purged = applyTombstoneDirs(spark, root, tombs, raw)
+      val physMap = pinned.map(renameMap).getOrElse(Map.empty[String, String])
+      writeDataDir(spark, purged, dataDir(root, next),
+        bloomCols.map(c => physMap.getOrElse(c, c)))
+      // fully-untouched dirs stay whole; a dir with a purged member
+      // dissolves into per-file carries for the rest
+      val byDirBase = allFiles.groupBy(_.getParent.getName)
+      val carriedEntries: Seq[String] = dirs.flatMap { d =>
+        if (isFileEntry(d)) {
+          if (matchedRel.contains(rel2(d))) Nil else Seq(d)
+        } else {
+          val members = byDirBase.getOrElse(baseOf(d), Seq.empty)
+          val (m, c) = members.partition(p => matchedRel.contains(relOf(p)))
+          if (m.isEmpty) Seq(d) else c.map(p => d + "/" + p.getName)
+        }
+      }
+      val carriedDirBases = carriedEntries.filterNot(isFileEntry).map(baseOf).toSet
+      val carry = sidecarCarry(spark, root, cur).filter { line =>
+        val key = StatsEval.unesc(line.split("\t", -1)(0))
+        if (key.endsWith("/")) carriedDirBases.contains(key.stripSuffix("/"))
+        else !matchedRel.contains(key)
+      }
+      // fresh stats inherit the lineage's stat columns (PHYSICAL — the
+      // O(1) record; caller-passed logical names translate through the
+      // pin) so the rewritten files keep their skipping power
+      val freshCols =
+        if (statsCols.nonEmpty) statsCols.map(c => physMap.getOrElse(c, c))
+        else inheritedStatsCols(spark, root)
+      val stack = writeStats(spark, root, next, freshCols, carry)
+      writeManifestDirs(spark, root, next,
+        carriedEntries :+ dataDirName(next), batchId = stamp,
+        tombDirs = Nil, kind = "reorg", schemaJson = pinJson,
+        statsStack = stack)
+      publishLatest(spark, root, next)
+      next
+    }
+  }
+
+  /** Scoped twin of [[purgeDeletedRows]] (runs under its claim): the
+    * rewrite set is exactly the LEAFS the head's vectors reference —
+    * each purged leaf re-renders its own partition dir under the new
+    * version ([[compactScopedLeafsLocked]]'s writer shape, drift-checked
+    * the same way); every other leaf carries by reference. Column-mapped
+    * scoped lineages work: the rewrite stays physical and a partition
+    * column is never renamed (the rename path refuses), so the __gp
+    * render expression resolves identically on the physical frame.
+    */
+  private def purgeScopedLocked(spark: SparkSession, root: String, cur: Long,
+                                statsCols: Seq[String],
+                                bloomCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.{col, substring_index}
+    val rootPath = new Path(root.replaceAll("/+$", ""))
+    def baseName(d: String) = d.substring(d.lastIndexOf('/') + 1)
+    val partCol = partColOf(spark, root, cur).getOrElse(
+      throw new IllegalStateException(
+        s"scoped lineage at $root v$cur carries no partition column"))
+    val spec = parseGpSpec(partCol)
+    val dirs = dirsOf(spark, root, cur)
+    require(dirs.nonEmpty && dirs.forall(baseName(_).startsWith(GpPrefix)),
+      "scoped purge needs a fully scoped head — run upsertScoped once " +
+      "to migrate a mixed table into the scoped layout")
+    val tombs = tombDirsOf(spark, root, cur) // nonEmpty: caller checked
+    val tombLeafBases: Set[String] = spark.read.parquet(
+        tombs.map(d => new Path(rootPath, d).toString): _*)
+      .select(substring_index(col("__rel"), "/", 1)).distinct()
+      .collect().map(_.getString(0)).toSet
+    val (matched, kept) = dirs.partition(d => tombLeafBases.contains(baseName(d)))
+    val next = cur + 1L
+    val stamp = batchIdOf(spark, root, cur).getOrElse(-1L)
+    val pinJson = rawSchemaJson(spark, root, cur)
+    if (matched.isEmpty) {
+      // stale vectors only — metadata-only drop
+      val stack = writeStats(spark, root, next, Nil,
+        sidecarCarry(spark, root, cur))
+      writeManifestDirs(spark, root, next, dirs, batchId = stamp,
+        tombDirs = Nil, partCol = partCol, schemaJson = pinJson,
+        statsStack = stack)
+      publishLatest(spark, root, next)
+      return next
+    }
+    val matchedPaths = matched.map(d => new Path(rootPath, d).toString)
+    val pinned = schemaOf(spark, root, cur)
+    val raw = pinned match {
+      case Some(st) =>
+        spark.read.schema(physicalSchema(st)).parquet(matchedPaths: _*)
+      case None => spark.read.parquet(matchedPaths: _*)
+    }
+    val purged = applyTombstoneDirs(spark, root, tombs, raw)
+    val physMap = pinned.map(renameMap).getOrElse(Map.empty[String, String])
+    val dd = dataDir(root, next)
+    writeDataDir(spark,
+      purged.withColumn(GpCol, gpRenderExpr(spec)).repartition(col(GpCol)),
+      dd, bloomCols.map(c => physMap.getOrElse(c, c)),
+      partitionBy = Seq(GpCol))
+    val writtenLeafs = fs(spark, dd).listStatus(dd).map(_.getPath.getName)
+      .filter(_.startsWith(GpPrefix)).sorted.toSeq
+    val matchedBases = matched.map(baseName).toSet
+    // subset, not equality: a leaf whose rows were all tombstoned
+    // legitimately purges to nothing
+    require(writtenLeafs.toSet.subsetOf(matchedBases),
+      s"scoped purge rendering drifted: wrote $writtenLeafs beyond " +
+      s"$matchedBases — aborting before publish")
+    val newDirs = kept ++ writtenLeafs.map(dataDirName(next) + "/" + _)
+    val keptBases = kept.map(baseName).toSet
+    val carry = sidecarCarry(spark, root, cur).filter { line =>
+      val key = StatsEval.unesc(line.split("\t", -1)(0))
+      keptBases.contains(key.substring(0, math.max(key.indexOf('/'), 0)))
+    }
+    val freshCols =
+      if (statsCols.nonEmpty) statsCols.map(c => physMap.getOrElse(c, c))
+      else inheritedStatsCols(spark, root)
+    val stack = writeStats(spark, root, next, freshCols, carry)
+    writeManifestDirs(spark, root, next, newDirs, batchId = stamp,
+      tombDirs = Nil, partCol = partCol, schemaJson = pinJson,
+      statsStack = stack)
+    publishLatest(spark, root, next)
+    next
+  }
+
   /** Step 3 — the commit point: swap the LATEST pointer atomically
     * (temp file + overwriting rename).
     */

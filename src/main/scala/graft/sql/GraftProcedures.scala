@@ -25,6 +25,7 @@ object GraftProcedures {
         "compact_mor", "history", "optimize_zorder", "clone", "detail",
         "register_consumer", "unregister_consumer", "consumers", "clones",
         "rebloom_widened", "vacuum_dry_run", "convert_parquet",
+        "purge_deleted",
         "add_constraint", "drop_constraint", "constraints", "audit")
 
   def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
@@ -43,6 +44,7 @@ object GraftProcedures {
       case "consumers"           => Some(new Consumers(cat))
       case "clones"              => Some(new Clones(cat))
       case "rebloom_widened"     => Some(new RebloomWidened(cat))
+      case "purge_deleted"       => Some(new PurgeDeleted(cat))
       case "convert_parquet"     => Some(new ConvertParquet(cat))
       case "vacuum_dry_run"      => Some(new VacuumDryRun(cat))
       case "add_constraint"      => Some(new AddConstraintProc(cat))
@@ -293,6 +295,24 @@ object GraftProcedures {
     private val out = StructType(Seq(StructField("version", LongType)))
     override def call(input: InternalRow): JIterator[Scan] = {
       val v = SnapshotLog.rebloomWidened(spark, root(input))
+      scanOf(out, Seq(new GenericInternalRow(Array[Any](v))))
+    }
+  }
+
+  /** `CALL c.system.purge_deleted(table)` → REORG … APPLY (PURGE)
+    * (round 12): materialize the head's deletion vectors by rewriting
+    * exactly the files they reference — O(vector-referenced files),
+    * untouched files carried by reference; the committed head carries
+    * no vectors. Returns the committed version (unchanged head = no
+    * vectors to purge).
+    */
+  private final class PurgeDeleted(cat: GraftCatalog)
+      extends Proc(cat, "purge_deleted") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType))
+    private val out = StructType(Seq(StructField("version", LongType)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val v = SnapshotLog.purgeDeletedRows(spark, root(input))
       scanOf(out, Seq(new GenericInternalRow(Array[Any](v))))
     }
   }

@@ -629,6 +629,28 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rowsOf("SELECT id FROM graft.ns.rbw") == Set(Seq(1L), Seq(9999L)))
   }
 
+  test("CALL graft.system.purge_deleted materializes deletion vectors (round 12)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
+    sql("CREATE TABLE graft.ns.prg (k INT, v STRING)")
+    sql("INSERT INTO graft.ns.prg VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    sql("DELETE FROM graft.ns.prg WHERE k = 2") // merge-on-read vector
+    val r = root("prg")
+    assert(SnapshotLog.tombDirsOf(spark, r,
+      SnapshotLog.currentVersion(spark, r).get).nonEmpty,
+      "fixture drift: SQL DELETE should write a deletion vector")
+    val v = sql("CALL graft.system.purge_deleted('ns.prg')")
+      .collect().head.getLong(0)
+    assert(v == SnapshotLog.currentVersion(spark, r).get)
+    assert(SnapshotLog.tombDirsOf(spark, r, v).isEmpty,
+      "purge must drop every vector from the head")
+    assert(rowsOf("SELECT k, v FROM graft.ns.prg") ==
+      Set(Seq(1, "a"), Seq(3, "c")))
+    // DML keeps composing on the purged head
+    sql("UPDATE graft.ns.prg SET v = 'A' WHERE k = 1")
+    assert(rowsOf("SELECT k, v FROM graft.ns.prg") ==
+      Set(Seq(1, "A"), Seq(3, "c")))
+  }
+
   test("CALL graft.system.clones enumerates clone pins; DROP TABLE releases (round 11)") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
     sql("CREATE TABLE graft.ns.csrc (k INT, v STRING)")

@@ -3578,6 +3578,33 @@ object SnapshotLog {
   /** Append-style manifest (baseDirs + implied own dir), shared by the
     * classic and OCC append paths.
     */
+  /** IN-COMMIT TIMESTAMP (round 12 — Delta's inCommitTimestamp): the
+    * writer stamps every manifest with its commit wall time, clamped
+    * strictly above the parent's stamp. File mtime — the legacy source
+    * [[commitTimeOf]] falls back to — is what the FILESYSTEM remembers,
+    * and a backup/restore, distcp, or object-store copy resets it to
+    * the copy time, silently re-dating the whole history; writer clock
+    * skew can additionally make it non-monotonic, and [[versionAsOf]]
+    * (newest version ≤ ts) assumes monotonicity. The stamp travels
+    * INSIDE the manifest bytes, so it survives any byte-preserving
+    * move, and the parent clamp makes the sequence strictly increasing
+    * by construction. The parent manifest always exists at commit time
+    * for v ≥ 2 (commits extend the live head under the claim; vacuum
+    * keeps the head) — a missing parent (fresh table, clone target's
+    * first version) just takes the wall clock.
+    */
+  private def inCommitStamp(spark: SparkSession, root: String,
+                            v: Long): Long = {
+    val now = System.currentTimeMillis
+    val pm = manifestPath(root, v - 1L)
+    val parent =
+      if (v <= 1L || !fs(spark, pm).exists(pm)) None
+      else """"committedAt":(\d+)""".r
+        .findFirstMatchIn(readManifest(spark, root, v - 1L))
+        .map(_.group(1).toLong)
+    parent.map(p => math.max(now, p + 1L)).getOrElse(now)
+  }
+
   private def writeManifestAppend(spark: SparkSession, root: String, v: Long,
                                   batchId: Long, baseDirs: Seq[String],
                                   tombDirs: Seq[String],
@@ -3611,6 +3638,7 @@ object SnapshotLog {
       else ""
     try out.write(
       (s"""{"version":$v,"dataDir":"${dataDirName(v)}","batchId":$batchId,""" +
+       s""""committedAt":${inCommitStamp(spark, root, v)},""" +
        s""""baseDirs":"${baseDirs.mkString(",")}"$tombEnc$schemaEnc$morEnc$readerEnc$chgEnc$stackEnc}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -3664,6 +3692,7 @@ object SnapshotLog {
     val out = f.create(tmp, true)
     try out.write(
       (s"""{"version":$v,"dataDir":"${dataDirName(v)}","batchId":$batchId,""" +
+       s""""committedAt":${inCommitStamp(spark, root, v)},""" +
        s""""kind":"$kind","dirs":"$enc"$tombEnc$partEnc$morEnc$schemaEnc$readerEnc$chgEnc$stackEnc}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -7326,7 +7355,14 @@ object SnapshotLog {
     val m = manifestPath(root, v)
     require(fs(spark, m).exists(m),
       s"version $v does not exist (never committed, or vacuumed) at $root")
-    java.time.Instant.ofEpochMilli(fs(spark, m).getFileStatus(m).getModificationTime)
+    // the writer-stamped in-commit time ([[inCommitStamp]] — survives
+    // backup/restore and store copies, strictly monotonic); manifests
+    // from before round 12 fall back to file mtime
+    """"committedAt":(\d+)""".r
+      .findFirstMatchIn(readManifest(spark, root, v))
+      .map(x => java.time.Instant.ofEpochMilli(x.group(1).toLong))
+      .getOrElse(java.time.Instant.ofEpochMilli(
+        fs(spark, m).getFileStatus(m).getModificationTime))
   }
 
   /** Timestamp time travel: the newest committed version whose commit
@@ -7520,9 +7556,7 @@ object SnapshotLog {
           .map { case (u, t) => (u, java.time.Instant.ofEpochMilli(t)) }
         val tail = ((cv + 1L) to committed).flatMap { u =>
           val m = manifestPath(root, u)
-          if (f.exists(m))
-            Some((u, java.time.Instant.ofEpochMilli(
-              f.getFileStatus(m).getModificationTime)))
+          if (f.exists(m)) Some((u, commitTimeOf(spark, root, u)))
           else None
         }
         (below ++ tail).sortBy(_._1)

@@ -158,10 +158,20 @@ object Constraints {
     */
   def gate(spark: SparkSession, root: String,
            df: DataFrame): (DataFrame, Option[Observation]) = {
-    val cs = list(spark, root)
-    if (cs.isEmpty) (df, None)
+    // identity assignment first (round 12: reserved dense ids when the
+    // batch omits the column), then generated columns (computed-if-
+    // absent so the constraints below can reference them; validated-
+    // if-present as FAIL expectations riding the same write scan)
+    val df1 = Identity.weave(spark, root, df)
+    val (df2raw, genExps) = Generated.weave(spark, root, df1)
+    val df2 =
+      if (df2raw.ne(df1) || df1.ne(df))
+        Generated.reorderToTable(spark, root, df2raw)
+      else df2raw
+    val exps = list(spark, root).map(toExpectation) ++ genExps
+    if (exps.isEmpty) (df2, None)
     else {
-      val (g, o) = Expectations.gate(df, cs.map(toExpectation))
+      val (g, o) = Expectations.gate(df2, exps)
       (g, Some(o))
     }
   }
@@ -179,14 +189,18 @@ object Constraints {
     */
   def gateWritten(spark: SparkSession, root: String, df: DataFrame,
                   marker: String): (DataFrame, Option[Observation]) = {
-    val cs = list(spark, root)
-    if (cs.isEmpty) (df.drop(marker), None)
+    // a rewrite's frame always carries the table schema, so generated
+    // columns are never computed here — they validate on WRITTEN rows
+    // only (carried bytes were gated by the commit that wrote them)
+    val (df2, genExps) = Generated.weave(spark, root, df)
+    val all = list(spark, root).map(toExpectation) ++ genExps
+    if (all.isEmpty) (df2.drop(marker), None)
     else {
       // ONE policy/NULL-semantics ladder (toExpectation); the marker
       // exemption only wraps the predicate
-      val exps = cs.map(toExpectation).map(e => e.copy(predicate =
+      val exps = all.map(e => e.copy(predicate =
         !org.apache.spark.sql.functions.col(marker) || e.predicate))
-      val (g, o) = Expectations.gate(df, exps)
+      val (g, o) = Expectations.gate(df2, exps)
       (g.drop(marker), Some(o))
     }
   }
@@ -200,12 +214,28 @@ object Constraints {
   def fingerprint(spark: SparkSession, root: String): String = {
     val p = path(root)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!f.exists(p)) ""
+    val cBytes =
+      if (!f.exists(p)) Array.emptyByteArray
+      else {
+        val in = f.open(p)
+        try in.readAllBytes() finally in.close()
+      }
+    // generated-column and identity DECLARATIONS gate commits too
+    // (round 12) — fold them in so a declaration added mid-stage aborts
+    // the publish. The identity MARK is deliberately excluded: it moves
+    // on every reservation, and reservations are already atomic — a
+    // mark-moved abort would needlessly serialize concurrent stagers.
+    val gBytes = Generated.rawBytes(spark, root)
+    val iBytes = Identity.rawBytes(spark, root)
+    if (cBytes.isEmpty && gBytes.isEmpty && iBytes.isEmpty) ""
     else {
-      val in = f.open(p)
-      val bytes = try in.readAllBytes() finally in.close()
-      java.security.MessageDigest.getInstance("MD5").digest(bytes)
-        .map("%02x".format(_)).mkString
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(cBytes)
+      md.update(Array[Byte](0))
+      md.update(gBytes)
+      md.update(Array[Byte](0))
+      md.update(iBytes)
+      md.digest().map("%02x".format(_)).mkString
     }
   }
 

@@ -2052,7 +2052,9 @@ object SnapshotLog {
       if (replaceLeafs) cur.foreach { c =>
         val have = tableSchema(spark, root, c).fields
           .map(fl => (fl.name, fl.dataType.catalogString)).toSeq
-        val got = batch.schema.fields
+        // the GATED frame: generated columns the batch lacked were just
+        // computed (round 12) and are part of what commits
+        val got = gated.schema.fields
           .map(fl => (fl.name, fl.dataType.catalogString)).toSeq
         require(got == have,
           s"overwritePartitions batch schema $got != table schema $have")
@@ -2629,8 +2631,10 @@ object SnapshotLog {
         // inside the staged write, table unmoved; DROP removes the
         // violating rewrite, whose old copy the tombstone already hides
         // — the Delta UPDATE contract: constraints verify written rows)
+        // Round 12: unassigned generated columns recompute first
         val (rewrites, obs) = Constraints.gate(spark, root,
-          matched.select(sel: _*))
+          Generated.recompute(spark, root, matched.select(sel: _*),
+            assignments.keys.toSet))
         schemaOf(spark, root, cur).map(toPhysicalDf(rewrites, _))
           .getOrElse(rewrites).write.mode("overwrite")
           .parquet(new Path(rootPath, dataStaging).toString)
@@ -2783,9 +2787,13 @@ object SnapshotLog {
           val sel = base.columns.toSeq
             .map(c => assignments.get(c).map(_.as(c)).getOrElse(col(c)))
           // round 11 (ADVICE): rewritten rows gate through declared
-          // CHECK constraints — same contract as stageUpdateWhereOcc
+          // CHECK constraints — same contract as stageUpdateWhereOcc.
+          // Round 12: generated columns the SET did not explicitly
+          // assign recompute first (the Delta UPDATE contract — source
+          // changes refresh derivations transparently)
           val (rewrites, obs) = Constraints.gate(spark, root,
-            matched.select(sel: _*))
+            Generated.recompute(spark, root, matched.select(sel: _*),
+              assignments.keys.toSet))
           // the rewrites dir joins a physical-named lineage — translate
           schemaOf(spark, root, cur).map(toPhysicalDf(rewrites, _))
             .getOrElse(rewrites).write.mode("overwrite")
@@ -2854,7 +2862,13 @@ object SnapshotLog {
         "replaceWhere: merge-on-read keyed lineage — replace by key via upsertMor")
       require(partColOf(spark, root, cur).isEmpty,
         "replaceWhere: partition-scoped lineage — replace partitions via upsertScoped")
+      // generated columns the batch omits are computed by the gate
+      // below (round 12) — the parity check tolerates exactly those
+      val genAbsent = Generated.list(spark, root).map(_.name)
+        .filterNot(n => batch.columns.exists(_.equalsIgnoreCase(n)))
+        .map(_.toLowerCase).toSet
       val have = tableSchema(spark, root, cur).fields
+        .filterNot(fl => genAbsent.contains(fl.name.toLowerCase))
         .map(fl => (fl.name, fl.dataType.catalogString)).toSeq
       val got = batch.schema.fields
         .map(fl => (fl.name, fl.dataType.catalogString)).toSeq
@@ -3266,7 +3280,9 @@ object SnapshotLog {
         }
         val have = tableSchema(spark, root, c).fields
           .map(fl => (fl.name, fl.dataType.catalogString)).toSeq
-        val got = batch.schema.fields
+        // the GATED frame is what staged (round 12: generated columns
+        // the batch lacked were computed into it)
+        val got = gated.schema.fields
           .map(fl => (fl.name, fl.dataType.catalogString)).toSeq
         if (got != have) {
           f.delete(staging, true)
@@ -4010,7 +4026,9 @@ object SnapshotLog {
               "unreachable by construction: scoped lineages never carry morKeys")
             val have = tableSchema(spark, root, cur).fields
               .map(fl => (fl.name, fl.dataType.catalogString)).toSeq
-            val got = batch.schema.fields
+            // the GATED frame commits (round 12: generated columns the
+            // batch lacked were computed into it)
+            val got = gated.schema.fields
               .map(fl => (fl.name, fl.dataType.catalogString)).toSeq
             require(got == have,
               s"upsertMor batch schema $got != table schema $have")
@@ -4297,7 +4315,9 @@ object SnapshotLog {
             "upsertMor, whose batches are key-checked")
           val have = tableSchema(spark, root, cur).fields
             .map(f => (f.name, f.dataType.catalogString)).toSeq
-          val got = batch.schema.fields
+          // the GATED frame: generated columns the batch lacked were
+          // just computed (round 12) and are part of the append's schema
+          val got = gated.schema.fields
             .map(f => (f.name, f.dataType.catalogString)).toSeq
           require(got == have,
             s"append schema $got != table schema $have " +

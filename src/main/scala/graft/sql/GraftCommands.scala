@@ -236,7 +236,9 @@ case class GraftDynamicOverwriteCommand(table: GraftTable,
   * shape: rewrite what the merge touches, here the full snapshot).
   */
 case class GraftReplaceCommand(table: GraftTable, plan: LogicalPlan,
-                               verb: String) extends LeafRunnableCommand {
+                               verb: String,
+                               assignedCols: Set[String] = Set.empty)
+    extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(plan)
   override def run(spark: SparkSession): Seq[Row] = {
     GraftCommands.refuseMorRewrite(spark, table, verb)
@@ -249,7 +251,14 @@ case class GraftReplaceCommand(table: GraftTable, plan: LogicalPlan,
     // __graft_written by the lowering): a DROP constraint must not
     // silently delete pre-existing rows an unrelated UPDATE carried,
     // and a FAIL constraint must not abort on rows it never gated in.
-    val df = GraftCommands.classicDf(spark, plan)
+    val df0 = GraftCommands.classicDf(spark, plan)
+    // round 12: written rows recompute generated columns the statement
+    // did not explicitly assign (carried rows keep their values)
+    val df =
+      if (df0.columns.contains(GraftCommands.WrittenMarker))
+        graft.sources.Generated.recomputeWritten(spark, table.root, df0,
+          assignedCols, GraftCommands.WrittenMarker)
+      else df0
     val (gated, obs) =
       if (df.columns.contains(GraftCommands.WrittenMarker))
         graft.sources.Constraints.gateWritten(spark, table.root, df,
@@ -347,8 +356,12 @@ case class GraftUpdateShadowCommand(table: GraftTable,
       sets.find(_._1.equalsIgnoreCase(c))
         .map { case (_, v) => rebind(v).as(c) }.getOrElse(col(c))
     }: _*)
+    // round 12: generated columns the SET did not assign recompute from
+    // the post-update values (the Delta UPDATE contract)
+    val regen = graft.sources.Generated.recompute(spark, table.root,
+      rewritten, sets.map(_._1).toSet)
     // constraint-gated inside upsertMor — rewritten rows are written rows
-    SnapshotLog.upsertMor(spark, table.root, rewritten, table.morKeys,
+    SnapshotLog.upsertMor(spark, table.root, regen, table.morKeys,
       statsCols = table.statsCols)
     Seq.empty
   }
@@ -364,11 +377,15 @@ case class GraftUpdateShadowCommand(table: GraftTable,
   * contract). Key columns were refused at lowering time.
   */
 case class GraftUpdateShadowPlanCommand(table: GraftTable,
-                                        query: LogicalPlan)
+                                        query: LogicalPlan,
+                                        assignedCols: Set[String] = Set.empty)
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(query)
   override def run(spark: SparkSession): Seq[Row] = {
-    val df = GraftCommands.classicDf(spark, query).persist()
+    // every row of `query` is a written row — unassigned generated
+    // columns recompute before the shadowing delta commits (round 12)
+    val df = graft.sources.Generated.recompute(spark, table.root,
+      GraftCommands.classicDf(spark, query), assignedCols).persist()
     try {
       if (df.limit(1).count() == 0) return Seq.empty
       SnapshotLog.upsertMor(spark, table.root, df, table.morKeys,
@@ -597,6 +614,19 @@ case class GraftMergePrunedCommand(
 
     // merge semantics over any target frame (the matched slice on the
     // pruned path; the full snapshot on the fallback)
+    // the union of explicitly-assigned target columns across actions —
+    // generated columns outside it recompute on written rows (round 12)
+    val assignedNames: Set[String] =
+      (matchedActions ++ notMatchedActions).flatMap {
+        case UpdateAction(_, assigns, _) =>
+          assigns.flatMap(as => assignedId(as.key)
+            .flatMap(id => targetOutput.find(_.exprId == id)).map(_.name))
+        case InsertAction(_, assigns) =>
+          assigns.flatMap(as => assignedId(as.key)
+            .flatMap(id => targetOutput.find(_.exprId == id)).map(_.name))
+        case _ => Nil
+      }.toSet
+
     def mergeEval(target: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       val joined = joinedWith(target)
       val keep = chain(branches.map { case (c, a) =>
@@ -605,7 +635,9 @@ case class GraftMergePrunedCommand(
       // fired — carried-through target rows stay constraint-exempt
       val written = chain(branches.map { case (c, _) => (c, lit(true)) },
         lit(false)).as(GraftCommands.WrittenMarker)
-      joined.filter(keep === true).select(outCols :+ written: _*)
+      val out = joined.filter(keep === true).select(outCols :+ written: _*)
+      graft.sources.Generated.recomputeWritten(spark, root, out,
+        assignedNames, GraftCommands.WrittenMarker)
     }
 
     // MERGE-ON-READ lowering (round 11d — the last refusal with a sound
@@ -660,8 +692,12 @@ case class GraftMergePrunedCommand(
       val evaluated = joinedWith(matchedSlice).select(outCols :+ act: _*)
         .persist()
       try {
-        val writes = evaluated.filter(col("__act").isin("update", "insert"))
-          .drop("__act")
+        // every surviving row here IS a written row (update/insert) —
+        // unassigned generated columns recompute before the shadow
+        // delta commits (round 12)
+        val writes = graft.sources.Generated.recompute(spark, root,
+          evaluated.filter(col("__act").isin("update", "insert"))
+            .drop("__act"), assignedNames)
         val delKeys = evaluated.filter(col("__act") === "delete")
           .select(morKeys.map(col): _*)
         SnapshotLog.mergeMor(spark, root, writes, delKeys, morKeys,

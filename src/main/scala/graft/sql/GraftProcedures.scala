@@ -25,7 +25,8 @@ object GraftProcedures {
         "compact_mor", "history", "optimize_zorder", "clone", "detail",
         "register_consumer", "unregister_consumer", "consumers", "clones",
         "rebloom_widened", "vacuum_dry_run", "convert_parquet",
-        "purge_deleted",
+        "purge_deleted", "add_generated", "drop_generated", "generated_cols",
+        "add_identity", "drop_identity", "sync_identity",
         "add_constraint", "drop_constraint", "constraints", "audit")
 
   def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
@@ -45,6 +46,12 @@ object GraftProcedures {
       case "clones"              => Some(new Clones(cat))
       case "rebloom_widened"     => Some(new RebloomWidened(cat))
       case "purge_deleted"       => Some(new PurgeDeleted(cat))
+      case "add_generated"       => Some(new AddGeneratedProc(cat))
+      case "drop_generated"      => Some(new DropGeneratedProc(cat))
+      case "generated_cols"      => Some(new GeneratedColsProc(cat))
+      case "add_identity"        => Some(new AddIdentityProc(cat))
+      case "drop_identity"       => Some(new DropIdentityProc(cat))
+      case "sync_identity"       => Some(new SyncIdentityProc(cat))
       case "convert_parquet"     => Some(new ConvertParquet(cat))
       case "vacuum_dry_run"      => Some(new VacuumDryRun(cat))
       case "add_constraint"      => Some(new AddConstraintProc(cat))
@@ -430,6 +437,109 @@ object GraftProcedures {
       graft.sources.Constraints.drop(spark, root(input), n)
       scanOf(out, Seq(new GenericInternalRow(
         Array[Any](UTF8String.fromString(n)))))
+    }
+  }
+
+  /** `CALL c.system.add_generated(table, col, expr)` — declare an
+    * existing column `GENERATED ALWAYS AS (expr)` (round 12): every
+    * later write computes it when absent, validates it when present,
+    * and UPDATE recomputes it when its sources change.
+    */
+  private final class AddGeneratedProc(cat: GraftCatalog)
+      extends Proc(cat, "add_generated") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType), param("column", StringType),
+        param("gen_expr", StringType))
+    private val out = StructType(Seq(
+      StructField("column", StringType), StructField("gen_expr", StringType)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val c = input.getUTF8String(1).toString
+      val e = input.getUTF8String(2).toString
+      graft.sources.Generated.add(spark, root(input), c, e)
+      scanOf(out, Seq(new GenericInternalRow(Array[Any](
+        UTF8String.fromString(c), UTF8String.fromString(e)))))
+    }
+  }
+
+  private final class DropGeneratedProc(cat: GraftCatalog)
+      extends Proc(cat, "drop_generated") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType), param("column", StringType))
+    private val out = StructType(Seq(StructField("dropped", StringType)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val c = input.getUTF8String(1).toString
+      graft.sources.Generated.drop(spark, root(input), c)
+      scanOf(out, Seq(new GenericInternalRow(
+        Array[Any](UTF8String.fromString(c)))))
+    }
+  }
+
+  /** `CALL c.system.generated_cols(table)` — the declared generation
+    * expressions.
+    */
+  private final class GeneratedColsProc(cat: GraftCatalog)
+      extends Proc(cat, "generated_cols") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType))
+    private val out = StructType(Seq(
+      StructField("column", StringType), StructField("gen_expr", StringType)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val rows = graft.sources.Generated.list(spark, root(input))
+        .map(g => new GenericInternalRow(Array[Any](
+          UTF8String.fromString(g.name), UTF8String.fromString(g.sql)))
+          : InternalRow)
+      scanOf(out, rows)
+    }
+  }
+
+  /** `CALL c.system.add_identity(table, col, start, step)` — declare a
+    * BIGINT column `GENERATED BY DEFAULT AS IDENTITY` (round 12):
+    * batches omitting it get atomically reserved dense ids; batches
+    * carrying it pass through (sync_identity re-aligns the mark).
+    */
+  private final class AddIdentityProc(cat: GraftCatalog)
+      extends Proc(cat, "add_identity") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType), param("column", StringType),
+        param("start", LongType), param("step", LongType))
+    private val out = StructType(Seq(
+      StructField("column", StringType), StructField("start", LongType),
+      StructField("step", LongType)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val c = input.getUTF8String(1).toString
+      val start = input.getLong(2)
+      val step = input.getLong(3)
+      graft.sources.Identity.declare(spark, root(input), c, start, step)
+      scanOf(out, Seq(new GenericInternalRow(Array[Any](
+        UTF8String.fromString(c), start, step))))
+    }
+  }
+
+  private final class DropIdentityProc(cat: GraftCatalog)
+      extends Proc(cat, "drop_identity") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType), param("column", StringType))
+    private val out = StructType(Seq(StructField("dropped", StringType)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val c = input.getUTF8String(1).toString
+      graft.sources.Identity.drop(spark, root(input), c)
+      scanOf(out, Seq(new GenericInternalRow(
+        Array[Any](UTF8String.fromString(c)))))
+    }
+  }
+
+  /** `CALL c.system.sync_identity(table, col)` — re-align the mark past
+    * the column's current extremum (ALTER TABLE … SYNC IDENTITY).
+    */
+  private final class SyncIdentityProc(cat: GraftCatalog)
+      extends Proc(cat, "sync_identity") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType), param("column", StringType))
+    private val out = StructType(Seq(StructField("mark", LongType)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val c = input.getUTF8String(1).toString
+      val m = graft.sources.Identity.sync(spark, root(input), c)
+      scanOf(out, Seq(new GenericInternalRow(Array[Any](m))))
     }
   }
 

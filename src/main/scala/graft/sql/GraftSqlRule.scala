@@ -575,7 +575,9 @@ object GraftSqlRule {
           case None => Alias(t, t.name)()
         }
       }
-      GraftUpdateShadowPlanCommand(g, Project(cols, Filter(cond, read)))
+      GraftUpdateShadowPlanCommand(g, Project(cols, Filter(cond, read)),
+        assignedCols = rel.output
+          .filter(t => assigned.contains(t.exprId)).map(_.name).toSet)
     } else if (g.partCol.isEmpty && rebindable) {
       val sets = rel.output.toSeq.flatMap { t =>
         assigned.get(t.exprId).map(v => t.name -> castTo(v, t.dataType))
@@ -597,7 +599,9 @@ object GraftSqlRule {
       }
       val written = Alias(Coalesce(Seq(cond, Literal.FalseLiteral)),
         GraftCommands.WrittenMarker)()
-      GraftReplaceCommand(g, Project(cols :+ written, read), "UPDATE")
+      GraftReplaceCommand(g, Project(cols :+ written, read), "UPDATE",
+        assignedCols = rel.output
+          .filter(t => assigned.contains(t.exprId)).map(_.name).toSet)
     }
   }
 
@@ -634,9 +638,26 @@ object GraftSqlRule {
               m.matchedActions, m.notMatchedActions, m.mergeCondition,
               rel.output.collect { case a: AttributeReference => a })
           case None =>
-            GraftReplaceCommand(g, generalMergePlan(session, rel, m), "MERGE")
+            GraftReplaceCommand(g, generalMergePlan(session, rel, m), "MERGE",
+              assignedCols = mergeAssignedNames(m, rel))
         }
     }
+
+  /** The union of target column names any of the MERGE's actions
+    * explicitly assigns — generated columns OUTSIDE this set recompute
+    * on written rows (round 12); inside it, the supplied value
+    * validates like any other write.
+    */
+  private def mergeAssignedNames(m: MergeIntoTable,
+                                 rel: DataSourceV2Relation): Set[String] =
+    (m.matchedActions ++ m.notMatchedActions ++ m.notMatchedBySourceActions)
+      .flatMap {
+        case UpdateAction(_, assigns, _) =>
+          assigns.flatMap(a => keyAttr(a.key, rel).map(_.name))
+        case InsertAction(_, assigns) =>
+          assigns.flatMap(a => keyAttr(a.key, rel).map(_.name))
+        case _ => Nil
+      }.toSet
 
   /** `t.k1 = s.k1 AND …` → the (target column name, SOURCE attribute)
     * pairs — what the pruned general MERGE probes the skipping stats

@@ -629,6 +629,69 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rowsOf("SELECT id FROM graft.ns.rbw") == Set(Seq(1L), Seq(9999L)))
   }
 
+  test("generated columns via SQL: procedure declare, INSERT validates, UPDATE recomputes (round 12)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
+    sql("CREATE TABLE graft.ns.gen (k INT, v STRING, v_uc STRING)")
+    sql("INSERT INTO graft.ns.gen VALUES (1, 'a', 'A')")
+    sql("CALL graft.system.add_generated('ns.gen', 'v_uc', 'upper(v)')")
+    assert(rowsOf("CALL graft.system.generated_cols('ns.gen')") ==
+      Set(Seq("v_uc", "upper(v)")))
+    // INSERT with a consistent value passes; inconsistent aborts with
+    // the table unmoved
+    sql("INSERT INTO graft.ns.gen VALUES (2, 'b', 'B')")
+    intercept[Exception] {
+      sql("INSERT INTO graft.ns.gen VALUES (3, 'c', 'WRONG')")
+    }
+    assert(rowsOf("SELECT k, v, v_uc FROM graft.ns.gen") ==
+      Set(Seq(1, "a", "A"), Seq(2, "b", "B")))
+    // UPDATE of the source column recomputes the derivation
+    sql("UPDATE graft.ns.gen SET v = 'zz' WHERE k = 1")
+    assert(rowsOf("SELECT k, v, v_uc FROM graft.ns.gen") ==
+      Set(Seq(1, "zz", "ZZ"), Seq(2, "b", "B")))
+    sql("CALL graft.system.drop_generated('ns.gen', 'v_uc')")
+    assert(rowsOf("CALL graft.system.generated_cols('ns.gen')").isEmpty)
+  }
+
+  test("identity columns via SQL procedures: assign, sync, INSERT pass-through (round 12)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
+    sql("CREATE TABLE graft.ns.ident (id BIGINT, v STRING)")
+    sql("CALL graft.system.add_identity('ns.ident', 'id', 10, 10)")
+    // INSERT must spell every column (v2 arity) — explicit ids pass
+    // through the BY DEFAULT door…
+    sql("INSERT INTO graft.ns.ident VALUES (999, 'manual')")
+    // …the Scala append path omits the column and gets assigned ids
+    SnapshotLog.appendCommit(spark, root("ident"),
+      spark.sql("SELECT 'auto' AS v"))
+    // mark was never synced past 999 — sync, then the next assignment
+    // clears it
+    val mark = sql("CALL graft.system.sync_identity('ns.ident', 'id')")
+      .collect().head.getLong(0)
+    assert(mark == 999L)
+    SnapshotLog.appendCommit(spark, root("ident"),
+      spark.sql("SELECT 'after' AS v"))
+    val got = rowsOf("SELECT id, v FROM graft.ns.ident")
+    assert(got.exists(r => r(1) == "auto" && r(0) == 10L), got.toString)
+    assert(got.exists(r => r(1) == "after" && r(0) == 1009L), got.toString)
+    sql("CALL graft.system.drop_identity('ns.ident', 'id')")
+  }
+
+  test("MERGE recomputes generated columns its actions do not assign (round 12)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
+    sql("CREATE TABLE graft.ns.genm (k INT, v STRING, v_uc STRING)")
+    sql("INSERT INTO graft.ns.genm VALUES (1, 'a', 'A'), (2, 'b', 'B')")
+    sql("CALL graft.system.add_generated('ns.genm', 'v_uc', 'upper(v)')")
+    // multi-clause MERGE whose UPDATE/INSERT touch only k and v: the
+    // derivation refreshes on updated rows and fills on inserted ones
+    sql("""MERGE INTO graft.ns.genm t
+           USING (SELECT 1 AS k, 'new' AS v UNION ALL
+                  SELECT 3 AS k, 'c' AS v) s
+           ON t.k = s.k
+           WHEN MATCHED AND s.v != 'never' THEN UPDATE SET t.v = s.v
+           WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    assert(rowsOf("SELECT k, v, v_uc FROM graft.ns.genm") ==
+      Set(Seq(1, "new", "NEW"), Seq(2, "b", "B"), Seq(3, "c", "C")))
+  }
+
   test("CALL graft.system.purge_deleted materializes deletion vectors (round 12)") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
     sql("CREATE TABLE graft.ns.prg (k INT, v STRING)")

@@ -421,39 +421,43 @@ object Identity {
   }
 
   /** Tiny dedicated reservation lock — atomic create-exclusive, held
-    * for one mark read + one mark write, broken when older than 60 s
-    * (a crashed reserver must not wedge the table forever; the break
-    * is safe because a reservation that never published its new mark
-    * also never handed out ids from it).
+    * for one mark read + one mark write (milliseconds), broken when
+    * older than 120 s: a crashed reserver must not wedge the table
+    * forever, and the break is safe because a reservation that never
+    * published its new mark also never handed out ids from it. The
+    * break ASSUMES no live process pauses >2 minutes inside the
+    * millisecond critical section (a resumed zombie would write a stale
+    * mark and regress the counter) — the standard lease tradeoff on a
+    * store without compare-and-swap.
     */
   private def withIdLock[T](spark: SparkSession, root: String,
                             c: String)(body: => T): T = {
     val lp = lockPath(root, c)
     val f = fs(spark, root)
     f.mkdirs(lp.getParent)
+    // the claim primitive is the LogStore's (NIO O_CREAT|O_EXCL on
+    // file: paths — Hadoop's local create(false) is check-then-act and
+    // NOT atomic; conditional PUT on object stores)
+    val store = LogStore.resolve(spark)
     var acquired = false
-    val deadline = System.currentTimeMillis + 30000L
+    val deadline = System.currentTimeMillis + 180000L
     while (!acquired) {
-      try {
-        val out = f.create(lp, false) // atomic create-exclusive
-        out.close()
-        acquired = true
-      } catch {
-        case _: java.io.IOException =>
-          val st = try Some(f.getFileStatus(lp)) catch {
-            case _: java.io.FileNotFoundException => None
-          }
-          st.foreach { s =>
-            if (System.currentTimeMillis - s.getModificationTime > 60000L)
-              f.delete(lp, false) // stale reserver crashed — break
-          }
-          require(System.currentTimeMillis < deadline,
-            s"identity reservation lock at $lp held too long — " +
-            "a concurrent reserver is stuck or the clock is wrong")
-          Thread.sleep(50L)
+      acquired = store.tryClaim(spark, lp)
+      if (!acquired) {
+        val st = try Some(f.getFileStatus(lp)) catch {
+          case _: java.io.FileNotFoundException => None
+        }
+        st.foreach { s =>
+          if (System.currentTimeMillis - s.getModificationTime > 120000L)
+            f.delete(lp, false) // stale reserver crashed — break
+        }
+        require(System.currentTimeMillis < deadline,
+          s"identity reservation lock at $lp held too long — " +
+          "a concurrent reserver is stuck or the clock is wrong")
+        Thread.sleep(50L)
       }
     }
-    try body finally f.delete(lp, false)
+    try body finally store.releaseClaim(spark, lp)
   }
 
   /** Reserve `n` consecutive values atomically; returns the FIRST.

@@ -164,7 +164,9 @@ object SnapshotLog {
         // mapped lineages: files spell physical names; project back
         fromPhysicalSelect(
           spark.read.schema(physicalSchema(st)).parquet(paths: _*), st)
-      case None => spark.read.parquet(paths: _*)
+      // drop the materialized row-id column a tracking-preserving
+      // rewrite may have left in the files (no-op when absent)
+      case None => spark.read.parquet(paths: _*).drop(RowIdCol)
     }
     // merge-on-read lineages attach their row sequence while the scan's
     // _metadata columns still resolve, then dedup AFTER the positional
@@ -480,6 +482,9 @@ object SnapshotLog {
       require(partColOf(spark, root, cur).isEmpty,
         "rebloomWidened on a partition-scoped lineage is not supported — " +
         "compactChain re-blooms those today")
+      require(!rowTrackingEnabled(spark, root),
+        "rebloomWidened on a row-tracked lineage is not supported yet — " +
+        "compactChain preserves identities and re-blooms the whole table")
       val pin = schemaOf(spark, root, cur).getOrElse(return cur)
       val widened = pin.fields.filter(fd =>
         !isDropped(fd) && fd.metadata.contains(WidenKey))
@@ -1174,12 +1179,21 @@ object SnapshotLog {
     // column mapping applied exactly like [[readVersion]] would
     val pinned = schemaOf(spark, root, cur)
     val tombs = tombDirsOf(spark, root, cur)
+    // row tracking (round 12): read the slice WITH identities so the
+    // merge preserves them — updated and carried rows re-attach their
+    // old id by key after `f`, inserts stay NULL (the new file's base
+    // assignment identifies them). One extra O(matched) read for the
+    // key→id side.
+    val tracked = rowTrackingEnabled(spark, root)
+    val visibleAll: Option[DataFrame] =
+      if (!tracked || matchedPaths.isEmpty) None
+      else Some(scanWithRids(spark, root, cur, matchedPaths, tombs))
     val visible: DataFrame =
       if (matchedPaths.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           tableSchema(spark, root, cur))
-      else {
+      else visibleAll.map(_.drop(RowIdCol)).getOrElse {
         val raw = pinned match {
           case Some(st) => fromPhysicalSelect(
             spark.read.schema(physicalSchema(st)).parquet(matchedPaths: _*), st)
@@ -1187,7 +1201,13 @@ object SnapshotLog {
         }
         applyTombstoneDirs(spark, root, tombs, raw)
       }
-    val merged = f(visible)
+    val merged0 = f(visible)
+    val merged = visibleAll match {
+      case Some(va) =>
+        merged0.join(va.select(keys.map(col(_)) :+ col(RowIdCol): _*),
+          keys, "left")
+      case None => merged0
+    }
     // ---- STAGE outside the claim (the appendOcc pattern): the
     // O(matched) merged-slice write — the expensive part — never
     // serializes other writers. Mapped lineages write PHYSICAL names
@@ -1205,7 +1225,7 @@ object SnapshotLog {
       // the matched slice holds every row sharing a probe key, so the
       // classification join is O(matched) — and exact, deletes
       // included (a general MERGE's WHEN MATCHED DELETE records)
-      keyedSliceDiff(visible, merged, keys).write.mode("overwrite")
+      keyedSliceDiff(visible, merged0, keys).write.mode("overwrite")
         .parquet(new Path(staging, StagedChg).toString)
     // ---- PUBLISH under the claim: metadata-only. A head that MOVED
     // since the probe REBASES instead of discarding the staged slice
@@ -1410,7 +1430,7 @@ object SnapshotLog {
     val raw = recorded.getOrElse {
       val statColOf: String => Option[String] = { l =>
         val p = l.split('\t')
-        if (p.length >= 3 && p(2) != "f" && p(2) != "d")
+        if (p.length >= 3 && p(2) != "f" && p(2) != "d" && p(2) != "r")
           Some(StatsEval.unesc(p(1)))
         else None
       }
@@ -2598,7 +2618,8 @@ object SnapshotLog {
     require(partColOf(spark, root, cur).isEmpty,
       "updateWhere: partition-scoped lineage — update via upsertScoped")
     val rootPath = new Path(root.replaceAll("/+$", ""))
-    val base = prunedBaseScan(spark, root, cur)
+    val tracked = rowTrackingEnabled(spark, root)
+    val base = prunedBaseScan(spark, root, cur, withRid = tracked)
     val assignments = mkAssign(base)
     require(assignments.nonEmpty, "updateWhere needs at least one SET assignment")
     require(assignments.keys.forall(base.columns.contains),
@@ -2625,6 +2646,18 @@ object SnapshotLog {
           new Path(rootPath, tombStaging))
         val sel = base.columns.toSeq
           .map(c => assignments.get(c).map(_.as(c)).getOrElse(col(c)))
+        // row tracking: exact identities for the rewritten copies
+        val matchedSrc =
+          if (!tracked) matched
+          else {
+            import org.apache.spark.sql.functions.{coalesce, lit,
+              raise_error, when}
+            val ridc = coalesce(col(RowIdCol), col("__rbase") + col("__ri"))
+            matched.join(rowBaseDf(spark, root, cur), Seq("__rel"), "left")
+              .withColumn(RowIdCol, when(ridc.isNull, raise_error(lit(
+                s"row-id coverage incomplete at $root — run " +
+                "enableRowTracking to re-base"))).otherwise(ridc))
+          }
         // round 11 (ADVICE): the REWRITTEN rows are this statement's
         // writes — they gate through declared CHECK constraints exactly
         // like the COW path's written subset (a FAIL violation aborts
@@ -2633,7 +2666,7 @@ object SnapshotLog {
         // — the Delta UPDATE contract: constraints verify written rows)
         // Round 12: unassigned generated columns recompute first
         val (rewrites, obs) = Constraints.gate(spark, root,
-          Generated.recompute(spark, root, matched.select(sel: _*),
+          Generated.recompute(spark, root, matchedSrc.select(sel: _*),
             assignments.keys.toSet))
         schemaOf(spark, root, cur).map(toPhysicalDf(rewrites, _))
           .getOrElse(rewrites).write.mode("overwrite")
@@ -2760,8 +2793,11 @@ object SnapshotLog {
       val next = cur + 1L
       val rootPath = new Path(root.replaceAll("/+$", ""))
       // file-manifest scan: schema declared, zero listing when the
-      // sidecar is complete (prunedBaseScan); raw positions, no DV/MoR
-      val base = prunedBaseScan(spark, root, cur)
+      // sidecar is complete (prunedBaseScan); raw positions, no DV/MoR.
+      // Row-tracked lineages read WITH the materialized id column so
+      // the rewritten rows keep their identities (round 12)
+      val tracked = rowTrackingEnabled(spark, root)
+      val base = prunedBaseScan(spark, root, cur, withRid = tracked)
       val assignments = mkAssign(base)
       require(assignments.nonEmpty, "updateWhere needs at least one SET assignment")
       require(assignments.keys.forall(base.columns.contains),
@@ -2786,13 +2822,26 @@ object SnapshotLog {
             new Path(rootPath, tombDirName(next)))
           val sel = base.columns.toSeq
             .map(c => assignments.get(c).map(_.as(c)).getOrElse(col(c)))
+          // row tracking: the rewritten copies carry EXACT identities —
+          // the file-materialized id when present, else base + index
+          val matchedSrc =
+            if (!tracked) matched
+            else {
+              import org.apache.spark.sql.functions.{coalesce, lit,
+                raise_error, when}
+              val ridc = coalesce(col(RowIdCol), col("__rbase") + col("__ri"))
+              matched.join(rowBaseDf(spark, root, cur), Seq("__rel"), "left")
+                .withColumn(RowIdCol, when(ridc.isNull, raise_error(lit(
+                  s"row-id coverage incomplete at $root — run " +
+                  "enableRowTracking to re-base"))).otherwise(ridc))
+            }
           // round 11 (ADVICE): rewritten rows gate through declared
           // CHECK constraints — same contract as stageUpdateWhereOcc.
           // Round 12: generated columns the SET did not explicitly
           // assign recompute first (the Delta UPDATE contract — source
           // changes refresh derivations transparently)
           val (rewrites, obs) = Constraints.gate(spark, root,
-            Generated.recompute(spark, root, matched.select(sel: _*),
+            Generated.recompute(spark, root, matchedSrc.select(sel: _*),
               assignments.keys.toSet))
           // the rewrites dir joins a physical-named lineage — translate
           schemaOf(spark, root, cur).map(toPhysicalDf(rewrites, _))
@@ -4481,7 +4530,15 @@ object SnapshotLog {
                    statsCols: Seq[String] = Nil,
                    bloomCols: Seq[String] = Nil,
                    zorderBy: Seq[String] = Nil): Long = {
-    val cur = read(spark, root)
+    // row tracking (round 12): the materialized rewrite carries every
+    // row's identity forward as the hidden column — a full compaction
+    // is maintenance, not REPLACE
+    val cur =
+      if (rowTrackingEnabled(spark, root) &&
+          currentVersion(spark, root).exists(v =>
+            morKeysOf(spark, root, v).isEmpty))
+        readWithRowIds(spark, root).withColumnRenamed("_row_id", RowIdCol)
+      else read(spark, root)
     val arranged =
       if (zorderBy.nonEmpty) {
         require(nFiles > 0, "OPTIMIZE ZORDER needs an explicit nFiles (the range partitioner's target)")
@@ -4642,11 +4699,22 @@ object SnapshotLog {
       // column mapping: compact in PHYSICAL space — the packed dir must
       // spell columns like the carried big dirs do (the pin's mapping
       // propagates below, so reads keep translating)
-      val smallScan = schemaOf(spark, root, cur) match {
-        case Some(st) => spark.read.schema(physicalSchema(st)).parquet(smallPaths: _*)
-        case None     => spark.read.parquet(smallPaths: _*)
-      }
-      val packed = applyTombstoneDirs(spark, root, tombs, smallScan)
+      val packed =
+        if (rowTrackingEnabled(spark, root)) {
+          // identities survive the pack (round 12): the source reads
+          // with its row ids and the packed files carry them as the
+          // materialized column; the pin translates back to physical
+          // (RowIdCol maps to itself)
+          val src = scanWithRids(spark, root, cur, smallPaths, tombs)
+          schemaOf(spark, root, cur).map(toPhysicalDf(src, _)).getOrElse(src)
+        } else {
+          val smallScan = schemaOf(spark, root, cur) match {
+            case Some(st) =>
+              spark.read.schema(physicalSchema(st)).parquet(smallPaths: _*)
+            case None => spark.read.parquet(smallPaths: _*)
+          }
+          applyTombstoneDirs(spark, root, tombs, smallScan)
+        }
       val nOut = math.max(1L,
         (small.map(_._2).sum + targetBytes - 1) / targetBytes).toInt
       writeDataDir(spark, packed.coalesce(nOut), dataDir(root, next), bloomCols)
@@ -4687,7 +4755,7 @@ object SnapshotLog {
       // distinct-collect is bounded by |columns|, never |files|.
       val statColOf: String => Option[String] = { l =>
         val p = l.split('\t')
-        if (p.length >= 3 && p(2) != "f" && p(2) != "d") Some(StatsEval.unesc(p(1)))
+        if (p.length >= 3 && p(2) != "f" && p(2) != "d" && p(2) != "r") Some(StatsEval.unesc(p(1)))
         else None
       }
       val freshCols =
@@ -4780,12 +4848,19 @@ object SnapshotLog {
     val next = cur + 1L
     val smallPaths = small.map(t => new Path(rootPath, t._1).toString)
     // pinned (additive) schema declares the read so pre-evolution leafs
-    // null-fill — no mergeSchema footer pass
-    val smallScan = schemaOf(spark, root, cur) match {
-      case Some(st) => spark.read.schema(physicalSchema(st)).parquet(smallPaths: _*)
-      case None     => spark.read.parquet(smallPaths: _*)
-    }
-    val packed = applyTombstoneDirs(spark, root, tombs, smallScan)
+    // null-fill — no mergeSchema footer pass. Row-tracked lineages read
+    // with identities attached (round 12) so the pack preserves them.
+    val packed =
+      if (rowTrackingEnabled(spark, root))
+        scanWithRids(spark, root, cur, smallPaths, tombs)
+      else {
+        val smallScan = schemaOf(spark, root, cur) match {
+          case Some(st) =>
+            spark.read.schema(physicalSchema(st)).parquet(smallPaths: _*)
+          case None => spark.read.parquet(smallPaths: _*)
+        }
+        applyTombstoneDirs(spark, root, tombs, smallScan)
+      }
     // re-render __gp from the rows (the user columns stay in-file) and
     // cluster by it so each small leaf packs into few files — the same
     // writer expression every scoped commit uses, drift-checked below
@@ -4813,7 +4888,7 @@ object SnapshotLog {
     // (bounded by |columns| — the flat path's contract)
     val statColOf: String => Option[String] = { l =>
       val p = l.split('\t')
-      if (p.length >= 3 && p(2) != "f" && p(2) != "d") Some(StatsEval.unesc(p(1)))
+      if (p.length >= 3 && p(2) != "f" && p(2) != "d" && p(2) != "r") Some(StatsEval.unesc(p(1)))
       else None
     }
     val freshCols =
@@ -4945,14 +5020,21 @@ object SnapshotLog {
         .filter(p => matchedRel.contains(relOf(p))).map(_.toString)
       // PHYSICAL space end to end: vectors are positional, the pinned
       // physical schema null-fills pre-evolution files, and the written
-      // files spell columns exactly like the carried ones
+      // files spell columns exactly like the carried ones. Row-tracked
+      // lineages purge with identities attached (round 12).
       val pinned = schemaOf(spark, root, cur)
-      val raw = pinned match {
-        case Some(st) =>
-          spark.read.schema(physicalSchema(st)).parquet(matchedPaths: _*)
-        case None => spark.read.parquet(matchedPaths: _*)
-      }
-      val purged = applyTombstoneDirs(spark, root, tombs, raw)
+      val purged =
+        if (rowTrackingEnabled(spark, root)) {
+          val src = scanWithRids(spark, root, cur, matchedPaths, tombs)
+          pinned.map(toPhysicalDf(src, _)).getOrElse(src)
+        } else {
+          val raw = pinned match {
+            case Some(st) =>
+              spark.read.schema(physicalSchema(st)).parquet(matchedPaths: _*)
+            case None => spark.read.parquet(matchedPaths: _*)
+          }
+          applyTombstoneDirs(spark, root, tombs, raw)
+        }
       val physMap = pinned.map(renameMap).getOrElse(Map.empty[String, String])
       writeDataDir(spark, purged, dataDir(root, next),
         bloomCols.map(c => physMap.getOrElse(c, c)))
@@ -5034,16 +5116,27 @@ object SnapshotLog {
     }
     val matchedPaths = matched.map(d => new Path(rootPath, d).toString)
     val pinned = schemaOf(spark, root, cur)
-    val raw = pinned match {
-      case Some(st) =>
-        spark.read.schema(physicalSchema(st)).parquet(matchedPaths: _*)
-      case None => spark.read.parquet(matchedPaths: _*)
-    }
-    val purged = applyTombstoneDirs(spark, root, tombs, raw)
+    // tracked lineages purge with identities attached (round 12); the
+    // __gp render runs in LOGICAL space (partition sources are never
+    // renamed) and the pin translates to physical just before the write
+    val purged =
+      if (rowTrackingEnabled(spark, root)) {
+        val src = scanWithRids(spark, root, cur, matchedPaths, tombs)
+          .withColumn(GpCol, gpRenderExpr(spec))
+        pinned.map(toPhysicalDf(src, _)).getOrElse(src)
+      } else {
+        val raw = pinned match {
+          case Some(st) =>
+            spark.read.schema(physicalSchema(st)).parquet(matchedPaths: _*)
+          case None => spark.read.parquet(matchedPaths: _*)
+        }
+        applyTombstoneDirs(spark, root, tombs, raw)
+          .withColumn(GpCol, gpRenderExpr(spec))
+      }
     val physMap = pinned.map(renameMap).getOrElse(Map.empty[String, String])
     val dd = dataDir(root, next)
     writeDataDir(spark,
-      purged.withColumn(GpCol, gpRenderExpr(spec)).repartition(col(GpCol)),
+      purged.repartition(col(GpCol)),
       dd, bloomCols.map(c => physMap.getOrElse(c, c)),
       partitionBy = Seq(GpCol))
     val writtenLeafs = fs(spark, dd).listStatus(dd).map(_.getPath.getName)
@@ -5069,6 +5162,269 @@ object SnapshotLog {
       statsStack = stack)
     publishLatest(spark, root, next)
     next
+  }
+
+  // ---------------- ROW TRACKING (round 12) ------------------------
+  // Stable ROW IDS (Delta row tracking / Iceberg v3 row lineage): every
+  // row of an enabled table has a permanent identity `_row_id` that
+  // survives appends, deletes, and (as the rewrite paths materialize
+  // it) file reorganization. The identity is METADATA-DERIVED, never
+  // stored per row on the append path: each data file gets a BASE id
+  // from a monotone counter (`_graft_log/ROWIDHIGH`, bumped under the
+  // writer claim at sidecar-write time), and a row's id is
+  // `base + row_index` — zero bytes per row, zero write-path cost
+  // beyond one footer row-count pass over the commit's own files.
+  // Rewritten files carry the old ids forward as a MATERIALIZED hidden
+  // column (`__graft_rid`); the reader coalesces column-over-base, so
+  // mixed lineages read exactly.
+
+  private[graft] val RowIdCol = "__graft_rid"
+  private def rowTrackMarkerPath(root: String): Path =
+    new Path(logDir(root), "ROWTRACKING")
+  private def rowIdHighPath(root: String): Path =
+    new Path(logDir(root), "ROWIDHIGH")
+
+  private[graft] def rowTrackingEnabled(spark: SparkSession,
+                                        root: String): Boolean = {
+    val p = rowTrackMarkerPath(root)
+    fs(spark, p).exists(p)
+  }
+
+  private def readRowIdHigh(spark: SparkSession, root: String): Long = {
+    val p = rowIdHighPath(root)
+    val f = fs(spark, p)
+    if (!f.exists(p)) 0L
+    else {
+      val in = f.open(p)
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      txt.trim.toLong
+    }
+  }
+
+  private def writeRowIdHigh(spark: SparkSession, root: String,
+                             v: Long): Unit = {
+    val p = rowIdHighPath(root)
+    val f = fs(spark, p)
+    f.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent, ".tmp_rowidhigh")
+    val out = f.create(tmp, true)
+    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // OVERWRITING rename — old value or new, never absent (a lost mark
+    // would re-issue bases and alias identities)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      p.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Distributed footer row counts for a set of parquet files, returned
+    * (dir-relative key, rowCount) sorted by key — deterministic base
+    * assignment order. O(files) driver memory, one footer read each.
+    */
+  private def fileRowCounts(spark: SparkSession,
+                            paths: Seq[String]): Seq[(String, Long)] = {
+    if (paths.isEmpty) return Nil
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val slices = math.max(1, math.min(paths.size,
+      spark.sparkContext.defaultParallelism))
+    spark.sparkContext.parallelize(paths, slices).map { pstr =>
+      import scala.jdk.CollectionConverters._
+      val p = new Path(pstr)
+      val rel = p.getParent.getName + "/" + p.getName
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf.value))
+      try (rel, reader.getFooter.getBlocks.asScala.map(_.getRowCount.toLong).sum)
+      finally reader.close()
+    }.collect().toSeq.sortBy(_._1)
+  }
+
+  /** The version's (file rel → base id) assignments as a small frame —
+    * distributed parse of the sidecar (text, checkpoint, or chain), no
+    * driver materialization of the line set.
+    */
+  private def rowBaseDf(spark: SparkSession, root: String,
+                        v: Long): DataFrame = {
+    val S = org.apache.spark.sql.Encoders.STRING
+    val linesDs: org.apache.spark.sql.Dataset[String] =
+      sidecarCarry(spark, root, v) match {
+        case EagerCarry(ls) => spark.createDataset(ls)(S)
+        case DistCarry(ds)  => ds
+        case c: ChainCarry  => c.toDist.ds
+      }
+    val T = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong)
+    linesDs.flatMap { l =>
+      val p = l.split("\t", -1)
+      if (p.length == 5 && p(2) == "r")
+        Some((StatsEval.unesc(p(0)), p(3).toLong))
+      else None
+    }(T).toDF("__rel", "__rbase")
+  }
+
+  /** Enable row tracking — or REPAIR coverage after a rewrite path that
+    * does not yet materialize ids: live files without a base assignment
+    * get fresh bases (their rows are new identities); files already
+    * covered keep their bases untouched (ids are stable). Commits a
+    * metadata-only version whose sidecar carries the parent's lines
+    * plus the new `r` assignments.
+    */
+  def enableRowTracking(spark: SparkSession, root: String): Long = {
+    withClaim(spark, root) { f =>
+      recoverOrphans(spark, root)
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed version at $root"))
+      require(morKeysOf(spark, root, cur).isEmpty,
+        "row tracking on a merge-on-read lineage is not supported — the " +
+        "shadow copies of a key would alias one identity; compactChain " +
+        "to a flat lineage first")
+      val rootPath = new Path(root.replaceAll("/+$", ""))
+      val allFiles: Seq[String] = filesFromSidecar(spark, root, cur) match {
+        case Some(sts) => sts.map(_.getPath.toString)
+        case None => dirsOf(spark, root, cur).flatMap { d =>
+          if (d.contains('/') && d.endsWith(".parquet"))
+            Seq(new Path(rootPath, d).toString)
+          else {
+            val it = f.listFiles(new Path(rootPath, d), true)
+            val b = Vector.newBuilder[String]
+            while (it.hasNext) {
+              val st = it.next()
+              if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+                b += st.getPath.toString
+            }
+            b.result()
+          }
+        }
+      }
+      def relOf(p: String) = {
+        val pp = new Path(p); pp.getParent.getName + "/" + pp.getName
+      }
+      val covered: Map[String, (Long, Long)] = sidecarCarry(spark, root, cur)
+        .filter(l => l.split("\t", -1) match {
+          case arr if arr.length == 5 && arr(2) == "r" => true
+          case _ => false
+        }) match {
+        case EagerCarry(ls) => ls.map { l =>
+          val p = l.split("\t", -1)
+          StatsEval.unesc(p(0)) -> (p(3).toLong, p(4).toLong)
+        }.toMap
+        case c: ChainCarry => c.toDist.ds.collect().map { l =>
+          val p = l.split("\t", -1)
+          StatsEval.unesc(p(0)) -> (p(3).toLong, p(4).toLong)
+        }.toMap
+        case DistCarry(ds) => ds.collect().map { l =>
+          val p = l.split("\t", -1)
+          StatsEval.unesc(p(0)) -> (p(3).toLong, p(4).toLong)
+        }.toMap
+      }
+      val uncovered = allFiles.filterNot(p => covered.contains(relOf(p)))
+      if (rowTrackingEnabled(spark, root) && uncovered.isEmpty)
+        return cur // enabled and fully covered — nothing to do
+      // fresh bases start past BOTH the recorded mark and every carried
+      // assignment (a cloned sidecar carries source bases; collisions
+      // would alias identities)
+      val mark0 = math.max(readRowIdHigh(spark, root),
+        covered.valuesIterator.map { case (b, n) => b + n }
+          .foldLeft(0L)(math.max))
+      val counts = fileRowCounts(spark, uncovered)
+      var mark = mark0
+      val rLines = Vector.newBuilder[String]
+      counts.foreach { case (rel, n) =>
+        rLines += s"${esc(rel)}\t\tr\t$mark\t$n"
+        mark += n
+      }
+      writeRowIdHigh(spark, root, mark)
+      val next = cur + 1L
+      val stack = writeStats(spark, root, next, Nil,
+        sidecarCarry(spark, root, cur), extraLines = rLines.result())
+      writeManifestDirs(spark, root, next, dirsOf(spark, root, cur),
+        batchId = batchIdOf(spark, root, cur).getOrElse(-1L),
+        tombDirs = tombDirsOf(spark, root, cur),
+        kind = "rowtrack",
+        partCol = partColOf(spark, root, cur).getOrElse(""),
+        schemaJson = rawSchemaJson(spark, root, cur),
+        statsStack = stack)
+      publishLatest(spark, root, next)
+      // marker LAST: a crash above leaves no marker and a clean re-run
+      val mp = rowTrackMarkerPath(root)
+      if (!fs(spark, mp).exists(mp)) {
+        val out = fs(spark, mp).create(mp, true)
+        try out.write("1".getBytes) finally out.close()
+      }
+      next
+    }
+  }
+
+  /** A version's file scan with stable row identities attached: the
+    * table's LOGICAL columns plus [[RowIdCol]] — populated for every
+    * row (materialized column preferred, else file base + row index;
+    * loud failure when neither exists), deletion vectors applied. The
+    * rewrite paths read their sources through this so identities
+    * survive reorganization; [[readWithRowIds]] is the user surface.
+    * `keepPos` additionally exposes `__rel`/`__ri` (what the DML paths
+    * feed [[writeTombstones]]).
+    */
+  private def scanWithRids(spark: SparkSession, root: String, version: Long,
+                           paths: Seq[String], tombs: Seq[String],
+                           keepPos: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, raise_error,
+      substring_index, when}
+    val pinned = schemaOf(spark, root, version)
+    val logicalFields = pinned.map(st =>
+        st.fields.filterNot(isDropped).toSeq.map(fl => (fl.name, physName(fl))))
+      .getOrElse(tableSchema(spark, root, version).fields.toSeq
+        .map(fl => (fl.name, fl.name)))
+    val physBase = pinned.map(physicalSchema).getOrElse(
+      tableSchema(spark, root, version))
+    val declared = org.apache.spark.sql.types.StructType(
+      asNullable(org.apache.spark.sql.types.StructType(
+        physBase.fields.filterNot(_.name == RowIdCol)))
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fields :+
+        org.apache.spark.sql.types.StructField(RowIdCol,
+          org.apache.spark.sql.types.LongType, nullable = true))
+    val scan = spark.read.schema(declared).parquet(paths: _*)
+      .withColumn("__rel", substring_index(col("_metadata.file_path"), "/", -2))
+      .withColumn("__ri", col("_metadata.row_index"))
+    val withBase = scan.join(rowBaseDf(spark, root, version), Seq("__rel"), "left")
+    val rid = coalesce(col(RowIdCol), col("__rbase") + col("__ri"))
+    val guarded = when(rid.isNull, raise_error(lit(
+        s"row-id coverage incomplete at $root — a rewrite produced files " +
+        "without identities; run enableRowTracking to re-base them")))
+      .otherwise(rid)
+    val vis =
+      if (tombs.isEmpty) withBase
+      else {
+        val rootPath = new Path(root.replaceAll("/+$", ""))
+        withBase.join(spark.read.parquet(
+            tombs.map(d => new Path(rootPath, d).toString): _*),
+          Seq("__rel", "__ri"), "left_anti")
+      }
+    val posCols = if (keepPos) Seq(col("__rel"), col("__ri")) else Nil
+    vis.select(logicalFields.map { case (lname, pname) =>
+      col(pname).as(lname) } ++ Seq(guarded.as(RowIdCol)) ++ posCols: _*)
+  }
+
+  /** The current snapshot with its stable `_row_id` column: coalesce of
+    * the materialized [[RowIdCol]] (rewritten files carry old ids
+    * forward) over `base + row_index` (append-path files, zero bytes
+    * per row). Deletion vectors apply exactly like [[readVersion]].
+    * A row whose identity cannot be derived (a file a non-materializing
+    * rewrite produced after enablement) raises loudly — run
+    * [[enableRowTracking]] again to re-base such files.
+    */
+  def readWithRowIds(spark: SparkSession, root: String,
+                     version: Option[Long] = None): DataFrame = {
+    val v = version.getOrElse(currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root")))
+    require(rowTrackingEnabled(spark, root),
+      s"row tracking is not enabled at $root — enableRowTracking first")
+    require(morKeysOf(spark, root, v).isEmpty,
+      "row tracking on a merge-on-read lineage is not supported")
+    scanWithRids(spark, root, v, versionPaths(spark, root, v),
+      tombDirsOf(spark, root, v))
+      .withColumnRenamed(RowIdCol, "_row_id")
   }
 
   /** Step 3 — the commit point: swap the LATEST pointer atomically
@@ -5674,10 +6030,13 @@ object SnapshotLog {
     */
   private def writeStats(spark: SparkSession, root: String, v: Long,
                          cols: Seq[String],
-                         carry: SidecarCarry = EagerCarry(Nil)): Seq[Long] = {
+                         carry: SidecarCarry = EagerCarry(Nil),
+                         extraLines: Seq[String] = Nil): Seq[Long] = {
     val dd = dataDir(root, v)
     val f = fs(spark, dd)
     val lines = Vector.newBuilder[String]
+    lines ++= extraLines
+    val ownFiles = Vector.newBuilder[Path]
     // FILE MANIFEST (round 8): record the version's own dirs' file
     // listings as sidecar lines — `d` marks a dir fully listed, `f`
     // carries one file's (name, length, mtime). The committer just
@@ -5698,6 +6057,7 @@ object SnapshotLog {
           f.listStatus(ld.getPath).filter(st =>
             st.isFile && st.getPath.getName.endsWith(".parquet")).foreach { st =>
             lines += s"${esc(base + "/" + st.getPath.getName)}\t\tf\t${st.getLen}\t${st.getModificationTime}"
+            ownFiles += st.getPath
           }
         }
       } else {
@@ -5706,7 +6066,32 @@ object SnapshotLog {
         flatFiles.filter(st =>
           st.isFile && st.getPath.getName.endsWith(".parquet")).foreach { st =>
           lines += s"${esc(base + "/" + st.getPath.getName)}\t\tf\t${st.getLen}\t${st.getModificationTime}"
+          ownFiles += st.getPath
         }
+      }
+    }
+    // ROW TRACKING (round 12): fresh BASE ids for this commit's own
+    // files — one footer row-count pass over O(batch) files, mark
+    // bumped under the caller's claim (every writeStats site holds it).
+    // `extraLines` may already carry assignments for some of them (the
+    // enable/repair path) — those keep their bases.
+    if (rowTrackingEnabled(spark, root)) {
+      val preAssigned: Set[String] = extraLines.flatMap { l =>
+        val p = l.split("\t", -1)
+        if (p.length == 5 && p(2) == "r") Some(StatsEval.unesc(p(0))) else None
+      }.toSet
+      val fresh = ownFiles.result().map(_.toString).filterNot { p =>
+        val pp = new Path(p)
+        preAssigned.contains(pp.getParent.getName + "/" + pp.getName)
+      }
+      val counts = fileRowCounts(spark, fresh)
+      if (counts.nonEmpty) {
+        var mark = readRowIdHigh(spark, root)
+        counts.foreach { case (rel, n) =>
+          lines += s"${esc(rel)}\t\tr\t$mark\t$n"
+          mark += n
+        }
+        writeRowIdHigh(spark, root, mark)
       }
     }
     // fresh footer-derived span stats for this commit's own files, as an
@@ -6665,11 +7050,17 @@ object SnapshotLog {
     * before it matter.
     */
   private[graft] def tableSchema(spark: SparkSession, root: String,
-                                 v: Long): org.apache.spark.sql.types.StructType =
-    schemaOf(spark, root, v).map(visibleSchema)
+                                 v: Long): org.apache.spark.sql.types.StructType = {
+    val raw = schemaOf(spark, root, v).map(visibleSchema)
       .orElse(filesFromSidecar(spark, root, v).flatMap(_.headOption)
         .flatMap(st => sparkSchemaFromFooter(spark, st.getPath)))
       .getOrElse(spark.read.parquet(versionPaths(spark, root, v): _*).schema)
+    // the materialized row-id column is engine metadata, never part of
+    // the user-visible schema (an unpinned lineage's footer sample may
+    // include it after a tracking-preserving rewrite)
+    org.apache.spark.sql.types.StructType(
+      raw.fields.filterNot(_.name == RowIdCol))
+  }
 
   /** The base file scan of a version — schema declared, files from the
     * sidecar manifest (or walk fallback), spans + dir-name partition
@@ -6678,8 +7069,9 @@ object SnapshotLog {
     * (they need raw positions); [[readPruned]] layers visibility on top.
     */
   private def prunedBaseScan(spark: SparkSession, root: String,
-                             v: Long): DataFrame =
-    prunedBaseScanListing(spark, root, v, listingLines(spark, root, v))
+                             v: Long, withRid: Boolean = false): DataFrame =
+    prunedBaseScanListing(spark, root, v, listingLines(spark, root, v),
+      withRid)
 
   /** [[prunedBaseScanLines]] with the span source chosen by sidecar
     * storage: a text sidecar's lines parse into the in-memory span map
@@ -6690,14 +7082,16 @@ object SnapshotLog {
     * spans on the driver.
     */
   private def prunedBaseScanListing(spark: SparkSession, root: String,
-                                    v: Long, lines: Seq[String]): DataFrame =
+                                    v: Long, lines: Seq[String],
+                                    withRid: Boolean = false): DataFrame =
     if (hasPqSidecar(spark, root, v))
       prunedBaseScanCore(spark, root, v, lines,
-        PqSpans(pqStackPaths(root, v, statsStackOf(spark, root, v))))
-    else prunedBaseScanLines(spark, root, v, lines)
+        PqSpans(pqStackPaths(root, v, statsStackOf(spark, root, v))), withRid)
+    else prunedBaseScanLines(spark, root, v, lines, withRid)
 
   private def prunedBaseScanLines(spark: SparkSession, root: String,
-                                  v: Long, lines: Seq[String]): DataFrame = {
+                                  v: Long, lines: Seq[String],
+                                  withRid: Boolean = false): DataFrame = {
     // rel-path keyed spans and null counts, grouped per file
     val spans: Map[String, Map[String, (String, String, String)]] =
       lines.flatMap(l => StatsEval.parseSpan(l).map {
@@ -6710,12 +7104,14 @@ object SnapshotLog {
         .map { case (f, ls) =>
           f -> ls.map(t => t._2 -> ((t._3, t._4))).toMap
         }
-    prunedBaseScanCore(spark, root, v, lines, InMemSpans(spans, nulls))
+    prunedBaseScanCore(spark, root, v, lines, InMemSpans(spans, nulls),
+      withRid)
   }
 
   private def prunedBaseScanCore(spark: SparkSession, root: String,
                                  v: Long, lines: Seq[String],
-                                 spanSrc: SpanSource): DataFrame = {
+                                 spanSrc: SpanSource,
+                                 withRid: Boolean = false): DataFrame = {
     import org.apache.spark.sql.execution.datasources.HadoopFsRelation
     val paths = versionPaths(spark, root, v)
     // ONE sidecar read feeds both the file manifest and the spans
@@ -6737,10 +7133,14 @@ object SnapshotLog {
     // Every graft data file is Spark-written, so the footer carries the
     // exact StructType in its row.metadata key; reading it keeps schema
     // resolution listing-free too (a DataFrameReader probe would LIST)
-    val schema = asNullable(schemaOf(spark, root, v)
+    val schema0 = asNullable(schemaOf(spark, root, v)
       .orElse(files.headOption.flatMap(st => sparkSchemaFromFooter(spark, st.getPath)))
       .getOrElse(spark.read.parquet(paths: _*).schema))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
+    // strip the materialized row-id column (engine metadata a tracking-
+    // preserving rewrite leaves in files; never user-visible)
+    val schema = org.apache.spark.sql.types.StructType(
+      schema0.fields.filterNot(_.name == RowIdCol))
     val partCol = partColOf(spark, root, v)
     val zone = sessionZone(spark)
     // column mapping: the files (and the sidecar span keys, and the
@@ -6748,15 +7148,30 @@ object SnapshotLog {
     // all spell PHYSICAL names — the relation declares those, and one
     // Project restores the pin's logical names for everything above
     val phys = physicalSchema(schema)
-    val index = new SkippingFileIndex(spark, files, spanSrc, partCol, phys, zone)
+    // row tracking: the DML paths read with the materialized row-id
+    // column declared (nullable — append files lack it), keeping the
+    // skipping index; the plain read paths never see it
+    val tracked = withRid && rowTrackingEnabled(spark, root)
+    val physFull =
+      if (!tracked) phys
+      else org.apache.spark.sql.types.StructType(phys.fields :+
+        org.apache.spark.sql.types.StructField(RowIdCol,
+          org.apache.spark.sql.types.LongType, nullable = true))
+    val index = new SkippingFileIndex(spark, files, spanSrc, partCol, physFull, zone)
     val relation = HadoopFsRelation(
       location = index,
       partitionSchema = org.apache.spark.sql.types.StructType(Nil),
-      dataSchema = phys,
+      dataSchema = physFull,
       bucketSpec = None,
       fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
       options = Map.empty)(spark)
-    fromPhysicalSelect(spark.baseRelationToDataFrame(relation), schema)
+    val df0 = spark.baseRelationToDataFrame(relation)
+    if (!tracked) fromPhysicalSelect(df0, schema)
+    else {
+      import org.apache.spark.sql.functions.col
+      df0.select(schema.fields.filterNot(isDropped).toSeq
+        .map(fl => col(physName(fl)).as(fl.name)) :+ col(RowIdCol): _*)
+    }
   }
 
   def readPruned(spark: SparkSession, root: String,

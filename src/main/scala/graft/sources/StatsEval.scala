@@ -53,7 +53,8 @@ private[sources] object StatsEval extends Serializable {
   def parseSpan(line: String): Option[(String, String, String, String, String)] =
     line.split("\t", -1) match {
       case Array(file, c, tag, mn, mx)
-          if tag != "b" && tag != "f" && tag != "d" && tag != "z" =>
+          if tag != "b" && tag != "f" && tag != "d" && tag != "z" &&
+             tag != "r" => // "r" = row-id base assignment, not a span
         Some((unesc(file), unesc(c), tag, mn, mx))
       case _ => None
     }

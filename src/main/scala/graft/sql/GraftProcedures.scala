@@ -27,6 +27,7 @@ object GraftProcedures {
         "rebloom_widened", "vacuum_dry_run", "convert_parquet",
         "purge_deleted", "add_generated", "drop_generated", "generated_cols",
         "add_identity", "drop_identity", "sync_identity",
+        "enable_row_tracking",
         "add_constraint", "drop_constraint", "constraints", "audit")
 
   def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
@@ -52,6 +53,7 @@ object GraftProcedures {
       case "add_identity"        => Some(new AddIdentityProc(cat))
       case "drop_identity"       => Some(new DropIdentityProc(cat))
       case "sync_identity"       => Some(new SyncIdentityProc(cat))
+      case "enable_row_tracking" => Some(new EnableRowTrackingProc(cat))
       case "convert_parquet"     => Some(new ConvertParquet(cat))
       case "vacuum_dry_run"      => Some(new VacuumDryRun(cat))
       case "add_constraint"      => Some(new AddConstraintProc(cat))
@@ -540,6 +542,22 @@ object GraftProcedures {
       val c = input.getUTF8String(1).toString
       val m = graft.sources.Identity.sync(spark, root(input), c)
       scanOf(out, Seq(new GenericInternalRow(Array[Any](m))))
+    }
+  }
+
+  /** `CALL c.system.enable_row_tracking(table)` — round 12: stable row
+    * identities (Delta row tracking / Iceberg row lineage). Also the
+    * REPAIR verb: live files without a base assignment get fresh bases.
+    * Read ids via `SnapshotLog.readWithRowIds`.
+    */
+  private final class EnableRowTrackingProc(cat: GraftCatalog)
+      extends Proc(cat, "enable_row_tracking") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType))
+    private val out = StructType(Seq(StructField("version", LongType)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val v = SnapshotLog.enableRowTracking(spark, root(input))
+      scanOf(out, Seq(new GenericInternalRow(Array[Any](v))))
     }
   }
 

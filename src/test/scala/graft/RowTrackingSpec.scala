@@ -1,0 +1,169 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import graft.sources.SnapshotLog
+
+/** Row tracking phase 1 (round 12 — Delta row tracking / Iceberg row
+  * lineage): metadata-derived stable `_row_id` (per-file base + row
+  * index, zero bytes per row on the append path). Under test: identity
+  * stability across appends and DV deletes; fresh ids for new rows;
+  * loud refusal when a rewrite broke coverage + enable-as-repair;
+  * scoped lineages; MoR refusal.
+  */
+class RowTrackingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_rt").toString + "/table"
+
+  /** k → _row_id over the current snapshot. */
+  private def idMap(root: String): Map[Int, Long] =
+    SnapshotLog.readWithRowIds(spark, root)
+      .select("k", "_row_id").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+  test("ids are unique, stable across appends, and fresh rows extend them") {
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root,
+      (1 to 10).map(i => (i, s"v$i")).toDF("k", "v").repartition(3),
+      statsCols = Seq("k"))
+    SnapshotLog.enableRowTracking(spark, root)
+    val m1 = idMap(root)
+    assert(m1.size == 10 && m1.values.toSet.size == 10, m1.toString)
+    SnapshotLog.appendCommit(spark, root,
+      (11 to 15).map(i => (i, s"v$i")).toDF("k", "v"))
+    val m2 = idMap(root)
+    assert(m2.size == 15 && m2.values.toSet.size == 15)
+    // old rows keep their identities bit-for-bit
+    m1.foreach { case (k, id) => assert(m2(k) == id, s"id moved for k=$k") }
+    // new rows got ids past the old high-water mark
+    val newIds = (11 to 15).map(m2)
+    assert(newIds.forall(_ >= m1.values.max + 1))
+    // enable is idempotent on a fully covered table (no new version)
+    val head = SnapshotLog.currentVersion(spark, root).get
+    assert(SnapshotLog.enableRowTracking(spark, root) == head)
+  }
+
+  test("deletion vectors remove identities without touching survivors") {
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root,
+      (1 to 10).map(i => (i, s"v$i")).toDF("k", "v"), statsCols = Seq("k"))
+    SnapshotLog.enableRowTracking(spark, root)
+    val before = idMap(root)
+    SnapshotLog.tombstoneDelete(spark, root, Seq(3, 7).toDF("k"), Seq("k"))
+    val after = idMap(root)
+    assert(after.size == 8 && !after.contains(3) && !after.contains(7))
+    after.foreach { case (k, id) => assert(before(k) == id) }
+  }
+
+  test("compaction preserves identities bit-for-bit (materialized column)") {
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root,
+      (1 to 10).map(i => (i, s"v$i")).toDF("k", "v").repartition(4),
+      statsCols = Seq("k"))
+    SnapshotLog.enableRowTracking(spark, root)
+    SnapshotLog.tombstoneDelete(spark, root, Seq(Tuple1(4)).toDF("k"), Seq("k"))
+    val before = idMap(root)
+    // bin-pack rewrite: the packed file must carry the old ids forward
+    // (and fold the vector without resurrecting k=4)
+    SnapshotLog.compactSmallFiles(spark, root, 1L << 30)
+    val after = idMap(root)
+    assert(after == before, s"compaction moved identities: $before -> $after")
+    // the materialized column is invisible to plain reads
+    assert(SnapshotLog.read(spark, root).columns.toSeq == Seq("k", "v"))
+    assert(SnapshotLog.readPruned(spark, root).columns.toSeq == Seq("k", "v"))
+  }
+
+  test("purge preserves survivor identities; keyed upsert keeps matched ids") {
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root,
+      (1 to 20).map(i => (i, s"v$i")).toDF("k", "v")
+        .repartitionByRange(2, $"k"),
+      statsCols = Seq("k"), bloomCols = Seq("k"))
+    SnapshotLog.enableRowTracking(spark, root)
+    SnapshotLog.tombstoneDelete(spark, root, Seq(Tuple1(5)).toDF("k"), Seq("k"))
+    val before = idMap(root)
+    SnapshotLog.purgeDeletedRows(spark, root)
+    assert(idMap(root) == before, "purge moved survivor identities")
+    // pruned keyed MERGE: updated row keeps its id, carried rows keep
+    // theirs, the inserted row gets a fresh one
+    SnapshotLog.upsert(spark, root,
+      Seq((3, "V3"), (100, "new")).toDF("k", "v"), Seq("k"))
+    val after = idMap(root)
+    assert(after(3) == before(3), "update re-identified the row")
+    before.filterNot(_._1 == 5).foreach { case (k, id) =>
+      assert(after(k) == id, s"carried row k=$k re-identified") }
+    assert(after.contains(100) &&
+      !before.values.toSet.contains(after(100)))
+    // and the updated value actually landed
+    assert(SnapshotLog.read(spark, root).filter("k = 3")
+      .select("v").head.getString(0) == "V3")
+  }
+
+  test("updateWhere keeps the rewritten rows' identities") {
+    import org.apache.spark.sql.functions.lit
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root,
+      (1 to 10).map(i => (i, s"v$i")).toDF("k", "v"), statsCols = Seq("k"))
+    SnapshotLog.enableRowTracking(spark, root)
+    val before = idMap(root)
+    SnapshotLog.updateWhere(spark, root,
+      base => base("k") % 2 === 0, Map("v" -> lit("even")))
+    val after = idMap(root)
+    assert(after == before, s"updateWhere moved identities: $before -> $after")
+    assert(SnapshotLog.read(spark, root).filter("v = 'even'").count() == 5)
+    // a second update on already-rewritten rows (materialized-id files)
+    // still preserves
+    SnapshotLog.updateWhere(spark, root,
+      base => base("k") === 2, Map("v" -> lit("twice")))
+    assert(idMap(root) == before)
+  }
+
+  test("compactChain preserves identities; time travel reads old ids") {
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root,
+      (1 to 12).map(i => (i, s"v$i")).toDF("k", "v").repartition(3),
+      statsCols = Seq("k"))
+    SnapshotLog.enableRowTracking(spark, root)
+    SnapshotLog.tombstoneDelete(spark, root, Seq(Tuple1(6)).toDF("k"), Seq("k"))
+    val before = idMap(root)
+    val vPre = SnapshotLog.currentVersion(spark, root).get
+    SnapshotLog.compactChain(spark, root, nFiles = 2)
+    assert(idMap(root) == before,
+      "full materializing compaction moved identities")
+    // plain reads stay rid-free after the materialized rewrite
+    assert(SnapshotLog.read(spark, root).columns.toSeq == Seq("k", "v"))
+    // versioned identity read still works on the pre-compaction version
+    val old = SnapshotLog.readWithRowIds(spark, root, Some(vPre))
+      .select("k", "_row_id").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(old == before)
+  }
+
+  test("scoped lineages: untouched-leaf ids stable across a scoped upsert") {
+    val root = freshRoot()
+    SnapshotLog.upsertScoped(spark, root,
+      Seq((1, "a", "x1"), (2, "b", "x2")).toDF("k", "p", "v"),
+      keys = Seq("k"), partitionCol = "p", statsCols = Seq("k"))
+    SnapshotLog.enableRowTracking(spark, root)
+    val m1 = idMap(root)
+    // touch only leaf b — leaf a's file (and base line) carries
+    SnapshotLog.upsertScoped(spark, root,
+      Seq((3, "b", "x3")).toDF("k", "p", "v"), Seq("k"), "p")
+    val m2 = idMap(root)
+    assert(m2(1) == m1(1), "untouched leaf's identity moved")
+    assert(m2.contains(3) && m2.values.toSet.size == 3)
+  }
+
+  test("merge-on-read lineages refuse row tracking") {
+    val root = freshRoot()
+    SnapshotLog.createMorTable(spark, root,
+      Seq((1, "a")).toDF("k", "v").schema, Seq("k"))
+    SnapshotLog.upsertMor(spark, root, Seq((1, "a")).toDF("k", "v"), Seq("k"))
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.enableRowTracking(spark, root)
+    }
+    assert(e.getMessage.contains("merge-on-read"))
+  }
+}

@@ -675,6 +675,26 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     sql("CALL graft.system.drop_identity('ns.ident', 'id')")
   }
 
+  test("row tracking via SQL: enable procedure + ids survive SQL UPDATE (round 12)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
+    sql("CREATE TABLE graft.ns.rt (k INT, v STRING)")
+    sql("INSERT INTO graft.ns.rt VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val r = root("rt")
+    sql("CALL graft.system.enable_row_tracking('ns.rt')")
+    def ids(): Map[Int, Long] = SnapshotLog.readWithRowIds(spark, r)
+      .select("k", "_row_id").collect()
+      .map(x => x.getInt(0) -> x.getLong(1)).toMap
+    val before = ids()
+    assert(before.size == 3 && before.values.toSet.size == 3)
+    sql("UPDATE graft.ns.rt SET v = 'A' WHERE k = 1")
+    sql("DELETE FROM graft.ns.rt WHERE k = 2")
+    val after = ids()
+    assert(after.size == 2 && after(1) == before(1) && after(3) == before(3),
+      s"SQL DML moved identities: $before -> $after")
+    // the hidden materialized column never leaks into SQL reads
+    assert(sql("SELECT * FROM graft.ns.rt").columns.toSeq == Seq("k", "v"))
+  }
+
   test("MERGE recomputes generated columns its actions do not assign (round 12)") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
     sql("CREATE TABLE graft.ns.genm (k INT, v STRING, v_uc STRING)")

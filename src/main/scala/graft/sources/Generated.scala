@@ -411,7 +411,16 @@ object Identity {
     val p = markPath(root, c)
     val f = fs(spark, root)
     f.mkdirs(p.getParent)
-    val tmp = new Path(p.getParent, ".tmp_idhigh_" + enc(c))
+    // WRITER-UNIQUE temp under the ".idtmp_" prefix: identity
+    // reservations run OUTSIDE the table claim by design (lock-free
+    // stagers must not serialize on committers), so the temp must not
+    // match recoverOrphans' claimed-section ".tmp_*" debris sweep — a
+    // concurrent publish was deleting in-flight mark temps (observed:
+    // vanished-crc create failures and rename collisions under 4-way
+    // OCC appends). Crashed reserves leak one tiny ".idtmp_*" file;
+    // recoverOrphans reclaims those only when older than 10 minutes.
+    val tmp = new Path(p.getParent, ".idtmp_" + enc(c) + "_" +
+      java.util.UUID.randomUUID.toString.replace("-", ""))
     val out = f.create(tmp, true)
     try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -419,6 +428,12 @@ object Identity {
       p.toUri, spark.sparkContext.hadoopConfiguration)
     fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
+
+  // in-process serialization per (root, column): local-mode Spark and
+  // multi-threaded drivers reserve through a JVM monitor first, the
+  // filesystem claim below only arbitrates ACROSS processes
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Tiny dedicated reservation lock — atomic create-exclusive, held
     * for one mark read + one mark write (milliseconds), broken when
@@ -432,32 +447,36 @@ object Identity {
     */
   private def withIdLock[T](spark: SparkSession, root: String,
                             c: String)(body: => T): T = {
-    val lp = lockPath(root, c)
-    val f = fs(spark, root)
-    f.mkdirs(lp.getParent)
-    // the claim primitive is the LogStore's (NIO O_CREAT|O_EXCL on
-    // file: paths — Hadoop's local create(false) is check-then-act and
-    // NOT atomic; conditional PUT on object stores)
-    val store = LogStore.resolve(spark)
-    var acquired = false
-    val deadline = System.currentTimeMillis + 180000L
-    while (!acquired) {
-      acquired = store.tryClaim(spark, lp)
-      if (!acquired) {
-        val st = try Some(f.getFileStatus(lp)) catch {
-          case _: java.io.FileNotFoundException => None
+    val key = new Path(root.replaceAll("/+$", "")).toString + " " + c
+    val mono = jvmLocks.computeIfAbsent(key, _ => new Object)
+    mono.synchronized {
+      val lp = lockPath(root, c)
+      val f = fs(spark, root)
+      f.mkdirs(lp.getParent)
+      // the claim primitive is the LogStore's (NIO O_CREAT|O_EXCL on
+      // file: paths — Hadoop's local create(false) is check-then-act
+      // and NOT atomic; conditional PUT on object stores)
+      val store = LogStore.resolve(spark)
+      var acquired = false
+      val deadline = System.currentTimeMillis + 180000L
+      while (!acquired) {
+        acquired = store.tryClaim(spark, lp)
+        if (!acquired) {
+          val st = try Some(f.getFileStatus(lp)) catch {
+            case _: java.io.FileNotFoundException => None
+          }
+          st.foreach { s =>
+            if (System.currentTimeMillis - s.getModificationTime > 120000L)
+              f.delete(lp, false) // stale reserver crashed — break
+          }
+          require(System.currentTimeMillis < deadline,
+            s"identity reservation lock at $lp held too long — " +
+            "a concurrent reserver is stuck or the clock is wrong")
+          Thread.sleep(50L)
         }
-        st.foreach { s =>
-          if (System.currentTimeMillis - s.getModificationTime > 120000L)
-            f.delete(lp, false) // stale reserver crashed — break
-        }
-        require(System.currentTimeMillis < deadline,
-          s"identity reservation lock at $lp held too long — " +
-          "a concurrent reserver is stuck or the clock is wrong")
-        Thread.sleep(50L)
       }
+      try body finally store.releaseClaim(spark, lp)
     }
-    try body finally store.releaseClaim(spark, lp)
   }
 
   /** Reserve `n` consecutive values atomically; returns the FIRST.

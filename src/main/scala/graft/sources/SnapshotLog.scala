@@ -7763,6 +7763,12 @@ object SnapshotLog {
                  n.stripPrefix("v").stripSuffix(".statspq").toLong > committed) {
         f.delete(st.getPath, true) // checkpoint published, crash before manifest
       } else if (n.startsWith(".tmp_")) f.delete(st.getPath, true)
+      // identity-mark temps (".idtmp_*") are written OUTSIDE the table
+      // claim (lock-free reservation) — an in-flight one is NOT debris;
+      // only a crashed reserve's leftover is, recognized by age
+      else if (n.startsWith(".idtmp_") &&
+               System.currentTimeMillis - st.getModificationTime > 600000L)
+        f.delete(st.getPath, true)
     }
     // a data or tombstone dir without its manifest (crash mid-stage)
     val rootPath = new Path(root.replaceAll("/+$", ""))

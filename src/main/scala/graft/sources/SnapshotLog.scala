@@ -5387,7 +5387,12 @@ object SnapshotLog {
     val scan = spark.read.schema(declared).parquet(paths: _*)
       .withColumn("__rel", substring_index(col("_metadata.file_path"), "/", -2))
       .withColumn("__ri", col("_metadata.row_index"))
-    val withBase = scan.join(rowBaseDf(spark, root, version), Seq("__rel"), "left")
+    // the (rel → base) map is O(files) tiny rows — BROADCAST it, or the
+    // planner may shuffle the whole data scan to sort-merge against it
+    // (measured 7× on a 9M-row read before the hint)
+    val withBase = scan.join(
+      org.apache.spark.sql.functions.broadcast(rowBaseDf(spark, root, version)),
+      Seq("__rel"), "left")
     val rid = coalesce(col(RowIdCol), col("__rbase") + col("__ri"))
     val guarded = when(rid.isNull, raise_error(lit(
         s"row-id coverage incomplete at $root — a rewrite produced files " +

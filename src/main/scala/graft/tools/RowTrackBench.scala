@@ -55,11 +55,15 @@ object RowTrackBench {
     val uApp = appends(rootU)
 
     val nTotal = (nDirs + 1).toLong * rows
+    // like-for-like: BOTH sides aggregate a real column (a bare count()
+    // would let the plain side answer from parquet footer counts)
     val tRead = (1 to 3).map(_ => time {
-      assert(SnapshotLog.readWithRowIds(spark, rootT).count() == nTotal)
+      assert(SnapshotLog.readWithRowIds(spark, rootT)
+        .agg(max(col("_row_id"))).head.getLong(0) == nTotal - 1)
     })
     val uRead = (1 to 3).map(_ => time {
-      assert(SnapshotLog.read(spark, rootU).count() == nTotal)
+      assert(SnapshotLog.read(spark, rootU)
+        .agg(max(col("k"))).head.getLong(0) == nDirs.toLong * rows - 1)
     })
     // distinctness of the derived ids (the correctness spot-check at scale)
     val distinct = SnapshotLog.readWithRowIds(spark, rootT)

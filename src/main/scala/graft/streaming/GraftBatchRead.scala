@@ -24,6 +24,8 @@ import graft.sources.SnapshotLog
   *     .option("changes", "true").option("keys", "k")
   *     .option("startingVersion", 2)                          // batch CDC
   *     .option("endingVersion", 5).load(root)                 // (default: head)
+  *   spark.read.format("graft")
+  *     .option("withRowIds", "true").load(root)               // + _row_id
   * }}}
   *
   * Dispatch mirrors the batch write: the provider's DSv2 tables declare
@@ -82,6 +84,8 @@ private[streaming] trait GraftBatchReadProvider extends RelationProvider {
     }
 
     val changes = params.get("changes").exists(_.trim.equalsIgnoreCase("true"))
+    val withRowIds =
+      params.get("withRowIds").exists(_.trim.equalsIgnoreCase("true"))
     val versionAsOf = longOpt("versionAsOf")
     val tsAsOf = params.get("timestampAsOf").map(GraftBatchRead.parseInstant)
     require(versionAsOf.isEmpty || tsAsOf.isEmpty,
@@ -89,6 +93,8 @@ private[streaming] trait GraftBatchReadProvider extends RelationProvider {
     require(!changes || (versionAsOf.isEmpty && tsAsOf.isEmpty),
       "changes=true reads a version RANGE — use startingVersion/" +
       "endingVersion, not versionAsOf/timestampAsOf")
+    require(!(changes && withRowIds),
+      "withRowIds reads a SNAPSHOT with identities — not a change feed")
 
     val df: DataFrame =
       if (changes) {
@@ -113,7 +119,10 @@ private[streaming] trait GraftBatchReadProvider extends RelationProvider {
             case None => head
           }
         }
-        SnapshotLog.readVersion(spark, root, v)
+        // round 12: snapshot WITH stable row identities (_row_id) —
+        // row tracking must be enabled on the table
+        if (withRowIds) SnapshotLog.readWithRowIds(spark, root, Some(v))
+        else SnapshotLog.readVersion(spark, root, v)
       }
     new GraftSnapshotRelation(sqlContext, df)
   }

@@ -1,5 +1,7 @@
 package graft
 
+// (withRowIds reader-option case added round 12 — see the bottom suite)
+
 import java.nio.file.Files
 
 import org.apache.spark.sql.DataFrame
@@ -198,5 +200,31 @@ class GraftBatchReadSpec extends SparkSpecBase {
       assert(rows(spark.table("conv_tail_sink")) ==
         Set(Seq(1, "a"), Seq(2, "b"), Seq(3, "c")))
     } finally q.stop()
+  }
+
+  test("withRowIds=true reads the snapshot with stable identities (round 12)") {
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root, Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    SnapshotLog.enableRowTracking(spark, root)
+    val before = spark.read.format("graft").option("withRowIds", "true")
+      .load(root).select("k", "_row_id").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(before.size == 2 && before.values.toSet.size == 2)
+    SnapshotLog.appendCommit(spark, root, Seq((3, "c")).toDF("k", "v"))
+    val v2 = SnapshotLog.currentVersion(spark, root).get
+    val after = spark.read.format("graft").option("withRowIds", "true")
+      .option("versionAsOf", v2).load(root)
+      .select("k", "_row_id").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(after.size == 3 && after(1) == before(1) && after(2) == before(2))
+    // filters push through the boundary over the id frame too
+    assert(spark.read.format("graft").option("withRowIds", "true")
+      .load(root).filter("k = 3").count() == 1)
+    // conflicting options refuse
+    intercept[Exception] {
+      spark.read.format("graft").option("withRowIds", "true")
+        .option("changes", "true").option("keys", "k")
+        .option("startingVersion", 1).load(root)
+    }
   }
 }

@@ -89,6 +89,10 @@ object Generated {
     require(snap0.columns.exists(_.equalsIgnoreCase(colName)),
       s"'$colName' is not a column of $root — generated columns are " +
       "declared over an existing column (add it to the schema first)")
+    require(!Identity.list(spark, root)
+        .exists(_.name.equalsIgnoreCase(colName)),
+      s"'$colName' is already an identity column of $root — a column " +
+      "cannot be both assigned and derived")
     // resolve against the schema WITHOUT the column: a failure here is
     // a self-reference or an unknown column, both refused
     val analyzed =
@@ -338,8 +342,10 @@ object Identity {
       val cur = list(spark, root)
       require(!cur.exists(_.name.equalsIgnoreCase(colName)),
         s"'$colName' is already an identity column of $root")
-      write(spark, root, cur :+ IdentityCol(colName, start, step))
-      // initialize the mark past existing data (direction-aware)
+      // initialize the mark past existing data (direction-aware), and
+      // publish it BEFORE the declaration: a crash between the two
+      // leaves a harmless stale mark, never a declared column whose
+      // lost mark would re-issue ids colliding with existing values
       val agg = if (step > 0)
         org.apache.spark.sql.functions.max(col(colName))
       else org.apache.spark.sql.functions.min(col(colName))
@@ -350,6 +356,7 @@ object Identity {
         case _ => mark0
       }
       writeMark(spark, root, colName, mark)
+      write(spark, root, cur :+ IdentityCol(colName, start, step))
     }
   }
 

@@ -410,7 +410,7 @@ private[streaming] class GraftTailStream(root: String, schema: StructType,
         }
       val metadataOnly = v != minV &&
         lost.isEmpty && dirs.toSet == prior && tombs == priorTombs &&
-        (kind.contains("rename") ||
+        (kind.contains("rename") || kind.contains("rowtrack") ||
          (kind.contains("widen") && declaredMatchesPin))
       if (metadataOnly) ()
       else if (appendLike) newDirs ++= dirs.filterNot(prior.contains)
@@ -936,6 +936,7 @@ private[streaming] class GraftChangesStream(root: String, dataSchema: StructType
         }
       require(v == minV || kind.isEmpty || kind.contains("delete") ||
           kind.contains("update") || kind.contains("replace_where") ||
+          kind.contains("rowtrack") || // metadata-only: zero row changes
           (kind.contains("rename") && declaredCoversNames) ||
           (kind.contains("widen") && declaredMatchesPin),
         s"graft changes stream at $root: version $v is a '${kind.get}' commit " +

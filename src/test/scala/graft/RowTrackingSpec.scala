@@ -156,6 +156,22 @@ class RowTrackingSpec extends SparkSpecBase {
     assert(m2.contains(3) && m2.values.toSet.size == 3)
   }
 
+  test("the streaming tail passes an enable commit as a metadata-only no-op") {
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root, Seq((1, "a")).toDF("k", "v"))
+    val q = spark.readStream.format("graft").load(root)
+      .writeStream.format("memory").queryName("rt_tail_sink").start()
+    try {
+      q.processAllAvailable()
+      // mid-flight enable: identical dirs and vectors, zero row changes
+      SnapshotLog.enableRowTracking(spark, root)
+      SnapshotLog.appendCommit(spark, root, Seq((2, "b")).toDF("k", "v"))
+      q.processAllAvailable()
+      assert(spark.table("rt_tail_sink").count() == 2,
+        "tail must continue through the enable commit")
+    } finally q.stop()
+  }
+
   test("merge-on-read lineages refuse row tracking") {
     val root = freshRoot()
     SnapshotLog.createMorTable(spark, root,

@@ -2062,11 +2062,22 @@ object SnapshotLog {
       // WHOLESALE — the slice is then read only when the change feed
       // wants the doomed rows as delete events (otherwise the commit
       // reads ZERO pre-existing bytes)
+      // row tracking (round 12): KEYED scoped merges read the touched
+      // slice WITH identities and re-attach them by key after the merge
+      // (the flat pruned-MERGE rule) — a scoped upsert then preserves
+      // every carried/updated row's id; batch inserts take the new
+      // leaf's base. Keyless replaces keep REPLACE semantics (fresh).
+      val tracked = rowTrackingEnabled(spark, root) && !replaceLeafs
+      val parentSliceAll: Option[DataFrame] =
+        if (!tracked || replaced.isEmpty) None
+        else cur.map(c => scanWithRids(spark, root, c,
+          replaced.map(d => new Path(rootPath, d).toString), parentTombs))
       val parentSlice: Option[DataFrame] =
         if (replaced.isEmpty ||
             (replaceLeafs && allScoped && !changeFeedEnabled(spark))) None
-        else Some(toLogical(applyTombstoneDirs(spark, root, parentTombs,
-          readSlice(replaced.map(d => new Path(rootPath, d).toString)))))
+        else parentSliceAll.map(_.drop(RowIdCol)).orElse(
+          Some(toLogical(applyTombstoneDirs(spark, root, parentTombs,
+            readSlice(replaced.map(d => new Path(rootPath, d).toString))))))
       // schema drift guard for the keyless replace (the keyed path's
       // merge validates alignment itself)
       if (replaceLeafs) cur.foreach { c =>
@@ -2100,9 +2111,17 @@ object SnapshotLog {
         case Some(parent) =>
           Upsert.upsert(parent, gated.select(parent.columns.map(col(_)): _*), keys)
       }
+      // identities re-attach by key over the rid-free merge (feed rows
+      // below classify on the rid-free frames)
+      val mergedOut = parentSliceAll match {
+        case Some(pa) if !replaceLeafs =>
+          merged.join(pa.select(keys.map(col(_)) :+ col(RowIdCol): _*),
+            keys, "left")
+        case _ => merged
+      }
       val dd = dataDir(root, next)
       writeDataDir(spark,
-        toPhys(merged.withColumn(GpCol, gpRenderExpr(spec))),
+        toPhys(mergedOut.withColumn(GpCol, gpRenderExpr(spec))),
         dd, bloomCols.map(c => physMap.getOrElse(c, c)),
         partitionBy = Seq(GpCol))
       val writtenLeafs = fs(spark, dd).listStatus(dd).map(_.getPath.getName)
@@ -3436,6 +3455,22 @@ object SnapshotLog {
       }.toSet
     val base = currentVersion(spark, root)
     def baseName(d: String) = d.substring(d.lastIndexOf('/') + 1)
+    // row tracking (round 12): the touched slice reads WITH identities
+    // and they re-attach by key after the merge — the claimed path's
+    // rule, applied at the lock-free stage (ids are global, so they
+    // stay exact across the publish-time rebase)
+    val trackedOcc = rowTrackingEnabled(spark, root)
+    val parentSliceAll: Option[DataFrame] = base.flatMap { b =>
+      if (!trackedOcc) None
+      else {
+        val parentDirs = dirsOf(spark, root, b)
+        val replaced = parentDirs.filter(d => touchedNames.contains(baseName(d)))
+        if (replaced.isEmpty) None
+        else Some(scanWithRids(spark, root, b,
+          replaced.map(d => new Path(rootPath, d).toString),
+          tombDirsOf(spark, root, b)))
+      }
+    }
     val parentSlice: Option[DataFrame] = base.flatMap { b =>
       val parentDirs = dirsOf(spark, root, b)
       require(parentDirs.forall(baseName(_).startsWith(GpPrefix)),
@@ -3443,19 +3478,26 @@ object SnapshotLog {
         "to migrate a plain table into the scoped layout")
       val replaced = parentDirs.filter(d => touchedNames.contains(baseName(d)))
       if (replaced.isEmpty) None
-      else Some(toLogical(applyTombstoneDirs(spark, root,
-        tombDirsOf(spark, root, b),
-        readSlice(replaced.map(d => new Path(rootPath, d).toString)))))
+      else parentSliceAll.map(_.drop(RowIdCol)).orElse(
+        Some(toLogical(applyTombstoneDirs(spark, root,
+          tombDirsOf(spark, root, b),
+          readSlice(replaced.map(d => new Path(rootPath, d).toString))))))
     }
     val merged = parentSlice match {
       case None => gated
       case Some(parent) =>
         Upsert.upsert(parent, gated.select(parent.columns.map(col(_)): _*), keys)
     }
+    val mergedOut = parentSliceAll match {
+      case Some(pa) =>
+        merged.join(pa.select(keys.map(col(_)) :+ col(RowIdCol): _*),
+          keys, "left")
+      case None => merged
+    }
     val staging = stagingDirName()
     try {
       writeDataDir(spark,
-        toPhys(merged.withColumn(GpCol, gpRenderExpr(spec))),
+        toPhys(mergedOut.withColumn(GpCol, gpRenderExpr(spec))),
         new Path(rootPath, staging),
         bloomCols.map(c => physMap.getOrElse(c, c)), partitionBy = Seq(GpCol))
       // CHANGE DATA FEED at STAGE time: the publish-side validation only

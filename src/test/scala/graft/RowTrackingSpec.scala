@@ -141,19 +141,31 @@ class RowTrackingSpec extends SparkSpecBase {
     assert(old == before)
   }
 
-  test("scoped lineages: untouched-leaf ids stable across a scoped upsert") {
+  test("scoped upsert preserves ids: untouched leafs, touched-leaf carried AND updated rows") {
     val root = freshRoot()
     SnapshotLog.upsertScoped(spark, root,
-      Seq((1, "a", "x1"), (2, "b", "x2")).toDF("k", "p", "v"),
+      Seq((1, "a", "x1"), (2, "b", "x2"), (4, "b", "x4"))
+        .toDF("k", "p", "v"),
       keys = Seq("k"), partitionCol = "p", statsCols = Seq("k"))
     SnapshotLog.enableRowTracking(spark, root)
     val m1 = idMap(root)
-    // touch only leaf b — leaf a's file (and base line) carries
+    // touch only leaf b: update k=2, insert k=3 — k=4 rides the leaf
+    // rewrite as a carried row
     SnapshotLog.upsertScoped(spark, root,
-      Seq((3, "b", "x3")).toDF("k", "p", "v"), Seq("k"), "p")
+      Seq((2, "b", "X2"), (3, "b", "x3")).toDF("k", "p", "v"),
+      Seq("k"), "p")
     val m2 = idMap(root)
     assert(m2(1) == m1(1), "untouched leaf's identity moved")
-    assert(m2.contains(3) && m2.values.toSet.size == 3)
+    assert(m2(2) == m1(2), "updated row re-identified")
+    assert(m2(4) == m1(4), "carried row in the touched leaf re-identified")
+    assert(m2.contains(3) && m2.values.toSet.size == 4)
+    assert(SnapshotLog.read(spark, root).filter("k = 2")
+      .select("v").head.getString(0) == "X2")
+    // the OCC scoped stage preserves too
+    SnapshotLog.upsertScopedOcc(spark, root,
+      Seq((4, "b", "X4")).toDF("k", "p", "v"), Seq("k"), "p")
+    val m3 = idMap(root)
+    assert(m3(4) == m1(4) && m3(2) == m1(2) && m3(3) == m2(3), m3.toString)
   }
 
   test("the streaming tail passes an enable commit as a metadata-only no-op") {

@@ -184,6 +184,35 @@ class RowTrackingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("changesByRowId: keyless exact CDC — inserts, deletes, updates by identity") {
+    import org.apache.spark.sql.functions.lit
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root,
+      (1 to 6).map(i => (i, s"v$i")).toDF("k", "v"), statsCols = Seq("k"))
+    SnapshotLog.enableRowTracking(spark, root)
+    val v0 = SnapshotLog.currentVersion(spark, root).get
+    SnapshotLog.tombstoneDelete(spark, root, Seq(Tuple1(2)).toDF("k"), Seq("k"))
+    SnapshotLog.updateWhere(spark, root,
+      base => base("k") === 3, Map("v" -> lit("V3")))
+    SnapshotLog.appendCommit(spark, root, Seq((7, "v7")).toDF("k", "v"))
+    val feed = SnapshotLog.changesByRowId(spark, root, v0,
+      SnapshotLog.currentVersion(spark, root).get)
+      .select("k", "v", "_change_type").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(feed == Set(
+      (2, "v2", "delete"),
+      (3, "v3", "update_preimage"), (3, "V3", "update_postimage"),
+      (7, "v7", "insert")), feed.toString)
+    // pure-append range short-circuits to delta-dirs-as-inserts
+    val vMid = SnapshotLog.currentVersion(spark, root).get
+    SnapshotLog.appendCommit(spark, root, Seq((8, "v8")).toDF("k", "v"))
+    val appendFeed = SnapshotLog.changesByRowId(spark, root, vMid,
+      SnapshotLog.currentVersion(spark, root).get)
+      .select("k", "_change_type").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(appendFeed == Set((8, "insert")), appendFeed.toString)
+  }
+
   test("merge-on-read lineages refuse row tracking") {
     val root = freshRoot()
     SnapshotLog.createMorTable(spark, root,

@@ -7288,7 +7288,40 @@ object SnapshotLog {
                    version: Option[Long] = None): Option[Long] = {
     val v = version.getOrElse(currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed version at $root")))
+    // round 12: row-tracked tables answer COUNT(*) from the row-id base
+    // assignments even with NO stats columns — each `r` line carries
+    // its file's exact footer row count (the same exactness gates as
+    // the z path: no vectors, no MoR, every listed file covered)
     metaZ(spark, root, v, None).map(_._1)
+      .orElse(metaRowCountFromRids(spark, root, v))
+  }
+
+  private def metaRowCountFromRids(spark: SparkSession, root: String,
+                                   v: Long): Option[Long] = {
+    if (!metaExact(spark, root, v)) return None
+    if (hasPqSidecar(spark, root, v)) {
+      import org.apache.spark.sql.functions.{col => c, sum, count => cnt}
+      val df = spark.read.parquet(
+        pqStackPaths(root, v, statsStackOf(spark, root, v)): _*)
+      val fCnt = df.filter(c("t") === "f").select("k").distinct().count()
+      if (fCnt == 0L) return None
+      val r = df.filter(c("t") === "r")
+        .agg(cnt("*").as("n"), sum(c("b").cast("long")).as("t")).head()
+      if (r.getLong(0) != fCnt) None else Some(r.getLong(1))
+    } else {
+      val lines = sidecarLines(spark, root, v)
+      val fKeys = lines.flatMap(StatsEval.parseListing(_)).collect {
+        case (k, "f", _, _) => k
+      }.toSet
+      if (fKeys.isEmpty) return None
+      val rs = lines.flatMap { l =>
+        val p = l.split("\t", -1)
+        if (p.length == 5 && p(2) == "r")
+          Some(StatsEval.unesc(p(0)) -> p(4).toLong)
+        else None
+      }.toMap
+      if (rs.keySet != fKeys) None else Some(rs.values.sum)
+    }
   }
 
   /** COUNT(col) (non-null count) of a version from the sidecar's `z`

@@ -213,6 +213,24 @@ class RowTrackingSpec extends SparkSpecBase {
     assert(appendFeed == Set((8, "insert")), appendFeed.toString)
   }
 
+  test("metaRowCount answers from row-id assignments with no stats columns") {
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root,
+      (1 to 7).map(i => (i, s"v$i")).toDF("k", "v")) // NO statsCols
+    assert(SnapshotLog.metaRowCount(spark, root).isEmpty,
+      "untracked + unstatted: only a scan knows the count")
+    SnapshotLog.enableRowTracking(spark, root)
+    assert(SnapshotLog.metaRowCount(spark, root).contains(7L))
+    SnapshotLog.appendCommit(spark, root, Seq((8, "v8")).toDF("k", "v"))
+    assert(SnapshotLog.metaRowCount(spark, root).contains(8L))
+    // a deletion vector makes the metadata answer unsound — bail
+    SnapshotLog.tombstoneDelete(spark, root, Seq(Tuple1(1)).toDF("k"), Seq("k"))
+    assert(SnapshotLog.metaRowCount(spark, root).isEmpty)
+    // purging the vector restores the metadata answer
+    SnapshotLog.purgeDeletedRows(spark, root)
+    assert(SnapshotLog.metaRowCount(spark, root).contains(7L))
+  }
+
   test("merge-on-read lineages refuse row tracking") {
     val root = freshRoot()
     SnapshotLog.createMorTable(spark, root,

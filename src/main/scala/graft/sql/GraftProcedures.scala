@@ -371,7 +371,11 @@ object GraftProcedures {
       StructField("num_constraints", IntegerType),
       // round 12: exact row count when the sidecar can answer it in
       // O(manifest) (metaRowCount); NULL when only a scan would know
-      StructField("row_count", LongType)))
+      StructField("row_count", LongType),
+      // round 12: row tracking + declared generated/identity columns
+      StructField("row_tracking", BooleanType),
+      StructField("num_generated_cols", IntegerType),
+      StructField("num_identity_cols", IntegerType)))
     override def call(input: InternalRow): JIterator[Scan] = {
       val r = root(input)
       val d = SnapshotLog.describeDetail(spark, r)
@@ -383,7 +387,10 @@ object GraftProcedures {
         d.columnMapped, d.minReader, d.batchId.getOrElse(null),
         UTF8String.fromString(d.statsStorage), d.changeFeedVersion,
         d.numConsumers, d.numFileCarries, d.numConstraints,
-        rc.map(Long.box).orNull))))
+        rc.map(Long.box).orNull,
+        SnapshotLog.rowTrackingEnabled(spark, r),
+        graft.sources.Generated.list(spark, r).size,
+        graft.sources.Identity.list(spark, r).size))))
     }
   }
 

@@ -390,6 +390,17 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d.getInt(12) == 0 && d.getInt(13) == 0, s"round-10 facts: $d")
     // round-12 fact: the DV makes the exact row count scan-only → NULL
     assert(d.isNullAt(14), s"row_count must be NULL under DVs: $d")
+    // round-12 facts: no tracking, no generated/identity declarations
+    assert(!d.getBoolean(15) && d.getInt(16) == 0 && d.getInt(17) == 0,
+      s"round-12 facts: $d")
+    sql("CREATE TABLE graft.ns.det12 (k BIGINT, v STRING, v_uc STRING)")
+    sql("INSERT INTO graft.ns.det12 VALUES (1, 'a', 'A')")
+    SnapshotLog.enableRowTracking(spark, root("det12"))
+    sql("CALL graft.system.add_generated('ns.det12', 'v_uc', 'upper(v)')")
+    sql("CALL graft.system.add_identity('ns.det12', 'k', 1, 1)")
+    val dRt = sql("CALL graft.system.detail('ns.det12')").collect().head
+    assert(dRt.getBoolean(15) && dRt.getInt(16) == 1 && dRt.getInt(17) == 1,
+      s"tracking + generated + identity must surface: $dRt")
     // a rename flips the mapping facts
     sql("ALTER TABLE graft.ns.det RENAME COLUMN v TO body")
     val d2 = sql("CALL graft.system.detail('ns.det')").collect().head

@@ -215,6 +215,31 @@ object Generated {
         when(col(marker), expr(g.sql)).otherwise(col(g.name))))
   }
 
+  /** Per-ACTION refresh for multi-clause statements (MERGE): row r was
+    * produced by action number `idxCol`(r) (null = carried through). A
+    * generated column recomputes on exactly the rows whose OWN action
+    * left it unassigned — the cross-action UNION of assigned columns
+    * would leave a stale value on a row whose action did not assign g
+    * whenever any other action did, and the gate's FAIL expectation
+    * would then abort spuriously (Delta recomputes per action).
+    * Explicitly-assigned rows keep their value and validate in the
+    * gate like any other write; carried rows keep theirs untouched.
+    */
+  def recomputeByAction(spark: SparkSession, root: String, df: DataFrame,
+                        assignedPerAction: Seq[Set[String]],
+                        idxCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.when
+    list(spark, root).foldLeft(df) { (d, g) =>
+      val regen = assignedPerAction.zipWithIndex.collect {
+        case (as, i) if !as.exists(_.equalsIgnoreCase(g.name)) => i
+      }
+      if (regen.isEmpty) d
+      else d.withColumn(g.name,
+        when(col(idxCol).isInCollection(regen), expr(g.sql))
+          .otherwise(col(g.name)))
+    }
+  }
+
   /** Raw declaration bytes, folded into [[Constraints.fingerprint]] so
     * the OCC stale-gate checks cover generated columns too.
     */
@@ -454,7 +479,7 @@ object Identity {
     */
   private def withIdLock[T](spark: SparkSession, root: String,
                             c: String)(body: => T): T = {
-    val key = new Path(root.replaceAll("/+$", "")).toString + " " + c
+    val key = new Path(root.replaceAll("/+$", "")).toString + "\u0000" + c
     val mono = jvmLocks.computeIfAbsent(key, _ => new Object)
     mono.synchronized {
       val lp = lockPath(root, c)
@@ -541,11 +566,27 @@ object Identity {
     val first = reserve(spark, root, ic, total)
     val offsets: Map[Int, Long] =
       counts.map(_._1).zip(counts.scanLeft(0L)(_ + _._2)).toMap
+    val sizes: Map[Int, Long] = counts.toMap
     val step = ic.step
+    // the two passes re-evaluate the same unpersisted lineage; a
+    // nondeterministic source could shift rows between them and hand a
+    // row an id reserved for another partition — so the second pass
+    // recounts and FAILS the task (before commit) on any drift rather
+    // than silently duplicating or skipping identity values
     val out = rdd.mapPartitionsWithIndex { (i, it) =>
-      val base = offsets(i)
+      val base = offsets.getOrElse(i, sys.error(
+        s"identity assignment: partition $i appeared only in the " +
+        "second pass — source is nondeterministic; persist it first"))
+      var seen = 0L
       it.zipWithIndex.map { case (r, j) =>
+        seen = j + 1L
         Row.fromSeq(r.toSeq :+ (first + (base + j) * step))
+      } ++ {
+        require(seen == sizes(i),
+          s"identity assignment: partition $i produced $seen rows on " +
+          s"the assign pass but ${sizes(i)} on the count pass — " +
+          "source is nondeterministic; persist it before assigning")
+        Iterator.empty
       }
     }
     df.sparkSession.createDataFrame(out,

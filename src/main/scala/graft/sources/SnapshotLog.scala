@@ -951,7 +951,8 @@ object SnapshotLog {
     */
   private def commitStamped(spark: SparkSession, root: String, df: DataFrame,
                             statsCols: Seq[String], bloomCols: Seq[String],
-                            carryBatchId: Boolean): Long = {
+                            carryBatchId: Boolean,
+                            assignRidBases: Boolean = true): Long = {
     withClaim(spark, root) { f =>
       recoverOrphans(spark, root)
       val cur = currentVersion(spark, root)
@@ -961,7 +962,8 @@ object SnapshotLog {
           cur.flatMap(batchIdOf(spark, root, _)).getOrElse(-1L)
         else -1L
       stageVersion(spark, root, df, next, batchId = stamp,
-        statsCols = statsCols, bloomCols = bloomCols)
+        statsCols = statsCols, bloomCols = bloomCols,
+        assignRidBases = assignRidBases)
       publishLatest(spark, root, next)
       next
     }
@@ -1024,14 +1026,16 @@ object SnapshotLog {
             // [[changeRows]] — the rewrite stays O(table) but the
             // recorded feed makes every downstream CDC surface
             // O(changes)
-            keyedRewriteWithChanges(spark, root, sc, bloomCols) { snap =>
+            keyedRewriteWithChanges(spark, root, sc, bloomCols,
+              ridKeys = keys) { snap =>
               val aligned = gated.select(snap.columns.map(
                 org.apache.spark.sql.functions.col(_)): _*)
               (Upsert.upsert(snap, aligned, keys),
                changeRows(snap, aligned, keys))
             }
           else commitStamped(spark, root,
-            Upsert.upsert(read(spark, root), gated, keys), sc,
+            attachRidsByKey(spark, root,
+              Upsert.upsert(read(spark, root), gated, keys), keys), sc,
             bloomCols, carryBatchId = false)
         }
       case None    => commitStamped(spark, root, gated, statsCols,
@@ -1394,7 +1398,7 @@ object SnapshotLog {
     }.getOrElse {
       val sc = inheritedStatsColsLogical(spark, root)
       if (changeFeedEnabled(spark) && currentVersion(spark, root).isDefined)
-        keyedRewriteWithChanges(spark, root, sc) { snap =>
+        keyedRewriteWithChanges(spark, root, sc, ridKeys = keys) { snap =>
           val doomed = snap.join(
             tombstones.select(keys.map(col(_)): _*).distinct(), keys, "left_semi")
           (Upsert.deleteByKey(snap, tombstones, keys),
@@ -1404,8 +1408,9 @@ object SnapshotLog {
         // survivors are CARRIED rows, not writes — ungated by design
         // (a DROP constraint must not silently delete extra rows here)
         commitStamped(spark, root,
-          Upsert.deleteByKey(read(spark, root), tombstones, keys), sc, Nil,
-          carryBatchId = false)
+          attachRidsByKey(spark, root,
+            Upsert.deleteByKey(read(spark, root), tombstones, keys), keys),
+          sc, Nil, carryBatchId = false)
     }
   }
 
@@ -1528,7 +1533,8 @@ object SnapshotLog {
     */
   private def keyedRewriteWithChanges(spark: SparkSession, root: String,
                                       statsCols: Seq[String] = Nil,
-                                      bloomCols: Seq[String] = Nil)
+                                      bloomCols: Seq[String] = Nil,
+                                      ridKeys: Seq[String] = Nil)
       (f: DataFrame => (DataFrame, DataFrame)): Long =
     withClaim(spark, root) { _ =>
       recoverOrphans(spark, root)
@@ -1536,7 +1542,12 @@ object SnapshotLog {
         throw new IllegalStateException(s"no committed version at $root"))
       val next = cur + 1L
       val rootPath = new Path(root.replaceAll("/+$", ""))
-      val (merged, chg) = f(readVersion(spark, root, cur))
+      val (merged0, chg) = f(readVersion(spark, root, cur))
+      // row tracking (round 13, ADVICE): the keyed full-rewrite
+      // fallbacks preserve identities BY KEY — without this every
+      // carried row would silently take a fresh base id
+      val merged = if (ridKeys.isEmpty) merged0
+                   else attachRidsByKey(spark, root, merged0, ridKeys)
       chg.write.mode("overwrite")
         .parquet(new Path(rootPath, chgDirName(next)).toString)
       stageVersion(spark, root, merged, next, statsCols = statsCols,
@@ -1544,6 +1555,29 @@ object SnapshotLog {
       publishLatest(spark, root, next)
       next
     }
+
+  /** Re-attach stable row ids BY KEY after a keyed full-snapshot
+    * rewrite (the classic upsert / deleteByKey fallbacks): carried and
+    * updated rows keep their identity through the key, true inserts
+    * stay NULL and take the new file's base assignment — the exact
+    * contract the pruned path's post-merge join established (round
+    * 12). One extra O(table) key→id read, riding a path that is
+    * already an O(table) rewrite. No-op on untracked lineages.
+    */
+  private[graft] def attachRidsByKey(spark: SparkSession, root: String,
+                                     merged: DataFrame,
+                                     keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (!rowTrackingEnabled(spark, root)) return merged
+    currentVersion(spark, root) match {
+      case None => merged
+      case Some(cur) =>
+        val ids = scanWithRids(spark, root, cur,
+            versionPaths(spark, root, cur), tombDirsOf(spark, root, cur))
+          .select(keys.map(col(_)) :+ col(RowIdCol): _*)
+        merged.join(ids, keys, "left")
+    }
+  }
 
   // Partition leaf dirs of scoped versions: data_vNNNNNNNN/__gp=<value>.
   // "__gp" duplicates the user's partition column for the partitioned
@@ -2276,8 +2310,21 @@ object SnapshotLog {
     // ungated: callers (the SQL MERGE/UPDATE rewrites) pass the COMPLETE
     // next snapshot including carried rows — they gate the written subset
     // themselves via Constraints.gateWritten
+    //
+    // row tracking (round 13, ADVICE): a frame CARRYING [[RowIdCol]]
+    // threads identities through the rewrite — the column materializes
+    // into the new files (carried/updated rows keep their ids, NULLs
+    // take the fresh base as true inserts). A tracked table whose
+    // caller could NOT thread ids commits WITHOUT base assignments, so
+    // the next readWithRowIds raises loudly (the documented contract)
+    // instead of silently re-identifying every row; enableRowTracking
+    // re-bases explicitly.
+    val hasRid = df.columns.contains(RowIdCol)
+    val userDf = if (hasRid) df.drop(RowIdCol) else df
+    val assignBases = hasRid || !rowTrackingEnabled(spark, root)
     if (!changeFeedEnabled(spark))
-      return commitStamped(spark, root, df, Nil, Nil, carryBatchId = false)
+      return commitStamped(spark, root, df, Nil, Nil, carryBatchId = false,
+        assignRidBases = assignBases)
     withClaim(spark, root) { _ =>
       recoverOrphans(spark, root)
       val cur = currentVersion(spark, root)
@@ -2285,17 +2332,18 @@ object SnapshotLog {
       val rootPath = new Path(root.replaceAll("/+$", ""))
       val chg = cur match {
         case None =>
-          df.withColumn("_change_type", lit("insert"))
+          userDf.withColumn("_change_type", lit("insert"))
         case Some(c) =>
           val old = readVersion(spark, root, c)
-          require(old.columns.toSeq == df.columns.toSeq,
-            s"replace schema ${df.columns.toSeq} != table ${old.columns.toSeq}")
-          old.exceptAll(df).withColumn("_change_type", lit("delete"))
-            .unionAll(df.exceptAll(old).withColumn("_change_type", lit("insert")))
+          require(old.columns.toSeq == userDf.columns.toSeq,
+            s"replace schema ${userDf.columns.toSeq} != table ${old.columns.toSeq}")
+          old.exceptAll(userDf).withColumn("_change_type", lit("delete"))
+            .unionAll(userDf.exceptAll(old).withColumn("_change_type", lit("insert")))
       }
       chg.write.mode("overwrite")
         .parquet(new Path(rootPath, chgDirName(next)).toString)
-      stageVersion(spark, root, df, next, chgDir = chgDirName(next))
+      stageVersion(spark, root, df, next, chgDir = chgDirName(next),
+        assignRidBases = assignBases)
       publishLatest(spark, root, next)
       next
     }
@@ -3881,7 +3929,8 @@ object SnapshotLog {
                                   tombDirs: Seq[String] = Nil,
                                   schemaJson: String = "",
                                   morKeys: Seq[String] = Nil,
-                                  chgDir: String = ""): Unit = {
+                                  chgDir: String = "",
+                                  assignRidBases: Boolean = true): Unit = {
     val dd = dataDir(root, v)
     // column mapping: the propagated pin names the immutable PHYSICAL
     // columns — translate the logical-named batch (and the stats/bloom
@@ -3896,7 +3945,8 @@ object SnapshotLog {
     val statsP = statsCols.map(c => m.getOrElse(c, c))
     val bloomP = bloomCols.map(c => m.getOrElse(c, c))
     writeDataDir(spark, dfP, dd, bloomP)
-    val stack = writeStats(spark, root, v, statsP, carryStats)
+    val stack = writeStats(spark, root, v, statsP, carryStats,
+      assignRidBases = assignRidBases)
     writeManifestAppend(spark, root, v, batchId, baseDirs, tombDirs, schemaJson,
       morKeys, chgDir, stack)
   }
@@ -4759,7 +4809,12 @@ object SnapshotLog {
         }
       val nOut = math.max(1L,
         (small.map(_._2).sum + targetBytes - 1) / targetBytes).toInt
-      writeDataDir(spark, packed.coalesce(nOut), dataDir(root, next), bloomCols)
+      // caller-facing column names are LOGICAL; the files (and the
+      // sidecar lines keyed on them) spell physical — translate
+      val physMap = schemaOf(spark, root, cur)
+        .map(renameMap).getOrElse(Map.empty[String, String])
+      writeDataDir(spark, packed.coalesce(nOut), dataDir(root, next),
+        bloomCols.map(c => physMap.getOrElse(c, c)))
       // vector rows for kept dirs survive as the new version's own
       // vector; kept per-file carries match on their full rel key
       val (keptFiles, keptDirs) = kept.map(_._1)
@@ -4801,7 +4856,7 @@ object SnapshotLog {
         else None
       }
       val freshCols =
-        if (statsCols.nonEmpty) statsCols
+        if (statsCols.nonEmpty) statsCols.map(c => physMap.getOrElse(c, c))
         else parentCarry match {
           case EagerCarry(ls) => ls.flatMap(statColOf(_)).distinct
           case c: ChainCarry  =>
@@ -4850,11 +4905,11 @@ object SnapshotLog {
     require(dirs.nonEmpty && dirs.forall(baseName(_).startsWith(GpPrefix)),
       "scoped compaction needs a fully scoped head — run upsertScoped " +
       "once to migrate a mixed table into the scoped layout")
-    // scoped lineages refuse renames/drops, so a pinned schema here is
-    // additive-only; verify rather than assume (a mapped leaf write
-    // would need physical-space handling this path does not do)
-    require(schemaOf(spark, root, cur).forall(st => renameMap(st).isEmpty),
-      "scoped compaction does not support column-mapped lineages")
+    // column-mapped lineages work (round 13, mirroring purgeScoped):
+    // the rewrite stays physical — tracked scans render __gp in logical
+    // space then translate through the pin; partition source columns
+    // are never renamed (renameColumn refuses), so the render resolves
+    // identically either side of the translation
     val sized: Seq[(String, Long, Int)] = filesFromSidecar(spark, root, cur) match {
       case Some(sts) =>
         val byDir = sts.groupBy(_.getPath.getParent.getName)
@@ -4891,25 +4946,35 @@ object SnapshotLog {
     val smallPaths = small.map(t => new Path(rootPath, t._1).toString)
     // pinned (additive) schema declares the read so pre-evolution leafs
     // null-fill — no mergeSchema footer pass. Row-tracked lineages read
-    // with identities attached (round 12) so the pack preserves them.
+    // with identities attached (round 12) so the pack preserves them;
+    // their scan speaks LOGICAL names, so __gp renders first and the
+    // pin translates the frame to physical just before the write (the
+    // untracked read is physical already and its partition sources are
+    // never renamed, so the same render resolves there too)
+    val pinned = schemaOf(spark, root, cur)
     val packed =
-      if (rowTrackingEnabled(spark, root))
-        scanWithRids(spark, root, cur, smallPaths, tombs)
-      else {
-        val smallScan = schemaOf(spark, root, cur) match {
+      if (rowTrackingEnabled(spark, root)) {
+        val src = scanWithRids(spark, root, cur, smallPaths, tombs)
+          .withColumn(GpCol, gpRenderExpr(spec))
+        pinned.map(toPhysicalDf(src, _)).getOrElse(src)
+      } else {
+        val smallScan = pinned match {
           case Some(st) =>
             spark.read.schema(physicalSchema(st)).parquet(smallPaths: _*)
           case None => spark.read.parquet(smallPaths: _*)
         }
         applyTombstoneDirs(spark, root, tombs, smallScan)
+          .withColumn(GpCol, gpRenderExpr(spec))
       }
-    // re-render __gp from the rows (the user columns stay in-file) and
-    // cluster by it so each small leaf packs into few files — the same
-    // writer expression every scoped commit uses, drift-checked below
+    val physMap = pinned.map(renameMap).getOrElse(Map.empty[String, String])
+    // cluster by the re-rendered __gp so each small leaf packs into few
+    // files — the same writer expression every scoped commit uses,
+    // drift-checked below
     val dd = dataDir(root, next)
     writeDataDir(spark,
-      packed.withColumn(GpCol, gpRenderExpr(spec)).repartition(col(GpCol)),
-      dd, bloomCols, partitionBy = Seq(GpCol))
+      packed.repartition(col(GpCol)),
+      dd, bloomCols.map(c => physMap.getOrElse(c, c)),
+      partitionBy = Seq(GpCol))
     val writtenLeafs = fs(spark, dd).listStatus(dd).map(_.getPath.getName)
       .filter(_.startsWith(GpPrefix)).sorted.toSeq
     val smallBases = small.map(t => baseName(t._1)).toSet
@@ -4934,7 +4999,7 @@ object SnapshotLog {
       else None
     }
     val freshCols =
-      if (statsCols.nonEmpty) statsCols
+      if (statsCols.nonEmpty) statsCols.map(c => physMap.getOrElse(c, c))
       else parentCarry match {
         case EagerCarry(ls) => ls.flatMap(statColOf(_)).distinct
         case c: ChainCarry  =>
@@ -5460,6 +5525,16 @@ object SnapshotLog {
     * A row whose identity cannot be derived (a file a non-materializing
     * rewrite produced after enablement) raises loudly — run
     * [[enableRowTracking]] again to re-base such files.
+    *
+    * REPLACE semantics (round 13): commits that REPLACE content by
+    * contract — [[commit]] (full-snapshot), keyless
+    * [[overwritePartitions]] (per replaced partition) — hand the new
+    * rows FRESH identities, the Delta/Iceberg overwrite behavior: a
+    * replaced row is a new row. Keyed DML (upsert, MERGE, UPDATE,
+    * deleteByKey) preserves identities on every path, pruned or
+    * fallback; only a rewrite that genuinely cannot know row
+    * correspondence (the analyzer-composed general-MERGE COW plan on a
+    * keyless ON) commits without assignments and raises here.
     */
   def readWithRowIds(spark: SparkSession, root: String,
                      version: Option[Long] = None): DataFrame = {
@@ -6120,7 +6195,8 @@ object SnapshotLog {
   private def writeStats(spark: SparkSession, root: String, v: Long,
                          cols: Seq[String],
                          carry: SidecarCarry = EagerCarry(Nil),
-                         extraLines: Seq[String] = Nil): Seq[Long] = {
+                         extraLines: Seq[String] = Nil,
+                         assignRidBases: Boolean = true): Seq[Long] = {
     val dd = dataDir(root, v)
     val f = fs(spark, dd)
     val lines = Vector.newBuilder[String]
@@ -6163,8 +6239,12 @@ object SnapshotLog {
     // files — one footer row-count pass over O(batch) files, mark
     // bumped under the caller's claim (every writeStats site holds it).
     // `extraLines` may already carry assignments for some of them (the
-    // enable/repair path) — those keep their bases.
-    if (rowTrackingEnabled(spark, root)) {
+    // enable/repair path) — those keep their bases. `assignRidBases =
+    // false` (round 13, ADVICE): a full-rewrite commit that could NOT
+    // thread identities skips the auto-assignment so [[scanWithRids]]
+    // raises loudly instead of silently handing every carried row a
+    // fresh identity — enableRowTracking is the explicit re-base.
+    if (assignRidBases && rowTrackingEnabled(spark, root)) {
       val preAssigned: Set[String] = extraLines.flatMap { l =>
         val p = l.split("\t", -1)
         if (p.length == 5 && p(2) == "r") Some(StatsEval.unesc(p(0))) else None
@@ -7300,14 +7380,24 @@ object SnapshotLog {
                                    v: Long): Option[Long] = {
     if (!metaExact(spark, root, v)) return None
     if (hasPqSidecar(spark, root, v)) {
-      import org.apache.spark.sql.functions.{col => c, sum, count => cnt}
+      import org.apache.spark.sql.functions.{col => c, count => cnt, lit, max, sum, when}
       val df = spark.read.parquet(
         pqStackPaths(root, v, statsStackOf(spark, root, v)): _*)
-      val fCnt = df.filter(c("t") === "f").select("k").distinct().count()
-      if (fCnt == 0L) return None
-      val r = df.filter(c("t") === "r")
-        .agg(cnt("*").as("n"), sum(c("b").cast("long")).as("t")).head()
-      if (r.getLong(0) != fCnt) None else Some(r.getLong(1))
+      val fKeys = df.filter(c("t") === "f").select(c("k")).distinct()
+        .withColumn("__f", lit(true))
+      val rCounts = df.filter(c("t") === "r")
+        .groupBy(c("k")).agg(max(c("b").cast("long")).as("__b"))
+      // exact cover = key-SET equality both ways (the text branch's
+      // contract): a stale r line for a dead file must not pair off
+      // against a missing r line for a live one — count-only equality
+      // would pass that and return a silently wrong COUNT(*)
+      val row = fKeys.join(rCounts, Seq("k"), "full_outer")
+        .agg(cnt("*").as("n"),
+             sum(when(c("__f").isNull || c("__b").isNull, 1L)
+               .otherwise(0L)).as("bad"),
+             sum(c("__b")).as("t")).head()
+      if (row.getLong(0) == 0L || row.getLong(1) != 0L) None
+      else Some(row.getLong(2))
     } else {
       val lines = sidecarLines(spark, root, v)
       val fKeys = lines.flatMap(StatsEval.parseListing(_)).collect {

@@ -614,18 +614,25 @@ case class GraftMergePrunedCommand(
 
     // merge semantics over any target frame (the matched slice on the
     // pruned path; the full snapshot on the fallback)
-    // the union of explicitly-assigned target columns across actions —
-    // generated columns outside it recompute on written rows (round 12)
-    val assignedNames: Set[String] =
-      (matchedActions ++ notMatchedActions).flatMap {
-        case UpdateAction(_, assigns, _) =>
-          assigns.flatMap(as => assignedId(as.key)
-            .flatMap(id => targetOutput.find(_.exprId == id)).map(_.name))
-        case InsertAction(_, assigns) =>
-          assigns.flatMap(as => assignedId(as.key)
-            .flatMap(id => targetOutput.find(_.exprId == id)).map(_.name))
+    // explicitly-assigned target columns PER ACTION (round 13, ADVICE):
+    // a generated column recomputes on the rows whose own action left
+    // it unassigned — the cross-action union would strand stale values
+    // (and spuriously trip the gate) on rows of a non-assigning action
+    // whenever any other action assigns it
+    def assignedOf(a: org.apache.spark.sql.catalyst.plans.logical.MergeAction): Set[String] =
+      (a match {
+        case UpdateAction(_, assigns, _) => assigns
+        case InsertAction(_, assigns) => assigns
         case _ => Nil
-      }.toSet
+      }).flatMap(as => assignedId(as.key)
+        .flatMap(id => targetOutput.find(_.exprId == id)).map(_.name)).toSet
+    val assignedPerAction: Seq[Set[String]] =
+      branches.map { case (_, a) => assignedOf(a) }
+    // which branch fired, as a per-row index (null = carried through)
+    val actIdxName = "__graft_act_idx"
+    val actIdx = chain(
+      branches.zipWithIndex.map { case ((c, _), i) => (c, lit(i)) },
+      lit(null).cast("int")).as(actIdxName)
 
     def mergeEval(target: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       val joined = joinedWith(target)
@@ -635,9 +642,10 @@ case class GraftMergePrunedCommand(
       // fired — carried-through target rows stay constraint-exempt
       val written = chain(branches.map { case (c, _) => (c, lit(true)) },
         lit(false)).as(GraftCommands.WrittenMarker)
-      val out = joined.filter(keep === true).select(outCols :+ written: _*)
-      graft.sources.Generated.recomputeWritten(spark, root, out,
-        assignedNames, GraftCommands.WrittenMarker)
+      val out = joined.filter(keep === true)
+        .select(outCols :+ written :+ actIdx: _*)
+      graft.sources.Generated.recomputeByAction(spark, root, out,
+        assignedPerAction, actIdxName).drop(actIdxName)
     }
 
     // MERGE-ON-READ lowering (round 11d — the last refusal with a sound
@@ -689,15 +697,16 @@ case class GraftMergePrunedCommand(
         case _: UpdateAction => "update"
         case _ => "insert"
       })) }, lit(null).cast("string")).as("__act")
-      val evaluated = joinedWith(matchedSlice).select(outCols :+ act: _*)
+      val evaluated = joinedWith(matchedSlice)
+        .select(outCols :+ act :+ actIdx: _*)
         .persist()
       try {
         // every surviving row here IS a written row (update/insert) —
-        // unassigned generated columns recompute before the shadow
-        // delta commits (round 12)
-        val writes = graft.sources.Generated.recompute(spark, root,
-          evaluated.filter(col("__act").isin("update", "insert"))
-            .drop("__act"), assignedNames)
+        // generated columns its OWN action left unassigned recompute
+        // before the shadow delta commits (round 13: per-action)
+        val writes = graft.sources.Generated.recomputeByAction(spark, root,
+          evaluated.filter(col("__act").isin("update", "insert")),
+          assignedPerAction, actIdxName).drop("__act", actIdxName)
         val delKeys = evaluated.filter(col("__act") === "delete")
           .select(morKeys.map(col): _*)
         SnapshotLog.mergeMor(spark, root, writes, delKeys, morKeys,
@@ -727,10 +736,13 @@ case class GraftMergePrunedCommand(
         graft.sources.Constraints.finish(spark, root, v, obsHolder)
       case None =>
         // full-snapshot rewrite fallback (the copy-on-write path the
-        // general MERGE always took before round 10)
+        // general MERGE always took before round 10). Row-tracked
+        // lineages re-attach identities by key (round 13) — the same
+        // contract the pruned path's post-merge join gives.
         val (gated, o) = graft.sources.Constraints.gateWritten(spark, root,
           mergeEval(SnapshotLog.read(spark, root)), GraftCommands.WrittenMarker)
-        val v = SnapshotLog.replaceWithChanges(spark, root, gated)
+        val v = SnapshotLog.replaceWithChanges(spark, root,
+          SnapshotLog.attachRidsByKey(spark, root, gated, keys))
         graft.sources.Constraints.finish(spark, root, v, o)
     }
     Seq.empty

@@ -588,7 +588,6 @@ object GraftSqlRule {
       // the snapshot, committed as the complete next version; the
       // written marker (round 11) flags exactly the condition-matched
       // rows so constraints gate writes, not carried rows
-      val read = expand(session, u.table)
       val cond = u.condition.getOrElse(Literal.TrueLiteral)
       val cols = rel.output.map { t =>
         assigned.get(t.exprId) match {
@@ -599,7 +598,41 @@ object GraftSqlRule {
       }
       val written = Alias(Coalesce(Seq(cond, Literal.FalseLiteral)),
         GraftCommands.WrittenMarker)()
-      GraftReplaceCommand(g, Project(cols :+ written, read), "UPDATE",
+      // row tracking (round 13): an UPDATE rewrites rows IN PLACE, so
+      // identities must survive — read the snapshot with its stable id,
+      // rebind the relation's attribute ids onto that scan (the
+      // expandRelation trick), and pass the id through the projection;
+      // replaceWithChanges materializes it into the rewritten files.
+      // Untracked tables keep the plain expansion.
+      val ridThread: Option[(LogicalPlan, Alias)] =
+        if (!graft.sources.SnapshotLog.rowTrackingEnabled(session, g.root))
+          None
+        else {
+          val ridChild = graft.sources.SnapshotLog
+            .readWithRowIds(session, g.root).queryExecution.analyzed
+          val byName = ridChild.output.map(a => a.name.toLowerCase -> a).toMap
+          val ridAlias = Alias(byName("_row_id"),
+            graft.sources.SnapshotLog.RowIdCol)()
+          val replaced = u.table.transformUp {
+            case r: DataSourceV2Relation if isGraft(r) =>
+              Project(
+                r.output.map { t =>
+                  val src = byName.getOrElse(t.name.toLowerCase,
+                    throw new IllegalStateException(
+                      s"graft table ${g.name()} has no column ${t.name}"))
+                  Alias(src, t.name)(exprId = t.exprId,
+                    qualifier = t.qualifier)
+                } :+ ridAlias,
+                ridChild)
+          }
+          Some((replaced, ridAlias))
+        }
+      val (read, extraOut) = ridThread match {
+        case Some((p, a)) => (p, Seq(a.toAttribute))
+        case None         => (expand(session, u.table), Nil)
+      }
+      GraftReplaceCommand(g, Project(cols ++ (written +: extraOut), read),
+        "UPDATE",
         assignedCols = rel.output
           .filter(t => assigned.contains(t.exprId)).map(_.name).toSet)
     }

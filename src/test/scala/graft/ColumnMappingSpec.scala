@@ -629,4 +629,70 @@ class ColumnMappingSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("shadowing identity"), e.getMessage)
   }
+
+  test("scoped compaction on a column-mapped lineage packs in physical space (round 13)") {
+    // round 10 REFUSED column-mapped scoped compaction; round 11 allowed
+    // non-partition renames on scoped tables — so a renamed scoped table
+    // could never be leaf-compacted. Round 13 mirrors purgeScopedLocked:
+    // the rewrite stays physical and the renamed column survives the
+    // pack (the refusal would have been a loud error; writing LOGICAL
+    // names would read the renamed column as NULL afterwards).
+    val root = freshRoot()
+    SnapshotLog.upsertScoped(spark, root,
+      Seq((1, "us", "a"), (2, "eu", "b")).toDF("k", "region", "v"),
+      Seq("k"), "region", statsCols = Seq("k"))
+    SnapshotLog.renameColumn(spark, root, "v", "body")
+    // pile small files into both leafs under the renamed schema
+    SnapshotLog.upsertScoped(spark, root,
+      Seq((3, "us", "c"), (4, "eu", "d")).toDF("k", "region", "body"),
+      Seq("k"), "region", statsCols = Seq("k"))
+    SnapshotLog.upsertScoped(spark, root,
+      Seq((5, "us", "e")).toDF("k", "region", "body"),
+      Seq("k"), "region", statsCols = Seq("k"))
+    val expected = Set((1, "us", "a"), (2, "eu", "b"), (3, "us", "c"),
+      (4, "eu", "d"), (5, "us", "e"))
+    def snap(): Set[(Int, String, String)] =
+      SnapshotLog.read(spark, root).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(snap() == expected)
+    val v = SnapshotLog.compactSmallFiles(spark, root, targetBytes = 1L << 20)
+    // packed, still scoped, and the RENAMED column reads back intact
+    assert(SnapshotLog.dirsOf(spark, root, v).forall(_.contains("__gp=")),
+      SnapshotLog.dirsOf(spark, root, v).toString)
+    assert(SnapshotLog.read(spark, root).columns.toSeq ==
+      Seq("k", "region", "body"))
+    assert(snap() == expected, "compaction corrupted the renamed column")
+    assert(!SnapshotLog.read(spark, root)
+      .filter(org.apache.spark.sql.functions.col("body").isNull).limit(1)
+      .collect().nonEmpty, "renamed column read as NULL after compaction")
+    // skipping on the renamed (physical-keyed) column still prunes,
+    // and the scoped merge keeps composing on the packed head
+    assert(SnapshotLog.readEquals(spark, root, "k", 2)
+      .select("body").as[String].collect().toSeq == Seq("b"))
+    SnapshotLog.upsertScoped(spark, root,
+      Seq((2, "eu", "B")).toDF("k", "region", "body"),
+      Seq("k"), "region", statsCols = Seq("k"))
+    assert(snap() == expected - ((2, "eu", "b")) + ((2, "eu", "B")))
+
+    // row-tracked twin: the pack must ALSO hold identities while
+    // translating to physical (render __gp logical-first, then map)
+    val rt = freshRoot()
+    SnapshotLog.upsertScoped(spark, rt,
+      Seq((1, "us", "a"), (2, "eu", "b")).toDF("k", "region", "v"),
+      Seq("k"), "region", statsCols = Seq("k"))
+    SnapshotLog.renameColumn(spark, rt, "v", "body")
+    SnapshotLog.enableRowTracking(spark, rt)
+    SnapshotLog.upsertScoped(spark, rt,
+      Seq((3, "us", "c")).toDF("k", "region", "body"),
+      Seq("k"), "region", statsCols = Seq("k"))
+    def ids(): Map[Int, (Long, String)] =
+      SnapshotLog.readWithRowIds(spark, rt)
+        .select("k", "_row_id", "body").collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getString(2))).toMap
+    val before = ids()
+    val v2 = SnapshotLog.compactSmallFiles(spark, rt, targetBytes = 1L << 20)
+    assert(SnapshotLog.dirsOf(spark, rt, v2).forall(_.contains("__gp=")))
+    assert(ids() == before,
+      s"tracked mapped compaction moved ids/values: $before -> ${ids()}")
+  }
 }

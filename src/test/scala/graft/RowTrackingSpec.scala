@@ -241,4 +241,61 @@ class RowTrackingSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("merge-on-read"))
   }
+
+  test("classic (unstatted) upsert + deleteByKey fallbacks keep ids by key (round 13)") {
+    val root = freshRoot()
+    // NO statsCols and no usable skipping sidecar → the pruned path is
+    // ineligible and the keyed full-rewrite fallback runs — before the
+    // round-13 fix it silently re-based every carried row
+    SnapshotLog.commit(spark, root,
+      (1 to 6).map(i => (i, s"v$i")).toDF("k", "v"))
+    SnapshotLog.enableRowTracking(spark, root)
+    val m1 = idMap(root)
+    SnapshotLog.upsert(spark, root,
+      Seq((2, "V2"), (7, "v7")).toDF("k", "v"), Seq("k"))
+    val m2 = idMap(root)
+    assert(m2.size == 7)
+    // carried AND updated rows keep their identities through the key
+    (1 to 6).foreach(k => assert(m2(k) == m1(k),
+      s"fallback upsert moved id for k=$k: ${m1(k)} -> ${m2(k)}"))
+    assert(m2(7) > m1.values.max, "insert must take a fresh identity")
+    assert(SnapshotLog.read(spark, root).filter($"k" === 2)
+      .select("v").as[String].head() == "V2")
+    // keyed delete fallback: survivors keep theirs
+    SnapshotLog.deleteByKey(spark, root, Seq(Tuple1(3)).toDF("k"), Seq("k"))
+    val m3 = idMap(root)
+    assert(m3.size == 6 && !m3.contains(3))
+    m3.foreach { case (k, id) => assert(m2(k) == id) }
+  }
+
+  test("REPLACE commits hand out fresh ids; an id-less replaceWithChanges raises until repaired") {
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root,
+      (1 to 4).map(i => (i, s"v$i")).toDF("k", "v"), statsCols = Seq("k"))
+    SnapshotLog.enableRowTracking(spark, root)
+    val m1 = idMap(root)
+    // commit() is REPLACE by contract — new content, new identities
+    // (assigned, not raising: the caller explicitly replaced the table)
+    SnapshotLog.commit(spark, root,
+      (1 to 4).map(i => (i, s"w$i")).toDF("k", "v"), statsCols = Seq("k"))
+    val m2 = idMap(root)
+    assert(m2.size == 4 && m2.values.forall(_ > m1.values.max),
+      s"replace must mint fresh identities: $m1 -> $m2")
+    // replaceWithChanges WITHOUT the id column cannot know row
+    // correspondence — the commit lands but identity reads raise
+    // loudly (the documented contract), and enableRowTracking repairs
+    SnapshotLog.replaceWithChanges(spark, root,
+      (1 to 4).map(i => (i, s"x$i")).toDF("k", "v"))
+    val e = intercept[Exception] { idMap(root) }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("row-id coverage incomplete")),
+      msgs(e).toString)
+    assert(SnapshotLog.metaRowCount(spark, root).isEmpty,
+      "uncovered files must not answer COUNT(*) from metadata")
+    SnapshotLog.enableRowTracking(spark, root)
+    val m3 = idMap(root)
+    assert(m3.size == 4 && m3.values.forall(_ > m2.values.max))
+    assert(SnapshotLog.metaRowCount(spark, root).contains(4L))
+  }
 }

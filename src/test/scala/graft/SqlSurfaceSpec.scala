@@ -723,6 +723,72 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set(Seq(1, "new", "NEW"), Seq(2, "b", "B"), Seq(3, "c", "C")))
   }
 
+  test("MERGE recomputes generated columns PER ACTION (round 13, ADVICE)") {
+    // action 1 assigns v_uc explicitly, action 2 does not: the
+    // cross-action-union bug left action-2 rows with the stale value
+    // (and the gate's FAIL expectation then aborted spuriously)
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
+    sql("CREATE TABLE graft.ns.genpa (k INT, v STRING, v_uc STRING)")
+    sql("INSERT INTO graft.ns.genpa VALUES (1, 'a', 'A'), (2, 'b', 'B')")
+    sql("CALL graft.system.add_generated('ns.genpa', 'v_uc', 'upper(v)')")
+    sql("""MERGE INTO graft.ns.genpa t
+           USING (SELECT 1 AS k, 'x' AS v UNION ALL
+                  SELECT 2 AS k, 'y' AS v UNION ALL
+                  SELECT 3 AS k, 'z' AS v) s
+           ON t.k = s.k
+           WHEN MATCHED AND s.k = 1
+             THEN UPDATE SET t.v = s.v, t.v_uc = upper(s.v)
+           WHEN MATCHED THEN UPDATE SET t.v = s.v
+           WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    assert(rowsOf("SELECT k, v, v_uc FROM graft.ns.genpa") ==
+      Set(Seq(1, "x", "X"), Seq(2, "y", "Y"), Seq(3, "z", "Z")))
+  }
+
+  test("COW UPDATE and general-MERGE fallback keep row identities (round 13)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
+    // a PARTITIONED table's simple UPDATE takes the copy-on-write
+    // fallback (no DV+append on scoped layouts) — identities must
+    // thread through the full rewrite
+    sql("CREATE TABLE graft.ns.rtu (k INT, p STRING, v STRING) PARTITIONED BY (p)")
+    sql("""INSERT INTO graft.ns.rtu VALUES
+           (1, 'us', 'a'), (2, 'eu', 'b'), (3, 'us', 'c')""")
+    sql("CALL graft.system.enable_row_tracking('ns.rtu')")
+    def ids(t: String): Map[Int, Long] =
+      SnapshotLog.readWithRowIds(spark, root(t))
+        .select("k", "_row_id").collect()
+        .map(x => x.getInt(0) -> x.getLong(1)).toMap
+    val before = ids("rtu")
+    sql("UPDATE graft.ns.rtu SET v = 'Z' WHERE k = 2")
+    val after = ids("rtu")
+    assert(after == before,
+      s"COW UPDATE moved identities: $before -> $after")
+    assert(rowsOf("SELECT k, v FROM graft.ns.rtu WHERE k = 2") ==
+      Set(Seq(2, "Z")))
+    assert(sql("SELECT * FROM graft.ns.rtu").columns.toSeq ==
+      Seq("k", "p", "v"), "the id column must not leak into SQL reads")
+
+    // multi-clause MERGE on an unstatted flat table: the pruned path is
+    // ineligible → full-snapshot fallback; ids re-attach by key
+    sql("CREATE TABLE graft.ns.rtm (k INT, v STRING)")
+    sql("INSERT INTO graft.ns.rtm VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    sql("CALL graft.system.enable_row_tracking('ns.rtm')")
+    val b2 = ids("rtm")
+    sql("""MERGE INTO graft.ns.rtm t
+           USING (SELECT 2 AS k, 'B' AS v UNION ALL
+                  SELECT 4 AS k, 'd' AS v) s
+           ON t.k = s.k
+           WHEN MATCHED AND s.v = 'B' THEN UPDATE SET t.v = s.v
+           WHEN MATCHED THEN DELETE
+           WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    val a2 = ids("rtm")
+    assert(a2.size == 4)
+    Seq(1, 2, 3).foreach(k => assert(a2(k) == b2(k),
+      s"MERGE fallback moved id for k=$k"))
+    assert(a2(4) > b2.values.max, "MERGE insert must take a fresh id")
+    assert(rowsOf("SELECT k, v FROM graft.ns.rtm") ==
+      Set(Seq(1, "a"), Seq(2, "B"), Seq(3, "c"), Seq(4, "d")))
+  }
+
   test("CALL graft.system.purge_deleted materializes deletion vectors (round 12)") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
     sql("CREATE TABLE graft.ns.prg (k INT, v STRING)")

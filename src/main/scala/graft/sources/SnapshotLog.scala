@@ -482,9 +482,6 @@ object SnapshotLog {
       require(partColOf(spark, root, cur).isEmpty,
         "rebloomWidened on a partition-scoped lineage is not supported — " +
         "compactChain re-blooms those today")
-      require(!rowTrackingEnabled(spark, root),
-        "rebloomWidened on a row-tracked lineage is not supported yet — " +
-        "compactChain preserves identities and re-blooms the whole table")
       val pin = schemaOf(spark, root, cur).getOrElse(return cur)
       val widened = pin.fields.filter(fd =>
         !isDropped(fd) && fd.metadata.contains(WidenKey))
@@ -553,12 +550,22 @@ object SnapshotLog {
       }
       // the rewrite scan declares the WIDE physical schema — the
       // vectorized reader upcasts each narrow file — and folds the
-      // deletion-vector positions that point into the rewritten files
+      // deletion-vector positions that point into the rewritten files.
+      // Row-tracked lineages rewrite WITH identities attached (round
+      // 13, lifting the round-12 refusal): the packed wide files carry
+      // the materialized id column, exactly the compaction contract
       val tombs = tombDirsOf(spark, root, cur)
-      val scan = spark.read
-        .schema(physicalSchema(pin))
-        .parquet(narrowSet.toSeq.sorted: _*)
-      val folded = applyTombstoneDirs(spark, root, tombs, scan)
+      val folded =
+        if (rowTrackingEnabled(spark, root)) {
+          val src = scanWithRids(spark, root, cur,
+            narrowSet.toSeq.sorted, tombs)
+          schemaOf(spark, root, cur).map(toPhysicalDf(src, _)).getOrElse(src)
+        } else {
+          val scan = spark.read
+            .schema(physicalSchema(pin))
+            .parquet(narrowSet.toSeq.sorted: _*)
+          applyTombstoneDirs(spark, root, tombs, scan)
+        }
       val physMap = renameMap(pin)
       // the rewrite must not silently strip the lineage's OTHER bloom
       // columns (the statsCols-inherit rule, applied to blooms): read
@@ -4192,7 +4199,14 @@ object SnapshotLog {
                   .parquet(new Path(rootPath, chgDirName(next)).toString)
                 chgDirName(next)
               }
-            stageVersion(spark, root, gated, next, batchId,
+            // row tracking (round 13): matched keys inherit their
+            // identity into the shadow delta as a materialized column;
+            // true inserts stay NULL and take the delta's fresh base
+            val staged =
+              if (!rowTrackingEnabled(spark, root)) gated
+              else gated.join(morRidProbe(spark, root, cur, gated, keys),
+                keys, "left")
+            stageVersion(spark, root, staged, next, batchId,
               if (statsCols.nonEmpty) statsCols
               else inheritedStatsColsLogical(spark, root),
               bloomCols, baseDirs = dirsOf(spark, root, cur),
@@ -4306,7 +4320,13 @@ object SnapshotLog {
                 .parquet(new Path(rootPath, chgDirName(next)).toString)
               chgDirName(next)
             }
-          stageVersion(spark, root, gated, next, -1L,
+          // row tracking (round 13): the merge's written keys inherit
+          // their identity like upsertMor's (inserts stay NULL)
+          val staged =
+            if (!rowTrackingEnabled(spark, root)) gated
+            else gated.join(morRidProbe(spark, root, cur, gated, keys),
+              keys, "left")
+          stageVersion(spark, root, staged, next, -1L,
             if (statsCols.nonEmpty) statsCols
             else inheritedStatsColsLogical(spark, root),
             bloomCols, baseDirs = dirsOf(spark, root, cur),
@@ -4624,11 +4644,10 @@ object SnapshotLog {
                    zorderBy: Seq[String] = Nil): Long = {
     // row tracking (round 12): the materialized rewrite carries every
     // row's identity forward as the hidden column — a full compaction
-    // is maintenance, not REPLACE
+    // is maintenance, not REPLACE. MoR lineages resolve WITH ids
+    // (round 13), so the flat materialization keeps them too.
     val cur =
-      if (rowTrackingEnabled(spark, root) &&
-          currentVersion(spark, root).exists(v =>
-            morKeysOf(spark, root, v).isEmpty))
+      if (rowTrackingEnabled(spark, root))
         readWithRowIds(spark, root).withColumnRenamed("_row_id", RowIdCol)
       else read(spark, root)
     val arranged =
@@ -4680,7 +4699,13 @@ object SnapshotLog {
       require(mk.nonEmpty,
         "compactMor on a non-MoR lineage — compactChain / " +
         "compactSmallFiles are the flat maintenance rungs")
-      val resolved0 = readVersion(spark, root, cur)
+      // row tracking (round 13): the fold materializes the visible
+      // rows' stable ids so the resolved single dir keeps identities
+      val resolved0 =
+        if (rowTrackingEnabled(spark, root))
+          scanWithRidsMor(spark, root, cur, versionPaths(spark, root, cur),
+            tombDirsOf(spark, root, cur), mk)
+        else readVersion(spark, root, cur)
       val resolved = if (nFiles > 0) resolved0.repartition(nFiles)
                      else resolved0
       val next = cur + 1L
@@ -5383,10 +5408,12 @@ object SnapshotLog {
       recoverOrphans(spark, root)
       val cur = currentVersion(spark, root).getOrElse(
         throw new IllegalStateException(s"no committed version at $root"))
-      require(morKeysOf(spark, root, cur).isEmpty,
-        "row tracking on a merge-on-read lineage is not supported — the " +
-        "shadow copies of a key would alias one identity; compactChain " +
-        "to a flat lineage first")
+      // merge-on-read lineages enable too (round 13): every file gets a
+      // base; a key's VISIBLE identity is its latest shadow's id at
+      // enable time (identities start now), and every later shadowing
+      // commit inherits it forward ([[morRidProbe]]), so stability
+      // holds from enablement on. Invisible old copies derive ids no
+      // reader ever sees — harmless by construction.
       val rootPath = new Path(root.replaceAll("/+$", ""))
       val allFiles: Seq[String] = filesFromSidecar(spark, root, cur) match {
         case Some(sts) => sts.map(_.getPath.toString)
@@ -5452,6 +5479,7 @@ object SnapshotLog {
         kind = "rowtrack",
         partCol = partColOf(spark, root, cur).getOrElse(""),
         schemaJson = rawSchemaJson(spark, root, cur),
+        morKeys = morKeysOf(spark, root, cur),
         statsStack = stack)
       publishLatest(spark, root, next)
       // marker LAST: a crash above leaves no marker and a clean re-run
@@ -5518,6 +5546,85 @@ object SnapshotLog {
       col(pname).as(lname) } ++ Seq(guarded.as(RowIdCol)) ++ posCols: _*)
   }
 
+  /** Merge-on-read twin of [[scanWithRids]] (round 13): latest-per-key
+    * resolution AFTER the vectors, with identities attached. Shadow
+    * copies of a key share the key's ORIGINAL id — [[upsertMor]] /
+    * [[mergeMor]] inherit it into every delta ([[morRidProbe]]) — so
+    * the visible row's id IS the key's stable identity, whatever
+    * version its winning copy lives in. The slice must contain every
+    * live copy of each key the caller cares about (whole version, or a
+    * candidate superset from the skipping sidecar).
+    */
+  private def scanWithRidsMor(spark: SparkSession, root: String,
+                              version: Long, paths: Seq[String],
+                              tombs: Seq[String],
+                              mk: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    val s = scanWithRids(spark, root, version, paths, tombs, keepPos = true)
+      .withColumn(MorSeqCol,
+        regexp_extract(col("__rel"), "^data_v(\\d+)/", 1).cast("long"))
+    resolveLatest(s, mk).drop("__rel", "__ri")
+  }
+
+  /** (keys → stable id) of the VISIBLE rows whose keys may intersect
+    * `batch` — what a shadowing commit joins in so updated keys carry
+    * their identity forward as a materialized column. O(candidate
+    * files) via the skipping sidecar's per-column admission (the
+    * [[rewriteMatchedFlat]] probe shape); conservative fallback reads
+    * the version whole when no usable listing/stats exist.
+    */
+  private def morRidProbe(spark: SparkSession, root: String, cur: Long,
+                          batch: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val files = relFileMap(spark, root, cur)
+    val paths: Seq[String] = candidateRelsForKeyFrame(spark, root, cur,
+        batch, keys) match {
+      case Some(rels) => rels.toSeq.sorted.flatMap(files.get)
+      case None       => files.values.toSeq.sorted
+    }
+    if (paths.isEmpty)
+      return batch.select(keys.map(col(_)): _*).limit(0)
+        .withColumn(RowIdCol, org.apache.spark.sql.functions
+          .lit(null).cast("long"))
+    scanWithRidsMor(spark, root, cur, paths,
+        tombDirsOf(spark, root, cur), keys)
+      .join(batch.select(keys.map(col(_)): _*).distinct(), keys, "left_semi")
+      .select(keys.map(col(_)) :+ col(RowIdCol): _*)
+  }
+
+  /** Candidate file rels admitting ANY key of `probe` — per key column
+    * point-probes (≤16 distinct values, bloom-capable) or one span
+    * probe, intersected across columns; None = no usable listing (the
+    * caller must fall back to every file). The [[rewriteMatchedFlat]]
+    * probe, extracted for the MoR identity/CDC paths.
+    */
+  private def candidateRelsForKeyFrame(spark: SparkSession, root: String,
+                                       v: Long, probe: DataFrame,
+                                       keys: Seq[String]): Option[Set[String]] = {
+    import org.apache.spark.sql.functions.{col, max => smax, min => smin, when}
+    val all = filesFromSidecar(spark, root, v).getOrElse(return None)
+    def relOf(p: Path): String = p.getParent.getName + "/" + p.getName
+    val allRel = all.map(st => relOf(st.getPath)).toSet
+    val MaxPoint = 16
+    val sets = keys.map { k =>
+      val vals = probe.select(col(k)).distinct()
+        .limit(MaxPoint + 1).collect().map(_.get(0)).toSeq
+      if (vals.isEmpty) Set.empty[String]
+      else if (vals.contains(null)) allRel
+      else if (vals.size <= MaxPoint)
+        vals.map(x => candidateFilesEquals(spark, root, v, k, x)
+          ._1.map(relOf).toSet).reduce(_ union _)
+      else {
+        val r = probe.agg(smin(col(k)), smax(col(k)),
+          smax(when(col(k).isNull, 1).otherwise(0))).head
+        if (r.get(2) == 1) allRel
+        else candidateFiles(spark, root, v, k, r.get(0), r.get(1))
+          ._1.map(relOf).toSet
+      }
+    }
+    Some(sets.reduce(_ intersect _))
+  }
+
   /** The current snapshot with its stable `_row_id` column: coalesce of
     * the materialized [[RowIdCol]] (rewritten files carry old ids
     * forward) over `base + row_index` (append-path files, zero bytes
@@ -5542,11 +5649,18 @@ object SnapshotLog {
       throw new IllegalStateException(s"no committed version at $root")))
     require(rowTrackingEnabled(spark, root),
       s"row tracking is not enabled at $root — enableRowTracking first")
-    require(morKeysOf(spark, root, v).isEmpty,
-      "row tracking on a merge-on-read lineage is not supported")
-    scanWithRids(spark, root, v, versionPaths(spark, root, v),
-      tombDirsOf(spark, root, v))
-      .withColumnRenamed(RowIdCol, "_row_id")
+    // merge-on-read lineages resolve latest-per-key with identities
+    // attached (round 13): every shadow copy of a key carries the key's
+    // original id, so resolution order does not move identities
+    val mk = morKeysOf(spark, root, v)
+    val base =
+      if (mk.isEmpty)
+        scanWithRids(spark, root, v, versionPaths(spark, root, v),
+          tombDirsOf(spark, root, v))
+      else
+        scanWithRidsMor(spark, root, v, versionPaths(spark, root, v),
+          tombDirsOf(spark, root, v), mk)
+    base.withColumnRenamed(RowIdCol, "_row_id")
   }
 
   /** KEYLESS exact change feed via row identities (round 12): what
@@ -5562,16 +5676,23 @@ object SnapshotLog {
     *
     * Scale: append-extending version ranges (old dirs intact, same
     * vectors) short-circuit to reading ONLY the delta dirs as inserts —
-    * O(delta), no join (the [[changesBetween]] rule); everything else
-    * pays one identity-keyed full-outer join.
+    * O(delta), no join (the [[changesBetween]] rule). Every other range
+    * diffs FILE-GRANULARLY (round 13, the scale-defining property): rel
+    * paths are immutable once committed and row ids are stable through
+    * every rewrite, so a file carried into both versions is
+    * byte-identical and cannot produce a change row — the identity join
+    * reads only the SYMMETRIC DIFFERENCE of the two versions' file
+    * sets, plus files whose deletion-vector coverage changed. A 1-file
+    * upsert on a 100k-file table diffs one predecessor file against its
+    * rewrite, not two full-version scans.
     */
   def changesByRowId(spark: SparkSession, root: String, fromV: Long,
                      toV: Long): DataFrame = {
     require(fromV < toV, s"fromV $fromV must precede toV $toV")
     require(rowTrackingEnabled(spark, root),
       s"row tracking is not enabled at $root — enableRowTracking first")
-    require(morKeysOf(spark, root, toV).isEmpty,
-      "row tracking on a merge-on-read lineage is not supported")
+    val mk = morKeysOf(spark, root, toV)
+    if (mk.nonEmpty) return morChangesByRowId(spark, root, fromV, toV, mk)
     val fromDirs = dirsOf(spark, root, fromV)
     val toDirs = dirsOf(spark, root, toV)
     if (toDirs.startsWith(fromDirs) &&
@@ -5585,10 +5706,172 @@ object SnapshotLog {
       return ins.withColumn("_change_type",
         org.apache.spark.sql.functions.lit("insert"))
     }
+    val (oldPaths, newPaths) = changedFileSlices(spark, root, fromV, toV)
     keyedSliceDiff(
-      readWithRowIds(spark, root, Some(fromV)),
-      readWithRowIds(spark, root, Some(toV)),
+      ridSliceOrEmpty(spark, root, fromV, oldPaths),
+      ridSliceOrEmpty(spark, root, toV, newPaths),
       Seq("_row_id"))
+  }
+
+  /** The per-version absolute paths of every data file that can
+    * possibly hold a changed row between two versions: the symmetric
+    * difference of the (immutable-once-written) rel-path sets, plus
+    * files referenced by a deletion vector present in exactly one of
+    * the versions. O(changed files) read cost; the vector probe is one
+    * distinct over the DELTA vectors only. Exposed private[graft] so
+    * the spec can assert the slice really is file-granular.
+    */
+  private[graft] def changedFileSlices(spark: SparkSession, root: String,
+                                       fromV: Long,
+                                       toV: Long): (Seq[String], Seq[String]) = {
+    val (fromFiles, toFiles, dirty) = dirtyFileState(spark, root, fromV, toV)
+    val ordered = dirty.toSeq.sorted
+    (ordered.flatMap(fromFiles.get), ordered.flatMap(toFiles.get))
+  }
+
+  /** Both versions' rel→path maps plus the DIRTY rel set: the symmetric
+    * difference of the file sets, union files referenced by a deletion
+    * vector present in exactly one version.
+    */
+  private def dirtyFileState(spark: SparkSession, root: String, fromV: Long,
+                             toV: Long): (Map[String, String], Map[String, String], Set[String]) = {
+    val fromFiles = relFileMap(spark, root, fromV)
+    val toFiles = relFileMap(spark, root, toV)
+    val fromTombs = tombDirsOf(spark, root, fromV).toSet
+    val toTombs = tombDirsOf(spark, root, toV).toSet
+    val tombDelta = (fromTombs diff toTombs) ++ (toTombs diff fromTombs)
+    val rootPath = new Path(root.replaceAll("/+$", ""))
+    val dirtyByVector: Set[String] =
+      if (tombDelta.isEmpty) Set.empty
+      else spark.read.parquet(
+          tombDelta.toSeq.map(d => new Path(rootPath, d).toString): _*)
+        .select("__rel").distinct().collect().map(_.getString(0)).toSet
+    val dirty = fromFiles.keySet.diff(toFiles.keySet) ++
+      toFiles.keySet.diff(fromFiles.keySet) ++ dirtyByVector
+    (fromFiles, toFiles, dirty)
+  }
+
+  /** [[changesByRowId]] on a merge-on-read lineage (round 13): a shadow
+    * delta CHANGES the visible rows of files it never touched, so the
+    * flat file-set diff is insufficient — the slice additionally needs
+    * every live copy of every key the dirty files mention (candidate
+    * superset from the skipping sidecar, whole version when no stats),
+    * resolved latest-per-key on EACH side before the identity join.
+    * Still O(changed + candidates), not two full resolutions, whenever
+    * the keys prune.
+    */
+  private def morChangesByRowId(spark: SparkSession, root: String,
+                                fromV: Long, toV: Long,
+                                mk: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (fromFiles, toFiles, dirty) = dirtyFileState(spark, root, fromV, toV)
+    val ordered = dirty.toSeq.sorted
+    if (dirty.isEmpty)
+      return keyedSliceDiff(
+        morRidSliceOrEmpty(spark, root, fromV, Nil, mk),
+        morRidSliceOrEmpty(spark, root, toV, Nil, mk), Seq("_row_id"))
+    // the keys the dirty files mention, read raw per side (hidden
+    // shadow copies included — a conservative superset is fine here)
+    val dirtyKeys = keysInFiles(spark, root, fromV,
+        ordered.flatMap(fromFiles.get), mk)
+      .unionByName(keysInFiles(spark, root, toV,
+        ordered.flatMap(toFiles.get), mk))
+      .distinct().persist()
+    try {
+      // candidate union ACROSS both versions: every live copy of a
+      // dirty key on either side is in the slice, and an untouched key
+      // caught by span collision exposes the SAME copies to both sides
+      // (all its files live in both versions) — so it diffs silent
+      val cand: Set[String] =
+        candidateRelsForKeyFrame(spark, root, fromV, dirtyKeys, mk)
+          .getOrElse(fromFiles.keySet) ++
+        candidateRelsForKeyFrame(spark, root, toV, dirtyKeys, mk)
+          .getOrElse(toFiles.keySet)
+      val slice = (dirty ++ cand).toSeq.sorted
+      keyedSliceDiff(
+        morRidSliceOrEmpty(spark, root, fromV,
+          slice.flatMap(fromFiles.get), mk),
+        morRidSliceOrEmpty(spark, root, toV,
+          slice.flatMap(toFiles.get), mk),
+        Seq("_row_id"))
+    } finally dirtyKeys.unpersist()
+  }
+
+  /** Raw distinct key tuples present in a path slice (no vectors, no
+    * resolution — supersets are safe for candidate probing).
+    */
+  private def keysInFiles(spark: SparkSession, root: String, v: Long,
+                          paths: Seq[String],
+                          keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val raw =
+      if (paths.isEmpty)
+        ridSliceOrEmpty(spark, root, v, Nil).drop("_row_id")
+      else schemaOf(spark, root, v) match {
+        case Some(st) => fromPhysicalSelect(
+          spark.read.schema(physicalSchema(st)).parquet(paths: _*), st)
+        case None => spark.read.parquet(paths: _*).drop(RowIdCol)
+      }
+    raw.select(keys.map(col(_)): _*).distinct()
+  }
+
+  /** MoR-resolving twin of [[ridSliceOrEmpty]]. */
+  private def morRidSliceOrEmpty(spark: SparkSession, root: String, v: Long,
+                                 paths: Seq[String],
+                                 mk: Seq[String]): DataFrame =
+    if (paths.isEmpty) ridSliceOrEmpty(spark, root, v, Nil)
+    else scanWithRidsMor(spark, root, v, paths, tombDirsOf(spark, root, v), mk)
+      .withColumnRenamed(RowIdCol, "_row_id")
+
+  /** rel → absolute path of a version's data files (sidecar listing
+    * when complete — zero filesystem listing — else an O(files) walk).
+    */
+  private def relFileMap(spark: SparkSession, root: String,
+                         v: Long): Map[String, String] = {
+    val rootPath = new Path(root.replaceAll("/+$", ""))
+    val paths: Seq[Path] = filesFromSidecar(spark, root, v) match {
+      case Some(sts) => sts.map(_.getPath)
+      case None =>
+        val f = fs(spark, rootPath)
+        dirsOf(spark, root, v).flatMap { d =>
+          if (d.contains('/') && d.endsWith(".parquet"))
+            Seq(new Path(rootPath, d))
+          else {
+            val it = f.listFiles(new Path(rootPath, d), true)
+            val b = Vector.newBuilder[Path]
+            while (it.hasNext) {
+              val st = it.next()
+              if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+                b += st.getPath
+            }
+            b.result()
+          }
+        }
+    }
+    paths.map(p => (p.getParent.getName + "/" + p.getName) -> p.toString).toMap
+  }
+
+  /** [[scanWithRids]] renamed to the public `_row_id`, or a same-shaped
+    * empty frame when the slice has no files (a pure-delete range's new
+    * side, a pure-insert range's old side).
+    */
+  private def ridSliceOrEmpty(spark: SparkSession, root: String, v: Long,
+                              paths: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    if (paths.nonEmpty)
+      scanWithRids(spark, root, v, paths, tombDirsOf(spark, root, v))
+        .withColumnRenamed(RowIdCol, "_row_id")
+    else {
+      val fields = schemaOf(spark, root, v) match {
+        case Some(st) => st.fields.filterNot(isDropped).toSeq
+          .map(f => StructField(f.name, f.dataType, nullable = true))
+        case None => tableSchema(spark, root, v).fields.toSeq
+          .map(_.copy(nullable = true))
+      }
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(fields :+ StructField("_row_id", LongType)))
+    }
   }
 
   /** Step 3 — the commit point: swap the LATEST pointer atomically

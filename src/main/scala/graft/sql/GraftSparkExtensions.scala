@@ -29,6 +29,16 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GraftSqlRule.lowerTableChanges(
           org.apache.spark.sql.SparkSession.active, args)))
+    // keyless CDC twin over row identities (round 13):
+    // `table_changes_by_rowid('ns.t', fromV, toV)` — file-granular diff
+    // on flat lineages, shadow-resolving on merge-on-read ones
+    ext.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("table_changes_by_rowid"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.sql.GraftSqlRule", "table_changes_by_rowid"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftSqlRule.lowerTableChangesByRowId(
+          org.apache.spark.sql.SparkSession.active, args)))
     // the codegen'd vector kernels (vec_dot, vec_norm_sq, vec_lsh,
     // vec_lsh_probe, vec_pq_encode, vec_pq_adc) become ordinary SQL
     // functions in extension-configured sessions — the same registry

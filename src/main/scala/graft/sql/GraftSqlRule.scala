@@ -483,6 +483,65 @@ object GraftSqlRule {
       .queryExecution.analyzed
   }
 
+  /** `SELECT * FROM table_changes_by_rowid('ns.t', fromV, toV)` — the
+    * KEYLESS batch CDC surface over row identities (round 13, the SQL
+    * face of [[graft.sources.SnapshotLog.changesByRowId]]): no declared
+    * key set needed, file-granular on flat lineages (only the changed
+    * file sets are read), shadow-resolving on merge-on-read ones.
+    */
+  private[sql] def lowerTableChangesByRowId(
+      session: SparkSession,
+      args: Seq[Expression]): LogicalPlan = {
+    def str(e: Expression, what: String): String = e match {
+      case Literal(s, org.apache.spark.sql.types.StringType) if s != null =>
+        s.toString
+      case other => throw new IllegalArgumentException(
+        s"table_changes_by_rowid: $what must be a string literal, got $other")
+    }
+    def lng(e: Expression, what: String): Long = e match {
+      case Literal(v, dt)
+          if v != null && (dt == org.apache.spark.sql.types.IntegerType ||
+                           dt == org.apache.spark.sql.types.LongType ||
+                           dt == org.apache.spark.sql.types.ShortType) =>
+        v.toString.toLong
+      case other => throw new IllegalArgumentException(
+        s"table_changes_by_rowid: $what must be an integer literal, got $other")
+    }
+    require(args.length == 3,
+      "table_changes_by_rowid(table, fromVersion, toVersion) takes " +
+      s"exactly 3 arguments, got ${args.length}")
+    val Seq(tArg, fromArg, toArg) = args
+    val root = resolveGraftRoot(session, str(tArg, "table name"),
+      "table_changes_by_rowid")
+    graft.sources.SnapshotLog.changesByRowId(session, root,
+      lng(fromArg, "fromVersion"), lng(toArg, "toVersion"))
+      .queryExecution.analyzed
+  }
+
+  /** Resolve a (possibly catalog-qualified) table name string to its
+    * snapshot-log root through a graft catalog — the TVF shared step.
+    */
+  private def resolveGraftRoot(session: SparkSession, name: String,
+                               fn: String): String = {
+    val parts = session.sessionState.sqlParser.parseMultipartIdentifier(name)
+    val mgr = session.sessionState.catalogManager
+    val (cat, ident) = parts match {
+      case head +: rest if rest.nonEmpty &&
+          scala.util.Try(mgr.catalog(head)).toOption.exists(_.isInstanceOf[GraftCatalog]) =>
+        (mgr.catalog(head).asInstanceOf[GraftCatalog],
+         org.apache.spark.sql.connector.catalog.Identifier.of(
+           rest.init.toArray, rest.last))
+      case _ =>
+        require(mgr.currentCatalog.isInstanceOf[GraftCatalog],
+          s"$fn: '${parts.mkString(".")}' does not name a table in " +
+          "a graft catalog (qualify with the catalog name or USE it)")
+        (mgr.currentCatalog.asInstanceOf[GraftCatalog],
+         org.apache.spark.sql.connector.catalog.Identifier.of(
+           parts.init.toArray, parts.last))
+    }
+    cat.tableRoot(ident)
+  }
+
   /** The snapshot a relation reads: the catalog-pinned version, unless
     * READER-OPTION time travel overrides it (round 12 — Delta's shape:
     * `spark.read.option("versionAsOf", 3).table("graft.ns.t")` / the

@@ -283,6 +283,32 @@ class ColumnMappingSpec extends SparkSpecBase {
     assert(SnapshotLog.readVersion(spark, root, v4).count() == 6)
   }
 
+  test("rebloomWidened on a row-tracked lineage keeps identities (round 13)") {
+    import org.apache.spark.sql.types._
+    val root = freshRoot()
+    Seq(Seq((1, "a"), (9999, "z")), Seq((2, "b"), (9998, "y"))).foreach { rows =>
+      SnapshotLog.appendCommit(spark, root, rows.toDF("id", "v").coalesce(1),
+        statsCols = Seq("id"), bloomCols = Seq("id"))
+    }
+    SnapshotLog.enableRowTracking(spark, root)
+    def ids(): Map[Long, Long] = SnapshotLog.readWithRowIds(spark, root)
+      .select("id", "_row_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    SnapshotLog.widenColumnType(spark, root, "id", LongType)
+    val before = ids()
+    assert(before.size == 4)
+    val v = SnapshotLog.rebloomWidened(spark, root)
+    // the narrow-file rewrite re-bases nothing: ids carry materialized
+    assert(ids() == before,
+      s"rebloom moved identities: $before -> ${ids()}")
+    // bloom point probes return on the rewritten files
+    val (kept, total) = SnapshotLog.candidateFilesEquals(spark, root, v, "id", 2L)
+    assert(kept.size == 1 && total >= 2,
+      s"bloom pruning must return after rebloom: kept ${kept.size} of $total")
+    // the hidden column never leaks
+    assert(SnapshotLog.read(spark, root).columns.toSeq == Seq("id", "v"))
+  }
+
   test("reader protocol gate: mapped manifests stamp minReader, future protocols refuse loudly") {
     val root = freshRoot()
     SnapshotLog.appendCommit(spark, root, kv(1 -> "a"))

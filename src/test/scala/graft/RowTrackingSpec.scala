@@ -231,15 +231,124 @@ class RowTrackingSpec extends SparkSpecBase {
     assert(SnapshotLog.metaRowCount(spark, root).contains(7L))
   }
 
-  test("merge-on-read lineages refuse row tracking") {
+  test("merge-on-read lineages track rows: shadow commits inherit identities (round 13)") {
     val root = freshRoot()
     SnapshotLog.createMorTable(spark, root,
       Seq((1, "a")).toDF("k", "v").schema, Seq("k"))
-    SnapshotLog.upsertMor(spark, root, Seq((1, "a")).toDF("k", "v"), Seq("k"))
-    val e = intercept[IllegalArgumentException] {
-      SnapshotLog.enableRowTracking(spark, root)
+    SnapshotLog.upsertMor(spark, root,
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"), Seq("k"),
+      statsCols = Seq("k"))
+    SnapshotLog.enableRowTracking(spark, root)
+    val v1 = SnapshotLog.currentVersion(spark, root).get
+    val m1 = idMap(root)
+    assert(m1.size == 3 && m1.values.toSet.size == 3)
+    def files(): Map[String, Long] = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        if (d.isDirectory) d.listFiles().toSeq.flatMap(walk) else Seq(d)
+      walk(new java.io.File(root)).filter(_.getName.endsWith(".parquet"))
+        .filter(_.getPath.contains("/data_v"))
+        .map(f => f.getPath -> f.lastModified()).toMap
     }
-    assert(e.getMessage.contains("merge-on-read"))
+    val before = files()
+    // shadow upsert: updated key INHERITS its identity, insert is fresh,
+    // and every pre-existing data file stays byte-untouched (the MoR
+    // O(batch) dividend survives tracking)
+    SnapshotLog.upsertMor(spark, root,
+      Seq((2, "B"), (4, "d")).toDF("k", "v"), Seq("k"))
+    val v2 = SnapshotLog.currentVersion(spark, root).get
+    assert(files().filterKeys(before.contains).toMap == before,
+      "a tracked MoR upsert touched pre-existing files")
+    val m2 = idMap(root)
+    assert(m2.size == 4)
+    Seq(1, 2, 3).foreach(k => assert(m2(k) == m1(k),
+      s"MoR upsert moved id for k=$k: ${m1(k)} -> ${m2(k)}"))
+    assert(m2(4) > m1.values.max, "MoR insert must take a fresh id")
+    // keyless exact CDC works across the shadow commit
+    val chg = SnapshotLog.changesByRowId(spark, root, v1, v2)
+      .select("k", "v", "_row_id", "_change_type").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(chg == Set(
+      (2, "b", m1(2), "update_preimage"),
+      (2, "B", m1(2), "update_postimage"),
+      (4, "d", m2(4), "insert")), chg.toString)
+    // vector delete: survivors stable, feed reports the delete
+    SnapshotLog.tombstoneDelete(spark, root, Seq(Tuple1(3)).toDF("k"), Seq("k"))
+    val v3 = SnapshotLog.currentVersion(spark, root).get
+    val m3 = idMap(root)
+    assert(m3.size == 3 && !m3.contains(3))
+    m3.foreach { case (k, id) => assert(m2(k) == id) }
+    val chg23 = SnapshotLog.changesByRowId(spark, root, v2, v3)
+      .select("k", "_change_type").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(chg23 == Set((3, "delete")), chg23.toString)
+    // compactMor folds the chain: identities intact, lineage stays MoR,
+    // and the reorganization is CDC-silent
+    SnapshotLog.compactMor(spark, root)
+    val v4 = SnapshotLog.currentVersion(spark, root).get
+    assert(SnapshotLog.morKeysOf(spark, root, v4) == Seq("k"))
+    assert(idMap(root) == m3, "compactMor moved identities")
+    assert(SnapshotLog.changesByRowId(spark, root, v3, v4).isEmpty,
+      "compactMor must produce an empty identity feed")
+    // ...and keeps composing: another tracked shadow commit
+    SnapshotLog.upsertMor(spark, root, Seq((1, "A")).toDF("k", "v"), Seq("k"))
+    val m5 = idMap(root)
+    assert(m5(1) == m3(1) && m5(2) == m3(2) && m5(4) == m3(4))
+    // compactChain materializes to FLAT with identities carried
+    SnapshotLog.compactChain(spark, root)
+    val v6 = SnapshotLog.currentVersion(spark, root).get
+    assert(SnapshotLog.morKeysOf(spark, root, v6).isEmpty)
+    assert(idMap(root) == m5, "compactChain dropped MoR identities")
+  }
+
+  test("changesByRowId is file-granular: a 1-file upsert diffs 2 files, not the table (round 13)") {
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root,
+      (1 to 10).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1),
+      statsCols = Seq("k"))
+    SnapshotLog.appendCommit(spark, root,
+      (11 to 20).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1))
+    SnapshotLog.appendCommit(spark, root,
+      (21 to 30).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1))
+    SnapshotLog.enableRowTracking(spark, root)
+    val v1 = SnapshotLog.currentVersion(spark, root).get
+    val before = idMap(root)
+    // keyed upsert whose span matches exactly one of the three files
+    SnapshotLog.upsert(spark, root, Seq((15, "V15")).toDF("k", "v"),
+      Seq("k"), statsCols = Seq("k"))
+    val v2 = SnapshotLog.currentVersion(spark, root).get
+    // the scale assertion: the diff's read set is predecessor + rewrite
+    val (oldP, newP) = SnapshotLog.changedFileSlices(spark, root, v1, v2)
+    assert(oldP.size == 1 && newP.size == 1,
+      s"expected a 2-file diff, got old=$oldP new=$newP")
+    val chg = SnapshotLog.changesByRowId(spark, root, v1, v2)
+      .select("k", "v", "_row_id", "_change_type").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(chg == Set(
+      (15, "v15", before(15), "update_preimage"),
+      (15, "V15", before(15), "update_postimage")), chg.toString)
+    // DV delete: only the vector-referenced file enters the diff
+    SnapshotLog.tombstoneDelete(spark, root, Seq(Tuple1(25)).toDF("k"), Seq("k"))
+    val v3 = SnapshotLog.currentVersion(spark, root).get
+    val (o2, n2) = SnapshotLog.changedFileSlices(spark, root, v2, v3)
+    assert(o2.size == 1 && n2.size == 1, s"old=$o2 new=$n2")
+    val chg2 = SnapshotLog.changesByRowId(spark, root, v2, v3)
+      .select("k", "_change_type").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(chg2 == Set((25, "delete")), chg2.toString)
+    // net cross-range feed composes both
+    val chg13 = SnapshotLog.changesByRowId(spark, root, v1, v3)
+      .select("k", "_change_type").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(chg13 == Set((15, "update_preimage"), (15, "update_postimage"),
+      (25, "delete")), chg13.toString)
+    // a pure reorganization is CDC-silent: compaction rewrites files
+    // and folds the vector, but identities + bytes are unchanged
+    SnapshotLog.compactSmallFiles(spark, root, 1L << 30)
+    val v4 = SnapshotLog.currentVersion(spark, root).get
+    assert(v4 > v3 && SnapshotLog.changesByRowId(spark, root, v3, v4).isEmpty,
+      "compaction must produce an empty identity feed")
   }
 
   test("classic (unstatted) upsert + deleteByKey fallbacks keep ids by key (round 13)") {

@@ -744,6 +744,30 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set(Seq(1, "x", "X"), Seq(2, "y", "Y"), Seq(3, "z", "Z")))
   }
 
+  test("table_changes_by_rowid TVF: keyless CDC through plain SQL (round 13)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
+    sql("CREATE TABLE graft.ns.rtc (k INT, v STRING)")
+    sql("INSERT INTO graft.ns.rtc VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val r = root("rtc")
+    sql("CALL graft.system.enable_row_tracking('ns.rtc')")
+    val v1 = SnapshotLog.currentVersion(spark, r).get
+    sql("UPDATE graft.ns.rtc SET v = 'B' WHERE k = 2")
+    sql("INSERT INTO graft.ns.rtc VALUES (4, 'd')")
+    val v2 = SnapshotLog.currentVersion(spark, r).get
+    val viaSql = rowsOf(
+      s"SELECT k, v, _change_type FROM table_changes_by_rowid('graft.ns.rtc', $v1, $v2)")
+    assert(viaSql == Set(
+      Seq(2, "b", "update_preimage"), Seq(2, "B", "update_postimage"),
+      Seq(4, "d", "insert")), viaSql.toString)
+    // round-trips the Scala API exactly (ids included)
+    val scalaRows = SnapshotLog.changesByRowId(spark, r, v1, v2)
+      .select("k", "v", "_row_id", "_change_type").collect()
+      .map(_.toSeq).toSet
+    val sqlRows = rowsOf(
+      s"SELECT k, v, _row_id, _change_type FROM table_changes_by_rowid('graft.ns.rtc', $v1, $v2)")
+    assert(sqlRows == scalaRows, s"$sqlRows != $scalaRows")
+  }
+
   test("COW UPDATE and general-MERGE fallback keep row identities (round 13)") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
     // a PARTITIONED table's simple UPDATE takes the copy-on-write

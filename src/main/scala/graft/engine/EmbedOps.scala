@@ -352,8 +352,8 @@ object EmbedOps {
   /** Nearest-cell assignment: argmax over k typed-literal-centroid dot
     * products (cosine, since centroids are unit-norm).
     */
-  private def assignCells(df: DataFrame, cents: Array[Array[Double]],
-                          idCol: String, vecCol: String): DataFrame = {
+  private[engine] def assignCells(df: DataFrame, cents: Array[Array[Double]],
+                                  idCol: String, vecCol: String): DataFrame = {
     val scored = cents.zipWithIndex.map { case (c, i) =>
       struct(
         call_function("vec_dot", col(vecCol), floatArrayLit(c.map(_.toFloat))).as("score"),

@@ -1773,6 +1773,68 @@ object SnapshotLog {
     * rendering shifts with the session zone, keep the file rather than
     * mis-prune, the same caveat the identity rule always had).
     */
+  /** [[gpSpecDirSpan]] on a SPEC-EVOLVED lineage (round 13): the dir's
+    * spans under every historical spec consistent with its component
+    * arity must AGREE, or the span is unusable (None — keep the file;
+    * pruning must never gamble on which spec wrote a dir). Collapses
+    * to the plain single-spec rule on never-evolved tables.
+    */
+  private[graft] def gpDirSpanMulti(
+      specs: Seq[GpSpec],
+      types: Map[String, org.apache.spark.sql.types.DataType],
+      dirName: String, probe: String,
+      readerZone: java.time.ZoneId): Option[(String, String, String)] = {
+    if (specs.isEmpty) return None
+    if (specs.size == 1)
+      return gpSpecDirSpan(specs.head, types, dirName, probe, readerZone)
+    if (!dirName.startsWith(GpPrefix)) return None
+    val raw = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .unescapePathName(dirName.stripPrefix(GpPrefix))
+    val consistent = specs.filter(sp => specParsesDirValue(sp, types, raw))
+    if (consistent.isEmpty) return None
+    val spans = consistent
+      .map(sp => gpSpecDirSpan(sp, types, dirName, probe, readerZone))
+      .distinct
+    if (spans.size == 1) spans.head else None
+  }
+
+  /** Could `raw` (an unescaped `__gp` dir value) have been rendered by
+    * `sp`? Arity must match AND every component value must parse under
+    * its transform — `us|2026-01-01` is not a `days()` rendering, and
+    * `2026-01-01` is not a two-component one, which is what lets most
+    * evolved layouts keep exact per-dir spans instead of degenerating
+    * to admit-everything.
+    */
+  private def specParsesDirValue(
+      sp: GpSpec,
+      types: Map[String, org.apache.spark.sql.types.DataType],
+      raw: String): Boolean = {
+    import org.apache.spark.sql.types._
+    val parts = if (sp.comps.size == 1) Seq(raw) else splitGpValue(raw)
+    parts.size == sp.comps.size && sp.comps.zip(parts).forall { case (c, v) =>
+      c.kind match {
+        case "id" => types.get(c.col) match {
+          case Some(_: NumericType) =>
+            scala.util.Try(BigDecimal(v)).isSuccess
+          case Some(DateType) =>
+            scala.util.Try(java.time.LocalDate.parse(v)).isSuccess
+          case _ => true // string identity: any rendering is plausible
+        }
+        case "bucket" =>
+          scala.util.Try(v.toInt).toOption.exists(b => b >= 0 && b < c.n)
+        case "years" =>
+          scala.util.Try(java.time.Year.parse(v)).isSuccess
+        case "months" =>
+          scala.util.Try(java.time.YearMonth.parse(v)).isSuccess
+        case "days" =>
+          scala.util.Try(java.time.LocalDate.parse(v)).isSuccess
+        case "hours" => v.length >= 13 &&
+          scala.util.Try(java.time.LocalDate.parse(v.substring(0, 10))).isSuccess
+        case _ => true
+      }
+    }
+  }
+
   private[graft] def gpSpecDirSpan(
       spec: GpSpec,
       types: Map[String, org.apache.spark.sql.types.DataType],
@@ -2091,12 +2153,82 @@ object SnapshotLog {
       def baseName(d: String) = d.substring(d.lastIndexOf('/') + 1)
       val allScoped =
         parentDirs.nonEmpty && parentDirs.forall(baseName(_).startsWith(GpPrefix))
+      // a caller's spec must BE the lineage's current spec — a drifted
+      // spec would render touched names no existing leaf matches and
+      // silently duplicate keys (hardened round 13, when specs became
+      // evolvable at all)
+      val headSpecStr = cur.flatMap(partColOf(spark, root, _))
+      headSpecStr.foreach { hs =>
+        require(spec.render == hs,
+          s"scoped commit spec '${spec.render}' != the lineage's current " +
+          s"spec '$hs' — the table was repartitioned; pass the current spec")
+      }
+      val parentTombs = cur.toSeq.flatMap(tombDirsOf(spark, root, _))
+      // ---- SPEC EVOLUTION (round 13): leafs written under an OLDER
+      // spec migrate-on-touch. Which old leafs the batch touches is
+      // derived by rendering the batch under EACH old spec (all leafs
+      // of a spec whose sources the batch lacks are conservatively
+      // touched); their rows re-render under the head spec, and every
+      // same-spec leaf one of those renderings collides with joins the
+      // replaced set so a partition value never spans two dirs.
+      val evolved = specHistEntries(spark, root).nonEmpty
+      val oldSpecLeafs: Map[String, String] = // dir -> its spec string
+        if (!evolved || !allScoped || headSpecStr.isEmpty) Map.empty
+        else {
+          val cache = scala.collection.mutable.HashMap.empty[Long, String]
+          parentDirs.flatMap { d =>
+            leafDirVersion(d).flatMap { lv =>
+              val s = cache.getOrElseUpdate(lv,
+                specOfLeafVersion(spark, root, lv, headSpecStr.get))
+              if (s != headSpecStr.get) Some(d -> s) else None
+            }
+          }.toMap
+        }
+      val oldTouched: Seq[String] =
+        oldSpecLeafs.groupBy(_._2).toSeq.flatMap { case (s, ds) =>
+          val os = parseGpSpec(s)
+          // keyless REPLACE: an old-spec leaf may hold rows of ANY
+          // replaced new-spec partition without its name saying so —
+          // every old leaf joins the rewrite (rows outside the batch's
+          // partitions migrate, rows inside die). Keyed merges derive
+          // the touched old leafs from the batch (a key's partition
+          // sources are stable — the standing scoped contract).
+          if (replaceLeafs) ds.keys.toSeq
+          else if (os.refCols.forall(gated.columns.contains)) {
+            val vals = gated.select(gpRenderExpr(os).cast("string"))
+              .distinct().collect()
+              .map(r => if (r.isNullAt(0)) null else r.getString(0)).toSet
+            if (vals.contains(null)) ds.keys.toSeq
+            else {
+              val names = vals.map(v =>
+                GpPrefix + ExternalCatalogUtils.escapePathName(v))
+              ds.keys.toSeq.filter(d => names.contains(baseName(d)))
+            }
+          } else ds.keys.toSeq // sources absent from the batch — migrate all
+        }
+      val migratedVals: Set[String] =
+        if (oldTouched.isEmpty) Set.empty
+        else {
+          val slice = toLogical(applyTombstoneDirs(spark, root, parentTombs,
+            readSlice(oldTouched.map(d => new Path(rootPath, d).toString))))
+          slice.select(gpRenderExpr(spec).cast("string")).distinct()
+            .collect().map { r =>
+              require(!r.isNullAt(0),
+                s"spec evolution: old-spec rows render a NULL partition " +
+                s"component under the current spec ($partitionCol) — " +
+                "backfill the source column before merging into them")
+              r.getString(0)
+            }.toSet
+        }
+      val touchedNamesAll = touchedNames ++ migratedVals.map(v =>
+        GpPrefix + ExternalCatalogUtils.escapePathName(v))
       // scoped parent: read ONLY the touched leafs into the merge;
       // unscoped parent: one-time migration — the whole table merges
+      val oldTouchedSet = oldTouched.toSet
       val (untouched, replaced) =
-        if (allScoped) parentDirs.partition(d => !touchedNames.contains(baseName(d)))
+        if (allScoped) parentDirs.partition(d =>
+          !touchedNamesAll.contains(baseName(d)) && !oldTouchedSet.contains(d))
         else (Seq.empty[String], parentDirs)
-      val parentTombs = cur.toSeq.flatMap(tombDirsOf(spark, root, _))
       // deletion vectors apply to the touched slice too, or a merge
       // would resurrect rows a prior tombstoneDelete removed
       // replaceLeafs on an all-scoped parent replaces touched leafs
@@ -2115,7 +2247,8 @@ object SnapshotLog {
           replaced.map(d => new Path(rootPath, d).toString), parentTombs))
       val parentSlice: Option[DataFrame] =
         if (replaced.isEmpty ||
-            (replaceLeafs && allScoped && !changeFeedEnabled(spark))) None
+            (replaceLeafs && allScoped && oldTouched.isEmpty &&
+             !changeFeedEnabled(spark))) None
         else parentSliceAll.map(_.drop(RowIdCol)).orElse(
           Some(toLogical(applyTombstoneDirs(spark, root, parentTombs,
             readSlice(replaced.map(d => new Path(rootPath, d).toString))))))
@@ -2134,11 +2267,11 @@ object SnapshotLog {
       val merged = parentSlice match {
         case None => gated
         case Some(parent) if replaceLeafs =>
-          // all-scoped: the read slice IS the replaced set — drop it;
-          // unscoped parent (one-time migration): rows OUTSIDE the
-          // touched partitions migrate into their own leafs, rows
-          // inside them are replaced by the batch
-          if (allScoped) gated
+          // all-scoped SINGLE-spec: the read slice IS the replaced set —
+          // drop it; mixed-spec or unscoped parent: rows OUTSIDE the
+          // batch's partitions migrate into their own (head-spec) leafs,
+          // rows inside them are replaced by the batch
+          if (allScoped && oldTouched.isEmpty) gated
           else parent
             // coalesce: a parent row with a NULL partition component
             // renders NULL — it is outside every touched partition and
@@ -2169,11 +2302,22 @@ object SnapshotLog {
         .filter(_.startsWith(GpPrefix)).sorted.toSeq
       // the writer's path rendering and ours MUST agree, or an untouched
       // leaf could secretly hold a touched partition's old rows (silent
-      // duplicates) — abort before publishing anything if they drift
-      if (allScoped)
-        require(writtenLeafs.toSet == touchedNames,
-          s"partition path rendering drifted: wrote $writtenLeafs, " +
-          s"derived $touchedNames — aborting before publish")
+      // duplicates) — abort before publishing anything if they drift.
+      // Migrating merges write the batch's partitions exactly, plus any
+      // subset of the migrated renderings (an updated old row's new
+      // rendering follows the batch, so a migrated value can vanish)
+      if (allScoped) {
+        if (oldTouched.isEmpty)
+          require(writtenLeafs.toSet == touchedNames,
+            s"partition path rendering drifted: wrote $writtenLeafs, " +
+            s"derived $touchedNames — aborting before publish")
+        else
+          require(touchedNames.subsetOf(writtenLeafs.toSet) &&
+              writtenLeafs.toSet.subsetOf(touchedNamesAll),
+            s"partition path rendering drifted: wrote $writtenLeafs, " +
+            s"derived $touchedNamesAll (batch $touchedNames) — aborting " +
+            "before publish")
+      }
       val newDirs = untouched ++ writtenLeafs.map(dataDirName(next) + "/" + _)
       // stats: fresh footer-derived lines for the delta leafs; untouched
       // partitions' lines carry forward verbatim (keyed by leaf basename,
@@ -2210,8 +2354,11 @@ object SnapshotLog {
               parentSlice match {
                 case None => ins
                 case Some(parent) =>
+                  // single-spec all-scoped: the slice IS the doomed set;
+                  // mixed/unscoped: only rows inside the batch's
+                  // partitions die (migrated carried rows just move)
                   val doomed =
-                    if (allScoped) parent
+                    if (allScoped && oldTouched.isEmpty) parent
                     else parent.filter(gpRenderExpr(spec).cast("string")
                       .isInCollection(touchedRaw.toSeq))
                   doomed.withColumn("_change_type",
@@ -3510,6 +3657,26 @@ object SnapshotLog {
       }.toSet
     val base = currentVersion(spark, root)
     def baseName(d: String) = d.substring(d.lastIndexOf('/') + 1)
+    // spec evolution (round 13): the lock-free stage derives its merge
+    // slice purely from head-spec leaf names — an old-spec leaf the
+    // batch's keys live in would silently duplicate. Refuse while any
+    // old-spec leaf remains; the claimed upsertScoped migrates them.
+    base.foreach { b =>
+      if (specHistEntries(spark, root).nonEmpty) {
+        val head = partColOf(spark, root, b)
+        require(spec.render == head.getOrElse(spec.render),
+          s"scoped OCC stage spec '${spec.render}' != the lineage's " +
+          s"current spec '${head.getOrElse("")}' — pass the current spec")
+        val cache = scala.collection.mutable.HashMap.empty[Long, String]
+        val mixed = head.exists(h => dirsOf(spark, root, b).exists(d =>
+          leafDirVersion(d).exists(lv => cache.getOrElseUpdate(lv,
+            specOfLeafVersion(spark, root, lv, h)) != h)))
+        require(!mixed,
+          "scoped OCC staging on a spec-evolved table with old-spec " +
+          "leafs still present — run upsertScoped (claimed; it migrates " +
+          "touched leafs) or compactSmallFiles to converge the layout")
+      }
+    }
     // row tracking (round 12): the touched slice reads WITH identities
     // and they re-attach by key after the merge — the claimed path's
     // rule, applied at the lock-free stage (ids are global, so they
@@ -3865,12 +4032,156 @@ object SnapshotLog {
   /** The partition column a scoped version's manifest records — enables
     * DIR-NAME partition pruning at read time with no stats configured.
     */
-  private def partColOf(spark: SparkSession, root: String,
-                        v: Long): Option[String] =
+  private[graft] def partColOf(spark: SparkSession, root: String,
+                               v: Long): Option[String] =
     """"partCol":"([^"]*)"""".r
       .findFirstMatchIn(readManifest(spark, root, v))
       .map(m => java.net.URLDecoder.decode(m.group(1), "UTF-8"))
       .filter(_.nonEmpty)
+
+  // ---------------- PARTITION SPEC EVOLUTION (round 13) -------------
+  // Iceberg-style: a scoped table changes its partition spec as ONE
+  // metadata commit; every existing leaf stays under the spec that
+  // WROTE it (its `data_vNNN` dir part names the manifest recording
+  // that spec), new data writes under the new spec, and keyed merges
+  // MIGRATE the old-spec leafs they touch (rewritten leafs re-render
+  // under the head spec — the table converges organically, no big-bang
+  // rewrite). Pruning stays exact-or-conservative on mixed lineages:
+  // a dir's span is used only when every historically consistent spec
+  // derives the same one ([[gpDirSpanMulti]]).
+
+  private def specHistPath(root: String): Path =
+    new Path(logDir(root), "SPECHIST")
+
+  /** (activatedAtVersion, specString) entries, oldest first; empty for
+    * never-evolved tables. A fallback for leafs whose recording
+    * manifest has been vacuumed — [[specOfLeafVersion]] prefers the
+    * manifest itself.
+    */
+  private[graft] def specHistEntries(spark: SparkSession,
+                                     root: String): Seq[(Long, String)] = {
+    val p = specHistPath(root)
+    val f = fs(spark, p)
+    if (!f.exists(p)) return Nil
+    val in = f.open(p)
+    val text = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    text.split("\n").filter(_.nonEmpty).toSeq.map { l =>
+      val Array(v, s) = l.split("\t", 2)
+      (v.toLong, java.net.URLDecoder.decode(s, "UTF-8"))
+    }
+  }
+
+  private def writeSpecHist(spark: SparkSession, root: String,
+                            entries: Seq[(Long, String)]): Unit = {
+    val p = specHistPath(root)
+    val f = fs(spark, p)
+    f.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent, ".tmp_spechist")
+    val out = f.create(tmp, true)
+    try out.write(entries.map { case (v, s) =>
+      s"$v\t${java.net.URLEncoder.encode(s, "UTF-8")}"
+    }.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      p.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** EVERY distinct spec this lineage has ever written leafs under —
+    * what conservative mixed-spec pruning unions over. One-element for
+    * never-evolved tables.
+    */
+  private[graft] def allSpecsOf(spark: SparkSession, root: String,
+                                v: Long): Seq[GpSpec] = {
+    val head = partColOf(spark, root, v).toSeq
+    (specHistEntries(spark, root).map(_._2) ++ head)
+      .distinct.map(parseGpSpec)
+  }
+
+  /** The spec a leaf of `data_vNNN/...` was written under: the spec
+    * the version-NNN manifest records (exact), falling back to the
+    * SPECHIST entry active at NNN (the recording manifest was
+    * vacuumed), else the head spec.
+    */
+  private def specOfLeafVersion(spark: SparkSession, root: String,
+                                leafV: Long, head: String): String =
+    scala.util.Try(partColOf(spark, root, leafV)).toOption.flatten
+      .orElse(specHistEntries(spark, root)
+        .filter(_._1 <= leafV).lastOption.map(_._2))
+      .getOrElse(head)
+
+  private def leafDirVersion(d: String): Option[Long] = {
+    val dirPart = d.substring(0, math.max(d.lastIndexOf('/'), 0))
+    val base = dirPart.substring(dirPart.lastIndexOf('/') + 1)
+    scala.util.Try(base.stripPrefix("data_v").toLong).toOption
+      .filter(_ => base.startsWith("data_v"))
+  }
+
+  /** Change a scoped table's partition spec as ONE metadata commit:
+    * zero data files move, every leaf dir carries by reference, and
+    * the NEW spec governs all subsequent writes. Old-spec leafs stay
+    * readable and prunable under their own recorded spec; a keyed
+    * merge or partition overwrite that touches one migrates its rows
+    * to new-spec leafs ([[upsertScoped]] migrate-on-touch), so the
+    * layout converges without a table rewrite — on a 100 TB table
+    * this is the difference between an O(1) commit and a 100 TB job.
+    * The partition source columns of BOTH specs keep the rename
+    * refusal (dir-name machinery keys on their values).
+    */
+  def repartitionSpec(spark: SparkSession, root: String,
+                      newSpec: String): Long = {
+    withClaim(spark, root) { _ =>
+      recoverOrphans(spark, root)
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed version at $root"))
+      val old = partColOf(spark, root, cur).getOrElse(
+        throw new IllegalStateException(
+          s"repartitionSpec needs a partition-scoped lineage at $root — " +
+          "bootstrap one with upsertScoped/overwritePartitions first"))
+      val parsed = parseGpSpec(newSpec)
+      require(parsed.comps.nonEmpty, s"empty partition spec '$newSpec'")
+      val schema = tableSchema(spark, root, cur)
+      val names = schema.fields.map(_.name).toSet
+      require(parsed.refCols.forall(names.contains),
+        s"partition spec $newSpec references columns outside the table " +
+        s"schema ${names.mkString(", ")}")
+      // partition sources must be mapping-free both ways (the scoped
+      // rename refusal extends to the new spec's columns)
+      schemaOf(spark, root, cur).foreach { pin =>
+        parsed.refCols.foreach { c =>
+          val fld = pin.fields.find(_.name.equalsIgnoreCase(c))
+          require(fld.forall(physName(_) == fld.get.name),
+            s"repartitionSpec: $c is a renamed (column-mapped) column — " +
+            "partition sources must keep their physical names")
+        }
+      }
+      // zone-pin LTZ time transforms exactly like a scoped write would
+      // (inheriting pins the old spec already fixed for shared comps)
+      val typed = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      val normalized = normalizeGpSpec(spark, parsed, typed, Some(old))
+      if (normalized.render == old) return cur // no-op
+      val next = cur + 1L
+      val stack = writeStats(spark, root, next, Nil,
+        sidecarCarry(spark, root, cur))
+      writeManifestDirs(spark, root, next, dirsOf(spark, root, cur),
+        batchId = batchIdOf(spark, root, cur).getOrElse(-1L),
+        tombDirs = tombDirsOf(spark, root, cur),
+        kind = "respec",
+        partCol = normalized.render,
+        schemaJson = rawSchemaJson(spark, root, cur),
+        statsStack = stack)
+      // history BEFORE publish: a reader of the new head must be able
+      // to resolve old leafs even after their manifests age out
+      val hist0 = specHistEntries(spark, root)
+      val hist = (if (hist0.isEmpty) Seq((0L, old)) else hist0) :+
+        ((next, normalized.render))
+      writeSpecHist(spark, root, hist)
+      publishLatest(spark, root, next)
+      next
+    }
+  }
 
   /** Merge-on-read key columns of a version's manifest ([[upsertMor]]
     * lineages); empty for every other commit kind. Presence turns on
@@ -6922,26 +7233,29 @@ object SnapshotLog {
         f.listStatus(new Path(d)).map(_.getPath)
           .filter(_.getName.endsWith(".parquet")).toSeq
       })
-    // dir-name spans for the partition column of a scoped table
-    val specOnColumn = partColOf(spark, root, version).map(parseGpSpec)
-      .filter(_.refCols.contains(column))
-    val specTypes = specOnColumn.map(_ => tableSchema(spark, root, version)
-      .map(f => f.name -> f.dataType).toMap)
+    // dir-name spans for the partition column of a scoped table —
+    // evolved lineages union over every historical spec and only use a
+    // span all consistent specs agree on (gpDirSpanMulti, round 13)
+    val specsAll = allSpecsOf(spark, root, version)
+    val anyOnColumn = specsAll.exists(_.refCols.contains(column))
+    val specTypes =
+      if (!anyOnColumn) Map.empty[String, org.apache.spark.sql.types.DataType]
+      else tableSchema(spark, root, version)
+        .map(f => f.name -> f.dataType).toMap
     val dirSpanOf: Path => Option[(String, String, String)] =
-      specOnColumn match {
-        case Some(spec) =>
-          p => gpSpecDirSpan(spec, specTypes.get, p.getParent.getName, column,
-            sessionZone(spark))
-        case None => _ => None
-      }
+      if (!anyOnColumn) _ => None
+      else p => gpDirSpanMulti(specsAll, specTypes, p.getParent.getName,
+        column, sessionZone(spark))
     // bucket-transform dirs carry no value order, so spans can't prune
     // them — but an EQUALITY probe (lo == hi, which is how readEquals
     // and the keyed-MERGE point probes arrive here) re-derives the
-    // value's bucket and drops every other bucket's leafs (round 11)
-    val bucketAdmits: Path => Boolean = specOnColumn match {
-      case Some(spec) if lo == hi &&
+    // value's bucket and drops every other bucket's leafs (round 11).
+    // Evolved lineages skip bucket pruning: a dir's owning spec is
+    // ambiguous and a wrong bucket test silently loses rows.
+    val bucketAdmits: Path => Boolean = specsAll match {
+      case Seq(spec) if lo == hi &&
           spec.comps.exists(c => c.col == column && c.kind == "bucket") =>
-        p => bucketDirAdmits(spec, specTypes.get, p.getParent.getName,
+        p => bucketDirAdmits(spec, specTypes, p.getParent.getName,
           column, lo)
       case _ => _ => true
     }
@@ -7609,7 +7923,8 @@ object SnapshotLog {
       else org.apache.spark.sql.types.StructType(phys.fields :+
         org.apache.spark.sql.types.StructField(RowIdCol,
           org.apache.spark.sql.types.LongType, nullable = true))
-    val index = new SkippingFileIndex(spark, files, spanSrc, partCol, physFull, zone)
+    val index = new SkippingFileIndex(spark, files, spanSrc,
+      allSpecsOf(spark, root, v), physFull, zone)
     val relation = HadoopFsRelation(
       location = index,
       partitionSchema = org.apache.spark.sql.types.StructType(Nil),
@@ -8007,7 +8322,7 @@ object SnapshotLog {
     */
   private def pqPrunedKeys(spark: SparkSession, pqPaths: Seq[String],
                            preds: Seq[StatsEval.SpanPred],
-                           spec: Option[GpSpec],
+                           specs: Seq[GpSpec],
                            types: Map[String, org.apache.spark.sql.types.DataType],
                            zone: java.time.ZoneId): Set[String] = {
     import org.apache.spark.sql.Encoders
@@ -8030,7 +8345,7 @@ object SnapshotLog {
         val key = StatsEval.unesc(file)
         val dirName = key.takeWhile(_ != '/')
         val spanOf: String => Option[(String, String, String)] = c =>
-          m.get(c).orElse(spec.flatMap(sp => gpSpecDirSpan(sp, types, dirName, c, zone)))
+          m.get(c).orElse(gpDirSpanMulti(specs, types, dirName, c, zone))
         if (preds.forall(pr => StatsEval.admits(spanOf, zm.get, pr, zone)))
           Iterator.empty
         else Iterator.single(key)
@@ -8053,7 +8368,7 @@ object SnapshotLog {
       spark: SparkSession,
       files: Seq[org.apache.hadoop.fs.FileStatus],
       spanSrc: SpanSource,
-      partCol: Option[String],
+      specsAll: Seq[GpSpec],
       schema: org.apache.spark.sql.types.StructType,
       zone: java.time.ZoneId)
     extends org.apache.spark.sql.execution.datasources.FileIndex {
@@ -8150,14 +8465,14 @@ object SnapshotLog {
       }
     }
 
-    private val gpSpec = partCol.map(parseGpSpec)
     private val gpTypes: Map[String, org.apache.spark.sql.types.DataType] =
       schema.fields.map(f => f.name -> f.dataType).toMap
 
+    // evolved lineages: only a span every historically consistent spec
+    // agrees on may prune (gpDirSpanMulti, round 13)
     private def dirSpanOf(st: org.apache.hadoop.fs.FileStatus)
         : String => Option[(String, String, String)] = c =>
-      gpSpec.flatMap(sp =>
-        gpSpecDirSpan(sp, gpTypes, st.getPath.getParent.getName, c, zone))
+      gpDirSpanMulti(specsAll, gpTypes, st.getPath.getParent.getName, c, zone)
 
     /** Bucket-transform dir pruning for the compiled predicates a value
       * order cannot serve (round 11): an equality (closed degenerate
@@ -8167,8 +8482,13 @@ object SnapshotLog {
       */
     private def bucketAdmitsPred(st: org.apache.hadoop.fs.FileStatus,
                                  p: SpanPred): Boolean = {
-      def dirAdmits(c: String, v: Any): Boolean = gpSpec.forall(sp =>
-        bucketDirAdmits(sp, gpTypes, st.getPath.getParent.getName, c, v))
+      // bucket pruning only on never-evolved lineages: an ambiguous
+      // dir-owning spec could hash the wrong column and lose rows
+      def dirAdmits(c: String, v: Any): Boolean = specsAll match {
+        case Seq(sp) =>
+          bucketDirAdmits(sp, gpTypes, st.getPath.getParent.getName, c, v)
+        case _ => true
+      }
       p match {
         case RangePred(c, Some(lo), Some(hi), false, false) if lo == hi =>
           dirAdmits(c, lo)
@@ -8182,7 +8502,8 @@ object SnapshotLog {
     override def listFiles(partitionFilters: Seq[Expression],
                            dataFilters: Seq[Expression]): Seq[PD] = {
       val preds = dataFilters.map(compile).filterNot(_ == TruePred)
-      val hasBucket = gpSpec.exists(_.comps.exists(_.kind == "bucket"))
+      val hasBucket = specsAll.size == 1 &&
+        specsAll.head.comps.exists(_.kind == "bucket")
       def bucketKeeps(st: org.apache.hadoop.fs.FileStatus): Boolean =
         !hasBucket || preds.forall(p => bucketAdmitsPred(st, p))
       val kept =
@@ -8203,7 +8524,7 @@ object SnapshotLog {
             // every survivor re-checks against the dir-name span only —
             // exact, because a file's partition-column span is a subset
             // of its dir's (dir-only admits ⊇ full admits per file)
-            val pruned = pqPrunedKeys(spark, pqPaths, preds, gpSpec, gpTypes, zone)
+            val pruned = pqPrunedKeys(spark, pqPaths, preds, specsAll, gpTypes, zone)
             files.filter { st =>
               val rel = st.getPath.getParent.getName + "/" + st.getPath.getName
               !pruned.contains(rel) && bucketKeeps(st) &&

@@ -157,6 +157,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }.getOrElse("")
   }
   private def readPartCol(root: String): String = readProp(root, "partCol")
+  /** Re-point the declared partition spec after a
+    * `SnapshotLog.repartitionSpec` commit (round 13) so SQL lowering
+    * routes future MERGEs under the new spec.
+    */
+  private[sql] def updatePartCol(root: String, partCol: String): Unit =
+    writeProps(root, partCol, readStatsCols(root))
   private def readStatsCols(root: String): Seq[String] =
     readProp(root, "statsCols").split(",").map(_.trim).filter(_.nonEmpty).toSeq
 

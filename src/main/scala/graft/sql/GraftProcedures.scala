@@ -27,7 +27,7 @@ object GraftProcedures {
         "rebloom_widened", "vacuum_dry_run", "convert_parquet",
         "purge_deleted", "add_generated", "drop_generated", "generated_cols",
         "add_identity", "drop_identity", "sync_identity",
-        "enable_row_tracking",
+        "enable_row_tracking", "repartition",
         "add_constraint", "drop_constraint", "constraints", "audit")
 
   def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
@@ -54,6 +54,7 @@ object GraftProcedures {
       case "drop_identity"       => Some(new DropIdentityProc(cat))
       case "sync_identity"       => Some(new SyncIdentityProc(cat))
       case "enable_row_tracking" => Some(new EnableRowTrackingProc(cat))
+      case "repartition"         => Some(new RepartitionProc(cat))
       case "convert_parquet"     => Some(new ConvertParquet(cat))
       case "vacuum_dry_run"      => Some(new VacuumDryRun(cat))
       case "add_constraint"      => Some(new AddConstraintProc(cat))
@@ -564,6 +565,39 @@ object GraftProcedures {
     private val out = StructType(Seq(StructField("version", LongType)))
     override def call(input: InternalRow): JIterator[Scan] = {
       val v = SnapshotLog.enableRowTracking(spark, root(input))
+      scanOf(out, Seq(new GenericInternalRow(Array[Any](v))))
+    }
+  }
+
+  /** `CALL c.system.repartition(table, spec)` — partition spec
+    * evolution (round 13, the Iceberg move): one metadata commit, zero
+    * data files touched; old-spec leafs stay readable/prunable under
+    * their recorded spec and migrate as merges touch them.
+    */
+  private final class RepartitionProc(cat: GraftCatalog)
+      extends Proc(cat, "repartition") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType), param("spec", StringType))
+    private val out = StructType(Seq(StructField("version", LongType)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val r = root(input)
+      val spec = input.getUTF8String(1).toString
+      val cur = SnapshotLog.currentVersion(spark, r)
+      val v =
+        if (cur.exists(c => SnapshotLog.partColOf(spark, r, c).nonEmpty)) {
+          // scoped lineage: one metadata commit, spec history recorded
+          val nv = SnapshotLog.repartitionSpec(spark, r, spec)
+          cat.updatePartCol(r,
+            SnapshotLog.partColOf(spark, r, nv).getOrElse(spec))
+          nv
+        } else {
+          // declared-but-unbootstrapped (INSERT-only) or flat table:
+          // partitioning is pure catalog metadata until the first
+          // scoped commit — re-point it; the next MERGE migrates the
+          // whole table under the new spec (the standing bootstrap)
+          cat.updatePartCol(r, spec)
+          cur.getOrElse(0L)
+        }
       scanOf(out, Seq(new GenericInternalRow(Array[Any](v))))
     }
   }

@@ -190,4 +190,140 @@ class GpTransformSpec extends SparkSpecBase {
     assert(keptK.size < totalK, s"kept ${keptK.size} of $totalK")
     assert(SnapshotLog.readEquals(spark, rootC, "k", 17L).count() == 1)
   }
+
+  test("partition spec evolution (round 13): days(d) → (region, days(d)) — metadata commit, migrate-on-touch") {
+    val root = freshRoot()
+    val d1 = java.sql.Date.valueOf("2026-01-01")
+    val d2 = java.sql.Date.valueOf("2026-01-02")
+    val batch0 = Seq(
+      (1, "us", d1, "a"), (2, "eu", d1, "b"),
+      (3, "us", d2, "c"), (4, "eu", d2, "d"))
+      .toDF("k", "region", "d", "v")
+    SnapshotLog.upsertScoped(spark, root, batch0, Seq("k"), "days(d)",
+      statsCols = Seq("k"))
+    def leafFiles(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(root)).filter(_.getName.endsWith(".parquet"))
+        .filter(_.getPath.contains("__gp="))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val filesBefore = leafFiles()
+    // the evolution commit is METADATA-ONLY: zero data files move
+    val vE = SnapshotLog.repartitionSpec(spark, root, "region,days(d)")
+    assert(leafFiles() == filesBefore, "repartitionSpec touched data files")
+    assert(leafsOf(root, vE) == Seq("__gp=2026-01-01", "__gp=2026-01-02"))
+    // re-running with the same spec is a no-op
+    assert(SnapshotLog.repartitionSpec(spark, root, "region, days(d)") == vE)
+    def rows(): Set[(Int, String, String)] =
+      SnapshotLog.read(spark, root).select("k", "region", "v").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(rows() == Set((1, "us", "a"), (2, "eu", "b"),
+      (3, "us", "c"), (4, "eu", "d")))
+    // pruning stays live on both specs: the day probe prunes old-spec
+    // leafs, and never mis-prunes
+    val (keptD, totalD) = SnapshotLog.candidateFiles(spark, root, vE, "d", d1, d1)
+    assert(keptD.size < totalD && keptD.forall(
+      _.getParent.getName == "__gp=2026-01-01"), s"$keptD of $totalD")
+    // migrate-on-touch: a keyed merge into day 1 migrates that old
+    // leaf's rows into (region, day) leafs; day 2's leaf is untouched
+    // byte-for-byte
+    val day2Before = leafFiles().filter(_._1.contains("__gp=2026-01-02"))
+    val vM = SnapshotLog.upsertScoped(spark, root,
+      Seq((1, "us", d1, "A"), (5, "ap", d1, "e")).toDF("k", "region", "d", "v"),
+      Seq("k"), "region,days(d)", statsCols = Seq("k"))
+    assert(leafFiles().filter(_._1.contains("__gp=2026-01-02")) == day2Before,
+      "untouched old-spec leaf moved")
+    val leafs = leafsOf(root, vM)
+    assert(leafs.contains("__gp=2026-01-02"), leafs.toString)
+    assert(leafs.count(_.contains("|2026-01-01")) == 3, // us, eu, ap under new spec
+      s"day-1 rows must migrate to composite leafs: $leafs")
+    assert(!leafs.contains("__gp=2026-01-01"), s"old day-1 leaf must retire: $leafs")
+    assert(rows() == Set((1, "us", "A"), (2, "eu", "b"),
+      (3, "us", "c"), (4, "eu", "d"), (5, "ap", "e")))
+    // region (new-spec column) prunes the migrated leafs; day-2 rows
+    // (old spec, no region in dir) conservatively keep — exact reads
+    assert(SnapshotLog.readEquals(spark, root, "region", "ap")
+      .select("k").as[Int].collect().toSeq == Seq(5))
+    val (keptR, totalR) = SnapshotLog.candidateFiles(spark, root, vM,
+      "region", "ap", "ap")
+    assert(keptR.size < totalR, s"kept ${keptR.size} of $totalR")
+    // a later merge into a migrated composite leaf: classic single-leaf
+    // touch, everything else byte-identical
+    val before2 = leafFiles().filterNot(_._1.contains("|2026-01-01"))
+    SnapshotLog.upsertScoped(spark, root,
+      Seq((2, "eu", d1, "B")).toDF("k", "region", "d", "v"),
+      Seq("k"), "region,days(d)", statsCols = Seq("k"))
+    assert(leafFiles().filterNot(_._1.contains("|2026-01-01")) == before2)
+    assert(rows() == Set((1, "us", "A"), (2, "eu", "B"),
+      (3, "us", "c"), (4, "eu", "d"), (5, "ap", "e")))
+    // a stale-spec caller refuses loudly instead of duplicating keys
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.upsertScoped(spark, root,
+        Seq((9, "us", d1, "z")).toDF("k", "region", "d", "v"),
+        Seq("k"), "days(d)")
+    }
+    assert(e.getMessage.contains("repartitioned"), e.getMessage)
+
+    // ARITY-DECREASING evolution is the dangerous pruning case: the old
+    // composite leafs must never be misread as single-component values
+    val vE2 = SnapshotLog.repartitionSpec(spark, root, "days(d)")
+    assert(rows().size == 5)
+    // day probe: must NOT prune away composite day-1 leafs it can parse
+    assert(SnapshotLog.readBetween(spark, root, "d", d1, d1).count() == 3)
+    // region probe: old composite dirs carry region; single-spec dirs
+    // don't — reads stay exact either way
+    assert(SnapshotLog.readEquals(spark, root, "region", "eu")
+      .select("k").as[Int].collect().toSet == Set(2, 4))
+    // keyed merge after the second evolution: exactly the composite
+    // leaf the batch's key lives in collapses back into a day leaf;
+    // the other composite leafs stay untouched (migrate-on-TOUCH)
+    val vM2 = SnapshotLog.upsertScoped(spark, root,
+      Seq((5, "ap", d1, "E")).toDF("k", "region", "d", "v"),
+      Seq("k"), "days(d)", statsCols = Seq("k"))
+    assert(rows() == Set((1, "us", "A"), (2, "eu", "B"),
+      (3, "us", "c"), (4, "eu", "d"), (5, "ap", "E")))
+    val leafs2 = leafsOf(root, vM2)
+    assert(leafs2.contains("__gp=2026-01-01") &&
+      !leafs2.exists(_.contains("ap%7C2026-01-01")) &&
+      !leafs2.exists(_.contains("ap|2026-01-01")) &&
+      leafs2.count(_.contains("2026-01-01")) == 3, leafs2.toString)
+  }
+
+  test("spec evolution composes: keyless overwrite, OCC refusal, row tracking (round 13)") {
+    val root = freshRoot()
+    val d1 = java.sql.Date.valueOf("2026-02-01")
+    SnapshotLog.upsertScoped(spark, root,
+      Seq((1, "us", d1, "a"), (2, "eu", d1, "b")).toDF("k", "region", "d", "v"),
+      Seq("k"), "days(d)", statsCols = Seq("k"))
+    SnapshotLog.enableRowTracking(spark, root)
+    def ids(): Map[Int, Long] = SnapshotLog.readWithRowIds(spark, root)
+      .select("k", "_row_id").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val before = ids()
+    SnapshotLog.repartitionSpec(spark, root, "region,days(d)")
+    // identities survive the metadata commit AND the migrating merge
+    assert(ids() == before)
+    SnapshotLog.upsertScoped(spark, root,
+      Seq((1, "us", d1, "A")).toDF("k", "region", "d", "v"),
+      Seq("k"), "region,days(d)", statsCols = Seq("k"))
+    val after = ids()
+    assert(after == before,
+      s"migrating merge moved identities: $before -> $after")
+    // keyless dynamic overwrite of ONE new-spec partition: the other
+    // old-leaf row migrates, nothing is lost
+    SnapshotLog.overwritePartitions(spark, root,
+      Seq((7, "us", d1, "w")).toDF("k", "region", "d", "v"),
+      "region,days(d)")
+    val rows = SnapshotLog.read(spark, root).select("k", "v").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(rows == Set((7, "w"), (2, "b")), rows.toString)
+    // the OCC stage refuses while old-spec leafs remain... after the
+    // overwrite everything is new-spec, so it stages cleanly again
+    val staged = SnapshotLog.stageScopedOcc(spark, root,
+      Seq((8, "eu", d1, "x")).toDF("k", "region", "d", "v"), Seq("k"),
+      "region,days(d)")
+    SnapshotLog.publishScopedOcc(spark, root, staged)
+    assert(SnapshotLog.read(spark, root).count() == 3)
+  }
 }

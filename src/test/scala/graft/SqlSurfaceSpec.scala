@@ -744,6 +744,28 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set(Seq(1, "x", "X"), Seq(2, "y", "Y"), Seq(3, "z", "Z")))
   }
 
+  test("CALL graft.system.repartition: spec evolution through SQL (round 13)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
+    sql("CREATE TABLE graft.ns.pse (k INT, region STRING, v STRING) PARTITIONED BY (region)")
+    sql("INSERT INTO graft.ns.pse VALUES (1, 'us', 'a'), (2, 'eu', 'b')")
+    val v = sql("CALL graft.system.repartition('ns.pse', 'region,bucket(4, k)')")
+      .collect().head.getLong(0)
+    assert(v == SnapshotLog.currentVersion(spark, root("pse")).get)
+    // rows intact; a MERGE routed by the catalog's updated partitioning
+    // lands under the new composite spec and migrates the touched leaf
+    sql("""MERGE INTO graft.ns.pse t USING (SELECT 1 AS k, 'us' AS region, 'A' AS v) s
+           ON t.k = s.k AND t.region = s.region
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""")
+    assert(rowsOf("SELECT k, region, v FROM graft.ns.pse") ==
+      Set(Seq(1, "us", "A"), Seq(2, "eu", "b")))
+    val head = SnapshotLog.currentVersion(spark, root("pse")).get
+    val leafs = SnapshotLog.dirsOf(spark, root("pse"), head)
+      .map(d => d.substring(d.lastIndexOf('/') + 1))
+    assert(leafs.exists(_.contains("%7C")) || leafs.exists(_.contains("|")),
+      s"expected a composite leaf after the migrating MERGE: $leafs")
+  }
+
   test("table_changes_by_rowid TVF: keyless CDC through plain SQL (round 13)") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
     sql("CREATE TABLE graft.ns.rtc (k INT, v STRING)")

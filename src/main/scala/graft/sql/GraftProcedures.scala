@@ -27,7 +27,7 @@ object GraftProcedures {
         "rebloom_widened", "vacuum_dry_run", "convert_parquet",
         "purge_deleted", "add_generated", "drop_generated", "generated_cols",
         "add_identity", "drop_identity", "sync_identity",
-        "enable_row_tracking", "repartition",
+        "enable_row_tracking", "repartition", "ann_build", "ann_refresh",
         "add_constraint", "drop_constraint", "constraints", "audit")
 
   def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
@@ -55,6 +55,8 @@ object GraftProcedures {
       case "sync_identity"       => Some(new SyncIdentityProc(cat))
       case "enable_row_tracking" => Some(new EnableRowTrackingProc(cat))
       case "repartition"         => Some(new RepartitionProc(cat))
+      case "ann_build"           => Some(new AnnBuildProc(cat))
+      case "ann_refresh"         => Some(new AnnRefreshProc(cat))
       case "convert_parquet"     => Some(new ConvertParquet(cat))
       case "vacuum_dry_run"      => Some(new VacuumDryRun(cat))
       case "add_constraint"      => Some(new AddConstraintProc(cat))
@@ -598,6 +600,39 @@ object GraftProcedures {
           cat.updatePartCol(r, spec)
           cur.getOrElse(0L)
         }
+      scanOf(out, Seq(new GenericInternalRow(Array[Any](v))))
+    }
+  }
+
+  /** `CALL c.system.ann_build(table, id_col, vec_col, k)` — build the
+    * persisted IVF ANN index sidecar (round 13); returns the indexed
+    * table version. Query via `graft.engine.AnnIndex.knn`.
+    */
+  private final class AnnBuildProc(cat: GraftCatalog)
+      extends Proc(cat, "ann_build") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType), param("id_col", StringType),
+        param("vec_col", StringType), param("k", IntegerType))
+    private val out = StructType(Seq(StructField("indexed_version", LongType)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val v = graft.engine.AnnIndex.build(spark, root(input),
+        k = input.getInt(3),
+        idCol = input.getUTF8String(1).toString,
+        vecCol = input.getUTF8String(2).toString)
+      scanOf(out, Seq(new GenericInternalRow(Array[Any](v))))
+    }
+  }
+
+  /** `CALL c.system.ann_refresh(table)` — bring the index to the table
+    * head: O(batch) on appends, re-assign (never retrain) otherwise.
+    */
+  private final class AnnRefreshProc(cat: GraftCatalog)
+      extends Proc(cat, "ann_refresh") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType))
+    private val out = StructType(Seq(StructField("indexed_version", LongType)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val v = graft.engine.AnnIndex.refresh(spark, root(input))
       scanOf(out, Seq(new GenericInternalRow(Array[Any](v))))
     }
   }

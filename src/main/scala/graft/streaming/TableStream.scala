@@ -411,6 +411,7 @@ private[streaming] class GraftTailStream(root: String, schema: StructType,
       val metadataOnly = v != minV &&
         lost.isEmpty && dirs.toSet == prior && tombs == priorTombs &&
         (kind.contains("rename") || kind.contains("rowtrack") ||
+         kind.contains("respec") || // spec evolution: same dirs, no rows
          (kind.contains("widen") && declaredMatchesPin))
       if (metadataOnly) ()
       else if (appendLike) newDirs ++= dirs.filterNot(prior.contains)
@@ -937,6 +938,7 @@ private[streaming] class GraftChangesStream(root: String, dataSchema: StructType
       require(v == minV || kind.isEmpty || kind.contains("delete") ||
           kind.contains("update") || kind.contains("replace_where") ||
           kind.contains("rowtrack") || // metadata-only: zero row changes
+          kind.contains("respec") ||   // spec evolution: zero row changes
           (kind.contains("rename") && declaredCoversNames) ||
           (kind.contains("widen") && declaredMatchesPin),
         s"graft changes stream at $root: version $v is a '${kind.get}' commit " +

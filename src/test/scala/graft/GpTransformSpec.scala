@@ -290,6 +290,26 @@ class GpTransformSpec extends SparkSpecBase {
       leafs2.count(_.contains("2026-01-01")) == 3, leafs2.toString)
   }
 
+  test("the streaming tail passes a respec commit as a metadata-only no-op (round 13)") {
+    val root = freshRoot()
+    SnapshotLog.upsertScoped(spark, root,
+      Seq((1, "us", "a")).toDF("k", "region", "v"), Seq("k"), "region")
+    val q = spark.readStream.format("graft").load(root)
+      .writeStream.format("memory").queryName("respec_tail_sink").start()
+    try {
+      q.processAllAvailable()
+      // mid-flight evolution: identical dirs and vectors, no rows —
+      // the tail must pass it silently rather than die on the unknown
+      // commit kind (scoped DML afterwards keeps its usual restart
+      // contract — that refusal is not under test here)
+      SnapshotLog.repartitionSpec(spark, root, "region,bucket(4, k)")
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, q.exception.toString)
+      assert(spark.table("respec_tail_sink").count() == 1,
+        "tail must continue through the respec commit")
+    } finally q.stop()
+  }
+
   test("spec evolution composes: keyless overwrite, OCC refusal, row tracking (round 13)") {
     val root = freshRoot()
     val d1 = java.sql.Date.valueOf("2026-02-01")

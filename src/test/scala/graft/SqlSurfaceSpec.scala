@@ -744,6 +744,38 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set(Seq(1, "x", "X"), Seq(2, "y", "Y"), Seq(3, "z", "Z")))
   }
 
+  test("CALL graft.system.ann_build / ann_refresh: persisted ANN through SQL (round 13)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
+    sql("CREATE TABLE graft.ns.emb (vec_id BIGINT, embedding ARRAY<FLOAT>)")
+    sql("""INSERT INTO graft.ns.emb
+           SELECT id AS vec_id,
+                  transform(sequence(0, 7), d ->
+                    cast(if(d = id % 4, 1.0, 0.02 * pmod(id + d, 7)) AS FLOAT))
+                    AS embedding
+           FROM range(80)""")
+    val r = root("emb")
+    val v = sql("CALL graft.system.ann_build('ns.emb', 'vec_id', 'embedding', 4)")
+      .collect().head.getLong(0)
+    assert(v == SnapshotLog.currentVersion(spark, r).get)
+    val q = Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val hit = graft.engine.AnnIndex.knn(spark, r, q, k = 3, nprobe = 2)
+      .collect().map(_.getLong(0))
+    assert(hit.length == 3 && hit.forall(_ % 4 == 0),
+      s"axis-0 query must retrieve axis-0 vectors: ${hit.toSeq}")
+    sql("""INSERT INTO graft.ns.emb
+           SELECT id + 1000 AS vec_id,
+                  transform(sequence(0, 7), d ->
+                    cast(if(d = 0, 2.0, 0.0) AS FLOAT)) AS embedding
+           FROM range(2)""")
+    val v2 = sql("CALL graft.system.ann_refresh('ns.emb')")
+      .collect().head.getLong(0)
+    assert(v2 == SnapshotLog.currentVersion(spark, r).get)
+    val hit2 = graft.engine.AnnIndex.knn(spark, r, q, k = 2, nprobe = 2)
+      .collect().map(_.getLong(0))
+    assert(hit2.forall(_ >= 1000L),
+      s"exact-axis appends must win the axis query: ${hit2.toSeq}")
+  }
+
   test("CALL graft.system.repartition: spec evolution through SQL (round 13)") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
     sql("CREATE TABLE graft.ns.pse (k INT, region STRING, v STRING) PARTITIONED BY (region)")

@@ -45,7 +45,8 @@ object AnnIndex {
   final case class Model(kind: String, k: Int, dim: Int,
                          indexedVersion: Long, idCol: String,
                          vecCol: String,
-                         centroids: Array[Array[Double]])
+                         centroids: Array[Array[Double]],
+                         pq: Option[EmbedOps.PqModel] = None)
 
   private def annDir(root: String, name: String): Path =
     new Path(new Path(root.replaceAll("/+$", ""), "_graft_ann"), name)
@@ -67,7 +68,10 @@ object AnnIndex {
       s"idCol=${m.idCol}", s"vecCol=${m.vecCol}") ++
       m.centroids.zipWithIndex.map { case (c, i) =>
         s"centroid=$i:${c.mkString(",")}"
-      }).mkString("\n")
+      } ++
+      m.pq.toSeq.flatMap(p => Seq(
+        s"pq=${p.m},${p.k},${p.dsub}",
+        s"codebook=${p.centroids.mkString(",")}"))).mkString("\n")
     val tmp = new Path(p.getParent, ".tmp_model")
     val out = f.create(tmp, true)
     try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -93,8 +97,14 @@ object AnnIndex {
       val Array(i, vals) = x.split(":", 2)
       i.toInt -> vals.split(",").map(_.toDouble)
     }.sortBy(_._1).map(_._2).toArray
+    val pq = kv.collectFirst { case ("pq", x) =>
+      val Array(m, k, dsub) = x.split(",").map(_.toInt)
+      val codebook = kv.collectFirst { case ("codebook", cb) =>
+        cb.split(",").map(_.toFloat) }.get
+      EmbedOps.PqModel(m, k, dsub, codebook)
+    }
     Some(Model(v("kind"), v("k").toInt, v("dim").toInt,
-      v("indexedVersion").toLong, v("idCol"), v("vecCol"), cents))
+      v("indexedVersion").toLong, v("idCol"), v("vecCol"), cents, pq))
   }
 
   /** Build (or rebuild from scratch) the index over the table's current
@@ -128,6 +138,61 @@ object AnnIndex {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(dir.toString)
 
+  /** IVF-PQ twin of [[build]] (the Faiss IVFPQ layout, persisted): the
+    * slices store m-byte RESIDUAL CODES instead of float vectors — a
+    * 32× narrower index at 64-dim float32 — and [[knn]] ranks them by
+    * ADC with a per-cell bias, re-ranking only the shortlist against
+    * the table itself. Training (coarse cells + residual codebook) is
+    * one bounded sample, driver-side; the corpus pays a single
+    * assign+encode pass.
+    */
+  def buildPq(spark: SparkSession, root: String, name: String = "ivfpq",
+              kCells: Int = 16, m: Int = 8, kPq: Int = 16,
+              cellIters: Int = 8, pqIters: Int = 8, maxTrain: Int = 4096,
+              idCol: String = "vec_id", vecCol: String = "embedding"): Long = {
+    VectorFunctions.register(spark)
+    val cur = SnapshotLog.currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val corpus = SnapshotLog.readVersion(spark, root, cur)
+      .filter(col(vecCol).isNotNull)
+    val (encoded, index) = EmbedOps.ivfPqBuildSampled(corpus, kCells, m,
+      kPq, cellIters, pqIters, maxTrain, idCol, vecCol)
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    val dir = annDir(root, name)
+    val f = fs(spark, dir)
+    if (f.exists(dir)) f.delete(dir, true)
+    writeCodeAssignments(encoded, new Path(dir, assignDirName(cur)), idCol)
+    writeModel(spark, root, name, Model("ivfpq", kCells, dim, cur, idCol,
+      vecCol, index.cells, Some(index.model)))
+    cur
+  }
+
+  private def writeCodeAssignments(encoded: DataFrame, dir: Path,
+                                   idCol: String): Unit =
+    encoded.select(col(idCol), col("pq_codes"), col("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(dir.toString)
+
+  /** Assign (+ encode, for ivfpq) a frame under a persisted model. */
+  private def encodeFor(spark: SparkSession, mdl: Model,
+                        df: DataFrame): DataFrame = {
+    val assigned = EmbedOps.assignCells(df, mdl.centroids, mdl.idCol, mdl.vecCol)
+    mdl.pq match {
+      case None => assigned
+      case Some(pq) =>
+        import spark.implicits._
+        val centsDf = mdl.centroids.zipWithIndex
+          .map { case (c, i) => (i, c.map(_.toFloat).toSeq) }.toSeq
+          .toDF("cell", "__cent")
+        EmbedOps.pqEncode(
+          assigned.join(broadcast(centsDf), "cell")
+            .withColumn("__residual", expr(
+              s"zip_with(${mdl.vecCol}, __cent, (a, b) -> CAST(a AS FLOAT) - b)")),
+          pq, "__residual")
+          .drop("__cent", "__residual")
+    }
+  }
+
   /** Bring the index up to the table head WITHOUT retraining: an
     * append-extended range assigns ONLY the delta dirs' vectors
     * (O(batch)); any other change re-assigns the whole snapshot in one
@@ -151,18 +216,19 @@ object AnnIndex {
       SnapshotLog.tombDirsOf(spark, root, m.indexedVersion) ==
         SnapshotLog.tombDirsOf(spark, root, cur)
     val dir = annDir(root, name)
+    def writeSlice(frame: DataFrame, target: Path): Unit =
+      if (m.pq.isEmpty) writeAssignments(frame, target, m.idCol, m.vecCol)
+      else writeCodeAssignments(frame, target, m.idCol)
     if (appendOnly) {
-      // O(batch): scan exactly the delta dirs, assign, append a new
-      // cell-partitioned slice beside the existing ones
+      // O(batch): scan exactly the delta dirs, assign (+encode), append
+      // a new cell-partitioned slice beside the existing ones
       val rootPath = new Path(root.replaceAll("/+$", ""))
       val delta = toDirs.drop(fromDirs.size)
         .map(d => new Path(rootPath, d).toString)
       if (delta.nonEmpty) {
         val rows = spark.read.parquet(delta: _*)
           .filter(col(m.vecCol).isNotNull)
-        writeAssignments(
-          EmbedOps.assignCells(rows, m.centroids, m.idCol, m.vecCol),
-          new Path(dir, assignDirName(cur)), m.idCol, m.vecCol)
+        writeSlice(encodeFor(spark, m, rows), new Path(dir, assignDirName(cur)))
       }
     } else {
       // rewrite/delete/compaction: one full assignment pass (training
@@ -170,9 +236,7 @@ object AnnIndex {
       val corpus = SnapshotLog.readVersion(spark, root, cur)
         .filter(col(m.vecCol).isNotNull)
       val staged = new Path(dir, ".tmp_" + assignDirName(cur))
-      writeAssignments(
-        EmbedOps.assignCells(corpus, m.centroids, m.idCol, m.vecCol),
-        staged, m.idCol, m.vecCol)
+      writeSlice(encodeFor(spark, m, corpus), staged)
       val f = fs(spark, dir)
       f.listStatus(dir).map(_.getPath)
         .filter(_.getName.startsWith("assign_v")).foreach(f.delete(_, true))
@@ -203,7 +267,8 @@ object AnnIndex {
     * table. Refuses a stale index loudly; [[refresh]] repairs.
     */
   def knn(spark: SparkSession, root: String, query: Seq[Float], k: Int,
-          name: String = "ivf", nprobe: Int = 3): DataFrame = {
+          name: String = "ivf", nprobe: Int = 3,
+          shortlist: Int = 100): DataFrame = {
     VectorFunctions.register(spark)
     val m = model(spark, root, name).getOrElse(throw new IllegalStateException(
       s"no ANN index '$name' at $root — AnnIndex.build first"))
@@ -213,16 +278,50 @@ object AnnIndex {
       s"at v$cur — AnnIndex.refresh(...) first (a stale probe would " +
       "return deleted rows or miss fresh ones)")
     val q = query.map(_.toDouble).toArray
-    val cells = m.centroids.zipWithIndex
-      .map { case (c, i) => (c.zip(q).map { case (a, b) => a * b }.sum, i) }
-      .sortBy(-_._1).take(nprobe).map(_._2)
-    val lit32 = typedLit(query.toArray)
-    assignments(spark, root, name)
+    def qDotCent(c: Int): Double =
+      m.centroids(c).zip(q).map { case (a, b) => a * b }.sum
+    val cells = m.centroids.indices.sortBy(c => -qDotCent(c)).take(nprobe)
+    val lit32 = typedLit(query.toArray).cast("array<float>")
+    val probed = assignments(spark, root, name)
       .filter(col("cell").isin(cells.map(x => x: Any): _*))
-      .withColumn("score",
-        call_function("vec_dot", col(m.vecCol), lit32.cast("array<float>")))
-      .select(col(m.idCol), col("score"))
-      .orderBy(desc("score"), col(m.idCol))
-      .limit(k)
+    m.pq match {
+      case None =>
+        probed
+          .withColumn("score", call_function("vec_dot", col(m.vecCol), lit32))
+          .select(col(m.idCol), col("score"))
+          .orderBy(desc("score"), col(m.idCol))
+          .limit(k)
+      case Some(pq) =>
+        // ADC over the probed cells' CODES (m bytes/vector read) with
+        // the exact per-cell bias — dot(q,x) = dot(q,cent) + dot(q,res)
+        // — then an exact re-rank of the shortlist against the table
+        require(query.length == pq.m * pq.dsub,
+          s"query dim ${query.length} != model dim ${pq.m * pq.dsub}")
+        val table = new Array[Float](pq.m * pq.k)
+        for (j <- 0 until pq.m; c <- 0 until pq.k) {
+          var acc = 0.0
+          for (d <- 0 until pq.dsub)
+            acc += query(j * pq.dsub + d).toDouble *
+              pq.centroids((j * pq.k + c) * pq.dsub + d).toDouble
+          table(j * pq.k + c) = acc.toFloat
+        }
+        val bias = cells.tail.foldLeft(
+          when(col("cell") === cells.head, lit(qDotCent(cells.head)))) {
+          (w, c) => w.when(col("cell") === c, lit(qDotCent(c)))
+        }
+        val short = probed
+          .withColumn("adc_score", bias +
+            call_function("vec_pq_adc", col("pq_codes"),
+              typedLit(table).cast("array<float>"), lit(pq.k)))
+          .orderBy(desc("adc_score"), col(m.idCol))
+          .limit(shortlist)
+          .select(col(m.idCol))
+        SnapshotLog.readVersion(spark, root, cur)
+          .join(broadcast(short), m.idCol)
+          .withColumn("score", call_function("vec_dot", col(m.vecCol), lit32))
+          .select(col(m.idCol), col("score"))
+          .orderBy(desc("score"), col(m.idCol))
+          .limit(k)
+    }
   }
 }

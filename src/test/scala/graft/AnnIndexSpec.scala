@@ -29,7 +29,7 @@ class AnnIndexSpec extends SparkSpecBase {
       val axis = (id % 4).toInt
       val v = Array.tabulate(dim) { d =>
         val base = if (d == axis) 1.0f else 0.0f
-        base + 0.05f * (((id * 31 + d * 7) % 11).toFloat / 11f)
+        base + 0.05f * (((id * 131 + d * 31) % 97).toFloat / 97f)
       }
       val n0 = math.sqrt(v.map(x => x * x).sum).toFloat
       (id, v.map(_ / n0))
@@ -88,6 +88,42 @@ class AnnIndexSpec extends SparkSpecBase {
     // fresh rows are findable through the index
     val got = ids(AnnIndex.knn(spark, root, q, k = 3, nprobe = 2))
     assert(got.exists(_ >= 1000L), s"append rows unreachable: $got")
+  }
+
+  test("ivfpq: codes-only slices, ADC+rerank parity with the in-session build, O(batch) refresh") {
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root, vecs(240), statsCols = Seq("vec_id"))
+    val v = AnnIndex.buildPq(spark, root, kCells = 4, m = 4, kPq = 8)
+    val q = vecs(1, offset = 77).select("embedding").head().getSeq[Float](0)
+    val viaIndex = ids(AnnIndex.knn(spark, root, q, k = 5,
+      name = "ivfpq", nprobe = 2, shortlist = 24))
+    // parity with the in-session sampled build: same deterministic
+    // trainers, same ADC table, same shortlist, same exact re-rank
+    val (encoded, index) = EmbedOps.ivfPqBuildSampled(
+      SnapshotLog.read(spark, root), kCells = 4, m = 4, kPq = 8)
+    val fresh = ids(EmbedOps.knnIvfPq(encoded, index, q, topK = 5,
+      nprobe = 2, shortlist = 24))
+    assert(viaIndex == fresh, s"$viaIndex != $fresh")
+    // the slices store CODES, not vectors — the 32× layout
+    val dir = new java.io.File(root, "_graft_ann/ivfpq")
+    val slice = spark.read.parquet(
+      dir.listFiles().filter(_.getName.startsWith("assign_v")).head.getPath)
+    assert(slice.columns.toSet == Set("vec_id", "pq_codes", "cell"),
+      slice.columns.toSeq.toString)
+    // O(batch) refresh: the appended slice carries only the new ids
+    SnapshotLog.appendCommit(spark, root, vecs(20, offset = 5000))
+    AnnIndex.refresh(spark, root, "ivfpq")
+    val slices = dir.listFiles().filter(_.getName.startsWith("assign_v"))
+      .map(_.getName).sorted
+    assert(slices.length == 2, slices.toSeq.toString)
+    val added = spark.read.parquet(dir.getPath + "/" + slices.last)
+    assert(added.count() == 20 &&
+      added.select("vec_id").collect().map(_.getLong(0)).forall(_ >= 5000L))
+    // and the refreshed index finds the appended vectors
+    val q2 = vecs(1, offset = 5004).select("embedding").head().getSeq[Float](0)
+    val got = ids(AnnIndex.knn(spark, root, q2, k = 3,
+      name = "ivfpq", nprobe = 4, shortlist = 300))
+    assert(got.contains(5004L), s"appended vector unreachable: $got")
   }
 
   test("a delete re-assigns without retraining; deleted rows leave the index") {

@@ -290,6 +290,75 @@ class GpTransformSpec extends SparkSpecBase {
       leafs2.count(_.contains("2026-01-01")) == 3, leafs2.toString)
   }
 
+  test("mixed-spec pruning holds in the parquet-checkpoint sidecar regime (round 13)") {
+    val root = freshRoot()
+    val key = "graft.stats.checkpointThresholdBytes"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "0") // force every sidecar into the pq checkpoint
+    try {
+      val d1 = java.sql.Date.valueOf("2026-03-01")
+      val d2 = java.sql.Date.valueOf("2026-03-02")
+      SnapshotLog.upsertScoped(spark, root,
+        Seq((1, "us", d1, "a"), (2, "eu", d1, "b"), (3, "us", d2, "c"))
+          .toDF("k", "region", "d", "v"),
+        Seq("k"), "days(d)", statsCols = Seq("k"))
+      SnapshotLog.repartitionSpec(spark, root, "region,days(d)")
+      SnapshotLog.upsertScoped(spark, root,
+        Seq((4, "ap", d2, "e")).toDF("k", "region", "d", "v"),
+        Seq("k"), "region,days(d)", statsCols = Seq("k"))
+      // reads stay exact through the checkpointed index on mixed specs
+      assert(SnapshotLog.readEquals(spark, root, "region", "us")
+        .select("k").as[Int].collect().toSet == Set(1, 3))
+      assert(SnapshotLog.readBetween(spark, root, "d", d1, d1).count() == 2)
+      assert(SnapshotLog.readEquals(spark, root, "k", 4)
+        .select("v").as[String].collect().toSeq == Seq("e"))
+      // the pushed-down pruned scan also reads exactly (distributed
+      // span eval + multi-spec dir spans agree with the driver path)
+      assert(SnapshotLog.readPruned(spark, root)
+        .filter(col("d") === d2).count() == 2)
+      // the d probe prunes at least the un-matching old day leaf
+      val v = SnapshotLog.currentVersion(spark, root).get
+      val (kept, total) = SnapshotLog.candidateFiles(spark, root, v, "d", d1, d1)
+      assert(kept.size < total, s"kept ${kept.size} of $total")
+    } finally {
+      prior match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("keyless identity CDC stays exact across a spec-evolving migration (round 13)") {
+    val root = freshRoot()
+    val d1 = java.sql.Date.valueOf("2026-04-01")
+    SnapshotLog.upsertScoped(spark, root,
+      Seq((1, "us", d1, "a"), (2, "eu", d1, "b"), (3, "ap", d1, "c"))
+        .toDF("k", "region", "d", "v"),
+      Seq("k"), "days(d)", statsCols = Seq("k"))
+    SnapshotLog.enableRowTracking(spark, root)
+    val v1 = SnapshotLog.currentVersion(spark, root).get
+    val before = SnapshotLog.readWithRowIds(spark, root)
+      .select("k", "_row_id").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    SnapshotLog.repartitionSpec(spark, root, "region,days(d)")
+    val v2 = SnapshotLog.currentVersion(spark, root).get
+    // the evolution commit itself is CDC-silent
+    assert(SnapshotLog.changesByRowId(spark, root, v1, v2).isEmpty)
+    // a migrating merge: ONE updated row; the carried rows that moved
+    // between leafs must stay silent (identities + bytes unchanged)
+    SnapshotLog.upsertScoped(spark, root,
+      Seq((2, "eu", d1, "B")).toDF("k", "region", "d", "v"),
+      Seq("k"), "region,days(d)", statsCols = Seq("k"))
+    val v3 = SnapshotLog.currentVersion(spark, root).get
+    val chg = SnapshotLog.changesByRowId(spark, root, v2, v3)
+      .select("k", "v", "_row_id", "_change_type").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(chg == Set(
+      (2, "b", before(2), "update_preimage"),
+      (2, "B", before(2), "update_postimage")), chg.toString)
+  }
+
   test("the streaming tail passes a respec commit as a metadata-only no-op (round 13)") {
     val root = freshRoot()
     SnapshotLog.upsertScoped(spark, root,

@@ -3673,8 +3673,9 @@ object SnapshotLog {
             specOfLeafVersion(spark, root, lv, h)) != h)))
         require(!mixed,
           "scoped OCC staging on a spec-evolved table with old-spec " +
-          "leafs still present — run upsertScoped (claimed; it migrates " +
-          "touched leafs) or compactSmallFiles to converge the layout")
+          "leafs still present — upsertScoped/overwritePartitions " +
+          "(claimed) migrate the leafs they touch; stage once the " +
+          "layout has converged")
       }
     }
     // row tracking (round 12): the touched slice reads WITH identities
@@ -5286,22 +5287,47 @@ object SnapshotLog {
     // their scan speaks LOGICAL names, so __gp renders first and the
     // pin translates the frame to physical just before the write (the
     // untracked read is physical already and its partition sources are
-    // never renamed, so the same render resolves there too)
+    // never renamed, so the same render resolves there too).
+    //
+    // SPEC-EVOLVED lineages pack PER GENERATION (round 13): each small
+    // leaf re-renders under the spec that WROTE it, so a packed leaf
+    // keeps its own name — no migration inside maintenance (migration
+    // rides the merges, which rewrite those leafs anyway), no name
+    // collision with kept leafs, and the drift check below stays exact.
     val pinned = schemaOf(spark, root, cur)
-    val packed =
-      if (rowTrackingEnabled(spark, root)) {
-        val src = scanWithRids(spark, root, cur, smallPaths, tombs)
-          .withColumn(GpCol, gpRenderExpr(spec))
-        pinned.map(toPhysicalDf(src, _)).getOrElse(src)
-      } else {
+    val specGroups: Seq[(GpSpec, Seq[String])] =
+      if (specHistEntries(spark, root).isEmpty)
+        Seq((spec, smallPaths))
+      else {
+        val cache = scala.collection.mutable.HashMap.empty[Long, String]
+        small.map(_._1).groupBy { d =>
+          leafDirVersion(d) match {
+            case Some(lv) => cache.getOrElseUpdate(lv,
+              specOfLeafVersion(spark, root, lv, partCol))
+            case None => partCol
+          }
+        }.toSeq.map { case (s, ds) =>
+          (parseGpSpec(s), ds.map(d => new Path(rootPath, d).toString))
+        }
+      }
+    val tracked = rowTrackingEnabled(spark, root)
+    val packed0 = specGroups.map { case (gs, paths) =>
+      if (tracked)
+        scanWithRids(spark, root, cur, paths, tombs)
+          .withColumn(GpCol, gpRenderExpr(gs))
+      else {
         val smallScan = pinned match {
           case Some(st) =>
-            spark.read.schema(physicalSchema(st)).parquet(smallPaths: _*)
-          case None => spark.read.parquet(smallPaths: _*)
+            spark.read.schema(physicalSchema(st)).parquet(paths: _*)
+          case None => spark.read.parquet(paths: _*)
         }
         applyTombstoneDirs(spark, root, tombs, smallScan)
-          .withColumn(GpCol, gpRenderExpr(spec))
+          .withColumn(GpCol, gpRenderExpr(gs))
       }
+    }.reduce(_ unionByName _)
+    val packed =
+      if (tracked) pinned.map(toPhysicalDf(packed0, _)).getOrElse(packed0)
+      else packed0
     val physMap = pinned.map(renameMap).getOrElse(Map.empty[String, String])
     // cluster by the re-rendered __gp so each small leaf packs into few
     // files — the same writer expression every scoped commit uses,
@@ -5557,25 +5583,46 @@ object SnapshotLog {
       publishLatest(spark, root, next)
       return next
     }
-    val matchedPaths = matched.map(d => new Path(rootPath, d).toString)
     val pinned = schemaOf(spark, root, cur)
     // tracked lineages purge with identities attached (round 12); the
     // __gp render runs in LOGICAL space (partition sources are never
-    // renamed) and the pin translates to physical just before the write
-    val purged =
-      if (rowTrackingEnabled(spark, root)) {
-        val src = scanWithRids(spark, root, cur, matchedPaths, tombs)
-          .withColumn(GpCol, gpRenderExpr(spec))
-        pinned.map(toPhysicalDf(src, _)).getOrElse(src)
-      } else {
+    // renamed) and the pin translates to physical just before the
+    // write. Spec-evolved lineages purge PER GENERATION (round 13):
+    // each rewritten leaf re-renders under its OWN spec, keeping its
+    // name — the vector-referenced set stays exactly the rewrite set.
+    val purgeGroups: Seq[(GpSpec, Seq[String])] =
+      if (specHistEntries(spark, root).isEmpty)
+        Seq((spec, matched.map(d => new Path(rootPath, d).toString)))
+      else {
+        val cache = scala.collection.mutable.HashMap.empty[Long, String]
+        matched.groupBy { d =>
+          leafDirVersion(d) match {
+            case Some(lv) => cache.getOrElseUpdate(lv,
+              specOfLeafVersion(spark, root, lv, partCol))
+            case None => partCol
+          }
+        }.toSeq.map { case (s, ds) =>
+          (parseGpSpec(s), ds.map(d => new Path(rootPath, d).toString))
+        }
+      }
+    val trackedPurge = rowTrackingEnabled(spark, root)
+    val purged0 = purgeGroups.map { case (gs, paths) =>
+      if (trackedPurge)
+        scanWithRids(spark, root, cur, paths, tombs)
+          .withColumn(GpCol, gpRenderExpr(gs))
+      else {
         val raw = pinned match {
           case Some(st) =>
-            spark.read.schema(physicalSchema(st)).parquet(matchedPaths: _*)
-          case None => spark.read.parquet(matchedPaths: _*)
+            spark.read.schema(physicalSchema(st)).parquet(paths: _*)
+          case None => spark.read.parquet(paths: _*)
         }
         applyTombstoneDirs(spark, root, tombs, raw)
-          .withColumn(GpCol, gpRenderExpr(spec))
+          .withColumn(GpCol, gpRenderExpr(gs))
       }
+    }.reduce(_ unionByName _)
+    val purged =
+      if (trackedPurge) pinned.map(toPhysicalDf(purged0, _)).getOrElse(purged0)
+      else purged0
     val physMap = pinned.map(renameMap).getOrElse(Map.empty[String, String])
     val dd = dataDir(root, next)
     writeDataDir(spark,
@@ -6864,10 +6911,6 @@ object SnapshotLog {
     val footerRdd: Option[org.apache.spark.rdd.RDD[String]] =
       if (cols.isEmpty || !f.exists(dd)) None
       else {
-        // validate requested columns against the SPARK schema (footer-only
-        // read — parquet datasource schema resolution reads no row data)
-        val fields = spark.read.parquet(dd.toString).schema.fields
-          .map(fl => fl.name -> fl.dataType).toMap
         val paths = {
           val it = f.listFiles(dd, /*recursive=*/ true)
           val b = Vector.newBuilder[String]
@@ -6880,7 +6923,18 @@ object SnapshotLog {
           }
           b.result()
         }
-        footerSpanRdd(spark, paths, cols, fields)
+        // a commit may legitimately write ZERO files (a purge whose
+        // matched leafs all emptied) — nothing to span, and the schema
+        // probe below would fail on the fileless dir
+        if (paths.isEmpty) None
+        else {
+          // validate requested columns against the SPARK schema
+          // (footer-only read — parquet datasource schema resolution
+          // reads no row data)
+          val fields = spark.read.parquet(dd.toString).schema.fields
+            .map(fl => fl.name -> fl.dataType).toMap
+          footerSpanRdd(spark, paths, cols, fields)
+        }
       }
     val freshLines = lines.result()
     publishStatsSidecar(spark, root, v, cols, freshLines, footerRdd, carry)

@@ -359,6 +359,47 @@ class GpTransformSpec extends SparkSpecBase {
       (2, "B", before(2), "update_postimage")), chg.toString)
   }
 
+  test("scoped maintenance packs per spec generation on evolved lineages (round 13)") {
+    val root = freshRoot()
+    val d1 = java.sql.Date.valueOf("2026-05-01")
+    val d2 = java.sql.Date.valueOf("2026-05-02")
+    val d3 = java.sql.Date.valueOf("2026-05-03")
+    SnapshotLog.upsertScoped(spark, root,
+      Seq((1, "us", d1, "a"), (2, "eu", d2, "b"), (3, "ap", d3, "c"))
+        .toDF("k", "region", "d", "v"),
+      Seq("k"), "days(d)", statsCols = Seq("k"))
+    SnapshotLog.repartitionSpec(spark, root, "region,days(d)")
+    // touch ONLY day 1: its leaf migrates to a composite; days 2 and 3
+    // stay under the OLD spec — a genuinely mixed lineage
+    SnapshotLog.upsertScoped(spark, root,
+      Seq((1, "us", d1, "A")).toDF("k", "region", "d", "v"),
+      Seq("k"), "region,days(d)", statsCols = Seq("k"))
+    def rows(): Set[(Int, String)] =
+      SnapshotLog.read(spark, root).select("k", "v").collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSet
+    val expected = Set((1, "A"), (2, "b"), (3, "c"))
+    assert(rows() == expected)
+    // compaction on the MIXED lineage: every packed leaf keeps its own
+    // generation's name — old-spec day leafs stay day leafs, composite
+    // leafs stay composite; rows exact
+    val v = SnapshotLog.compactSmallFiles(spark, root, targetBytes = 1L << 20)
+    val leafs = leafsOf(root, v)
+    assert(leafs.toSet == Set("__gp=2026-05-02", "__gp=2026-05-03",
+      "__gp=us%7C2026-05-01") ||
+      leafs.toSet == Set("__gp=2026-05-02", "__gp=2026-05-03",
+        "__gp=us|2026-05-01"), leafs.toString)
+    assert(rows() == expected, "mixed-spec compaction lost rows")
+    // a DV delete + purge hitting an OLD-spec leaf: per-generation
+    // rewrite, the dead row gone, everything else exact
+    SnapshotLog.tombstoneDelete(spark, root, Seq(Tuple1(2)).toDF("k"), Seq("k"))
+    SnapshotLog.purgeDeletedRows(spark, root)
+    assert(rows() == expected - ((2, "b")), rows().toString)
+    val head = SnapshotLog.currentVersion(spark, root).get
+    assert(SnapshotLog.tombDirsOf(spark, root, head).isEmpty)
+    assert(leafsOf(root, head).contains("__gp=2026-05-03"),
+      "purge must not migrate untouched old-spec leafs")
+  }
+
   test("the streaming tail passes a respec commit as a metadata-only no-op (round 13)") {
     val root = freshRoot()
     SnapshotLog.upsertScoped(spark, root,

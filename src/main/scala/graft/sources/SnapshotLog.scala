@@ -3259,6 +3259,24 @@ object SnapshotLog {
     // (re-checked under the claim below against a racing creator)
     require(currentVersion(spark, dstRoot).isEmpty,
       s"clone target $dstRoot already has a committed table")
+    // spec evolution (round 13): a clone carries no spec history and
+    // its leaf dirs would resolve against the CLONE's own manifests —
+    // an old-spec source leaf would silently misattribute to the head
+    // spec, and a later keyed merge on the clone could duplicate keys.
+    // Refuse while the source layout is mixed (merges/overwrites
+    // converge it); a converged source clones safely.
+    partColOf(spark, srcRoot, sv).foreach { hs =>
+      if (specHistEntries(spark, srcRoot).nonEmpty) {
+        val cache = scala.collection.mutable.HashMap.empty[Long, String]
+        val mixed = dirsOf(spark, srcRoot, sv).exists(d =>
+          leafDirVersion(d).exists(lv => cache.getOrElseUpdate(lv,
+            specOfLeafVersion(spark, srcRoot, lv, hs)) != hs))
+        require(!mixed,
+          s"shallowClone of spec-evolved $srcRoot with old-spec leafs " +
+          "still present — converge the layout first (keyed merges and " +
+          "overwritePartitions migrate the leafs they touch)")
+      }
+    }
     // CLONE PIN (round 11, the r10 verdict's #6): the clone registers a
     // consumer-style pin on the SOURCE at the referenced version, so a
     // source vacuum WIDENS its keep over the clone's data instead of
@@ -4142,6 +4160,13 @@ object SnapshotLog {
           "bootstrap one with upsertScoped/overwritePartitions first"))
       val parsed = parseGpSpec(newSpec)
       require(parsed.comps.nonEmpty, s"empty partition spec '$newSpec'")
+      // clone-shaped lineages carry the SOURCE's leaf dirs by absolute
+      // path; their spec attribution resolves against the wrong
+      // manifest chain — materialize first
+      require(dirsOf(spark, root, cur).forall(d =>
+          !d.startsWith("/") && d.count(_ == '/') <= 1),
+        s"repartitionSpec on a clone-shaped lineage at $root is not " +
+        "supported — materialize it first via compactChain")
       val schema = tableSchema(spark, root, cur)
       val names = schema.fields.map(_.name).toSet
       require(parsed.refCols.forall(names.contains),

@@ -400,6 +400,34 @@ class GpTransformSpec extends SparkSpecBase {
       "purge must not migrate untouched old-spec leafs")
   }
 
+  test("spec evolution × clone: mixed sources refuse to clone, clones refuse to evolve (round 13)") {
+    val root = freshRoot()
+    val d1 = java.sql.Date.valueOf("2026-06-01")
+    val d2 = java.sql.Date.valueOf("2026-06-02")
+    SnapshotLog.upsertScoped(spark, root,
+      Seq((1, "us", d1, "a"), (2, "eu", d2, "b")).toDF("k", "region", "d", "v"),
+      Seq("k"), "days(d)", statsCols = Seq("k"))
+    SnapshotLog.repartitionSpec(spark, root, "region,days(d)")
+    // mixed layout: cloning would strand old-spec leafs without their
+    // history — loud refusal
+    val e1 = intercept[IllegalArgumentException] {
+      SnapshotLog.shallowClone(spark, root, freshRoot())
+    }
+    assert(e1.getMessage.contains("spec-evolved"), e1.getMessage)
+    // converge (touch both days), then the clone lands cleanly
+    SnapshotLog.upsertScoped(spark, root,
+      Seq((1, "us", d1, "A"), (2, "eu", d2, "B")).toDF("k", "region", "d", "v"),
+      Seq("k"), "region,days(d)", statsCols = Seq("k"))
+    val dst = freshRoot()
+    SnapshotLog.shallowClone(spark, root, dst)
+    assert(SnapshotLog.read(spark, dst).count() == 2)
+    // ...and the clone itself refuses to evolve until materialized
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotLog.repartitionSpec(spark, dst, "days(d)")
+    }
+    assert(e2.getMessage.contains("clone-shaped"), e2.getMessage)
+  }
+
   test("the streaming tail passes a respec commit as a metadata-only no-op (round 13)") {
     val root = freshRoot()
     SnapshotLog.upsertScoped(spark, root,

@@ -8665,6 +8665,14 @@ object SnapshotLog {
                System.currentTimeMillis - st.getModificationTime > 600000L)
         f.delete(st.getPath, true)
     }
+    // spec-history entries above the committed pointer are the debris
+    // of a repartitionSpec that crashed between history write and
+    // publish — trim them, or a LATER commit reusing that version
+    // number would silently re-attribute its leafs once the recording
+    // manifest ages out (round 13)
+    val hist = specHistEntries(spark, root)
+    if (hist.exists(_._1 > committed))
+      writeSpecHist(spark, root, hist.filter(_._1 <= committed))
     // a data or tombstone dir without its manifest (crash mid-stage)
     val rootPath = new Path(root.replaceAll("/+$", ""))
     fs(spark, rootPath).listStatus(rootPath).foreach { st =>

@@ -1229,8 +1229,13 @@ object SnapshotLog {
     val stageMap = pinned.map(renameMap).getOrElse(Map.empty[String, String])
     val mergedP = if (stageMap.isEmpty) merged else toPhysicalDf(merged, pinned.get)
     val staging = new Path(rootPath, stagingDirName())
-    writeDataDir(spark, mergedP, staging,
-      bloomCols.map(c => stageMap.getOrElse(c, c)))
+    // right-size the rewrite: the merged slice is O(matched files) of
+    // rows, but an uncoalesced write splinters it across the session's
+    // shuffle parallelism (measured: a 1-file merge writing 8 part
+    // files) — manifest bloat every later plan pays. One output file
+    // per matched input file keeps the layout stable under churn.
+    writeDataDir(spark, mergedP.coalesce(math.max(1, matchedPaths.size)),
+      staging, bloomCols.map(c => stageMap.getOrElse(c, c)))
     val feed = changeFeedEnabled(spark)
     if (feed)
       // the matched slice holds every row sharing a probe key, so the

@@ -1778,6 +1778,77 @@ object SnapshotLog {
     * rendering shifts with the session zone, keep the file rather than
     * mis-prune, the same caveat the identity rule always had).
     */
+  // ---------- GENERATED-PARTITION PRUNING (round 13, missing #6) ----
+  // Delta's generated-partition-column trick: when identity partition
+  // component g is GENERATED ALWAYS AS f(base) over a SINGLE source
+  // column, a point probe base = X implies g = f(X) — derived on the
+  // driver with the SAME engine expression the writer evaluated, then
+  // pruned through the ordinary dir-span machinery. Only point shapes
+  // (equality / IN) derive; ranges would need monotonicity no metadata
+  // can promise. Zone-sensitive expressions never derive (a reader in
+  // another session zone would compute a different value and mis-prune).
+
+  /** base column (logical AND physical keys, lowercased) →
+    * (generated partition column, probe-value deriver). Empty unless
+    * the lineage is scoped with an identity component over a declared
+    * generated column — the common case costs one partCol read.
+    */
+  private[graft] def generatedPartDerivers(spark: SparkSession, root: String,
+                                           v: Long): Map[String, (String, Any => Option[Any])] = {
+    val idCols: Set[String] = allSpecsOf(spark, root, v)
+      .flatMap(_.comps.filter(_.kind == "id").map(_.col.toLowerCase)).toSet
+    if (idCols.isEmpty) return Map.empty
+    val gens = Generated.list(spark, root)
+      .filter(g => idCols.contains(g.name.toLowerCase))
+    if (gens.isEmpty) return Map.empty
+    val pinned = schemaOf(spark, root, v)
+    val schema = pinned.map(visibleSchema).getOrElse(tableSchema(spark, root, v))
+    gens.flatMap { g =>
+      scala.util.Try {
+        val parsed = spark.sessionState.sqlParser.parseExpression(g.sql)
+        val refs = parsed.collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.name.toLowerCase
+        }.distinct
+        if (refs.size != 1) Seq.empty
+        else schema.fields.find(_.name.equalsIgnoreCase(refs.head)).toSeq
+          .flatMap { bf =>
+            val entry = (g.name,
+              (x: Any) => deriveGeneratedValue(spark, bf, g.sql, x))
+            val phys = pinned.flatMap(p => p.fields
+              .find(_.name.equalsIgnoreCase(bf.name)).map(physName))
+              .getOrElse(bf.name)
+            Seq(bf.name.toLowerCase -> entry, phys.toLowerCase -> entry)
+          }
+      }.getOrElse(Seq.empty)
+    }.toMap
+  }
+
+  /** f(X) for one probe value, or None when it cannot be derived
+    * SAFELY: NULL probe, type mismatch, any failure, or a
+    * zone-sensitive expression (another session would derive a
+    * different value — pruning must never gamble).
+    */
+  private def deriveGeneratedValue(spark: SparkSession,
+                                   baseField: org.apache.spark.sql.types.StructField,
+                                   sql: String, x: Any): Option[Any] =
+    try {
+      if (x == null) return None
+      import org.apache.spark.sql.catalyst.expressions.{Cast, TimeZoneAwareExpression}
+      val df = spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(x)),
+        org.apache.spark.sql.types.StructType(
+          Seq(baseField.copy(nullable = true))))
+        .select(org.apache.spark.sql.functions.expr(sql))
+      val zoneSensitive = df.queryExecution.analyzed.expressions
+        .exists(_.exists {
+          case c: Cast => Cast.needsTimeZone(c.child.dataType, c.dataType)
+          case _: TimeZoneAwareExpression => true
+          case _ => false
+        })
+      if (zoneSensitive) None else Option(df.head().get(0))
+    } catch { case _: Exception => None }
+
   /** [[gpSpecDirSpan]] on a SPEC-EVOLVED lineage (round 13): the dir's
     * spans under every historical spec consistent with its component
     * arity must AGREE, or the span is unusable (None — keep the file;
@@ -7469,8 +7540,21 @@ object SnapshotLog {
     // then prune on the wrong column's spans)
     val column = schemaOf(spark, root, version)
       .map(st => renameMap(st).getOrElse(column0, column0)).getOrElse(column0)
-    val (rangeKept, total) =
+    val (rangeKept0, total) =
       candidateFiles(spark, root, version, column0, value, value)
+    // GENERATED-PARTITION PRUNING (round 13): base = X implies
+    // g = f(X) — intersect with the derived point probe on g (whose
+    // dir spans the ordinary machinery serves). No deriver chains
+    // exist (declarations refuse generated-over-generated), so the
+    // recursion is one level deep.
+    val rangeKept = generatedPartDerivers(spark, root, version)
+      .get(column0.toLowerCase)
+      .flatMap { case (gName, derive) => derive(value).map { gx =>
+        val gKept = candidateFilesEquals(spark, root, version, gName, gx)
+          ._1.map(_.toString).toSet
+        rangeKept0.filter(p => gKept.contains(p.toString))
+      }}
+      .getOrElse(rangeKept0)
     // a WIDENED column's old-file blooms hashed the narrow type; probing
     // them with widened-type hashes could wrongly prune a true match —
     // keep min/max span pruning (value-domain safe), skip blooms
@@ -8008,7 +8092,8 @@ object SnapshotLog {
         org.apache.spark.sql.types.StructField(RowIdCol,
           org.apache.spark.sql.types.LongType, nullable = true))
     val index = new SkippingFileIndex(spark, files, spanSrc,
-      allSpecsOf(spark, root, v), physFull, zone)
+      allSpecsOf(spark, root, v), physFull, zone,
+      generatedPartDerivers(spark, root, v))
     val relation = HadoopFsRelation(
       location = index,
       partitionSchema = org.apache.spark.sql.types.StructType(Nil),
@@ -8454,7 +8539,8 @@ object SnapshotLog {
       spanSrc: SpanSource,
       specsAll: Seq[GpSpec],
       schema: org.apache.spark.sql.types.StructType,
-      zone: java.time.ZoneId)
+      zone: java.time.ZoneId,
+      genDerivers: Map[String, (String, Any => Option[Any])] = Map.empty)
     extends org.apache.spark.sql.execution.datasources.FileIndex {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.execution.datasources.{PartitionDirectory => PD}
@@ -8583,9 +8669,28 @@ object SnapshotLog {
       }
     }
 
+    /** base-column point conjuncts imply derived conjuncts on their
+      * GENERATED partition column (round 13) — appended, never
+      * substituted, so the expansion can only prune MORE, exactly when
+      * the derivation is sound (see generatedPartDerivers).
+      */
+    private def derivedPred(p: SpanPred): Option[SpanPred] = p match {
+      case RangePred(c, Some(x), Some(y), false, false) if x == y =>
+        genDerivers.get(c.toLowerCase).flatMap { case (g, d) =>
+          d(x).map(gx => RangePred(g, Some(gx), Some(gx), false, false)) }
+      case InPred(c, vs) if vs.nonEmpty =>
+        genDerivers.get(c.toLowerCase).flatMap { case (g, d) =>
+          val gs = vs.map(d)
+          if (gs.forall(_.isDefined)) Some(InPred(g, gs.map(_.get)))
+          else None
+        }
+      case _ => None
+    }
+
     override def listFiles(partitionFilters: Seq[Expression],
                            dataFilters: Seq[Expression]): Seq[PD] = {
-      val preds = dataFilters.map(compile).filterNot(_ == TruePred)
+      val preds0 = dataFilters.map(compile).filterNot(_ == TruePred)
+      val preds = preds0 ++ preds0.flatMap(derivedPred)
       val hasBucket = specsAll.size == 1 &&
         specsAll.head.comps.exists(_.kind == "bucket")
       def bucketKeeps(st: org.apache.hadoop.fs.FileStatus): Boolean =

@@ -400,6 +400,65 @@ class GpTransformSpec extends SparkSpecBase {
       "purge must not migrate untouched old-spec leafs")
   }
 
+  test("generated partition columns prune on base-column point probes (round 13)") {
+    val root = freshRoot()
+    val batch = Seq(("aa-1", 1), ("aa-2", 2), ("bb-1", 3), ("cc-9", 4))
+      .toDF("v", "k").withColumn("cat", substring(col("v"), 1, 2))
+    SnapshotLog.upsertScoped(spark, root, batch, Seq("k"), "cat",
+      statsCols = Seq("k"))
+    graft.sources.Generated.add(spark, root, "cat", "substring(v, 1, 2)")
+    val ver = SnapshotLog.currentVersion(spark, root).get
+    // a point probe on the BASE column derives cat = substring(X, 1, 2)
+    // and prunes to that leaf — the Delta generated-partition trick
+    val (kept, total) = SnapshotLog.candidateFilesEquals(
+      spark, root, ver, "v", "bb-1")
+    assert(kept.size < total &&
+      kept.forall(_.getParent.getName == "__gp=bb"),
+      s"kept ${kept.map(_.getParent.getName)} of $total")
+    assert(SnapshotLog.readEquals(spark, root, "v", "bb-1")
+      .select("k").as[Int].collect().toSeq == Seq(3))
+    // pushdown through the pruned scan: the index expands the compiled
+    // equality into a derived conjunct on cat
+    def numFilesOf(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      }.flatten.map(_.metrics("numFiles").value).sum
+    }
+    val eq = SnapshotLog.readPruned(spark, root).filter($"v" === "aa-2")
+    assert(eq.select("k").as[Int].collect().toSeq == Seq(2))
+    assert(numFilesOf(SnapshotLog.readPruned(spark, root)
+      .filter($"v" === "aa-2").select("k")) < total,
+      "equality on the base column must prune generated-partition leafs")
+    val in = SnapshotLog.readPruned(spark, root)
+      .filter($"v".isin("aa-1", "cc-9")).select("k")
+    assert(in.as[Int].collect().toSet == Set(1, 4))
+    assert(numFilesOf(in) < total, "IN on the base column must prune")
+    // a NON-matching probe value still reads exactly (empty, no error)
+    assert(SnapshotLog.readEquals(spark, root, "v", "zz-0").count() == 0)
+    // zone-sensitive derivations never prune (and never mis-prune):
+    // a date_format-generated partition keeps reading exactly
+    val rootZ = freshRoot()
+    val bz = Seq((java.sql.Timestamp.valueOf("2026-01-05 10:00:00"), 1),
+                 (java.sql.Timestamp.valueOf("2026-02-06 11:00:00"), 2))
+      .toDF("ts", "k")
+      .withColumn("mon", date_format(col("ts"), "yyyy-MM"))
+    SnapshotLog.upsertScoped(spark, rootZ, bz, Seq("k"), "mon",
+      statsCols = Seq("k"))
+    graft.sources.Generated.add(spark, rootZ, "mon",
+      "date_format(ts, 'yyyy-MM')")
+    val verZ = SnapshotLog.currentVersion(spark, rootZ).get
+    val (keptZ, totalZ) = SnapshotLog.candidateFilesEquals(spark, rootZ,
+      verZ, "ts", java.sql.Timestamp.valueOf("2026-01-05 10:00:00"))
+    assert(keptZ.size == totalZ,
+      "zone-sensitive derivation must not prune (reader zones differ)")
+    assert(SnapshotLog.readEquals(spark, rootZ, "ts",
+      java.sql.Timestamp.valueOf("2026-01-05 10:00:00")).count() == 1)
+  }
+
   test("spec evolution × clone: mixed sources refuse to clone, clones refuse to evolve (round 13)") {
     val root = freshRoot()
     val d1 = java.sql.Date.valueOf("2026-06-01")

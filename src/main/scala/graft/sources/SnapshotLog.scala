@@ -292,6 +292,41 @@ object SnapshotLog {
     }
   }
 
+  /** Column names BIND the table's declarations (generated / identity
+    * columns, CHECK constraints). A rename or drop underneath one would
+    * wedge every later commit — the gate's expression stops resolving
+    * and each write fails with an analysis error naming nothing useful.
+    * Refuse up front with the escape named instead (round 13).
+    */
+  private def refuseDeclaredRefs(spark: SparkSession, root: String,
+                                 col: String, verb: String): Unit = {
+    def refsOf(sql: String): Set[String] =
+      scala.util.Try(spark.sessionState.sqlParser.parseExpression(sql)
+        .collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.name.toLowerCase
+        }.toSet).getOrElse(Set.empty)
+    val low = col.toLowerCase
+    Generated.list(spark, root).foreach { g =>
+      require(!g.name.equalsIgnoreCase(col),
+        s"$verb: $col is a GENERATED column — " +
+        "CALL <cat>.system.drop_generated first")
+      require(!refsOf(g.sql).contains(low),
+        s"$verb: $col is referenced by generated column ${g.name} " +
+        s"(${g.sql}) — drop_generated first")
+    }
+    Identity.list(spark, root).foreach { ic =>
+      require(!ic.name.equalsIgnoreCase(col),
+        s"$verb: $col is an IDENTITY column — " +
+        "CALL <cat>.system.drop_identity first")
+    }
+    Constraints.list(spark, root).foreach { c =>
+      require(!refsOf(c.sql).contains(low),
+        s"$verb: $col is referenced by constraint ${c.name} (${c.sql}) " +
+        "— drop the constraint first")
+    }
+  }
+
   /** RENAME COLUMN as a metadata-only commit: the next version carries
     * the same dirs, vectors and stats, with the pinned schema's field
     * renamed and its immutable PHYSICAL name recorded in the field
@@ -322,6 +357,7 @@ object SnapshotLog {
           s"'$pc' — partition values name directories; repartition via " +
           "a full rewrite instead")
       }
+      refuseDeclaredRefs(spark, root, from, "renameColumn")
       // merge-on-read lineages rename like flat ones (round 11c): the
       // physical-name pin already propagates through every upsertMor
       // commit (stageVersion translates), and resolution works on
@@ -655,6 +691,7 @@ object SnapshotLog {
           "partition values name directories; repartition via a full " +
           "rewrite instead")
       }
+      refuseDeclaredRefs(spark, root, name, "dropColumn")
       // round 11c: non-key drops work on merge-on-read lineages (the
       // pin's drop-mark propagates like a rename); dropping a KEY
       // destroys the shadowing identity and refuses

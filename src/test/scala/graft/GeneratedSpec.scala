@@ -30,6 +30,35 @@ class GeneratedSpec extends SparkSpecBase {
     root
   }
 
+  test("rename/drop refuse under declarations that bind the name (round 13)") {
+    val root = mkTable()
+    // the generated column itself, its source, and constraint sources
+    // all refuse with the escape named — a rename underneath would
+    // wedge every later gate on an unresolvable expression
+    val e1 = intercept[IllegalArgumentException] {
+      SnapshotLog.renameColumn(spark, root, "v_uc", "upper_v")
+    }
+    assert(e1.getMessage.contains("GENERATED"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotLog.renameColumn(spark, root, "v", "body")
+    }
+    assert(e2.getMessage.contains("generated column v_uc"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      SnapshotLog.dropColumn(spark, root, "v")
+    }
+    assert(e3.getMessage.contains("generated column v_uc"), e3.getMessage)
+    graft.sources.Constraints.add(spark, root, "k_pos", "k > 0")
+    val e4 = intercept[IllegalArgumentException] {
+      SnapshotLog.renameColumn(spark, root, "k", "id")
+    }
+    assert(e4.getMessage.contains("constraint k_pos"), e4.getMessage)
+    // dropping the declaration frees the name again
+    graft.sources.Generated.drop(spark, root, "v_uc")
+    SnapshotLog.renameColumn(spark, root, "v_uc", "upper_v")
+    assert(SnapshotLog.read(spark, root).columns.toSeq ==
+      Seq("k", "v", "upper_v"))
+  }
+
   test("append without the column computes it; with a correct value passes") {
     val root = mkTable()
     // absent → computed (appendCommit is the plain streaming-shaped path)

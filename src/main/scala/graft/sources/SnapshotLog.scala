@@ -6311,6 +6311,32 @@ object SnapshotLog {
     raw.select(keys.map(col(_)): _*).distinct()
   }
 
+  /** A path slice of version `v` as the plain visible read (declared
+    * schema, vectors applied, no identities) — or a same-shaped empty
+    * frame. The keyed changesBetween's file-granular fallback.
+    */
+  private def verSliceOrEmpty(spark: SparkSession, root: String, v: Long,
+                              paths: Seq[String]): DataFrame =
+    if (paths.isEmpty) {
+      val fields = schemaOf(spark, root, v) match {
+        case Some(st) => st.fields.filterNot(isDropped).toSeq
+          .map(f => org.apache.spark.sql.types.StructField(
+            f.name, f.dataType, nullable = true))
+        case None => tableSchema(spark, root, v).fields.toSeq
+          .map(_.copy(nullable = true))
+      }
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(fields))
+    } else {
+      val raw = schemaOf(spark, root, v) match {
+        case Some(st) => fromPhysicalSelect(
+          spark.read.schema(physicalSchema(st)).parquet(paths: _*), st)
+        case None => spark.read.parquet(paths: _*).drop(RowIdCol)
+      }
+      applyTombstoneDirs(spark, root, tombDirsOf(spark, root, v), raw)
+    }
+
   /** MoR-resolving twin of [[ridSliceOrEmpty]]. */
   private def morRidSliceOrEmpty(spark: SparkSession, root: String, v: Long,
                                  paths: Seq[String],
@@ -6628,8 +6654,23 @@ object SnapshotLog {
                                    col("__new." + c).as("new_" + c))): _*)
       }
     }
-    val before = readVersion(spark, root, fromV)
-    val after = readVersion(spark, root, toV)
+    // FILE-GRANULAR snapshot-diff fallback (round 13): on a flat
+    // lineage the keyed diff over the SYMMETRIC DIFFERENCE of the two
+    // versions' file sets (plus vector-delta files) equals the full
+    // diff — snapshots are key-unique by this diff's standing contract,
+    // so a key living in a file carried into BOTH versions contributes
+    // byte-identical rows to both sides and cancels. Merge-on-read
+    // lineages keep the full resolved diff (a shadow delta changes
+    // rows in files it never touched).
+    val (before, after) =
+      if (morKeysOf(spark, root, toV).nonEmpty)
+        (readVersion(spark, root, fromV), readVersion(spark, root, toV))
+      else {
+        val (ff, tf, dirty) = dirtyFileState(spark, root, fromV, toV)
+        val ordered = dirty.toSeq.sorted
+        (verSliceOrEmpty(spark, root, fromV, ordered.flatMap(ff.get)),
+         verSliceOrEmpty(spark, root, toV, ordered.flatMap(tf.get)))
+      }
     require(before.columns.toSeq == after.columns.toSeq,
       s"schema changed between v$fromV and v$toV: " +
         s"${before.columns.toSeq} vs ${after.columns.toSeq}")

@@ -6337,6 +6337,26 @@ object SnapshotLog {
       applyTombstoneDirs(spark, root, tombDirsOf(spark, root, v), raw)
     }
 
+  /** Latest-per-key VISIBLE rows restricted to a path slice, no
+    * identities — the keyed MoR CDC machinery (the slice must hold
+    * every live copy of each key whose answer matters; supersets are
+    * safe, resolution of an extra key is identical on both sides).
+    */
+  private def morVisibleSlice(spark: SparkSession, root: String, v: Long,
+                              paths: Seq[String],
+                              mk: Seq[String]): DataFrame =
+    if (paths.isEmpty) verSliceOrEmpty(spark, root, v, Nil)
+    else {
+      val base0 = schemaOf(spark, root, v) match {
+        case Some(st) => fromPhysicalSelect(
+          spark.read.schema(physicalSchema(st)).parquet(paths: _*), st)
+        case None => spark.read.parquet(paths: _*).drop(RowIdCol)
+      }
+      val vis = applyTombstoneDirs(spark, root, tombDirsOf(spark, root, v),
+        base0.withColumn(MorSeqCol, morSeq))
+      resolveLatest(vis, mk)
+    }
+
   /** MoR-resolving twin of [[ridSliceOrEmpty]]. */
   private def morRidSliceOrEmpty(spark: SparkSession, root: String, v: Long,
                                  paths: Seq[String],
@@ -6662,15 +6682,40 @@ object SnapshotLog {
     // byte-identical rows to both sides and cancels. Merge-on-read
     // lineages keep the full resolved diff (a shadow delta changes
     // rows in files it never touched).
-    val (before, after) =
-      if (morKeysOf(spark, root, toV).nonEmpty)
-        (readVersion(spark, root, fromV), readVersion(spark, root, toV))
-      else {
+    val (before, after) = morKeysOf(spark, root, toV) match {
+      case mk if mk.nonEmpty =>
+        // shadow deltas change rows in files they never touch, so the
+        // slice additionally needs every live copy of the dirty files'
+        // MERGE keys (candidate superset, the identity-CDC machinery) —
+        // resolved latest-per-key on each side before the keyed diff
+        val (ff, tf, dirty) = dirtyFileState(spark, root, fromV, toV)
+        if (dirty.isEmpty)
+          (verSliceOrEmpty(spark, root, fromV, Nil),
+           verSliceOrEmpty(spark, root, toV, Nil))
+        else {
+          val ordered = dirty.toSeq.sorted
+          val dKeys = keysInFiles(spark, root, fromV,
+              ordered.flatMap(ff.get), mk)
+            .unionByName(keysInFiles(spark, root, toV,
+              ordered.flatMap(tf.get), mk))
+            .distinct().persist()
+          try {
+            val cand =
+              candidateRelsForKeyFrame(spark, root, fromV, dKeys, mk)
+                .getOrElse(ff.keySet) ++
+              candidateRelsForKeyFrame(spark, root, toV, dKeys, mk)
+                .getOrElse(tf.keySet)
+            val slice = (dirty ++ cand).toSeq.sorted
+            (morVisibleSlice(spark, root, fromV, slice.flatMap(ff.get), mk),
+             morVisibleSlice(spark, root, toV, slice.flatMap(tf.get), mk))
+          } finally dKeys.unpersist()
+        }
+      case _ =>
         val (ff, tf, dirty) = dirtyFileState(spark, root, fromV, toV)
         val ordered = dirty.toSeq.sorted
         (verSliceOrEmpty(spark, root, fromV, ordered.flatMap(ff.get)),
          verSliceOrEmpty(spark, root, toV, ordered.flatMap(tf.get)))
-      }
+    }
     require(before.columns.toSeq == after.columns.toSeq,
       s"schema changed between v$fromV and v$toV: " +
         s"${before.columns.toSeq} vs ${after.columns.toSeq}")

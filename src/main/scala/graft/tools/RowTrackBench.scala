@@ -80,6 +80,34 @@ object RowTrackBench {
     println(f"[rtbench] append  median: tracked ${median(tApp)}%.2f s vs untracked ${median(uApp)}%.2f s (+${(median(tApp) / median(uApp) - 1) * 100}%.0f%%)")
     println(f"[rtbench] read    median: withRowIds ${median(tRead)}%.2f s vs plain ${median(uRead)}%.2f s")
     println(f"[rtbench] compact:        tracked $tComp%.2f s vs untracked $uComp%.2f s (materializes the id column)")
+
+    // ---- MERGE-ON-READ (round 13): shadow-commit overhead with
+    // tracking on — the delta is the candidate-pruned (keys → id)
+    // probe of the visible snapshot each upsertMor joins in
+    def morTable(tag: String, track: Boolean): String = {
+      val r = s"$base/mor_$tag"
+      SnapshotLog.createMorTable(spark, r, seed(0).schema, Seq("k"))
+      SnapshotLog.upsertMor(spark, r, seed(0), Seq("k"),
+        statsCols = Seq("k"))
+      if (track) SnapshotLog.enableRowTracking(spark, r)
+      r
+    }
+    def morBatches(r: String): Seq[Double] =
+      (1 to 8).map { i => time {
+        // half updates (keys from dir 0), half inserts
+        val b = spark.range(i.toLong * rows / 2, i.toLong * rows / 2 + 10000)
+          .toDF("k").withColumn("v", md5(col("k").cast("string")))
+        SnapshotLog.upsertMor(spark, r, b, Seq("k"))
+      }}
+    val mT = morBatches(morTable("t", track = true))
+    val mU = morBatches(morTable("u", track = false))
+    // inheritance is exact: updated keys keep ids, inserts are fresh
+    val rT = s"$base/mor_t"
+    val idsNow = SnapshotLog.readWithRowIds(spark, rT)
+      .select("_row_id").distinct().count()
+    assert(idsNow == SnapshotLog.read(spark, rT).count(),
+      "tracked MoR ids must stay unique")
+    println(f"[rtbench] upsertMor median: tracked ${median(mT)}%.2f s vs untracked ${median(mU)}%.2f s (+${(median(mT) / median(mU) - 1) * 100}%.0f%%)")
     spark.stop()
   }
 }

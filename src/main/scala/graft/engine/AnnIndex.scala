@@ -31,14 +31,31 @@ import graft.sources.SnapshotLog
   * Maintenance contract (the snapshot-log composition):
   *   - [[refresh]] on an APPEND-extended table assigns only the delta
   *     dirs' vectors — O(batch), asserted by spec;
-  *   - any other change (delete, upsert rewrite, compaction) keeps the
-  *     trained centroids but re-assigns the snapshot in one map-side
-  *     pass (training never re-runs — the Faiss train-once/add-many
-  *     split);
+  *   - any other change (delete, upsert rewrite, re-bloom) is
+  *     FILE-GRANULAR: the table's [[SnapshotLog.visibleSliceDiff]]
+  *     (the round-13 CDC machinery) yields the visible rows of exactly
+  *     the files that can differ between the indexed version and the
+  *     head; their OLD ids land in a `tomb_v<NNN>` slice and their NEW
+  *     rows are re-assigned into a fresh `assign_v<NNN>` slice — a
+  *     1-file upsert on a 100k-file corpus indexes one file's worth of
+  *     vectors, never the corpus;
+  *   - the trained quantizers are NEVER re-run by maintenance (the
+  *     Faiss train-once/add-many split); when the change touches most
+  *     of the table (a compaction) or the slice count hits
+  *     `maxSlices`, refresh falls back to ONE full re-assignment pass
+  *     that also retires all tombstones — the index's own compaction,
+  *     available explicitly as [[compact]];
   *   - [[knn]] REFUSES a stale index loudly (`indexedVersion` behind
   *     the table head) instead of silently returning deleted rows or
   *     missing fresh ones — `refresh` is the repair, and freshness is
-  *     one version compare, O(1).
+  *     one version compare, O(1). Readers only union slices at or
+  *     below the published `indexedVersion`, so a crashed refresh's
+  *     orphan slices are invisible (and swept by the next refresh).
+  *
+  * Incremental maintenance identifies rows by `idCol`, so it requires
+  * `idCol` to be unique per live row — the contract [[knn]] already
+  * implies (its result is a ranked id list). A duplicated id would be
+  * tombstoned whole whenever any of its rows is rewritten.
   */
 object AnnIndex {
 
@@ -53,6 +70,9 @@ object AnnIndex {
   private def modelPath(root: String, name: String): Path =
     new Path(annDir(root, name), "MODEL")
   private def assignDirName(v: Long): String = f"assign_v$v%08d"
+  private def tombDirName(v: Long): String = f"tomb_v$v%08d"
+  private def sliceVersion(name: String): Long =
+    name.dropWhile(!_.isDigit).toLong
 
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -195,12 +215,17 @@ object AnnIndex {
 
   /** Bring the index up to the table head WITHOUT retraining: an
     * append-extended range assigns ONLY the delta dirs' vectors
-    * (O(batch)); any other change re-assigns the whole snapshot in one
-    * map-side pass with the trained centroids kept. No-op when fresh.
-    * Returns the newly indexed version.
+    * (O(batch)); any other change tombstones + re-assigns the visible
+    * rows of exactly the CHANGED files ([[SnapshotLog.visibleSliceDiff]]
+    * — O(changed files), the round-13 CDC slice). When the changed
+    * slice is most of the table, or the index has accumulated
+    * `maxSlices` slices, the refresh compacts instead: one full
+    * re-assignment pass with the trained quantizers kept, retiring all
+    * prior slices and tombstones. No-op when fresh. Returns the newly
+    * indexed version.
     */
-  def refresh(spark: SparkSession, root: String,
-              name: String = "ivf"): Long = {
+  def refresh(spark: SparkSession, root: String, name: String = "ivf",
+              maxSlices: Int = 16): Long = {
     VectorFunctions.register(spark)
     val m = model(spark, root, name).getOrElse(throw new IllegalStateException(
       s"no ANN index '$name' at $root — AnnIndex.build first"))
@@ -210,12 +235,22 @@ object AnnIndex {
     require(cur > m.indexedVersion,
       s"index '$name' covers v${m.indexedVersion} but the table is at " +
       s"v$cur — the table was restored behind the index; rebuild")
+    val dir = annDir(root, name)
+    val f = fs(spark, dir)
+    // sweep orphan slices of a crashed refresh (written but never
+    // published — readers already ignore them via the version filter)
+    sliceDirs(spark, dir).filter(p => sliceVersion(p.getName) > m.indexedVersion)
+      .foreach(f.delete(_, true))
     val fromDirs = SnapshotLog.dirsOf(spark, root, m.indexedVersion)
     val toDirs = SnapshotLog.dirsOf(spark, root, cur)
-    val appendOnly = toDirs.startsWith(fromDirs) &&
+    // the raw-delta fast path requires a FLAT lineage: on merge-on-read
+    // a "new dir" may be a shadow delta superseding keys in files it
+    // never touched — those need their old assignments tombstoned,
+    // which is exactly what the visibleSliceDiff path below does
+    val appendOnly = SnapshotLog.morKeysOf(spark, root, cur).isEmpty &&
+      toDirs.startsWith(fromDirs) &&
       SnapshotLog.tombDirsOf(spark, root, m.indexedVersion) ==
         SnapshotLog.tombDirsOf(spark, root, cur)
-    val dir = annDir(root, name)
     def writeSlice(frame: DataFrame, target: Path): Unit =
       if (m.pq.isEmpty) writeAssignments(frame, target, m.idCol, m.vecCol)
       else writeCodeAssignments(frame, target, m.idCol)
@@ -230,34 +265,110 @@ object AnnIndex {
           .filter(col(m.vecCol).isNotNull)
         writeSlice(encodeFor(spark, m, rows), new Path(dir, assignDirName(cur)))
       }
-    } else {
-      // rewrite/delete/compaction: one full assignment pass (training
-      // is NOT re-run); prior slices retire so deleted rows leave
-      val corpus = SnapshotLog.readVersion(spark, root, cur)
-        .filter(col(m.vecCol).isNotNull)
-      val staged = new Path(dir, ".tmp_" + assignDirName(cur))
-      writeSlice(encodeFor(spark, m, corpus), staged)
-      val f = fs(spark, dir)
-      f.listStatus(dir).map(_.getPath)
-        .filter(_.getName.startsWith("assign_v")).foreach(f.delete(_, true))
-      if (!f.rename(staged, new Path(dir, assignDirName(cur))))
-        throw new IllegalStateException(s"could not publish $staged")
+      writeModel(spark, root, name, m.copy(indexedVersion = cur))
+      return cur
     }
+    val (before, after, sliceFiles, totalFiles) =
+      SnapshotLog.visibleSliceDiff(spark, root, m.indexedVersion, cur)
+    if (sliceFiles * 2 >= totalFiles ||
+        sliceDirs(spark, dir).length >= maxSlices)
+      return compactTo(spark, root, name, m, cur)
+    // FILE-GRANULAR maintenance: every id visible in the changed files
+    // at the indexed version is tombstoned (deletes leave, rewrites
+    // supersede their old assignment), and the changed files' rows at
+    // the head are re-assigned into a fresh slice. Untouched files'
+    // assignments are never read, let alone rewritten.
+    val tombIds = before.filter(col(m.vecCol).isNotNull)
+      .select(col(m.idCol).as(TombIdCol)).distinct()
+    if (!tombIds.isEmpty)
+      tombIds.write.mode("overwrite")
+        .parquet(new Path(dir, tombDirName(cur)).toString)
+    val adds = after.filter(col(m.vecCol).isNotNull)
+    if (!adds.isEmpty)
+      writeSlice(encodeFor(spark, m, adds), new Path(dir, assignDirName(cur)))
     writeModel(spark, root, name, m.copy(indexedVersion = cur))
     cur
   }
 
-  /** The live assignment slices as one frame (id, vector, cell). */
-  private def assignments(spark: SparkSession, root: String,
-                          name: String): DataFrame = {
+  /** Compact the index at the table head: ONE full re-assignment pass
+    * with the trained quantizers kept (training never re-runs),
+    * merging all slices into one and retiring every tombstone. The
+    * explicit form of the fallback [[refresh]] takes when slices
+    * accumulate; also the repair for tombstone bloat after heavy churn.
+    */
+  def compact(spark: SparkSession, root: String,
+              name: String = "ivf"): Long = {
+    VectorFunctions.register(spark)
+    val m = model(spark, root, name).getOrElse(throw new IllegalStateException(
+      s"no ANN index '$name' at $root — AnnIndex.build first"))
+    val cur = SnapshotLog.currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    require(cur >= m.indexedVersion,
+      s"index '$name' covers v${m.indexedVersion} but the table is at " +
+      s"v$cur — the table was restored behind the index; rebuild")
+    compactTo(spark, root, name, m, cur)
+  }
+
+  private def compactTo(spark: SparkSession, root: String, name: String,
+                        m: Model, cur: Long): Long = {
     val dir = annDir(root, name)
-    val dirs = fs(spark, dir).listStatus(dir).map(_.getPath)
-      .filter(_.getName.startsWith("assign_v")).map(_.toString).sorted
+    val corpus = SnapshotLog.readVersion(spark, root, cur)
+      .filter(col(m.vecCol).isNotNull)
+    val staged = new Path(dir, ".tmp_" + assignDirName(cur))
+    if (m.pq.isEmpty)
+      writeAssignments(encodeFor(spark, m, corpus), staged, m.idCol, m.vecCol)
+    else
+      writeCodeAssignments(encodeFor(spark, m, corpus), staged, m.idCol)
+    val f = fs(spark, dir)
+    sliceDirs(spark, dir).foreach(f.delete(_, true))
+    if (!f.rename(staged, new Path(dir, assignDirName(cur))))
+      throw new IllegalStateException(s"could not publish $staged")
+    writeModel(spark, root, name, m.copy(indexedVersion = cur))
+    cur
+  }
+
+  private val TombIdCol = "__tomb_id"
+
+  /** Every assignment and tombstone slice dir, any version. */
+  private def sliceDirs(spark: SparkSession, dir: Path): Array[Path] =
+    fs(spark, dir).listStatus(dir).map(_.getPath)
+      .filter(p => p.getName.startsWith("assign_v") ||
+                   p.getName.startsWith("tomb_v"))
+
+  /** The LIVE assignments as one frame: slices at or below the
+    * published `indexedVersion` (orphans of a crashed refresh are
+    * invisible), minus rows superseded by a LATER tombstone — an id
+    * tombstoned at version T drops every assignment written before T;
+    * its re-assignment (written AT T) survives. The tombstone set is
+    * O(changes since the last compaction) and broadcast.
+    */
+  private def assignments(spark: SparkSession, root: String,
+                          name: String, m: Model): DataFrame = {
+    val dir = annDir(root, name)
+    val live = sliceDirs(spark, dir)
+      .filter(p => sliceVersion(p.getName) <= m.indexedVersion)
+    val assigns = live.filter(_.getName.startsWith("assign_v"))
+      .sortBy(_.getName)
     // one read per slice (each slice is its own cell-partitioned root;
     // a shared basePath would make the slice dirs look like partition
     // levels) — the cell filter partition-prunes within every slice
-    dirs.map(d => spark.read.option("basePath", d).parquet(d))
-      .reduce(_ unionByName _)
+    val base = assigns.map { d =>
+      spark.read.option("basePath", d.toString).parquet(d.toString)
+        .withColumn("__slice_v", lit(sliceVersion(d.getName)))
+    }.reduce(_ unionByName _)
+    val tombs = live.filter(_.getName.startsWith("tomb_v"))
+    if (tombs.isEmpty) base.drop("__slice_v")
+    else {
+      val t = tombs.map { d =>
+        spark.read.parquet(d.toString)
+          .withColumn("__tomb_v", lit(sliceVersion(d.getName)))
+      }.reduce(_ unionByName _)
+        .groupBy(TombIdCol).agg(max(col("__tomb_v")).as("__tomb_v"))
+      base.join(broadcast(t),
+          base(m.idCol) === t(TombIdCol) && t("__tomb_v") > base("__slice_v"),
+          "left_anti")
+        .drop("__slice_v")
+    }
   }
 
   /** Top-k by cosine through the persisted index: probe the `nprobe`
@@ -282,7 +393,7 @@ object AnnIndex {
       m.centroids(c).zip(q).map { case (a, b) => a * b }.sum
     val cells = m.centroids.indices.sortBy(c => -qDotCent(c)).take(nprobe)
     val lit32 = typedLit(query.toArray).cast("array<float>")
-    val probed = assignments(spark, root, name)
+    val probed = assignments(spark, root, name, m)
       .filter(col("cell").isin(cells.map(x => x: Any): _*))
     m.pq match {
       case None =>

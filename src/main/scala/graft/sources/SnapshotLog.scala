@@ -6320,6 +6320,59 @@ object SnapshotLog {
     raw.select(keys.map(col(_)): _*).distinct()
   }
 
+  /** Both versions' VISIBLE rows restricted to the minimal file slices
+    * that can differ between them — flat lineages: the symmetric
+    * difference of the file sets plus vector-delta files; merge-on-read:
+    * additionally every live copy of the dirty files' merge keys
+    * (candidate superset), resolved latest-per-key on each side. The
+    * last two values are the TO-side slice file count and total file
+    * count, so a caller can fall back to a full pass when the slice is
+    * most of the table (e.g. after a compaction). Shared by the keyed
+    * [[changesBetween]] fallback and [[graft.engine.AnnIndex]]
+    * maintenance.
+    */
+  private[graft] def visibleSliceDiff(spark: SparkSession, root: String,
+                                      fromV: Long, toV: Long)
+      : (DataFrame, DataFrame, Int, Int) =
+    morKeysOf(spark, root, toV) match {
+      case mk if mk.nonEmpty =>
+        // shadow deltas change rows in files they never touch, so the
+        // slice additionally needs every live copy of the dirty files'
+        // MERGE keys (candidate superset, the identity-CDC machinery) —
+        // resolved latest-per-key on each side before the keyed diff
+        val (ff, tf, dirty) = dirtyFileState(spark, root, fromV, toV)
+        if (dirty.isEmpty)
+          (verSliceOrEmpty(spark, root, fromV, Nil),
+           verSliceOrEmpty(spark, root, toV, Nil), 0, tf.size)
+        else {
+          val ordered = dirty.toSeq.sorted
+          val dKeys = keysInFiles(spark, root, fromV,
+              ordered.flatMap(ff.get), mk)
+            .unionByName(keysInFiles(spark, root, toV,
+              ordered.flatMap(tf.get), mk))
+            .distinct().persist()
+          try {
+            val cand =
+              candidateRelsForKeyFrame(spark, root, fromV, dKeys, mk)
+                .getOrElse(ff.keySet) ++
+              candidateRelsForKeyFrame(spark, root, toV, dKeys, mk)
+                .getOrElse(tf.keySet)
+            val slice = (dirty ++ cand).toSeq.sorted
+            val toPaths = slice.flatMap(tf.get)
+            (morVisibleSlice(spark, root, fromV, slice.flatMap(ff.get), mk),
+             morVisibleSlice(spark, root, toV, toPaths, mk),
+             toPaths.size, tf.size)
+          } finally dKeys.unpersist()
+        }
+      case _ =>
+        val (ff, tf, dirty) = dirtyFileState(spark, root, fromV, toV)
+        val ordered = dirty.toSeq.sorted
+        val toPaths = ordered.flatMap(tf.get)
+        (verSliceOrEmpty(spark, root, fromV, ordered.flatMap(ff.get)),
+         verSliceOrEmpty(spark, root, toV, toPaths),
+         toPaths.size, tf.size)
+    }
+
   /** A path slice of version `v` as the plain visible read (declared
     * schema, vectors applied, no identities) — or a same-shaped empty
     * frame. The keyed changesBetween's file-granular fallback.
@@ -6691,40 +6744,7 @@ object SnapshotLog {
     // byte-identical rows to both sides and cancels. Merge-on-read
     // lineages keep the full resolved diff (a shadow delta changes
     // rows in files it never touched).
-    val (before, after) = morKeysOf(spark, root, toV) match {
-      case mk if mk.nonEmpty =>
-        // shadow deltas change rows in files they never touch, so the
-        // slice additionally needs every live copy of the dirty files'
-        // MERGE keys (candidate superset, the identity-CDC machinery) —
-        // resolved latest-per-key on each side before the keyed diff
-        val (ff, tf, dirty) = dirtyFileState(spark, root, fromV, toV)
-        if (dirty.isEmpty)
-          (verSliceOrEmpty(spark, root, fromV, Nil),
-           verSliceOrEmpty(spark, root, toV, Nil))
-        else {
-          val ordered = dirty.toSeq.sorted
-          val dKeys = keysInFiles(spark, root, fromV,
-              ordered.flatMap(ff.get), mk)
-            .unionByName(keysInFiles(spark, root, toV,
-              ordered.flatMap(tf.get), mk))
-            .distinct().persist()
-          try {
-            val cand =
-              candidateRelsForKeyFrame(spark, root, fromV, dKeys, mk)
-                .getOrElse(ff.keySet) ++
-              candidateRelsForKeyFrame(spark, root, toV, dKeys, mk)
-                .getOrElse(tf.keySet)
-            val slice = (dirty ++ cand).toSeq.sorted
-            (morVisibleSlice(spark, root, fromV, slice.flatMap(ff.get), mk),
-             morVisibleSlice(spark, root, toV, slice.flatMap(tf.get), mk))
-          } finally dKeys.unpersist()
-        }
-      case _ =>
-        val (ff, tf, dirty) = dirtyFileState(spark, root, fromV, toV)
-        val ordered = dirty.toSeq.sorted
-        (verSliceOrEmpty(spark, root, fromV, ordered.flatMap(ff.get)),
-         verSliceOrEmpty(spark, root, toV, ordered.flatMap(tf.get)))
-    }
+    val (before, after, _, _) = visibleSliceDiff(spark, root, fromV, toV)
     require(before.columns.toSeq == after.columns.toSeq,
       s"schema changed between v$fromV and v$toV: " +
         s"${before.columns.toSeq} vs ${after.columns.toSeq}")

@@ -28,7 +28,8 @@ object GraftProcedures {
         "purge_deleted", "add_generated", "drop_generated", "generated_cols",
         "add_identity", "drop_identity", "sync_identity",
         "enable_row_tracking", "repartition", "ann_build", "ann_refresh",
-        "add_constraint", "drop_constraint", "constraints", "audit")
+        "ann_compact", "add_constraint", "drop_constraint", "constraints",
+        "audit")
 
   def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -57,6 +58,7 @@ object GraftProcedures {
       case "repartition"         => Some(new RepartitionProc(cat))
       case "ann_build"           => Some(new AnnBuildProc(cat))
       case "ann_refresh"         => Some(new AnnRefreshProc(cat))
+      case "ann_compact"         => Some(new AnnCompactProc(cat))
       case "convert_parquet"     => Some(new ConvertParquet(cat))
       case "vacuum_dry_run"      => Some(new VacuumDryRun(cat))
       case "add_constraint"      => Some(new AddConstraintProc(cat))
@@ -624,7 +626,8 @@ object GraftProcedures {
   }
 
   /** `CALL c.system.ann_refresh(table)` — bring the index to the table
-    * head: O(batch) on appends, re-assign (never retrain) otherwise.
+    * head: O(batch) on appends, tombstone + re-assign only the CHANGED
+    * files otherwise (never retrain; auto-compacts when slices pile up).
     */
   private final class AnnRefreshProc(cat: GraftCatalog)
       extends Proc(cat, "ann_refresh") {
@@ -633,6 +636,21 @@ object GraftProcedures {
     private val out = StructType(Seq(StructField("indexed_version", LongType)))
     override def call(input: InternalRow): JIterator[Scan] = {
       val v = graft.engine.AnnIndex.refresh(spark, root(input))
+      scanOf(out, Seq(new GenericInternalRow(Array[Any](v))))
+    }
+  }
+
+  /** `CALL c.system.ann_compact(table)` — merge the index's slices into
+    * one full assignment pass (quantizers kept) and retire every
+    * tombstone: the maintenance rung for tombstone bloat after churn.
+    */
+  private final class AnnCompactProc(cat: GraftCatalog)
+      extends Proc(cat, "ann_compact") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType))
+    private val out = StructType(Seq(StructField("indexed_version", LongType)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val v = graft.engine.AnnIndex.compact(spark, root(input))
       scanOf(out, Seq(new GenericInternalRow(Array[Any](v))))
     }
   }

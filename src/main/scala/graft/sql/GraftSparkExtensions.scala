@@ -39,6 +39,17 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GraftSqlRule.lowerTableChangesByRowId(
           org.apache.spark.sql.SparkSession.active, args)))
+    // ANN search over the persisted index sidecar (round 13):
+    // `SELECT * FROM ann_knn('ns.t', array(0.1, …), 5)` — probes the
+    // nprobe nearest IVF cells with partition-pruned slice reads,
+    // tombstone-filtered; 5-arg form picks the index name and nprobe
+    ext.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("ann_knn"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.sql.GraftSqlRule", "ann_knn"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftSqlRule.lowerAnnKnn(
+          org.apache.spark.sql.SparkSession.active, args)))
     // the codegen'd vector kernels (vec_dot, vec_norm_sq, vec_lsh,
     // vec_lsh_probe, vec_pq_encode, vec_pq_adc) become ordinary SQL
     // functions in extension-configured sessions — the same registry

@@ -518,6 +518,73 @@ object GraftSqlRule {
       .queryExecution.analyzed
   }
 
+  /** `SELECT * FROM ann_knn('ns.t', array(0.1, …), k)` — top-k by
+    * cosine through the table's persisted ANN index sidecar
+    * ([[graft.engine.AnnIndex.knn]]): the probed cells' slices are
+    * partition-pruned, deleted/superseded assignments are tombstone-
+    * filtered, and a stale index refuses loudly (`CALL
+    * system.ann_refresh` repairs). The 5-argument form
+    * `ann_knn(table, query, k, index_name, nprobe)` selects a named
+    * index (e.g. 'ivfpq') and the probe width. The query vector is any
+    * constant numeric array, or a CSV string of floats.
+    */
+  private[sql] def lowerAnnKnn(
+      session: SparkSession,
+      args: Seq[Expression]): LogicalPlan = {
+    def str(e: Expression, what: String): String = e match {
+      case Literal(s, org.apache.spark.sql.types.StringType) if s != null =>
+        s.toString
+      case other => throw new IllegalArgumentException(
+        s"ann_knn: $what must be a string literal, got $other")
+    }
+    def int(e: Expression, what: String): Int = e match {
+      case Literal(v, dt)
+          if v != null && (dt == org.apache.spark.sql.types.IntegerType ||
+                           dt == org.apache.spark.sql.types.LongType ||
+                           dt == org.apache.spark.sql.types.ShortType) =>
+        v.toString.toInt
+      case other => throw new IllegalArgumentException(
+        s"ann_knn: $what must be an integer literal, got $other")
+    }
+    def vecOf(e: Expression): Seq[Float] = e match {
+      case Literal(s, org.apache.spark.sql.types.StringType) if s != null =>
+        s.toString.split(",").map(_.trim.toFloat).toSeq
+      case other =>
+        // `array(0.1, …)` arrives UNRESOLVED at TVF-lowering time —
+        // resolve it against a one-row relation, then constant-fold
+        val resolved = session.sessionState.analyzer.execute(
+          Project(Seq(Alias(other, "__q")()), OneRowRelation()))
+        val folded = resolved match {
+          case Project(Seq(a: Alias), _) => a.child
+          case _ => throw new IllegalArgumentException(
+            s"ann_knn: query must be a constant array, got $other")
+        }
+        require(folded.foldable &&
+          folded.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
+          s"ann_knn: query must be a CONSTANT numeric array, got $other")
+        val et = folded.dataType
+          .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+        folded.eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toObjectArray(et).map {
+            case null => throw new IllegalArgumentException(
+              "ann_knn: query vector must not contain NULLs")
+            case n => n.toString.toFloat
+          }.toSeq
+    }
+    require(args.length == 3 || args.length == 5,
+      "ann_knn(table, query, k[, index_name, nprobe]) takes 3 or 5 " +
+      s"arguments, got ${args.length}")
+    val root = resolveGraftRoot(session, str(args(0), "table name"), "ann_knn")
+    val q = vecOf(args(1))
+    val k = int(args(2), "k")
+    val (name, nprobe) =
+      if (args.length == 5) (str(args(3), "index_name"), int(args(4), "nprobe"))
+      else ("ivf", 3)
+    graft.engine.AnnIndex.knn(session, root, q, k, name, nprobe)
+      .queryExecution.analyzed
+  }
+
   /** Resolve a (possibly catalog-qualified) table name string to its
     * snapshot-log root through a graft catalog — the TVF shared step.
     */

@@ -126,6 +126,151 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(got.contains(5004L), s"appended vector unreachable: $got")
   }
 
+  /** Exact cosine top-k over the table head — the oracle for an index
+    * probed with nprobe = k (all cells probed ⇒ IVF is exact).
+    */
+  private def exactTopK(root: String, q: Seq[Float], k: Int): Seq[Long] = {
+    graft.functions.VectorFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    ids(SnapshotLog.read(spark, root)
+      .withColumn("score", call_function("vec_dot", col("embedding"),
+        typedLit(q.toArray).cast("array<float>")))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(k))
+  }
+
+  private def annFiles(root: String, name: String = "ivf"): Map[String, (Long, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val dir = new java.io.File(root, "_graft_ann/" + name)
+    walk(dir).filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getPath -> (f.length, f.lastModified)).toMap
+  }
+
+  test("a small delete is FILE-GRANULAR: tombstone slice + untouched prior slices") {
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root, vecs(60).repartition(1),
+      statsCols = Seq("vec_id"))
+    Seq(1000, 2000, 3000).foreach(off => SnapshotLog.appendCommit(spark,
+      root, vecs(60, offset = off).repartition(1), statsCols = Seq("vec_id")))
+    AnnIndex.build(spark, root, k = 4)
+    val slicesBefore = annFiles(root)
+    val victim = 1005L
+    SnapshotLog.tombstoneDelete(spark, root,
+      Seq(Tuple1(victim)).toDF("vec_id"), Seq("vec_id"))
+    AnnIndex.refresh(spark, root)
+    val dir = new java.io.File(root, "_graft_ann/ivf")
+    val assigns = dir.listFiles().map(_.getName)
+      .filter(_.startsWith("assign_v")).sorted
+    val tombs = dir.listFiles().map(_.getName).filter(_.startsWith("tomb_v"))
+    assert(assigns.length == 2 && tombs.length == 1,
+      dir.listFiles().map(_.getName).toSeq.toString)
+    // the ONLY dirty file was the victim's: its 60 visible-at-from ids
+    // are tombstoned, its 59 surviving rows re-assigned; the original
+    // slice's files are byte-untouched
+    val tombIds = spark.read.parquet(dir.getPath + "/" + tombs.head)
+      .collect().map(_.getLong(0)).toSet
+    assert(tombIds == (1000L until 1060L).toSet, tombIds.size.toString)
+    val newSlice = spark.read
+      .option("basePath", dir.getPath + "/" + assigns.last)
+      .parquet(dir.getPath + "/" + assigns.last)
+    assert(newSlice.count() == 59)
+    val untouched = annFiles(root).filter(_._1.contains(assigns.head))
+    assert(untouched == slicesBefore.filter(_._1.contains(assigns.head)),
+      "prior assignment slice was rewritten")
+    // correctness: probing ALL cells makes IVF exact — parity with the
+    // brute-force oracle, victim gone, no duplicate ids
+    val q = vecs(1, offset = victim.toInt).select("embedding")
+      .head().getSeq[Float](0)
+    val got = ids(AnnIndex.knn(spark, root, q, k = 239, nprobe = 4))
+    assert(!got.contains(victim), "deleted row still probeable")
+    assert(got.size == 239 && got.distinct.size == 239)
+    assert(got == exactTopK(root, q, 239))
+  }
+
+  test("merge-on-read upsert supersedes the old assignment (no stale vector, no duplicate)") {
+    val root = freshRoot()
+    // a merge-on-read lineage from its first commit (disjoint batches)
+    Seq(0, 1000, 2000, 3000).foreach(off => SnapshotLog.upsertMor(spark,
+      root, vecs(60, offset = off).repartition(1), Seq("vec_id"),
+      statsCols = Seq("vec_id")))
+    AnnIndex.build(spark, root, k = 4)
+    // re-vector id 7 onto a different axis through a MoR shadow delta
+    val moved = vecs(1, offset = 10).select($"embedding").head().getSeq[Float](0)
+    SnapshotLog.upsertMor(spark, root,
+      Seq((7L, moved)).toDF("vec_id", "embedding"), Seq("vec_id"),
+      statsCols = Seq("vec_id"))
+    AnnIndex.refresh(spark, root)
+    // the refresh was incremental: the build slice survives, plus a
+    // tombstone for the superseded copy and a re-assignment slice
+    val dir = new java.io.File(root, "_graft_ann/ivf")
+    assert(dir.listFiles().map(_.getName).count(_.startsWith("tomb_v")) == 1)
+    val q = moved
+    val got = ids(AnnIndex.knn(spark, root, q, k = 240, nprobe = 4))
+    assert(got.size == 240 && got.distinct.size == 240,
+      "stale assignment duplicated an id")
+    assert(got == exactTopK(root, q, 240))
+    // the updated vector ranks where its NEW embedding says, not the old
+    assert(got.take(3).contains(7L),
+      s"updated vector not ranked by its new embedding: ${got.take(5)}")
+  }
+
+  test("slice cap triggers compaction; explicit compact() merges and retires tombstones") {
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root, vecs(60).repartition(1),
+      statsCols = Seq("vec_id"))
+    Seq(1000, 2000, 3000, 4000).foreach(off => SnapshotLog.appendCommit(
+      spark, root, vecs(60, offset = off).repartition(1),
+      statsCols = Seq("vec_id")))
+    AnnIndex.build(spark, root, k = 4)
+    SnapshotLog.tombstoneDelete(spark, root,
+      Seq(Tuple1(3L)).toDF("vec_id"), Seq("vec_id"))
+    AnnIndex.refresh(spark, root) // incremental: 2 assign + 1 tomb
+    val dir = new java.io.File(root, "_graft_ann/ivf")
+    assert(dir.listFiles().map(_.getName).count(_.startsWith("tomb_v")) == 1)
+    SnapshotLog.tombstoneDelete(spark, root,
+      Seq(Tuple1(1001L)).toDF("vec_id"), Seq("vec_id"))
+    // cap of 3 is already met by (assign, assign, tomb) → auto-compact
+    AnnIndex.refresh(spark, root, maxSlices = 3)
+    def names() = dir.listFiles().map(_.getName).toSeq
+    assert(names().count(_.startsWith("assign_v")) == 1 &&
+      !names().exists(_.startsWith("tomb_v")), names().toString)
+    val q = vecs(1, offset = 42).select("embedding").head().getSeq[Float](0)
+    val got = ids(AnnIndex.knn(spark, root, q, k = 298, nprobe = 4))
+    assert(got.size == 298 && !got.contains(3L) && !got.contains(1001L))
+    assert(got == exactTopK(root, q, 298))
+    // explicit compact is idempotent maintenance (fresh index stays fresh)
+    val v = AnnIndex.compact(spark, root)
+    assert(v == SnapshotLog.currentVersion(spark, root).get)
+    assert(ids(AnnIndex.knn(spark, root, q, k = 10, nprobe = 4)) ==
+      exactTopK(root, q, 10))
+  }
+
+  test("orphan slices of a crashed refresh are invisible to readers and swept") {
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root, vecs(80).repartition(1),
+      statsCols = Seq("vec_id"))
+    val v = AnnIndex.build(spark, root, k = 4)
+    // simulate a refresh that wrote its slice but died before publishing
+    val orphan = new java.io.File(root,
+      f"_graft_ann/ivf/assign_v${v + 1}%08d").getPath
+    val bogusVec = vecs(1).select("embedding").head().getSeq[Float](0)
+    Seq((99999L, bogusVec)).toDF("vec_id", "embedding")
+      .withColumn("cell", org.apache.spark.sql.functions.lit(0))
+      .write.partitionBy("cell").parquet(orphan)
+    val q = vecs(1, offset = 5).select("embedding").head().getSeq[Float](0)
+    // the published model covers v, so the v+1 slice is filtered out
+    val got = ids(AnnIndex.knn(spark, root, q, k = 80, nprobe = 4))
+    assert(!got.contains(99999L), "orphan slice leaked into a query")
+    // the next refresh sweeps the orphan before writing its own slice
+    SnapshotLog.appendCommit(spark, root, vecs(20, offset = 500).repartition(1),
+      statsCols = Seq("vec_id"))
+    AnnIndex.refresh(spark, root)
+    val got2 = ids(AnnIndex.knn(spark, root, q, k = 100, nprobe = 4))
+    assert(got2.size == 100 && !got2.contains(99999L))
+    assert(got2 == exactTopK(root, q, 100))
+  }
+
   test("a delete re-assigns without retraining; deleted rows leave the index") {
     val root = freshRoot()
     SnapshotLog.commit(spark, root, vecs(100), statsCols = Seq("vec_id"))

@@ -776,6 +776,55 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"exact-axis appends must win the axis query: ${hit2.toSeq}")
   }
 
+  test("ann_knn TVF + ann_compact: index queries and maintenance stay in SQL (round 13)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
+    sql("CREATE TABLE graft.ns.emb2 (vec_id BIGINT, embedding ARRAY<FLOAT>)")
+    sql("""INSERT INTO graft.ns.emb2
+           SELECT id AS vec_id,
+                  transform(sequence(0, 7), d ->
+                    cast(if(d = id % 4, 1.0, 0.02 * pmod(id + d, 7)) AS FLOAT))
+                    AS embedding
+           FROM range(80)""")
+    sql("CALL graft.system.ann_build('ns.emb2', 'vec_id', 'embedding', 4)")
+    val r = root("emb2")
+    val q = Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val api = graft.engine.AnnIndex.knn(spark, r, q, k = 3, nprobe = 2)
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    // 3-arg form: constant array query, default index + nprobe
+    val tvf = sql(
+      """SELECT * FROM ann_knn('graft.ns.emb2',
+           array(1.0, 0, 0, 0, 0, 0, 0, 0), 3)""")
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    assert(tvf == api, s"$tvf != $api")
+    // 5-arg form picks the index name and probe width; a CSV-string
+    // query vector is accepted too
+    val tvf5 = sql(
+      "SELECT * FROM ann_knn('graft.ns.emb2', '1,0,0,0,0,0,0,0', 3, 'ivf', 2)")
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    assert(tvf5 == api, s"$tvf5 != $api")
+    // a DELETE makes the index stale → the TVF refuses loudly; refresh
+    // through SQL repairs it and the deleted id leaves the results
+    val victim = api.head._1
+    sql(s"DELETE FROM graft.ns.emb2 WHERE vec_id = $victim")
+    val e = intercept[Exception] {
+      sql("SELECT * FROM ann_knn('graft.ns.emb2', '1,0,0,0,0,0,0,0', 3)").collect()
+    }
+    assert(e.getMessage.contains("refresh"), e.getMessage)
+    sql("CALL graft.system.ann_refresh('ns.emb2')")
+    val after = sql(
+      "SELECT * FROM ann_knn('graft.ns.emb2', '1,0,0,0,0,0,0,0', 79)")
+      .collect().map(_.getLong(0)).toSeq
+    assert(!after.contains(victim) && after.distinct.size == after.size)
+    // compaction through SQL: one merged slice, same answers
+    val v = sql("CALL graft.system.ann_compact('ns.emb2')")
+      .collect().head.getLong(0)
+    assert(v == SnapshotLog.currentVersion(spark, r).get)
+    val afterCompact = sql(
+      "SELECT * FROM ann_knn('graft.ns.emb2', '1,0,0,0,0,0,0,0', 79)")
+      .collect().map(_.getLong(0)).toSeq
+    assert(afterCompact == after, "compaction changed query answers")
+  }
+
   test("CALL graft.system.repartition: spec evolution through SQL (round 13)") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
     sql("CREATE TABLE graft.ns.pse (k INT, region STRING, v STRING) PARTITIONED BY (region)")

@@ -77,6 +77,15 @@ object AnnIndex {
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** The index's registered-consumer pin name: the sidecar reads the
+    * indexed version's FILES on every incremental refresh (the
+    * visibleSliceDiff before-slice), so vacuum must not reclaim them —
+    * the same grace a clone or a lagging CDC tail holds. Registered by
+    * every model publish, advanced as the index catches up, released by
+    * [[drop]].
+    */
+  private def consumerName(name: String): String = s"ann_$name"
+
   private def writeModel(spark: SparkSession, root: String, name: String,
                          m: Model): Unit = {
     val p = modelPath(root, name)
@@ -99,6 +108,20 @@ object AnnIndex {
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       p.toUri, spark.sparkContext.hadoopConfiguration)
     fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // pin the indexed version against vacuum: incremental refresh diffs
+    // FROM this version's files, so reclaiming them would force a full
+    // compaction rebuild on the next change
+    SnapshotLog.registerConsumer(spark, root, consumerName(name),
+      m.indexedVersion)
+  }
+
+  /** Delete the index sidecar and release its vacuum pin. */
+  def drop(spark: SparkSession, root: String, name: String = "ivf"): Unit = {
+    val dir = annDir(root, name)
+    val f = fs(spark, dir)
+    if (f.exists(dir)) f.delete(dir, true)
+    try SnapshotLog.unregisterConsumer(spark, root, consumerName(name))
+    catch { case _: java.io.FileNotFoundException => () }
   }
 
   /** The persisted model, or None when the index does not exist. */

@@ -100,10 +100,10 @@ object IncrementalView {
     * after bootstrap.
     */
   def refresh(spark: SparkSession, sourceRoot: String, viewRoot: String,
-              keys: Seq[String], groupCols: Seq[String],
-              measure: String): Option[(Long, Long)] =
-    refreshImpl(spark, sourceRoot, viewRoot, keys, groupCols, measure,
-      extrema = false)
+              keys: Seq[String], groupCols: Seq[String], measure: String,
+              consumer: Option[String] = None): Option[(Long, Long)] =
+    refreshImpl(spark, sourceRoot, viewRoot, Some(keys), groupCols, measure,
+      extrema = false, consumer)
 
   /** As [[refresh]], also maintaining min/max of the measure by
     * recomputing them for the touched groups only (semi-join back to the
@@ -111,22 +111,73 @@ object IncrementalView {
     */
   def refreshWithExtrema(spark: SparkSession, sourceRoot: String,
                          viewRoot: String, keys: Seq[String],
-                         groupCols: Seq[String],
-                         measure: String): Option[(Long, Long)] =
-    refreshImpl(spark, sourceRoot, viewRoot, keys, groupCols, measure,
-      extrema = true)
+                         groupCols: Seq[String], measure: String,
+                         consumer: Option[String] = None): Option[(Long, Long)] =
+    refreshImpl(spark, sourceRoot, viewRoot, Some(keys), groupCols, measure,
+      extrema = true, consumer)
+
+  /** KEYLESS twin of [[refresh]] for row-tracked sources: the delta
+    * feed is [[SnapshotLog.changesByRowId]] — the exact change set
+    * derived from row identities alone, no declared key set needed.
+    * This is the incremental-view shape for append-mostly FACT tables,
+    * which usually have no natural merge key: enable row tracking once,
+    * and the view maintains at O(changed files) on the source
+    * (identity CDC is file-granular), never O(source).
+    */
+  def refreshByRowId(spark: SparkSession, sourceRoot: String,
+                     viewRoot: String, groupCols: Seq[String],
+                     measure: String,
+                     consumer: Option[String] = None): Option[(Long, Long)] =
+    refreshImpl(spark, sourceRoot, viewRoot, None, groupCols, measure,
+      extrema = false, consumer)
+
+  /** As [[refreshByRowId]] plus min/max maintained by the touched-group
+    * recompute (the [[refreshWithExtrema]] machinery).
+    */
+  def refreshByRowIdWithExtrema(spark: SparkSession, sourceRoot: String,
+                                viewRoot: String, groupCols: Seq[String],
+                                measure: String,
+                                consumer: Option[String] = None): Option[(Long, Long)] =
+    refreshImpl(spark, sourceRoot, viewRoot, None, groupCols, measure,
+      extrema = true, consumer)
+
+  /** Signed per-group contributions from the row-identity feed's
+    * row-per-image shape (`_change_type` ∈ insert / delete /
+    * update_preimage / update_postimage, full row columns inline):
+    * post-images add, pre-images and deletes subtract.
+    */
+  private def ridContributions(feed: DataFrame, groupCols: Seq[String],
+                               measure: String): DataFrame = {
+    val v = coalesce(col(measure).cast("decimal(38,6)"),
+      lit(0).cast("decimal(38,6)"))
+    val sign = when(
+      col("_change_type").isin("insert", "update_postimage"), lit(1L))
+      .otherwise(lit(-1L))
+    feed.select(groupCols.map(col) :+ sign.as("__s") :+ v.as("__v"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__s")).as("d_rows"),
+           sum((col("__s") * col("__v")).cast("decimal(38,6)"))
+             .cast("decimal(38,6)").as("d_sum"))
+  }
 
   private def refreshImpl(spark: SparkSession, sourceRoot: String,
-                          viewRoot: String, keys: Seq[String],
+                          viewRoot: String, keysOpt: Option[Seq[String]],
                           groupCols: Seq[String], measure: String,
-                          extrema: Boolean): Option[(Long, Long)] = {
+                          extrema: Boolean,
+                          consumer: Option[String] = None): Option[(Long, Long)] = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     require(!groupCols.contains(measure),
       s"measure $measure cannot also be a group column")
     val toV = SnapshotLog.currentVersion(spark, sourceRoot)
       .getOrElse(return None) // source doesn't exist yet — nothing to do
     val fromV = SnapshotLog.lastBatchId(spark, viewRoot).getOrElse(0L)
-    if (fromV >= toV) return None // current (or a replayed crash range)
+    if (fromV >= toV) {
+      // current (or a replayed crash range); still advance the pin so
+      // an opted-in view converges even after unpinned refreshes
+      consumer.foreach(
+        SnapshotLog.registerConsumer(spark, sourceRoot, _, fromV))
+      return None
+    }
     val sourceAtTo = SnapshotLog.readVersion(spark, sourceRoot, toV)
     val next =
       if (fromV == 0L) {
@@ -134,8 +185,14 @@ object IncrementalView {
         if (extrema) aggregateWithExtrema(sourceAtTo, groupCols, measure)
         else aggregate(sourceAtTo, groupCols, measure)
       } else {
-        val feed = SnapshotLog.changesBetween(spark, sourceRoot, fromV, toV, keys)
-        val delta = contributions(feed, keys, groupCols, measure)
+        val delta = keysOpt match {
+          case Some(keys) => contributions(
+            SnapshotLog.changesBetween(spark, sourceRoot, fromV, toV, keys),
+            keys, groupCols, measure)
+          case None => ridContributions(
+            SnapshotLog.changesByRowId(spark, sourceRoot, fromV, toV),
+            groupCols, measure)
+        }
         val view = SnapshotLog.read(spark, viewRoot)
         // null-safe equi-join: a NULL group value is a real group
         val cond = groupCols.map(c => view(c) <=> delta(c)).reduce(_ && _)
@@ -182,7 +239,15 @@ object IncrementalView {
         }
       }
     SnapshotLog.replaceBatch(spark, viewRoot, next, batchId = toV) match {
-      case Some(_) => Some((fromV, toV))
+      case Some(_) =>
+        // pin the source version the NEXT refresh will diff from: the
+        // (fromV, head] feed needs toV's manifest, so an aggressive
+        // vacuum between refreshes must not reclaim it — the same
+        // grace a registered CDC tail holds (round 9). Opt-in because
+        // an abandoned view would otherwise pin the source forever.
+        consumer.foreach(
+          SnapshotLog.registerConsumer(spark, sourceRoot, _, toV))
+        Some((fromV, toV))
       case None    => None // lost a race to a concurrent refresh — fine
     }
   }

@@ -271,6 +271,35 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(got2 == exactTopK(root, q, 100))
   }
 
+  test("the index pins its indexed version: vacuum cannot break the incremental diff") {
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root, vecs(60).repartition(1),
+      statsCols = Seq("vec_id"))
+    Seq(1000, 2000, 3000).foreach(off => SnapshotLog.appendCommit(spark,
+      root, vecs(60, offset = off).repartition(1), statsCols = Seq("vec_id")))
+    val v = AnnIndex.build(spark, root, k = 4)
+    assert(SnapshotLog.consumers(spark, root).get("ann_ivf").contains(v))
+    // a pruned keyed delete REMOVES one v4 file (rewrites it minus the
+    // victim) — the very file the next incremental refresh must read as
+    // its before-slice; an unpinned vacuum(keep=1) would reclaim it
+    SnapshotLog.deleteByKey(spark, root, Seq(Tuple1(2003L)).toDF("vec_id"),
+      Seq("vec_id"))
+    SnapshotLog.vacuum(spark, root, keep = 1)
+    AnnIndex.refresh(spark, root)
+    val dir = new java.io.File(root, "_graft_ann/ivf")
+    assert(dir.listFiles().map(_.getName).count(_.startsWith("tomb_v")) == 1,
+      "refresh was not incremental")
+    val cur = SnapshotLog.currentVersion(spark, root).get
+    assert(SnapshotLog.consumers(spark, root).get("ann_ivf").contains(cur),
+      "pin did not advance with the refresh")
+    val q = vecs(1, offset = 2003).select("embedding").head().getSeq[Float](0)
+    val got = ids(AnnIndex.knn(spark, root, q, k = 239, nprobe = 4))
+    assert(!got.contains(2003L) && got == exactTopK(root, q, 239))
+    // drop releases both the sidecar and the pin
+    AnnIndex.drop(spark, root)
+    assert(!dir.exists && SnapshotLog.consumers(spark, root).isEmpty)
+  }
+
   test("a delete re-assigns without retraining; deleted rows leave the index") {
     val root = freshRoot()
     SnapshotLog.commit(spark, root, vecs(100), statsCols = Seq("vec_id"))

@@ -126,6 +126,76 @@ class IncrementalViewSpec extends SparkSpecBase {
     assert(canonX(SnapshotLog.read(spark, view)).filter(_._1.contains("a")) == aBefore)
   }
 
+  test("keyless refreshByRowId: identity CDC maintains the view with NO declared key") {
+    val source = freshRoot("rsrc"); val view = freshRoot("rview")
+    SnapshotLog.commit(spark, source,
+      src((1, "a", 10.5), (2, "a", 2.25), (3, "b", 7.0)),
+      statsCols = Seq("id"))
+    SnapshotLog.enableRowTracking(spark, source)
+    // bootstrap, then an append: the O(delta) insert short-circuit
+    assert(IncrementalView.refreshByRowId(spark, source, view,
+      Seq("grp"), "amt").isDefined)
+    assertCurrent(source, view)
+    SnapshotLog.appendCommit(spark, source, src((4, "b", 1.0), (5, "c", 3.0)))
+    IncrementalView.refreshByRowId(spark, source, view, Seq("grp"), "amt")
+    assertCurrent(source, view)
+    // a positional (deletion-vector) delete needs no key either — the
+    // identity diff sees the row leave; group "c" empties out of the view
+    SnapshotLog.tombstoneDelete(spark, source, Seq(5).toDF("id"), Seq("id"))
+    IncrementalView.refreshByRowId(spark, source, view, Seq("grp"), "amt")
+    assertCurrent(source, view)
+    assert(!SnapshotLog.read(spark, view).collect().exists(_.getString(0) == "c"))
+    // keyed DML composes: the upsert re-attaches row ids, so the
+    // identity feed reports it as an UPDATE (value change + group move)
+    SnapshotLog.upsert(spark, source,
+      src((2, "b", 5.0), (6, "d", 4.0)), Seq("id"))
+    IncrementalView.refreshByRowId(spark, source, view, Seq("grp"), "amt")
+    assertCurrent(source, view)
+    // pure reorganization produces an EMPTY feed (ids ride the rewrite)
+    SnapshotLog.compactSmallFiles(spark, source, targetBytes = 1L << 20)
+    IncrementalView.refreshByRowId(spark, source, view, Seq("grp"), "amt")
+    assertCurrent(source, view)
+    // replay gate: already-current refresh is a no-op
+    assert(IncrementalView.refreshByRowId(spark, source, view,
+      Seq("grp"), "amt").isEmpty)
+    // extrema twin reconciles through the same keyless feed
+    val viewX = freshRoot("rviewx")
+    IncrementalView.refreshByRowIdWithExtrema(spark, source, viewX,
+      Seq("grp"), "amt")
+    SnapshotLog.tombstoneDelete(spark, source, Seq(1).toDF("id"), Seq("id"))
+    IncrementalView.refreshByRowIdWithExtrema(spark, source, viewX,
+      Seq("grp"), "amt")
+    assert(canonX(SnapshotLog.read(spark, viewX)) ==
+      canonX(IncrementalView.aggregateWithExtrema(
+        SnapshotLog.read(spark, source), Seq("grp"), "amt")))
+  }
+
+  test("an opted-in view pins the source against vacuum and keeps reconciling") {
+    val source = freshRoot("psrc"); val view = freshRoot("pview")
+    SnapshotLog.commit(spark, source,
+      src((1, "a", 10.0), (2, "b", 2.0)), statsCols = Seq("id"))
+    IncrementalView.refresh(spark, source, view, Seq("id"), Seq("grp"),
+      "amt", consumer = Some("mv_daily"))
+    val v1 = SnapshotLog.currentVersion(spark, source).get
+    assert(SnapshotLog.consumers(spark, source).get("mv_daily").contains(v1))
+    // churn the source, then vacuum aggressively: the pin holds the
+    // version the next refresh diffs FROM, so the keyed feed survives
+    SnapshotLog.upsert(spark, source, src((2, "b", 5.0), (3, "c", 1.0)),
+      Seq("id"))
+    SnapshotLog.appendCommit(spark, source, src((4, "a", 7.0)))
+    SnapshotLog.vacuum(spark, source, keep = 1)
+    IncrementalView.refresh(spark, source, view, Seq("id"), Seq("grp"),
+      "amt", consumer = Some("mv_daily"))
+    assertCurrent(source, view)
+    val head = SnapshotLog.currentVersion(spark, source).get
+    assert(SnapshotLog.consumers(spark, source).get("mv_daily").contains(head),
+      "pin did not advance with the refresh")
+    // an already-current refresh still converges the pin
+    IncrementalView.refresh(spark, source, view, Seq("id"), Seq("grp"),
+      "amt", consumer = Some("mv_daily"))
+    assert(SnapshotLog.consumers(spark, source).get("mv_daily").contains(head))
+  }
+
   test("streaming composition: per-batch ingest + refresh keeps the view exact across replays") {
     // the end-to-end lakehouse loop: micro-batches append to the source
     // log (batchId-stamped exactly-once), the SAME foreachBatch then

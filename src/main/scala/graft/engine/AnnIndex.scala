@@ -300,15 +300,22 @@ object AnnIndex {
     // at the indexed version is tombstoned (deletes leave, rewrites
     // supersede their old assignment), and the changed files' rows at
     // the head are re-assigned into a fresh slice. Untouched files'
-    // assignments are never read, let alone rewritten.
+    // assignments are never read, let alone rewritten. Both frames are
+    // persisted across their emptiness probe + write so each slice is
+    // scanned ONCE (an empty frame must not be written — a part-less
+    // parquet dir would break the readers' schema inference).
     val tombIds = before.filter(col(m.vecCol).isNotNull)
-      .select(col(m.idCol).as(TombIdCol)).distinct()
-    if (!tombIds.isEmpty)
-      tombIds.write.mode("overwrite")
-        .parquet(new Path(dir, tombDirName(cur)).toString)
-    val adds = after.filter(col(m.vecCol).isNotNull)
-    if (!adds.isEmpty)
-      writeSlice(encodeFor(spark, m, adds), new Path(dir, assignDirName(cur)))
+      .select(col(m.idCol).as(TombIdCol)).distinct().persist()
+    try {
+      if (tombIds.count() > 0)
+        tombIds.write.mode("overwrite")
+          .parquet(new Path(dir, tombDirName(cur)).toString)
+    } finally tombIds.unpersist()
+    val adds = after.filter(col(m.vecCol).isNotNull).persist()
+    try {
+      if (adds.count() > 0)
+        writeSlice(encodeFor(spark, m, adds), new Path(dir, assignDirName(cur)))
+    } finally adds.unpersist()
     writeModel(spark, root, name, m.copy(indexedVersion = cur))
     cur
   }

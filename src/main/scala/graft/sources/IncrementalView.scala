@@ -7,15 +7,15 @@ import org.apache.spark.sql.functions._
   * [[SnapshotLog]] table (round 7b) — the lakehouse pattern that turns
   * "re-aggregate 100 TB nightly" into "apply yesterday's deltas".
   *
-  * A view is `GROUP BY groupCols → (n_rows, sum(sumCol))`, stored as its
-  * own SnapshotLog table, so it inherits time travel, CDC, and vacuum.
-  * Maintenance reads the source's change feed ([[SnapshotLog.changesBetween]])
-  * for the un-applied version range and applies it as signed
-  * contributions: insert → (+1, +v), delete → (−1, −v), update → both
-  * (old group gets the negative, new group the positive — a group-moving
-  * update just works). Contributions aggregate to ONE row per touched
-  * group before the view merge, so a refresh costs
-  * O(changes) + O(view ∩ touched groups) — never O(source).
+  * A view is `GROUP BY groupCols → (n_rows, sum(m) per measure)`, stored
+  * as its own SnapshotLog table, so it inherits time travel, CDC, and
+  * vacuum. Maintenance reads the source's change feed
+  * ([[SnapshotLog.changesBetween]]) for the un-applied version range and
+  * applies it as signed contributions: insert → (+1, +v), delete →
+  * (−1, −v), update → both (old group gets the negative, new group the
+  * positive — a group-moving update just works). Contributions aggregate
+  * to ONE row per touched group before the view merge, so a refresh
+  * costs O(changes) + O(view ∩ touched groups) — never O(source).
   *
   * Exactly-once without a cursor file: the view commit is
   * [[SnapshotLog.replaceBatch]] stamped with the source version it
@@ -39,6 +39,11 @@ import org.apache.spark.sql.functions._
   * [[refreshWithExtrema]] recomputes them for TOUCHED GROUPS ONLY by a
   * semi-join back to the source snapshot — O(groups-that-changed), the
   * standard affected-partition recompute, never a full re-aggregate.
+  *
+  * Every refresh family has a MULTI-MEASURE form (`refreshMulti` etc.):
+  * a real dashboard view maintains several sums off one feed, and doing
+  * them in one pass shares the CDC read, the contribution shuffle and
+  * the view merge across all measures instead of paying per measure.
   */
 object IncrementalView {
 
@@ -46,6 +51,11 @@ object IncrementalView {
   private def sumCol(c: String) = s"sum_$c"
   private def minCol(c: String) = s"min_$c"
   private def maxCol(c: String) = s"max_$c"
+  private def dSumCol(c: String) = s"d_sum_$c"
+
+  private val Dec = "decimal(38,6)"
+  private def zeroDec: Column = lit(0).cast(Dec)
+  private def decOf(c: Column): Column = coalesce(c.cast(Dec), zeroDec)
 
   /** Signed per-change contributions: up to two rows (old-group negative,
     * new-group positive) per CDC row. `keys` are the source's merge keys
@@ -53,57 +63,99 @@ object IncrementalView {
     * old_/new_ pairs.
     */
   private def contributions(feed: DataFrame, keys: Seq[String],
-                            groupCols: Seq[String], measure: String): DataFrame = {
+                            groupCols: Seq[String],
+                            measures: Seq[String]): DataFrame = {
     def side(prefix: String)(c: String): Column =
       if (keys.contains(c)) col(c) else col(s"${prefix}_$c")
     val oldG = groupCols.map(c => side("old")(c).as(c))
     val newG = groupCols.map(c => side("new")(c).as(c))
-    val oldV = coalesce(side("old")(measure).cast("decimal(38,6)"), lit(0).cast("decimal(38,6)"))
-    val newV = coalesce(side("new")(measure).cast("decimal(38,6)"), lit(0).cast("decimal(38,6)"))
     val negative = feed
       .filter(col("change_type").isin("delete", "update"))
-      .select(oldG :+ lit(-1L).as("d_rows") :+ (-oldV).as("d_sum"): _*)
+      .select(oldG :+ lit(-1L).as("d_rows") :++
+        measures.map(m => (-decOf(side("old")(m))).as(dSumCol(m))): _*)
     val positive = feed
       .filter(col("change_type").isin("insert", "update"))
-      .select(newG :+ lit(1L).as("d_rows") :+ newV.as("d_sum"): _*)
+      .select(newG :+ lit(1L).as("d_rows") :++
+        measures.map(m => decOf(side("new")(m)).as(dSumCol(m))): _*)
     negative.unionAll(positive)
       .groupBy(groupCols.map(col): _*)
       .agg(sum(col("d_rows")).as("d_rows"),
-           sum(col("d_sum")).cast("decimal(38,6)").as("d_sum"))
+           measures.map(m =>
+             sum(col(dSumCol(m))).cast(Dec).as(dSumCol(m))): _*)
+  }
+
+  /** Signed per-group contributions from the row-identity feed's
+    * row-per-image shape (`_change_type` ∈ insert / delete /
+    * update_preimage / update_postimage, full row columns inline):
+    * post-images add, pre-images and deletes subtract.
+    */
+  private def ridContributions(feed: DataFrame, groupCols: Seq[String],
+                               measures: Seq[String]): DataFrame = {
+    val sign = when(
+      col("_change_type").isin("insert", "update_postimage"), lit(1L))
+      .otherwise(lit(-1L))
+    feed.select(groupCols.map(col) :+ sign.as("__s") :++
+        measures.map(m => decOf(col(m)).as(dSumCol(m))): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__s")).as("d_rows"),
+           measures.map(m =>
+             sum((col("__s") * col(dSumCol(m))).cast(Dec))
+               .cast(Dec).as(dSumCol(m))): _*)
   }
 
   /** Full aggregate of `rows` in the view schema (bootstrap + the spec's
     * recompute oracle share THIS definition).
     */
   def aggregate(rows: DataFrame, groupCols: Seq[String], measure: String): DataFrame =
+    aggregateMulti(rows, groupCols, Seq(measure))
+
+  /** Multi-measure [[aggregate]]: `n_rows` plus one exact decimal sum
+    * per measure, all in one grouping pass.
+    */
+  def aggregateMulti(rows: DataFrame, groupCols: Seq[String],
+                     measures: Seq[String]): DataFrame =
     rows.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
-           sum(coalesce(col(measure).cast("decimal(38,6)"),
-                        lit(0).cast("decimal(38,6)")))
-             .cast("decimal(38,6)").as(sumCol(measure)))
+           measures.map(m =>
+             sum(decOf(col(m))).cast(Dec).as(sumCol(m))): _*)
 
   /** As [[aggregate]] plus min/max of the measure (extrema views). */
   def aggregateWithExtrema(rows: DataFrame, groupCols: Seq[String],
                            measure: String): DataFrame =
+    aggregateMultiWithExtrema(rows, groupCols, Seq(measure))
+
+  /** Multi-measure [[aggregateWithExtrema]]. */
+  def aggregateMultiWithExtrema(rows: DataFrame, groupCols: Seq[String],
+                                measures: Seq[String]): DataFrame =
     rows.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
-           sum(coalesce(col(measure).cast("decimal(38,6)"),
-                        lit(0).cast("decimal(38,6)")))
-             .cast("decimal(38,6)").as(sumCol(measure)),
-           min(col(measure)).as(minCol(measure)),
-           max(col(measure)).as(maxCol(measure)))
+           measures.map(m =>
+             sum(decOf(col(m))).cast(Dec).as(sumCol(m))) ++
+           measures.flatMap(m => Seq(
+             min(col(m)).as(minCol(m)), max(col(m)).as(maxCol(m)))): _*)
 
   /** Bring the additive view at `viewRoot` up to date with the source at
     * `sourceRoot`. Returns the (fromV, toV] range applied, or None when
     * already current (including replay after a crash). O(changes) on the
     * source + a keyed merge on the view — never a source re-aggregate
-    * after bootstrap.
+    * after bootstrap. `consumer` (optional) registers/advances a vacuum
+    * pin on the source at the version the next refresh diffs from.
     */
   def refresh(spark: SparkSession, sourceRoot: String, viewRoot: String,
               keys: Seq[String], groupCols: Seq[String], measure: String,
               consumer: Option[String] = None): Option[(Long, Long)] =
-    refreshImpl(spark, sourceRoot, viewRoot, Some(keys), groupCols, measure,
-      extrema = false, consumer)
+    refreshImpl(spark, sourceRoot, viewRoot, Some(keys), groupCols,
+      Seq(measure), extrema = false, consumer)
+
+  /** Multi-measure [[refresh]]: all sums maintained in ONE pass over
+    * the feed and one view merge.
+    */
+  def refreshMulti(spark: SparkSession, sourceRoot: String, viewRoot: String,
+                   keys: Seq[String], groupCols: Seq[String],
+                   measures: Seq[String],
+                   consumer: Option[String] = None): Option[(Long, Long)] =
+    refreshImpl(spark, sourceRoot, viewRoot, Some(keys), groupCols,
+      measures, extrema = false, consumer)
 
   /** As [[refresh]], also maintaining min/max of the measure by
     * recomputing them for the touched groups only (semi-join back to the
@@ -113,8 +165,16 @@ object IncrementalView {
                          viewRoot: String, keys: Seq[String],
                          groupCols: Seq[String], measure: String,
                          consumer: Option[String] = None): Option[(Long, Long)] =
-    refreshImpl(spark, sourceRoot, viewRoot, Some(keys), groupCols, measure,
-      extrema = true, consumer)
+    refreshImpl(spark, sourceRoot, viewRoot, Some(keys), groupCols,
+      Seq(measure), extrema = true, consumer)
+
+  /** Multi-measure [[refreshWithExtrema]]. */
+  def refreshMultiWithExtrema(spark: SparkSession, sourceRoot: String,
+                              viewRoot: String, keys: Seq[String],
+                              groupCols: Seq[String], measures: Seq[String],
+                              consumer: Option[String] = None): Option[(Long, Long)] =
+    refreshImpl(spark, sourceRoot, viewRoot, Some(keys), groupCols,
+      measures, extrema = true, consumer)
 
   /** KEYLESS twin of [[refresh]] for row-tracked sources: the delta
     * feed is [[SnapshotLog.changesByRowId]] — the exact change set
@@ -128,8 +188,16 @@ object IncrementalView {
                      viewRoot: String, groupCols: Seq[String],
                      measure: String,
                      consumer: Option[String] = None): Option[(Long, Long)] =
-    refreshImpl(spark, sourceRoot, viewRoot, None, groupCols, measure,
-      extrema = false, consumer)
+    refreshImpl(spark, sourceRoot, viewRoot, None, groupCols,
+      Seq(measure), extrema = false, consumer)
+
+  /** Multi-measure [[refreshByRowId]]. */
+  def refreshByRowIdMulti(spark: SparkSession, sourceRoot: String,
+                          viewRoot: String, groupCols: Seq[String],
+                          measures: Seq[String],
+                          consumer: Option[String] = None): Option[(Long, Long)] =
+    refreshImpl(spark, sourceRoot, viewRoot, None, groupCols,
+      measures, extrema = false, consumer)
 
   /** As [[refreshByRowId]] plus min/max maintained by the touched-group
     * recompute (the [[refreshWithExtrema]] machinery).
@@ -138,36 +206,27 @@ object IncrementalView {
                                 viewRoot: String, groupCols: Seq[String],
                                 measure: String,
                                 consumer: Option[String] = None): Option[(Long, Long)] =
-    refreshImpl(spark, sourceRoot, viewRoot, None, groupCols, measure,
-      extrema = true, consumer)
+    refreshImpl(spark, sourceRoot, viewRoot, None, groupCols,
+      Seq(measure), extrema = true, consumer)
 
-  /** Signed per-group contributions from the row-identity feed's
-    * row-per-image shape (`_change_type` ∈ insert / delete /
-    * update_preimage / update_postimage, full row columns inline):
-    * post-images add, pre-images and deletes subtract.
-    */
-  private def ridContributions(feed: DataFrame, groupCols: Seq[String],
-                               measure: String): DataFrame = {
-    val v = coalesce(col(measure).cast("decimal(38,6)"),
-      lit(0).cast("decimal(38,6)"))
-    val sign = when(
-      col("_change_type").isin("insert", "update_postimage"), lit(1L))
-      .otherwise(lit(-1L))
-    feed.select(groupCols.map(col) :+ sign.as("__s") :+ v.as("__v"): _*)
-      .groupBy(groupCols.map(col): _*)
-      .agg(sum(col("__s")).as("d_rows"),
-           sum((col("__s") * col("__v")).cast("decimal(38,6)"))
-             .cast("decimal(38,6)").as("d_sum"))
-  }
+  /** Multi-measure [[refreshByRowIdWithExtrema]]. */
+  def refreshByRowIdMultiWithExtrema(spark: SparkSession, sourceRoot: String,
+                                     viewRoot: String, groupCols: Seq[String],
+                                     measures: Seq[String],
+                                     consumer: Option[String] = None): Option[(Long, Long)] =
+    refreshImpl(spark, sourceRoot, viewRoot, None, groupCols,
+      measures, extrema = true, consumer)
 
   private def refreshImpl(spark: SparkSession, sourceRoot: String,
                           viewRoot: String, keysOpt: Option[Seq[String]],
-                          groupCols: Seq[String], measure: String,
+                          groupCols: Seq[String], measures: Seq[String],
                           extrema: Boolean,
                           consumer: Option[String] = None): Option[(Long, Long)] = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
-    require(!groupCols.contains(measure),
-      s"measure $measure cannot also be a group column")
+    require(measures.nonEmpty, "measures must be non-empty")
+    require(measures.distinct == measures, s"duplicate measures: $measures")
+    measures.foreach(m => require(!groupCols.contains(m),
+      s"measure $m cannot also be a group column"))
     val toV = SnapshotLog.currentVersion(spark, sourceRoot)
       .getOrElse(return None) // source doesn't exist yet — nothing to do
     val fromV = SnapshotLog.lastBatchId(spark, viewRoot).getOrElse(0L)
@@ -182,16 +241,16 @@ object IncrementalView {
     val next =
       if (fromV == 0L) {
         // bootstrap: the one full aggregate of the view's lifetime
-        if (extrema) aggregateWithExtrema(sourceAtTo, groupCols, measure)
-        else aggregate(sourceAtTo, groupCols, measure)
+        if (extrema) aggregateMultiWithExtrema(sourceAtTo, groupCols, measures)
+        else aggregateMulti(sourceAtTo, groupCols, measures)
       } else {
         val delta = keysOpt match {
           case Some(keys) => contributions(
             SnapshotLog.changesBetween(spark, sourceRoot, fromV, toV, keys),
-            keys, groupCols, measure)
+            keys, groupCols, measures)
           case None => ridContributions(
             SnapshotLog.changesByRowId(spark, sourceRoot, fromV, toV),
-            groupCols, measure)
+            groupCols, measures)
         }
         val view = SnapshotLog.read(spark, viewRoot)
         // null-safe equi-join: a NULL group value is a real group
@@ -200,12 +259,14 @@ object IncrementalView {
           .select(
             groupCols.map(c => coalesce(delta(c), view(c)).as(c)) ++ Seq(
               (coalesce(view("n_rows"), lit(0L)) +
-               coalesce(delta("d_rows"), lit(0L))).as("n_rows"),
-              (coalesce(view(sumCol(measure)), lit(0).cast("decimal(38,6)")) +
-               coalesce(delta("d_sum"), lit(0).cast("decimal(38,6)")))
-                .cast("decimal(38,6)").as(sumCol(measure))) ++
-              (if (extrema) Seq(view(minCol(measure)).as(minCol(measure)),
-                                view(maxCol(measure)).as(maxCol(measure)))
+               coalesce(delta("d_rows"), lit(0L))).as("n_rows")) ++
+              measures.map(m =>
+                (coalesce(view(sumCol(m)), zeroDec) +
+                 coalesce(delta(dSumCol(m)), zeroDec))
+                  .cast(Dec).as(sumCol(m))) ++
+              (if (extrema) measures.flatMap(m => Seq(
+                 view(minCol(m)).as(minCol(m)),
+                 view(maxCol(m)).as(maxCol(m))))
                else Nil): _*)
           .filter(col("n_rows") > 0) // emptied groups leave the view
         if (!extrema) mergedBase
@@ -217,25 +278,27 @@ object IncrementalView {
           // source, and file-skipping stats prune further.
           val touched = delta.select(groupCols.map(col): _*).distinct()
           val semiCond = groupCols.map(c => sourceAtTo(c) <=> touched(c)).reduce(_ && _)
-          val fresh = aggregateWithExtrema(
+          val fresh = aggregateMultiWithExtrema(
             sourceAtTo.join(touched, semiCond, "left_semi"),
-            groupCols, measure)
-            .select(groupCols.map(col) :+ col(minCol(measure)) :+
-              col(maxCol(measure)) :+ lit(true).as("__touched"): _*)
+            groupCols, measures)
+            .select(groupCols.map(col) ++
+              measures.flatMap(m => Seq(col(minCol(m)), col(maxCol(m)))) :+
+              lit(true).as("__touched"): _*)
           val cond2 = groupCols.map(c => mergedBase(c) <=> fresh(c)).reduce(_ && _)
           mergedBase.join(fresh, cond2, "left_outer")
             .select(
               groupCols.map(c => mergedBase(c).as(c)) ++ Seq(
-                mergedBase("n_rows").as("n_rows"),
-                mergedBase(sumCol(measure)).as(sumCol(measure)),
+                mergedBase("n_rows").as("n_rows")) ++
+                measures.map(m => mergedBase(sumCol(m)).as(sumCol(m))) ++
                 // a touched group ALWAYS takes the fresh value — which
                 // may legitimately be NULL when every remaining measure
                 // is NULL — so choose by recompute MEMBERSHIP (the
                 // __touched flag), never by value coalescing
-                when(fresh("__touched"), fresh(minCol(measure)))
-                  .otherwise(mergedBase(minCol(measure))).as(minCol(measure)),
-                when(fresh("__touched"), fresh(maxCol(measure)))
-                  .otherwise(mergedBase(maxCol(measure))).as(maxCol(measure))): _*)
+                measures.flatMap(m => Seq(
+                  when(fresh("__touched"), fresh(minCol(m)))
+                    .otherwise(mergedBase(minCol(m))).as(minCol(m)),
+                  when(fresh("__touched"), fresh(maxCol(m)))
+                    .otherwise(mergedBase(maxCol(m))).as(maxCol(m)))): _*)
         }
       }
     SnapshotLog.replaceBatch(spark, viewRoot, next, batchId = toV) match {

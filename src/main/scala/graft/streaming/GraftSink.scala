@@ -69,7 +69,8 @@ private[streaming] class GraftSink(root: String, mode: String,
                                    partitionCol: Option[String],
                                    mor: Boolean,
                                    statsCols: Seq[String],
-                                   bloomCols: Seq[String]) extends Sink {
+                                   bloomCols: Seq[String],
+                                   annRefresh: Option[String]) extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val spark = data.sparkSession
@@ -100,7 +101,39 @@ private[streaming] class GraftSink(root: String, mode: String,
       case other => throw new IllegalArgumentException(
         s"graft sink mode '$other' — use append, upsert, overwrite, or replace")
     }
+    refreshIndexes(spark)
   }
+
+  /** `.option("annRefresh", "true"|"ivf,ivfpq")` — bring the table's
+    * persisted ANN indexes to the head after every committed batch, so
+    * queries through the index never hit the staleness refusal. Cheap
+    * by construction: appends assign only the batch (O(batch)), keyed
+    * merges tombstone + re-assign only the files they touched. A
+    * replayed batch is a version-compare no-op. Refresh failures are
+    * logged, never fail the batch (the data committed; `knn` still
+    * refuses the stale index loudly, so nothing silently lies) — the
+    * compactMor auto-maintenance contract.
+    */
+  private def refreshIndexes(spark: org.apache.spark.sql.SparkSession): Unit =
+    annRefresh.foreach { spec =>
+      val names = spec.trim.toLowerCase match {
+        case "true" | "all" =>
+          val dir = new org.apache.hadoop.fs.Path(
+            root.replaceAll("/+$", ""), "_graft_ann")
+          val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!f.exists(dir)) Nil
+          else f.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName).toSeq
+        case _ => spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      }
+      names.foreach { n =>
+        try graft.engine.AnnIndex.refresh(spark, root, n)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[graft] annRefresh '$n' failed (index left stale): $e")
+        }
+      }
+    }
 
   override def toString: String = s"GraftSink[$mode -> $root]"
 }
@@ -178,7 +211,8 @@ private[streaming] object GraftSink {
         s"graft sink mode '$other' — use append, upsert, overwrite, or replace")
     }
     new GraftSink(root, mode, keys, partCol, mor,
-      listOf("statsCols"), listOf("bloomCols"))
+      listOf("statsCols"), listOf("bloomCols"),
+      parameters.get("annRefresh").filter(_.nonEmpty))
   }
 }
 

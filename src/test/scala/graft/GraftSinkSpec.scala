@@ -307,4 +307,36 @@ class GraftSinkSpec extends SparkSpecBase {
         .option("checkpointLocation", s"$dir/ck4").start(s"$dir/t4")
     }
   }
+
+  test("annRefresh option: the sink keeps the persisted ANN index at the head") {
+    val dir = dirFor("annref")
+    val root = s"$dir/emb"
+    def vec(id: Long): Seq[Float] = {
+      val axis = (id % 4).toInt
+      (0 until 8).map(d => if (d == axis) 1f else 0.01f * ((id + d) % 7))
+    }
+    // seed the table and build the index OUTSIDE the stream
+    SnapshotLog.commit(spark, root,
+      (0L until 40L).map(i => (i, vec(i))).toDF("vec_id", "embedding"),
+      statsCols = Seq("vec_id"))
+    graft.engine.AnnIndex.build(spark, root, k = 4)
+    val stream = MemoryStream[(Long, Seq[Float])](spark)
+    val q = stream.toDF().toDF("vec_id", "embedding").writeStream
+      .format("graft").option("annRefresh", "true")
+      .option("checkpointLocation", s"$dir/ckpt").start(root)
+    stream.addData((1000L, vec(1000L)), (1001L, vec(1001L)))
+    q.processAllAvailable()
+    stream.addData((1002L, vec(1002L)))
+    q.processAllAvailable()
+    q.stop()
+    // the index followed every committed batch — no staleness refusal,
+    // and the streamed vectors are probeable immediately
+    val m = graft.engine.AnnIndex.model(spark, root, "ivf").get
+    assert(m.indexedVersion == SnapshotLog.currentVersion(spark, root).get,
+      "sink did not refresh the index to the head")
+    val got = graft.engine.AnnIndex
+      .knn(spark, root, vec(1002L), k = 43, nprobe = 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got.size == 43 && got.contains(1002L), s"streamed row missing")
+  }
 }

@@ -170,6 +170,62 @@ class IncrementalViewSpec extends SparkSpecBase {
         SnapshotLog.read(spark, source), Seq("grp"), "amt")))
   }
 
+  test("multi-measure views: several sums (and extrema) maintained in one pass") {
+    val source = freshRoot("msrc"); val view = freshRoot("mview")
+    val viewX = freshRoot("mviewx")
+    def src2(rows: (Int, String, java.lang.Double, java.lang.Double)*): DataFrame =
+      rows.toSeq.toDF("id", "grp", "amt", "qty")
+    def expect() = IncrementalView.aggregateMulti(
+      SnapshotLog.read(spark, source), Seq("grp"), Seq("amt", "qty"))
+    def expectX() = IncrementalView.aggregateMultiWithExtrema(
+      SnapshotLog.read(spark, source), Seq("grp"), Seq("amt", "qty"))
+    def canonM(df: DataFrame) = df
+      .selectExpr("grp", "n_rows", "sum_amt", "sum_qty")
+      .collect().map(_.toSeq.map(Option(_))).toSet
+    def canonMX(df: DataFrame) = df
+      .selectExpr("grp", "n_rows", "sum_amt", "sum_qty",
+        "min_amt", "max_amt", "min_qty", "max_qty")
+      .collect().map(_.toSeq.map(Option(_))).toSet
+    SnapshotLog.commit(spark, source,
+      src2((1, "a", 10.0, 2.0), (2, "a", 3.0, null), (3, "b", 7.0, 1.0)))
+    IncrementalView.refreshMulti(spark, source, view, Seq("id"),
+      Seq("grp"), Seq("amt", "qty"))
+    IncrementalView.refreshMultiWithExtrema(spark, source, viewX, Seq("id"),
+      Seq("grp"), Seq("amt", "qty"))
+    assert(canonM(SnapshotLog.read(spark, view)) == canonM(expect()))
+    assert(canonMX(SnapshotLog.read(spark, viewX)) == canonMX(expectX()))
+    // value change + group move + delete + insert, both measures at once
+    SnapshotLog.upsert(spark, source,
+      src2((2, "b", 4.0, 5.0), (4, "c", 1.0, 9.0)), Seq("id"))
+    SnapshotLog.deleteByKey(spark, source, Seq(3).toDF("id"), Seq("id"))
+    IncrementalView.refreshMulti(spark, source, view, Seq("id"),
+      Seq("grp"), Seq("amt", "qty"))
+    IncrementalView.refreshMultiWithExtrema(spark, source, viewX, Seq("id"),
+      Seq("grp"), Seq("amt", "qty"))
+    assert(canonM(SnapshotLog.read(spark, view)) == canonM(expect()))
+    assert(canonMX(SnapshotLog.read(spark, viewX)) == canonMX(expectX()))
+    // the keyless multi-measure twin reconciles off identity CDC
+    val rsrc = freshRoot("msrcr"); val rview = freshRoot("mviewr")
+    SnapshotLog.commit(spark, rsrc,
+      src2((1, "a", 10.0, 2.0), (2, "b", 3.0, 4.0)), statsCols = Seq("id"))
+    SnapshotLog.enableRowTracking(spark, rsrc)
+    IncrementalView.refreshByRowIdMulti(spark, rsrc, rview,
+      Seq("grp"), Seq("amt", "qty"))
+    SnapshotLog.appendCommit(spark, rsrc, src2((3, "a", 1.0, 1.0)))
+    SnapshotLog.tombstoneDelete(spark, rsrc, Seq(2).toDF("id"), Seq("id"))
+    IncrementalView.refreshByRowIdMulti(spark, rsrc, rview,
+      Seq("grp"), Seq("amt", "qty"))
+    assert(canonM(SnapshotLog.read(spark, rview)) ==
+      canonM(IncrementalView.aggregateMulti(
+        SnapshotLog.read(spark, rsrc), Seq("grp"), Seq("amt", "qty"))))
+    // a measure overlapping the group columns refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      IncrementalView.refreshMulti(spark, source, freshRoot("bad"),
+        Seq("id"), Seq("grp"), Seq("amt", "grp"))
+    }
+    assert(e.getMessage.contains("group column"))
+  }
+
   test("an opted-in view pins the source against vacuum and keeps reconciling") {
     val source = freshRoot("psrc"); val view = freshRoot("pview")
     SnapshotLog.commit(spark, source,

@@ -115,6 +115,18 @@ object AnnIndex {
       m.indexedVersion)
   }
 
+  /** Every persisted index of the table, by name — the DESCRIBE-style
+    * listing (a dir scan of `_graft_ann/` plus one tiny MODEL read per
+    * index; no data IO).
+    */
+  def indexes(spark: SparkSession, root: String): Seq[(String, Model)] = {
+    val base = new Path(root.replaceAll("/+$", ""), "_graft_ann")
+    val f = fs(spark, base)
+    if (!f.exists(base)) return Nil
+    f.listStatus(base).filter(_.isDirectory).map(_.getPath.getName).sorted
+      .flatMap(n => model(spark, root, n).map(n -> _)).toSeq
+  }
+
   /** Delete the index sidecar and release its vacuum pin. */
   def drop(spark: SparkSession, root: String, name: String = "ivf"): Unit = {
     val dir = annDir(root, name)

@@ -28,8 +28,8 @@ object GraftProcedures {
         "purge_deleted", "add_generated", "drop_generated", "generated_cols",
         "add_identity", "drop_identity", "sync_identity",
         "enable_row_tracking", "repartition", "ann_build", "ann_refresh",
-        "ann_compact", "add_constraint", "drop_constraint", "constraints",
-        "audit")
+        "ann_compact", "ann_indexes", "mv_refresh", "add_constraint",
+        "drop_constraint", "constraints", "audit")
 
   def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -59,6 +59,8 @@ object GraftProcedures {
       case "ann_build"           => Some(new AnnBuildProc(cat))
       case "ann_refresh"         => Some(new AnnRefreshProc(cat))
       case "ann_compact"         => Some(new AnnCompactProc(cat))
+      case "ann_indexes"         => Some(new AnnIndexesProc(cat))
+      case "mv_refresh"          => Some(new MvRefreshProc(cat))
       case "convert_parquet"     => Some(new ConvertParquet(cat))
       case "vacuum_dry_run"      => Some(new VacuumDryRun(cat))
       case "add_constraint"      => Some(new AddConstraintProc(cat))
@@ -637,6 +639,80 @@ object GraftProcedures {
     override def call(input: InternalRow): JIterator[Scan] = {
       val v = graft.engine.AnnIndex.refresh(spark, root(input))
       scanOf(out, Seq(new GenericInternalRow(Array[Any](v))))
+    }
+  }
+
+  /** `CALL c.system.ann_indexes(table)` — every persisted ANN index of
+    * the table with its freshness: a metadata-only listing (one tiny
+    * MODEL read per index, no data IO).
+    */
+  private final class AnnIndexesProc(cat: GraftCatalog)
+      extends Proc(cat, "ann_indexes") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType))
+    private val out = StructType(Seq(
+      StructField("name", StringType), StructField("kind", StringType),
+      StructField("k", IntegerType), StructField("dim", IntegerType),
+      StructField("indexed_version", LongType),
+      StructField("table_version", LongType),
+      StructField("stale", BooleanType)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val r = root(input)
+      val head = graft.sources.SnapshotLog.currentVersion(spark, r)
+        .getOrElse(0L)
+      val rows = graft.engine.AnnIndex.indexes(spark, r).map { case (n, m) =>
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(n), UTF8String.fromString(m.kind),
+          m.k, m.dim, m.indexedVersion, head,
+          m.indexedVersion != head)): InternalRow
+      }
+      scanOf(out, rows)
+    }
+  }
+
+  /** `CALL c.system.mv_refresh(source, view, group_cols, measures,
+    * keys, extrema, consumer)` — bring an incremental materialized
+    * view to the source head through SQL ([[graft.sources.IncrementalView]]):
+    * `keys` comma-separated for the keyed CDC feed, or '' for the
+    * KEYLESS identity feed (row-tracked sources); `extrema` adds
+    * min/max maintenance; `consumer` ('' = none) registers a vacuum
+    * pin on the source that advances with the view. Returns the
+    * applied (from, to] version range, or NULLs when already current.
+    */
+  private final class MvRefreshProc(cat: GraftCatalog)
+      extends Proc(cat, "mv_refresh") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("source_table", StringType), param("view_table", StringType),
+        param("group_cols", StringType), param("measures", StringType),
+        param("keys", StringType), param("extrema", BooleanType),
+        param("consumer", StringType))
+    private val out = StructType(Seq(
+      StructField("from_version", LongType), StructField("to_version", LongType)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val src = cat.rootOf(input.getUTF8String(0).toString)
+      val dst = cat.rootOf(input.getUTF8String(1).toString)
+      def listOf(i: Int): Seq[String] = input.getUTF8String(i).toString
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val (groupCols, measures, keys) = (listOf(2), listOf(3), listOf(4))
+      val extrema = input.getBoolean(5)
+      val consumer = Some(input.getUTF8String(6).toString.trim)
+        .filter(_.nonEmpty)
+      val iv = graft.sources.IncrementalView
+      val applied = (keys.nonEmpty, extrema) match {
+        case (true, false) => iv.refreshMulti(spark, src, dst, keys,
+          groupCols, measures, consumer)
+        case (true, true) => iv.refreshMultiWithExtrema(spark, src, dst,
+          keys, groupCols, measures, consumer)
+        case (false, false) => iv.refreshByRowIdMulti(spark, src, dst,
+          groupCols, measures, consumer)
+        case (false, true) => iv.refreshByRowIdMultiWithExtrema(spark, src,
+          dst, groupCols, measures, consumer)
+      }
+      val row = applied match {
+        case Some((f, t)) => new GenericInternalRow(Array[Any](f, t))
+        case None => new GenericInternalRow(Array[Any](null, null))
+      }
+      scanOf(out, Seq(row))
     }
   }
 

@@ -776,6 +776,78 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"exact-axis appends must win the axis query: ${hit2.toSeq}")
   }
 
+  test("mv_refresh: incremental materialized views maintained through SQL (round 13)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
+    sql("CREATE TABLE graft.ns.facts (id INT, grp STRING, amt DOUBLE, qty DOUBLE)")
+    sql("""INSERT INTO graft.ns.facts VALUES
+           (1,'a',10.0,2.0),(2,'a',3.0,1.0),(3,'b',7.0,4.0)""")
+    def expectRows = sql(
+      """SELECT grp, count(*) AS n_rows,
+                CAST(sum(coalesce(amt, 0)) AS DECIMAL(38,6)) AS sum_amt,
+                CAST(sum(coalesce(qty, 0)) AS DECIMAL(38,6)) AS sum_qty
+         FROM graft.ns.facts GROUP BY grp""")
+      .collect().map(_.toSeq.map(Option(_))).toSet
+    def mvRows = sql(
+      "SELECT grp, n_rows, sum_amt, sum_qty FROM graft.ns.facts_mv")
+      .collect().map(_.toSeq.map(Option(_))).toSet
+    val r1 = sql("""CALL graft.system.mv_refresh('ns.facts', 'ns.facts_mv',
+           'grp', 'amt,qty', 'id', false, 'mv_facts')""").collect().head
+    assert(!r1.isNullAt(1) && mvRows == expectRows)
+    // churn every way, refresh again, the pin followed the view
+    sql("INSERT INTO graft.ns.facts VALUES (4,'b',1.0,1.0)")
+    sql("UPDATE graft.ns.facts SET grp = 'c' WHERE id = 1")
+    sql("DELETE FROM graft.ns.facts WHERE id = 2")
+    sql("""CALL graft.system.mv_refresh('ns.facts', 'ns.facts_mv',
+           'grp', 'amt,qty', 'id', false, 'mv_facts')""").collect()
+    assert(mvRows == expectRows)
+    val pins = sql("CALL graft.system.consumers('ns.facts')")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pins.get("mv_facts").contains(
+      SnapshotLog.currentVersion(spark, root("facts")).get))
+    // already current → NULL range, view untouched
+    val r3 = sql("""CALL graft.system.mv_refresh('ns.facts', 'ns.facts_mv',
+           'grp', 'amt,qty', 'id', false, '')""").collect().head
+    assert(r3.isNullAt(0) && r3.isNullAt(1))
+    // KEYLESS form (keys = '') over a row-tracked source, with extrema
+    sql("CREATE TABLE graft.ns.kfacts (id INT, grp STRING, amt DOUBLE)")
+    sql("INSERT INTO graft.ns.kfacts VALUES (1,'a',5.0),(2,'b',2.0)")
+    sql("CALL graft.system.enable_row_tracking('ns.kfacts')")
+    sql("""CALL graft.system.mv_refresh('ns.kfacts', 'ns.kfacts_mv',
+           'grp', 'amt', '', true, '')""").collect()
+    sql("INSERT INTO graft.ns.kfacts VALUES (3,'a',1.0)")
+    sql("DELETE FROM graft.ns.kfacts WHERE id = 2")
+    sql("""CALL graft.system.mv_refresh('ns.kfacts', 'ns.kfacts_mv',
+           'grp', 'amt', '', true, '')""").collect()
+    val kGot = sql(
+      "SELECT grp, n_rows, sum_amt, min_amt, max_amt FROM graft.ns.kfacts_mv")
+      .collect().map(_.toSeq.map(Option(_))).toSet
+    val kExp = sql(
+      """SELECT grp, count(*) AS n_rows,
+                CAST(sum(coalesce(amt, 0)) AS DECIMAL(38,6)) AS sum_amt,
+                min(amt) AS min_amt, max(amt) AS max_amt
+         FROM graft.ns.kfacts GROUP BY grp""")
+      .collect().map(_.toSeq.map(Option(_))).toSet
+    assert(kGot == kExp)
+  }
+
+  test("ann_indexes: freshness observability for every persisted index") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
+    sql("CREATE TABLE graft.ns.emb3 (vec_id BIGINT, embedding ARRAY<FLOAT>)")
+    sql("""INSERT INTO graft.ns.emb3
+           SELECT id, transform(sequence(0, 7), d ->
+             cast(if(d = id % 4, 1.0, 0.0) AS FLOAT)) FROM range(40)""")
+    sql("CALL graft.system.ann_build('ns.emb3', 'vec_id', 'embedding', 4)")
+    def listing() = sql("CALL graft.system.ann_indexes('ns.emb3')")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(6)))
+    assert(listing().toSeq == Seq(("ivf", "ivf", false)))
+    sql("""INSERT INTO graft.ns.emb3
+           SELECT id + 100, transform(sequence(0, 7), d ->
+             cast(if(d = 0, 2.0, 0.0) AS FLOAT)) FROM range(2)""")
+    assert(listing().toSeq == Seq(("ivf", "ivf", true)), "append not seen as stale")
+    sql("CALL graft.system.ann_refresh('ns.emb3')")
+    assert(listing().toSeq == Seq(("ivf", "ivf", false)))
+  }
+
   test("ann_knn TVF + ann_compact: index queries and maintenance stay in SQL (round 13)") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
     sql("CREATE TABLE graft.ns.emb2 (vec_id BIGINT, embedding ARRAY<FLOAT>)")

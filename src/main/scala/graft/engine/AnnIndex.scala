@@ -421,7 +421,28 @@ object AnnIndex {
     */
   def knn(spark: SparkSession, root: String, query: Seq[Float], k: Int,
           name: String = "ivf", nprobe: Int = 3,
-          shortlist: Int = 100): DataFrame = {
+          shortlist: Int = 100): DataFrame =
+    knnImpl(spark, root, query, k, name, nprobe, shortlist, None)
+
+  /** FILTERED top-k through the index (hybrid search): as [[knn]], but
+    * only rows whose TABLE row satisfies `predicate` compete. The
+    * filter runs as its own pushed-down table scan (file-skipping
+    * stats and partition pruning apply) producing just the id column,
+    * semi-joined to the probed assignments BEFORE ranking — so the
+    * only recall loss is the nprobe probe itself, never the filter
+    * (post-ranking filters starve top-k under selective predicates;
+    * pre-ranking ones cannot). For the ivfpq kind the ADC shortlist is
+    * likewise taken after the filter join, so a 0.1%-selective
+    * predicate still fills the shortlist with qualifying rows.
+    */
+  def knnWhere(spark: SparkSession, root: String, query: Seq[Float],
+               k: Int, predicate: Column, name: String = "ivf",
+               nprobe: Int = 3, shortlist: Int = 100): DataFrame =
+    knnImpl(spark, root, query, k, name, nprobe, shortlist, Some(predicate))
+
+  private def knnImpl(spark: SparkSession, root: String, query: Seq[Float],
+                      k: Int, name: String, nprobe: Int, shortlist: Int,
+                      pred: Option[Column]): DataFrame = {
     VectorFunctions.register(spark)
     val m = model(spark, root, name).getOrElse(throw new IllegalStateException(
       s"no ANN index '$name' at $root — AnnIndex.build first"))
@@ -435,8 +456,18 @@ object AnnIndex {
       m.centroids(c).zip(q).map { case (a, b) => a * b }.sum
     val cells = m.centroids.indices.sortBy(c => -qDotCent(c)).take(nprobe)
     val lit32 = typedLit(query.toArray).cast("array<float>")
-    val probed = assignments(spark, root, name, m)
+    val probed0 = assignments(spark, root, name, m)
       .filter(col("cell").isin(cells.map(x => x: Any): _*))
+    // hybrid filter: qualifying ids from the table's own pruned scan,
+    // semi-joined in BEFORE any ranking; AQE picks the join strategy
+    // from the filtered side's runtime size
+    val probed = pred match {
+      case None => probed0
+      case Some(p) =>
+        val allowed = SnapshotLog.readVersion(spark, root, cur)
+          .filter(p).select(col(m.idCol))
+        probed0.join(allowed, Seq(m.idCol), "left_semi")
+    }
     m.pq match {
       case None =>
         probed

@@ -572,17 +572,26 @@ object GraftSqlRule {
             case n => n.toString.toFloat
           }.toSeq
     }
-    require(args.length == 3 || args.length == 5,
-      "ann_knn(table, query, k[, index_name, nprobe]) takes 3 or 5 " +
-      s"arguments, got ${args.length}")
+    require(args.length == 3 || args.length == 5 || args.length == 6,
+      "ann_knn(table, query, k[, index_name, nprobe[, where_sql]]) " +
+      s"takes 3, 5 or 6 arguments, got ${args.length}")
     val root = resolveGraftRoot(session, str(args(0), "table name"), "ann_knn")
     val q = vecOf(args(1))
     val k = int(args(2), "k")
     val (name, nprobe) =
-      if (args.length == 5) (str(args(3), "index_name"), int(args(4), "nprobe"))
+      if (args.length >= 5) (str(args(3), "index_name"), int(args(4), "nprobe"))
       else ("ivf", 3)
-    graft.engine.AnnIndex.knn(session, root, q, k, name, nprobe)
-      .queryExecution.analyzed
+    // 6-arg form: hybrid search — a SQL predicate over the TABLE's
+    // columns restricts which rows compete (filter-before-rank)
+    val whereSql = if (args.length == 6)
+      Some(str(args(5), "where_sql")).filter(_.trim.nonEmpty) else None
+    whereSql match {
+      case Some(w) => graft.engine.AnnIndex.knnWhere(session, root, q, k,
+        org.apache.spark.sql.functions.expr(w), name, nprobe)
+        .queryExecution.analyzed
+      case None => graft.engine.AnnIndex.knn(session, root, q, k, name, nprobe)
+        .queryExecution.analyzed
+    }
   }
 
   /** Resolve a (possibly catalog-qualified) table name string to its

@@ -271,6 +271,34 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(got2 == exactTopK(root, q, 100))
   }
 
+  test("knnWhere: hybrid search filters BEFORE ranking, exact under full probe") {
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root, vecs(200), statsCols = Seq("vec_id"))
+    AnnIndex.build(spark, root, k = 4)
+    val q = vecs(1, offset = 123).select("embedding").head().getSeq[Float](0)
+    import org.apache.spark.sql.functions._
+    // probing ALL cells makes the filtered search exact: parity with
+    // filter-then-rank brute force, for both a mild and a selective
+    // predicate (a post-ranking filter would starve the selective one)
+    for (mod <- Seq(2L, 25L)) {
+      val got = ids(AnnIndex.knnWhere(spark, root, q, k = 5,
+        col("vec_id") % mod === 0, nprobe = 4))
+      graft.functions.VectorFunctions.register(spark)
+      val want = ids(SnapshotLog.read(spark, root)
+        .filter(col("vec_id") % mod === 0)
+        .withColumn("score", call_function("vec_dot", col("embedding"),
+          typedLit(q.toArray).cast("array<float>")))
+        .orderBy(desc("score"), col("vec_id")).limit(5))
+      assert(got == want, s"mod=$mod: $got != $want")
+      assert(got.forall(_ % mod == 0))
+    }
+    // the ivfpq kind filters before its ADC shortlist too
+    AnnIndex.buildPq(spark, root, kCells = 4, m = 4, kPq = 8)
+    val gotPq = ids(AnnIndex.knnWhere(spark, root, q, k = 5,
+      col("vec_id") % 25 === 0, name = "ivfpq", nprobe = 4, shortlist = 300))
+    assert(gotPq.size == 5 && gotPq.forall(_ % 25 == 0), gotPq.toString)
+  }
+
   test("the index pins its indexed version: vacuum cannot break the incremental diff") {
     val root = freshRoot()
     SnapshotLog.commit(spark, root, vecs(60).repartition(1),

@@ -887,6 +887,13 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT * FROM ann_knn('graft.ns.emb2', '1,0,0,0,0,0,0,0', 79)")
       .collect().map(_.getLong(0)).toSeq
     assert(!after.contains(victim) && after.distinct.size == after.size)
+    // 6-arg form: hybrid search with a SQL predicate over table columns
+    val filtered = sql(
+      "SELECT * FROM ann_knn('graft.ns.emb2', '1,0,0,0,0,0,0,0', 5, " +
+      "'ivf', 2, 'vec_id % 2 = 0')")
+      .collect().map(_.getLong(0)).toSeq
+    assert(filtered.size == 5 && filtered.forall(_ % 2 == 0),
+      filtered.toString)
     // compaction through SQL: one merged slice, same answers
     val v = sql("CALL graft.system.ann_compact('ns.emb2')")
       .collect().head.getLong(0)

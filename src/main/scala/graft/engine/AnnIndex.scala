@@ -59,11 +59,19 @@ import graft.sources.SnapshotLog
   */
 object AnnIndex {
 
+  /** `slices` is the PUBLISHED live slice list — the MODEL file is the
+    * index's atomic pointer: readers union exactly these dirs, so a
+    * crashed maintenance pass (staged dirs written, MODEL not swapped,
+    * or retired dirs not yet deleted) can never surface missing or
+    * orphan assignments. None = a pre-pointer legacy model; readers
+    * fall back to the version-filtered dir listing.
+    */
   final case class Model(kind: String, k: Int, dim: Int,
                          indexedVersion: Long, idCol: String,
                          vecCol: String,
                          centroids: Array[Array[Double]],
-                         pq: Option[EmbedOps.PqModel] = None)
+                         pq: Option[EmbedOps.PqModel] = None,
+                         slices: Option[Seq[String]] = None)
 
   private def annDir(root: String, name: String): Path =
     new Path(new Path(root.replaceAll("/+$", ""), "_graft_ann"), name)
@@ -72,7 +80,7 @@ object AnnIndex {
   private def assignDirName(v: Long): String = f"assign_v$v%08d"
   private def tombDirName(v: Long): String = f"tomb_v$v%08d"
   private def sliceVersion(name: String): Long =
-    name.dropWhile(!_.isDigit).toLong
+    name.dropWhile(!_.isDigit).takeWhile(_.isDigit).toLong
 
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -100,7 +108,8 @@ object AnnIndex {
       } ++
       m.pq.toSeq.flatMap(p => Seq(
         s"pq=${p.m},${p.k},${p.dsub}",
-        s"codebook=${p.centroids.mkString(",")}"))).mkString("\n")
+        s"codebook=${p.centroids.mkString(",")}")) ++
+      m.slices.toSeq.map(ls => s"slices=${ls.mkString(",")}")).mkString("\n")
     val tmp = new Path(p.getParent, ".tmp_model")
     val out = f.create(tmp, true)
     try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -158,8 +167,11 @@ object AnnIndex {
         cb.split(",").map(_.toFloat) }.get
       EmbedOps.PqModel(m, k, dsub, codebook)
     }
+    val slices = kv.collectFirst { case ("slices", ls) =>
+      ls.split(",").map(_.trim).filter(_.nonEmpty).toSeq }
     Some(Model(v("kind"), v("k").toInt, v("dim").toInt,
-      v("indexedVersion").toLong, v("idCol"), v("vecCol"), cents, pq))
+      v("indexedVersion").toLong, v("idCol"), v("vecCol"), cents, pq,
+      slices))
   }
 
   /** Build (or rebuild from scratch) the index over the table's current
@@ -174,6 +186,9 @@ object AnnIndex {
       throw new IllegalStateException(s"no committed version at $root"))
     val corpus = SnapshotLog.readVersion(spark, root, cur)
       .filter(col(vecCol).isNotNull)
+    require(!corpus.isEmpty,
+      s"cannot build ANN index '$name': no non-null '$vecCol' vectors " +
+      s"at $root v$cur (an empty index has nothing to train on)")
     val (assigned, cents) =
       EmbedOps.ivfBuildSampled(corpus, k, iters, maxTrain, idCol, vecCol)
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
@@ -183,7 +198,8 @@ object AnnIndex {
     writeAssignments(assigned, new Path(dir, assignDirName(cur)),
       idCol, vecCol)
     writeModel(spark, root, name,
-      Model("ivf", k, dim, cur, idCol, vecCol, cents))
+      Model("ivf", k, dim, cur, idCol, vecCol, cents,
+        slices = Some(Seq(assignDirName(cur)))))
     cur
   }
 
@@ -210,6 +226,9 @@ object AnnIndex {
       throw new IllegalStateException(s"no committed version at $root"))
     val corpus = SnapshotLog.readVersion(spark, root, cur)
       .filter(col(vecCol).isNotNull)
+    require(!corpus.isEmpty,
+      s"cannot build ANN index '$name': no non-null '$vecCol' vectors " +
+      s"at $root v$cur (an empty index has nothing to train on)")
     val (encoded, index) = EmbedOps.ivfPqBuildSampled(corpus, kCells, m,
       kPq, cellIters, pqIters, maxTrain, idCol, vecCol)
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
@@ -218,7 +237,8 @@ object AnnIndex {
     if (f.exists(dir)) f.delete(dir, true)
     writeCodeAssignments(encoded, new Path(dir, assignDirName(cur)), idCol)
     writeModel(spark, root, name, Model("ivfpq", kCells, dim, cur, idCol,
-      vecCol, index.cells, Some(index.model)))
+      vecCol, index.cells, Some(index.model),
+      slices = Some(Seq(assignDirName(cur)))))
     cur
   }
 
@@ -272,10 +292,16 @@ object AnnIndex {
       s"v$cur — the table was restored behind the index; rebuild")
     val dir = annDir(root, name)
     val f = fs(spark, dir)
-    // sweep orphan slices of a crashed refresh (written but never
-    // published — readers already ignore them via the version filter)
-    sliceDirs(spark, dir).filter(p => sliceVersion(p.getName) > m.indexedVersion)
-      .foreach(f.delete(_, true))
+    // the published live-slice list (the MODEL pointer); legacy models
+    // fall back to the version-filtered dir listing
+    val live: Seq[String] = m.slices.getOrElse(
+      sliceDirs(spark, dir).map(_.getName)
+        .filter(sliceVersion(_) <= m.indexedVersion).sorted.toSeq)
+    // sweep orphans of a crashed maintenance pass (staged or written
+    // but never published — readers already ignore them: they only
+    // union the published list)
+    sliceDirs(spark, dir).map(_.getName).filterNot(live.contains)
+      .foreach(n => f.delete(new Path(dir, n), true))
     val fromDirs = SnapshotLog.dirsOf(spark, root, m.indexedVersion)
     val toDirs = SnapshotLog.dirsOf(spark, root, cur)
     // the raw-delta fast path requires a FLAT lineage: on merge-on-read
@@ -295,18 +321,28 @@ object AnnIndex {
       val rootPath = new Path(root.replaceAll("/+$", ""))
       val delta = toDirs.drop(fromDirs.size)
         .map(d => new Path(rootPath, d).toString)
+      var written = Seq.empty[String]
       if (delta.nonEmpty) {
-        val rows = spark.read.parquet(delta: _*)
-          .filter(col(m.vecCol).isNotNull)
-        writeSlice(encodeFor(spark, m, rows), new Path(dir, assignDirName(cur)))
+        // the visible slice read, NOT a raw parquet read: a
+        // column-mapped lineage stores PHYSICAL names, and the model's
+        // idCol/vecCol are logical — the pin translation lives there
+        val rows = SnapshotLog.verSliceOrEmpty(spark, root, cur, delta)
+          .filter(col(m.vecCol).isNotNull).persist()
+        try {
+          if (rows.count() > 0) {
+            writeSlice(encodeFor(spark, m, rows),
+              new Path(dir, assignDirName(cur)))
+            written = Seq(assignDirName(cur))
+          }
+        } finally rows.unpersist()
       }
-      writeModel(spark, root, name, m.copy(indexedVersion = cur))
+      writeModel(spark, root, name,
+        m.copy(indexedVersion = cur, slices = Some(live ++ written)))
       return cur
     }
     val (before, after, sliceFiles, totalFiles) =
       SnapshotLog.visibleSliceDiff(spark, root, m.indexedVersion, cur)
-    if (sliceFiles * 2 >= totalFiles ||
-        sliceDirs(spark, dir).length >= maxSlices)
+    if (sliceFiles * 2 >= totalFiles || live.length >= maxSlices)
       return compactTo(spark, root, name, m, cur)
     // FILE-GRANULAR maintenance: every id visible in the changed files
     // at the indexed version is tombstoned (deletes leave, rewrites
@@ -316,19 +352,25 @@ object AnnIndex {
     // persisted across their emptiness probe + write so each slice is
     // scanned ONCE (an empty frame must not be written — a part-less
     // parquet dir would break the readers' schema inference).
+    var written = Seq.empty[String]
     val tombIds = before.filter(col(m.vecCol).isNotNull)
       .select(col(m.idCol).as(TombIdCol)).distinct().persist()
     try {
-      if (tombIds.count() > 0)
+      if (tombIds.count() > 0) {
         tombIds.write.mode("overwrite")
           .parquet(new Path(dir, tombDirName(cur)).toString)
+        written :+= tombDirName(cur)
+      }
     } finally tombIds.unpersist()
     val adds = after.filter(col(m.vecCol).isNotNull).persist()
     try {
-      if (adds.count() > 0)
+      if (adds.count() > 0) {
         writeSlice(encodeFor(spark, m, adds), new Path(dir, assignDirName(cur)))
+        written :+= assignDirName(cur)
+      }
     } finally adds.unpersist()
-    writeModel(spark, root, name, m.copy(indexedVersion = cur))
+    writeModel(spark, root, name,
+      m.copy(indexedVersion = cur, slices = Some(live ++ written)))
     cur
   }
 
@@ -351,21 +393,47 @@ object AnnIndex {
     compactTo(spark, root, name, m, cur)
   }
 
+  /** One full re-assignment pass publishing through the MODEL pointer:
+    * stage, pick a free slice name, rename, SWAP the model (the atomic
+    * step — readers follow its slice list, so a crash anywhere leaves
+    * either the complete old index or the complete new one), THEN
+    * delete the retired dirs (best-effort; the next refresh sweeps any
+    * leftovers). A corpus with zero non-null vectors publishes an
+    * EMPTY slice list — knn answers empty instead of choking on a
+    * part-less parquet dir.
+    */
   private def compactTo(spark: SparkSession, root: String, name: String,
                         m: Model, cur: Long): Long = {
     val dir = annDir(root, name)
-    val corpus = SnapshotLog.readVersion(spark, root, cur)
-      .filter(col(m.vecCol).isNotNull)
-    val staged = new Path(dir, ".tmp_" + assignDirName(cur))
-    if (m.pq.isEmpty)
-      writeAssignments(encodeFor(spark, m, corpus), staged, m.idCol, m.vecCol)
-    else
-      writeCodeAssignments(encodeFor(spark, m, corpus), staged, m.idCol)
     val f = fs(spark, dir)
-    sliceDirs(spark, dir).foreach(f.delete(_, true))
-    if (!f.rename(staged, new Path(dir, assignDirName(cur))))
-      throw new IllegalStateException(s"could not publish $staged")
-    writeModel(spark, root, name, m.copy(indexedVersion = cur))
+    val corpus = SnapshotLog.readVersion(spark, root, cur)
+      .filter(col(m.vecCol).isNotNull).persist()
+    val slices: Seq[String] =
+      try {
+        if (corpus.count() == 0) Nil
+        else {
+          val staged = new Path(dir, ".tmp_" + assignDirName(cur))
+          if (m.pq.isEmpty)
+            writeAssignments(encodeFor(spark, m, corpus), staged,
+              m.idCol, m.vecCol)
+          else
+            writeCodeAssignments(encodeFor(spark, m, corpus), staged, m.idCol)
+          // a live slice may already hold this version's default name
+          // (an explicit compact after a same-version refresh) — pick
+          // the first free suffix instead of clobbering a published dir
+          val target = Iterator.from(0)
+            .map(i => if (i == 0) assignDirName(cur)
+                      else f"${assignDirName(cur)}_$i%d")
+            .find(n => !f.exists(new Path(dir, n))).get
+          if (!f.rename(staged, new Path(dir, target)))
+            throw new IllegalStateException(s"could not publish $staged")
+          Seq(target)
+        }
+      } finally corpus.unpersist()
+    writeModel(spark, root, name,
+      m.copy(indexedVersion = cur, slices = Some(slices)))
+    sliceDirs(spark, dir).map(_.getName).filterNot(slices.contains)
+      .foreach(n => f.delete(new Path(dir, n), true))
     cur
   }
 
@@ -387,8 +455,13 @@ object AnnIndex {
   private def assignments(spark: SparkSession, root: String,
                           name: String, m: Model): DataFrame = {
     val dir = annDir(root, name)
-    val live = sliceDirs(spark, dir)
-      .filter(p => sliceVersion(p.getName) <= m.indexedVersion)
+    // the PUBLISHED slice list is the read set (legacy models without
+    // one fall back to the version-filtered listing)
+    val live = m.slices match {
+      case Some(ls) => ls.map(n => new Path(dir, n))
+      case None => sliceDirs(spark, dir)
+        .filter(p => sliceVersion(p.getName) <= m.indexedVersion).toSeq
+    }
     val assigns = live.filter(_.getName.startsWith("assign_v"))
       .sortBy(_.getName)
     // one read per slice (each slice is its own cell-partitioned root;
@@ -451,6 +524,17 @@ object AnnIndex {
       s"ANN index '$name' covers v${m.indexedVersion} but the table is " +
       s"at v$cur — AnnIndex.refresh(...) first (a stale probe would " +
       "return deleted rows or miss fresh ones)")
+    // an index over zero vectors (every row deleted, then compacted)
+    // answers EMPTY instead of choking on a slice-less union
+    if (m.slices.exists(_.forall(!_.startsWith("assign_v")))) {
+      import org.apache.spark.sql.types._
+      val idType = SnapshotLog.readVersion(spark, root, cur)
+        .schema.find(_.name == m.idCol).map(_.dataType).getOrElse(LongType)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField(m.idCol, idType),
+          StructField("score", DoubleType))))
+    }
     val q = query.map(_.toDouble).toArray
     def qDotCent(c: Int): Double =
       m.centroids(c).zip(q).map { case (a, b) => a * b }.sum

@@ -350,12 +350,17 @@ object SnapshotLog {
       recoverOrphans(spark, root)
       val cur = currentVersion(spark, root).getOrElse(
         throw new IllegalStateException(s"no committed version at $root"))
-      partColOf(spark, root, cur).foreach { pc =>
-        val refs = parseGpSpec(pc).refCols.toSet
+      // EVERY spec this lineage ever wrote leafs under keeps the
+      // refusal, not just the head: old-spec leafs still render and
+      // migrate through their recorded spec's source columns (a freed
+      // name could even be re-bound to an unrelated column and re-home
+      // rows silently)
+      allSpecsOf(spark, root, cur).foreach { gs =>
+        val refs = gs.refCols.toSet
         require(!refs.contains(from) && !refs.contains(to),
           s"renameColumn: $from/$to is a partition-spec column of " +
-          s"'$pc' — partition values name directories; repartition via " +
-          "a full rewrite instead")
+          s"'${gs.render}' (current or historical) — partition values " +
+          "name directories; repartition via a full rewrite instead")
       }
       refuseDeclaredRefs(spark, root, from, "renameColumn")
       // merge-on-read lineages rename like flat ones (round 11c): the
@@ -437,9 +442,10 @@ object SnapshotLog {
       recoverOrphans(spark, root)
       val cur = currentVersion(spark, root).getOrElse(
         throw new IllegalStateException(s"no committed version at $root"))
-      require(!partColOf(spark, root, cur)
-          .exists(pc => parseGpSpec(pc).refCols.contains(column)),
-        s"cannot widen the partition column $column (it names directories)")
+      require(!allSpecsOf(spark, root, cur)
+          .exists(_.refCols.contains(column)),
+        s"cannot widen the partition column $column (it names " +
+        "directories under a current or historical spec)")
       val pin = schemaOf(spark, root, cur).getOrElse(
         asNullable(tableSchema(spark, root, cur)).asInstanceOf[StructType])
       val field = pin.fields.find(f => !isDropped(f) && f.name == column)
@@ -685,11 +691,13 @@ object SnapshotLog {
       recoverOrphans(spark, root)
       val cur = currentVersion(spark, root).getOrElse(
         throw new IllegalStateException(s"no committed version at $root"))
-      partColOf(spark, root, cur).foreach { pc =>
-        require(!parseGpSpec(pc).refCols.contains(name),
-          s"dropColumn: $name is a partition-spec column of '$pc' — " +
-          "partition values name directories; repartition via a full " +
-          "rewrite instead")
+      // historical specs keep the refusal too (old-spec leafs still
+      // render and migrate through their source columns)
+      allSpecsOf(spark, root, cur).foreach { gs =>
+        require(!gs.refCols.contains(name),
+          s"dropColumn: $name is a partition-spec column of " +
+          s"'${gs.render}' (current or historical) — partition values " +
+          "name directories; repartition via a full rewrite instead")
       }
       refuseDeclaredRefs(spark, root, name, "dropColumn")
       // round 11c: non-key drops work on merge-on-read lineages (the
@@ -1206,19 +1214,23 @@ object SnapshotLog {
         else KeyProbe(k, None, Some((r.get(0), r.get(1))), anyNull = false)
       }
     }
-    def candidatesOn(v: Long, allRelV: Set[String]): Set[String] =
+    def candidatesOn(v: Long, allRelV: Set[String]): Set[String] = {
+      // hoisted once per version: the deriver map costs declaration +
+      // manifest + SPECHIST reads, and point probes fan out per value
+      lazy val dv = Some(generatedPartDerivers(spark, root, v))
       keyProbes.map { kp =>
         if (kp.anyNull) allRelV
         else kp.points match {
           case Some(Seq()) => Set.empty[String]
           case Some(vs) => vs.map(x =>
-            candidateFilesEquals(spark, root, v, kp.k, x)
+            candidateFilesEquals(spark, root, v, kp.k, x, derivers = dv)
               ._1.map(relOf).toSet).reduce(_ union _)
           case None =>
             val (lo, hi) = kp.span.get
             candidateFiles(spark, root, v, kp.k, lo, hi)._1.map(relOf).toSet
         }
       }.reduce(_ intersect _)
+    }
     val matchedRel: Set[String] = candidatesOn(cur, allRel)
     if (matchedRel.size >= all.size) return None // nothing pruned
     val matchedPaths = all.filter(st => matchedRel.contains(relOf(st.getPath)))
@@ -1616,7 +1628,7 @@ object SnapshotLog {
   private[graft] def attachRidsByKey(spark: SparkSession, root: String,
                                      merged: DataFrame,
                                      keys: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, count, first, lit}
     if (!rowTrackingEnabled(spark, root)) return merged
     currentVersion(spark, root) match {
       case None => merged
@@ -1624,7 +1636,24 @@ object SnapshotLog {
         val ids = scanWithRids(spark, root, cur,
             versionPaths(spark, root, cur), tombDirsOf(spark, root, cur))
           .select(keys.map(col(_)) :+ col(RowIdCol): _*)
-        merged.join(ids, keys, "left")
+        // the (key → id) map must be key-UNIQUE: joining a duplicated
+        // key multiplies the merged rows (2 old copies × 2 merged
+        // copies = 4 committed) and cross-attaches identities — refuse
+        // loudly instead. A table written outside the keyed-DML
+        // contract can hold duplicate keys legitimately; this rewrite
+        // path just cannot re-attach ids through them.
+        val grouped = ids.groupBy(keys.map(col(_)): _*)
+          .agg(count(lit(1)).as("__n"), first(col(RowIdCol)).as(RowIdCol))
+        val dup = grouped.filter(col("__n") > 1)
+          .select(keys.map(col(_)): _*).limit(1).collect()
+        if (dup.nonEmpty)
+          throw new IllegalStateException(
+            s"row tracking cannot re-attach ids by key (${keys.mkString(",")}) " +
+            s"through this rewrite: the snapshot holds duplicate rows for " +
+            s"key ${dup.head} — keyed DML on a tracked table assumes a " +
+            "key-unique snapshot (deduplicate first, or use positional " +
+            "tombstoneDelete / disable row tracking)")
+        merged.join(grouped.drop("__n"), keys, "left")
     }
   }
 
@@ -2287,16 +2316,8 @@ object SnapshotLog {
       val evolved = specHistEntries(spark, root).nonEmpty
       val oldSpecLeafs: Map[String, String] = // dir -> its spec string
         if (!evolved || !allScoped || headSpecStr.isEmpty) Map.empty
-        else {
-          val cache = scala.collection.mutable.HashMap.empty[Long, String]
-          parentDirs.flatMap { d =>
-            leafDirVersion(d).flatMap { lv =>
-              val s = cache.getOrElseUpdate(lv,
-                specOfLeafVersion(spark, root, lv, headSpecStr.get))
-              if (s != headSpecStr.get) Some(d -> s) else None
-            }
-          }.toMap
-        }
+        else specsOfLeafDirs(spark, root, parentDirs, headSpecStr.get)
+          .filter(_._2 != headSpecStr.get)
       val oldTouched: Seq[String] =
         oldSpecLeafs.groupBy(_._2).toSeq.flatMap { case (s, ds) =>
           val os = parseGpSpec(s)
@@ -3380,10 +3401,8 @@ object SnapshotLog {
     // converge it); a converged source clones safely.
     partColOf(spark, srcRoot, sv).foreach { hs =>
       if (specHistEntries(spark, srcRoot).nonEmpty) {
-        val cache = scala.collection.mutable.HashMap.empty[Long, String]
-        val mixed = dirsOf(spark, srcRoot, sv).exists(d =>
-          leafDirVersion(d).exists(lv => cache.getOrElseUpdate(lv,
-            specOfLeafVersion(spark, srcRoot, lv, hs)) != hs))
+        val mixed = specsOfLeafDirs(spark, srcRoot,
+          dirsOf(spark, srcRoot, sv), hs).exists(_._2 != hs)
         require(!mixed,
           s"shallowClone of spec-evolved $srcRoot with old-spec leafs " +
           "still present — converge the layout first (keyed merges and " +
@@ -3798,10 +3817,9 @@ object SnapshotLog {
         require(spec.render == head.getOrElse(spec.render),
           s"scoped OCC stage spec '${spec.render}' != the lineage's " +
           s"current spec '${head.getOrElse("")}' — pass the current spec")
-        val cache = scala.collection.mutable.HashMap.empty[Long, String]
-        val mixed = head.exists(h => dirsOf(spark, root, b).exists(d =>
-          leafDirVersion(d).exists(lv => cache.getOrElseUpdate(lv,
-            specOfLeafVersion(spark, root, lv, h)) != h)))
+        val mixed = head.exists(h =>
+          specsOfLeafDirs(spark, root, dirsOf(spark, root, b), h)
+            .exists(_._2 != h))
         require(!mixed,
           "scoped OCC staging on a spec-evolved table with old-spec " +
           "leafs still present — upsertScoped/overwritePartitions " +
@@ -4121,12 +4139,24 @@ object SnapshotLog {
                                 schemaJson: String = "",
                                 morKeys: Seq[String] = Nil,
                                 chgDir: String = "",
-                                statsStack: Seq[Long] = Nil): Unit = {
+                                statsStack: Seq[Long] = Nil,
+                                leafSpecs: Map[String, String] = Map.empty): Unit = {
     val m = manifestPath(root, v)
     val tmp = new Path(logDir(root), f".tmp_manifest_v$v%08d")
     val stackEnc =
       if (statsStack.isEmpty) ""
       else s""","statsStack":"${statsStack.mkString(",")}""""
+    // per-leaf spec OVERRIDES: maintenance packs an old-spec leaf into
+    // ITS OWN version dir, so leaf→spec attribution by dir version
+    // alone would claim the manifest's (head) spec for it — recording
+    // the exceptions here keeps migrate-on-touch and the mixed-layout
+    // refusals exact across maintenance (round 13 hardening)
+    val leafSpecEnc =
+      if (leafSpecs.isEmpty) ""
+      else s""","leafSpecs":"${leafSpecs.toSeq.sorted.map { case (d, s) =>
+        java.net.URLEncoder.encode(d, "UTF-8") + "=" +
+          java.net.URLEncoder.encode(s, "UTF-8")
+      }.mkString(",")}""""
     val chgEnc =
       if (chgDir.isEmpty) ""
       else s""","chgDir":"${java.net.URLEncoder.encode(chgDir, "UTF-8")}""""
@@ -4154,7 +4184,7 @@ object SnapshotLog {
     try out.write(
       (s"""{"version":$v,"dataDir":"${dataDirName(v)}","batchId":$batchId,""" +
        s""""committedAt":${inCommitStamp(spark, root, v)},""" +
-       s""""kind":"$kind","dirs":"$enc"$tombEnc$partEnc$morEnc$schemaEnc$readerEnc$chgEnc$stackEnc}""")
+       s""""kind":"$kind","dirs":"$enc"$tombEnc$partEnc$morEnc$schemaEnc$readerEnc$chgEnc$stackEnc$leafSpecEnc}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (!f.rename(tmp, m))
@@ -4242,6 +4272,50 @@ object SnapshotLog {
       .orElse(specHistEntries(spark, root)
         .filter(_._1 <= leafV).lastOption.map(_._2))
       .getOrElse(head)
+
+  /** The per-leaf spec OVERRIDES a maintenance manifest records —
+    * dir (e.g. `data_v00000007/__gp=2026-05-02`) → spec string. Empty
+    * for ordinary commits, unreadable manifests, and pre-override
+    * versions.
+    */
+  private def leafSpecsOf(spark: SparkSession, root: String,
+                          v: Long): Map[String, String] =
+    scala.util.Try {
+      """"leafSpecs":"([^"]*)"""".r
+        .findFirstMatchIn(readManifest(spark, root, v))
+        .map(_.group(1).split(",").filter(_.nonEmpty).map { e =>
+          val Array(d, s) = e.split("=", 2)
+          java.net.URLDecoder.decode(d, "UTF-8") ->
+            java.net.URLDecoder.decode(s, "UTF-8")
+        }.toMap).getOrElse(Map.empty)
+    }.getOrElse(Map.empty)
+
+  /** dir → the spec each SPECIFIC leaf dir was written under: the
+    * recording manifest's per-leaf override first (scoped maintenance
+    * packs old-spec leafs into its own version dir), then the
+    * manifest/SPECHIST/head chain of [[specOfLeafVersion]]; manifest
+    * reads cached per version. This is the resolver every
+    * migrate-on-touch derivation and mixed-layout refusal must use —
+    * attribution by dir VERSION alone claims the head spec for
+    * maintenance-packed old-spec leafs and silently duplicates keys on
+    * the next merge.
+    */
+  private def specsOfLeafDirs(spark: SparkSession, root: String,
+                              dirs: Seq[String],
+                              head: String): Map[String, String] = {
+    val cache =
+      scala.collection.mutable.HashMap.empty[Long, (Map[String, String], String)]
+    dirs.map { d =>
+      d -> (leafDirVersion(d) match {
+        case Some(lv) =>
+          val (overrides, base) = cache.getOrElseUpdate(lv,
+            (leafSpecsOf(spark, root, lv),
+             specOfLeafVersion(spark, root, lv, head)))
+          overrides.getOrElse(d, base)
+        case None => head
+      })
+    }.toMap
+  }
 
   private def leafDirVersion(d: String): Option[Long] = {
     val dirPart = d.substring(0, math.max(d.lastIndexOf('/'), 0))
@@ -5433,20 +5507,23 @@ object SnapshotLog {
     // rides the merges, which rewrite those leafs anyway), no name
     // collision with kept leafs, and the drift check below stays exact.
     val pinned = schemaOf(spark, root, cur)
+    val smallSpecByDir: Map[String, String] =
+      if (specHistEntries(spark, root).isEmpty) Map.empty
+      else specsOfLeafDirs(spark, root, small.map(_._1), partCol)
+    // two specs rendering the SAME leaf name would merge their rows
+    // into one written leaf with no single recordable spec — refuse
+    // rather than guess (migration via merges converges them first)
+    locally {
+      val clash = smallSpecByDir.groupBy { case (d, _) => baseName(d) }
+        .filter(_._2.values.toSet.size > 1)
+      require(clash.isEmpty,
+        s"scoped compaction: leaf name collision across specs: ${clash.keySet}")
+    }
     val specGroups: Seq[(GpSpec, Seq[String])] =
-      if (specHistEntries(spark, root).isEmpty)
+      if (smallSpecByDir.isEmpty)
         Seq((spec, smallPaths))
-      else {
-        val cache = scala.collection.mutable.HashMap.empty[Long, String]
-        small.map(_._1).groupBy { d =>
-          leafDirVersion(d) match {
-            case Some(lv) => cache.getOrElseUpdate(lv,
-              specOfLeafVersion(spark, root, lv, partCol))
-            case None => partCol
-          }
-        }.toSeq.map { case (s, ds) =>
-          (parseGpSpec(s), ds.map(d => new Path(rootPath, d).toString))
-        }
+      else small.map(_._1).groupBy(smallSpecByDir).toSeq.map { case (s, ds) =>
+        (parseGpSpec(s), ds.map(d => new Path(rootPath, d).toString))
       }
     val tracked = rowTrackingEnabled(spark, root)
     val packed0 = specGroups.map { case (gs, paths) =>
@@ -5527,10 +5604,15 @@ object SnapshotLog {
       }
     // a maintenance rewrite carries the head's streaming stamp — an
     // interleaved compaction must not wipe the exactly-once replay gate
+    val smallBaseSpec = smallSpecByDir.map { case (d, s) => baseName(d) -> s }
     writeManifestDirs(spark, root, next, newDirs,
       batchId = batchIdOf(spark, root, cur).getOrElse(-1L),
       tombDirs = nextTombs, partCol = partCol,
-      schemaJson = rawSchemaJson(spark, root, cur))
+      schemaJson = rawSchemaJson(spark, root, cur),
+      leafSpecs = writtenLeafs.flatMap { l =>
+        smallBaseSpec.get(l).filter(_ != partCol)
+          .map(s => (dataDirName(next) + "/" + l) -> s)
+      }.toMap)
     publishLatest(spark, root, next)
     next
   }
@@ -5728,20 +5810,20 @@ object SnapshotLog {
     // write. Spec-evolved lineages purge PER GENERATION (round 13):
     // each rewritten leaf re-renders under its OWN spec, keeping its
     // name — the vector-referenced set stays exactly the rewrite set.
+    val matchedSpecByDir: Map[String, String] =
+      if (specHistEntries(spark, root).isEmpty) Map.empty
+      else specsOfLeafDirs(spark, root, matched, partCol)
+    locally {
+      val clash = matchedSpecByDir.groupBy { case (d, _) => baseName(d) }
+        .filter(_._2.values.toSet.size > 1)
+      require(clash.isEmpty,
+        s"scoped purge: leaf name collision across specs: ${clash.keySet}")
+    }
     val purgeGroups: Seq[(GpSpec, Seq[String])] =
-      if (specHistEntries(spark, root).isEmpty)
+      if (matchedSpecByDir.isEmpty)
         Seq((spec, matched.map(d => new Path(rootPath, d).toString)))
-      else {
-        val cache = scala.collection.mutable.HashMap.empty[Long, String]
-        matched.groupBy { d =>
-          leafDirVersion(d) match {
-            case Some(lv) => cache.getOrElseUpdate(lv,
-              specOfLeafVersion(spark, root, lv, partCol))
-            case None => partCol
-          }
-        }.toSeq.map { case (s, ds) =>
-          (parseGpSpec(s), ds.map(d => new Path(rootPath, d).toString))
-        }
+      else matched.groupBy(matchedSpecByDir).toSeq.map { case (s, ds) =>
+        (parseGpSpec(s), ds.map(d => new Path(rootPath, d).toString))
       }
     val trackedPurge = rowTrackingEnabled(spark, root)
     val purged0 = purgeGroups.map { case (gs, paths) =>
@@ -5785,9 +5867,14 @@ object SnapshotLog {
       if (statsCols.nonEmpty) statsCols.map(c => physMap.getOrElse(c, c))
       else inheritedStatsCols(spark, root)
     val stack = writeStats(spark, root, next, freshCols, carry)
+    val matchedBaseSpec = matchedSpecByDir.map { case (d, s) => baseName(d) -> s }
     writeManifestDirs(spark, root, next, newDirs, batchId = stamp,
       tombDirs = Nil, partCol = partCol, schemaJson = pinJson,
-      statsStack = stack)
+      statsStack = stack,
+      leafSpecs = writtenLeafs.flatMap { l =>
+        matchedBaseSpec.get(l).filter(_ != partCol)
+          .map(s => (dataDirName(next) + "/" + l) -> s)
+      }.toMap)
     publishLatest(spark, root, next)
     next
   }
@@ -6111,13 +6198,16 @@ object SnapshotLog {
     def relOf(p: Path): String = p.getParent.getName + "/" + p.getName
     val allRel = all.map(st => relOf(st.getPath)).toSet
     val MaxPoint = 16
+    // hoisted once per probe: the deriver map costs declaration +
+    // manifest + SPECHIST reads, and point probes fan out per value
+    lazy val dv = Some(generatedPartDerivers(spark, root, v))
     val sets = keys.map { k =>
       val vals = probe.select(col(k)).distinct()
         .limit(MaxPoint + 1).collect().map(_.get(0)).toSeq
       if (vals.isEmpty) Set.empty[String]
       else if (vals.contains(null)) allRel
       else if (vals.size <= MaxPoint)
-        vals.map(x => candidateFilesEquals(spark, root, v, k, x)
+        vals.map(x => candidateFilesEquals(spark, root, v, k, x, derivers = dv)
           ._1.map(relOf).toSet).reduce(_ union _)
       else {
         val r = probe.agg(smin(col(k)), smax(col(k)),
@@ -6375,9 +6465,11 @@ object SnapshotLog {
 
   /** A path slice of version `v` as the plain visible read (declared
     * schema, vectors applied, no identities) — or a same-shaped empty
-    * frame. The keyed changesBetween's file-granular fallback.
+    * frame. The keyed changesBetween's file-granular fallback; also the
+    * raw-delta read of [[graft.engine.AnnIndex]]'s append fast path
+    * (column-mapped lineages need the pin translation).
     */
-  private def verSliceOrEmpty(spark: SparkSession, root: String, v: Long,
+  private[graft] def verSliceOrEmpty(spark: SparkSession, root: String, v: Long,
                               paths: Seq[String]): DataFrame =
     if (paths.isEmpty) {
       val fields = schemaOf(spark, root, v) match {
@@ -7684,7 +7776,8 @@ object SnapshotLog {
     */
   private[graft] def candidateFilesEquals(spark: SparkSession, root: String,
                                           version: Long, column0: String,
-                                          value: Any): (Seq[Path], Int) = {
+                                          value: Any,
+                                          derivers: Option[Map[String, (String, Any => Option[Any])]] = None): (Seq[Path], Int) = {
     // see candidateFiles: bloom keys and footers spell physical names.
     // candidateFiles translates ITS OWN argument — pass the LOGICAL name
     // through (translating here too would double-map, and a rename chain
@@ -7699,10 +7792,14 @@ object SnapshotLog {
     // dir spans the ordinary machinery serves). No deriver chains
     // exist (declarations refuse generated-over-generated), so the
     // recursion is one level deep.
-    val rangeKept = generatedPartDerivers(spark, root, version)
+    val rangeKept = derivers
+      .getOrElse(generatedPartDerivers(spark, root, version))
       .get(column0.toLowerCase)
       .flatMap { case (gName, derive) => derive(value).map { gx =>
-        val gKept = candidateFilesEquals(spark, root, version, gName, gx)
+        // no deriver chains exist — the recursive probe passes an
+        // empty map rather than re-deriving declarations
+        val gKept = candidateFilesEquals(spark, root, version, gName, gx,
+            derivers = Some(Map.empty))
           ._1.map(_.toString).toSet
         rangeKept0.filter(p => gKept.contains(p.toString))
       }}

@@ -328,6 +328,90 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(!dir.exists && SnapshotLog.consumers(spark, root).isEmpty)
   }
 
+  test("composes with scoped layouts and spec evolution: leaf-touch upserts stay file-granular") {
+    import org.apache.spark.sql.functions._
+    val root = freshRoot()
+    def sharded(df: DataFrame): DataFrame =
+      df.withColumn("shard", (col("vec_id") % 4).cast("string"))
+    SnapshotLog.upsertScoped(spark, root, sharded(vecs(120)),
+      keys = Seq("vec_id"), partitionCol = "shard", statsCols = Seq("vec_id"))
+    AnnIndex.build(spark, root, k = 4)
+    // re-vector two shard-0 keys: ONE leaf rewrites → incremental refresh
+    val moved = vecs(1, offset = 9).select("embedding").head().getSeq[Float](0)
+    SnapshotLog.upsertScoped(spark, root,
+      sharded(Seq((8L, moved), (12L, moved)).toDF("vec_id", "embedding")),
+      keys = Seq("vec_id"), partitionCol = "shard", statsCols = Seq("vec_id"))
+    AnnIndex.refresh(spark, root)
+    val dir = new java.io.File(root, "_graft_ann/ivf")
+    assert(dir.listFiles().map(_.getName).count(_.startsWith("tomb_v")) == 1,
+      "scoped leaf-touch refresh was not incremental")
+    val got = ids(AnnIndex.knn(spark, root, moved, k = 120, nprobe = 4))
+    assert(got.size == 120 && got.distinct.size == 120)
+    assert(got == exactTopK(root, moved, 120))
+    assert(got.take(3).toSet.intersect(Set(8L, 12L)).size == 2,
+      s"updated vectors not ranked by their new embedding: ${got.take(4)}")
+    // evolve the partition spec; the next touched-leaf merge migrates it
+    // and the index follows through the same slice machinery
+    SnapshotLog.repartitionSpec(spark, root, "bucket(2, vec_id)")
+    SnapshotLog.upsertScoped(spark, root,
+      sharded(Seq((8L, vecs(1, offset = 8).select("embedding")
+        .head().getSeq[Float](0))).toDF("vec_id", "embedding")),
+      keys = Seq("vec_id"), partitionCol = "bucket(2, vec_id)",
+      statsCols = Seq("vec_id"))
+    AnnIndex.refresh(spark, root)
+    val q2 = vecs(1, offset = 8).select("embedding").head().getSeq[Float](0)
+    val got2 = ids(AnnIndex.knn(spark, root, q2, k = 120, nprobe = 4))
+    assert(got2.size == 120 && got2.distinct.size == 120)
+    assert(got2 == exactTopK(root, q2, 120))
+  }
+
+  test("the MODEL is the slice pointer: same-version compact picks a free name; empty corpus answers empty") {
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root, vecs(80).repartition(1),
+      statsCols = Seq("vec_id"))
+    AnnIndex.build(spark, root, k = 4)
+    val q = vecs(1, offset = 7).select("embedding").head().getSeq[Float](0)
+    val before = ids(AnnIndex.knn(spark, root, q, k = 80, nprobe = 4))
+    // explicit compact at the SAME indexed version: the default slice
+    // name is taken by a live published slice — the publish must pick a
+    // free suffix and swap the pointer, never clobber or brick
+    AnnIndex.compact(spark, root)
+    val m = AnnIndex.model(spark, root, "ivf").get
+    assert(m.slices.exists(_.size == 1), m.slices.toString)
+    assert(ids(AnnIndex.knn(spark, root, q, k = 80, nprobe = 4)) == before)
+    // delete EVERY row: the refresh compacts to an EMPTY slice list and
+    // knn answers empty instead of choking on a part-less parquet dir
+    SnapshotLog.tombstoneDelete(spark, root,
+      (0L until 80L).map(Tuple1(_)).toDF("vec_id"), Seq("vec_id"))
+    AnnIndex.refresh(spark, root)
+    assert(AnnIndex.model(spark, root, "ivf").get.slices.contains(Nil))
+    assert(AnnIndex.knn(spark, root, q, k = 5, nprobe = 4).collect().isEmpty)
+    // building over zero vectors refuses loudly (nothing to train on)
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.build(spark, root, k = 4)
+    }
+    assert(e.getMessage.contains("no non-null"), e.getMessage)
+  }
+
+  test("append refresh translates through the column-mapping pin") {
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root,
+      vecs(60).repartition(1).toDF("vec_id", "vec"),
+      statsCols = Seq("vec_id"))
+    // rename creates the pin: logical 'embedding' is physical 'vec'
+    SnapshotLog.renameColumn(spark, root, "vec", "embedding")
+    AnnIndex.build(spark, root, k = 4)
+    SnapshotLog.appendCommit(spark, root,
+      vecs(20, offset = 900).repartition(1), statsCols = Seq("vec_id"))
+    // the append fast path must read the delta through the pin — a raw
+    // parquet read would surface the PHYSICAL name and fail to resolve
+    AnnIndex.refresh(spark, root)
+    val q = vecs(1, offset = 903).select("embedding").head().getSeq[Float](0)
+    val got = ids(AnnIndex.knn(spark, root, q, k = 80, nprobe = 4))
+    assert(got.size == 80 && got.contains(903L))
+    assert(got == exactTopK(root, q, 80))
+  }
+
   test("a delete re-assigns without retraining; deleted rows leave the index") {
     val root = freshRoot()
     SnapshotLog.commit(spark, root, vecs(100), statsCols = Seq("vec_id"))

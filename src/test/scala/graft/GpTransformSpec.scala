@@ -364,20 +364,25 @@ class GpTransformSpec extends SparkSpecBase {
     val d1 = java.sql.Date.valueOf("2026-05-01")
     val d2 = java.sql.Date.valueOf("2026-05-02")
     val d3 = java.sql.Date.valueOf("2026-05-03")
+    val d4 = java.sql.Date.valueOf("2026-05-04")
     SnapshotLog.upsertScoped(spark, root,
-      Seq((1, "us", d1, "a"), (2, "eu", d2, "b"), (3, "ap", d3, "c"))
+      Seq((1, "us", d1, "a"), (2, "eu", d2, "b"), (3, "ap", d3, "c"),
+          (4, "eu", d2, "b4"), (5, "jp", d4, "e"))
         .toDF("k", "region", "d", "v"),
       Seq("k"), "days(d)", statsCols = Seq("k"))
     SnapshotLog.repartitionSpec(spark, root, "region,days(d)")
-    // touch ONLY day 1: its leaf migrates to a composite; days 2 and 3
+    // touch ONLY day 1: its leaf migrates to a composite; days 2-4
     // stay under the OLD spec — a genuinely mixed lineage
     SnapshotLog.upsertScoped(spark, root,
       Seq((1, "us", d1, "A")).toDF("k", "region", "d", "v"),
       Seq("k"), "region,days(d)", statsCols = Seq("k"))
-    def rows(): Set[(Int, String)] =
+    def rowSeq(): Seq[(Int, String)] =
       SnapshotLog.read(spark, root).select("k", "v").collect()
-        .map(r => (r.getInt(0), r.getString(1))).toSet
-    val expected = Set((1, "A"), (2, "b"), (3, "c"))
+        .map(r => (r.getInt(0), r.getString(1))).toSeq
+    def rows(): Set[(Int, String)] = rowSeq().toSet
+    def noDupes(tag: String): Unit =
+      assert(rowSeq().length == rows().size, s"$tag duplicated keys: ${rowSeq().sorted}")
+    val expected = Set((1, "A"), (2, "b"), (3, "c"), (4, "b4"), (5, "e"))
     assert(rows() == expected)
     // compaction on the MIXED lineage: every packed leaf keeps its own
     // generation's name — old-spec day leafs stay day leafs, composite
@@ -385,19 +390,64 @@ class GpTransformSpec extends SparkSpecBase {
     val v = SnapshotLog.compactSmallFiles(spark, root, targetBytes = 1L << 20)
     val leafs = leafsOf(root, v)
     assert(leafs.toSet == Set("__gp=2026-05-02", "__gp=2026-05-03",
-      "__gp=us%7C2026-05-01") ||
+      "__gp=2026-05-04", "__gp=us%7C2026-05-01") ||
       leafs.toSet == Set("__gp=2026-05-02", "__gp=2026-05-03",
-        "__gp=us|2026-05-01"), leafs.toString)
+        "__gp=2026-05-04", "__gp=us|2026-05-01"), leafs.toString)
     assert(rows() == expected, "mixed-spec compaction lost rows")
-    // a DV delete + purge hitting an OLD-spec leaf: per-generation
-    // rewrite, the dead row gone, everything else exact
+    // REGRESSION (round-13 hardening): the packed old-spec leafs live
+    // under the MAINTENANCE version's dir, whose manifest records the
+    // HEAD spec — without the per-leaf override a later keyed merge
+    // would not see them as old-spec, leave the old copy untouched,
+    // insert the batch row into a new leaf, and the key would exist
+    // twice. Touch a key living in a PACKED old-spec leaf and assert
+    // the merge migrated it (exactly one copy, updated value).
+    SnapshotLog.upsertScoped(spark, root,
+      Seq((5, "jp", d4, "E2")).toDF("k", "region", "d", "v"),
+      Seq("k"), "region,days(d)", statsCols = Seq("k"))
+    noDupes("compaction-packed old-spec leaf")
+    assert(rows() == expected - ((5, "e")) + ((5, "E2")), rowSeq().sorted.toString)
+    // a DV delete + purge hitting an OLD-spec leaf with a SURVIVOR:
+    // per-generation rewrite, the dead row gone, everything else exact
     SnapshotLog.tombstoneDelete(spark, root, Seq(Tuple1(2)).toDF("k"), Seq("k"))
     SnapshotLog.purgeDeletedRows(spark, root)
-    assert(rows() == expected - ((2, "b")), rows().toString)
+    assert(rows() == expected - ((2, "b")) - ((5, "e")) + ((5, "E2")),
+      rowSeq().sorted.toString)
     val head = SnapshotLog.currentVersion(spark, root).get
     assert(SnapshotLog.tombDirsOf(spark, root, head).isEmpty)
     assert(leafsOf(root, head).contains("__gp=2026-05-03"),
       "purge must not migrate untouched old-spec leafs")
+    // purge's rewritten old-spec leafs carry the override too: touching
+    // the SURVIVOR of the purged leaf must migrate it, not duplicate it
+    SnapshotLog.upsertScoped(spark, root,
+      Seq((4, "eu", d2, "B4")).toDF("k", "region", "d", "v"),
+      Seq("k"), "region,days(d)", statsCols = Seq("k"))
+    noDupes("purge-rewritten old-spec leaf")
+    assert(rows() == Set((1, "A"), (3, "c"), (4, "B4"), (5, "E2")),
+      rowSeq().sorted.toString)
+  }
+
+  test("rename/drop/widen refuse HISTORICAL spec source columns on evolved lineages") {
+    val root = freshRoot()
+    val d1 = java.sql.Date.valueOf("2026-06-01")
+    SnapshotLog.upsertScoped(spark, root,
+      Seq((1, "us", d1, "a")).toDF("k", "region", "d", "v"),
+      Seq("k"), "days(d)", statsCols = Seq("k"))
+    // evolve AWAY from d: the head spec no longer references it, but
+    // the old-spec leaf still renders and migrates through it — a
+    // rename would break maintenance, and a freed-then-rebound name
+    // would silently re-home rows
+    SnapshotLog.repartitionSpec(spark, root, "region")
+    val e1 = intercept[IllegalArgumentException] {
+      SnapshotLog.renameColumn(spark, root, "d", "ts")
+    }
+    assert(e1.getMessage.contains("historical"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotLog.dropColumn(spark, root, "d")
+    }
+    assert(e2.getMessage.contains("historical"), e2.getMessage)
+    // a column never referenced by ANY spec renames fine
+    SnapshotLog.renameColumn(spark, root, "v", "val")
+    assert(SnapshotLog.read(spark, root).columns.contains("val"))
   }
 
   test("generated partition columns prune on base-column point probes (round 13)") {

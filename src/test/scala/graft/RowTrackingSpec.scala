@@ -377,6 +377,25 @@ class RowTrackingSpec extends SparkSpecBase {
     m3.foreach { case (k, id) => assert(m2(k) == id) }
   }
 
+  test("keyed rewrite fallbacks refuse duplicate-key snapshots instead of multiplying rows") {
+    val root = freshRoot()
+    // a table written OUTSIDE the keyed-DML contract can legitimately
+    // hold duplicate keys; a keyed rewrite's (key → id) re-attach join
+    // would then multiply rows (2 old × 2 merged = 4) and cross-attach
+    // identities — it must refuse loudly instead
+    SnapshotLog.commit(spark, root,
+      Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "v"))
+    SnapshotLog.enableRowTracking(spark, root)
+    val e = intercept[IllegalStateException] {
+      SnapshotLog.upsert(spark, root, Seq((2, "C")).toDF("k", "v"), Seq("k"))
+    }
+    assert(e.getMessage.contains("duplicate"), e.getMessage)
+    // table unmoved: still 3 rows, ids intact
+    assert(SnapshotLog.read(spark, root).count() == 3)
+    assert(SnapshotLog.readWithRowIds(spark, root)
+      .select("_row_id").distinct().count() == 3)
+  }
+
   test("REPLACE commits hand out fresh ids; an id-less replaceWithChanges raises until repaired") {
     val root = freshRoot()
     SnapshotLog.commit(spark, root,

@@ -93,8 +93,14 @@ object Layout {
     * [[SnapshotLog.commit]] (whose per-file stats then skip files on
     * EITHER cluster column — proven in SnapshotLogSpec).
     */
-  def zArrange(df: DataFrame, clusterCols: Seq[String],
-               nFiles: Int, bits: Int = 8): DataFrame = {
+  /** The Morton key of [[zArrange]] as a bare Column — for callers
+    * that must compose the range partitioning with other keys (the
+    * scoped per-leaf OPTIMIZE ZORDER ranges on (leaf, z)). Buckets
+    * derive from GLOBAL min/max of `df`; the caller applies the key to
+    * the same frame (or a projection-compatible one).
+    */
+  def zKeyColumn(df: DataFrame, clusterCols: Seq[String],
+                 bits: Int = 8): Column = {
     require(clusterCols.size >= 2, "z-order needs >= 2 columns (use writeRangeClustered for 1)")
     require(bits >= 1 && bits * clusterCols.size <= 62, s"bits=$bits too wide")
     val aggs = clusterCols.flatMap(c =>
@@ -107,7 +113,7 @@ object Layout {
     // null) contributes a constant zero bucket: the curve degrades to
     // ordering by the remaining usable columns instead of aborting the
     // nFiles sizing and clustering wholesale.
-    val zCol = clusterCols.zipWithIndex.map { case (c, j) =>
+    clusterCols.zipWithIndex.map { case (c, j) =>
       val bucket =
         if (stats.isNullAt(stats.fieldIndex(s"__min_$c"))) lit(0L)
         else {
@@ -123,11 +129,14 @@ object Layout {
           i * clusterCols.size + j)
       }.reduce[Column](_.bitwiseOR(_))
     }.reduce[Column](_.bitwiseOR(_))
-    df.withColumn("__z", zCol)
+  }
+
+  def zArrange(df: DataFrame, clusterCols: Seq[String],
+               nFiles: Int, bits: Int = 8): DataFrame =
+    df.withColumn("__z", zKeyColumn(df, clusterCols, bits))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-  }
 
   /** Small-files compaction: rewrite a parquet dataset into files near
     * `targetBytes` each. The chronic 100 TB failure mode is the opposite of

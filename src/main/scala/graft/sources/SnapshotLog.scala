@@ -5438,10 +5438,54 @@ object SnapshotLog {
     * set is O(small leafs); partitioning is never merged across.
     * Runs under the caller's claim ([[compactSmallFiles]] dispatches).
     */
+  /** OPTIMIZE ZORDER for PARTITION-SCOPED tables — the per-leaf form
+    * [[compactChain]] cannot provide (it materializes to FLAT, losing
+    * the leaf layout a scoped lineage prunes on). Every partition leaf
+    * rewrites under its OWN name with rows split into z-contiguous
+    * files on the Morton curve over `zorderBy`, so dir-name partition
+    * pruning composes with tight per-file stats spans on every cluster
+    * column. `filesPerLeaf` scales the total range budget
+    * (leafs × filesPerLeaf output files, apportioned by leaf size —
+    * big leafs take more of the range). Spec-evolved lineages rewrite
+    * per generation with per-leaf spec overrides recorded (leaf names
+    * stay stable); deletion vectors fold into the rewrite; skipping
+    * stats inherit. At 100 TB this is the difference between a
+    * maintenance job sized by the table and one sized by the leafs you
+    * choose to re-cluster — and the flat z-order's global sort never
+    * has to move rows ACROSS partition leafs anyway, so nothing is
+    * lost by clustering within them.
+    */
+  def optimizeZorderScoped(spark: SparkSession, root: String,
+                           zorderBy: Seq[String], filesPerLeaf: Int = 1,
+                           statsCols: Seq[String] = Nil,
+                           bloomCols: Seq[String] = Nil): Long = {
+    require(zorderBy.size >= 2,
+      "z-order needs >= 2 columns (one-column clustering is a plain sort)")
+    require(filesPerLeaf >= 1, s"filesPerLeaf must be >= 1, got $filesPerLeaf")
+    withClaim(spark, root) { _ =>
+      recoverOrphans(spark, root)
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed version at $root"))
+      require(morKeysOf(spark, root, cur).isEmpty,
+        "optimizeZorderScoped on a merge-on-read table would collapse " +
+        "the per-dir version sequence shadowing resolves on — compactMor " +
+        "first")
+      require(manifestKind(spark, root, cur).contains("scoped") ||
+          partColOf(spark, root, cur).nonEmpty,
+        "optimizeZorderScoped needs a partition-scoped lineage — flat " +
+        "tables z-order through compactChain(zorderBy = ...)")
+      compactScopedLeafsLocked(spark, root, cur, Long.MaxValue,
+        statsCols, bloomCols, zorderBy, filesPerLeaf, rewriteAll = true)
+    }
+  }
+
   private def compactScopedLeafsLocked(spark: SparkSession, root: String,
                                        cur: Long, targetBytes: Long,
                                        statsCols: Seq[String],
-                                       bloomCols: Seq[String]): Long = {
+                                       bloomCols: Seq[String],
+                                       zorderBy: Seq[String] = Nil,
+                                       filesPerLeaf: Int = 1,
+                                       rewriteAll: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{col, substring_index}
     val rootPath = new Path(root.replaceAll("/+$", ""))
     val f = fs(spark, rootPath)
@@ -5487,9 +5531,11 @@ object SnapshotLog {
       else spark.read.parquet(tombs.map(d => new Path(rootPath, d).toString): _*)
         .select(substring_index(col("__rel"), "/", 1)).distinct()
         .collect().map(_.getString(0)).toSet
-    val (small, kept) = sized.partition { case (d, bytes, n) =>
-      bytes < targetBytes && (n > 1 || tombLeafBases.contains(baseName(d)))
-    }
+    val (small, kept) =
+      if (rewriteAll) (sized, Seq.empty[(String, Long, Int)])
+      else sized.partition { case (d, bytes, n) =>
+        bytes < targetBytes && (n > 1 || tombLeafBases.contains(baseName(d)))
+      }
     if (small.isEmpty) return cur // already compact per leaf
     val next = cur + 1L
     val smallPaths = small.map(t => new Path(rootPath, t._1).toString)
@@ -5546,10 +5592,24 @@ object SnapshotLog {
     val physMap = pinned.map(renameMap).getOrElse(Map.empty[String, String])
     // cluster by the re-rendered __gp so each small leaf packs into few
     // files — the same writer expression every scoped commit uses,
-    // drift-checked below
+    // drift-checked below. OPTIMIZE ZORDER ranges on (leaf, morton key)
+    // instead: every leaf's rows split into z-contiguous files (bigger
+    // leafs get proportionally more of the range budget), so per-file
+    // min/max spans are tight on every cluster column INSIDE each
+    // partition leaf — dir-name pruning composes with stats pruning
     val dd = dataDir(root, next)
+    val arranged =
+      if (zorderBy.isEmpty) packed.repartition(col(GpCol))
+      else {
+        val zCols = zorderBy.map(c => physMap.getOrElse(c, c))
+        val n = math.max(1, small.size * filesPerLeaf)
+        packed.withColumn("__z", Layout.zKeyColumn(packed, zCols))
+          .repartitionByRange(n, col(GpCol), col("__z"))
+          .sortWithinPartitions(col(GpCol), col("__z"))
+          .drop("__z")
+      }
     writeDataDir(spark,
-      packed.repartition(col(GpCol)),
+      arranged,
       dd, bloomCols.map(c => physMap.getOrElse(c, c)),
       partitionBy = Seq(GpCol))
     val writtenLeafs = fs(spark, dd).listStatus(dd).map(_.getPath.getName)

@@ -239,6 +239,12 @@ object GraftProcedures {
     * "stats actually prune" (SnapshotLogSpec proves the file-count drop).
     * Returns the committed version.
     */
+  /** `CALL c.system.optimize_zorder(table, n_files, 'c1,c2')` — flat
+    * tables re-cluster through the full-materialization compactChain
+    * (n_files = total output files); PARTITION-SCOPED tables take the
+    * per-leaf rewrite (round 13): leaf names stay stable, dir pruning
+    * survives, and n_files scales the per-leaf range budget.
+    */
   private final class OptimizeZorder(cat: GraftCatalog) extends Proc(cat, "optimize_zorder") {
     override def parameters(): Array[ProcedureParameter] =
       Array(param("table", StringType), param("n_files", IntegerType),
@@ -248,8 +254,15 @@ object GraftProcedures {
       val cols = input.getUTF8String(2).toString.split(",").map(_.trim)
         .filter(_.nonEmpty).toSeq
       require(cols.size >= 2, "optimize_zorder needs at least two columns")
-      val v = SnapshotLog.compactChain(spark, root(input),
-        nFiles = input.getInt(1), statsCols = cols, zorderBy = cols)
+      val r = root(input)
+      val cur = SnapshotLog.currentVersion(spark, r)
+      val scoped = cur.exists(v =>
+        SnapshotLog.partColOf(spark, r, v).nonEmpty)
+      val v =
+        if (scoped) SnapshotLog.optimizeZorderScoped(spark, r, cols,
+          filesPerLeaf = math.max(1, input.getInt(1)), statsCols = cols)
+        else SnapshotLog.compactChain(spark, r,
+          nFiles = input.getInt(1), statsCols = cols, zorderBy = cols)
       scanOf(out, Seq(new GenericInternalRow(Array[Any](v))))
     }
   }

@@ -426,6 +426,48 @@ class GpTransformSpec extends SparkSpecBase {
       rowSeq().sorted.toString)
   }
 
+  test("optimizeZorderScoped: per-leaf z-clustering keeps leaf names and tightens stats pruning") {
+    val root = freshRoot()
+    // 4 ingestion batches per region, values interleaved so every
+    // pre-zorder file spans (almost) the whole (a, b) domain
+    def batch(off: Int) = (0 until 100).map { j =>
+      val i = off * 100 + j
+      (i, if (i % 2 == 0) "us" else "eu", (i * 37) % 400, (i * 91) % 400)
+    }.toDF("k", "region", "a", "b")
+    // fragment each leaf into many small files (the layout a year of
+    // micro-batches leaves behind)
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "40")
+    try (0 until 4).foreach(off => SnapshotLog.upsertScoped(spark, root,
+      batch(off), Seq("k"), "region", statsCols = Seq("a", "b")))
+    finally spark.conf.set("spark.sql.files.maxRecordsPerFile", "0")
+    // a DV delete folds into the rewrite
+    SnapshotLog.tombstoneDelete(spark, root, Seq(Tuple1(7)).toDF("k"), Seq("k"))
+    val cur = SnapshotLog.currentVersion(spark, root).get
+    val (keptBefore, totalBefore) =
+      SnapshotLog.candidateFiles(spark, root, cur, "a", 10, 30)
+    assert(totalBefore >= 8, s"need a fragmented layout, got $totalBefore files")
+    assert(keptBefore.size == totalBefore,
+      "interleaved ingestion should leave every file's span wide")
+    val v = SnapshotLog.optimizeZorderScoped(spark, root, Seq("a", "b"),
+      filesPerLeaf = 4, statsCols = Seq("a", "b"))
+    // leaf NAMES stable — dir-name partition pruning survives
+    assert(leafsOf(root, v).toSet == Set("__gp=us", "__gp=eu"))
+    // rows exact, the deleted row folded (no vectors at the head)
+    val rows = SnapshotLog.read(spark, root).select("k").collect()
+      .map(_.getInt(0)).toSet
+    assert(rows == (0 until 400).toSet - 7)
+    assert(SnapshotLog.tombDirsOf(spark, root, v).isEmpty)
+    // the point of the exercise: the same narrow range now prunes
+    val (keptAfter, totalAfter) =
+      SnapshotLog.candidateFiles(spark, root, v, "a", 10, 30)
+    assert(totalAfter >= 4, s"z-budget collapsed to $totalAfter files")
+    assert(keptAfter.size < totalAfter,
+      s"z-order did not tighten spans: ${keptAfter.size}/$totalAfter kept")
+    assert(keptAfter.size < keptBefore.size)
+    // the SQL surface routes scoped tables here (leaf layout preserved)
+    // — exercised through the proc in SqlSurfaceSpec's zorder case
+  }
+
   test("rename/drop/widen refuse HISTORICAL spec source columns on evolved lineages") {
     val root = freshRoot()
     val d1 = java.sql.Date.valueOf("2026-06-01")

@@ -201,6 +201,37 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"z-order layout did not prune: ${kept.size} of $totalA")
   }
 
+  test("CALL optimize_zorder on a PARTITIONED table routes per-leaf: leaf layout survives") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
+    sql("CREATE TABLE graft.ns.zp (k INT, region STRING, a INT, b INT) PARTITIONED BY (region)")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "40")
+    try (0 until 4).foreach { i =>
+      val s0 = spark; import s0.implicits._
+      (i until 400 by 4).map(j =>
+        (j, if (j % 2 == 0) "us" else "eu", (j * 37) % 400, (j * 91) % 400))
+        .toDF("k", "region", "a", "b").createOrReplaceTempView(s"zpb$i")
+      // partition identity rides the keys (region in the ON), so the
+      // MERGE routes through the scoped upsert and leafs materialize
+      sql(s"""MERGE INTO graft.ns.zp t USING zpb$i s
+              ON t.k = s.k AND t.region = s.region
+              WHEN MATCHED THEN UPDATE SET *
+              WHEN NOT MATCHED THEN INSERT *""")
+    } finally spark.conf.set("spark.sql.files.maxRecordsPerFile", "0")
+    val before = rowsOf("SELECT k, a FROM graft.ns.zp")
+    val r = root("zp")
+    val v = sql("CALL graft.system.optimize_zorder('ns.zp', 4, 'a,b')")
+      .head().getLong(0)
+    // the scoped route: leaf dirs survive (compactChain would flatten)
+    val leafs = SnapshotLog.dirsOf(spark, r, v)
+      .map(d => d.substring(d.lastIndexOf('/') + 1)).toSet
+    assert(leafs == Set("__gp=us", "__gp=eu"), leafs.toString)
+    assert(rowsOf("SELECT k, a FROM graft.ns.zp") == before)
+    // a narrow conjunctive probe prunes within the leafs
+    val (ka, totalA) = SnapshotLog.candidateFiles(spark, r, v, "a", 0, 30)
+    assert(totalA >= 4 && ka.size < totalA,
+      s"scoped z-order did not prune: ${ka.size} of $totalA")
+  }
+
   test("CALL clone creates a zero-copy table the catalog serves like any other") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
     sql("CREATE TABLE graft.ns.orig (k INT, v STRING)")

@@ -300,7 +300,7 @@ object AnnIndex {
     // sweep orphans of a crashed maintenance pass (staged or written
     // but never published — readers already ignore them: they only
     // union the published list)
-    sliceDirs(spark, dir).map(_.getName).filterNot(live.contains)
+    sweepableDirs(spark, dir).map(_.getName).filterNot(live.contains)
       .foreach(n => f.delete(new Path(dir, n), true))
     val fromDirs = SnapshotLog.dirsOf(spark, root, m.indexedVersion)
     val toDirs = SnapshotLog.dirsOf(spark, root, cur)
@@ -432,7 +432,7 @@ object AnnIndex {
       } finally corpus.unpersist()
     writeModel(spark, root, name,
       m.copy(indexedVersion = cur, slices = Some(slices)))
-    sliceDirs(spark, dir).map(_.getName).filterNot(slices.contains)
+    sweepableDirs(spark, dir).map(_.getName).filterNot(slices.contains)
       .foreach(n => f.delete(new Path(dir, n), true))
     cur
   }
@@ -444,6 +444,16 @@ object AnnIndex {
     fs(spark, dir).listStatus(dir).map(_.getPath)
       .filter(p => p.getName.startsWith("assign_v") ||
                    p.getName.startsWith("tomb_v"))
+
+  /** Slice dirs PLUS `.tmp_*` staging leftovers — what sweeps delete
+    * (a compact killed mid-staging leaks a corpus-sized temp dir that
+    * the assign/tomb filter would never reclaim).
+    */
+  private def sweepableDirs(spark: SparkSession, dir: Path): Array[Path] =
+    fs(spark, dir).listStatus(dir).filter(_.isDirectory).map(_.getPath)
+      .filter(p => p.getName.startsWith("assign_v") ||
+                   p.getName.startsWith("tomb_v") ||
+                   p.getName.startsWith(".tmp_"))
 
   /** The LIVE assignments as one frame: slices at or below the
     * published `indexedVersion` (orphans of a crashed refresh are
@@ -529,7 +539,8 @@ object AnnIndex {
     if (m.slices.exists(_.forall(!_.startsWith("assign_v")))) {
       import org.apache.spark.sql.types._
       val idType = SnapshotLog.readVersion(spark, root, cur)
-        .schema.find(_.name == m.idCol).map(_.dataType).getOrElse(LongType)
+        .schema.find(_.name.equalsIgnoreCase(m.idCol)).map(_.dataType)
+        .getOrElse(LongType)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField(m.idCol, idType),

@@ -1264,7 +1264,9 @@ object SnapshotLog {
     val merged0 = f(visible)
     val merged = visibleAll match {
       case Some(va) =>
-        merged0.join(va.select(keys.map(col(_)) :+ col(RowIdCol): _*),
+        merged0.join(ridMapByKeyUnique(
+            va.select(keys.map(col(_)) :+ col(RowIdCol): _*),
+            keys, "the pruned keyed rewrite"),
           keys, "left")
       case None => merged0
     }
@@ -1625,10 +1627,42 @@ object SnapshotLog {
     * 12). One extra O(table) key→id read, riding a path that is
     * already an O(table) rewrite. No-op on untracked lineages.
     */
+  /** A key-UNIQUE (keys → rid) map from a slice's identity scan, for
+    * every keyed re-attach join: NULL-key rows are excluded up front
+    * (the equi-join never matches them, so they can only take fresh
+    * identities — counting them would falsely refuse legal DML), and a
+    * duplicated non-null key refuses loudly (joining it would MULTIPLY
+    * the merged rows — 2 old copies × 2 merged copies = 4 committed —
+    * and cross-attach identities). A table written outside the
+    * keyed-DML contract can hold duplicate keys legitimately; these
+    * rewrite paths just cannot re-attach ids through them. The
+    * aggregate is locally checkpointed so the duplicate probe and the
+    * join share ONE computation of the underlying identity scan.
+    */
+  private def ridMapByKeyUnique(ids: DataFrame, keys: Seq[String],
+                                what: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, first, lit}
+    val grouped = ids
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col(_)): _*)
+      .agg(count(lit(1)).as("__n"), first(col(RowIdCol)).as(RowIdCol))
+      .localCheckpoint()
+    val dup = grouped.filter(col("__n") > 1)
+      .select(keys.map(col(_)): _*).limit(1).collect()
+    if (dup.nonEmpty)
+      throw new IllegalStateException(
+        s"row tracking cannot re-attach ids by key (${keys.mkString(",")}) " +
+        s"through $what: the snapshot holds duplicate rows for " +
+        s"key ${dup.head} — keyed DML on a tracked table assumes a " +
+        "key-unique snapshot (deduplicate first, or use positional " +
+        "tombstoneDelete / disable row tracking)")
+    grouped.drop("__n")
+  }
+
   private[graft] def attachRidsByKey(spark: SparkSession, root: String,
                                      merged: DataFrame,
                                      keys: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.{col, count, first, lit}
+    import org.apache.spark.sql.functions.col
     if (!rowTrackingEnabled(spark, root)) return merged
     currentVersion(spark, root) match {
       case None => merged
@@ -1636,24 +1670,8 @@ object SnapshotLog {
         val ids = scanWithRids(spark, root, cur,
             versionPaths(spark, root, cur), tombDirsOf(spark, root, cur))
           .select(keys.map(col(_)) :+ col(RowIdCol): _*)
-        // the (key → id) map must be key-UNIQUE: joining a duplicated
-        // key multiplies the merged rows (2 old copies × 2 merged
-        // copies = 4 committed) and cross-attaches identities — refuse
-        // loudly instead. A table written outside the keyed-DML
-        // contract can hold duplicate keys legitimately; this rewrite
-        // path just cannot re-attach ids through them.
-        val grouped = ids.groupBy(keys.map(col(_)): _*)
-          .agg(count(lit(1)).as("__n"), first(col(RowIdCol)).as(RowIdCol))
-        val dup = grouped.filter(col("__n") > 1)
-          .select(keys.map(col(_)): _*).limit(1).collect()
-        if (dup.nonEmpty)
-          throw new IllegalStateException(
-            s"row tracking cannot re-attach ids by key (${keys.mkString(",")}) " +
-            s"through this rewrite: the snapshot holds duplicate rows for " +
-            s"key ${dup.head} — keyed DML on a tracked table assumes a " +
-            "key-unique snapshot (deduplicate first, or use positional " +
-            "tombstoneDelete / disable row tracking)")
-        merged.join(grouped.drop("__n"), keys, "left")
+        merged.join(ridMapByKeyUnique(ids, keys, "this rewrite"),
+          keys, "left")
     }
   }
 
@@ -2423,7 +2441,9 @@ object SnapshotLog {
       // below classify on the rid-free frames)
       val mergedOut = parentSliceAll match {
         case Some(pa) if !replaceLeafs =>
-          merged.join(pa.select(keys.map(col(_)) :+ col(RowIdCol): _*),
+          merged.join(ridMapByKeyUnique(
+              pa.select(keys.map(col(_)) :+ col(RowIdCol): _*),
+              keys, "the scoped upsert"),
             keys, "left")
         case _ => merged
       }
@@ -3862,7 +3882,9 @@ object SnapshotLog {
     }
     val mergedOut = parentSliceAll match {
       case Some(pa) =>
-        merged.join(pa.select(keys.map(col(_)) :+ col(RowIdCol): _*),
+        merged.join(ridMapByKeyUnique(
+            pa.select(keys.map(col(_)) :+ col(RowIdCol): _*),
+            keys, "the scoped OCC stage"),
           keys, "left")
       case None => merged
     }
@@ -4290,28 +4312,111 @@ object SnapshotLog {
         }.toMap).getOrElse(Map.empty)
     }.getOrElse(Map.empty)
 
+  /** The DURABLE twin of the manifest's per-leaf overrides
+    * (`_graft_log/LEAFSPECS`): vacuum deletes old manifests while the
+    * packed leaf dirs they describe survive by reference, so the
+    * override must outlive its recording manifest or the leaf silently
+    * re-attributes to the head spec after retention ages the manifest
+    * out — the exact key-duplication the overrides exist to prevent.
+    * Accumulative (dirs are immutable once written; a dead dir's line
+    * is harmless), read-merge-rename under the writer claim.
+    */
+  private def leafSpecHistPath(root: String): Path =
+    new Path(logDir(root), "LEAFSPECS")
+
+  private[graft] def leafSpecHist(spark: SparkSession,
+                                  root: String): Map[String, String] = {
+    val p = leafSpecHistPath(root)
+    val f = fs(spark, p)
+    if (!f.exists(p)) return Map.empty
+    val in = f.open(p)
+    val text = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    text.split("\n").filter(_.nonEmpty).map { l =>
+      val Array(d, sp) = l.split("\t", 2)
+      java.net.URLDecoder.decode(d, "UTF-8") ->
+        java.net.URLDecoder.decode(sp, "UTF-8")
+    }.toMap
+  }
+
+  private def appendLeafSpecHist(spark: SparkSession, root: String,
+                                 entries: Map[String, String]): Unit = {
+    if (entries.isEmpty) return
+    val merged = leafSpecHist(spark, root) ++ entries
+    val p = leafSpecHistPath(root)
+    val f = fs(spark, p)
+    f.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent, ".tmp_leafspecs")
+    val out = f.create(tmp, true)
+    try out.write(merged.toSeq.sorted.map { case (d, sp) =>
+      java.net.URLEncoder.encode(d, "UTF-8") + "\t" +
+        java.net.URLEncoder.encode(sp, "UTF-8")
+    }.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      p.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private def leafBaseName(d: String): String =
+    d.substring(d.lastIndexOf('/') + 1)
+
+  /** Refuse a pack whose inputs have two SPECS rendering the same leaf
+    * name — the merged output leaf would have no single recordable
+    * spec (migration via merges converges them first).
+    */
+  private def requireNoSpecNameClash(specByDir: Map[String, String],
+                                     what: String): Unit = {
+    val clash = specByDir.groupBy { case (d, _) => leafBaseName(d) }
+      .filter(_._2.values.toSet.size > 1)
+    require(clash.isEmpty,
+      s"scoped $what: leaf name collision across specs: ${clash.keySet}")
+  }
+
+  /** The per-leaf spec overrides a maintenance commit must record for
+    * its WRITTEN leafs (old-spec inputs keep their spec under the new
+    * version's dir): builds the manifest map AND appends it to the
+    * durable [[leafSpecHist]] so the attribution survives the
+    * recording manifest's vacuum.
+    */
+  private def recordLeafSpecOverrides(spark: SparkSession, root: String,
+                                      specByDir: Map[String, String],
+                                      writtenLeafs: Seq[String],
+                                      partCol: String,
+                                      next: Long): Map[String, String] = {
+    val baseSpec = specByDir.map { case (d, sp) => leafBaseName(d) -> sp }
+    val overrides = writtenLeafs.flatMap { l =>
+      baseSpec.get(l).filter(_ != partCol)
+        .map(sp => (dataDirName(next) + "/" + l) -> sp)
+    }.toMap
+    appendLeafSpecHist(spark, root, overrides)
+    overrides
+  }
+
   /** dir → the spec each SPECIFIC leaf dir was written under: the
     * recording manifest's per-leaf override first (scoped maintenance
-    * packs old-spec leafs into its own version dir), then the
-    * manifest/SPECHIST/head chain of [[specOfLeafVersion]]; manifest
-    * reads cached per version. This is the resolver every
-    * migrate-on-touch derivation and mixed-layout refusal must use —
-    * attribution by dir VERSION alone claims the head spec for
-    * maintenance-packed old-spec leafs and silently duplicates keys on
-    * the next merge.
+    * packs old-spec leafs into its own version dir), then the durable
+    * [[leafSpecHist]] (the manifest may be vacuumed while the dir
+    * lives on by reference), then the manifest/SPECHIST/head chain of
+    * [[specOfLeafVersion]]; manifest reads cached per version. This is
+    * the resolver every migrate-on-touch derivation and mixed-layout
+    * refusal must use — attribution by dir VERSION alone claims the
+    * head spec for maintenance-packed old-spec leafs and silently
+    * duplicates keys on the next merge.
     */
   private def specsOfLeafDirs(spark: SparkSession, root: String,
                               dirs: Seq[String],
                               head: String): Map[String, String] = {
     val cache =
       scala.collection.mutable.HashMap.empty[Long, (Map[String, String], String)]
+    lazy val hist = leafSpecHist(spark, root)
     dirs.map { d =>
       d -> (leafDirVersion(d) match {
         case Some(lv) =>
           val (overrides, base) = cache.getOrElseUpdate(lv,
             (leafSpecsOf(spark, root, lv),
              specOfLeafVersion(spark, root, lv, head)))
-          overrides.getOrElse(d, base)
+          overrides.getOrElse(d, hist.getOrElse(d, base))
         case None => head
       })
     }.toMap
@@ -5556,15 +5661,7 @@ object SnapshotLog {
     val smallSpecByDir: Map[String, String] =
       if (specHistEntries(spark, root).isEmpty) Map.empty
       else specsOfLeafDirs(spark, root, small.map(_._1), partCol)
-    // two specs rendering the SAME leaf name would merge their rows
-    // into one written leaf with no single recordable spec — refuse
-    // rather than guess (migration via merges converges them first)
-    locally {
-      val clash = smallSpecByDir.groupBy { case (d, _) => baseName(d) }
-        .filter(_._2.values.toSet.size > 1)
-      require(clash.isEmpty,
-        s"scoped compaction: leaf name collision across specs: ${clash.keySet}")
-    }
+    requireNoSpecNameClash(smallSpecByDir, "compaction")
     val specGroups: Seq[(GpSpec, Seq[String])] =
       if (smallSpecByDir.isEmpty)
         Seq((spec, smallPaths))
@@ -5602,7 +5699,10 @@ object SnapshotLog {
       if (zorderBy.isEmpty) packed.repartition(col(GpCol))
       else {
         val zCols = zorderBy.map(c => physMap.getOrElse(c, c))
-        val n = math.max(1, small.size * filesPerLeaf)
+        // long math + a sane ceiling: a huge filesPerLeaf must clamp,
+        // not overflow Int into a single-partition collapse
+        val n = math.max(1L, math.min(
+          small.size.toLong * filesPerLeaf, 1L << 20)).toInt
         packed.withColumn("__z", Layout.zKeyColumn(packed, zCols))
           .repartitionByRange(n, col(GpCol), col("__z"))
           .sortWithinPartitions(col(GpCol), col("__z"))
@@ -5664,15 +5764,12 @@ object SnapshotLog {
       }
     // a maintenance rewrite carries the head's streaming stamp — an
     // interleaved compaction must not wipe the exactly-once replay gate
-    val smallBaseSpec = smallSpecByDir.map { case (d, s) => baseName(d) -> s }
     writeManifestDirs(spark, root, next, newDirs,
       batchId = batchIdOf(spark, root, cur).getOrElse(-1L),
       tombDirs = nextTombs, partCol = partCol,
       schemaJson = rawSchemaJson(spark, root, cur),
-      leafSpecs = writtenLeafs.flatMap { l =>
-        smallBaseSpec.get(l).filter(_ != partCol)
-          .map(s => (dataDirName(next) + "/" + l) -> s)
-      }.toMap)
+      leafSpecs = recordLeafSpecOverrides(spark, root, smallSpecByDir,
+        writtenLeafs, partCol, next))
     publishLatest(spark, root, next)
     next
   }
@@ -5873,12 +5970,7 @@ object SnapshotLog {
     val matchedSpecByDir: Map[String, String] =
       if (specHistEntries(spark, root).isEmpty) Map.empty
       else specsOfLeafDirs(spark, root, matched, partCol)
-    locally {
-      val clash = matchedSpecByDir.groupBy { case (d, _) => baseName(d) }
-        .filter(_._2.values.toSet.size > 1)
-      require(clash.isEmpty,
-        s"scoped purge: leaf name collision across specs: ${clash.keySet}")
-    }
+    requireNoSpecNameClash(matchedSpecByDir, "purge")
     val purgeGroups: Seq[(GpSpec, Seq[String])] =
       if (matchedSpecByDir.isEmpty)
         Seq((spec, matched.map(d => new Path(rootPath, d).toString)))
@@ -5927,14 +6019,11 @@ object SnapshotLog {
       if (statsCols.nonEmpty) statsCols.map(c => physMap.getOrElse(c, c))
       else inheritedStatsCols(spark, root)
     val stack = writeStats(spark, root, next, freshCols, carry)
-    val matchedBaseSpec = matchedSpecByDir.map { case (d, s) => baseName(d) -> s }
     writeManifestDirs(spark, root, next, newDirs, batchId = stamp,
       tombDirs = Nil, partCol = partCol, schemaJson = pinJson,
       statsStack = stack,
-      leafSpecs = writtenLeafs.flatMap { l =>
-        matchedBaseSpec.get(l).filter(_ != partCol)
-          .map(s => (dataDirName(next) + "/" + l) -> s)
-      }.toMap)
+      leafSpecs = recordLeafSpecOverrides(spark, root, matchedSpecByDir,
+        writtenLeafs, partCol, next))
     publishLatest(spark, root, next)
     next
   }

@@ -28,7 +28,7 @@ object GraftProcedures {
         "purge_deleted", "add_generated", "drop_generated", "generated_cols",
         "add_identity", "drop_identity", "sync_identity",
         "enable_row_tracking", "repartition", "ann_build", "ann_refresh",
-        "ann_compact", "ann_indexes", "mv_refresh", "add_constraint",
+        "ann_compact", "ann_indexes", "ann_drop", "mv_refresh", "add_constraint",
         "drop_constraint", "constraints", "audit")
 
   def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
@@ -60,6 +60,7 @@ object GraftProcedures {
       case "ann_refresh"         => Some(new AnnRefreshProc(cat))
       case "ann_compact"         => Some(new AnnCompactProc(cat))
       case "ann_indexes"         => Some(new AnnIndexesProc(cat))
+      case "ann_drop"            => Some(new AnnDropProc(cat))
       case "mv_refresh"          => Some(new MvRefreshProc(cat))
       case "convert_parquet"     => Some(new ConvertParquet(cat))
       case "vacuum_dry_run"      => Some(new VacuumDryRun(cat))
@@ -652,6 +653,22 @@ object GraftProcedures {
     override def call(input: InternalRow): JIterator[Scan] = {
       val v = graft.engine.AnnIndex.refresh(spark, root(input))
       scanOf(out, Seq(new GenericInternalRow(Array[Any](v))))
+    }
+  }
+
+  /** `CALL c.system.ann_drop(table, name)` — delete the index sidecar
+    * and release its vacuum pin.
+    */
+  private final class AnnDropProc(cat: GraftCatalog)
+      extends Proc(cat, "ann_drop") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType), param("name", StringType))
+    private val out = StructType(Seq(StructField("dropped", StringType)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val n = input.getUTF8String(1).toString
+      graft.engine.AnnIndex.drop(spark, root(input), n)
+      scanOf(out, Seq(new GenericInternalRow(
+        Array[Any](UTF8String.fromString(n)))))
     }
   }
 

@@ -424,6 +424,18 @@ class GpTransformSpec extends SparkSpecBase {
     noDupes("purge-rewritten old-spec leaf")
     assert(rows() == Set((1, "A"), (3, "c"), (4, "B4"), (5, "E2")),
       rowSeq().sorted.toString)
+    // the override survives VACUUM of its recording manifest: the
+    // packed day-03 leaf carries by reference long after the
+    // compaction's manifest ages out, and the durable LEAFSPECS
+    // history must keep attributing it to the OLD spec or this touch
+    // duplicates key 3
+    SnapshotLog.vacuum(spark, root, keep = 1)
+    SnapshotLog.upsertScoped(spark, root,
+      Seq((3, "ap", d3, "C3")).toDF("k", "region", "d", "v"),
+      Seq("k"), "region,days(d)", statsCols = Seq("k"))
+    noDupes("vacuumed-manifest packed old-spec leaf")
+    assert(rows() == Set((1, "A"), (3, "C3"), (4, "B4"), (5, "E2")),
+      rowSeq().sorted.toString)
   }
 
   test("optimizeZorderScoped: per-leaf z-clustering keeps leaf names and tightens stats pruning") {

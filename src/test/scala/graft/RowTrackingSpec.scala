@@ -394,6 +394,18 @@ class RowTrackingSpec extends SparkSpecBase {
     assert(SnapshotLog.read(spark, root).count() == 3)
     assert(SnapshotLog.readWithRowIds(spark, root)
       .select("_row_id").distinct().count() == 3)
+    // NULL keys never match the re-attach equi-join, so duplicated
+    // NULLs must NOT trip the refusal — they take fresh ids instead
+    val root2 = freshRoot()
+    SnapshotLog.commit(spark, root2,
+      Seq[(Integer, String)]((null, "a"), (null, "b"), (1, "c"))
+        .toDF("k", "v"))
+    SnapshotLog.enableRowTracking(spark, root2)
+    SnapshotLog.upsert(spark, root2,
+      Seq[(Integer, String)]((2, "d")).toDF("k", "v"), Seq("k"))
+    assert(SnapshotLog.read(spark, root2).count() == 4)
+    assert(SnapshotLog.readWithRowIds(spark, root2)
+      .select("_row_id").distinct().count() == 4)
   }
 
   test("REPLACE commits hand out fresh ids; an id-less replaceWithChanges raises until repaired") {

@@ -877,6 +877,11 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(listing().toSeq == Seq(("ivf", "ivf", true)), "append not seen as stale")
     sql("CALL graft.system.ann_refresh('ns.emb3')")
     assert(listing().toSeq == Seq(("ivf", "ivf", false)))
+    // drop through SQL: sidecar gone, vacuum pin released, listing empty
+    sql("CALL graft.system.ann_drop('ns.emb3', 'ivf')")
+    assert(sql("CALL graft.system.ann_indexes('ns.emb3')").collect().isEmpty)
+    assert(!sql("CALL graft.system.consumers('ns.emb3')")
+      .collect().exists(_.getString(0) == "ann_ivf"), "pin not released")
   }
 
   test("ann_knn TVF + ann_compact: index queries and maintenance stay in SQL (round 13)") {

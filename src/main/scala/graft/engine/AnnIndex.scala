@@ -302,32 +302,18 @@ object AnnIndex {
     // union the published list)
     sweepableDirs(spark, dir).map(_.getName).filterNot(live.contains)
       .foreach(n => f.delete(new Path(dir, n), true))
-    val fromDirs = SnapshotLog.dirsOf(spark, root, m.indexedVersion)
-    val toDirs = SnapshotLog.dirsOf(spark, root, cur)
-    // the raw-delta fast path requires a FLAT lineage: on merge-on-read
-    // a "new dir" may be a shadow delta superseding keys in files it
-    // never touched — those need their old assignments tombstoned,
-    // which is exactly what the visibleSliceDiff path below does
-    val appendOnly = SnapshotLog.morKeysOf(spark, root, cur).isEmpty &&
-      toDirs.startsWith(fromDirs) &&
-      SnapshotLog.tombDirsOf(spark, root, m.indexedVersion) ==
-        SnapshotLog.tombDirsOf(spark, root, cur)
     def writeSlice(frame: DataFrame, target: Path): Unit =
       if (m.pq.isEmpty) writeAssignments(frame, target, m.idCol, m.vecCol)
       else writeCodeAssignments(frame, target, m.idCol)
-    if (appendOnly) {
-      // O(batch): scan exactly the delta dirs, assign (+encode), append
-      // a new cell-partitioned slice beside the existing ones
-      val rootPath = new Path(root.replaceAll("/+$", ""))
-      val delta = toDirs.drop(fromDirs.size)
-        .map(d => new Path(rootPath, d).toString)
-      var written = Seq.empty[String]
-      if (delta.nonEmpty) {
-        // the visible slice read, NOT a raw parquet read: a
-        // column-mapped lineage stores PHYSICAL names, and the model's
-        // idCol/vecCol are logical — the pin translation lives there
-        val rows = SnapshotLog.verSliceOrEmpty(spark, root, cur, delta)
-          .filter(col(m.vecCol).isNotNull).persist()
+    // O(batch) fast path: an append-extended range assigns only the
+    // delta dirs' vectors (the shared helper refuses merge-on-read
+    // lineages — a "new dir" can shadow keys in untouched files, which
+    // needs the tombstoning slice-diff path below — and reads the
+    // visible slice through the column-mapping pin, never raw parquet)
+    SnapshotLog.appendDeltaRows(spark, root, m.indexedVersion, cur) match {
+      case Some(delta) =>
+        var written = Seq.empty[String]
+        val rows = delta.filter(col(m.vecCol).isNotNull).persist()
         try {
           if (rows.count() > 0) {
             writeSlice(encodeFor(spark, m, rows),
@@ -335,10 +321,10 @@ object AnnIndex {
             written = Seq(assignDirName(cur))
           }
         } finally rows.unpersist()
-      }
-      writeModel(spark, root, name,
-        m.copy(indexedVersion = cur, slices = Some(live ++ written)))
-      return cur
+        writeModel(spark, root, name,
+          m.copy(indexedVersion = cur, slices = Some(live ++ written)))
+        return cur
+      case None => ()
     }
     val (before, after, sliceFiles, totalFiles) =
       SnapshotLog.visibleSliceDiff(spark, root, m.indexedVersion, cur)

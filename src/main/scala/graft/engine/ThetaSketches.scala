@@ -65,6 +65,27 @@ object ThetaSketches {
   /** The theta aggregation as a Column (works inside any groupBy). */
   def thetaAgg(c: Column): Column = udaf(new ThetaAgg).apply(c)
 
+  /** Pairwise sketch union as a Column — the MERGE step of an
+    * incrementally-maintained distinct-count view (stored sketch ∪
+    * delta sketch); either side may be NULL/empty. A UDF by necessity:
+    * sketch union is JVM library work with no Catalyst expression
+    * equivalent, and it runs once per TOUCHED GROUP per refresh, never
+    * per row.
+    */
+  def unionCol(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.udf((x: Array[Byte], y: Array[Byte]) => {
+      val xa = if (x == null) Array.emptyByteArray else x
+      val ya = if (y == null) Array.emptyByteArray else y
+      new ThetaAgg().merge(xa, ya)
+    }).apply(a, b)
+
+  /** The sketch's distinct estimate as a LONG Column (0 for NULL/empty
+    * sketches) — exact below the sketch's nominal entry count (2^12).
+    */
+  def estimateCol(s: Column): Column =
+    org.apache.spark.sql.functions.udf((b: Array[Byte]) =>
+      if (b == null || b.isEmpty) 0L else math.round(estimate(b))).apply(s)
+
   /** Per-(week, …) theta sketches of `distinctCol` over `events`. */
   def weeklySketches(events: DataFrame, distinctCol: String): DataFrame =
     events

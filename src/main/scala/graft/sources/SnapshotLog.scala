@@ -6612,6 +6612,29 @@ object SnapshotLog {
          toPaths.size, tf.size)
     }
 
+  /** The visible rows an APPEND-extended range (fromV, toV] added —
+    * the delta dirs' rows, pin-translated — or None when the range is
+    * NOT append-extended (file removals, deletion-vector changes, or a
+    * merge-on-read lineage, where a "new dir" can shadow old rows).
+    * The O(delta) feed for consumers whose state is not subtractive
+    * (sketch views, the ANN append fast path).
+    */
+  private[graft] def appendDeltaRows(spark: SparkSession, root: String,
+                                     fromV: Long,
+                                     toV: Long): Option[DataFrame] = {
+    val fromDirs = dirsOf(spark, root, fromV)
+    val toDirs = dirsOf(spark, root, toV)
+    val appendOnly = morKeysOf(spark, root, toV).isEmpty &&
+      toDirs.startsWith(fromDirs) &&
+      tombDirsOf(spark, root, fromV) == tombDirsOf(spark, root, toV)
+    if (!appendOnly) None
+    else {
+      val rootPath = new Path(root.replaceAll("/+$", ""))
+      Some(verSliceOrEmpty(spark, root, toV,
+        toDirs.drop(fromDirs.size).map(d => new Path(rootPath, d).toString)))
+    }
+  }
+
   /** A path slice of version `v` as the plain visible read (declared
     * schema, vectors applied, no identities) — or a same-shaped empty
     * frame. The keyed changesBetween's file-granular fallback; also the

@@ -226,6 +226,49 @@ class IncrementalViewSpec extends SparkSpecBase {
     assert(e.getMessage.contains("group column"))
   }
 
+  test("distinct-count view: mergeable theta sketches over an append-only feed") {
+    val source = freshRoot("dsrc"); val view = freshRoot("dview")
+    def ev(rows: (String, Long)*): DataFrame =
+      rows.toSeq.toDF("grp", "uid")
+    def expect(): Set[(String, Long, Long)] =
+      SnapshotLog.read(spark, source).groupBy("grp")
+        .agg(count(lit(1)).as("n"), countDistinct("uid").as("d"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def got(): Set[(String, Long, Long)] =
+      SnapshotLog.read(spark, view)
+        .select("grp", "n_rows", "distinct_est")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    SnapshotLog.commit(spark, source,
+      ev(("a", 1), ("a", 2), ("a", 1), ("b", 9)))
+    assert(IncrementalView.refreshDistinct(spark, source, view,
+      Seq("grp"), "uid").isDefined)
+    assert(got() == expect()) // small cardinality → sketch exact
+    // appends with OVERLAPPING uids: the union must not double-count
+    SnapshotLog.appendCommit(spark, source,
+      ev(("a", 2), ("a", 3), ("b", 9), ("c", 5)))
+    SnapshotLog.appendCommit(spark, source, ev(("c", 5), ("c", 6)))
+    IncrementalView.refreshDistinct(spark, source, view, Seq("grp"), "uid")
+    assert(got() == expect(), s"${got()} != ${expect()}")
+    // replay no-op
+    assert(IncrementalView.refreshDistinct(spark, source, view,
+      Seq("grp"), "uid").isEmpty)
+    // a non-append change refuses loudly (sketches are not subtractive)
+    SnapshotLog.tombstoneDelete(spark, source, Seq(Tuple1(9L)).toDF("uid"),
+      Seq("uid"))
+    SnapshotLog.appendCommit(spark, source, ev(("a", 7)))
+    val e = intercept[IllegalStateException] {
+      IncrementalView.refreshDistinct(spark, source, view, Seq("grp"), "uid")
+    }
+    assert(e.getMessage.contains("append-extended"), e.getMessage)
+    // the documented repair: drop the view, bootstrap recomputes
+    val view2 = freshRoot("dview2")
+    IncrementalView.refreshDistinct(spark, source, view2, Seq("grp"), "uid")
+    assert(SnapshotLog.read(spark, view2)
+      .select("grp", "n_rows", "distinct_est")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      == expect())
+  }
+
   test("an opted-in view pins the source against vacuum and keeps reconciling") {
     val source = freshRoot("psrc"); val view = freshRoot("pview")
     SnapshotLog.commit(spark, source,

@@ -28,7 +28,8 @@ object GraftProcedures {
         "purge_deleted", "add_generated", "drop_generated", "generated_cols",
         "add_identity", "drop_identity", "sync_identity",
         "enable_row_tracking", "repartition", "ann_build", "ann_refresh",
-        "ann_compact", "ann_indexes", "ann_drop", "mv_refresh", "add_constraint",
+        "ann_compact", "ann_indexes", "ann_drop", "mv_refresh",
+        "mv_refresh_distinct", "add_constraint",
         "drop_constraint", "constraints", "audit")
 
   def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
@@ -62,6 +63,7 @@ object GraftProcedures {
       case "ann_indexes"         => Some(new AnnIndexesProc(cat))
       case "ann_drop"            => Some(new AnnDropProc(cat))
       case "mv_refresh"          => Some(new MvRefreshProc(cat))
+      case "mv_refresh_distinct" => Some(new MvRefreshDistinctProc(cat))
       case "convert_parquet"     => Some(new ConvertParquet(cat))
       case "vacuum_dry_run"      => Some(new VacuumDryRun(cat))
       case "add_constraint"      => Some(new AddConstraintProc(cat))
@@ -739,6 +741,35 @@ object GraftProcedures {
           dst, groupCols, measures, consumer)
       }
       val row = applied match {
+        case Some((f, t)) => new GenericInternalRow(Array[Any](f, t))
+        case None => new GenericInternalRow(Array[Any](null, null))
+      }
+      scanOf(out, Seq(row))
+    }
+  }
+
+  /** `CALL c.system.mv_refresh_distinct(source, view, group_cols,
+    * distinct_col, consumer)` — maintain a DISTINCT-COUNT view via
+    * mergeable theta sketches ([[graft.sources.IncrementalView.refreshDistinct]]):
+    * O(appended rows) per refresh, loud refusal on non-append ranges.
+    */
+  private final class MvRefreshDistinctProc(cat: GraftCatalog)
+      extends Proc(cat, "mv_refresh_distinct") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("source_table", StringType), param("view_table", StringType),
+        param("group_cols", StringType), param("distinct_col", StringType),
+        param("consumer", StringType))
+    private val out = StructType(Seq(
+      StructField("from_version", LongType), StructField("to_version", LongType)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val src = cat.rootOf(input.getUTF8String(0).toString)
+      val dst = cat.rootOf(input.getUTF8String(1).toString)
+      val groupCols = input.getUTF8String(2).toString
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val consumer = Some(input.getUTF8String(4).toString.trim)
+        .filter(_.nonEmpty)
+      val row = graft.sources.IncrementalView.refreshDistinct(spark, src,
+        dst, groupCols, input.getUTF8String(3).toString, consumer) match {
         case Some((f, t)) => new GenericInternalRow(Array[Any](f, t))
         case None => new GenericInternalRow(Array[Any](null, null))
       }

@@ -861,6 +861,29 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kGot == kExp)
   }
 
+  test("mv_refresh_distinct: sketch-backed COUNT DISTINCT views through SQL") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
+    sql("CREATE TABLE graft.ns.dfacts (grp STRING, uid BIGINT)")
+    sql("INSERT INTO graft.ns.dfacts VALUES ('a',1),('a',2),('a',1),('b',9)")
+    sql("""CALL graft.system.mv_refresh_distinct('ns.dfacts',
+           'ns.dfacts_dv', 'grp', 'uid', '')""").collect()
+    sql("INSERT INTO graft.ns.dfacts VALUES ('a',2),('a',3),('c',5)")
+    val r = sql("""CALL graft.system.mv_refresh_distinct('ns.dfacts',
+           'ns.dfacts_dv', 'grp', 'uid', 'dv_pin')""").collect().head
+    assert(!r.isNullAt(1))
+    val got = sql(
+      "SELECT grp, n_rows, distinct_est FROM graft.ns.dfacts_dv")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+    val want = sql(
+      """SELECT grp, count(*), count(DISTINCT uid)
+         FROM graft.ns.dfacts GROUP BY grp""")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+    assert(got == want, s"$got != $want")
+    val pins = sql("CALL graft.system.consumers('ns.dfacts')")
+      .collect().map(_.getString(0)).toSet
+    assert(pins.contains("dv_pin"))
+  }
+
   test("ann_indexes: freshness observability for every persisted index") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
     sql("CREATE TABLE graft.ns.emb3 (vec_id BIGINT, embedding ARRAY<FLOAT>)")

@@ -136,8 +136,14 @@ object AnnIndex {
       .flatMap(n => model(spark, root, n).map(n -> _)).toSeq
   }
 
-  /** Delete the index sidecar and release its vacuum pin. */
+  /** Delete the index sidecar and release its vacuum pin. Refuses an
+    * unknown index name loudly (the ann_refresh/ann_compact contract) —
+    * a silent no-op on a typo would leave the REAL index pinning source
+    * versions while the user believes it is gone.
+    */
   def drop(spark: SparkSession, root: String, name: String = "ivf"): Unit = {
+    require(model(spark, root, name).isDefined,
+      s"no ANN index '$name' at $root — nothing to drop")
     val dir = annDir(root, name)
     val f = fs(spark, dir)
     if (f.exists(dir)) f.delete(dir, true)
@@ -297,10 +303,13 @@ object AnnIndex {
     val live: Seq[String] = m.slices.getOrElse(
       sliceDirs(spark, dir).map(_.getName)
         .filter(sliceVersion(_) <= m.indexedVersion).sorted.toSeq)
-    // sweep orphans of a crashed maintenance pass (staged or written
-    // but never published — readers already ignore them: they only
-    // union the published list)
-    sweepableDirs(spark, dir).map(_.getName).filterNot(live.contains)
+    // sweep orphans of a crashed maintenance pass (written but never
+    // published — readers already ignore them: they only union the
+    // published list). Deliberately NOT .tmp_* staging dirs: a
+    // streaming annRefresh firing between micro-batches must not
+    // delete the staging of a concurrently running compact — crash
+    // debris of that shape is reclaimed by the next compact instead.
+    sliceDirs(spark, dir).map(_.getName).filterNot(live.contains)
       .foreach(n => f.delete(new Path(dir, n), true))
     def writeSlice(frame: DataFrame, target: Path): Unit =
       if (m.pq.isEmpty) writeAssignments(frame, target, m.idCol, m.vecCol)

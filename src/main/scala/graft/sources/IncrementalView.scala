@@ -238,7 +238,9 @@ object IncrementalView {
                       consumer: Option[String] = None): Option[(Long, Long)] = {
     import graft.engine.ThetaSketches
     require(groupCols.nonEmpty, "groupCols must be non-empty")
-    require(!groupCols.contains(distinctCol),
+    // case-INSENSITIVE: Catalyst resolution is, so 'GRP' would silently
+    // sketch the group column itself
+    require(!groupCols.exists(_.equalsIgnoreCase(distinctCol)),
       s"distinctCol $distinctCol cannot also be a group column")
     val toV = SnapshotLog.currentVersion(spark, sourceRoot)
       .getOrElse(return None)
@@ -248,15 +250,25 @@ object IncrementalView {
         SnapshotLog.registerConsumer(spark, sourceRoot, _, fromV))
       return None
     }
+    // column-NAMED view schema (the additive view's sum_<m> discipline):
+    // a later refresh with a different distinct_col fails loudly on
+    // resolution instead of silently unioning sketches of unrelated
+    // columns into a meaningless estimate
+    val estCol = s"distinct_est_$distinctCol"
+    val skCol = s"dc_sketch_$distinctCol"
     def sketchAgg(rows: DataFrame): DataFrame = rows
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
-           ThetaSketches.thetaAgg(xxhash64(col(distinctCol)))
-             .as("dc_sketch"))
+           // NULLs stay NULL into the sketch (ThetaAgg skips them) —
+           // xxhash64 alone would hash NULL to its seed and phantom-add
+           // one distinct value where COUNT(DISTINCT) counts none
+           ThetaSketches.thetaAgg(when(col(distinctCol).isNotNull,
+               xxhash64(col(distinctCol))))
+             .as(skCol))
     def withEst(df: DataFrame): DataFrame = df.select(
       groupCols.map(col) :+ col("n_rows") :+
-        ThetaSketches.estimateCol(col("dc_sketch")).as("distinct_est") :+
-        col("dc_sketch"): _*)
+        ThetaSketches.estimateCol(col(skCol)).as(estCol) :+
+        col(skCol): _*)
     val next =
       if (fromV == 0L)
         withEst(sketchAgg(SnapshotLog.readVersion(spark, sourceRoot, toV)))
@@ -275,8 +287,8 @@ object IncrementalView {
             groupCols.map(c => coalesce(d(c), view(c)).as(c)) ++ Seq(
               (coalesce(view("n_rows"), lit(0L)) +
                coalesce(d("n_rows"), lit(0L))).as("n_rows"),
-              ThetaSketches.unionCol(view("dc_sketch"), d("dc_sketch"))
-                .as("dc_sketch")): _*))
+              ThetaSketches.unionCol(view(skCol), d(skCol))
+                .as(skCol)): _*))
       }
     SnapshotLog.replaceBatch(spark, viewRoot, next, batchId = toV) match {
       case Some(_) =>
@@ -295,7 +307,7 @@ object IncrementalView {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     require(measures.nonEmpty, "measures must be non-empty")
     require(measures.distinct == measures, s"duplicate measures: $measures")
-    measures.foreach(m => require(!groupCols.contains(m),
+    measures.foreach(m => require(!groupCols.exists(_.equalsIgnoreCase(m)),
       s"measure $m cannot also be a group column"))
     val toV = SnapshotLog.currentVersion(spark, sourceRoot)
       .getOrElse(return None) // source doesn't exist yet — nothing to do

@@ -9204,6 +9204,31 @@ object SnapshotLog {
     val hist = specHistEntries(spark, root)
     if (hist.exists(_._1 > committed))
       writeSpecHist(spark, root, hist.filter(_._1 <= committed))
+    // durable per-leaf spec overrides above the committed pointer are
+    // the same class of debris (maintenance crashed between the
+    // LEAFSPECS append and publish): the freed version number will be
+    // reused, and a stale entry for a same-named leaf would
+    // mis-attribute the NEW leaf's spec — prune them with the orphans
+    val lsh = leafSpecHist(spark, root)
+    val lshLive = lsh.filter { case (d, _) =>
+      leafDirVersion(d).forall(_ <= committed) }
+    if (lshLive.size != lsh.size) {
+      val p = leafSpecHistPath(root)
+      val fls = fs(spark, p)
+      if (lshLive.isEmpty) fls.delete(p, false)
+      else {
+        val tmp = new Path(p.getParent, ".tmp_leafspecs")
+        val out = fls.create(tmp, true)
+        try out.write(lshLive.toSeq.sorted.map { case (d, sp) =>
+          java.net.URLEncoder.encode(d, "UTF-8") + "\t" +
+            java.net.URLEncoder.encode(sp, "UTF-8")
+        }.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          p.toUri, spark.sparkContext.hadoopConfiguration)
+        fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      }
+    }
     // a data or tombstone dir without its manifest (crash mid-stage)
     val rootPath = new Path(root.replaceAll("/+$", ""))
     fs(spark, rootPath).listStatus(rootPath).foreach { st =>

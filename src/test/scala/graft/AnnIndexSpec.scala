@@ -262,15 +262,18 @@ class AnnIndexSpec extends SparkSpecBase {
     // the published model covers v, so the v+1 slice is filtered out
     val got = ids(AnnIndex.knn(spark, root, q, k = 80, nprobe = 4))
     assert(!got.contains(99999L), "orphan slice leaked into a query")
-    // a compact killed mid-staging would leak a corpus-sized temp dir —
-    // the sweep must reclaim .tmp_* leftovers too
+    // a compact killed mid-staging would leak a corpus-sized temp dir;
+    // refresh deliberately leaves .tmp_* alone (a concurrent compact
+    // may be staging) — the NEXT compact reclaims it
     val tmpLeak = new java.io.File(root, "_graft_ann/ivf/.tmp_assign_v00000099")
     assert(tmpLeak.mkdirs())
     // the next refresh sweeps the orphan before writing its own slice
     SnapshotLog.appendCommit(spark, root, vecs(20, offset = 500).repartition(1),
       statsCols = Seq("vec_id"))
     AnnIndex.refresh(spark, root)
-    assert(!tmpLeak.exists, "staging leftover not swept")
+    assert(tmpLeak.exists, "refresh must not touch staging dirs")
+    AnnIndex.compact(spark, root)
+    assert(!tmpLeak.exists, "staging leftover not reclaimed by compact")
     // the orphan's NAME is legitimately reused by the new slice; the
     // sweep is proven by the bogus id being gone from the results below
     val got2 = ids(AnnIndex.knn(spark, root, q, k = 100, nprobe = 4))

@@ -236,7 +236,7 @@ class IncrementalViewSpec extends SparkSpecBase {
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     def got(): Set[(String, Long, Long)] =
       SnapshotLog.read(spark, view)
-        .select("grp", "n_rows", "distinct_est")
+        .select("grp", "n_rows", "distinct_est_uid")
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     SnapshotLog.commit(spark, source,
       ev(("a", 1), ("a", 2), ("a", 1), ("b", 9)))
@@ -264,9 +264,24 @@ class IncrementalViewSpec extends SparkSpecBase {
     val view2 = freshRoot("dview2")
     IncrementalView.refreshDistinct(spark, source, view2, Seq("grp"), "uid")
     assert(SnapshotLog.read(spark, view2)
-      .select("grp", "n_rows", "distinct_est")
+      .select("grp", "n_rows", "distinct_est_uid")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
       == expect())
+    // NULL distinct values do not phantom-count (COUNT DISTINCT
+    // semantics: NULLs are ignored), and a case-variant distinct
+    // column refuses instead of sketching the group column itself
+    val nsrc = freshRoot("dnull"); val nview = freshRoot("dnullv")
+    SnapshotLog.commit(spark, nsrc,
+      Seq[(String, java.lang.Long)](("a", null), ("a", null), ("a", 1L))
+        .toDF("grp", "uid"))
+    IncrementalView.refreshDistinct(spark, nsrc, nview, Seq("grp"), "uid")
+    val nGot = SnapshotLog.read(spark, nview)
+      .select("n_rows", "distinct_est_uid").head()
+    assert((nGot.getLong(0), nGot.getLong(1)) == ((3L, 1L)), nGot.toString)
+    intercept[IllegalArgumentException] {
+      IncrementalView.refreshDistinct(spark, nsrc, freshRoot("dbad"),
+        Seq("grp"), "GRP")
+    }
   }
 
   test("an opted-in view pins the source against vacuum and keeps reconciling") {

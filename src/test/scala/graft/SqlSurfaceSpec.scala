@@ -872,7 +872,7 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
            'ns.dfacts_dv', 'grp', 'uid', 'dv_pin')""").collect().head
     assert(!r.isNullAt(1))
     val got = sql(
-      "SELECT grp, n_rows, distinct_est FROM graft.ns.dfacts_dv")
+      "SELECT grp, n_rows, distinct_est_uid FROM graft.ns.dfacts_dv")
       .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
     val want = sql(
       """SELECT grp, count(*), count(DISTINCT uid)

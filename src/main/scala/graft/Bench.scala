@@ -131,7 +131,14 @@ object Bench {
     val reps = scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").trim.toInt)
       .getOrElse { System.err.println("[bench] bad SPARK_GRAFT_BENCH_REPS, using 2"); 2 }
       .max(1)
-    val results = (SparkEntry.queries ++ benchOnly).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q68_gap_fill,q94_concurrency → time just
+    // those queries (adjudication re-runs of flagged bench drift; the
+    // driver never sets it, so round benches stay full)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = (SparkEntry.queries ++ benchOnly)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val times = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 } catch {

@@ -77,6 +77,49 @@ object AnnIndex {
     new Path(new Path(root.replaceAll("/+$", ""), "_graft_ann"), name)
   private def modelPath(root: String, name: String): Path =
     new Path(annDir(root, name), "MODEL")
+  // the lock lives BESIDE the index dir (not inside it): build and drop
+  // delete the whole index dir, and a lock stored within would be
+  // destroyed while held
+  private def lockPath(root: String, name: String): Path =
+    new Path(new Path(root.replaceAll("/+$", ""), "_graft_ann"),
+      s".lock_$name")
+
+  /** Serialize MAINTENANCE per index (round 14 — ADVICE r13 medium):
+    * refresh's orphan sweep deletes any slice dir absent from the live
+    * list it read, and the MODEL swap is a read-modify-write — two
+    * concurrent maintainers (a streaming sink's auto-refresh racing an
+    * explicit `CALL ann_compact`) could delete each other's
+    * renamed-but-unpublished slices or lose the other's published ones.
+    * Same atomic-create claim primitive as the table's writer claim
+    * ([[graft.sources.LogStore.tryClaim]]), bounded-wait so the common
+    * benign race (sink refresh vs user compact) WAITS instead of
+    * failing; a dedicated per-index file rather than the table claim so
+    * a corpus-sized compact never blocks table commits. Readers take no
+    * lock — they follow the atomically-swapped MODEL pointer.
+    */
+  private def withAnnLock[T](spark: SparkSession, root: String,
+                             name: String)(body: => T): T = {
+    val timeoutMs =
+      spark.conf.get("spark.graft.ann.lockTimeoutMs", "60000").toLong
+    val lock = lockPath(root, name)
+    val f = fs(spark, lock)
+    f.mkdirs(lock.getParent)
+    val store = graft.sources.LogStore.resolve(spark)
+    val deadline = System.currentTimeMillis + timeoutMs
+    var claimed = false
+    while (!claimed) {
+      claimed = store.tryClaim(spark, lock)
+      if (!claimed) {
+        if (System.currentTimeMillis > deadline)
+          throw new IllegalStateException(
+            s"timed out after ${timeoutMs}ms waiting for ANN lock $lock " +
+            "— a maintainer is stuck or hard-crashed (remove the lock " +
+            "file to recover)")
+        Thread.sleep(25L + scala.util.Random.nextInt(50).toLong)
+      }
+    }
+    try body finally store.releaseClaim(spark, lock)
+  }
   private def assignDirName(v: Long): String = f"assign_v$v%08d"
   private def tombDirName(v: Long): String = f"tomb_v$v%08d"
   private def sliceVersion(name: String): Long =
@@ -141,15 +184,16 @@ object AnnIndex {
     * a silent no-op on a typo would leave the REAL index pinning source
     * versions while the user believes it is gone.
     */
-  def drop(spark: SparkSession, root: String, name: String = "ivf"): Unit = {
-    require(model(spark, root, name).isDefined,
-      s"no ANN index '$name' at $root — nothing to drop")
-    val dir = annDir(root, name)
-    val f = fs(spark, dir)
-    if (f.exists(dir)) f.delete(dir, true)
-    try SnapshotLog.unregisterConsumer(spark, root, consumerName(name))
-    catch { case _: java.io.FileNotFoundException => () }
-  }
+  def drop(spark: SparkSession, root: String, name: String = "ivf"): Unit =
+    withAnnLock(spark, root, name) {
+      require(model(spark, root, name).isDefined,
+        s"no ANN index '$name' at $root — nothing to drop")
+      val dir = annDir(root, name)
+      val f = fs(spark, dir)
+      if (f.exists(dir)) f.delete(dir, true)
+      try SnapshotLog.unregisterConsumer(spark, root, consumerName(name))
+      catch { case _: java.io.FileNotFoundException => () }
+    }
 
   /** The persisted model, or None when the index does not exist. */
   def model(spark: SparkSession, root: String,
@@ -186,7 +230,8 @@ object AnnIndex {
     */
   def build(spark: SparkSession, root: String, name: String = "ivf",
             k: Int = 16, iters: Int = 8, maxTrain: Int = 4096,
-            idCol: String = "vec_id", vecCol: String = "embedding"): Long = {
+            idCol: String = "vec_id", vecCol: String = "embedding"): Long =
+    withAnnLock(spark, root, name) {
     VectorFunctions.register(spark)
     val cur = SnapshotLog.currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
@@ -226,7 +271,8 @@ object AnnIndex {
   def buildPq(spark: SparkSession, root: String, name: String = "ivfpq",
               kCells: Int = 16, m: Int = 8, kPq: Int = 16,
               cellIters: Int = 8, pqIters: Int = 8, maxTrain: Int = 4096,
-              idCol: String = "vec_id", vecCol: String = "embedding"): Long = {
+              idCol: String = "vec_id", vecCol: String = "embedding"): Long =
+    withAnnLock(spark, root, name) {
     VectorFunctions.register(spark)
     val cur = SnapshotLog.currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
@@ -286,7 +332,8 @@ object AnnIndex {
     * indexed version.
     */
   def refresh(spark: SparkSession, root: String, name: String = "ivf",
-              maxSlices: Int = 16): Long = {
+              maxSlices: Int = 16): Long =
+    withAnnLock(spark, root, name) {
     VectorFunctions.register(spark)
     val m = model(spark, root, name).getOrElse(throw new IllegalStateException(
       s"no ANN index '$name' at $root — AnnIndex.build first"))
@@ -376,7 +423,8 @@ object AnnIndex {
     * accumulate; also the repair for tombstone bloat after heavy churn.
     */
   def compact(spark: SparkSession, root: String,
-              name: String = "ivf"): Long = {
+              name: String = "ivf"): Long =
+    withAnnLock(spark, root, name) {
     VectorFunctions.register(spark)
     val m = model(spark, root, name).getOrElse(throw new IllegalStateException(
       s"no ANN index '$name' at $root — AnnIndex.build first"))
@@ -530,8 +578,17 @@ object AnnIndex {
       s"at v$cur — AnnIndex.refresh(...) first (a stale probe would " +
       "return deleted rows or miss fresh ones)")
     // an index over zero vectors (every row deleted, then compacted)
-    // answers EMPTY instead of choking on a slice-less union
-    if (m.slices.exists(_.forall(!_.startsWith("assign_v")))) {
+    // answers EMPTY instead of choking on a slice-less union; a legacy
+    // model (slices=None) whose dir listing has no assign_v* dirs at or
+    // below the indexed version gets the same clean empty answer
+    // instead of a reduce-on-empty crash (round 14 — ADVICE r13)
+    val hasAssignments = m.slices match {
+      case Some(ls) => ls.exists(_.startsWith("assign_v"))
+      case None => sliceDirs(spark, annDir(root, name)).exists(p =>
+        p.getName.startsWith("assign_v") &&
+          sliceVersion(p.getName) <= m.indexedVersion)
+    }
+    if (!hasAssignments) {
       import org.apache.spark.sql.types._
       val idType = SnapshotLog.readVersion(spark, root, cur)
         .schema.find(_.name.equalsIgnoreCase(m.idCol)).map(_.dataType)

@@ -306,7 +306,11 @@ object IncrementalView {
                           consumer: Option[String] = None): Option[(Long, Long)] = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     require(measures.nonEmpty, "measures must be non-empty")
-    require(measures.distinct == measures, s"duplicate measures: $measures")
+    // case-INSENSITIVE like Catalyst resolution and the group-col check
+    // below: ['amt','AMT'] would otherwise pass and emit ambiguous
+    // sum_amt/sum_AMT columns (round 14 — ADVICE r13)
+    require(measures.map(_.toLowerCase).distinct.size == measures.size,
+      s"duplicate measures (case-insensitive): $measures")
     measures.foreach(m => require(!groupCols.exists(_.equalsIgnoreCase(m)),
       s"measure $m cannot also be a group column"))
     val toV = SnapshotLog.currentVersion(spark, sourceRoot)

@@ -4342,7 +4342,11 @@ object SnapshotLog {
   private def appendLeafSpecHist(spark: SparkSession, root: String,
                                  entries: Map[String, String]): Unit = {
     if (entries.isEmpty) return
-    val merged = leafSpecHist(spark, root) ++ entries
+    writeLeafSpecHist(spark, root, leafSpecHist(spark, root) ++ entries)
+  }
+
+  private def writeLeafSpecHist(spark: SparkSession, root: String,
+                                merged: Map[String, String]): Unit = {
     val p = leafSpecHistPath(root)
     val f = fs(spark, p)
     f.mkdirs(p.getParent)
@@ -9687,6 +9691,27 @@ object SnapshotLog {
           scala.util.Try(n.stripPrefix("v").stripSuffix(".statspq").toLong)
             .toOption.exists(sv => !liveStats.contains(sv)))
         f.delete(st.getPath, true)
+    }
+    // LEAFSPECS hygiene (round 14 — ADVICE r13): an override for a leaf
+    // dir NO retained version references can never be consulted again
+    // (the resolver only sees dirs that live in some retained manifest),
+    // so dropping it is safe — and without the prune every scoped
+    // merge on a long-lived spec-evolved table re-reads and rewrites an
+    // ever-growing file. Rewritten under the writer claim: the file is
+    // read-merge-rename, and racing a concurrent maintenance append
+    // could silently drop ITS fresh (live) entries.
+    val hist = leafSpecHist(spark, root)
+    if (hist.nonEmpty) {
+      val live = hist.filter { case (d, _) =>
+        retainedDirs.contains(d) || retainedDirs.exists(_.startsWith(d + "/"))
+      }
+      if (live.size != hist.size) withClaimWait(spark, root) {
+        // re-read under the claim: entries appended since the filter
+        // above must survive (they belong to the head version, which is
+        // always retained)
+        val fresh = leafSpecHist(spark, root) -- (hist.keySet -- live.keySet)
+        writeLeafSpecHist(spark, root, fresh)
+      }
     }
     // OCC staging debris: a writer that crashed BEFORE its claimed
     // publish leaves a data_u dir no manifest references. Liveness is

@@ -247,6 +247,15 @@ object GraftProcedures {
     * (n_files = total output files); PARTITION-SCOPED tables take the
     * per-leaf rewrite (round 13): leaf names stay stable, dir pruning
     * survives, and n_files scales the per-leaf range budget.
+    *
+    * BEHAVIOR CHANGE vs round 12 (noted per ADVICE r13): on a scoped
+    * table, `n_files` is now a PER-LEAF file budget, not the total
+    * output file count — a 50-leaf table called with n_files=4 produces
+    * up to 200 files, where the old compactChain path produced 4 — and
+    * a merge-on-read scoped table now refuses with "compactMor first"
+    * instead of silently materializing through compactChain. Callers
+    * that sized n_files as a table-total on scoped tables should divide
+    * by the leaf count; flat-table semantics are unchanged.
     */
   private final class OptimizeZorder(cat: GraftCatalog) extends Proc(cat, "optimize_zorder") {
     override def parameters(): Array[ProcedureParameter] =

@@ -442,4 +442,89 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(!got.contains(victim), "deleted row still probeable")
     assert(got.size == 99)
   }
+
+  test("maintenance lock: a held lock blocks refresh; release unblocks (r14)") {
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root, vecs(80), statsCols = Seq("vec_id"))
+    AnnIndex.build(spark, root, k = 4)
+    SnapshotLog.appendCommit(spark, root, vecs(20, offset = 500))
+    // hold the per-index lock out-of-band (a hard-crashed maintainer)
+    val lock = new org.apache.hadoop.fs.Path(root + "/_graft_ann/.lock_ivf")
+    val f = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.create(lock, false).close()
+    spark.conf.set("spark.graft.ann.lockTimeoutMs", "300")
+    try {
+      val e = intercept[IllegalStateException] {
+        AnnIndex.refresh(spark, root)
+      }
+      assert(e.getMessage.contains("ANN lock"), e.getMessage)
+    } finally {
+      spark.conf.unset("spark.graft.ann.lockTimeoutMs")
+      f.delete(lock, false)
+    }
+    // released → refresh proceeds and the lock does not linger
+    AnnIndex.refresh(spark, root)
+    assert(!f.exists(lock), "lock leaked after a successful refresh")
+    assert(AnnIndex.model(spark, root, "ivf").get.indexedVersion ==
+      SnapshotLog.currentVersion(spark, root).get)
+  }
+
+  test("maintenance lock: concurrent refresh and compact serialize (r14)") {
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root, vecs(120), statsCols = Seq("vec_id"))
+    AnnIndex.build(spark, root, k = 4)
+    SnapshotLog.appendCommit(spark, root, vecs(40, offset = 700))
+    // without the lock, compact's orphan sweep could delete refresh's
+    // renamed-but-unpublished slice (the ADVICE r13 medium); with it the
+    // two serialize in either order and the index ends consistent
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = Seq(
+      new Thread(() =>
+        try AnnIndex.refresh(spark, root)
+        catch { case t: Throwable => errs.add(t) }),
+      new Thread(() =>
+        try AnnIndex.compact(spark, root)
+        catch { case t: Throwable => errs.add(t) }))
+    ts.foreach(_.start()); ts.foreach(_.join(120000))
+    assert(errs.isEmpty, s"concurrent maintenance failed: ${errs}")
+    val m = AnnIndex.model(spark, root, "ivf").get
+    assert(m.indexedVersion == SnapshotLog.currentVersion(spark, root).get)
+    // every published slice dir exists — no maintainer swept another's
+    val dir = new org.apache.hadoop.fs.Path(root + "/_graft_ann/ivf")
+    val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    m.slices.get.foreach(s => assert(
+      f.exists(new org.apache.hadoop.fs.Path(dir, s)), s"missing slice $s"))
+    val q = vecs(1, offset = 707).select("embedding").head().getSeq[Float](0)
+    val got = ids(AnnIndex.knn(spark, root, q, k = 160, nprobe = 4))
+    assert(got.size == 160 && got.contains(707L))
+    assert(got == exactTopK(root, q, 160))
+  }
+
+  test("legacy model without a slice list and no assign dirs answers empty (r14)") {
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root, vecs(50), statsCols = Seq("vec_id"))
+    AnnIndex.build(spark, root, k = 4)
+    val dir = new org.apache.hadoop.fs.Path(root + "/_graft_ann/ivf")
+    val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // strip the published slice list (a pre-pointer legacy MODEL) and
+    // remove the assign dirs: the dir-listing fallback finds nothing
+    val mp = new org.apache.hadoop.fs.Path(dir, "MODEL")
+    val in = f.open(mp)
+    val text = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    val legacy = text.linesIterator.filterNot(_.startsWith("slices="))
+      .mkString("\n")
+    val out = f.create(mp, true)
+    try out.write(legacy.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    f.listStatus(dir).map(_.getPath)
+      .filter(_.getName.startsWith("assign_v"))
+      .foreach(p => f.delete(p, true))
+    assert(AnnIndex.model(spark, root, "ivf").get.slices.isEmpty)
+    val q = vecs(1, offset = 7).select("embedding").head().getSeq[Float](0)
+    // before r14 this crashed with reduce-on-empty; now: clean empty
+    val res = AnnIndex.knn(spark, root, q, k = 5, nprobe = 2)
+    assert(res.columns.toSeq == Seq("vec_id", "score"))
+    assert(res.collect().isEmpty)
+  }
 }

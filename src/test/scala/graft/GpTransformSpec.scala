@@ -438,6 +438,41 @@ class GpTransformSpec extends SparkSpecBase {
       rowSeq().sorted.toString)
   }
 
+  test("vacuum prunes LEAFSPECS entries for dirs no retained version references (round 14)") {
+    val root = freshRoot()
+    val d2 = java.sql.Date.valueOf("2026-05-02")
+    val d3 = java.sql.Date.valueOf("2026-05-03")
+    // fragment each day leaf into one file per row so the bin-pack has
+    // something to pack
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "1")
+    try SnapshotLog.upsertScoped(spark, root,
+      Seq((1, "us", d2, "a"), (3, "us", d2, "c"),
+          (2, "eu", d3, "b"), (4, "eu", d3, "d")).toDF("k", "region", "d", "v"),
+      Seq("k"), "days(d)", statsCols = Seq("k"))
+    finally spark.conf.set("spark.sql.files.maxRecordsPerFile", "0")
+    SnapshotLog.repartitionSpec(spark, root, "region,days(d)")
+    // pack the old-spec leafs under a maintenance version: durable
+    // per-leaf overrides land in LEAFSPECS
+    SnapshotLog.compactSmallFiles(spark, root, targetBytes = 1L << 20)
+    assert(SnapshotLog.leafSpecHist(spark, root).nonEmpty,
+      "expected packed old-spec leafs to record durable overrides")
+    // migrate EVERY old-spec row to the new spec (migrate-on-touch):
+    // the head version now references only composite leafs
+    SnapshotLog.upsertScoped(spark, root,
+      Seq((1, "us", d2, "A"), (2, "eu", d3, "B"),
+          (3, "us", d2, "C"), (4, "eu", d3, "D")).toDF("k", "region", "d", "v"),
+      Seq("k"), "region,days(d)", statsCols = Seq("k"))
+    // vacuum reclaims the packed old-spec dirs — and with them their
+    // LEAFSPECS lines, so the file stays O(live mixed-spec leafs)
+    // instead of growing forever (round 14 — ADVICE r13)
+    SnapshotLog.vacuum(spark, root, keep = 1)
+    assert(SnapshotLog.leafSpecHist(spark, root).isEmpty,
+      SnapshotLog.leafSpecHist(spark, root).toString)
+    val rows = SnapshotLog.read(spark, root).select("k", "v").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(rows == Set((1, "A"), (2, "B"), (3, "C"), (4, "D")))
+  }
+
   test("optimizeZorderScoped: per-leaf z-clustering keeps leaf names and tightens stats pruning") {
     val root = freshRoot()
     // 4 ingestion batches per region, values interleaved so every

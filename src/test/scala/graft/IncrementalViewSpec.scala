@@ -226,6 +226,20 @@ class IncrementalViewSpec extends SparkSpecBase {
     assert(e.getMessage.contains("group column"))
   }
 
+  test("duplicate measures are refused case-insensitively (r14)") {
+    val source = freshRoot("dupsrc")
+    val view = freshRoot("dupview")
+    SnapshotLog.commit(spark, source, src((1, "a", 1.0)))
+    // Catalyst resolution is case-insensitive: ['amt','AMT'] would emit
+    // ambiguous sum_amt/sum_AMT columns — the validation must match
+    val e = intercept[IllegalArgumentException] {
+      IncrementalView.refreshMulti(spark, source, view,
+        keys = Seq("id"), groupCols = Seq("grp"),
+        measures = Seq("amt", "AMT"))
+    }
+    assert(e.getMessage.contains("duplicate measures"), e.getMessage)
+  }
+
   test("distinct-count view: mergeable theta sketches over an append-only feed") {
     val source = freshRoot("dsrc"); val view = freshRoot("dview")
     def ev(rows: (String, Long)*): DataFrame =

@@ -115,8 +115,15 @@ object Temporal {
     // twice — at 100 TB that is a doubled fact read. Lazy localCheckpoint
     // (house style) bounds it to once; the pinned frame is small
     // (active keys × active days).
+    // year(c) = 1995 as a half-open DATE range: year() over a column is
+    // opaque to ParquetFilters, so the literal form scans every row
+    // group of orders; the range form reaches the scan as pushed
+    // gte/lt filters and row-group min/max skipping engages — at 100 TB
+    // this is the difference between reading one year and reading the
+    // whole fact table (round 14, the q68 bench adjudication)
     val o = Tables.orders(s, dir)
-      .filter(year(col("o_orderdate")) === 1995)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("date") &&
+              col("o_orderdate") < lit("1996-01-01").cast("date"))
       .groupBy(col("o_custkey"), to_date(col("o_orderdate")).as("day"))
       .agg(sum(col("o_totalprice").cast(D182)).cast("double").as("day_total"))
       .localCheckpoint(eager = false)
@@ -126,6 +133,13 @@ object Temporal {
         .as("day"))
     val w = Window.partitionBy("o_custkey").orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // NOTE (round 14 adjudication): fusing the ORDER BY into the window
+    // via repartitionByRange(o_custkey) before the window was tried and
+    // REJECTED — the range exchange's sampling pass re-executes the
+    // join subtree and measured 4.5× slower (3.49 s vs 0.77 s at
+    // sf0.1). The window instead reuses the distinct aggregate's hash
+    // partitioning (zero extra exchange), and the final ORDER BY pays
+    // one range exchange over the result set.
     grid.join(o, Seq("o_custkey", "day"), "left")
       .withColumn("filled_total", last(col("day_total"), ignoreNulls = true).over(w))
       // DATE outputs load asymmetrically in the driver's pandas compare

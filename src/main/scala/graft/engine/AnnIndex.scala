@@ -544,6 +544,15 @@ object AnnIndex {
     * PARTITION predicate over the assignment slices — the scan reads
     * only the probed cells' files (≈ nprobe/k of the index), never the
     * table. Refuses a stale index loudly; [[refresh]] repairs.
+    *
+    * TUNING (measured, tools/AnnRecallBench — round 14): for the
+    * `ivfpq` kind the recall dial is `shortlist`, NOT `nprobe` — ADC
+    * quantization error exceeds the top-k score gaps on low-diversity
+    * (tie-dense) embeddings, where recall@10 measured 0.12 at the
+    * default shortlist=100 on a 40k corpus vs 0.92 at 1000, flat in
+    * nprobe. Size `shortlist` ≈ 2–3% of the probed corpus there;
+    * clustered corpora hold ≥0.9 at the default. The plain `ivf` kind
+    * scores exact vectors and holds recall 1.0 through churn.
     */
   def knn(spark: SparkSession, root: String, query: Seq[Float], k: Int,
           name: String = "ivf", nprobe: Int = 3,

@@ -150,10 +150,10 @@ object SnapshotLog {
     // re-applied predicates; parity property-checked in spec), so this
     // routing changes the PLAN, never the rows. Pre-listing tables take
     // the legacy DataFrameReader path below.
-    val lines = listingLines(spark, root, version)
-    if (filesFromLines(spark, root, version, lines).isDefined)
+    val (filesOpt, spanSrc) = planInputs(spark, root, version)
+    if (filesOpt.isDefined)
       return visibilityWrap(spark, root, version,
-        prunedBaseScanListing(spark, root, version, lines))
+        prunedBaseScanCore(spark, root, version, filesOpt, spanSrc))
     val paths = versionPaths(spark, root, version)
     // an evolved chain pins its CURRENT schema in the manifest: the read
     // declares it explicitly and parquet null-fills the pre-evolution
@@ -8273,27 +8273,54 @@ object SnapshotLog {
   private[graft] def filesFromSidecar(
       spark: SparkSession, root: String,
       v: Long): Option[Seq[org.apache.hadoop.fs.FileStatus]] =
-    filesFromLines(spark, root, v, listingLines(spark, root, v))
+    if (hasPqSidecar(spark, root, v))
+      filesFromEntries(spark, root, v, pqListingEntries(spark,
+        pqStackPaths(root, v, statsStackOf(spark, root, v))))
+    else filesFromLines(spark, root, v, sidecarLines(spark, root, v))
 
   private def filesFromLines(
       spark: SparkSession, root: String, v: Long,
-      lines: Seq[String]): Option[Seq[org.apache.hadoop.fs.FileStatus]] = {
+      lines: Seq[String]): Option[Seq[org.apache.hadoop.fs.FileStatus]] =
+    filesFromEntries(spark, root, v, lines.flatMap(StatsEval.parseListing(_)))
+
+  /** Typed (key, tag, len, mtime) listing entries straight off a
+    * checkpoint stack — the tag predicate pushes to the parquet scan,
+    * so planning collects O(files) small tuples and ZERO span rows.
+    */
+  private def pqListingEntries(spark: SparkSession, stackPaths: Seq[String])
+      : Seq[(String, String, String, String)] = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.functions.col
+    val S4 = Encoders.tuple(Encoders.STRING, Encoders.STRING,
+      Encoders.STRING, Encoders.STRING)
+    spark.read.parquet(stackPaths: _*)
+      .filter(col("t").isin("f", "d")).select("k", "t", "a", "b")
+      .as[(String, String, String, String)](S4).collect().toSeq
+      .map(e => (StatsEval.unesc(e._1), e._2, e._3, e._4))
+  }
+
+  /** [[filesFromLines]] over pre-parsed (key, tag, len, mtime) listing
+    * entries — the pq checkpoint path collects these typed (round 14),
+    * skipping the render-to-line/re-split round trip per file.
+    */
+  private def filesFromEntries(
+      spark: SparkSession, root: String, v: Long,
+      entries: Seq[(String, String, String, String)])
+      : Option[Seq[org.apache.hadoop.fs.FileStatus]] = {
     val listed = scala.collection.mutable.HashSet.empty[String]
     val byDir = scala.collection.mutable.HashMap
       .empty[String, Vector[(String, Long, Long)]]
-    lines.foreach { line =>
-      StatsEval.parseListing(line).foreach {
-        case (key, "d", _, _) => listed += key.stripSuffix("/")
-        case (key, "f", len, mtime) =>
-          val cut = key.indexOf('/')
-          if (cut > 0) {
-            val dir = key.substring(0, cut)
-            val name = key.substring(cut + 1)
-            byDir(dir) = byDir.getOrElse(dir, Vector.empty) :+
-              ((name, len.toLong, scala.util.Try(mtime.toLong).getOrElse(0L)))
-          }
-        case _ => ()
-      }
+    entries.foreach {
+      case (key, "d", _, _) => listed += key.stripSuffix("/")
+      case (key, "f", len, mtime) =>
+        val cut = key.indexOf('/')
+        if (cut > 0) {
+          val dir = key.substring(0, cut)
+          val name = key.substring(cut + 1)
+          byDir(dir) = byDir.getOrElse(dir, Vector.empty) :+
+            ((name, len.toLong, scala.util.Try(mtime.toLong).getOrElse(0L)))
+        }
+      case _ => ()
     }
     val dirs = dirsOf(spark, root, v)
     def base(d: String) = d.substring(d.lastIndexOf('/') + 1)
@@ -8428,56 +8455,57 @@ object SnapshotLog {
     * (they need raw positions); [[readPruned]] layers visibility on top.
     */
   private def prunedBaseScan(spark: SparkSession, root: String,
-                             v: Long, withRid: Boolean = false): DataFrame =
-    prunedBaseScanListing(spark, root, v, listingLines(spark, root, v),
-      withRid)
-
-  /** [[prunedBaseScanLines]] with the span source chosen by sidecar
-    * storage: a text sidecar's lines parse into the in-memory span map
-    * (they arrived in `lines` already — one read feeds manifest and
-    * spans); a parquet checkpoint's spans stay ON DISK and the file
-    * index prunes through a distributed job per scan ([[PqSpans]]) —
-    * the sub-threshold read path never materializes per-(file, column)
-    * spans on the driver.
-    */
-  private def prunedBaseScanListing(spark: SparkSession, root: String,
-                                    v: Long, lines: Seq[String],
-                                    withRid: Boolean = false): DataFrame =
-    if (hasPqSidecar(spark, root, v))
-      prunedBaseScanCore(spark, root, v, lines,
-        PqSpans(pqStackPaths(root, v, statsStackOf(spark, root, v))), withRid)
-    else prunedBaseScanLines(spark, root, v, lines, withRid)
-
-  private def prunedBaseScanLines(spark: SparkSession, root: String,
-                                  v: Long, lines: Seq[String],
-                                  withRid: Boolean = false): DataFrame = {
-    // rel-path keyed spans and null counts, grouped per file
-    val spans: Map[String, Map[String, (String, String, String)]] =
-      lines.flatMap(l => StatsEval.parseSpan(l).map {
-        case (file, c, tag, mn, mx) => (file, c, (tag, mn, mx))
-      }).groupBy(_._1).map { case (f, ls) =>
-        f -> ls.map(t => t._2 -> t._3).toMap
-      }
-    val nulls: Map[String, Map[String, (Long, Long)]] =
-      lines.flatMap(l => StatsEval.parseNulls(l)).groupBy(_._1)
-        .map { case (f, ls) =>
-          f -> ls.map(t => t._2 -> ((t._3, t._4))).toMap
-        }
-    prunedBaseScanCore(spark, root, v, lines, InMemSpans(spans, nulls),
-      withRid)
+                             v: Long, withRid: Boolean = false): DataFrame = {
+    val (filesOpt, spanSrc) = planInputs(spark, root, v)
+    prunedBaseScanCore(spark, root, v, filesOpt, spanSrc, withRid)
   }
 
+  /** The two planning inputs resolved in ONE sidecar pass (round 14 —
+    * the 1M-file planning bound): the file manifest (None = listing
+    * incomplete; the caller walks or falls back) and the span source.
+    * A text sidecar's lines parse into the in-memory span map; a
+    * parquet checkpoint's LISTING rows collect as typed tuples (no
+    * rendering of 10⁶ tab-joined strings that are immediately re-split)
+    * while its spans stay ON DISK and the file index prunes through a
+    * distributed job per scan ([[PqSpans]]) — the sub-threshold read
+    * path never materializes per-(file, column) spans on the driver.
+    */
+  private def planInputs(spark: SparkSession, root: String, v: Long)
+      : (Option[Seq[org.apache.hadoop.fs.FileStatus]], SpanSource) =
+    if (hasPqSidecar(spark, root, v)) {
+      val stackPaths = pqStackPaths(root, v, statsStackOf(spark, root, v))
+      (filesFromEntries(spark, root, v, pqListingEntries(spark, stackPaths)),
+       PqSpans(stackPaths))
+    } else {
+      val lines = sidecarLines(spark, root, v)
+      // rel-path keyed spans and null counts, grouped per file
+      val spans: Map[String, Map[String, (String, String, String)]] =
+        lines.flatMap(l => StatsEval.parseSpan(l).map {
+          case (file, c, tag, mn, mx) => (file, c, (tag, mn, mx))
+        }).groupBy(_._1).map { case (f, ls) =>
+          f -> ls.map(t => t._2 -> t._3).toMap
+        }
+      val nulls: Map[String, Map[String, (Long, Long)]] =
+        lines.flatMap(l => StatsEval.parseNulls(l)).groupBy(_._1)
+          .map { case (f, ls) =>
+            f -> ls.map(t => t._2 -> ((t._3, t._4))).toMap
+          }
+      (filesFromEntries(spark, root, v,
+         lines.flatMap(StatsEval.parseListing(_))),
+       InMemSpans(spans, nulls))
+    }
+
   private def prunedBaseScanCore(spark: SparkSession, root: String,
-                                 v: Long, lines: Seq[String],
+                                 v: Long,
+                                 fromSidecar: Option[Seq[org.apache.hadoop.fs.FileStatus]],
                                  spanSrc: SpanSource,
                                  withRid: Boolean = false): DataFrame = {
     import org.apache.spark.sql.execution.datasources.HadoopFsRelation
     val paths = versionPaths(spark, root, v)
-    // ONE sidecar read feeds both the file manifest and the spans
     // FILE MANIFEST first (round 8): a complete sidecar listing plans
     // the scan with zero filesystem listing; tables committed before
     // listing lines existed fall back to the per-dir walk
-    val files = filesFromLines(spark, root, v, lines).getOrElse {
+    val files = fromSidecar.getOrElse {
       val fsys = fs(spark, dataDir(root, v))
       paths.flatMap { d =>
         fsys.listStatus(new Path(d)).filter(st =>
@@ -8518,7 +8546,11 @@ object SnapshotLog {
           org.apache.spark.sql.types.LongType, nullable = true))
     val index = new SkippingFileIndex(spark, files, spanSrc,
       allSpecsOf(spark, root, v), physFull, zone,
-      generatedPartDerivers(spark, root, v))
+      generatedPartDerivers(spark, root, v),
+      // kept-side verdict shipping is sound only when every current
+      // file provably has checkpoint rows — i.e. the list itself came
+      // from the sidecar's complete listing
+      listingComplete = fromSidecar.isDefined)
     val relation = HadoopFsRelation(
       location = index,
       partitionSchema = org.apache.spark.sql.types.StructType(Nil),
@@ -8910,26 +8942,45 @@ object SnapshotLog {
   /** Distributed span evaluation over a parquet stats checkpoint: group
     * the span rows per file on the executors, run the SAME
     * [[StatsEval.admits]] the driver path runs (one evaluator — the two
-    * paths cannot drift), return only the PRUNED keys. The dir-name
-    * partition span joins the executor-side fallback chain exactly as
-    * it does driver-side (a file key's dir part is pure data).
+    * paths cannot drift), and ship back the SMALLER verdict side
+    * (round 14 — the 1M-file planning bound): a selective point probe
+    * on a 10⁶-file table prunes ~10⁶ files, and collecting the PRUNED
+    * keys (the pre-r14 shape) materialized an O(files) driver set at
+    * exactly the scale the checkpoint exists to protect; collecting the
+    * KEPT keys there is O(result). Returns (keptSide, keys):
+    * keptSide=true → keys are the admitted files (requires `allowKept`
+    * — only sound when the caller's file list came from a COMPLETE
+    * sidecar listing, so every current file has checkpoint rows; a file
+    * absent from the verdicts must otherwise default to kept);
+    * keptSide=false → keys are the pruned files (always sound).
+    * Driver memory is min(kept, pruned) ≤ files/2, and the common big-
+    * table probes (selective predicates) ship back only the survivors.
     */
-  private def pqPrunedKeys(spark: SparkSession, pqPaths: Seq[String],
-                           preds: Seq[StatsEval.SpanPred],
-                           specs: Seq[GpSpec],
-                           types: Map[String, org.apache.spark.sql.types.DataType],
-                           zone: java.time.ZoneId): Set[String] = {
+  private def pqVerdictKeys(spark: SparkSession, pqPaths: Seq[String],
+                            preds: Seq[StatsEval.SpanPred],
+                            specs: Seq[GpSpec],
+                            types: Map[String, org.apache.spark.sql.types.DataType],
+                            zone: java.time.ZoneId,
+                            allowKept: Boolean): (Boolean, Set[String]) = {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.functions.col
     val S5 = Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.STRING,
       Encoders.STRING, Encoders.STRING)
-    spark.read.parquet(pqPaths: _*)
-      .filter(!col("t").isin("b", "f", "d"))
+    // f rows ride along for PRESENCE (a file with only listing rows has
+    // no spans to refute anything — kept); b/d rows carry no verdict;
+    // span/null rows for columns NO predicate consults can't change a
+    // verdict either — the column filter pushes to the checkpoint scan,
+    // so a 10-stats-column table's verdict shuffle carries only the
+    // probed columns' rows (round 14)
+    val cols = preds.flatMap(StatsEval.predCols(_)).distinct.map(esc)
+    val verdicts = spark.read.parquet(pqPaths: _*)
+      .filter(!col("t").isin("b", "d") &&
+        (col("t") === "f" || col("c").isin(cols: _*)))
       .select("k", "c", "t", "a", "b")
       .as[(String, String, String, String, String)](S5)
       .groupByKey(_._1)(Encoders.STRING)
-      .flatMapGroups { (file: String, it: Iterator[(String, String, String, String, String)]) =>
-        val rows = it.toSeq
+      .mapGroups { (file: String, it: Iterator[(String, String, String, String, String)]) =>
+        val rows = it.filter(r => r._3 != "f" && r._3 != "r").toSeq
         val m = rows.filter(_._3 != "z")
           .map(r => StatsEval.unesc(r._2) -> ((r._3, r._4, r._5))).toMap
         val zm = rows.filter(_._3 == "z").flatMap { r =>
@@ -8940,11 +8991,25 @@ object SnapshotLog {
         val dirName = key.takeWhile(_ != '/')
         val spanOf: String => Option[(String, String, String)] = c =>
           m.get(c).orElse(gpDirSpanMulti(specs, types, dirName, c, zone))
-        if (preds.forall(pr => StatsEval.admits(spanOf, zm.get, pr, zone)))
-          Iterator.empty
-        else Iterator.single(key)
-      }(Encoders.STRING)
-      .collect().toSet
+        (key, preds.forall(pr => StatsEval.admits(spanOf, zm.get, pr, zone)))
+      }(Encoders.tuple(Encoders.STRING, Encoders.scalaBoolean))
+    if (!allowKept) {
+      // incomplete listing: only the pruned side is sound — one pass,
+      // exactly the pre-r14 shape
+      return (false, verdicts.filter(!_._2).map(_._1)(Encoders.STRING)
+        .collect().toSet)
+    }
+    verdicts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val total = verdicts.count()
+      val kept = verdicts.filter(_._2).count()
+      if (kept <= total - kept)
+        (true, verdicts.filter(_._2).map(_._1)(Encoders.STRING)
+          .collect().toSet)
+      else
+        (false, verdicts.filter(!_._2).map(_._1)(Encoders.STRING)
+          .collect().toSet)
+    } finally verdicts.unpersist()
   }
 
   /** The stats sidecar as a Catalyst [[FileIndex]]: `listFiles` receives
@@ -8965,7 +9030,8 @@ object SnapshotLog {
       specsAll: Seq[GpSpec],
       schema: org.apache.spark.sql.types.StructType,
       zone: java.time.ZoneId,
-      genDerivers: Map[String, (String, Any => Option[Any])] = Map.empty)
+      genDerivers: Map[String, (String, Any => Option[Any])] = Map.empty,
+      listingComplete: Boolean = false)
     extends org.apache.spark.sql.execution.datasources.FileIndex {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.execution.datasources.{PartitionDirectory => PD}
@@ -9124,6 +9190,7 @@ object SnapshotLog {
         if (preds.isEmpty) files
         else spanSrc match {
           case InMemSpans(spans, nulls) =>
+            lastPlanPrune = "inmem"
             files.filter { st =>
               val rel = st.getPath.getParent.getName + "/" + st.getPath.getName
               val spanOf: String => Option[(String, String, String)] = c =>
@@ -9134,14 +9201,20 @@ object SnapshotLog {
               preds.forall(p => StatsEval.admits(spanOf, nullsOf, p, zone))
             }
           case PqSpans(pqPaths) =>
-            // pruned = files whose checkpoint spans refute a predicate;
-            // every survivor re-checks against the dir-name span only —
-            // exact, because a file's partition-column span is a subset
-            // of its dir's (dir-only admits ⊇ full admits per file)
-            val pruned = pqPrunedKeys(spark, pqPaths, preds, specsAll, gpTypes, zone)
+            // verdicts evaluate distributed; the driver receives the
+            // SMALLER side (kept under selective probes — O(result);
+            // pruned under broad ones). Every survivor re-checks
+            // against the dir-name span only — exact, because a file's
+            // partition-column span is a subset of its dir's (dir-only
+            // admits ⊇ full admits per file)
+            val (keptSide, keys) = pqVerdictKeys(spark, pqPaths, preds,
+              specsAll, gpTypes, zone, allowKept = listingComplete)
+            lastPlanPrune =
+              (if (keptSide) "pq-kept:" else "pq-pruned:") + keys.size
             files.filter { st =>
               val rel = st.getPath.getParent.getName + "/" + st.getPath.getName
-              !pruned.contains(rel) && bucketKeeps(st) &&
+              (if (keptSide) keys.contains(rel) else !keys.contains(rel)) &&
+              bucketKeeps(st) &&
               preds.forall(p =>
                 StatsEval.admits(dirSpanOf(st), _ => None, p, zone))
             }
@@ -9150,6 +9223,13 @@ object SnapshotLog {
         kept.toArray[org.apache.hadoop.fs.FileStatus]))
     }
   }
+
+  /** Test/bench-visible marker of the last checkpoint-regime prune:
+    * which verdict side shipped to the driver and its size — the
+    * round-14 planning-scale specs assert the kept side (O(result))
+    * rides selective probes on complete listings.
+    */
+  @volatile private[graft] var lastPlanPrune: String = ""
 
   /** Remove manifests and data directories ABOVE the committed pointer —
     * the debris of a writer that crashed between manifest publish and

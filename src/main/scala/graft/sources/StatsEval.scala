@@ -180,6 +180,20 @@ private[sources] object StatsEval extends Serializable {
   final case class AndPred(a: SpanPred, b: SpanPred) extends SpanPred
   final case class OrPred(a: SpanPred, b: SpanPred) extends SpanPred
 
+  /** Every column a compiled predicate consults — what the distributed
+    * checkpoint prune filters its span/null rows to (a 10-stats-column
+    * table's verdict shuffle carries only the probed columns' rows).
+    */
+  def predCols(p: SpanPred): Set[String] = p match {
+    case TruePred => Set.empty
+    case RangePred(c, _, _, _, _) => Set(c)
+    case InPred(c, _) => Set(c)
+    case IsNullPred(c) => Set(c)
+    case NotNullPred(c) => Set(c)
+    case AndPred(a, b) => predCols(a) ++ predCols(b)
+    case OrPred(a, b) => predCols(a) ++ predCols(b)
+  }
+
   /** One compiled filter's verdict against one file's stats: false =
     * provably no matching rows. Unknown shapes ([[TruePred]]), missing
     * spans and missing null counts keep the file. `nullsOf` feeds the

@@ -30,7 +30,9 @@ object GraftProcedures {
         "enable_row_tracking", "repartition", "ann_build", "ann_refresh",
         "ann_compact", "ann_indexes", "ann_drop", "mv_refresh",
         "mv_refresh_distinct", "add_constraint",
-        "drop_constraint", "constraints", "audit")
+        "drop_constraint", "constraints", "audit",
+        "register_view", "unregister_view", "registered_views",
+        "refresh_all")
 
   def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -64,6 +66,10 @@ object GraftProcedures {
       case "ann_drop"            => Some(new AnnDropProc(cat))
       case "mv_refresh"          => Some(new MvRefreshProc(cat))
       case "mv_refresh_distinct" => Some(new MvRefreshDistinctProc(cat))
+      case "register_view"       => Some(new RegisterViewProc(cat))
+      case "unregister_view"     => Some(new UnregisterViewProc(cat))
+      case "registered_views"    => Some(new RegisteredViewsProc(cat))
+      case "refresh_all"         => Some(new RefreshAllProc(cat))
       case "convert_parquet"     => Some(new ConvertParquet(cat))
       case "vacuum_dry_run"      => Some(new VacuumDryRun(cat))
       case "add_constraint"      => Some(new AddConstraintProc(cat))
@@ -664,6 +670,101 @@ object GraftProcedures {
     override def call(input: InternalRow): JIterator[Scan] = {
       val v = graft.engine.AnnIndex.refresh(spark, root(input))
       scanOf(out, Seq(new GenericInternalRow(Array[Any](v))))
+    }
+  }
+
+  /** `CALL c.system.register_view(source_table, name, view_table,
+    * 'g1,g2', 'm1,m2', 'k1' | '', extrema, 'distinct_col' | '',
+    * 'consumer' | '')` — durably register a view's refresh spec on its
+    * source so `refresh_all` can converge it (round 14). Empty keys =
+    * the keyless row-id feed; a non-empty distinct_col selects the
+    * theta-sketch distinct flavor (measures must then be empty).
+    */
+  private final class RegisterViewProc(cat: GraftCatalog)
+      extends Proc(cat, "register_view") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("source_table", StringType), param("name", StringType),
+        param("view_table", StringType), param("group_cols", StringType),
+        param("measures", StringType), param("keys", StringType),
+        param("extrema", BooleanType), param("distinct_col", StringType),
+        param("consumer", StringType))
+    private val out = StructType(Seq(StructField("registered", StringType)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val src = cat.rootOf(input.getUTF8String(0).toString)
+      val name = input.getUTF8String(1).toString
+      val dst = cat.rootOf(input.getUTF8String(2).toString)
+      def listOf(i: Int): Seq[String] = input.getUTF8String(i).toString
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      def strOf(i: Int): Option[String] =
+        Some(input.getUTF8String(i).toString.trim).filter(_.nonEmpty)
+      graft.sources.Maintenance.registerView(spark, src, name,
+        graft.sources.Maintenance.ViewSpec(dst, listOf(3), listOf(4),
+          keys = Some(listOf(5)).filter(_.nonEmpty),
+          extrema = input.getBoolean(6),
+          distinctCol = strOf(7), consumer = strOf(8)))
+      scanOf(out, Seq(new GenericInternalRow(
+        Array[Any](UTF8String.fromString(name)))))
+    }
+  }
+
+  /** `CALL c.system.unregister_view(table, name)` — remove the spec
+    * from the registry (the view table itself is untouched).
+    */
+  private final class UnregisterViewProc(cat: GraftCatalog)
+      extends Proc(cat, "unregister_view") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType), param("name", StringType))
+    private val out = StructType(Seq(StructField("unregistered", StringType)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val n = input.getUTF8String(1).toString
+      graft.sources.Maintenance.unregisterView(spark, root(input), n)
+      scanOf(out, Seq(new GenericInternalRow(
+        Array[Any](UTF8String.fromString(n)))))
+    }
+  }
+
+  /** `CALL c.system.registered_views(table)` — the registry listing. */
+  private final class RegisteredViewsProc(cat: GraftCatalog)
+      extends Proc(cat, "registered_views") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType))
+    private val out = StructType(Seq(
+      StructField("name", StringType), StructField("view_root", StringType),
+      StructField("group_cols", StringType), StructField("measures", StringType),
+      StructField("keys", StringType), StructField("extrema", BooleanType),
+      StructField("distinct_col", StringType),
+      StructField("consumer", StringType)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val vs = graft.sources.Maintenance.registeredViews(spark, root(input))
+      scanOf(out, vs.toSeq.sortBy(_._1).map { case (n, s) =>
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(n), UTF8String.fromString(s.viewRoot),
+          UTF8String.fromString(s.groupCols.mkString(",")),
+          UTF8String.fromString(s.measures.mkString(",")),
+          UTF8String.fromString(s.keys.map(_.mkString(",")).getOrElse("")),
+          s.extrema,
+          UTF8String.fromString(s.distinctCol.getOrElse("")),
+          UTF8String.fromString(s.consumer.getOrElse(""))))
+      })
+    }
+  }
+
+  /** `CALL c.system.refresh_all(table)` — advance every registered view
+    * and every persisted ANN index to the table head, idempotently (the
+    * crash-repair verb: rerun after ANY failure and the walk converges
+    * without double-applying; see [[graft.sources.Maintenance]]).
+    */
+  private final class RefreshAllProc(cat: GraftCatalog)
+      extends Proc(cat, "refresh_all") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType))
+    private val out = StructType(Seq(
+      StructField("artifact", StringType), StructField("version", LongType)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val advanced = graft.sources.Maintenance.refreshAll(spark, root(input))
+      scanOf(out, advanced.toSeq.sortBy(_._1).map { case (a, v) =>
+        new GenericInternalRow(Array[Any](UTF8String.fromString(a), v))
+      })
     }
   }
 

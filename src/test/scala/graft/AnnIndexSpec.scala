@@ -500,6 +500,45 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(got == exactTopK(root, q, 160))
   }
 
+  test("recall@10 floor holds after 20 maintenance cycles at documented defaults (r14)") {
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root, vecs(600), statsCols = Seq("vec_id"))
+    AnnIndex.build(spark, root, "ivf", k = 8)
+    AnnIndex.buildPq(spark, root, "ivfpq", kCells = 8, m = 8, kPq = 16)
+    // 20 churn cycles: keyed rewrites, deletes, appends — each refreshed
+    // incrementally on BOTH kinds, so tombstone slices and re-assignments
+    // accumulate (refresh auto-compacts when slices hit maxSlices; both
+    // regimes end up inside this measurement)
+    (1 to 20).foreach { c =>
+      c % 3 match {
+        case 0 => SnapshotLog.upsert(spark, root,
+          vecs(10, offset = c * 7), Seq("vec_id"))
+        case 1 => SnapshotLog.tombstoneDelete(spark, root,
+          Seq(Tuple1((c * 13 % 600).toLong)).toDF("vec_id"), Seq("vec_id"))
+        case 2 => SnapshotLog.appendCommit(spark, root,
+          vecs(10, offset = 1000 + c * 10))
+      }
+      AnnIndex.refresh(spark, root, "ivf")
+      AnnIndex.refresh(spark, root, "ivfpq")
+    }
+    assert(AnnIndex.model(spark, root, "ivf").get.indexedVersion ==
+      SnapshotLog.currentVersion(spark, root).get)
+    val corpus = SnapshotLog.read(spark, root)
+    val queries = Seq(5, 123, 250, 377, 488).map(i =>
+      vecs(1, offset = i).select("embedding").head().getSeq[Float](0))
+    def recall(name: String): Double = queries.map { q =>
+      // documented defaults: nprobe = 3, shortlist = 100
+      val got = ids(AnnIndex.knn(spark, root, q, 10, name)).toSet
+      val exact = EmbedOps.knnBruteForce(corpus, q, 10).collect()
+        .map(_.getLong(0)).toSet
+      got.intersect(exact).size / 10.0
+    }.sum / queries.size
+    val rIvf = recall("ivf")
+    val rPq = recall("ivfpq")
+    assert(rIvf >= 0.9, f"churned ivf recall@10 = $rIvf%.2f < 0.9")
+    assert(rPq >= 0.9, f"churned ivfpq recall@10 = $rPq%.2f < 0.9")
+  }
+
   test("legacy model without a slice list and no assign dirs answers empty (r14)") {
     val root = freshRoot()
     SnapshotLog.commit(spark, root, vecs(50), statsCols = Seq("vec_id"))

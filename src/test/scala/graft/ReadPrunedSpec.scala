@@ -188,6 +188,42 @@ class ReadPrunedSpec extends SparkSpecBase {
     } finally spark.conf.unset("graft.skipping.distributedThresholdBytes")
   }
 
+  test("checkpoint-regime planning ships the smaller verdict side, never driver spans (round 14)") {
+    // the 10⁶-file planning bound: with a parquet stats checkpoint, the
+    // span rows are evaluated by a distributed job and the driver
+    // receives only the SMALLER verdict side — a selective probe ships
+    // the kept keys (O(result)); a broad one ships the (tiny) pruned
+    // set. In-memory span maps must never be built in this regime.
+    val key = "graft.stats.checkpointThresholdBytes"
+    spark.conf.set(key, "0") // checkpoint storage from the first commit
+    val root = try {
+      val r = freshRoot()
+      (0 until 4).foreach { i =>
+        val batch = ((i * 100) until (i * 100 + 100))
+          .map(k => (k, s"w${"%03d".format(k)}")).toDF("k", "w").coalesce(1)
+        SnapshotLog.appendCommit(spark, r, batch, statsCols = Seq("k", "w"))
+      }
+      r
+    } finally spark.conf.unset(key)
+    // selective point probe: one file admits → the KEPT side ships
+    SnapshotLog.lastPlanPrune = ""
+    val (rows, files) = scanned(
+      SnapshotLog.readPruned(spark, root).filter(col("k") === 7))
+    assert(files == 1, s"expected 1 file scanned, got $files")
+    assert(rows == Set(Seq(7, "w007")))
+    assert(SnapshotLog.lastPlanPrune.startsWith("pq-kept:"),
+      s"selective probe must ship kept keys, got '${SnapshotLog.lastPlanPrune}'")
+    assert(SnapshotLog.lastPlanPrune.split(":")(1).toInt == 1,
+      "kept side must be O(result), not O(files)")
+    // broad probe: everything admits → the PRUNED side (empty) ships
+    SnapshotLog.lastPlanPrune = ""
+    val (rowsAll, filesAll) = scanned(
+      SnapshotLog.readPruned(spark, root).filter(col("k") >= 0))
+    assert(filesAll == 4 && rowsAll.size == 400)
+    assert(SnapshotLog.lastPlanPrune == "pq-pruned:0",
+      s"broad probe must ship the empty pruned set, got '${SnapshotLog.lastPlanPrune}'")
+  }
+
   test("property: arbitrary ranges keep parity with the unpruned read") {
     val root = chain()
     val rnd = new scala.util.Random(7)

@@ -1697,4 +1697,57 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
         .option("timestampAsOf", "2999-01-01").table("graft.ns.tt").collect()
     }
   }
+
+  test("register_view / refresh_all: the derived surface converges through SQL (round 14)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
+    sql("""CREATE TABLE graft.ns.rfacts
+           (id BIGINT, grp STRING, amt DOUBLE, embedding ARRAY<FLOAT>)""")
+    sql("""INSERT INTO graft.ns.rfacts
+           SELECT id, concat('g', id % 3) AS grp, CAST(id % 50 AS DOUBLE) AS amt,
+                  transform(sequence(0, 7), d ->
+                    cast(if(d = id % 4, 1.0, 0.02 * pmod(id + d, 7)) AS FLOAT))
+                    AS embedding
+           FROM range(60)""")
+    sql("CALL graft.system.ann_build('ns.rfacts', 'id', 'embedding', 4)")
+    sql("""CALL graft.system.register_view('ns.rfacts', 'by_grp',
+           'ns.rfacts_mv', 'grp', 'amt', 'id', false, '', 'mv_rfacts')""")
+    val reg = sql("CALL graft.system.registered_views('ns.rfacts')")
+      .collect()
+    assert(reg.length == 1 && reg.head.getString(0) == "by_grp" &&
+      reg.head.getString(4) == "id", reg.mkString(","))
+    def expectRows = sql(
+      """SELECT grp, count(*) AS n_rows,
+                CAST(sum(coalesce(amt, 0)) AS DECIMAL(38,6)) AS sum_amt
+         FROM graft.ns.rfacts GROUP BY grp""")
+      .collect().map(_.toSeq.map(Option(_))).toSet
+    def mvRows = sql("SELECT grp, n_rows, sum_amt FROM graft.ns.rfacts_mv")
+      .collect().map(_.toSeq.map(Option(_))).toSet
+    // ONE verb bootstraps the view and keeps the index fresh
+    val a1 = sql("CALL graft.system.refresh_all('ns.rfacts')").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a1.keySet == Set("view:by_grp", "ann:ivf"), a1.toString)
+    assert(mvRows == expectRows)
+    // churn every way, then converge everything again
+    sql("INSERT INTO graft.ns.rfacts VALUES " +
+      "(1000, 'g0', 9.0, array(cast(2.0 as float), cast(0.0 as float), " +
+      "cast(0.0 as float), cast(0.0 as float), cast(0.0 as float), " +
+      "cast(0.0 as float), cast(0.0 as float), cast(0.0 as float)))")
+    sql("UPDATE graft.ns.rfacts SET grp = 'g9' WHERE id = 1")
+    sql("DELETE FROM graft.ns.rfacts WHERE id = 2")
+    val head = SnapshotLog.currentVersion(spark, root("rfacts")).get
+    val a2 = sql("CALL graft.system.refresh_all('ns.rfacts')").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a2 == Map("view:by_grp" -> head, "ann:ivf" -> head), a2.toString)
+    assert(mvRows == expectRows)
+    val stale = sql("CALL graft.system.ann_indexes('ns.rfacts')")
+      .collect().map(r => r.getString(0) -> r.getBoolean(6)).toMap
+    assert(stale == Map("ivf" -> false), stale.toString)
+    // unregister: the verb keeps converging what remains
+    sql("CALL graft.system.unregister_view('ns.rfacts', 'by_grp')")
+    assert(sql("CALL graft.system.registered_views('ns.rfacts')")
+      .collect().isEmpty)
+    val a3 = sql("CALL graft.system.refresh_all('ns.rfacts')").collect()
+      .map(_.getString(0)).toSet
+    assert(a3 == Set("ann:ivf"), a3.toString)
+  }
 }

@@ -594,6 +594,8 @@ object EmbedOps {
       dimProbe(0).getInt(0)
     }
     require(d % m == 0, s"dim $d must divide into m=$m subspaces")
+    require(k >= 2 && k <= 256,
+      s"k=$k subquantizer codewords must fit one byte code (2..256)")
     val dsub = d / m
     val pinned = corpus.persist()
     try {
@@ -610,7 +612,10 @@ object EmbedOps {
         val sums = enc
           .select(posexplode(col("pq_codes")).as(Seq("j", "code")),
             col(vecCol))
-          .select(col("j"), col("code").cast("int").as("code"),
+          // unsigned byte reinterpretation (round 14): codes ≥ 128 land
+          // as negative signed bytes; pmod recovers the codebook index,
+          // enabling k up to 256 (8-bit subquantizers)
+          .select(col("j"), pmod(col("code").cast("int"), lit(256)).as("code"),
             posexplode(expr(s"slice($vecCol, j * $dsub + 1, $dsub)")).as(Seq("d", "v")))
           .groupBy("j", "code", "d")
           .agg(avg(col("v").cast("double")).as("mean"))

@@ -196,15 +196,19 @@ object Scalars {
       .orderBy("id_a", "id_b")
   }
 
-  /** x66 — the scale-safe twin of q66: q-gram PREFIX-FILTER candidate
-    * generation (the AllPairs/PPJoin family) + thresholded-levenshtein
-    * verify, pair-identical to q66 (proven in PlanShapeSpec).
+  /** x66 — the scale-safe twin of q66: COST-DISPATCHED fuzzy matching.
+    * Small inputs take the blocked all-pairs join (the measured winner
+    * there — see crossover below); past the crossover, q-gram
+    * PREFIX-FILTER candidate generation (the AllPairs/PPJoin family) +
+    * thresholded-levenshtein verify. Pair-identical to q66 on both
+    * paths (proven in PlanShapeSpec, which forces the prefix path).
     *
     * Why q66 is weak at scale: its blocking key (p_brand) has FIXED
     * cardinality (~25), so candidate pairs grow O(n²/25) — quadratic in
-    * corpus size. Here the candidate key is (block, rare-q-gram-token):
-    * bucket sizes follow token rarity, not corpus size, so pair
-    * generation stays sub-quadratic as the corpus grows.
+    * corpus size. The prefix path's candidate key is
+    * (block, rare-q-gram-token): bucket sizes follow token rarity, not
+    * corpus size, so pair generation stays sub-quadratic as the corpus
+    * grows.
     *
     * Correctness (no false negatives — the verify step then makes the
     * output exact):
@@ -225,45 +229,94 @@ object Scalars {
     *    short subset; short×long pairs still satisfy T ≥ 1 and stay on
     *    the prefix path (a short string's prefix is its whole token set).
     *
-    * 100 TB shape: token freq = one groupBy; prefix rank = per-id window
+    * 100 TB shape: occurrence indexes compute IN-ROW from the gram
+    * array (zero-shuffle — round 14; the old (id, gram) window paid a
+    * token-wide shuffle); token freq = one groupBy whose distinct
+    * domain is |alphabet|^q × max-occ (bounded, so the rarity lookup is
+    * a BROADCAST join — round 14); prefix rank = per-id window
     * (id-partitioned, never global); candidates = equi-join on
     * (block, gram, occ) carrying only (id, len); names join back AFTER
     * the distinct pair set, so the wide strings ride the small
     * post-candidate frame. The banded DP runs ONCE per candidate, in a
     * projection, never in a join residual.
     *
-    * MEASURED crossover (graft.tools.FuzzyCrossover, min-of-2, local[16]):
-    * sf0.01→sf0.1 (2k→20k parts, 10× rows) grows q66 7.8× (0.61→4.73 s,
-    * the O(n²/|brands|) blocked join) but x66 only 3.4× (1.58→5.45 s) —
-    * the twin pays a ~1 s fixed pipeline cost (tokenize, freq, rank,
-    * pin) and then scales with candidate-bucket sizes, so the brute path
-    * still wins below ≈sf0.1 and loses immediately above. Both emit the
-    * identical 503,800 pairs at sf0.1.
+    * MEASURED crossover (graft.tools.FuzzyCrossover + FuzzyStageProbe,
+    * local[16/32], round-14 constants): sf0.01→sf0.1 (2k→20k parts)
+    * grows q66 10.7× (0.49→5.28 s, the O(n²/|brands|) blocked join) but
+    * the prefix path only 3.6× (1.51→5.51 s) — the curves cross right
+    * at sf0.1, and the DISPATCHED x66 measures ≤ q66 there (5.18 vs
+    * 5.28 s). On THIS fixture the prefix filter cannot
+    * beat brute at sf0.1: p_names are ~9 chars with only 58 distinct
+    * (gram, occ) tokens, so the "rarest-7" prefix keeps ~85% of every
+    * token set and raw candidates (7.4M) ≈ the brute pair count (8M) —
+    * the twin pays its pipeline for no candidate reduction (two
+    * verify-before-dedup variants were built and MEASURED WORSE:
+    * lev-in-join-residual 14.8 s — the residual runs before the cheap
+    * conjuncts and twice per survivor; in-row rarity-map ranking 19.4 s).
+    * Hence the dispatch: below `bruteBelow` rows the blocked join runs
+    * (exactly q66's plan — pair-identity free), above it the prefix
+    * path's sub-quadratic growth takes over. The crossover is
+    * corpus-shape-dependent (longer strings / richer alphabets push it
+    * DOWN); override per corpus.
     */
-  def fuzzyMatchPrefix(rows: DataFrame, cap: Int = 3, q: Int = 2): DataFrame = {
+  def fuzzyMatchPrefix(rows: DataFrame, cap: Int = 3, q: Int = 2,
+                       bruteBelow: Long = 32768): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val prefixLen = cap * q + 1
     val shortLen = cap * q + q - 1 // g ≤ cap·q ⇔ len ≤ this
     val base = rows.select(col("id"), col("name"), col("block"),
       length(col("name")).as("len"))
 
-    // occurrence-indexed q-gram tokens: (id, block, len, gram, occ)
+    // COST-BASED DISPATCH (round 14): below the measured crossover the
+    // blocked all-pairs join IS the fastest exact plan (see scaladoc —
+    // two verify-first prefix variants measured 2-3× worse at 20k
+    // rows); the prefix machinery pays off once O(n²/|blocks|)
+    // outgrows the candidate buckets. The probe is a LIMIT-bounded
+    // count ("are there more than bruteBelow rows?"), so a 100 TB input
+    // answers it from its first partitions, never a full count
+    if (rows.limit(bruteBelow.toInt + 1).count() <= bruteBelow) {
+      val a = base.select(col("id").as("id_a"), col("name").as("name_a"),
+        col("block"))
+      val b = base.select(col("id").as("id_b"), col("name").as("name_b"),
+        col("block").as("block_b"))
+      val dist = levenshtein(col("name_a"), col("name_b"), cap)
+      return a.join(b,
+          col("block") === col("block_b") && col("id_a") < col("id_b") &&
+          abs(length(col("name_a")) - length(col("name_b"))) <= cap &&
+          dist >= 0)
+        .withColumn("dist", dist)
+        .select("id_a", "id_b", "name_a", "name_b", "dist")
+        .orderBy("id_a", "id_b")
+    }
+
+    // occurrence-indexed q-gram tokens computed IN-ROW (round 14 —
+    // candidate-stage cut): element i's occ is the count of equal grams
+    // among positions 1..i+1, identical to the old row_number-by-pos
+    // but with ZERO shuffle where the (id, gram) window paid one over
+    // every token. O(len²) per row in scan-speed HOF work — len is a
+    // name, not a document.
     val toks = base
       .filter(col("len") >= q)
+      .withColumn("grams", expr(
+        s"transform(sequence(1, len - $q + 1), i -> substring(name, i, $q))"))
       .select(col("id"), col("block"), col("len"),
-        posexplode(expr(
-          s"transform(sequence(1, len - $q + 1), i -> substring(name, i, $q))")))
-      .withColumnRenamed("col", "gram")
-      .withColumn("occ", row_number().over(
-        Window.partitionBy("id", "gram").orderBy("pos")))
-      .drop("pos")
-    // global token rarity, then keep each string's cap·q+1 rarest tokens
+        explode(expr(
+          "transform(grams, (g, i) -> " +
+          "struct(g AS gram, size(filter(slice(grams, 1, i + 1), x -> x = g)) AS occ))"))
+          .as("tok"))
+      .select(col("id"), col("block"), col("len"),
+        col("tok.gram").as("gram"), col("tok.occ").as("occ"))
+    // global token rarity, then keep each string's cap·q+1 rarest
+    // tokens. The distinct (gram, occ) domain is structurally bounded —
+    // ≤ |alphabet|^q × max occurrences per string, NOT corpus-sized —
+    // so the rarity lookup is a BROADCAST hash join (round 14): the
+    // token frame is never shuffled on (gram, occ).
     val freq = toks.groupBy("gram", "occ").agg(count(lit(1)).as("freq"))
     // both sides of the candidate self-join read this frame — pin it
     // (lazy localCheckpoint, MinHashLsh.nearDuplicates house style) so
     // the tokenize + freq join + rank window run once, not per side
     val prefix = toks
-      .join(freq, Seq("gram", "occ"))
+      .join(broadcast(freq), Seq("gram", "occ"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("id").orderBy(col("freq"), col("gram"), col("occ"))))
       .filter(col("rank") <= prefixLen)
@@ -294,6 +347,9 @@ object Scalars {
       .select(least(col("id_s"), col("id_o")).as("id_a"),
               greatest(col("id_s"), col("id_o")).as("id_b"))
 
+    // names join back AFTER the distinct pair set (the wide strings
+    // ride the small post-candidate frame; AQE broadcasts the name
+    // lookup when small — a forced broadcast would be wrong at scale)
     val names = base.select(col("id"), col("name"))
     prefixCands.union(shortCands).distinct()
       .join(names.select(col("id").as("id_a"), col("name").as("name_a")), "id_a")

@@ -559,8 +559,11 @@ object VectorFunctions {
       var j = 0
       while (j < m) {
         if (codes.isNullAt(j)) return null
-        val c = codes.getByte(j).toInt
-        if (c < 0 || c >= k) return null
+        // UNSIGNED byte decode (round 14): codes 128..255 store as
+        // negative signed bytes — masking makes k up to 256 (8-bit
+        // subquantizers, the Faiss default) readable; 0..127 unchanged
+        val c = codes.getByte(j).toInt & 0xFF
+        if (c >= k) return null
         acc += table.getFloat(j * k + c).toDouble
         j += 1
       }
@@ -581,8 +584,8 @@ object VectorFunctions {
            |} else {
            |  for (int $j = 0; $j < $m; $j++) {
            |    if ($a.isNullAt($j)) { ${ev.isNull} = true; break; }
-           |    int $c = (int) $a.getByte($j);
-           |    if ($c < 0 || $c >= $k) { ${ev.isNull} = true; break; }
+           |    int $c = ((int) $a.getByte($j)) & 0xFF;
+           |    if ($c >= $k) { ${ev.isNull} = true; break; }
            |    $acc += (double) $b.getFloat($j * $k + $c);
            |  }
            |}

@@ -71,9738 +71,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (built inside the writing tasks, probed from footers at query time);
   * the sidecar carries no bitmaps anymore.
   */
-object SnapshotLog {
-
-  private val LogDir = "_graft_log"
-  private val Latest = "LATEST"
-
-  private def logDir(root: String): Path =
-    new Path(root.replaceAll("/+$", ""), LogDir)
-  private def manifestPath(root: String, v: Long): Path =
-    new Path(logDir(root), f"v$v%08d.manifest")
-  private def dataDirName(v: Long): String = f"data_v$v%08d"
-  private def dataDir(root: String, v: Long): Path =
-    new Path(root.replaceAll("/+$", ""), dataDirName(v))
-  private def statsPath(root: String, v: Long): Path =
-    new Path(logDir(root), f"v$v%08d.stats")
-
-  private def fs(spark: SparkSession, p: Path) =
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  // Storage-atomicity primitives (claim test-and-set, torn-proof small
-  // puts) live behind [[LogStore]] since round 8: the local/HDFS rules
-  // that used to be inlined here are [[HadoopLogStore]], and an S3-class
-  // deployment swaps the store (conditional-put claim, single-key put)
-  // without touching the commit protocol.
-
-  /** Highest committed version, resolved through the LATEST pointer only
-    * (never by listing — uncommitted manifests must stay invisible).
-    * None = the table does not exist yet.
-    */
-  def currentVersion(spark: SparkSession, root: String): Option[Long] = {
-    val latest = new Path(logDir(root), Latest)
-    val f = fs(spark, latest)
-    var attempt = 0
-    while (true) {
-      if (!f.exists(latest)) return None
-      try {
-        val in = f.open(latest)
-        try return Some(new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
-        finally in.close()
-      } catch {
-        // local-FS pointer-swap window: rename(OVERWRITE) moves LATEST
-        // and its .crc checksum sidecar in two non-atomic steps, so a
-        // concurrent read can pair new bytes with the old crc. The
-        // pointer content itself is never torn (one rename); retrying
-        // reads the settled pair. Object stores have no crc sidecar —
-        // this branch is local/HDFS-FS-only by construction.
-        case _: org.apache.hadoop.fs.ChecksumException if attempt < 50 =>
-          attempt += 1
-          Thread.sleep(10L)
-      }
-    }
-    throw new IllegalStateException("unreachable")
-  }
-
-  /** Read the current committed snapshot. The returned frame is bound to
-    * that version's immutable data directory: commits that land AFTER
-    * this call do not change what it reads — snapshot isolation.
-    */
-  def read(spark: SparkSession, root: String): DataFrame =
-    readVersion(spark, root,
-      currentVersion(spark, root).getOrElse(
-        throw new IllegalStateException(s"no committed version at $root")))
-
-  /** Time travel: read an explicit committed version (manifest must
-    * exist — reading an uncommitted or vacuumed version fails loudly).
-    * A version's data is the union of its manifest's directories (one
-    * dir for full-snapshot commits, parent dirs + one delta dir for
-    * [[appendCommit]] chains, leaf dirs for [[upsertScoped]]) MINUS its
-    * deletion vectors ([[tombstoneDelete]]), applied as a positional
-    * anti-join at read.
-    */
-  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
-    // FILE MANIFEST (round 8): when the sidecar fully lists the
-    // version's files, plan from it — zero filesystem listing, and the
-    // scan gains sidecar/dir-name skipping for free. readPruned is
-    // semantically identical by construction (conservative pruning,
-    // re-applied predicates; parity property-checked in spec), so this
-    // routing changes the PLAN, never the rows. Pre-listing tables take
-    // the legacy DataFrameReader path below.
-    val (filesOpt, spanSrc) = planInputs(spark, root, version)
-    if (filesOpt.isDefined)
-      return visibilityWrap(spark, root, version,
-        prunedBaseScanCore(spark, root, version, filesOpt, spanSrc))
-    val paths = versionPaths(spark, root, version)
-    // an evolved chain pins its CURRENT schema in the manifest: the read
-    // declares it explicitly and parquet null-fills the pre-evolution
-    // files — no mergeSchema footer sniff (that is an O(files) planning
-    // pass at a million files) and no schema roulette on mixed dirs
-    val base0 = schemaOf(spark, root, version) match {
-      case Some(st) =>
-        // mapped lineages: files spell physical names; project back
-        fromPhysicalSelect(
-          spark.read.schema(physicalSchema(st)).parquet(paths: _*), st)
-      // drop the materialized row-id column a tracking-preserving
-      // rewrite may have left in the files (no-op when absent)
-      case None => spark.read.parquet(paths: _*).drop(RowIdCol)
-    }
-    // merge-on-read lineages attach their row sequence while the scan's
-    // _metadata columns still resolve, then dedup AFTER the positional
-    // deletes (a tombstoned latest row must expose nothing — the whole
-    // key is gone, because tombstoneDelete marks every physical copy)
-    val mk = morKeysOf(spark, root, version)
-    val base = if (mk.isEmpty) base0 else base0.withColumn(MorSeqCol, morSeq)
-    val vis = applyTombstoneDirs(spark, root,
-      tombDirsOf(spark, root, version), base)
-    if (mk.isEmpty) vis else resolveLatest(vis, mk)
-  }
-
-  /** The pinned table schema of an evolved chain's version (None before
-    * any [[appendEvolved]] on the lineage — readers then take the
-    * parquet files' own uniform schema).
-    */
-  private[graft] def schemaOf(spark: SparkSession, root: String,
-                              v: Long): Option[org.apache.spark.sql.types.StructType] = {
-    val raw = rawSchemaJson(spark, root, v)
-    if (raw.isEmpty) None
-    else Some(org.apache.spark.sql.types.DataType.fromJson(
-      java.net.URLDecoder.decode(raw, "UTF-8"))
-      .asInstanceOf[org.apache.spark.sql.types.StructType])
-  }
-
-  // ---- COLUMN MAPPING (round 8b) ----------------------------------
-  // RENAME COLUMN without rewriting a byte of data — Delta's column-
-  // mapping model, carried in the pinned schema's FIELD METADATA so the
-  // existing pin propagation solves the mapping's propagation for free:
-  // a column's PHYSICAL name (what every parquet file and stats-sidecar
-  // key uses, immutable once assigned) lives under `graft.physicalName`
-  // in its field's metadata; the field's `name` is the LOGICAL name the
-  // user sees. Until a rename, logical == physical and nothing changes.
-  // After one: reads declare the physical schema to parquet and project
-  // back to logical; writes translate logical → physical at the shared
-  // chokepoints, so files stay uniformly physical forever; stats keys
-  // never move. A full-snapshot rewrite (commit/upsert/compactChain)
-  // drops the pin with the mapping — the new files carry logical names,
-  // so the mapping has nothing left to map (the Delta "rewrite clears
-  // mapping debt" property).
-
-  private val PhysKey = "graft.physicalName"
-  // DROP COLUMN tombstone (round 8b): a dropped field STAYS in the pin,
-  // flagged, so (a) the drop is metadata-only, (b) reads know to exclude
-  // it, and (c) a later ADD COLUMN of the same name can be REFUSED —
-  // re-adding a name whose data still lives in old files would resurrect
-  // the old values instead of null-filling (the silent-corruption trap
-  // Delta solves with UUID physical names; the tombstone is our simpler
-  // equivalent). compactChain's materialized rewrite drops the pin, the
-  // data, and the tombstone together — after compaction the name is free.
-  private val DroppedKey = "graft.dropped"
-
-  private def isDropped(f: org.apache.spark.sql.types.StructField): Boolean =
-    f.metadata.contains(DroppedKey) && f.metadata.getBoolean(DroppedKey)
-
-  /** The fields a reader may see — the pin minus drop tombstones. */
-  private[graft] def visibleSchema(
-      st: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
-    org.apache.spark.sql.types.StructType(st.fields.filterNot(isDropped))
-
-  private def physName(f: org.apache.spark.sql.types.StructField): String =
-    if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey) else f.name
-
-  /** logical → physical over the VISIBLE fields, non-identity entries
-    * only (empty = unmapped).
-    */
-  private[graft] def renameMap(
-      st: org.apache.spark.sql.types.StructType): Map[String, String] =
-    st.fields.iterator.filterNot(isDropped).map(f => f.name -> physName(f))
-      .filter(p => p._1 != p._2).toMap
-
-  /** The schema as the FILES spell it (fields renamed to physical).
-    * The mapping metadata is STRIPPED: it describes the logical→physical
-    * relation, and leaving it on a physical field leaks into anything
-    * derived from the scan — concretely, a materializing rewrite
-    * (compactChain) would embed the stale mapping in its new files'
-    * row.metadata and every later read would chase a physical name the
-    * rewritten files no longer carry (reproduced: post-compaction reads
-    * returned null for the renamed column before this strip).
-    */
-  private def physicalSchema(
-      st: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
-    org.apache.spark.sql.types.StructType(st.fields.filterNot(isDropped).map { f =>
-      val cleaned =
-        if (!f.metadata.contains(PhysKey) && !f.metadata.contains(WidenKey))
-          f.metadata
-        else {
-          val b = new org.apache.spark.sql.types.MetadataBuilder()
-            .withMetadata(f.metadata)
-          b.remove(PhysKey)
-          b.remove(WidenKey)
-          b.build()
-        }
-      f.copy(name = physName(f), metadata = cleaned)
-    })
-
-  /** Rename a logical-named frame to physical for writing (no-op when
-    * the pin carries no mapping). Column order is preserved; columns
-    * not in the pin (wider evolved batches) keep their names.
-    */
-  private def toPhysicalDf(df: DataFrame,
-                           pin: org.apache.spark.sql.types.StructType): DataFrame = {
-    val m = renameMap(pin)
-    if (m.isEmpty) df
-    else {
-      import org.apache.spark.sql.functions.col
-      df.select(df.columns.map(c => col(c).as(m.getOrElse(c, c))).toSeq: _*)
-    }
-  }
-
-  /** Project a physical-named scan back to the pin's VISIBLE logical
-    * names (drop tombstones excluded — the scan never declared them; a
-    * RAW-read slice that did see them, e.g. the scoped merge's touched
-    * partitions, sheds them here too).
-    */
-  private def fromPhysicalSelect(df: DataFrame,
-                                 pin: org.apache.spark.sql.types.StructType): DataFrame = {
-    if (renameMap(pin).isEmpty && !pin.fields.exists(isDropped)) df
-    else {
-      import org.apache.spark.sql.functions.col
-      df.select(pin.fields.filterNot(isDropped)
-        .map(f => col(physName(f)).as(f.name)).toSeq: _*)
-    }
-  }
-
-  /** Column names BIND the table's declarations (generated / identity
-    * columns, CHECK constraints). A rename or drop underneath one would
-    * wedge every later commit — the gate's expression stops resolving
-    * and each write fails with an analysis error naming nothing useful.
-    * Refuse up front with the escape named instead (round 13).
-    */
-  private def refuseDeclaredRefs(spark: SparkSession, root: String,
-                                 col: String, verb: String): Unit = {
-    def refsOf(sql: String): Set[String] =
-      scala.util.Try(spark.sessionState.sqlParser.parseExpression(sql)
-        .collect {
-          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-            a.name.toLowerCase
-        }.toSet).getOrElse(Set.empty)
-    val low = col.toLowerCase
-    Generated.list(spark, root).foreach { g =>
-      require(!g.name.equalsIgnoreCase(col),
-        s"$verb: $col is a GENERATED column — " +
-        "CALL <cat>.system.drop_generated first")
-      require(!refsOf(g.sql).contains(low),
-        s"$verb: $col is referenced by generated column ${g.name} " +
-        s"(${g.sql}) — drop_generated first")
-    }
-    Identity.list(spark, root).foreach { ic =>
-      require(!ic.name.equalsIgnoreCase(col),
-        s"$verb: $col is an IDENTITY column — " +
-        "CALL <cat>.system.drop_identity first")
-    }
-    Constraints.list(spark, root).foreach { c =>
-      require(!refsOf(c.sql).contains(low),
-        s"$verb: $col is referenced by constraint ${c.name} (${c.sql}) " +
-        "— drop the constraint first")
-    }
-  }
-
-  /** RENAME COLUMN as a metadata-only commit: the next version carries
-    * the same dirs, vectors and stats, with the pinned schema's field
-    * renamed and its immutable PHYSICAL name recorded in the field
-    * metadata. O(1) data cost on a 100 TB table — no file is touched;
-    * every existing read/write path translates through the pin.
-    *
-    * Round 11: scoped tables rename NON-partition columns (the scoped
-    * commit paths translate at the slice read and the staged write, and
-    * carry the pin through their manifests); the PARTITION column stays
-    * rename-refused — its values name directories, and every dir-name
-    * mechanism (touched sets, OCC disjointness, pruning, vacuum
-    * refcounts) keys on them. Merge-on-read lineages keep the refusal
-    * (stored morKeys would dangle) — compact first. Streaming tails
-    * decode mapped lineages physical-first (round 10); the CDC changes
-    * stream refuses a MID-FLIGHT rename loudly and re-infers on
-    * restart.
-    */
-  def renameColumn(spark: SparkSession, root: String,
-                   from: String, to: String): Long = {
-    withClaim(spark, root) { _ =>
-      recoverOrphans(spark, root)
-      val cur = currentVersion(spark, root).getOrElse(
-        throw new IllegalStateException(s"no committed version at $root"))
-      // EVERY spec this lineage ever wrote leafs under keeps the
-      // refusal, not just the head: old-spec leafs still render and
-      // migrate through their recorded spec's source columns (a freed
-      // name could even be re-bound to an unrelated column and re-home
-      // rows silently)
-      allSpecsOf(spark, root, cur).foreach { gs =>
-        val refs = gs.refCols.toSet
-        require(!refs.contains(from) && !refs.contains(to),
-          s"renameColumn: $from/$to is a partition-spec column of " +
-          s"'${gs.render}' (current or historical) — partition values " +
-          "name directories; repartition via a full rewrite instead")
-      }
-      refuseDeclaredRefs(spark, root, from, "renameColumn")
-      // merge-on-read lineages rename like flat ones (round 11c): the
-      // physical-name pin already propagates through every upsertMor
-      // commit (stageVersion translates), and resolution works on
-      // LOGICAL names — a renamed KEY just renames in the declared
-      // key list below, so later batches and reads speak the new name
-      val mkRenamed = morKeysOf(spark, root, cur)
-        .map(k => if (k == from) to else k)
-      val pin = schemaOf(spark, root, cur).getOrElse(
-        asNullable(tableSchema(spark, root, cur))
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
-      require(pin.fieldNames.contains(from),
-        s"no such column: $from (have ${pin.fieldNames.mkString(", ")})")
-      require(!pin.fieldNames.contains(to),
-        s"column $to already exists")
-      // the target may not shadow any PHYSICAL name either (its own is
-      // fine — that's a rename back): a logical name equal to another
-      // column's physical name would make the logical→physical probe
-      // translation ambiguous, and a skipping probe could evaluate the
-      // WRONG column's spans — silent missing rows
-      require(!pin.fields.exists(f => f.name != from && physName(f) == to),
-        s"column name $to shadows another column's physical name — " +
-        "pick a different name, or compactChain to re-normalize first")
-      val newPin = org.apache.spark.sql.types.StructType(pin.fields.map { f =>
-        if (f.name == from)
-          f.copy(name = to,
-            metadata = new org.apache.spark.sql.types.MetadataBuilder()
-              .withMetadata(f.metadata).putString(PhysKey, physName(f)).build())
-        else f
-      })
-      val next = cur + 1L
-      val stack = writeStats(spark, root, next, Nil, sidecarCarry(spark, root, cur))
-      // kind "rename": NOT the writeManifestDirs default ("scoped" —
-      // which would make compactSmallFiles refuse this flat table), and
-      // the streaming tail/CDC ranges refuse it loudly by name; a
-      // scoped lineage's partCol carries (round 11)
-      writeManifestDirs(spark, root, next, dirsOf(spark, root, cur),
-        batchId = batchIdOf(spark, root, cur).getOrElse(-1L),
-        tombDirs = tombDirsOf(spark, root, cur),
-        kind = "rename",
-        partCol = partColOf(spark, root, cur).getOrElse(""),
-        morKeys = mkRenamed,
-        schemaJson = java.net.URLEncoder.encode(newPin.json, "UTF-8"),
-        statsStack = stack)
-      publishLatest(spark, root, next)
-      next
-    }
-  }
-
-  private val WidenKey = "graft.widenedFrom"
-
-  /** TYPE WIDENING as a metadata-only commit (Delta's type-widening
-    * feature): promote a column to a strictly-wider type — the pin's
-    * field retypes, ZERO files are rewritten, and the vectorized
-    * parquet reader upcasts old narrow files under the declared wider
-    * schema (verified on this Spark build for every transition below).
-    * Subsequent batches must carry the widened type (the append drift
-    * guard compares against the pinned schema as always).
-    *
-    * Allowed transitions — lossless by construction:
-    * byte→short/int/long, short→int/long, int→long, float→double,
-    * int→double (exact in IEEE754), decimal(p,s)→decimal(p'>p, s).
-    * long→double is refused (longs above 2⁵³ lose precision).
-    *
-    * The widened field is marked (`graft.widenedFrom`), which (a) makes
-    * point-lookup BLOOM probing skip the column — old files' blooms
-    * hashed the narrow type, and probing them with widened-type hashes
-    * could wrongly prune a true match (min/max span pruning stays on:
-    * value-domain comparisons are type-agnostic) — and (b) stamps the
-    * minReader protocol gate. compactChain's materialized rewrite drops
-    * the pin with the mark; the fully-rewritten files are uniformly
-    * wide and blooms re-enable.
-    */
-  def widenColumnType(spark: SparkSession, root: String, column: String,
-                      to: org.apache.spark.sql.types.DataType): Long = {
-    import org.apache.spark.sql.types._
-    withClaim(spark, root) { _ =>
-      recoverOrphans(spark, root)
-      val cur = currentVersion(spark, root).getOrElse(
-        throw new IllegalStateException(s"no committed version at $root"))
-      require(!allSpecsOf(spark, root, cur)
-          .exists(_.refCols.contains(column)),
-        s"cannot widen the partition column $column (it names " +
-        "directories under a current or historical spec)")
-      val pin = schemaOf(spark, root, cur).getOrElse(
-        asNullable(tableSchema(spark, root, cur)).asInstanceOf[StructType])
-      val field = pin.fields.find(f => !isDropped(f) && f.name == column)
-        .getOrElse(throw new IllegalArgumentException(
-          s"no such column: $column (have ${visibleSchema(pin).fieldNames.mkString(", ")})"))
-      val ok = (field.dataType, to) match {
-        case (ByteType, ShortType | IntegerType | LongType) => true
-        case (ShortType, IntegerType | LongType)            => true
-        case (IntegerType, LongType | DoubleType)           => true
-        case (FloatType, DoubleType)                        => true
-        case (a: DecimalType, b: DecimalType) =>
-          b.scale == a.scale && b.precision > a.precision
-        case _ => false
-      }
-      require(ok, s"cannot widen $column from ${field.dataType.simpleString} " +
-        s"to ${to.simpleString} — only lossless promotions are allowed " +
-        "(byte/short/int→wider integral, int→double, float→double, " +
-        "decimal precision growth)")
-      val newPin = StructType(pin.fields.map { f =>
-        if (!isDropped(f) && f.name == column)
-          f.copy(dataType = to,
-            metadata = new MetadataBuilder().withMetadata(f.metadata)
-              .putString(WidenKey, field.dataType.simpleString).build())
-        else f
-      })
-      val next = cur + 1L
-      val stack = writeStats(spark, root, next, Nil, sidecarCarry(spark, root, cur))
-      writeManifestDirs(spark, root, next, dirsOf(spark, root, cur),
-        batchId = batchIdOf(spark, root, cur).getOrElse(-1L),
-        tombDirs = tombDirsOf(spark, root, cur),
-        kind = "widen",
-        morKeys = morKeysOf(spark, root, cur),
-        partCol = partColOf(spark, root, cur).getOrElse(""),
-        schemaJson = java.net.URLEncoder.encode(newPin.json, "UTF-8"),
-        statsStack = stack)
-      publishLatest(spark, root, next)
-      next
-    }
-  }
-
-  /** Incremental RE-BLOOM after type widening (round 11, the r10
-    * verdict's #5): rewrite EXACTLY the pre-widen narrow files — the
-    * files whose footers still spell the narrow primitive — into one
-    * fresh wide-typed packed dir, carry every already-wide file by
-    * reference (byte-identical), and CLEAR the widened column's
-    * `graft.widenedFrom` mark, which re-enables bloom point-probe
-    * skipping for it. Cost: O(narrow files), not the O(table)
-    * [[compactChain]] that was the only rung before — on a 100 TB
-    * table widened last week, this rewrites last week's backlog only.
-    *
-    * Why the mark can clear: blooms are skipped for widened columns
-    * because OLD files' blooms hashed the NARROW type; after this pass
-    * every surviving file was written under the wide schema, so
-    * wide-typed probes hash consistently everywhere.
-    *
-    * Narrow-file detection is metadata-only when the widen commit's
-    * manifest survives in retained history (every dir numbered below
-    * the newest widen version predates it — files written after carry
-    * the wide pinned schema); when vacuum removed it, one footer read
-    * per file classifies exactly (the same O(files) driver bound as
-    * the listing fallbacks elsewhere). Flat lineages only — scoped
-    * leafs re-bloom through [[compactChain]] today, and MoR lineages
-    * refuse widening in the first place.
-    */
-  def rebloomWidened(spark: SparkSession, root: String,
-                     extraBloomCols: Seq[String] = Nil): Long = {
-    import org.apache.spark.sql.functions.{col, lit, substring_index}
-    import org.apache.spark.sql.types.{MetadataBuilder, StructType}
-    withClaim(spark, root) { f =>
-      recoverOrphans(spark, root)
-      val cur = currentVersion(spark, root).getOrElse(
-        throw new IllegalStateException(s"no committed version at $root"))
-      require(morKeysOf(spark, root, cur).isEmpty,
-        "rebloomWidened on a merge-on-read lineage is not supported — " +
-        "compactChain materializes the chain and re-blooms it whole")
-      require(partColOf(spark, root, cur).isEmpty,
-        "rebloomWidened on a partition-scoped lineage is not supported — " +
-        "compactChain re-blooms those today")
-      val pin = schemaOf(spark, root, cur).getOrElse(return cur)
-      val widened = pin.fields.filter(fd =>
-        !isDropped(fd) && fd.metadata.contains(WidenKey))
-      if (widened.isEmpty) return cur // nothing marked — nothing to do
-      val rootPath = new Path(root.replaceAll("/+$", ""))
-      val all = filesFromSidecar(spark, root, cur).getOrElse(
-        versionPaths(spark, root, cur).flatMap { d =>
-          fs(spark, rootPath).listStatus(new Path(d)).toSeq
-            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        })
-      def dirVersion(p: Path): Option[Long] =
-        scala.util.Try(p.getParent.getName.stripPrefix("data_v").toLong)
-          .toOption.filter(_ => p.getParent.getName.startsWith("data_v"))
-      val newestWiden: Option[Long] = versions(spark, root)
-        .filter(_ <= cur).sortBy(-_)
-        .find(v => manifestKind(spark, root, v).contains("widen"))
-      val wideByPhys = widened.map(fd => physName(fd) -> fd.dataType).toMap
-      val narrowSet: Set[String] = (newestWiden match {
-        case Some(w) =>
-          all.filter(st => dirVersion(st.getPath).exists(_ < w))
-        case None =>
-          all.filter(st => sparkSchemaFromFooter(spark, st.getPath).exists(
-            sch => sch.fields.exists(fl =>
-              wideByPhys.get(fl.name).exists(_ != fl.dataType))))
-      }).map(_.getPath.toString).toSet
-      val next = cur + 1L
-      val newPin = StructType(pin.fields.map { fd =>
-        if (fd.metadata.contains(WidenKey)) {
-          val b = new MetadataBuilder().withMetadata(fd.metadata)
-          b.remove(WidenKey)
-          fd.copy(metadata = b.build())
-        } else fd
-      })
-      val pinJson = java.net.URLEncoder.encode(newPin.json, "UTF-8")
-      if (narrowSet.isEmpty) {
-        // every file is already wide (a prior compaction rewrote them):
-        // clearing the mark is a metadata-only commit
-        val stack = writeStats(spark, root, next, Nil, sidecarCarry(spark, root, cur))
-        writeManifestDirs(spark, root, next, dirsOf(spark, root, cur),
-          batchId = batchIdOf(spark, root, cur).getOrElse(-1L),
-          tombDirs = tombDirsOf(spark, root, cur),
-          kind = "widen", schemaJson = pinJson, statsStack = stack)
-        publishLatest(spark, root, next)
-        return next
-      }
-      def relOf(p: Path) = p.getParent.getName + "/" + p.getName
-      def baseName(d: String) = d.substring(d.lastIndexOf('/') + 1)
-      // kept entries: untouched whole dirs carry as dirs; a dir holding
-      // BOTH narrow and wide files dissolves into per-file carries (the
-      // round-10 pruned-merge mechanics — resolved by filesFromLines,
-      // refcounted by vacuum, re-packed by compactSmallFiles)
-      val byDir = all.groupBy(_.getPath.getParent.getName)
-      val keptEntries: Seq[String] = dirsOf(spark, root, cur).flatMap { d =>
-        if (d.contains('/') && d.endsWith(".parquet")) {
-          val rel = d.split('/').takeRight(2).mkString("/")
-          val isNarrow = byDir.get(rel.takeWhile(_ != '/')).exists(_.exists(st =>
-            relOf(st.getPath) == rel && narrowSet.contains(st.getPath.toString)))
-          if (isNarrow) Nil else Seq(d)
-        } else {
-          val b = baseName(d)
-          val files = byDir.getOrElse(b, Seq.empty)
-          val (nar, wide) = files.partition(st => narrowSet.contains(st.getPath.toString))
-          if (nar.isEmpty) Seq(d)
-          else wide.map(st => b + "/" + st.getPath.getName)
-        }
-      }
-      // the rewrite scan declares the WIDE physical schema — the
-      // vectorized reader upcasts each narrow file — and folds the
-      // deletion-vector positions that point into the rewritten files.
-      // Row-tracked lineages rewrite WITH identities attached (round
-      // 13, lifting the round-12 refusal): the packed wide files carry
-      // the materialized id column, exactly the compaction contract
-      val tombs = tombDirsOf(spark, root, cur)
-      val folded =
-        if (rowTrackingEnabled(spark, root)) {
-          val src = scanWithRids(spark, root, cur,
-            narrowSet.toSeq.sorted, tombs)
-          schemaOf(spark, root, cur).map(toPhysicalDf(src, _)).getOrElse(src)
-        } else {
-          val scan = spark.read
-            .schema(physicalSchema(pin))
-            .parquet(narrowSet.toSeq.sorted: _*)
-          applyTombstoneDirs(spark, root, tombs, scan)
-        }
-      val physMap = renameMap(pin)
-      // the rewrite must not silently strip the lineage's OTHER bloom
-      // columns (the statsCols-inherit rule, applied to blooms): read
-      // ONE narrow file's footer and carry every bloom-filtered column
-      // it has into the packed rewrite alongside the widened ones
-      val inherited: Seq[String] = {
-        import scala.jdk.CollectionConverters._
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new Path(narrowSet.head), spark.sessionState.newHadoopConf()))
-        try reader.getFooter.getBlocks.asScala.headOption.toSeq.flatMap {
-          b => b.getColumns.asScala.filter { ch =>
-            try {
-              val r = reader.getBloomFilterDataReader(b)
-              r != null && r.readBloomFilter(ch) != null
-            } catch { case _: Exception => false }
-          }.map(_.getPath.toDotString).toSeq
-        } finally reader.close()
-      }
-      val bloomPhys = (widened.map(physName(_)) ++ inherited ++
-        extraBloomCols.map(c => physMap.getOrElse(c, c))).distinct
-      writeDataDir(spark, folded, dataDir(root, next), bloomPhys)
-      // vector rows pointing into kept entries survive as the next
-      // version's own vector (the compactSmallFiles rule, file-granular)
-      val keptDirSet = keptEntries.filterNot(e =>
-        e.contains('/') && e.endsWith(".parquet")).map(baseName).toSet
-      val keptFileRels = keptEntries.filter(e =>
-        e.contains('/') && e.endsWith(".parquet"))
-        .map(_.split('/').takeRight(2).mkString("/")).toSet
-      val nextTombs =
-        if (tombs.isEmpty || keptEntries.isEmpty) Nil
-        else {
-          val dirHit =
-            if (keptDirSet.isEmpty) lit(false)
-            else substring_index(col("__rel"), "/", 1).isInCollection(keptDirSet)
-          val fileHit =
-            if (keptFileRels.isEmpty) lit(false)
-            else col("__rel").isInCollection(keptFileRels)
-          val surviving = spark.read.parquet(
-            tombs.map(d => new Path(rootPath, d).toString): _*)
-            .filter(dirHit || fileHit)
-          if (surviving.isEmpty) Nil
-          else {
-            surviving.write.mode("overwrite")
-              .parquet(new Path(rootPath, tombDirName(next)).toString)
-            Seq(tombDirName(next))
-          }
-        }
-      // stats: kept keys' lines carry; the packed dir re-derives the
-      // same columns the lineage already tracks (bounded by |columns|)
-      val parentCarry = sidecarCarry(spark, root, cur)
-      val carry = parentCarry.filter { l =>
-        val key = StatsEval.unesc(l.takeWhile(_ != '\t'))
-        keptDirSet.contains(key.takeWhile(_ != '/')) ||
-          keptFileRels.contains(key)
-      }
-      val freshCols = inheritedStatsCols(spark, root)
-      val stack = writeStats(spark, root, next, freshCols, carry)
-      writeManifestAppend(spark, root, next,
-        batchIdOf(spark, root, cur).getOrElse(-1L),
-        baseDirs = keptEntries, tombDirs = nextTombs,
-        schemaJson = pinJson, statsStack = stack)
-      publishLatest(spark, root, next)
-      next
-    }
-  }
-
-  /** DROP COLUMN as a metadata-only commit: the field stays in the pin
-    * as a TOMBSTONE (`graft.dropped`) — reads exclude it, writes never
-    * see it, and a later ADD COLUMN of the same (or the same physical)
-    * name is refused ([[appendEvolved]]): the dropped data still lives
-    * in the old files, and re-using the name would RESURRECT it instead
-    * of null-filling. O(1) data cost; compactChain's materialized
-    * rewrite purges the data, the pin and the tombstone together, after
-    * which the name is free again. Same refusals as [[renameColumn]]
-    * (scoped / merge-on-read lineages), plus the last visible column
-    * cannot be dropped.
-    */
-  def dropColumn(spark: SparkSession, root: String, name: String): Long = {
-    withClaim(spark, root) { _ =>
-      recoverOrphans(spark, root)
-      val cur = currentVersion(spark, root).getOrElse(
-        throw new IllegalStateException(s"no committed version at $root"))
-      // historical specs keep the refusal too (old-spec leafs still
-      // render and migrate through their source columns)
-      allSpecsOf(spark, root, cur).foreach { gs =>
-        require(!gs.refCols.contains(name),
-          s"dropColumn: $name is a partition-spec column of " +
-          s"'${gs.render}' (current or historical) — partition values " +
-          "name directories; repartition via a full rewrite instead")
-      }
-      refuseDeclaredRefs(spark, root, name, "dropColumn")
-      // round 11c: non-key drops work on merge-on-read lineages (the
-      // pin's drop-mark propagates like a rename); dropping a KEY
-      // destroys the shadowing identity and refuses
-      val mk = morKeysOf(spark, root, cur)
-      require(!mk.contains(name),
-        s"dropColumn: $name is a merge-on-read key — the shadowing " +
-        "identity needs it; materialize via compactChain first")
-      val pin = schemaOf(spark, root, cur).getOrElse(
-        asNullable(tableSchema(spark, root, cur))
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
-      val vis = visibleSchema(pin)
-      require(vis.fieldNames.contains(name),
-        s"no such column: $name (have ${vis.fieldNames.mkString(", ")})")
-      require(vis.fields.length > 1,
-        s"cannot drop the last visible column $name")
-      val newPin = org.apache.spark.sql.types.StructType(pin.fields.map { f =>
-        if (!isDropped(f) && f.name == name)
-          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-            .withMetadata(f.metadata).putBoolean(DroppedKey, true).build())
-        else f
-      })
-      val next = cur + 1L
-      val stack = writeStats(spark, root, next, Nil, sidecarCarry(spark, root, cur))
-      writeManifestDirs(spark, root, next, dirsOf(spark, root, cur),
-        batchId = batchIdOf(spark, root, cur).getOrElse(-1L),
-        tombDirs = tombDirsOf(spark, root, cur),
-        kind = "rename",
-        partCol = partColOf(spark, root, cur).getOrElse(""),
-        morKeys = mk,
-        schemaJson = java.net.URLEncoder.encode(newPin.json, "UTF-8"),
-        statsStack = stack)
-      publishLatest(spark, root, next)
-      next
-    }
-  }
-
-  /** One version's operational facts, resolved at METADATA cost —
-    * `numFiles`/`sizeBytes` come from the file manifest when complete
-    * (one sidecar read, zero LIST calls; the same numbers a 100 TB
-    * DESCRIBE DETAIL must not compute with a namenode walk), else the
-    * dir walk. The SQL surface is `CALL <cat>.system.detail(table)`.
-    */
-  case class TableDetail(version: Long, numFiles: Long, sizeBytes: Long,
-                         numDataDirs: Int, numDeletionVectorDirs: Int,
-                         partitionColumn: Option[String],
-                         columnMapped: Boolean, minReader: Int,
-                         batchId: Option[Long],
-                         statsStorage: String = "none",
-                         changeFeedVersion: Boolean = false,
-                         numConsumers: Int = 0,
-                         numFileCarries: Int = 0,
-                         numConstraints: Int = 0)
-
-  def describeDetail(spark: SparkSession, root: String): TableDetail = {
-    val v = currentVersion(spark, root).getOrElse(
-      throw new IllegalStateException(s"no committed version at $root"))
-    val files = filesFromSidecar(spark, root, v).getOrElse {
-      val conf = spark.sparkContext.hadoopConfiguration
-      val rootPath = new Path(root.replaceAll("/+$", ""))
-      dirsOf(spark, root, v).flatMap { d =>
-        val p = new Path(rootPath, d)
-        p.getFileSystem(conf).listStatus(p).filter(st =>
-          st.isFile && st.getPath.getName.endsWith(".parquet")).toSeq
-      }
-    }
-    val pin = schemaOf(spark, root, v)
-    val mapped = pin.exists(st => renameMap(st).nonEmpty ||
-      st.fields.exists(isDropped) ||
-      st.fields.exists(_.metadata.contains(WidenKey)))
-    // round-9 operational facts: how the head's stats are stored (and
-    // how deep its delta chain runs), whether it recorded change files,
-    // and how many consumers pin history against vacuum
-    val statsStorage =
-      if (fs(spark, statsPath(root, v)).exists(statsPath(root, v))) "text"
-      else if (hasPqSidecar(spark, root, v)) {
-        val depth = statsStackOf(spark, root, v).size
-        if (depth == 0) "checkpoint" else s"chained(depth=${depth + 1})"
-      } else "none"
-    TableDetail(
-      version = v,
-      numFiles = files.size.toLong,
-      sizeBytes = files.map(_.getLen).sum,
-      numDataDirs = dirsOf(spark, root, v).size,
-      numDeletionVectorDirs = tombDirsOf(spark, root, v).size,
-      partitionColumn = partColOf(spark, root, v),
-      columnMapped = mapped,
-      minReader = if (mapped) 2 else 1,
-      batchId = batchIdOf(spark, root, v),
-      statsStorage = statsStorage,
-      changeFeedVersion = chgDirOf(spark, root, v).isDefined,
-      numConsumers = consumers(spark, root).size,
-      // round-10 operational facts: per-file manifest carries left by
-      // pruned merges (compact_small_files folds them back into dirs)
-      // and declared CHECK constraints gating every SQL DML
-      numFileCarries = dirsOf(spark, root, v)
-        .count(d => d.contains('/') && d.endsWith(".parquet")),
-      numConstraints = Constraints.list(spark, root).size)
-  }
-
-  /** The tail/CDC read schema shipped to the executor decoders: the
-    * stream's LOGICAL fields, each annotated with its immutable
-    * PHYSICAL column name from the head's pin (mapped lineages only —
-    * unmapped tables ship the logical schema verbatim). Decoders
-    * resolve physical-FIRST with a logical fallback, which covers every
-    * file generation at once: data files spell physical names; commit-
-    * time change files spell the LOGICAL names current at their write —
-    * pre-rename those are exactly the physical names, post-rename ones
-    * hit the logical fallback.
-    */
-  private[graft] def streamReadSchemaJson(
-      spark: SparkSession, root: String,
-      logical: org.apache.spark.sql.types.StructType): String = {
-    val m = currentVersion(spark, root)
-      .flatMap(schemaOf(spark, root, _)).map(renameMap)
-      .getOrElse(Map.empty[String, String])
-    if (m.isEmpty) logical.json
-    else org.apache.spark.sql.types.StructType(logical.fields.map { f =>
-      m.get(f.name) match {
-        case Some(phys) => f.copy(metadata =
-          new org.apache.spark.sql.types.MetadataBuilder()
-            .withMetadata(f.metadata).putString(PhysKey, phys).build())
-        case None => f
-      }
-    }).json
-  }
-
-  /** The manifest's schema field verbatim (still URL-encoded; "" when
-    * absent) — what propagating commit paths copy into their own
-    * manifest without a decode/re-encode round-trip.
-    */
-  private def rawSchemaJson(spark: SparkSession, root: String, v: Long): String =
-    """"schema":"([^"]*)"""".r
-      .findFirstMatchIn(readManifest(spark, root, v))
-      .map(_.group(1)).getOrElse("")
-
-  /** Every field nullable, recursively — the only correct reading of a
-    * pinned evolved schema (pre-evolution files null-fill the new
-    * columns, so nothing pinned can be promised non-null; the
-    * vectorized parquet reader REFUSES a required column missing from a
-    * file, where a nullable one reads as nulls).
-    */
-  private def asNullable(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
-    import org.apache.spark.sql.types._
-    dt match {
-      case st: StructType => StructType(st.fields.map(f =>
-        f.copy(dataType = asNullable(f.dataType), nullable = true)))
-      case a: ArrayType => a.copy(elementType = asNullable(a.elementType),
-        containsNull = true)
-      case m: MapType => m.copy(valueType = asNullable(m.valueType),
-        valueContainsNull = true)
-      case other => other
-    }
-  }
-
-  private def tombDirName(v: Long): String = f"tomb_v$v%08d"
-  private def chgDirName(v: Long): String = f"chg_v$v%08d"
-
-  /** Whether commits should write ROW-LEVEL CHANGE FILES (round 9 —
-    * Delta's Change Data Feed shape): with
-    * `graft.changeFeed.enabled=true`, a scoped upsert (and the SQL
-    * general-MERGE lowering) writes its insert / update_preimage /
-    * update_postimage (/ delete) rows into a `chg_v{N}/` dir at commit
-    * time, recorded in the manifest. The CDC streaming source then
-    * ships those versions from the change dir instead of refusing, and
-    * [[changesBetween]] stays O(changes) on keyed lineages. Off by
-    * default: the change diff costs one extra O(touched) join per
-    * commit, which only feed consumers should pay.
-    */
-  private def changeFeedEnabled(spark: SparkSession): Boolean =
-    spark.conf.getOption("graft.changeFeed.enabled").exists(_.toBoolean)
-
-  /** The change-file dir a version's manifest records; None for commits
-    * made without the feed enabled (or kinds that derive their feed
-    * from the log itself — appends, DV deletes, MoR updates).
-    */
-  private[graft] def chgDirOf(spark: SparkSession, root: String,
-                              v: Long): Option[String] =
-    """"chgDir":"([^"]*)"""".r
-      .findFirstMatchIn(readManifest(spark, root, v))
-      .map(m => java.net.URLDecoder.decode(m.group(1), "UTF-8"))
-      .filter(_.nonEmpty)
-
-  /** Deletion-vector directory NAMES a version's manifest carries
-    * (url-encoded list, like `dirs`); empty for versions without
-    * merge-on-read deletes.
-    */
-  private[graft] def tombDirsOf(spark: SparkSession, root: String,
-                                v: Long): Seq[String] =
-    """"tombDirs":"([^"]*)"""".r
-      .findFirstMatchIn(readManifest(spark, root, v))
-      .map(_.group(1)).filter(_.nonEmpty)
-      .map(_.split(",").toSeq.filter(_.nonEmpty)
-        .map(java.net.URLDecoder.decode(_, "UTF-8")))
-      .getOrElse(Seq.empty)
-
-  /** Apply deletion vectors to a parquet file scan: anti-join on
-    * (dir-relative file path, row index) — POSITIONAL identity, so a
-    * key re-inserted after its delete lives in a NEW file and is never
-    * swallowed by an old tombstone (the trap a key-based tombstone
-    * cannot avoid). `base` must be a fresh file-source scan for the
-    * `_metadata` columns to resolve. The DV side is normally tiny and
-    * broadcasts under AQE; rows were deleted by position in O(deleted)
-    * sidecar bytes with ZERO data files rewritten.
-    */
-  private def applyTombstoneDirs(spark: SparkSession, root: String,
-                                 tombs: Seq[String],
-                                 base: DataFrame): DataFrame = {
-    if (tombs.isEmpty) return base
-    import org.apache.spark.sql.functions.{col, substring_index}
-    val rootPath = new Path(root.replaceAll("/+$", ""))
-    val dv = spark.read.parquet(
-      tombs.map(d => new Path(rootPath, d).toString): _*)
-    val cols = base.columns.toSeq
-    base
-      .withColumn("__rel", substring_index(col("_metadata.file_path"), "/", -2))
-      .withColumn("__ri", col("_metadata.row_index"))
-      .join(dv, Seq("__rel", "__ri"), "left_anti")
-      .select(cols.map(col(_)): _*)
-  }
-
-  /** Reader protocol gate (Delta's minReaderVersion): a manifest written
-    * with a feature THIS reader build doesn't understand must fail
-    * loudly, never silently misread — the concrete hazard that forced
-    * it: a pre-column-mapping reader pointed at a renamed table would
-    * declare the logical schema straight to parquet and read the
-    * renamed column as all-null. Writers stamp `minReader` ONLY when a
-    * version actually uses such a feature, so older tables stay
-    * readable by anything.
-    */
-  private[graft] val SupportedReader = 2
-
-  private def readManifest(spark: SparkSession, root: String, v: Long): String = {
-    val m = manifestPath(root, v)
-    require(fs(spark, m).exists(m),
-      s"version $v does not exist (never committed, or vacuumed) at $root")
-    val in = fs(spark, m).open(m)
-    val text =
-      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-      finally in.close()
-    """"minReader":(\d+)""".r.findFirstMatchIn(text).foreach { mr =>
-      require(mr.group(1).toInt <= SupportedReader,
-        s"table at $root version $v requires reader protocol " +
-        s"${mr.group(1)} but this build supports $SupportedReader — " +
-        "upgrade before reading (refusing to silently misread)")
-    }
-    text
-  }
-
-  /** Data directory NAMES of a version, base-first (own delta dir last).
-    * Append-chain manifests record parents as `baseDirs` and imply their
-    * own dir; partition-scoped manifests ([[upsertScoped]]) record the
-    * COMPLETE leaf-dir list as `dirs` (url-encoded — partition values may
-    * contain the list separator), nothing implied.
-    */
-  private[graft] def dirsOf(spark: SparkSession, root: String, v: Long): Seq[String] = {
-    val text = readManifest(spark, root, v)
-    """"dirs":"([^"]*)"""".r.findFirstMatchIn(text).map(_.group(1)) match {
-      case Some(list) =>
-        list.split(",").toSeq.filter(_.nonEmpty)
-          .map(java.net.URLDecoder.decode(_, "UTF-8"))
-      case None =>
-        val base = """"baseDirs":"([^"]*)"""".r.findFirstMatchIn(text)
-          .map(_.group(1)).filter(_.nonEmpty)
-          .map(_.split(",").toSeq).getOrElse(Seq.empty)
-        base :+ dataDirName(v)
-    }
-  }
-
-  private def versionPaths(spark: SparkSession, root: String, v: Long): Seq[String] =
-    dirsOf(spark, root, v).map(d =>
-      new Path(root.replaceAll("/+$", ""), d).toString)
-
-  /** Commit `df` as the next version of the table at `root` and return
-    * the committed version number. This is the transactional replacement
-    * for a blind `overwrite`: concurrent readers keep their version.
-    * `statsCols` (numeric or string columns) opts the version into
-    * per-file min/max collection for [[readBetween]] file skipping;
-    * `bloomCols` additionally builds per-file Bloom filters for
-    * [[readEquals]] point-lookup skipping (the case min/max cannot help:
-    * a hash-distributed key spans every file).
-    */
-  def commit(spark: SparkSession, root: String, df: DataFrame,
-             statsCols: Seq[String] = Nil,
-             bloomCols: Seq[String] = Nil): Long = {
-    // round 11: persisted CHECK constraints gate EVERY commit path, not
-    // just SQL DML — a full-snapshot commit's rows are all newly written,
-    // so the whole frame gates (internal maintenance rewrites that carry
-    // old rows go through commitStamped directly and stay ungated)
-    val (gated, obs) = Constraints.gate(spark, root, df)
-    val v = commitStamped(spark, root, gated, statsCols, bloomCols,
-      carryBatchId = false)
-    Constraints.finish(spark, root, v, obs)
-    v
-  }
-
-  /** [[commit]] with control over the streaming stamp: maintenance
-    * rewrites ([[compactChain]]) carry the head's batchId forward so an
-    * interleaved compaction cannot wipe the exactly-once replay gate;
-    * user rewrites leave it off (a manual full rewrite on a streamed
-    * table is already outside the single-stream contract).
-    */
-  private def commitStamped(spark: SparkSession, root: String, df: DataFrame,
-                            statsCols: Seq[String], bloomCols: Seq[String],
-                            carryBatchId: Boolean,
-                            assignRidBases: Boolean = true): Long = {
-    withClaim(spark, root) { f =>
-      recoverOrphans(spark, root)
-      val cur = currentVersion(spark, root)
-      val next = cur.getOrElse(0L) + 1L
-      val stamp =
-        if (carryBatchId)
-          cur.flatMap(batchIdOf(spark, root, _)).getOrElse(-1L)
-        else -1L
-      stageVersion(spark, root, df, next, batchId = stamp,
-        statsCols = statsCols, bloomCols = bloomCols,
-        assignRidBases = assignRidBases)
-      publishLatest(spark, root, next)
-      next
-    }
-  }
-
-  /** Transactional upsert: merge `batch` into the current snapshot by
-    * `keys` ([[Upsert.upsert]] semantics) and commit the result as a new
-    * version. First commit on an empty table is the batch itself.
-    * Stats/bloom columns propagate to the committed version like
-    * [[commit]]'s.
-    */
-  def upsert(spark: SparkSession, root: String, batch: DataFrame,
-             keys: Seq[String], statsCols: Seq[String] = Nil,
-             bloomCols: Seq[String] = Nil): Long = {
-    // round 11: the batch gates through declared CHECK constraints ONCE
-    // here, so both the pruned and classic paths (and the SQL MERGE
-    // lowering riding them) enforce the same quality gate; the merge
-    // targets below are carried rows and stay ungated. The gate-time
-    // fingerprint re-checks at the pruned path's publish (a constraint
-    // added mid-stage aborts loudly)
-    val gateFp = Constraints.fingerprint(spark, root)
-    val (gated, obs) = Constraints.gate(spark, root, batch)
-    val v = currentVersion(spark, root) match {
-      case Some(cur) =>
-        // a MoR lineage's keyed merge is upsertMor — the full-rewrite
-        // fallback below would silently resolve the shadow history,
-        // drop the morKeys marker (flat conversion), and pay O(table)
-        // for the O(batch) write the lineage was created to provide
-        require(morKeysOf(spark, root, cur).isEmpty,
-          "this lineage is merge-on-read keyed — use upsertMor (O(batch) " +
-          "write; a snapshot-merge upsert here would silently rewrite " +
-          "the table and convert the lineage to flat)")
-        // a rewrite must not silently strip the lineage's pruning power:
-        // inherit the head's stat columns when the caller passes none —
-        // on the PRUNED path too (round 11; repeated pruned upserts were
-        // progressively destroying skipping stats)
-        val sc = if (statsCols.nonEmpty) statsCols
-                 else inheritedStatsColsLogical(spark, root)
-        // FILE-GRANULAR MERGE (round 10): prune the rewrite set to the
-        // files whose skipping stats admit a batch key — O(matched
-        // files) instead of O(table) — and carry everything else by
-        // reference. A concurrent commit between probe and publish
-        // retries the pruned path against the new head (bounded) —
-        // losing a race must not degrade a 1-row merge into a full
-        // rewrite. Falls back to the classic rewrite when the table
-        // has no usable listing/stats or nothing prunes.
-        // the key PROBE derives from the UNGATED batch: the probe's
-        // distinct().limit() short-circuits its scan, which would leave
-        // the constraint observation undercounted (and a FAIL unfired)
-        // if it ran over the gated frame — probing with rows DROP would
-        // filter is merely conservative (extra candidate files), while
-        // the gate's full scan rides the slice-merge write instead
-        retryPruned(spark, root, cur)(h =>
-          upsertPrunedFlat(spark, root, h, gated, batch, keys, sc,
-            bloomCols, Some(gateFp))).getOrElse {
-          if (changeFeedEnabled(spark) &&
-              currentVersion(spark, root).isDefined)
-            // CDF (round 9): the keyed rewrite knows its keys, so the
-            // change classification is the O(batch)-driving join of
-            // [[changeRows]] — the rewrite stays O(table) but the
-            // recorded feed makes every downstream CDC surface
-            // O(changes)
-            keyedRewriteWithChanges(spark, root, sc, bloomCols,
-              ridKeys = keys) { snap =>
-              val aligned = gated.select(snap.columns.map(
-                org.apache.spark.sql.functions.col(_)): _*)
-              (Upsert.upsert(snap, aligned, keys),
-               changeRows(snap, aligned, keys))
-            }
-          else commitStamped(spark, root,
-            attachRidsByKey(spark, root,
-              Upsert.upsert(read(spark, root), gated, keys), keys), sc,
-            bloomCols, carryBatchId = false)
-        }
-      case None    => commitStamped(spark, root, gated, statsCols,
-        bloomCols, carryBatchId = false)
-    }
-    Constraints.finish(spark, root, v, obs)
-    v
-  }
-
-  /** FILE-GRANULAR keyed upsert on a flat snapshot-log lineage — the
-    * Delta/Iceberg "touched files" MERGE rule. The batch's key values
-    * probe the skipping sidecar (per-file min/max spans, blooms for
-    * small batches): only files that may CONTAIN a batch key are read
-    * and merged; every other file is carried BY REFERENCE into the new
-    * manifest — untouched bytes are never read, never rewritten. A
-    * partially-matched directory dissolves into per-file entries
-    * (`data_vNNN/part-….parquet`), which [[filesFromLines]] resolves,
-    * [[vacuum]] reference-counts, and [[compactSmallFiles]] re-packs.
-    *
-    * Scale: a 1-row MERGE on a 100 TB table touches the one file whose
-    * span covers the key (plus span collisions) — commit cost is
-    * O(matched files) + O(batch), exactly the Delta touched-file
-    * contract. Returns None (→ classic full rewrite) when: the lineage
-    * is scoped/MoR/clone-shaped, the file listing or stats are absent,
-    * nothing prunes, or the head moved between plan and claim.
-    */
-  private def upsertPrunedFlat(spark: SparkSession, root: String, cur: Long,
-                               batch: DataFrame, probeSrc: DataFrame,
-                               keys: Seq[String],
-                               statsCols: Seq[String],
-                               bloomCols: Seq[String],
-                               constraintsFp: Option[String]): Option[Long] = {
-    import org.apache.spark.sql.functions.col
-    require(keys.nonEmpty, "upsert needs at least one key column")
-    rewriteMatchedFlat(spark, root, cur,
-      probeSrc.select(keys.map(col(_)): _*), keys, statsCols, bloomCols,
-      constraintsFp) {
-      visible =>
-        Upsert.upsert(visible,
-          batch.select(visible.columns.map(col(_)): _*), keys)
-    }
-  }
-
-  /** Retry a pruned-path attempt against a moved head: a None that
-    * coincides with an unchanged head is INELIGIBILITY (no stats,
-    * nothing pruned) — stop and let the classic path run; a None with
-    * a moved head lost a race — re-probe against the new head, twice.
-    */
-  private[graft] def retryPruned(spark: SparkSession, root: String,
-                                 cur0: Long)
-      (attempt: Long => Option[Long]): Option[Long] = {
-    var head = cur0
-    var result = attempt(head)
-    var retries = 0
-    while (result.isEmpty && retries < 2 &&
-           !currentVersion(spark, root).contains(head)) {
-      head = currentVersion(spark, root).getOrElse(return None)
-      result = attempt(head)
-      retries += 1
-    }
-    result
-  }
-
-  /** The file-granular flat-DML core [[upsertPrunedFlat]] and the SQL
-    * general-MERGE lowering share: prune the rewrite set to the files
-    * whose skipping stats admit a `probe` key (probe = one column per
-    * key, TARGET-named), hand the VISIBLE matched slice (vectors +
-    * column mapping applied) to `f`, and commit f's result plus every
-    * other file carried by reference. Under the change feed the exact
-    * keyed diff of slice-before vs slice-after records as this
-    * version's change rows — inserts, updates AND deletes, O(matched).
-    */
-  private[graft] def rewriteMatchedFlat(spark: SparkSession, root: String,
-                                        cur: Long, probe: DataFrame,
-                                        keys: Seq[String],
-                                        statsCols: Seq[String],
-                                        bloomCols: Seq[String],
-                                        constraintsFp: Option[String] = None)
-      (f: DataFrame => DataFrame): Option[Long] = {
-    import org.apache.spark.sql.functions.{col, max => smax, min => smin}
-    require(keys.nonEmpty, "keyed rewrite needs at least one key column")
-    if (morKeysOf(spark, root, cur).nonEmpty) return None
-    val dirs = dirsOf(spark, root, cur)
-    def baseOf(d: String) = d.substring(d.lastIndexOf('/') + 1)
-    def isFileEntry(d: String) = d.contains('/') && d.endsWith(".parquet")
-    // flat lineages only: plain version dirs and prior per-file carries.
-    // Scoped leafs, clones (absolute paths), and anything else fall back.
-    if (dirs.isEmpty || dirs.exists(d =>
-        !isFileEntry(d) && (d.contains('/') || !d.startsWith("data_v"))))
-      return None
-    val all = filesFromSidecar(spark, root, cur).getOrElse(return None)
-    if (all.isEmpty) return None
-    def relOf(p: Path): String = p.getParent.getName + "/" + p.getName
-    def rel2(d: String): String = d.split('/').takeRight(2).mkString("/")
-    // ---- matched files: one candidate set per key column, intersected
-    // (a row matches a batch key only if EVERY key column's value does,
-    // so per-column admission is conservative). Small batches probe per
-    // distinct value (bloom-capable point probes); larger ones probe
-    // the batch's [min, max] span once. A NULL batch key merges
-    // null-safe with table nulls, which spans cannot see — that column
-    // then prunes nothing.
-    val MaxPoint = 16
-    val allRel: Set[String] = all.map(st => relOf(st.getPath)).toSet
-    // the probe's per-key shape is resolved ONCE (point values or span +
-    // null flag) so the candidate computation can re-run against a MOVED
-    // head at publish time — the round-11 OCC rebase re-probes with the
-    // cached values, never re-reading the batch
-    case class KeyProbe(k: String, points: Option[Seq[Any]],
-                        span: Option[(Any, Any)], anyNull: Boolean)
-    val keyProbes: Seq[KeyProbe] = keys.map { k =>
-      val vals = probe.select(col(k)).distinct()
-        .limit(MaxPoint + 1).collect().map(_.get(0)).toSeq
-      if (vals.isEmpty) KeyProbe(k, Some(Nil), None, anyNull = false)
-      else if (vals.contains(null)) KeyProbe(k, None, None, anyNull = true)
-      else if (vals.size <= MaxPoint) KeyProbe(k, Some(vals), None, anyNull = false)
-      else {
-        // nulls can hide beyond the probe window's LIMIT — re-check
-        // exactly (min/max ignore them, and a null batch key must still
-        // reach every file that may hold a null table key)
-        val r = probe.agg(smin(col(k)), smax(col(k)),
-          smax(org.apache.spark.sql.functions
-            .when(col(k).isNull, 1).otherwise(0))).head
-        if (r.get(2) == 1) KeyProbe(k, None, None, anyNull = true)
-        else KeyProbe(k, None, Some((r.get(0), r.get(1))), anyNull = false)
-      }
-    }
-    def candidatesOn(v: Long, allRelV: Set[String]): Set[String] = {
-      // hoisted once per version: the deriver map costs declaration +
-      // manifest + SPECHIST reads, and point probes fan out per value
-      lazy val dv = Some(generatedPartDerivers(spark, root, v))
-      keyProbes.map { kp =>
-        if (kp.anyNull) allRelV
-        else kp.points match {
-          case Some(Seq()) => Set.empty[String]
-          case Some(vs) => vs.map(x =>
-            candidateFilesEquals(spark, root, v, kp.k, x, derivers = dv)
-              ._1.map(relOf).toSet).reduce(_ union _)
-          case None =>
-            val (lo, hi) = kp.span.get
-            candidateFiles(spark, root, v, kp.k, lo, hi)._1.map(relOf).toSet
-        }
-      }.reduce(_ intersect _)
-    }
-    val matchedRel: Set[String] = candidatesOn(cur, allRel)
-    if (matchedRel.size >= all.size) return None // nothing pruned
-    val matchedPaths = all.filter(st => matchedRel.contains(relOf(st.getPath)))
-      .map(_.getPath.toString)
-    // ---- the touched slice: matched files only, deletion vectors and
-    // column mapping applied exactly like [[readVersion]] would
-    val pinned = schemaOf(spark, root, cur)
-    val tombs = tombDirsOf(spark, root, cur)
-    // row tracking (round 12): read the slice WITH identities so the
-    // merge preserves them — updated and carried rows re-attach their
-    // old id by key after `f`, inserts stay NULL (the new file's base
-    // assignment identifies them). One extra O(matched) read for the
-    // key→id side.
-    val tracked = rowTrackingEnabled(spark, root)
-    val visibleAll: Option[DataFrame] =
-      if (!tracked || matchedPaths.isEmpty) None
-      else Some(scanWithRids(spark, root, cur, matchedPaths, tombs))
-    val visible: DataFrame =
-      if (matchedPaths.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          tableSchema(spark, root, cur))
-      else visibleAll.map(_.drop(RowIdCol)).getOrElse {
-        val raw = pinned match {
-          case Some(st) => fromPhysicalSelect(
-            spark.read.schema(physicalSchema(st)).parquet(matchedPaths: _*), st)
-          case None => spark.read.parquet(matchedPaths: _*)
-        }
-        applyTombstoneDirs(spark, root, tombs, raw)
-      }
-    val merged0 = f(visible)
-    val merged = visibleAll match {
-      case Some(va) =>
-        merged0.join(ridMapByKeyUnique(
-            va.select(keys.map(col(_)) :+ col(RowIdCol): _*),
-            keys, "the pruned keyed rewrite"),
-          keys, "left")
-      case None => merged0
-    }
-    // ---- STAGE outside the claim (the appendOcc pattern): the
-    // O(matched) merged-slice write — the expensive part — never
-    // serializes other writers. Mapped lineages write PHYSICAL names
-    // (immutable, so the pre-claim pin stays correct); feed-enabled
-    // commits stage their change rows as a hidden dot-dir inside the
-    // staging dir (the scoped-OCC shape) and publish them first.
-    val rootPath = new Path(root.replaceAll("/+$", ""))
-    val stageMap = pinned.map(renameMap).getOrElse(Map.empty[String, String])
-    val mergedP = if (stageMap.isEmpty) merged else toPhysicalDf(merged, pinned.get)
-    val staging = new Path(rootPath, stagingDirName())
-    // right-size the rewrite: the merged slice is O(matched files) of
-    // rows, but an uncoalesced write splinters it across the session's
-    // shuffle parallelism (measured: a 1-file merge writing 8 part
-    // files) — manifest bloat every later plan pays. One output file
-    // per matched input file keeps the layout stable under churn.
-    writeDataDir(spark, mergedP.coalesce(math.max(1, matchedPaths.size)),
-      staging, bloomCols.map(c => stageMap.getOrElse(c, c)))
-    val feed = changeFeedEnabled(spark)
-    if (feed)
-      // the matched slice holds every row sharing a probe key, so the
-      // classification join is O(matched) — and exact, deletes
-      // included (a general MERGE's WHEN MATCHED DELETE records)
-      keyedSliceDiff(visible, merged0, keys).write.mode("overwrite")
-        .parquet(new Path(staging, StagedChg).toString)
-    // ---- PUBLISH under the claim: metadata-only. A head that MOVED
-    // since the probe REBASES instead of discarding the staged slice
-    // (round 11, the r10 verdict's #7 — the DV-DML file-disjoint rule
-    // applied to the pruned MERGE): the staged merge is still exact
-    // against the new head iff (a) the schema pin is unchanged, (b)
-    // every matched file is still referenced unmodified, (c) re-running
-    // the cached key probe against the new head admits no file OUTSIDE
-    // the matched set (an interleaved append can't have smuggled a
-    // batch key into a file the merge never read), and (d) no
-    // interleaved deletion vector points into a matched file (the
-    // staged slice would resurrect the deleted rows). Any violation
-    // deletes the staging and returns None — [[retryPruned]] then
-    // re-probes and re-stages against the new head.
-    withClaimWait(spark, root) {
-      recoverOrphans(spark, root)
-      val f2 = fs(spark, rootPath)
-      // stale-gate guard (round 11): the caller's constraint gate read
-      // the CONSTRAINTS file before the lock-free stage — a constraint
-      // added since would let ungated rows land; fail loudly so the
-      // caller re-runs (and re-gates)
-      constraintsFp.foreach { fp =>
-        if (Constraints.fingerprint(spark, root) != fp) {
-          f2.delete(staging, true)
-          throw new java.util.ConcurrentModificationException(
-            s"keyed merge at $root: table constraints changed while the " +
-            "slice was staging — re-run (the batch will re-gate)")
-        }
-      }
-      def rebaseTarget(): Option[Long] = {
-        val h = currentVersion(spark, root).getOrElse(return None)
-        if (h == cur) return Some(cur)
-        if (rawSchemaJson(spark, root, h) != rawSchemaJson(spark, root, cur))
-          return None
-        if (morKeysOf(spark, root, h).nonEmpty) return None
-        val dirsH = dirsOf(spark, root, h)
-        if (dirsH.isEmpty || dirsH.exists(d =>
-            !isFileEntry(d) && (d.contains('/') || !d.startsWith("data_v"))))
-          return None
-        val allH = filesFromSidecar(spark, root, h).getOrElse(return None)
-        val allRelH = allH.map(st => relOf(st.getPath)).toSet
-        if (!matchedRel.subsetOf(allRelH)) return None
-        if (!candidatesOn(h, allRelH).subsetOf(matchedRel)) return None
-        val newTombs = tombDirsOf(spark, root, h).filterNot(tombs.contains)
-        val tombSafe = newTombs.isEmpty || spark.read.parquet(
-            newTombs.map(d => new Path(rootPath, d).toString): _*)
-          .filter(col("__rel").isInCollection(matchedRel)).isEmpty
-        if (tombSafe) Some(h) else None
-      }
-      val base = rebaseTarget().getOrElse {
-        f2.delete(staging, true)
-        return None
-      }
-      val (pubDirs, pubAll, pubTombs) =
-        if (base == cur) (dirs, all, tombs)
-        else (dirsOf(spark, root, base),
-          filesFromSidecar(spark, root, base).get,
-          tombDirsOf(spark, root, base))
-      val next = base + 1L
-      if (!f2.rename(staging, dataDir(root, next)))
-        throw new IllegalStateException(
-          s"could not move staged $staging into ${dataDir(root, next)}")
-      // change rows publish BEFORE the stats pass touches the data dir
-      val stagedChg = new Path(dataDir(root, next), StagedChg)
-      val chgName =
-        if (!feed) ""
-        else if (f2.exists(stagedChg)) {
-          if (!f2.rename(stagedChg, new Path(rootPath, chgDirName(next))))
-            throw new IllegalStateException(
-              s"could not publish staged change dir $stagedChg as " +
-                s"${chgDirName(next)}")
-          chgDirName(next)
-        } else ""
-      val byDirBase = pubAll.groupBy(_.getPath.getParent.getName)
-      val carriedEntries: Seq[String] = pubDirs.flatMap { d =>
-        if (isFileEntry(d)) {
-          if (matchedRel.contains(rel2(d))) Nil else Seq(d)
-        } else {
-          val members = byDirBase.getOrElse(baseOf(d), Seq.empty)
-          val (m, c) = members.partition(st => matchedRel.contains(relOf(st.getPath)))
-          if (m.isEmpty) Seq(d)
-          else c.map(st => d + "/" + st.getPath.getName)
-        }
-      }
-      // fully-carried dirs keep their `d` listing mark; matched files'
-      // span/bloom/listing/null-count lines drop; the rest carries
-      // verbatim (the matchedRel closure is O(matched), scale-safe)
-      val carriedDirBases = carriedEntries.filterNot(isFileEntry).map(baseOf).toSet
-      val carry = sidecarCarry(spark, root, base).filter { line =>
-        val key = StatsEval.unesc(line.split("\t", -1)(0))
-        if (key.endsWith("/")) carriedDirBases.contains(key.stripSuffix("/"))
-        else !matchedRel.contains(key)
-      }
-      val stack = writeStats(spark, root, next,
-        statsCols.map(c => stageMap.getOrElse(c, c)), carry)
-      writeManifestAppend(spark, root, next, -1L,
-        baseDirs = carriedEntries, tombDirs = pubTombs,
-        schemaJson = rawSchemaJson(spark, root, base),
-        chgDir = chgName, statsStack = stack)
-      publishLatest(spark, root, next)
-      Some(next)
-    }
-  }
-
-  /** Exact keyed row-diff of a rewritten slice — the change rows a
-    * file-granular DML records: `insert` (new-only key), `delete`
-    * (old-only key), `update_preimage`/`update_postimage` (key on both
-    * sides, any non-key column differs, null-safe). Frames are
-    * key-unique by the calling DML's contract.
-    */
-  private def keyedSliceDiff(oldDf: DataFrame, newDf: DataFrame,
-                             keys: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
-    val cols = oldDf.columns.toSeq
-    val nonKeys = cols.filterNot(keys.contains)
-    val o = oldDf.toDF(cols.map("__o_" + _): _*)
-      .withColumn("__in_old", lit(true))
-    val n = newDf.toDF(cols.map("__n_" + _): _*)
-      .withColumn("__in_new", lit(true))
-    val cond = keys.map(k => o(s"__o_$k") <=> n(s"__n_$k")).reduce(_ && _)
-    val j = o.join(n, cond, "full_outer")
-    val changed =
-      if (nonKeys.isEmpty) lit(false)
-      else nonKeys.map(c => !(col("__o_" + c) <=> col("__n_" + c))).reduce(_ || _)
-    val both = col("__in_old").isNotNull && col("__in_new").isNotNull
-    val ins = j.filter(col("__in_old").isNull)
-      .select(cols.map(c => col("__n_" + c).as(c)) :+
-        lit("insert").as("_change_type"): _*)
-    val del = j.filter(col("__in_new").isNull)
-      .select(cols.map(c => col("__o_" + c).as(c)) :+
-        lit("delete").as("_change_type"): _*)
-    val pre = j.filter(both && changed)
-      .select(cols.map(c => col("__o_" + c).as(c)) :+
-        lit("update_preimage").as("_change_type"): _*)
-    val post = j.filter(both && changed)
-      .select(cols.map(c => col("__n_" + c).as(c)) :+
-        lit("update_postimage").as("_change_type"): _*)
-    ins.unionAll(del).unionAll(pre).unionAll(post)
-  }
-
-  /** Transactional delete-by-key ([[Upsert.deleteByKey]] + commit).
-    * Round 10: on a flat stats lineage the tombstone keys prune the
-    * rewrite set to matched files ([[rewriteMatchedFlat]]) — a small
-    * keyed delete rewrites the files that may hold its keys, not the
-    * table (contrast [[tombstoneDelete]], the zero-rewrite deletion-
-    * vector path).
-    */
-  def deleteByKey(spark: SparkSession, root: String, tombstones: DataFrame,
-                  keys: Seq[String]): Long = {
-    import org.apache.spark.sql.functions.{col, lit}
-    currentVersion(spark, root).foreach { cur =>
-      // the rewrite fallback would silently resolve the shadow history
-      // and convert the lineage to flat; the O(deleted) keyed delete on
-      // MoR is tombstoneDelete (its vector kills every physical copy)
-      require(morKeysOf(spark, root, cur).isEmpty,
-        "this lineage is merge-on-read keyed — use tombstoneDelete " +
-        "(positional, O(deleted rows)); a rewrite delete here would " +
-        "silently materialize the table and convert the lineage to flat")
-    }
-    currentVersion(spark, root).flatMap { cur =>
-      retryPruned(spark, root, cur)(h =>
-        rewriteMatchedFlat(spark, root, h,
-          tombstones.select(keys.map(col(_)): _*), keys,
-          inheritedStatsColsLogical(spark, root), Nil)(
-          visible => Upsert.deleteByKey(visible, tombstones, keys)))
-    }.getOrElse {
-      val sc = inheritedStatsColsLogical(spark, root)
-      if (changeFeedEnabled(spark) && currentVersion(spark, root).isDefined)
-        keyedRewriteWithChanges(spark, root, sc, ridKeys = keys) { snap =>
-          val doomed = snap.join(
-            tombstones.select(keys.map(col(_)): _*).distinct(), keys, "left_semi")
-          (Upsert.deleteByKey(snap, tombstones, keys),
-           doomed.withColumn("_change_type", lit("delete")))
-        }
-      else
-        // survivors are CARRIED rows, not writes — ungated by design
-        // (a DROP constraint must not silently delete extra rows here)
-        commitStamped(spark, root,
-          attachRidsByKey(spark, root,
-            Upsert.deleteByKey(read(spark, root), tombstones, keys), keys),
-          sc, Nil, carryBatchId = false)
-    }
-  }
-
-  /** The stat columns the head's sidecar actually carries (bounded by
-    * |columns| — the [[compactSmallFiles]] derivation, shared): a keyed
-    * full rewrite re-derives them so a rewrite never silently strips
-    * the table's pruning power just because the caller passed no
-    * statsCols. Nil on empty tables or stats-free lineages.
-    */
-  private def inheritedStatsCols(spark: SparkSession,
-                                 root: String): Seq[String] = {
-    val cur = currentVersion(spark, root).getOrElse(return Nil)
-    // FAST PATH (round 12): the STATSCOLS record [[recordStatsCols]]
-    // maintains on every sidecar write — one tiny read instead of a
-    // distributed distinct over the whole stats stack (which put an
-    // O(table-metadata) job on the O(batch) append path). The record is
-    // an upper bound under carry filtering, so names are re-checked
-    // against the CURRENT physical schema before use. Legacy tables
-    // (no record yet) pay the derivation once; their next commit
-    // writes the record.
-    val recorded = readStatsColsRecord(spark, root)
-    val raw = recorded.getOrElse {
-      val statColOf: String => Option[String] = { l =>
-        val p = l.split('\t')
-        if (p.length >= 3 && p(2) != "f" && p(2) != "d" && p(2) != "r")
-          Some(StatsEval.unesc(p(1)))
-        else None
-      }
-      sidecarCarry(spark, root, cur) match {
-        case EagerCarry(ls) => ls.flatMap(statColOf(_)).distinct
-        case c: ChainCarry  =>
-          c.toDist.ds.flatMap(statColOf(_))(org.apache.spark.sql.Encoders.STRING)
-            .distinct().collect().toSeq
-        case DistCarry(ds)  =>
-          ds.flatMap(statColOf(_))(org.apache.spark.sql.Encoders.STRING)
-            .distinct().collect().toSeq
-      }
-    }
-    // a dropped column's stats key must not resurface as an inherited
-    // name (the writing side would refuse it against the file schema)
-    schemaOf(spark, root, cur) match {
-      case Some(pin) =>
-        val livePhys = physicalSchema(pin).fieldNames.toSet
-        raw.filter(livePhys.contains)
-      case None => raw
-    }
-  }
-
-  /** [[inheritedStatsCols]] translated back to LOGICAL names — what the
-    * stageVersion-feeding commit paths must pass (they re-derive the
-    * physical sidecar keys through the pin; the round-trip is exact:
-    * renameMap is a bijection on its non-identity domain, and an
-    * identity physical name is never simultaneously a mapped logical
-    * key). The writeStats-direct carry sites keep the raw PHYSICAL
-    * form — their validation runs against the physical file schema.
-    */
-  private def inheritedStatsColsLogical(spark: SparkSession,
-                                        root: String): Seq[String] = {
-    val phys = inheritedStatsCols(spark, root)
-    if (phys.isEmpty) return phys
-    val inv = currentVersion(spark, root)
-      .flatMap(v => schemaOf(spark, root, v)).map(renameMap)
-      .map(_.map(_.swap)).getOrElse(Map.empty[String, String])
-    phys.map(p => inv.getOrElse(p, p))
-  }
-
-  // the lineage's stat columns (PHYSICAL names), maintained by every
-  // sidecar write under the claim — the O(1) inheritance source
-  private def statsColsRecordPath(root: String): Path =
-    new Path(logDir(root), "STATSCOLS")
-
-  private[graft] def readStatsColsRecord(spark: SparkSession,
-                                         root: String): Option[Seq[String]] = {
-    val p = statsColsRecordPath(root)
-    val f = fs(spark, p)
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      val txt = try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      Some(txt.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
-        .map(java.net.URLDecoder.decode(_, "UTF-8")))
-    }
-  }
-
-  /** Update the STATSCOLS record for a sidecar write: a FRESH snapshot
-    * (no carry) resets it to exactly `cols`; a carrying commit unions
-    * (carried span columns stay inheritable). Upper-bound semantics
-    * under carry filtering, made safe by the schema re-check at read.
-    * Runs under the writer claim like every sidecar write.
-    */
-  private def recordStatsCols(spark: SparkSession, root: String,
-                              cols: Seq[String], carrying: Boolean): Unit = {
-    val prev = if (carrying) readStatsColsRecord(spark, root)
-      .getOrElse(Seq.empty) else Seq.empty
-    val next = (prev ++ cols).distinct.sorted
-    if (carrying && next == prev.sorted && fs(spark,
-        statsColsRecordPath(root)).exists(statsColsRecordPath(root))) return
-    val p = statsColsRecordPath(root)
-    val f = fs(spark, p)
-    f.mkdirs(p.getParent)
-    val tmp = new Path(p.getParent, ".tmp_statscols")
-    val out = f.create(tmp, true)
-    try out.write(next.map(java.net.URLEncoder.encode(_, "UTF-8"))
-      .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val fc = FileContext.getFileContext(p.toUri,
-      spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, p, Options.Rename.OVERWRITE)
-  }
-
-  /** A keyed full-snapshot rewrite that records its change rows: `f`
-    * receives the CURRENT snapshot and returns (next snapshot, change
-    * rows with `_change_type`); the change dir publishes with the
-    * commit, so the CDC stream and [[changesBetween]] stay O(changes)
-    * over this version despite the dir replacement. `statsCols`/
-    * `bloomCols` propagate to the committed version exactly like
-    * [[commit]]'s — enabling the change feed must not silently degrade
-    * file skipping on the rewritten snapshot.
-    */
-  private def keyedRewriteWithChanges(spark: SparkSession, root: String,
-                                      statsCols: Seq[String] = Nil,
-                                      bloomCols: Seq[String] = Nil,
-                                      ridKeys: Seq[String] = Nil)
-      (f: DataFrame => (DataFrame, DataFrame)): Long =
-    withClaim(spark, root) { _ =>
-      recoverOrphans(spark, root)
-      val cur = currentVersion(spark, root).getOrElse(
-        throw new IllegalStateException(s"no committed version at $root"))
-      val next = cur + 1L
-      val rootPath = new Path(root.replaceAll("/+$", ""))
-      val (merged0, chg) = f(readVersion(spark, root, cur))
-      // row tracking (round 13, ADVICE): the keyed full-rewrite
-      // fallbacks preserve identities BY KEY — without this every
-      // carried row would silently take a fresh base id
-      val merged = if (ridKeys.isEmpty) merged0
-                   else attachRidsByKey(spark, root, merged0, ridKeys)
-      chg.write.mode("overwrite")
-        .parquet(new Path(rootPath, chgDirName(next)).toString)
-      stageVersion(spark, root, merged, next, statsCols = statsCols,
-        bloomCols = bloomCols, chgDir = chgDirName(next))
-      publishLatest(spark, root, next)
-      next
-    }
-
-  /** Re-attach stable row ids BY KEY after a keyed full-snapshot
-    * rewrite (the classic upsert / deleteByKey fallbacks): carried and
-    * updated rows keep their identity through the key, true inserts
-    * stay NULL and take the new file's base assignment — the exact
-    * contract the pruned path's post-merge join established (round
-    * 12). One extra O(table) key→id read, riding a path that is
-    * already an O(table) rewrite. No-op on untracked lineages.
-    */
-  /** A key-UNIQUE (keys → rid) map from a slice's identity scan, for
-    * every keyed re-attach join: NULL-key rows are excluded up front
-    * (the equi-join never matches them, so they can only take fresh
-    * identities — counting them would falsely refuse legal DML), and a
-    * duplicated non-null key refuses loudly (joining it would MULTIPLY
-    * the merged rows — 2 old copies × 2 merged copies = 4 committed —
-    * and cross-attach identities). A table written outside the
-    * keyed-DML contract can hold duplicate keys legitimately; these
-    * rewrite paths just cannot re-attach ids through them. The
-    * aggregate is locally checkpointed so the duplicate probe and the
-    * join share ONE computation of the underlying identity scan.
-    */
-  private def ridMapByKeyUnique(ids: DataFrame, keys: Seq[String],
-                                what: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, count, first, lit}
-    val grouped = ids
-      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
-      .groupBy(keys.map(col(_)): _*)
-      .agg(count(lit(1)).as("__n"), first(col(RowIdCol)).as(RowIdCol))
-      .localCheckpoint()
-    val dup = grouped.filter(col("__n") > 1)
-      .select(keys.map(col(_)): _*).limit(1).collect()
-    if (dup.nonEmpty)
-      throw new IllegalStateException(
-        s"row tracking cannot re-attach ids by key (${keys.mkString(",")}) " +
-        s"through $what: the snapshot holds duplicate rows for " +
-        s"key ${dup.head} — keyed DML on a tracked table assumes a " +
-        "key-unique snapshot (deduplicate first, or use positional " +
-        "tombstoneDelete / disable row tracking)")
-    grouped.drop("__n")
-  }
-
-  private[graft] def attachRidsByKey(spark: SparkSession, root: String,
-                                     merged: DataFrame,
-                                     keys: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    if (!rowTrackingEnabled(spark, root)) return merged
-    currentVersion(spark, root) match {
-      case None => merged
-      case Some(cur) =>
-        val ids = scanWithRids(spark, root, cur,
-            versionPaths(spark, root, cur), tombDirsOf(spark, root, cur))
-          .select(keys.map(col(_)) :+ col(RowIdCol): _*)
-        merged.join(ridMapByKeyUnique(ids, keys, "this rewrite"),
-          keys, "left")
-    }
-  }
-
-  // Partition leaf dirs of scoped versions: data_vNNNNNNNN/__gp=<value>.
-  // "__gp" duplicates the user's partition column for the partitioned
-  // write only — the original column stays IN the files, and readers list
-  // leaf dirs directly, so no partition-inference ever resurrects it.
-  private val GpCol = "__gp"
-  private val GpPrefix = GpCol + "="
-
-  /** Partition SPEC of a scoped table (round 9 — multi-column and
-    * date-derived transforms): a comma list of components, each either
-    * an identity column (`region`) or a day transform (`days(ts)`).
-    * One component renders exactly as before (`col.cast("string")`, or
-    * the ISO day for a transform) — full backward compatibility with
-    * single-column lineages; multiple components join with `|`, each
-    * value escaping `\` and `|` so a hostile value cannot collide two
-    * partitions. The rendered composite is the ONE `__gp` dir value, so
-    * all the scoped machinery (touched-set derivation, carry filters,
-    * OCC disjointness, vacuum refcounts) is spec-agnostic; only the
-    * dir-name pruning re-derives per-COLUMN spans from the components.
-    */
-  /** `zone` (round 10): the PINNED rendering zone of a `days()`
-    * transform over a session-zoned (LTZ) timestamp — `days(ts@UTC)`.
-    * Pinning at table-creation time makes the partition identity
-    * writer-zone-independent AND unlocks dir-name day pruning for the
-    * most common event-table layout (an unpinned LTZ `days()` keeps
-    * the old caveat: renders through the session zone, never prunes).
-    */
-  /** Round 11 widens the transform set to the full Iceberg ladder:
-    * `years(col)` / `months(col)` / `days(col)` / `hours(col)` time
-    * transforms (zone-pinnable over LTZ like days always was) and
-    * `bucket(N, col)` — the standard answer for high-cardinality keys
-    * under the scoped-upsert fast path (a keyed table with no natural
-    * partition column gets N stable leaf dirs instead of falling back
-    * to flat + file-granular MERGE). Bucket identity is
-    * `pmod(hash(col), N)` (Spark's Murmur3, seed 42) — computed by the
-    * same codegen'd expression at write time and re-derived driver-side
-    * for equality/IN point-probe dir pruning.
-    *
-    * NOTE the comma inside `bucket(N, col)`: spec components split on
-    * commas OUTSIDE parentheses.
-    */
-  private[graft] final case class GpComp(kind: String, col: String,
-                                         zone: String = "", n: Int = 0)
-  private[graft] final case class GpSpec(comps: Seq[GpComp]) {
-    def refCols: Seq[String] = comps.map(_.col)
-    def render: String = comps.map(c =>
-      if (c.kind == "id") c.col
-      else if (c.kind == "bucket") s"bucket(${c.n},${c.col})"
-      else if (c.zone.isEmpty) s"${c.kind}(${c.col})"
-      else s"${c.kind}(${c.col}@${c.zone})").mkString(",")
-  }
-  private[graft] val GpTimeKinds = Set("years", "months", "days", "hours")
-  private[graft] def parseGpSpec(spec: String): GpSpec = {
-    val time = """(years|months|days|hours)\((.+)\)""".r
-    val bucket = """bucket\(\s*(\d+)\s*,\s*(.+)\)""".r
-    // split on top-level commas only (bucket(N, col) carries one)
-    val comps = {
-      val out = Vector.newBuilder[String]
-      val b = new StringBuilder
-      var depth = 0
-      spec.foreach {
-        case '(' => depth += 1; b += '('
-        case ')' => depth -= 1; b += ')'
-        case ',' if depth == 0 => out += b.result(); b.clear()
-        case ch => b += ch
-      }
-      out += b.result()
-      out.result().map(_.trim).filter(_.nonEmpty)
-    }
-    GpSpec(comps.map {
-      case bucket(n, c) =>
-        val num = n.toInt
-        require(num > 0, s"bucket($n, $c): bucket count must be positive")
-        GpComp("bucket", c.trim, n = num)
-      case time(kind, inner) =>
-        val at = inner.lastIndexOf('@')
-        if (at > 0) GpComp(kind, inner.substring(0, at),
-          inner.substring(at + 1))
-        else GpComp(kind, inner)
-      case c => GpComp("id", c)
-    })
-  }
-
-  /** Resolve each LTZ `days()` component's rendering zone: inherit the
-    * lineage's existing pin (partition identity must stay stable across
-    * writers), else the caller's explicit `days(col@zone)`, else pin
-    * the current session zone at bootstrap. Pre-round-10 lineages with
-    * an UNPINNED LTZ days() keep rendering through the session zone —
-    * re-pinning them mid-lineage would silently re-partition. Zones on
-    * non-LTZ columns are refused (DATE/NTZ render zone-free already).
-    */
-  private def normalizeGpSpec(spark: SparkSession, spec: GpSpec,
-                              batch: DataFrame,
-                              parentPartCol: Option[String]): GpSpec = {
-    import org.apache.spark.sql.types.TimestampType
-    val parent = parentPartCol.map(parseGpSpec)
-    val types = batch.schema.fields.map(f => f.name -> f.dataType).toMap
-    GpSpec(spec.comps.map { c =>
-      val isLtz = types.get(c.col).contains(TimestampType)
-      require(c.zone.isEmpty || (GpTimeKinds.contains(c.kind) && isLtz),
-        s"partition zone pins apply to time transforms over TIMESTAMP " +
-        s"(LTZ) columns only: ${c.col}@${c.zone}")
-      if (GpTimeKinds.contains(c.kind) && isLtz) {
-        val parentZone = parent.flatMap(
-          _.comps.find(p => p.kind == c.kind && p.col == c.col).map(_.zone))
-        val z = parentZone.getOrElse(
-          if (c.zone.nonEmpty) c.zone else sessionZone(spark).getId)
-        require(c.zone.isEmpty || parentZone.forall(_ == c.zone),
-          s"${c.kind}(${c.col}) zone '${c.zone}' conflicts with the " +
-          s"lineage's pinned zone '${parentZone.getOrElse("")}'")
-        if (z.nonEmpty)
-          scala.util.Try(java.time.ZoneId.of(z)).getOrElse(
-            throw new IllegalArgumentException(
-              s"${c.kind}(${c.col}@$z): '$z' is not a valid zone id"))
-        c.copy(zone = z)
-      } else c
-    })
-  }
-
-  /** The `__gp` rendering of a batch row under `spec` — the expression
-    * both the touched-set probe and the partitioned writer evaluate
-    * (they MUST agree; the drift abort below double-checks). NULL in
-    * any component propagates to a NULL composite (concat, not
-    * concat_ws), which the probe then refuses.
-    *
-    * CAVEAT (same as Delta's date-generated partition columns): a
-    * `days` component over an LTZ timestamp renders through the SESSION
-    * zone — writers with different `spark.sql.session.timeZone` would
-    * derive different days for the same instant, violating the scoped
-    * contract's stable-partition-identity rule. Pin the zone across
-    * writers, or partition on a DATE / NTZ column (which also unlocks
-    * dir-name pruning — see [[gpSpecDirSpan]]).
-    */
-  private[graft] val GpTimeFormats = Map(
-    "years" -> "yyyy", "months" -> "yyyy-MM", "days" -> "yyyy-MM-dd",
-    "hours" -> "yyyy-MM-dd HH")
-  private def gpRenderExpr(spec: GpSpec): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{col, concat, convert_timezone, date_format, hash, lit, pmod, replace, when}
-    def base(cp: GpComp): org.apache.spark.sql.Column = cp.kind match {
-      case "id"   => col(cp.col).cast("string")
-      // bucket(N): pmod(hash, N) — stable, codegen'd, NULL propagates
-      // (hash(NULL) is a constant, which would silently bucket NULL
-      // rows; the probe's NULL refusal must keep seeing NULL)
-      case "bucket" =>
-        when(col(cp.col).isNull, lit(null))
-          .otherwise(pmod(hash(col(cp.col)), lit(cp.n))).cast("string")
-      // a zone-pinned time transform renders the LTZ instant's wall
-      // clock in the PINNED zone (convert_timezone → NTZ), so every
-      // writer derives the same period whatever its session zone
-      case k if GpTimeKinds.contains(k) && cp.zone.nonEmpty =>
-        date_format(convert_timezone(lit(cp.zone), col(cp.col)),
-          GpTimeFormats(k))
-      case k if GpTimeKinds.contains(k) =>
-        date_format(col(cp.col), GpTimeFormats(k))
-      case other  => throw new IllegalArgumentException(
-        s"unknown partition transform $other")
-    }
-    if (spec.comps.size == 1) base(spec.comps.head)
-    else spec.comps.map(cp =>
-        replace(replace(base(cp), lit("\\"), lit("\\\\")), lit("|"), lit("\\|")))
-      .reduce((a, b) => concat(a, lit("|"), b))
-  }
-
-  /** Escape-aware split of a multi-component `__gp` value (inverse of
-    * [[gpRenderExpr]]'s join).
-    */
-  private[graft] def splitGpValue(v: String): Seq[String] = {
-    val out = Vector.newBuilder[String]
-    val b = new StringBuilder
-    var i = 0
-    while (i < v.length) {
-      val c = v.charAt(i)
-      if (c == '\\' && i + 1 < v.length) { b += v.charAt(i + 1); i += 2 }
-      else if (c == '|') { out += b.result(); b.clear(); i += 1 }
-      else { b += c; i += 1 }
-    }
-    out += b.result()
-    out.result()
-  }
-
-  /** Per-COLUMN span derivable from a scoped dir NAME under `spec` —
-    * the generalization of the old single-column rule: identity
-    * components span their own value (numeric compare for numeric
-    * columns); `days` components span the whole day (DATE: the day
-    * itself; NTZ timestamp: its closed wall-clock span; LTZ: None —
-    * rendering shifts with the session zone, keep the file rather than
-    * mis-prune, the same caveat the identity rule always had).
-    */
-  // ---------- GENERATED-PARTITION PRUNING (round 13, missing #6) ----
-  // Delta's generated-partition-column trick: when identity partition
-  // component g is GENERATED ALWAYS AS f(base) over a SINGLE source
-  // column, a point probe base = X implies g = f(X) — derived on the
-  // driver with the SAME engine expression the writer evaluated, then
-  // pruned through the ordinary dir-span machinery. Only point shapes
-  // (equality / IN) derive; ranges would need monotonicity no metadata
-  // can promise. Zone-sensitive expressions never derive (a reader in
-  // another session zone would compute a different value and mis-prune).
-
-  /** base column (logical AND physical keys, lowercased) →
-    * (generated partition column, probe-value deriver). Empty unless
-    * the lineage is scoped with an identity component over a declared
-    * generated column — the common case costs one partCol read.
-    */
-  private[graft] def generatedPartDerivers(spark: SparkSession, root: String,
-                                           v: Long): Map[String, (String, Any => Option[Any])] = {
-    val idCols: Set[String] = allSpecsOf(spark, root, v)
-      .flatMap(_.comps.filter(_.kind == "id").map(_.col.toLowerCase)).toSet
-    if (idCols.isEmpty) return Map.empty
-    val gens = Generated.list(spark, root)
-      .filter(g => idCols.contains(g.name.toLowerCase))
-    if (gens.isEmpty) return Map.empty
-    val pinned = schemaOf(spark, root, v)
-    val schema = pinned.map(visibleSchema).getOrElse(tableSchema(spark, root, v))
-    gens.flatMap { g =>
-      scala.util.Try {
-        val parsed = spark.sessionState.sqlParser.parseExpression(g.sql)
-        val refs = parsed.collect {
-          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-            a.name.toLowerCase
-        }.distinct
-        if (refs.size != 1) Seq.empty
-        else schema.fields.find(_.name.equalsIgnoreCase(refs.head)).toSeq
-          .flatMap { bf =>
-            val entry = (g.name,
-              (x: Any) => deriveGeneratedValue(spark, bf, g.sql, x))
-            val phys = pinned.flatMap(p => p.fields
-              .find(_.name.equalsIgnoreCase(bf.name)).map(physName))
-              .getOrElse(bf.name)
-            Seq(bf.name.toLowerCase -> entry, phys.toLowerCase -> entry)
-          }
-      }.getOrElse(Seq.empty)
-    }.toMap
-  }
-
-  /** f(X) for one probe value, or None when it cannot be derived
-    * SAFELY: NULL probe, type mismatch, any failure, or a
-    * zone-sensitive expression (another session would derive a
-    * different value — pruning must never gamble).
-    */
-  private def deriveGeneratedValue(spark: SparkSession,
-                                   baseField: org.apache.spark.sql.types.StructField,
-                                   sql: String, x: Any): Option[Any] =
-    try {
-      if (x == null) return None
-      import org.apache.spark.sql.catalyst.expressions.{Cast, TimeZoneAwareExpression}
-      val df = spark.createDataFrame(
-        java.util.List.of(org.apache.spark.sql.Row(x)),
-        org.apache.spark.sql.types.StructType(
-          Seq(baseField.copy(nullable = true))))
-        .select(org.apache.spark.sql.functions.expr(sql))
-      val zoneSensitive = df.queryExecution.analyzed.expressions
-        .exists(_.exists {
-          case c: Cast => Cast.needsTimeZone(c.child.dataType, c.dataType)
-          case _: TimeZoneAwareExpression => true
-          case _ => false
-        })
-      if (zoneSensitive) None else Option(df.head().get(0))
-    } catch { case _: Exception => None }
-
-  /** [[gpSpecDirSpan]] on a SPEC-EVOLVED lineage (round 13): the dir's
-    * spans under every historical spec consistent with its component
-    * arity must AGREE, or the span is unusable (None — keep the file;
-    * pruning must never gamble on which spec wrote a dir). Collapses
-    * to the plain single-spec rule on never-evolved tables.
-    */
-  private[graft] def gpDirSpanMulti(
-      specs: Seq[GpSpec],
-      types: Map[String, org.apache.spark.sql.types.DataType],
-      dirName: String, probe: String,
-      readerZone: java.time.ZoneId): Option[(String, String, String)] = {
-    if (specs.isEmpty) return None
-    if (specs.size == 1)
-      return gpSpecDirSpan(specs.head, types, dirName, probe, readerZone)
-    if (!dirName.startsWith(GpPrefix)) return None
-    val raw = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-      .unescapePathName(dirName.stripPrefix(GpPrefix))
-    val consistent = specs.filter(sp => specParsesDirValue(sp, types, raw))
-    if (consistent.isEmpty) return None
-    val spans = consistent
-      .map(sp => gpSpecDirSpan(sp, types, dirName, probe, readerZone))
-      .distinct
-    if (spans.size == 1) spans.head else None
-  }
-
-  /** Could `raw` (an unescaped `__gp` dir value) have been rendered by
-    * `sp`? Arity must match AND every component value must parse under
-    * its transform — `us|2026-01-01` is not a `days()` rendering, and
-    * `2026-01-01` is not a two-component one, which is what lets most
-    * evolved layouts keep exact per-dir spans instead of degenerating
-    * to admit-everything.
-    */
-  private def specParsesDirValue(
-      sp: GpSpec,
-      types: Map[String, org.apache.spark.sql.types.DataType],
-      raw: String): Boolean = {
-    import org.apache.spark.sql.types._
-    val parts = if (sp.comps.size == 1) Seq(raw) else splitGpValue(raw)
-    parts.size == sp.comps.size && sp.comps.zip(parts).forall { case (c, v) =>
-      c.kind match {
-        case "id" => types.get(c.col) match {
-          case Some(_: NumericType) =>
-            scala.util.Try(BigDecimal(v)).isSuccess
-          case Some(DateType) =>
-            scala.util.Try(java.time.LocalDate.parse(v)).isSuccess
-          case _ => true // string identity: any rendering is plausible
-        }
-        case "bucket" =>
-          scala.util.Try(v.toInt).toOption.exists(b => b >= 0 && b < c.n)
-        case "years" =>
-          scala.util.Try(java.time.Year.parse(v)).isSuccess
-        case "months" =>
-          scala.util.Try(java.time.YearMonth.parse(v)).isSuccess
-        case "days" =>
-          scala.util.Try(java.time.LocalDate.parse(v)).isSuccess
-        case "hours" => v.length >= 13 &&
-          scala.util.Try(java.time.LocalDate.parse(v.substring(0, 10))).isSuccess
-        case _ => true
-      }
-    }
-  }
-
-  private[graft] def gpSpecDirSpan(
-      spec: GpSpec,
-      types: Map[String, org.apache.spark.sql.types.DataType],
-      dirName: String, probe: String,
-      readerZone: java.time.ZoneId): Option[(String, String, String)] = {
-    import org.apache.spark.sql.types._
-    if (!dirName.startsWith(GpPrefix)) return None
-    val idx = spec.comps.indexWhere(_.col == probe)
-    if (idx < 0) return None
-    val raw = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-      .unescapePathName(dirName.stripPrefix(GpPrefix))
-    val parts = if (spec.comps.size == 1) Seq(raw) else splitGpValue(raw)
-    if (parts.size != spec.comps.size) return None
-    val v = parts(idx)
-    val comp = spec.comps(idx)
-    // the rendered period's calendar bounds: [first day, last day] as
-    // LocalDates plus, for hours, the wall-clock hour — shared by the
-    // DATE / NTZ / pinned-LTZ branches below
-    def periodDays: Option[(java.time.LocalDate, java.time.LocalDate)] =
-      scala.util.Try(comp.kind match {
-        case "years" =>
-          val y = java.time.Year.parse(v)
-          (y.atDay(1), y.atMonth(12).atEndOfMonth())
-        case "months" =>
-          val m = java.time.YearMonth.parse(v)
-          (m.atDay(1), m.atEndOfMonth())
-        case "days" =>
-          val d = java.time.LocalDate.parse(v); (d, d)
-        case "hours" =>
-          val d = java.time.LocalDate.parse(v.substring(0, 10)); (d, d)
-      }).toOption
-    comp.kind match {
-      case "id" => types.get(probe) match {
-        case Some(_: NumericType)              => Some(("n", esc(v), esc(v)))
-        case Some(StringType) | Some(DateType) => Some(("s", esc(v), esc(v)))
-        case _                                 => None
-      }
-      // bucket dirs carry no value ORDER — span pruning cannot apply
-      // (equality/IN point probes prune via bucketDirAdmits instead)
-      case "bucket" => None
-      case k if GpTimeKinds.contains(k) => types.get(probe) match {
-        case Some(DateType) if k != "hours" =>
-          periodDays.map { case (lo, hi) =>
-            ("s", esc(lo.toString), esc(hi.toString)) }
-        case Some(TimestampNTZType) =>
-          if (k == "hours")
-            Some(("s", esc(v + ":00:00.000000"), esc(v + ":59:59.999999")))
-          else periodDays.map { case (lo, hi) =>
-            ("s", esc(lo.toString + " 00:00:00.000000"),
-              esc(hi.toString + " 23:59:59.999999")) }
-        case Some(TimestampType) if comp.zone.nonEmpty =>
-          // zone-pinned LTZ: period P in the pinned zone covers the
-          // instants [P start zone, next-P start zone); render the
-          // bounds the way the probe side renders its values — the
-          // READER's session zone (StatsEval.probeString) — so the
-          // code-point compare is an instant compare
-          scala.util.Try {
-            val z = java.time.ZoneId.of(comp.zone)
-            val (startLocal, endLocalEx) = k match {
-              case "hours" =>
-                val d = java.time.LocalDate.parse(v.substring(0, 10))
-                val h = v.substring(11).toInt
-                val s = d.atTime(h, 0); (s, s.plusHours(1))
-              case _ =>
-                val (lo, hi) = periodDays.get
-                (lo.atStartOfDay, hi.plusDays(1).atStartOfDay)
-            }
-            val lo = startLocal.atZone(z).toInstant
-            val hi = endLocalEx.atZone(z).toInstant
-              .minusNanos(1000) // closed upper bound at µs precision
-            ("s", esc(StatsEval.probeString(lo, readerZone)),
-              esc(StatsEval.probeString(hi, readerZone)))
-          }.toOption
-        case _ => None // unpinned LTZ: session-zone rendering, keep
-      }
-      case _ => None
-    }
-  }
-
-  /** Whether a bucket-transformed scoped dir can contain `value` for an
-    * EQUALITY/IN point probe on `probe`: re-derive the value's bucket
-    * with exactly the writer's hash (Spark Murmur3, seed 42, over the
-    * value cast to the COLUMN type — an Int probe against a Long column
-    * must hash as Long) and compare against the dir's rendered bucket
-    * id. Dirs of other specs, non-bucket components, or unparseable
-    * names admit (keep — pruning must never lose rows).
-    */
-  private[graft] def bucketDirAdmits(
-      spec: GpSpec,
-      types: Map[String, org.apache.spark.sql.types.DataType],
-      dirName: String, probe: String, value: Any): Boolean = {
-    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Murmur3Hash}
-    if (!dirName.startsWith(GpPrefix)) return true
-    val idx = spec.comps.indexWhere(c => c.col == probe && c.kind == "bucket")
-    if (idx < 0) return true
-    val comp = spec.comps(idx)
-    val dt = types.getOrElse(probe, return true)
-    val raw = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-      .unescapePathName(dirName.stripPrefix(GpPrefix))
-    val parts = if (spec.comps.size == 1) Seq(raw) else splitGpValue(raw)
-    if (parts.size != spec.comps.size) return true
-    scala.util.Try {
-      val dirBucket = parts(idx).toInt
-      val lit = Literal(value)
-      val typed = if (lit.dataType == dt) lit
-                  else Literal.create(Cast(lit, dt).eval(null), dt)
-      if (typed.value == null) true // NULL probes never prune
-      else {
-        val h = Murmur3Hash(Seq(typed), 42).eval(null).asInstanceOf[Int]
-        ((h % comp.n) + comp.n) % comp.n == dirBucket
-      }
-    }.getOrElse(true)
-  }
-
-  /** Partition-scoped KEYED upsert: [[upsert]]'s merge semantics at
-    * O(touched partitions) commit cost instead of O(table) — the round-6
-    * VERDICT's top remaining scale gap (a daily keyed batch on a 100 TB
-    * table must not rewrite 100 TB). The new version's manifest lists
-    * leaf directories explicitly: untouched partitions are CARRIED BY
-    * REFERENCE from the parent (their files are never read, rewritten,
-    * or moved — byte-identical), only partitions present in the batch
-    * are merged and rewritten under the new version's own data dir.
-    * Skipping stats compose: untouched partitions' sidecar lines carry
-    * forward verbatim, touched partitions get fresh footer-derived
-    * lines — stats cost is O(touched) too.
-    *
-    * Bootstrap: the first scoped commit on an empty table writes the
-    * batch partitioned. On a table whose current version is NOT scoped
-    * (plain [[commit]]/[[upsert]] history), this performs a one-time
-    * O(table) migration rewrite into the scoped layout and is scoped
-    * from then on. [[appendCommit]] chains compose (parent leafs become
-    * the chain's base dirs); [[changesBetween]] stays exact — a batch
-    * that only ADDS partitions even rides the O(delta) append
-    * short-circuit.
-    *
-    * CONTRACT (same as [[Upsert.upsertPartitioned]]): a key's partition
-    * value must be stable across versions — a key that moves partitions
-    * would leave its old copy in an unread, untouched partition. Derive
-    * the partition column from row identity (e.g. event_date), or use
-    * [[upsert]] when keys can migrate. NULL partition values are
-    * refused.
-    */
-  def upsertScoped(spark: SparkSession, root: String, batch: DataFrame,
-                   keys: Seq[String], partitionCol: String,
-                   statsCols: Seq[String] = Nil,
-                   bloomCols: Seq[String] = Nil): Long =
-    scopedUnderClaim(spark, root, batch, keys, partitionCol, statsCols,
-      bloomCols, batchId = -1L)
-      .getOrElse(throw new IllegalStateException(
-        "unreachable: unstamped scoped upsert cannot be a replay"))
-
-  /** DYNAMIC PARTITION OVERWRITE (round 11 — Spark's
-    * `partitionOverwriteMode=dynamic` / Hive's insert-overwrite
-    * semantics on the snapshot log): the batch REPLACES every partition
-    * it touches wholesale — keyless — and every untouched partition
-    * leaf carries by reference, byte-identical. On an all-scoped
-    * lineage the commit reads ZERO pre-existing bytes (the replaced
-    * leafs simply leave the manifest; with the change feed enabled the
-    * doomed slice is read once to record exact delete + insert rows —
-    * the replaceWhere labeling). The daily-restatement verb: rewriting
-    * one day of a 100 TB events table costs that day's new bytes, not
-    * a merge and not the table. An unscoped parent takes the one-time
-    * migration: rows outside the touched partitions migrate into their
-    * own leafs, rows inside them are replaced.
-    *
-    * Constraint-gated; batch schema must match the table exactly; NULL
-    * partition components refuse (the scoped contract). Writer
-    * surface: `df.write.format("graft").mode("overwrite")
-    * .partitionBy("p").save(root)` — overwrite + partitioning, no
-    * keys. Keyed merges stay [[upsertScoped]]; predicate-shaped
-    * replacement on FLAT tables is [[replaceWhere]].
-    */
-  def overwritePartitions(spark: SparkSession, root: String,
-                          batch: DataFrame, partitionCol: String,
-                          statsCols: Seq[String] = Nil,
-                          bloomCols: Seq[String] = Nil): Long =
-    scopedUnderClaim(spark, root, batch, keys = Nil, partitionCol,
-      statsCols, bloomCols, batchId = -1L, replaceLeafs = true)
-      .getOrElse(throw new IllegalStateException(
-        "unreachable: unstamped partition overwrite cannot be a replay"))
-
-  /** Exactly-once streaming [[overwritePartitions]]: stamped with the
-    * micro-batch id, replays skipped — the sink shape for per-window
-    * restatement pipelines (each micro-batch rebuilds whole partitions,
-    * e.g. a `foreachBatch` that recomputes the touched days).
-    */
-  def overwritePartitionsBatch(spark: SparkSession, root: String,
-                               batch: DataFrame, partitionCol: String,
-                               batchId: Long,
-                               statsCols: Seq[String] = Nil,
-                               bloomCols: Seq[String] = Nil): Option[Long] = {
-    require(batchId >= 0, s"negative batchId $batchId")
-    if (lastBatchId(spark, root).exists(_ >= batchId)) return None
-    scopedUnderClaim(spark, root, batch, keys = Nil, partitionCol,
-      statsCols, bloomCols, batchId, replaceLeafs = true)
-  }
-
-  /** Exactly-once streaming SCOPED upsert: [[upsertScoped]] with the
-    * micro-batch id stamped in the manifest, replays skipped — the
-    * O(touched partitions) keyed streaming sink ([[commitBatch]] is the
-    * full-rewrite equivalent). Wire as `writeStream.foreachBatch((df,
-    * id) => SnapshotLog.scopedBatch(...))`.
-    */
-  def scopedBatch(spark: SparkSession, root: String, batch: DataFrame,
-                  keys: Seq[String], partitionCol: String, batchId: Long,
-                  statsCols: Seq[String] = Nil,
-                  bloomCols: Seq[String] = Nil): Option[Long] = {
-    require(batchId >= 0, s"negative batchId $batchId")
-    // pre-claim fast path; the gate under the claim is the correctness one
-    if (lastBatchId(spark, root).exists(_ >= batchId)) return None
-    val r = scopedUnderClaim(spark, root, batch, keys, partitionCol, statsCols,
-      bloomCols, batchId)
-    // AUTO-COMPACT (round 10, opt-in — the Delta autoCompact shape):
-    // `graft.scoped.autoCompactEvery=N` runs the per-leaf bin-pack
-    // after every Nth committed version, inline in the sink, so the
-    // per-micro-batch scoped workload self-maintains instead of
-    // accumulating many-file leafs until an operator notices. The
-    // compaction carries the head's batchId, so the exactly-once
-    // replay gate survives it; failures must not fail the batch (the
-    // data committed — maintenance retries next time).
-    r.foreach { v =>
-      val every = spark.conf.getOption("graft.scoped.autoCompactEvery")
-        .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
-        .filter(_ > 0).getOrElse(0)
-      if (every > 0 && v % every == 0) {
-        val target = spark.conf
-          .getOption("graft.scoped.autoCompactTargetBytes")
-          .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
-          .getOrElse(128L * 1024 * 1024)
-        try compactSmallFiles(spark, root, target)
-        catch { case e: Exception =>
-          System.err.println(
-            s"[graft] auto-compact after v$v skipped: ${e.getMessage}")
-        }
-      }
-    }
-    r
-  }
-
-  private def scopedUnderClaim(spark: SparkSession, root: String,
-                               batch: DataFrame, keys: Seq[String],
-                               partitionCol: String, statsCols: Seq[String],
-                               bloomCols: Seq[String],
-                               batchId: Long,
-                               replaceLeafs: Boolean = false): Option[Long] = {
-    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-    import org.apache.spark.sql.functions.col
-    val spec0 = parseGpSpec(partitionCol)
-    require(spec0.comps.nonEmpty && spec0.refCols.forall(batch.columns.contains),
-      s"partition spec $partitionCol references columns outside the batch " +
-      s"${batch.columns.toSeq}")
-    // replaceLeafs = DYNAMIC PARTITION OVERWRITE (round 11): the batch
-    // REPLACES every partition it touches wholesale — keyless, so the
-    // keyed-merge machinery below stands down where noted
-    require(replaceLeafs == keys.isEmpty,
-      if (keys.isEmpty) "scoped upserts need keys — keyless partition " +
-        "replacement is overwritePartitions"
-      else "overwritePartitions is keyless — the batch replaces touched " +
-        "partitions wholesale (keyed merges are upsertScoped)")
-    require(replaceLeafs || keys.forall(batch.columns.contains),
-      s"keys $keys must be columns of the batch")
-    // round 11: constraint gate covers upsertScoped AND the streaming
-    // scopedBatch sink; a FAIL violation fires during the touched-
-    // partition probe below, before anything stages. Gated UNDER the
-    // claim so an ADD CONSTRAINT serialized just before is always seen
-    var obs: Option[org.apache.spark.sql.Observation] = None
-    val r = withClaim(spark, root) { f =>
-      recoverOrphans(spark, root)
-      // replay gate under the claim (commitBatch's rigor): a stamped
-      // scoped batch whose id the head already covers is a post-crash
-      // replay
-      if (batchId >= 0 && lastBatchId(spark, root).exists(_ >= batchId))
-        return None
-      val (gated, o) = Constraints.gate(spark, root, batch)
-      obs = o
-      val rootPath = new Path(root.replaceAll("/+$", ""))
-      val cur = currentVersion(spark, root)
-      // round 11: COLUMN MAPPING on scoped lineages — a renamed
-      // non-partition column's pin translates at the slice read
-      // (physical files → logical merge) and at the staged write
-      // (logical merge → physical files), exactly the flat-path rule;
-      // the partition column itself stays rename-refused (it names
-      // directories), so spec rendering is mapping-blind
-      val pin = cur.flatMap(schemaOf(spark, root, _))
-      def toLogical(df: DataFrame): DataFrame =
-        pin.map(fromPhysicalSelect(df, _)).getOrElse(df)
-      def toPhys(df: DataFrame): DataFrame =
-        pin.map(toPhysicalDf(df, _)).getOrElse(df)
-      // the slice read DECLARES the pinned physical schema (the flat
-      // paths' rule): a widened non-partition column's narrow old leaf
-      // files must upcast under the wide pin, never schema-roulette
-      def readSlice(paths: Seq[String]): DataFrame = pin match {
-        case Some(st) => spark.read.schema(physicalSchema(st)).parquet(paths: _*)
-        case None     => spark.read.parquet(paths: _*)
-      }
-      val physMap = pin.map(renameMap).getOrElse(Map.empty[String, String])
-      // round 10: LTZ days() components get their rendering zone PINNED
-      // (inherit the lineage's pin; pin the session zone at bootstrap)
-      val spec = normalizeGpSpec(spark, spec0, batch,
-        cur.flatMap(partColOf(spark, root, _)))
-      // touched partition identities, rendered the way the partitioned
-      // writer renders them (cast-to-string + path escaping); the collect
-      // is bounded by the number of touched partitions — the same driver
-      // contract as Upsert.upsertPartitioned
-      val touchedRaw = gated.select(gpRenderExpr(spec).cast("string"))
-        .distinct().collect().map { r =>
-          require(!r.isNullAt(0),
-            s"NULL partition component ($partitionCol) in batch: scoped " +
-            "commits need a concrete partition per row")
-          r.getString(0)
-        }.toSet
-      val touchedNames =
-        touchedRaw.map(v => GpPrefix + ExternalCatalogUtils.escapePathName(v))
-      val next = cur.getOrElse(0L) + 1L
-      val parentDirs = cur.map(dirsOf(spark, root, _)).getOrElse(Seq.empty)
-      def baseName(d: String) = d.substring(d.lastIndexOf('/') + 1)
-      val allScoped =
-        parentDirs.nonEmpty && parentDirs.forall(baseName(_).startsWith(GpPrefix))
-      // a caller's spec must BE the lineage's current spec — a drifted
-      // spec would render touched names no existing leaf matches and
-      // silently duplicate keys (hardened round 13, when specs became
-      // evolvable at all)
-      val headSpecStr = cur.flatMap(partColOf(spark, root, _))
-      headSpecStr.foreach { hs =>
-        require(spec.render == hs,
-          s"scoped commit spec '${spec.render}' != the lineage's current " +
-          s"spec '$hs' — the table was repartitioned; pass the current spec")
-      }
-      val parentTombs = cur.toSeq.flatMap(tombDirsOf(spark, root, _))
-      // ---- SPEC EVOLUTION (round 13): leafs written under an OLDER
-      // spec migrate-on-touch. Which old leafs the batch touches is
-      // derived by rendering the batch under EACH old spec (all leafs
-      // of a spec whose sources the batch lacks are conservatively
-      // touched); their rows re-render under the head spec, and every
-      // same-spec leaf one of those renderings collides with joins the
-      // replaced set so a partition value never spans two dirs.
-      val evolved = specHistEntries(spark, root).nonEmpty
-      val oldSpecLeafs: Map[String, String] = // dir -> its spec string
-        if (!evolved || !allScoped || headSpecStr.isEmpty) Map.empty
-        else specsOfLeafDirs(spark, root, parentDirs, headSpecStr.get)
-          .filter(_._2 != headSpecStr.get)
-      val oldTouched: Seq[String] =
-        oldSpecLeafs.groupBy(_._2).toSeq.flatMap { case (s, ds) =>
-          val os = parseGpSpec(s)
-          // keyless REPLACE: an old-spec leaf may hold rows of ANY
-          // replaced new-spec partition without its name saying so —
-          // every old leaf joins the rewrite (rows outside the batch's
-          // partitions migrate, rows inside die). Keyed merges derive
-          // the touched old leafs from the batch (a key's partition
-          // sources are stable — the standing scoped contract).
-          if (replaceLeafs) ds.keys.toSeq
-          else if (os.refCols.forall(gated.columns.contains)) {
-            val vals = gated.select(gpRenderExpr(os).cast("string"))
-              .distinct().collect()
-              .map(r => if (r.isNullAt(0)) null else r.getString(0)).toSet
-            if (vals.contains(null)) ds.keys.toSeq
-            else {
-              val names = vals.map(v =>
-                GpPrefix + ExternalCatalogUtils.escapePathName(v))
-              ds.keys.toSeq.filter(d => names.contains(baseName(d)))
-            }
-          } else ds.keys.toSeq // sources absent from the batch — migrate all
-        }
-      val migratedVals: Set[String] =
-        if (oldTouched.isEmpty) Set.empty
-        else {
-          val slice = toLogical(applyTombstoneDirs(spark, root, parentTombs,
-            readSlice(oldTouched.map(d => new Path(rootPath, d).toString))))
-          slice.select(gpRenderExpr(spec).cast("string")).distinct()
-            .collect().map { r =>
-              require(!r.isNullAt(0),
-                s"spec evolution: old-spec rows render a NULL partition " +
-                s"component under the current spec ($partitionCol) — " +
-                "backfill the source column before merging into them")
-              r.getString(0)
-            }.toSet
-        }
-      val touchedNamesAll = touchedNames ++ migratedVals.map(v =>
-        GpPrefix + ExternalCatalogUtils.escapePathName(v))
-      // scoped parent: read ONLY the touched leafs into the merge;
-      // unscoped parent: one-time migration — the whole table merges
-      val oldTouchedSet = oldTouched.toSet
-      val (untouched, replaced) =
-        if (allScoped) parentDirs.partition(d =>
-          !touchedNamesAll.contains(baseName(d)) && !oldTouchedSet.contains(d))
-        else (Seq.empty[String], parentDirs)
-      // deletion vectors apply to the touched slice too, or a merge
-      // would resurrect rows a prior tombstoneDelete removed
-      // replaceLeafs on an all-scoped parent replaces touched leafs
-      // WHOLESALE — the slice is then read only when the change feed
-      // wants the doomed rows as delete events (otherwise the commit
-      // reads ZERO pre-existing bytes)
-      // row tracking (round 12): KEYED scoped merges read the touched
-      // slice WITH identities and re-attach them by key after the merge
-      // (the flat pruned-MERGE rule) — a scoped upsert then preserves
-      // every carried/updated row's id; batch inserts take the new
-      // leaf's base. Keyless replaces keep REPLACE semantics (fresh).
-      val tracked = rowTrackingEnabled(spark, root) && !replaceLeafs
-      val parentSliceAll: Option[DataFrame] =
-        if (!tracked || replaced.isEmpty) None
-        else cur.map(c => scanWithRids(spark, root, c,
-          replaced.map(d => new Path(rootPath, d).toString), parentTombs))
-      val parentSlice: Option[DataFrame] =
-        if (replaced.isEmpty ||
-            (replaceLeafs && allScoped && oldTouched.isEmpty &&
-             !changeFeedEnabled(spark))) None
-        else parentSliceAll.map(_.drop(RowIdCol)).orElse(
-          Some(toLogical(applyTombstoneDirs(spark, root, parentTombs,
-            readSlice(replaced.map(d => new Path(rootPath, d).toString))))))
-      // schema drift guard for the keyless replace (the keyed path's
-      // merge validates alignment itself)
-      if (replaceLeafs) cur.foreach { c =>
-        val have = tableSchema(spark, root, c).fields
-          .map(fl => (fl.name, fl.dataType.catalogString)).toSeq
-        // the GATED frame: generated columns the batch lacked were just
-        // computed (round 12) and are part of what commits
-        val got = gated.schema.fields
-          .map(fl => (fl.name, fl.dataType.catalogString)).toSeq
-        require(got == have,
-          s"overwritePartitions batch schema $got != table schema $have")
-      }
-      val merged = parentSlice match {
-        case None => gated
-        case Some(parent) if replaceLeafs =>
-          // all-scoped SINGLE-spec: the read slice IS the replaced set —
-          // drop it; mixed-spec or unscoped parent: rows OUTSIDE the
-          // batch's partitions migrate into their own (head-spec) leafs,
-          // rows inside them are replaced by the batch
-          if (allScoped && oldTouched.isEmpty) gated
-          else parent
-            // coalesce: a parent row with a NULL partition component
-            // renders NULL — it is outside every touched partition and
-            // must CARRY (the keyed migration path carries it too),
-            // not silently drop through three-valued logic
-            .filter(org.apache.spark.sql.functions.coalesce(
-              !gpRenderExpr(spec).cast("string")
-                .isInCollection(touchedRaw.toSeq),
-              org.apache.spark.sql.functions.lit(true)))
-            .unionByName(gated.select(parent.columns.map(col(_)): _*))
-        case Some(parent) =>
-          Upsert.upsert(parent, gated.select(parent.columns.map(col(_)): _*), keys)
-      }
-      // identities re-attach by key over the rid-free merge (feed rows
-      // below classify on the rid-free frames)
-      val mergedOut = parentSliceAll match {
-        case Some(pa) if !replaceLeafs =>
-          merged.join(ridMapByKeyUnique(
-              pa.select(keys.map(col(_)) :+ col(RowIdCol): _*),
-              keys, "the scoped upsert"),
-            keys, "left")
-        case _ => merged
-      }
-      val dd = dataDir(root, next)
-      writeDataDir(spark,
-        toPhys(mergedOut.withColumn(GpCol, gpRenderExpr(spec))),
-        dd, bloomCols.map(c => physMap.getOrElse(c, c)),
-        partitionBy = Seq(GpCol))
-      val writtenLeafs = fs(spark, dd).listStatus(dd).map(_.getPath.getName)
-        .filter(_.startsWith(GpPrefix)).sorted.toSeq
-      // the writer's path rendering and ours MUST agree, or an untouched
-      // leaf could secretly hold a touched partition's old rows (silent
-      // duplicates) — abort before publishing anything if they drift.
-      // Migrating merges write the batch's partitions exactly, plus any
-      // subset of the migrated renderings (an updated old row's new
-      // rendering follows the batch, so a migrated value can vanish)
-      if (allScoped) {
-        if (oldTouched.isEmpty)
-          require(writtenLeafs.toSet == touchedNames,
-            s"partition path rendering drifted: wrote $writtenLeafs, " +
-            s"derived $touchedNames — aborting before publish")
-        else
-          require(touchedNames.subsetOf(writtenLeafs.toSet) &&
-              writtenLeafs.toSet.subsetOf(touchedNamesAll),
-            s"partition path rendering drifted: wrote $writtenLeafs, " +
-            s"derived $touchedNamesAll (batch $touchedNames) — aborting " +
-            "before publish")
-      }
-      val newDirs = untouched ++ writtenLeafs.map(dataDirName(next) + "/" + _)
-      // stats: fresh footer-derived lines for the delta leafs; untouched
-      // partitions' lines carry forward verbatim (keyed by leaf basename,
-      // unique within a version — one leaf per partition value)
-      val untouchedBase = untouched.map(baseName).toSet
-      val carry = cur.map(c =>
-        sidecarCarry(spark, root, c).filter { line =>
-          val key = StatsEval.unesc(line.split("\t", -1)(0))
-          untouchedBase.contains(key.substring(0, math.max(key.indexOf('/'), 0)))
-        }).getOrElse(EagerCarry(Nil))
-      // stats INHERIT when the caller passes none (round 12, the same
-      // rule the flat upsert and appends follow): a scoped merge must
-      // not strip the lineage's skipping power from its rewritten leafs
-      val sc = if (statsCols.nonEmpty) statsCols
-               else cur.map(_ => inheritedStatsColsLogical(spark, root))
-                 .getOrElse(Nil)
-      writeStats(spark, root, next,
-        sc.map(c => physMap.getOrElse(c, c)), carry)
-      // CHANGE DATA FEED (round 9, opt-in): the touched slice was read
-      // for the merge anyway — one extra keyed join classifies the batch
-      // into insert / update pre+post rows, written as this commit's
-      // change files. O(touched), never O(table); the CDC stream ships
-      // scoped versions from this dir instead of refusing them.
-      val chg =
-        if (!changeFeedEnabled(spark)) ""
-        else {
-          val rows =
-            if (replaceLeafs) {
-              // keyless replace: the doomed slice leaves, the batch
-              // arrives — recorded as exact delete + insert rows (the
-              // replaceWhere labeling; no key set exists to pair them)
-              val ins = gated.withColumn("_change_type",
-                org.apache.spark.sql.functions.lit("insert"))
-              parentSlice match {
-                case None => ins
-                case Some(parent) =>
-                  // single-spec all-scoped: the slice IS the doomed set;
-                  // mixed/unscoped: only rows inside the batch's
-                  // partitions die (migrated carried rows just move)
-                  val doomed =
-                    if (allScoped && oldTouched.isEmpty) parent
-                    else parent.filter(gpRenderExpr(spec).cast("string")
-                      .isInCollection(touchedRaw.toSeq))
-                  doomed.withColumn("_change_type",
-                      org.apache.spark.sql.functions.lit("delete"))
-                    .unionByName(ins.select(parent.columns.map(col(_)) :+
-                      col("_change_type"): _*))
-              }
-            } else parentSlice match {
-              case Some(parent) =>
-                changeRows(parent, gated.select(parent.columns.map(col(_)): _*), keys)
-              case None =>
-                gated.withColumn("_change_type",
-                  org.apache.spark.sql.functions.lit("insert"))
-            }
-          rows.write.mode("overwrite")
-            .parquet(new Path(rootPath, chgDirName(next)).toString)
-          chgDirName(next)
-        }
-      // parent vectors carry: untouched partitions still need them
-      // (touched partitions had them folded into the rewrite; stale
-      // positions point at dead files and anti-join to nothing).
-      // The pinned schema carries too (round 11) — a scoped commit on a
-      // column-mapped lineage must not silently drop the mapping
-      writeManifestDirs(spark, root, next, newDirs, batchId = batchId,
-        tombDirs = parentTombs, partCol = spec.render, chgDir = chg,
-        schemaJson = cur.map(rawSchemaJson(spark, root, _)).getOrElse(""))
-      publishLatest(spark, root, next)
-      Some(next)
-    }
-    r.foreach(v => Constraints.finish(spark, root, v, obs))
-    r
-  }
-
-  /** Write a deletion-vector frame (__rel, __ri) CLUSTERED by file key:
-    * hash-repartitioned on __rel and sorted within partitions, so each
-    * data file's positions land contiguously (typically in ONE
-    * tombstone file) and parquet row-group min/max on __rel lets a
-    * per-file reader — the CDC stream's executor-side position load —
-    * skip every group that isn't its own. Readers of the whole vector
-    * (the batch anti-join) are layout-indifferent.
-    */
-  /** `hits` minus every (file, position) the version's EXISTING
-    * deletion vectors already carry — new vectors record only NEWLY
-    * dead rows, so positional change feeds never see a row die twice.
-    */
-  private def freshPositions(spark: SparkSession, root: String, cur: Long,
-                             rootPath: Path, hits: DataFrame): DataFrame = {
-    val prior = tombDirsOf(spark, root, cur)
-    if (prior.isEmpty) hits
-    else hits.join(
-      spark.read.parquet(prior.map(d => new Path(rootPath, d).toString): _*)
-        .select(org.apache.spark.sql.functions.col("__rel"),
-                org.apache.spark.sql.functions.col("__ri")),
-      Seq("__rel", "__ri"), "left_anti")
-  }
-
-  private def writeTombstones(spark: SparkSession, hits: DataFrame,
-                              td: Path): Unit = {
-    import org.apache.spark.sql.functions.col
-    hits.repartition(col("__rel")).sortWithinPartitions("__rel", "__ri")
-      .write.mode("overwrite").parquet(td.toString)
-  }
-
-  /** Row-level change classification of a keyed merge: batch rows with
-    * no old match → `insert`; matched-and-different → an
-    * `update_preimage` (old row) + `update_postimage` (new row) pair;
-    * matched-and-identical → nothing (a no-op upsert is not a change —
-    * the same rule the keyed [[changesBetween]] diff applies). Output
-    * schema = the table columns + `_change_type`.
-    */
-  private def changeRows(oldDf: DataFrame, newDf: DataFrame,
-                         keys: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
-    val cols = oldDf.columns.toSeq
-    val nonKeys = cols.filterNot(keys.contains)
-    val o = oldDf.toDF(cols.map("__o_" + _): _*).withColumn("__in_old", lit(true))
-    val n = newDf.toDF(cols.map("__n_" + _): _*)
-    val cond = keys.map(k => o(s"__o_$k") <=> n(s"__n_$k")).reduce(_ && _)
-    val j = n.join(o, cond, "left_outer")
-    val changed =
-      if (nonKeys.isEmpty) lit(false)
-      else nonKeys.map(c => !(col("__o_" + c) <=> col("__n_" + c))).reduce(_ || _)
-    val ins = j.filter(col("__in_old").isNull)
-      .select(cols.map(c => col("__n_" + c).as(c)) :+ lit("insert").as("_change_type"): _*)
-    val pre = j.filter(col("__in_old").isNotNull && changed)
-      .select(cols.map(c => col("__o_" + c).as(c)) :+ lit("update_preimage").as("_change_type"): _*)
-    val post = j.filter(col("__in_old").isNotNull && changed)
-      .select(cols.map(c => col("__n_" + c).as(c)) :+ lit("update_postimage").as("_change_type"): _*)
-    ins.unionAll(pre).unionAll(post)
-  }
-
-  /** Full-snapshot REPLACE (the SQL general-MERGE / general-UPDATE
-    * lowering) with commit-time change files when the feed is enabled:
-    * the multiset diff of old vs new snapshots writes as `delete` +
-    * `insert` rows (no key set exists to pair them into updates — the
-    * valid CDF shape for untracked rewrites). The diff is O(table) —
-    * the same order as the rewrite itself — and only runs when
-    * `graft.changeFeed.enabled` is set; otherwise this IS [[commit]].
-    */
-  def replaceWithChanges(spark: SparkSession, root: String,
-                         df: DataFrame): Long = {
-    import org.apache.spark.sql.functions.lit
-    // ungated: callers (the SQL MERGE/UPDATE rewrites) pass the COMPLETE
-    // next snapshot including carried rows — they gate the written subset
-    // themselves via Constraints.gateWritten
-    //
-    // row tracking (round 13, ADVICE): a frame CARRYING [[RowIdCol]]
-    // threads identities through the rewrite — the column materializes
-    // into the new files (carried/updated rows keep their ids, NULLs
-    // take the fresh base as true inserts). A tracked table whose
-    // caller could NOT thread ids commits WITHOUT base assignments, so
-    // the next readWithRowIds raises loudly (the documented contract)
-    // instead of silently re-identifying every row; enableRowTracking
-    // re-bases explicitly.
-    val hasRid = df.columns.contains(RowIdCol)
-    val userDf = if (hasRid) df.drop(RowIdCol) else df
-    val assignBases = hasRid || !rowTrackingEnabled(spark, root)
-    if (!changeFeedEnabled(spark))
-      return commitStamped(spark, root, df, Nil, Nil, carryBatchId = false,
-        assignRidBases = assignBases)
-    withClaim(spark, root) { _ =>
-      recoverOrphans(spark, root)
-      val cur = currentVersion(spark, root)
-      val next = cur.getOrElse(0L) + 1L
-      val rootPath = new Path(root.replaceAll("/+$", ""))
-      val chg = cur match {
-        case None =>
-          userDf.withColumn("_change_type", lit("insert"))
-        case Some(c) =>
-          val old = readVersion(spark, root, c)
-          require(old.columns.toSeq == userDf.columns.toSeq,
-            s"replace schema ${userDf.columns.toSeq} != table ${old.columns.toSeq}")
-          old.exceptAll(userDf).withColumn("_change_type", lit("delete"))
-            .unionAll(userDf.exceptAll(old).withColumn("_change_type", lit("insert")))
-      }
-      chg.write.mode("overwrite")
-        .parquet(new Path(rootPath, chgDirName(next)).toString)
-      stageVersion(spark, root, df, next, chgDir = chgDirName(next),
-        assignRidBases = assignBases)
-      publishLatest(spark, root, next)
-      next
-    }
-  }
-
-  /** The (file, row) positions a row SELECTION dooms, MoR-aware. On a
-    * flat lineage the selection runs straight over the raw positional
-    * scan. On a merge-on-read keyed lineage it runs over the RESOLVED
-    * visible table (latest-wins, prior vectors applied — Delta's DELETE
-    * operates on what a reader sees) and the matched keys expand to
-    * EVERY physical copy. Anything narrower corrupts: the read path
-    * applies deletion vectors BEFORE resolution, so a vector covering
-    * only the key's latest row would RESURRECT its next-newest shadow,
-    * and a raw-scan predicate can match an invisible old shadow while
-    * sparing the visible row (deleting rows no reader ever saw).
-    * `basePos` is the raw scan with `__rel`/`__ri` attached; `select`
-    * must tolerate either frame (filters and key semi-joins do).
-    */
-  private def doomedPositions(spark: SparkSession, root: String, cur: Long,
-                              basePos: DataFrame,
-                              select: DataFrame => DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    val mk = morKeysOf(spark, root, cur)
-    if (mk.isEmpty) select(basePos).select(col("__rel"), col("__ri"))
-    else {
-      val doomedKeys = select(readVersion(spark, root, cur))
-        .select(mk.map(col(_)): _*).distinct()
-      basePos.join(doomedKeys, mk, "left_semi")
-        .select(col("__rel"), col("__ri"))
-    }
-  }
-
-  /** Merge-on-read DELETE (deletion vectors): record the (file, row
-    * position) of every row matching a tombstone key in an O(deleted
-    * rows) sidecar directory — ZERO data files are read-modified or
-    * rewritten; readers apply the vector as a positional anti-join
-    * ([[applyTombstoneDirs]]). The delete scan itself prunes through the
-    * usual file skipping when stats exist for the key columns.
-    * [[compactChain]] (or any full rewrite) folds the vectors back into
-    * data files; [[vacuum]] reference-counts the vector dirs like data
-    * dirs. Contrast [[deleteByKey]], which stays the O(table) rewrite
-    * path.
-    */
-  def tombstoneDelete(spark: SparkSession, root: String,
-                      tombstones: DataFrame, keys: Seq[String]): Long = {
-    import org.apache.spark.sql.functions.{col, substring_index}
-    require(keys.nonEmpty && keys.forall(tombstones.columns.contains),
-      s"keys $keys must be columns of the tombstone frame")
-    withClaim(spark, root) { f =>
-      recoverOrphans(spark, root)
-      val cur = currentVersion(spark, root).getOrElse(
-        throw new IllegalStateException(s"no committed version at $root"))
-      val next = cur + 1L
-      val rootPath = new Path(root.replaceAll("/+$", ""))
-      // pin an evolved lineage's schema so mixed pre/post-evolution dirs
-      // don't play schema roulette under the position scan
-      // file-manifest scan: schema declared, zero listing when the
-      // sidecar is complete (prunedBaseScan); raw positions, no DV/MoR
-      val base = prunedBaseScan(spark, root, cur)
-      require(keys.forall(base.columns.contains),
-        s"keys $keys must be columns of the table")
-      // one key-pruned scan finds positions. A re-deleted key's rows may
-      // re-match — exclude positions the prior vectors already carry
-      // (round 9: a duplicate would re-emit the row as a SECOND delete
-      // through the CDC surfaces; it was also dead weight the next
-      // compaction had to fold)
-      val basePos = base
-        .withColumn("__rel", substring_index(col("_metadata.file_path"), "/", -2))
-        .withColumn("__ri", col("_metadata.row_index"))
-      val hits0 = doomedPositions(spark, root, cur, basePos, b =>
-        b.join(tombstones.select(keys.map(col(_)): _*).distinct(),
-          keys, "left_semi"))
-      val hits = freshPositions(spark, root, cur, rootPath, hits0)
-      val td = new Path(rootPath, tombDirName(next))
-      writeTombstones(spark, hits, td)
-      // the data-file set is untouched, so the parent's sidecar carries
-      // verbatim (stats prune files; the vector prunes rows afterwards)
-      val carry = sidecarCarry(spark, root, cur)
-      val stack = writeStats(spark, root, next, Nil, carry)
-      writeManifestDirs(spark, root, next, dirsOf(spark, root, cur),
-        batchId = batchIdOf(spark, root, cur).getOrElse(-1L),
-        tombDirs = tombDirsOf(spark, root, cur) :+ tombDirName(next),
-        kind = "delete",
-        partCol = partColOf(spark, root, cur).getOrElse(""),
-        morKeys = morKeysOf(spark, root, cur),
-        schemaJson = rawSchemaJson(spark, root, cur),
-        statsStack = stack)
-      publishLatest(spark, root, next)
-      next
-    }
-  }
-
-  /** [[tombstoneDelete]] with an arbitrary row predicate instead of a
-    * tombstone-key frame — the SQL `DELETE FROM t WHERE p` lowering
-    * (GraftSqlRule). `mkCond` receives the positional base scan (the
-    * current snapshot with `_metadata` resolvable) and returns the
-    * filter; matching (file, row) positions land in the same O(deleted
-    * rows) deletion-vector sidecar, zero data files rewritten. Running
-    * the predicate directly on the scan — rather than routing through a
-    * key semi-join — keeps NULL-valued rows deletable (`p` decides, not
-    * key equality) and costs one pruned scan.
-    */
-  def tombstoneDeleteWhere(spark: SparkSession, root: String,
-                           mkCond: DataFrame => org.apache.spark.sql.Column): Long = {
-    import org.apache.spark.sql.functions.{col, substring_index}
-    withClaim(spark, root) { f =>
-      recoverOrphans(spark, root)
-      val cur = currentVersion(spark, root).getOrElse(
-        throw new IllegalStateException(s"no committed version at $root"))
-      val next = cur + 1L
-      val rootPath = new Path(root.replaceAll("/+$", ""))
-      // file-manifest scan: schema declared, zero listing when the
-      // sidecar is complete (prunedBaseScan); raw positions, no DV/MoR
-      val base = prunedBaseScan(spark, root, cur)
-      val basePos = base
-        .withColumn("__rel", substring_index(col("_metadata.file_path"), "/", -2))
-        .withColumn("__ri", col("_metadata.row_index"))
-      val hits0 = doomedPositions(spark, root, cur, basePos,
-        b => b.filter(mkCond(b)))
-      // exclude already-tombstoned positions: see tombstoneDelete
-      val hits = freshPositions(spark, root, cur, rootPath, hits0)
-      val td = new Path(rootPath, tombDirName(next))
-      writeTombstones(spark, hits, td)
-      val carry = sidecarCarry(spark, root, cur)
-      val stack = writeStats(spark, root, next, Nil, carry)
-      writeManifestDirs(spark, root, next, dirsOf(spark, root, cur),
-        batchId = batchIdOf(spark, root, cur).getOrElse(-1L),
-        tombDirs = tombDirsOf(spark, root, cur) :+ tombDirName(next),
-        kind = "delete",
-        partCol = partColOf(spark, root, cur).getOrElse(""),
-        morKeys = morKeysOf(spark, root, cur),
-        schemaJson = rawSchemaJson(spark, root, cur),
-        statsStack = stack)
-      publishLatest(spark, root, next)
-      next
-    }
-  }
-
-  /** A deletion-vector DML staged OUTSIDE the writer claim (round 10 —
-    * OCC for row-level DML, the appendOcc stage/publish split): `base`
-    * is the version the position scan ran against, `stagingDir` holds
-    * the clustered vector, `touchedRels` the O(touched files) rel keys
-    * it references.
-    */
-  private[graft] case class StagedDelete(base: Long, stagingDir: String,
-                                         touchedRels: Set[String])
-
-  /** Stage a deletion-vector DELETE with NO lock held: the position
-    * scan (key-pruned through the skipping stats) and the vector write
-    * — the expensive parts of a DELETE — run against the current head
-    * while other writers proceed. [[publishTombstoneOcc]] rebases the
-    * result under a short claimed section. This is the Delta conflict
-    * model for row-level DML: the old [[tombstoneDelete]] holds the
-    * table claim across its whole scan, serializing every writer
-    * behind one long DELETE.
-    */
-  def stageTombstoneOcc(spark: SparkSession, root: String,
-                        tombstones: DataFrame,
-                        keys: Seq[String]): StagedDelete = {
-    import org.apache.spark.sql.functions.col
-    require(keys.nonEmpty && keys.forall(tombstones.columns.contains),
-      s"keys $keys must be columns of the tombstone frame")
-    stageTombstoneCore(spark, root) { base =>
-      require(keys.forall(base.columns.contains),
-        s"keys $keys must be columns of the table")
-      base.join(tombstones.select(keys.map(col(_)): _*).distinct(),
-        keys, "left_semi")
-    }
-  }
-
-  /** [[stageTombstoneOcc]] for an arbitrary row predicate — the SQL
-    * `DELETE WHERE p` shape ([[tombstoneDeleteWhere]]'s scan, staged
-    * with NO lock held so a long DELETE never serializes writers).
-    */
-  def stageTombstoneWhereOcc(spark: SparkSession, root: String,
-      mkCond: DataFrame => org.apache.spark.sql.Column): StagedDelete =
-    stageTombstoneCore(spark, root)(base => base.filter(mkCond(base)))
-
-  /** Shared stage half of the deletion-vector OCC split: run the
-    * caller's row selection over the current head's raw positional
-    * scan, dedup against existing vectors, and write the clustered
-    * vector to a writer-unique staging dir — all lock-free.
-    */
-  private def stageTombstoneCore(spark: SparkSession, root: String)
-      (select: DataFrame => DataFrame): StagedDelete = {
-    import org.apache.spark.sql.functions.{col, substring_index}
-    val cur = currentVersion(spark, root).getOrElse(
-      throw new IllegalStateException(s"no committed version at $root"))
-    val rootPath = new Path(root.replaceAll("/+$", ""))
-    val base = prunedBaseScan(spark, root, cur)
-    val basePos = base
-      .withColumn("__rel", substring_index(col("_metadata.file_path"), "/", -2))
-      .withColumn("__ri", col("_metadata.row_index"))
-    val hits0 = doomedPositions(spark, root, cur, basePos, select)
-    val hits = freshPositions(spark, root, cur, rootPath, hits0)
-    val staging = "tomb_u" + java.util.UUID.randomUUID.toString.replace("-", "")
-    writeTombstones(spark, hits, new Path(rootPath, staging))
-    // O(touched files): the rel keys this vector references — the
-    // publish-side disjointness check needs exactly this set
-    val touched = spark.read.parquet(new Path(rootPath, staging).toString)
-      .select("__rel").distinct().collect().map(_.getString(0)).toSet
-    StagedDelete(cur, staging, touched)
-  }
-
-  /** [[tombstoneDeleteWhere]] through the OCC split: the predicate
-    * scan and vector write run lock-free, the publish rebases over
-    * file-disjoint interleavings. The SQL DELETE lowering rides this —
-    * a long DELETE no longer holds the table claim across its scan.
-    */
-  def tombstoneDeleteWhereOcc(spark: SparkSession, root: String,
-      mkCond: DataFrame => org.apache.spark.sql.Column): Long =
-    publishTombstoneOcc(spark, root,
-      stageTombstoneWhereOcc(spark, root, mkCond))
-
-  /** Publish a staged deletion vector, REBASING over commits that
-    * landed since the stage iff every one of them is file-disjoint
-    * from the staged positions (the Delta conflict rule):
-    *
-    *  - every interleaved commit must KEEP all of the staged base's
-    *    data entries (appends, DV deletes and MoR updates do; a
-    *    rewrite/compaction/pruned-upsert that replaced a file our
-    *    positions reference would make them dangle), and
-    *  - every interleaved DELETION VECTOR must reference files
-    *    disjoint from ours (an overlap could re-record a position the
-    *    stage-side dedup ran too early to see — a double death on the
-    *    CDC surfaces).
-    *
-    * Anything else aborts loudly with the staging dir removed and the
-    * table untouched — re-run against the new head. Rows appended
-    * AFTER the stage are not seen by the staged scan (snapshot
-    * isolation at the staged base — Delta's WriteSerializable DELETE
-    * contract).
-    */
-  /** The file-disjoint rebase validation both OCC row-level DML
-    * publishes run: every interleaved commit must have KEPT all of the
-    * staged base's data entries, and every interleaved deletion vector
-    * must reference files disjoint from the staged positions. `abort`
-    * cleans up and throws.
-    */
-  private def validateDisjointRebase(spark: SparkSession, root: String,
-                                     rootPath: Path, base: Long, head: Long,
-                                     touchedRels: Set[String],
-                                     abort: String => Nothing): Unit = {
-    val baseDirsSet = dirsOf(spark, root, base).toSet
-    val baseTombs = tombDirsOf(spark, root, base)
-    (base + 1L to head).foreach { c =>
-      val lost = baseDirsSet -- dirsOf(spark, root, c).toSet
-      if (lost.nonEmpty)
-        abort(s"v$c replaced data entries the staged positions " +
-          s"reference (${lost.take(3).mkString(", ")}…)")
-    }
-    val newTombs = tombDirsOf(spark, root, head).drop(baseTombs.size)
-    if (newTombs.nonEmpty) {
-      import org.apache.spark.sql.functions.col
-      val overlapping = spark.read.parquet(
-          newTombs.map(d => new Path(rootPath, d).toString): _*)
-        .select("__rel").distinct()
-        .filter(col("__rel").isInCollection(touchedRels))
-        .limit(1).count() > 0
-      if (overlapping)
-        abort(s"a deletion vector landed since v$base on a file this " +
-          "commit also touches")
-    }
-  }
-
-  def publishTombstoneOcc(spark: SparkSession, root: String,
-                          staged: StagedDelete): Long = {
-    withClaimWait(spark, root) {
-      val rootPath = new Path(root.replaceAll("/+$", ""))
-      val f = fs(spark, rootPath)
-      val stagingPath = new Path(rootPath, staged.stagingDir)
-      def abort(why: String): Nothing = {
-        f.delete(stagingPath, true)
-        throw new java.util.ConcurrentModificationException(
-          s"deletion-vector OCC commit aborted: $why — re-run against " +
-          "the new head")
-      }
-      recoverOrphans(spark, root)
-      val head = currentVersion(spark, root).getOrElse(
-        abort("table has no committed version"))
-      val next = head + 1L
-      validateDisjointRebase(spark, root, rootPath, staged.base, head,
-        staged.touchedRels, abort)
-      if (!f.exists(stagingPath))
-        abort("staging dir missing (vacuumed or already published)")
-      if (!f.rename(stagingPath, new Path(rootPath, tombDirName(next))))
-        throw new IllegalStateException(
-          s"could not move staged $stagingPath into ${tombDirName(next)}")
-      // the data-file set is untouched by this commit: the HEAD's
-      // sidecar carries verbatim, the head's dirs and vectors carry,
-      // ours appends to the vector list
-      val carry = sidecarCarry(spark, root, head)
-      val stack = writeStats(spark, root, next, Nil, carry)
-      writeManifestDirs(spark, root, next, dirsOf(spark, root, head),
-        batchId = batchIdOf(spark, root, head).getOrElse(-1L),
-        tombDirs = tombDirsOf(spark, root, head) :+ tombDirName(next),
-        kind = "delete",
-        partCol = partColOf(spark, root, head).getOrElse(""),
-        morKeys = morKeysOf(spark, root, head),
-        schemaJson = rawSchemaJson(spark, root, head),
-        statsStack = stack)
-      publishLatest(spark, root, next)
-      next
-    }
-  }
-
-  /** [[tombstoneDelete]] without holding the claim across the scan:
-    * stage (scan + vector write, lock-free) then publish (short claimed
-    * rebase). Two concurrent file-disjoint DELETEs both land; an
-    * overlap aborts with the table untouched.
-    */
-  def tombstoneDeleteOcc(spark: SparkSession, root: String,
-                         tombstones: DataFrame, keys: Seq[String]): Long =
-    publishTombstoneOcc(spark, root,
-      stageTombstoneOcc(spark, root, tombstones, keys))
-
-  /** A merge-on-read UPDATE staged outside the claim (round 10,
-    * completing the OCC row-level DML split): the predicate scan, the
-    * new deletion vector AND the rewritten-rows dir all write lock-free;
-    * [[publishUpdateOcc]] rebases both under the short claimed section
-    * with the same file-disjointness rule as the OCC delete.
-    */
-  private[graft] case class StagedUpdate(base: Long, tombStaging: String,
-                                         dataStaging: String,
-                                         touchedRels: Set[String],
-                                         noMatch: Boolean,
-                                         obs: Option[org.apache.spark.sql.Observation] = None,
-                                         constraintsFp: String = "")
-
-  def stageUpdateWhereOcc(spark: SparkSession, root: String,
-      mkCond: DataFrame => org.apache.spark.sql.Column,
-      mkAssign: DataFrame => Map[String, org.apache.spark.sql.Column])
-      : StagedUpdate = {
-    import org.apache.spark.sql.functions.{col, substring_index}
-    val cur = currentVersion(spark, root).getOrElse(
-      throw new IllegalStateException(s"no committed version at $root"))
-    require(morKeysOf(spark, root, cur).isEmpty,
-      "updateWhere: merge-on-read keyed lineage — update by key via upsertMor")
-    require(partColOf(spark, root, cur).isEmpty,
-      "updateWhere: partition-scoped lineage — update via upsertScoped")
-    val rootPath = new Path(root.replaceAll("/+$", ""))
-    val tracked = rowTrackingEnabled(spark, root)
-    val base = prunedBaseScan(spark, root, cur, withRid = tracked)
-    val assignments = mkAssign(base)
-    require(assignments.nonEmpty, "updateWhere needs at least one SET assignment")
-    require(assignments.keys.forall(base.columns.contains),
-      s"SET columns ${assignments.keys} must be columns of the table")
-    val tombs = tombDirsOf(spark, root, cur)
-    val withPos = base
-      .withColumn("__rel", substring_index(col("_metadata.file_path"), "/", -2))
-      .withColumn("__ri", col("_metadata.row_index"))
-    val alive =
-      if (tombs.isEmpty) withPos
-      else withPos.join(
-        spark.read.parquet(tombs.map(d => new Path(rootPath, d).toString): _*),
-        Seq("__rel", "__ri"), "left_anti")
-    val matched = alive.filter(mkCond(base)).persist()
-    try {
-      if (matched.isEmpty)
-        return StagedUpdate(cur, "", "", Set.empty, noMatch = true)
-      val uid = java.util.UUID.randomUUID.toString.replace("-", "")
-      val tombStaging = "tomb_u" + uid
-      val dataStaging = "data_u" + uid
-      val gateFp = Constraints.fingerprint(spark, root)
-      try {
-        writeTombstones(spark, matched.select(col("__rel"), col("__ri")),
-          new Path(rootPath, tombStaging))
-        val sel = base.columns.toSeq
-          .map(c => assignments.get(c).map(_.as(c)).getOrElse(col(c)))
-        // row tracking: exact identities for the rewritten copies
-        val matchedSrc =
-          if (!tracked) matched
-          else {
-            import org.apache.spark.sql.functions.{coalesce, lit,
-              raise_error, when}
-            val ridc = coalesce(col(RowIdCol), col("__rbase") + col("__ri"))
-            matched.join(rowBaseDf(spark, root, cur), Seq("__rel"), "left")
-              .withColumn(RowIdCol, when(ridc.isNull, raise_error(lit(
-                s"row-id coverage incomplete at $root — run " +
-                "enableRowTracking to re-base"))).otherwise(ridc))
-          }
-        // round 11 (ADVICE): the REWRITTEN rows are this statement's
-        // writes — they gate through declared CHECK constraints exactly
-        // like the COW path's written subset (a FAIL violation aborts
-        // inside the staged write, table unmoved; DROP removes the
-        // violating rewrite, whose old copy the tombstone already hides
-        // — the Delta UPDATE contract: constraints verify written rows)
-        // Round 12: unassigned generated columns recompute first
-        val (rewrites, obs) = Constraints.gate(spark, root,
-          Generated.recompute(spark, root, matchedSrc.select(sel: _*),
-            assignments.keys.toSet))
-        schemaOf(spark, root, cur).map(toPhysicalDf(rewrites, _))
-          .getOrElse(rewrites).write.mode("overwrite")
-          .parquet(new Path(rootPath, dataStaging).toString)
-        val touched = spark.read
-          .parquet(new Path(rootPath, tombStaging).toString)
-          .select("__rel").distinct().collect().map(_.getString(0)).toSet
-        StagedUpdate(cur, tombStaging, dataStaging, touched, noMatch = false,
-          obs = obs, constraintsFp = gateFp)
-      } catch { case e: Throwable =>
-        val f = fs(spark, rootPath)
-        f.delete(new Path(rootPath, tombStaging), true)
-        f.delete(new Path(rootPath, dataStaging), true)
-        throw e
-      }
-    } finally matched.unpersist()
-  }
-
-  def publishUpdateOcc(spark: SparkSession, root: String,
-                       staged: StagedUpdate): Long = {
-    withClaimWait(spark, root) {
-      val rootPath = new Path(root.replaceAll("/+$", ""))
-      val f = fs(spark, rootPath)
-      def abort(why: String): Nothing = {
-        if (staged.tombStaging.nonEmpty)
-          f.delete(new Path(rootPath, staged.tombStaging), true)
-        if (staged.dataStaging.nonEmpty)
-          f.delete(new Path(rootPath, staged.dataStaging), true)
-        throw new java.util.ConcurrentModificationException(
-          s"merge-on-read UPDATE OCC commit aborted: $why — re-run " +
-          "against the new head")
-      }
-      recoverOrphans(spark, root)
-      val head = currentVersion(spark, root).getOrElse(
-        abort("table has no committed version"))
-      if (staged.noMatch) return head // version-preserving no-op
-      // stale-gate guard: constraints added mid-stage abort (round 11)
-      if (Constraints.fingerprint(spark, root) != staged.constraintsFp)
-        abort("table constraints changed while the update was staging")
-      val next = head + 1L
-      validateDisjointRebase(spark, root, rootPath, staged.base, head,
-        staged.touchedRels, abort)
-      val tombSrc = new Path(rootPath, staged.tombStaging)
-      val dataSrc = new Path(rootPath, staged.dataStaging)
-      if (!f.exists(tombSrc) || !f.exists(dataSrc))
-        abort("staging dirs missing (vacuumed or already published)")
-      if (!f.rename(tombSrc, new Path(rootPath, tombDirName(next))))
-        throw new IllegalStateException(
-          s"could not move staged $tombSrc into ${tombDirName(next)}")
-      if (!f.rename(dataSrc, new Path(rootPath, dataDirName(next))))
-        throw new IllegalStateException(
-          s"could not move staged $dataSrc into ${dataDirName(next)}")
-      val carry = sidecarCarry(spark, root, head)
-      val stack = writeStats(spark, root, next, Nil, carry)
-      writeManifestDirs(spark, root, next,
-        dirsOf(spark, root, head) :+ dataDirName(next),
-        batchId = batchIdOf(spark, root, head).getOrElse(-1L),
-        tombDirs = tombDirsOf(spark, root, head) :+ tombDirName(next),
-        kind = "update",
-        schemaJson = rawSchemaJson(spark, root, head),
-        statsStack = stack)
-      publishLatest(spark, root, next)
-      Constraints.finish(spark, root, next, staged.obs)
-      next
-    }
-  }
-
-  /** [[updateWhere]] through the OCC split: scan + both staged writes
-    * run lock-free; the publish rebases over file-disjoint
-    * interleavings. The SQL UPDATE lowering rides this.
-    */
-  def updateWhereOcc(spark: SparkSession, root: String,
-      mkCond: DataFrame => org.apache.spark.sql.Column,
-      mkAssign: DataFrame => Map[String, org.apache.spark.sql.Column]): Long =
-    publishUpdateOcc(spark, root,
-      stageUpdateWhereOcc(spark, root, mkCond, mkAssign))
-
-  /** Merge-on-read UPDATE — the commit-cost-ladder rung between the
-    * deletion-vector DELETE (O(deleted rows)) and the copy-on-write
-    * rewrite (O(table)): `UPDATE t SET ... WHERE p` as ONE atomic
-    * version that (a) tombstones the matched rows' positions into a new
-    * deletion vector and (b) appends the rewritten matched rows as a new
-    * data directory. Every pre-existing data file is carried by
-    * reference; total write cost is O(matched rows) — at 100 TB an
-    * UPDATE touching 0.1% of rows writes 0.1% of the table, not all of
-    * it. Readers need no new machinery: the DV hides the old copies, the
-    * appended dir supplies the new ones, time travel and vacuum
-    * reference-counting see ordinary dirs + tombs.
-    *
-    * `mkCond` receives the positional base scan (as in
-    * [[tombstoneDeleteWhere]]); `assignments` maps column name →
-    * replacement expression over the current row (non-assigned columns
-    * carry). A predicate matching nothing is a NO-OP returning the
-    * current version — no empty dirs enter the manifest.
-    *
-    * Contract: not for merge-on-read KEYED lineages (their update verb
-    * is [[upsertMor]] — shadowing already gives O(batch) updates) nor
-    * for partition-scoped lineages (their `__gp=` leaf-dir names carry
-    * the partition value, which a flat appended dir cannot; their
-    * upsert verb is [[upsertScoped]] at O(touched partitions)).
-    */
-  def updateWhere(spark: SparkSession, root: String,
-                  mkCond: DataFrame => org.apache.spark.sql.Column,
-                  assignments: Map[String, org.apache.spark.sql.Column]): Long =
-    updateWhere(spark, root, mkCond,
-      (_: DataFrame) => assignments)
-
-  /** [[updateWhere]] with assignments built against the positional base
-    * scan (like `mkCond`) — what the SQL lowering needs to re-bind
-    * resolved `SET` expressions by name.
-    */
-  def updateWhere(spark: SparkSession, root: String,
-                  mkCond: DataFrame => org.apache.spark.sql.Column,
-                  mkAssign: DataFrame => Map[String, org.apache.spark.sql.Column]): Long = {
-    import org.apache.spark.sql.functions.{col, substring_index}
-    withClaim(spark, root) { f =>
-      recoverOrphans(spark, root)
-      val cur = currentVersion(spark, root).getOrElse(
-        throw new IllegalStateException(s"no committed version at $root"))
-      require(morKeysOf(spark, root, cur).isEmpty,
-        "updateWhere: merge-on-read keyed lineage — update by key via upsertMor")
-      require(partColOf(spark, root, cur).isEmpty,
-        "updateWhere: partition-scoped lineage — update via upsertScoped")
-      val next = cur + 1L
-      val rootPath = new Path(root.replaceAll("/+$", ""))
-      // file-manifest scan: schema declared, zero listing when the
-      // sidecar is complete (prunedBaseScan); raw positions, no DV/MoR.
-      // Row-tracked lineages read WITH the materialized id column so
-      // the rewritten rows keep their identities (round 12)
-      val tracked = rowTrackingEnabled(spark, root)
-      val base = prunedBaseScan(spark, root, cur, withRid = tracked)
-      val assignments = mkAssign(base)
-      require(assignments.nonEmpty, "updateWhere needs at least one SET assignment")
-      require(assignments.keys.forall(base.columns.contains),
-        s"SET columns ${assignments.keys} must be columns of the table")
-      // positions AND payload in one pruned scan; rows already hidden by
-      // a deletion vector must not match (they would resurrect as
-      // updated copies), so the current vectors apply first
-      val tombs = tombDirsOf(spark, root, cur)
-      val withPos = base
-        .withColumn("__rel", substring_index(col("_metadata.file_path"), "/", -2))
-        .withColumn("__ri", col("_metadata.row_index"))
-      val alive =
-        if (tombs.isEmpty) withPos
-        else withPos.join(
-          spark.read.parquet(tombs.map(d => new Path(rootPath, d).toString): _*),
-          Seq("__rel", "__ri"), "left_anti")
-      val matched = alive.filter(mkCond(base)).persist()
-      try {
-        if (matched.isEmpty) cur
-        else {
-          writeTombstones(spark, matched.select(col("__rel"), col("__ri")),
-            new Path(rootPath, tombDirName(next)))
-          val sel = base.columns.toSeq
-            .map(c => assignments.get(c).map(_.as(c)).getOrElse(col(c)))
-          // row tracking: the rewritten copies carry EXACT identities —
-          // the file-materialized id when present, else base + index
-          val matchedSrc =
-            if (!tracked) matched
-            else {
-              import org.apache.spark.sql.functions.{coalesce, lit,
-                raise_error, when}
-              val ridc = coalesce(col(RowIdCol), col("__rbase") + col("__ri"))
-              matched.join(rowBaseDf(spark, root, cur), Seq("__rel"), "left")
-                .withColumn(RowIdCol, when(ridc.isNull, raise_error(lit(
-                  s"row-id coverage incomplete at $root — run " +
-                  "enableRowTracking to re-base"))).otherwise(ridc))
-            }
-          // round 11 (ADVICE): rewritten rows gate through declared
-          // CHECK constraints — same contract as stageUpdateWhereOcc.
-          // Round 12: generated columns the SET did not explicitly
-          // assign recompute first (the Delta UPDATE contract — source
-          // changes refresh derivations transparently)
-          val (rewrites, obs) = Constraints.gate(spark, root,
-            Generated.recompute(spark, root, matchedSrc.select(sel: _*),
-              assignments.keys.toSet))
-          // the rewrites dir joins a physical-named lineage — translate
-          schemaOf(spark, root, cur).map(toPhysicalDf(rewrites, _))
-            .getOrElse(rewrites).write.mode("overwrite")
-            .parquet(new Path(rootPath, dataDirName(next)).toString)
-          // pre-existing files are untouched → parent sidecar lines carry
-          // verbatim; the appended dir gets no stats line (same contract
-          // as an un-statted append — skipping stays safe, not stale)
-          val carry = sidecarCarry(spark, root, cur)
-          val stack = writeStats(spark, root, next, Nil, carry)
-          writeManifestDirs(spark, root, next,
-            dirsOf(spark, root, cur) :+ dataDirName(next),
-            batchId = batchIdOf(spark, root, cur).getOrElse(-1L),
-            tombDirs = tombs :+ tombDirName(next),
-            kind = "update",
-            schemaJson = rawSchemaJson(spark, root, cur),
-            statsStack = stack)
-          publishLatest(spark, root, next)
-          Constraints.finish(spark, root, next, obs)
-          next
-        }
-      } finally matched.unpersist()
-    }
-  }
-
-  /** Selective OVERWRITE — Delta's `replaceWhere` as ONE atomic
-    * merge-on-read version: (a) tombstone every current row matching
-    * the predicate into a new deletion vector and (b) append `batch`
-    * as a new data directory; every pre-existing file carried by
-    * reference. Where Delta's copy-on-write replaceWhere REWRITES each
-    * file containing a matched row, this commit writes POSITIONS —
-    * replacing one day in a 100 TB table costs that day's positions
-    * plus the new day's bytes, never the files around them.
-    *
-    * Contract (Delta's): every batch row must satisfy the predicate —
-    * a row outside it would silently survive the next replace of its
-    * own slice; refused loudly, before anything stages. Batch rows
-    * gate through declared CHECK constraints; the batch must carry the
-    * table's exact schema (the append drift rule). CDC derives the
-    * commit as exact delete(matched) + insert(batch) events — both
-    * [[changesBetween]]'s event fold and the CDC stream admit the
-    * `replace_where` manifest kind (same structural shape as a
-    * merge-on-read update, labeled insert/delete instead of pre/post
-    * image). Degenerate shapes stay honest: predicate matching
-    * nothing → a plain append commit (kind clear, the tail ships it);
-    * empty batch with matches → a pure DV delete; both empty → no-op
-    * at the current version.
-    *
-    * Same lineage refusals as [[updateWhere]]: MoR-keyed lineages
-    * replace by key via [[upsertMor]]; partition-scoped lineages
-    * replace partitions via [[upsertScoped]] (their `__gp=` leaf names
-    * carry values a flat appended dir cannot). The appended dir
-    * inherits the lineage's stat columns (sidecar-derived), so span
-    * skipping keeps its pruning power across replaces.
-    *
-    * Writer surface: `df.write.format("graft").mode("overwrite")
-    * .option("replaceWhere", "event_date = '2024-01-01'").save(root)`.
-    */
-  def replaceWhere(spark: SparkSession, root: String, batch: DataFrame,
-                   mkCond: DataFrame => org.apache.spark.sql.Column): Long = {
-    import org.apache.spark.sql.functions.{col, not, substring_index}
-    withClaim(spark, root) { f =>
-      recoverOrphans(spark, root)
-      val cur = currentVersion(spark, root).getOrElse(
-        throw new IllegalStateException(s"no committed version at $root"))
-      require(morKeysOf(spark, root, cur).isEmpty,
-        "replaceWhere: merge-on-read keyed lineage — replace by key via upsertMor")
-      require(partColOf(spark, root, cur).isEmpty,
-        "replaceWhere: partition-scoped lineage — replace partitions via upsertScoped")
-      // generated columns the batch omits are computed by the gate
-      // below (round 12) — the parity check tolerates exactly those
-      val genAbsent = Generated.list(spark, root).map(_.name)
-        .filterNot(n => batch.columns.exists(_.equalsIgnoreCase(n)))
-        .map(_.toLowerCase).toSet
-      val have = tableSchema(spark, root, cur).fields
-        .filterNot(fl => genAbsent.contains(fl.name.toLowerCase))
-        .map(fl => (fl.name, fl.dataType.catalogString)).toSeq
-      val got = batch.schema.fields
-        .map(fl => (fl.name, fl.dataType.catalogString)).toSeq
-      require(got == have,
-        s"replaceWhere batch schema $got != table schema $have")
-      // the Delta contract, checked on the raw batch BEFORE the
-      // constraint gate (the gate's observation must see exactly one
-      // action): one limit-1 probe, no full pass. NULL predicate
-      // results count as OUTSIDE — a NULL-cond row would never be
-      // deleted by the same predicate later, silently surviving its
-      // own slice's next replace
-      require(batch.filter(not(org.apache.spark.sql.functions
-          .coalesce(mkCond(batch), org.apache.spark.sql.functions.lit(false))))
-          .limit(1).count() == 0,
-        "replaceWhere: batch rows outside the predicate — every " +
-        "replacement row must satisfy the REPLACE WHERE condition")
-      val batchEmpty = batch.isEmpty
-      val next = cur + 1L
-      val rootPath = new Path(root.replaceAll("/+$", ""))
-      // positions matching the predicate, rows already hidden by a
-      // deletion vector excluded (they must not re-tombstone) — the
-      // updateWhere probe, minus the payload
-      val base = prunedBaseScan(spark, root, cur)
-      val tombs = tombDirsOf(spark, root, cur)
-      val withPos = base
-        .withColumn("__rel", substring_index(col("_metadata.file_path"), "/", -2))
-        .withColumn("__ri", col("_metadata.row_index"))
-      val alive =
-        if (tombs.isEmpty) withPos
-        else withPos.join(
-          spark.read.parquet(tombs.map(d => new Path(rootPath, d).toString): _*),
-          Seq("__rel", "__ri"), "left_anti")
-      val hits = alive.filter(mkCond(base))
-        .select(col("__rel"), col("__ri")).persist()
-      try {
-        // count(), not isEmpty: materialize the persisted probe in ONE
-        // full scan (isEmpty's limit-1 caches only the partitions it
-        // touched, and the tombstone write would re-scan the rest)
-        val anyHits = hits.count() > 0
-        if (!anyHits && batchEmpty) cur
-        else {
-          if (anyHits)
-            writeTombstones(spark, hits, new Path(rootPath, tombDirName(next)))
-          var obs: Option[org.apache.spark.sql.Observation] = None
-          val newDirs =
-            if (batchEmpty) Nil
-            else {
-              val (gated, o) = Constraints.gate(spark, root, batch)
-              obs = o
-              // the appended dir joins a physical-named lineage —
-              // translate (the updateWhere rule)
-              schemaOf(spark, root, cur).map(toPhysicalDf(gated, _))
-                .getOrElse(gated).write.mode("overwrite")
-                .parquet(new Path(rootPath, dataDirName(next)).toString)
-              Seq(dataDirName(next))
-            }
-          // pre-existing files untouched → sidecar lines carry
-          // verbatim; the NEW dir gets footer-derived spans for the
-          // lineage's stat columns (a replace must not strip the
-          // lineage's pruning power — the upsert/deleteByKey rule)
-          val carry = sidecarCarry(spark, root, cur)
-          val sc = if (batchEmpty) Nil else inheritedStatsCols(spark, root)
-          val stack = writeStats(spark, root, next, sc, carry)
-          writeManifestDirs(spark, root, next,
-            dirsOf(spark, root, cur) ++ newDirs,
-            batchId = batchIdOf(spark, root, cur).getOrElse(-1L),
-            tombDirs = if (anyHits) tombs :+ tombDirName(next) else tombs,
-            kind = if (!anyHits) ""
-                   else if (batchEmpty) "delete"
-                   else "replace_where",
-            schemaJson = rawSchemaJson(spark, root, cur),
-            statsStack = stack)
-          publishLatest(spark, root, next)
-          Constraints.finish(spark, root, next, obs)
-          next
-        }
-      } finally hits.unpersist()
-    }
-  }
-
-  /** Zero-copy SHALLOW CLONE (the Delta CLONE verb): a new table at
-    * `dstRoot` whose first manifest references the SOURCE version's data
-    * (and deletion-vector) directories by absolute path — no data
-    * copied, metadata-only cost. From then on the two tables evolve
-    * independently: the clone's own commits write under its root, and
-    * reference counting keeps them apart structurally —
-    *  - the clone NEVER rewrites source files (its updates/deletes are
-    *    new tombs + new dirs under dstRoot);
-    *  - vacuum on the clone cannot touch source data: a version only
-    *    deletes dirs named `data_v<own>`, which an absolute foreign
-    *    path never matches;
-    *  - the clone publishes AT the source's version number, so its
-    *    future dir names (data_v(sv+1)…) are disjoint from every
-    *    referenced source dir name — positional deletion-vector keys
-    *    (last two path segments) stay unambiguous.
-    * The standard caveat carries over from Delta: vacuuming the SOURCE
-    * can reclaim dirs a clone still references — shallow clones are dev
-    * snapshots, not backups (documented, as in every lakehouse).
-    * Stats sidecar lines carry verbatim (their file keys are leaf-
-    * relative and leaf names are preserved), so skipping works on the
-    * clone immediately. Returns the clone's head version (= `version`).
-    */
-  def shallowClone(spark: SparkSession, srcRoot: String, dstRoot: String,
-                   version: Option[Long] = None): Long = {
-    val sv = version.getOrElse(currentVersion(spark, srcRoot).getOrElse(
-      throw new IllegalStateException(s"no committed version at $srcRoot")))
-    val m = manifestPath(srcRoot, sv)
-    require(fs(spark, m).exists(m),
-      s"source version $sv does not exist (never committed, or vacuumed) at $srcRoot")
-    val srcPath = new Path(srcRoot.replaceAll("/+$", ""))
-    def abs(d: String): String = new Path(srcPath, d).toString
-    val dirs = dirsOf(spark, srcRoot, sv).map(abs)
-    val tombs = tombDirsOf(spark, srcRoot, sv).map(abs)
-    val carry = sidecarCarry(spark, srcRoot, sv, allowChain = false)
-    // an occupied destination must refuse BEFORE the pin registers and
-    // CLONE_SRC overwrites — a failed re-clone must not corrupt an
-    // existing clone's pin record or leak a pin on the new source
-    // (re-checked under the claim below against a racing creator)
-    require(currentVersion(spark, dstRoot).isEmpty,
-      s"clone target $dstRoot already has a committed table")
-    // spec evolution (round 13): a clone carries no spec history and
-    // its leaf dirs would resolve against the CLONE's own manifests —
-    // an old-spec source leaf would silently misattribute to the head
-    // spec, and a later keyed merge on the clone could duplicate keys.
-    // Refuse while the source layout is mixed (merges/overwrites
-    // converge it); a converged source clones safely.
-    partColOf(spark, srcRoot, sv).foreach { hs =>
-      if (specHistEntries(spark, srcRoot).nonEmpty) {
-        val mixed = specsOfLeafDirs(spark, srcRoot,
-          dirsOf(spark, srcRoot, sv), hs).exists(_._2 != hs)
-        require(!mixed,
-          s"shallowClone of spec-evolved $srcRoot with old-spec leafs " +
-          "still present — converge the layout first (keyed merges and " +
-          "overwritePartitions migrate the leafs they touch)")
-      }
-    }
-    // CLONE PIN (round 11, the r10 verdict's #6): the clone registers a
-    // consumer-style pin on the SOURCE at the referenced version, so a
-    // source vacuum WIDENS its keep over the clone's data instead of
-    // reclaiming dirs the clone still reads — the Delta data-loss
-    // footgun becomes a pin. Registered BEFORE the clone publishes: a
-    // crash between the two leaves a removable stale pin, never a
-    // clone whose bytes a vacuum may already be deleting. The pin
-    // releases when the clone materializes ([[compactChain]]) or is
-    // dropped ([[releaseClonePin]]).
-    val pinName = clonePinName(dstRoot)
-    registerConsumer(spark, srcRoot, pinName, sv)
-    writeCloneSrc(spark, dstRoot, srcRoot, pinName)
-    withClaim(spark, dstRoot) { _ =>
-      require(currentVersion(spark, dstRoot).isEmpty,
-        s"clone target $dstRoot already has a committed table")
-      writeStats(spark, dstRoot, sv, Nil, carry)
-      writeManifestDirs(spark, dstRoot, sv, dirs,
-        batchId = -1L, tombDirs = tombs, kind = "clone",
-        partCol = partColOf(spark, srcRoot, sv).getOrElse(""),
-        morKeys = morKeysOf(spark, srcRoot, sv),
-        schemaJson = rawSchemaJson(spark, srcRoot, sv))
-      publishLatest(spark, dstRoot, sv)
-      sv
-    }
-  }
-
-  /** CONVERT an existing directory of parquet files into a snapshot-log
-    * table IN PLACE — Delta's `CONVERT TO DELTA` verb: version 1's
-    * manifest adopts the directory's own files as FILE entries (the
-    * same absolute-file manifest shape the pruned keyed upsert writes),
-    * so NOT ONE BYTE of data is copied, moved, or rewritten — on a
-    * 100 TB raw parquet dump the convert costs one directory listing,
-    * one footer read for the schema pin, and (with `statsCols`) one
-    * distributed O(files) footer pass that builds the skipping sidecar,
-    * after which the full engine surface applies: transactional
-    * appends/MERGE/DML, time travel, file skipping, streaming tail,
-    * SQL. The log lives at `<dir>/_graft_log`; underscore-prefixed
-    * paths are hidden to parquet listings, so a pre-convert reader of
-    * the raw directory keeps working.
-    *
-    * Contract: the directory holds the table's parquet files DIRECTLY
-    * (a hive-partitioned `k=v/` tree refuses with guidance — its
-    * partition values live in dir names, not file bytes, so in-place
-    * adoption would drop them; read + write a scoped graft table
-    * instead) and the files share one schema (the plain-parquet reading
-    * contract this inherits — the pin comes from one footer's Spark
-    * row.metadata). The adopted files are never deleted by [[vacuum]]
-    * (reclamation only ever touches `data_v*` dirs the log itself
-    * wrote); after a materializing rewrite ([[compactChain]]) the
-    * originals become unreferenced bytes to reclaim out-of-band —
-    * documented, the price of zero-copy adoption.
-    */
-  def convertParquet(spark: SparkSession, root: String,
-                     statsCols: Seq[String] = Nil): Long = {
-    val rootPath = new Path(root.replaceAll("/+$", ""))
-    val f = fs(spark, rootPath)
-    require(f.exists(rootPath) && f.getFileStatus(rootPath).isDirectory,
-      s"convertParquet: $root is not a directory")
-    val dirBase = rootPath.getName
-    // version dirs the log will write later must stay name-disjoint
-    // from the adopted dir (deletion-vector keys and vacuum both key on
-    // the last path segments)
-    require(!dirBase.matches("(data|tomb|chg)_v\\d+"),
-      s"convertParquet: directory name '$dirBase' collides with the " +
-      "log's version-dir naming — rename the directory first")
-    require(currentVersion(spark, root).isEmpty,
-      s"convertParquet: $root already has a committed table")
-    withClaim(spark, root) { _ =>
-      require(currentVersion(spark, root).isEmpty,
-        s"convertParquet: $root already has a committed table")
-      // the listing happens UNDER the claim: a writer still dropping
-      // files into the directory during the convert must either land
-      // before the listing (adopted) or observe the committed table —
-      // a pre-claim listing could silently omit late files forever
-      val top = f.listStatus(rootPath)
-      val subDirs = top.filter(st => st.isDirectory &&
-        !st.getPath.getName.startsWith(".") &&
-        !st.getPath.getName.startsWith("_")).map(_.getPath.getName).toSeq
-      require(subDirs.isEmpty,
-        s"convertParquet: $root contains subdirectories " +
-        s"(${subDirs.take(3).mkString(", ")}…) — a partitioned/hive tree " +
-        "cannot convert in place (partition values live in dir names, not " +
-        "file bytes); read it with spark.read.parquet and write a " +
-        "partition-scoped graft table instead")
-      val files = top.filter(st => st.isFile &&
-        st.getPath.getName.endsWith(".parquet") &&
-        !st.getPath.getName.startsWith(".") &&
-        !st.getPath.getName.startsWith("_")).sortBy(_.getPath.getName).toSeq
-      require(files.nonEmpty,
-        s"convertParquet: no parquet files directly under $root")
-      val v = 1L
-      // adopted files as absolute FILE manifest entries; sidecar f-lines
-      // key by the (dirBase, fileName) pair every skipping/DV mechanism
-      // uses, so planning is listing-free from the first read
-      val entries = files.map(st =>
-        new Path(rootPath, st.getPath.getName).toString)
-      val lines = files.map(st =>
-        s"${esc(dirBase + "/" + st.getPath.getName)}\t\tf\t${st.getLen}\t${st.getModificationTime}").toVector
-      // schema pin from ONE footer's Spark row.metadata (foreign writers
-      // without it stay unpinned — the uniform-schema contract applies
-      // either way); pinning keeps later reads/evolution listing-free
-      val pinned = sparkSchemaFromFooter(spark, files.head.getPath)
-        .map(st => asNullable(st)
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
-      val fieldMap: Map[String, org.apache.spark.sql.types.DataType] =
-        pinned.getOrElse(spark.read.parquet(entries: _*).schema)
-          .fields.map(fl => fl.name -> fl.dataType).toMap
-      val footerRdd = footerSpanRdd(spark, entries, statsCols, fieldMap)
-      val stack = publishStatsSidecar(spark, root, v, statsCols, lines,
-        footerRdd, EagerCarry(Nil))
-      writeManifestDirs(spark, root, v, entries, batchId = -1L,
-        kind = "convert",
-        schemaJson = pinned.map(st =>
-          java.net.URLEncoder.encode(st.json, "UTF-8")).getOrElse(""),
-        statsStack = stack)
-      publishLatest(spark, root, v)
-      v
-    }
-  }
-
-  /** The clone's pin name on its source — a stable token derived from
-    * the clone root (consumer names must be plain tokens).
-    */
-  private[graft] def clonePinName(dstRoot: String): String =
-    "clone_" + java.security.MessageDigest.getInstance("MD5")
-      .digest(dstRoot.replaceAll("/+$", "")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString.take(16)
-
-  private def cloneSrcPath(root: String): Path =
-    new Path(logDir(root), "CLONE_SRC")
-
-  private def writeCloneSrc(spark: SparkSession, dstRoot: String,
-                            srcRoot: String, pinName: String): Unit = {
-    val p = cloneSrcPath(dstRoot)
-    val f = fs(spark, p)
-    f.mkdirs(p.getParent)
-    val tmp = new Path(p.getParent, ".tmp_clone_src")
-    val out = f.create(tmp, true)
-    try out.write((java.net.URLEncoder.encode(srcRoot, "UTF-8") + "\t" + pinName)
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val fc = FileContext.getFileContext(p.toUri,
-      spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, p, Options.Rename.OVERWRITE)
-  }
-
-  /** The (source root, pin name) a shallow clone records, if any. */
-  private[graft] def cloneSrcOf(spark: SparkSession,
-                                root: String): Option[(String, String)] = {
-    val p = cloneSrcPath(root)
-    val f = fs(spark, p)
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      val txt = try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      txt.split("\t", 2) match {
-        case Array(src, pin) =>
-          Some((java.net.URLDecoder.decode(src, "UTF-8"), pin))
-        case _ => None
-      }
-    }
-  }
-
-  /** Release the pin a shallow clone holds on its source (idempotent;
-    * best-effort if the source is gone). Called by [[compactChain]]
-    * once the clone materializes under its own root, and by table DROP —
-    * call directly when removing a clone out-of-band. After release,
-    * the clone's PRE-materialization versions regain the classic
-    * source-vacuum caveat (they still reference source dirs).
-    */
-  def releaseClonePin(spark: SparkSession, cloneRoot: String): Unit =
-    cloneSrcOf(spark, cloneRoot).foreach { case (src, pin) =>
-      try unregisterConsumer(spark, src, pin)
-      catch { case _: Exception => () } // source vanished: nothing pinned
-      fs(spark, cloneSrcPath(cloneRoot)).delete(cloneSrcPath(cloneRoot), false)
-    }
-
-  /** Every clone-held pin on `srcRoot`: pin name → referenced version
-    * (the `CALL graft.system.clones(t)` surface; a subset of
-    * [[consumers]]).
-    */
-  def clonePins(spark: SparkSession, srcRoot: String): Map[String, Long] =
-    consumers(spark, srcRoot).filter(_._1.startsWith("clone_"))
-
-  /** Bounded-wait writer claim: the OCC commit paths hold the claim
-    * only for their METADATA-side critical section (head resolve,
-    * conflict check, dir rename, sidecar + manifest + pointer), so
-    * contending writers WAIT briefly instead of failing — the expensive
-    * data write already happened outside the lock. Same atomic-create
-    * claim file as the classic paths, so OCC and classic writers
-    * exclude each other correctly.
-    */
-  /** Fail-fast writer claim: acquire, run `body` with the log-dir
-    * filesystem, release in `finally`. Every classic (non-OCC) commit
-    * path goes through here, so a fix to claim semantics lands on all
-    * of them at once; [[withClaimWait]] is the bounded-wait variant the
-    * OCC metadata sections use.
-    */
-  private def withClaim[T](spark: SparkSession, root: String)
-                          (body: org.apache.hadoop.fs.FileSystem => T): T = {
-    val ld = logDir(root)
-    val f = fs(spark, ld)
-    f.mkdirs(ld)
-    val claim = new Path(ld, "WRITER_CLAIM")
-    val store = LogStore.resolve(spark)
-    require(store.tryClaim(spark, claim),
-      s"could not claim $claim — concurrent commit on this table, or a " +
-      "hard-crashed writer's leftover (remove it and retry)")
-    try body(f) finally store.releaseClaim(spark, claim)
-  }
-
-  private[sources] def withClaimWait[T](spark: SparkSession, root: String,
-                                        timeoutMs: Long = 60000L)(body: => T): T = {
-    val ld = logDir(root)
-    val f = fs(spark, ld)
-    f.mkdirs(ld)
-    val claim = new Path(ld, "WRITER_CLAIM")
-    val store = LogStore.resolve(spark)
-    val deadline = System.currentTimeMillis + timeoutMs
-    var claimed = false
-    while (!claimed) {
-      claimed =
-        store.tryClaim(spark, claim)
-      if (!claimed) {
-        if (System.currentTimeMillis > deadline)
-          throw new IllegalStateException(
-            s"timed out after ${timeoutMs}ms waiting for $claim — a writer " +
-            "is stuck mid-commit or hard-crashed (remove the claim to recover)")
-        Thread.sleep(25L + scala.util.Random.nextInt(50).toLong)
-      }
-    }
-    try body finally store.releaseClaim(spark, claim)
-  }
-
-  private def stagingDirName(): String =
-    "data_u" + java.util.UUID.randomUUID.toString.replace("-", "")
-
-  /** Optimistic-concurrency APPEND: the batch is written to a
-    * writer-unique staging dir with NO lock held, then a short claimed
-    * critical section renames it into place as the next version —
-    * contending appenders overlap their (arbitrarily large) data writes
-    * and serialize only on O(metadata). Appends never conflict
-    * semantically, so every staged batch lands; the schema guard and
-    * deletion-vector carry match [[appendCommit]].
-    */
-  def appendOcc(spark: SparkSession, root: String, batch: DataFrame,
-                statsCols: Seq[String] = Nil,
-                bloomCols: Seq[String] = Nil): Long = {
-    val rootPath = new Path(root.replaceAll("/+$", ""))
-    val staging = new Path(rootPath, stagingDirName())
-    // column mapping at the lock-free staging write: physical names are
-    // IMMUTABLE, so the pre-claim pin translates correctly even if a
-    // rename lands between staging and claim (the schema guard below
-    // then aborts on the logical-name drift and deletes the staging)
-    val stagePin = currentVersion(spark, root).flatMap(schemaOf(spark, root, _))
-    val stageMap = stagePin.map(renameMap).getOrElse(Map.empty[String, String])
-    // round 11: the constraint gate rides the lock-free staging write —
-    // a FAIL violation dies here, before the claim, with nothing staged.
-    // The gate-time fingerprint re-checks under the claim: a constraint
-    // added while this stage was in flight aborts instead of letting
-    // ungated rows land
-    val gateFp = Constraints.fingerprint(spark, root)
-    val (gated, obs) = Constraints.gate(spark, root, batch)
-    val physBatch = if (stageMap.isEmpty) gated else toPhysicalDf(gated, stagePin.get)
-    try writeDataDir(spark, physBatch, staging,
-      bloomCols.map(c => stageMap.getOrElse(c, c)))
-    catch { case e: Throwable =>
-      fs(spark, rootPath).delete(staging, true); throw e
-    }
-    val v = withClaimWait(spark, root) {
-      recoverOrphans(spark, root)
-      val f = fs(spark, rootPath)
-      if (Constraints.fingerprint(spark, root) != gateFp) {
-        f.delete(staging, true)
-        throw new java.util.ConcurrentModificationException(
-          s"appendOcc at $root: table constraints changed while the " +
-          "batch was staging — re-run (the batch will re-gate)")
-      }
-      val cur = currentVersion(spark, root)
-      val next = cur.getOrElse(0L) + 1L
-      cur.foreach { c =>
-        if (morKeysOf(spark, root, c).nonEmpty) {
-          f.delete(staging, true)
-          throw new IllegalArgumentException(
-            "this lineage is merge-on-read keyed (upsertMor) — plain " +
-            "appends are refused; use upsertMor")
-        }
-        val have = tableSchema(spark, root, c).fields
-          .map(fl => (fl.name, fl.dataType.catalogString)).toSeq
-        // the GATED frame is what staged (round 12: generated columns
-        // the batch lacked were computed into it)
-        val got = gated.schema.fields
-          .map(fl => (fl.name, fl.dataType.catalogString)).toSeq
-        if (got != have) {
-          f.delete(staging, true)
-          throw new IllegalArgumentException(
-            s"append schema $got != table schema $have " +
-            "(append-only tables do not evolve schemas mid-chain)")
-        }
-      }
-      if (!f.rename(staging, dataDir(root, next)))
-        throw new IllegalStateException(
-          s"could not move staged $staging into ${dataDir(root, next)}")
-      val carry = cur.map(c => sidecarCarry(spark, root, c))
-        .getOrElse(EagerCarry(Nil))
-      val stack = writeStats(spark, root, next,
-        statsCols.map(c => stageMap.getOrElse(c, c)), carry)
-      writeManifestAppend(spark, root, next, -1L,
-        baseDirs = cur.map(dirsOf(spark, root, _)).getOrElse(Nil),
-        tombDirs = cur.map(tombDirsOf(spark, root, _)).getOrElse(Nil),
-        schemaJson = cur.map(rawSchemaJson(spark, root, _)).getOrElse(""),
-        statsStack = stack)
-      publishLatest(spark, root, next)
-      next
-    }
-    Constraints.finish(spark, root, v, obs)
-    v
-  }
-
-  /** Handle for a staged-but-unpublished scoped OCC commit: which head
-    * the merge was computed against, where the merged leafs sit, and
-    * which partitions they cover.
-    */
-  private[graft] case class StagedScoped(base: Option[Long],
-                                         stagingDir: String,
-                                         touched: Set[String],
-                                         partitionCol: String,
-                                         obs: Option[org.apache.spark.sql.Observation] = None,
-                                         constraintsFp: String = "")
-
-  /** Optimistic-concurrency partition-scoped upsert, split so the spec
-    * can interleave writers deterministically: [[stageScopedOcc]] does
-    * the expensive merge+write against a freely-read head with NO lock;
-    * [[publishScopedOcc]] then holds the claim only to validate and
-    * publish. Validation: every commit that landed since the staged
-    * base must itself be a scoped commit touching DISJOINT partitions —
-    * then the staged merge is still exact and simply rebases (its
-    * untouched carry-list is recomputed against the new head). Any
-    * overlap, interleaved delete, append, or full rewrite aborts with
-    * `ConcurrentModificationException`, staging removed, table
-    * untouched — the caller re-runs the whole upsert against the new
-    * head. [[upsertScopedOcc]] is the one-call form.
-    */
-  def upsertScopedOcc(spark: SparkSession, root: String, batch: DataFrame,
-                      keys: Seq[String], partitionCol: String,
-                      statsCols: Seq[String] = Nil,
-                      bloomCols: Seq[String] = Nil): Long =
-    publishScopedOcc(spark, root,
-      stageScopedOcc(spark, root, batch, keys, partitionCol, bloomCols),
-      statsCols)
-
-  private[graft] def stageScopedOcc(spark: SparkSession, root: String,
-                                    batch: DataFrame, keys: Seq[String],
-                                    partitionCol: String,
-                                    bloomCols: Seq[String] = Nil): StagedScoped = {
-    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-    import org.apache.spark.sql.functions.col
-    val spec0 = parseGpSpec(partitionCol)
-    require(spec0.comps.nonEmpty && spec0.refCols.forall(batch.columns.contains),
-      s"partition spec $partitionCol references columns outside the batch " +
-      s"${batch.columns.toSeq}")
-    require(keys.nonEmpty && keys.forall(batch.columns.contains),
-      s"keys $keys must be columns of the batch")
-    val rootPath = new Path(root.replaceAll("/+$", ""))
-    // round 11: constraint gate at the lock-free stage — FAIL fires in
-    // the touched-partition probe below, before anything hits disk; the
-    // gate-time fingerprint re-checks at publish (constraints added
-    // mid-stage abort instead of admitting ungated rows)
-    val gateFp = Constraints.fingerprint(spark, root)
-    val (gated, obs) = Constraints.gate(spark, root, batch)
-    // column mapping, same translation as the claimed path (round 11)
-    val stagePin = currentVersion(spark, root).flatMap(schemaOf(spark, root, _))
-    def toLogical(df: DataFrame): DataFrame =
-      stagePin.map(fromPhysicalSelect(df, _)).getOrElse(df)
-    def toPhys(df: DataFrame): DataFrame =
-      stagePin.map(toPhysicalDf(df, _)).getOrElse(df)
-    // declared-schema slice read: widened narrow leafs upcast (see the
-    // claimed path's readSlice)
-    def readSlice(paths: Seq[String]): DataFrame = stagePin match {
-      case Some(st) => spark.read.schema(physicalSchema(st)).parquet(paths: _*)
-      case None     => spark.read.parquet(paths: _*)
-    }
-    val physMap = stagePin.map(renameMap).getOrElse(Map.empty[String, String])
-    // zone pinning, same rule as the claimed path (the publish-side
-    // disjointness check then compares identically-rendered names)
-    val spec = normalizeGpSpec(spark, spec0, batch,
-      currentVersion(spark, root).flatMap(partColOf(spark, root, _)))
-    val touchedNames = gated.select(gpRenderExpr(spec).cast("string"))
-      .distinct().collect().map { r =>
-        require(!r.isNullAt(0),
-          s"NULL partition component ($partitionCol) in batch: scoped " +
-          "commits need a concrete partition per row")
-        GpPrefix + ExternalCatalogUtils.escapePathName(r.getString(0))
-      }.toSet
-    val base = currentVersion(spark, root)
-    def baseName(d: String) = d.substring(d.lastIndexOf('/') + 1)
-    // spec evolution (round 13): the lock-free stage derives its merge
-    // slice purely from head-spec leaf names — an old-spec leaf the
-    // batch's keys live in would silently duplicate. Refuse while any
-    // old-spec leaf remains; the claimed upsertScoped migrates them.
-    base.foreach { b =>
-      if (specHistEntries(spark, root).nonEmpty) {
-        val head = partColOf(spark, root, b)
-        require(spec.render == head.getOrElse(spec.render),
-          s"scoped OCC stage spec '${spec.render}' != the lineage's " +
-          s"current spec '${head.getOrElse("")}' — pass the current spec")
-        val mixed = head.exists(h =>
-          specsOfLeafDirs(spark, root, dirsOf(spark, root, b), h)
-            .exists(_._2 != h))
-        require(!mixed,
-          "scoped OCC staging on a spec-evolved table with old-spec " +
-          "leafs still present — upsertScoped/overwritePartitions " +
-          "(claimed) migrate the leafs they touch; stage once the " +
-          "layout has converged")
-      }
-    }
-    // row tracking (round 12): the touched slice reads WITH identities
-    // and they re-attach by key after the merge — the claimed path's
-    // rule, applied at the lock-free stage (ids are global, so they
-    // stay exact across the publish-time rebase)
-    val trackedOcc = rowTrackingEnabled(spark, root)
-    val parentSliceAll: Option[DataFrame] = base.flatMap { b =>
-      if (!trackedOcc) None
-      else {
-        val parentDirs = dirsOf(spark, root, b)
-        val replaced = parentDirs.filter(d => touchedNames.contains(baseName(d)))
-        if (replaced.isEmpty) None
-        else Some(scanWithRids(spark, root, b,
-          replaced.map(d => new Path(rootPath, d).toString),
-          tombDirsOf(spark, root, b)))
-      }
-    }
-    val parentSlice: Option[DataFrame] = base.flatMap { b =>
-      val parentDirs = dirsOf(spark, root, b)
-      require(parentDirs.forall(baseName(_).startsWith(GpPrefix)),
-        "upsertScopedOcc needs a scoped table — run upsertScoped once " +
-        "to migrate a plain table into the scoped layout")
-      val replaced = parentDirs.filter(d => touchedNames.contains(baseName(d)))
-      if (replaced.isEmpty) None
-      else parentSliceAll.map(_.drop(RowIdCol)).orElse(
-        Some(toLogical(applyTombstoneDirs(spark, root,
-          tombDirsOf(spark, root, b),
-          readSlice(replaced.map(d => new Path(rootPath, d).toString))))))
-    }
-    val merged = parentSlice match {
-      case None => gated
-      case Some(parent) =>
-        Upsert.upsert(parent, gated.select(parent.columns.map(col(_)): _*), keys)
-    }
-    val mergedOut = parentSliceAll match {
-      case Some(pa) =>
-        merged.join(ridMapByKeyUnique(
-            pa.select(keys.map(col(_)) :+ col(RowIdCol): _*),
-            keys, "the scoped OCC stage"),
-          keys, "left")
-      case None => merged
-    }
-    val staging = stagingDirName()
-    try {
-      writeDataDir(spark,
-        toPhys(mergedOut.withColumn(GpCol, gpRenderExpr(spec))),
-        new Path(rootPath, staging),
-        bloomCols.map(c => physMap.getOrElse(c, c)), partitionBy = Seq(GpCol))
-      // CHANGE DATA FEED at STAGE time: the publish-side validation only
-      // admits interleaved commits that are scoped AND partition-disjoint,
-      // so the touched slice cannot move between stage and publish — the
-      // staged classification stays exact across the rebase. The rows
-      // stage as a dot-dir inside the staging dir (invisible to the leaf
-      // listing and to data readers); publish moves them to chg_v{N}.
-      if (changeFeedEnabled(spark)) {
-        val rows = parentSlice match {
-          case Some(parent) =>
-            changeRows(parent, gated.select(parent.columns.map(col(_)): _*), keys)
-          case None =>
-            gated.withColumn("_change_type",
-              org.apache.spark.sql.functions.lit("insert"))
-        }
-        rows.write.mode("overwrite")
-          .parquet(new Path(rootPath, staging + "/" + StagedChg).toString)
-      }
-    } catch { case e: Throwable =>
-      // a failed stage (constraint FAIL, write error) must not leak its
-      // writer-unique staging dir — nothing published, nothing kept
-      fs(spark, rootPath).delete(new Path(rootPath, staging), true); throw e
-    }
-    StagedScoped(base, staging, touchedNames, spec.render, obs, gateFp)
-  }
-
-  // staged change rows live dot-prefixed inside the OCC staging dir:
-  // skipped by the GpPrefix leaf listing and by every parquet reader
-  // (hidden-path convention), atomically carried by the staging rename
-  private val StagedChg = ".chg"
-
-  private[graft] def publishScopedOcc(spark: SparkSession, root: String,
-                                      staged: StagedScoped,
-                                      statsCols: Seq[String] = Nil): Long = {
-    val rootPath = new Path(root.replaceAll("/+$", ""))
-    def baseName(d: String) = d.substring(d.lastIndexOf('/') + 1)
-    withClaimWait(spark, root) {
-      val f = fs(spark, rootPath)
-      val stagingPath = new Path(rootPath, staged.stagingDir)
-      def abort(why: String): Nothing = {
-        f.delete(stagingPath, true)
-        throw new java.util.ConcurrentModificationException(
-          s"scoped OCC commit aborted: $why — re-run against the new head")
-      }
-      recoverOrphans(spark, root)
-      // constraints added while the stage was in flight invalidate the
-      // staged (stale-gated) rows — abort, caller re-runs and re-gates
-      if (Constraints.fingerprint(spark, root) != staged.constraintsFp)
-        abort("table constraints changed while the batch was staging")
-      val head = currentVersion(spark, root)
-      val next = head.getOrElse(0L) + 1L
-      // every commit since the staged base must be scoped AND disjoint,
-      // or the staged merge may be stale (appends add rows the merge
-      // never saw; deletes remove rows it still carries; a full rewrite
-      // invalidates everything)
-      val movedRange = (staged.base.getOrElse(0L) + 1L) to head.getOrElse(0L)
-      movedRange.foreach { c =>
-        if (manifestKind(spark, root, c) != Some("scoped"))
-          abort(s"non-scoped commit v$c landed since the staged base")
-        val ownLeafs = dirsOf(spark, root, c)
-          .filter(_.startsWith(dataDirName(c) + "/")).map(baseName).toSet
-        val overlap = ownLeafs.intersect(staged.touched)
-        if (overlap.nonEmpty)
-          abort(s"v$c touched the same partitions: ${overlap.mkString(", ")}")
-      }
-      val headDirs = head.map(dirsOf(spark, root, _)).getOrElse(Seq.empty)
-      if (head.nonEmpty && !headDirs.forall(baseName(_).startsWith(GpPrefix)))
-        abort("head is not a scoped table")
-      val untouched = headDirs.filterNot(d => staged.touched.contains(baseName(d)))
-      val writtenLeafs = f.listStatus(stagingPath).map(_.getPath.getName)
-        .filter(_.startsWith(GpPrefix)).sorted.toSeq
-      if (head.nonEmpty && writtenLeafs.toSet != staged.touched)
-        abort(s"partition path rendering drifted: wrote $writtenLeafs, " +
-          s"derived ${staged.touched}")
-      if (!f.rename(stagingPath, dataDir(root, next)))
-        throw new IllegalStateException(
-          s"could not move staged $stagingPath into ${dataDir(root, next)}")
-      val untouchedBase = untouched.map(baseName).toSet
-      val carry = head.map(c =>
-        sidecarCarry(spark, root, c).filter { line =>
-          val key = StatsEval.unesc(line.split("\t", -1)(0))
-          untouchedBase.contains(key.substring(0, math.max(key.indexOf('/'), 0)))
-        }).getOrElse(EagerCarry(Nil))
-      // staged change rows (stageScopedOcc under the feed) surface as
-      // this version's change dir BEFORE the stats pass touches the data
-      // dir — still exact after the rebase, see the stage-side comment
-      val stagedChg = new Path(dataDir(root, next), StagedChg)
-      val chg =
-        if (f.exists(stagedChg)) {
-          // the staged dir EXISTS, so a silent "" here would publish a
-          // feed-enabled commit without its recorded changes and wedge
-          // every CDC consumer — fail loudly like every other temp+rename
-          // publish step does
-          if (!f.rename(stagedChg, new Path(rootPath, chgDirName(next))))
-            throw new IllegalStateException(
-              s"could not publish staged change dir $stagedChg as " +
-                s"${chgDirName(next)}")
-          chgDirName(next)
-        } else ""
-      // column mapping (round 11): stat columns spell physical in the
-      // sidecar, and the pinned schema carries through the publish
-      val pubPin = head.flatMap(schemaOf(spark, root, _))
-      val pubMap = pubPin.map(renameMap).getOrElse(Map.empty[String, String])
-      writeStats(spark, root, next,
-        statsCols.map(c => pubMap.getOrElse(c, c)), carry)
-      val newDirs = untouched ++ writtenLeafs.map(dataDirName(next) + "/" + _)
-      writeManifestDirs(spark, root, next, newDirs,
-        tombDirs = head.toSeq.flatMap(tombDirsOf(spark, root, _)),
-        partCol = staged.partitionCol, chgDir = chg,
-        schemaJson = head.map(rawSchemaJson(spark, root, _)).getOrElse(""))
-      publishLatest(spark, root, next)
-      Constraints.finish(spark, root, next, staged.obs)
-      next
-    }
-  }
-
-  /** The commit kind a manifest self-declares (`scoped` from
-    * [[upsertScoped]]/[[upsertScopedOcc]], `delete` from
-    * [[tombstoneDelete]]); None for flat/append manifests — the OCC
-    * rebase check uses this to recognize commits it can reason about.
-    */
-  private[graft] def manifestKind(spark: SparkSession, root: String,
-                                  v: Long): Option[String] =
-    """"kind":"(\w+)"""".r.findFirstMatchIn(readManifest(spark, root, v))
-      .map(_.group(1))
-
-  private def sidecarLines(spark: SparkSession, root: String,
-                           v: Long): Seq[String] = {
-    val sp = statsPath(root, v)
-    val f = fs(spark, sp)
-    if (!f.exists(sp)) {
-      // parquet-checkpoint fallback for callers that need raw lines —
-      // driver-materializing by nature, so hot paths route through
-      // [[listingLines]] / the distributed pruners instead
-      val pq = statsPqPath(root, v)
-      if (fs(spark, pq).exists(pq))
-        renderStatsLines(spark.read.parquet(
-          pqStackPaths(root, v, statsStackOf(spark, root, v)): _*))
-          .collect().toSeq
-      else Seq.empty
-    } else {
-      val in = f.open(sp)
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq
-          .filter(_.nonEmpty)
-      finally in.close()
-    }
-  }
-
-  /** Whether version `v`'s sidecar is a parquet checkpoint (vs text or
-    * absent) — the dispatch bit for the distributed read paths.
-    */
-  private def hasPqSidecar(spark: SparkSession, root: String, v: Long): Boolean = {
-    val sp = statsPath(root, v)
-    !fs(spark, sp).exists(sp) && {
-      val pq = statsPqPath(root, v)
-      fs(spark, pq).exists(pq)
-    }
-  }
-
-  /** JUST the file-manifest (`d`/`f`) lines of a version's sidecar. For
-    * a text sidecar this is the whole file (the caller's parser skips
-    * span lines — one read, reused); for a parquet checkpoint the tag
-    * predicate pushes down to the parquet scan, so planning collects
-    * O(files) listing rows and ZERO span rows — the span side stays
-    * distributed.
-    */
-  private def listingLines(spark: SparkSession, root: String,
-                           v: Long): Seq[String] = {
-    val sp = statsPath(root, v)
-    if (fs(spark, sp).exists(sp)) sidecarLines(spark, root, v)
-    else {
-      val pq = statsPqPath(root, v)
-      if (!fs(spark, pq).exists(pq)) Seq.empty
-      else {
-        import org.apache.spark.sql.functions.col
-        renderStatsLines(spark.read.parquet(
-            pqStackPaths(root, v, statsStackOf(spark, root, v)): _*)
-          .filter(col("t").isin("f", "d"))).collect().toSeq
-      }
-    }
-  }
-
-  /** Append-style manifest (baseDirs + implied own dir), shared by the
-    * classic and OCC append paths.
-    */
-  /** IN-COMMIT TIMESTAMP (round 12 — Delta's inCommitTimestamp): the
-    * writer stamps every manifest with its commit wall time, clamped
-    * strictly above the parent's stamp. File mtime — the legacy source
-    * [[commitTimeOf]] falls back to — is what the FILESYSTEM remembers,
-    * and a backup/restore, distcp, or object-store copy resets it to
-    * the copy time, silently re-dating the whole history; writer clock
-    * skew can additionally make it non-monotonic, and [[versionAsOf]]
-    * (newest version ≤ ts) assumes monotonicity. The stamp travels
-    * INSIDE the manifest bytes, so it survives any byte-preserving
-    * move, and the parent clamp makes the sequence strictly increasing
-    * by construction. The parent manifest always exists at commit time
-    * for v ≥ 2 (commits extend the live head under the claim; vacuum
-    * keeps the head) — a missing parent (fresh table, clone target's
-    * first version) just takes the wall clock.
-    */
-  private def inCommitStamp(spark: SparkSession, root: String,
-                            v: Long): Long = {
-    val now = System.currentTimeMillis
-    val pm = manifestPath(root, v - 1L)
-    val parent =
-      if (v <= 1L || !fs(spark, pm).exists(pm)) None
-      else """"committedAt":(\d+)""".r
-        .findFirstMatchIn(readManifest(spark, root, v - 1L))
-        .map(_.group(1).toLong)
-    parent.map(p => math.max(now, p + 1L)).getOrElse(now)
-  }
-
-  private def writeManifestAppend(spark: SparkSession, root: String, v: Long,
-                                  batchId: Long, baseDirs: Seq[String],
-                                  tombDirs: Seq[String],
-                                  schemaJson: String = "",
-                                  morKeys: Seq[String] = Nil,
-                                  chgDir: String = "",
-                                  statsStack: Seq[Long] = Nil): Unit = {
-    val m = manifestPath(root, v)
-    val tmp = new Path(logDir(root), f".tmp_manifest_v$v%08d")
-    val stackEnc =
-      if (statsStack.isEmpty) ""
-      else s""","statsStack":"${statsStack.mkString(",")}""""
-    val chgEnc =
-      if (chgDir.isEmpty) ""
-      else s""","chgDir":"${java.net.URLEncoder.encode(chgDir, "UTF-8")}""""
-    val tombEnc =
-      if (tombDirs.isEmpty) ""
-      else s""","tombDirs":"${tombDirs.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(",")}""""
-    val schemaEnc =
-      if (schemaJson.isEmpty) "" else s""","schema":"$schemaJson""""
-    val morEnc =
-      if (morKeys.isEmpty) ""
-      else s""","kind":"mor","morKeys":"${morKeys.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(",")}""""
-    val f = fs(spark, m)
-    val out = f.create(tmp, true)
-    // reader gate: see writeManifestDirs
-    val readerEnc =
-      if (schemaJson.contains("graft.physicalName") ||
-          schemaJson.contains("graft.dropped") ||
-          schemaJson.contains("graft.widenedFrom")) s""","minReader":2"""
-      else ""
-    try out.write(
-      (s"""{"version":$v,"dataDir":"${dataDirName(v)}","batchId":$batchId,""" +
-       s""""committedAt":${inCommitStamp(spark, root, v)},""" +
-       s""""baseDirs":"${baseDirs.mkString(",")}"$tombEnc$schemaEnc$morEnc$readerEnc$chgEnc$stackEnc}""")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    if (!f.rename(tmp, m))
-      throw new IllegalStateException(s"could not publish manifest $m")
-  }
-
-  /** Manifest for a version whose data is an EXPLICIT leaf-dir list
-    * (scoped commits) and/or carries deletion-vector dirs — url-encoded
-    * so partition values containing the separator can't corrupt the
-    * lists. Temp + rename like every manifest: absent or complete,
-    * never partial.
-    */
-  private def writeManifestDirs(spark: SparkSession, root: String, v: Long,
-                                dirs: Seq[String], batchId: Long = -1L,
-                                tombDirs: Seq[String] = Nil,
-                                kind: String = "scoped",
-                                partCol: String = "",
-                                schemaJson: String = "",
-                                morKeys: Seq[String] = Nil,
-                                chgDir: String = "",
-                                statsStack: Seq[Long] = Nil,
-                                leafSpecs: Map[String, String] = Map.empty): Unit = {
-    val m = manifestPath(root, v)
-    val tmp = new Path(logDir(root), f".tmp_manifest_v$v%08d")
-    val stackEnc =
-      if (statsStack.isEmpty) ""
-      else s""","statsStack":"${statsStack.mkString(",")}""""
-    // per-leaf spec OVERRIDES: maintenance packs an old-spec leaf into
-    // ITS OWN version dir, so leaf→spec attribution by dir version
-    // alone would claim the manifest's (head) spec for it — recording
-    // the exceptions here keeps migrate-on-touch and the mixed-layout
-    // refusals exact across maintenance (round 13 hardening)
-    val leafSpecEnc =
-      if (leafSpecs.isEmpty) ""
-      else s""","leafSpecs":"${leafSpecs.toSeq.sorted.map { case (d, s) =>
-        java.net.URLEncoder.encode(d, "UTF-8") + "=" +
-          java.net.URLEncoder.encode(s, "UTF-8")
-      }.mkString(",")}""""
-    val chgEnc =
-      if (chgDir.isEmpty) ""
-      else s""","chgDir":"${java.net.URLEncoder.encode(chgDir, "UTF-8")}""""
-    val enc = dirs.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(",")
-    val tombEnc =
-      if (tombDirs.isEmpty) ""
-      else s""","tombDirs":"${tombDirs.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(",")}""""
-    val partEnc =
-      if (partCol.isEmpty) ""
-      else s""","partCol":"${java.net.URLEncoder.encode(partCol, "UTF-8")}""""
-    val morEnc =
-      if (morKeys.isEmpty) ""
-      else s""","morKeys":"${morKeys.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(",")}""""
-    val schemaEnc =
-      if (schemaJson.isEmpty) "" else s""","schema":"$schemaJson""""
-    // reader gate: stamp minReader ONLY when this version actually uses
-    // a feature older readers would misread (today: column mapping)
-    val readerEnc =
-      if (schemaJson.contains("graft.physicalName") ||
-          schemaJson.contains("graft.dropped") ||
-          schemaJson.contains("graft.widenedFrom")) s""","minReader":2"""
-      else ""
-    val f = fs(spark, m)
-    val out = f.create(tmp, true)
-    try out.write(
-      (s"""{"version":$v,"dataDir":"${dataDirName(v)}","batchId":$batchId,""" +
-       s""""committedAt":${inCommitStamp(spark, root, v)},""" +
-       s""""kind":"$kind","dirs":"$enc"$tombEnc$partEnc$morEnc$schemaEnc$readerEnc$chgEnc$stackEnc$leafSpecEnc}""")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    if (!f.rename(tmp, m))
-      throw new IllegalStateException(s"could not publish manifest $m")
-  }
-
-  /** The partition column a scoped version's manifest records — enables
-    * DIR-NAME partition pruning at read time with no stats configured.
-    */
-  private[graft] def partColOf(spark: SparkSession, root: String,
-                               v: Long): Option[String] =
-    """"partCol":"([^"]*)"""".r
-      .findFirstMatchIn(readManifest(spark, root, v))
-      .map(m => java.net.URLDecoder.decode(m.group(1), "UTF-8"))
-      .filter(_.nonEmpty)
-
-  // ---------------- PARTITION SPEC EVOLUTION (round 13) -------------
-  // Iceberg-style: a scoped table changes its partition spec as ONE
-  // metadata commit; every existing leaf stays under the spec that
-  // WROTE it (its `data_vNNN` dir part names the manifest recording
-  // that spec), new data writes under the new spec, and keyed merges
-  // MIGRATE the old-spec leafs they touch (rewritten leafs re-render
-  // under the head spec — the table converges organically, no big-bang
-  // rewrite). Pruning stays exact-or-conservative on mixed lineages:
-  // a dir's span is used only when every historically consistent spec
-  // derives the same one ([[gpDirSpanMulti]]).
-
-  private def specHistPath(root: String): Path =
-    new Path(logDir(root), "SPECHIST")
-
-  /** (activatedAtVersion, specString) entries, oldest first; empty for
-    * never-evolved tables. A fallback for leafs whose recording
-    * manifest has been vacuumed — [[specOfLeafVersion]] prefers the
-    * manifest itself.
-    */
-  private[graft] def specHistEntries(spark: SparkSession,
-                                     root: String): Seq[(Long, String)] = {
-    val p = specHistPath(root)
-    val f = fs(spark, p)
-    if (!f.exists(p)) return Nil
-    val in = f.open(p)
-    val text = try new String(in.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-    text.split("\n").filter(_.nonEmpty).toSeq.map { l =>
-      val Array(v, s) = l.split("\t", 2)
-      (v.toLong, java.net.URLDecoder.decode(s, "UTF-8"))
-    }
-  }
-
-  private def writeSpecHist(spark: SparkSession, root: String,
-                            entries: Seq[(Long, String)]): Unit = {
-    val p = specHistPath(root)
-    val f = fs(spark, p)
-    f.mkdirs(p.getParent)
-    val tmp = new Path(p.getParent, ".tmp_spechist")
-    val out = f.create(tmp, true)
-    try out.write(entries.map { case (v, s) =>
-      s"$v\t${java.net.URLEncoder.encode(s, "UTF-8")}"
-    }.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      p.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
-
-  /** EVERY distinct spec this lineage has ever written leafs under —
-    * what conservative mixed-spec pruning unions over. One-element for
-    * never-evolved tables.
-    */
-  private[graft] def allSpecsOf(spark: SparkSession, root: String,
-                                v: Long): Seq[GpSpec] = {
-    val head = partColOf(spark, root, v).toSeq
-    (specHistEntries(spark, root).map(_._2) ++ head)
-      .distinct.map(parseGpSpec)
-  }
-
-  /** The spec a leaf of `data_vNNN/...` was written under: the spec
-    * the version-NNN manifest records (exact), falling back to the
-    * SPECHIST entry active at NNN (the recording manifest was
-    * vacuumed), else the head spec.
-    */
-  private def specOfLeafVersion(spark: SparkSession, root: String,
-                                leafV: Long, head: String): String =
-    scala.util.Try(partColOf(spark, root, leafV)).toOption.flatten
-      .orElse(specHistEntries(spark, root)
-        .filter(_._1 <= leafV).lastOption.map(_._2))
-      .getOrElse(head)
-
-  /** The per-leaf spec OVERRIDES a maintenance manifest records —
-    * dir (e.g. `data_v00000007/__gp=2026-05-02`) → spec string. Empty
-    * for ordinary commits, unreadable manifests, and pre-override
-    * versions.
-    */
-  private def leafSpecsOf(spark: SparkSession, root: String,
-                          v: Long): Map[String, String] =
-    scala.util.Try {
-      """"leafSpecs":"([^"]*)"""".r
-        .findFirstMatchIn(readManifest(spark, root, v))
-        .map(_.group(1).split(",").filter(_.nonEmpty).map { e =>
-          val Array(d, s) = e.split("=", 2)
-          java.net.URLDecoder.decode(d, "UTF-8") ->
-            java.net.URLDecoder.decode(s, "UTF-8")
-        }.toMap).getOrElse(Map.empty)
-    }.getOrElse(Map.empty)
-
-  /** The DURABLE twin of the manifest's per-leaf overrides
-    * (`_graft_log/LEAFSPECS`): vacuum deletes old manifests while the
-    * packed leaf dirs they describe survive by reference, so the
-    * override must outlive its recording manifest or the leaf silently
-    * re-attributes to the head spec after retention ages the manifest
-    * out — the exact key-duplication the overrides exist to prevent.
-    * Accumulative (dirs are immutable once written; a dead dir's line
-    * is harmless), read-merge-rename under the writer claim.
-    */
-  private def leafSpecHistPath(root: String): Path =
-    new Path(logDir(root), "LEAFSPECS")
-
-  private[graft] def leafSpecHist(spark: SparkSession,
-                                  root: String): Map[String, String] = {
-    val p = leafSpecHistPath(root)
-    val f = fs(spark, p)
-    if (!f.exists(p)) return Map.empty
-    val in = f.open(p)
-    val text = try new String(in.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-    text.split("\n").filter(_.nonEmpty).map { l =>
-      val Array(d, sp) = l.split("\t", 2)
-      java.net.URLDecoder.decode(d, "UTF-8") ->
-        java.net.URLDecoder.decode(sp, "UTF-8")
-    }.toMap
-  }
-
-  private def appendLeafSpecHist(spark: SparkSession, root: String,
-                                 entries: Map[String, String]): Unit = {
-    if (entries.isEmpty) return
-    writeLeafSpecHist(spark, root, leafSpecHist(spark, root) ++ entries)
-  }
-
-  private def writeLeafSpecHist(spark: SparkSession, root: String,
-                                merged: Map[String, String]): Unit = {
-    val p = leafSpecHistPath(root)
-    val f = fs(spark, p)
-    f.mkdirs(p.getParent)
-    val tmp = new Path(p.getParent, ".tmp_leafspecs")
-    val out = f.create(tmp, true)
-    try out.write(merged.toSeq.sorted.map { case (d, sp) =>
-      java.net.URLEncoder.encode(d, "UTF-8") + "\t" +
-        java.net.URLEncoder.encode(sp, "UTF-8")
-    }.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      p.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
-
-  private def leafBaseName(d: String): String =
-    d.substring(d.lastIndexOf('/') + 1)
-
-  /** Refuse a pack whose inputs have two SPECS rendering the same leaf
-    * name — the merged output leaf would have no single recordable
-    * spec (migration via merges converges them first).
-    */
-  private def requireNoSpecNameClash(specByDir: Map[String, String],
-                                     what: String): Unit = {
-    val clash = specByDir.groupBy { case (d, _) => leafBaseName(d) }
-      .filter(_._2.values.toSet.size > 1)
-    require(clash.isEmpty,
-      s"scoped $what: leaf name collision across specs: ${clash.keySet}")
-  }
-
-  /** The per-leaf spec overrides a maintenance commit must record for
-    * its WRITTEN leafs (old-spec inputs keep their spec under the new
-    * version's dir): builds the manifest map AND appends it to the
-    * durable [[leafSpecHist]] so the attribution survives the
-    * recording manifest's vacuum.
-    */
-  private def recordLeafSpecOverrides(spark: SparkSession, root: String,
-                                      specByDir: Map[String, String],
-                                      writtenLeafs: Seq[String],
-                                      partCol: String,
-                                      next: Long): Map[String, String] = {
-    val baseSpec = specByDir.map { case (d, sp) => leafBaseName(d) -> sp }
-    val overrides = writtenLeafs.flatMap { l =>
-      baseSpec.get(l).filter(_ != partCol)
-        .map(sp => (dataDirName(next) + "/" + l) -> sp)
-    }.toMap
-    appendLeafSpecHist(spark, root, overrides)
-    overrides
-  }
-
-  /** dir → the spec each SPECIFIC leaf dir was written under: the
-    * recording manifest's per-leaf override first (scoped maintenance
-    * packs old-spec leafs into its own version dir), then the durable
-    * [[leafSpecHist]] (the manifest may be vacuumed while the dir
-    * lives on by reference), then the manifest/SPECHIST/head chain of
-    * [[specOfLeafVersion]]; manifest reads cached per version. This is
-    * the resolver every migrate-on-touch derivation and mixed-layout
-    * refusal must use — attribution by dir VERSION alone claims the
-    * head spec for maintenance-packed old-spec leafs and silently
-    * duplicates keys on the next merge.
-    */
-  private def specsOfLeafDirs(spark: SparkSession, root: String,
-                              dirs: Seq[String],
-                              head: String): Map[String, String] = {
-    val cache =
-      scala.collection.mutable.HashMap.empty[Long, (Map[String, String], String)]
-    lazy val hist = leafSpecHist(spark, root)
-    dirs.map { d =>
-      d -> (leafDirVersion(d) match {
-        case Some(lv) =>
-          val (overrides, base) = cache.getOrElseUpdate(lv,
-            (leafSpecsOf(spark, root, lv),
-             specOfLeafVersion(spark, root, lv, head)))
-          overrides.getOrElse(d, hist.getOrElse(d, base))
-        case None => head
-      })
-    }.toMap
-  }
-
-  private def leafDirVersion(d: String): Option[Long] = {
-    val dirPart = d.substring(0, math.max(d.lastIndexOf('/'), 0))
-    val base = dirPart.substring(dirPart.lastIndexOf('/') + 1)
-    scala.util.Try(base.stripPrefix("data_v").toLong).toOption
-      .filter(_ => base.startsWith("data_v"))
-  }
-
-  /** Change a scoped table's partition spec as ONE metadata commit:
-    * zero data files move, every leaf dir carries by reference, and
-    * the NEW spec governs all subsequent writes. Old-spec leafs stay
-    * readable and prunable under their own recorded spec; a keyed
-    * merge or partition overwrite that touches one migrates its rows
-    * to new-spec leafs ([[upsertScoped]] migrate-on-touch), so the
-    * layout converges without a table rewrite — on a 100 TB table
-    * this is the difference between an O(1) commit and a 100 TB job.
-    * The partition source columns of BOTH specs keep the rename
-    * refusal (dir-name machinery keys on their values).
-    */
-  def repartitionSpec(spark: SparkSession, root: String,
-                      newSpec: String): Long = {
-    withClaim(spark, root) { _ =>
-      recoverOrphans(spark, root)
-      val cur = currentVersion(spark, root).getOrElse(
-        throw new IllegalStateException(s"no committed version at $root"))
-      val old = partColOf(spark, root, cur).getOrElse(
-        throw new IllegalStateException(
-          s"repartitionSpec needs a partition-scoped lineage at $root — " +
-          "bootstrap one with upsertScoped/overwritePartitions first"))
-      val parsed = parseGpSpec(newSpec)
-      require(parsed.comps.nonEmpty, s"empty partition spec '$newSpec'")
-      // clone-shaped lineages carry the SOURCE's leaf dirs by absolute
-      // path; their spec attribution resolves against the wrong
-      // manifest chain — materialize first
-      require(dirsOf(spark, root, cur).forall(d =>
-          !d.startsWith("/") && d.count(_ == '/') <= 1),
-        s"repartitionSpec on a clone-shaped lineage at $root is not " +
-        "supported — materialize it first via compactChain")
-      val schema = tableSchema(spark, root, cur)
-      val names = schema.fields.map(_.name).toSet
-      require(parsed.refCols.forall(names.contains),
-        s"partition spec $newSpec references columns outside the table " +
-        s"schema ${names.mkString(", ")}")
-      // partition sources must be mapping-free both ways (the scoped
-      // rename refusal extends to the new spec's columns)
-      schemaOf(spark, root, cur).foreach { pin =>
-        parsed.refCols.foreach { c =>
-          val fld = pin.fields.find(_.name.equalsIgnoreCase(c))
-          require(fld.forall(physName(_) == fld.get.name),
-            s"repartitionSpec: $c is a renamed (column-mapped) column — " +
-            "partition sources must keep their physical names")
-        }
-      }
-      // zone-pin LTZ time transforms exactly like a scoped write would
-      // (inheriting pins the old spec already fixed for shared comps)
-      val typed = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      val normalized = normalizeGpSpec(spark, parsed, typed, Some(old))
-      if (normalized.render == old) return cur // no-op
-      val next = cur + 1L
-      val stack = writeStats(spark, root, next, Nil,
-        sidecarCarry(spark, root, cur))
-      writeManifestDirs(spark, root, next, dirsOf(spark, root, cur),
-        batchId = batchIdOf(spark, root, cur).getOrElse(-1L),
-        tombDirs = tombDirsOf(spark, root, cur),
-        kind = "respec",
-        partCol = normalized.render,
-        schemaJson = rawSchemaJson(spark, root, cur),
-        statsStack = stack)
-      // history BEFORE publish: a reader of the new head must be able
-      // to resolve old leafs even after their manifests age out
-      val hist0 = specHistEntries(spark, root)
-      val hist = (if (hist0.isEmpty) Seq((0L, old)) else hist0) :+
-        ((next, normalized.render))
-      writeSpecHist(spark, root, hist)
-      publishLatest(spark, root, next)
-      next
-    }
-  }
-
-  /** Merge-on-read key columns of a version's manifest ([[upsertMor]]
-    * lineages); empty for every other commit kind. Presence turns on
-    * latest-per-key resolution at read time.
-    */
-  private[graft] def morKeysOf(spark: SparkSession, root: String,
-                               v: Long): Seq[String] =
-    """"morKeys":"([^"]*)"""".r
-      .findFirstMatchIn(readManifest(spark, root, v))
-      .map(_.group(1)).filter(_.nonEmpty)
-      .map(_.split(",").toSeq.filter(_.nonEmpty)
-        .map(java.net.URLDecoder.decode(_, "UTF-8")))
-      .getOrElse(Seq.empty)
-
-  /** Hidden per-row sequence of a merge-on-read scan: the version number
-    * baked into the row's data-directory NAME. Newer versions shadow
-    * older rows of the same key; the dir name is the only provenance
-    * needed, so no per-row column is ever written.
-    */
-  private val MorSeqCol = "__morseq"
-  private def morSeq: org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{col, regexp_extract}
-    regexp_extract(col("_metadata.file_path"), "/data_v(\\d+)/", 1)
-      .cast("long")
-  }
-
-  /** Latest-per-key resolution for merge-on-read lineages: one
-    * row_number over (keys ORDER BY [[MorSeqCol]] DESC) — plans as
-    * WindowGroupLimit, so each map task keeps ONE candidate per key
-    * before the shuffle and the exchange carries ~|keys| rows. Ties are
-    * impossible by contract: every [[upsertMor]] batch is key-unique and
-    * a key appears at most once per version. Catalyst only pushes
-    * predicates through the window when they reference the PARTITION
-    * columns (the keys) — exactly the subset for which file pruning
-    * composes safely with shadowing — so a later `.filter` on a non-key
-    * column correctly stays above the resolution.
-    */
-  private def resolveLatest(base: DataFrame, keys: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.{col, row_number}
-    val cols = base.columns.toSeq.filterNot(_ == MorSeqCol)
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(MorSeqCol).desc)
-    base.withColumn("__mor_rn", row_number().over(w))
-      .filter(col("__mor_rn") === 1)
-      .select(cols.map(col): _*)
-  }
-
-
-  /** Steps 1–2 of the protocol: write the data directory, then publish
-    * the manifest (temp + rename so it is never seen partial). WITHOUT
-    * step 3 the version is not committed — package-visible so the spec
-    * can simulate a writer that crashes right before the pointer swap.
-    * `batchId` stamps streaming commits for replay idempotence
-    * ([[commitBatch]]); -1 = not a streaming commit.
-    */
-  private[graft] def stageVersion(spark: SparkSession, root: String,
-                                  df: DataFrame, v: Long,
-                                  batchId: Long = -1L,
-                                  statsCols: Seq[String] = Nil,
-                                  bloomCols: Seq[String] = Nil,
-                                  baseDirs: Seq[String] = Nil,
-                                  carryStats: SidecarCarry = EagerCarry(Nil),
-                                  tombDirs: Seq[String] = Nil,
-                                  schemaJson: String = "",
-                                  morKeys: Seq[String] = Nil,
-                                  chgDir: String = "",
-                                  assignRidBases: Boolean = true): Unit = {
-    val dd = dataDir(root, v)
-    // column mapping: the propagated pin names the immutable PHYSICAL
-    // columns — translate the logical-named batch (and the stats/bloom
-    // column options) before anything touches disk, so files and
-    // sidecar keys stay uniformly physical across renames
-    val pin = if (schemaJson.isEmpty) None
-      else scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(
-        java.net.URLDecoder.decode(schemaJson, "UTF-8"))
-        .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption
-    val m = pin.map(renameMap).getOrElse(Map.empty[String, String])
-    val dfP = if (m.isEmpty) df else toPhysicalDf(df, pin.get)
-    val statsP = statsCols.map(c => m.getOrElse(c, c))
-    val bloomP = bloomCols.map(c => m.getOrElse(c, c))
-    writeDataDir(spark, dfP, dd, bloomP)
-    val stack = writeStats(spark, root, v, statsP, carryStats,
-      assignRidBases = assignRidBases)
-    writeManifestAppend(spark, root, v, batchId, baseDirs, tombDirs, schemaJson,
-      morKeys, chgDir, stack)
-  }
-
-  /** The one parquet write every commit path shares. INT96 (Spark's
-    * legacy parquet timestamp encoding) carries NO footer statistics;
-    * TIMESTAMP_MICROS does — required for deriving the stats sidecar
-    * from footers without a second scan of the data. `bloomCols` turn on
-    * parquet's write-time bloom filters: built DURING the write (zero
-    * extra passes, the bitmap never leaves the writing task), probed
-    * from footers in [[candidateFilesEquals]].
-    */
-  private def writeDataDir(spark: SparkSession, df: DataFrame, dd: Path,
-                           bloomCols: Seq[String],
-                           partitionBy: Seq[String] = Nil): Unit = {
-    // One-way latch, not set/restore: a restore in a `finally` races
-    // with a concurrent same-session writer (OCC appends run on
-    // Futures) — thread A's restore lands while thread B's write job
-    // is still being planned, so B silently writes INT96 and its files
-    // lose footer stats. Setting once and never un-setting makes the
-    // conf transition monotonic (old -> MICROS, exactly once), which is
-    // race-free; sessions that already default to TIMESTAMP_MICROS
-    // (recommended — Verify.scala does) are never mutated at all.
-    val tsKey = "spark.sql.parquet.outputTimestampType"
-    if (!spark.conf.getOption(tsKey).contains("TIMESTAMP_MICROS"))
-      spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-    val writer0 = bloomCols.foldLeft(df.write.mode("overwrite")) { (w, c) =>
-      w.option(s"parquet.bloom.filter.enabled#$c", "true")
-    }
-    val writer =
-      if (partitionBy.isEmpty) writer0 else writer0.partitionBy(partitionBy: _*)
-    writer.parquet(dd.toString)
-  }
-
-  /** batchId recorded in the CURRENT version's manifest (-1 / None when
-    * the head commit was not a streaming batch or the table is empty).
-    */
-  def lastBatchId(spark: SparkSession, root: String): Option[Long] =
-    currentVersion(spark, root).flatMap(batchIdOf(spark, root, _))
-
-  /** A version's streaming stamp (None when unstamped). Maintenance
-    * commits CARRY the head's stamp into their own manifest — a
-    * compaction or delete interleaved between micro-batches must not
-    * wipe the replay gate, or a post-crash replay of the last batch
-    * would re-apply as fresh data (duplicates on an exactly-once
-    * table). [[restore]] carries the RESTORED version's stamp instead:
-    * batches newer than the rollback point were rolled back with it
-    * and must legitimately re-apply.
-    */
-  private def batchIdOf(spark: SparkSession, root: String,
-                        v: Long): Option[Long] =
-    """"batchId":(-?\d+)""".r.findFirstMatchIn(readManifest(spark, root, v))
-      .map(_.group(1).toLong).filter(_ >= 0)
-
-  /** Incremental APPEND commit: the new version's data is the parent's
-    * directories PLUS one fresh delta directory holding only `batch` —
-    * the write is O(batch), not O(table), which is the difference
-    * between appending a micro-batch to a 100 TB table and rewriting
-    * 100 TB per batch. Old dirs stay immutable (snapshot isolation
-    * unchanged); [[vacuum]] reference-counts shared dirs. Skipping
-    * stats are computed for the DELTA dir only and the parent's sidecar
-    * lines are carried forward verbatim — stats cost is also O(batch).
-    * Append-only by contract: no dedup, no merge — rows accumulate
-    * (use [[commitBatch]]/[[upsert]] for keyed merges; those remain
-    * full-snapshot, documented).
-    */
-  def appendCommit(spark: SparkSession, root: String, batch: DataFrame,
-                   statsCols: Seq[String] = Nil,
-                   bloomCols: Seq[String] = Nil,
-                   batchId: Long = -1L): Long =
-    appendUnderClaim(spark, root, batch, statsCols, bloomCols, batchId)
-      .getOrElse(throw new IllegalStateException(
-        s"append with batchId=$batchId skipped as a replay — use appendBatch " +
-        "for streams, whose Option return models the skip"))
-
-  /** MERGE-ON-READ keyed upsert (round 11 — the verb every MoR refusal
-    * message and [[morKeysOf]]/[[resolveLatest]] have pointed at since
-    * round 7, now actually reachable): commit the batch as ONE O(batch)
-    * delta directory on a lineage whose manifest declares its key
-    * columns; newer versions SHADOW older rows of the same key at read
-    * time ([[resolveLatest]] — a row_number over (keys ORDER BY
-    * version desc) that plans as WindowGroupLimit, so each map task
-    * keeps one candidate per key before any shuffle). This is the
-    * write-cheap rung of the keyed-upsert ladder: [[upsert]] rewrites
-    * matched FILES (read-cheap, write O(matched files)),
-    * [[upsertScoped]] rewrites touched partitions, `upsertMor` writes
-    * O(batch) bytes ALWAYS — the right trade for update-heavy streams
-    * whose readers tolerate the resolution window, with
-    * [[compactChain]] as the materialization rung that folds the
-    * shadowing down and returns the lineage to flat.
-    *
-    * Contract: batches are KEY-UNIQUE (a key at most once per batch —
-    * ties inside one version would make shadowing ambiguous; refused)
-    * and NULL-free on the keys (a NULL key never matches anything in
-    * merge semantics — here it would silently shadow other NULLs;
-    * refused). The first commit declares the keys; every later batch
-    * must carry the same keys and the exact table schema. Flat
-    * lineages refuse (their duplicate history would suddenly resolve)
-    * — start MoR from the first commit. Declared CHECK constraints
-    * gate every batch; deletion vectors carry (a DV'd position stays
-    * dead under shadowing); reads, time travel, [[changesBetween]]
-    * (the keyed snapshot diff — delta dirs are upserts, not inserts,
-    * so the event fold correctly stands aside), DESCRIBE and vacuum
-    * all already understand the `mor` manifest kind.
-    */
-  /** Bootstrap an EMPTY merge-on-read lineage with a pinned schema —
-    * the SQL `CREATE TABLE … TBLPROPERTIES('graft.morKeys'='k')` hook.
-    * [[upsertMor]]'s first batch normally declares the keys, but a
-    * catalog table must exist (empty, readable, keys declared) before
-    * its first write; the pinned schema is what lets the zero-file
-    * table read with full columns (the [[appendEvolved]] bootstrap
-    * contract). Later writes hold the usual MoR requires: same keys,
-    * exact schema, key-unique batches.
-    */
-  def createMorTable(spark: SparkSession, root: String,
-                     schema: org.apache.spark.sql.types.StructType,
-                     keys: Seq[String]): Long = {
-    require(keys.nonEmpty && keys.forall(schema.fieldNames.contains),
-      s"morKeys $keys must be columns of the declared schema")
-    withClaim(spark, root) { f =>
-      recoverOrphans(spark, root)
-      require(currentVersion(spark, root).isEmpty,
-        s"table already exists at $root — merge-on-read keys are " +
-        "declared by the FIRST commit and immutable after")
-      val empty = spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
-      stageVersion(spark, root, empty, 1L, -1L, Nil, Nil,
-        schemaJson = java.net.URLEncoder.encode(
-          asNullable(schema).json, "UTF-8"),
-        morKeys = keys)
-      publishLatest(spark, root, 1L)
-      1L
-    }
-  }
-
-  def upsertMor(spark: SparkSession, root: String, batch: DataFrame,
-                keys: Seq[String], statsCols: Seq[String] = Nil,
-                bloomCols: Seq[String] = Nil): Long =
-    upsertMorCore(spark, root, batch, keys, statsCols, bloomCols,
-      batchId = -1L).getOrElse(throw new IllegalStateException(
-      "unreachable: an unstamped MoR upsert cannot be a replay"))
-
-  /** Exactly-once streaming [[upsertMor]]: stamped with the micro-batch
-    * id, replays skipped — the O(batch)-write keyed streaming sink for
-    * update-heavy streams (contrast [[commitBatch]], whose merge
-    * rewrites the snapshot each batch, and [[scopedBatch]], which
-    * rewrites touched partitions). Wire as `writeStream.format("graft")
-    * .option("mode", "upsert").option("mor", "true")` or
-    * `foreachBatch((df, id) => SnapshotLog.upsertMorBatch(...))`.
-    */
-  def upsertMorBatch(spark: SparkSession, root: String, batch: DataFrame,
-                     keys: Seq[String], batchId: Long,
-                     statsCols: Seq[String] = Nil,
-                     bloomCols: Seq[String] = Nil): Option[Long] = {
-    require(batchId >= 0, s"negative batchId $batchId")
-    // pre-claim fast path; the gate under the claim is the correctness one
-    if (lastBatchId(spark, root).exists(_ >= batchId)) return None
-    val r = upsertMorCore(spark, root, batch, keys, statsCols, bloomCols,
-      batchId)
-    // AUTO-COMPACT (opt-in, the scopedBatch pattern): fold the shadow
-    // chain after every Nth committed version so the sink's read-side
-    // resolution window and dir count stay bounded without an operator.
-    // compactMor carries the batchId, so the replay gate survives;
-    // failures must not fail the batch (the data committed).
-    r.foreach { v =>
-      val every = spark.conf.getOption("graft.mor.autoCompactEvery")
-        .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
-        .filter(_ > 0).getOrElse(0)
-      if (every > 0 && v % every == 0) {
-        try compactMor(spark, root)
-        catch { case e: Exception =>
-          System.err.println(
-            s"[graft] mor auto-compact after v$v skipped: ${e.getMessage}")
-        }
-      }
-    }
-    r
-  }
-
-  private def upsertMorCore(spark: SparkSession, root: String,
-                            batch: DataFrame, keys: Seq[String],
-                            statsCols: Seq[String], bloomCols: Seq[String],
-                            batchId: Long): Option[Long] = {
-    import org.apache.spark.sql.functions.{col, count, lit}
-    require(keys.nonEmpty && keys.forall(batch.columns.contains),
-      s"upsertMor keys $keys must be columns of the batch")
-    require(batch.filter(keys.map(col(_).isNull).reduce(_ || _))
-        .limit(1).count() == 0,
-      "upsertMor: NULL key values — a NULL key has no merge identity " +
-      "(it would silently shadow other NULL-keyed rows)")
-    require(batch.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
-        .filter(col("__n") > 1).limit(1).count() == 0,
-      "upsertMor batches are key-unique — a key appearing twice in one " +
-      "version has no shadowing order")
-    var obs: Option[org.apache.spark.sql.Observation] = None
-    val r = withClaim(spark, root) { f =>
-      recoverOrphans(spark, root)
-      // re-check under the claim — this one is the correctness gate
-      if (batchId >= 0 && lastBatchId(spark, root).exists(_ >= batchId)) None
-      else {
-        val (gated, o) = Constraints.gate(spark, root, batch)
-        obs = o
-        Some(currentVersion(spark, root) match {
-          case None =>
-            stageVersion(spark, root, gated, 1L, batchId, statsCols,
-              bloomCols, morKeys = keys)
-            publishLatest(spark, root, 1L)
-            1L
-          case Some(cur) =>
-            val mk = morKeysOf(spark, root, cur)
-            require(mk.nonEmpty,
-              "upsertMor on a flat lineage — its duplicate history would " +
-              "suddenly resolve by key; use upsert/upsertScoped, or start " +
-              "the merge-on-read lineage from its first commit")
-            require(mk == keys,
-              s"upsertMor keys $keys != the lineage's declared keys $mk")
-            require(partColOf(spark, root, cur).isEmpty,
-              "unreachable by construction: scoped lineages never carry morKeys")
-            val have = tableSchema(spark, root, cur).fields
-              .map(fl => (fl.name, fl.dataType.catalogString)).toSeq
-            // the GATED frame commits (round 12: generated columns the
-            // batch lacked were computed into it)
-            val got = gated.schema.fields
-              .map(fl => (fl.name, fl.dataType.catalogString)).toSeq
-            require(got == have,
-              s"upsertMor batch schema $got != table schema $have")
-            val next = cur + 1L
-            val carry = sidecarCarry(spark, root, cur)
-            // COMMIT-TIME CHANGE FILES (round 11c — the CDC stream ships
-            // recorded change dirs verbatim whatever the kind, so this
-            // makes `readStream.option("changes")` work on MoR tables):
-            // the keyed diff of the batch against the parent's VISIBLE
-            // snapshot labels insert / update pre+post (no-op upserts
-            // ship nothing). The old-side read is the price of the feed
-            // (key-pruned when skipping stats cover the keys) — opt-in,
-            // like every changeFeed writer.
-            val chg =
-              if (!changeFeedEnabled(spark)) ""
-              else {
-                val rootPath = new Path(root.replaceAll("/+$", ""))
-                changeRows(readVersion(spark, root, cur), gated, keys)
-                  .write.mode("overwrite")
-                  .parquet(new Path(rootPath, chgDirName(next)).toString)
-                chgDirName(next)
-              }
-            // row tracking (round 13): matched keys inherit their
-            // identity into the shadow delta as a materialized column;
-            // true inserts stay NULL and take the delta's fresh base
-            val staged =
-              if (!rowTrackingEnabled(spark, root)) gated
-              else gated.join(morRidProbe(spark, root, cur, gated, keys),
-                keys, "left")
-            stageVersion(spark, root, staged, next, batchId,
-              if (statsCols.nonEmpty) statsCols
-              else inheritedStatsColsLogical(spark, root),
-              bloomCols, baseDirs = dirsOf(spark, root, cur),
-              carryStats = carry, tombDirs = tombDirsOf(spark, root, cur),
-              schemaJson = rawSchemaJson(spark, root, cur), morKeys = keys,
-              chgDir = chg)
-            publishLatest(spark, root, next)
-            next
-        })
-      }
-    }
-    r.foreach(v => Constraints.finish(spark, root, v, obs))
-    r
-  }
-
-  /** General multi-clause MERGE on a merge-on-read keyed lineage as ONE
-    * atomic commit (round 11d — the last MoR refusal with a sound
-    * O(batch) form): the shapes [[upsertMor]] cannot spell (per-clause
-    * conditions, DELETE actions, partial-column updates) at the cost
-    * shadowing was built for. `writes` (the updated + inserted rows,
-    * exact table schema) land as one O(batch) shadowing delta dir;
-    * `deleteKeys`' rows die by deletion vector over EVERY physical copy
-    * (the [[tombstoneDelete]] rule — a shadowed old copy must not
-    * resurface), O(deleted positions). The MoR dividend: matched rows
-    * NO clause touched cost NOTHING — the flat general MERGE must
-    * rewrite carried rows into new files, the shadowing form just
-    * leaves their old copies visible. Both effects publish as one
-    * version: readers see neither or both, time travel to the parent
-    * sees neither.
-    *
-    * Contracts are [[upsertMor]]'s (key-unique NULL-free writes, exact
-    * table schema, the lineage's declared keys) plus: a key may not be
-    * both written and deleted in one merge — a shadow row and a vector
-    * in the same version have no deterministic order. Declared CHECK
-    * constraints gate `writes` (every row is merge-written; carried
-    * rows never enter the frame). With the change feed enabled the
-    * commit records insert / update pre+post / delete change rows, so
-    * the CDC stream ships the merge without the mor-kind refusal.
-    */
-  def mergeMor(spark: SparkSession, root: String, writes: DataFrame,
-               deleteKeys: DataFrame, keys: Seq[String],
-               statsCols: Seq[String] = Nil,
-               bloomCols: Seq[String] = Nil): Long = {
-    import org.apache.spark.sql.functions.{col, count, lit, substring_index}
-    require(keys.nonEmpty && keys.forall(writes.columns.contains),
-      s"mergeMor keys $keys must be columns of the writes frame")
-    require(keys.forall(deleteKeys.columns.contains),
-      s"mergeMor keys $keys must be columns of the delete-keys frame")
-    require(writes.filter(keys.map(col(_).isNull).reduce(_ || _))
-        .limit(1).count() == 0,
-      "mergeMor: NULL key values in the written rows — a NULL key has " +
-      "no merge identity (it would silently shadow other NULL-keyed rows)")
-    require(writes.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
-        .filter(col("__n") > 1).limit(1).count() == 0,
-      "mergeMor writes are key-unique — a key appearing twice in one " +
-      "version has no shadowing order (multiple source rows matched " +
-      "one target key?)")
-    var obs: Option[org.apache.spark.sql.Observation] = None
-    val r = withClaim(spark, root) { f =>
-      recoverOrphans(spark, root)
-      val cur = currentVersion(spark, root).getOrElse(
-        throw new IllegalStateException(s"no committed version at $root"))
-      val mk = morKeysOf(spark, root, cur)
-      require(mk.nonEmpty,
-        "mergeMor on a flat lineage — the general MERGE rewrite paths " +
-        "already serve it at O(matched files)")
-      require(mk == keys,
-        s"mergeMor keys $keys != the lineage's declared keys $mk")
-      val have = tableSchema(spark, root, cur).fields
-        .map(fl => (fl.name, fl.dataType.catalogString)).toSeq
-      val got = writes.schema.fields
-        .map(fl => (fl.name, fl.dataType.catalogString)).toSeq
-      require(got == have,
-        s"mergeMor writes schema $got != table schema $have")
-      val dk = deleteKeys.select(keys.map(col(_)): _*).distinct().persist()
-      try {
-        require(writes.join(dk, keys, "left_semi").limit(1).count() == 0,
-          "mergeMor: a key may not be both written and deleted in one " +
-          "MERGE — a shadow row and a deletion vector in the same " +
-          "version have no deterministic order")
-        val haveDeletes = dk.limit(1).count() > 0
-        val haveWrites = writes.limit(1).count() > 0
-        if (!haveDeletes && !haveWrites) cur // clause-less no-op: no empty version
-        else {
-          val next = cur + 1L
-          val rootPath = new Path(root.replaceAll("/+$", ""))
-          val (gated, o) = Constraints.gate(spark, root, writes)
-          obs = o
-          val tombAdd =
-            if (!haveDeletes) Nil
-            else {
-              val base = prunedBaseScan(spark, root, cur)
-              val basePos = base
-                .withColumn("__rel",
-                  substring_index(col("_metadata.file_path"), "/", -2))
-                .withColumn("__ri", col("_metadata.row_index"))
-              val hits0 = doomedPositions(spark, root, cur, basePos,
-                b => b.join(dk, keys, "left_semi"))
-              val hits = freshPositions(spark, root, cur, rootPath, hits0)
-              writeTombstones(spark, hits, new Path(rootPath, tombDirName(next)))
-              Seq(tombDirName(next))
-            }
-          val chg =
-            if (!changeFeedEnabled(spark)) ""
-            else {
-              val visible = readVersion(spark, root, cur)
-              val ups = changeRows(visible, gated, keys)
-              val dels = visible.join(dk, keys, "left_semi")
-                .withColumn("_change_type", lit("delete"))
-              ups.unionByName(dels).write.mode("overwrite")
-                .parquet(new Path(rootPath, chgDirName(next)).toString)
-              chgDirName(next)
-            }
-          // row tracking (round 13): the merge's written keys inherit
-          // their identity like upsertMor's (inserts stay NULL)
-          val staged =
-            if (!rowTrackingEnabled(spark, root)) gated
-            else gated.join(morRidProbe(spark, root, cur, gated, keys),
-              keys, "left")
-          stageVersion(spark, root, staged, next, -1L,
-            if (statsCols.nonEmpty) statsCols
-            else inheritedStatsColsLogical(spark, root),
-            bloomCols, baseDirs = dirsOf(spark, root, cur),
-            carryStats = sidecarCarry(spark, root, cur),
-            tombDirs = tombDirsOf(spark, root, cur) ++ tombAdd,
-            schemaJson = rawSchemaJson(spark, root, cur), morKeys = keys,
-            chgDir = chg)
-          publishLatest(spark, root, next)
-          next
-        }
-      } finally dk.unpersist()
-    }
-    Constraints.finish(spark, root, r, obs)
-    r
-  }
-
-  /** ADDITIVE schema evolution on an append chain — the lakehouse
-    * `mergeSchema`/ADD COLUMN moment, at O(batch) cost: the batch may
-    * carry NEW trailing columns beyond the chain's schema (existing
-    * columns must keep their names and types); the delta dir is written
-    * with the widened schema, ZERO old files are rewritten, and the
-    * widened schema is PINNED in the manifest so every later read
-    * declares it explicitly and parquet null-fills the pre-evolution
-    * files. Pinning (not `mergeSchema`) is the scale choice: schema
-    * merging is an extra footer pass over every file at planning time —
-    * a million-file chain pays a million footer reads per query — while
-    * the pinned schema costs one manifest field, forever.
-    *
-    * After evolution the chain's schema IS the widened one: subsequent
-    * [[appendCommit]] batches must carry it in full (the drift guard
-    * compares against the pinned schema), later evolutions may widen
-    * further, and [[compactSmallFiles]] / [[tombstoneDelete]] /
-    * [[changesBetween]] / [[tailChanges]] all operate on the pinned
-    * schema (mixed pre/post-evolution dirs never play schema roulette).
-    * A same-schema batch is exactly [[appendCommit]]. Column REMOVAL or
-    * retyping is refused — that is a rewrite, not an append.
-    */
-  def appendEvolved(spark: SparkSession, root: String, batch: DataFrame,
-                    statsCols: Seq[String] = Nil,
-                    bloomCols: Seq[String] = Nil): Long = {
-    // round 11: constraint-gated like every append (the gate resolves
-    // against the PRE-evolution schema, which is fine — a constraint can
-    // only reference columns that existed when it was declared); gated
-    // under the claim so an interleaved ADD CONSTRAINT is seen
-    var obs: Option[org.apache.spark.sql.Observation] = None
-    val v = withClaim(spark, root) { f =>
-      recoverOrphans(spark, root)
-      val (gated, o) = Constraints.gate(spark, root, batch)
-      obs = o
-      currentVersion(spark, root) match {
-        case None =>
-          stageVersion(spark, root, gated, 1L, -1L, statsCols, bloomCols,
-            schemaJson = java.net.URLEncoder.encode(
-              asNullable(batch.schema).json, "UTF-8"))
-          publishLatest(spark, root, 1L)
-          1L
-        case Some(cur) =>
-          require(morKeysOf(spark, root, cur).isEmpty,
-            "this lineage is merge-on-read keyed (upsertMor) — use " +
-            "upsertMor for data; schema widening on MOR chains is not " +
-            "supported (rewrite via compactChain first)")
-          val have = tableSchema(spark, root, cur).fields
-            .map(fl => (fl.name, fl.dataType.catalogString)).toSeq
-          val got = batch.schema.fields
-            .map(fl => (fl.name, fl.dataType.catalogString)).toSeq
-          require(got.take(have.size) == have,
-            s"appendEvolved widens ADDITIVELY: batch schema $got must start " +
-            s"with the chain schema $have unchanged (rename/retype/remove " +
-            "is a rewrite, not an append)")
-          val next = cur + 1L
-          // widen the pin PRESERVING the existing fields' metadata —
-          // a renamed column's physical-name mapping must survive the
-          // evolution (re-encoding the batch schema bare would drop it
-          // and silently null the renamed column in every old file)
-          val widened = asNullable(batch.schema)
-            .asInstanceOf[org.apache.spark.sql.types.StructType]
-          val newPin = schemaOf(spark, root, cur) match {
-            case Some(p) =>
-              val vis = p.fields.filterNot(isDropped)
-              val tomb = p.fields.filter(isDropped)
-              val fresh = widened.fields.drop(vis.length)
-              // RESURRECTION GUARD: a new column may not take (a) a drop
-              // tombstone's logical or physical name — the dropped data
-              // still lives in old files and would come back instead of
-              // null-filling — nor (b) a renamed column's physical name,
-              // whose old files hold the RENAMED column's values
-              val reserved = (tomb.flatMap(t => Seq(t.name, physName(t))) ++
-                vis.filter(f => physName(f) != f.name).map(physName)).toSet
-              fresh.foreach(nf => require(!reserved.contains(nf.name),
-                s"column name ${nf.name} is reserved by a dropped or " +
-                "renamed column whose data still lives in old files — " +
-                "pick another name, or compactChain to purge first"))
-              org.apache.spark.sql.types.StructType(
-                vis.zip(widened.fields.take(vis.length))
-                  .map { case (old, nw) => nw.copy(metadata = old.metadata) } ++
-                fresh ++ tomb)
-            case None => widened
-          }
-          // the head's streaming stamp carries: widening between
-          // micro-batches must not reopen the replay gate
-          stageVersion(spark, root, gated, next,
-            batchIdOf(spark, root, cur).getOrElse(-1L),
-            statsCols, bloomCols,
-            baseDirs = dirsOf(spark, root, cur),
-            carryStats = sidecarCarry(spark, root, cur),
-            tombDirs = tombDirsOf(spark, root, cur),
-            schemaJson = java.net.URLEncoder.encode(newPin.json, "UTF-8"))
-          publishLatest(spark, root, next)
-          next
-      }
-    }
-    Constraints.finish(spark, root, v, obs)
-    v
-  }
-
-  private def appendUnderClaim(spark: SparkSession, root: String,
-                               batch: DataFrame, statsCols: Seq[String],
-                               bloomCols: Seq[String],
-                               batchId: Long): Option[Long] = {
-    // round 11: the declared-constraint gate covers the Scala append API
-    // and the streaming appendBatch sink (FAIL aborts inside the staging
-    // write, before the manifest publishes — the table never moves).
-    // Gated UNDER the claim, so an ADD CONSTRAINT serialized just
-    // before this commit is always seen (review hardening)
-    var obs: Option[org.apache.spark.sql.Observation] = None
-    val r = withClaim(spark, root) { f =>
-      recoverOrphans(spark, root)
-      // replay gate under the claim (commitBatch's rigor): a stamped
-      // append whose id the head already covers is a post-crash replay
-      if (batchId >= 0 && lastBatchId(spark, root).exists(_ >= batchId))
-        return None
-      val (gated, o) = Constraints.gate(spark, root, batch)
-      obs = o
-      Some(currentVersion(spark, root) match {
-        case None =>
-          stageVersion(spark, root, gated, 1L, batchId, statsCols, bloomCols)
-          publishLatest(spark, root, 1L)
-          1L
-        case Some(cur) =>
-          // names AND types: a same-named batch with drifted types (Int vs
-          // Long) would commit onto the chain and break — or silently widen
-          // — every later mixed-directory read. catalogString compares
-          // nested structure while staying nullability-insensitive.
-          require(morKeysOf(spark, root, cur).isEmpty,
-            "this lineage is merge-on-read keyed (upsertMor) — a plain " +
-            "append could smuggle duplicate keys past resolution; use " +
-            "upsertMor, whose batches are key-checked")
-          val have = tableSchema(spark, root, cur).fields
-            .map(f => (f.name, f.dataType.catalogString)).toSeq
-          // the GATED frame: generated columns the batch lacked were
-          // just computed (round 12) and are part of the append's schema
-          val got = gated.schema.fields
-            .map(f => (f.name, f.dataType.catalogString)).toSeq
-          require(got == have,
-            s"append schema $got != table schema $have " +
-            "(append-only tables do not evolve schemas mid-chain)")
-          val next = cur + 1L
-          val carry = sidecarCarry(spark, root, cur)
-          // stats INHERIT on appends (round 12): a caller passing no
-          // statsCols must not silently strip the lineage's skipping
-          // power (and metadata-aggregate coverage) from its delta —
-          // the same rule the keyed merge paths already follow; an
-          // explicit argument still overrides
-          val sc = if (statsCols.nonEmpty) statsCols
-                   else inheritedStatsColsLogical(spark, root)
-          // parent deletion vectors carry too: an append must not
-          // resurrect rows a prior tombstoneDelete removed; the pinned
-          // schema of an evolved lineage carries with them
-          stageVersion(spark, root, gated, next, batchId, sc,
-            bloomCols, baseDirs = dirsOf(spark, root, cur), carryStats = carry,
-            tombDirs = tombDirsOf(spark, root, cur),
-            schemaJson = rawSchemaJson(spark, root, cur))
-          publishLatest(spark, root, next)
-          next
-      })
-    }
-    r.foreach(v => Constraints.finish(spark, root, v, obs))
-    r
-  }
-
-  /** Exactly-once streaming APPEND: [[appendCommit]] with the micro-batch
-    * id stamped, replays skipped — the O(batch) sink for insert-only
-    * streams (event/log ingestion), where [[commitBatch]]'s keyed merge
-    * necessarily rewrites the snapshot. Wire as
-    * `writeStream.foreachBatch((df, id) => SnapshotLog.appendBatch(...))`.
-    */
-  def appendBatch(spark: SparkSession, root: String, batch: DataFrame,
-                  batchId: Long, statsCols: Seq[String] = Nil,
-                  bloomCols: Seq[String] = Nil): Option[Long] = {
-    require(batchId >= 0, s"negative batchId $batchId")
-    // pre-claim fast path; the gate under the claim is the correctness one
-    if (lastBatchId(spark, root).exists(_ >= batchId)) return None
-    appendUnderClaim(spark, root, batch, statsCols, bloomCols, batchId)
-  }
-
-  /** Exactly-once streaming commit: merge micro-batch `batchId` into the
-    * table and commit it stamped with that id — UNLESS the current head
-    * already carries a batchId ≥ this one, in which case the batch is a
-    * post-crash replay and is SKIPPED (Structured Streaming re-delivers
-    * the in-flight batch on restart; the stamp makes the at-least-once
-    * delivery an exactly-once table). Returns the committed version, or
-    * None when skipped. Wire it as
-    * `writeStream.foreachBatch((df, id) => SnapshotLog.commitBatch(...))`
-    * — see StreamingSpec.
-    *
-    * The ≥ comparison relies on Structured Streaming's monotone batch
-    * ids per checkpoint; two DIFFERENT queries writing one table would
-    * interleave ids and must not share a root (single-writer contract,
-    * same as [[commit]]).
-    */
-  def commitBatch(spark: SparkSession, root: String, batch: DataFrame,
-                  keys: Seq[String], batchId: Long,
-                  statsCols: Seq[String] = Nil,
-                  bloomCols: Seq[String] = Nil): Option[Long] = {
-    require(batchId >= 0, s"negative batchId $batchId")
-    // pre-claim fast path: a replayed batch skips without claim traffic
-    if (lastBatchId(spark, root).exists(_ >= batchId)) return None
-    // round 11: the micro-batch gates through declared constraints — the
-    // streaming keyed sink enforces the same quality gate as SQL DML
-    var obs: Option[org.apache.spark.sql.Observation] = None
-    val r = withClaim(spark, root) { f =>
-      recoverOrphans(spark, root)
-      // re-check under the claim — this one is the correctness gate
-      if (lastBatchId(spark, root).exists(_ >= batchId)) None
-      else {
-        // gated under the claim (an interleaved ADD CONSTRAINT is seen)
-        val (gated, o) = Constraints.gate(spark, root, batch)
-        obs = o
-        // the merge resolves the base version UNDER the claim: planning
-        // it earlier would let an interleaved maintenance commit's
-        // changes be silently overwritten by a merge built on the
-        // superseded version (lost update)
-        currentVersion(spark, root).foreach { c =>
-          require(morKeysOf(spark, root, c).isEmpty,
-            "this lineage is merge-on-read keyed — use upsertMorBatch " +
-            "(O(batch) write per micro-batch; commitBatch's snapshot " +
-            "merge would silently rewrite the table every batch and " +
-            "convert the lineage to flat)")
-        }
-        val merged = currentVersion(spark, root) match {
-          case Some(_) => Upsert.upsert(read(spark, root), gated, keys)
-          case None    => gated
-        }
-        val next = currentVersion(spark, root).getOrElse(0L) + 1L
-        stageVersion(spark, root, merged, next, batchId, statsCols, bloomCols)
-        publishLatest(spark, root, next)
-        Some(next)
-      }
-    }
-    r.foreach(v => Constraints.finish(spark, root, v, obs))
-    r
-  }
-
-  /** Exactly-once full-snapshot REPLACE stamped with `batchId` — the
-    * derived-table counterpart of [[commitBatch]] (which merges by key).
-    * A consumer that rebuilds its whole result from a source range
-    * (fromV, toV] commits it here stamped `batchId = toV`; a replay of
-    * the same range (crash before the caller recorded progress) is
-    * skipped by the stamp gate, so THE TABLE ITSELF IS THE CURSOR —
-    * progress and data commit in one atomic pointer swap, with no
-    * separate cursor file to fall out of sync. This is what makes
-    * [[graft.sources.IncrementalView]] exactly-once without dual
-    * commits. Returns the committed version, or None when skipped.
-    */
-  def replaceBatch(spark: SparkSession, root: String, df: DataFrame,
-                   batchId: Long, statsCols: Seq[String] = Nil,
-                   bloomCols: Seq[String] = Nil): Option[Long] = {
-    require(batchId >= 0, s"negative batchId $batchId")
-    // pre-claim fast path: a replayed range skips without claim traffic
-    if (lastBatchId(spark, root).exists(_ >= batchId)) return None
-    // round 11: a derived-table rebuild is all newly-written rows — gate
-    // (under the claim, so an interleaved ADD CONSTRAINT is seen)
-    var obs: Option[org.apache.spark.sql.Observation] = None
-    val r = withClaim(spark, root) { f =>
-      recoverOrphans(spark, root)
-      // re-check under the claim — this one is the correctness gate
-      if (lastBatchId(spark, root).exists(_ >= batchId)) None
-      else {
-        val (gated, o) = Constraints.gate(spark, root, df)
-        obs = o
-        val next = currentVersion(spark, root).getOrElse(0L) + 1L
-        stageVersion(spark, root, gated, next, batchId, statsCols, bloomCols)
-        publishLatest(spark, root, next)
-        Some(next)
-      }
-    }
-    r.foreach(v => Constraints.finish(spark, root, v, obs))
-    r
-  }
-
-  /** Compact an append chain: commit the current contents as ONE fresh
-    * full-snapshot version (optionally re-partitioned to `nFiles`), so
-    * the dir chain — and the per-read file listing that grows with it —
-    * collapses to a single directory (the OPTIMIZE step of any
-    * delta-dir format). Readers pinned to old versions keep their
-    * chain; [[vacuum]] reclaims the delta dirs once those versions age
-    * out (reference counting keeps shared dirs alive until then).
-    * Returns the new version.
-    *
-    * `zorderBy` (OPTIMIZE ZORDER): re-cluster the compacted layout on a
-    * Morton curve over ≥2 columns ([[Layout.zArrange]]) so the fresh
-    * per-file min/max stats carry TIGHT spans on every cluster column
-    * at once — compaction is the one moment the whole table is being
-    * rewritten anyway, so the re-sort rides an already-paid shuffle.
-    * Ingestion order almost never matches query predicates; this is the
-    * standard maintenance step that converts "stats exist" into "stats
-    * actually prune" (proven in SnapshotLogSpec: a range probe on
-    * either column keeps strictly fewer files after the z-compaction
-    * than before it).
-    */
-  def compactChain(spark: SparkSession, root: String,
-                   nFiles: Int = 0,
-                   statsCols: Seq[String] = Nil,
-                   bloomCols: Seq[String] = Nil,
-                   zorderBy: Seq[String] = Nil): Long = {
-    // row tracking (round 12): the materialized rewrite carries every
-    // row's identity forward as the hidden column — a full compaction
-    // is maintenance, not REPLACE. MoR lineages resolve WITH ids
-    // (round 13), so the flat materialization keeps them too.
-    val cur =
-      if (rowTrackingEnabled(spark, root))
-        readWithRowIds(spark, root).withColumnRenamed("_row_id", RowIdCol)
-      else read(spark, root)
-    val arranged =
-      if (zorderBy.nonEmpty) {
-        require(nFiles > 0, "OPTIMIZE ZORDER needs an explicit nFiles (the range partitioner's target)")
-        Layout.zArrange(cur, zorderBy, nFiles)
-      }
-      else if (nFiles > 0) cur.repartition(nFiles) else cur
-    // stats INHERIT on maintenance (round 12): a compaction must not
-    // strip the lineage's skipping sidecar. Inherited keys are PHYSICAL
-    // names; the rewrite's new files carry LOGICAL names (a full
-    // materialization drops the mapping pin), so translate back through
-    // the pin and shed keys of dropped columns
-    val sc = if (statsCols.nonEmpty) statsCols
-             else inheritedStatsColsLogical(spark, root)
-               .filter(cur.columns.contains)
-    // maintenance: the head's streaming stamp carries (replay gate intact)
-    val v = commitStamped(spark, root, arranged, sc, bloomCols,
-      carryBatchId = true)
-    // a shallow clone that just materialized under its own root no
-    // longer needs its source pinned (round 11) — release it; pre-
-    // materialization versions regain the classic vacuum caveat
-    releaseClonePin(spark, root)
-    v
-  }
-
-  /** MERGE-ON-READ compaction (the Hudi compactor shape): fold the
-    * shadow chain into ONE resolved data directory while the lineage
-    * STAYS merge-on-read — the maintenance rung a long-running
-    * [[upsertMorBatch]] sink needs, because [[compactChain]]
-    * materializes to FLAT and the next stamped MoR batch would refuse
-    * the converted lineage. Read cost is O(table) like any full
-    * compaction, but the read-side resolution window resets to zero
-    * and the dir count to one; the head's streaming stamp CARRIES so
-    * the exactly-once replay gate survives the maintenance commit;
-    * deletion vectors fold (the resolved read applied them); the
-    * column-mapping pin carries (files stay physical — a widen mark on
-    * the pin stays too, conservatively keeping bloom probes off until
-    * a flat materialization). Streaming automation is opt-in:
-    * `graft.mor.autoCompactEvery=N` runs this after every Nth
-    * committed version inside the sink, failures non-fatal.
-    */
-  def compactMor(spark: SparkSession, root: String, nFiles: Int = 0): Long = {
-    withClaim(spark, root) { _ =>
-      recoverOrphans(spark, root)
-      val cur = currentVersion(spark, root).getOrElse(
-        throw new IllegalStateException(s"no committed version at $root"))
-      val mk = morKeysOf(spark, root, cur)
-      require(mk.nonEmpty,
-        "compactMor on a non-MoR lineage — compactChain / " +
-        "compactSmallFiles are the flat maintenance rungs")
-      // row tracking (round 13): the fold materializes the visible
-      // rows' stable ids so the resolved single dir keeps identities
-      val resolved0 =
-        if (rowTrackingEnabled(spark, root))
-          scanWithRidsMor(spark, root, cur, versionPaths(spark, root, cur),
-            tombDirsOf(spark, root, cur), mk)
-        else readVersion(spark, root, cur)
-      val resolved = if (nFiles > 0) resolved0.repartition(nFiles)
-                     else resolved0
-      val next = cur + 1L
-      stageVersion(spark, root, resolved, next,
-        batchId = batchIdOf(spark, root, cur).getOrElse(-1L),
-        statsCols = inheritedStatsColsLogical(spark, root),
-        schemaJson = rawSchemaJson(spark, root, cur),
-        morKeys = mk)
-      publishLatest(spark, root, next)
-      next
-    }
-  }
-
-  /** INCREMENTAL small-file compaction — bin-packing OPTIMIZE at
-    * O(small files), not O(table). [[compactChain]] rewrites the whole
-    * table; at 100 TB that is a 100 TB job to fix a metadata problem
-    * (ten thousand micro-batch delta dirs of a few MB each). This pass
-    * reads ONLY the directories too small to fill one `targetBytes`
-    * output file, bin-packs their rows into ceil(bytes/targetBytes)
-    * files with `coalesce` (a shuffle-free read-side merge), and
-    * carries every already-big directory BY REFERENCE in the new
-    * manifest — their files are never read, rewritten, or moved.
-    * Run it on a schedule and the chain's dir count stays bounded
-    * while each maintenance job costs only the small tail.
-    *
-    * Composition: skipping-stats sidecar lines for kept dirs carry
-    * verbatim and the compacted dir gets fresh footer-derived lines
-    * (for `statsCols`, defaulting to the columns the parent's sidecar
-    * already covers — compaction must not silently lose pruning
-    * power); deletion vectors are FOLDED into the rewritten rows
-    * (positions in compacted dirs die with the old files) and the
-    * surviving vector rows — those referencing kept dirs — are
-    * rewritten as the new version's own vector; [[vacuum]] reclaims
-    * the absorbed small dirs once no retained version lists them.
-    * Readers pinned to old versions keep their chain (snapshot
-    * isolation unchanged); the feed between parent and compacted
-    * version is empty (data-neutral, proven in spec).
-    *
-    * No-op (returns the current version, commits nothing) when fewer
-    * than two dirs are small and no vector rows could be folded —
-    * calling it on an already-compact table is free.
-    *
-    * Scoped tables are refused: their dirs are partition LEAFS whose
-    * names carry partition values; merging across them would break
-    * dir-name pruning. (Scoped maintenance = [[compactChain]].)
-    */
-  def compactSmallFiles(spark: SparkSession, root: String,
-                        targetBytes: Long,
-                        statsCols: Seq[String] = Nil,
-                        bloomCols: Seq[String] = Nil): Long = {
-    import org.apache.spark.sql.functions.{col, lit, substring_index}
-    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
-    withClaim(spark, root) { f =>
-      recoverOrphans(spark, root)
-      val cur = currentVersion(spark, root).getOrElse(
-        throw new IllegalStateException(s"no committed version at $root"))
-      require(morKeysOf(spark, root, cur).isEmpty,
-        "compactSmallFiles on a merge-on-read table would collapse the " +
-        "per-dir version sequence that shadowing resolves on — use " +
-        "compactChain, which folds resolution into a materialized rewrite")
-      // detect scoped tables by the PARTITION COLUMN, not the head kind:
-      // a metadata-only commit (widen) on a scoped lineage writes its own
-      // kind while carrying partCol — a kind check alone would let the
-      // bin-pack merge partition leafs and silently drop the partitioning.
-      // Scoped lineages take the PER-LEAF bin-pack (round 10): pack
-      // within each partition leaf, never across.
-      if (manifestKind(spark, root, cur).contains("scoped") ||
-          partColOf(spark, root, cur).nonEmpty)
-        return compactScopedLeafsLocked(spark, root, cur, targetBytes,
-          statsCols, bloomCols)
-      val rootPath = new Path(root.replaceAll("/+$", ""))
-      // the rewrite set is a metadata decision — from the sidecar's file
-      // manifest when complete (zero listing), else an O(files) walk
-      val sized = filesFromSidecar(spark, root, cur) match {
-        case Some(sts) =>
-          val byDir = sts.groupBy(_.getPath.getParent.getName)
-            .map { case (b, ss) => b -> ss.map(_.getLen).sum }
-          // per-file carry entries (pruned keyed upserts) size as the
-          // one file they name — packing them defragments the manifest
-          val byRel = sts.map(st =>
-            (st.getPath.getParent.getName + "/" + st.getPath.getName)
-              -> st.getLen).toMap
-          dirsOf(spark, root, cur).map(d =>
-            if (d.contains('/') && d.endsWith(".parquet"))
-              d -> byRel.getOrElse(d.split('/').takeRight(2).mkString("/"), 0L)
-            else d -> byDir.getOrElse(d.substring(d.lastIndexOf('/') + 1), 0L))
-        case None => dirsOf(spark, root, cur).map { d =>
-          val it = f.listFiles(new Path(rootPath, d), true)
-          var tot = 0L
-          while (it.hasNext) {
-            val st = it.next()
-            if (st.isFile && st.getPath.getName.endsWith(".parquet"))
-              tot += st.getLen
-          }
-          d -> tot
-        }
-      }
-      val (small, kept) = sized.partition(_._2 < targetBytes)
-      val tombs = tombDirsOf(spark, root, cur)
-      if (small.size < 2 && !(small.nonEmpty && tombs.nonEmpty))
-        return cur // already compact — nothing to pack, nothing to fold
-      val next = cur + 1L
-      // fold vectors while rewriting: positions in kept dirs simply
-      // never match the small-dir scan, so the full set applies safely.
-      // An evolved lineage's pinned schema also applies — the packed
-      // file materializes the nulls, old small dirs notwithstanding
-      val smallPaths = small.map(d => new Path(rootPath, d._1).toString)
-      // column mapping: compact in PHYSICAL space — the packed dir must
-      // spell columns like the carried big dirs do (the pin's mapping
-      // propagates below, so reads keep translating)
-      val packed =
-        if (rowTrackingEnabled(spark, root)) {
-          // identities survive the pack (round 12): the source reads
-          // with its row ids and the packed files carry them as the
-          // materialized column; the pin translates back to physical
-          // (RowIdCol maps to itself)
-          val src = scanWithRids(spark, root, cur, smallPaths, tombs)
-          schemaOf(spark, root, cur).map(toPhysicalDf(src, _)).getOrElse(src)
-        } else {
-          val smallScan = schemaOf(spark, root, cur) match {
-            case Some(st) =>
-              spark.read.schema(physicalSchema(st)).parquet(smallPaths: _*)
-            case None => spark.read.parquet(smallPaths: _*)
-          }
-          applyTombstoneDirs(spark, root, tombs, smallScan)
-        }
-      val nOut = math.max(1L,
-        (small.map(_._2).sum + targetBytes - 1) / targetBytes).toInt
-      // caller-facing column names are LOGICAL; the files (and the
-      // sidecar lines keyed on them) spell physical — translate
-      val physMap = schemaOf(spark, root, cur)
-        .map(renameMap).getOrElse(Map.empty[String, String])
-      writeDataDir(spark, packed.coalesce(nOut), dataDir(root, next),
-        bloomCols.map(c => physMap.getOrElse(c, c)))
-      // vector rows for kept dirs survive as the new version's own
-      // vector; kept per-file carries match on their full rel key
-      val (keptFiles, keptDirs) = kept.map(_._1)
-        .partition(d => d.contains('/') && d.endsWith(".parquet"))
-      val keptDirSet = keptDirs.toSet
-      val keptFileRels = keptFiles
-        .map(_.split('/').takeRight(2).mkString("/")).toSet
-      val nextTombs =
-        if (tombs.isEmpty || kept.isEmpty) Nil
-        else {
-          val dirHit =
-            if (keptDirSet.isEmpty) lit(false)
-            else substring_index(col("__rel"), "/", 1).isInCollection(keptDirSet)
-          val fileHit =
-            if (keptFileRels.isEmpty) lit(false)
-            else col("__rel").isInCollection(keptFileRels)
-          val surviving = spark.read.parquet(
-            tombs.map(d => new Path(rootPath, d).toString): _*)
-            .filter(dirHit || fileHit)
-          if (surviving.isEmpty) Nil
-          else {
-            surviving.write.mode("overwrite")
-              .parquet(new Path(rootPath, tombDirName(next)).toString)
-            Seq(tombDirName(next))
-          }
-        }
-      val parentCarry = sidecarCarry(spark, root, cur)
-      val carry = parentCarry.filter { l =>
-        val key = StatsEval.unesc(l.takeWhile(_ != '\t'))
-        keptDirSet.contains(key.takeWhile(_ != '/')) ||
-          keptFileRels.contains(key)
-      }
-      // listing lines ("f"/"d") carry no stats column — only span and
-      // bloom lines name columns worth re-deriving on the rewrite. The
-      // distinct-collect is bounded by |columns|, never |files|.
-      val statColOf: String => Option[String] = { l =>
-        val p = l.split('\t')
-        if (p.length >= 3 && p(2) != "f" && p(2) != "d" && p(2) != "r") Some(StatsEval.unesc(p(1)))
-        else None
-      }
-      val freshCols =
-        if (statsCols.nonEmpty) statsCols.map(c => physMap.getOrElse(c, c))
-        else parentCarry match {
-          case EagerCarry(ls) => ls.flatMap(statColOf(_)).distinct
-          case c: ChainCarry  =>
-            c.toDist.ds.flatMap(statColOf(_))(org.apache.spark.sql.Encoders.STRING)
-              .distinct().collect().toSeq
-          case DistCarry(ds)  =>
-            ds.flatMap(statColOf(_))(org.apache.spark.sql.Encoders.STRING)
-              .distinct().collect().toSeq
-        }
-      writeStats(spark, root, next, freshCols, carry)
-      writeManifestAppend(spark, root, next,
-        batchIdOf(spark, root, cur).getOrElse(-1L),
-        baseDirs = kept.map(_._1), tombDirs = nextTombs,
-        schemaJson = rawSchemaJson(spark, root, cur))
-      publishLatest(spark, root, next)
-      next
-    }
-  }
-
-  /** PER-LEAF small-file compaction for partition-scoped lineages
-    * (round 10, closing the round-9 verdict's #2 gap): the scoped
-    * streaming sink rewrites its touched leafs every micro-batch at the
-    * session's write parallelism, so a busy table accumulates many-file
-    * leafs whose only maintenance used to be the O(table)
-    * [[compactChain]]. This bin-packs WITHIN each leaf — a small leaf
-    * with more than one file (or one a deletion vector references, so
-    * the vector folds) is rewritten under the new version's dir with
-    * ITS OWN partition value re-rendered from the in-file columns;
-    * every other leaf is carried by reference, byte-identical. Rewrite
-    * set is O(small leafs); partitioning is never merged across.
-    * Runs under the caller's claim ([[compactSmallFiles]] dispatches).
-    */
-  /** OPTIMIZE ZORDER for PARTITION-SCOPED tables — the per-leaf form
-    * [[compactChain]] cannot provide (it materializes to FLAT, losing
-    * the leaf layout a scoped lineage prunes on). Every partition leaf
-    * rewrites under its OWN name with rows split into z-contiguous
-    * files on the Morton curve over `zorderBy`, so dir-name partition
-    * pruning composes with tight per-file stats spans on every cluster
-    * column. `filesPerLeaf` scales the total range budget
-    * (leafs × filesPerLeaf output files, apportioned by leaf size —
-    * big leafs take more of the range). Spec-evolved lineages rewrite
-    * per generation with per-leaf spec overrides recorded (leaf names
-    * stay stable); deletion vectors fold into the rewrite; skipping
-    * stats inherit. At 100 TB this is the difference between a
-    * maintenance job sized by the table and one sized by the leafs you
-    * choose to re-cluster — and the flat z-order's global sort never
-    * has to move rows ACROSS partition leafs anyway, so nothing is
-    * lost by clustering within them.
-    */
-  def optimizeZorderScoped(spark: SparkSession, root: String,
-                           zorderBy: Seq[String], filesPerLeaf: Int = 1,
-                           statsCols: Seq[String] = Nil,
-                           bloomCols: Seq[String] = Nil): Long = {
-    require(zorderBy.size >= 2,
-      "z-order needs >= 2 columns (one-column clustering is a plain sort)")
-    require(filesPerLeaf >= 1, s"filesPerLeaf must be >= 1, got $filesPerLeaf")
-    withClaim(spark, root) { _ =>
-      recoverOrphans(spark, root)
-      val cur = currentVersion(spark, root).getOrElse(
-        throw new IllegalStateException(s"no committed version at $root"))
-      require(morKeysOf(spark, root, cur).isEmpty,
-        "optimizeZorderScoped on a merge-on-read table would collapse " +
-        "the per-dir version sequence shadowing resolves on — compactMor " +
-        "first")
-      require(manifestKind(spark, root, cur).contains("scoped") ||
-          partColOf(spark, root, cur).nonEmpty,
-        "optimizeZorderScoped needs a partition-scoped lineage — flat " +
-        "tables z-order through compactChain(zorderBy = ...)")
-      compactScopedLeafsLocked(spark, root, cur, Long.MaxValue,
-        statsCols, bloomCols, zorderBy, filesPerLeaf, rewriteAll = true)
-    }
-  }
-
-  private def compactScopedLeafsLocked(spark: SparkSession, root: String,
-                                       cur: Long, targetBytes: Long,
-                                       statsCols: Seq[String],
-                                       bloomCols: Seq[String],
-                                       zorderBy: Seq[String] = Nil,
-                                       filesPerLeaf: Int = 1,
-                                       rewriteAll: Boolean = false): Long = {
-    import org.apache.spark.sql.functions.{col, substring_index}
-    val rootPath = new Path(root.replaceAll("/+$", ""))
-    val f = fs(spark, rootPath)
-    def baseName(d: String) = d.substring(d.lastIndexOf('/') + 1)
-    val partCol = partColOf(spark, root, cur).getOrElse(
-      throw new IllegalStateException(
-        s"scoped lineage at $root v$cur carries no partition column"))
-    val spec = parseGpSpec(partCol)
-    val dirs = dirsOf(spark, root, cur)
-    require(dirs.nonEmpty && dirs.forall(baseName(_).startsWith(GpPrefix)),
-      "scoped compaction needs a fully scoped head — run upsertScoped " +
-      "once to migrate a mixed table into the scoped layout")
-    // column-mapped lineages work (round 13, mirroring purgeScoped):
-    // the rewrite stays physical — tracked scans render __gp in logical
-    // space then translate through the pin; partition source columns
-    // are never renamed (renameColumn refuses), so the render resolves
-    // identically either side of the translation
-    val sized: Seq[(String, Long, Int)] = filesFromSidecar(spark, root, cur) match {
-      case Some(sts) =>
-        val byDir = sts.groupBy(_.getPath.getParent.getName)
-        dirs.map { d =>
-          val ss = byDir.getOrElse(baseName(d), Seq.empty)
-          (d, ss.map(_.getLen).sum, ss.size)
-        }
-      case None =>
-        dirs.map { d =>
-          val it = f.listFiles(new Path(rootPath, d), true)
-          var tot = 0L; var n = 0
-          while (it.hasNext) {
-            val st = it.next()
-            if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
-              tot += st.getLen; n += 1
-            }
-          }
-          (d, tot, n)
-        }
-    }
-    val tombs = tombDirsOf(spark, root, cur)
-    // leafs a deletion vector references fold on rewrite — pack them
-    // even when single-file (the collect is O(referenced leafs))
-    val tombLeafBases: Set[String] =
-      if (tombs.isEmpty) Set.empty
-      else spark.read.parquet(tombs.map(d => new Path(rootPath, d).toString): _*)
-        .select(substring_index(col("__rel"), "/", 1)).distinct()
-        .collect().map(_.getString(0)).toSet
-    val (small, kept) =
-      if (rewriteAll) (sized, Seq.empty[(String, Long, Int)])
-      else sized.partition { case (d, bytes, n) =>
-        bytes < targetBytes && (n > 1 || tombLeafBases.contains(baseName(d)))
-      }
-    if (small.isEmpty) return cur // already compact per leaf
-    val next = cur + 1L
-    val smallPaths = small.map(t => new Path(rootPath, t._1).toString)
-    // pinned (additive) schema declares the read so pre-evolution leafs
-    // null-fill — no mergeSchema footer pass. Row-tracked lineages read
-    // with identities attached (round 12) so the pack preserves them;
-    // their scan speaks LOGICAL names, so __gp renders first and the
-    // pin translates the frame to physical just before the write (the
-    // untracked read is physical already and its partition sources are
-    // never renamed, so the same render resolves there too).
-    //
-    // SPEC-EVOLVED lineages pack PER GENERATION (round 13): each small
-    // leaf re-renders under the spec that WROTE it, so a packed leaf
-    // keeps its own name — no migration inside maintenance (migration
-    // rides the merges, which rewrite those leafs anyway), no name
-    // collision with kept leafs, and the drift check below stays exact.
-    val pinned = schemaOf(spark, root, cur)
-    val smallSpecByDir: Map[String, String] =
-      if (specHistEntries(spark, root).isEmpty) Map.empty
-      else specsOfLeafDirs(spark, root, small.map(_._1), partCol)
-    requireNoSpecNameClash(smallSpecByDir, "compaction")
-    val specGroups: Seq[(GpSpec, Seq[String])] =
-      if (smallSpecByDir.isEmpty)
-        Seq((spec, smallPaths))
-      else small.map(_._1).groupBy(smallSpecByDir).toSeq.map { case (s, ds) =>
-        (parseGpSpec(s), ds.map(d => new Path(rootPath, d).toString))
-      }
-    val tracked = rowTrackingEnabled(spark, root)
-    val packed0 = specGroups.map { case (gs, paths) =>
-      if (tracked)
-        scanWithRids(spark, root, cur, paths, tombs)
-          .withColumn(GpCol, gpRenderExpr(gs))
-      else {
-        val smallScan = pinned match {
-          case Some(st) =>
-            spark.read.schema(physicalSchema(st)).parquet(paths: _*)
-          case None => spark.read.parquet(paths: _*)
-        }
-        applyTombstoneDirs(spark, root, tombs, smallScan)
-          .withColumn(GpCol, gpRenderExpr(gs))
-      }
-    }.reduce(_ unionByName _)
-    val packed =
-      if (tracked) pinned.map(toPhysicalDf(packed0, _)).getOrElse(packed0)
-      else packed0
-    val physMap = pinned.map(renameMap).getOrElse(Map.empty[String, String])
-    // cluster by the re-rendered __gp so each small leaf packs into few
-    // files — the same writer expression every scoped commit uses,
-    // drift-checked below. OPTIMIZE ZORDER ranges on (leaf, morton key)
-    // instead: every leaf's rows split into z-contiguous files (bigger
-    // leafs get proportionally more of the range budget), so per-file
-    // min/max spans are tight on every cluster column INSIDE each
-    // partition leaf — dir-name pruning composes with stats pruning
-    val dd = dataDir(root, next)
-    val arranged =
-      if (zorderBy.isEmpty) packed.repartition(col(GpCol))
-      else {
-        val zCols = zorderBy.map(c => physMap.getOrElse(c, c))
-        // long math + a sane ceiling: a huge filesPerLeaf must clamp,
-        // not overflow Int into a single-partition collapse
-        val n = math.max(1L, math.min(
-          small.size.toLong * filesPerLeaf, 1L << 20)).toInt
-        packed.withColumn("__z", Layout.zKeyColumn(packed, zCols))
-          .repartitionByRange(n, col(GpCol), col("__z"))
-          .sortWithinPartitions(col(GpCol), col("__z"))
-          .drop("__z")
-      }
-    writeDataDir(spark,
-      arranged,
-      dd, bloomCols.map(c => physMap.getOrElse(c, c)),
-      partitionBy = Seq(GpCol))
-    val writtenLeafs = fs(spark, dd).listStatus(dd).map(_.getPath.getName)
-      .filter(_.startsWith(GpPrefix)).sorted.toSeq
-    val smallBases = small.map(t => baseName(t._1)).toSet
-    // subset, not equality: a leaf whose rows were all tombstoned
-    // legitimately packs to nothing
-    require(writtenLeafs.toSet.subsetOf(smallBases),
-      s"scoped compaction rendering drifted: wrote $writtenLeafs beyond " +
-      s"$smallBases — aborting before publish")
-    val newDirs = kept.map(_._1) ++ writtenLeafs.map(dataDirName(next) + "/" + _)
-    val keptBases = kept.map(t => baseName(t._1)).toSet
-    val parentCarry = sidecarCarry(spark, root, cur)
-    val carry = parentCarry.filter { line =>
-      val key = StatsEval.unesc(line.split("\t", -1)(0))
-      keptBases.contains(key.substring(0, math.max(key.indexOf('/'), 0)))
-    }
-    // packed leafs must not silently lose their span stats: derive the
-    // stat columns from the parent sidecar when the caller passes none
-    // (bounded by |columns| — the flat path's contract)
-    val statColOf: String => Option[String] = { l =>
-      val p = l.split('\t')
-      if (p.length >= 3 && p(2) != "f" && p(2) != "d" && p(2) != "r") Some(StatsEval.unesc(p(1)))
-      else None
-    }
-    val freshCols =
-      if (statsCols.nonEmpty) statsCols.map(c => physMap.getOrElse(c, c))
-      else parentCarry match {
-        case EagerCarry(ls) => ls.flatMap(statColOf(_)).distinct
-        case c: ChainCarry  =>
-          c.toDist.ds.flatMap(statColOf(_))(org.apache.spark.sql.Encoders.STRING)
-            .distinct().collect().toSeq
-        case DistCarry(ds)  =>
-          ds.flatMap(statColOf(_))(org.apache.spark.sql.Encoders.STRING)
-            .distinct().collect().toSeq
-      }
-    writeStats(spark, root, next, freshCols, carry)
-    // surviving vectors: positions in kept leafs only (packed leafs had
-    // theirs folded into the rewrite)
-    val nextTombs =
-      if (tombs.isEmpty || kept.isEmpty) Nil
-      else {
-        val surviving = spark.read.parquet(
-          tombs.map(d => new Path(rootPath, d).toString): _*)
-          .filter(substring_index(col("__rel"), "/", 1).isInCollection(keptBases))
-        if (surviving.isEmpty) Nil
-        else {
-          surviving.write.mode("overwrite")
-            .parquet(new Path(rootPath, tombDirName(next)).toString)
-          Seq(tombDirName(next))
-        }
-      }
-    // a maintenance rewrite carries the head's streaming stamp — an
-    // interleaved compaction must not wipe the exactly-once replay gate
-    writeManifestDirs(spark, root, next, newDirs,
-      batchId = batchIdOf(spark, root, cur).getOrElse(-1L),
-      tombDirs = nextTombs, partCol = partCol,
-      schemaJson = rawSchemaJson(spark, root, cur),
-      leafSpecs = recordLeafSpecOverrides(spark, root, smallSpecByDir,
-        writtenLeafs, partCol, next))
-    publishLatest(spark, root, next)
-    next
-  }
-
-  /** REORG … APPLY (PURGE) — round 12: materialize the head's deletion
-    * vectors by rewriting EXACTLY the files they reference. Soft-deleted
-    * rows stop occupying bytes (and stop costing the read-side DV
-    * anti-join) without the O(table) [[compactChain]]: the rewrite set
-    * is the vector-referenced files, every other file carries BY
-    * REFERENCE into the new manifest, byte-identical. A dir with a
-    * purged member dissolves into per-file carries for the rest (the
-    * pruned-MERGE manifest shape [[vacuum]] reference-counts and
-    * [[compactSmallFiles]] re-packs). The committed version carries NO
-    * vectors; fresh stats/blooms are rebuilt for the rewritten files
-    * only, so skipping power is preserved at O(purged), not O(table).
-    *
-    * Vectors whose positions all point at DEAD files (their data was
-    * already rewritten by later DML) drop as a METADATA-ONLY commit —
-    * no file is read or written.
-    *
-    * Scale: purge cost is O(vector-referenced files) + O(manifest); the
-    * driver holds the referenced-file name set (the bound CDC planning
-    * already has), never row data. Column-mapped lineages rewrite in
-    * PHYSICAL space — vectors are positional, so no logical translation
-    * is ever needed. Scoped lineages purge per LEAF (partitioning
-    * preserved, untouched leafs byte-identical); merge-on-read lineages
-    * refuse toward [[compactMor]]/[[compactChain]], whose materializing
-    * rewrite folds vectors as part of resolving the shadow sequence.
-    */
-  def purgeDeletedRows(spark: SparkSession, root: String,
-                       statsCols: Seq[String] = Nil,
-                       bloomCols: Seq[String] = Nil): Long = {
-    import org.apache.spark.sql.functions.col
-    withClaim(spark, root) { f =>
-      recoverOrphans(spark, root)
-      val cur = currentVersion(spark, root).getOrElse(
-        throw new IllegalStateException(s"no committed version at $root"))
-      val tombs = tombDirsOf(spark, root, cur)
-      if (tombs.isEmpty) return cur // nothing to purge — zero-cost no-op
-      require(morKeysOf(spark, root, cur).isEmpty,
-        "purge on a merge-on-read lineage would need the shadow sequence " +
-        "resolved first — use compactMor or compactChain (their " +
-        "materializing rewrite folds the vectors)")
-      if (manifestKind(spark, root, cur).contains("scoped") ||
-          partColOf(spark, root, cur).nonEmpty)
-        return purgeScopedLocked(spark, root, cur, statsCols, bloomCols)
-      val rootPath = new Path(root.replaceAll("/+$", ""))
-      val dirs = dirsOf(spark, root, cur)
-      def isFileEntry(d: String) = d.contains('/') && d.endsWith(".parquet")
-      def baseOf(d: String) = d.substring(d.lastIndexOf('/') + 1)
-      def rel2(d: String) = d.split('/').takeRight(2).mkString("/")
-      require(dirs.nonEmpty && dirs.forall(d =>
-        isFileEntry(d) || (!d.contains('/') && d.startsWith("data_v"))),
-        s"purge at $root: the head carries foreign/clone entries — " +
-        "compactChain is the materializing escape")
-      // the vector-referenced file set: O(referenced files) driver-side
-      val dvRels: Set[String] = spark.read.parquet(
-          tombs.map(d => new Path(rootPath, d).toString): _*)
-        .select(col("__rel")).distinct()
-        .collect().map(_.getString(0)).toSet
-      val allFiles: Seq[Path] = filesFromSidecar(spark, root, cur) match {
-        case Some(sts) => sts.map(_.getPath)
-        case None => dirs.flatMap { d =>
-          if (isFileEntry(d)) Seq(new Path(rootPath, d))
-          else {
-            val it = f.listFiles(new Path(rootPath, d), true)
-            val b = Vector.newBuilder[Path]
-            while (it.hasNext) {
-              val st = it.next()
-              if (st.isFile && st.getPath.getName.endsWith(".parquet"))
-                b += st.getPath
-            }
-            b.result()
-          }
-        }
-      }
-      def relOf(p: Path): String = p.getParent.getName + "/" + p.getName
-      val matchedRel = dvRels.intersect(allFiles.map(relOf).toSet)
-      val next = cur + 1L
-      val stamp = batchIdOf(spark, root, cur).getOrElse(-1L)
-      val pinJson = rawSchemaJson(spark, root, cur)
-      if (matchedRel.isEmpty) {
-        // every position points at a dead file — dropping the vectors
-        // is metadata-only (explicit dirs: nothing implies a data dir)
-        val stack = writeStats(spark, root, next, Nil,
-          sidecarCarry(spark, root, cur))
-        writeManifestDirs(spark, root, next, dirs, batchId = stamp,
-          tombDirs = Nil, kind = "reorg", schemaJson = pinJson,
-          statsStack = stack)
-        publishLatest(spark, root, next)
-        return next
-      }
-      val matchedPaths = allFiles
-        .filter(p => matchedRel.contains(relOf(p))).map(_.toString)
-      // PHYSICAL space end to end: vectors are positional, the pinned
-      // physical schema null-fills pre-evolution files, and the written
-      // files spell columns exactly like the carried ones. Row-tracked
-      // lineages purge with identities attached (round 12).
-      val pinned = schemaOf(spark, root, cur)
-      val purged =
-        if (rowTrackingEnabled(spark, root)) {
-          val src = scanWithRids(spark, root, cur, matchedPaths, tombs)
-          pinned.map(toPhysicalDf(src, _)).getOrElse(src)
-        } else {
-          val raw = pinned match {
-            case Some(st) =>
-              spark.read.schema(physicalSchema(st)).parquet(matchedPaths: _*)
-            case None => spark.read.parquet(matchedPaths: _*)
-          }
-          applyTombstoneDirs(spark, root, tombs, raw)
-        }
-      val physMap = pinned.map(renameMap).getOrElse(Map.empty[String, String])
-      writeDataDir(spark, purged, dataDir(root, next),
-        bloomCols.map(c => physMap.getOrElse(c, c)))
-      // fully-untouched dirs stay whole; a dir with a purged member
-      // dissolves into per-file carries for the rest
-      val byDirBase = allFiles.groupBy(_.getParent.getName)
-      val carriedEntries: Seq[String] = dirs.flatMap { d =>
-        if (isFileEntry(d)) {
-          if (matchedRel.contains(rel2(d))) Nil else Seq(d)
-        } else {
-          val members = byDirBase.getOrElse(baseOf(d), Seq.empty)
-          val (m, c) = members.partition(p => matchedRel.contains(relOf(p)))
-          if (m.isEmpty) Seq(d) else c.map(p => d + "/" + p.getName)
-        }
-      }
-      val carriedDirBases = carriedEntries.filterNot(isFileEntry).map(baseOf).toSet
-      val carry = sidecarCarry(spark, root, cur).filter { line =>
-        val key = StatsEval.unesc(line.split("\t", -1)(0))
-        if (key.endsWith("/")) carriedDirBases.contains(key.stripSuffix("/"))
-        else !matchedRel.contains(key)
-      }
-      // fresh stats inherit the lineage's stat columns (PHYSICAL — the
-      // O(1) record; caller-passed logical names translate through the
-      // pin) so the rewritten files keep their skipping power
-      val freshCols =
-        if (statsCols.nonEmpty) statsCols.map(c => physMap.getOrElse(c, c))
-        else inheritedStatsCols(spark, root)
-      val stack = writeStats(spark, root, next, freshCols, carry)
-      writeManifestDirs(spark, root, next,
-        carriedEntries :+ dataDirName(next), batchId = stamp,
-        tombDirs = Nil, kind = "reorg", schemaJson = pinJson,
-        statsStack = stack)
-      publishLatest(spark, root, next)
-      next
-    }
-  }
-
-  /** Scoped twin of [[purgeDeletedRows]] (runs under its claim): the
-    * rewrite set is exactly the LEAFS the head's vectors reference —
-    * each purged leaf re-renders its own partition dir under the new
-    * version ([[compactScopedLeafsLocked]]'s writer shape, drift-checked
-    * the same way); every other leaf carries by reference. Column-mapped
-    * scoped lineages work: the rewrite stays physical and a partition
-    * column is never renamed (the rename path refuses), so the __gp
-    * render expression resolves identically on the physical frame.
-    */
-  private def purgeScopedLocked(spark: SparkSession, root: String, cur: Long,
-                                statsCols: Seq[String],
-                                bloomCols: Seq[String]): Long = {
-    import org.apache.spark.sql.functions.{col, substring_index}
-    val rootPath = new Path(root.replaceAll("/+$", ""))
-    def baseName(d: String) = d.substring(d.lastIndexOf('/') + 1)
-    val partCol = partColOf(spark, root, cur).getOrElse(
-      throw new IllegalStateException(
-        s"scoped lineage at $root v$cur carries no partition column"))
-    val spec = parseGpSpec(partCol)
-    val dirs = dirsOf(spark, root, cur)
-    require(dirs.nonEmpty && dirs.forall(baseName(_).startsWith(GpPrefix)),
-      "scoped purge needs a fully scoped head — run upsertScoped once " +
-      "to migrate a mixed table into the scoped layout")
-    val tombs = tombDirsOf(spark, root, cur) // nonEmpty: caller checked
-    val tombLeafBases: Set[String] = spark.read.parquet(
-        tombs.map(d => new Path(rootPath, d).toString): _*)
-      .select(substring_index(col("__rel"), "/", 1)).distinct()
-      .collect().map(_.getString(0)).toSet
-    val (matched, kept) = dirs.partition(d => tombLeafBases.contains(baseName(d)))
-    val next = cur + 1L
-    val stamp = batchIdOf(spark, root, cur).getOrElse(-1L)
-    val pinJson = rawSchemaJson(spark, root, cur)
-    if (matched.isEmpty) {
-      // stale vectors only — metadata-only drop
-      val stack = writeStats(spark, root, next, Nil,
-        sidecarCarry(spark, root, cur))
-      writeManifestDirs(spark, root, next, dirs, batchId = stamp,
-        tombDirs = Nil, partCol = partCol, schemaJson = pinJson,
-        statsStack = stack)
-      publishLatest(spark, root, next)
-      return next
-    }
-    val pinned = schemaOf(spark, root, cur)
-    // tracked lineages purge with identities attached (round 12); the
-    // __gp render runs in LOGICAL space (partition sources are never
-    // renamed) and the pin translates to physical just before the
-    // write. Spec-evolved lineages purge PER GENERATION (round 13):
-    // each rewritten leaf re-renders under its OWN spec, keeping its
-    // name — the vector-referenced set stays exactly the rewrite set.
-    val matchedSpecByDir: Map[String, String] =
-      if (specHistEntries(spark, root).isEmpty) Map.empty
-      else specsOfLeafDirs(spark, root, matched, partCol)
-    requireNoSpecNameClash(matchedSpecByDir, "purge")
-    val purgeGroups: Seq[(GpSpec, Seq[String])] =
-      if (matchedSpecByDir.isEmpty)
-        Seq((spec, matched.map(d => new Path(rootPath, d).toString)))
-      else matched.groupBy(matchedSpecByDir).toSeq.map { case (s, ds) =>
-        (parseGpSpec(s), ds.map(d => new Path(rootPath, d).toString))
-      }
-    val trackedPurge = rowTrackingEnabled(spark, root)
-    val purged0 = purgeGroups.map { case (gs, paths) =>
-      if (trackedPurge)
-        scanWithRids(spark, root, cur, paths, tombs)
-          .withColumn(GpCol, gpRenderExpr(gs))
-      else {
-        val raw = pinned match {
-          case Some(st) =>
-            spark.read.schema(physicalSchema(st)).parquet(paths: _*)
-          case None => spark.read.parquet(paths: _*)
-        }
-        applyTombstoneDirs(spark, root, tombs, raw)
-          .withColumn(GpCol, gpRenderExpr(gs))
-      }
-    }.reduce(_ unionByName _)
-    val purged =
-      if (trackedPurge) pinned.map(toPhysicalDf(purged0, _)).getOrElse(purged0)
-      else purged0
-    val physMap = pinned.map(renameMap).getOrElse(Map.empty[String, String])
-    val dd = dataDir(root, next)
-    writeDataDir(spark,
-      purged.repartition(col(GpCol)),
-      dd, bloomCols.map(c => physMap.getOrElse(c, c)),
-      partitionBy = Seq(GpCol))
-    val writtenLeafs = fs(spark, dd).listStatus(dd).map(_.getPath.getName)
-      .filter(_.startsWith(GpPrefix)).sorted.toSeq
-    val matchedBases = matched.map(baseName).toSet
-    // subset, not equality: a leaf whose rows were all tombstoned
-    // legitimately purges to nothing
-    require(writtenLeafs.toSet.subsetOf(matchedBases),
-      s"scoped purge rendering drifted: wrote $writtenLeafs beyond " +
-      s"$matchedBases — aborting before publish")
-    val newDirs = kept ++ writtenLeafs.map(dataDirName(next) + "/" + _)
-    val keptBases = kept.map(baseName).toSet
-    val carry = sidecarCarry(spark, root, cur).filter { line =>
-      val key = StatsEval.unesc(line.split("\t", -1)(0))
-      keptBases.contains(key.substring(0, math.max(key.indexOf('/'), 0)))
-    }
-    val freshCols =
-      if (statsCols.nonEmpty) statsCols.map(c => physMap.getOrElse(c, c))
-      else inheritedStatsCols(spark, root)
-    val stack = writeStats(spark, root, next, freshCols, carry)
-    writeManifestDirs(spark, root, next, newDirs, batchId = stamp,
-      tombDirs = Nil, partCol = partCol, schemaJson = pinJson,
-      statsStack = stack,
-      leafSpecs = recordLeafSpecOverrides(spark, root, matchedSpecByDir,
-        writtenLeafs, partCol, next))
-    publishLatest(spark, root, next)
-    next
-  }
-
-  // ---------------- ROW TRACKING (round 12) ------------------------
-  // Stable ROW IDS (Delta row tracking / Iceberg v3 row lineage): every
-  // row of an enabled table has a permanent identity `_row_id` that
-  // survives appends, deletes, and (as the rewrite paths materialize
-  // it) file reorganization. The identity is METADATA-DERIVED, never
-  // stored per row on the append path: each data file gets a BASE id
-  // from a monotone counter (`_graft_log/ROWIDHIGH`, bumped under the
-  // writer claim at sidecar-write time), and a row's id is
-  // `base + row_index` — zero bytes per row, zero write-path cost
-  // beyond one footer row-count pass over the commit's own files.
-  // Rewritten files carry the old ids forward as a MATERIALIZED hidden
-  // column (`__graft_rid`); the reader coalesces column-over-base, so
-  // mixed lineages read exactly.
-
-  private[graft] val RowIdCol = "__graft_rid"
-  private def rowTrackMarkerPath(root: String): Path =
-    new Path(logDir(root), "ROWTRACKING")
-  private def rowIdHighPath(root: String): Path =
-    new Path(logDir(root), "ROWIDHIGH")
-
-  private[graft] def rowTrackingEnabled(spark: SparkSession,
-                                        root: String): Boolean = {
-    val p = rowTrackMarkerPath(root)
-    fs(spark, p).exists(p)
-  }
-
-  private def readRowIdHigh(spark: SparkSession, root: String): Long = {
-    val p = rowIdHighPath(root)
-    val f = fs(spark, p)
-    if (!f.exists(p)) 0L
-    else {
-      val in = f.open(p)
-      val txt = try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      txt.trim.toLong
-    }
-  }
-
-  private def writeRowIdHigh(spark: SparkSession, root: String,
-                             v: Long): Unit = {
-    val p = rowIdHighPath(root)
-    val f = fs(spark, p)
-    f.mkdirs(p.getParent)
-    val tmp = new Path(p.getParent, ".tmp_rowidhigh")
-    val out = f.create(tmp, true)
-    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    // OVERWRITING rename — old value or new, never absent (a lost mark
-    // would re-issue bases and alias identities)
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      p.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
-
-  /** Distributed footer row counts for a set of parquet files, returned
-    * (dir-relative key, rowCount) sorted by key — deterministic base
-    * assignment order. O(files) driver memory, one footer read each.
-    */
-  private def fileRowCounts(spark: SparkSession,
-                            paths: Seq[String]): Seq[(String, Long)] = {
-    if (paths.isEmpty) return Nil
-    val conf = new org.apache.spark.util.SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
-    val slices = math.max(1, math.min(paths.size,
-      spark.sparkContext.defaultParallelism))
-    spark.sparkContext.parallelize(paths, slices).map { pstr =>
-      import scala.jdk.CollectionConverters._
-      val p = new Path(pstr)
-      val rel = p.getParent.getName + "/" + p.getName
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf.value))
-      try (rel, reader.getFooter.getBlocks.asScala.map(_.getRowCount.toLong).sum)
-      finally reader.close()
-    }.collect().toSeq.sortBy(_._1)
-  }
-
-  /** The version's (file rel → base id) assignments as a small frame —
-    * distributed parse of the sidecar (text, checkpoint, or chain), no
-    * driver materialization of the line set.
-    */
-  private def rowBaseDf(spark: SparkSession, root: String,
-                        v: Long): DataFrame = {
-    val S = org.apache.spark.sql.Encoders.STRING
-    val linesDs: org.apache.spark.sql.Dataset[String] =
-      sidecarCarry(spark, root, v) match {
-        case EagerCarry(ls) => spark.createDataset(ls)(S)
-        case DistCarry(ds)  => ds
-        case c: ChainCarry  => c.toDist.ds
-      }
-    val T = org.apache.spark.sql.Encoders.tuple(
-      org.apache.spark.sql.Encoders.STRING,
-      org.apache.spark.sql.Encoders.scalaLong)
-    linesDs.flatMap { l =>
-      val p = l.split("\t", -1)
-      if (p.length == 5 && p(2) == "r")
-        Some((StatsEval.unesc(p(0)), p(3).toLong))
-      else None
-    }(T).toDF("__rel", "__rbase")
-  }
-
-  /** Enable row tracking — or REPAIR coverage after a rewrite path that
-    * does not yet materialize ids: live files without a base assignment
-    * get fresh bases (their rows are new identities); files already
-    * covered keep their bases untouched (ids are stable). Commits a
-    * metadata-only version whose sidecar carries the parent's lines
-    * plus the new `r` assignments.
-    */
-  def enableRowTracking(spark: SparkSession, root: String): Long = {
-    withClaim(spark, root) { f =>
-      recoverOrphans(spark, root)
-      val cur = currentVersion(spark, root).getOrElse(
-        throw new IllegalStateException(s"no committed version at $root"))
-      // merge-on-read lineages enable too (round 13): every file gets a
-      // base; a key's VISIBLE identity is its latest shadow's id at
-      // enable time (identities start now), and every later shadowing
-      // commit inherits it forward ([[morRidProbe]]), so stability
-      // holds from enablement on. Invisible old copies derive ids no
-      // reader ever sees — harmless by construction.
-      val rootPath = new Path(root.replaceAll("/+$", ""))
-      val allFiles: Seq[String] = filesFromSidecar(spark, root, cur) match {
-        case Some(sts) => sts.map(_.getPath.toString)
-        case None => dirsOf(spark, root, cur).flatMap { d =>
-          if (d.contains('/') && d.endsWith(".parquet"))
-            Seq(new Path(rootPath, d).toString)
-          else {
-            val it = f.listFiles(new Path(rootPath, d), true)
-            val b = Vector.newBuilder[String]
-            while (it.hasNext) {
-              val st = it.next()
-              if (st.isFile && st.getPath.getName.endsWith(".parquet"))
-                b += st.getPath.toString
-            }
-            b.result()
-          }
-        }
-      }
-      def relOf(p: String) = {
-        val pp = new Path(p); pp.getParent.getName + "/" + pp.getName
-      }
-      val covered: Map[String, (Long, Long)] = sidecarCarry(spark, root, cur)
-        .filter(l => l.split("\t", -1) match {
-          case arr if arr.length == 5 && arr(2) == "r" => true
-          case _ => false
-        }) match {
-        case EagerCarry(ls) => ls.map { l =>
-          val p = l.split("\t", -1)
-          StatsEval.unesc(p(0)) -> (p(3).toLong, p(4).toLong)
-        }.toMap
-        case c: ChainCarry => c.toDist.ds.collect().map { l =>
-          val p = l.split("\t", -1)
-          StatsEval.unesc(p(0)) -> (p(3).toLong, p(4).toLong)
-        }.toMap
-        case DistCarry(ds) => ds.collect().map { l =>
-          val p = l.split("\t", -1)
-          StatsEval.unesc(p(0)) -> (p(3).toLong, p(4).toLong)
-        }.toMap
-      }
-      val uncovered = allFiles.filterNot(p => covered.contains(relOf(p)))
-      if (rowTrackingEnabled(spark, root) && uncovered.isEmpty)
-        return cur // enabled and fully covered — nothing to do
-      // fresh bases start past BOTH the recorded mark and every carried
-      // assignment (a cloned sidecar carries source bases; collisions
-      // would alias identities)
-      val mark0 = math.max(readRowIdHigh(spark, root),
-        covered.valuesIterator.map { case (b, n) => b + n }
-          .foldLeft(0L)(math.max))
-      val counts = fileRowCounts(spark, uncovered)
-      var mark = mark0
-      val rLines = Vector.newBuilder[String]
-      counts.foreach { case (rel, n) =>
-        rLines += s"${esc(rel)}\t\tr\t$mark\t$n"
-        mark += n
-      }
-      writeRowIdHigh(spark, root, mark)
-      val next = cur + 1L
-      val stack = writeStats(spark, root, next, Nil,
-        sidecarCarry(spark, root, cur), extraLines = rLines.result())
-      writeManifestDirs(spark, root, next, dirsOf(spark, root, cur),
-        batchId = batchIdOf(spark, root, cur).getOrElse(-1L),
-        tombDirs = tombDirsOf(spark, root, cur),
-        kind = "rowtrack",
-        partCol = partColOf(spark, root, cur).getOrElse(""),
-        schemaJson = rawSchemaJson(spark, root, cur),
-        morKeys = morKeysOf(spark, root, cur),
-        statsStack = stack)
-      publishLatest(spark, root, next)
-      // marker LAST: a crash above leaves no marker and a clean re-run
-      val mp = rowTrackMarkerPath(root)
-      if (!fs(spark, mp).exists(mp)) {
-        val out = fs(spark, mp).create(mp, true)
-        try out.write("1".getBytes) finally out.close()
-      }
-      next
-    }
-  }
-
-  /** A version's file scan with stable row identities attached: the
-    * table's LOGICAL columns plus [[RowIdCol]] — populated for every
-    * row (materialized column preferred, else file base + row index;
-    * loud failure when neither exists), deletion vectors applied. The
-    * rewrite paths read their sources through this so identities
-    * survive reorganization; [[readWithRowIds]] is the user surface.
-    * `keepPos` additionally exposes `__rel`/`__ri` (what the DML paths
-    * feed [[writeTombstones]]).
-    */
-  private def scanWithRids(spark: SparkSession, root: String, version: Long,
-                           paths: Seq[String], tombs: Seq[String],
-                           keepPos: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit, raise_error,
-      substring_index, when}
-    val pinned = schemaOf(spark, root, version)
-    val logicalFields = pinned.map(st =>
-        st.fields.filterNot(isDropped).toSeq.map(fl => (fl.name, physName(fl))))
-      .getOrElse(tableSchema(spark, root, version).fields.toSeq
-        .map(fl => (fl.name, fl.name)))
-    val physBase = pinned.map(physicalSchema).getOrElse(
-      tableSchema(spark, root, version))
-    val declared = org.apache.spark.sql.types.StructType(
-      asNullable(org.apache.spark.sql.types.StructType(
-        physBase.fields.filterNot(_.name == RowIdCol)))
-        .asInstanceOf[org.apache.spark.sql.types.StructType].fields :+
-        org.apache.spark.sql.types.StructField(RowIdCol,
-          org.apache.spark.sql.types.LongType, nullable = true))
-    val scan = spark.read.schema(declared).parquet(paths: _*)
-      .withColumn("__rel", substring_index(col("_metadata.file_path"), "/", -2))
-      .withColumn("__ri", col("_metadata.row_index"))
-    // the (rel → base) map is O(files) tiny rows — BROADCAST it, or the
-    // planner may shuffle the whole data scan to sort-merge against it
-    // (measured 7× on a 9M-row read before the hint)
-    val withBase = scan.join(
-      org.apache.spark.sql.functions.broadcast(rowBaseDf(spark, root, version)),
-      Seq("__rel"), "left")
-    val rid = coalesce(col(RowIdCol), col("__rbase") + col("__ri"))
-    val guarded = when(rid.isNull, raise_error(lit(
-        s"row-id coverage incomplete at $root — a rewrite produced files " +
-        "without identities; run enableRowTracking to re-base them")))
-      .otherwise(rid)
-    val vis =
-      if (tombs.isEmpty) withBase
-      else {
-        val rootPath = new Path(root.replaceAll("/+$", ""))
-        withBase.join(spark.read.parquet(
-            tombs.map(d => new Path(rootPath, d).toString): _*),
-          Seq("__rel", "__ri"), "left_anti")
-      }
-    val posCols = if (keepPos) Seq(col("__rel"), col("__ri")) else Nil
-    vis.select(logicalFields.map { case (lname, pname) =>
-      col(pname).as(lname) } ++ Seq(guarded.as(RowIdCol)) ++ posCols: _*)
-  }
-
-  /** Merge-on-read twin of [[scanWithRids]] (round 13): latest-per-key
-    * resolution AFTER the vectors, with identities attached. Shadow
-    * copies of a key share the key's ORIGINAL id — [[upsertMor]] /
-    * [[mergeMor]] inherit it into every delta ([[morRidProbe]]) — so
-    * the visible row's id IS the key's stable identity, whatever
-    * version its winning copy lives in. The slice must contain every
-    * live copy of each key the caller cares about (whole version, or a
-    * candidate superset from the skipping sidecar).
-    */
-  private def scanWithRidsMor(spark: SparkSession, root: String,
-                              version: Long, paths: Seq[String],
-                              tombs: Seq[String],
-                              mk: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.{col, regexp_extract}
-    val s = scanWithRids(spark, root, version, paths, tombs, keepPos = true)
-      .withColumn(MorSeqCol,
-        regexp_extract(col("__rel"), "^data_v(\\d+)/", 1).cast("long"))
-    resolveLatest(s, mk).drop("__rel", "__ri")
-  }
-
-  /** (keys → stable id) of the VISIBLE rows whose keys may intersect
-    * `batch` — what a shadowing commit joins in so updated keys carry
-    * their identity forward as a materialized column. O(candidate
-    * files) via the skipping sidecar's per-column admission (the
-    * [[rewriteMatchedFlat]] probe shape); conservative fallback reads
-    * the version whole when no usable listing/stats exist.
-    */
-  private def morRidProbe(spark: SparkSession, root: String, cur: Long,
-                          batch: DataFrame, keys: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    val files = relFileMap(spark, root, cur)
-    val paths: Seq[String] = candidateRelsForKeyFrame(spark, root, cur,
-        batch, keys) match {
-      case Some(rels) => rels.toSeq.sorted.flatMap(files.get)
-      case None       => files.values.toSeq.sorted
-    }
-    if (paths.isEmpty)
-      return batch.select(keys.map(col(_)): _*).limit(0)
-        .withColumn(RowIdCol, org.apache.spark.sql.functions
-          .lit(null).cast("long"))
-    // semi-join BEFORE resolution: every copy of a batch key survives
-    // the key filter, so latest-per-key over the remainder is exact for
-    // the probed keys — and the window's input shrinks from candidate-
-    // file rows to matched-key rows (measured 1.9× on RowTrackBench's
-    // MoR section)
-    import org.apache.spark.sql.functions.regexp_extract
-    val s = scanWithRids(spark, root, cur, paths,
-        tombDirsOf(spark, root, cur), keepPos = true)
-      .withColumn(MorSeqCol,
-        regexp_extract(col("__rel"), "^data_v(\\d+)/", 1).cast("long"))
-      .join(batch.select(keys.map(col(_)): _*).distinct(), keys, "left_semi")
-    resolveLatest(s, keys)
-      .select(keys.map(col(_)) :+ col(RowIdCol): _*)
-  }
-
-  /** Candidate file rels admitting ANY key of `probe` — per key column
-    * point-probes (≤16 distinct values, bloom-capable) or one span
-    * probe, intersected across columns; None = no usable listing (the
-    * caller must fall back to every file). The [[rewriteMatchedFlat]]
-    * probe, extracted for the MoR identity/CDC paths.
-    */
-  private def candidateRelsForKeyFrame(spark: SparkSession, root: String,
-                                       v: Long, probe: DataFrame,
-                                       keys: Seq[String]): Option[Set[String]] = {
-    import org.apache.spark.sql.functions.{col, max => smax, min => smin, when}
-    val all = filesFromSidecar(spark, root, v).getOrElse(return None)
-    def relOf(p: Path): String = p.getParent.getName + "/" + p.getName
-    val allRel = all.map(st => relOf(st.getPath)).toSet
-    val MaxPoint = 16
-    // hoisted once per probe: the deriver map costs declaration +
-    // manifest + SPECHIST reads, and point probes fan out per value
-    lazy val dv = Some(generatedPartDerivers(spark, root, v))
-    val sets = keys.map { k =>
-      val vals = probe.select(col(k)).distinct()
-        .limit(MaxPoint + 1).collect().map(_.get(0)).toSeq
-      if (vals.isEmpty) Set.empty[String]
-      else if (vals.contains(null)) allRel
-      else if (vals.size <= MaxPoint)
-        vals.map(x => candidateFilesEquals(spark, root, v, k, x, derivers = dv)
-          ._1.map(relOf).toSet).reduce(_ union _)
-      else {
-        val r = probe.agg(smin(col(k)), smax(col(k)),
-          smax(when(col(k).isNull, 1).otherwise(0))).head
-        if (r.get(2) == 1) allRel
-        else candidateFiles(spark, root, v, k, r.get(0), r.get(1))
-          ._1.map(relOf).toSet
-      }
-    }
-    Some(sets.reduce(_ intersect _))
-  }
-
-  /** The current snapshot with its stable `_row_id` column: coalesce of
-    * the materialized [[RowIdCol]] (rewritten files carry old ids
-    * forward) over `base + row_index` (append-path files, zero bytes
-    * per row). Deletion vectors apply exactly like [[readVersion]].
-    * A row whose identity cannot be derived (a file a non-materializing
-    * rewrite produced after enablement) raises loudly — run
-    * [[enableRowTracking]] again to re-base such files.
-    *
-    * REPLACE semantics (round 13): commits that REPLACE content by
-    * contract — [[commit]] (full-snapshot), keyless
-    * [[overwritePartitions]] (per replaced partition) — hand the new
-    * rows FRESH identities, the Delta/Iceberg overwrite behavior: a
-    * replaced row is a new row. Keyed DML (upsert, MERGE, UPDATE,
-    * deleteByKey) preserves identities on every path, pruned or
-    * fallback; only a rewrite that genuinely cannot know row
-    * correspondence (the analyzer-composed general-MERGE COW plan on a
-    * keyless ON) commits without assignments and raises here.
-    */
-  def readWithRowIds(spark: SparkSession, root: String,
-                     version: Option[Long] = None): DataFrame = {
-    val v = version.getOrElse(currentVersion(spark, root).getOrElse(
-      throw new IllegalStateException(s"no committed version at $root")))
-    require(rowTrackingEnabled(spark, root),
-      s"row tracking is not enabled at $root — enableRowTracking first")
-    // merge-on-read lineages resolve latest-per-key with identities
-    // attached (round 13): every shadow copy of a key carries the key's
-    // original id, so resolution order does not move identities
-    val mk = morKeysOf(spark, root, v)
-    val base =
-      if (mk.isEmpty)
-        scanWithRids(spark, root, v, versionPaths(spark, root, v),
-          tombDirsOf(spark, root, v))
-      else
-        scanWithRidsMor(spark, root, v, versionPaths(spark, root, v),
-          tombDirsOf(spark, root, v), mk)
-    base.withColumnRenamed(RowIdCol, "_row_id")
-  }
-
-  /** KEYLESS exact change feed via row identities (round 12): what
-    * changed between two committed versions of a row-tracked table,
-    * derived from `_row_id` alone — no declared key set needed (the
-    * classic [[changesBetween]] requires one, and append-only fact
-    * tables often have none). One full-outer join on the identity:
-    * old-only ids are `delete` rows, new-only are `insert`, both-sides
-    * pairs with any column differing are `update_preimage` /
-    * `update_postimage`. Exact by construction — identities are stable
-    * under appends, DV deletes, maintenance and keyed DML, so "same id,
-    * different bytes" IS "this row changed".
-    *
-    * Scale: append-extending version ranges (old dirs intact, same
-    * vectors) short-circuit to reading ONLY the delta dirs as inserts —
-    * O(delta), no join (the [[changesBetween]] rule). Every other range
-    * diffs FILE-GRANULARLY (round 13, the scale-defining property): rel
-    * paths are immutable once committed and row ids are stable through
-    * every rewrite, so a file carried into both versions is
-    * byte-identical and cannot produce a change row — the identity join
-    * reads only the SYMMETRIC DIFFERENCE of the two versions' file
-    * sets, plus files whose deletion-vector coverage changed. A 1-file
-    * upsert on a 100k-file table diffs one predecessor file against its
-    * rewrite, not two full-version scans.
-    */
-  def changesByRowId(spark: SparkSession, root: String, fromV: Long,
-                     toV: Long): DataFrame = {
-    require(fromV < toV, s"fromV $fromV must precede toV $toV")
-    require(rowTrackingEnabled(spark, root),
-      s"row tracking is not enabled at $root — enableRowTracking first")
-    val mk = morKeysOf(spark, root, toV)
-    if (mk.nonEmpty) return morChangesByRowId(spark, root, fromV, toV, mk)
-    val fromDirs = dirsOf(spark, root, fromV)
-    val toDirs = dirsOf(spark, root, toV)
-    if (toDirs.startsWith(fromDirs) &&
-        tombDirsOf(spark, root, fromV) == tombDirsOf(spark, root, toV)) {
-      val rootPath = new Path(root.replaceAll("/+$", ""))
-      val delta = toDirs.drop(fromDirs.size)
-        .map(d => new Path(rootPath, d).toString)
-      val ins = scanWithRids(spark, root, toV, delta,
-          tombDirsOf(spark, root, toV))
-        .withColumnRenamed(RowIdCol, "_row_id")
-      return ins.withColumn("_change_type",
-        org.apache.spark.sql.functions.lit("insert"))
-    }
-    val (oldPaths, newPaths) = changedFileSlices(spark, root, fromV, toV)
-    keyedSliceDiff(
-      ridSliceOrEmpty(spark, root, fromV, oldPaths),
-      ridSliceOrEmpty(spark, root, toV, newPaths),
-      Seq("_row_id"))
-  }
-
-  /** The per-version absolute paths of every data file that can
-    * possibly hold a changed row between two versions: the symmetric
-    * difference of the (immutable-once-written) rel-path sets, plus
-    * files referenced by a deletion vector present in exactly one of
-    * the versions. O(changed files) read cost; the vector probe is one
-    * distinct over the DELTA vectors only. Exposed private[graft] so
-    * the spec can assert the slice really is file-granular.
-    */
-  private[graft] def changedFileSlices(spark: SparkSession, root: String,
-                                       fromV: Long,
-                                       toV: Long): (Seq[String], Seq[String]) = {
-    val (fromFiles, toFiles, dirty) = dirtyFileState(spark, root, fromV, toV)
-    val ordered = dirty.toSeq.sorted
-    (ordered.flatMap(fromFiles.get), ordered.flatMap(toFiles.get))
-  }
-
-  /** Both versions' rel→path maps plus the DIRTY rel set: the symmetric
-    * difference of the file sets, union files referenced by a deletion
-    * vector present in exactly one version.
-    */
-  private def dirtyFileState(spark: SparkSession, root: String, fromV: Long,
-                             toV: Long): (Map[String, String], Map[String, String], Set[String]) = {
-    val fromFiles = relFileMap(spark, root, fromV)
-    val toFiles = relFileMap(spark, root, toV)
-    val fromTombs = tombDirsOf(spark, root, fromV).toSet
-    val toTombs = tombDirsOf(spark, root, toV).toSet
-    val tombDelta = (fromTombs diff toTombs) ++ (toTombs diff fromTombs)
-    val rootPath = new Path(root.replaceAll("/+$", ""))
-    val dirtyByVector: Set[String] =
-      if (tombDelta.isEmpty) Set.empty
-      else spark.read.parquet(
-          tombDelta.toSeq.map(d => new Path(rootPath, d).toString): _*)
-        .select("__rel").distinct().collect().map(_.getString(0)).toSet
-    val dirty = fromFiles.keySet.diff(toFiles.keySet) ++
-      toFiles.keySet.diff(fromFiles.keySet) ++ dirtyByVector
-    (fromFiles, toFiles, dirty)
-  }
-
-  /** [[changesByRowId]] on a merge-on-read lineage (round 13): a shadow
-    * delta CHANGES the visible rows of files it never touched, so the
-    * flat file-set diff is insufficient — the slice additionally needs
-    * every live copy of every key the dirty files mention (candidate
-    * superset from the skipping sidecar, whole version when no stats),
-    * resolved latest-per-key on EACH side before the identity join.
-    * Still O(changed + candidates), not two full resolutions, whenever
-    * the keys prune.
-    */
-  private def morChangesByRowId(spark: SparkSession, root: String,
-                                fromV: Long, toV: Long,
-                                mk: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    val (fromFiles, toFiles, dirty) = dirtyFileState(spark, root, fromV, toV)
-    val ordered = dirty.toSeq.sorted
-    if (dirty.isEmpty)
-      return keyedSliceDiff(
-        morRidSliceOrEmpty(spark, root, fromV, Nil, mk),
-        morRidSliceOrEmpty(spark, root, toV, Nil, mk), Seq("_row_id"))
-    // the keys the dirty files mention, read raw per side (hidden
-    // shadow copies included — a conservative superset is fine here)
-    val dirtyKeys = keysInFiles(spark, root, fromV,
-        ordered.flatMap(fromFiles.get), mk)
-      .unionByName(keysInFiles(spark, root, toV,
-        ordered.flatMap(toFiles.get), mk))
-      .distinct().persist()
-    try {
-      // candidate union ACROSS both versions: every live copy of a
-      // dirty key on either side is in the slice, and an untouched key
-      // caught by span collision exposes the SAME copies to both sides
-      // (all its files live in both versions) — so it diffs silent
-      val cand: Set[String] =
-        candidateRelsForKeyFrame(spark, root, fromV, dirtyKeys, mk)
-          .getOrElse(fromFiles.keySet) ++
-        candidateRelsForKeyFrame(spark, root, toV, dirtyKeys, mk)
-          .getOrElse(toFiles.keySet)
-      val slice = (dirty ++ cand).toSeq.sorted
-      keyedSliceDiff(
-        morRidSliceOrEmpty(spark, root, fromV,
-          slice.flatMap(fromFiles.get), mk),
-        morRidSliceOrEmpty(spark, root, toV,
-          slice.flatMap(toFiles.get), mk),
-        Seq("_row_id"))
-    } finally dirtyKeys.unpersist()
-  }
-
-  /** Raw distinct key tuples present in a path slice (no vectors, no
-    * resolution — supersets are safe for candidate probing).
-    */
-  private def keysInFiles(spark: SparkSession, root: String, v: Long,
-                          paths: Seq[String],
-                          keys: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    val raw =
-      if (paths.isEmpty)
-        ridSliceOrEmpty(spark, root, v, Nil).drop("_row_id")
-      else schemaOf(spark, root, v) match {
-        case Some(st) => fromPhysicalSelect(
-          spark.read.schema(physicalSchema(st)).parquet(paths: _*), st)
-        case None => spark.read.parquet(paths: _*).drop(RowIdCol)
-      }
-    raw.select(keys.map(col(_)): _*).distinct()
-  }
-
-  /** Both versions' VISIBLE rows restricted to the minimal file slices
-    * that can differ between them — flat lineages: the symmetric
-    * difference of the file sets plus vector-delta files; merge-on-read:
-    * additionally every live copy of the dirty files' merge keys
-    * (candidate superset), resolved latest-per-key on each side. The
-    * last two values are the TO-side slice file count and total file
-    * count, so a caller can fall back to a full pass when the slice is
-    * most of the table (e.g. after a compaction). Shared by the keyed
-    * [[changesBetween]] fallback and [[graft.engine.AnnIndex]]
-    * maintenance.
-    */
-  private[graft] def visibleSliceDiff(spark: SparkSession, root: String,
-                                      fromV: Long, toV: Long)
-      : (DataFrame, DataFrame, Int, Int) =
-    morKeysOf(spark, root, toV) match {
-      case mk if mk.nonEmpty =>
-        // shadow deltas change rows in files they never touch, so the
-        // slice additionally needs every live copy of the dirty files'
-        // MERGE keys (candidate superset, the identity-CDC machinery) —
-        // resolved latest-per-key on each side before the keyed diff
-        val (ff, tf, dirty) = dirtyFileState(spark, root, fromV, toV)
-        if (dirty.isEmpty)
-          (verSliceOrEmpty(spark, root, fromV, Nil),
-           verSliceOrEmpty(spark, root, toV, Nil), 0, tf.size)
-        else {
-          val ordered = dirty.toSeq.sorted
-          val dKeys = keysInFiles(spark, root, fromV,
-              ordered.flatMap(ff.get), mk)
-            .unionByName(keysInFiles(spark, root, toV,
-              ordered.flatMap(tf.get), mk))
-            .distinct().persist()
-          try {
-            val cand =
-              candidateRelsForKeyFrame(spark, root, fromV, dKeys, mk)
-                .getOrElse(ff.keySet) ++
-              candidateRelsForKeyFrame(spark, root, toV, dKeys, mk)
-                .getOrElse(tf.keySet)
-            val slice = (dirty ++ cand).toSeq.sorted
-            val toPaths = slice.flatMap(tf.get)
-            (morVisibleSlice(spark, root, fromV, slice.flatMap(ff.get), mk),
-             morVisibleSlice(spark, root, toV, toPaths, mk),
-             toPaths.size, tf.size)
-          } finally dKeys.unpersist()
-        }
-      case _ =>
-        val (ff, tf, dirty) = dirtyFileState(spark, root, fromV, toV)
-        val ordered = dirty.toSeq.sorted
-        val toPaths = ordered.flatMap(tf.get)
-        (verSliceOrEmpty(spark, root, fromV, ordered.flatMap(ff.get)),
-         verSliceOrEmpty(spark, root, toV, toPaths),
-         toPaths.size, tf.size)
-    }
-
-  /** The visible rows an APPEND-extended range (fromV, toV] added —
-    * the delta dirs' rows, pin-translated — or None when the range is
-    * NOT append-extended (file removals, deletion-vector changes, or a
-    * merge-on-read lineage, where a "new dir" can shadow old rows).
-    * The O(delta) feed for consumers whose state is not subtractive
-    * (sketch views, the ANN append fast path).
-    */
-  private[graft] def appendDeltaRows(spark: SparkSession, root: String,
-                                     fromV: Long,
-                                     toV: Long): Option[DataFrame] = {
-    val fromDirs = dirsOf(spark, root, fromV)
-    val toDirs = dirsOf(spark, root, toV)
-    val appendOnly = morKeysOf(spark, root, toV).isEmpty &&
-      toDirs.startsWith(fromDirs) &&
-      tombDirsOf(spark, root, fromV) == tombDirsOf(spark, root, toV)
-    if (!appendOnly) None
-    else {
-      val rootPath = new Path(root.replaceAll("/+$", ""))
-      Some(verSliceOrEmpty(spark, root, toV,
-        toDirs.drop(fromDirs.size).map(d => new Path(rootPath, d).toString)))
-    }
-  }
-
-  /** A path slice of version `v` as the plain visible read (declared
-    * schema, vectors applied, no identities) — or a same-shaped empty
-    * frame. The keyed changesBetween's file-granular fallback; also the
-    * raw-delta read of [[graft.engine.AnnIndex]]'s append fast path
-    * (column-mapped lineages need the pin translation).
-    */
-  private[graft] def verSliceOrEmpty(spark: SparkSession, root: String, v: Long,
-                              paths: Seq[String]): DataFrame =
-    if (paths.isEmpty) {
-      val fields = schemaOf(spark, root, v) match {
-        case Some(st) => st.fields.filterNot(isDropped).toSeq
-          .map(f => org.apache.spark.sql.types.StructField(
-            f.name, f.dataType, nullable = true))
-        case None => tableSchema(spark, root, v).fields.toSeq
-          .map(_.copy(nullable = true))
-      }
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(fields))
-    } else {
-      val raw = schemaOf(spark, root, v) match {
-        case Some(st) => fromPhysicalSelect(
-          spark.read.schema(physicalSchema(st)).parquet(paths: _*), st)
-        case None => spark.read.parquet(paths: _*).drop(RowIdCol)
-      }
-      applyTombstoneDirs(spark, root, tombDirsOf(spark, root, v), raw)
-    }
-
-  /** Latest-per-key VISIBLE rows restricted to a path slice, no
-    * identities — the keyed MoR CDC machinery (the slice must hold
-    * every live copy of each key whose answer matters; supersets are
-    * safe, resolution of an extra key is identical on both sides).
-    */
-  private def morVisibleSlice(spark: SparkSession, root: String, v: Long,
-                              paths: Seq[String],
-                              mk: Seq[String]): DataFrame =
-    if (paths.isEmpty) verSliceOrEmpty(spark, root, v, Nil)
-    else {
-      val base0 = schemaOf(spark, root, v) match {
-        case Some(st) => fromPhysicalSelect(
-          spark.read.schema(physicalSchema(st)).parquet(paths: _*), st)
-        case None => spark.read.parquet(paths: _*).drop(RowIdCol)
-      }
-      val vis = applyTombstoneDirs(spark, root, tombDirsOf(spark, root, v),
-        base0.withColumn(MorSeqCol, morSeq))
-      resolveLatest(vis, mk)
-    }
-
-  /** MoR-resolving twin of [[ridSliceOrEmpty]]. */
-  private def morRidSliceOrEmpty(spark: SparkSession, root: String, v: Long,
-                                 paths: Seq[String],
-                                 mk: Seq[String]): DataFrame =
-    if (paths.isEmpty) ridSliceOrEmpty(spark, root, v, Nil)
-    else scanWithRidsMor(spark, root, v, paths, tombDirsOf(spark, root, v), mk)
-      .withColumnRenamed(RowIdCol, "_row_id")
-
-  /** rel → absolute path of a version's data files (sidecar listing
-    * when complete — zero filesystem listing — else an O(files) walk).
-    */
-  private def relFileMap(spark: SparkSession, root: String,
-                         v: Long): Map[String, String] = {
-    val rootPath = new Path(root.replaceAll("/+$", ""))
-    val paths: Seq[Path] = filesFromSidecar(spark, root, v) match {
-      case Some(sts) => sts.map(_.getPath)
-      case None =>
-        val f = fs(spark, rootPath)
-        dirsOf(spark, root, v).flatMap { d =>
-          if (d.contains('/') && d.endsWith(".parquet"))
-            Seq(new Path(rootPath, d))
-          else {
-            val it = f.listFiles(new Path(rootPath, d), true)
-            val b = Vector.newBuilder[Path]
-            while (it.hasNext) {
-              val st = it.next()
-              if (st.isFile && st.getPath.getName.endsWith(".parquet"))
-                b += st.getPath
-            }
-            b.result()
-          }
-        }
-    }
-    paths.map(p => (p.getParent.getName + "/" + p.getName) -> p.toString).toMap
-  }
-
-  /** [[scanWithRids]] renamed to the public `_row_id`, or a same-shaped
-    * empty frame when the slice has no files (a pure-delete range's new
-    * side, a pure-insert range's old side).
-    */
-  private def ridSliceOrEmpty(spark: SparkSession, root: String, v: Long,
-                              paths: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    if (paths.nonEmpty)
-      scanWithRids(spark, root, v, paths, tombDirsOf(spark, root, v))
-        .withColumnRenamed(RowIdCol, "_row_id")
-    else {
-      val fields = schemaOf(spark, root, v) match {
-        case Some(st) => st.fields.filterNot(isDropped).toSeq
-          .map(f => StructField(f.name, f.dataType, nullable = true))
-        case None => tableSchema(spark, root, v).fields.toSeq
-          .map(_.copy(nullable = true))
-      }
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(fields :+ StructField("_row_id", LongType)))
-    }
-  }
-
-  /** Step 3 — the commit point: swap the LATEST pointer atomically
-    * (temp file + overwriting rename).
-    */
-  private[graft] def publishLatest(spark: SparkSession, root: String, v: Long): Unit = {
-    val latest = new Path(logDir(root), Latest)
-    // torn-proof publish is the store's contract: temp + atomic rename
-    // on HDFS/POSIX (HadoopLogStore), a single-key conditional PUT on
-    // object stores — the protocol only requires old-or-new visibility
-    LogStore.resolve(spark).atomicPut(spark, latest,
-      v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // amortized-O(1) index roll-forward; a failure here must not fail
-    // the commit (the checkpoint is an accelerator, never correctness)
-    try maybeCheckpoint(spark, root, v)
-    catch { case e: Exception =>
-      System.err.println(s"[graft] checkpoint at v$v skipped: ${e.getMessage}")
-    }
-  }
-
-  /** CDC-style change feed between two committed versions: one row per
-    * key whose state differs, tagged `insert` / `update` / `delete`,
-    * carrying the key columns plus every non-key column in before/after
-    * pairs (`old_c`, `new_c`; NULL on the absent side). This is what a
-    * downstream incremental consumer reads instead of diffing full
-    * snapshots itself — one full-outer join on the key between two
-    * immutable version directories, no state kept anywhere.
-    *
-    * `update` means "any non-key column differs" (null-safe compare), so
-    * byte-identical rows drop out and the feed is empty exactly when the
-    * versions are equal. Works across any version gap (the net change,
-    * not the per-commit history — per-commit replay is `1 to n map
-    * changesBetween(v-1, v)` while the versions remain un-vacuumed).
-    */
-  def changesBetween(spark: SparkSession, root: String, fromV: Long,
-                     toV: Long, keys: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions._
-    require(fromV < toV, s"fromV $fromV must precede toV $toV")
-    // APPEND-lineage short-circuit: when toV's dir chain extends fromV's
-    // (every dir of fromV still present, in order), the old rows are
-    // untouched by construction — the change feed IS the delta dirs,
-    // read directly as inserts: O(delta) with no join, instead of the
-    // O(table) full-outer diff. This is also the semantically right
-    // feed for append-only tables, whose keys may legitimately repeat
-    // across batches (they are facts, not keyed states — the keyed diff
-    // below assumes key-unique snapshots).
-    val fromDirs = dirsOf(spark, root, fromV)
-    val toDirs = dirsOf(spark, root, toV)
-    // the short-circuit also demands IDENTICAL deletion vectors: a
-    // tombstoneDelete changes visible rows while leaving the dir chain
-    // intact — treating it as "pure append" would hide every delete.
-    // Merge-on-read lineages are excluded outright: their delta dirs are
-    // UPSERTS (an existing key's new row shadows the old one — an
-    // update, not an insert), so only the keyed snapshot diff below
-    // reports them faithfully.
-    if (toDirs.startsWith(fromDirs) &&
-        tombDirsOf(spark, root, toV) == tombDirsOf(spark, root, fromV) &&
-        morKeysOf(spark, root, toV).isEmpty) {
-      val deltas = toDirs.drop(fromDirs.size).map(d =>
-        new Path(root.replaceAll("/+$", ""), d).toString)
-      // pin the head's schema: a feed spanning an appendEvolved boundary
-      // reads pre- and post-evolution delta dirs in one pass; a mapped
-      // lineage's files spell physical names — declare those, then
-      // project back to the logical names the consumer knows
-      val rows = schemaOf(spark, root, toV) match {
-        case Some(st) =>
-          fromPhysicalSelect(
-            spark.read.schema(physicalSchema(st)).parquet(deltas: _*), st)
-        case None => spark.read.parquet(deltas: _*)
-      }
-      require(keys.nonEmpty && keys.forall(rows.columns.contains),
-        s"keys $keys must be columns of the table")
-      val nonKeys = rows.columns.toSeq.filterNot(keys.contains)
-      return rows.select(
-        lit("insert").as("change_type") +:
-        keys.map(col) ++:
-        nonKeys.flatMap(c => Seq(
-          lit(null).cast(rows.schema(c).dataType).as("old_" + c),
-          col(c).as("new_" + c))): _*)
-    }
-    // EVENT-FEED path (round 9): when every step in the range is
-    // event-derivable — appended (delta dirs read as inserts), RECORDED
-    // its row diff as commit-time change files (scoped upserts / keyed
-    // DML / general MERGE under graft.changeFeed.enabled), deleted by
-    // deletion vector (rows read back by position), or merge-on-read
-    // updated (vector preimages + delta postimages) — fold the
-    // per-version events into the NET old→new state per key —
-    // O(changes), where the fallback below is an O(table) full-outer
-    // snapshot diff. The net semantics match
-    // the keyed diff exactly: first event's pre-state vs last event's
-    // post-state, no-op rows filtered (an update later reverted nets to
-    // nothing, same as the snapshot diff would report).
-    val allVs = versions(spark, root)
-    // step classification: which per-version event derivations the fold
-    // can use. "chg" = recorded change files; "append" = delta dirs read
-    // as inserts; "delete" = a deletion-vector commit (dirs unchanged,
-    // tombstones grew — the NEWLY tombstoned rows read BACK by position,
-    // re-tombstoned duplicates excluded against the prior vectors);
-    // "update" = a merge-on-read UPDATE (preimages from the new vector +
-    // postimages from the new dir). Anything else → snapshot-diff
-    // fallback below.
-    def stepKind(v: Long): Option[String] = {
-      val dirs = dirsOf(spark, root, v)
-      val prev = dirsOf(spark, root, v - 1)
-      val tombs = tombDirsOf(spark, root, v)
-      val prevTombs = tombDirsOf(spark, root, v - 1)
-      if (chgDirOf(spark, root, v).isDefined) Some("chg")
-      else if (dirs.startsWith(prev) && tombs == prevTombs) Some("append")
-      else if (manifestKind(spark, root, v).contains("delete") &&
-               dirs == prev && tombs.startsWith(prevTombs)) Some("delete")
-      else if (manifestKind(spark, root, v).contains("update") &&
-               dirs.startsWith(prev) && tombs.startsWith(prevTombs)) Some("update")
-      else if (manifestKind(spark, root, v).contains("replace_where") &&
-               dirs.startsWith(prev) && tombs.startsWith(prevTombs))
-        Some("replace_where")
-      else None
-    }
-    val stepKinds: Map[Long, Option[String]] =
-      if (morKeysOf(spark, root, toV).nonEmpty ||
-          !(fromV to toV).forall(allVs.contains)) Map.empty
-      else (fromV + 1 to toV).map(v => v -> stepKind(v)).toMap
-    val feedOk = stepKinds.nonEmpty && stepKinds.values.forall(_.isDefined) &&
-      stepKinds.values.exists(_.exists(_ != "append"))
-    if (feedOk) {
-      val rootS = root.replaceAll("/+$", "")
-      val pinned = schemaOf(spark, root, toV)
-      def deltaRows(v: Long, label: String): Option[DataFrame] = {
-        val deltas = dirsOf(spark, root, v)
-          .drop(dirsOf(spark, root, v - 1).size).map(d => s"$rootS/$d")
-        if (deltas.isEmpty) None
-        else {
-          val rows = pinned match {
-            case Some(st) => fromPhysicalSelect(
-              spark.read.schema(physicalSchema(st)).parquet(deltas: _*), st)
-            case None => spark.read.parquet(deltas: _*)
-          }
-          Some(rows.withColumn("_change_type", lit(label))
-            .withColumn("_v", lit(v)))
-        }
-      }
-      // NEWLY tombstoned rows of version v, read back by position from
-      // exactly the touched files (the distinct-rel collect is O(touched
-      // files), the scan O(their bytes) — never a whole-table pass)
-      def tombRows(v: Long, label: String): Option[DataFrame] = {
-        val prevTombs = tombDirsOf(spark, root, v - 1)
-        val newTombs = tombDirsOf(spark, root, v).drop(prevTombs.size)
-        if (newTombs.isEmpty) return None
-        val newPos = spark.read.parquet(newTombs.map(d => s"$rootS/$d"): _*)
-          .select(col("__rel"), col("__ri")).distinct()
-        val fresh =
-          if (prevTombs.isEmpty) newPos
-          else newPos.join(
-            spark.read.parquet(prevTombs.map(d => s"$rootS/$d"): _*)
-              .select(col("__rel"), col("__ri")),
-            Seq("__rel", "__ri"), "left_anti")
-        val rels = fresh.select("__rel").distinct().collect().map(_.getString(0))
-        val baseToDir = dirsOf(spark, root, v - 1).map { d =>
-          // a per-file carry entry ("data_vN/part-….parquet") resolves
-          // through its DIR part: tombstone rels name dir/file, and the
-          // dir of a partially-carried file is reachable only via the
-          // entry's prefix (duplicates collapse to the same mapping)
-          if (d.contains('/') && d.endsWith(".parquet")) {
-            val dp = d.substring(0, d.lastIndexOf('/'))
-            dp.substring(dp.lastIndexOf('/') + 1) -> dp
-          } else d.substring(d.lastIndexOf('/') + 1) -> d
-        }.toMap
-        val files = rels.toSeq.flatMap { rel =>
-          val cut = rel.indexOf('/')
-          if (cut <= 0) None
-          else baseToDir.get(rel.substring(0, cut))
-            .map(d => s"$rootS/$d/${rel.substring(cut + 1)}")
-        }
-        if (files.isEmpty) return None
-        val raw = pinned match {
-          case Some(st) => spark.read.schema(physicalSchema(st)).parquet(files: _*)
-          case None => spark.read.parquet(files: _*)
-        }
-        val keyed = raw
-          .withColumn("__rel", substring_index(col("_metadata.file_path"), "/", -2))
-          .withColumn("__ri", col("_metadata.row_index"))
-          .join(fresh, Seq("__rel", "__ri"), "left_semi")
-          .drop("__rel", "__ri")
-        val logical = pinned.map(st => fromPhysicalSelect(keyed, st)).getOrElse(keyed)
-        Some(logical.withColumn("_change_type", lit(label))
-          .withColumn("_v", lit(v)))
-      }
-      val eventDfs = (fromV + 1 to toV).flatMap { v =>
-        stepKinds(v).get match {
-          case "chg" =>
-            val cd = chgDirOf(spark, root, v).get
-            Seq(spark.read.parquet(s"$rootS/$cd").withColumn("_v", lit(v)))
-          case "append" => deltaRows(v, "insert").toSeq
-          case "delete" => tombRows(v, "delete").toSeq
-          case "update" =>
-            tombRows(v, "update_preimage").toSeq ++
-            deltaRows(v, "update_postimage").toSeq
-          // replaceWhere: the tombstoned slice leaves, the batch
-          // arrives — NOT an update pair (the new rows are not
-          // rewrites of the old ones)
-          case "replace_where" =>
-            tombRows(v, "delete").toSeq ++ deltaRows(v, "insert").toSeq
-        }
-      }
-      // every step may legitimately contribute nothing (an empty append,
-      // a delete fully deduplicated against prior vectors) — the range
-      // then changed nothing and the cheap snapshot diff below says so.
-      // A range spanning an appendEvolved boundary mixes chg files
-      // recorded under the OLD column set with delta frames read under
-      // the head's pinned schema — null-fill the old frames to the head
-      // schema (exactly how the snapshot read null-fills pre-evolution
-      // files) instead of letting the strict unionByName throw. A frame
-      // carrying a column the head does NOT have (a rename boundary)
-      // cannot be aligned — fall through to the snapshot diff.
-      val metaCols = Set("_change_type", "_v")
-      val eventColSets = eventDfs.map(_.columns.toSet)
-      val alignedDfs: Option[Seq[DataFrame]] =
-        if (eventDfs.isEmpty) None
-        else if (eventColSets.forall(_ == eventColSets.head)) Some(eventDfs)
-        else schemaOf(spark, root, toV) match {
-          case Some(st) if eventColSets.forall(s =>
-              (s -- metaCols).subsetOf(st.fieldNames.toSet)) =>
-            Some(eventDfs.map { df =>
-              val have = df.columns.toSet
-              st.fields.filterNot(f => have(f.name)).foldLeft(df)((d, f) =>
-                d.withColumn(f.name, lit(null).cast(f.dataType)))
-            })
-          case _ => None
-        }
-      if (alignedDfs.isDefined) {
-      val events = alignedDfs.get.reduce(_.unionByName(_))
-      val cols = events.columns.toSeq.filterNot(Seq("_change_type", "_v").contains)
-      require(keys.nonEmpty && keys.forall(cols.contains),
-        s"keys $keys must be columns of the table")
-      val nonKeys = cols.filterNot(keys.contains)
-      // within one version the OLD side (preimage / delete) sorts before
-      // the NEW side (insert / postimage), so min_by lands on the state
-      // at fromV and max_by on the state at toV
-      val ord = when(col("_change_type") === "update_preimage", 0)
-        .when(col("_change_type") === "delete", 1)
-        .when(col("_change_type") === "insert", 2).otherwise(3)
-      val rowS = struct(cols.map(col): _*)
-      val evS = struct(col("_change_type").as("ct"), rowS.as("r"))
-      val seqS = struct(col("_v"), col("_ord"))
-      return events.withColumn("_ord", ord)
-        .groupBy(keys.map(col): _*)
-        .agg(min_by(evS, seqS).as("__first"), max_by(evS, seqS).as("__last"))
-        .select(keys.map(col) :+
-          when(col("__first.ct") =!= "insert", col("__first.r")).as("__old") :+
-          when(col("__last.ct").isin("insert", "update_postimage"),
-            col("__last.r")).as("__new"): _*)
-        .withColumn("change_type",
-          when(col("__old").isNull && col("__new").isNotNull, lit("insert"))
-            .when(col("__old").isNotNull && col("__new").isNull, lit("delete"))
-            .when(!(col("__old") <=> col("__new")), lit("update")))
-        .filter(col("change_type").isNotNull)
-        .select(col("change_type") +: keys.map(col) ++:
-          nonKeys.flatMap(c => Seq(col("__old." + c).as("old_" + c),
-                                   col("__new." + c).as("new_" + c))): _*)
-      }
-    }
-    // FILE-GRANULAR snapshot-diff fallback (round 13): on a flat
-    // lineage the keyed diff over the SYMMETRIC DIFFERENCE of the two
-    // versions' file sets (plus vector-delta files) equals the full
-    // diff — snapshots are key-unique by this diff's standing contract,
-    // so a key living in a file carried into BOTH versions contributes
-    // byte-identical rows to both sides and cancels. Merge-on-read
-    // lineages keep the full resolved diff (a shadow delta changes
-    // rows in files it never touched).
-    val (before, after, _, _) = visibleSliceDiff(spark, root, fromV, toV)
-    require(before.columns.toSeq == after.columns.toSeq,
-      s"schema changed between v$fromV and v$toV: " +
-        s"${before.columns.toSeq} vs ${after.columns.toSeq}")
-    require(keys.nonEmpty && keys.forall(before.columns.contains),
-      s"keys $keys must be columns of the table")
-    val nonKeys = before.columns.toSeq.filterNot(keys.contains)
-    val o = before.toDF(before.columns.map("__o_" + _): _*)
-      .withColumn("__in_old", lit(true))
-    val n = after.toDF(after.columns.map("__n_" + _): _*)
-      .withColumn("__in_new", lit(true))
-    val cond = keys.map(k => o("__o_" + k) <=> n("__n_" + k)).reduce(_ && _)
-    val changed =
-      if (nonKeys.isEmpty) lit(false) // key-only table: no update state
-      else nonKeys.map(c => !(col("__o_" + c) <=> col("__n_" + c))).reduce(_ || _)
-    o.join(n, cond, "full_outer")
-      .withColumn("change_type",
-        when(col("__in_old").isNull, lit("insert"))
-          .when(col("__in_new").isNull, lit("delete"))
-          .when(changed, lit("update")))
-      .filter(col("change_type").isNotNull) // unchanged rows leave the feed
-      .select(
-        col("change_type") +:
-        keys.map(k => coalesce(col("__n_" + k), col("__o_" + k)).as(k)) ++:
-        nonKeys.flatMap(c => Seq(col("__o_" + c).as("old_" + c),
-                                 col("__n_" + c).as("new_" + c))): _*)
-  }
-
-  /** Incremental change-feed tail — the CONSUMER half of CDC (the batch
-    * half is [[changesBetween]]): process everything committed since a
-    * durable cursor, once per successful poll, across process restarts.
-    * The first poll (no cursor file yet) delivers the whole current
-    * snapshot as `insert` rows in the change-feed schema — the standard
-    * initial-load contract — so a consumer bootstraps and tails with ONE
-    * code path.
-    *
-    * Delivery is at-least-once promoted to exactly-once by ordering: the
-    * cursor advances (temp file + atomic rename, the LATEST pattern) only
-    * AFTER `fn` returns — a crash mid-`fn` re-delivers the same version
-    * range on the next poll, so `fn` must be idempotent on its
-    * (fromV, toV] range (the same contract every foreachBatch sink here
-    * already satisfies via batchId keying).
-    *
-    * Scale: each poll costs O(changes) on append lineages (the
-    * [[changesBetween]] short-circuit) and one keyed diff otherwise; the
-    * cursor is one tiny file, so any number of independent consumers can
-    * tail one table at their own pace. Retention contract: [[vacuum]]'s
-    * `keep` must exceed the longest consumer lag, or the poll fails
-    * loudly on the vacuumed base version (the rule every lakehouse CDC
-    * reader has).
-    */
-  def tailChanges(spark: SparkSession, root: String, cursor: String,
-                  keys: Seq[String])(fn: (DataFrame, Long, Long) => Unit): Option[(Long, Long)] = {
-    import org.apache.spark.sql.functions._
-    val toV = currentVersion(spark, root).getOrElse(return None)
-    val cpath = new Path(cursor)
-    val cf = fs(spark, cpath)
-    val fromV =
-      if (!cf.exists(cpath)) 0L
-      else {
-        val in = cf.open(cpath)
-        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-        finally in.close()
-      }
-    require(fromV <= toV,
-      s"cursor v$fromV is ahead of the table's v$toV — wrong cursor file or table root")
-    if (toV == fromV) return None
-    val feed =
-      if (fromV == 0L) {
-        val rows = readVersion(spark, root, toV)
-        require(keys.nonEmpty && keys.forall(rows.columns.contains),
-          s"keys $keys must be columns of the table")
-        val nonKeys = rows.columns.toSeq.filterNot(keys.contains)
-        rows.select(
-          lit("insert").as("change_type") +:
-          keys.map(col) ++:
-          nonKeys.flatMap(c => Seq(
-            lit(null).cast(rows.schema(c).dataType).as("old_" + c),
-            col(c).as("new_" + c))): _*)
-      } else changesBetween(spark, root, fromV, toV, keys)
-    fn(feed, fromV, toV)
-    // advance only after fn succeeded — a crash above re-delivers
-    val tmp = new Path(cpath.getParent, f".tmp_cursor_v$toV%08d")
-    val out = cf.create(tmp, true)
-    try out.write(toV.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val fc = FileContext.getFileContext(cpath.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, cpath, Options.Rename.OVERWRITE)
-    Some((fromV, toV))
-  }
-
-  // ------------------------------------------------- file-skipping stats
-
-  // sidecar line format: fileName \t column \t tag \t min \t max with
-  // backslash/tab/newline escaped and `\N` marking NULL (an all-null
-  // file) — TSV, not JSON, so string values never fight quote escaping.
-  private def esc(s: String): String =
-    s.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
-  private def unesc(s: String): String = StatsEval.unesc(s)
-  private val NullMark = StatsEval.NullMark
-  // temporal stats serialization: lexicographic == chronological
-  private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
-  private val DateFmt = "yyyy-MM-dd"
-
-  /** Render a range probe the same way the build pass rendered the
-    * stored min/max, so temporal probes compare in the one shared
-    * format. LTZ stats are serialized in the SESSION timezone
-    * (`date_format` semantics), so instant-bearing probes (Timestamp,
-    * Instant) must render through that same zone — a hard-coded UTC (or
-    * the JVM default) would shift the probe window by the zone offset
-    * under a non-UTC session and silently prune files that contain
-    * matching rows. NTZ and DATE probes (LocalDateTime, LocalDate) are
-    * wall-clock and tz-free. Non-temporal probes pass through.
-    */
-  private def sessionZone(spark: SparkSession): java.time.ZoneId =
-    java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone",
-      java.util.TimeZone.getDefault.getID))
-
-  private def probeString(x: Any, zone: java.time.ZoneId): String =
-    StatsEval.probeString(x, zone)
-
-  /** Code-point lexicographic string compare == UTF-8 binary order ==
-    * Spark's UTF8String min/max ordering. Java's String `<` compares
-    * UTF-16 code UNITS, which disagrees for supplementary characters
-    * (surrogates 0xD800–0xDFFF sort below high-BMP chars in UTF-16 but
-    * encode code points ABOVE them) — comparing stored Spark min/max
-    * with Java order could wrongly prune a file that contains the probe
-    * (regression-tested with U+FFFD vs U+1F600).
-    */
-  private def cpLess(a: String, b: String): Boolean = StatsEval.cpLess(a, b)
-
-  // LEGACY sidecar bloom geometry (pre-round-7 commits wrote 32768-bit /
-  // 3×xxhash64 bitmaps as "b" sidecar lines; append chains still carry
-  // such lines forward). New commits rely on parquet's own write-time
-  // bloom filters instead — probed from footers in
-  // [[candidateFilesEquals]] — so these constants only serve the probe
-  // side of carried legacy lines.
-  private[graft] val BloomBits = 32768
-  private[graft] val BloomHashes = 3
-  private[graft] val BloomSaturation = 0.5 // max set-bit fraction worth keeping
-
-  /** The k bit positions a LEGACY sidecar bloom line has set for a
-    * value — driver-side Catalyst eval of the SAME xxhash64 the old
-    * build pass used, so query and build can never disagree on the
-    * hash. The probe value is CAST to the column's type first:
-    * xxhash64 is type-sensitive, so probing a LongType column with an
-    * Int (or a string of digits) would otherwise hash differently than
-    * the build pass and WRONGLY prune files — a silent-missing-rows
-    * bug, not a perf miss.
-    */
-  private def bloomPositions(value: Any,
-                             dt: org.apache.spark.sql.types.DataType): Seq[Int] = {
-    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
-    val raw = Literal.create(value)
-    val typed =
-      if (raw.dataType == dt) raw
-      else Literal(Cast(raw, dt, Some("UTC")).eval(null), dt)
-    require(typed.value != null,
-      s"probe value $value is not castable to the column type ${dt.simpleString}")
-    (0 until BloomHashes).map { i =>
-      // seed 42 = the SQL xxhash64() default, matching the build pass
-      val h = XxHash64(Seq(Literal(i), typed), 42L).eval(null).asInstanceOf[Long]
-      (math.floorMod(h, BloomBits.toLong)).toInt
-    }
-  }
-
-  /** One stats column as shipped to the footer-reading tasks: name,
-    * sidecar tag, and the session zone LTZ micros render through.
-    */
-  private case class StatSpec(col: String, tag: String, zoneId: String)
-
-  private sealed trait FooterStat
-  private case object FooterUnknown extends FooterStat
-  private case object FooterAllNull extends FooterStat
-  private case class FooterSpan(min: String, max: String) extends FooterStat
-
-  /** Build the `v{N}.stats` sidecar from PARQUET FOOTERS — per-file
-    * min/max were already computed by the writing tasks, so the commit
-    * pays ZERO additional data scans (round-6 VERDICT: the old
-    * implementation re-read the whole committed version, a second
-    * 100 TB pass on a full rewrite, and collected per-file bloom bit
-    * sets through the driver — ~128 KB × files). Footer reads are
-    * O(files) metadata IO, distributed over the executors; the driver
-    * receives only the finished sidecar lines (two rendered values per
-    * (file, column) — the same order of bytes as the manifest itself).
-    * Bloom filters no longer appear in the sidecar at all: parquet
-    * writes them into the files during the commit ([[stageVersion]])
-    * and [[candidateFilesEquals]] probes them from footers.
-    *
-    * Footer stats are trustworthy for exactly our tag domains: UTF-8
-    * binary min/max compare in unsigned-byte order, which IS code-point
-    * order (what [[cpLess]] implements); truncated binary bounds stay
-    * valid bounds (parquet pads the max upward); NaN suppresses footer
-    * stats entirely, which degrades to "keep the file" — the same
-    * contract as the NaN guard in [[candidateFiles]].
-    */
-  // ------------------------- sidecar storage: text vs parquet checkpoint
-
-  /** Parquet STATS CHECKPOINT of a version (round 9): the same records
-    * as the `v{N}.stats` text sidecar, but written as a distributed
-    * Spark job into a parquet directory — columns (k, c, t, a, b) hold
-    * the five (escaped) TSV fields of each line. Above the byte
-    * threshold the text form's driver-side build (`.collect().sorted` +
-    * one `mkString` string) is O(files × columns) driver heap and a
-    * single multi-GB write — the round-8 verdict's last O(files)
-    * driver-memory wall. The checkpoint is Delta's answer re-expressed:
-    * carry flows as a Dataset, fresh footer stats stay an RDD, and the
-    * union writes via executors; the driver never materializes a
-    * per-file line. Readers get parquet column pushdown for free (span
-    * probes filter on `c`, read planning on `t`).
-    */
-  private[graft] def statsPqPath(root: String, v: Long): Path =
-    new Path(logDir(root), f"v$v%08d.statspq")
-
-  /** Byte budget above which a commit's sidecar switches from the
-    * driver-built text file to the distributed parquet checkpoint. Small
-    * tables keep the one-file text form (cheaper than a Spark job per
-    * commit); a chain that outgrows the budget migrates automatically on
-    * its next commit and stays parquet from then on.
-    */
-  private def statsCheckpointThreshold(spark: SparkSession): Long =
-    spark.conf.getOption("graft.stats.checkpointThresholdBytes")
-      .map(_.toLong).getOrElse(4L << 20)
-
-  /** A parent sidecar bound for a child commit. Below the checkpoint
-    * threshold the lines ride the driver as before ([[EagerCarry]]);
-    * above it — or when the parent is already a parquet checkpoint —
-    * they stay a lazy [[Dataset]] ([[DistCarry]]) that only executors
-    * ever materialize. `filter` composes on either representation, so
-    * the scoped/compaction call sites keep their line predicates
-    * unchanged (the closures capture only Sets and [[StatsEval]]).
-    */
-  private[graft] sealed trait SidecarCarry {
-    def filter(p: String => Boolean): SidecarCarry
-  }
-  private[graft] final case class EagerCarry(lines: Seq[String]) extends SidecarCarry {
-    def filter(p: String => Boolean): SidecarCarry = EagerCarry(lines.filter(p))
-  }
-  private[graft] final case class DistCarry(ds: org.apache.spark.sql.Dataset[String]) extends SidecarCarry {
-    def filter(p: String => Boolean): SidecarCarry = DistCarry(ds.filter(p))
-  }
-  /** CHAINED carry (round 9): the parent's checkpoint is referenced, not
-    * copied — the child writes ONLY its own fresh rows and records
-    * `parent +: parent's stack` in its manifest, so an append's commit
-    * metadata cost is O(batch), not O(table) (the Delta delta-log
-    * shape; every earlier design rewrote the whole table's stats each
-    * commit, text and checkpoint alike). Only verbatim carries chain: a
-    * `filter` (scoped/compaction rewrites) materializes the full stack
-    * first, which doubles as the chain's consolidation point.
-    */
-  private[graft] final case class ChainCarry(spark: SparkSession, root: String,
-                                             baseV: Long,
-                                             baseStack: Seq[Long]) extends SidecarCarry {
-    def filter(p: String => Boolean): SidecarCarry = toDist.filter(p)
-    def toDist: DistCarry = DistCarry(renderStatsLines(
-      spark.read.parquet((baseV +: baseStack)
-        .map(statsPqPath(root, _).toString): _*)))
-  }
-
-  /** Ancestor checkpoint versions whose pq dirs compose `v`'s logical
-    * sidecar (self excluded; empty = self-contained). The stored list
-    * is transitively complete, so resolution is ONE manifest read and
-    * never walks dead ancestors' manifests.
-    */
-  private[graft] def statsStackOf(spark: SparkSession, root: String,
-                                  v: Long): Seq[Long] =
-    """"statsStack":"([^"]*)"""".r
-      .findFirstMatchIn(readManifest(spark, root, v))
-      .map(_.group(1)).filter(_.nonEmpty)
-      .map(_.split(",").toSeq.map(_.toLong))
-      .getOrElse(Seq.empty)
-
-  /** All pq dirs of `v`'s logical sidecar, own first. */
-  private def pqStackPaths(root: String, v: Long,
-                           stack: Seq[Long]): Seq[String] =
-    (v +: stack).map(statsPqPath(root, _).toString)
-
-  /** Max chain length before a commit consolidates the stack into one
-    * full checkpoint (head resolution reads `depth` parquet dirs; the
-    * periodic full write is Delta's checkpoint-every-N).
-    */
-  private def statsChainDepth(spark: SparkSession): Int =
-    spark.conf.getOption("graft.stats.checkpointChainDepth")
-      .map(_.toInt).getOrElse(20)
-
-  private def sidecarCarry(spark: SparkSession, root: String,
-                           v: Long, allowChain: Boolean = true): SidecarCarry = {
-    val sp = statsPath(root, v)
-    val f = fs(spark, sp)
-    if (f.exists(sp)) {
-      if (f.getFileStatus(sp).getLen <= statsCheckpointThreshold(spark))
-        EagerCarry(sidecarLines(spark, root, v))
-      else DistCarry(spark.read.textFile(sp.toString)
-        .filter((l: String) => l.nonEmpty))
-    } else {
-      val pq = statsPqPath(root, v)
-      if (fs(spark, pq).exists(pq)) {
-        val stack = statsStackOf(spark, root, v)
-        // chain unless the depth budget is spent (then one full rewrite
-        // consolidates) or the caller crosses roots (clone)
-        if (allowChain && 1 + stack.size < statsChainDepth(spark))
-          ChainCarry(spark, root, v, stack)
-        else DistCarry(renderStatsLines(
-          spark.read.parquet(pqStackPaths(root, v, stack): _*)))
-      } else EagerCarry(Seq.empty)
-    }
-  }
-
-  /** Checkpoint rows → sidecar lines (the five escaped fields joined by
-    * tabs — a lossless round trip of [[parseStatsLines]]; fields are
-    * non-null by construction, so concat_ws cannot drop one).
-    */
-  private def renderStatsLines(
-      df: DataFrame): org.apache.spark.sql.Dataset[String] = {
-    import org.apache.spark.sql.functions.concat_ws
-    df.select(concat_ws("\t", df("k"), df("c"), df("t"), df("a"), df("b")))
-      .as[String](org.apache.spark.sql.Encoders.STRING)
-  }
-
-  private def parseStatsLines(
-      ds: org.apache.spark.sql.Dataset[String]): DataFrame = {
-    val enc = org.apache.spark.sql.Encoders.tuple(
-      org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.STRING,
-      org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.STRING,
-      org.apache.spark.sql.Encoders.STRING)
-    ds.map { line =>
-      val p = line.split("\t", -1)
-      require(p.length == 5, s"malformed sidecar line: $line")
-      (p(0), p(1), p(2), p(3), p(4))
-    }(enc).toDF("k", "c", "t", "a", "b")
-  }
-
-  // test-visible write-path markers: which storage the last writeStats
-  // chose and whether its carry stayed distributed (the round-9 spec
-  // asserts a large chain's commits never eagerly materialize carry)
-  @volatile private[graft] var lastStatsMode: String = ""
-  @volatile private[graft] var lastCarryDistributed: Boolean = false
-
-  /** Returns the version's stats stack for its manifest: `Nil` for a
-    * self-contained sidecar (text or full checkpoint), the ancestor
-    * list for a chained delta checkpoint ([[ChainCarry]]).
-    */
-  private def writeStats(spark: SparkSession, root: String, v: Long,
-                         cols: Seq[String],
-                         carry: SidecarCarry = EagerCarry(Nil),
-                         extraLines: Seq[String] = Nil,
-                         assignRidBases: Boolean = true): Seq[Long] = {
-    val dd = dataDir(root, v)
-    val f = fs(spark, dd)
-    val lines = Vector.newBuilder[String]
-    lines ++= extraLines
-    val ownFiles = Vector.newBuilder[Path]
-    // FILE MANIFEST (round 8): record the version's own dirs' file
-    // listings as sidecar lines — `d` marks a dir fully listed, `f`
-    // carries one file's (name, length, mtime). The committer just
-    // wrote these files, so the statuses are a single O(batch) listing
-    // of the new dir; carried lines cover the inherited dirs. Readers
-    // with a complete listing ([[filesFromSidecar]]) plan the scan with
-    // ZERO filesystem listing — the Delta add-file move, riding the
-    // existing carry machinery (keys share the stats lines' dir-part
-    // shape, so every carry filter propagates them untouched).
-    if (f.exists(dd)) {
-      val top = f.listStatus(dd)
-      val (leafDirs, flatFiles) = top.partition(st =>
-        st.isDirectory && st.getPath.getName.startsWith(GpPrefix))
-      if (leafDirs.nonEmpty) {
-        leafDirs.foreach { ld =>
-          val base = ld.getPath.getName
-          lines += s"${esc(base + "/")}\t\td\t$NullMark\t$NullMark"
-          f.listStatus(ld.getPath).filter(st =>
-            st.isFile && st.getPath.getName.endsWith(".parquet")).foreach { st =>
-            lines += s"${esc(base + "/" + st.getPath.getName)}\t\tf\t${st.getLen}\t${st.getModificationTime}"
-            ownFiles += st.getPath
-          }
-        }
-      } else {
-        val base = dataDirName(v)
-        lines += s"${esc(base + "/")}\t\td\t$NullMark\t$NullMark"
-        flatFiles.filter(st =>
-          st.isFile && st.getPath.getName.endsWith(".parquet")).foreach { st =>
-          lines += s"${esc(base + "/" + st.getPath.getName)}\t\tf\t${st.getLen}\t${st.getModificationTime}"
-          ownFiles += st.getPath
-        }
-      }
-    }
-    // ROW TRACKING (round 12): fresh BASE ids for this commit's own
-    // files — one footer row-count pass over O(batch) files, mark
-    // bumped under the caller's claim (every writeStats site holds it).
-    // `extraLines` may already carry assignments for some of them (the
-    // enable/repair path) — those keep their bases. `assignRidBases =
-    // false` (round 13, ADVICE): a full-rewrite commit that could NOT
-    // thread identities skips the auto-assignment so [[scanWithRids]]
-    // raises loudly instead of silently handing every carried row a
-    // fresh identity — enableRowTracking is the explicit re-base.
-    if (assignRidBases && rowTrackingEnabled(spark, root)) {
-      val preAssigned: Set[String] = extraLines.flatMap { l =>
-        val p = l.split("\t", -1)
-        if (p.length == 5 && p(2) == "r") Some(StatsEval.unesc(p(0))) else None
-      }.toSet
-      val fresh = ownFiles.result().map(_.toString).filterNot { p =>
-        val pp = new Path(p)
-        preAssigned.contains(pp.getParent.getName + "/" + pp.getName)
-      }
-      val counts = fileRowCounts(spark, fresh)
-      if (counts.nonEmpty) {
-        var mark = readRowIdHigh(spark, root)
-        counts.foreach { case (rel, n) =>
-          lines += s"${esc(rel)}\t\tr\t$mark\t$n"
-          mark += n
-        }
-        writeRowIdHigh(spark, root, mark)
-      }
-    }
-    // fresh footer-derived span stats for this commit's own files, as an
-    // UNMATERIALIZED RDD: the text path collects it (bounded by the
-    // threshold), the checkpoint path unions it into the distributed
-    // write — per-file stat lines never transit the driver at scale
-    val footerRdd: Option[org.apache.spark.rdd.RDD[String]] =
-      if (cols.isEmpty || !f.exists(dd)) None
-      else {
-        val paths = {
-          val it = f.listFiles(dd, /*recursive=*/ true)
-          val b = Vector.newBuilder[String]
-          while (it.hasNext) {
-            val st = it.next()
-            // hidden dirs (e.g. OCC-staged change rows) are not data
-            if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
-                !st.getPath.getParent.getName.startsWith("."))
-              b += st.getPath.toString
-          }
-          b.result()
-        }
-        // a commit may legitimately write ZERO files (a purge whose
-        // matched leafs all emptied) — nothing to span, and the schema
-        // probe below would fail on the fileless dir
-        if (paths.isEmpty) None
-        else {
-          // validate requested columns against the SPARK schema
-          // (footer-only read — parquet datasource schema resolution
-          // reads no row data)
-          val fields = spark.read.parquet(dd.toString).schema.fields
-            .map(fl => fl.name -> fl.dataType).toMap
-          footerSpanRdd(spark, paths, cols, fields)
-        }
-      }
-    val freshLines = lines.result()
-    publishStatsSidecar(spark, root, v, cols, freshLines, footerRdd, carry)
-  }
-
-  /** Publish the stats sidecar for version `v` from prepared fresh
-    * lines + optional footer-span RDD — the storage decision (chained
-    * parquet delta / eager text / distributed parquet checkpoint)
-    * shared by [[writeStats]] (which derives its lines from the
-    * version's own data dir) and [[convertParquet]] (which derives
-    * them from the adopted foreign files). Returns the stats stack
-    * (non-empty only for chained checkpoints).
-    */
-  private def publishStatsSidecar(spark: SparkSession, root: String,
-                                  v: Long, cols: Seq[String],
-                                  freshLines: Seq[String],
-                                  footerRdd: Option[org.apache.spark.rdd.RDD[String]],
-                                  carry: SidecarCarry): Seq[Long] = {
-    // maintain the O(1) inheritance record (physical names — `cols`
-    // arrive post-translation, matching the sidecar keys)
-    recordStatsCols(spark, root, cols, carrying = carry match {
-      case EagerCarry(ls) => ls.nonEmpty
-      case _              => true
-    })
-    // CHAINED checkpoint: write ONLY this commit's fresh rows; the
-    // parent stack rides the manifest. O(batch) metadata IO however
-    // large the table — the mode every verbatim-carry commit over a
-    // checkpointed parent takes (appends, deletes, metadata ops).
-    carry match {
-      case c: ChainCarry =>
-        require(c.root == root,
-          s"stats chain cannot cross roots: carry from ${c.root}, writing $root")
-        val S = org.apache.spark.sql.Encoders.STRING
-        val freshDs = spark.createDataset(freshLines)(S)
-        val allDs = footerRdd match {
-          case Some(r) => freshDs.union(spark.createDataset(r)(S))
-          case None    => freshDs
-        }
-        val tmp = new Path(logDir(root), f".tmp_statspq_v$v%08d")
-        val lf = fs(spark, tmp)
-        if (lf.exists(tmp)) lf.delete(tmp, true)
-        // ONE part file per delta: the rows are O(batch), and a stack
-        // read touches every part file of every link — 16 shards per
-        // tiny delta would turn a 20-deep stack into a 300-file scan.
-        // repartition, NOT coalesce: coalesce(1) would collapse the
-        // upstream footer-reading stage into one serial task (measured
-        // +45% on commit wall time); the shuffle barrier keeps the
-        // footer IO parallel and only the tiny write single-tasked
-        parseStatsLines(allDs).repartition(1)
-          .write.mode("overwrite").parquet(tmp.toString)
-        val dst = statsPqPath(root, v)
-        if (lf.exists(dst)) lf.delete(dst, true)
-        if (!lf.rename(tmp, dst))
-          throw new IllegalStateException(s"could not publish stats checkpoint $dst")
-        lastStatsMode = "parquet-delta"
-        lastCarryDistributed = true
-        return c.baseV +: c.baseStack
-      case _ => ()
-    }
-    // storage decision: the EXACT carry + listing bytes plus a bound on
-    // the fresh span lines (≤ files × cols, ~64 B rendered each — the
-    // file count is the listing `f`-line count just built)
-    val thr = statsCheckpointThreshold(spark)
-    val eagerBytes = carry match {
-      case EagerCarry(ls) =>
-        val fileCount = freshLines.count(_.contains("\tf\t"))
-        Some(ls.iterator.map(_.length + 1L).sum +
-          freshLines.iterator.map(_.length + 1L).sum +
-          (if (footerRdd.isDefined) fileCount.toLong * cols.size * 64L else 0L))
-      case _ => None
-    }
-    if (eagerBytes.exists(_ <= thr)) {
-      val allLines = carry.asInstanceOf[EagerCarry].lines ++ freshLines ++
-        footerRdd.map(_.collect().sorted.toSeq).getOrElse(Seq.empty)
-      val sp = statsPath(root, v)
-      val tmp = new Path(logDir(root), f".tmp_stats_v$v%08d")
-      val lf = fs(spark, sp)
-      val out = lf.create(tmp, true)
-      try out.write(allLines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      if (!lf.rename(tmp, sp))
-        throw new IllegalStateException(s"could not publish stats $sp")
-      lastStatsMode = "text"
-      lastCarryDistributed = false
-      Nil
-    } else {
-      // parquet checkpoint, written by the EXECUTORS: carry (text or
-      // parquet parent, possibly filtered) ∪ this commit's O(batch)
-      // listing ∪ fresh footer spans — parsed to (k,c,t,a,b) and
-      // published with the same temp + rename visibility as every
-      // sidecar (absent or complete, never partial)
-      val S = org.apache.spark.sql.Encoders.STRING
-      val carryDs = carry match {
-        case EagerCarry(ls) => spark.createDataset(ls)(S)
-        case DistCarry(ds)  => ds
-      }
-      val freshDs = spark.createDataset(freshLines)(S)
-      val allDs = footerRdd match {
-        case Some(r) => carryDs.union(freshDs).union(spark.createDataset(r)(S))
-        case None    => carryDs.union(freshDs)
-      }
-      val tmp = new Path(logDir(root), f".tmp_statspq_v$v%08d")
-      val lf = fs(spark, tmp)
-      if (lf.exists(tmp)) lf.delete(tmp, true)
-      parseStatsLines(allDs).write.mode("overwrite").parquet(tmp.toString)
-      val dst = statsPqPath(root, v)
-      if (lf.exists(dst)) lf.delete(dst, true)
-      if (!lf.rename(tmp, dst))
-        throw new IllegalStateException(s"could not publish stats checkpoint $dst")
-      lastStatsMode = "parquet"
-      lastCarryDistributed = carry.isInstanceOf[DistCarry]
-      Nil
-    }
-  }
-
-  /** Footer-derived span lines for explicit file paths, as an
-    * unmaterialized RDD (None when nothing to stat): validates the
-    * requested stats columns against `fields` (the files' Spark
-    * schema), builds the [[StatSpec]]s with the session zone, and maps
-    * [[footerStatLines]] over the paths on the executors — the same
-    * O(files) distributed metadata pass [[writeStats]] always ran, now
-    * also feeding [[convertParquet]]'s adopted foreign files.
-    */
-  private def footerSpanRdd(spark: SparkSession, paths: Seq[String],
-                            cols: Seq[String],
-                            fields: Map[String, org.apache.spark.sql.types.DataType])
-      : Option[org.apache.spark.rdd.RDD[String]] = {
-    if (cols.isEmpty || paths.isEmpty) return None
-    val zone = sessionZone(spark).getId
-    val specs = cols.map { c =>
-      val dt = fields.getOrElse(c,
-        throw new IllegalArgumentException(s"stats column $c not in table schema"))
-      val tag = dt match {
-        case _: org.apache.spark.sql.types.NumericType   => "n"
-        case org.apache.spark.sql.types.StringType       => "s"
-        // temporal min/max serialize as ISO strings whose lexicographic
-        // order IS chronological order — they ride the "s" compare path;
-        // the probe side formats identically ([[probeString]])
-        case org.apache.spark.sql.types.TimestampType    => "s"
-        case org.apache.spark.sql.types.TimestampNTZType => "s"
-        case org.apache.spark.sql.types.DateType         => "s"
-        case other => throw new IllegalArgumentException(
-          s"stats column $c: unsupported type ${other.simpleString} " +
-          "(numeric/string/timestamp/date only)")
-      }
-      StatSpec(c, tag, zone)
-    }
-    val conf = new org.apache.spark.util.SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
-    val slices = math.max(1, math.min(paths.size,
-      spark.sparkContext.defaultParallelism))
-    Some(spark.sparkContext.parallelize(paths, slices)
-      .flatMap(p => footerStatLines(p, conf.value, specs)))
-  }
-
-  /** Sidecar lines for one data file, decoded from its footer on the
-    * executor that reads it. Any block whose statistics are absent or
-    * undecodable makes the whole (file, column) unknown → no line →
-    * the file is kept at prune time (never wrongly pruned).
-    */
-  private def footerStatLines(pathStr: String,
-                              cfg: org.apache.hadoop.conf.Configuration,
-                              specs: Seq[StatSpec]): Seq[String] = {
-    import scala.jdk.CollectionConverters._
-    val p = new Path(pathStr)
-    // sidecar keys are dir-relative paths: append chains hold files from
-    // several data dirs whose bare part-file names can collide
-    val rel = p.getParent.getName + "/" + p.getName
-    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, cfg))
-    try {
-      val footer = reader.getFooter
-      val schema = footer.getFileMetaData.getSchema
-      val blocks = footer.getBlocks.asScala.toSeq
-      specs.flatMap { spec =>
-        val pt =
-          if (schema.containsField(spec.col)) schema.getType(Seq(spec.col): _*)
-          else null
-        val stat =
-          if (pt == null || !pt.isPrimitive) FooterUnknown
-          else footerMinMax(blocks, pt.asPrimitiveType, spec)
-        // null counts ride a second "z" line per (file, column): what
-        // IS NULL / IS NOT NULL pruning reads (round 9 — min/max spans
-        // prove nothing about nulls). Unknown if ANY block's statistics
-        // are absent or pre-null-count (getNumNulls < 0) → no line →
-        // the file is kept for null probes.
-        val zLine: Option[String] = {
-          var nulls = 0L; var total = 0L; var known = pt != null
-          if (known) blocks.foreach { b =>
-            b.getColumns.asScala.find(_.getPath.toDotString == spec.col) match {
-              case Some(ch) =>
-                val st = ch.getStatistics
-                if (st == null || st.isEmpty || st.getNumNulls < 0) known = false
-                else { nulls += st.getNumNulls; total += ch.getValueCount }
-              case None => known = false
-            }
-          }
-          if (known)
-            Some(s"${esc(rel)}\t${esc(spec.col)}\tz\t$nulls\t$total")
-          else None
-        }
-        val spanLine = stat match {
-          case FooterAllNull =>
-            Some(s"${esc(rel)}\t${esc(spec.col)}\t${spec.tag}\t$NullMark\t$NullMark")
-          case FooterSpan(mn, mx) =>
-            Some(s"${esc(rel)}\t${esc(spec.col)}\t${spec.tag}\t${esc(mn)}\t${esc(mx)}")
-          case FooterUnknown => None
-        }
-        spanLine.toSeq ++ zLine
-      }
-    } finally reader.close()
-  }
-
-  /** Merge one column's min/max across a file's row groups, in the same
-    * comparison domain the prune side uses ("n" → BigDecimal, otherwise
-    * code-point order on the rendered strings).
-    */
-  private def footerMinMax(
-      blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
-      pt: org.apache.parquet.schema.PrimitiveType,
-      spec: StatSpec): FooterStat = {
-    import scala.jdk.CollectionConverters._
-    def less(a: String, b: String): Boolean =
-      if (spec.tag == "n") BigDecimal(a) < BigDecimal(b) else cpLess(a, b)
-    var mn: String = null
-    var mx: String = null
-    var sawAllNull = false
-    for (b <- blocks) {
-      b.getColumns.asScala.find(_.getPath.toDotString == spec.col) match {
-        case None => return FooterUnknown
-        case Some(ch) =>
-          val st = ch.getStatistics
-          if (st == null || st.isEmpty) return FooterUnknown
-          else if (!st.hasNonNullValue) {
-            // recorded stats, zero non-null values: an all-null block iff
-            // the null count covers every value; anything else is unknown
-            if (st.getNumNulls >= 0 && st.getNumNulls == ch.getValueCount)
-              sawAllNull = true
-            else return FooterUnknown
-          } else {
-            (decodeFooterValue(pt, st.genericGetMin.asInstanceOf[AnyRef], spec.zoneId),
-             decodeFooterValue(pt, st.genericGetMax.asInstanceOf[AnyRef], spec.zoneId)) match {
-              case (Some(lo), Some(hi)) =>
-                if (mn == null || less(lo, mn)) mn = lo
-                if (mx == null || less(mx, hi)) mx = hi
-              case _ => return FooterUnknown // NaN / unsupported encoding
-            }
-          }
-      }
-    }
-    if (mn != null) FooterSpan(mn, mx)
-    else if (sawAllNull) FooterAllNull
-    else FooterUnknown // zero row groups: empty file, nothing to prune
-  }
-
-  /** Render one footer statistics value in the sidecar's serialization
-    * (the exact strings the old scan-based pass produced): numerics via
-    * BigDecimal-parseable text, strings verbatim, LTZ micros through the
-    * session zone, NTZ/DATE as wall-clock ISO. None = undecodable or
-    * non-finite → the file is kept.
-    */
-  private def decodeFooterValue(pt: org.apache.parquet.schema.PrimitiveType,
-                                v: AnyRef, zoneId: String): Option[String] = {
-    import org.apache.parquet.schema.LogicalTypeAnnotation
-    import org.apache.parquet.schema.LogicalTypeAnnotation._
-    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-    def plain: Option[String] = pt.getPrimitiveTypeName match {
-      case INT32 | INT64 => Some(v.toString)
-      case FLOAT =>
-        val x = v.asInstanceOf[java.lang.Float].floatValue
-        if (java.lang.Float.isFinite(x)) Some(x.toString) else None
-      case DOUBLE =>
-        val x = v.asInstanceOf[java.lang.Double].doubleValue
-        if (java.lang.Double.isFinite(x)) Some(x.toString) else None
-      case _ => None // INT96/BOOLEAN/raw BINARY: not a stats domain
-    }
-    pt.getLogicalTypeAnnotation match {
-      case null => plain
-      case _: IntLogicalTypeAnnotation => plain
-      case _: StringLogicalTypeAnnotation | _: EnumLogicalTypeAnnotation =>
-        Some(v.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
-      case d: DecimalLogicalTypeAnnotation =>
-        val unscaled = v match {
-          case i: java.lang.Integer => java.math.BigInteger.valueOf(i.longValue)
-          case l: java.lang.Long    => java.math.BigInteger.valueOf(l.longValue)
-          case b: org.apache.parquet.io.api.Binary =>
-            new java.math.BigInteger(b.getBytes)
-          case _ => return None
-        }
-        Some(new java.math.BigDecimal(unscaled, d.getScale).toPlainString)
-      case t: TimestampLogicalTypeAnnotation =>
-        val raw = v match {
-          case l: java.lang.Long => l.longValue
-          case _                 => return None
-        }
-        val (sec, nano) = t.getUnit match {
-          case LogicalTypeAnnotation.TimeUnit.MILLIS =>
-            (Math.floorDiv(raw, 1000L), Math.floorMod(raw, 1000L) * 1000000L)
-          case LogicalTypeAnnotation.TimeUnit.MICROS =>
-            (Math.floorDiv(raw, 1000000L), Math.floorMod(raw, 1000000L) * 1000L)
-          case LogicalTypeAnnotation.TimeUnit.NANOS =>
-            (Math.floorDiv(raw, 1000000000L), Math.floorMod(raw, 1000000000L))
-        }
-        val fmt = java.time.format.DateTimeFormatter.ofPattern(TsFmt)
-        val ldt =
-          if (t.isAdjustedToUTC) // LTZ: an instant, rendered in session zone
-            java.time.LocalDateTime.ofInstant(
-              java.time.Instant.ofEpochSecond(sec, nano),
-              java.time.ZoneId.of(zoneId))
-          else // NTZ: already wall-clock micros
-            java.time.LocalDateTime.ofEpochSecond(sec, nano.toInt,
-              java.time.ZoneOffset.UTC)
-        Some(ldt.format(fmt))
-      case _: DateLogicalTypeAnnotation =>
-        v match {
-          case i: java.lang.Integer =>
-            Some(java.time.LocalDate.ofEpochDay(i.longValue).toString)
-          case _ => None
-        }
-      case _ => None
-    }
-  }
-
-  /** Files of `version` that can contain rows with `column` in [lo, hi],
-    * plus the total file count — the skipping decision, exposed for the
-    * spec. No sidecar (or no stats for a file/column) → file kept: stats
-    * only ever REMOVE certainly-empty work. An all-null file is pruned
-    * (BETWEEN never matches NULL).
-    *
-    * Scoped tables additionally get DIR-NAME PARTITION PRUNING with no
-    * stats configured: when `column` is the manifest-recorded partition
-    * column, every file under a `__gp=<value>` leaf has min = max =
-    * value by construction, so the leaf name itself is the span —
-    * Hive-style partition pruning, synthesized through the same
-    * overlap machinery (explicit sidecar stats take precedence).
-    */
-  private[graft] def candidateFiles(spark: SparkSession, root: String,
-                                    version: Long, column0: String,
-                                    lo: Any, hi: Any): (Seq[Path], Int) = {
-    val f = fs(spark, dataDir(root, version))
-    // column mapping: sidecar span keys (and parquet footers) spell the
-    // PHYSICAL column name — translate a logical probe column once here
-    val column = schemaOf(spark, root, version)
-      .map(st => renameMap(st).getOrElse(column0, column0)).getOrElse(column0)
-    // file manifest first: the probe decision needs only paths, and the
-    // sidecar has them without touching the filesystem
-    val all = filesFromSidecar(spark, root, version)
-      .map(_.map(_.getPath))
-      .getOrElse(versionPaths(spark, root, version).flatMap { d =>
-        f.listStatus(new Path(d)).map(_.getPath)
-          .filter(_.getName.endsWith(".parquet")).toSeq
-      })
-    // dir-name spans for the partition column of a scoped table —
-    // evolved lineages union over every historical spec and only use a
-    // span all consistent specs agree on (gpDirSpanMulti, round 13)
-    val specsAll = allSpecsOf(spark, root, version)
-    val anyOnColumn = specsAll.exists(_.refCols.contains(column))
-    val specTypes =
-      if (!anyOnColumn) Map.empty[String, org.apache.spark.sql.types.DataType]
-      else tableSchema(spark, root, version)
-        .map(f => f.name -> f.dataType).toMap
-    val dirSpanOf: Path => Option[(String, String, String)] =
-      if (!anyOnColumn) _ => None
-      else p => gpDirSpanMulti(specsAll, specTypes, p.getParent.getName,
-        column, sessionZone(spark))
-    // bucket-transform dirs carry no value order, so spans can't prune
-    // them — but an EQUALITY probe (lo == hi, which is how readEquals
-    // and the keyed-MERGE point probes arrive here) re-derives the
-    // value's bucket and drops every other bucket's leafs (round 11).
-    // Evolved lineages skip bucket pruning: a dir's owning spec is
-    // ambiguous and a wrong bucket test silently loses rows.
-    val bucketAdmits: Path => Boolean = specsAll match {
-      case Seq(spec) if lo == hi &&
-          spec.comps.exists(c => c.col == column && c.kind == "bucket") =>
-        p => bucketDirAdmits(spec, specTypes, p.getParent.getName,
-          column, lo)
-      case _ => _ => true
-    }
-    val sp = statsPath(root, version)
-    // probes rendered ONCE driver-side, in the forms both eval paths
-    // compare with (StatsEval holds the shared parse + overlap logic)
-    val zone = sessionZone(spark)
-    val loS = probeString(lo, zone); val hiS = probeString(hi, zone)
-    val loN = scala.util.Try(BigDecimal(lo.toString)).toOption
-    val hiN = scala.util.Try(BigDecimal(hi.toString)).toOption
-    val statBytes = if (f.exists(sp)) f.getFileStatus(sp).getLen else 0L
-    val threshold = spark.conf
-      .getOption("graft.skipping.distributedThresholdBytes")
-      .map(_.toLong).getOrElse(8L << 20)
-    if (hasPqSidecar(spark, root, version)) {
-      // PARQUET-checkpoint span evaluation: the probe column pushes down
-      // to the checkpoint scan (`c = col`), the overlap test runs on the
-      // executors, and the driver materializes only PRUNED file keys —
-      // same contract as the distributed text path below, plus column
-      // pruning the text form cannot offer
-      import spark.implicits._
-      import org.apache.spark.sql.functions.{col => sqlcol}
-      val colEsc = esc(column)
-      val pruned = spark.read.parquet(
-          pqStackPaths(root, version, statsStackOf(spark, root, version)): _*)
-        .filter(!sqlcol("t").isin("b", "f", "d", "z") && sqlcol("c") === colEsc)
-        .select("k", "t", "a", "b")
-        .as[(String, String, String, String)]
-        .flatMap { case (k, t, a, b) =>
-          if (!StatsEval.overlaps(t, a, b, loS, hiS, loN, hiN))
-            Some(StatsEval.unesc(k))
-          else None
-        }
-        .collect().toSet
-      val kept = all.filter { p =>
-        val key = p.getParent.getName + "/" + p.getName
-        if (pruned.contains(key)) false
-        else bucketAdmits(p) && (dirSpanOf(p) match {
-          case Some((tag, mn, mx)) =>
-            StatsEval.overlaps(tag, mn, mx, loS, hiS, loN, hiN)
-          case None => true
-        })
-      }
-      (kept, all.size)
-    } else if (statBytes > threshold) {
-      // DISTRIBUTED span evaluation — the 10⁶-file regime: the sidecar
-      // is evaluated as a Spark job and the driver materializes ONLY the
-      // PRUNED file keys (files proven empty for the probe), never the
-      // per-(file, column) span lines. Files without a span keep as
-      // always. A dir-name span consult after a kept file-level span
-      // cannot flip the decision (a file's partition-column span is a
-      // subset of its dir's), so pruned-set membership alone is exact.
-      val colName = column
-      import spark.implicits._
-      val pruned = spark.read.textFile(sp.toString)
-        .flatMap { line =>
-          StatsEval.parseSpan(line) match {
-            case Some((file, c, tag, mn, mx))
-                if c == colName &&
-                   !StatsEval.overlaps(tag, mn, mx, loS, hiS, loN, hiN) =>
-              Some(file)
-            case _ => None
-          }
-        }
-        .collect().toSet
-      val kept = all.filter { p =>
-        val key = p.getParent.getName + "/" + p.getName
-        if (pruned.contains(key)) false
-        else bucketAdmits(p) && (dirSpanOf(p) match {
-          case Some((tag, mn, mx)) =>
-            StatsEval.overlaps(tag, mn, mx, loS, hiS, loN, hiN)
-          case None => true
-        })
-      }
-      (kept, all.size)
-    } else {
-      val text =
-        if (!f.exists(sp)) ""
-        else {
-          val in = f.open(sp)
-          try new String(in.readAllBytes(),
-            java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-        }
-      val span: Map[String, (String, String, String)] =
-        text.split("\n").filter(_.nonEmpty).flatMap { line =>
-          StatsEval.parseSpan(line) match {
-            case Some((file, c, tag, mn, mx)) if c == column =>
-              Some(file -> (tag, mn, mx))
-            case _ => None
-          }
-        }.toMap
-      val kept = all.filter { p =>
-        bucketAdmits(p) &&
-        (span.get(p.getParent.getName + "/" + p.getName)
-          .orElse(dirSpanOf(p)) match {
-          case Some((tag, mn, mx)) =>
-            StatsEval.overlaps(tag, mn, mx, loS, hiS, loN, hiN)
-          case None => true // no stats: never wrongly prune
-        })
-      }
-      (kept, all.size)
-    }
-  }
-
-  /** Files of `version` that can contain rows with `column == value` per
-    * their Bloom filters (plus min/max when both exist), and the total —
-    * the point-lookup skipping decision. A file whose bloom CANNOT
-    * contain the value is pruned (no false negatives by construction); a
-    * false positive merely scans a file the residual filter then
-    * empties. No bloom for a file/column → kept.
-    *
-    * Two bloom sources, probed in order: legacy sidecar "b" lines
-    * (pre-round-7 commits and lines carried along append chains), then
-    * the PARQUET write-time bloom filter read from the candidate's
-    * footer — the scale path, where the bitmap was built by the writing
-    * task and never moved since (zero build cost at commit, O(candidate
-    * footers) metadata IO at probe time, distributed over executors
-    * beyond a driver-side handful).
-    */
-  private[graft] def candidateFilesEquals(spark: SparkSession, root: String,
-                                          version: Long, column0: String,
-                                          value: Any,
-                                          derivers: Option[Map[String, (String, Any => Option[Any])]] = None): (Seq[Path], Int) = {
-    // see candidateFiles: bloom keys and footers spell physical names.
-    // candidateFiles translates ITS OWN argument — pass the LOGICAL name
-    // through (translating here too would double-map, and a rename chain
-    // whose logical name equals another column's physical name would
-    // then prune on the wrong column's spans)
-    val column = schemaOf(spark, root, version)
-      .map(st => renameMap(st).getOrElse(column0, column0)).getOrElse(column0)
-    val (rangeKept0, total) =
-      candidateFiles(spark, root, version, column0, value, value)
-    // GENERATED-PARTITION PRUNING (round 13): base = X implies
-    // g = f(X) — intersect with the derived point probe on g (whose
-    // dir spans the ordinary machinery serves). No deriver chains
-    // exist (declarations refuse generated-over-generated), so the
-    // recursion is one level deep.
-    val rangeKept = derivers
-      .getOrElse(generatedPartDerivers(spark, root, version))
-      .get(column0.toLowerCase)
-      .flatMap { case (gName, derive) => derive(value).map { gx =>
-        // no deriver chains exist — the recursive probe passes an
-        // empty map rather than re-deriving declarations
-        val gKept = candidateFilesEquals(spark, root, version, gName, gx,
-            derivers = Some(Map.empty))
-          ._1.map(_.toString).toSet
-        rangeKept0.filter(p => gKept.contains(p.toString))
-      }}
-      .getOrElse(rangeKept0)
-    // a WIDENED column's old-file blooms hashed the narrow type; probing
-    // them with widened-type hashes could wrongly prune a true match —
-    // keep min/max span pruning (value-domain safe), skip blooms
-    if (schemaOf(spark, root, version).exists(_.fields.exists(f =>
-        !isDropped(f) && f.name == column0 && f.metadata.contains(WidenKey))))
-      return (rangeKept, total)
-    val sp = statsPath(root, version)
-    val f = fs(spark, sp)
-    val blooms: Map[String, java.util.BitSet] =
-      if (f.exists(sp)) {
-        val in = f.open(sp)
-        val text = try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-        text.split("\n").filter(_.nonEmpty).flatMap { line =>
-          line.split("\t", -1) match {
-            case Array(file, c, "b", hex, _) if unesc(c) == column =>
-              val bytes = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
-              Some(unesc(file) -> java.util.BitSet.valueOf(bytes))
-            case _ => None
-          }
-        }.toMap
-      } else if (hasPqSidecar(spark, root, version)) {
-        // legacy "b" rows carried into a parquet checkpoint: tag + column
-        // push down, so the collect is bounded by surviving legacy lines
-        import org.apache.spark.sql.functions.{col => sqlcol}
-        spark.read.parquet(
-            pqStackPaths(root, version, statsStackOf(spark, root, version)): _*)
-          .filter(sqlcol("t") === "b" && sqlcol("c") === esc(column))
-          .select("k", "a").collect().map { r =>
-            val bytes = r.getString(1).grouped(2)
-              .map(Integer.parseInt(_, 16).toByte).toArray
-            unesc(r.getString(0)) -> java.util.BitSet.valueOf(bytes)
-          }.toMap
-      } else Map.empty
-    val dt = tableSchema(spark, root, version).apply(column0).dataType
-    val (haveSidecar, noSidecar) = rangeKept.partition(p =>
-      blooms.contains(p.getParent.getName + "/" + p.getName))
-    val keptSidecar = {
-      if (haveSidecar.isEmpty) Seq.empty
-      else {
-        val pos = bloomPositions(value, dt)
-        haveSidecar.filter(p =>
-          pos.forall(blooms(p.getParent.getName + "/" + p.getName).get))
-      }
-    }
-    val keptFooter = probeFooterBlooms(spark, noSidecar, column, dt, value)
-    val keptSet = (keptSidecar ++ keptFooter).map(_.toString).toSet
-    (rangeKept.filter(p => keptSet.contains(p.toString)), total)
-  }
-
-  /** Probe the parquet write-time bloom filters of `files` for `value`,
-    * keeping files that might contain it. Driver-side for a handful of
-    * candidates; a distributed metadata job beyond that (10⁶-file tables
-    * must not serialize footer reads through the driver).
-    */
-  private def probeFooterBlooms(spark: SparkSession, files: Seq[Path],
-                                column: String,
-                                dt: org.apache.spark.sql.types.DataType,
-                                value: Any): Seq[Path] = {
-    if (files.isEmpty) return files
-    val pv = footerProbeValue(value, dt) match {
-      case Some(x) => x
-      case None    => return files // type without a parquet bloom domain: keep
-    }
-    val conf = new org.apache.spark.util.SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
-    if (files.size <= 16)
-      files.filter(p => parquetBloomMightContain(p.toString, conf.value, column, pv))
-    else {
-      val strs = files.map(_.toString)
-      val slices = math.max(1, math.min(strs.size,
-        spark.sparkContext.defaultParallelism))
-      val kept = spark.sparkContext.parallelize(strs, slices)
-        .filter(s => parquetBloomMightContain(s, conf.value, column, pv))
-        .collect().toSet
-      files.filter(p => kept.contains(p.toString))
-    }
-  }
-
-  /** Normalize a probe value to the parquet physical domain of the
-    * column (int32 → Int, int64 → Long, binary-UTF8 → String, float,
-    * double), casting through Catalyst first so an Int probe against a
-    * LongType column hashes as a long — the same wrong-type trap
-    * [[bloomPositions]] guards. None = no parquet bloom domain (decimal,
-    * temporal, …) → the caller keeps the files.
-    */
-  private def footerProbeValue(
-      value: Any,
-      dt: org.apache.spark.sql.types.DataType): Option[Any] = {
-    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
-    import org.apache.spark.sql.types._
-    val raw = Literal.create(value)
-    val typed =
-      if (raw.dataType == dt) raw
-      else Literal(Cast(raw, dt, Some("UTC")).eval(null), dt)
-    require(typed.value != null,
-      s"probe value $value is not castable to the column type ${dt.simpleString}")
-    dt match {
-      case ByteType    => Some(Int.box(typed.value.asInstanceOf[Byte].toInt))
-      case ShortType   => Some(Int.box(typed.value.asInstanceOf[Short].toInt))
-      case IntegerType => Some(typed.value.asInstanceOf[java.lang.Integer])
-      case LongType    => Some(typed.value.asInstanceOf[java.lang.Long])
-      case FloatType   => Some(typed.value.asInstanceOf[java.lang.Float])
-      case DoubleType  => Some(typed.value.asInstanceOf[java.lang.Double])
-      case StringType  => Some(typed.value.toString) // UTF8String → String
-      case _           => None
-    }
-  }
-
-  /** True iff some row group of the file might contain `pv` in `column`
-    * per its parquet bloom filter (or has no bloom to consult — never
-    * wrongly prune). Runs footer-only IO; safe on executors.
-    */
-  private def parquetBloomMightContain(pathStr: String,
-                                       cfg: org.apache.hadoop.conf.Configuration,
-                                       column: String, pv: Any): Boolean = {
-    import scala.jdk.CollectionConverters._
-    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(pathStr), cfg))
-    try {
-      reader.getFooter.getBlocks.asScala.exists { b =>
-        b.getColumns.asScala.find(_.getPath.toDotString == column) match {
-          case None => true // column absent from this file: cannot prove absence
-          case Some(ch) =>
-            val bloom =
-              try {
-                val r = reader.getBloomFilterDataReader(b)
-                if (r == null) null else r.readBloomFilter(ch)
-              } catch { case _: Exception => null } // unreadable bloom ≠ provable absence
-            if (bloom == null) true
-            else pv match {
-              case i: java.lang.Integer => bloom.findHash(bloom.hash(i.intValue))
-              case l: java.lang.Long    => bloom.findHash(bloom.hash(l.longValue))
-              case x: java.lang.Float   => bloom.findHash(bloom.hash(x.floatValue))
-              case x: java.lang.Double  => bloom.findHash(bloom.hash(x.doubleValue))
-              case s: String            => bloom.findHash(bloom.hash(
-                org.apache.parquet.io.api.Binary.fromString(s)))
-              case _                    => true
-            }
-        }
-      }
-    } finally reader.close()
-  }
-
-  /** Point-lookup read with Bloom + min/max file skipping — the case a
-    * range span cannot prune (hash-distributed keys overlap every file's
-    * [min,max]) but a per-file membership sketch can. Results identical
-    * to `read(...).filter(col === value)` by construction: skipping only
-    * removes files PROVEN not to contain the value, the residual filter
-    * decides rows.
-    */
-  def readEquals(spark: SparkSession, root: String, column: String,
-                 value: Any, version: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
-    val v = version.getOrElse(currentVersion(spark, root).getOrElse(
-      throw new IllegalStateException(s"no committed version at $root")))
-    val m = manifestPath(root, v)
-    require(fs(spark, m).exists(m),
-      s"version $v does not exist (never committed, or vacuumed) at $root")
-    val mk = morKeysOf(spark, root, v)
-    // merge-on-read + non-key probe: skipping a file can change which
-    // row is "latest" for a key whose newest version fails the probe —
-    // resolution must see every copy, so fall back to the resolved scan
-    // with a residual filter (key probes stay prunable: all copies of a
-    // matching key survive the file cut together)
-    if (mk.nonEmpty && !mk.contains(column))
-      return readVersion(spark, root, v).filter(col(column) === lit(value))
-    val (kept, _) = candidateFilesEquals(spark, root, v, column, value)
-    // an evolved lineage's pinned schema wins over footer inference —
-    // mixed pre/post-evolution dirs must not pick a narrow file's schema
-    val schema = tableSchema(spark, root, v)
-    val base =
-      if (kept.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else {
-        // mapped lineages: declare physical, project back to logical
-        val raw = fromPhysicalSelect(
-          spark.read.schema(physicalSchema(schema))
-            .parquet(kept.map(_.toString): _*), schema)
-        val seqd = if (mk.isEmpty) raw else raw.withColumn(MorSeqCol, morSeq)
-        val vis = applyTombstoneDirs(spark, root, tombDirsOf(spark, root, v), seqd)
-        if (mk.isEmpty) vis else resolveLatest(vis, mk)
-      }
-    base.filter(col(column) === lit(value))
-  }
-
-  /** Range read with file skipping: scan only the files whose stats span
-    * intersects [lo, hi], then apply the exact predicate as the residual
-    * filter (stats prune FILES, the filter prunes ROWS — results are
-    * identical to `read(...).filter(between)` by construction). Reads the
-    * current version unless one is pinned.
-    */
-  def readBetween(spark: SparkSession, root: String, column: String,
-                  lo: Any, hi: Any, version: Option[Long] = None): DataFrame =
-    readWhere(spark, root, Seq((column, lo, hi)), version)
-
-  /** Conjunctive range read: files must survive EVERY range's span check
-    * (the kept set is the intersection), rows must pass the AND of the
-    * exact predicates. On a Z-ordered table this is the payoff query —
-    * each Morton column prunes independently and the conjunction
-    * multiplies the selectivities.
-    */
-  def readWhere(spark: SparkSession, root: String,
-                ranges: Seq[(String, Any, Any)],
-                version: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
-    require(ranges.nonEmpty, "readWhere needs at least one range")
-    val v = version.getOrElse(currentVersion(spark, root).getOrElse(
-      throw new IllegalStateException(s"no committed version at $root")))
-    val m = manifestPath(root, v)
-    require(fs(spark, m).exists(m),
-      s"version $v does not exist (never committed, or vacuumed) at $root")
-    val mk = morKeysOf(spark, root, v)
-    // merge-on-read + any non-key range: see [[readEquals]] — pruning is
-    // only shadow-safe on the key columns, so resolve first otherwise
-    if (mk.nonEmpty && !ranges.forall(r => mk.contains(r._1)))
-      return ranges.foldLeft(readVersion(spark, root, v)) {
-        case (df, (c, lo, hi)) => df.filter(col(c).between(lit(lo), lit(hi)))
-      }
-    val keptSets = ranges.map { case (c, lo, hi) =>
-      candidateFiles(spark, root, v, c, lo, hi)._1.map(_.toString).toSet
-    }
-    val kept = keptSets.reduce(_ intersect _)
-    val schema = tableSchema(spark, root, v)
-    val base =
-      if (kept.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else {
-        val raw = fromPhysicalSelect(
-          spark.read.schema(physicalSchema(schema))
-            .parquet(kept.toSeq.sorted: _*), schema)
-        val seqd = if (mk.isEmpty) raw else raw.withColumn(MorSeqCol, morSeq)
-        val vis = applyTombstoneDirs(spark, root, tombDirsOf(spark, root, v), seqd)
-        if (mk.isEmpty) vis else resolveLatest(vis, mk)
-      }
-    ranges.foldLeft(base) { case (df, (c, lo, hi)) =>
-      df.filter(col(c).between(lit(lo), lit(hi)))
-    }
-  }
-
-  // ------------------------------------------- automatic file skipping
-
-  /** Half-open-capable span test shared by the explicit probes and the
-    * [[readPruned]] FileIndex: can a file whose sidecar records
-    * [mn, mx] (tag "n" numeric / "s" code-point) contain a value in
-    * [lo, hi]? Unparseable bounds keep the file — stats only ever
-    * remove provably-empty work.
-    */
-  private def spanOverlaps(tag: String, mn: String, mx: String,
-                           lo: Option[Any], hi: Option[Any],
-                           zone: java.time.ZoneId,
-                           loStrict: Boolean = false,
-                           hiStrict: Boolean = false): Boolean =
-    StatsEval.spanOverlaps(tag, mn, mx, lo, hi, zone, loStrict, hiStrict)
-
-  /** Read a version through a stats-aware [[FileIndex]]: ordinary
-    * `.filter(...)` predicates prune FILES automatically — Catalyst
-    * hands the scan's data filters to the index, which drops every file
-    * whose sidecar span (or scoped dir-name span) provably excludes
-    * them. This is the ergonomic completion of the skipping story:
-    * [[readBetween]]/[[readWhere]]/[[readEquals]] are the explicit
-    * probes; `readPruned` gives ANY query the same pruning through the
-    * standard DataFrame API — the same architecture Delta uses (a
-    * custom file index feeding the unmodified parquet FileFormat).
-    *
-    * Semantics are identical to [[readVersion]] by construction:
-    * pruning is conservative (supported comparison shapes only, one
-    * extra kept file is never wrong, and Spark re-applies every
-    * predicate on the surviving rows), deletion vectors still apply,
-    * and an evolved lineage's pinned schema is declared. Row-count
-    * parity under arbitrary filters is property-checked in spec.
-    */
-  /** A version's data-file statuses resolved from the SIDECAR's listing
-    * lines alone — the read-planning half of the file manifest. Every
-    * commit records its own new dirs' (file, length, mtime) as `f`
-    * lines plus a `d` marker per fully-listed dir ([[writeStats]]); the
-    * carry machinery propagates them exactly like span lines, so the
-    * head's sidecar always lists the whole live version. Planning a
-    * scan therefore costs ONE sidecar read and ZERO filesystem
-    * listing — on an object store that is the difference between a
-    * million LIST calls and none (Delta's add-file design).
-    *
-    * Returns None unless EVERY manifest dir has its `d` marker — a
-    * table with any pre-listing commit falls back to the walk (never a
-    * partial merge of the two sources, which could silently drop a
-    * file whose dir was listed by an older writer). Keys are dir-part
-    * relative (`data_vNNN/part-…` flat, `__gp=x/part-…` scoped), so a
-    * shallow clone's carried lines resolve against its absolute source
-    * dirs unchanged.
-    */
-  private[graft] def filesFromSidecar(
-      spark: SparkSession, root: String,
-      v: Long): Option[Seq[org.apache.hadoop.fs.FileStatus]] =
-    if (hasPqSidecar(spark, root, v))
-      filesFromEntries(spark, root, v, pqListingEntries(spark,
-        pqStackPaths(root, v, statsStackOf(spark, root, v))))
-    else filesFromLines(spark, root, v, sidecarLines(spark, root, v))
-
-  private def filesFromLines(
-      spark: SparkSession, root: String, v: Long,
-      lines: Seq[String]): Option[Seq[org.apache.hadoop.fs.FileStatus]] =
-    filesFromEntries(spark, root, v, lines.flatMap(StatsEval.parseListing(_)))
-
-  /** Typed (key, tag, len, mtime) listing entries straight off a
-    * checkpoint stack — the tag predicate pushes to the parquet scan,
-    * so planning collects O(files) small tuples and ZERO span rows.
-    */
-  private def pqListingEntries(spark: SparkSession, stackPaths: Seq[String])
-      : Seq[(String, String, String, String)] = {
-    import org.apache.spark.sql.Encoders
-    import org.apache.spark.sql.functions.col
-    val S4 = Encoders.tuple(Encoders.STRING, Encoders.STRING,
-      Encoders.STRING, Encoders.STRING)
-    spark.read.parquet(stackPaths: _*)
-      .filter(col("t").isin("f", "d")).select("k", "t", "a", "b")
-      .as[(String, String, String, String)](S4).collect().toSeq
-      .map(e => (StatsEval.unesc(e._1), e._2, e._3, e._4))
-  }
-
-  /** [[filesFromLines]] over pre-parsed (key, tag, len, mtime) listing
-    * entries — the pq checkpoint path collects these typed (round 14),
-    * skipping the render-to-line/re-split round trip per file.
-    */
-  private def filesFromEntries(
-      spark: SparkSession, root: String, v: Long,
-      entries: Seq[(String, String, String, String)])
-      : Option[Seq[org.apache.hadoop.fs.FileStatus]] = {
-    val listed = scala.collection.mutable.HashSet.empty[String]
-    val byDir = scala.collection.mutable.HashMap
-      .empty[String, Vector[(String, Long, Long)]]
-    entries.foreach {
-      case (key, "d", _, _) => listed += key.stripSuffix("/")
-      case (key, "f", len, mtime) =>
-        val cut = key.indexOf('/')
-        if (cut > 0) {
-          val dir = key.substring(0, cut)
-          val name = key.substring(cut + 1)
-          byDir(dir) = byDir.getOrElse(dir, Vector.empty) :+
-            ((name, len.toLong, scala.util.Try(mtime.toLong).getOrElse(0L)))
-        }
-      case _ => ()
-    }
-    val dirs = dirsOf(spark, root, v)
-    def base(d: String) = d.substring(d.lastIndexOf('/') + 1)
-    // FILE entries ("data_vNNN/part-….parquet", written by the pruned
-    // keyed upsert when a dir is only partially carried) resolve from
-    // their own `f` line — their dir is deliberately NOT fully listed,
-    // so no `d` marker is expected for it
-    def isFileEntry(d: String) = d.contains('/') && d.endsWith(".parquet")
-    def dirPartBase(d: String) = {
-      val dp = d.substring(0, d.lastIndexOf('/'))
-      dp.substring(dp.lastIndexOf('/') + 1)
-    }
-    val (fileEntries, dirEntries) = dirs.partition(isFileEntry)
-    // dir-part keys must be unambiguous: flat dirs embed their version,
-    // scoped leafs are one-per-partition-value, clone dirs are version-
-    // disjoint from clone-local ones — but verify, never assume. A file
-    // entry's dir must NOT also appear as a whole-dir entry (that would
-    // double-count the file).
-    val dirBases = dirEntries.map(base)
-    if (dirs.isEmpty || dirBases.distinct.size != dirBases.size ||
-        !dirEntries.forall(d => listed.contains(base(d))) ||
-        fileEntries.map(f => (dirPartBase(f), base(f))).distinct.size != fileEntries.size ||
-        fileEntries.exists(fe => dirBases.contains(dirPartBase(fe))) ||
-        !fileEntries.forall(fe => byDir.getOrElse(dirPartBase(fe), Vector.empty)
-          .exists(_._1 == base(fe)))) None
-    else {
-      val rootPath = new Path(root.replaceAll("/+$", ""))
-      Some(dirs.flatMap { d =>
-        if (isFileEntry(d)) {
-          val (_, len, mtime) = byDir(dirPartBase(d)).find(_._1 == base(d)).get
-          Seq(new org.apache.hadoop.fs.FileStatus(
-            len, false, 1, 128L * 1024 * 1024, mtime, new Path(rootPath, d)))
-        } else {
-          val dp = new Path(rootPath, d)
-          byDir.getOrElse(base(d), Vector.empty).map { case (name, len, mtime) =>
-            new org.apache.hadoop.fs.FileStatus(
-              len, false, 1, 128L * 1024 * 1024, mtime, new Path(dp, name))
-          }
-        }
-      })
-    }
-  }
-
-  /** Bytes of the delta dir a version added — from its sidecar's `f`
-    * listing lines when the dir's `d` marker is present (zero listing),
-    * else a one-dir walk. What byte-based streaming admission control
-    * budgets with: the cost of shipping version v's append is exactly
-    * this number.
-    */
-  private[graft] def deltaBytesOf(spark: SparkSession, root: String,
-                                  v: Long): Long = {
-    val base = dataDirName(v)
-    var marked = false; var sum = 0L
-    // a version's OWN dir listing always lives in its OWN checkpoint
-    // file (fresh lines write at its commit) — a chained sidecar never
-    // needs its stack resolved for one delta size
-    val ownListing =
-      if (hasPqSidecar(spark, root, v)) {
-        import org.apache.spark.sql.functions.col
-        renderStatsLines(spark.read.parquet(statsPqPath(root, v).toString)
-          .filter(col("t").isin("f", "d"))).collect().toSeq
-      } else listingLines(spark, root, v)
-    ownListing.foreach { line =>
-      StatsEval.parseListing(line).foreach {
-        case (key, "d", _, _) if key.stripSuffix("/") == base => marked = true
-        case (key, "f", len, _) if key.startsWith(base + "/") =>
-          sum += scala.util.Try(len.toLong).getOrElse(0L)
-        case _ => ()
-      }
-    }
-    if (marked) sum
-    else {
-      val dd = dataDir(root, v)
-      val f = fs(spark, dd)
-      if (!f.exists(dd)) 0L
-      else {
-        val it = f.listFiles(dd, true); var t = 0L
-        while (it.hasNext) {
-          val st = it.next()
-          if (st.isFile && st.getPath.getName.endsWith(".parquet"))
-            t += st.getLen
-        }
-        t
-      }
-    }
-  }
-
-  /** The Spark schema a Spark-written parquet file recorded in its own
-    * footer metadata (`org.apache.spark.sql.parquet.row.metadata`) —
-    * one footer read, no listing, and exactly the StructType the
-    * writing DataFrame had (no parquet-type round-trip ambiguity).
-    * None for foreign files without the key (callers fall back to
-    * DataFrameReader inference).
-    */
-  private def sparkSchemaFromFooter(
-      spark: SparkSession,
-      p: Path): Option[org.apache.spark.sql.types.StructType] = {
-    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        p, spark.sessionState.newHadoopConf()))
-    try {
-      Option(reader.getFooter.getFileMetaData.getKeyValueMetaData
-          .get("org.apache.spark.sql.parquet.row.metadata"))
-        .flatMap(json => scala.util.Try(
-          org.apache.spark.sql.types.DataType.fromJson(json)
-            .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption)
-    } finally reader.close()
-  }
-
-  /** A version's table schema at metadata cost: the manifest pin, else
-    * the Spark row.metadata of ONE file footer, else (foreign files
-    * only) a DataFrameReader inference — which LISTS, so the fallbacks
-    * before it matter.
-    */
-  private[graft] def tableSchema(spark: SparkSession, root: String,
-                                 v: Long): org.apache.spark.sql.types.StructType = {
-    val raw = schemaOf(spark, root, v).map(visibleSchema)
-      .orElse(filesFromSidecar(spark, root, v).flatMap(_.headOption)
-        .flatMap(st => sparkSchemaFromFooter(spark, st.getPath)))
-      .getOrElse(spark.read.parquet(versionPaths(spark, root, v): _*).schema)
-    // the materialized row-id column is engine metadata, never part of
-    // the user-visible schema (an unpinned lineage's footer sample may
-    // include it after a tracking-preserving rewrite)
-    org.apache.spark.sql.types.StructType(
-      raw.fields.filterNot(_.name == RowIdCol))
-  }
-
-  /** The base file scan of a version — schema declared, files from the
-    * sidecar manifest (or walk fallback), spans + dir-name partition
-    * pruning mounted via [[SkippingFileIndex]] — WITHOUT deletion
-    * vectors or merge-on-read resolution. Write paths scan through this
-    * (they need raw positions); [[readPruned]] layers visibility on top.
-    */
-  private def prunedBaseScan(spark: SparkSession, root: String,
-                             v: Long, withRid: Boolean = false): DataFrame = {
-    val (filesOpt, spanSrc) = planInputs(spark, root, v)
-    prunedBaseScanCore(spark, root, v, filesOpt, spanSrc, withRid)
-  }
-
-  /** The two planning inputs resolved in ONE sidecar pass (round 14 —
-    * the 1M-file planning bound): the file manifest (None = listing
-    * incomplete; the caller walks or falls back) and the span source.
-    * A text sidecar's lines parse into the in-memory span map; a
-    * parquet checkpoint's LISTING rows collect as typed tuples (no
-    * rendering of 10⁶ tab-joined strings that are immediately re-split)
-    * while its spans stay ON DISK and the file index prunes through a
-    * distributed job per scan ([[PqSpans]]) — the sub-threshold read
-    * path never materializes per-(file, column) spans on the driver.
-    */
-  private def planInputs(spark: SparkSession, root: String, v: Long)
-      : (Option[Seq[org.apache.hadoop.fs.FileStatus]], SpanSource) =
-    if (hasPqSidecar(spark, root, v)) {
-      val stackPaths = pqStackPaths(root, v, statsStackOf(spark, root, v))
-      (filesFromEntries(spark, root, v, pqListingEntries(spark, stackPaths)),
-       PqSpans(stackPaths))
-    } else {
-      val lines = sidecarLines(spark, root, v)
-      // rel-path keyed spans and null counts, grouped per file
-      val spans: Map[String, Map[String, (String, String, String)]] =
-        lines.flatMap(l => StatsEval.parseSpan(l).map {
-          case (file, c, tag, mn, mx) => (file, c, (tag, mn, mx))
-        }).groupBy(_._1).map { case (f, ls) =>
-          f -> ls.map(t => t._2 -> t._3).toMap
-        }
-      val nulls: Map[String, Map[String, (Long, Long)]] =
-        lines.flatMap(l => StatsEval.parseNulls(l)).groupBy(_._1)
-          .map { case (f, ls) =>
-            f -> ls.map(t => t._2 -> ((t._3, t._4))).toMap
-          }
-      (filesFromEntries(spark, root, v,
-         lines.flatMap(StatsEval.parseListing(_))),
-       InMemSpans(spans, nulls))
-    }
-
-  private def prunedBaseScanCore(spark: SparkSession, root: String,
-                                 v: Long,
-                                 fromSidecar: Option[Seq[org.apache.hadoop.fs.FileStatus]],
-                                 spanSrc: SpanSource,
-                                 withRid: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.execution.datasources.HadoopFsRelation
-    val paths = versionPaths(spark, root, v)
-    // FILE MANIFEST first (round 8): a complete sidecar listing plans
-    // the scan with zero filesystem listing; tables committed before
-    // listing lines existed fall back to the per-dir walk
-    val files = fromSidecar.getOrElse {
-      val fsys = fs(spark, dataDir(root, v))
-      paths.flatMap { d =>
-        fsys.listStatus(new Path(d)).filter(st =>
-          st.isFile && st.getPath.getName.endsWith(".parquet")).toSeq
-      }
-    }
-    // nullable throughout: pre-round-7 pins may carry non-nullable
-    // fields, which the vectorized reader would refuse on files that
-    // lack them (DataFrameReader.schema relaxes the same way).
-    // Un-pinned lineages have a uniform file schema by contract, so ONE
-    // footer suffices for inference — never an O(files) listing+sniff.
-    // Every graft data file is Spark-written, so the footer carries the
-    // exact StructType in its row.metadata key; reading it keeps schema
-    // resolution listing-free too (a DataFrameReader probe would LIST)
-    val schema0 = asNullable(schemaOf(spark, root, v)
-      .orElse(files.headOption.flatMap(st => sparkSchemaFromFooter(spark, st.getPath)))
-      .getOrElse(spark.read.parquet(paths: _*).schema))
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
-    // strip the materialized row-id column (engine metadata a tracking-
-    // preserving rewrite leaves in files; never user-visible)
-    val schema = org.apache.spark.sql.types.StructType(
-      schema0.fields.filterNot(_.name == RowIdCol))
-    val partCol = partColOf(spark, root, v)
-    val zone = sessionZone(spark)
-    // column mapping: the files (and the sidecar span keys, and the
-    // filters Catalyst pushes through the logical-rename Project below)
-    // all spell PHYSICAL names — the relation declares those, and one
-    // Project restores the pin's logical names for everything above
-    val phys = physicalSchema(schema)
-    // row tracking: the DML paths read with the materialized row-id
-    // column declared (nullable — append files lack it), keeping the
-    // skipping index; the plain read paths never see it
-    val tracked = withRid && rowTrackingEnabled(spark, root)
-    val physFull =
-      if (!tracked) phys
-      else org.apache.spark.sql.types.StructType(phys.fields :+
-        org.apache.spark.sql.types.StructField(RowIdCol,
-          org.apache.spark.sql.types.LongType, nullable = true))
-    val index = new SkippingFileIndex(spark, files, spanSrc,
-      allSpecsOf(spark, root, v), physFull, zone,
-      generatedPartDerivers(spark, root, v),
-      // kept-side verdict shipping is sound only when every current
-      // file provably has checkpoint rows — i.e. the list itself came
-      // from the sidecar's complete listing
-      listingComplete = fromSidecar.isDefined)
-    val relation = HadoopFsRelation(
-      location = index,
-      partitionSchema = org.apache.spark.sql.types.StructType(Nil),
-      dataSchema = physFull,
-      bucketSpec = None,
-      fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
-      options = Map.empty)(spark)
-    val df0 = spark.baseRelationToDataFrame(relation)
-    if (!tracked) fromPhysicalSelect(df0, schema)
-    else {
-      import org.apache.spark.sql.functions.col
-      df0.select(schema.fields.filterNot(isDropped).toSeq
-        .map(fl => col(physName(fl)).as(fl.name)) :+ col(RowIdCol): _*)
-    }
-  }
-
-  def readPruned(spark: SparkSession, root: String,
-                 version: Option[Long] = None): DataFrame = {
-    val v = version.getOrElse(currentVersion(spark, root).getOrElse(
-      throw new IllegalStateException(s"no committed version at $root")))
-    visibilityWrap(spark, root, v, prunedBaseScan(spark, root, v))
-  }
-
-  // --------------------------------------- metadata-only aggregates
-
-  /** COUNT(*) of a committed version answered from the stats sidecar
-    * alone — O(manifest) metadata, ZERO data IO: per-file row counts
-    * are the `z` lines' value counts (any stats column's count is the
-    * file's row count — stats columns are flat primitives by
-    * construction). None when the sidecar cannot answer EXACTLY, and
-    * the caller must scan instead: deletion vectors or merge-on-read
-    * shadowing (visible rows ≠ file rows), no complete file listing,
-    * or any file without a `z` line (no statsCols configured, a
-    * pre-stats commit, or an evolution boundary). On a 100 TB table
-    * this is the difference between a full scan and one sidecar read —
-    * the Delta numRecords / Iceberg manifest-count answer.
-    */
-  def metaRowCount(spark: SparkSession, root: String,
-                   version: Option[Long] = None): Option[Long] = {
-    val v = version.getOrElse(currentVersion(spark, root).getOrElse(
-      throw new IllegalStateException(s"no committed version at $root")))
-    // round 12: row-tracked tables answer COUNT(*) from the row-id base
-    // assignments even with NO stats columns — each `r` line carries
-    // its file's exact footer row count (the same exactness gates as
-    // the z path: no vectors, no MoR, every listed file covered)
-    metaZ(spark, root, v, None).map(_._1)
-      .orElse(metaRowCountFromRids(spark, root, v))
-  }
-
-  private def metaRowCountFromRids(spark: SparkSession, root: String,
-                                   v: Long): Option[Long] = {
-    if (!metaExact(spark, root, v)) return None
-    if (hasPqSidecar(spark, root, v)) {
-      import org.apache.spark.sql.functions.{col => c, count => cnt, lit, max, sum, when}
-      val df = spark.read.parquet(
-        pqStackPaths(root, v, statsStackOf(spark, root, v)): _*)
-      val fKeys = df.filter(c("t") === "f").select(c("k")).distinct()
-        .withColumn("__f", lit(true))
-      val rCounts = df.filter(c("t") === "r")
-        .groupBy(c("k")).agg(max(c("b").cast("long")).as("__b"))
-      // exact cover = key-SET equality both ways (the text branch's
-      // contract): a stale r line for a dead file must not pair off
-      // against a missing r line for a live one — count-only equality
-      // would pass that and return a silently wrong COUNT(*)
-      val row = fKeys.join(rCounts, Seq("k"), "full_outer")
-        .agg(cnt("*").as("n"),
-             sum(when(c("__f").isNull || c("__b").isNull, 1L)
-               .otherwise(0L)).as("bad"),
-             sum(c("__b")).as("t")).head()
-      if (row.getLong(0) == 0L || row.getLong(1) != 0L) None
-      else Some(row.getLong(2))
-    } else {
-      val lines = sidecarLines(spark, root, v)
-      val fKeys = lines.flatMap(StatsEval.parseListing(_)).collect {
-        case (k, "f", _, _) => k
-      }.toSet
-      if (fKeys.isEmpty) return None
-      val rs = lines.flatMap { l =>
-        val p = l.split("\t", -1)
-        if (p.length == 5 && p(2) == "r")
-          Some(StatsEval.unesc(p(0)) -> p(4).toLong)
-        else None
-      }.toMap
-      if (rs.keySet != fKeys) None else Some(rs.values.sum)
-    }
-  }
-
-  /** COUNT(col) (non-null count) of a version from the sidecar's `z`
-    * lines — same exactness contract as [[metaRowCount]], additionally
-    * requiring `col` to be a stats column covered on every file. The
-    * name is LOGICAL; mapped lineages translate through the pin.
-    */
-  def metaNonNullCount(spark: SparkSession, root: String, col: String,
-                       version: Option[Long] = None): Option[Long] = {
-    val v = version.getOrElse(currentVersion(spark, root).getOrElse(
-      throw new IllegalStateException(s"no committed version at $root")))
-    metaZ(spark, root, v, Some(metaPhysName(spark, root, v, col)))
-      .map { case (total, nulls) => total - nulls }
-  }
-
-  /** MIN/MAX of a NUMERIC column from the sidecar's span lines — exact
-    * because numeric footer bounds are actual values (strings are
-    * excluded: parquet may truncate their bounds, so a stored max need
-    * not be a real value). Returns CATALYST-internal values typed as
-    * the column (what the SQL lowering needs); `(null, null)` when
-    * every row is NULL. None = not exactly answerable (DV/MoR,
-    * incomplete coverage, non-numeric, NaN-suppressed stats).
-    */
-  private[graft] def metaMinMax(spark: SparkSession, root: String,
-                                col: String, version: Option[Long] = None)
-      : Option[(Any, Any)] = {
-    import org.apache.spark.sql.types._
-    val v = version.getOrElse(currentVersion(spark, root).getOrElse(
-      throw new IllegalStateException(s"no committed version at $root")))
-    if (!metaExact(spark, root, v)) return None
-    val schema = tableSchema(spark, root, v)
-    val dt = schema.fields.find(_.name == col).map(_.dataType).getOrElse(
-      return None)
-    if (!dt.isInstanceOf[NumericType]) return None
-    val phys = metaPhysName(spark, root, v, col)
-    // (min, max) as the sidecar's BigDecimal-parseable strings
-    val spans: Option[(Option[String], Option[String])] =
-      if (hasPqSidecar(spark, root, v)) {
-        import org.apache.spark.sql.functions.{col => c, min => mn, max => mx}
-        val df = spark.read.parquet(
-          pqStackPaths(root, v, statsStackOf(spark, root, v)): _*)
-        val fK = df.filter(c("t") === "f").select("k").distinct()
-        val fCnt = fK.count()
-        val sp = df.filter(c("t") === "n" && c("c") === esc(phys))
-        // coverage: every listed file has a span line for the column,
-        // or is provably EMPTY (a zero-total z line) — an empty file
-        // has no span and contributes nothing
-        val zEmpty = df.filter(c("t") === "z").groupBy(c("k"))
-          .agg(mx(c("b").cast("long")).as("total"))
-          .filter(c("total") === 0L).select("k")
-        val covered = fK.join(
-          sp.select("k").union(zEmpty).distinct(), Seq("k"), "left_semi")
-          .count()
-        // distributed fold: decimal(38,0) is exact for integrals,
-        // double round-trips its own rendering for fractionals
-        val castTo = dt match {
-          case _: DecimalType => dt.simpleString
-          case DoubleType | FloatType => "double"
-          case _ => "decimal(38,0)"
-        }
-        val live = sp.filter(c("a") =!= NullMark)
-        if (covered != fCnt || fCnt == 0L) None
-        else {
-          val f = live.agg(mn(c("a").cast(castTo)).as("lo"),
-            mx(c("b").cast(castTo)).as("hi")).head()
-          if (f.isNullAt(0)) Some((None, None))
-          else Some((Some(f.get(0).toString), Some(f.get(1).toString)))
-        }
-      } else {
-        val lines = sidecarLines(spark, root, v)
-        val fKeys = lines.flatMap(StatsEval.parseListing(_)).collect {
-          case (k, "f", _, _) => k
-        }.toSet
-        val sp = lines.flatMap(StatsEval.parseSpan(_))
-          .filter(t => t._3 == "n" && t._2 == phys)
-        val zeroFiles = lines.flatMap(StatsEval.parseNulls(_))
-          .filter(_._4 == 0L).map(_._1).toSet
-        if (fKeys.isEmpty || !fKeys.subsetOf(sp.map(_._1).toSet ++ zeroFiles))
-          None
-        else {
-          val live = sp.filter(_._4 != NullMark)
-          if (live.isEmpty) Some((None, None))
-          else Some((Some(live.map(t => BigDecimal(t._4)).min.toString),
-                     Some(live.map(t => BigDecimal(t._5)).max.toString)))
-        }
-      }
-    spans.map {
-      case (None, None) => (null, null)
-      case (lo, hi) =>
-        import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
-        def as(s: Option[String]): Any =
-          Cast(Literal.create(s.get, StringType), dt).eval(null)
-        (as(lo), as(hi))
-    }
-  }
-
-  /** Exactness gate shared by the meta aggregates: deletion vectors and
-    * merge-on-read shadowing make file rows ≠ visible rows.
-    */
-  private def metaExact(spark: SparkSession, root: String, v: Long): Boolean =
-    tombDirsOf(spark, root, v).isEmpty && morKeysOf(spark, root, v).isEmpty
-
-  /** The SINGLE-IDENTITY partition column of a scoped version — the
-    * only spec shape whose leaf dir values ARE column values, which is
-    * what per-partition metadata grouping needs. None for flat
-    * lineages, composite specs and transforms (a `days(ts)` dir value
-    * is a period, not a ts value).
-    */
-  private[graft] def identityPartCol(spark: SparkSession, root: String,
-                                     v: Long): Option[String] =
-    partColOf(spark, root, v).map(parseGpSpec).collect {
-      case GpSpec(Seq(GpComp("id", c, _, _))) => c
-    }
-
-  /** Decoded partition value of a leaf base name; None for non-leaf
-    * keys and for the null-partition marker (a metadata answer cannot
-    * type "null-or-empty" — callers bail to the scan).
-    */
-  private[graft] def leafValue(leafBase: String): Option[String] = {
-    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-    if (!leafBase.startsWith(GpPrefix)) None
-    else {
-      val raw = ExternalCatalogUtils.unescapePathName(
-        leafBase.stripPrefix(GpPrefix))
-      if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) None else Some(raw)
-    }
-  }
-
-  /** Per-LEAF (rows, nulls) sums of a scoped version's `z` lines —
-    * leafBase → (total rows, null count) for `colName` (None = row
-    * counts via any covered column). The grouped twin of [[metaZ]]:
-    * None unless exact (no DV/MoR), every listed file is covered, and
-    * every file key is leaf-prefixed.
-    */
-  private[graft] def metaZPerLeaf(spark: SparkSession, root: String, v: Long,
-                                  colName: Option[String])
-      : Option[Map[String, (Long, Long)]] = {
-    if (!metaExact(spark, root, v)) return None
-    val leafMap: Option[Map[String, (Long, Long)]] =
-      if (hasPqSidecar(spark, root, v)) {
-        import org.apache.spark.sql.functions.{col => c, max => mx, min => mn, sum, substring_index, count => cnt}
-        val df = spark.read.parquet(
-          pqStackPaths(root, v, statsStackOf(spark, root, v)): _*)
-        val fCnt = df.filter(c("t") === "f").select("k").distinct().count()
-        if (fCnt == 0L) return None
-        val z0 = df.filter(c("t") === "z")
-        val z1 = colName.fold(z0)(n => z0.filter(c("c") === esc(n)))
-        val per = z1.groupBy(c("k")).agg(
-          mx(c("b").cast("long")).as("total"),
-          mn(c("a").cast("long")).as("nulls"))
-        if (per.count() != fCnt) None
-        else Some(per.filter(c("total") > 0L) // empty files group nowhere
-          .groupBy(substring_index(c("k"), "/", 1).as("leaf"))
-          .agg(sum(c("total")).as("t"), sum(c("nulls")).as("z"))
-          .collect()
-          .map(r => StatsEval.unesc(r.getString(0)) ->
-            ((r.getLong(1), r.getLong(2)))).toMap)
-      } else {
-        val lines = sidecarLines(spark, root, v)
-        val fKeys = lines.flatMap(StatsEval.parseListing(_)).collect {
-          case (k, "f", _, _) => k
-        }.toSet
-        if (fKeys.isEmpty) return None
-        val zs = lines.flatMap(StatsEval.parseNulls(_))
-          .filter(t => colName.forall(_ == t._2))
-        val byFile = zs.groupBy(_._1)
-        if (byFile.keySet != fKeys) None
-        else Some(byFile.toSeq
-          .map { case (f, ls) =>
-            (f.substring(0, math.max(f.indexOf('/'), 0)),
-             (ls.map(_._4).max, ls.map(_._3).min))
-          }
-          .filter(_._2._1 > 0L) // empty files (e.g. the CREATE commit's)
-          .groupBy(_._1)
-          .map { case (leaf, ts) =>
-            leaf -> ((ts.map(_._2._1).sum, ts.map(_._2._2).sum))
-          })
-      }
-    // every row-bearing file must live under a partition leaf (a mixed
-    // lineage has rows this grouping cannot attribute)
-    leafMap.filter(_.keysIterator.forall(_.startsWith(GpPrefix)))
-  }
-
-  /** Per-LEAF numeric span fold — leafBase → (min, max) strings for a
-    * PHYSICAL column; leaves whose files are all empty/all-null are
-    * ABSENT from the map (their group value is NULL). None unless every
-    * listed file is covered by a span line or provably empty.
-    */
-  private[graft] def metaSpanPerLeaf(spark: SparkSession, root: String,
-                                     v: Long, phys: String, castTo: String)
-      : Option[Map[String, (String, String)]] = {
-    if (!metaExact(spark, root, v)) return None
-    if (hasPqSidecar(spark, root, v)) {
-      import org.apache.spark.sql.functions.{col => c, max => mx, min => mn, substring_index}
-      val df = spark.read.parquet(
-        pqStackPaths(root, v, statsStackOf(spark, root, v)): _*)
-      val fK = df.filter(c("t") === "f").select("k").distinct()
-      val fCnt = fK.count()
-      if (fCnt == 0L) return None
-      val sp = df.filter(c("t") === "n" && c("c") === esc(phys))
-      val zEmpty = df.filter(c("t") === "z").groupBy(c("k"))
-        .agg(mx(c("b").cast("long")).as("total"))
-        .filter(c("total") === 0L).select("k")
-      val covered = fK.join(
-        sp.select("k").union(zEmpty).distinct(), Seq("k"), "left_semi").count()
-      if (covered != fCnt) return None
-      Some(sp.filter(c("a") =!= NullMark)
-        .groupBy(substring_index(c("k"), "/", 1).as("leaf"))
-        .agg(mn(c("a").cast(castTo)).as("lo"), mx(c("b").cast(castTo)).as("hi"))
-        .collect()
-        .map(r => StatsEval.unesc(r.getString(0)) ->
-          ((r.get(1).toString, r.get(2).toString))).toMap)
-    } else {
-      val lines = sidecarLines(spark, root, v)
-      val fKeys = lines.flatMap(StatsEval.parseListing(_)).collect {
-        case (k, "f", _, _) => k
-      }.toSet
-      if (fKeys.isEmpty) return None
-      val sp = lines.flatMap(StatsEval.parseSpan(_))
-        .filter(t => t._3 == "n" && t._2 == phys)
-      val zeroFiles = lines.flatMap(StatsEval.parseNulls(_))
-        .filter(_._4 == 0L).map(_._1).toSet
-      if (!fKeys.subsetOf(sp.map(_._1).toSet ++ zeroFiles)) return None
-      Some(sp.filter(_._4 != NullMark)
-        .groupBy(t => t._1.substring(0, math.max(t._1.indexOf('/'), 0)))
-        .map { case (leaf, ls) =>
-          leaf -> ((ls.map(t => BigDecimal(t._4)).min.toString,
-                    ls.map(t => BigDecimal(t._5)).max.toString))
-        })
-    }
-  }
-
-  /** Sidecar keys spell PHYSICAL names on mapped lineages. */
-  private[graft] def metaPhysName(spark: SparkSession, root: String, v: Long,
-                                  logical: String): String =
-    schemaOf(spark, root, v)
-      .flatMap(st => renameMap(st).get(logical)).getOrElse(logical)
-
-  /** (sum of per-file totals, sum of per-file null counts) over the
-    * version's `z` lines — None unless EVERY listed file is covered.
-    * `colName` = None sums row counts (any column's line per file);
-    * Some(physName) sums that column's (total, nulls).
-    */
-  private def metaZ(spark: SparkSession, root: String, v: Long,
-                    colName: Option[String]): Option[(Long, Long)] = {
-    if (!metaExact(spark, root, v)) return None
-    if (hasPqSidecar(spark, root, v)) {
-      import org.apache.spark.sql.functions.{col => c, max => mx, min => mn, sum, count => cnt}
-      val df = spark.read.parquet(
-        pqStackPaths(root, v, statsStackOf(spark, root, v)): _*)
-      val fCnt = df.filter(c("t") === "f").select("k").distinct().count()
-      if (fCnt == 0L) return None
-      val z0 = df.filter(c("t") === "z")
-      val z1 = colName.fold(z0)(n => z0.filter(c("c") === esc(n)))
-      val per = z1.groupBy(c("k")).agg(
-        mx(c("b").cast("long")).as("total"),
-        mn(c("a").cast("long")).as("nulls"))
-      val r = per.agg(cnt("*").as("n"), sum(c("total")).as("t"),
-        sum(c("nulls")).as("z")).head()
-      if (r.getLong(0) != fCnt) None
-      else Some((r.getLong(1), r.getLong(2)))
-    } else {
-      val lines = sidecarLines(spark, root, v)
-      val fKeys = lines.flatMap(StatsEval.parseListing(_)).collect {
-        case (k, "f", _, _) => k
-      }.toSet
-      if (fKeys.isEmpty) return None
-      val zs = lines.flatMap(StatsEval.parseNulls(_))
-        .filter(t => colName.forall(_ == t._2))
-      val byFile = zs.groupBy(_._1)
-      if (byFile.keySet != fKeys) None
-      else Some((byFile.values.map(_.map(_._4).max).sum,
-                 byFile.values.map(_.map(_._3).min).sum))
-    }
-  }
-
-  /** Merge-on-read + deletion-vector visibility over a base file scan —
-    * resolution sits ABOVE the skipping scan, and Catalyst only pushes
-    * key-column predicates through its window, so the file index only
-    * ever sees filters for which pruning is shadow-safe (all physical
-    * copies of a key prune together).
-    */
-  private def visibilityWrap(spark: SparkSession, root: String, v: Long,
-                             base0: DataFrame): DataFrame = {
-    val mk = morKeysOf(spark, root, v)
-    val base = if (mk.isEmpty) base0 else base0.withColumn(MorSeqCol, morSeq)
-    val vis = applyTombstoneDirs(spark, root, tombDirsOf(spark, root, v), base)
-    if (mk.isEmpty) vis else resolveLatest(vis, mk)
-  }
-
-  /** Where a scan's span-pruning decisions come from: the parsed TEXT
-    * sidecar (a driver-side map — the small-table regime) or the
-    * PARQUET checkpoint (spans stay on disk; each scan prunes through a
-    * distributed job that ships back only pruned file keys — the
-    * 10⁶-file regime, where materializing per-(file, column) spans on
-    * the driver is the bottleneck the checkpoint exists to remove).
-    */
-  private sealed trait SpanSource
-  private final case class InMemSpans(
-      spans: Map[String, Map[String, (String, String, String)]],
-      nulls: Map[String, Map[String, (Long, Long)]]) extends SpanSource
-  private final case class PqSpans(paths: Seq[String]) extends SpanSource
-
-  /** Distributed span evaluation over a parquet stats checkpoint: group
-    * the span rows per file on the executors, run the SAME
-    * [[StatsEval.admits]] the driver path runs (one evaluator — the two
-    * paths cannot drift), and ship back the SMALLER verdict side
-    * (round 14 — the 1M-file planning bound): a selective point probe
-    * on a 10⁶-file table prunes ~10⁶ files, and collecting the PRUNED
-    * keys (the pre-r14 shape) materialized an O(files) driver set at
-    * exactly the scale the checkpoint exists to protect; collecting the
-    * KEPT keys there is O(result). Returns (keptSide, keys):
-    * keptSide=true → keys are the admitted files (requires `allowKept`
-    * — only sound when the caller's file list came from a COMPLETE
-    * sidecar listing, so every current file has checkpoint rows; a file
-    * absent from the verdicts must otherwise default to kept);
-    * keptSide=false → keys are the pruned files (always sound).
-    * Driver memory is min(kept, pruned) ≤ files/2, and the common big-
-    * table probes (selective predicates) ship back only the survivors.
-    */
-  private def pqVerdictKeys(spark: SparkSession, pqPaths: Seq[String],
-                            preds: Seq[StatsEval.SpanPred],
-                            specs: Seq[GpSpec],
-                            types: Map[String, org.apache.spark.sql.types.DataType],
-                            zone: java.time.ZoneId,
-                            allowKept: Boolean): (Boolean, Set[String]) = {
-    import org.apache.spark.sql.Encoders
-    import org.apache.spark.sql.functions.col
-    val S5 = Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.STRING,
-      Encoders.STRING, Encoders.STRING)
-    // f rows ride along for PRESENCE (a file with only listing rows has
-    // no spans to refute anything — kept); b/d rows carry no verdict;
-    // span/null rows for columns NO predicate consults can't change a
-    // verdict either — the column filter pushes to the checkpoint scan,
-    // so a 10-stats-column table's verdict shuffle carries only the
-    // probed columns' rows (round 14)
-    val cols = preds.flatMap(StatsEval.predCols(_)).distinct.map(esc)
-    val verdicts = spark.read.parquet(pqPaths: _*)
-      .filter(!col("t").isin("b", "d") &&
-        (col("t") === "f" || col("c").isin(cols: _*)))
-      .select("k", "c", "t", "a", "b")
-      .as[(String, String, String, String, String)](S5)
-      .groupByKey(_._1)(Encoders.STRING)
-      .mapGroups { (file: String, it: Iterator[(String, String, String, String, String)]) =>
-        val rows = it.filter(r => r._3 != "f" && r._3 != "r").toSeq
-        val m = rows.filter(_._3 != "z")
-          .map(r => StatsEval.unesc(r._2) -> ((r._3, r._4, r._5))).toMap
-        val zm = rows.filter(_._3 == "z").flatMap { r =>
-          scala.util.Try(
-            StatsEval.unesc(r._2) -> ((r._4.toLong, r._5.toLong))).toOption
-        }.toMap
-        val key = StatsEval.unesc(file)
-        val dirName = key.takeWhile(_ != '/')
-        val spanOf: String => Option[(String, String, String)] = c =>
-          m.get(c).orElse(gpDirSpanMulti(specs, types, dirName, c, zone))
-        (key, preds.forall(pr => StatsEval.admits(spanOf, zm.get, pr, zone)))
-      }(Encoders.tuple(Encoders.STRING, Encoders.scalaBoolean))
-    if (!allowKept) {
-      // incomplete listing: only the pruned side is sound — one pass,
-      // exactly the pre-r14 shape
-      return (false, verdicts.filter(!_._2).map(_._1)(Encoders.STRING)
-        .collect().toSet)
-    }
-    verdicts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val total = verdicts.count()
-      val kept = verdicts.filter(_._2).count()
-      if (kept <= total - kept)
-        (true, verdicts.filter(_._2).map(_._1)(Encoders.STRING)
-          .collect().toSet)
-      else
-        (false, verdicts.filter(!_._2).map(_._1)(Encoders.STRING)
-          .collect().toSet)
-    } finally verdicts.unpersist()
-  }
-
-  /** The stats sidecar as a Catalyst [[FileIndex]]: `listFiles` receives
-    * the scan's data filters, COMPILES the comparison shapes it can
-    * prove things about (=, <=>, <, <=, >, >=, IN — either operand
-    * order, foldable non-attribute side) into the serializable
-    * [[StatsEval.SpanPred]] ADT, and keeps only files whose span can
-    * satisfy ALL of them — evaluated driver-side against the in-memory
-    * span map, or executor-side against the parquet checkpoint.
-    * Anything it cannot compile prunes nothing. Scoped tables get
-    * dir-name partition pruning on the manifest's partition column with
-    * zero configured stats.
-    */
-  private class SkippingFileIndex(
-      spark: SparkSession,
-      files: Seq[org.apache.hadoop.fs.FileStatus],
-      spanSrc: SpanSource,
-      specsAll: Seq[GpSpec],
-      schema: org.apache.spark.sql.types.StructType,
-      zone: java.time.ZoneId,
-      genDerivers: Map[String, (String, Any => Option[Any])] = Map.empty,
-      listingComplete: Boolean = false)
-    extends org.apache.spark.sql.execution.datasources.FileIndex {
-    import org.apache.spark.sql.catalyst.expressions._
-    import org.apache.spark.sql.execution.datasources.{PartitionDirectory => PD}
-    import StatsEval.{SpanPred, TruePred, RangePred, InPred, IsNullPred, NotNullPred, AndPred, OrPred}
-
-    override def rootPaths: Seq[Path] = files.map(_.getPath.getParent).distinct
-    override def partitionSchema: org.apache.spark.sql.types.StructType =
-      org.apache.spark.sql.types.StructType(Nil)
-    override def inputFiles: Array[String] = files.map(_.getPath.toString).toArray
-    override def refresh(): Unit = ()
-    override def sizeInBytes: Long = files.map(_.getLen).sum
-
-    /** External probe value of a foldable literal side (internal reps
-      * unwrapped to the types [[probeString]] understands). None =
-      * can't prove anything with it.
-      */
-    private def probeValue(e: Expression): Option[Any] = e match {
-      case Literal(null, _) => None
-      case Literal(v, dt) => dt match {
-        case _: org.apache.spark.sql.types.NumericType => Some(v match {
-          case d: org.apache.spark.sql.types.Decimal => d.toBigDecimal
-          case x => x
-        })
-        case org.apache.spark.sql.types.StringType => Some(v.toString)
-        case org.apache.spark.sql.types.DateType =>
-          Some(java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
-        case org.apache.spark.sql.types.TimestampType =>
-          val us = v.asInstanceOf[Long]
-          Some(java.time.Instant.ofEpochSecond(
-            Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
-        case org.apache.spark.sql.types.TimestampNTZType =>
-          val us = v.asInstanceOf[Long]
-          Some(java.time.LocalDateTime.ofEpochSecond(
-            Math.floorDiv(us, 1000000L),
-            (Math.floorMod(us, 1000000L) * 1000L).toInt,
-            java.time.ZoneOffset.UTC))
-        case _ => None
-      }
-      case _ => None
-    }
-
-    private def attrName(e: Expression): Option[String] = e match {
-      case a: AttributeReference => Some(a.name)
-      case _ => None
-    }
-
-    /** One pushed filter, compiled: comparisons normalize to (column,
-      * bound) with either operand order; strictness is preserved so
-      * boundary files prune exactly. Unknown shapes → [[TruePred]].
-      */
-    private def compile(filter: Expression): SpanPred = {
-      def cmp(a: Expression, l: Expression,
-              attrFirst: (String, Any) => SpanPred,
-              litFirst: (String, Any) => SpanPred): SpanPred =
-        (attrName(a), probeValue(l)) match {
-          case (Some(c), Some(v)) => attrFirst(c, v)
-          case _ => (attrName(l), probeValue(a)) match {
-            case (Some(c), Some(v)) => litFirst(c, v)
-            case _ => TruePred
-          }
-        }
-      filter match {
-        case EqualTo(a, l) =>
-          cmp(a, l, (c, v) => RangePred(c, Some(v), Some(v), false, false),
-                    (c, v) => RangePred(c, Some(v), Some(v), false, false))
-        case EqualNullSafe(a, l) => compile(EqualTo(a, l))
-        case GreaterThan(a, l) => // col > v | v > col ≡ col < v
-          cmp(a, l, (c, v) => RangePred(c, Some(v), None, true, false),
-                    (c, v) => RangePred(c, None, Some(v), false, true))
-        case GreaterThanOrEqual(a, l) =>
-          cmp(a, l, (c, v) => RangePred(c, Some(v), None, false, false),
-                    (c, v) => RangePred(c, None, Some(v), false, false))
-        case LessThan(a, l) => // col < v | v < col ≡ col > v
-          cmp(a, l, (c, v) => RangePred(c, None, Some(v), false, true),
-                    (c, v) => RangePred(c, Some(v), None, true, false))
-        case LessThanOrEqual(a, l) =>
-          cmp(a, l, (c, v) => RangePred(c, None, Some(v), false, false),
-                    (c, v) => RangePred(c, Some(v), None, false, false))
-        case In(a, vs) => attrName(a) match {
-          case Some(c) =>
-            val pvs = vs.map(probeValue)
-            if (pvs.exists(_.isEmpty)) TruePred else InPred(c, pvs.flatten)
-          case None => TruePred
-        }
-        case IsNull(a) =>
-          attrName(a).map(IsNullPred(_): SpanPred).getOrElse(TruePred)
-        case IsNotNull(a) =>
-          attrName(a).map(NotNullPred(_): SpanPred).getOrElse(TruePred)
-        case And(x, y) => AndPred(compile(x), compile(y))
-        case Or(x, y) => OrPred(compile(x), compile(y))
-        case _ => TruePred
-      }
-    }
-
-    private val gpTypes: Map[String, org.apache.spark.sql.types.DataType] =
-      schema.fields.map(f => f.name -> f.dataType).toMap
-
-    // evolved lineages: only a span every historically consistent spec
-    // agrees on may prune (gpDirSpanMulti, round 13)
-    private def dirSpanOf(st: org.apache.hadoop.fs.FileStatus)
-        : String => Option[(String, String, String)] = c =>
-      gpDirSpanMulti(specsAll, gpTypes, st.getPath.getParent.getName, c, zone)
-
-    /** Bucket-transform dir pruning for the compiled predicates a value
-      * order cannot serve (round 11): an equality (closed degenerate
-      * range) keeps the file only if its dir's bucket is the value's;
-      * IN keeps it if ANY listed value hashes to it. Everything else
-      * admits — spans handle it or nothing can.
-      */
-    private def bucketAdmitsPred(st: org.apache.hadoop.fs.FileStatus,
-                                 p: SpanPred): Boolean = {
-      // bucket pruning only on never-evolved lineages: an ambiguous
-      // dir-owning spec could hash the wrong column and lose rows
-      def dirAdmits(c: String, v: Any): Boolean = specsAll match {
-        case Seq(sp) =>
-          bucketDirAdmits(sp, gpTypes, st.getPath.getParent.getName, c, v)
-        case _ => true
-      }
-      p match {
-        case RangePred(c, Some(lo), Some(hi), false, false) if lo == hi =>
-          dirAdmits(c, lo)
-        case InPred(c, vs)  => vs.exists(v => dirAdmits(c, v))
-        case AndPred(x, y)  => bucketAdmitsPred(st, x) && bucketAdmitsPred(st, y)
-        case OrPred(x, y)   => bucketAdmitsPred(st, x) || bucketAdmitsPred(st, y)
-        case _              => true
-      }
-    }
-
-    /** base-column point conjuncts imply derived conjuncts on their
-      * GENERATED partition column (round 13) — appended, never
-      * substituted, so the expansion can only prune MORE, exactly when
-      * the derivation is sound (see generatedPartDerivers).
-      */
-    private def derivedPred(p: SpanPred): Option[SpanPred] = p match {
-      case RangePred(c, Some(x), Some(y), false, false) if x == y =>
-        genDerivers.get(c.toLowerCase).flatMap { case (g, d) =>
-          d(x).map(gx => RangePred(g, Some(gx), Some(gx), false, false)) }
-      case InPred(c, vs) if vs.nonEmpty =>
-        genDerivers.get(c.toLowerCase).flatMap { case (g, d) =>
-          val gs = vs.map(d)
-          if (gs.forall(_.isDefined)) Some(InPred(g, gs.map(_.get)))
-          else None
-        }
-      case _ => None
-    }
-
-    override def listFiles(partitionFilters: Seq[Expression],
-                           dataFilters: Seq[Expression]): Seq[PD] = {
-      val preds0 = dataFilters.map(compile).filterNot(_ == TruePred)
-      val preds = preds0 ++ preds0.flatMap(derivedPred)
-      val hasBucket = specsAll.size == 1 &&
-        specsAll.head.comps.exists(_.kind == "bucket")
-      def bucketKeeps(st: org.apache.hadoop.fs.FileStatus): Boolean =
-        !hasBucket || preds.forall(p => bucketAdmitsPred(st, p))
-      val kept =
-        if (preds.isEmpty) files
-        else spanSrc match {
-          case InMemSpans(spans, nulls) =>
-            lastPlanPrune = "inmem"
-            files.filter { st =>
-              val rel = st.getPath.getParent.getName + "/" + st.getPath.getName
-              val spanOf: String => Option[(String, String, String)] = c =>
-                spans.get(rel).flatMap(_.get(c)).orElse(dirSpanOf(st)(c))
-              val nullsOf: String => Option[(Long, Long)] = c =>
-                nulls.get(rel).flatMap(_.get(c))
-              bucketKeeps(st) &&
-              preds.forall(p => StatsEval.admits(spanOf, nullsOf, p, zone))
-            }
-          case PqSpans(pqPaths) =>
-            // verdicts evaluate distributed; the driver receives the
-            // SMALLER side (kept under selective probes — O(result);
-            // pruned under broad ones). Every survivor re-checks
-            // against the dir-name span only — exact, because a file's
-            // partition-column span is a subset of its dir's (dir-only
-            // admits ⊇ full admits per file)
-            val (keptSide, keys) = pqVerdictKeys(spark, pqPaths, preds,
-              specsAll, gpTypes, zone, allowKept = listingComplete)
-            lastPlanPrune =
-              (if (keptSide) "pq-kept:" else "pq-pruned:") + keys.size
-            files.filter { st =>
-              val rel = st.getPath.getParent.getName + "/" + st.getPath.getName
-              (if (keptSide) keys.contains(rel) else !keys.contains(rel)) &&
-              bucketKeeps(st) &&
-              preds.forall(p =>
-                StatsEval.admits(dirSpanOf(st), _ => None, p, zone))
-            }
-        }
-      Seq(PD(org.apache.spark.sql.catalyst.InternalRow.empty,
-        kept.toArray[org.apache.hadoop.fs.FileStatus]))
-    }
-  }
-
-  /** Test/bench-visible marker of the last checkpoint-regime prune:
-    * which verdict side shipped to the driver and its size — the
-    * round-14 planning-scale specs assert the kept side (O(result))
-    * rides selective probes on complete listings.
-    */
-  @volatile private[graft] var lastPlanPrune: String = ""
-
-  /** Remove manifests and data directories ABOVE the committed pointer —
-    * the debris of a writer that crashed between manifest publish and
-    * pointer swap. Those versions were never visible to any reader, so
-    * deleting them is not data loss; it frees their version numbers for
-    * the next commit. Runs under the writer claim.
-    */
-  private def recoverOrphans(spark: SparkSession, root: String): Unit = {
-    val committedOpt = currentVersion(spark, root)
-    val committed = committedOpt.getOrElse(0L)
-    val ld = logDir(root)
-    val f = fs(spark, ld)
-    if (!f.exists(ld)) return
-    // A missing LATEST with manifests present is ambiguous: either a crash
-    // during the table's very FIRST commit (benign debris) or a LOST/corrupt
-    // pointer on a real table (the object-store rename caveat). Treating the
-    // second as the first would delete every manifest and data dir — silent
-    // total table loss. Fail loudly instead: recovery from a lost pointer is
-    // a human decision (restore LATEST from the highest manifest), never an
-    // automatic delete.
-    if (committedOpt.isEmpty &&
-        f.listStatus(ld).exists(_.getPath.getName.endsWith(".manifest")))
-      throw new IllegalStateException(
-        s"$root has committed manifests but no LATEST pointer — refusing to " +
-        "recover (a lost pointer would read as an empty table and the debris " +
-        "sweep would delete real data). Restore LATEST to the highest fully " +
-        "committed version, or remove the manifests if this was a crashed " +
-        "first commit.")
-    f.listStatus(ld).foreach { st =>
-      val n = st.getPath.getName
-      if (n.endsWith(".manifest") && n.stripPrefix("v").stripSuffix(".manifest").toLong > committed) {
-        val v = n.stripPrefix("v").stripSuffix(".manifest").toLong
-        f.delete(st.getPath, false)
-        f.delete(statsPath(root, v), false)
-        f.delete(statsPqPath(root, v), true)
-        f.delete(dataDir(root, v), true)
-      } else if (n.endsWith(".stats") &&
-                 n.stripPrefix("v").stripSuffix(".stats").toLong > committed) {
-        f.delete(st.getPath, false) // stats published, crash before manifest
-      } else if (n.endsWith(".statspq") &&
-                 n.stripPrefix("v").stripSuffix(".statspq").toLong > committed) {
-        f.delete(st.getPath, true) // checkpoint published, crash before manifest
-      } else if (n.startsWith(".tmp_")) f.delete(st.getPath, true)
-      // identity-mark temps (".idtmp_*") are written OUTSIDE the table
-      // claim (lock-free reservation) — an in-flight one is NOT debris;
-      // only a crashed reserve's leftover is, recognized by age
-      else if (n.startsWith(".idtmp_") &&
-               System.currentTimeMillis - st.getModificationTime > 600000L)
-        f.delete(st.getPath, true)
-    }
-    // spec-history entries above the committed pointer are the debris
-    // of a repartitionSpec that crashed between history write and
-    // publish — trim them, or a LATER commit reusing that version
-    // number would silently re-attribute its leafs once the recording
-    // manifest ages out (round 13)
-    val hist = specHistEntries(spark, root)
-    if (hist.exists(_._1 > committed))
-      writeSpecHist(spark, root, hist.filter(_._1 <= committed))
-    // durable per-leaf spec overrides above the committed pointer are
-    // the same class of debris (maintenance crashed between the
-    // LEAFSPECS append and publish): the freed version number will be
-    // reused, and a stale entry for a same-named leaf would
-    // mis-attribute the NEW leaf's spec — prune them with the orphans
-    val lsh = leafSpecHist(spark, root)
-    val lshLive = lsh.filter { case (d, _) =>
-      leafDirVersion(d).forall(_ <= committed) }
-    if (lshLive.size != lsh.size) {
-      val p = leafSpecHistPath(root)
-      val fls = fs(spark, p)
-      if (lshLive.isEmpty) fls.delete(p, false)
-      else {
-        val tmp = new Path(p.getParent, ".tmp_leafspecs")
-        val out = fls.create(tmp, true)
-        try out.write(lshLive.toSeq.sorted.map { case (d, sp) =>
-          java.net.URLEncoder.encode(d, "UTF-8") + "\t" +
-            java.net.URLEncoder.encode(sp, "UTF-8")
-        }.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-          p.toUri, spark.sparkContext.hadoopConfiguration)
-        fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-      }
-    }
-    // a data or tombstone dir without its manifest (crash mid-stage)
-    val rootPath = new Path(root.replaceAll("/+$", ""))
-    fs(spark, rootPath).listStatus(rootPath).foreach { st =>
-      val n = st.getPath.getName
-      if (n.startsWith("data_v") &&
-          scala.util.Try(n.stripPrefix("data_v").toLong).toOption.exists(_ > committed))
-        f.delete(st.getPath, true)
-      else if (n.startsWith("tomb_v") &&
-          scala.util.Try(n.stripPrefix("tomb_v").toLong).toOption.exists(_ > committed))
-        f.delete(st.getPath, true)
-      else if (n.startsWith("chg_v") &&
-          scala.util.Try(n.stripPrefix("chg_v").toLong).toOption.exists(_ > committed))
-        f.delete(st.getPath, true)
-    }
-  }
-
-  /** Commit wall-clock of a version: its manifest file's modification
-    * time (the same resolution rule Delta's timestamp time travel uses —
-    * the metadata file IS the commit record). Manifests publish moments
-    * before the pointer swap, so this is the version's creation instant
-    * to within the critical section.
-    */
-  def commitTimeOf(spark: SparkSession, root: String, v: Long): java.time.Instant = {
-    val m = manifestPath(root, v)
-    require(fs(spark, m).exists(m),
-      s"version $v does not exist (never committed, or vacuumed) at $root")
-    // the writer-stamped in-commit time ([[inCommitStamp]] — survives
-    // backup/restore and store copies, strictly monotonic); manifests
-    // from before round 12 fall back to file mtime
-    """"committedAt":(\d+)""".r
-      .findFirstMatchIn(readManifest(spark, root, v))
-      .map(x => java.time.Instant.ofEpochMilli(x.group(1).toLong))
-      .getOrElse(java.time.Instant.ofEpochMilli(
-        fs(spark, m).getFileStatus(m).getModificationTime))
-  }
-
-  /** Timestamp time travel: the newest committed version whose commit
-    * time is ≤ `ts` (None when the table is younger than `ts`, or every
-    * such version was vacuumed). `readAsOf` is the one-call read.
-    */
-  def versionAsOf(spark: SparkSession, root: String,
-                  ts: java.time.Instant): Option[Long] =
-    commitTimes(spark, root).reverse
-      .find { case (_, t) => !t.isAfter(ts) }.map(_._1)
-
-  def readAsOf(spark: SparkSession, root: String,
-               ts: java.time.Instant): DataFrame =
-    readVersion(spark, root, versionAsOf(spark, root, ts).getOrElse(
-      throw new IllegalStateException(
-        s"no version at or before $ts at $root (too early, or vacuumed)")))
-
-  /** RESTORE: make an old version's contents the table's new HEAD as a
-    * fresh commit — at O(1) METADATA cost, zero data movement: the new
-    * manifest simply references the restored version's directories,
-    * deletion vectors, pinned schema, and stats sidecar (all immutable;
-    * [[vacuum]] already reference-counts shared dirs). History is
-    * preserved — the bad versions stay addressable for forensics until
-    * vacuumed, which is exactly Delta's RESTORE semantics. The CDC feed
-    * across the restore is the exact keyed diff undoing the bad commits
-    * (dir lineage does not extend, so no append short-circuit fires).
-    */
-  def restore(spark: SparkSession, root: String, toVersion: Long): Long = {
-    withClaim(spark, root) { f =>
-      recoverOrphans(spark, root)
-      val cur = currentVersion(spark, root).getOrElse(
-        throw new IllegalStateException(s"no committed version at $root"))
-      require(toVersion <= cur, s"cannot restore to future version $toVersion")
-      val m = manifestPath(root, toVersion)
-      require(f.exists(m),
-        s"version $toVersion was vacuumed — nothing left to restore")
-      if (toVersion == cur) return cur
-      val next = cur + 1L
-      val carry = sidecarCarry(spark, root, toVersion)
-      val stack = writeStats(spark, root, next, Nil, carry)
-      // the RESTORED version's stamp, not the head's: batches newer than
-      // the rollback point were rolled back with it and must re-apply
-      writeManifestDirs(spark, root, next, dirsOf(spark, root, toVersion),
-        batchId = batchIdOf(spark, root, toVersion).getOrElse(-1L),
-        tombDirs = tombDirsOf(spark, root, toVersion),
-        kind = "restore",
-        partCol = partColOf(spark, root, toVersion).getOrElse(""),
-        morKeys = morKeysOf(spark, root, toVersion),
-        schemaJson = rawSchemaJson(spark, root, toVersion),
-        statsStack = stack)
-      publishLatest(spark, root, next)
-      next
-    }
-  }
-
-  /** List committed versions (ascending) — history that survives until
-    * [[vacuum]]. With a checkpoint present this is O(tail): versions at
-    * or below the checkpoint come from its recorded index (no listing,
-    * no per-manifest existence probes), and only the ≤ interval-sized
-    * tail beyond it is probed. Without one (legacy tables), fall back
-    * to the directory listing.
-    */
-  def versions(spark: SparkSession, root: String): Seq[Long] = {
-    val committed = currentVersion(spark, root).getOrElse(return Seq.empty)
-    checkpointEntries(spark, root) match {
-      case Some((cv, entries)) =>
-        val f = fs(spark, logDir(root))
-        val below = entries.map(_._1).filter(_ <= math.min(cv, committed))
-        val tail = ((cv + 1L) to committed)
-          .filter(u => f.exists(manifestPath(root, u)))
-        (below ++ tail).distinct.sorted
-      case None =>
-        val ld = logDir(root)
-        val f = fs(spark, ld)
-        f.listStatus(ld).map(_.getPath.getName)
-          .filter(_.endsWith(".manifest"))
-          .map(_.stripPrefix("v").stripSuffix(".manifest").toLong)
-          .filter(_ <= committed).sorted.toSeq
-    }
-  }
-
-  // ------------------------------------------------------------------
-  // MANIFEST CHECKPOINTING (round 8 — VERDICT r7 "What's missing" #2).
-  //
-  // Our manifests are SELF-CONTAINED per version (each carries the
-  // complete dir list, vectors, schema pin), so unlike Delta — whose
-  // table state is the SUM of all log actions and whose checkpoint must
-  // therefore roll the state up — head resolution here was always O(1)
-  // manifest reads. What DID scale with history was the version→commit-
-  // time INDEX: `versions()` listed the log dir and timestamp time
-  // travel stat'ed one manifest per version — at 10⁶ commits that is
-  // 10⁶ RPCs per `TIMESTAMP AS OF` on an object store. The checkpoint
-  // is exactly that index, made durable: every `interval` commits the
-  // committing writer (already under the claim) writes
-  // `v{N}.ckpt` = "version<TAB>epochMillis" per live version ≤ N, then
-  // swaps the `_last_checkpoint` marker (temp + atomic rename, same
-  // protocol as LATEST). Resolution = one checkpoint read + mtime stats
-  // for the ≤ interval tail. [[vacuum]] rewrites the checkpoint FIRST
-  // (survivors only) and deletes after — a crash between the two leaves
-  // a conservative checkpoint (condemned versions vanish from history a
-  // vacuum early, but remain directly addressable until re-vacuumed),
-  // never a checkpoint pointing at deleted manifests. Commit times for
-  // sub-checkpoint versions become checkpoint-authoritative — surviving
-  // file copies/rsyncs that would rewrite mtimes.
-  // ------------------------------------------------------------------
-
-  private val CkptMarker = "_last_checkpoint"
-  private def ckptMarkerPath(root: String) = new Path(logDir(root), CkptMarker)
-  private def ckptPath(root: String, v: Long) =
-    new Path(logDir(root), f"v$v%08d.ckpt")
-
-  /** Commits between checkpoints; ≤ 0 disables. The tail a resolve must
-    * probe is bounded by this.
-    */
-  private def ckptInterval(spark: SparkSession): Int =
-    scala.util.Try(spark.conf.get("spark.graft.log.checkpoint.interval", "25")
-      .trim.toInt).getOrElse(25)
-
-  /** (checkpoint version, (version, commit epochMillis) ascending) of
-    * the newest checkpoint, if any.
-    */
-  private[graft] def checkpointEntries(spark: SparkSession,
-                                       root: String): Option[(Long, Seq[(Long, Long)])] = {
-    val marker = ckptMarkerPath(root)
-    val f = fs(spark, marker)
-    if (!f.exists(marker)) return None
-    val in = f.open(marker)
-    val cv = try new String(in.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-    finally in.close()
-    val cp = ckptPath(root, cv)
-    if (!f.exists(cp)) return None // torn writer death between the two renames
-    val cin = f.open(cp)
-    val text = try new String(cin.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8)
-    finally cin.close()
-    Some((cv, text.linesIterator.filter(_.nonEmpty).map { l =>
-      val Array(v, t) = l.split("\t", 2)
-      (v.toLong, t.toLong)
-    }.toSeq.sortBy(_._1)))
-  }
-
-  private def writeCheckpoint(spark: SparkSession, root: String, v: Long,
-                              entries: Seq[(Long, Long)]): Unit = {
-    val f = fs(spark, logDir(root))
-    val cp = ckptPath(root, v)
-    val store = LogStore.resolve(spark)
-    store.atomicPut(spark, cp, entries.sortBy(_._1)
-      .map { case (u, t) => s"$u\t$t" }.mkString("\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    store.atomicPut(spark, ckptMarkerPath(root),
-      v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // superseded checkpoints are garbage the moment the marker swaps
-    f.listStatus(logDir(root)).map(_.getPath)
-      .filter(p => p.getName.endsWith(".ckpt") && p.getName != cp.getName)
-      .foreach(f.delete(_, false))
-  }
-
-  /** Called by [[publishLatest]] (the single commit point, under the
-    * writer claim): roll the index forward once the tail since the last
-    * checkpoint reaches the interval — O(interval) mtime stats, so
-    * amortized O(1) per commit.
-    */
-  private def maybeCheckpoint(spark: SparkSession, root: String, v: Long): Unit = {
-    val interval = ckptInterval(spark)
-    if (interval <= 0) return
-    val prev = checkpointEntries(spark, root)
-    val from = prev.map(_._1).getOrElse(0L)
-    if (v - from < interval) return
-    val f = fs(spark, logDir(root))
-    val tail = ((from + 1L) to v).flatMap { u =>
-      val m = manifestPath(root, u)
-      if (f.exists(m)) Some(u -> f.getFileStatus(m).getModificationTime)
-      else None
-    }
-    val base = prev.map(_._2).getOrElse(Seq.empty)
-    writeCheckpoint(spark, root, v,
-      (base ++ tail).groupBy(_._1).map(_._2.head).toSeq)
-  }
-
-  /** (version, commit time) for every live version — the checkpoint
-    * index plus mtime stats for the ≤ interval tail; one pass, O(tail)
-    * file operations when checkpointed (vs one stat PER VERSION before).
-    */
-  def commitTimes(spark: SparkSession, root: String): Seq[(Long, java.time.Instant)] = {
-    val committed = currentVersion(spark, root).getOrElse(return Seq.empty)
-    checkpointEntries(spark, root) match {
-      case Some((cv, entries)) =>
-        val f = fs(spark, logDir(root))
-        val below = entries.filter(_._1 <= math.min(cv, committed))
-          .map { case (u, t) => (u, java.time.Instant.ofEpochMilli(t)) }
-        val tail = ((cv + 1L) to committed).flatMap { u =>
-          val m = manifestPath(root, u)
-          if (f.exists(m)) Some((u, commitTimeOf(spark, root, u)))
-          else None
-        }
-        (below ++ tail).sortBy(_._1)
-      case None =>
-        versions(spark, root).map(v => (v, commitTimeOf(spark, root, v)))
-    }
-  }
-
-  /** DESCRIBE HISTORY: one row per committed version — commit time,
-    * manifest kind (append/scoped/delete/restore/…), streaming batch id,
-    * directory and deletion-vector counts, whether an audit record
-    * exists. Pure metadata (one manifest read per version); the
-    * operational at-a-glance every lakehouse exposes.
-    */
-  def describeHistory(spark: SparkSession, root: String): DataFrame = {
-    import spark.implicits._
-    val times = commitTimes(spark, root).toMap
-    versions(spark, root).map { v =>
-      val text = readManifest(spark, root, v)
-      val kind = """"kind":"(\w+)"""".r.findFirstMatchIn(text)
-        .map(_.group(1)).getOrElse(
-          if (text.contains(""""baseDirs":""""))
-            if (dirsOf(spark, root, v).size > 1) "append" else "commit"
-          else "commit")
-      val batchId = """"batchId":(-?\d+)""".r.findFirstMatchIn(text)
-        .map(_.group(1).toLong).filter(_ >= 0)
-      (v, times.getOrElse(v, commitTimeOf(spark, root, v)).toString, kind,
-       batchId, dirsOf(spark, root, v).size,
-       tombDirsOf(spark, root, v).size,
-       rawSchemaJson(spark, root, v).nonEmpty,
-       fs(spark, manifestPath(root, v))
-         .exists(Expectations.auditPath(root, v)))
-    }.toDF("version", "commit_time", "kind", "batch_id",
-           "n_dirs", "n_tomb_dirs", "schema_pinned", "audited")
-  }
-
-  /** Age-based retention: drop every version whose commit time is older
-    * than `olderThan`, always keeping at least the current one — the
-    * calendar-driven twin of count-based [[vacuum]] (RETAIN n HOURS).
-    * The retention contract is the same: the horizon must exceed the
-    * longest reader AND the laggiest [[tailChanges]] consumer.
-    */
-  def vacuumOlderThan(spark: SparkSession, root: String,
-                      olderThan: java.time.Instant): Unit = {
-    val ts = commitTimes(spark, root)
-    if (ts.isEmpty) return
-    val expired = ts.count(_._2.isBefore(olderThan))
-    vacuum(spark, root, math.max(1, ts.size - expired))
-  }
-
-  // ------------------------------------ registered consumers (round 9)
-
-  /** REGISTERED CONSUMERS: the vacuum-vs-reader grace the round-8
-    * verdict asked for. Count/age retention alone cannot see a slow CDC
-    * consumer — a vacuum tuned for 7 days reclaims the base version of
-    * a tail that fell 8 days behind, and the consumer wakes up to a
-    * permanently broken feed. A consumer that REGISTERS itself (one
-    * tiny pin file per consumer under `_graft_log/consumers/`) blocks
-    * vacuum from reclaiming any version at or above its pin: [[vacuum]]
-    * widens `keep` to cover every pinned version, however aggressive
-    * the caller's retention. Pins double as cursors —
-    * [[consumerCursor]] hands the pin's path to [[tailChanges]], so one
-    * registration both tracks progress and holds the grace. Unregister
-    * (or never register) to opt out and accept the classic
-    * retention-must-exceed-lag contract.
-    */
-  private def consumersDir(root: String): Path =
-    new Path(logDir(root), "consumers")
-
-  /** The pin file of consumer `name` — pass to [[tailChanges]] as its
-    * cursor so every successful poll advances the pin atomically.
-    */
-  def consumerCursor(root: String, name: String): String = {
-    require(name.nonEmpty && !name.contains("/"),
-      s"consumer name must be a plain token, got '$name'")
-    new Path(consumersDir(root), name).toString
-  }
-
-  /** Register (or move) consumer `name` at `version` — the version the
-    * consumer has processed UP TO; everything above it stays
-    * vacuum-safe. Same atomic temp+rename as every log artifact.
-    */
-  def registerConsumer(spark: SparkSession, root: String,
-                       name: String, version: Long): Unit = {
-    val p = new Path(consumerCursor(root, name))
-    val f = fs(spark, p)
-    f.mkdirs(p.getParent)
-    val tmp = new Path(p.getParent, s".tmp_$name")
-    val out = f.create(tmp, true)
-    try out.write(version.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val fc = FileContext.getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, p, Options.Rename.OVERWRITE)
-  }
-
-  def unregisterConsumer(spark: SparkSession, root: String,
-                         name: String): Unit = {
-    val p = new Path(consumerCursor(root, name))
-    fs(spark, p).delete(p, false)
-  }
-
-  /** Every registered consumer and its pinned version. */
-  def consumers(spark: SparkSession, root: String): Map[String, Long] = {
-    val d = consumersDir(root)
-    val f = fs(spark, d)
-    if (!f.exists(d)) Map.empty
-    else f.listStatus(d).filter(st => st.isFile &&
-        !st.getPath.getName.startsWith(".")).flatMap { st =>
-      val in = f.open(st.getPath)
-      val txt = try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim finally in.close()
-      scala.util.Try(st.getPath.getName -> txt.toLong).toOption
-    }.toMap
-  }
-
-  /** The versions a `vacuum(keep)` would reclaim, pins honored — the
-    * dry-run listing for operators who want to see the blast radius
-    * before pulling the trigger.
-    */
-  def vacuumDryRun(spark: SparkSession, root: String,
-                   keep: Int): Seq[Long] = {
-    require(keep >= 1, "must keep at least the current version")
-    val vs = versions(spark, root)
-    vs.dropRight(effectiveKeep(spark, root, vs, keep))
-  }
-
-  /** `keep` widened to cover every registered consumer's pin: a pin at
-    * version c keeps c and everything newer (the feed's next poll reads
-    * changesBetween(c, head), which needs c's manifest for the dir
-    * diff).
-    */
-  private def effectiveKeep(spark: SparkSession, root: String,
-                            vs: Seq[Long], keep: Int): Int = {
-    val pins = consumers(spark, root).values
-    if (pins.isEmpty) keep
-    else {
-      val minPin = pins.min
-      math.max(keep, vs.count(_ >= minPin))
-    }
-  }
-
-  /** Drop all but the newest `keep` committed versions (manifest + data),
-    * where `keep` silently widens to protect every REGISTERED consumer
-    * ([[registerConsumer]] — the pin and everything above it survive).
-    * CAVEAT (same as any lakehouse VACUUM): an UNREGISTERED long-running
-    * reader still scanning a vacuumed version will fail mid-read —
-    * retention must exceed the longest such reader.
-    */
-  def vacuum(spark: SparkSession, root: String, keep: Int): Unit = {
-    require(keep >= 1, "must keep at least the current version")
-    val vs = versions(spark, root)
-    val kept = effectiveKeep(spark, root, vs, keep)
-    val f = fs(spark, logDir(root))
-    val rootPath = new Path(root.replaceAll("/+$", ""))
-    // checkpoint FIRST (survivors only), delete after: a crash between
-    // the two leaves a conservative index — condemned versions drop out
-    // of history a vacuum early but stay directly addressable — never a
-    // checkpoint that points at deleted manifests
-    if (vs.dropRight(kept).nonEmpty && ckptInterval(spark) > 0) {
-      val survivorTimes = commitTimes(spark, root)
-        .filter { case (v, _) => vs.takeRight(kept).contains(v) }
-        .map { case (v, t) => (v, t.toEpochMilli) }
-      writeCheckpoint(spark, root, vs.last, survivorTimes)
-    }
-    // reference-count data dirs: an append chain's retained head still
-    // READS its ancestors' delta dirs, and a retained scoped version
-    // still reads untouched LEAF dirs of its ancestors — so a dir is
-    // reclaimable only when NO retained version lists it (manifests go
-    // first regardless — the version identity dies, its shared bytes may
-    // live on). Scoped versions are counted at leaf granularity.
-    val retainedDirs = vs.takeRight(kept)
-      .flatMap(v => dirsOf(spark, root, v)).toSet
-    val retainedTombs = vs.takeRight(kept)
-      .flatMap(v => tombDirsOf(spark, root, v)).toSet
-    // a retained CHAINED checkpoint still reads its ancestors' pq dirs —
-    // pin them exactly like shared data dirs (manifests die first; the
-    // stack lists in retained manifests are self-contained)
-    val retainedStats = vs.takeRight(kept)
-      .flatMap(v => statsStackOf(spark, root, v)).toSet
-    vs.dropRight(kept).foreach { v =>
-      val own = dataDirName(v)
-      // a version OWNS its own data dir and everything under it; shared
-      // parent dirs in its list belong to the versions that wrote them
-      val owned = dirsOf(spark, root, v)
-        .filter(d => d == own || d.startsWith(own + "/"))
-      val ownTomb = tombDirName(v)
-      val ownedTombs = tombDirsOf(spark, root, v).filter(_ == ownTomb)
-      f.delete(manifestPath(root, v), false)
-      f.delete(statsPath(root, v), false)
-      if (!retainedStats.contains(v)) f.delete(statsPqPath(root, v), true)
-      f.delete(new Path(rootPath, chgDirName(v)), true)
-      f.delete(Expectations.auditPath(root, v), false)
-      owned.foreach { d =>
-        if (!retainedDirs.contains(d)) {
-          // file-granular carries: a retained pruned-upsert version may
-          // reference individual FILES inside this dir — reclaim only
-          // the unreferenced files and keep the referenced ones in place
-          val inner = retainedDirs.filter(_.startsWith(d + "/"))
-          if (inner.isEmpty) f.delete(new Path(rootPath, d), true)
-          else {
-            val keepNames = inner.map(e => e.substring(e.lastIndexOf('/') + 1))
-            val dp = new Path(rootPath, d)
-            if (f.exists(dp)) f.listStatus(dp).foreach { st =>
-              if (st.isFile && !keepNames.contains(st.getPath.getName))
-                f.delete(st.getPath, false)
-            }
-          }
-        }
-      }
-      ownedTombs.foreach { d =>
-        if (!retainedTombs.contains(d))
-          f.delete(new Path(rootPath, d), true)
-      }
-      // a scoped version's own parent dir may be empty now (every leaf
-      // reclaimed) — remove the husk, but never a dir with retained leafs
-      val ownPath = dataDir(root, v)
-      if (f.exists(ownPath) && f.listStatus(ownPath).isEmpty)
-        f.delete(ownPath, false)
-    }
-    // checkpoints whose VERSION died in an earlier vacuum while a chain
-    // still pinned them: once no retained stack references them (a
-    // consolidation landed), nothing ever revisits their version id —
-    // sweep any .statspq not owned by a live version or a live chain
-    val liveStats = vs.takeRight(kept).toSet ++ retainedStats
-    f.listStatus(logDir(root)).foreach { st =>
-      val n = st.getPath.getName
-      if (n.endsWith(".statspq") &&
-          scala.util.Try(n.stripPrefix("v").stripSuffix(".statspq").toLong)
-            .toOption.exists(sv => !liveStats.contains(sv)))
-        f.delete(st.getPath, true)
-    }
-    // LEAFSPECS hygiene (round 14 — ADVICE r13): an override for a leaf
-    // dir NO retained version references can never be consulted again
-    // (the resolver only sees dirs that live in some retained manifest),
-    // so dropping it is safe — and without the prune every scoped
-    // merge on a long-lived spec-evolved table re-reads and rewrites an
-    // ever-growing file. Rewritten under the writer claim: the file is
-    // read-merge-rename, and racing a concurrent maintenance append
-    // could silently drop ITS fresh (live) entries.
-    val hist = leafSpecHist(spark, root)
-    if (hist.nonEmpty) {
-      val live = hist.filter { case (d, _) =>
-        retainedDirs.contains(d) || retainedDirs.exists(_.startsWith(d + "/"))
-      }
-      if (live.size != hist.size) withClaimWait(spark, root) {
-        // re-read under the claim: entries appended since the filter
-        // above must survive (they belong to the head version, which is
-        // always retained)
-        val fresh = leafSpecHist(spark, root) -- (hist.keySet -- live.keySet)
-        writeLeafSpecHist(spark, root, fresh)
-      }
-    }
-    // OCC staging debris: a writer that crashed BEFORE its claimed
-    // publish leaves a data_u dir no manifest references. Liveness is
-    // undecidable from the name, so reclaim by age — a day dwarfs any
-    // sane stage-to-publish gap (same retention reasoning as above)
-    val dayMs = 24L * 3600 * 1000
-    fs(spark, rootPath).listStatus(rootPath).foreach { st =>
-      val n = st.getPath.getName
-      if ((n.startsWith("data_u") || n.startsWith("tomb_u")) &&
-          st.getModificationTime < System.currentTimeMillis - dayMs)
-        f.delete(st.getPath, true)
-    }
-  }
-}
+object SnapshotLog
+    extends SnapshotLogCore
+    with SnapshotLogScoped
+    with SnapshotLogMorSpec
+    with SnapshotLogTracking
+    with SnapshotLogPlanning
+    // executor-side closures in the trait methods capture the module
+    // (before the round-14 split they referenced object members without
+    // a `this` field); Serializable + the compiler's readResolve keep
+    // those closures shippable with module identity preserved
+    with Serializable

@@ -1,0 +1,2206 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Row tracking + CDC + stats sidecar storage (part 4/5): stable row
+  * identities, file-granular changesByRowId/changesBetween, the
+  * change feed and consumer cursors, footer-derived skipping stats,
+  * the text-vs-parquet checkpoint storage split and sidecar carry.
+  *
+  * One slice of the former 9.8k-line SnapshotLog object (round 14 —
+  * VERDICT r13 #3): every member still lives on the SnapshotLog
+  * facade via the self-type, so zero call sites change; section-
+  * private helpers widened to private[sources] only where the
+  * split crosses the old file's internal boundaries.
+  */
+private[sources] trait SnapshotLogTracking { self: SnapshotLog.type =>
+  // ---------------- ROW TRACKING (round 12) ------------------------
+  // Stable ROW IDS (Delta row tracking / Iceberg v3 row lineage): every
+  // row of an enabled table has a permanent identity `_row_id` that
+  // survives appends, deletes, and (as the rewrite paths materialize
+  // it) file reorganization. The identity is METADATA-DERIVED, never
+  // stored per row on the append path: each data file gets a BASE id
+  // from a monotone counter (`_graft_log/ROWIDHIGH`, bumped under the
+  // writer claim at sidecar-write time), and a row's id is
+  // `base + row_index` — zero bytes per row, zero write-path cost
+  // beyond one footer row-count pass over the commit's own files.
+  // Rewritten files carry the old ids forward as a MATERIALIZED hidden
+  // column (`__graft_rid`); the reader coalesces column-over-base, so
+  // mixed lineages read exactly.
+
+  private[graft] val RowIdCol = "__graft_rid"
+  private[sources] def rowTrackMarkerPath(root: String): Path =
+    new Path(logDir(root), "ROWTRACKING")
+  private[sources] def rowIdHighPath(root: String): Path =
+    new Path(logDir(root), "ROWIDHIGH")
+
+  private[graft] def rowTrackingEnabled(spark: SparkSession,
+                                        root: String): Boolean = {
+    val p = rowTrackMarkerPath(root)
+    fs(spark, p).exists(p)
+  }
+
+  private[sources] def readRowIdHigh(spark: SparkSession, root: String): Long = {
+    val p = rowIdHighPath(root)
+    val f = fs(spark, p)
+    if (!f.exists(p)) 0L
+    else {
+      val in = f.open(p)
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      txt.trim.toLong
+    }
+  }
+
+  private[sources] def writeRowIdHigh(spark: SparkSession, root: String,
+                             v: Long): Unit = {
+    val p = rowIdHighPath(root)
+    val f = fs(spark, p)
+    f.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent, ".tmp_rowidhigh")
+    val out = f.create(tmp, true)
+    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // OVERWRITING rename — old value or new, never absent (a lost mark
+    // would re-issue bases and alias identities)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      p.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Distributed footer row counts for a set of parquet files, returned
+    * (dir-relative key, rowCount) sorted by key — deterministic base
+    * assignment order. O(files) driver memory, one footer read each.
+    */
+  private[sources] def fileRowCounts(spark: SparkSession,
+                            paths: Seq[String]): Seq[(String, Long)] = {
+    if (paths.isEmpty) return Nil
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val slices = math.max(1, math.min(paths.size,
+      spark.sparkContext.defaultParallelism))
+    spark.sparkContext.parallelize(paths, slices).map { pstr =>
+      import scala.jdk.CollectionConverters._
+      val p = new Path(pstr)
+      val rel = p.getParent.getName + "/" + p.getName
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf.value))
+      try (rel, reader.getFooter.getBlocks.asScala.map(_.getRowCount.toLong).sum)
+      finally reader.close()
+    }.collect().toSeq.sortBy(_._1)
+  }
+
+  /** The version's (file rel → base id) assignments as a small frame —
+    * distributed parse of the sidecar (text, checkpoint, or chain), no
+    * driver materialization of the line set.
+    */
+  private[sources] def rowBaseDf(spark: SparkSession, root: String,
+                        v: Long): DataFrame = {
+    val S = org.apache.spark.sql.Encoders.STRING
+    val linesDs: org.apache.spark.sql.Dataset[String] =
+      sidecarCarry(spark, root, v) match {
+        case EagerCarry(ls) => spark.createDataset(ls)(S)
+        case DistCarry(ds)  => ds
+        case c: ChainCarry  => c.toDist.ds
+      }
+    val T = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong)
+    linesDs.flatMap { l =>
+      val p = l.split("\t", -1)
+      if (p.length == 5 && p(2) == "r")
+        Some((StatsEval.unesc(p(0)), p(3).toLong))
+      else None
+    }(T).toDF("__rel", "__rbase")
+  }
+
+  /** Enable row tracking — or REPAIR coverage after a rewrite path that
+    * does not yet materialize ids: live files without a base assignment
+    * get fresh bases (their rows are new identities); files already
+    * covered keep their bases untouched (ids are stable). Commits a
+    * metadata-only version whose sidecar carries the parent's lines
+    * plus the new `r` assignments.
+    */
+  def enableRowTracking(spark: SparkSession, root: String): Long = {
+    withClaim(spark, root) { f =>
+      recoverOrphans(spark, root)
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed version at $root"))
+      // merge-on-read lineages enable too (round 13): every file gets a
+      // base; a key's VISIBLE identity is its latest shadow's id at
+      // enable time (identities start now), and every later shadowing
+      // commit inherits it forward ([[morRidProbe]]), so stability
+      // holds from enablement on. Invisible old copies derive ids no
+      // reader ever sees — harmless by construction.
+      val rootPath = new Path(root.replaceAll("/+$", ""))
+      val allFiles: Seq[String] = filesFromSidecar(spark, root, cur) match {
+        case Some(sts) => sts.map(_.getPath.toString)
+        case None => dirsOf(spark, root, cur).flatMap { d =>
+          if (d.contains('/') && d.endsWith(".parquet"))
+            Seq(new Path(rootPath, d).toString)
+          else {
+            val it = f.listFiles(new Path(rootPath, d), true)
+            val b = Vector.newBuilder[String]
+            while (it.hasNext) {
+              val st = it.next()
+              if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+                b += st.getPath.toString
+            }
+            b.result()
+          }
+        }
+      }
+      def relOf(p: String) = {
+        val pp = new Path(p); pp.getParent.getName + "/" + pp.getName
+      }
+      val covered: Map[String, (Long, Long)] = sidecarCarry(spark, root, cur)
+        .filter(l => l.split("\t", -1) match {
+          case arr if arr.length == 5 && arr(2) == "r" => true
+          case _ => false
+        }) match {
+        case EagerCarry(ls) => ls.map { l =>
+          val p = l.split("\t", -1)
+          StatsEval.unesc(p(0)) -> (p(3).toLong, p(4).toLong)
+        }.toMap
+        case c: ChainCarry => c.toDist.ds.collect().map { l =>
+          val p = l.split("\t", -1)
+          StatsEval.unesc(p(0)) -> (p(3).toLong, p(4).toLong)
+        }.toMap
+        case DistCarry(ds) => ds.collect().map { l =>
+          val p = l.split("\t", -1)
+          StatsEval.unesc(p(0)) -> (p(3).toLong, p(4).toLong)
+        }.toMap
+      }
+      val uncovered = allFiles.filterNot(p => covered.contains(relOf(p)))
+      if (rowTrackingEnabled(spark, root) && uncovered.isEmpty)
+        return cur // enabled and fully covered — nothing to do
+      // fresh bases start past BOTH the recorded mark and every carried
+      // assignment (a cloned sidecar carries source bases; collisions
+      // would alias identities)
+      val mark0 = math.max(readRowIdHigh(spark, root),
+        covered.valuesIterator.map { case (b, n) => b + n }
+          .foldLeft(0L)(math.max))
+      val counts = fileRowCounts(spark, uncovered)
+      var mark = mark0
+      val rLines = Vector.newBuilder[String]
+      counts.foreach { case (rel, n) =>
+        rLines += s"${esc(rel)}\t\tr\t$mark\t$n"
+        mark += n
+      }
+      writeRowIdHigh(spark, root, mark)
+      val next = cur + 1L
+      val stack = writeStats(spark, root, next, Nil,
+        sidecarCarry(spark, root, cur), extraLines = rLines.result())
+      writeManifestDirs(spark, root, next, dirsOf(spark, root, cur),
+        batchId = batchIdOf(spark, root, cur).getOrElse(-1L),
+        tombDirs = tombDirsOf(spark, root, cur),
+        kind = "rowtrack",
+        partCol = partColOf(spark, root, cur).getOrElse(""),
+        schemaJson = rawSchemaJson(spark, root, cur),
+        morKeys = morKeysOf(spark, root, cur),
+        statsStack = stack)
+      publishLatest(spark, root, next)
+      // marker LAST: a crash above leaves no marker and a clean re-run
+      val mp = rowTrackMarkerPath(root)
+      if (!fs(spark, mp).exists(mp)) {
+        val out = fs(spark, mp).create(mp, true)
+        try out.write("1".getBytes) finally out.close()
+      }
+      next
+    }
+  }
+
+  /** A version's file scan with stable row identities attached: the
+    * table's LOGICAL columns plus [[RowIdCol]] — populated for every
+    * row (materialized column preferred, else file base + row index;
+    * loud failure when neither exists), deletion vectors applied. The
+    * rewrite paths read their sources through this so identities
+    * survive reorganization; [[readWithRowIds]] is the user surface.
+    * `keepPos` additionally exposes `__rel`/`__ri` (what the DML paths
+    * feed [[writeTombstones]]).
+    */
+  private[sources] def scanWithRids(spark: SparkSession, root: String, version: Long,
+                           paths: Seq[String], tombs: Seq[String],
+                           keepPos: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, raise_error,
+      substring_index, when}
+    val pinned = schemaOf(spark, root, version)
+    val logicalFields = pinned.map(st =>
+        st.fields.filterNot(isDropped).toSeq.map(fl => (fl.name, physName(fl))))
+      .getOrElse(tableSchema(spark, root, version).fields.toSeq
+        .map(fl => (fl.name, fl.name)))
+    val physBase = pinned.map(physicalSchema).getOrElse(
+      tableSchema(spark, root, version))
+    val declared = org.apache.spark.sql.types.StructType(
+      asNullable(org.apache.spark.sql.types.StructType(
+        physBase.fields.filterNot(_.name == RowIdCol)))
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fields :+
+        org.apache.spark.sql.types.StructField(RowIdCol,
+          org.apache.spark.sql.types.LongType, nullable = true))
+    val scan = spark.read.schema(declared).parquet(paths: _*)
+      .withColumn("__rel", substring_index(col("_metadata.file_path"), "/", -2))
+      .withColumn("__ri", col("_metadata.row_index"))
+    // the (rel → base) map is O(files) tiny rows — BROADCAST it, or the
+    // planner may shuffle the whole data scan to sort-merge against it
+    // (measured 7× on a 9M-row read before the hint)
+    val withBase = scan.join(
+      org.apache.spark.sql.functions.broadcast(rowBaseDf(spark, root, version)),
+      Seq("__rel"), "left")
+    val rid = coalesce(col(RowIdCol), col("__rbase") + col("__ri"))
+    val guarded = when(rid.isNull, raise_error(lit(
+        s"row-id coverage incomplete at $root — a rewrite produced files " +
+        "without identities; run enableRowTracking to re-base them")))
+      .otherwise(rid)
+    val vis =
+      if (tombs.isEmpty) withBase
+      else {
+        val rootPath = new Path(root.replaceAll("/+$", ""))
+        withBase.join(spark.read.parquet(
+            tombs.map(d => new Path(rootPath, d).toString): _*),
+          Seq("__rel", "__ri"), "left_anti")
+      }
+    val posCols = if (keepPos) Seq(col("__rel"), col("__ri")) else Nil
+    vis.select(logicalFields.map { case (lname, pname) =>
+      col(pname).as(lname) } ++ Seq(guarded.as(RowIdCol)) ++ posCols: _*)
+  }
+
+  /** Merge-on-read twin of [[scanWithRids]] (round 13): latest-per-key
+    * resolution AFTER the vectors, with identities attached. Shadow
+    * copies of a key share the key's ORIGINAL id — [[upsertMor]] /
+    * [[mergeMor]] inherit it into every delta ([[morRidProbe]]) — so
+    * the visible row's id IS the key's stable identity, whatever
+    * version its winning copy lives in. The slice must contain every
+    * live copy of each key the caller cares about (whole version, or a
+    * candidate superset from the skipping sidecar).
+    */
+  private[sources] def scanWithRidsMor(spark: SparkSession, root: String,
+                              version: Long, paths: Seq[String],
+                              tombs: Seq[String],
+                              mk: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    val s = scanWithRids(spark, root, version, paths, tombs, keepPos = true)
+      .withColumn(MorSeqCol,
+        regexp_extract(col("__rel"), "^data_v(\\d+)/", 1).cast("long"))
+    resolveLatest(s, mk).drop("__rel", "__ri")
+  }
+
+  /** (keys → stable id) of the VISIBLE rows whose keys may intersect
+    * `batch` — what a shadowing commit joins in so updated keys carry
+    * their identity forward as a materialized column. O(candidate
+    * files) via the skipping sidecar's per-column admission (the
+    * [[rewriteMatchedFlat]] probe shape); conservative fallback reads
+    * the version whole when no usable listing/stats exist.
+    */
+  private[sources] def morRidProbe(spark: SparkSession, root: String, cur: Long,
+                          batch: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val files = relFileMap(spark, root, cur)
+    val paths: Seq[String] = candidateRelsForKeyFrame(spark, root, cur,
+        batch, keys) match {
+      case Some(rels) => rels.toSeq.sorted.flatMap(files.get)
+      case None       => files.values.toSeq.sorted
+    }
+    if (paths.isEmpty)
+      return batch.select(keys.map(col(_)): _*).limit(0)
+        .withColumn(RowIdCol, org.apache.spark.sql.functions
+          .lit(null).cast("long"))
+    // semi-join BEFORE resolution: every copy of a batch key survives
+    // the key filter, so latest-per-key over the remainder is exact for
+    // the probed keys — and the window's input shrinks from candidate-
+    // file rows to matched-key rows (measured 1.9× on RowTrackBench's
+    // MoR section)
+    import org.apache.spark.sql.functions.regexp_extract
+    val s = scanWithRids(spark, root, cur, paths,
+        tombDirsOf(spark, root, cur), keepPos = true)
+      .withColumn(MorSeqCol,
+        regexp_extract(col("__rel"), "^data_v(\\d+)/", 1).cast("long"))
+      .join(batch.select(keys.map(col(_)): _*).distinct(), keys, "left_semi")
+    resolveLatest(s, keys)
+      .select(keys.map(col(_)) :+ col(RowIdCol): _*)
+  }
+
+  /** Candidate file rels admitting ANY key of `probe` — per key column
+    * point-probes (≤16 distinct values, bloom-capable) or one span
+    * probe, intersected across columns; None = no usable listing (the
+    * caller must fall back to every file). The [[rewriteMatchedFlat]]
+    * probe, extracted for the MoR identity/CDC paths.
+    */
+  private[sources] def candidateRelsForKeyFrame(spark: SparkSession, root: String,
+                                       v: Long, probe: DataFrame,
+                                       keys: Seq[String]): Option[Set[String]] = {
+    import org.apache.spark.sql.functions.{col, max => smax, min => smin, when}
+    val all = filesFromSidecar(spark, root, v).getOrElse(return None)
+    def relOf(p: Path): String = p.getParent.getName + "/" + p.getName
+    val allRel = all.map(st => relOf(st.getPath)).toSet
+    val MaxPoint = 16
+    // hoisted once per probe: the deriver map costs declaration +
+    // manifest + SPECHIST reads, and point probes fan out per value
+    lazy val dv = Some(generatedPartDerivers(spark, root, v))
+    val sets = keys.map { k =>
+      val vals = probe.select(col(k)).distinct()
+        .limit(MaxPoint + 1).collect().map(_.get(0)).toSeq
+      if (vals.isEmpty) Set.empty[String]
+      else if (vals.contains(null)) allRel
+      else if (vals.size <= MaxPoint)
+        vals.map(x => candidateFilesEquals(spark, root, v, k, x, derivers = dv)
+          ._1.map(relOf).toSet).reduce(_ union _)
+      else {
+        val r = probe.agg(smin(col(k)), smax(col(k)),
+          smax(when(col(k).isNull, 1).otherwise(0))).head
+        if (r.get(2) == 1) allRel
+        else candidateFiles(spark, root, v, k, r.get(0), r.get(1))
+          ._1.map(relOf).toSet
+      }
+    }
+    Some(sets.reduce(_ intersect _))
+  }
+
+  /** The current snapshot with its stable `_row_id` column: coalesce of
+    * the materialized [[RowIdCol]] (rewritten files carry old ids
+    * forward) over `base + row_index` (append-path files, zero bytes
+    * per row). Deletion vectors apply exactly like [[readVersion]].
+    * A row whose identity cannot be derived (a file a non-materializing
+    * rewrite produced after enablement) raises loudly — run
+    * [[enableRowTracking]] again to re-base such files.
+    *
+    * REPLACE semantics (round 13): commits that REPLACE content by
+    * contract — [[commit]] (full-snapshot), keyless
+    * [[overwritePartitions]] (per replaced partition) — hand the new
+    * rows FRESH identities, the Delta/Iceberg overwrite behavior: a
+    * replaced row is a new row. Keyed DML (upsert, MERGE, UPDATE,
+    * deleteByKey) preserves identities on every path, pruned or
+    * fallback; only a rewrite that genuinely cannot know row
+    * correspondence (the analyzer-composed general-MERGE COW plan on a
+    * keyless ON) commits without assignments and raises here.
+    */
+  def readWithRowIds(spark: SparkSession, root: String,
+                     version: Option[Long] = None): DataFrame = {
+    val v = version.getOrElse(currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root")))
+    require(rowTrackingEnabled(spark, root),
+      s"row tracking is not enabled at $root — enableRowTracking first")
+    // merge-on-read lineages resolve latest-per-key with identities
+    // attached (round 13): every shadow copy of a key carries the key's
+    // original id, so resolution order does not move identities
+    val mk = morKeysOf(spark, root, v)
+    val base =
+      if (mk.isEmpty)
+        scanWithRids(spark, root, v, versionPaths(spark, root, v),
+          tombDirsOf(spark, root, v))
+      else
+        scanWithRidsMor(spark, root, v, versionPaths(spark, root, v),
+          tombDirsOf(spark, root, v), mk)
+    base.withColumnRenamed(RowIdCol, "_row_id")
+  }
+
+  /** KEYLESS exact change feed via row identities (round 12): what
+    * changed between two committed versions of a row-tracked table,
+    * derived from `_row_id` alone — no declared key set needed (the
+    * classic [[changesBetween]] requires one, and append-only fact
+    * tables often have none). One full-outer join on the identity:
+    * old-only ids are `delete` rows, new-only are `insert`, both-sides
+    * pairs with any column differing are `update_preimage` /
+    * `update_postimage`. Exact by construction — identities are stable
+    * under appends, DV deletes, maintenance and keyed DML, so "same id,
+    * different bytes" IS "this row changed".
+    *
+    * Scale: append-extending version ranges (old dirs intact, same
+    * vectors) short-circuit to reading ONLY the delta dirs as inserts —
+    * O(delta), no join (the [[changesBetween]] rule). Every other range
+    * diffs FILE-GRANULARLY (round 13, the scale-defining property): rel
+    * paths are immutable once committed and row ids are stable through
+    * every rewrite, so a file carried into both versions is
+    * byte-identical and cannot produce a change row — the identity join
+    * reads only the SYMMETRIC DIFFERENCE of the two versions' file
+    * sets, plus files whose deletion-vector coverage changed. A 1-file
+    * upsert on a 100k-file table diffs one predecessor file against its
+    * rewrite, not two full-version scans.
+    */
+  def changesByRowId(spark: SparkSession, root: String, fromV: Long,
+                     toV: Long): DataFrame = {
+    require(fromV < toV, s"fromV $fromV must precede toV $toV")
+    require(rowTrackingEnabled(spark, root),
+      s"row tracking is not enabled at $root — enableRowTracking first")
+    val mk = morKeysOf(spark, root, toV)
+    if (mk.nonEmpty) return morChangesByRowId(spark, root, fromV, toV, mk)
+    val fromDirs = dirsOf(spark, root, fromV)
+    val toDirs = dirsOf(spark, root, toV)
+    if (toDirs.startsWith(fromDirs) &&
+        tombDirsOf(spark, root, fromV) == tombDirsOf(spark, root, toV)) {
+      val rootPath = new Path(root.replaceAll("/+$", ""))
+      val delta = toDirs.drop(fromDirs.size)
+        .map(d => new Path(rootPath, d).toString)
+      val ins = scanWithRids(spark, root, toV, delta,
+          tombDirsOf(spark, root, toV))
+        .withColumnRenamed(RowIdCol, "_row_id")
+      return ins.withColumn("_change_type",
+        org.apache.spark.sql.functions.lit("insert"))
+    }
+    val (oldPaths, newPaths) = changedFileSlices(spark, root, fromV, toV)
+    keyedSliceDiff(
+      ridSliceOrEmpty(spark, root, fromV, oldPaths),
+      ridSliceOrEmpty(spark, root, toV, newPaths),
+      Seq("_row_id"))
+  }
+
+  /** The per-version absolute paths of every data file that can
+    * possibly hold a changed row between two versions: the symmetric
+    * difference of the (immutable-once-written) rel-path sets, plus
+    * files referenced by a deletion vector present in exactly one of
+    * the versions. O(changed files) read cost; the vector probe is one
+    * distinct over the DELTA vectors only. Exposed private[graft] so
+    * the spec can assert the slice really is file-granular.
+    */
+  private[graft] def changedFileSlices(spark: SparkSession, root: String,
+                                       fromV: Long,
+                                       toV: Long): (Seq[String], Seq[String]) = {
+    val (fromFiles, toFiles, dirty) = dirtyFileState(spark, root, fromV, toV)
+    val ordered = dirty.toSeq.sorted
+    (ordered.flatMap(fromFiles.get), ordered.flatMap(toFiles.get))
+  }
+
+  /** Both versions' rel→path maps plus the DIRTY rel set: the symmetric
+    * difference of the file sets, union files referenced by a deletion
+    * vector present in exactly one version.
+    */
+  private[sources] def dirtyFileState(spark: SparkSession, root: String, fromV: Long,
+                             toV: Long): (Map[String, String], Map[String, String], Set[String]) = {
+    val fromFiles = relFileMap(spark, root, fromV)
+    val toFiles = relFileMap(spark, root, toV)
+    val fromTombs = tombDirsOf(spark, root, fromV).toSet
+    val toTombs = tombDirsOf(spark, root, toV).toSet
+    val tombDelta = (fromTombs diff toTombs) ++ (toTombs diff fromTombs)
+    val rootPath = new Path(root.replaceAll("/+$", ""))
+    val dirtyByVector: Set[String] =
+      if (tombDelta.isEmpty) Set.empty
+      else spark.read.parquet(
+          tombDelta.toSeq.map(d => new Path(rootPath, d).toString): _*)
+        .select("__rel").distinct().collect().map(_.getString(0)).toSet
+    val dirty = fromFiles.keySet.diff(toFiles.keySet) ++
+      toFiles.keySet.diff(fromFiles.keySet) ++ dirtyByVector
+    (fromFiles, toFiles, dirty)
+  }
+
+  /** [[changesByRowId]] on a merge-on-read lineage (round 13): a shadow
+    * delta CHANGES the visible rows of files it never touched, so the
+    * flat file-set diff is insufficient — the slice additionally needs
+    * every live copy of every key the dirty files mention (candidate
+    * superset from the skipping sidecar, whole version when no stats),
+    * resolved latest-per-key on EACH side before the identity join.
+    * Still O(changed + candidates), not two full resolutions, whenever
+    * the keys prune.
+    */
+  private[sources] def morChangesByRowId(spark: SparkSession, root: String,
+                                fromV: Long, toV: Long,
+                                mk: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (fromFiles, toFiles, dirty) = dirtyFileState(spark, root, fromV, toV)
+    val ordered = dirty.toSeq.sorted
+    if (dirty.isEmpty)
+      return keyedSliceDiff(
+        morRidSliceOrEmpty(spark, root, fromV, Nil, mk),
+        morRidSliceOrEmpty(spark, root, toV, Nil, mk), Seq("_row_id"))
+    // the keys the dirty files mention, read raw per side (hidden
+    // shadow copies included — a conservative superset is fine here)
+    val dirtyKeys = keysInFiles(spark, root, fromV,
+        ordered.flatMap(fromFiles.get), mk)
+      .unionByName(keysInFiles(spark, root, toV,
+        ordered.flatMap(toFiles.get), mk))
+      .distinct().persist()
+    try {
+      // candidate union ACROSS both versions: every live copy of a
+      // dirty key on either side is in the slice, and an untouched key
+      // caught by span collision exposes the SAME copies to both sides
+      // (all its files live in both versions) — so it diffs silent
+      val cand: Set[String] =
+        candidateRelsForKeyFrame(spark, root, fromV, dirtyKeys, mk)
+          .getOrElse(fromFiles.keySet) ++
+        candidateRelsForKeyFrame(spark, root, toV, dirtyKeys, mk)
+          .getOrElse(toFiles.keySet)
+      val slice = (dirty ++ cand).toSeq.sorted
+      keyedSliceDiff(
+        morRidSliceOrEmpty(spark, root, fromV,
+          slice.flatMap(fromFiles.get), mk),
+        morRidSliceOrEmpty(spark, root, toV,
+          slice.flatMap(toFiles.get), mk),
+        Seq("_row_id"))
+    } finally dirtyKeys.unpersist()
+  }
+
+  /** Raw distinct key tuples present in a path slice (no vectors, no
+    * resolution — supersets are safe for candidate probing).
+    */
+  private[sources] def keysInFiles(spark: SparkSession, root: String, v: Long,
+                          paths: Seq[String],
+                          keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val raw =
+      if (paths.isEmpty)
+        ridSliceOrEmpty(spark, root, v, Nil).drop("_row_id")
+      else schemaOf(spark, root, v) match {
+        case Some(st) => fromPhysicalSelect(
+          spark.read.schema(physicalSchema(st)).parquet(paths: _*), st)
+        case None => spark.read.parquet(paths: _*).drop(RowIdCol)
+      }
+    raw.select(keys.map(col(_)): _*).distinct()
+  }
+
+  /** Both versions' VISIBLE rows restricted to the minimal file slices
+    * that can differ between them — flat lineages: the symmetric
+    * difference of the file sets plus vector-delta files; merge-on-read:
+    * additionally every live copy of the dirty files' merge keys
+    * (candidate superset), resolved latest-per-key on each side. The
+    * last two values are the TO-side slice file count and total file
+    * count, so a caller can fall back to a full pass when the slice is
+    * most of the table (e.g. after a compaction). Shared by the keyed
+    * [[changesBetween]] fallback and [[graft.engine.AnnIndex]]
+    * maintenance.
+    */
+  private[graft] def visibleSliceDiff(spark: SparkSession, root: String,
+                                      fromV: Long, toV: Long)
+      : (DataFrame, DataFrame, Int, Int) =
+    morKeysOf(spark, root, toV) match {
+      case mk if mk.nonEmpty =>
+        // shadow deltas change rows in files they never touch, so the
+        // slice additionally needs every live copy of the dirty files'
+        // MERGE keys (candidate superset, the identity-CDC machinery) —
+        // resolved latest-per-key on each side before the keyed diff
+        val (ff, tf, dirty) = dirtyFileState(spark, root, fromV, toV)
+        if (dirty.isEmpty)
+          (verSliceOrEmpty(spark, root, fromV, Nil),
+           verSliceOrEmpty(spark, root, toV, Nil), 0, tf.size)
+        else {
+          val ordered = dirty.toSeq.sorted
+          val dKeys = keysInFiles(spark, root, fromV,
+              ordered.flatMap(ff.get), mk)
+            .unionByName(keysInFiles(spark, root, toV,
+              ordered.flatMap(tf.get), mk))
+            .distinct().persist()
+          try {
+            val cand =
+              candidateRelsForKeyFrame(spark, root, fromV, dKeys, mk)
+                .getOrElse(ff.keySet) ++
+              candidateRelsForKeyFrame(spark, root, toV, dKeys, mk)
+                .getOrElse(tf.keySet)
+            val slice = (dirty ++ cand).toSeq.sorted
+            val toPaths = slice.flatMap(tf.get)
+            (morVisibleSlice(spark, root, fromV, slice.flatMap(ff.get), mk),
+             morVisibleSlice(spark, root, toV, toPaths, mk),
+             toPaths.size, tf.size)
+          } finally dKeys.unpersist()
+        }
+      case _ =>
+        val (ff, tf, dirty) = dirtyFileState(spark, root, fromV, toV)
+        val ordered = dirty.toSeq.sorted
+        val toPaths = ordered.flatMap(tf.get)
+        (verSliceOrEmpty(spark, root, fromV, ordered.flatMap(ff.get)),
+         verSliceOrEmpty(spark, root, toV, toPaths),
+         toPaths.size, tf.size)
+    }
+
+  /** The visible rows an APPEND-extended range (fromV, toV] added —
+    * the delta dirs' rows, pin-translated — or None when the range is
+    * NOT append-extended (file removals, deletion-vector changes, or a
+    * merge-on-read lineage, where a "new dir" can shadow old rows).
+    * The O(delta) feed for consumers whose state is not subtractive
+    * (sketch views, the ANN append fast path).
+    */
+  private[graft] def appendDeltaRows(spark: SparkSession, root: String,
+                                     fromV: Long,
+                                     toV: Long): Option[DataFrame] = {
+    val fromDirs = dirsOf(spark, root, fromV)
+    val toDirs = dirsOf(spark, root, toV)
+    val appendOnly = morKeysOf(spark, root, toV).isEmpty &&
+      toDirs.startsWith(fromDirs) &&
+      tombDirsOf(spark, root, fromV) == tombDirsOf(spark, root, toV)
+    if (!appendOnly) None
+    else {
+      val rootPath = new Path(root.replaceAll("/+$", ""))
+      Some(verSliceOrEmpty(spark, root, toV,
+        toDirs.drop(fromDirs.size).map(d => new Path(rootPath, d).toString)))
+    }
+  }
+
+  /** A path slice of version `v` as the plain visible read (declared
+    * schema, vectors applied, no identities) — or a same-shaped empty
+    * frame. The keyed changesBetween's file-granular fallback; also the
+    * raw-delta read of [[graft.engine.AnnIndex]]'s append fast path
+    * (column-mapped lineages need the pin translation).
+    */
+  private[graft] def verSliceOrEmpty(spark: SparkSession, root: String, v: Long,
+                              paths: Seq[String]): DataFrame =
+    if (paths.isEmpty) {
+      val fields = schemaOf(spark, root, v) match {
+        case Some(st) => st.fields.filterNot(isDropped).toSeq
+          .map(f => org.apache.spark.sql.types.StructField(
+            f.name, f.dataType, nullable = true))
+        case None => tableSchema(spark, root, v).fields.toSeq
+          .map(_.copy(nullable = true))
+      }
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(fields))
+    } else {
+      val raw = schemaOf(spark, root, v) match {
+        case Some(st) => fromPhysicalSelect(
+          spark.read.schema(physicalSchema(st)).parquet(paths: _*), st)
+        case None => spark.read.parquet(paths: _*).drop(RowIdCol)
+      }
+      applyTombstoneDirs(spark, root, tombDirsOf(spark, root, v), raw)
+    }
+
+  /** Latest-per-key VISIBLE rows restricted to a path slice, no
+    * identities — the keyed MoR CDC machinery (the slice must hold
+    * every live copy of each key whose answer matters; supersets are
+    * safe, resolution of an extra key is identical on both sides).
+    */
+  private[sources] def morVisibleSlice(spark: SparkSession, root: String, v: Long,
+                              paths: Seq[String],
+                              mk: Seq[String]): DataFrame =
+    if (paths.isEmpty) verSliceOrEmpty(spark, root, v, Nil)
+    else {
+      val base0 = schemaOf(spark, root, v) match {
+        case Some(st) => fromPhysicalSelect(
+          spark.read.schema(physicalSchema(st)).parquet(paths: _*), st)
+        case None => spark.read.parquet(paths: _*).drop(RowIdCol)
+      }
+      val vis = applyTombstoneDirs(spark, root, tombDirsOf(spark, root, v),
+        base0.withColumn(MorSeqCol, morSeq))
+      resolveLatest(vis, mk)
+    }
+
+  /** MoR-resolving twin of [[ridSliceOrEmpty]]. */
+  private[sources] def morRidSliceOrEmpty(spark: SparkSession, root: String, v: Long,
+                                 paths: Seq[String],
+                                 mk: Seq[String]): DataFrame =
+    if (paths.isEmpty) ridSliceOrEmpty(spark, root, v, Nil)
+    else scanWithRidsMor(spark, root, v, paths, tombDirsOf(spark, root, v), mk)
+      .withColumnRenamed(RowIdCol, "_row_id")
+
+  /** rel → absolute path of a version's data files (sidecar listing
+    * when complete — zero filesystem listing — else an O(files) walk).
+    */
+  private[sources] def relFileMap(spark: SparkSession, root: String,
+                         v: Long): Map[String, String] = {
+    val rootPath = new Path(root.replaceAll("/+$", ""))
+    val paths: Seq[Path] = filesFromSidecar(spark, root, v) match {
+      case Some(sts) => sts.map(_.getPath)
+      case None =>
+        val f = fs(spark, rootPath)
+        dirsOf(spark, root, v).flatMap { d =>
+          if (d.contains('/') && d.endsWith(".parquet"))
+            Seq(new Path(rootPath, d))
+          else {
+            val it = f.listFiles(new Path(rootPath, d), true)
+            val b = Vector.newBuilder[Path]
+            while (it.hasNext) {
+              val st = it.next()
+              if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+                b += st.getPath
+            }
+            b.result()
+          }
+        }
+    }
+    paths.map(p => (p.getParent.getName + "/" + p.getName) -> p.toString).toMap
+  }
+
+  /** [[scanWithRids]] renamed to the public `_row_id`, or a same-shaped
+    * empty frame when the slice has no files (a pure-delete range's new
+    * side, a pure-insert range's old side).
+    */
+  private[sources] def ridSliceOrEmpty(spark: SparkSession, root: String, v: Long,
+                              paths: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    if (paths.nonEmpty)
+      scanWithRids(spark, root, v, paths, tombDirsOf(spark, root, v))
+        .withColumnRenamed(RowIdCol, "_row_id")
+    else {
+      val fields = schemaOf(spark, root, v) match {
+        case Some(st) => st.fields.filterNot(isDropped).toSeq
+          .map(f => StructField(f.name, f.dataType, nullable = true))
+        case None => tableSchema(spark, root, v).fields.toSeq
+          .map(_.copy(nullable = true))
+      }
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(fields :+ StructField("_row_id", LongType)))
+    }
+  }
+
+  /** Step 3 — the commit point: swap the LATEST pointer atomically
+    * (temp file + overwriting rename).
+    */
+  private[graft] def publishLatest(spark: SparkSession, root: String, v: Long): Unit = {
+    val latest = new Path(logDir(root), Latest)
+    // torn-proof publish is the store's contract: temp + atomic rename
+    // on HDFS/POSIX (HadoopLogStore), a single-key conditional PUT on
+    // object stores — the protocol only requires old-or-new visibility
+    LogStore.resolve(spark).atomicPut(spark, latest,
+      v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // amortized-O(1) index roll-forward; a failure here must not fail
+    // the commit (the checkpoint is an accelerator, never correctness)
+    try maybeCheckpoint(spark, root, v)
+    catch { case e: Exception =>
+      System.err.println(s"[graft] checkpoint at v$v skipped: ${e.getMessage}")
+    }
+  }
+
+  /** CDC-style change feed between two committed versions: one row per
+    * key whose state differs, tagged `insert` / `update` / `delete`,
+    * carrying the key columns plus every non-key column in before/after
+    * pairs (`old_c`, `new_c`; NULL on the absent side). This is what a
+    * downstream incremental consumer reads instead of diffing full
+    * snapshots itself — one full-outer join on the key between two
+    * immutable version directories, no state kept anywhere.
+    *
+    * `update` means "any non-key column differs" (null-safe compare), so
+    * byte-identical rows drop out and the feed is empty exactly when the
+    * versions are equal. Works across any version gap (the net change,
+    * not the per-commit history — per-commit replay is `1 to n map
+    * changesBetween(v-1, v)` while the versions remain un-vacuumed).
+    */
+  def changesBetween(spark: SparkSession, root: String, fromV: Long,
+                     toV: Long, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(fromV < toV, s"fromV $fromV must precede toV $toV")
+    // APPEND-lineage short-circuit: when toV's dir chain extends fromV's
+    // (every dir of fromV still present, in order), the old rows are
+    // untouched by construction — the change feed IS the delta dirs,
+    // read directly as inserts: O(delta) with no join, instead of the
+    // O(table) full-outer diff. This is also the semantically right
+    // feed for append-only tables, whose keys may legitimately repeat
+    // across batches (they are facts, not keyed states — the keyed diff
+    // below assumes key-unique snapshots).
+    val fromDirs = dirsOf(spark, root, fromV)
+    val toDirs = dirsOf(spark, root, toV)
+    // the short-circuit also demands IDENTICAL deletion vectors: a
+    // tombstoneDelete changes visible rows while leaving the dir chain
+    // intact — treating it as "pure append" would hide every delete.
+    // Merge-on-read lineages are excluded outright: their delta dirs are
+    // UPSERTS (an existing key's new row shadows the old one — an
+    // update, not an insert), so only the keyed snapshot diff below
+    // reports them faithfully.
+    if (toDirs.startsWith(fromDirs) &&
+        tombDirsOf(spark, root, toV) == tombDirsOf(spark, root, fromV) &&
+        morKeysOf(spark, root, toV).isEmpty) {
+      val deltas = toDirs.drop(fromDirs.size).map(d =>
+        new Path(root.replaceAll("/+$", ""), d).toString)
+      // pin the head's schema: a feed spanning an appendEvolved boundary
+      // reads pre- and post-evolution delta dirs in one pass; a mapped
+      // lineage's files spell physical names — declare those, then
+      // project back to the logical names the consumer knows
+      val rows = schemaOf(spark, root, toV) match {
+        case Some(st) =>
+          fromPhysicalSelect(
+            spark.read.schema(physicalSchema(st)).parquet(deltas: _*), st)
+        case None => spark.read.parquet(deltas: _*)
+      }
+      require(keys.nonEmpty && keys.forall(rows.columns.contains),
+        s"keys $keys must be columns of the table")
+      val nonKeys = rows.columns.toSeq.filterNot(keys.contains)
+      return rows.select(
+        lit("insert").as("change_type") +:
+        keys.map(col) ++:
+        nonKeys.flatMap(c => Seq(
+          lit(null).cast(rows.schema(c).dataType).as("old_" + c),
+          col(c).as("new_" + c))): _*)
+    }
+    // EVENT-FEED path (round 9): when every step in the range is
+    // event-derivable — appended (delta dirs read as inserts), RECORDED
+    // its row diff as commit-time change files (scoped upserts / keyed
+    // DML / general MERGE under graft.changeFeed.enabled), deleted by
+    // deletion vector (rows read back by position), or merge-on-read
+    // updated (vector preimages + delta postimages) — fold the
+    // per-version events into the NET old→new state per key —
+    // O(changes), where the fallback below is an O(table) full-outer
+    // snapshot diff. The net semantics match
+    // the keyed diff exactly: first event's pre-state vs last event's
+    // post-state, no-op rows filtered (an update later reverted nets to
+    // nothing, same as the snapshot diff would report).
+    val allVs = versions(spark, root)
+    // step classification: which per-version event derivations the fold
+    // can use. "chg" = recorded change files; "append" = delta dirs read
+    // as inserts; "delete" = a deletion-vector commit (dirs unchanged,
+    // tombstones grew — the NEWLY tombstoned rows read BACK by position,
+    // re-tombstoned duplicates excluded against the prior vectors);
+    // "update" = a merge-on-read UPDATE (preimages from the new vector +
+    // postimages from the new dir). Anything else → snapshot-diff
+    // fallback below.
+    def stepKind(v: Long): Option[String] = {
+      val dirs = dirsOf(spark, root, v)
+      val prev = dirsOf(spark, root, v - 1)
+      val tombs = tombDirsOf(spark, root, v)
+      val prevTombs = tombDirsOf(spark, root, v - 1)
+      if (chgDirOf(spark, root, v).isDefined) Some("chg")
+      else if (dirs.startsWith(prev) && tombs == prevTombs) Some("append")
+      else if (manifestKind(spark, root, v).contains("delete") &&
+               dirs == prev && tombs.startsWith(prevTombs)) Some("delete")
+      else if (manifestKind(spark, root, v).contains("update") &&
+               dirs.startsWith(prev) && tombs.startsWith(prevTombs)) Some("update")
+      else if (manifestKind(spark, root, v).contains("replace_where") &&
+               dirs.startsWith(prev) && tombs.startsWith(prevTombs))
+        Some("replace_where")
+      else None
+    }
+    val stepKinds: Map[Long, Option[String]] =
+      if (morKeysOf(spark, root, toV).nonEmpty ||
+          !(fromV to toV).forall(allVs.contains)) Map.empty
+      else (fromV + 1 to toV).map(v => v -> stepKind(v)).toMap
+    val feedOk = stepKinds.nonEmpty && stepKinds.values.forall(_.isDefined) &&
+      stepKinds.values.exists(_.exists(_ != "append"))
+    if (feedOk) {
+      val rootS = root.replaceAll("/+$", "")
+      val pinned = schemaOf(spark, root, toV)
+      def deltaRows(v: Long, label: String): Option[DataFrame] = {
+        val deltas = dirsOf(spark, root, v)
+          .drop(dirsOf(spark, root, v - 1).size).map(d => s"$rootS/$d")
+        if (deltas.isEmpty) None
+        else {
+          val rows = pinned match {
+            case Some(st) => fromPhysicalSelect(
+              spark.read.schema(physicalSchema(st)).parquet(deltas: _*), st)
+            case None => spark.read.parquet(deltas: _*)
+          }
+          Some(rows.withColumn("_change_type", lit(label))
+            .withColumn("_v", lit(v)))
+        }
+      }
+      // NEWLY tombstoned rows of version v, read back by position from
+      // exactly the touched files (the distinct-rel collect is O(touched
+      // files), the scan O(their bytes) — never a whole-table pass)
+      def tombRows(v: Long, label: String): Option[DataFrame] = {
+        val prevTombs = tombDirsOf(spark, root, v - 1)
+        val newTombs = tombDirsOf(spark, root, v).drop(prevTombs.size)
+        if (newTombs.isEmpty) return None
+        val newPos = spark.read.parquet(newTombs.map(d => s"$rootS/$d"): _*)
+          .select(col("__rel"), col("__ri")).distinct()
+        val fresh =
+          if (prevTombs.isEmpty) newPos
+          else newPos.join(
+            spark.read.parquet(prevTombs.map(d => s"$rootS/$d"): _*)
+              .select(col("__rel"), col("__ri")),
+            Seq("__rel", "__ri"), "left_anti")
+        val rels = fresh.select("__rel").distinct().collect().map(_.getString(0))
+        val baseToDir = dirsOf(spark, root, v - 1).map { d =>
+          // a per-file carry entry ("data_vN/part-….parquet") resolves
+          // through its DIR part: tombstone rels name dir/file, and the
+          // dir of a partially-carried file is reachable only via the
+          // entry's prefix (duplicates collapse to the same mapping)
+          if (d.contains('/') && d.endsWith(".parquet")) {
+            val dp = d.substring(0, d.lastIndexOf('/'))
+            dp.substring(dp.lastIndexOf('/') + 1) -> dp
+          } else d.substring(d.lastIndexOf('/') + 1) -> d
+        }.toMap
+        val files = rels.toSeq.flatMap { rel =>
+          val cut = rel.indexOf('/')
+          if (cut <= 0) None
+          else baseToDir.get(rel.substring(0, cut))
+            .map(d => s"$rootS/$d/${rel.substring(cut + 1)}")
+        }
+        if (files.isEmpty) return None
+        val raw = pinned match {
+          case Some(st) => spark.read.schema(physicalSchema(st)).parquet(files: _*)
+          case None => spark.read.parquet(files: _*)
+        }
+        val keyed = raw
+          .withColumn("__rel", substring_index(col("_metadata.file_path"), "/", -2))
+          .withColumn("__ri", col("_metadata.row_index"))
+          .join(fresh, Seq("__rel", "__ri"), "left_semi")
+          .drop("__rel", "__ri")
+        val logical = pinned.map(st => fromPhysicalSelect(keyed, st)).getOrElse(keyed)
+        Some(logical.withColumn("_change_type", lit(label))
+          .withColumn("_v", lit(v)))
+      }
+      val eventDfs = (fromV + 1 to toV).flatMap { v =>
+        stepKinds(v).get match {
+          case "chg" =>
+            val cd = chgDirOf(spark, root, v).get
+            Seq(spark.read.parquet(s"$rootS/$cd").withColumn("_v", lit(v)))
+          case "append" => deltaRows(v, "insert").toSeq
+          case "delete" => tombRows(v, "delete").toSeq
+          case "update" =>
+            tombRows(v, "update_preimage").toSeq ++
+            deltaRows(v, "update_postimage").toSeq
+          // replaceWhere: the tombstoned slice leaves, the batch
+          // arrives — NOT an update pair (the new rows are not
+          // rewrites of the old ones)
+          case "replace_where" =>
+            tombRows(v, "delete").toSeq ++ deltaRows(v, "insert").toSeq
+        }
+      }
+      // every step may legitimately contribute nothing (an empty append,
+      // a delete fully deduplicated against prior vectors) — the range
+      // then changed nothing and the cheap snapshot diff below says so.
+      // A range spanning an appendEvolved boundary mixes chg files
+      // recorded under the OLD column set with delta frames read under
+      // the head's pinned schema — null-fill the old frames to the head
+      // schema (exactly how the snapshot read null-fills pre-evolution
+      // files) instead of letting the strict unionByName throw. A frame
+      // carrying a column the head does NOT have (a rename boundary)
+      // cannot be aligned — fall through to the snapshot diff.
+      val metaCols = Set("_change_type", "_v")
+      val eventColSets = eventDfs.map(_.columns.toSet)
+      val alignedDfs: Option[Seq[DataFrame]] =
+        if (eventDfs.isEmpty) None
+        else if (eventColSets.forall(_ == eventColSets.head)) Some(eventDfs)
+        else schemaOf(spark, root, toV) match {
+          case Some(st) if eventColSets.forall(s =>
+              (s -- metaCols).subsetOf(st.fieldNames.toSet)) =>
+            Some(eventDfs.map { df =>
+              val have = df.columns.toSet
+              st.fields.filterNot(f => have(f.name)).foldLeft(df)((d, f) =>
+                d.withColumn(f.name, lit(null).cast(f.dataType)))
+            })
+          case _ => None
+        }
+      if (alignedDfs.isDefined) {
+      val events = alignedDfs.get.reduce(_.unionByName(_))
+      val cols = events.columns.toSeq.filterNot(Seq("_change_type", "_v").contains)
+      require(keys.nonEmpty && keys.forall(cols.contains),
+        s"keys $keys must be columns of the table")
+      val nonKeys = cols.filterNot(keys.contains)
+      // within one version the OLD side (preimage / delete) sorts before
+      // the NEW side (insert / postimage), so min_by lands on the state
+      // at fromV and max_by on the state at toV
+      val ord = when(col("_change_type") === "update_preimage", 0)
+        .when(col("_change_type") === "delete", 1)
+        .when(col("_change_type") === "insert", 2).otherwise(3)
+      val rowS = struct(cols.map(col): _*)
+      val evS = struct(col("_change_type").as("ct"), rowS.as("r"))
+      val seqS = struct(col("_v"), col("_ord"))
+      return events.withColumn("_ord", ord)
+        .groupBy(keys.map(col): _*)
+        .agg(min_by(evS, seqS).as("__first"), max_by(evS, seqS).as("__last"))
+        .select(keys.map(col) :+
+          when(col("__first.ct") =!= "insert", col("__first.r")).as("__old") :+
+          when(col("__last.ct").isin("insert", "update_postimage"),
+            col("__last.r")).as("__new"): _*)
+        .withColumn("change_type",
+          when(col("__old").isNull && col("__new").isNotNull, lit("insert"))
+            .when(col("__old").isNotNull && col("__new").isNull, lit("delete"))
+            .when(!(col("__old") <=> col("__new")), lit("update")))
+        .filter(col("change_type").isNotNull)
+        .select(col("change_type") +: keys.map(col) ++:
+          nonKeys.flatMap(c => Seq(col("__old." + c).as("old_" + c),
+                                   col("__new." + c).as("new_" + c))): _*)
+      }
+    }
+    // FILE-GRANULAR snapshot-diff fallback (round 13): on a flat
+    // lineage the keyed diff over the SYMMETRIC DIFFERENCE of the two
+    // versions' file sets (plus vector-delta files) equals the full
+    // diff — snapshots are key-unique by this diff's standing contract,
+    // so a key living in a file carried into BOTH versions contributes
+    // byte-identical rows to both sides and cancels. Merge-on-read
+    // lineages keep the full resolved diff (a shadow delta changes
+    // rows in files it never touched).
+    val (before, after, _, _) = visibleSliceDiff(spark, root, fromV, toV)
+    require(before.columns.toSeq == after.columns.toSeq,
+      s"schema changed between v$fromV and v$toV: " +
+        s"${before.columns.toSeq} vs ${after.columns.toSeq}")
+    require(keys.nonEmpty && keys.forall(before.columns.contains),
+      s"keys $keys must be columns of the table")
+    val nonKeys = before.columns.toSeq.filterNot(keys.contains)
+    val o = before.toDF(before.columns.map("__o_" + _): _*)
+      .withColumn("__in_old", lit(true))
+    val n = after.toDF(after.columns.map("__n_" + _): _*)
+      .withColumn("__in_new", lit(true))
+    val cond = keys.map(k => o("__o_" + k) <=> n("__n_" + k)).reduce(_ && _)
+    val changed =
+      if (nonKeys.isEmpty) lit(false) // key-only table: no update state
+      else nonKeys.map(c => !(col("__o_" + c) <=> col("__n_" + c))).reduce(_ || _)
+    o.join(n, cond, "full_outer")
+      .withColumn("change_type",
+        when(col("__in_old").isNull, lit("insert"))
+          .when(col("__in_new").isNull, lit("delete"))
+          .when(changed, lit("update")))
+      .filter(col("change_type").isNotNull) // unchanged rows leave the feed
+      .select(
+        col("change_type") +:
+        keys.map(k => coalesce(col("__n_" + k), col("__o_" + k)).as(k)) ++:
+        nonKeys.flatMap(c => Seq(col("__o_" + c).as("old_" + c),
+                                 col("__n_" + c).as("new_" + c))): _*)
+  }
+
+  /** Incremental change-feed tail — the CONSUMER half of CDC (the batch
+    * half is [[changesBetween]]): process everything committed since a
+    * durable cursor, once per successful poll, across process restarts.
+    * The first poll (no cursor file yet) delivers the whole current
+    * snapshot as `insert` rows in the change-feed schema — the standard
+    * initial-load contract — so a consumer bootstraps and tails with ONE
+    * code path.
+    *
+    * Delivery is at-least-once promoted to exactly-once by ordering: the
+    * cursor advances (temp file + atomic rename, the LATEST pattern) only
+    * AFTER `fn` returns — a crash mid-`fn` re-delivers the same version
+    * range on the next poll, so `fn` must be idempotent on its
+    * (fromV, toV] range (the same contract every foreachBatch sink here
+    * already satisfies via batchId keying).
+    *
+    * Scale: each poll costs O(changes) on append lineages (the
+    * [[changesBetween]] short-circuit) and one keyed diff otherwise; the
+    * cursor is one tiny file, so any number of independent consumers can
+    * tail one table at their own pace. Retention contract: [[vacuum]]'s
+    * `keep` must exceed the longest consumer lag, or the poll fails
+    * loudly on the vacuumed base version (the rule every lakehouse CDC
+    * reader has).
+    */
+  def tailChanges(spark: SparkSession, root: String, cursor: String,
+                  keys: Seq[String])(fn: (DataFrame, Long, Long) => Unit): Option[(Long, Long)] = {
+    import org.apache.spark.sql.functions._
+    val toV = currentVersion(spark, root).getOrElse(return None)
+    val cpath = new Path(cursor)
+    val cf = fs(spark, cpath)
+    val fromV =
+      if (!cf.exists(cpath)) 0L
+      else {
+        val in = cf.open(cpath)
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        finally in.close()
+      }
+    require(fromV <= toV,
+      s"cursor v$fromV is ahead of the table's v$toV — wrong cursor file or table root")
+    if (toV == fromV) return None
+    val feed =
+      if (fromV == 0L) {
+        val rows = readVersion(spark, root, toV)
+        require(keys.nonEmpty && keys.forall(rows.columns.contains),
+          s"keys $keys must be columns of the table")
+        val nonKeys = rows.columns.toSeq.filterNot(keys.contains)
+        rows.select(
+          lit("insert").as("change_type") +:
+          keys.map(col) ++:
+          nonKeys.flatMap(c => Seq(
+            lit(null).cast(rows.schema(c).dataType).as("old_" + c),
+            col(c).as("new_" + c))): _*)
+      } else changesBetween(spark, root, fromV, toV, keys)
+    fn(feed, fromV, toV)
+    // advance only after fn succeeded — a crash above re-delivers
+    val tmp = new Path(cpath.getParent, f".tmp_cursor_v$toV%08d")
+    val out = cf.create(tmp, true)
+    try out.write(toV.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = FileContext.getFileContext(cpath.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, cpath, Options.Rename.OVERWRITE)
+    Some((fromV, toV))
+  }
+
+  // ------------------------------------------------- file-skipping stats
+
+  // sidecar line format: fileName \t column \t tag \t min \t max with
+  // backslash/tab/newline escaped and `\N` marking NULL (an all-null
+  // file) — TSV, not JSON, so string values never fight quote escaping.
+  private[sources] def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
+  private[sources] def unesc(s: String): String = StatsEval.unesc(s)
+  private[sources] val NullMark = StatsEval.NullMark
+  // temporal stats serialization: lexicographic == chronological
+  private[sources] val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+  private[sources] val DateFmt = "yyyy-MM-dd"
+
+  /** Render a range probe the same way the build pass rendered the
+    * stored min/max, so temporal probes compare in the one shared
+    * format. LTZ stats are serialized in the SESSION timezone
+    * (`date_format` semantics), so instant-bearing probes (Timestamp,
+    * Instant) must render through that same zone — a hard-coded UTC (or
+    * the JVM default) would shift the probe window by the zone offset
+    * under a non-UTC session and silently prune files that contain
+    * matching rows. NTZ and DATE probes (LocalDateTime, LocalDate) are
+    * wall-clock and tz-free. Non-temporal probes pass through.
+    */
+  private[sources] def sessionZone(spark: SparkSession): java.time.ZoneId =
+    java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone",
+      java.util.TimeZone.getDefault.getID))
+
+  private[sources] def probeString(x: Any, zone: java.time.ZoneId): String =
+    StatsEval.probeString(x, zone)
+
+  /** Code-point lexicographic string compare == UTF-8 binary order ==
+    * Spark's UTF8String min/max ordering. Java's String `<` compares
+    * UTF-16 code UNITS, which disagrees for supplementary characters
+    * (surrogates 0xD800–0xDFFF sort below high-BMP chars in UTF-16 but
+    * encode code points ABOVE them) — comparing stored Spark min/max
+    * with Java order could wrongly prune a file that contains the probe
+    * (regression-tested with U+FFFD vs U+1F600).
+    */
+  private[sources] def cpLess(a: String, b: String): Boolean = StatsEval.cpLess(a, b)
+
+  // LEGACY sidecar bloom geometry (pre-round-7 commits wrote 32768-bit /
+  // 3×xxhash64 bitmaps as "b" sidecar lines; append chains still carry
+  // such lines forward). New commits rely on parquet's own write-time
+  // bloom filters instead — probed from footers in
+  // [[candidateFilesEquals]] — so these constants only serve the probe
+  // side of carried legacy lines.
+  private[graft] val BloomBits = 32768
+  private[graft] val BloomHashes = 3
+  private[graft] val BloomSaturation = 0.5 // max set-bit fraction worth keeping
+
+  /** The k bit positions a LEGACY sidecar bloom line has set for a
+    * value — driver-side Catalyst eval of the SAME xxhash64 the old
+    * build pass used, so query and build can never disagree on the
+    * hash. The probe value is CAST to the column's type first:
+    * xxhash64 is type-sensitive, so probing a LongType column with an
+    * Int (or a string of digits) would otherwise hash differently than
+    * the build pass and WRONGLY prune files — a silent-missing-rows
+    * bug, not a perf miss.
+    */
+  private[sources] def bloomPositions(value: Any,
+                             dt: org.apache.spark.sql.types.DataType): Seq[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
+    val raw = Literal.create(value)
+    val typed =
+      if (raw.dataType == dt) raw
+      else Literal(Cast(raw, dt, Some("UTC")).eval(null), dt)
+    require(typed.value != null,
+      s"probe value $value is not castable to the column type ${dt.simpleString}")
+    (0 until BloomHashes).map { i =>
+      // seed 42 = the SQL xxhash64() default, matching the build pass
+      val h = XxHash64(Seq(Literal(i), typed), 42L).eval(null).asInstanceOf[Long]
+      (math.floorMod(h, BloomBits.toLong)).toInt
+    }
+  }
+
+  /** One stats column as shipped to the footer-reading tasks: name,
+    * sidecar tag, and the session zone LTZ micros render through.
+    */
+  private[sources] case class StatSpec(col: String, tag: String, zoneId: String)
+
+  private[sources] sealed trait FooterStat
+  private case object FooterUnknown extends FooterStat
+  private case object FooterAllNull extends FooterStat
+  private[sources] case class FooterSpan(min: String, max: String) extends FooterStat
+
+  /** Build the `v{N}.stats` sidecar from PARQUET FOOTERS — per-file
+    * min/max were already computed by the writing tasks, so the commit
+    * pays ZERO additional data scans (round-6 VERDICT: the old
+    * implementation re-read the whole committed version, a second
+    * 100 TB pass on a full rewrite, and collected per-file bloom bit
+    * sets through the driver — ~128 KB × files). Footer reads are
+    * O(files) metadata IO, distributed over the executors; the driver
+    * receives only the finished sidecar lines (two rendered values per
+    * (file, column) — the same order of bytes as the manifest itself).
+    * Bloom filters no longer appear in the sidecar at all: parquet
+    * writes them into the files during the commit ([[stageVersion]])
+    * and [[candidateFilesEquals]] probes them from footers.
+    *
+    * Footer stats are trustworthy for exactly our tag domains: UTF-8
+    * binary min/max compare in unsigned-byte order, which IS code-point
+    * order (what [[cpLess]] implements); truncated binary bounds stay
+    * valid bounds (parquet pads the max upward); NaN suppresses footer
+    * stats entirely, which degrades to "keep the file" — the same
+    * contract as the NaN guard in [[candidateFiles]].
+    */
+  // ------------------------- sidecar storage: text vs parquet checkpoint
+
+  /** Parquet STATS CHECKPOINT of a version (round 9): the same records
+    * as the `v{N}.stats` text sidecar, but written as a distributed
+    * Spark job into a parquet directory — columns (k, c, t, a, b) hold
+    * the five (escaped) TSV fields of each line. Above the byte
+    * threshold the text form's driver-side build (`.collect().sorted` +
+    * one `mkString` string) is O(files × columns) driver heap and a
+    * single multi-GB write — the round-8 verdict's last O(files)
+    * driver-memory wall. The checkpoint is Delta's answer re-expressed:
+    * carry flows as a Dataset, fresh footer stats stay an RDD, and the
+    * union writes via executors; the driver never materializes a
+    * per-file line. Readers get parquet column pushdown for free (span
+    * probes filter on `c`, read planning on `t`).
+    */
+  private[graft] def statsPqPath(root: String, v: Long): Path =
+    new Path(logDir(root), f"v$v%08d.statspq")
+
+  /** Byte budget above which a commit's sidecar switches from the
+    * driver-built text file to the distributed parquet checkpoint. Small
+    * tables keep the one-file text form (cheaper than a Spark job per
+    * commit); a chain that outgrows the budget migrates automatically on
+    * its next commit and stays parquet from then on.
+    */
+  private[sources] def statsCheckpointThreshold(spark: SparkSession): Long =
+    spark.conf.getOption("graft.stats.checkpointThresholdBytes")
+      .map(_.toLong).getOrElse(4L << 20)
+
+  /** A parent sidecar bound for a child commit. Below the checkpoint
+    * threshold the lines ride the driver as before ([[EagerCarry]]);
+    * above it — or when the parent is already a parquet checkpoint —
+    * they stay a lazy [[Dataset]] ([[DistCarry]]) that only executors
+    * ever materialize. `filter` composes on either representation, so
+    * the scoped/compaction call sites keep their line predicates
+    * unchanged (the closures capture only Sets and [[StatsEval]]).
+    */
+  private[graft] sealed trait SidecarCarry {
+    def filter(p: String => Boolean): SidecarCarry
+  }
+  private[graft] final case class EagerCarry(lines: Seq[String]) extends SidecarCarry {
+    def filter(p: String => Boolean): SidecarCarry = EagerCarry(lines.filter(p))
+  }
+  private[graft] final case class DistCarry(ds: org.apache.spark.sql.Dataset[String]) extends SidecarCarry {
+    def filter(p: String => Boolean): SidecarCarry = DistCarry(ds.filter(p))
+  }
+  /** CHAINED carry (round 9): the parent's checkpoint is referenced, not
+    * copied — the child writes ONLY its own fresh rows and records
+    * `parent +: parent's stack` in its manifest, so an append's commit
+    * metadata cost is O(batch), not O(table) (the Delta delta-log
+    * shape; every earlier design rewrote the whole table's stats each
+    * commit, text and checkpoint alike). Only verbatim carries chain: a
+    * `filter` (scoped/compaction rewrites) materializes the full stack
+    * first, which doubles as the chain's consolidation point.
+    */
+  private[graft] final case class ChainCarry(spark: SparkSession, root: String,
+                                             baseV: Long,
+                                             baseStack: Seq[Long]) extends SidecarCarry {
+    def filter(p: String => Boolean): SidecarCarry = toDist.filter(p)
+    def toDist: DistCarry = DistCarry(renderStatsLines(
+      spark.read.parquet((baseV +: baseStack)
+        .map(statsPqPath(root, _).toString): _*)))
+  }
+
+  /** Ancestor checkpoint versions whose pq dirs compose `v`'s logical
+    * sidecar (self excluded; empty = self-contained). The stored list
+    * is transitively complete, so resolution is ONE manifest read and
+    * never walks dead ancestors' manifests.
+    */
+  private[graft] def statsStackOf(spark: SparkSession, root: String,
+                                  v: Long): Seq[Long] =
+    """"statsStack":"([^"]*)"""".r
+      .findFirstMatchIn(readManifest(spark, root, v))
+      .map(_.group(1)).filter(_.nonEmpty)
+      .map(_.split(",").toSeq.map(_.toLong))
+      .getOrElse(Seq.empty)
+
+  /** All pq dirs of `v`'s logical sidecar, own first. */
+  private[sources] def pqStackPaths(root: String, v: Long,
+                           stack: Seq[Long]): Seq[String] =
+    (v +: stack).map(statsPqPath(root, _).toString)
+
+  /** Max chain length before a commit consolidates the stack into one
+    * full checkpoint (head resolution reads `depth` parquet dirs; the
+    * periodic full write is Delta's checkpoint-every-N).
+    */
+  private[sources] def statsChainDepth(spark: SparkSession): Int =
+    spark.conf.getOption("graft.stats.checkpointChainDepth")
+      .map(_.toInt).getOrElse(20)
+
+  private[sources] def sidecarCarry(spark: SparkSession, root: String,
+                           v: Long, allowChain: Boolean = true): SidecarCarry = {
+    val sp = statsPath(root, v)
+    val f = fs(spark, sp)
+    if (f.exists(sp)) {
+      if (f.getFileStatus(sp).getLen <= statsCheckpointThreshold(spark))
+        EagerCarry(sidecarLines(spark, root, v))
+      else DistCarry(spark.read.textFile(sp.toString)
+        .filter((l: String) => l.nonEmpty))
+    } else {
+      val pq = statsPqPath(root, v)
+      if (fs(spark, pq).exists(pq)) {
+        val stack = statsStackOf(spark, root, v)
+        // chain unless the depth budget is spent (then one full rewrite
+        // consolidates) or the caller crosses roots (clone)
+        if (allowChain && 1 + stack.size < statsChainDepth(spark))
+          ChainCarry(spark, root, v, stack)
+        else DistCarry(renderStatsLines(
+          spark.read.parquet(pqStackPaths(root, v, stack): _*)))
+      } else EagerCarry(Seq.empty)
+    }
+  }
+
+  /** Checkpoint rows → sidecar lines (the five escaped fields joined by
+    * tabs — a lossless round trip of [[parseStatsLines]]; fields are
+    * non-null by construction, so concat_ws cannot drop one).
+    */
+  private[sources] def renderStatsLines(
+      df: DataFrame): org.apache.spark.sql.Dataset[String] = {
+    import org.apache.spark.sql.functions.concat_ws
+    df.select(concat_ws("\t", df("k"), df("c"), df("t"), df("a"), df("b")))
+      .as[String](org.apache.spark.sql.Encoders.STRING)
+  }
+
+  private[sources] def parseStatsLines(
+      ds: org.apache.spark.sql.Dataset[String]): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.STRING)
+    ds.map { line =>
+      val p = line.split("\t", -1)
+      require(p.length == 5, s"malformed sidecar line: $line")
+      (p(0), p(1), p(2), p(3), p(4))
+    }(enc).toDF("k", "c", "t", "a", "b")
+  }
+
+  // test-visible write-path markers: which storage the last writeStats
+  // chose and whether its carry stayed distributed (the round-9 spec
+  // asserts a large chain's commits never eagerly materialize carry)
+  @volatile private[graft] var lastStatsMode: String = ""
+  @volatile private[graft] var lastCarryDistributed: Boolean = false
+
+  /** Returns the version's stats stack for its manifest: `Nil` for a
+    * self-contained sidecar (text or full checkpoint), the ancestor
+    * list for a chained delta checkpoint ([[ChainCarry]]).
+    */
+  private[sources] def writeStats(spark: SparkSession, root: String, v: Long,
+                         cols: Seq[String],
+                         carry: SidecarCarry = EagerCarry(Nil),
+                         extraLines: Seq[String] = Nil,
+                         assignRidBases: Boolean = true): Seq[Long] = {
+    val dd = dataDir(root, v)
+    val f = fs(spark, dd)
+    val lines = Vector.newBuilder[String]
+    lines ++= extraLines
+    val ownFiles = Vector.newBuilder[Path]
+    // FILE MANIFEST (round 8): record the version's own dirs' file
+    // listings as sidecar lines — `d` marks a dir fully listed, `f`
+    // carries one file's (name, length, mtime). The committer just
+    // wrote these files, so the statuses are a single O(batch) listing
+    // of the new dir; carried lines cover the inherited dirs. Readers
+    // with a complete listing ([[filesFromSidecar]]) plan the scan with
+    // ZERO filesystem listing — the Delta add-file move, riding the
+    // existing carry machinery (keys share the stats lines' dir-part
+    // shape, so every carry filter propagates them untouched).
+    if (f.exists(dd)) {
+      val top = f.listStatus(dd)
+      val (leafDirs, flatFiles) = top.partition(st =>
+        st.isDirectory && st.getPath.getName.startsWith(GpPrefix))
+      if (leafDirs.nonEmpty) {
+        leafDirs.foreach { ld =>
+          val base = ld.getPath.getName
+          lines += s"${esc(base + "/")}\t\td\t$NullMark\t$NullMark"
+          f.listStatus(ld.getPath).filter(st =>
+            st.isFile && st.getPath.getName.endsWith(".parquet")).foreach { st =>
+            lines += s"${esc(base + "/" + st.getPath.getName)}\t\tf\t${st.getLen}\t${st.getModificationTime}"
+            ownFiles += st.getPath
+          }
+        }
+      } else {
+        val base = dataDirName(v)
+        lines += s"${esc(base + "/")}\t\td\t$NullMark\t$NullMark"
+        flatFiles.filter(st =>
+          st.isFile && st.getPath.getName.endsWith(".parquet")).foreach { st =>
+          lines += s"${esc(base + "/" + st.getPath.getName)}\t\tf\t${st.getLen}\t${st.getModificationTime}"
+          ownFiles += st.getPath
+        }
+      }
+    }
+    // ROW TRACKING (round 12): fresh BASE ids for this commit's own
+    // files — one footer row-count pass over O(batch) files, mark
+    // bumped under the caller's claim (every writeStats site holds it).
+    // `extraLines` may already carry assignments for some of them (the
+    // enable/repair path) — those keep their bases. `assignRidBases =
+    // false` (round 13, ADVICE): a full-rewrite commit that could NOT
+    // thread identities skips the auto-assignment so [[scanWithRids]]
+    // raises loudly instead of silently handing every carried row a
+    // fresh identity — enableRowTracking is the explicit re-base.
+    if (assignRidBases && rowTrackingEnabled(spark, root)) {
+      val preAssigned: Set[String] = extraLines.flatMap { l =>
+        val p = l.split("\t", -1)
+        if (p.length == 5 && p(2) == "r") Some(StatsEval.unesc(p(0))) else None
+      }.toSet
+      val fresh = ownFiles.result().map(_.toString).filterNot { p =>
+        val pp = new Path(p)
+        preAssigned.contains(pp.getParent.getName + "/" + pp.getName)
+      }
+      val counts = fileRowCounts(spark, fresh)
+      if (counts.nonEmpty) {
+        var mark = readRowIdHigh(spark, root)
+        counts.foreach { case (rel, n) =>
+          lines += s"${esc(rel)}\t\tr\t$mark\t$n"
+          mark += n
+        }
+        writeRowIdHigh(spark, root, mark)
+      }
+    }
+    // fresh footer-derived span stats for this commit's own files, as an
+    // UNMATERIALIZED RDD: the text path collects it (bounded by the
+    // threshold), the checkpoint path unions it into the distributed
+    // write — per-file stat lines never transit the driver at scale
+    val footerRdd: Option[org.apache.spark.rdd.RDD[String]] =
+      if (cols.isEmpty || !f.exists(dd)) None
+      else {
+        val paths = {
+          val it = f.listFiles(dd, /*recursive=*/ true)
+          val b = Vector.newBuilder[String]
+          while (it.hasNext) {
+            val st = it.next()
+            // hidden dirs (e.g. OCC-staged change rows) are not data
+            if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
+                !st.getPath.getParent.getName.startsWith("."))
+              b += st.getPath.toString
+          }
+          b.result()
+        }
+        // a commit may legitimately write ZERO files (a purge whose
+        // matched leafs all emptied) — nothing to span, and the schema
+        // probe below would fail on the fileless dir
+        if (paths.isEmpty) None
+        else {
+          // validate requested columns against the SPARK schema
+          // (footer-only read — parquet datasource schema resolution
+          // reads no row data)
+          val fields = spark.read.parquet(dd.toString).schema.fields
+            .map(fl => fl.name -> fl.dataType).toMap
+          footerSpanRdd(spark, paths, cols, fields)
+        }
+      }
+    val freshLines = lines.result()
+    publishStatsSidecar(spark, root, v, cols, freshLines, footerRdd, carry)
+  }
+
+  /** Publish the stats sidecar for version `v` from prepared fresh
+    * lines + optional footer-span RDD — the storage decision (chained
+    * parquet delta / eager text / distributed parquet checkpoint)
+    * shared by [[writeStats]] (which derives its lines from the
+    * version's own data dir) and [[convertParquet]] (which derives
+    * them from the adopted foreign files). Returns the stats stack
+    * (non-empty only for chained checkpoints).
+    */
+  private[sources] def publishStatsSidecar(spark: SparkSession, root: String,
+                                  v: Long, cols: Seq[String],
+                                  freshLines: Seq[String],
+                                  footerRdd: Option[org.apache.spark.rdd.RDD[String]],
+                                  carry: SidecarCarry): Seq[Long] = {
+    // maintain the O(1) inheritance record (physical names — `cols`
+    // arrive post-translation, matching the sidecar keys)
+    recordStatsCols(spark, root, cols, carrying = carry match {
+      case EagerCarry(ls) => ls.nonEmpty
+      case _              => true
+    })
+    // CHAINED checkpoint: write ONLY this commit's fresh rows; the
+    // parent stack rides the manifest. O(batch) metadata IO however
+    // large the table — the mode every verbatim-carry commit over a
+    // checkpointed parent takes (appends, deletes, metadata ops).
+    carry match {
+      case c: ChainCarry =>
+        require(c.root == root,
+          s"stats chain cannot cross roots: carry from ${c.root}, writing $root")
+        val S = org.apache.spark.sql.Encoders.STRING
+        val freshDs = spark.createDataset(freshLines)(S)
+        val allDs = footerRdd match {
+          case Some(r) => freshDs.union(spark.createDataset(r)(S))
+          case None    => freshDs
+        }
+        val tmp = new Path(logDir(root), f".tmp_statspq_v$v%08d")
+        val lf = fs(spark, tmp)
+        if (lf.exists(tmp)) lf.delete(tmp, true)
+        // ONE part file per delta: the rows are O(batch), and a stack
+        // read touches every part file of every link — 16 shards per
+        // tiny delta would turn a 20-deep stack into a 300-file scan.
+        // repartition, NOT coalesce: coalesce(1) would collapse the
+        // upstream footer-reading stage into one serial task (measured
+        // +45% on commit wall time); the shuffle barrier keeps the
+        // footer IO parallel and only the tiny write single-tasked
+        parseStatsLines(allDs).repartition(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val dst = statsPqPath(root, v)
+        if (lf.exists(dst)) lf.delete(dst, true)
+        if (!lf.rename(tmp, dst))
+          throw new IllegalStateException(s"could not publish stats checkpoint $dst")
+        lastStatsMode = "parquet-delta"
+        lastCarryDistributed = true
+        return c.baseV +: c.baseStack
+      case _ => ()
+    }
+    // storage decision: the EXACT carry + listing bytes plus a bound on
+    // the fresh span lines (≤ files × cols, ~64 B rendered each — the
+    // file count is the listing `f`-line count just built)
+    val thr = statsCheckpointThreshold(spark)
+    val eagerBytes = carry match {
+      case EagerCarry(ls) =>
+        val fileCount = freshLines.count(_.contains("\tf\t"))
+        Some(ls.iterator.map(_.length + 1L).sum +
+          freshLines.iterator.map(_.length + 1L).sum +
+          (if (footerRdd.isDefined) fileCount.toLong * cols.size * 64L else 0L))
+      case _ => None
+    }
+    if (eagerBytes.exists(_ <= thr)) {
+      val allLines = carry.asInstanceOf[EagerCarry].lines ++ freshLines ++
+        footerRdd.map(_.collect().sorted.toSeq).getOrElse(Seq.empty)
+      val sp = statsPath(root, v)
+      val tmp = new Path(logDir(root), f".tmp_stats_v$v%08d")
+      val lf = fs(spark, sp)
+      val out = lf.create(tmp, true)
+      try out.write(allLines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (!lf.rename(tmp, sp))
+        throw new IllegalStateException(s"could not publish stats $sp")
+      lastStatsMode = "text"
+      lastCarryDistributed = false
+      Nil
+    } else {
+      // parquet checkpoint, written by the EXECUTORS: carry (text or
+      // parquet parent, possibly filtered) ∪ this commit's O(batch)
+      // listing ∪ fresh footer spans — parsed to (k,c,t,a,b) and
+      // published with the same temp + rename visibility as every
+      // sidecar (absent or complete, never partial)
+      val S = org.apache.spark.sql.Encoders.STRING
+      val carryDs = carry match {
+        case EagerCarry(ls) => spark.createDataset(ls)(S)
+        case DistCarry(ds)  => ds
+      }
+      val freshDs = spark.createDataset(freshLines)(S)
+      val allDs = footerRdd match {
+        case Some(r) => carryDs.union(freshDs).union(spark.createDataset(r)(S))
+        case None    => carryDs.union(freshDs)
+      }
+      val tmp = new Path(logDir(root), f".tmp_statspq_v$v%08d")
+      val lf = fs(spark, tmp)
+      if (lf.exists(tmp)) lf.delete(tmp, true)
+      parseStatsLines(allDs).write.mode("overwrite").parquet(tmp.toString)
+      val dst = statsPqPath(root, v)
+      if (lf.exists(dst)) lf.delete(dst, true)
+      if (!lf.rename(tmp, dst))
+        throw new IllegalStateException(s"could not publish stats checkpoint $dst")
+      lastStatsMode = "parquet"
+      lastCarryDistributed = carry.isInstanceOf[DistCarry]
+      Nil
+    }
+  }
+
+  /** Footer-derived span lines for explicit file paths, as an
+    * unmaterialized RDD (None when nothing to stat): validates the
+    * requested stats columns against `fields` (the files' Spark
+    * schema), builds the [[StatSpec]]s with the session zone, and maps
+    * [[footerStatLines]] over the paths on the executors — the same
+    * O(files) distributed metadata pass [[writeStats]] always ran, now
+    * also feeding [[convertParquet]]'s adopted foreign files.
+    */
+  private[sources] def footerSpanRdd(spark: SparkSession, paths: Seq[String],
+                            cols: Seq[String],
+                            fields: Map[String, org.apache.spark.sql.types.DataType])
+      : Option[org.apache.spark.rdd.RDD[String]] = {
+    if (cols.isEmpty || paths.isEmpty) return None
+    val zone = sessionZone(spark).getId
+    val specs = cols.map { c =>
+      val dt = fields.getOrElse(c,
+        throw new IllegalArgumentException(s"stats column $c not in table schema"))
+      val tag = dt match {
+        case _: org.apache.spark.sql.types.NumericType   => "n"
+        case org.apache.spark.sql.types.StringType       => "s"
+        // temporal min/max serialize as ISO strings whose lexicographic
+        // order IS chronological order — they ride the "s" compare path;
+        // the probe side formats identically ([[probeString]])
+        case org.apache.spark.sql.types.TimestampType    => "s"
+        case org.apache.spark.sql.types.TimestampNTZType => "s"
+        case org.apache.spark.sql.types.DateType         => "s"
+        case other => throw new IllegalArgumentException(
+          s"stats column $c: unsupported type ${other.simpleString} " +
+          "(numeric/string/timestamp/date only)")
+      }
+      StatSpec(c, tag, zone)
+    }
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val slices = math.max(1, math.min(paths.size,
+      spark.sparkContext.defaultParallelism))
+    Some(spark.sparkContext.parallelize(paths, slices)
+      .flatMap(p => footerStatLines(p, conf.value, specs)))
+  }
+
+  /** Sidecar lines for one data file, decoded from its footer on the
+    * executor that reads it. Any block whose statistics are absent or
+    * undecodable makes the whole (file, column) unknown → no line →
+    * the file is kept at prune time (never wrongly pruned).
+    */
+  private[sources] def footerStatLines(pathStr: String,
+                              cfg: org.apache.hadoop.conf.Configuration,
+                              specs: Seq[StatSpec]): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val p = new Path(pathStr)
+    // sidecar keys are dir-relative paths: append chains hold files from
+    // several data dirs whose bare part-file names can collide
+    val rel = p.getParent.getName + "/" + p.getName
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, cfg))
+    try {
+      val footer = reader.getFooter
+      val schema = footer.getFileMetaData.getSchema
+      val blocks = footer.getBlocks.asScala.toSeq
+      specs.flatMap { spec =>
+        val pt =
+          if (schema.containsField(spec.col)) schema.getType(Seq(spec.col): _*)
+          else null
+        val stat =
+          if (pt == null || !pt.isPrimitive) FooterUnknown
+          else footerMinMax(blocks, pt.asPrimitiveType, spec)
+        // null counts ride a second "z" line per (file, column): what
+        // IS NULL / IS NOT NULL pruning reads (round 9 — min/max spans
+        // prove nothing about nulls). Unknown if ANY block's statistics
+        // are absent or pre-null-count (getNumNulls < 0) → no line →
+        // the file is kept for null probes.
+        val zLine: Option[String] = {
+          var nulls = 0L; var total = 0L; var known = pt != null
+          if (known) blocks.foreach { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == spec.col) match {
+              case Some(ch) =>
+                val st = ch.getStatistics
+                if (st == null || st.isEmpty || st.getNumNulls < 0) known = false
+                else { nulls += st.getNumNulls; total += ch.getValueCount }
+              case None => known = false
+            }
+          }
+          if (known)
+            Some(s"${esc(rel)}\t${esc(spec.col)}\tz\t$nulls\t$total")
+          else None
+        }
+        val spanLine = stat match {
+          case FooterAllNull =>
+            Some(s"${esc(rel)}\t${esc(spec.col)}\t${spec.tag}\t$NullMark\t$NullMark")
+          case FooterSpan(mn, mx) =>
+            Some(s"${esc(rel)}\t${esc(spec.col)}\t${spec.tag}\t${esc(mn)}\t${esc(mx)}")
+          case FooterUnknown => None
+        }
+        spanLine.toSeq ++ zLine
+      }
+    } finally reader.close()
+  }
+
+  /** Merge one column's min/max across a file's row groups, in the same
+    * comparison domain the prune side uses ("n" → BigDecimal, otherwise
+    * code-point order on the rendered strings).
+    */
+  private[sources] def footerMinMax(
+      blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
+      pt: org.apache.parquet.schema.PrimitiveType,
+      spec: StatSpec): FooterStat = {
+    import scala.jdk.CollectionConverters._
+    def less(a: String, b: String): Boolean =
+      if (spec.tag == "n") BigDecimal(a) < BigDecimal(b) else cpLess(a, b)
+    var mn: String = null
+    var mx: String = null
+    var sawAllNull = false
+    for (b <- blocks) {
+      b.getColumns.asScala.find(_.getPath.toDotString == spec.col) match {
+        case None => return FooterUnknown
+        case Some(ch) =>
+          val st = ch.getStatistics
+          if (st == null || st.isEmpty) return FooterUnknown
+          else if (!st.hasNonNullValue) {
+            // recorded stats, zero non-null values: an all-null block iff
+            // the null count covers every value; anything else is unknown
+            if (st.getNumNulls >= 0 && st.getNumNulls == ch.getValueCount)
+              sawAllNull = true
+            else return FooterUnknown
+          } else {
+            (decodeFooterValue(pt, st.genericGetMin.asInstanceOf[AnyRef], spec.zoneId),
+             decodeFooterValue(pt, st.genericGetMax.asInstanceOf[AnyRef], spec.zoneId)) match {
+              case (Some(lo), Some(hi)) =>
+                if (mn == null || less(lo, mn)) mn = lo
+                if (mx == null || less(mx, hi)) mx = hi
+              case _ => return FooterUnknown // NaN / unsupported encoding
+            }
+          }
+      }
+    }
+    if (mn != null) FooterSpan(mn, mx)
+    else if (sawAllNull) FooterAllNull
+    else FooterUnknown // zero row groups: empty file, nothing to prune
+  }
+
+  /** Render one footer statistics value in the sidecar's serialization
+    * (the exact strings the old scan-based pass produced): numerics via
+    * BigDecimal-parseable text, strings verbatim, LTZ micros through the
+    * session zone, NTZ/DATE as wall-clock ISO. None = undecodable or
+    * non-finite → the file is kept.
+    */
+  private[sources] def decodeFooterValue(pt: org.apache.parquet.schema.PrimitiveType,
+                                v: AnyRef, zoneId: String): Option[String] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    def plain: Option[String] = pt.getPrimitiveTypeName match {
+      case INT32 | INT64 => Some(v.toString)
+      case FLOAT =>
+        val x = v.asInstanceOf[java.lang.Float].floatValue
+        if (java.lang.Float.isFinite(x)) Some(x.toString) else None
+      case DOUBLE =>
+        val x = v.asInstanceOf[java.lang.Double].doubleValue
+        if (java.lang.Double.isFinite(x)) Some(x.toString) else None
+      case _ => None // INT96/BOOLEAN/raw BINARY: not a stats domain
+    }
+    pt.getLogicalTypeAnnotation match {
+      case null => plain
+      case _: IntLogicalTypeAnnotation => plain
+      case _: StringLogicalTypeAnnotation | _: EnumLogicalTypeAnnotation =>
+        Some(v.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+      case d: DecimalLogicalTypeAnnotation =>
+        val unscaled = v match {
+          case i: java.lang.Integer => java.math.BigInteger.valueOf(i.longValue)
+          case l: java.lang.Long    => java.math.BigInteger.valueOf(l.longValue)
+          case b: org.apache.parquet.io.api.Binary =>
+            new java.math.BigInteger(b.getBytes)
+          case _ => return None
+        }
+        Some(new java.math.BigDecimal(unscaled, d.getScale).toPlainString)
+      case t: TimestampLogicalTypeAnnotation =>
+        val raw = v match {
+          case l: java.lang.Long => l.longValue
+          case _                 => return None
+        }
+        val (sec, nano) = t.getUnit match {
+          case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+            (Math.floorDiv(raw, 1000L), Math.floorMod(raw, 1000L) * 1000000L)
+          case LogicalTypeAnnotation.TimeUnit.MICROS =>
+            (Math.floorDiv(raw, 1000000L), Math.floorMod(raw, 1000000L) * 1000L)
+          case LogicalTypeAnnotation.TimeUnit.NANOS =>
+            (Math.floorDiv(raw, 1000000000L), Math.floorMod(raw, 1000000000L))
+        }
+        val fmt = java.time.format.DateTimeFormatter.ofPattern(TsFmt)
+        val ldt =
+          if (t.isAdjustedToUTC) // LTZ: an instant, rendered in session zone
+            java.time.LocalDateTime.ofInstant(
+              java.time.Instant.ofEpochSecond(sec, nano),
+              java.time.ZoneId.of(zoneId))
+          else // NTZ: already wall-clock micros
+            java.time.LocalDateTime.ofEpochSecond(sec, nano.toInt,
+              java.time.ZoneOffset.UTC)
+        Some(ldt.format(fmt))
+      case _: DateLogicalTypeAnnotation =>
+        v match {
+          case i: java.lang.Integer =>
+            Some(java.time.LocalDate.ofEpochDay(i.longValue).toString)
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** Files of `version` that can contain rows with `column` in [lo, hi],
+    * plus the total file count — the skipping decision, exposed for the
+    * spec. No sidecar (or no stats for a file/column) → file kept: stats
+    * only ever REMOVE certainly-empty work. An all-null file is pruned
+    * (BETWEEN never matches NULL).
+    *
+    * Scoped tables additionally get DIR-NAME PARTITION PRUNING with no
+    * stats configured: when `column` is the manifest-recorded partition
+    * column, every file under a `__gp=<value>` leaf has min = max =
+    * value by construction, so the leaf name itself is the span —
+    * Hive-style partition pruning, synthesized through the same
+    * overlap machinery (explicit sidecar stats take precedence).
+    */
+  private[graft] def candidateFiles(spark: SparkSession, root: String,
+                                    version: Long, column0: String,
+                                    lo: Any, hi: Any): (Seq[Path], Int) = {
+    val f = fs(spark, dataDir(root, version))
+    // column mapping: sidecar span keys (and parquet footers) spell the
+    // PHYSICAL column name — translate a logical probe column once here
+    val column = schemaOf(spark, root, version)
+      .map(st => renameMap(st).getOrElse(column0, column0)).getOrElse(column0)
+    // file manifest first: the probe decision needs only paths, and the
+    // sidecar has them without touching the filesystem
+    val all = filesFromSidecar(spark, root, version)
+      .map(_.map(_.getPath))
+      .getOrElse(versionPaths(spark, root, version).flatMap { d =>
+        f.listStatus(new Path(d)).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).toSeq
+      })
+    // dir-name spans for the partition column of a scoped table —
+    // evolved lineages union over every historical spec and only use a
+    // span all consistent specs agree on (gpDirSpanMulti, round 13)
+    val specsAll = allSpecsOf(spark, root, version)
+    val anyOnColumn = specsAll.exists(_.refCols.contains(column))
+    val specTypes =
+      if (!anyOnColumn) Map.empty[String, org.apache.spark.sql.types.DataType]
+      else tableSchema(spark, root, version)
+        .map(f => f.name -> f.dataType).toMap
+    val dirSpanOf: Path => Option[(String, String, String)] =
+      if (!anyOnColumn) _ => None
+      else p => gpDirSpanMulti(specsAll, specTypes, p.getParent.getName,
+        column, sessionZone(spark))
+    // bucket-transform dirs carry no value order, so spans can't prune
+    // them — but an EQUALITY probe (lo == hi, which is how readEquals
+    // and the keyed-MERGE point probes arrive here) re-derives the
+    // value's bucket and drops every other bucket's leafs (round 11).
+    // Evolved lineages skip bucket pruning: a dir's owning spec is
+    // ambiguous and a wrong bucket test silently loses rows.
+    val bucketAdmits: Path => Boolean = specsAll match {
+      case Seq(spec) if lo == hi &&
+          spec.comps.exists(c => c.col == column && c.kind == "bucket") =>
+        p => bucketDirAdmits(spec, specTypes, p.getParent.getName,
+          column, lo)
+      case _ => _ => true
+    }
+    val sp = statsPath(root, version)
+    // probes rendered ONCE driver-side, in the forms both eval paths
+    // compare with (StatsEval holds the shared parse + overlap logic)
+    val zone = sessionZone(spark)
+    val loS = probeString(lo, zone); val hiS = probeString(hi, zone)
+    val loN = scala.util.Try(BigDecimal(lo.toString)).toOption
+    val hiN = scala.util.Try(BigDecimal(hi.toString)).toOption
+    val statBytes = if (f.exists(sp)) f.getFileStatus(sp).getLen else 0L
+    val threshold = spark.conf
+      .getOption("graft.skipping.distributedThresholdBytes")
+      .map(_.toLong).getOrElse(8L << 20)
+    if (hasPqSidecar(spark, root, version)) {
+      // PARQUET-checkpoint span evaluation: the probe column pushes down
+      // to the checkpoint scan (`c = col`), the overlap test runs on the
+      // executors, and the driver materializes only PRUNED file keys —
+      // same contract as the distributed text path below, plus column
+      // pruning the text form cannot offer
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col => sqlcol}
+      val colEsc = esc(column)
+      val pruned = spark.read.parquet(
+          pqStackPaths(root, version, statsStackOf(spark, root, version)): _*)
+        .filter(!sqlcol("t").isin("b", "f", "d", "z") && sqlcol("c") === colEsc)
+        .select("k", "t", "a", "b")
+        .as[(String, String, String, String)]
+        .flatMap { case (k, t, a, b) =>
+          if (!StatsEval.overlaps(t, a, b, loS, hiS, loN, hiN))
+            Some(StatsEval.unesc(k))
+          else None
+        }
+        .collect().toSet
+      val kept = all.filter { p =>
+        val key = p.getParent.getName + "/" + p.getName
+        if (pruned.contains(key)) false
+        else bucketAdmits(p) && (dirSpanOf(p) match {
+          case Some((tag, mn, mx)) =>
+            StatsEval.overlaps(tag, mn, mx, loS, hiS, loN, hiN)
+          case None => true
+        })
+      }
+      (kept, all.size)
+    } else if (statBytes > threshold) {
+      // DISTRIBUTED span evaluation — the 10⁶-file regime: the sidecar
+      // is evaluated as a Spark job and the driver materializes ONLY the
+      // PRUNED file keys (files proven empty for the probe), never the
+      // per-(file, column) span lines. Files without a span keep as
+      // always. A dir-name span consult after a kept file-level span
+      // cannot flip the decision (a file's partition-column span is a
+      // subset of its dir's), so pruned-set membership alone is exact.
+      val colName = column
+      import spark.implicits._
+      val pruned = spark.read.textFile(sp.toString)
+        .flatMap { line =>
+          StatsEval.parseSpan(line) match {
+            case Some((file, c, tag, mn, mx))
+                if c == colName &&
+                   !StatsEval.overlaps(tag, mn, mx, loS, hiS, loN, hiN) =>
+              Some(file)
+            case _ => None
+          }
+        }
+        .collect().toSet
+      val kept = all.filter { p =>
+        val key = p.getParent.getName + "/" + p.getName
+        if (pruned.contains(key)) false
+        else bucketAdmits(p) && (dirSpanOf(p) match {
+          case Some((tag, mn, mx)) =>
+            StatsEval.overlaps(tag, mn, mx, loS, hiS, loN, hiN)
+          case None => true
+        })
+      }
+      (kept, all.size)
+    } else {
+      val text =
+        if (!f.exists(sp)) ""
+        else {
+          val in = f.open(sp)
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        }
+      val span: Map[String, (String, String, String)] =
+        text.split("\n").filter(_.nonEmpty).flatMap { line =>
+          StatsEval.parseSpan(line) match {
+            case Some((file, c, tag, mn, mx)) if c == column =>
+              Some(file -> (tag, mn, mx))
+            case _ => None
+          }
+        }.toMap
+      val kept = all.filter { p =>
+        bucketAdmits(p) &&
+        (span.get(p.getParent.getName + "/" + p.getName)
+          .orElse(dirSpanOf(p)) match {
+          case Some((tag, mn, mx)) =>
+            StatsEval.overlaps(tag, mn, mx, loS, hiS, loN, hiN)
+          case None => true // no stats: never wrongly prune
+        })
+      }
+      (kept, all.size)
+    }
+  }
+
+  /** Files of `version` that can contain rows with `column == value` per
+    * their Bloom filters (plus min/max when both exist), and the total —
+    * the point-lookup skipping decision. A file whose bloom CANNOT
+    * contain the value is pruned (no false negatives by construction); a
+    * false positive merely scans a file the residual filter then
+    * empties. No bloom for a file/column → kept.
+    *
+    * Two bloom sources, probed in order: legacy sidecar "b" lines
+    * (pre-round-7 commits and lines carried along append chains), then
+    * the PARQUET write-time bloom filter read from the candidate's
+    * footer — the scale path, where the bitmap was built by the writing
+    * task and never moved since (zero build cost at commit, O(candidate
+    * footers) metadata IO at probe time, distributed over executors
+    * beyond a driver-side handful).
+    */
+  private[graft] def candidateFilesEquals(spark: SparkSession, root: String,
+                                          version: Long, column0: String,
+                                          value: Any,
+                                          derivers: Option[Map[String, (String, Any => Option[Any])]] = None): (Seq[Path], Int) = {
+    // see candidateFiles: bloom keys and footers spell physical names.
+    // candidateFiles translates ITS OWN argument — pass the LOGICAL name
+    // through (translating here too would double-map, and a rename chain
+    // whose logical name equals another column's physical name would
+    // then prune on the wrong column's spans)
+    val column = schemaOf(spark, root, version)
+      .map(st => renameMap(st).getOrElse(column0, column0)).getOrElse(column0)
+    val (rangeKept0, total) =
+      candidateFiles(spark, root, version, column0, value, value)
+    // GENERATED-PARTITION PRUNING (round 13): base = X implies
+    // g = f(X) — intersect with the derived point probe on g (whose
+    // dir spans the ordinary machinery serves). No deriver chains
+    // exist (declarations refuse generated-over-generated), so the
+    // recursion is one level deep.
+    val rangeKept = derivers
+      .getOrElse(generatedPartDerivers(spark, root, version))
+      .get(column0.toLowerCase)
+      .flatMap { case (gName, derive) => derive(value).map { gx =>
+        // no deriver chains exist — the recursive probe passes an
+        // empty map rather than re-deriving declarations
+        val gKept = candidateFilesEquals(spark, root, version, gName, gx,
+            derivers = Some(Map.empty))
+          ._1.map(_.toString).toSet
+        rangeKept0.filter(p => gKept.contains(p.toString))
+      }}
+      .getOrElse(rangeKept0)
+    // a WIDENED column's old-file blooms hashed the narrow type; probing
+    // them with widened-type hashes could wrongly prune a true match —
+    // keep min/max span pruning (value-domain safe), skip blooms
+    if (schemaOf(spark, root, version).exists(_.fields.exists(f =>
+        !isDropped(f) && f.name == column0 && f.metadata.contains(WidenKey))))
+      return (rangeKept, total)
+    val sp = statsPath(root, version)
+    val f = fs(spark, sp)
+    val blooms: Map[String, java.util.BitSet] =
+      if (f.exists(sp)) {
+        val in = f.open(sp)
+        val text = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        text.split("\n").filter(_.nonEmpty).flatMap { line =>
+          line.split("\t", -1) match {
+            case Array(file, c, "b", hex, _) if unesc(c) == column =>
+              val bytes = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+              Some(unesc(file) -> java.util.BitSet.valueOf(bytes))
+            case _ => None
+          }
+        }.toMap
+      } else if (hasPqSidecar(spark, root, version)) {
+        // legacy "b" rows carried into a parquet checkpoint: tag + column
+        // push down, so the collect is bounded by surviving legacy lines
+        import org.apache.spark.sql.functions.{col => sqlcol}
+        spark.read.parquet(
+            pqStackPaths(root, version, statsStackOf(spark, root, version)): _*)
+          .filter(sqlcol("t") === "b" && sqlcol("c") === esc(column))
+          .select("k", "a").collect().map { r =>
+            val bytes = r.getString(1).grouped(2)
+              .map(Integer.parseInt(_, 16).toByte).toArray
+            unesc(r.getString(0)) -> java.util.BitSet.valueOf(bytes)
+          }.toMap
+      } else Map.empty
+    val dt = tableSchema(spark, root, version).apply(column0).dataType
+    val (haveSidecar, noSidecar) = rangeKept.partition(p =>
+      blooms.contains(p.getParent.getName + "/" + p.getName))
+    val keptSidecar = {
+      if (haveSidecar.isEmpty) Seq.empty
+      else {
+        val pos = bloomPositions(value, dt)
+        haveSidecar.filter(p =>
+          pos.forall(blooms(p.getParent.getName + "/" + p.getName).get))
+      }
+    }
+    val keptFooter = probeFooterBlooms(spark, noSidecar, column, dt, value)
+    val keptSet = (keptSidecar ++ keptFooter).map(_.toString).toSet
+    (rangeKept.filter(p => keptSet.contains(p.toString)), total)
+  }
+
+  /** Probe the parquet write-time bloom filters of `files` for `value`,
+    * keeping files that might contain it. Driver-side for a handful of
+    * candidates; a distributed metadata job beyond that (10⁶-file tables
+    * must not serialize footer reads through the driver).
+    */
+  private[sources] def probeFooterBlooms(spark: SparkSession, files: Seq[Path],
+                                column: String,
+                                dt: org.apache.spark.sql.types.DataType,
+                                value: Any): Seq[Path] = {
+    if (files.isEmpty) return files
+    val pv = footerProbeValue(value, dt) match {
+      case Some(x) => x
+      case None    => return files // type without a parquet bloom domain: keep
+    }
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    if (files.size <= 16)
+      files.filter(p => parquetBloomMightContain(p.toString, conf.value, column, pv))
+    else {
+      val strs = files.map(_.toString)
+      val slices = math.max(1, math.min(strs.size,
+        spark.sparkContext.defaultParallelism))
+      val kept = spark.sparkContext.parallelize(strs, slices)
+        .filter(s => parquetBloomMightContain(s, conf.value, column, pv))
+        .collect().toSet
+      files.filter(p => kept.contains(p.toString))
+    }
+  }
+
+  /** Normalize a probe value to the parquet physical domain of the
+    * column (int32 → Int, int64 → Long, binary-UTF8 → String, float,
+    * double), casting through Catalyst first so an Int probe against a
+    * LongType column hashes as a long — the same wrong-type trap
+    * [[bloomPositions]] guards. None = no parquet bloom domain (decimal,
+    * temporal, …) → the caller keeps the files.
+    */
+  private[sources] def footerProbeValue(
+      value: Any,
+      dt: org.apache.spark.sql.types.DataType): Option[Any] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.types._
+    val raw = Literal.create(value)
+    val typed =
+      if (raw.dataType == dt) raw
+      else Literal(Cast(raw, dt, Some("UTC")).eval(null), dt)
+    require(typed.value != null,
+      s"probe value $value is not castable to the column type ${dt.simpleString}")
+    dt match {
+      case ByteType    => Some(Int.box(typed.value.asInstanceOf[Byte].toInt))
+      case ShortType   => Some(Int.box(typed.value.asInstanceOf[Short].toInt))
+      case IntegerType => Some(typed.value.asInstanceOf[java.lang.Integer])
+      case LongType    => Some(typed.value.asInstanceOf[java.lang.Long])
+      case FloatType   => Some(typed.value.asInstanceOf[java.lang.Float])
+      case DoubleType  => Some(typed.value.asInstanceOf[java.lang.Double])
+      case StringType  => Some(typed.value.toString) // UTF8String → String
+      case _           => None
+    }
+  }
+
+  /** True iff some row group of the file might contain `pv` in `column`
+    * per its parquet bloom filter (or has no bloom to consult — never
+    * wrongly prune). Runs footer-only IO; safe on executors.
+    */
+  private[sources] def parquetBloomMightContain(pathStr: String,
+                                       cfg: org.apache.hadoop.conf.Configuration,
+                                       column: String, pv: Any): Boolean = {
+    import scala.jdk.CollectionConverters._
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(pathStr), cfg))
+    try {
+      reader.getFooter.getBlocks.asScala.exists { b =>
+        b.getColumns.asScala.find(_.getPath.toDotString == column) match {
+          case None => true // column absent from this file: cannot prove absence
+          case Some(ch) =>
+            val bloom =
+              try {
+                val r = reader.getBloomFilterDataReader(b)
+                if (r == null) null else r.readBloomFilter(ch)
+              } catch { case _: Exception => null } // unreadable bloom ≠ provable absence
+            if (bloom == null) true
+            else pv match {
+              case i: java.lang.Integer => bloom.findHash(bloom.hash(i.intValue))
+              case l: java.lang.Long    => bloom.findHash(bloom.hash(l.longValue))
+              case x: java.lang.Float   => bloom.findHash(bloom.hash(x.floatValue))
+              case x: java.lang.Double  => bloom.findHash(bloom.hash(x.doubleValue))
+              case s: String            => bloom.findHash(bloom.hash(
+                org.apache.parquet.io.api.Binary.fromString(s)))
+              case _                    => true
+            }
+        }
+      }
+    } finally reader.close()
+  }
+
+  /** Point-lookup read with Bloom + min/max file skipping — the case a
+    * range span cannot prune (hash-distributed keys overlap every file's
+    * [min,max]) but a per-file membership sketch can. Results identical
+    * to `read(...).filter(col === value)` by construction: skipping only
+    * removes files PROVEN not to contain the value, the residual filter
+    * decides rows.
+    */
+  def readEquals(spark: SparkSession, root: String, column: String,
+                 value: Any, version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val v = version.getOrElse(currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root")))
+    val m = manifestPath(root, v)
+    require(fs(spark, m).exists(m),
+      s"version $v does not exist (never committed, or vacuumed) at $root")
+    val mk = morKeysOf(spark, root, v)
+    // merge-on-read + non-key probe: skipping a file can change which
+    // row is "latest" for a key whose newest version fails the probe —
+    // resolution must see every copy, so fall back to the resolved scan
+    // with a residual filter (key probes stay prunable: all copies of a
+    // matching key survive the file cut together)
+    if (mk.nonEmpty && !mk.contains(column))
+      return readVersion(spark, root, v).filter(col(column) === lit(value))
+    val (kept, _) = candidateFilesEquals(spark, root, v, column, value)
+    // an evolved lineage's pinned schema wins over footer inference —
+    // mixed pre/post-evolution dirs must not pick a narrow file's schema
+    val schema = tableSchema(spark, root, v)
+    val base =
+      if (kept.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else {
+        // mapped lineages: declare physical, project back to logical
+        val raw = fromPhysicalSelect(
+          spark.read.schema(physicalSchema(schema))
+            .parquet(kept.map(_.toString): _*), schema)
+        val seqd = if (mk.isEmpty) raw else raw.withColumn(MorSeqCol, morSeq)
+        val vis = applyTombstoneDirs(spark, root, tombDirsOf(spark, root, v), seqd)
+        if (mk.isEmpty) vis else resolveLatest(vis, mk)
+      }
+    base.filter(col(column) === lit(value))
+  }
+
+  /** Range read with file skipping: scan only the files whose stats span
+    * intersects [lo, hi], then apply the exact predicate as the residual
+    * filter (stats prune FILES, the filter prunes ROWS — results are
+    * identical to `read(...).filter(between)` by construction). Reads the
+    * current version unless one is pinned.
+    */
+  def readBetween(spark: SparkSession, root: String, column: String,
+                  lo: Any, hi: Any, version: Option[Long] = None): DataFrame =
+    readWhere(spark, root, Seq((column, lo, hi)), version)
+
+  /** Conjunctive range read: files must survive EVERY range's span check
+    * (the kept set is the intersection), rows must pass the AND of the
+    * exact predicates. On a Z-ordered table this is the payoff query —
+    * each Morton column prunes independently and the conjunction
+    * multiplies the selectivities.
+    */
+  def readWhere(spark: SparkSession, root: String,
+                ranges: Seq[(String, Any, Any)],
+                version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(ranges.nonEmpty, "readWhere needs at least one range")
+    val v = version.getOrElse(currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root")))
+    val m = manifestPath(root, v)
+    require(fs(spark, m).exists(m),
+      s"version $v does not exist (never committed, or vacuumed) at $root")
+    val mk = morKeysOf(spark, root, v)
+    // merge-on-read + any non-key range: see [[readEquals]] — pruning is
+    // only shadow-safe on the key columns, so resolve first otherwise
+    if (mk.nonEmpty && !ranges.forall(r => mk.contains(r._1)))
+      return ranges.foldLeft(readVersion(spark, root, v)) {
+        case (df, (c, lo, hi)) => df.filter(col(c).between(lit(lo), lit(hi)))
+      }
+    val keptSets = ranges.map { case (c, lo, hi) =>
+      candidateFiles(spark, root, v, c, lo, hi)._1.map(_.toString).toSet
+    }
+    val kept = keptSets.reduce(_ intersect _)
+    val schema = tableSchema(spark, root, v)
+    val base =
+      if (kept.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else {
+        val raw = fromPhysicalSelect(
+          spark.read.schema(physicalSchema(schema))
+            .parquet(kept.toSeq.sorted: _*), schema)
+        val seqd = if (mk.isEmpty) raw else raw.withColumn(MorSeqCol, morSeq)
+        val vis = applyTombstoneDirs(spark, root, tombDirsOf(spark, root, v), seqd)
+        if (mk.isEmpty) vis else resolveLatest(vis, mk)
+      }
+    ranges.foldLeft(base) { case (df, (c, lo, hi)) =>
+      df.filter(col(c).between(lit(lo), lit(hi)))
+    }
+  }
+
+}

@@ -26,6 +26,7 @@ object AnnRecallBench {
     val dim = args.drop(1).headOption.map(_.toInt).getOrElse(32)
     val cycles = args.drop(2).headOption.map(_.toInt).getOrElse(20)
     val shortlist = args.drop(3).headOption.map(_.toInt).getOrElse(100)
+    val kPq = args.drop(4).headOption.map(_.toInt).getOrElse(16)
     val root = java.nio.file.Files
       .createTempDirectory("graft_annrecall").toString + "/emb"
 
@@ -44,7 +45,7 @@ object AnnRecallBench {
       else SnapshotLog.appendCommit(spark, root, b, statsCols = Seq("vec_id"))
     }
     AnnIndex.build(spark, root, "ivf", k = 16, maxTrain = 4096)
-    AnnIndex.buildPq(spark, root, "ivfpq", kCells = 16, m = 8, kPq = 16)
+    AnnIndex.buildPq(spark, root, "ivfpq", kCells = 16, m = 8, kPq = kPq)
 
     // 20 maintenance cycles: upsert-with-replacement / delete / append,
     // each incrementally refreshed on BOTH indexes
@@ -87,7 +88,7 @@ object AnnRecallBench {
       val rPq = recallOf(q =>
         AnnIndex.knn(spark, root, q, 10, "ivfpq", np, shortlist = shortlist))
       println(f"[annrecall] nprobe=$np%d/16: ivf recall@10=$rIvf%.2f " +
-        f"ivfpq(shortlist $shortlist%d) recall@10=$rPq%.2f")
+        f"ivfpq(kPq=$kPq%d, shortlist $shortlist%d) recall@10=$rPq%.2f")
     }
     // session-side LSH multi-probe over the same churned corpus
     val bucketed = EmbedOps.withLshBuckets(corpus, bits = 8, tables = 8).cache()

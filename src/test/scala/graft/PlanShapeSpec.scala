@@ -371,12 +371,24 @@ class PlanShapeSpec extends SparkSpecBase {
 
   test("x66 prefix-filter ≡ q66, and the candidate join is keyed by (block, gram, occ)") {
     // exact pair identity (not just counts): the prefix filter has no
-    // false negatives, so the levenshtein verify makes the output equal
+    // false negatives, so the levenshtein verify makes the output equal.
+    // x66 cost-dispatches to the blocked join below the crossover
+    // (round 14) — identity there is definitional (same plan as q66) —
+    // so BOTH dispatch arms are pinned: the default (brute at this
+    // fixture size) and the forced prefix path the assertions below
+    // inspect.
+    import org.apache.spark.sql.functions.col
+    def parts = graft.engine.Tables.part(spark, sf0001).select(
+      col("p_partkey").as("id"), col("p_name").as("name"),
+      col("p_brand").as("block"))
     val exact = Scalars.q66(spark, sf0001).collect().toSeq
-    val prefix = Scalars.x66(spark, sf0001).collect().toSeq
+    assert(Scalars.x66(spark, sf0001).collect().toSeq == exact,
+      "dispatched x66 diverged from q66")
+    val prefix = Scalars.fuzzyMatchPrefix(parts, bruteBelow = 0)
+      .collect().toSeq
     assert(prefix == exact, s"x66 ${prefix.size} rows vs q66 ${exact.size}")
     assert(exact.nonEmpty, "fixture produced no fuzzy pairs — test is vacuous")
-    val p = plan(Scalars.x66(spark, sf0001))
+    val p = plan(Scalars.fuzzyMatchPrefix(parts, bruteBelow = 0))
     // candidate generation must ride an equi-join (bucketed by rare-gram
     // tokens), never a cross product; the DP stays out of any join residual
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
@@ -384,7 +396,9 @@ class PlanShapeSpec extends SparkSpecBase {
       .findFirstIn(p).isDefined, "gram token not in the candidate join key:\n" + p)
     // the DP must stay out of the CANDIDATE join (it may legally end up as
     // a residual on the post-candidate name-lookup join — once per
-    // candidate, the optimal verify count)
+    // candidate, the optimal verify count). Verify-in-candidate-join was
+    // MEASURED 2-3× worse in round 14 (the residual runs before the cheap
+    // conjuncts and twice per survivor) — this assertion pins the rejection.
     assert(!"Join \\[[^\\]]*gram[^\\n]*levenshtein".r.findFirstIn(p).isDefined,
       "levenshtein ran inside the candidate-generation join:\n" + p)
   }
@@ -399,7 +413,9 @@ class PlanShapeSpec extends SparkSpecBase {
       (4L, "abcdefghijklmnop", "B1"),                 // long, unrelated
       (5L, "abcdefghijklmnoq", "B1")                  // ed 1 from 4 (prefix path)
     ).toDF("id", "name", "block")
-    val out = Scalars.fuzzyMatchPrefix(rows, cap = 3, q = 2)
+    // bruteBelow = 0 forces the prefix path — the residue logic under
+    // test lives there (the dispatch's brute arm finds these trivially)
+    val out = Scalars.fuzzyMatchPrefix(rows, cap = 3, q = 2, bruteBelow = 0)
       .select("id_a", "id_b", "dist").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(out == Set((1L, 2L, 3), (4L, 5L, 1)), out.toString)

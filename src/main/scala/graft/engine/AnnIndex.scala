@@ -267,9 +267,17 @@ object AnnIndex {
     * the table itself. Training (coarse cells + residual codebook) is
     * one bounded sample, driver-side; the corpus pays a single
     * assign+encode pass.
+    *
+    * `kPq` defaults to 256 (8-bit subquantizers, the Faiss default —
+    * round 14): codes are unsigned bytes, so the full 256-codeword
+    * codebook costs the SAME m bytes/vector as 16 codewords while
+    * cutting ADC quantization error — measured recall@10 at shortlist
+    * 100 on a 40k tie-dense corpus: 0.30 vs 0.12 at kPq=16
+    * (tools/AnnRecallBench); the codebook itself stays tiny
+    * (m × 256 × dsub floats).
     */
   def buildPq(spark: SparkSession, root: String, name: String = "ivfpq",
-              kCells: Int = 16, m: Int = 8, kPq: Int = 16,
+              kCells: Int = 16, m: Int = 8, kPq: Int = 256,
               cellIters: Int = 8, pqIters: Int = 8, maxTrain: Int = 4096,
               idCol: String = "vec_id", vecCol: String = "embedding"): Long =
     withAnnLock(spark, root, name) {

@@ -423,9 +423,12 @@ object VectorFunctions {
     override def checkInputDataTypes(): TypeCheckResult =
       if (children.forall(_.dataType.isInstanceOf[ArrayType]) &&
           children.forall(_.dataType.asInstanceOf[ArrayType].elementType == FloatType)) {
-        if (m >= 1 && k >= 1 && k <= 127) TypeCheckResult.TypeCheckSuccess
+        // codes are UNSIGNED bytes since round 14 (decoders mask with
+        // 0xFF), so a full 8-bit codebook — k = 256, the Faiss default
+        // precision — fits the same m-byte storage
+        if (m >= 1 && k >= 1 && k <= 256) TypeCheckResult.TypeCheckSuccess
         else TypeCheckResult.TypeCheckFailure(
-          s"$prettyName requires m >= 1 and 1 <= k <= 127, got m=$m k=$k")
+          s"$prettyName requires m >= 1 and 1 <= k <= 256, got m=$m k=$k")
       } else
         TypeCheckResult.TypeCheckFailure(
           s"$prettyName requires ARRAY<FLOAT> vec and centroids arguments, got " +

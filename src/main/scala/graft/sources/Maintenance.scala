@@ -165,16 +165,25 @@ object Maintenance {
     * version it now covers.
     */
   def refreshAll(spark: SparkSession, root: String): Map[String, Long] = {
-    val views = registeredViews(spark, root).toSeq.sortBy(_._1).map {
-      case (name, spec) =>
-        refreshView(spark, root, spec)
-        val at = SnapshotLog.lastBatchId(spark, spec.viewRoot).getOrElse(0L)
-        s"view:$name" -> at
-    }
     val anns = graft.engine.AnnIndex.indexes(spark, root).map {
       case (name, _) =>
         s"ann:$name" -> graft.engine.AnnIndex.refresh(spark, root, name)
     }
-    (views ++ anns).toMap
+    (refreshRegisteredViews(spark, root).map {
+      case (n, v) => s"view:$n" -> v
+    }.toSeq ++ anns).toMap
   }
+
+  /** The view half of [[refreshAll]]: advance every REGISTERED view to
+    * the source head (the streaming sink's `mvRefresh` rides this —
+    * its ANN half has its own option). Returns view name → the source
+    * version it now incorporates.
+    */
+  def refreshRegisteredViews(spark: SparkSession,
+                             root: String): Map[String, Long] =
+    registeredViews(spark, root).toSeq.sortBy(_._1).map {
+      case (name, spec) =>
+        refreshView(spark, root, spec)
+        name -> SnapshotLog.lastBatchId(spark, spec.viewRoot).getOrElse(0L)
+    }.toMap
 }

@@ -70,7 +70,8 @@ private[streaming] class GraftSink(root: String, mode: String,
                                    mor: Boolean,
                                    statsCols: Seq[String],
                                    bloomCols: Seq[String],
-                                   annRefresh: Option[String]) extends Sink {
+                                   annRefresh: Option[String],
+                                   mvRefresh: Boolean = false) extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val spark = data.sparkSession
@@ -102,7 +103,26 @@ private[streaming] class GraftSink(root: String, mode: String,
         s"graft sink mode '$other' — use append, upsert, overwrite, or replace")
     }
     refreshIndexes(spark)
+    refreshViews(spark)
   }
+
+  /** `.option("mvRefresh", "true")` — advance every view REGISTERED on
+    * this table ([[graft.sources.Maintenance.registerView]]) after each
+    * committed batch, so streaming ingest keeps materialized aggregates
+    * continuously fresh (round 14; composes with annRefresh — together
+    * they are the streaming form of `CALL refresh_all`). Same failure
+    * posture as annRefresh: a refresh error logs and leaves the view
+    * one batch behind — its own cursor catches it up next batch —
+    * never failing the committed data.
+    */
+  private def refreshViews(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (mvRefresh)
+      try graft.sources.Maintenance.refreshRegisteredViews(spark, root)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[graft] mvRefresh failed (views left stale): $e")
+      }
 
   /** `.option("annRefresh", "true"|"ivf,ivfpq")` — bring the table's
     * persisted ANN indexes to the head after every committed batch, so
@@ -212,7 +232,8 @@ private[streaming] object GraftSink {
     }
     new GraftSink(root, mode, keys, partCol, mor,
       listOf("statsCols"), listOf("bloomCols"),
-      parameters.get("annRefresh").filter(_.nonEmpty))
+      parameters.get("annRefresh").filter(_.nonEmpty),
+      parameters.get("mvRefresh").exists(_.trim.equalsIgnoreCase("true")))
   }
 }
 

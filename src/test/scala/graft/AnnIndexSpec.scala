@@ -443,6 +443,32 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(got.size == 99)
   }
 
+  test("8-bit subquantizers (kPq=256, the new default) round-trip and rank exactly (r14)") {
+    // codes 128..255 persist as negative signed bytes; every decoder
+    // masks them back — a sign bug here would mis-index the ADC table
+    // or crash, so exact parity with brute force under a full probe is
+    // the strongest cheap assertion
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root, vecs(600), statsCols = Seq("vec_id"))
+    AnnIndex.buildPq(spark, root, kCells = 4, m = 8) // kPq default = 256
+    val m = AnnIndex.model(spark, root, "ivfpq").get
+    assert(m.pq.get.k == 256, s"default kPq should be 256, got ${m.pq.get.k}")
+    val q = vecs(1, offset = 77).select("embedding").head().getSeq[Float](0)
+    val got = ids(AnnIndex.knn(spark, root, q, k = 20, "ivfpq",
+      nprobe = 4, shortlist = 600))
+    val exact = ids(EmbedOps.knnBruteForce(
+      SnapshotLog.read(spark, root), q, 20))
+    assert(got == exact, s"$got != $exact")
+    // maintenance keeps decoding correctly (re-encode path)
+    SnapshotLog.appendCommit(spark, root, vecs(30, offset = 900))
+    AnnIndex.refresh(spark, root, "ivfpq")
+    val got2 = ids(AnnIndex.knn(spark, root, q, k = 20, "ivfpq",
+      nprobe = 4, shortlist = 630))
+    val exact2 = ids(EmbedOps.knnBruteForce(
+      SnapshotLog.read(spark, root), q, 20))
+    assert(got2 == exact2, s"$got2 != $exact2")
+  }
+
   test("maintenance lock: a held lock blocks refresh; release unblocks (r14)") {
     val root = freshRoot()
     SnapshotLog.commit(spark, root, vecs(80), statsCols = Seq("vec_id"))

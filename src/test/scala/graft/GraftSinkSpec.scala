@@ -339,4 +339,38 @@ class GraftSinkSpec extends SparkSpecBase {
       .collect().map(_.getLong(0)).toSeq
     assert(got.size == 43 && got.contains(1002L), s"streamed row missing")
   }
+
+  test("mvRefresh option: the sink keeps registered views continuously fresh (r14)") {
+    val dir = dirFor("mvref")
+    val root = s"$dir/facts"
+    val viewRoot = s"$dir/facts_mv"
+    SnapshotLog.commit(spark, root,
+      Seq((1L, "a", 5.0), (2L, "b", 3.0)).toDF("id", "grp", "amt"),
+      statsCols = Seq("id"))
+    graft.sources.Maintenance.registerView(spark, root, "by_grp",
+      graft.sources.Maintenance.ViewSpec(viewRoot, Seq("grp"), Seq("amt"),
+        keys = Some(Seq("id"))))
+    def viewRows(): Set[(String, Long, BigDecimal)] =
+      SnapshotLog.read(spark, viewRoot)
+        .select("grp", "n_rows", "sum_amt").collect()
+        .map(r => (r.getString(0), r.getLong(1), BigDecimal(r.getDecimal(2))))
+        .toSet
+    val stream = MemoryStream[(Long, String, Double)](spark)
+    val q = stream.toDF().toDF("id", "grp", "amt").writeStream
+      .format("graft").option("mode", "upsert").option("keys", "id")
+      .option("mvRefresh", "true")
+      .option("checkpointLocation", s"$dir/ckpt").start(root)
+    stream.addData((3L, "a", 2.0), (1L, "b", 7.0)) // insert + group-move
+    q.processAllAvailable()
+    assert(viewRows() == Set(("a", 1L, BigDecimal("2.000000")),
+      ("b", 2L, BigDecimal("10.000000"))), viewRows().toString)
+    stream.addData((2L, "b", 4.0)) // in-place update
+    q.processAllAvailable()
+    q.stop()
+    assert(viewRows() == Set(("a", 1L, BigDecimal("2.000000")),
+      ("b", 2L, BigDecimal("11.000000"))), viewRows().toString)
+    // the view is exactly at the head — CALL refresh_all has nothing left
+    assert(SnapshotLog.lastBatchId(spark, viewRoot).contains(
+      SnapshotLog.currentVersion(spark, root).get))
+  }
 }

@@ -583,6 +583,58 @@ object AnnIndex {
                nprobe: Int = 3, shortlist: Int = 100): DataFrame =
     knnImpl(spark, root, query, k, name, nprobe, shortlist, Some(predicate))
 
+  /** Same-cell NEAR-DUPLICATE pairs through the persisted index
+    * (round 14): candidate pairs are rows sharing an IVF cell — the
+    * assignments the table already maintains — scored exactly by
+    * vec_dot and thresholded. vs the session-side LSH near-dup (x41):
+    * ZERO per-run hashing or bucketing of the corpus (the cell layout
+    * is amortized into index maintenance), and pair generation reads
+    * the cell-partitioned slices with no join back to the table. The
+    * score is the dot product — cosine when the vectors are unit-norm,
+    * the same contract as [[EmbedOps.cosineNearDupPairs]].
+    *
+    * Recall contract: a qualifying pair is missed only when its two
+    * vectors land in DIFFERENT cells — at near-dup thresholds the pair
+    * is nearly collinear, so that happens only on a Voronoi boundary;
+    * AnnIndexSpec measures the bound against exact brute-force pairs
+    * (and asserts zero false positives — the verify is exact). Raise
+    * `k` at build time to trade candidate-bucket size against boundary
+    * loss. Same freshness refusal as [[knn]].
+    */
+  def nearDupPairs(spark: SparkSession, root: String, threshold: Double,
+                   name: String = "ivf"): DataFrame = {
+    VectorFunctions.register(spark)
+    val m = model(spark, root, name).getOrElse(throw new IllegalStateException(
+      s"no ANN index '$name' at $root — AnnIndex.build first"))
+    require(m.pq.isEmpty,
+      s"nearDupPairs needs stored float vectors — index '$name' is " +
+      s"'${m.kind}'; build the plain 'ivf' kind")
+    val cur = SnapshotLog.currentVersion(spark, root).getOrElse(0L)
+    require(m.indexedVersion == cur,
+      s"ANN index '$name' covers v${m.indexedVersion} but the table is " +
+      s"at v$cur — AnnIndex.refresh(...) first")
+    import org.apache.spark.sql.types._
+    val idType = SnapshotLog.readVersion(spark, root, cur)
+      .schema.find(_.name.equalsIgnoreCase(m.idCol)).map(_.dataType)
+      .getOrElse(LongType)
+    if (m.slices.exists(_.forall(!_.startsWith("assign_v"))))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("id_a", idType), StructField("id_b", idType),
+          StructField("cosine", DoubleType))))
+    val a = assignments(spark, root, name, m)
+    val l = a.select(col("cell"), col(m.idCol).as("id_a"),
+      col(m.vecCol).as("vec_a"))
+    val r = a.select(col("cell").as("cell_b"), col(m.idCol).as("id_b"),
+      col(m.vecCol).as("vec_b"))
+    l.join(r, col("cell") === col("cell_b") && col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        call_function("vec_dot", col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+      .orderBy("id_a", "id_b")
+  }
+
   private def knnImpl(spark: SparkSession, root: String, query: Seq[Float],
                       k: Int, name: String, nprobe: Int, shortlist: Int,
                       pred: Option[Column]): DataFrame = {

@@ -50,6 +50,16 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GraftSqlRule.lowerAnnKnn(
           org.apache.spark.sql.SparkSession.active, args)))
+    // index-amortized near-duplicate candidates (round 14):
+    // `SELECT * FROM ann_near_dup('ns.t', 0.9)` — same-cell pairs of
+    // the persisted IVF index, exact-scored and thresholded
+    ext.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("ann_near_dup"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.sql.GraftSqlRule", "ann_near_dup"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftSqlRule.lowerAnnNearDup(
+          org.apache.spark.sql.SparkSession.active, args)))
     // the codegen'd vector kernels (vec_dot, vec_norm_sq, vec_lsh,
     // vec_lsh_probe, vec_pq_encode, vec_pq_adc) become ordinary SQL
     // functions in extension-configured sessions — the same registry

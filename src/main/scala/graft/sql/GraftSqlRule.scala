@@ -594,6 +594,41 @@ object GraftSqlRule {
     }
   }
 
+  /** `ann_near_dup('ns.t', threshold [, index_name])` — same-cell
+    * near-duplicate pairs through the persisted IVF index (round 14):
+    * [[graft.engine.AnnIndex.nearDupPairs]] as a TVF, so SQL users get
+    * index-amortized dedup candidates without per-run hashing.
+    */
+  private[sql] def lowerAnnNearDup(
+      session: SparkSession,
+      args: Seq[Expression]): LogicalPlan = {
+    def str(e: Expression, what: String): String = e match {
+      case Literal(s, org.apache.spark.sql.types.StringType) if s != null =>
+        s.toString
+      case other => throw new IllegalArgumentException(
+        s"ann_near_dup: $what must be a string literal, got $other")
+    }
+    def dbl(e: Expression, what: String): Double = e match {
+      case Literal(v, dt)
+          if v != null && dt.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+        v match {
+          case d: org.apache.spark.sql.types.Decimal => d.toDouble
+          case x => x.toString.toDouble
+        }
+      case other => throw new IllegalArgumentException(
+        s"ann_near_dup: $what must be a numeric literal, got $other")
+    }
+    require(args.length == 2 || args.length == 3,
+      s"ann_near_dup(table, threshold[, index_name]) takes 2 or 3 " +
+      s"arguments, got ${args.length}")
+    val root = resolveGraftRoot(session, str(args(0), "table name"),
+      "ann_near_dup")
+    val threshold = dbl(args(1), "threshold")
+    val name = if (args.length == 3) str(args(2), "index_name") else "ivf"
+    graft.engine.AnnIndex.nearDupPairs(session, root, threshold, name)
+      .queryExecution.analyzed
+  }
+
   /** Resolve a (possibly catalog-qualified) table name string to its
     * snapshot-log root through a graft catalog — the TVF shared step.
     */

@@ -56,14 +56,22 @@ object PlanningBench {
       val fake = spark.range(1, n + 1L)
         .select(concat(lit(dirBase + "/part-fake-"), col("id"),
           lit(".parquet")).as("k0"), col("id"))
+      // FOUR stats columns per file (the realistic shape — a table
+      // tracks several skip columns): probes on `k` alone must leave
+      // the other columns' rows on disk (the predicate-column filter)
+      val statCols = Seq("k", "c2", "c3", "c4")
       val fakeRows = fake.select(col("k0").as("k"), lit("").as("c"),
           lit("f").as("t"), lit("1048576").as("a"), lit("0").as("b"))
-        .unionAll(fake.select(col("k0").as("k"), lit("k").as("c"),
-          lit("n").as("t"),
-          (col("id") * 1000L).cast("string").as("a"),
-          (col("id") * 1000L + 999L).cast("string").as("b")))
-        .unionAll(fake.select(col("k0").as("k"), lit("k").as("c"),
-          lit("z").as("t"), lit("0").as("a"), lit("1000").as("b")))
+        .unionAll(statCols.map(sc =>
+          fake.select(col("k0").as("k"), lit(sc).as("c"),
+            lit("n").as("t"),
+            (col("id") * 1000L).cast("string").as("a"),
+            (col("id") * 1000L + 999L).cast("string").as("b")))
+          .reduce(_ unionAll _))
+        .unionAll(statCols.map(sc =>
+          fake.select(col("k0").as("k"), lit(sc).as("c"),
+            lit("z").as("t"), lit("0").as("a"), lit("1000").as("b")))
+          .reduce(_ unionAll _))
       val pqDir = SnapshotLog.statsPqPath(root, head)
       fakeRows.repartition(16).write.mode("append").parquet(pqDir.toString)
 

@@ -469,6 +469,52 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(got2 == exact2, s"$got2 != $exact2")
   }
 
+  test("nearDupPairs: index-amortized near-dup candidates, exact-verified (r14)") {
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root, vecs(400), statsCols = Seq("vec_id"))
+    AnnIndex.build(spark, root, k = 4)
+    import org.apache.spark.sql.functions.{call_function, col}
+    def exactPairs(threshold: Double): Set[(Long, Long)] = {
+      graft.functions.VectorFunctions.register(spark)
+      val t = SnapshotLog.read(spark, root)
+      val a = t.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+      val b = t.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("cosine", call_function("vec_dot", col("vec_a"), col("vec_b")))
+        .filter(col("cosine") >= threshold)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val threshold = 0.995
+    val exact = exactPairs(threshold)
+    assert(exact.nonEmpty, "fixture produced no near-dup pairs — vacuous")
+    val got = AnnIndex.nearDupPairs(spark, root, threshold)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact verify ⇒ NO false positives; same-cell candidates ⇒ recall
+    // bounded by Voronoi-boundary splits — on the 4-cluster fixture
+    // with k=4 cells the clusters and cells align, so recall is total
+    assert(got.subsetOf(exact), s"false positives: ${got -- exact}")
+    assert(got == exact,
+      s"missed ${(exact -- got).size} of ${exact.size} boundary pairs")
+    // staleness refuses; refresh repairs; pairs stay exact after churn
+    SnapshotLog.appendCommit(spark, root, vecs(20, offset = 400))
+    intercept[IllegalArgumentException] {
+      AnnIndex.nearDupPairs(spark, root, threshold)
+    }
+    AnnIndex.refresh(spark, root)
+    val got2 = AnnIndex.nearDupPairs(spark, root, threshold)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 == exactPairs(threshold), "post-churn pairs diverged")
+    // the ivfpq kind refuses loudly (codes, not vectors)
+    AnnIndex.buildPq(spark, root, kCells = 4, m = 4, kPq = 8)
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.nearDupPairs(spark, root, threshold, "ivfpq")
+    }
+    assert(e.getMessage.contains("float vectors"), e.getMessage)
+  }
+
   test("maintenance lock: a held lock blocks refresh; release unblocks (r14)") {
     val root = freshRoot()
     SnapshotLog.commit(spark, root, vecs(80), statsCols = Seq("vec_id"))

@@ -1698,6 +1698,34 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ann_near_dup TVF: index-amortized near-dup pairs through SQL (round 14)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
+    sql("CREATE TABLE graft.ns.embnd (vec_id BIGINT, embedding ARRAY<FLOAT>)")
+    // four tight clusters around the axes: near-dups live inside a
+    // cluster; cross-cluster cosines are far below the threshold
+    sql("""INSERT INTO graft.ns.embnd
+           SELECT id AS vec_id,
+                  transform(sequence(0, 7), d ->
+                    cast(if(d = id % 4, 1.0, 0.001 * pmod(id + d, 5)) AS FLOAT))
+                    AS embedding
+           FROM range(40)""")
+    sql("CALL graft.system.ann_build('ns.embnd', 'vec_id', 'embedding', 4)")
+    val pairs = sql("SELECT * FROM ann_near_dup('graft.ns.embnd', 0.999)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.nonEmpty, "no near-dup pairs found")
+    // every pair is same-cluster (id % 4 equal) and canonicalized
+    assert(pairs.forall { case (a, b) => a < b && a % 4 == b % 4 },
+      pairs.toString)
+    // staleness refuses through SQL too
+    sql("INSERT INTO graft.ns.embnd VALUES (999, array(" +
+      (0 until 8).map(d => s"cast(${if (d == 0) 1.0 else 0.0} as float)")
+        .mkString(",") + "))")
+    val e = intercept[Exception] {
+      sql("SELECT * FROM ann_near_dup('graft.ns.embnd', 0.999)").collect()
+    }
+    assert(e.getMessage.contains("refresh"), e.getMessage)
+  }
+
   test("register_view / refresh_all: the derived surface converges through SQL (round 14)") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
     sql("""CREATE TABLE graft.ns.rfacts

@@ -1487,7 +1487,12 @@ private[sources] trait SnapshotLogTracking { self: SnapshotLog.type =>
         // upstream footer-reading stage into one serial task (measured
         // +45% on commit wall time); the shuffle barrier keeps the
         // footer IO parallel and only the tiny write single-tasked
+        // sorted by (t, c) so the planning scans' pushed filters
+        // (t IN (f,d) for the listing; c IN probed-columns for the
+        // verdict job) skip whole row groups via parquet min/max
+        // (round 14 — the PlanningBench 'future constant')
         parseStatsLines(allDs).repartition(1)
+          .sortWithinPartitions("t", "c")
           .write.mode("overwrite").parquet(tmp.toString)
         val dst = statsPqPath(root, v)
         if (lf.exists(dst)) lf.delete(dst, true)
@@ -1543,7 +1548,8 @@ private[sources] trait SnapshotLogTracking { self: SnapshotLog.type =>
       val tmp = new Path(logDir(root), f".tmp_statspq_v$v%08d")
       val lf = fs(spark, tmp)
       if (lf.exists(tmp)) lf.delete(tmp, true)
-      parseStatsLines(allDs).write.mode("overwrite").parquet(tmp.toString)
+      parseStatsLines(allDs).sortWithinPartitions("t", "c")
+        .write.mode("overwrite").parquet(tmp.toString)
       val dst = statsPqPath(root, v)
       if (lf.exists(dst)) lf.delete(dst, true)
       if (!lf.rename(tmp, dst))

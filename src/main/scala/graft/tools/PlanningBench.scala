@@ -73,7 +73,10 @@ object PlanningBench {
             lit("z").as("t"), lit("0").as("a"), lit("1000").as("b")))
           .reduce(_ unionAll _))
       val pqDir = SnapshotLog.statsPqPath(root, head)
-      fakeRows.repartition(16).write.mode("append").parquet(pqDir.toString)
+      // mirror the real writer's (t, c) clustering (round 14): the
+      // planning scans' pushed filters then skip whole row groups
+      fakeRows.repartition(16).sortWithinPartitions("t", "c")
+        .write.mode("append").parquet(pqDir.toString)
 
       val heap0 = usedHeapMb()
       def planForced(pred: org.apache.spark.sql.Column): (Double, Long) = {

@@ -613,15 +613,26 @@ object AnnIndex {
     require(m.indexedVersion == cur,
       s"ANN index '$name' covers v${m.indexedVersion} but the table is " +
       s"at v$cur — AnnIndex.refresh(...) first")
-    import org.apache.spark.sql.types._
-    val idType = SnapshotLog.readVersion(spark, root, cur)
-      .schema.find(_.name.equalsIgnoreCase(m.idCol)).map(_.dataType)
-      .getOrElse(LongType)
-    if (m.slices.exists(_.forall(!_.startsWith("assign_v"))))
+    // the same no-assignments guard as knnImpl — covering BOTH the
+    // published-empty-slices case and the legacy (slices=None) model
+    // whose dir listing has no live assign dirs; the table-schema probe
+    // for the empty frame's id type runs only inside this rare branch
+    val hasAssignments = m.slices match {
+      case Some(ls) => ls.exists(_.startsWith("assign_v"))
+      case None => sliceDirs(spark, annDir(root, name)).exists(p =>
+        p.getName.startsWith("assign_v") &&
+          sliceVersion(p.getName) <= m.indexedVersion)
+    }
+    if (!hasAssignments) {
+      import org.apache.spark.sql.types._
+      val idType = SnapshotLog.readVersion(spark, root, cur)
+        .schema.find(_.name.equalsIgnoreCase(m.idCol)).map(_.dataType)
+        .getOrElse(LongType)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("id_a", idType), StructField("id_b", idType),
           StructField("cosine", DoubleType))))
+    }
     val a = assignments(spark, root, name, m)
     val l = a.select(col("cell"), col(m.idCol).as("id_a"),
       col(m.vecCol).as("vec_a"))

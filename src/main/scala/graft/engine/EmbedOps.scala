@@ -820,7 +820,13 @@ object EmbedOps {
       while (t < v.length) { r(t) = v(t) - cents(bi)(t).toFloat; t += 1 }
       r
     }
-    val model = pqTrainOnVectors(residuals, m, kPq, pqIters)
+    // clamp the codebook to the training sample (round 14): the 256-
+    // codeword default would otherwise hard-fail any corpus with fewer
+    // than 256 sampled vectors — a small corpus simply gets as many
+    // codewords as it has training points (quantization is then exact
+    // on the sample, so the clamp can only help recall there)
+    val kPqEff = math.min(kPq, residuals.length)
+    val model = pqTrainOnVectors(residuals, m, kPqEff, pqIters)
     import spark.implicits._
     val centsDf = cents.zipWithIndex
       .map { case (c, i) => (i, c.map(_.toFloat).toSeq) }.toSeq

@@ -259,6 +259,12 @@ object Scalars {
     * corpus-shape-dependent (longer strings / richer alphabets push it
     * DOWN); override per corpus.
     */
+  /** Rarity-table broadcast cap: ~1M (gram, occ) rows ≈ 30 MB —
+    * comfortably broadcastable; beyond it the lookup stays a shuffle
+    * join (wide-alphabet corpora where the domain is corpus-scaled).
+    */
+  private val FreqBroadcastMax = 1 << 20
+
   def fuzzyMatchPrefix(rows: DataFrame, cap: Int = 3, q: Int = 2,
                        bruteBelow: Long = 32768): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -274,7 +280,8 @@ object Scalars {
     // outgrows the candidate buckets. The probe is a LIMIT-bounded
     // count ("are there more than bruteBelow rows?"), so a 100 TB input
     // answers it from its first partitions, never a full count
-    if (rows.limit(bruteBelow.toInt + 1).count() <= bruteBelow) {
+    val probeN = math.min(bruteBelow, Int.MaxValue.toLong - 1).toInt + 1
+    if (rows.limit(probeN).count() <= bruteBelow) {
       val a = base.select(col("id").as("id_a"), col("name").as("name_a"),
         col("block"))
       val b = base.select(col("id").as("id_b"), col("name").as("name_b"),
@@ -311,12 +318,23 @@ object Scalars {
     // ≤ |alphabet|^q × max occurrences per string, NOT corpus-sized —
     // so the rarity lookup is a BROADCAST hash join (round 14): the
     // token frame is never shuffled on (gram, occ).
+    // the aggregate is pinned so the bounded size probe below and the
+    // rarity join compute it once
     val freq = toks.groupBy("gram", "occ").agg(count(lit(1)).as("freq"))
+      .localCheckpoint(eager = false)
+    // broadcast only when the domain PROVES bounded (round 14, review):
+    // a wide-alphabet corpus (CJK bigrams) makes (gram, occ) corpus-
+    // scaled, and a forced broadcast would bypass Spark's size guard
+    // rails exactly on the large-corpus path — the probe is one
+    // LIMIT-bounded count over the pinned aggregate
+    val freqBounded =
+      freq.limit(FreqBroadcastMax + 1).count() <= FreqBroadcastMax
+    val freqSide = if (freqBounded) broadcast(freq) else freq
     // both sides of the candidate self-join read this frame — pin it
     // (lazy localCheckpoint, MinHashLsh.nearDuplicates house style) so
     // the tokenize + freq join + rank window run once, not per side
     val prefix = toks
-      .join(broadcast(freq), Seq("gram", "occ"))
+      .join(freqSide, Seq("gram", "occ"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("id").orderBy(col("freq"), col("gram"), col("occ"))))
       .filter(col("rank") <= prefixLen)

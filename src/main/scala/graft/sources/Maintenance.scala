@@ -53,8 +53,12 @@ object Maintenance {
     new Path(new Path(root.replaceAll("/+$", ""), "_graft_log"), "artifacts")
 
   private def artifactPath(root: String, name: String): Path = {
-    require(name.nonEmpty && !name.contains("/"),
-      s"artifact name must be a plain token, got '$name'")
+    // a leading dot would register durably yet be INVISIBLE to the
+    // registry listing (dot files are temp debris there) and could
+    // collide with the .tmp_ staging convention — refuse loudly
+    require(name.nonEmpty && !name.contains("/") && !name.startsWith("."),
+      s"artifact name must be a plain token (no '/', no leading '.'), " +
+      s"got '$name'")
     new Path(artifactsDir(root), name)
   }
 

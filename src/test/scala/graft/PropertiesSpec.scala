@@ -223,7 +223,11 @@ object PropertiesSpec extends Properties("graft") {
         spark.sparkContext.parallelize(rows, 2),
         StructType(Seq(StructField("id", LongType), StructField("name", StringType),
                        StructField("block", StringType))))
-      val got = graft.engine.Scalars.fuzzyMatchPrefix(df, cap = 3, q = 2)
+      // bruteBelow = 0 forces the PREFIX path: the property guards its
+      // no-false-negative construction; the dispatch's brute arm is
+      // q66's plan and trivially equal (round 14, review)
+      val got = graft.engine.Scalars.fuzzyMatchPrefix(df, cap = 3, q = 2,
+        bruteBelow = 0)
         .select("id_a", "id_b", "dist").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
       val want = (for {

@@ -224,6 +224,45 @@ class ReadPrunedSpec extends SparkSpecBase {
       s"broad probe must ship the empty pruned set, got '${SnapshotLog.lastPlanPrune}'")
   }
 
+  test("planning-state cache: repeat reads of a version recompute nothing (round 14)") {
+    val root = chain()
+    def misses = SnapshotLog.planInputsMisses
+    def rows(pred: org.apache.spark.sql.Column) =
+      SnapshotLog.readPruned(spark, root).filter(pred).collect()
+        .map(_.toSeq).toSet
+    val m0 = misses
+    val first = rows(col("k") === 7)
+    assert(misses > m0, "first read must compute the planning inputs")
+    val m1 = misses
+    // repeated reads — same version, ANY predicate — replan from cache
+    assert(rows(col("k") === 7) == first)
+    assert(rows(col("k").between(110, 120)).nonEmpty)
+    assert(misses == m1, "repeat reads recomputed the planning inputs")
+    // a new commit is a new version → one fresh compute, correct rows
+    SnapshotLog.appendCommit(spark, root,
+      Seq((999, "w999")).toDF("k", "w").coalesce(1),
+      statsCols = Seq("k", "w"))
+    assert(rows(col("k") === 999) == Set(Seq(999, "w999")))
+    assert(misses == m1 + 1, "new version must compute exactly once")
+    // DROP + re-create at the same path restarts version numbers: the
+    // manifest-identity key must refuse the old table's cached listing
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(root), true)
+    SnapshotLog.commit(spark, root,
+      Seq((1, "fresh")).toDF("k", "w").coalesce(1),
+      statsCols = Seq("k", "w"))
+    assert(rows(col("k") === 1) == Set(Seq(1, "fresh")),
+      "cache served the dropped table's listing")
+    // disabled → every read recomputes
+    spark.conf.set("spark.graft.plan.cache", "false")
+    try {
+      val m2 = misses
+      rows(col("k") === 1); rows(col("k") === 1)
+      assert(misses == m2, "uncached path must not touch the counter")
+    } finally spark.conf.unset("spark.graft.plan.cache")
+  }
+
   test("property: arbitrary ranges keep parity with the unpruned read") {
     val root = chain()
     val rnd = new scala.util.Random(7)

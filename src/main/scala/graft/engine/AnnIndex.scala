@@ -249,7 +249,7 @@ object AnnIndex {
     writeAssignments(assigned, new Path(dir, assignDirName(cur)),
       idCol, vecCol)
     writeModel(spark, root, name,
-      Model("ivf", k, dim, cur, idCol, vecCol, cents,
+      Model("ivf", cents.length, dim, cur, idCol, vecCol, cents,
         slices = Some(Seq(assignDirName(cur)))))
     cur
   }
@@ -296,7 +296,9 @@ object AnnIndex {
     val f = fs(spark, dir)
     if (f.exists(dir)) f.delete(dir, true)
     writeCodeAssignments(encoded, new Path(dir, assignDirName(cur)), idCol)
-    writeModel(spark, root, name, Model("ivfpq", kCells, dim, cur, idCol,
+    // the model records the ACTUAL cell count — the sampled trainer may
+    // clamp kCells to the training sample on small corpora (round 14)
+    writeModel(spark, root, name, Model("ivfpq", index.cells.length, dim, cur, idCol,
       vecCol, index.cells, Some(index.model),
       slices = Some(Seq(assignDirName(cur)))))
     cur
@@ -583,6 +585,30 @@ object AnnIndex {
                nprobe: Int = 3, shortlist: Int = 100): DataFrame =
     knnImpl(spark, root, query, k, name, nprobe, shortlist, Some(predicate))
 
+  /** Does the published model have any LIVE assignment slice? (Some =
+    * the pointer's list; None = a legacy model's version-filtered dir
+    * listing.) Shared by [[knn]] and [[nearDupPairs]] so slice-liveness
+    * semantics cannot diverge between the two read paths (round 14).
+    */
+  private def hasLiveAssignments(spark: SparkSession, root: String,
+                                 name: String, m: Model): Boolean =
+    m.slices match {
+      case Some(ls) => ls.exists(_.startsWith("assign_v"))
+      case None => sliceDirs(spark, annDir(root, name)).exists(p =>
+        p.getName.startsWith("assign_v") &&
+          sliceVersion(p.getName) <= m.indexedVersion)
+    }
+
+  /** The table's id-column type, for typing the empty result frames —
+    * a full read-plan construction, so call it only in the rare
+    * no-assignments branch.
+    */
+  private def tableIdType(spark: SparkSession, root: String, cur: Long,
+                          m: Model): org.apache.spark.sql.types.DataType =
+    SnapshotLog.readVersion(spark, root, cur)
+      .schema.find(_.name.equalsIgnoreCase(m.idCol)).map(_.dataType)
+      .getOrElse(org.apache.spark.sql.types.LongType)
+
   /** Same-cell NEAR-DUPLICATE pairs through the persisted index
     * (round 14): candidate pairs are rows sharing an IVF cell — the
     * assignments the table already maintains — scored exactly by
@@ -613,21 +639,9 @@ object AnnIndex {
     require(m.indexedVersion == cur,
       s"ANN index '$name' covers v${m.indexedVersion} but the table is " +
       s"at v$cur — AnnIndex.refresh(...) first")
-    // the same no-assignments guard as knnImpl — covering BOTH the
-    // published-empty-slices case and the legacy (slices=None) model
-    // whose dir listing has no live assign dirs; the table-schema probe
-    // for the empty frame's id type runs only inside this rare branch
-    val hasAssignments = m.slices match {
-      case Some(ls) => ls.exists(_.startsWith("assign_v"))
-      case None => sliceDirs(spark, annDir(root, name)).exists(p =>
-        p.getName.startsWith("assign_v") &&
-          sliceVersion(p.getName) <= m.indexedVersion)
-    }
-    if (!hasAssignments) {
+    if (!hasLiveAssignments(spark, root, name, m)) {
       import org.apache.spark.sql.types._
-      val idType = SnapshotLog.readVersion(spark, root, cur)
-        .schema.find(_.name.equalsIgnoreCase(m.idCol)).map(_.dataType)
-        .getOrElse(LongType)
+      val idType = tableIdType(spark, root, cur, m)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("id_a", idType), StructField("id_b", idType),
@@ -662,13 +676,7 @@ object AnnIndex {
     // model (slices=None) whose dir listing has no assign_v* dirs at or
     // below the indexed version gets the same clean empty answer
     // instead of a reduce-on-empty crash (round 14 — ADVICE r13)
-    val hasAssignments = m.slices match {
-      case Some(ls) => ls.exists(_.startsWith("assign_v"))
-      case None => sliceDirs(spark, annDir(root, name)).exists(p =>
-        p.getName.startsWith("assign_v") &&
-          sliceVersion(p.getName) <= m.indexedVersion)
-    }
-    if (!hasAssignments) {
+    if (!hasLiveAssignments(spark, root, name, m)) {
       import org.apache.spark.sql.types._
       val idType = SnapshotLog.readVersion(spark, root, cur)
         .schema.find(_.name.equalsIgnoreCase(m.idCol)).map(_.dataType)

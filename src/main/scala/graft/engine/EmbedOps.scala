@@ -809,7 +809,12 @@ object EmbedOps {
     val spark = corpus.sparkSession
     VectorFunctions.register(spark)
     val sample = trainingSample(corpus, maxTrain, idCol, vecCol)
-    val cents = sphericalKmeans(sample, kCells, cellIters)
+    // clamp BOTH quantizers to the sample (round 14, review): the
+    // coarse k-means and the residual codebook each hard-require
+    // sample ≥ k — a small corpus gets as many cells/codewords as it
+    // has training points instead of a refusal
+    val kCellsEff = math.min(kCells, sample.length)
+    val cents = sphericalKmeans(sample, kCellsEff, cellIters)
     val residuals = sample.map { v =>
       val p = v.map(_.toDouble)
       var bi = 0; var bs = Double.NegativeInfinity

@@ -196,6 +196,12 @@ object Scalars {
       .orderBy("id_a", "id_b")
   }
 
+  /** Rarity-table broadcast cap: ~1M (gram, occ) rows ≈ 30 MB —
+    * comfortably broadcastable; beyond it the lookup stays a shuffle
+    * join (wide-alphabet corpora where the domain is corpus-scaled).
+    */
+  private val FreqBroadcastMax = 1 << 20
+
   /** x66 — the scale-safe twin of q66: COST-DISPATCHED fuzzy matching.
     * Small inputs take the blocked all-pairs join (the measured winner
     * there — see crossover below); past the crossover, q-gram
@@ -259,12 +265,6 @@ object Scalars {
     * corpus-shape-dependent (longer strings / richer alphabets push it
     * DOWN); override per corpus.
     */
-  /** Rarity-table broadcast cap: ~1M (gram, occ) rows ≈ 30 MB —
-    * comfortably broadcastable; beyond it the lookup stays a shuffle
-    * join (wide-alphabet corpora where the domain is corpus-scaled).
-    */
-  private val FreqBroadcastMax = 1 << 20
-
   def fuzzyMatchPrefix(rows: DataFrame, cap: Int = 3, q: Int = 2,
                        bruteBelow: Long = 32768): DataFrame = {
     import org.apache.spark.sql.expressions.Window

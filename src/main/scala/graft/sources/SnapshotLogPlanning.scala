@@ -287,20 +287,26 @@ private[sources] trait SnapshotLogPlanning { self: SnapshotLog.type =>
       : (Option[Seq[org.apache.hadoop.fs.FileStatus]], SpanSource) = {
     if (spark.conf.get("spark.graft.plan.cache", "true") != "true")
       return planInputsUncached(spark, root, v)
-    // the key carries the MANIFEST FILE's identity (length + mtime —
-    // one stat call): committed version numbers are never reused on a
-    // live table, but a table DROPPED and re-created at the same path
+    // the key carries the MANIFEST's content identity (a hash of its
+    // bytes — one SMALL read, worth it next to the O(files) listing it
+    // guards): committed version numbers are never reused on a live
+    // table, but a table DROPPED and re-created at the same path
     // restarts numbering, and serving the old table's listing would be
-    // silent corruption. A missing manifest (orphan / vacuumed version)
-    // bypasses the cache entirely — the uncached path fails with its
-    // own clean error and nothing poisonous is stored.
-    val mp = manifestPath(root, v)
-    val mf = fs(spark, mp)
+    // silent corruption. Content identity (not length+mtime — coarse
+    // object-store mtimes and fixed-width manifests can collide within
+    // a second) makes the collision require an identical manifest,
+    // which names identical data dirs. A missing manifest (orphan /
+    // vacuumed version) bypasses the cache entirely — the uncached
+    // path fails with its own clean error and nothing poisonous is
+    // stored.
+    // readManifest refuses a missing version loudly (require) — treat
+    // that as a cache bypass; the uncached path raises the same clean
+    // error itself
     val ident =
-      try { val st = mf.getFileStatus(mp); (st.getLen, st.getModificationTime) }
-      catch { case _: java.io.FileNotFoundException =>
+      try readManifest(spark, root, v).hashCode.toLong
+      catch { case _: IllegalArgumentException | _: java.io.FileNotFoundException =>
         return planInputsUncached(spark, root, v) }
-    val key = (root.replaceAll("/+$", ""), v, ident._1, ident._2)
+    val key = (root.replaceAll("/+$", ""), v, ident, 0L)
     Option(planCache.get(key)).flatMap(r => Option(r.get())) match {
       case Some(hit) => hit
       case None =>

@@ -469,6 +469,23 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(got2 == exact2, s"$got2 != $exact2")
   }
 
+  test("default buildPq works on a tiny corpus — quantizers clamp to the sample (r14)") {
+    // kCells=16 / kPq=256 defaults on 10 vectors used to hard-fail in
+    // the sampled trainers; both now clamp to the training sample and
+    // the MODEL records the ACTUAL counts
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root, vecs(10), statsCols = Seq("vec_id"))
+    AnnIndex.buildPq(spark, root) // all defaults
+    val m = AnnIndex.model(spark, root, "ivfpq").get
+    assert(m.k <= 10 && m.centroids.length == m.k,
+      s"model k=${m.k} vs ${m.centroids.length} centroids")
+    assert(m.pq.get.k <= 10, s"pq codebook ${m.pq.get.k} > sample")
+    val q = vecs(1, offset = 3).select("embedding").head().getSeq[Float](0)
+    val got = ids(AnnIndex.knn(spark, root, q, k = 10, "ivfpq",
+      nprobe = m.k, shortlist = 10))
+    assert(got.toSet == (0L until 10L).toSet, got.toString)
+  }
+
   test("nearDupPairs: index-amortized near-dup candidates, exact-verified (r14)") {
     val root = freshRoot()
     SnapshotLog.commit(spark, root, vecs(400), statsCols = Seq("vec_id"))

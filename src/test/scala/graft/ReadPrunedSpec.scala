@@ -245,14 +245,21 @@ class ReadPrunedSpec extends SparkSpecBase {
     assert(rows(col("k") === 999) == Set(Seq(999, "w999")))
     assert(misses == m1 + 1, "new version must compute exactly once")
     // DROP + re-create at the same path restarts version numbers: the
-    // manifest-identity key must refuse the old table's cached listing
+    // manifest-identity key must refuse the old table's cached listing.
+    // The recreated table is committed up to the SAME version number
+    // the reads above cached (head = 5) — with a bare (root, version)
+    // key this read would hit the dropped table's entry and fail
     val f = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     f.delete(new org.apache.hadoop.fs.Path(root), true)
-    SnapshotLog.commit(spark, root,
-      Seq((1, "fresh")).toDF("k", "w").coalesce(1),
-      statsCols = Seq("k", "w"))
-    assert(rows(col("k") === 1) == Set(Seq(1, "fresh")),
+    (1 to 5).foreach { i =>
+      val b = Seq((i, s"fresh$i")).toDF("k", "w").coalesce(1)
+      if (i == 1) SnapshotLog.commit(spark, root, b, statsCols = Seq("k", "w"))
+      else SnapshotLog.appendCommit(spark, root, b, statsCols = Seq("k", "w"))
+    }
+    assert(SnapshotLog.currentVersion(spark, root).contains(5L),
+      "fixture must land on the previously cached version number")
+    assert(rows(col("k") === 1) == Set(Seq(1, "fresh1")),
       "cache served the dropped table's listing")
     // disabled → every read recomputes
     spark.conf.set("spark.graft.plan.cache", "false")

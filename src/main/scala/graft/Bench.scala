@@ -153,7 +153,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cpus":"$cpus"}"""
+    // The full per-query line is ~4.5 KB at 116 queries; the driver's
+    // BENCH_r{N}.json keeps only a ~2 KB stdout tail, which cut the line's
+    // HEAD (where the total lives) in r14 → "parsed": null. Bracket the full
+    // line with a compact summary (no per-query map, always < 200 bytes) so
+    // a complete JSON object survives the tail capture regardless of which
+    // end gets truncated. The full map still reaches BENCHLOG.jsonl below.
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"cpus":"$cpus","nqueries":${results.size}}"""
+    println(compact)
     println(line)
+    println(compact)
     // The driver's per-round BENCH_r{N}.json truncates the per-query map, so
     // ~30 entries were invisible to cross-round comparison; append every full
     // run here so any round can diff ALL entries against any prior run.

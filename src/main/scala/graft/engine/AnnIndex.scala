@@ -65,13 +65,22 @@ object AnnIndex {
     * or retired dirs not yet deleted) can never surface missing or
     * orphan assignments. None = a pre-pointer legacy model; readers
     * fall back to the version-filtered dir listing.
+    *
+    * `rows` is the LIVE indexed-vector count (round 15 — the ivfpq
+    * auto-shortlist's sizing input), maintained exactly by every verb:
+    * build/compact count the corpus they assign; incremental refresh
+    * adds its additions and subtracts its tombstoned ids (each live id
+    * has exactly one live assignment — the uniqueness contract the
+    * maintenance path already requires). −1 = a legacy model that
+    * predates the field; one [[compact]] stamps it.
     */
   final case class Model(kind: String, k: Int, dim: Int,
                          indexedVersion: Long, idCol: String,
                          vecCol: String,
                          centroids: Array[Array[Double]],
                          pq: Option[EmbedOps.PqModel] = None,
-                         slices: Option[Seq[String]] = None)
+                         slices: Option[Seq[String]] = None,
+                         rows: Long = -1L)
 
   private def annDir(root: String, name: String): Path =
     new Path(new Path(root.replaceAll("/+$", ""), "_graft_ann"), name)
@@ -152,7 +161,8 @@ object AnnIndex {
       m.pq.toSeq.flatMap(p => Seq(
         s"pq=${p.m},${p.k},${p.dsub}",
         s"codebook=${p.centroids.mkString(",")}")) ++
-      m.slices.toSeq.map(ls => s"slices=${ls.mkString(",")}")).mkString("\n")
+      m.slices.toSeq.map(ls => s"slices=${ls.mkString(",")}") ++
+      (if (m.rows >= 0) Seq(s"rows=${m.rows}") else Nil)).mkString("\n")
     val tmp = new Path(p.getParent, ".tmp_model")
     val out = f.create(tmp, true)
     try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -219,9 +229,11 @@ object AnnIndex {
     }
     val slices = kv.collectFirst { case ("slices", ls) =>
       ls.split(",").map(_.trim).filter(_.nonEmpty).toSeq }
+    val rows = kv.collectFirst { case ("rows", r) => r.toLong }
+      .getOrElse(-1L)
     Some(Model(v("kind"), v("k").toInt, v("dim").toInt,
       v("indexedVersion").toLong, v("idCol"), v("vecCol"), cents, pq,
-      slices))
+      slices, rows))
   }
 
   /** Build (or rebuild from scratch) the index over the table's current
@@ -237,7 +249,8 @@ object AnnIndex {
       throw new IllegalStateException(s"no committed version at $root"))
     val corpus = SnapshotLog.readVersion(spark, root, cur)
       .filter(col(vecCol).isNotNull)
-    require(!corpus.isEmpty,
+    val nRows = corpus.count()
+    require(nRows > 0,
       s"cannot build ANN index '$name': no non-null '$vecCol' vectors " +
       s"at $root v$cur (an empty index has nothing to train on)")
     val (assigned, cents) =
@@ -250,7 +263,7 @@ object AnnIndex {
       idCol, vecCol)
     writeModel(spark, root, name,
       Model("ivf", cents.length, dim, cur, idCol, vecCol, cents,
-        slices = Some(Seq(assignDirName(cur)))))
+        slices = Some(Seq(assignDirName(cur))), rows = nRows))
     cur
   }
 
@@ -286,7 +299,8 @@ object AnnIndex {
       throw new IllegalStateException(s"no committed version at $root"))
     val corpus = SnapshotLog.readVersion(spark, root, cur)
       .filter(col(vecCol).isNotNull)
-    require(!corpus.isEmpty,
+    val nRows = corpus.count()
+    require(nRows > 0,
       s"cannot build ANN index '$name': no non-null '$vecCol' vectors " +
       s"at $root v$cur (an empty index has nothing to train on)")
     val (encoded, index) = EmbedOps.ivfPqBuildSampled(corpus, kCells, m,
@@ -300,7 +314,7 @@ object AnnIndex {
     // clamp kCells to the training sample on small corpora (round 14)
     writeModel(spark, root, name, Model("ivfpq", index.cells.length, dim, cur, idCol,
       vecCol, index.cells, Some(index.model),
-      slices = Some(Seq(assignDirName(cur)))))
+      slices = Some(Seq(assignDirName(cur))), rows = nRows))
     cur
   }
 
@@ -380,15 +394,18 @@ object AnnIndex {
       case Some(delta) =>
         var written = Seq.empty[String]
         val rows = delta.filter(col(m.vecCol).isNotNull).persist()
-        try {
-          if (rows.count() > 0) {
+        val nAdded = try {
+          val n = rows.count()
+          if (n > 0) {
             writeSlice(encodeFor(spark, m, rows),
               new Path(dir, assignDirName(cur)))
             written = Seq(assignDirName(cur))
           }
+          n
         } finally rows.unpersist()
         writeModel(spark, root, name,
-          m.copy(indexedVersion = cur, slices = Some(live ++ written)))
+          m.copy(indexedVersion = cur, slices = Some(live ++ written),
+            rows = if (m.rows >= 0) m.rows + nAdded else -1L))
         return cur
       case None => ()
     }
@@ -407,22 +424,27 @@ object AnnIndex {
     var written = Seq.empty[String]
     val tombIds = before.filter(col(m.vecCol).isNotNull)
       .select(col(m.idCol).as(TombIdCol)).distinct().persist()
-    try {
-      if (tombIds.count() > 0) {
+    val nTombed = try {
+      val n = tombIds.count()
+      if (n > 0) {
         tombIds.write.mode("overwrite")
           .parquet(new Path(dir, tombDirName(cur)).toString)
         written :+= tombDirName(cur)
       }
+      n
     } finally tombIds.unpersist()
     val adds = after.filter(col(m.vecCol).isNotNull).persist()
-    try {
-      if (adds.count() > 0) {
+    val nAdded = try {
+      val n = adds.count()
+      if (n > 0) {
         writeSlice(encodeFor(spark, m, adds), new Path(dir, assignDirName(cur)))
         written :+= assignDirName(cur)
       }
+      n
     } finally adds.unpersist()
     writeModel(spark, root, name,
-      m.copy(indexedVersion = cur, slices = Some(live ++ written)))
+      m.copy(indexedVersion = cur, slices = Some(live ++ written),
+        rows = if (m.rows >= 0) m.rows + nAdded - nTombed else -1L))
     cur
   }
 
@@ -461,9 +483,11 @@ object AnnIndex {
     val f = fs(spark, dir)
     val corpus = SnapshotLog.readVersion(spark, root, cur)
       .filter(col(m.vecCol).isNotNull).persist()
+    var nRows = 0L
     val slices: Seq[String] =
       try {
-        if (corpus.count() == 0) Nil
+        nRows = corpus.count()
+        if (nRows == 0) Nil
         else {
           val staged = new Path(dir, ".tmp_" + assignDirName(cur))
           if (m.pq.isEmpty)
@@ -483,8 +507,10 @@ object AnnIndex {
           Seq(target)
         }
       } finally corpus.unpersist()
+    // compact counts the corpus anyway — stamping `rows` here is also
+    // how a legacy (rows = −1) model acquires auto-shortlist sizing
     writeModel(spark, root, name,
-      m.copy(indexedVersion = cur, slices = Some(slices)))
+      m.copy(indexedVersion = cur, slices = Some(slices), rows = nRows))
     sweepableDirs(spark, dir).map(_.getName).filterNot(slices.contains)
       .foreach(n => f.delete(new Path(dir, n), true))
     cur
@@ -555,18 +581,27 @@ object AnnIndex {
     * only the probed cells' files (≈ nprobe/k of the index), never the
     * table. Refuses a stale index loudly; [[refresh]] repairs.
     *
-    * TUNING (measured, tools/AnnRecallBench — round 14): for the
+    * TUNING (measured, tools/AnnRecallBench — rounds 14–15): for the
     * `ivfpq` kind the recall dial is `shortlist`, NOT `nprobe` — ADC
     * quantization error exceeds the top-k score gaps on low-diversity
-    * (tie-dense) embeddings, where recall@10 measured 0.12 at the
-    * default shortlist=100 on a 40k corpus vs 0.92 at 1000, flat in
-    * nprobe. Size `shortlist` ≈ 2–3% of the probed corpus there;
-    * clustered corpora hold ≥0.9 at the default. The plain `ivf` kind
-    * scores exact vectors and holds recall 1.0 through churn.
+    * (tie-dense) embeddings, where recall@10 is flat in nprobe and
+    * governed by shortlist/corpus: 0.61 at shortlist 100 vs 0.90–0.94
+    * at 200 on an 8k churned corpus (kPq=256); 0.92 at 1000 on 40k —
+    * the operating point is ≈ 2.5% of the INDEXED corpus. Hence
+    * `shortlist = 0` (the default) AUTO-SIZES to
+    * `clamp(⌈3% × Model.rows⌉, max(100, k),
+    * spark.graft.ann.maxAutoShortlist (default 100000))` — the model
+    * maintains its live row count exactly, so auto-sizing is free. The
+    * cap bounds the exact re-rank (shortlist × dim float reads) on
+    * billion-row corpora: a tie-dense corpus that saturates it needs
+    * the plain `ivf` kind (exact vectors, recall 1.0 through churn) or
+    * a wider PQ (more subvectors / kPq), not a bigger shortlist. A
+    * legacy model without a row count falls back to shortlist 100;
+    * one [[compact]] stamps the count.
     */
   def knn(spark: SparkSession, root: String, query: Seq[Float], k: Int,
           name: String = "ivf", nprobe: Int = 3,
-          shortlist: Int = 100): DataFrame =
+          shortlist: Int = 0): DataFrame =
     knnImpl(spark, root, query, k, name, nprobe, shortlist, None)
 
   /** FILTERED top-k through the index (hybrid search): as [[knn]], but
@@ -579,10 +614,13 @@ object AnnIndex {
     * pre-ranking ones cannot). For the ivfpq kind the ADC shortlist is
     * likewise taken after the filter join, so a 0.1%-selective
     * predicate still fills the shortlist with qualifying rows.
+    * `shortlist = 0` auto-sizes exactly as in [[knn]] — from the
+    * UNFILTERED corpus count, which over-provisions under a selective
+    * predicate (recall-safe, never starving).
     */
   def knnWhere(spark: SparkSession, root: String, query: Seq[Float],
                k: Int, predicate: Column, name: String = "ivf",
-               nprobe: Int = 3, shortlist: Int = 100): DataFrame =
+               nprobe: Int = 3, shortlist: Int = 0): DataFrame =
     knnImpl(spark, root, query, k, name, nprobe, shortlist, Some(predicate))
 
   /** Does the published model have any LIVE assignment slice? (Some =
@@ -713,7 +751,21 @@ object AnnIndex {
       case Some(pq) =>
         // ADC over the probed cells' CODES (m bytes/vector read) with
         // the exact per-cell bias — dot(q,x) = dot(q,cent) + dot(q,res)
-        // — then an exact re-rank of the shortlist against the table
+        // — then an exact re-rank of the shortlist against the table.
+        // shortlist ≤ 0 = AUTO (round 15): 3% of the model's live row
+        // count — the measured ≥0.9 recall@10 operating point on
+        // tie-dense corpora (2.5% + margin; see [[knn]]) — floored at
+        // max(100, k), capped by spark.graft.ann.maxAutoShortlist
+        val effShortlist =
+          if (shortlist > 0) shortlist
+          else if (m.rows < 0) 100 // legacy model: the pre-r15 default
+          else {
+            val cap = spark.conf
+              .get("spark.graft.ann.maxAutoShortlist", "100000").toInt
+            math.min(cap.toLong,
+              math.max(math.max(100, k).toLong,
+                math.ceil(m.rows * 0.03).toLong)).toInt
+          }
         require(query.length == pq.m * pq.dsub,
           s"query dim ${query.length} != model dim ${pq.m * pq.dsub}")
         val table = new Array[Float](pq.m * pq.k)
@@ -733,7 +785,7 @@ object AnnIndex {
             call_function("vec_pq_adc", col("pq_codes"),
               typedLit(table).cast("array<float>"), lit(pq.k)))
           .orderBy(desc("adc_score"), col(m.idCol))
-          .limit(shortlist)
+          .limit(effShortlist)
           .select(col(m.idCol))
         SnapshotLog.readVersion(spark, root, cur)
           .join(broadcast(short), m.idCol)

@@ -25,7 +25,10 @@ object AnnRecallBench {
     val rows = args.headOption.map(_.toInt).getOrElse(40000)
     val dim = args.drop(1).headOption.map(_.toInt).getOrElse(32)
     val cycles = args.drop(2).headOption.map(_.toInt).getOrElse(20)
-    val shortlist = args.drop(3).headOption.map(_.toInt).getOrElse(100)
+    // arg 4 is a comma-separated shortlist sweep (round 15: the auto-sizing
+    // formula needs the recall CURVE, not two points; 0 = auto-sized)
+    val shortlists = args.drop(3).headOption
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(100))
     val kPq = args.drop(4).headOption.map(_.toInt).getOrElse(16)
     val root = java.nio.file.Files
       .createTempDirectory("graft_annrecall").toString + "/emb"
@@ -85,10 +88,13 @@ object AnnRecallBench {
       s"slices ivf=$ivfSlices ivfpq=$pqSlices")
     Seq(1, 2, 4, 8).foreach { np =>
       val rIvf = recallOf(q => AnnIndex.knn(spark, root, q, 10, "ivf", np))
-      val rPq = recallOf(q =>
-        AnnIndex.knn(spark, root, q, 10, "ivfpq", np, shortlist = shortlist))
+      val pqLine = shortlists.map { sl =>
+        val rPq = recallOf(q =>
+          AnnIndex.knn(spark, root, q, 10, "ivfpq", np, shortlist = sl))
+        f"sl=$sl%d:$rPq%.2f"
+      }.mkString(" ")
       println(f"[annrecall] nprobe=$np%d/16: ivf recall@10=$rIvf%.2f " +
-        f"ivfpq(kPq=$kPq%d, shortlist $shortlist%d) recall@10=$rPq%.2f")
+        f"ivfpq(kPq=$kPq%d) recall@10 $pqLine")
     }
     // session-side LSH multi-probe over the same churned corpus
     val bucketed = EmbedOps.withLshBuckets(corpus, bits = 8, tables = 8).cache()

@@ -616,7 +616,8 @@ class AnnIndexSpec extends SparkSpecBase {
     val queries = Seq(5, 123, 250, 377, 488).map(i =>
       vecs(1, offset = i).select("embedding").head().getSeq[Float](0))
     def recall(name: String): Double = queries.map { q =>
-      // documented defaults: nprobe = 3, shortlist = 100
+      // documented defaults: nprobe = 3, shortlist auto (r15 — here the
+      // max(100, k) floor, since 3% of 600 rows is below it)
       val got = ids(AnnIndex.knn(spark, root, q, 10, name)).toSet
       val exact = EmbedOps.knnBruteForce(corpus, q, 10).collect()
         .map(_.getLong(0)).toSet
@@ -626,6 +627,55 @@ class AnnIndexSpec extends SparkSpecBase {
     val rPq = recall("ivfpq")
     assert(rIvf >= 0.9, f"churned ivf recall@10 = $rIvf%.2f < 0.9")
     assert(rPq >= 0.9, f"churned ivfpq recall@10 = $rPq%.2f < 0.9")
+  }
+
+  test("ivfpq recall@10 floor holds on the TIE-DENSE fixture at pure defaults (r15)") {
+    // the AnnRecallBench manifold: vectors on a 1-parameter sin curve,
+    // top-k score gaps BELOW the ADC quantization error — the corpus
+    // shape where the r14 flat default (shortlist 100) measured 0.12–
+    // 0.61 recall@10. The auto-sized shortlist (3% of the model's live
+    // row count = ~248 here; measured 0.90–0.94 at 200, rising with
+    // shortlist) must hold the ≥0.9 floor with NO caller tuning at all.
+    val root = freshRoot()
+    val dim = 32
+    def manifold(lo: Long, hi: Long, gen: Int): DataFrame =
+      spark.range(lo, hi).toDF("vec_id")
+        .withColumn("embedding", org.apache.spark.sql.functions.expr(
+          s"transform(sequence(0, ${dim - 1}), d -> " +
+          s"CAST(sin(vec_id * 0.7 + d * 1.3 + $gen * 0.37) AS FLOAT))"))
+        .coalesce(1)
+    SnapshotLog.commit(spark, root, manifold(0, 8000, 0),
+      statsCols = Seq("vec_id"))
+    AnnIndex.buildPq(spark, root, "ivfpq", kCells = 16, m = 8, kPq = 256)
+    // churn: replacements, deletes, appends — each refreshed, so the
+    // floor holds on accumulated tombstones, not just the fresh build
+    (1 to 6).foreach { c =>
+      c % 3 match {
+        case 0 => SnapshotLog.upsert(spark, root,
+          manifold(c * 37L, c * 37L + 50, c), Seq("vec_id"))
+        case 1 => SnapshotLog.tombstoneDelete(spark, root,
+          spark.range(c * 53L, c * 53L + 20).toDF("vec_id"), Seq("vec_id"))
+        case 2 => SnapshotLog.appendCommit(spark, root,
+          manifold(8000 + c * 50L, 8000 + c * 50L + 50, c))
+      }
+      AnnIndex.refresh(spark, root, "ivfpq")
+    }
+    val m = AnnIndex.model(spark, root, "ivfpq").get
+    assert(m.rows > 7500, s"maintained row count looks wrong: ${m.rows}")
+    val corpus = SnapshotLog.read(spark, root)
+    assert(m.rows == corpus.count(),
+      "Model.rows must track the live corpus exactly through churn")
+    val queries: Seq[Seq[Float]] = (0 until 5).map(qi =>
+      (0 until dim).map(d => math.sin(qi * 2.1 + d * 1.3).toFloat))
+    val recall = queries.map { q =>
+      // PURE defaults: nprobe = 3, shortlist auto-sized from m.rows
+      val got = ids(AnnIndex.knn(spark, root, q, 10, "ivfpq")).toSet
+      val exact = EmbedOps.knnBruteForce(corpus, q, 10).collect()
+        .map(_.getLong(0)).toSet
+      got.intersect(exact).size / 10.0
+    }.sum / queries.size
+    assert(recall >= 0.9,
+      f"tie-dense ivfpq recall@10 at defaults = $recall%.2f < 0.9")
   }
 
   test("legacy model without a slice list and no assign dirs answers empty (r14)") {

@@ -69,10 +69,14 @@ private[sources] trait SnapshotLogPlanning { self: SnapshotLog.type =>
   private[graft] def filesFromSidecar(
       spark: SparkSession, root: String,
       v: Long): Option[Seq[org.apache.hadoop.fs.FileStatus]] =
-    if (hasPqSidecar(spark, root, v))
-      filesFromEntries(spark, root, v, pqListingEntries(spark,
-        pqStackPaths(root, v, statsStackOf(spark, root, v))))
-    else filesFromLines(spark, root, v, sidecarLines(spark, root, v))
+    // serve from the planning-state cache (round 15): the listing here
+    // is exactly planInputs' file side — computed by the same two
+    // branches — so the 16 metadata callers (CDC, row tracking,
+    // compaction decisions, streaming planning) share ONE O(files)
+    // collect per committed version with the read planner instead of
+    // each paying their own; a version's listing is immutable, and the
+    // cache's content-hash key / byte budget / kill switch all apply
+    planInputs(spark, root, v)._1
 
   private[sources] def filesFromLines(
       spark: SparkSession, root: String, v: Long,
@@ -263,20 +267,91 @@ private[sources] trait SnapshotLogPlanning { self: SnapshotLog.type =>
     * this function), so repeated reads of the same (root, version)
     * serve them from memory instead of re-collecting an O(files)
     * listing per query — at 10⁶ files that is the difference between
-    * ~10 s and ~0 s of replanning on every repeated query. Bounded LRU
-    * of 8 entries with SOFT values: under memory pressure the GC
-    * reclaims the big FileStatus lists and the next read simply
-    * recomputes. Disable with `spark.graft.plan.cache=false`.
+    * ~10 s and ~0 s of replanning on every repeated query. Bounded by
+    * BYTES, not entries (round 15 — verdict r14 #4): an entry-counted
+    * LRU admits eight hot 1M-file tables ≈ 2.6 GB of FileStatus on the
+    * driver; instead each entry is weighed at insert (path chars + a
+    * per-object constant, the same accounting PlanningBench's measured
+    * ~330 B/file implies) and the LRU evicts by accumulated weight
+    * against `spark.graft.plan.cacheBudgetBytes` (default 512 MB). An
+    * entry larger than the whole budget is served but never admitted.
+    * Values stay SOFT so under memory pressure the GC can still reclaim
+    * the lists early — a cleared ref's weight is released on its next
+    * lookup. Disable with `spark.graft.plan.cache=false`.
     */
-  private val planCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[(String, Long, Long, Long),
-        java.lang.ref.SoftReference[(Option[Seq[org.apache.hadoop.fs.FileStatus]], SpanSource)]](
-        16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long, Long, Long),
-            java.lang.ref.SoftReference[(Option[Seq[org.apache.hadoop.fs.FileStatus]], SpanSource)]]): Boolean =
-        size > 8
-    })
+  private type PlanInputs =
+    (Option[Seq[org.apache.hadoop.fs.FileStatus]], SpanSource)
+  private final case class PlanCacheEntry(
+    ref: java.lang.ref.SoftReference[PlanInputs], weight: Long)
+  // access-ordered: iteration visits eldest-used first (the evict order)
+  private val planCache = new java.util.LinkedHashMap[
+    (String, Long, Long, Long), PlanCacheEntry](16, 0.75f, true)
+  /** Test-visible accumulated weight of live cache entries. */
+  @volatile private[graft] var planCacheBytes: Long = 0L
+
+  private def planCacheBudget(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.plan.cacheBudgetBytes",
+      (512L * 1024 * 1024).toString).toLong
+
+  /** Estimated driver-heap weight of one cache entry: the FileStatus
+    * list dominates (per file: a Path holding a URI string, ~2 B/char,
+    * plus object headers/fields ≈ 160 B — lines up with the measured
+    * ~330 MB/1M files); a text sidecar's in-memory span maps are
+    * weighed per (file, column) entry; a parquet checkpoint's spans
+    * stay on disk and weigh a constant.
+    */
+  private def planEntryWeight(v: PlanInputs): Long = {
+    val fileW = v._1 match {
+      case Some(fs) =>
+        fs.iterator.map(f => 2L * f.getPath.toString.length + 160L).sum
+      case None => 0L
+    }
+    val spanW = v._2 match {
+      case InMemSpans(spans, nulls) =>
+        spans.iterator.map { case (f, m) =>
+          2L * f.length + 48L + m.iterator.map { case (c, (t, mn, mx)) =>
+            2L * (c.length + t.length + mn.length + mx.length) + 96L
+          }.sum
+        }.sum +
+        nulls.iterator.map { case (f, m) =>
+          2L * f.length + 48L + m.size * 80L
+        }.sum
+      case PqSpans(paths) => paths.iterator.map(2L * _.length + 80L).sum
+    }
+    fileW + spanW
+  }
+
+  /** Test hook: drop every cached entry (and its accounted weight). */
+  private[graft] def planCacheClear(): Unit = planCache.synchronized {
+    planCache.clear(); planCacheBytes = 0L
+  }
+
+  private def planCacheGet(key: (String, Long, Long, Long))
+      : Option[PlanInputs] = planCache.synchronized {
+    Option(planCache.get(key)).flatMap { e =>
+      val v = Option(e.ref.get())
+      if (v.isEmpty) { // GC cleared the soft value: drop the shell entry
+        planCache.remove(key); planCacheBytes -= e.weight
+      }
+      v
+    }
+  }
+
+  private def planCachePut(key: (String, Long, Long, Long),
+                           value: PlanInputs, budget: Long): Unit =
+    planCache.synchronized {
+      val w = planEntryWeight(value)
+      if (w > budget) return // would evict EVERYTHING and still not fit
+      Option(planCache.remove(key)).foreach(planCacheBytes -= _.weight)
+      planCache.put(key, PlanCacheEntry(
+        new java.lang.ref.SoftReference(value), w))
+      planCacheBytes += w
+      val it = planCache.entrySet().iterator()
+      while (planCacheBytes > budget && it.hasNext) {
+        val e = it.next() // eldest-used first
+        if (e.getKey != key) { planCacheBytes -= e.getValue.weight; it.remove() }
+      }
+    }
 
   /** Test-visible miss counter: the cache spec asserts a repeated read
     * of the same version recomputes nothing.
@@ -307,12 +382,12 @@ private[sources] trait SnapshotLogPlanning { self: SnapshotLog.type =>
       catch { case _: IllegalArgumentException | _: java.io.FileNotFoundException =>
         return planInputsUncached(spark, root, v) }
     val key = (root.replaceAll("/+$", ""), v, ident, 0L)
-    Option(planCache.get(key)).flatMap(r => Option(r.get())) match {
+    planCacheGet(key) match {
       case Some(hit) => hit
       case None =>
         planInputsMisses += 1
         val fresh = planInputsUncached(spark, root, v)
-        planCache.put(key, new java.lang.ref.SoftReference(fresh))
+        planCachePut(key, fresh, planCacheBudget(spark))
         fresh
     }
   }

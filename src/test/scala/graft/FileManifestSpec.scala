@@ -258,6 +258,13 @@ class FileManifestSpec extends SparkSpecBase {
     // the Hadoop LocalFileSystem kept a checksum for the original bytes
     val crc = new java.io.File(sp.getParentFile, "." + sp.getName + ".crc")
     if (crc.exists()) crc.delete()
+    // filesFromSidecar serves through the planning-state cache (r15),
+    // which the reads above populated; committed sidecars are write-once
+    // by contract, so an IN-PLACE strip (this simulation of a
+    // pre-listing WRITER) is invisible to the content-hash key — clear
+    // the cache so the assertion exercises the PARSER's
+    // incomplete-listing contract, which is what this test pins
+    SnapshotLog.planCacheClear()
     assert(SnapshotLog.filesFromSidecar(spark, root, v).isEmpty,
       "a stripped sidecar must not resolve to a partial file list")
     assert(rows(SnapshotLog.readVersion(spark, root, v)) == withManifest)

@@ -270,6 +270,44 @@ class ReadPrunedSpec extends SparkSpecBase {
     } finally spark.conf.unset("spark.graft.plan.cache")
   }
 
+  test("plan cache evicts by BYTES, not entries; over-budget entries are never admitted (round 15)") {
+    val rootA = chain()
+    val rootB = chain()
+    def misses = SnapshotLog.planInputsMisses
+    def read(r: String) =
+      SnapshotLog.readPruned(spark, r).filter(col("k") === 7).collect()
+    // measure one table's entry weight from a clean cache
+    SnapshotLog.planCacheClear()
+    read(rootA)
+    val wA = SnapshotLog.planCacheBytes
+    assert(wA > 0L, "admitting an entry must account its weight")
+    // budget fits ONE entry but not two: admitting B must evict A even
+    // though the old 8-entry LRU had room for both
+    spark.conf.set("spark.graft.plan.cacheBudgetBytes", (wA * 3 / 2).toString)
+    try {
+      val m0 = misses
+      read(rootA)
+      assert(misses == m0, "within-budget entry must still serve hits")
+      read(rootB) // admit B → A (eldest) evicted by bytes
+      assert(SnapshotLog.planCacheBytes <= wA * 3 / 2,
+        s"cache bytes ${SnapshotLog.planCacheBytes} exceed the budget")
+      val m1 = misses
+      read(rootB)
+      assert(misses == m1, "the surviving entry must hit")
+      read(rootA)
+      assert(misses == m1 + 1, "the byte-evicted entry must recompute")
+      // an entry larger than the WHOLE budget is served but never
+      // admitted (admitting it would evict everything and still not fit)
+      SnapshotLog.planCacheClear()
+      spark.conf.set("spark.graft.plan.cacheBudgetBytes", "10")
+      val m2 = misses
+      read(rootA); read(rootA)
+      assert(misses == m2 + 2, "an over-budget entry must not be admitted")
+      assert(SnapshotLog.planCacheBytes == 0L,
+        "a refused entry must account no weight")
+    } finally spark.conf.unset("spark.graft.plan.cacheBudgetBytes")
+  }
+
   test("property: arbitrary ranges keep parity with the unpruned read") {
     val root = chain()
     val rnd = new scala.util.Random(7)

@@ -32,51 +32,12 @@ object PlanningBench {
     // the parquet-sidecar story
     spark.conf.set("graft.stats.checkpointThresholdBytes", "0")
 
-    def usedHeapMb(): Long = {
-      val rt = Runtime.getRuntime
-      System.gc(); Thread.sleep(200); System.gc(); Thread.sleep(100)
-      (rt.totalMemory - rt.freeMemory) / (1024 * 1024)
-    }
+    def usedHeapMb(): Long = PlanFixture.usedHeapMb()
 
     scales.foreach { n =>
-      val root = java.nio.file.Files.createTempDirectory("graft_planbench")
-        .toString + "/t"
-      SnapshotLog.appendCommit(spark, root,
-        (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
-          .repartition(1),
-        statsCols = Seq("k"))
-      // a rename pins the schema in the manifest, so planning NEVER
-      // opens a file footer — fake file paths are safe to plan over
-      SnapshotLog.renameColumn(spark, root, "v", "w")
-      val head = SnapshotLog.currentVersion(spark, root).get
-      // synthesize N fake files into the HEAD's own checkpoint dir as
-      // extra part files (the stack unions them with the real rows):
-      // per file an `f` listing row, a disjoint `k` span, a z count
-      val dirBase = f"data_v${1L}%08d"
-      val fake = spark.range(1, n + 1L)
-        .select(concat(lit(dirBase + "/part-fake-"), col("id"),
-          lit(".parquet")).as("k0"), col("id"))
-      // FOUR stats columns per file (the realistic shape — a table
-      // tracks several skip columns): probes on `k` alone must leave
-      // the other columns' rows on disk (the predicate-column filter)
-      val statCols = Seq("k", "c2", "c3", "c4")
-      val fakeRows = fake.select(col("k0").as("k"), lit("").as("c"),
-          lit("f").as("t"), lit("1048576").as("a"), lit("0").as("b"))
-        .unionAll(statCols.map(sc =>
-          fake.select(col("k0").as("k"), lit(sc).as("c"),
-            lit("n").as("t"),
-            (col("id") * 1000L).cast("string").as("a"),
-            (col("id") * 1000L + 999L).cast("string").as("b")))
-          .reduce(_ unionAll _))
-        .unionAll(statCols.map(sc =>
-          fake.select(col("k0").as("k"), lit(sc).as("c"),
-            lit("z").as("t"), lit("0").as("a"), lit("1000").as("b")))
-          .reduce(_ unionAll _))
-      val pqDir = SnapshotLog.statsPqPath(root, head)
-      // mirror the real writer's (t, c) clustering (round 14): the
-      // planning scans' pushed filters then skip whole row groups
-      fakeRows.repartition(16).sortWithinPartitions("t", "c")
-        .write.mode("append").parquet(pqDir.toString)
+      // synthesis extracted to PlanFixture (round 15 — MaintenanceBench
+      // measures the WRITE verbs over the same table shape)
+      val root = PlanFixture.build(spark, n)
 
       val heap0 = usedHeapMb()
       def planForced(pred: org.apache.spark.sql.Column): (Double, Long) = {

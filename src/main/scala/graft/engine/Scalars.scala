@@ -259,29 +259,65 @@ object Scalars {
     * verify-before-dedup variants were built and MEASURED WORSE:
     * lev-in-join-residual 14.8 s — the residual runs before the cheap
     * conjuncts and twice per survivor; in-row rarity-map ranking 19.4 s).
-    * Hence the dispatch: below `bruteBelow` rows the blocked join runs
-    * (exactly q66's plan — pair-identity free), above it the prefix
-    * path's sub-quadratic growth takes over. The crossover is
-    * corpus-shape-dependent (longer strings / richer alphabets push it
-    * DOWN); override per corpus.
+    *
+    * SELF-TUNING dispatch (round 15 — verdict #7): a fixed row
+    * threshold encodes ONE corpus's shape — the deciding quantities are
+    * the block-pair mass, the candidate-bucket mass, and the pipeline's
+    * token overhead, none of which a row count sees (measured below:
+    * brute wins a 16k corpus of 48-char diverse hashes by 3×, and would
+    * lose a same-sized corpus with 2 blocks). So the probe now
+    * COLLECTS up to `bruteBelow`+1 (block, name) rows — one bounded
+    * job, the same class as the old limit-count; a 100 TB input still
+    * answers from its first partitions — and, when the corpus fits,
+    * computes the DECIDING stats exactly, driver-side, in microseconds:
+    * brute pair mass Σ_block c(c−1)/2, prefix candidate mass
+    * Σ_(block,rare-token) c(c−1)/2 over each row's cap·q+1 rarest
+    * tokens (the pipeline's own prefix rule), the short-residue mass,
+    * and the token count T. Brute wins iff
+    * `(bruteMass − prefixMass − shortMass) × (cap+1)(2cap+1) ≤
+    * tokenCost × T`. The left side is brute's EXTRA work over prefix:
+    * pairs sharing a rare token are verified deeply by BOTH paths (they
+    * cancel), and the extra pairs share no rare token, so their banded
+    * DP abandons after ~cap+1 rows — (cap+1)(2cap+1) cells, NOT
+    * len-proportional (a first model weighted them by avgLen and chose
+    * prefix on a 16k hash-string corpus where brute measured 0.95 s vs
+    * the pipeline's 3.09 s — dissimilar pairs are nearly free). The
+    * right side is the prefix pipeline's per-token overhead
+    * (tokenize + freq + rank window + candidate join);
+    * `tokenCost` = 200 cell-ops/token is calibrated on three measured
+    * corpora (tools/FuzzyCrossover r15: 20k 9-char parts, 12k 48-char
+    * clustered syllables, 16k 48-char diverse hashes — brute won all
+    * three, 4.60 vs 5.28 s, 1.33 vs 3.56 s, 0.95 vs 3.09 s; the
+    * diverse corpus pins λ ≥ 190, and the dispatched form measured ≤
+    * its best alternative on every corpus). The model flips to prefix
+    * below the row
+    * bound only when block-pair mass is extreme AND candidates
+    * collapse — e.g. 2 blocks over diverse strings, where 512M abandons
+    * cost more than the pipeline. Corpora LARGER than `bruteBelow`
+    * take the prefix path outright — brute's O(n²/|blocks|) growth
+    * buries any constant beyond it; `bruteBelow = 0` forces prefix
+    * (the spec hook).
     */
   def fuzzyMatchPrefix(rows: DataFrame, cap: Int = 3, q: Int = 2,
-                       bruteBelow: Long = 32768): DataFrame = {
+                       bruteBelow: Long = 32768,
+                       tokenCost: Double = 200.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(bruteBelow <= (1L << 20),
+      s"bruteBelow=$bruteBelow would collect > 2^20 probe rows to the " +
+      "driver; the brute join is never the right plan that large anyway")
     val prefixLen = cap * q + 1
     val shortLen = cap * q + q - 1 // g ≤ cap·q ⇔ len ≤ this
     val base = rows.select(col("id"), col("name"), col("block"),
       length(col("name")).as("len"))
 
-    // COST-BASED DISPATCH (round 14): below the measured crossover the
-    // blocked all-pairs join IS the fastest exact plan (see scaladoc —
-    // two verify-first prefix variants measured 2-3× worse at 20k
-    // rows); the prefix machinery pays off once O(n²/|blocks|)
-    // outgrows the candidate buckets. The probe is a LIMIT-bounded
-    // count ("are there more than bruteBelow rows?"), so a 100 TB input
-    // answers it from its first partitions, never a full count
     val probeN = math.min(bruteBelow, Int.MaxValue.toLong - 1).toInt + 1
-    if (rows.limit(probeN).count() <= bruteBelow) {
+    if (bruteBelow > 0 && {
+      val probe = rows.limit(probeN)
+        .select(col("block").cast("string"), col("name")).collect()
+      probe.length <= bruteBelow && bruteWinsByCost(
+        probe.iterator.map(r => (r.getString(0), r.getString(1))),
+        cap, q, tokenCost)
+    }) {
       val a = base.select(col("id").as("id_a"), col("name").as("name_a"),
         col("block"))
       val b = base.select(col("id").as("id_b"), col("name").as("name_b"),
@@ -376,6 +412,80 @@ object Scalars {
       .filter(col("dist") >= 0)
       .select("id_a", "id_b", "name_a", "name_b", "dist")
       .orderBy("id_a", "id_b")
+  }
+
+  /** The dispatch's driver-side cost model (round 15): mirrors the
+    * prefix pipeline's own token rule — q-grams with occurrence
+    * indexes, each row's `cap·q+1` rarest by corpus frequency — on the
+    * probed rows, then compares the verify work brute would pay against
+    * the pipeline overhead prefix would pay. Exact on the probe (no
+    * sampling: the probe IS the corpus when it fits under
+    * `bruteBelow`). Pure Scala over ≤ 2^20 short rows — microseconds
+    * against join plans measured in seconds.
+    */
+  private[engine] def bruteWinsByCost(
+      probe: Iterator[(String, String)], cap: Int, q: Int,
+      tokenCost: Double): Boolean = {
+    val prefixLen = cap * q + 1
+    val shortLen = cap * q + q - 1
+    val freq = scala.collection.mutable.HashMap.empty[(String, Int), Int]
+    // (block, tokens, len) per row; tokens empty for len < q
+    val rowToks = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Array[(String, Int)], Int)]
+    var totalToks = 0L
+    probe.foreach { case (block, name) =>
+      if (name != null) {
+        val len = name.length
+        val toks =
+          if (len < q) Array.empty[(String, Int)]
+          else {
+            val occ = scala.collection.mutable.HashMap.empty[String, Int]
+            Array.tabulate(len - q + 1) { i =>
+              val g = name.substring(i, i + q)
+              val o = occ.getOrElse(g, 0) + 1
+              occ(g) = o
+              (g, o)
+            }
+          }
+        totalToks += toks.length
+        toks.foreach(t => freq(t) = freq.getOrElse(t, 0) + 1)
+        rowToks += ((if (block == null) " " else block, toks, len))
+      }
+    }
+    val n = rowToks.length
+    if (n < 2) return true // degenerate: nothing to join either way
+    val blockHist = scala.collection.mutable.HashMap.empty[String, Long]
+    val shortHist = scala.collection.mutable.HashMap.empty[String, Long]
+    val bucketHist =
+      scala.collection.mutable.HashMap.empty[(String, String, Int), Long]
+    rowToks.foreach { case (block, toks, len) =>
+      blockHist(block) = blockHist.getOrElse(block, 0L) + 1
+      if (len <= shortLen)
+        shortHist(block) = shortHist.getOrElse(block, 0L) + 1
+      // the pipeline's prefix: rarest prefixLen tokens, ties by token
+      toks.sortBy { case (g, o) => (freq((g, o)), g, o) }
+        .take(prefixLen)
+        .foreach { case (g, o) =>
+          val key = (block, g, o)
+          bucketHist(key) = bucketHist.getOrElse(key, 0L) + 1
+        }
+    }
+    def pairMass(h: Iterable[Long]): Double =
+      h.iterator.map(c => c * (c - 1) / 2.0).sum
+    val bruteMass = pairMass(blockHist.values)
+    val prefixMass = pairMass(bucketHist.values)
+    // short×ANY residue: every short pairs with each length-compatible
+    // block partner — bounded above by c_s×c_b − c_s(c_s+1)/2
+    val shortMass = shortHist.iterator.map { case (b, cs) =>
+      val cb = blockHist(b)
+      cs.toDouble * cb - cs.toDouble * (cs + 1) / 2.0
+    }.sum
+    // brute's EXTRA pairs (no shared rare token) abandon the banded
+    // DP after ~cap+1 rows — (cap+1)(2cap+1) cells each; prefix pays
+    // ∝ tokens of pipeline. Deep verifies cancel (both paths run them).
+    val abandonCells = (cap + 1).toDouble * (2 * cap + 1)
+    (bruteMass - prefixMass - shortMass) * abandonCells <=
+      tokenCost * totalToks
   }
 
   /** Bench twin: q66's semantics through the prefix-filter candidate stage. */

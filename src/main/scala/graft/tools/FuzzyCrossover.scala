@@ -36,6 +36,67 @@ object FuzzyCrossover {
       (q._1, p._1)
     }
     println(f"growth q66 ${rows(1)._1 / rows(0)._1}%.1fx prefix ${rows(1)._2 / rows(0)._2}%.1fx")
+
+    // LONG-STRING corpus (round 15 — the self-tuning dispatch's second
+    // calibration point): ~48-char CLUSTERED syllable strings, 25
+    // blocks, 12k rows. Grams cluster (16-syllable alphabet), so prefix
+    // buckets stay big and brute is right — the model must not be
+    // fooled by string length alone. Deterministic synthesis.
+    import org.apache.spark.sql.functions.{col, expr}
+    val syll = "ka,zo,mi,ru,ten,ba,li,xo,dra,ne,pu,vor,sha,gle,qu,fy"
+    val longRows = spark.range(0, 12000).toDF("id")
+      .withColumn("block", expr("CAST(id % 25 AS STRING)"))
+      .withColumn("name", expr(
+        s"array_join(transform(sequence(0, 23), i -> " +
+        s"element_at(split('$syll', ','), " +
+        s"1 + CAST((id * 2654435761 + i * 40503 + (id + i) * (id + i)) % 16 AS INT))), '')"))
+      .select("id", "name", "block")
+      .localCheckpoint(eager = true)
+    def timeLong(label: String, bruteBelow: Long, plc: Double): Double = {
+      val t = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val c = graft.engine.Scalars.fuzzyMatchPrefix(longRows,
+          bruteBelow = bruteBelow, tokenCost = plc).count()
+        ((System.nanoTime() - t0) / 1e9, c)
+      }.minBy(_._1)
+      println(f"long-string 12k: $label%s = ${t._1}%.2fs / ${t._2} pairs")
+      t._1
+    }
+    val lBrute = timeLong("brute(forced)", 32768, Double.MaxValue)
+    val lDisp = timeLong("dispatched", 32768, 200.0)
+    val lPrefix = timeLong("prefix(forced)", 0, 200.0)
+    println(f"long-string verdict: dispatched ${lDisp}%.2fs vs brute " +
+      f"${lBrute}%.2fs vs prefix ${lPrefix}%.2fs — dispatch " +
+      (if (lDisp <= lBrute * 1.05) "OK (<= brute)" else "WRONG (> brute)"))
+
+    // GRAM-DIVERSE corpus: 16k hash-like 48-char strings (hex of sha2),
+    // 25 blocks — buckets collapse to near-singletons BUT brute's extra
+    // pairs abandon the banded DP almost immediately (dissimilar
+    // strings), so brute still wins at this block count (measured 0.95
+    // vs 3.09 s — this corpus killed the first avgLen-weighted model);
+    // the model flips to prefix only when block-pair mass is extreme
+    // (few blocks) relative to the pipeline's token overhead
+    val divRows = spark.range(0, 16000).toDF("id")
+      .withColumn("block", expr("CAST(id % 25 AS STRING)"))
+      .withColumn("name", expr(
+        "substring(sha2(CAST(id AS STRING), 256), 1, 48)"))
+      .select("id", "name", "block")
+      .localCheckpoint(eager = true)
+    def timeDiv(label: String, bruteBelow: Long, plc: Double): Double = {
+      val t = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val c = graft.engine.Scalars.fuzzyMatchPrefix(divRows,
+          bruteBelow = bruteBelow, tokenCost = plc).count()
+        ((System.nanoTime() - t0) / 1e9, c)
+      }.minBy(_._1)
+      println(f"gram-diverse 16k: $label%s = ${t._1}%.2fs / ${t._2} pairs")
+      t._1
+    }
+    val dBrute = timeDiv("brute(forced)", 32768, Double.MaxValue)
+    val dDisp = timeDiv("dispatched", 32768, 200.0)
+    println(f"gram-diverse verdict: dispatched ${dDisp}%.2fs vs brute " +
+      f"${dBrute}%.2fs — dispatch " +
+      (if (dDisp <= dBrute * 1.05) "OK (<= brute)" else "WRONG (> brute)"))
     spark.stop()
   }
 }

@@ -884,53 +884,68 @@ private[sources] trait SnapshotLogMorSpec { self: SnapshotLog.type =>
       // append whose id the head already covers is a post-crash replay
       if (batchId >= 0 && lastBatchId(spark, root).exists(_ >= batchId))
         return None
-      val (gated, o) = Constraints.gate(spark, root, batch)
+      val (v, o) = stageAppendLocked(spark, root, batch, statsCols,
+        bloomCols, batchId)
       obs = o
-      Some(currentVersion(spark, root) match {
-        case None =>
-          stageVersion(spark, root, gated, 1L, batchId, statsCols, bloomCols)
-          publishLatest(spark, root, 1L)
-          1L
-        case Some(cur) =>
-          // names AND types: a same-named batch with drifted types (Int vs
-          // Long) would commit onto the chain and break — or silently widen
-          // — every later mixed-directory read. catalogString compares
-          // nested structure while staying nullability-insensitive.
-          require(morKeysOf(spark, root, cur).isEmpty,
-            "this lineage is merge-on-read keyed (upsertMor) — a plain " +
-            "append could smuggle duplicate keys past resolution; use " +
-            "upsertMor, whose batches are key-checked")
-          val have = tableSchema(spark, root, cur).fields
-            .map(f => (f.name, f.dataType.catalogString)).toSeq
-          // the GATED frame: generated columns the batch lacked were
-          // just computed (round 12) and are part of the append's schema
-          val got = gated.schema.fields
-            .map(f => (f.name, f.dataType.catalogString)).toSeq
-          require(got == have,
-            s"append schema $got != table schema $have " +
-            "(append-only tables do not evolve schemas mid-chain)")
-          val next = cur + 1L
-          val carry = sidecarCarry(spark, root, cur)
-          // stats INHERIT on appends (round 12): a caller passing no
-          // statsCols must not silently strip the lineage's skipping
-          // power (and metadata-aggregate coverage) from its delta —
-          // the same rule the keyed merge paths already follow; an
-          // explicit argument still overrides
-          val sc = if (statsCols.nonEmpty) statsCols
-                   else inheritedStatsColsLogical(spark, root)
-          // parent deletion vectors carry too: an append must not
-          // resurrect rows a prior tombstoneDelete removed; the pinned
-          // schema of an evolved lineage carries with them
-          stageVersion(spark, root, gated, next, batchId, sc,
-            bloomCols, baseDirs = dirsOf(spark, root, cur), carryStats = carry,
-            tombDirs = tombDirsOf(spark, root, cur),
-            schemaJson = rawSchemaJson(spark, root, cur))
-          publishLatest(spark, root, next)
-          next
-      })
+      publishLatest(spark, root, v)
+      Some(v)
     }
     r.foreach(v => Constraints.finish(spark, root, v, obs))
     r
+  }
+
+  /** The STAGED half of an append commit — constraint gate, lineage
+    * checks, stats inheritance, and the data/stats/manifest writes for
+    * the next version — WITHOUT the LATEST flip (round 15: extracted so
+    * [[Txn.commitAppendAll]] can stage several tables and flip them
+    * together behind one intent record). Caller holds the table claim
+    * and has run recovery. Returns (staged version, the constraint
+    * observation to [[Constraints.finish]] after the flip).
+    */
+  private[sources] def stageAppendLocked(spark: SparkSession, root: String,
+      batch: DataFrame, statsCols: Seq[String], bloomCols: Seq[String],
+      batchId: Long): (Long, Option[org.apache.spark.sql.Observation]) = {
+    val (gated, obs) = Constraints.gate(spark, root, batch)
+    currentVersion(spark, root) match {
+      case None =>
+        stageVersion(spark, root, gated, 1L, batchId, statsCols, bloomCols)
+        (1L, obs)
+      case Some(cur) =>
+        // names AND types: a same-named batch with drifted types (Int vs
+        // Long) would commit onto the chain and break — or silently widen
+        // — every later mixed-directory read. catalogString compares
+        // nested structure while staying nullability-insensitive.
+        require(morKeysOf(spark, root, cur).isEmpty,
+          "this lineage is merge-on-read keyed (upsertMor) — a plain " +
+          "append could smuggle duplicate keys past resolution; use " +
+          "upsertMor, whose batches are key-checked")
+        val have = tableSchema(spark, root, cur).fields
+          .map(f => (f.name, f.dataType.catalogString)).toSeq
+        // the GATED frame: generated columns the batch lacked were
+        // just computed (round 12) and are part of the append's schema
+        val got = gated.schema.fields
+          .map(f => (f.name, f.dataType.catalogString)).toSeq
+        require(got == have,
+          s"append schema $got != table schema $have " +
+          "(append-only tables do not evolve schemas mid-chain)")
+        val next = cur + 1L
+        val carry = sidecarCarry(spark, root, cur)
+        // stats INHERIT on appends (round 12): a caller passing no
+        // statsCols must not silently strip the lineage's skipping
+        // power (and metadata-aggregate coverage) from its delta —
+        // the same rule the keyed merge paths already follow; an
+        // explicit argument still overrides
+        val sc = if (statsCols.nonEmpty) statsCols
+                 else inheritedStatsColsLogical(spark, root)
+        // parent deletion vectors carry too: an append must not
+        // resurrect rows a prior tombstoneDelete removed; the pinned
+        // schema of an evolved lineage carries with them
+        stageVersion(spark, root, gated, next, batchId, sc,
+          bloomCols, baseDirs = dirsOf(spark, root, cur), carryStats = carry,
+          tombDirs = tombDirsOf(spark, root, cur),
+          schemaJson = rawSchemaJson(spark, root, cur))
+        (next, obs)
+    }
   }
 
   /** Exactly-once streaming APPEND: [[appendCommit]] with the micro-batch

@@ -1177,6 +1177,12 @@ private[sources] trait SnapshotLogPlanning { self: SnapshotLog.type =>
     * the next commit. Runs under the writer claim.
     */
   private[sources] def recoverOrphans(spark: SparkSession, root: String): Unit = {
+    // cross-table transaction records resolve FIRST (round 15): a
+    // committed-but-unflipped staged manifest must roll forward before
+    // the sweep below could reclaim it as debris, and a never-committed
+    // one is reclaimed explicitly (incl. a staged FIRST commit, which
+    // would otherwise trip the lost-pointer guard)
+    Txn.recoverLocked(spark, root)
     val committedOpt = currentVersion(spark, root)
     val committed = committedOpt.getOrElse(0L)
     val ld = logDir(root)
@@ -1211,7 +1217,9 @@ private[sources] trait SnapshotLogPlanning { self: SnapshotLog.type =>
       } else if (n.endsWith(".statspq") &&
                  n.stripPrefix("v").stripSuffix(".statspq").toLong > committed) {
         f.delete(st.getPath, true) // checkpoint published, crash before manifest
-      } else if (n.startsWith(".tmp_")) f.delete(st.getPath, true)
+      } else if (n.startsWith("txn_") && n.endsWith(".intent"))
+        Txn.sweepIntentLocked(spark, st.getPath) // converged-txn residue
+      else if (n.startsWith(".tmp_")) f.delete(st.getPath, true)
       // identity-mark temps (".idtmp_*") are written OUTSIDE the table
       // claim (lock-free reservation) — an in-flight one is NOT debris;
       // only a crashed reserve's leftover is, recognized by age

@@ -32,7 +32,7 @@ object GraftProcedures {
         "mv_refresh_distinct", "add_constraint",
         "drop_constraint", "constraints", "audit",
         "register_view", "unregister_view", "registered_views",
-        "refresh_all")
+        "refresh_all", "txn_recover")
 
   def load(cat: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -70,6 +70,7 @@ object GraftProcedures {
       case "unregister_view"     => Some(new UnregisterViewProc(cat))
       case "registered_views"    => Some(new RegisteredViewsProc(cat))
       case "refresh_all"         => Some(new RefreshAllProc(cat))
+      case "txn_recover"         => Some(new TxnRecoverProc(cat))
       case "convert_parquet"     => Some(new ConvertParquet(cat))
       case "vacuum_dry_run"      => Some(new VacuumDryRun(cat))
       case "add_constraint"      => Some(new AddConstraintProc(cat))
@@ -765,6 +766,25 @@ object GraftProcedures {
       scanOf(out, advanced.toSeq.sortBy(_._1).map { case (a, v) =>
         new GenericInternalRow(Array[Any](UTF8String.fromString(a), v))
       })
+    }
+  }
+
+  /** `CALL c.system.txn_recover(table)` — converge a cross-table
+    * transaction participant immediately ([[graft.sources.Txn.recover]]:
+    * roll its pending record forward or back) instead of waiting for
+    * the table's next organic write. Returns the committed version
+    * after recovery (-1 for a still-empty table).
+    */
+  private final class TxnRecoverProc(cat: GraftCatalog)
+      extends Proc(cat, "txn_recover") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType))
+    private val out = StructType(Seq(StructField("version", LongType)))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      graft.sources.Txn.recover(spark, root(input))
+      val v = graft.sources.SnapshotLog.currentVersion(spark, root(input))
+        .getOrElse(-1L)
+      scanOf(out, Seq(new GenericInternalRow(Array[Any](v))))
     }
   }
 

@@ -232,6 +232,31 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"scoped z-order did not prune: ${ka.size} of $totalA")
   }
 
+  test("CALL txn_recover converges a crashed cross-table transaction participant") {
+    sql("CREATE TABLE graft.ns.txa (k INT, v STRING)")
+    sql("CREATE TABLE graft.ns.txb (k INT, v STRING)")
+    sql("INSERT INTO graft.ns.txa VALUES (1, 'a')")
+    sql("INSERT INTO graft.ns.txb VALUES (10, 'x')")
+    val ss = spark; import ss.implicits._ // stable path for toDF
+    // crash AFTER the intent rename (the commit point): neither LATEST
+    // has flipped, but the transaction is committed — recovery must
+    // roll both forward
+    graft.sources.Txn.crashAfter = "intent"
+    try intercept[IllegalStateException] {
+      graft.sources.Txn.commitAppendAll(spark, Seq(
+        graft.sources.Txn.TableAppend(root("txa"),
+          Seq((2, "b")).toDF("k", "v").coalesce(1)),
+        graft.sources.Txn.TableAppend(root("txb"),
+          Seq((11, "y")).toDF("k", "v").coalesce(1))))
+    } finally graft.sources.Txn.crashAfter = ""
+    assert(rowsOf("SELECT k FROM graft.ns.txa") == Set(Seq(1)))
+    val va = sql("CALL graft.system.txn_recover('ns.txa')").head().getLong(0)
+    val vb = sql("CALL graft.system.txn_recover('ns.txb')").head().getLong(0)
+    assert(va >= 2L && vb >= 2L, s"recovered versions: $va, $vb")
+    assert(rowsOf("SELECT k FROM graft.ns.txa") == Set(Seq(1), Seq(2)))
+    assert(rowsOf("SELECT k FROM graft.ns.txb") == Set(Seq(10), Seq(11)))
+  }
+
   test("CALL clone creates a zero-copy table the catalog serves like any other") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
     sql("CREATE TABLE graft.ns.orig (k INT, v STRING)")

@@ -423,7 +423,7 @@ object Scalars {
     * `bruteBelow`). Pure Scala over ≤ 2^20 short rows — microseconds
     * against join plans measured in seconds.
     */
-  private[engine] def bruteWinsByCost(
+  private[graft] def bruteWinsByCost(
       probe: Iterator[(String, String)], cap: Int, q: Int,
       tokenCost: Double): Boolean = {
     val prefixLen = cap * q + 1

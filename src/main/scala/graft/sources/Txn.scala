@@ -118,7 +118,34 @@ object Txn {
     * their version numbers).
     */
   def commitAppendAll(spark: SparkSession,
-                      writes: Seq[TableAppend]): Map[String, Long] = {
+                      writes: Seq[TableAppend]): Map[String, Long] =
+    commitAppendAllImpl(spark, writes, batchId = -1L).getOrElse(
+      throw new IllegalStateException(
+        "unreachable: an unstamped transaction cannot be a replay"))
+
+  /** Exactly-once STREAMING multi-table append: [[commitAppendAll]]
+    * with the micro-batch id stamped into every participant's manifest
+    * — the `foreachBatch((df, id) => …)` fan-out shape where one stream
+    * feeds several tables and a post-crash replay must re-apply to ALL
+    * of them or NONE. Replay detection composes with recovery: the
+    * claims are taken, each participant's recovery converges any
+    * crashed transaction (so a batch that committed its intent before
+    * the crash is already rolled fully forward by the time the gate
+    * reads the stamps), and then either EVERY head covers `batchId`
+    * (skip, return None — the exactly-once replay) or none does
+    * (proceed). Mixed coverage after convergence means another writer
+    * interleaved its own stamps — refused loudly, same single-writer-
+    * per-checkpoint contract as [[SnapshotLog.appendBatch]].
+    */
+  def commitAppendAllBatch(spark: SparkSession, writes: Seq[TableAppend],
+                           batchId: Long): Option[Map[String, Long]] = {
+    require(batchId >= 0, s"negative batchId $batchId")
+    commitAppendAllImpl(spark, writes, batchId)
+  }
+
+  private def commitAppendAllImpl(spark: SparkSession,
+                                  writes: Seq[TableAppend],
+                                  batchId: Long): Option[Map[String, Long]] = {
     require(writes.nonEmpty, "empty transaction")
     val sorted = writes.map(w => w.copy(root = canonical(w.root)))
       .sortBy(_.root)
@@ -138,8 +165,20 @@ object Txn {
     }
     underClaims(sorted.map(_.root)) {
       // per-table recovery first: a previous transaction's record (or
-      // any crashed commit's debris) must resolve before we stage
+      // any crashed commit's debris) must resolve before we stage —
+      // and before the replay gate reads the stamps, so a committed-
+      // but-unflipped batch counts as covered
       sorted.foreach(w => SnapshotLog.recoverOrphans(spark, w.root))
+      if (batchId >= 0) {
+        val covered = sorted.map(w =>
+          SnapshotLog.lastBatchId(spark, w.root).exists(_ >= batchId))
+        if (covered.forall(identity)) return None // full replay: skip
+        require(!covered.exists(identity),
+          s"batch $batchId covers SOME participants but not all after " +
+          "recovery — another writer stamped these tables independently " +
+          "(one checkpointed query per participant set, same contract " +
+          "as appendBatch)")
+      }
       // records BEFORE staging: a crash anywhere mid-stage then leaves
       // every participant a record whose intent is absent — the
       // self-healing rollback state — instead of bare staged debris
@@ -155,7 +194,7 @@ object Txn {
       val staged =
         try planned.map { case (w, v) =>
           val (sv, obs) = SnapshotLog.stageAppendLocked(spark, w.root,
-            w.batch, w.statsCols, w.bloomCols, batchId = -1L)
+            w.batch, w.statsCols, w.bloomCols, batchId)
           assert(sv == v, s"staged v$sv != planned v$v at ${w.root}")
           (w.root, v, obs)
         } catch { case t: Throwable =>
@@ -180,7 +219,7 @@ object Txn {
       staged.foreach { case (r, _, _) =>
         fsOf(spark, pendingPath(r)).delete(pendingPath(r), false) }
       fsOf(spark, intent).delete(intent, false)
-      staged.map { case (r, v, _) => r -> v }.toMap
+      Some(staged.map { case (r, v, _) => r -> v }.toMap)
     }
   }
 

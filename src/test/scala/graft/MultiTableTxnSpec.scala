@@ -157,6 +157,35 @@ class MultiTableTxnSpec extends SparkSpecBase
     }
   }
 
+  test("stamped multi-table batch: replay skips, and a crashed-after-intent retry is exactly-once") {
+    val t1 = freshRoot("b1"); val t2 = freshRoot("b2")
+    SnapshotLog.appendCommit(spark, t1, kv(1 -> "a"), statsCols = Seq("k"))
+    SnapshotLog.appendCommit(spark, t2, kv(10 -> "x"), statsCols = Seq("k"))
+    def batch5 = Seq(
+      Txn.TableAppend(t1, kv(2 -> "b")), Txn.TableAppend(t2, kv(11 -> "y")))
+    assert(Txn.commitAppendAllBatch(spark, batch5, batchId = 5).isDefined)
+    assert(rows(t1) == Set(1 -> "a", 2 -> "b"))
+    // a replay of the SAME batch skips whole — no duplicates anywhere
+    assert(Txn.commitAppendAllBatch(spark, batch5, batchId = 5).isEmpty)
+    assert(rows(t1) == Set(1 -> "a", 2 -> "b"))
+    assert(rows(t2) == Set(10 -> "x", 11 -> "y"))
+    // the streaming crash shape: batch 6 commits its intent, crashes
+    // before any flip; Structured Streaming re-delivers batch 6 — the
+    // retry's own recovery converges both tables FORWARD and the gate
+    // then reads it as a replay (exactly-once, rows appear ONCE)
+    def batch6 = Seq(
+      Txn.TableAppend(t1, kv(3 -> "c")), Txn.TableAppend(t2, kv(12 -> "z")))
+    Txn.crashAfter = "intent"
+    intercept[IllegalStateException] {
+      Txn.commitAppendAllBatch(spark, batch6, batchId = 6)
+    }
+    Txn.crashAfter = ""
+    assert(Txn.commitAppendAllBatch(spark, batch6, batchId = 6).isEmpty,
+      "the retry must converge the committed transaction and skip")
+    assert(rows(t1) == Set(1 -> "a", 2 -> "b", 3 -> "c"))
+    assert(rows(t2) == Set(10 -> "x", 11 -> "y", 12 -> "z"))
+  }
+
   test("a constraint violation on ONE participant aborts the whole transaction") {
     val t1 = freshRoot("c1"); val t2 = freshRoot("c2")
     SnapshotLog.appendCommit(spark, t1, kv(1 -> "a"), statsCols = Seq("k"))

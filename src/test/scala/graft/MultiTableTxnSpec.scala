@@ -203,6 +203,37 @@ class MultiTableTxnSpec extends SparkSpecBase
     assert(!logFiles(t2).contains("PENDINGTXN"))
   }
 
+  test("concurrent transactions on overlapping tables serialize; both land") {
+    val t1 = freshRoot("o1"); val t2 = freshRoot("o2"); val t3 = freshRoot("o3")
+    SnapshotLog.appendCommit(spark, t1, kv(1 -> "a"), statsCols = Seq("k"))
+    SnapshotLog.appendCommit(spark, t2, kv(10 -> "x"), statsCols = Seq("k"))
+    SnapshotLog.appendCommit(spark, t3, kv(100 -> "p"), statsCols = Seq("k"))
+    // A writes (t1, t2); B writes (t2, t3) passed in REVERSE order —
+    // canonical-root sorting inside commitAppendAll is what keeps the
+    // shared-t2 claims deadlock-free
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = Seq(
+      new Thread(() =>
+        try Txn.commitAppendAll(spark, Seq(
+          Txn.TableAppend(t1, kv(2 -> "b")),
+          Txn.TableAppend(t2, kv(11 -> "y"))))
+        catch { case t: Throwable => errs.add(t) }),
+      new Thread(() =>
+        try Txn.commitAppendAll(spark, Seq(
+          Txn.TableAppend(t3, kv(101 -> "q")),
+          Txn.TableAppend(t2, kv(12 -> "z"))).reverse)
+        catch { case t: Throwable => errs.add(t) }))
+    ts.foreach(_.start()); ts.foreach(_.join(120000))
+    assert(errs.isEmpty, s"concurrent transactions failed: $errs")
+    assert(rows(t1) == Set(1 -> "a", 2 -> "b"))
+    assert(rows(t2) == Set(10 -> "x", 11 -> "y", 12 -> "z"))
+    assert(rows(t3) == Set(100 -> "p", 101 -> "q"))
+    Seq(t1, t2, t3).foreach { r =>
+      assert(!logFiles(r).contains("PENDINGTXN"))
+      assert(!logFiles(r).exists(_.endsWith(".intent")))
+    }
+  }
+
   test("duplicate roots are refused") {
     val t1 = freshRoot("d1")
     intercept[IllegalArgumentException] {

@@ -249,8 +249,7 @@ object AnnIndex {
       throw new IllegalStateException(s"no committed version at $root"))
     val corpus = SnapshotLog.readVersion(spark, root, cur)
       .filter(col(vecCol).isNotNull)
-    val nRows = corpus.count()
-    require(nRows > 0,
+    require(!corpus.isEmpty,
       s"cannot build ANN index '$name': no non-null '$vecCol' vectors " +
       s"at $root v$cur (an empty index has nothing to train on)")
     val (assigned, cents) =
@@ -259,8 +258,14 @@ object AnnIndex {
     val dir = annDir(root, name)
     val f = fs(spark, dir)
     if (f.exists(dir)) f.delete(dir, true)
-    writeAssignments(assigned, new Path(dir, assignDirName(cur)),
-      idCol, vecCol)
+    // Model.rows observed ON the assignment write (review r15): a
+    // separate count() would re-scan the full corpus; the observation
+    // rides the write job for free (assignments are 1:1 with corpus
+    // rows, and accumulator semantics ignore retried tasks)
+    val obs = org.apache.spark.sql.Observation()
+    writeAssignments(assigned.observe(obs, count(lit(1)).as("n")),
+      new Path(dir, assignDirName(cur)), idCol, vecCol)
+    val nRows = obs.get("n").asInstanceOf[Long]
     writeModel(spark, root, name,
       Model("ivf", cents.length, dim, cur, idCol, vecCol, cents,
         slices = Some(Seq(assignDirName(cur))), rows = nRows))
@@ -299,8 +304,7 @@ object AnnIndex {
       throw new IllegalStateException(s"no committed version at $root"))
     val corpus = SnapshotLog.readVersion(spark, root, cur)
       .filter(col(vecCol).isNotNull)
-    val nRows = corpus.count()
-    require(nRows > 0,
+    require(!corpus.isEmpty,
       s"cannot build ANN index '$name': no non-null '$vecCol' vectors " +
       s"at $root v$cur (an empty index has nothing to train on)")
     val (encoded, index) = EmbedOps.ivfPqBuildSampled(corpus, kCells, m,
@@ -309,7 +313,11 @@ object AnnIndex {
     val dir = annDir(root, name)
     val f = fs(spark, dir)
     if (f.exists(dir)) f.delete(dir, true)
-    writeCodeAssignments(encoded, new Path(dir, assignDirName(cur)), idCol)
+    // rows observed on the write, same as [[build]] (review r15)
+    val obs = org.apache.spark.sql.Observation()
+    writeCodeAssignments(encoded.observe(obs, count(lit(1)).as("n")),
+      new Path(dir, assignDirName(cur)), idCol)
+    val nRows = obs.get("n").asInstanceOf[Long]
     // the model records the ACTUAL cell count — the sampled trainer may
     // clamp kCells to the training sample on small corpora (round 14)
     writeModel(spark, root, name, Model("ivfpq", index.cells.length, dim, cur, idCol,
@@ -589,8 +597,10 @@ object AnnIndex {
     * at 200 on an 8k churned corpus (kPq=256); 0.92 at 1000 on 40k —
     * the operating point is ≈ 2.5% of the INDEXED corpus. Hence
     * `shortlist = 0` (the default) AUTO-SIZES to
-    * `clamp(⌈3% × Model.rows⌉, max(100, k),
-    * spark.graft.ann.maxAutoShortlist (default 100000))` — the model
+    * `max(k, clamp(⌈3% × Model.rows⌉, 100,
+    * spark.graft.ann.maxAutoShortlist (default 100000)))` — k wins
+    * over the cap, so the result is never silently truncated below
+    * the requested top-k — and the model
     * maintains its live row count exactly, so auto-sizing is free. The
     * cap bounds the exact re-rank (shortlist × dim float reads) on
     * billion-row corpora: a tie-dense corpus that saturates it needs
@@ -758,13 +768,15 @@ object AnnIndex {
         // max(100, k), capped by spark.graft.ann.maxAutoShortlist
         val effShortlist =
           if (shortlist > 0) shortlist
-          else if (m.rows < 0) 100 // legacy model: the pre-r15 default
+          else if (m.rows < 0) math.max(100, k) // legacy: pre-r15 default
           else {
             val cap = spark.conf
               .get("spark.graft.ann.maxAutoShortlist", "100000").toInt
-            math.min(cap.toLong,
-              math.max(math.max(100, k).toLong,
-                math.ceil(m.rows * 0.03).toLong)).toInt
+            // k wins over the cap (review r15): an auto shortlist below
+            // k would silently return fewer than k rows — the cap bounds
+            // the RECALL spend, never the result size
+            math.max(k.toLong, math.min(cap.toLong,
+              math.max(100L, math.ceil(m.rows * 0.03).toLong))).toInt
           }
         require(query.length == pq.m * pq.dsub,
           s"query dim ${query.length} != model dim ${pq.m * pq.dsub}")

@@ -302,21 +302,47 @@ object Scalars {
                        bruteBelow: Long = 32768,
                        tokenCost: Double = 200.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(bruteBelow <= (1L << 20),
-      s"bruteBelow=$bruteBelow would collect > 2^20 probe rows to the " +
-      "driver; the brute join is never the right plan that large anyway")
     val prefixLen = cap * q + 1
     val shortLen = cap * q + q - 1 // g ≤ cap·q ⇔ len ≤ this
     val base = rows.select(col("id"), col("name"), col("block"),
       length(col("name")).as("len"))
 
-    val probeN = math.min(bruteBelow, Int.MaxValue.toLong - 1).toInt + 1
+    // The probe is bounded in ROWS (at most min(bruteBelow, 2^18) + 1)
+    // AND BYTES (128-char name prefixes + the true length: gram stats
+    // from a prefix approximate the string's distribution, while the
+    // pipeline-cost token count T uses the TRUE length). A bruteBelow
+    // above the stats cap first pays a string-free limit-count, then
+    // decides from a 2^18-row sample with pair masses scaled by
+    // (n/sample)^2 and T by (n/sample) -- review r15: the old probe
+    // collected full names unbounded in bytes and refused large
+    // bruteBelow overrides outright.
+    val StatCap = 1 << 18
     if (bruteBelow > 0 && {
-      val probe = rows.limit(probeN)
-        .select(col("block").cast("string"), col("name")).collect()
-      probe.length <= bruteBelow && bruteWinsByCost(
-        probe.iterator.map(r => (r.getString(0), r.getString(1))),
-        cap, q, tokenCost)
+      var exactN = -1L
+      val withinBrute: Option[Boolean] =
+        if (bruteBelow <= StatCap) None
+        else {
+          val probeN = math.min(bruteBelow, Int.MaxValue.toLong - 1).toInt + 1
+          val c = rows.limit(probeN).count()
+          if (c <= bruteBelow) { exactN = c; Some(true) } else Some(false)
+        }
+      withinBrute != Some(false) && {
+        val cCap = math.min(bruteBelow, StatCap.toLong).toInt
+        val probe = rows.limit(cCap + 1)
+          .select(col("block").cast("string"),
+            substring(col("name"), 1, 128), length(col("name")))
+          .collect()
+        def it = probe.iterator.map(r => (r.getString(0), r.getString(1),
+          if (r.isNullAt(2)) 0 else r.getInt(2)))
+        if (bruteBelow <= StatCap)
+          probe.length <= bruteBelow &&
+            bruteWinsByCost(it, cap, q, tokenCost, scale = 1.0)
+        else {
+          val scale =
+            math.max(1.0, exactN.toDouble / math.max(1, probe.length))
+          bruteWinsByCost(it, cap, q, tokenCost, scale)
+        }
+      }
     }) {
       val a = base.select(col("id").as("id_a"), col("name").as("name_a"),
         col("block"))
@@ -424,8 +450,8 @@ object Scalars {
     * against join plans measured in seconds.
     */
   private[graft] def bruteWinsByCost(
-      probe: Iterator[(String, String)], cap: Int, q: Int,
-      tokenCost: Double): Boolean = {
+      probe: Iterator[(String, String, Int)], cap: Int, q: Int,
+      tokenCost: Double, scale: Double = 1.0): Boolean = {
     val prefixLen = cap * q + 1
     val shortLen = cap * q + q - 1
     val freq = scala.collection.mutable.HashMap.empty[(String, Int), Int]
@@ -433,9 +459,9 @@ object Scalars {
     val rowToks = scala.collection.mutable.ArrayBuffer
       .empty[(String, Array[(String, Int)], Int)]
     var totalToks = 0L
-    probe.foreach { case (block, name) =>
+    probe.foreach { case (block, name, trueLen) =>
       if (name != null) {
-        val len = name.length
+        val len = name.length // the collected (possibly truncated) prefix
         val toks =
           if (len < q) Array.empty[(String, Int)]
           else {
@@ -447,9 +473,10 @@ object Scalars {
               (g, o)
             }
           }
-        totalToks += toks.length
+        // pipeline cost counts the TRUE token count, not the prefix's
+        totalToks += math.max(0, trueLen - q + 1)
         toks.foreach(t => freq(t) = freq.getOrElse(t, 0) + 1)
-        rowToks += ((if (block == null) " " else block, toks, len))
+        rowToks += ((if (block == null) "" else block, toks, trueLen))
       }
     }
     val n = rowToks.length
@@ -484,7 +511,14 @@ object Scalars {
     // DP after ~cap+1 rows — (cap+1)(2cap+1) cells each; prefix pays
     // ∝ tokens of pipeline. Deep verifies cancel (both paths run them).
     val abandonCells = (cap + 1).toDouble * (2 * cap + 1)
-    (bruteMass - prefixMass - shortMass) * abandonCells <=
+    // prefixMass counts a pair once per SHARED BUCKET (the candidate
+    // join's true pre-dedup output size) and shortMass overlaps it:
+    // both deliberately overstate prefix's work, so ties break toward
+    // brute -- the safe side at probe-bounded sizes (the prefix flip
+    // needs the enormous margin of extreme block mass, exactly the
+    // regime where brute is catastrophic). Sampled probes scale pair
+    // masses by (n/s)^2 and T by (n/s); one (n/s) is divided out here.
+    (bruteMass - prefixMass - shortMass) * abandonCells * scale <=
       tokenCost * totalToks
   }
 

@@ -75,8 +75,24 @@ private[sources] trait SnapshotLogPlanning { self: SnapshotLog.type =>
     // compaction decisions, streaming planning) share ONE O(files)
     // collect per committed version with the read planner instead of
     // each paying their own; a version's listing is immutable, and the
-    // cache's content-hash key / byte budget / kill switch all apply
-    planInputs(spark, root, v)._1
+    // cache's content-hash key / byte budget all apply. With the cache
+    // DISABLED, compute the listing directly (review r15): routing
+    // through planInputs would rebuild the text sidecar's span maps —
+    // which listing-only callers never read — on every single call.
+    if (spark.conf.get("spark.graft.plan.cache", "true") != "true")
+      filesFromSidecarDirect(spark, root, v)
+    else planInputs(spark, root, v)._1
+
+  /** The listing computed without span-map work — the pre-cache shape,
+    * kept as the kill-switch path.
+    */
+  private def filesFromSidecarDirect(
+      spark: SparkSession, root: String,
+      v: Long): Option[Seq[org.apache.hadoop.fs.FileStatus]] =
+    if (hasPqSidecar(spark, root, v))
+      filesFromEntries(spark, root, v, pqListingEntries(spark,
+        pqStackPaths(root, v, statsStackOf(spark, root, v))))
+    else filesFromLines(spark, root, v, sidecarLines(spark, root, v))
 
   private[sources] def filesFromLines(
       spark: SparkSession, root: String, v: Long,
@@ -340,7 +356,11 @@ private[sources] trait SnapshotLogPlanning { self: SnapshotLog.type =>
   private def planCachePut(key: (String, Long, Long, Long),
                            value: PlanInputs, budget: Long): Unit =
     planCache.synchronized {
-      val w = planEntryWeight(value)
+      // floor the weight: a pre-listing table's inputs weigh ~0, and
+      // zero-weight entries would bypass the budget entirely — an
+      // unbounded entry count from a stream touching many versions
+      // (review r15). The floor bounds entries at budget/4096.
+      val w = math.max(planEntryWeight(value), 4096L)
       if (w > budget) return // would evict EVERYTHING and still not fit
       Option(planCache.remove(key)).foreach(planCacheBytes -= _.weight)
       planCache.put(key, PlanCacheEntry(

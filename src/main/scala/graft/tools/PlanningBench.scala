@@ -24,7 +24,8 @@ object PlanningBench {
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "8g")
+      // driver heap comes from build.sbt's forked -Xmx (SPARK_DRIVER_MEM,
+      // default 8g) -- a builder config cannot resize a running JVM
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._

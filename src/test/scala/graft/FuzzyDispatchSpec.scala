@@ -17,7 +17,27 @@ class FuzzyDispatchSpec extends AnyFunSuite {
   private val TokenCost = 200.0
 
   private def decide(probe: Seq[(String, String)]): Boolean =
-    Scalars.bruteWinsByCost(probe.iterator, Cap, Q, TokenCost)
+    Scalars.bruteWinsByCost(
+      probe.iterator.map { case (b, n) =>
+        (b, if (n == null) null else n.take(128), if (n == null) 0 else n.length)
+      }, Cap, Q, TokenCost)
+
+  test("a sampled probe scales to the same decision as the full corpus") {
+    // 2-block diverse corpus decided PREFIX at full size; a 1/4 sample
+    // with scale=4 must agree (pair masses scale by 16, T by 4 -- the
+    // (n/s) division in the model keeps the comparison consistent)
+    def full = (0 until 16000).map(i => (s"B${i % 2}", hashish(i, 48)))
+    def tuple3(p: Seq[(String, String)]) =
+      p.iterator.map { case (b, n) => (b, n.take(128), n.length) }
+    assert(!Scalars.bruteWinsByCost(tuple3(full), Cap, Q, TokenCost))
+    val sample = full.take(4000)
+    assert(!Scalars.bruteWinsByCost(tuple3(sample), Cap, Q, TokenCost,
+      scale = 4.0), "the scaled sample must also choose prefix")
+    // and a brute-favoring corpus stays brute under the same scaling
+    def bruteish = (0 until 12000).map(i => (s"B${i % 25}", hashish(i, 48)))
+    assert(Scalars.bruteWinsByCost(tuple3(bruteish.take(3000)), Cap, Q,
+      TokenCost, scale = 4.0))
+  }
 
   /** Deterministic hash-like string: diverse grams, no clustering. */
   private def hashish(i: Int, len: Int): String = {

@@ -633,6 +633,91 @@ object AnnIndex {
                nprobe: Int = 3, shortlist: Int = 0): DataFrame =
     knnImpl(spark, root, query, k, name, nprobe, shortlist, Some(predicate))
 
+  /** BATCH top-k (round 15): answer MANY queries in ONE pass over the
+    * union of their probed cells — the kNN-features / dedup-against-
+    * eval-set shape, where a training pipeline carries thousands of
+    * query vectors and per-query [[knn]] would pay Q job round-trips
+    * and re-scan shared cells Q times. `queries` is a (qidCol, vecCol)
+    * frame, BOUNDED (it is collected to the driver to route cells and
+    * broadcast back — an eval set or feature batch, not a second
+    * corpus; refused above `spark.graft.ann.maxBatchQueries`, default
+    * 65536). Routing: each query probes its `nprobe` nearest cells;
+    * the scan reads the UNION of probed cells once (partition-pruned,
+    * still ≤ nprobe·Q/k of the index and typically far less — hot
+    * cells dedupe); the broadcast (cell, qid, qvec) table fans each
+    * assignment row out ONLY to the queries that probed its cell; one
+    * codegen'd vec_dot per (row, probing query); a per-qid
+    * WindowGroupLimit keeps top-k before any shuffle. Exact within
+    * each query's probed cells — identical rows to per-query [[knn]]
+    * (asserted in spec). `ivf` kind only: the ivfpq ADC table is
+    * per-query state that would broadcast Q × m × kPq floats;
+    * refused loudly (use per-query knn or the ivf kind).
+    *
+    * Returns (qidCol, idCol, score) ranked per query.
+    */
+  def knnAll(spark: SparkSession, root: String, queries: DataFrame,
+             k: Int, name: String = "ivf", nprobe: Int = 3,
+             qidCol: String = "qid", vecCol: String = "qvec"): DataFrame = {
+    VectorFunctions.register(spark)
+    val m = model(spark, root, name).getOrElse(throw new IllegalStateException(
+      s"no ANN index '$name' at $root — AnnIndex.build first"))
+    require(m.pq.isEmpty,
+      s"knnAll needs stored float vectors — index '$name' is " +
+      s"'${m.kind}'; the per-query ADC state does not batch (use the " +
+      "plain 'ivf' kind, or per-query knn)")
+    val cur = SnapshotLog.currentVersion(spark, root).getOrElse(0L)
+    require(m.indexedVersion == cur,
+      s"ANN index '$name' covers v${m.indexedVersion} but the table is " +
+      s"at v$cur — AnnIndex.refresh(...) first")
+    val maxQ = spark.conf
+      .get("spark.graft.ann.maxBatchQueries", "65536").toInt
+    val qRows = queries.select(col(qidCol), col(vecCol)).limit(maxQ + 1)
+      .collect()
+    require(qRows.length <= maxQ,
+      s"knnAll query batch exceeds $maxQ (spark.graft.ann." +
+      "maxBatchQueries) — route larger batches as a join against the " +
+      "assignments yourself, or raise the conf")
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField(qidCol, queries.schema(qidCol).dataType),
+      StructField(m.idCol, tableIdType(spark, root, cur, m)),
+      StructField("score", DoubleType)))
+    if (qRows.isEmpty || !hasLiveAssignments(spark, root, name, m))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    // driver-side routing: per query, its nprobe nearest cells (the
+    // same dot-product argmax knnImpl uses), flattened to one routing
+    // row per (cell, query) — ≤ nprobe·Q tiny rows, broadcast below
+    val routing: Seq[(Int, Any, Seq[Float])] = qRows.toSeq.flatMap { r =>
+      val qid = r.get(0)
+      val qv = r.getSeq[Float](1)
+      val qd = qv.map(_.toDouble).toArray
+      m.centroids.indices
+        .sortBy(c => -m.centroids(c).zip(qd).map(p => p._1 * p._2).sum)
+        .take(nprobe).map(c => (c, qid, qv))
+    }
+    val probedCells = routing.map(_._1).distinct
+    val routeDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        routing.map(t => org.apache.spark.sql.Row(t._1, t._2, t._3)), 1),
+      StructType(Seq(
+        StructField("cell", IntegerType),
+        StructField(qidCol, queries.schema(qidCol).dataType),
+        StructField("__qvec", ArrayType(FloatType)))))
+    val probed = assignments(spark, root, name, m)
+      .filter(col("cell").isin(probedCells.map(x => x: Any): _*))
+    import org.apache.spark.sql.expressions.Window
+    probed
+      .join(broadcast(routeDf), "cell") // fan out only to probing queries
+      .withColumn("score",
+        call_function("vec_dot", col(m.vecCol), col("__qvec")))
+      .withColumn("__rn", row_number().over(Window.partitionBy(qidCol)
+        .orderBy(desc("score"), col(m.idCol))))
+      .filter(col("__rn") <= k)
+      .select(col(qidCol), col(m.idCol), col("score"))
+      .orderBy(col(qidCol), desc("score"), col(m.idCol))
+  }
+
   /** Does the published model have any LIVE assignment slice? (Some =
     * the pointer's list; None = a legacy model's version-filtered dir
     * listing.) Shared by [[knn]] and [[nearDupPairs]] so slice-liveness

@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, lit}
 
 import graft.engine.{AnnIndex, EmbedOps}
 import graft.sources.SnapshotLog
@@ -676,6 +677,49 @@ class AnnIndexSpec extends SparkSpecBase {
     }.sum / queries.size
     assert(recall >= 0.9,
       f"tie-dense ivfpq recall@10 at defaults = $recall%.2f < 0.9")
+  }
+
+  test("knnAll: one pass answers every query identically to per-query knn (r15)") {
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root, vecs(400), statsCols = Seq("vec_id"))
+    AnnIndex.build(spark, root, k = 4)
+    // churn so batch answers ride tombstones + re-assigned slices too
+    SnapshotLog.upsert(spark, root, vecs(20, offset = 50), Seq("vec_id"))
+    AnnIndex.refresh(spark, root)
+    SnapshotLog.appendCommit(spark, root, vecs(30, offset = 900))
+    AnnIndex.refresh(spark, root)
+    val qids = Seq(3L, 77L, 150L, 901L, 333L)
+    val queries = vecs(1000).filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val batch = AnnIndex.knnAll(spark, root, queries, k = 7, nprobe = 2)
+      .collect().groupBy(_.get(0).asInstanceOf[Long])
+      .map { case (q, rs) => q -> rs.map(r =>
+        (r.getLong(1), r.getDouble(2))).toSeq }
+    assert(batch.keySet == qids.toSet, "every query must be answered")
+    qids.foreach { q =>
+      val qv = vecs(1, offset = q.toInt).select("embedding")
+        .head().getSeq[Float](0)
+      val single = AnnIndex.knn(spark, root, qv, k = 7, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(q) == single, s"qid $q: batch ${batch(q)} != $single")
+    }
+    // refusals: ivfpq kind (per-query ADC state does not batch) and an
+    // over-limit batch (the driver-side routing must stay bounded)
+    AnnIndex.buildPq(spark, root, "ivfpq", kCells = 4, m = 8, kPq = 16)
+    val e1 = intercept[IllegalArgumentException] {
+      AnnIndex.knnAll(spark, root, queries, k = 3, name = "ivfpq")
+    }
+    assert(e1.getMessage.contains("ivfpq"))
+    spark.conf.set("spark.graft.ann.maxBatchQueries", "3")
+    try {
+      val e2 = intercept[IllegalArgumentException] {
+        AnnIndex.knnAll(spark, root, queries, k = 3)
+      }
+      assert(e2.getMessage.contains("maxBatchQueries"))
+    } finally spark.conf.unset("spark.graft.ann.maxBatchQueries")
+    // empty query frame answers empty with the right schema
+    val none = AnnIndex.knnAll(spark, root, queries.filter(lit(false)), k = 3)
+    assert(none.isEmpty && none.columns.toSeq == Seq("qid", "vec_id", "score"))
   }
 
   test("legacy model without a slice list and no assign dirs answers empty (r14)") {

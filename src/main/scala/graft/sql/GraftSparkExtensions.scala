@@ -50,6 +50,16 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GraftSqlRule.lowerAnnKnn(
           org.apache.spark.sql.SparkSession.active, args)))
+    // batch ANN search (round 15): `SELECT * FROM ann_knn_batch(
+    // 'ns.t', 'query_view', 5)` — one pass over the union of every
+    // query's probed cells, per-row identical to per-query ann_knn
+    ext.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("ann_knn_batch"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.sql.GraftSqlRule", "ann_knn_batch"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftSqlRule.lowerAnnKnnBatch(
+          org.apache.spark.sql.SparkSession.active, args)))
     // index-amortized near-duplicate candidates (round 14):
     // `SELECT * FROM ann_near_dup('ns.t', 0.9)` — same-cell pairs of
     // the persisted IVF index, exact-scored and thresholded

@@ -599,6 +599,51 @@ object GraftSqlRule {
     * [[graft.engine.AnnIndex.nearDupPairs]] as a TVF, so SQL users get
     * index-amortized dedup candidates without per-run hashing.
     */
+  /** `SELECT * FROM ann_knn_batch('ns.t', 'query_view', k[, index_name,
+    * nprobe[, qid_col, vec_col]])` — BATCH top-k through the persisted
+    * index ([[graft.engine.AnnIndex.knnAll]]): the second argument
+    * names any catalog-resolvable table or (temp) view whose rows are
+    * the query batch, `(qid, qvec)` columns by default. One pass over
+    * the union of the probed cells; per-row identical to per-query
+    * `ann_knn`; ivf kind only, batch bounded by
+    * `spark.graft.ann.maxBatchQueries` — both refusals surface as the
+    * Scala API's own loud errors.
+    */
+  private[sql] def lowerAnnKnnBatch(
+      session: SparkSession,
+      args: Seq[Expression]): LogicalPlan = {
+    def str(e: Expression, what: String): String = e match {
+      case Literal(s, org.apache.spark.sql.types.StringType) if s != null =>
+        s.toString
+      case other => throw new IllegalArgumentException(
+        s"ann_knn_batch: $what must be a string literal, got $other")
+    }
+    def int(e: Expression, what: String): Int = e match {
+      case Literal(v, dt)
+          if v != null && (dt == org.apache.spark.sql.types.IntegerType ||
+                           dt == org.apache.spark.sql.types.LongType ||
+                           dt == org.apache.spark.sql.types.ShortType) =>
+        v.toString.toInt
+      case other => throw new IllegalArgumentException(
+        s"ann_knn_batch: $what must be an integer literal, got $other")
+    }
+    require(args.length == 3 || args.length == 5 || args.length == 7,
+      "ann_knn_batch(table, queries_view, k[, index_name, nprobe" +
+      s"[, qid_col, vec_col]]) takes 3, 5 or 7 arguments, got ${args.length}")
+    val root = resolveGraftRoot(session, str(args(0), "table name"),
+      "ann_knn_batch")
+    val queries = session.table(str(args(1), "queries view"))
+    val k = int(args(2), "k")
+    val (name, nprobe) =
+      if (args.length >= 5) (str(args(3), "index_name"), int(args(4), "nprobe"))
+      else ("ivf", 3)
+    val (qc, vc) =
+      if (args.length == 7) (str(args(5), "qid_col"), str(args(6), "vec_col"))
+      else ("qid", "qvec")
+    graft.engine.AnnIndex.knnAll(session, root, queries, k, name, nprobe,
+      qc, vc).queryExecution.analyzed
+  }
+
   private[sql] def lowerAnnNearDup(
       session: SparkSession,
       args: Seq[Expression]): LogicalPlan = {

@@ -932,6 +932,37 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().exists(_.getString(0) == "ann_ivf"), "pin not released")
   }
 
+  test("ann_knn_batch TVF: a query VIEW answers in one pass, per-row equal to ann_knn (r15)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
+    sql("CREATE TABLE graft.ns.embb (vec_id BIGINT, embedding ARRAY<FLOAT>)")
+    sql("""INSERT INTO graft.ns.embb
+           SELECT id AS vec_id,
+                  transform(sequence(0, 7), d ->
+                    cast(if(d = id % 4, 1.0, 0.02 * pmod(id + d, 7)) AS FLOAT))
+                    AS embedding
+           FROM range(80)""")
+    sql("CALL graft.system.ann_build('ns.embb', 'vec_id', 'embedding', 4)")
+    // the batch is any resolvable view with (qid, qvec) rows — here
+    // three of the table's own vectors
+    sql("""CREATE OR REPLACE TEMPORARY VIEW qbatch AS
+           SELECT vec_id AS qid, embedding AS qvec
+           FROM graft.ns.embb WHERE vec_id IN (3, 17, 42)""")
+    val got = sql(
+      "SELECT * FROM ann_knn_batch('graft.ns.embb', 'qbatch', 4, 'ivf', 2)")
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(r =>
+        (r.getLong(1), r.getDouble(2))).toSeq }
+    assert(got.keySet == Set(3L, 17L, 42L))
+    val r = root("embb")
+    got.keySet.foreach { qid =>
+      val qv = sql(s"SELECT embedding FROM graft.ns.embb WHERE vec_id = $qid")
+        .head().getSeq[Float](0)
+      val single = graft.engine.AnnIndex.knn(spark, r, qv, k = 4, nprobe = 2)
+        .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+      assert(got(qid) == single, s"qid $qid: ${got(qid)} != $single")
+    }
+  }
+
   test("ann_knn TVF + ann_compact: index queries and maintenance stay in SQL (round 13)") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
     sql("CREATE TABLE graft.ns.emb2 (vec_id BIGINT, embedding ARRAY<FLOAT>)")

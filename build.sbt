@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness captures only a short stdout TAIL of
+// `sbt "runMain graft.Bench"` and parses the last JSON line. With the
+// default LoggedOutput strategy sbt prefixes every forked-program line
+// with "[info] " and appends its own "[success] Total time..." line —
+// both of which defeat a line-oriented JSON parser. Forward the forked
+// process' stdout verbatim and suppress the success banner so the
+// program's own final line IS the last line of stdout.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

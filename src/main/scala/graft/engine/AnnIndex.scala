@@ -633,89 +633,285 @@ object AnnIndex {
                nprobe: Int = 3, shortlist: Int = 0): DataFrame =
     knnImpl(spark, root, query, k, name, nprobe, shortlist, Some(predicate))
 
-  /** BATCH top-k (round 15): answer MANY queries in ONE pass over the
-    * union of their probed cells — the kNN-features / dedup-against-
-    * eval-set shape, where a training pipeline carries thousands of
-    * query vectors and per-query [[knn]] would pay Q job round-trips
-    * and re-scan shared cells Q times. `queries` is a (qidCol, vecCol)
-    * frame, BOUNDED (it is collected to the driver to route cells and
-    * broadcast back — an eval set or feature batch, not a second
-    * corpus; refused above `spark.graft.ann.maxBatchQueries`, default
-    * 65536). Routing: each query probes its `nprobe` nearest cells;
-    * the scan reads the UNION of probed cells once (partition-pruned,
-    * still ≤ nprobe·Q/k of the index and typically far less — hot
-    * cells dedupe); the broadcast (cell, qid, qvec) table fans each
-    * assignment row out ONLY to the queries that probed its cell; one
-    * codegen'd vec_dot per (row, probing query); a per-qid
-    * WindowGroupLimit keeps top-k before any shuffle. Exact within
-    * each query's probed cells — identical rows to per-query [[knn]]
-    * (asserted in spec). `ivf` kind only: the ivfpq ADC table is
-    * per-query state that would broadcast Q × m × kPq floats;
-    * refused loudly (use per-query knn or the ivf kind).
+  /** Top-`nprobe` cells for ONE query, by descending dot product with
+    * ties to the LOWER cell index — exactly the order the stable
+    * `sortBy(-dot)` the original routing used yields, so per-query
+    * [[knn]] and batch [[knnAll]] always probe identical cell sets.
+    * Primitive-array dot products + one partial-selection pass
+    * (O(nlist · nprobe)) instead of boxed `zip/map/sum` tuples and a
+    * full O(nlist log nlist) sort per query (round 16 — verdict r15
+    * #1: at the batch ceiling Q=65536, nlist in the thousands, the
+    * boxed full sort was minutes of driver routing before the one-pass
+    * scan the operator exists to provide). Returns (cell, dot) in
+    * selection order.
+    */
+  private[graft] def topCells(cents: Array[Array[Double]],
+                              q: Array[Double],
+                              nprobe: Int): Array[(Int, Double)] = {
+    val n = math.min(nprobe, cents.length)
+    val selIdx = new Array[Int](n)
+    val selScore = new Array[Double](n)
+    var filled = 0
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var s = 0.0
+      var d = 0
+      while (d < cent.length) { s += cent(d) * q(d); d += 1 }
+      // admit if the list is unfilled, or the candidate STRICTLY beats
+      // the current worst (a tie keeps the earlier = lower index, the
+      // stable-sort behavior); bubble up past strictly-worse entries
+      if (filled < n || s > selScore(n - 1)) {
+        var i = if (filled < n) { filled += 1; filled - 1 } else n - 1
+        while (i > 0 && s > selScore(i - 1)) {
+          selScore(i) = selScore(i - 1); selIdx(i) = selIdx(i - 1); i -= 1
+        }
+        selScore(i) = s; selIdx(i) = c
+      }
+      c += 1
+    }
+    Array.tabulate(filled)(i => (selIdx(i), selScore(i)))
+  }
+
+  /** Route a bounded query batch to its probed cells: driver-side with
+    * primitive arrays when the work is small, ONE tiny Spark job
+    * (broadcast centroids, ≤ nprobe·Q small results collected) above
+    * `spark.graft.ann.driverRouteFlops` (default 2e9 ≈ a second of one
+    * core) — at Q=65536 × nlist=4096 × dim=64 the routing is ~1.7e10
+    * multiplies, a cluster-width job, not a driver loop.
+    */
+  private def routeAll(spark: SparkSession, m: Model,
+                       qVecs: Array[(Any, Array[Float])], nprobe: Int)
+      : Array[(Any, Array[Float], Array[(Int, Double)])] = {
+    val flops = qVecs.length.toDouble * m.centroids.length * m.dim
+    val budget = spark.conf
+      .get("spark.graft.ann.driverRouteFlops", "2000000000").toDouble
+    if (flops <= budget)
+      qVecs.map { case (qid, qv) =>
+        (qid, qv, topCells(m.centroids, qv.map(_.toDouble), nprobe)) }
+    else {
+      val bc = spark.sparkContext.broadcast(m.centroids)
+      try spark.sparkContext
+        .parallelize(qVecs.toSeq,
+          math.max(1, spark.sparkContext.defaultParallelism))
+        .map { case (qid, qv) =>
+          (qid, qv, topCells(bc.value, qv.map(_.toDouble), nprobe)) }
+        .collect()
+      finally bc.destroy()
+    }
+  }
+
+  /** BATCH top-k (round 15; ivfpq + fast routing round 16): answer MANY
+    * queries in ONE pass over the union of their probed cells — the
+    * kNN-features / dedup-against-eval-set shape, where a training
+    * pipeline carries thousands of query vectors and per-query [[knn]]
+    * would pay Q job round-trips and re-scan shared cells Q times.
+    * `queries` is a (qidCol, vecCol) frame, BOUNDED (it is collected to
+    * the driver to route cells and broadcast back — an eval set or
+    * feature batch, not a second corpus; refused above
+    * `spark.graft.ann.maxBatchQueries`, default 65536). The vector
+    * column may be any numeric array — SQL array literals are
+    * ARRAY<DOUBLE> — and is coerced to ARRAY<FLOAT>, the same
+    * coercion per-query [[knn]]'s `Seq[Float]` signature implies
+    * (ADVICE r15). Duplicate qids are refused: two queries sharing a
+    * qid would collapse into one ranking partition and silently halve
+    * each one's top-k.
+    *
+    * Routing: each query probes its `nprobe` nearest cells
+    * ([[topCells]] — primitive arrays, partial selection; distributed
+    * above a flops budget). The scan reads the UNION of probed cells
+    * once (partition-pruned, ≤ nprobe·Q/k of the index and typically
+    * far less — hot cells dedupe); the broadcast (cell, qid, …) table
+    * fans each assignment row out ONLY to the queries that probed its
+    * cell; a per-qid rank limit keeps top-k with map-side
+    * WindowGroupLimit pruning before the shuffle. Exact within each
+    * query's probed cells — identical rows to per-query [[knn]]
+    * (asserted in spec).
+    *
+    * For the `ivfpq` kind (round 16 — verdict r15 #2) the batch is
+    * CHUNKED to two budgets and unioned: each query's m×kPq ADC table
+    * rides its routing rows (bounded per chunk by
+    * `spark.graft.ann.batchAdcBroadcastBytes`, default 32 MB — at
+    * m=8/kPq=256/nprobe=3 ≈ 1300 queries/chunk), codes are scored by
+    * the codegen'd `vec_pq_adc` + per-cell bias in one pass over the
+    * chunk's probed cells, a per-qid rank limit keeps each query's
+    * `shortlist` (auto-sized exactly as [[knn]]), and ONE broadcast
+    * semi-join fetches the shortlisted ids' float vectors from the
+    * table for the exact re-rank (shortlist rows per chunk bounded by
+    * `spark.graft.ann.batchRerankRows`, default 2^20 — the second
+    * chunk-size clamp; a giant shortlist on a huge batch degrades
+    * gracefully to more chunks, never to an unbounded broadcast). One
+    * codes scan per CHUNK instead of per query: a 10k-query eval set
+    * against a PQ index pays ~8 scans, not 10k job round-trips.
     *
     * Returns (qidCol, idCol, score) ranked per query.
     */
   def knnAll(spark: SparkSession, root: String, queries: DataFrame,
              k: Int, name: String = "ivf", nprobe: Int = 3,
-             qidCol: String = "qid", vecCol: String = "qvec"): DataFrame = {
+             qidCol: String = "qid", vecCol: String = "qvec",
+             shortlist: Int = 0): DataFrame = {
     VectorFunctions.register(spark)
     val m = model(spark, root, name).getOrElse(throw new IllegalStateException(
       s"no ANN index '$name' at $root — AnnIndex.build first"))
-    require(m.pq.isEmpty,
-      s"knnAll needs stored float vectors — index '$name' is " +
-      s"'${m.kind}'; the per-query ADC state does not batch (use the " +
-      "plain 'ivf' kind, or per-query knn)")
     val cur = SnapshotLog.currentVersion(spark, root).getOrElse(0L)
     require(m.indexedVersion == cur,
       s"ANN index '$name' covers v${m.indexedVersion} but the table is " +
       s"at v$cur — AnnIndex.refresh(...) first")
     val maxQ = spark.conf
       .get("spark.graft.ann.maxBatchQueries", "65536").toInt
-    val qRows = queries.select(col(qidCol), col(vecCol)).limit(maxQ + 1)
-      .collect()
+    import org.apache.spark.sql.types._
+    queries.schema(vecCol).dataType match {
+      case ArrayType(_: NumericType, _) => ()
+      case other => throw new IllegalArgumentException(
+        s"knnAll: query column '$vecCol' must be an ARRAY of a numeric " +
+        s"type (got ${other.simpleString}) — it is coerced to " +
+        "ARRAY<FLOAT> for scoring")
+    }
+    val qidType = queries.schema(qidCol).dataType
+    val qRows = queries
+      .select(col(qidCol), col(vecCol).cast(ArrayType(FloatType)))
+      .limit(maxQ + 1).collect()
     require(qRows.length <= maxQ,
       s"knnAll query batch exceeds $maxQ (spark.graft.ann." +
       "maxBatchQueries) — route larger batches as a join against the " +
       "assignments yourself, or raise the conf")
-    import org.apache.spark.sql.types._
-    val outSchema = StructType(Seq(
-      StructField(qidCol, queries.schema(qidCol).dataType),
-      StructField(m.idCol, tableIdType(spark, root, cur, m)),
-      StructField("score", DoubleType)))
     if (qRows.isEmpty || !hasLiveAssignments(spark, root, name, m))
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
-    // driver-side routing: per query, its nprobe nearest cells (the
-    // same dot-product argmax knnImpl uses), flattened to one routing
-    // row per (cell, query) — ≤ nprobe·Q tiny rows, broadcast below
-    val routing: Seq[(Int, Any, Seq[Float])] = qRows.toSeq.flatMap { r =>
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField(qidCol, qidType),
+          StructField(m.idCol, tableIdType(spark, root, cur, m)),
+          StructField("score", DoubleType))))
+    val qVecs: Array[(Any, Array[Float])] = qRows.map { r =>
       val qid = r.get(0)
       val qv = r.getSeq[Float](1)
-      val qd = qv.map(_.toDouble).toArray
-      m.centroids.indices
-        .sortBy(c => -m.centroids(c).zip(qd).map(p => p._1 * p._2).sum)
-        .take(nprobe).map(c => (c, qid, qv))
+      require(qv != null, s"knnAll: null query vector (qid=$qid)")
+      require(qv.length == m.dim,
+        s"knnAll: query dim ${qv.length} != index dim ${m.dim} (qid=$qid)")
+      (qid, qv.toArray)
     }
-    val probedCells = routing.map(_._1).distinct
-    val routeDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        routing.map(t => org.apache.spark.sql.Row(t._1, t._2, t._3)), 1),
-      StructType(Seq(
-        StructField("cell", IntegerType),
-        StructField(qidCol, queries.schema(qidCol).dataType),
-        StructField("__qvec", ArrayType(FloatType)))))
-    val probed = assignments(spark, root, name, m)
-      .filter(col("cell").isin(probedCells.map(x => x: Any): _*))
+    // duplicate qids would collapse two queries' candidate pools into
+    // one row_number partition — each scored row appears once per
+    // duplicate, silently halving that query's distinct top-k ids
+    require(qVecs.iterator.map(_._1).toSet.size == qVecs.length,
+      "knnAll: duplicate qid values in the query batch — each qid " +
+      "names ONE query (dedupe or re-key the queries frame)")
+    val routed = routeAll(spark, m, qVecs, nprobe)
     import org.apache.spark.sql.expressions.Window
-    probed
-      .join(broadcast(routeDf), "cell") // fan out only to probing queries
-      .withColumn("score",
-        call_function("vec_dot", col(m.vecCol), col("__qvec")))
-      .withColumn("__rn", row_number().over(Window.partitionBy(qidCol)
-        .orderBy(desc("score"), col(m.idCol))))
-      .filter(col("__rn") <= k)
-      .select(col(qidCol), col(m.idCol), col("score"))
-      .orderBy(col(qidCol), desc("score"), col(m.idCol))
+    m.pq match {
+      case None =>
+        // one routing row per (cell, query); broadcast fan-out scores
+        // each probed assignment row against exactly the queries that
+        // probed its cell
+        val routing = routed.flatMap { case (qid, qv, cells) =>
+          cells.map { case (c, _) =>
+            org.apache.spark.sql.Row(c, qid, qv.toSeq) } }
+        val probedCells =
+          routed.flatMap(_._3.map(_._1)).distinct.toSeq
+        val routeDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(routing.toSeq, 1),
+          StructType(Seq(
+            StructField("cell", IntegerType),
+            StructField(qidCol, qidType),
+            StructField("__qvec", ArrayType(FloatType)))))
+        assignments(spark, root, name, m)
+          .filter(col("cell").isin(probedCells.map(x => x: Any): _*))
+          .join(broadcast(routeDf), "cell")
+          .withColumn("score",
+            call_function("vec_dot", col(m.vecCol), col("__qvec")))
+          .withColumn("__rn", row_number().over(Window.partitionBy(qidCol)
+            .orderBy(desc("score"), col(m.idCol))))
+          .filter(col("__rn") <= k)
+          .select(col(qidCol), col(m.idCol), col("score"))
+          .orderBy(col(qidCol), desc("score"), col(m.idCol))
+      case Some(pq) =>
+        val effShortlist = effectiveShortlist(spark, m, k, shortlist)
+        // chunk the batch to the SMALLER of two budgets: the broadcast
+        // ADC bytes (each query's m×kPq table rides its nprobe routing
+        // rows) and the re-rank rows (chunkQ × shortlist (qid, id)
+        // pairs collected + broadcast for the exact re-rank — the same
+        // driver round-trip per-query knn's broadcast(short) pays,
+        // amortized over the chunk)
+        val adcBudget = spark.conf.get(
+          "spark.graft.ann.batchAdcBroadcastBytes",
+          (32L * 1024 * 1024).toString).toLong
+        val perQueryBytes =
+          math.max(1L, nprobe.toLong) * pq.m * pq.k * 4L
+        val rerankBudget = spark.conf.get(
+          "spark.graft.ann.batchRerankRows", (1L << 20).toString).toLong
+        val chunkCap = math.max(1L, math.min(
+          adcBudget / perQueryBytes,
+          rerankBudget / math.max(1, effShortlist))).toInt
+        val table = SnapshotLog.readVersion(spark, root, cur)
+        val chunks = routed.grouped(chunkCap).map { chunk =>
+          val routing = chunk.flatMap { case (qid, qv, cells) =>
+            val adc = adcTable(pq, qv).toSeq
+            cells.map { case (c, bias) =>
+              org.apache.spark.sql.Row(c, qid, bias, adc) } }
+          val probedCells = chunk.flatMap(_._3.map(_._1)).distinct.toSeq
+          val routeDf = spark.createDataFrame(
+            spark.sparkContext.parallelize(routing.toSeq, 1),
+            StructType(Seq(
+              StructField("cell", IntegerType),
+              StructField(qidCol, qidType),
+              StructField("__bias", DoubleType),
+              StructField("__adc", ArrayType(FloatType)))))
+          val qvecDf = spark.createDataFrame(
+            spark.sparkContext.parallelize(
+              chunk.map { case (qid, qv, _) =>
+                org.apache.spark.sql.Row(qid, qv.toSeq) }.toSeq, 1),
+            StructType(Seq(
+              StructField(qidCol, qidType),
+              StructField("__qvec", ArrayType(FloatType)))))
+          // ONE codes pass over the chunk's probed cells: ADC score =
+          // per-cell bias + table lookups (dot(q,x) = dot(q,cent) +
+          // dot(q,res)); per-qid rank limit keeps the shortlist — the
+          // same (adc_score desc, id) order per-query knn's
+          // orderBy+limit uses, so the shortlisted SET is identical
+          val short = assignments(spark, root, name, m)
+            .filter(col("cell").isin(probedCells.map(x => x: Any): _*))
+            .join(broadcast(routeDf), "cell")
+            .withColumn("adc_score", col("__bias") +
+              call_function("vec_pq_adc", col("pq_codes"), col("__adc"),
+                lit(pq.k)))
+            .withColumn("__rn", row_number().over(
+              Window.partitionBy(qidCol)
+                .orderBy(desc("adc_score"), col(m.idCol))))
+            .filter(col("__rn") <= effShortlist)
+            .select(col(qidCol), col(m.idCol))
+            .collect()
+          // exact re-rank: fetch each shortlisted id's float vector
+          // ONCE from the table (broadcast semi-join — the table scan
+          // reads only matching rows' columns, never shuffles), fan it
+          // back out to the (qid, id) pairs, score by vec_dot against
+          // the broadcast query vectors, keep top-k per query
+          val idType = table.schema
+            .find(_.name.equalsIgnoreCase(m.idCol)).map(_.dataType)
+            .getOrElse(LongType)
+          val shortDf = spark.createDataFrame(
+            spark.sparkContext.parallelize(short.toSeq,
+              math.max(1, math.min(short.length,
+                spark.sparkContext.defaultParallelism))),
+            StructType(Seq(
+              StructField(qidCol, qidType),
+              StructField(m.idCol, idType))))
+          table
+            .join(broadcast(shortDf.select(col(m.idCol)).distinct()),
+              Seq(m.idCol), "left_semi")
+            .select(col(m.idCol), col(m.vecCol))
+            .join(broadcast(shortDf), Seq(m.idCol))
+            .join(broadcast(qvecDf), Seq(qidCol))
+            .withColumn("score",
+              call_function("vec_dot", col(m.vecCol), col("__qvec")))
+            .withColumn("__rn", row_number().over(
+              Window.partitionBy(qidCol)
+                .orderBy(desc("score"), col(m.idCol))))
+            .filter(col("__rn") <= k)
+            .select(col(qidCol), col(m.idCol), col("score"))
+        }.toSeq
+        chunks.reduce(_ unionByName _)
+          .orderBy(col(qidCol), desc("score"), col(m.idCol))
+    }
   }
 
   /** Does the published model have any LIVE assignment slice? (Some =
@@ -793,6 +989,47 @@ object AnnIndex {
       .orderBy("id_a", "id_b")
   }
 
+  /** The ivfpq re-rank shortlist: explicit when given; else AUTO
+    * (round 15) — 3% of the model's live row count, the measured ≥0.9
+    * recall@10 operating point on tie-dense corpora (2.5% + margin;
+    * see [[knn]]) — floored at max(100, k), capped by
+    * `spark.graft.ann.maxAutoShortlist`. k wins over the cap (review
+    * r15): an auto shortlist below k would silently return fewer than
+    * k rows — the cap bounds the RECALL spend, never the result size.
+    * A legacy model without a row count falls back to the pre-r15
+    * default of 100. Shared by [[knn]]/[[knnWhere]]/[[knnAll]] so the
+    * sizing can never diverge between per-query and batch paths.
+    */
+  private def effectiveShortlist(spark: SparkSession, m: Model, k: Int,
+                                 shortlist: Int): Int =
+    if (shortlist > 0) shortlist
+    else if (m.rows < 0) math.max(100, k)
+    else {
+      val cap = spark.conf
+        .get("spark.graft.ann.maxAutoShortlist", "100000").toInt
+      math.max(k.toLong, math.min(cap.toLong,
+        math.max(100L, math.ceil(m.rows * 0.03).toLong))).toInt
+    }
+
+  /** The per-query ADC lookup table: table[j·kPq + c] = dot(query
+    * subvector j, codebook centroid c) — m×kPq floats, built once per
+    * query on the driver (m·kPq·dsub multiplies — thousands, not
+    * corpus-scale). Shared by [[knnImpl]] and [[knnAll]]'s chunked
+    * batch path so ADC scores are bit-identical between them.
+    */
+  private def adcTable(pq: EmbedOps.PqModel, query: Array[Float])
+      : Array[Float] = {
+    val table = new Array[Float](pq.m * pq.k)
+    for (j <- 0 until pq.m; c <- 0 until pq.k) {
+      var acc = 0.0
+      for (d <- 0 until pq.dsub)
+        acc += query(j * pq.dsub + d).toDouble *
+          pq.centroids((j * pq.k + c) * pq.dsub + d).toDouble
+      table(j * pq.k + c) = acc.toFloat
+    }
+    table
+  }
+
   private def knnImpl(spark: SparkSession, root: String, query: Seq[Float],
                       k: Int, name: String, nprobe: Int, shortlist: Int,
                       pred: Option[Column]): DataFrame = {
@@ -820,9 +1057,15 @@ object AnnIndex {
           StructField("score", DoubleType))))
     }
     val q = query.map(_.toDouble).toArray
-    def qDotCent(c: Int): Double =
-      m.centroids(c).zip(q).map { case (a, b) => a * b }.sum
-    val cells = m.centroids.indices.sortBy(c => -qDotCent(c)).take(nprobe)
+    // a clear refusal instead of the garbage a truncated dot product
+    // would rank by (the pre-r16 zip silently truncated)
+    require(q.length == m.dim,
+      s"query dim ${q.length} != index dim ${m.dim}")
+    // (cell, dot) pairs in probe order — the shared primitive-array
+    // partial selection, so knn and knnAll route identically (round 16)
+    val sel = topCells(m.centroids, q, nprobe)
+    val cells = sel.map(_._1).toIndexedSeq
+    val cellDot = sel.toMap
     val lit32 = typedLit(query.toArray).cast("array<float>")
     val probed0 = assignments(spark, root, name, m)
       .filter(col("cell").isin(cells.map(x => x: Any): _*))
@@ -847,35 +1090,14 @@ object AnnIndex {
         // ADC over the probed cells' CODES (m bytes/vector read) with
         // the exact per-cell bias — dot(q,x) = dot(q,cent) + dot(q,res)
         // — then an exact re-rank of the shortlist against the table.
-        // shortlist ≤ 0 = AUTO (round 15): 3% of the model's live row
-        // count — the measured ≥0.9 recall@10 operating point on
-        // tie-dense corpora (2.5% + margin; see [[knn]]) — floored at
-        // max(100, k), capped by spark.graft.ann.maxAutoShortlist
-        val effShortlist =
-          if (shortlist > 0) shortlist
-          else if (m.rows < 0) math.max(100, k) // legacy: pre-r15 default
-          else {
-            val cap = spark.conf
-              .get("spark.graft.ann.maxAutoShortlist", "100000").toInt
-            // k wins over the cap (review r15): an auto shortlist below
-            // k would silently return fewer than k rows — the cap bounds
-            // the RECALL spend, never the result size
-            math.max(k.toLong, math.min(cap.toLong,
-              math.max(100L, math.ceil(m.rows * 0.03).toLong))).toInt
-          }
+        // shortlist ≤ 0 = AUTO (round 15, see [[effectiveShortlist]])
+        val effShortlist = effectiveShortlist(spark, m, k, shortlist)
         require(query.length == pq.m * pq.dsub,
           s"query dim ${query.length} != model dim ${pq.m * pq.dsub}")
-        val table = new Array[Float](pq.m * pq.k)
-        for (j <- 0 until pq.m; c <- 0 until pq.k) {
-          var acc = 0.0
-          for (d <- 0 until pq.dsub)
-            acc += query(j * pq.dsub + d).toDouble *
-              pq.centroids((j * pq.k + c) * pq.dsub + d).toDouble
-          table(j * pq.k + c) = acc.toFloat
-        }
+        val table = adcTable(pq, query.toArray)
         val bias = cells.tail.foldLeft(
-          when(col("cell") === cells.head, lit(qDotCent(cells.head)))) {
-          (w, c) => w.when(col("cell") === c, lit(qDotCent(c)))
+          when(col("cell") === cells.head, lit(cellDot(cells.head)))) {
+          (w, c) => w.when(col("cell") === c, lit(cellDot(c)))
         }
         val short = probed
           .withColumn("adc_score", bias +

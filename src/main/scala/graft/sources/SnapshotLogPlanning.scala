@@ -366,6 +366,19 @@ private[sources] trait SnapshotLogPlanning { self: SnapshotLog.type =>
       planCache.put(key, PlanCacheEntry(
         new java.lang.ref.SoftReference(value), w))
       planCacheBytes += w
+      // drop GC-cleared shells FIRST (ADVICE r15): a cleared SoftReference
+      // keeps its accounted weight until that exact key is looked up again,
+      // and that phantom weight would evict LIVE entries here under memory
+      // pressure — exactly when the cache is most valuable
+      if (planCacheBytes > budget) {
+        val sweep = planCache.entrySet().iterator()
+        while (sweep.hasNext) {
+          val e = sweep.next()
+          if (e.getValue.ref.get() == null) {
+            planCacheBytes -= e.getValue.weight; sweep.remove()
+          }
+        }
+      }
       val it = planCache.entrySet().iterator()
       while (planCacheBytes > budget && it.hasNext) {
         val e = it.next() // eldest-used first

@@ -1809,9 +1809,18 @@ private[sources] trait SnapshotLogScoped { self: SnapshotLog.type =>
         store.tryClaim(spark, claim)
       if (!claimed) {
         if (System.currentTimeMillis > deadline)
+          // deliberately does NOT advise removing the claim (ADVICE r15):
+          // multi-table transactions (Txn.commitAppendAll) legitimately
+          // hold claims across full data staging — easily past this
+          // timeout on large batches — and removing a LIVE writer's claim
+          // corrupts its in-flight commit
           throw new IllegalStateException(
-            s"timed out after ${timeoutMs}ms waiting for $claim — a writer " +
-            "is stuck mid-commit or hard-crashed (remove the claim to recover)")
+            s"timed out after ${timeoutMs}ms waiting for $claim — the " +
+            "holder may be a live long commit or an in-flight multi-table " +
+            "transaction (a PENDINGTXN record beside the claim, or a " +
+            "recent claim mtime, means LIVE: wait or retry with a longer " +
+            "timeout). Only if the holder provably hard-crashed — stale " +
+            "mtime, no running writer — remove the claim to recover")
         Thread.sleep(25L + scala.util.Random.nextInt(50).toLong)
       }
     }
@@ -2079,10 +2088,32 @@ private[sources] trait SnapshotLogScoped { self: SnapshotLog.type =>
 
   private[graft] def publishScopedOcc(spark: SparkSession, root: String,
                                       staged: StagedScoped,
-                                      statsCols: Seq[String] = Nil): Long = {
+                                      statsCols: Seq[String] = Nil): Long =
+    withClaimWait(spark, root) {
+      recoverOrphans(spark, root)
+      val next = publishScopedStagedLocked(spark, root, staged, statsCols)
+      publishLatest(spark, root, next)
+      Constraints.finish(spark, root, next, staged.obs)
+      next
+    }
+
+  /** The CLAIMED half of [[publishScopedOcc]] WITHOUT the LATEST flip
+    * (round 16: extracted so [[Txn.commitAll]] can stage a scoped
+    * upsert beside appends and flip every participant together behind
+    * one intent record — the same split [[stageAppendLocked]] gives the
+    * append verb). Caller holds the table claim, has run recovery, and
+    * flips LATEST + runs [[Constraints.finish]] itself. Validates the
+    * rebase window, renames the staging into the next version's data
+    * dir, and writes stats + manifest; returns the staged-but-unflipped
+    * version.
+    */
+  private[graft] def publishScopedStagedLocked(spark: SparkSession,
+                                               root: String,
+                                               staged: StagedScoped,
+                                               statsCols: Seq[String]): Long = {
     val rootPath = new Path(root.replaceAll("/+$", ""))
     def baseName(d: String) = d.substring(d.lastIndexOf('/') + 1)
-    withClaimWait(spark, root) {
+    locally {
       val f = fs(spark, rootPath)
       val stagingPath = new Path(rootPath, staged.stagingDir)
       def abort(why: String): Nothing = {
@@ -2090,7 +2121,6 @@ private[sources] trait SnapshotLogScoped { self: SnapshotLog.type =>
         throw new java.util.ConcurrentModificationException(
           s"scoped OCC commit aborted: $why — re-run against the new head")
       }
-      recoverOrphans(spark, root)
       // constraints added while the stage was in flight invalidate the
       // staged (stale-gated) rows — abort, caller re-runs and re-gates
       if (Constraints.fingerprint(spark, root) != staged.constraintsFp)
@@ -2156,8 +2186,6 @@ private[sources] trait SnapshotLogScoped { self: SnapshotLog.type =>
         tombDirs = head.toSeq.flatMap(tombDirsOf(spark, root, _)),
         partCol = staged.partitionCol, chgDir = chg,
         schemaJson = head.map(rawSchemaJson(spark, root, _)).getOrElse(""))
-      publishLatest(spark, root, next)
-      Constraints.finish(spark, root, next, staged.obs)
       next
     }
   }

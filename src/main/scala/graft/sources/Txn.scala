@@ -3,11 +3,13 @@ package graft.sources
 import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** CROSS-TABLE ATOMIC APPEND (round 15 — the r14 verdict's missing #4):
-  * commit one append to EACH of several snapshot-log tables so that,
-  * after recovery, either every table carries its batch or none does —
-  * the fact + dims + audit ETL shape that single-table verbs (and
-  * Delta/Iceberg without a transactional catalog) cannot give.
+/** CROSS-TABLE ATOMIC WRITES (round 15, appends; round 16, scoped
+  * upserts — the r15 verdict's #5): commit one write to EACH of several
+  * snapshot-log tables so that, after recovery, either every table
+  * carries its batch or none does — the fact + dims + audit ETL shape
+  * (append the fact batch, keyed-upsert the dims) that single-table
+  * verbs (and Delta/Iceberg without a transactional catalog) cannot
+  * give.
   *
   * Protocol (write-ahead intent; every step idempotent or atomic):
   *
@@ -19,10 +21,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     BEFORE staging, so a crash anywhere mid-stage reads as a
   *     rollback, never as ambiguous bare debris;
   *  3. STAGE each table's planned version — data dir, stats sidecar,
-  *     manifest — via the same staged half `appendCommit` uses
-  *     ([[SnapshotLog.stageAppendLocked]]); no LATEST moves, so readers
-  *     see nothing; an abort here (a constraint violation on any
-  *     participant) rolls every table back under the held claims;
+  *     manifest — via the verb's staged half
+  *     ([[SnapshotLog.stageAppendLocked]] for appends;
+  *     [[SnapshotLog.stageScopedOcc]] +
+  *     [[SnapshotLog.publishScopedStagedLocked]] for scoped upserts);
+  *     no LATEST moves, so readers see nothing; an abort here (a
+  *     constraint violation on any participant) rolls every table back
+  *     under the held claims;
   *  4. write the INTENT file into the COORDINATOR's log dir (the first
   *     root in canonical order) listing every (root, version). This
   *     rename is the COMMIT POINT;
@@ -67,9 +72,45 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Txn {
 
+  /** One participant's write. APPEND and SCOPED UPSERT are admitted
+    * (round 16 — the fact+dims ETL shape: append the fact batch,
+    * keyed-upsert the dims, one intent). Both have a staged half that
+    * writes everything but the LATEST flip under the held claim
+    * ([[SnapshotLog.stageAppendLocked]] /
+    * [[SnapshotLog.publishScopedStagedLocked]]), so the recovery
+    * protocol — roll the recorded version forward iff the intent
+    * exists — is verb-agnostic. MoR upserts are deliberately NOT
+    * participants: their shadow-sequence files interleave with the
+    * base lineage's version numbering in a way the single recorded
+    * `toV` cannot roll back exactly (see SCALE.md round-16 posture
+    * note); full-rewrite keyed upserts are likewise out — their staged
+    * half would rewrite the whole snapshot under held claims,
+    * serializing every participant's writers for a corpus-sized write.
+    */
+  sealed trait TableWrite {
+    def root: String
+    private[Txn] def withRoot(r: String): TableWrite
+  }
+
   final case class TableAppend(root: String, batch: DataFrame,
                                statsCols: Seq[String] = Nil,
                                bloomCols: Seq[String] = Nil)
+      extends TableWrite {
+    private[Txn] def withRoot(r: String): TableWrite = copy(root = r)
+  }
+
+  /** A partition-scoped keyed upsert participant: the batch merges into
+    * exactly the partitions its rows touch ([[SnapshotLog.upsertScoped]]
+    * semantics — untouched leafs carry by reference). Staged through
+    * the OCC machinery's claimed half, under the transaction's claims.
+    */
+  final case class TableUpsertScoped(root: String, batch: DataFrame,
+                                     keys: Seq[String], partitionCol: String,
+                                     statsCols: Seq[String] = Nil,
+                                     bloomCols: Seq[String] = Nil)
+      extends TableWrite {
+    private[Txn] def withRoot(r: String): TableWrite = copy(root = r)
+  }
 
   /** Test seam: name of the protocol point AFTER which commitAppendAll
     * throws (simulating a writer crash with claims released) —
@@ -109,19 +150,26 @@ object Txn {
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
 
-  /** Commit one append per table, all-or-nothing after recovery.
-    * Returns root → committed version. Any failure before the intent
-    * rename leaves every table untouched (staged debris is reclaimed by
-    * each table's next recovery); any failure after it converges
-    * forward. Duplicate roots are refused — union the batches instead
-    * (two staged versions of one table in one transaction would race
-    * their version numbers).
+  /** Commit one write per table — appends and scoped upserts may mix
+    * (round 16) — all-or-nothing after recovery. Returns root →
+    * committed version. Any failure before the intent rename leaves
+    * every table untouched (staged debris is reclaimed by each table's
+    * next recovery); any failure after it converges forward. Duplicate
+    * roots are refused — union the batches instead (two staged versions
+    * of one table in one transaction would race their version numbers).
     */
-  def commitAppendAll(spark: SparkSession,
-                      writes: Seq[TableAppend]): Map[String, Long] =
+  def commitAll(spark: SparkSession,
+                writes: Seq[TableWrite]): Map[String, Long] =
     commitAppendAllImpl(spark, writes, batchId = -1L).getOrElse(
       throw new IllegalStateException(
         "unreachable: an unstamped transaction cannot be a replay"))
+
+  /** [[commitAll]] restricted to appends — the original round-15
+    * surface, kept as the natural name for the append-only fan-out.
+    */
+  def commitAppendAll(spark: SparkSession,
+                      writes: Seq[TableAppend]): Map[String, Long] =
+    commitAll(spark, writes)
 
   /** Exactly-once STREAMING multi-table append: [[commitAppendAll]]
     * with the micro-batch id stamped into every participant's manifest
@@ -144,10 +192,17 @@ object Txn {
   }
 
   private def commitAppendAllImpl(spark: SparkSession,
-                                  writes: Seq[TableAppend],
+                                  writes: Seq[TableWrite],
                                   batchId: Long): Option[Map[String, Long]] = {
     require(writes.nonEmpty, "empty transaction")
-    val sorted = writes.map(w => w.copy(root = canonical(w.root)))
+    // the streaming replay gate reads manifest batch stamps, which only
+    // the append stage writes — commitAppendAllBatch's signature already
+    // enforces this; the require is the defense-in-depth twin
+    require(batchId < 0 || writes.forall(_.isInstanceOf[TableAppend]),
+      "stamped (streaming) multi-table transactions are append-only — " +
+      "the scoped stage does not write the batch stamp the replay gate " +
+      "reads")
+    val sorted = writes.map(w => w.withRoot(canonical(w.root)))
       .sortBy(_.root)
     require(sorted.map(_.root).distinct.size == sorted.size,
       "duplicate table roots in one transaction — union the batches")
@@ -158,10 +213,17 @@ object Txn {
       if (crashAfter == point) throw new IllegalStateException(
         s"injected crash after '$point' (test seam)")
 
+    // transactions hold claims across full multi-table data staging, so
+    // they (and writers contending with them) need a longer bound than a
+    // single metadata flip — conf-tunable, default 5 min (ADVICE r15)
+    val claimTimeoutMs = spark.conf
+      .get("spark.graft.txn.claimTimeoutMs", "300000").toLong
     def underClaims[T](roots: Seq[String])(body: => T): T = roots match {
       case Seq() => body
       case r +: rest =>
-        SnapshotLog.withClaimWait(spark, r) { underClaims(rest)(body) }
+        SnapshotLog.withClaimWait(spark, r, claimTimeoutMs) {
+          underClaims(rest)(body)
+        }
     }
     underClaims(sorted.map(_.root)) {
       // per-table recovery first: a previous transaction's record (or
@@ -193,9 +255,24 @@ object Txn {
       crash("records")
       val staged =
         try planned.map { case (w, v) =>
-          val (sv, obs) = SnapshotLog.stageAppendLocked(spark, w.root,
-            w.batch, w.statsCols, w.bloomCols, batchId)
-          assert(sv == v, s"staged v$sv != planned v$v at ${w.root}")
+          val (sv, obs) = w match {
+            case a: TableAppend =>
+              SnapshotLog.stageAppendLocked(spark, a.root, a.batch,
+                a.statsCols, a.bloomCols, batchId)
+            case u: TableUpsertScoped =>
+              // the OCC machinery's two halves run back-to-back under
+              // the transaction's held claim: the rebase window is
+              // empty by construction, so the publish validation can
+              // only fail on a real staging error
+              val sc = SnapshotLog.stageScopedOcc(spark, u.root, u.batch,
+                u.keys, u.partitionCol, u.bloomCols)
+              (SnapshotLog.publishScopedStagedLocked(spark, u.root, sc,
+                u.statsCols), sc.obs)
+          }
+          // require, not assert (ADVICE r15): recovery rolls forward/back
+          // against the RECORDED version, so this invariant must hold
+          // even with JVM assertions elided
+          require(sv == v, s"staged v$sv != planned v$v at ${w.root}")
           (w.root, v, obs)
         } catch { case t: Throwable =>
           // abort (e.g. a constraint violation on one participant):
@@ -269,6 +346,10 @@ object Txn {
           f.delete(SnapshotLog.statsPath(root, toV), false)
           f.delete(SnapshotLog.statsPqPath(root, toV), true)
           f.delete(SnapshotLog.dataDir(root, toV), true)
+          // a scoped participant with the change feed enabled published
+          // its staged change dir before the crash (round 16)
+          f.delete(new Path(canonical(root),
+            SnapshotLog.chgDirName(toV)), true)
         }
       }
       f.delete(pp, false)

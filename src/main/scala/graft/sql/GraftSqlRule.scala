@@ -600,14 +600,17 @@ object GraftSqlRule {
     * index-amortized dedup candidates without per-run hashing.
     */
   /** `SELECT * FROM ann_knn_batch('ns.t', 'query_view', k[, index_name,
-    * nprobe[, qid_col, vec_col]])` — BATCH top-k through the persisted
-    * index ([[graft.engine.AnnIndex.knnAll]]): the second argument
-    * names any catalog-resolvable table or (temp) view whose rows are
-    * the query batch, `(qid, qvec)` columns by default. One pass over
-    * the union of the probed cells; per-row identical to per-query
-    * `ann_knn`; ivf kind only, batch bounded by
-    * `spark.graft.ann.maxBatchQueries` — both refusals surface as the
-    * Scala API's own loud errors.
+    * nprobe[, qid_col, vec_col[, shortlist]]])` — BATCH top-k through
+    * the persisted index ([[graft.engine.AnnIndex.knnAll]]): the second
+    * argument names any catalog-resolvable table or (temp) view whose
+    * rows are the query batch, `(qid, qvec)` columns by default (any
+    * numeric array type — SQL array literals are ARRAY<DOUBLE> and are
+    * coerced). One pass over the union of the probed cells (chunked
+    * passes for the ivfpq kind — round 16); per-row identical to
+    * per-query `ann_knn`; batch bounded by
+    * `spark.graft.ann.maxBatchQueries`; `shortlist` (ivfpq re-rank
+    * width; 0 = auto) as in `ann_knn` — refusals surface as the Scala
+    * API's own loud errors.
     */
   private[sql] def lowerAnnKnnBatch(
       session: SparkSession,
@@ -627,9 +630,11 @@ object GraftSqlRule {
       case other => throw new IllegalArgumentException(
         s"ann_knn_batch: $what must be an integer literal, got $other")
     }
-    require(args.length == 3 || args.length == 5 || args.length == 7,
+    require(args.length == 3 || args.length == 5 || args.length == 7 ||
+        args.length == 8,
       "ann_knn_batch(table, queries_view, k[, index_name, nprobe" +
-      s"[, qid_col, vec_col]]) takes 3, 5 or 7 arguments, got ${args.length}")
+      s"[, qid_col, vec_col[, shortlist]]]) takes 3, 5, 7 or 8 " +
+      s"arguments, got ${args.length}")
     val root = resolveGraftRoot(session, str(args(0), "table name"),
       "ann_knn_batch")
     val queries = session.table(str(args(1), "queries view"))
@@ -638,10 +643,11 @@ object GraftSqlRule {
       if (args.length >= 5) (str(args(3), "index_name"), int(args(4), "nprobe"))
       else ("ivf", 3)
     val (qc, vc) =
-      if (args.length == 7) (str(args(5), "qid_col"), str(args(6), "vec_col"))
+      if (args.length >= 7) (str(args(5), "qid_col"), str(args(6), "vec_col"))
       else ("qid", "qvec")
+    val shortlist = if (args.length == 8) int(args(7), "shortlist") else 0
     graft.engine.AnnIndex.knnAll(session, root, queries, k, name, nprobe,
-      qc, vc).queryExecution.analyzed
+      qc, vc, shortlist).queryExecution.analyzed
   }
 
   private[sql] def lowerAnnNearDup(

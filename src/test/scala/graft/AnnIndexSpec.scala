@@ -703,13 +703,51 @@ class AnnIndexSpec extends SparkSpecBase {
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(batch(q) == single, s"qid $q: batch ${batch(q)} != $single")
     }
-    // refusals: ivfpq kind (per-query ADC state does not batch) and an
-    // over-limit batch (the driver-side routing must stay bounded)
-    AnnIndex.buildPq(spark, root, "ivfpq", kCells = 4, m = 8, kPq = 16)
-    val e1 = intercept[IllegalArgumentException] {
-      AnnIndex.knnAll(spark, root, queries, k = 3, name = "ivfpq")
+    // ARRAY<DOUBLE> queries (the natural type of SQL array literals)
+    // are coerced, not refused (ADVICE r15 medium) — identical answers
+    val dblQueries = queries.withColumn("qvec",
+      org.apache.spark.sql.functions.expr(
+        "transform(qvec, x -> CAST(x AS DOUBLE))"))
+    val viaDouble = AnnIndex.knnAll(spark, root, dblQueries, k = 7,
+      nprobe = 2).collect().groupBy(_.get(0).asInstanceOf[Long])
+      .map { case (q, rs) => q -> rs.map(r =>
+        (r.getLong(1), r.getDouble(2))).toSeq }
+    assert(viaDouble == batch, "ARRAY<DOUBLE> coercion changed answers")
+    // a non-array query column is refused with a clear message
+    val eBad = intercept[IllegalArgumentException] {
+      AnnIndex.knnAll(spark, root,
+        queries.withColumn("qvec", lit("nope")), k = 3)
     }
-    assert(e1.getMessage.contains("ivfpq"))
+    assert(eBad.getMessage.contains("ARRAY"))
+    // duplicate qids are refused — they would collapse two queries'
+    // candidate pools into one ranking partition (ADVICE r15)
+    val eDup = intercept[IllegalArgumentException] {
+      AnnIndex.knnAll(spark, root, queries.union(queries.limit(1)), k = 3)
+    }
+    assert(eDup.getMessage.contains("duplicate qid"))
+    // ivfpq batch (r16 — the r15 refusal lifted): chunked ADC + exact
+    // re-rank, per-query parity; a tiny re-rank budget forces MULTIPLE
+    // chunks so the union path is the one under test
+    AnnIndex.buildPq(spark, root, "ivfpq", kCells = 4, m = 8, kPq = 16)
+    spark.conf.set("spark.graft.ann.batchRerankRows", "40")
+    try {
+      val pqBatch = AnnIndex.knnAll(spark, root, queries, k = 5,
+        name = "ivfpq", nprobe = 2, shortlist = 20)
+        .collect().groupBy(_.get(0).asInstanceOf[Long])
+        .map { case (q, rs) => q -> rs.map(r =>
+          (r.getLong(1), r.getDouble(2))).toSeq }
+      assert(pqBatch.keySet == qids.toSet, "every ivfpq query answered")
+      qids.foreach { q =>
+        val qv = vecs(1, offset = q.toInt).select("embedding")
+          .head().getSeq[Float](0)
+        val single = AnnIndex.knn(spark, root, qv, k = 5, name = "ivfpq",
+          nprobe = 2, shortlist = 20)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(pqBatch(q) == single,
+          s"ivfpq qid $q: batch ${pqBatch(q)} != $single")
+      }
+    } finally spark.conf.unset("spark.graft.ann.batchRerankRows")
+    // over-limit batch refused (the driver-side routing must stay bounded)
     spark.conf.set("spark.graft.ann.maxBatchQueries", "3")
     try {
       val e2 = intercept[IllegalArgumentException] {

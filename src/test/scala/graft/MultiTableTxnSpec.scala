@@ -234,6 +234,71 @@ class MultiTableTxnSpec extends SparkSpecBase
     }
   }
 
+  private def dims(rows: (Int, String, String)*) =
+    rows.toSeq.toDF("k", "w", "p").coalesce(1)
+
+  private def dimRows(root: String): Set[(Int, String, String)] =
+    SnapshotLog.read(spark, root).select("k", "w", "p").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+
+  test("heterogeneous: append + scoped upsert commit together (r16)") {
+    val fact = freshRoot("hf"); val dim = freshRoot("hd")
+    SnapshotLog.appendCommit(spark, fact, kv(1 -> "a"), statsCols = Seq("k"))
+    SnapshotLog.upsertScoped(spark, dim,
+      dims((10, "x", "p1"), (20, "y", "p2")), Seq("k"), "p")
+    val got = Txn.commitAll(spark, Seq(
+      Txn.TableAppend(fact, kv(2 -> "b")),
+      Txn.TableUpsertScoped(dim,
+        dims((10, "x2", "p1"), (30, "z", "p1")), Seq("k"), "p")))
+    assert(got == Map(fact -> 2L, dim -> 2L))
+    assert(rows(fact) == Set(1 -> "a", 2 -> "b"))
+    assert(dimRows(dim) ==
+      Set((10, "x2", "p1"), (20, "y", "p2"), (30, "z", "p1")),
+      "the scoped merge must supersede keys and keep untouched partitions")
+    Seq(fact, dim).foreach { r =>
+      assert(!logFiles(r).contains("PENDINGTXN"))
+      assert(!logFiles(r).exists(_.endsWith(".intent")))
+    }
+    // both stay writable through their own verbs afterwards
+    SnapshotLog.appendCommit(spark, fact, kv(3 -> "c"))
+    SnapshotLog.upsertScoped(spark, dim, dims((20, "y2", "p2")), Seq("k"), "p")
+    assert(rows(fact) == Set(1 -> "a", 2 -> "b", 3 -> "c"))
+    assert(dimRows(dim) ==
+      Set((10, "x2", "p1"), (20, "y2", "p2"), (30, "z", "p1")))
+  }
+
+  test("heterogeneous crash: scoped participant rolls back pre-intent, forward post-intent (r16)") {
+    val fact = freshRoot("hc1"); val dim = freshRoot("hc2")
+    SnapshotLog.appendCommit(spark, fact, kv(1 -> "a"), statsCols = Seq("k"))
+    SnapshotLog.upsertScoped(spark, dim, dims((10, "x", "p1")), Seq("k"), "p")
+    def txn(tag: String) = Seq(
+      Txn.TableAppend(fact, kv(2 -> tag)),
+      Txn.TableUpsertScoped(dim, dims((10, tag, "p1")), Seq("k"), "p"))
+    // pre-intent crash (everything staged, incl. the scoped manifest +
+    // renamed data dir): BOTH roll back — the scoped staged version is
+    // reclaimed, the dim reads exactly its old rows
+    Txn.crashAfter = "stage"
+    intercept[IllegalStateException] { Txn.commitAll(spark, txn("bad")) }
+    Txn.crashAfter = ""
+    Seq(fact, dim).foreach(r => Txn.recover(spark, r))
+    assert(rows(fact) == Set(1 -> "a"))
+    assert(dimRows(dim) == Set((10, "x", "p1")))
+    assert(SnapshotLog.currentVersion(spark, dim).contains(1L),
+      "the reclaimed scoped stage must not leave a version behind")
+    // post-intent crash: BOTH roll forward
+    Txn.crashAfter = "intent"
+    intercept[IllegalStateException] { Txn.commitAll(spark, txn("good")) }
+    Txn.crashAfter = ""
+    Seq(fact, dim).foreach(r => Txn.recover(spark, r))
+    assert(rows(fact) == Set(1 -> "a", 2 -> "good"))
+    assert(dimRows(dim) == Set((10, "good", "p1")))
+    Seq(fact, dim).foreach(r => Txn.recover(spark, r))
+    Seq(fact, dim).foreach { r =>
+      assert(!logFiles(r).contains("PENDINGTXN"))
+      assert(!logFiles(r).exists(_.endsWith(".intent")))
+    }
+  }
+
   test("duplicate roots are refused") {
     val t1 = freshRoot("d1")
     intercept[IllegalArgumentException] {

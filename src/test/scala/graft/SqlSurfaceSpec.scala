@@ -257,6 +257,29 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rowsOf("SELECT k FROM graft.ns.txb") == Set(Seq(10), Seq(11)))
   }
 
+  test("CALL txn_append commits several tables atomically from SQL (r16)") {
+    sql("CREATE TABLE graft.ns.txf (k INT, v STRING)")
+    sql("CREATE TABLE graft.ns.txd (k INT, v STRING)")
+    sql("INSERT INTO graft.ns.txf VALUES (1, 'a')")
+    sql("CREATE OR REPLACE TEMP VIEW txf_batch AS SELECT 2 AS k, 'b' AS v")
+    sql("CREATE OR REPLACE TEMP VIEW txd_batch AS " +
+      "SELECT * FROM VALUES (10, 'x'), (11, 'y') AS t(k, v)")
+    val out = sql(
+      "CALL graft.system.txn_append('ns.txf,ns.txd', 'txf_batch,txd_batch')")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // CREATE TABLE itself commits an empty v1, INSERT is v2 — the
+    // transaction lands v3 on the fact and v2 on the fresh dim
+    assert(out == Map("ns.txf" -> 3L, "ns.txd" -> 2L), s"got $out")
+    assert(rowsOf("SELECT k FROM graft.ns.txf") == Set(Seq(1), Seq(2)))
+    assert(rowsOf("SELECT k FROM graft.ns.txd") == Set(Seq(10), Seq(11)))
+    // mismatched list lengths are refused loudly
+    val e = intercept[Exception] {
+      sql("CALL graft.system.txn_append('ns.txf', 'txf_batch,txd_batch')")
+        .collect()
+    }
+    assert(e.getMessage.contains("pair up"), e.getMessage)
+  }
+
   test("CALL clone creates a zero-copy table the catalog serves like any other") {
     sql("CREATE NAMESPACE IF NOT EXISTS graft.ns")
     sql("CREATE TABLE graft.ns.orig (k INT, v STRING)")
@@ -960,6 +983,24 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       val single = graft.engine.AnnIndex.knn(spark, r, qv, k = 4, nprobe = 2)
         .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
       assert(got(qid) == single, s"qid $qid: ${got(qid)} != $single")
+    }
+    // the ivfpq kind through the 8-arg form (r16 — the r15 refusal
+    // lifted): chunked ADC batch, still per-row equal to per-query knn
+    graft.engine.AnnIndex.buildPq(spark, r, "ivfpq", kCells = 4, m = 4,
+      kPq = 16)
+    val gotPq = sql("SELECT * FROM ann_knn_batch('graft.ns.embb', " +
+      "'qbatch', 3, 'ivfpq', 2, 'qid', 'qvec', 12)")
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(x =>
+        (x.getLong(1), x.getDouble(2))).toSeq }
+    assert(gotPq.keySet == Set(3L, 17L, 42L))
+    gotPq.keySet.foreach { qid =>
+      val qv = sql(s"SELECT embedding FROM graft.ns.embb WHERE vec_id = $qid")
+        .head().getSeq[Float](0)
+      val single = graft.engine.AnnIndex.knn(spark, r, qv, k = 3,
+        name = "ivfpq", nprobe = 2, shortlist = 12)
+        .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+      assert(gotPq(qid) == single, s"ivfpq qid $qid: ${gotPq(qid)} != $single")
     }
   }
 

@@ -749,7 +749,33 @@ object AnnIndex {
   def knnAll(spark: SparkSession, root: String, queries: DataFrame,
              k: Int, name: String = "ivf", nprobe: Int = 3,
              qidCol: String = "qid", vecCol: String = "qvec",
-             shortlist: Int = 0): DataFrame = {
+             shortlist: Int = 0): DataFrame =
+    knnAllImpl(spark, root, queries, k, name, nprobe, qidCol, vecCol,
+      shortlist, None)
+
+  /** FILTERED batch top-k (round 16 — the batch twin of [[knnWhere]],
+    * completing the knn/knnWhere/knnAll/knnAllWhere matrix): as
+    * [[knnAll]], but only rows whose TABLE row satisfies `predicate`
+    * compete — for EVERY query in the batch. The filter runs ONCE as
+    * its own pushed-down table scan producing just the id column,
+    * semi-joined to the probed assignments BEFORE any ranking (and,
+    * for the ivfpq kind, before each chunk's ADC shortlist is taken —
+    * a selective predicate fills shortlists with qualifying rows
+    * instead of starving the re-rank, the same contract as
+    * [[knnWhere]]). One filter scan amortized over the whole batch —
+    * per-query knnWhere pays it Q times.
+    */
+  def knnAllWhere(spark: SparkSession, root: String, queries: DataFrame,
+                  k: Int, predicate: Column, name: String = "ivf",
+                  nprobe: Int = 3, qidCol: String = "qid",
+                  vecCol: String = "qvec", shortlist: Int = 0): DataFrame =
+    knnAllImpl(spark, root, queries, k, name, nprobe, qidCol, vecCol,
+      shortlist, Some(predicate))
+
+  private def knnAllImpl(spark: SparkSession, root: String,
+                         queries: DataFrame, k: Int, name: String,
+                         nprobe: Int, qidCol: String, vecCol: String,
+                         shortlist: Int, pred: Option[Column]): DataFrame = {
     VectorFunctions.register(spark)
     val m = model(spark, root, name).getOrElse(throw new IllegalStateException(
       s"no ANN index '$name' at $root — AnnIndex.build first"))
@@ -797,6 +823,18 @@ object AnnIndex {
       "knnAll: duplicate qid values in the query batch — each qid " +
       "names ONE query (dedupe or re-key the queries frame)")
     val routed = routeAll(spark, m, qVecs, nprobe)
+    // hybrid filter (knnAllWhere): qualifying ids from ONE pushed-down
+    // table scan (file-skipping stats + partition pruning apply),
+    // semi-joined to the probed assignments BEFORE any ranking — shared
+    // by every query in the batch (and every ivfpq chunk); AQE picks
+    // the join strategy from the filtered side's runtime size
+    val allowed = pred.map(p =>
+      SnapshotLog.readVersion(spark, root, cur).filter(p)
+        .select(col(m.idCol)))
+    def filtered(df: DataFrame): DataFrame = allowed match {
+      case None => df
+      case Some(a) => df.join(a, Seq(m.idCol), "left_semi")
+    }
     import org.apache.spark.sql.expressions.Window
     m.pq match {
       case None =>
@@ -814,8 +852,8 @@ object AnnIndex {
             StructField("cell", IntegerType),
             StructField(qidCol, qidType),
             StructField("__qvec", ArrayType(FloatType)))))
-        assignments(spark, root, name, m)
-          .filter(col("cell").isin(probedCells.map(x => x: Any): _*))
+        filtered(assignments(spark, root, name, m)
+            .filter(col("cell").isin(probedCells.map(x => x: Any): _*)))
           .join(broadcast(routeDf), "cell")
           .withColumn("score",
             call_function("vec_dot", col(m.vecCol), col("__qvec")))
@@ -868,8 +906,11 @@ object AnnIndex {
           // dot(q,res)); per-qid rank limit keeps the shortlist — the
           // same (adc_score desc, id) order per-query knn's
           // orderBy+limit uses, so the shortlisted SET is identical
-          val short = assignments(spark, root, name, m)
-            .filter(col("cell").isin(probedCells.map(x => x: Any): _*))
+          // the filter lands BEFORE the shortlist window, so a
+          // selective predicate fills each query's shortlist with
+          // qualifying rows instead of starving the re-rank
+          val short = filtered(assignments(spark, root, name, m)
+              .filter(col("cell").isin(probedCells.map(x => x: Any): _*)))
             .join(broadcast(routeDf), "cell")
             .withColumn("adc_score", col("__bias") +
               call_function("vec_pq_adc", col("pq_codes"), col("__adc"),
@@ -963,7 +1004,8 @@ object AnnIndex {
       s"no ANN index '$name' at $root — AnnIndex.build first"))
     require(m.pq.isEmpty,
       s"nearDupPairs needs stored float vectors — index '$name' is " +
-      s"'${m.kind}'; build the plain 'ivf' kind")
+      s"'${m.kind}'; build the plain 'ivf' kind, or use nearDupPairsPq " +
+      "(SDC candidates over the codes, exact-verified)")
     val cur = SnapshotLog.currentVersion(spark, root).getOrElse(0L)
     require(m.indexedVersion == cur,
       s"ANN index '$name' covers v${m.indexedVersion} but the table is " +
@@ -1028,6 +1070,105 @@ object AnnIndex {
       table(j * pq.k + c) = acc.toFloat
     }
     table
+  }
+
+  /** The m×k×k SDC (symmetric distance) table: table[(j·k+c1)·k+c2] =
+    * codebook_j[c1] · codebook_j[c2] — pairwise subquantizer codeword
+    * dot products, built once per call on the driver (m·k²·dsub
+    * multiplies ≈ 4M at m=8/kPq=256/dsub=8; 2 MB of floats).
+    */
+  private def sdcTable(pq: EmbedOps.PqModel): Array[Float] = {
+    val t = new Array[Float](pq.m * pq.k * pq.k)
+    for (j <- 0 until pq.m; c1 <- 0 until pq.k; c2 <- 0 until pq.k) {
+      var acc = 0.0
+      for (d <- 0 until pq.dsub)
+        acc += pq.centroids((j * pq.k + c1) * pq.dsub + d).toDouble *
+          pq.centroids((j * pq.k + c2) * pq.dsub + d).toDouble
+      t((j * pq.k + c1) * pq.k + c2) = acc.toFloat
+    }
+    t
+  }
+
+  /** Same-cell NEAR-DUPLICATE pairs over an IVFPQ index (round 16 —
+    * the codes-only twin of [[nearDupPairs]], which needs stored float
+    * vectors): candidates are same-cell code pairs scored by the
+    * RECONSTRUCTED dot product without reading a single float from the
+    * index —
+    *
+    *   x̂·ŷ = |cent|² + cent·res_x + cent·res_y + res_x·res_y
+    *
+    * where the two middle terms come from a per-cell ADC table (the
+    * cell centroid played as the query — [[adcTable]]) and the last
+    * from the m×k×k [[sdcTable]] via the codegen'd `vec_pq_sdc`, all
+    * broadcast driver-built constants. Pairs within `margin` of the
+    * threshold survive to an EXACT verify against the table's float
+    * vectors (two joins on the candidate band — AQE sizes them; the
+    * band is O(near-dups + margin shell), not O(pairs)), so false
+    * positives are zero BY CONSTRUCTION and the only recall losses are
+    * (a) cross-cell pairs — the same Voronoi-boundary contract as
+    * [[nearDupPairs]] — and (b) pairs whose two-sided quantization
+    * error exceeds `margin` (raise `margin`, or widen the PQ, if the
+    * measured band recall matters more than candidate volume).
+    *
+    * At 10⁹ vectors this is near-dup candidate generation over an
+    * index 32× smaller than the float index, reading m bytes/vector.
+    * Broadcast volume: nlist × m×kPq floats (the per-cell ADC tables;
+    * 32 MB at nlist=4096, m=8, kPq=256) + the 2 MB SDC table.
+    */
+  def nearDupPairsPq(spark: SparkSession, root: String, threshold: Double,
+                     margin: Double = 0.1,
+                     name: String = "ivfpq"): DataFrame = {
+    VectorFunctions.register(spark)
+    val m = model(spark, root, name).getOrElse(throw new IllegalStateException(
+      s"no ANN index '$name' at $root — AnnIndex.buildPq first"))
+    val pq = m.pq.getOrElse(throw new IllegalArgumentException(
+      s"nearDupPairsPq needs an ivfpq index — '$name' is '${m.kind}' " +
+      "(plain ivf indexes use nearDupPairs, which is exact per cell)"))
+    require(margin >= 0, s"negative margin $margin")
+    val cur = SnapshotLog.currentVersion(spark, root).getOrElse(0L)
+    require(m.indexedVersion == cur,
+      s"ANN index '$name' covers v${m.indexedVersion} but the table is " +
+      s"at v$cur — AnnIndex.refresh(...) first")
+    if (!hasLiveAssignments(spark, root, name, m)) {
+      import org.apache.spark.sql.types._
+      val idType = tableIdType(spark, root, cur, m)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("id_a", idType),
+          StructField("id_b", idType), StructField("cosine", DoubleType))))
+    }
+    import spark.implicits._
+    val sdcLit = typedLit(sdcTable(pq)).cast("array<float>")
+    val cellsDf = m.centroids.zipWithIndex.map { case (c, i) =>
+      val cc = c.map(x => x * x).sum
+      (i, cc, adcTable(pq, c.map(_.toFloat)).toSeq)
+    }.toSeq.toDF("cell", "__cc", "__centAdc")
+    val a = assignments(spark, root, name, m)
+    val l = a.select(col("cell"), col(m.idCol).as("id_a"),
+      col("pq_codes").as("codes_a"))
+    val r = a.select(col("cell").as("cell_b"), col(m.idCol).as("id_b"),
+      col("pq_codes").as("codes_b"))
+    val cand = l
+      .join(r, col("cell") === col("cell_b") && col("id_a") < col("id_b"))
+      .join(broadcast(cellsDf), "cell")
+      .withColumn("__approx", col("__cc") +
+        call_function("vec_pq_adc", col("codes_a"), col("__centAdc"),
+          lit(pq.k)) +
+        call_function("vec_pq_adc", col("codes_b"), col("__centAdc"),
+          lit(pq.k)) +
+        call_function("vec_pq_sdc", col("codes_a"), col("codes_b"),
+          sdcLit, lit(pq.k)))
+      .filter(col("__approx") >= threshold - margin)
+      .select("id_a", "id_b")
+    val t = SnapshotLog.readVersion(spark, root, cur)
+    val ta = t.select(col(m.idCol).as("id_a"), col(m.vecCol).as("vec_a"))
+    val tb = t.select(col(m.idCol).as("id_b"), col(m.vecCol).as("vec_b"))
+    cand.join(ta, "id_a").join(tb, "id_b")
+      .withColumn("cosine",
+        call_function("vec_dot", col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+      .orderBy("id_a", "id_b")
   }
 
   private def knnImpl(spark: SparkSession, root: String, query: Seq[Float],

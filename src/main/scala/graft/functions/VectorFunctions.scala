@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
@@ -601,6 +601,96 @@ object VectorFunctions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Symmetric-distance (SDC) scoring between two CODE vectors:
+    * `vec_pq_sdc(codes_a, codes_b, table, k)` → DOUBLE =
+    * Σ_j table[(j·k + a_j)·k + b_j], where `table` is the m×k×k flat
+    * literal of pairwise subquantizer codeword dot products
+    * (codebook_j[c1] · codebook_j[c2]) — the code-to-code half of a
+    * reconstructed dot product, no float vector read on either side
+    * (round 16: the candidate scorer for near-dup pairs over an ivfpq
+    * index, where the slices store codes only). Symmetric by
+    * construction when the table is.
+    *
+    * NULL semantics mirror vec_pq_adc: NULL codes → NULL; length
+    * mismatch between the two code arrays, table size not m·k·k, or a
+    * code outside [0, k) → NULL. Codes decode UNSIGNED (mask 0xFF) —
+    * 8-bit subquantizers supported.
+    */
+  case class PqSdcScore(first: Expression, second: Expression,
+                        third: Expression, k: Int)
+      extends TernaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult = {
+      def codesOk(e: Expression) = e.dataType match {
+        case ArrayType(org.apache.spark.sql.types.ByteType, _) => true
+        case _ => false
+      }
+      val tableOk = third.dataType match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      }
+      if (codesOk(first) && codesOk(second) && tableOk && k >= 1)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires ARRAY<TINYINT> codes ×2, ARRAY<FLOAT> " +
+        s"table, k >= 1; got " +
+        children.map(_.dataType.catalogString).mkString(", ") + s", k=$k")
+    }
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_pq_sdc"
+    override def nullable: Boolean = true
+
+    override protected def nullSafeEval(a: Any, b: Any, t: Any): Any = {
+      val ca = a.asInstanceOf[ArrayData]
+      val cb = b.asInstanceOf[ArrayData]
+      val table = t.asInstanceOf[ArrayData]
+      val m = ca.numElements()
+      if (cb.numElements() != m || table.numElements() != m * k * k)
+        return null
+      var acc = 0.0
+      var j = 0
+      while (j < m) {
+        if (ca.isNullAt(j) || cb.isNullAt(j)) return null
+        val x = ca.getByte(j).toInt & 0xFF
+        val y = cb.getByte(j).toInt & 0xFF
+        if (x >= k || y >= k) return null
+        acc += table.getFloat((j * k + x) * k + y).toDouble
+        j += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b, t) => {
+        val m = ctx.freshName("m")
+        val j = ctx.freshName("j")
+        val x = ctx.freshName("x")
+        val y = ctx.freshName("y")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $m = $a.numElements();
+           |double $acc = 0.0;
+           |if ($b.numElements() != $m || $t.numElements() != $m * $k * $k) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  for (int $j = 0; $j < $m; $j++) {
+           |    if ($a.isNullAt($j) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
+           |    int $x = ((int) $a.getByte($j)) & 0xFF;
+           |    int $y = ((int) $b.getByte($j)) & 0xFF;
+           |    if ($x >= $k || $y >= $k) { ${ev.isNull} = true; break; }
+           |    $acc += (double) $t.getFloat(($j * $k + $x) * $k + $y);
+           |  }
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newFirst: Expression, newSecond: Expression,
+        newThird: Expression): Expression =
+      copy(first = newFirst, second = newSecond, third = newThird)
+  }
+
   /** Extracts a foldable INT argument at build time (vec_lsh's and the PQ
     * expressions' shape arguments are structural constants — they size the
     * generated loops).
@@ -665,6 +755,14 @@ object VectorFunctions {
         require(children.size == 3,
           s"vec_pq_adc requires exactly 3 arguments (codes, table, k), got ${children.size}")
         PqAdcScore(children(0), children(1), foldableInt(children(2), "vec_pq_adc k"))
+      }),
+    (FunctionIdentifier("vec_pq_sdc"),
+      new ExpressionInfo(classOf[PqSdcScore].getName, "vec_pq_sdc"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4,
+          s"vec_pq_sdc requires exactly 4 arguments (codes_a, codes_b, table, k), got ${children.size}")
+        PqSdcScore(children(0), children(1), children(2),
+          foldableInt(children(3), "vec_pq_sdc k"))
       }))
 
   /** Idempotent per-session registration so `expr("vec_dot(a, b)")` and SQL

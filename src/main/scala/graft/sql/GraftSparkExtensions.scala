@@ -60,9 +60,11 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GraftSqlRule.lowerAnnKnnBatch(
           org.apache.spark.sql.SparkSession.active, args)))
-    // index-amortized near-duplicate candidates (round 14):
-    // `SELECT * FROM ann_near_dup('ns.t', 0.9)` — same-cell pairs of
-    // the persisted IVF index, exact-scored and thresholded
+    // index-amortized near-duplicate candidates (round 14; ivfpq SDC
+    // dispatch round 16): `SELECT * FROM ann_near_dup('ns.t', 0.9
+    // [, index_name[, margin]])` — same-cell pairs of the persisted
+    // index; float indexes score exactly, code-only (ivfpq) indexes
+    // score by reconstructed SDC within `margin` then verify exactly
     ext.injectTableFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("ann_near_dup"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

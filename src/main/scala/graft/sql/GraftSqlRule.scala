@@ -600,7 +600,8 @@ object GraftSqlRule {
     * index-amortized dedup candidates without per-run hashing.
     */
   /** `SELECT * FROM ann_knn_batch('ns.t', 'query_view', k[, index_name,
-    * nprobe[, qid_col, vec_col[, shortlist]]])` — BATCH top-k through
+    * nprobe[, qid_col, vec_col[, shortlist[, where]]]])` — BATCH top-k
+    * through
     * the persisted index ([[graft.engine.AnnIndex.knnAll]]): the second
     * argument names any catalog-resolvable table or (temp) view whose
     * rows are the query batch, `(qid, qvec)` columns by default (any
@@ -631,10 +632,10 @@ object GraftSqlRule {
         s"ann_knn_batch: $what must be an integer literal, got $other")
     }
     require(args.length == 3 || args.length == 5 || args.length == 7 ||
-        args.length == 8,
+        args.length == 8 || args.length == 9,
       "ann_knn_batch(table, queries_view, k[, index_name, nprobe" +
-      s"[, qid_col, vec_col[, shortlist]]]) takes 3, 5, 7 or 8 " +
-      s"arguments, got ${args.length}")
+      s"[, qid_col, vec_col[, shortlist[, where]]]]) takes 3, 5, 7, 8 " +
+      s"or 9 arguments, got ${args.length}")
     val root = resolveGraftRoot(session, str(args(0), "table name"),
       "ann_knn_batch")
     val queries = session.table(str(args(1), "queries view"))
@@ -645,9 +646,15 @@ object GraftSqlRule {
     val (qc, vc) =
       if (args.length >= 7) (str(args(5), "qid_col"), str(args(6), "vec_col"))
       else ("qid", "qvec")
-    val shortlist = if (args.length == 8) int(args(7), "shortlist") else 0
-    graft.engine.AnnIndex.knnAll(session, root, queries, k, name, nprobe,
-      qc, vc, shortlist).queryExecution.analyzed
+    val shortlist = if (args.length >= 8) int(args(7), "shortlist") else 0
+    val df = if (args.length == 9)
+      graft.engine.AnnIndex.knnAllWhere(session, root, queries, k,
+        org.apache.spark.sql.functions.expr(str(args(8), "where")),
+        name, nprobe, qc, vc, shortlist)
+    else
+      graft.engine.AnnIndex.knnAll(session, root, queries, k, name,
+        nprobe, qc, vc, shortlist)
+    df.queryExecution.analyzed
   }
 
   private[sql] def lowerAnnNearDup(
@@ -669,15 +676,33 @@ object GraftSqlRule {
       case other => throw new IllegalArgumentException(
         s"ann_near_dup: $what must be a numeric literal, got $other")
     }
-    require(args.length == 2 || args.length == 3,
-      s"ann_near_dup(table, threshold[, index_name]) takes 2 or 3 " +
-      s"arguments, got ${args.length}")
+    require(args.length == 2 || args.length == 3 || args.length == 4,
+      s"ann_near_dup(table, threshold[, index_name[, margin]]) takes " +
+      s"2, 3 or 4 arguments, got ${args.length}")
     val root = resolveGraftRoot(session, str(args(0), "table name"),
       "ann_near_dup")
     val threshold = dbl(args(1), "threshold")
-    val name = if (args.length == 3) str(args(2), "index_name") else "ivf"
-    graft.engine.AnnIndex.nearDupPairs(session, root, threshold, name)
-      .queryExecution.analyzed
+    val name = if (args.length >= 3) str(args(2), "index_name") else "ivf"
+    // dispatch on the INDEX KIND (round 16): an ivfpq index routes to
+    // the SDC candidate generator + exact verify; margin (the 4th arg)
+    // only means something there
+    val kind = graft.engine.AnnIndex.model(session, root, name)
+      .map(_.kind).getOrElse("ivf") // missing index: let the API refuse
+    val df =
+      if (kind == "ivfpq") {
+        if (args.length == 4)
+          graft.engine.AnnIndex.nearDupPairsPq(session, root, threshold,
+            dbl(args(3), "margin"), name)
+        else
+          graft.engine.AnnIndex.nearDupPairsPq(session, root, threshold,
+            name = name)
+      } else {
+        require(args.length < 4,
+          s"ann_near_dup: margin only applies to ivfpq indexes — " +
+          s"'$name' is '$kind' (the per-cell float verify is exact)")
+        graft.engine.AnnIndex.nearDupPairs(session, root, threshold, name)
+      }
+    df.queryExecution.analyzed
   }
 
   /** Resolve a (possibly catalog-qualified) table name string to its

@@ -533,6 +533,40 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(e.getMessage.contains("float vectors"), e.getMessage)
   }
 
+  test("nearDupPairsPq: SDC candidates over codes only, exact-verified (r16)") {
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root, vecs(400), statsCols = Seq("vec_id"))
+    // 8-bit subquantizers on the 16-dim fixture (m=8 → dsub=2):
+    // per-subspace quantization error is tiny, so margin 0.1 holds the
+    // whole near-dup band in the candidate set
+    AnnIndex.buildPq(spark, root, "ivfpq", kCells = 4, m = 8, kPq = 256)
+    import org.apache.spark.sql.functions.call_function
+    val t = SnapshotLog.read(spark, root)
+    val exact = t.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+      .crossJoin(t.select(col("vec_id").as("id_b"), col("embedding").as("vec_b")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        call_function("vec_dot", col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= 0.995)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture produced no near-dup pairs — vacuous")
+    val got = AnnIndex.nearDupPairsPq(spark, root, threshold = 0.995)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the verify reads float vectors from the TABLE, so false positives
+    // are impossible; on the aligned 4-cluster fixture with kPq=256 the
+    // margin covers the quantization error and recall is total
+    assert(got.subsetOf(exact), s"false positives: ${got -- exact}")
+    assert(got == exact,
+      s"missed ${(exact -- got).size} of ${exact.size} pairs")
+    // an ivf (float) index refuses toward nearDupPairs
+    AnnIndex.build(spark, root, k = 4)
+    val e2 = intercept[IllegalArgumentException] {
+      AnnIndex.nearDupPairsPq(spark, root, 0.9, name = "ivf")
+    }
+    assert(e2.getMessage.contains("ivfpq"), e2.getMessage)
+  }
+
   test("maintenance lock: a held lock blocks refresh; release unblocks (r14)") {
     val root = freshRoot()
     SnapshotLog.commit(spark, root, vecs(80), statsCols = Seq("vec_id"))
@@ -758,6 +792,38 @@ class AnnIndexSpec extends SparkSpecBase {
     // empty query frame answers empty with the right schema
     val none = AnnIndex.knnAll(spark, root, queries.filter(lit(false)), k = 3)
     assert(none.isEmpty && none.columns.toSeq == Seq("qid", "vec_id", "score"))
+  }
+
+  test("knnAllWhere: batch hybrid search filters before ranking, parity with knnWhere (r16)") {
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root, vecs(400), statsCols = Seq("vec_id"))
+    AnnIndex.build(spark, root, k = 4)
+    AnnIndex.buildPq(spark, root, "ivfpq", kCells = 4, m = 8, kPq = 16)
+    val qids = Seq(3L, 77L, 150L)
+    val queries = vecs(400).filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val predicate = col("vec_id") % 3 === 0
+    for (kind <- Seq("ivf", "ivfpq")) {
+      val sl = if (kind == "ivfpq") 20 else 0
+      val batch = AnnIndex.knnAllWhere(spark, root, queries, k = 5,
+        predicate, name = kind, nprobe = 2, shortlist = sl)
+        .collect().groupBy(_.get(0).asInstanceOf[Long])
+        .map { case (q, rs) => q -> rs.map(r =>
+          (r.getLong(1), r.getDouble(2))).toSeq }
+      assert(batch.keySet == qids.toSet, s"$kind: every query answered")
+      // only qualifying rows may appear
+      batch.values.flatten.foreach { case (id, _) =>
+        assert(id % 3 == 0, s"$kind: unfiltered id $id leaked") }
+      qids.foreach { q =>
+        val qv = vecs(1, offset = q.toInt).select("embedding")
+          .head().getSeq[Float](0)
+        val single = AnnIndex.knnWhere(spark, root, qv, k = 5, predicate,
+          name = kind, nprobe = 2, shortlist = sl)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(batch(q) == single,
+          s"$kind qid $q: batch ${batch(q)} != $single")
+      }
+    }
   }
 
   test("legacy model without a slice list and no assign dirs answers empty (r14)") {

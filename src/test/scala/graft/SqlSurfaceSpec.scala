@@ -1813,6 +1813,20 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // every pair is same-cluster (id % 4 equal) and canonicalized
     assert(pairs.forall { case (a, b) => a < b && a % 4 == b % 4 },
       pairs.toString)
+    // an ivfpq index DISPATCHES to the SDC candidate path (r16): same
+    // pairs (the exact verify is shared), margin as the optional 4th arg
+    graft.engine.AnnIndex.buildPq(spark, root("embnd"), "ivfpq",
+      kCells = 4, m = 4, kPq = 256)
+    val viaPq = sql(
+      "SELECT * FROM ann_near_dup('graft.ns.embnd', 0.999, 'ivfpq', 0.1)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaPq == pairs, s"SDC dispatch diverged: $viaPq != $pairs")
+    // margin on a float index is refused
+    val eM = intercept[Exception] {
+      sql("SELECT * FROM ann_near_dup('graft.ns.embnd', 0.999, 'ivf', 0.1)")
+        .collect()
+    }
+    assert(eM.getMessage.contains("margin"), eM.getMessage)
     // staleness refuses through SQL too
     sql("INSERT INTO graft.ns.embnd VALUES (999, array(" +
       (0 until 8).map(d => s"cast(${if (d == 0) 1.0 else 0.0} as float)")

@@ -2105,12 +2105,15 @@ private[sources] trait SnapshotLogScoped { self: SnapshotLog.type =>
     * flips LATEST + runs [[Constraints.finish]] itself. Validates the
     * rebase window, renames the staging into the next version's data
     * dir, and writes stats + manifest; returns the staged-but-unflipped
-    * version.
+    * version. `batchId` ≥ 0 stamps the manifest for the streaming
+    * replay gate (the same stamp [[scopedBatch]] writes), so a scoped
+    * participant can join a stamped multi-table transaction.
     */
   private[graft] def publishScopedStagedLocked(spark: SparkSession,
                                                root: String,
                                                staged: StagedScoped,
-                                               statsCols: Seq[String]): Long = {
+                                               statsCols: Seq[String],
+                                               batchId: Long = -1L): Long = {
     val rootPath = new Path(root.replaceAll("/+$", ""))
     def baseName(d: String) = d.substring(d.lastIndexOf('/') + 1)
     locally {
@@ -2182,7 +2185,7 @@ private[sources] trait SnapshotLogScoped { self: SnapshotLog.type =>
       writeStats(spark, root, next,
         statsCols.map(c => pubMap.getOrElse(c, c)), carry)
       val newDirs = untouched ++ writtenLeafs.map(dataDirName(next) + "/" + _)
-      writeManifestDirs(spark, root, next, newDirs,
+      writeManifestDirs(spark, root, next, newDirs, batchId = batchId,
         tombDirs = head.toSeq.flatMap(tombDirsOf(spark, root, _)),
         partCol = staged.partitionCol, chgDir = chg,
         schemaJson = head.map(rawSchemaJson(spark, root, _)).getOrElse(""))

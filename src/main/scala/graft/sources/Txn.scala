@@ -186,7 +186,16 @@ object Txn {
     * per-checkpoint contract as [[SnapshotLog.appendBatch]].
     */
   def commitAppendAllBatch(spark: SparkSession, writes: Seq[TableAppend],
-                           batchId: Long): Option[Map[String, Long]] = {
+                           batchId: Long): Option[Map[String, Long]] =
+    commitAllBatch(spark, writes, batchId)
+
+  /** [[commitAppendAllBatch]] generalized to heterogeneous participants
+    * (round 16): the scoped stage stamps its manifest through
+    * [[SnapshotLog.publishScopedStagedLocked]]'s batchId, so the replay
+    * gate reads every participant's coverage regardless of verb.
+    */
+  def commitAllBatch(spark: SparkSession, writes: Seq[TableWrite],
+                     batchId: Long): Option[Map[String, Long]] = {
     require(batchId >= 0, s"negative batchId $batchId")
     commitAppendAllImpl(spark, writes, batchId)
   }
@@ -195,13 +204,6 @@ object Txn {
                                   writes: Seq[TableWrite],
                                   batchId: Long): Option[Map[String, Long]] = {
     require(writes.nonEmpty, "empty transaction")
-    // the streaming replay gate reads manifest batch stamps, which only
-    // the append stage writes — commitAppendAllBatch's signature already
-    // enforces this; the require is the defense-in-depth twin
-    require(batchId < 0 || writes.forall(_.isInstanceOf[TableAppend]),
-      "stamped (streaming) multi-table transactions are append-only — " +
-      "the scoped stage does not write the batch stamp the replay gate " +
-      "reads")
     val sorted = writes.map(w => w.withRoot(canonical(w.root)))
       .sortBy(_.root)
     require(sorted.map(_.root).distinct.size == sorted.size,
@@ -267,7 +269,7 @@ object Txn {
               val sc = SnapshotLog.stageScopedOcc(spark, u.root, u.batch,
                 u.keys, u.partitionCol, u.bloomCols)
               (SnapshotLog.publishScopedStagedLocked(spark, u.root, sc,
-                u.statsCols), sc.obs)
+                u.statsCols, batchId), sc.obs)
           }
           // require, not assert (ADVICE r15): recovery rolls forward/back
           // against the RECORDED version, so this invariant must hold

@@ -781,6 +781,16 @@ class AnnIndexSpec extends SparkSpecBase {
           s"ivfpq qid $q: batch ${pqBatch(q)} != $single")
       }
     } finally spark.conf.unset("spark.graft.ann.batchRerankRows")
+    // DISTRIBUTED routing (r16): a tiny flops budget forces the
+    // broadcast-centroids Spark-job path — answers must be identical
+    spark.conf.set("spark.graft.ann.driverRouteFlops", "1")
+    try {
+      val viaJob = AnnIndex.knnAll(spark, root, queries, k = 7, nprobe = 2)
+        .collect().groupBy(_.get(0).asInstanceOf[Long])
+        .map { case (q, rs) => q -> rs.map(r =>
+          (r.getLong(1), r.getDouble(2))).toSeq }
+      assert(viaJob == batch, "distributed routing changed answers")
+    } finally spark.conf.unset("spark.graft.ann.driverRouteFlops")
     // over-limit batch refused (the driver-side routing must stay bounded)
     spark.conf.set("spark.graft.ann.maxBatchQueries", "3")
     try {

@@ -299,6 +299,36 @@ class MultiTableTxnSpec extends SparkSpecBase
     }
   }
 
+  test("stamped heterogeneous batch: scoped manifests carry the stamp, replay exactly-once (r16)") {
+    val fact = freshRoot("sb1"); val dim = freshRoot("sb2")
+    SnapshotLog.appendCommit(spark, fact, kv(1 -> "a"), statsCols = Seq("k"))
+    SnapshotLog.upsertScoped(spark, dim, dims((10, "x", "p1")), Seq("k"), "p")
+    def batch7 = Seq(
+      Txn.TableAppend(fact, kv(2 -> "b")),
+      Txn.TableUpsertScoped(dim, dims((10, "x7", "p1")), Seq("k"), "p"))
+    assert(Txn.commitAllBatch(spark, batch7, batchId = 7).isDefined)
+    assert(rows(fact) == Set(1 -> "a", 2 -> "b"))
+    assert(dimRows(dim) == Set((10, "x7", "p1")))
+    // replay of the SAME batch skips whole — the scoped head's stamp is
+    // readable by the gate
+    assert(Txn.commitAllBatch(spark, batch7, batchId = 7).isEmpty)
+    assert(dimRows(dim) == Set((10, "x7", "p1")))
+    // crash after intent, then the streaming re-delivery: recovery rolls
+    // BOTH forward and the gate reads batch 8 as covered — exactly-once
+    def batch8 = Seq(
+      Txn.TableAppend(fact, kv(3 -> "c")),
+      Txn.TableUpsertScoped(dim, dims((11, "y8", "p2")), Seq("k"), "p"))
+    Txn.crashAfter = "intent"
+    intercept[IllegalStateException] {
+      Txn.commitAllBatch(spark, batch8, batchId = 8)
+    }
+    Txn.crashAfter = ""
+    assert(Txn.commitAllBatch(spark, batch8, batchId = 8).isEmpty,
+      "the retry must converge the committed transaction and skip")
+    assert(rows(fact) == Set(1 -> "a", 2 -> "b", 3 -> "c"))
+    assert(dimRows(dim) == Set((10, "x7", "p1"), (11, "y8", "p2")))
+  }
+
   test("duplicate roots are refused") {
     val t1 = freshRoot("d1")
     intercept[IllegalArgumentException] {

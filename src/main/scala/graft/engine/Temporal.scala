@@ -248,11 +248,71 @@ object Temporal {
       |FROM held WHERE dt_us IS NOT NULL
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q106 — INTERVAL-UNION coverage per user (round 16): each event
+    * opens a 5-minute activity interval; covered time is the length of
+    * the UNION of a user's intervals (overlaps merged), the classic
+    * line-sweep. Declarative sweep: a running max of interval ends over
+    * the (unique, distinct-ed) start order marks segment breaks, a
+    * running sum of breaks numbers the segments, two aggregations fold
+    * them — all hash/window work partitioned by user_id, no sort wider
+    * than one user (the segmented-sweep scale posture q94's twin
+    * documents applies here too). Micros via the q102 idiom
+    * (unix_micros ≡ epoch_us under the UTC session).
+    */
+  def q106(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val iv = Tables.events(s, dir)
+      .select(col("user_id"), col("ts").as("st"),
+        (col("ts") + expr("INTERVAL '5' MINUTE")).as("en"))
+      .distinct() // (user_id, st) unique → the sweep order is total
+    val w = Window.partitionBy("user_id").orderBy("st")
+    val seg = iv
+      .withColumn("prev_max_us",
+        max(unix_micros(col("en").cast("timestamp")))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_seg",
+        when(col("prev_max_us").isNull ||
+             unix_micros(col("st").cast("timestamp")) > col("prev_max_us"),
+          1).otherwise(0))
+      .withColumn("grp", sum(col("new_seg")).over(w))
+    seg.groupBy("user_id", "grp")
+      .agg(min(unix_micros(col("st").cast("timestamp"))).as("ss_us"),
+           max(unix_micros(col("en").cast("timestamp"))).as("ee_us"))
+      .groupBy("user_id")
+      .agg(sum(col("ee_us") - col("ss_us")).as("covered_us"),
+           count(lit(1)).as("n_segments"))
+      .orderBy("user_id")
+  }
+
+  val q106Sql: String =
+    """WITH iv AS (
+      |  SELECT DISTINCT user_id, ts AS st, ts + INTERVAL '5' MINUTE AS en
+      |  FROM events
+      |), m AS (
+      |  SELECT user_id, st, en,
+      |         max(epoch_us(en)) OVER (PARTITION BY user_id ORDER BY st
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_us
+      |  FROM iv
+      |), g AS (
+      |  SELECT user_id, st, en,
+      |         sum(CASE WHEN prev_max_us IS NULL OR epoch_us(st) > prev_max_us
+      |                  THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id ORDER BY st) AS grp
+      |  FROM m
+      |), seg AS (
+      |  SELECT user_id, grp, min(epoch_us(st)) AS ss_us, max(epoch_us(en)) AS ee_us
+      |  FROM g GROUP BY user_id, grp
+      |)
+      |SELECT user_id, sum(ee_us - ss_us)::BIGINT AS covered_us,
+      |       count(*) AS n_segments
+      |FROM seg GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_tumbling"     -> (q28 _),
     "q29_sliding"      -> (q29 _),
     "q30_session_gaps" -> (q30 _),
     "q68_gap_fill"     -> (q68 _),
+    "q106_interval_union" -> (q106 _),
     "q102_time_weighted" -> (q102 _))
 
   val oracle: Map[String, String] = Map(
@@ -260,5 +320,6 @@ object Temporal {
     "q29_sliding"      -> q29Sql,
     "q30_session_gaps" -> q30Sql,
     "q68_gap_fill"     -> q68Sql,
+    "q106_interval_union" -> q106Sql,
     "q102_time_weighted" -> q102Sql)
 }

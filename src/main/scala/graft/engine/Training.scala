@@ -582,7 +582,119 @@ object Training {
       |WHERE token <> ''
       |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin
 
+  // q105 — BM25 retrieval scoring (round 16; Robertson k1=1.2, b=0.75,
+  // +1 idf so every matched doc scores positive): top-50 documents for a
+  // fixed query-term set over the space-token corpus. Declarative
+  // corpus-statistics shape: one token explode feeds doc-length, term
+  // frequency and document frequency; N/avgdl ride as broadcast
+  // singleton aggregates — at 100 TB every piece is a hash aggregate +
+  // broadcast join, no collect. Determinism: double math mirrored
+  // textually on both sides, one final round(4), ORDER BY the ROUNDED
+  // score (SURVEY §2.0.2 — the ≤3-term fp sum is tie-safe after
+  // rounding, doc_id breaks the rest).
+  def q105(s: SparkSession, dir: String): DataFrame = {
+    val qTerms = Seq("hash", "join", "index")
+    val docs = Tables.documents(s, dir)
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .where(col("token") =!= "")
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tf = toks.filter(col("token").isin(qTerms: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val avgdl = dl.agg(avg(col("dl")).as("avgdl"))
+    tf.join(dl, "doc_id")
+      .join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(nDocs)).crossJoin(broadcast(avgdl))
+      .withColumn("w",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+            + lit(1.0)) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(sum(col("w")), 4).as("bm25"))
+      .orderBy(desc("bm25"), col("doc_id"))
+      .limit(50)
+  }
+
+  val q105Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+      |), toks2 AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks2
+      |       WHERE token IN ('hash', 'join', 'index') GROUP BY doc_id, token),
+      |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      |stats AS (SELECT (SELECT count(DISTINCT doc_id) FROM documents) AS n_docs,
+      |                 (SELECT avg(dl) FROM dl) AS avgdl)
+      |SELECT tf.doc_id,
+      |       round(sum(ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+      |         * (tf.tf * 2.2)
+      |         / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 4) AS bm25
+      |FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (token) CROSS JOIN stats
+      |GROUP BY tf.doc_id
+      |ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin
+
+  // q107 — PMI collocations (round 16): pointwise mutual information of
+  // ADJACENT token pairs, min count 5, top 20. ln(c12·T²/(B·c1·c2)) with
+  // every count cast to DOUBLE before any product (a long product of
+  // corpus-scale counts overflows) in textually mirrored order; empty/
+  // one-token docs guarded on the Spark side (sequence(0, -1) would
+  // DESCEND, not empty) and naturally empty under DuckDB's range().
+  def q107(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), t -> t <> '')").as("l"))
+    val uni = docs.select(explode(col("l")).as("w"))
+    val uc = uni.groupBy("w").agg(count(lit(1)).as("c1"))
+    val bg = docs.select(explode(expr(
+        "CASE WHEN size(l) >= 2 THEN transform(sequence(0, size(l) - 2), " +
+        "i -> struct(l[i] AS w1, l[i + 1] AS w2)) " +
+        "ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END"))
+        .as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= 5)
+    val tUni = uni.agg(count(lit(1)).as("t_uni"))
+    val tBig = bg.agg(count(lit(1)).as("t_big"))
+    bc.join(broadcast(uc.select(col("w").as("w1"), col("c1").as("c1a"))), "w1")
+      .join(broadcast(uc.select(col("w").as("w2"), col("c1").as("c1b"))), "w2")
+      .crossJoin(broadcast(tUni)).crossJoin(broadcast(tBig))
+      .withColumn("pmi", round(log(
+        col("c12").cast("double") * col("t_uni").cast("double") *
+          col("t_uni").cast("double") /
+          (col("t_big").cast("double") * col("c1a").cast("double") *
+            col("c1b").cast("double"))), 4))
+      .select(concat(col("w1"), lit(" "), col("w2")).as("bigram"),
+        col("c12"), col("pmi"))
+      .orderBy(desc("pmi"), col("bigram"))
+      .limit(20)
+  }
+
+  val q107Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l
+      |  FROM documents
+      |), uni AS (SELECT unnest(l) AS w FROM d),
+      |uc AS (SELECT w, count(*) AS c1 FROM uni GROUP BY w),
+      |bg AS (SELECT unnest(list_transform(range(1, len(l)),
+      |         i -> {'w1': l[i], 'w2': l[i + 1]})) AS p FROM d),
+      |bg2 AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM bg),
+      |bc AS (SELECT w1, w2, count(*) AS c12 FROM bg2 GROUP BY w1, w2
+      |       HAVING count(*) >= 5),
+      |stats AS (SELECT (SELECT count(*) FROM uni) AS t_uni,
+      |                 (SELECT count(*) FROM bg2) AS t_big)
+      |SELECT w1 || ' ' || w2 AS bigram, c12,
+      |       round(ln(c12::DOUBLE * t_uni::DOUBLE * t_uni::DOUBLE
+      |         / (t_big::DOUBLE * a.c1::DOUBLE * b.c1::DOUBLE)), 4) AS pmi
+      |FROM bc JOIN uc a ON bc.w1 = a.w JOIN uc b ON bc.w2 = b.w
+      |CROSS JOIN stats
+      |ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_bm25"           -> (q105 _),
+    "q107_pmi_collocations" -> (q107 _),
     "q90_vocab_topk"      -> (q90 _),
     "q41_cosine_near_dup" -> (q41 _),
     "q42_ngram_jaccard"   -> (q42 _),
@@ -599,6 +711,8 @@ object Training {
     "q88_df_prune"          -> (q88 _))
 
   val oracle: Map[String, String] = Map(
+    "q105_bm25"           -> q105Sql,
+    "q107_pmi_collocations" -> q107Sql,
     "q90_vocab_topk"      -> q90Sql,
     "q41_cosine_near_dup" -> q41Sql,
     "q42_ngram_jaccard"   -> q42Sql,

@@ -692,9 +692,59 @@ object Training {
       |CROSS JOIN stats
       |ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin
 
+  // q108 — SimHash fingerprints with an EXACT ORACLE (round 16): the
+  // production simhash (TextOps — xxhash64-based, 64-bit, banded
+  // blocking) is test-only because xxhash64 has no DuckDB twin; this
+  // variant derives a 32-bit simhash from md5 — identical lowercase hex
+  // in both engines — so the dedup family's last member gains a
+  // hash-matched row. Per (doc, bit): majority vote of the bit across
+  // the doc's token hashes (ties set the bit — `>= 0`). Cross-engine
+  // arithmetic discipline: hex nibble via instr, bit via
+  // floor-divide-then-CAST (never CAST(double) directly — DuckDB
+  // ROUNDS where Spark truncates), recombine via power(2,b) cast to
+  // BIGINT (exact ≤ 2^52). Scale shape: one explode × a broadcast
+  // 32-row bit table → two hash aggregates; no window, no sort wider
+  // than the final presentation ORDER BY.
+  def q108(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .where(col("t") =!= "")
+      .select(col("doc_id"), md5(col("t")).as("h"))
+    val bits = s.range(0, 32).toDF("b")
+    toks.crossJoin(broadcast(bits))
+      .withColumn("w_term", expr(
+        "2 * (CAST(floor((instr('0123456789abcdef', substring(h, " +
+        "CAST(floor(b / 4.0) AS INT) + 1, 1)) - 1) / power(2, b % 4)) " +
+        "AS INT) % 2) - 1"))
+      .groupBy("doc_id", "b").agg(sum(col("w_term")).as("w"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("w") >= 0, expr("CAST(power(2, b) AS BIGINT)"))
+        .otherwise(0L)).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  val q108Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, md5(t) AS h FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+      |  ) WHERE t <> ''
+      |), bits AS (SELECT unnest(range(0, 32)) AS b),
+      |bw AS (
+      |  SELECT doc_id, b,
+      |    sum(2 * (CAST(floor((instr('0123456789abcdef',
+      |        substring(h, CAST(floor(b / 4.0) AS INT) + 1, 1)) - 1)
+      |        / power(2, b % 4)) AS INT) % 2) - 1) AS w
+      |  FROM toks CROSS JOIN bits GROUP BY doc_id, b
+      |)
+      |SELECT doc_id,
+      |  sum(CASE WHEN w >= 0 THEN CAST(power(2, b) AS BIGINT)
+      |      ELSE 0 END)::BIGINT AS simhash
+      |FROM bw GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q105_bm25"           -> (q105 _),
     "q107_pmi_collocations" -> (q107 _),
+    "q108_simhash"        -> (q108 _),
     "q90_vocab_topk"      -> (q90 _),
     "q41_cosine_near_dup" -> (q41 _),
     "q42_ngram_jaccard"   -> (q42 _),
@@ -713,6 +763,7 @@ object Training {
   val oracle: Map[String, String] = Map(
     "q105_bm25"           -> q105Sql,
     "q107_pmi_collocations" -> q107Sql,
+    "q108_simhash"        -> q108Sql,
     "q90_vocab_topk"      -> q90Sql,
     "q41_cosine_near_dup" -> q41Sql,
     "q42_ngram_jaccard"   -> q42Sql,

@@ -45,6 +45,38 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q105: BM25 corpus statistics broadcast; top-50 is TakeOrdered (r16)") {
+    val p = plan(Training.q105(spark, sf0001))
+    // dfreq / N / avgdl singletons must NOT shuffle the postings side
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"),
+      "singleton cross-joins must broadcast, not cartesian: " + p)
+  }
+
+  test("q106: interval-union sweep is user-partitioned windows, no total sort (r16)") {
+    val df = Temporal.q106(spark, sf0001)
+    val p = plan(df)
+    assert(p.contains("Window"), p)
+    // both running aggregates partition by user_id — a global-sort sweep
+    // would show a Sort without partitioning beneath an Exchange
+    assert(p.contains("user_id"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q107/q108: token statistics stay two-phase hash aggregates (r16)") {
+    val p7 = plan(Training.q107(spark, sf0001))
+    assert(p7.contains("HashAggregate"), p7)
+    assert(!p7.contains("CartesianProduct"),
+      "total-count singletons must broadcast: " + p7)
+    val p8 = plan(Training.q108(spark, sf0001))
+    assert(p8.contains("HashAggregate"), p8)
+    // the 32-row bit table rides as a broadcast nested loop (tiny side),
+    // never a shuffled cartesian
+    assert(p8.contains("BroadcastNestedLoopJoin") ||
+           p8.contains("BroadcastExchange"), p8)
+  }
+
   test("q24: global top-n avoids a total sort (TakeOrderedAndProject)") {
     val p = plan(SetOps.q24(spark, sf0001))
     assert(p.contains("TakeOrderedAndProject"), p)

@@ -649,6 +649,10 @@ object AnnIndex {
                               q: Array[Double],
                               nprobe: Int): Array[(Int, Double)] = {
     val n = math.min(nprobe, cents.length)
+    // nprobe <= 0 probes nothing — the replaced sortBy/take(0) yielded
+    // an empty probe set and a clean empty result; keep that contract
+    // (review r16: selScore(n - 1) would index at -1)
+    if (n <= 0) return Array.empty
     val selIdx = new Array[Int](n)
     val selScore = new Array[Double](n)
     var filled = 0
@@ -810,11 +814,15 @@ object AnnIndex {
           StructField("score", DoubleType))))
     val qVecs: Array[(Any, Array[Float])] = qRows.map { r =>
       val qid = r.get(0)
-      val qv = r.getSeq[Float](1)
-      require(qv != null, s"knnAll: null query vector (qid=$qid)")
-      require(qv.length == m.dim,
-        s"knnAll: query dim ${qv.length} != index dim ${m.dim} (qid=$qid)")
-      (qid, qv.toArray)
+      val raw = r.getSeq[Any](1)
+      require(raw != null, s"knnAll: null query vector (qid=$qid)")
+      // a NULL element survives the ARRAY<FLOAT> cast and would unbox
+      // to a bare NPE with no context (review r16)
+      require(!raw.contains(null),
+        s"knnAll: query vector contains a NULL element (qid=$qid)")
+      require(raw.length == m.dim,
+        s"knnAll: query dim ${raw.length} != index dim ${m.dim} (qid=$qid)")
+      (qid, raw.map(_.asInstanceOf[Float]).toArray)
     }
     // duplicate qids would collapse two queries' candidate pools into
     // one row_number partition — each scored row appears once per
@@ -877,11 +885,23 @@ object AnnIndex {
           math.max(1L, nprobe.toLong) * pq.m * pq.k * 4L
         val rerankBudget = spark.conf.get(
           "spark.graft.ann.batchRerankRows", (1L << 20).toString).toLong
-        val chunkCap = math.max(1L, math.min(
+        // clamp BEFORE .toInt: two huge confs ("disable chunking") would
+        // wrap negative and crash grouped() (review r16)
+        val chunkCap = math.min(Int.MaxValue.toLong, math.max(1L, math.min(
           adcBudget / perQueryBytes,
-          rerankBudget / math.max(1, effShortlist))).toInt
+          rerankBudget / math.max(1, effShortlist)))).toInt
         val table = SnapshotLog.readVersion(spark, root, cur)
-        val chunks = routed.grouped(chunkCap).map { chunk =>
+        val idType = table.schema
+          .find(_.name.equalsIgnoreCase(m.idCol)).map(_.dataType)
+          .getOrElse(LongType)
+        // the chunk loop below executes EAGERLY (each chunk collects its
+        // shortlist), so an unpersisted filter frame would re-run the
+        // predicate's table scan once per chunk — the documented
+        // one-scan-per-batch contract requires materializing it
+        // (review r16); no use survives past the loop, so the unpersist
+        // is safe before the lazy union is returned
+        allowed.foreach(_.persist())
+        val chunks = try routed.grouped(chunkCap).map { chunk =>
           val routing = chunk.flatMap { case (qid, qv, cells) =>
             val adc = adcTable(pq, qv).toSeq
             cells.map { case (c, bias) =>
@@ -926,9 +946,6 @@ object AnnIndex {
           // reads only matching rows' columns, never shuffles), fan it
           // back out to the (qid, id) pairs, score by vec_dot against
           // the broadcast query vectors, keep top-k per query
-          val idType = table.schema
-            .find(_.name.equalsIgnoreCase(m.idCol)).map(_.dataType)
-            .getOrElse(LongType)
           val shortDf = spark.createDataFrame(
             spark.sparkContext.parallelize(short.toSeq,
               math.max(1, math.min(short.length,
@@ -950,6 +967,7 @@ object AnnIndex {
             .filter(col("__rn") <= k)
             .select(col(qidCol), col(m.idCol), col("score"))
         }.toSeq
+        finally allowed.foreach(_.unpersist(false))
         chunks.reduce(_ unionByName _)
           .orderBy(col(qidCol), desc("score"), col(m.idCol))
     }
@@ -1207,6 +1225,16 @@ object AnnIndex {
     val sel = topCells(m.centroids, q, nprobe)
     val cells = sel.map(_._1).toIndexedSeq
     val cellDot = sel.toMap
+    // nprobe <= 0: nothing probed, clean empty answer (the ivfpq bias
+    // chain below would otherwise call cells.head on an empty seq)
+    if (cells.isEmpty) {
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField(m.idCol, tableIdType(spark, root, cur, m)),
+          StructField("score", DoubleType))))
+    }
     val lit32 = typedLit(query.toArray).cast("array<float>")
     val probed0 = assignments(spark, root, name, m)
       .filter(col("cell").isin(cells.map(x => x: Any): _*))

@@ -658,8 +658,12 @@ object Training {
       .filter(col("c12") >= 5)
     val tUni = uni.agg(count(lit(1)).as("t_uni"))
     val tBig = bg.agg(count(lit(1)).as("t_big"))
-    bc.join(broadcast(uc.select(col("w").as("w1"), col("c1").as("c1a"))), "w1")
-      .join(broadcast(uc.select(col("w").as("w2"), col("c1").as("c1b"))), "w2")
+    // the unigram table is the FULL vocabulary — corpus-scale, so no
+    // broadcast hint (AQE broadcasts it at bench scale, shuffles it at
+    // 100 TB); only the singleton totals are forced broadcasts
+    // (review r16)
+    bc.join(uc.select(col("w").as("w1"), col("c1").as("c1a")), "w1")
+      .join(uc.select(col("w").as("w2"), col("c1").as("c1b")), "w2")
       .crossJoin(broadcast(tUni)).crossJoin(broadcast(tBig))
       .withColumn("pmi", round(log(
         col("c12").cast("double") * col("t_uni").cast("double") *

@@ -685,11 +685,13 @@ object GraftSqlRule {
     val name = if (args.length >= 3) str(args(2), "index_name") else "ivf"
     // dispatch on the INDEX KIND (round 16): an ivfpq index routes to
     // the SDC candidate generator + exact verify; margin (the 4th arg)
-    // only means something there
-    val kind = graft.engine.AnnIndex.model(session, root, name)
-      .map(_.kind).getOrElse("ivf") // missing index: let the API refuse
+    // only means something there. A MISSING index routes by arity so
+    // the API's own clean "no ANN index" refusal surfaces — never a
+    // diagnostic asserting a kind for an index that does not exist
+    // (review r16)
+    val kind = graft.engine.AnnIndex.model(session, root, name).map(_.kind)
     val df =
-      if (kind == "ivfpq") {
+      if (kind.contains("ivfpq") || (kind.isEmpty && args.length == 4)) {
         if (args.length == 4)
           graft.engine.AnnIndex.nearDupPairsPq(session, root, threshold,
             dbl(args(3), "margin"), name)
@@ -699,7 +701,7 @@ object GraftSqlRule {
       } else {
         require(args.length < 4,
           s"ann_near_dup: margin only applies to ivfpq indexes — " +
-          s"'$name' is '$kind' (the per-cell float verify is exact)")
+          s"'$name' is '${kind.get}' (the per-cell float verify is exact)")
         graft.engine.AnnIndex.nearDupPairs(session, root, threshold, name)
       }
     df.queryExecution.analyzed

@@ -781,6 +781,14 @@ class AnnIndexSpec extends SparkSpecBase {
           s"ivfpq qid $q: batch ${pqBatch(q)} != $single")
       }
     } finally spark.conf.unset("spark.graft.ann.batchRerankRows")
+    // nprobe <= 0 probes nothing and answers EMPTY (the pre-r16
+    // sortBy/take(0) contract — the partial selection must not index
+    // at -1; review r16)
+    assert(AnnIndex.knnAll(spark, root, queries, k = 3, nprobe = 0)
+      .collect().isEmpty)
+    val qv0 = vecs(1, offset = 3).select("embedding").head().getSeq[Float](0)
+    assert(AnnIndex.knn(spark, root, qv0, k = 3, nprobe = 0)
+      .collect().isEmpty)
     // DISTRIBUTED routing (r16): a tiny flops budget forces the
     // broadcast-centroids Spark-job path — answers must be identical
     spark.conf.set("spark.graft.ann.driverRouteFlops", "1")

@@ -55,6 +55,15 @@ object Bench {
       // output proven in PlanShapeSpec ("x10 banded ≡ q10").
       "x10_range_banded" -> ((s, dir) =>
         graft.engine.Relational.bandedRangeJoin(s, dir)),
+      // x106 is the segmented twin of q106's per-user interval-union
+      // sweep: the within-segment sweep runs over balanced (user, day)
+      // partitions and a tiny per-user segment window carries the
+      // running max-end forward — no task ever sorts a whole user.
+      // Exact: equivalence at two widths + a planted single-day bot
+      // (intervals crossing every boundary) proven in SkewSpec.
+      "x106_union_segmented" -> ((s, dir) =>
+        graft.engine.Temporal.intervalUnionSegmented(
+          graft.engine.Tables.events(s, dir))),
       // x94 is the two-phase prefix-sum twin of q94's concurrency sweep:
       // the running sum runs inside balanced (event_type, day) segments,
       // then a |segments|-row window per type carries segment net deltas

@@ -259,9 +259,15 @@ object Temporal {
     * documents applies here too). Micros via the q102 idiom
     * (unix_micros ≡ epoch_us under the UTC session).
     */
-  def q106(s: SparkSession, dir: String): DataFrame = {
+  def q106(s: SparkSession, dir: String): DataFrame =
+    q106Of(Tables.events(s, dir))
+
+  /** The q106 sweep over any (user_id, ts) frame — the spec's planted
+    * fixtures feed it directly.
+    */
+  def q106Of(ev: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val iv = Tables.events(s, dir)
+    val iv = ev
       .select(col("user_id"), col("ts").as("st"),
         (col("ts") + expr("INTERVAL '5' MINUTE")).as("en"))
       .distinct() // (user_id, st) unique → the sweep order is total
@@ -306,6 +312,66 @@ object Temporal {
       |SELECT user_id, sum(ee_us - ss_us)::BIGINT AS covered_us,
       |       count(*) AS n_segments
       |FROM seg GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** x106 — SEGMENTED interval-union sweep, the scale twin of [[q106]]
+    * (round 16): q106's running max-of-ends windows partition by
+    * user_id alone, so a bot user's billions of intervals would sort
+    * on ONE reducer — the same single-partition hazard x94 solved for
+    * the concurrency sweep. EXACT two-phase form:
+    *
+    *  1. segment intervals by (user, day-of-start); the within-segment
+    *     sweep (running max-of-ends → segment groups → fold) runs over
+    *     BALANCED (user, day) partitions, producing each segment's
+    *     DISJOINT merged sub-intervals and its max end;
+    *  2. a per-user window over SEGMENTS (≤ days rows per user, tiny)
+    *     carries the running max end of all PRIOR segments forward as
+    *     `carry`; because every prior interval STARTS in a prior
+    *     segment, prior coverage inside this segment's span is exactly
+    *     the PREFIX up to `carry` — so each merged sub-interval's new
+    *     contribution is `greatest(0, end − greatest(start, carry))`,
+    *     summed per user.
+    *
+    * Exact (not approximate): equivalence with q106 at two segment
+    * widths + a planted-bot case in SkewSpec. `n_segments` (q106's
+    * merged-run count) is intentionally not reproduced — the twin
+    * answers the coverage question; run counting stays with q106.
+    */
+  def intervalUnionSegmented(ev: DataFrame,
+                             unit: String = "DAY"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val iv = ev
+      .select(col("user_id"), col("ts").as("st"),
+        (col("ts") + expr("INTERVAL '5' MINUTE")).as("en"))
+      .distinct()
+      .withColumn("seg", date_trunc(unit, col("st")))
+      .withColumn("st_us", unix_micros(col("st").cast("timestamp")))
+      .withColumn("en_us", unix_micros(col("en").cast("timestamp")))
+    // phase 1: the q106 sweep INSIDE balanced (user, seg) partitions
+    val w = Window.partitionBy("user_id", "seg").orderBy("st_us")
+    val local = iv
+      .withColumn("prev_max_us", max(col("en_us"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_run",
+        when(col("prev_max_us").isNull ||
+             col("st_us") > col("prev_max_us"), 1).otherwise(0))
+      .withColumn("run", sum(col("new_run")).over(w))
+      .groupBy("user_id", "seg", "run")
+      .agg(min(col("st_us")).as("ss_us"), max(col("en_us")).as("ee_us"))
+    // phase 2: per-user carry across segments (≤ |segments| rows/user)
+    val segMax = local.groupBy("user_id", "seg")
+      .agg(max(col("ee_us")).as("seg_max_us"))
+      .withColumn("carry_us", max(col("seg_max_us")).over(
+        Window.partitionBy("user_id").orderBy("seg")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("user_id"), col("seg"), col("carry_us"))
+    local.join(segMax, Seq("user_id", "seg"))
+      .withColumn("contrib", greatest(lit(0L),
+        col("ee_us") - greatest(col("ss_us"),
+          coalesce(col("carry_us"), lit(Long.MinValue)))))
+      .groupBy("user_id")
+      .agg(sum(col("contrib")).as("covered_us"))
+      .orderBy("user_id")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_tumbling"     -> (q28 _),

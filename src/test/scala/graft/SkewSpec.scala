@@ -214,6 +214,37 @@ class SkewSpec extends SparkSpecBase {
     }
   }
 
+  test("x106 segmented interval union ≡ q106 coverage, at two segment widths (r16)") {
+    val exact = engine.Temporal.q106(spark, sf0001)
+      .select("user_id", "covered_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    for (unit <- Seq("DAY", "HOUR")) {
+      val seg = engine.Temporal.intervalUnionSegmented(
+          Tables.events(spark, sf0001), unit)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(seg == exact, s"unit=$unit")
+    }
+    // planted bot: one user's intervals dominate a single day — the
+    // atomic-window case. HOUR segments must stay exact, including the
+    // cross-boundary carry (intervals straddling segment edges)
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    val rows = (1 to 6000).map { i =>
+      // 90-second cadence < the 5-min interval → one long merged run
+      // crossing every HOUR boundary; plus sparse cold users
+      (new java.sql.Timestamp(base.getTime + i.toLong * 90000), 1L)
+    } ++ (1 to 500).map { i =>
+      (new java.sql.Timestamp(base.getTime + i.toLong * 700000),
+        (2 + i % 20).toLong)
+    }
+    val ev = rows.toDF("ts", "user_id")
+    val exactBot = engine.Temporal.q106Of(ev)
+      .select("user_id", "covered_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val segBot = engine.Temporal.intervalUnionSegmented(ev, "HOUR")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(segBot == exactBot, "cross-boundary carry diverged")
+  }
+
   test("x97 segmented paths ≡ q97 on fixtures, at two segment widths") {
     val exact = engine.Behavioral.q97(spark, sf0001)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq

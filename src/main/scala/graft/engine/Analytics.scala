@@ -168,12 +168,69 @@ object Analytics {
       |                    AND l3.l_suppkey <> l1.l_suppkey)
       |GROUP BY s_name ORDER BY s_name""".stripMargin
 
+  /** q109 — PARETO SKYLINE (round 16): the non-dominated (price, size)
+    * points of `part` — minimize price, maximize size; a point is
+    * dominated iff another point has price ≤ AND size ≥ (distinct
+    * points make one strict automatic). The multi-criteria frontier
+    * every "cheapest-but-biggest" product/offer query needs, and an
+    * operator family (dominance) none of the other queries covers.
+    *
+    * NOT the O(n²) dominance anti-join: for 2 dimensions the skyline
+    * is a SORT + RUNNING MAX — ordered by (price asc, size desc), a
+    * point is dominated exactly when some predecessor's size ≥ its own
+    * (the predecessor has smaller price, or equal price with strictly
+    * larger size). Scalable TWO-PHASE form (dominance is transitive,
+    * so frontier(A ∪ B) = frontier(frontier(A) ∪ frontier(B))): phase
+    * 1 computes a LOCAL skyline inside each of 32 hash buckets
+    * (partitioned windows — no global sort of the input); phase 2 runs
+    * the same window over only the local survivors (≤ Σ local-frontier
+    * sizes — tiny), which is the one single-partition step and it sees
+    * frontiers, not the corpus. The oracle states the same answer with
+    * one global window.
+    */
+  def q109(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = Tables.part(s, dir)
+      .select(col("p_retailprice").as("price"), col("p_size").as("size"))
+      .distinct()
+      .withColumn("bucket", pmod(hash(col("price"), col("size")), lit(32)))
+    val wLocal = Window.partitionBy("bucket")
+      .orderBy(col("price").asc, col("size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = pts
+      .withColumn("pm", max(col("size")).over(wLocal))
+      .filter(col("pm").isNull || col("pm") < col("size"))
+      .drop("pm", "bucket")
+    val wGlobal = Window
+      .orderBy(col("price").asc, col("size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    local
+      .withColumn("pm", max(col("size")).over(wGlobal))
+      .filter(col("pm").isNull || col("pm") < col("size"))
+      .select(col("price"), col("size"))
+      .orderBy("price", "size")
+  }
+
+  val q109Sql: String =
+    """WITH pts AS (
+      |  SELECT DISTINCT p_retailprice AS price, p_size AS size FROM part
+      |), m AS (
+      |  SELECT price, size,
+      |         max(size) OVER (ORDER BY price ASC, size DESC
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |  FROM pts
+      |)
+      |SELECT price, size FROM m WHERE pm IS NULL OR pm < size
+      |ORDER BY price, size""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_skyline" -> (q109 _),
     "q99_mktshare"      -> (q99 _),
     "q100_nation_pairs" -> (q100 _),
     "q101_sole_supplier" -> (q101 _))
 
   val oracle: Map[String, String] = Map(
+    "q109_skyline" -> q109Sql,
     "q99_mktshare"      -> q99Sql,
     "q100_nation_pairs" -> q100Sql,
     "q101_sole_supplier" -> q101Sql)

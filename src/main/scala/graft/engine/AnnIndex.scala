@@ -73,6 +73,22 @@ object AnnIndex {
     * has exactly one live assignment — the uniqueness contract the
     * maintenance path already requires). −1 = a legacy model that
     * predates the field; one [[compact]] stamps it.
+    *
+    * `qerr` (round 17, ivfpq only) is the MEASURED two-sided
+    * dot-product quantization error bound — p99 of the per-vector
+    * reconstruction error e = ‖x − x̂‖₂ on a bounded encode sample,
+    * combined as 2·p99 + p99² (|x·y − x̂·ŷ| ≤ eₓ + e_y + eₓ·e_y for
+    * near-unit vectors). [[nearDupPairsPq]]'s AUTO margin reads it, so
+    * the default candidate band is sized by the data's actual
+    * quantization error, not a constant. −1 = legacy / plain-ivf model.
+    *
+    * `probes` (round 17) is the stored CANDIDATE-GENERATION capability:
+    * 2 = every live assignment slice carries a `cell2` (second-nearest
+    * cell) column, enabling multi-probe near-dup pair generation; 1 =
+    * a legacy index whose slices may predate the column. Stamped 2 by
+    * [[build]]/[[buildPq]]/[[compact]] (which [re]write every slice);
+    * incremental [[refresh]] writes cell2 in NEW slices but cannot
+    * upgrade old ones, so it carries the stamp unchanged.
     */
   final case class Model(kind: String, k: Int, dim: Int,
                          indexedVersion: Long, idCol: String,
@@ -80,7 +96,14 @@ object AnnIndex {
                          centroids: Array[Array[Double]],
                          pq: Option[EmbedOps.PqModel] = None,
                          slices: Option[Seq[String]] = None,
-                         rows: Long = -1L)
+                         rows: Long = -1L,
+                         qerr: Double = -1.0,
+                         probes: Int = 1)
+
+  /** [[nearDupPairsPq]]'s `margin` sentinel (round 17): resolve to the
+    * Model's measured quantization-error bound (`qerr`).
+    */
+  val AutoMargin: Double = -1.0
 
   private def annDir(root: String, name: String): Path =
     new Path(new Path(root.replaceAll("/+$", ""), "_graft_ann"), name)
@@ -92,6 +115,35 @@ object AnnIndex {
   private def lockPath(root: String, name: String): Path =
     new Path(new Path(root.replaceAll("/+$", ""), "_graft_ann"),
       s".lock_$name")
+
+  /** Loud conf parsing (round 17 — ADVICE r16): a malformed value in
+    * an ANN tuning conf fails NAMING the conf key, consistent with the
+    * file's deliberate-refusal style, instead of surfacing as a bare
+    * NumberFormatException from somewhere inside the query planner.
+    */
+  private def confLong(spark: SparkSession, key: String,
+                       default: Long): Long = {
+    val raw = spark.conf.get(key, default.toString)
+    try raw.trim.toLong catch { case _: NumberFormatException =>
+      throw new IllegalArgumentException(
+        s"malformed $key='$raw' — expected an integer")
+    }
+  }
+  private def confInt(spark: SparkSession, key: String,
+                      default: Int): Int = {
+    val v = confLong(spark, key, default)
+    require(v >= Int.MinValue && v <= Int.MaxValue,
+      s"$key=$v is out of Int range")
+    v.toInt
+  }
+  private def confDouble(spark: SparkSession, key: String,
+                         default: Double): Double = {
+    val raw = spark.conf.get(key, default.toString)
+    try raw.trim.toDouble catch { case _: NumberFormatException =>
+      throw new IllegalArgumentException(
+        s"malformed $key='$raw' — expected a number")
+    }
+  }
 
   /** Serialize MAINTENANCE per index (round 14 — ADVICE r13 medium):
     * refresh's orphan sweep deletes any slice dir absent from the live
@@ -162,7 +214,9 @@ object AnnIndex {
         s"pq=${p.m},${p.k},${p.dsub}",
         s"codebook=${p.centroids.mkString(",")}")) ++
       m.slices.toSeq.map(ls => s"slices=${ls.mkString(",")}") ++
-      (if (m.rows >= 0) Seq(s"rows=${m.rows}") else Nil)).mkString("\n")
+      (if (m.rows >= 0) Seq(s"rows=${m.rows}") else Nil) ++
+      (if (m.qerr >= 0) Seq(s"qerr=${m.qerr}") else Nil) ++
+      (if (m.probes > 1) Seq(s"probes=${m.probes}") else Nil)).mkString("\n")
     val tmp = new Path(p.getParent, ".tmp_model")
     val out = f.create(tmp, true)
     try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -231,9 +285,13 @@ object AnnIndex {
       ls.split(",").map(_.trim).filter(_.nonEmpty).toSeq }
     val rows = kv.collectFirst { case ("rows", r) => r.toLong }
       .getOrElse(-1L)
+    val qerr = kv.collectFirst { case ("qerr", q) => q.toDouble }
+      .getOrElse(-1.0)
+    val probes = kv.collectFirst { case ("probes", p) => p.toInt }
+      .getOrElse(1)
     Some(Model(v("kind"), v("k").toInt, v("dim").toInt,
       v("indexedVersion").toLong, v("idCol"), v("vecCol"), cents, pq,
-      slices, rows))
+      slices, rows, qerr, probes))
   }
 
   /** Build (or rebuild from scratch) the index over the table's current
@@ -252,8 +310,13 @@ object AnnIndex {
     require(!corpus.isEmpty,
       s"cannot build ANN index '$name': no non-null '$vecCol' vectors " +
       s"at $root v$cur (an empty index has nothing to train on)")
-    val (assigned, cents) =
+    // training only — the returned assignment frame is LAZY and
+    // discarded unexecuted; the corpus pass below assigns top-2 cells
+    // ([[EmbedOps.assignCells2]]) so the slice carries the multi-probe
+    // cell2 column (round 17)
+    val (_, cents) =
       EmbedOps.ivfBuildSampled(corpus, k, iters, maxTrain, idCol, vecCol)
+    val assigned = EmbedOps.assignCells2(corpus, cents, idCol, vecCol)
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     val dir = annDir(root, name)
     val f = fs(spark, dir)
@@ -268,15 +331,23 @@ object AnnIndex {
     val nRows = obs.get("n").asInstanceOf[Long]
     writeModel(spark, root, name,
       Model("ivf", cents.length, dim, cur, idCol, vecCol, cents,
-        slices = Some(Seq(assignDirName(cur))), rows = nRows))
+        slices = Some(Seq(assignDirName(cur))), rows = nRows, probes = 2))
     cur
   }
 
+  /** Slices carry `cell2` (second-nearest cell — multi-probe candidate
+    * generation, round 17) when the assigning pass produced it; a
+    * frame from the legacy single-cell path writes without.
+    */
   private def writeAssignments(assigned: DataFrame, dir: Path,
-                               idCol: String, vecCol: String): Unit =
-    assigned.select(col(idCol), col(vecCol), col("cell"))
+                               idCol: String, vecCol: String): Unit = {
+    val cols = Seq(col(idCol), col(vecCol)) ++
+      (if (assigned.columns.contains("cell2")) Seq(col("cell2")) else Nil) ++
+      Seq(col("cell"))
+    assigned.select(cols: _*)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(dir.toString)
+  }
 
   /** IVF-PQ twin of [[build]] (the Faiss IVFPQ layout, persisted): the
     * slices store m-byte RESIDUAL CODES instead of float vectors — a
@@ -307,9 +378,18 @@ object AnnIndex {
     require(!corpus.isEmpty,
       s"cannot build ANN index '$name': no non-null '$vecCol' vectors " +
       s"at $root v$cur (an empty index has nothing to train on)")
-    val (encoded, index) = EmbedOps.ivfPqBuildSampled(corpus, kCells, m,
+    // training only — the returned encode frame is LAZY and discarded
+    // unexecuted; re-encoding through [[encodeFor]] (which the refresh
+    // path already uses) adds the multi-probe cell2 column (round 17)
+    // and shares one assignment code path for every slice writer
+    val (_, index) = EmbedOps.ivfPqBuildSampled(corpus, kCells, m,
       kPq, cellIters, pqIters, maxTrain, idCol, vecCol)
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    // the model records the ACTUAL cell count — the sampled trainer may
+    // clamp kCells to the training sample on small corpora (round 14)
+    val mdl = Model("ivfpq", index.cells.length, dim, cur, idCol,
+      vecCol, index.cells, Some(index.model), probes = 2)
+    val encoded = encodeFor(spark, mdl, corpus)
     val dir = annDir(root, name)
     val f = fs(spark, dir)
     if (f.exists(dir)) f.delete(dir, true)
@@ -318,24 +398,81 @@ object AnnIndex {
     writeCodeAssignments(encoded.observe(obs, count(lit(1)).as("n")),
       new Path(dir, assignDirName(cur)), idCol)
     val nRows = obs.get("n").asInstanceOf[Long]
-    // the model records the ACTUAL cell count — the sampled trainer may
-    // clamp kCells to the training sample on small corpora (round 14)
-    writeModel(spark, root, name, Model("ivfpq", index.cells.length, dim, cur, idCol,
-      vecCol, index.cells, Some(index.model),
-      slices = Some(Seq(assignDirName(cur))), rows = nRows))
+    // measured quantization error → the AUTO near-dup margin (round 17)
+    val qerr = measureQerr(encodeFor(spark, mdl, corpus), index.cells,
+      index.model, vecCol)
+    writeModel(spark, root, name, mdl.copy(
+      slices = Some(Seq(assignDirName(cur))), rows = nRows, qerr = qerr))
     cur
   }
 
+  /** Bounded encode-sample rows for [[measureQerr]]. */
+  private val QerrSampleRows = 2048
+
+  /** The p99 two-sided dot-product quantization error on a bounded
+    * encode sample (round 17 — verdict r16 #1, Model.qerr): per
+    * sampled vector, e = ‖x − x̂‖₂ with x̂ = cell centroid + decoded
+    * residual; for a pair of near-unit vectors |x·y − x̂·ŷ| =
+    * |εₓ·y + x·ε_y − εₓ·ε_y| ≤ eₓ + e_y + eₓ·e_y (Cauchy–Schwarz), so
+    * p99-per-side combines to 2·p99 + p99². That is the margin at
+    * which a candidate band loses only pairs with a ≥p99 error on BOTH
+    * sides (≈10⁻⁴ of pairs if errors are independent) — measured from
+    * the data each build, not guessed. Driver cost: sample × dim
+    * flops. −1 when the corpus has no encodable rows.
+    */
+  private def measureQerr(encoded: DataFrame, cents: Array[Array[Double]],
+                          pq: EmbedOps.PqModel, vecCol: String): Double = {
+    import org.apache.spark.sql.types._
+    val rows = encoded
+      .select(col(vecCol).cast(ArrayType(FloatType)), col("pq_codes"),
+        col("cell"))
+      .filter(col("pq_codes").isNotNull)
+      .limit(QerrSampleRows).collect()
+    if (rows.isEmpty) return -1.0
+    val errs = rows.map { r =>
+      val x = r.getSeq[Float](0).toArray
+      // pq_codes is ARRAY<TINYINT> (vec_pq_encode), not BinaryType —
+      // it collects as a Seq[Byte], never a primitive Array[Byte]
+      val codes = r.getSeq[Byte](1).toArray
+      val cent = cents(r.getInt(2))
+      var s = 0.0
+      var d = 0
+      while (d < x.length) {
+        val j = d / pq.dsub
+        val c = codes(j) & 0xff
+        val rec = cent(d) +
+          pq.centroids((j * pq.k + c) * pq.dsub + (d % pq.dsub))
+        val diff = x(d) - rec
+        s += diff * diff
+        d += 1
+      }
+      math.sqrt(s)
+    }.sorted
+    val i = math.max(0, math.min(errs.length - 1,
+      math.ceil(errs.length * 0.99).toInt - 1))
+    val p99 = errs(i)
+    2 * p99 + p99 * p99
+  }
+
   private def writeCodeAssignments(encoded: DataFrame, dir: Path,
-                                   idCol: String): Unit =
-    encoded.select(col(idCol), col("pq_codes"), col("cell"))
+                                   idCol: String): Unit = {
+    val cols = Seq(col(idCol), col("pq_codes")) ++
+      (if (encoded.columns.contains("cell2")) Seq(col("cell2")) else Nil) ++
+      Seq(col("cell"))
+    encoded.select(cols: _*)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(dir.toString)
+  }
 
-  /** Assign (+ encode, for ivfpq) a frame under a persisted model. */
+  /** Assign (+ encode, for ivfpq) a frame under a persisted model.
+    * Assignments carry the multi-probe `cell2` column (round 17) —
+    * every slice writer routes through here, so new slices always have
+    * it; only a LEGACY index's pre-r17 slices lack it, which is what
+    * Model.probes gates on.
+    */
   private def encodeFor(spark: SparkSession, mdl: Model,
                         df: DataFrame): DataFrame = {
-    val assigned = EmbedOps.assignCells(df, mdl.centroids, mdl.idCol, mdl.vecCol)
+    val assigned = EmbedOps.assignCells2(df, mdl.centroids, mdl.idCol, mdl.vecCol)
     mdl.pq match {
       case None => assigned
       case Some(pq) =>
@@ -492,6 +629,7 @@ object AnnIndex {
     val corpus = SnapshotLog.readVersion(spark, root, cur)
       .filter(col(m.vecCol).isNotNull).persist()
     var nRows = 0L
+    var qerr = m.qerr
     val slices: Seq[String] =
       try {
         nRows = corpus.count()
@@ -501,8 +639,14 @@ object AnnIndex {
           if (m.pq.isEmpty)
             writeAssignments(encodeFor(spark, m, corpus), staged,
               m.idCol, m.vecCol)
-          else
+          else {
             writeCodeAssignments(encodeFor(spark, m, corpus), staged, m.idCol)
+            // re-measure the quantization-error bound on the compacted
+            // corpus — also how a legacy (qerr = −1) model acquires the
+            // AUTO near-dup margin, mirroring the `rows` stamp below
+            qerr = measureQerr(encodeFor(spark, m, corpus),
+              m.centroids, m.pq.get, m.vecCol)
+          }
           // a live slice may already hold this version's default name
           // (an explicit compact after a same-version refresh) — pick
           // the first free suffix instead of clobbering a published dir
@@ -516,9 +660,12 @@ object AnnIndex {
         }
       } finally corpus.unpersist()
     // compact counts the corpus anyway — stamping `rows` here is also
-    // how a legacy (rows = −1) model acquires auto-shortlist sizing
+    // how a legacy (rows = −1) model acquires auto-shortlist sizing;
+    // `probes = 2` likewise: every slice was just rewritten with cell2,
+    // so the multi-probe capability is true by construction (round 17)
     writeModel(spark, root, name,
-      m.copy(indexedVersion = cur, slices = Some(slices), rows = nRows))
+      m.copy(indexedVersion = cur, slices = Some(slices), rows = nRows,
+        qerr = qerr, probes = 2))
     sweepableDirs(spark, dir).map(_.getName).filterNot(slices.contains)
       .foreach(n => f.delete(new Path(dir, n), true))
     cur
@@ -563,11 +710,15 @@ object AnnIndex {
       .sortBy(_.getName)
     // one read per slice (each slice is its own cell-partitioned root;
     // a shared basePath would make the slice dirs look like partition
-    // levels) — the cell filter partition-prunes within every slice
+    // levels) — the cell filter partition-prunes within every slice.
+    // allowMissingColumns: a legacy index refreshed after round 17 has
+    // pre-cell2 slices beside new cell2-carrying ones; legacy rows read
+    // cell2 = null (and Model.probes = 1 keeps multi-probe refusing
+    // until a compact rewrites them)
     val base = assigns.map { d =>
       spark.read.option("basePath", d.toString).parquet(d.toString)
         .withColumn("__slice_v", lit(sliceVersion(d.getName)))
-    }.reduce(_ unionByName _)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
     val tombs = live.filter(_.getName.startsWith("tomb_v"))
     if (tombs.isEmpty) base.drop("__slice_v")
     else {
@@ -688,8 +839,7 @@ object AnnIndex {
                        qVecs: Array[(Any, Array[Float])], nprobe: Int)
       : Array[(Any, Array[Float], Array[(Int, Double)])] = {
     val flops = qVecs.length.toDouble * m.centroids.length * m.dim
-    val budget = spark.conf
-      .get("spark.graft.ann.driverRouteFlops", "2000000000").toDouble
+    val budget = confDouble(spark, "spark.graft.ann.driverRouteFlops", 2e9)
     if (flops <= budget)
       qVecs.map { case (qid, qv) =>
         (qid, qv, topCells(m.centroids, qv.map(_.toDouble), nprobe)) }
@@ -776,6 +926,20 @@ object AnnIndex {
     knnAllImpl(spark, root, queries, k, name, nprobe, qidCol, vecCol,
       shortlist, Some(predicate))
 
+  /** Normalize a driver-collected column value to a VALUE-comparable
+    * key: JVM arrays (BinaryType → Array[Byte], ArrayType → Array[_])
+    * compare by reference, and struct Rows can nest them — downstream
+    * Spark operators compare all of these by value, so guards over
+    * collected values must too (round 17 — ADVICE r16).
+    */
+  private def valueKey(a: Any): Any = a match {
+    case null => null
+    case b: Array[_] => b.toSeq.map(valueKey)
+    case r: org.apache.spark.sql.Row => r.toSeq.map(valueKey)
+    case s: scala.collection.Seq[_] => s.map(valueKey)
+    case other => other
+  }
+
   private def knnAllImpl(spark: SparkSession, root: String,
                          queries: DataFrame, k: Int, name: String,
                          nprobe: Int, qidCol: String, vecCol: String,
@@ -787,8 +951,7 @@ object AnnIndex {
     require(m.indexedVersion == cur,
       s"ANN index '$name' covers v${m.indexedVersion} but the table is " +
       s"at v$cur — AnnIndex.refresh(...) first")
-    val maxQ = spark.conf
-      .get("spark.graft.ann.maxBatchQueries", "65536").toInt
+    val maxQ = confInt(spark, "spark.graft.ann.maxBatchQueries", 65536)
     import org.apache.spark.sql.types._
     queries.schema(vecCol).dataType match {
       case ArrayType(_: NumericType, _) => ()
@@ -826,8 +989,14 @@ object AnnIndex {
     }
     // duplicate qids would collapse two queries' candidate pools into
     // one row_number partition — each scored row appears once per
-    // duplicate, silently halving that query's distinct top-k ids
-    require(qVecs.iterator.map(_._1).toSet.size == qVecs.length,
+    // duplicate, silently halving that query's distinct top-k ids.
+    // SPARK VALUE semantics, not JVM equality (round 17 — ADVICE r16):
+    // a BinaryType qid collects as Array[Byte], which compares by
+    // reference, so duplicate binary qids would pass a toSet-on-Any
+    // guard and then collapse by VALUE in the downstream row_number
+    // partition — the exact corruption the guard exists to refuse
+    require(qVecs.iterator.map(x => valueKey(x._1)).toSet.size ==
+        qVecs.length,
       "knnAll: duplicate qid values in the query batch — each qid " +
       "names ONE query (dedupe or re-key the queries frame)")
     val routed = routeAll(spark, m, qVecs, nprobe)
@@ -846,23 +1015,34 @@ object AnnIndex {
     import org.apache.spark.sql.expressions.Window
     m.pq match {
       case None =>
-        // one routing row per (cell, query); broadcast fan-out scores
-        // each probed assignment row against exactly the queries that
-        // probed its cell
-        val routing = routed.flatMap { case (qid, qv, cells) =>
-          cells.map { case (c, _) =>
-            org.apache.spark.sql.Row(c, qid, qv.toSeq) } }
+        // one routing row per (cell, query) — CELL AND QID ONLY; the
+        // query vectors ride a separate per-qid frame joined in after
+        // the cell fan-out (round 17 — ADVICE r16: materializing each
+        // vector once per probed cell made the routing broadcast
+        // nprobe-fold wider than the batch itself; at the 65536-query
+        // ceiling with wide vectors that is a multi-hundred-MB
+        // broadcast, where (cell, qid) pairs are a few MB). Mirrors
+        // the ivfpq chunk path's qvecDf factoring.
+        val routing = routed.flatMap { case (qid, _, cells) =>
+          cells.map { case (c, _) => org.apache.spark.sql.Row(c, qid) } }
         val probedCells =
           routed.flatMap(_._3.map(_._1)).distinct.toSeq
         val routeDf = spark.createDataFrame(
           spark.sparkContext.parallelize(routing.toSeq, 1),
           StructType(Seq(
             StructField("cell", IntegerType),
+            StructField(qidCol, qidType))))
+        val qvecDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            routed.map { case (qid, qv, _) =>
+              org.apache.spark.sql.Row(qid, qv.toSeq) }.toSeq, 1),
+          StructType(Seq(
             StructField(qidCol, qidType),
             StructField("__qvec", ArrayType(FloatType)))))
         filtered(assignments(spark, root, name, m)
             .filter(col("cell").isin(probedCells.map(x => x: Any): _*)))
           .join(broadcast(routeDf), "cell")
+          .join(broadcast(qvecDf), Seq(qidCol))
           .withColumn("score",
             call_function("vec_dot", col(m.vecCol), col("__qvec")))
           .withColumn("__rn", row_number().over(Window.partitionBy(qidCol)
@@ -878,13 +1058,12 @@ object AnnIndex {
         // pairs collected + broadcast for the exact re-rank — the same
         // driver round-trip per-query knn's broadcast(short) pays,
         // amortized over the chunk)
-        val adcBudget = spark.conf.get(
-          "spark.graft.ann.batchAdcBroadcastBytes",
-          (32L * 1024 * 1024).toString).toLong
+        val adcBudget = confLong(spark,
+          "spark.graft.ann.batchAdcBroadcastBytes", 32L * 1024 * 1024)
         val perQueryBytes =
           math.max(1L, nprobe.toLong) * pq.m * pq.k * 4L
-        val rerankBudget = spark.conf.get(
-          "spark.graft.ann.batchRerankRows", (1L << 20).toString).toLong
+        val rerankBudget = confLong(spark,
+          "spark.graft.ann.batchRerankRows", 1L << 20)
         // clamp BEFORE .toInt: two huge confs ("disable chunking") would
         // wrap negative and crash grouped() (review r16)
         val chunkCap = math.min(Int.MaxValue.toLong, math.max(1L, math.min(
@@ -894,14 +1073,14 @@ object AnnIndex {
         val idType = table.schema
           .find(_.name.equalsIgnoreCase(m.idCol)).map(_.dataType)
           .getOrElse(LongType)
-        // the chunk loop below executes EAGERLY (each chunk collects its
-        // shortlist), so an unpersisted filter frame would re-run the
-        // predicate's table scan once per chunk — the documented
-        // one-scan-per-batch contract requires materializing it
-        // (review r16); no use survives past the loop, so the unpersist
-        // is safe before the lazy union is returned
-        allowed.foreach(_.persist())
-        val chunks = try routed.grouped(chunkCap).map { chunk =>
+        // each chunk executes EAGERLY (it collects its shortlist), so an
+        // unpersisted filter frame would re-run the predicate's table
+        // scan once per chunk — the documented one-scan-per-batch
+        // contract requires materializing it (review r16); no use
+        // survives past the chunk runs, so the unpersist is safe before
+        // the lazy union is returned
+        def runChunk(chunk: Array[(Any, Array[Float],
+            Array[(Int, Double)])]): DataFrame = {
           val routing = chunk.flatMap { case (qid, qv, cells) =>
             val adc = adcTable(pq, qv).toSeq
             cells.map { case (c, bias) =>
@@ -966,8 +1145,42 @@ object AnnIndex {
                 .orderBy(desc("score"), col(m.idCol))))
             .filter(col("__rn") <= k)
             .select(col(qidCol), col(m.idCol), col("score"))
-        }.toSeq
-        finally allowed.foreach(_.unpersist(false))
+        }
+        // BOUNDED-CONCURRENCY chunk pipeline (round 17 — verdict r16
+        // #3): the per-chunk work is a scan+collect round-trip whose
+        // result is budget-bounded (≤ rerankBudget (qid, id) pairs), so
+        // 2–3 chunks in flight overlap chunk N's codes scan with chunk
+        // N−1's shortlist collect at a bounded memory cost of
+        // concurrency × rerankBudget driver rows — never an unbounded
+        // buffer. Spark schedules concurrent jobs from separate
+        // submitter threads natively (FIFO); results are gathered in
+        // chunk order, so output is bit-identical to the sequential
+        // loop (the final orderBy re-sorts anyway). Concurrency 1
+        // restores the strictly sequential r16 behavior.
+        val conc = math.max(1, confInt(spark,
+          "spark.graft.ann.batchChunkConcurrency", 2))
+        val chunkSeq = routed.grouped(chunkCap).toSeq
+        allowed.foreach(_.persist())
+        val chunks = try {
+          if (conc <= 1 || chunkSeq.length <= 1) chunkSeq.map(runChunk)
+          else {
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(
+              math.min(conc, chunkSeq.length))
+            try chunkSeq.map { ch =>
+              pool.submit(new java.util.concurrent.Callable[DataFrame] {
+                override def call(): DataFrame = runChunk(ch)
+              })
+            }.map { f =>
+              try f.get()
+              catch { case e: java.util.concurrent.ExecutionException =>
+                throw e.getCause }
+            }
+            // shutdownNow: a no-op once every future is drained; on an
+            // exceptional exit it interrupts still-running chunk jobs
+            // instead of leaking non-daemon pool threads
+            finally { pool.shutdownNow(); () }
+          }
+        } finally allowed.foreach(_.unpersist(false))
         chunks.reduce(_ unionByName _)
           .orderBy(col(qidCol), desc("score"), col(m.idCol))
     }
@@ -1014,9 +1227,20 @@ object AnnIndex {
     * (and asserts zero false positives — the verify is exact). Raise
     * `k` at build time to trade candidate-bucket size against boundary
     * loss. Same freshness refusal as [[knn]].
+    *
+    * `probes = 2` (round 17 — verdict r16 #2) closes that boundary
+    * gap: candidate pairs are rows sharing ANY of each side's two
+    * nearest cells — the second assignment (`cell2`) was computed at
+    * encode time and stored in the slice, so multi-probe generation
+    * reads no floats beyond the same slices and pays ≤2× the
+    * candidate volume (measured ~1.9× with full boundary recall on
+    * the 40k fixture — SCALE.md r17). Duplicate pairs (both probes
+    * shared) are deduped before scoring. Refused on a legacy index
+    * whose slices predate the column (`Model.probes` = 1) — one
+    * [[compact]] upgrades it.
     */
   def nearDupPairs(spark: SparkSession, root: String, threshold: Double,
-                   name: String = "ivf"): DataFrame = {
+                   name: String = "ivf", probes: Int = 1): DataFrame = {
     VectorFunctions.register(spark)
     val m = model(spark, root, name).getOrElse(throw new IllegalStateException(
       s"no ANN index '$name' at $root — AnnIndex.build first"))
@@ -1037,16 +1261,47 @@ object AnnIndex {
           StructField("cosine", DoubleType))))
     }
     val a = assignments(spark, root, name, m)
-    val l = a.select(col("cell"), col(m.idCol).as("id_a"),
+    val probed = probeExplode(a, m, probes)
+    val l = probed.select(col("__pcell"), col(m.idCol).as("id_a"),
       col(m.vecCol).as("vec_a"))
-    val r = a.select(col("cell").as("cell_b"), col(m.idCol).as("id_b"),
-      col(m.vecCol).as("vec_b"))
-    l.join(r, col("cell") === col("cell_b") && col("id_a") < col("id_b"))
+    val r = probed.select(col("__pcell").as("__pcell_b"),
+      col(m.idCol).as("id_b"), col(m.vecCol).as("vec_b"))
+    val cand0 = l.join(r,
+      col("__pcell") === col("__pcell_b") && col("id_a") < col("id_b"))
+    // a pair sharing BOTH probe cells appears twice; its payload
+    // columns are identical in every copy, so dropDuplicates keeps one
+    // arbitrary copy BEFORE the dot products — no double-scoring
+    val cand = if (probes <= 1) cand0
+               else cand0.dropDuplicates("id_a", "id_b")
+    cand
       .withColumn("cosine",
         call_function("vec_dot", col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
       .orderBy("id_a", "id_b")
+  }
+
+  /** The multi-probe candidate-generation fan-out (round 17): each
+    * assignment row exploded over its probe cells — `[cell]` at
+    * probes = 1 (the classic same-cell contract, no behavior change),
+    * `[cell, cell2]` at probes = 2, nulls compacted (a single-cell
+    * quantizer stores cell2 = null). Gated on the Model's stored
+    * capability: a legacy index's old slices have no cell2 column, and
+    * silently probing only the new slices' second cells would skew
+    * recall per-slice — refuse loudly, [[compact]] upgrades.
+    */
+  private def probeExplode(a: DataFrame, m: Model, probes: Int): DataFrame = {
+    require(probes >= 1 && probes <= 2,
+      s"probes=$probes — supported values are 1 (same-cell) and 2 " +
+      "(stored second-nearest cell)")
+    if (probes == 1) return a.withColumn("__pcell", col("cell"))
+    require(m.probes >= probes,
+      s"probes=$probes but index slices store ${m.probes} assignment" +
+      "(s) per vector — a pre-r17 index lacks the cell2 column; run " +
+      "AnnIndex.compact to rewrite its slices with multi-probe " +
+      "assignments")
+    a.withColumn("__pcell",
+        explode(array_compact(array(col("cell"), col("cell2")))))
   }
 
   /** The ivfpq re-rank shortlist: explicit when given; else AUTO
@@ -1065,8 +1320,7 @@ object AnnIndex {
     if (shortlist > 0) shortlist
     else if (m.rows < 0) math.max(100, k)
     else {
-      val cap = spark.conf
-        .get("spark.graft.ann.maxAutoShortlist", "100000").toInt
+      val cap = confInt(spark, "spark.graft.ann.maxAutoShortlist", 100000)
       math.max(k.toLong, math.min(cap.toLong,
         math.max(100L, math.ceil(m.rows * 0.03).toLong))).toInt
     }
@@ -1132,17 +1386,39 @@ object AnnIndex {
     * index 32× smaller than the float index, reading m bytes/vector.
     * Broadcast volume: nlist × m×kPq floats (the per-cell ADC tables;
     * 32 MB at nlist=4096, m=8, kPq=256) + the 2 MB SDC table.
+    *
+    * `margin` defaults to AUTO (round 17 — verdict r16 #1): the
+    * Model's MEASURED two-sided p99 quantization-error bound
+    * ([[measureQerr]], stamped at build/compact), so the candidate
+    * band is sized by the data's actual reconstruction error — wide
+    * enough that only pairs with ≥p99 error on BOTH sides can slip
+    * out, narrow enough that a well-quantized corpus verifies a thin
+    * shell. A pre-r17 model without the stamp falls back to 0.1 (the
+    * old constant); one [[compact]] measures and stores it. Pass an
+    * explicit non-negative margin to override either way.
+    *
+    * `probes = 2` (round 17 — verdict r16 #2) extends candidates to
+    * pairs sharing EITHER side's stored second-nearest cell, closing
+    * the Voronoi-boundary gap. Cross-assigned-cell pairs score by the
+    * general decomposition x̂·ŷ = cent_a·cent_b + cent_a·res_y +
+    * cent_b·res_x + res_x·res_y — the middle terms are each side's
+    * per-cell ADC table played against the OTHER side's codes, so the
+    * scoring still reads only codes. Same capability gate as
+    * [[nearDupPairs]] (Model.probes; compact upgrades).
     */
   def nearDupPairsPq(spark: SparkSession, root: String, threshold: Double,
-                     margin: Double = 0.1,
-                     name: String = "ivfpq"): DataFrame = {
+                     margin: Double = AutoMargin,
+                     name: String = "ivfpq", probes: Int = 1): DataFrame = {
     VectorFunctions.register(spark)
     val m = model(spark, root, name).getOrElse(throw new IllegalStateException(
       s"no ANN index '$name' at $root — AnnIndex.buildPq first"))
     val pq = m.pq.getOrElse(throw new IllegalArgumentException(
       s"nearDupPairsPq needs an ivfpq index — '$name' is '${m.kind}' " +
       "(plain ivf indexes use nearDupPairs, which is exact per cell)"))
-    require(margin >= 0, s"negative margin $margin")
+    val effMargin =
+      if (margin >= 0) margin
+      else if (m.qerr >= 0) m.qerr
+      else 0.1
     val cur = SnapshotLog.currentVersion(spark, root).getOrElse(0L)
     require(m.indexedVersion == cur,
       s"ANN index '$name' covers v${m.indexedVersion} but the table is " +
@@ -1157,27 +1433,65 @@ object AnnIndex {
     }
     import spark.implicits._
     val sdcLit = typedLit(sdcTable(pq)).cast("array<float>")
-    val cellsDf = m.centroids.zipWithIndex.map { case (c, i) =>
-      val cc = c.map(x => x * x).sum
-      (i, cc, adcTable(pq, c.map(_.toFloat)).toSeq)
-    }.toSeq.toDF("cell", "__cc", "__centAdc")
     val a = assignments(spark, root, name, m)
-    val l = a.select(col("cell"), col(m.idCol).as("id_a"),
-      col("pq_codes").as("codes_a"))
-    val r = a.select(col("cell").as("cell_b"), col(m.idCol).as("id_b"),
-      col("pq_codes").as("codes_b"))
-    val cand = l
-      .join(r, col("cell") === col("cell_b") && col("id_a") < col("id_b"))
-      .join(broadcast(cellsDf), "cell")
-      .withColumn("__approx", col("__cc") +
-        call_function("vec_pq_adc", col("codes_a"), col("__centAdc"),
-          lit(pq.k)) +
-        call_function("vec_pq_adc", col("codes_b"), col("__centAdc"),
-          lit(pq.k)) +
-        call_function("vec_pq_sdc", col("codes_a"), col("codes_b"),
-          sdcLit, lit(pq.k)))
-      .filter(col("__approx") >= threshold - margin)
-      .select("id_a", "id_b")
+    val cand = if (probes <= 1) {
+      // same-assigned-cell fast path: the shared centroid's |c|² rides
+      // the (broadcast) per-cell table once — no per-pair centroid dot
+      val cellsDf = m.centroids.zipWithIndex.map { case (c, i) =>
+        val cc = c.map(x => x * x).sum
+        (i, cc, adcTable(pq, c.map(_.toFloat)).toSeq)
+      }.toSeq.toDF("cell", "__cc", "__centAdc")
+      val l = a.select(col("cell"), col(m.idCol).as("id_a"),
+        col("pq_codes").as("codes_a"))
+      val r = a.select(col("cell").as("cell_b"), col(m.idCol).as("id_b"),
+        col("pq_codes").as("codes_b"))
+      l.join(r, col("cell") === col("cell_b") && col("id_a") < col("id_b"))
+        .join(broadcast(cellsDf), "cell")
+        .withColumn("__approx", col("__cc") +
+          call_function("vec_pq_adc", col("codes_a"), col("__centAdc"),
+            lit(pq.k)) +
+          call_function("vec_pq_adc", col("codes_b"), col("__centAdc"),
+            lit(pq.k)) +
+          call_function("vec_pq_sdc", col("codes_a"), col("codes_b"),
+            sdcLit, lit(pq.k)))
+        .filter(col("__approx") >= threshold - effMargin)
+        .select("id_a", "id_b")
+    } else {
+      // multi-probe: pairs may have DIFFERENT assigned cells, so the
+      // general decomposition applies — cent_a·cent_b per pair (one
+      // codegen'd vec_dot over two broadcast-joined float centroids)
+      // plus each side's centroid ADC table against the other side's
+      // codes. Still codes-only: no float vector is read before the
+      // exact verify.
+      val cellsDf = m.centroids.zipWithIndex.map { case (c, i) =>
+        (i, c.map(_.toFloat).toSeq, adcTable(pq, c.map(_.toFloat)).toSeq)
+      }.toSeq.toDF("__acell", "__cent", "__centAdc")
+      val probed = probeExplode(a, m, probes)
+      val l = probed.select(col("__pcell"), col("cell").as("__acell_a"),
+        col(m.idCol).as("id_a"), col("pq_codes").as("codes_a"))
+      val r = probed.select(col("__pcell").as("__pcell_b"),
+        col("cell").as("__acell_b"), col(m.idCol).as("id_b"),
+        col("pq_codes").as("codes_b"))
+      val cellsA = cellsDf.toDF("__acell_a", "__cent_a", "__centAdc_a")
+      val cellsB = cellsDf.toDF("__acell_b", "__cent_b", "__centAdc_b")
+      l.join(r, col("__pcell") === col("__pcell_b") &&
+          col("id_a") < col("id_b"))
+        // both-probes-shared duplicates carry identical payloads —
+        // dedupe BEFORE the ADC/SDC scoring, no double work
+        .dropDuplicates("id_a", "id_b")
+        .join(broadcast(cellsA), "__acell_a")
+        .join(broadcast(cellsB), "__acell_b")
+        .withColumn("__approx",
+          call_function("vec_dot", col("__cent_a"), col("__cent_b")) +
+          call_function("vec_pq_adc", col("codes_b"), col("__centAdc_a"),
+            lit(pq.k)) +
+          call_function("vec_pq_adc", col("codes_a"), col("__centAdc_b"),
+            lit(pq.k)) +
+          call_function("vec_pq_sdc", col("codes_a"), col("codes_b"),
+            sdcLit, lit(pq.k)))
+        .filter(col("__approx") >= threshold - effMargin)
+        .select("id_a", "id_b")
+    }
     val t = SnapshotLog.readVersion(spark, root, cur)
     val ta = t.select(col(m.idCol).as("id_a"), col(m.vecCol).as("vec_a"))
     val tb = t.select(col(m.idCol).as("id_b"), col(m.vecCol).as("vec_b"))

@@ -363,6 +363,40 @@ object EmbedOps {
       array_max(array(scored: _*)).getField("cell").as("cell"))
   }
 
+  /** [[assignCells]] plus the SECOND-nearest coarse cell (`cell2`,
+    * nullable — null when the quantizer has a single cell): one sorted
+    * pass over the same scored array instead of two argmax scans, so
+    * the build/encode cost is unchanged at nlist vec_dots per row.
+    * Ties reproduce [[assignCells]]'s array_max exactly (equal score →
+    * HIGHER cell index wins), so the primary `cell` of every row is
+    * bit-identical between the two assignment paths — the per-query
+    * knn parity through churn depends on that.
+    *
+    * cell2 is the multi-probe CANDIDATE-GENERATION column (round 17 —
+    * verdict r16 #2): near-dup pair generation over `(cell, cell2)`
+    * closes the shared-Voronoi-boundary recall gap without reading a
+    * float at run time — the second assignment is amortized into index
+    * maintenance, exactly like the cell layout itself.
+    */
+  private[engine] def assignCells2(df: DataFrame, cents: Array[Array[Double]],
+                                   idCol: String, vecCol: String): DataFrame = {
+    if (cents.length < 2)
+      return assignCells(df, cents, idCol, vecCol)
+        .withColumn("cell2", lit(null).cast("int"))
+    // sort ascending on (-score, -cell): equal score → smaller -cell =
+    // higher cell first, matching array_max's struct ordering
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      struct(
+        (-call_function("vec_dot", col(vecCol),
+          floatArrayLit(c.map(_.toFloat)))).as("ns"),
+        lit(-i).as("nc"))
+    }
+    val top2 = slice(array_sort(array(scored: _*)), 1, 2)
+    df.select(col(idCol), col(vecCol),
+      (-top2.getItem(0).getField("nc")).as("cell"),
+      (-top2.getItem(1).getField("nc")).as("cell2"))
+  }
+
   /** Deterministic bounded training sample for ANN quantizer training —
     * the piece that makes index builds corpus-scale-free. `ivfBuild` /
     * `pqTrain` scan the full corpus once per Lloyd iteration: correct,

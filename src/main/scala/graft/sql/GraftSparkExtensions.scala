@@ -61,10 +61,13 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         GraftSqlRule.lowerAnnKnnBatch(
           org.apache.spark.sql.SparkSession.active, args)))
     // index-amortized near-duplicate candidates (round 14; ivfpq SDC
-    // dispatch round 16): `SELECT * FROM ann_near_dup('ns.t', 0.9
-    // [, index_name[, margin]])` — same-cell pairs of the persisted
-    // index; float indexes score exactly, code-only (ivfpq) indexes
-    // score by reconstructed SDC within `margin` then verify exactly
+    // dispatch round 16; AUTO margin + multi-probe round 17):
+    // `SELECT * FROM ann_near_dup('ns.t', 0.9
+    // [, index_name[, margin[, probes]]])` — same-cell (probes = 1) or
+    // stored-top-2-cell (probes = 2) pairs of the persisted index;
+    // float indexes score exactly, code-only (ivfpq) indexes score by
+    // reconstructed SDC within `margin` (< 0 = AUTO, the model's
+    // measured quantization error) then verify exactly
     ext.injectTableFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("ann_near_dup"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

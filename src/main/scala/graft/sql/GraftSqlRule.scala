@@ -594,10 +594,14 @@ object GraftSqlRule {
     }
   }
 
-  /** `ann_near_dup('ns.t', threshold [, index_name])` — same-cell
-    * near-duplicate pairs through the persisted IVF index (round 14):
-    * [[graft.engine.AnnIndex.nearDupPairs]] as a TVF, so SQL users get
-    * index-amortized dedup candidates without per-run hashing.
+  /** `ann_near_dup('ns.t', threshold [, index_name[, margin[,
+    * probes]]])` — near-duplicate pairs through the persisted index
+    * (round 14; kind dispatch r16; AUTO margin + multi-probe r17):
+    * [[graft.engine.AnnIndex.nearDupPairs]] /
+    * [[graft.engine.AnnIndex.nearDupPairsPq]] as a TVF, so SQL users
+    * get index-amortized dedup candidates without per-run hashing.
+    * margin < 0 = AUTO (the model's measured qerr); probes = 2 pairs
+    * over each side's stored top-2 cells.
     */
   /** `SELECT * FROM ann_knn_batch('ns.t', 'query_view', k[, index_name,
     * nprobe[, qid_col, vec_col[, shortlist[, where]]]])` — BATCH top-k
@@ -676,13 +680,25 @@ object GraftSqlRule {
       case other => throw new IllegalArgumentException(
         s"ann_near_dup: $what must be a numeric literal, got $other")
     }
-    require(args.length == 2 || args.length == 3 || args.length == 4,
-      s"ann_near_dup(table, threshold[, index_name[, margin]]) takes " +
-      s"2, 3 or 4 arguments, got ${args.length}")
+    require(args.length >= 2 && args.length <= 5,
+      s"ann_near_dup(table, threshold[, index_name[, margin[, probes]]])" +
+      s" takes 2–5 arguments, got ${args.length}")
     val root = resolveGraftRoot(session, str(args(0), "table name"),
       "ann_near_dup")
     val threshold = dbl(args(1), "threshold")
     val name = if (args.length >= 3) str(args(2), "index_name") else "ivf"
+    // margin < 0 = AUTO (round 17 — the Model's measured qerr); probes
+    // (5th arg, round 17) is the multi-probe candidate fan-out, valid
+    // for BOTH kinds — an ivf caller passes margin = -1 to reach it
+    // (margin has no meaning there; any non-negative value is refused
+    // below, as before)
+    val probes =
+      if (args.length == 5) {
+        val p = dbl(args(4), "probes")
+        require(p == p.toInt && p >= 1 && p <= 2,
+          s"ann_near_dup: probes must be 1 or 2, got $p")
+        p.toInt
+      } else 1
     // dispatch on the INDEX KIND (round 16): an ivfpq index routes to
     // the SDC candidate generator + exact verify; margin (the 4th arg)
     // only means something there. A MISSING index routes by arity so
@@ -691,18 +707,20 @@ object GraftSqlRule {
     // (review r16)
     val kind = graft.engine.AnnIndex.model(session, root, name).map(_.kind)
     val df =
-      if (kind.contains("ivfpq") || (kind.isEmpty && args.length == 4)) {
-        if (args.length == 4)
+      if (kind.contains("ivfpq") || (kind.isEmpty && args.length >= 4)) {
+        if (args.length >= 4)
           graft.engine.AnnIndex.nearDupPairsPq(session, root, threshold,
-            dbl(args(3), "margin"), name)
+            dbl(args(3), "margin"), name, probes)
         else
           graft.engine.AnnIndex.nearDupPairsPq(session, root, threshold,
             name = name)
       } else {
-        require(args.length < 4,
+        require(args.length < 4 || dbl(args(3), "margin") < 0,
           s"ann_near_dup: margin only applies to ivfpq indexes — " +
-          s"'$name' is '${kind.get}' (the per-cell float verify is exact)")
-        graft.engine.AnnIndex.nearDupPairs(session, root, threshold, name)
+          s"'$name' is '${kind.get}' (the per-cell float verify is " +
+          "exact); pass margin = -1 to reach the probes argument")
+        graft.engine.AnnIndex.nearDupPairs(session, root, threshold, name,
+          probes)
       }
     df.queryExecution.analyzed
   }

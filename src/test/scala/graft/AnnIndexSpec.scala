@@ -109,7 +109,9 @@ class AnnIndexSpec extends SparkSpecBase {
     val dir = new java.io.File(root, "_graft_ann/ivfpq")
     val slice = spark.read.parquet(
       dir.listFiles().filter(_.getName.startsWith("assign_v")).head.getPath)
-    assert(slice.columns.toSet == Set("vec_id", "pq_codes", "cell"),
+    // cell2 (r17): the stored second-nearest cell — multi-probe
+    // candidate generation; still codes-only, no float column
+    assert(slice.columns.toSet == Set("vec_id", "pq_codes", "cell2", "cell"),
       slice.columns.toSeq.toString)
     // O(batch) refresh: the appended slice carries only the new ids
     SnapshotLog.appendCommit(spark, root, vecs(20, offset = 5000))
@@ -780,6 +782,18 @@ class AnnIndexSpec extends SparkSpecBase {
         assert(pqBatch(q) == single,
           s"ivfpq qid $q: batch ${pqBatch(q)} != $single")
       }
+      // chunk-pipeline concurrency (r17): a sequential pool (1) and a
+      // wider one (3) give bit-identical rows to the default 2-in-
+      // flight — still under the forced multi-chunk budget
+      val rows2 = AnnIndex.knnAll(spark, root, queries, k = 5,
+        name = "ivfpq", nprobe = 2, shortlist = 20).collect().toSeq
+      for (c <- Seq("1", "3")) {
+        spark.conf.set("spark.graft.ann.batchChunkConcurrency", c)
+        try assert(AnnIndex.knnAll(spark, root, queries, k = 5,
+            name = "ivfpq", nprobe = 2, shortlist = 20).collect().toSeq
+            == rows2, s"chunk concurrency $c diverged")
+        finally spark.conf.unset("spark.graft.ann.batchChunkConcurrency")
+      }
     } finally spark.conf.unset("spark.graft.ann.batchRerankRows")
     // nprobe <= 0 probes nothing and answers EMPTY (the pre-r16
     // sortBy/take(0) contract — the partial selection must not index
@@ -870,5 +884,171 @@ class AnnIndexSpec extends SparkSpecBase {
     val res = AnnIndex.knn(spark, root, q, k = 5, nprobe = 2)
     assert(res.columns.toSeq == Seq("vec_id", "score"))
     assert(res.collect().isEmpty)
+  }
+
+  /** Planted CROSS-CELL near-dup pairs: each pair straddles the Voronoi
+    * boundary between two axis clusters — x tilted toward axis a, y
+    * toward axis b by ±ε along (e_a − e_b), cos(x, y) ≈ 1 − 4ε² —
+    * so same-cell candidate generation MUST miss it (the two members
+    * assign to different cells) and 2-probe generation must catch it
+    * (each member's top-2 cells are {a, b}). Deterministic per-pair
+    * jitter on the untouched dims keeps pairs distinct.
+    */
+  private def boundaryVecs(pairs: Int): DataFrame = {
+    val dim = 16
+    val eps = 0.015f
+    (0 until pairs).flatMap { p =>
+      val a = p % 4; val b = (p + 1) % 4
+      def mk(sign: Float, id: Long): (Long, Array[Float]) = {
+        val v = Array.tabulate(dim) { d =>
+          val u = (if (d == a) 1.0f else 0.0f) + (if (d == b) 1.0f else 0.0f)
+          val w = (if (d == a) 1.0f else 0.0f) - (if (d == b) 1.0f else 0.0f)
+          u / math.sqrt(2.0).toFloat + sign * eps * w +
+            (if (d >= 4) 0.002f * (((p * 37 + d * 11) % 13) - 6) else 0.0f)
+        }
+        val n0 = math.sqrt(v.map(x => x * x).sum).toFloat
+        (id, v.map(_ / n0))
+      }
+      Seq(mk(1.0f, 10000L + 2 * p), mk(-1.0f, 10000L + 2 * p + 1))
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def exactPairsOf(root: String, threshold: Double): Set[(Long, Long)] = {
+    import org.apache.spark.sql.functions.call_function
+    graft.functions.VectorFunctions.register(spark)
+    val t = SnapshotLog.read(spark, root)
+    t.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+      .crossJoin(t.select(col("vec_id").as("id_b"),
+        col("embedding").as("vec_b")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        call_function("vec_dot", col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  /** Rewrite a MODEL through the Hadoop FS (a raw java.nio write would
+    * desync the LocalFileSystem's .crc sidecar → ChecksumException).
+    */
+  private def rewriteModel(root: String, name: String)(
+      edit: String => String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root + s"/_graft_ann/$name/MODEL")
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = hfs.open(p)
+    val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val out = hfs.create(p, true)
+    try out.write(edit(text).getBytes("UTF-8")) finally out.close()
+  }
+
+  test("multi-probe near-dup closes the Voronoi-boundary recall gap (r17)") {
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root, vecs(400).union(boundaryVecs(6)),
+      statsCols = Seq("vec_id"))
+    AnnIndex.build(spark, root, k = 4)
+    val threshold = 0.998
+    val exact = exactPairsOf(root, threshold)
+    val planted = exact.filter(_._1 >= 10000L)
+    assert(planted.nonEmpty, "no planted boundary pairs — fixture vacuous")
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probes = 1 (the documented same-cell contract): no false
+    // positives, but the planted cross-cell pairs are invisible
+    val same = pairs(AnnIndex.nearDupPairs(spark, root, threshold))
+    assert(same.subsetOf(exact), s"false positives: ${same -- exact}")
+    assert((exact -- same).nonEmpty,
+      "fixture failed to split any planted pair across cells — vacuous")
+    // probes = 2: FULL recall on this fixture (every split pair's two
+    // members share their top-2 cell set), still zero false positives
+    val multi = pairs(AnnIndex.nearDupPairs(spark, root, threshold,
+      probes = 2))
+    assert(multi.subsetOf(exact), s"false positives: ${multi -- exact}")
+    assert(multi == exact,
+      s"probes=2 missed ${(exact -- multi).size} of ${exact.size}")
+    // the codes-only twin: same closure under probes = 2, exact verify
+    AnnIndex.buildPq(spark, root, "ivfpq", kCells = 4, m = 8, kPq = 256)
+    val multiPq = AnnIndex.nearDupPairsPq(spark, root, threshold,
+      probes = 2).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(multiPq.subsetOf(exact), s"false positives: ${multiPq -- exact}")
+    assert(multiPq == exact,
+      s"pq probes=2 missed ${(exact -- multiPq).size} of ${exact.size}")
+    // capability gate: a model whose slices predate cell2 (probes=1
+    // stamp) refuses multi-probe toward compact; compact upgrades
+    rewriteModel(root, "ivf")(_.linesIterator
+      .filterNot(_.startsWith("probes=")).mkString("\n"))
+    val eGate = intercept[IllegalArgumentException] {
+      AnnIndex.nearDupPairs(spark, root, threshold, probes = 2)
+    }
+    assert(eGate.getMessage.contains("compact"), eGate.getMessage)
+    AnnIndex.compact(spark, root, "ivf")
+    assert(pairs(AnnIndex.nearDupPairs(spark, root, threshold,
+      probes = 2)) == exact, "post-compact multi-probe diverged")
+  }
+
+  test("AUTO margin: measured qerr sizes the SDC band, zero pairs lost (r17)") {
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root, vecs(400).union(boundaryVecs(6)),
+      statsCols = Seq("vec_id"))
+    AnnIndex.buildPq(spark, root, "ivfpq", kCells = 4, m = 8, kPq = 256)
+    // the build MEASURED the two-sided p99 quantization-error bound
+    val m = AnnIndex.model(spark, root, "ivfpq").get
+    assert(m.qerr >= 0, s"buildPq did not stamp qerr (${m.qerr})")
+    assert(m.probes == 2, "buildPq did not stamp the multi-probe capability")
+    val threshold = 0.998
+    val exact = exactPairsOf(root, threshold)
+    assert(exact.nonEmpty)
+    // DEFAULT margin (AUTO = the measured bound) + probes = 2: the
+    // planted fixture loses ZERO pairs — the verdict-r16 acceptance
+    val auto = AnnIndex.nearDupPairsPq(spark, root, threshold, probes = 2)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == exact,
+      s"AUTO margin (${m.qerr}) lost ${(exact -- auto).size} pairs")
+    // a legacy model without the stamp falls back to the old 0.1
+    rewriteModel(root, "ivfpq")(_.linesIterator
+      .filterNot(_.startsWith("qerr=")).mkString("\n"))
+    assert(AnnIndex.model(spark, root, "ivfpq").get.qerr == -1.0)
+    val legacy = AnnIndex.nearDupPairsPq(spark, root, threshold, probes = 2)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(legacy == exact, "legacy 0.1 fallback diverged on the fixture")
+    // a compact RE-MEASURES and stamps the legacy model, like `rows`
+    AnnIndex.compact(spark, root, "ivfpq")
+    assert(AnnIndex.model(spark, root, "ivfpq").get.qerr >= 0,
+      "compact did not stamp qerr on a legacy model")
+  }
+
+  test("batch guards: binary qids compare by value; malformed confs name the key (r17)") {
+    val root = freshRoot()
+    SnapshotLog.commit(spark, root, vecs(100), statsCols = Seq("vec_id"))
+    AnnIndex.build(spark, root, k = 4)
+    val qv = vecs(1, offset = 3).select("embedding").head().getSeq[Float](0)
+    // duplicate BinaryType qids are equal by VALUE but not by JVM
+    // reference — the guard must still refuse them (ADVICE r16)
+    val binQueries = Seq(
+      (Array[Byte](1, 2), qv), (Array[Byte](1, 2), qv))
+      .toDF("qid", "qvec")
+    val eBin = intercept[IllegalArgumentException] {
+      AnnIndex.knnAll(spark, root, binQueries, k = 3)
+    }
+    assert(eBin.getMessage.contains("duplicate qid"), eBin.getMessage)
+    // distinct binary qids pass and answer per-query
+    val binOk = Seq((Array[Byte](1), qv), (Array[Byte](2), qv))
+      .toDF("qid", "qvec")
+    assert(AnnIndex.knnAll(spark, root, binOk, k = 3).count() == 6)
+    // malformed tuning confs fail NAMING the conf key (ADVICE r16)
+    val queries = Seq((1L, qv)).toDF("qid", "qvec")
+    for (key <- Seq("spark.graft.ann.driverRouteFlops",
+        "spark.graft.ann.maxBatchQueries")) {
+      spark.conf.set(key, "not-a-number")
+      try {
+        val e = intercept[IllegalArgumentException] {
+          AnnIndex.knnAll(spark, root, queries, k = 3)
+        }
+        assert(e.getMessage.contains(key), s"$key: ${e.getMessage}")
+      } finally spark.conf.unset(key)
+    }
   }
 }

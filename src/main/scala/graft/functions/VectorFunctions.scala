@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
@@ -691,6 +691,511 @@ object VectorFunctions {
       copy(first = newFirst, second = newSecond, third = newThird)
   }
 
+  /** Per-CELL ADC scoring from ONE shared flat table:
+    * `vec_pq_adc_at(codes, tables, cell, k)` → DOUBLE =
+    * Σ_j tables[(cell·m + j)·k + codes_j], where `tables` is the
+    * nlist×m×k flat literal of every cell's ADC table (round 17). The
+    * row's `cell` column SELECTS its slice — so a candidate-pair scan
+    * scoring millions of rows references one shared constant instead
+    * of materializing a 4·m·k-byte joined array per row (measured: the
+    * per-row joined tables were ~5× the whole float-path cost at 3M
+    * pairs × m=16/k=256 — the wide-join trap, from the scoring side).
+    *
+    * NULL semantics mirror vec_pq_adc: NULL codes/cell → NULL; tables
+    * length not a multiple of m·k, cell outside [0, nlist), or a code
+    * outside [0, k) → NULL.
+    */
+  case class PqAdcAtScore(first: Expression, second: Expression,
+                          third: Expression, k: Int)
+      extends TernaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val codesOk = first.dataType match {
+        case ArrayType(org.apache.spark.sql.types.ByteType, _) => true
+        case _ => false
+      }
+      val tableOk = second.dataType match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      }
+      val cellOk = third.dataType == org.apache.spark.sql.types.IntegerType
+      if (codesOk && tableOk && cellOk && k >= 1)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires ARRAY<TINYINT> codes, ARRAY<FLOAT> " +
+        s"tables, INT cell, k >= 1; got " +
+        children.map(_.dataType.catalogString).mkString(", ") + s", k=$k")
+    }
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_pq_adc_at"
+    override def nullable: Boolean = true
+
+    override protected def nullSafeEval(a: Any, t: Any, cl: Any): Any = {
+      val codes = a.asInstanceOf[ArrayData]
+      val tables = t.asInstanceOf[ArrayData]
+      val cell = cl.asInstanceOf[Int]
+      val m = codes.numElements()
+      if (m == 0) return 0.0
+      val slice = m * k
+      if (tables.numElements() % slice != 0) return null
+      if (cell < 0 || cell >= tables.numElements() / slice) return null
+      var acc = 0.0
+      var j = 0
+      while (j < m) {
+        if (codes.isNullAt(j)) return null
+        val c = codes.getByte(j).toInt & 0xFF
+        if (c >= k) return null
+        acc += tables.getFloat(cell * slice + j * k + c).toDouble
+        j += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, t, cl) => {
+        val m = ctx.freshName("m")
+        val slice = ctx.freshName("slice")
+        val j = ctx.freshName("j")
+        val c = ctx.freshName("c")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $m = $a.numElements();
+           |int $slice = $m * $k;
+           |double $acc = 0.0;
+           |if ($m > 0 && ($t.numElements() % $slice != 0 ||
+           |    $cl < 0 || $cl >= $t.numElements() / $slice)) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  for (int $j = 0; $j < $m; $j++) {
+           |    if ($a.isNullAt($j)) { ${ev.isNull} = true; break; }
+           |    int $c = ((int) $a.getByte($j)) & 0xFF;
+           |    if ($c >= $k) { ${ev.isNull} = true; break; }
+           |    $acc += (double) $t.getFloat($cl * $slice + $j * $k + $c);
+           |  }
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newFirst: Expression, newSecond: Expression,
+        newThird: Expression): Expression =
+      copy(first = newFirst, second = newSecond, third = newThird)
+  }
+
+  /** Dot product of two ROWS of a flat literal matrix:
+    * `vec_rows_dot(table, i, j, dim)` → DOUBLE =
+    * Σ_d table[i·dim + d] · table[j·dim + d] (round 17) — the
+    * centroid·centroid term of a cross-cell reconstructed dot product,
+    * computed against one shared nlist×dim constant instead of two
+    * dim-float arrays broadcast-joined onto every candidate row.
+    *
+    * NULL semantics: NULL indices → NULL; table length not a multiple
+    * of dim, or an index outside [0, rows) → NULL.
+    */
+  case class RowsDot(first: Expression, second: Expression,
+                     third: Expression, dim: Int)
+      extends TernaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val tableOk = first.dataType match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      }
+      val intOk = Seq(second, third)
+        .forall(_.dataType == org.apache.spark.sql.types.IntegerType)
+      if (tableOk && intOk && dim >= 1) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires ARRAY<FLOAT> table, INT i, INT j, " +
+        s"dim >= 1; got " +
+        children.map(_.dataType.catalogString).mkString(", ") + s", dim=$dim")
+    }
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_rows_dot"
+    override def nullable: Boolean = true
+
+    override protected def nullSafeEval(t: Any, ia: Any, ja: Any): Any = {
+      val table = t.asInstanceOf[ArrayData]
+      val i = ia.asInstanceOf[Int]
+      val j = ja.asInstanceOf[Int]
+      val n = table.numElements()
+      if (n % dim != 0) return null
+      val rows = n / dim
+      if (i < 0 || i >= rows || j < 0 || j >= rows) return null
+      var acc = 0.0
+      var d = 0
+      while (d < dim) {
+        acc += table.getFloat(i * dim + d).toDouble *
+          table.getFloat(j * dim + d).toDouble
+        d += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (t, i, j) => {
+        val rows = ctx.freshName("rows")
+        val d = ctx.freshName("d")
+        val acc = ctx.freshName("acc")
+        s"""
+           |double $acc = 0.0;
+           |if ($t.numElements() % $dim != 0) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  int $rows = $t.numElements() / $dim;
+           |  if ($i < 0 || $i >= $rows || $j < 0 || $j >= $rows) {
+           |    ${ev.isNull} = true;
+           |  } else {
+           |    for (int $d = 0; $d < $dim; $d++) {
+           |      $acc += (double) $t.getFloat($i * $dim + $d) *
+           |        (double) $t.getFloat($j * $dim + $d);
+           |    }
+           |  }
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newFirst: Expression, newSecond: Expression,
+        newThird: Expression): Expression =
+      copy(first = newFirst, second = newSecond, third = newThird)
+  }
+
+  /** BROADCAST-table variants of the PQ scoring kernels (round 17):
+    * identical math to the literal forms, but the shared table ships
+    * as a Spark Broadcast handle — the expression tree carries a few
+    * bytes instead of megabytes, so Catalyst's hashing/stringification
+    * and per-task closure serialization stay O(1) in the table size
+    * (a 4 MB SDC literal was measured adding ~14 s of pure plan
+    * overhead to a 4 s candidate scan at kPq=256), executors fetch one
+    * torrent copy, and the scoring loops index a PRIMITIVE float[]
+    * rather than ArrayData. Scala-construction only (a Broadcast
+    * cannot ride SQL text) via ClassicShim.column — the SQL TVF
+    * reaches them through the same Scala scorer.
+    */
+  case class BcastPqSdc(left: Expression, right: Expression,
+                        table: org.apache.spark.broadcast.Broadcast[Array[Float]],
+                        k: Int)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = {
+      def codesOk(e: Expression) = e.dataType match {
+        case ArrayType(org.apache.spark.sql.types.ByteType, _) => true
+        case _ => false
+      }
+      if (codesOk(left) && codesOk(right) && k >= 1)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires ARRAY<TINYINT> codes ×2, k >= 1; got " +
+          children.map(_.dataType.catalogString).mkString(", ") + s", k=$k")
+    }
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_pq_sdc_bcast"
+    override def nullable: Boolean = true
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val ca = a.asInstanceOf[ArrayData]
+      val cb = b.asInstanceOf[ArrayData]
+      val t = table.value
+      val m = ca.numElements()
+      if (cb.numElements() != m || t.length != m * k * k) return null
+      var acc = 0.0
+      var j = 0
+      while (j < m) {
+        if (ca.isNullAt(j) || cb.isNullAt(j)) return null
+        val x = ca.getByte(j).toInt & 0xFF
+        val y = cb.getByte(j).toInt & 0xFF
+        if (x >= k || y >= k) return null
+        acc += t((j * k + x) * k + y).toDouble
+        j += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bc = ctx.addReferenceObj("sdcBcast", table,
+        classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val t = ctx.freshName("tbl")
+        val m = ctx.freshName("m")
+        val j = ctx.freshName("j")
+        val x = ctx.freshName("x")
+        val y = ctx.freshName("y")
+        val acc = ctx.freshName("acc")
+        s"""
+           |float[] $t = (float[]) $bc.value();
+           |int $m = $a.numElements();
+           |double $acc = 0.0;
+           |if ($b.numElements() != $m || $t.length != $m * $k * $k) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  for (int $j = 0; $j < $m; $j++) {
+           |    if ($a.isNullAt($j) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
+           |    int $x = ((int) $a.getByte($j)) & 0xFF;
+           |    int $y = ((int) $b.getByte($j)) & 0xFF;
+           |    if ($x >= $k || $y >= $k) { ${ev.isNull} = true; break; }
+           |    $acc += (double) $t[($j * $k + $x) * $k + $y];
+           |  }
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Broadcast twin of [[PqAdcAtScore]] — see [[BcastPqSdc]]. */
+  case class BcastPqAdcAt(left: Expression, right: Expression,
+                          tables: org.apache.spark.broadcast.Broadcast[Array[Float]],
+                          k: Int)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val codesOk = left.dataType match {
+        case ArrayType(org.apache.spark.sql.types.ByteType, _) => true
+        case _ => false
+      }
+      val cellOk = right.dataType == org.apache.spark.sql.types.IntegerType
+      if (codesOk && cellOk && k >= 1) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires ARRAY<TINYINT> codes, INT cell, k >= 1; " +
+          "got " +
+          children.map(_.dataType.catalogString).mkString(", ") + s", k=$k")
+    }
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_pq_adc_at_bcast"
+    override def nullable: Boolean = true
+
+    override protected def nullSafeEval(a: Any, cl: Any): Any = {
+      val codes = a.asInstanceOf[ArrayData]
+      val t = tables.value
+      val cell = cl.asInstanceOf[Int]
+      val m = codes.numElements()
+      if (m == 0) return 0.0
+      val slice = m * k
+      if (t.length % slice != 0) return null
+      if (cell < 0 || cell >= t.length / slice) return null
+      var acc = 0.0
+      var j = 0
+      while (j < m) {
+        if (codes.isNullAt(j)) return null
+        val c = codes.getByte(j).toInt & 0xFF
+        if (c >= k) return null
+        acc += t(cell * slice + j * k + c).toDouble
+        j += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bc = ctx.addReferenceObj("adcBcast", tables,
+        classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+      nullSafeCodeGen(ctx, ev, (a, cl) => {
+        val t = ctx.freshName("tbl")
+        val m = ctx.freshName("m")
+        val slice = ctx.freshName("slice")
+        val j = ctx.freshName("j")
+        val c = ctx.freshName("c")
+        val acc = ctx.freshName("acc")
+        s"""
+           |float[] $t = (float[]) $bc.value();
+           |int $m = $a.numElements();
+           |int $slice = $m * $k;
+           |double $acc = 0.0;
+           |if ($m > 0 && ($t.length % $slice != 0 ||
+           |    $cl < 0 || $cl >= $t.length / $slice)) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  for (int $j = 0; $j < $m; $j++) {
+           |    if ($a.isNullAt($j)) { ${ev.isNull} = true; break; }
+           |    int $c = ((int) $a.getByte($j)) & 0xFF;
+           |    if ($c >= $k) { ${ev.isNull} = true; break; }
+           |    $acc += (double) $t[$cl * $slice + $j * $k + $c];
+           |  }
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Broadcast twin of [[RowsDot]] — see [[BcastPqSdc]]. */
+  case class BcastRowsDot(left: Expression, right: Expression,
+                          table: org.apache.spark.broadcast.Broadcast[Array[Float]],
+                          dim: Int)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val intOk = children
+        .forall(_.dataType == org.apache.spark.sql.types.IntegerType)
+      if (intOk && dim >= 1) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires INT i, INT j, dim >= 1; got " +
+          children.map(_.dataType.catalogString).mkString(", ") +
+          s", dim=$dim")
+    }
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_rows_dot_bcast"
+    override def nullable: Boolean = true
+
+    override protected def nullSafeEval(ia: Any, ja: Any): Any = {
+      val t = table.value
+      val i = ia.asInstanceOf[Int]
+      val j = ja.asInstanceOf[Int]
+      if (t.length % dim != 0) return null
+      val rows = t.length / dim
+      if (i < 0 || i >= rows || j < 0 || j >= rows) return null
+      var acc = 0.0
+      var d = 0
+      while (d < dim) {
+        acc += t(i * dim + d).toDouble * t(j * dim + d).toDouble
+        d += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bc = ctx.addReferenceObj("rowsDotBcast", table,
+        classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+      nullSafeCodeGen(ctx, ev, (i, j) => {
+        val t = ctx.freshName("tbl")
+        val rows = ctx.freshName("rows")
+        val d = ctx.freshName("d")
+        val acc = ctx.freshName("acc")
+        s"""
+           |float[] $t = (float[]) $bc.value();
+           |double $acc = 0.0;
+           |if ($t.length % $dim != 0) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  int $rows = $t.length / $dim;
+           |  if ($i < 0 || $i >= $rows || $j < 0 || $j >= $rows) {
+           |    ${ev.isNull} = true;
+           |  } else {
+           |    for (int $d = 0; $d < $dim; $d++) {
+           |      $acc += (double) $t[$i * $dim + $d] *
+           |        (double) $t[$j * $dim + $d];
+           |    }
+           |  }
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** TOP-2 coarse cells by dot product against a BROADCAST flat
+    * centroid matrix (round 17): returns ARRAY<INT> — [best] when the
+    * quantizer has one cell, else [best, second]. Ties reproduce
+    * array_max over struct(score, cell) exactly (equal score → HIGHER
+    * cell wins), the contract every assignment path shares. Replaces
+    * the nlist-literal struct array + array_sort expression, whose
+    * tree grows with nlist and whose per-row O(nlist log nlist) boxed
+    * struct sort was measured 6× slower than this primitive two-maxima
+    * scan at nlist=1024 (and whose janino compile grows with the
+    * tree). See [[BcastPqSdc]] for why the table ships as a Broadcast.
+    */
+  case class BcastTop2Cells(child: Expression,
+                            cents: org.apache.spark.broadcast.Broadcast[Array[Float]],
+                            dim: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val vecOk = child.dataType match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      }
+      if (vecOk && dim >= 1) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires ARRAY<FLOAT> vec, dim >= 1; got " +
+          child.dataType.catalogString + s", dim=$dim")
+    }
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+    override def prettyName: String = "vec_top2_cells"
+    override def nullable: Boolean = true
+
+    override protected def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val t = cents.value
+      if (x.numElements() != dim || t.length % dim != 0) return null
+      val nlist = t.length / dim
+      if (nlist == 0) return null
+      var c1 = -1; var s1 = Double.NegativeInfinity
+      var c2 = -1; var s2 = Double.NegativeInfinity
+      var c = 0
+      while (c < nlist) {
+        var s = 0.0
+        var d = 0
+        while (d < dim) {
+          if (x.isNullAt(d)) return null
+          s += x.getFloat(d).toDouble * t(c * dim + d).toDouble
+          d += 1
+        }
+        if (s >= s1) { s2 = s1; c2 = c1; s1 = s; c1 = c }
+        else if (s >= s2) { s2 = s; c2 = c }
+        c += 1
+      }
+      val out = if (nlist == 1) Array(c1) else Array(c1, c2)
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bc = ctx.addReferenceObj("centsBcast", cents,
+        classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+      nullSafeCodeGen(ctx, ev, a => {
+        val t = ctx.freshName("tbl")
+        val nlist = ctx.freshName("nlist")
+        val c1 = ctx.freshName("c1"); val s1 = ctx.freshName("s1")
+        val c2 = ctx.freshName("c2"); val s2 = ctx.freshName("s2")
+        val c = ctx.freshName("c"); val d = ctx.freshName("d")
+        val s = ctx.freshName("s")
+        val out = ctx.freshName("out")
+        s"""
+           |float[] $t = (float[]) $bc.value();
+           |if ($a.numElements() != $dim || $t.length % $dim != 0 ||
+           |    $t.length == 0) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  int $nlist = $t.length / $dim;
+           |  int $c1 = -1; double $s1 = Double.NEGATIVE_INFINITY;
+           |  int $c2 = -1; double $s2 = Double.NEGATIVE_INFINITY;
+           |  for (int $c = 0; $c < $nlist && !${ev.isNull}; $c++) {
+           |    double $s = 0.0;
+           |    for (int $d = 0; $d < $dim; $d++) {
+           |      if ($a.isNullAt($d)) { ${ev.isNull} = true; break; }
+           |      $s += (double) $a.getFloat($d) *
+           |        (double) $t[$c * $dim + $d];
+           |    }
+           |    if (!${ev.isNull}) {
+           |      if ($s >= $s1) { $s2 = $s1; $c2 = $c1; $s1 = $s; $c1 = $c; }
+           |      else if ($s >= $s2) { $s2 = $s; $c2 = $c; }
+           |    }
+           |  }
+           |  if (!${ev.isNull}) {
+           |    int[] $out = ($nlist == 1) ? new int[]{$c1}
+           |      : new int[]{$c1, $c2};
+           |    ${ev.value} = org.apache.spark.sql.catalyst.expressions
+           |      .UnsafeArrayData.fromPrimitiveArray($out);
+           |  }
+           |}
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Extracts a foldable INT argument at build time (vec_lsh's and the PQ
     * expressions' shape arguments are structural constants — they size the
     * generated loops).
@@ -763,6 +1268,22 @@ object VectorFunctions {
           s"vec_pq_sdc requires exactly 4 arguments (codes_a, codes_b, table, k), got ${children.size}")
         PqSdcScore(children(0), children(1), children(2),
           foldableInt(children(3), "vec_pq_sdc k"))
+      }),
+    (FunctionIdentifier("vec_pq_adc_at"),
+      new ExpressionInfo(classOf[PqAdcAtScore].getName, "vec_pq_adc_at"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4,
+          s"vec_pq_adc_at requires exactly 4 arguments (codes, tables, cell, k), got ${children.size}")
+        PqAdcAtScore(children(0), children(1), children(2),
+          foldableInt(children(3), "vec_pq_adc_at k"))
+      }),
+    (FunctionIdentifier("vec_rows_dot"),
+      new ExpressionInfo(classOf[RowsDot].getName, "vec_rows_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4,
+          s"vec_rows_dot requires exactly 4 arguments (table, i, j, dim), got ${children.size}")
+        RowsDot(children(0), children(1), children(2),
+          foldableInt(children(3), "vec_rows_dot dim"))
       }))
 
   /** Idempotent per-session registration so `expr("vec_dot(a, b)")` and SQL

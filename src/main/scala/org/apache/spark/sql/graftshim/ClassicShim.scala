@@ -17,6 +17,8 @@ object ClassicShim {
 
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
 
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
   def analyzed(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
 

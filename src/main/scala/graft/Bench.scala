@@ -161,14 +161,22 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cpus":"$cpus"}"""
+    // Self-adjudication marker (round 17 — verdict r16 #4): the
+    // min-of-reps time of ONE fixed reference query (q01 — tiny,
+    // stable, code frozen since round 1) rides every emitted JSON
+    // object, so a consumer holding a single BENCH_r{N}.json can
+    // normalize totals for the host-contention windows BENCHLOG
+    // documents (ambient inflation is uniform across queries, so
+    // total/ambient is window-invariant where total alone is not).
+    val ambient = results.getOrElse("q01_scan_filter_project", -1.0)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","ambient":$ambient,"queries":$qs,"sf":"$sfDir","reps":$reps,"cpus":"$cpus"}"""
     // The full per-query line is ~4.5 KB at 116 queries; the driver's
     // BENCH_r{N}.json keeps only a ~2 KB stdout tail, which cut the line's
     // HEAD (where the total lives) in r14 → "parsed": null. Bracket the full
     // line with a compact summary (no per-query map, always < 200 bytes) so
     // a complete JSON object survives the tail capture regardless of which
     // end gets truncated. The full map still reaches BENCHLOG.jsonl below.
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"cpus":"$cpus","nqueries":${results.size}}"""
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","ambient":$ambient,"sf":"$sfDir","reps":$reps,"cpus":"$cpus","nqueries":${results.size}}"""
     println(compact)
     println(line)
     println(compact)

@@ -471,4 +471,43 @@ class EmbedOpsSpec extends SparkSpecBase {
     assert(z.getAs[Float]("qscale") == 0.0f)
     assert(z.getSeq[Float](z.fieldIndex("deq")).forall(_ == 0.0f))
   }
+
+  test("vec_pq_adc_at / vec_rows_dot SQL kernels match their references (r17)") {
+    graft.functions.VectorFunctions.register(spark)
+    // vec_pq_adc_at(codes, flatTables, cell, k) == vec_pq_adc(codes,
+    // that cell's slice, k) for every cell — the per-cell selection is
+    // the only new behavior
+    val m = 2; val k = 4; val nlist = 3
+    val tables = (0 until nlist * m * k).map(i => (i * 7 % 13).toFloat)
+    // Seq[Byte], not Array[Byte]: the encoder maps Array[Byte] to
+    // BinaryType, and the kernels take ARRAY<TINYINT> (codes columns)
+    val df = Seq(
+      (Seq[Byte](0, 3), 0), (Seq[Byte](2, 1), 1), (Seq[Byte](3, 3), 2))
+      .toDF("codes", "cell")
+      .withColumn("tables", typedlit(tables).cast("array<float>"))
+    val rows = df.selectExpr(
+      s"vec_pq_adc_at(codes, tables, cell, $k) AS at",
+      s"vec_pq_adc(codes, slice(tables, cell * ${m * k} + 1, ${m * k}), $k) AS ref",
+      // out-of-range cell and short table refuse to NULL, never garbage
+      s"vec_pq_adc_at(codes, tables, $nlist, $k) AS oob",
+      s"vec_pq_adc_at(codes, slice(tables, 1, 3), cell, $k) AS short")
+      .collect()
+    rows.foreach { r =>
+      assert(!r.isNullAt(0) && r.getDouble(0) == r.getDouble(1), r.toString)
+      assert(r.isNullAt(2) && r.isNullAt(3), r.toString)
+    }
+    // vec_rows_dot(table, i, j, dim) == driver dot of rows i and j
+    val dim = 5
+    val mat = (0 until 4 * dim).map(i => (i * 3 % 11 - 5).toFloat)
+    def refDot(i: Int, j: Int): Double = (0 until dim).map(d =>
+      mat(i * dim + d).toDouble * mat(j * dim + d).toDouble).sum
+    val rd = Seq((0, 1), (2, 3), (1, 1)).toDF("i", "j")
+      .withColumn("t", typedlit(mat).cast("array<float>"))
+      .selectExpr(s"i", "j", s"vec_rows_dot(t, i, j, $dim) AS d",
+        s"vec_rows_dot(t, 4, j, $dim) AS oob").collect()
+    rd.foreach { r =>
+      assert(r.getDouble(2) == refDot(r.getInt(0), r.getInt(1)), r.toString)
+      assert(r.isNullAt(3), r.toString)
+    }
+  }
 }

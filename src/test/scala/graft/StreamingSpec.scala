@@ -11,6 +11,7 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
 case class Imp(imp_id: Long, imp_ts: Timestamp, imp_user: Long)
 case class Click(click_id: Long, click_ts: Timestamp, click_user: Long)
 case class Doc(doc_id: Long, text: String)
+case class QVec(qid: Long, qvec: Array[Float])
 
 /** Structured Streaming semantics (SURVEY §2.8 / §5.2.4): session windows
   * agree with the batch gaps-and-islands formulation, watermarks drop late
@@ -497,5 +498,93 @@ class StreamingSpec extends SparkSpecBase {
     val kept = spark.read.parquet(s"$dir/clean")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(2L, 4L), kept.toString)
+  }
+
+  test("streaming batch kNN: foreachBatch + knnAll, refresh-per-batch heals churn (r17)") {
+    import graft.engine.AnnIndex
+    import graft.sources.SnapshotLog
+    val dir = Files.createTempDirectory("graft_stream_knn").toString
+    val corpus = s"$dir/emb"
+    // the AnnIndexSpec fixture shape: deterministic unit vectors
+    // clustered around four axes
+    def vecs(n: Int, offset: Int = 0) = {
+      val dim = 16
+      (0 until n).map { i =>
+        val id = (i + offset).toLong
+        val axis = (id % 4).toInt
+        val v = Array.tabulate(dim) { d =>
+          val base = if (d == axis) 1.0f else 0.0f
+          base + 0.05f * (((id * 131 + d * 31) % 97).toFloat / 97f)
+        }
+        val n0 = math.sqrt(v.map(x => x * x).sum).toFloat
+        (id, v.map(_ / n0))
+      }.toDF("vec_id", "embedding")
+    }
+    def qv(id: Int): Array[Float] = vecs(1, offset = id)
+      .select("embedding").head().getSeq[Float](0).toArray
+    SnapshotLog.commit(spark, corpus, vecs(200), statsCols = Seq("vec_id"))
+    AnnIndex.build(spark, corpus, k = 4)
+    // the "score each micro-batch against the corpus" composition: a
+    // stream of query vectors, each batch answered in ONE knnAll pass;
+    // REFRESH-PER-BATCH brings the index to the table head first, so
+    // corpus churn between batches never trips the staleness refusal
+    // and fresh vectors are immediately searchable
+    val outDir = s"$dir/scored"
+    val stream = MemoryStream[QVec](spark)
+    val q = stream.toDF().writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        AnnIndex.refresh(spark, corpus)
+        AnnIndex.knnAll(spark, corpus, df, k = 3, nprobe = 2)
+          .write.mode("append").parquet(outDir)
+      }.start()
+    stream.addData(QVec(101L, qv(3)), QVec(102L, qv(77)))
+    q.processAllAvailable()
+    // batch parity: each streamed answer equals per-query knn
+    val got1 = spark.read.parquet(outDir)
+      .collect().groupBy(_.getLong(0))
+      .map { case (k2, rs) => k2 -> rs.map(r =>
+        (r.getLong(1), r.getDouble(2))).toSeq.sortBy(-_._2) }
+    assert(got1.keySet == Set(101L, 102L))
+    for ((qid, src) <- Seq((101L, 3), (102L, 77))) {
+      val single = AnnIndex.knn(spark, corpus, qv(src).toSeq, k = 3,
+        nprobe = 2).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got1(qid) == single, s"qid $qid: ${got1(qid)} != $single")
+    }
+    // corpus churn between batches: the refresh-per-batch loop makes
+    // the appended vector immediately searchable — its own top hit
+    SnapshotLog.appendCommit(spark, corpus, vecs(20, offset = 400))
+    stream.addData(QVec(103L, qv(405)))
+    q.processAllAvailable()
+    q.stop()
+    val got2 = spark.read.parquet(outDir)
+      .filter(col("qid") === 103L)
+      .orderBy(desc("score")).collect()
+    // ids congruent mod 97 with the same axis share the fixture's noise
+    // pattern exactly (405 ≡ 17), so assert 405 is AMONG the max-score
+    // hits rather than the unique top (ties break by lower id)
+    assert(got2.nonEmpty, "qid 103 unanswered")
+    val top = got2.head.getDouble(2)
+    assert(got2.exists(r => r.getLong(1) == 405L && r.getDouble(2) == top),
+      got2.map(_.toString).mkString(","))
+    // the OTHER composition posture, documented by refusal: a sink
+    // that skips the refresh fails its batch LOUDLY on churn (knnAll's
+    // staleness gate) instead of silently answering from a stale index
+    // — stream progress never outruns index freshness unnoticed
+    SnapshotLog.appendCommit(spark, corpus, vecs(5, offset = 900))
+    val stale = MemoryStream[QVec](spark)
+    val q2 = stale.toDF().writeStream
+      .option("checkpointLocation", s"$dir/ckpt2")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        AnnIndex.knnAll(spark, corpus, df, k = 3).collect(); ()
+      }.start()
+    stale.addData(QVec(104L, qv(3)))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    def rootMsgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ rootMsgs(t.getCause)
+    assert(rootMsgs(e).exists(_.contains("refresh")), rootMsgs(e).toString)
   }
 }

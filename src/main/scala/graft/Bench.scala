@@ -7,6 +7,17 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Round 17 (optimization guide §2.2): AQE's post-shuffle coalescing
+      // targets max(totalBytes/parallelism, minPartitionSize); the default
+      // 1 MiB floor is sized against per-partition fetch overhead at
+      // cluster scale, but on CPU-dense small-byte stages (pair-generating
+      // joins, per-user window sweeps over MB-scale inputs) it coalesces a
+      // 32-core session down to 1-4 tasks while the other cores idle.
+      // 64 KiB keeps those stages at the session's parallelism; at any
+      // realistic scale bytes/core >> 1 MiB, so the lowered floor is inert
+      // — scale-adaptive by construction, env-overridable for the cluster.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -165,9 +165,12 @@ object EmbedOps {
     * vec_dot score. Callers apply their own selection (threshold filter
     * or global top-k).
     */
-  private def scoredLshPairs(corpus: DataFrame, bits: Int, tables: Int,
+  private def scoredLshPairs(corpus0: DataFrame, bits: Int, tables: Int,
                              idCol: String, vecCol: String): DataFrame = {
-    VectorFunctions.register(corpus.sparkSession)
+    VectorFunctions.register(corpus0.sparkSession)
+    // round 17: vec_lsh bucketing and the two vec_dot verify joins all run
+    // in this frame's stages — fan a single-split scan out once
+    val corpus = Tables.fanOut(corpus0)
     val bucketed = withLshBuckets(corpus, bits, tables, vecCol)
       .select(col(idCol), posexplode(col("buckets")).as(Seq("table", "bucket")))
     val a = bucketed.select(col("table"), col("bucket"), col(idCol).as("id_a"))
@@ -249,10 +252,12 @@ object EmbedOps {
     * the spec pins hold candidates at-or-below single-probe while
     * recovering more of the true top pairs in the near-uniform regime.
     */
-  private def scoredLshPairsProbed(corpus: DataFrame, bits: Int, tables: Int,
+  private def scoredLshPairsProbed(corpus0: DataFrame, bits: Int, tables: Int,
                                    nprobe: Int, idCol: String,
                                    vecCol: String): DataFrame = {
-    VectorFunctions.register(corpus.sparkSession)
+    VectorFunctions.register(corpus0.sparkSession)
+    // round 17: same fan-out rationale as scoredLshPairs
+    val corpus = Tables.fanOut(corpus0)
     val stride = 1 + nprobe
     val bucketed = withLshProbes(corpus, bits, tables, nprobe, vecCol)
       .select(col(idCol), posexplode(col("buckets")).as(Seq("pos", "bucket")))

@@ -44,7 +44,10 @@ object LlmOps {
   def q32(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val e = Tables.embeddings(s, dir)
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    // round 17: the O(n²/2) vec_dot loop runs in the stream side's stage —
+    // fan the single-split scan out so it parallelizes (Tables.fanOut)
+    val a = Tables.fanOut(
+      e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")))
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("cosine", expr("round(vec_dot(emb_a, emb_b), 4)"))

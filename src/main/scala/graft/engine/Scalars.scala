@@ -184,7 +184,10 @@ object Scalars {
   // candidates + survivors, which no verify step can beat.
   def q66(s: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(s, dir)
-    val a = p.select(col("p_partkey").as("id_a"), col("p_name").as("name_a"), col("p_brand"))
+    // round 17: the DP runs in the stream side's stage; a single-split
+    // scan would run all ~8M candidate DPs in ONE task (see Tables.fanOut)
+    val a = Tables.fanOut(
+      p.select(col("p_partkey").as("id_a"), col("p_name").as("name_a"), col("p_brand")))
     val b = p.select(col("p_partkey").as("id_b"), col("p_name").as("name_b"),
                      col("p_brand").as("brand_b"))
     val dist = levenshtein(col("name_a"), col("name_b"), 3)
@@ -304,8 +307,11 @@ object Scalars {
     import org.apache.spark.sql.expressions.Window
     val prefixLen = cap * q + 1
     val shortLen = cap * q + q - 1 // g ≤ cap·q ⇔ len ≤ this
-    val base = rows.select(col("id"), col("name"), col("block"),
-      length(col("name")).as("len"))
+    // round 17: every downstream stage (brute-arm DP, q-gram tokenize,
+    // name lookup) inherits this frame's partitioning — fan a
+    // single-split scan out once here (identity at scale)
+    val base = Tables.fanOut(rows.select(col("id"), col("name"), col("block"),
+      length(col("name")).as("len")))
 
     // The probe is bounded in ROWS (at most min(bruteBelow, 2^18) + 1)
     // AND BYTES (128-char name prefixes + the true length: gram stats

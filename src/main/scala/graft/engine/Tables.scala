@@ -16,6 +16,31 @@ import org.apache.spark.sql.functions._
 object Tables {
   private def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
+  /** Scale-adaptive fan-out for CPU-dense downstream work (round 17,
+    * optimization guide §2.2/§2.6 "idle capacity"). The fixture tables are
+    * single-row-group files of a few MB, so every scan yields ONE split
+    * (openCostInBytes floors the split size at 4 MB and a single parquet
+    * row group cannot be subdivided anyway) — and any per-row-expensive
+    * operator downstream of a broadcast join or a Generate (banded
+    * edit-distance DP over 8M candidate pairs, vec_dot over an all-pairs
+    * join, q-gram explosion) inherits that ONE task and runs
+    * single-threaded on a 32-core session. Measured: q66 spends 6.2 s in
+    * one task's levenshtein loop while 31 cores idle.
+    *
+    * Fix: when (and only when) the input's scan yields fewer partitions
+    * than the session's parallelism, redistribute round-robin to
+    * defaultParallelism. At any realistic scale the scan already carries
+    * >= cores partitions and this helper is the IDENTITY — no Exchange is
+    * added, so the 100 TB plan is unchanged; the knob derives from input
+    * size, never from a constant tuned for either local mode or a cluster.
+    * (The partition probe compiles the plan of the small input subtree —
+    * metadata only, no job runs.)
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  }
+
   private def read(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(path(dir, name))
 

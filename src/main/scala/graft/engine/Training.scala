@@ -21,7 +21,10 @@ object Training {
   def q41(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val e = Tables.embeddings(s, dir)
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    // round 17: the O(n²/2) vec_dot loop runs in the stream side's stage —
+    // fan the single-split scan out so it parallelizes (Tables.fanOut)
+    val a = Tables.fanOut(
+      e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")))
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("cosine", expr("round(vec_dot(emb_a, emb_b), 4)"))
@@ -310,7 +313,8 @@ object Training {
   // fixed eval set (MBs–GBs of grams): broadcastable when small, plain
   // shuffle join otherwise — nothing here is corpus-quadratic.
   def q59(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    // round 17: 8-gram construction dominates the scan stage — fan out
+    val docs = Tables.fanOut(Tables.documents(s, dir))
     val words = split(col("text"), " ")
     val grams8 = expr(
       """array_distinct(transform(sequence(0, size(split(text, ' ')) - 8),

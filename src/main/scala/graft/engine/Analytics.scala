@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   * supplier, customer) broadcast — decided by size statistics, not
   * hints, same policy q54 proves in PlanShapeSpec. No query joins
   * lineitem to itself: q101's correlated EXISTS/NOT-EXISTS pair is
-  * re-expressed as ONE per-order aggregate (count + count-distinct in a
-  * single two-phase hash agg), so the self-correlation costs one shuffle
+  * re-expressed as ONE per-order aggregate (count + min/max in a single
+  * two-phase hash agg; round 17 replaced the countDistinct with the
+  * min=max identity, dropping the Expand), so it costs one shuffle
   * on l_orderkey instead of Q21's textbook double self-join — the oracle
   * keeps the textbook correlated form, proving the rewrite equivalent.
   */
@@ -134,17 +135,26 @@ object Analytics {
   // EXISTS (another line, any supplier) + NOT EXISTS (another line,
   // different supplier) double self-join on lineitem; at 100 TB that is
   // two extra shuffles of the biggest table. Re-expressed: one
-  // aggregate per l_orderkey (n_lines, n_distinct_suppliers) keeps it to
+  // aggregate per l_orderkey (n_lines, min/max suppkey) keeps it to
   // a single shuffle, and "sole supplier of a multi-line order" is just
-  // n_lines >= 2 AND n_supp = 1 — any(l_suppkey) is then THE supplier.
+  // n_lines >= 2 AND min = max — min(l_suppkey) is then THE supplier.
   // The oracle keeps the correlated form, proving equivalence.
   def q101(s: SparkSession, dir: String): DataFrame = {
+    // round 17: "exactly one distinct supplier" ⟺ min(l_suppkey) =
+    // max(l_suppkey) (l_suppkey is non-null in every lineitem row — both
+    // aggregates ignore nothing). This drops the countDistinct, whose
+    // plan doubles every input row through an Expand and aggregates the
+    // (l_orderkey, l_suppkey) pairs before the per-order count — with
+    // min/max the whole aggregate is ONE two-phase hash agg over
+    // unexpanded rows (plan: Expand gone, before/after in plans/r17).
+    // Output unchanged: n_supp only ever gated the filter.
     val sole = Tables.lineitem(s, dir)
       .groupBy("l_orderkey")
       .agg(count(lit(1)).as("n_lines"),
-           countDistinct(col("l_suppkey")).as("n_supp"),
-           min(col("l_suppkey")).as("the_suppkey"))
-      .filter(col("n_lines") >= 2 && col("n_supp") === 1)
+           min(col("l_suppkey")).as("the_suppkey"),
+           max(col("l_suppkey")).as("max_suppkey"))
+      .filter(col("n_lines") >= 2 &&
+              col("the_suppkey") === col("max_suppkey"))
     sole
       .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F"),
             col("l_orderkey") === col("o_orderkey"))

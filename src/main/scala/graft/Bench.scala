@@ -18,6 +18,11 @@ object Bench {
       // — scale-adaptive by construction, env-overridable for the cluster.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
+      // Round 17 (guide §3.1/§9): allow shuffled-hash joins where the
+      // per-partition build side fits — skips the two sorts a sort-merge
+      // join pays. Env-overridable; "true" restores the SMJ-only planner.
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -18,11 +18,12 @@ object Bench {
       // — scale-adaptive by construction, env-overridable for the cluster.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
-      // Round 17 (guide §3.1/§9): allow shuffled-hash joins where the
-      // per-partition build side fits — skips the two sorts a sort-merge
-      // join pays. Env-overridable; "true" restores the SMJ-only planner.
-      .config("spark.sql.join.preferSortMergeJoin",
-        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
+      // preferSortMergeJoin=false was trialed here (guide §3.1/§9) and
+      // REVERTED: a one-directional A/B suggested −15% on the join-heavy
+      // subset, but interleaved repetition (3 SHJ/SMJ pairs, min-of-3
+      // each) showed the difference was ambient-window drift — SMJ won 2
+      // of 3 pairs; identical code swung 2.7→6.5 s between windows. The
+      // default planner stays; OPTIMIZATION_r17.md records the negative.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

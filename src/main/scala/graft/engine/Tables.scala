@@ -35,6 +35,12 @@ object Tables {
     * size, never from a constant tuned for either local mode or a cluster.
     * (The partition probe compiles the plan of the small input subtree —
     * metadata only, no job runs.)
+    *
+    * CONTRACT: call only with SCAN-ROOTED batch frames (scan + filters/
+    * projections, no Exchange below). `.rdd` on a shuffle-containing
+    * plan would materialize its query stages under AQE — an eager job
+    * at DataFrame-construction time; and `.rdd` on a streaming frame
+    * throws. Every call site in this repo passes a table scan slice.
     */
   def fanOut(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
